@@ -1,0 +1,17 @@
+"""lakekeeper_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of lakekeeper/lakekeeper (Iceberg REST catalog,
+surveyed at /root/reference, v0.13.1), extended with LLM-data-pipeline
+operators (dedup, similarity search, text analysis) designed for 100 TB scale.
+
+Layout:
+    session      -- tuned SparkSession factory (AQE, shuffle sizing, UTC)
+    data         -- testdata loaders (handles nanos-timestamp parquet)
+    registry     -- query registry: name -> (spark callable, duckdb oracle)
+    queries/     -- analytic + LLM-pipeline query surface
+    catalog/     -- Lakekeeper-semantics catalog layer (metastore, commits,
+                    namespaces, views, lifecycle)
+    format/      -- parquet-backed snapshot table format ("icelite")
+    streaming/   -- Structured Streaming pipelines over the events table
+"""
+
+__version__ = "0.1.0"

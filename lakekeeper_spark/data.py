@@ -1,0 +1,76 @@
+"""Testdata loaders.
+
+All tables are plain parquet at ``{sf_dir}/{name}.parquet``. The only
+special case is ``events``: the driver wrote its ``ts`` column as parquet
+TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright. With
+``spark.sql.legacy.parquet.nanosAsLong=true`` the column surfaces as a long
+(nanos since epoch); we keep that as ``ts_ns`` (exact integer arithmetic —
+used by window/sessionization operators for oracle-exact results) and also
+derive ``ts`` as TIMESTAMP_NTZ at microsecond precision.
+
+If the ambient session cannot read nanos-as-long (conf not applied before
+the parquet footer is parsed), we fall back to a pyarrow read + Arrow
+createDataFrame. That path is driver-local and only acceptable for the
+events table at test scale; at 100 TB the ingest job would rewrite events
+with microsecond timestamps on the way in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import ensure_runtime_confs
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+NANOS_PER_HOUR = 3_600_000_000_000
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts_ns`` (long, exact) and ``ts`` (timestamp_ntz, micros)."""
+    ensure_runtime_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+        # Force schema resolution now so a nanos failure surfaces here.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type != "bigint":  # pragma: no cover - depends on session conf
+            raise ValueError(f"expected nanosAsLong bigint ts, got {ts_type}")
+    except Exception:  # pragma: no cover - fallback for sessions w/o the conf
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path)
+        import pyarrow as pa
+
+        tbl = tbl.set_column(
+            tbl.schema.get_field_index("ts"),
+            "ts",
+            tbl.column("ts").cast(pa.int64()),
+        )
+        df = spark.createDataFrame(tbl.to_pandas())
+    return (
+        df.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz"))
+    )
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,572 @@
+"""Analytic query surface (TPC-H-style, adapted to the driver's star schema).
+
+These are the engine-side SQL operators SURVEY.md §2.1 requires (scan,
+filter, projection, hash/broadcast joins, semi/anti joins, aggregation,
+window functions, top-N) expressed Spark-first: declarative DataFrame plans
+that Catalyst turns into broadcast joins for dimensions and partial
+aggregation before shuffles.
+
+Scale notes (100 TB design point):
+  - region/nation are always broadcast (F.broadcast); customer/supplier/part
+    joins are left to AQE, which will broadcast them when stats allow and
+    shuffle-hash otherwise.
+  - Every aggregation here is expressible with map-side partial aggregation
+    (sums of longs / counts), so shuffle volume is #groups, not #rows.
+  - Top-N uses orderBy+limit which Spark executes as per-partition TakeOrdered
+    + driver merge — no global sort shuffle.
+
+Oracle determinism: see queries/detsum.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import register
+from .detsum import davg, dsum, scaled_long, sql_davg, sql_dsum, sql_scaled_long
+
+DISC_PRICE = "l_extendedprice*(1-l_discount)"
+CHARGE = "l_extendedprice*(1-l_discount)*(1+l_tax)"
+
+
+def _ts(s: str):
+    return F.expr(f"TIMESTAMP_NTZ '{s} 00:00:00'")
+
+
+def disc_price_col():
+    return F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+
+
+def charge_col():
+    return disc_price_col() * (F.lit(1) + F.col("l_tax"))
+
+
+# --------------------------------------------------------------------------
+# q01 pricing summary (TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 100)} AS sum_qty,
+       {sql_dsum('l_extendedprice', 100)} AS sum_base_price,
+       {sql_dsum(DISC_PRICE, 10000)} AS sum_disc_price,
+       {sql_dsum(CHARGE, 1000000)} AS sum_charge,
+       {sql_davg('l_quantity', 100)} AS avg_qty,
+       {sql_davg('l_extendedprice', 100)} AS avg_price,
+       {sql_davg('l_discount', 100)} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+    description="Full-scan aggregate: 4 groups, 8 aggregates, map-side partial agg.",
+    tags=("analytics", "aggregate"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= _ts("1998-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", 100).alias("sum_qty"),
+            dsum("l_extendedprice", 100).alias("sum_base_price"),
+            dsum(disc_price_col(), 10000).alias("sum_disc_price"),
+            dsum(charge_col(), 1000000).alias("sum_charge"),
+            davg("l_quantity", 100).alias("avg_qty"),
+            davg("l_extendedprice", 100).alias("avg_price"),
+            davg("l_discount", 100).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 shipping priority (TPC-H Q3 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q03_shipping_priority",
+    oracle=f"""
+SELECT o.o_orderkey, o.o_orderdate,
+       {sql_dsum(DISC_PRICE, 10000)} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o.o_orderkey
+LIMIT 10
+""",
+    description="3-way join + agg + top-N with unique tiebreak.",
+    tags=("analytics", "join", "topn"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = _ts("1998-03-15")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(dsum(disc_price_col(), 10000).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 order priority count via EXISTS (TPC-H Q4 shape -> left-semi join)
+# --------------------------------------------------------------------------
+@register(
+    "q04_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+    description="EXISTS correlated subquery as left-semi join.",
+    tags=("analytics", "semijoin"),
+)
+def q04_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-01-01")) & (F.col("o_orderdate") < _ts("1997-07-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 local supplier volume (TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q05_local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name,
+       {sql_dsum(DISC_PRICE, 10000)} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+""",
+    description="6-way star join; nation/region broadcast.",
+    tags=("analytics", "join", "broadcast"),
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    region = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(disc_price_col(), 10000).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 forecast revenue change (TPC-H Q6 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q06_forecast_revenue",
+    oracle=f"""
+SELECT {sql_dsum('l_extendedprice*l_discount', 10000)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""",
+    description="Selective scan + global aggregate; filters pushed to parquet.",
+    tags=("analytics", "scan"),
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), 10000).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q08 market share (TPC-H Q8 shape): CHINA suppliers' share in ASIA market
+# --------------------------------------------------------------------------
+@register(
+    "q08_market_share",
+    oracle=f"""
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       {sql_dsum(f"CASE WHEN n2.n_name = 'CHINA' THEN {DISC_PRICE} ELSE 0 END", 10000)}
+         / {sql_dsum(DISC_PRICE, 10000)} AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+JOIN region r ON n1.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY CAST(year(o.o_orderdate) AS INTEGER)
+""",
+    description="Conditional aggregation ratio per year over star join.",
+    tags=("analytics", "join", "aggregate"),
+)
+def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    n1 = F.broadcast(load_table(spark, sf_dir, "nation").alias("n1"))
+    n2 = F.broadcast(load_table(spark, sf_dir, "nation").alias("n2"))
+    region = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    vol = disc_price_col()
+    china_vol = F.when(F.col("n2.n_name") == "CHINA", vol).otherwise(F.lit(0))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(region, F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n2, supp.s_nationkey == F.col("n2.n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg((dsum(china_vol, 10000) / dsum(vol, 10000)).alias("mkt_share"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q10 returned items (TPC-H Q10 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       {sql_dsum(DISC_PRICE, 10000)} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20
+""",
+    description="Join + agg + top-20 lost-revenue customers.",
+    tags=("analytics", "join", "topn"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1997-10-01")) & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(disc_price_col(), 10000).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 customer order-count distribution (TPC-H Q13 shape, outer join)
+# --------------------------------------------------------------------------
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+""",
+    description="Left outer join + double aggregation.",
+    tags=("analytics", "outerjoin"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy(cust.c_custkey)
+        .agg(F.count(orders.o_orderkey).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# q14 promo revenue (TPC-H Q14 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+SELECT 100*({sql_dsum(f"CASE WHEN p.p_type = 'PROMO' THEN {DISC_PRICE} ELSE 0 END", 10000)})
+       / ({sql_dsum(DISC_PRICE, 10000)}) AS promo_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+""",
+    description="Join + conditional-aggregate percentage.",
+    tags=("analytics", "join"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-06-01")) & (F.col("l_shipdate") < _ts("1997-07-01"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    vol = disc_price_col()
+    promo_vol = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg((F.lit(100) * dsum(promo_vol, 10000) / dsum(vol, 10000)).alias("promo_revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q15 top supplier (TPC-H Q15 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_dsum(DISC_PRICE, 10000)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    description="Aggregate subquery + scalar-subquery max filter.",
+    tags=("analytics", "subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01")) & (F.col("l_shipdate") < _ts("1997-04-01"))
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(disc_price_col(), 10000).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    return (
+        supp.join(revenue, supp.s_suppkey == revenue.supplier_no)
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 supplier count per part class (TPC-H Q16 shape, no partsupp table)
+# --------------------------------------------------------------------------
+@register(
+    "q16_parts_supplier_count",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size >= 10
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    description="COUNT DISTINCT (2-phase distinct aggregation).",
+    tags=("analytics", "distinct"),
+)
+def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 10)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 small-quantity-order revenue (TPC-H Q17 shape)
+# --------------------------------------------------------------------------
+_AVG_QTY = "CAST(SUM(CAST(ROUND((l_quantity)*100) AS BIGINT)) AS DOUBLE)/100/COUNT(*)"
+
+
+@register(
+    "q17_small_quantity",
+    oracle=f"""
+WITH part_avg AS (
+  SELECT l_partkey, {_AVG_QTY} AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT {sql_dsum('l.l_extendedprice', 100)}/7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN part_avg a ON l.l_partkey = a.l_partkey
+WHERE p.p_type = 'SMALL' AND l.l_quantity < 0.2*a.avg_qty
+""",
+    description="Self-aggregating join: per-part average threshold filter.",
+    tags=("analytics", "join", "subquery"),
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        davg("l_quantity", 100).alias("avg_qty")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(part_avg, li.l_partkey == part_avg.pk)
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice", 100) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q18 large-volume customers (TPC-H Q18 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q18_large_volume_customer",
+    oracle=f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       {sql_dsum('l.l_quantity', 100)} AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+HAVING SUM({sql_scaled_long('l.l_quantity', 100)}) > 21000
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+""",
+    description="Group-by with HAVING on exact integer sum + top-N.",
+    tags=("analytics", "aggregate", "topn"),
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            dsum("l_quantity", 100).alias("sum_qty"),
+            F.sum(scaled_long("l_quantity", 100)).alias("_sq"),
+        )
+        .filter(F.col("_sq") > 21000)
+        .drop("_sq")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# window: top-3 orders per customer
+# --------------------------------------------------------------------------
+@register(
+    "w01_top_orders_per_customer",
+    oracle="""
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+  FROM orders
+) t WHERE rn <= 3
+""",
+    description="Ranking window function with deterministic tiebreak.",
+    tags=("window",),
+)
+def w01_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# window: running revenue per customer (exact integer running sum)
+# --------------------------------------------------------------------------
+@register(
+    "w02_running_revenue",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)/100
+         AS running_total
+FROM orders
+""",
+    description="Cumulative window sum, exact via scaled integers.",
+    tags=("window",),
+)
+def w02_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(scaled_long("o_totalprice", 100)).over(w).cast("double") / F.lit(100)).alias(
+            "running_total"
+        ),
+    )

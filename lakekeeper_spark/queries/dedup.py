@@ -1,0 +1,318 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, from exact to approximate:
+
+  d01 exact        — hash-groupBy on full text (shuffle on text hash).
+  d02 ngram-jaccard— character-3-gram shingle sets, pairwise Jaccard via
+                     shingle-explode + self-join (exact near-dup; O(pairs
+                     sharing a shingle), oracle-checkable in SQL).
+  d03 minhash-lsh  — MinHash signatures + banded LSH bucketing: the 100 TB
+                     scale path. Candidate pairs only form within a band
+                     bucket (no all-pairs comparison anywhere); candidates
+                     are then verified with exact Jaccard on shingle sets.
+  d04 simhash      — 64-bit SimHash fingerprints + band bucketing, Hamming
+                     distance verification.
+
+d03/d04 depend on Spark's xxhash64/murmur3 — not reproducible in DuckDB SQL,
+so they carry no oracle (driver records rows-only check); their correctness
+is pytest-verified against pure-Python reference implementations on sampled
+docs (tests/test_dedup.py).
+
+Scale design: every stage is a narrow map or a key-partitioned shuffle;
+no driver-side collection. Band tables are ~#docs×bands rows; bucket joins
+use the band hash as join key, so skew only arises from truly-common
+shingles, which AQE skew-join splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import register
+
+SHINGLE_K = 3  # character shingle width
+JACCARD_THRESHOLD = 0.6
+MINHASH_PERMS = 64
+MINHASH_BANDS = 16  # 16 bands x 4 rows
+# 2^31-1 keeps a_i*h + b_i comfortably inside int64 for a_i <= 127
+MERSENNE_P = (1 << 31) - 1
+SIMHASH_HAMMING_MAX = 8
+
+
+# --------------------------------------------------------------------------
+# d01: exact dedup via hash-groupBy
+# --------------------------------------------------------------------------
+@register(
+    "d01_dedup_exact",
+    oracle="""
+SELECT MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies,
+       length(text) AS n_chars
+FROM documents
+GROUP BY text
+HAVING COUNT(*) >= 1
+""",
+    description="Exact duplicate groups: shuffle on text, keep min doc_id "
+    "as canonical representative.",
+    tags=("dedup", "llm"),
+)
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(
+            "keep_doc_id",
+            "n_copies",
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# shared shingle helper: distinct character k-grams per doc
+# --------------------------------------------------------------------------
+def _shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) distinct pairs via sequence+transform+explode —
+    all JVM-side; one narrow stage then a distinct shuffle keyed by
+    (doc_id, shingle)."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(f"transform(sequence(1, length(text)-{k - 1}), i -> substr(text, i, {k}))")
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+_SQL_SHINGLES = f"""
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, length(text)-{SHINGLE_K - 2}),
+           i -> substring(text, i, {SHINGLE_K})))) AS shingle
+  FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# d02: n-gram Jaccard near-duplicate pairs (exact, SQL-checkable)
+# --------------------------------------------------------------------------
+@register(
+    "d02_dedup_ngram_jaccard",
+    oracle=f"""
+WITH shingles AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOLD}
+""",
+    description="Exact character-3-gram Jaccard near-dup pairs via shingle "
+    "self-join; integer intersection/union counts (deterministic ratio).",
+    tags=("dedup", "llm", "join"),
+)
+def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# d03: MinHash + banded LSH (the 100 TB scale path)
+# --------------------------------------------------------------------------
+def minhash_signatures(docs: DataFrame, n_perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — one MinHash per permutation.
+
+    Universal hashing h_i(x) = (a_i*x + b_i) mod p over xxhash64 shingle
+    hashes; a_i/b_i derive deterministically from the permutation index, so
+    signatures are stable across runs and cluster sizes. Aggregation is
+    min-of-longs: order-independent, map-side combinable.
+    """
+    sh = _shingles(docs)
+    hashed = sh.select(
+        "doc_id", (F.abs(F.xxhash64("shingle")) % MERSENNE_P).alias("h")
+    )
+    mins = [
+        F.min((F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * i + 1)) % MERSENNE_P).alias(f"m{i}")
+        for i in range(n_perms)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*mins)
+    return agg.select("doc_id", F.array(*[f"m{i}" for i in range(n_perms)]).alias("sig"))
+
+
+@register(
+    "d03_dedup_minhash_lsh",
+    oracle=None,  # Spark xxhash64 not reproducible in DuckDB; pytest-verified
+    description="MinHash(64 perms) + 16-band LSH bucketing -> candidate "
+    "pairs -> exact Jaccard verification. No all-pairs stage; "
+    "scales to 100 TB (bucket-join only).",
+    tags=("dedup", "llm", "lsh"),
+)
+def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # verify candidates with exact Jaccard on shingle sets
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.alias("sa")
+    inter = (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = F.col("n_inter").cast("double") / (F.col("za.n") + F.col("zb.n") - F.col("n_inter"))
+    return (
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# --------------------------------------------------------------------------
+# d04: SimHash fingerprints + banded Hamming candidates
+# --------------------------------------------------------------------------
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash: bigint) — 64-bit SimHash over word tokens.
+
+    Per-bit vote: sum over tokens of (+1 if bit set else -1); bit i of the
+    fingerprint is 1 when the vote is positive. All integer sums ->
+    order-independent and map-side combinable.
+    """
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    hashed = tokens.select("doc_id", F.xxhash64("tok").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = hashed.groupBy("doc_id").agg(*votes)
+    # shiftleft builds the bit JVM-side (1<<63 overflows a py4j long literal)
+    bit_terms = [
+        F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(64)
+    ]
+    fp = bit_terms[0]
+    for t in bit_terms[1:]:
+        fp = fp + t
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+@register(
+    "d04_dedup_simhash",
+    oracle=None,  # xxhash64-dependent; pytest-verified
+    description="64-bit SimHash + 4x16-bit band bucketing -> Hamming<=8 "
+    "near-dup pairs. Candidate join keyed on band value.",
+    tags=("dedup", "llm", "lsh"),
+)
+def d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fps = simhash(docs).cache()
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), 16 * b)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )

@@ -1,0 +1,46 @@
+"""Deterministic (order-independent) aggregation helpers.
+
+Spark aggregates doubles in partition-then-combine order; DuckDB aggregates
+in vector order. Floating-point addition is not associative, so a naive
+``SUM(double)`` differs between engines in the last ulps — enough to break
+value-hash comparison. The driver's testdata money columns are fixed-point
+decimals stored as doubles (prices/balances: 2 dp; discount/tax: 2 dp), so
+we scale each row to an exact BIGINT, sum integers (associative, exact), and
+convert back at the end. Both engines then produce bit-identical doubles.
+
+Each helper has a Spark Column form and a SQL-text twin used to build the
+DuckDB oracle; the expressions are kept in lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def scaled_long(col: Column | str, scale: int) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(scale)).cast("long")
+
+
+def dsum(col: Column | str, scale: int) -> Column:
+    """Order-independent SUM of a fixed-point double column -> double."""
+    return F.sum(scaled_long(col, scale)).cast("double") / F.lit(scale)
+
+
+def davg(col: Column | str, scale: int) -> Column:
+    """Order-independent AVG: exact integer sum / scale / count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(scaled_long(c, scale)).cast("double") / F.lit(scale) / F.count(F.lit(1))
+
+
+def sql_scaled_long(expr: str, scale: int) -> str:
+    return f"CAST(ROUND(({expr})*{scale}) AS BIGINT)"
+
+
+def sql_dsum(expr: str, scale: int) -> str:
+    return f"CAST(SUM({sql_scaled_long(expr, scale)}) AS DOUBLE)/{scale}"
+
+
+def sql_davg(expr: str, scale: int) -> str:
+    return f"{sql_dsum(expr, scale)}/COUNT(*)"

@@ -1,0 +1,182 @@
+"""Event-stream operators (batch form) over the driver's `events` table.
+
+The reference catalog's change-event/endpoint-statistics surface
+(SURVEY.md §2.4: `service/events/`, endpoint_statistics sink) is an
+append-only event log aggregated into usage statistics; these queries
+implement that analytical shape on the driver's events table: JSON property
+extraction, hourly rollups, and gap-based sessionization.
+
+The streaming twins (readStream + watermark) live in
+lakekeeper_spark/streaming/; the batch forms here are oracle-checkable.
+
+All time arithmetic is on ``ts_ns`` (long nanos) — pure integer math, so
+results are bit-identical to the DuckDB oracle (which uses epoch_ns()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..data import load_table
+from ..registry import register
+from .detsum import dsum, sql_dsum
+
+NANOS_PER_HOUR = 3_600_000_000_000
+SESSION_GAP_NS = 30 * 60 * 1_000_000_000  # 30 minutes
+
+
+# --------------------------------------------------------------------------
+# e01: JSON property extraction + aggregate by event type
+# --------------------------------------------------------------------------
+@register(
+    "e01_json_extract_stats",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 1000000)} AS sum_value,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+""",
+    description="Semi-structured JSON props -> typed column -> aggregate "
+    "(reference VARIANT surface, test_spark.py:1343-1570, via JSON path).",
+    tags=("events", "json"),
+)
+def e01_json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 1000000).alias("sum_value"),
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# e02: hourly tumbling-window rollup
+# --------------------------------------------------------------------------
+@register(
+    "e02_hourly_rollup",
+    oracle=f"""
+SELECT epoch_ns(ts)//{NANOS_PER_HOUR} AS hour_bucket,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 1000000)} AS sum_value
+FROM events
+GROUP BY epoch_ns(ts)//{NANOS_PER_HOUR}, event_type
+""",
+    description="Tumbling hourly window rollup (endpoint-statistics shape, "
+    "reference endpoint_statistics/sink.rs:52). Streaming twin in streaming/.",
+    tags=("events", "window"),
+)
+def e02_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.col("ts_ns") / F.lit(NANOS_PER_HOUR)).cast("long").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 1000000).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# e03: gap-based sessionization (30-min inactivity gap)
+# --------------------------------------------------------------------------
+@register(
+    "e03_sessionization",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {SESSION_GAP_NS}
+                   OR LAG(epoch_ns(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+),
+sessions AS (
+  SELECT user_id, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id
+""",
+    description="Gap-based sessionization via lag + cumulative sum windows "
+    "(stateful-streaming shape executed as a batch window plan).",
+    tags=("events", "window", "session"),
+)
+def e03_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        F.when(
+            (F.col("ts_ns") - F.lag("ts_ns").over(w) > SESSION_GAP_NS)
+            | F.lag("ts_ns").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wcum))
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# e04: top users by purchase value with window share
+# --------------------------------------------------------------------------
+@register(
+    "e04_user_value_share",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         SUM(CAST(ROUND((value)*1000000) AS BIGINT)) AS uv6
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(uv6 AS DOUBLE)/1000000 AS user_value,
+       CAST(uv6 AS DOUBLE) / CAST(CAST(SUM(uv6) OVER () AS BIGINT) AS DOUBLE)
+         AS value_share
+FROM per_user
+ORDER BY uv6 DESC, user_id
+LIMIT 50
+""",
+    description="Global-window share computation + top-N (exact integer total).",
+    tags=("events", "window", "topn"),
+)
+def e04_user_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .detsum import scaled_long
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(F.sum(scaled_long("value", 1000000)).alias("uv6"))
+    w = Window.partitionBy()
+    return (
+        per_user.select(
+            "user_id",
+            (F.col("uv6").cast("double") / F.lit(1000000)).alias("user_value"),
+            (F.col("uv6").cast("double") / F.sum("uv6").over(w).cast("double")).alias(
+                "value_share"
+            ),
+        )
+        .orderBy(F.desc("user_value"), F.asc("user_id"))
+        .limit(50)
+    )

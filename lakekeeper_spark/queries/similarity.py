@@ -1,0 +1,193 @@
+"""Similarity search over the `embeddings` table (array<float> vectors).
+
+  s01 brute-force top-k cosine — the exactness baseline. Broadcast the query
+      vectors, compute cosine against every row JVM-side, take top-k per
+      query via a rank window. At 100 TB the data side stays partitioned;
+      cost is a single narrow pass (no shuffle except the final per-query
+      top-k, which is #queries*k rows).
+  s02 LSH-bucketed ANN — random-hyperplane signatures; only rows sharing a
+      signature bucket with the query are scored. The hyperplanes derive
+      from a fixed seed so results are deterministic run-to-run.
+
+Determinism contract for the s01 oracle: the dot product and the squared
+norms are quantized per element — round(x*y*1e6) as BIGINT — then summed as
+integers (associative), so Spark and DuckDB produce bit-identical scores;
+cosine is then a fixed sequence of IEEE ops on identical integers. Top-k
+tie-breaks on neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..data import load_table
+from ..registry import register
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 10
+QUANT = 1_000_000
+LSH_TABLES = 4  # independent hash tables (candidates = union over tables)
+LSH_BITS = 8  # hyperplanes per table
+HYPERPLANE_SEED = 42
+
+
+def _dot6(a: str, b: str) -> F.Column:
+    """Quantized dot product: sum of round(x*y*1e6) as long (exact)."""
+    return F.expr(
+        f"aggregate(transform(sequence(1, size({a})), "
+        f"i -> CAST(ROUND(CAST(element_at({a}, i) AS DOUBLE) * "
+        f"CAST(element_at({b}, i) AS DOUBLE) * {QUANT}) AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_dot6(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(range(1, len({a})+1), "
+        f"i -> CAST(ROUND(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) * {QUANT}) AS BIGINT)"
+        f")) AS BIGINT)"
+    )
+
+
+# --------------------------------------------------------------------------
+# s01: brute-force cosine top-k (oracle-exact via quantization)
+# --------------------------------------------------------------------------
+@register(
+    "s01_knn_bruteforce",
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id, {_sql_dot6('embedding', 'embedding')} AS norm6
+  FROM embeddings
+),
+q AS (SELECT e.vec_id, e.embedding, n.norm6 FROM embeddings e
+      JOIN norms n USING (vec_id) WHERE e.vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST({_sql_dot6('q.embedding', 'e.embedding')} AS DOUBLE)
+           / sqrt(CAST(q.norm6 AS DOUBLE) * CAST(n2.norm6 AS DOUBLE)) AS cosine
+  FROM q, embeddings e
+  JOIN norms n2 ON e.vec_id = n2.vec_id
+  WHERE e.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) t
+WHERE rnk <= {TOP_K}
+""",
+    description="Exact top-k cosine neighbors for the first 10 vectors; "
+    "broadcast queries x full scan, quantized-integer dot products.",
+    tags=("similarity", "llm"),
+)
+def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", _dot6("embedding", "embedding").alias("norm6"))
+    embn = emb.join(norms, "vec_id")
+    q = embn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm6").alias("q_norm6"),
+    )
+    pairs = F.broadcast(q).crossJoin(embn.withColumnRenamed("vec_id", "neighbor_id"))
+    scored = pairs.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot6("q_emb", "embedding").cast("double")
+            / F.sqrt(F.col("q_norm6").cast("double") * F.col("norm6").cast("double"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# s02: random-hyperplane LSH ANN (scale path; pytest-verified recall)
+# --------------------------------------------------------------------------
+def _hyperplanes(dim: int):
+    """Deterministic pseudo-random hyperplanes from a fixed seed:
+    LSH_TABLES tables x LSH_BITS planes each."""
+    import numpy as np
+
+    rng = np.random.default_rng(HYPERPLANE_SEED)
+    return rng.standard_normal((LSH_TABLES, LSH_BITS, dim)).astype(float).tolist()
+
+
+def lsh_buckets(col: str, tables: list[list[list[float]]]) -> F.Column:
+    """array<bigint>: one sign-bit bucket id per hash table."""
+    buckets = []
+    for planes in tables:
+        sig = F.lit(0).cast("long")
+        for j, plane in enumerate(planes):
+            arr = F.array(*[F.lit(x) for x in plane])
+            dot = F.aggregate(
+                F.zip_with(F.col(col), arr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            sig = sig + F.when(dot > 0, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        buckets.append(sig)
+    return F.array(*buckets)
+
+
+@register(
+    "s02_knn_lsh",
+    oracle=None,  # approximate (recall < 1); recall pytest-verified vs s01
+    description="Random-hyperplane LSH ANN: 4 tables x 8 sign bits; "
+    "candidates = bucket collisions in any table.",
+    tags=("similarity", "llm", "lsh"),
+)
+def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    tables = _hyperplanes(dim)
+    embs = emb.withColumn("buckets", lsh_buckets("embedding", tables)).withColumn(
+        "norm6", _dot6("embedding", "embedding")
+    )
+    # explode to (vec_id, tbl, bucket); the candidate join key is (tbl, bucket)
+    embt = embs.select(
+        "vec_id",
+        "embedding",
+        "norm6",
+        F.posexplode("buckets").alias("tbl", "bucket"),
+    )
+    q = embt.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm6").alias("q_norm6"),
+        F.col("tbl").alias("q_tbl"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cands = (
+        F.broadcast(q)
+        .join(
+            embt.withColumnRenamed("vec_id", "neighbor_id"),
+            (F.col("tbl") == F.col("q_tbl")) & (F.col("bucket") == F.col("q_bucket")),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "q_norm6", "neighbor_id", "embedding", "norm6")
+        .distinct()
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        (
+            _dot6("q_emb", "embedding").cast("double")
+            / F.sqrt(F.col("q_norm6").cast("double") * F.col("norm6").cast("double"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+    )

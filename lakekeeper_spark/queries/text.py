@@ -1,0 +1,180 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All operators run on the `documents` table and are expressed with built-in
+JVM-side functions (regexp_extract_all, aggregate/transform over char
+sequences) — no Python UDFs in the hot path, so whole-stage codegen applies
+and the operators scale linearly with no shuffle (embarrassingly parallel
+per-document computation; only final aggregates shuffle #groups rows).
+
+Oracle parity notes:
+  - Regexes restricted to syntax with identical semantics in Java regex
+    (Spark) and RE2 (DuckDB): literal classes, \\s, \\b, alternation.
+  - Ratios are int/int -> double divisions: deterministic IEEE ops.
+  - The fingerprint is a position-weighted codepoint sum in exact BIGINT
+    arithmetic — order-independent and engine-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import register
+
+WORD_RE = "[A-Za-z]+"
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+STOPWORD_RE = "\\b(the|a|an|and|of|to|in|is|it|that)\\b"
+
+# language marker words -> language code (deterministic tie-break by order)
+LANG_MARKERS = [
+    ("en", "\\b(the|and|of|to|a|in|is)\\b"),
+    ("de", "\\b(der|die|das|und|ist|nicht)\\b"),
+    ("es", "\\b(el|la|los|las|es|y|que)\\b"),
+    ("fr", "\\b(le|la|les|et|est|que|une)\\b"),
+]
+
+
+# --------------------------------------------------------------------------
+# t01: per-document text statistics / quality score
+# --------------------------------------------------------------------------
+@register(
+    "t01_text_stats",
+    oracle=f"""
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       len(regexp_extract_all(text, '{WORD_RE}')) AS n_words,
+       len(regexp_extract_all(text, '{TOKEN_RE}')) AS n_tokens,
+       len(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS n_stopwords,
+       CAST(len(regexp_extract_all(lower(text), '{STOPWORD_RE}')) AS DOUBLE)
+         / len(regexp_extract_all(text, '{WORD_RE}')) AS stopword_ratio,
+       CAST(length(text) AS DOUBLE)
+         / len(regexp_extract_all(text, '{TOKEN_RE}')) AS chars_per_token
+FROM documents
+""",
+    description="Per-doc token/word/stopword counts + quality ratios "
+    "(JVM regexp, codegen, zero shuffle).",
+    tags=("text", "llm"),
+)
+def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0)))
+    n_tokens = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)))
+    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(STOPWORD_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        n_words.cast("long").alias("n_words"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stopwords"),
+        (n_stop.cast("double") / n_words).alias("stopword_ratio"),
+        (F.length("text").cast("double") / n_tokens).alias("chars_per_token"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t02: language identification (marker-word scoring heuristic)
+# --------------------------------------------------------------------------
+def _lang_case_sql() -> str:
+    scores = {
+        code: f"len(regexp_extract_all(lower(text), '{pat}'))" for code, pat in LANG_MARKERS
+    }
+    greatest = "greatest(" + ", ".join(scores.values()) + ")"
+    whens = "\n         ".join(
+        f"WHEN {scores[code]} = {greatest} AND {greatest} > 0 THEN '{code}'"
+        for code, _ in LANG_MARKERS
+    )
+    return f"CASE {whens} ELSE 'und' END"
+
+
+@register(
+    "t02_lang_id",
+    oracle=f"""
+SELECT doc_id,
+       {_lang_case_sql()} AS pred_lang
+FROM documents
+""",
+    description="N-gram-free marker-word language ID; first-match-wins "
+    "tie-break mirrors CASE evaluation order.",
+    tags=("text", "llm"),
+)
+def t02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    # Project each marker score ONCE, then CASE over the materialized columns:
+    # each regex runs exactly once per row instead of once per CASE branch.
+    scored = docs.select(
+        "doc_id",
+        *[
+            F.size(F.regexp_extract_all(lowered, F.lit(pat), F.lit(0))).alias(f"s_{code}")
+            for code, pat in LANG_MARKERS
+        ],
+    )
+    greatest = F.greatest(*[F.col(f"s_{code}") for code, _ in LANG_MARKERS])
+    expr = F.when(F.lit(False), F.lit("und"))
+    for code, _ in LANG_MARKERS:
+        expr = expr.when((F.col(f"s_{code}") == greatest) & (greatest > 0), F.lit(code))
+    return scored.select("doc_id", expr.otherwise(F.lit("und")).alias("pred_lang"))
+
+
+# --------------------------------------------------------------------------
+# t03: document fingerprint (position-weighted codepoint hash, exact ints)
+# --------------------------------------------------------------------------
+_FP_MOD = 9_007_199_254_740_881  # largest prime < 2^53
+_POS_MUL = 2_654_435_761  # Knuth multiplicative constant
+_POS_MOD = 1_000_003
+
+
+@register(
+    "t03_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       CAST(list_sum(list_transform(range(1, length(text)+1),
+            i -> ascii(substring(text, i, 1)) * ((i*{_POS_MUL}) % {_POS_MOD})))
+            % {_FP_MOD} AS BIGINT) AS fingerprint
+FROM documents
+""",
+    description="Deterministic rolling document fingerprint in exact integer "
+    "arithmetic; duplicate detection key.",
+    tags=("text", "llm", "dedup"),
+)
+def t03_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.expr(
+        f"aggregate(transform(sequence(1, length(text)), "
+        f"i -> CAST(ascii(substr(text, i, 1)) AS BIGINT) * ((CAST(i AS BIGINT)*{_POS_MUL}) % {_POS_MOD})), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x) % {_FP_MOD}"
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# t04: corpus-level quality aggregate by source
+# --------------------------------------------------------------------------
+@register(
+    "t04_source_quality",
+    oracle=f"""
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(len(regexp_extract_all(text, '{WORD_RE}')) AS BIGINT)) AS BIGINT)
+         AS total_words,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents
+GROUP BY source, lang
+""",
+    description="Corpus quality rollup per (source, lang): map-side partial "
+    "aggregation, shuffle only #groups.",
+    tags=("text", "llm", "aggregate"),
+)
+def t04_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0)))
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("total_chars"),
+        F.sum(n_words.cast("long")).alias("total_words"),
+        (F.sum(F.length("text").cast("long")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+    )

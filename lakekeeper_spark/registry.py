@@ -1,0 +1,56 @@
+"""Query registry: the single source of truth for the engine's query surface.
+
+Every operator from SURVEY.md §2 that is expressible as a (spark, sf_dir) ->
+DataFrame callable registers here, optionally with a DuckDB oracle SQL string
+proving identical semantics on the same parquet inputs.
+
+Determinism contract (why oracles can hash-match bit-for-bit):
+  - Sums over floating-point columns are computed as integer sums of
+    per-row fixed-point scaled values (see queries/detsum.py); integer
+    addition is order-independent, so Spark's partial aggregation and
+    DuckDB's vectorized aggregation produce identical results.
+  - Derived doubles only come from identical sequences of IEEE-754 ops on
+    identical inputs in both engines.
+  - Top-N queries always carry a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    description: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name, fn, oracle, description, tags)
+        return fn
+
+    return deco
+
+
+def load_registry() -> dict[str, Query]:
+    """Import all query modules (side effect: populate REGISTRY)."""
+    from .queries import analytics, dedup, events, similarity, text  # noqa: F401
+
+    return REGISTRY

@@ -1,0 +1,64 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Settings chosen for the 100 TB design point:
+  - AQE on (runtime coalescing, skew-join splitting) so static
+    ``spark.sql.shuffle.partitions`` only needs to be an upper bound.
+  - ``autoBroadcastJoinThreshold`` raised: every dimension table in the star
+    schema (region/nation/customer/supplier/part at reasonable SF) should be
+    broadcast, never shuffled.
+  - UTC session timezone so timestamp semantics match the DuckDB oracle and
+    are stable across cluster nodes.
+  - ``spark.sql.legacy.parquet.nanosAsLong`` because the driver's events
+    table stores TIMESTAMP(NANOS), which vanilla Spark refuses to read; we
+    read nanos as long and convert explicitly (see data.load_events).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_session(app_name: str = "lakekeeper-spark", master: str | None = None) -> SparkSession:
+    cpus = default_parallelism()
+    if master is None:
+        master = f"local[{cpus}]"
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    return builder.getOrCreate()
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply runtime-settable confs to a session we did not create.
+
+    The driver hands us its own SparkSession in ``entry``/``queries``; these
+    confs are all runtime-settable SQLConf entries, so this works on any
+    session. Failures are ignored (conf may be static in exotic setups).
+    """
+    for key, value in [
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ]:
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass

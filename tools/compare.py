@@ -1,0 +1,99 @@
+"""Local oracle-parity harness mimicking the driver's correctness gate.
+
+Runs every registered query through Spark AND its DuckDB oracle on the same
+parquet tables, then compares row count, column names/types, and exact
+values (rows sorted by all columns, columns sorted by name). Strict: no
+float tolerance — the whole query surface is designed for bit-identical
+results (see lakekeeper_spark/queries/detsum.py).
+
+Usage: python tools/compare.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lakekeeper_spark.data import TABLES  # noqa: E402
+from lakekeeper_spark.registry import load_registry  # noqa: E402
+from lakekeeper_spark.session import get_session  # noqa: E402
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def compare_one(name: str, spark, con, sf_dir: str) -> tuple[bool, str]:
+    reg = load_registry()
+    q = reg[name]
+    t0 = time.time()
+    sdf = q.spark_fn(spark, sf_dir).toPandas()
+    t_spark = time.time() - t0
+    if q.oracle is None:
+        return True, f"rows-only ({len(sdf)} rows, spark {t_spark:.1f}s)"
+    t0 = time.time()
+    odf = con.execute(q.oracle).df()
+    t_duck = time.time() - t0
+    if len(sdf) != len(odf):
+        return False, f"ROWCOUNT spark={len(sdf)} oracle={len(odf)}"
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return False, f"COLUMNS spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    a, b = normalize(sdf), normalize(odf)
+    for c in a.columns:
+        ba = b[c]
+        try:
+            ba = ba.astype(a[c].dtype)
+        except (TypeError, ValueError):
+            pass
+        if not a[c].equals(ba):
+            neq = (a[c] != ba) & ~(a[c].isna() & ba.isna())
+            n_bad = int(neq.sum())
+            sample = ""
+            if n_bad:
+                i = neq.idxmax()
+                sample = f" first@{i}: spark={a[c][i]!r} oracle={ba[i]!r}"
+            return False, f"VALUES col={c} n_mismatch={n_bad}{sample}"
+    return True, f"OK ({len(sdf)} rows, spark {t_spark:.1f}s duck {t_duck:.1f}s)"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    reg = load_registry()
+    names = sys.argv[2:] or sorted(reg)
+    spark = get_session("compare")
+    con = duck_connection(sf_dir)
+    failures = []
+    for name in names:
+        try:
+            ok, msg = compare_one(name, spark, con, sf_dir)
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"ERROR {type(e).__name__}: {e}"
+        status = "PASS" if ok else "FAIL"
+        print(f"{status} {name}: {msg}", flush=True)
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(names) - len(failures)}/{len(names)} passed")
+    if failures:
+        print("failures:", ", ".join(failures))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
