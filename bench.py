@@ -1,0 +1,78 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is executed to completion with the noop sink (full compute,
+no driver-side row materialization) after a session warm-up, so times
+measure the engine, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from lakekeeper_spark.registry import load_registry
+from lakekeeper_spark.session import get_session
+
+# Headline set: one representative per operator family. The heavy
+# LSH dedup variants (d03/d04) are benchmarked separately once their
+# codegen overhead is tuned; they are correctness-covered in tests.
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q08_market_share",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "w01_top_orders_per_customer",
+    "e02_hourly_rollup",
+    "e03_sessionization",
+    "d01_dedup_exact",
+    "d02_dedup_ngram_jaccard",
+    "s01_knn_bruteforce",
+    "t01_text_stats",
+    "t03_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    reg = load_registry()
+    spark = get_session("bench")
+    # warm-up: JVM + parquet footer caches
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        q = reg[name]
+        t0 = time.time()
+        q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,17 @@
+"""Lakekeeper-semantics catalog layer.
+
+Reproduces the reference's catalog plane (SURVEY.md §2.2-2.4) as a
+Python library backed by a transactional SQLite metastore:
+
+  identifiers -- case-insensitive, case-preserving identifier handling
+                 (reference: docs/docs/concepts.md:25-35, ICU level2)
+  commit      -- TableUpdate/TableRequirement apply engine
+                 (reference: crates/lakekeeper/src/server/commit_tables.rs)
+  metastore   -- transactional store: namespaces, tabulars, metadata,
+                 events, tasks (reference: lakekeeper-storage-postgres)
+  catalog     -- the user-facing Catalog facade (REST-operator parity)
+  lifecycle   -- soft-delete expiration + purge task queues
+                 (reference: service/tasks/)
+"""
+
+from .catalog import Catalog, CatalogError, CommitFailedException  # noqa: F401

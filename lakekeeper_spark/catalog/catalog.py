@@ -1,0 +1,874 @@
+"""The Catalog facade: Lakekeeper's REST-operator surface as a library.
+
+Operator parity with SURVEY.md §2.2 (file:line citations are into
+/root/reference):
+
+  create/list/get/drop warehouse      api/management/v1/warehouse/mod.rs
+  namespace CRUD + pagination         api/iceberg/v1/namespace.rs:183-262
+  create_table (+staged), register    server/tables/create_table.rs:255-275
+  load_table + ETag 304               server/tables/load_table.rs:96-118
+  commit_table / commit_transaction   server/tables.rs:650,948
+  drop_table (+purge), undrop         server/tables.rs:710; warehouse/mod.rs:1450
+  rename_table                        server/tables.rs:937
+  table_exists (HEAD)                 server/tables.rs:901
+  views: create/load/replace/...      api/iceberg/v1/views.rs:138-297
+  generic tables                      api/data/v1/generic_tables/mod.rs:36-90
+  protection flags                    endpoints.rs:238-250
+  fuzzy tabular search                migration 20250923164029
+  warehouse statistics                warehouse/mod.rs:361-374
+  change events                       service/events/types/
+
+Every mutation runs in one BEGIN IMMEDIATE transaction and emits a
+CloudEvents-shaped row; commits are optimistic-concurrency checked
+(CommitFailedException on conflict), matching commit_tables.rs:119.
+"""
+
+from __future__ import annotations
+
+import difflib
+import json
+from typing import Any
+
+from . import commit as commit_engine
+from . import identifiers as ident
+from .commit import CommitConflict, CommitValidationError, new_table_metadata
+from .metastore import Metastore, new_uuid, now_ms
+
+
+class CatalogError(Exception):
+    pass
+
+
+class NoSuchEntity(CatalogError):
+    pass
+
+
+class AlreadyExists(CatalogError):
+    pass
+
+
+class ProtectedEntity(CatalogError):
+    pass
+
+
+class NotModified(Exception):
+    """ETag matched — reference returns HTTP 304 (load_table.rs:268-313)."""
+
+
+CommitFailedException = CommitConflict
+
+_DEFAULT_WAREHOUSE_PROPS = {
+    "format-version-policy": 3,  # max allowed format version
+    "delete-profile": "soft",  # 'soft' (expiration queue) or 'hard'
+    "expiration-seconds": 7 * 24 * 3600,
+    "metadata-previous-versions-max": 100,  # write.metadata.previous-versions-max
+}
+
+
+class Catalog:
+    def __init__(self, metastore: Metastore):
+        self.store = metastore
+
+    # ================= warehouses =================
+    def create_warehouse(
+        self, name: str, location: str, properties: dict[str, Any] | None = None
+    ) -> dict[str, Any]:
+        ident.validate_level(name)
+        props = {**_DEFAULT_WAREHOUSE_PROPS, **(properties or {})}
+        st = self.store
+        st.begin()
+        try:
+            if st.one("SELECT 1 FROM warehouses WHERE wh_key=?", (ident.fold(name),)):
+                raise AlreadyExists(f"warehouse {name} exists")
+            st.execute(
+                "INSERT INTO warehouses (wh_key, name, location, properties, created_ms)"
+                " VALUES (?,?,?,?,?)",
+                (ident.fold(name), name, location.rstrip("/"), json.dumps(props), now_ms()),
+            )
+            st.emit_event("create-warehouse", ident.fold(name), name, {"location": location})
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+        return {"name": name, "location": location, "properties": props}
+
+    def _warehouse(self, warehouse: str) -> dict[str, Any]:
+        row = self.store.one(
+            "SELECT * FROM warehouses WHERE wh_key=?", (ident.fold(warehouse),)
+        )
+        if not row:
+            raise NoSuchEntity(f"warehouse {warehouse} not found")
+        return {
+            "wh_key": row["wh_key"],
+            "name": row["name"],
+            "location": row["location"],
+            "properties": json.loads(row["properties"]),
+            "protected": bool(row["protected"]),
+        }
+
+    def list_warehouses(self) -> list[str]:
+        return [r["name"] for r in self.store.query("SELECT name FROM warehouses ORDER BY wh_key")]
+
+    def warehouse_statistics(self, warehouse: str) -> dict[str, Any]:
+        wh = self._warehouse(warehouse)
+        row = self.store.one(
+            "SELECT SUM(CASE WHEN kind='table' THEN 1 ELSE 0 END) AS n_tables,"
+            "       SUM(CASE WHEN kind='view' THEN 1 ELSE 0 END) AS n_views"
+            " FROM tabulars WHERE wh_key=? AND deleted_ms IS NULL",
+            (wh["wh_key"],),
+        )
+        return {
+            "number-of-tables": row["n_tables"] or 0,
+            "number-of-views": row["n_views"] or 0,
+            "timestamp-ms": now_ms(),
+        }
+
+    # ================= namespaces =================
+    def create_namespace(
+        self,
+        warehouse: str,
+        levels: tuple[str, ...] | list[str],
+        properties: dict[str, Any] | None = None,
+        exists_ok: bool = False,
+    ) -> tuple[str, ...]:
+        for level in levels:
+            ident.validate_level(level)
+        wh = self._warehouse(warehouse)
+        key = ident.ns_key(levels)
+        parent = tuple(levels[:-1])
+        st = self.store
+        st.begin()
+        try:
+            if parent and not st.one(
+                "SELECT 1 FROM namespaces WHERE wh_key=? AND ns_key=?",
+                (wh["wh_key"], ident.ns_key(parent)),
+            ):
+                raise NoSuchEntity(f"parent namespace {'.'.join(parent)} not found")
+            if st.one(
+                "SELECT 1 FROM namespaces WHERE wh_key=? AND ns_key=?", (wh["wh_key"], key)
+            ):
+                if exists_ok:
+                    st.rollback()
+                    return tuple(levels)
+                raise AlreadyExists(f"namespace {'.'.join(levels)} exists")
+            st.execute(
+                "INSERT INTO namespaces (wh_key, ns_key, ns_stored, properties, created_ms)"
+                " VALUES (?,?,?,?,?)",
+                (wh["wh_key"], key, ident.ns_store(levels), json.dumps(properties or {}), now_ms()),
+            )
+            st.emit_event("create-namespace", wh["wh_key"], ".".join(levels), {})
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+        return tuple(levels)
+
+    def namespace_exists(self, warehouse: str, levels: tuple[str, ...] | list[str]) -> bool:
+        wh = self._warehouse(warehouse)
+        return bool(
+            self.store.one(
+                "SELECT 1 FROM namespaces WHERE wh_key=? AND ns_key=?",
+                (wh["wh_key"], ident.ns_key(levels)),
+            )
+        )
+
+    def list_namespaces(
+        self,
+        warehouse: str,
+        parent: tuple[str, ...] | None = None,
+        page_token: str | None = None,
+        page_size: int | None = None,
+    ) -> tuple[list[tuple[str, ...]], str | None]:
+        """Direct children of `parent` (reference `parent` filter +
+        PageToken pagination, api/iceberg/types.rs:220-257)."""
+        wh = self._warehouse(warehouse)
+        rows = self.store.query(
+            "SELECT ns_key, ns_stored FROM namespaces WHERE wh_key=? AND ns_key > ?"
+            " ORDER BY ns_key",
+            (wh["wh_key"], page_token or ""),
+        )
+        depth = len(parent) + 1 if parent else 1
+        out, next_token = [], None
+        pkey = ident.ns_key(parent) + ident.SEP if parent else ""
+        for r in rows:
+            levels = ident.ns_load(r["ns_stored"])
+            if len(levels) != depth or not r["ns_key"].startswith(pkey):
+                continue
+            if page_size is not None and len(out) >= page_size:
+                next_token = out[-1][1]
+                break
+            out.append((levels, r["ns_key"]))
+        return [levels for levels, _ in out], next_token
+
+    def namespace_properties(self, warehouse: str, levels) -> dict[str, Any]:
+        wh = self._warehouse(warehouse)
+        row = self.store.one(
+            "SELECT properties FROM namespaces WHERE wh_key=? AND ns_key=?",
+            (wh["wh_key"], ident.ns_key(levels)),
+        )
+        if not row:
+            raise NoSuchEntity(f"namespace {'.'.join(levels)} not found")
+        return json.loads(row["properties"])
+
+    def update_namespace_properties(
+        self, warehouse: str, levels, updates: dict[str, Any], removals: list[str] = ()
+    ) -> dict[str, Any]:
+        wh = self._warehouse(warehouse)
+        st = self.store
+        st.begin()
+        try:
+            row = st.one(
+                "SELECT properties FROM namespaces WHERE wh_key=? AND ns_key=?",
+                (wh["wh_key"], ident.ns_key(levels)),
+            )
+            if not row:
+                raise NoSuchEntity(f"namespace {'.'.join(levels)} not found")
+            props = json.loads(row["properties"])
+            for k in removals:
+                props.pop(k, None)
+            props.update(updates)
+            st.execute(
+                "UPDATE namespaces SET properties=? WHERE wh_key=? AND ns_key=?",
+                (json.dumps(props), wh["wh_key"], ident.ns_key(levels)),
+            )
+            st.emit_event("update-namespace", wh["wh_key"], ".".join(levels), {"updates": updates})
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+        return props
+
+    def drop_namespace(self, warehouse: str, levels) -> None:
+        wh = self._warehouse(warehouse)
+        key = ident.ns_key(levels)
+        st = self.store
+        st.begin()
+        try:
+            row = st.one(
+                "SELECT protected FROM namespaces WHERE wh_key=? AND ns_key=?",
+                (wh["wh_key"], key),
+            )
+            if not row:
+                raise NoSuchEntity(f"namespace {'.'.join(levels)} not found")
+            if row["protected"]:
+                raise ProtectedEntity(f"namespace {'.'.join(levels)} is protected")
+            child = st.one(
+                "SELECT 1 FROM namespaces WHERE wh_key=? AND ns_key LIKE ? LIMIT 1",
+                (wh["wh_key"], key + ident.SEP + "%"),
+            )
+            tab = st.one(
+                "SELECT 1 FROM tabulars WHERE wh_key=? AND ns_key=? AND deleted_ms IS NULL"
+                " LIMIT 1",
+                (wh["wh_key"], key),
+            )
+            if child or tab:
+                raise CatalogError(f"namespace {'.'.join(levels)} is not empty")
+            st.execute(
+                "DELETE FROM namespaces WHERE wh_key=? AND ns_key=?", (wh["wh_key"], key)
+            )
+            st.emit_event("drop-namespace", wh["wh_key"], ".".join(levels), {})
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+
+    # ================= tabular internals =================
+    def _tabular_row(self, wh_key: str, levels, name: str, kind: str, deleted: bool = False):
+        cond = "deleted_ms IS NOT NULL" if deleted else "deleted_ms IS NULL"
+        return self.store.one(
+            f"SELECT * FROM tabulars WHERE wh_key=? AND ns_key=? AND name_key=? AND kind=?"
+            f" AND {cond}",
+            (wh_key, ident.ns_key(levels), ident.fold(name), kind),
+        )
+
+    def _table_location(self, wh: dict[str, Any], levels, table_uuid: str) -> str:
+        # flat storage-layout template <base>/<uuid> (reference default,
+        # service/storage/storage_layout.rs:60-246)
+        return f"{wh['location']}/{table_uuid}"
+
+    # ================= tables =================
+    def create_table(
+        self,
+        warehouse: str,
+        levels,
+        name: str,
+        schema: dict[str, Any],
+        partition_spec: dict[str, Any] | None = None,
+        sort_order: dict[str, Any] | None = None,
+        properties: dict[str, str] | None = None,
+        stage_create: bool = False,
+        format_version: int = 2,
+    ) -> dict[str, Any]:
+        ident.validate_level(name)
+        wh = self._warehouse(warehouse)
+        policy = int(wh["properties"].get("format-version-policy", 3))
+        if format_version > policy:
+            raise CommitValidationError(
+                f"format-version {format_version} exceeds warehouse policy ({policy})"
+            )
+        table_uuid = new_uuid()
+        location = self._table_location(wh, levels, table_uuid)
+        meta = new_table_metadata(
+            table_uuid, location, schema, partition_spec, sort_order, properties, format_version
+        )
+        st = self.store
+        st.begin()
+        try:
+            if not st.one(
+                "SELECT 1 FROM namespaces WHERE wh_key=? AND ns_key=?",
+                (wh["wh_key"], ident.ns_key(levels)),
+            ):
+                raise NoSuchEntity(f"namespace {'.'.join(levels)} not found")
+            existing = st.one(
+                "SELECT 1 FROM tabulars WHERE wh_key=? AND ns_key=? AND name_key=?"
+                " AND deleted_ms IS NULL",
+                (wh["wh_key"], ident.ns_key(levels), ident.fold(name)),
+            )
+            if existing:
+                raise AlreadyExists(f"tabular {name} exists")
+            # location uniqueness (reference migration 20240911094637:
+            # cannot create a table at the same or a sub-location)
+            clash = st.one(
+                "SELECT 1 FROM tabulars WHERE deleted_ms IS NULL AND"
+                " (location = ? OR location LIKE ? OR ? LIKE location || '/%')",
+                (location, location + "/%", location),
+            )
+            if clash:
+                raise AlreadyExists(f"location {location} overlaps an existing tabular")
+            kind = "table"
+            meta["staged"] = bool(stage_create)
+            st.execute(
+                "INSERT INTO tabulars (id, wh_key, ns_key, name_key, name, kind, metadata,"
+                " location, created_ms, updated_ms) VALUES (?,?,?,?,?,?,?,?,?,?)",
+                (
+                    table_uuid,
+                    wh["wh_key"],
+                    ident.ns_key(levels),
+                    ident.fold(name),
+                    name,
+                    kind,
+                    json.dumps(meta),
+                    location,
+                    now_ms(),
+                    now_ms(),
+                ),
+            )
+            st.emit_event(
+                "create-table", wh["wh_key"], f"{'.'.join(levels)}.{name}", {"uuid": table_uuid}
+            )
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+        return meta
+
+    def register_table(
+        self, warehouse: str, levels, name: str, metadata: dict[str, Any]
+    ) -> dict[str, Any]:
+        """Adopt existing table metadata (reference RegisterTable,
+        api/iceberg/v1/tables.rs:266; test_spark.py:1157-1205)."""
+        wh = self._warehouse(warehouse)
+        st = self.store
+        st.begin()
+        try:
+            if self._tabular_row(wh["wh_key"], levels, name, "table"):
+                raise AlreadyExists(f"table {name} exists")
+            st.execute(
+                "INSERT INTO tabulars (id, wh_key, ns_key, name_key, name, kind, metadata,"
+                " location, created_ms, updated_ms) VALUES (?,?,?,?,?,?,?,?,?,?)",
+                (
+                    metadata["table-uuid"],
+                    wh["wh_key"],
+                    ident.ns_key(levels),
+                    ident.fold(name),
+                    name,
+                    "table",
+                    json.dumps(metadata),
+                    metadata.get("location"),
+                    now_ms(),
+                    now_ms(),
+                ),
+            )
+            st.emit_event(
+                "register-table",
+                wh["wh_key"],
+                f"{'.'.join(levels)}.{name}",
+                {"uuid": metadata["table-uuid"]},
+            )
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+        return metadata
+
+    def load_table(
+        self, warehouse: str, levels, name: str, etag: int | None = None
+    ) -> tuple[dict[str, Any], int]:
+        """Returns (metadata, etag). Raises NotModified when the caller's
+        etag still matches (reference If-None-Match -> 304)."""
+        wh = self._warehouse(warehouse)
+        row = self._tabular_row(wh["wh_key"], levels, name, "table")
+        if not row:
+            raise NoSuchEntity(f"table {'.'.join(levels)}.{name} not found")
+        if etag is not None and etag == row["metadata_seq"]:
+            raise NotModified()
+        self.store.record_endpoint("load_table", wh["wh_key"])
+        return json.loads(row["metadata"]), row["metadata_seq"]
+
+    def table_exists(self, warehouse: str, levels, name: str) -> bool:
+        wh = self._warehouse(warehouse)
+        return self._tabular_row(wh["wh_key"], levels, name, "table") is not None
+
+    def list_tables(
+        self,
+        warehouse: str,
+        levels,
+        kind: str = "table",
+        page_token: str | None = None,
+        page_size: int | None = None,
+    ) -> tuple[list[str], str | None]:
+        wh = self._warehouse(warehouse)
+        rows = self.store.query(
+            "SELECT name, name_key FROM tabulars WHERE wh_key=? AND ns_key=? AND kind=?"
+            " AND deleted_ms IS NULL AND name_key > ? ORDER BY name_key"
+            + (" LIMIT ?" if page_size is not None else ""),
+            (wh["wh_key"], ident.ns_key(levels), kind, page_token or "")
+            + ((page_size + 1,) if page_size is not None else ()),
+        )
+        names = [r["name"] for r in rows]
+        next_token = None
+        if page_size is not None and len(names) > page_size:
+            names = names[:page_size]
+            next_token = rows[page_size - 1]["name_key"]
+        return names, next_token
+
+    def commit_table(
+        self,
+        warehouse: str,
+        levels,
+        name: str,
+        requirements: list[dict[str, Any]],
+        updates: list[dict[str, Any]],
+        idempotency_key: str | None = None,
+    ) -> dict[str, Any]:
+        return self.commit_transaction(
+            warehouse,
+            [
+                {
+                    "levels": levels,
+                    "name": name,
+                    "requirements": requirements,
+                    "updates": updates,
+                }
+            ],
+            idempotency_key=idempotency_key,
+        )[0]
+
+    def commit_transaction(
+        self,
+        warehouse: str,
+        table_changes: list[dict[str, Any]],
+        idempotency_key: str | None = None,
+    ) -> list[dict[str, Any]]:
+        """Multi-table atomic commit (reference CommitTransaction,
+        server/tables.rs:948 -> try_commit_tables:1523): all tables
+        validated + CAS-updated inside ONE metastore transaction."""
+        wh = self._warehouse(warehouse)
+        if idempotency_key:
+            prior = self.store.idempotency_get(idempotency_key)
+            if prior is not None:
+                return prior["results"]
+        # validation: dedup idents (commit_tables_validate, tables.rs:1179)
+        seen = set()
+        for ch in table_changes:
+            key = (ident.ns_key(ch["levels"]), ident.fold(ch["name"]))
+            if key in seen:
+                raise CommitValidationError("duplicate table in transaction")
+            seen.add(key)
+        policy = int(wh["properties"].get("format-version-policy", 3))
+        st = self.store
+        st.begin()
+        try:
+            results = []
+            for ch in table_changes:
+                row = self._tabular_row(wh["wh_key"], ch["levels"], ch["name"], "table")
+                meta = json.loads(row["metadata"]) if row else None
+                new_meta = commit_engine.apply_commit(
+                    meta if meta is not None else {},
+                    ch["requirements"],
+                    ch["updates"],
+                    max_format_version=policy,
+                )
+                if row is None:
+                    raise NoSuchEntity(f"table {ch['name']} not found")
+                new_meta.pop("staged", None)  # a successful commit finalizes staged creates
+                cur = st.execute(
+                    "UPDATE tabulars SET metadata=?, metadata_seq=metadata_seq+1, updated_ms=?"
+                    " WHERE id=? AND metadata_seq=?",
+                    (json.dumps(new_meta), now_ms(), row["id"], row["metadata_seq"]),
+                )
+                if cur.rowcount != 1:
+                    raise CommitConflict("concurrent update lost the race")
+                results.append(new_meta)
+                st.emit_event(
+                    "commit-table",
+                    wh["wh_key"],
+                    f"{'.'.join(ch['levels'])}.{ch['name']}",
+                    {"n_updates": len(ch["updates"])},
+                )
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+        if idempotency_key:
+            self.store.idempotency_put(idempotency_key, {"results": results})
+        return results
+
+    def drop_table(self, warehouse: str, levels, name: str, purge: bool = False) -> None:
+        """Soft-delete (default, -> expiration queue) or schedule purge
+        (reference DropTable + TabularDeleteProfile, server/tables.rs:710)."""
+        wh = self._warehouse(warehouse)
+        st = self.store
+        st.begin()
+        try:
+            row = self._tabular_row(wh["wh_key"], levels, name, "table")
+            if not row:
+                raise NoSuchEntity(f"table {'.'.join(levels)}.{name} not found")
+            if row["protected"]:
+                raise ProtectedEntity(f"table {name} is protected")
+            profile = wh["properties"].get("delete-profile", "soft")
+            if profile == "hard" or purge:
+                st.execute("DELETE FROM tabulars WHERE id=?", (row["id"],))
+                if purge:
+                    st.enqueue_task(
+                        "tabular_purge", {"location": row["location"], "id": row["id"]}
+                    )
+            else:
+                st.execute(
+                    "UPDATE tabulars SET deleted_ms=? WHERE id=?", (now_ms(), row["id"])
+                )
+                delay = int(wh["properties"].get("expiration-seconds", 0)) * 1000
+                st.enqueue_task(
+                    "tabular_expiration",
+                    {"id": row["id"], "purge": purge},
+                    delay_ms=delay,
+                )
+            st.emit_event(
+                "drop-table", wh["wh_key"], f"{'.'.join(levels)}.{name}", {"purge": purge}
+            )
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+
+    def undrop_table(self, warehouse: str, levels, name: str) -> None:
+        """Restore a soft-deleted table and cancel its expiration task
+        (reference UndropTabularsRequest, warehouse/mod.rs:1450,1591-1615)."""
+        wh = self._warehouse(warehouse)
+        st = self.store
+        st.begin()
+        try:
+            row = self._tabular_row(wh["wh_key"], levels, name, "table", deleted=True)
+            if not row:
+                raise NoSuchEntity(f"no soft-deleted table {'.'.join(levels)}.{name}")
+            clash = self._tabular_row(wh["wh_key"], levels, name, "table")
+            if clash:
+                raise AlreadyExists(f"a live table named {name} exists")
+            st.execute("UPDATE tabulars SET deleted_ms=NULL WHERE id=?", (row["id"],))
+            st.cancel_tasks("tabular_expiration", row["id"])
+            st.emit_event("undrop-tabular", wh["wh_key"], f"{'.'.join(levels)}.{name}", {})
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+
+    def rename_table(
+        self, warehouse: str, levels, name: str, new_levels, new_name: str, kind: str = "table"
+    ) -> None:
+        ident.validate_level(new_name)
+        wh = self._warehouse(warehouse)
+        st = self.store
+        st.begin()
+        try:
+            row = self._tabular_row(wh["wh_key"], levels, name, kind)
+            if not row:
+                raise NoSuchEntity(f"{kind} {'.'.join(levels)}.{name} not found")
+            if not st.one(
+                "SELECT 1 FROM namespaces WHERE wh_key=? AND ns_key=?",
+                (wh["wh_key"], ident.ns_key(new_levels)),
+            ):
+                raise NoSuchEntity(f"namespace {'.'.join(new_levels)} not found")
+            same_ident = (
+                ident.ns_key(new_levels) == row["ns_key"]
+                and ident.fold(new_name) == row["name_key"]
+            )
+            clash = self._tabular_row(wh["wh_key"], new_levels, new_name, kind)
+            if clash and not same_ident:
+                raise AlreadyExists(f"{kind} {new_name} exists")
+            st.execute(
+                "UPDATE tabulars SET ns_key=?, name_key=?, name=? WHERE id=?",
+                (ident.ns_key(new_levels), ident.fold(new_name), new_name, row["id"]),
+            )
+            st.emit_event(
+                "rename-table",
+                wh["wh_key"],
+                f"{'.'.join(levels)}.{name}",
+                {"to": f"{'.'.join(new_levels)}.{new_name}"},
+            )
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+
+    def set_protection(
+        self, warehouse: str, levels, name: str | None, protected: bool, kind: str = "table"
+    ) -> None:
+        wh = self._warehouse(warehouse)
+        st = self.store
+        if name is None:
+            cur = st.execute(
+                "UPDATE namespaces SET protected=? WHERE wh_key=? AND ns_key=?",
+                (int(protected), wh["wh_key"], ident.ns_key(levels)),
+            )
+        else:
+            cur = st.execute(
+                "UPDATE tabulars SET protected=? WHERE wh_key=? AND ns_key=? AND name_key=?"
+                " AND kind=? AND deleted_ms IS NULL",
+                (int(protected), wh["wh_key"], ident.ns_key(levels), ident.fold(name), kind),
+            )
+        if cur.rowcount == 0:
+            raise NoSuchEntity("entity not found")
+
+    def search_tabular(self, warehouse: str, query: str, limit: int = 10) -> list[dict[str, Any]]:
+        """Fuzzy name search (reference SearchTabular, endpoints.rs:235)."""
+        wh = self._warehouse(warehouse)
+        rows = self.store.query(
+            "SELECT ns_stored, name, kind FROM"
+            " tabulars t JOIN namespaces n ON t.wh_key=n.wh_key AND t.ns_key=n.ns_key"
+            " WHERE t.wh_key=? AND t.deleted_ms IS NULL",
+            (wh["wh_key"],),
+        )
+        scored = [
+            {
+                "namespace": ident.ns_load(r["ns_stored"]),
+                "name": r["name"],
+                "kind": r["kind"],
+                "score": difflib.SequenceMatcher(
+                    None, ident.fold(query), ident.fold(r["name"])
+                ).ratio(),
+            }
+            for r in rows
+        ]
+        scored.sort(key=lambda x: (-x["score"], x["name"]))
+        return scored[:limit]
+
+    # ================= views =================
+    def create_view(
+        self,
+        warehouse: str,
+        levels,
+        name: str,
+        sql: str,
+        schema: dict[str, Any] | None = None,
+        dialect: str = "spark",
+        properties: dict[str, str] | None = None,
+        replace: bool = False,
+    ) -> dict[str, Any]:
+        """Versioned view metadata with per-dialect SQL representations
+        (reference ViewMetadata/ViewVersion; server/views/commit.rs)."""
+        ident.validate_level(name)
+        wh = self._warehouse(warehouse)
+        st = self.store
+        st.begin()
+        try:
+            if not st.one(
+                "SELECT 1 FROM namespaces WHERE wh_key=? AND ns_key=?",
+                (wh["wh_key"], ident.ns_key(levels)),
+            ):
+                raise NoSuchEntity(f"namespace {'.'.join(levels)} not found")
+            row = self._tabular_row(wh["wh_key"], levels, name, "view")
+            version = {
+                "version-id": 1,
+                "timestamp-ms": now_ms(),
+                "schema": schema or {},
+                "representations": [{"type": "sql", "sql": sql, "dialect": dialect}],
+                "default-namespace": list(levels),
+            }
+            if row:
+                if not replace:
+                    raise AlreadyExists(f"view {name} exists")
+                meta = json.loads(row["metadata"])
+                version["version-id"] = meta["current-version-id"] + 1
+                meta["versions"].append(version)
+                meta["current-version-id"] = version["version-id"]
+                meta["version-log"].append(
+                    {"version-id": version["version-id"], "timestamp-ms": version["timestamp-ms"]}
+                )
+                if properties:
+                    meta["properties"].update(properties)
+                cur = st.execute(
+                    "UPDATE tabulars SET metadata=?, metadata_seq=metadata_seq+1, updated_ms=?"
+                    " WHERE id=? AND metadata_seq=?",
+                    (json.dumps(meta), now_ms(), row["id"], row["metadata_seq"]),
+                )
+                if cur.rowcount != 1:
+                    raise CommitConflict("concurrent view update")
+            else:
+                view_uuid = new_uuid()
+                meta = {
+                    "view-uuid": view_uuid,
+                    "format-version": 1,
+                    "location": self._table_location(wh, levels, view_uuid),
+                    "current-version-id": 1,
+                    "versions": [version],
+                    "version-log": [
+                        {"version-id": 1, "timestamp-ms": version["timestamp-ms"]}
+                    ],
+                    "properties": dict(properties or {}),
+                }
+                st.execute(
+                    "INSERT INTO tabulars (id, wh_key, ns_key, name_key, name, kind, metadata,"
+                    " location, created_ms, updated_ms) VALUES (?,?,?,?,?,?,?,?,?,?)",
+                    (
+                        view_uuid,
+                        wh["wh_key"],
+                        ident.ns_key(levels),
+                        ident.fold(name),
+                        name,
+                        "view",
+                        json.dumps(meta),
+                        meta["location"],
+                        now_ms(),
+                        now_ms(),
+                    ),
+                )
+            st.emit_event("create-view", wh["wh_key"], f"{'.'.join(levels)}.{name}", {})
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+        return meta
+
+    def load_view(self, warehouse: str, levels, name: str) -> dict[str, Any]:
+        wh = self._warehouse(warehouse)
+        row = self._tabular_row(wh["wh_key"], levels, name, "view")
+        if not row:
+            raise NoSuchEntity(f"view {'.'.join(levels)}.{name} not found")
+        return json.loads(row["metadata"])
+
+    def view_sql(self, warehouse: str, levels, name: str, dialect: str = "spark") -> str:
+        meta = self.load_view(warehouse, levels, name)
+        version = next(
+            v for v in meta["versions"] if v["version-id"] == meta["current-version-id"]
+        )
+        for rep in version["representations"]:
+            if rep["dialect"] == dialect:
+                return rep["sql"]
+        return version["representations"][0]["sql"]
+
+    def drop_view(self, warehouse: str, levels, name: str) -> None:
+        wh = self._warehouse(warehouse)
+        st = self.store
+        st.begin()
+        try:
+            row = self._tabular_row(wh["wh_key"], levels, name, "view")
+            if not row:
+                raise NoSuchEntity(f"view {'.'.join(levels)}.{name} not found")
+            if row["protected"]:
+                raise ProtectedEntity(f"view {name} is protected")
+            st.execute("DELETE FROM tabulars WHERE id=?", (row["id"],))
+            st.emit_event("drop-view", wh["wh_key"], f"{'.'.join(levels)}.{name}", {})
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+
+    # ================= generic tables =================
+    def create_generic_table(
+        self,
+        warehouse: str,
+        levels,
+        name: str,
+        format: str,
+        base_location: str,
+        schema: dict[str, Any] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> dict[str, Any]:
+        """Format-agnostic table registry (reference GenericTable,
+        api/data/v1/generic_tables/mod.rs:36-71; open format string enum)."""
+        wh = self._warehouse(warehouse)
+        meta = {
+            "format": format,
+            "base-location": base_location,
+            "schema": schema or {},
+            "properties": dict(properties or {}),
+        }
+        st = self.store
+        st.begin()
+        try:
+            if self._tabular_row(wh["wh_key"], levels, name, "generic"):
+                raise AlreadyExists(f"generic table {name} exists")
+            st.execute(
+                "INSERT INTO tabulars (id, wh_key, ns_key, name_key, name, kind, metadata,"
+                " location, format, created_ms, updated_ms) VALUES (?,?,?,?,?,?,?,?,?,?,?)",
+                (
+                    new_uuid(),
+                    wh["wh_key"],
+                    ident.ns_key(levels),
+                    ident.fold(name),
+                    name,
+                    "generic",
+                    json.dumps(meta),
+                    base_location,
+                    format,
+                    now_ms(),
+                    now_ms(),
+                ),
+            )
+            st.emit_event("create-generic-table", wh["wh_key"], name, {"format": format})
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+        return meta
+
+    def load_generic_table(self, warehouse: str, levels, name: str) -> dict[str, Any]:
+        wh = self._warehouse(warehouse)
+        row = self._tabular_row(wh["wh_key"], levels, name, "generic")
+        if not row:
+            raise NoSuchEntity(f"generic table {name} not found")
+        return json.loads(row["metadata"])
+
+    def drop_generic_table(self, warehouse: str, levels, name: str) -> None:
+        wh = self._warehouse(warehouse)
+        st = self.store
+        st.begin()
+        try:
+            row = self._tabular_row(wh["wh_key"], levels, name, "generic")
+            if not row:
+                raise NoSuchEntity(f"generic table {name} not found")
+            st.execute("DELETE FROM tabulars WHERE id=?", (row["id"],))
+            st.emit_event("drop-generic-table", wh["wh_key"], name, {})
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+
+    # ================= events =================
+    def list_events(self, limit: int = 100) -> list[dict[str, Any]]:
+        rows = self.store.query(
+            "SELECT seq, ts_ms, event_type, wh_key, entity, payload FROM events"
+            " ORDER BY seq DESC LIMIT ?",
+            (limit,),
+        )
+        return [
+            {
+                "seq": r["seq"],
+                "ts-ms": r["ts_ms"],
+                "type": r["event_type"],
+                "warehouse": r["wh_key"],
+                "entity": r["entity"],
+                "payload": json.loads(r["payload"] or "{}"),
+            }
+            for r in rows
+        ]

@@ -1,0 +1,323 @@
+"""TableUpdate / TableRequirement commit engine.
+
+Re-implements the reference's `apply_commit`
+(crates/lakekeeper/src/server/commit_tables.rs:34-128) over a plain-dict
+TableMetadata: check every TableRequirement against current metadata, then
+fold TableUpdates with Lakekeeper-specific guards:
+
+  - AssignUuid must equal the current uuid (commit_tables.rs:75-84)
+  - SetLocation must equal the current location (commit_tables.rs:85-93)
+  - the `encryption.key-id` property is immutable once set
+    (commit_tables.rs:16,94-106,259-297)
+  - UpgradeFormatVersion is gated by the warehouse format-version policy
+    (commit_tables.rs:22-31) and may never downgrade
+
+All 24 TableUpdate variants (commit_tables.rs:130-156) and the 8
+TableRequirement variants (iceberg-ext catalog/mod.rs:76-92) are handled.
+A failed requirement raises CommitConflict — the engine-visible
+CommitFailedException (commit_tables.rs:119).
+
+TableMetadata dict shape (Iceberg TableMetadata JSON, camel-kebab per spec):
+  table-uuid, format-version, location, last-sequence-number,
+  last-updated-ms, last-column-id, schemas[], current-schema-id,
+  partition-specs[], default-spec-id, last-partition-id, sort-orders[],
+  default-sort-order-id, properties{}, snapshots[], current-snapshot-id,
+  refs{name: {snapshot-id, type, ...retention}}, snapshot-log[],
+  metadata-log[], statistics[], partition-statistics[], encryption-keys[]
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+IMMUTABLE_PROPERTIES = ("encryption.key-id",)
+MAIN_BRANCH = "main"
+
+
+class CommitConflict(Exception):
+    """Requirement failed -> 409 CommitFailedException in the reference."""
+
+
+class CommitValidationError(Exception):
+    """Malformed or forbidden update (400-class in the reference)."""
+
+
+def new_table_metadata(
+    table_uuid: str,
+    location: str,
+    schema: dict[str, Any],
+    partition_spec: dict[str, Any] | None = None,
+    sort_order: dict[str, Any] | None = None,
+    properties: dict[str, str] | None = None,
+    format_version: int = 2,
+) -> dict[str, Any]:
+    schema = dict(schema)
+    schema.setdefault("schema-id", 0)
+    spec = partition_spec or {"spec-id": 0, "fields": []}
+    order = sort_order or {"order-id": 0, "fields": []}
+    last_column_id = max((f["id"] for f in schema.get("fields", [])), default=0)
+    last_partition_id = max((f["field-id"] for f in spec.get("fields", [])), default=999)
+    return {
+        "format-version": format_version,
+        "table-uuid": table_uuid,
+        "location": location,
+        "last-sequence-number": 0,
+        "last-updated-ms": int(time.time() * 1000),
+        "last-column-id": last_column_id,
+        "schemas": [schema],
+        "current-schema-id": schema["schema-id"],
+        "partition-specs": [spec],
+        "default-spec-id": spec["spec-id"],
+        "last-partition-id": last_partition_id,
+        "sort-orders": [order],
+        "default-sort-order-id": order["order-id"],
+        "properties": dict(properties or {}),
+        "snapshots": [],
+        "current-snapshot-id": None,
+        "refs": {},
+        "snapshot-log": [],
+        "metadata-log": [],
+        "statistics": [],
+        "partition-statistics": [],
+        "encryption-keys": [],
+    }
+
+
+# ------------------------------------------------------------------
+# requirements (assert-* variants per Iceberg REST spec)
+# ------------------------------------------------------------------
+def check_requirement(req: dict[str, Any], meta: dict[str, Any] | None) -> None:
+    rtype = req.get("type")
+    if rtype == "assert-create":
+        if meta is not None:
+            raise CommitConflict("assert-create: table already exists")
+        return
+    if meta is None:
+        raise CommitConflict(f"{rtype}: table does not exist")
+    if rtype == "assert-table-uuid":
+        if str(req["uuid"]) != str(meta["table-uuid"]):
+            raise CommitConflict(
+                f"assert-table-uuid: expected {req['uuid']}, found {meta['table-uuid']}"
+            )
+    elif rtype == "assert-ref-snapshot-id":
+        ref = meta.get("refs", {}).get(req["ref"])
+        want = req.get("snapshot-id")
+        have = ref["snapshot-id"] if ref else None
+        if want != have:
+            raise CommitConflict(
+                f"assert-ref-snapshot-id: ref {req['ref']} expected {want}, found {have}"
+            )
+    elif rtype == "assert-current-schema-id":
+        if req["current-schema-id"] != meta["current-schema-id"]:
+            raise CommitConflict("assert-current-schema-id failed")
+    elif rtype == "assert-last-assigned-field-id":
+        if req["last-assigned-field-id"] != meta["last-column-id"]:
+            raise CommitConflict("assert-last-assigned-field-id failed")
+    elif rtype == "assert-last-assigned-partition-id":
+        if req["last-assigned-partition-id"] != meta["last-partition-id"]:
+            raise CommitConflict("assert-last-assigned-partition-id failed")
+    elif rtype == "assert-default-spec-id":
+        if req["default-spec-id"] != meta["default-spec-id"]:
+            raise CommitConflict("assert-default-spec-id failed")
+    elif rtype == "assert-default-sort-order-id":
+        if req["default-sort-order-id"] != meta["default-sort-order-id"]:
+            raise CommitConflict("assert-default-sort-order-id failed")
+    else:
+        raise CommitValidationError(f"unknown requirement type: {rtype}")
+
+
+# ------------------------------------------------------------------
+# updates
+# ------------------------------------------------------------------
+def apply_commit(
+    meta: dict[str, Any],
+    requirements: list[dict[str, Any]],
+    updates: list[dict[str, Any]],
+    max_format_version: int | None = None,
+) -> dict[str, Any]:
+    """Validate requirements then fold updates; returns NEW metadata dict.
+
+    ``max_format_version`` is the warehouse format-version policy gate
+    (reference: UpdateWarehouseFormatVersionPolicy, commit_tables.rs:22-31).
+    """
+    for req in requirements:
+        check_requirement(req, meta)
+    out = _deep_copy(meta)
+    for upd in updates:
+        _apply_update(out, upd, max_format_version)
+    out["last-updated-ms"] = int(time.time() * 1000)
+    return out
+
+
+def _deep_copy(obj: Any) -> Any:
+    import json
+
+    return json.loads(json.dumps(obj))
+
+
+def _schema_by_id(meta: dict[str, Any], schema_id: int) -> dict[str, Any] | None:
+    return next((s for s in meta["schemas"] if s["schema-id"] == schema_id), None)
+
+
+def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
+    meta: dict[str, Any], upd: dict[str, Any], max_format_version: int | None
+) -> None:
+    action = upd.get("action")
+    if action == "assign-uuid":
+        # Lakekeeper guard: only a no-op assign is legal (commit_tables.rs:75-84)
+        if str(upd["uuid"]) != str(meta["table-uuid"]):
+            raise CommitValidationError("assign-uuid: cannot change table uuid")
+    elif action == "upgrade-format-version":
+        target = int(upd["format-version"])
+        if target < meta["format-version"]:
+            raise CommitValidationError("cannot downgrade format-version")
+        if max_format_version is not None and target > max_format_version:
+            raise CommitValidationError(
+                f"format-version {target} exceeds warehouse policy ({max_format_version})"
+            )
+        meta["format-version"] = target
+    elif action == "add-schema":
+        schema = _deep_copy(upd["schema"])
+        if schema.get("schema-id") is None or schema["schema-id"] == -1:
+            schema["schema-id"] = max((s["schema-id"] for s in meta["schemas"]), default=-1) + 1
+        if _schema_by_id(meta, schema["schema-id"]) is not None:
+            # idempotent re-add of identical schema is allowed
+            if _schema_by_id(meta, schema["schema-id"]) != schema:
+                raise CommitValidationError(f"schema-id {schema['schema-id']} already exists")
+        else:
+            meta["schemas"].append(schema)
+        new_max = max((f["id"] for f in schema.get("fields", [])), default=0)
+        meta["last-column-id"] = max(meta["last-column-id"], new_max)
+    elif action == "set-current-schema":
+        sid = upd["schema-id"]
+        if sid == -1:
+            sid = max(s["schema-id"] for s in meta["schemas"])
+        if _schema_by_id(meta, sid) is None:
+            raise CommitValidationError(f"set-current-schema: unknown schema-id {sid}")
+        meta["current-schema-id"] = sid
+    elif action == "add-spec":
+        spec = _deep_copy(upd["spec"])
+        if spec.get("spec-id") is None or spec["spec-id"] == -1:
+            spec["spec-id"] = max((s["spec-id"] for s in meta["partition-specs"]), default=-1) + 1
+        if any(s["spec-id"] == spec["spec-id"] for s in meta["partition-specs"]):
+            raise CommitValidationError(f"spec-id {spec['spec-id']} already exists")
+        meta["partition-specs"].append(spec)
+        new_max = max((f["field-id"] for f in spec.get("fields", [])), default=meta["last-partition-id"])
+        meta["last-partition-id"] = max(meta["last-partition-id"], new_max)
+    elif action == "set-default-spec":
+        sid = upd["spec-id"]
+        if sid == -1:
+            sid = max(s["spec-id"] for s in meta["partition-specs"])
+        if not any(s["spec-id"] == sid for s in meta["partition-specs"]):
+            raise CommitValidationError(f"set-default-spec: unknown spec-id {sid}")
+        meta["default-spec-id"] = sid
+    elif action == "add-sort-order":
+        order = _deep_copy(upd["sort-order"])
+        if order.get("order-id") is None or order["order-id"] == -1:
+            order["order-id"] = max((o["order-id"] for o in meta["sort-orders"]), default=-1) + 1
+        if any(o["order-id"] == order["order-id"] for o in meta["sort-orders"]):
+            raise CommitValidationError(f"order-id {order['order-id']} already exists")
+        meta["sort-orders"].append(order)
+    elif action == "set-default-sort-order":
+        oid = upd["sort-order-id"]
+        if oid == -1:
+            oid = max(o["order-id"] for o in meta["sort-orders"])
+        if not any(o["order-id"] == oid for o in meta["sort-orders"]):
+            raise CommitValidationError(f"set-default-sort-order: unknown order-id {oid}")
+        meta["default-sort-order-id"] = oid
+    elif action == "add-snapshot":
+        snap = _deep_copy(upd["snapshot"])
+        if any(s["snapshot-id"] == snap["snapshot-id"] for s in meta["snapshots"]):
+            raise CommitValidationError(f"snapshot-id {snap['snapshot-id']} already exists")
+        seq = snap.get("sequence-number")
+        if seq is None:
+            seq = meta["last-sequence-number"] + 1
+            snap["sequence-number"] = seq
+        meta["last-sequence-number"] = max(meta["last-sequence-number"], seq)
+        snap.setdefault("timestamp-ms", int(time.time() * 1000))
+        meta["snapshots"].append(snap)
+    elif action == "set-snapshot-ref":
+        ref_name = upd["ref-name"]
+        sid = upd["snapshot-id"]
+        if not any(s["snapshot-id"] == sid for s in meta["snapshots"]):
+            raise CommitValidationError(f"set-snapshot-ref: unknown snapshot-id {sid}")
+        ref = {"snapshot-id": sid, "type": upd.get("type", "branch")}
+        for k in ("min-snapshots-to-keep", "max-snapshot-age-ms", "max-ref-age-ms"):
+            if upd.get(k) is not None:
+                ref[k] = upd[k]
+        meta["refs"][ref_name] = ref
+        if ref_name == MAIN_BRANCH:
+            meta["current-snapshot-id"] = sid
+            snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == sid)
+            meta["snapshot-log"].append(
+                {"snapshot-id": sid, "timestamp-ms": snap.get("timestamp-ms")}
+            )
+    elif action == "remove-snapshots":
+        ids = set(upd["snapshot-ids"])
+        meta["snapshots"] = [s for s in meta["snapshots"] if s["snapshot-id"] not in ids]
+        meta["snapshot-log"] = [e for e in meta["snapshot-log"] if e["snapshot-id"] not in ids]
+        if meta["current-snapshot-id"] in ids:
+            meta["current-snapshot-id"] = None
+    elif action == "remove-snapshot-ref":
+        meta["refs"].pop(upd["ref-name"], None)
+        if upd["ref-name"] == MAIN_BRANCH:
+            meta["current-snapshot-id"] = None
+    elif action == "set-location":
+        # Lakekeeper guard: location is immutable (commit_tables.rs:85-93)
+        if upd["location"] != meta["location"]:
+            raise CommitValidationError("set-location: cannot change table location")
+    elif action == "set-properties":
+        updates = upd.get("updates", {})
+        for key in IMMUTABLE_PROPERTIES:
+            if key in updates and meta["properties"].get(key) != updates[key]:
+                if key in meta["properties"]:
+                    raise CommitValidationError(f"property {key} is immutable")
+        meta["properties"].update(updates)
+    elif action == "remove-properties":
+        removals = upd.get("removals", [])
+        for key in IMMUTABLE_PROPERTIES:
+            if key in removals and key in meta["properties"]:
+                raise CommitValidationError(f"property {key} cannot be removed")
+        for key in removals:
+            meta["properties"].pop(key, None)
+    elif action == "remove-partition-specs":
+        ids = set(upd["spec-ids"])
+        if meta["default-spec-id"] in ids:
+            raise CommitValidationError("cannot remove the default partition spec")
+        meta["partition-specs"] = [
+            s for s in meta["partition-specs"] if s["spec-id"] not in ids
+        ]
+    elif action == "remove-schemas":
+        ids = set(upd["schema-ids"])
+        if meta["current-schema-id"] in ids:
+            raise CommitValidationError("cannot remove the current schema")
+        meta["schemas"] = [s for s in meta["schemas"] if s["schema-id"] not in ids]
+    elif action == "set-statistics":
+        sf = _deep_copy(upd.get("statistics", upd.get("statistics-file")))
+        sid = sf["snapshot-id"]
+        meta["statistics"] = [s for s in meta["statistics"] if s["snapshot-id"] != sid] + [sf]
+    elif action == "remove-statistics":
+        sid = upd["snapshot-id"]
+        meta["statistics"] = [s for s in meta["statistics"] if s["snapshot-id"] != sid]
+    elif action == "set-partition-statistics":
+        sf = _deep_copy(upd.get("partition-statistics", upd.get("partition-statistics-file")))
+        sid = sf["snapshot-id"]
+        meta["partition-statistics"] = [
+            s for s in meta["partition-statistics"] if s["snapshot-id"] != sid
+        ] + [sf]
+    elif action == "remove-partition-statistics":
+        sid = upd["snapshot-id"]
+        meta["partition-statistics"] = [
+            s for s in meta["partition-statistics"] if s["snapshot-id"] != sid
+        ]
+    elif action == "add-encryption-key":
+        key = _deep_copy(upd["encryption-key"])
+        if any(k["key-id"] == key["key-id"] for k in meta["encryption-keys"]):
+            raise CommitValidationError(f"encryption key {key['key-id']} already exists")
+        meta["encryption-keys"].append(key)
+    elif action == "remove-encryption-key":
+        kid = upd["key-id"]
+        meta["encryption-keys"] = [k for k in meta["encryption-keys"] if k["key-id"] != kid]
+    else:
+        raise CommitValidationError(f"unknown update action: {action}")

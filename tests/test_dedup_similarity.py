@@ -1,0 +1,107 @@
+"""Correctness of the hash-dependent approximate operators that carry no
+DuckDB oracle (d03 minhash, d04 simhash, s02 LSH): verified against
+pure-Python/numpy reference implementations and against the exact
+operators' results."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+def test_minhash_candidates_superset_of_high_jaccard_pairs(spark):
+    """Every pair above ~0.9 Jaccard must be caught by 16-band/4-row LSH
+    (collision prob 1-(1-s^4)^16 > 0.99 at s=0.9); verified output must
+    match exact-Jaccard filtering."""
+    from lakekeeper_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+        d02_dedup_ngram_jaccard,
+        d03_dedup_minhash_lsh,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard for r in d02_dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b): r.jaccard for r in d03_dedup_minhash_lsh(spark, SF_DIR).collect()}
+    # verification step guarantees: every LSH pair is a true >=threshold pair
+    for pair, jac in lsh.items():
+        assert pair in exact
+        assert jac == pytest.approx(exact[pair])
+    # recall on strong pairs
+    strong = {p for p, j in exact.items() if j >= 0.9}
+    caught = strong & set(lsh)
+    if strong:
+        assert len(caught) / len(strong) >= 0.95
+    # and overall recall at the configured threshold is reasonable
+    assert len(lsh) / max(len(exact), 1) >= 0.5, (
+        f"LSH recall {len(lsh)}/{len(exact)} too low at tau={JACCARD_THRESHOLD}"
+    )
+
+
+def test_simhash_matches_numpy_reference(spark):
+    """Spark simhash fingerprints == numpy reference built from the same
+    xxhash64 token hashes (pulled once through Spark for identical hashing)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lakekeeper_spark.data import load_table
+    from lakekeeper_spark.queries.dedup import simhash
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50).cache()
+    tok = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), "\\s+")).alias("t"))
+        .filter(F.length("t") > 0)
+        .select("doc_id", F.xxhash64("t").alias("h"))
+    )
+    pdf = tok.toPandas()
+    expected = {}
+    for doc_id, grp in pdf.groupby("doc_id"):
+        h = grp["h"].to_numpy().astype(np.uint64)
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        votes = np.where(bits == 1, 1, -1).sum(axis=0)
+        fp = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                fp |= np.uint64(1) << np.uint64(i)
+        expected[doc_id] = np.int64(fp)  # Spark long is signed
+    got = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert got == {k: int(v) for k, v in expected.items()}
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    """s02 (4x8-bit hyperplane LSH) must place its returned neighbors among
+    the true top-k and reach modest recall on this data."""
+    from lakekeeper_spark.queries.similarity import s01_knn_bruteforce, s02_knn_lsh
+
+    exact = s01_knn_bruteforce(spark, SF_DIR).collect()
+    approx = s02_knn_lsh(spark, SF_DIR).collect()
+    true_top = {(r.query_id, r.neighbor_id) for r in exact}
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    # every approx hit's cosine must equal the exact computation (same math)
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert r.cosine == exact_cos[key]
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(got & true_top) / len(true_top)
+    assert recall >= 0.3, f"LSH recall {recall:.2f} suspiciously low"
+
+
+def test_fingerprint_matches_python_reference(spark):
+    from lakekeeper_spark.data import load_table
+    from lakekeeper_spark.queries.text import _FP_MOD, _POS_MOD, _POS_MUL, t03_fingerprint
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    got = {r.doc_id: r.fingerprint for r in t03_fingerprint(spark, SF_DIR).limit(0).unionAll(
+        t03_fingerprint(spark, SF_DIR)
+    ).collect() if r.doc_id in texts}
+
+    def ref_fp(text: str) -> int:
+        return sum(
+            ord(c) * ((i * _POS_MUL) % _POS_MOD) for i, c in enumerate(text, start=1)
+        ) % _FP_MOD
+
+    for doc_id, text in texts.items():
+        assert got[doc_id] == ref_fp(text)

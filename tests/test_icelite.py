@@ -1,0 +1,214 @@
+"""icelite table-format tests: the engine-side operator surface of
+SURVEY.md §2.1 (append/scan, MERGE, DELETE, schema/partition evolution,
+tags/branches/time-travel, compaction, metadata tables) driven through a
+real SparkSession, mirroring reference test_spark.py scenarios."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from lakekeeper_spark.catalog.catalog import CommitFailedException
+from lakekeeper_spark.format.icelite import SparkTable
+from lakekeeper_spark.format.types import struct_to_schema
+
+
+@pytest.fixture()
+def table(spark, catalog):
+    catalog.create_namespace("wh", ["ns"])
+    df = spark.createDataFrame(
+        [(1, 1.2, "foo"), (2, 2.2, "bar")], "my_ints int, my_floats double, strings string"
+    )
+    # canonical 3-column fixture (reference test_spark.py:46-47)
+    catalog.create_table("wh", ["ns"], "my_table", struct_to_schema(df.schema))
+    t = SparkTable(spark, catalog, "wh", ["ns"], "my_table")
+    t.append(df)
+    return t
+
+
+def test_create_insert_select(table):
+    rows = sorted(table.scan().collect())
+    assert [(r.my_ints, r.my_floats, r.strings) for r in rows] == [
+        (1, 1.2, "foo"),
+        (2, 2.2, "bar"),
+    ]
+
+
+def test_empty_table_scan_has_schema(spark, catalog):
+    # test_spark.py:473-480 (write/read empty table)
+    catalog.create_namespace("wh", ["ns2"])
+    df = spark.createDataFrame([], "id int, s string")
+    catalog.create_table("wh", ["ns2"], "empty", struct_to_schema(df.schema))
+    t = SparkTable(spark, catalog, "wh", ["ns2"], "empty")
+    out = t.scan()
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "s"]
+
+
+def test_append_accumulates_and_time_travel(table, spark):
+    meta1 = table.metadata()
+    snap1 = meta1["current-snapshot-id"]
+    df2 = spark.createDataFrame([(3, 3.3, "baz")], "my_ints int, my_floats double, strings string")
+    table.append(df2)
+    assert table.scan().count() == 3
+    # VERSION AS OF snapshot id (test_spark.py:1305-1312)
+    assert table.scan(snapshot_id=snap1).count() == 2
+    # TIMESTAMP AS OF
+    ts1 = next(s for s in table.metadata()["snapshots"] if s["snapshot-id"] == snap1)[
+        "timestamp-ms"
+    ]
+    assert table.scan(as_of_ms=ts1).count() == 2
+
+
+def test_tags_and_branches(table, spark):
+    # test_spark.py:647-707
+    table.create_tag("v1", max_ref_age_ms=365 * 24 * 3600 * 1000)
+    table.create_branch("dev")
+    df = spark.createDataFrame([(9, 9.9, "dev-only")], "my_ints int, my_floats double, strings string")
+    table.append(df, branch="dev")
+    assert table.scan(ref="dev").count() == 3
+    assert table.scan().count() == 2  # main unchanged
+    assert table.scan(ref="v1").count() == 2
+    refs = {r.name: r.type for r in table.refs().collect()}
+    assert refs == {"main": "branch", "v1": "tag", "dev": "branch"}
+    table.drop_ref("dev")
+    assert "dev" not in table.metadata()["refs"]
+
+
+def test_delete_from_rewrites_only_affected_files(table, spark):
+    # seed a second file so one is untouched by the delete
+    df2 = spark.createDataFrame(
+        [(10, 0.1, "keepme")], "my_ints int, my_floats double, strings string"
+    )
+    table.append(df2)
+    before_files = {e["path"] for s in [table.metadata()] for e in
+                    next(x for x in s["snapshots"] if x["snapshot-id"] == s["current-snapshot-id"])["manifest"]}
+    table.delete_where("my_ints = 1")
+    out = sorted(r.my_ints for r in table.scan().collect())
+    assert out == [2, 10]
+    after = table.metadata()
+    snap = next(s for s in after["snapshots"] if s["snapshot-id"] == after["current-snapshot-id"])
+    # the untouched file survives by reference, not rewrite
+    assert any(p in before_files for p in {e["path"] for e in snap["manifest"]})
+    assert snap["summary"]["operation"] == "delete"
+
+
+def test_update_where(table):
+    table.update_where("strings = 'foo'", {"my_floats": "my_floats + 100"})
+    rows = {r.strings: r.my_floats for r in table.scan().collect()}
+    assert rows["foo"] == pytest.approx(101.2)
+    assert rows["bar"] == pytest.approx(2.2)
+
+
+def test_merge_matched_update_not_matched_insert(table, spark):
+    # reference merge fixture (test_spark.py:155-172)
+    src = spark.createDataFrame(
+        [(1, 4.4, "c-string"), (5, 5.5, "e-string")],
+        "my_ints int, my_floats double, strings string",
+    )
+    table.merge(
+        src,
+        on="t.my_ints = s.my_ints",
+        matched_update={"my_floats": "s.my_floats", "strings": "s.strings"},
+    )
+    rows = {r.my_ints: (r.my_floats, r.strings) for r in table.scan().collect()}
+    assert rows[1] == (4.4, "c-string")  # updated
+    assert rows[2] == (2.2, "bar")  # untouched
+    assert rows[5] == (5.5, "e-string")  # inserted
+
+
+def test_schema_evolution_add_drop_column(table, spark):
+    # test_spark.py:604-613
+    table.add_column("my_bool", "boolean")
+    df = spark.createDataFrame(
+        [(7, 7.7, "new", True)], "my_ints int, my_floats double, strings string, my_bool boolean"
+    )
+    table.append(df)
+    rows = {r.my_ints: r.my_bool for r in table.scan().collect()}
+    assert rows[7] is True
+    assert rows[1] is None  # old files read NULL for the new column
+    table.drop_column("my_ints")
+    cols = [f.name for f in table.scan().schema.fields]
+    assert cols == ["my_floats", "strings", "my_bool"]
+
+
+def test_partition_evolution_bucket_truncate(table, spark):
+    # test_spark.py:616-644
+    table.add_partition_field("my_ints", "bucket[16]")
+    df = spark.createDataFrame(
+        [(i, float(i), f"s{i}") for i in range(20, 30)],
+        "my_ints int, my_floats double, strings string",
+    )
+    table.append(df)
+    table.add_partition_field("strings", "truncate[4]")
+    df2 = spark.createDataFrame(
+        [(100, 1.0, "abcdefgh")], "my_ints int, my_floats double, strings string"
+    )
+    table.append(df2)
+    meta = table.metadata()
+    assert len(meta["partition-specs"]) == 3
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"])
+    parts = [e["partition"] for e in snap["manifest"] if e["partition"]]
+    assert any("strings_truncate_4" in p for p in parts)
+    assert table.scan().count() == 13
+    # partition pruning by manifest filter
+    pruned = table.scan(partition_filter={"strings_truncate_4": "abcd"})
+    assert pruned.count() == 1
+
+
+def test_rewrite_data_files_compaction(table, spark):
+    # test_spark.py:710-738: N files -> 1
+    for i in range(5):
+        table.append(
+            spark.createDataFrame([(50 + i, 0.5, "x")], "my_ints int, my_floats double, strings string")
+        )
+    n_before = table.files().count()
+    assert n_before >= 6
+    table.rewrite_data_files()
+    assert table.files().count() == 1
+    assert table.scan().count() == 7  # data intact
+
+
+def test_expire_snapshots(table, spark):
+    table.append(spark.createDataFrame([(3, 3.0, "c")], "my_ints int, my_floats double, strings string"))
+    table.append(spark.createDataFrame([(4, 4.0, "d")], "my_ints int, my_floats double, strings string"))
+    time.sleep(0.01)
+    victims = table.expire_snapshots(older_than_ms=int(time.time() * 1000), retain_last=1)
+    assert victims  # older snapshots removed
+    assert table.scan().count() == 4  # current data unaffected
+    assert len(table.metadata()["snapshots"]) == 1
+
+
+def test_metadata_tables(table):
+    assert table.files().count() >= 1
+    snaps = table.snapshots().collect()
+    assert snaps[0].operation == "append"
+    assert table.history().count() >= 1
+    assert {r.name for r in table.refs().collect()} == {"main"}
+
+
+def test_concurrent_append_conflict_then_retry(table, spark, catalog):
+    """Two writers race: the loser gets CommitFailedException (the
+    reference's 409) and succeeds on retry with refreshed metadata."""
+    meta_stale = table.metadata()  # writer B's stale view
+    df = spark.createDataFrame([(8, 8.8, "w")], "my_ints int, my_floats double, strings string")
+    table.append(df)  # writer A wins
+    # writer B replays A-era requirements against the new state
+    parent_id = meta_stale["refs"]["main"]["snapshot-id"]
+    entries = []
+    with pytest.raises(CommitFailedException):
+        catalog.commit_table(
+            "wh",
+            ["ns"],
+            "my_table",
+            [{"type": "assert-ref-snapshot-id", "ref": "main", "snapshot-id": parent_id}],
+            [
+                {"action": "add-snapshot", "snapshot": {
+                    "snapshot-id": 999, "timestamp-ms": 1, "manifest": entries,
+                    "summary": {"operation": "append"}}},
+                {"action": "set-snapshot-ref", "ref-name": "main", "snapshot-id": 999},
+            ],
+        )
+    table.append(df)  # retry path succeeds
+    assert table.scan().filter("my_ints = 8").count() == 2
