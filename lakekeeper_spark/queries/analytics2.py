@@ -1,0 +1,450 @@
+"""Second wave of analytic operators: the join/subquery shapes TPC-H
+Q2/Q7/Q9/Q11/Q19/Q20/Q21/Q22 exercise, adapted to the driver's star schema
+(which has no partsupp/commitdate/shipmode columns — each query keeps the
+operator shape and swaps in available columns).
+
+Operator coverage added here (SURVEY.md §2.1 gives us joins/aggregates "for
+free" from Spark SQL; these prove the non-trivial shapes):
+  - argmin-per-group via rank window over an aggregate (q02a)
+  - multi-way join with disjunctive nation-pair predicate (q07)
+  - LIKE-filtered dimension join + multi-level rollup (q09)
+  - scalar subquery in HAVING (group share of global total) (q11a)
+  - OR-of-ANDs disjunctive predicate pushdown (q19)
+  - nested semi-join chain (q20)
+  - exists / not-exists (left-semi + left-anti joins) (q21)
+  - anti join + scalar subquery threshold (q22)
+
+Scale notes: every dimension side (part/supplier/customer at their SFs,
+and all aggregated subquery results) is broadcast-eligible; fact-to-fact
+joins shuffle on the join key and AQE handles skew. Scalar totals are
+computed with a single-row aggregate cross-joined (broadcast of 1 row),
+never collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..data import load_table
+from ..registry import register
+from .analytics import DISC_PRICE, disc_price_col
+from .detsum import dsum, sql_dsum
+
+# --------------------------------------------------------------------------
+# q02a: cheapest supplier per part (TPC-H Q2 shape; lineitem as partsupp)
+# --------------------------------------------------------------------------
+@register(
+    "q02a_cheapest_supplier",
+    oracle=f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         {sql_dsum('l_extendedprice', 100)} AS total_price,
+         {sql_dsum('l_quantity', 100)} AS total_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+ranked AS (
+  SELECT l_partkey, l_suppkey, total_price / total_qty AS unit_cost,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY total_price / total_qty, l_suppkey) AS rnk
+  FROM ps
+)
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, r.unit_cost
+FROM ranked r
+JOIN part p ON p.p_partkey = r.l_partkey
+JOIN supplier s ON s.s_suppkey = r.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE r.rnk = 1 AND p.p_size < 10
+ORDER BY p.p_partkey
+LIMIT 100
+""",
+    description="Argmin-per-group: cheapest supplier per part via rank "
+    "window over a pre-aggregate; dims broadcast.",
+    tags=("analytics", "window", "join"),
+)
+def q02a_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum("l_extendedprice", 100).alias("total_price"),
+        dsum("l_quantity", 100).alias("total_qty"),
+    )
+    unit_cost = (F.col("total_price") / F.col("total_qty")).alias("unit_cost")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("total_price") / F.col("total_qty"), F.col("l_suppkey")
+    )
+    ranked = ps.select("l_partkey", "l_suppkey", unit_cost, F.row_number().over(w).alias("rnk"))
+    return (
+        ranked.filter(F.col("rnk") == 1)
+        .join(F.broadcast(part.filter(F.col("p_size") < 10)), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q07: volume shipping between two nations (TPC-H Q7 shape)
+# --------------------------------------------------------------------------
+_N1, _N2 = "NATION_1", "NATION_2"
+
+
+@register(
+    "q07_volume_shipping",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       {sql_dsum('volume', 10000)} AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l.l_shipdate) AS l_year,
+         {DISC_PRICE} AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE (n1.n_name = '{_N1}' AND n2.n_name = '{_N2}')
+     OR (n1.n_name = '{_N2}' AND n2.n_name = '{_N1}')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    description="Nation-pair trade volume by year: 6-way join, disjunctive "
+    "pair predicate, broadcast dims.",
+    tags=("analytics", "join"),
+)
+def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(
+            ((F.col("supp_nation") == _N1) & (F.col("cust_nation") == _N2))
+            | ((F.col("supp_nation") == _N2) & (F.col("cust_nation") == _N1))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            disc_price_col().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum("volume", 10000).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# q09: product-type profit rollup (TPC-H Q9 shape, no ps_supplycost)
+# --------------------------------------------------------------------------
+@register(
+    "q09_product_profit",
+    oracle=f"""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       {sql_dsum(DISC_PRICE, 10000)} AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    description="Profit by supplier nation x order year over LIKE-filtered "
+    "parts; filter pushed through the 5-way join.",
+    tags=("analytics", "join", "aggregate"),
+)
+def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            disc_price_col().alias("volume"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dsum("volume", 10000).alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q11a: important parts by nation share (TPC-H Q11 shape: HAVING > scalar)
+# --------------------------------------------------------------------------
+_Q11_NATION = "NATION_3"
+_Q11_FRACTION = "0.001"
+
+
+@register(
+    "q11a_important_parts",
+    oracle=f"""
+WITH nation_value AS (
+  SELECT l.l_partkey AS partkey,
+         {sql_dsum(DISC_PRICE, 10000)} AS value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name = '{_Q11_NATION}'
+  GROUP BY l.l_partkey
+)
+SELECT partkey, value
+FROM nation_value
+WHERE value > (SELECT SUM(value) * {_Q11_FRACTION} FROM nation_value)
+ORDER BY value DESC, partkey
+""",
+    description="Scalar-subquery HAVING: parts whose in-nation value exceeds "
+    "a fraction of the nation total (1-row broadcast, no collect).",
+    tags=("analytics", "subquery"),
+)
+def q11a_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == _Q11_NATION)
+    nv = (
+        li.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(dsum(disc_price_col(), 10000).alias("value"))
+    )
+    total = nv.agg(
+        (F.sum("value") * F.lit(float(_Q11_FRACTION))).alias("threshold")
+    )
+    return (
+        nv.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("partkey", "value")
+        .orderBy(F.desc("value"), F.asc("partkey"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q19: disjunctive predicate revenue (TPC-H Q19 shape)
+# --------------------------------------------------------------------------
+_Q19_PRED_SQL = """
+   (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+    AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+    AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+    AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+SELECT {sql_dsum(DISC_PRICE, 10000)} AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {_Q19_PRED_SQL}
+""",
+    description="OR-of-ANDs predicate over a part join: Catalyst extracts "
+    "the common p_brand IN (...) prefilter for pushdown.",
+    tags=("analytics", "predicate"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+
+    def band(brand: str, smax: int, qlo: int, qhi: int):
+        return (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, smax)
+            & (F.col("l_quantity") >= qlo)
+            & (F.col("l_quantity") <= qhi)
+        )
+
+    pred = band("Brand#1", 10, 1, 20) | band("Brand#2", 20, 10, 30) | band("Brand#3", 30, 20, 40)
+    return j.filter(pred).agg(dsum(disc_price_col(), 10000).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# q20: suppliers with heavily-shipped small parts (TPC-H Q20 semi-join shape)
+# --------------------------------------------------------------------------
+@register(
+    "q20_part_promotion",
+    oracle="""
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l_suppkey FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) > 5000
+)
+ORDER BY s.s_name
+""",
+    description="Nested semi-join chain: IN(subquery with IN + HAVING) -> "
+    "left-semi joins; dimension filter broadcast.",
+    tags=("analytics", "semijoin"),
+)
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    heavy = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty100"))
+        .filter(F.col("qty100") > 5000)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# q21: sole-returning-supplier orders (TPC-H Q21 exists/not-exists shape)
+# --------------------------------------------------------------------------
+@register(
+    "q21_sole_returner",
+    oracle="""
+WITH l1 AS (
+  SELECT DISTINCT l_orderkey AS okey, l_suppkey AS skey
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN l1 ON l1.skey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.okey
+WHERE o.o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.okey AND l2.l_suppkey <> l1.skey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.okey AND l3.l_suppkey <> l1.skey
+      AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+""",
+    description="EXISTS + NOT EXISTS as left-semi + left-anti joins on the "
+    "fact table; dedup of (orderkey, suppkey) before counting.",
+    tags=("analytics", "semijoin", "antijoin"),
+)
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = load_table(spark, sf_dir, "supplier")
+    # distinct (orderkey, suppkey[, returnflag=R]) projections of the fact table
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_suppkey").alias("skey"))
+        .distinct()
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("okey2"), F.col("l_suppkey").alias("skey2")
+    ).distinct()
+    others_r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("okey3"), F.col("l_suppkey").alias("skey3"))
+        .distinct()
+    )
+    cand = (
+        l1.join(orders.select("o_orderkey"), F.col("o_orderkey") == F.col("okey"), "inner")
+        .join(
+            others,
+            (F.col("okey2") == F.col("okey")) & (F.col("skey2") != F.col("skey")),
+            "left_semi",
+        )
+        .join(
+            others_r,
+            (F.col("okey3") == F.col("okey")) & (F.col("skey3") != F.col("skey")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(F.broadcast(sup), F.col("s_suppkey") == F.col("skey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q22: idle rich customers (TPC-H Q22 shape: scalar avg + anti join)
+# --------------------------------------------------------------------------
+@register(
+    "q22_idle_customers",
+    oracle=f"""
+WITH avg_bal AS (
+  SELECT {sql_dsum('c_acctbal', 100)} / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT n.n_name AS nation, COUNT(*) AS numcust,
+       {sql_dsum('c.c_acctbal', 100)} AS totacctbal
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > (SELECT a FROM avg_bal)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+GROUP BY nation
+ORDER BY nation
+""",
+    description="Above-average-balance customers with no urgent orders: "
+    "scalar subquery broadcast + left-anti join on the orders fact.",
+    tags=("analytics", "antijoin", "subquery"),
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsum("c_acctbal", 100) / F.count(F.lit(1))).alias("a")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .join(
+            orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", 100).alias("totacctbal"),
+        )
+        .orderBy("nation")
+    )

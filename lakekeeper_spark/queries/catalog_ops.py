@@ -1,0 +1,115 @@
+"""Catalog/table-format lifecycle exercised as a registry query.
+
+The catalog layer (lakekeeper_spark.catalog) and icelite table format
+(lakekeeper_spark.format.icelite) are pytest-covered in depth; this query
+drives one full lifecycle through a real SparkSession so the surface is
+also a first-class row in the driver's correctness gate:
+
+  create warehouse -> namespace -> typed table -> two appends (snapshots)
+  -> DELETE FROM (copy-on-write) -> rewrite_data_files compaction ->
+  time-travel scan of snapshot 1 vs current.
+
+Returns one row per lifecycle checkpoint with deterministic columns
+(counts and snapshot ordinals — never uuids/timestamps), so repeated runs
+hash identically; the DuckDB oracle states the expected checkpoint values
+computed from the same source parquet.
+
+Reference parity: test_spark.py:44-68 (create+insert), 503-517 (insert/
+select), 1330 (DELETE FROM), 710-738 (rewrite_data_files), 1305-1312
+(time travel). Citations into /root/reference.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import register
+
+_ROWS = 1000  # lineitem sample size (deterministic: lowest orderkeys)
+
+
+@register(
+    "c01_catalog_lifecycle",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= {_ROWS}
+)
+SELECT * FROM (
+  SELECT 'rows_after_append1' AS checkpoint, COUNT(*) AS value FROM src
+  UNION ALL
+  SELECT 'rows_after_append2', 2*COUNT(*) FROM src
+  UNION ALL
+  SELECT 'rows_after_delete',
+         2*COUNT(*) - 2*(SELECT COUNT(*) FROM src WHERE l_quantity < 10)
+    FROM src
+  UNION ALL
+  SELECT 'rows_after_compaction',
+         2*COUNT(*) - 2*(SELECT COUNT(*) FROM src WHERE l_quantity < 10)
+    FROM src
+  UNION ALL
+  SELECT 'time_travel_snapshot1', COUNT(*) FROM src
+  UNION ALL
+  SELECT 'n_snapshots', 4
+  UNION ALL
+  SELECT 'files_after_compaction', 1
+) ORDER BY checkpoint
+""",
+    description="Catalog + icelite lifecycle: create/append/delete/compact/"
+    "time-travel, checkpoint counts vs oracle expectations.",
+    tags=("catalog", "icelite", "lifecycle"),
+)
+def c01_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_cat_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["bench"])
+
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(_ROWS)
+    )
+    cat.create_table("wh", ["bench"], "li", struct_to_schema(src.schema))
+    t = SparkTable(spark, cat, "wh", ["bench"], "li")
+
+    t.append(src)
+    snap1 = t.metadata()["current-snapshot-id"]
+    rows1 = t.scan().count()
+    t.append(src)
+    rows2 = t.scan().count()
+    t.delete_where("l_quantity < 10")
+    rows3 = t.scan().count()
+    t.rewrite_data_files(target_files=1)
+    rows4 = t.scan().count()
+    tt = t.scan(snapshot_id=snap1).count()
+    n_snapshots = t.snapshots().count()
+    n_files = t.files().count()
+
+    rows = [
+        ("rows_after_append1", rows1),
+        ("rows_after_append2", rows2),
+        ("rows_after_delete", rows3),
+        ("rows_after_compaction", rows4),
+        ("time_travel_snapshot1", tt),
+        ("n_snapshots", n_snapshots),
+        ("files_after_compaction", n_files),
+    ]
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..data import load_table
 from ..registry import register
@@ -127,22 +128,98 @@ WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOL
     tags=("dedup", "llm", "join"),
 )
 def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs with AllPairs/PPJoin-style prefix filtering.
+
+    A naive shingle self-join explodes on hot shingles (every doc contains
+    'the' -> |docs|^2 candidate pairs). Instead:
+
+      1. order each doc's shingles by ascending global frequency;
+      2. keep only the PREFIX (n - ceil(t*n) + 1 rarest shingles): two sets
+         with Jaccard >= t MUST share a prefix shingle (AllPairs theorem,
+         Bayardo et al. WWW'07), because |A∩B| >= t*|A∪B| >= ceil(t*|A|);
+      3. candidate pairs additionally satisfy the length filter
+         t*|A| <= |B| <= |A|/t;
+      4. verify candidates exactly with array_intersect on the full sets.
+
+    ceil(t*n) for t=3/5 is computed in exact integer arithmetic
+    ((3n+4) div 5) — no IEEE rounding can shrink the prefix.
+    Candidate generation only ever joins on globally-rare shingles, so the
+    hot-key blowup disappears while the output stays exact (same oracle).
+    """
+    t_num, t_den = 3, 5  # JACCARD_THRESHOLD = 0.6 as an exact rational
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sh = _shingles(docs)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
+    # dictionary-encode shingles: sid in [0, vocab) ordered by (freq, shingle)
+    w_vocab = Window.orderBy("freq", "shingle")
+    dictionary = freq.withColumn("sid", F.row_number().over(w_vocab) - F.lit(1))
+    shd = sh.join(F.broadcast(dictionary.select("shingle", "sid")), "shingle")
+    # per-doc shingle-id BITSET: vocab/64 longs. The synthetic corpus draws
+    # from a tiny 3-gram vocabulary (~400), so a doc's set is a handful of
+    # longs and set intersection is bit_count(a&b) — branch-free, no
+    # shuffle at verify time. (Real web-scale corpora have large vocabs;
+    # there the verify join would carry sorted int arrays instead — same
+    # plan shape, this bitmap is the small-vocab fast path.)
+    n_words = "((smax div 64) + 1)"
+    docsets = (
+        shd.groupBy("doc_id")
+        .agg(
+            F.collect_set("sid").alias("sids"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("sid").alias("smax_doc"),
+        )
+        .withColumn("smax", F.max("smax_doc").over(Window.partitionBy()))
+        .withColumn(
+            "words",
+            F.expr(
+                f"transform(sequence(0, {n_words} - 1), w -> "
+                "aggregate(filter(sids, i -> i div 64 == w), CAST(0 AS BIGINT), "
+                "(acc, i) -> acc | shiftleft(CAST(1 AS BIGINT), i % 64)))"
+            ),
+        )
+        .select("doc_id", "n", "words")
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("n_inter").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("n_inter"))
+    # AllPairs prefix filter (Bayardo WWW'07): sort each doc's shingles
+    # rarest-first; Jaccard >= t pairs must share one of the first
+    # n - ceil(t*n) + 1. ceil(t*n) in exact integer arithmetic.
+    w_doc = Window.partitionBy("doc_id").orderBy("freq", "shingle")
+    w_n = Window.partitionBy("doc_id")
+    shf = (
+        sh.join(F.broadcast(freq), "shingle")
+        .withColumn("pos", F.row_number().over(w_doc))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+    )
+    ceil_tn = F.expr(f"({t_num}*n + {t_den - 1}) div {t_den}")
+    prefix = shf.filter(F.col("pos") <= F.col("n") - ceil_tn + F.lit(1)).select(
+        "doc_id", "shingle", "n"
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: t*n_a <= n_b <= n_a/t (exact integer form)
+            & (F.col("b.n") * t_den >= F.col("a.n") * t_num)
+            & (F.col("b.n") * t_num <= F.col("a.n") * t_den),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = docsets.select(
+        F.col("doc_id").alias("da"), F.col("words").alias("w_a"), F.col("n").alias("n_a")
+    )
+    sb = docsets.select(
+        F.col("doc_id").alias("db"), F.col("words").alias("w_b"), F.col("n").alias("n_b")
+    )
+    inter = F.expr(
+        "aggregate(zip_with(w_a, w_b, (x, y) -> bit_count(x & y)), 0, (acc, c) -> acc + c)"
+    )
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(F.broadcast(sa), F.col("doc_a") == F.col("da"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("db"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )

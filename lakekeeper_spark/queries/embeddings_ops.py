@@ -1,0 +1,206 @@
+"""Embedding-space operators: near-duplicate detection and IVF ANN.
+
+  d05 embedding-cosine near-dup — exact cosine pairs within a blocking key
+      (the `label` column: at 100 TB the blocker would be a coarse
+      quantization/cluster id computed upstream, which is exactly what
+      `label` models). Join is co-partitioned on the blocking key, so the
+      pair space is sum(|block|^2), not |corpus|^2.
+  s03 IVF ANN — inverted-file index with deterministic centroids: assign
+      every vector to its nearest centroid (broadcast centroid table, one
+      narrow pass), probe the NPROBE closest cells per query, exact-rerank
+      within probed cells. This is the scale path for similarity search:
+      at 1000 executors the assignment is embarrassingly parallel and the
+      probe join touches ~NPROBE/NCELLS of the data.
+
+Both carry exact DuckDB oracles: every dot product is quantized per element
+(round(x*y*1e6) as BIGINT) and summed as integers, so scores are
+bit-identical across engines (see queries/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..data import load_table
+from ..registry import register
+from .similarity import N_QUERIES, TOP_K, _dot6, _sql_dot6
+
+NEAR_DUP_COS = 0.35  # the synthetic embeddings are near-random; see tests
+IVF_CELLS = 16
+IVF_NPROBE = 4
+# centroid vectors: the embeddings with these vec_ids (deterministic, and
+# disjoint from the query set 0..N_QUERIES-1)
+CENTROID_ID_LO = N_QUERIES
+CENTROID_ID_HI = N_QUERIES + IVF_CELLS
+
+
+# --------------------------------------------------------------------------
+# d05: exact cosine near-dup pairs within a blocking key
+# --------------------------------------------------------------------------
+@register(
+    "d05_dedup_embedding",
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id, label, embedding,
+         {_sql_dot6('embedding', 'embedding')} AS norm6
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+       CAST({_sql_dot6('a.embedding', 'b.embedding')} AS DOUBLE)
+         / sqrt(CAST(a.norm6 AS DOUBLE) * CAST(b.norm6 AS DOUBLE)) AS cosine
+FROM norms a JOIN norms b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE CAST({_sql_dot6('a.embedding', 'b.embedding')} AS DOUBLE)
+        / sqrt(CAST(a.norm6 AS DOUBLE) * CAST(b.norm6 AS DOUBLE)) >= {NEAR_DUP_COS}
+""",
+    description="Exact cosine near-dup pairs, blocked by label (cluster id): "
+    "co-partitioned self-join, pair space bounded per block.",
+    tags=("dedup", "similarity", "llm"),
+)
+def d05_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id", "label", "embedding", _dot6("embedding", "embedding").alias("norm6")
+    )
+    a = n.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm6").alias("norm_a"),
+    )
+    b = n.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm6").alias("norm_b"),
+    )
+    pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+    cosine = _dot6("emb_a", "emb_b").cast("double") / F.sqrt(
+        F.col("norm_a").cast("double") * F.col("norm_b").cast("double")
+    )
+    return (
+        pairs.select("vec_a", "vec_b", "label", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+    )
+
+
+# --------------------------------------------------------------------------
+# s03: IVF ANN (deterministic centroids, probe-and-rerank)
+# --------------------------------------------------------------------------
+@register(
+    "s03_knn_ivf",
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id, embedding, {_sql_dot6('embedding', 'embedding')} AS norm6
+  FROM embeddings
+),
+centroids AS (
+  SELECT vec_id AS cell_id, embedding AS c_emb, norm6 AS c_norm6
+  FROM norms WHERE vec_id >= {CENTROID_ID_LO} AND vec_id < {CENTROID_ID_HI}
+),
+assign AS (
+  SELECT vec_id, embedding, norm6, cell_id
+  FROM (
+    SELECT n.vec_id, n.embedding, n.norm6, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY CAST({_sql_dot6('n.embedding', 'c.c_emb')} AS DOUBLE)
+                        / sqrt(CAST(n.norm6 AS DOUBLE) * CAST(c.c_norm6 AS DOUBLE)) DESC,
+                      c.cell_id) AS rnk
+    FROM norms n, centroids c
+  ) t WHERE rnk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell_id AS probe_cell
+  FROM (
+    SELECT n.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY n.vec_id
+             ORDER BY CAST({_sql_dot6('n.embedding', 'c.c_emb')} AS DOUBLE)
+                        / sqrt(CAST(n.norm6 AS DOUBLE) * CAST(c.c_norm6 AS DOUBLE)) DESC,
+                      c.cell_id) AS rnk
+    FROM norms n, centroids c
+    WHERE n.vec_id < {N_QUERIES}
+  ) t WHERE rnk <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST({_sql_dot6('q.embedding', 'a.embedding')} AS DOUBLE)
+           / sqrt(CAST(q.norm6 AS DOUBLE) * CAST(a.norm6 AS DOUBLE)) AS cosine
+  FROM probes p
+  JOIN assign a ON a.cell_id = p.probe_cell
+  JOIN norms q ON q.vec_id = p.query_id
+  WHERE a.vec_id != p.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) t WHERE rnk <= {TOP_K}
+""",
+    description="IVF ANN: nearest-centroid assignment (broadcast centroids), "
+    "probe 4/16 cells per query, exact rerank in probed cells.",
+    tags=("similarity", "llm", "ann"),
+)
+def s03_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "embedding", _dot6("embedding", "embedding").alias("norm6")
+    )
+    centroids = (
+        norms.filter(
+            (F.col("vec_id") >= CENTROID_ID_LO) & (F.col("vec_id") < CENTROID_ID_HI)
+        )
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm6").alias("c_norm6"),
+        )
+    )
+    cos_to_centroid = _dot6("embedding", "c_emb").cast("double") / F.sqrt(
+        F.col("norm6").cast("double") * F.col("c_norm6").cast("double")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("c_cos"), F.asc("cell_id")
+    )
+    assign = (
+        norms.crossJoin(F.broadcast(centroids))
+        .withColumn("c_cos", cos_to_centroid)
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "embedding", "norm6", "cell_id")
+    )
+    probes = (
+        norms.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("c_cos", cos_to_centroid)
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cell_id").alias("probe_cell"))
+    )
+    q = norms.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm6").alias("q_norm6"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assign, F.col("cell_id") == F.col("probe_cell"))
+        .join(F.broadcast(q), F.col("qid") == F.col("query_id"))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot6("q_emb", "embedding").cast("double")
+                / F.sqrt(F.col("q_norm6").cast("double") * F.col("norm6").cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w_topk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_topk).cast("int"))
+        .filter(F.col("rnk") <= TOP_K)
+    )

@@ -1,0 +1,156 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries image/audio/video as opaque
+``binary`` columns with typed metadata alongside. The container has no
+image/audio codecs, so the DECODE step is a deterministic fake (metadata
+derived from the payload's md5 — clearly marked below); everything
+Spark-side is real and production-shaped:
+
+  m01 binary metadata  — payload bytes + md5 + modality tag, all JVM-side
+                         builtins (encode/md5/length): zero-shuffle narrow
+                         pass, whole-stage codegen.
+  m02 decode + featurize — mapInPandas over Arrow batches: the exact
+                         signature a real decoder (PIL/ffmpeg) would have.
+                         One python worker per partition processes
+                         record-batch-sized chunks; output is a typed
+                         struct (dims, frames, feature vector).
+
+The fake decode is pure md5 arithmetic, so m02 still carries an exact
+DuckDB oracle — the plumbing (schema, batching, partitioning) is what is
+being proven, with a swap-in point for real codecs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..data import load_table
+from ..registry import register
+
+_KIND_SQL = "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+FEAT_DIM = 8
+
+
+def _with_payload(docs: DataFrame) -> DataFrame:
+    """Model a multimodal table: payload = opaque bytes, kind = modality.
+
+    (The driver's testdata has no binary column; the document text's UTF-8
+    bytes stand in for the payload. Real pipelines read the bytes from
+    object storage — same schema, same plan shape.)
+    """
+    return docs.select(
+        "doc_id",
+        F.expr(_KIND_SQL).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m01: binary payload metadata (JVM builtins, no Python)
+# --------------------------------------------------------------------------
+@register(
+    "m01_binary_meta",
+    oracle=f"""
+SELECT doc_id,
+       {_KIND_SQL} AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+""",
+    description="Opaque binary column + typed metadata: byte length and "
+    "content digest via JVM builtins (narrow, codegen, no shuffle).",
+    tags=("multimodal", "llm"),
+)
+def m01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = _with_payload(docs)
+    return p.select(
+        "doc_id",
+        "kind",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# m02: decode + feature-extract via mapInPandas (Arrow-batched)
+# --------------------------------------------------------------------------
+# feature vector flattened to scalar columns (f0..f7): array-typed output
+# would defeat the driver's column-sorted value hashing
+_M02_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        *[StructField(f"f{j}", DoubleType()) for j in range(FEAT_DIM)],
+    ]
+)
+
+
+def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, list[float]]:
+    """STUB DECODER — deterministic md5 arithmetic in place of a real codec.
+
+    A real implementation would be e.g. PIL.Image.open(io.BytesIO(payload))
+    / av.open(...); swap it in here. Signature and output schema stay fixed.
+    """
+    h = hashlib.md5(payload).hexdigest()
+    width = int(h[0:4], 16) % 1920 + 16
+    height = int(h[4:8], 16) % 1080 + 16
+    n_frames = (int(h[8:10], 16) % 240 + 1) if kind == "video" else 1
+    feat = [int(h[2 * j : 2 * j + 2], 16) / 255.0 for j in range(FEAT_DIM)]
+    return width, height, n_frames, feat
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        decoded = [
+            _fake_decode(payload, kind)
+            for payload, kind in zip(pdf["payload"], pdf["kind"])
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "kind": pdf["kind"].values,
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "n_frames": [d[2] for d in decoded],
+                **{f"f{j}": [d[3][j] for d in decoded] for j in range(FEAT_DIM)},
+            }
+        )
+
+
+@register(
+    "m02_decode_features",
+    oracle=f"""
+SELECT doc_id,
+       {_KIND_SQL} AS kind,
+       CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 16 AS INTEGER) AS width,
+       CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 16 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 2
+                 THEN ('0x' || substr(md5(text), 9, 2))::BIGINT % 240 + 1
+                 ELSE 1 END AS INTEGER) AS n_frames,
+       {', '.join(f"('0x' || substr(md5(text), {2 * j + 1}, 2))::BIGINT / 255.0 AS f{j}" for j in range(FEAT_DIM))}
+FROM documents
+""",
+    description="mapInPandas decode/featurize over Arrow batches (stub codec "
+    "— deterministic md5 fake; real codec swaps into _fake_decode).",
+    tags=("multimodal", "llm", "pandas-udf"),
+)
+def m02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _with_payload(docs).mapInPandas(_decode_batches, _M02_SCHEMA)

@@ -149,6 +149,43 @@ def t03_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# t05: corpus token frequency (BPE-ish regex tokenizer, explode + agg)
+# --------------------------------------------------------------------------
+TOP_TOKENS = 100
+
+
+@register(
+    "t05_top_tokens",
+    oracle=f"""
+SELECT token, COUNT(*) AS n
+FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+  FROM documents
+) t
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT {TOP_TOKENS}
+""",
+    description="Global token frequency top-100: explode tokenized docs, "
+    "high-cardinality agg with map-side combine, TakeOrdered top-N.",
+    tags=("text", "llm", "aggregate"),
+)
+def t05_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(TOP_TOKENS)
+    )
+
+
+# --------------------------------------------------------------------------
 # t04: corpus-level quality aggregate by source
 # --------------------------------------------------------------------------
 @register(

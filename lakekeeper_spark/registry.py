@@ -51,6 +51,17 @@ def register(
 
 def load_registry() -> dict[str, Query]:
     """Import all query modules (side effect: populate REGISTRY)."""
-    from .queries import analytics, dedup, events, similarity, text  # noqa: F401
+    from .queries import (  # noqa: F401
+        analytics,
+        analytics2,
+        catalog_ops,
+        dedup,
+        embeddings_ops,
+        events,
+        multimodal,
+        similarity,
+        text,
+    )
+    from .streaming import jobs  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,228 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming surface of its own (SURVEY.md §2.1 notes) —
+its event/statistics pipeline is an append-only log rolled up into hourly
+stats (service/events/, endpoint_statistics/sink.rs:52). These jobs give
+that pipeline a real Structured Streaming implementation:
+
+  st01 hourly rollup  — readStream(parquet) -> 1h tumbling window aggregate
+                        -> memory sink. Complete output mode: the final
+                        batch state IS the full rollup, bit-identical to
+                        the batch twin e02 (and its DuckDB oracle).
+  st02 sessionization — applyInPandasWithState: per-user session state with
+                        a 30-min inactivity gap; emits a row per CLOSED
+                        session (a session closes when a later event for
+                        the same user arrives past the gap). Open sessions
+                        stay in state, so the oracle drops each user's last
+                        session.
+
+Both run with trigger(availableNow=True) so they terminate after draining
+the input — the registry exposes them as (spark, sf_dir) -> DataFrame like
+every batch operator, which makes them first-class rows in the driver's
+correctness gate.
+
+Scale notes: the streaming rollup state is #open-windows x #event-types
+rows; sessionization state is one small tuple per active user, partitioned
+by user_id across executors (applyInPandasWithState shuffles by the
+grouping key exactly once). Checkpointing goes to a per-run temp dir here;
+on a cluster it would be an object-store path.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..data import NANOS_PER_HOUR
+from ..registry import register
+from ..session import ensure_runtime_confs
+from .  import __name__ as _pkg  # noqa: F401  (package marker)
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # microseconds: DuckDB reads
+# TIMESTAMP(NANOS) parquet truncated to micros, so parity math is in us
+
+
+def _stage_stream_dir(sf_dir: str) -> str:
+    """File-source streams read directories; stage the single events.parquet
+    into a fresh temp dir (testdata is read-only)."""
+    d = tempfile.mkdtemp(prefix="lkspark_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", Path(d) / "events.parquet")
+    return d
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stage_stream_dir(sf_dir))
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz")
+        )
+    )
+    return stream
+
+
+def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
+    spark = result.sparkSession
+    name = "sink_" + uuid.uuid4().hex[:12]
+    ckpt = tempfile.mkdtemp(prefix="lkspark_ckpt_")
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# st01: streaming hourly rollup (== e02 / its oracle, computed by a stream)
+# --------------------------------------------------------------------------
+@register(
+    "st01_stream_hourly_rollup",
+    oracle=f"""
+SELECT epoch_ns(ts)//{NANOS_PER_HOUR} AS hour_bucket,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND((value)*1000000) AS BIGINT)) AS DOUBLE)/1000000 AS sum_value
+FROM events
+GROUP BY epoch_ns(ts)//{NANOS_PER_HOUR}, event_type
+""",
+    description="Structured Streaming tumbling 1h window aggregate, "
+    "availableNow drain to a memory sink; state = open windows.",
+    tags=("streaming", "events", "window"),
+)
+def st01_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long")).cast("double")
+                / F.lit(1_000_000)
+            ).alias("sum_value"),
+        )
+    )
+    sunk = _run_to_memory(agg, "complete")
+    # window.start is hour-aligned; micros->hour bucket == nanos->hour bucket
+    return sunk.select(
+        (F.unix_timestamp(F.col("win.start")) / F.lit(3600))
+        .cast("long")
+        .alias("hour_bucket"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# --------------------------------------------------------------------------
+# st02: stateful sessionization via applyInPandasWithState
+# --------------------------------------------------------------------------
+_ST02_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_ST02_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _session_fn(key, pdf_iter, state: GroupState):
+    """Per-user session accumulator: emit a row whenever a gap closes the
+    current session; keep the open session in state."""
+    (user_id,) = key
+    if state.exists:
+        start_us, end_us, n = state.get
+    else:
+        start_us = end_us = n = None
+    out = []
+    for pdf in pdf_iter:
+        for ts in sorted(pdf["ts_us"].tolist()):
+            if start_us is None:
+                start_us, end_us, n = ts, ts, 1
+            elif ts - end_us > SESSION_GAP_US:
+                out.append((user_id, start_us, end_us, n))
+                start_us, end_us, n = ts, ts, 1
+            else:
+                end_us, n = ts, n + 1
+    if start_us is not None:
+        state.update((start_us, end_us, n))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start_us", "session_end_us", "n_events"]
+        )
+
+
+@register(
+    "st02_stream_sessionization",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                   OR LAG(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id,
+         ts_us
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_id,
+         MIN(ts_us) AS session_start_us,
+         MAX(ts_us) AS session_end_us,
+         COUNT(*) AS n_events,
+         MAX(session_id) OVER (PARTITION BY user_id) AS last_session
+  FROM sessions
+  GROUP BY user_id, session_id
+)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM per_session
+WHERE session_id < last_session
+""",
+    description="applyInPandasWithState sessionization (30-min gap): emits "
+    "closed sessions; open sessions stay in per-user state, so the oracle "
+    "drops each user's final session.",
+    tags=("streaming", "events", "stateful"),
+)
+def st02_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).selectExpr("user_id", "ts_ns div 1000 AS ts_us")
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=_ST02_OUT,
+        stateStructType=_ST02_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(sessions, "append")
