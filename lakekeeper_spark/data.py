@@ -38,10 +38,24 @@ TABLES = [
 NANOS_PER_HOUR = 3_600_000_000_000
 
 
+# Tables whose operators are compute-bound per row (regex/shingling/dot
+# products/Pandas UDFs). The driver testdata ships them as single-row-group
+# parquet, so the scan is one task no matter what maxPartitionBytes says;
+# spreading rows across the cluster costs one tiny shuffle and buys full
+# parallelism for the expensive map work. At real scale these tables arrive
+# as many files/row-groups and the repartition is skipped.
+_COMPUTE_HEAVY = {"documents", "embeddings"}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         return load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in _COMPUTE_HEAVY:
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
