@@ -105,6 +105,90 @@ _SQL_SHINGLES = f"""
 # --------------------------------------------------------------------------
 # d02: n-gram Jaccard near-duplicate pairs (exact, SQL-checkable)
 # --------------------------------------------------------------------------
+# Above this many distinct shingles, the per-doc bitmap no longer fits in a
+# few BIGINT columns and the prefix-filter plan wins; below it the corpus is
+# so shingle-dense that prefix filtering degenerates to all-pairs anyway.
+_BITMAP_VOCAB_MAX = 4096
+
+
+def _probe_vocab(docs: DataFrame, k: int = SHINGLE_K) -> list[str] | None:
+    """Distinct shingles if the corpus vocabulary is small, else None.
+
+    LIMIT vocab_max+1 bounds both the scan (Spark stops at the limit) and
+    driver memory: at most 4097 short strings are ever collected.
+    """
+    rows = (
+        _shingles(docs, k)
+        .select("shingle")
+        .distinct()
+        .limit(_BITMAP_VOCAB_MAX + 1)
+        .collect()
+    )
+    if len(rows) > _BITMAP_VOCAB_MAX:
+        return None
+    return sorted(r["shingle"] for r in rows)
+
+
+def _d02_bitmap_allpairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    vocab: list[str],
+    t_num: int,
+    t_den: int,
+) -> DataFrame:
+    """Small-vocab exact-Jaccard plan: per-doc shingle bitmaps in scalar
+    BIGINT columns, intersected via bit_count inside a broadcast
+    nested-loop self-join.
+
+    One shuffle total (the groupBy building doc sets); the pair stage is
+    shuffle-free because the packed table (|docs| rows x ~vocab/64 longs)
+    broadcasts. The Jaccard length filter t*max(|A|,|B|) <= min(|A|,|B|)
+    is part of the join predicate, so failing pairs never materialize.
+    """
+    from functools import reduce
+
+    nw = (len(vocab) + 63) // 64
+    dictionary = F.broadcast(
+        spark.createDataFrame(
+            [(s, i) for i, s in enumerate(vocab)], "shingle string, sid int"
+        )
+    )
+    sh = _shingles(docs).join(dictionary, "shingle")
+    docsets = (
+        sh.groupBy("doc_id")
+        .agg(F.collect_set("sid").alias("sids"))
+        .withColumn("n", F.size("sids"))
+    )
+    word_cols = [
+        F.expr(
+            f"aggregate(filter(sids, i -> i div 64 == {w}), CAST(0 AS BIGINT), "
+            "(acc, i) -> acc | shiftleft(CAST(1 AS BIGINT), i % 64))"
+        ).alias(f"w{w}")
+        for w in range(nw)
+    ]
+    packed = docsets.select("doc_id", "n", *word_cols)
+    a = packed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        *[F.col(f"w{w}").alias(f"a{w}") for w in range(nw)],
+    )
+    b = packed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        *[F.col(f"w{w}").alias(f"b{w}") for w in range(nw)],
+    )
+    length_ok = (
+        F.greatest("n_a", "n_b") * F.lit(t_num) <= F.least("n_a", "n_b") * F.lit(t_den)
+    )
+    pairs = a.join(F.broadcast(b), (F.col("doc_a") < F.col("doc_b")) & length_ok)
+    inter = reduce(
+        lambda x, y: x + y,
+        [F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}"))) for w in range(nw)],
+    )
+    jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+    return pairs.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
+    )
 @register(
     "d02_dedup_ngram_jaccard",
     oracle=f"""
@@ -128,26 +212,42 @@ WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= {JACCARD_THRESHOL
     tags=("dedup", "llm", "join"),
 )
 def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Jaccard pairs with AllPairs/PPJoin-style prefix filtering.
+    """Exact Jaccard pairs; plan adapts to the observed shingle vocabulary.
 
-    A naive shingle self-join explodes on hot shingles (every doc contains
-    'the' -> |docs|^2 candidate pairs). Instead:
+    Two physical strategies, same exact semantics (same oracle):
+
+    SMALL VOCAB (<= 4096 distinct k-grams observed): every
+    doc's shingle set is a <=4096-bit bitmap = a handful of BIGINT columns.
+    Intersections become bit_count(a&b) over scalar longs — whole-stage
+    codegen, no interpreted higher-order functions — evaluated inside a
+    broadcast nested-loop join with the Jaccard length filter
+    (t*|A| <= |B| <= |A|/t) as the join predicate. Prefix filtering is
+    useless in this regime: with a few hundred distinct shingles every
+    "rare" shingle still occurs in hundreds of docs, so the candidate join
+    degenerates toward all-pairs anyway (measured: 198M raw candidates for
+    12.5M total pairs at sf0.1) while paying join+distinct shuffles.
+
+    LARGE VOCAB (real web corpora): AllPairs/PPJoin prefix filtering
+    (Bayardo et al. WWW'07):
 
       1. order each doc's shingles by ascending global frequency;
       2. keep only the PREFIX (n - ceil(t*n) + 1 rarest shingles): two sets
-         with Jaccard >= t MUST share a prefix shingle (AllPairs theorem,
-         Bayardo et al. WWW'07), because |A∩B| >= t*|A∪B| >= ceil(t*|A|);
-      3. candidate pairs additionally satisfy the length filter
-         t*|A| <= |B| <= |A|/t;
-      4. verify candidates exactly with array_intersect on the full sets.
+         with Jaccard >= t MUST share a prefix shingle, because
+         |A∩B| >= t*|A∪B| >= ceil(t*|A|);
+      3. candidate pairs additionally satisfy the length filter;
+      4. verify candidates exactly on the full sets.
 
     ceil(t*n) for t=3/5 is computed in exact integer arithmetic
     ((3n+4) div 5) — no IEEE rounding can shrink the prefix.
-    Candidate generation only ever joins on globally-rare shingles, so the
-    hot-key blowup disappears while the output stays exact (same oracle).
+
+    The vocab probe is one distinct-shingle pass with a LIMIT vocab_max+1
+    collect, so driver memory is bounded regardless of corpus size.
     """
     t_num, t_den = 3, 5  # JACCARD_THRESHOLD = 0.6 as an exact rational
     docs = load_table(spark, sf_dir, "documents")
+    vocab = _probe_vocab(docs)
+    if vocab is not None:
+        return _d02_bitmap_allpairs(spark, docs, vocab, t_num, t_den)
     sh = _shingles(docs)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     # dictionary-encode shingles: sid in [0, vocab) ordered by (freq, shingle)
