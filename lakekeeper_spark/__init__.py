@@ -5,7 +5,7 @@ operators (dedup, similarity search, text analysis) designed for 100 TB scale.
 
 Layout:
     session      -- tuned SparkSession factory (AQE, shuffle sizing, UTC)
-    data         -- testdata loaders (handles nanos-timestamp parquet)
+    data         -- testdata loaders (events ts_ns derivation, repartition hints)
     registry     -- query registry: name -> (spark callable, duckdb oracle)
     queries/     -- analytic + LLM-pipeline query surface
     catalog/     -- Lakekeeper-semantics catalog layer (metastore, commits,

@@ -1,18 +1,13 @@
 """Testdata loaders.
 
-All tables are plain parquet at ``{sf_dir}/{name}.parquet``. The only
-special case is ``events``: the driver wrote its ``ts`` column as parquet
-TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright. With
-``spark.sql.legacy.parquet.nanosAsLong=true`` the column surfaces as a long
-(nanos since epoch); we keep that as ``ts_ns`` (exact integer arithmetic —
-used by window/sessionization operators for oracle-exact results) and also
-derive ``ts`` as TIMESTAMP_NTZ at microsecond precision.
-
-If the ambient session cannot read nanos-as-long (conf not applied before
-the parquet footer is parsed), we fall back to a pyarrow read + Arrow
-createDataFrame. That path is driver-local and only acceptable for the
-events table at test scale; at 100 TB the ingest job would rewrite events
-with microsecond timestamps on the way in.
+All tables are plain parquet at ``{sf_dir}/{name}.parquet``. ``events.ts``
+is parquet ``timestamp[us]`` (isAdjustedToUTC=false), which Spark reads
+natively as TIMESTAMP_NTZ — a fully distributed vectorized scan, no driver
+materialization. We additionally derive ``ts_ns`` (long nanos since epoch,
+JVM-side: ``unix_micros(ts) * 1000``) because the window/sessionization
+operators do their gap/bucket arithmetic in exact integers for bit-identical
+parity with the DuckDB oracle (``epoch_ns(ts)``). Since the source precision
+is microseconds, ``us * 1000`` is exact.
 """
 
 from __future__ import annotations
@@ -58,32 +53,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts_ns`` (long, exact) and ``ts`` (timestamp_ntz, micros)."""
-    ensure_runtime_confs(spark)
-    path = f"{sf_dir}/events.parquet"
-    try:
-        df = spark.read.parquet(path)
-        # Force schema resolution now so a nanos failure surfaces here.
-        ts_type = dict(df.dtypes)["ts"]
-        if ts_type != "bigint":  # pragma: no cover - depends on session conf
-            raise ValueError(f"expected nanosAsLong bigint ts, got {ts_type}")
-    except Exception:  # pragma: no cover - fallback for sessions w/o the conf
-        import pyarrow.parquet as pq
+def with_ts_ns(df: DataFrame) -> DataFrame:
+    """Derive exact ``ts_ns`` (long nanos) from the native ``ts`` column.
 
-        tbl = pq.read_table(path)
-        import pyarrow as pa
-
-        tbl = tbl.set_column(
-            tbl.schema.get_field_index("ts"),
-            "ts",
-            tbl.column("ts").cast(pa.int64()),
-        )
-        df = spark.createDataFrame(tbl.to_pandas())
-    return (
-        df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz"))
+    ``ts`` is TIMESTAMP_NTZ (parquet timestamp[us]); the cast to TIMESTAMP
+    interprets it in the session timezone, which session.py pins to UTC, so
+    ``unix_micros`` yields the same epoch the DuckDB oracle's ``epoch_ns``
+    computes (divided by 1000). Pure JVM expression — stays inside
+    whole-stage codegen, works identically on batch and streaming frames.
+    """
+    return df.withColumn(
+        "ts_ns",
+        F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000).cast("long"),
     )
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with native ``ts`` (timestamp_ntz) plus exact ``ts_ns`` (long)."""
+    ensure_runtime_confs(spark)
+    return with_ts_ns(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -7,10 +7,8 @@ Settings chosen for the 100 TB design point:
     schema (region/nation/customer/supplier/part at reasonable SF) should be
     broadcast, never shuffled.
   - UTC session timezone so timestamp semantics match the DuckDB oracle and
-    are stable across cluster nodes.
-  - ``spark.sql.legacy.parquet.nanosAsLong`` because the driver's events
-    table stores TIMESTAMP(NANOS), which vanilla Spark refuses to read; we
-    read nanos as long and convert explicitly (see data.load_events).
+    are stable across cluster nodes (the events table's TIMESTAMP_NTZ ->
+    epoch conversion in data.with_ts_ns depends on it).
 """
 
 from __future__ import annotations
@@ -37,7 +35,6 @@ def get_session(app_name: str = "lakekeeper-spark", master: str | None = None) -
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
@@ -56,7 +53,6 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     for key, value in [
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
-        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
     ]:
         try:
             spark.conf.set(key, value)

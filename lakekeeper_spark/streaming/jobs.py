@@ -45,13 +45,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..data import NANOS_PER_HOUR
+from ..data import NANOS_PER_HOUR, with_ts_ns
 from ..registry import register
 from ..session import ensure_runtime_confs
 from .  import __name__ as _pkg  # noqa: F401  (package marker)
 
-SESSION_GAP_US = 30 * 60 * 1_000_000  # microseconds: DuckDB reads
-# TIMESTAMP(NANOS) parquet truncated to micros, so parity math is in us
+SESSION_GAP_US = 30 * 60 * 1_000_000  # microseconds: events.ts is parquet
+# timestamp[us], so session-gap parity math with the DuckDB oracle is in us
 
 
 def _stage_stream_dir(sf_dir: str) -> str:
@@ -65,15 +65,8 @@ def _stage_stream_dir(sf_dir: str) -> str:
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_runtime_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(_stage_stream_dir(sf_dir))
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn(
-            "ts", F.timestamp_micros(F.expr("ts_ns div 1000")).cast("timestamp_ntz")
-        )
-    )
-    return stream
+    stream = spark.readStream.schema(schema).parquet(_stage_stream_dir(sf_dir))
+    return with_ts_ns(stream)
 
 
 def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
