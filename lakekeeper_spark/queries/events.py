@@ -141,6 +141,144 @@ def e03_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# e05: join on fields extracted from variant/JSON columns (both sides)
+# --------------------------------------------------------------------------
+@register(
+    "e05_variant_join",
+    oracle=f"""
+WITH dim AS (
+  SELECT to_json(struct_pack(id := c_custkey, seg := c_mktsegment)) AS uj
+  FROM customer
+),
+dim_x AS (
+  SELECT CAST(json_extract_string(uj, '$.id') AS BIGINT) AS id,
+         json_extract_string(uj, '$.seg') AS segment
+  FROM dim
+),
+ev AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         event_type, value
+  FROM events
+)
+SELECT d.segment,
+       COUNT(*) AS n_events,
+       {sql_dsum('e.value', 1000000)} AS sum_value,
+       COUNT(DISTINCT e.k) AS n_keys
+FROM ev e JOIN dim_x d ON e.k = d.id
+GROUP BY d.segment
+""",
+    description="Join two tables on values extracted from JSON/variant "
+    "columns on BOTH sides (reference test_spark.py:1443-1533, "
+    "test_variant_join_on_extracted_fields; get_json_object fallback per "
+    "SURVEY §7c). Dimension side is broadcast: extraction happens before "
+    "the join, so the shuffle-free plan survives at 100 TB of events.",
+    tags=("events", "json", "join"),
+)
+def e05_variant_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        "event_type",
+        "value",
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.to_json(
+                F.named_struct(
+                    F.lit("id"), F.col("c_custkey"), F.lit("seg"), F.col("c_mktsegment")
+                )
+            ).alias("uj")
+        )
+        .select(
+            F.get_json_object("uj", "$.id").cast("long").alias("id"),
+            F.get_json_object("uj", "$.seg").alias("segment"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(dim), ev.k == dim.id)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 1000000).alias("sum_value"),
+            F.countDistinct("k").alias("n_keys"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# e06: variant schema evolution + null/missing path semantics
+# --------------------------------------------------------------------------
+@register(
+    "e06_variant_shapes",
+    oracle="""
+WITH shaped AS (
+  SELECT CASE event_id % 3
+           WHEN 0 THEN '{"type":"user","name":"u' || CAST(user_id AS VARCHAR) || '"}'
+           WHEN 1 THEN '{"type":"purchase","price":'
+                       || CAST(CAST(ROUND(value*100) AS BIGINT) AS VARCHAR) || '}'
+           ELSE '{"type":"legacy","k":'
+                || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+                || ',"note":null}'
+         END AS j
+  FROM events
+)
+SELECT json_extract_string(j, '$.type') AS record_type,
+       COUNT(*) AS n_rows,
+       COUNT(json_extract_string(j, '$.name')) AS n_name,
+       COUNT(json_extract_string(j, '$.price')) AS n_price,
+       CAST(SUM(CAST(json_extract_string(j, '$.price') AS BIGINT)) AS BIGINT)
+         AS sum_price,
+       COUNT(json_extract_string(j, '$.note')) AS n_note,
+       COUNT(json_extract_string(j, '$.absent')) AS n_absent
+FROM shaped
+GROUP BY json_extract_string(j, '$.type')
+""",
+    description="Rows with three different JSON shapes coexist in one "
+    "column; missing paths and explicit JSON nulls both extract as SQL NULL "
+    "(reference test_spark.py:1572-1641, test_variant_schema_evolution + "
+    "test_variant_null_and_missing_fields).",
+    tags=("events", "json"),
+)
+def e06_variant_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    shaped = ev.select(
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit('{"type":"user","name":"u'),
+                F.col("user_id").cast("string"),
+                F.lit('"}'),
+            ),
+        )
+        .when(
+            F.col("event_id") % 3 == 1,
+            F.concat(
+                F.lit('{"type":"purchase","price":'),
+                F.round(F.col("value") * 100).cast("long").cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"type":"legacy","k":'),
+                F.get_json_object("props", "$.k").cast("long").cast("string"),
+                F.lit(',"note":null}'),
+            )
+        )
+        .alias("j")
+    )
+    jt = F.get_json_object("j", "$.type")
+    return shaped.groupBy(jt.alias("record_type")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.get_json_object("j", "$.name")).alias("n_name"),
+        F.count(F.get_json_object("j", "$.price")).alias("n_price"),
+        F.sum(F.get_json_object("j", "$.price").cast("long")).alias("sum_price"),
+        F.count(F.get_json_object("j", "$.note")).alias("n_note"),
+        F.count(F.get_json_object("j", "$.absent")).alias("n_absent"),
+    )
+
+
+# --------------------------------------------------------------------------
 # e04: top users by purchase value with window share
 # --------------------------------------------------------------------------
 @register(
