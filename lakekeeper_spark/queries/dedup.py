@@ -109,6 +109,24 @@ _SQL_SHINGLES = f"""
 # few BIGINT columns and the prefix-filter plan wins; below it the corpus is
 # so shingle-dense that prefix filtering degenerates to all-pairs anyway.
 _BITMAP_VOCAB_MAX = 4096
+# The bitmap plan broadcasts the whole packed corpus and evaluates O(n²)
+# candidate pairs in a nested-loop join — only sane when the corpus itself
+# is small. Above this many docs the prefix-filter plan is chosen no matter
+# how small the vocabulary is (a huge corpus with a tiny vocab would
+# otherwise broadcast everything into a quadratic join).
+_BITMAP_DOCS_MAX = 100_000
+
+
+def _d02_choose_vocab(docs: DataFrame) -> list[str] | None:
+    """Vocab list if the bitmap all-pairs plan should run, else None.
+
+    Gated on BOTH corpus size (docs.count() is parquet-metadata cheap) and
+    observed vocabulary size; the doc gate runs first so oversized corpora
+    never pay the vocab probe.
+    """
+    if docs.count() > _BITMAP_DOCS_MAX:
+        return None
+    return _probe_vocab(docs)
 
 
 def _probe_vocab(docs: DataFrame, k: int = SHINGLE_K) -> list[str] | None:
@@ -216,7 +234,8 @@ def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two physical strategies, same exact semantics (same oracle):
 
-    SMALL VOCAB (<= 4096 distinct k-grams observed): every
+    SMALL CORPUS + SMALL VOCAB (<= 100k docs AND <= 4096 distinct
+    k-grams observed — see _d02_choose_vocab): every
     doc's shingle set is a <=4096-bit bitmap = a handful of BIGINT columns.
     Intersections become bit_count(a&b) over scalar longs — whole-stage
     codegen, no interpreted higher-order functions — evaluated inside a
@@ -245,7 +264,7 @@ def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t_num, t_den = 3, 5  # JACCARD_THRESHOLD = 0.6 as an exact rational
     docs = load_table(spark, sf_dir, "documents")
-    vocab = _probe_vocab(docs)
+    vocab = _d02_choose_vocab(docs)
     if vocab is not None:
         return _d02_bitmap_allpairs(spark, docs, vocab, t_num, t_den)
     sh = _shingles(docs)

@@ -147,48 +147,58 @@ def lsh_buckets(col: str, tables: list[list[list[float]]]) -> F.Column:
 @register(
     "s02_knn_lsh",
     oracle=None,  # approximate (recall < 1); recall pytest-verified vs s01
-    description="Random-hyperplane LSH ANN: 4 tables x 8 sign bits; "
-    "candidates = bucket collisions in any table.",
+    description=f"Random-hyperplane LSH ANN: {LSH_TABLES} tables x "
+    f"{LSH_BITS} sign bits; candidates = bucket collisions in any table.",
     tags=("similarity", "llm", "lsh"),
 )
 def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    # dim probe: LIMIT-1 scan of a single int — never ships an embedding
+    # row to the driver (array schemas don't carry a length).
+    dim = emb.select(F.size("embedding").alias("d")).limit(1).collect()[0]["d"]
     tables = _hyperplanes(dim)
-    embs = emb.withColumn("buckets", lsh_buckets("embedding", tables)).withColumn(
-        "norm6", _dot6("embedding", "embedding")
-    )
-    # explode to (vec_id, tbl, bucket); the candidate join key is (tbl, bucket)
-    embt = embs.select(
+    embn = emb.withColumn("norm6", _dot6("embedding", "embedding"))
+    # Bucket table carries ids ONLY: the 16x posexplode fan-out amplifies
+    # (vec_id, tbl, bucket) triples, never the embedding arrays; embeddings
+    # rejoin after the candidate set is distinct.
+    buckets = emb.select(
         "vec_id",
-        "embedding",
-        "norm6",
-        F.posexplode("buckets").alias("tbl", "bucket"),
+        F.posexplode(lsh_buckets("embedding", tables)).alias("tbl", "bucket"),
     )
-    q = embt.filter(F.col("vec_id") < N_QUERIES).select(
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("norm6").alias("q_norm6"),
         F.col("tbl").alias("q_tbl"),
         F.col("bucket").alias("q_bucket"),
     )
-    cands = (
-        F.broadcast(q)
+    cand_ids = (
+        F.broadcast(qb)
         .join(
-            embt.withColumnRenamed("vec_id", "neighbor_id"),
+            buckets.withColumnRenamed("vec_id", "neighbor_id"),
             (F.col("tbl") == F.col("q_tbl")) & (F.col("bucket") == F.col("q_bucket")),
         )
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "q_emb", "q_norm6", "neighbor_id", "embedding", "norm6")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cands.select(
-        "query_id",
-        "neighbor_id",
-        (
-            _dot6("q_emb", "embedding").cast("double")
-            / F.sqrt(F.col("q_norm6").cast("double") * F.col("norm6").cast("double"))
-        ).alias("cosine"),
+    q = embn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm6").alias("q_norm6"),
+    )
+    # candidate ids (small) broadcast into the embeddings scan: the only
+    # embedding rows ever shipped are the distinct candidates themselves.
+    scored = (
+        embn.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(cand_ids), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot6("q_emb", "embedding").cast("double")
+                / F.sqrt(F.col("q_norm6").cast("double") * F.col("norm6").cast("double"))
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

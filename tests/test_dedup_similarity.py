@@ -105,3 +105,18 @@ def test_fingerprint_matches_python_reference(spark):
 
     for doc_id, text in texts.items():
         assert got[doc_id] == ref_fp(text)
+
+
+def test_d02_bitmap_plan_gated_on_doc_count(spark, monkeypatch):
+    """Above the doc cap the bitmap all-pairs plan must be rejected even
+    when the vocabulary is tiny — a huge corpus with a small vocab would
+    otherwise broadcast itself into an O(n^2) nested-loop join."""
+    from lakekeeper_spark.data import load_table
+    from lakekeeper_spark.queries import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # this corpus is small + small-vocab: bitmap path eligible
+    assert dedup._d02_choose_vocab(docs) is not None
+    # same corpus above the doc cap: prefix-filter path, no vocab probe
+    monkeypatch.setattr(dedup, "_BITMAP_DOCS_MAX", docs.count() - 1)
+    assert dedup._d02_choose_vocab(docs) is None
