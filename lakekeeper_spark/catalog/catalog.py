@@ -487,6 +487,7 @@ class Catalog:
             seen.add(key)
         policy = int(wh["properties"].get("format-version-policy", 3))
         st = self.store
+        expired_files: list[str] = []
         st.begin()
         try:
             results = []
@@ -502,6 +503,9 @@ class Catalog:
                 if row is None:
                     raise NoSuchEntity(f"table {ch['name']} not found")
                 new_meta.pop("staged", None)  # a successful commit finalizes staged creates
+                expired_files.extend(
+                    self._roll_metadata_log(wh, row["metadata_seq"], meta, new_meta)
+                )
                 cur = st.execute(
                     "UPDATE tabulars SET metadata=?, metadata_seq=metadata_seq+1, updated_ms=?"
                     " WHERE id=? AND metadata_seq=?",
@@ -520,9 +524,74 @@ class Catalog:
         except BaseException:
             st.rollback()
             raise
+        # delete expired metadata files only after the transaction landed
+        # (delete-after-commit, reference server/tables.rs:1730,2083)
+        from pathlib import Path
+
+        for f in expired_files:
+            Path(f).unlink(missing_ok=True)
         if idempotency_key:
             self.store.idempotency_put(idempotency_key, {"results": results})
         return results
+
+    def _roll_metadata_log(
+        self,
+        wh: dict[str, Any],
+        metadata_seq: int,
+        prev_meta: dict[str, Any] | None,
+        new_meta: dict[str, Any],
+    ) -> list[str]:
+        """Archive the superseded metadata version and trim the log.
+
+        Mirrors the reference's commit-time metadata maintenance
+        (server/tables.rs:1550-1737): the previous TableMetadata is written
+        to ``<location>/metadata/<seq>-<uuid>.metadata.json``, appended to
+        the new metadata's ``metadata-log``, and the log is trimmed to
+        ``write.metadata.previous-versions-max`` (default from warehouse
+        props, reference default 100). Returns the expired files to delete
+        AFTER the transaction commits when
+        ``write.metadata.delete-after-commit.enabled`` (default true,
+        tables.rs:96-97,2083) — orphaning files on rollback is safe, losing
+        referenced files is not.
+        """
+        from pathlib import Path
+
+        if not prev_meta or prev_meta.get("staged"):
+            return []
+        loc = prev_meta.get("location")
+        if not loc or "://" in loc:
+            return []
+        mdir = Path(loc) / "metadata"
+        try:
+            mdir.mkdir(parents=True, exist_ok=True)
+            fpath = str(mdir / f"{metadata_seq:05d}-{new_uuid()[:8]}.metadata.json")
+            with open(fpath, "w") as f:
+                json.dump(prev_meta, f)
+        except OSError:
+            return []  # location not writable (e.g. registered external table)
+        log = new_meta.setdefault("metadata-log", [])
+        log.append(
+            {
+                "timestamp-ms": prev_meta.get("last-updated-ms"),
+                "metadata-file": fpath,
+                "latest-snapshot-id": prev_meta.get("current-snapshot-id"),
+            }
+        )
+        props = new_meta.get("properties", {})
+        max_prev = int(
+            props.get(
+                "write.metadata.previous-versions-max",
+                wh["properties"].get("metadata-previous-versions-max", 100),
+            )
+        )
+        if len(log) <= max_prev:
+            return []
+        expired_entries = log[: len(log) - max_prev]
+        new_meta["metadata-log"] = log[len(log) - max_prev :]
+        delete_after_commit = str(
+            props.get("write.metadata.delete-after-commit.enabled", "true")
+        ).lower() in ("true", "yes", "1")
+        return [e["metadata-file"] for e in expired_entries] if delete_after_commit else []
 
     def drop_table(self, warehouse: str, levels, name: str, purge: bool = False) -> None:
         """Soft-delete (default, -> expiration queue) or schedule purge
@@ -619,6 +688,104 @@ class Catalog:
         except BaseException:
             st.rollback()
             raise
+
+    def rename_view(self, warehouse: str, levels, name: str, new_levels, new_name: str) -> None:
+        """ALTER VIEW ... RENAME TO (reference test_spark.py:100-120,
+        test_rename_view; api/iceberg/v1/views.rs rename endpoint)."""
+        self.rename_table(warehouse, levels, name, new_levels, new_name, kind="view")
+
+    def list_views(
+        self,
+        warehouse: str,
+        levels,
+        page_token: str | None = None,
+        page_size: int | None = None,
+    ) -> tuple[list[str], str | None]:
+        """SHOW VIEWS IN ns (reference test_spark.py:113-152)."""
+        return self.list_tables(warehouse, levels, kind="view", page_token=page_token, page_size=page_size)
+
+    def view_exists(self, warehouse: str, levels, name: str) -> bool:
+        wh = self._warehouse(warehouse)
+        return self._tabular_row(wh["wh_key"], levels, name, "view") is not None
+
+    def create_or_replace_table(
+        self,
+        warehouse: str,
+        levels,
+        name: str,
+        schema: dict[str, Any],
+        partition_spec: dict[str, Any] | None = None,
+        sort_order: dict[str, Any] | None = None,
+        properties: dict[str, str] | None = None,
+        format_version: int = 2,
+    ) -> dict[str, Any]:
+        """CREATE OR REPLACE TABLE (reference test_spark.py:62-68,
+        test_replace_table): an existing table is atomically replaced by a
+        fresh one — new table UUID and location, empty snapshot history —
+        and the old data/metadata files are queued for purge. Creates
+        normally when the table does not exist."""
+        wh = self._warehouse(warehouse)
+        st = self.store
+        st.begin()
+        try:
+            row = self._tabular_row(wh["wh_key"], levels, name, "table")
+            if row is None:
+                st.rollback()
+                return self.create_table(
+                    warehouse,
+                    levels,
+                    name,
+                    schema,
+                    partition_spec,
+                    sort_order,
+                    properties,
+                    format_version=format_version,
+                )
+            if row["protected"]:
+                raise ProtectedEntity(f"table {name} is protected")
+            policy = int(wh["properties"].get("format-version-policy", 3))
+            if format_version > policy:
+                raise CommitValidationError(
+                    f"format-version {format_version} exceeds warehouse policy ({policy})"
+                )
+            old_meta = json.loads(row["metadata"])
+            table_uuid = new_uuid()
+            location = self._table_location(wh, levels, table_uuid)
+            meta = new_table_metadata(
+                table_uuid, location, schema, partition_spec, sort_order, properties, format_version
+            )
+            st.execute("DELETE FROM tabulars WHERE id=?", (row["id"],))
+            st.execute(
+                "INSERT INTO tabulars (id, wh_key, ns_key, name_key, name, kind, metadata,"
+                " location, created_ms, updated_ms) VALUES (?,?,?,?,?,?,?,?,?,?)",
+                (
+                    table_uuid,
+                    wh["wh_key"],
+                    ident.ns_key(levels),
+                    ident.fold(name),
+                    name,
+                    "table",
+                    json.dumps(meta),
+                    location,
+                    now_ms(),
+                    now_ms(),
+                ),
+            )
+            st.enqueue_task(
+                "tabular_purge",
+                {"location": old_meta.get("location"), "id": old_meta.get("table-uuid")},
+            )
+            st.emit_event(
+                "replace-table",
+                wh["wh_key"],
+                f"{'.'.join(levels)}.{name}",
+                {"old-uuid": old_meta.get("table-uuid"), "new-uuid": table_uuid},
+            )
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+        return meta
 
     def set_protection(
         self, warehouse: str, levels, name: str | None, protected: bool, kind: str = "table"

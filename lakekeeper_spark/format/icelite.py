@@ -37,7 +37,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog.catalog import Catalog, CatalogError, NoSuchEntity
+from ..catalog.catalog import Catalog, CatalogError, NoSuchEntity, NotModified
 from .types import next_field_id, schema_to_struct, struct_to_schema
 
 MAIN = "main"
@@ -56,11 +56,46 @@ class SparkTable:
         self.warehouse = warehouse
         self.levels = tuple(levels)
         self.name = name
+        # engine-side metadata cache: (etag, metadata). Models the moka
+        # metadata cache in front of the reference catalog — scans reuse it
+        # until refresh() revalidates or a local mutation invalidates.
+        self._meta_cache: tuple[int, dict[str, Any]] | None = None
 
     # ---------------- metadata helpers ----------------
     def metadata(self) -> dict[str, Any]:
         meta, _ = self.catalog.load_table(self.warehouse, self.levels, self.name)
         return meta
+
+    def metadata_cached(self) -> dict[str, Any]:
+        """Cached metadata: loaded once, reused until refresh()/mutation.
+
+        A concurrent writer's commit is NOT visible through this handle
+        until refresh() — the REFRESH TABLE lifecycle of an engine-side
+        metadata cache (reference test_spark.py:1222 drives Spark's; the
+        server side is the moka cache + ETag revalidation,
+        catalog.load_table's 304 path)."""
+        if self._meta_cache is None:
+            meta, etag = self.catalog.load_table(self.warehouse, self.levels, self.name)
+            self._meta_cache = (etag, meta)
+        return self._meta_cache[1]
+
+    def refresh(self) -> dict[str, Any]:
+        """REFRESH TABLE: revalidate the cached metadata via ETag; a 304
+        keeps the cache, anything newer replaces it."""
+        if self._meta_cache is None:
+            return self.metadata_cached()
+        etag, _ = self._meta_cache
+        try:
+            meta, etag = self.catalog.load_table(
+                self.warehouse, self.levels, self.name, etag=etag
+            )
+            self._meta_cache = (etag, meta)
+        except NotModified:
+            pass
+        return self._meta_cache[1]
+
+    def _invalidate(self) -> None:
+        self._meta_cache = None
 
     def _current_schema(self, meta: dict[str, Any]) -> dict[str, Any]:
         return next(s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"])
@@ -196,9 +231,18 @@ class SparkTable:
             {"action": "add-snapshot", "snapshot": snapshot},
             {"action": "set-snapshot-ref", "ref-name": branch, "snapshot-id": snapshot_id},
         ]
-        return self.catalog.commit_table(
+        return self._commit(requirements, updates)
+
+    def _commit(
+        self, requirements: list[dict[str, Any]], updates: list[dict[str, Any]]
+    ) -> dict[str, Any]:
+        """All handle-local commits funnel here so they invalidate the
+        scan-metadata cache (a writer always sees its own writes)."""
+        out = self.catalog.commit_table(
             self.warehouse, self.levels, self.name, requirements, updates
         )
+        self._invalidate()
+        return out
 
     def append(self, df: DataFrame, branch: str = MAIN) -> dict[str, Any]:
         meta = self.metadata()
@@ -218,11 +262,14 @@ class SparkTable:
         ref: str | None = None,
         as_of_ms: int | None = None,
         partition_filter: dict[str, Any] | None = None,
+        use_cache: bool = False,
     ) -> DataFrame:
         """Read the table at a snapshot. `partition_filter` prunes manifest
         entries by partition value BEFORE any file is opened — the
-        catalog-side analogue of Iceberg partition pruning."""
-        meta = self.metadata()
+        catalog-side analogue of Iceberg partition pruning. With
+        ``use_cache=True`` the scan plans against this handle's cached
+        metadata (stale until refresh(); see metadata_cached)."""
+        meta = self.metadata_cached() if use_cache else self.metadata()
         snap = self._resolve_snapshot(meta, snapshot_id, ref, as_of_ms)
         # head reads project the CURRENT schema (schema evolution applies to
         # old files); time-travel reads use the snapshot's schema
@@ -376,16 +423,12 @@ class SparkTable:
         upd = {"action": "set-snapshot-ref", "ref-name": tag, "snapshot-id": sid, "type": "tag"}
         if max_ref_age_ms is not None:
             upd["max-ref-age-ms"] = max_ref_age_ms
-        self.catalog.commit_table(self.warehouse, self.levels, self.name, [], [upd])
+        self._commit([], [upd])
 
     def create_branch(self, branch: str, snapshot_id: int | None = None) -> None:
         meta = self.metadata()
         sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
-        self.catalog.commit_table(
-            self.warehouse,
-            self.levels,
-            self.name,
-            [],
+        self._commit([],
             [
                 {
                     "action": "set-snapshot-ref",
@@ -397,11 +440,7 @@ class SparkTable:
         )
 
     def drop_ref(self, name: str) -> None:
-        self.catalog.commit_table(
-            self.warehouse,
-            self.levels,
-            self.name,
-            [],
+        self._commit([],
             [{"action": "remove-snapshot-ref", "ref-name": name}],
         )
 
@@ -414,11 +453,7 @@ class SparkTable:
             "fields": schema["fields"]
             + [{"id": next_field_id(schema), "name": name, "type": ddl_type, "required": required}],
         }
-        self.catalog.commit_table(
-            self.warehouse,
-            self.levels,
-            self.name,
-            [{"type": "assert-current-schema-id", "current-schema-id": meta["current-schema-id"]}],
+        self._commit([{"type": "assert-current-schema-id", "current-schema-id": meta["current-schema-id"]}],
             [
                 {"action": "add-schema", "schema": new_schema},
                 {"action": "set-current-schema", "schema-id": new_schema["schema-id"]},
@@ -434,11 +469,7 @@ class SparkTable:
             "schema-id": max(s["schema-id"] for s in meta["schemas"]) + 1,
             "fields": [f for f in schema["fields"] if f["name"] != name],
         }
-        self.catalog.commit_table(
-            self.warehouse,
-            self.levels,
-            self.name,
-            [{"type": "assert-current-schema-id", "current-schema-id": meta["current-schema-id"]}],
+        self._commit([{"type": "assert-current-schema-id", "current-schema-id": meta["current-schema-id"]}],
             [
                 {"action": "add-schema", "schema": new_schema},
                 {"action": "set-current-schema", "schema-id": new_schema["schema-id"]},
@@ -464,11 +495,7 @@ class SparkTable:
                 }
             ],
         }
-        self.catalog.commit_table(
-            self.warehouse,
-            self.levels,
-            self.name,
-            [{"type": "assert-default-spec-id", "default-spec-id": meta["default-spec-id"]}],
+        self._commit([{"type": "assert-default-spec-id", "default-spec-id": meta["default-spec-id"]}],
             [
                 {"action": "add-spec", "spec": new_spec},
                 {"action": "set-default-spec", "spec-id": new_spec["spec-id"]},
@@ -516,11 +543,7 @@ class SparkTable:
             if s["snapshot-id"] in victims
             for e in s["manifest"]
         } - live_files
-        self.catalog.commit_table(
-            self.warehouse,
-            self.levels,
-            self.name,
-            [],
+        self._commit([],
             [{"action": "remove-snapshots", "snapshot-ids": victims}],
         )
         for rel in orphaned:
@@ -570,6 +593,101 @@ class SparkTable:
         meta = self.metadata()
         rows = [(e["timestamp-ms"], e["snapshot-id"]) for e in meta["snapshot-log"]]
         return self.spark.createDataFrame(rows, "made_current_at_ms long, snapshot_id long")
+
+    # The all_* family walks EVERY snapshot, not just the current one
+    # (Iceberg all_data_files / all_entries / all_manifests,
+    # reference test_spark.py:1251-1280, test_metadata_queries_tables).
+    # Manifests are inline in icelite metadata, so these are metadata-sized
+    # driver builds — at 100 TB the manifests would be parquet sidecars and
+    # these tables a spark.read over them; the schema contract is the same.
+    _ALL_ENTRIES_DDL = (
+        "snapshot_id long, file_path string, file_size_in_bytes long,"
+        " record_count long, partition string"
+    )
+
+    def all_data_files(self) -> DataFrame:
+        """Distinct data files referenced by ANY snapshot."""
+        meta = self.metadata()
+        seen: dict[str, tuple] = {}
+        for s in meta["snapshots"]:
+            for e in s["manifest"]:
+                seen.setdefault(
+                    e["path"],
+                    (
+                        e["path"],
+                        e["file-size-in-bytes"],
+                        e["record-count"],
+                        str(e.get("partition", {})),
+                    ),
+                )
+        return self.spark.createDataFrame(
+            list(seen.values()),
+            "file_path string, file_size_in_bytes long, record_count long, partition string",
+        )
+
+    def all_entries(self) -> DataFrame:
+        """One row per (snapshot, data file) manifest entry."""
+        meta = self.metadata()
+        rows = [
+            (
+                s["snapshot-id"],
+                e["path"],
+                e["file-size-in-bytes"],
+                e["record-count"],
+                str(e.get("partition", {})),
+            )
+            for s in meta["snapshots"]
+            for e in s["manifest"]
+        ]
+        return self.spark.createDataFrame(rows, self._ALL_ENTRIES_DDL)
+
+    def all_manifests(self) -> DataFrame:
+        """One row per snapshot's (inline) manifest."""
+        meta = self.metadata()
+        rows = [
+            (
+                f"inline://{meta['table-uuid']}/{s['snapshot-id']}",
+                s["snapshot-id"],
+                len(s["manifest"]),
+                sum(e["record-count"] for e in s["manifest"]),
+                sum(e["file-size-in-bytes"] for e in s["manifest"]),
+            )
+            for s in meta["snapshots"]
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "manifest_path string, snapshot_id long, data_file_count int,"
+            " record_count long, total_size_in_bytes long",
+        )
+
+    def metadata_log_entries(self) -> DataFrame:
+        """Previous metadata versions archived by the catalog's commit-time
+        metadata-log roll (catalog.py _roll_metadata_log)."""
+        meta = self.metadata()
+        rows = [
+            (e["timestamp-ms"], e["metadata-file"], e.get("latest-snapshot-id"))
+            for e in meta.get("metadata-log", [])
+        ]
+        return self.spark.createDataFrame(
+            rows, "timestamp_ms long, file string, latest_snapshot_id long"
+        )
+
+    def partitions(self) -> DataFrame:
+        """Current-snapshot per-partition stats (Iceberg `partitions`)."""
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta)
+        agg: dict[str, list[int]] = {}
+        for e in snap["manifest"] if snap else []:
+            key = str(e.get("partition", {}))
+            cur = agg.setdefault(key, [0, 0, 0])
+            cur[0] += e["record-count"]
+            cur[1] += 1
+            cur[2] += e["file-size-in-bytes"]
+        rows = [(k, v[0], v[1], v[2]) for k, v in agg.items()]
+        return self.spark.createDataFrame(
+            rows,
+            "partition string, record_count long, file_count int, total_size_in_bytes long",
+        )
 
 
 def _merge_key(on: str) -> str:

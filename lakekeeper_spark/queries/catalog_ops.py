@@ -60,6 +60,14 @@ SELECT * FROM (
   SELECT 'n_snapshots', 4
   UNION ALL
   SELECT 'files_after_compaction', 1
+  UNION ALL
+  SELECT 'cached_scan_stale',
+         2*COUNT(*) - 2*(SELECT COUNT(*) FROM src WHERE l_quantity < 10)
+    FROM src
+  UNION ALL
+  SELECT 'cached_scan_after_refresh',
+         3*COUNT(*) - 2*(SELECT COUNT(*) FROM src WHERE l_quantity < 10)
+    FROM src
 ) ORDER BY checkpoint
 """,
     description="Catalog + icelite lifecycle: create/append/delete/compact/"
@@ -99,6 +107,15 @@ def c01_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_snapshots = t.snapshots().count()
     n_files = t.files().count()
 
+    # REFRESH TABLE lifecycle (reference test_spark.py:1222): a second
+    # handle caches metadata, misses a concurrent append until refresh().
+    t2 = SparkTable(spark, cat, "wh", ["bench"], "li")
+    t2.scan(use_cache=True).count()  # populate the cache
+    t.append(src)  # concurrent writer
+    stale = t2.scan(use_cache=True).count()  # cache hides the append
+    t2.refresh()
+    fresh = t2.scan(use_cache=True).count()  # refresh reveals it
+
     rows = [
         ("rows_after_append1", rows1),
         ("rows_after_append2", rows2),
@@ -107,6 +124,8 @@ def c01_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("time_travel_snapshot1", tt),
         ("n_snapshots", n_snapshots),
         ("files_after_compaction", n_files),
+        ("cached_scan_stale", stale),
+        ("cached_scan_after_refresh", fresh),
     ]
     return (
         spark.createDataFrame(rows, "checkpoint string, value long")

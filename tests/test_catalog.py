@@ -265,3 +265,60 @@ def test_staged_create_finalized_by_commit(catalog):
     )
     m2, _ = catalog.load_table("wh", ["ns"], "t")
     assert "staged" not in m2
+
+
+def test_rename_view_and_show_views(catalog):
+    """ALTER VIEW RENAME + SHOW VIEWS + view_exists (reference
+    test_spark.py:100-152, test_rename_view/test_create_drop_view/
+    test_view_exists)."""
+    catalog.create_namespace("wh", ["vns"])
+    catalog.create_view("wh", ["vns"], "my_view", "SELECT 1 AS x")
+    names, _ = catalog.list_views("wh", ["vns"])
+    assert names == ["my_view"]
+    assert catalog.view_exists("wh", ["vns"], "my_view")
+    catalog.rename_view("wh", ["vns"], "my_view", ["vns"], "my_view_renamed")
+    names, _ = catalog.list_views("wh", ["vns"])
+    assert names == ["my_view_renamed"]
+    assert not catalog.view_exists("wh", ["vns"], "my_view")
+    assert catalog.view_sql("wh", ["vns"], "my_view_renamed") == "SELECT 1 AS x"
+    catalog.drop_view("wh", ["vns"], "my_view_renamed")
+    names, _ = catalog.list_views("wh", ["vns"])
+    assert names == []
+
+
+def test_create_or_replace_table(catalog):
+    """CREATE OR REPLACE TABLE bumps the table UUID, resets history, and
+    queues the old location for purge (reference test_spark.py:62-68)."""
+    catalog.create_namespace("wh", ["rns"])
+    schema1 = {"fields": [{"id": 1, "name": "a", "type": "int", "required": False}]}
+    meta1 = catalog.create_or_replace_table("wh", ["rns"], "t", schema1)
+    schema2 = {
+        "fields": [
+            {"id": 1, "name": "b", "type": "string", "required": False},
+            {"id": 2, "name": "c", "type": "double", "required": False},
+        ]
+    }
+    meta2 = catalog.create_or_replace_table("wh", ["rns"], "t", schema2)
+    assert meta2["table-uuid"] != meta1["table-uuid"]
+    assert meta2["location"] != meta1["location"]
+    assert meta2["snapshots"] == []
+    loaded, _ = catalog.load_table("wh", ["rns"], "t")
+    assert loaded["table-uuid"] == meta2["table-uuid"]
+    assert [f["name"] for f in loaded["schemas"][0]["fields"]] == ["b", "c"]
+    names, _ = catalog.list_tables("wh", ["rns"])
+    assert names == ["t"]
+    # old location queued for purge
+    tasks = [t for t in catalog.store.query(
+        "SELECT payload FROM tasks WHERE queue='tabular_purge'")]
+    import json as _json
+
+    locations = [_json.loads(t["payload"]).get("location") for t in tasks]
+    assert meta1["location"] in locations
+    # a protected table cannot be replaced
+    catalog.set_protection("wh", ["rns"], "t", True)
+    import pytest as _pytest
+
+    from lakekeeper_spark.catalog.catalog import ProtectedEntity
+
+    with _pytest.raises(ProtectedEntity):
+        catalog.create_or_replace_table("wh", ["rns"], "t", schema1)

@@ -188,6 +188,73 @@ def test_metadata_tables(table):
     assert {r.name for r in table.refs().collect()} == {"main"}
 
 
+def test_all_metadata_tables(table, spark):
+    """all_data_files / all_entries / all_manifests / metadata_log_entries
+    / partitions (reference test_spark.py:1251-1280,
+    test_metadata_queries_tables)."""
+    ddl = "my_ints int, my_floats double, strings string"
+    table.append(spark.createDataFrame([(3, 3.3, "c")], ddl))
+    table.overwrite(spark.createDataFrame([(9, 9.9, "z")], ddl))
+    meta = table.metadata()
+    n_snapshots = len(meta["snapshots"])
+    assert n_snapshots == 3
+    # every snapshot contributes its manifest entries
+    entries = table.all_entries().collect()
+    assert {r.snapshot_id for r in entries} == {
+        s["snapshot-id"] for s in meta["snapshots"]
+    }
+    assert len(entries) == sum(len(s["manifest"]) for s in meta["snapshots"])
+    # all_data_files: union of files across snapshots, distinct
+    adf = table.all_data_files().collect()
+    assert len({r.file_path for r in adf}) == len(adf)
+    assert len(adf) >= table.files().count()
+    # one inline manifest per snapshot
+    manifests = {r.snapshot_id: r for r in table.all_manifests().collect()}
+    assert set(manifests) == {s["snapshot-id"] for s in meta["snapshots"]}
+    for s in meta["snapshots"]:
+        assert manifests[s["snapshot-id"]].data_file_count == len(s["manifest"])
+    # each commit after table creation archived the superseded metadata
+    log = table.metadata_log_entries().collect()
+    assert len(log) == n_snapshots  # one archived version per data commit
+    import os
+
+    for r in log:
+        assert os.path.exists(r.file)
+    # partitions: unpartitioned table -> single '{}' partition row
+    parts = table.partitions().collect()
+    assert len(parts) == 1
+    assert parts[0].record_count == 1  # after overwrite
+
+
+def test_metadata_log_pruned_to_previous_versions_max(table, spark):
+    """write.metadata.previous-versions-max bounds the archived metadata
+    files; expired ones are deleted from disk on the next commit
+    (delete-after-commit default true; reference server/tables.rs:2083)."""
+    import os
+
+    table.catalog.commit_table(
+        "wh",
+        ["ns"],
+        "my_table",
+        [],
+        [
+            {
+                "action": "set-properties",
+                "updates": {"write.metadata.previous-versions-max": "3"},
+            }
+        ],
+    )
+    ddl = "my_ints int, my_floats double, strings string"
+    for i in range(6):
+        table.append(spark.createDataFrame([(10 + i, 1.0, "x")], ddl))
+    meta = table.metadata()
+    log = meta["metadata-log"]
+    assert len(log) == 3
+    mdir = os.path.join(meta["location"], "metadata")
+    on_disk = [f for f in os.listdir(mdir) if f.endswith(".metadata.json")]
+    assert sorted(on_disk) == sorted(os.path.basename(e["metadata-file"]) for e in log)
+
+
 def test_concurrent_append_conflict_then_retry(table, spark, catalog):
     """Two writers race: the loser gets CommitFailedException (the
     reference's 409) and succeeds on retry with refreshed metadata."""
