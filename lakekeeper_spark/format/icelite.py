@@ -161,15 +161,69 @@ class SparkTable:
         spec = self._default_spec(meta)
         return [(f["name"], self._transform_col(f)) for f in spec.get("fields", [])]
 
+    # ---------------- sort order ----------------
+    def _default_sort_order(self, meta: dict[str, Any]) -> dict[str, Any] | None:
+        return next(
+            (
+                o
+                for o in meta.get("sort-orders", [])
+                if o["order-id"] == meta.get("default-sort-order-id")
+            ),
+            None,
+        )
+
+    def _sort_columns(self, meta: dict[str, Any]) -> list[F.Column]:
+        """Columns for the table's default sort order, Iceberg-style fields:
+        {source-name, transform, direction: asc|desc,
+         null-order: nulls-first|nulls-last}."""
+        order = self._default_sort_order(meta)
+        cols = []
+        for f in (order or {}).get("fields", []):
+            c = self._transform_col(
+                {"source-name": f["source-name"], "transform": f.get("transform", "identity")}
+            )
+            desc = f.get("direction", "asc") == "desc"
+            nulls_first = f.get("null-order", "nulls-first") == "nulls-first"
+            if desc:
+                c = c.desc_nulls_first() if nulls_first else c.desc_nulls_last()
+            else:
+                c = c.asc_nulls_first() if nulls_first else c.asc_nulls_last()
+            cols.append(c)
+        return cols
+
+    def replace_sort_order(self, fields: list[dict[str, Any]]) -> None:
+        """AddSortOrder + SetDefaultSortOrder commit; subsequent writes
+        sortWithinPartitions by it (Iceberg write.sort-order semantics)."""
+        meta = self.metadata()
+        order = {
+            "order-id": max(o["order-id"] for o in meta["sort-orders"]) + 1,
+            "fields": fields,
+        }
+        self._commit(
+            [],
+            [
+                {"action": "add-sort-order", "sort-order": order},
+                {"action": "set-default-sort-order", "sort-order-id": order["order-id"]},
+            ],
+        )
+
     # ---------------- write paths ----------------
     def _write_files(self, meta: dict[str, Any], df: DataFrame) -> list[dict[str, Any]]:
-        """Write df as parquet data files; returns manifest entries."""
+        """Write df as parquet data files; returns manifest entries.
+
+        Applies the table's default sort order via sortWithinPartitions —
+        a per-task sort, no shuffle — so every data file is internally
+        clustered (what Iceberg writers do with a table sort order; enables
+        min/max-stat file skipping at scale)."""
         commit_id = uuid.uuid4().hex
         out_dir = f"{meta['location']}/data/{commit_id}"
         partcols = self._partition_columns(meta)
         writer_df = df
         for pname, pcol in partcols:
             writer_df = writer_df.withColumn(pname, pcol)
+        sort_cols = self._sort_columns(meta)
+        if sort_cols:
+            writer_df = writer_df.sortWithinPartitions(*sort_cols)
         writer = writer_df.write.mode("overwrite")
         if partcols:
             writer = writer.partitionBy(*[p for p, _ in partcols])

@@ -279,3 +279,29 @@ def test_concurrent_append_conflict_then_retry(table, spark, catalog):
         )
     table.append(df)  # retry path succeeds
     assert table.scan().filter("my_ints = 8").count() == 2
+
+
+def test_sort_order_applied_at_write(table, spark):
+    """AddSortOrder/SetDefaultSortOrder -> subsequent writes produce
+    per-file sorted data (sortWithinPartitions; Iceberg writer parity)."""
+    import pyarrow.parquet as pq
+
+    table.replace_sort_order(
+        [{"source-name": "my_ints", "transform": "identity", "direction": "desc",
+          "null-order": "nulls-last"}]
+    )
+    meta = table.metadata()
+    assert meta["default-sort-order-id"] == 1
+    ddl = "my_ints int, my_floats double, strings string"
+    shuffled = spark.createDataFrame(
+        [(5, 1.0, "e"), (3, 1.0, "c"), (9, 1.0, "i"), (1, 1.0, "a"), (7, 1.0, "g")], ddl
+    ).coalesce(1)
+    res = table.overwrite(shuffled)
+    loc = table.metadata()["location"]
+    for s in table.metadata()["snapshots"]:
+        if s["snapshot-id"] != res["current-snapshot-id"]:
+            continue
+        for e in s["manifest"]:
+            vals = pq.read_table(f"{loc}/{e['path']}", columns=["my_ints"])
+            col = vals.column("my_ints").to_pylist()
+            assert col == sorted(col, reverse=True), f"file {e['path']} not sorted"
