@@ -62,6 +62,12 @@ _DEFAULT_WAREHOUSE_PROPS = {
     "delete-profile": "soft",  # 'soft' (expiration queue) or 'hard'
     "expiration-seconds": 7 * 24 * 3600,
     "metadata-previous-versions-max": 100,  # write.metadata.previous-versions-max
+    # per-warehouse task-queue config (reference: per-warehouse queue config,
+    # api/management/v1/tasks.rs; heartbeat interval
+    # service/tasks/tabular_expiration_queue.rs:70-72)
+    "task-max-retries": 5,
+    "task-backoff-ms": 1000,
+    "task-heartbeat-timeout-ms": 120_000,
 }
 
 
@@ -91,6 +97,16 @@ class Catalog:
             st.rollback()
             raise
         return {"name": name, "location": location, "properties": props}
+
+    def task_config(self, warehouse: str) -> dict[str, int]:
+        """Per-warehouse task-queue tuning for lifecycle workers
+        (reference per-warehouse queue config, api/management/v1/tasks.rs)."""
+        props = self._warehouse(warehouse)["properties"]
+        return {
+            "max_attempts": int(props.get("task-max-retries", 5)),
+            "backoff_ms": int(props.get("task-backoff-ms", 1000)),
+            "heartbeat_timeout_ms": int(props.get("task-heartbeat-timeout-ms", 120_000)),
+        }
 
     def _warehouse(self, warehouse: str) -> dict[str, Any]:
         row = self.store.one(
@@ -281,10 +297,58 @@ class Catalog:
             (wh_key, ident.ns_key(levels), ident.fold(name), kind),
         )
 
-    def _table_location(self, wh: dict[str, Any], levels, table_uuid: str) -> str:
-        # flat storage-layout template <base>/<uuid> (reference default,
-        # service/storage/storage_layout.rs:60-246)
-        return f"{wh['location']}/{table_uuid}"
+    def _table_location(
+        self, wh: dict[str, Any], levels, table_uuid: str, name: str = ""
+    ) -> str:
+        """Storage-layout templates (reference storage_layout.rs:60-246).
+
+        Warehouse property ``storage-layout`` selects the variant:
+          default                        <base>/<uuid>
+          tabular-only                   <base>/<tabular-tmpl>  ({uuid} required)
+          parent-namespace-and-tabular   <base>/<ns-tmpl(direct parent)>/<tabular-tmpl>
+          full-hierarchy                 <base>/<ns-tmpl per level>/<tabular-tmpl>
+        Templates take {uuid} and {name}; name segments are URL-encoded
+        (reference encode_path_segment, storage_layout.rs:20-22). Namespace
+        {uuid} renders the casefolded level key (our namespaces are keyed,
+        not uuid'd — documented deviation)."""
+        from urllib.parse import quote
+
+        layout = wh["properties"].get("storage-layout") or {"type": "default"}
+        if isinstance(layout, str):
+            layout = json.loads(layout)
+        ltype = layout.get("type", "default")
+        base = wh["location"]
+        if ltype == "default":
+            return f"{base}/{table_uuid}"
+
+        def render(template: str, seg_name: str, seg_uuid: str) -> str:
+            return template.replace("{uuid}", seg_uuid).replace(
+                "{name}", quote(seg_name, safe="")
+            )
+
+        def has_placeholder(t: str) -> bool:
+            return "{uuid}" in t or "{name}" in t
+
+        tab_tmpl = layout.get("tabular", "{uuid}")
+        if ltype == "tabular-only":
+            # {uuid} mandatory to prevent same-name collisions (rs:170-173)
+            if "{uuid}" not in tab_tmpl:
+                raise CatalogError(
+                    "tabular-only layout requires {uuid} in the tabular template"
+                )
+            return f"{base}/{render(tab_tmpl, name, table_uuid)}"
+        ns_tmpl = layout.get("namespace", "{name}")
+        if not has_placeholder(tab_tmpl) or not has_placeholder(ns_tmpl):
+            raise CatalogError("layout templates must contain a placeholder")
+        if ltype == "parent-namespace-and-tabular":
+            ns_levels = [levels[-1]] if levels else []
+        elif ltype == "full-hierarchy":
+            ns_levels = list(levels)
+        else:
+            raise CatalogError(f"unknown storage layout: {ltype}")
+        segs = [render(ns_tmpl, lvl, ident.fold(lvl)) for lvl in ns_levels]
+        segs.append(render(tab_tmpl, name, table_uuid))
+        return base + "/" + "/".join(segs)
 
     # ================= tables =================
     def create_table(
@@ -307,7 +371,7 @@ class Catalog:
                 f"format-version {format_version} exceeds warehouse policy ({policy})"
             )
         table_uuid = new_uuid()
-        location = self._table_location(wh, levels, table_uuid)
+        location = self._table_location(wh, levels, table_uuid, name)
         meta = new_table_metadata(
             table_uuid, location, schema, partition_spec, sort_order, properties, format_version
         )
@@ -414,6 +478,40 @@ class Catalog:
             raise NotModified()
         self.store.record_endpoint("load_table", wh["wh_key"])
         return json.loads(row["metadata"]), row["metadata_seq"]
+
+    def report_metrics(
+        self, warehouse: str, levels, name: str, report: dict[str, Any]
+    ) -> None:
+        """Sink for engine scan/commit reports (reference ReportMetrics,
+        api/iceberg/v1/metrics.rs:40-66: accepts arbitrary JSON, 204).
+        icelite's scan() files one per table scan."""
+        wh = self._warehouse(warehouse)
+        self.store.record_metrics_report(
+            wh["wh_key"],
+            f"{'.'.join(levels)}.{name}",
+            str(report.get("report-type", "scan-report")),
+            report,
+        )
+        self.store.record_endpoint("report_metrics", wh["wh_key"])
+
+    def list_metrics_reports(
+        self, warehouse: str, levels=None, name: str | None = None
+    ) -> list[dict[str, Any]]:
+        wh = self._warehouse(warehouse)
+        sql = "SELECT ts_ms, entity, report_type, report FROM metrics_reports WHERE wh_key=?"
+        params: list[Any] = [wh["wh_key"]]
+        if levels is not None and name is not None:
+            sql += " AND entity=?"
+            params.append(f"{'.'.join(levels)}.{name}")
+        return [
+            {
+                "ts-ms": r["ts_ms"],
+                "entity": r["entity"],
+                "report-type": r["report_type"],
+                "report": json.loads(r["report"]),
+            }
+            for r in self.store.query(sql + " ORDER BY seq", tuple(params))
+        ]
 
     def table_exists(self, warehouse: str, levels, name: str) -> bool:
         wh = self._warehouse(warehouse)
@@ -750,7 +848,7 @@ class Catalog:
                 )
             old_meta = json.loads(row["metadata"])
             table_uuid = new_uuid()
-            location = self._table_location(wh, levels, table_uuid)
+            location = self._table_location(wh, levels, table_uuid, name)
             meta = new_table_metadata(
                 table_uuid, location, schema, partition_spec, sort_order, properties, format_version
             )
@@ -885,7 +983,7 @@ class Catalog:
                 meta = {
                     "view-uuid": view_uuid,
                     "format-version": 1,
-                    "location": self._table_location(wh, levels, view_uuid),
+                    "location": self._table_location(wh, levels, view_uuid, name),
                     "current-version-id": 1,
                     "versions": [version],
                     "version-log": [

@@ -22,9 +22,13 @@ from pathlib import Path
 from .catalog import Catalog
 
 
-def run_expiration_queue(catalog: Catalog, limit: int = 100) -> int:
+def run_expiration_queue(
+    catalog: Catalog, limit: int = 100, max_attempts: int = 5, backoff_ms: int = 1000
+) -> int:
     """Drain due expiration tasks: physically drop expired soft-deleted
-    tabulars; chain purge when requested. Returns #tasks processed."""
+    tabulars; chain purge when requested. Returns #tasks processed.
+    Failures requeue with exponential backoff up to ``max_attempts``
+    (pass Catalog.task_config(warehouse) values for per-warehouse tuning)."""
     st = catalog.store
     n = 0
     for task in st.pick_tasks("tabular_expiration", limit):
@@ -52,13 +56,16 @@ def run_expiration_queue(catalog: Catalog, limit: int = 100) -> int:
             st.finish_task(task["task_id"])
             n += 1
         except Exception as e:  # noqa: BLE001 - keep queue draining
-            st.finish_task(task["task_id"], error=str(e))
+            st.fail_task(task["task_id"], str(e), max_attempts, backoff_ms)
     return n
 
 
-def run_purge_queue(catalog: Catalog, limit: int = 100) -> int:
+def run_purge_queue(
+    catalog: Catalog, limit: int = 100, max_attempts: int = 5, backoff_ms: int = 1000
+) -> int:
     """Drain purge tasks: recursively delete the tabular's directory
-    (local-FS stand-in for LakekeeperStorage::delete_batch)."""
+    (local-FS stand-in for LakekeeperStorage::delete_batch). Failures
+    requeue with exponential backoff up to ``max_attempts``."""
     st = catalog.store
     n = 0
     for task in st.pick_tasks("tabular_purge", limit):
@@ -70,5 +77,5 @@ def run_purge_queue(catalog: Catalog, limit: int = 100) -> int:
             st.finish_task(task["task_id"])
             n += 1
         except Exception as e:  # noqa: BLE001
-            st.finish_task(task["task_id"], error=str(e))
+            st.fail_task(task["task_id"], str(e), max_attempts, backoff_ms)
     return n

@@ -63,13 +63,18 @@ CREATE TABLE IF NOT EXISTS tasks (
   task_id INTEGER PRIMARY KEY AUTOINCREMENT, queue TEXT NOT NULL,
   payload TEXT NOT NULL, status TEXT NOT NULL DEFAULT 'pending',
   scheduled_ms INTEGER NOT NULL, attempts INTEGER NOT NULL DEFAULT 0,
-  picked_ms INTEGER, finished_ms INTEGER, error TEXT);
+  picked_ms INTEGER, last_heartbeat_ms INTEGER, finished_ms INTEGER,
+  error TEXT);
 CREATE TABLE IF NOT EXISTS idempotency (
   key TEXT PRIMARY KEY, response TEXT NOT NULL, created_ms INTEGER NOT NULL);
 CREATE TABLE IF NOT EXISTS endpoint_stats (
   endpoint TEXT NOT NULL, wh_key TEXT, hour INTEGER NOT NULL,
   status INTEGER NOT NULL, count INTEGER NOT NULL DEFAULT 0,
   PRIMARY KEY (endpoint, wh_key, hour, status));
+CREATE TABLE IF NOT EXISTS metrics_reports (
+  seq INTEGER PRIMARY KEY AUTOINCREMENT, ts_ms INTEGER NOT NULL,
+  wh_key TEXT NOT NULL, entity TEXT NOT NULL, report_type TEXT NOT NULL,
+  report TEXT NOT NULL);
 """
 
 
@@ -145,6 +150,17 @@ class Metastore:
             (endpoint, wh_key or "", hour, status),
         )
 
+    def record_metrics_report(
+        self, wh_key: str, entity: str, report_type: str, report: dict[str, Any]
+    ) -> None:
+        """Engine scan/commit report sink (reference ReportMetrics,
+        api/iceberg/v1/metrics.rs:40-66 — accepts arbitrary JSON)."""
+        self.con.execute(
+            "INSERT INTO metrics_reports (ts_ms, wh_key, entity, report_type, report)"
+            " VALUES (?,?,?,?,?)",
+            (now_ms(), wh_key, entity, report_type, json.dumps(report)),
+        )
+
     # -- tasks ----------------------------------------------------------
     def enqueue_task(self, queue: str, payload: dict[str, Any], delay_ms: int = 0) -> int:
         cur = self.con.execute(
@@ -164,16 +180,21 @@ class Metastore:
             )
             for r in rows:
                 self.execute(
-                    "UPDATE tasks SET status='running', picked_ms=?, attempts=attempts+1"
-                    " WHERE task_id=?",
-                    (now_ms(), r["task_id"]),
+                    "UPDATE tasks SET status='running', picked_ms=?, last_heartbeat_ms=?,"
+                    " attempts=attempts+1 WHERE task_id=?",
+                    (now_ms(), now_ms(), r["task_id"]),
                 )
             self.commit()
         except BaseException:
             self.rollback()
             raise
         return [
-            {"task_id": r["task_id"], "payload": json.loads(r["payload"]), "attempts": r["attempts"]}
+            {
+                "task_id": r["task_id"],
+                "payload": json.loads(r["payload"]),
+                # current attempt number (the UPDATE above incremented it)
+                "attempts": r["attempts"] + 1,
+            }
             for r in rows
         ]
 
@@ -188,6 +209,67 @@ class Metastore:
                 "UPDATE tasks SET status='error', finished_ms=?, error=? WHERE task_id=?",
                 (now_ms(), error, task_id),
             )
+
+    def heartbeat_task(self, task_id: int) -> None:
+        """Worker liveness signal (reference heartbeats every 120 s,
+        service/tasks/tabular_expiration_queue.rs:70-72)."""
+        self.con.execute(
+            "UPDATE tasks SET last_heartbeat_ms=? WHERE task_id=? AND status='running'",
+            (now_ms(), task_id),
+        )
+
+    def fail_task(
+        self, task_id: int, error: str, max_attempts: int = 5, backoff_ms: int = 1000
+    ) -> str:
+        """Failure with retry: requeue with exponential backoff until
+        max_attempts, then park as terminal 'error' (reference retry
+        semantics, service/tasks/task_registry.rs). Returns the resulting
+        status ('pending' or 'error')."""
+        row = self.one("SELECT attempts FROM tasks WHERE task_id=?", (task_id,))
+        if row is None:
+            return "error"
+        if row["attempts"] >= max_attempts:
+            self.con.execute(
+                "UPDATE tasks SET status='error', finished_ms=?, error=? WHERE task_id=?",
+                (now_ms(), error, task_id),
+            )
+            return "error"
+        delay = backoff_ms * (2 ** max(row["attempts"] - 1, 0))
+        self.con.execute(
+            "UPDATE tasks SET status='pending', scheduled_ms=?, error=? WHERE task_id=?",
+            (now_ms() + delay, error, task_id),
+        )
+        return "pending"
+
+    def reap_stale_tasks(
+        self,
+        heartbeat_timeout_ms: int = 120_000,
+        max_attempts: int = 5,
+        backoff_ms: int = 1000,
+    ) -> int:
+        """Requeue (or park) running tasks whose worker stopped
+        heartbeating — crash recovery for the queue. Returns #reaped."""
+        horizon = now_ms() - heartbeat_timeout_ms
+        rows = self.query(
+            "SELECT task_id FROM tasks WHERE status='running'"
+            " AND COALESCE(last_heartbeat_ms, picked_ms) < ?",
+            (horizon,),
+        )
+        for r in rows:
+            self.fail_task(
+                r["task_id"], "worker heartbeat lost", max_attempts, backoff_ms
+            )
+        return len(rows)
+
+    def cleanup_task_log(self, older_than_ms: int) -> int:
+        """Delete terminal task rows finished before the horizon (reference
+        task-log cleanup, service/tasks/mod.rs). Returns #deleted."""
+        cur = self.con.execute(
+            "DELETE FROM tasks WHERE status IN ('done','error','cancelled')"
+            " AND COALESCE(finished_ms, 0) < ?",
+            (older_than_ms,),
+        )
+        return cur.rowcount
 
     def cancel_tasks(self, queue: str, match: str) -> int:
         cur = self.con.execute(

@@ -333,21 +333,47 @@ class SparkTable:
         )
         schema = next(s for s in meta["schemas"] if s["schema-id"] == schema_id)
         struct = schema_to_struct(schema)
-        if snap is None or not snap["manifest"]:
-            return self.spark.createDataFrame([], struct)
-        entries = snap["manifest"]
-        if partition_filter:
+        total = snap["manifest"] if snap else []
+        entries = total
+        if entries and partition_filter:
             entries = [
                 e
                 for e in entries
                 if all(str(e["partition"].get(k)) == str(v) for k, v in partition_filter.items())
             ]
-            if not entries:
-                return self.spark.createDataFrame([], struct)
+        self._report_scan(snap, partition_filter, entries, total)
+        if not entries:
+            return self.spark.createDataFrame([], struct)
         paths = [f"{meta['location']}/{e['path']}" for e in entries]
         # explicit schema: evolved columns absent in old files read as NULL,
         # dropped columns are simply not projected
         return self.spark.read.schema(struct).parquet(*paths)
+
+    def _report_scan(
+        self,
+        snap: dict[str, Any] | None,
+        partition_filter: dict[str, Any] | None,
+        entries: list[dict[str, Any]],
+        total: list[dict[str, Any]],
+    ) -> None:
+        """File an Iceberg-shaped scan report with the catalog (reference
+        ReportMetrics sink, api/iceberg/v1/metrics.rs:40-66)."""
+        try:
+            self.catalog.report_metrics(
+                self.warehouse,
+                self.levels,
+                self.name,
+                {
+                    "report-type": "scan-report",
+                    "snapshot-id": snap["snapshot-id"] if snap else None,
+                    "filter": partition_filter or {},
+                    "result-data-files": len(entries),
+                    "result-records": sum(e["record-count"] for e in entries),
+                    "skipped-data-files": len(total) - len(entries),
+                },
+            )
+        except Exception:  # noqa: BLE001 - metrics must never fail a scan
+            pass
 
     # ---------------- row-level DML (copy-on-write) ----------------
     def _rewrite(

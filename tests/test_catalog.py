@@ -322,3 +322,87 @@ def test_create_or_replace_table(catalog):
 
     with _pytest.raises(ProtectedEntity):
         catalog.create_or_replace_table("wh", ["rns"], "t", schema1)
+
+
+def test_task_retry_backoff_and_heartbeat(catalog):
+    """Task framework depth (reference service/tasks/task_registry.rs):
+    failures requeue with exponential backoff until max_attempts; stale
+    heartbeats are reaped; terminal rows are cleaned from the log."""
+    st = catalog.store
+    tid = st.enqueue_task("testq", {"k": 1})
+    # attempt 1 fails -> requeued in the future
+    [t] = st.pick_tasks("testq")
+    assert t["attempts"] == 1
+    assert st.fail_task(tid, "boom", max_attempts=2, backoff_ms=50) == "pending"
+    row = st.one("SELECT status, scheduled_ms, error FROM tasks WHERE task_id=?", (tid,))
+    assert row["status"] == "pending" and row["error"] == "boom"
+    # make it due again; attempt 2 fails -> terminal error
+    st.execute("UPDATE tasks SET scheduled_ms=0 WHERE task_id=?", (tid,))
+    [t] = st.pick_tasks("testq")
+    assert t["attempts"] == 2
+    assert st.fail_task(tid, "boom2", max_attempts=2, backoff_ms=50) == "error"
+    assert st.one("SELECT status FROM tasks WHERE task_id=?", (tid,))["status"] == "error"
+    # heartbeat + reaping
+    tid2 = st.enqueue_task("testq", {"k": 2})
+    st.pick_tasks("testq")
+    st.heartbeat_task(tid2)
+    assert st.reap_stale_tasks(heartbeat_timeout_ms=60_000) == 0  # fresh heartbeat
+    st.execute("UPDATE tasks SET last_heartbeat_ms=0 WHERE task_id=?", (tid2,))
+    assert st.reap_stale_tasks(heartbeat_timeout_ms=60_000) == 1  # reaped -> pending
+    assert st.one("SELECT status FROM tasks WHERE task_id=?", (tid2,))["status"] == "pending"
+    # task-log cleanup removes terminal rows only
+    from lakekeeper_spark.catalog.metastore import now_ms
+
+    assert st.cleanup_task_log(now_ms() + 1) == 1  # the error row
+    assert st.one("SELECT status FROM tasks WHERE task_id=?", (tid2,))["status"] == "pending"
+    # per-warehouse config surface
+    cfg = catalog.task_config("wh")
+    assert cfg == {"max_attempts": 5, "backoff_ms": 1000, "heartbeat_timeout_ms": 120_000}
+
+
+def test_storage_layout_templates(catalog):
+    """storage-layout warehouse property (reference
+    storage_layout.rs:60-246): tabular-only, parent-namespace-and-tabular,
+    full-hierarchy; segments URL-encoded; {uuid} required for tabular-only."""
+    import pytest as _pytest
+
+    from lakekeeper_spark.catalog.catalog import CatalogError
+
+    base = catalog._warehouse("wh")["location"]
+    catalog.create_namespace("wh", ["lay"])
+    catalog.create_namespace("wh", ["lay", "er"])
+
+    def set_layout(layout):
+        catalog.store.execute(
+            "UPDATE warehouses SET properties=json_set(properties, '$.\"storage-layout\"', json(?))"
+            " WHERE wh_key='wh'",
+            (__import__("json").dumps(layout),),
+        )
+
+    set_layout({"type": "tabular-only", "tabular": "{name}-{uuid}"})
+    meta = catalog.create_table("wh", ["lay", "er"], "t one", SCHEMA)
+    assert meta["location"].startswith(f"{base}/t%20one-")
+    set_layout({"type": "parent-namespace-and-tabular",
+                "namespace": "{name}", "tabular": "{name}-{uuid}"})
+    meta = catalog.create_table("wh", ["lay", "er"], "t2", SCHEMA)
+    assert meta["location"].startswith(f"{base}/er/t2-")
+    set_layout({"type": "full-hierarchy", "namespace": "{name}", "tabular": "{uuid}"})
+    meta = catalog.create_table("wh", ["lay", "er"], "t3", SCHEMA)
+    assert meta["location"].startswith(f"{base}/lay/er/")
+    set_layout({"type": "tabular-only", "tabular": "{name}"})  # no {uuid}
+    with _pytest.raises(CatalogError):
+        catalog.create_table("wh", ["lay"], "bad", SCHEMA)
+
+
+def test_report_metrics_sink(catalog):
+    """ReportMetrics accepts arbitrary JSON and is queryable per table
+    (reference api/iceberg/v1/metrics.rs:40-66)."""
+    catalog.create_namespace("wh", ["mns"])
+    catalog.create_table("wh", ["mns"], "t", SCHEMA)
+    catalog.report_metrics("wh", ["mns"], "t", {
+        "report-type": "scan-report", "snapshot-id": 7, "result-data-files": 3})
+    catalog.report_metrics("wh", ["mns"], "t", {
+        "report-type": "commit-report", "attempts": 1})
+    reports = catalog.list_metrics_reports("wh", ["mns"], "t")
+    assert [r["report-type"] for r in reports] == ["scan-report", "commit-report"]
+    assert reports[0]["report"]["result-data-files"] == 3
