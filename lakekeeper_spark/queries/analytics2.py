@@ -448,3 +448,86 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# r01: range join — fact rows banded into an interval dimension
+# --------------------------------------------------------------------------
+_QTY_BANDS = [
+    ("B1", 1, 10),
+    ("B2", 10, 20),
+    ("B3", 20, 30),
+    ("B4", 30, 40),
+    ("B5", 40, 51),
+]
+
+
+@register(
+    "r01_range_band_join",
+    oracle=f"""
+WITH bands(band, lo, hi) AS (
+  VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _QTY_BANDS)}
+)
+SELECT b.band,
+       COUNT(*) AS n_items,
+       {sql_dsum(DISC_PRICE, 10000)} AS revenue
+FROM lineitem l JOIN bands b
+  ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+GROUP BY b.band
+""",
+    description="Range (point-in-interval) join: every lineitem lands in "
+    "its quantity band. Spark has no native range-join operator; the "
+    "scale-correct plan broadcasts the tiny interval dimension into a "
+    "BroadcastNestedLoopJoin with the range predicate — a narrow pass over "
+    "the fact side, no shuffle, no O(n*m) blow-up because m = #bands.",
+    tags=("analytics", "range-join"),
+)
+def r01_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_QTY_BANDS, "band string, lo int, hi int")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(disc_price_col(), 10000).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# w03: ROLLUP grouping sets (subtotal + grand-total rows)
+# --------------------------------------------------------------------------
+@register(
+    "w03_rollup_subtotals",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice', 100)} AS sum_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    description="ROLLUP grouping sets over lineitem: per-(flag,status) "
+    "rows plus per-flag subtotals and a grand total; Spark computes all "
+    "levels with map-side partial aggregation in one shuffle (expand+agg).",
+    tags=("analytics", "rollup", "grouping-sets"),
+)
+def w03_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", 100).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_price",
+        )
+    )

@@ -279,6 +279,63 @@ def e06_variant_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# a01: as-of (point-in-time) join — purchases matched to last prior click
+# --------------------------------------------------------------------------
+@register(
+    "a01_asof_join",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, event_type, event_id FROM events
+),
+p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT * FROM ev WHERE event_type = 'click'),
+j AS (
+  SELECT p.user_id, p.ts_ns, c.ts_ns AS click_ts
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND p.ts_ns > c.ts_ns
+)
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       COUNT(click_ts) AS n_matched,
+       CAST(SUM((ts_ns - click_ts) // 1000000000) AS BIGINT) AS sum_gap_s
+FROM j GROUP BY user_id
+""",
+    description="As-of join (each purchase matched to the user's most "
+    "recent strictly-earlier click). Spark has no ASOF JOIN operator; the "
+    "scale-correct plan is a single shuffle by user_id + ordered window "
+    "carry-forward (last non-null click), i.e. a merge as-of — no range "
+    "self-join blow-up. Oracle uses DuckDB's native ASOF LEFT JOIN.",
+    tags=("events", "asof", "join", "window"),
+)
+def a01_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    # at equal ts_ns a purchase sorts BEFORE a click so the carried-forward
+    # click is STRICTLY earlier (matches the oracle's `>` asof condition)
+    rank = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    tagged = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_type",
+        "event_id",
+        rank.alias("rnk"),
+        F.when(F.col("event_type") == "click", F.col("ts_ns")).alias("click_ts_raw"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "rnk", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = tagged.withColumn(
+        "click_ts", F.last("click_ts_raw", ignorenulls=True).over(w)
+    ).filter(F.col("event_type") == "purchase")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("click_ts").alias("n_matched"),
+        F.sum(F.expr("(ts_ns - click_ts) div 1000000000")).alias("sum_gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
 # e04: top users by purchase value with window share
 # --------------------------------------------------------------------------
 @register(

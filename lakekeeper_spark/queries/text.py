@@ -215,3 +215,40 @@ def t04_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_chars"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# t06: BPE-ish subword token counting (GPT-2-style pre-tokenizer regex)
+# --------------------------------------------------------------------------
+# Alternation restricted to syntax with identical Java/RE2 semantics:
+# contraction suffixes, space-prefixed letter runs, digit runs, punct runs.
+BPE_RE = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+BPE_RE_SQL = BPE_RE.replace("'", "''")  # SQL string-literal escaping
+
+
+@register(
+    "t06_token_count_bpe",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{BPE_RE_SQL}')) AS n_bpe_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{BPE_RE_SQL}')))
+         AS n_unique_tokens,
+       CAST(length(text) AS DOUBLE)
+         / len(regexp_extract_all(lower(text), '{BPE_RE_SQL}')) AS chars_per_token
+FROM documents
+""",
+    description="BPE-ish token counting: GPT-2-style pre-tokenizer regex "
+    "(contractions, space-prefixed word/number runs, punctuation runs) — "
+    "the cost estimator every LLM data pipeline runs before training. "
+    "JVM regexp_extract_all, codegen, zero shuffle.",
+    tags=("text", "llm", "tokens"),
+)
+def t06_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (F.length("text").cast("double") / F.size(toks)).alias("chars_per_token"),
+    )
