@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+import time
 import uuid
 from pathlib import Path
 
@@ -219,3 +220,107 @@ def st02_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(sessions, "append")
+
+
+# --------------------------------------------------------------------------
+# st03: watermark + late-data handling (append-mode windowed aggregate)
+# --------------------------------------------------------------------------
+US_PER_HOUR = 3_600_000_000
+WM_DELAY_US = 30 * 60 * 1_000_000  # 30-minute watermark
+
+
+def _stage_three_batches(sf_dir: str) -> str:
+    """Stage events as three micro-batches (maxFilesPerTrigger=1, ordered
+    by mtime):
+
+      batch 0  on-time rows (event_id % 5 != 0, max-ts row excluded)
+      batch 1  ONLY the globally-latest event — advances the watermark to
+               max(ts) - delay; at this batch's end every window older
+               than that is evicted (emitted)
+      batch 2  the stragglers (event_id % 5 == 0) — they arrive with the
+               watermark already past their windows, so Spark DROPS them
+
+    Eviction happens at the END of the batch whose start-of-batch watermark
+    passed the window (watermark used in batch N derives from data through
+    batch N-1), which is why the drop needs the middle watermark-advancing
+    batch: stragglers sharing a batch with the first watermark advance
+    would still merge before eviction."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="lkspark_stream_wm_")
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_us = tbl.column("ts").cast(pa.int64()).to_numpy()
+    ids = tbl.column("event_id").to_numpy()
+    is_max = ts_us == ts_us.max()
+    on_time = (ids % 5 != 0) & ~is_max
+    late = (ids % 5 == 0) & ~is_max
+    paths = []
+    for i, mask in enumerate([on_time, is_max, late]):
+        p = str(Path(d) / f"{i}.parquet")
+        pq.write_table(tbl.filter(pa.array(mask)), p)
+        paths.append(p)
+    now = time.time()
+    for i, p in enumerate(paths):
+        os.utime(p, (now - 60 + 10 * i, now - 60 + 10 * i))
+    return d
+
+
+@register(
+    "st03_stream_watermark_late_data",
+    oracle=f"""
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+on_time AS (
+  SELECT e.* FROM events e, mx
+  WHERE event_id % 5 != 0 AND epoch_us(ts) != mx.m
+),
+agg AS (
+  SELECT epoch_us(ts) // {US_PER_HOUR} AS hour_bucket,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(ROUND((value)*1000000) AS BIGINT)) AS DOUBLE)/1000000
+           AS sum_value
+  FROM on_time GROUP BY 1
+)
+SELECT a.hour_bucket, a.n_events, a.sum_value FROM agg a, mx
+WHERE (a.hour_bucket + 1) * {US_PER_HOUR} <= mx.m - {WM_DELAY_US}
+""",
+    description="Structured Streaming watermark semantics, append mode, "
+    "three micro-batches: on-time rows, a watermark-advancing newest event, "
+    "then stragglers. Every straggler's hour window closed before it "
+    "arrived (window end <= watermark), so Spark drops them all; emitted "
+    "result = on-time rows in windows the final watermark passed. The "
+    "oracle replays exactly that algebra in SQL.",
+    tags=("streaming", "events", "watermark", "late-data"),
+)
+def st03_stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_stage_three_batches(sf_dir))
+    )
+    # watermarks require TIMESTAMP; the UTC session tz makes the cast from
+    # TIMESTAMP_NTZ an exact micros-preserving reinterpretation
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long")).cast("double")
+                / F.lit(1_000_000)
+            ).alias("sum_value"),
+        )
+    )
+    sunk = _run_to_memory(agg, "append")
+    return sunk.select(
+        (F.unix_timestamp(F.col("win.start")) / F.lit(3600))
+        .cast("long")
+        .alias("hour_bucket"),
+        "n_events",
+        "sum_value",
+    )
