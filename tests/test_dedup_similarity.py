@@ -120,3 +120,15 @@ def test_d02_bitmap_plan_gated_on_doc_count(spark, monkeypatch):
     # same corpus above the doc cap: prefix-filter path, no vocab probe
     monkeypatch.setattr(dedup, "_BITMAP_DOCS_MAX", docs.count() - 1)
     assert dedup._d02_choose_vocab(docs) is None
+
+
+def test_s01_numpy_path_matches_jvm_path(spark):
+    """The adaptive scorer's two physical plans (JVM expression vs Arrow
+    numpy kernel) must produce bit-identical top-k results."""
+    from lakekeeper_spark.data import load_table
+    from lakekeeper_spark.queries.similarity import _s01_jvm, _s01_numpy
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    jvm = {(r.query_id, r.neighbor_id): r.cosine for r in _s01_jvm(emb).collect()}
+    np_ = {(r.query_id, r.neighbor_id): r.cosine for r in _s01_numpy(emb).collect()}
+    assert jvm == np_
