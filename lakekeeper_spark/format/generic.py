@@ -1,0 +1,81 @@
+"""Generic-table read path: Spark reads for format-agnostic registry entries.
+
+The reference registers non-Iceberg datasets (Lance vector data in
+tests/integration-tests/lance/test_lance.py:42-46,110+) through the
+generic-table API and hands engines the base location + vended credentials;
+the engine-side library then reads the format natively. This module is that
+engine side for Spark: formats Spark ships a DataSource for (parquet, orc,
+json, csv) read directly; formats that need an external library (lance)
+raise a clearly-marked NotImplementedError at the exact swap-in point.
+
+Schema fields in a generic-table entry use arrow-style type names
+(test_lance.py fixture: int64/double/string); when present they are applied
+to the reader so scans project the declared schema instead of inferring.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog.catalog import Catalog, CatalogError
+
+# Formats Spark can read without extra jars/libraries.
+_SPARK_NATIVE_FORMATS = {"parquet", "orc", "json", "csv"}
+
+# arrow-ish generic-table type names -> Spark SQL DDL types
+_TYPE_MAP = {
+    "int8": "tinyint",
+    "int16": "smallint",
+    "int32": "int",
+    "int64": "bigint",
+    "float": "float",
+    "float32": "float",
+    "float64": "double",
+    "double": "double",
+    "string": "string",
+    "utf8": "string",
+    "bool": "boolean",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date32": "date",
+    "timestamp": "timestamp",
+}
+
+
+def _ddl_schema(schema: dict[str, Any]) -> str | None:
+    fields = (schema or {}).get("fields") or []
+    parts = []
+    for f in fields:
+        t = _TYPE_MAP.get(str(f.get("type", "")).lower())
+        if t is None:
+            return None  # unknown type -> let Spark infer
+        parts.append(f"`{f['name']}` {t}")
+    return ", ".join(parts) if parts else None
+
+
+def read_generic_table(
+    spark: SparkSession, catalog: Catalog, warehouse: str, levels, name: str
+) -> DataFrame:
+    """SELECT * over a registered generic table (reference test_lance.py
+    read path, generalized to Spark-native formats)."""
+    meta = catalog.load_generic_table(warehouse, levels, name)
+    fmt = str(meta["format"]).lower()
+    location = meta["base-location"]
+    if fmt in _SPARK_NATIVE_FORMATS:
+        reader = spark.read
+        ddl = _ddl_schema(meta.get("schema"))
+        if ddl:
+            reader = reader.schema(ddl)
+        return reader.format(fmt).load(location)
+    if fmt == "lance":
+        # SWAP-IN POINT: with the lance library installed this becomes
+        #   lance.dataset(location).to_table() -> spark.createDataFrame /
+        # or the Lance Spark connector's `format("lance")`. The container
+        # has no lance package, so reads of this format are stubbed.
+        raise NotImplementedError(
+            "lance reads need the external lance library; register the "
+            "dataset with a Spark-native format or install the connector"
+        )
+    raise CatalogError(f"unsupported generic-table format: {fmt}")

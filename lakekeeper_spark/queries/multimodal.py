@@ -154,3 +154,69 @@ FROM documents
 def m02_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _with_payload(docs).mapInPandas(_decode_batches, _M02_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m03: video frame sampling — 1->N fan-out inside mapInPandas
+# --------------------------------------------------------------------------
+FRAME_STRIDE = 30  # sample every 30th frame
+
+_M03_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("brightness", DoubleType()),
+    ]
+)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB FRAME SAMPLER — one output row per sampled frame.
+
+    A real implementation seeks the container (pyav/ffmpeg) to the sampled
+    frame timestamps; the fan-out shape (one input row -> n_frames/stride
+    output rows, emitted per Arrow batch) is exactly what a production
+    frame pipeline uses. Per-frame 'brightness' is md5(payload#idx)
+    arithmetic so the operator stays oracle-checkable."""
+    for pdf in batches:
+        out_doc, out_idx, out_b = [], [], []
+        for doc_id, payload, kind in zip(pdf["doc_id"], pdf["payload"], pdf["kind"]):
+            if kind != "video":
+                continue
+            _, _, n_frames, _ = _fake_decode(payload, kind)
+            for i in range(0, n_frames, FRAME_STRIDE):
+                h = hashlib.md5(payload + b"#" + str(i).encode()).hexdigest()
+                out_doc.append(doc_id)
+                out_idx.append(i)
+                out_b.append(int(h[0:2], 16) / 255.0)
+        yield pd.DataFrame(
+            {"doc_id": out_doc, "frame_idx": out_idx, "brightness": out_b}
+        )
+
+
+@register(
+    "m03_frame_sample",
+    oracle=f"""
+WITH vids AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(text), 9, 2))::BIGINT % 240 + 1 AS INTEGER)
+           AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       CAST(unnest(generate_series(0, n_frames - 1, {FRAME_STRIDE})) AS INTEGER)
+         AS frame_idx,
+       ('0x' || substr(md5(text || '#' ||
+          CAST(unnest(generate_series(0, n_frames - 1, {FRAME_STRIDE})) AS VARCHAR)
+        ), 1, 2))::BIGINT / 255.0 AS brightness
+FROM vids
+""",
+    description="Video frame sampling: 1->N row fan-out inside mapInPandas "
+    "(every {}th frame), the batch shape of a real ffmpeg frame pipeline; "
+    "stub sampler is deterministic md5 arithmetic so the fan-out stays "
+    "oracle-checkable.".format(FRAME_STRIDE),
+    tags=("multimodal", "llm", "pandas-udf", "fanout"),
+)
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _with_payload(docs).mapInPandas(_sample_frames, _M03_SCHEMA)

@@ -406,3 +406,32 @@ def test_report_metrics_sink(catalog):
     reports = catalog.list_metrics_reports("wh", ["mns"], "t")
     assert [r["report-type"] for r in reports] == ["scan-report", "commit-report"]
     assert reports[0]["report"]["result-data-files"] == 3
+
+
+def test_generic_table_read_path(catalog, spark, tmp_path):
+    """Registered generic tables with a Spark-native format are readable
+    through the registry (reference test_lance.py read path); lance itself
+    is stubbed behind NotImplementedError."""
+    from lakekeeper_spark.format.generic import read_generic_table
+
+    data_dir = str(tmp_path / "gdata")
+    spark.createDataFrame(
+        [(1, "a", 2.2), (2, "b", 3.3)], "user_id long, s string, x double"
+    ).write.parquet(data_dir)
+    catalog.create_namespace("wh", ["gns"])
+    catalog.create_generic_table(
+        "wh", ["gns"], "users", "parquet", data_dir,
+        schema={"fields": [
+            {"name": "user_id", "type": "int64"},
+            {"name": "s", "type": "string"},
+            {"name": "x", "type": "double"},
+        ]},
+    )
+    df = read_generic_table(spark, catalog, "wh", ["gns"], "users")
+    assert sorted((r.user_id, r.s, r.x) for r in df.collect()) == [
+        (1, "a", 2.2), (2, "b", 3.3)]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "string", "double"]
+    catalog.create_generic_table("wh", ["gns"], "vecs", "lance", "/data/vec")
+    with pytest.raises(NotImplementedError):
+        read_generic_table(spark, catalog, "wh", ["gns"], "vecs")
