@@ -38,8 +38,18 @@ NANOS_PER_HOUR = 3_600_000_000_000
 # parquet, so the scan is one task no matter what maxPartitionBytes says;
 # spreading rows across the cluster costs one tiny shuffle and buys full
 # parallelism for the expensive map work. At real scale these tables arrive
-# as many files/row-groups and the repartition is skipped.
+# as many files/row-groups and the repartition is skipped. (Measured: the
+# same hint on lineitem/orders/events is wall-clock neutral at sf0.1 —
+# their per-row work is cheap arithmetic, so the extra shuffle buys
+# nothing; they stay single-task-scan + AQE.)
 _COMPUTE_HEAVY = {"documents", "embeddings"}
+
+
+def _maybe_parallelize(spark: SparkSession, df: DataFrame) -> DataFrame:
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -47,9 +57,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return load_events(spark, sf_dir)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name in _COMPUTE_HEAVY:
-        target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
-            df = df.repartition(target)
+        df = _maybe_parallelize(spark, df)
     return df
 
 

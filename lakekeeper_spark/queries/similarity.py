@@ -1,10 +1,12 @@
 """Similarity search over the `embeddings` table (array<float> vectors).
 
   s01 brute-force top-k cosine — the exactness baseline. Broadcast the query
-      vectors, compute cosine against every row JVM-side, take top-k per
-      query via a rank window. At 100 TB the data side stays partitioned;
-      cost is a single narrow pass (no shuffle except the final per-query
-      top-k, which is #queries*k rows).
+      vectors, score every row, take top-k per query via a rank window.
+      Adaptive physical plan: small corpora use a codegen'd JVM expression,
+      large ones an Arrow-batched numpy kernel (bit-identical results,
+      pytest-asserted). At 100 TB the data side stays partitioned; cost is
+      a single narrow pass (no shuffle except the final per-query top-k,
+      which is #queries*k rows).
   s02 LSH-bucketed ANN — random-hyperplane signatures; only rows sharing a
       signature bucket with the query are scored. The hyperplanes derive
       from a fixed seed so results are deterministic run-to-run.
