@@ -705,6 +705,13 @@ class SparkTable:
             "file_path string, file_size_in_bytes long, record_count long, partition string",
         )
 
+    def all_delete_files(self) -> DataFrame:
+        """Always empty: icelite is copy-on-write (DELETE/UPDATE/MERGE
+        rewrite affected data files), so no delete files exist — matching
+        the reference's expectation `len(all_delete_files) == 0` right
+        after CoW operations (test_spark.py:1263-1266)."""
+        return self.spark.createDataFrame([], self._ALL_ENTRIES_DDL)
+
     def all_entries(self) -> DataFrame:
         """One row per (snapshot, data file) manifest entry."""
         meta = self.metadata()

@@ -252,3 +252,88 @@ def t06_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
         (F.length("text").cast("double") / F.size(toks)).alias("chars_per_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# p01: end-to-end training-mix assembly (dedup -> filter -> budget cut)
+# --------------------------------------------------------------------------
+TOKEN_BUDGET = 6_000  # tokens admitted into the mix (greedy by quality)
+
+
+@register(
+    "p01_training_mix",
+    oracle=f"""
+WITH deduped AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+),
+scored AS (
+  SELECT d.doc_id, d.source,
+         len(regexp_extract_all(lower(d.text), '{BPE_RE_SQL}')) AS n_tokens,
+         len(regexp_extract_all(d.text, '{WORD_RE}')) AS n_words,
+         len(regexp_extract_all(lower(d.text), '{STOPWORD_RE}')) AS n_stop
+  FROM documents d JOIN deduped USING (doc_id)
+  WHERE d.lang = 'en'
+),
+quality AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(n_stop AS DOUBLE) / n_words AS stop_ratio
+  FROM scored
+  WHERE n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words >= 0.05
+),
+budgeted AS (
+  SELECT *, SUM(n_tokens) OVER (ORDER BY stop_ratio DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS cum_tokens
+  FROM quality
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM budgeted WHERE cum_tokens <= {TOKEN_BUDGET}
+GROUP BY source
+""",
+    description="The canonical LLM training-data pipeline as ONE declarative "
+    "plan: exact dedup -> language filter -> quality gates (length, "
+    "stopword density) -> greedy token-budget cut -> per-source mix "
+    "report. The budget cut is a global ordered cumulative sum over the "
+    "already dedup+quality-filtered survivors; at 100 TB the same cut is "
+    "done by first picking the score threshold with approxQuantile "
+    "(budget/total ratio) and only tie-breaking the boundary score "
+    "globally — the plan shape here is the exact-small-data form.",
+    tags=("text", "llm", "pipeline"),
+)
+def p01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0))
+    scored = (
+        docs.join(deduped.select("doc_id"), "doc_id")
+        .filter(F.col("lang") == "en")
+        .select(
+            "doc_id",
+            "source",
+            F.size(toks).alias("n_tokens"),
+            F.size(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0))).alias("n_words"),
+            F.size(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(STOPWORD_RE), F.lit(0))
+            ).alias("n_stop"),
+        )
+    )
+    quality = scored.withColumn(
+        "stop_ratio", F.col("n_stop").cast("double") / F.col("n_words")
+    ).filter((F.col("n_words") >= 20) & (F.col("stop_ratio") >= 0.05))
+    w = (
+        Window.orderBy(F.desc("stop_ratio"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budgeted = quality.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        budgeted.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+    )
