@@ -1097,6 +1097,42 @@ class Catalog:
             raise
         return meta
 
+    def load_credentials(
+        self, warehouse: str, levels, name: str, kind: str = "table"
+    ) -> dict[str, Any]:
+        """LoadCredentials / LoadTableCredentials interface stub (reference
+        server/tables.rs:563, generic-table LoadCredentials,
+        api/data/v1/generic_tables/mod.rs). There is no object store in
+        this environment, so no real STS vending happens — the response
+        carries the REST shape engines consume: a per-table scoped prefix,
+        an opaque token deterministic in (table uuid, hour) so repeated
+        calls within the hour are cache-equivalent, and a revalidation
+        horizon. A cloud deployment swaps the token fields for
+        assume-role/SAS/downscoped-token output (reference
+        service/storage/{s3,az,gcs})."""
+        import hashlib
+
+        wh = self._warehouse(warehouse)
+        row = self._tabular_row(wh["wh_key"], levels, name, kind)
+        if not row:
+            raise NoSuchEntity(f"{kind} {'.'.join(levels)}.{name} not found")
+        hour = now_ms() // 3_600_000
+        token = hashlib.sha256(f"{row['id']}:{hour}".encode()).hexdigest()
+        self.store.record_endpoint("load_credentials", wh["wh_key"])
+        return {
+            "storage-credentials": [
+                {
+                    "prefix": row["location"] or "",
+                    "config": {
+                        "type": "local-fs-stub",
+                        "token": token,
+                        "permissions": "read-write",
+                    },
+                }
+            ],
+            "credentials-revalidate-after-ms": (hour + 1) * 3_600_000,
+        }
+
     def load_generic_table(self, warehouse: str, levels, name: str) -> dict[str, Any]:
         wh = self._warehouse(warehouse)
         row = self._tabular_row(wh["wh_key"], levels, name, "generic")

@@ -435,3 +435,22 @@ def test_generic_table_read_path(catalog, spark, tmp_path):
     catalog.create_generic_table("wh", ["gns"], "vecs", "lance", "/data/vec")
     with pytest.raises(NotImplementedError):
         read_generic_table(spark, catalog, "wh", ["gns"], "vecs")
+
+
+def test_load_credentials_stub(catalog):
+    """LoadCredentials interface parity: scoped prefix, hour-stable token,
+    revalidation horizon; works for tables and generic tables."""
+    catalog.create_namespace("wh", ["cns"])
+    catalog.create_table("wh", ["cns"], "t", SCHEMA)
+    c1 = catalog.load_credentials("wh", ["cns"], "t")
+    c2 = catalog.load_credentials("wh", ["cns"], "t")
+    assert c1 == c2  # stable within the hour
+    cred = c1["storage-credentials"][0]
+    assert cred["prefix"]  # scoped to the table location
+    assert cred["config"]["token"]
+    assert c1["credentials-revalidate-after-ms"] > 0
+    catalog.create_generic_table("wh", ["cns"], "g", "parquet", "/data/g")
+    g = catalog.load_credentials("wh", ["cns"], "g", kind="generic")
+    assert g["storage-credentials"][0]["prefix"] == "/data/g"
+    with pytest.raises(NoSuchEntity):
+        catalog.load_credentials("wh", ["cns"], "missing")
