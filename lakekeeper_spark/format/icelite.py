@@ -375,6 +375,90 @@ class SparkTable:
         except Exception:  # noqa: BLE001 - metrics must never fail a scan
             pass
 
+    def scan_changes(
+        self, from_snapshot_id: int | None, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Incremental read: rows in data files ADDED after
+        ``from_snapshot_id`` up to ``to_snapshot_id`` (default current) —
+        Iceberg's incremental-append scan, the engine-side view of the
+        catalog's change-event stream (reference service/events/ emits the
+        commits; this reads their payload). File-level diff of the two
+        manifests, so only new files are opened; a file rewritten by
+        compaction/CoW appears as added (same semantics as Iceberg's
+        append-only incremental scan, which errors on replace — we surface
+        the rewritten file's rows instead of failing).
+
+        ``from_snapshot_id=None`` means "from table creation" (all files).
+        """
+        meta = self.metadata()
+        to_snap = self._resolve_snapshot(meta, to_snapshot_id)
+        schema = next(
+            s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+        )
+        struct = schema_to_struct(schema)
+        if to_snap is None:
+            return self.spark.createDataFrame([], struct)
+        before: set[str] = set()
+        if from_snapshot_id is not None:
+            from_snap = self._snapshot(meta, from_snapshot_id)
+            before = {e["path"] for e in from_snap["manifest"]}
+        added = [e for e in to_snap["manifest"] if e["path"] not in before]
+        if not added:
+            return self.spark.createDataFrame([], struct)
+        paths = [f"{meta['location']}/{e['path']}" for e in added]
+        return self.spark.read.schema(struct).parquet(*paths)
+
+    # ---------------- statistics (ANALYZE) ----------------
+    def analyze(self) -> dict[str, Any]:
+        """Compute per-column table statistics with ONE Spark aggregate and
+        commit them as a StatisticsFile entry for the current snapshot
+        (reference SetStatistics TableUpdate, commit_tables.rs:130-156;
+        StatisticsFile re-export iceberg-ext spec/mod.rs). Distinct counts
+        use approx_count_distinct (HLL) — the same sketch family Iceberg
+        puffin blobs carry — so the job is one pass, no per-column scans."""
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta)
+        if snap is None:
+            raise CatalogError("no snapshot to analyze")
+        df = self.scan()
+        aggs = []
+        # min/max only for JSON-representable numerics (metadata is a JSON
+        # document; date/timestamp bounds would need ISO stringification)
+        numeric = {"int", "long", "bigint", "double", "float", "smallint", "tinyint"}
+        for f in df.schema.fields:
+            c = f.name
+            aggs.append(F.count(F.col(c)).alias(f"{c}__count"))
+            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__ndv"))
+            if f.dataType.simpleString() in numeric:
+                aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
+                aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        n_rows = df.count()
+        blobs = []
+        for f in df.schema.fields:
+            blob = {
+                "type": "column-stats",
+                "fields": [f.name],
+                "snapshot-id": snap["snapshot-id"],
+                "properties": {
+                    "row-count": n_rows,
+                    "value-count": row.get(f"{f.name}__count"),
+                    "ndv": row.get(f"{f.name}__ndv"),
+                },
+            }
+            if f"{f.name}__min" in row:
+                blob["properties"]["min"] = row[f"{f.name}__min"]
+                blob["properties"]["max"] = row[f"{f.name}__max"]
+            blobs.append(blob)
+        stats_file = {
+            "snapshot-id": snap["snapshot-id"],
+            "statistics-path": f"{meta['location']}/stats/{snap['snapshot-id']}.json",
+            "file-size-in-bytes": 0,
+            "blob-metadata": blobs,
+        }
+        self._commit([], [{"action": "set-statistics", "statistics": stats_file}])
+        return stats_file
+
     # ---------------- row-level DML (copy-on-write) ----------------
     def _rewrite(
         self,

@@ -305,3 +305,39 @@ def test_sort_order_applied_at_write(table, spark):
             vals = pq.read_table(f"{loc}/{e['path']}", columns=["my_ints"])
             col = vals.column("my_ints").to_pylist()
             assert col == sorted(col, reverse=True), f"file {e['path']} not sorted"
+
+
+def test_incremental_scan_changes(table, spark):
+    """Incremental append scan: only rows from files added between the two
+    snapshots (Iceberg incremental read semantics)."""
+    ddl = "my_ints int, my_floats double, strings string"
+    snap1 = table.metadata()["current-snapshot-id"]
+    table.append(spark.createDataFrame([(10, 1.0, "x"), (11, 1.0, "y")], ddl))
+    snap2 = table.metadata()["current-snapshot-id"]
+    table.append(spark.createDataFrame([(12, 1.0, "z")], ddl))
+    # snap1 -> snap2: exactly the second append's rows
+    got = sorted(r.my_ints for r in table.scan_changes(snap1, snap2).collect())
+    assert got == [10, 11]
+    # snap1 -> current: second + third appends
+    got = sorted(r.my_ints for r in table.scan_changes(snap1).collect())
+    assert got == [10, 11, 12]
+    # from creation: everything
+    assert table.scan_changes(None).count() == 5
+    # no new files between a snapshot and itself
+    assert table.scan_changes(snap2, snap2).count() == 0
+
+
+def test_analyze_commits_statistics(table, spark):
+    """ANALYZE computes per-column stats in one aggregate and commits a
+    StatisticsFile via SetStatistics."""
+    ddl = "my_ints int, my_floats double, strings string"
+    table.append(spark.createDataFrame([(7, 9.9, "zz")], ddl))
+    stats = table.analyze()
+    meta = table.metadata()
+    assert meta["statistics"] and meta["statistics"][0]["snapshot-id"] == stats["snapshot-id"]
+    by_col = {b["fields"][0]: b["properties"] for b in stats["blob-metadata"]}
+    assert by_col["my_ints"]["row-count"] == 3
+    assert by_col["my_ints"]["min"] == 1 and by_col["my_ints"]["max"] == 7
+    assert by_col["my_floats"]["max"] == 9.9
+    assert by_col["strings"]["ndv"] >= 2
+    assert "min" not in by_col["strings"]  # non-numeric: counts/ndv only
