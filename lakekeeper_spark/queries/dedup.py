@@ -280,14 +280,16 @@ def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # there the verify join would carry sorted int arrays instead — same
     # plan shape, this bitmap is the small-vocab fast path.)
     n_words = "((smax div 64) + 1)"
+    # vocab-wide max sid as a broadcast single-row aggregate (a global
+    # window here would single-partition every doc row)
+    smax_df = dictionary.agg(F.max("sid").alias("smax"))
     docsets = (
         shd.groupBy("doc_id")
         .agg(
             F.collect_set("sid").alias("sids"),
             F.count(F.lit(1)).alias("n"),
-            F.max("sid").alias("smax_doc"),
         )
-        .withColumn("smax", F.max("smax_doc").over(Window.partitionBy()))
+        .crossJoin(F.broadcast(smax_df))
         .withColumn(
             "words",
             F.expr(

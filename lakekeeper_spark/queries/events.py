@@ -363,12 +363,15 @@ def e04_user_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     per_user = ev.groupBy("user_id").agg(F.sum(scaled_long("value", 1000000)).alias("uv6"))
-    w = Window.partitionBy()
+    # global total as a broadcast single-row aggregate, NOT a global window:
+    # an unpartitioned window would move every per-user row to one partition
+    total = per_user.agg(F.sum("uv6").alias("tv6"))
     return (
-        per_user.select(
+        per_user.crossJoin(F.broadcast(total))
+        .select(
             "user_id",
             (F.col("uv6").cast("double") / F.lit(1000000)).alias("user_value"),
-            (F.col("uv6").cast("double") / F.sum("uv6").over(w).cast("double")).alias(
+            (F.col("uv6").cast("double") / F.col("tv6").cast("double")).alias(
                 "value_share"
             ),
         )

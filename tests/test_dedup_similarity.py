@@ -132,3 +132,20 @@ def test_s01_numpy_path_matches_jvm_path(spark):
     jvm = {(r.query_id, r.neighbor_id): r.cosine for r in _s01_jvm(emb).collect()}
     np_ = {(r.query_id, r.neighbor_id): r.cosine for r in _s01_numpy(emb).collect()}
     assert jvm == np_
+
+
+def test_d02_prefix_filter_path_matches_bitmap_path(spark, monkeypatch):
+    """Both physical strategies of d02 (bitmap all-pairs vs AllPairs/PPJoin
+    prefix filter) must produce identical exact-Jaccard pairs."""
+    from lakekeeper_spark.queries import dedup
+
+    bitmap = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.d02_dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    monkeypatch.setattr(dedup, "_BITMAP_DOCS_MAX", 0)  # force prefix path
+    prefix = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.d02_dedup_ngram_jaccard(spark, SF_DIR).collect()
+    }
+    assert bitmap == prefix
