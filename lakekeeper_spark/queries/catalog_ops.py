@@ -132,3 +132,64 @@ def c01_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+# --------------------------------------------------------------------------
+# c02: change-event log rollup (CloudEvents surface as a correctness row)
+# --------------------------------------------------------------------------
+@register(
+    "c02_change_events",
+    oracle="""
+SELECT * FROM (VALUES
+  ('commit-table',      CAST(3 AS BIGINT)),
+  ('create-namespace',  2),
+  ('create-table',      1),
+  ('create-view',       2),
+  ('create-warehouse',  1),
+  ('drop-table',        1),
+  ('drop-view',         1),
+  ('rename-table',      1),
+  ('undrop-tabular',    1)
+) AS t(event_type, n_events)
+""",
+    description="Change-event log (reference CloudEvents surface, "
+    "service/events/types/): a fixed catalog-op sequence must emit exactly "
+    "one event row per mutation; the rollup per event type is the "
+    "engine-side analytics view of the log (at scale the log is an "
+    "append-only table and this is a plain groupBy).",
+    tags=("catalog", "events", "lifecycle"),
+)
+def c02_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_ev_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")        # create-warehouse
+    cat.create_namespace("wh", ["a"])                      # create-namespace
+    cat.create_namespace("wh", ["a", "b"])                 # create-namespace
+    src = spark.createDataFrame([(1, "x")], "id int, s string")
+    cat.create_table("wh", ["a"], "t1", struct_to_schema(src.schema))  # create-table
+    t = SparkTable(spark, cat, "wh", ["a"], "t1")
+    t.append(src)                                          # commit-table
+    t.append(src)                                          # commit-table
+    cat.commit_table(                                      # commit-table
+        "wh", ["a"], "t1", [], [{"action": "set-properties", "updates": {"k": "v"}}]
+    )
+    cat.rename_table("wh", ["a"], "t1", ["a"], "t2")       # rename-table
+    cat.create_view("wh", ["a"], "v", "SELECT 1 AS x")     # create-view
+    cat.create_view("wh", ["a"], "v", "SELECT 2 AS x", replace=True)  # create-view
+    cat.drop_view("wh", ["a"], "v")                        # drop-view
+    cat.drop_table("wh", ["a"], "t2")                      # drop-table
+    cat.undrop_table("wh", ["a"], "t2")                    # undrop-tabular
+    rows = [
+        (r["event_type"],)
+        for r in cat.store.query("SELECT event_type FROM events ORDER BY seq")
+    ]
+    return (
+        spark.createDataFrame(rows, "event_type string")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -324,3 +324,33 @@ def st03_stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFra
         "n_events",
         "sum_value",
     )
+
+
+# --------------------------------------------------------------------------
+# st04: streaming exact dedup (state = seen keys), the ingest-time dedup
+# an LLM data pipeline runs in front of its training corpus
+# --------------------------------------------------------------------------
+@register(
+    "st04_stream_dedup",
+    oracle="""
+SELECT md5(text) AS text_md5 FROM (SELECT DISTINCT text FROM documents)
+""",
+    description="Streaming exact deduplication: dropDuplicates on the "
+    "content digest with per-key state, availableNow drain - each distinct "
+    "document is emitted exactly once no matter how many copies arrive. "
+    "State is one digest per distinct document, sharded by the dedup key; "
+    "a production pipeline bounds it with dropDuplicatesWithinWatermark.",
+    tags=("streaming", "dedup", "llm"),
+)
+def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    d = tempfile.mkdtemp(prefix="lkspark_stream_dd_")
+    shutil.copy(f"{sf_dir}/documents.parquet", Path(d) / "documents.parquet")
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(d)
+        .select(F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
+        .dropDuplicates(["text_md5"])
+    )
+    return _run_to_memory(stream, "append")
