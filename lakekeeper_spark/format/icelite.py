@@ -161,6 +161,19 @@ class SparkTable:
         spec = self._default_spec(meta)
         return [(f["name"], self._transform_col(f)) for f in spec.get("fields", [])]
 
+    # ---------------- properties (SET/UNSET/SHOW TBLPROPERTIES) ----------
+    def set_properties(self, updates: dict[str, str]) -> None:
+        """ALTER TABLE SET TBLPROPERTIES (reference test_spark.py:483-500;
+        immutable-key guards enforced by the commit engine)."""
+        self._commit([], [{"action": "set-properties", "updates": dict(updates)}])
+
+    def unset_properties(self, removals: list[str]) -> None:
+        self._commit([], [{"action": "remove-properties", "removals": list(removals)}])
+
+    def properties(self) -> dict[str, str]:
+        """SHOW TBLPROPERTIES."""
+        return dict(self.metadata().get("properties", {}))
+
     # ---------------- sort order ----------------
     def _default_sort_order(self, meta: dict[str, Any]) -> dict[str, Any] | None:
         return next(
@@ -462,16 +475,19 @@ class SparkTable:
     # ---------------- row-level DML (copy-on-write) ----------------
     def _rewrite(
         self,
-        condition: str,
+        condition: str | None,
         rewriter,
         operation: str,
         extra_rows: DataFrame | None = None,
+        affected: list[str] | None = None,
     ) -> dict[str, Any]:
         """Copy-on-write core: find files containing rows matching
-        `condition`, rewrite ONLY those via `rewriter(df)`, keep the rest.
-        This is the merge-on-write strategy Iceberg uses for DELETE/UPDATE/
-        MERGE with copy-on-write tables (reference test_spark.py:1321-1340
-        exercises DELETE FROM)."""
+        `condition` (or take the precomputed `affected` file list), rewrite
+        ONLY those via `rewriter(df)`, keep the rest. This is the
+        merge-on-write strategy Iceberg uses for DELETE/UPDATE/MERGE with
+        copy-on-write tables (reference test_spark.py:1321-1340 exercises
+        DELETE FROM). The affected list is file-level metadata (small);
+        the row data itself never touches the driver."""
         meta = self.metadata()
         snap = self._resolve_snapshot(meta)
         if snap is None:
@@ -485,9 +501,11 @@ class SparkTable:
             .parquet(*paths)
             .withColumn("_file", F.input_file_name())
         )
-        affected = [
-            r["_file"] for r in df.filter(condition).select("_file").distinct().collect()
-        ]
+        if affected is None:
+            affected = [
+                r["_file"]
+                for r in df.filter(condition).select("_file").distinct().collect()
+            ]
         affected_set = {p.replace("file://", "").replace("file:", "") for p in affected}
         kept = [
             e
@@ -532,24 +550,27 @@ class SparkTable:
         not_matched_insert: bool = True,
     ) -> dict[str, Any]:
         """MERGE INTO (reference test_spark.py:155-172): matched -> update,
-        not-matched -> insert. Executed as a broadcast-able join locating
-        affected target files, then a copy-on-write rewrite of only those
-        files plus an append of unmatched source rows."""
+        not-matched -> insert. ``on`` is any equi-condition over ``t.`` and
+        ``s.`` aliases, including composite keys ("t.a = s.a AND t.b =
+        s.b"). Affected target files are located with a LEFT SEMI join
+        against the source — the source never collects to the driver, so
+        arbitrarily large merge sources work — then only those files are
+        rewritten (copy-on-write) and unmatched source rows append."""
         meta = self.metadata()
         schema = self._current_schema(meta)
         struct = schema_to_struct(schema)
         cols = [f.name for f in struct.fields]
-        src = source.alias("s")
+        # marker column: match detection that works for any composite key
+        src = source.withColumn("__src_match", F.lit(1)).alias("s")
 
         def rewriter(tgt: DataFrame) -> DataFrame:
-            t = tgt.alias("t")
-            joined = t.join(src, F.expr(on), "left_outer")
+            joined = tgt.alias("t").join(src, F.expr(on), "left_outer")
             out_cols = []
             for c in cols:
                 upd = (matched_update or {}).get(c)
                 if upd is not None:
                     out_cols.append(
-                        F.when(F.col(f"s.{_merge_key(on)}").isNotNull(), F.expr(upd))
+                        F.when(F.col("s.__src_match").isNotNull(), F.expr(upd))
                         .otherwise(F.col(f"t.{c}"))
                         .alias(c)
                     )
@@ -568,15 +589,18 @@ class SparkTable:
                 src.join(tgt_all.alias("t"), F.expr(on), "left_anti")
                 .select(*[F.col(c) for c in cols])
             )
-        # condition matching rows whose key appears in source
-        key = _merge_key(on)
-        src_keys = [r[0] for r in source.select(key).distinct().collect()]
-        cond = (
-            f"{key} IN ({', '.join(_sql_lit(v) for v in src_keys)})"
-            if src_keys
-            else "1=0"
-        )
-        return self._rewrite(cond, rewriter, "merge", extra_rows=inserts)
+        # file targeting: LEFT SEMI join on the merge condition; only the
+        # distinct FILE LIST (metadata-sized) reaches the driver
+        affected = [
+            r["_file"]
+            for r in tgt_all.withColumn("_file", F.input_file_name())
+            .alias("t")
+            .join(src, F.expr(on), "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+        return self._rewrite(None, rewriter, "merge", extra_rows=inserts, affected=affected)
 
     # ---------------- refs / time travel ----------------
     def create_tag(
@@ -861,15 +885,3 @@ class SparkTable:
         )
 
 
-def _merge_key(on: str) -> str:
-    """Extract the source key column from an equi-join condition like
-    't.id = s.id' (single-key merge; composite keys use merge_keys)."""
-    right = on.split("=")[-1].strip()
-    return right.split(".")[-1]
-
-
-def _sql_lit(v: Any) -> str:
-    if isinstance(v, str):
-        escaped = v.replace("'", "''")
-        return f"'{escaped}'"
-    return str(v)

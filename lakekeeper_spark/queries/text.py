@@ -58,9 +58,9 @@ FROM documents
 )
 def t01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_words = F.size(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0)))
-    n_tokens = F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), F.lit(0)))
-    n_stop = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(STOPWORD_RE), F.lit(0)))
+    n_words = F.regexp_count("text", F.lit(WORD_RE))
+    n_tokens = F.regexp_count("text", F.lit(TOKEN_RE))
+    n_stop = F.regexp_count(F.lower(F.col("text")), F.lit(STOPWORD_RE))
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars_actual"),
@@ -106,7 +106,7 @@ def t02_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id",
         *[
-            F.size(F.regexp_extract_all(lowered, F.lit(pat), F.lit(0))).alias(f"s_{code}")
+            F.regexp_count(lowered, F.lit(pat)).alias(f"s_{code}")
             for code, pat in LANG_MARKERS
         ],
     )
@@ -206,7 +206,7 @@ GROUP BY source, lang
 )
 def t04_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_words = F.size(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0)))
+    n_words = F.regexp_count("text", F.lit(WORD_RE))
     return docs.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.length("text").cast("long")).alias("total_chars"),
@@ -245,12 +245,14 @@ FROM documents
 )
 def t06_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0))
+    lowered = F.lower(F.col("text"))
+    toks = F.regexp_extract_all(lowered, F.lit(BPE_RE), F.lit(0))
+    n_toks = F.regexp_count(lowered, F.lit(BPE_RE))
     return docs.select(
         "doc_id",
-        F.size(toks).alias("n_bpe_tokens"),
+        n_toks.alias("n_bpe_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        (F.length("text").cast("double") / F.size(toks)).alias("chars_per_token"),
+        (F.length("text").cast("double") / n_toks).alias("chars_per_token"),
     )
 
 
@@ -314,11 +316,9 @@ def p01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "source",
-            F.size(toks).alias("n_tokens"),
-            F.size(F.regexp_extract_all("text", F.lit(WORD_RE), F.lit(0))).alias("n_words"),
-            F.size(
-                F.regexp_extract_all(F.lower(F.col("text")), F.lit(STOPWORD_RE), F.lit(0))
-            ).alias("n_stop"),
+            F.regexp_count(F.lower(F.col("text")), F.lit(BPE_RE)).alias("n_tokens"),
+            F.regexp_count("text", F.lit(WORD_RE)).alias("n_words"),
+            F.regexp_count(F.lower(F.col("text")), F.lit(STOPWORD_RE)).alias("n_stop"),
         )
     )
     quality = scored.withColumn(

@@ -341,3 +341,29 @@ def test_analyze_commits_statistics(table, spark):
     assert by_col["my_floats"]["max"] == 9.9
     assert by_col["strings"]["ndv"] >= 2
     assert "min" not in by_col["strings"]  # non-numeric: counts/ndv only
+
+
+def test_merge_composite_key(table, spark):
+    """MERGE on a composite equi-key ('t.a = s.a AND t.b = s.b'); the
+    source is never collected to the driver (semi-join file targeting)."""
+    ddl = "my_ints int, my_floats double, strings string"
+    src = spark.createDataFrame([(1, 1.2, "updated"), (9, 9.0, "inserted")], ddl)
+    table.merge(
+        src,
+        on="t.my_ints = s.my_ints AND t.my_floats = s.my_floats",
+        matched_update={"strings": "s.strings"},
+    )
+    rows = {r.my_ints: r.strings for r in table.scan().collect()}
+    assert rows[1] == "updated"      # composite key matched (1, 1.2)
+    assert rows[2] == "bar"          # untouched
+    assert rows[9] == "inserted"     # not-matched insert
+
+
+def test_table_properties_ddl(table):
+    """SET/UNSET/SHOW TBLPROPERTIES (reference test_spark.py:483-500)."""
+    table.set_properties({"write.metadata.previous-versions-max": "5", "owner": "me"})
+    props = table.properties()
+    assert props["owner"] == "me"
+    table.unset_properties(["owner"])
+    assert "owner" not in table.properties()
+    assert table.properties()["write.metadata.previous-versions-max"] == "5"
