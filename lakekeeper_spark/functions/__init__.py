@@ -1,0 +1,1 @@
+"""Reusable Spark function helpers (skew handling, deterministic sums)."""

@@ -1,0 +1,51 @@
+"""Skew-safe join helpers.
+
+AQE's skew-join splitting (on in session.py) handles most hot keys by
+splitting oversized shuffle partitions, but it cannot help when ONE key's
+rows exceed a single executor's memory on the build side, or when the join
+is sort-merge and a straggler task serializes the stage. The classic manual
+remedy is salting: spread each hot key's rows across N sub-keys and
+replicate the other side N times, turning one straggler partition into N
+even ones.
+
+`salted_join` packages that pattern with a deterministic salt (derived by
+hashing the whole row, never `rand()` — retried tasks must land in the same
+salt bucket or shuffle retries produce duplicates/losses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salts: int = 16,
+) -> DataFrame:
+    """Equi-join `left` (large, key-skewed) with `right`, spreading each
+    key across `salts` sub-partitions.
+
+    The left side gets a deterministic per-row salt (hash of all columns);
+    the right side is replicated once per salt value via a small explode —
+    right-side cost grows by `salts`x, so use this when `right` is the
+    smaller side and `left` carries hot keys. Result equals
+    ``left.join(right, on, how)`` row-for-row.
+
+    Supported `how`: inner / left / left_outer (the replicated right side
+    makes right/full-outer semantics ambiguous — every unmatched right row
+    would appear `salts` times).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, not {how}")
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts))
+    left_s = left.withColumn(_SALT, salt_col)
+    right_s = right.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salts - 1)).cast("array<bigint>"))
+    )
+    return left_s.join(right_s, [*on, _SALT], how).drop(_SALT)

@@ -172,19 +172,19 @@ def _d02_bitmap_allpairs(
         )
     )
     sh = _shingles(docs).join(dictionary, "shingle")
-    docsets = (
-        sh.groupBy("doc_id")
-        .agg(F.collect_set("sid").alias("sids"))
-        .withColumn("n", F.size("sids"))
-    )
-    word_cols = [
-        F.expr(
-            f"aggregate(filter(sids, i -> i div 64 == {w}), CAST(0 AS BIGINT), "
-            "(acc, i) -> acc | shiftleft(CAST(1 AS BIGINT), i % 64))"
+    # pack bitmap words directly in the aggregate: bit_or of the shingle's
+    # bit, one aggregate per 64-bit word — stays in whole-stage codegen
+    # (no collect_set array + interpreted fold) and combines map-side
+    word_aggs = [
+        F.bit_or(
+            F.expr(
+                f"IF(sid div 64 = {w}, "
+                "shiftleft(CAST(1 AS BIGINT), sid % 64), CAST(0 AS BIGINT))"
+            )
         ).alias(f"w{w}")
         for w in range(nw)
     ]
-    packed = docsets.select("doc_id", "n", *word_cols)
+    packed = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"), *word_aggs)
     a = packed.select(
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("n_a"),

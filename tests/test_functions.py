@@ -1,0 +1,36 @@
+"""Tests for reusable function helpers."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be row-for-row identical to the plain join on
+    skewed data (one key holds 90% of the rows), for inner and left."""
+    from pyspark.sql import functions as F
+
+    from lakekeeper_spark.functions.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(1, i) for i in range(900)] + [(k, 0) for k in range(2, 102)],
+        "k int, v int",
+    )
+    right = spark.createDataFrame(
+        [(1, "hot"), (2, "a"), (3, "b"), (999, "unmatched")], "k int, name string"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            left.join(right, ["k"], how).select("k", "v", "name").collect()
+        )
+        salted = sorted(
+            salted_join(left, right, ["k"], how=how, salts=8)
+            .select("k", "v", "name")
+            .collect()
+        )
+        assert plain == salted, how
+    # the salted plan spreads the hot key across several partitions
+    salted_df = salted_join(left, right, ["k"], salts=8)
+    assert salted_df.count() == left.join(right, ["k"]).count()
+    with pytest.raises(ValueError):
+        salted_join(left, right, ["k"], how="full")
