@@ -531,3 +531,46 @@ def w03_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q12a: shipping-delay classes x order priority (TPC-H Q12 shape)
+# --------------------------------------------------------------------------
+@register(
+    "q12a_ship_delay_priority",
+    oracle="""
+SELECT CASE WHEN l.l_shipdate - o.o_orderdate <= INTERVAL 30 DAY THEN 'fast'
+            WHEN l.l_shipdate - o.o_orderdate <= INTERVAL 90 DAY THEN 'normal'
+            ELSE 'slow' END AS delay_class,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= o.o_orderdate
+GROUP BY 1
+""",
+    description="TPC-H Q12 shape adapted (driver schema has no "
+    "l_shipmode): lineitems classed by ship delay, conditional counts of "
+    "high vs low priority orders. Fact-to-fact join shuffles once on "
+    "orderkey; conditional aggregation combines map-side.",
+    tags=("analytics", "join", "conditional-agg"),
+)
+def q12a_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate")
+    )
+    delay_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    delay_class = (
+        F.when(delay_days <= 30, "fast").when(delay_days <= 90, "normal").otherwise("slow")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(delay_class.alias("delay_class"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

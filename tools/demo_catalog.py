@@ -1,0 +1,99 @@
+"""End-to-end catalog + icelite smoke drive (the verify skill's "real
+catalog session"): create warehouse/namespace/table, insert, evolve,
+branch, time-travel, merge, compact, inspect metadata tables, refresh
+lifecycle, drop/undrop. Prints one OK line per step; exits non-zero on the
+first failure.
+
+Usage: python tools/demo_catalog.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lakekeeper_spark.catalog.catalog import Catalog  # noqa: E402
+from lakekeeper_spark.catalog.metastore import Metastore  # noqa: E402
+from lakekeeper_spark.format.icelite import SparkTable  # noqa: E402
+from lakekeeper_spark.format.types import struct_to_schema  # noqa: E402
+from lakekeeper_spark.session import get_session  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_session("demo-catalog")
+    tmp = tempfile.mkdtemp(prefix="lkspark_demo_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["demo"])
+    print("OK warehouse+namespace")
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cat.create_table("wh", ["demo"], "nation", struct_to_schema(src.schema))
+    t = SparkTable(spark, cat, "wh", ["demo"], "nation")
+    t.append(src)
+    n0 = t.scan().count()
+    assert n0 == src.count(), (n0, src.count())
+    print(f"OK create+insert ({n0} rows)")
+
+    snap1 = t.metadata()["current-snapshot-id"]
+    t.append(src.limit(5))
+    assert t.scan().count() == n0 + 5
+    assert t.scan(snapshot_id=snap1).count() == n0
+    print("OK append + time travel")
+
+    t.create_branch("dev")
+    t.append(src.limit(3), branch="dev")
+    assert t.scan(ref="dev").count() == n0 + 8
+    assert t.scan().count() == n0 + 5
+    print("OK branch isolation")
+
+    t.add_column("note", "string")
+    assert "note" in [f.name for f in t.scan().schema.fields]
+    print("OK schema evolution")
+
+    upd = src.limit(2).selectExpr(
+        "n_nationkey", "n_name", "n_regionkey", "'updated' AS note"
+    )
+    t.merge(upd, on="t.n_nationkey = s.n_nationkey",
+            matched_update={"note": "s.note"}, not_matched_insert=False)
+    got = {r.n_nationkey: r.note for r in t.scan().collect()}
+    assert got[0] == "updated"
+    print("OK merge")
+
+    t.rewrite_data_files()
+    assert t.files().count() == 1
+    print("OK compaction")
+
+    assert t.all_manifests().count() >= 4
+    assert t.metadata_log_entries().count() >= 4
+    assert t.all_delete_files().count() == 0
+    t.analyze()
+    assert t.metadata()["statistics"]
+    print("OK metadata tables + analyze")
+
+    t2 = SparkTable(spark, cat, "wh", ["demo"], "nation")
+    before = t2.scan(use_cache=True).count()
+    t.append(src.limit(1))
+    assert t2.scan(use_cache=True).count() == before  # stale by design
+    t2.refresh()
+    assert t2.scan(use_cache=True).count() == before + 1
+    print("OK refresh lifecycle")
+
+    cat.drop_table("wh", ["demo"], "nation")
+    assert not cat.table_exists("wh", ["demo"], "nation")
+    cat.undrop_table("wh", ["demo"], "nation")
+    assert cat.table_exists("wh", ["demo"], "nation")
+    print("OK drop+undrop")
+
+    reports = cat.list_metrics_reports("wh", ["demo"], "nation")
+    assert reports and reports[0]["report-type"] == "scan-report"
+    print(f"OK scan reports ({len(reports)} filed)")
+    print("DEMO PASSED")
+
+
+if __name__ == "__main__":
+    main()
