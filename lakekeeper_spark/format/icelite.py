@@ -740,6 +740,71 @@ class SparkTable:
             )
         return victims
 
+    def remove_orphan_files(
+        self,
+        older_than_ms: int | None = None,
+        dry_run: bool = False,
+    ) -> list[str]:
+        """Detect (and unless ``dry_run``, delete) files under the table
+        location referenced by NO snapshot, metadata-log entry, or
+        statistics file — leftovers of failed optimistic-concurrency
+        writes. Mirrors the reference's remove_orphan_files task queue
+        (docs/table-maintenance.md:57-100): referenced-set scan, recursive
+        storage listing, age filter (only files older than the threshold
+        are touched, protecting in-progress writes; default
+        ``lakekeeper.remove-orphan-files.older-than-ms`` property or 7
+        days), and the ``gc.enabled=false`` / ``encryption.key-id`` safety
+        guards. Returns the orphan paths found."""
+        import os
+
+        meta = self.metadata()
+        props = meta.get("properties", {})
+        if str(props.get("gc.enabled", "true")).lower() == "false":
+            raise CatalogError("gc.enabled=false: orphan removal forbidden")
+        if props.get("encryption.key-id"):
+            raise CatalogError("encrypted table: orphan detection skipped")
+        if older_than_ms is None:
+            older_than_ms = int(
+                props.get(
+                    "lakekeeper.remove-orphan-files.older-than-ms",
+                    7 * 24 * 3600 * 1000,
+                )
+            )
+        loc = Path(meta["location"])
+        referenced = {
+            str(loc / e["path"])
+            for s in meta["snapshots"]
+            for e in s["manifest"]
+        }
+        referenced.update(e["metadata-file"] for e in meta.get("metadata-log", []))
+        referenced.update(
+            s.get("statistics-path", "") for s in meta.get("statistics", [])
+        )
+        horizon = _now_ms() - older_than_ms
+        orphans = []
+        for sub in ("data", "metadata", "stats"):
+            base = loc / sub
+            if not base.exists():
+                continue
+            for p in sorted(base.rglob("*")):
+                if not p.is_file():
+                    continue
+                if str(p) in referenced:
+                    continue
+                if int(p.stat().st_mtime * 1000) > horizon:
+                    continue  # too recent: may be an in-progress write
+                orphans.append(str(p))
+        if not dry_run:
+            for f in orphans:
+                Path(f).unlink(missing_ok=True)
+            self.catalog.store.emit_event(
+                "remove-orphan-files",
+                None,
+                meta["table-uuid"],
+                {"n_orphans": len(orphans), "dry-run": False},
+            )
+        return orphans
+
     # ---------------- metadata tables ----------------
     def files(self) -> DataFrame:
         meta = self.metadata()

@@ -367,3 +367,40 @@ def test_table_properties_ddl(table):
     table.unset_properties(["owner"])
     assert "owner" not in table.properties()
     assert table.properties()["write.metadata.previous-versions-max"] == "5"
+
+
+def test_remove_orphan_files(table, spark):
+    """Orphan detection: unreferenced files older than the threshold are
+    removed; referenced and recent files survive; gc.enabled=false and
+    encrypted tables refuse (reference docs/table-maintenance.md:57-100)."""
+    import os
+
+    from lakekeeper_spark.catalog.catalog import CatalogError
+
+    loc = table.metadata()["location"]
+    # simulate a failed write: stray parquet in data/, old mtime
+    stray = os.path.join(loc, "data", "deadbeef", "stray.parquet")
+    os.makedirs(os.path.dirname(stray), exist_ok=True)
+    with open(stray, "wb") as f:
+        f.write(b"not really parquet")
+    old = (os.path.getmtime(stray) - 10 * 24 * 3600)
+    os.utime(stray, (old, old))
+    # dry run reports, does not delete
+    found = table.remove_orphan_files(dry_run=True)
+    assert stray in found and os.path.exists(stray)
+    # fresh stray is protected by the age filter
+    fresh = os.path.join(loc, "data", "deadbeef", "fresh.parquet")
+    with open(fresh, "wb") as f:
+        f.write(b"in-progress write")
+    removed = table.remove_orphan_files()
+    assert stray in removed and not os.path.exists(stray)
+    assert fresh not in removed and os.path.exists(fresh)
+    # live data untouched
+    assert table.scan().count() == 2
+    # safety guards
+    table.set_properties({"gc.enabled": "false"})
+    with pytest.raises(CatalogError):
+        table.remove_orphan_files()
+    table.set_properties({"gc.enabled": "true", "encryption.key-id": "k1"})
+    with pytest.raises(CatalogError):
+        table.remove_orphan_files()
