@@ -79,3 +79,35 @@ def read_generic_table(
             "dataset with a Spark-native format or install the connector"
         )
     raise CatalogError(f"unsupported generic-table format: {fmt}")
+
+
+def read_view(
+    spark: SparkSession, catalog: Catalog, warehouse: str, levels, name: str
+) -> DataFrame:
+    """SELECT from a catalog view (reference test_spark.py:70-98,
+    test_create_view/test_create_replace_view): resolve every icelite
+    table of the view's default namespace as a temp view, then execute the
+    stored SQL representation for the 'spark' dialect.
+
+    Temp-view names are suffixed per-call and the SQL is rewritten to use
+    them, so concurrent readers of different view versions don't collide
+    in Spark's shared temp-view namespace."""
+    import re
+    import uuid as _uuid
+
+    from .icelite import SparkTable
+
+    meta = catalog.load_view(warehouse, levels, name)
+    version = next(
+        v for v in meta["versions"] if v["version-id"] == meta["current-version-id"]
+    )
+    ns = version.get("default-namespace") or list(levels)
+    sql = catalog.view_sql(warehouse, levels, name, dialect="spark")
+    suffix = "_v" + _uuid.uuid4().hex[:8]
+    tables, _ = catalog.list_tables(warehouse, ns, kind="table")
+    for tbl in tables:
+        df = SparkTable(spark, catalog, warehouse, ns, tbl).scan()
+        df.createOrReplaceTempView(tbl + suffix)
+        # whole-word rewrite of the bare table name to the temp-view name
+        sql = re.sub(rf"\b{re.escape(tbl)}\b", tbl + suffix, sql)
+    return spark.sql(sql)

@@ -454,3 +454,34 @@ def test_load_credentials_stub(catalog):
     assert g["storage-credentials"][0]["prefix"] == "/data/g"
     with pytest.raises(NoSuchEntity):
         catalog.load_credentials("wh", ["cns"], "missing")
+
+
+def test_read_view_executes_sql(catalog, spark):
+    """CREATE VIEW -> SELECT through the engine; REPLACE changes the
+    projection (reference test_create_replace_view column-order check)."""
+    from lakekeeper_spark.format.generic import read_view
+    from lakekeeper_spark.format.icelite import SparkTable
+    from lakekeeper_spark.format.types import struct_to_schema
+
+    catalog.create_namespace("wh", ["vx"])
+    df = spark.createDataFrame(
+        [(1, 1.2), (2, 2.2)], "my_ints int, my_floats double"
+    )
+    catalog.create_table("wh", ["vx"], "my_table", struct_to_schema(df.schema))
+    SparkTable(spark, catalog, "wh", ["vx"], "my_table").append(df)
+    catalog.create_view(
+        "wh", ["vx"], "my_view",
+        "SELECT my_ints, my_floats FROM my_table",
+        schema={}, dialect="spark",
+    )
+    out = read_view(spark, catalog, "wh", ["vx"], "my_view")
+    assert out.columns == ["my_ints", "my_floats"]
+    assert out.count() == 2
+    catalog.create_view(
+        "wh", ["vx"], "my_view",
+        "SELECT my_floats, my_ints FROM my_table WHERE my_ints > 1",
+        replace=True,
+    )
+    out = read_view(spark, catalog, "wh", ["vx"], "my_view")
+    assert out.columns == ["my_floats", "my_ints"]
+    assert out.count() == 1
