@@ -707,7 +707,20 @@ class SparkTable:
     def expire_snapshots(self, older_than_ms: int, retain_last: int = 1) -> list[int]:
         """Remove unreferenced snapshots older than the horizon; purge files
         that only they referenced (reference expire-snapshots task queue,
-        docs/table-maintenance.md)."""
+        docs/table-maintenance.md). Refs past their ``max-ref-age-ms``
+        retention (CREATE TAG ... RETAIN n DAYS, test_spark.py:647-676)
+        are dropped first, so their snapshots become expirable."""
+        meta = self.metadata()
+        now = _now_ms()
+        for ref_name, ref in list(meta["refs"].items()):
+            max_age = ref.get("max-ref-age-ms")
+            if max_age is None or ref_name == MAIN:
+                continue
+            snap = self._snapshot(meta, ref["snapshot-id"])
+            if now - snap["timestamp-ms"] > max_age:
+                self._commit(
+                    [], [{"action": "remove-snapshot-ref", "ref-name": ref_name}]
+                )
         meta = self.metadata()
         keep_ids = {r["snapshot-id"] for r in meta["refs"].values()}
         chrono = sorted(meta["snapshots"], key=lambda s: s["timestamp-ms"])

@@ -404,3 +404,22 @@ def test_remove_orphan_files(table, spark):
     table.set_properties({"gc.enabled": "true", "encryption.key-id": "k1"})
     with pytest.raises(CatalogError):
         table.remove_orphan_files()
+
+
+def test_ref_retention_max_ref_age(table, spark):
+    """Tags past max-ref-age-ms stop pinning their snapshots: expiration
+    drops the aged ref, then the snapshot it pinned (CREATE TAG ... RETAIN
+    semantics, reference test_spark.py:647-676)."""
+    ddl = "my_ints int, my_floats double, strings string"
+    table.create_tag("ephemeral", max_ref_age_ms=1)  # pins snapshot 1
+    table.create_tag("keeper")  # no retention: pins forever
+    table.append(spark.createDataFrame([(3, 3.0, "c")], ddl))
+    time.sleep(0.01)
+    victims = table.expire_snapshots(older_than_ms=int(time.time() * 1000) + 1000,
+                                     retain_last=1)
+    meta = table.metadata()
+    assert "ephemeral" not in meta["refs"]          # aged out
+    assert "keeper" in meta["refs"]                 # unlimited retention
+    # keeper still pins snapshot 1, so it survived expiration
+    assert meta["refs"]["keeper"]["snapshot-id"] not in victims
+    assert table.scan(ref="keeper").count() == 2
