@@ -258,6 +258,7 @@ class SparkTable:
                     "file-size-in-bytes": p.stat().st_size,
                     "record-count": md.num_rows,
                     "partition": partition,
+                    "schema-id": meta["current-schema-id"],
                 }
             )
         return entries
@@ -357,10 +358,60 @@ class SparkTable:
         self._report_scan(snap, partition_filter, entries, total)
         if not entries:
             return self.spark.createDataFrame([], struct)
-        paths = [f"{meta['location']}/{e['path']}" for e in entries]
-        # explicit schema: evolved columns absent in old files read as NULL,
-        # dropped columns are simply not projected
-        return self.spark.read.schema(struct).parquet(*paths)
+        return self._read_entries(meta, schema, entries, snap["schema-id"])
+
+    def _read_entries(
+        self,
+        meta: dict[str, Any],
+        target_schema: dict[str, Any],
+        entries: list[dict[str, Any]],
+        default_schema_id: int,
+        with_file: bool = False,
+    ) -> DataFrame:
+        """Field-id-based projection (Iceberg read semantics): each data
+        file is read with its WRITE-time schema, then columns map to the
+        target schema by field id — so RENAME COLUMN reaches old files,
+        added columns read as NULL there, and dropped columns vanish. Files
+        whose write schema equals the target (the common case) take a
+        single plain scan with no union."""
+        tstruct = schema_to_struct(target_schema)
+        groups: dict[int, list[dict[str, Any]]] = {}
+        for e in entries:
+            groups.setdefault(e.get("schema-id", default_schema_id), []).append(e)
+        parts = []
+        for sid, group in groups.items():
+            paths = [f"{meta['location']}/{e['path']}" for e in group]
+            wschema = next(
+                (s for s in meta["schemas"] if s["schema-id"] == sid), target_schema
+            )
+            by_id = {f["id"]: f["name"] for f in wschema["fields"]}
+            same_names = all(
+                by_id.get(f["id"]) == f["name"] for f in target_schema["fields"]
+            )
+            if same_names:
+                # name-compatible: one scan, parquet fills missing as NULL
+                raw = self.spark.read.schema(tstruct).parquet(*paths)
+                if with_file:
+                    raw = raw.withColumn("_file", F.input_file_name())
+                parts.append(raw)
+                continue
+            raw = self.spark.read.schema(schema_to_struct(wschema)).parquet(*paths)
+            if with_file:
+                raw = raw.withColumn("_file", F.input_file_name())
+            cols = []
+            for f, sf in zip(target_schema["fields"], tstruct.fields):
+                wname = by_id.get(f["id"])
+                if wname is None:
+                    cols.append(F.lit(None).cast(sf.dataType).alias(f["name"]))
+                else:
+                    cols.append(F.col(wname).cast(sf.dataType).alias(f["name"]))
+            if with_file:
+                cols.append(F.col("_file"))
+            parts.append(raw.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _report_scan(
         self,
@@ -493,13 +544,9 @@ class SparkTable:
         if snap is None:
             raise CatalogError("table has no data")
         schema = self._current_schema(meta)
-        struct = schema_to_struct(schema)
         loc = meta["location"]
-        paths = [f"{loc}/{e['path']}" for e in snap["manifest"]]
-        df = (
-            self.spark.read.schema(struct)
-            .parquet(*paths)
-            .withColumn("_file", F.input_file_name())
+        df = self._read_entries(
+            meta, schema, snap["manifest"], snap["schema-id"], with_file=True
         )
         if affected is None:
             affected = [
@@ -581,8 +628,7 @@ class SparkTable:
         snap = self._resolve_snapshot(meta)
         if snap is None:
             raise CatalogError("table has no data")
-        paths = [f"{meta['location']}/{e['path']}" for e in snap["manifest"]]
-        tgt_all = self.spark.read.schema(struct).parquet(*paths)
+        tgt_all = self._read_entries(meta, schema, snap["manifest"], snap["schema-id"])
         inserts = None
         if not_matched_insert:
             inserts = (
@@ -593,7 +639,9 @@ class SparkTable:
         # distinct FILE LIST (metadata-sized) reaches the driver
         affected = [
             r["_file"]
-            for r in tgt_all.withColumn("_file", F.input_file_name())
+            for r in self._read_entries(
+                meta, schema, snap["manifest"], snap["schema-id"], with_file=True
+            )
             .alias("t")
             .join(src, F.expr(on), "left_semi")
             .select("_file")
@@ -658,6 +706,31 @@ class SparkTable:
             "fields": [f for f in schema["fields"] if f["name"] != name],
         }
         self._commit([{"type": "assert-current-schema-id", "current-schema-id": meta["current-schema-id"]}],
+            [
+                {"action": "add-schema", "schema": new_schema},
+                {"action": "set-current-schema", "schema-id": new_schema["schema-id"]},
+            ],
+        )
+
+    def rename_column(self, name: str, new_name: str) -> None:
+        """ALTER TABLE RENAME COLUMN: a new schema version with the SAME
+        field id under the new name; field-id-based reads (_read_entries)
+        surface old files' data under the new name."""
+        meta = self.metadata()
+        schema = self._current_schema(meta)
+        if all(f["name"] != name for f in schema["fields"]):
+            raise NoSuchEntity(f"column {name} not found")
+        if any(f["name"] == new_name for f in schema["fields"]):
+            raise CatalogError(f"column {new_name} already exists")
+        new_schema = {
+            "schema-id": max(s["schema-id"] for s in meta["schemas"]) + 1,
+            "fields": [
+                {**f, "name": new_name} if f["name"] == name else dict(f)
+                for f in schema["fields"]
+            ],
+        }
+        self._commit(
+            [{"type": "assert-current-schema-id", "current-schema-id": meta["current-schema-id"]}],
             [
                 {"action": "add-schema", "schema": new_schema},
                 {"action": "set-current-schema", "schema-id": new_schema["schema-id"]},

@@ -423,3 +423,24 @@ def test_ref_retention_max_ref_age(table, spark):
     # keeper still pins snapshot 1, so it survived expiration
     assert meta["refs"]["keeper"]["snapshot-id"] not in victims
     assert table.scan(ref="keeper").count() == 2
+
+
+def test_rename_column_field_id_reads(table, spark):
+    """RENAME COLUMN: old files written under the old name surface their
+    data under the new name (field-id projection), new writes use the new
+    name, DML still works across mixed-schema files."""
+    table.rename_column("my_ints", "renamed_ints")
+    cols = [f.name for f in table.scan().schema.fields]
+    assert cols == ["renamed_ints", "my_floats", "strings"]
+    # old files' data visible under the new name
+    got = sorted(r.renamed_ints for r in table.scan().collect())
+    assert got == [1, 2]
+    # new write with the new name: mixed-schema scan unions by field id
+    table.append(spark.createDataFrame(
+        [(3, 3.3, "baz")], "renamed_ints int, my_floats double, strings string"))
+    assert sorted(r.renamed_ints for r in table.scan().collect()) == [1, 2, 3]
+    # DML across mixed-schema files
+    table.delete_where("renamed_ints = 1")
+    assert sorted(r.renamed_ints for r in table.scan().collect()) == [2, 3]
+    table.update_where("renamed_ints = 2", {"strings": "'upd'"})
+    assert {r.renamed_ints: r.strings for r in table.scan().collect()}[2] == "upd"
