@@ -385,8 +385,11 @@ class SparkTable:
                 (s for s in meta["schemas"] if s["schema-id"] == sid), target_schema
             )
             by_id = {f["id"]: f["name"] for f in wschema["fields"]}
+            by_id_t = {f["id"]: f["type"] for f in wschema["fields"]}
             same_names = all(
-                by_id.get(f["id"]) == f["name"] for f in target_schema["fields"]
+                by_id.get(f["id"]) == f["name"]
+                and by_id_t.get(f["id"], f["type"]) == f["type"]
+                for f in target_schema["fields"]
             )
             if same_names:
                 # name-compatible: one scan, parquet fills missing as NULL
@@ -726,6 +729,38 @@ class SparkTable:
             "schema-id": max(s["schema-id"] for s in meta["schemas"]) + 1,
             "fields": [
                 {**f, "name": new_name} if f["name"] == name else dict(f)
+                for f in schema["fields"]
+            ],
+        }
+        self._commit(
+            [{"type": "assert-current-schema-id", "current-schema-id": meta["current-schema-id"]}],
+            [
+                {"action": "add-schema", "schema": new_schema},
+                {"action": "set-current-schema", "schema-id": new_schema["schema-id"]},
+            ],
+        )
+
+    _WIDENINGS = {("int", "bigint"), ("float", "double"), ("smallint", "int"),
+                  ("smallint", "bigint"), ("tinyint", "int"), ("tinyint", "bigint")}
+
+    def widen_column(self, name: str, new_type: str) -> None:
+        """Iceberg type promotion (int->long, float->double): a new schema
+        version with the same field id at the wider type; old files read
+        through the field-id cast in _read_entries."""
+        meta = self.metadata()
+        schema = self._current_schema(meta)
+        field = next((f for f in schema["fields"] if f["name"] == name), None)
+        if field is None:
+            raise NoSuchEntity(f"column {name} not found")
+        if (field["type"], new_type) not in self._WIDENINGS:
+            raise CatalogError(
+                f"illegal promotion {field['type']} -> {new_type} (Iceberg "
+                "allows widening only: int->bigint, float->double)"
+            )
+        new_schema = {
+            "schema-id": max(s["schema-id"] for s in meta["schemas"]) + 1,
+            "fields": [
+                {**f, "type": new_type} if f["name"] == name else dict(f)
                 for f in schema["fields"]
             ],
         }

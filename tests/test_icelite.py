@@ -444,3 +444,19 @@ def test_rename_column_field_id_reads(table, spark):
     assert sorted(r.renamed_ints for r in table.scan().collect()) == [2, 3]
     table.update_where("renamed_ints = 2", {"strings": "'upd'"})
     assert {r.renamed_ints: r.strings for r in table.scan().collect()}[2] == "upd"
+
+
+def test_widen_column_type_promotion(table, spark):
+    """Iceberg type promotion: int->bigint across old int32 files; illegal
+    narrowing rejected."""
+    from lakekeeper_spark.catalog.catalog import CatalogError
+
+    table.widen_column("my_ints", "bigint")
+    assert dict(table.scan().dtypes)["my_ints"] == "bigint"
+    assert sorted(r.my_ints for r in table.scan().collect()) == [1, 2]
+    # new writes at the wide type coexist with old narrow files
+    table.append(spark.createDataFrame(
+        [(2**40, 4.4, "wide")], "my_ints bigint, my_floats double, strings string"))
+    assert sorted(r.my_ints for r in table.scan().collect()) == [1, 2, 2**40]
+    with pytest.raises(CatalogError):
+        table.widen_column("my_floats", "float")  # narrowing forbidden
