@@ -20,11 +20,17 @@ Spark-first:
 
 Query surface provided (reference test_spark.py parity):
   append/overwrite, DELETE FROM (copy-on-write, only affected files are
-  rewritten), UPDATE, MERGE INTO, time travel (snapshot id / timestamp /
-  tag / branch), tags+branches, schema evolution (add/drop column),
-  partition evolution (identity/bucket/truncate/year/month/day),
-  rewrite_data_files compaction, expire_snapshots, and the metadata tables
-  (files / snapshots / refs / history / partitions).
+  rewritten), UPDATE, MERGE INTO (composite keys, semi-join file
+  targeting), time travel (snapshot id / timestamp / tag / branch),
+  incremental scan_changes, tags+branches (+max-ref-age retention),
+  schema evolution (add/drop/rename column, type widening — field-id
+  reads), partition evolution (identity/bucket/truncate/year/month/day),
+  sort orders applied at write, SET/UNSET/SHOW TBLPROPERTIES,
+  rewrite_data_files compaction, expire_snapshots, remove_orphan_files,
+  ANALYZE statistics, REFRESH metadata cache, scan reports, and the
+  metadata tables (files / snapshots / refs / history / partitions /
+  all_data_files / all_delete_files / all_entries / all_manifests /
+  metadata_log_entries).
 """
 
 from __future__ import annotations

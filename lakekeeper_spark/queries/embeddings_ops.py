@@ -204,3 +204,59 @@ def s03_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w_topk).cast("int"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# d06: label-free embedding near-dup at scale — LSH blocking + exact verify
+# --------------------------------------------------------------------------
+@register(
+    "d06_dedup_embedding_lsh",
+    oracle=None,  # LSH recall < 1 by construction; pytest-verified vs d05-style exact pairs
+    description="Embedding near-duplicates WITHOUT a blocking label (the "
+    "real 100 TB shape): random-hyperplane LSH buckets generate candidate "
+    "pairs (bucket-join only, no all-pairs stage anywhere), then exact "
+    "quantized cosine verifies. Emitted pairs are all true near-dups; "
+    "recall vs the exact pair set is pytest-bounded.",
+    tags=("dedup", "similarity", "llm", "lsh"),
+)
+def d06_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import _hyperplanes, lsh_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding").alias("d")).limit(1).collect()[0]["d"]
+    tables = _hyperplanes(dim)
+    buckets = emb.select(
+        "vec_id", F.posexplode(lsh_buckets("embedding", tables)).alias("tbl", "bucket")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    n = emb.select("vec_id", "embedding", _dot6("embedding", "embedding").alias("norm6"))
+    na = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm6").alias("norm_a"),
+    )
+    nb = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm6").alias("norm_b"),
+    )
+    cosine = _dot6("emb_a", "emb_b").cast("double") / F.sqrt(
+        F.col("norm_a").cast("double") * F.col("norm_b").cast("double")
+    )
+    return (
+        cand.join(na, "vec_a")
+        .join(nb, "vec_b")
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+    )

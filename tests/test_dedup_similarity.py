@@ -149,3 +149,39 @@ def test_d02_prefix_filter_path_matches_bitmap_path(spark, monkeypatch):
         for r in dedup.d02_dedup_ngram_jaccard(spark, SF_DIR).collect()
     }
     assert bitmap == prefix
+
+
+def test_embedding_lsh_dedup_precision_and_recall(spark):
+    """d06 (label-free LSH near-dup): every emitted pair must be a true
+    >=threshold cosine pair with the exact same score as the brute-force
+    computation; near-identical pairs (cosine >= 0.99) must be caught."""
+    from pyspark.sql import functions as F
+
+    from lakekeeper_spark.data import load_table
+    from lakekeeper_spark.queries.embeddings_ops import (
+        NEAR_DUP_COS,
+        _dot6,
+        d06_dedup_embedding_lsh,
+    )
+
+    # exact all-pairs ground truth (test-only; the operator never does this)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.select("vec_id", "embedding", _dot6("embedding", "embedding").alias("norm6"))
+    a = n.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+                 F.col("norm6").alias("norm_a"))
+    b = n.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+                 F.col("norm6").alias("norm_b"))
+    cosine = _dot6("emb_a", "emb_b").cast("double") / F.sqrt(
+        F.col("norm_a").cast("double") * F.col("norm_b").cast("double"))
+    exact = {(r.vec_a, r.vec_b): r.cosine
+             for r in a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+             .select("vec_a", "vec_b", cosine.alias("cosine"))
+             .filter(F.col("cosine") >= NEAR_DUP_COS).collect()}
+    got = {(r.vec_a, r.vec_b): r.cosine for r in d06_dedup_embedding_lsh(spark, SF_DIR).collect()}
+    # precision 1.0 with identical scores
+    for pair, cos in got.items():
+        assert pair in exact and cos == exact[pair]
+    # near-identical pairs must collide in some bucket
+    strong = {p for p, c in exact.items() if c >= 0.99}
+    if strong:
+        assert len(strong & set(got)) / len(strong) >= 0.9
