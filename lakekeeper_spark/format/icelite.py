@@ -318,12 +318,30 @@ class SparkTable:
         self._invalidate()
         return out
 
-    def append(self, df: DataFrame, branch: str = MAIN) -> dict[str, Any]:
-        meta = self.metadata()
-        new_entries = self._write_files(meta, df)
-        parent = self._resolve_snapshot(meta, ref=branch) if meta["refs"].get(branch) else None
-        manifest = (parent["manifest"] if parent else []) + new_entries
-        return self._commit_snapshot(meta, manifest, "append", branch)
+    def append(
+        self, df: DataFrame, branch: str = MAIN, commit_retries: int = 3
+    ) -> dict[str, Any]:
+        """Append with optimistic-concurrency RETRY: data files are written
+        once; on CommitFailedException the manifest is rebased onto the
+        winner's snapshot and the commit retried (what the Iceberg Spark
+        writer does — appends never conflict logically, only on the
+        assert-ref CAS). Non-append operations surface the conflict to the
+        caller, who must re-derive their rewrite from fresh state."""
+        from ..catalog.catalog import CommitFailedException
+
+        new_entries = self._write_files(self.metadata(), df)
+        last_err: Exception | None = None
+        for _ in range(commit_retries + 1):
+            meta = self.metadata()
+            parent = (
+                self._resolve_snapshot(meta, ref=branch) if meta["refs"].get(branch) else None
+            )
+            manifest = (parent["manifest"] if parent else []) + new_entries
+            try:
+                return self._commit_snapshot(meta, manifest, "append", branch)
+            except CommitFailedException as e:  # lost the CAS race: rebase
+                last_err = e
+        raise last_err
 
     def overwrite(self, df: DataFrame, branch: str = MAIN) -> dict[str, Any]:
         meta = self.metadata()

@@ -460,3 +460,29 @@ def test_widen_column_type_promotion(table, spark):
     assert sorted(r.my_ints for r in table.scan().collect()) == [1, 2, 2**40]
     with pytest.raises(CatalogError):
         table.widen_column("my_floats", "float")  # narrowing forbidden
+
+
+def test_append_auto_retries_commit_conflict(table, spark, monkeypatch):
+    """A losing append rebases its manifest on the winner's snapshot and
+    retries transparently (Iceberg writer behavior); both writers' rows
+    land."""
+    from lakekeeper_spark.catalog.catalog import CommitFailedException
+
+    ddl = "my_ints int, my_floats double, strings string"
+    real_commit = table.catalog.commit_table
+    state = {"raced": False}
+
+    def racing_commit(warehouse, levels, name, requirements, updates, **kw):
+        # first commit attempt loses: a competing writer lands in between
+        if not state["raced"] and any(
+            u.get("action") == "add-snapshot" for u in updates
+        ):
+            state["raced"] = True
+            t2 = SparkTable(spark, table.catalog, warehouse, levels, name)
+            t2.append(spark.createDataFrame([(77, 7.0, "winner")], ddl))
+        return real_commit(warehouse, levels, name, requirements, updates, **kw)
+
+    monkeypatch.setattr(table.catalog, "commit_table", racing_commit)
+    table.append(spark.createDataFrame([(88, 8.0, "loser-retried")], ddl))
+    vals = sorted(r.my_ints for r in table.scan().collect())
+    assert vals == [1, 2, 77, 88]  # both writers' rows present
