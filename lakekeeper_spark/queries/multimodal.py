@@ -220,3 +220,80 @@ FROM vids
 def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _with_payload(docs).mapInPandas(_sample_frames, _M03_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m04: audio chunking — fixed windows with per-chunk energy
+# --------------------------------------------------------------------------
+CHUNK_BYTES = 64  # stand-in for fixed-duration PCM windows
+
+_M04_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("chunk_len", IntegerType()),
+        StructField("energy", DoubleType()),
+    ]
+)
+
+
+def _chunk_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB AUDIO CHUNKER — fixed-size windows over the payload bytes with
+    a mean-byte 'energy' per window. A real implementation decodes PCM
+    (soundfile/ffmpeg) and windows by duration; the 1->N fan-out per Arrow
+    batch and the typed output schema are the production shape."""
+    for pdf in batches:
+        out_doc, out_idx, out_len, out_en = [], [], [], []
+        for doc_id, payload, kind in zip(pdf["doc_id"], pdf["payload"], pdf["kind"]):
+            if kind != "audio":
+                continue
+            data = bytes(payload)
+            for i in range(0, len(data), CHUNK_BYTES):
+                chunk = data[i : i + CHUNK_BYTES]
+                out_doc.append(doc_id)
+                out_idx.append(i // CHUNK_BYTES)
+                out_len.append(len(chunk))
+                out_en.append(sum(chunk) / len(chunk))
+        yield pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "chunk_idx": out_idx,
+                "chunk_len": out_len,
+                "energy": out_en,
+            }
+        )
+
+
+@register(
+    "m04_audio_chunks",
+    oracle=f"""
+WITH audio AS (
+  SELECT doc_id, encode(text) AS payload FROM documents WHERE doc_id % 3 = 1
+),
+chunks AS (
+  SELECT doc_id, payload,
+         CAST(unnest(range(0, CAST(ceil(octet_length(payload) / {CHUNK_BYTES}.0) AS BIGINT)))
+              AS INTEGER) AS chunk_idx
+  FROM audio
+)
+SELECT doc_id, chunk_idx,
+       CAST(least({CHUNK_BYTES}, octet_length(payload) - chunk_idx*{CHUNK_BYTES}) AS INTEGER)
+         AS chunk_len,
+       CAST(list_sum(list_transform(
+              range(chunk_idx*{CHUNK_BYTES} + 1,
+                    chunk_idx*{CHUNK_BYTES} + least({CHUNK_BYTES},
+                      octet_length(payload) - chunk_idx*{CHUNK_BYTES}) + 1),
+              i -> ascii(substring(CAST(payload AS VARCHAR), i, 1)))) AS DOUBLE)
+         / least({CHUNK_BYTES}, octet_length(payload) - chunk_idx*{CHUNK_BYTES})
+         AS energy
+FROM chunks
+""",
+    description="Audio chunking: fixed windows over the payload with "
+    "per-chunk energy, 1->N fan-out in mapInPandas (the pyav/soundfile "
+    "batch shape); stub math keeps it oracle-checkable. ASCII-only corpus "
+    "makes byte arithmetic identical across engines.",
+    tags=("multimodal", "llm", "pandas-udf", "fanout"),
+)
+def m04_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _with_payload(docs).mapInPandas(_chunk_audio, _M04_SCHEMA)

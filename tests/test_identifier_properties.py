@@ -1,0 +1,50 @@
+"""Property tests for identifier folding (case-insensitive, case-preserving
+semantics, reference concepts.md:25-66, ICU und-u-ks-level2 analogue).
+
+Note: the obvious property fold(upper(x)) == fold(lower(x)) is FALSE in
+Unicode itself — e.g. dotless 'ı'.upper() is ASCII 'I', which folds to 'i',
+while 'ı' stays a distinct base letter (exactly as ICU level2 treats it).
+The properties below are the ones the catalog actually relies on.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lakekeeper_spark.catalog import identifiers as ident
+
+names = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc"), blacklist_characters="\x1f"),
+    min_size=1,
+    max_size=24,
+).filter(lambda s: s.strip())
+
+
+@settings(max_examples=200, deadline=None)
+@given(names)
+def test_fold_idempotent_and_matches_casefold_equivalence(name):
+    # idempotence: folding a folded key changes nothing (lookups stable)
+    assert ident.fold(name) == ident.fold(ident.fold(name))
+    # two spellings collide iff they casefold equal (ICU level2 analogue)
+    assert (ident.fold(name) == ident.fold(name.casefold())) is True
+
+
+@settings(max_examples=200, deadline=None)
+@given(names)
+def test_simple_case_variants_collide(name):
+    # for strings whose upper/lower round-trip (all real-world table names),
+    # case variants must map to one key
+    if name.upper().lower() == name.lower():
+        assert ident.fold(name.upper()) == ident.fold(name.lower())
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(names, min_size=1, max_size=4))
+def test_ns_key_structure(levels):
+    assert ident.ns_key(levels) == ident.ns_key(list(levels))
+    assert ident.ns_key(levels) != ident.ns_key([*levels, "extra"])
+    # per-level case variations collide (case-insensitive identifiers)
+    assert ident.ns_key([x.casefold() for x in levels]) == ident.ns_key(levels)
+    # round-trip of the stored (preserved) form
+    assert ident.ns_load(ident.ns_store(levels)) == tuple(levels)
