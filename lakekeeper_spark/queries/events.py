@@ -378,3 +378,97 @@ def e04_user_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("user_value"), F.asc("user_id"))
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# e07: funnel analysis — ordered stage conversion per user
+# --------------------------------------------------------------------------
+@register(
+    "e07_funnel",
+    oracle="""
+WITH stages AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS stage_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+FROM stages
+""",
+    description="Funnel conversion: users whose FIRST view precedes their "
+    "first click precedes their first purchase (strict event-order "
+    "funnel). One conditional-min aggregate per user — a single shuffle, "
+    "map-side combinable; no sessionization or self-join needed.",
+    tags=("events", "funnel", "analytics"),
+)
+def e07_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stage = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_ns"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts_ns"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_ns"))).alias(
+            "t_purchase"
+        ),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(reached_view.cast("int")).cast("long").alias("stage_view"),
+        F.sum(reached_click.cast("int")).cast("long").alias("stage_click"),
+        F.sum(reached_purchase.cast("int")).cast("long").alias("stage_purchase"),
+    )
+
+
+# --------------------------------------------------------------------------
+# e08: retention cohorts — activity by (first-seen week, weeks since)
+# --------------------------------------------------------------------------
+NANOS_PER_WEEK = 7 * 24 * 3_600_000_000_000
+
+
+@register(
+    "e08_retention_cohorts",
+    oracle=f"""
+WITH first_seen AS (
+  SELECT user_id, MIN(epoch_ns(ts)) // {NANOS_PER_WEEK} AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(epoch_ns(e.ts) // {NANOS_PER_WEEK} - f.cohort_week AS BIGINT)
+         AS weeks_since,
+       COUNT(DISTINCT e.user_id) AS active_users,
+       COUNT(*) AS n_events
+FROM events e JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+""",
+    description="Retention cohort matrix: users bucketed by first-seen "
+    "week, activity counted per (cohort, weeks-since-cohort). The "
+    "first-seen dimension is itself an aggregate of the fact table — "
+    "broadcast back into the scan, so the plan is agg + broadcast join + "
+    "agg with no fact-to-fact shuffle.",
+    tags=("events", "retention", "analytics"),
+)
+def e08_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.col("ts_ns") / F.lit(NANOS_PER_WEEK)).cast("long")
+    first_seen = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    return (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .groupBy(
+            "cohort_week",
+            (week - F.col("cohort_week")).alias("weeks_since"),
+        )
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
