@@ -574,3 +574,63 @@ def q12a_ship_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# w04: exact median via positional selection (no engine-specific quantile)
+# --------------------------------------------------------------------------
+@register(
+    "w04_median_order_value",
+    oracle="""
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS price2,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT),
+                                     o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN rn IN ((n+1)//2, (n+2)//2) THEN price2 ELSE 0 END)
+            AS DOUBLE)
+         / (CASE WHEN (n+1)//2 = (n+2)//2 THEN 1 ELSE 2 END) / 100
+         AS median_value
+FROM ranked
+GROUP BY o_orderpriority, n
+""",
+    description="Exact per-group median computed by POSITIONAL selection "
+    "(row_number over scaled integers, average the middle one/two) — "
+    "engine-agnostic, unlike percentile/quantile built-ins whose "
+    "interpolation differs across engines. One shuffle per group for the "
+    "rank window; at scale the same answer comes from two passes "
+    "(count, then select by position).",
+    tags=("analytics", "window", "statistics"),
+)
+def w04_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price2 = F.round(F.col("o_totalprice") * 100).cast("long")
+    w_rank = Window.partitionBy("o_orderpriority").orderBy("price2", "o_orderkey")
+    w_all = Window.partitionBy("o_orderpriority")
+    ranked = (
+        o.select("o_orderpriority", "o_orderkey", price2.alias("price2"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+    )
+    lo = F.expr("(n+1) div 2")
+    hi = F.expr("(n+2) div 2")
+    mid = F.when(F.col("rn").isin(lo, hi), F.col("price2")).otherwise(F.lit(0))
+    return (
+        ranked.groupBy("o_orderpriority", "n")
+        .agg(F.sum(mid).alias("mid_sum"))
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n_orders"),
+            (
+                F.col("mid_sum").cast("double")
+                / F.when(lo == hi, 1).otherwise(2)
+                / F.lit(100)
+            ).alias("median_value"),
+        )
+    )

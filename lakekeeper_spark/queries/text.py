@@ -337,3 +337,61 @@ def p01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("sum_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t07: skip-gram pair generation (word2vec-style co-occurrence counts)
+# --------------------------------------------------------------------------
+SKIPGRAM_WINDOW = 2  # tokens within +-2 positions form a (center, context) pair
+TOP_PAIRS = 50
+
+
+@register(
+    "t07_skipgram_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, t.token, t.pos
+  FROM documents,
+       LATERAL (SELECT unnest(regexp_extract_all(lower(text), '{WORD_RE}')) AS token,
+                       generate_subscripts(regexp_extract_all(lower(text), '{WORD_RE}'), 1) AS pos) t
+)
+SELECT a.token AS center, b.token AS context, COUNT(*) AS n
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id
+ AND b.pos BETWEEN a.pos - {SKIPGRAM_WINDOW} AND a.pos + {SKIPGRAM_WINDOW}
+ AND a.pos != b.pos
+GROUP BY a.token, b.token
+ORDER BY n DESC, center, context
+LIMIT {TOP_PAIRS}
+""",
+    description="Skip-gram (center, context) pair counts within a +-2 "
+    "token window — the co-occurrence statistics embedding trainers "
+    "consume. Positional self-join per document, grouped count; documents "
+    "are independent so the join key is (doc_id) and pair fan-out is "
+    "bounded by 2*window per token. Top pairs with deterministic "
+    "tie-break.",
+    tags=("text", "llm", "skipgram"),
+)
+def t07_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0))
+        ).alias("pos0", "token"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    a = toks.alias("a")
+    b = toks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") >= F.col("a.pos") - SKIPGRAM_WINDOW)
+            & (F.col("b.pos") <= F.col("a.pos") + SKIPGRAM_WINDOW)
+            & (F.col("a.pos") != F.col("b.pos")),
+        )
+        .groupBy(F.col("a.token").alias("center"), F.col("b.token").alias("context"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("center"), F.asc("context"))
+        .limit(TOP_PAIRS)
+    )
