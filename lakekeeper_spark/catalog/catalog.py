@@ -126,6 +126,10 @@ class Catalog:
         return [r["name"] for r in self.store.query("SELECT name FROM warehouses ORDER BY wh_key")]
 
     def warehouse_statistics(self, warehouse: str) -> dict[str, Any]:
+        """Current table/view counts; also lazily rolls the HOURLY stats
+        row for this hour (reference: hourly lazily-rolled statistics,
+        api/management/v1/warehouse/mod.rs:361-374 — a row per hour is
+        created/updated when statistics are requested, not by a cron)."""
         wh = self._warehouse(warehouse)
         row = self.store.one(
             "SELECT SUM(CASE WHEN kind='table' THEN 1 ELSE 0 END) AS n_tables,"
@@ -133,11 +137,38 @@ class Catalog:
             " FROM tabulars WHERE wh_key=? AND deleted_ms IS NULL",
             (wh["wh_key"],),
         )
+        n_tables, n_views = row["n_tables"] or 0, row["n_views"] or 0
+        hour = now_ms() // 3_600_000
+        self.store.execute(
+            "INSERT INTO warehouse_stats_history (wh_key, hour, n_tables, n_views,"
+            " updated_ms) VALUES (?,?,?,?,?)"
+            " ON CONFLICT(wh_key, hour) DO UPDATE SET"
+            " n_tables=excluded.n_tables, n_views=excluded.n_views,"
+            " updated_ms=excluded.updated_ms",
+            (wh["wh_key"], hour, n_tables, n_views, now_ms()),
+        )
         return {
-            "number-of-tables": row["n_tables"] or 0,
-            "number-of-views": row["n_views"] or 0,
+            "number-of-tables": n_tables,
+            "number-of-views": n_views,
             "timestamp-ms": now_ms(),
         }
+
+    def warehouse_statistics_history(self, warehouse: str) -> list[dict[str, Any]]:
+        """The rolled hourly series (GetWarehouseStatistics list form)."""
+        wh = self._warehouse(warehouse)
+        return [
+            {
+                "hour": r["hour"],
+                "number-of-tables": r["n_tables"],
+                "number-of-views": r["n_views"],
+                "updated-ms": r["updated_ms"],
+            }
+            for r in self.store.query(
+                "SELECT hour, n_tables, n_views, updated_ms FROM"
+                " warehouse_stats_history WHERE wh_key=? ORDER BY hour",
+                (wh["wh_key"],),
+            )
+        ]
 
     # ================= namespaces =================
     def create_namespace(

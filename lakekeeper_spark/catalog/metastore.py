@@ -71,6 +71,10 @@ CREATE TABLE IF NOT EXISTS endpoint_stats (
   endpoint TEXT NOT NULL, wh_key TEXT, hour INTEGER NOT NULL,
   status INTEGER NOT NULL, count INTEGER NOT NULL DEFAULT 0,
   PRIMARY KEY (endpoint, wh_key, hour, status));
+CREATE TABLE IF NOT EXISTS warehouse_stats_history (
+  wh_key TEXT NOT NULL, hour INTEGER NOT NULL,
+  n_tables INTEGER NOT NULL, n_views INTEGER NOT NULL,
+  updated_ms INTEGER NOT NULL, PRIMARY KEY (wh_key, hour));
 CREATE TABLE IF NOT EXISTS metrics_reports (
   seq INTEGER PRIMARY KEY AUTOINCREMENT, ts_ms INTEGER NOT NULL,
   wh_key TEXT NOT NULL, entity TEXT NOT NULL, report_type TEXT NOT NULL,

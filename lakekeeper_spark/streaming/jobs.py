@@ -354,3 +354,74 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["text_md5"])
     )
     return _run_to_memory(stream, "append")
+
+
+# --------------------------------------------------------------------------
+# st05: stream-stream join — clicks joined to subsequent purchases
+# --------------------------------------------------------------------------
+JOIN_HORIZON_MIN = 60  # purchase within 1h after the click
+
+
+@register(
+    "st05_stream_stream_join",
+    oracle=f"""
+WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS t_click
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS t_purchase
+      FROM events WHERE event_type = 'purchase')
+SELECT c.user_id,
+       COUNT(*) AS n_pairs,
+       CAST(SUM((p.t_purchase - c.t_click) // 1000000) AS BIGINT) AS sum_lag_s
+FROM c JOIN p
+  ON c.user_id = p.user_id
+ AND p.t_purchase > c.t_click
+ AND p.t_purchase <= c.t_click + {JOIN_HORIZON_MIN * 60 * 1000000}
+GROUP BY c.user_id
+""",
+    description="Stream-stream inner join with event-time range bounds: "
+    "each click joined to that user's purchases in the following hour. "
+    "Both sides carry watermarks, so Spark bounds the join state to the "
+    "time horizon per side (state = one hour of clicks + purchases per "
+    "user shard) instead of buffering the streams forever. Drained with "
+    "availableNow; aggregated batch-side for a deterministic oracle.",
+    tags=("streaming", "events", "stream-stream-join"),
+)
+def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(_stage_stream_dir(sf_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    clicks = (
+        raw.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("t_click"),
+        )
+        .withWatermark("t_click", "1 hour")
+    )
+    purchases = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("t_purchase"),
+        )
+        .withWatermark("t_purchase", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""c_user = p_user
+             AND t_purchase > t_click
+             AND t_purchase <= t_click + INTERVAL {JOIN_HORIZON_MIN} MINUTES"""
+        ),
+    )
+    sunk = _run_to_memory(joined, "append")
+    return sunk.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.expr("(unix_micros(t_purchase) - unix_micros(t_click)) div 1000000")
+        ).alias("sum_lag_s"),
+    )

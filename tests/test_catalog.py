@@ -485,3 +485,18 @@ def test_read_view_executes_sql(catalog, spark):
     out = read_view(spark, catalog, "wh", ["vx"], "my_view")
     assert out.columns == ["my_floats", "my_ints"]
     assert out.count() == 1
+
+
+def test_warehouse_statistics_hourly_roll(catalog):
+    """Statistics requests lazily roll an hourly history row (reference
+    warehouse/mod.rs:361-374); repeated calls in one hour update in place."""
+    catalog.create_namespace("wh", ["sns"])
+    catalog.create_table("wh", ["sns"], "t1", SCHEMA)
+    s1 = catalog.warehouse_statistics("wh")
+    assert s1["number-of-tables"] == 1
+    catalog.create_table("wh", ["sns"], "t2", SCHEMA)
+    s2 = catalog.warehouse_statistics("wh")
+    assert s2["number-of-tables"] == 2
+    hist = catalog.warehouse_statistics_history("wh")
+    assert len(hist) == 1  # same hour: updated in place
+    assert hist[0]["number-of-tables"] == 2
