@@ -634,3 +634,82 @@ def w04_median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("median_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# w05: pivot — event counts per user bucket x event type
+# --------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "w05_pivot_event_matrix",
+    oracle=f"""
+SELECT user_id % 10 AS user_bucket,
+       {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
+FROM events
+GROUP BY user_id % 10
+""",
+    description="PIVOT (long->wide): event counts per user bucket spread "
+    "into one column per event type. Spark's pivot with explicit values "
+    "compiles to the same single-shuffle conditional aggregation as the "
+    "oracle's CASE sums - no second pass to discover pivot values.",
+    tags=("analytics", "pivot"),
+)
+def w05_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "user_bucket",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
+    )
+
+
+# --------------------------------------------------------------------------
+# q23: set operations — INTERSECT / EXCEPT over yearly customer cohorts
+# --------------------------------------------------------------------------
+@register(
+    "q23_customer_setops",
+    oracle="""
+WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'),
+y98 AS (SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01')
+SELECT 'retained' AS segment, COUNT(*) AS n FROM (SELECT * FROM y97 INTERSECT SELECT * FROM y98) t
+UNION ALL
+SELECT 'churned', COUNT(*) FROM (SELECT * FROM y97 EXCEPT SELECT * FROM y98) t
+UNION ALL
+SELECT 'new', COUNT(*) FROM (SELECT * FROM y98 EXCEPT SELECT * FROM y97) t
+""",
+    description="Set operators (INTERSECT / EXCEPT) over yearly customer "
+    "cohorts: retained / churned / new counts. Spark plans these as "
+    "left-semi/left-anti hash joins over the deduplicated key sets.",
+    tags=("analytics", "setops"),
+)
+def q23_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def cohort(year: int):
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= f"{year}-01-01")
+                & (F.col("o_orderdate") < f"{year + 1}-01-01")
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y97, y98 = cohort(1997), cohort(1998)
+    rows = [
+        ("retained", y97.intersect(y98).count()),
+        ("churned", y97.exceptAll(y98).count()),
+        ("new", y98.exceptAll(y97).count()),
+    ]
+    return spark.createDataFrame(rows, "segment string, n long")
