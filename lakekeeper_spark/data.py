@@ -53,6 +53,9 @@ def _maybe_parallelize(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # every registry query passes through here, so an ambient (driver-owned)
+    # session picks up the runtime confs (UTC tz, AQE) on first table load
+    ensure_runtime_confs(spark)
     if name == "events":
         return load_events(spark, sf_dir)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
