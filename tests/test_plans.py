@@ -1,0 +1,65 @@
+"""Physical-plan regression guards: the load-bearing plan shapes documented
+in PLANS.md, asserted so future changes can't silently degrade them."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_pushdown_and_partial_agg(spark):
+    from lakekeeper_spark.queries.analytics import q01_pricing_summary
+
+    plan = _plan(q01_pricing_summary(spark, SF_DIR))
+    # date predicate reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # column pruning: the scan must not read join keys the query never uses
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_orderkey" not in read_schema
+    # two-phase aggregation (partial + final)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q03_broadcasts_dimensions(spark):
+    from lakekeeper_spark.queries.analytics import q03_shipping_priority
+
+    plan = _plan(q03_shipping_priority(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact side must never shuffle-join
+    # selective dimension predicate pushed into its own scan
+    assert "c_mktsegment" in plan
+
+
+def test_a01_asof_is_single_window_no_join(spark):
+    from lakekeeper_spark.queries.events import a01_asof_join
+
+    plan = _plan(a01_asof_join(spark, SF_DIR))
+    assert "Window" in plan
+    assert "Join" not in plan  # merge as-of, not a range self-join
+    assert "PushedFilters" in plan  # event-type filter reaches the scan
+
+
+def test_r01_range_join_is_broadcast_nested_loop(spark):
+    from lakekeeper_spark.queries.analytics2 import r01_range_band_join
+
+    plan = _plan(r01_range_band_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_e02_native_timestamp_scan(spark):
+    from lakekeeper_spark.queries.events import e02_hourly_rollup
+
+    plan = _plan(e02_hourly_rollup(spark, SF_DIR))
+    # events read natively from parquet (no driver-side materialized scan)
+    assert "Scan parquet" in plan and "ts" in plan
+    assert "ExistingRDD" not in plan and "LocalTableScan" not in plan
