@@ -395,3 +395,39 @@ def t07_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("center"), F.asc("context"))
         .limit(TOP_PAIRS)
     )
+
+
+# --------------------------------------------------------------------------
+# t08: redaction / scrubbing — replace sensitive patterns, count hits
+# --------------------------------------------------------------------------
+NUM_RUN_RE = "[0-9]+"  # stand-in for PII patterns (emails/phones/ids)
+REDACTED = "<NUM>"
+
+
+@register(
+    "t08_redact_patterns",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{NUM_RUN_RE}')) AS n_redactions,
+       length(regexp_replace(text, '{NUM_RUN_RE}', '{REDACTED}', 'g'))
+         AS redacted_len,
+       md5(regexp_replace(text, '{NUM_RUN_RE}', '{REDACTED}', 'g'))
+         AS redacted_md5
+FROM documents
+""",
+    description="Scrubbing pass of a training-data pipeline: replace "
+    "sensitive pattern matches (digit runs standing in for emails/phones/"
+    "ids) and count redactions per document. Pure JVM regexp_replace/"
+    "regexp_count - narrow, codegen, zero shuffle; the output digest "
+    "proves byte-identical redaction across engines.",
+    tags=("text", "llm", "redaction"),
+)
+def t08_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace("text", NUM_RUN_RE, REDACTED)
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(NUM_RUN_RE)).alias("n_redactions"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(F.encode(redacted, "UTF-8")).alias("redacted_md5"),
+    )
