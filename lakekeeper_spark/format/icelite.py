@@ -53,6 +53,48 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+def _bounds_overlap(entry: dict[str, Any], stats_filter: dict[str, tuple]) -> bool:
+    """Keep the file unless some filtered column's bounds are disjoint with
+    the requested [lo, hi] range. Missing bounds keep the file (safe)."""
+    bounds = entry.get("bounds") or {}
+    for col, (lo, hi) in stats_filter.items():
+        b = bounds.get(col)
+        if b is None:
+            continue
+        bmin, bmax = b
+        if (hi is not None and bmin > hi) or (lo is not None and bmax < lo):
+            return False
+    return True
+
+
+def _file_bounds(md) -> dict[str, list]:
+    """Per-column [min, max] from the parquet footer (Iceberg manifests
+    carry lower/upper bounds per data file; this is the icelite analogue).
+    Only JSON-safe scalar stats are kept — enough for numeric/string
+    range skipping."""
+    bounds: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                continue
+            if not isinstance(lo, (int, float, str)) or not isinstance(
+                hi, (int, float, str)
+            ):
+                continue
+            name = col.path_in_schema
+            if name in bounds:
+                bounds[name] = [min(bounds[name][0], lo), max(bounds[name][1], hi)]
+            else:
+                bounds[name] = [lo, hi]
+    return bounds
+
+
 class SparkTable:
     """Handle to one icelite table: Spark for data, Catalog for metadata."""
 
@@ -265,6 +307,7 @@ class SparkTable:
                     "record-count": md.num_rows,
                     "partition": partition,
                     "schema-id": meta["current-schema-id"],
+                    "bounds": _file_bounds(md),
                 }
             )
         return entries
@@ -354,11 +397,18 @@ class SparkTable:
         ref: str | None = None,
         as_of_ms: int | None = None,
         partition_filter: dict[str, Any] | None = None,
+        stats_filter: dict[str, tuple] | None = None,
         use_cache: bool = False,
     ) -> DataFrame:
         """Read the table at a snapshot. `partition_filter` prunes manifest
         entries by partition value BEFORE any file is opened — the
-        catalog-side analogue of Iceberg partition pruning. With
+        catalog-side analogue of Iceberg partition pruning.
+        ``stats_filter`` = {col: (lo, hi)} additionally skips files whose
+        footer min/max bounds are disjoint with the range (Iceberg
+        lower/upper-bound file skipping; files without bounds for the
+        column are kept, never wrongly skipped). The same range should
+        also be applied as a .filter for row-level exactness — the
+        stats_filter only controls which FILES open. With
         ``use_cache=True`` the scan plans against this handle's cached
         metadata (stale until refresh(); see metadata_cached)."""
         meta = self.metadata_cached() if use_cache else self.metadata()
@@ -379,6 +429,8 @@ class SparkTable:
                 for e in entries
                 if all(str(e["partition"].get(k)) == str(v) for k, v in partition_filter.items())
             ]
+        if entries and stats_filter:
+            entries = [e for e in entries if _bounds_overlap(e, stats_filter)]
         self._report_scan(snap, partition_filter, entries, total)
         if not entries:
             return self.spark.createDataFrame([], struct)

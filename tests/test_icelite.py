@@ -486,3 +486,29 @@ def test_append_auto_retries_commit_conflict(table, spark, monkeypatch):
     table.append(spark.createDataFrame([(88, 8.0, "loser-retried")], ddl))
     vals = sorted(r.my_ints for r in table.scan().collect())
     assert vals == [1, 2, 77, 88]  # both writers' rows present
+
+
+def test_stats_filter_file_skipping(spark, catalog):
+    """Min/max file skipping: range-clustered files whose bounds are
+    disjoint with the filter never open; results stay exact."""
+    from lakekeeper_spark.format.types import struct_to_schema
+
+    catalog.create_namespace("wh", ["skipns"])
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(100)], "k int, s string")
+    catalog.create_table("wh", ["skipns"], "t", struct_to_schema(df.schema))
+    t = SparkTable(spark, catalog, "wh", ["skipns"], "t")
+    # range-cluster into 4 files: k-bounds are disjoint per file
+    t.append(df.repartitionByRange(4, "k"))
+    entries = t.metadata()["snapshots"][0]["manifest"]
+    assert len(entries) == 4
+    assert all("k" in e["bounds"] for e in entries)
+    # filter touching one file's range
+    pruned = t.scan(stats_filter={"k": (10, 15)})
+    rows = sorted(r.k for r in pruned.filter("k BETWEEN 10 AND 15").collect())
+    assert rows == list(range(10, 16))
+    # scan report proves files were skipped
+    report = catalog.list_metrics_reports("wh", ["skipns"], "t")[-1]["report"]
+    assert report["skipped-data-files"] >= 2
+    assert report["result-data-files"] <= 2
+    # a filter outside every file's range opens nothing
+    assert t.scan(stats_filter={"k": (1000, 2000)}).count() == 0
