@@ -269,13 +269,20 @@ class SparkTable:
         )
 
     # ---------------- write paths ----------------
-    def _write_files(self, meta: dict[str, Any], df: DataFrame) -> list[dict[str, Any]]:
+    def _write_files(
+        self, meta: dict[str, Any], df: DataFrame, distribute: bool = True
+    ) -> list[dict[str, Any]]:
         """Write df as parquet data files; returns manifest entries.
 
         Applies the table's default sort order via sortWithinPartitions —
         a per-task sort, no shuffle — so every data file is internally
-        clustered (what Iceberg writers do with a table sort order; enables
-        min/max-stat file skipping at scale)."""
+        clustered. With table property ``write.distribution-mode=range``
+        (Iceberg's range distribution) the rows are additionally
+        repartitionByRange'd on the sort columns first, so files hold
+        DISJOINT value ranges and the manifest bounds make stats_filter
+        file skipping maximally effective. Maintenance rewrites
+        (compaction) pass ``distribute=False`` to keep their explicit
+        file-count targets."""
         commit_id = uuid.uuid4().hex
         out_dir = f"{meta['location']}/data/{commit_id}"
         partcols = self._partition_columns(meta)
@@ -284,6 +291,13 @@ class SparkTable:
             writer_df = writer_df.withColumn(pname, pcol)
         sort_cols = self._sort_columns(meta)
         if sort_cols:
+            mode = meta.get("properties", {}).get("write.distribution-mode", "none")
+            if distribute and mode == "range":
+                # explicit partition count = incoming parallelism: keeps
+                # AQE from coalescing tiny test data to one file while
+                # preserving data-proportional file counts at scale
+                nparts = max(df.rdd.getNumPartitions(), 1)
+                writer_df = writer_df.repartitionByRange(nparts, *sort_cols)
             writer_df = writer_df.sortWithinPartitions(*sort_cols)
         writer = writer_df.write.mode("overwrite")
         if partcols:
@@ -883,7 +897,7 @@ class SparkTable:
         if snap is None or not snap["manifest"]:
             raise CatalogError("nothing to compact")
         df = self.scan().coalesce(target_files)
-        entries = self._write_files(meta, df)
+        entries = self._write_files(meta, df, distribute=False)
         return self._commit_snapshot(
             meta, entries, "replace", extra_summary={"compacted-from": len(snap["manifest"])}
         )
@@ -1007,11 +1021,19 @@ class SparkTable:
         meta = self.metadata()
         snap = self._resolve_snapshot(meta)
         rows = [
-            (e["path"], e["file-size-in-bytes"], e["record-count"], str(e.get("partition", {})))
+            (
+                e["path"],
+                e["file-size-in-bytes"],
+                e["record-count"],
+                str(e.get("partition", {})),
+                str(e.get("bounds", {})),
+            )
             for e in (snap["manifest"] if snap else [])
         ]
         return self.spark.createDataFrame(
-            rows, "file_path string, file_size_in_bytes long, record_count long, partition string"
+            rows,
+            "file_path string, file_size_in_bytes long, record_count long,"
+            " partition string, bounds string",
         )
 
     def snapshots(self) -> DataFrame:

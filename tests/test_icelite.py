@@ -512,3 +512,27 @@ def test_stats_filter_file_skipping(spark, catalog):
     assert report["result-data-files"] <= 2
     # a filter outside every file's range opens nothing
     assert t.scan(stats_filter={"k": (1000, 2000)}).count() == 0
+
+
+def test_range_distribution_mode(spark, catalog):
+    """write.distribution-mode=range + a sort order produces files with
+    DISJOINT sort-key ranges; compaction still honors its file target."""
+    from lakekeeper_spark.format.types import struct_to_schema
+
+    catalog.create_namespace("wh", ["rdns"])
+    df = spark.createDataFrame([(i, float(i)) for i in range(200)], "k int, v double")
+    catalog.create_table("wh", ["rdns"], "t", struct_to_schema(df.schema),
+                         properties={"write.distribution-mode": "range"})
+    t = SparkTable(spark, catalog, "wh", ["rdns"], "t")
+    t.replace_sort_order([{"source-name": "k", "transform": "identity",
+                           "direction": "asc", "null-order": "nulls-first"}])
+    t.append(df.repartition(5))  # deliberately unclustered input
+    entries = [e for e in t.metadata()["snapshots"][-1]["manifest"]]
+    ranges = sorted((e["bounds"]["k"][0], e["bounds"]["k"][1]) for e in entries)
+    assert len(ranges) > 1
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file ranges must be disjoint under range distribution"
+    # compaction overrides distribution with its explicit file target
+    t.rewrite_data_files(target_files=1)
+    assert t.files().count() == 1
+    assert t.scan().count() == 200
