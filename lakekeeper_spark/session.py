@@ -53,6 +53,11 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     for key, value in [
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
+        # a bare session defaults to 200 shuffle partitions; AQE coalesces
+        # those for batch plans but CANNOT for stateful streaming (state
+        # partitioning is fixed at the first checkpoint), so pin a count
+        # sized to this machine
+        ("spark.sql.shuffle.partitions", str(max(default_parallelism(), 32))),
     ]:
         try:
             spark.conf.set(key, value)
