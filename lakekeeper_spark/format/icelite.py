@@ -53,6 +53,22 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+def _zvalue_expr(cols: list[str], bits: int = 21) -> str:
+    """Morton/Z-value of up to 3 non-negative integer columns as a pure
+    JVM expression: bit b of column i lands at position b*len(cols)+i.
+    21 bits per column keeps 3 columns inside a signed 64-bit long."""
+    if not 1 <= len(cols) <= 3:
+        raise CatalogError("zorder_by takes 1-3 columns")
+    n = len(cols)
+    terms = [
+        f"shiftleft(CAST(shiftright(CAST({c} AS BIGINT), {b}) & 1 AS BIGINT),"
+        f" {b * n + i})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _bounds_overlap(entry: dict[str, Any], stats_filter: dict[str, tuple]) -> bool:
     """Keep the file unless some filtered column's bounds are disjoint with
     the requested [lo, hi] range. Missing bounds keep the file (safe)."""
@@ -889,17 +905,41 @@ class SparkTable:
         )
 
     # ---------------- maintenance ----------------
-    def rewrite_data_files(self, target_files: int = 1) -> dict[str, Any]:
+    def rewrite_data_files(
+        self, target_files: int = 1, zorder_by: list[str] | None = None
+    ) -> dict[str, Any]:
         """Compaction parity with CALL system.rewrite_data_files
-        (reference test_spark.py:710-738: N files -> 1)."""
+        (reference test_spark.py:710-738: N files -> 1). With
+        ``zorder_by``, rows are re-clustered on the interleaved-bit
+        Z-value of the given integer columns before the rewrite
+        (OPTIMIZE ... ZORDER BY): every output file then covers a small
+        HYPER-RECTANGLE of the key space, so min/max file skipping works
+        on ALL the z-ordered columns at once instead of only the leading
+        sort column."""
         meta = self.metadata()
         snap = self._resolve_snapshot(meta)
         if snap is None or not snap["manifest"]:
             raise CatalogError("nothing to compact")
-        df = self.scan().coalesce(target_files)
+        df = self.scan()
+        if zorder_by:
+            z = F.expr(_zvalue_expr(zorder_by))
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(target_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.coalesce(target_files)
         entries = self._write_files(meta, df, distribute=False)
         return self._commit_snapshot(
-            meta, entries, "replace", extra_summary={"compacted-from": len(snap["manifest"])}
+            meta,
+            entries,
+            "replace",
+            extra_summary={
+                "compacted-from": len(snap["manifest"]),
+                **({"zorder-by": zorder_by} if zorder_by else {}),
+            },
         )
 
     def expire_snapshots(self, older_than_ms: int, retain_last: int = 1) -> list[int]:

@@ -536,3 +536,31 @@ def test_range_distribution_mode(spark, catalog):
     t.rewrite_data_files(target_files=1)
     assert t.files().count() == 1
     assert t.scan().count() == 200
+
+
+def test_zorder_rewrite_clusters_both_columns(spark, catalog):
+    """OPTIMIZE ZORDER: after a z-order rewrite into 4 files, every file
+    covers a small hyper-rectangle - per-file bounds shrink on BOTH
+    z-ordered columns (a plain sort only clusters the leading column)."""
+    import random
+
+    from lakekeeper_spark.format.types import struct_to_schema
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(256), rng.randrange(256)) for _ in range(2000)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    catalog.create_namespace("wh", ["zns"])
+    catalog.create_table("wh", ["zns"], "t", struct_to_schema(df.schema))
+    t = SparkTable(spark, catalog, "wh", ["zns"], "t")
+    t.append(df.repartition(4))  # unclustered baseline
+    t.rewrite_data_files(target_files=4, zorder_by=["x", "y"])
+    meta = t.metadata()
+    snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"])
+    assert snap["summary"]["zorder-by"] == ["x", "y"]
+    entries = snap["manifest"]
+    assert len(entries) == 4
+    for col in ("x", "y"):
+        spans = [e["bounds"][col][1] - e["bounds"][col][0] for e in entries]
+        # each file spans well under the global 0..255 range on BOTH dims
+        assert sum(spans) / len(spans) <= 0.75 * 255, (col, spans)
+    assert t.scan().count() == 2000  # data intact
