@@ -472,3 +472,66 @@ def e08_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e09: NATIVE VariantType — parse_json / variant_get / try_variant_get
+# --------------------------------------------------------------------------
+@register(
+    "e09_variant_native",
+    oracle="""
+WITH shaped AS (
+  SELECT '{"k": ' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+         || ', "meta": {"type": "' || event_type || '", "vals": ['
+         || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR) || ', '
+         || CAST(2*CAST(json_extract_string(props, '$.k') AS BIGINT) AS VARCHAR)
+         || ']}}' AS j
+  FROM events
+)
+SELECT json_extract_string(j, '$.meta.type') AS rtype,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(j, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(j, '$.meta.vals[1]') AS BIGINT)) AS BIGINT)
+         AS sum_vals1,
+       COUNT(json_extract_string(j, '$.absent')) AS n_absent
+FROM shaped
+GROUP BY 1
+""",
+    description="True Spark VariantType (SURVEY §2.1 #20, reference "
+    "test_spark.py:1343-1570): parse_json builds a VARIANT column, "
+    "variant_get extracts typed values through nested object AND array "
+    "paths ($.meta.vals[1]), try_variant_get returns NULL for missing "
+    "paths — the native binary-variant encoding, not a string fallback.",
+    tags=("events", "variant", "json"),
+)
+def e09_variant_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    j = F.concat(
+        F.lit('{"k": '),
+        k.cast("string"),
+        F.lit(', "meta": {"type": "'),
+        F.col("event_type"),
+        F.lit('", "vals": ['),
+        k.cast("string"),
+        F.lit(", "),
+        (k * 2).cast("string"),
+        F.lit("]}}"),
+    )
+    v = F.parse_json(j)  # a real VariantType column
+    return (
+        ev.withColumn("v", v)
+        .select(
+            F.expr("variant_get(v, '$.meta.type', 'string')").alias("rtype"),
+            F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+            F.expr("variant_get(v, '$.meta.vals[1]', 'long')").alias("v1"),
+            F.expr("try_variant_get(v, '$.absent', 'string')").alias("absent"),
+        )
+        .groupBy("rtype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum("v1").alias("sum_vals1"),
+            F.count("absent").alias("n_absent"),
+        )
+    )
