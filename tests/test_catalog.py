@@ -500,3 +500,17 @@ def test_warehouse_statistics_hourly_roll(catalog):
     hist = catalog.warehouse_statistics_history("wh")
     assert len(hist) == 1  # same hour: updated in place
     assert hist[0]["number-of-tables"] == 2
+
+
+def test_pick_tasks_exclusive_and_ordered(catalog):
+    """A picked (running) task is never handed out twice; due tasks drain
+    in scheduled order."""
+    st = catalog.store
+    ids = [st.enqueue_task("exq", {"i": i}) for i in range(5)]
+    first = st.pick_tasks("exq", limit=3)
+    second = st.pick_tasks("exq", limit=10)
+    got1 = {t["task_id"] for t in first}
+    got2 = {t["task_id"] for t in second}
+    assert got1.isdisjoint(got2)
+    assert got1 | got2 == set(ids)
+    assert st.pick_tasks("exq", limit=10) == []  # all running now

@@ -1,0 +1,43 @@
+"""Regenerate the physical-plan evidence behind PLANS.md.
+
+Usage: python tools/explain.py [query ...]   (default: the PLANS.md set)
+Prints each query's `explain("formatted")` output.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lakekeeper_spark.registry import load_registry  # noqa: E402
+from lakekeeper_spark.session import get_session  # noqa: E402
+
+DEFAULT = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "e02_hourly_rollup",
+    "a01_asof_join",
+    "d03_dedup_minhash_lsh",
+    "r01_range_band_join",
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT
+    spark = get_session("explain")
+    reg = load_registry()
+    for name in names:
+        df = reg[name].spark_fn(spark, "/root/testdata/sf0.01")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        print("=" * 30, name)
+        print(buf.getvalue())
+
+
+if __name__ == "__main__":
+    main()
