@@ -564,3 +564,21 @@ def test_zorder_rewrite_clusters_both_columns(spark, catalog):
         # each file spans well under the global 0..255 range on BOTH dims
         assert sum(spans) / len(spans) <= 0.75 * 255, (col, spans)
     assert t.scan().count() == 2000  # data intact
+
+
+def test_register_table_after_expiration(table, spark, catalog):
+    """The reference's register_table scenario (test_spark.py:1157-1205):
+    drop a table, let the soft-delete expire for real, then re-register it
+    from its (still on-disk) metadata and read the data back."""
+    from lakekeeper_spark.catalog.lifecycle import run_expiration_queue
+
+    saved_meta, _ = catalog.load_table("wh", ["ns"], "my_table")
+    catalog.drop_table("wh", ["ns"], "my_table")  # soft: data files stay
+    catalog.store.execute("UPDATE tasks SET scheduled_ms = 0 WHERE status='pending'")
+    assert run_expiration_queue(catalog) == 1
+    assert not catalog.table_exists("wh", ["ns"], "my_table")
+    # adopt the preserved metadata under a new name
+    catalog.register_table("wh", ["ns"], "my_registered_table", saved_meta)
+    t2 = SparkTable(spark, catalog, "wh", ["ns"], "my_registered_table")
+    rows = sorted((r.my_ints, r.strings) for r in t2.scan().collect())
+    assert rows == [(1, "foo"), (2, "bar")]
