@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog.catalog import Catalog, CatalogError, NoSuchEntity, NotModified
-from .types import next_field_id, schema_to_struct, struct_to_schema
+from .types import next_field_id, schema_to_struct
 
 MAIN = "main"
 
@@ -1006,8 +1006,6 @@ class SparkTable:
         ``lakekeeper.remove-orphan-files.older-than-ms`` property or 7
         days), and the ``gc.enabled=false`` / ``encryption.key-id`` safety
         guards. Returns the orphan paths found."""
-        import os
-
         meta = self.metadata()
         props = meta.get("properties", {})
         if str(props.get("gc.enabled", "true")).lower() == "false":
