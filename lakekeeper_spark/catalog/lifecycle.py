@@ -79,3 +79,55 @@ def run_purge_queue(
         except Exception as e:  # noqa: BLE001
             st.fail_task(task["task_id"], str(e), max_attempts, backoff_ms)
     return n
+
+
+def enqueue_orphan_scan(catalog: Catalog, warehouse: str, levels, name: str) -> int:
+    """Schedule an orphan-file scan for one table (reference
+    remove_orphan_files task queue, docs/table-maintenance.md:57-100).
+    Opt-in: the warehouse property 'enable-remove-orphan-files' must be
+    true, or the table property 'lakekeeper.remove-orphan-files.enabled'
+    overrides per table (reference table-level override semantics).
+    Returns the task id."""
+    from .catalog import CatalogError
+
+    wh_props = catalog._warehouse(warehouse)["properties"]  # noqa: SLF001
+    meta, _ = catalog.load_table(warehouse, levels, name)
+    tbl_flag = meta.get("properties", {}).get("lakekeeper.remove-orphan-files.enabled")
+    enabled = str(
+        tbl_flag
+        if tbl_flag is not None
+        else wh_props.get("enable-remove-orphan-files", "false")
+    ).lower() in ("true", "yes", "1")
+    if not enabled:
+        raise CatalogError(
+            "remove-orphan-files is disabled for this warehouse/table"
+        )
+    return catalog.store.enqueue_task(
+        "remove_orphan_files",
+        {"warehouse": warehouse, "levels": list(levels), "name": name},
+    )
+
+
+def run_orphan_queue(catalog: Catalog, spark, limit: int = 100) -> int:
+    """Drain scheduled orphan-file scans (reference worker loop,
+    docs/table-maintenance.md:63-70). Each task runs
+    SparkTable.remove_orphan_files with the table's configured age
+    threshold; failures requeue with backoff."""
+    from ..format.icelite import SparkTable
+
+    st = catalog.store
+    n = 0
+    for task in st.pick_tasks("remove_orphan_files", limit):
+        try:
+            p = task["payload"]
+            t = SparkTable(spark, catalog, p["warehouse"], p["levels"], p["name"])
+            removed = t.remove_orphan_files()
+            st.emit_event(
+                "orphan-scan", None, f"{'.'.join(p['levels'])}.{p['name']}",
+                {"n_removed": len(removed)},
+            )
+            st.finish_task(task["task_id"])
+            n += 1
+        except Exception as e:  # noqa: BLE001 - keep queue draining
+            st.fail_task(task["task_id"], str(e))
+    return n

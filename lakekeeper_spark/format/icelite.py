@@ -632,6 +632,41 @@ class SparkTable:
         self._commit([], [{"action": "set-statistics", "statistics": stats_file}])
         return stats_file
 
+    def analyze_partitions(self) -> dict[str, Any]:
+        """Per-partition statistics committed via SetPartitionStatistics
+        (reference PartitionStatisticsFile; commit arm in catalog/commit.py).
+        Row/file/byte counts per partition value come straight from the
+        manifest — no data scan at all."""
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta)
+        if snap is None:
+            raise CatalogError("no snapshot to analyze")
+        per_part: dict[str, list[int]] = {}
+        for e in snap["manifest"]:
+            key = str(e.get("partition", {}))
+            cur = per_part.setdefault(key, [0, 0, 0])
+            cur[0] += e["record-count"]
+            cur[1] += 1
+            cur[2] += e["file-size-in-bytes"]
+        stats_file = {
+            "snapshot-id": snap["snapshot-id"],
+            "statistics-path": f"{meta['location']}/stats/part-{snap['snapshot-id']}.json",
+            "file-size-in-bytes": 0,
+            "partitions": [
+                {
+                    "partition": k,
+                    "record-count": v[0],
+                    "file-count": v[1],
+                    "total-size-in-bytes": v[2],
+                }
+                for k, v in sorted(per_part.items())
+            ],
+        }
+        self._commit(
+            [], [{"action": "set-partition-statistics", "partition-statistics": stats_file}]
+        )
+        return stats_file
+
     # ---------------- row-level DML (copy-on-write) ----------------
     def _rewrite(
         self,

@@ -582,3 +582,45 @@ def test_register_table_after_expiration(table, spark, catalog):
     t2 = SparkTable(spark, catalog, "wh", ["ns"], "my_registered_table")
     rows = sorted((r.my_ints, r.strings) for r in t2.scan().collect())
     assert rows == [(1, "foo"), (2, "bar")]
+
+
+def test_partition_statistics_commit(table, spark):
+    """analyze_partitions commits a PartitionStatisticsFile with manifest-
+    derived per-partition counts (no data scan)."""
+    table.add_partition_field("my_ints", "bucket[2]")
+    ddl = "my_ints int, my_floats double, strings string"
+    table.append(spark.createDataFrame([(i, 1.0, "p") for i in range(10)], ddl))
+    stats = table.analyze_partitions()
+    meta = table.metadata()
+    assert meta["partition-statistics"][0]["snapshot-id"] == stats["snapshot-id"]
+    total = sum(p["record-count"] for p in stats["partitions"])
+    assert total == 12  # 2 fixture rows + 10 appended
+
+
+def test_orphan_queue_opt_in_and_drain(table, spark, catalog):
+    """Orphan scans are queue-driven and opt-in (reference
+    table-maintenance.md): disabled by default, enabled per warehouse or
+    per table, drained by the worker."""
+    import os
+
+    import pytest as _pytest
+
+    from lakekeeper_spark.catalog.catalog import CatalogError
+    from lakekeeper_spark.catalog.lifecycle import enqueue_orphan_scan, run_orphan_queue
+
+    with _pytest.raises(CatalogError):
+        enqueue_orphan_scan(catalog, "wh", ["ns"], "my_table")  # disabled
+    # table-level override enables it
+    table.set_properties({"lakekeeper.remove-orphan-files.enabled": "true"})
+    loc = table.metadata()["location"]
+    stray = os.path.join(loc, "data", "stray.parquet")
+    os.makedirs(os.path.dirname(stray), exist_ok=True)
+    with open(stray, "wb") as f:
+        f.write(b"junk")
+    old = os.path.getmtime(stray) - 10 * 24 * 3600
+    os.utime(stray, (old, old))
+    tid = enqueue_orphan_scan(catalog, "wh", ["ns"], "my_table")
+    assert tid > 0
+    assert run_orphan_queue(catalog, spark) == 1
+    assert not os.path.exists(stray)
+    assert table.scan().count() == 2  # live data untouched
