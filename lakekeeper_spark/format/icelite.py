@@ -578,8 +578,8 @@ class SparkTable:
         added = [e for e in to_snap["manifest"] if e["path"] not in before]
         if not added:
             return self.spark.createDataFrame([], struct)
-        paths = [f"{meta['location']}/{e['path']}" for e in added]
-        return self.spark.read.schema(struct).parquet(*paths)
+        # field-id-aware read: incremental scans survive column renames
+        return self._read_entries(meta, schema, added, to_snap["schema-id"])
 
     # ---------------- statistics (ANALYZE) ----------------
     def analyze(self) -> dict[str, Any]:

@@ -624,3 +624,17 @@ def test_orphan_queue_opt_in_and_drain(table, spark, catalog):
     assert run_orphan_queue(catalog, spark) == 1
     assert not os.path.exists(stray)
     assert table.scan().count() == 2  # live data untouched
+
+
+def test_scan_changes_survives_rename(table, spark):
+    """Incremental reads use field-id projection too: files written before
+    a RENAME COLUMN surface their data under the new name."""
+    snap1 = table.metadata()["current-snapshot-id"]
+    table.rename_column("my_ints", "ids")
+    table.append(spark.createDataFrame(
+        [(9, 9.9, "post")], "ids int, my_floats double, strings string"))
+    # from creation: both pre- and post-rename files, new column name
+    got = sorted(r.ids for r in table.scan_changes(None).collect())
+    assert got == [1, 2, 9]
+    # incremental from snap1: only the post-rename file
+    assert sorted(r.ids for r in table.scan_changes(snap1).collect()) == [9]
