@@ -638,3 +638,42 @@ def test_scan_changes_survives_rename(table, spark):
     assert got == [1, 2, 9]
     # incremental from snap1: only the post-rename file
     assert sorted(r.ids for r in table.scan_changes(snap1).collect()) == [9]
+
+
+def test_error_paths_and_edges(table, spark, catalog):
+    """Error surfaces behave like the reference's 404/409 family."""
+    from lakekeeper_spark.catalog.catalog import (
+        CatalogError,
+        NoSuchEntity,
+    )
+
+    # time travel to a snapshot that never existed
+    with pytest.raises(NoSuchEntity):
+        table.scan(snapshot_id=999999)
+    # ref that does not exist
+    with pytest.raises(NoSuchEntity):
+        table.scan(ref="no-such-branch")
+    # as-of before the first commit: empty frame with the schema
+    early = table.scan(as_of_ms=1)
+    assert early.count() == 0
+    assert [f.name for f in early.schema.fields] == ["my_ints", "my_floats", "strings"]
+    # rename to an existing column name
+    with pytest.raises(CatalogError):
+        table.rename_column("my_ints", "strings")
+    # drop a column that does not exist
+    with pytest.raises(NoSuchEntity):
+        table.drop_column("ghost")
+    # DML on a table with no data
+    df = spark.createDataFrame([], "a int")
+    from lakekeeper_spark.format.types import struct_to_schema
+
+    catalog.create_namespace("wh", ["edge"])
+    catalog.create_table("wh", ["edge"], "empty", struct_to_schema(df.schema))
+    t2 = SparkTable(spark, catalog, "wh", ["edge"], "empty")
+    with pytest.raises(CatalogError):
+        t2.delete_where("a = 1")
+    with pytest.raises(CatalogError):
+        t2.rewrite_data_files()
+    # partition_filter that matches nothing: empty result, correct schema
+    pruned = table.scan(partition_filter={"nonexistent": "x"})
+    assert pruned.count() == 0
