@@ -31,7 +31,10 @@ NEAR_DUP_COS = 0.35  # the synthetic embeddings are near-random; see tests
 IVF_CELLS = 16
 IVF_NPROBE = 4
 # centroid vectors: the embeddings with these vec_ids (deterministic, and
-# disjoint from the query set 0..N_QUERIES-1)
+# disjoint from the query set 0..N_QUERIES-1). Fixed-id centroids keep the
+# harness oracle-exact; a production index would k-means/k-means|| the
+# centroids instead — everything downstream (broadcast assignment, probe
+# join, exact rerank) is unchanged by that swap.
 CENTROID_ID_LO = N_QUERIES
 CENTROID_ID_HI = N_QUERIES + IVF_CELLS
 

@@ -535,3 +535,45 @@ def e09_variant_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("absent").alias("n_absent"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# e10: sliding (hopping) window rollup — 1h windows every 15 min
+# --------------------------------------------------------------------------
+SLIDE_NS = 15 * 60 * 1_000_000_000  # 15-minute hop
+WINDOW_SLOTS = 4  # 1h window / 15min slide
+
+
+@register(
+    "e10_sliding_window",
+    oracle=f"""
+WITH hops AS (
+  SELECT epoch_ns(ts) // {SLIDE_NS} - h.off AS win_start_slot, value
+  FROM events, (SELECT unnest(range(0, {WINDOW_SLOTS})) AS off) h
+)
+SELECT win_start_slot,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 1000000)} AS sum_value
+FROM hops
+GROUP BY win_start_slot
+""",
+    description="Sliding-window rollup (1h windows hopping every 15min): "
+    "each event contributes to window/slide overlapping windows. Same "
+    "explode-then-aggregate plan Spark's window(ts, '1 hour', '15 "
+    "minutes') compiles to; exact integer slot arithmetic keeps it "
+    "oracle-checkable. Window key = slot index of the window start.",
+    tags=("events", "window", "sliding"),
+)
+def e10_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    slot = F.expr(f"ts_ns div {SLIDE_NS}")
+    hops = ev.select(
+        F.explode(
+            F.array(*[(slot - F.lit(o)).alias(f"o{o}") for o in range(WINDOW_SLOTS)])
+        ).alias("win_start_slot"),
+        "value",
+    )
+    return hops.groupBy("win_start_slot").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 1000000).alias("sum_value"),
+    )
