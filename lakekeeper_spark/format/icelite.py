@@ -19,9 +19,12 @@ Spark-first:
     like an Iceberg REST commit.
 
 Query surface provided (reference test_spark.py parity):
-  append/overwrite, DELETE FROM (copy-on-write, only affected files are
-  rewritten), UPDATE, MERGE INTO (composite keys, semi-join file
-  targeting), time travel (snapshot id / timestamp / tag / branch),
+  append/overwrite, DELETE FROM / UPDATE in BOTH row-level modes —
+  copy-on-write (only affected files rewritten) and merge-on-read
+  (position-delete tombstones, Iceberg v2) — MERGE INTO (composite keys,
+  semi-join file targeting), rewrite_position_deletes, snapshot
+  management (rollback_to_snapshot, cherry_pick, write-audit-publish
+  staging), time travel (snapshot id / timestamp / tag / branch),
   incremental scan_changes, tags+branches (+max-ref-age retention),
   schema evolution (add/drop/rename column, type widening — field-id
   reads), partition evolution (identity/bucket/truncate/year/month/day),
@@ -81,6 +84,18 @@ def _bounds_overlap(entry: dict[str, Any], stats_filter: dict[str, tuple]) -> bo
         if (hi is not None and bmin > hi) or (lo is not None and bmax < lo):
             return False
     return True
+
+
+def _split_manifest(
+    manifest: list[dict[str, Any]],
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    """Split a snapshot manifest into (data entries, position-delete
+    entries). Iceberg v2 manifests carry a content field per file
+    (0=data, 1=position deletes); icelite stores the same discriminator
+    as ``content: "position-deletes"`` on delete entries."""
+    data = [e for e in manifest if e.get("content", "data") == "data"]
+    dels = [e for e in manifest if e.get("content") == "position-deletes"]
+    return data, dels
 
 
 def _file_bounds(md) -> dict[str, list]:
@@ -392,17 +407,28 @@ class SparkTable:
         return out
 
     def append(
-        self, df: DataFrame, branch: str = MAIN, commit_retries: int = 3
+        self,
+        df: DataFrame,
+        branch: str = MAIN,
+        commit_retries: int = 3,
+        wap_id: str | None = None,
     ) -> dict[str, Any]:
         """Append with optimistic-concurrency RETRY: data files are written
         once; on CommitFailedException the manifest is rebased onto the
         winner's snapshot and the commit retried (what the Iceberg Spark
         writer does — appends never conflict logically, only on the
         assert-ref CAS). Non-append operations surface the conflict to the
-        caller, who must re-derive their rewrite from fresh state."""
+        caller, who must re-derive their rewrite from fresh state.
+
+        ``wap_id`` stages the snapshot WITHOUT moving any ref
+        (write-audit-publish, Iceberg's spark.wap.id): the data is
+        committed and auditable via scan(snapshot_id=...), and main only
+        advances when publish_wap(wap_id) cherry-picks it."""
         from ..catalog.catalog import CommitFailedException
 
         new_entries = self._write_files(self.metadata(), df)
+        if wap_id is not None:
+            return self._stage_wap(new_entries, wap_id)
         last_err: Exception | None = None
         for _ in range(commit_retries + 1):
             meta = self.metadata()
@@ -451,7 +477,7 @@ class SparkTable:
         )
         schema = next(s for s in meta["schemas"] if s["schema-id"] == schema_id)
         struct = schema_to_struct(schema)
-        total = snap["manifest"] if snap else []
+        total, delete_entries = _split_manifest(snap["manifest"] if snap else [])
         entries = total
         if entries and partition_filter:
             entries = [
@@ -464,7 +490,13 @@ class SparkTable:
         self._report_scan(snap, partition_filter, entries, total)
         if not entries:
             return self.spark.createDataFrame([], struct)
-        return self._read_entries(meta, schema, entries, snap["schema-id"])
+        df = self._read_entries(
+            meta, schema, entries, snap["schema-id"], with_pos=bool(delete_entries)
+        )
+        if delete_entries:
+            df = self._apply_position_deletes(df, meta, delete_entries)
+            df = df.drop("_file", "_pos")
+        return df
 
     def _read_entries(
         self,
@@ -473,13 +505,20 @@ class SparkTable:
         entries: list[dict[str, Any]],
         default_schema_id: int,
         with_file: bool = False,
+        with_pos: bool = False,
     ) -> DataFrame:
         """Field-id-based projection (Iceberg read semantics): each data
         file is read with its WRITE-time schema, then columns map to the
         target schema by field id — so RENAME COLUMN reaches old files,
         added columns read as NULL there, and dropped columns vanish. Files
         whose write schema equals the target (the common case) take a
-        single plain scan with no union."""
+        single plain scan with no union.
+
+        ``with_pos`` adds ``_file`` + ``_pos`` from the parquet reader's
+        hidden ``_metadata`` struct (file_path / row_index) — the stable
+        per-file row ordinal Iceberg position deletes address. Both
+        columns come from the SAME source on the write and read sides of
+        a delete file, so the (file, pos) keys always line up."""
         tstruct = schema_to_struct(target_schema)
         groups: dict[int, list[dict[str, Any]]] = {}
         for e in entries:
@@ -497,16 +536,20 @@ class SparkTable:
                 and by_id_t.get(f["id"], f["type"]) == f["type"]
                 for f in target_schema["fields"]
             )
+            def _tag(raw: DataFrame) -> DataFrame:
+                if with_pos:
+                    return raw.withColumn(
+                        "_file", F.col("_metadata.file_path")
+                    ).withColumn("_pos", F.col("_metadata.row_index"))
+                if with_file:
+                    return raw.withColumn("_file", F.input_file_name())
+                return raw
+
             if same_names:
                 # name-compatible: one scan, parquet fills missing as NULL
-                raw = self.spark.read.schema(tstruct).parquet(*paths)
-                if with_file:
-                    raw = raw.withColumn("_file", F.input_file_name())
-                parts.append(raw)
+                parts.append(_tag(self.spark.read.schema(tstruct).parquet(*paths)))
                 continue
-            raw = self.spark.read.schema(schema_to_struct(wschema)).parquet(*paths)
-            if with_file:
-                raw = raw.withColumn("_file", F.input_file_name())
+            raw = _tag(self.spark.read.schema(schema_to_struct(wschema)).parquet(*paths))
             cols = []
             for f, sf in zip(target_schema["fields"], tstruct.fields):
                 wname = by_id.get(f["id"])
@@ -514,8 +557,10 @@ class SparkTable:
                     cols.append(F.lit(None).cast(sf.dataType).alias(f["name"]))
                 else:
                     cols.append(F.col(wname).cast(sf.dataType).alias(f["name"]))
-            if with_file:
+            if with_file or with_pos:
                 cols.append(F.col("_file"))
+            if with_pos:
+                cols.append(F.col("_pos"))
             parts.append(raw.select(*cols))
         out = parts[0]
         for p in parts[1:]:
@@ -575,7 +620,14 @@ class SparkTable:
         if from_snapshot_id is not None:
             from_snap = self._snapshot(meta, from_snapshot_id)
             before = {e["path"] for e in from_snap["manifest"]}
-        added = [e for e in to_snap["manifest"] if e["path"] not in before]
+        # data entries only: position-delete tombstones are not row
+        # additions (Iceberg's incremental append scan likewise skips
+        # delete manifests)
+        added = [
+            e
+            for e in _split_manifest(to_snap["manifest"])[0]
+            if e["path"] not in before
+        ]
         if not added:
             return self.spark.createDataFrame([], struct)
         # field-id-aware read: incremental scans survive column renames
@@ -642,7 +694,7 @@ class SparkTable:
         if snap is None:
             raise CatalogError("no snapshot to analyze")
         per_part: dict[str, list[int]] = {}
-        for e in snap["manifest"]:
+        for e in _split_manifest(snap["manifest"])[0]:
             key = str(e.get("partition", {}))
             cur = per_part.setdefault(key, [0, 0, 0])
             cur[0] += e["record-count"]
@@ -667,6 +719,205 @@ class SparkTable:
         )
         return stats_file
 
+    # ---------------- merge-on-read position deletes ----------------
+    # Iceberg v2 row-level deletes (spec "Position Delete Files";
+    # reference tables are format v2, server/tables.rs format gate):
+    # a DELETE/UPDATE can write small tombstone files of
+    # (file_path, pos) instead of rewriting data files; scans anti-join
+    # the tombstones back out. Copy-on-write (the _rewrite family below)
+    # remains the default, matching Iceberg's write.delete.mode.
+    _DELETE_SCHEMA = "file_path string, pos long"
+
+    def _rel_file(self, location: str) -> F.Column:
+        """Table-relative path derived from a ``_file`` URI, so tombstones
+        stay valid under SetLocation and match manifest entry paths."""
+        absolute = F.regexp_replace(F.col("_file"), "^file:(//)?", "")
+        return F.substring(absolute, len(location) + 2, 1 << 30)
+
+    def _apply_position_deletes(
+        self,
+        df: DataFrame,
+        meta: dict[str, Any],
+        delete_entries: list[dict[str, Any]],
+    ) -> DataFrame:
+        """Anti-join (file_path, pos) tombstones out of a positioned read.
+        A position delete names an exact data file, so files appended
+        AFTER the delete are naturally unaffected — no sequence-number
+        bookkeeping needed. The delete side is broadcast while small (the
+        normal case: tombstones are a sliver of the data); past the
+        threshold it becomes a shuffled anti-join that AQE may still
+        convert at runtime."""
+        paths = [f"{meta['location']}/{e['path']}" for e in delete_entries]
+        dels = self.spark.read.schema(self._DELETE_SCHEMA).parquet(*paths)
+        if sum(e["record-count"] for e in delete_entries) <= 5_000_000:
+            dels = F.broadcast(dels)
+        cond = (self._rel_file(meta["location"]) == dels["file_path"]) & (
+            F.col("_pos") == dels["pos"]
+        )
+        return df.join(dels, cond, "left_anti")
+
+    def _data_df(
+        self,
+        meta: dict[str, Any],
+        schema: dict[str, Any],
+        snap: dict[str, Any],
+        with_file: bool = False,
+    ) -> DataFrame:
+        """Live rows of a snapshot: data entries read field-id-aware, with
+        any position deletes applied. The shared read for DML paths."""
+        data_entries, delete_entries = _split_manifest(snap["manifest"])
+        if not data_entries:
+            df = self.spark.createDataFrame([], schema_to_struct(schema))
+            if with_file:
+                df = df.withColumn("_file", F.lit(None).cast("string"))
+            return df
+        df = self._read_entries(
+            meta,
+            schema,
+            data_entries,
+            snap["schema-id"],
+            with_file=with_file and not delete_entries,
+            with_pos=bool(delete_entries),
+        )
+        if delete_entries:
+            df = self._apply_position_deletes(df, meta, delete_entries).drop("_pos")
+            if not with_file:
+                df = df.drop("_file")
+        return df
+
+    def _write_delete_files(
+        self, meta: dict[str, Any], positions: DataFrame
+    ) -> list[dict[str, Any]]:
+        """Write (file_path, pos) tombstones under data/deletes/<commit>;
+        zero-row outputs are dropped (a DELETE matching nothing commits
+        no snapshot, Iceberg parity)."""
+        commit_id = uuid.uuid4().hex
+        out_dir = f"{meta['location']}/data/deletes/{commit_id}"
+        positions.write.mode("overwrite").parquet(out_dir)
+        import pyarrow.parquet as pq
+
+        entries = []
+        for p in sorted(Path(out_dir).rglob("*.parquet")):
+            md = pq.ParquetFile(p).metadata
+            if md.num_rows == 0:
+                continue
+            entries.append(
+                {
+                    "path": p.relative_to(meta["location"]).as_posix(),
+                    "file-size-in-bytes": p.stat().st_size,
+                    "record-count": md.num_rows,
+                    "partition": {},
+                    "schema-id": meta["current-schema-id"],
+                    "content": "position-deletes",
+                }
+            )
+        return entries
+
+    def _mor_positions(
+        self, meta: dict[str, Any], schema: dict[str, Any], snap: dict[str, Any]
+    ) -> DataFrame:
+        """Positioned live rows (current deletes already applied), ready
+        for tombstone derivation."""
+        data_entries, delete_entries = _split_manifest(snap["manifest"])
+        df = self._read_entries(
+            meta, schema, data_entries, snap["schema-id"], with_pos=True
+        )
+        if delete_entries:
+            df = self._apply_position_deletes(df, meta, delete_entries)
+        return df
+
+    def _mor_delete(self, condition: str) -> dict[str, Any]:
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta)
+        if snap is None:
+            raise CatalogError("table has no data")
+        schema = self._current_schema(meta)
+        df = self._mor_positions(meta, schema, snap)
+        positions = df.filter(condition).select(
+            self._rel_file(meta["location"]).alias("file_path"),
+            F.col("_pos").alias("pos"),
+        )
+        new_entries = self._write_delete_files(meta, positions)
+        if not new_entries:
+            return meta
+        return self._commit_snapshot(
+            meta,
+            snap["manifest"] + new_entries,
+            "delete",
+            extra_summary={
+                "added-delete-files": len(new_entries),
+                "added-position-deletes": sum(e["record-count"] for e in new_entries),
+            },
+        )
+
+    def _mor_update(self, condition: str, assignments: dict[str, str]) -> dict[str, Any]:
+        """MOR UPDATE = one commit carrying a position-delete of matched
+        rows plus an append of their updated images."""
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta)
+        if snap is None:
+            raise CatalogError("table has no data")
+        schema = self._current_schema(meta)
+        matched = self._mor_positions(meta, schema, snap).filter(condition)
+        positions = matched.select(
+            self._rel_file(meta["location"]).alias("file_path"),
+            F.col("_pos").alias("pos"),
+        )
+        updated = matched
+        for col_name, expr in assignments.items():
+            updated = updated.withColumn(col_name, F.expr(expr))
+        updated = updated.select(*[f["name"] for f in schema["fields"]])
+        del_entries = self._write_delete_files(meta, positions)
+        if not del_entries:
+            return meta
+        add_entries = self._write_files(meta, updated)
+        return self._commit_snapshot(
+            meta,
+            snap["manifest"] + del_entries + add_entries,
+            "overwrite",
+            extra_summary={
+                "added-delete-files": len(del_entries),
+                "added-position-deletes": sum(e["record-count"] for e in del_entries),
+            },
+        )
+
+    def rewrite_position_deletes(self) -> dict[str, Any]:
+        """Materialize tombstones (CALL rewrite_position_delete_files +
+        minor compaction): rewrite ONLY data files that have pending
+        deletes, drop every delete entry. Untouched files are kept as-is,
+        so the job is proportional to the deleted fraction, not table
+        size."""
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta)
+        if snap is None:
+            raise CatalogError("table has no data")
+        data_entries, delete_entries = _split_manifest(snap["manifest"])
+        if not delete_entries:
+            return {"rewritten-data-files": 0, "removed-delete-files": 0}
+        schema = self._current_schema(meta)
+        paths = [f"{meta['location']}/{e['path']}" for e in delete_entries]
+        dels = self.spark.read.schema(self._DELETE_SCHEMA).parquet(*paths)
+        # distinct FILE LIST only (metadata-sized) reaches the driver
+        targets = {r["file_path"] for r in dels.select("file_path").distinct().collect()}
+        affected = [e for e in data_entries if e["path"] in targets]
+        kept = [e for e in data_entries if e["path"] not in targets]
+        df = self._read_entries(meta, schema, affected, snap["schema-id"], with_pos=True)
+        df = self._apply_position_deletes(df, meta, delete_entries).drop("_file", "_pos")
+        new_entries = self._write_files(meta, df)
+        self._commit_snapshot(
+            meta,
+            kept + new_entries,
+            "replace",
+            extra_summary={
+                "removed-delete-files": len(delete_entries),
+                "rewritten-data-files": len(affected),
+            },
+        )
+        return {
+            "rewritten-data-files": len(affected),
+            "removed-delete-files": len(delete_entries),
+        }
+
     # ---------------- row-level DML (copy-on-write) ----------------
     def _rewrite(
         self,
@@ -689,9 +940,7 @@ class SparkTable:
             raise CatalogError("table has no data")
         schema = self._current_schema(meta)
         loc = meta["location"]
-        df = self._read_entries(
-            meta, schema, snap["manifest"], snap["schema-id"], with_file=True
-        )
+        df = self._data_df(meta, schema, snap, with_file=True)
         if affected is None:
             affected = [
                 r["_file"]
@@ -718,10 +967,21 @@ class SparkTable:
             extra_summary={"rewritten-files": len(affected_set)},
         )
 
-    def delete_where(self, condition: str) -> dict[str, Any]:
+    def delete_where(self, condition: str, mode: str = "copy-on-write") -> dict[str, Any]:
+        """DELETE FROM. ``mode`` mirrors Iceberg's write.delete.mode:
+        copy-on-write rewrites affected files; merge-on-read writes
+        position-delete tombstones (cheap deletes, scans pay the
+        anti-join until rewrite_position_deletes)."""
+        if mode == "merge-on-read":
+            return self._mor_delete(condition)
         return self._rewrite(condition, lambda df: df.filter(f"NOT ({condition})"), "delete")
 
-    def update_where(self, condition: str, assignments: dict[str, str]) -> dict[str, Any]:
+    def update_where(
+        self, condition: str, assignments: dict[str, str], mode: str = "copy-on-write"
+    ) -> dict[str, Any]:
+        if mode == "merge-on-read":
+            return self._mor_update(condition, assignments)
+
         def rewriter(df: DataFrame) -> DataFrame:
             updated = df
             for col_name, expr in assignments.items():
@@ -772,7 +1032,7 @@ class SparkTable:
         snap = self._resolve_snapshot(meta)
         if snap is None:
             raise CatalogError("table has no data")
-        tgt_all = self._read_entries(meta, schema, snap["manifest"], snap["schema-id"])
+        tgt_all = self._data_df(meta, schema, snap)
         inserts = None
         if not_matched_insert:
             inserts = (
@@ -783,9 +1043,7 @@ class SparkTable:
         # distinct FILE LIST (metadata-sized) reaches the driver
         affected = [
             r["_file"]
-            for r in self._read_entries(
-                meta, schema, snap["manifest"], snap["schema-id"], with_file=True
-            )
+            for r in self._data_df(meta, schema, snap, with_file=True)
             .alias("t")
             .join(src, F.expr(on), "left_semi")
             .select("_file")
@@ -818,6 +1076,108 @@ class SparkTable:
                 }
             ],
         )
+
+    # ---------------- snapshot management (rollback / WAP) ----------------
+    def rollback_to_snapshot(self, snapshot_id: int) -> dict[str, Any]:
+        """Iceberg rollback_to_snapshot / set_current_snapshot procedure:
+        main moves to an existing snapshot; no files are touched, and the
+        abandoned snapshots stay reachable for expire_snapshots to judge.
+        Guarded by assert-ref-snapshot-id so a concurrent writer can't be
+        silently overwritten (reference commit_tables.rs requirements)."""
+        meta = self.metadata()
+        self._snapshot(meta, snapshot_id)  # must exist
+        cur = meta["refs"].get(MAIN)
+        return self._commit(
+            [
+                {"type": "assert-table-uuid", "uuid": meta["table-uuid"]},
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": MAIN,
+                    "snapshot-id": cur["snapshot-id"] if cur else None,
+                },
+            ],
+            [
+                {
+                    "action": "set-snapshot-ref",
+                    "ref-name": MAIN,
+                    "snapshot-id": snapshot_id,
+                }
+            ],
+        )
+
+    set_current_snapshot = rollback_to_snapshot
+
+    def _stage_wap(
+        self, new_entries: list[dict[str, Any]], wap_id: str
+    ) -> dict[str, Any]:
+        """AddSnapshot with NO SetSnapshotRef: the snapshot exists (readable
+        by id for audit) but no branch sees it."""
+        meta = self.metadata()
+        parent = (
+            self._resolve_snapshot(meta, ref=MAIN) if meta["refs"].get(MAIN) else None
+        )
+        snapshot = {
+            "snapshot-id": max((s["snapshot-id"] for s in meta["snapshots"]), default=0)
+            + 1,
+            "parent-snapshot-id": parent["snapshot-id"] if parent else None,
+            "timestamp-ms": _now_ms(),
+            "schema-id": meta["current-schema-id"],
+            "summary": {
+                "operation": "append",
+                "added-data-files": len(new_entries),
+                "added-records": sum(e["record-count"] for e in new_entries),
+                "wap.id": wap_id,
+            },
+            "manifest": (parent["manifest"] if parent else []) + new_entries,
+        }
+        return self._commit(
+            [{"type": "assert-table-uuid", "uuid": meta["table-uuid"]}],
+            [{"action": "add-snapshot", "snapshot": snapshot}],
+        )
+
+    def cherry_pick(self, snapshot_id: int) -> dict[str, Any]:
+        """cherrypick_snapshot procedure: re-apply the ADDED files of an
+        append/staged snapshot on top of the current main head as a new
+        commit. The delta is the file-level manifest diff against the
+        source snapshot's parent — metadata-sized, no data moves."""
+        meta = self.metadata()
+        src = self._snapshot(meta, snapshot_id)
+        parent_id = src.get("parent-snapshot-id")
+        parent = self._snapshot(meta, parent_id) if parent_id is not None else None
+        before = {e["path"] for e in (parent["manifest"] if parent else [])}
+        added = [e for e in src["manifest"] if e["path"] not in before]
+        cur = self._resolve_snapshot(meta)
+        extra: dict[str, Any] = {"cherry-picked-from": snapshot_id}
+        if src["summary"].get("wap.id"):
+            extra["wap.id"] = src["summary"]["wap.id"]
+            extra["wap.published"] = True
+        return self._commit_snapshot(
+            meta, (cur["manifest"] if cur else []) + added, "append", extra_summary=extra
+        )
+
+    def publish_wap(self, wap_id: str) -> dict[str, Any]:
+        """Publish a staged write-audit-publish snapshot onto main
+        (cherry-pick), exactly once per wap id."""
+        meta = self.metadata()
+        published = {
+            s["summary"].get("wap.id")
+            for s in meta["snapshots"]
+            if s["summary"].get("wap.published")
+        }
+        if wap_id in published:
+            raise CatalogError(f"wap id already published: {wap_id}")
+        staged = next(
+            (
+                s
+                for s in meta["snapshots"]
+                if s["summary"].get("wap.id") == wap_id
+                and not s["summary"].get("wap.published")
+            ),
+            None,
+        )
+        if staged is None:
+            raise NoSuchEntity(f"no staged snapshot with wap id {wap_id}")
+        return self.cherry_pick(staged["snapshot-id"])
 
     def drop_ref(self, name: str) -> None:
         self._commit([],
@@ -1090,9 +1450,15 @@ class SparkTable:
         return orphans
 
     # ---------------- metadata tables ----------------
-    def files(self) -> DataFrame:
+    _FILES_DDL = (
+        "file_path string, file_size_in_bytes long, record_count long,"
+        " partition string, bounds string"
+    )
+
+    def _files_of(self, kind_idx: int) -> DataFrame:
         meta = self.metadata()
         snap = self._resolve_snapshot(meta)
+        entries = _split_manifest(snap["manifest"] if snap else [])[kind_idx]
         rows = [
             (
                 e["path"],
@@ -1101,13 +1467,19 @@ class SparkTable:
                 str(e.get("partition", {})),
                 str(e.get("bounds", {})),
             )
-            for e in (snap["manifest"] if snap else [])
+            for e in entries
         ]
-        return self.spark.createDataFrame(
-            rows,
-            "file_path string, file_size_in_bytes long, record_count long,"
-            " partition string, bounds string",
-        )
+        return self.spark.createDataFrame(rows, self._FILES_DDL)
+
+    def files(self) -> DataFrame:
+        """Current-snapshot DATA files (Iceberg `files`, content=0)."""
+        return self._files_of(0)
+
+    def delete_files(self) -> DataFrame:
+        """Current-snapshot position-delete files (Iceberg `delete_files`,
+        content=1); populated by merge-on-read DELETE/UPDATE, emptied by
+        rewrite_position_deletes / rewrite_data_files."""
+        return self._files_of(1)
 
     def snapshots(self) -> DataFrame:
         meta = self.metadata()
@@ -1150,12 +1522,11 @@ class SparkTable:
         " record_count long, partition string"
     )
 
-    def all_data_files(self) -> DataFrame:
-        """Distinct data files referenced by ANY snapshot."""
+    def _all_files_of(self, kind_idx: int) -> DataFrame:
         meta = self.metadata()
         seen: dict[str, tuple] = {}
         for s in meta["snapshots"]:
-            for e in s["manifest"]:
+            for e in _split_manifest(s["manifest"])[kind_idx]:
                 seen.setdefault(
                     e["path"],
                     (
@@ -1170,12 +1541,16 @@ class SparkTable:
             "file_path string, file_size_in_bytes long, record_count long, partition string",
         )
 
+    def all_data_files(self) -> DataFrame:
+        """Distinct data files referenced by ANY snapshot."""
+        return self._all_files_of(0)
+
     def all_delete_files(self) -> DataFrame:
-        """Always empty: icelite is copy-on-write (DELETE/UPDATE/MERGE
-        rewrite affected data files), so no delete files exist — matching
-        the reference's expectation `len(all_delete_files) == 0` right
-        after CoW operations (test_spark.py:1263-1266)."""
-        return self.spark.createDataFrame([], self._ALL_ENTRIES_DDL)
+        """Distinct position-delete files referenced by ANY snapshot —
+        empty under pure copy-on-write (the reference's expectation
+        `len(all_delete_files) == 0` right after CoW operations,
+        test_spark.py:1263-1266), populated once merge-on-read DML runs."""
+        return self._all_files_of(1)
 
     def all_entries(self) -> DataFrame:
         """One row per (snapshot, data file) manifest entry."""
@@ -1229,7 +1604,7 @@ class SparkTable:
         meta = self.metadata()
         snap = self._resolve_snapshot(meta)
         agg: dict[str, list[int]] = {}
-        for e in snap["manifest"] if snap else []:
+        for e in _split_manifest(snap["manifest"] if snap else [])[0]:
             key = str(e.get("partition", {}))
             cur = agg.setdefault(key, [0, 0, 0])
             cur[0] += e["record-count"]

@@ -193,3 +193,93 @@ def c02_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# --------------------------------------------------------------------------
+# c03: merge-on-read row-level deletes + snapshot management lifecycle
+# --------------------------------------------------------------------------
+@register(
+    "c03_mor_wap_lifecycle",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= {_ROWS}
+),
+k AS (SELECT COUNT(*) AS kept FROM src WHERE l_quantity >= 10),
+n AS (SELECT COUNT(*) AS total FROM src)
+SELECT * FROM (
+  SELECT 'rows_after_append' AS checkpoint, total AS value FROM n
+  UNION ALL SELECT 'rows_after_mor_delete', kept FROM k
+  UNION ALL SELECT 'data_files_delta', 0
+  UNION ALL SELECT 'has_delete_files', 1
+  UNION ALL SELECT 'rows_staged_invisible', kept FROM k
+  UNION ALL SELECT 'rows_after_publish', kept + total FROM k, n
+  UNION ALL SELECT 'rows_after_rollback', kept FROM k
+  UNION ALL SELECT 'rows_after_materialize', kept FROM k
+  UNION ALL SELECT 'delete_files_after_materialize', 0
+) ORDER BY checkpoint
+""",
+    description="Merge-on-read DELETE (position-delete tombstones, Iceberg "
+    "v2), write-audit-publish staging + cherry-pick publish, rollback, and "
+    "rewrite_position_deletes materialization — checkpoint counts vs oracle "
+    "expectations computed from the same source parquet.",
+    tags=("catalog", "icelite", "lifecycle", "mor"),
+)
+def c03_mor_wap_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_mor_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["bench"])
+
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(_ROWS)
+    )
+    cat.create_table("wh", ["bench"], "li_mor", struct_to_schema(src.schema))
+    t = SparkTable(spark, cat, "wh", ["bench"], "li_mor")
+
+    t.append(src)
+    rows1 = t.scan().count()
+    files_before = t.files().count()
+    t.delete_where("l_quantity < 10", mode="merge-on-read")
+    rows2 = t.scan().count()
+    files_delta = t.files().count() - files_before
+    has_dels = min(t.delete_files().count(), 1)
+    mor_snapshot = t.metadata()["current-snapshot-id"]
+
+    t.append(src, wap_id="audit")  # staged: main must not move
+    staged_view = t.scan().count()
+    t.publish_wap("audit")
+    rows_pub = t.scan().count()
+    t.rollback_to_snapshot(mor_snapshot)
+    rows_rb = t.scan().count()
+    t.rewrite_position_deletes()
+    rows_mat = t.scan().count()
+    dels_after = t.delete_files().count()
+
+    rows = [
+        ("rows_after_append", rows1),
+        ("rows_after_mor_delete", rows2),
+        ("data_files_delta", files_delta),
+        ("has_delete_files", has_dels),
+        ("rows_staged_invisible", staged_view),
+        ("rows_after_publish", rows_pub),
+        ("rows_after_rollback", rows_rb),
+        ("rows_after_materialize", rows_mat),
+        ("delete_files_after_materialize", dels_after),
+    ]
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )

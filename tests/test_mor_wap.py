@@ -1,0 +1,159 @@
+"""Merge-on-read position deletes + snapshot management (rollback,
+cherry-pick, write-audit-publish).
+
+Iceberg v2 row-level delete semantics (spec "Position Delete Files"; the
+reference serves format-v2 tables whose engines do exactly this —
+server/tables.rs format gate): DELETE/UPDATE may write (file_path, pos)
+tombstones instead of rewriting data files; scans anti-join them out;
+rewrite_position_deletes materializes. WAP mirrors Iceberg's spark.wap.id
+staging + cherrypick_snapshot publishing."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakekeeper_spark.catalog.catalog import CatalogError, NoSuchEntity
+from lakekeeper_spark.format.icelite import SparkTable
+from lakekeeper_spark.format.types import struct_to_schema
+
+DDL = "id int, v double, s string"
+
+
+@pytest.fixture()
+def table(spark, catalog):
+    catalog.create_namespace("wh", ["mor"])
+    df = spark.createDataFrame(
+        [(i, float(i) * 1.5, f"row{i}") for i in range(1, 11)], DDL
+    )
+    catalog.create_table("wh", ["mor"], "t", struct_to_schema(df.schema))
+    t = SparkTable(spark, catalog, "wh", ["mor"], "t")
+    t.append(df)
+    return t
+
+
+def _ids(t, **scan_kwargs):
+    return sorted(r.id for r in t.scan(**scan_kwargs).collect())
+
+
+def test_mor_delete_masks_rows_without_rewriting_files(table):
+    pre_snapshot = table.metadata()["current-snapshot-id"]
+    n_data_before = table.files().count()
+    table.delete_where("id <= 3", mode="merge-on-read")
+    # rows are gone from the scan ...
+    assert _ids(table) == list(range(4, 11))
+    # ... but no data file was rewritten, only tombstones added
+    assert table.files().count() == n_data_before
+    assert table.delete_files().count() >= 1
+    assert table.all_delete_files().count() >= 1
+    # summary records the operation
+    snap = table.metadata()["snapshots"][-1]
+    assert snap["summary"]["operation"] == "delete"
+    assert snap["summary"]["added-position-deletes"] == 3
+    # time travel to before the delete sees all rows (no tombstones there)
+    assert _ids(table, snapshot_id=pre_snapshot) == list(range(1, 11))
+
+
+def test_mor_delete_matching_nothing_commits_no_snapshot(table):
+    n_snaps = len(table.metadata()["snapshots"])
+    table.delete_where("id > 999", mode="merge-on-read")
+    assert len(table.metadata()["snapshots"]) == n_snaps
+    assert _ids(table) == list(range(1, 11))
+
+
+def test_append_after_mor_delete_is_unaffected(table, spark):
+    table.delete_where("id = 1", mode="merge-on-read")
+    # new file gets fresh positions; old tombstones must not touch it
+    table.append(spark.createDataFrame([(1, 99.0, "again")], DDL))
+    rows = {(r.id, r.s) for r in table.scan().collect()}
+    assert (1, "again") in rows
+    assert (1, "row1") not in rows
+    assert len(rows) == 10
+
+
+def test_stacked_mor_deletes_and_equivalence_with_cow(table):
+    table.delete_where("id in (2, 4)", mode="merge-on-read")
+    table.delete_where("id in (4, 6)", mode="merge-on-read")  # overlap is fine
+    assert _ids(table) == [1, 3, 5, 7, 8, 9, 10]
+    # a copy-on-write delete on top must not resurrect masked rows
+    table.delete_where("id >= 9")  # default copy-on-write
+    assert _ids(table) == [1, 3, 5, 7, 8]
+
+
+def test_mor_update_rewrites_rows_logically(table):
+    table.update_where("id = 5", {"v": "v * 10", "s": "'updated'"}, mode="merge-on-read")
+    rows = {r.id: (r.v, r.s) for r in table.scan().collect()}
+    assert rows[5] == (7.5 * 10, "updated")
+    assert len(rows) == 10
+    assert table.delete_files().count() >= 1
+
+
+def test_merge_respects_pending_tombstones(table, spark):
+    table.delete_where("id = 7", mode="merge-on-read")
+    # merge keyed on id: deleted row 7 must be treated as ABSENT -> insert
+    src = spark.createDataFrame([(7, 0.0, "reborn"), (8, 0.0, "patched")], DDL)
+    table.merge(src, "t.id = s.id", matched_update={"s": "'patched'"})
+    rows = {r.id: r.s for r in table.scan().collect()}
+    assert rows[7] == "reborn"
+    assert rows[8] == "patched"
+    assert len(rows) == 10
+
+
+def test_rewrite_position_deletes_materializes(table):
+    table.delete_where("id <= 2", mode="merge-on-read")
+    stats = table.rewrite_position_deletes()
+    assert stats["removed-delete-files"] >= 1
+    assert stats["rewritten-data-files"] >= 1
+    assert table.delete_files().count() == 0
+    assert _ids(table) == list(range(3, 11))
+    # second call is a no-op
+    assert table.rewrite_position_deletes()["removed-delete-files"] == 0
+
+
+def test_compaction_drops_tombstones(table):
+    table.delete_where("id > 8", mode="merge-on-read")
+    table.rewrite_data_files(target_files=1)
+    assert table.delete_files().count() == 0
+    assert table.files().count() == 1
+    assert _ids(table) == list(range(1, 9))
+
+
+def test_rollback_to_snapshot(table, spark):
+    snap1 = table.metadata()["current-snapshot-id"]
+    table.append(spark.createDataFrame([(11, 1.0, "x")], DDL))
+    assert table.scan().count() == 11
+    table.rollback_to_snapshot(snap1)
+    assert table.scan().count() == 10
+    # rolling back to an unknown snapshot fails
+    with pytest.raises(NoSuchEntity):
+        table.rollback_to_snapshot(999999)
+
+
+def test_wap_stage_audit_publish(table, spark):
+    table.append(spark.createDataFrame([(11, 1.0, "staged")], DDL), wap_id="audit-1")
+    # main is unmoved ...
+    assert table.scan().count() == 10
+    # ... but the staged snapshot is auditable by id
+    staged = next(
+        s
+        for s in table.metadata()["snapshots"]
+        if s["summary"].get("wap.id") == "audit-1"
+    )
+    assert table.scan(snapshot_id=staged["snapshot-id"]).count() == 11
+    table.publish_wap("audit-1")
+    assert table.scan().count() == 11
+    # exactly-once publish
+    with pytest.raises(CatalogError):
+        table.publish_wap("audit-1")
+    with pytest.raises(NoSuchEntity):
+        table.publish_wap("never-staged")
+
+
+def test_wap_publish_onto_moved_main(table, spark):
+    """Main advances between stage and publish: cherry-pick re-applies the
+    staged DELTA onto the new head, keeping both writes."""
+    table.append(spark.createDataFrame([(11, 1.0, "staged")], DDL), wap_id="audit-2")
+    table.append(spark.createDataFrame([(12, 2.0, "mainline")], DDL))
+    table.publish_wap("audit-2")
+    ids = _ids(table)
+    assert 11 in ids and 12 in ids
+    assert len(ids) == 12
