@@ -428,7 +428,7 @@ class SparkTable:
 
         new_entries = self._write_files(self.metadata(), df)
         if wap_id is not None:
-            return self._stage_wap(new_entries, wap_id)
+            return self._stage_wap(new_entries, wap_id, branch)
         last_err: Exception | None = None
         for _ in range(commit_retries + 1):
             meta = self.metadata()
@@ -520,6 +520,15 @@ class SparkTable:
         columns come from the SAME source on the write and read sides of
         a delete file, so the (file, pos) keys always line up."""
         tstruct = schema_to_struct(target_schema)
+        if not entries:
+            empty = self.spark.createDataFrame([], tstruct)
+            if with_pos:
+                empty = empty.withColumn("_file", F.lit(None).cast("string")).withColumn(
+                    "_pos", F.lit(None).cast("long")
+                )
+            elif with_file:
+                empty = empty.withColumn("_file", F.lit(None).cast("string"))
+            return empty
         groups: dict[int, list[dict[str, Any]]] = {}
         for e in entries:
             groups.setdefault(e.get("schema-id", default_schema_id), []).append(e)
@@ -749,7 +758,10 @@ class SparkTable:
         convert at runtime."""
         paths = [f"{meta['location']}/{e['path']}" for e in delete_entries]
         dels = self.spark.read.schema(self._DELETE_SCHEMA).parquet(*paths)
-        if sum(e["record-count"] for e in delete_entries) <= 5_000_000:
+        # broadcast only clearly-small tombstone sets (~1M rows / ~10 MB
+        # serialized, Spark's broadcast guidance); larger ones take the
+        # shuffled anti-join, which AQE still upgrades when stats allow.
+        if sum(e["record-count"] for e in delete_entries) <= 1_000_000:
             dels = F.broadcast(dels)
         cond = (self._rel_file(meta["location"]) == dels["file_path"]) & (
             F.col("_pos") == dels["pos"]
@@ -801,6 +813,14 @@ class SparkTable:
             md = pq.ParquetFile(p).metadata
             if md.num_rows == 0:
                 continue
+            # target data-file list per tombstone file (Iceberg v2 delete
+            # manifests carry referenced_data_file / bounds for the same
+            # purpose): lets CoW rewrites and rewrite_position_deletes
+            # drop tombstones whose targets no longer exist without
+            # opening them. Metadata-sized (distinct file paths only).
+            refs = sorted(
+                set(pq.read_table(p, columns=["file_path"])["file_path"].to_pylist())
+            )
             entries.append(
                 {
                     "path": p.relative_to(meta["location"]).as_posix(),
@@ -809,6 +829,7 @@ class SparkTable:
                     "partition": {},
                     "schema-id": meta["current-schema-id"],
                     "content": "position-deletes",
+                    "referenced-files": refs,
                 }
             )
         return entries
@@ -901,6 +922,23 @@ class SparkTable:
         targets = {r["file_path"] for r in dels.select("file_path").distinct().collect()}
         affected = [e for e in data_entries if e["path"] in targets]
         kept = [e for e in data_entries if e["path"] not in targets]
+        if not affected:
+            # every tombstoned data file was since rewritten (e.g. by a
+            # later copy-on-write DML): the delete entries are dead weight
+            # pointing at vanished files — drop them without any IO.
+            self._commit_snapshot(
+                meta,
+                kept,
+                "replace",
+                extra_summary={
+                    "removed-delete-files": len(delete_entries),
+                    "rewritten-data-files": 0,
+                },
+            )
+            return {
+                "rewritten-data-files": 0,
+                "removed-delete-files": len(delete_entries),
+            }
         df = self._read_entries(meta, schema, affected, snap["schema-id"], with_pos=True)
         df = self._apply_position_deletes(df, meta, delete_entries).drop("_file", "_pos")
         new_entries = self._write_files(meta, df)
@@ -951,6 +989,23 @@ class SparkTable:
             e
             for e in snap["manifest"]
             if str(Path(loc) / e["path"]) not in affected_set
+        ]
+        # prune delete entries whose every referenced data file was just
+        # rewritten: their tombstones now point at files gone from the
+        # manifest, so keeping them only costs scans the anti-join path
+        # (and they'd accumulate forever). Entries without referenced-files
+        # (pre-upgrade tombstones) are conservatively kept.
+        affected_rel = {
+            p[len(loc) + 1 :] if p.startswith(loc) else p for p in affected_set
+        }
+        kept = [
+            e
+            for e in kept
+            if not (
+                e.get("content") == "position-deletes"
+                and e.get("referenced-files") is not None
+                and all(r in affected_rel for r in e["referenced-files"])
+            )
         ]
         rewritten_entries: list[dict[str, Any]] = []
         to_rewrite = df.filter(F.col("_file").isin(affected)).drop("_file") if affected else None
@@ -1108,13 +1163,15 @@ class SparkTable:
     set_current_snapshot = rollback_to_snapshot
 
     def _stage_wap(
-        self, new_entries: list[dict[str, Any]], wap_id: str
+        self, new_entries: list[dict[str, Any]], wap_id: str, branch: str = MAIN
     ) -> dict[str, Any]:
         """AddSnapshot with NO SetSnapshotRef: the snapshot exists (readable
-        by id for audit) but no branch sees it."""
+        by id for audit) but no branch sees it. The target branch is
+        recorded in the summary so publish_wap lands it where the writer
+        asked (append(branch=..., wap_id=...) is honored, not ignored)."""
         meta = self.metadata()
         parent = (
-            self._resolve_snapshot(meta, ref=MAIN) if meta["refs"].get(MAIN) else None
+            self._resolve_snapshot(meta, ref=branch) if meta["refs"].get(branch) else None
         )
         snapshot = {
             "snapshot-id": max((s["snapshot-id"] for s in meta["snapshots"]), default=0)
@@ -1127,6 +1184,7 @@ class SparkTable:
                 "added-data-files": len(new_entries),
                 "added-records": sum(e["record-count"] for e in new_entries),
                 "wap.id": wap_id,
+                "wap.branch": branch,
             },
             "manifest": (parent["manifest"] if parent else []) + new_entries,
         }
@@ -1135,24 +1193,38 @@ class SparkTable:
             [{"action": "add-snapshot", "snapshot": snapshot}],
         )
 
-    def cherry_pick(self, snapshot_id: int) -> dict[str, Any]:
+    def cherry_pick(self, snapshot_id: int, branch: str = MAIN) -> dict[str, Any]:
         """cherrypick_snapshot procedure: re-apply the ADDED files of an
-        append/staged snapshot on top of the current main head as a new
+        append/staged snapshot on top of the current branch head as a new
         commit. The delta is the file-level manifest diff against the
-        source snapshot's parent — metadata-sized, no data moves."""
+        source snapshot's parent — metadata-sized, no data moves.
+
+        Only append snapshots may be cherry-picked (Iceberg's
+        cherrypick_snapshot rejects everything else): re-adding the
+        rewritten files of a delete/overwrite/replace snapshot on top of
+        a head that still holds the originals would duplicate rows."""
         meta = self.metadata()
         src = self._snapshot(meta, snapshot_id)
+        if src["summary"].get("operation") != "append":
+            raise CatalogError(
+                f"cannot cherry-pick non-append snapshot {snapshot_id} "
+                f"(operation={src['summary'].get('operation')!r})"
+            )
         parent_id = src.get("parent-snapshot-id")
         parent = self._snapshot(meta, parent_id) if parent_id is not None else None
         before = {e["path"] for e in (parent["manifest"] if parent else [])}
         added = [e for e in src["manifest"] if e["path"] not in before]
-        cur = self._resolve_snapshot(meta)
+        cur = self._resolve_snapshot(meta, ref=branch) if meta["refs"].get(branch) else None
         extra: dict[str, Any] = {"cherry-picked-from": snapshot_id}
         if src["summary"].get("wap.id"):
             extra["wap.id"] = src["summary"]["wap.id"]
             extra["wap.published"] = True
         return self._commit_snapshot(
-            meta, (cur["manifest"] if cur else []) + added, "append", extra_summary=extra
+            meta,
+            (cur["manifest"] if cur else []) + added,
+            "append",
+            branch,
+            extra_summary=extra,
         )
 
     def publish_wap(self, wap_id: str) -> dict[str, Any]:
@@ -1177,7 +1249,9 @@ class SparkTable:
         )
         if staged is None:
             raise NoSuchEntity(f"no staged snapshot with wap id {wap_id}")
-        return self.cherry_pick(staged["snapshot-id"])
+        return self.cherry_pick(
+            staged["snapshot-id"], branch=staged["summary"].get("wap.branch", MAIN)
+        )
 
     def drop_ref(self, name: str) -> None:
         self._commit([],

@@ -157,3 +157,66 @@ def test_wap_publish_onto_moved_main(table, spark):
     ids = _ids(table)
     assert 11 in ids and 12 in ids
     assert len(ids) == 12
+
+
+def test_rewrite_position_deletes_after_cow_rewrite_of_targets(table):
+    """ADVICE regression: MOR delete, then a CoW delete that rewrites the
+    tombstoned files — rewrite_position_deletes must not crash and must
+    purge the (now-dead) tombstones."""
+    table.delete_where("id = 2", mode="merge-on-read")
+    assert table.delete_files().count() >= 1
+    # CoW update touching EVERY file rewrites the tombstoned file too, so
+    # the delete entry's targets all vanish from the manifest.
+    table.update_where("id >= 1", {"v": "v + 0.5"}, mode="copy-on-write")
+    # the CoW rewrite already prunes tombstones whose targets are gone;
+    # rewrite_position_deletes must handle the nothing-to-do case (this
+    # raised IndexError before the fix when stale entries survived).
+    out = table.rewrite_position_deletes()
+    assert out["rewritten-data-files"] == 0
+    assert table.delete_files().count() == 0
+    assert _ids(table) == [1, 3, 4, 5, 6, 7, 8, 9, 10]
+
+
+def test_cow_rewrite_prunes_dead_tombstones(spark, catalog):
+    """After a CoW rewrite of every tombstoned file, no delete entries
+    remain in the manifest (they would be unreachable dead weight).
+    Single-file layout so the tombstoned file is guaranteed rewritten."""
+    catalog.create_namespace("wh", ["morp"])
+    df = spark.createDataFrame(
+        [(i, float(i) * 1.5, f"row{i}") for i in range(1, 11)], DDL
+    ).coalesce(1)
+    catalog.create_table("wh", ["morp"], "t", struct_to_schema(df.schema))
+    t = SparkTable(spark, catalog, "wh", ["morp"], "t")
+    t.append(df)
+    assert t.files().count() == 1
+    t.delete_where("id <= 3", mode="merge-on-read")
+    assert t.delete_files().count() == 1
+    t.update_where("id >= 4", {"s": "concat(s, '!')"}, mode="copy-on-write")
+    assert t.delete_files().count() == 0
+    assert _ids(t) == [4, 5, 6, 7, 8, 9, 10]
+
+
+def test_cherry_pick_rejects_non_append_snapshot(table, spark):
+    table.append(spark.createDataFrame([(11, 1.0, "x")], DDL))
+    table.delete_where("id = 11", mode="copy-on-write")
+    delete_snap = table.metadata()["current-snapshot-id"]
+    with pytest.raises(CatalogError, match="non-append"):
+        table.cherry_pick(delete_snap)
+    # result state unchanged
+    assert 11 not in _ids(table)
+
+
+def test_wap_on_branch_publishes_to_that_branch(table, spark):
+    """append(branch=..., wap_id=...) stages against the branch head and
+    publish lands there, leaving main untouched."""
+    table.create_branch("audit")
+    table.append(
+        spark.createDataFrame([(21, 1.0, "branchy")], DDL),
+        branch="audit",
+        wap_id="wap-branch-1",
+    )
+    assert table.scan().count() == 10
+    assert table.scan(ref="audit").count() == 10
+    table.publish_wap("wap-branch-1")
+    assert table.scan(ref="audit").count() == 11
+    assert table.scan().count() == 10
