@@ -111,10 +111,11 @@ _SQL_SHINGLES = f"""
 _BITMAP_VOCAB_MAX = 4096
 # The bitmap plan broadcasts the whole packed corpus and evaluates O(n²)
 # candidate pairs in a nested-loop join — only sane when the corpus itself
-# is small. Above this many docs the prefix-filter plan is chosen no matter
-# how small the vocabulary is (a huge corpus with a tiny vocab would
-# otherwise broadcast everything into a quadratic join).
-_BITMAP_DOCS_MAX = 100_000
+# is small. At 20k docs the pair space is ~2x10^8 cheap bitmap AND/popcount
+# evaluations, the practical ceiling for a single stage; beyond it the
+# prefix-filter plan is chosen no matter how small the vocabulary is (the
+# earlier 100k gate allowed ~5x10^9 pair evaluations on one stage).
+_BITMAP_DOCS_MAX = 20_000
 
 
 def _d02_choose_vocab(docs: DataFrame) -> list[str] | None:

@@ -170,8 +170,10 @@ GROUP BY d.segment
     description="Join two tables on values extracted from JSON/variant "
     "columns on BOTH sides (reference test_spark.py:1443-1533, "
     "test_variant_join_on_extracted_fields; get_json_object fallback per "
-    "SURVEY §7c). Dimension side is broadcast: extraction happens before "
-    "the join, so the shuffle-free plan survives at 100 TB of events.",
+    "SURVEY §7c). The customer-derived dimension grows with the data, so "
+    "the join strategy is left to AQE: it broadcasts while the dim fits "
+    "and falls back to a shuffled hash join when it doesn't — a forced "
+    "broadcast would hard-fail at high cardinality.",
     tags=("events", "json", "join"),
 )
 def e05_variant_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,7 +197,7 @@ def e05_variant_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        ev.join(F.broadcast(dim), ev.k == dim.id)
+        ev.join(dim, ev.k == dim.id)
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -452,9 +454,10 @@ GROUP BY 1, 2
 """,
     description="Retention cohort matrix: users bucketed by first-seen "
     "week, activity counted per (cohort, weeks-since-cohort). The "
-    "first-seen dimension is itself an aggregate of the fact table — "
-    "broadcast back into the scan, so the plan is agg + broadcast join + "
-    "agg with no fact-to-fact shuffle.",
+    "first-seen dimension is itself an aggregate of the fact table, "
+    "keyed per user — unbounded cardinality, so no broadcast hint: AQE "
+    "broadcasts it while small and keeps the co-partitioned shuffle join "
+    "(both sides hash on user_id) when it grows.",
     tags=("events", "retention", "analytics"),
 )
 def e08_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -462,7 +465,7 @@ def e08_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     week = (F.col("ts_ns") / F.lit(NANOS_PER_WEEK)).cast("long")
     first_seen = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
     return (
-        ev.join(F.broadcast(first_seen), "user_id")
+        ev.join(first_seen, "user_id")
         .groupBy(
             "cohort_week",
             (week - F.col("cohort_week")).alias("weeks_since"),

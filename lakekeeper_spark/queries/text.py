@@ -297,11 +297,15 @@ GROUP BY source
     description="The canonical LLM training-data pipeline as ONE declarative "
     "plan: exact dedup -> language filter -> quality gates (length, "
     "stopword density) -> greedy token-budget cut -> per-source mix "
-    "report. The budget cut is a global ordered cumulative sum over the "
-    "already dedup+quality-filtered survivors; at 100 TB the same cut is "
-    "done by first picking the score threshold with approxQuantile "
-    "(budget/total ratio) and only tie-breaking the boundary score "
-    "globally — the plan shape here is the exact-small-data form.",
+    "report. The budget cut is a global ordered cumulative sum computed "
+    "DISTRIBUTED: rows are range-bucketed by a deterministic function of "
+    "the sort key (floor(stop_ratio*K)), the running sum is windowed "
+    "WITHIN each bucket in parallel, and each bucket adds the total of "
+    "all strictly-better buckets (a <=K+1-row broadcast). Exactly equal "
+    "to the single-ordered-window form, but no stage ever sees more than "
+    "one bucket in one partition — survives 100 TB where an "
+    "unpartitioned Window.orderBy would single-thread every surviving "
+    "document.",
     tags=("text", "llm", "pipeline"),
 )
 def p01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,7 +313,6 @@ def p01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     deduped = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_RE), F.lit(0))
     scored = (
         docs.join(deduped.select("doc_id"), "doc_id")
         .filter(F.col("lang") == "en")
@@ -324,11 +327,32 @@ def p01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = scored.withColumn(
         "stop_ratio", F.col("n_stop").cast("double") / F.col("n_words")
     ).filter((F.col("n_words") >= 20) & (F.col("stop_ratio") >= 0.05))
-    w = (
-        Window.orderBy(F.desc("stop_ratio"), F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # distributed exact prefix-sum over (stop_ratio DESC, doc_id ASC):
+    # bucket is a pure function of the leading sort key, so equal keys
+    # never straddle buckets and per-bucket windows parallelize.
+    n_buckets = 256
+    bucketed = quality.withColumn(
+        "bkt", F.floor(F.col("stop_ratio") * n_buckets).cast("int")
     )
-    budgeted = quality.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    w_in = Window.partitionBy("bkt").orderBy(
+        F.desc("stop_ratio"), F.asc("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    within = bucketed.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    # per-bucket totals: bounded at n_buckets+1 rows — the only global
+    # ordered window runs over THIS metadata-sized frame, and the
+    # broadcast back is structurally bounded.
+    w_off = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.sum("n_tokens").alias("bkt_tokens"))
+        .withColumn("off", F.coalesce(F.sum("bkt_tokens").over(w_off), F.lit(0)))
+        .select("bkt", "off")
+    )
+    budgeted = within.join(F.broadcast(offsets), "bkt").withColumn(
+        "cum_tokens", F.col("cum_in") + F.col("off")
+    )
     return (
         budgeted.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
         .groupBy("source")
@@ -366,31 +390,38 @@ LIMIT {TOP_PAIRS}
 """,
     description="Skip-gram (center, context) pair counts within a +-2 "
     "token window — the co-occurrence statistics embedding trainers "
-    "consume. Positional self-join per document, grouped count; documents "
-    "are independent so the join key is (doc_id) and pair fan-out is "
-    "bounded by 2*window per token. Top pairs with deterministic "
-    "tie-break.",
+    "consume. JOIN-FREE: pairs are generated at the ARRAY level inside "
+    "one row (transform over token positions x a bounded offset list, "
+    "element_at for the context token), then a single explode + grouped "
+    "count. Fan-out is exactly <=2*window pairs per token — linear in "
+    "corpus tokens, never the O(n_tokens^2) candidate space a doc_id-"
+    "keyed self-join would enumerate (a single 100k-token document would "
+    "otherwise produce 10^10 candidate pairs). Top pairs with "
+    "deterministic tie-break.",
     tags=("text", "llm", "skipgram"),
 )
 def t07_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = SKIPGRAM_WINDOW
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0))
-        ).alias("pos0", "token"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
-    a = toks.alias("a")
-    b = toks.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.pos") >= F.col("a.pos") - SKIPGRAM_WINDOW)
-            & (F.col("b.pos") <= F.col("a.pos") + SKIPGRAM_WINDOW)
-            & (F.col("a.pos") != F.col("b.pos")),
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)).alias(
+            "toks"
         )
-        .groupBy(F.col("a.token").alias("center"), F.col("b.token").alias("context"))
+    )
+    # flatten(transform(toks, (tok, i) -> [struct(center, context), ...]))
+    # — the whole pair list is built JVM-side per document; boundary
+    # positions clamp via the BETWEEN filter so no out-of-range element_at.
+    pairs = F.expr(
+        f"""flatten(transform(toks, (tok, i) ->
+              transform(
+                filter(sequence(-{w}, {w}),
+                       o -> o != 0 AND i + 1 + o BETWEEN 1 AND size(toks)),
+                o -> struct(tok AS center, element_at(toks, i + 1 + o) AS context))))"""
+    )
+    return (
+        toks.select(F.explode(pairs).alias("p"))
+        .select("p.center", "p.context")
+        .groupBy("center", "context")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("center"), F.asc("context"))
         .limit(TOP_PAIRS)
