@@ -1,0 +1,13 @@
+"""Iceberg REST Catalog facade: a thin HTTP layer over Catalog.
+
+The reference's core identity is an HTTP catalog that standard engines
+point at (api/endpoints.rs:139-188); this package exposes the same route
+surface over the Python Catalog so an HTTP client can drive the full
+table lifecycle — including ETag/304 revalidation and idempotent commit
+replay — exactly as the reference serves it.
+"""
+
+from .client import RestCatalogClient
+from .server import RestCatalogServer
+
+__all__ = ["RestCatalogClient", "RestCatalogServer"]

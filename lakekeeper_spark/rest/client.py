@@ -1,0 +1,415 @@
+"""HTTP client for the Iceberg-REST facade, shaped like `Catalog`.
+
+Implements the Catalog method surface engines need over the wire —
+load_table (with ETag revalidation), commit_table/commit_transaction
+(with idempotency keys), namespace/table/view DDL, generic tables,
+credentials — so a `SparkTable` (format/icelite.py) can run its whole
+read/write lifecycle against a server it only knows by URL, the way
+stock Spark+Iceberg talks to the reference
+(tests/python/tests/conftest.py:802-819).
+
+Error translation inverts the server's taxonomy: 404 -> NoSuchEntity,
+409 CommitFailedException -> CommitConflict, 409 otherwise ->
+AlreadyExists, 304 -> NotModified, 400 -> CatalogError.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+from typing import Any
+from urllib.parse import quote
+
+from ..catalog.catalog import (
+    AlreadyExists,
+    CatalogError,
+    CommitConflict,
+    NoSuchEntity,
+    NotModified,
+)
+
+NS_SEP = "\x1f"
+
+
+def _ns_path(levels) -> str:
+    return quote(NS_SEP.join(levels), safe="")
+
+
+class RestCatalogClient:
+    """Catalog-compatible facade over HTTP. `warehouse` arguments on each
+    method are honored (they become the route prefix), so one client can
+    serve many warehouses just like the library Catalog."""
+
+    def __init__(self, base_url: str):
+        self.base_url = base_url.rstrip("/")
+
+    # ---- transport ------------------------------------------------------
+    def _request(
+        self,
+        method: str,
+        path: str,
+        body: dict[str, Any] | None = None,
+        headers: dict[str, str] | None = None,
+    ) -> tuple[int, dict[str, Any], dict[str, str]]:
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(
+            self.base_url + path, data=data, method=method, headers=headers or {}
+        )
+        if data is not None:
+            req.add_header("Content-Type", "application/json")
+        try:
+            with urllib.request.urlopen(req) as resp:
+                raw = resp.read()
+                payload = json.loads(raw) if raw else {}
+                return resp.status, payload, dict(resp.headers)
+        except urllib.error.HTTPError as e:
+            raw = e.read()
+            try:
+                err = json.loads(raw)["error"]
+            except Exception:
+                err = {"type": "Unknown", "message": raw.decode(errors="replace")}
+            self._raise(e.code, err["type"], err["message"])
+
+    @staticmethod
+    def _raise(code: int, etype: str, message: str):
+        if code == 304:
+            raise NotModified()
+        if code == 404:
+            raise NoSuchEntity(message)
+        if code == 409:
+            if etype == "CommitFailedException":
+                raise CommitConflict(message)
+            raise AlreadyExists(message)
+        raise CatalogError(f"{etype}: {message}")
+
+    # ---- config / namespaces -------------------------------------------
+    def config(self, warehouse: str) -> dict[str, Any]:
+        _, body, _ = self._request("GET", f"/catalog/v1/config?warehouse={warehouse}")
+        return body
+
+    def create_namespace(self, warehouse, levels, properties=None, exists_ok=False):
+        try:
+            self._request(
+                "POST",
+                f"/catalog/v1/{warehouse}/namespaces",
+                {"namespace": list(levels), "properties": properties or {}},
+            )
+        except AlreadyExists:
+            if not exists_ok:
+                raise
+        return tuple(levels)
+
+    def namespace_exists(self, warehouse, levels) -> bool:
+        try:
+            self._request(
+                "HEAD", f"/catalog/v1/{warehouse}/namespaces/{_ns_path(levels)}"
+            )
+            return True
+        except NoSuchEntity:
+            return False
+
+    def list_namespaces(self, warehouse, parent=None, page_token=None, page_size=None):
+        q = []
+        if parent:
+            q.append(f"parent={_ns_path(parent)}")
+        if page_token:
+            q.append(f"pageToken={quote(page_token, safe='')}")
+        if page_size is not None:
+            q.append(f"pageSize={page_size}")
+        qs = ("?" + "&".join(q)) if q else ""
+        _, body, _ = self._request("GET", f"/catalog/v1/{warehouse}/namespaces{qs}")
+        return (
+            [tuple(n) for n in body["namespaces"]],
+            body.get("next-page-token"),
+        )
+
+    def namespace_properties(self, warehouse, levels) -> dict[str, Any]:
+        _, body, _ = self._request(
+            "GET", f"/catalog/v1/{warehouse}/namespaces/{_ns_path(levels)}"
+        )
+        return body["properties"]
+
+    def update_namespace_properties(self, warehouse, levels, updates, removals=()):
+        _, body, _ = self._request(
+            "POST",
+            f"/catalog/v1/{warehouse}/namespaces/{_ns_path(levels)}/properties",
+            {"updates": updates, "removals": list(removals)},
+        )
+        return body
+
+    def drop_namespace(self, warehouse, levels) -> None:
+        self._request(
+            "DELETE", f"/catalog/v1/{warehouse}/namespaces/{_ns_path(levels)}"
+        )
+
+    # ---- tables ----------------------------------------------------------
+    def _tbl(self, warehouse, levels, name, suffix="") -> str:
+        return (
+            f"/catalog/v1/{warehouse}/namespaces/{_ns_path(levels)}"
+            f"/tables/{quote(name, safe='')}{suffix}"
+        )
+
+    def create_table(
+        self,
+        warehouse,
+        levels,
+        name,
+        schema,
+        partition_spec=None,
+        sort_order=None,
+        properties=None,
+        stage_create=False,
+        format_version=2,
+    ):
+        props = dict(properties or {})
+        props.setdefault("format-version", format_version)
+        _, body, _ = self._request(
+            "POST",
+            f"/catalog/v1/{warehouse}/namespaces/{_ns_path(levels)}/tables",
+            {
+                "name": name,
+                "schema": schema,
+                "partition-spec": partition_spec,
+                "write-order": sort_order,
+                "properties": props,
+                "stage-create": stage_create,
+            },
+        )
+        return body["metadata"]
+
+    def register_table(self, warehouse, levels, name, metadata):
+        _, body, _ = self._request(
+            "POST",
+            f"/catalog/v1/{warehouse}/namespaces/{_ns_path(levels)}/register",
+            {"name": name, "metadata": metadata},
+        )
+        return body["metadata"]
+
+    def load_table(self, warehouse, levels, name, etag=None):
+        headers = {"If-None-Match": f'W/"{etag}"'} if etag is not None else {}
+        _, body, resp_headers = self._request(
+            "GET", self._tbl(warehouse, levels, name), headers=headers
+        )
+        new_etag = int(resp_headers.get("ETag", 'W/"0"').strip('W/"'))
+        return body["metadata"], new_etag
+
+    def table_exists(self, warehouse, levels, name) -> bool:
+        try:
+            self._request("HEAD", self._tbl(warehouse, levels, name))
+            return True
+        except NoSuchEntity:
+            return False
+
+    def list_tables(self, warehouse, levels, kind="table", page_token=None, page_size=None):
+        base = (
+            f"/catalog/v1/{warehouse}/namespaces/{_ns_path(levels)}/tables"
+            if kind == "table"
+            else f"/data/v1/{warehouse}/namespaces/{_ns_path(levels)}/generic-tables"
+        )
+        q = []
+        if page_token:
+            q.append(f"pageToken={quote(page_token, safe='')}")
+        if page_size is not None:
+            q.append(f"pageSize={page_size}")
+        _, body, _ = self._request("GET", base + (("?" + "&".join(q)) if q else ""))
+        return [i["name"] for i in body["identifiers"]], body.get("next-page-token")
+
+    def commit_table(
+        self, warehouse, levels, name, requirements, updates, idempotency_key=None
+    ):
+        headers = {"Idempotency-Key": idempotency_key} if idempotency_key else {}
+        _, body, _ = self._request(
+            "POST",
+            self._tbl(warehouse, levels, name),
+            {"requirements": requirements, "updates": updates},
+            headers=headers,
+        )
+        return body["metadata"]
+
+    def commit_transaction(self, warehouse, table_changes, idempotency_key=None):
+        headers = {"Idempotency-Key": idempotency_key} if idempotency_key else {}
+        self._request(
+            "POST",
+            f"/catalog/v1/{warehouse}/transactions/commit",
+            {
+                "table-changes": [
+                    {
+                        "identifier": {
+                            "namespace": list(ch["levels"]),
+                            "name": ch["name"],
+                        },
+                        "requirements": ch["requirements"],
+                        "updates": ch["updates"],
+                    }
+                    for ch in table_changes
+                ]
+            },
+            headers=headers,
+        )
+
+    def drop_table(self, warehouse, levels, name, purge=False) -> None:
+        q = "?purgeRequested=true" if purge else ""
+        self._request("DELETE", self._tbl(warehouse, levels, name) + q)
+
+    def rename_table(self, warehouse, levels, name, new_levels, new_name) -> None:
+        self._request(
+            "POST",
+            f"/catalog/v1/{warehouse}/tables/rename",
+            {
+                "source": {"namespace": list(levels), "name": name},
+                "destination": {"namespace": list(new_levels), "name": new_name},
+            },
+        )
+
+    def report_metrics(self, warehouse, levels, name, report) -> None:
+        self._request(
+            "POST", self._tbl(warehouse, levels, name, "/metrics"), report
+        )
+
+    def load_credentials(self, warehouse, levels, name, kind="table"):
+        path = (
+            self._tbl(warehouse, levels, name, "/credentials")
+            if kind == "table"
+            else (
+                f"/data/v1/{warehouse}/namespaces/{_ns_path(levels)}"
+                f"/generic-tables/{quote(name, safe='')}/credentials"
+            )
+        )
+        _, body, _ = self._request("GET", path)
+        return body
+
+    # ---- views ------------------------------------------------------------
+    def _view(self, warehouse, levels, name) -> str:
+        return (
+            f"/catalog/v1/{warehouse}/namespaces/{_ns_path(levels)}"
+            f"/views/{quote(name, safe='')}"
+        )
+
+    def create_view(
+        self,
+        warehouse,
+        levels,
+        name,
+        sql,
+        schema=None,
+        dialect="spark",
+        properties=None,
+        replace=False,
+    ):
+        _, body, _ = self._request(
+            "POST",
+            f"/catalog/v1/{warehouse}/namespaces/{_ns_path(levels)}/views",
+            {
+                "name": name,
+                "sql": sql,
+                "schema": schema,
+                "dialect": dialect,
+                "properties": properties,
+                "replace": replace,
+            },
+        )
+        return body["metadata"]
+
+    def load_view(self, warehouse, levels, name):
+        _, body, _ = self._request("GET", self._view(warehouse, levels, name))
+        return body["metadata"]
+
+    def view_exists(self, warehouse, levels, name) -> bool:
+        try:
+            self._request("HEAD", self._view(warehouse, levels, name))
+            return True
+        except NoSuchEntity:
+            return False
+
+    def list_views(self, warehouse, levels, page_token=None, page_size=None):
+        q = []
+        if page_token:
+            q.append(f"pageToken={quote(page_token, safe='')}")
+        if page_size is not None:
+            q.append(f"pageSize={page_size}")
+        _, body, _ = self._request(
+            "GET",
+            f"/catalog/v1/{warehouse}/namespaces/{_ns_path(levels)}/views"
+            + (("?" + "&".join(q)) if q else ""),
+        )
+        return [i["name"] for i in body["identifiers"]], body.get("next-page-token")
+
+    def drop_view(self, warehouse, levels, name) -> None:
+        self._request("DELETE", self._view(warehouse, levels, name))
+
+    def rename_view(self, warehouse, levels, name, new_levels, new_name) -> None:
+        self._request(
+            "POST",
+            f"/catalog/v1/{warehouse}/views/rename",
+            {
+                "source": {"namespace": list(levels), "name": name},
+                "destination": {"namespace": list(new_levels), "name": new_name},
+            },
+        )
+
+    # ---- generic tables ----------------------------------------------------
+    def create_generic_table(
+        self, warehouse, levels, name, format, base_location, schema=None, properties=None
+    ):
+        _, body, _ = self._request(
+            "POST",
+            f"/data/v1/{warehouse}/namespaces/{_ns_path(levels)}/generic-tables",
+            {
+                "name": name,
+                "format": format,
+                "base-location": base_location,
+                "schema": schema,
+                "properties": properties,
+            },
+        )
+        return body
+
+    def load_generic_table(self, warehouse, levels, name):
+        _, body, _ = self._request(
+            "GET",
+            f"/data/v1/{warehouse}/namespaces/{_ns_path(levels)}"
+            f"/generic-tables/{quote(name, safe='')}",
+        )
+        return body
+
+    def drop_generic_table(self, warehouse, levels, name) -> None:
+        self._request(
+            "DELETE",
+            f"/data/v1/{warehouse}/namespaces/{_ns_path(levels)}"
+            f"/generic-tables/{quote(name, safe='')}",
+        )
+
+    # ---- management ---------------------------------------------------------
+    def create_warehouse(self, name, location, properties=None):
+        _, body, _ = self._request(
+            "POST",
+            "/management/v1/warehouse",
+            {
+                "warehouse-name": name,
+                "storage-profile": {"type": "local", "location": location},
+                "properties": properties or {},
+            },
+        )
+        return body
+
+    def undrop_table(self, warehouse, levels, name) -> None:
+        self._request(
+            "POST",
+            f"/management/v1/warehouse/{warehouse}/deleted-tabulars/undrop",
+            {"targets": [{"namespace": list(levels), "name": name}]},
+        )
+
+    def warehouse_statistics(self, warehouse):
+        _, body, _ = self._request(
+            "GET", f"/management/v1/warehouse/{warehouse}/statistics"
+        )
+        return body
+
+    def search_tabular(self, warehouse, query, limit=10):
+        _, body, _ = self._request(
+            "GET",
+            f"/management/v1/search/tabular?warehouse={warehouse}"
+            f"&q={quote(query, safe='')}&limit={limit}",
+        )
+        return body["tabulars"]

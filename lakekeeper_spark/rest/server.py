@@ -1,0 +1,491 @@
+"""Iceberg REST Catalog HTTP server over the Python Catalog.
+
+Route surface mirrors the reference's endpoint registry
+(crates/lakekeeper/src/api/endpoints.rs:139-188): catalog v1
+(config/namespaces/tables/views/transactions/metrics/credentials), the
+generic-table data API (api/data/v1/generic_tables/mod.rs:36-90), and the
+management undrop/statistics endpoints (api/management/v1/warehouse).
+Multipart namespaces travel URL-encoded with the 0x1F unit separator,
+exactly as the Iceberg REST spec prescribes.
+
+Semantics carried over the wire (not just routed):
+  - LoadTable ETag revalidation: If-None-Match -> 304 Not Modified
+    (reference server/tables/load_table.rs:268-313).
+  - Commit idempotency: an Idempotency-Key header replays the original
+    result instead of re-applying (migration 20260318120000, replay_commit_table).
+  - Error taxonomy: 404 NoSuchX, 409 AlreadyExists vs 409
+    CommitFailedException (distinguished by error `type`), 400 validation
+    — the codes engines branch on.
+
+stdlib-only (http.server.ThreadingHTTPServer): no web framework is baked
+into this environment, and the handlers are a thin 1:1 mapping onto
+Catalog methods, which hold all the real logic.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any
+from urllib.parse import parse_qs, unquote, urlparse
+
+from ..catalog.catalog import (
+    AlreadyExists,
+    Catalog,
+    CatalogError,
+    CommitConflict,
+    NoSuchEntity,
+    NotModified,
+    ProtectedEntity,
+)
+from ..catalog.commit import CommitValidationError
+
+NS_SEP = "\x1f"  # Iceberg REST multipart namespace separator (%1F)
+
+
+def _ns(encoded: str) -> list[str]:
+    return unquote(encoded).split(NS_SEP)
+
+
+def _error_body(code: int, etype: str, message: str) -> bytes:
+    return json.dumps(
+        {"error": {"message": message, "type": etype, "code": code}}
+    ).encode()
+
+
+# (method, compiled path regex) -> handler name; group names feed kwargs
+_ROUTES: list[tuple[str, re.Pattern, str]] = []
+
+
+def route(method: str, pattern: str):
+    compiled = re.compile("^" + pattern + "$")
+
+    def deco(fn):
+        _ROUTES.append((method, compiled, fn.__name__))
+        return fn
+
+    return deco
+
+
+P = r"(?P<prefix>[^/]+)"
+NS = r"(?P<ns>[^/]+)"
+TBL = r"(?P<tbl>[^/]+)"
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "lakekeeper-spark-rest/0.1"
+    protocol_version = "HTTP/1.1"
+
+    # ---- plumbing -------------------------------------------------------
+    def log_message(self, *args):  # quiet test output
+        pass
+
+    @property
+    def catalog(self) -> Catalog:
+        return self.server.catalog  # type: ignore[attr-defined]
+
+    def _body(self) -> dict[str, Any]:
+        n = int(self.headers.get("Content-Length") or 0)
+        if not n:
+            return {}
+        return json.loads(self.rfile.read(n))
+
+    def _reply(
+        self,
+        code: int,
+        payload: Any = None,
+        headers: dict[str, str] | None = None,
+        head_only: bool = False,
+    ) -> None:
+        data = b"" if payload is None else json.dumps(payload).encode()
+        self.send_response(code)
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
+        if payload is not None:
+            self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        if data and not head_only:
+            self.wfile.write(data)
+
+    def _dispatch(self, method: str) -> None:
+        parsed = urlparse(self.path)
+        self.query = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+        for m, pattern, fname in _ROUTES:
+            if m != method:
+                continue
+            match = pattern.match(parsed.path)
+            if not match:
+                continue
+            try:
+                getattr(self, fname)(**match.groupdict())
+            except NotModified:
+                self._reply(304)
+            except NoSuchEntity as e:
+                self._reply_err(404, "NoSuchEntityException", e)
+            except CommitConflict as e:
+                self._reply_err(409, "CommitFailedException", e)
+            except AlreadyExists as e:
+                self._reply_err(409, "AlreadyExistsException", e)
+            except ProtectedEntity as e:
+                self._reply_err(409, "ProtectedEntityException", e)
+            except CommitValidationError as e:
+                self._reply_err(400, "CommitValidationException", e)
+            except CatalogError as e:
+                self._reply_err(400, "BadRequestException", e)
+            except Exception as e:  # pragma: no cover - surfaced to client
+                self._reply_err(500, "InternalServerError", e)
+            return
+        self._reply_err(404, "NoSuchRouteException", f"{method} {parsed.path}")
+
+    def _reply_err(self, code: int, etype: str, err) -> None:
+        self.send_response(code)
+        body = _error_body(code, etype, str(err))
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        self._dispatch("GET")
+
+    def do_POST(self):
+        self._dispatch("POST")
+
+    def do_DELETE(self):
+        self._dispatch("DELETE")
+
+    def do_HEAD(self):
+        self._dispatch("HEAD")
+
+    # ---- catalog v1: config --------------------------------------------
+    @route("GET", r"/catalog/v1/config")
+    def get_config(self):
+        wh = self.query.get("warehouse")
+        if wh is None:
+            raise CatalogError("warehouse query parameter is required")
+        self.catalog._warehouse(wh)  # raises NoSuchEntity on unknown
+        self._reply(
+            200,
+            {
+                "defaults": {},
+                "overrides": {"prefix": wh, "uri": "catalog/v1"},
+                "endpoints": sorted(
+                    {f"{m} /catalog/v1/{p.pattern}" for m, p, _ in _ROUTES}
+                ),
+            },
+        )
+
+    # ---- catalog v1: namespaces ----------------------------------------
+    @route("GET", rf"/catalog/v1/{P}/namespaces")
+    def list_namespaces(self, prefix):
+        parent = tuple(_ns(self.query["parent"])) if "parent" in self.query else None
+        size = int(self.query["pageSize"]) if "pageSize" in self.query else None
+        namespaces, token = self.catalog.list_namespaces(
+            prefix, parent, self.query.get("pageToken"), size
+        )
+        out: dict[str, Any] = {"namespaces": [list(n) for n in namespaces]}
+        if token:
+            out["next-page-token"] = token
+        self._reply(200, out)
+
+    @route("POST", rf"/catalog/v1/{P}/namespaces")
+    def create_namespace(self, prefix):
+        body = self._body()
+        levels = self.catalog.create_namespace(
+            prefix, body["namespace"], body.get("properties") or {}
+        )
+        self._reply(
+            200, {"namespace": list(levels), "properties": body.get("properties") or {}}
+        )
+
+    @route("HEAD", rf"/catalog/v1/{P}/namespaces/{NS}")
+    def head_namespace(self, prefix, ns):
+        if not self.catalog.namespace_exists(prefix, _ns(ns)):
+            raise NoSuchEntity("namespace not found")
+        self._reply(204)
+
+    @route("GET", rf"/catalog/v1/{P}/namespaces/{NS}")
+    def get_namespace(self, prefix, ns):
+        props = self.catalog.namespace_properties(prefix, _ns(ns))
+        self._reply(200, {"namespace": _ns(ns), "properties": props})
+
+    @route("DELETE", rf"/catalog/v1/{P}/namespaces/{NS}")
+    def drop_namespace(self, prefix, ns):
+        self.catalog.drop_namespace(prefix, _ns(ns))
+        self._reply(204)
+
+    @route("POST", rf"/catalog/v1/{P}/namespaces/{NS}/properties")
+    def update_namespace_properties(self, prefix, ns):
+        body = self._body()
+        result = self.catalog.update_namespace_properties(
+            prefix, _ns(ns), body.get("updates") or {}, body.get("removals") or []
+        )
+        self._reply(200, result)
+
+    # ---- catalog v1: tables --------------------------------------------
+    @route("GET", rf"/catalog/v1/{P}/namespaces/{NS}/tables")
+    def list_tables(self, prefix, ns):
+        size = int(self.query["pageSize"]) if "pageSize" in self.query else None
+        names, token = self.catalog.list_tables(
+            prefix, _ns(ns), "table", self.query.get("pageToken"), size
+        )
+        out: dict[str, Any] = {
+            "identifiers": [{"namespace": _ns(ns), "name": n} for n in names]
+        }
+        if token:
+            out["next-page-token"] = token
+        self._reply(200, out)
+
+    @route("POST", rf"/catalog/v1/{P}/namespaces/{NS}/tables")
+    def create_table(self, prefix, ns):
+        body = self._body()
+        meta = self.catalog.create_table(
+            prefix,
+            _ns(ns),
+            body["name"],
+            body["schema"],
+            partition_spec=body.get("partition-spec"),
+            sort_order=body.get("write-order"),
+            properties=body.get("properties"),
+            stage_create=bool(body.get("stage-create")),
+            format_version=int(
+                (body.get("properties") or {}).get("format-version", 2)
+            ),
+        )
+        self._reply(200, {"metadata": meta, "metadata-location": meta["location"]})
+
+    @route("POST", rf"/catalog/v1/{P}/namespaces/{NS}/register")
+    def register_table(self, prefix, ns):
+        body = self._body()
+        meta = self.catalog.register_table(
+            prefix, _ns(ns), body["name"], body["metadata"]
+        )
+        self._reply(200, {"metadata": meta, "metadata-location": meta.get("location")})
+
+    @route("GET", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}")
+    def load_table(self, prefix, ns, tbl):
+        inm = self.headers.get("If-None-Match")
+        etag = int(inm.strip('W/"')) if inm else None
+        meta, seq = self.catalog.load_table(prefix, _ns(ns), unquote(tbl), etag)
+        self._reply(
+            200,
+            {"metadata": meta, "metadata-location": meta.get("location"), "config": {}},
+            headers={"ETag": f'W/"{seq}"'},
+        )
+
+    @route("HEAD", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}")
+    def head_table(self, prefix, ns, tbl):
+        if not self.catalog.table_exists(prefix, _ns(ns), unquote(tbl)):
+            raise NoSuchEntity("table not found")
+        self._reply(204)
+
+    @route("POST", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}")
+    def commit_table(self, prefix, ns, tbl):
+        body = self._body()
+        meta = self.catalog.commit_table(
+            prefix,
+            _ns(ns),
+            unquote(tbl),
+            body.get("requirements") or [],
+            body.get("updates") or [],
+            idempotency_key=self.headers.get("Idempotency-Key"),
+        )
+        self._reply(200, {"metadata": meta, "metadata-location": meta.get("location")})
+
+    @route("DELETE", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}")
+    def drop_table(self, prefix, ns, tbl):
+        purge = self.query.get("purgeRequested", "false").lower() == "true"
+        self.catalog.drop_table(prefix, _ns(ns), unquote(tbl), purge=purge)
+        self._reply(204)
+
+    @route("POST", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}/metrics")
+    def report_metrics(self, prefix, ns, tbl):
+        self.catalog.report_metrics(prefix, _ns(ns), unquote(tbl), self._body())
+        self._reply(204)
+
+    @route("GET", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}/credentials")
+    def load_table_credentials(self, prefix, ns, tbl):
+        self._reply(200, self.catalog.load_credentials(prefix, _ns(ns), unquote(tbl)))
+
+    @route("POST", rf"/catalog/v1/{P}/tables/rename")
+    def rename_table(self, prefix):
+        body = self._body()
+        src, dst = body["source"], body["destination"]
+        self.catalog.rename_table(
+            prefix, src["namespace"], src["name"], dst["namespace"], dst["name"]
+        )
+        self._reply(204)
+
+    @route("POST", rf"/catalog/v1/{P}/transactions/commit")
+    def commit_transaction(self, prefix):
+        body = self._body()
+        changes = [
+            {
+                "levels": ch["identifier"]["namespace"],
+                "name": ch["identifier"]["name"],
+                "requirements": ch.get("requirements") or [],
+                "updates": ch.get("updates") or [],
+            }
+            for ch in body.get("table-changes", [])
+        ]
+        self.catalog.commit_transaction(
+            prefix, changes, idempotency_key=self.headers.get("Idempotency-Key")
+        )
+        self._reply(204)
+
+    # ---- catalog v1: views ---------------------------------------------
+    @route("GET", rf"/catalog/v1/{P}/namespaces/{NS}/views")
+    def list_views(self, prefix, ns):
+        size = int(self.query["pageSize"]) if "pageSize" in self.query else None
+        names, token = self.catalog.list_views(
+            prefix, _ns(ns), self.query.get("pageToken"), size
+        )
+        out: dict[str, Any] = {
+            "identifiers": [{"namespace": _ns(ns), "name": n} for n in names]
+        }
+        if token:
+            out["next-page-token"] = token
+        self._reply(200, out)
+
+    @route("POST", rf"/catalog/v1/{P}/namespaces/{NS}/views")
+    def create_view(self, prefix, ns):
+        body = self._body()
+        meta = self.catalog.create_view(
+            prefix,
+            _ns(ns),
+            body["name"],
+            body["sql"],
+            schema=body.get("schema"),
+            dialect=body.get("dialect", "spark"),
+            properties=body.get("properties"),
+            replace=bool(body.get("replace")),
+        )
+        self._reply(200, {"metadata": meta})
+
+    @route("GET", rf"/catalog/v1/{P}/namespaces/{NS}/views/{TBL}")
+    def load_view(self, prefix, ns, tbl):
+        self._reply(200, {"metadata": self.catalog.load_view(prefix, _ns(ns), unquote(tbl))})
+
+    @route("HEAD", rf"/catalog/v1/{P}/namespaces/{NS}/views/{TBL}")
+    def head_view(self, prefix, ns, tbl):
+        if not self.catalog.view_exists(prefix, _ns(ns), unquote(tbl)):
+            raise NoSuchEntity("view not found")
+        self._reply(204)
+
+    @route("DELETE", rf"/catalog/v1/{P}/namespaces/{NS}/views/{TBL}")
+    def drop_view(self, prefix, ns, tbl):
+        self.catalog.drop_view(prefix, _ns(ns), unquote(tbl))
+        self._reply(204)
+
+    @route("POST", rf"/catalog/v1/{P}/views/rename")
+    def rename_view(self, prefix):
+        body = self._body()
+        src, dst = body["source"], body["destination"]
+        self.catalog.rename_view(
+            prefix, src["namespace"], src["name"], dst["namespace"], dst["name"]
+        )
+        self._reply(204)
+
+    # ---- data v1: generic tables ---------------------------------------
+    @route("GET", rf"/data/v1/{P}/namespaces/{NS}/generic-tables")
+    def list_generic_tables(self, prefix, ns):
+        names, token = self.catalog.list_tables(prefix, _ns(ns), "generic")
+        self._reply(
+            200, {"identifiers": [{"namespace": _ns(ns), "name": n} for n in names]}
+        )
+
+    @route("POST", rf"/data/v1/{P}/namespaces/{NS}/generic-tables")
+    def create_generic_table(self, prefix, ns):
+        body = self._body()
+        meta = self.catalog.create_generic_table(
+            prefix,
+            _ns(ns),
+            body["name"],
+            body["format"],
+            body["base-location"],
+            schema=body.get("schema"),
+            properties=body.get("properties"),
+        )
+        self._reply(200, meta)
+
+    @route("GET", rf"/data/v1/{P}/namespaces/{NS}/generic-tables/{TBL}")
+    def load_generic_table(self, prefix, ns, tbl):
+        self._reply(200, self.catalog.load_generic_table(prefix, _ns(ns), unquote(tbl)))
+
+    @route("DELETE", rf"/data/v1/{P}/namespaces/{NS}/generic-tables/{TBL}")
+    def drop_generic_table(self, prefix, ns, tbl):
+        self.catalog.drop_generic_table(prefix, _ns(ns), unquote(tbl))
+        self._reply(204)
+
+    @route("GET", rf"/data/v1/{P}/namespaces/{NS}/generic-tables/{TBL}/credentials")
+    def load_generic_credentials(self, prefix, ns, tbl):
+        self._reply(
+            200,
+            self.catalog.load_credentials(prefix, _ns(ns), unquote(tbl), kind="generic"),
+        )
+
+    # ---- management v1 --------------------------------------------------
+    @route("POST", r"/management/v1/warehouse")
+    def create_warehouse(self):
+        body = self._body()
+        out = self.catalog.create_warehouse(
+            body["warehouse-name"],
+            body["storage-profile"]["location"],
+            properties=body.get("properties"),
+        )
+        self._reply(201, out)
+
+    @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/deleted-tabulars/undrop")
+    def undrop_tabulars(self, wh):
+        for target in self._body().get("targets", []):
+            self.catalog.undrop_table(wh, target["namespace"], target["name"])
+        self._reply(204)
+
+    @route("GET", r"/management/v1/warehouse/(?P<wh>[^/]+)/statistics")
+    def warehouse_statistics(self, wh):
+        self._reply(200, self.catalog.warehouse_statistics(wh))
+
+    @route("GET", r"/management/v1/search/tabular")
+    def search_tabular(self):
+        self._reply(
+            200,
+            {
+                "tabulars": self.catalog.search_tabular(
+                    self.query["warehouse"],
+                    self.query.get("q", ""),
+                    int(self.query.get("limit", 10)),
+                )
+            },
+        )
+
+
+class RestCatalogServer:
+    """Owns a ThreadingHTTPServer bound to localhost:port (0 = ephemeral).
+
+    Thread-safe by construction: the underlying Metastore serializes
+    writes, mirroring the reference's stateless-server/all-state-in-
+    Postgres design (README.md:58)."""
+
+    def __init__(self, catalog: Catalog, port: int = 0):
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
+        self.httpd.catalog = catalog  # type: ignore[attr-defined]
+        self._thread: threading.Thread | None = None
+
+    @property
+    def url(self) -> str:
+        host, port = self.httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> "RestCatalogServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
