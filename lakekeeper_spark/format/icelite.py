@@ -86,16 +86,31 @@ def _bounds_overlap(entry: dict[str, Any], stats_filter: dict[str, tuple]) -> bo
     return True
 
 
+_DELETE_KINDS = ("position-deletes", "equality-deletes", "deletion-vectors")
+
+
 def _split_manifest(
     manifest: list[dict[str, Any]],
 ) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
-    """Split a snapshot manifest into (data entries, position-delete
-    entries). Iceberg v2 manifests carry a content field per file
-    (0=data, 1=position deletes); icelite stores the same discriminator
-    as ``content: "position-deletes"`` on delete entries."""
+    """Split a snapshot manifest into (data entries, delete entries).
+    Iceberg manifests carry a content field per file (0=data, 1=position
+    deletes, 2=equality deletes; v3 adds puffin deletion vectors);
+    icelite stores the same discriminator as a ``content`` string on
+    delete entries: position-deletes / equality-deletes /
+    deletion-vectors."""
     data = [e for e in manifest if e.get("content", "data") == "data"]
-    dels = [e for e in manifest if e.get("content") == "position-deletes"]
+    dels = [e for e in manifest if e.get("content") in _DELETE_KINDS]
     return data, dels
+
+
+def _next_seq(meta: dict[str, Any]) -> int:
+    """Next data sequence number (Iceberg spec: assigned per commit,
+    monotonically increasing; equality deletes apply to strictly-older
+    sequences)."""
+    return (
+        max((s.get("sequence-number", 0) for s in meta.get("snapshots", [])), default=0)
+        + 1
+    )
 
 
 def _file_bounds(md) -> dict[str, list]:
@@ -353,6 +368,7 @@ class SparkTable:
                     "partition": partition,
                     "schema-id": meta["current-schema-id"],
                     "bounds": _file_bounds(md),
+                    "sequence-number": _next_seq(meta),
                 }
             )
         return entries
@@ -372,6 +388,7 @@ class SparkTable:
             "snapshot-id": snapshot_id,
             "parent-snapshot-id": parent_id,
             "timestamp-ms": _now_ms(),
+            "sequence-number": _next_seq(meta),
             "schema-id": meta["current-schema-id"],
             "summary": {
                 "operation": operation,
@@ -494,7 +511,7 @@ class SparkTable:
             meta, schema, entries, snap["schema-id"], with_pos=bool(delete_entries)
         )
         if delete_entries:
-            df = self._apply_position_deletes(df, meta, delete_entries)
+            df = self._apply_position_deletes(df, meta, delete_entries, entries)
             df = df.drop("_file", "_pos")
         return df
 
@@ -748,25 +765,82 @@ class SparkTable:
         df: DataFrame,
         meta: dict[str, Any],
         delete_entries: list[dict[str, Any]],
+        data_entries: list[dict[str, Any]] | None = None,
     ) -> DataFrame:
-        """Anti-join (file_path, pos) tombstones out of a positioned read.
-        A position delete names an exact data file, so files appended
-        AFTER the delete are naturally unaffected — no sequence-number
-        bookkeeping needed. The delete side is broadcast while small (the
-        normal case: tombstones are a sliver of the data); past the
-        threshold it becomes a shuffled anti-join that AQE may still
-        convert at runtime."""
-        paths = [f"{meta['location']}/{e['path']}" for e in delete_entries]
-        dels = self.spark.read.schema(self._DELETE_SCHEMA).parquet(*paths)
-        # broadcast only clearly-small tombstone sets (~1M rows / ~10 MB
-        # serialized, Spark's broadcast guidance); larger ones take the
-        # shuffled anti-join, which AQE still upgrades when stats allow.
-        if sum(e["record-count"] for e in delete_entries) <= 1_000_000:
-            dels = F.broadcast(dels)
-        cond = (self._rel_file(meta["location"]) == dels["file_path"]) & (
-            F.col("_pos") == dels["pos"]
+        """Anti-join every delete artifact kind out of a positioned read.
+
+        - position-deletes / deletion-vectors: (file_path, pos) tombstones.
+          Both name exact data files, so files appended AFTER the delete
+          are naturally unaffected — no sequence bookkeeping. v3 DVs are
+          the consolidated form: at most one artifact chain per data file
+          (reference v3 DELETE test, test_spark.py:1321-1340).
+        - equality-deletes: rows matching the delete file's column values
+          are removed from data files with a STRICTLY OLDER sequence
+          number (Iceberg spec sequence semantics); `data_entries` supplies
+          the per-file sequence map (metadata-sized broadcast).
+
+        The tombstone side is broadcast while small (~1M rows / ~10 MB,
+        Spark's guidance); larger sets take the shuffled anti-join, which
+        AQE still upgrades when stats allow."""
+        pos_like = [e for e in delete_entries if e.get("content") != "equality-deletes"]
+        eq_dels = [e for e in delete_entries if e.get("content") == "equality-deletes"]
+        loc = meta["location"]
+        if pos_like:
+            paths = [f"{loc}/{e['path']}" for e in pos_like]
+            dels = self.spark.read.schema(self._DELETE_SCHEMA).parquet(*paths)
+            if sum(e["record-count"] for e in pos_like) <= 1_000_000:
+                dels = F.broadcast(dels)
+            cond = (self._rel_file(loc) == dels["file_path"]) & (
+                F.col("_pos") == dels["pos"]
+            )
+            df = df.join(dels, cond, "left_anti")
+        if eq_dels:
+            df = self._apply_equality_deletes(df, meta, eq_dels, data_entries or [])
+        return df
+
+    def _apply_equality_deletes(
+        self,
+        df: DataFrame,
+        meta: dict[str, Any],
+        eq_dels: list[dict[str, Any]],
+        data_entries: list[dict[str, Any]],
+    ) -> DataFrame:
+        """Sequence-aware anti-joins for equality-delete files. One
+        anti-join per delete commit (bounded by snapshot count); the
+        per-file sequence map is a metadata-sized broadcast join keyed on
+        the read's `_file` column."""
+        file_seq = self.spark.createDataFrame(
+            [(e["path"], e.get("sequence-number", 0)) for e in data_entries],
+            "file_path string, _seq long",
         )
-        return df.join(dels, cond, "left_anti")
+        tagged = df.join(
+            F.broadcast(file_seq),
+            self._rel_file(meta["location"]) == file_seq["file_path"],
+            "left",
+        ).drop("file_path")
+        current = self._current_schema(meta)
+        by_id_cur = {f["id"]: f["name"] for f in current["fields"]}
+        for e in eq_dels:
+            wschema = next(
+                (s for s in meta["schemas"] if s["schema-id"] == e.get("schema-id")),
+                current,
+            )
+            by_id_w = {f["id"]: (f["name"], f["type"]) for f in wschema["fields"]}
+            pairs = []  # (written name+type, current name) resolved by field id
+            for fid in e["equality-ids"]:
+                wname, wtype = by_id_w[fid]
+                pairs.append((wname, wtype, by_id_cur[fid]))
+            read_schema = ", ".join(f"`{w}` {t}" for w, t, _ in pairs)
+            del_rows = self.spark.read.schema(read_schema).parquet(
+                f"{meta['location']}/{e['path']}"
+            )
+            if e.get("record-count", 0) <= 1_000_000:
+                del_rows = F.broadcast(del_rows)
+            cond = F.col("_seq") < F.lit(e.get("sequence-number", 0))
+            for wname, _, cname in pairs:
+                cond = cond & (tagged[cname].eqNullSafe(del_rows[wname]))
+            tagged = tagged.join(del_rows, cond, "left_anti")
+        return tagged.drop("_seq")
 
     def _data_df(
         self,
@@ -792,46 +866,61 @@ class SparkTable:
             with_pos=bool(delete_entries),
         )
         if delete_entries:
-            df = self._apply_position_deletes(df, meta, delete_entries).drop("_pos")
+            df = self._apply_position_deletes(
+                df, meta, delete_entries, data_entries
+            ).drop("_pos")
             if not with_file:
                 df = df.drop("_file")
         return df
 
     def _write_delete_files(
-        self, meta: dict[str, Any], positions: DataFrame
+        self,
+        meta: dict[str, Any],
+        rows: DataFrame,
+        content: str = "position-deletes",
+        extra_fields: dict[str, Any] | None = None,
     ) -> list[dict[str, Any]]:
-        """Write (file_path, pos) tombstones under data/deletes/<commit>;
-        zero-row outputs are dropped (a DELETE matching nothing commits
-        no snapshot, Iceberg parity)."""
+        """Write delete artifacts under data/deletes/<commit>; zero-row
+        outputs are dropped (a DELETE matching nothing commits no
+        snapshot, Iceberg parity). `content` picks the artifact kind:
+        position-deletes / deletion-vectors carry (file_path, pos) rows,
+        equality-deletes carry the equality-column values (caller passes
+        equality-ids via extra_fields)."""
         commit_id = uuid.uuid4().hex
         out_dir = f"{meta['location']}/data/deletes/{commit_id}"
-        positions.write.mode("overwrite").parquet(out_dir)
+        rows.write.mode("overwrite").parquet(out_dir)
         import pyarrow.parquet as pq
 
+        positional = content in ("position-deletes", "deletion-vectors")
         entries = []
         for p in sorted(Path(out_dir).rglob("*.parquet")):
             md = pq.ParquetFile(p).metadata
             if md.num_rows == 0:
                 continue
-            # target data-file list per tombstone file (Iceberg v2 delete
-            # manifests carry referenced_data_file / bounds for the same
-            # purpose): lets CoW rewrites and rewrite_position_deletes
-            # drop tombstones whose targets no longer exist without
-            # opening them. Metadata-sized (distinct file paths only).
-            refs = sorted(
-                set(pq.read_table(p, columns=["file_path"])["file_path"].to_pylist())
-            )
-            entries.append(
-                {
-                    "path": p.relative_to(meta["location"]).as_posix(),
-                    "file-size-in-bytes": p.stat().st_size,
-                    "record-count": md.num_rows,
-                    "partition": {},
-                    "schema-id": meta["current-schema-id"],
-                    "content": "position-deletes",
-                    "referenced-files": refs,
-                }
-            )
+            entry = {
+                "path": p.relative_to(meta["location"]).as_posix(),
+                "file-size-in-bytes": p.stat().st_size,
+                "record-count": md.num_rows,
+                "partition": {},
+                "schema-id": meta["current-schema-id"],
+                "content": content,
+                "sequence-number": _next_seq(meta),
+                **(extra_fields or {}),
+            }
+            if positional:
+                # target data-file list per tombstone file (Iceberg v2
+                # delete manifests carry referenced_data_file / bounds for
+                # the same purpose): lets CoW rewrites and
+                # rewrite_position_deletes drop tombstones whose targets
+                # no longer exist without opening them. Metadata-sized.
+                entry["referenced-files"] = sorted(
+                    set(
+                        pq.read_table(p, columns=["file_path"])[
+                            "file_path"
+                        ].to_pylist()
+                    )
+                )
+            entries.append(entry)
         return entries
 
     def _mor_positions(
@@ -844,7 +933,7 @@ class SparkTable:
             meta, schema, data_entries, snap["schema-id"], with_pos=True
         )
         if delete_entries:
-            df = self._apply_position_deletes(df, meta, delete_entries)
+            df = self._apply_position_deletes(df, meta, delete_entries, data_entries)
         return df
 
     def _mor_delete(self, condition: str) -> dict[str, Any]:
@@ -858,6 +947,11 @@ class SparkTable:
             self._rel_file(meta["location"]).alias("file_path"),
             F.col("_pos").alias("pos"),
         )
+        data_entries, delete_entries = _split_manifest(snap["manifest"])
+        if meta.get("format-version", 2) >= 3:
+            return self._mor_delete_v3(
+                meta, snap, positions, data_entries, delete_entries
+            )
         new_entries = self._write_delete_files(meta, positions)
         if not new_entries:
             return meta
@@ -868,6 +962,53 @@ class SparkTable:
             extra_summary={
                 "added-delete-files": len(new_entries),
                 "added-position-deletes": sum(e["record-count"] for e in new_entries),
+            },
+        )
+
+    def _mor_delete_v3(
+        self,
+        meta: dict[str, Any],
+        snap: dict[str, Any],
+        positions: DataFrame,
+        data_entries: list[dict[str, Any]],
+        delete_entries: list[dict[str, Any]],
+    ) -> dict[str, Any]:
+        """v3 merge-on-read delete: CONSOLIDATED deletion vectors. The new
+        artifact carries the union of the fresh tombstones and every prior
+        positional tombstone, and REPLACES all prior positional delete
+        entries — the Iceberg v3 invariant that at most one deletion
+        vector addresses a data file, so scans never stack N tombstone
+        artifacts per file (reference v3 DELETE test,
+        test_spark.py:1321-1340; puffin DV encoding swapped for a parquet
+        (file_path, pos) vector — same semantics, local container has no
+        puffin writer). Equality-delete entries are untouched."""
+        if positions.isEmpty():
+            return meta  # DELETE matching nothing commits no snapshot
+        pos_like = [e for e in delete_entries if e.get("content") != "equality-deletes"]
+        eq_dels = [e for e in delete_entries if e.get("content") == "equality-deletes"]
+        merged = positions
+        if pos_like:
+            old = self.spark.read.schema(self._DELETE_SCHEMA).parquet(
+                *[f"{meta['location']}/{e['path']}" for e in pos_like]
+            )
+            merged = merged.unionByName(old).distinct()
+        # one output file per data file would fragment at scale; a single
+        # sorted vector file per commit keeps the artifact count at one
+        # while preserving per-file contiguity for the anti-join
+        merged = merged.sort("file_path", "pos").coalesce(1)
+        dv_entries = self._write_delete_files(meta, merged, content="deletion-vectors")
+        if not dv_entries and not pos_like:
+            return meta  # nothing matched and nothing to consolidate
+        return self._commit_snapshot(
+            meta,
+            data_entries + eq_dels + dv_entries,
+            "delete",
+            extra_summary={
+                "added-delete-files": len(dv_entries),
+                "added-position-deletes": sum(
+                    e["record-count"] for e in dv_entries
+                ),
+                "removed-delete-files": len(pos_like),
             },
         )
 
@@ -916,12 +1057,26 @@ class SparkTable:
         if not delete_entries:
             return {"rewritten-data-files": 0, "removed-delete-files": 0}
         schema = self._current_schema(meta)
-        paths = [f"{meta['location']}/{e['path']}" for e in delete_entries]
-        dels = self.spark.read.schema(self._DELETE_SCHEMA).parquet(*paths)
-        # distinct FILE LIST only (metadata-sized) reaches the driver
-        targets = {r["file_path"] for r in dels.select("file_path").distinct().collect()}
-        affected = [e for e in data_entries if e["path"] in targets]
-        kept = [e for e in data_entries if e["path"] not in targets]
+        pos_like = [e for e in delete_entries if e.get("content") != "equality-deletes"]
+        eq_dels = [e for e in delete_entries if e.get("content") == "equality-deletes"]
+        targets: set[str] = set()
+        if pos_like:
+            paths = [f"{meta['location']}/{e['path']}" for e in pos_like]
+            dels = self.spark.read.schema(self._DELETE_SCHEMA).parquet(*paths)
+            # distinct FILE LIST only (metadata-sized) reaches the driver
+            targets = {
+                r["file_path"] for r in dels.select("file_path").distinct().collect()
+            }
+        # equality deletes address every data file with a strictly older
+        # sequence — those files must be rewritten to materialize them
+        max_eq_seq = max((e.get("sequence-number", 0) for e in eq_dels), default=0)
+        affected = [
+            e
+            for e in data_entries
+            if e["path"] in targets or e.get("sequence-number", 0) < max_eq_seq
+        ]
+        affected_paths = {e["path"] for e in affected}
+        kept = [e for e in data_entries if e["path"] not in affected_paths]
         if not affected:
             # every tombstoned data file was since rewritten (e.g. by a
             # later copy-on-write DML): the delete entries are dead weight
@@ -940,7 +1095,9 @@ class SparkTable:
                 "removed-delete-files": len(delete_entries),
             }
         df = self._read_entries(meta, schema, affected, snap["schema-id"], with_pos=True)
-        df = self._apply_position_deletes(df, meta, delete_entries).drop("_file", "_pos")
+        df = self._apply_position_deletes(df, meta, delete_entries, affected).drop(
+            "_file", "_pos"
+        )
         new_entries = self._write_files(meta, df)
         self._commit_snapshot(
             meta,
@@ -1002,7 +1159,7 @@ class SparkTable:
             e
             for e in kept
             if not (
-                e.get("content") == "position-deletes"
+                e.get("content") in ("position-deletes", "deletion-vectors")
                 and e.get("referenced-files") is not None
                 and all(r in affected_rel for r in e["referenced-files"])
             )
@@ -1022,14 +1179,63 @@ class SparkTable:
             extra_summary={"rewritten-files": len(affected_set)},
         )
 
-    def delete_where(self, condition: str, mode: str = "copy-on-write") -> dict[str, Any]:
+    def delete_where(
+        self,
+        condition: str,
+        mode: str = "copy-on-write",
+        equality_cols: list[str] | None = None,
+    ) -> dict[str, Any]:
         """DELETE FROM. ``mode`` mirrors Iceberg's write.delete.mode:
         copy-on-write rewrites affected files; merge-on-read writes
-        position-delete tombstones (cheap deletes, scans pay the
-        anti-join until rewrite_position_deletes)."""
+        position-delete tombstones on v2 tables and consolidated
+        DELETION VECTORS on v3 (reference v3 DELETE,
+        test_spark.py:1321-1340); ``equality`` writes an equality-delete
+        file of the matching rows' ``equality_cols`` values — applied to
+        strictly-older data files at scan time (streaming-writer
+        semantics: delete without reading any data file)."""
+        if mode == "equality":
+            if not equality_cols:
+                raise CatalogError("equality delete requires equality_cols")
+            return self._equality_delete(condition, equality_cols)
         if mode == "merge-on-read":
             return self._mor_delete(condition)
         return self._rewrite(condition, lambda df: df.filter(f"NOT ({condition})"), "delete")
+
+    def _equality_delete(self, condition: str, cols: list[str]) -> dict[str, Any]:
+        """Write an equality-delete file: the DISTINCT equality-column
+        values of currently-matching rows. No data file is read back or
+        rewritten at delete time — the cost model that lets CDC/streaming
+        writers delete at high frequency (Iceberg spec 'Equality Delete
+        Files'). Scans anti-join it against strictly-older files only, so
+        rows appended AFTER this delete with the same key survive."""
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta)
+        if snap is None:
+            raise CatalogError("table has no data")
+        schema = self._current_schema(meta)
+        by_name = {f["name"]: f["id"] for f in schema["fields"]}
+        missing = [c for c in cols if c not in by_name]
+        if missing:
+            raise CatalogError(f"unknown equality columns: {missing}")
+        live = self._data_df(meta, schema, snap)
+        del_rows = live.filter(condition).select(*cols).distinct()
+        entries = self._write_delete_files(
+            meta,
+            del_rows,
+            content="equality-deletes",
+            extra_fields={"equality-ids": [by_name[c] for c in cols]},
+        )
+        if not entries:
+            return meta
+        return self._commit_snapshot(
+            meta,
+            snap["manifest"] + entries,
+            "delete",
+            extra_summary={
+                "added-delete-files": len(entries),
+                "added-equality-deletes": sum(e["record-count"] for e in entries),
+            },
+        )
 
     def update_where(
         self, condition: str, assignments: dict[str, str], mode: str = "copy-on-write"
@@ -1178,6 +1384,7 @@ class SparkTable:
             + 1,
             "parent-snapshot-id": parent["snapshot-id"] if parent else None,
             "timestamp-ms": _now_ms(),
+            "sequence-number": _next_seq(meta),
             "schema-id": meta["current-schema-id"],
             "summary": {
                 "operation": "append",

@@ -283,3 +283,117 @@ def c03_mor_wap_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+@register(
+    "c04_delete_artifacts",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= {_ROWS}
+),
+n AS (SELECT COUNT(*) AS total FROM src),
+lo AS (SELECT COUNT(*) AS n_lo FROM src WHERE l_quantity < 5),
+-- equality deletes remove EVERY (strictly-older) row sharing a matched
+-- key, so survivors are rows whose key never appears among the matches
+del_keys AS (
+  SELECT DISTINCT l_orderkey, l_linenumber FROM src WHERE l_quantity < 5
+),
+surv AS (
+  SELECT s.* FROM src s
+  LEFT JOIN del_keys d
+    ON s.l_orderkey = d.l_orderkey AND s.l_linenumber = d.l_linenumber
+  WHERE d.l_orderkey IS NULL
+),
+sv AS (SELECT COUNT(*) AS n_surv FROM surv),
+s40 AS (SELECT COUNT(*) AS n_s40 FROM surv WHERE l_quantity < 40),
+s30 AS (SELECT COUNT(*) AS n_s30 FROM surv WHERE l_quantity < 30)
+SELECT * FROM (
+  SELECT 'rows_after_append' AS checkpoint, total AS value FROM n
+  UNION ALL SELECT 'rows_after_eq_delete', n_surv FROM sv
+  UNION ALL SELECT 'eq_artifacts', 1
+  UNION ALL SELECT 'rows_after_reappend', n_surv + n_lo FROM sv, lo
+  UNION ALL SELECT 'reborn_rows_visible', n_lo FROM lo
+  UNION ALL SELECT 'dv_artifacts_after_first', 1
+  UNION ALL SELECT 'rows_after_dv_delete', n_s40 + n_lo FROM s40, lo
+  UNION ALL SELECT 'dv_artifacts_after_second', 1
+  UNION ALL SELECT 'rows_after_second_dv', n_s30 + n_lo FROM s30, lo
+  UNION ALL SELECT 'rows_after_materialize', n_s30 + n_lo FROM s30, lo
+  UNION ALL SELECT 'delete_artifacts_after_materialize', 0
+) ORDER BY checkpoint
+""",
+    description="Equality deletes + v3 deletion vectors end-to-end: "
+    "equality delete by key (no data file read), sequence-number "
+    "semantics proven by re-appending the deleted keys (they come back "
+    "because equality deletes only mask STRICTLY OLDER files), format "
+    "upgrade v2->v3, two merge-on-read deletes that consolidate into a "
+    "single deletion vector (Iceberg v3: at most one positional artifact "
+    "chain per data file; reference v3 DELETE test "
+    "test_spark.py:1321-1340), then rewrite materialization. Checkpoint "
+    "counts vs oracle expectations from the same source parquet.",
+    tags=("catalog", "icelite", "lifecycle", "deletes", "v3"),
+)
+def c04_delete_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_da_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["bench"])
+
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(_ROWS)
+    )
+    cat.create_table("wh", ["bench"], "li_da", struct_to_schema(src.schema))
+    t = SparkTable(spark, cat, "wh", ["bench"], "li_da")
+
+    t.append(src)
+    rows1 = t.scan().count()
+    t.delete_where(
+        "l_quantity < 5", mode="equality", equality_cols=["l_orderkey", "l_linenumber"]
+    )
+    rows_eq = t.scan().count()
+    eq_arts = t.delete_files().count()
+    # re-append the very keys the equality delete named: they must come
+    # back (the delete only addresses strictly-older sequence numbers)
+    t.append(src.filter("l_quantity < 5"))
+    rows_re = t.scan().count()
+    reborn = t.scan().filter("l_quantity < 5").count()
+    t._commit([], [{"action": "upgrade-format-version", "format-version": 3}])
+    t.delete_where("l_quantity >= 40", mode="merge-on-read")
+    dv1 = t.delete_files().count() - eq_arts
+    rows_dv = t.scan().count()
+    t.delete_where("l_quantity >= 30", mode="merge-on-read")
+    dv2 = t.delete_files().count() - eq_arts
+    rows_dv2 = t.scan().count()
+    t.rewrite_position_deletes()
+    rows_mat = t.scan().count()
+    arts_after = t.delete_files().count()
+
+    rows = [
+        ("rows_after_append", rows1),
+        ("rows_after_eq_delete", rows_eq),
+        ("eq_artifacts", eq_arts),
+        ("rows_after_reappend", rows_re),
+        ("reborn_rows_visible", reborn),
+        ("dv_artifacts_after_first", dv1),
+        ("rows_after_dv_delete", rows_dv),
+        ("dv_artifacts_after_second", dv2),
+        ("rows_after_second_dv", rows_dv2),
+        ("rows_after_materialize", rows_mat),
+        ("delete_artifacts_after_materialize", arts_after),
+    ]
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )

@@ -1,0 +1,162 @@
+"""Equality deletes + v3 deletion vectors (round-2 verdict Missing #2).
+
+Iceberg spec semantics under test:
+  - Equality Delete Files: delete by column VALUE without reading any
+    data file; applies only to data files with a STRICTLY OLDER sequence
+    number, so re-appended keys survive (the CDC/streaming writer path).
+  - v3 Deletion Vectors: at most one positional artifact chain per data
+    file — each MOR delete consolidates all prior positional tombstones
+    into a single vector (reference v3 DELETE test,
+    test_spark.py:1321-1340, run on format-version=3).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lakekeeper_spark.catalog.catalog import CatalogError
+from lakekeeper_spark.format.icelite import SparkTable, _split_manifest
+from lakekeeper_spark.format.types import struct_to_schema
+
+DDL = "id int, v double, s string"
+
+
+def _make(spark, catalog, name, rows, ns="da"):
+    catalog.create_namespace("wh", [ns], exists_ok=True)
+    df = spark.createDataFrame(rows, DDL).coalesce(2)
+    catalog.create_table("wh", [ns], name, struct_to_schema(df.schema))
+    t = SparkTable(spark, catalog, "wh", [ns], name)
+    t.append(df)
+    return t
+
+
+def _ids(t, **kw):
+    return sorted(r.id for r in t.scan(**kw).collect())
+
+
+def _delete_kinds(t):
+    snap = t._resolve_snapshot(t.metadata())
+    return sorted(e["content"] for e in _split_manifest(snap["manifest"])[1])
+
+
+def test_equality_delete_masks_by_value(spark, catalog):
+    t = _make(spark, catalog, "eq1", [(i, float(i), f"r{i}") for i in range(1, 9)])
+    t.delete_where("v >= 6.0", mode="equality", equality_cols=["id"])
+    assert _ids(t) == [1, 2, 3, 4, 5]
+    assert _delete_kinds(t) == ["equality-deletes"]
+    # no data file was rewritten
+    assert t.metadata()["snapshots"][-1]["summary"]["operation"] == "delete"
+
+
+def test_equality_delete_spares_newer_appends(spark, catalog):
+    """The sequence-number rule: a key re-appended AFTER the equality
+    delete is NOT masked by it."""
+    t = _make(spark, catalog, "eq2", [(i, float(i), f"r{i}") for i in range(1, 6)])
+    t.delete_where("id <= 2", mode="equality", equality_cols=["id"])
+    assert _ids(t) == [3, 4, 5]
+    t.append(spark.createDataFrame([(1, 99.0, "reborn")], DDL))
+    assert _ids(t) == [1, 3, 4, 5]
+    row = t.scan().filter("id = 1").collect()[0]
+    assert row.v == 99.0  # the NEW row, not the deleted one
+
+
+def test_equality_delete_requires_cols_and_valid_names(spark, catalog):
+    t = _make(spark, catalog, "eq3", [(1, 1.0, "a")])
+    with pytest.raises(CatalogError):
+        t.delete_where("id = 1", mode="equality")
+    with pytest.raises(CatalogError):
+        t.delete_where("id = 1", mode="equality", equality_cols=["nope"])
+
+
+def test_equality_delete_survives_column_rename(spark, catalog):
+    """Field-id resolution: renaming the equality column after the delete
+    must not detach the tombstones (same contract as data reads)."""
+    t = _make(spark, catalog, "eq4", [(i, float(i), f"r{i}") for i in range(1, 6)])
+    t.delete_where("id >= 4", mode="equality", equality_cols=["id"])
+    t.rename_column("id", "ident")
+    assert sorted(r.ident for r in t.scan().collect()) == [1, 2, 3]
+
+
+def test_equality_delete_materialized_by_rewrite(spark, catalog):
+    t = _make(spark, catalog, "eq5", [(i, float(i), f"r{i}") for i in range(1, 9)])
+    t.delete_where("id in (2, 5)", mode="equality", equality_cols=["id"])
+    out = t.rewrite_position_deletes()
+    assert out["removed-delete-files"] == 1
+    assert _delete_kinds(t) == []
+    assert _ids(t) == [1, 3, 4, 6, 7, 8]
+
+
+def test_equality_and_position_deletes_stack(spark, catalog):
+    t = _make(spark, catalog, "eq6", [(i, float(i), f"r{i}") for i in range(1, 9)])
+    t.delete_where("id = 1", mode="merge-on-read")
+    t.delete_where("id in (3, 4)", mode="equality", equality_cols=["id"])
+    assert _ids(t) == [2, 5, 6, 7, 8]
+    assert _delete_kinds(t) == ["equality-deletes", "position-deletes"]
+    out = t.rewrite_position_deletes()
+    assert _delete_kinds(t) == []
+    assert _ids(t) == [2, 5, 6, 7, 8]
+
+
+def _upgrade_v3(t):
+    t._commit(
+        [],
+        [{"action": "upgrade-format-version", "format-version": 3}],
+    )
+
+
+def test_v3_mor_delete_writes_consolidated_deletion_vector(spark, catalog):
+    t = _make(spark, catalog, "dv1", [(i, float(i), f"r{i}") for i in range(1, 11)])
+    _upgrade_v3(t)
+    t.delete_where("id <= 2", mode="merge-on-read")
+    assert _delete_kinds(t) == ["deletion-vectors"]
+    assert _ids(t) == list(range(3, 11))
+    # second delete CONSOLIDATES: still exactly one positional artifact
+    t.delete_where("id in (5, 6)", mode="merge-on-read")
+    assert _delete_kinds(t) == ["deletion-vectors"]
+    assert _ids(t) == [3, 4, 7, 8, 9, 10]
+    # the single vector holds ALL four tombstones
+    snap = t._resolve_snapshot(t.metadata())
+    dv = _split_manifest(snap["manifest"])[1][0]
+    assert dv["record-count"] == 4
+    # time travel before the second delete still sees the first state
+    snaps = t.metadata()["snapshots"]
+    assert t.scan(snapshot_id=snaps[-2]["snapshot-id"]).count() == 8
+
+
+def test_v3_upgrade_midstream_consolidates_v2_tombstones(spark, catalog):
+    """v2 position deletes accumulated before the upgrade fold into the
+    first post-upgrade deletion vector."""
+    t = _make(spark, catalog, "dv2", [(i, float(i), f"r{i}") for i in range(1, 9)])
+    t.delete_where("id = 1", mode="merge-on-read")
+    t.delete_where("id = 2", mode="merge-on-read")
+    assert _delete_kinds(t) == ["position-deletes", "position-deletes"]
+    _upgrade_v3(t)
+    t.delete_where("id = 3", mode="merge-on-read")
+    assert _delete_kinds(t) == ["deletion-vectors"]
+    assert _ids(t) == [4, 5, 6, 7, 8]
+
+
+def test_v3_dv_after_append_only_masks_old_files(spark, catalog):
+    t = _make(spark, catalog, "dv3", [(i, float(i), f"r{i}") for i in range(1, 6)])
+    _upgrade_v3(t)
+    t.delete_where("id = 2", mode="merge-on-read")
+    t.append(spark.createDataFrame([(2, 22.0, "again")], DDL))
+    ids = _ids(t)
+    assert ids == [1, 2, 3, 4, 5]
+    assert t.scan().filter("id = 2").collect()[0].v == 22.0
+
+
+def test_v3_delete_matching_nothing_commits_nothing(spark, catalog):
+    t = _make(spark, catalog, "dv4", [(1, 1.0, "a")])
+    _upgrade_v3(t)
+    n = len(t.metadata()["snapshots"])
+    t.delete_where("id = 999", mode="merge-on-read")
+    assert len(t.metadata()["snapshots"]) == n
+
+
+def test_sequence_numbers_monotonic(spark, catalog):
+    t = _make(spark, catalog, "sq1", [(1, 1.0, "a")])
+    t.append(spark.createDataFrame([(2, 2.0, "b")], DDL))
+    t.delete_where("id = 1", mode="equality", equality_cols=["id"])
+    seqs = [s.get("sequence-number") for s in t.metadata()["snapshots"]]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
