@@ -969,11 +969,24 @@ class Catalog:
         dialect: str = "spark",
         properties: dict[str, str] | None = None,
         replace: bool = False,
+        representations: dict[str, str] | None = None,
     ) -> dict[str, Any]:
         """Versioned view metadata with per-dialect SQL representations
-        (reference ViewMetadata/ViewVersion; server/views/commit.rs)."""
+        (reference ViewMetadata/ViewVersion; server/views/commit.rs
+        stores N sql representations per version — one per engine
+        dialect). `representations` supplies additional dialect->sql
+        pairs alongside the primary (sql, dialect); a dialect may appear
+        only once per version, matching the reference's
+        duplicate-dialect check."""
         ident.validate_level(name)
         wh = self._warehouse(warehouse)
+        reps = [{"type": "sql", "sql": sql, "dialect": dialect}]
+        for d, s in (representations or {}).items():
+            if d == dialect:
+                if s != sql:
+                    raise CatalogError(f"conflicting sql for dialect {d!r}")
+                continue
+            reps.append({"type": "sql", "sql": s, "dialect": d})
         st = self.store
         st.begin()
         try:
@@ -987,7 +1000,7 @@ class Catalog:
                 "version-id": 1,
                 "timestamp-ms": now_ms(),
                 "schema": schema or {},
-                "representations": [{"type": "sql", "sql": sql, "dialect": dialect}],
+                "representations": reps,
                 "default-namespace": list(levels),
             }
             if row:
@@ -1052,7 +1065,18 @@ class Catalog:
             raise NoSuchEntity(f"view {'.'.join(levels)}.{name} not found")
         return json.loads(row["metadata"])
 
-    def view_sql(self, warehouse: str, levels, name: str, dialect: str = "spark") -> str:
+    def view_sql(
+        self,
+        warehouse: str,
+        levels,
+        name: str,
+        dialect: str = "spark",
+        strict: bool = False,
+    ) -> str:
+        """Current-version SQL for `dialect`. Engines pick their own
+        representation from ViewVersion.representations; with
+        ``strict=True`` a missing dialect raises instead of falling back
+        to the first stored representation."""
         meta = self.load_view(warehouse, levels, name)
         version = next(
             v for v in meta["versions"] if v["version-id"] == meta["current-version-id"]
@@ -1060,7 +1084,36 @@ class Catalog:
         for rep in version["representations"]:
             if rep["dialect"] == dialect:
                 return rep["sql"]
+        if strict:
+            raise NoSuchEntity(
+                f"view {name} has no representation for dialect {dialect!r}"
+            )
         return version["representations"][0]["sql"]
+
+    def add_view_dialect(
+        self, warehouse: str, levels, name: str, dialect: str, sql: str
+    ) -> dict[str, Any]:
+        """Commit a NEW view version carrying the current representations
+        plus one more dialect (reference server/views/commit.rs:
+        AddViewVersion folds representations per version; a dialect may
+        appear only once)."""
+        meta = self.load_view(warehouse, levels, name)
+        version = next(
+            v for v in meta["versions"] if v["version-id"] == meta["current-version-id"]
+        )
+        reps = {r["dialect"]: r["sql"] for r in version["representations"]}
+        reps[dialect] = sql
+        primary_dialect = version["representations"][0]["dialect"]
+        return self.create_view(
+            warehouse,
+            levels,
+            name,
+            reps[primary_dialect],
+            schema=version.get("schema"),
+            dialect=primary_dialect,
+            replace=True,
+            representations={d: s for d, s in reps.items() if d != primary_dialect},
+        )
 
     def drop_view(self, warehouse: str, levels, name: str) -> None:
         wh = self._warehouse(warehouse)

@@ -296,6 +296,7 @@ class RestCatalogClient:
         dialect="spark",
         properties=None,
         replace=False,
+        representations=None,
     ):
         _, body, _ = self._request(
             "POST",
@@ -307,6 +308,7 @@ class RestCatalogClient:
                 "dialect": dialect,
                 "properties": properties,
                 "replace": replace,
+                "representations": representations,
             },
         )
         return body["metadata"]

@@ -362,6 +362,7 @@ class _Handler(BaseHTTPRequestHandler):
             dialect=body.get("dialect", "spark"),
             properties=body.get("properties"),
             replace=bool(body.get("replace")),
+            representations=body.get("representations"),
         )
         self._reply(200, {"metadata": meta})
 

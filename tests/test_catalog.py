@@ -514,3 +514,60 @@ def test_pick_tasks_exclusive_and_ordered(catalog):
     assert got1.isdisjoint(got2)
     assert got1 | got2 == set(ids)
     assert st.pick_tasks("exq", limit=10) == []  # all running now
+
+
+def test_multi_dialect_view_representations(catalog):
+    """Reference server/views/commit.rs stores N sql representations per
+    view version, one per engine dialect; view_sql(dialect=) must return
+    that dialect's own text."""
+    from lakekeeper_spark.catalog.catalog import CatalogError, NoSuchEntity
+
+    catalog.create_namespace("wh", ["md"])
+    catalog.create_view(
+        "wh",
+        ["md"],
+        "rev",
+        "SELECT 1 AS one",
+        dialect="spark",
+        representations={"trino": "SELECT 1 AS one /* trino */"},
+    )
+    assert catalog.view_sql("wh", ["md"], "rev", "spark") == "SELECT 1 AS one"
+    assert (
+        catalog.view_sql("wh", ["md"], "rev", "trino")
+        == "SELECT 1 AS one /* trino */"
+    )
+    # strict mode refuses a dialect the version does not carry
+    import pytest as _pytest
+
+    with _pytest.raises(NoSuchEntity):
+        catalog.view_sql("wh", ["md"], "rev", "starrocks", strict=True)
+    # non-strict falls back to the primary representation
+    assert catalog.view_sql("wh", ["md"], "rev", "starrocks") == "SELECT 1 AS one"
+    # conflicting duplicate dialect is rejected
+    with _pytest.raises(CatalogError):
+        catalog.create_view(
+            "wh",
+            ["md"],
+            "rev2",
+            "SELECT 2",
+            dialect="spark",
+            representations={"spark": "SELECT 99"},
+        )
+    # adding a dialect later commits a NEW version holding both
+    meta = catalog.add_view_dialect(
+        "wh", ["md"], "rev", "starrocks", "SELECT 1 /* sr */"
+    )
+    assert meta["current-version-id"] == 2
+    cur = next(
+        v for v in meta["versions"] if v["version-id"] == meta["current-version-id"]
+    )
+    assert {r["dialect"] for r in cur["representations"]} == {
+        "spark",
+        "trino",
+        "starrocks",
+    }
+    assert catalog.view_sql("wh", ["md"], "rev", "starrocks") == "SELECT 1 /* sr */"
+    assert catalog.view_sql("wh", ["md"], "rev", "trino") == "SELECT 1 AS one /* trino */"
+    # version 1 is immutable history with its original two dialects
+    v1 = next(v for v in meta["versions"] if v["version-id"] == 1)
+    assert {r["dialect"] for r in v1["representations"]} == {"spark", "trino"}

@@ -235,3 +235,23 @@ def test_transaction_commit_over_http(rest, spark):
         )
     meta_a, _ = rest.load_table("wh", ["tx"], "a")
     assert meta_a["properties"]["touched"] == "1"  # atomic: not applied
+
+
+def test_multi_dialect_views_over_http(rest):
+    rest.create_namespace("wh", ["md"])
+    rest.create_view(
+        "wh",
+        ["md"],
+        "v",
+        "SELECT 1 AS one",
+        representations={"trino": "SELECT 1 AS one /* trino */"},
+    )
+    meta = rest.load_view("wh", ["md"], "v")
+    cur = next(
+        x for x in meta["versions"] if x["version-id"] == meta["current-version-id"]
+    )
+    reps = {r["dialect"]: r["sql"] for r in cur["representations"]}
+    assert reps == {
+        "spark": "SELECT 1 AS one",
+        "trino": "SELECT 1 AS one /* trino */",
+    }
