@@ -1193,6 +1193,16 @@ class SparkTable:
         file of the matching rows' ``equality_cols`` values — applied to
         strictly-older data files at scan time (streaming-writer
         semantics: delete without reading any data file)."""
+        if mode in ("equality", "merge-on-read"):
+            # row-level delete FILES are an Iceberg v2 feature; v1 tables
+            # only support copy-on-write rewrites (reference serves v1-3
+            # with the same gate; upgrade guard commit_tables.rs:22-31)
+            fv = self.metadata().get("format-version", 2)
+            if fv < 2:
+                raise CatalogError(
+                    f"{mode} delete requires format-version >= 2 (table is v{fv});"
+                    " upgrade-format-version first or use copy-on-write"
+                )
         if mode == "equality":
             if not equality_cols:
                 raise CatalogError("equality delete requires equality_cols")
@@ -1241,6 +1251,11 @@ class SparkTable:
         self, condition: str, assignments: dict[str, str], mode: str = "copy-on-write"
     ) -> dict[str, Any]:
         if mode == "merge-on-read":
+            fv = self.metadata().get("format-version", 2)
+            if fv < 2:
+                raise CatalogError(
+                    f"merge-on-read update requires format-version >= 2 (table is v{fv})"
+                )
             return self._mor_update(condition, assignments)
 
         def rewriter(df: DataFrame) -> DataFrame:

@@ -689,14 +689,18 @@ UNION ALL
 SELECT 'new', COUNT(*) FROM (SELECT * FROM y98 EXCEPT SELECT * FROM y97) t
 """,
     description="Set operators (INTERSECT / EXCEPT) over yearly customer "
-    "cohorts: retained / churned / new counts. Spark plans these as "
-    "left-semi/left-anti hash joins over the deduplicated key sets.",
+    "cohorts: retained / churned / new counts. ONE plan: the two distinct "
+    "key sets full-outer join on the key (both cohorts hash-partition on "
+    "o_custkey, so the join is co-partitioned with the distincts), each "
+    "key classifies by side-presence, and a single aggregate emits all "
+    "three segment counts — set-op semantics without three separate jobs "
+    "stitched on the driver.",
     tags=("analytics", "setops"),
 )
 def q23_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
 
-    def cohort(year: int):
+    def cohort(year: int, flag: str):
         return (
             o.filter(
                 (F.col("o_orderdate") >= f"{year}-01-01")
@@ -704,12 +708,31 @@ def q23_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("o_custkey")
             .distinct()
+            .withColumn(flag, F.lit(1))
         )
 
-    y97, y98 = cohort(1997), cohort(1998)
-    rows = [
-        ("retained", y97.intersect(y98).count()),
-        ("churned", y97.exceptAll(y98).count()),
-        ("new", y98.exceptAll(y97).count()),
-    ]
-    return spark.createDataFrame(rows, "segment string, n long")
+    joined = cohort(1997, "in97").join(cohort(1998, "in98"), "o_custkey", "full")
+    agg = joined.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("in97").isNotNull() & F.col("in98").isNotNull(), 1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("retained"),
+        F.coalesce(
+            F.sum(F.when(F.col("in97").isNotNull() & F.col("in98").isNull(), 1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("churned"),
+        F.coalesce(
+            F.sum(F.when(F.col("in97").isNull() & F.col("in98").isNotNull(), 1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("new"),
+    )
+    return agg.selectExpr(
+        "stack(3, 'retained', retained, 'churned', churned, 'new', new)"
+        " AS (segment, n)"
+    )

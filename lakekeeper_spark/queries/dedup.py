@@ -270,7 +270,11 @@ def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _d02_bitmap_allpairs(spark, docs, vocab, t_num, t_den)
     sh = _shingles(docs)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
-    # dictionary-encode shingles: sid in [0, vocab) ordered by (freq, shingle)
+    # dictionary-encode shingles: sid in [0, vocab) ordered by (freq, shingle).
+    # The global window runs over the DICTIONARY (distinct 3-char shingles,
+    # <= charset^3 rows — vocab-bounded, not corpus-bounded), the same
+    # metadata-sized-frame exception as p01's per-bucket offsets; the
+    # corpus-sized frames below never see an unpartitioned window.
     w_vocab = Window.orderBy("freq", "shingle")
     dictionary = freq.withColumn("sid", F.row_number().over(w_vocab) - F.lit(1))
     shd = sh.join(F.broadcast(dictionary.select("shingle", "sid")), "shingle")

@@ -462,3 +462,178 @@ def t08_redact_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(redacted).alias("redacted_len"),
         F.md5(F.encode(redacted, "UTF-8")).alias("redacted_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# p02: context-window sequence packing (concat-and-chunk pretraining layout)
+# --------------------------------------------------------------------------
+CTX_TOKENS = 2048  # context window size in BPE-ish tokens
+PACK_BUCKET = 4096  # doc_ids per prefix-sum bucket (ordering-preserving)
+
+
+@register(
+    "p02_sequence_packing",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{BPE_RE_SQL}')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum
+  FROM toks
+),
+w AS (
+  -- FLOOR, not CAST: DuckDB's double->BIGINT cast rounds half-away
+  SELECT CAST(FLOOR((cum - n) / {CTX_TOKENS}) AS BIGINT) AS window_id, n FROM c
+),
+per_win AS (
+  SELECT window_id, COUNT(*) AS docs_in_window,
+         CAST(SUM(n) AS BIGINT) AS win_tokens
+  FROM w GROUP BY window_id
+)
+SELECT docs_in_window,
+       COUNT(*) AS n_windows,
+       CAST(SUM(win_tokens) AS BIGINT) AS sum_tokens
+FROM per_win GROUP BY docs_in_window ORDER BY docs_in_window
+""",
+    description="Concat-and-chunk sequence packing: documents concatenate "
+    "in doc_id order and split into fixed "
+    f"{CTX_TOKENS}-token context windows; a document lands in the window "
+    "where it STARTS (floor(prefix_sum/ctx)). Output is the docs-per-"
+    "window distribution — the packing-efficiency report a pretraining "
+    "pipeline uses to size its windows. The global prefix sum is the "
+    "same distributed two-phase form as p01: ordering-preserving buckets "
+    "(doc_id div 4096), per-bucket windows in parallel, bucket offsets "
+    "from a bounded aggregate frame (recursable at extreme scale).",
+    tags=("text", "llm", "pipeline", "packing"),
+)
+def p02_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.regexp_count(F.lower(F.col("text")), F.lit(BPE_RE)).alias("n"),
+    )
+    bucketed = toks.withColumn("bkt", (F.col("doc_id") / PACK_BUCKET).cast("long"))
+    w_in = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    within = bucketed.withColumn("cum_in", F.sum("n").over(w_in))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.sum("n").alias("bkt_tokens"))
+        .withColumn("off", F.coalesce(F.sum("bkt_tokens").over(w_off), F.lit(0)))
+        .select("bkt", "off")
+    )
+    packed = (
+        within.join(F.broadcast(offsets), "bkt")
+        .withColumn("cum", F.col("cum_in") + F.col("off"))
+        .withColumn(
+            "window_id",
+            F.floor((F.col("cum") - F.col("n")) / CTX_TOKENS).cast("long"),
+        )
+    )
+    per_win = packed.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("docs_in_window"),
+        F.sum("n").cast("long").alias("win_tokens"),
+    )
+    return (
+        per_win.groupBy("docs_in_window")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("win_tokens").cast("long").alias("sum_tokens"),
+        )
+        .orderBy("docs_in_window")
+    )
+
+
+# --------------------------------------------------------------------------
+# p03: benchmark decontamination (n-gram overlap with a held-out eval set)
+# --------------------------------------------------------------------------
+DECON_N = 5  # words per contamination n-gram
+EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 -> held-out "benchmark" split
+
+
+@register(
+    "p03_decontamination",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, source, doc_id % {EVAL_MOD} = 0 AS is_eval,
+         regexp_extract_all(lower(text), '{WORD_RE}') AS words
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, is_eval,
+         array_to_string(words[i.i:i.i+{DECON_N - 1}], ' ') AS gram
+  FROM g, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(words) - {DECON_N - 1}, 0))) AS i
+  ) i
+),
+eval_grams AS (SELECT DISTINCT gram FROM grams WHERE is_eval),
+contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM grams t JOIN eval_grams e ON t.gram = e.gram
+  WHERE NOT t.is_eval
+),
+train AS (SELECT doc_id, source FROM g WHERE NOT is_eval)
+SELECT tr.source,
+       COUNT(*) AS n_train_docs,
+       COUNT(c.doc_id) AS n_contaminated
+FROM train tr LEFT JOIN contaminated c ON tr.doc_id = c.doc_id
+GROUP BY tr.source ORDER BY tr.source
+""",
+    description="Train/benchmark decontamination: a training document is "
+    f"contaminated when it shares any {DECON_N}-word n-gram with the "
+    "held-out eval split (doc_id % 97 == 0 stands in for the benchmark "
+    "corpus). N-grams are built array-side (transform+slice over the "
+    "word array, one explode — same join-free fan-out as t07), the eval "
+    "gram set deduplicates before the semi-join, and the gram join "
+    "shuffles on the gram hash with no forced broadcast (the eval side "
+    "is data-dependent; AQE broadcasts it while small). Per-source "
+    "contamination report, the go/no-go table before a training run.",
+    tags=("text", "llm", "pipeline", "decontamination"),
+)
+def p03_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = DECON_N
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_RE), F.lit(0)).alias(
+            "words"
+        ),
+    )
+    grams = docs.select(
+        "doc_id",
+        "source",
+        "is_eval",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(words) - {n - 1}, 0)),"
+                f" i -> array_join(slice(words, i, {n}), ' '))"
+            )
+        ).alias("gram"),
+    )
+    eval_grams = grams.filter("is_eval").select("gram").distinct()
+    contaminated = (
+        grams.filter(~F.col("is_eval"))
+        .join(eval_grams, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = docs.filter(~F.col("is_eval")).select("doc_id", "source")
+    return (
+        train.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )

@@ -160,3 +160,42 @@ def test_sequence_numbers_monotonic(spark, catalog):
     t.delete_where("id = 1", mode="equality", equality_cols=["id"])
     seqs = [s.get("sequence-number") for s in t.metadata()["snapshots"]]
     assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+
+
+def test_v1_table_lifecycle_and_upgrade(spark, catalog):
+    """Format v1 compatibility (reference supports v1-3): v1 tables read
+    and write copy-on-write, REJECT row-level delete files, and upgrade
+    v1 -> 2 -> 3 keeping data and history readable."""
+    catalog.create_namespace("wh", ["v1"])
+    df = spark.createDataFrame(
+        [(i, float(i), f"r{i}") for i in range(1, 6)], DDL
+    )
+    catalog.create_table(
+        "wh", ["v1"], "t", struct_to_schema(df.schema), format_version=1
+    )
+    t = SparkTable(spark, catalog, "wh", ["v1"], "t")
+    assert t.metadata()["format-version"] == 1
+    t.append(df)
+    assert _ids(t) == [1, 2, 3, 4, 5]
+    # CoW DML works on v1
+    t.delete_where("id = 5")
+    assert _ids(t) == [1, 2, 3, 4]
+    # row-level delete files are v2+: every MOR/equality form is rejected
+    with pytest.raises(CatalogError, match="format-version"):
+        t.delete_where("id = 1", mode="merge-on-read")
+    with pytest.raises(CatalogError, match="format-version"):
+        t.delete_where("id = 1", mode="equality", equality_cols=["id"])
+    with pytest.raises(CatalogError, match="format-version"):
+        t.update_where("id = 1", {"v": "v + 1"}, mode="merge-on-read")
+    # upgrade 1 -> 2 enables position deletes; 2 -> 3 enables DVs
+    t._commit([], [{"action": "upgrade-format-version", "format-version": 2}])
+    t.delete_where("id = 4", mode="merge-on-read")
+    assert _ids(t) == [1, 2, 3]
+    assert _delete_kinds(t) == ["position-deletes"]
+    t._commit([], [{"action": "upgrade-format-version", "format-version": 3}])
+    t.delete_where("id = 3", mode="merge-on-read")
+    assert _delete_kinds(t) == ["deletion-vectors"]
+    assert _ids(t) == [1, 2]
+    # pre-upgrade snapshots still readable
+    first = t.metadata()["snapshots"][0]
+    assert t.scan(snapshot_id=first["snapshot-id"]).count() == 5

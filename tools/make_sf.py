@@ -1,0 +1,93 @@
+"""Synthesize a larger scale factor from the driver testdata by
+join-consistent replication.
+
+Usage: python tools/make_sf.py [factor] [src_dir] [out_dir]
+       (defaults: 10 /root/testdata/sf0.1 /tmp/sfdata/sf1)
+
+Copy i (0..factor-1) offsets every entity key by i * (max key of the
+source), applied consistently on both sides of each FK (custkey, orderkey,
+partkey, suppkey, user/event ids, doc/vec ids), so all joins produce
+exactly `factor`x the rows and per-key cardinalities (orders per customer,
+lines per order, events per user) keep the source distribution.
+region/nation stay fixed — TPC-H keeps them constant across SF.
+
+Caveat (documented in PLANS.md): replication gives documents/embeddings a
+built-in 10x exact-duplication rate, which is a deliberate WORST-CASE
+stress for the dedup family — d01 groups grow 10x, d02's near-dup pair
+set inflates quadratically within each replica group (each doc's 10
+copies alone add 45 identical-pair rows). Times for d02 at the synthetic
+sf1 measure that stress, not typical-corpus cost.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from lakekeeper_spark.session import get_session
+
+# table -> {column: key-space it offsets in}
+OFFSETS = {
+    "customer": {"c_custkey": "cust"},
+    "orders": {"o_orderkey": "order", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "order", "l_partkey": "part", "l_suppkey": "supp"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "events": {"event_id": "event", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+KEY_SOURCE = {  # key-space -> (table, column) holding its max
+    "cust": ("customer", "c_custkey"),
+    "order": ("orders", "o_orderkey"),
+    "part": ("part", "p_partkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "event": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+FIXED = ["region", "nation"]
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/sfdata/sf1"
+    Path(out).mkdir(parents=True, exist_ok=True)
+    spark = get_session("make-sf")
+
+    spans: dict[str, int] = {}
+    for space, (table, col) in KEY_SOURCE.items():
+        spans[space] = (
+            spark.read.parquet(f"{src}/{table}.parquet").agg(F.max(col)).collect()[0][0]
+            + 1
+        )
+
+    for t in FIXED:
+        spark.read.parquet(f"{src}/{t}.parquet").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
+
+    for t, cols in OFFSETS.items():
+        base = spark.read.parquet(f"{src}/{t}.parquet")
+        copies = []
+        for i in range(factor):
+            c = base
+            for col, space in cols.items():
+                c = c.withColumn(col, (F.col(col) + F.lit(i * spans[space])).cast("long"))
+            copies.append(c)
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionByName(c)
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        print(f"{t}: x{factor}", flush=True)
+    print(f"DONE -> {out}")
+
+
+if __name__ == "__main__":
+    main()
