@@ -40,6 +40,9 @@ _BACK_OK = {
     "d04_dedup_simhash",
     "d06_dedup_embedding_lsh",
     "s02_knn_lsh",
+    # exact-hash green in r2's driver gate; demoted to keep newer queries
+    # (c04/p02/p03/st06) inside the 50-entry cut while e01-e09 stay front
+    "e10_sliding_window",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

@@ -425,3 +425,90 @@ def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(unix_micros(t_purchase) - unix_micros(t_click)) div 1000000")
         ).alias("sum_lag_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# st06: streaming CDC upsert — foreachBatch MERGE INTO an icelite table
+# --------------------------------------------------------------------------
+@register(
+    "st06_stream_cdc_upsert",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND((value)*1000000) AS BIGINT)) AS DOUBLE)/1000000
+         AS sum_value
+FROM events
+GROUP BY user_id
+""",
+    description="The streaming-lakehouse integration: events arrive as a "
+    "multi-batch stream (maxFilesPerTrigger=1 over range-partitioned "
+    "files) and foreachBatch MERGEs each micro-batch's per-user partial "
+    "aggregate into an icelite catalog table — matched keys accumulate, "
+    "new keys insert (the Iceberg CDC upsert pattern; reference MERGE "
+    "test_spark.py:155-172). Each batch pre-aggregates by key before the "
+    "merge (one source row per target key, the MERGE cardinality rule), "
+    "partials accumulate commutatively in exact fixed-point longs, and "
+    "the final table state hash-matches the all-at-once batch oracle. "
+    "State lives in the TABLE, not the stream — restarts resume from the "
+    "checkpoint + last committed snapshot.",
+    tags=("streaming", "catalog", "icelite", "merge", "cdc"),
+)
+def st06_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+
+    ensure_runtime_confs(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="lkspark_cdc_src_")
+    # 4 range-partitioned files -> 4 deterministic micro-batches
+    ev.repartitionByRange(4, "event_id").write.mode("overwrite").parquet(src_dir)
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_cdc_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["stream"])
+    target_schema = struct_to_schema(
+        spark.createDataFrame([], "user_id long, n_events long, sum_fp long").schema
+    )
+    cat.create_table("wh", ["stream"], "user_totals", target_schema)
+    t = SparkTable(spark, cat, "wh", ["stream"], "user_totals")
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        agg = batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+            .cast("long")
+            .alias("sum_fp"),
+        )
+        if t._resolve_snapshot(t.metadata()) is None:
+            t.append(agg)
+        else:
+            t.merge(
+                agg,
+                on="t.user_id = s.user_id",
+                matched_update={
+                    "n_events": "t.n_events + s.n_events",
+                    "sum_fp": "t.sum_fp + s.sum_fp",
+                },
+            )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    ckpt = tempfile.mkdtemp(prefix="lkspark_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return t.scan().select(
+        "user_id",
+        "n_events",
+        (F.col("sum_fp").cast("double") / 1_000_000).alias("sum_value"),
+    )
