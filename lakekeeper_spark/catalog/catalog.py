@@ -125,6 +125,42 @@ class Catalog:
     def list_warehouses(self) -> list[str]:
         return [r["name"] for r in self.store.query("SELECT name FROM warehouses ORDER BY wh_key")]
 
+    def update_warehouse_properties(
+        self,
+        warehouse: str,
+        updates: dict[str, Any] | None = None,
+        removals: list[str] | None = None,
+    ) -> dict[str, Any]:
+        """Mutate warehouse configuration post-create — the reference's
+        UpdateWarehouseFormatVersionPolicy / delete-profile / rename
+        family (api/endpoints.rs:228; warehouse/mod.rs). The
+        format-version policy is validated here so an invalid value can
+        never gate future commits."""
+        wh = self._warehouse(warehouse)
+        props = dict(wh["properties"])
+        for k in removals or []:
+            props.pop(k, None)
+        props.update(updates or {})
+        if "format-version-policy" in props:
+            policy = int(props["format-version-policy"])
+            if policy not in (1, 2, 3):
+                raise CatalogError(f"invalid format-version-policy: {policy}")
+        st = self.store
+        st.begin()
+        try:
+            st.execute(
+                "UPDATE warehouses SET properties=? WHERE wh_key=?",
+                (json.dumps(props), wh["wh_key"]),
+            )
+            st.emit_event(
+                "update-warehouse", wh["wh_key"], wh["name"], {"updated": sorted(props)}
+            )
+            st.commit()
+        except BaseException:
+            st.rollback()
+            raise
+        return props
+
     def warehouse_statistics(self, warehouse: str) -> dict[str, Any]:
         """Current table/view counts; also lazily rolls the HOURLY stats
         row for this hour (reference: hourly lazily-rolled statistics,

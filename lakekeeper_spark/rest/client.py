@@ -415,3 +415,11 @@ class RestCatalogClient:
             f"&q={quote(query, safe='')}&limit={limit}",
         )
         return body["tabulars"]
+
+    def update_warehouse_properties(self, warehouse, updates=None, removals=None):
+        _, body, _ = self._request(
+            "POST",
+            f"/management/v1/warehouse/{warehouse}/properties",
+            {"updates": updates or {}, "removals": list(removals or [])},
+        )
+        return body

@@ -449,6 +449,16 @@ class _Handler(BaseHTTPRequestHandler):
     def warehouse_statistics(self, wh):
         self._reply(200, self.catalog.warehouse_statistics(wh))
 
+    @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/properties")
+    def update_warehouse_properties(self, wh):
+        body = self._body()
+        self._reply(
+            200,
+            self.catalog.update_warehouse_properties(
+                wh, body.get("updates") or {}, body.get("removals") or []
+            ),
+        )
+
     @route("GET", r"/management/v1/search/tabular")
     def search_tabular(self):
         self._reply(

@@ -255,3 +255,34 @@ def test_multi_dialect_views_over_http(rest):
         "spark": "SELECT 1 AS one",
         "trino": "SELECT 1 AS one /* trino */",
     }
+
+
+def test_warehouse_format_version_policy_over_http(rest, spark):
+    """UpdateWarehouseFormatVersionPolicy (reference endpoints.rs:228):
+    tightening the policy post-create gates upgrade commits."""
+    from lakekeeper_spark.catalog.catalog import CatalogError
+
+    props = rest.update_warehouse_properties("wh", {"format-version-policy": 2})
+    assert props["format-version-policy"] == 2
+    rest.create_namespace("wh", ["pol"])
+    schema = struct_to_schema(spark.createDataFrame([(1,)], "id int").schema)
+    rest.create_table("wh", ["pol"], "t", schema)
+    with pytest.raises(CatalogError):
+        rest.commit_table(
+            "wh",
+            ["pol"],
+            "t",
+            [],
+            [{"action": "upgrade-format-version", "format-version": 3}],
+        )
+    rest.update_warehouse_properties("wh", {"format-version-policy": 3})
+    meta = rest.commit_table(
+        "wh",
+        ["pol"],
+        "t",
+        [],
+        [{"action": "upgrade-format-version", "format-version": 3}],
+    )
+    assert meta["format-version"] == 3
+    with pytest.raises(CatalogError):
+        rest.update_warehouse_properties("wh", {"format-version-policy": 9})
