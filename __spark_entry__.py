@@ -41,8 +41,10 @@ _BACK_OK = {
     "d06_dedup_embedding_lsh",
     "s02_knn_lsh",
     # exact-hash green in r2's driver gate; demoted to keep newer queries
-    # (c04/p02/p03/st06) inside the 50-entry cut while e01-e09 stay front
+    # (c04/c05/p02/p03/st06) inside the 50-entry cut while their families
+    # keep front coverage (e01-e09, m01-m03 remain)
     "e10_sliding_window",
+    "m04_audio_chunks",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

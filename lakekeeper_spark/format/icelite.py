@@ -659,6 +659,162 @@ class SparkTable:
         # field-id-aware read: incremental scans survive column renames
         return self._read_entries(meta, schema, added, to_snap["schema-id"])
 
+    def changelog(
+        self,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """CDC changelog scan (Iceberg's create_changelog_view semantics):
+        one row per NET row-level change between two snapshots, tagged
+        `_change_type` ('insert' | 'delete') and `_commit_snapshot_id`.
+
+        Per commit on the main lineage (walked by parent pointers):
+          - data files ADDED       -> their rows as inserts
+          - data files REMOVED     -> their rows as deletes (file-granular
+            net change: a copy-on-write rewrite emits delete+insert pairs
+            for surviving rows, exactly as Iceberg's changelog does)
+          - tombstones ADDED       -> the newly-deleted rows as deletes.
+            v3 consolidated vectors subtract the positions of the delete
+            files they replaced, so re-stated tombstones don't re-emit;
+            equality deletes emit the parent rows matching their keys.
+          - operation 'replace' (compaction / rewrite_position_deletes /
+            materialization) -> skipped: no logical change.
+
+        All reads are file-list-driven (metadata-sized driver state) and
+        field-id-aware, so the changelog survives column renames."""
+        meta = self.metadata()
+        to_snap = self._resolve_snapshot(meta, to_snapshot_id)
+        schema = self._current_schema(meta)
+        struct = schema_to_struct(schema)
+        empty = self.spark.createDataFrame([], struct).select(
+            "*",
+            F.lit("insert").alias("_change_type"),
+            F.lit(0).cast("long").alias("_commit_snapshot_id"),
+        )
+        if to_snap is None:
+            return empty.limit(0)
+        # main lineage, oldest->newest, stopping after from_snapshot_id
+        lineage: list[dict[str, Any]] = []
+        cur: dict[str, Any] | None = to_snap
+        while cur is not None and cur["snapshot-id"] != from_snapshot_id:
+            lineage.append(cur)
+            pid = cur.get("parent-snapshot-id")
+            cur = self._snapshot(meta, pid) if pid is not None else None
+        lineage.reverse()
+        parts: list[DataFrame] = []
+        for s in lineage:
+            if s["summary"].get("operation") == "replace":
+                continue
+            pid = s.get("parent-snapshot-id")
+            parent = self._snapshot(meta, pid) if pid is not None else None
+            p_manifest = parent["manifest"] if parent else []
+            p_paths = {e["path"] for e in p_manifest}
+            s_paths = {e["path"] for e in s["manifest"]}
+            sid = s["snapshot-id"]
+
+            def tag(df: DataFrame, kind: str, _sid=sid) -> DataFrame:
+                return df.select(
+                    *[f["name"] for f in schema["fields"]],
+                    F.lit(kind).alias("_change_type"),
+                    F.lit(_sid).cast("long").alias("_commit_snapshot_id"),
+                )
+
+            added_data = [
+                e for e in _split_manifest(s["manifest"])[0] if e["path"] not in p_paths
+            ]
+            removed_data = [
+                e for e in _split_manifest(p_manifest)[0] if e["path"] not in s_paths
+            ]
+            if added_data:
+                parts.append(
+                    tag(self._read_entries(meta, schema, added_data, s["schema-id"]), "insert")
+                )
+            if removed_data:
+                # only rows LIVE at the parent emit delete events: apply the
+                # parent's tombstones to the removed files' raw rows, else a
+                # CoW rewrite would re-emit rows a MOR delete already removed
+                p_dels = _split_manifest(p_manifest)[1]
+                removed_rows = self._read_entries(
+                    meta,
+                    schema,
+                    removed_data,
+                    parent["schema-id"],
+                    with_pos=bool(p_dels),
+                )
+                if p_dels:
+                    removed_rows = self._apply_position_deletes(
+                        removed_rows, meta, p_dels, removed_data
+                    ).drop("_file", "_pos")
+                parts.append(tag(removed_rows, "delete"))
+            # newly-added tombstones -> deletes against the PARENT state
+            added_dels = [
+                e for e in _split_manifest(s["manifest"])[1] if e["path"] not in p_paths
+            ]
+            removed_dels = [
+                e for e in _split_manifest(p_manifest)[1] if e["path"] not in s_paths
+            ]
+            pos_added = [
+                e for e in added_dels if e.get("content") != "equality-deletes"
+            ]
+            eq_added = [e for e in added_dels if e.get("content") == "equality-deletes"]
+            if pos_added and parent is not None:
+                new_pos = self.spark.read.schema(self._DELETE_SCHEMA).parquet(
+                    *[f"{meta['location']}/{e['path']}" for e in pos_added]
+                )
+                pos_removed = [
+                    e for e in removed_dels if e.get("content") != "equality-deletes"
+                ]
+                if pos_removed:
+                    old_pos = self.spark.read.schema(self._DELETE_SCHEMA).parquet(
+                        *[f"{meta['location']}/{e['path']}" for e in pos_removed]
+                    )
+                    new_pos = new_pos.exceptAll(old_pos)
+                p_data = _split_manifest(p_manifest)[0]
+                rows = self._read_entries(
+                    meta, schema, p_data, parent["schema-id"], with_pos=True
+                )
+                cond = (self._rel_file(meta["location"]) == new_pos["file_path"]) & (
+                    F.col("_pos") == new_pos["pos"]
+                )
+                parts.append(
+                    tag(rows.join(new_pos, cond, "left_semi").drop("_file", "_pos"), "delete")
+                )
+            if eq_added and parent is not None:
+                live = self._data_df(meta, schema, parent)
+                by_id_cur = {f["id"]: f["name"] for f in schema["fields"]}
+                for e in eq_added:
+                    wschema = next(
+                        (
+                            sc
+                            for sc in meta["schemas"]
+                            if sc["schema-id"] == e.get("schema-id")
+                        ),
+                        schema,
+                    )
+                    by_id_w = {f["id"]: (f["name"], f["type"]) for f in wschema["fields"]}
+                    read_schema = ", ".join(
+                        f"`{by_id_w[fid][0]}` {by_id_w[fid][1]}"
+                        for fid in e["equality-ids"]
+                    )
+                    del_rows = self.spark.read.schema(read_schema).parquet(
+                        f"{meta['location']}/{e['path']}"
+                    )
+                    # field-id rename safety: align write-time names to current
+                    del_rows = del_rows.select(
+                        *[
+                            F.col(by_id_w[fid][0]).alias(by_id_cur[fid])
+                            for fid in e["equality-ids"]
+                        ]
+                    )
+                    cols = [by_id_cur[fid] for fid in e["equality-ids"]]
+                    parts.append(tag(live.join(del_rows, cols, "left_semi"), "delete"))
+        if not parts:
+            return empty.limit(0)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     # ---------------- statistics (ANALYZE) ----------------
     def analyze(self) -> dict[str, Any]:
         """Compute per-column table statistics with ONE Spark aggregate and

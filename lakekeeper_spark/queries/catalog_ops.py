@@ -397,3 +397,102 @@ def c04_delete_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+@register(
+    "c05_changelog_cdc",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= {_ROWS}
+),
+n AS (SELECT COUNT(*) AS total FROM src),
+d1 AS (SELECT COUNT(*) AS n_d1 FROM src WHERE l_quantity < 10),
+live1 AS (SELECT * FROM src WHERE l_quantity >= 10),
+s3rm AS (SELECT COUNT(*) AS n_rm FROM live1),
+live2 AS (SELECT * FROM live1 WHERE l_quantity < 45),
+s3in AS (SELECT COUNT(*) AS n_in FROM live2),
+k12 AS (
+  SELECT DISTINCT l_orderkey, l_linenumber FROM live2 WHERE l_quantity < 12
+),
+s4 AS (
+  SELECT COUNT(*) AS n_eq FROM live2 v
+  JOIN k12 k ON v.l_orderkey = k.l_orderkey AND v.l_linenumber = k.l_linenumber
+)
+SELECT * FROM (
+  SELECT 'c1_append_inserts' AS checkpoint, total AS value FROM n
+  UNION ALL SELECT 'c2_mor_deletes', n_d1 FROM d1
+  UNION ALL SELECT 'c3_cow_deletes', n_rm FROM s3rm
+  UNION ALL SELECT 'c3_cow_reinserts', n_in FROM s3in
+  UNION ALL SELECT 'c4_equality_deletes', n_eq FROM s4
+  UNION ALL SELECT 'c5_replace_changes', 0
+) ORDER BY checkpoint
+""",
+    description="CDC changelog scan (Iceberg create_changelog_view "
+    "semantics) across a full DML history: append -> inserts; MOR delete "
+    "-> tombstoned rows as deletes; CoW delete -> file-granular "
+    "delete+reinsert pairs with the parent's tombstones APPLIED (dead "
+    "rows never re-emit); equality delete -> parent rows matching the "
+    "delete keys; rewrite_position_deletes (replace) -> zero changes. "
+    "Checkpoint counts by commit vs oracle expectations from the same "
+    "source parquet.",
+    tags=("catalog", "icelite", "cdc", "changelog"),
+)
+def c05_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_cdc_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["bench"])
+
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(_ROWS)
+    )
+    cat.create_table("wh", ["bench"], "li_cdc", struct_to_schema(src.schema))
+    t = SparkTable(spark, cat, "wh", ["bench"], "li_cdc")
+
+    t.append(src)
+    s1 = t.metadata()["current-snapshot-id"]
+    t.delete_where("l_quantity < 10", mode="merge-on-read")
+    s2 = t.metadata()["current-snapshot-id"]
+    t.delete_where("l_quantity >= 45", mode="copy-on-write")
+    s3 = t.metadata()["current-snapshot-id"]
+    t.delete_where(
+        "l_quantity < 12",
+        mode="equality",
+        equality_cols=["l_orderkey", "l_linenumber"],
+    )
+    s4 = t.metadata()["current-snapshot-id"]
+    t.rewrite_position_deletes()
+
+    ch = t.changelog()
+    counts = {
+        (r["_commit_snapshot_id"], r["_change_type"]): r["n"]
+        for r in ch.groupBy("_commit_snapshot_id", "_change_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    later = sum(v for (sid, _), v in counts.items() if sid > s4)
+    rows = [
+        ("c1_append_inserts", counts.get((s1, "insert"), 0)),
+        ("c2_mor_deletes", counts.get((s2, "delete"), 0)),
+        ("c3_cow_deletes", counts.get((s3, "delete"), 0)),
+        ("c3_cow_reinserts", counts.get((s3, "insert"), 0)),
+        ("c4_equality_deletes", counts.get((s4, "delete"), 0)),
+        ("c5_replace_changes", later),
+    ]
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )

@@ -1,0 +1,120 @@
+"""CDC changelog scan (Iceberg create_changelog_view semantics): net
+row-level changes per commit, tagged insert/delete, with replace commits
+(compaction/materialization) contributing nothing."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakekeeper_spark.format.icelite import SparkTable
+from lakekeeper_spark.format.types import struct_to_schema
+
+DDL = "id int, v double, s string"
+
+
+@pytest.fixture()
+def table(spark, catalog):
+    catalog.create_namespace("wh", ["cdc"])
+    df = spark.createDataFrame(
+        [(i, float(i), f"r{i}") for i in range(1, 6)], DDL
+    ).coalesce(1)
+    catalog.create_table("wh", ["cdc"], "t", struct_to_schema(df.schema))
+    t = SparkTable(spark, catalog, "wh", ["cdc"], "t")
+    t.append(df)
+    return t
+
+
+def _changes(t, **kw):
+    return sorted(
+        (r._change_type, r.id, r._commit_snapshot_id)
+        for r in t.changelog(**kw).collect()
+    )
+
+
+def test_appends_are_inserts(table, spark):
+    table.append(spark.createDataFrame([(6, 6.0, "r6")], DDL))
+    ch = _changes(table)
+    assert [c for c in ch if c[0] == "delete"] == []
+    assert sorted(c[1] for c in ch) == [1, 2, 3, 4, 5, 6]
+    # snapshot attribution: row 6 belongs to the second commit
+    snap2 = table.metadata()["current-snapshot-id"]
+    assert ("insert", 6, snap2) in ch
+
+
+def test_mor_delete_emits_deletes_only_for_new_tombstones(table):
+    table.delete_where("id <= 2", mode="merge-on-read")
+    ch = _changes(table)
+    dels = [c for c in ch if c[0] == "delete"]
+    assert sorted(c[1] for c in dels) == [1, 2]
+    # second MOR delete must emit ONLY the newly-deleted row, even on v3
+    # where the consolidated vector restates old tombstones
+    table._commit([], [{"action": "upgrade-format-version", "format-version": 3}])
+    pre = table.metadata()["current-snapshot-id"]
+    table.delete_where("id = 3", mode="merge-on-read")
+    ch2 = _changes(table, from_snapshot_id=pre)
+    assert ch2 == [("delete", 3, table.metadata()["current-snapshot-id"])]
+
+
+def test_cow_rewrite_emits_file_granular_pairs(table):
+    """CoW delete rewrites the file: removed-file rows emit deletes, the
+    rewritten survivors re-emit as inserts (Iceberg changelog parity)."""
+    snap1 = table.metadata()["current-snapshot-id"]
+    table.delete_where("id = 1")  # copy-on-write
+    ch = _changes(table, from_snapshot_id=snap1)
+    dels = sorted(c[1] for c in ch if c[0] == "delete")
+    ins = sorted(c[1] for c in ch if c[0] == "insert")
+    assert dels == [1, 2, 3, 4, 5]  # whole old file out
+    assert ins == [2, 3, 4, 5]  # survivors re-inserted
+
+
+def test_equality_delete_emits_matching_parent_rows(table):
+    pre = table.metadata()["current-snapshot-id"]
+    table.delete_where("id in (2, 4)", mode="equality", equality_cols=["id"])
+    ch = _changes(table, from_snapshot_id=pre)
+    assert ch == [
+        ("delete", 2, table.metadata()["current-snapshot-id"]),
+        ("delete", 4, table.metadata()["current-snapshot-id"]),
+    ]
+
+
+def test_replace_commits_are_silent(table):
+    table.delete_where("id <= 2", mode="merge-on-read")
+    pre = table.metadata()["current-snapshot-id"]
+    table.rewrite_position_deletes()  # replace: no logical change
+    assert _changes(table, from_snapshot_id=pre) == []
+    table.rewrite_data_files()  # compaction: also replace
+    assert _changes(table, from_snapshot_id=pre) == []
+
+
+def test_full_history_net_state_matches_scan(table, spark):
+    """Summing the changelog (inserts minus deletes per key) over the whole
+    history reproduces the live row set."""
+    table.append(spark.createDataFrame([(6, 6.0, "r6")], DDL))
+    table.delete_where("id <= 2", mode="merge-on-read")
+    table.delete_where("id = 6", mode="copy-on-write")
+    ch = _changes(table)
+    net: dict[int, int] = {}
+    for kind, rid, _ in ch:
+        net[rid] = net.get(rid, 0) + (1 if kind == "insert" else -1)
+    live = sorted(rid for rid, n in net.items() if n > 0)
+    assert live == sorted(r.id for r in table.scan().collect())
+
+
+def test_cow_after_mor_does_not_reemit_dead_rows(spark, catalog):
+    """A CoW rewrite of a file with pending tombstones must emit delete
+    events only for rows still LIVE at the parent."""
+    catalog.create_namespace("wh", ["cdc2"])
+    df = spark.createDataFrame(
+        [(i, float(i), f"r{i}") for i in range(1, 6)], DDL
+    ).coalesce(1)
+    catalog.create_table("wh", ["cdc2"], "t", struct_to_schema(df.schema))
+    t = SparkTable(spark, catalog, "wh", ["cdc2"], "t")
+    t.append(df)
+    t.delete_where("id = 1", mode="merge-on-read")
+    pre = t.metadata()["current-snapshot-id"]
+    t.delete_where("id = 2")  # CoW rewrites the (tombstoned) file
+    ch = _changes(t, from_snapshot_id=pre)
+    dels = sorted(c[1] for c in ch if c[0] == "delete")
+    ins = sorted(c[1] for c in ch if c[0] == "insert")
+    assert dels == [2, 3, 4, 5]  # id=1 was already dead: not re-emitted
+    assert ins == [3, 4, 5]
