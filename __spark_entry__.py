@@ -45,6 +45,7 @@ _BACK_OK = {
     # keep front coverage (e01-e09, m01-m03 remain)
     "e10_sliding_window",
     "m04_audio_chunks",
+    "w05_pivot_event_matrix",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

@@ -263,3 +263,160 @@ def d06_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
     )
+
+
+# --------------------------------------------------------------------------
+# s04: k-means centroid training (Lloyd's, fixed-point exact, oracle-unrolled)
+# --------------------------------------------------------------------------
+KM_K = 8  # clusters
+KM_ITERS = 3  # Lloyd iterations (the oracle unrolls them as CTE stages)
+KM_DIM = 64  # embedding dimensionality of the testdata
+
+
+def _km_oracle() -> str:
+    """Unrolled Lloyd's in DuckDB SQL, arithmetic-identical to the Spark
+    implementation: distances sum (p[i]-c[i])^2 in dimension order
+    (doubles), centroid updates accumulate fixed-point BIGINTs (order-
+    independent) and divide back to doubles, empty clusters carry the
+    previous centroid forward."""
+    d, k = KM_DIM, KM_K
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {d}), i -> "
+        "(CAST(p.embedding[i] AS DOUBLE) - c.c[i])"
+        " * (CAST(p.embedding[i] AS DOUBLE) - c.c[i])))"
+    )
+    sql = [
+        "WITH pts AS (SELECT vec_id, embedding FROM embeddings),",
+        f"cent0 AS (SELECT vec_id AS cid,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c"
+        f" FROM embeddings WHERE vec_id < {k})",
+    ]
+    for it in range(1, KM_ITERS + 1):
+        prev = f"cent{it - 1}"
+        sql.append(
+            f""", x{it} AS (
+  SELECT p.vec_id, p.embedding, c.cid, {dist} AS d2
+  FROM pts p CROSS JOIN {prev} c
+), a{it} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM x{it}
+  ) WHERE rn = 1
+), u{it} AS (
+  SELECT cid, i AS dim,
+         SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))
+           AS scaled,
+         COUNT(*) AS n
+  FROM a{it}, generate_series(1, {d}) g(i)
+  GROUP BY cid, i
+), newc{it} AS (
+  SELECT cid,
+         list(CAST(scaled AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS c
+  FROM u{it} GROUP BY cid
+), cent{it} AS (
+  SELECT p.cid, COALESCE(nc.c, p.c) AS c
+  FROM {prev} p LEFT JOIN newc{it} nc ON p.cid = nc.cid
+)"""
+        )
+    last = KM_ITERS
+    sql.append(
+        f"""
+SELECT a.cid,
+       COUNT(*) AS n_points,
+       (SELECT CAST(list_sum(list_transform(c.c,
+               v -> CAST(ROUND(v * 1000000) AS BIGINT))) AS BIGINT)
+        FROM cent{last} c WHERE c.cid = a.cid) AS centroid_fp
+FROM a{last} a
+GROUP BY a.cid ORDER BY a.cid"""
+    )
+    return "\n".join(sql)
+
+
+@register(
+    "s04_kmeans_train",
+    oracle=_km_oracle(),
+    description="K-means centroid TRAINING (Lloyd's algorithm) — the "
+    "iterative-algorithm pattern done Spark-right: per iteration, "
+    "assignment is a broadcast cross join (K centroid rows) + argmin "
+    "window, and the centroid update aggregates fixed-point BIGINTs per "
+    "(cluster, dimension); ONLY the K x D centroid matrix ever reaches "
+    "the driver between iterations (the MLlib topology). Empty clusters "
+    "carry their previous centroid. Deterministic to the bit: distance "
+    "sums run in dimension order, updates are integer sums; the DuckDB "
+    "oracle unrolls the same three iterations as CTE stages and hash-"
+    "matches exactly. Produces the centroids s03's IVF index consumes "
+    "(embeddings_ops.py docstring: the production swap-in).",
+    tags=("embeddings", "ml", "iterative", "ann"),
+)
+def s04_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, k = KM_DIM, KM_K
+    pts = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in pts.filter(F.col("vec_id") < k).collect()
+    }
+    centroids = {cid: init[cid] for cid in sorted(init)}
+
+    def cent_df(c: dict[int, list[float]]):
+        return F.broadcast(
+            spark.createDataFrame(
+                [(cid, vec) for cid, vec in sorted(c.items())],
+                "cid int, c array<double>",
+            )
+        )
+
+    dist = F.expr(
+        f"aggregate(sequence(1, {d}), CAST(0.0 AS DOUBLE), (acc, i) -> "
+        "acc + (CAST(element_at(embedding, i) AS DOUBLE) - element_at(c, i))"
+        " * (CAST(element_at(embedding, i) AS DOUBLE) - element_at(c, i)))"
+    )
+    assigned = None
+    for _ in range(KM_ITERS):
+        x = pts.crossJoin(cent_df(centroids)).withColumn("d2", dist)
+        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        assigned = (
+            x.withColumn("rn", F.row_number().over(w))
+            .filter("rn = 1")
+            .select("vec_id", "embedding", "cid")
+        )
+        upd = (
+            assigned.select(
+                "cid", F.posexplode("embedding").alias("dim0", "val")
+            )
+            .groupBy("cid", "dim0")
+            .agg(
+                F.sum(
+                    F.round(F.col("val").cast("double") * 1_000_000).cast("long")
+                ).alias("scaled"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()  # K x D rows: the centroid matrix, nothing more
+        )
+        new_c: dict[int, list[float]] = {}
+        for r in upd:
+            new_c.setdefault(int(r["cid"]), [0.0] * d)[int(r["dim0"])] = r[
+                "scaled"
+            ] / (r["n"] * 1_000_000.0)
+        centroids = {
+            cid: new_c.get(cid, centroids[cid]) for cid in sorted(centroids)
+        }
+    # half-away-from-zero, matching SQL ROUND (Python round() is banker's)
+    def _r6(v: float) -> int:
+        import math
+
+        x = v * 1_000_000
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    fp = {cid: sum(_r6(v) for v in vec) for cid, vec in centroids.items()}
+    fp_df = F.broadcast(
+        spark.createDataFrame(
+            [(cid, fp[cid]) for cid in sorted(fp)], "cid int, centroid_fp long"
+        )
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .join(fp_df, "cid")
+        .orderBy("cid")
+        .select("cid", "n_points", "centroid_fp")
+    )
