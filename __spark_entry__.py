@@ -46,6 +46,7 @@ _BACK_OK = {
     "e10_sliding_window",
     "m04_audio_chunks",
     "w05_pivot_event_matrix",
+    "t05_top_tokens",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

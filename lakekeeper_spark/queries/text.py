@@ -637,3 +637,55 @@ def p03_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# t09: deterministic stratified sampling (per-source rate by hash bucket)
+# --------------------------------------------------------------------------
+SAMPLE_MOD = 10  # hash space for the sampling decision
+SAMPLE_KEEP = 3  # keep buckets [0, SAMPLE_KEEP) -> 30% nominal rate
+
+
+@register(
+    "t09_stratified_sample",
+    oracle=f"""
+WITH s AS (
+  SELECT source, doc_id,
+         (CAST(doc_id AS BIGINT) * 2654435761 % 1000003) % {SAMPLE_MOD}
+           AS bucket
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE bucket < {SAMPLE_KEEP}) AS n_sampled,
+       CAST(MIN(CASE WHEN bucket < {SAMPLE_KEEP} THEN doc_id END) AS BIGINT)
+         AS first_sampled_doc
+FROM s GROUP BY source ORDER BY source
+""",
+    description="Deterministic stratified sampling: every document hashes "
+    "to a bucket via a multiplicative hash of its key, and buckets below "
+    "the cut are kept — the reproducible TABLESAMPLE a training pipeline "
+    "needs (same sample on every run/engine, no RNG state; rate changes "
+    "are a literal edit). Pure row-local arithmetic in codegen, zero "
+    "shuffle before the per-source report; at 100 TB the WHERE bucket < "
+    "k form prunes before any downstream work.",
+    tags=("text", "llm", "sampling"),
+)
+def t09_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        (F.col("doc_id").cast("long") * F.lit(2654435761).cast("long"))
+        % F.lit(1000003)
+    ) % SAMPLE_MOD
+    s = docs.select("source", "doc_id", bucket.alias("bucket"))
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("bucket") < SAMPLE_KEEP, 1)).alias("n_sampled"),
+            F.min(F.when(F.col("bucket") < SAMPLE_KEEP, F.col("doc_id")))
+            .cast("long")
+            .alias("first_sampled_doc"),
+        )
+        .orderBy("source")
+    )

@@ -103,3 +103,34 @@ def test_e05_e08_no_forced_broadcast_of_unbounded_dims(spark):
     for fn in (e05_variant_join, e08_retention_cohorts):
         analyzed = fn(spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
         assert "UnresolvedHint" not in analyzed and "ResolvedHint" not in analyzed
+
+
+def test_p03_gram_generation_is_join_free_and_semi_joins(spark):
+    """N-gram generation must be array-side (no positional self-join);
+    the only joins are the eval-gram semi-join and the final left join."""
+    from lakekeeper_spark.queries.text import p03_decontamination
+
+    plan = _plan(p03_decontamination(spark, SF_DIR))
+    assert "Generate" in plan  # single explode for grams
+    # no forced broadcast hint in the analyzed plan
+    analyzed = (
+        p03_decontamination(spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
+def test_p02_data_window_is_bucket_partitioned(spark):
+    from lakekeeper_spark.queries.text import p02_sequence_packing
+
+    plan = _plan(p02_sequence_packing(spark, SF_DIR))
+    assert "Window" in plan and "bkt" in plan
+
+
+def test_t09_sampling_is_scan_plus_single_agg(spark):
+    """The sampling decision is row-local arithmetic: no joins, no windows,
+    one aggregate pair."""
+    from lakekeeper_spark.queries.text import t09_stratified_sample
+
+    plan = _plan(t09_stratified_sample(spark, SF_DIR))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
