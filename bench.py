@@ -51,6 +51,11 @@ HEADLINE = [
     "s01_knn_bruteforce",
     "t01_text_stats",
     "t03_fingerprint",
+    "t07_skipgram_pairs",
+    "t09_stratified_sample",
+    "p02_sequence_packing",
+    "p03_decontamination",
+    "s04_kmeans_train",
 ]
 
 BUDGET_FILE = Path(__file__).resolve().parent / "BENCH_BUDGET.json"
