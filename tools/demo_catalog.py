@@ -92,6 +92,27 @@ def main() -> None:
     reports = cat.list_metrics_reports("wh", ["demo"], "nation")
     assert reports and reports[0]["report-type"] == "scan-report"
     print(f"OK scan reports ({len(reports)} filed)")
+
+    # ---- REST facade: the same lifecycle over an actual HTTP socket ----
+    from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
+
+    server = RestCatalogServer(cat).start()
+    try:
+        rest = RestCatalogClient(server.url)
+        assert rest.config("wh")["overrides"]["prefix"] == "wh"
+        rt = SparkTable(spark, rest, "wh", ["demo"], "nation")
+        n_before = rt.scan().count()
+        rt.append(src.limit(2))
+        assert rt.scan().count() == n_before + 2
+        meta, etag = rest.load_table("wh", ["demo"], "nation")
+        try:
+            rest.load_table("wh", ["demo"], "nation", etag=etag)
+            raise AssertionError("expected 304")
+        except Exception as e:
+            assert type(e).__name__ == "NotModified"
+        print("OK rest facade (append + etag 304 over HTTP)")
+    finally:
+        server.stop()
     print("DEMO PASSED")
 
 
