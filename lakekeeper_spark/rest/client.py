@@ -80,6 +80,10 @@ class RestCatalogClient:
         if code == 409:
             if etype == "CommitFailedException":
                 raise CommitConflict(message)
+            if etype == "ProtectedEntityException":
+                from ..catalog.catalog import ProtectedEntity
+
+                raise ProtectedEntity(message)
             raise AlreadyExists(message)
         raise CatalogError(f"{etype}: {message}")
 
@@ -423,3 +427,23 @@ class RestCatalogClient:
             {"updates": updates or {}, "removals": list(removals or [])},
         )
         return body
+
+    def set_protection(self, warehouse, levels, name, protected, kind="table"):
+        if name is None:
+            path = (
+                f"/management/v1/warehouse/{warehouse}"
+                f"/namespace/{_ns_path(levels)}/protection"
+            )
+        else:
+            path = (
+                f"/management/v1/warehouse/{warehouse}"
+                f"/table/{_ns_path(levels)}/{quote(name, safe='')}/protection"
+            )
+        self._request("POST", path, {"protected": bool(protected)})
+
+    def load_table_refs_only(self, warehouse, levels, name):
+        """LoadTable with ?snapshots=refs (ref-reachable ancestry only)."""
+        _, body, headers = self._request(
+            "GET", self._tbl(warehouse, levels, name) + "?snapshots=refs"
+        )
+        return body["metadata"], int(headers.get("ETag", 'W/"0"').strip('W/"'))

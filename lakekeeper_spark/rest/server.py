@@ -270,6 +270,24 @@ class _Handler(BaseHTTPRequestHandler):
         inm = self.headers.get("If-None-Match")
         etag = int(inm.strip('W/"')) if inm else None
         meta, seq = self.catalog.load_table(prefix, _ns(ns), unquote(tbl), etag)
+        # ?snapshots=refs trims the snapshot list to ref-reachable ancestry
+        # (reference LoadTableQuery, api/iceberg/v1/tables.rs:83-86)
+        if self.query.get("snapshots") == "refs":
+            meta = dict(meta)
+            by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+            keep: set[int] = set()
+            stack = [r["snapshot-id"] for r in meta.get("refs", {}).values()]
+            while stack:
+                sid = stack.pop()
+                if sid in keep or sid not in by_id:
+                    continue
+                keep.add(sid)
+                parent = by_id[sid].get("parent-snapshot-id")
+                if parent is not None:
+                    stack.append(parent)
+            meta["snapshots"] = [
+                s for s in meta["snapshots"] if s["snapshot-id"] in keep
+            ]
         self._reply(
             200,
             {"metadata": meta, "metadata-location": meta.get("location"), "config": {}},
@@ -448,6 +466,28 @@ class _Handler(BaseHTTPRequestHandler):
     @route("GET", r"/management/v1/warehouse/(?P<wh>[^/]+)/statistics")
     def warehouse_statistics(self, wh):
         self._reply(200, self.catalog.warehouse_statistics(wh))
+
+    @route(
+        "POST",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/namespace/(?P<ns>[^/]+)"
+        r"/protection",
+    )
+    def set_namespace_protection(self, wh, ns):
+        self.catalog.set_protection(
+            wh, _ns(ns), None, bool(self._body().get("protected"))
+        )
+        self._reply(204)
+
+    @route(
+        "POST",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/table/(?P<ns>[^/]+)"
+        r"/(?P<tbl>[^/]+)/protection",
+    )
+    def set_table_protection(self, wh, ns, tbl):
+        self.catalog.set_protection(
+            wh, _ns(ns), unquote(tbl), bool(self._body().get("protected"))
+        )
+        self._reply(204)
 
     @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/properties")
     def update_warehouse_properties(self, wh):

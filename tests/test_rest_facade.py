@@ -286,3 +286,28 @@ def test_warehouse_format_version_policy_over_http(rest, spark):
     assert meta["format-version"] == 3
     with pytest.raises(CatalogError):
         rest.update_warehouse_properties("wh", {"format-version-policy": 9})
+
+
+def test_snapshots_refs_filter_and_protection_over_http(rest, spark):
+    from lakekeeper_spark.catalog.catalog import ProtectedEntity
+
+    rest.create_namespace("wh", ["sp"])
+    df = spark.createDataFrame([(1, 1.0, "a")], "id int, v double, s string")
+    rest.create_table("wh", ["sp"], "t", struct_to_schema(df.schema))
+    t = SparkTable(spark, rest, "wh", ["sp"], "t")
+    t.append(df)
+    t.append(df)
+    old = t.metadata()["snapshots"][0]["snapshot-id"]
+    t.rollback_to_snapshot(old)
+    full, _ = rest.load_table("wh", ["sp"], "t")
+    refs_only, _ = rest.load_table_refs_only("wh", ["sp"], "t")
+    assert len(refs_only["snapshots"]) < len(full["snapshots"])
+    assert {s["snapshot-id"] for s in refs_only["snapshots"]} == {old}
+
+    # protection gates the drop over the wire (409)
+    rest.set_protection("wh", ["sp"], "t", True)
+    with pytest.raises(ProtectedEntity):
+        rest.drop_table("wh", ["sp"], "t")
+    rest.set_protection("wh", ["sp"], "t", False)
+    rest.drop_table("wh", ["sp"], "t")
+    assert not rest.table_exists("wh", ["sp"], "t")
