@@ -51,7 +51,6 @@ _BACK_OK = {
 _FRONT_Q = {
     "q01_pricing_summary",
     "q08_market_share",
-    "q13_customer_distribution",
     "q18_large_volume_customer",
 }
 

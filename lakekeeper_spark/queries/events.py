@@ -580,3 +580,67 @@ def e10_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", 1000000).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# h01: KMV (k-minimum-values) distinct-count sketch — exact cross-engine
+# --------------------------------------------------------------------------
+KMV_K = 256
+KMV_MUL = 2_654_435_761  # Knuth multiplicative constant
+KMV_P = 9_007_199_254_740_881  # largest prime < 2^53
+
+
+@register(
+    "h01_kmv_distinct_users",
+    oracle=f"""
+WITH h AS (
+  SELECT DISTINCT user_id,
+         CAST((user_id * {KMV_MUL}) % {KMV_P} AS DOUBLE) / {KMV_P} AS hv
+  FROM events
+),
+k AS (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K}),
+kk AS (SELECT MAX(hv) AS hk, COUNT(*) AS n FROM k),
+x AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
+SELECT x.exact_distinct,
+       CAST(CASE WHEN kk.n < {KMV_K} THEN kk.n
+                 ELSE (kk.n - 1) / kk.hk END AS DOUBLE) AS kmv_estimate,
+       ABS(CAST(CASE WHEN kk.n < {KMV_K} THEN kk.n
+                     ELSE (kk.n - 1) / kk.hk END AS DOUBLE) - x.exact_distinct)
+         / x.exact_distinct AS rel_err
+FROM x, kk
+""",
+    description="Distinct-count SKETCH with exact cross-engine parity: "
+    "k-minimum-values over a deterministic multiplicative hash — the "
+    "estimate ((k-1)/h_k) is a pure function of the data, so unlike "
+    "HLL implementations it hash-matches bit-for-bit across engines "
+    "while keeping sketch scaling properties: the k smallest hashes are "
+    "a TakeOrdered (partial top-k per partition, merged on the driver, "
+    "k rows total) and the sketch is mergeable (min-k of a union). "
+    "Reports the exact count alongside for the error check; below k "
+    "distinct keys the sketch IS exact.",
+    tags=("events", "sketch", "approximate"),
+)
+def h01_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        ((F.col("user_id") * F.lit(KMV_MUL).cast("long")) % F.lit(KMV_P))
+        .cast("double")
+        .alias("num"),
+        "user_id",
+    ).select((F.col("num") / F.lit(float(KMV_P))).alias("hv")).distinct()
+    k = h.orderBy("hv").limit(KMV_K)
+    kk = k.agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("n"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    est = F.when(F.col("n") < KMV_K, F.col("n").cast("double")).otherwise(
+        (F.col("n") - 1) / F.col("hk")
+    )
+    return (
+        exact.crossJoin(F.broadcast(kk))
+        .withColumn("kmv_estimate", est)
+        .withColumn(
+            "rel_err",
+            F.abs(F.col("kmv_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+        )
+        .select("exact_distinct", "kmv_estimate", "rel_err")
+    )
