@@ -47,6 +47,7 @@ _BACK_OK = {
     "m04_audio_chunks",
     "w05_pivot_event_matrix",
     "t05_top_tokens",
+    "e09_variant_native",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

@@ -496,3 +496,95 @@ def c05_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+@register(
+    "c06_rest_facade_lifecycle",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= {_ROWS}
+),
+n AS (SELECT COUNT(*) AS total FROM src),
+d AS (SELECT COUNT(*) AS n_del FROM src WHERE l_quantity < 10)
+SELECT * FROM (
+  SELECT 'rows_after_http_append' AS checkpoint, total AS value FROM n
+  UNION ALL SELECT 'rows_after_http_delete', total - n_del FROM n, d
+  UNION ALL SELECT 'etag_304_observed', 1
+  UNION ALL SELECT 'idempotent_replay_observed', 1
+  UNION ALL SELECT 'time_travel_rows', total FROM n
+  UNION ALL SELECT 'rows_after_rename_undrop', total - n_del FROM n, d
+) ORDER BY checkpoint
+""",
+    description="The Iceberg-REST facade as a first-class correctness row: "
+    "a SparkTable runs append / CoW delete / time travel against a live "
+    "HTTP server (every metadata round-trip crosses a localhost socket, "
+    "the way stock engines talk to the reference, conftest.py:802-819), "
+    "then proves ETag If-None-Match -> 304 revalidation, Idempotency-Key "
+    "commit replay (same key twice = one commit), and rename + drop + "
+    "management-undrop over the wire. Checkpoint counts vs the oracle.",
+    tags=("catalog", "rest", "http", "lifecycle"),
+)
+def c06_rest_facade_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog, NotModified
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+    from ..rest import RestCatalogClient, RestCatalogServer
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_rest_")
+    server = RestCatalogServer(Catalog(Metastore(f"{tmp}/metastore.db"))).start()
+    try:
+        rest = RestCatalogClient(server.url)
+        rest.create_warehouse("wh", f"{tmp}/warehouse")
+        rest.create_namespace("wh", ["bench"])
+        src = (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity")
+            .orderBy("l_orderkey", "l_linenumber")
+            .limit(_ROWS)
+        )
+        rest.create_table("wh", ["bench"], "li_http", struct_to_schema(src.schema))
+        t = SparkTable(spark, rest, "wh", ["bench"], "li_http")
+        t.append(src)
+        rows1 = t.scan().count()
+        snap1 = t.metadata()["current-snapshot-id"]
+        t.delete_where("l_quantity < 10")
+        rows2 = t.scan().count()
+        # ETag revalidation over the wire
+        _, etag = rest.load_table("wh", ["bench"], "li_http")
+        try:
+            rest.load_table("wh", ["bench"], "li_http", etag=etag)
+            saw_304 = 0
+        except NotModified:
+            saw_304 = 1
+        # idempotent commit replay: same key twice must not double-commit
+        upd = [{"action": "set-properties", "updates": {"touched": "1"}}]
+        rest.commit_table("wh", ["bench"], "li_http", [], upd, idempotency_key="c06")
+        _, e1 = rest.load_table("wh", ["bench"], "li_http")
+        rest.commit_table("wh", ["bench"], "li_http", [], upd, idempotency_key="c06")
+        _, e2 = rest.load_table("wh", ["bench"], "li_http")
+        replay_ok = 1 if e1 == e2 else 0
+        tt = t.scan(snapshot_id=snap1).count()
+        rest.rename_table("wh", ["bench"], "li_http", ["bench"], "li_http2")
+        rest.drop_table("wh", ["bench"], "li_http2")
+        rest.undrop_table("wh", ["bench"], "li_http2")
+        rows3 = SparkTable(spark, rest, "wh", ["bench"], "li_http2").scan().count()
+    finally:
+        server.stop()
+    rows = [
+        ("rows_after_http_append", rows1),
+        ("rows_after_http_delete", rows2),
+        ("etag_304_observed", saw_304),
+        ("idempotent_replay_observed", replay_ok),
+        ("time_travel_rows", tt),
+        ("rows_after_rename_undrop", rows3),
+    ]
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )
