@@ -1,0 +1,127 @@
+"""Model-based randomized testing of the row-level delete machinery.
+
+A seeded RNG drives random sequences of append / CoW delete / MOR delete /
+equality delete / update / materialize / upgrade against BOTH the real
+icelite table and a plain-Python reference model of Iceberg semantics
+(rows with sequence numbers; equality deletes mask strictly-older rows).
+After every step the scan must equal the model exactly. Catches
+cross-artifact interactions (eq-after-DV, delete-of-reborn-key,
+materialize-mid-history) that example-based tests can miss."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from lakekeeper_spark.format.icelite import SparkTable
+from lakekeeper_spark.format.types import struct_to_schema
+
+DDL = "id int, v double, s string"
+
+
+class Model:
+    """Reference semantics: list of (key->row, seq) batches."""
+
+    def __init__(self):
+        self.rows: list[dict] = []  # {"id","v","s","seq","alive"}
+        self.seq = 0
+
+    def next_seq(self):
+        self.seq += 1
+        return self.seq
+
+    def append(self, rows):
+        seq = self.next_seq()
+        for (i, v, s) in rows:
+            self.rows.append({"id": i, "v": v, "s": s, "seq": seq, "alive": True})
+
+    def live(self):
+        return [r for r in self.rows if r["alive"]]
+
+    def delete_pred(self, pred):
+        self.next_seq()
+        for r in self.live():
+            if pred(r):
+                r["alive"] = False
+
+    def equality_delete(self, pred, key="id"):
+        seq = self.next_seq()
+        keys = {r[key] for r in self.live() if pred(r)}
+        for r in self.rows:
+            if r["alive"] and r[key] in keys and r["seq"] < seq:
+                r["alive"] = False
+
+    def update_pred(self, pred, fn):
+        self.next_seq()
+        for r in self.live():
+            if pred(r):
+                fn(r)
+
+    def state(self):
+        return sorted((r["id"], round(r["v"], 6), r["s"]) for r in self.live())
+
+
+def _table_state(t):
+    return sorted((r.id, round(r.v, 6), r.s) for r in t.scan().collect())
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_random_dml_sequences_match_model(spark, catalog, seed):
+    rng = random.Random(seed)
+    name = f"mdl{seed}"
+    catalog.create_namespace("wh", ["model"], exists_ok=True)
+    first = [(i, float(i), f"r{i}") for i in range(1, 7)]
+    df = spark.createDataFrame(first, DDL).coalesce(2)
+    catalog.create_table("wh", ["model"], name, struct_to_schema(df.schema))
+    t = SparkTable(spark, catalog, "wh", ["model"], name)
+    m = Model()
+    t.append(df)
+    m.append(first)
+    next_id = 7
+    upgraded = False
+    for step in range(8):
+        op = rng.choice(
+            ["append", "cow_delete", "mor_delete", "eq_delete", "update",
+             "materialize", "upgrade"]
+        )
+        if op == "append":
+            rows = [
+                (next_id + j, float(next_id + j) / 2, f"n{next_id + j}")
+                for j in range(rng.randint(1, 3))
+            ]
+            # sometimes re-append an already-deleted id to probe sequence rules
+            if rng.random() < 0.5 and next_id > 8:
+                rows.append((rng.randint(1, next_id - 1), 99.5, "reborn"))
+            next_id += 3
+            t.append(spark.createDataFrame(rows, DDL).coalesce(1))
+            m.append(rows)
+        elif op == "cow_delete":
+            cut = rng.randint(1, next_id)
+            t.delete_where(f"id = {cut}")
+            m.delete_pred(lambda r, c=cut: r["id"] == c)
+        elif op == "mor_delete":
+            cut = rng.randint(1, next_id)
+            t.delete_where(f"id >= {cut}", mode="merge-on-read")
+            m.delete_pred(lambda r, c=cut: r["id"] >= c)
+        elif op == "eq_delete":
+            cut = rng.randint(1, next_id)
+            t.delete_where(f"id <= {cut}", mode="equality", equality_cols=["id"])
+            m.equality_delete(lambda r, c=cut: r["id"] <= c)
+        elif op == "update":
+            cut = rng.randint(1, next_id)
+            mode = rng.choice(["copy-on-write", "merge-on-read"])
+            t.update_where(f"id = {cut}", {"v": "v + 10.0"}, mode=mode)
+            m.update_pred(
+                lambda r, c=cut: r["id"] == c,
+                lambda r: r.update(v=r["v"] + 10.0),
+            )
+        elif op == "materialize":
+            t.rewrite_position_deletes()
+            m.next_seq()  # replace commit consumes a sequence number too
+        elif op == "upgrade" and not upgraded:
+            t._commit(
+                [], [{"action": "upgrade-format-version", "format-version": 3}]
+            )
+            upgraded = True
+        assert _table_state(t) == m.state(), f"seed={seed} diverged at step {step} ({op})"
