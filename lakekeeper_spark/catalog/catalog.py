@@ -532,6 +532,27 @@ class Catalog:
             raise
         return metadata
 
+    def register_table_from_file(
+        self, warehouse: str, levels, name: str, metadata_location: str
+    ) -> dict[str, Any]:
+        """RegisterTable by metadata-location: read the TableMetadata JSON
+        from storage and adopt it — the reference's actual request shape
+        (api/iceberg/v1/tables.rs:266 takes `metadata-location`; the
+        server reads the file, test_spark.py:1157-1205 registers a
+        dropped table's last metadata file)."""
+        from pathlib import Path
+
+        p = Path(metadata_location)
+        if not p.is_file():
+            raise NoSuchEntity(f"metadata file not found: {metadata_location}")
+        try:
+            metadata = json.loads(p.read_text())
+        except ValueError as e:
+            raise CatalogError(f"invalid metadata JSON: {e}") from e
+        if "table-uuid" not in metadata or "schemas" not in metadata:
+            raise CatalogError("not a table metadata document")
+        return self.register_table(warehouse, levels, name, metadata)
+
     def load_table(
         self, warehouse: str, levels, name: str, etag: int | None = None
     ) -> tuple[dict[str, Any], int]:

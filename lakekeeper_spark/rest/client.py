@@ -447,3 +447,11 @@ class RestCatalogClient:
             "GET", self._tbl(warehouse, levels, name) + "?snapshots=refs"
         )
         return body["metadata"], int(headers.get("ETag", 'W/"0"').strip('W/"'))
+
+    def register_table_from_file(self, warehouse, levels, name, metadata_location):
+        _, body, _ = self._request(
+            "POST",
+            f"/catalog/v1/{warehouse}/namespaces/{_ns_path(levels)}/register",
+            {"name": name, "metadata-location": metadata_location},
+        )
+        return body["metadata"]

@@ -260,9 +260,15 @@ class _Handler(BaseHTTPRequestHandler):
     @route("POST", rf"/catalog/v1/{P}/namespaces/{NS}/register")
     def register_table(self, prefix, ns):
         body = self._body()
-        meta = self.catalog.register_table(
-            prefix, _ns(ns), body["name"], body["metadata"]
-        )
+        if "metadata-location" in body:
+            # the spec's request shape: server reads the metadata file
+            meta = self.catalog.register_table_from_file(
+                prefix, _ns(ns), body["name"], body["metadata-location"]
+            )
+        else:
+            meta = self.catalog.register_table(
+                prefix, _ns(ns), body["name"], body["metadata"]
+            )
         self._reply(200, {"metadata": meta, "metadata-location": meta.get("location")})
 
     @route("GET", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}")

@@ -311,3 +311,69 @@ def test_snapshots_refs_filter_and_protection_over_http(rest, spark):
     rest.set_protection("wh", ["sp"], "t", False)
     rest.drop_table("wh", ["sp"], "t")
     assert not rest.table_exists("wh", ["sp"], "t")
+
+
+def test_concurrent_http_appends_all_land(rest, spark):
+    """Optimistic concurrency under real HTTP concurrency: N threads
+    append through the facade simultaneously; the assert-ref CAS makes
+    losers rebase+retry (SparkTable.append), so every append must land
+    exactly once — the reference's 409-retry contract
+    (commit_tables.rs:119) exercised end-to-end."""
+    import threading
+
+    rest.create_namespace("wh", ["cc"])
+    df = spark.createDataFrame([(0, 0.0, "seed")], "id int, v double, s string")
+    rest.create_table("wh", ["cc"], "t", struct_to_schema(df.schema))
+    n_threads, per_thread = 4, 3
+    errors: list[Exception] = []
+
+    def writer(tid: int) -> None:
+        try:
+            t = SparkTable(spark, rest, "wh", ["cc"], "t")
+            for j in range(per_thread):
+                rid = 100 * tid + j
+                t.append(
+                    spark.createDataFrame(
+                        [(rid, float(rid), f"w{tid}")], df.schema
+                    ),
+                    commit_retries=20,
+                )
+        except Exception as e:  # surfaced after join
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=300)
+    assert not errors, errors
+    t = SparkTable(spark, rest, "wh", ["cc"], "t")
+    assert t.scan().count() == n_threads * per_thread
+    ids = sorted(r.id for r in t.scan().collect())
+    assert ids == sorted(100 * i + j for i in range(n_threads) for j in range(per_thread))
+
+
+def test_register_table_from_metadata_file_over_http(rest, spark, tmp_path):
+    """RegisterTable by metadata-location (reference test_spark.py:
+    1157-1205): drop a table hard, then re-register its archived metadata
+    file under a new name — data comes back readable."""
+    from lakekeeper_spark.catalog.catalog import NoSuchEntity
+
+    rest.create_namespace("wh", ["reg"])
+    df = spark.createDataFrame([(1, 1.0, "a"), (2, 2.0, "b")], "id int, v double, s string")
+    rest.create_table("wh", ["reg"], "t", struct_to_schema(df.schema))
+    t = SparkTable(spark, rest, "wh", ["reg"], "t")
+    t.append(df)
+    t.append(df.filter("id = 1"))
+    meta, _ = rest.load_table("wh", ["reg"], "t")
+    # the previous metadata version was archived on the second commit
+    archived = meta["metadata-log"][-1]["metadata-file"]
+    # reference scenario registers a DROPPED table's metadata file
+    # (test_spark.py:1157-1205); purge only ENQUEUES file deletion, so
+    # the data and archived metadata are still on disk
+    rest.drop_table("wh", ["reg"], "t", purge=True)
+    rest.register_table_from_file("wh", ["reg"], "t_restored", archived)
+    restored = SparkTable(spark, rest, "wh", ["reg"], "t_restored")
+    assert restored.scan().count() == 2  # pre-second-append state
+    with pytest.raises(NoSuchEntity):
+        rest.register_table_from_file("wh", ["reg"], "nope", "/does/not/exist.json")
