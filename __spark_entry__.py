@@ -48,6 +48,7 @@ _BACK_OK = {
     "w05_pivot_event_matrix",
     "t05_top_tokens",
     "e09_variant_native",
+    "e08_retention_cohorts",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

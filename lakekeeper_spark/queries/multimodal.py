@@ -297,3 +297,91 @@ FROM chunks
 def m04_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _with_payload(docs).mapInPandas(_chunk_audio, _M04_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m05: image resize — fit-to-box dimension math + thumbnail digest
+# --------------------------------------------------------------------------
+RESIZE_BOX = 256  # fit the longer edge into this box, preserve aspect
+
+_M05_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("new_width", IntegerType()),
+        StructField("new_height", IntegerType()),
+        StructField("thumb_digest", StringType()),
+    ]
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB RESIZER — a real implementation decodes with PIL, calls
+    .thumbnail((box, box)) and re-encodes; swap it in here. The fit-to-box
+    dimension arithmetic (floor-scaled shorter edge, longer edge pinned to
+    the box; images already inside the box pass through) and the
+    one-digest-per-thumbnail output ARE the production shape. Only image
+    rows produce output — the modality filter runs Python-side exactly as
+    a codec dispatch would."""
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "width", "height", "new_width", "new_height", "thumb_digest")}
+        for doc_id, payload, kind in zip(pdf["doc_id"], pdf["payload"], pdf["kind"]):
+            if kind != "image":
+                continue
+            w, h, _, _ = _fake_decode(payload, kind)
+            if max(w, h) <= RESIZE_BOX:
+                nw, nh = w, h
+            elif w >= h:
+                nw, nh = RESIZE_BOX, max(1, (h * RESIZE_BOX) // w)
+            else:
+                nw, nh = max(1, (w * RESIZE_BOX) // h), RESIZE_BOX
+            digest = hashlib.md5(
+                payload + f"@{nw}x{nh}".encode()
+            ).hexdigest()[:16]
+            rows["doc_id"].append(doc_id)
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["new_width"].append(nw)
+            rows["new_height"].append(nh)
+            rows["thumb_digest"].append(digest)
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "m05_image_resize",
+    oracle=f"""
+WITH imgs AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 16 AS INTEGER) AS w,
+         CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 16 AS INTEGER) AS h
+  FROM documents WHERE doc_id % 3 = 0
+),
+dims AS (
+  SELECT doc_id, text, w AS width, h AS height,
+         CAST(CASE WHEN greatest(w, h) <= {RESIZE_BOX} THEN w
+                   WHEN w >= h THEN {RESIZE_BOX}
+                   ELSE greatest(1, (w * {RESIZE_BOX}) // h) END AS INTEGER)
+           AS new_width,
+         CAST(CASE WHEN greatest(w, h) <= {RESIZE_BOX} THEN h
+                   WHEN w >= h THEN greatest(1, (h * {RESIZE_BOX}) // w)
+                   ELSE {RESIZE_BOX} END AS INTEGER) AS new_height
+  FROM imgs
+)
+SELECT doc_id, width, height, new_width, new_height,
+       substr(md5(text || '@' || CAST(new_width AS VARCHAR) || 'x'
+                  || CAST(new_height AS VARCHAR)), 1, 16) AS thumb_digest
+FROM dims
+""",
+    description="Image resize (fit the longer edge into a "
+    f"{RESIZE_BOX}px box, aspect preserved, floor-scaled shorter edge, "
+    "pass-through for images already inside the box) as Arrow-batched "
+    "mapInPandas with a per-thumbnail digest — the Spark-side plumbing "
+    "of a PIL .thumbnail() re-encode pipeline, with the codec stubbed "
+    "behind deterministic md5 arithmetic so the operator stays exactly "
+    "oracle-checkable.",
+    tags=("multimodal", "llm", "pandas-udf", "resize"),
+)
+def m05_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _with_payload(docs).mapInPandas(_resize_batches, _M05_SCHEMA)
