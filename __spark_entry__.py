@@ -49,6 +49,7 @@ _BACK_OK = {
     "t05_top_tokens",
     "e09_variant_native",
     "e08_retention_cohorts",
+    "e07_funnel",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

