@@ -50,6 +50,7 @@ _BACK_OK = {
     "e09_variant_native",
     "e08_retention_cohorts",
     "e07_funnel",
+    "e06_variant_shapes",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

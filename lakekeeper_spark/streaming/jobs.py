@@ -512,3 +512,118 @@ def st06_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("sum_fp").cast("double") / 1_000_000).alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# st07: icelite table as a STREAMING SOURCE (snapshot-log micro-batches)
+# --------------------------------------------------------------------------
+@register(
+    "st07_stream_table_source",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= 1000
+),
+p1 AS (SELECT COUNT(*) AS n1 FROM src WHERE rn <= 600),
+p2 AS (SELECT COUNT(*) AS n2 FROM src WHERE rn > 600)
+SELECT * FROM (
+  SELECT 'first_drain_rows' AS checkpoint, n1 AS value FROM p1
+  UNION ALL SELECT 'second_drain_new_rows_only', n2 FROM p2
+  UNION ALL SELECT 'compaction_emits_nothing', 0
+) ORDER BY checkpoint
+""",
+    description="An icelite TABLE as a Structured Streaming source "
+    "(Spark 4 Python DataSource API): offsets are snapshot ids resolved "
+    "driver-side from the catalog, each micro-batch plans one "
+    "InputPartition per data file added by append commits (Iceberg's "
+    "streaming read / split planning), executors stream the parquet via "
+    "Arrow batches, and replace commits (compaction) emit nothing. A "
+    "checkpointed restart after new appends drains ONLY the new "
+    "snapshot's rows — exactly-once incremental consumption off the "
+    "snapshot log.",
+    tags=("streaming", "catalog", "icelite", "source"),
+)
+def st07_stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..data import load_table
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+    from .source import IceliteStreamDataSource
+
+    ensure_runtime_confs(spark)
+    try:
+        spark.dataSource.register(IceliteStreamDataSource)
+    except Exception:
+        pass  # idempotent per-session registration
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_src_")
+    mpath = f"{tmp}/metastore.db"
+    cat = Catalog(Metastore(mpath))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["stream"])
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+    )
+    src = src.withColumn(
+        "rn",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                "l_orderkey", "l_linenumber"
+            )
+        ),
+    )
+    phase1 = src.filter("rn <= 600").drop("rn")
+    phase2 = src.filter("rn > 600").drop("rn")
+    cat.create_table("wh", ["stream"], "feed", struct_to_schema(phase1.schema))
+    t = SparkTable(spark, cat, "wh", ["stream"], "feed")
+    t.append(phase1)
+
+    ckpt = tempfile.mkdtemp(prefix="lkspark_ckpt_")
+    out_dir = f"{tmp}/stream_out"
+
+    def drain() -> int:
+        """One availableNow drain into a RECOVERABLE file sink (the same
+        checkpoint resumes from the committed snapshot offset); returns
+        total rows landed so far."""
+        q = (
+            spark.readStream.format("icelite")
+            .option("metastore", mpath)
+            .option("warehouse", "wh")
+            .option("namespace", "stream")
+            .option("table", "feed")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).count()
+
+    first = drain()
+
+    t.append(phase2)
+    t.rewrite_data_files()  # replace commit: the stream must emit nothing for it
+    after_second = drain()  # resumes -> only the new append's rows land
+
+    after_third = drain()  # nothing new: the replace-only tail emits zero rows
+
+    rows = [
+        ("first_drain_rows", first),
+        ("second_drain_new_rows_only", after_second - first),
+        ("compaction_emits_nothing", after_third - after_second),
+    ]
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )

@@ -1,0 +1,175 @@
+"""icelite as a Structured Streaming SOURCE (Spark 4 Python DataSource).
+
+Iceberg tables are streamable: an engine reads the snapshot log and emits
+each append's added files as a micro-batch (Iceberg's Spark streaming
+read; the reference's catalog serves the metadata that planning walks).
+This module implements that for icelite tables with the stable Python
+DataSource API:
+
+  - offsets are snapshot ids (JSON dicts), resolved on the DRIVER from
+    the catalog metastore — metadata-sized work only;
+  - `partitions(start, end)` plans one InputPartition per data FILE added
+    by append commits in (start, end] — file-level parallelism, exactly
+    Iceberg's split planning;
+  - `read(partition)` runs on EXECUTORS and streams the parquet file via
+    pyarrow record batches — no driver data path;
+  - replace commits (compaction / rewrite_position_deletes) are skipped:
+    they add files but no logical rows (Iceberg's streaming read does the
+    same); delete/overwrite commits raise unless
+    `skip-delete-snapshots=true` (mirroring Iceberg's
+    streaming-skip-delete-snapshots option).
+
+Restartability comes from Spark's checkpoint: the committed offset is a
+snapshot id, so a restarted query resumes from the last snapshot it saw.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str, write_schema: list[tuple[str, str]], target_schema: list[tuple[str, str]]):
+        self.path = path
+        self.write_schema = write_schema
+        self.target_schema = target_schema
+
+
+def _load_meta(options: dict) -> dict[str, Any]:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+
+    cat = Catalog(Metastore(options["metastore"]))
+    levels = options["namespace"].split(".")
+    meta, _ = cat.load_table(options["warehouse"], levels, options["table"])
+    return meta
+
+
+def _schema_fields(meta: dict[str, Any], schema_id: int | None = None) -> list[tuple[str, str]]:
+    sid = meta["current-schema-id"] if schema_id is None else schema_id
+    schema = next(s for s in meta["schemas"] if s["schema-id"] == sid)
+    return [(f["name"], f["type"]) for f in schema["fields"]]
+
+
+class IceliteStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.skip_deletes = (
+            str(options.get("skip-delete-snapshots", "false")).lower() == "true"
+        )
+
+    # ---- driver-side planning ------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"snapshot-id": 0}
+
+    def latestOffset(self) -> dict:
+        meta = _load_meta(self.options)
+        ref = meta["refs"].get("main")
+        return {"snapshot-id": ref["snapshot-id"] if ref else 0}
+
+    def partitions(self, start: dict, end: dict):
+        meta = _load_meta(self.options)
+        lo, hi = start["snapshot-id"], end["snapshot-id"]
+        target = _schema_fields(meta)
+        by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+        parts: list[_FilePartition] = []
+        # walk main-lineage snapshots in (lo, hi]
+        lineage: list[dict[str, Any]] = []
+        cur = by_id.get(hi)
+        while cur is not None and cur["snapshot-id"] > lo:
+            lineage.append(cur)
+            pid = cur.get("parent-snapshot-id")
+            cur = by_id.get(pid) if pid is not None else None
+        for snap in reversed(lineage):
+            op = snap["summary"].get("operation")
+            if op == "replace":
+                continue  # rewrites add no logical rows
+            if op != "append":
+                if self.skip_deletes:
+                    continue
+                raise ValueError(
+                    f"streaming read hit a {op!r} snapshot "
+                    f"{snap['snapshot-id']}; set skip-delete-snapshots=true "
+                    "to skip non-append commits (Iceberg parity)"
+                )
+            pid = snap.get("parent-snapshot-id")
+            before = {
+                e["path"] for e in (by_id[pid]["manifest"] if pid in by_id else [])
+            }
+            for e in snap["manifest"]:
+                if e.get("content", "data") != "data" or e["path"] in before:
+                    continue
+                parts.append(
+                    _FilePartition(
+                        f"{meta['location']}/{e['path']}",
+                        _schema_fields(meta, e.get("schema-id")),
+                        target,
+                    )
+                )
+        # Spark requires >=1 partition per batch; empty path reads nothing
+        return parts or [_FilePartition("", [], target)]
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets are snapshot ids; nothing to clean up
+
+    # ---- executor-side reading -----------------------------------------
+    def read(self, partition):
+        if not getattr(partition, "path", ""):
+            return
+        import pyarrow.parquet as pq
+
+        names = [n for n, _ in partition.write_schema]
+        target_names = [n for n, _ in partition.target_schema]
+        pf = pq.ParquetFile(partition.path)
+        avail = [n for n in names if n in pf.schema_arrow.names]
+        for batch in pf.iter_batches(columns=avail):
+            cols = {n: batch.column(n).to_pylist() for n in avail}
+            for i in range(batch.num_rows):
+                # field-position mapping by NAME within the write schema;
+                # columns missing from the file (added later) read as None
+                yield tuple(
+                    cols[n][i] if n in cols else None for n in target_names
+                )
+
+
+class IceliteStreamDataSource(DataSource):
+    """spark.readStream.format("icelite").option(...) source.
+
+    Options: metastore (sqlite path), warehouse, namespace (dotted),
+    table, skip-delete-snapshots."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "icelite"
+
+    def schema(self) -> str:
+        meta = _load_meta(self.options)
+        _TYPES = {
+            "int": "int",
+            "long": "bigint",
+            "double": "double",
+            "float": "float",
+            "string": "string",
+            "boolean": "boolean",
+            "timestamp": "timestamp",
+            "date": "date",
+            "binary": "binary",
+        }
+        cols = ", ".join(
+            f"`{n}` {_TYPES.get(t, t)}" for n, t in _schema_fields(meta)
+        )
+        return cols
+
+    def streamReader(self, schema) -> IceliteStreamReader:
+        return IceliteStreamReader(self.options)
+
+
+def json_offset(d: dict) -> str:  # debugging helper
+    return json.dumps(d, sort_keys=True)
