@@ -51,6 +51,7 @@ _BACK_OK = {
     "e08_retention_cohorts",
     "e07_funnel",
     "e06_variant_shapes",
+    "w03_rollup_subtotals",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

@@ -736,3 +736,49 @@ def q23_customer_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, 'retained', retained, 'churned', churned, 'new', new)"
         " AS (segment, n)"
     )
+
+
+# --------------------------------------------------------------------------
+# w06: CUBE grouping sets + grouping_id (all 4 aggregation levels at once)
+# --------------------------------------------------------------------------
+@register(
+    "w06_cube_grouping",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(o.o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(o.o_orderpriority)
+            AS BIGINT) AS gid,
+       COUNT(*) AS n_items,
+       {sql_dsum('l.l_extendedprice', 100)} AS sum_price
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY CUBE (l_returnflag, o.o_orderpriority)
+""",
+    description="CUBE grouping sets over a fact-dimension join: all four "
+    "aggregation levels — (flag,priority), per-flag, per-priority, grand "
+    "total — in ONE shuffle via Spark's Expand + partial aggregation, "
+    "with grouping_id disambiguating natural NULLs from subtotal rows "
+    "(the reason COALESCE alone is not enough). The join itself hashes "
+    "on o_orderkey once; the cube never re-joins per level.",
+    tags=("analytics", "cube", "grouping-sets"),
+)
+def w06_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .cube("l_returnflag", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", 100).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_items",
+            "sum_price",
+        )
+    )

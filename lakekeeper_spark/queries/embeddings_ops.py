@@ -373,11 +373,18 @@ def s04_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = None
     for _ in range(KM_ITERS):
         x = pts.crossJoin(cent_df(centroids)).withColumn("d2", dist)
-        w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+        # argmin via min(struct(d2, cid)): lexicographic struct ordering is
+        # the same (distance, cluster-id) tie-break as the oracle's
+        # ROW_NUMBER, but runs as a partial-aggregating groupBy instead of
+        # a sort-based window — no per-iteration sort of K x N rows.
+        # first(embedding) is safe: all K copies carry the identical array.
         assigned = (
-            x.withColumn("rn", F.row_number().over(w))
-            .filter("rn = 1")
-            .select("vec_id", "embedding", "cid")
+            x.groupBy("vec_id")
+            .agg(
+                F.min(F.struct("d2", "cid")).alias("m"),
+                F.first("embedding").alias("embedding"),
+            )
+            .select("vec_id", "embedding", F.col("m.cid").alias("cid"))
         )
         upd = (
             assigned.select(
