@@ -134,3 +134,45 @@ def test_t09_sampling_is_scan_plus_single_agg(spark):
     plan = _plan(t09_stratified_sample(spark, SF_DIR))
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """Bucketed writes co-locate join keys: two tables bucketed by the
+    same key join with NO Exchange on either side — the co-located join
+    strategy for repeated fact-fact joins at scale (SURVEY §
+    'partitioning & shuffle'). Demonstrated via Spark's native bucketing
+    (saveAsTable + bucketBy); icelite's analogue is bucket[N] partition
+    transforms + partition-filter pruning."""
+    import contextlib
+    import io
+
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS bkt_demo LOCATION '{tmp_path / 'wh'}'"
+    )
+    left = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 10_000).selectExpr("id AS k", "id * 3 AS b")
+    for name, df in (("bkt_l", left), ("bkt_r", right)):
+        df.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable(
+            f"bkt_demo.{name}"
+        )
+    try:
+        # disable broadcast so the join strategy must be sort-merge; the
+        # bucketed layout then removes BOTH shuffles
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_demo.bkt_l").join(
+            spark.table("bkt_demo.bkt_r"), "k"
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: zero shuffles
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS bkt_demo.bkt_l")
+        spark.sql("DROP TABLE IF EXISTS bkt_demo.bkt_r")
+        spark.sql("DROP DATABASE IF EXISTS bkt_demo")
