@@ -90,7 +90,13 @@ class _Handler(BaseHTTPRequestHandler):
         n = int(self.headers.get("Content-Length") or 0)
         if not n:
             return {}
-        return json.loads(self.rfile.read(n))
+        try:
+            body = json.loads(self.rfile.read(n))
+        except ValueError as e:
+            raise CatalogError(f"malformed JSON body: {e}") from e
+        if not isinstance(body, dict):
+            raise CatalogError("request body must be a JSON object")
+        return body
 
     def _reply(
         self,
@@ -135,6 +141,10 @@ class _Handler(BaseHTTPRequestHandler):
                 self._reply_err(400, "CommitValidationException", e)
             except CatalogError as e:
                 self._reply_err(400, "BadRequestException", e)
+            except (KeyError, TypeError, ValueError) as e:
+                self._reply_err(
+                    400, "BadRequestException", f"invalid request: {e!r}"
+                )
             except Exception as e:  # pragma: no cover - surfaced to client
                 self._reply_err(500, "InternalServerError", e)
             return

@@ -377,3 +377,33 @@ def test_register_table_from_metadata_file_over_http(rest, spark, tmp_path):
     assert restored.scan().count() == 2  # pre-second-append state
     with pytest.raises(NoSuchEntity):
         rest.register_table_from_file("wh", ["reg"], "nope", "/does/not/exist.json")
+
+
+def test_malformed_requests_get_400_not_500(rest):
+    """Protocol robustness: garbage JSON, non-object bodies, and missing
+    required fields are client errors (400), never 500s."""
+    import urllib.error
+    import urllib.request
+
+    base = rest.base_url
+    for payload in (b"{not json", b'"just a string"', b"{}"):
+        req = urllib.request.Request(
+            f"{base}/catalog/v1/wh/namespaces",
+            data=payload,
+            method="POST",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, (payload, e.code)
+    # unknown route -> 404 with the error envelope
+    try:
+        urllib.request.urlopen(f"{base}/catalog/v1/wh/not-a-route")
+        raise AssertionError("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        import json as _json
+
+        assert e.code == 404
+        assert _json.loads(e.read())["error"]["type"] == "NoSuchRouteException"
