@@ -83,10 +83,30 @@ class IceliteStreamReader(DataSourceStreamReader):
         # walk main-lineage snapshots in (lo, hi]
         lineage: list[dict[str, Any]] = []
         cur = by_id.get(hi)
+        reached_lo = lo == 0
         while cur is not None and cur["snapshot-id"] > lo:
             lineage.append(cur)
             pid = cur.get("parent-snapshot-id")
-            cur = by_id.get(pid) if pid is not None else None
+            if pid is None:
+                reached_lo = lo == 0
+                break
+            if pid == lo:
+                reached_lo = True
+            cur = by_id.get(pid)
+            if cur is None and pid != lo:
+                # the committed offset's ancestry was expired from the
+                # snapshot log: emitting "everything reachable" would
+                # re-deliver rows the consumer already saw — fail loudly
+                # (Iceberg streaming reads error the same way when the
+                # start snapshot is gone)
+                raise ValueError(
+                    f"start snapshot {lo} is no longer reachable from "
+                    f"{hi} (snapshot log expired past the stream offset)"
+                )
+        if lo != 0 and not reached_lo and lineage:
+            raise ValueError(
+                f"start snapshot {lo} not on the main lineage of {hi}"
+            )
         for snap in reversed(lineage):
             op = snap["summary"].get("operation")
             if op == "replace":
