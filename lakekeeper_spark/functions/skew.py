@@ -49,3 +49,38 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salts - 1)).cast("array<bigint>"))
     )
     return left_s.join(right_s, [*on, _SALT], how).drop(_SALT)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    count_alias: str | None = None,
+    salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for HOT grouping keys: rows first aggregate
+    on (keys + salt) — spreading each hot key across `salts` partial
+    groups that combine map-side — then the partials aggregate on the
+    keys alone. Result equals the plain groupBy for any commutative
+    aggregate (sums/counts). Spark's own partial aggregation already
+    map-side-combines, so this matters when a SINGLE reduce-side key
+    group exceeds one task (billions of rows per key): the salt bounds
+    every reduce group at ~1/salts of the key.
+
+    `sum_cols` maps output alias -> input column (LONG/fixed-point sums
+    stay exact: integer addition is order-independent)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts))
+    partial = (
+        df.withColumn(_SALT, salt)
+        .groupBy(*keys, _SALT)
+        .agg(
+            *[F.sum(src).alias(f"__p_{alias}") for alias, src in sum_cols.items()],
+            F.count(F.lit(1)).alias("__p_n"),
+        )
+    )
+    aggs = [
+        F.sum(f"__p_{alias}").alias(alias) for alias in sum_cols
+    ]
+    if count_alias:
+        aggs.append(F.sum("__p_n").alias(count_alias))
+    return partial.groupBy(*keys).agg(*aggs)

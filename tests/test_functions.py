@@ -34,3 +34,29 @@ def test_salted_join_equals_plain_join(spark):
     assert salted_df.count() == left.join(right, ["k"]).count()
     with pytest.raises(ValueError):
         salted_join(left, right, ["k"], how="full")
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    """salted_agg must equal the plain groupBy exactly (integer sums are
+    order-independent), while bounding every reduce-side group at
+    ~1/salts of a hot key."""
+    from pyspark.sql import functions as F
+
+    from lakekeeper_spark.functions.skew import salted_agg
+
+    # heavily skewed: 90% of rows share one key
+    df = spark.range(0, 20_000).selectExpr(
+        "CASE WHEN id % 10 < 9 THEN 'hot' ELSE concat('k', id % 7) END AS k",
+        "id AS v",
+    )
+    plain = {
+        (r.k): (r.s, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        (r.k): (r.s, r.n)
+        for r in salted_agg(df, ["k"], {"s": "v"}, count_alias="n", salts=8).collect()
+    }
+    assert plain == salted
