@@ -52,6 +52,7 @@ _BACK_OK = {
     "e07_funnel",
     "e06_variant_shapes",
     "w03_rollup_subtotals",
+    "t04_source_quality",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

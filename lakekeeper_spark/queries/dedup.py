@@ -519,3 +519,75 @@ def d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
     )
+
+
+# --------------------------------------------------------------------------
+# d07: feature-hashing document embeddings (the hashing trick, exact)
+# --------------------------------------------------------------------------
+FH_DIM = 16
+_FH_MUL = 2_654_435_761
+_FH_MOD = 1_000_003
+
+
+@register(
+    "d07_feature_hash_embed",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(1, length(tok)+1),
+              i -> ascii(substring(tok, i, 1)) * ((i*{_FH_MUL}) % {_FH_MOD})))
+              % {FH_DIM} AS INTEGER) AS bucket
+  FROM toks
+),
+c AS (SELECT doc_id, bucket, COUNT(*) AS n FROM b GROUP BY doc_id, bucket),
+t AS (SELECT doc_id, SUM(n) AS total FROM c GROUP BY doc_id)
+SELECT c0.doc_id,
+       {', '.join(f"CAST(COALESCE(SUM(CASE WHEN bucket = {j} THEN n END), 0) AS DOUBLE) / ANY_VALUE(total) AS f{j}" for j in range(FH_DIM))}
+FROM c c0 JOIN t USING (doc_id)
+GROUP BY c0.doc_id
+""",
+    description="Feature-hashing (hashing-trick) document embeddings: "
+    f"each token buckets into one of {FH_DIM} dimensions by a "
+    "deterministic position-weighted codepoint hash, per-doc bucket "
+    "counts normalize to a unit-sum vector — the cheap text->vector "
+    "bridge a pipeline uses before the embedding ops (d05/d06/s01-s04) "
+    "when no model embedding exists yet. Pure JVM explode + conditional "
+    "aggregation (one shuffle on doc_id), exact across engines because "
+    "the hash is plain integer arithmetic, not an engine hash function.",
+    tags=("dedup", "llm", "embeddings", "hashing-trick"),
+)
+def d07_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), F.lit(0))
+        ).alias("tok"),
+    )
+    bucket = F.expr(
+        f"CAST(aggregate(transform(sequence(1, length(tok)), "
+        f"i -> CAST(ascii(substr(tok, i, 1)) AS BIGINT) * ((CAST(i AS BIGINT)*{_FH_MUL}) % {_FH_MOD})), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x) % {FH_DIM} AS INT)"
+    )
+    counts = (
+        toks.withColumn("bucket", bucket)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.count(F.when(F.col("bucket") == j, 1)).alias(f"c{j}")
+                for j in range(FH_DIM)
+            ],
+            F.count(F.lit(1)).alias("total"),
+        )
+    )
+    return counts.select(
+        "doc_id",
+        *[
+            (F.col(f"c{j}").cast("double") / F.col("total")).alias(f"f{j}")
+            for j in range(FH_DIM)
+        ],
+    )
