@@ -1199,6 +1199,91 @@ class SparkTable:
             },
         )
 
+    def _mor_merge(
+        self,
+        source: DataFrame,
+        on: str,
+        matched_update: dict[str, str] | None,
+        not_matched_insert: bool,
+    ) -> dict[str, Any]:
+        """Merge-on-read MERGE: ONE commit carrying position-delete
+        tombstones for every matched target row, an append of the matched
+        rows' updated images, and the unmatched source inserts. No data
+        file is rewritten (Iceberg write.merge.mode=merge-on-read). On
+        v3 tables the tombstones consolidate with all prior positional
+        artifacts into a single deletion vector (the v3 invariant)."""
+        meta = self.metadata()
+        fv = meta.get("format-version", 2)
+        if fv < 2:
+            raise CatalogError(
+                f"merge-on-read merge requires format-version >= 2 (table is v{fv})"
+            )
+        snap = self._resolve_snapshot(meta)
+        if snap is None:
+            raise CatalogError("table has no data")
+        schema = self._current_schema(meta)
+        cols = [f["name"] for f in schema["fields"]]
+        live = self._mor_positions(meta, schema, snap)
+        src = source.withColumn("__src_match", F.lit(1)).alias("s")
+        t = live.alias("t")
+        matched = t.join(src, F.expr(on), "inner")
+        positions = matched.select(
+            self._rel_file(meta["location"]).alias("file_path"),
+            F.col("_pos").alias("pos"),
+        ).distinct()
+        out_cols = []
+        for c in cols:
+            upd = (matched_update or {}).get(c)
+            out_cols.append(
+                F.expr(upd).alias(c) if upd is not None else F.col(f"t.{c}").alias(c)
+            )
+        new_rows = matched.select(*out_cols)
+        if not_matched_insert:
+            inserts = src.join(t, F.expr(on), "left_anti").select(
+                *[F.col(c) for c in cols]
+            )
+            new_rows = new_rows.unionByName(inserts)
+        data_entries, delete_entries = _split_manifest(snap["manifest"])
+        removed_delete_files = 0
+        if fv >= 3:
+            pos_like = [
+                e for e in delete_entries if e.get("content") != "equality-deletes"
+            ]
+            eq_dels = [
+                e for e in delete_entries if e.get("content") == "equality-deletes"
+            ]
+            merged = positions
+            if pos_like:
+                old = self.spark.read.schema(self._DELETE_SCHEMA).parquet(
+                    *[f"{meta['location']}/{e['path']}" for e in pos_like]
+                )
+                merged = merged.unionByName(old).distinct()
+            merged = merged.sort("file_path", "pos").coalesce(1)
+            del_entries = self._write_delete_files(
+                meta, merged, content="deletion-vectors"
+            )
+            base_manifest = data_entries + eq_dels
+            removed_delete_files = len(pos_like)
+        else:
+            del_entries = self._write_delete_files(meta, positions)
+            base_manifest = snap["manifest"]
+        add_entries = self._write_files(meta, new_rows)
+        if not del_entries and not add_entries:
+            return meta  # nothing matched, nothing to insert
+        return self._commit_snapshot(
+            meta,
+            base_manifest + del_entries + add_entries,
+            "overwrite",
+            extra_summary={
+                "added-delete-files": len(del_entries),
+                "added-position-deletes": sum(
+                    e["record-count"] for e in del_entries
+                ),
+                "removed-delete-files": removed_delete_files,
+                "merge-mode": "merge-on-read",
+            },
+        )
+
     def rewrite_position_deletes(self) -> dict[str, Any]:
         """Materialize tombstones (CALL rewrite_position_delete_files +
         minor compaction): rewrite ONLY data files that have pending
@@ -1431,6 +1516,7 @@ class SparkTable:
         on: str,
         matched_update: dict[str, str] | None = None,
         not_matched_insert: bool = True,
+        mode: str = "copy-on-write",
     ) -> dict[str, Any]:
         """MERGE INTO (reference test_spark.py:155-172): matched -> update,
         not-matched -> insert. ``on`` is any equi-condition over ``t.`` and
@@ -1438,7 +1524,15 @@ class SparkTable:
         s.b"). Affected target files are located with a LEFT SEMI join
         against the source — the source never collects to the driver, so
         arbitrarily large merge sources work — then only those files are
-        rewritten (copy-on-write) and unmatched source rows append."""
+        rewritten (copy-on-write) and unmatched source rows append.
+
+        ``mode="merge-on-read"`` (Iceberg's write.merge.mode) instead
+        writes position-delete tombstones for the matched rows plus an
+        append of their updated images and the unmatched inserts — one
+        commit, no data file rewritten; scans pay the anti-join until
+        rewrite_position_deletes. Requires format-version >= 2."""
+        if mode == "merge-on-read":
+            return self._mor_merge(source, on, matched_update, not_matched_insert)
         meta = self.metadata()
         schema = self._current_schema(meta)
         struct = schema_to_struct(schema)

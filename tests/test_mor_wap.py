@@ -220,3 +220,61 @@ def test_wap_on_branch_publishes_to_that_branch(table, spark):
     table.publish_wap("wap-branch-1")
     assert table.scan(ref="audit").count() == 11
     assert table.scan().count() == 10
+
+
+def test_mor_merge_tombstones_without_rewrite(table, spark):
+    """MOR MERGE: matched rows tombstone + re-append updated images,
+    unmatched insert — original data files untouched."""
+    n_files = table.files().count()
+    src = spark.createDataFrame(
+        [(2, 0.0, "upd2"), (3, 0.0, "upd3"), (11, 11.0, "new11")], DDL
+    )
+    table.merge(
+        src,
+        on="t.id = s.id",
+        matched_update={"s": "s.s", "v": "t.v + 100.0"},
+        mode="merge-on-read",
+    )
+    got = {r.id: (r.v, r.s) for r in table.scan().collect()}
+    assert got[2] == (2 * 1.5 + 100.0, "upd2")
+    assert got[3] == (3 * 1.5 + 100.0, "upd3")
+    assert got[11] == (11.0, "new11")
+    assert got[1] == (1.5, "row1")  # untouched
+    assert len(got) == 11
+    # original files still present; only new files + tombstones added
+    assert table.files().count() > n_files
+    assert table.delete_files().count() >= 1
+    # materialization converges to the same state
+    table.rewrite_position_deletes()
+    assert {r.id: (r.v, r.s) for r in table.scan().collect()} == got
+
+
+def test_mor_merge_v3_consolidates_vectors(table, spark):
+    table._commit([], [{"action": "upgrade-format-version", "format-version": 3}])
+    table.delete_where("id = 1", mode="merge-on-read")
+    src = spark.createDataFrame([(2, 0.0, "u2")], DDL)
+    table.merge(src, on="t.id = s.id", matched_update={"s": "s.s"}, mode="merge-on-read")
+    from lakekeeper_spark.format.icelite import _split_manifest
+
+    snap = table._resolve_snapshot(table.metadata())
+    dels = _split_manifest(snap["manifest"])[1]
+    assert [e["content"] for e in dels] == ["deletion-vectors"]
+    got = {r.id: r.s for r in table.scan().collect()}
+    assert 1 not in got and got[2] == "u2" and len(got) == 9
+
+
+def test_mor_merge_equivalent_to_cow_merge(table, spark):
+    """Same source, both modes, identical end state."""
+    src = spark.createDataFrame([(4, 0.0, "x4"), (20, 20.0, "n20")], DDL)
+    table.merge(src, on="t.id = s.id", matched_update={"s": "s.s"}, mode="merge-on-read")
+    state_mor = sorted((r.id, r.v, r.s) for r in table.scan().collect())
+    # fresh table, CoW merge
+    cat2 = table.catalog
+    df = spark.createDataFrame([(i, float(i) * 1.5, f"row{i}") for i in range(1, 11)], DDL)
+    from lakekeeper_spark.format.types import struct_to_schema as s2s
+
+    cat2.create_table("wh", ["mor"], "t_cow", s2s(df.schema))
+    t2 = SparkTable(spark, cat2, "wh", ["mor"], "t_cow")
+    t2.append(df)
+    t2.merge(src, on="t.id = s.id", matched_update={"s": "s.s"})
+    assert sorted((r.id, r.v, r.s) for r in t2.scan().collect()) == state_mor
