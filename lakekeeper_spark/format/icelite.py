@@ -1093,6 +1093,11 @@ class SparkTable:
         return df
 
     def _mor_delete(self, condition: str) -> dict[str, Any]:
+        """MOR DELETE: v2 stacks a position-delete file; v3 consolidates
+        into a single deletion vector (reference v3 DELETE test,
+        test_spark.py:1321-1340; puffin DV encoding swapped for a parquet
+        (file_path, pos) vector — same semantics, the container has no
+        puffin writer). Policy lives in _positional_artifacts."""
         meta = self.metadata()
         snap = self._resolve_snapshot(meta)
         if snap is None:
@@ -1103,43 +1108,41 @@ class SparkTable:
             self._rel_file(meta["location"]).alias("file_path"),
             F.col("_pos").alias("pos"),
         )
-        data_entries, delete_entries = _split_manifest(snap["manifest"])
-        if meta.get("format-version", 2) >= 3:
-            return self._mor_delete_v3(
-                meta, snap, positions, data_entries, delete_entries
-            )
-        new_entries = self._write_delete_files(meta, positions)
-        if not new_entries:
+        if positions.isEmpty():
+            return meta  # DELETE matching nothing commits no snapshot
+        base_manifest, del_entries, removed = self._positional_artifacts(
+            meta, snap, positions
+        )
+        if not del_entries:
             return meta
         return self._commit_snapshot(
             meta,
-            snap["manifest"] + new_entries,
+            base_manifest + del_entries,
             "delete",
             extra_summary={
-                "added-delete-files": len(new_entries),
-                "added-position-deletes": sum(e["record-count"] for e in new_entries),
+                "added-delete-files": len(del_entries),
+                "added-position-deletes": sum(e["record-count"] for e in del_entries),
+                "removed-delete-files": removed,
             },
         )
 
-    def _mor_delete_v3(
+    def _positional_artifacts(
         self,
         meta: dict[str, Any],
         snap: dict[str, Any],
         positions: DataFrame,
-        data_entries: list[dict[str, Any]],
-        delete_entries: list[dict[str, Any]],
-    ) -> dict[str, Any]:
-        """v3 merge-on-read delete: CONSOLIDATED deletion vectors. The new
-        artifact carries the union of the fresh tombstones and every prior
-        positional tombstone, and REPLACES all prior positional delete
-        entries — the Iceberg v3 invariant that at most one deletion
-        vector addresses a data file, so scans never stack N tombstone
-        artifacts per file (reference v3 DELETE test,
-        test_spark.py:1321-1340; puffin DV encoding swapped for a parquet
-        (file_path, pos) vector — same semantics, local container has no
-        puffin writer). Equality-delete entries are untouched."""
-        if positions.isEmpty():
-            return meta  # DELETE matching nothing commits no snapshot
+    ) -> tuple[list[dict[str, Any]], list[dict[str, Any]], int]:
+        """Shared tombstone-writing policy for the MOR DML family: returns
+        (base_manifest, new_delete_entries, removed_delete_files).
+
+        v2: the new tombstones stack onto the existing manifest.
+        v3: they CONSOLIDATE with every prior positional artifact into a
+        single deletion vector that replaces them (at most one positional
+        artifact chain per data file — the v3 invariant); equality-delete
+        entries pass through untouched."""
+        data_entries, delete_entries = _split_manifest(snap["manifest"])
+        if meta.get("format-version", 2) < 3:
+            return snap["manifest"], self._write_delete_files(meta, positions), 0
         pos_like = [e for e in delete_entries if e.get("content") != "equality-deletes"]
         eq_dels = [e for e in delete_entries if e.get("content") == "equality-deletes"]
         merged = positions
@@ -1148,35 +1151,24 @@ class SparkTable:
                 *[f"{meta['location']}/{e['path']}" for e in pos_like]
             )
             merged = merged.unionByName(old).distinct()
-        # one output file per data file would fragment at scale; a single
-        # sorted vector file per commit keeps the artifact count at one
-        # while preserving per-file contiguity for the anti-join
         merged = merged.sort("file_path", "pos").coalesce(1)
-        dv_entries = self._write_delete_files(meta, merged, content="deletion-vectors")
-        if not dv_entries and not pos_like:
-            return meta  # nothing matched and nothing to consolidate
-        return self._commit_snapshot(
-            meta,
-            data_entries + eq_dels + dv_entries,
-            "delete",
-            extra_summary={
-                "added-delete-files": len(dv_entries),
-                "added-position-deletes": sum(
-                    e["record-count"] for e in dv_entries
-                ),
-                "removed-delete-files": len(pos_like),
-            },
+        del_entries = self._write_delete_files(
+            meta, merged, content="deletion-vectors"
         )
+        return data_entries + eq_dels, del_entries, len(pos_like)
 
     def _mor_update(self, condition: str, assignments: dict[str, str]) -> dict[str, Any]:
         """MOR UPDATE = one commit carrying a position-delete of matched
-        rows plus an append of their updated images."""
+        rows plus an append of their updated images (v3: consolidated
+        deletion vector, like every MOR mutation)."""
         meta = self.metadata()
         snap = self._resolve_snapshot(meta)
         if snap is None:
             raise CatalogError("table has no data")
         schema = self._current_schema(meta)
         matched = self._mor_positions(meta, schema, snap).filter(condition)
+        if matched.isEmpty():
+            return meta  # UPDATE matching nothing commits no snapshot
         positions = matched.select(
             self._rel_file(meta["location"]).alias("file_path"),
             F.col("_pos").alias("pos"),
@@ -1185,17 +1177,20 @@ class SparkTable:
         for col_name, expr in assignments.items():
             updated = updated.withColumn(col_name, F.expr(expr))
         updated = updated.select(*[f["name"] for f in schema["fields"]])
-        del_entries = self._write_delete_files(meta, positions)
+        base_manifest, del_entries, removed = self._positional_artifacts(
+            meta, snap, positions
+        )
         if not del_entries:
             return meta
         add_entries = self._write_files(meta, updated)
         return self._commit_snapshot(
             meta,
-            snap["manifest"] + del_entries + add_entries,
+            base_manifest + del_entries + add_entries,
             "overwrite",
             extra_summary={
                 "added-delete-files": len(del_entries),
                 "added-position-deletes": sum(e["record-count"] for e in del_entries),
+                "removed-delete-files": removed,
             },
         )
 
@@ -1243,30 +1238,9 @@ class SparkTable:
                 *[F.col(c) for c in cols]
             )
             new_rows = new_rows.unionByName(inserts)
-        data_entries, delete_entries = _split_manifest(snap["manifest"])
-        removed_delete_files = 0
-        if fv >= 3:
-            pos_like = [
-                e for e in delete_entries if e.get("content") != "equality-deletes"
-            ]
-            eq_dels = [
-                e for e in delete_entries if e.get("content") == "equality-deletes"
-            ]
-            merged = positions
-            if pos_like:
-                old = self.spark.read.schema(self._DELETE_SCHEMA).parquet(
-                    *[f"{meta['location']}/{e['path']}" for e in pos_like]
-                )
-                merged = merged.unionByName(old).distinct()
-            merged = merged.sort("file_path", "pos").coalesce(1)
-            del_entries = self._write_delete_files(
-                meta, merged, content="deletion-vectors"
-            )
-            base_manifest = data_entries + eq_dels
-            removed_delete_files = len(pos_like)
-        else:
-            del_entries = self._write_delete_files(meta, positions)
-            base_manifest = snap["manifest"]
+        base_manifest, del_entries, removed_delete_files = self._positional_artifacts(
+            meta, snap, positions
+        )
         add_entries = self._write_files(meta, new_rows)
         if not del_entries and not add_entries:
             return meta  # nothing matched, nothing to insert

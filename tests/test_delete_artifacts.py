@@ -199,3 +199,15 @@ def test_v1_table_lifecycle_and_upgrade(spark, catalog):
     # pre-upgrade snapshots still readable
     first = t.metadata()["snapshots"][0]
     assert t.scan(snapshot_id=first["snapshot-id"]).count() == 5
+
+
+def test_v3_mor_update_consolidates_vectors(spark, catalog):
+    """Every MOR mutation on v3 upholds the one-positional-artifact
+    invariant — update included."""
+    t = _make(spark, catalog, "dvu", [(i, float(i), f"r{i}") for i in range(1, 6)])
+    _upgrade_v3(t)
+    t.delete_where("id = 1", mode="merge-on-read")
+    t.update_where("id = 3", {"s": "'u3'"}, mode="merge-on-read")
+    assert _delete_kinds(t) == ["deletion-vectors"]
+    rows = {r.id: r.s for r in t.scan().collect()}
+    assert 1 not in rows and rows[3] == "u3" and len(rows) == 4
