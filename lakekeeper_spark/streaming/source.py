@@ -43,11 +43,20 @@ class _FilePartition(InputPartition):
 
 
 def _load_meta(options: dict) -> dict[str, Any]:
-    from ..catalog.catalog import Catalog
-    from ..catalog.metastore import Metastore
-
-    cat = Catalog(Metastore(options["metastore"]))
+    """Planning metadata from either a library Catalog (option
+    `metastore`) or an Iceberg-REST endpoint (option `rest-url`) — the
+    stock-engine topology: the stream PLANS against the HTTP catalog
+    while executors read storage directly."""
     levels = options["namespace"].split(".")
+    if options.get("rest-url"):
+        from ..rest.client import RestCatalogClient
+
+        cat = RestCatalogClient(options["rest-url"])
+    else:
+        from ..catalog.catalog import Catalog
+        from ..catalog.metastore import Metastore
+
+        cat = Catalog(Metastore(options["metastore"]))
     meta, _ = cat.load_table(options["warehouse"], levels, options["table"])
     return meta
 

@@ -407,3 +407,47 @@ def test_malformed_requests_get_400_not_500(rest):
 
         assert e.code == 404
         assert _json.loads(e.read())["error"]["type"] == "NoSuchRouteException"
+
+
+def test_streaming_source_plans_through_rest(rest, spark, tmp_path):
+    """The stock-engine topology end-to-end: the Structured Streaming
+    source PLANS each micro-batch against the HTTP catalog (offsets +
+    file lists over the wire) while executors read parquet directly."""
+    import tempfile
+
+    from lakekeeper_spark.streaming.source import IceliteStreamDataSource
+
+    try:
+        spark.dataSource.register(IceliteStreamDataSource)
+    except Exception:
+        pass
+    rest.create_namespace("wh", ["live"])
+    df = spark.createDataFrame(
+        [(i, float(i), f"r{i}") for i in range(1, 6)], "id int, v double, s string"
+    )
+    rest.create_table("wh", ["live"], "feed", struct_to_schema(df.schema))
+    t = SparkTable(spark, rest, "wh", ["live"], "feed")
+    t.append(df)
+    out = str(tmp_path / "out")
+    ckpt = tempfile.mkdtemp(prefix="lkspark_ckpt_")
+
+    def drain():
+        q = (
+            spark.readStream.format("icelite")
+            .option("rest-url", rest.base_url)
+            .option("warehouse", "wh")
+            .option("namespace", "live")
+            .option("table", "feed")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    assert drain() == 5
+    t.append(spark.createDataFrame([(6, 6.0, "r6")], df.schema))
+    assert drain() == 6  # only the new append's row landed
