@@ -53,6 +53,11 @@ _BACK_OK = {
     "e06_variant_shapes",
     "w03_rollup_subtotals",
     "t04_source_quality",
+    # exact-hash green in r2's driver gate; demoted so the new d08/t10/h02
+    # rows sit inside the cut (e03 + e05 keep the family's front coverage)
+    "e01_json_extract_stats",
+    "e02_hourly_rollup",
+    "e04_user_value_share",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

@@ -591,3 +591,88 @@ def d07_feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(FH_DIM)
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# d08: chunk-level corpus deduplication (CCNet/RefinedWeb line-dedup shape)
+# --------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2019) and RefinedWeb (Penedo et al. 2023) dedup at
+# sub-document granularity: every paragraph/line is hashed and only its
+# FIRST corpus-wide occurrence is kept. The synthetic corpus has no line
+# breaks, so the unit here is a fixed window of CHUNK_W consecutive words —
+# the same plan shape either way: explode chunks, one exchange partitioned
+# by chunk text to find the global first occurrence (min composite key —
+# no all-pairs, no broadcast of corpus data), then a per-doc rollup.
+# First-occurrence order is (doc_id, chunk_idx) encoded as one BIGINT so
+# min() is a plain scalar aggregate in both engines.
+CHUNK_W = 8
+_CHUNK_IDX_SPAN = 1_000_000  # > max chunks/doc; keeps the composite key exact
+
+
+@register(
+    "d08_chunk_dedup",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         i AS chunk_idx,
+         array_to_string(words[i*{CHUNK_W}+1 : i*{CHUNK_W}+{CHUNK_W}], ' ') AS chunk,
+         doc_id * {_CHUNK_IDX_SPAN} + i AS pos_key
+  FROM w, unnest(range(0, CAST(ceil(len(words) / {CHUNK_W}.0) AS BIGINT))) AS t(i)
+),
+keyed AS (
+  SELECT doc_id, chunk_idx, pos_key,
+         MIN(pos_key) OVER (PARTITION BY chunk) AS first_key
+  FROM chunks
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       COUNT(*) FILTER (WHERE pos_key = first_key) AS n_kept,
+       COUNT(*) FILTER (WHERE pos_key <> first_key) AS n_dup_chunks,
+       CAST(COUNT(*) FILTER (WHERE pos_key = first_key) AS DOUBLE) / COUNT(*)
+         AS kept_ratio
+FROM keyed
+GROUP BY doc_id
+""",
+    description="Sub-document (chunk/line-level) corpus dedup: keep only the "
+    "globally-first occurrence of each word chunk. One exchange keyed by "
+    "chunk text, then a per-doc rollup — the CCNet/RefinedWeb shape, linear "
+    "in corpus size.",
+    tags=("dedup", "llm"),
+)
+def d08_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("words"),
+    )
+    chunks = w.select(
+        "doc_id",
+        F.posexplode(
+            # sequence(0, n-1) DESCENDS when n = 0 (empty doc), so guard it
+            F.expr(
+                f"CASE WHEN size(words) = 0 THEN array() ELSE "
+                f"transform(sequence(0, CAST(ceil(size(words) / {CHUNK_W}.0) AS INT) - 1), "
+                f"i -> array_join(slice(words, i*{CHUNK_W}+1, {CHUNK_W}), ' ')) END"
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        "chunk",
+        (F.col("doc_id") * _CHUNK_IDX_SPAN + F.col("chunk_idx")).alias("pos_key"),
+    )
+    first_key = F.min("pos_key").over(Window.partitionBy("chunk"))
+    keyed = chunks.select("doc_id", "pos_key", first_key.alias("first_key"))
+    kept = F.count(F.when(F.col("pos_key") == F.col("first_key"), 1))
+    return keyed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        kept.alias("n_kept"),
+        F.count(F.when(F.col("pos_key") != F.col("first_key"), 1)).alias("n_dup_chunks"),
+        (kept.cast("double") / F.count(F.lit(1))).alias("kept_ratio"),
+    )

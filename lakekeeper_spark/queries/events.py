@@ -644,3 +644,84 @@ def h01_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("exact_distinct", "kmv_estimate", "rel_err")
     )
+
+
+# --------------------------------------------------------------------------
+# h02: runtime bloom-filter semi-join reduction (Spark-native sketch join)
+# --------------------------------------------------------------------------
+# The scale problem: a fact-dim join where the dim filter is selective
+# (PROMO parts) still shuffles EVERY fact row unless something prunes the
+# fact scan first. Spark's runtime bloom filter (SPARK-32268) builds a
+# bloom_filter_agg sketch over the filtered dim keys and injects
+# might_contain(l_partkey) into the fact scan, discarding non-matching rows
+# BEFORE the exchange — at 100 TB this is the difference between shuffling
+# the whole fact table and shuffling the ~5% that can match. False
+# positives only cost wasted shuffle; the exact join keeps the result
+# correct, so the oracle is the plain join. The default thresholds target
+# cluster-scale inputs (10 GB application side), so this operator pins
+# scale-appropriate thresholds for the local fixture and eagerly plans
+# under them (localCheckpoint), restoring session confs afterwards.
+# tests/test_plans.py asserts might_contain + bloom_filter_agg in the plan.
+_H02_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+}
+
+
+def _h02_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type").like("PROMO%"))
+        .select("p_partkey", "p_brand")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(revenue, 10000).alias("promo_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@register(
+    "h02_bloom_semijoin",
+    oracle=f"""
+SELECT p_brand,
+       COUNT(*) AS n_items,
+       {sql_dsum("l_extendedprice*(1-l_discount)", 10000)} AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_type LIKE 'PROMO%'
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+    description="Fact-dim join pruned by a runtime BLOOM FILTER: "
+    "bloom_filter_agg over filtered dim keys, might_contain injected into "
+    "the fact scan so non-matching rows die before the shuffle. Exact "
+    "result (bloom false positives are re-checked by the join); plan "
+    "guard asserts the sketch is actually injected.",
+    tags=("sketch", "join", "bloom"),
+)
+def h02_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old = {k: spark.conf.get(k, None) for k in _H02_CONFS}
+    for k, v in _H02_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        # Eager: the bloom injection happens at planning time, which for a
+        # lazy DataFrame would be AFTER this function restored the confs.
+        # localCheckpoint materializes the (tiny, post-aggregate) result
+        # under the pinned confs; callers see a plain bounded DataFrame.
+        return _h02_joined(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

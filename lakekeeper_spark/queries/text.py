@@ -689,3 +689,103 @@ def t09_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# t10: intra-document repetition signals (Gopher-style quality filters)
+# --------------------------------------------------------------------------
+# Gopher (Rae et al. 2021, arXiv:2112.11446, table A1) filters documents by
+# duplicate-word fraction and most-frequent n-gram fraction. Both are pure
+# per-document aggregations. The word and bigram streams are built as ONE
+# combined (kind, gram) struct array inside the row — one scan, one explode
+# (a union of two branches would scan documents twice) — then a two-level
+# agg with map-side combine: exchange on (doc_id, kind, gram), conditional
+# rollup to doc_id. No joins anywhere. Docs under the minimum word count
+# are pruned BEFORE the explode, which also sidesteps sequence(1, n<1).
+_T10_MIN_WORDS = 2
+
+
+@register(
+    "t10_repetition_signals",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+  WHERE len(regexp_extract_all(lower(text), '[a-z]+')) >= {_T10_MIN_WORDS}
+),
+grams AS (
+  SELECT doc_id, g.kind AS kind, g.gram AS gram
+  FROM w, unnest(list_concat(
+    list_transform(words, x -> {{'kind': 'w', 'gram': x}}),
+    list_transform(range(1, len(words)),
+                   i -> {{'kind': 'b', 'gram': words[i] || ' ' || words[i+1]}})
+  )) AS t(g)
+),
+gc AS (
+  SELECT doc_id, kind, gram, COUNT(*) AS c
+  FROM grams GROUP BY doc_id, kind, gram
+),
+per_doc AS (
+  SELECT doc_id,
+         SUM(c) FILTER (WHERE kind = 'w') AS n_words,
+         COUNT(*) FILTER (WHERE kind = 'w') AS n_distinct_words,
+         MAX(c) FILTER (WHERE kind = 'w') AS top_word_c,
+         SUM(c) FILTER (WHERE kind = 'b') AS n_bigrams,
+         MAX(c) FILTER (WHERE kind = 'b') AS top_bigram_c
+  FROM gc GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_distinct_words AS BIGINT) AS n_distinct_words,
+       1.0 - CAST(n_distinct_words AS DOUBLE) / n_words AS dup_word_frac,
+       CAST(top_word_c AS DOUBLE) / n_words AS top_word_frac,
+       CAST(top_bigram_c AS DOUBLE) / n_bigrams AS top_bigram_frac
+FROM per_doc
+WHERE n_words >= {_T10_MIN_WORDS}
+""",
+    description="Gopher-style repetition quality signals: duplicate-word "
+    "fraction, most-frequent word/bigram fraction per document. One "
+    "exchange on (doc_id, kind, gram) with map-side combine, then a "
+    "conditional rollup — linear in corpus size, no joins.",
+    tags=("text", "llm", "quality"),
+)
+def t10_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("words"),
+    ).where(F.expr(f"size(words) >= {_T10_MIN_WORDS}"))
+    # One combined struct array -> ONE explode over ONE scan. The pre-filter
+    # guarantees size(words) >= 2, so sequence(1, size-1) never inverts.
+    grams = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "concat("
+                "transform(words, x -> named_struct('kind', 'w', 'gram', x)), "
+                "transform(sequence(1, size(words) - 1), i -> named_struct("
+                "'kind', 'b', 'gram', "
+                "concat(element_at(words, i), ' ', element_at(words, i + 1)))))"
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+    gc = grams.groupBy("doc_id", "kind", "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = gc.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("kind") == "w", F.col("c"))).alias("n_words"),
+        F.count(F.when(F.col("kind") == "w", 1)).alias("n_distinct_words"),
+        F.max(F.when(F.col("kind") == "w", F.col("c"))).alias("top_word_c"),
+        F.sum(F.when(F.col("kind") == "b", F.col("c"))).alias("n_bigrams"),
+        F.max(F.when(F.col("kind") == "b", F.col("c"))).alias("top_bigram_c"),
+    )
+    return per_doc.where(F.col("n_words") >= _T10_MIN_WORDS).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        (1.0 - F.col("n_distinct_words").cast("double") / F.col("n_words")).alias(
+            "dup_word_frac"
+        ),
+        (F.col("top_word_c").cast("double") / F.col("n_words")).alias("top_word_frac"),
+        (F.col("top_bigram_c").cast("double") / F.col("n_bigrams")).alias(
+            "top_bigram_frac"
+        ),
+    )

@@ -185,3 +185,48 @@ def test_embedding_lsh_dedup_precision_and_recall(spark):
     strong = {p for p, c in exact.items() if c >= 0.99}
     if strong:
         assert len(strong & set(got)) / len(strong) >= 0.9
+
+
+def test_d08_chunk_dedup_first_occurrence_semantics(spark, tmp_path):
+    """Crafted corpus: doc 0 and doc 1 share an identical 8-word chunk; the
+    earlier (doc_id, chunk_idx) keeps it, the later one counts a dup."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from lakekeeper_spark.queries.dedup import CHUNK_W, d08_chunk_dedup
+
+    shared = " ".join(f"tok{i}" for i in range(CHUNK_W))
+    uniq_a = " ".join(f"aaa{i}" for i in range(CHUNK_W))
+    uniq_b = " ".join(f"bbb{i}" for i in range(CHUNK_W))
+    rows = [
+        (0, f"{shared} {uniq_a}", "en", "s", 0),
+        (1, f"{uniq_b} {shared}", "en", "s", 0),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(sf / "documents.parquet"))
+    out = {r.doc_id: r for r in d08_chunk_dedup(spark, str(sf)).collect()}
+    assert out[0].n_chunks == 2 and out[0].n_kept == 2 and out[0].n_dup_chunks == 0
+    assert out[1].n_chunks == 2 and out[1].n_kept == 1 and out[1].n_dup_chunks == 1
+    assert out[1].kept_ratio == 0.5
+
+
+def test_t10_repetition_signals_crafted(spark, tmp_path):
+    """'x x x y' -> dup_word_frac = 1 - 2/4, top word x = 3/4, top bigram
+    'x x' = 2/3; a 1-word doc is excluded."""
+    from lakekeeper_spark.queries.text import t10_repetition_signals
+
+    rows = [(0, "x x x y", "en", "s", 0), (1, "lone", "en", "s", 0)]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(sf / "documents.parquet"))
+    out = {r.doc_id: r for r in t10_repetition_signals(spark, str(sf)).collect()}
+    assert set(out) == {0}
+    r = out[0]
+    assert r.n_words == 4 and r.n_distinct_words == 2
+    assert r.dup_word_frac == 0.5
+    assert r.top_word_frac == 0.75
+    assert abs(r.top_bigram_frac - 2 / 3) < 1e-12

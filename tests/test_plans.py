@@ -176,3 +176,56 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt_demo.bkt_l")
         spark.sql("DROP TABLE IF EXISTS bkt_demo.bkt_r")
         spark.sql("DROP DATABASE IF EXISTS bkt_demo")
+
+
+def test_h02_bloom_filter_injected(spark):
+    """The runtime bloom filter must actually inject: bloom_filter_agg on
+    the dim side, might_contain on the fact scan — the semi-join reduction
+    that prunes fact rows before the exchange at scale."""
+    from lakekeeper_spark.queries.events import _H02_CONFS, _h02_joined
+
+    old = {k: spark.conf.get(k, None) for k in _H02_CONFS}
+    for k, v in _H02_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = _h02_joined(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        assert "BroadcastHashJoin" not in plan  # forced shuffle join
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_t10_single_exchange_chain_no_join(spark):
+    """Word and bigram streams are unioned, not joined: the plan must have
+    zero Join nodes and exactly one shuffle chain (gram-level exchange,
+    then the doc_id rollup)."""
+    from lakekeeper_spark.queries.text import t10_repetition_signals
+
+    df = t10_repetition_signals(spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "Generate" in plan  # the single explode
+    # one node per line in the simple plan string: gram-level agg exchange +
+    # doc_id rollup exchange + the documented single-row-group repartition
+    # from load_table — nothing else (a union-of-branches shape would add a
+    # second scan + repartition)
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = [ln for ln in simple.splitlines() if "Exchange" in ln]
+    assert len(exchanges) <= 3, exchanges
+    assert simple.count("Scan parquet") == 1  # documents scanned once
+
+
+def test_d08_window_partitioned_by_chunk(spark):
+    """First-occurrence detection must shuffle on chunk text (linear), not
+    self-join or collect: one partitioned window, no Join nodes."""
+    from lakekeeper_spark.queries.dedup import d08_chunk_dedup
+
+    plan = _plan(d08_chunk_dedup(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" in plan and "chunk" in plan
