@@ -58,6 +58,9 @@ _BACK_OK = {
     "e01_json_extract_stats",
     "e02_hourly_rollup",
     "e04_user_value_share",
+    # exact-hash green in r2's driver gate; demoted so st08 sits inside the
+    # cut (m02/m03/m05 keep the multimodal family's front coverage)
+    "m01_binary_meta",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

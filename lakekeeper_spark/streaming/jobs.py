@@ -627,3 +627,90 @@ def st07_stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+# --------------------------------------------------------------------------
+# st08: native session_window streaming aggregation (merging session state)
+# --------------------------------------------------------------------------
+# st02 implements sessionization imperatively (applyInPandasWithState);
+# st08 is the DECLARATIVE twin: Spark's built-in session_window operator,
+# whose state store MERGES overlapping candidate sessions per key and emits
+# a session only once the watermark passes its end (append mode). No batch
+# choreography is needed: after the data drains, availableNow runs a final
+# no-data micro-batch (spark.sql.streaming.noDataMicroBatches.enabled)
+# that advances the watermark to max(ts) - 30 min and flushes every
+# session whose end (last event + gap) it passed — verified empirically:
+# staged-batch watermarks emit a strict subset of this. Spark's session
+# semantics: an event at exactly start + gap does NOT merge (the window is
+# end-exclusive), i.e. a new session starts when ts - prev >= gap — note
+# the >= versus the > in st02's hand-rolled accumulator, a real semantic
+# difference between the two operators that the two oracles pin down.
+ST08_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "st08_stream_session_window",
+    oracle=f"""
+WITH wm AS (SELECT MAX(epoch_us(ts)) - {ST08_GAP_US} AS w FROM events),
+flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= {ST08_GAP_US}
+                   OR LAG(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id,
+         ts_us
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id,
+         MIN(ts_us) AS session_start_us,
+         MAX(ts_us) + {ST08_GAP_US} AS session_end_us,
+         COUNT(*) AS n_events
+  FROM sessions
+  GROUP BY user_id, session_id
+)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM per_session, wm
+WHERE session_end_us <= wm.w
+""",
+    description="Native session_window streaming aggregate (30-min gap, "
+    "30-min watermark, append mode): the state store merges candidate "
+    "sessions per user and emits each session once the watermark passes "
+    "its end; the trailing no-data micro-batch flushes everything the "
+    "final watermark (max ts - 30 min) passed, so the emitted set is a "
+    "pure function of the data and the oracle replays the merge + "
+    "eviction algebra (>= gap split, end = last + gap, end <= watermark) "
+    "in SQL.",
+    tags=("streaming", "events", "session-window", "stateful"),
+)
+def st08_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stage_stream_dir(sf_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    sunk = _run_to_memory(agg, "append")
+    return sunk.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start").cast("timestamp")).alias(
+            "session_start_us"
+        ),
+        F.unix_micros(F.col("session_window.end").cast("timestamp")).alias(
+            "session_end_us"
+        ),
+        "n_events",
+    )
