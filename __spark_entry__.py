@@ -61,6 +61,9 @@ _BACK_OK = {
     # exact-hash green in r2's driver gate; demoted so st08 sits inside the
     # cut (m02/m03/m05 keep the multimodal family's front coverage)
     "m01_binary_meta",
+    # exact-hash green in r2's driver gate; demoted so s05 (PQ ANN) sits
+    # inside the cut (m03/m05 keep the family's front coverage)
+    "m02_decode_features",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

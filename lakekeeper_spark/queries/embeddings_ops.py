@@ -427,3 +427,192 @@ def s04_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cid")
         .select("cid", "n_points", "centroid_fp")
     )
+
+
+# --------------------------------------------------------------------------
+# s05: product-quantization ANN (PQ codes + asymmetric distance, exact oracle)
+# --------------------------------------------------------------------------
+# The third major ANN family next to LSH (s02) and IVF (s03): Jegou et al.
+# 2011, "Product Quantization for Nearest Neighbor Search". The vector space
+# is split into PQ_M subspaces; each subvector is quantized to one of PQ_K
+# codewords, so a 64-dim float vector compresses to PQ_M single-byte codes —
+# at 100 TB THE index fits where the raw vectors cannot. Query scoring is
+# asymmetric distance computation (ADC): per query, a PQ_M x PQ_K table of
+# exact query-subvector x codeword dot products is built once (tiny,
+# broadcast), and every database vector's approximate score is a pure
+# table-lookup sum over its codes — no vector arithmetic in the scan.
+# Candidates then get an exact rerank. Deterministic end-to-end: codewords
+# are fixed-id training rows (the k-means swap-in point, like s03's
+# centroids), code assignment tie-breaks on codeword id, ADC sums exact
+# fixed-point integers — so the whole pipeline carries a DuckDB oracle,
+# unlike recall-bounded s02.
+PQ_M = 8  # subspaces
+PQ_SUB = KM_DIM // PQ_M  # dims per subspace
+PQ_K = 16  # codewords per subspace
+PQ_ID_LO = CENTROID_ID_HI  # codebook training rows: disjoint from queries+IVF
+PQ_ID_HI = PQ_ID_LO + PQ_K
+PQ_CAND = 50  # ADC candidates per query fed to the exact rerank
+
+
+def _pq_sub_sql(src: str) -> str:
+    """DuckDB: the m-th subvector of `src`, elements cast to double."""
+    return (
+        f"list_transform({src}[m*{PQ_SUB}+1 : m*{PQ_SUB}+{PQ_SUB}], "
+        "x -> CAST(x AS DOUBLE))"
+    )
+
+
+@register(
+    "s05_knn_pq",
+    oracle=f"""
+WITH ms AS (SELECT m FROM range(0, {PQ_M}) t(m)),
+norms AS (
+  SELECT vec_id, embedding, {_sql_dot6('embedding', 'embedding')} AS norm6
+  FROM embeddings
+),
+cb AS (
+  SELECT vec_id - {PQ_ID_LO} AS c, m, {_pq_sub_sql('embedding')} AS cvec
+  FROM embeddings, ms WHERE vec_id >= {PQ_ID_LO} AND vec_id < {PQ_ID_HI}
+),
+subs AS (
+  SELECT vec_id, m, {_pq_sub_sql('embedding')} AS svec FROM embeddings, ms
+),
+encx AS (
+  SELECT s.vec_id, s.m, cb.c,
+         list_sum(list_transform(range(1, {PQ_SUB}+1),
+                  i -> (s.svec[i] - cb.cvec[i]) * (s.svec[i] - cb.cvec[i])))
+           AS d2
+  FROM subs s JOIN cb ON s.m = cb.m
+),
+enc AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+    FROM encx
+  ) WHERE rn = 1
+),
+qtab AS (
+  SELECT s.vec_id AS query_id, s.m, cb.c,
+         {_sql_dot6('s.svec', 'cb.cvec')} AS qdot6
+  FROM subs s JOIN cb ON s.m = cb.m WHERE s.vec_id < {N_QUERIES}
+),
+approx AS (
+  SELECT q.query_id, e.vec_id, SUM(q.qdot6) AS approx6
+  FROM enc e JOIN qtab q ON q.m = e.m AND q.c = e.code
+  WHERE e.vec_id != q.query_id
+  GROUP BY q.query_id, e.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY approx6 DESC, vec_id) AS rn
+    FROM approx
+  ) WHERE rn <= {PQ_CAND}
+),
+scored AS (
+  SELECT c.query_id, c.vec_id AS neighbor_id,
+         CAST({_sql_dot6('q.embedding', 'n.embedding')} AS DOUBLE)
+           / sqrt(CAST(q.norm6 AS DOUBLE) * CAST(n.norm6 AS DOUBLE)) AS cosine
+  FROM cand c
+  JOIN norms n ON n.vec_id = c.vec_id
+  JOIN norms q ON q.vec_id = c.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) t WHERE rnk <= {TOP_K}
+""",
+    description="Product-quantization ANN: vectors compress to PQ_M codes "
+    "(argmin codeword per subspace), queries score the whole corpus via "
+    "broadcast ADC lookup tables (integer dot products, zero vector math "
+    "in the scan), top candidates get an exact rerank. Fixed-id codebook "
+    "+ deterministic tie-breaks make it oracle-exact, unlike typical PQ.",
+    tags=("similarity", "llm", "ann", "pq"),
+)
+def s05_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "embedding", _dot6("embedding", "embedding").alias("norm6")
+    )
+    # (vec_id, m, svec): subvectors, elements cast to double to mirror the
+    # oracle's arithmetic exactly
+    sub_expr = F.expr(
+        f"posexplode(transform(sequence(0, {PQ_M - 1}), "
+        f"m -> transform(slice(embedding, m*{PQ_SUB}+1, {PQ_SUB}), "
+        "x -> CAST(x AS DOUBLE))))"
+    )
+    subs = emb.select("vec_id", sub_expr.alias("m", "svec"))
+    # codebook: PQ_K fixed training rows -> PQ_M x PQ_K codewords (tiny)
+    cb = F.broadcast(
+        subs.filter((F.col("vec_id") >= PQ_ID_LO) & (F.col("vec_id") < PQ_ID_HI))
+        .select(
+            (F.col("vec_id") - PQ_ID_LO).cast("int").alias("c"),
+            F.col("m").alias("cb_m"),
+            F.col("svec").alias("cvec"),
+        )
+    )
+    d2 = F.expr(
+        f"aggregate(sequence(1, {PQ_SUB}), CAST(0.0 AS DOUBLE), (acc, i) -> "
+        "acc + (element_at(svec, i) - element_at(cvec, i))"
+        " * (element_at(svec, i) - element_at(cvec, i)))"
+    )
+    # encode: argmin codeword per (vector, subspace) — min(struct) is the
+    # same (d2, c) tie-break as the oracle's ROW_NUMBER but needs no sort
+    enc = (
+        subs.join(cb, F.col("m") == F.col("cb_m"))
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "c")).alias("mc"))
+        .select("vec_id", "m", F.col("mc.c").alias("code"))
+    )
+    # ADC lookup tables: exact integer dot products query-subvector x codeword
+    qtab = F.broadcast(
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .join(cb, F.col("m") == F.col("cb_m"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("m").alias("q_m"),
+            F.col("c").alias("q_c"),
+            _dot6("svec", "cvec").alias("qdot6"),
+        )
+    )
+    approx = (
+        enc.join(qtab, (F.col("m") == F.col("q_m")) & (F.col("code") == F.col("q_c")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qdot6").alias("approx6"))
+    )
+    w_cand = Window.partitionBy("query_id").orderBy(F.desc("approx6"), F.asc("vec_id"))
+    cand = (
+        approx.withColumn("rn", F.row_number().over(w_cand))
+        .filter(F.col("rn") <= PQ_CAND)
+        .select("query_id", "vec_id")
+    )
+    q = F.broadcast(
+        norms.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm6").alias("q_norm6"),
+        )
+    )
+    scored = (
+        cand.join(norms, "vec_id")
+        .join(q, F.col("qid") == F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot6("q_emb", "embedding").cast("double")
+                / F.sqrt(
+                    F.col("q_norm6").cast("double") * F.col("norm6").cast("double")
+                )
+            ).alias("cosine"),
+        )
+    )
+    w_topk = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w_topk).cast("int")).filter(
+        F.col("rnk") <= TOP_K
+    )

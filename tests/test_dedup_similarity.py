@@ -230,3 +230,26 @@ def test_t10_repetition_signals_crafted(spark, tmp_path):
     assert r.dup_word_frac == 0.5
     assert r.top_word_frac == 0.75
     assert abs(r.top_bigram_frac - 2 / 3) < 1e-12
+
+
+def test_s05_pq_recall_vs_exact(spark):
+    """PQ+ADC with exact rerank: every emitted cosine is exact, and the
+    candidate stage must recover a solid fraction of the true top-k even
+    on near-random vectors (PQ's hardest case — no cluster structure for
+    the codebook to exploit)."""
+    from lakekeeper_spark.queries.embeddings_ops import s05_knn_pq
+    from lakekeeper_spark.queries.similarity import s01_knn_bruteforce
+
+    exact = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in s01_knn_bruteforce(spark, SF_DIR).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in s05_knn_pq(spark, SF_DIR).collect()
+    }
+    # scores of shared pairs are bit-identical (the rerank is exact)
+    for pair, cos in pq.items():
+        if pair in exact:
+            assert cos == exact[pair]
+    assert len(set(exact) & set(pq)) / len(exact) >= 0.35
