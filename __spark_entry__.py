@@ -64,6 +64,12 @@ _BACK_OK = {
     # exact-hash green in r2's driver gate; demoted so s05 (PQ ANN) sits
     # inside the cut (m03/m05 keep the family's front coverage)
     "m02_decode_features",
+    # exact-hash green in r2's driver gate; demoted so h03 (count-min),
+    # t11 (TF-IDF) and st09 (outer stream-stream join) sit inside the cut
+    # (families keep front coverage: m05, e05, c01/c04-c07)
+    "m03_frame_sample",
+    "e03_sessionization",
+    "c02_change_events",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

@@ -725,3 +725,114 @@ def h02_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --------------------------------------------------------------------------
+# h03: count-min sketch heavy hitters (exact cross-engine, mergeable)
+# --------------------------------------------------------------------------
+# Completes the sketch trio: h01 KMV (distinct count), h02 bloom
+# (membership), h03 count-min (frequency). Cormode & Muthukrishnan 2005:
+# d independent hash rows x w buckets; every key increments one bucket per
+# row, the frequency estimate is the MIN over its d buckets — always an
+# overestimate, error bounded by collisions. Like h01, the hashes are
+# deterministic multiplicative functions, so the sketch is a pure function
+# of the data and DuckDB reproduces it bit-for-bit (impossible with
+# library sketch implementations). Scale shape: the sketch build is one
+# groupBy over (row, bucket) -> d*w cells TOTAL regardless of corpus size,
+# mergeable across partitions/streams by cell-wise addition; estimates are
+# a broadcast join against the d*w-cell table.
+CM_D = 4  # hash rows
+CM_W = 256  # buckets per row
+CM_P = 9_007_199_254_740_881  # largest prime < 2^53
+# Knuth-style odd multipliers + distinct offsets per row (fixed, public)
+CM_MULS = [2_654_435_761, 2_246_822_519, 3_266_489_917, 668_265_263]
+CM_ADDS = [11, 10_007, 20_011, 30_011]
+CM_TOP = 20
+
+
+def _cm_hash_sql(expr: str, j: int) -> str:
+    return f"((({expr}) * {CM_MULS[j]} + {CM_ADDS[j]}) % {CM_P}) % {CM_W}"
+
+
+def _cm_hash_col(col: str, j: int) -> F.Column:
+    return (
+        (F.col(col).cast("long") * F.lit(CM_MULS[j]).cast("long") + F.lit(CM_ADDS[j]))
+        % F.lit(CM_P)
+    ) % F.lit(CM_W)
+
+
+@register(
+    "h03_countmin_heavy_hitters",
+    oracle=f"""
+WITH cells AS (
+  {' UNION ALL '.join(
+      f"SELECT {j} AS j, {_cm_hash_sql('user_id', j)} AS bucket, COUNT(*) AS c "
+      f"FROM events GROUP BY {_cm_hash_sql('user_id', j)}"
+      for j in range(CM_D)
+  )}
+),
+exact AS (
+  SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+),
+est AS (
+  SELECT e.user_id, e.exact_n, MIN(s.c) AS cm_estimate
+  FROM exact e
+  JOIN cells s
+    ON (s.j = 0 AND s.bucket = {_cm_hash_sql('e.user_id', 0)})
+    OR (s.j = 1 AND s.bucket = {_cm_hash_sql('e.user_id', 1)})
+    OR (s.j = 2 AND s.bucket = {_cm_hash_sql('e.user_id', 2)})
+    OR (s.j = 3 AND s.bucket = {_cm_hash_sql('e.user_id', 3)})
+  GROUP BY e.user_id, e.exact_n
+)
+SELECT user_id, exact_n, CAST(cm_estimate AS BIGINT) AS cm_estimate,
+       CAST(cm_estimate - exact_n AS BIGINT) AS overestimate
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY exact_n DESC, user_id) AS rn
+  FROM est
+) t WHERE rn <= {CM_TOP}
+""",
+    description="Count-min sketch frequency estimates for the top event "
+    "producers: d=4 deterministic hash rows x 256 buckets, estimate = min "
+    "over rows, always >= exact (collision overestimate reported "
+    "alongside). Sketch = d*w cells total no matter the corpus size, "
+    "mergeable cell-wise; exact cross-engine parity via multiplicative "
+    "hashing.",
+    tags=("events", "sketch", "approximate"),
+)
+def h03_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # sketch build: one explode to d rows/event, one agg -> d*w cells total
+    hashed = ev.select(
+        F.posexplode(
+            F.array(*[_cm_hash_col("user_id", j) for j in range(CM_D)])
+        ).alias("j", "bucket")
+    )
+    cells = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    # estimate: explode each key's d probe coordinates, broadcast-join the
+    # bounded cell table, take min over the d probed cells
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.posexplode(
+            F.array(*[_cm_hash_col("user_id", j) for j in range(CM_D)])
+        ).alias("j", "bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    # global top-k as TakeOrdered (partial top-k per partition merged on the
+    # driver), NOT a row_number over an unpartitioned window — the estimate
+    # table has one row per distinct key and must never single-partition
+    return (
+        est.orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(CM_TOP)
+        .select(
+            "user_id",
+            "exact_n",
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.col("exact_n")).cast("long").alias("overestimate"),
+        )
+    )

@@ -789,3 +789,91 @@ def t10_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_bigram_frac"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# t11: TF-IDF top terms per document
+# --------------------------------------------------------------------------
+# The classic relevance weighting a corpus pipeline derives before keyword
+# extraction / sparse retrieval (BM25's ancestor). Exact cross-engine trick:
+# the IDF factor ln(N/df) is quantized once per TERM (round to 1e-6) and
+# the score kept as tf * idf6 in BIGINT arithmetic — products and ranking
+# are then exact in both engines, and the only float op (ln) happens at
+# vocabulary cardinality, not corpus cardinality. Plan shape: explode ->
+# (doc, term) tf agg -> term-level df agg (vocabulary-sized) joined back on
+# term, one scalar broadcast for N, per-doc top-3 window. All shuffles are
+# keyed by term or doc_id — linear, skew-safe for zipfian vocabularies
+# because the df table aggregates before the join.
+T11_TOP = 3
+
+
+@register(
+    "t11_tfidf_top_terms",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM w),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * CAST(ROUND(ln(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000)
+                      AS BIGINT) AS score6
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score6, CAST(rn AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score6 DESC, term) AS rn
+  FROM scored
+) t WHERE rn <= {T11_TOP}
+""",
+    description="TF-IDF top-3 terms per document: per-doc tf agg, "
+    "vocabulary-level df agg joined back on term, IDF quantized per term "
+    "(ln at vocab cardinality only) so scores rank identically across "
+    "engines in exact BIGINT arithmetic.",
+    tags=("text", "llm", "relevance"),
+)
+def t11_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = w.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf6 = F.round(
+        F.log(F.col("n_docs").cast("double") / F.col("df")) * 1_000_000
+    ).cast("long")
+    scored = (
+        tf.join(dfx, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * idf6).alias("score6"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score6"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(win).cast("int"))
+        .filter(F.col("rnk") <= T11_TOP)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            "score6",
+            "rnk",
+        )
+    )

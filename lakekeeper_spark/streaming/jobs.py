@@ -714,3 +714,105 @@ def st08_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------------
+# st09: stream-stream LEFT OUTER join — watermark-gated null emission
+# --------------------------------------------------------------------------
+# The outer variant of st05: clicks with no purchase in the following hour
+# must STILL emit (null-padded) — but only once the watermark proves no
+# matching purchase can ever arrive (t_click + horizon < watermark). Inner
+# matches emit as they join; unmatched clicks sit in state until eviction,
+# and the trailing no-data micro-batch flushes the final eviction wave, so
+# the emitted set is again a pure function of the data: matched pairs
+# exactly as st05, plus unmatched clicks whose horizon the final watermark
+# (max ts - 1h) passed. Clicks still inside the horizon at end-of-stream
+# remain unemitted — the oracle drops them too.
+@register(
+    "st09_stream_outer_join",
+    oracle=f"""
+WITH c AS (SELECT user_id, event_id AS click_id, epoch_us(ts) AS t_click
+      FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS t_purchase
+      FROM events WHERE event_type = 'purchase'),
+-- Spark's global watermark is the MIN over all watermark operators, and
+-- each side's watermark sees only ITS filtered rows — so the final
+-- watermark is min(max click ts, max purchase ts) - 1h, NOT global max
+wm AS (SELECT LEAST((SELECT MAX(t_click) FROM c),
+                    (SELECT MAX(t_purchase) FROM p))
+              - {JOIN_HORIZON_MIN * 60 * 1000000} AS w),
+matched AS (
+  SELECT c.user_id, c.click_id, p.t_purchase - c.t_click AS lag_us
+  FROM c JOIN p
+    ON c.user_id = p.user_id
+   AND p.t_purchase > c.t_click
+   AND p.t_purchase <= c.t_click + {JOIN_HORIZON_MIN * 60 * 1000000}
+),
+unmatched AS (
+  SELECT c.user_id, c.click_id
+  FROM c, wm
+  WHERE NOT EXISTS (
+    SELECT 1 FROM p WHERE p.user_id = c.user_id
+      AND p.t_purchase > c.t_click
+      AND p.t_purchase <= c.t_click + {JOIN_HORIZON_MIN * 60 * 1000000}
+  )
+  AND c.t_click + {JOIN_HORIZON_MIN * 60 * 1000000} < wm.w
+)
+SELECT user_id,
+       (SELECT COUNT(*) FROM matched m WHERE m.user_id = u.user_id)
+         AS n_matched,
+       (SELECT COUNT(*) FROM unmatched x WHERE x.user_id = u.user_id)
+         AS n_unmatched,
+       (SELECT COALESCE(CAST(SUM(lag_us // 1000000) AS BIGINT), 0)
+        FROM matched m WHERE m.user_id = u.user_id) AS sum_lag_s
+FROM (SELECT user_id FROM matched UNION SELECT user_id FROM unmatched) u
+""",
+    description="Stream-stream LEFT OUTER join: matched click-purchase "
+    "pairs emit on join; clicks with no purchase emit null-padded only "
+    "after the watermark proves no match can arrive. State stays bounded "
+    "to the join horizon per side; the final no-data batch flushes the "
+    "last eviction wave so the result is deterministic and the oracle "
+    "replays the emission rule (matched, plus unmatched with horizon < "
+    "final watermark) in SQL.",
+    tags=("streaming", "events", "stream-stream-join", "outer"),
+)
+def st09_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .parquet(_stage_stream_dir(sf_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    clicks = (
+        raw.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("t_click"))
+        .withWatermark("t_click", "1 hour")
+    )
+    purchases = (
+        raw.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("t_purchase"))
+        .withWatermark("t_purchase", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""c_user = p_user
+             AND t_purchase > t_click
+             AND t_purchase <= t_click + INTERVAL {JOIN_HORIZON_MIN} MINUTES"""
+        ),
+        "leftOuter",
+    )
+    sunk = _run_to_memory(joined, "append")
+    return sunk.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.when(F.col("t_purchase").isNotNull(), 1)).alias("n_matched"),
+        F.count(F.when(F.col("t_purchase").isNull(), 1)).alias("n_unmatched"),
+        F.coalesce(
+            F.sum(
+                F.expr("(unix_micros(t_purchase) - unix_micros(t_click)) div 1000000")
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("sum_lag_s"),
+    )
