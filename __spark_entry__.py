@@ -73,6 +73,11 @@ _BACK_OK = {
     # exact-hash green in r2's driver gate; demoted so r02 (distributed
     # sweep line) sits inside the cut (d01/d02/d07/d08 keep dedup front)
     "d05_dedup_embedding",
+    # exact-hash green in r2's driver gate; demoted so a02 (tolerance
+    # as-of) and m06 (pHash near-dup) sit inside the cut (a02 keeps the
+    # a-family front; d02/d07/d08 keep dedup front)
+    "a01_asof_join",
+    "d01_dedup_exact",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

@@ -950,3 +950,119 @@ def r02_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("net").cast("long").alias("net_change"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+# --------------------------------------------------------------------------
+# a02: as-of join with TOLERANCE, both directions (pandas merge_asof shape)
+# --------------------------------------------------------------------------
+# a01 is the unbounded backward as-of; a02 completes the merge_asof surface:
+# backward match only counts when the carried click is within a tolerance
+# window, and a forward match (next strictly-later click) is computed in
+# the SAME single shuffle by reversing the traversal order — still no range
+# self-join anywhere, still one exchange on user_id. The equal-timestamp
+# convention matches a01: a purchase never matches a click at its own
+# timestamp in either direction (strict inequality).
+ASOF_TOL_NS = 10 * 60 * 1_000_000_000  # 10-minute tolerance
+
+
+@register(
+    "a02_asof_tolerance",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, event_type, event_id FROM events
+),
+p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+c AS (SELECT * FROM ev WHERE event_type = 'click'),
+back AS (
+  SELECT p.user_id, p.event_id, p.ts_ns,
+         CASE WHEN p.ts_ns - c.ts_ns <= {ASOF_TOL_NS} THEN c.ts_ns END
+           AS click_ts
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND p.ts_ns > c.ts_ns
+),
+fwd AS (
+  SELECT p.user_id, p.event_id,
+         CASE WHEN c.ts_ns - p.ts_ns <= {ASOF_TOL_NS} THEN c.ts_ns END
+           AS next_ts,
+         p.ts_ns
+  FROM p ASOF LEFT JOIN c
+    ON p.user_id = c.user_id AND p.ts_ns < c.ts_ns
+)
+SELECT b.user_id,
+       COUNT(*) AS n_purchases,
+       COUNT(b.click_ts) AS n_back_matched,
+       CAST(COALESCE(SUM((b.ts_ns - b.click_ts) // 1000000000), 0) AS BIGINT)
+         AS sum_back_gap_s,
+       COUNT(f.next_ts) AS n_fwd_matched,
+       CAST(COALESCE(SUM((f.next_ts - f.ts_ns) // 1000000000), 0) AS BIGINT)
+         AS sum_fwd_gap_s
+FROM back b JOIN fwd f ON b.user_id = f.user_id AND b.event_id = f.event_id
+GROUP BY b.user_id
+""",
+    description="Tolerance-bounded as-of join in BOTH directions (pandas "
+    "merge_asof): backward = window carry-forward gated by a 10-min "
+    "tolerance, forward = the same plan traversed in reverse order — two "
+    "partitioned windows over one exchange on user_id, no range "
+    "self-join. Oracle uses DuckDB's native ASOF JOIN both ways plus the "
+    "tolerance gate.",
+    tags=("events", "asof", "join", "window"),
+)
+def a02_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    rank = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    tagged = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_type",
+        "event_id",
+        rank.alias("rnk"),
+        F.when(F.col("event_type") == "click", F.col("ts_ns")).alias("click_ts_raw"),
+    )
+    # backward: ascending traversal; purchases sort before same-ts clicks so
+    # the carried click is strictly earlier (a01's convention)
+    w_back = Window.partitionBy("user_id").orderBy(
+        "ts_ns", "rnk", "event_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # forward: descending traversal; purchases again first among equal ts so
+    # the carried click is strictly later
+    w_fwd = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_ns"), F.asc("rnk"), F.desc("event_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = (
+        tagged.withColumn(
+            "back_ts_all", F.last("click_ts_raw", ignorenulls=True).over(w_back)
+        )
+        .withColumn(
+            "fwd_ts_all", F.last("click_ts_raw", ignorenulls=True).over(w_fwd)
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "ts_ns",
+            F.when(
+                F.col("ts_ns") - F.col("back_ts_all") <= ASOF_TOL_NS,
+                F.col("back_ts_all"),
+            ).alias("click_ts"),
+            F.when(
+                F.col("fwd_ts_all") - F.col("ts_ns") <= ASOF_TOL_NS,
+                F.col("fwd_ts_all"),
+            ).alias("next_ts"),
+        )
+    )
+    return carried.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("click_ts").alias("n_back_matched"),
+        F.coalesce(
+            F.sum(F.expr("(ts_ns - click_ts) div 1000000000")), F.lit(0)
+        )
+        .cast("long")
+        .alias("sum_back_gap_s"),
+        F.count("next_ts").alias("n_fwd_matched"),
+        F.coalesce(
+            F.sum(F.expr("(next_ts - ts_ns) div 1000000000")), F.lit(0)
+        )
+        .cast("long")
+        .alias("sum_fwd_gap_s"),
+    )

@@ -385,3 +385,114 @@ FROM dims
 def m05_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _with_payload(docs).mapInPandas(_resize_batches, _M05_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# m06: perceptual-hash near-duplicate IMAGES (decode -> pHash -> band join)
+# --------------------------------------------------------------------------
+# The multimodal twin of d04's SimHash: every image payload decodes to a
+# 60-bit perceptual hash, candidate pairs come from 4 x 15-bit band
+# buckets (two hashes within Hamming distance 3 of each other must agree
+# on at least one band; broader near-dups surface with high probability),
+# and candidates are verified by exact Hamming distance. The pHash itself
+# is the STUB step (md5 arithmetic standing in for DCT-based pHash — a
+# real implementation swaps into _phash_batches), computed through the
+# same Arrow-batched mapInPandas plumbing a real decoder needs; the
+# banding/bucket-join/verify stages are the production shape: one
+# exchange keyed by (band, value), pair space bounded per bucket, no
+# all-pairs anywhere.
+PHASH_HEX_LEN = 15  # 60 bits -> stays in signed BIGINT range
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 60 // PHASH_BANDS
+PHASH_HAM_MAX = 8
+
+_M06_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("phash", LongType())]
+)
+
+
+def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB PHASH — md5-derived 60-bit hash in place of a real DCT pHash
+    (PIL decode -> 32x32 grayscale -> DCT -> median-threshold bits)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "phash": [
+                    int(hashlib.md5(p).hexdigest()[:PHASH_HEX_LEN], 16)
+                    for p in pdf["payload"]
+                ],
+            }
+        )
+
+
+@register(
+    "m06_phash_neardup",
+    oracle=f"""
+WITH img AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, {PHASH_HEX_LEN}))::BIGINT AS phash
+  FROM documents WHERE doc_id % 3 = 0
+),
+bands AS (
+  SELECT doc_id, phash, b,
+         (phash // CAST(2 ** ({PHASH_BAND_BITS} * b) AS BIGINT))
+           % {2 ** PHASH_BAND_BITS} AS band_val
+  FROM img, range(0, {PHASH_BANDS}) t(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(ia.phash, ib.phash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN img ia ON ia.doc_id = c.doc_a
+JOIN img ib ON ib.doc_id = c.doc_b
+WHERE bit_count(xor(ia.phash, ib.phash)) <= {PHASH_HAM_MAX}
+""",
+    description="Perceptual-hash image near-dup: Arrow-batched stub pHash "
+    "(md5 fake, real DCT pHash swaps in), 4 x 15-bit band buckets for "
+    "candidates (one exchange, no all-pairs), exact Hamming verify. The "
+    "multimodal arm of the dedup family.",
+    tags=("multimodal", "dedup", "llm", "pandas-udf"),
+)
+def m06_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    img = (
+        _with_payload(docs)
+        .filter(F.col("kind") == "image")
+        .mapInPandas(_phash_batches, _M06_SCHEMA)
+    )
+    # integer div, never `/`: double division loses precision above 2^53
+    band_arr = F.array(
+        *[
+            F.expr(
+                f"(phash div {2 ** (PHASH_BAND_BITS * b)}L) % {2 ** PHASH_BAND_BITS}L"
+            )
+            for b in range(PHASH_BANDS)
+        ]
+    )
+    bands = img.select("doc_id", F.posexplode(band_arr).alias("b", "band_val"))
+    a = bands.alias("a")
+    bb = bands.alias("bb")
+    cand = (
+        a.join(
+            bb,
+            (F.col("a.b") == F.col("bb.b"))
+            & (F.col("a.band_val") == F.col("bb.band_val"))
+            & (F.col("a.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("bb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ia = img.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("ph_a"))
+    ib = img.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("ph_b"))
+    hamming = F.expr("bit_count(ph_a ^ ph_b)")
+    return (
+        cand.join(ia, "doc_a")
+        .join(ib, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+    )

@@ -253,3 +253,26 @@ def test_s05_pq_recall_vs_exact(spark):
         if pair in exact:
             assert cos == exact[pair]
     assert len(set(exact) & set(pq)) / len(exact) >= 0.35
+
+
+def test_m06_phash_neardup_finds_duplicate_payloads(spark, tmp_path):
+    """Crafted corpus: doc 0 and doc 3 (both image-kind: doc_id % 3 == 0)
+    share identical payload bytes -> identical pHash -> Hamming 0; doc 6
+    is distinct and must not pair. Docs 1, 2 are non-image and excluded
+    even though doc 1 duplicates doc 0's text."""
+    from lakekeeper_spark.queries.multimodal import m06_phash_neardup
+
+    rows = [
+        (0, "same payload bytes", "en", "s", 0),
+        (1, "same payload bytes", "en", "s", 0),  # non-image: excluded
+        (2, "other", "en", "s", 0),
+        (3, "same payload bytes", "en", "s", 0),
+        (6, "completely different content", "en", "s", 0),
+    ]
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(sf / "documents.parquet"))
+    got = [(r.doc_a, r.doc_b, r.hamming) for r in m06_phash_neardup(spark, str(sf)).collect()]
+    assert got == [(0, 3, 0)]
