@@ -78,6 +78,9 @@ _BACK_OK = {
     # a-family front; d02/d07/d08 keep dedup front)
     "a01_asof_join",
     "d01_dedup_exact",
+    # exact-hash green in r2's driver gate; demoted so d09 (connected
+    # components) sits inside the cut (p02/p03 keep the p-family front)
+    "p01_training_mix",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

@@ -676,3 +676,132 @@ def d08_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("pos_key") != F.col("first_key"), 1)).alias("n_dup_chunks"),
         (kept.cast("double") / F.count(F.lit(1))).alias("kept_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# d09: duplicate CLUSTERS via distributed connected components
+# --------------------------------------------------------------------------
+# Pairwise near-dup detection (d02-d08) emits EDGES; a real dedup pipeline
+# must then cluster them transitively (A~B, B~C => one cluster) and keep
+# one canonical doc per cluster. d09 builds the duplicate graph from
+# shared chunks (d08's unit: docs sharing any CHUNK_W-word window are
+# connected) and runs min-label propagation to a FIXPOINT: every vertex
+# ends labeled with the smallest doc_id reachable from it — the
+# distributed connected-components algorithm (Kiveris et al. 2014's
+# baseline; GraphFrames' default). Each iteration is one join + one
+# min-aggregate, labels localCheckpoint between rounds to truncate
+# lineage, and ONLY the per-iteration change count (a scalar) reaches the
+# driver. Iterations are bounded by component diameter; the synthetic
+# corpus converges in <= 3. The DuckDB oracle computes the same fixpoint
+# as a recursive CTE over the identical edge set.
+CC_MAX_ITERS = 25  # >> any real component diameter; loop exits on fixpoint
+
+
+def _cc_chunk_edges_sql() -> str:
+    return f"""
+w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(words[i*{CHUNK_W}+1 : i*{CHUNK_W}+{CHUNK_W}], ' ') AS chunk
+  FROM w, unnest(range(0, CAST(ceil(len(words) / {CHUNK_W}.0) AS BIGINT))) AS t(i)
+),
+edges AS (
+  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.doc_id < b.doc_id
+)"""
+
+
+@register(
+    "d09_dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_cc_chunk_edges_sql()},
+sym AS (
+  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges
+),
+reach(v, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.v
+),
+comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v)
+SELECT component,
+       COUNT(*) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM comp
+GROUP BY component
+HAVING COUNT(*) > 1
+""",
+    description="Duplicate clusters via distributed connected components: "
+    "chunk-sharing pairs form edges, min-label propagation iterates one "
+    "join + min-aggregate per round to the fixpoint (only a scalar change "
+    "count crosses to the driver), multi-doc clusters reported with their "
+    "canonical member. Oracle = recursive-CTE transitive closure.",
+    tags=("dedup", "llm", "graph", "iterative"),
+)
+def d09_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("words"),
+    )
+    chunks = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(words) = 0 THEN array() ELSE "
+                f"transform(sequence(0, CAST(ceil(size(words) / {CHUNK_W}.0) AS INT) - 1), "
+                f"i -> array_join(slice(words, i*{CHUNK_W}+1, {CHUNK_W}), ' ')) END"
+            )
+        ).alias("chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)  # the edge set is reused every iteration
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(CC_MAX_ITERS):
+        prop = (
+            sym.join(labels, F.col("src") == F.col("doc_id"))
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(prop, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_min") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint(eager=True)  # truncate lineage each round
+        n_changed = updated.filter(F.col("changed")).count()  # scalar only
+        labels = updated.select("doc_id", "label")
+        if n_changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
