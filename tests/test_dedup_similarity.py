@@ -276,3 +276,78 @@ def test_m06_phash_neardup_finds_duplicate_payloads(spark, tmp_path):
     ).write.parquet(str(sf / "documents.parquet"))
     got = [(r.doc_a, r.doc_b, r.hamming) for r in m06_phash_neardup(spark, str(sf)).collect()]
     assert got == [(0, 3, 0)]
+
+
+def test_d09_components_match_union_find_reference(spark, tmp_path):
+    """Randomized corpus (seeded): the distributed min-label propagation
+    must produce exactly the clusters a pure-Python union-find computes
+    over the same chunk-sharing edge definition."""
+    import random
+
+    from lakekeeper_spark.queries.dedup import CHUNK_W, d09_dedup_components
+
+    rng = random.Random(1234)
+    # letters only: the operator tokenizes with [a-z]+, so digits would
+    # collapse every word to the same token
+    vocab = [f"{a}{b}x" for a in "abcde" for b in "abcdefgh"]
+    docs = []
+    for doc_id in range(60):
+        n_chunks = rng.randint(1, 4)
+        words = []
+        for _ in range(n_chunks):
+            if docs and rng.random() < 0.4:
+                # reuse a random chunk from an earlier doc -> edge
+                src_words = docs[rng.randrange(len(docs))][1]
+                k = rng.randrange(max(1, len(src_words) // CHUNK_W))
+                words += src_words[k * CHUNK_W : (k + 1) * CHUNK_W]
+            else:
+                words += [rng.choice(vocab) for _ in range(CHUNK_W)]
+        docs.append((doc_id, words))
+
+    # reference: union-find over docs sharing any full chunk
+    def chunks_of(words):
+        return {
+            " ".join(words[i : i + CHUNK_W])
+            for i in range(0, len(words), CHUNK_W)
+        }
+
+    parent = list(range(len(docs)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    owner: dict[str, int] = {}
+    for doc_id, words in docs:
+        for ch in chunks_of(words):
+            if ch in owner:
+                union(owner[ch], doc_id)
+            else:
+                owner[ch] = doc_id
+    from collections import defaultdict
+
+    comp = defaultdict(list)
+    for doc_id, _ in docs:
+        comp[find(doc_id)].append(doc_id)
+    expected = {
+        (min(v), len(v), min(v), max(v)) for v in comp.values() if len(v) > 1
+    }
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    rows = [(d, " ".join(w), "en", "s", 0) for d, w in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(sf / "documents.parquet"))
+    got = {
+        (r.component, r.n_docs, r.canonical_doc, r.max_doc)
+        for r in d09_dedup_components(spark, str(sf)).collect()
+    }
+    assert got == expected
