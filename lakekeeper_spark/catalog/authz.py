@@ -1,0 +1,100 @@
+"""Authorization hook interface.
+
+Mirrors the reference's pluggable authorizer trait (``service/authz/
+mod.rs``, 3582 LoC: OpenFGA / Cedar / AllowAll backends behind one
+``Authorizer`` trait) at the scope SURVEY §2.4 sets for it: the HOOK
+INTERFACE plus an in-process reference backend, not a policy engine.
+Action names follow ``CatalogTableAction`` (``authz/mod.rs:995-1022``):
+get_metadata, read_data, write_data, commit, create, drop, rename,
+undrop, set_protection, include_in_list.
+
+Semantics kept faithful to the reference:
+  - AllowAll is the default and never denies, so an unconfigured catalog
+    behaves exactly as before (and emits no audit noise).
+  - Denials raise ``AuthorizationError`` AND emit an
+    ``authorization-failed`` audit event into the same change-event log
+    the reference routes its AuthorizationFailed CloudEvents through
+    (``service/events/types/authorization.rs:115,145``).
+  - ``include_in_list`` does not raise — unauthorized entries are
+    silently FILTERED from listings, the reference's list-filtering
+    behavior (``CatalogTableAction::IncludeInList``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from contextlib import contextmanager
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .catalog import Catalog
+
+TABLE_ACTIONS = frozenset(
+    {
+        "get_metadata",
+        "read_data",
+        "write_data",
+        "commit",
+        "create",
+        "drop",
+        "rename",
+        "undrop",
+        "set_protection",
+        "include_in_list",
+    }
+)
+
+
+class AuthorizationError(Exception):
+    """Denied by the installed Authorizer (maps to HTTP 403)."""
+
+
+class Authorizer:
+    """Base hook: decide whether ``actor`` may perform ``action`` on
+    ``resource`` (a dotted ``namespace.name`` path, or a namespace path
+    for namespace-level actions). ``actor=None`` is the anonymous/system
+    principal."""
+
+    def is_allowed(self, actor: str | None, action: str, resource: str) -> bool:
+        raise NotImplementedError
+
+
+class AllowAllAuthorizer(Authorizer):
+    """The default: every action allowed (reference AllowAllAuthorizer)."""
+
+    def is_allowed(self, actor: str | None, action: str, resource: str) -> bool:
+        return True
+
+
+class StaticRbacAuthorizer(Authorizer):
+    """In-process reference backend: actor -> allowed actions, optionally
+    scoped per resource prefix.
+
+    grants = {"alice": {"*"}, "bob": {"get_metadata", "read_data"}}
+    resource_grants = {("bob", "ns.secret"): set()}  # override per resource
+    """
+
+    def __init__(
+        self,
+        grants: dict[str | None, set[str]],
+        resource_grants: dict[tuple[str | None, str], set[str]] | None = None,
+    ) -> None:
+        self.grants = grants
+        self.resource_grants = resource_grants or {}
+
+    def is_allowed(self, actor: str | None, action: str, resource: str) -> bool:
+        scoped = self.resource_grants.get((actor, resource))
+        allowed = scoped if scoped is not None else self.grants.get(actor, set())
+        return "*" in allowed or action in allowed
+
+
+@contextmanager
+def acting_as(catalog: "Catalog", actor: str | None) -> Iterator[None]:
+    """Scope the catalog's current principal (the reference resolves it
+    per-request from AuthN; library callers scope it explicitly)."""
+    prev = catalog._actor
+    catalog._actor = actor
+    try:
+        yield
+    finally:
+        catalog._actor = prev

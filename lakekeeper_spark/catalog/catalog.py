@@ -72,8 +72,39 @@ _DEFAULT_WAREHOUSE_PROPS = {
 
 
 class Catalog:
-    def __init__(self, metastore: Metastore):
+    def __init__(self, metastore: Metastore, authorizer=None):
+        from .authz import AllowAllAuthorizer
+
         self.store = metastore
+        self.authz = authorizer or AllowAllAuthorizer()
+        self._actor: str | None = None
+
+    def acting_as(self, actor: str | None):
+        """Scope the current principal: ``with cat.acting_as("bob"): ...``
+        (reference: per-request identity from AuthN, service/authn.rs)."""
+        from .authz import acting_as
+
+        return acting_as(self, actor)
+
+    def _authorize(self, action: str, wh_key: str, resource: str) -> None:
+        """Gate + audit: denials raise AND land an authorization-failed
+        event in the change-event log (reference AuthorizationFailed
+        CloudEvent, service/events/types/authorization.rs:115). The
+        default AllowAll authorizer never denies, so an unconfigured
+        catalog emits zero audit noise and behaves exactly as before."""
+        from .authz import AuthorizationError
+
+        if self.authz.is_allowed(self._actor, action, resource):
+            return
+        self.store.emit_event(
+            "authorization-failed",
+            wh_key,
+            resource,
+            {"actor": self._actor, "action": action},
+        )
+        raise AuthorizationError(
+            f"actor {self._actor!r} may not {action} on {resource}"
+        )
 
     # ================= warehouses =================
     def create_warehouse(
@@ -432,6 +463,7 @@ class Catalog:
     ) -> dict[str, Any]:
         ident.validate_level(name)
         wh = self._warehouse(warehouse)
+        self._authorize("create", wh["wh_key"], f"{'.'.join(levels)}.{name}")
         policy = int(wh["properties"].get("format-version-policy", 3))
         if format_version > policy:
             raise CommitValidationError(
@@ -559,6 +591,7 @@ class Catalog:
         """Returns (metadata, etag). Raises NotModified when the caller's
         etag still matches (reference If-None-Match -> 304)."""
         wh = self._warehouse(warehouse)
+        self._authorize("get_metadata", wh["wh_key"], f"{'.'.join(levels)}.{name}")
         row = self._tabular_row(wh["wh_key"], levels, name, "table")
         if not row:
             raise NoSuchEntity(f"table {'.'.join(levels)}.{name} not found")
@@ -626,6 +659,14 @@ class Catalog:
         if page_size is not None and len(names) > page_size:
             names = names[:page_size]
             next_token = rows[page_size - 1]["name_key"]
+        # reference CatalogTableAction::IncludeInList - unauthorized
+        # entries are silently filtered, never an error
+        ns = ".".join(levels)
+        names = [
+            n
+            for n in names
+            if self.authz.is_allowed(self._actor, "include_in_list", f"{ns}.{n}")
+        ]
         return names, next_token
 
     def commit_table(
@@ -671,6 +712,10 @@ class Catalog:
             if key in seen:
                 raise CommitValidationError("duplicate table in transaction")
             seen.add(key)
+        for ch in table_changes:
+            self._authorize(
+                "commit", wh["wh_key"], f"{'.'.join(ch['levels'])}.{ch['name']}"
+            )
         policy = int(wh["properties"].get("format-version-policy", 3))
         st = self.store
         expired_files: list[str] = []
@@ -783,6 +828,7 @@ class Catalog:
         """Soft-delete (default, -> expiration queue) or schedule purge
         (reference DropTable + TabularDeleteProfile, server/tables.rs:710)."""
         wh = self._warehouse(warehouse)
+        self._authorize("drop", wh["wh_key"], f"{'.'.join(levels)}.{name}")
         st = self.store
         st.begin()
         try:
@@ -820,6 +866,7 @@ class Catalog:
         """Restore a soft-deleted table and cancel its expiration task
         (reference UndropTabularsRequest, warehouse/mod.rs:1450,1591-1615)."""
         wh = self._warehouse(warehouse)
+        self._authorize("undrop", wh["wh_key"], f"{'.'.join(levels)}.{name}")
         st = self.store
         st.begin()
         try:
@@ -842,6 +889,7 @@ class Catalog:
     ) -> None:
         ident.validate_level(new_name)
         wh = self._warehouse(warehouse)
+        self._authorize("rename", wh["wh_key"], f"{'.'.join(levels)}.{name}")
         st = self.store
         st.begin()
         try:
@@ -977,6 +1025,8 @@ class Catalog:
         self, warehouse: str, levels, name: str | None, protected: bool, kind: str = "table"
     ) -> None:
         wh = self._warehouse(warehouse)
+        resource = ".".join(levels) if name is None else f"{'.'.join(levels)}.{name}"
+        self._authorize("set_protection", wh["wh_key"], resource)
         st = self.store
         if name is None:
             cur = st.execute(

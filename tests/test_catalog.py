@@ -571,3 +571,91 @@ def test_multi_dialect_view_representations(catalog):
     # version 1 is immutable history with its original two dialects
     v1 = next(v for v in meta["versions"] if v["version-id"] == 1)
     assert {r["dialect"] for r in v1["representations"]} == {"spark", "trino"}
+
+
+# ---------------------------------------------------------------------------
+# authorization hook (reference service/authz/mod.rs; SURVEY §2.4 last row)
+# ---------------------------------------------------------------------------
+def _rbac_catalog(tmp_path):
+    from lakekeeper_spark.catalog.authz import StaticRbacAuthorizer
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+
+    authz = StaticRbacAuthorizer(
+        grants={
+            None: {"*"},  # the anonymous/system principal stays root
+            "admin": {"*"},
+            "reader": {"get_metadata", "read_data", "include_in_list"},
+        },
+        resource_grants={("reader", "ns.secret"): set()},  # fully hidden
+    )
+    cat = Catalog(Metastore(str(tmp_path / "m.db")), authorizer=authz)
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["ns"])
+    schema = {"type": "struct", "schema-id": 0,
+              "fields": [{"id": 1, "name": "x", "required": False, "type": "long"}]}
+    cat.create_table("wh", ["ns"], "t", schema)
+    cat.create_table("wh", ["ns"], "secret", schema)
+    return cat
+
+
+def test_authz_reader_can_load_but_not_mutate(tmp_path):
+    from lakekeeper_spark.catalog.authz import AuthorizationError
+
+    cat = _rbac_catalog(tmp_path)
+    with cat.acting_as("reader"):
+        meta, _ = cat.load_table("wh", ["ns"], "t")  # get_metadata allowed
+        assert meta["table-uuid"]
+        import pytest
+
+        with pytest.raises(AuthorizationError):
+            cat.drop_table("wh", ["ns"], "t")
+        with pytest.raises(AuthorizationError):
+            cat.rename_table("wh", ["ns"], "t", ["ns"], "t2")
+        with pytest.raises(AuthorizationError):
+            cat.create_table(
+                "wh", ["ns"], "new", {"type": "struct", "schema-id": 0, "fields": []}
+            )
+        with pytest.raises(AuthorizationError):
+            cat.set_protection("wh", ["ns"], "t", True)
+    # table survived every denied mutation
+    assert cat.table_exists("wh", ["ns"], "t")
+
+
+def test_authz_list_filtering_and_resource_scope(tmp_path):
+    from lakekeeper_spark.catalog.authz import AuthorizationError
+
+    cat = _rbac_catalog(tmp_path)
+    # admin and the default principal see both tables
+    names, _ = cat.list_tables("wh", ["ns"])
+    assert names == ["secret", "t"]
+    with cat.acting_as("admin"):
+        names, _ = cat.list_tables("wh", ["ns"])
+        assert names == ["secret", "t"]
+    # reader: ns.secret is filtered from listings AND load is denied
+    with cat.acting_as("reader"):
+        names, _ = cat.list_tables("wh", ["ns"])
+        assert names == ["t"]
+        import pytest
+
+        with pytest.raises(AuthorizationError):
+            cat.load_table("wh", ["ns"], "secret")
+
+
+def test_authz_denial_emits_audit_event_and_actor_scope_restores(tmp_path):
+    from lakekeeper_spark.catalog.authz import AuthorizationError
+
+    cat = _rbac_catalog(tmp_path)
+    import pytest
+
+    with cat.acting_as("reader"):
+        with pytest.raises(AuthorizationError):
+            cat.drop_table("wh", ["ns"], "t")
+    assert cat._actor is None  # scope restored
+    audits = [e for e in cat.list_events(1000) if e["type"] == "authorization-failed"]
+    assert len(audits) == 1
+    assert audits[0]["payload"] == {"actor": "reader", "action": "drop"}
+    # default principal unaffected: mutation proceeds and emits NO audit row
+    cat.drop_table("wh", ["ns"], "t")
+    audits2 = [e for e in cat.list_events(1000) if e["type"] == "authorization-failed"]
+    assert len(audits2) == 1
