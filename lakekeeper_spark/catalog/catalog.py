@@ -73,11 +73,23 @@ _DEFAULT_WAREHOUSE_PROPS = {
 
 class Catalog:
     def __init__(self, metastore: Metastore, authorizer=None):
+        import threading
+
         from .authz import AllowAllAuthorizer
 
         self.store = metastore
         self.authz = authorizer or AllowAllAuthorizer()
-        self._actor: str | None = None
+        # thread-local: the REST facade serves concurrent requests from a
+        # ThreadingHTTPServer, each scoped to its own request principal
+        self._actor_ctx = threading.local()
+
+    @property
+    def _actor(self) -> str | None:
+        return getattr(self._actor_ctx, "actor", None)
+
+    @_actor.setter
+    def _actor(self, value: str | None) -> None:
+        self._actor_ctx.actor = value
 
     def acting_as(self, actor: str | None):
         """Scope the current principal: ``with cat.acting_as("bob"): ...``

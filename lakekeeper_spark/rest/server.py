@@ -40,6 +40,7 @@ from ..catalog.catalog import (
     NotModified,
     ProtectedEntity,
 )
+from ..catalog.authz import AuthorizationError
 from ..catalog.commit import CommitValidationError
 
 NS_SEP = "\x1f"  # Iceberg REST multipart namespace separator (%1F)
@@ -126,9 +127,17 @@ class _Handler(BaseHTTPRequestHandler):
             if not match:
                 continue
             try:
-                getattr(self, fname)(**match.groupdict())
+                # Request identity: Bearer token -> principal (the
+                # reference resolves OIDC subjects, service/authn.rs; this
+                # stub maps the token verbatim). No header = anonymous.
+                auth = self.headers.get("Authorization") or ""
+                actor = auth[7:] if auth.startswith("Bearer ") else None
+                with self.catalog.acting_as(actor):
+                    getattr(self, fname)(**match.groupdict())
             except NotModified:
                 self._reply(304)
+            except AuthorizationError as e:
+                self._reply_err(403, "NotAuthorizedException", e)
             except NoSuchEntity as e:
                 self._reply_err(404, "NoSuchEntityException", e)
             except CommitConflict as e:

@@ -451,3 +451,64 @@ def test_streaming_source_plans_through_rest(rest, spark, tmp_path):
     assert drain() == 5
     t.append(spark.createDataFrame([(6, 6.0, "r6")], df.schema))
     assert drain() == 6  # only the new append's row landed
+
+
+def test_bearer_identity_and_403_over_http(tmp_path):
+    """Request principals come from the Authorization header; denials map
+    to 403 NotAuthorizedException and unauthorized tables vanish from
+    listings. Anonymous (no header) stays root via the default grants."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from lakekeeper_spark.catalog.authz import StaticRbacAuthorizer
+
+    authz = StaticRbacAuthorizer(
+        grants={
+            None: {"*"},
+            "reader": {"get_metadata", "read_data", "include_in_list"},
+        },
+        resource_grants={("reader", "ns.secret"): set()},
+    )
+    catalog = Catalog(Metastore(str(tmp_path / "m.db")), authorizer=authz)
+    server = RestCatalogServer(catalog).start()
+    try:
+        client = RestCatalogClient(server.url)
+        client.create_warehouse("wh", str(tmp_path / "wh"))
+        client.create_namespace("wh", ["ns"])
+        schema = {"type": "struct", "schema-id": 0,
+                  "fields": [{"id": 1, "name": "x", "required": False, "type": "long"}]}
+        client.create_table("wh", ["ns"], "t", schema)
+        client.create_table("wh", ["ns"], "secret", schema)
+
+        def req(method, path, token=None):
+            r = urllib.request.Request(server.url + path, method=method)
+            if token:
+                r.add_header("Authorization", f"Bearer {token}")
+            return urllib.request.urlopen(r)
+
+        # reader can load
+        body = _json.loads(req("GET", "/catalog/v1/wh/namespaces/ns/tables/t",
+                               "reader").read())
+        assert body["metadata"]["table-uuid"]
+        # reader cannot drop -> 403 with the typed error model
+        try:
+            req("DELETE", "/catalog/v1/wh/namespaces/ns/tables/t", "reader")
+            raise AssertionError("expected 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+            assert _json.loads(e.read())["error"]["type"] == "NotAuthorizedException"
+        # reader's listing hides ns.secret; anonymous sees both
+        rd = _json.loads(req("GET", "/catalog/v1/wh/namespaces/ns/tables",
+                             "reader").read())
+        anon = _json.loads(req("GET", "/catalog/v1/wh/namespaces/ns/tables").read())
+        names = lambda b: sorted(i["name"] for i in b["identifiers"])  # noqa: E731
+        assert names(rd) == ["t"] and names(anon) == ["secret", "t"]
+        # the denial left an audit event
+        audits = [e for e in catalog.list_events(100)
+                  if e["type"] == "authorization-failed"]
+        assert audits and audits[0]["payload"]["actor"] == "reader"
+        # table survived
+        assert client.table_exists("wh", ["ns"], "t")
+    finally:
+        server.stop()
