@@ -81,6 +81,11 @@ _BACK_OK = {
     # exact-hash green in r2's driver gate; demoted so d09 (connected
     # components) sits inside the cut (p02/p03 keep the p-family front)
     "p01_training_mix",
+    # exact-hash green in r2's driver gate; demoted so e11 (anomaly
+    # detection) and p04 (mixture sampling) sit inside the cut
+    # (c01/c04-c07 and d07/d08/d09 keep those families' front coverage)
+    "c03_mor_wap_lifecycle",
+    "d02_dedup_ngram_jaccard",
 }
 _FRONT_Q = {
     "q01_pricing_summary",

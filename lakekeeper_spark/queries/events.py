@@ -1066,3 +1066,73 @@ def a02_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_fwd_gap_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# e11: anomaly detection — hourly volumes vs a trailing rolling baseline
+# --------------------------------------------------------------------------
+# The monitoring query a catalog's endpoint-statistics pipeline runs on its
+# own rollups (reference endpoint_statistics + warehouse statistics
+# surface): flag hours whose event volume spikes above the trailing 24-hour
+# baseline. The per-hour aggregate is the data-scale stage (one keyed
+# exchange with map-side combine); the rolling window then runs over the
+# HOURLY frame — one row per hour, metadata-scale even across years, so an
+# ordered window here is bounded by construction, not an anti-pattern.
+# Exactness: the baseline mean is an exact rational (sum/count of BIGINT
+# counts); the spike test multiplies through by the window count instead
+# of dividing, so the oracle comparison stays in exact integer arithmetic.
+E11_TRAIL_HOURS = 24
+E11_SPIKE_NUM = 3  # flag when count > 3x trailing mean (exact rational)
+
+
+@register(
+    "e11_anomaly_hours",
+    oracle=f"""
+WITH hourly AS (
+  SELECT epoch_ns(ts) // {NANOS_PER_HOUR} AS hour_bucket, COUNT(*) AS n
+  FROM events GROUP BY epoch_ns(ts) // {NANOS_PER_HOUR}
+),
+rolled AS (
+  SELECT hour_bucket, n,
+         SUM(n) OVER w AS base_sum,
+         COUNT(*) OVER w AS base_cnt
+  FROM hourly
+  WINDOW w AS (ORDER BY hour_bucket
+               ROWS BETWEEN {E11_TRAIL_HOURS} PRECEDING AND 1 PRECEDING)
+)
+SELECT hour_bucket,
+       CAST(n AS BIGINT) AS n_events,
+       CAST(base_sum AS BIGINT) AS baseline_sum,
+       CAST(base_cnt AS BIGINT) AS baseline_hours,
+       n * base_cnt > {E11_SPIKE_NUM} * base_sum AS is_spike
+FROM rolled
+WHERE base_cnt > 0
+""",
+    description="Hourly volume anomaly flags vs a trailing 24h rolling "
+    "baseline: data-scale agg to one row per hour, then a rolling window "
+    "over the bounded hourly frame; spike test in exact integer "
+    "cross-multiplication (no float division).",
+    tags=("events", "window", "monitoring"),
+)
+def e11_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr(f"ts_ns div {NANOS_PER_HOUR}").alias("hour_bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # one row per hour: the ordered frame is metadata-scale by construction
+    w = Window.orderBy("hour_bucket").rowsBetween(-E11_TRAIL_HOURS, -1)
+    rolled = hourly.select(
+        "hour_bucket",
+        "n",
+        F.sum("n").over(w).alias("base_sum"),
+        F.count(F.lit(1)).over(w).alias("base_cnt"),
+    )
+    return rolled.where(F.col("base_cnt") > 0).select(
+        "hour_bucket",
+        F.col("n").cast("long").alias("n_events"),
+        F.col("base_sum").cast("long").alias("baseline_sum"),
+        F.col("base_cnt").cast("long").alias("baseline_hours"),
+        (F.col("n") * F.col("base_cnt") > E11_SPIKE_NUM * F.col("base_sum")).alias(
+            "is_spike"
+        ),
+    )

@@ -877,3 +877,88 @@ def t11_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p04: token-budgeted MIXTURE sampling to target source proportions
+# --------------------------------------------------------------------------
+# Training-data mixing (the static form of DoReMi / The Pile's recipe):
+# given a global token budget and target weights per source (uniform
+# here), compute each source's keep-RATE from its measured token total,
+# then sample documents deterministically at that rate. Rates come from a
+# source-level aggregate (one row per source — metadata-scale) joined
+# back to the corpus; the keep decision is a pure row-local integer
+# comparison, cross-multiplied so no float rounding can diverge between
+# engines: keep iff bucket * T_s * n_sources < MOD * BUDGET (or the
+# source fits entirely). Oversampling is clamped at rate 1 — undersized
+# sources contribute everything they have, the standard mixing behavior.
+P04_BUDGET_TOKENS = 20_000
+P04_MOD = 10_000  # sampling-hash space (decision resolution 1e-4)
+
+
+@register(
+    "p04_mixture_sample",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(lower(text), '{BPE_RE_SQL}')) AS n_tokens,
+         ((doc_id * 2654435761) % 1000003) % {P04_MOD} AS bucket
+  FROM documents
+),
+per_src AS (SELECT source, SUM(n_tokens) AS src_tokens FROM toks GROUP BY source),
+n_src AS (SELECT COUNT(*) AS n_sources FROM per_src),
+kept AS (
+  SELECT t.source, t.n_tokens,
+         (s.src_tokens * n.n_sources <= {P04_BUDGET_TOKENS}
+          OR t.bucket * s.src_tokens * n.n_sources
+             < {P04_MOD} * {P04_BUDGET_TOKENS}) AS keep
+  FROM toks t JOIN per_src s ON t.source = s.source, n_src n
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       COUNT(*) FILTER (WHERE keep) AS kept_docs,
+       CAST(COALESCE(SUM(n_tokens) FILTER (WHERE keep), 0) AS BIGINT)
+         AS kept_tokens
+FROM kept
+GROUP BY source
+""",
+    description="Deterministic token-budgeted mixture sampling to uniform "
+    "source targets: source-level token totals set per-source keep rates, "
+    "the keep decision is row-local exact integer cross-multiplication "
+    "(no float rounding), undersized sources clamp at rate 1. The "
+    "dataset-mixing stage of a training pipeline.",
+    tags=("text", "llm", "pipeline", "sampling"),
+)
+def p04_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_count(F.lower(F.col("text")), F.lit(BPE_RE)).cast("long").alias(
+            "n_tokens"
+        ),
+        (
+            ((F.col("doc_id") * F.lit(2654435761).cast("long")) % F.lit(1000003))
+            % F.lit(P04_MOD)
+        ).alias("bucket"),
+    )
+    per_src = toks.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    n_src = per_src.agg(F.count(F.lit(1)).alias("n_sources"))
+    keep = (
+        F.col("src_tokens") * F.col("n_sources") <= F.lit(P04_BUDGET_TOKENS)
+    ) | (
+        F.col("bucket") * F.col("src_tokens") * F.col("n_sources")
+        < F.lit(P04_MOD) * F.lit(P04_BUDGET_TOKENS)
+    )
+    kept = toks.join(per_src, "source").crossJoin(F.broadcast(n_src)).select(
+        "source", "n_tokens", keep.alias("keep")
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count(F.when(F.col("keep"), 1)).alias("kept_docs"),
+        F.coalesce(F.sum(F.when(F.col("keep"), F.col("n_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
