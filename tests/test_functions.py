@@ -60,3 +60,58 @@ def test_salted_agg_equals_plain_agg(spark):
         for r in salted_agg(df, ["k"], {"s": "v"}, count_alias="n", salts=8).collect()
     }
     assert plain == salted
+
+
+# ---------------------------------------------------------------------------
+# sketch mergeability: the scale claims h01/h03 make, proven on partitions
+# ---------------------------------------------------------------------------
+def test_kmv_sketch_is_mergeable():
+    """KMV of a union == min-k of the per-partition min-k unions — the
+    property that lets the sketch build with partial aggregation and merge
+    across shards/streams. Pure-Python replay of the exact hash pipeline."""
+    KMV_K = 256
+    KMV_MUL = 2_654_435_761
+    KMV_P = 9_007_199_254_740_881
+
+    def hashes(users):
+        return sorted({(u * KMV_MUL) % KMV_P / KMV_P for u in users})
+
+    import random
+
+    rng = random.Random(7)
+    shard_a = [rng.randrange(10_000) for _ in range(5_000)]
+    shard_b = [rng.randrange(10_000) for _ in range(5_000)]
+    direct = hashes(shard_a + shard_b)[:KMV_K]
+    merged = sorted(set(hashes(shard_a)[:KMV_K]) | set(hashes(shard_b)[:KMV_K]))[:KMV_K]
+    assert direct == merged
+
+
+def test_countmin_sketch_is_mergeable():
+    """Count-min cells add: sketch(A ++ B) == sketch(A) + sketch(B)
+    cell-wise, so partial aggregation / cross-stream merge is exact."""
+    from collections import Counter
+
+    from lakekeeper_spark.queries.events import CM_ADDS, CM_D, CM_MULS, CM_P, CM_W
+
+    def sketch(users):
+        cells = Counter()
+        for u in users:
+            for j in range(CM_D):
+                cells[(j, ((u * CM_MULS[j] + CM_ADDS[j]) % CM_P) % CM_W)] += 1
+        return cells
+
+    import random
+
+    rng = random.Random(11)
+    a = [rng.randrange(1_000) for _ in range(3_000)]
+    b = [rng.randrange(1_000) for _ in range(3_000)]
+    assert sketch(a + b) == sketch(a) + sketch(b)
+    # and the estimate from the merged sketch upper-bounds every true count
+    merged = sketch(a + b)
+    truth = Counter(a + b)
+    for u, n in truth.items():
+        est = min(
+            merged[(j, ((u * CM_MULS[j] + CM_ADDS[j]) % CM_P) % CM_W)]
+            for j in range(CM_D)
+        )
+        assert est >= n
