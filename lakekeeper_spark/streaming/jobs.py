@@ -816,3 +816,130 @@ def st09_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_lag_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# st10: end-to-end streaming lakehouse loop — icelite -> stream -> MERGE
+# --------------------------------------------------------------------------
+# The composition st06 and st07 each prove half of: a catalog table is the
+# STREAM SOURCE (snapshot-log micro-batches, st07's DataSource) and a
+# second catalog table is the STREAM SINK (foreachBatch MERGE upsert,
+# st06's pattern). Two drains with an append between them prove the
+# exactly-once loop: the second drain resumes from the checkpointed
+# snapshot offset, re-reads NOTHING from phase 1, and the merged totals
+# still equal the all-at-once batch aggregate — state lives in the target
+# TABLE and the checkpoint, not in the stream.
+@register(
+    "st10_stream_table_to_table",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= 1000
+)
+SELECT l_orderkey,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_fp
+FROM src
+GROUP BY l_orderkey
+""",
+    description="The full streaming-lakehouse loop: an icelite table as "
+    "the stream source (snapshot-offset micro-batches) feeding a "
+    "foreachBatch MERGE into a second icelite table, drained twice with "
+    "an append in between - exactly-once resume off the checkpoint, "
+    "accumulation in the target table, final state equals the "
+    "all-at-once batch aggregate.",
+    tags=("streaming", "catalog", "icelite", "source", "merge", "cdc"),
+)
+def st10_stream_table_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..data import load_table
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+    from .source import IceliteStreamDataSource
+
+    ensure_runtime_confs(spark)
+    try:
+        spark.dataSource.register(IceliteStreamDataSource)
+    except Exception:
+        pass  # idempotent per-session registration
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_loop_")
+    mpath = f"{tmp}/metastore.db"
+    cat = Catalog(Metastore(mpath))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["stream"])
+
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+    )
+    src = src.withColumn(
+        "rn",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                "l_orderkey", "l_linenumber"
+            )
+        ),
+    )
+    phase1 = src.filter("rn <= 600").drop("rn")
+    phase2 = src.filter("rn > 600").drop("rn")
+    cat.create_table("wh", ["stream"], "feed", struct_to_schema(phase1.schema))
+    feed = SparkTable(spark, cat, "wh", ["stream"], "feed")
+    feed.append(phase1)
+
+    cat.create_table(
+        "wh",
+        ["stream"],
+        "order_totals",
+        struct_to_schema(
+            spark.createDataFrame([], "l_orderkey long, n_lines long, qty_fp long").schema
+        ),
+    )
+    target = SparkTable(spark, cat, "wh", ["stream"], "order_totals")
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        agg = batch.groupBy("l_orderkey").agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+            .cast("long")
+            .alias("qty_fp"),
+        )
+        if target._resolve_snapshot(target.metadata()) is None:
+            target.append(agg)
+        else:
+            target.merge(
+                agg,
+                on="t.l_orderkey = s.l_orderkey",
+                matched_update={
+                    "n_lines": "t.n_lines + s.n_lines",
+                    "qty_fp": "t.qty_fp + s.qty_fp",
+                },
+            )
+
+    ckpt = tempfile.mkdtemp(prefix="lkspark_ckpt_")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("icelite")
+            .option("metastore", mpath)
+            .option("warehouse", "wh")
+            .option("namespace", "stream")
+            .option("table", "feed")
+            .load()
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # phase 1 lands
+    feed.append(phase2)
+    drain()  # resumes at the committed offset: ONLY phase 2 lands
+    return target.scan().select("l_orderkey", "n_lines", "qty_fp")
