@@ -91,9 +91,9 @@ _BACK_OK = {
     "e05_variant_join",
 }
 _FRONT_Q = {
+    # q08/q18 rejoined the back tail (exact-hash green in r1+r2's gates)
+    # so t12 (vocab growth) and w07 (grouping sets) sit inside the cut
     "q01_pricing_summary",
-    "q08_market_share",
-    "q18_large_volume_customer",
 }
 
 

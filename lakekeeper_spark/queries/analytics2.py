@@ -551,7 +551,7 @@ WHERE l.l_shipdate >= o.o_orderdate
 GROUP BY 1
 """,
     description="TPC-H Q12 shape adapted (driver schema has no "
-    "l_shipmode): lineitems classed by ship delay, conditional counts of "
+    "l_linestatus): lineitems classed by ship delay, conditional counts of "
     "high vs low priority orders. Fact-to-fact join shuffles once on "
     "orderkey; conditional aggregation combines map-side.",
     tags=("analytics", "join", "conditional-agg"),
@@ -781,4 +781,55 @@ def w06_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
             "sum_price",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# w07: explicit GROUPING SETS (the general form behind ROLLUP/CUBE)
+# --------------------------------------------------------------------------
+# w03 covers ROLLUP, w06 CUBE; w07 exercises an ARBITRARY set list — the
+# form reporting layers actually emit: (shipmode x returnflag) detail,
+# per-linestatus subtotal, and grand total, but deliberately NOT
+# per-returnflag (which CUBE would force). Same physical shape: one
+# Expand + partial aggregation, one exchange, grouping_id tagging levels.
+@register(
+    "w07_grouping_sets",
+    oracle=f"""
+SELECT COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COALESCE(l_returnflag, 'ALL') AS returnflag,
+       CAST(GROUPING(l_linestatus) * 2 + GROUPING(l_returnflag) AS BIGINT)
+         AS gid,
+       COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice', 100)} AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_linestatus, l_returnflag), (l_linestatus), ())
+""",
+    description="Explicit GROUPING SETS — detail, per-linestatus subtotal "
+    "and grand total but deliberately NOT per-returnflag (the asymmetric "
+    "set list neither ROLLUP nor CUBE can express): one Expand + "
+    "partial-agg shuffle, grouping_id tags the level.",
+    tags=("analytics", "grouping-sets"),
+)
+def w07_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_linestatus", "l_returnflag", "l_extendedprice"
+    )
+    li.createOrReplaceTempView("w07_lineitem")
+    out = li.sparkSession.sql(
+        """
+        SELECT l_linestatus, l_returnflag,
+               CAST(grouping_id(l_linestatus, l_returnflag) AS BIGINT) AS gid,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100 AS sum_price
+        FROM w07_lineitem
+        GROUP BY GROUPING SETS ((l_linestatus, l_returnflag), (l_linestatus), ())
+        """
+    )
+    return out.select(
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+        F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+        "gid",
+        "n_items",
+        "sum_price",
     )

@@ -962,3 +962,94 @@ def p04_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# t12: vocabulary growth curve (Heaps' law) via first-occurrence aggregation
+# --------------------------------------------------------------------------
+# The corpus diagnostic behind tokenizer sizing: how fast does the distinct
+# vocabulary grow as the corpus grows? The naive form replays the corpus
+# prefix-by-prefix (quadratic); the distributed form needs ONE aggregation:
+# every token's first-occurrence position is min(doc_id) over its
+# occurrences, and the vocabulary size at any corpus prefix is then just a
+# count of first-occurrences <= the cutoff — a bounded checkpoint join.
+# Token totals per prefix come from the same pass (sum over doc_id <=
+# cutoff). Checkpoints are fixed doc_id quantile cuts (deciles by id).
+T12_CHECKPOINTS = 10
+
+
+@register(
+    "t12_vocab_growth",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+firsts AS (SELECT tok, MIN(doc_id) AS first_doc FROM toks GROUP BY tok),
+bounds AS (SELECT MAX(doc_id) AS max_doc FROM documents),
+cuts AS (
+  SELECT i AS checkpoint,
+         CAST(floor((i * (max_doc + 1)) / {T12_CHECKPOINTS}.0) - 1 AS BIGINT)
+           AS cut_doc
+  FROM range(1, {T12_CHECKPOINTS} + 1) t(i), bounds
+)
+SELECT c.checkpoint,
+       c.cut_doc,
+       (SELECT COUNT(*) FROM firsts f WHERE f.first_doc <= c.cut_doc)
+         AS vocab_size,
+       (SELECT COUNT(*) FROM toks t WHERE t.doc_id <= c.cut_doc)
+         AS total_tokens
+FROM cuts c
+""",
+    description="Heaps'-law vocabulary growth at decile corpus prefixes: "
+    "one token-level first-occurrence aggregation (min doc_id per token), "
+    "then a bounded checkpoint join - never a quadratic prefix replay.",
+    tags=("text", "llm", "corpus-stats"),
+)
+def t12_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("tok"),
+    )
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    max_doc = docs.agg(F.max("doc_id").alias("max_doc"))
+    cuts = F.broadcast(
+        spark.range(1, T12_CHECKPOINTS + 1)
+        .withColumnRenamed("id", "checkpoint")
+        .crossJoin(F.broadcast(max_doc))
+        .select(
+            "checkpoint",
+            F.expr(
+                f"CAST(floor((checkpoint * (max_doc + 1)) / {T12_CHECKPOINTS}.0) - 1"
+                " AS BIGINT)"
+            ).alias("cut_doc"),
+        )
+    )
+    vocab = (
+        firsts.crossJoin(cuts)
+        .where(F.col("first_doc") <= F.col("cut_doc"))
+        .groupBy("checkpoint", "cut_doc")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
+    )
+    # token totals from DOC-level counts: the checkpoint fan-out then
+    # multiplies #docs rows, never the token stream itself
+    per_doc = docs.select(
+        "doc_id",
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z]+")).cast("long").alias("n"),
+    )
+    totals = (
+        per_doc.crossJoin(cuts)
+        .where(F.col("doc_id") <= F.col("cut_doc"))
+        .groupBy("checkpoint")
+        .agg(F.sum("n").alias("total_tokens"))
+    )
+    return (
+        vocab.join(totals, "checkpoint")
+        .select(
+            F.col("checkpoint").cast("long").alias("checkpoint"),
+            "cut_doc",
+            "vocab_size",
+            "total_tokens",
+        )
+    )
