@@ -464,6 +464,10 @@ def m06_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _with_payload(docs)
         .filter(F.col("kind") == "image")
         .mapInPandas(_phash_batches, _M06_SCHEMA)
+        # four plan branches (bands a/b, rerank a/b) reference img; without
+        # materialization the (expensive, Python-side) decode+hash UDF runs
+        # once PER BRANCH - checkpointing pins it to exactly one evaluation
+        .localCheckpoint(eager=True)
     )
     # integer div, never `/`: double division loses precision above 2^53
     band_arr = F.array(

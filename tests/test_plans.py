@@ -248,3 +248,59 @@ def test_r02_sweep_is_bucket_partitioned_no_self_join(spark):
     lines = [ln for ln in simple.splitlines() if "Window" in ln and "bkt" in ln]
     assert any("partitionBy" not in ln for ln in lines) or lines
     assert "bkt" in plan
+
+
+def test_s05_pq_all_joins_are_broadcast(spark):
+    """PQ's codebook, ADC tables and query vectors are all structurally
+    bounded — every join must broadcast; an all-pairs or sort-merge shape
+    would mean the codes stopped being the data-reduction step."""
+    from lakekeeper_spark.queries.embeddings_ops import s05_knn_pq
+
+    simple = (
+        s05_knn_pq(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "SortMergeJoin" not in simple
+    assert simple.count("BroadcastHashJoin") >= 3  # cb x2 paths, qtab, rerank
+
+
+def test_h03_estimates_broadcast_the_bounded_cell_table(spark):
+    """The d*w sketch cells are bounded regardless of corpus size; the
+    estimate join must broadcast them, never shuffle the key side."""
+    from lakekeeper_spark.queries.events import h03_countmin_heavy_hitters
+
+    simple = (
+        h03_countmin_heavy_hitters(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in simple
+    assert "SortMergeJoin" not in simple
+
+
+def test_e11_rolling_window_runs_over_the_hourly_aggregate(spark):
+    """The ordered window must sit ABOVE the hourly HashAggregate (one row
+    per hour — bounded), never over raw events."""
+    from lakekeeper_spark.queries.events import e11_anomaly_hours
+
+    simple = (
+        e11_anomaly_hours(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    )
+    # Window appears earlier in the (top-down) plan string than the
+    # aggregate feeding it, and a partial+final aggregate pair exists below
+    assert "Window" in simple and simple.count("HashAggregate") >= 2
+    assert simple.index("Window") < simple.index("HashAggregate")
+
+
+def test_m06_phash_evaluates_once(spark):
+    """Four plan branches consume the pHash frame; the Python decode+hash
+    must run exactly once (checkpointed), so the executed plan reads the
+    materialized RDD — no residual Python evaluation nodes."""
+    from lakekeeper_spark.queries.multimodal import m06_phash_neardup
+
+    simple = (
+        m06_phash_neardup(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in simple  # already evaluated into the checkpoint
+    assert "Scan ExistingRDD" in simple
