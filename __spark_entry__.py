@@ -86,6 +86,9 @@ _BACK_OK = {
     # (c01/c04-c07 and d07/d08/d09 keep those families' front coverage)
     "c03_mor_wap_lifecycle",
     "d02_dedup_ngram_jaccard",
+    # exact-hash green in r1's driver gate; demoted so k01 (skew-safe
+    # salted aggregation) sits inside the cut (w04/w06/w07 keep w front)
+    "w02_running_revenue",
     # exact-hash green in r2's driver gate; demoted so st10 (table-to-
     # table streaming loop) sits inside the cut (e11 keeps e-family front)
     "e05_variant_join",

@@ -1136,3 +1136,44 @@ def e11_anomaly_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_spike"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# k01: skew-safe aggregation over HOT keys (salted two-phase groupBy)
+# --------------------------------------------------------------------------
+# events has ~5 event types over the whole corpus: the canonical hot-key
+# aggregation where one reduce group swallows a fifth of the data. The
+# salted form (functions/skew.salted_agg) spreads every key across 16
+# deterministic sub-groups — each reduce task bounded at ~1/16 of a key —
+# then combines partials; identical results for commutative aggregates
+# (fixed-point integer sums). This row puts the skew toolkit itself under
+# the driver's correctness gate; salted_join has its own pytest.
+@register(
+    "k01_salted_hot_key_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND((value)*1000000) AS BIGINT)) AS BIGINT) AS value_fp
+FROM events
+GROUP BY event_type
+""",
+    description="Hot-key aggregation via deterministic salting: every key "
+    "spreads across 16 sub-groups (phase 1) whose partials combine in "
+    "phase 2 - reduce groups bounded at ~1/16 of a key, result identical "
+    "to the plain groupBy. The skew toolkit as a driver-checked row.",
+    tags=("events", "skew", "aggregate"),
+)
+def k01_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("value_fp6"),
+    )
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        sum_cols={"value_fp": "value_fp6"},
+        count_alias="n_events",
+    ).select("event_type", "n_events", F.col("value_fp").cast("long").alias("value_fp"))
