@@ -472,7 +472,13 @@ class Catalog:
         properties: dict[str, str] | None = None,
         stage_create: bool = False,
         format_version: int = 2,
+        location: str | None = None,
     ) -> dict[str, Any]:
+        """``location`` overrides the storage-layout template (reference
+        CREATE TABLE ... LOCATION, test_spark.py:793 test_custom_location);
+        the same-location / sub-location overlap check still applies, and
+        string-prefix SIBLINGS ('X' vs 'Xa') are legal and purge-safe
+        (test_spark.py:740 test_drop_with_shared_prefix)."""
         ident.validate_level(name)
         wh = self._warehouse(warehouse)
         self._authorize("create", wh["wh_key"], f"{'.'.join(levels)}.{name}")
@@ -482,7 +488,12 @@ class Catalog:
                 f"format-version {format_version} exceeds warehouse policy ({policy})"
             )
         table_uuid = new_uuid()
-        location = self._table_location(wh, levels, table_uuid, name)
+        if location is not None:
+            if not location.strip("/"):
+                raise CatalogError("custom location must be a non-empty path")
+            location = location.rstrip("/")
+        else:
+            location = self._table_location(wh, levels, table_uuid, name)
         meta = new_table_metadata(
             table_uuid, location, schema, partition_spec, sort_order, properties, format_version
         )

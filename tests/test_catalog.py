@@ -659,3 +659,44 @@ def test_authz_denial_emits_audit_event_and_actor_scope_restores(tmp_path):
     cat.drop_table("wh", ["ns"], "t")
     audits2 = [e for e in cat.list_events(1000) if e["type"] == "authorization-failed"]
     assert len(audits2) == 1
+
+
+def test_custom_location_and_shared_prefix_purge_safety(catalog, tmp_path):
+    """Reference test_spark.py:740/793/832: a CREATE with an explicit
+    LOCATION is honored; a location that shares a STRING prefix with an
+    existing table ('X' vs 'Xa') is legal (only same/sub-locations are
+    overlaps); and purging the first table must not touch the sibling's
+    files (purge is path-scoped, never string-prefix-scoped)."""
+    import os
+
+    from lakekeeper_spark.catalog.catalog import AlreadyExists
+    from lakekeeper_spark.catalog.lifecycle import run_purge_queue
+
+    catalog.create_namespace("wh", ["ns"])
+    schema = {"type": "struct", "schema-id": 0,
+              "fields": [{"id": 1, "name": "x", "required": False, "type": "long"}]}
+    base = str(tmp_path / "custom-location")
+    meta1 = catalog.create_table("wh", ["ns"], "t1", schema, location=base)
+    assert meta1["location"] == base
+    # sibling with a shared string prefix: allowed
+    meta2 = catalog.create_table("wh", ["ns"], "t2", schema, location=base + "a")
+    assert meta2["location"] == base + "a"
+    # same location and sub-location: rejected
+    import pytest
+
+    with pytest.raises(AlreadyExists):
+        catalog.create_table("wh", ["ns"], "t3", schema, location=base)
+    with pytest.raises(AlreadyExists):
+        catalog.create_table("wh", ["ns"], "t4", schema, location=base + "/sub")
+
+    # drop t1 with purge; t2's files must survive
+    os.makedirs(base, exist_ok=True)
+    os.makedirs(base + "a", exist_ok=True)
+    (tmp_path / "custom-location" / "data.parquet").write_bytes(b"x")
+    with open(base + "a/data.parquet", "wb") as f:
+        f.write(b"y")
+    catalog.drop_table("wh", ["ns"], "t1", purge=True)
+    run_purge_queue(catalog)
+    assert not os.path.exists(base)  # purged
+    assert os.path.exists(base + "a/data.parquet")  # sibling untouched
+    assert catalog.table_exists("wh", ["ns"], "t2")
