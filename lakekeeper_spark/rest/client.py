@@ -165,6 +165,7 @@ class RestCatalogClient:
         properties=None,
         stage_create=False,
         format_version=2,
+        location=None,
     ):
         props = dict(properties or {})
         props.setdefault("format-version", format_version)
@@ -178,6 +179,7 @@ class RestCatalogClient:
                 "write-order": sort_order,
                 "properties": props,
                 "stage-create": stage_create,
+                "location": location,
             },
         )
         return body["metadata"]

@@ -273,6 +273,7 @@ class _Handler(BaseHTTPRequestHandler):
             format_version=int(
                 (body.get("properties") or {}).get("format-version", 2)
             ),
+            location=body.get("location"),
         )
         self._reply(200, {"metadata": meta, "metadata-location": meta["location"]})
 

@@ -512,3 +512,14 @@ def test_bearer_identity_and_403_over_http(tmp_path):
         assert client.table_exists("wh", ["ns"], "t")
     finally:
         server.stop()
+
+
+def test_custom_location_over_http(rest, tmp_path):
+    rest.create_namespace("wh", ["loc"])
+    schema = {"type": "struct", "schema-id": 0,
+              "fields": [{"id": 1, "name": "x", "required": False, "type": "long"}]}
+    custom = str(tmp_path / "my-custom-loc")
+    meta = rest.create_table("wh", ["loc"], "t", schema, location=custom)
+    assert meta["location"] == custom
+    loaded, _ = rest.load_table("wh", ["loc"], "t")
+    assert loaded["location"] == custom
