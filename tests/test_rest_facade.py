@@ -523,3 +523,26 @@ def test_custom_location_over_http(rest, tmp_path):
     assert meta["location"] == custom
     loaded, _ = rest.load_table("wh", ["loc"], "t")
     assert loaded["location"] == custom
+
+
+def test_undropped_table_can_be_purged_again_over_http(rest, spark, tmp_path):
+    """Reference test_spark.py:417: soft-drop -> undrop -> drop(purge)
+    must fully remove the table on the second drop (the undrop cancels the
+    first expiration task; the purge path must not be confused by it)."""
+    rest.create_namespace("wh", ["u"])
+    schema = {"type": "struct", "schema-id": 0,
+              "fields": [{"id": 1, "name": "x", "required": False, "type": "long"}]}
+    rest.create_table("wh", ["u"], "t", schema)
+    rest.drop_table("wh", ["u"], "t")          # soft delete
+    assert not rest.table_exists("wh", ["u"], "t")
+    rest.undrop_table("wh", ["u"], "t")        # restore
+    assert rest.table_exists("wh", ["u"], "t")
+    rest.drop_table("wh", ["u"], "t", purge=True)  # hard removal
+    assert not rest.table_exists("wh", ["u"], "t")
+    # no soft-deleted remnant: a second undrop has nothing to restore
+    import pytest
+
+    from lakekeeper_spark.catalog.catalog import NoSuchEntity
+
+    with pytest.raises(NoSuchEntity):
+        rest.undrop_table("wh", ["u"], "t")
