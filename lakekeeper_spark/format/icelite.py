@@ -42,6 +42,7 @@ import time
 import uuid
 from pathlib import Path
 from typing import Any
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -359,7 +360,11 @@ class SparkTable:
             for part in p.relative_to(out_dir).parts[:-1]:
                 if "=" in part:
                     k, v = part.split("=", 1)
-                    partition[k] = v
+                    # Spark hive-escapes special chars in partition dir
+                    # names ('part:col' -> 'part%3Acol'); store the
+                    # DECLARED field name/value so partition_filter works
+                    # with the names users actually wrote
+                    partition[unquote(k)] = unquote(v)
             entries.append(
                 {
                     "path": rel,

@@ -677,3 +677,34 @@ def test_error_paths_and_edges(table, spark, catalog):
     # partition_filter that matches nothing: empty result, correct schema
     pruned = table.scan(partition_filter={"nonexistent": "x"})
     assert pruned.count() == 0
+
+
+def test_partition_column_with_space_and_special_chars(spark, catalog):
+    """Reference test_spark.py:547/556: partitioning must work when the
+    source COLUMN name contains a space, and the derived partition-field
+    name may carry special characters."""
+    from lakekeeper_spark.format.icelite import SparkTable
+    from lakekeeper_spark.format.types import struct_to_schema
+
+    catalog.create_namespace("wh", ["pspace"])
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], ["id", "my col"]
+    )
+    catalog.create_table(
+        "wh", ["pspace"], "t", struct_to_schema(df.schema)
+    )
+    t = SparkTable(spark, catalog, "wh", ["pspace"], "t")
+    t.add_partition_field("my col", "identity", name="part:col")
+    t.append(df)
+    # all rows back, partition values recorded per file
+    assert sorted(r["my col"] for r in t.scan().collect()) == ["a", "a", "b"]
+    meta = t.metadata()
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    parts = [e["partition"] for e in snap["manifest"] if e["partition"]]
+    assert all("part:col" in p for p in parts)
+    # partition-filter pruning on the special-char field name
+    pruned = t.scan(partition_filter={"part:col": "a"})
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 3]
