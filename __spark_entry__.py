@@ -89,6 +89,9 @@ _BACK_OK = {
     # exact-hash green in r1's driver gate; demoted so k01 (skew-safe
     # salted aggregation) sits inside the cut (w04/w06/w07 keep w front)
     "w02_running_revenue",
+    # exact-hash green in r1's driver gate; demoted so c08 (generic
+    # multi-format read path) sits inside the cut
+    "w01_top_orders_per_customer",
     # exact-hash green in r2's driver gate; demoted so st10 (table-to-
     # table streaming loop) sits inside the cut (e11 keeps e-family front)
     "e05_variant_join",

@@ -68,6 +68,12 @@ def read_generic_table(
         ddl = _ddl_schema(meta.get("schema"))
         if ddl:
             reader = reader.schema(ddl)
+        # generic-table properties flow through as reader options (the
+        # reference's GenericTable carries free-form properties; for
+        # Spark-native formats they ARE the DataSource options, e.g.
+        # header/delimiter for csv, multiLine for json)
+        for k, v in (meta.get("properties") or {}).items():
+            reader = reader.option(k, v)
         return reader.format(fmt).load(location)
     if fmt == "lance":
         # SWAP-IN POINT: with the lance library installed this becomes

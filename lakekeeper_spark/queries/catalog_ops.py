@@ -708,3 +708,74 @@ def c07_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+# --------------------------------------------------------------------------
+# c08: generic tables across Spark-native formats (csv + json read path)
+# --------------------------------------------------------------------------
+# The reference registers non-Iceberg datasets through the generic-table
+# API and the engine reads the format natively (test_lance.py:42-46; our
+# Spark-native analogue: format/generic.py). This row puts the
+# multi-format read path under the correctness gate: region is staged as
+# CSV (with declared schema — csv types otherwise infer as strings) and
+# as JSON lines, both registered as generic tables, read back THROUGH the
+# catalog, and aggregated — identical stats per format, equal to the
+# parquet source.
+@register(
+    "c08_generic_formats",
+    oracle="""
+SELECT fmt,
+       COUNT(*) AS n_rows,
+       CAST(SUM(r_regionkey) AS BIGINT) AS sum_key,
+       COUNT(DISTINCT r_name) AS n_names
+FROM (
+  SELECT 'csv' AS fmt, r_regionkey, r_name FROM region
+  UNION ALL
+  SELECT 'json' AS fmt, r_regionkey, r_name FROM region
+)
+GROUP BY fmt
+""",
+    description="Generic (non-Iceberg) tables across Spark-native "
+    "formats: region staged as CSV + JSON lines, registered through the "
+    "generic-table API with declared arrow-style schemas, read back "
+    "through the catalog and aggregated - per-format stats equal the "
+    "parquet source.",
+    tags=("catalog", "generic", "formats"),
+)
+def c08_generic_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.generic import read_generic_table
+
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    tmp = tempfile.mkdtemp(prefix="lkspark_generic_")
+    region.coalesce(1).write.mode("overwrite").option("header", True).csv(f"{tmp}/csv")
+    region.coalesce(1).write.mode("overwrite").json(f"{tmp}/json")
+
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["gen"])
+    schema = {
+        "fields": [
+            {"name": "r_regionkey", "type": "int64"},
+            {"name": "r_name", "type": "string"},
+        ]
+    }
+    # format options live in the generic entry's properties and flow
+    # through to the Spark reader (format/generic.py)
+    props = {"csv": {"header": "true"}, "json": None}
+    for fmt in ("csv", "json"):
+        cat.create_generic_table(
+            "wh", ["gen"], f"region_{fmt}", fmt, f"{tmp}/{fmt}",
+            schema=schema, properties=props[fmt],
+        )
+    frames = []
+    for fmt in ("csv", "json"):
+        df = read_generic_table(spark, cat, "wh", ["gen"], f"region_{fmt}")
+        frames.append(df.select(F.lit(fmt).alias("fmt"), "r_regionkey", "r_name"))
+    allf = frames[0].unionByName(frames[1])
+    return allf.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("r_regionkey").cast("long").alias("sum_key"),
+        F.countDistinct("r_name").alias("n_names"),
+    )
