@@ -92,6 +92,9 @@ _BACK_OK = {
     # exact-hash green in r1's driver gate; demoted so c08 (generic
     # multi-format read path) sits inside the cut
     "w01_top_orders_per_customer",
+    # exact-hash green in r1's driver gate; demoted so s06 (filtered
+    # vector search) sits inside the cut (s04/s05/s06 keep s front)
+    "s01_knn_bruteforce",
     # exact-hash green in r2's driver gate; demoted so st10 (table-to-
     # table streaming loop) sits inside the cut (e11 keeps e-family front)
     "e05_variant_join",

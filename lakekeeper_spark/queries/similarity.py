@@ -292,3 +292,86 @@ def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= TOP_K)
     )
+
+
+# --------------------------------------------------------------------------
+# s06: attribute-FILTERED vector search (pre-filter strategy)
+# --------------------------------------------------------------------------
+# The production ask behind "vector search with a WHERE clause": top-k
+# neighbors among only the rows passing an attribute predicate. Engines
+# choose between post-filtering an ANN result (recall collapses when the
+# predicate is selective: most of the top-k gets filtered away) and
+# PRE-filtering: push the predicate into the scan and run exact scoring
+# over the survivors. At a fixed selectivity the pre-filter form is a
+# plain narrow pass over ~sel% of the data — declarative, pushdown-
+# friendly, and exact; it is what Spark does best, so that is the shape
+# here (the label predicate reaches the parquet scan as a PushedFilter —
+# plan-guarded). ANN-with-filter hybrids (s02/s03/s05 candidates
+# intersected with the predicate) bolt on unchanged when selectivity is
+# low enough to justify them.
+S06_LABEL = 3  # filter: neighbors must carry this label
+
+
+@register(
+    "s06_knn_filtered",
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id, label, embedding, {_sql_dot6('embedding', 'embedding')} AS norm6
+  FROM embeddings
+),
+q AS (SELECT vec_id, embedding, norm6 FROM norms WHERE vec_id < {N_QUERIES}),
+cand AS (SELECT * FROM norms WHERE label = {S06_LABEL}),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+         CAST({_sql_dot6('q.embedding', 'c.embedding')} AS DOUBLE)
+           / sqrt(CAST(q.norm6 AS DOUBLE) * CAST(c.norm6 AS DOUBLE)) AS cosine
+  FROM q, cand c
+  WHERE c.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) t WHERE rnk <= {TOP_K}
+""",
+    description="Vector search with a WHERE clause (pre-filter strategy): "
+    "the attribute predicate pushes into the scan, exact scoring runs "
+    "over the survivors only - full recall at any selectivity, unlike "
+    "post-filtering an ANN result. Plan guard asserts the label filter "
+    "reaches the parquet scan.",
+    tags=("similarity", "llm", "filtered"),
+)
+def s06_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "vec_id", "label", "embedding", _dot6("embedding", "embedding").alias("norm6")
+    )
+    q = F.broadcast(
+        norms.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm6").alias("q_norm6"),
+        )
+    )
+    cand = norms.filter(F.col("label") == S06_LABEL)
+    scored = (
+        cand.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                _dot6("q_emb", "embedding").cast("double")
+                / F.sqrt(
+                    F.col("q_norm6").cast("double") * F.col("norm6").cast("double")
+                )
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
+        F.col("rnk") <= TOP_K
+    )

@@ -304,3 +304,14 @@ def test_m06_phash_evaluates_once(spark):
     )
     assert "MapInPandas" not in simple  # already evaluated into the checkpoint
     assert "Scan ExistingRDD" in simple
+
+
+def test_s06_label_predicate_pushed_to_scan(spark):
+    """Filtered vector search must PRE-filter: the label predicate reaches
+    the parquet scan, so scoring only ever touches the survivors."""
+    from lakekeeper_spark.queries.similarity import s06_knn_filtered
+
+    plan = _plan(s06_knn_filtered(spark, SF_DIR))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "label" in pushed
