@@ -546,3 +546,50 @@ def test_undropped_table_can_be_purged_again_over_http(rest, spark, tmp_path):
 
     with pytest.raises(NoSuchEntity):
         rest.undrop_table("wh", ["u"], "t")
+
+
+def test_fuzz_malformed_bodies_never_500(rest, tmp_path):
+    """Seeded structural fuzz across the mutating routes: whatever the
+    body shape, the server must answer with a TYPED 4xx (or succeed),
+    never a 500 — the reference's error-model contract."""
+    import json as _json
+    import random
+    import urllib.error
+    import urllib.request
+
+    rng = random.Random(99)
+
+    def junk(depth=0):
+        choices = [
+            None, True, 42, -1, "x", "", [], {}, {"name": 1}, {"schema": "nope"},
+            [1, 2], {"name": None}, {"updates": "zzz"}, {"requirements": 7},
+        ]
+        v = rng.choice(choices)
+        if isinstance(v, dict) and depth < 2 and rng.random() < 0.5:
+            v = {**v, "extra": junk(depth + 1)}
+        return v
+
+    rest.create_namespace("wh", ["fz"])
+    routes = [
+        ("POST", "/catalog/v1/wh/namespaces"),
+        ("POST", "/catalog/v1/wh/namespaces/fz/tables"),
+        ("POST", "/catalog/v1/wh/namespaces/fz/register"),
+        ("POST", "/catalog/v1/wh/namespaces/fz/views"),
+        ("POST", "/catalog/v1/wh/tables/rename"),
+        ("POST", "/catalog/v1/wh/transactions/commit"),
+        ("POST", "/catalog/v1/wh/namespaces/fz/properties"),
+    ]
+    base = rest.base_url if hasattr(rest, "base_url") else rest.url
+    for i in range(60):
+        method, path = routes[i % len(routes)]
+        body = _json.dumps(junk()).encode()
+        req = urllib.request.Request(
+            base + path, data=body, method=method,
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(req)
+        except urllib.error.HTTPError as e:
+            assert e.code < 500, f"{method} {path} body={body!r} -> {e.code}"
+            payload = _json.loads(e.read())
+            assert "error" in payload and payload["error"]["type"]
