@@ -115,3 +115,65 @@ def test_countmin_sketch_is_mergeable():
             for j in range(CM_D)
         )
         assert est >= n
+
+
+def test_a02_matches_pandas_merge_asof(spark):
+    """Three-way oracle for the tolerance as-of join: the Spark
+    window-carry implementation (already exact vs DuckDB ASOF) must also
+    agree with pandas.merge_asof — an independent third engine's
+    backward- and forward-direction tolerance semantics."""
+    import pandas as pd
+
+    from lakekeeper_spark.queries.events import ASOF_TOL_NS, a02_asof_tolerance
+    from tests.conftest import SF_DIR
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    ev["ts_ns"] = ev["ts"].astype("int64") * 1000  # us -> ns
+    p = (
+        ev[ev.event_type == "purchase"][["user_id", "ts_ns"]]
+        .sort_values("ts_ns", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    c = (
+        ev[ev.event_type == "click"][["user_id", "ts_ns"]]
+        .rename(columns={"ts_ns": "click_ns"})
+        .sort_values("click_ns", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    back = pd.merge_asof(
+        p, c, left_on="ts_ns", right_on="click_ns", by="user_id",
+        direction="backward", tolerance=ASOF_TOL_NS, allow_exact_matches=False,
+    )
+    fwd = pd.merge_asof(
+        p, c.rename(columns={"click_ns": "next_ns"}),
+        left_on="ts_ns", right_on="next_ns", by="user_id",
+        direction="forward", tolerance=ASOF_TOL_NS, allow_exact_matches=False,
+    )
+    exp = (
+        pd.DataFrame({
+            "user_id": p.user_id,
+            "back": back.click_ns.notna(),
+            "fwd": fwd.next_ns.notna(),
+            "back_gap": ((p.ts_ns - back.click_ns) // 1_000_000_000).fillna(0),
+            "fwd_gap": ((fwd.next_ns - p.ts_ns) // 1_000_000_000).fillna(0),
+        })
+        .groupby("user_id")
+        .agg(
+            n_purchases=("back", "size"),
+            n_back_matched=("back", "sum"),
+            sum_back_gap_s=("back_gap", "sum"),
+            n_fwd_matched=("fwd", "sum"),
+            sum_fwd_gap_s=("fwd_gap", "sum"),
+        )
+    )
+    got = {
+        r.user_id: (r.n_purchases, r.n_back_matched, r.sum_back_gap_s,
+                    r.n_fwd_matched, r.sum_fwd_gap_s)
+        for r in a02_asof_tolerance(spark, SF_DIR).collect()
+    }
+    for uid, row in exp.iterrows():
+        assert got[int(uid)] == (
+            int(row.n_purchases), int(row.n_back_matched),
+            int(row.sum_back_gap_s), int(row.n_fwd_matched),
+            int(row.sum_fwd_gap_s),
+        ), uid
