@@ -315,3 +315,25 @@ def test_s06_label_predicate_pushed_to_scan(spark):
     assert "PushedFilters" in plan
     pushed = plan.split("PushedFilters")[1][:200]
     assert "label" in pushed
+
+
+def test_join_heavy_tpch_queries_broadcast_all_dims(spark):
+    """q05/q07/q09 chain 4-5 joins off the lineitem fact; every dimension
+    side must broadcast (nation/region/supplier/customer/part are all
+    structurally bounded relative to the fact at any scale factor) — a
+    sort-merge join appearing here means a dim lost its size estimate and
+    the fact would shuffle."""
+    from lakekeeper_spark.queries.analytics import q05_local_supplier_volume
+    from lakekeeper_spark.queries.analytics2 import (
+        q07_volume_shipping,
+        q09_product_profit,
+    )
+
+    for fn, min_bhj in (
+        (q05_local_supplier_volume, 4),
+        (q07_volume_shipping, 4),
+        (q09_product_profit, 4),
+    ):
+        simple = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert simple.count("BroadcastHashJoin") >= min_bhj, fn.__name__
+        assert "SortMergeJoin" not in simple, fn.__name__
