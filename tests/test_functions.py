@@ -177,3 +177,35 @@ def test_a02_matches_pandas_merge_asof(spark):
             int(row.sum_back_gap_s), int(row.n_fwd_matched),
             int(row.sum_fwd_gap_s),
         ), uid
+
+
+def test_streaming_state_rocksdb_provider_matches_default(spark):
+    """The production state backend: st01's windowed aggregate must
+    produce identical results under RocksDBStateStoreProvider as under
+    the default HDFS-backed store — state contents are provider-agnostic,
+    and the provider swap is a pure conf change (the cluster deployment
+    knob for large state)."""
+    from lakekeeper_spark.streaming.jobs import st01_stream_hourly_rollup
+    from tests.conftest import SF_DIR
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    base = {
+        (r.hour_bucket, r.event_type): (r.n_events, r.sum_value)
+        for r in st01_stream_hourly_rollup(spark, SF_DIR).collect()
+    }
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        got = {
+            (r.hour_bucket, r.event_type): (r.n_events, r.sum_value)
+            for r in st01_stream_hourly_rollup(spark, SF_DIR).collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+    assert got == base and len(got) > 0
