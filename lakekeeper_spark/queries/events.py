@@ -1177,3 +1177,70 @@ def k01_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_cols={"value_fp": "value_fp6"},
         count_alias="n_events",
     ).select("event_type", "n_events", F.col("value_fp").cast("long").alias("value_fp"))
+
+
+# --------------------------------------------------------------------------
+# e12: rolling active users (DAU / 7-day WAU) — sliding distinct counts
+# --------------------------------------------------------------------------
+# The product-analytics staple: per day, how many distinct users were
+# active that day (DAU) and across the trailing 7 days (WAU). Distinct
+# counts don't merge across windows, so the scalable shape is: dedup to
+# user-day grain FIRST (one exchange, data-scale), then explode each
+# user-day into the <=7 rolling windows it feeds (bounded fan-out) and
+# count distinct users per window — never a sliding window over raw
+# events. Day arithmetic in exact integers (epoch days).
+US_PER_DAY = 86_400_000_000
+WAU_DAYS = 7
+
+
+@register(
+    "e12_rolling_active_users",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {US_PER_DAY} AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+wau AS (
+  SELECT w.day, COUNT(DISTINCT u.user_id) AS wau
+  FROM days w JOIN ud u
+    ON u.day BETWEEN w.day - {WAU_DAYS - 1} AND w.day
+  GROUP BY w.day
+)
+SELECT d.day, d.dau, w.wau,
+       CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+FROM dau d JOIN wau w ON d.day = w.day
+""",
+    description="DAU + trailing-7-day WAU per day: user-day dedup first "
+    "(one data-scale exchange), then each user-day explodes into the <=7 "
+    "windows it feeds for the distinct count - the scalable form of a "
+    "sliding DISTINCT, never a raw-event sliding window. Stickiness = "
+    "DAU/WAU.",
+    tags=("events", "window", "sliding", "distinct"),
+)
+def e12_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.expr(f"(ts_ns div 1000) div {US_PER_DAY}").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    # each user-day feeds windows [day, day + 6]; clip to days present
+    hops = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(WAU_DAYS - 1))
+        ).alias("win_day"),
+    )
+    days = ud.select("day").distinct().withColumnRenamed("day", "win_day")
+    wau = (
+        hops.join(days, "win_day")  # only report windows anchored on real days
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("win_day", "day")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
