@@ -1060,3 +1060,120 @@ def t12_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_tokens",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p05: leakage-safe train/val/test split (content-keyed vs naive id-keyed)
+# --------------------------------------------------------------------------
+# Splitting by doc_id leaks: exact duplicates land in different splits and
+# the model sees its test set during training. The leakage-safe form keys
+# the split on CONTENT (hash of the text), so every copy of a duplicate
+# document falls in the same split by construction. This operator runs
+# BOTH methods and reports, per (method, split): doc/distinct-text counts
+# plus the method's cross-split leakage (distinct texts appearing in >1
+# split) — 0 for the content split, nonzero for the naive split on any
+# corpus with duplicates. All hashing is md5/multiplicative arithmetic
+# shared bit-for-bit with the oracle.
+P05_SPLITS = 10  # buckets: 0-7 train, 8 val, 9 test
+
+
+def _p05_split_case(bucket_expr: str) -> str:
+    return (
+        f"CASE WHEN {bucket_expr} < 8 THEN 'train' "
+        f"WHEN {bucket_expr} = 8 THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "p05_leakage_safe_split",
+    oracle=f"""
+WITH assigned AS (
+  SELECT doc_id, text,
+         {_p05_split_case(f"('0x' || substr(md5(text), 1, 8))::BIGINT % {P05_SPLITS}")}
+           AS content_split,
+         {_p05_split_case(f"((doc_id * 2654435761) % 1000003) % {P05_SPLITS}")}
+           AS naive_split
+  FROM documents
+),
+m AS (
+  SELECT 'content' AS method, content_split AS split, doc_id, text FROM assigned
+  UNION ALL
+  SELECT 'naive', naive_split, doc_id, text FROM assigned
+),
+leaks AS (
+  SELECT method, COUNT(*) AS leaked_texts FROM (
+    SELECT method, text FROM m GROUP BY method, text
+    HAVING COUNT(DISTINCT split) > 1
+  ) GROUP BY method
+)
+SELECT m.method, m.split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT m.text) AS n_texts,
+       CAST(COALESCE(l.leaked_texts, 0) AS BIGINT) AS method_leaked_texts
+FROM m LEFT JOIN leaks l ON m.method = l.method
+GROUP BY m.method, m.split, l.leaked_texts
+""",
+    description="Train/val/test split done leakage-safe: split keyed on a "
+    "content hash puts every duplicate copy in the same split (leakage "
+    "0 by construction); the naive doc_id split runs alongside and its "
+    "nonzero cross-split duplicate leakage is reported - the measurable "
+    "reason content-keyed splitting is the pipeline standard.",
+    tags=("text", "llm", "pipeline", "split"),
+)
+def p05_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    content_bucket = F.expr(f"conv(substr(md5(text), 1, 8), 16, 10) % {P05_SPLITS}")
+    naive_bucket = (
+        (F.col("doc_id") * F.lit(2654435761).cast("long")) % F.lit(1000003)
+    ) % F.lit(P05_SPLITS)
+
+    def split_col(bucket):
+        return (
+            F.when(bucket < 8, F.lit("train"))
+            .when(bucket == 8, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    assigned = docs.select(
+        "doc_id",
+        "text",
+        split_col(content_bucket.cast("long")).alias("content_split"),
+        split_col(naive_bucket).alias("naive_split"),
+    )
+    m = assigned.select(
+        F.lit("content").alias("method"),
+        F.col("content_split").alias("split"),
+        "doc_id",
+        "text",
+    ).unionByName(
+        assigned.select(
+            F.lit("naive").alias("method"),
+            F.col("naive_split").alias("split"),
+            "doc_id",
+            "text",
+        )
+    )
+    leaks = (
+        m.groupBy("method", "text")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).alias("leaked_texts"))
+    )
+    return (
+        m.groupBy("method", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_texts"),
+        )
+        .join(F.broadcast(leaks), "method", "left")
+        .select(
+            "method",
+            "split",
+            "n_docs",
+            "n_texts",
+            F.coalesce("leaked_texts", F.lit(0))
+            .cast("long")
+            .alias("method_leaked_texts"),
+        )
+    )

@@ -351,3 +351,31 @@ def test_d09_components_match_union_find_reference(spark, tmp_path):
         for r in d09_dedup_components(spark, str(sf)).collect()
     }
     assert got == expected
+
+
+def test_p05_content_split_never_leaks_duplicates(spark, tmp_path):
+    """Crafted corpus with duplicate texts engineered to straddle naive
+    doc_id buckets: the content-keyed split must report zero leaked
+    texts while the naive split leaks."""
+    from lakekeeper_spark.queries.text import p05_leakage_safe_split
+
+    # doc_ids chosen so (id * 2654435761 % 1000003) % 10 differ within
+    # each duplicate pair -> naive split separates the copies
+    rows = []
+    for i in range(40):
+        rows.append((i, f"duplicate text {i % 8}", "en", "s", 0))
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(sf / "documents.parquet"))
+    out = p05_leakage_safe_split(spark, str(sf)).collect()
+    content_leak = {r.method_leaked_texts for r in out if r.method == "content"}
+    naive_leak = {r.method_leaked_texts for r in out if r.method == "naive"}
+    assert content_leak == {0}
+    assert all(v > 0 for v in naive_leak)
+    # every split's docs are whole multiples of nothing-split duplicates:
+    # content split keeps each text's 5 copies together
+    content_rows = [r for r in out if r.method == "content"]
+    assert sum(r.n_docs for r in content_rows) == 40
+    assert all(r.n_docs == 5 * r.n_texts for r in content_rows)
