@@ -101,6 +101,9 @@ _BACK_OK = {
     # exact-hash green in r1's driver gate; demoted so p05 (leakage-safe
     # split) sits inside the cut (t06-t12 keep the t front)
     "t02_lang_id",
+    # exact-hash green in r1's driver gate; demoted so h04 (KMV set
+    # algebra) sits inside the cut (t06-t12 keep the t front)
+    "t03_fingerprint",
     # exact-hash green in r2's driver gate; demoted so st10 (table-to-
     # table streaming loop) sits inside the cut (e11 keeps e-family front)
     "e05_variant_join",

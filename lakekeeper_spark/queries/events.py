@@ -1244,3 +1244,112 @@ def e12_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
     )
+
+
+# --------------------------------------------------------------------------
+# h04: KMV sketch SET ALGEBRA — union/intersection estimates across sets
+# --------------------------------------------------------------------------
+# The sketch-algebra companion to h01: given two user sets (click users,
+# purchase users), estimate |A ∪ B| from the merged min-k sketch and
+# |A ∩ B| via the KMV Jaccard estimator (fraction of the union's k
+# smallest hashes present in both sets), theta-sketch style
+# (Dasgupta et al. 2016). Everything derives from the same deterministic
+# multiplicative hash as h01, so both engines compute identical sketches
+# AND identical estimates; exact counts ride along for the error check.
+# Scale shape: per-set sketches are TakeOrdered top-k (k rows each), the
+# algebra runs on 2k driver-side-sized rows — constant regardless of
+# corpus size, mergeable across shards.
+
+
+@register(
+    "h04_kmv_set_algebra",
+    oracle=f"""
+WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+ha AS (SELECT user_id,
+              CAST((user_id * {KMV_MUL}) % {KMV_P} AS DOUBLE) / {KMV_P} AS hv
+       FROM a),
+hb AS (SELECT user_id,
+              CAST((user_id * {KMV_MUL}) % {KMV_P} AS DOUBLE) / {KMV_P} AS hv
+       FROM b),
+ka AS (SELECT user_id, hv FROM ha ORDER BY hv LIMIT {KMV_K}),
+kb AS (SELECT user_id, hv FROM hb ORDER BY hv LIMIT {KMV_K}),
+ku AS (SELECT user_id, hv FROM (SELECT * FROM ka UNION SELECT * FROM kb)
+       ORDER BY hv LIMIT {KMV_K}),
+uu AS (SELECT MAX(hv) AS hk, COUNT(*) AS n FROM ku),
+jac AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM ku) AS j
+  FROM ku
+  WHERE user_id IN (SELECT user_id FROM ka)
+    AND user_id IN (SELECT user_id FROM kb)
+),
+est AS (
+  SELECT CAST(CASE WHEN uu.n < {KMV_K} THEN uu.n
+                   ELSE (uu.n - 1) / uu.hk END AS DOUBLE) AS union_est,
+         jac.j
+  FROM uu, jac
+),
+x AS (
+  SELECT (SELECT COUNT(*) FROM (SELECT user_id FROM a UNION SELECT user_id FROM b))
+           AS exact_union,
+         (SELECT COUNT(*) FROM a WHERE user_id IN (SELECT user_id FROM b))
+           AS exact_intersection
+)
+SELECT x.exact_union,
+       e.union_est,
+       x.exact_intersection,
+       e.j * e.union_est AS intersection_est
+FROM x, est e
+""",
+    description="KMV sketch set algebra (theta-sketch style): the union "
+    "estimate comes from the merged min-k sketch, the intersection from "
+    "the KMV Jaccard estimator over the union's k smallest hashes - all "
+    "on deterministic hashes, so estimates match the oracle bit-for-bit. "
+    "Per-set sketches are TakeOrdered k rows; the algebra is constant "
+    "work regardless of corpus size.",
+    tags=("events", "sketch", "approximate", "set-ops"),
+)
+def h04_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def kset(etype: str) -> DataFrame:
+        hv = (
+            (F.col("user_id") * F.lit(KMV_MUL).cast("long")) % F.lit(KMV_P)
+        ).cast("double") / F.lit(float(KMV_P))
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select("user_id")
+            .distinct()
+            .select("user_id", hv.alias("hv"))
+            .orderBy("hv")
+            .limit(KMV_K)
+        )
+
+    ka = kset("click").localCheckpoint(eager=True)  # k rows, reused 3x
+    kb = kset("purchase").localCheckpoint(eager=True)
+    ku = (
+        ka.unionByName(kb).distinct().orderBy("hv").limit(KMV_K)
+    ).localCheckpoint(eager=True)
+    uu = ku.agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("n"))
+    in_both = (
+        ku.join(ka.select("user_id"), "user_id")
+        .join(kb.select("user_id"), "user_id")
+        .count()
+    )
+    k_total = ku.count()
+    j = in_both / k_total if k_total else 0.0
+    union_est = F.when(F.col("n") < KMV_K, F.col("n").cast("double")).otherwise(
+        (F.col("n") - 1) / F.col("hk")
+    )
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = a.unionByName(b).distinct().count()
+    exact_i = a.join(b, "user_id").count()
+    return (
+        uu.select(
+            F.lit(exact).cast("long").alias("exact_union"),
+            union_est.alias("union_est"),
+            F.lit(exact_i).cast("long").alias("exact_intersection"),
+            (F.lit(j) * union_est).alias("intersection_est"),
+        )
+    )
