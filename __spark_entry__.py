@@ -104,6 +104,9 @@ _BACK_OK = {
     # exact-hash green in r1's driver gate; demoted so h04 (KMV set
     # algebra) sits inside the cut (t06-t12 keep the t front)
     "t03_fingerprint",
+    # exact-hash green in r1's driver gate; demoted so c09 (maintenance
+    # lifecycle) sits inside the cut (s04/s05/s06 keep the s front)
+    "s03_knn_ivf",
     # exact-hash green in r2's driver gate; demoted so st10 (table-to-
     # table streaming loop) sits inside the cut (e11 keeps e-family front)
     "e05_variant_join",

@@ -72,7 +72,13 @@ def run_purge_queue(
         try:
             loc = task["payload"].get("location")
             if loc and Path(loc).exists():
-                shutil.rmtree(loc, ignore_errors=True)
+                # table drops purge a DIRECTORY; snapshot expiration
+                # purges individual FILES — rmtree silently no-ops on a
+                # file path, so dispatch on what the location actually is
+                if Path(loc).is_dir():
+                    shutil.rmtree(loc, ignore_errors=True)
+                else:
+                    Path(loc).unlink(missing_ok=True)
             st.emit_event("purge-tabular", None, task["payload"].get("id"), {"location": loc})
             st.finish_task(task["task_id"])
             n += 1

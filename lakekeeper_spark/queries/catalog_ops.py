@@ -779,3 +779,109 @@ def c08_generic_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r_regionkey").cast("long").alias("sum_key"),
         F.countDistinct("r_name").alias("n_names"),
     )
+
+
+# --------------------------------------------------------------------------
+# c09: table MAINTENANCE lifecycle under the gate (compact/expire/orphans)
+# --------------------------------------------------------------------------
+# The background-maintenance trio the reference schedules as task queues
+# (docs/table-maintenance.md): rewrite_data_files compaction, snapshot
+# expiration with retain-last, and orphan-file removal — run end-to-end on
+# a real table with an injected orphan, checkpointed deterministically.
+# Every checkpoint is a count or ordinal; the oracle states the expected
+# values from the same source rows.
+@register(
+    "c09_maintenance_lifecycle",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= {_ROWS}
+)
+SELECT * FROM (
+  SELECT 'snapshots_after_appends' AS checkpoint, 3 AS value
+  UNION ALL SELECT 'snapshots_after_compaction', 4
+  UNION ALL SELECT 'snapshots_after_expire', 1
+  UNION ALL SELECT 'expired_snapshots', 3
+  UNION ALL SELECT 'orphans_found', 1
+  UNION ALL SELECT 'orphans_after_cleanup', 0
+  UNION ALL SELECT 'rows_intact', (SELECT COUNT(*) FROM src)
+) ORDER BY checkpoint
+""",
+    description="The maintenance trio as one driver-checked lifecycle: "
+    "three appends -> compaction (replace snapshot) -> expire_snapshots "
+    "retain-last-1 (purges files only dead snapshots referenced) -> "
+    "orphan-file removal of an injected stray file - with the row count "
+    "intact at every step.",
+    tags=("catalog", "maintenance", "lifecycle"),
+)
+def c09_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pathlib import Path
+
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(_ROWS)
+    )
+    thirds = src.randomSplit([1.0, 1.0, 1.0], seed=7)  # 3 appends
+    tmp = tempfile.mkdtemp(prefix="lkspark_maint_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["m"])
+    cat.create_table("wh", ["m"], "t", struct_to_schema(src.schema))
+    t = SparkTable(spark, cat, "wh", ["m"], "t")
+    for part in thirds:
+        t.append(part)
+    n_after_appends = len(t.metadata()["snapshots"])
+    t.rewrite_data_files()
+    n_after_compact = len(t.metadata()["snapshots"])
+    # inject an orphan (a failed write's leftover) under the data dir
+    orphan = Path(t.metadata()["location"]) / "data" / "orphan-leftover.parquet"
+    orphan.parent.mkdir(parents=True, exist_ok=True)
+    orphan.write_bytes(b"not really parquet")
+    expired = t.expire_snapshots(older_than_ms=_now_ms() + 1, retain_last=1)
+    n_after_expire = len(t.metadata()["snapshots"])
+    # expiration enqueues file purges (the reference's task-queue shape);
+    # drain the queue so dead snapshots' files actually leave storage
+    from ..catalog.lifecycle import run_purge_queue
+
+    run_purge_queue(cat)
+    found = t.remove_orphan_files(older_than_ms=0)
+    # found = the injected stray plus Spark writer sidecars (_SUCCESS /
+    # .crc markers, never manifest entries - exactly what the orphan sweep
+    # exists for). The sidecar count depends on the Hadoop committer, so
+    # the gate checkpoint counts only VISIBLE orphans; the full sweep
+    # still deletes everything, asserted by the zero-after check.
+    visible = [
+        f for f in found
+        if not Path(f).name.startswith((".", "_"))
+    ]
+    left = t.remove_orphan_files(older_than_ms=0, dry_run=True)
+    rows = [
+        ("snapshots_after_appends", n_after_appends),
+        ("snapshots_after_compaction", n_after_compact),
+        ("snapshots_after_expire", n_after_expire),
+        ("expired_snapshots", len(expired)),
+        ("orphans_found", len(visible)),
+        ("orphans_after_cleanup", len(left)),
+        ("rows_intact", t.scan().count()),
+    ]
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("int").alias("value"))
+    )
+
+
+def _now_ms() -> int:
+    import time as _time
+
+    return int(_time.time() * 1000)
