@@ -107,6 +107,9 @@ _BACK_OK = {
     # exact-hash green in r1's driver gate; demoted so c09 (maintenance
     # lifecycle) sits inside the cut (s04/s05/s06 keep the s front)
     "s03_knn_ivf",
+    # exact-hash green in r2's driver gate; demoted so t13 (unigram
+    # logprob scoring) sits inside the cut (c01/c04-c09 keep c front)
+    "c01_catalog_lifecycle",
     # exact-hash green in r2's driver gate; demoted so st10 (table-to-
     # table streaming loop) sits inside the cut (e11 keeps e-family front)
     "e05_variant_join",

@@ -1177,3 +1177,75 @@ def p05_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("method_leaked_texts"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t13: unigram log-probability scoring (perplexity-proxy quality filter)
+# --------------------------------------------------------------------------
+# CCNet filters by language-model perplexity; the SQL-expressible proxy is
+# the corpus unigram model: score(doc) = mean over tokens of
+# ln(count(token) / N_total). Gibberish and rare-token soup scores low,
+# common fluent text scores high; pipelines cut the bottom tail. Exactness
+# trick as in t11: ln runs once per VOCABULARY entry, quantized to a
+# fixed-point logprob6 BIGINT, and per-doc aggregation sums those exact
+# integers (order-independent) before one final division.
+@register(
+    "t13_unigram_logprob",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+freq AS (SELECT term, COUNT(*) AS cnt FROM w GROUP BY term),
+n AS (SELECT COUNT(*) AS total FROM w),
+lp AS (
+  SELECT term,
+         CAST(ROUND(ln(CAST(cnt AS DOUBLE) / n.total) * 1000000) AS BIGINT)
+           AS logprob6
+  FROM freq, n
+)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tf.tf * lp.logprob6) AS BIGINT) AS sum_logprob6,
+       CAST(SUM(tf.tf * lp.logprob6) AS DOUBLE) / (1000000.0 * SUM(tf.tf))
+         AS mean_logprob
+FROM tf JOIN lp USING (term)
+GROUP BY tf.doc_id
+""",
+    description="Unigram log-probability document scoring - the "
+    "SQL-expressible proxy for perplexity-based quality filtering: "
+    "ln(corpus frequency) quantized once per vocabulary entry, per-doc "
+    "scores summed in exact fixed-point integers. Vocab-level join, "
+    "doc-level rollup - linear, no joins at token scale.",
+    tags=("text", "llm", "quality"),
+)
+def t13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("term"),
+    )
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    freq = w.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    n = w.agg(F.count(F.lit(1)).alias("total"))
+    lp = freq.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("total")) * 1_000_000
+        )
+        .cast("long")
+        .alias("logprob6"),
+    )
+    return (
+        tf.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("logprob6")).cast("long").alias("sum_logprob6"),
+            (
+                F.sum(F.col("tf") * F.col("logprob6")).cast("double")
+                / (F.lit(1_000_000.0) * F.sum("tf"))
+            ).alias("mean_logprob"),
+        )
+    )
