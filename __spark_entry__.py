@@ -110,6 +110,9 @@ _BACK_OK = {
     # exact-hash green in r2's driver gate; demoted so t13 (unigram
     # logprob scoring) sits inside the cut (c01/c04-c09 keep c front)
     "c01_catalog_lifecycle",
+    # exact-hash green in r2's driver gate; demoted so w08 (grouped exact
+    # percentiles) sits inside the cut (w06/w07/w08 keep the w front)
+    "w04_median_order_value",
     # exact-hash green in r2's driver gate; demoted so st10 (table-to-
     # table streaming loop) sits inside the cut (e11 keeps e-family front)
     "e05_variant_join",

@@ -833,3 +833,77 @@ def w07_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_items",
         "sum_price",
     )
+
+
+# --------------------------------------------------------------------------
+# w08: exact per-group percentiles by positional selection
+# --------------------------------------------------------------------------
+# Latency-dashboard shape: p50/p90/p99 of order value per market segment,
+# computed EXACTLY by positional selection (value at ceil(p*n) in the
+# group's sort order) rather than interpolation - both engines then pick
+# the identical physical row, so no float-interpolation parity risk (the
+# same trick as w04's global positional median, generalized to grouped
+# multi-percentile). One exchange on the group key; the rank window and
+# the count aggregate share it.
+W08_PS = (50, 90, 99)
+
+
+@register(
+    "w08_group_percentiles",
+    oracle=f"""
+WITH j AS (
+  SELECT c.c_mktsegment AS segment, o.o_totalprice AS price, o.o_orderkey
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+r AS (
+  SELECT segment, price,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY price, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY segment) AS n
+  FROM j
+)
+SELECT segment,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       {', '.join(
+           f"MAX(CASE WHEN rn = CAST(ceil(n * 0.{p}) AS BIGINT) THEN price END)"
+           f" AS p{p}" for p in W08_PS)}
+FROM r
+GROUP BY segment
+""",
+    description="Exact p50/p90/p99 of order value per market segment by "
+    "POSITIONAL selection (the row at ceil(p*n) in sort order) - no "
+    "interpolation, so both engines pick the identical physical row. One "
+    "exchange on the segment key shared by the rank window and count.",
+    tags=("analytics", "window", "percentile"),
+)
+def w08_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderkey"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("price"),
+        "o_orderkey",
+    )
+    wseg = W.partitionBy("segment")
+    r = j.select(
+        "segment",
+        "price",
+        F.row_number().over(wseg.orderBy("price", "o_orderkey")).alias("rn"),
+        F.count(F.lit(1)).over(wseg).alias("n"),
+    )
+    aggs = [
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * F.lit(p / 100.0)).cast("long"),
+                F.col("price"),
+            )
+        ).alias(f"p{p}")
+        for p in W08_PS
+    ]
+    return r.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n_orders"), *aggs
+    )
