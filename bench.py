@@ -103,17 +103,23 @@ def main() -> None:
     }
     if BUDGET_FILE.exists() and abs(sf - 0.1) < 1e-9:
         budget = json.loads(BUDGET_FILE.read_text())
-        # one retry for apparent violations: a single measured pass in a
+        # One retry for apparent violations: a single measured pass in a
         # 28-query session occasionally catches a GC pause / codegen-cache
-        # eviction; a real plan regression reproduces on the retry
+        # eviction; a real plan regression reproduces on the retry. The
+        # retry informs ONLY the pass/fail decision — published `queries`
+        # and `value` stay the first measured pass, and every retried
+        # query is listed in `retried` with both numbers.
+        decision = dict(times)
+        retried: dict[str, dict[str, float]] = {}
         for n in [n for n, t in times.items() if n in budget and t > budget[n]]:
-            times[n] = min(times[n], _run(reg[n], spark, sf_dir))
-        total = round(sum(times.values()), 3)
-        out["value"] = total
-        out["queries"] = times
+            t2 = _run(reg[n], spark, sf_dir)
+            retried[n] = {"first_sec": times[n], "retry_sec": t2}
+            decision[n] = min(times[n], t2)
+        if retried:
+            out["retried"] = retried
         violations = {
             n: {"sec": t, "budget": budget[n]}
-            for n, t in times.items()
+            for n, t in decision.items()
             if n in budget and t > budget[n]
         }
         if violations:

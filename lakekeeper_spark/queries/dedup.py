@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..data import load_table
+from ..functions.components import connected_components
 from ..registry import register
 
 SHINGLE_K = 3  # character shingle width
@@ -770,32 +771,13 @@ def d09_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .distinct()
     )
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)  # the edge set is reused every iteration
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint(
-        eager=True
+    # shared CC kernel (functions/components.py): min-label propagation
+    # raises ComponentsNotConverged instead of returning partial labels if
+    # the diameter exceeds CC_MAX_ITERS; long-chain graphs can opt into
+    # the O(log^2 n) large/small-star alternation via algorithm="two_phase"
+    labels = connected_components(
+        edges, docs.select("doc_id"), algorithm="propagation", max_iters=CC_MAX_ITERS
     )
-    for _ in range(CC_MAX_ITERS):
-        prop = (
-            sym.join(labels, F.col("src") == F.col("doc_id"))
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(prop, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
-                (F.col("nbr_min") < F.col("label")).alias("changed"),
-            )
-        ).localCheckpoint(eager=True)  # truncate lineage each round
-        n_changed = updated.filter(F.col("changed")).count()  # scalar only
-        labels = updated.select("doc_id", "label")
-        if n_changed == 0:
-            break
     return (
         labels.groupBy(F.col("label").alias("component"))
         .agg(

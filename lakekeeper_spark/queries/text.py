@@ -1051,13 +1051,20 @@ def t12_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("checkpoint")
         .agg(F.sum("n").alias("total_tokens"))
     )
+    # LEFT-join both aggregates back onto the cuts frame: a checkpoint whose
+    # cut_doc precedes every doc (cut_doc=-1 on tiny corpora, sparse ids)
+    # must still emit a row with vocab_size/total_tokens 0, exactly like the
+    # oracle's correlated COUNT subqueries.
     return (
-        vocab.join(totals, "checkpoint")
+        cuts.join(vocab.drop("cut_doc"), "checkpoint", "left")
+        .join(totals, "checkpoint", "left")
         .select(
             F.col("checkpoint").cast("long").alias("checkpoint"),
             "cut_doc",
-            "vocab_size",
-            "total_tokens",
+            F.coalesce(F.col("vocab_size"), F.lit(0)).cast("long").alias("vocab_size"),
+            F.coalesce(F.col("total_tokens"), F.lit(0))
+            .cast("long")
+            .alias("total_tokens"),
         )
     )
 

@@ -850,7 +850,11 @@ GROUP BY l_orderkey
     "foreachBatch MERGE into a second icelite table, drained twice with "
     "an append in between - exactly-once resume off the checkpoint, "
     "accumulation in the target table, final state equals the "
-    "all-at-once batch aggregate.",
+    "all-at-once batch aggregate. The MERGE is IDEMPOTENT under "
+    "foreachBatch's at-least-once replay: partials are keyed by "
+    "(l_orderkey, batch_id) and matched rows are overwritten with the "
+    "recomputed partial (not added), so a retried micro-batch rewrites "
+    "identical values instead of double-counting.",
     tags=("streaming", "catalog", "icelite", "source", "merge", "cdc"),
 )
 def st10_stream_table_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -898,13 +902,22 @@ def st10_stream_table_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["stream"],
         "order_totals",
         struct_to_schema(
-            spark.createDataFrame([], "l_orderkey long, n_lines long, qty_fp long").schema
+            spark.createDataFrame(
+                [], "l_orderkey long, batch_id long, n_lines long, qty_fp long"
+            ).schema
         ),
     )
     target = SparkTable(spark, cat, "wh", ["stream"], "order_totals")
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
+        # Idempotent under at-least-once replay: partials keyed by
+        # (l_orderkey, batch_id); a matched row is OVERWRITTEN with the
+        # recomputed (deterministic) partial, so a retried micro-batch
+        # rewrites identical values instead of double-counting. A replay
+        # that raced the very first append still lands on the merge path
+        # (the snapshot exists by then) and overwrites in place.
         agg = batch.groupBy("l_orderkey").agg(
+            F.lit(batch_id).cast("long").alias("batch_id"),
             F.count(F.lit(1)).cast("long").alias("n_lines"),
             F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
             .cast("long")
@@ -915,10 +928,10 @@ def st10_stream_table_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             target.merge(
                 agg,
-                on="t.l_orderkey = s.l_orderkey",
+                on="t.l_orderkey = s.l_orderkey AND t.batch_id = s.batch_id",
                 matched_update={
-                    "n_lines": "t.n_lines + s.n_lines",
-                    "qty_fp": "t.qty_fp + s.qty_fp",
+                    "n_lines": "s.n_lines",
+                    "qty_fp": "s.qty_fp",
                 },
             )
 
@@ -942,4 +955,11 @@ def st10_stream_table_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain()  # phase 1 lands
     feed.append(phase2)
     drain()  # resumes at the committed offset: ONLY phase 2 lands
-    return target.scan().select("l_orderkey", "n_lines", "qty_fp")
+    return (
+        target.scan()
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.sum("qty_fp").cast("long").alias("qty_fp"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Connected-components kernel: propagation vs large/small-star vs union-find.
+
+The two algorithms must agree with a driver-side union-find oracle on every
+graph; the two-phase alternation must additionally converge in O(log^2 n)
+rounds on a path graph where plain propagation needs diameter-many rounds
+(Kiveris et al., SoCC'14).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from lakekeeper_spark.functions.components import (
+    ComponentsNotConverged,
+    connected_components,
+    large_small_star,
+    min_label_propagation,
+)
+
+
+def union_find(n_vertices: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_vertices))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id per component
+    roots: dict[int, int] = {}
+    for v in range(n_vertices):
+        r = find(v)
+        roots[r] = min(roots.get(r, v), v)
+    return {v: roots[find(v)] for v in range(n_vertices)}
+
+
+def _frames(spark, n: int, edges: list[tuple[int, int]]):
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.limit(0)
+    return e, vertices
+
+
+def _labels_dict(df) -> dict[int, int]:
+    return {int(r["doc_id"]): int(r["label"]) for r in df.collect()}
+
+
+def test_path_graph_two_phase_beats_propagation(spark):
+    # path 0-1-2-...-40: diameter 40, so propagation needs 40 rounds —
+    # with a 10-round cap it must REFUSE (not return partial labels) ...
+    n = 41
+    edges = [(i, i + 1) for i in range(n - 1)]
+    e, v = _frames(spark, n, edges)
+    with pytest.raises(ComponentsNotConverged):
+        min_label_propagation(e, v, max_iters=10)
+    # ... while large/small-star collapses the chain in O(log^2 n) rounds
+    labels, rounds = large_small_star(e, v, max_iters=12)
+    assert rounds <= 8, f"two-phase took {rounds} rounds on a 41-path"
+    assert _labels_dict(labels) == union_find(n, edges)
+
+
+def test_path_graph_propagation_converges_given_budget(spark):
+    n = 12
+    edges = [(i, i + 1) for i in range(n - 1)]
+    e, v = _frames(spark, n, edges)
+    labels, rounds = min_label_propagation(e, v, max_iters=25)
+    assert rounds <= n
+    assert _labels_dict(labels) == union_find(n, edges)
+
+
+@pytest.mark.parametrize("seed", [7, 99])
+def test_random_graph_all_algorithms_agree(spark, seed):
+    rng = random.Random(seed)
+    n = 60
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+    ]  # sparse: isolated vertices + multi-node components + self-loops
+    expected = union_find(n, edges)
+    e, v = _frames(spark, n, edges)
+    for algo in ("propagation", "two_phase"):
+        got = _labels_dict(connected_components(e, v, algorithm=algo, max_iters=30))
+        assert got == expected, f"{algo} diverged from union-find (seed {seed})"
+
+
+def test_isolated_vertices_label_themselves(spark):
+    e, v = _frames(spark, 5, [])
+    got = _labels_dict(connected_components(e, v, algorithm="two_phase"))
+    assert got == {i: i for i in range(5)}
