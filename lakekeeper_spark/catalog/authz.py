@@ -44,6 +44,16 @@ TABLE_ACTIONS = frozenset(
     }
 )
 
+# The reference keeps separate per-entity enums (CatalogNamespaceAction /
+# CatalogViewAction alongside CatalogTableAction, authz/mod.rs:940-1022);
+# here the shared verbs map onto every entity kind — the resource path
+# disambiguates — plus the namespace-only property mutation verb. Views
+# are gated with the same verbs as tables (create/get_metadata/drop/
+# rename/include_in_list).
+NAMESPACE_ACTIONS = frozenset(
+    {"create", "get_metadata", "update_properties", "drop", "include_in_list"}
+)
+
 
 class AuthorizationError(Exception):
     """Denied by the installed Authorizer (maps to HTTP 403)."""
@@ -85,6 +95,57 @@ class StaticRbacAuthorizer(Authorizer):
     def is_allowed(self, actor: str | None, action: str, resource: str) -> bool:
         scoped = self.resource_grants.get((actor, resource))
         allowed = scoped if scoped is not None else self.grants.get(actor, set())
+        return "*" in allowed or action in allowed
+
+
+class RoleRbacAuthorizer(Authorizer):
+    """Role-based backend with role-to-role inheritance.
+
+    Mirrors the reference's role model (roles are assignable to roles —
+    OpenFGA tuples ``role#assignee@role:child`` in the authz-openfga
+    schema; ``service/authz/mod.rs`` resolves grants transitively):
+
+      assignments: actor -> roles held directly
+      role_parents: role -> roles it INHERITS grants from (transitive,
+          cycle-safe)
+      role_grants: role -> globally-granted actions ("*" = all)
+      role_resource_grants: (role, resource) -> actions, an OVERRIDE for
+          that exact resource replacing the role's global grants there
+          (an empty set hides the resource from that role entirely)
+
+    An actor's effective grant on a resource is the union over all roles
+    (direct + inherited) of each role's resource override if present,
+    else its global grants.
+    """
+
+    def __init__(
+        self,
+        assignments: dict[str | None, set[str]],
+        role_grants: dict[str, set[str]],
+        role_parents: dict[str, set[str]] | None = None,
+        role_resource_grants: dict[tuple[str, str], set[str]] | None = None,
+    ) -> None:
+        self.assignments = assignments
+        self.role_grants = role_grants
+        self.role_parents = role_parents or {}
+        self.role_resource_grants = role_resource_grants or {}
+
+    def _expand_roles(self, actor: str | None) -> set[str]:
+        seen: set[str] = set()
+        stack = list(self.assignments.get(actor, set()))
+        while stack:
+            role = stack.pop()
+            if role in seen:
+                continue
+            seen.add(role)
+            stack.extend(self.role_parents.get(role, set()))
+        return seen
+
+    def is_allowed(self, actor: str | None, action: str, resource: str) -> bool:
+        allowed: set[str] = set()
+        for role in self._expand_roles(actor):
+            scoped = self.role_resource_grants.get((role, resource))
+            allowed |= scoped if scoped is not None else self.role_grants.get(role, set())
         return "*" in allowed or action in allowed
 
 

@@ -260,6 +260,7 @@ class Catalog:
         for level in levels:
             ident.validate_level(level)
         wh = self._warehouse(warehouse)
+        self._authorize("create", wh["wh_key"], ".".join(levels))
         key = ident.ns_key(levels)
         parent = tuple(levels[:-1])
         st = self.store
@@ -320,6 +321,14 @@ class Catalog:
             levels = ident.ns_load(r["ns_stored"])
             if len(levels) != depth or not r["ns_key"].startswith(pkey):
                 continue
+            # include_in_list filtering happens BEFORE pagination, so a
+            # page is full-sized whenever enough authorized rows exist
+            # and a restricted caller cannot infer hidden entries from
+            # page gaps (reference list-filtering semantics)
+            if not self.authz.is_allowed(
+                self._actor, "include_in_list", ".".join(levels)
+            ):
+                continue
             if page_size is not None and len(out) >= page_size:
                 next_token = out[-1][1]
                 break
@@ -328,6 +337,7 @@ class Catalog:
 
     def namespace_properties(self, warehouse: str, levels) -> dict[str, Any]:
         wh = self._warehouse(warehouse)
+        self._authorize("get_metadata", wh["wh_key"], ".".join(levels))
         row = self.store.one(
             "SELECT properties FROM namespaces WHERE wh_key=? AND ns_key=?",
             (wh["wh_key"], ident.ns_key(levels)),
@@ -340,6 +350,7 @@ class Catalog:
         self, warehouse: str, levels, updates: dict[str, Any], removals: list[str] = ()
     ) -> dict[str, Any]:
         wh = self._warehouse(warehouse)
+        self._authorize("update_properties", wh["wh_key"], ".".join(levels))
         st = self.store
         st.begin()
         try:
@@ -366,6 +377,7 @@ class Catalog:
 
     def drop_namespace(self, warehouse: str, levels) -> None:
         wh = self._warehouse(warehouse)
+        self._authorize("drop", wh["wh_key"], ".".join(levels))
         key = ident.ns_key(levels)
         st = self.store
         st.begin()
@@ -672,24 +684,27 @@ class Catalog:
         wh = self._warehouse(warehouse)
         rows = self.store.query(
             "SELECT name, name_key FROM tabulars WHERE wh_key=? AND ns_key=? AND kind=?"
-            " AND deleted_ms IS NULL AND name_key > ? ORDER BY name_key"
-            + (" LIMIT ?" if page_size is not None else ""),
-            (wh["wh_key"], ident.ns_key(levels), kind, page_token or "")
-            + ((page_size + 1,) if page_size is not None else ()),
+            " AND deleted_ms IS NULL AND name_key > ? ORDER BY name_key",
+            (wh["wh_key"], ident.ns_key(levels), kind, page_token or ""),
         )
-        names = [r["name"] for r in rows]
-        next_token = None
-        if page_size is not None and len(names) > page_size:
-            names = names[:page_size]
-            next_token = rows[page_size - 1]["name_key"]
         # reference CatalogTableAction::IncludeInList - unauthorized
-        # entries are silently filtered, never an error
+        # entries are silently filtered, never an error. Filtering runs
+        # BEFORE page_size truncation: a page is full-sized whenever
+        # enough authorized rows remain, next_token points at the last
+        # AUTHORIZED row, and page gaps never reveal hidden entries.
         ns = ".".join(levels)
-        names = [
-            n
-            for n in names
-            if self.authz.is_allowed(self._actor, "include_in_list", f"{ns}.{n}")
-        ]
+        names: list[str] = []
+        next_token = None
+        for r in rows:
+            if not self.authz.is_allowed(
+                self._actor, "include_in_list", f"{ns}.{r['name']}"
+            ):
+                continue
+            if page_size is not None and len(names) >= page_size:
+                next_token = last_key
+                break
+            names.append(r["name"])
+            last_key = r["name_key"]
         return names, next_token
 
     def commit_table(
@@ -1110,6 +1125,14 @@ class Catalog:
         duplicate-dialect check."""
         ident.validate_level(name)
         wh = self._warehouse(warehouse)
+        # same verb vocabulary as tables, per-entity gating (reference
+        # CatalogViewAction, authz/mod.rs:940-993); a replace is a commit
+        # to the existing view
+        self._authorize(
+            "commit" if replace else "create",
+            wh["wh_key"],
+            f"{'.'.join(levels)}.{name}",
+        )
         reps = [{"type": "sql", "sql": sql, "dialect": dialect}]
         for d, s in (representations or {}).items():
             if d == dialect:
@@ -1190,6 +1213,7 @@ class Catalog:
 
     def load_view(self, warehouse: str, levels, name: str) -> dict[str, Any]:
         wh = self._warehouse(warehouse)
+        self._authorize("get_metadata", wh["wh_key"], f"{'.'.join(levels)}.{name}")
         row = self._tabular_row(wh["wh_key"], levels, name, "view")
         if not row:
             raise NoSuchEntity(f"view {'.'.join(levels)}.{name} not found")
@@ -1247,6 +1271,7 @@ class Catalog:
 
     def drop_view(self, warehouse: str, levels, name: str) -> None:
         wh = self._warehouse(warehouse)
+        self._authorize("drop", wh["wh_key"], f"{'.'.join(levels)}.{name}")
         st = self.store
         st.begin()
         try:

@@ -700,3 +700,141 @@ def test_custom_location_and_shared_prefix_purge_safety(catalog, tmp_path):
     assert not os.path.exists(base)  # purged
     assert os.path.exists(base + "a/data.parquet")  # sibling untouched
     assert catalog.table_exists("wh", ["ns"], "t2")
+
+
+def test_authz_namespace_and_view_gating(tmp_path):
+    """Namespace and view operations pass through the same authorizer as
+    tables (reference CatalogNamespaceAction / CatalogViewAction next to
+    CatalogTableAction): a read-only principal can load but not mutate,
+    and hidden namespaces vanish from listings."""
+    import pytest
+
+    from lakekeeper_spark.catalog.authz import AuthorizationError, StaticRbacAuthorizer
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+
+    authz = StaticRbacAuthorizer(
+        grants={
+            None: {"*"},
+            "reader": {"get_metadata", "read_data", "include_in_list"},
+        },
+        resource_grants={("reader", "hidden"): set()},  # namespace fully hidden
+    )
+    cat = Catalog(Metastore(str(tmp_path / "m.db")), authorizer=authz)
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["ns"])
+    cat.create_namespace("wh", ["hidden"])
+    cat.create_view("wh", ["ns"], "v", "SELECT 1 AS one")
+    with cat.acting_as("reader"):
+        # reads allowed
+        assert cat.load_view("wh", ["ns"], "v")["view-uuid"]
+        assert cat.namespace_properties("wh", ["ns"]) == {}
+        # listing filters the hidden namespace
+        namespaces, _ = cat.list_namespaces("wh")
+        assert namespaces == [("ns",)]
+        # every mutation denied
+        with pytest.raises(AuthorizationError):
+            cat.create_namespace("wh", ["ns2"])
+        with pytest.raises(AuthorizationError):
+            cat.drop_namespace("wh", ["ns"])
+        with pytest.raises(AuthorizationError):
+            cat.update_namespace_properties("wh", ["ns"], {"k": "v"})
+        with pytest.raises(AuthorizationError):
+            cat.create_view("wh", ["ns"], "v2", "SELECT 2 AS two")
+        with pytest.raises(AuthorizationError):
+            cat.create_view("wh", ["ns"], "v", "SELECT 3 AS three", replace=True)
+        with pytest.raises(AuthorizationError):
+            cat.drop_view("wh", ["ns"], "v")
+        with pytest.raises(AuthorizationError):
+            cat.rename_view("wh", ["ns"], "v", ["ns"], "v2")
+    # everything survived
+    assert cat.view_exists("wh", ["ns"], "v")
+    assert cat.namespace_exists("wh", ["ns"])
+
+
+def test_authz_list_pagination_filters_before_truncation(tmp_path):
+    """A restricted caller's pages are full-sized whenever enough
+    authorized rows exist: filtering runs BEFORE page_size truncation and
+    next_token advances over hidden entries (reference list-filter +
+    PageToken semantics)."""
+    from lakekeeper_spark.catalog.authz import StaticRbacAuthorizer
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+
+    authz = StaticRbacAuthorizer(
+        grants={None: {"*"}, "reader": {"include_in_list"}},
+        resource_grants={
+            ("reader", "ns.b"): set(),
+            ("reader", "ns.d"): set(),
+        },
+    )
+    cat = Catalog(Metastore(str(tmp_path / "m.db")), authorizer=authz)
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["ns"])
+    schema = {"type": "struct", "schema-id": 0,
+              "fields": [{"id": 1, "name": "x", "required": False, "type": "long"}]}
+    for n in ["a", "b", "c", "d", "e", "f"]:
+        cat.create_table("wh", ["ns"], n, schema)
+    with cat.acting_as("reader"):
+        # authorized rows are a,c,e,f; hidden: b,d
+        page1, tok1 = cat.list_tables("wh", ["ns"], page_size=2)
+        assert page1 == ["a", "c"], "page must be FULL despite hidden b"
+        assert tok1 is not None
+        page2, tok2 = cat.list_tables("wh", ["ns"], page_token=tok1, page_size=2)
+        assert page2 == ["e", "f"]
+        assert tok2 is None  # exact end: no phantom next page
+    # unrestricted caller still paginates over everything
+    p1, t1 = cat.list_tables("wh", ["ns"], page_size=4)
+    assert p1 == ["a", "b", "c", "d"] and t1 is not None
+    p2, t2 = cat.list_tables("wh", ["ns"], page_token=t1, page_size=4)
+    assert p2 == ["e", "f"] and t2 is None
+
+
+def test_authz_role_hierarchy_inheritance(tmp_path):
+    """RoleRbacAuthorizer: role-to-role inheritance resolves grants
+    transitively (reference OpenFGA role#assignee@role:child tuples) and
+    per-resource overrides hide entities from a whole role subtree."""
+    import pytest
+
+    from lakekeeper_spark.catalog.authz import AuthorizationError, RoleRbacAuthorizer
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+
+    authz = RoleRbacAuthorizer(
+        assignments={None: {"root"}, "amy": {"data_admin"}, "bob": {"analyst"}},
+        role_grants={
+            "root": {"*"},
+            "analyst": {"get_metadata", "read_data", "include_in_list"},
+            "writer": {"write_data", "commit", "create"},
+            # data_admin holds no direct grants: everything is inherited
+            "data_admin": {"drop", "rename"},
+        },
+        role_parents={"data_admin": {"writer"}, "writer": {"analyst"}},
+        role_resource_grants={("analyst", "ns.secret"): set()},
+    )
+    cat = Catalog(Metastore(str(tmp_path / "m.db")), authorizer=authz)
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["ns"])
+    schema = {"type": "struct", "schema-id": 0,
+              "fields": [{"id": 1, "name": "x", "required": False, "type": "long"}]}
+    cat.create_table("wh", ["ns"], "t", schema)
+    cat.create_table("wh", ["ns"], "secret", schema)
+    with cat.acting_as("amy"):
+        # inherited two hops: data_admin -> writer -> analyst
+        assert cat.load_table("wh", ["ns"], "t")[0]["table-uuid"]
+        cat.create_table("wh", ["ns"], "t2", schema)  # from writer
+        cat.rename_table("wh", ["ns"], "t2", ["ns"], "t3")  # direct
+        cat.drop_table("wh", ["ns"], "t3")
+        # the analyst-level resource override hides ns.secret from the
+        # whole subtree: amy's only include_in_list grant comes from
+        # analyst, which is overridden to empty on this resource
+        names, _ = cat.list_tables("wh", ["ns"])
+        assert names == ["t"]
+    with cat.acting_as("bob"):
+        assert cat.load_table("wh", ["ns"], "t")[0]["table-uuid"]
+        with pytest.raises(AuthorizationError):
+            cat.create_table("wh", ["ns"], "nope", schema)
+        with pytest.raises(AuthorizationError):
+            cat.drop_table("wh", ["ns"], "t")
+        names, _ = cat.list_tables("wh", ["ns"])
+        assert names == ["t"]
