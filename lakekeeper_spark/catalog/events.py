@@ -1,0 +1,76 @@
+"""Pluggable change-event publishing.
+
+The reference fans every catalog mutation out to configured CloudEvents
+backends behind one trait (``crates/lakekeeper-events-nats``,
+``crates/lakekeeper-events-kafka``; event payloads in
+``service/events/types/*.rs``). This module is that seam: the metastore's
+queryable ``events`` log table remains the built-in, transactional
+backend (the SURVEY §7.6 mapping — events are part of catalog state and
+roll back with it), and any number of ``EventPublisher`` backends can be
+attached for external delivery.
+
+Delivery semantics match the reference's post-commit publishing: external
+backends see an event only AFTER the surrounding metastore transaction
+commits — a rolled-back mutation publishes nothing. Backends receive a
+CloudEvents-1.0-shaped envelope; a NATS or Kafka client drops in by
+implementing ``publish`` (both are network daemons absent from this
+sandbox, so the in-process ``CollectingPublisher`` is the reference
+backend and test double).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+from uuid import uuid4
+
+
+def cloud_event(
+    event_type: str, wh_key: str | None, entity: str | None, ts_ms: int, payload: dict
+) -> dict[str, Any]:
+    """CloudEvents 1.0 envelope (reference: cloudevents::Event built in
+    service/events/mod.rs with type/source/subject/data attributes)."""
+    return {
+        "specversion": "1.0",
+        "id": str(uuid4()),
+        "type": f"lakekeeper-spark.{event_type}",
+        "source": f"warehouse/{wh_key}" if wh_key else "server",
+        "subject": entity,
+        "time_ms": ts_ms,
+        "data": payload,
+    }
+
+
+class EventPublisher:
+    """Backend interface: deliver one CloudEvents envelope. Implementations
+    must be non-throwing best-effort or handle their own retries — a sink
+    failure must never fail the already-committed catalog mutation
+    (reference: publishing errors are logged, not propagated)."""
+
+    def publish(self, event: dict[str, Any]) -> None:
+        raise NotImplementedError
+
+
+class CollectingPublisher(EventPublisher):
+    """In-process backend: events accumulate on a list. The shape a
+    NATS/Kafka client adapts (swap ``publish`` for a producer send)."""
+
+    def __init__(self) -> None:
+        self.events: list[dict[str, Any]] = []
+
+    def publish(self, event: dict[str, Any]) -> None:
+        self.events.append(event)
+
+
+class FanoutPublisher(EventPublisher):
+    """Deliver to several backends; one backend's failure never starves
+    the others (mirrors the reference's multi-backend fan-out loop)."""
+
+    def __init__(self, *backends: EventPublisher) -> None:
+        self.backends = list(backends)
+
+    def publish(self, event: dict[str, Any]) -> None:
+        for b in self.backends:
+            try:
+                b.publish(event)
+            except Exception:  # noqa: BLE001 — best-effort per backend
+                pass

@@ -96,6 +96,9 @@ class Metastore:
     def __init__(self, path: str):
         self.path = path
         self._local = threading.local()
+        # external change-event backends (catalog/events.py): each receives
+        # a CloudEvents envelope AFTER the surrounding transaction commits
+        self.publishers: list[Any] = []
         con = self.con
         con.executescript(_DDL)
         con.commit()
@@ -117,12 +120,31 @@ class Metastore:
 
     def commit(self) -> None:
         self.con.execute("COMMIT")
+        self._flush_pending()
 
     def rollback(self) -> None:
         try:
             self.con.execute("ROLLBACK")
         except sqlite3.OperationalError:
             pass
+        # a rolled-back mutation publishes nothing externally
+        self._pending().clear()
+
+    def _pending(self) -> list[dict[str, Any]]:
+        buf = getattr(self._local, "pending_events", None)
+        if buf is None:
+            buf = self._local.pending_events = []
+        return buf
+
+    def _flush_pending(self) -> None:
+        buf = self._pending()
+        for event in buf:
+            for p in self.publishers:
+                try:
+                    p.publish(event)
+                except Exception:  # noqa: BLE001 — sink failure never
+                    pass  # fails a committed catalog mutation
+        buf.clear()
 
     # -- generic helpers ------------------------------------------------
     def query(self, sql: str, params: tuple = ()) -> list[sqlite3.Row]:
@@ -138,11 +160,18 @@ class Metastore:
     def emit_event(
         self, event_type: str, wh_key: str | None, entity: str | None, payload: dict[str, Any]
     ) -> None:
+        ts = now_ms()
         self.con.execute(
             "INSERT INTO events (ts_ms, event_type, wh_key, entity, payload)"
             " VALUES (?,?,?,?,?)",
-            (now_ms(), event_type, wh_key, entity, json.dumps(payload)),
+            (ts, event_type, wh_key, entity, json.dumps(payload)),
         )
+        if self.publishers:
+            from .events import cloud_event
+
+            self._pending().append(cloud_event(event_type, wh_key, entity, ts, payload))
+            if not self.con.in_transaction:  # autocommit: already durable
+                self._flush_pending()
 
     def record_endpoint(self, endpoint: str, wh_key: str | None, status: int = 200) -> None:
         hour = now_ms() // 3_600_000

@@ -19,6 +19,8 @@ bit-identical across engines (see queries/similarity.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -348,14 +350,23 @@ GROUP BY a.cid ORDER BY a.cid"""
     "(embeddings_ops.py docstring: the production swap-in).",
     tags=("embeddings", "ml", "iterative", "ann"),
 )
-def s04_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s04_kmeans_train(
+    spark: SparkSession, sf_dir: str, cache_points: bool | None = None
+) -> DataFrame:
     d, k = KM_DIM, KM_K
-    # each Lloyd iteration re-scans the parquet; measured FASTER here than
-    # localCheckpoint-ing the points (OS page cache makes local parquet
-    # scans cheaper than the checkpoint serialize/deserialize round-trip:
-    # 3.6 s vs 4.8 s at sf0.1). On a cluster with remote storage MLlib
-    # caches its input - swap in .persist() at the real-scale boundary.
+    # cache_points=False: each Lloyd iteration re-scans the parquet —
+    # measured FASTER locally (OS page cache makes local parquet scans
+    # cheaper than the persist round-trip; see BENCH_r04 note for the
+    # sf0.1/sf1 numbers). cache_points=True persists the points between
+    # iterations — the MLlib topology, the right call on a cluster where
+    # "re-scan" means remote object-store reads. Same result bit-for-bit
+    # either way; flag defaults from $SPARK_GRAFT_KMEANS_CACHE so cluster
+    # deployments flip it without a code change.
+    if cache_points is None:
+        cache_points = os.environ.get("SPARK_GRAFT_KMEANS_CACHE", "0") == "1"
     pts = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if cache_points:
+        pts = pts.persist()
     init = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for r in pts.filter(F.col("vec_id") < k).collect()
@@ -412,6 +423,10 @@ def s04_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids = {
             cid: new_c.get(cid, centroids[cid]) for cid in sorted(centroids)
         }
+    if cache_points:
+        # iterations are done; the final summary scan re-reads the source
+        # once rather than pinning the points for the session
+        pts.unpersist()
     # half-away-from-zero, matching SQL ROUND (Python round() is banker's)
     def _r6(v: float) -> int:
         import math

@@ -1,7 +1,14 @@
-"""Driver-contract guards: the correctness gate records only the first 50
-sorted keys of __spark_entry__.queries(); every operator family must land
-inside that cut (round-2 verdict: 20/70 queries went driver-unchecked
-because whole families sorted past entry #50)."""
+"""Driver-contract guards.
+
+The correctness gate records only the first 50 sorted keys of
+__spark_entry__.queries(); ranks are assigned by checked-recency from the
+committed CORRECTNESS_r*.json artifacts with a per-family guard block
+(round-2 verdict: whole families once sorted past entry #50; round-3
+verdict: the hand-maintained demotion list left 60 queries un-re-checked
+between judge passes). These tests pin both properties plus the freshness
+contract: every registry query must hold a green driver-gate or fullsweep
+check no older than two rounds.
+"""
 
 import re
 import sys
@@ -10,6 +17,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entry_mod
+from lakekeeper_spark.registry import load_registry
 
 
 def test_first_50_entries_cover_every_operator_family():
@@ -23,10 +31,46 @@ def test_first_50_entries_cover_every_operator_family():
 def test_exposed_names_are_unique_and_resolve():
     mapping = entry_mod._ranked_names()
     assert len(mapping) == len(set(mapping.values()))
+    assert set(mapping.values()) == set(load_registry())
     qs = entry_mod.queries()
     osql = entry_mod.oracle_sql()
+    assert set(qs) == set(mapping)
     assert set(osql) <= set(qs)
-    # rows past the cut are only hash-approx or round-1/2-verified q-family
-    for k in sorted(mapping)[50:]:
+
+
+def test_ranking_is_stalest_first():
+    """Past the per-family guard block, queries the driver has not checked
+    longest (or ever) must sort earliest — the rotation that guarantees no
+    query drifts unverified between driver gates."""
+    mapping = entry_mod._ranked_names()
+    last = entry_mod.driver_checked_rounds()
+    ordered = [mapping[k] for k in sorted(mapping)]
+    n_fams = len({entry_mod._family(n) for n in ordered})
+    tail = ordered[n_fams:]
+    staleness = [last.get(n, -1) for n in tail]
+    assert staleness == sorted(staleness), "tail not ordered stalest-first"
+    # the guard block holds each family's stalest member
+    for k in sorted(mapping)[:n_fams]:
         raw = mapping[k]
-        assert raw in entry_mod._BACK_OK or raw.startswith("q"), raw
+        fam = entry_mod._family(raw)
+        fam_members = [n for n in ordered if entry_mod._family(n) == fam]
+        assert last.get(raw, -1) == min(last.get(n, -1) for n in fam_members)
+
+
+def test_every_query_verified_within_two_rounds():
+    """The self-certification contract (round-3 verdict item 1): each
+    registry query needs a green check — driver gate or committed
+    FULLSWEEP_r*.json — within the last two rounds. Forces a fullsweep
+    artifact to be regenerated every round."""
+    verified = entry_mod.verified_rounds()
+    current = max(verified.values(), default=-1)
+    assert current >= 0, "no committed CORRECTNESS/FULLSWEEP artifacts found"
+    stale = {
+        n: verified.get(n, -1)
+        for n in load_registry()
+        if verified.get(n, -1) < current - 1
+    }
+    assert not stale, (
+        f"queries without a green check since round {current - 1}: {stale} — "
+        f"run `python tools/fullsweep.py {current}` and commit the artifact"
+    )

@@ -1,0 +1,112 @@
+"""Pluggable change-event publishing (catalog/events.py).
+
+Mirrors the reference's CloudEvents backend seam
+(crates/lakekeeper-events-{nats,kafka}; event payloads in
+service/events/types/*.rs): every catalog mutation fans out to attached
+EventPublisher backends AFTER its transaction commits, in commit order,
+as CloudEvents-1.0 envelopes; a rolled-back mutation publishes nothing;
+a failing backend never fails the mutation or starves other backends.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lakekeeper_spark.catalog.catalog import AlreadyExists, Catalog
+from lakekeeper_spark.catalog.events import (
+    CollectingPublisher,
+    EventPublisher,
+    FanoutPublisher,
+)
+from lakekeeper_spark.catalog.metastore import Metastore
+
+SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [{"id": 1, "name": "x", "required": False, "type": "long"}],
+}
+
+
+def _catalog(tmp_path, *publishers):
+    store = Metastore(str(tmp_path / "m.db"))
+    store.publishers.extend(publishers)
+    cat = Catalog(store)
+    return cat
+
+
+def test_mutations_publish_cloudevents_in_commit_order(tmp_path):
+    sink = CollectingPublisher()
+    cat = _catalog(tmp_path, sink)
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["ns"])
+    cat.create_table("wh", ["ns"], "t", SCHEMA)
+    cat.rename_table("wh", ["ns"], "t", ["ns"], "t2")
+    cat.create_view("wh", ["ns"], "v", "SELECT 1 AS one")
+    cat.drop_view("wh", ["ns"], "v")
+    cat.drop_table("wh", ["ns"], "t2")
+    # the event-type sequence matches the reference's per-mutation events
+    # (CreateWarehouseEvent, CreateNamespaceEvent, CreateTableEvent,
+    #  RenameTableEvent, CreateViewEvent, DropViewEvent, DropTableEvent)
+    types = [e["type"] for e in sink.events]
+    assert types == [
+        "lakekeeper-spark.create-warehouse",
+        "lakekeeper-spark.create-namespace",
+        "lakekeeper-spark.create-table",
+        "lakekeeper-spark.rename-table",
+        "lakekeeper-spark.create-view",
+        "lakekeeper-spark.drop-view",
+        "lakekeeper-spark.drop-table",
+    ]
+    # envelope is CloudEvents-1.0 shaped
+    ev = sink.events[2]
+    assert ev["specversion"] == "1.0"
+    assert ev["source"] == "warehouse/wh"
+    assert ev["subject"] == "ns.t"
+    assert ev["id"] and ev["time_ms"] > 0
+    assert isinstance(ev["data"], dict)
+    # external fan-out mirrors the internal queryable log table 1:1
+    logged = [e["type"] for e in reversed(cat.list_events(100))]
+    assert logged == [t.removeprefix("lakekeeper-spark.") for t in types]
+
+
+def test_rolled_back_mutation_publishes_nothing(tmp_path):
+    sink = CollectingPublisher()
+    cat = _catalog(tmp_path, sink)
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["ns"])
+    cat.create_table("wh", ["ns"], "t", SCHEMA)
+    n_before = len(sink.events)
+    with pytest.raises(AlreadyExists):
+        cat.create_table("wh", ["ns"], "t", SCHEMA)  # rolls back
+    assert len(sink.events) == n_before, "rolled-back mutation leaked an event"
+
+
+def test_failing_backend_never_fails_the_mutation(tmp_path):
+    class Exploding(EventPublisher):
+        def publish(self, event):
+            raise RuntimeError("sink down")
+
+    good = CollectingPublisher()
+    cat = _catalog(tmp_path, FanoutPublisher(Exploding(), good))
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["ns"])  # must not raise
+    assert [e["type"] for e in good.events] == [
+        "lakekeeper-spark.create-warehouse",
+        "lakekeeper-spark.create-namespace",
+    ]
+    assert cat.namespace_exists("wh", ["ns"])
+
+
+def test_drop_with_purge_flows_through_publisher(tmp_path):
+    """The lifecycle path (soft-delete -> expiration queue) publishes the
+    same tabular events the reference routes through its queues."""
+    sink = CollectingPublisher()
+    cat = _catalog(tmp_path, sink)
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["ns"])
+    cat.create_table("wh", ["ns"], "t", SCHEMA)
+    cat.drop_table("wh", ["ns"], "t")
+    cat.undrop_table("wh", ["ns"], "t")
+    types = [e["type"] for e in sink.events]
+    assert "lakekeeper-spark.drop-table" in types
+    assert "lakekeeper-spark.undrop-tabular" in types

@@ -1,0 +1,74 @@
+"""Self-certification sweep: run EVERY registry query against its DuckDB
+oracle at sf0.01 and commit the result as FULLSWEEP_r{N}.json.
+
+The driver's per-round correctness gate sees only the first 50 exposed
+keys; this artifact closes the gap — every registered query is verified
+every round, and tests/test_entry_contract.py fails the build if any
+query's last green check (driver gate or fullsweep) is older than two
+rounds.
+
+Usage: python tools/fullsweep.py <round> [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lakekeeper_spark.registry import load_registry  # noqa: E402
+from lakekeeper_spark.session import get_session  # noqa: E402
+from tools.compare import compare_one, duck_connection  # noqa: E402
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    rnd = int(sys.argv[1])
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    reg = load_registry()
+    spark = get_session("fullsweep")
+    con = duck_connection(sf_dir)
+    results: dict[str, dict] = {}
+    t_start = time.time()
+    n_fail = 0
+    for name in sorted(reg):
+        t0 = time.time()
+        try:
+            ok, msg = compare_one(name, spark, con, sf_dir)
+            err = None
+        except Exception as e:  # noqa: BLE001
+            ok, msg, err = False, "", f"{type(e).__name__}: {e}"
+        results[name] = {
+            "rows_match": ok if err is None else False,
+            "schema_match": ok if err is None else False,
+            "hash_match": (
+                ok if (err is None and reg[name].oracle is not None) else None
+            ),
+            "mode": "exact" if reg[name].oracle is not None else "rows-only",
+            "detail": msg,
+            "err": err,
+            "sec": round(time.time() - t0, 2),
+        }
+        n_fail += 0 if ok else 1
+        print(("PASS" if ok else "FAIL"), name, msg or err, flush=True)
+    out = {
+        "round": rnd,
+        "sf_dir": sf_dir,
+        "n_queries": len(results),
+        "n_fail": n_fail,
+        "total_sec": round(time.time() - t_start, 1),
+        "results": results,
+    }
+    path = Path(__file__).resolve().parent.parent / f"FULLSWEEP_r{rnd:02d}.json"
+    path.write_text(json.dumps(out, indent=1))
+    print(f"\n{len(results) - n_fail}/{len(results)} passed -> {path}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
