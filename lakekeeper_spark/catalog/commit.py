@@ -43,6 +43,45 @@ class CommitValidationError(Exception):
     """Malformed or forbidden update (400-class in the reference)."""
 
 
+def _normalize_partition_fields(
+    fields: list[dict[str, Any]], schema: dict[str, Any]
+) -> list[dict[str, Any]]:
+    """Carry BOTH spellings of the source column: ``source-id`` (the
+    spec-required schema field id) and ``source-name`` (the engine's
+    operational key for building Spark partition expressions). Either may
+    be supplied; the other resolves from the schema."""
+    by_name = {f["name"]: f["id"] for f in schema.get("fields", [])}
+    by_id = {f["id"]: f["name"] for f in schema.get("fields", [])}
+    out = []
+    for f in fields:
+        f = dict(f)
+        f.setdefault("transform", "identity")
+        if "source-id" not in f and f.get("source-name") in by_name:
+            f["source-id"] = by_name[f["source-name"]]
+        if "source-name" not in f and f.get("source-id") in by_id:
+            f["source-name"] = by_id[f["source-id"]]
+        out.append(f)
+    return out
+
+
+def _normalize_sort_fields(
+    fields: list[dict[str, Any]], schema: dict[str, Any]
+) -> list[dict[str, Any]]:
+    out = _normalize_partition_fields(fields, schema)
+    for f in out:
+        f.setdefault("direction", "asc")
+        f.setdefault(
+            "null-order", "nulls-first" if f["direction"] == "asc" else "nulls-last"
+        )
+    return out
+
+
+def _current_schema_of(meta: dict[str, Any]) -> dict[str, Any]:
+    return next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+
+
 def new_table_metadata(
     table_uuid: str,
     location: str,
@@ -54,9 +93,14 @@ def new_table_metadata(
 ) -> dict[str, Any]:
     schema = dict(schema)
     schema.setdefault("schema-id", 0)
-    spec = partition_spec or {"spec-id": 0, "fields": []}
-    order = sort_order or {"order-id": 0, "fields": []}
-    last_column_id = max((f["id"] for f in schema.get("fields", [])), default=0)
+    schema.setdefault("type", "struct")  # Iceberg schemas ARE struct types
+    spec = dict(partition_spec or {"spec-id": 0, "fields": []})
+    spec["fields"] = _normalize_partition_fields(spec.get("fields", []), schema)
+    order = dict(sort_order or {"order-id": 0, "fields": []})
+    order["fields"] = _normalize_sort_fields(order.get("fields", []), schema)
+    from ..format.types import max_field_id
+
+    last_column_id = max_field_id(schema)  # includes nested element/key ids
     last_partition_id = max((f["field-id"] for f in spec.get("fields", [])), default=999)
     return {
         "format-version": format_version,
@@ -179,6 +223,7 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
         meta["format-version"] = target
     elif action == "add-schema":
         schema = _deep_copy(upd["schema"])
+        schema.setdefault("type", "struct")  # Iceberg schemas ARE struct types
         if schema.get("schema-id") is None or schema["schema-id"] == -1:
             schema["schema-id"] = max((s["schema-id"] for s in meta["schemas"]), default=-1) + 1
         if _schema_by_id(meta, schema["schema-id"]) is not None:
@@ -187,8 +232,9 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
                 raise CommitValidationError(f"schema-id {schema['schema-id']} already exists")
         else:
             meta["schemas"].append(schema)
-        new_max = max((f["id"] for f in schema.get("fields", [])), default=0)
-        meta["last-column-id"] = max(meta["last-column-id"], new_max)
+        from ..format.types import max_field_id
+
+        meta["last-column-id"] = max(meta["last-column-id"], max_field_id(schema))
     elif action == "set-current-schema":
         sid = upd["schema-id"]
         if sid == -1:
@@ -198,6 +244,9 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
         meta["current-schema-id"] = sid
     elif action == "add-spec":
         spec = _deep_copy(upd["spec"])
+        spec["fields"] = _normalize_partition_fields(
+            spec.get("fields", []), _current_schema_of(meta)
+        )
         if spec.get("spec-id") is None or spec["spec-id"] == -1:
             spec["spec-id"] = max((s["spec-id"] for s in meta["partition-specs"]), default=-1) + 1
         if any(s["spec-id"] == spec["spec-id"] for s in meta["partition-specs"]):
@@ -214,6 +263,9 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
         meta["default-spec-id"] = sid
     elif action == "add-sort-order":
         order = _deep_copy(upd["sort-order"])
+        order["fields"] = _normalize_sort_fields(
+            order.get("fields", []), _current_schema_of(meta)
+        )
         if order.get("order-id") is None or order["order-id"] == -1:
             order["order-id"] = max((o["order-id"] for o in meta["sort-orders"]), default=-1) + 1
         if any(o["order-id"] == order["order-id"] for o in meta["sort-orders"]):

@@ -38,6 +38,7 @@ Query surface provided (reference test_spark.py parity):
 
 from __future__ import annotations
 
+import json
 import time
 import uuid
 from pathlib import Path
@@ -48,7 +49,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog.catalog import Catalog, CatalogError, NoSuchEntity, NotModified
-from .types import next_field_id, schema_to_struct
+from .types import (
+    _SPARK_TO_ICEBERG as _ICEBERG_PRIM,
+)
+from .types import (
+    _iceberg_type_of,
+    _parse_type,
+    next_field_id,
+    schema_to_struct,
+    spark_ddl_of,
+)
 
 MAIN = "main"
 
@@ -378,6 +388,27 @@ class SparkTable:
             )
         return entries
 
+    def _attach_manifest_list(
+        self, meta: dict[str, Any], snapshot: dict[str, Any]
+    ) -> None:
+        """Write the snapshot's file list out-of-line and point the
+        Iceberg-spec-required ``manifest-list`` field at it, making every
+        snapshot entry in the metadata document field-for-field valid
+        TableMetadata v2 (format/iceberg_spec.py validates it). The file
+        is JSON, not Avro — no Avro library exists in this environment
+        (documented limitation; the two-level Avro manifest encoding is a
+        serialization swap behind this seam, SURVEY §3.2). The inline
+        ``manifest`` key stays the engine's authoritative copy, a
+        documented vendor extension spec parsers ignore."""
+        mdir = Path(meta["location"]) / "metadata"
+        mdir.mkdir(parents=True, exist_ok=True)
+        path = mdir / (
+            f"snap-{snapshot['snapshot-id']}-{uuid.uuid4().hex[:12]}"
+            ".manifest-list.json"
+        )
+        path.write_text(json.dumps(snapshot["manifest"]))
+        snapshot["manifest-list"] = str(path)
+
     def _commit_snapshot(
         self,
         meta: dict[str, Any],
@@ -403,6 +434,7 @@ class SparkTable:
             },
             "manifest": manifest,
         }
+        self._attach_manifest_list(meta, snapshot)
         requirements = [
             {"type": "assert-table-uuid", "uuid": meta["table-uuid"]},
             {
@@ -798,7 +830,7 @@ class SparkTable:
                     )
                     by_id_w = {f["id"]: (f["name"], f["type"]) for f in wschema["fields"]}
                     read_schema = ", ".join(
-                        f"`{by_id_w[fid][0]}` {by_id_w[fid][1]}"
+                        f"`{by_id_w[fid][0]}` {spark_ddl_of(by_id_w[fid][1])}"
                         for fid in e["equality-ids"]
                     )
                     del_rows = self.spark.read.schema(read_schema).parquet(
@@ -991,7 +1023,7 @@ class SparkTable:
             for fid in e["equality-ids"]:
                 wname, wtype = by_id_w[fid]
                 pairs.append((wname, wtype, by_id_cur[fid]))
-            read_schema = ", ".join(f"`{w}` {t}" for w, t, _ in pairs)
+            read_schema = ", ".join(f"`{w}` {spark_ddl_of(t)}" for w, t, _ in pairs)
             del_rows = self.spark.read.schema(read_schema).parquet(
                 f"{meta['location']}/{e['path']}"
             )
@@ -1555,7 +1587,11 @@ class SparkTable:
             .distinct()
             .collect()
         ]
-        return self._rewrite(None, rewriter, "merge", extra_rows=inserts, affected=affected)
+        # Iceberg records MERGE commits as operation=overwrite (the spec's
+        # closed operation set: append/replace/overwrite/delete)
+        return self._rewrite(
+            None, rewriter, "overwrite", extra_rows=inserts, affected=affected
+        )
 
     # ---------------- refs / time travel ----------------
     def create_tag(
@@ -1639,6 +1675,7 @@ class SparkTable:
             },
             "manifest": (parent["manifest"] if parent else []) + new_entries,
         }
+        self._attach_manifest_list(meta, snapshot)
         return self._commit(
             [{"type": "assert-table-uuid", "uuid": meta["table-uuid"]}],
             [{"action": "add-snapshot", "snapshot": snapshot}],
@@ -1713,10 +1750,15 @@ class SparkTable:
     def add_column(self, name: str, ddl_type: str, required: bool = False) -> None:
         meta = self.metadata()
         schema = self._current_schema(meta)
+        # normalize the DDL spelling to the Iceberg type (nested ids for
+        # array/map/struct columns allocate past the new field's id)
+        fid = next_field_id(schema)
+        counter = iter(range(fid + 1, fid + 1000))
+        itype = _iceberg_type_of(_parse_type(ddl_type), lambda: next(counter))
         new_schema = {
             "schema-id": max(s["schema-id"] for s in meta["schemas"]) + 1,
             "fields": schema["fields"]
-            + [{"id": next_field_id(schema), "name": name, "type": ddl_type, "required": required}],
+            + [{"id": fid, "name": name, "type": itype, "required": required}],
         }
         self._commit([{"type": "assert-current-schema-id", "current-schema-id": meta["current-schema-id"]}],
             [
@@ -1766,22 +1808,25 @@ class SparkTable:
             ],
         )
 
-    _WIDENINGS = {("int", "bigint"), ("float", "double"), ("smallint", "int"),
-                  ("smallint", "bigint"), ("tinyint", "int"), ("tinyint", "bigint")}
+    # Iceberg type names; tinyint/smallint appear only in legacy metadata
+    _WIDENINGS = {("int", "long"), ("float", "double"), ("smallint", "int"),
+                  ("smallint", "long"), ("tinyint", "int"), ("tinyint", "long")}
 
     def widen_column(self, name: str, new_type: str) -> None:
         """Iceberg type promotion (int->long, float->double): a new schema
         version with the same field id at the wider type; old files read
-        through the field-id cast in _read_entries."""
+        through the field-id cast in _read_entries. Accepts either Iceberg
+        ("long") or Spark DDL ("bigint") spellings; stores Iceberg."""
+        new_type = _ICEBERG_PRIM.get(new_type, new_type)
         meta = self.metadata()
         schema = self._current_schema(meta)
         field = next((f for f in schema["fields"] if f["name"] == name), None)
         if field is None:
             raise NoSuchEntity(f"column {name} not found")
-        if (field["type"], new_type) not in self._WIDENINGS:
+        if (_ICEBERG_PRIM.get(field["type"], field["type"]), new_type) not in self._WIDENINGS:
             raise CatalogError(
                 f"illegal promotion {field['type']} -> {new_type} (Iceberg "
-                "allows widening only: int->bigint, float->double)"
+                "allows widening only: int->long, float->double)"
             )
         new_schema = {
             "schema-id": max(s["schema-id"] for s in meta["schemas"]) + 1,
@@ -1909,6 +1954,13 @@ class SparkTable:
             self.catalog.store.enqueue_task(
                 "tabular_purge", {"location": f"{meta['location']}/{rel}", "id": meta["table-uuid"]}
             )
+        # expired snapshots' manifest-list files go with them
+        for s in meta["snapshots"]:
+            if s["snapshot-id"] in victims and s.get("manifest-list"):
+                self.catalog.store.enqueue_task(
+                    "tabular_purge",
+                    {"location": s["manifest-list"], "id": meta["table-uuid"]},
+                )
         return victims
 
     def remove_orphan_files(
@@ -1948,6 +2000,9 @@ class SparkTable:
         referenced.update(e["metadata-file"] for e in meta.get("metadata-log", []))
         referenced.update(
             s.get("statistics-path", "") for s in meta.get("statistics", [])
+        )
+        referenced.update(
+            s["manifest-list"] for s in meta["snapshots"] if s.get("manifest-list")
         )
         horizon = _now_ms() - older_than_ms
         orphans = []

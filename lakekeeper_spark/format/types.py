@@ -1,11 +1,26 @@
 """Schema dict <-> Spark StructType conversion.
 
-Our table metadata stores schemas as Iceberg-shaped dicts:
-  {"schema-id": N, "fields": [{"id": i, "name": n, "type": ddl, "required": bool}]}
-where `type` is a Spark DDL type string ("bigint", "double", "string",
-"timestamp_ntz", "array<float>", ...). Field ids are assigned on creation
-and preserved across evolution (reference: iceberg-rust Schema/NestedField
-re-exported in crates/iceberg-ext/src/spec/mod.rs:3-9).
+Table metadata stores schemas as Iceberg-spec-shaped documents
+(reference: iceberg-rust Schema/NestedField re-exported in
+crates/iceberg-ext/src/spec/mod.rs:3-9; JSON serialization per the public
+Iceberg table spec):
+
+  {"type": "struct", "schema-id": N,
+   "fields": [{"id": i, "name": n, "type": t, "required": bool}]}
+
+where ``t`` is an Iceberg type: a primitive name ("long", "double",
+"string", "timestamptz", "decimal(p,s)", ...) or a nested dict
+({"type": "list", "element-id": j, "element": ..., "element-required":
+bool}, and the analogous map/struct forms). Field ids — including nested
+element/key/value ids — are assigned on creation and preserved across
+evolution.
+
+Spark <-> Iceberg primitive mapping notes:
+  - Spark TimestampType carries session-zone instants -> "timestamptz";
+    TimestampNTZType -> "timestamp" (the spec's zone-free type).
+  - tinyint/smallint have no Iceberg form and promote to "int" on write.
+  - Legacy Spark-DDL strings ("bigint", "array<float>") in older stored
+    metadata still parse (back-compat in spark_ddl_of/_parse_type).
 """
 
 from __future__ import annotations
@@ -14,21 +29,119 @@ from typing import Any
 
 from pyspark.sql import types as T
 
+_SPARK_TO_ICEBERG = {
+    "boolean": "boolean",
+    "tinyint": "int",
+    "smallint": "int",
+    "int": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "string": "string",
+    "binary": "binary",
+}
+_ICEBERG_TO_SPARK = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamptz": "timestamp",
+    "timestamp": "timestamp_ntz",
+    "timestamp_ns": "timestamp_ntz",
+    "timestamptz_ns": "timestamp",
+    "string": "string",
+    "uuid": "string",
+    "binary": "binary",
+}
+
+
+def _iceberg_type_of(dt: T.DataType, alloc) -> Any:
+    """Spark DataType -> Iceberg type (primitive string or nested dict);
+    ``alloc()`` hands out ids for nested element/key/value/struct fields."""
+    s = dt.simpleString()
+    if s in _SPARK_TO_ICEBERG:
+        return _SPARK_TO_ICEBERG[s]
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.ArrayType):
+        return {
+            "type": "list",
+            "element-id": alloc(),
+            "element": _iceberg_type_of(dt.elementType, alloc),
+            "element-required": not dt.containsNull,
+        }
+    if isinstance(dt, T.MapType):
+        return {
+            "type": "map",
+            "key-id": alloc(),
+            "value-id": alloc(),
+            "key": _iceberg_type_of(dt.keyType, alloc),
+            "value": _iceberg_type_of(dt.valueType, alloc),
+            "value-required": not dt.valueContainsNull,
+        }
+    if isinstance(dt, T.StructType):
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": alloc(),
+                    "name": f.name,
+                    "required": not f.nullable,
+                    "type": _iceberg_type_of(f.dataType, alloc),
+                }
+                for f in dt.fields
+            ],
+        }
+    if isinstance(dt, T.VariantType):
+        return "variant"
+    raise ValueError(f"unsupported Spark type for Iceberg schema: {s}")
+
+
+def spark_ddl_of(t: Any) -> str:
+    """Iceberg type (or legacy Spark-DDL string) -> Spark DDL string."""
+    if isinstance(t, str):
+        if t in _ICEBERG_TO_SPARK:
+            return _ICEBERG_TO_SPARK[t]
+        return t.replace(" ", "")  # decimal(p, s) / legacy DDL pass through
+    kind = t.get("type")
+    if kind == "list":
+        return f"array<{spark_ddl_of(t['element'])}>"
+    if kind == "map":
+        return f"map<{spark_ddl_of(t['key'])},{spark_ddl_of(t['value'])}>"
+    if kind == "struct":
+        inner = ",".join(
+            f"`{f['name']}`:{spark_ddl_of(f['type'])}" for f in t["fields"]
+        )
+        return f"struct<{inner}>"
+    raise ValueError(f"unsupported Iceberg type: {t!r}")
+
 
 def struct_to_schema(struct: T.StructType, schema_id: int = 0, first_id: int = 1) -> dict[str, Any]:
+    # top-level field ids first, nested element/key/value ids after — so
+    # sequential readers see stable column ids up front
+    next_id = first_id + len(struct.fields)
+
+    def alloc() -> int:
+        nonlocal next_id
+        next_id += 1
+        return next_id - 1
+
     fields = []
-    next_id = first_id
-    for f in struct.fields:
+    for i, f in enumerate(struct.fields):
         fields.append(
             {
-                "id": next_id,
+                "id": first_id + i,
                 "name": f.name,
-                "type": f.dataType.simpleString(),
+                "type": _iceberg_type_of(f.dataType, alloc),
                 "required": not f.nullable,
             }
         )
-        next_id += 1
-    return {"schema-id": schema_id, "fields": fields}
+    return {"type": "struct", "schema-id": schema_id, "fields": fields}
 
 
 def schema_to_struct(schema: dict[str, Any]) -> T.StructType:
@@ -44,9 +157,39 @@ def schema_to_struct(schema: dict[str, Any]) -> T.StructType:
     )
 
 
-def _parse_type(ddl: str) -> T.DataType:
-    return T._parse_datatype_string(ddl)  # noqa: SLF001 - public enough, stable
+def _parse_type(t: Any) -> T.DataType:
+    return T._parse_datatype_string(spark_ddl_of(t))  # noqa: SLF001
+
+
+def max_field_id(schema: dict[str, Any]) -> int:
+    """Largest assigned field id, INCLUDING nested element/key/value ids
+    (the spec's last-column-id covers all of them)."""
+
+    def walk(t: Any) -> int:
+        if not isinstance(t, dict):
+            return 0
+        kind = t.get("type")
+        if kind == "list":
+            return max(t.get("element-id", 0), walk(t.get("element")))
+        if kind == "map":
+            return max(
+                t.get("key-id", 0),
+                t.get("value-id", 0),
+                walk(t.get("key")),
+                walk(t.get("value")),
+            )
+        if kind == "struct" or (kind is None and "fields" in t):
+            return max(
+                (
+                    max(f.get("id", 0), walk(f.get("type")))
+                    for f in t.get("fields", [])
+                ),
+                default=0,
+            )
+        return 0
+
+    return walk(schema)
 
 
 def next_field_id(schema: dict[str, Any]) -> int:
-    return max((f["id"] for f in schema.get("fields", [])), default=0) + 1
+    return max(max_field_id(schema), 0) + 1

@@ -179,20 +179,11 @@ class IceliteStreamDataSource(DataSource):
         return "icelite"
 
     def schema(self) -> str:
+        from ..format.types import spark_ddl_of
+
         meta = _load_meta(self.options)
-        _TYPES = {
-            "int": "int",
-            "long": "bigint",
-            "double": "double",
-            "float": "float",
-            "string": "string",
-            "boolean": "boolean",
-            "timestamp": "timestamp",
-            "date": "date",
-            "binary": "binary",
-        }
         cols = ", ".join(
-            f"`{n}` {_TYPES.get(t, t)}" for n, t in _schema_fields(meta)
+            f"`{n}` {spark_ddl_of(t)}" for n, t in _schema_fields(meta)
         )
         return cols
 
