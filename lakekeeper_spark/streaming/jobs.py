@@ -963,3 +963,137 @@ def st10_stream_table_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qty_fp").cast("long").alias("qty_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# st11: streaming CHANGE FEED — CDC rows off the snapshot log
+# --------------------------------------------------------------------------
+# st07 streams appends; st11 streams CHANGES: the icelite source in
+# change-feed mode emits one row per net row-level change (`_change_type`
+# insert|delete, `_commit_snapshot_id`) per commit, driven by the same
+# checkpointed snapshot offsets — the streaming twin of
+# SparkTable.changelog() / Iceberg's create_changelog_view, which the
+# stock Iceberg Spark runtime only offers as a BATCH view. A copy-on-write
+# delete therefore arrives as delete events for every row of the rewritten
+# files plus insert events for the survivors; signed accumulation of the
+# feed reconstructs the table's final state exactly, which is what the
+# oracle checks. Two drains with an append+delete between them prove the
+# checkpointed resume: phase-1 events are never re-delivered (re-delivery
+# would double the signed sums and break the hash match).
+@register(
+    "st11_stream_change_feed",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= 1000
+)
+SELECT l_orderkey,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_fp
+FROM src
+WHERE l_quantity >= 10
+GROUP BY l_orderkey
+""",
+    description="Streaming CDC read: the icelite stream source in "
+    "change-feed mode emits insert/delete events per commit off the "
+    "checkpointed snapshot offsets (streaming twin of the batch "
+    "changelog); a CoW delete lands as delete+insert pairs, and signed "
+    "accumulation of two checkpoint-resumed drains reconstructs the "
+    "final table state bit-exactly.",
+    tags=("streaming", "catalog", "icelite", "source", "cdc", "changelog"),
+)
+def st11_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..data import load_table
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+    from .source import IceliteStreamDataSource
+
+    ensure_runtime_confs(spark)
+    try:
+        spark.dataSource.register(IceliteStreamDataSource)
+    except Exception:
+        pass  # idempotent per-session registration
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_cdcfeed_")
+    mpath = f"{tmp}/metastore.db"
+    cat = Catalog(Metastore(mpath))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["stream"])
+
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                    "l_orderkey", "l_linenumber"
+                )
+            ),
+        )
+    )
+    phase1 = src.filter("rn <= 600").drop("rn")
+    phase2 = src.filter("rn > 600").drop("rn")
+    cat.create_table("wh", ["stream"], "feed", struct_to_schema(phase1.schema))
+    feed = SparkTable(spark, cat, "wh", ["stream"], "feed")
+    feed.append(phase1)
+
+    # per-batch SIGNED partials, keyed by batch_id so an at-least-once
+    # replay overwrites instead of double-counting (metadata-sized: one
+    # row per order key per batch reaches the driver, nothing more)
+    partials: dict[int, list] = {}
+
+    def collect(batch: DataFrame, batch_id: int) -> None:
+        sign = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+            F.lit(-1)
+        )
+        partials[batch_id] = (
+            batch.groupBy("l_orderkey")
+            .agg(
+                F.sum(sign).cast("long").alias("n_signed"),
+                F.sum(sign * F.round(F.col("l_quantity") * 100).cast("long"))
+                .cast("long")
+                .alias("qty_signed"),
+            )
+            .collect()
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="lkspark_ckpt_")
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("icelite")
+            .option("metastore", mpath)
+            .option("warehouse", "wh")
+            .option("namespace", "stream")
+            .option("table", "feed")
+            .option("change-feed", "true")
+            .load()
+            .writeStream.foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # phase-1 inserts land
+    feed.append(phase2)
+    feed.delete_where("l_quantity < 10")  # CoW rewrite: delete+insert events
+    drain()  # resumes at the committed offset: only the new commits' events
+    rows = [r for batch in partials.values() for r in batch]
+    return (
+        spark.createDataFrame(rows, "l_orderkey long, n_signed long, qty_signed long")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("n_signed").cast("long").alias("n_lines"),
+            F.sum("qty_signed").cast("long").alias("qty_fp"),
+        )
+        .filter(F.col("n_lines") > 0)
+    )

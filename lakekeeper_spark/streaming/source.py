@@ -36,10 +36,21 @@ from pyspark.sql.datasource import (
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str, write_schema: list[tuple[str, str]], target_schema: list[tuple[str, str]]):
+    def __init__(
+        self,
+        path: str,
+        write_schema: list[tuple[str, str]],
+        target_schema: list[tuple[str, str]],
+        change_type: str | None = None,
+        commit_id: int | None = None,
+    ):
         self.path = path
         self.write_schema = write_schema
         self.target_schema = target_schema
+        # change-feed mode only: every row of this file becomes one
+        # 'insert' or 'delete' event of commit `commit_id`
+        self.change_type = change_type
+        self.commit_id = commit_id
 
 
 def _load_meta(options: dict) -> dict[str, Any]:
@@ -72,6 +83,13 @@ class IceliteStreamReader(DataSourceStreamReader):
         self.options = dict(options)
         self.skip_deletes = (
             str(options.get("skip-delete-snapshots", "false")).lower() == "true"
+        )
+        # change-feed=true: emit CDC rows (`_change_type` insert|delete,
+        # `_commit_snapshot_id`) instead of append-only rows — the
+        # STREAMING twin of SparkTable.changelog() (Iceberg's
+        # create_changelog_view), driven by the same snapshot-log offsets
+        self.change_feed = (
+            str(options.get("change-feed", "false")).lower() == "true"
         )
 
     # ---- driver-side planning ------------------------------------------
@@ -116,34 +134,86 @@ class IceliteStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"start snapshot {lo} not on the main lineage of {hi}"
             )
+        if self.change_feed:
+            self._plan_change_feed(meta, lineage, by_id, target, parts)
+        else:
+            for snap in reversed(lineage):
+                op = snap["summary"].get("operation")
+                if op == "replace":
+                    continue  # rewrites add no logical rows
+                if op != "append":
+                    if self.skip_deletes:
+                        continue
+                    raise ValueError(
+                        f"streaming read hit a {op!r} snapshot "
+                        f"{snap['snapshot-id']}; set skip-delete-snapshots=true "
+                        "to skip non-append commits (Iceberg parity)"
+                    )
+                pid = snap.get("parent-snapshot-id")
+                before = {
+                    e["path"] for e in (by_id[pid]["manifest"] if pid in by_id else [])
+                }
+                for e in snap["manifest"]:
+                    if e.get("content", "data") != "data" or e["path"] in before:
+                        continue
+                    parts.append(
+                        _FilePartition(
+                            f"{meta['location']}/{e['path']}",
+                            _schema_fields(meta, e.get("schema-id")),
+                            target,
+                        )
+                    )
+        # Spark requires >=1 partition per batch; empty path reads nothing
+        return parts or [_FilePartition("", [], target)]
+
+    def _plan_change_feed(self, meta, lineage, by_id, target, parts) -> None:
+        """CDC planning: per lineage commit, added data files emit their
+        rows as inserts and removed data files as deletes — the file-
+        granular net change of SparkTable.changelog() (a copy-on-write
+        rewrite yields delete+insert pairs for surviving rows, exactly as
+        Iceberg's changelog view). Merge-on-read tombstones need the
+        parent-row join the batch changelog does; the streaming feed
+        rejects them rather than emit wrong events."""
         for snap in reversed(lineage):
             op = snap["summary"].get("operation")
             if op == "replace":
-                continue  # rewrites add no logical rows
-            if op != "append":
-                if self.skip_deletes:
-                    continue
-                raise ValueError(
-                    f"streaming read hit a {op!r} snapshot "
-                    f"{snap['snapshot-id']}; set skip-delete-snapshots=true "
-                    "to skip non-append commits (Iceberg parity)"
-                )
+                continue  # compaction: no logical change
             pid = snap.get("parent-snapshot-id")
-            before = {
-                e["path"] for e in (by_id[pid]["manifest"] if pid in by_id else [])
-            }
-            for e in snap["manifest"]:
-                if e.get("content", "data") != "data" or e["path"] in before:
-                    continue
-                parts.append(
-                    _FilePartition(
-                        f"{meta['location']}/{e['path']}",
-                        _schema_fields(meta, e.get("schema-id")),
-                        target,
-                    )
+            p_manifest = by_id[pid]["manifest"] if pid in by_id else []
+            if any(
+                e.get("content", "data") != "data"
+                for e in list(snap["manifest"]) + list(p_manifest)
+            ):
+                raise ValueError(
+                    "change-feed streaming supports copy-on-write histories; "
+                    f"snapshot {snap['snapshot-id']} carries merge-on-read "
+                    "tombstones — use SparkTable.changelog() for MoR tables"
                 )
-        # Spark requires >=1 partition per batch; empty path reads nothing
-        return parts or [_FilePartition("", [], target)]
+            p_paths = {e["path"] for e in p_manifest}
+            s_paths = {e["path"] for e in snap["manifest"]}
+            sid = snap["snapshot-id"]
+            for e in snap["manifest"]:
+                if e["path"] not in p_paths:
+                    parts.append(
+                        _FilePartition(
+                            f"{meta['location']}/{e['path']}",
+                            _schema_fields(meta, e.get("schema-id")),
+                            target,
+                            change_type="insert",
+                            commit_id=sid,
+                        )
+                    )
+            for e in p_manifest:
+                if e["path"] not in s_paths:
+                    parts.append(
+                        _FilePartition(
+                            f"{meta['location']}/{e['path']}",
+                            _schema_fields(meta, e.get("schema-id")),
+                            target,
+                            change_type="delete",
+                            commit_id=sid,
+                        )
+                    )
 
     def commit(self, end: dict) -> None:
         pass  # offsets are snapshot ids; nothing to clean up
@@ -158,13 +228,16 @@ class IceliteStreamReader(DataSourceStreamReader):
         target_names = [n for n, _ in partition.target_schema]
         pf = pq.ParquetFile(partition.path)
         avail = [n for n in names if n in pf.schema_arrow.names]
+        change = getattr(partition, "change_type", None)
+        cdc_tail = (change, getattr(partition, "commit_id", None)) if change else ()
         for batch in pf.iter_batches(columns=avail):
             cols = {n: batch.column(n).to_pylist() for n in avail}
             for i in range(batch.num_rows):
                 # field-position mapping by NAME within the write schema;
                 # columns missing from the file (added later) read as None
-                yield tuple(
-                    cols[n][i] if n in cols else None for n in target_names
+                yield (
+                    tuple(cols[n][i] if n in cols else None for n in target_names)
+                    + cdc_tail
                 )
 
 
@@ -185,6 +258,8 @@ class IceliteStreamDataSource(DataSource):
         cols = ", ".join(
             f"`{n}` {spark_ddl_of(t)}" for n, t in _schema_fields(meta)
         )
+        if str(self.options.get("change-feed", "false")).lower() == "true":
+            cols += ", `_change_type` string, `_commit_snapshot_id` bigint"
         return cols
 
     def streamReader(self, schema) -> IceliteStreamReader:

@@ -1,0 +1,83 @@
+"""Streaming change-feed source (st11's machinery): event composition for
+CoW histories and the explicit merge-on-read rejection."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from lakekeeper_spark.catalog.catalog import Catalog
+from lakekeeper_spark.catalog.metastore import Metastore
+from lakekeeper_spark.format.icelite import SparkTable
+from lakekeeper_spark.format.types import struct_to_schema
+from lakekeeper_spark.streaming.source import IceliteStreamDataSource
+
+
+@pytest.fixture()
+def feed(spark, tmp_path):
+    try:
+        spark.dataSource.register(IceliteStreamDataSource)
+    except Exception:
+        pass
+    cat = Catalog(Metastore(str(tmp_path / "m.db")))
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["s"])
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    )
+    cat.create_table("wh", ["s"], "t", struct_to_schema(df.schema))
+    t = SparkTable(spark, cat, "wh", ["s"], "t")
+    # one data file, so the CoW rewrite below touches exactly that file
+    t.append(df.coalesce(1))
+    return cat, t, str(tmp_path / "m.db")
+
+
+def _drain(spark, mpath, collected):
+    def collect(batch, batch_id):
+        collected[batch_id] = batch.collect()
+
+    q = (
+        spark.readStream.format("icelite")
+        .option("metastore", mpath)
+        .option("warehouse", "wh")
+        .option("namespace", "s")
+        .option("table", "t")
+        .option("change-feed", "true")
+        .load()
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_cow_delete_emits_delete_insert_pairs(spark, feed):
+    cat, t, mpath = feed
+    t.delete_where("k < 5")  # CoW: rewrite the file without k<5
+    collected: dict[int, list] = {}
+    _drain(spark, mpath, collected)
+    rows = [r for batch in collected.values() for r in batch]
+    inserts = [r for r in rows if r["_change_type"] == "insert"]
+    deletes = [r for r in rows if r["_change_type"] == "delete"]
+    # commit 1: 20 inserts; commit 2 (CoW delete): 20 deletes + 15 inserts
+    assert len(deletes) == 20
+    assert len(inserts) == 20 + 15
+    # signed net state equals the table's final state
+    net = {}
+    for r in rows:
+        net[r["k"]] = net.get(r["k"], 0) + (1 if r["_change_type"] == "insert" else -1)
+    live = sorted(k for k, n in net.items() if n > 0)
+    assert live == list(range(5, 20))
+    # commit ids are carried and distinct per commit
+    assert len({r["_commit_snapshot_id"] for r in rows}) == 2
+
+
+def test_change_feed_rejects_mor_tombstones(spark, feed):
+    cat, t, mpath = feed
+    t.delete_where("k < 3", )  # first a CoW (fine)
+    t._mor_delete("k >= 18")  # then a MoR position-delete commit
+    collected: dict[int, list] = {}
+    with pytest.raises(Exception, match="merge-on-read|change-feed"):
+        _drain(spark, mpath, collected)

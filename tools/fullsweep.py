@@ -7,7 +7,11 @@ every round, and tests/test_entry_contract.py fails the build if any
 query's last green check (driver gate or fullsweep) is older than two
 rounds.
 
-Usage: python tools/fullsweep.py <round> [sf_dir]
+Usage: python tools/fullsweep.py <round> [sf_dir] [query ...]
+
+With explicit query names, only those run and their rows MERGE into the
+existing FULLSWEEP_r{N}.json (for newly-added queries mid-round; the
+end-of-round run should still sweep everything).
 """
 
 from __future__ import annotations
@@ -30,13 +34,17 @@ def main() -> int:
         return 2
     rnd = int(sys.argv[1])
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    only = sys.argv[3:]
     reg = load_registry()
     spark = get_session("fullsweep")
     con = duck_connection(sf_dir)
+    path = Path(__file__).resolve().parent.parent / f"FULLSWEEP_r{rnd:02d}.json"
     results: dict[str, dict] = {}
+    if only and path.exists():
+        results = json.loads(path.read_text()).get("results", {})
     t_start = time.time()
     n_fail = 0
-    for name in sorted(reg):
+    for name in only or sorted(reg):
         t0 = time.time()
         try:
             ok, msg = compare_one(name, spark, con, sf_dir)
@@ -56,15 +64,19 @@ def main() -> int:
         }
         n_fail += 0 if ok else 1
         print(("PASS" if ok else "FAIL"), name, msg or err, flush=True)
+    n_fail_all = sum(
+        1
+        for r in results.values()
+        if r.get("err") or r.get("rows_match") is False
+    )
     out = {
         "round": rnd,
         "sf_dir": sf_dir,
         "n_queries": len(results),
-        "n_fail": n_fail,
+        "n_fail": n_fail_all,
         "total_sec": round(time.time() - t_start, 1),
         "results": results,
     }
-    path = Path(__file__).resolve().parent.parent / f"FULLSWEEP_r{rnd:02d}.json"
     path.write_text(json.dumps(out, indent=1))
     print(f"\n{len(results) - n_fail}/{len(results)} passed -> {path}")
     return 1 if n_fail else 0
