@@ -355,13 +355,14 @@ def s04_kmeans_train(
 ) -> DataFrame:
     d, k = KM_DIM, KM_K
     # cache_points=False: each Lloyd iteration re-scans the parquet —
-    # measured FASTER locally (OS page cache makes local parquet scans
-    # cheaper than the persist round-trip; see BENCH_r04 note for the
-    # sf0.1/sf1 numbers). cache_points=True persists the points between
-    # iterations — the MLlib topology, the right call on a cluster where
-    # "re-scan" means remote object-store reads. Same result bit-for-bit
-    # either way; flag defaults from $SPARK_GRAFT_KMEANS_CACHE so cluster
-    # deployments flip it without a code change.
+    # measured FASTER at sf0.1 (4.0s vs 4.4s persisted: OS page cache
+    # makes local parquet scans cheaper than the persist round-trip) but
+    # SLOWER at synthetic sf1 (5.6s vs 4.4s) — the crossover the flag
+    # exists for. cache_points=True is the MLlib topology, the right
+    # call on a cluster where "re-scan" means remote object-store reads.
+    # Same result bit-for-bit either way; flag defaults from
+    # $SPARK_GRAFT_KMEANS_CACHE so cluster deployments flip it without a
+    # code change.
     if cache_points is None:
         cache_points = os.environ.get("SPARK_GRAFT_KMEANS_CACHE", "0") == "1"
     pts = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")

@@ -1,0 +1,37 @@
+"""Docs can't drift from the registry (round-3 verdict item 10): the
+query/oracle counts stated in README.md and COVERAGE.md are parsed and
+compared against load_registry() itself."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from lakekeeper_spark.registry import load_registry
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _true_counts() -> tuple[int, int]:
+    reg = load_registry()
+    return len(reg), sum(1 for q in reg.values() if q.oracle is not None)
+
+
+def test_readme_counts_match_registry():
+    n, n_oracle = _true_counts()
+    text = (REPO / "README.md").read_text()
+    m = re.search(r"(\d+) registered queries, (\d+) with exact value-hash", text)
+    assert m, "README.md lost its counts line"
+    assert (int(m.group(1)), int(m.group(2))) == (n, n_oracle), (
+        f"README says {m.groups()}, registry has {(n, n_oracle)}"
+    )
+
+
+def test_coverage_counts_match_registry():
+    n, n_oracle = _true_counts()
+    text = (REPO / "COVERAGE.md").read_text()
+    m = re.search(r"Registry: (\d+) queries, (\d+) with\s*\nexact value-hash", text)
+    assert m, "COVERAGE.md lost its counts line"
+    assert (int(m.group(1)), int(m.group(2))) == (n, n_oracle), (
+        f"COVERAGE says {m.groups()}, registry has {(n, n_oracle)}"
+    )
