@@ -907,3 +907,80 @@ def w08_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.groupBy("segment").agg(
         F.max("n").cast("long").alias("n_orders"), *aggs
     )
+
+
+# --------------------------------------------------------------------------
+# w09: time-series resample + gap-fill (LOCF) — the hypertable staple
+# --------------------------------------------------------------------------
+# Regularize each user's event stream onto an hourly grid between their
+# first and last active hour, filling silent hours by carrying the last
+# observation forward (time_bucket_gapfill + locf semantics). Scale shape:
+# observations collapse to (user, hour) grain FIRST (one exchange), the
+# hour spine is generated per user with sequence+explode (bounded fan-out,
+# no calendar cross join against the raw stream), and the fill is a single
+# ordered ignore-nulls carry window over the co-partitioned grid. All
+# arithmetic in exact integers (epoch hours, fixed-point values).
+US_PER_HOUR = 3_600_000_000
+
+
+@register(
+    "w09_gapfill_locf",
+    oracle=f"""
+WITH obs AS (
+  SELECT user_id, epoch_us(ts) // {US_PER_HOUR} AS hr,
+         MAX(CAST(ROUND((value)*1000000) AS BIGINT)) AS v
+  FROM events GROUP BY user_id, epoch_us(ts) // {US_PER_HOUR}
+),
+bounds AS (SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM obs GROUP BY user_id),
+spine AS (SELECT user_id, unnest(range(mn, mx + 1)) AS hr FROM bounds),
+grid AS (
+  SELECT s.user_id, s.hr, o.v,
+         LAST_VALUE(o.v IGNORE NULLS) OVER (
+           PARTITION BY s.user_id ORDER BY s.hr
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.hr = o.hr
+)
+SELECT user_id,
+       COUNT(*) AS n_hours,
+       COUNT(v) AS n_obs_hours,
+       COUNT(*) - COUNT(v) AS n_gap_hours,
+       CAST(SUM(filled) AS BIGINT) AS sum_filled_fp
+FROM grid GROUP BY user_id
+""",
+    description="Hourly resample with last-observation-carried-forward "
+    "gap-fill (time_bucket_gapfill+locf semantics): (user,hour)-grain "
+    "collapse, per-user sequence-exploded hour spine, one ordered "
+    "ignore-nulls carry window - exact integer grid arithmetic.",
+    tags=("window", "timeseries", "events"),
+)
+def w09_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "user_id",
+            F.expr("ts_ns div 1000").alias("ts_us"),  # exact integer µs
+            F.round(F.col("value") * 1_000_000).cast("long").alias("v6"),
+        )
+        .withColumn("hr", F.expr(f"ts_us div {US_PER_HOUR}"))
+        .groupBy("user_id", "hr")
+        .agg(F.max("v6").alias("v"))
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+        .select("user_id", F.explode(F.sequence("mn", "mx")).alias("hr"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grid = spine.join(obs, ["user_id", "hr"], "left").withColumn(
+        "filled", F.last("v", ignorenulls=True).over(w)
+    )
+    return grid.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.count("v").alias("n_obs_hours"),
+        (F.count(F.lit(1)) - F.count("v")).alias("n_gap_hours"),
+        F.sum("filled").cast("long").alias("sum_filled_fp"),
+    )

@@ -787,3 +787,83 @@ def d09_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+# --------------------------------------------------------------------------
+# d10: sliding-window EXACT substring duplication (Lee et al. 2022 shape)
+# --------------------------------------------------------------------------
+# "Deduplicating Training Data Makes Language Models Better" removes exact
+# substrings repeated anywhere in the corpus. d08's unit is the
+# NON-OVERLAPPING chunk; d10's is every OVERLAPPING W-word window (stride
+# 1), which is what catches duplicated passages that straddle chunk
+# boundaries. A window is duplicated if its text occurs more than once
+# corpus-wide (same doc or not — self-repetition is training-data noise
+# too). Output is DOC-level (n_windows / n_dup_windows / dup_ratio):
+# bounded by corpus size, never by the O(dups^2) pair count.
+#
+# Plan shape (100 TB): one exchange keyed by the window text for the
+# occurrence count, the count joined straight back on the SAME key (the
+# exchange is reused — no second shuffle of the window stream), then one
+# doc-keyed rollup. The window stream is W x corpus tokens but never
+# collects; suffix-array construction (the paper's exact algorithm) is
+# the out-of-core swap-in at the same API.
+D10_W = 8
+
+
+@register(
+    "d10_substring_dup_windows",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         array_to_string(words[i+1 : i+{D10_W}], ' ') AS win
+  FROM w, unnest(range(0, greatest(len(words) - {D10_W} + 1, 0))) AS t(i)
+),
+counted AS (
+  SELECT win, COUNT(*) AS cnt FROM wins GROUP BY win
+)
+SELECT w.doc_id,
+       COUNT(*) AS n_windows,
+       COUNT(CASE WHEN c.cnt > 1 THEN 1 END) AS n_dup_windows,
+       CAST(COUNT(CASE WHEN c.cnt > 1 THEN 1 END) AS DOUBLE) / COUNT(*)
+         AS dup_ratio
+FROM wins w JOIN counted c ON w.win = c.win
+GROUP BY w.doc_id
+""",
+    description="Exact substring-level duplication via overlapping W-word "
+    "sliding windows (the Lee et al. dedup unit): window occurrence "
+    "counts in one text-keyed exchange, count joined back on the same "
+    "key (partitioning reused), doc-level duplication rollup - catches "
+    "duplicated passages that straddle d08's chunk boundaries.",
+    tags=("dedup", "llm"),
+)
+def d10_substring_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("words"),
+    )
+    wins = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(words) < {D10_W} THEN array() ELSE "
+                f"transform(sequence(0, size(words) - {D10_W}), "
+                f"i -> array_join(slice(words, i+1, {D10_W}), ' ')) END"
+            )
+        ).alias("win"),
+    )
+    counted = wins.groupBy("win").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.count(F.when(F.col("cnt") > 1, 1))
+    return (
+        wins.join(counted, "win")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            dup.alias("n_dup_windows"),
+            (dup.cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
+        )
+    )

@@ -1353,3 +1353,234 @@ def h04_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(j) * union_est).alias("intersection_est"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# a03: NEAREST as-of join (merge_asof direction='nearest')
+# --------------------------------------------------------------------------
+# a01 matches backward (last prior click) and a02 adds a tolerance; a03
+# completes the family with pandas.merge_asof's direction='nearest': each
+# purchase matches the click closest in time on EITHER side, ties to the
+# earlier click. Still the merge-asof plan shape at scale: ONE user_id
+# exchange, then two ordered windows over the co-partitioned stream — a
+# backward max-carry (latest click <= t, click-before-purchase tie order)
+# and a forward min-carry (earliest click >= t, purchase-before-click tie
+# order) — never a range self-join. The oracle replays the identical
+# two-window algebra in SQL.
+@register(
+    "a03_asof_nearest",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_ns(ts) AS t
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+carried AS (
+  SELECT *,
+    MAX(CASE WHEN event_type = 'click' THEN t END) OVER (
+      PARTITION BY user_id
+      ORDER BY t, (CASE WHEN event_type = 'click' THEN 0 ELSE 1 END), event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+    MIN(CASE WHEN event_type = 'click' THEN t END) OVER (
+      PARTITION BY user_id
+      ORDER BY t, (CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END), event_id
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fwd_ts
+  FROM ev
+),
+chosen AS (
+  SELECT user_id, t,
+    CASE
+      WHEN back_ts IS NULL THEN fwd_ts
+      WHEN fwd_ts IS NULL THEN back_ts
+      WHEN t - back_ts <= fwd_ts - t THEN back_ts
+      ELSE fwd_ts
+    END AS near_ts,
+    (back_ts IS NOT NULL AND (fwd_ts IS NULL OR t - back_ts <= fwd_ts - t))
+      AS used_back
+  FROM carried WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       COUNT(near_ts) AS n_matched,
+       COUNT(CASE WHEN near_ts IS NOT NULL AND used_back THEN 1 END)
+         AS n_backward,
+       COUNT(CASE WHEN near_ts IS NOT NULL AND NOT used_back THEN 1 END)
+         AS n_forward,
+       COALESCE(CAST(SUM(abs(t - near_ts) // 1000000000) AS BIGINT), 0)
+         AS sum_abs_gap_s
+FROM chosen GROUP BY user_id
+""",
+    description="Nearest-direction as-of join (merge_asof "
+    "direction='nearest'): one user_id exchange, a backward max-carry and "
+    "a forward min-carry window over the co-partitioned stream, closest "
+    "click wins with ties to the earlier side - no range self-join.",
+    tags=("events", "asof", "window"),
+)
+def a03_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts_ns"))
+    tagged = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_type",
+        "event_id",
+        click_ts.alias("click_ts_raw"),
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("rnk_back"),
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("rnk_fwd"),
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "rnk_back", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "rnk_fwd", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = (
+        tagged.withColumn("back_ts", F.max("click_ts_raw").over(w_back))
+        .withColumn("fwd_ts", F.min("click_ts_raw").over(w_fwd))
+        .filter(F.col("event_type") == "purchase")
+    )
+    used_back = F.col("back_ts").isNotNull() & (
+        F.col("fwd_ts").isNull()
+        | (F.col("ts_ns") - F.col("back_ts") <= F.col("fwd_ts") - F.col("ts_ns"))
+    )
+    near = (
+        F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(
+            F.col("ts_ns") - F.col("back_ts") <= F.col("fwd_ts") - F.col("ts_ns"),
+            F.col("back_ts"),
+        )
+        .otherwise(F.col("fwd_ts"))
+    )
+    chosen = carried.select(
+        "user_id",
+        "ts_ns",
+        near.alias("near_ts"),
+        used_back.alias("used_back"),
+    )
+    return chosen.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("near_ts").alias("n_matched"),
+        F.count(F.when(F.col("near_ts").isNotNull() & F.col("used_back"), 1)).alias(
+            "n_backward"
+        ),
+        F.count(F.when(F.col("near_ts").isNotNull() & ~F.col("used_back"), 1)).alias(
+            "n_forward"
+        ),
+        F.coalesce(
+            F.sum(F.expr("abs(ts_ns - near_ts) div 1000000000")), F.lit(0)
+        )
+        .cast("long")
+        .alias("sum_abs_gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# h05: deterministic WEIGHTED reservoir sample (A-Res, Efraimidis-Spirakis)
+# --------------------------------------------------------------------------
+# The sketch family's sampling member: pick K events with probability
+# proportional to their value using the A-Res key ln(u)/w (u uniform per
+# item, w the item weight) and keep the K LARGEST keys. Distributed shape:
+# the key is a pure per-row expression and the selection is a TakeOrdered
+# top-K — per-partition heaps merged on the driver, no global sort, no
+# global window, bounded K-row state. Determinism: u derives from md5 of
+# the event id (identical arithmetic in both engines, the p05 discipline),
+# and ln/division are identical IEEE-754 ops on identical inputs, so the
+# sample itself — not just its size — hash-matches the oracle.
+H05_K = 200
+_H05_U = "((('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000003) + 1) / 1000004.0"
+
+
+@register(
+    "h05_weighted_reservoir",
+    oracle=f"""
+SELECT event_id, user_id, event_type,
+       CAST(ln({_H05_U}) / (value + 1.0) AS DOUBLE) AS sample_key
+FROM events
+ORDER BY sample_key DESC, event_id
+LIMIT {H05_K}
+""",
+    description="Deterministic weighted reservoir sample (A-Res key "
+    "ln(u)/w, u from md5 arithmetic): per-row key + TakeOrdered top-K — "
+    "per-partition heaps, no global sort/window, K-row driver state.",
+    tags=("sketch", "sampling", "events", "llm"),
+)
+def h05_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        (F.expr("conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)")
+         .cast("bigint") % 1000003 + 1) / 1000004.0
+    )
+    key = F.log(u) / (F.col("value") + 1.0)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            key.cast("double").alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), "event_id")
+        .limit(H05_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# k02: skew-safe JOIN over hot keys (salted replicate-and-join)
+# --------------------------------------------------------------------------
+# The join-side twin of k01: joining events to a per-event-type dimension
+# keys the shuffle on ~5 values, so one reduce partition swallows a fifth
+# of the fact table and a straggler serializes the stage. salted_join
+# (functions/skew.py) spreads each fact row across 16 deterministic salt
+# sub-keys and replicates the 5-row dimension 16x, turning the straggler
+# into 16 even partitions — result row-for-row equal to the plain join,
+# which is exactly what the oracle computes. The salt derives from
+# xxhash64 of the row (never rand(): task retries must re-land in the
+# same bucket), which is Spark-internal — but it cancels out of the
+# RESULT, so the oracle stays exact.
+@register(
+    "k02_salted_skew_join",
+    oracle="""
+WITH dim AS (
+  SELECT event_type,
+         COUNT(*) AS type_n,
+         CAST(SUM(CAST(ROUND((value)*1000000) AS BIGINT)) AS BIGINT) AS type_fp
+  FROM events GROUP BY event_type
+)
+SELECT e.user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND((e.value)*1000000) AS BIGINT)) AS BIGINT) AS user_fp,
+       CAST(SUM(d.type_fp // d.type_n) AS BIGINT) AS expected_fp
+FROM events e JOIN dim d ON e.event_type = d.event_type
+GROUP BY e.user_id
+""",
+    description="Hot-key JOIN via deterministic salting (salted_join): "
+    "each fact row gets one of 16 hash salts, the 5-row dimension "
+    "replicates 16x, and the join keys on (event_type, salt) - one "
+    "straggler partition becomes 16 even ones, result identical to the "
+    "plain join.",
+    tags=("events", "skew", "join"),
+)
+def k02_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("value_fp6"),
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_n"),
+        F.sum("value_fp6").alias("type_fp"),
+    )
+    joined = salted_join(ev, dim, on=["event_type"], how="inner")
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_fp6").cast("long").alias("user_fp"),
+        F.sum(F.expr("type_fp div type_n")).cast("long").alias("expected_fp"),
+    )

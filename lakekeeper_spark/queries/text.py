@@ -1256,3 +1256,95 @@ def t13_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t14: Zipf's-law fit — log-log least squares over the top token ranks
+# --------------------------------------------------------------------------
+# Corpus-quality diagnostic: natural text follows freq ~ C * rank^s with
+# s ~ -1; synthetic or templated corpora bend away from it. One token
+# aggregation, a TakeOrdered top-N (never a global window over the vocab),
+# then an ordinary-least-squares fit of ln(freq) on ln(rank) computed from
+# FIXED-POINT integer sums of the per-rank log terms — the detsum.py
+# discipline — so Spark's partial aggregation and DuckDB's vectorized sums
+# produce bit-identical slope/intercept doubles.
+T14_TOP = 100
+_T14 = "CAST(ROUND(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"
+
+
+@register(
+    "t14_zipf_slope",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY tok),
+ranked AS (
+  SELECT freq, ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+  FROM counts
+  ORDER BY freq DESC, tok LIMIT {T14_TOP}
+),
+logs AS (
+  SELECT {_T14.format(x='rank')} AS lx, {_T14.format(x='freq')} AS ly
+  FROM ranked
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+  FROM logs
+)
+SELECT n,
+       CAST((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         AS DOUBLE) AS zipf_slope,
+       CAST((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+          / (CAST(n AS DOUBLE) * 1000000) AS DOUBLE) AS zipf_intercept
+FROM s
+""",
+    description="Zipf's-law log-log OLS fit over the top token ranks: one "
+    "token aggregation + TakeOrdered top-N, slope/intercept derived from "
+    "fixed-point integer log sums (order-independent, bit-identical to "
+    "the oracle).",
+    tags=("text", "llm", "corpus-stats"),
+)
+def t14_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    top = counts.orderBy(F.col("freq").desc(), "tok").limit(T14_TOP)
+    # rank over the already-bounded top-N frame (100 rows, not the vocab)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("freq").desc(), "tok"))
+    )
+    logs = ranked.select(
+        F.expr(_T14.format(x="rank")).alias("lx"),
+        F.expr(_T14.format(x="freq")).alias("ly"),
+    )
+    s = logs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx")
+    ) / (F.col("n").cast("double") * F.lit(1_000_000))
+    return s.select(
+        "n",
+        slope.cast("double").alias("zipf_slope"),
+        intercept.cast("double").alias("zipf_intercept"),
+    )
