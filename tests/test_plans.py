@@ -337,3 +337,61 @@ def test_join_heavy_tpch_queries_broadcast_all_dims(spark):
         simple = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
         assert simple.count("BroadcastHashJoin") >= min_bhj, fn.__name__
         assert "SortMergeJoin" not in simple, fn.__name__
+
+
+def test_a03_nearest_asof_is_two_windows_no_join(spark):
+    """Nearest-direction as-of: both direction carries are windows over
+    ONE user_id exchange — a range self-join here would be O(clicks x
+    purchases) per user."""
+    from lakekeeper_spark.queries.events import a03_asof_nearest
+
+    plan = _plan(a03_asof_nearest(spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 2  # backward and forward carries
+    assert "PushedFilters" in plan  # event-type filter reaches the scan
+
+
+def test_d10_count_join_reuses_window_key_exchange(spark):
+    """The occurrence-count join must key on the window text — the same
+    key as the counting aggregate — so the planner joins co-partitioned
+    streams instead of re-shuffling, and nothing broadcasts the
+    data-sized window stream."""
+    from lakekeeper_spark.queries.dedup import d10_substring_dup_windows
+
+    plan = _plan(d10_substring_dup_windows(spark, SF_DIR))
+    # equi-join on the window text (BHJ at tiny SF, SMJ/SHJ co-partitioned
+    # at scale) — never a nested-loop pair enumeration
+    assert "BroadcastNestedLoopJoin" not in plan and "Join" in plan
+    # the occurrence count exchanges on the window text, the join's key
+    assert "hashpartitioning(win" in plan
+
+
+def test_k02_join_keys_include_salt(spark):
+    """The salted join must key the shuffle on (event_type, salt), not
+    event_type alone — otherwise the hot key still lands on one task."""
+    from lakekeeper_spark.queries.events import k02_salted_skew_join
+
+    plan = _plan(k02_salted_skew_join(spark, SF_DIR))
+    assert "__salt" in plan
+    # dimension is replicated 16x but still tiny: the join must broadcast
+    assert "BroadcastHashJoin" in plan
+
+
+def test_w09_fill_window_is_user_partitioned(spark):
+    """The LOCF carry must run per user over the hour grid — an
+    unpartitioned window would serialize the whole calendar."""
+    from lakekeeper_spark.queries.analytics2 import w09_gapfill_locf
+
+    plan = _plan(w09_gapfill_locf(spark, SF_DIR))
+    assert "Window" in plan
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_h05_reservoir_is_take_ordered(spark):
+    """A-Res selection must be TakeOrdered (per-partition heaps), never a
+    global sort of the event stream."""
+    from lakekeeper_spark.queries.events import h05_weighted_reservoir
+
+    plan = _plan(h05_weighted_reservoir(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
