@@ -885,3 +885,118 @@ def _now_ms() -> int:
     import time as _time
 
     return int(_time.time() * 1000)
+
+
+# --------------------------------------------------------------------------
+# c10: SPEC-COMPLIANCE lifecycle — metadata validity, register, events
+# --------------------------------------------------------------------------
+# Round-4 catalog surface under the driver gate: every commit must leave a
+# field-for-field valid Iceberg TableMetadata document (independent
+# validator, format/iceberg_spec.py), every snapshot's manifest-list file
+# must exist on disk and mirror the inline manifest, the metadata document
+# must round-trip through register-by-metadata-location into a SECOND
+# catalog with an identical scan, and the change-event publisher seam must
+# deliver exactly the mutation sequence the reference's CloudEvents
+# backends would see (post-commit, in order).
+@register(
+    "c10_spec_register_events",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= {_ROWS}
+)
+SELECT * FROM (
+  SELECT 'spec_violations_total' AS checkpoint, CAST(0 AS BIGINT) AS value
+  UNION ALL SELECT 'snapshots', 2
+  UNION ALL SELECT 'manifest_list_files_ok', 2
+  UNION ALL SELECT 'commit_events_published', 3
+  UNION ALL SELECT 'publisher_events_total', 6
+  UNION ALL SELECT 'registered_scan_rows',
+    (SELECT COUNT(*) FROM src WHERE l_quantity >= 10)
+  UNION ALL SELECT 'registered_qty_fp',
+    (SELECT CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+     FROM src WHERE l_quantity >= 10)
+) ORDER BY checkpoint
+""",
+    description="Spec-compliance lifecycle: every commit validated "
+    "against an independent Iceberg TableMetadata validator (0 "
+    "violations), manifest-list files verified on disk, register-by-"
+    "metadata-location round-trip into a second catalog with identical "
+    "scan, and the CloudEvents publisher seam delivering the exact "
+    "post-commit mutation sequence.",
+    tags=("catalog", "iceberg-spec", "register", "events", "lifecycle"),
+)
+def c10_spec_register_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    from pathlib import Path
+
+    from ..catalog.catalog import Catalog
+    from ..catalog.events import CollectingPublisher
+    from ..catalog.metastore import Metastore
+    from ..format.iceberg_spec import validate_table_metadata
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(_ROWS)
+    )
+    tmp = tempfile.mkdtemp(prefix="lkspark_spec_")
+    sink = CollectingPublisher()
+    store = Metastore(f"{tmp}/metastore.db")
+    store.publishers.append(sink)
+    cat = Catalog(store)
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["s"])
+    cat.create_table("wh", ["s"], "t", struct_to_schema(src.schema))
+    t = SparkTable(spark, cat, "wh", ["s"], "t")
+
+    violations = len(validate_table_metadata(t.metadata()))
+    t.append(src)
+    violations += len(validate_table_metadata(t.metadata()))
+    t.delete_where("l_quantity < 10")  # CoW rewrite snapshot
+    violations += len(validate_table_metadata(t.metadata()))
+    t.create_tag("audited", t.metadata()["current-snapshot-id"])
+    meta = t.metadata()
+    violations += len(validate_table_metadata(meta))
+
+    ml_ok = sum(
+        1
+        for s in meta["snapshots"]
+        if _json.loads(Path(s["manifest-list"]).read_text()) == s["manifest"]
+    )
+    # register-by-metadata-location into a SECOND catalog (cross-catalog
+    # adoption: table-uuid is identity within one catalog)
+    mloc = f"{tmp}/register.metadata.json"
+    Path(mloc).write_text(_json.dumps(meta))
+    cat2 = Catalog(Metastore(f"{tmp}/m2.db"))
+    cat2.create_warehouse("wh2", f"{tmp}/wh2")
+    cat2.create_namespace("wh2", ["adopted"])
+    cat2.register_table_from_file("wh2", ["adopted"], "t2", mloc)
+    t2 = SparkTable(spark, cat2, "wh2", ["adopted"], "t2")
+    violations += len(validate_table_metadata(t2.metadata()))
+    scanned = t2.scan().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("fp"),
+    ).first()
+
+    types = [e["type"].removeprefix("lakekeeper-spark.") for e in sink.events]
+    rows = [
+        ("spec_violations_total", violations),
+        ("snapshots", len(meta["snapshots"])),
+        ("manifest_list_files_ok", ml_ok),
+        ("commit_events_published", types.count("commit-table")),
+        ("publisher_events_total", len(types)),
+        ("registered_scan_rows", int(scanned["n"])),
+        ("registered_qty_fp", int(scanned["fp"])),
+    ]
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )

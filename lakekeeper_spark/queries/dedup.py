@@ -867,3 +867,105 @@ def d10_substring_dup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dup.cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# d11: ORACLE-CHECKABLE MinHash-LSH (md5-based hash family)
+# --------------------------------------------------------------------------
+# d03 is the production MinHash-LSH (xxhash64: fast, JVM-side) but carries
+# no SQL oracle because DuckDB cannot reproduce Spark's hash. d11 is the
+# same pipeline — shingle -> P permuted min-hashes -> banded bucket join ->
+# candidate pairs — built on md5 arithmetic both engines share, so the
+# driver hash-checks the ENTIRE LSH pipeline end to end: signatures,
+# banding, and the candidate graph. P=16 permutations in 4 bands of 4; the
+# permutation family (a*h + b) mod M over a 48-bit md5 prefix stays inside
+# int64. Plan shape identical to d03: narrow hashing, one (doc,band)
+# aggregate, one band-bucket equi-join — no all-pairs stage anywhere.
+D11_PERMS = 16
+D11_BANDS = 4  # 4 rows per band
+_D11_H48 = "('0x' || substr(md5(shingle), 1, 12))::BIGINT"
+
+
+@register(
+    "d11_minhash_lsh_exact",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hashed AS (
+  SELECT doc_id, p.p,
+         MIN(((2 * p.p + 3) * {_D11_H48} + 7 * p.p + 1) % {MERSENNE_P}) AS sig
+  FROM sh, (SELECT unnest(range(0, {D11_PERMS})) AS p) p
+  GROUP BY doc_id, p.p
+),
+bands AS (
+  SELECT doc_id, p // {D11_BANDS} AS band,
+         string_agg(CAST(sig AS VARCHAR), ':' ORDER BY p) AS band_key
+  FROM hashed GROUP BY doc_id, p // {D11_BANDS}
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+part AS (
+  SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+)
+SELECT d.doc_id, CAST(COUNT(p.doc_id) AS BIGINT) AS n_candidates
+FROM documents d LEFT JOIN part p ON d.doc_id = p.doc_id
+GROUP BY d.doc_id
+""",
+    description="MinHash-LSH with an md5-shared hash family: the exact "
+    "pipeline of d03 (shingle -> 16 permuted min-hashes -> 4-band bucket "
+    "join -> candidate pairs) made bit-reproducible in SQL, so the "
+    "driver hash-checks signatures, banding AND the candidate graph; "
+    "no all-pairs stage anywhere.",
+    tags=("dedup", "llm", "lsh", "minhash"),
+)
+def d11_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    h48 = F.expr("conv(substr(md5(shingle), 1, 12), 16, 10)").cast("bigint")
+    perms = F.explode(F.sequence(F.lit(0), F.lit(D11_PERMS - 1))).alias("p")
+    hashed = (
+        sh.select("doc_id", h48.alias("h"))
+        .select("doc_id", "h", perms)
+        .groupBy("doc_id", "p")
+        .agg(
+            F.min(
+                ((F.lit(2) * F.col("p") + 3) * F.col("h") + 7 * F.col("p") + 1)
+                % F.lit(MERSENNE_P)
+            ).alias("sig")
+        )
+    )
+    bands = (
+        hashed.withColumn("band", F.expr(f"p div {D11_BANDS}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "sig"))),
+                    lambda s: s["sig"].cast("string"),
+                ),
+                ":",
+            ).alias("band_key")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    part = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(part.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c")), "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_candidates"))
+    )

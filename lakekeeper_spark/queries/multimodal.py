@@ -500,3 +500,90 @@ def m06_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= PHASH_HAM_MAX)
     )
+
+
+# --------------------------------------------------------------------------
+# m07: WebDataset-style SHARD PACKING — byte-offset shard manifest
+# --------------------------------------------------------------------------
+# Large-scale multimodal training reads tar-like shards of a few hundred
+# MB, not billions of tiny blobs; building them means assigning each
+# payload to the shard where its cumulative byte offset falls (per
+# modality, in deterministic doc order). The scalable prefix sum is the
+# p01/p02 two-phase form: exact cumulative bytes within (kind, bucket)
+# partitions, plus broadcast per-bucket offsets — never a window over a
+# whole modality (a single task at 100 TB). Output is the shard MANIFEST
+# (items, bytes, doc range per shard) — metadata-sized, what the shard
+# writer consumes.
+SHARD_BYTES = 8192
+M07_BUCKET = 100  # doc_ids per prefix-sum bucket
+
+
+@register(
+    "m07_shard_packing",
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id, {_KIND_SQL} AS kind,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, kind, n_bytes,
+         SUM(n_bytes) OVER (PARTITION BY kind ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_bytes
+  FROM sized
+)
+SELECT kind,
+       CAST((cum_bytes - n_bytes) // {SHARD_BYTES} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_items,
+       CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM cum
+GROUP BY kind, (cum_bytes - n_bytes) // {SHARD_BYTES}
+""",
+    description="Multimodal shard-manifest building (WebDataset shape): "
+    "per-modality byte-offset shard assignment via the bucketed two-phase "
+    "prefix sum (exact integer bytes, broadcast bucket offsets, no "
+    "modality-wide window), emitting the metadata-sized shard manifest.",
+    tags=("multimodal", "llm", "packing"),
+)
+def m07_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = _with_payload(docs).select(
+        "doc_id", "kind", F.length("payload").cast("long").alias("n_bytes")
+    )
+    bucketed = sized.withColumn("bkt", (F.col("doc_id") / M07_BUCKET).cast("long"))
+    w_in = (
+        Window.partitionBy("kind", "bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = bucketed.withColumn("cum_in", F.sum("n_bytes").over(w_in))
+    w_off = (
+        Window.partitionBy("kind")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("kind", "bkt")
+        .agg(F.sum("n_bytes").alias("bkt_bytes"))
+        .withColumn("off", F.coalesce(F.sum("bkt_bytes").over(w_off), F.lit(0)))
+        .select("kind", "bkt", "off")
+    )
+    packed = (
+        within.join(F.broadcast(offsets), ["kind", "bkt"])
+        .withColumn("cum_bytes", F.col("cum_in") + F.col("off"))
+        .withColumn(
+            "shard_id",
+            F.expr(f"(cum_bytes - n_bytes) div {SHARD_BYTES}"),
+        )
+    )
+    return packed.groupBy("kind", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").cast("long").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
