@@ -838,3 +838,30 @@ def test_authz_role_hierarchy_inheritance(tmp_path):
             cat.drop_table("wh", ["ns"], "t")
         names, _ = cat.list_tables("wh", ["ns"])
         assert names == ["t"]
+
+
+def test_generic_table_orc_and_parquet_read_path(catalog, spark, tmp_path):
+    """The remaining Spark-native generic formats (orc, parquet) read
+    through the same declared-schema path as csv/json (c08)."""
+    from lakekeeper_spark.format.generic import read_generic_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", 3.5)], "k long, s string, x double"
+    )
+    catalog.create_namespace("wh", ["gfmt"])
+    schema = {"fields": [
+        {"name": "k", "type": "int64"},
+        {"name": "s", "type": "string"},
+        {"name": "x", "type": "double"},
+    ]}
+    for fmt in ("orc", "parquet"):
+        loc = str(tmp_path / fmt)
+        df.coalesce(1).write.format(fmt).save(loc)
+        catalog.create_generic_table(
+            "wh", ["gfmt"], f"t_{fmt}", fmt, loc, schema=schema
+        )
+        got = read_generic_table(spark, catalog, "wh", ["gfmt"], f"t_{fmt}")
+        assert sorted((r.k, r.s, r.x) for r in got.collect()) == [
+            (1, "a", 2.5), (2, "b", 3.5)]
+        assert [f.dataType.simpleString() for f in got.schema.fields] == [
+            "bigint", "string", "double"]
