@@ -1584,3 +1584,82 @@ def k02_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value_fp6").cast("long").alias("user_fp"),
         F.sum(F.expr("type_fp div type_n")).cast("long").alias("expected_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# e13: marketing attribution — first-touch vs last-touch in a lookback
+# --------------------------------------------------------------------------
+# Per purchase, credit clicks inside a 7-day lookback: the LAST click
+# before the purchase (last-touch) and the FIRST click inside the window
+# (first-touch). Both carries are RANGE-framed windows over one user_id
+# exchange — the range frame bounds state to the lookback horizon, so no
+# self-join and no unbounded carry; exact integer microsecond arithmetic.
+E13_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@register(
+    "e13_touch_attribution",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS t
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+carried AS (
+  SELECT *,
+    MIN(CASE WHEN event_type = 'click' THEN t END) OVER (
+      PARTITION BY user_id ORDER BY t
+      RANGE BETWEEN {E13_LOOKBACK_US} PRECEDING AND CURRENT ROW) AS first_touch,
+    MAX(CASE WHEN event_type = 'click' THEN t END) OVER (
+      PARTITION BY user_id ORDER BY t
+      RANGE BETWEEN {E13_LOOKBACK_US} PRECEDING AND CURRENT ROW) AS last_touch
+  FROM ev
+)
+SELECT user_id,
+       COUNT(*) AS n_purchases,
+       COUNT(first_touch) AS n_attributed,
+       COUNT(CASE WHEN first_touch = last_touch THEN 1 END) AS n_single_touch,
+       COALESCE(CAST(SUM((t - first_touch) // 1000000) AS BIGINT), 0)
+         AS sum_first_gap_s,
+       COALESCE(CAST(SUM((t - last_touch) // 1000000) AS BIGINT), 0)
+         AS sum_last_gap_s
+FROM carried WHERE event_type = 'purchase'
+GROUP BY user_id
+""",
+    description="First-touch / last-touch purchase attribution over a "
+    "7-day lookback: two RANGE-framed carry windows on one user_id "
+    "exchange (state bounded by the horizon), exact integer microsecond "
+    "gaps - never a purchase-x-click self-join.",
+    tags=("events", "window", "attribution"),
+)
+def e13_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    t_us = F.expr("ts_ns div 1000")
+    click_t = F.when(F.col("event_type") == "click", t_us)
+    tagged = ev.select(
+        "user_id", "event_type", t_us.alias("t"), click_t.alias("click_t")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rangeBetween(-E13_LOOKBACK_US, 0)
+    )
+    carried = (
+        tagged.withColumn("first_touch", F.min("click_t").over(w))
+        .withColumn("last_touch", F.max("click_t").over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+    return carried.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("first_touch").alias("n_attributed"),
+        F.count(F.when(F.col("first_touch") == F.col("last_touch"), 1)).alias(
+            "n_single_touch"
+        ),
+        F.coalesce(F.sum(F.expr("(t - first_touch) div 1000000")), F.lit(0))
+        .cast("long")
+        .alias("sum_first_gap_s"),
+        F.coalesce(F.sum(F.expr("(t - last_touch) div 1000000")), F.lit(0))
+        .cast("long")
+        .alias("sum_last_gap_s"),
+    )

@@ -1348,3 +1348,83 @@ def t14_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.cast("double").alias("zipf_slope"),
         intercept.cast("double").alias("zipf_intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# p06: temperature-scaled source mixture with exact quota allocation
+# --------------------------------------------------------------------------
+# Multilingual/multi-source training mixes upsample small sources with
+# temperature T<1: w_s ∝ n_s^T. T=0.5 is chosen deliberately — sqrt is
+# CORRECTLY-ROUNDED under IEEE-754 (unlike pow/exp), so both engines
+# compute bit-identical weights with no fixed-point gymnastics. Integer
+# quotas come from the largest-remainder (Hamilton) method in pure int64
+# arithmetic: base = N*w div W, the R leftover seats go to the largest
+# remainders (ties by source name) — quotas sum to N exactly, no float
+# accumulation anywhere. The frame is #sources rows, so the windows are
+# bounded; the only data-scale work is the per-source count.
+P06_TOTAL = 1_000_000  # documents to allocate
+
+
+@register(
+    "p06_temperature_mixture",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT) AS w
+  FROM counts
+),
+tot AS (SELECT SUM(w) AS tw FROM weighted),
+base AS (
+  SELECT source, n_docs, w,
+         ({P06_TOTAL} * w) // tw AS base_quota,
+         ({P06_TOTAL} * w) % tw AS rem
+  FROM weighted, tot
+),
+seats AS (SELECT {P06_TOTAL} - SUM(base_quota) AS r FROM base),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM base
+)
+SELECT source, n_docs,
+       w AS weight_fp,
+       CAST(base_quota + CASE WHEN rk <= (SELECT r FROM seats) THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM ranked
+""",
+    description="Temperature-0.5 source mixture (w ~ sqrt(n), correctly-"
+    "rounded IEEE sqrt) with Hamilton largest-remainder integer quotas "
+    "summing exactly to the target - per-source count is the only "
+    "data-scale stage; allocation runs on the #sources-row frame.",
+    tags=("llm", "training-mix", "sampling"),
+)
+def p06_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = counts.withColumn(
+        "w",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1_000_000).cast("long"),
+    )
+    tot = weighted.agg(F.sum("w").alias("tw"))
+    base = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w",
+        F.expr(f"({P06_TOTAL} * w) div tw").alias("base_quota"),
+        F.expr(f"({P06_TOTAL} * w) % tw").alias("rem"),
+    )
+    seats = base.agg((F.lit(P06_TOTAL) - F.sum("base_quota")).alias("r"))
+    ranked = base.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("rem").desc(), "source"))
+    )
+    return ranked.crossJoin(F.broadcast(seats)).select(
+        "source",
+        "n_docs",
+        F.col("w").alias("weight_fp"),
+        (F.col("base_quota") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+    )
