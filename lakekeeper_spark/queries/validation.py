@@ -1,0 +1,124 @@
+"""Data-quality validation operators (dbt-test / expectations shape).
+
+A production lakehouse runs constraint suites against every ingest batch;
+these rows make that surface first-class and driver-checked. Both
+operators follow the single-pass discipline: every constraint is a
+conditional aggregate over ONE scan (never one scan per check), and
+referential integrity is one anti-join per relation keyed on the FK —
+exactly the plan a 100 TB audit needs (each check adds a column to the
+same map-side aggregate, not a pass over the data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..data import load_table
+from ..registry import register
+
+# constraint name -> SQL predicate that VIOLATES it (shared verbatim
+# between the Spark expression and the DuckDB oracle)
+V01_CHECKS = [
+    ("quantity_in_range", "NOT (l_quantity >= 1 AND l_quantity <= 50)"),
+    ("discount_in_range", "NOT (l_discount >= 0.0 AND l_discount <= 0.1)"),
+    (
+        "shipdate_in_epoch",
+        "l_shipdate < TIMESTAMP '1992-01-01 00:00:00' "
+        "OR l_shipdate > TIMESTAMP '1998-12-31 23:59:59'",
+    ),
+    ("linestatus_domain", "l_linestatus NOT IN ('O', 'F')"),
+    ("positive_price", "NOT (l_extendedprice > 0)"),
+    ("orderkey_not_null", "l_orderkey IS NULL"),
+    ("returnflag_domain", "l_returnflag NOT IN ('A', 'N', 'R')"),
+]
+
+
+@register(
+    "v01_constraint_audit",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL ".join(
+        f"SELECT '{name}' AS constraint_name, COUNT(*) AS n_checked, "
+        f"COUNT(CASE WHEN {pred} THEN 1 END) AS n_violations FROM lineitem"
+        for name, pred in V01_CHECKS
+    )
+    + "\n) ORDER BY constraint_name",
+    description="Single-pass constraint suite (dbt-test shape): six "
+    "range/domain/null/ordering checks as conditional aggregates over ONE "
+    "lineitem scan, unpivoted to a per-constraint report - a check adds a "
+    "column to the map-side aggregate, never a pass over the data.",
+    tags=("validation", "quality"),
+)
+def v01_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        *[
+            F.count(F.when(F.expr(pred), 1)).alias(f"v_{name}")
+            for name, pred in V01_CHECKS
+        ],
+    )
+    stack = ", ".join(f"'{name}', v_{name}" for name, _ in V01_CHECKS)
+    return agg.selectExpr(
+        f"stack({len(V01_CHECKS)}, {stack}) AS (constraint_name, n_violations)",
+        "n_checked",
+    ).select(
+        "constraint_name",
+        F.col("n_checked").cast("long").alias("n_checked"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+    )
+
+
+# child table -> (fk column, parent table, parent key)
+V02_RELATIONS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+@register(
+    "v02_referential_integrity",
+    oracle="SELECT * FROM (\n"
+    + "\nUNION ALL ".join(
+        f"SELECT '{child}.{fk}' AS relation, "
+        f"(SELECT COUNT(*) FROM {child}) AS n_child_rows, "
+        f"(SELECT COUNT(DISTINCT {fk}) FROM {child}) AS n_distinct_fk, "
+        f"(SELECT COUNT(*) FROM {child} c WHERE NOT EXISTS "
+        f"(SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})) AS n_orphans"
+        for child, fk, parent, pk in V02_RELATIONS
+    )
+    + "\n) ORDER BY relation",
+    description="Referential-integrity audit across the star schema: one "
+    "LEFT ANTI join per FK relation (shuffle keyed on the FK; dimension "
+    "sides broadcast under AQE), reporting child cardinality, distinct "
+    "FKs and orphan counts per relation.",
+    tags=("validation", "quality", "join"),
+)
+def v02_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frames = []
+    for child, fk, parent, pk in V02_RELATIONS:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        orphans = c.join(p, c[fk] == p[pk], "left_anti").count()
+        stats = c.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            F.countDistinct(fk).alias("n_distinct_fk"),
+        ).first()
+        frames.append(
+            (
+                f"{child}.{fk}",
+                int(stats["n_child_rows"]),
+                int(stats["n_distinct_fk"]),
+                int(orphans),
+            )
+        )
+    return (
+        spark.createDataFrame(
+            frames,
+            "relation string, n_child_rows long, n_distinct_fk long, n_orphans long",
+        )
+        .orderBy("relation")
+    )

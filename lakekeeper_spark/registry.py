@@ -61,6 +61,7 @@ def load_registry() -> dict[str, Query]:
         multimodal,
         similarity,
         text,
+        validation,
     )
     from .streaming import jobs  # noqa: F401
 
