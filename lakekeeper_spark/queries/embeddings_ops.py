@@ -275,12 +275,34 @@ KM_ITERS = 3  # Lloyd iterations (the oracle unrolls them as CTE stages)
 KM_DIM = 64  # embedding dimensionality of the testdata
 
 
+def _km_assign_cte() -> str:
+    """The unrolled-Lloyd CTE prefix shared by s04's and d12's oracles:
+    ends with a{KM_ITERS} = the final (vec_id, embedding, cid)
+    assignment and cent{KM_ITERS} = the final centroids."""
+    return _km_cte_body()
+
+
 def _km_oracle() -> str:
     """Unrolled Lloyd's in DuckDB SQL, arithmetic-identical to the Spark
     implementation: distances sum (p[i]-c[i])^2 in dimension order
     (doubles), centroid updates accumulate fixed-point BIGINTs (order-
     independent) and divide back to doubles, empty clusters carry the
     previous centroid forward."""
+    last = KM_ITERS
+    return (
+        _km_cte_body()
+        + f"""
+SELECT a.cid,
+       COUNT(*) AS n_points,
+       (SELECT CAST(list_sum(list_transform(c.c,
+               v -> CAST(ROUND(v * 1000000) AS BIGINT))) AS BIGINT)
+        FROM cent{last} c WHERE c.cid = a.cid) AS centroid_fp
+FROM a{last} a
+GROUP BY a.cid ORDER BY a.cid"""
+    )
+
+
+def _km_cte_body() -> str:
     d, k = KM_DIM, KM_K
     dist = (
         f"list_sum(list_transform(generate_series(1, {d}), i -> "
@@ -320,17 +342,6 @@ def _km_oracle() -> str:
   FROM {prev} p LEFT JOIN newc{it} nc ON p.cid = nc.cid
 )"""
         )
-    last = KM_ITERS
-    sql.append(
-        f"""
-SELECT a.cid,
-       COUNT(*) AS n_points,
-       (SELECT CAST(list_sum(list_transform(c.c,
-               v -> CAST(ROUND(v * 1000000) AS BIGINT))) AS BIGINT)
-        FROM cent{last} c WHERE c.cid = a.cid) AS centroid_fp
-FROM a{last} a
-GROUP BY a.cid ORDER BY a.cid"""
-    )
     return "\n".join(sql)
 
 
@@ -363,6 +374,37 @@ def s04_kmeans_train(
     # Same result bit-for-bit either way; flag defaults from
     # $SPARK_GRAFT_KMEANS_CACHE so cluster deployments flip it without a
     # code change.
+    assigned, centroids = _lloyd_assign(spark, sf_dir, cache_points)
+
+    # half-away-from-zero, matching SQL ROUND (Python round() is banker's)
+    def _r6(v: float) -> int:
+        import math
+
+        x = v * 1_000_000
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    fp = {cid: sum(_r6(v) for v in vec) for cid, vec in centroids.items()}
+    fp_df = F.broadcast(
+        spark.createDataFrame(
+            [(cid, fp[cid]) for cid in sorted(fp)], "cid int, centroid_fp long"
+        )
+    )
+    return (
+        assigned.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+        .join(fp_df, "cid")
+        .orderBy("cid")
+        .select("cid", "n_points", "centroid_fp")
+    )
+
+
+def _lloyd_assign(
+    spark: SparkSession, sf_dir: str, cache_points: bool | None = None
+) -> tuple[DataFrame, dict[int, list[float]]]:
+    """KM_ITERS Lloyd iterations; returns the final (vec_id, embedding,
+    cid) assignment DataFrame and the final centroid matrix (K x D driver
+    scalars). Shared by s04 (training summary) and d12 (SemDeDup)."""
+    d, k = KM_DIM, KM_K
     if cache_points is None:
         cache_points = os.environ.get("SPARK_GRAFT_KMEANS_CACHE", "0") == "1"
     pts = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -425,29 +467,10 @@ def s04_kmeans_train(
             cid: new_c.get(cid, centroids[cid]) for cid in sorted(centroids)
         }
     if cache_points:
-        # iterations are done; the final summary scan re-reads the source
+        # iterations are done; downstream consumers re-read the source
         # once rather than pinning the points for the session
         pts.unpersist()
-    # half-away-from-zero, matching SQL ROUND (Python round() is banker's)
-    def _r6(v: float) -> int:
-        import math
-
-        x = v * 1_000_000
-        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
-
-    fp = {cid: sum(_r6(v) for v in vec) for cid, vec in centroids.items()}
-    fp_df = F.broadcast(
-        spark.createDataFrame(
-            [(cid, fp[cid]) for cid in sorted(fp)], "cid int, centroid_fp long"
-        )
-    )
-    return (
-        assigned.groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n_points"))
-        .join(fp_df, "cid")
-        .orderBy("cid")
-        .select("cid", "n_points", "centroid_fp")
-    )
+    return assigned, centroids
 
 
 # --------------------------------------------------------------------------
@@ -636,4 +659,86 @@ def s05_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.withColumn("rnk", F.row_number().over(w_topk).cast("int")).filter(
         F.col("rnk") <= TOP_K
+    )
+
+
+# --------------------------------------------------------------------------
+# d12: SemDeDup — semantic deduplication via embedding clusters
+# --------------------------------------------------------------------------
+# Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication": k-means the corpus embeddings, then
+# compare pairs ONLY within a cluster — the clustering is what makes
+# pairwise feasible at scale (total pair work ~ N^2/K; K grows with N so
+# clusters stay bounded). A vector is a semantic duplicate if a
+# LOWER-vec_id member of its cluster has cosine similarity above TAU
+# (keep-lowest canonical rule, same as d01/d09). Shares the exact Lloyd
+# kernel with s04 (_lloyd_assign) and its unrolled-CTE oracle prefix, so
+# the DuckDB oracle replays clustering AND dedup bit-for-bit. Only
+# cluster ids and the K x D centroid matrix touch the driver.
+D12_TAU = 0.4
+
+
+@register(
+    "d12_semdedup",
+    oracle=_km_assign_cte()
+    + f""",
+norms AS (
+  SELECT vec_id, {_sql_dot6("embedding", "embedding")} AS norm6 FROM embeddings
+),
+pairs AS (
+  SELECT x.vec_id,
+         CAST({_sql_dot6("x.embedding", "y.embedding")} AS DOUBLE)
+           / sqrt(CAST(nx.norm6 AS DOUBLE) * CAST(ny.norm6 AS DOUBLE)) AS cos
+  FROM a{KM_ITERS} x JOIN a{KM_ITERS} y
+    ON x.cid = y.cid AND y.vec_id < x.vec_id
+  JOIN norms nx ON nx.vec_id = x.vec_id
+  JOIN norms ny ON ny.vec_id = y.vec_id
+),
+dups AS (SELECT DISTINCT vec_id FROM pairs WHERE cos > {D12_TAU})
+SELECT a.cid,
+       COUNT(*) AS n_points,
+       COUNT(d.vec_id) AS n_dups,
+       COALESCE(CAST(SUM(d.vec_id) AS BIGINT), 0) AS dup_id_sum
+FROM a{KM_ITERS} a LEFT JOIN dups d ON a.vec_id = d.vec_id
+GROUP BY a.cid
+""",
+    description="SemDeDup (Abbas et al.): k-means clusters bound the "
+    "pairwise stage (N^2/K work, never corpus-wide all-pairs); a vector "
+    "is a semantic duplicate if a lower-id cluster member exceeds cosine "
+    "TAU. Shares s04's exact Lloyd kernel and unrolled-CTE oracle, so "
+    "clustering AND dedup verdicts hash-match end to end.",
+    tags=("dedup", "llm", "embeddings", "ml"),
+)
+def d12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned, _ = _lloyd_assign(spark, sf_dir)
+    norms = assigned.select(
+        "vec_id", "cid", "embedding", _dot6("embedding", "embedding").alias("norm6")
+    )
+    x = norms.alias("x")
+    y = norms.alias("y")
+    cos = _dot6("x.embedding", "y.embedding").cast("double") / F.sqrt(
+        F.col("x.norm6").cast("double") * F.col("y.norm6").cast("double")
+    )
+    dups = (
+        x.join(
+            y,
+            (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("y.vec_id") < F.col("x.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_id"), cos.alias("cos"))
+        .filter(F.col("cos") > D12_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        assigned.join(dups, "vec_id", "left")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.count("is_dup").alias("n_dups"),
+            F.coalesce(F.sum(F.when(F.col("is_dup") == 1, F.col("vec_id"))), F.lit(0))
+            .cast("long")
+            .alias("dup_id_sum"),
+        )
     )

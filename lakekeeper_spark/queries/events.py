@@ -1663,3 +1663,59 @@ def e13_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_last_gap_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# e14: session TRANSITION MATRIX (within-session Markov counts)
+# --------------------------------------------------------------------------
+# The behavioral-analytics staple on top of e03's sessionization: count
+# event-type transitions between CONSECUTIVE events of the same session
+# (a 30-min gap breaks the chain — cross-session pairs never count).
+# One user_id exchange, one LAG window in the same sort as e03, then a
+# bounded (#types^2) aggregate — the transition matrix itself is
+# metadata-sized however large the stream is.
+@register(
+    "e14_session_transitions",
+    oracle=f"""
+WITH lagged AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER w AS prev_type,
+         CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {SESSION_GAP_NS}
+                   OR LAG(epoch_ns(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       COUNT(*) AS n_transitions,
+       COUNT(DISTINCT user_id) AS n_users
+FROM lagged
+WHERE new_session = 0
+GROUP BY prev_type, event_type
+""",
+    description="Within-session event-type transition matrix (Markov "
+    "counts): one user_id exchange + one LAG window in e03's sort, "
+    "cross-session pairs excluded by the 30-min gap rule, #types^2 "
+    "output however large the stream.",
+    tags=("events", "window", "session", "analytics"),
+)
+def e14_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.coalesce(
+            (F.col("ts_ns") - F.lag("ts_ns").over(w) > SESSION_GAP_NS).cast("int"),
+            F.lit(1),
+        ).alias("new_session"),
+    )
+    return (
+        lagged.filter(F.col("new_session") == 0)
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -375,3 +375,146 @@ def s06_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w).cast("int")).filter(
         F.col("rnk") <= TOP_K
     )
+
+
+# --------------------------------------------------------------------------
+# s07: SCALAR-QUANTIZED (int8) ANN — the fourth index family
+# --------------------------------------------------------------------------
+# LSH (s02) buckets, IVF (s03) partitions, PQ (s05) codebook-compresses;
+# scalar quantization is the simplest compression: per-dimension global
+# [min,max] maps each float to one uint8 code (4x smaller than float32,
+# SIMD-friendly — the FAISS SQ8 index). Approximate scores run against
+# DEQUANTIZED codes, the top-C candidates get an exact float rerank —
+# the two-stage shape every compressed index shares. Determinism: the
+# quantization grid derives from per-dim min/max (exact), codes from one
+# correctly-rounded affine transform, and all score sums are fixed-point
+# integer additions, so candidates AND final ranks hash-match the oracle.
+# Scale: per-dim stats are a D-row aggregate (broadcast back); scoring is
+# a narrow map over codes; only C x queries rows are reranked.
+SQ_CAND = 50  # candidates per query for the exact rerank
+SQ_LEVELS = 255
+
+
+def _sq_dequant_sql(code: str, mn: str, mx: str) -> str:
+    return f"({mn} + {code} * (({mx}) - ({mn})) / {SQ_LEVELS}.0)"
+
+
+@register(
+    "s07_knn_scalar_quant",
+    oracle=f"""
+WITH dims AS (
+  SELECT i.i AS dim0, MIN(CAST(e.embedding[i.i + 1] AS DOUBLE)) AS mn,
+         MAX(CAST(e.embedding[i.i + 1] AS DOUBLE)) AS mx
+  FROM embeddings e,
+       (SELECT unnest(range(0, len((SELECT embedding FROM embeddings LIMIT 1)))) AS i) i
+  WHERE e.vec_id >= {N_QUERIES}
+  GROUP BY i.i
+),
+codes AS (
+  SELECT e.vec_id, d.dim0,
+         CAST(ROUND((CAST(e.embedding[d.dim0 + 1] AS DOUBLE) - d.mn)
+              / (CASE WHEN d.mx = d.mn THEN 1 ELSE d.mx - d.mn END)
+              * {SQ_LEVELS}) AS BIGINT) AS code,
+         d.mn, d.mx
+  FROM embeddings e, dims d WHERE e.vec_id >= {N_QUERIES}
+),
+approx AS (
+  SELECT q.vec_id AS query_id, c.vec_id,
+         SUM(CAST(ROUND(CAST(q.embedding[c.dim0 + 1] AS DOUBLE)
+             * {_sq_dequant_sql("c.code", "c.mn", "CASE WHEN c.mx = c.mn THEN c.mn + 1 ELSE c.mx END")}
+             * {QUANT}) AS BIGINT)) AS ascore
+  FROM codes c, embeddings q WHERE q.vec_id < {N_QUERIES}
+  GROUP BY q.vec_id, c.vec_id
+),
+cand AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ascore DESC, vec_id) AS crk
+  FROM approx
+),
+rerank AS (
+  SELECT c.query_id, c.vec_id,
+         {_sql_dot6("q.embedding", "e.embedding")} AS score_fp
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  WHERE c.crk <= {SQ_CAND}
+)
+SELECT query_id, vec_id, score_fp,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY score_fp DESC, vec_id) AS rank
+FROM rerank
+QUALIFY rank <= {TOP_K}
+""",
+    description="Scalar-quantized (uint8) ANN, the fourth index family "
+    "after LSH/IVF/PQ: per-dimension global [min,max] grid (D-row "
+    "aggregate, broadcast), one affine code per value, approximate "
+    "dequantized scoring, exact fixed-point rerank of the top-C - "
+    "candidates and final ranks both bit-match the oracle.",
+    tags=("embeddings", "ann", "similarity", "quantization"),
+)
+def s07_knn_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    db = emb.filter(F.col("vec_id") >= N_QUERIES)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # per-dimension quantization grid: D rows, broadcast back
+    dims = (
+        db.select(F.posexplode("embedding").alias("dim0", "x"))
+        .groupBy("dim0")
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    d_rows = sorted(dims.collect(), key=lambda r: r["dim0"])  # D scalars only
+    mn_arr = F.array(*[F.lit(float(r["mn"])) for r in d_rows])
+    mx_arr = F.array(*[F.lit(float(r["mx"])) for r in d_rows])
+    coded = (
+        db.select("vec_id", "embedding")
+        .withColumn("__mn", mn_arr)
+        .withColumn("__mx", mx_arr)
+        .select(
+            "vec_id",
+            "__mn",
+            "__mx",
+            F.expr(
+                f"""transform(sequence(1, size(embedding)), i ->
+                  CAST(ROUND((CAST(element_at(embedding, i) AS DOUBLE) - element_at(__mn, i))
+                    / (CASE WHEN element_at(__mx, i) = element_at(__mn, i) THEN 1
+                            ELSE element_at(__mx, i) - element_at(__mn, i) END)
+                    * {SQ_LEVELS}) AS BIGINT))"""
+            ).alias("codes"),
+        )
+    )
+    # approximate score against the dequantized codes (exact int sums)
+    approx = coded.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            f"""aggregate(transform(sequence(1, size(codes)), i ->
+              CAST(ROUND(CAST(element_at(q_emb, i) AS DOUBLE)
+                * (element_at(__mn, i) + element_at(codes, i)
+                   * ((CASE WHEN element_at(__mx, i) = element_at(__mn, i)
+                            THEN element_at(__mn, i) + 1 ELSE element_at(__mx, i) END)
+                      - element_at(__mn, i)) / {SQ_LEVELS}.0)
+                * {QUANT}) AS BIGINT)),
+              CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+        ).alias("ascore"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("ascore").desc(), "vec_id")
+    cand = approx.withColumn("crk", F.row_number().over(w)).filter(
+        F.col("crk") <= SQ_CAND
+    )
+    rerank = (
+        cand.join(q, "query_id")
+        .join(db.select("vec_id", "embedding"), "vec_id")
+        .select("query_id", "vec_id", _dot6("q_emb", "embedding").alias("score_fp"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("score_fp").desc(), "vec_id")
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", "score_fp", F.col("rank").cast("long").alias("rank"))
+    )
