@@ -395,3 +395,30 @@ def test_h05_reservoir_is_take_ordered(spark):
     plan = _plan(h05_weighted_reservoir(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_d12_pairwise_join_is_cluster_keyed(spark):
+    """SemDeDup's whole point: the pairwise cosine join must key on the
+    cluster id (bounded N^2/K work), never an unkeyed corpus-wide
+    cross/nested-loop pair enumeration."""
+    from lakekeeper_spark.queries.embeddings_ops import d12_semdedup
+
+    plan = _plan(d12_semdedup(spark, SF_DIR))
+    # the K-row centroid broadcasts inside Lloyd are fine (BuildRight of
+    # 8 rows); what must NOT exist is an unkeyed corpus-sized pair stage
+    assert "CartesianProduct" not in plan
+    # the pairwise stage is an equi-join keyed on the cluster id
+    assert "SortMergeJoin Inner" in plan or "ShuffledHashJoin Inner" in plan
+    joins = plan.split("Join type: Inner")
+    assert any("cid" in seg[:2000] for seg in joins[:-1]) or "cid" in plan
+
+
+def test_s07_rerank_is_bounded_and_grid_broadcast(spark):
+    """Scalar-quantized ANN: the quantization grid rides as literals (a
+    D-row collect, no data-sized broadcast), queries broadcast, and no
+    sort-merge join touches the scored stream."""
+    from lakekeeper_spark.queries.similarity import s07_knn_scalar_quant
+
+    plan = _plan(s07_knn_scalar_quant(spark, SF_DIR))
+    assert "BroadcastExchange" in plan  # the 10-query side
+    assert "SortMergeJoin" not in plan
