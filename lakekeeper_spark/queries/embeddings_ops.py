@@ -364,7 +364,6 @@ def _km_cte_body() -> str:
 def s04_kmeans_train(
     spark: SparkSession, sf_dir: str, cache_points: bool | None = None
 ) -> DataFrame:
-    d, k = KM_DIM, KM_K
     # cache_points=False: each Lloyd iteration re-scans the parquet —
     # measured FASTER at sf0.1 (4.0s vs 4.4s persisted: OS page cache
     # makes local parquet scans cheaper than the persist round-trip) but
