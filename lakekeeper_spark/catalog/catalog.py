@@ -695,6 +695,7 @@ class Catalog:
         ns = ".".join(levels)
         names: list[str] = []
         next_token = None
+        last_key = None
         for r in rows:
             if not self.authz.is_allowed(
                 self._actor, "include_in_list", f"{ns}.{r['name']}"
