@@ -110,3 +110,38 @@ def test_drop_with_purge_flows_through_publisher(tmp_path):
     types = [e["type"] for e in sink.events]
     assert "lakekeeper-spark.drop-table" in types
     assert "lakekeeper-spark.undrop-tabular" in types
+
+
+def test_concurrent_writers_publish_independently(tmp_path):
+    """The pending-event buffer is per-thread: two threads mutating
+    concurrently (the REST facade's ThreadingHTTPServer shape) each
+    publish exactly their own committed mutations — no cross-thread
+    leakage, no loss, no duplicates."""
+    import threading
+
+    sink = CollectingPublisher()
+    cat = _catalog(tmp_path, sink)
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["ns"])
+    errors: list[Exception] = []
+
+    def worker(tag: str):
+        try:
+            for i in range(10):
+                cat.create_table("wh", ["ns"], f"t_{tag}_{i}", SCHEMA)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in ("a", "b")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    created = [
+        e["subject"] for e in sink.events
+        if e["type"] == "lakekeeper-spark.create-table"
+    ]
+    assert sorted(created) == sorted(
+        f"ns.t_{tag}_{i}" for tag in ("a", "b") for i in range(10)
+    ), "each committed mutation publishes exactly once"
