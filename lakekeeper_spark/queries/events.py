@@ -1500,14 +1500,19 @@ _H05_U = "((('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100
     "h05_weighted_reservoir",
     oracle=f"""
 SELECT event_id, user_id, event_type,
-       CAST(ln({_H05_U}) / (value + 1.0) AS DOUBLE) AS sample_key
+       CAST(ROUND(ln({_H05_U}) / (value + 1.0) * 1000000000) AS BIGINT)
+         AS sample_key_fp
 FROM events
-ORDER BY sample_key DESC, event_id
+ORDER BY sample_key_fp DESC, event_id
 LIMIT {H05_K}
 """,
     description="Deterministic weighted reservoir sample (A-Res key "
     "ln(u)/w, u from md5 arithmetic): per-row key + TakeOrdered top-K — "
-    "per-partition heaps, no global sort/window, K-row driver state.",
+    "per-partition heaps, no global sort/window, K-row driver state. The "
+    "key is FIXED-POINT (round to 1e-9): ln is not correctly-rounded "
+    "IEEE, so raw doubles can differ in the last ulp across engines — "
+    "caught by the sf0.001 sweep, absorbed by quantization (ties break "
+    "on event_id).",
     tags=("sketch", "sampling", "events", "llm"),
 )
 def h05_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1516,15 +1521,15 @@ def h05_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)")
          .cast("bigint") % 1000003 + 1) / 1000004.0
     )
-    key = F.log(u) / (F.col("value") + 1.0)
+    key_fp = F.round(F.log(u) / (F.col("value") + 1.0) * 1_000_000_000).cast("long")
     return (
         ev.select(
             "event_id",
             "user_id",
             "event_type",
-            key.cast("double").alias("sample_key"),
+            key_fp.alias("sample_key_fp"),
         )
-        .orderBy(F.col("sample_key").desc(), "event_id")
+        .orderBy(F.col("sample_key_fp").desc(), "event_id")
         .limit(H05_K)
     )
 
