@@ -1097,3 +1097,61 @@ def st11_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_lines") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# st12: streaming SLIDING-window rollup (the native hop operator)
+# --------------------------------------------------------------------------
+# e10 computes the 1h/15min sliding rollup in batch with explicit slot
+# explosion; st12 is its STREAMING twin on Spark's native
+# window(ts, '1 hour', '15 minutes') — the state store keys on
+# (window, ) and each event updates window/slide = 4 open windows.
+# Complete-mode drain makes the final state a pure function of the data,
+# so the batch oracle (identical slot arithmetic: windows align to
+# slide-duration boundaries from the epoch, exactly e10's integer slots)
+# hash-matches. State = #open windows, bounded by the data's time span.
+@register(
+    "st12_stream_sliding_window",
+    oracle=f"""
+WITH hops AS (
+  SELECT epoch_ns(ts) // {15 * 60 * 1_000_000_000} - h.off AS win_start_slot, value
+  FROM events, (SELECT unnest(range(0, 4)) AS off) h
+)
+SELECT win_start_slot,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND((value)*1000000) AS BIGINT)) AS DOUBLE)/1000000
+         AS sum_value
+FROM hops
+GROUP BY win_start_slot
+""",
+    description="Streaming sliding-window rollup on the native "
+    "window(ts, 1h, 15min) hop operator, complete-mode drain: each event "
+    "updates its 4 open windows in the state store; final state equals "
+    "e10's batch slot arithmetic bit-for-bit.",
+    tags=("streaming", "events", "window", "sliding"),
+)
+def st12_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stage_stream_dir(sf_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = stream.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("win")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).cast("double")
+            / F.lit(1_000_000)
+        ).alias("sum_value"),
+    )
+    sunk = _run_to_memory(agg, "complete")
+    return sunk.select(
+        (F.unix_timestamp(F.col("win.start")) / F.lit(900))
+        .cast("long")
+        .alias("win_start_slot"),
+        "n_events",
+        "sum_value",
+    )
