@@ -1724,3 +1724,155 @@ def e14_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# r03: large-x-large INTERVAL OVERLAP JOIN via bucket decomposition
+# --------------------------------------------------------------------------
+# r01 broadcasts one interval side and r02 sweeps; r03 is the missing
+# third shape — BOTH interval sets too large to broadcast. The scalable
+# plan decomposes every interval into the hour buckets it covers
+# (bounded fan-out: intervals are session/island-sized), equi-joins on
+# the bucket (co-partitioned shuffle, no range predicate in the join),
+# dedups pairs that share several buckets, then computes exact overlaps.
+# Sides: user sessions (r02's construction) x global hot-hour ISLANDS
+# (hours with above-average activity, consecutive ones merged
+# gaps-and-islands style). The threshold is integer cross-multiplied
+# (5*cnt*n_hours > 6*total), so "hot" is exact in both engines.
+@register(
+    "r03_interval_overlap_join",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER w > {SESSION_GAP_NS}
+                   OR LAG(epoch_ns(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+),
+sessions AS (
+  SELECT user_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id,
+         epoch_ns(ts) AS ts_ns
+  FROM flagged
+),
+per_s AS (
+  SELECT user_id, session_id, MIN(ts_ns) AS s_ns, MAX(ts_ns) AS e_ns
+  FROM sessions GROUP BY user_id, session_id
+),
+hourly AS (
+  SELECT epoch_ns(ts) // {NANOS_PER_HOUR} AS hr, COUNT(*) AS cnt
+  FROM events GROUP BY epoch_ns(ts) // {NANOS_PER_HOUR}
+),
+tot AS (SELECT SUM(cnt) AS total, COUNT(*) AS n_hours FROM hourly),
+hot AS (
+  SELECT hr FROM hourly, tot WHERE 5 * cnt * n_hours > 6 * total
+),
+isl AS (
+  SELECT hr, hr - ROW_NUMBER() OVER (ORDER BY hr) AS grp FROM hot
+),
+islands AS (
+  SELECT MIN(hr) AS island_id,
+         MIN(hr) * {NANOS_PER_HOUR} AS i_s,
+         (MAX(hr) + 1) * {NANOS_PER_HOUR} - 1 AS i_e,
+         COUNT(*) AS n_hot_hours
+  FROM isl GROUP BY grp
+),
+pairs AS (
+  SELECT i.island_id, i.n_hot_hours, s.user_id, s.session_id,
+         (LEAST(s.e_ns, i.i_e) - GREATEST(s.s_ns, i.i_s)) // 1000000000
+           AS overlap_s
+  FROM per_s s JOIN islands i
+    ON s.s_ns <= i.i_e AND i.i_s <= s.e_ns
+)
+SELECT island_id, CAST(MAX(n_hot_hours) AS BIGINT) AS n_hot_hours,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(overlap_s) AS BIGINT) AS total_overlap_s
+FROM pairs GROUP BY island_id
+""",
+    description="Large-x-large interval overlap join via hour-bucket "
+    "decomposition: both interval sets explode to covered buckets, "
+    "equi-join on the bucket (co-partitioned, no range predicate in the "
+    "join), pair dedup, exact integer overlaps - the shape that scales "
+    "when neither side broadcasts.",
+    tags=("events", "range", "interval", "join"),
+)
+def r03_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        F.when(
+            (F.col("ts_ns") - F.lag("ts_ns").over(w) > SESSION_GAP_NS)
+            | F.lag("ts_ns").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    per_s = (
+        flagged.withColumn("session_id", F.sum("new_session").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_ns").alias("s_ns"), F.max("ts_ns").alias("e_ns"))
+    )
+    hourly = ev.groupBy(F.expr(f"ts_ns div {NANOS_PER_HOUR}").alias("hr")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = hourly.agg(F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_hours"))
+    hot = (
+        hourly.crossJoin(F.broadcast(tot))
+        .filter(F.lit(5) * F.col("cnt") * F.col("n_hours") > F.lit(6) * F.col("total"))
+        .select("hr")
+    )
+    isl = hot.withColumn("grp", F.col("hr") - F.row_number().over(Window.orderBy("hr")))
+    islands = isl.groupBy("grp").agg(
+        F.min("hr").alias("island_id"),
+        (F.min("hr") * NANOS_PER_HOUR).alias("i_s"),
+        ((F.max("hr") + 1) * NANOS_PER_HOUR - 1).alias("i_e"),
+        F.count(F.lit(1)).alias("n_hot_hours"),
+    )
+    # bucket decomposition: each interval -> the hour buckets it covers
+    s_bkt = per_s.select(
+        "user_id",
+        "session_id",
+        "s_ns",
+        "e_ns",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_ns div {NANOS_PER_HOUR}"),
+                F.expr(f"e_ns div {NANOS_PER_HOUR}"),
+            )
+        ).alias("bkt"),
+    )
+    i_bkt = islands.select(
+        "island_id",
+        "n_hot_hours",
+        "i_s",
+        "i_e",
+        F.explode(
+            F.sequence(
+                F.expr(f"i_s div {NANOS_PER_HOUR}"),
+                F.expr(f"i_e div {NANOS_PER_HOUR}"),
+            )
+        ).alias("bkt"),
+    )
+    pairs = (
+        s_bkt.join(i_bkt, "bkt")
+        .filter((F.col("s_ns") <= F.col("i_e")) & (F.col("i_s") <= F.col("e_ns")))
+        .select(
+            "island_id", "n_hot_hours", "user_id", "session_id",
+            F.expr("(least(e_ns, i_e) - greatest(s_ns, i_s)) div 1000000000")
+            .alias("overlap_s"),
+        )
+        .distinct()  # a pair sharing several buckets counts once
+    )
+    return pairs.groupBy("island_id").agg(
+        F.max("n_hot_hours").cast("long").alias("n_hot_hours"),
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("overlap_s").cast("long").alias("total_overlap_s"),
+    )
