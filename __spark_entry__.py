@@ -61,7 +61,11 @@ def _entry_green(res: dict) -> bool:
 
 def _last_checked(pattern: str) -> dict[str, int]:
     """raw query name -> last round with a GREEN row in artifacts matching
-    ``pattern`` (exposed keys are rank-prefixed; strip the prefix)."""
+    ``pattern``. CORRECTNESS keys are rank-prefixed ("r012_e02_..."),
+    FULLSWEEP keys are raw — and raw r-family names ("r03_...") LOOK
+    prefixed, so the prefix is stripped only when the remainder is an
+    actual registry name."""
+    known = set(load_registry())
     last: dict[str, int] = {}
     for p in _REPO.glob(pattern):
         m = re.search(r"_r0*(\d+)", p.stem)
@@ -76,7 +80,8 @@ def _last_checked(pattern: str) -> dict[str, int]:
         for key, res in rows.items():
             if not isinstance(res, dict) or not _entry_green(res):
                 continue
-            raw = re.sub(r"^r\d+_", "", key)
+            stripped = re.sub(r"^r\d+_", "", key)
+            raw = stripped if stripped in known else key
             last[raw] = max(last.get(raw, -1), rnd)
     return last
 
