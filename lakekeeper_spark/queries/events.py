@@ -1876,3 +1876,79 @@ def r03_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sessions"),
         F.sum("overlap_s").cast("long").alias("total_overlap_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# e15: RFM segmentation (recency / frequency / monetary quartiles)
+# --------------------------------------------------------------------------
+# The classic customer-value segmentation: per user, days since last
+# purchase, purchase count, and fixed-point spend, each cut into
+# quartiles by NTILE over a deterministic (metric, user_id) order; the
+# segment grid (<=64 cells) is the output. One user-level aggregate then
+# three windows over the #users-sized frame — never over raw events.
+# Recency is integer days against the GLOBAL max purchase timestamp, so
+# the result is a pure function of the data.
+@register(
+    "e15_rfm_segmentation",
+    oracle=f"""
+WITH p AS (
+  SELECT user_id, epoch_ns(ts) AS t,
+         CAST(ROUND((value)*1000000) AS BIGINT) AS v6
+  FROM events WHERE event_type = 'purchase'
+),
+per_user AS (
+  SELECT user_id,
+         (SELECT MAX(t) FROM p) // {86400 * 1_000_000_000}
+           - MAX(t) // {86400 * 1_000_000_000} AS recency_d,
+         COUNT(*) AS freq,
+         SUM(v6) AS monetary_fp
+  FROM p GROUP BY user_id
+),
+binned AS (
+  SELECT user_id, monetary_fp,
+         NTILE(4) OVER (ORDER BY recency_d, user_id) AS r_bin,
+         NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f_bin,
+         NTILE(4) OVER (ORDER BY monetary_fp DESC, user_id) AS m_bin
+  FROM per_user
+)
+SELECT r_bin, f_bin, m_bin,
+       COUNT(*) AS n_users,
+       CAST(SUM(monetary_fp) AS BIGINT) AS segment_monetary_fp
+FROM binned GROUP BY r_bin, f_bin, m_bin
+""",
+    description="RFM customer segmentation: user-level recency/frequency/"
+    "monetary aggregate (exact integers), NTILE quartiles over the "
+    "user-sized frame with (metric, user_id) tie order, <=64-cell "
+    "segment grid output - windows never touch raw events.",
+    tags=("events", "window", "analytics", "segmentation"),
+)
+def e15_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    day_ns = 86400 * 1_000_000_000
+    per_user = ev.groupBy("user_id").agg(
+        F.max("ts_ns").alias("last_t"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("monetary_fp"),
+    )
+    gmax = per_user.agg(F.max("last_t").alias("gmax"))
+    pu = per_user.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        F.expr(f"gmax div {day_ns} - last_t div {day_ns}").alias("recency_d"),
+        "freq",
+        "monetary_fp",
+    )
+    binned = pu.select(
+        "user_id",
+        "monetary_fp",
+        F.ntile(4).over(Window.orderBy("recency_d", "user_id")).alias("r_bin"),
+        F.ntile(4).over(Window.orderBy(F.col("freq").desc(), "user_id")).alias("f_bin"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary_fp").desc(), "user_id"))
+        .alias("m_bin"),
+    )
+    return binned.groupBy("r_bin", "f_bin", "m_bin").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("monetary_fp").cast("long").alias("segment_monetary_fp"),
+    )
