@@ -1428,3 +1428,89 @@ def p06_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("quota"),
     )
+
+
+# --------------------------------------------------------------------------
+# t15: readability scoring (Flesch-style) — the quality-filter signal
+# --------------------------------------------------------------------------
+# Web-corpus quality filters bin documents by readability; the Flesch
+# reading-ease shape needs words, sentences, and a syllable proxy (vowel
+# groups). All three are single-regex counts (JVM-side, zero shuffle);
+# the score derives from integer ratios through correctly-rounded IEEE
+# multiply/divide only — no transcendentals — so the doubles hash-match.
+# Output is doc-level score plus the corpus distribution by readability
+# band (the filterable artifact).
+T15_BANDS = [
+    ("very_easy", 90.0), ("easy", 70.0), ("standard", 50.0),
+    ("difficult", 30.0), ("very_difficult", -1e9),
+]
+_T15_BAND_SQL = (
+    "CASE WHEN score >= 90 THEN 'very_easy' WHEN score >= 70 THEN 'easy' "
+    "WHEN score >= 50 THEN 'standard' WHEN score >= 30 THEN 'difficult' "
+    "ELSE 'very_difficult' END"
+)
+
+
+@register(
+    "t15_readability",
+    oracle=f"""
+WITH counted AS (
+  SELECT doc_id,
+         GREATEST(len(regexp_extract_all(text, '{WORD_RE}')), 1) AS n_words,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents,
+         GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS n_syll
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, n_words, n_sents, n_syll,
+         206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sents)
+                 - 84.6 * (CAST(n_syll AS DOUBLE) / n_words) AS score
+  FROM counted
+)
+SELECT {_T15_BAND_SQL} AS band,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(CAST(ROUND(score * 1000000) AS BIGINT)) AS BIGINT)
+         AS score_fp_sum
+FROM scored GROUP BY band
+""",
+    description="Flesch-style readability banding (the quality-filter "
+    "signal): words/sentences/vowel-group counts as single JVM regexes, "
+    "score from integer ratios via correctly-rounded IEEE ops only, "
+    "corpus distribution by band with a fixed-point score checksum.",
+    tags=("text", "llm", "quality"),
+)
+def t15_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.greatest(F.regexp_count("text", F.lit(WORD_RE)), F.lit(1))
+    n_sents = F.greatest(F.regexp_count("text", F.lit("[.!?]+")), F.lit(1))
+    n_syll = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")), F.lit(1)
+    )
+    counted = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sents"),
+        n_syll.alias("n_syll"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("n_words").cast("double") / F.col("n_sents"))
+        - F.lit(84.6) * (F.col("n_syll").cast("double") / F.col("n_words"))
+    )
+    scored = counted.withColumn("score", score)
+    band = (
+        F.when(F.col("score") >= 90, "very_easy")
+        .when(F.col("score") >= 70, "easy")
+        .when(F.col("score") >= 50, "standard")
+        .when(F.col("score") >= 30, "difficult")
+        .otherwise("very_difficult")
+    )
+    return scored.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum(F.round(F.col("score") * 1_000_000).cast("long"))
+        .cast("long")
+        .alias("score_fp_sum"),
+    )
