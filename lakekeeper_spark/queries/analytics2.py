@@ -984,3 +984,87 @@ def w09_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.count("v")).alias("n_gap_hours"),
         F.sum("filled").cast("long").alias("sum_filled_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# w11: SCD TYPE 2 history build — slowly-changing dimension from a stream
+# --------------------------------------------------------------------------
+# The lakehouse-dimension staple: collapse an attribute's change stream
+# into validity intervals (one row per distinct consecutive value, with
+# valid_from/valid_to and an is_current flag). Here the attribute is a
+# user's spend tier derived from each purchase; the history is built with
+# one user_id exchange and two ordered windows (LAG to detect changes,
+# LEAD to close intervals) — the standard SCD2 algorithm, never a
+# self-join. Open rows carry the 2^62 sentinel instead of NULL so the
+# interval algebra stays pure-integer and engine-exact.
+W11_OPEN = 1 << 62
+
+
+@register(
+    "w11_scd2_history",
+    oracle=f"""
+WITH src AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CASE WHEN value >= 66 THEN 'gold'
+              WHEN value >= 33 THEN 'silver' ELSE 'bronze' END AS tier
+  FROM events WHERE event_type = 'purchase'
+),
+changes AS (
+  SELECT * FROM (
+    SELECT user_id, t, event_id, tier,
+           LAG(tier) OVER (PARTITION BY user_id ORDER BY t, event_id)
+             AS prev_tier
+    FROM src
+  ) WHERE prev_tier IS NULL OR tier != prev_tier
+),
+hist AS (
+  SELECT user_id, tier, t AS valid_from,
+         COALESCE(
+           LEAD(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - 1,
+           {W11_OPEN}) AS valid_to
+  FROM changes
+)
+SELECT user_id, tier, valid_from, valid_to,
+       valid_to = {W11_OPEN} AS is_current
+FROM hist
+""",
+    description="SCD Type 2 dimension history from a change stream: one "
+    "user_id exchange, LAG change detection + LEAD interval close, open "
+    "rows on an integer sentinel - the standard algorithm, no self-join, "
+    "exact microsecond validity intervals.",
+    tags=("window", "scd", "lakehouse", "events"),
+)
+def w11_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    tier = (
+        F.when(F.col("value") >= 66, "gold")
+        .when(F.col("value") >= 33, "silver")
+        .otherwise("bronze")
+    )
+    src = ev.select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("t"),
+        "event_id",
+        tier.alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    changes = (
+        src.withColumn("prev_tier", F.lag("tier").over(w))
+        .filter(F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("t", "event_id")
+    hist = changes.select(
+        "user_id",
+        "tier",
+        F.col("t").alias("valid_from"),
+        F.coalesce(F.lead("t").over(w2) - 1, F.lit(W11_OPEN)).alias("valid_to"),
+    )
+    return hist.select(
+        "user_id",
+        "tier",
+        "valid_from",
+        "valid_to",
+        (F.col("valid_to") == W11_OPEN).alias("is_current"),
+    )
