@@ -1155,3 +1155,69 @@ def st12_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+# --------------------------------------------------------------------------
+# st13: STREAM-STATIC join — per-batch dimension enrichment
+# --------------------------------------------------------------------------
+# The remaining streaming-join fundamental next to stream-stream (st05/
+# st09): a stream enriched against a STATIC dimension. Spark re-plans the
+# static side per micro-batch (so a dimension refresh is picked up batch
+# to batch) and needs no watermark — the static side is not stateful.
+# Here the dimension is each user's lifetime tier (derived batch-side
+# from purchases); the streamed events enrich against it and aggregate
+# per tier. Complete-mode drain; the oracle replays the join + rollup.
+@register(
+    "st13_stream_static_join",
+    oracle="""
+WITH dim AS (
+  SELECT user_id,
+         CASE WHEN SUM(CAST(ROUND((value)*1000000) AS BIGINT)) >= 50000000
+              THEN 'high' ELSE 'low' END AS tier
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT COALESCE(d.tier, 'none') AS tier,
+       e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND((e.value)*1000000) AS BIGINT)) AS BIGINT)
+         AS value_fp
+FROM events e LEFT JOIN dim d ON e.user_id = d.user_id
+GROUP BY COALESCE(d.tier, 'none'), e.event_type
+""",
+    description="Stream-static join: streamed events LEFT-join a static "
+    "user-tier dimension (re-planned per micro-batch, no watermark "
+    "needed - the static side holds no state) and aggregate per "
+    "(tier, type); complete-mode drain equals the batch join+rollup.",
+    tags=("streaming", "events", "join", "stream-static"),
+)
+def st13_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    batch_ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = (
+        batch_ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.when(
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+                >= 50_000_000,
+                "high",
+            )
+            .otherwise("low")
+            .alias("tier")
+        )
+    )
+    stream = spark.readStream.schema(batch_ev.schema).parquet(
+        _stage_stream_dir(sf_dir)
+    )
+    enriched = stream.join(dim, "user_id", "left")
+    agg = enriched.groupBy(
+        F.coalesce(F.col("tier"), F.lit("none")).alias("tier"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+        .cast("long")
+        .alias("value_fp"),
+    )
+    return _run_to_memory(agg, "complete").select(
+        "tier", "event_type", "n_events", "value_fp"
+    )

@@ -74,3 +74,14 @@ def test_every_query_verified_within_two_rounds():
         f"queries without a green check since round {current - 1}: {stale} — "
         f"run `python tools/fullsweep.py {current}` and commit the artifact"
     )
+
+
+def test_artifact_keys_resolve_to_registry_names():
+    """Every green row in the committed artifacts must map to an actual
+    registry query — guards the key-format contract (CORRECTNESS keys are
+    rank-prefixed, FULLSWEEP keys are raw, and raw r-family names LOOK
+    prefixed; a mis-strip silently drops queries from the freshness
+    accounting, as happened with r03)."""
+    known = set(load_registry())
+    for name, rnd in entry_mod.verified_rounds().items():
+        assert name in known, f"artifact row {name!r} (round {rnd}) not in registry"
