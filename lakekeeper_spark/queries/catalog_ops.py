@@ -1000,3 +1000,134 @@ def c10_spec_register_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+# --------------------------------------------------------------------------
+# c11: multi-table TRANSACTION atomicity under the gate
+# --------------------------------------------------------------------------
+# The reference's CommitTransaction (server/tables.rs:948 ->
+# try_commit_tables:1523): N tables validated and CAS-updated inside ONE
+# database transaction. Proven here as a gate row: a two-table atomic
+# property update lands on both or neither — a second transaction whose
+# SECOND change carries a failing requirement must roll back the first
+# change too (table A keeps the committed value, gains nothing from the
+# failed attempt), and snapshot counts prove no partial commit ever
+# happened. The pattern a multi-table streaming sink needs for
+# cross-table consistency.
+@register(
+    "c11_transaction_atomicity",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= {_ROWS}
+)
+SELECT * FROM (
+  SELECT 'txn1_both_applied' AS checkpoint, CAST(2 AS BIGINT) AS value
+  UNION ALL SELECT 'txn2_rolled_back', 1
+  UNION ALL SELECT 'a_prop_survived', 1
+  UNION ALL SELECT 'b_prop_absent', 1
+  UNION ALL SELECT 'a_snapshots', 1
+  UNION ALL SELECT 'b_snapshots', 1
+  UNION ALL SELECT 'rows_intact',
+    (SELECT COUNT(*) FROM src WHERE rn <= 500)
+    + (SELECT COUNT(*) FROM src WHERE rn > 500)
+) ORDER BY checkpoint
+""",
+    description="Multi-table transaction atomicity: a two-table property "
+    "commit lands on both; a second transaction with a failing "
+    "requirement on its SECOND table rolls back entirely (first table "
+    "unchanged, no partial commit), with snapshot counts and row "
+    "integrity checkpointed against the oracle.",
+    tags=("catalog", "transaction", "atomicity", "lifecycle"),
+)
+def c11_transaction_atomicity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog, CommitConflict
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(_ROWS)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+                    "l_orderkey", "l_linenumber"
+                )
+            ),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="lkspark_txn_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["txn"])
+    half_a = src.filter("rn <= 500").drop("rn")
+    half_b = src.filter("rn > 500").drop("rn")
+    cat.create_table("wh", ["txn"], "a", struct_to_schema(half_a.schema))
+    cat.create_table("wh", ["txn"], "b", struct_to_schema(half_b.schema))
+    ta = SparkTable(spark, cat, "wh", ["txn"], "a")
+    tb = SparkTable(spark, cat, "wh", ["txn"], "b")
+    ta.append(half_a)
+    tb.append(half_b)
+
+    def prop_change(name, key, val, requirements=()):
+        return {
+            "levels": ["txn"],
+            "name": name,
+            "requirements": list(requirements),
+            "updates": [
+                {"action": "set-properties", "updates": {key: val}}
+            ],
+        }
+
+    # txn 1: both tables get the marker atomically
+    cat.commit_transaction(
+        "wh",
+        [prop_change("a", "stage", "one"), prop_change("b", "stage", "one")],
+    )
+    both = sum(
+        1
+        for t in (ta, tb)
+        if t.refresh().get("properties", {}).get("stage") == "one"
+    )
+    # txn 2: second change carries an impossible requirement -> whole
+    # transaction must roll back (a's second-stage marker must NOT land)
+    rolled_back = 0
+    try:
+        cat.commit_transaction(
+            "wh",
+            [
+                prop_change("a", "stage", "two"),
+                prop_change(
+                    "b",
+                    "stage",
+                    "two",
+                    requirements=[
+                        {"type": "assert-table-uuid", "uuid": "00000000-0000-4000-8000-000000000000"}
+                    ],
+                ),
+            ],
+        )
+    except CommitConflict:
+        rolled_back = 1
+    meta_a, meta_b = ta.refresh(), tb.refresh()
+    rows = [
+        ("txn1_both_applied", both),
+        ("txn2_rolled_back", rolled_back),
+        ("a_prop_survived", 1 if meta_a["properties"].get("stage") == "one" else 0),
+        ("b_prop_absent", 1 if meta_b["properties"].get("stage") == "one" else 0),
+        ("a_snapshots", len(meta_a["snapshots"])),
+        ("b_snapshots", len(meta_b["snapshots"])),
+        ("rows_intact", ta.scan().count() + tb.scan().count()),
+    ]
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )
