@@ -1514,3 +1514,58 @@ def t15_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("score_fp_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# p07: DATASET CARD — the curator's corpus report in one pass
+# --------------------------------------------------------------------------
+# Dataset releases ship a card: per-(language, source) cell counts plus
+# language-level and corpus-level margins, token/char totals, dedup-rate
+# signal (distinct texts vs docs). GROUPING SETS computes all three
+# grain levels in ONE aggregation pass over the corpus (Spark expands the
+# sets map-side; no re-scan per level), with NULL margin keys folded to
+# 'ALL' so the grid is join-free and engine-exact.
+@register(
+    "p07_dataset_card",
+    oracle=f"""
+SELECT COALESCE(lang, 'ALL') AS lang,
+       COALESCE(source, 'ALL') AS source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT text) AS n_distinct_texts,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(len(regexp_extract_all(text, '{WORD_RE}')) AS BIGINT))
+            AS BIGINT) AS total_words
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), ())
+""",
+    description="The dataset card: per-(lang, source) cells plus lang and "
+    "corpus margins via GROUPING SETS in ONE aggregation pass (no "
+    "re-scan per grain), with doc/distinct-text/char/word totals - the "
+    "release artifact a corpus curator ships.",
+    tags=("llm", "corpus-stats", "grouping-sets"),
+)
+def p07_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.regexp_count("text", F.lit(WORD_RE)).cast("long")
+    cells = (
+        docs.select("lang", "source", "text", words.alias("n_words"))
+        .groupingSets(
+            [["lang", "source"], ["lang"], []],
+            "lang",
+            "source",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+            F.sum(F.length("text").cast("long")).cast("long").alias("total_chars"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+    )
+    return cells.select(
+        F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang"),
+        F.coalesce(F.col("source"), F.lit("ALL")).alias("source"),
+        "n_docs",
+        "n_distinct_texts",
+        "total_chars",
+        "total_words",
+    )
