@@ -158,3 +158,21 @@ def test_register_by_metadata_location_roundtrip(spark, catalog, table, tmp_path
     t2.append(_rows(spark, 1000, 1010))
     _assert_valid(t2.metadata(), "post-register append")
     assert t2.scan().count() == len(before) + 10
+
+
+def test_v1_and_v3_tables_also_validate(spark, catalog):
+    """The validator accepts every supported format-version: v1 (no
+    sequence numbers required), v2 (the default, exercised above), v3
+    (deletion-vector era) — all produced by the same writer."""
+    catalog.create_namespace("wh", ["vspec"])
+    for v in (1, 3):
+        catalog.create_table("wh", ["vspec"], f"t_v{v}", SCHEMA, format_version=v)
+        t = SparkTable(spark, catalog, "wh", ["vspec"], f"t_v{v}")
+        t.append(_rows(spark, 0, 30))
+        meta = t.metadata()
+        assert meta["format-version"] == v
+        _assert_valid(meta, f"v{v} append")
+    # v3 merge-on-read delete (deletion vectors) keeps the doc valid
+    t3 = SparkTable(spark, catalog, "wh", ["vspec"], "t_v3")
+    t3.delete_where("k < 5", mode="merge-on-read")
+    _assert_valid(t3.metadata(), "v3 MoR delete")
