@@ -587,3 +587,75 @@ def m07_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# --------------------------------------------------------------------------
+# m08: AUDIO sub-fingerprint matching (the chromaprint/Shazam shape)
+# --------------------------------------------------------------------------
+# Whole-file hashing (m06) misses clips that share only a passage; audio
+# dedup therefore matches SUB-fingerprints: fingerprint every fixed-size
+# chunk (m04's unit), build the inverted chunk-fingerprint index, and
+# pair up docs sharing at least M08_MIN_MATCHES chunk prints. Plan: one
+# fan-out to chunks, one fingerprint-keyed equi-join (the inverted
+# index; never all-pairs), then pair aggregation with the match-count
+# threshold. The fingerprint is md5 of the chunk text (the honest stub:
+# a real chromaprint replaces exactly this expression — the index join
+# and thresholding are the production machinery being proven).
+M08_MIN_MATCHES = 2
+M08_CHUNK = 12  # short sub-fingerprint windows: the unit a clip match shares
+
+
+@register(
+    "m08_audio_fingerprint_match",
+    oracle=f"""
+WITH audio AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+),
+chunks AS (
+  SELECT doc_id,
+         md5(substring(text, i*{M08_CHUNK} + 1, {M08_CHUNK})) AS fp
+  FROM audio,
+       unnest(range(0, CAST(ceil(length(text) / {M08_CHUNK}.0) AS BIGINT))) t(i)
+),
+matches AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_matches
+  FROM chunks a JOIN chunks b
+    ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, CAST(n_matches AS BIGINT) AS n_matches
+FROM matches WHERE n_matches >= {M08_MIN_MATCHES}
+""",
+    description="Audio sub-fingerprint matching (chromaprint shape): "
+    "per-chunk fingerprints feed an inverted-index equi-join keyed on "
+    "the print (never all-pairs); doc pairs sharing >= 2 chunk prints "
+    "match - catches shared passages whole-file hashing misses.",
+    tags=("multimodal", "dedup", "llm", "audio"),
+)
+def m08_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    audio = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    chunks = audio.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(length(text) / {M08_CHUNK}.0) AS INT) - 1), "
+                f"i -> md5(substring(text, i*{M08_CHUNK} + 1, {M08_CHUNK})))"
+            )
+        ).alias("fp"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+        .filter(F.col("n_matches") >= M08_MIN_MATCHES)
+        .select("doc_a", "doc_b", F.col("n_matches").cast("long").alias("n_matches"))
+    )
