@@ -1952,3 +1952,86 @@ def e15_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_users"),
         F.sum("monetary_fp").cast("long").alias("segment_monetary_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# e16: time-to-event conversion curve (first click -> first purchase)
+# --------------------------------------------------------------------------
+# The survival-analysis staple: per user, days from FIRST click to FIRST
+# purchase; the output is the conversion curve — per day-bucket, how many
+# users converted that day and the cumulative conversion rate over the
+# clicked population. One user-level min-aggregate (no windows over raw
+# events), day buckets in exact integers, the cumulative sum over the
+# bounded day frame; rates are int/int doubles. Users who never purchase
+# appear in the denominator (right-censored), exactly as the oracle
+# states.
+@register(
+    "e16_conversion_curve",
+    oracle=f"""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS first_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END)
+           AS first_purchase
+  FROM events GROUP BY user_id
+),
+clicked AS (SELECT * FROM per_user WHERE first_click IS NOT NULL),
+pop AS (SELECT COUNT(*) AS n_clicked FROM clicked),
+conv AS (
+  SELECT (first_purchase - first_click) // {86400 * 1_000_000_000} AS day_bucket
+  FROM clicked
+  WHERE first_purchase IS NOT NULL AND first_purchase >= first_click
+),
+curve AS (
+  SELECT day_bucket, COUNT(*) AS n_converted FROM conv GROUP BY day_bucket
+)
+SELECT day_bucket, n_converted,
+       CAST(SUM(n_converted) OVER (ORDER BY day_bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_converted,
+       CAST(SUM(n_converted) OVER (ORDER BY day_bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / (SELECT n_clicked FROM pop) AS cum_rate
+FROM curve
+""",
+    description="Time-to-event conversion curve (first click to first "
+    "purchase): one user-level min-aggregate, integer day buckets, "
+    "cumulative conversion over the bounded day frame with the clicked "
+    "population as the right-censored denominator.",
+    tags=("events", "analytics", "survival", "window"),
+)
+def e16_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_ns = 86400 * 1_000_000_000
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts_ns"))).alias(
+            "first_click"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts_ns"))).alias(
+            "first_purchase"
+        ),
+    )
+    clicked = per_user.filter(F.col("first_click").isNotNull())
+    pop = clicked.agg(F.count(F.lit(1)).alias("n_clicked"))
+    conv = clicked.filter(
+        F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_click"))
+    ).select(
+        F.expr(f"(first_purchase - first_click) div {day_ns}").alias("day_bucket")
+    )
+    curve = conv.groupBy("day_bucket").agg(F.count(F.lit(1)).alias("n_converted"))
+    w = Window.orderBy("day_bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        curve.withColumn("cum_converted", F.sum("n_converted").over(w).cast("long"))
+        .crossJoin(F.broadcast(pop))
+        .select(
+            "day_bucket",
+            "n_converted",
+            "cum_converted",
+            (F.col("cum_converted").cast("double") / F.col("n_clicked")).alias(
+                "cum_rate"
+            ),
+        )
+    )
