@@ -1131,3 +1131,97 @@ def c11_transaction_atomicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+# --------------------------------------------------------------------------
+# c12: query THROUGH the catalog view layer (multi-dialect, versioned)
+# --------------------------------------------------------------------------
+# The engine-side proof for the view surface (reference
+# test_spark.py:70-152: Spark creates/reads catalog views): a real query
+# executes through read_view — the stored 'spark' SQL representation
+# resolved against icelite tables — and a REPLACE commits a new view
+# version whose result changes accordingly while the version log keeps
+# the history. Checkpoints compare both versions' aggregates to the
+# oracle's direct computation, plus the version-count bookkeeping.
+@register(
+    "c12_view_read_path",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= {_ROWS}
+)
+SELECT * FROM (
+  SELECT 'v1_rows' AS checkpoint,
+         (SELECT COUNT(*) FROM src WHERE l_quantity >= 25) AS value
+  UNION ALL SELECT 'v1_qty_fp',
+         (SELECT CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+          FROM src WHERE l_quantity >= 25)
+  UNION ALL SELECT 'v2_rows', (SELECT COUNT(DISTINCT l_orderkey) FROM src)
+  UNION ALL SELECT 'view_versions', 2
+  UNION ALL SELECT 'dialects_v2', 2
+) ORDER BY checkpoint
+""",
+    description="Queries run THROUGH the catalog's versioned view layer: "
+    "read_view resolves the stored spark-dialect SQL against icelite "
+    "tables, a REPLACE commits version 2 (with a second dialect) whose "
+    "results flip accordingly, and the version log keeps history - "
+    "checkpointed against direct oracle computation.",
+    tags=("catalog", "views", "lifecycle"),
+)
+def c12_view_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.generic import read_view
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(_ROWS)
+    )
+    tmp = tempfile.mkdtemp(prefix="lkspark_view_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["v"])
+    cat.create_table("wh", ["v"], "lines", struct_to_schema(src.schema))
+    SparkTable(spark, cat, "wh", ["v"], "lines").append(src)
+
+    cat.create_view(
+        "wh", ["v"], "big_lines",
+        "SELECT l_orderkey, l_quantity FROM lines WHERE l_quantity >= 25",
+    )
+    v1 = read_view(spark, cat, "wh", ["v"], "big_lines")
+    r1 = v1.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("fp"),
+    ).first()
+    # REPLACE: version 2 changes the semantics AND carries a second dialect
+    cat.create_view(
+        "wh", ["v"], "big_lines",
+        "SELECT DISTINCT l_orderkey FROM lines",
+        replace=True,
+        representations={"trino": "SELECT DISTINCT l_orderkey FROM lines /*t*/"},
+    )
+    v2 = read_view(spark, cat, "wh", ["v"], "big_lines")
+    r2 = v2.count()
+    meta = cat.load_view("wh", ["v"], "big_lines")
+    cur = next(
+        v for v in meta["versions"] if v["version-id"] == meta["current-version-id"]
+    )
+    rows = [
+        ("v1_rows", int(r1["n"])),
+        ("v1_qty_fp", int(r1["fp"])),
+        ("v2_rows", int(r2)),
+        ("view_versions", len(meta["versions"])),
+        ("dialects_v2", len(cur["representations"])),
+    ]
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )
