@@ -315,7 +315,7 @@ class Catalog:
             (wh["wh_key"], page_token or ""),
         )
         depth = len(parent) + 1 if parent else 1
-        out, next_token = [], None
+        out, next_token, last_key = [], None, None
         pkey = ident.ns_key(parent) + ident.SEP if parent else ""
         for r in rows:
             levels = ident.ns_load(r["ns_stored"])
@@ -330,9 +330,13 @@ class Catalog:
             ):
                 continue
             if page_size is not None and len(out) >= page_size:
-                next_token = out[-1][1]
+                # page_size=0 truncates before any append: last_key stays
+                # None (caller restarts from the top) instead of indexing
+                # an empty page — same discipline as list_tabulars
+                next_token = last_key
                 break
             out.append((levels, r["ns_key"]))
+            last_key = r["ns_key"]
         return [levels for levels, _ in out], next_token
 
     def namespace_properties(self, warehouse: str, levels) -> dict[str, Any]:

@@ -60,6 +60,16 @@ def _normalize_partition_fields(
             f["source-id"] = by_name[f["source-name"]]
         if "source-name" not in f and f.get("source-id") in by_id:
             f["source-name"] = by_id[f["source-id"]]
+        if f.get("source-id") not in by_id:
+            # a typo'd column, or an add-spec ordered before the
+            # add-schema defining it: the reference 400s rather than
+            # committing a spec with a dangling source
+            # (server/commit_tables.rs update validation)
+            raise CommitValidationError(
+                "partition/sort field "
+                f"{f.get('name') or f.get('source-name') or f.get('source-id')!r}"
+                " references a column not present in the schema"
+            )
         out.append(f)
     return out
 

@@ -20,6 +20,7 @@ backend and test double).
 
 from __future__ import annotations
 
+import logging
 from typing import Any
 from uuid import uuid4
 
@@ -67,10 +68,18 @@ class FanoutPublisher(EventPublisher):
 
     def __init__(self, *backends: EventPublisher) -> None:
         self.backends = list(backends)
+        self.dropped = 0  # events lost to failing backends (observability)
 
     def publish(self, event: dict[str, Any]) -> None:
         for b in self.backends:
             try:
                 b.publish(event)
-            except Exception:  # noqa: BLE001 — best-effort per backend
-                pass
+            except Exception as exc:  # noqa: BLE001 — best-effort per
+                # backend, but logged (reference logs publishing errors)
+                self.dropped += 1
+                logging.getLogger(__name__).warning(
+                    "event backend %s dropped %s: %s",
+                    type(b).__name__,
+                    event.get("type", "<event>"),
+                    exc,
+                )

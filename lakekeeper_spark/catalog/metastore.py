@@ -31,6 +31,7 @@ indexing that motivated the reference's split):
 from __future__ import annotations
 
 import json
+import logging
 import sqlite3
 import threading
 import time
@@ -99,6 +100,9 @@ class Metastore:
         # external change-event backends (catalog/events.py): each receives
         # a CloudEvents envelope AFTER the surrounding transaction commits
         self.publishers: list[Any] = []
+        # post-commit events a failing backend lost (observability only;
+        # delivery stays best-effort)
+        self.dropped_events = 0
         con = self.con
         con.executescript(_DDL)
         con.commit()
@@ -142,8 +146,17 @@ class Metastore:
             for p in self.publishers:
                 try:
                     p.publish(event)
-                except Exception:  # noqa: BLE001 — sink failure never
-                    pass  # fails a committed catalog mutation
+                except Exception as exc:  # noqa: BLE001 — sink failure
+                    # never fails a committed catalog mutation, but the
+                    # loss is OBSERVABLE (the reference logs publishing
+                    # errors): warn + count so sink outages surface
+                    self.dropped_events += 1
+                    logging.getLogger(__name__).warning(
+                        "event publisher %s dropped %s: %s",
+                        type(p).__name__,
+                        event.get("type", "<event>"),
+                        exc,
+                    )
         buf.clear()
 
     # -- generic helpers ------------------------------------------------

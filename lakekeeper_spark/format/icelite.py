@@ -56,6 +56,7 @@ from .types import (
     _iceberg_type_of,
     _parse_type,
     next_field_id,
+    is_legacy_schema,
     schema_to_struct,
     spark_ddl_of,
 )
@@ -829,8 +830,9 @@ class SparkTable:
                         schema,
                     )
                     by_id_w = {f["id"]: (f["name"], f["type"]) for f in wschema["fields"]}
+                    leg = is_legacy_schema(wschema)
                     read_schema = ", ".join(
-                        f"`{by_id_w[fid][0]}` {spark_ddl_of(by_id_w[fid][1])}"
+                        f"`{by_id_w[fid][0]}` {spark_ddl_of(by_id_w[fid][1], legacy=leg)}"
                         for fid in e["equality-ids"]
                     )
                     del_rows = self.spark.read.schema(read_schema).parquet(
@@ -1019,11 +1021,14 @@ class SparkTable:
                 current,
             )
             by_id_w = {f["id"]: (f["name"], f["type"]) for f in wschema["fields"]}
+            leg = is_legacy_schema(wschema)
             pairs = []  # (written name+type, current name) resolved by field id
             for fid in e["equality-ids"]:
                 wname, wtype = by_id_w[fid]
                 pairs.append((wname, wtype, by_id_cur[fid]))
-            read_schema = ", ".join(f"`{w}` {spark_ddl_of(t)}" for w, t, _ in pairs)
+            read_schema = ", ".join(
+                f"`{w}` {spark_ddl_of(t, legacy=leg)}" for w, t, _ in pairs
+            )
             del_rows = self.spark.read.schema(read_schema).parquet(
                 f"{meta['location']}/{e['path']}"
             )

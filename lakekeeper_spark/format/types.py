@@ -102,9 +102,26 @@ def _iceberg_type_of(dt: T.DataType, alloc) -> Any:
     raise ValueError(f"unsupported Spark type for Iceberg schema: {s}")
 
 
-def spark_ddl_of(t: Any) -> str:
-    """Iceberg type (or legacy Spark-DDL string) -> Spark DDL string."""
+def is_legacy_schema(schema: dict[str, Any]) -> bool:
+    """True for schema documents written before the Iceberg-spec-shaped
+    metadata change: they lack the spec's ``"type": "struct"`` marker and
+    store Spark-DDL type strings, where the bare string ``timestamp``
+    means Spark's session-tz timestamp — the OPPOSITE of the Iceberg
+    primitive of the same name (zone-free). Readers use this marker to
+    keep the semantics of pre-existing persisted metadata unchanged."""
+    return schema.get("type") != "struct"
+
+
+def spark_ddl_of(t: Any, legacy: bool = False) -> str:
+    """Iceberg type (or legacy Spark-DDL string) -> Spark DDL string.
+
+    ``legacy=True`` (document lacks the ``"type": "struct"`` marker —
+    see is_legacy_schema) reads the ambiguous bare string ``timestamp``
+    as the Spark-DDL session-tz type it originally meant, not the
+    Iceberg zone-free primitive."""
     if isinstance(t, str):
+        if legacy and t == "timestamp":
+            return "timestamp"
         if t in _ICEBERG_TO_SPARK:
             return _ICEBERG_TO_SPARK[t]
         return t.replace(" ", "")  # decimal(p, s) / legacy DDL pass through
@@ -145,11 +162,12 @@ def struct_to_schema(struct: T.StructType, schema_id: int = 0, first_id: int = 1
 
 
 def schema_to_struct(schema: dict[str, Any]) -> T.StructType:
+    legacy = is_legacy_schema(schema)
     return T.StructType(
         [
             T.StructField(
                 f["name"],
-                _parse_type(f["type"]),
+                _parse_type(f["type"], legacy=legacy),
                 nullable=not f.get("required", False),
             )
             for f in schema.get("fields", [])
@@ -157,8 +175,8 @@ def schema_to_struct(schema: dict[str, Any]) -> T.StructType:
     )
 
 
-def _parse_type(t: Any) -> T.DataType:
-    return T._parse_datatype_string(spark_ddl_of(t))  # noqa: SLF001
+def _parse_type(t: Any, legacy: bool = False) -> T.DataType:
+    return T._parse_datatype_string(spark_ddl_of(t, legacy=legacy))  # noqa: SLF001
 
 
 def max_field_id(schema: dict[str, Any]) -> int:

@@ -347,11 +347,15 @@ def c04_delete_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.create_warehouse("wh", f"{tmp}/warehouse")
     cat.create_namespace("wh", ["bench"])
 
+    # localCheckpoint: the _ROWS-row sample is REUSED by two appends —
+    # one lineitem scan + TakeOrdered instead of one per append (at any
+    # SF the sample itself stays _ROWS rows, so the checkpoint is tiny)
     src = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber")
         .limit(_ROWS)
+        .localCheckpoint(eager=True)
     )
     cat.create_table("wh", ["bench"], "li_da", struct_to_schema(src.schema))
     t = SparkTable(spark, cat, "wh", ["bench"], "li_da")
@@ -366,8 +370,12 @@ def c04_delete_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-append the very keys the equality delete named: they must come
     # back (the delete only addresses strictly-older sequence numbers)
     t.append(src.filter("l_quantity < 5"))
-    rows_re = t.scan().count()
-    reborn = t.scan().filter("l_quantity < 5").count()
+    # one MOR scan answers both checkpoints (total + reborn slice)
+    re_row = t.scan().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_if(F.col("l_quantity") < 5).alias("lo"),
+    ).collect()[0]
+    rows_re, reborn = re_row["n"], re_row["lo"]
     t._commit([], [{"action": "upgrade-format-version", "format-version": 3}])
     t.delete_where("l_quantity >= 40", mode="merge-on-read")
     dv1 = t.delete_files().count() - eq_arts

@@ -635,12 +635,16 @@ FROM matches WHERE n_matches >= {M08_MIN_MATCHES}
 def m08_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     audio = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id", "text")
+    # empty-text guard: sequence(0, -1) in Spark DESCENDS to [0, -1]
+    # (two phantom md5('') prints that would cross-match every empty
+    # doc), while the oracle's range(0, 0) is empty — emit no chunks
     chunks = audio.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(0, CAST(ceil(length(text) / {M08_CHUNK}.0) AS INT) - 1), "
-                f"i -> md5(substring(text, i*{M08_CHUNK} + 1, {M08_CHUNK})))"
+                f"CASE WHEN length(text) = 0 THEN array() "
+                f"ELSE transform(sequence(0, CAST(ceil(length(text) / {M08_CHUNK}.0) AS INT) - 1), "
+                f"i -> md5(substring(text, i*{M08_CHUNK} + 1, {M08_CHUNK}))) END"
             )
         ).alias("fp"),
     )

@@ -252,11 +252,14 @@ class IceliteStreamDataSource(DataSource):
         return "icelite"
 
     def schema(self) -> str:
-        from ..format.types import spark_ddl_of
+        from ..format.types import is_legacy_schema, spark_ddl_of
 
         meta = _load_meta(self.options)
+        sid = meta["current-schema-id"]
+        cur = next(s for s in meta["schemas"] if s["schema-id"] == sid)
+        leg = is_legacy_schema(cur)
         cols = ", ".join(
-            f"`{n}` {spark_ddl_of(t)}" for n, t in _schema_fields(meta)
+            f"`{n}` {spark_ddl_of(t, legacy=leg)}" for n, t in _schema_fields(meta)
         )
         if str(self.options.get("change-feed", "false")).lower() == "true":
             cols += ", `_change_type` string, `_commit_snapshot_id` bigint"

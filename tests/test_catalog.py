@@ -865,3 +865,16 @@ def test_generic_table_orc_and_parquet_read_path(catalog, spark, tmp_path):
             (1, "a", 2.5), (2, "b", 3.5)]
         assert [f.dataType.simpleString() for f in got.schema.fields] == [
             "bigint", "string", "double"]
+
+
+def test_list_namespaces_page_size_zero(catalog):
+    """page_size=0 returns an empty page without indexing out[-1]
+    (ADVICE r4); list_tables already behaved this way."""
+    catalog.create_namespace("wh", ["a"])
+    catalog.create_namespace("wh", ["b"])
+    page, tok = catalog.list_namespaces("wh", page_size=0)
+    assert page == [] and tok is None
+    page1, tok1 = catalog.list_namespaces("wh", page_size=1)
+    assert page1 == [("a",)] and tok1 is not None
+    page2, _ = catalog.list_namespaces("wh", page_token=tok1, page_size=10)
+    assert page2 == [("b",)]

@@ -154,3 +154,68 @@ def test_statistics_set_remove():
 def test_unknown_action_rejected():
     with pytest.raises(CommitValidationError):
         apply_commit(meta(), [], [{"action": "bogus"}])
+
+
+def test_partition_spec_unresolvable_source_rejected():
+    """A typo'd source column (or an add-spec ordered before the
+    add-schema that defines it) must 400 like the reference, not commit
+    spec-invalid metadata with a dangling source-id."""
+    with pytest.raises(CommitValidationError):
+        new_table_metadata(
+            "u-2",
+            "/wh/t2",
+            SCHEMA,
+            partition_spec={
+                "spec-id": 0,
+                "fields": [{"name": "p", "source-name": "no_such_col"}],
+            },
+        )
+    m = meta()
+    with pytest.raises(CommitValidationError):
+        apply_commit(
+            m,
+            [],
+            [
+                {
+                    "action": "add-spec",
+                    "spec": {
+                        "spec-id": 1,
+                        "fields": [{"name": "p", "source-id": 99, "field-id": 1000}],
+                    },
+                }
+            ],
+        )
+    with pytest.raises(CommitValidationError):
+        apply_commit(
+            m,
+            [],
+            [
+                {
+                    "action": "add-sort-order",
+                    "sort-order": {
+                        "order-id": 1,
+                        "fields": [{"source-name": "no_such_col"}],
+                    },
+                }
+            ],
+        )
+    # spec BEFORE the schema that defines its column: order matters
+    with pytest.raises(CommitValidationError):
+        apply_commit(
+            m,
+            [],
+            [
+                {
+                    "action": "add-spec",
+                    "spec": {"spec-id": 1, "fields": [{"name": "p", "source-name": "late"}]},
+                },
+                {
+                    "action": "add-schema",
+                    "schema": {
+                        "schema-id": 1,
+                        "fields": SCHEMA["fields"]
+                        + [{"id": 2, "name": "late", "type": "int", "required": False}],
+                    },
+                },
+            ],
+        )

@@ -145,3 +145,30 @@ def test_concurrent_writers_publish_independently(tmp_path):
     assert sorted(created) == sorted(
         f"ns.t_{tag}_{i}" for tag in ("a", "b") for i in range(10)
     ), "each committed mutation publishes exactly once"
+
+
+def test_publisher_failure_is_observable(tmp_path, caplog):
+    """Best-effort delivery, but NOT silent (ADVICE r4): a failing
+    backend increments drop counters and logs a warning — the reference
+    logs publishing errors (events crates' error paths)."""
+    import logging
+
+    class Exploding(EventPublisher):
+        def publish(self, event):
+            raise RuntimeError("sink down")
+
+    fan = FanoutPublisher(Exploding(), CollectingPublisher())
+    cat = _catalog(tmp_path, fan)
+    with caplog.at_level(logging.WARNING, logger="lakekeeper_spark.catalog.events"):
+        cat.create_warehouse("wh", str(tmp_path / "wh"))
+        cat.create_namespace("wh", ["ns"])
+    assert fan.dropped == 2
+    assert any("dropped" in r.message for r in caplog.records)
+
+    # a bare backend on the metastore: the store-level flush counts too
+    store = Metastore(str(tmp_path / "m2.db"))
+    store.publishers.append(Exploding())
+    cat2 = Catalog(store)
+    with caplog.at_level(logging.WARNING, logger="lakekeeper_spark.catalog.metastore"):
+        cat2.create_warehouse("wh", str(tmp_path / "wh2"))
+    assert store.dropped_events >= 1

@@ -176,3 +176,37 @@ def test_v1_and_v3_tables_also_validate(spark, catalog):
     t3 = SparkTable(spark, catalog, "wh", ["vspec"], "t_v3")
     t3.delete_where("k < 5", mode="merge-on-read")
     _assert_valid(t3.metadata(), "v3 MoR delete")
+
+
+def test_legacy_timestamp_ddl_keeps_session_tz_semantics():
+    """Metadata written BEFORE the spec-shaped change stored Spark-DDL
+    strings, where bare 'timestamp' means the session-tz type; the
+    Iceberg primitive of the same name is zone-free. Documents without
+    the spec's `"type": "struct"` marker must read as they were written
+    (ADVICE r4)."""
+    from pyspark.sql import types as T
+
+    from lakekeeper_spark.format.types import schema_to_struct
+
+    legacy = {
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "ts", "type": "timestamp", "required": False},
+            {"id": 2, "name": "x", "type": "bigint", "required": False},
+        ],
+    }
+    st = schema_to_struct(legacy)
+    assert st["ts"].dataType == T.TimestampType()  # session-tz, as written
+    assert st["x"].dataType == T.LongType()
+
+    spec_shaped = {
+        "type": "struct",
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "ts", "type": "timestamp", "required": False},
+            {"id": 2, "name": "tz", "type": "timestamptz", "required": False},
+        ],
+    }
+    st2 = schema_to_struct(spec_shaped)
+    assert st2["ts"].dataType == T.TimestampNTZType()  # Iceberg zone-free
+    assert st2["tz"].dataType == T.TimestampType()

@@ -1,0 +1,52 @@
+"""Edge-case parity checks on corpora the sf* fixtures don't contain
+(empty documents, degenerate shapes) — Spark query vs DuckDB oracle on a
+synthetic table, exercising the guards the fullsweep can't reach."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+
+def _docs_dir(tmp_path, rows):
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["doc_id"] = df["doc_id"].astype("int64")
+    (tmp_path / "docs").mkdir()
+    df.to_parquet(tmp_path / "docs" / "documents.parquet", index=False)
+    return str(tmp_path / "docs")
+
+
+def test_m08_empty_docs_emit_no_phantom_chunks(spark, tmp_path):
+    """length(text)=0 must produce ZERO sub-fingerprints: Spark's
+    sequence(0, -1) DESCENDS to [0, -1] (two md5('') phantom prints that
+    would cross-match every empty audio doc) while the oracle's
+    range(0, 0) is empty (ADVICE r4)."""
+    from lakekeeper_spark.registry import load_registry
+
+    # doc_id % 3 == 1 puts rows in m08's audio slice; 1 and 4 are empty,
+    # 7 and 10 share two 12-char chunks
+    sf_dir = _docs_dir(
+        tmp_path,
+        [
+            (1, ""),
+            (4, ""),
+            (7, "abcdefghijklABCDEFGHIJKLxyz"),
+            (10, "abcdefghijklABCDEFGHIJKLqqq"),
+            (2, "not in the audio slice"),
+        ],
+    )
+    q = load_registry()["m08_audio_fingerprint_match"]
+    got = {
+        (r.doc_a, r.doc_b): r.n_matches
+        for r in q.spark_fn(spark, sf_dir).collect()
+    }
+    assert got == {(7, 10): 2}, f"phantom empty-doc matches: {got}"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    oracle = {
+        (a, b): n for a, b, n in con.execute(q.oracle).fetchall()
+    }
+    assert oracle == got
