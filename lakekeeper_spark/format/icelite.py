@@ -1146,9 +1146,18 @@ class SparkTable:
             raise CatalogError("table has no data")
         schema = self._current_schema(meta)
         df = self._mor_positions(meta, schema, snap)
-        positions = df.filter(condition).select(
-            self._rel_file(meta["location"]).alias("file_path"),
-            F.col("_pos").alias("pos"),
+        # localCheckpoint: the matched (file_path, pos) set is consumed
+        # TWICE (empty-probe + artifact write; on v3 also the DV merge) —
+        # materialize it once instead of re-scanning the table per use.
+        # Bounded by the delete's match count, the same rows the artifact
+        # write must hold anyway; spills executor-local beyond memory.
+        positions = (
+            df.filter(condition)
+            .select(
+                self._rel_file(meta["location"]).alias("file_path"),
+                F.col("_pos").alias("pos"),
+            )
+            .localCheckpoint(eager=True)
         )
         if positions.isEmpty():
             return meta  # DELETE matching nothing commits no snapshot
@@ -1208,7 +1217,13 @@ class SparkTable:
         if snap is None:
             raise CatalogError("table has no data")
         schema = self._current_schema(meta)
-        matched = self._mor_positions(meta, schema, snap).filter(condition)
+        # matched feeds THREE consumers (empty-probe, tombstone positions,
+        # updated images) — one materialization, not three table scans
+        matched = (
+            self._mor_positions(meta, schema, snap)
+            .filter(condition)
+            .localCheckpoint(eager=True)
+        )
         if matched.isEmpty():
             return meta  # UPDATE matching nothing commits no snapshot
         positions = matched.select(
