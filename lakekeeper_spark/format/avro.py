@@ -1,0 +1,305 @@
+"""Minimal Apache Avro 1.11 binary encoding + Object Container Files.
+
+Written from the PUBLIC Avro specification (binary encoding rules and the
+object-container-file layout; https://avro.apache.org/docs/1.11.1/specification/
+— summarized below so the code is auditable offline). No Avro library
+exists in this environment; Iceberg's manifest-list and manifest files
+are Avro OCF, so this module is what lets icelite emit REAL spec-encoded
+manifests (format/iceberg_manifests.py) instead of JSON stand-ins.
+
+Encoding rules implemented (spec "Binary Encoding"):
+  - null: zero bytes.
+  - boolean: one byte, 0x00 false / 0x01 true.
+  - int, long: zigzag-encoded variable-length integers
+    (n -> (n << 1) ^ (n >> 63), then base-128 varint, little groups
+    first, high bit = continuation).
+  - float: 4 bytes little-endian IEEE-754; double: 8 bytes.
+  - bytes: long length prefix + raw bytes; string: same over UTF-8.
+  - fixed: exactly `size` raw bytes, no prefix.
+  - enum: int index into `symbols`.
+  - union: long index of the branch schema + encoded value.
+  - array: zero or more blocks (long count, then that many items),
+    terminated by a 0 count. A NEGATIVE count means abs(count) items
+    preceded by a long byte-size (lets readers skip blocks) — the
+    writer emits positive counts; the reader accepts both.
+  - map: like array with (string key, value) pairs per block.
+  - record: field values in declared order, no framing.
+
+Object container file (spec "Object Container Files"):
+  magic b"Obj\\x01", then a file-metadata map (must include
+  avro.schema = schema JSON; avro.codec defaults to "null"), then a
+  16-byte sync marker, then data blocks: long object-count, long
+  byte-size of the (possibly compressed) serialized objects, the bytes,
+  and the sync marker again. Codecs: "null" (identity) and "deflate"
+  (RFC-1951 raw deflate — zlib with no header) are implemented; Iceberg
+  writes manifests with either.
+
+Schemas are plain dicts/strings/lists in the JSON-schema shape the spec
+defines; unknown attributes (logicalType, field-id, doc, ...) are
+carried through untouched, which is how Iceberg's field-id annotations
+survive round-trips. Named types are registered on first definition and
+may be referenced by name afterwards.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from typing import Any
+
+MAGIC = b"Obj\x01"
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+# ---------------------------------------------------------------- encode
+def write_long(buf: io.BytesIO, n: int) -> None:
+    # zigzag then base-128 varint (low groups first, high bit continues)
+    z = (n << 1) ^ (n >> 63)
+    z &= (1 << 64) - 1  # two's-complement view for negatives
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            buf.write(bytes([b | 0x80]))
+        else:
+            buf.write(bytes([b]))
+            return
+
+
+def read_long(buf: io.BufferedReader) -> int:
+    shift, acc = 0, 0
+    while True:
+        byte = buf.read(1)
+        if not byte:
+            raise EOFError("truncated varint")
+        b = byte[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)  # un-zigzag
+
+
+class _Types:
+    """Named-type registry: records/enums/fixed define names the rest of
+    the schema can reference (manifest schemas reference r102 etc.)."""
+
+    def __init__(self) -> None:
+        self.by_name: dict[str, Any] = {}
+
+    def resolve(self, schema: Any) -> Any:
+        if isinstance(schema, str) and schema not in _PRIMITIVES:
+            return self.by_name[schema]
+        if isinstance(schema, dict):
+            t = schema.get("type")
+            if t in ("record", "enum", "fixed") and schema.get("name"):
+                self.by_name[schema["name"]] = schema
+        return schema
+
+
+def _encode(buf: io.BytesIO, schema: Any, value: Any, types: _Types) -> None:
+    schema = types.resolve(schema)
+    if isinstance(schema, list):  # union: branch index + value
+        idx = _union_branch(schema, value, types)
+        write_long(buf, idx)
+        _encode(buf, schema[idx], value, types)
+        return
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        return
+    if t == "boolean":
+        buf.write(b"\x01" if value else b"\x00")
+    elif t in ("int", "long"):
+        write_long(buf, int(value))
+    elif t == "float":
+        buf.write(struct.pack("<f", float(value)))
+    elif t == "double":
+        buf.write(struct.pack("<d", float(value)))
+    elif t == "bytes":
+        raw = bytes(value)
+        write_long(buf, len(raw))
+        buf.write(raw)
+    elif t == "string":
+        raw = str(value).encode("utf-8")
+        write_long(buf, len(raw))
+        buf.write(raw)
+    elif t == "fixed":
+        raw = bytes(value)
+        if len(raw) != schema["size"]:
+            raise ValueError(f"fixed {schema['name']}: {len(raw)} != {schema['size']}")
+        buf.write(raw)
+    elif t == "enum":
+        write_long(buf, schema["symbols"].index(value))
+    elif t == "array":
+        items = list(value)
+        if items:
+            write_long(buf, len(items))
+            for it in items:
+                _encode(buf, schema["items"], it, types)
+        write_long(buf, 0)
+    elif t == "map":
+        entries = dict(value)
+        if entries:
+            write_long(buf, len(entries))
+            for k, v in entries.items():
+                _encode(buf, "string", k, types)
+                _encode(buf, schema["values"], v, types)
+        write_long(buf, 0)
+    elif t == "record":
+        types.resolve(schema)
+        for f in schema["fields"]:
+            try:
+                _encode(buf, f["type"], value.get(f["name"]), types)
+            except Exception as exc:
+                raise ValueError(f"field {f['name']}: {exc}") from exc
+    else:
+        raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+def _union_branch(union: list, value: Any, types: _Types) -> int:
+    """Pick the union branch for a Python value (null first, then by
+    shape) — enough for the nullable unions manifests use."""
+    for i, s in enumerate(union):
+        s = types.resolve(s)
+        t = s if isinstance(s, str) else s["type"]
+        if value is None and t == "null":
+            return i
+        if value is not None and t != "null":
+            return i
+    raise ValueError(f"no union branch for {value!r} in {union!r}")
+
+
+def _decode(buf: io.BufferedReader, schema: Any, types: _Types) -> Any:
+    schema = types.resolve(schema)
+    if isinstance(schema, list):
+        return _decode(buf, schema[read_long(buf)], types)
+    t = schema if isinstance(schema, str) else schema["type"]
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return read_long(buf)
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "bytes":
+        return buf.read(read_long(buf))
+    if t == "string":
+        return buf.read(read_long(buf)).decode("utf-8")
+    if t == "fixed":
+        return buf.read(schema["size"])
+    if t == "enum":
+        return schema["symbols"][read_long(buf)]
+    if t == "array":
+        out = []
+        while True:
+            n = read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:  # block with byte-size prefix (skippable form)
+                read_long(buf)
+                n = -n
+            for _ in range(n):
+                out.append(_decode(buf, schema["items"], types))
+    if t == "map":
+        out = {}
+        while True:
+            n = read_long(buf)
+            if n == 0:
+                return out
+            if n < 0:
+                read_long(buf)
+                n = -n
+            for _ in range(n):
+                k = buf.read(read_long(buf)).decode("utf-8")
+                out[k] = _decode(buf, schema["values"], types)
+    if t == "record":
+        types.resolve(schema)
+        return {f["name"]: _decode(buf, f["type"], types) for f in schema["fields"]}
+    raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+# ------------------------------------------------------- container files
+def write_ocf(
+    path: str,
+    schema: dict[str, Any],
+    records: list[dict[str, Any]],
+    metadata: dict[str, bytes] | None = None,
+    codec: str = "deflate",
+    objects_per_block: int = 1000,
+) -> None:
+    """Write an Avro Object Container File. Records are chunked into
+    blocks of ``objects_per_block`` so a reader can skip/split without
+    decoding everything (the property Iceberg relies on for parallel
+    manifest reads)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    types = _Types()
+    types.resolve(schema)
+    sync = os.urandom(16)
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": codec.encode(),
+        **{k: (v if isinstance(v, bytes) else str(v).encode()) for k, v in (metadata or {}).items()},
+    }
+    out = io.BytesIO()
+    out.write(MAGIC)
+    mbuf = io.BytesIO()
+    _encode(mbuf, {"type": "map", "values": "bytes"}, meta, types)
+    out.write(mbuf.getvalue())
+    out.write(sync)
+    for i in range(0, len(records), objects_per_block):
+        chunk = records[i : i + objects_per_block]
+        body = io.BytesIO()
+        for r in chunk:
+            _encode(body, schema, r, types)
+        raw = body.getvalue()
+        if codec == "deflate":  # RFC-1951 raw deflate, no zlib header
+            co = zlib.compressobj(9, zlib.DEFLATED, -15)
+            raw = co.compress(raw) + co.flush()
+        write_long(out, len(chunk))
+        write_long(out, len(raw))
+        out.write(raw)
+        out.write(sync)
+    with open(path, "wb") as f:
+        f.write(out.getvalue())
+
+
+def read_ocf(path: str) -> tuple[dict[str, Any], list[dict[str, Any]], dict[str, bytes]]:
+    """Read an OCF written by write_ocf (or any writer using the null /
+    deflate codecs): returns (schema, records, file-metadata)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    buf = io.BytesIO(data)
+    if buf.read(4) != MAGIC:
+        raise ValueError(f"{path}: not an Avro object container file")
+    types = _Types()
+    meta = _decode(buf, {"type": "map", "values": "bytes"}, types)
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    types.resolve(schema)
+    sync = buf.read(16)
+    records: list[dict[str, Any]] = []
+    while True:
+        head = buf.read(1)
+        if not head:
+            break
+        buf.seek(-1, 1)
+        n = read_long(buf)
+        size = read_long(buf)
+        raw = buf.read(size)
+        if codec == "deflate":
+            raw = zlib.decompressobj(-15).decompress(raw)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec!r}")
+        block = io.BytesIO(raw)
+        for _ in range(n):
+            records.append(_decode(block, schema, types))
+        if buf.read(16) != sync:
+            raise ValueError(f"{path}: sync marker mismatch (corrupt block)")
+    return schema, records, meta

@@ -1,0 +1,440 @@
+"""Iceberg v2 Avro manifest files and manifest lists.
+
+Encodes each committed snapshot's file inventory in the PUBLIC Iceberg
+table-spec binary layout (spec sections "Manifests", "Manifest Lists",
+and "Appendix D: Single-value serialization"; the reference serves these
+same structures through iceberg-rust —
+crates/iceberg-ext/src/spec/mod.rs re-exports Manifest/ManifestList):
+
+  - a snapshot's ``manifest-list`` is an Avro OCF of ``manifest_file``
+    records (field-ids 500-519), one row per manifest;
+  - each manifest is an Avro OCF of ``manifest_entry`` records
+    (status/snapshot_id/sequence numbers + the ``data_file`` struct r2,
+    field-ids 100-143), with the partition tuple as a typed record
+    (r102) and column bounds in single-value binary serialization;
+  - data files and delete files land in SEPARATE manifests
+    (``content`` 0 vs 1) as the spec requires.
+
+The engine's inline JSON ``manifest`` key stays the authoritative copy
+(documented vendor extension); these files are the interop surface a
+stock Iceberg reader parses. format/avro.py is the clean-room Avro
+encoder they ride on.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any
+
+from .avro import read_ocf, write_ocf
+
+# --------------------------------------------------------------- schemas
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": ["null", "boolean"], "default": None, "field-id": 518},
+        {"name": "lower_bound", "type": ["null", "bytes"], "default": None, "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"], "default": None, "field-id": 511},
+    ],
+}
+
+MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": _FIELD_SUMMARY, "element-id": 508}],
+            "default": None,
+            "field-id": 507,
+        },
+        {"name": "key_metadata", "type": ["null", "bytes"], "default": None, "field-id": 519},
+    ],
+}
+
+
+def _kv_map(name: str, key_id: int, value_id: int, value_type: str) -> dict[str, Any]:
+    """Iceberg encodes int-keyed maps as arrays of key/value records
+    (Avro maps only take string keys) — spec 'Manifests' column notes."""
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int", "field-id": key_id},
+                {"name": "value", "type": value_type, "field-id": value_id},
+            ],
+        },
+        "logicalType": "map",
+    }
+
+
+def _data_file_schema(partition_fields: list[dict[str, Any]]) -> dict[str, Any]:
+    return {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {
+                "name": "partition",
+                "type": {"type": "record", "name": "r102", "fields": partition_fields},
+                "field-id": 102,
+            },
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {
+                "name": "lower_bounds",
+                "type": ["null", _kv_map("k126_v127", 126, 127, "bytes")],
+                "default": None,
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", _kv_map("k129_v130", 129, 130, "bytes")],
+                "default": None,
+                "field-id": 128,
+            },
+            {"name": "key_metadata", "type": ["null", "bytes"], "default": None, "field-id": 131},
+            {
+                "name": "split_offsets",
+                "type": ["null", {"type": "array", "items": "long", "element-id": 133}],
+                "default": None,
+                "field-id": 132,
+            },
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int", "element-id": 136}],
+                "default": None,
+                "field-id": 135,
+            },
+            {"name": "sort_order_id", "type": ["null", "int"], "default": None, "field-id": 140},
+        ],
+    }
+
+
+def manifest_entry_schema(partition_fields: list[dict[str, Any]]) -> dict[str, Any]:
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": ["null", "long"], "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": ["null", "long"], "default": None, "field-id": 3},
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": _data_file_schema(partition_fields), "field-id": 2},
+        ],
+    }
+
+
+# --------------------------------------- single-value binary serialization
+def single_value_bytes(iceberg_type: Any, value: Any) -> bytes | None:
+    """Spec Appendix D single-value serialization: fixed-width
+    little-endian for numerics (int/date 4 bytes, long/timestamps 8,
+    float 4, double 8), UTF-8 bytes for strings, 0x00/0x01 booleans.
+    Returns None for types/values the engine doesn't bound-track."""
+    if value is None or not isinstance(iceberg_type, str):
+        return None
+    t = iceberg_type
+    try:
+        if t == "boolean":
+            return b"\x01" if value else b"\x00"
+        if t in ("int", "date"):
+            return struct.pack("<i", int(value))
+        if t in ("long", "timestamp", "timestamptz", "time", "bigint"):
+            return struct.pack("<q", int(value))
+        if t == "float":
+            return struct.pack("<f", float(value))
+        if t == "double":
+            return struct.pack("<d", float(value))
+        if t in ("string", "varchar"):
+            return str(value).encode("utf-8")
+    except (ValueError, OverflowError, struct.error):
+        return None
+    return None
+
+
+def single_value_load(iceberg_type: Any, raw: bytes | None) -> Any:
+    if raw is None or not isinstance(iceberg_type, str):
+        return None
+    t = iceberg_type
+    if t == "boolean":
+        return raw == b"\x01"
+    if t in ("int", "date"):
+        return struct.unpack("<i", raw)[0]
+    if t in ("long", "timestamp", "timestamptz", "time", "bigint"):
+        return struct.unpack("<q", raw)[0]
+    if t == "float":
+        return struct.unpack("<f", raw)[0]
+    if t == "double":
+        return struct.unpack("<d", raw)[0]
+    if t in ("string", "varchar"):
+        return raw.decode("utf-8")
+    return None
+
+
+# ----------------------------------------------------------- construction
+_CONTENT_OF = {  # engine entry `content` -> data_file.content (spec)
+    None: 0,
+    "data": 0,
+    "position-deletes": 1,
+    "deletion-vectors": 1,
+    "equality-deletes": 2,
+}
+
+
+def _partition_avro_fields(
+    spec: dict[str, Any], schema: dict[str, Any]
+) -> tuple[list[dict[str, Any]], dict[str, str]]:
+    """r102 fields for the table's partition spec; values are typed where
+    the transform's result type is knowable (identity -> source type,
+    bucket -> int), falling back to string (hive dir names are strings)."""
+    by_id = {f["id"]: f["type"] for f in schema.get("fields", [])}
+    fields, types = [], {}
+    for pf in spec.get("fields", []):
+        tf = pf.get("transform", "identity")
+        src = by_id.get(pf.get("source-id"))
+        if tf == "identity" and isinstance(src, str) and src in ("int", "long", "date"):
+            avro_t = "int" if src in ("int", "date") else "long"
+        elif tf.startswith("bucket"):
+            avro_t = "int"
+        else:
+            avro_t = "string"
+        name = pf.get("name") or pf.get("source-name") or f"p{pf.get('field-id', 1000)}"
+        fields.append(
+            {
+                "name": name,
+                "type": ["null", avro_t],
+                "default": None,
+                "field-id": pf.get("field-id", 1000),
+            }
+        )
+        types[name] = avro_t
+    return fields, types
+
+
+def _typed_partition(
+    partition: dict[str, Any], types: dict[str, str]
+) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    for name, avro_t in types.items():
+        v = partition.get(name)
+        if v is None:
+            out[name] = None
+        elif avro_t in ("int", "long"):
+            try:
+                out[name] = int(v)
+            except (TypeError, ValueError):
+                out[name] = None
+        else:
+            out[name] = str(v)
+    return out
+
+
+def _entry_record(
+    e: dict[str, Any],
+    snapshot: dict[str, Any],
+    schema: dict[str, Any],
+    ptypes: dict[str, str],
+) -> dict[str, Any]:
+    by_name = {f["name"]: (f["id"], f["type"]) for f in schema.get("fields", [])}
+    lowers, uppers = [], []
+    for col, (lo, hi) in sorted((e.get("bounds") or {}).items()):
+        fid, ftype = by_name.get(col, (None, None))
+        if fid is None:
+            continue
+        lb, ub = single_value_bytes(ftype, lo), single_value_bytes(ftype, hi)
+        if lb is not None and ub is not None:
+            lowers.append({"key": fid, "value": lb})
+            uppers.append({"key": fid, "value": ub})
+    seq = e.get("sequence-number", snapshot["sequence-number"])
+    return {
+        "status": 1 if seq == snapshot["sequence-number"] else 0,  # added | existing
+        "snapshot_id": snapshot["snapshot-id"],
+        "sequence_number": seq,
+        "file_sequence_number": seq,
+        "data_file": {
+            "content": _CONTENT_OF.get(e.get("content"), 0),
+            "file_path": e["path"],
+            "file_format": "PARQUET",
+            "partition": _typed_partition(e.get("partition") or {}, ptypes),
+            "record_count": e.get("record-count", 0),
+            "file_size_in_bytes": e.get("file-size-in-bytes", 0),
+            "lower_bounds": lowers or None,
+            "upper_bounds": uppers or None,
+            "key_metadata": None,
+            "split_offsets": None,
+            "equality_ids": e.get("equality-ids") or None,
+            "sort_order_id": None,
+        },
+    }
+
+
+def write_snapshot_manifests(
+    meta: dict[str, Any], snapshot: dict[str, Any], out_dir: str
+) -> str:
+    """Write the snapshot's REAL Avro manifests + manifest list under
+    ``out_dir``; returns the manifest-list path. Data and delete entries
+    go to separate manifests (spec: a manifest's ``content`` is uniform).
+    Cost is metadata-sized: O(files in snapshot), no data read."""
+    import os
+
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    spec = next(
+        (s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]),
+        {"spec-id": 0, "fields": []},
+    )
+    pfields, ptypes = _partition_avro_fields(spec, schema)
+    entry_schema = manifest_entry_schema(pfields)
+    sid = snapshot["snapshot-id"]
+
+    groups: dict[int, list[dict[str, Any]]] = {}
+    for e in snapshot.get("manifest", []):
+        content = 0 if _CONTENT_OF.get(e.get("content"), 0) == 0 else 1
+        groups.setdefault(content, []).append(e)
+
+    mf_rows = []
+    for content, entries in sorted(groups.items()):
+        mpath = os.path.join(out_dir, f"m{content}-{sid}-{len(entries)}.avro")
+        records = [_entry_record(e, snapshot, schema, ptypes) for e in entries]
+        write_ocf(
+            mpath,
+            entry_schema,
+            records,
+            metadata={
+                "schema-id": str(meta["current-schema-id"]),
+                "partition-spec-id": str(spec["spec-id"]),
+                "format-version": str(meta.get("format-version", 2)),
+                "content": "data" if content == 0 else "deletes",
+            },
+        )
+        seqs = [r["sequence_number"] for r in records]
+        added = [r for r in records if r["status"] == 1]
+        existing = [r for r in records if r["status"] == 0]
+        mf_rows.append(
+            {
+                "manifest_path": mpath,
+                "manifest_length": os.path.getsize(mpath),
+                "partition_spec_id": spec["spec-id"],
+                "content": content,
+                "sequence_number": snapshot["sequence-number"],
+                "min_sequence_number": min(seqs, default=snapshot["sequence-number"]),
+                "added_snapshot_id": sid,
+                "added_files_count": len(added),
+                "existing_files_count": len(existing),
+                "deleted_files_count": 0,
+                "added_rows_count": sum(r["data_file"]["record_count"] for r in added),
+                "existing_rows_count": sum(
+                    r["data_file"]["record_count"] for r in existing
+                ),
+                "deleted_rows_count": 0,
+                "partitions": None,
+                "key_metadata": None,
+            }
+        )
+    list_path = os.path.join(out_dir, f"snap-{sid}.avro")
+    write_ocf(
+        list_path,
+        MANIFEST_FILE_SCHEMA,
+        mf_rows,
+        metadata={
+            "snapshot-id": str(sid),
+            "sequence-number": str(snapshot["sequence-number"]),
+            "format-version": str(meta.get("format-version", 2)),
+        },
+    )
+    return list_path
+
+
+# ----------------------------------------------------------------- readers
+def read_manifest_list(path: str) -> list[dict[str, Any]]:
+    _, rows, _ = read_ocf(path)
+    return rows
+
+
+def read_manifest(path: str) -> list[dict[str, Any]]:
+    _, rows, _ = read_ocf(path)
+    return rows
+
+
+def mirrors_inline(snapshot: dict[str, Any]) -> bool:
+    """True when the snapshot's Avro manifest-list + manifests decode to
+    the same file inventory as the inline ``manifest`` vendor copy
+    (path, counts, sizes, sequence numbers, delete kind, equality ids,
+    partition values)."""
+
+    def key(e: dict[str, Any]):
+        content = e.get("content")
+        if content == "deletion-vectors":  # encoded as positional (content=1)
+            content = "position-deletes"
+        return (
+            e["path"],
+            e.get("record-count", 0),
+            e.get("file-size-in-bytes", 0),
+            e.get("sequence-number"),
+            content,
+            tuple(e.get("equality-ids") or []),
+            tuple(sorted((k, str(v)) for k, v in (e.get("partition") or {}).items())),
+        )
+
+    try:
+        decoded = entries_from_manifest_list(snapshot["manifest-list"])
+    except (OSError, ValueError, EOFError, KeyError):
+        return False
+    return sorted(key(e) for e in decoded) == sorted(
+        key(e) for e in snapshot.get("manifest", [])
+    )
+
+
+def entries_from_manifest_list(path: str) -> list[dict[str, Any]]:
+    """Decode a manifest-list + its manifests back into ENGINE-shaped
+    entries (path/record-count/content/equality-ids/partition), the
+    inverse of write_snapshot_manifests — used to prove the Avro files
+    carry the same inventory as the inline manifest."""
+    out = []
+    for mf in read_manifest_list(path):
+        for r in read_manifest(mf["manifest_path"]):
+            df = r["data_file"]
+            entry: dict[str, Any] = {
+                "path": df["file_path"],
+                "record-count": df["record_count"],
+                "file-size-in-bytes": df["file_size_in_bytes"],
+                "sequence-number": r["sequence_number"],
+                "partition": {
+                    k: (str(v) if v is not None else None)
+                    for k, v in df["partition"].items()
+                    if v is not None
+                },
+            }
+            content = df["content"]
+            if content == 2:
+                entry["content"] = "equality-deletes"
+                entry["equality-ids"] = df["equality_ids"]
+            elif content == 1:
+                entry["content"] = "position-deletes"
+            out.append(entry)
+    return out

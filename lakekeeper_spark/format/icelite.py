@@ -392,23 +392,24 @@ class SparkTable:
     def _attach_manifest_list(
         self, meta: dict[str, Any], snapshot: dict[str, Any]
     ) -> None:
-        """Write the snapshot's file list out-of-line and point the
-        Iceberg-spec-required ``manifest-list`` field at it, making every
-        snapshot entry in the metadata document field-for-field valid
-        TableMetadata v2 (format/iceberg_spec.py validates it). The file
-        is JSON, not Avro — no Avro library exists in this environment
-        (documented limitation; the two-level Avro manifest encoding is a
-        serialization swap behind this seam, SURVEY §3.2). The inline
+        """Write the snapshot's file inventory out-of-line as REAL
+        Iceberg v2 Avro manifests — a manifest-list OCF of manifest_file
+        records pointing at per-content manifest OCFs of manifest_entry
+        records (format/iceberg_manifests.py; clean-room Avro encoder in
+        format/avro.py) — and point the spec-required ``manifest-list``
+        field at it, making every snapshot entry field-for-field valid
+        TableMetadata v2 (format/iceberg_spec.py validates the document;
+        test_avro_manifests.py round-trips the binary files). The inline
         ``manifest`` key stays the engine's authoritative copy, a
-        documented vendor extension spec parsers ignore."""
-        mdir = Path(meta["location"]) / "metadata"
+        documented vendor extension spec parsers ignore. Cost is
+        metadata-sized: O(files in snapshot), no data read."""
+        from .iceberg_manifests import write_snapshot_manifests
+
+        mdir = Path(meta["location"]) / "metadata" / uuid.uuid4().hex[:12]
         mdir.mkdir(parents=True, exist_ok=True)
-        path = mdir / (
-            f"snap-{snapshot['snapshot-id']}-{uuid.uuid4().hex[:12]}"
-            ".manifest-list.json"
+        snapshot["manifest-list"] = write_snapshot_manifests(
+            meta, snapshot, str(mdir)
         )
-        path.write_text(json.dumps(snapshot["manifest"]))
-        snapshot["manifest-list"] = str(path)
 
     def _commit_snapshot(
         self,
@@ -1974,14 +1975,34 @@ class SparkTable:
             self.catalog.store.enqueue_task(
                 "tabular_purge", {"location": f"{meta['location']}/{rel}", "id": meta["table-uuid"]}
             )
-        # expired snapshots' manifest-list files go with them
+        # expired snapshots' manifest-list + manifest Avro files go with
+        # them (each snapshot's files live under one directory)
         for s in meta["snapshots"]:
             if s["snapshot-id"] in victims and s.get("manifest-list"):
-                self.catalog.store.enqueue_task(
-                    "tabular_purge",
-                    {"location": s["manifest-list"], "id": meta["table-uuid"]},
-                )
+                for victim_file in self._manifest_avro_files(s):
+                    self.catalog.store.enqueue_task(
+                        "tabular_purge",
+                        {"location": victim_file, "id": meta["table-uuid"]},
+                    )
         return victims
+
+    @staticmethod
+    def _manifest_avro_files(snapshot: dict[str, Any]) -> list[str]:
+        """The snapshot's manifest-list plus every manifest it points at
+        (decoded from the Avro list itself, so renames/layout changes
+        can't strand files); legacy JSON lists have no manifests."""
+        ml = snapshot.get("manifest-list")
+        if not ml:
+            return []
+        out = [ml]
+        if ml.endswith(".avro") and Path(ml).exists():
+            from .iceberg_manifests import read_manifest_list
+
+            try:
+                out.extend(mf["manifest_path"] for mf in read_manifest_list(ml))
+            except (ValueError, EOFError, KeyError):
+                pass  # unreadable list: purge it alone
+        return out
 
     def remove_orphan_files(
         self,
@@ -2021,9 +2042,8 @@ class SparkTable:
         referenced.update(
             s.get("statistics-path", "") for s in meta.get("statistics", [])
         )
-        referenced.update(
-            s["manifest-list"] for s in meta["snapshots"] if s.get("manifest-list")
-        )
+        for s in meta["snapshots"]:
+            referenced.update(self._manifest_avro_files(s))
         horizon = _now_ms() - older_than_ms
         orphans = []
         for sub in ("data", "metadata", "stats"):

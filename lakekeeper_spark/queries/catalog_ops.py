@@ -973,11 +973,11 @@ def c10_spec_register_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = t.metadata()
     violations += len(validate_table_metadata(meta))
 
-    ml_ok = sum(
-        1
-        for s in meta["snapshots"]
-        if _json.loads(Path(s["manifest-list"]).read_text()) == s["manifest"]
-    )
+    # the spec-encoded Avro manifest-list + manifests must decode back to
+    # the same file inventory the engine tracks inline
+    from ..format.iceberg_manifests import mirrors_inline
+
+    ml_ok = sum(1 for s in meta["snapshots"] if mirrors_inline(s))
     # register-by-metadata-location into a SECOND catalog (cross-catalog
     # adoption: table-uuid is identity within one catalog)
     mloc = f"{tmp}/register.metadata.json"

@@ -1,0 +1,281 @@
+"""Clean-room Avro encoder (format/avro.py) + Iceberg v2 manifest
+encoding (format/iceberg_manifests.py).
+
+The byte-level assertions are written against the PUBLIC Avro 1.11 spec
+(magic, metadata map, sync markers, zigzag varints) independently of the
+encoder's own reader, so writer and reader can't be wrong together in
+the framing; record-level round-trips then exercise the full type
+lattice with hypothesis.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lakekeeper_spark.format.avro import MAGIC, read_long, read_ocf, write_long, write_ocf
+
+
+# ------------------------------------------------------------ primitives
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_zigzag_varint_roundtrip(n):
+    buf = io.BytesIO()
+    write_long(buf, n)
+    buf.seek(0)
+    assert read_long(buf) == n
+
+
+def test_zigzag_known_vectors():
+    """Spec examples: 0->00, -1->01, 1->02, -2->03, 2->04; -64->7f,
+    64->80 01 (multi-byte continuation)."""
+    vectors = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03", 2: b"\x04",
+               -64: b"\x7f", 64: b"\x80\x01"}
+    for n, raw in vectors.items():
+        buf = io.BytesIO()
+        write_long(buf, n)
+        assert buf.getvalue() == raw, f"{n} -> {buf.getvalue()!r}"
+
+
+SCHEMA = {
+    "type": "record",
+    "name": "row",
+    "fields": [
+        {"name": "s", "type": "string"},
+        {"name": "n", "type": "long", "field-id": 7},
+        {"name": "f", "type": "double"},
+        {"name": "opt", "type": ["null", "int"], "default": None},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+        {"name": "b", "type": "bytes"},
+    ],
+}
+
+rows_strategy = st.lists(
+    st.fixed_dictionaries(
+        {
+            "s": st.text(max_size=20),
+            "n": st.integers(min_value=-(2**62), max_value=2**62),
+            "f": st.floats(allow_nan=False, allow_infinity=False),
+            "opt": st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+            "arr": st.lists(st.integers(-(2**40), 2**40), max_size=5),
+            "m": st.dictionaries(st.text(max_size=5), st.text(max_size=5), max_size=3),
+            "b": st.binary(max_size=16),
+        }
+    ),
+    max_size=20,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(rows_strategy, st.sampled_from(["null", "deflate"]))
+def test_ocf_roundtrip_fuzz(tmp_path_factory, rows, codec):
+    p = str(tmp_path_factory.mktemp("avro") / "t.avro")
+    write_ocf(p, SCHEMA, rows, codec=codec)
+    schema2, rows2, meta = read_ocf(p)
+    assert rows2 == rows
+    assert schema2 == SCHEMA  # field-id annotations survive
+    assert meta["avro.codec"].decode() == codec
+
+
+def test_ocf_byte_level_framing(tmp_path):
+    """Decode the container with independent code: magic, metadata map
+    (one positive-count block of string->bytes pairs), 16-byte sync,
+    then per-block count/size/payload/sync."""
+    p = str(tmp_path / "t.avro")
+    rows = [{"s": "a", "n": 1, "f": 0.5, "opt": None, "arr": [1], "m": {}, "b": b"x"}]
+    write_ocf(p, SCHEMA, rows, codec="deflate")
+    raw = open(p, "rb").read()
+    assert raw[:4] == MAGIC
+    buf = io.BytesIO(raw[4:])
+
+    def zz():  # independent zigzag-varint decoder
+        shift = acc = 0
+        while True:
+            b = buf.read(1)[0]
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    meta = {}
+    while True:
+        cnt = zz()
+        if cnt == 0:
+            break
+        for _ in range(abs(cnt)):
+            k = buf.read(zz()).decode()
+            meta[k] = buf.read(zz())
+    assert json.loads(meta["avro.schema"]) == SCHEMA
+    assert meta["avro.codec"] == b"deflate"
+    sync = buf.read(16)
+    n_obj = zz()
+    size = zz()
+    payload = buf.read(size)
+    assert n_obj == 1
+    body = zlib.decompressobj(-15).decompress(payload)
+    # first field of the record is the string "a": length 1 + byte
+    assert body[:2] == b"\x02a"
+    assert buf.read(16) == sync
+    assert buf.read() == b""  # exactly one block
+
+
+def test_block_chunking_and_skippable_negative_counts(tmp_path):
+    p = str(tmp_path / "t.avro")
+    rows = [
+        {"s": str(i), "n": i, "f": 0.0, "opt": None, "arr": [], "m": {}, "b": b""}
+        for i in range(2500)
+    ]
+    write_ocf(p, SCHEMA, rows, objects_per_block=1000)
+    _, rows2, _ = read_ocf(p)
+    assert rows2 == rows
+    # a reader must accept the spec's negative-count array form
+    from lakekeeper_spark.format.avro import _decode, _Types
+
+    buf = io.BytesIO()
+    write_long(buf, -2)  # 2 items, with byte-size prefix
+    write_long(buf, 2)  # byte size
+    write_long(buf, 3)
+    write_long(buf, 4)
+    write_long(buf, 0)
+    buf.seek(0)
+    assert _decode(buf, {"type": "array", "items": "long"}, _Types()) == [3, 4]
+
+
+# ----------------------------------------------------- manifest encoding
+def test_single_value_serialization_vectors():
+    from lakekeeper_spark.format.iceberg_manifests import (
+        single_value_bytes,
+        single_value_load,
+    )
+
+    assert single_value_bytes("int", 1) == b"\x01\x00\x00\x00"  # 4-byte LE
+    assert single_value_bytes("long", 1) == struct.pack("<q", 1)
+    assert single_value_bytes("string", "aé") == "aé".encode()
+    assert single_value_bytes("double", 1.5) == struct.pack("<d", 1.5)
+    for t, v in [("int", -7), ("long", 2**40), ("double", -0.25), ("string", "x")]:
+        assert single_value_load(t, single_value_bytes(t, v)) == v
+
+
+def test_snapshot_manifests_roundtrip(tmp_path):
+    from lakekeeper_spark.format.iceberg_manifests import (
+        mirrors_inline,
+        read_manifest,
+        read_manifest_list,
+        write_snapshot_manifests,
+    )
+
+    meta = {
+        "format-version": 2,
+        "current-schema-id": 0,
+        "default-spec-id": 0,
+        "schemas": [
+            {
+                "type": "struct",
+                "schema-id": 0,
+                "fields": [
+                    {"id": 1, "name": "k", "type": "long", "required": False},
+                    {"id": 2, "name": "v", "type": "string", "required": False},
+                    {"id": 3, "name": "day", "type": "int", "required": False},
+                ],
+            }
+        ],
+        "partition-specs": [
+            {
+                "spec-id": 0,
+                "fields": [
+                    {
+                        "name": "day",
+                        "source-id": 3,
+                        "source-name": "day",
+                        "field-id": 1000,
+                        "transform": "identity",
+                    }
+                ],
+            }
+        ],
+    }
+    snapshot = {
+        "snapshot-id": 42,
+        "sequence-number": 7,
+        "manifest": [
+            {
+                "path": "data/day=3/f1.parquet",
+                "record-count": 10,
+                "file-size-in-bytes": 1234,
+                "sequence-number": 7,
+                "partition": {"day": "3"},
+                "bounds": {"k": [1, 10], "v": ["a", "z"]},
+            },
+            {
+                "path": "data/day=4/f0.parquet",
+                "record-count": 4,
+                "file-size-in-bytes": 600,
+                "sequence-number": 5,  # carried over -> status=existing
+                "partition": {"day": "4"},
+            },
+            {
+                "path": "data/deletes/d1.parquet",
+                "record-count": 2,
+                "file-size-in-bytes": 300,
+                "sequence-number": 7,
+                "partition": {},
+                "content": "equality-deletes",
+                "equality-ids": [1],
+            },
+        ],
+    }
+    lp = write_snapshot_manifests(meta, snapshot, str(tmp_path))
+    snapshot["manifest-list"] = lp
+    mfs = read_manifest_list(lp)
+    assert [m["content"] for m in mfs] == [0, 1]  # data + deletes split
+    data_mf = mfs[0]
+    assert data_mf["added_files_count"] == 1
+    assert data_mf["existing_files_count"] == 1
+    assert data_mf["added_rows_count"] == 10
+    assert data_mf["min_sequence_number"] == 5
+    assert data_mf["sequence_number"] == 7
+    entries = read_manifest(data_mf["manifest_path"])
+    by_path = {e["data_file"]["file_path"]: e for e in entries}
+    e1 = by_path["data/day=3/f1.parquet"]
+    assert e1["status"] == 1 and e1["snapshot_id"] == 42
+    assert e1["data_file"]["partition"] == {"day": 3}  # typed (identity int)
+    lows = {b["key"]: b["value"] for b in e1["data_file"]["lower_bounds"]}
+    assert lows[1] == struct.pack("<q", 1)  # field-id 1 (k: long), LE
+    assert lows[2] == b"a"
+    del_entries = read_manifest(mfs[1]["manifest_path"])
+    assert del_entries[0]["data_file"]["content"] == 2
+    assert del_entries[0]["data_file"]["equality_ids"] == [1]
+    assert mirrors_inline(snapshot)
+    # tampering is detected by the mirror check
+    snapshot["manifest"][0]["record-count"] = 11
+    assert not mirrors_inline(snapshot)
+
+
+def test_field_ids_present_in_written_schema(tmp_path):
+    """A stock Iceberg reader resolves manifest columns by field-id;
+    every field of the written Avro schemas must carry one."""
+    from lakekeeper_spark.format.iceberg_manifests import (
+        MANIFEST_FILE_SCHEMA,
+        manifest_entry_schema,
+    )
+
+    def walk(node, where):
+        if isinstance(node, dict) and node.get("type") == "record":
+            for f in node["fields"]:
+                assert "field-id" in f, f"{where}.{f['name']} missing field-id"
+                walk(f["type"], f"{where}.{f['name']}")
+        elif isinstance(node, list):
+            for b in node:
+                walk(b, where)
+        elif isinstance(node, dict) and node.get("type") in ("array", "map"):
+            walk(node.get("items") or node.get("values"), where + "[]")
+
+    walk(MANIFEST_FILE_SCHEMA, "manifest_file")
+    walk(manifest_entry_schema([]), "manifest_entry")

@@ -120,13 +120,14 @@ def test_every_commit_kind_yields_spec_valid_metadata(spark, catalog, table, tmp
 
 
 def test_manifest_list_files_exist_and_mirror_inline_manifests(spark, table):
+    from lakekeeper_spark.format.iceberg_manifests import mirrors_inline
+
     table.append(_rows(spark, 0, 50))
     table.append(_rows(spark, 50, 80))
     meta = table.metadata()
     for snap in meta["snapshots"]:
-        p = snap["manifest-list"]
-        on_disk = json.loads(open(p).read())
-        assert on_disk == snap["manifest"], "manifest-list file diverged"
+        assert snap["manifest-list"].endswith(".avro")
+        assert mirrors_inline(snap), "Avro manifest inventory diverged"
 
 
 def test_register_by_metadata_location_roundtrip(spark, catalog, table, tmp_path):
