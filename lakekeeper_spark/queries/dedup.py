@@ -885,11 +885,10 @@ D11_PERMS = 16
 D11_BANDS = 4  # 4 rows per band
 _D11_H48 = "('0x' || substr(md5(shingle), 1, 12))::BIGINT"
 
-
-@register(
-    "d11_minhash_lsh_exact",
-    oracle=f"""
-WITH sh AS ({_SQL_SHINGLES}),
+# the md5 LSH candidate generator as a reusable CTE block (expects a
+# previously-defined `sh(doc_id, shingle)`): shared by d11 (candidate
+# counts) and d13 (the full dedup pipeline)
+_SQL_D11_PAIRS = f"""
 hashed AS (
   SELECT doc_id, p.p,
          MIN(((2 * p.p + 3) * {_D11_H48} + 7 * p.p + 1) % {MERSENNE_P}) AS sig
@@ -905,24 +904,14 @@ pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-),
-part AS (
-  SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
-)
-SELECT d.doc_id, CAST(COUNT(p.doc_id) AS BIGINT) AS n_candidates
-FROM documents d LEFT JOIN part p ON d.doc_id = p.doc_id
-GROUP BY d.doc_id
-""",
-    description="MinHash-LSH with an md5-shared hash family: the exact "
-    "pipeline of d03 (shingle -> 16 permuted min-hashes -> 4-band bucket "
-    "join -> candidate pairs) made bit-reproducible in SQL, so the "
-    "driver hash-checks signatures, banding AND the candidate graph; "
-    "no all-pairs stage anywhere.",
-    tags=("dedup", "llm", "lsh", "minhash"),
-)
-def d11_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+)"""
+
+
+def _md5_lsh_pairs(sh: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) LSH candidate pairs from a (doc_id,
+    shingle) frame using the md5-shared permutation family — the Spark
+    twin of _SQL_D11_PAIRS. Narrow hashing, one (doc, band) aggregate,
+    one band-bucket equi-join; no all-pairs stage."""
     h48 = F.expr("conv(substr(md5(shingle), 1, 12), 16, 10)").cast("bigint")
     perms = F.explode(F.sequence(F.lit(0), F.lit(D11_PERMS - 1))).alias("p")
     hashed = (
@@ -951,7 +940,7 @@ def d11_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -961,6 +950,30 @@ def d11_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@register(
+    "d11_minhash_lsh_exact",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+{_SQL_D11_PAIRS},
+part AS (
+  SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs
+)
+SELECT d.doc_id, CAST(COUNT(p.doc_id) AS BIGINT) AS n_candidates
+FROM documents d LEFT JOIN part p ON d.doc_id = p.doc_id
+GROUP BY d.doc_id
+""",
+    description="MinHash-LSH with an md5-shared hash family: the exact "
+    "pipeline of d03 (shingle -> 16 permuted min-hashes -> 4-band bucket "
+    "join -> candidate pairs) made bit-reproducible in SQL, so the "
+    "driver hash-checks signatures, banding AND the candidate graph; "
+    "no all-pairs stage anywhere.",
+    tags=("dedup", "llm", "lsh", "minhash"),
+)
+def d11_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _md5_lsh_pairs(_shingles(docs))
     part = pairs.select(F.col("doc_a").alias("doc_id")).unionByName(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )
@@ -968,4 +981,108 @@ def d11_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id")
         .join(part.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c")), "doc_id", "left")
         .select("doc_id", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_candidates"))
+    )
+
+
+# --------------------------------------------------------------------------
+# d13: END-TO-END fuzzy dedup pipeline (candidates -> verify -> clusters
+# -> keep/drop decisions)
+# --------------------------------------------------------------------------
+# The complete production shape (what a RefinedWeb/FineWeb-style corpus
+# build actually runs): md5-LSH candidate generation (d11's generator),
+# EXACT n-gram-Jaccard verification of candidates only — the false-positive
+# filter LSH needs — verified pairs as edges into distributed connected
+# components (d09's kernel), one canonical survivor per cluster. Output is
+# one DECISION ROW PER DOCUMENT (cluster id, cluster size, keep flag):
+# bounded by corpus size, never by the O(dups^2) pair count, so the shape
+# survives 100 TB.
+#
+# Plan: the verify stage drives FROM the candidate pairs (pairs join
+# shingles of doc_a on doc_id, then shingles of doc_b on (doc_id,
+# shingle)) — cost is candidates x doc-shingles, NOT all shingle-sharing
+# pairs; the threshold compare is exact integer cross-multiplication
+# (tau = 3/5), no float round-trip in the gate.
+D13_T_NUM, D13_T_DEN = 3, 5  # Jaccard threshold 0.6 as an exact rational
+
+
+@register(
+    "d13_dedup_pipeline",
+    oracle=f"""
+WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+{_SQL_D11_PAIRS},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+  GROUP BY p.doc_a, p.doc_b
+),
+edges AS (
+  SELECT i.doc_a AS src, i.doc_b AS dst
+  FROM inter i
+  JOIN sizes x ON x.doc_id = i.doc_a
+  JOIN sizes y ON y.doc_id = i.doc_b
+  WHERE {D13_T_DEN} * i.i >= {D13_T_NUM} * (x.n + y.n - i.i)
+),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+reach(v, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.dst, reach.r FROM sym s JOIN reach ON s.src = reach.v
+),
+comp AS (SELECT v AS doc_id, MIN(r) AS cluster FROM reach GROUP BY v),
+cs AS (SELECT cluster, COUNT(*) AS n FROM comp GROUP BY cluster)
+SELECT comp.doc_id,
+       CAST(comp.cluster AS BIGINT) AS cluster,
+       CAST(cs.n AS BIGINT) AS cluster_size,
+       comp.doc_id = comp.cluster AS keep
+FROM comp JOIN cs ON cs.cluster = comp.cluster
+""",
+    description="End-to-end fuzzy dedup pipeline: md5-LSH candidates -> "
+    "exact Jaccard verification of candidates only -> verified edges -> "
+    "distributed connected components -> one keep/drop decision per doc "
+    "(canonical = min doc_id per cluster). Decision-shaped output stays "
+    "O(corpus), never O(dup-pairs^2).",
+    tags=("dedup", "llm", "lsh", "graph", "pipeline"),
+)
+def d13_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    pairs = _md5_lsh_pairs(sh)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        pairs.alias("p")
+        .join(a, F.col("p.doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("p.doc_b") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("p.doc_a", "p.doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    edges = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        .filter(
+            F.lit(D13_T_DEN) * F.col("i")
+            >= F.lit(D13_T_NUM) * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    labels = connected_components(
+        edges, docs.select("doc_id"), algorithm="propagation", max_iters=CC_MAX_ITERS
+    )
+    sizes_by_label = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes_by_label, "label")
+        .select(
+            "doc_id",
+            F.col("label").cast("long").alias("cluster"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            (F.col("doc_id") == F.col("label")).alias("keep"),
+        )
     )
