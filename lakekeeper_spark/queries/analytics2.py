@@ -1068,3 +1068,71 @@ def w11_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         (F.col("valid_to") == W11_OPEN).alias("is_current"),
     )
+
+
+# --------------------------------------------------------------------------
+# w12: OHLC bars (time-bucket open/high/low/close resample)
+# --------------------------------------------------------------------------
+# The financial-resample primitive (TimescaleDB's candlestick_agg /
+# kdb-style bars): per hour bucket, the first/max/min/last of `value`
+# with DETERMINISTIC endpoints — open/close tie-break on (ts_ns,
+# event_id), not arrival order. Exactness: open/high/low/close are
+# value-PRESERVING picks (no float accumulation), so doubles hash-match
+# across engines; volume is an exact fixed-point decimal sum (detsum).
+#
+# Plan: one shuffle keyed by the bucket; open/close come from a
+# bucket-partitioned min/max over a (ts_ns, event_id, value) struct —
+# the argmin-as-min(struct) idiom, no row_number sort pass, combines
+# map-side like any min/max.
+W12_BUCKET_NS = 3_600 * 1_000_000_000  # 1h bars
+
+
+@register(
+    "w12_ohlc_bars",
+    oracle=f"""
+WITH ev AS (
+  SELECT epoch_ns(ts) // {W12_BUCKET_NS} AS bucket, epoch_ns(ts) AS ts_ns,
+         event_id, value
+  FROM events
+),
+ranked AS (
+  SELECT bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ts_ns, event_id) AS rf,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY ts_ns DESC, event_id DESC) AS rl
+  FROM ev
+),
+agg AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_trades,
+         MAX(value) AS high, MIN(value) AS low,
+         {sql_dsum('value', 1000000)} AS volume
+  FROM ev GROUP BY bucket
+)
+SELECT a.bucket, a.n_trades, o.value AS open, a.high, a.low,
+       c.value AS close, a.volume
+FROM agg a
+JOIN ranked o ON o.bucket = a.bucket AND o.rf = 1
+JOIN ranked c ON c.bucket = a.bucket AND c.rl = 1
+""",
+    description="OHLC candlestick bars: hourly open/high/low/close of "
+    "value with deterministic (ts, event_id) endpoint tie-breaks and "
+    "fixed-point volume; one bucket-keyed aggregate using min/max-of-"
+    "struct argmin (no sort, map-side combinable).",
+    tags=("window", "timeseries", "resample"),
+)
+def w12_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..data import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.expr(f"ts_ns div {W12_BUCKET_NS}").alias("bucket"),
+        "ts_ns",
+        "event_id",
+        "value",
+    )
+    return ev.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trades"),
+        F.min(F.struct("ts_ns", "event_id", "value"))["value"].alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.struct("ts_ns", "event_id", "value"))["value"].alias("close"),
+        dsum("value", 1000000).alias("volume"),
+    )

@@ -2035,3 +2035,162 @@ def e16_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# h06: HyperLogLog-shaped register sketch — exact cross-engine (md5 family)
+# --------------------------------------------------------------------------
+# The register table IS the sketch (Flajolet et al.: m registers, each the
+# max leading-zero rank of the hashes routed to it). KMV (h01) already
+# covers estimation with exact parity; h06 adds the HLL SHAPE because it
+# is the sketch that merges by per-register MAX — the property that lets
+# 1000 executors sketch independently and combine in O(m). Deterministic
+# md5 48-bit hash family (d11's): register = h % m, rank = position of
+# the first 1-bit of the 42-bit remainder (43 when the remainder is 0 —
+# the all-zeros convention). Integer weight 2^(43-rank) makes the
+# harmonic-sum numerator exact (<= 64 * 2^43 << 2^63), so the full
+# register state hash-matches bit-for-bit across engines; the float
+# alpha*m^2 correction is a pure driver-side function of these rows.
+# Plan: one narrow map + one m-key aggregate; TakeOrdered-free, state is
+# O(m) per partition before the merge (a bounded-state aggregate).
+HLL_M = 64  # registers (p = 6 index bits)
+_H48_UID = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT"
+
+
+@register(
+    "h06_hll_registers",
+    oracle=f"""
+WITH h AS (
+  SELECT {_H48_UID} % {HLL_M} AS register,
+         {_H48_UID} // {HLL_M} AS r
+  FROM events
+),
+ranked AS (
+  SELECT register,
+         CASE WHEN r = 0 THEN 43
+              ELSE strpos(lpad(bin(r), 42, '0'), '1') END AS rank
+  FROM h
+),
+m AS (SELECT register, MAX(rank) AS max_rank FROM ranked GROUP BY register)
+SELECT g.register,
+       CAST(COALESCE(m.max_rank, 0) AS INT) AS max_rank,
+       CAST(2 ** (43 - COALESCE(m.max_rank, 0)) AS BIGINT) AS weight
+FROM (SELECT unnest(range(0, {HLL_M})) AS register) g
+LEFT JOIN m ON m.register = g.register
+""",
+    description="HyperLogLog register sketch with exact cross-engine "
+    "parity: md5-routed 64-register max-rank table (the mergeable state "
+    "— distributed sketches combine by per-register MAX), with the "
+    "harmonic-sum numerator as exact integer weights 2^(43-rank); the "
+    "estimator is a pure driver-side function of these 64 rows.",
+    tags=("events", "sketch", "approximate", "hll"),
+)
+def h06_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h48 = "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"
+    ranked = ev.select(
+        F.expr(f"{h48} % {HLL_M}").alias("register"),
+        F.expr(f"{h48} div {HLL_M}").alias("r"),
+    ).select(
+        "register",
+        F.when(F.col("r") == 0, F.lit(43))
+        .otherwise(F.instr(F.lpad(F.expr("bin(r)"), 42, "0"), "1"))
+        .alias("rank"),
+    )
+    m = ranked.groupBy("register").agg(F.max("rank").alias("max_rank"))
+    grid = spark.range(HLL_M).select(F.col("id").cast("long").alias("register"))
+    return (
+        grid.join(m, "register", "left")
+        .select(
+            "register",
+            F.coalesce(F.col("max_rank"), F.lit(0)).cast("int").alias("max_rank"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), 43 - CAST(coalesce(max_rank, 0) AS INT))"
+            ).alias("weight"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# e17: ordered funnel analysis (view -> click -> purchase)
+# --------------------------------------------------------------------------
+# Per-user STRICTLY-ORDERED funnel: the earliest view, then the earliest
+# click AFTER that view, then the earliest purchase AFTER that click —
+# the standard product-analytics funnel where later stages must follow
+# the user's own earlier-stage time, not just exist anywhere. Output is
+# one row per stage with reached-user counts and the stage timestamps'
+# checksum (exact integer ns), so conversion ratios are a pure function
+# of the rows.
+#
+# Plan: three user-keyed aggregates over progressively-filtered event
+# slices; every shuffle is keyed on user_id so AQE coalesces them onto
+# one exchange layout (the stages co-partition). No window over the full
+# stream, no driver-side state; per-stage state is one timestamp per
+# user. Funnels with k stages are k chained semi-aggregates — linear in
+# events at any scale.
+_FUNNEL = ("view", "click", "purchase")
+
+
+@register(
+    "e17_funnel_conversion",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events
+),
+s1 AS (
+  SELECT user_id, MIN(ts_ns) AS t FROM ev
+  WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts_ns) AS t
+  FROM ev e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts_ns > s1.t
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts_ns) AS t
+  FROM ev e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts_ns > s2.t
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT 1 AS stage, '{_FUNNEL[0]}' AS event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(t % 1000000007) AS BIGINT) AS ts_checksum FROM s1
+  UNION ALL
+  SELECT 2, '{_FUNNEL[1]}', CAST(COUNT(*) AS BIGINT), CAST(SUM(t % 1000000007) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, '{_FUNNEL[2]}', CAST(COUNT(*) AS BIGINT), CAST(SUM(t % 1000000007) AS BIGINT) FROM s3
+) ORDER BY stage
+""",
+    description="Strictly-ordered funnel (view -> click -> purchase): "
+    "each stage is the user's earliest qualifying event AFTER their own "
+    "previous-stage time; per-stage reached-user counts with exact "
+    "integer timestamp checksums. Three user-keyed semi-aggregates, "
+    "co-partitioned on user_id; linear in events for any stage count.",
+    tags=("events", "funnel", "sessions"),
+)
+def e17_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..data import load_events
+
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts_ns")
+    stages = []
+    prev = None
+    for i, etype in enumerate(_FUNNEL, start=1):
+        sl = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            sl = sl.join(prev, "user_id").filter(F.col("ts_ns") > F.col("t")).drop("t")
+        cur = sl.groupBy("user_id").agg(F.min("ts_ns").alias("t"))
+        stages.append(
+            cur.agg(
+                F.lit(i).alias("stage"),
+                F.lit(etype).alias("event_type"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.sum(F.col("t") % F.lit(1_000_000_007)).cast("long").alias("ts_checksum"),
+            )
+        )
+        prev = cur
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("stage")
