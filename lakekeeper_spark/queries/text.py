@@ -1569,3 +1569,135 @@ def p07_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         "total_words",
     )
+
+
+# --------------------------------------------------------------------------
+# t16: BPE merge-rule learning (byte-pair-encoding tokenizer training)
+# --------------------------------------------------------------------------
+# Sennrich et al. 2016: start from characters, repeatedly merge the
+# most frequent adjacent symbol pair. Training operates on the WORD
+# FREQUENCY TABLE, not the corpus — the one corpus-sized shuffle builds
+# (word, n); every Lloyd-style training round after that touches only
+# the vocab-sized frame (localCheckpointed between rounds, same
+# iterative discipline as s04/d09: one aggregate per round, a single
+# (pair, count) row to the driver per merge).
+#
+# Determinism/parity: pair counts are exact integers; ties break on
+# (count DESC, left ASC, right ASC); the merge application is
+# space-separated string replace, which both engines implement with
+# identical greedy left-to-right consumed-separator semantics (an
+# overlap chain 'a a a a' merges alternate pairs in one round — a
+# documented, cross-engine-identical variant of the paper's scan).
+# Oracle = the same T16_MERGES rounds UNROLLED as a CTE chain (the s04
+# unrolled-fixed-point pattern).
+T16_MERGES = 8
+_T16_EOW = "</w>"
+
+
+def _t16_oracle() -> str:
+    parts = [
+        f"""
+w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n,
+         array_to_string(regexp_extract_all(word, '.'), ' ') || ' {_T16_EOW}' AS rep
+  FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents
+  )
+  GROUP BY word
+)"""
+    ]
+    for i in range(1, T16_MERGES + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"""
+p{i} AS (
+  SELECT syms[j] AS l, syms[j + 1] AS r, SUM(n) AS c
+  FROM (SELECT n, string_split(rep, ' ') AS syms FROM {prev}),
+       unnest(range(1, len(syms))) AS t(j)
+  GROUP BY syms[j], syms[j + 1]
+),
+t{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+w{i} AS (
+  SELECT word, n,
+         trim(replace(' ' || rep || ' ', ' ' || t.l || ' ' || t.r || ' ',
+                      ' ' || t.l || t.r || ' ')) AS rep
+  FROM {prev}, t{i} t
+)"""
+        )
+    steps = "\nUNION ALL\n".join(
+        f"SELECT {i} AS step, l AS left_sym, r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM t{i}"
+        for i in range(1, T16_MERGES + 1)
+    )
+    return "WITH " + ",".join(parts) + f"\nSELECT * FROM (\n{steps}\n) ORDER BY step"
+
+
+@register(
+    "t16_bpe_merges",
+    oracle=_t16_oracle(),
+    description="BPE tokenizer training (Sennrich et al.): learn the "
+    "first 8 merge rules from character-split word frequencies; corpus "
+    "is touched by ONE shuffle (the word count), every merge round "
+    "aggregates only the vocab-sized symbol table and ships a single "
+    "(pair, count) row to the driver. Exact integer counts, "
+    "deterministic tie-breaks, unrolled-CTE oracle.",
+    tags=("text", "llm", "tokenizer", "iterative"),
+)
+def t16_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            "word",
+            "n",
+            F.expr(
+                f"array_join(regexp_extract_all(word, '.', 0), ' ') || ' {_T16_EOW}'"
+            ).alias("rep"),
+        )
+        .localCheckpoint(eager=True)  # vocab-sized; rounds never re-scan the corpus
+    )
+    merges = []
+    for step in range(1, T16_MERGES + 1):
+        pairs = w.select(
+            "n", F.expr("split(rep, ' ')").alias("syms")
+        ).select(
+            "n",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), j -> struct(syms[j-1] AS l, syms[j] AS r))"
+                )
+            ).alias("pr"),
+        )
+        top = (
+            pairs.groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+            .first()
+        )
+        if top is None:
+            break
+        merges.append((step, top["l"], top["r"], int(top["c"])))
+        pat, rep = f" {top['l']} {top['r']} ", f" {top['l']}{top['r']} "
+        w = w.select(
+            "word",
+            "n",
+            F.trim(
+                F.expr(
+                    "replace(' ' || rep || ' ', "
+                    f"{_sql_str(pat)}, {_sql_str(rep)})"
+                )
+            ).alias("rep"),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"

@@ -1221,3 +1221,54 @@ def st13_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "complete").select(
         "tier", "event_type", "n_events", "value_fp"
     )
+
+
+# --------------------------------------------------------------------------
+# st14: streaming exactly-once dedup of an at-least-once stream
+# --------------------------------------------------------------------------
+# The delivery-dedup primitive: upstream systems redeliver (Kafka
+# at-least-once, file-source retries), the stream must emit each
+# event_id ONCE. The staged input is the events table delivered TWICE
+# (two copies of the file in the source dir); dropDuplicatesWithinWatermark
+# on event_id restores the exact single-copy table, proven by the oracle
+# being a plain SELECT over the original events.
+#
+# Scale/state: the watermark bounds dedup state to event-time horizon x
+# arrival rate (keys older than the watermark are evicted) — unlike bare
+# dropDuplicates, whose state grows forever. Redeliveries carry the
+# SAME event time, so they always land inside the horizon and are
+# removed regardless of how availableNow splits the files into batches.
+@register(
+    "st14_stream_dedup",
+    oracle="""
+SELECT event_id, user_id, event_type,
+       CAST(ROUND(value * 1000000) AS BIGINT) AS value_fp
+FROM events
+""",
+    description="Streaming exactly-once dedup: the source delivers every "
+    "event twice (at-least-once redelivery), "
+    "dropDuplicatesWithinWatermark(event_id) emits each exactly once "
+    "with watermark-bounded state; output is the exact original table.",
+    tags=("streaming", "events", "dedup", "exactly-once"),
+)
+def st14_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    d = tempfile.mkdtemp(prefix="lkspark_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", Path(d) / "events_delivery1.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", Path(d) / "events_delivery2.parquet")
+    stream = spark.readStream.schema(schema).parquet(d)
+    # watermarks need TIMESTAMP; ts is TIMESTAMP_NTZ (session tz is UTC,
+    # so the cast is exact — same convention as data.with_ts_ns)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("value_fp"),
+        )
+    )
+    return _run_to_memory(deduped, "append")
