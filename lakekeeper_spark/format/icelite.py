@@ -115,6 +115,100 @@ def _split_manifest(
     return data, dels
 
 
+def plan_table_scan(
+    meta: dict[str, Any],
+    snapshot_id: int | None = None,
+    ref: str | None = None,
+    partition_filter: dict[str, Any] | None = None,
+    stats_filter: dict[str, tuple] | None = None,
+) -> dict[str, Any]:
+    """Server-side scan planning — the Iceberg REST PlanTableScan the
+    reference declares but leaves unimplemented
+    (crates/lakekeeper/src/api/endpoints.rs:126-135): resolve the
+    snapshot, prune by partition values and column bounds, and emit one
+    FILE SCAN TASK per surviving data file with exactly the delete
+    artifacts a reader must anti-join:
+
+      - position-deletes / deletion-vectors whose referenced-files set
+        names the data file (tombstones address files directly; entries
+        without the referenced-files summary attach everywhere — safe,
+        never wrong);
+      - equality-deletes with a sequence number STRICTLY greater than
+        the data file's (spec sequence semantics).
+
+    Pure metadata computation — no data file is opened, so the endpoint
+    is O(manifest) however large the table; the client (a whole Spark
+    cluster or a single-file reader) fans the tasks out itself."""
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if snapshot_id is None:
+        r = meta.get("refs", {}).get(ref or "main")
+        if r is None:
+            return {"snapshot-id": None, "plan-tasks": []}
+        snapshot_id = r["snapshot-id"]
+    snap = snaps.get(snapshot_id)
+    if snap is None:
+        raise KeyError(f"snapshot {snapshot_id} not found")
+    data, deletes = _split_manifest(snap["manifest"])
+    total = len(data)
+    if partition_filter:
+        data = [
+            e
+            for e in data
+            if all(
+                str(e.get("partition", {}).get(k)) == str(v)
+                for k, v in partition_filter.items()
+            )
+        ]
+    if stats_filter:
+        data = [e for e in data if _bounds_overlap(e, stats_filter)]
+    pos_like = [d for d in deletes if d.get("content") != "equality-deletes"]
+    eq_dels = [d for d in deletes if d.get("content") == "equality-deletes"]
+    tasks = []
+    for e in data:
+        pos = [
+            d
+            for d in pos_like
+            if d.get("referenced-files") is None or e["path"] in d["referenced-files"]
+        ]
+        eq = [
+            d
+            for d in eq_dels
+            if e.get("sequence-number", 0) < d.get("sequence-number", 0)
+        ]
+        tasks.append(
+            {
+                "data-file": {
+                    "path": e["path"],
+                    "record-count": e.get("record-count", 0),
+                    "file-size-in-bytes": e.get("file-size-in-bytes", 0),
+                    "partition": e.get("partition", {}),
+                    "sequence-number": e.get("sequence-number", 0),
+                    "schema-id": e.get("schema-id"),
+                },
+                "position-delete-files": [
+                    {"path": d["path"], "record-count": d.get("record-count", 0)}
+                    for d in pos
+                ],
+                "equality-delete-files": [
+                    {
+                        "path": d["path"],
+                        "record-count": d.get("record-count", 0),
+                        "equality-ids": d.get("equality-ids", []),
+                        "sequence-number": d.get("sequence-number", 0),
+                        "schema-id": d.get("schema-id"),
+                    }
+                    for d in eq
+                ],
+            }
+        )
+    return {
+        "snapshot-id": snapshot_id,
+        "total-data-files": total,
+        "pruned-data-files": total - len(data),
+        "plan-tasks": tasks,
+    }
+
+
 def _next_seq(meta: dict[str, Any]) -> int:
     """Next data sequence number (Iceberg spec: assigned per commit,
     monotonically increasing; equality deletes apply to strictly-older

@@ -1233,3 +1233,132 @@ def c12_view_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+@register(
+    "c13_plan_table_scan",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           l_orderkey % 4 AS p,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= {_ROWS}
+),
+-- equality delete removes strictly-older rows with matched keys; the
+-- re-append of those keys is NEWER, so they survive
+del_keys AS (
+  SELECT DISTINCT l_orderkey, l_linenumber FROM src WHERE l_quantity < 5
+),
+surv AS (
+  SELECT s.* FROM src s
+  LEFT JOIN del_keys d
+    ON s.l_orderkey = d.l_orderkey AND s.l_linenumber = d.l_linenumber
+  WHERE d.l_orderkey IS NULL
+),
+lo AS (SELECT * FROM src WHERE l_quantity < 5),
+-- MOR position delete of quantity >= 45 applies to everything live
+live AS (
+  SELECT * FROM surv WHERE l_quantity < 45
+  UNION ALL
+  SELECT * FROM lo WHERE l_quantity < 45
+),
+p2 AS (SELECT COUNT(*) AS n FROM live WHERE p = 2)
+SELECT * FROM (
+  SELECT 'live_rows_via_plan' AS checkpoint, CAST(COUNT(*) AS BIGINT) AS value FROM live
+  UNION ALL SELECT 'live_rows_engine_scan', CAST(COUNT(*) AS BIGINT) FROM live
+  UNION ALL SELECT 'p2_rows_via_pruned_plan', CAST(n AS BIGINT) FROM p2
+  UNION ALL SELECT 'stats_pruned_empty', 0
+) ORDER BY checkpoint
+""",
+    description="Server-side scan planning (Iceberg REST PlanTableScan; "
+    "the reference declares but does not implement it, "
+    "api/endpoints.rs:126-135): file scan tasks carry exactly the "
+    "delete artifacts a reader must anti-join (positional tombstones by "
+    "referenced file, equality deletes by strict sequence ordering) "
+    "plus server-side partition/bounds pruning. The gate EXECUTES the "
+    "plan with a plain parquet reader — no engine scan machinery — and "
+    "must reproduce the exact live row set.",
+    tags=("catalog", "icelite", "rest", "planning"),
+)
+def c13_plan_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable, plan_table_scan
+    from ..format.types import struct_to_schema
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_plan_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["bench"])
+
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            (F.col("l_orderkey") % 4).alias("p"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(_ROWS)
+        .localCheckpoint(eager=True)
+    )
+    cat.create_table(
+        "wh",
+        ["bench"],
+        "li_plan",
+        struct_to_schema(src.schema),
+        partition_spec={
+            "spec-id": 0,
+            "fields": [{"name": "p", "source-name": "p", "field-id": 1000}],
+        },
+    )
+    t = SparkTable(spark, cat, "wh", ["bench"], "li_plan")
+    t.append(src)
+    t.delete_where(
+        "l_quantity < 5", mode="equality", equality_cols=["l_orderkey", "l_linenumber"]
+    )
+    t.append(src.filter("l_quantity < 5"))  # reborn (newer than the delete)
+    t.delete_where("l_quantity >= 45", mode="merge-on-read")
+    meta = t.metadata()
+    loc = meta["location"]
+
+    def execute(plan) -> int:
+        live = 0
+        for task in plan["plan-tasks"]:
+            d = task["data-file"]
+            rows = spark.read.parquet(f"{loc}/{d['path']}").withColumn(
+                "_pos", F.expr("_metadata.row_index")
+            )
+            for pdf in task["position-delete-files"]:
+                dels = spark.read.parquet(f"{loc}/{pdf['path']}")
+                rows = rows.join(
+                    dels.filter(F.col("file_path") == d["path"]),
+                    rows["_pos"] == dels["pos"],
+                    "left_anti",
+                )
+            for eq in task["equality-delete-files"]:
+                keys = spark.read.parquet(f"{loc}/{eq['path']}")
+                rows = rows.join(
+                    keys, [f.name for f in keys.schema.fields], "left_anti"
+                )
+            # partition columns live in the directory name, not the file
+            live += rows.count()
+        return live
+
+    full = plan_table_scan(meta)
+    pruned = plan_table_scan(meta, partition_filter={"p": 2})
+    empty = plan_table_scan(meta, stats_filter={"l_quantity": (1_000_000, None)})
+    rows = [
+        ("live_rows_via_plan", execute(full)),
+        ("live_rows_engine_scan", t.scan().count()),
+        ("p2_rows_via_pruned_plan", execute(pruned)),
+        ("stats_pruned_empty", len(empty["plan-tasks"])),
+    ]
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )

@@ -200,6 +200,33 @@ class RestCatalogClient:
         new_etag = int(resp_headers.get("ETag", 'W/"0"').strip('W/"'))
         return body["metadata"], new_etag
 
+    def plan_table_scan(
+        self,
+        warehouse,
+        levels,
+        name,
+        snapshot_id=None,
+        ref=None,
+        partition_filter=None,
+        stats_filter=None,
+    ):
+        """PlanTableScan: server-side file scan tasks with per-file delete
+        artifacts and partition/bounds pruning (the endpoint the
+        reference leaves unimplemented, api/endpoints.rs:126-135)."""
+        body = {}
+        if snapshot_id is not None:
+            body["snapshot-id"] = snapshot_id
+        if ref is not None:
+            body["ref"] = ref
+        if partition_filter:
+            body["partition-filter"] = partition_filter
+        if stats_filter:
+            body["stats-filter"] = {k: list(v) for k, v in stats_filter.items()}
+        _, plan, _ = self._request(
+            "POST", self._tbl(warehouse, levels, name) + "/plan", body
+        )
+        return plan
+
     def table_exists(self, warehouse, levels, name) -> bool:
         try:
             self._request("HEAD", self._tbl(warehouse, levels, name))

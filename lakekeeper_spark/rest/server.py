@@ -345,6 +345,30 @@ class _Handler(BaseHTTPRequestHandler):
         self.catalog.drop_table(prefix, _ns(ns), unquote(tbl), purge=purge)
         self._reply(204)
 
+    @route("POST", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}/plan")
+    def plan_table_scan(self, prefix, ns, tbl):
+        """Server-side scan planning (Iceberg REST PlanTableScan — the
+        endpoint the reference declares but leaves unimplemented,
+        api/endpoints.rs:126-135): file scan tasks with per-file delete
+        artifacts, partition/bounds pruning applied server-side. Body:
+        {snapshot-id?, ref?, partition-filter?, stats-filter?}."""
+        from ..format.icelite import plan_table_scan as _plan
+
+        body = self._body() if int(self.headers.get("Content-Length") or 0) else {}
+        meta, _ = self.catalog.load_table(prefix, _ns(ns), unquote(tbl))
+        stats = body.get("stats-filter") or None
+        if stats:
+            stats = {k: tuple(v) for k, v in stats.items()}
+        plan = _plan(
+            meta,
+            snapshot_id=body.get("snapshot-id"),
+            ref=body.get("ref"),
+            partition_filter=body.get("partition-filter") or None,
+            stats_filter=stats,
+        )
+        plan["base-location"] = meta.get("location")
+        self._reply(200, plan)
+
     @route("POST", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}/metrics")
     def report_metrics(self, prefix, ns, tbl):
         self.catalog.report_metrics(prefix, _ns(ns), unquote(tbl), self._body())

@@ -685,3 +685,81 @@ def test_role_hierarchy_and_list_filtering_over_http(tmp_path):
         assert {a["payload"]["actor"] for a in audits} == {"bob"}
     finally:
         server.stop()
+
+
+def test_plan_table_scan_over_http(rest, spark):
+    """PlanTableScan (the endpoint the reference declares but leaves
+    unimplemented, api/endpoints.rs:126-135): the plan's tasks must be
+    EXECUTABLE — reading exactly the planned data files and anti-joining
+    exactly the planned delete artifacts reproduces the engine's own
+    scan, including sequence-gated equality deletes; partition and
+    bounds pruning happen server-side."""
+    from pyspark.sql import functions as F
+
+    from lakekeeper_spark.format.types import struct_to_schema
+
+    rest.create_namespace("wh", ["pl"])
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(90)], "k long, p long, v double"
+    )
+    rest.create_table(
+        "wh",
+        ["pl"],
+        "t",
+        struct_to_schema(df.schema),
+        partition_spec={
+            "spec-id": 0,
+            "fields": [{"name": "p", "source-name": "p", "field-id": 1000}],
+        },
+    )
+    t = SparkTable(spark, rest, "wh", ["pl"], "t")
+    t.append(df)
+    t.delete_where("k < 10", mode="equality", equality_cols=["k"])
+    t.append(df.filter("k < 5"))  # reborn: newer than the equality delete
+    t.delete_where("k >= 80", mode="merge-on-read")
+
+    plan = rest.plan_table_scan("wh", ["pl"], "t")
+    assert plan["snapshot-id"] is not None
+    tasks = plan["plan-tasks"]
+    assert tasks and plan["pruned-data-files"] == 0
+    loc = plan["base-location"]
+
+    # execute the plan with a plain parquet reader: per-task data read,
+    # minus planned positional tombstones, minus sequence-gated equality
+    # deletes — must equal the engine's own MOR scan
+    live = 0
+    for task in tasks:
+        d = task["data-file"]
+        rows = spark.read.parquet(f"{loc}/{d['path']}").withColumn(
+            "_pos", F.expr("_metadata.row_index")
+        )
+        for pd_file in task["position-delete-files"]:
+            dels = spark.read.parquet(f"{loc}/{pd_file['path']}")
+            rows = rows.join(
+                dels.filter(F.col("file_path") == d["path"]),
+                rows["_pos"] == dels["pos"],
+                "left_anti",
+            )
+        for eq in task["equality-delete-files"]:
+            keys = spark.read.parquet(f"{loc}/{eq['path']}")
+            rows = rows.join(keys, [c.name for c in keys.schema.fields], "left_anti")
+        live += rows.count()
+    assert live == t.scan().count()
+
+    # partition pruning is server-side
+    p1 = rest.plan_table_scan("wh", ["pl"], "t", partition_filter={"p": 1})
+    assert 0 < len(p1["plan-tasks"]) < len(tasks)
+    assert p1["pruned-data-files"] > 0
+    assert all(
+        task["data-file"]["partition"].get("p") == "1" for task in p1["plan-tasks"]
+    )
+    # bounds pruning: k >= 1000 matches nothing
+    p2 = rest.plan_table_scan("wh", ["pl"], "t", stats_filter={"k": (1000, None)})
+    assert p2["plan-tasks"] == []
+    # a time-travel plan at the first snapshot has no delete artifacts
+    first = rest.load_table("wh", ["pl"], "t")[0]["snapshots"][0]["snapshot-id"]
+    p3 = rest.plan_table_scan("wh", ["pl"], "t", snapshot_id=first)
+    assert all(
+        not task["position-delete-files"] and not task["equality-delete-files"]
+        for task in p3["plan-tasks"]
+    )
