@@ -422,3 +422,115 @@ def test_s07_rerank_is_bounded_and_grid_broadcast(spark):
     plan = _plan(s07_knn_scalar_quant(spark, SF_DIR))
     assert "BroadcastExchange" in plan  # the 10-query side
     assert "SortMergeJoin" not in plan
+
+
+def test_d13_verify_drives_from_candidate_pairs(spark):
+    """The exact-Jaccard verification must be candidate-driven (pairs join
+    shingles twice) — never a shingle self-join that enumerates ALL
+    shingle-sharing pairs; and no all-pairs stage (cartesian / broadcast
+    nested loop) anywhere in the pipeline."""
+    from lakekeeper_spark.queries.dedup import d13_dedup_pipeline
+
+    plan = _plan(d13_dedup_pipeline(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_h06_is_single_bounded_aggregate(spark):
+    """HLL register table: one narrow map + one 64-key aggregate; the
+    register grid join must broadcast (64 rows), never shuffle the
+    events side twice."""
+    from lakekeeper_spark.queries.events import h06_hll_registers
+
+    plan = _plan(h06_hll_registers(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2  # partial + final (map-side combine)
+    assert "SortMergeJoin" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_e17_funnel_has_no_window_and_prunes_columns(spark):
+    """Stage aggregates are user-keyed groupBys — no data-sized window —
+    and only the three needed columns are read."""
+    from lakekeeper_spark.queries.events import e17_funnel_conversion
+
+    plan = _plan(e17_funnel_conversion(spark, SF_DIR))
+    assert "Window" not in plan
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "props" not in read_schema and "value" not in read_schema
+
+
+def test_w12_ohlc_is_one_aggregate_no_sort(spark):
+    """Endpoints come from min/max-of-struct argmin — no row_number sort
+    pass, no join; a single bucket-keyed two-phase aggregate."""
+    from lakekeeper_spark.queries.analytics2 import w12_ohlc_bars
+
+    plan = _plan(w12_ohlc_bars(spark, SF_DIR))
+    assert "Window" not in plan and "Join" not in plan
+    # struct-valued min/max lowers to SortAggregate (not hash-aggregable)
+    # but stays TWO-PHASE: partial aggregate before the exchange, final
+    # after — the map-side combine is what matters at scale
+    import re
+
+    n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert n_aggs >= 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_t16_corpus_scanned_once_then_vocab_rounds(spark):
+    """After the word-count shuffle the training rounds read the
+    localCheckpointed vocab frame — the pair aggregate must not rescan
+    the documents parquet."""
+    from lakekeeper_spark.queries.text import t16_bpe_merges
+
+    # build one round's pair-count plan the way the operator does
+    from pyspark.sql import functions as F
+
+    from lakekeeper_spark.data import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    w = (
+        docs.select(F.explode(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("word", "n", F.expr("array_join(regexp_extract_all(word, '.', 0), ' ')").alias("rep"))
+        .localCheckpoint(eager=True)
+    )
+    pairs = w.select("n", F.expr("split(rep, ' ')").alias("syms")).select(
+        "n",
+        F.explode(
+            F.expr("transform(sequence(1, size(syms) - 1), j -> struct(syms[j-1] AS l, syms[j] AS r))")
+        ).alias("pr"),
+    )
+    plan = _plan(pairs.groupBy("pr.l", "pr.r").agg(F.sum("n")))
+    assert "Scan parquet" not in plan  # vocab rounds never touch the corpus
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+
+
+def test_c13_plan_is_metadata_only():
+    """plan_table_scan is a pure dict computation — callable with no
+    SparkSession at all (the REST server has none)."""
+    from lakekeeper_spark.format.icelite import plan_table_scan
+
+    meta = {
+        "snapshots": [
+            {
+                "snapshot-id": 1,
+                "sequence-number": 2,
+                "manifest": [
+                    {"path": "data/a.parquet", "record-count": 5, "sequence-number": 1,
+                     "partition": {"p": "0"}},
+                    {"path": "data/deletes/e.parquet", "record-count": 1,
+                     "sequence-number": 2, "content": "equality-deletes",
+                     "equality-ids": [1], "partition": {}},
+                    {"path": "data/deletes/p.parquet", "record-count": 1,
+                     "sequence-number": 2, "content": "position-deletes",
+                     "referenced-files": ["data/a.parquet"], "partition": {}},
+                ],
+            }
+        ],
+        "refs": {"main": {"snapshot-id": 1}},
+    }
+    plan = plan_table_scan(meta)
+    (task,) = plan["plan-tasks"]
+    assert task["position-delete-files"] and task["equality-delete-files"]
+    assert plan_table_scan(meta, partition_filter={"p": "9"})["plan-tasks"] == []
