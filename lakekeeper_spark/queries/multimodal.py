@@ -663,3 +663,101 @@ def m08_audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_matches") >= M08_MIN_MATCHES)
         .select("doc_a", "doc_b", F.col("n_matches").cast("long").alias("n_matches"))
     )
+
+
+# --------------------------------------------------------------------------
+# m09: scene-change keyframe detection (temporal analysis over frames)
+# --------------------------------------------------------------------------
+# The PySceneDetect content-detector shape: sample frames (m03's
+# mapInPandas 1->N fan-out), then a PER-VIDEO ordered window compares
+# each frame's luma against the previous sample — a cut is declared when
+# the jump exceeds a threshold, and frame 0 always keys. Real pipelines
+# use exactly this compose: codec fan-out in Python workers, temporal
+# logic as a Spark window partitioned by video (never global). The stub
+# luma is integer md5 arithmetic (0..255), so the cut compare is exact
+# integer math and the whole operator carries a DuckDB oracle.
+M09_CUT = 64  # luma jump declaring a scene change
+
+_M09_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("luma", IntegerType()),
+    ]
+)
+
+
+def _frame_lumas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB FRAME DECODER — integer luma per sampled frame (a real
+    implementation averages the Y plane via pyav/ffmpeg; same fan-out,
+    same schema)."""
+    for pdf in batches:
+        out_doc, out_idx, out_l = [], [], []
+        for doc_id, payload, kind in zip(pdf["doc_id"], pdf["payload"], pdf["kind"]):
+            if kind != "video":
+                continue
+            _, _, n_frames, _ = _fake_decode(payload, kind)
+            for i in range(0, n_frames, FRAME_STRIDE):
+                h = hashlib.md5(payload + b"#" + str(i).encode()).hexdigest()
+                out_doc.append(doc_id)
+                out_idx.append(i)
+                out_l.append(int(h[0:2], 16))
+        yield pd.DataFrame({"doc_id": out_doc, "frame_idx": out_idx, "luma": out_l})
+
+
+@register(
+    "m09_scene_changes",
+    oracle=f"""
+WITH vids AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5(text), 9, 2))::BIGINT % 240 + 1 AS INTEGER)
+           AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(0, n_frames - 1, {FRAME_STRIDE})) AS INTEGER)
+           AS frame_idx,
+         CAST(('0x' || substr(md5(text || '#' ||
+            CAST(unnest(generate_series(0, n_frames - 1, {FRAME_STRIDE})) AS VARCHAR)
+          ), 1, 2))::BIGINT AS INTEGER) AS luma
+  FROM vids
+),
+cuts AS (
+  SELECT doc_id, frame_idx, luma,
+         COALESCE(ABS(luma - LAG(luma) OVER w) > {M09_CUT}, TRUE) AS is_key
+  FROM frames
+  WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames_sampled,
+       CAST(COUNT(*) FILTER (is_key) AS BIGINT) AS n_keyframes,
+       CAST(SUM(frame_idx) FILTER (is_key) AS BIGINT) AS keyframe_checksum
+FROM cuts GROUP BY doc_id
+""",
+    description="Scene-change keyframe detection: mapInPandas frame "
+    "fan-out (stub integer luma), then a per-video ordered window "
+    "declares a cut when the luma jump exceeds the threshold (frame 0 "
+    "always keys) - the PySceneDetect compose with the temporal logic "
+    "as a video-partitioned window, never global.",
+    tags=("multimodal", "llm", "pandas-udf", "window"),
+)
+def m09_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = _with_payload(docs).mapInPandas(_frame_lumas, _M09_SCHEMA)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    cuts = frames.withColumn(
+        "is_key",
+        F.coalesce(
+            F.abs(F.col("luma") - F.lag("luma").over(w)) > M09_CUT, F.lit(True)
+        ),
+    )
+    return cuts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames_sampled"),
+        F.count_if(F.col("is_key")).cast("long").alias("n_keyframes"),
+        F.sum(F.when(F.col("is_key"), F.col("frame_idx"))).cast("long").alias(
+            "keyframe_checksum"
+        ),
+    )

@@ -122,3 +122,87 @@ def v02_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("relation")
     )
+
+
+# --------------------------------------------------------------------------
+# v03: distribution-drift audit (PSI-shaped reference-vs-current buckets)
+# --------------------------------------------------------------------------
+# The monitoring primitive behind population-stability-index alerts:
+# split the stream at the midpoint of its time range, histogram both
+# halves over fixed value deciles AND over the categorical event-type
+# mix, and report per-bucket counts side by side. Counts are exact
+# integers (the PSI score itself is a trivial driver-side function of
+# these rows — ln() is not correctly-rounded IEEE, so the float score
+# deliberately stays OUT of the hashed output, the h05 lesson).
+#
+# Plan: one pass computes the time bounds (2 scalars to the driver via
+# a min/max aggregate), one pass histograms — each a two-phase
+# map-side-combinable aggregate; bucket cardinality is fixed (10 value
+# bins + ~5 event types), so the result is O(1) however large the
+# stream.
+V03_BINS = 10
+V03_BIN_W = 10  # value in [0, 100): decile-width bins
+
+
+@register(
+    "v03_drift_buckets",
+    oracle=f"""
+WITH ev AS (SELECT epoch_ns(ts) AS ts_ns, event_type, value FROM events),
+bounds AS (SELECT MIN(ts_ns) AS lo, (MIN(ts_ns) + MAX(ts_ns)) // 2 AS mid FROM ev),
+tagged AS (
+  SELECT CASE WHEN ts_ns <= b.mid THEN 'ref' ELSE 'cur' END AS period,
+         LEAST(GREATEST(CAST(floor(value / {V03_BIN_W}) AS BIGINT), 0), {V03_BINS - 1})
+           AS vbucket,
+         event_type
+  FROM ev, bounds b
+),
+vals AS (
+  SELECT 'value_decile' AS dimension, CAST(vbucket AS VARCHAR) AS bucket,
+         CAST(COUNT(*) FILTER (period = 'ref') AS BIGINT) AS n_ref,
+         CAST(COUNT(*) FILTER (period = 'cur') AS BIGINT) AS n_cur
+  FROM tagged GROUP BY vbucket
+),
+cats AS (
+  SELECT 'event_type' AS dimension, event_type AS bucket,
+         CAST(COUNT(*) FILTER (period = 'ref') AS BIGINT) AS n_ref,
+         CAST(COUNT(*) FILTER (period = 'cur') AS BIGINT) AS n_cur
+  FROM tagged GROUP BY event_type
+)
+SELECT * FROM vals UNION ALL SELECT * FROM cats
+""",
+    description="Distribution-drift audit (PSI shape): the stream split "
+    "at its time midpoint, reference-vs-current histograms over fixed "
+    "value deciles and the event-type mix; exact per-bucket counts "
+    "(the float PSI score is a driver-side function of these rows). "
+    "Two bounded-cardinality aggregates, O(1) output at any scale.",
+    tags=("validation", "quality", "drift"),
+)
+def v03_drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..data import load_events
+
+    ev = load_events(spark, sf_dir).select("ts_ns", "event_type", "value")
+    b = ev.agg(
+        F.min("ts_ns").alias("lo"), F.max("ts_ns").alias("hi")
+    ).first()
+    mid = (b["lo"] + b["hi"]) // 2  # two scalars to the driver, data-independent size
+    tagged = ev.select(
+        F.when(F.col("ts_ns") <= F.lit(mid), F.lit("ref")).otherwise(F.lit("cur")).alias("period"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / V03_BIN_W).cast("long"), F.lit(0)),
+            F.lit(V03_BINS - 1),
+        ).alias("vbucket"),
+        "event_type",
+    )
+    def _split(df, dim, key):
+        return df.groupBy(key).agg(
+            F.count_if(F.col("period") == "ref").cast("long").alias("n_ref"),
+            F.count_if(F.col("period") == "cur").cast("long").alias("n_cur"),
+        ).select(
+            F.lit(dim).alias("dimension"),
+            F.col(key).cast("string").alias("bucket"),
+            "n_ref",
+            "n_cur",
+        )
+    return _split(tagged, "value_decile", "vbucket").unionByName(
+        _split(tagged, "event_type", "event_type")
+    )
