@@ -65,6 +65,11 @@ HEADLINE = [
     "h03_countmin_heavy_hitters",
     "r02_session_concurrency",
     "s05_knn_pq",
+    # round-5: BPE training (iterative vocab-frame rounds; d13 stays out
+    # of HEADLINE deliberately — on this template-heavy corpus its exact
+    # verify of ~1.4M true near-dup candidates is cardinality-bound,
+    # ~20s at sf0.1; see PLANS.md round-5 notes)
+    "t16_bpe_merges",
     # MOR-heavy catalog row (round-3 verdict item 7): c04 commits a
     # position+equality+DV artifact mix and scans through the tombstone
     # anti-join, so its cost is tracked round-over-round

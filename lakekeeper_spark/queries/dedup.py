@@ -907,14 +907,12 @@ pairs AS (
 )"""
 
 
-def _md5_lsh_pairs(sh: DataFrame) -> DataFrame:
-    """Distinct (doc_a, doc_b) LSH candidate pairs from a (doc_id,
-    shingle) frame using the md5-shared permutation family — the Spark
-    twin of _SQL_D11_PAIRS. Narrow hashing, one (doc, band) aggregate,
-    one band-bucket equi-join; no all-pairs stage."""
+def _md5_minhash_sigs(sh: DataFrame) -> DataFrame:
+    """(doc_id, p, sig): the 16 permuted min-hashes per doc on the
+    md5-shared family — the Spark twin of _SQL_D11_PAIRS's ``hashed``."""
     h48 = F.expr("conv(substr(md5(shingle), 1, 12), 16, 10)").cast("bigint")
     perms = F.explode(F.sequence(F.lit(0), F.lit(D11_PERMS - 1))).alias("p")
-    hashed = (
+    return (
         sh.select("doc_id", h48.alias("h"))
         .select("doc_id", "h", perms)
         .groupBy("doc_id", "p")
@@ -925,6 +923,15 @@ def _md5_lsh_pairs(sh: DataFrame) -> DataFrame:
             ).alias("sig")
         )
     )
+
+
+def _md5_lsh_pairs(sh: DataFrame, hashed: DataFrame | None = None) -> DataFrame:
+    """Distinct (doc_a, doc_b) LSH candidate pairs from a (doc_id,
+    shingle) frame using the md5-shared permutation family — the Spark
+    twin of _SQL_D11_PAIRS. Narrow hashing, one (doc, band) aggregate,
+    one band-bucket equi-join; no all-pairs stage."""
+    if hashed is None:
+        hashed = _md5_minhash_sigs(sh)
     bands = (
         hashed.withColumn("band", F.expr(f"p div {D11_BANDS}"))
         .groupBy("doc_id", "band")
@@ -1003,6 +1010,11 @@ def d11_minhash_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pairs; the threshold compare is exact integer cross-multiplication
 # (tau = 3/5), no float round-trip in the gate.
 D13_T_NUM, D13_T_DEN = 3, 5  # Jaccard threshold 0.6 as an exact rational
+# signature prefilter: candidates must agree on >= 8/16 minhashes
+# (estimated Jaccard >= 0.5) before exact verification — with tau = 0.6
+# the estimator's miss probability at the boundary is Binomial(16, 0.6)
+# < 8, ~5%; pairs it drops are overwhelmingly the band-collision noise
+D13_SIG_MIN = 8
 
 
 @register(
@@ -1010,20 +1022,36 @@ D13_T_NUM, D13_T_DEN = 3, 5  # Jaccard threshold 0.6 as an exact rational
     oracle=f"""
 WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
 {_SQL_D11_PAIRS},
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+sigs AS (SELECT doc_id, array_agg(sig ORDER BY p) AS sig FROM hashed GROUP BY doc_id),
+-- signature prefilter: estimated similarity from the 16 minhashes must
+-- clear the cutoff before the expensive exact verify (datasketch-style)
+pre AS (
+  SELECT p.doc_a, p.doc_b
   FROM pairs p
-  JOIN sh a ON a.doc_id = p.doc_a
-  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
-  GROUP BY p.doc_a, p.doc_b
+  JOIN sigs x ON x.doc_id = p.doc_a
+  JOIN sigs y ON y.doc_id = p.doc_b
+  WHERE list_sum(list_transform(range(1, {D11_PERMS} + 1),
+          i -> CASE WHEN x.sig[i] = y.sig[i] THEN 1 ELSE 0 END))
+        >= {D13_SIG_MIN}
+),
+-- per-doc DISTINCT hashed-shingle sets: the verify compares 48-bit md5
+-- prefixes, not strings (both engines hash identically, so even a
+-- collision lands on both sides and parity holds)
+doc_sh AS (
+  SELECT doc_id, array_agg(DISTINCT {_D11_H48}) AS shs FROM sh GROUP BY doc_id
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_intersect(x.shs, y.shs)) AS i,
+         len(x.shs) AS na, len(y.shs) AS nb
+  FROM pre p
+  JOIN doc_sh x ON x.doc_id = p.doc_a
+  JOIN doc_sh y ON y.doc_id = p.doc_b
 ),
 edges AS (
-  SELECT i.doc_a AS src, i.doc_b AS dst
-  FROM inter i
-  JOIN sizes x ON x.doc_id = i.doc_a
-  JOIN sizes y ON y.doc_id = i.doc_b
-  WHERE {D13_T_DEN} * i.i >= {D13_T_NUM} * (x.n + y.n - i.i)
+  SELECT doc_a AS src, doc_b AS dst
+  FROM inter
+  WHERE {D13_T_DEN} * i >= {D13_T_NUM} * (na + nb - i)
 ),
 sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
 reach(v, r) AS (
@@ -1040,7 +1068,11 @@ SELECT comp.doc_id,
 FROM comp JOIN cs ON cs.cluster = comp.cluster
 """,
     description="End-to-end fuzzy dedup pipeline: md5-LSH candidates -> "
-    "exact Jaccard verification of candidates only -> verified edges -> "
+    "signature-agreement prefilter (estimated similarity from the 16 "
+    "minhashes, the datasketch discipline - on template-heavy corpora "
+    "LSH bands collide far below the Jaccard threshold and the "
+    "prefilter is what keeps exact verification candidate-bound) -> "
+    "exact Jaccard verification of survivors -> verified edges -> "
     "distributed connected components -> one keep/drop decision per doc "
     "(canonical = min doc_id per cluster). Decision-shaped output stays "
     "O(corpus), never O(dup-pairs^2).",
@@ -1048,25 +1080,63 @@ FROM comp JOIN cs ON cs.cluster = comp.cluster
 )
 def d13_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    pairs = _md5_lsh_pairs(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        pairs.alias("p")
-        .join(a, F.col("p.doc_a") == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("p.doc_b") == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
+    # the shingle frame feeds FOUR consumers (LSH hashing, doc sizes, and
+    # both sides of the verify join): materialize it once instead of
+    # re-exploding the corpus per consumer. Corpus-shaped, like the
+    # shuffle files any one consumer would write anyway; a real pipeline
+    # persists this stage too (or re-derives — a config choice).
+    sh = _shingles(docs).localCheckpoint(eager=True)
+    hashed = _md5_minhash_sigs(sh).localCheckpoint(eager=True)  # docs x 16
+    pairs = _md5_lsh_pairs(sh, hashed=hashed)
+    sigs = hashed.groupBy("doc_id").agg(
+        F.expr("transform(array_sort(collect_list(struct(p, sig))), s -> s.sig)").alias(
+            "sig"
         )
-        .groupBy("p.doc_a", "p.doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    # estimated-similarity prefilter: 16 integer compares per candidate
+    # pair, orders of magnitude cheaper than the shingle join it gates
+    pre = (
+        pairs.alias("p")
+        .join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")), "doc_b")
+        .filter(
+            F.expr("aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+            >= D13_SIG_MIN
+        )
+        .select("doc_a", "doc_b")
+    )
+    # exact verify on survivors: each doc's DISTINCT HASHED shingle set
+    # as one array row, the pair's intersection via array_intersect —
+    # one row per candidate pair instead of a pair x shingle explosion
+    # (a duplicate-heavy corpus can carry millions of true near-dup
+    # candidates, and the exploded join's intermediate was |pairs| x
+    # ~|shingles/doc| rows; the array form is |pairs| rows of two
+    # bounded LONG arrays — integer intersection, no string hashing in
+    # the hot loop). The 48-bit md5 prefix is computed identically by
+    # the oracle, so parity holds bit-for-bit even under collisions.
+    # Threshold stays exact integer cross-multiply.
+    h48 = F.expr("conv(substr(md5(shingle), 1, 12), 16, 10)").cast("bigint")
+    doc_sh = (
+        sh.select("doc_id", h48.alias("h"))
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.collect_list("h")).alias("shs"))
     )
     edges = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+        pre.join(
+            doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sha")),
+            "doc_a",
+        )
+        .join(
+            doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sha", "shb")).alias("i"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
         .filter(
             F.lit(D13_T_DEN) * F.col("i")
             >= F.lit(D13_T_NUM) * (F.col("na") + F.col("nb") - F.col("i"))
