@@ -518,3 +518,184 @@ def s07_knn_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", "score_fp", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# --------------------------------------------------------------------------
+# s08: MMR diverse top-k re-ranking (maximal marginal relevance)
+# --------------------------------------------------------------------------
+# Carbonell & Goldstein 1998: after retrieval, greedily select k results
+# balancing relevance against redundancy — argmax over remaining of
+# lambda*sim(q,d) - (1-lambda)*max_{s in selected} sim(d,s). The pool is
+# the brute-force top-POOL cosine candidates (s01's scoring, quantized
+# integer dots); pairwise sims within the pool are POOL^2 per query —
+# bounded, never corpus-sized. Each greedy round is a per-query window
+# over <= POOL rows, all queries in parallel; k rounds = k tiny stages.
+# Floats: sims are fixed IEEE functions of identical integers, and the
+# MMR combine uses the same constants in both engines, so scores are
+# bit-identical; ties break on neighbor_id. Oracle = the same greedy
+# unrolled (t16/s04 pattern).
+S08_POOL = 20
+S08_K = 5
+S08_LAMBDA = 0.7
+
+
+def _s08_oracle() -> str:
+    head = f"""
+WITH norms AS (
+  SELECT vec_id, {_sql_dot6('embedding', 'embedding')} AS norm6 FROM embeddings
+),
+q AS (SELECT e.vec_id, e.embedding, n.norm6 FROM embeddings e
+      JOIN norms n USING (vec_id) WHERE e.vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.embedding, n2.norm6,
+         CAST({_sql_dot6('q.embedding', 'e.embedding')} AS DOUBLE)
+           / sqrt(CAST(q.norm6 AS DOUBLE) * CAST(n2.norm6 AS DOUBLE)) AS relevance
+  FROM q, embeddings e JOIN norms n2 ON e.vec_id = n2.vec_id
+  WHERE e.vec_id != q.vec_id
+),
+pool AS (
+  SELECT query_id, neighbor_id, embedding, norm6, relevance FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY relevance DESC, neighbor_id) AS rnk
+    FROM scored
+  ) WHERE rnk <= {S08_POOL}
+),
+psim AS (
+  SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+         CAST({_sql_dot6('a.embedding', 'b.embedding')} AS DOUBLE)
+           / sqrt(CAST(a.norm6 AS DOUBLE) * CAST(b.norm6 AS DOUBLE)) AS sim
+  FROM pool a JOIN pool b
+    ON a.query_id = b.query_id AND a.neighbor_id != b.neighbor_id
+),
+sel1 AS (
+  SELECT query_id, neighbor_id, relevance, relevance AS mmr_score, 1 AS pick
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY relevance DESC, neighbor_id) AS rnk FROM pool)
+  WHERE rnk = 1
+)"""
+    parts = [head]
+    for i in range(2, S08_K + 1):
+        prev_union = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id, relevance, mmr_score, pick FROM sel{j}"
+            for j in range(1, i)
+        )
+        parts.append(
+            f"""
+seln{i} AS ({prev_union}),
+cand{i} AS (
+  SELECT p.query_id, p.neighbor_id, p.relevance,
+         {S08_LAMBDA} * p.relevance
+           - {round(1 - S08_LAMBDA, 10)} * MAX(ps.sim) AS mmr_score
+  FROM pool p
+  JOIN seln{i} s ON s.query_id = p.query_id
+  JOIN psim ps ON ps.query_id = p.query_id
+   AND ps.ca = p.neighbor_id AND ps.cb = s.neighbor_id
+  WHERE p.neighbor_id NOT IN (
+    SELECT neighbor_id FROM seln{i} s2 WHERE s2.query_id = p.query_id)
+  GROUP BY p.query_id, p.neighbor_id, p.relevance
+),
+sel{i} AS (
+  SELECT query_id, neighbor_id, relevance, mmr_score, {i} AS pick
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY mmr_score DESC, neighbor_id) AS rnk FROM cand{i})
+  WHERE rnk = 1
+)"""
+        )
+    final = " UNION ALL ".join(
+        f"SELECT query_id, CAST(pick AS INTEGER) AS pick, neighbor_id, relevance, mmr_score FROM sel{j}"
+        for j in range(1, S08_K + 1)
+    )
+    return ",".join(parts) + f"\nSELECT * FROM ({final})"
+
+
+@register(
+    "s08_mmr_rerank",
+    oracle=_s08_oracle(),
+    description="MMR diverse top-k re-ranking (Carbonell-Goldstein): "
+    "greedy lambda-tradeoff between query relevance and max similarity "
+    "to already-selected results, over the brute-force top-20 pool; "
+    "k rounds of per-query windows over pool-sized frames (all queries "
+    "parallel), pairwise sims bounded at POOL^2 per query. Quantized "
+    "integer dots keep scores bit-identical cross-engine.",
+    tags=("similarity", "llm", "rerank", "iterative"),
+)
+def s08_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select("vec_id", _dot6("embedding", "embedding").alias("norm6"))
+    embn = emb.join(norms, "vec_id")
+    q = embn.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm6").alias("q_norm6"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(embn.withColumnRenamed("vec_id", "neighbor_id"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "embedding",
+            "norm6",
+            (
+                _dot6("q_emb", "embedding").cast("double")
+                / F.sqrt(F.col("q_norm6").cast("double") * F.col("norm6").cast("double"))
+            ).alias("relevance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("relevance"), F.asc("neighbor_id"))
+    pool = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= S08_POOL)
+        .drop("rnk")
+        .localCheckpoint(eager=True)  # queries x POOL rows; feeds every round
+    )
+    a = pool.alias("a")
+    b = pool.alias("b")
+    psim = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.neighbor_id") != F.col("b.neighbor_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.neighbor_id").alias("ca"),
+            F.col("b.neighbor_id").alias("cb"),
+            (
+                _dot6("a.embedding", "b.embedding").cast("double")
+                / F.sqrt(F.col("a.norm6").cast("double") * F.col("b.norm6").cast("double"))
+            ).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # queries x POOL^2 rows, bounded
+    )
+    lam, one_m = F.lit(S08_LAMBDA), F.lit(round(1 - S08_LAMBDA, 10))
+    slim = pool.select("query_id", "neighbor_id", "relevance")
+    selected = (
+        slim.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+        .select("query_id", "neighbor_id", "relevance",
+                F.col("relevance").alias("mmr_score"), F.lit(1).alias("pick"))
+    )
+    for i in range(2, S08_K + 1):
+        remaining = slim.join(
+            selected.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_anti"
+        )
+        cand = (
+            remaining.join(
+                selected.select("query_id", F.col("neighbor_id").alias("cb")), "query_id"
+            )
+            .join(psim.withColumnRenamed("ca", "neighbor_id"), ["query_id", "neighbor_id", "cb"])
+            .groupBy("query_id", "neighbor_id", "relevance")
+            .agg((lam * F.col("relevance") - one_m * F.max("sim")).alias("mmr_score"))
+        )
+        wq = Window.partitionBy("query_id").orderBy(F.desc("mmr_score"), F.asc("neighbor_id"))
+        pick = (
+            cand.withColumn("rnk", F.row_number().over(wq))
+            .filter(F.col("rnk") == 1)
+            .select("query_id", "neighbor_id", "relevance", "mmr_score", F.lit(i).alias("pick"))
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=True)
+    return selected.select(
+        "query_id", F.col("pick").cast("int").alias("pick"), "neighbor_id",
+        "relevance", "mmr_score"
+    )
