@@ -991,10 +991,36 @@ class SparkTable:
                 blob["properties"]["min"] = row[f"{f.name}__min"]
                 blob["properties"]["max"] = row[f"{f.name}__max"]
             blobs.append(blob)
+        # the registered statistics-path is a REAL Puffin container
+        # (format/puffin.py, public spec): one vendor-typed blob per
+        # column carrying the stats JSON; blob metadata (type/fields/
+        # snapshot-id/ndv properties) is what stock readers parse
+        from .puffin import write_puffin
+
+        schema = self._current_schema(meta)
+        by_name = {f["name"]: f["id"] for f in schema["fields"]}
+        sdir = Path(meta["location"]) / "stats"
+        sdir.mkdir(parents=True, exist_ok=True)
+        spath = str(sdir / f"{snap['snapshot-id']}.stats.puffin")
+        size = write_puffin(
+            spath,
+            [
+                {
+                    "type": "lakekeeper-spark-column-stats-v1",
+                    "fields": [by_name.get(b["fields"][0], -1)],
+                    "snapshot-id": snap["snapshot-id"],
+                    "sequence-number": snap.get("sequence-number", 0),
+                    "payload": json.dumps(b["properties"], sort_keys=True).encode(),
+                    "properties": {"ndv": str(b["properties"].get("ndv", ""))},
+                }
+                for b in blobs
+            ],
+            file_properties={"created-by": "lakekeeper-spark analyze"},
+        )
         stats_file = {
             "snapshot-id": snap["snapshot-id"],
-            "statistics-path": f"{meta['location']}/stats/{snap['snapshot-id']}.json",
-            "file-size-in-bytes": 0,
+            "statistics-path": spath,
+            "file-size-in-bytes": size,
             "blob-metadata": blobs,
         }
         self._commit([], [{"action": "set-statistics", "statistics": stats_file}])
@@ -1016,19 +1042,39 @@ class SparkTable:
             cur[0] += e["record-count"]
             cur[1] += 1
             cur[2] += e["file-size-in-bytes"]
+        rows = [
+            {
+                "partition": k,
+                "record-count": v[0],
+                "file-count": v[1],
+                "total-size-in-bytes": v[2],
+            }
+            for k, v in sorted(per_part.items())
+        ]
+        # partition statistics files are PARQUET per the Iceberg spec
+        # ("Partition Statistics file") — write the real thing
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sdir = Path(meta["location"]) / "stats"
+        sdir.mkdir(parents=True, exist_ok=True)
+        ppath = str(sdir / f"part-{snap['snapshot-id']}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "partition": [r["partition"] for r in rows],
+                    "record_count": [r["record-count"] for r in rows],
+                    "file_count": [r["file-count"] for r in rows],
+                    "total_size_in_bytes": [r["total-size-in-bytes"] for r in rows],
+                }
+            ),
+            ppath,
+        )
         stats_file = {
             "snapshot-id": snap["snapshot-id"],
-            "statistics-path": f"{meta['location']}/stats/part-{snap['snapshot-id']}.json",
-            "file-size-in-bytes": 0,
-            "partitions": [
-                {
-                    "partition": k,
-                    "record-count": v[0],
-                    "file-count": v[1],
-                    "total-size-in-bytes": v[2],
-                }
-                for k, v in sorted(per_part.items())
-            ],
+            "statistics-path": ppath,
+            "file-size-in-bytes": Path(ppath).stat().st_size,
+            "partitions": rows,
         }
         self._commit(
             [], [{"action": "set-partition-statistics", "partition-statistics": stats_file}]
@@ -2135,6 +2181,10 @@ class SparkTable:
         referenced.update(e["metadata-file"] for e in meta.get("metadata-log", []))
         referenced.update(
             s.get("statistics-path", "") for s in meta.get("statistics", [])
+        )
+        referenced.update(
+            s.get("statistics-path", "")
+            for s in meta.get("partition-statistics", [])
         )
         for s in meta["snapshots"]:
             referenced.update(self._manifest_avro_files(s))
