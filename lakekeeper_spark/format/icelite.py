@@ -679,12 +679,23 @@ class SparkTable:
             elif with_file:
                 empty = empty.withColumn("_file", F.lit(None).cast("string"))
             return empty
-        groups: dict[int, list[dict[str, Any]]] = {}
+        # group by (write schema, commit dir): identity-partitioned writes
+        # store the partition column in the HIVE DIRECTORY NAME, not the
+        # file — reading with basePath=<commit dir> makes Spark restore it
+        # against the declared schema (per-file reads without a basePath
+        # silently yield NULL partition columns)
+        def _base(rel: str) -> str:
+            p = rel.split("/")
+            return "/".join(p[:2]) if len(p) > 2 and p[0] == "data" else "/".join(p[:-1])
+
+        groups: dict[tuple[int, str], list[dict[str, Any]]] = {}
         for e in entries:
-            groups.setdefault(e.get("schema-id", default_schema_id), []).append(e)
+            key = (e.get("schema-id", default_schema_id), _base(e["path"]))
+            groups.setdefault(key, []).append(e)
         parts = []
-        for sid, group in groups.items():
+        for (sid, base), group in groups.items():
             paths = [f"{meta['location']}/{e['path']}" for e in group]
+            base_path = f"{meta['location']}/{base}"
             wschema = next(
                 (s for s in meta["schemas"] if s["schema-id"] == sid), target_schema
             )
@@ -705,10 +716,27 @@ class SparkTable:
                 return raw
 
             if same_names:
-                # name-compatible: one scan, parquet fills missing as NULL
-                parts.append(_tag(self.spark.read.schema(tstruct).parquet(*paths)))
+                # name-compatible: one scan, parquet fills missing as NULL.
+                # basePath discovery may surface DERIVED partition dirs
+                # (bucket/truncate transform columns) that are not schema
+                # columns — project back to exactly the declared shape
+                raw = _tag(
+                    self.spark.read.schema(tstruct)
+                    .option("basePath", base_path)
+                    .parquet(*paths)
+                )
+                keep = [f.name for f in tstruct.fields]
+                if with_pos:
+                    keep += ["_file", "_pos"]
+                elif with_file:
+                    keep += ["_file"]
+                parts.append(raw.select(*keep))
                 continue
-            raw = _tag(self.spark.read.schema(schema_to_struct(wschema)).parquet(*paths))
+            raw = _tag(
+                self.spark.read.schema(schema_to_struct(wschema))
+                .option("basePath", base_path)
+                .parquet(*paths)
+            )
             cols = []
             for f, sf in zip(target_schema["fields"], tstruct.fields):
                 wname = by_id.get(f["id"])

@@ -30,6 +30,7 @@ from typing import Any
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -268,6 +269,156 @@ class IceliteStreamDataSource(DataSource):
     def streamReader(self, schema) -> IceliteStreamReader:
         return IceliteStreamReader(self.options)
 
+    def reader(self, schema) -> "IceliteBatchReader":
+        """spark.read.format("icelite") — BATCH merge-on-read scans driven
+        entirely by PlanTableScan file tasks (options additionally:
+        snapshot-id / ref / partition-filter as a JSON dict)."""
+        return IceliteBatchReader(self.options)
+
 
 def json_offset(d: dict) -> str:  # debugging helper
     return json.dumps(d, sort_keys=True)
+
+
+# ---------------------------------------------------------------- batch
+class _TaskPartition(InputPartition):
+    """One PlanTableScan file task: the data file plus exactly the delete
+    artifacts an independent reader must apply (resolved driver-side so
+    executors touch only storage)."""
+
+    def __init__(
+        self,
+        location: str,
+        task: dict,
+        write_schema: list[tuple[str, str]],
+        target_schema: list[tuple[str, str]],
+        partition_values: dict,
+        eq_cols: list[list[str]],
+    ):
+        self.location = location
+        self.task = task
+        self.write_schema = write_schema
+        self.target_schema = target_schema
+        self.partition_values = partition_values
+        self.eq_cols = eq_cols  # per equality-delete file: write-time names
+
+
+class IceliteBatchReader(DataSourceReader):
+    """Batch read path: the driver asks plan_table_scan for file scan
+    tasks (the SAME contract the REST /plan endpoint serves), executors
+    read parquet via pyarrow and anti-apply the per-task tombstones —
+    merge-on-read without any engine scan machinery on the read side.
+    Options: metastore|rest-url, warehouse, namespace, table, and
+    optionally snapshot-id / ref / partition-filter (JSON dict)."""
+
+    def __init__(self, options: dict):
+        from ..format.icelite import plan_table_scan
+
+        self.options = dict(options)
+        meta = _load_meta(options)
+        self.location = meta["location"]
+        pfilter = (
+            json.loads(options["partition-filter"])
+            if options.get("partition-filter")
+            else None
+        )
+        plan = plan_table_scan(
+            meta,
+            snapshot_id=(
+                int(options["snapshot-id"]) if options.get("snapshot-id") else None
+            ),
+            ref=options.get("ref"),
+            partition_filter=pfilter,
+        )
+        target = _schema_fields(meta)
+        by_sid = {s["schema-id"]: s for s in meta["schemas"]}
+        cur_sid = meta["current-schema-id"]
+        self.parts: list[_TaskPartition] = []
+        for task in plan["plan-tasks"]:
+            d = task["data-file"]
+            ws = by_sid.get(d.get("schema-id") or cur_sid, by_sid[cur_sid])
+            eq_cols = []
+            for eq in task["equality-delete-files"]:
+                esid = eq.get("schema-id") or cur_sid
+                eby_id = {
+                    f["id"]: f["name"] for f in by_sid.get(esid, by_sid[cur_sid])["fields"]
+                }
+                eq_cols.append([eby_id[i] for i in eq.get("equality-ids", [])])
+            self.parts.append(
+                _TaskPartition(
+                    self.location,
+                    task,
+                    [(f["name"], f["type"]) for f in ws["fields"]],
+                    target,
+                    d.get("partition", {}),
+                    eq_cols,
+                )
+            )
+
+    def partitions(self):
+        return self.parts
+
+    def read(self, partition: _TaskPartition):
+        import pyarrow.parquet as pq
+
+        task = partition.task
+        d = task["data-file"]
+        pf = pq.ParquetFile(f"{partition.location}/{d['path']}")
+        avail = set(pf.schema_arrow.names)
+        names = [n for n, _ in partition.write_schema if n in avail]
+        # positional tombstones targeting THIS file -> dead row ordinals
+        dead: set[int] = set()
+        for pd_file in task["position-delete-files"]:
+            t = pq.read_table(
+                f"{partition.location}/{pd_file['path']}",
+                columns=["file_path", "pos"],
+            )
+            for fp, pos in zip(
+                t.column("file_path").to_pylist(), t.column("pos").to_pylist()
+            ):
+                if fp == d["path"]:
+                    dead.add(pos)
+        # equality-delete key sets (write-time column names)
+        eq_sets: list[tuple[list[str], set]] = []
+        for eq, cols in zip(task["equality-delete-files"], partition.eq_cols):
+            t = pq.read_table(f"{partition.location}/{eq['path']}", columns=cols)
+            eq_sets.append(
+                (cols, set(zip(*[t.column(c).to_pylist() for c in cols])))
+            )
+        target_names = [n for n, _ in partition.target_schema]
+        pvals = partition.partition_values
+        ordinal = 0
+        for batch in pf.iter_batches(columns=names):
+            cols = {n: batch.column(i).to_pylist() for i, n in enumerate(names)}
+            for i in range(batch.num_rows):
+                pos = ordinal
+                ordinal += 1
+                if pos in dead:
+                    continue
+                row = {n: cols[n][i] for n in names}
+                if any(
+                    tuple(row.get(c) for c in ecols) in eset
+                    for ecols, eset in eq_sets
+                ):
+                    continue
+                # partition columns live in the directory name, not the
+                # file: fill them from the task's partition tuple
+                yield tuple(
+                    row[n]
+                    if n in row
+                    else _cast_partition_value(
+                        pvals.get(n), dict(partition.target_schema).get(n)
+                    )
+                    for n in target_names
+                )
+
+
+def _cast_partition_value(v, iceberg_type):
+    if v is None:
+        return None
+    t = str(iceberg_type)
+    if t in ("int", "long", "bigint"):
+        return int(v)
+    if t in ("double", "float"):
+        return float(v)
+    return v

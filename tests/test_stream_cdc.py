@@ -81,3 +81,71 @@ def test_change_feed_rejects_mor_tombstones(spark, feed):
     collected: dict[int, list] = {}
     with pytest.raises(Exception, match="merge-on-read|change-feed"):
         _drain(spark, mpath, collected)
+
+
+def test_batch_read_format_icelite_applies_mor_artifacts(spark, tmp_path):
+    """spark.read.format('icelite'): the batch read path executes
+    PlanTableScan tasks — plain pyarrow parquet reads with per-task
+    positional + sequence-gated equality tombstones — and must equal the
+    engine's own MOR scan, including partition-column fill, time travel
+    and server-side partition pruning."""
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+    from lakekeeper_spark.format.icelite import SparkTable
+    from lakekeeper_spark.format.types import struct_to_schema
+
+    cat = Catalog(Metastore(str(tmp_path / "m.db")))
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["b"])
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(60)], "k long, p long, v double"
+    )
+    cat.create_table(
+        "wh",
+        ["b"],
+        "t",
+        struct_to_schema(df.schema),
+        partition_spec={
+            "spec-id": 0,
+            "fields": [{"name": "p", "source-name": "p", "field-id": 1000}],
+        },
+    )
+    t = SparkTable(spark, cat, "wh", ["b"], "t")
+    t.append(df)
+    first_snap = t.metadata()["current-snapshot-id"]
+    t.delete_where("k < 8", mode="equality", equality_cols=["k"])
+    t.append(df.filter("k < 4"))  # reborn: newer than the equality delete
+    t.delete_where("k >= 50", mode="merge-on-read")
+
+    spark.dataSource.register(IceliteStreamDataSource)
+    opts = {
+        "metastore": str(tmp_path / "m.db"),
+        "warehouse": "wh",
+        "namespace": "b",
+        "table": "t",
+    }
+    got = spark.read.format("icelite").options(**opts).load()
+    want = t.scan()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # partition columns came from the task's partition tuple, typed
+    assert dict(got.dtypes)["p"] == "bigint"
+    # time travel to the first snapshot
+    tt = (
+        spark.read.format("icelite")
+        .options(**opts)
+        .option("snapshot-id", str(first_snap))
+        .load()
+    )
+    assert tt.count() == 60
+    # server-side partition pruning
+    import json as _json
+
+    p1 = (
+        spark.read.format("icelite")
+        .options(**opts)
+        .option("partition-filter", _json.dumps({"p": 1}))
+        .load()
+    )
+    assert sorted(r.k for r in p1.collect()) == sorted(
+        r.k for r in want.filter("p = 1").collect()
+    )
