@@ -2194,3 +2194,83 @@ def e17_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stages[1:]:
         out = out.unionByName(s)
     return out.orderBy("stage")
+
+
+# --------------------------------------------------------------------------
+# e18: time-bucket anomaly detection (z-score over hourly totals)
+# --------------------------------------------------------------------------
+# The monitoring loop's detector: hourly value totals, each bucket scored
+# against the full series mean/std, flag |z| > threshold. Exactness
+# discipline: totals are fixed-point integers (QUANT=1000 keeps the
+# squared sums inside int64); mean/variance/std/z are then a FIXED
+# sequence of IEEE ops (div, mul, sub, sqrt — all correctly rounded) on
+# identical integers, so the doubles hash-match cross-engine (ln/exp
+# stay banned per the h05 lesson; sqrt is fine).
+# Plan: one bucket-keyed two-phase aggregate, one 3-scalar global
+# aggregate broadcast back — no window, no second scan of events.
+E18_Q = 1000  # fixed-point scale for value totals
+E18_Z = 2.0  # anomaly threshold
+
+
+@register(
+    "e18_anomaly_zscore",
+    oracle=f"""
+WITH b AS (
+  SELECT epoch_ns(ts) // {NANOS_PER_HOUR} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(ROUND(value * {E18_Q}) AS BIGINT)) AS BIGINT) AS total_fp
+  FROM events GROUP BY epoch_ns(ts) // {NANOS_PER_HOUR}
+),
+g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+         CAST(SUM(total_fp) AS BIGINT) AS s,
+         CAST(SUM(total_fp * total_fp) AS BIGINT) AS s2
+  FROM b
+)
+SELECT b.bucket, b.n_events, b.total_fp,
+       (CAST(b.total_fp AS DOUBLE) - CAST(g.s AS DOUBLE) / CAST(g.nb AS DOUBLE))
+         / sqrt(CAST(g.s2 AS DOUBLE) / CAST(g.nb AS DOUBLE)
+                - (CAST(g.s AS DOUBLE) / CAST(g.nb AS DOUBLE))
+                  * (CAST(g.s AS DOUBLE) / CAST(g.nb AS DOUBLE))) AS z,
+       ABS((CAST(b.total_fp AS DOUBLE) - CAST(g.s AS DOUBLE) / CAST(g.nb AS DOUBLE))
+         / sqrt(CAST(g.s2 AS DOUBLE) / CAST(g.nb AS DOUBLE)
+                - (CAST(g.s AS DOUBLE) / CAST(g.nb AS DOUBLE))
+                  * (CAST(g.s AS DOUBLE) / CAST(g.nb AS DOUBLE)))) > {E18_Z}
+         AS is_anomaly
+FROM b, g
+""",
+    description="Hourly-total anomaly detection: fixed-point bucket "
+    "totals z-scored against the series mean/std (population variance "
+    "from exact integer sums; div/mul/sub/sqrt are correctly-rounded "
+    "IEEE so the doubles hash-match). One bucket aggregate + one "
+    "3-scalar global aggregate broadcast back; no window, one scan.",
+    tags=("events", "anomaly", "monitoring"),
+)
+def e18_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..data import load_events
+
+    ev = load_events(spark, sf_dir)
+    b = (
+        ev.groupBy(F.expr(f"ts_ns div {NANOS_PER_HOUR}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * E18_Q).cast("long"))
+            .cast("long")
+            .alias("total_fp"),
+        )
+    )
+    g = b.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("total_fp").cast("long").alias("s"),
+        F.sum(F.col("total_fp") * F.col("total_fp")).cast("long").alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("nb").cast("double")
+    var = F.col("s2").cast("double") / F.col("nb").cast("double") - mean * mean
+    z = (F.col("total_fp").cast("double") - mean) / F.sqrt(var)
+    return b.crossJoin(F.broadcast(g)).select(
+        "bucket",
+        "n_events",
+        "total_fp",
+        z.alias("z"),
+        (F.abs(z) > E18_Z).alias("is_anomaly"),
+    )
