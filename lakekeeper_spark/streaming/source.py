@@ -26,13 +26,16 @@ snapshot id, so a restarted query resumes from the last snapshot it saw.
 from __future__ import annotations
 
 import json
+import os
 from typing import Any
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -275,6 +278,12 @@ class IceliteStreamDataSource(DataSource):
         snapshot-id / ref / partition-filter as a JSON dict)."""
         return IceliteBatchReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "IceliteBatchWriter":
+        """df.write.format("icelite") — the two-phase distributed commit
+        protocol (executors write files + return manifest entries, the
+        driver runs the optimistic-concurrency commit loop)."""
+        return IceliteBatchWriter(self.options, schema, overwrite)
+
 
 def json_offset(d: dict) -> str:  # debugging helper
     return json.dumps(d, sort_keys=True)
@@ -422,3 +431,174 @@ def _cast_partition_value(v, iceberg_type):
     if t in ("double", "float"):
         return float(v)
     return v
+
+
+# ---------------------------------------------------------------- write
+class _WriteMessage(WriterCommitMessage):
+    """Serializable per-task result: the manifest entries for the data
+    files this task wrote (Iceberg's DataFile messages in its two-phase
+    Spark write protocol)."""
+
+    def __init__(self, entries: list[dict]):
+        self.entries = entries
+
+
+class IceliteBatchWriter(DataSourceArrowWriter):
+    """df.write.format("icelite") — Iceberg's two-phase distributed
+    write protocol on the Python DataSource API:
+
+      phase 1 (executors): each task streams its Arrow batches to
+        parquet files under data/<commit-uuid>/ (identity-partitioned
+        tables get hive-style dirs), and returns the files' manifest
+        entries (path/size/count/bounds/partition) as its commit
+        message — data-sized work never touches the driver;
+      phase 2 (driver): commit() assembles the snapshot from the
+        collected entries and runs the optimistic-concurrency commit
+        loop against the catalog (CAS on the branch head, rebase +
+        retry on conflict — appends never conflict logically); abort()
+        removes the orphaned files.
+
+    The writer validates the incoming schema against the table's
+    CURRENT schema by name+type (callers cast first; silent coercion
+    would corrupt the field-id mapping)."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        from ..format.types import is_legacy_schema, spark_ddl_of
+
+        self.options = dict(options)
+        self.overwrite = overwrite
+        meta = _load_meta(options)
+        self.location = meta["location"]
+        self.commit_id = __import__("uuid").uuid4().hex
+        sid = meta["current-schema-id"]
+        cur = next(s for s in meta["schemas"] if s["schema-id"] == sid)
+        leg = is_legacy_schema(cur)
+        want = {f["name"]: spark_ddl_of(f["type"], legacy=leg) for f in cur["fields"]}
+        got = {f.name: f.dataType.simpleString() for f in schema.fields}
+        if want != got:
+            raise ValueError(
+                f"schema mismatch: table has {want}, dataframe has {got}; "
+                "cast/select to the table schema before writing"
+            )
+        # identity partition fields whose name IS a schema column: these
+        # go to hive directory names, not file contents
+        spec = next(
+            (s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]),
+            {"fields": []},
+        )
+        self.part_cols = [
+            f.get("name") or f.get("source-name")
+            for f in spec.get("fields", [])
+            if f.get("transform", "identity") == "identity"
+            and (f.get("name") or f.get("source-name")) in want
+        ]
+        if any(
+            f.get("transform", "identity") != "identity"
+            for f in spec.get("fields", [])
+        ):
+            raise ValueError(
+                "DataSource writes support identity partitioning only; "
+                "use SparkTable.append for transform-partitioned tables"
+            )
+
+    def write(self, iterator) -> _WriteMessage:
+        import os
+        import uuid as _uuid
+        from urllib.parse import quote
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..format.icelite import _file_bounds
+
+        batches = list(iterator)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return _WriteMessage([])
+        table = pa.Table.from_batches(batches)
+        groups: list[tuple[dict, pa.Table]] = []
+        if self.part_cols:
+            import pyarrow.compute as pc
+
+            keys = [table.column(c).to_pylist() for c in self.part_cols]
+            distinct = sorted(set(zip(*keys)))
+            for vals in distinct:
+                mask = None
+                for c, v in zip(self.part_cols, vals):
+                    m = pc.equal(table.column(c), pa.scalar(v))
+                    mask = m if mask is None else pc.and_(mask, m)
+                sub = table.filter(mask).drop_columns(self.part_cols)
+                groups.append((dict(zip(self.part_cols, vals)), sub))
+        else:
+            groups.append(({}, table))
+        entries = []
+        for pvals, sub in groups:
+            segs = [f"{k}={quote(str(v), safe='')}" for k, v in pvals.items()]
+            d = os.path.join(self.location, "data", self.commit_id, *segs)
+            os.makedirs(d, exist_ok=True)
+            fpath = os.path.join(d, f"task-{_uuid.uuid4().hex[:12]}.parquet")
+            pq.write_table(sub, fpath)
+            md = pq.ParquetFile(fpath).metadata
+            entries.append(
+                {
+                    "path": os.path.relpath(fpath, self.location),
+                    "file-size-in-bytes": os.path.getsize(fpath),
+                    "record-count": md.num_rows,
+                    "partition": {k: str(v) for k, v in pvals.items()},
+                    "bounds": _file_bounds(md),
+                }
+            )
+        return _WriteMessage(entries)
+
+    def _table(self):
+        from ..format.icelite import SparkTable
+
+        levels = self.options["namespace"].split(".")
+        if self.options.get("rest-url"):
+            from ..rest.client import RestCatalogClient
+
+            cat = RestCatalogClient(self.options["rest-url"])
+        else:
+            from ..catalog.catalog import Catalog
+            from ..catalog.metastore import Metastore
+
+            cat = Catalog(Metastore(self.options["metastore"]))
+        # metadata-only handle: the commit path never touches .spark
+        return SparkTable(None, cat, self.options["warehouse"], levels, self.options["table"])
+
+    def commit(self, messages) -> None:
+        from ..catalog.catalog import CommitFailedException
+        from ..format.icelite import _next_seq
+
+        new_entries = [e for m in messages if m is not None for e in m.entries]
+        t = self._table()
+        last_err = None
+        for _ in range(4):  # optimistic-concurrency retry, like append()
+            meta = t.metadata()
+            for e in new_entries:
+                e["schema-id"] = meta["current-schema-id"]
+                e["sequence-number"] = _next_seq(meta)
+            if self.overwrite:
+                manifest = list(new_entries)
+                op = "overwrite"
+            else:
+                parent = (
+                    t._resolve_snapshot(meta, ref="main")
+                    if meta["refs"].get("main")
+                    else None
+                )
+                manifest = (parent["manifest"] if parent else []) + new_entries
+                op = "append"
+            try:
+                t._commit_snapshot(meta, manifest, op)
+                return
+            except CommitFailedException as e:  # lost the CAS: rebase
+                last_err = e
+        raise last_err
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.location, "data", self.commit_id), ignore_errors=True
+        )
+

@@ -149,3 +149,69 @@ def test_batch_read_format_icelite_applies_mor_artifacts(spark, tmp_path):
     assert sorted(r.k for r in p1.collect()) == sorted(
         r.k for r in want.filter("p = 1").collect()
     )
+
+
+def test_batch_write_format_icelite_two_phase_commit(spark, tmp_path):
+    """df.write.format('icelite'): executors write parquet + manifest
+    entries, the driver commits through the catalog (Iceberg's two-phase
+    write). Appends, identity-partitioned hive layout, overwrite mode,
+    schema validation — and the written table reads back identically
+    through BOTH the engine scan and the DataSource batch reader."""
+    import pytest as _pytest
+
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+    from lakekeeper_spark.format.icelite import SparkTable
+    from lakekeeper_spark.format.types import struct_to_schema
+
+    cat = Catalog(Metastore(str(tmp_path / "m.db")))
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["w"])
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(40)], "k long, p long, v double"
+    )
+    cat.create_table(
+        "wh",
+        ["w"],
+        "t",
+        struct_to_schema(df.schema),
+        partition_spec={
+            "spec-id": 0,
+            "fields": [{"name": "p", "source-name": "p", "field-id": 1000}],
+        },
+    )
+    spark.dataSource.register(IceliteStreamDataSource)
+    opts = {
+        "metastore": str(tmp_path / "m.db"),
+        "warehouse": "wh",
+        "namespace": "w",
+        "table": "t",
+    }
+    df.write.format("icelite").options(**opts).mode("append").save()
+    df.filter("k < 10").write.format("icelite").options(**opts).mode("append").save()
+
+    t = SparkTable(spark, cat, "wh", ["w"], "t")
+    want = sorted(map(tuple, df.collect())) + sorted(
+        map(tuple, df.filter("k < 10").collect())
+    )
+    assert sorted(map(tuple, t.scan().collect())) == sorted(want)
+    # hive partition layout + per-entry partition values in the manifest
+    meta = t.metadata()
+    snap = meta["snapshots"][-1]
+    assert all(e["partition"].get("p") in {"0", "1", "2"} for e in snap["manifest"])
+    assert meta["snapshots"][-1]["summary"]["operation"] == "append"
+    # reads back through the DataSource reader too
+    got = spark.read.format("icelite").options(**opts).load()
+    assert sorted(map(tuple, got.collect())) == sorted(want)
+
+    # overwrite replaces the table contents in one snapshot
+    df.filter("k >= 35").write.format("icelite").options(**opts).mode(
+        "overwrite"
+    ).save()
+    assert sorted(r.k for r in t.scan().collect()) == [35, 36, 37, 38, 39]
+    assert t.metadata()["snapshots"][-1]["summary"]["operation"] == "overwrite"
+
+    # schema mismatch is rejected loudly (no silent coercion)
+    bad = spark.createDataFrame([(1, 2, 3)], "k int, p int, v int")
+    with _pytest.raises(Exception, match="schema mismatch"):
+        bad.write.format("icelite").options(**opts).mode("append").save()
