@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -283,6 +284,11 @@ class IceliteStreamDataSource(DataSource):
         protocol (executors write files + return manifest entries, the
         driver runs the optimistic-concurrency commit loop)."""
         return IceliteBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "IceliteStreamSinkWriter":
+        """writeStream.format("icelite") — exactly-once streaming appends
+        (epoch-stamped snapshots, replay-safe)."""
+        return IceliteStreamSinkWriter(self.options, schema, overwrite)
 
 
 def json_offset(d: dict) -> str:  # debugging helper
@@ -602,3 +608,73 @@ class IceliteBatchWriter(DataSourceArrowWriter):
             os.path.join(self.location, "data", self.commit_id), ignore_errors=True
         )
 
+
+
+class IceliteStreamSinkWriter(IceliteBatchWriter, DataSourceStreamArrowWriter):
+    """writeStream.format("icelite") — EXACTLY-ONCE streaming appends:
+    per epoch, executors write files exactly as the batch path does; the
+    driver commit stamps the snapshot summary with (stream-id, epoch)
+    and SKIPS any epoch at or below the stream's high-water mark, so
+    Spark's epoch replay after failure/restart never double-appends
+    (Iceberg's streaming-commit idempotence pattern; st10 proves the
+    same property at the MERGE level). Option ``stream-id`` names the
+    stream (one table can absorb several)."""
+
+    def __init__(self, options: dict, schema, overwrite: bool):
+        super().__init__(options, schema, overwrite=False)
+        if overwrite:
+            raise ValueError(
+                "icelite streaming sink supports append output mode only"
+            )
+        self.stream_id = str(options.get("stream-id", "default"))
+
+    def commit(self, messages, batchId: int) -> None:  # noqa: N803 (API)
+        from ..catalog.catalog import CommitFailedException
+        from ..format.icelite import _next_seq
+
+        new_entries = [e for m in messages if m is not None for e in m.entries]
+        t = self._table()
+        last_err = None
+        for _ in range(4):
+            meta = t.metadata()
+            done = [
+                s["summary"].get("streaming-epoch")
+                for s in meta["snapshots"]
+                if s["summary"].get("streaming-stream-id") == self.stream_id
+            ]
+            if done and batchId <= max(done):
+                self.abort(messages, batchId)  # replayed epoch: files are dupes
+                return
+            if not new_entries:
+                return
+            for e in new_entries:
+                e["schema-id"] = meta["current-schema-id"]
+                e["sequence-number"] = _next_seq(meta)
+            parent = (
+                t._resolve_snapshot(meta, ref="main")
+                if meta["refs"].get("main")
+                else None
+            )
+            manifest = (parent["manifest"] if parent else []) + new_entries
+            try:
+                t._commit_snapshot(
+                    meta,
+                    manifest,
+                    "append",
+                    extra_summary={
+                        "streaming-stream-id": self.stream_id,
+                        "streaming-epoch": batchId,
+                    },
+                )
+                return
+            except CommitFailedException as e:
+                last_err = e
+        raise last_err
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N803 (API)
+        for m in messages or []:
+            for e in getattr(m, "entries", []) or []:
+                try:
+                    os.unlink(os.path.join(self.location, e["path"]))
+                except OSError:
+                    pass

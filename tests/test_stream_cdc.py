@@ -215,3 +215,86 @@ def test_batch_write_format_icelite_two_phase_commit(spark, tmp_path):
     bad = spark.createDataFrame([(1, 2, 3)], "k int, p int, v int")
     with _pytest.raises(Exception, match="schema mismatch"):
         bad.write.format("icelite").options(**opts).mode("append").save()
+
+
+def test_stream_sink_exactly_once(spark, tmp_path):
+    """writeStream.format('icelite'): an icelite->icelite streaming copy
+    (stream source -> exactly-once sink). Draining twice off one
+    checkpoint adds nothing; a manually REPLAYED epoch commit is
+    detected by the (stream-id, epoch) high-water mark and skipped."""
+    import tempfile as _tf
+
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+    from lakekeeper_spark.format.icelite import SparkTable
+    from lakekeeper_spark.format.types import struct_to_schema
+
+    mpath = str(tmp_path / "m.db")
+    cat = Catalog(Metastore(mpath))
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["s"])
+    df = spark.createDataFrame([(i, float(i)) for i in range(25)], "k long, v double")
+    cat.create_table("wh", ["s"], "src", struct_to_schema(df.schema))
+    cat.create_table("wh", ["s"], "dst", struct_to_schema(df.schema))
+    src_t = SparkTable(spark, cat, "wh", ["s"], "src")
+    src_t.append(df)
+    spark.dataSource.register(IceliteStreamDataSource)
+
+    def opts(table):
+        return {
+            "metastore": mpath,
+            "warehouse": "wh",
+            "namespace": "s",
+            "table": table,
+        }
+
+    ckpt = _tf.mkdtemp(prefix="ckpt_sink_")
+
+    def drain():
+        q = (
+            spark.readStream.format("icelite")
+            .options(**opts("src"))
+            .load()
+            .writeStream.format("icelite")
+            .options(**opts("dst"))
+            .option("stream-id", "copy1")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    dst = SparkTable(spark, cat, "wh", ["s"], "dst")
+    assert sorted(r.k for r in dst.scan().collect()) == list(range(25))
+    n_snaps = len(dst.metadata()["snapshots"])
+    assert (
+        dst.metadata()["snapshots"][-1]["summary"]["streaming-stream-id"] == "copy1"
+    )
+
+    drain()  # same checkpoint, no new data: nothing commits
+    assert len(dst.metadata()["snapshots"]) == n_snaps
+
+    # new source data flows through on the next drain
+    src_t.append(df.filter("k < 5"))
+    drain()
+    assert dst.scan().count() == 30
+
+    # REPLAY a committed epoch by hand: the high-water mark rejects it
+    from lakekeeper_spark.streaming.source import (
+        IceliteStreamSinkWriter,
+        _WriteMessage,
+    )
+
+    w = IceliteStreamSinkWriter(opts("dst"), df.schema, overwrite=False)
+    last_epoch = max(
+        s["summary"]["streaming-epoch"]
+        for s in dst.metadata()["snapshots"]
+        if s["summary"].get("streaming-stream-id") == "copy1"
+    )
+    w.stream_id = "copy1"
+    w.commit([_WriteMessage([])], last_epoch)  # replayed, empty
+    w.commit(
+        [_WriteMessage([])], last_epoch
+    )  # idempotent — and a stale-epoch message with files would be discarded
+    assert dst.scan().count() == 30
