@@ -1272,3 +1272,111 @@ def st14_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run_to_memory(deduped, "append")
+
+
+# --------------------------------------------------------------------------
+# st15: native streaming SINK — icelite -> icelite via
+# writeStream.format("icelite"), exactly-once epoch commits
+# --------------------------------------------------------------------------
+# st10 proves the lakehouse loop at the foreachBatch+MERGE level; st15 is
+# the NATIVE sink: the stream writes straight into an icelite table
+# through the DataSource write protocol (executors write files + return
+# manifest entries, the driver commits epoch-stamped snapshots; replayed
+# epochs are skipped by the (stream-id, epoch) high-water mark). Drained
+# TWICE off one checkpoint with an append in between — the second drain
+# moves only the delta, and the final table equals the source exactly.
+@register(
+    "st15_stream_native_sink",
+    oracle="""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= 1000
+),
+landed AS (
+  SELECT l_orderkey, l_linenumber, l_quantity FROM src
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, l_quantity FROM src WHERE l_quantity < 10
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_fp
+FROM landed GROUP BY l_orderkey, l_linenumber
+""",
+    description="Native streaming sink: icelite stream source piped into "
+    "writeStream.format('icelite') - exactly-once epoch-stamped commits, "
+    "checkpointed resume moves only the delta; the landed table equals "
+    "the source history exactly.",
+    tags=("streaming", "catalog", "icelite", "sink", "exactly-once"),
+)
+def st15_stream_native_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..data import load_table
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+    from .source import IceliteStreamDataSource
+
+    ensure_runtime_confs(spark)
+    try:
+        spark.dataSource.register(IceliteStreamDataSource)
+    except Exception:
+        pass
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_sink_")
+    mpath = f"{tmp}/metastore.db"
+    cat = Catalog(Metastore(mpath))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["stream"])
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+        .localCheckpoint(eager=True)
+    )
+    cat.create_table("wh", ["stream"], "src", struct_to_schema(src.schema))
+    cat.create_table("wh", ["stream"], "dst", struct_to_schema(src.schema))
+    src_t = SparkTable(spark, cat, "wh", ["stream"], "src")
+    src_t.append(src)
+
+    def opts(table):
+        return {
+            "metastore": mpath,
+            "warehouse": "wh",
+            "namespace": "stream",
+            "table": table,
+        }
+
+    ckpt = tempfile.mkdtemp(prefix="lkspark_sink_ckpt_")
+
+    def drain():
+        q = (
+            spark.readStream.format("icelite")
+            .options(**opts("src"))
+            .load()
+            .writeStream.format("icelite")
+            .options(**opts("dst"))
+            .option("stream-id", "st15")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    src_t.append(src.filter("l_quantity < 10"))  # delta for the resume
+    drain()
+    dst = SparkTable(spark, cat, "wh", ["stream"], "dst")
+    return (
+        dst.scan()
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+            .cast("long")
+            .alias("qty_fp"),
+        )
+    )
