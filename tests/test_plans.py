@@ -534,3 +534,34 @@ def test_c13_plan_is_metadata_only():
     (task,) = plan["plan-tasks"]
     assert task["position-delete-files"] and task["equality-delete-files"]
     assert plan_table_scan(meta, partition_filter={"p": "9"})["plan-tasks"] == []
+
+
+def test_e18_two_bounded_aggregates_no_window(spark):
+    """Anomaly scoring: a bucket aggregate plus a 3-scalar global
+    aggregate broadcast back — no window, no shuffle join."""
+    from lakekeeper_spark.queries.events import e18_anomaly_zscore
+
+    plan = _plan(e18_anomaly_zscore(spark, SF_DIR))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row global stats ride a broadcast
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_v03_no_join_no_window(spark):
+    """Drift buckets: the midpoint is a driver scalar (2 values), so the
+    histogram pass carries NO join at all and no window."""
+    from lakekeeper_spark.queries.validation import v03_drift_buckets
+
+    plan = _plan(v03_drift_buckets(spark, SF_DIR))
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_m09_window_is_video_partitioned(spark):
+    """Scene-change cuts: the LAG window must be partitioned by doc_id —
+    a global window would serialize every frame of the corpus."""
+    from lakekeeper_spark.queries.multimodal import m09_scene_changes
+
+    plan = _plan(m09_scene_changes(spark, SF_DIR))
+    assert "Window" in plan
+    assert "windowspecdefinition(doc_id" in plan
