@@ -763,3 +763,38 @@ def test_plan_table_scan_over_http(rest, spark):
         not task["position-delete-files"] and not task["equality-delete-files"]
         for task in p3["plan-tasks"]
     )
+
+
+def test_datasource_read_write_over_rest(rest, spark):
+    """The stock-engine topology end-to-end over HTTP: df.write.format(
+    'icelite') commits THROUGH the REST catalog (two-phase write, CAS on
+    the server), spark.read.format('icelite') plans through the same
+    facade — executors touch only storage, every metadata operation is
+    an HTTP call."""
+    from lakekeeper_spark.format.types import struct_to_schema
+    from lakekeeper_spark.streaming.source import IceliteStreamDataSource
+
+    rest.create_namespace("wh", ["ds"])
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "k long, v double"
+    )
+    rest.create_table("wh", ["ds"], "t", struct_to_schema(df.schema))
+    try:
+        spark.dataSource.register(IceliteStreamDataSource)
+    except Exception:
+        pass
+    opts = {
+        "rest-url": rest.base_url,
+        "warehouse": "wh",
+        "namespace": "ds",
+        "table": "t",
+    }
+    df.write.format("icelite").options(**opts).mode("append").save()
+    df.filter("k < 5").write.format("icelite").options(**opts).mode("append").save()
+    got = spark.read.format("icelite").options(**opts).load()
+    assert sorted(r.k for r in got.collect()) == sorted(
+        list(range(30)) + list(range(5))
+    )
+    meta, _ = rest.load_table("wh", ["ds"], "t")
+    assert len(meta["snapshots"]) == 2
+    assert meta["snapshots"][-1]["summary"]["operation"] == "append"
