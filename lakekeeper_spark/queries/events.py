@@ -2274,3 +2274,99 @@ def e18_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > E18_Z).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# a04: point-in-time dimension join (feature-store correctness)
+# --------------------------------------------------------------------------
+# The training-data integrity primitive: enrich each probe event with the
+# dimension value THAT WAS TRUE AT ITS TIMESTAMP (no future leakage) —
+# the SCD2 twin of an as-of join, what feature stores call a
+# point-in-time join. Dimension = w11's tier change stream (purchase
+# events); probes = view events.
+#
+# Plan: the scale-correct union trick (a01's): dimension CHANGES and
+# probes union into one stream, ONE user_id exchange, one ordered
+# window doing last-non-null carry-forward (updates sort before probes
+# at equal timestamps so "change.t <= probe.t" holds exactly). No range
+# self-join, no per-probe subquery; state is one row per user in flight.
+@register(
+    "a04_pit_dimension_join",
+    oracle="""
+WITH src AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id,
+         CASE WHEN value >= 66 THEN 'gold'
+              WHEN value >= 33 THEN 'silver' ELSE 'bronze' END AS tier
+  FROM events WHERE event_type = 'purchase'
+),
+changes AS (
+  SELECT * FROM (
+    SELECT user_id, t, event_id, tier,
+           LAG(tier) OVER (PARTITION BY user_id ORDER BY t, event_id)
+             AS prev_tier
+    FROM src
+  ) WHERE prev_tier IS NULL OR tier != prev_tier
+),
+v AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'view'
+)
+SELECT v.user_id, v.event_id, v.t AS ts_us,
+       COALESCE(
+         (SELECT c.tier FROM changes c
+          WHERE c.user_id = v.user_id AND c.t <= v.t
+          ORDER BY c.t DESC, c.event_id DESC LIMIT 1),
+         'none') AS tier
+FROM v
+""",
+    description="Point-in-time dimension join (feature-store "
+    "correctness): each view event enriched with the SCD2 tier that was "
+    "valid AT ITS TIMESTAMP - no future leakage. Union of dimension "
+    "changes and probes, one user_id exchange, one ordered window with "
+    "last-non-null carry; never a range self-join or per-probe lookup.",
+    tags=("events", "asof", "scd", "feature-store", "llm"),
+)
+def a04_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..data import load_events
+
+    ev = load_events(spark, sf_dir)
+    tier = (
+        F.when(F.col("value") >= 66, "gold")
+        .when(F.col("value") >= 33, "silver")
+        .otherwise("bronze")
+    )
+    src = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("t"),
+        "event_id",
+        tier.alias("tier"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    changes = (
+        src.withColumn("prev_tier", F.lag("tier").over(w))
+        .filter(F.col("prev_tier").isNull() | (F.col("tier") != F.col("prev_tier")))
+        .select("user_id", "t", "event_id", "tier", F.lit(0).alias("kind"))
+    )
+    probes = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("t"),
+        "event_id",
+        F.lit(None).cast("string").alias("tier"),
+        F.lit(1).alias("kind"),
+    )
+    unioned = changes.unionByName(probes)
+    # updates (kind 0) sort BEFORE probes at equal t: change.t <= probe.t
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "cur_tier", F.last("tier", ignorenulls=True).over(wc)
+    )
+    return carried.filter(F.col("kind") == 1).select(
+        "user_id",
+        "event_id",
+        F.col("t").alias("ts_us"),
+        F.coalesce(F.col("cur_tier"), F.lit("none")).alias("tier"),
+    )

@@ -565,3 +565,14 @@ def test_m09_window_is_video_partitioned(spark):
     plan = _plan(m09_scene_changes(spark, SF_DIR))
     assert "Window" in plan
     assert "windowspecdefinition(doc_id" in plan
+
+
+def test_a04_pit_join_is_union_window_no_join(spark):
+    """Point-in-time enrichment must be the union+window form — a per-
+    probe lookup or range self-join would be quadratic in busy users."""
+    from lakekeeper_spark.queries.events import a04_pit_dimension_join
+
+    plan = _plan(a04_pit_dimension_join(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "windowspecdefinition(user_id" in plan
