@@ -1156,3 +1156,101 @@ def d13_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("label")).alias("keep"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# d14: INCREMENTAL dedup — new docs against the existing corpus
+# --------------------------------------------------------------------------
+# The nightly-pipeline form: the base corpus is already deduplicated;
+# each INCOMING batch is screened against it. Candidate pairs are
+# restricted to incoming x base — base x base (and the intra-batch
+# work, which is d13 run on the batch alone) is never generated, so an
+# increment costs O(batch), not O(corpus): the property that makes
+# continuous corpus construction affordable at 100 TB. Decisions emit
+# one row per incoming doc: keep, or drop with the smallest blocking
+# base doc. Machinery = d13's md5-LSH + integer-array exact verify.
+D14_INCOMING_MOD = 4  # doc_id % 4 == 3 -> incoming batch
+
+
+@register(
+    "d14_incremental_dedup",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+{_SQL_D11_PAIRS},
+doc_sh AS (
+  SELECT doc_id, array_agg(DISTINCT {_D11_H48}) AS shs FROM sh GROUP BY doc_id
+),
+touching AS (  -- exactly one side incoming: incoming x base only
+  SELECT CASE WHEN doc_a % {D14_INCOMING_MOD} = 3 THEN doc_a ELSE doc_b END AS inc,
+         CASE WHEN doc_a % {D14_INCOMING_MOD} = 3 THEN doc_b ELSE doc_a END AS base
+  FROM pairs
+  WHERE (doc_a % {D14_INCOMING_MOD} = 3) != (doc_b % {D14_INCOMING_MOD} = 3)
+),
+edges AS (
+  SELECT t.inc, t.base
+  FROM touching t
+  JOIN doc_sh x ON x.doc_id = t.inc
+  JOIN doc_sh y ON y.doc_id = t.base
+  WHERE {D13_T_DEN} * len(list_intersect(x.shs, y.shs))
+        >= {D13_T_NUM} * (len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs)))
+),
+blocked AS (
+  SELECT inc AS doc_id, MIN(base) AS blocked_by FROM edges GROUP BY inc
+)
+SELECT d.doc_id,
+       b.doc_id IS NULL AS keep,
+       CAST(b.blocked_by AS BIGINT) AS blocked_by
+FROM documents d LEFT JOIN blocked b ON b.doc_id = d.doc_id
+WHERE d.doc_id % {D14_INCOMING_MOD} = 3
+""",
+    description="Incremental dedup (continuous corpus construction): "
+    "only incoming x base candidate pairs are generated - base x base "
+    "is never touched, so each increment costs O(batch) not O(corpus); "
+    "incoming docs near-duplicating any base doc (exact Jaccard among "
+    "md5-LSH candidates) drop with their smallest blocker, one decision "
+    "row per incoming doc. Intra-batch dedup is d13 run on the batch.",
+    tags=("dedup", "llm", "lsh", "incremental", "pipeline"),
+)
+def d14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(docs).localCheckpoint(eager=True)
+    pairs = _md5_lsh_pairs(sh)
+    is_inc_a = F.col("doc_a") % D14_INCOMING_MOD == 3
+    is_inc_b = F.col("doc_b") % D14_INCOMING_MOD == 3
+    touching = pairs.filter(is_inc_a != is_inc_b).select(
+        F.when(is_inc_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("inc"),
+        F.when(is_inc_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("base"),
+    )
+    h48 = F.expr("conv(substr(md5(shingle), 1, 12), 16, 10)").cast("bigint")
+    doc_sh = (
+        sh.select("doc_id", h48.alias("h"))
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.collect_list("h")).alias("shs"))
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    blocked = (
+        touching.join(
+            doc_sh.select(F.col("doc_id").alias("inc"), F.col("shs").alias("sha")),
+            "inc",
+        )
+        .join(
+            doc_sh.select(F.col("doc_id").alias("base"), F.col("shs").alias("shb")),
+            "base",
+        )
+        .filter(
+            F.lit(D13_T_DEN) * inter
+            >= F.lit(D13_T_NUM) * (F.size("sha") + F.size("shb") - inter)
+        )
+        .groupBy(F.col("inc").alias("doc_id"))
+        .agg(F.min("base").alias("blocked_by"))
+    )
+    return (
+        docs.filter(F.col("doc_id") % D14_INCOMING_MOD == 3)
+        .select("doc_id")
+        .join(blocked, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("blocked_by").isNull().alias("keep"),
+            F.col("blocked_by").cast("long").alias("blocked_by"),
+        )
+    )

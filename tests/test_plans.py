@@ -576,3 +576,13 @@ def test_a04_pit_join_is_union_window_no_join(spark):
     assert "Join" not in plan
     assert "Window" in plan
     assert "windowspecdefinition(user_id" in plan
+
+
+def test_d14_generates_no_base_x_base_work(spark):
+    """Incremental dedup: no cartesian/BNL anywhere, and the candidate
+    filter runs BEFORE the expensive array join (the O(batch) property)."""
+    from lakekeeper_spark.queries.dedup import d14_incremental_dedup
+
+    plan = _plan(d14_incremental_dedup(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
