@@ -44,14 +44,23 @@ class _FilePartition(InputPartition):
     def __init__(
         self,
         path: str,
-        write_schema: list[tuple[str, str]],
-        target_schema: list[tuple[str, str]],
+        fid_to_wname: dict[int, str],
+        target_fields: list[tuple[int, str]],
+        arrow_schema,
+        partition_values: dict | None = None,
+        partition_types: dict | None = None,
         change_type: str | None = None,
         commit_id: int | None = None,
     ):
         self.path = path
-        self.write_schema = write_schema
-        self.target_schema = target_schema
+        # field-id -> write-time column name for THIS file's write schema:
+        # the reader projects by field id (Iceberg read semantics), so
+        # RENAME COLUMN reaches old files and added columns read as NULL
+        self.fid_to_wname = fid_to_wname
+        self.target_fields = target_fields  # [(field-id, target name)]
+        self.arrow_schema = arrow_schema  # pa.Schema incl. CDC tail, or None
+        self.partition_values = partition_values or {}
+        self.partition_types = partition_types or {}
         # change-feed mode only: every row of this file becomes one
         # 'insert' or 'delete' event of commit `commit_id`
         self.change_type = change_type
@@ -83,6 +92,67 @@ def _schema_fields(meta: dict[str, Any], schema_id: int | None = None) -> list[t
     return [(f["name"], f["type"]) for f in schema["fields"]]
 
 
+def _schema_doc(meta: dict[str, Any], schema_id: int | None = None) -> dict[str, Any]:
+    sid = meta["current-schema-id"] if schema_id is None else schema_id
+    return next(
+        (s for s in meta["schemas"] if s["schema-id"] == sid),
+        next(s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]),
+    )
+
+
+def _fid_map(schema_doc: dict[str, Any]) -> dict[int, str]:
+    """field-id -> name for a schema document; legacy docs without ids
+    fall back to positional ids (stable within one table's history)."""
+    out: dict[int, str] = {}
+    for i, f in enumerate(schema_doc.get("fields", [])):
+        out[f.get("id", i + 1)] = f["name"]
+    return out
+
+
+def _arrow_schema_of(schema_doc: dict[str, Any], cdc: bool = False):
+    """pa.Schema matching the DataSource's declared Spark schema — built
+    on the DRIVER and shipped inside each partition so executors emit
+    `pyarrow.RecordBatch`es Spark ingests without a Python row loop.
+    Returns None for types Arrow can't carry (variant); the reader then
+    falls back to row tuples for that table only."""
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from ..format.types import schema_to_struct
+
+        struct = schema_to_struct(schema_doc)
+        sch = to_arrow_schema(struct)
+        if cdc:
+            sch = sch.append(pa.field("_change_type", pa.string())).append(
+                pa.field("_commit_snapshot_id", pa.int64())
+            )
+        return sch
+    except Exception:
+        return None
+
+
+def _partition_scalar(v, pa_type):
+    """Manifest partition values are strings (hive dir segments); coerce
+    to the python value Arrow expects for the declared column type —
+    int/float plus the date/boolean cases the writer accepts."""
+    if v is None:
+        return None
+    import pyarrow.types as pt
+
+    if pt.is_integer(pa_type):
+        return int(v)
+    if pt.is_floating(pa_type):
+        return float(v)
+    if pt.is_date(pa_type):
+        import datetime
+
+        return v if isinstance(v, datetime.date) else datetime.date.fromisoformat(str(v))
+    if pt.is_boolean(pa_type):
+        return v if isinstance(v, bool) else str(v).lower() == "true"
+    return str(v)
+
+
 class IceliteStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.options = dict(options)
@@ -109,7 +179,17 @@ class IceliteStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         meta = _load_meta(self.options)
         lo, hi = start["snapshot-id"], end["snapshot-id"]
-        target = _schema_fields(meta)
+        target_doc = _schema_doc(meta)
+        target = [
+            (f.get("id", i + 1), f["name"])
+            for i, f in enumerate(target_doc["fields"])
+        ]
+        self._aschema = _arrow_schema_of(target_doc, cdc=self.change_feed)
+        self._ptypes = {
+            f["name"]: f["type"]
+            for f in target_doc["fields"]
+            if isinstance(f["type"], str)
+        }
         by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
         parts: list[_FilePartition] = []
         # walk main-lineage snapshots in (lo, hi]
@@ -161,15 +241,24 @@ class IceliteStreamReader(DataSourceStreamReader):
                 for e in snap["manifest"]:
                     if e.get("content", "data") != "data" or e["path"] in before:
                         continue
-                    parts.append(
-                        _FilePartition(
-                            f"{meta['location']}/{e['path']}",
-                            _schema_fields(meta, e.get("schema-id")),
-                            target,
-                        )
-                    )
+                    parts.append(self._file_part(meta, e, target))
         # Spark requires >=1 partition per batch; empty path reads nothing
-        return parts or [_FilePartition("", [], target)]
+        return parts or [_FilePartition("", {}, target, self._aschema)]
+
+    def _file_part(
+        self, meta, entry, target, change_type=None, commit_id=None
+    ) -> _FilePartition:
+        wdoc = _schema_doc(meta, entry.get("schema-id"))
+        return _FilePartition(
+            f"{meta['location']}/{entry['path']}",
+            _fid_map(wdoc),
+            target,
+            self._aschema,
+            partition_values=entry.get("partition", {}),
+            partition_types=self._ptypes,
+            change_type=change_type,
+            commit_id=commit_id,
+        )
 
     def _plan_change_feed(self, meta, lineage, by_id, target, parts) -> None:
         """CDC planning: per lineage commit, added data files emit their
@@ -200,24 +289,12 @@ class IceliteStreamReader(DataSourceStreamReader):
             for e in snap["manifest"]:
                 if e["path"] not in p_paths:
                     parts.append(
-                        _FilePartition(
-                            f"{meta['location']}/{e['path']}",
-                            _schema_fields(meta, e.get("schema-id")),
-                            target,
-                            change_type="insert",
-                            commit_id=sid,
-                        )
+                        self._file_part(meta, e, target, "insert", sid)
                     )
             for e in p_manifest:
                 if e["path"] not in s_paths:
                     parts.append(
-                        _FilePartition(
-                            f"{meta['location']}/{e['path']}",
-                            _schema_fields(meta, e.get("schema-id")),
-                            target,
-                            change_type="delete",
-                            commit_id=sid,
-                        )
+                        self._file_part(meta, e, target, "delete", sid)
                     )
 
     def commit(self, end: dict) -> None:
@@ -225,25 +302,91 @@ class IceliteStreamReader(DataSourceStreamReader):
 
     # ---- executor-side reading -----------------------------------------
     def read(self, partition):
+        """Arrow-batched executor read: yields `pyarrow.RecordBatch`es
+        (Spark 4 Python DataSource fast path — no per-row Python loop).
+        Columns resolve by FIELD ID against the file's write schema, so
+        renamed columns still read and later-added columns are NULL;
+        identity-partition columns fill from the manifest's partition
+        tuple (they live in the directory name, not the file)."""
         if not getattr(partition, "path", ""):
             return
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        names = [n for n, _ in partition.write_schema]
-        target_names = [n for n, _ in partition.target_schema]
         pf = pq.ParquetFile(partition.path)
-        avail = [n for n in names if n in pf.schema_arrow.names]
+        avail = set(pf.schema_arrow.names)
+        fid_to_w = partition.fid_to_wname
+        tgt = partition.target_fields
+        aschema = partition.arrow_schema
         change = getattr(partition, "change_type", None)
-        cdc_tail = (change, getattr(partition, "commit_id", None)) if change else ()
-        for batch in pf.iter_batches(columns=avail):
-            cols = {n: batch.column(n).to_pylist() for n in avail}
-            for i in range(batch.num_rows):
-                # field-position mapping by NAME within the write schema;
-                # columns missing from the file (added later) read as None
-                yield (
-                    tuple(cols[n][i] if n in cols else None for n in target_names)
-                    + cdc_tail
+        if aschema is None:  # arrow-unexpressible schema: row fallback
+            yield from _row_fallback(
+                pf, partition, avail,
+                (change, partition.commit_id) if change else (),
+            )
+            return
+        need = sorted(
+            {
+                fid_to_w[fid]
+                for fid, _ in tgt
+                if fid in fid_to_w and fid_to_w[fid] in avail
+            }
+        )
+        for batch in pf.iter_batches(columns=need):
+            n = batch.num_rows
+            got = dict(zip(batch.schema.names, batch.columns))
+            arrays = []
+            for (fid, name), ftype in zip(tgt, aschema.types):
+                arrays.append(
+                    _project_column(
+                        got.get(fid_to_w.get(fid)), ftype, n,
+                        partition.partition_values.get(name),
+                    )
                 )
+            if change:
+                arrays.append(pa.array([change] * n, type=pa.string()))
+                arrays.append(
+                    pa.array([partition.commit_id] * n, type=pa.int64())
+                )
+            yield pa.RecordBatch.from_arrays(arrays, schema=aschema)
+
+
+def _project_column(arr, pa_type, n: int, pvalue=None):
+    """One output column of a batch: the file's column cast to the
+    declared type; absent columns are the manifest partition value
+    (constant) or NULL — vectorized, no row loop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if arr is not None:
+        return arr if arr.type == pa_type else pc.cast(arr, pa_type)
+    if pvalue is not None:
+        return pa.array([_partition_scalar(pvalue, pa_type)] * n, type=pa_type)
+    return pa.nulls(n, pa_type)
+
+
+def _row_fallback(pf, partition, avail, cdc_tail):
+    """Row-tuple fallback for schemas Arrow can't carry (variant)."""
+    fid_to_w = partition.fid_to_wname
+    tgt = partition.target_fields
+    for batch in pf.iter_batches():
+        cols = {
+            n: batch.column(i).to_pylist()
+            for i, n in enumerate(batch.schema.names)
+        }
+        for i in range(batch.num_rows):
+            yield (
+                tuple(
+                    cols[fid_to_w[fid]][i]
+                    if fid in fid_to_w and fid_to_w[fid] in cols
+                    else _cast_partition_value(
+                        partition.partition_values.get(name),
+                        partition.partition_types.get(name),
+                    )
+                    for fid, name in tgt
+                )
+                + cdc_tail
+            )
 
 
 class IceliteStreamDataSource(DataSource):
@@ -305,17 +448,27 @@ class _TaskPartition(InputPartition):
         self,
         location: str,
         task: dict,
-        write_schema: list[tuple[str, str]],
-        target_schema: list[tuple[str, str]],
+        fid_to_wname: dict[int, str],
+        target_fields: list[tuple[int, str]],
+        arrow_schema,
         partition_values: dict,
-        eq_cols: list[list[str]],
+        partition_types: dict,
+        eq_read: list[list[tuple[str, int]]],
     ):
         self.location = location
         self.task = task
-        self.write_schema = write_schema
-        self.target_schema = target_schema
+        # data file's write schema as field-id -> write-time name: data
+        # columns AND equality-delete comparison columns resolve by id,
+        # so renames never resurrect deleted rows
+        self.fid_to_wname = fid_to_wname
+        self.target_fields = target_fields  # [(field-id, target name)]
+        self.arrow_schema = arrow_schema
         self.partition_values = partition_values
-        self.eq_cols = eq_cols  # per equality-delete file: write-time names
+        self.partition_types = partition_types
+        # per equality-delete file: [(column name IN THE DELETE FILE,
+        # field id)] — the name reads the tombstone, the id finds the
+        # matching data column
+        self.eq_read = eq_read
 
 
 class IceliteBatchReader(DataSourceReader):
@@ -345,28 +498,42 @@ class IceliteBatchReader(DataSourceReader):
             ref=options.get("ref"),
             partition_filter=pfilter,
         )
-        target = _schema_fields(meta)
+        target_doc = _schema_doc(meta)
+        target = [
+            (f.get("id", i + 1), f["name"])
+            for i, f in enumerate(target_doc["fields"])
+        ]
+        aschema = _arrow_schema_of(target_doc)
+        ptypes = {
+            f["name"]: f["type"]
+            for f in target_doc["fields"]
+            if isinstance(f["type"], str)
+        }
         by_sid = {s["schema-id"]: s for s in meta["schemas"]}
         cur_sid = meta["current-schema-id"]
         self.parts: list[_TaskPartition] = []
         for task in plan["plan-tasks"]:
             d = task["data-file"]
-            ws = by_sid.get(d.get("schema-id") or cur_sid, by_sid[cur_sid])
-            eq_cols = []
+            dsid = d.get("schema-id")
+            ws = by_sid.get(cur_sid if dsid is None else dsid, by_sid[cur_sid])
+            eq_read = []
             for eq in task["equality-delete-files"]:
-                esid = eq.get("schema-id") or cur_sid
-                eby_id = {
-                    f["id"]: f["name"] for f in by_sid.get(esid, by_sid[cur_sid])["fields"]
-                }
-                eq_cols.append([eby_id[i] for i in eq.get("equality-ids", [])])
+                esid = eq.get("schema-id")
+                esid = cur_sid if esid is None else esid
+                eby_id = _fid_map(by_sid.get(esid, by_sid[cur_sid]))
+                eq_read.append(
+                    [(eby_id[i], i) for i in eq.get("equality-ids", [])]
+                )
             self.parts.append(
                 _TaskPartition(
                     self.location,
                     task,
-                    [(f["name"], f["type"]) for f in ws["fields"]],
+                    _fid_map(ws),
                     target,
+                    aschema,
                     d.get("partition", {}),
-                    eq_cols,
+                    ptypes,
+                    eq_read,
                 )
             )
 
@@ -374,58 +541,162 @@ class IceliteBatchReader(DataSourceReader):
         return self.parts
 
     def read(self, partition: _TaskPartition):
+        """Arrow-batched MOR scan: yields `pyarrow.RecordBatch`es. Position
+        deletes apply as a boolean mask over the batch's row-ordinal range;
+        equality deletes as vectorized set membership (`pc.is_in`), with
+        comparison columns resolved by FIELD ID against the data file's
+        write schema — renames never resurrect deleted rows."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         task = partition.task
         d = task["data-file"]
         pf = pq.ParquetFile(f"{partition.location}/{d['path']}")
         avail = set(pf.schema_arrow.names)
-        names = [n for n, _ in partition.write_schema if n in avail]
-        # positional tombstones targeting THIS file -> dead row ordinals
-        dead: set[int] = set()
+        fid_to_w = partition.fid_to_wname
+        tgt = partition.target_fields
+        aschema = partition.arrow_schema
+        # positional tombstones targeting THIS file -> sorted dead ordinals
+        dead_parts = []
         for pd_file in task["position-delete-files"]:
             t = pq.read_table(
                 f"{partition.location}/{pd_file['path']}",
                 columns=["file_path", "pos"],
             )
-            for fp, pos in zip(
-                t.column("file_path").to_pylist(), t.column("pos").to_pylist()
-            ):
-                if fp == d["path"]:
-                    dead.add(pos)
-        # equality-delete key sets (write-time column names)
-        eq_sets: list[tuple[list[str], set]] = []
-        for eq, cols in zip(task["equality-delete-files"], partition.eq_cols):
-            t = pq.read_table(f"{partition.location}/{eq['path']}", columns=cols)
-            eq_sets.append(
-                (cols, set(zip(*[t.column(c).to_pylist() for c in cols])))
+            t = t.filter(pc.equal(t.column("file_path"), pa.scalar(d["path"])))
+            dead_parts.append(
+                t.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
             )
-        target_names = [n for n, _ in partition.target_schema]
-        pvals = partition.partition_values
+        dead = (
+            np.unique(np.concatenate(dead_parts))
+            if dead_parts
+            else np.empty(0, np.int64)
+        )
+        # equality tombstones: the delete FILE reads by its own write-time
+        # names; the DATA-side comparison columns resolve by field id
+        eq_specs: list[tuple[list[str | None], set]] = []
+        extra: set[str] = set()
+        for eq, cols_fids in zip(task["equality-delete-files"], partition.eq_read):
+            names = [c for c, _ in cols_fids]
+            t = pq.read_table(f"{partition.location}/{eq['path']}", columns=names)
+            keys = (
+                set(zip(*[t.column(c).to_pylist() for c in names]))
+                if names
+                else set()
+            )
+            data_cols = []
+            for _, fid in cols_fids:
+                w = fid_to_w.get(fid)
+                data_cols.append(w if (w and w in avail) else None)
+            eq_specs.append((data_cols, keys))
+            extra.update(c for c in data_cols if c)
+        need = sorted(
+            {
+                fid_to_w[fid]
+                for fid, _ in tgt
+                if fid in fid_to_w and fid_to_w[fid] in avail
+            }
+            | extra
+        )
+        if aschema is None:  # arrow-unexpressible schema: row fallback
+            yield from _batch_row_fallback(pf, partition, need, dead, eq_specs)
+            return
         ordinal = 0
-        for batch in pf.iter_batches(columns=names):
-            cols = {n: batch.column(i).to_pylist() for i, n in enumerate(names)}
-            for i in range(batch.num_rows):
-                pos = ordinal
-                ordinal += 1
-                if pos in dead:
-                    continue
-                row = {n: cols[n][i] for n in names}
-                if any(
-                    tuple(row.get(c) for c in ecols) in eset
-                    for ecols, eset in eq_sets
-                ):
-                    continue
-                # partition columns live in the directory name, not the
-                # file: fill them from the task's partition tuple
-                yield tuple(
-                    row[n]
-                    if n in row
-                    else _cast_partition_value(
-                        pvals.get(n), dict(partition.target_schema).get(n)
+        for batch in pf.iter_batches(columns=need):
+            n = batch.num_rows
+            got = dict(zip(batch.schema.names, batch.columns))
+            mask = np.ones(n, dtype=bool)
+            if dead.size:
+                lo, hi = np.searchsorted(dead, (ordinal, ordinal + n))
+                mask[dead[lo:hi] - ordinal] = False
+            for data_cols, keys in eq_specs:
+                if keys:
+                    mask &= ~_eq_hit(got, data_cols, keys, n)
+            ordinal += n
+            sel = None if mask.all() else np.flatnonzero(mask)
+            m = n if sel is None else len(sel)
+            if m == 0:
+                continue
+            arrays = []
+            for (fid, name), ftype in zip(tgt, aschema.types):
+                arr = got.get(fid_to_w.get(fid))
+                if arr is not None and sel is not None:
+                    arr = arr.take(pa.array(sel))
+                arrays.append(
+                    _project_column(
+                        arr, ftype, m, partition.partition_values.get(name)
                     )
-                    for n in target_names
                 )
+            yield pa.RecordBatch.from_arrays(arrays, schema=aschema)
+
+
+def _eq_hit(got, data_cols, keys, n):
+    """Boolean numpy mask of rows matched by one equality-delete file's
+    key set. Single-column keys (the common case) run entirely in Arrow
+    (`pc.is_in`); multi-column keys fall back to a python set probe over
+    just the key columns. Null key values match null data values
+    (Iceberg equality-delete semantics)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    live = [i for i, c in enumerate(data_cols) if c is not None]
+    absent = [i for i in range(len(data_cols)) if data_cols[i] is None]
+    # a key can only match if its value is NULL in every column the data
+    # file lacks (those data values are all NULL)
+    keys = {k for k in keys if all(k[i] is None for i in absent)}
+    if not keys:
+        return np.zeros(n, dtype=bool)
+    if not live:
+        return np.ones(n, dtype=bool)
+    if len(live) == 1:
+        i = live[0]
+        arr = got[data_cols[i]]
+        vals = [k[i] for k in keys]
+        non_null = [v for v in vals if v is not None]
+        hit = np.zeros(n, dtype=bool)
+        if non_null:
+            isin = pc.is_in(arr, value_set=pa.array(non_null, type=arr.type))
+            hit |= isin.fill_null(False).to_numpy(zero_copy_only=False)
+        if len(non_null) != len(vals):
+            hit |= pc.is_null(arr).to_numpy(zero_copy_only=False)
+        return hit
+    cols = [got[data_cols[i]].to_pylist() for i in live]
+    proj = {tuple(k[i] for i in live) for k in keys}
+    return np.fromiter((t in proj for t in zip(*cols)), dtype=bool, count=n)
+
+
+def _batch_row_fallback(pf, partition, need, dead, eq_specs):
+    """Row-tuple MOR fallback for schemas Arrow can't carry (variant)."""
+    fid_to_w = partition.fid_to_wname
+    deadset = set(dead.tolist())
+    ordinal = 0
+    for batch in pf.iter_batches(columns=need):
+        cols = dict(
+            zip(batch.schema.names, (c.to_pylist() for c in batch.columns))
+        )
+        for i in range(batch.num_rows):
+            pos = ordinal
+            ordinal += 1
+            if pos in deadset:
+                continue
+            if any(
+                tuple(cols[c][i] if c else None for c in data_cols) in keys
+                for data_cols, keys in eq_specs
+                if keys
+            ):
+                continue
+            yield tuple(
+                cols[fid_to_w[fid]][i]
+                if fid in fid_to_w and fid_to_w[fid] in cols
+                else _cast_partition_value(
+                    partition.partition_values.get(name),
+                    partition.partition_types.get(name),
+                )
+                for fid, name in partition.target_fields
+            )
 
 
 def _cast_partition_value(v, iceberg_type):
@@ -436,6 +707,12 @@ def _cast_partition_value(v, iceberg_type):
         return int(v)
     if t in ("double", "float"):
         return float(v)
+    if t == "date":
+        import datetime
+
+        return v if isinstance(v, datetime.date) else datetime.date.fromisoformat(str(v))
+    if t == "boolean":
+        return v if isinstance(v, bool) else str(v).lower() == "true"
     return v
 
 

@@ -151,6 +151,135 @@ def test_batch_read_format_icelite_applies_mor_artifacts(spark, tmp_path):
     )
 
 
+def test_batch_reader_emits_arrow_batches(spark, tmp_path):
+    """The DataSource read path is VECTORIZED: read() yields
+    pyarrow.RecordBatch (Spark 4's Arrow fast path), not row tuples —
+    the scan-path contract external engines hit at scale."""
+    import pyarrow as pa
+
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+    from lakekeeper_spark.format.icelite import SparkTable
+    from lakekeeper_spark.format.types import struct_to_schema
+    from lakekeeper_spark.streaming.source import (
+        IceliteBatchReader,
+        IceliteStreamReader,
+    )
+
+    cat = Catalog(Metastore(str(tmp_path / "m.db")))
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["n"])
+    df = spark.createDataFrame(
+        [(i, float(i), f"d{i}") for i in range(50)], "k long, v double, s string"
+    )
+    cat.create_table("wh", ["n"], "t", struct_to_schema(df.schema))
+    t = SparkTable(spark, cat, "wh", ["n"], "t")
+    t.append(df)
+    t.delete_where("k < 7", mode="merge-on-read")  # MOR: mask path exercised
+    opts = {
+        "metastore": str(tmp_path / "m.db"),
+        "warehouse": "wh",
+        "namespace": "n",
+        "table": "t",
+    }
+    r = IceliteBatchReader(opts)
+    out = [b for p in r.partitions() for b in r.read(p)]
+    assert out and all(isinstance(b, pa.RecordBatch) for b in out)
+    assert sum(b.num_rows for b in out) == 43
+    ks = sorted(
+        k for b in out for k in b.column(0).to_pylist()
+    )
+    assert ks == list(range(7, 50))
+    # the streaming reader emits batches too
+    sr = IceliteStreamReader({**opts, "skip-delete-snapshots": "true"})
+    parts = sr.partitions({"snapshot-id": 0}, sr.latestOffset())
+    sout = [b for p in parts for b in sr.read(p)]
+    assert sout and all(isinstance(b, pa.RecordBatch) for b in sout)
+    assert sum(b.num_rows for b in sout) == 50
+
+
+def test_batch_read_field_ids_survive_rename(spark, tmp_path):
+    """Field-id projection on the DataSource path: after RENAME COLUMN,
+    old files' columns still read (not NULL), and an equality delete
+    written under the OLD name keeps deleting — rows never resurrect."""
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+    from lakekeeper_spark.format.icelite import SparkTable
+    from lakekeeper_spark.format.types import struct_to_schema
+
+    cat = Catalog(Metastore(str(tmp_path / "m.db")))
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["n"])
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(30)], "k long, v double"
+    )
+    cat.create_table("wh", ["n"], "t", struct_to_schema(df.schema))
+    t = SparkTable(spark, cat, "wh", ["n"], "t")
+    t.append(df)
+    t.delete_where("k < 10", mode="equality", equality_cols=["k"])
+    t.rename_column("k", "key")
+    t.rename_column("v", "val")
+    spark.dataSource.register(IceliteStreamDataSource)
+    opts = {
+        "metastore": str(tmp_path / "m.db"),
+        "warehouse": "wh",
+        "namespace": "n",
+        "table": "t",
+    }
+    got = spark.read.format("icelite").options(**opts).load()
+    assert got.columns == ["key", "val"]
+    want = t.scan()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # renamed columns carry VALUES from pre-rename files, and the
+    # pre-rename equality delete still applies
+    assert sorted(r.key for r in got.collect()) == list(range(10, 30))
+    assert got.filter("val is null").count() == 0
+
+
+def test_batch_read_date_partition_values(spark, tmp_path):
+    """date identity-partition values come back typed (date32), not
+    strings, through the DataSource batch reader."""
+    import datetime
+
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+    from lakekeeper_spark.format.icelite import SparkTable
+    from lakekeeper_spark.format.types import struct_to_schema
+
+    cat = Catalog(Metastore(str(tmp_path / "m.db")))
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["n"])
+    df = spark.createDataFrame(
+        [
+            (i, datetime.date(2024, 1, 1 + (i % 3)), float(i))
+            for i in range(12)
+        ],
+        "k long, d date, v double",
+    )
+    cat.create_table(
+        "wh",
+        ["n"],
+        "t",
+        struct_to_schema(df.schema),
+        partition_spec={
+            "spec-id": 0,
+            "fields": [{"name": "d", "source-name": "d", "field-id": 1000}],
+        },
+    )
+    t = SparkTable(spark, cat, "wh", ["n"], "t")
+    t.append(df)
+    spark.dataSource.register(IceliteStreamDataSource)
+    opts = {
+        "metastore": str(tmp_path / "m.db"),
+        "warehouse": "wh",
+        "namespace": "n",
+        "table": "t",
+    }
+    got = spark.read.format("icelite").options(**opts).load()
+    assert dict(got.dtypes)["d"] == "date"
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+
+
 def test_batch_write_format_icelite_two_phase_commit(spark, tmp_path):
     """df.write.format('icelite'): executors write parquet + manifest
     entries, the driver commits through the catalog (Iceberg's two-phase
