@@ -925,14 +925,13 @@ def _md5_minhash_sigs(sh: DataFrame) -> DataFrame:
     )
 
 
-def _md5_lsh_pairs(sh: DataFrame, hashed: DataFrame | None = None) -> DataFrame:
-    """Distinct (doc_a, doc_b) LSH candidate pairs from a (doc_id,
-    shingle) frame using the md5-shared permutation family — the Spark
-    twin of _SQL_D11_PAIRS. Narrow hashing, one (doc, band) aggregate,
-    one band-bucket equi-join; no all-pairs stage."""
+def _md5_bands(sh: DataFrame, hashed: DataFrame | None = None) -> DataFrame:
+    """(doc_id, band, band_key): the 4 LSH band keys per doc on the
+    md5-shared family — the bucket frame both the full self-join (d11)
+    and the filtered incremental join (d14) build on."""
     if hashed is None:
         hashed = _md5_minhash_sigs(sh)
-    bands = (
+    return (
         hashed.withColumn("band", F.expr(f"p div {D11_BANDS}"))
         .groupBy("doc_id", "band")
         .agg(
@@ -945,6 +944,14 @@ def _md5_lsh_pairs(sh: DataFrame, hashed: DataFrame | None = None) -> DataFrame:
             ).alias("band_key")
         )
     )
+
+
+def _md5_lsh_pairs(sh: DataFrame, hashed: DataFrame | None = None) -> DataFrame:
+    """Distinct (doc_a, doc_b) LSH candidate pairs from a (doc_id,
+    shingle) frame using the md5-shared permutation family — the Spark
+    twin of _SQL_D11_PAIRS. Narrow hashing, one (doc, band) aggregate,
+    one band-bucket equi-join; no all-pairs stage."""
+    bands = _md5_bands(sh, hashed)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -1214,12 +1221,23 @@ WHERE d.doc_id % {D14_INCOMING_MOD} = 3
 def d14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = _shingles(docs).localCheckpoint(eager=True)
-    pairs = _md5_lsh_pairs(sh)
-    is_inc_a = F.col("doc_a") % D14_INCOMING_MOD == 3
-    is_inc_b = F.col("doc_b") % D14_INCOMING_MOD == 3
-    touching = pairs.filter(is_inc_a != is_inc_b).select(
-        F.when(is_inc_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("inc"),
-        F.when(is_inc_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("base"),
+    # split the band frame BEFORE the bucket join: the join's inputs are
+    # inc_bands x base_bands, so base x base candidate pairs are never
+    # enumerated — candidate generation itself is O(batch x bucket), the
+    # property the operator exists for (not a post-filter on a full
+    # self-join, which would still materialize the corpus's pair graph)
+    bands = _md5_bands(sh)
+    is_inc = F.col("doc_id") % D14_INCOMING_MOD == 3
+    inc_bands = bands.filter(is_inc).alias("a")
+    base_bands = bands.filter(~is_inc).alias("b")
+    touching = (
+        inc_bands.join(
+            base_bands,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(F.col("a.doc_id").alias("inc"), F.col("b.doc_id").alias("base"))
+        .distinct()
     )
     h48 = F.expr("conv(substr(md5(shingle), 1, 12), 16, 10)").cast("bigint")
     doc_sh = (

@@ -579,10 +579,17 @@ def test_a04_pit_join_is_union_window_no_join(spark):
 
 
 def test_d14_generates_no_base_x_base_work(spark):
-    """Incremental dedup: no cartesian/BNL anywhere, and the candidate
-    filter runs BEFORE the expensive array join (the O(batch) property)."""
+    """Incremental dedup: no cartesian/BNL anywhere, and BOTH inputs of
+    the band-bucket join are pre-filtered (incoming on one side, base on
+    the other) — base x base pairs are never enumerated, the O(batch)
+    property."""
     from lakekeeper_spark.queries.dedup import d14_incremental_dedup
 
     plan = _plan(d14_incremental_dedup(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the split happens BEFORE the join: the incoming-side filter
+    # (doc_id % 4 = 3) and its negation both appear as Filter nodes
+    assert "% 4) = 3" in plan
+    assert plan.count("% 4) = 3") >= 2  # positive + NOT(...) on base side
+    assert "NOT" in plan
