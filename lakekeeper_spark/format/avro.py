@@ -160,16 +160,28 @@ def _encode(buf: io.BytesIO, schema: Any, value: Any, types: _Types) -> None:
 
 
 def _union_branch(union: list, value: Any, types: _Types) -> int:
-    """Pick the union branch for a Python value (null first, then by
-    shape) — enough for the nullable unions manifests use."""
+    """Pick the union branch for a Python value. Only nullable unions
+    (null + exactly one non-null branch) are supported — the shape every
+    manifest schema uses; an ambiguous multi-branch non-null union would
+    otherwise silently encode against the wrong branch, so it raises."""
+    non_null = []
+    null_idx = None
     for i, s in enumerate(union):
         s = types.resolve(s)
         t = s if isinstance(s, str) else s["type"]
-        if value is None and t == "null":
-            return i
-        if value is not None and t != "null":
-            return i
-    raise ValueError(f"no union branch for {value!r} in {union!r}")
+        if t == "null":
+            null_idx = i
+        else:
+            non_null.append(i)
+    if len(non_null) != 1:
+        raise ValueError(
+            f"ambiguous union (need exactly one non-null branch): {union!r}"
+        )
+    if value is None:
+        if null_idx is None:
+            raise ValueError(f"no null branch for None in {union!r}")
+        return null_idx
+    return non_null[0]
 
 
 def _decode(buf: io.BufferedReader, schema: Any, types: _Types) -> Any:

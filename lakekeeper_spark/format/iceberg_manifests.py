@@ -258,6 +258,7 @@ def _entry_record(
     snapshot: dict[str, Any],
     schema: dict[str, Any],
     ptypes: dict[str, str],
+    seq_to_sid: dict[int, int] | None = None,
 ) -> dict[str, Any]:
     by_name = {f["name"]: (f["id"], f["type"]) for f in schema.get("fields", [])}
     lowers, uppers = [], []
@@ -272,13 +273,19 @@ def _entry_record(
     seq = e.get("sequence-number", snapshot["sequence-number"])
     return {
         "status": 1 if seq == snapshot["sequence-number"] else 0,  # added | existing
-        "snapshot_id": snapshot["snapshot-id"],
+        # existing (carried-forward) entries keep the snapshot that ADDED
+        # them (resolved via their commit sequence number) — incremental/
+        # CDC readers attribute files by this field
+        "snapshot_id": (seq_to_sid or {}).get(seq, snapshot["snapshot-id"]),
         "sequence_number": seq,
         "file_sequence_number": seq,
         "data_file": {
             "content": _CONTENT_OF.get(e.get("content"), 0),
             "file_path": e["path"],
-            "file_format": "PARQUET",
+            # v3 deletion vectors live in Puffin containers, not parquet
+            "file_format": (
+                "PUFFIN" if e.get("content") == "deletion-vectors" else "PARQUET"
+            ),
             "partition": _typed_partition(e.get("partition") or {}, ptypes),
             "record_count": e.get("record-count", 0),
             "file_size_in_bytes": e.get("file-size-in-bytes", 0),
@@ -311,6 +318,10 @@ def write_snapshot_manifests(
     pfields, ptypes = _partition_avro_fields(spec, schema)
     entry_schema = manifest_entry_schema(pfields)
     sid = snapshot["snapshot-id"]
+    seq_to_sid = {
+        s.get("sequence-number", 0): s["snapshot-id"]
+        for s in meta.get("snapshots", [])
+    }
 
     groups: dict[int, list[dict[str, Any]]] = {}
     for e in snapshot.get("manifest", []):
@@ -320,7 +331,9 @@ def write_snapshot_manifests(
     mf_rows = []
     for content, entries in sorted(groups.items()):
         mpath = os.path.join(out_dir, f"m{content}-{sid}-{len(entries)}.avro")
-        records = [_entry_record(e, snapshot, schema, ptypes) for e in entries]
+        records = [
+            _entry_record(e, snapshot, schema, ptypes, seq_to_sid) for e in entries
+        ]
         write_ocf(
             mpath,
             entry_schema,
@@ -398,7 +411,15 @@ def mirrors_inline(snapshot: dict[str, Any]) -> bool:
             e.get("sequence-number"),
             content,
             tuple(e.get("equality-ids") or []),
-            tuple(sorted((k, str(v)) for k, v in (e.get("partition") or {}).items())),
+            # NULL partition values are dropped on BOTH sides (decoded
+            # entries keep only non-None values)
+            tuple(
+                sorted(
+                    (k, str(v))
+                    for k, v in (e.get("partition") or {}).items()
+                    if v is not None
+                )
+            ),
         )
 
     try:

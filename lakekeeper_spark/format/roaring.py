@@ -1,0 +1,154 @@
+"""Clean-room portable Roaring bitmap serialization (32- and 64-bit).
+
+Written from the PUBLIC RoaringFormatSpec (github.com/RoaringBitmap/
+RoaringFormatSpec) so Iceberg v3 deletion vectors can be encoded without
+a roaring library in the sandbox. The rules, restated for offline audit:
+
+32-bit stream ("standard" portable format, little-endian throughout):
+  - cookie u32. Two forms:
+      12346 (SERIAL_COOKIE_NO_RUNCONTAINER): followed by u32 container
+        count `n`; offsets section is ALWAYS present.
+      12347 (SERIAL_COOKIE, low 16 bits): high 16 bits hold `n - 1`;
+        followed by ceil(n/8) bytes of run-container flag bits (LSB
+        first); offsets present only when n >= 4 (NO_OFFSET_THRESHOLD).
+  - descriptive headers: n pairs of <u16 key><u16 cardinality-1>.
+  - offsets (when present): n * u32, byte position of each container
+    from the START of the 32-bit stream.
+  - containers, in key order:
+      array (cardinality <= 4096, not run): sorted u16 values;
+      bitmap (cardinality > 4096): 8192 bytes = 1024 u64 words;
+      run: <u16 n_runs> then n_runs pairs <u16 start><u16 length-1>.
+
+64-bit portable format (what Iceberg's deletion-vector-v1 carries):
+  - u64 count of 32-bit buckets, then for each bucket in increasing
+    key order: <u32 high-32-bits key><32-bit stream as above>.
+
+The writer emits the no-run-container form only (run encoding is an
+optional optimization); the reader accepts both forms.
+"""
+
+from __future__ import annotations
+
+import struct
+
+SERIAL_COOKIE_NO_RUNCONTAINER = 12346
+SERIAL_COOKIE = 12347
+NO_OFFSET_THRESHOLD = 4
+_ARRAY_MAX = 4096
+
+
+def serialize_32(values: list[int]) -> bytes:
+    """Portable 32-bit roaring stream for a sorted-or-not iterable of
+    uint32 values (deduplicated here)."""
+    buckets: dict[int, list[int]] = {}
+    for v in set(values):
+        if not 0 <= v < (1 << 32):
+            raise ValueError(f"uint32 out of range: {v}")
+        buckets.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(buckets)
+    n = len(keys)
+    header = struct.pack("<II", SERIAL_COOKIE_NO_RUNCONTAINER, n)
+    desc = b"".join(
+        struct.pack("<HH", k, len(buckets[k]) - 1) for k in keys
+    )
+    # container payloads first, to compute offsets
+    payloads = []
+    for k in keys:
+        lows = sorted(buckets[k])
+        if len(lows) <= _ARRAY_MAX:
+            payloads.append(struct.pack(f"<{len(lows)}H", *lows))
+        else:
+            words = [0] * 1024
+            for low in lows:
+                words[low >> 6] |= 1 << (low & 63)
+            payloads.append(struct.pack("<1024Q", *words))
+    offsets_base = len(header) + len(desc) + 4 * n
+    offsets = []
+    pos = offsets_base
+    for p in payloads:
+        offsets.append(pos)
+        pos += len(p)
+    return (
+        header
+        + desc
+        + struct.pack(f"<{n}I", *offsets)
+        + b"".join(payloads)
+    )
+
+
+def deserialize_32(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
+    """Decode one 32-bit roaring stream at ``pos``; returns (sorted
+    values, next position). Accepts both cookie forms incl. run
+    containers."""
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    run_flags = b""
+    if (cookie & 0xFFFF) == SERIAL_COOKIE:
+        n = (cookie >> 16) + 1
+        pos += 4
+        nbytes = (n + 7) // 8
+        run_flags = buf[pos : pos + nbytes]
+        pos += nbytes
+        has_offsets = n >= NO_OFFSET_THRESHOLD
+    elif cookie == SERIAL_COOKIE_NO_RUNCONTAINER:
+        (n,) = struct.unpack_from("<I", buf, pos + 4)
+        pos += 8
+        has_offsets = True
+    else:
+        raise ValueError(f"bad roaring cookie: {cookie}")
+    desc = struct.unpack_from(f"<{2 * n}H", buf, pos)
+    pos += 4 * n
+    if has_offsets:
+        pos += 4 * n  # offsets are redundant for sequential decode
+    out: list[int] = []
+    for i in range(n):
+        key, card_m1 = desc[2 * i], desc[2 * i + 1]
+        card = card_m1 + 1
+        hi = key << 16
+        is_run = bool(run_flags) and bool(run_flags[i // 8] & (1 << (i % 8)))
+        if is_run:
+            (n_runs,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(n_runs):
+                start, len_m1 = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                out.extend(hi | v for v in range(start, start + len_m1 + 1))
+        elif card <= _ARRAY_MAX:
+            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += 2 * card
+            out.extend(hi | v for v in vals)
+        else:
+            words = struct.unpack_from("<1024Q", buf, pos)
+            pos += 8192
+            for wi, w in enumerate(words):
+                while w:
+                    b = w & -w
+                    out.append(hi | (wi << 6) | b.bit_length() - 1)
+                    w ^= b
+    return out, pos
+
+
+def serialize_64(values: list[int]) -> bytes:
+    """Portable 64-bit roaring: u64 bucket count, then per high-32 key
+    (ascending): <u32 key><32-bit stream>."""
+    buckets: dict[int, list[int]] = {}
+    for v in set(values):
+        if not 0 <= v < (1 << 64):
+            raise ValueError(f"uint64 out of range: {v}")
+        buckets.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
+    out = bytearray(struct.pack("<Q", len(buckets)))
+    for k in sorted(buckets):
+        out += struct.pack("<I", k)
+        out += serialize_32(buckets[k])
+    return bytes(out)
+
+
+def deserialize_64(buf: bytes) -> list[int]:
+    (n_buckets,) = struct.unpack_from("<Q", buf, 0)
+    pos = 8
+    out: list[int] = []
+    for _ in range(n_buckets):
+        (hi,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        vals, pos = deserialize_32(buf, pos)
+        out.extend((hi << 32) | v for v in vals)
+    return out

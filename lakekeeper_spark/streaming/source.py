@@ -561,10 +561,18 @@ class IceliteBatchReader(DataSourceReader):
         # positional tombstones targeting THIS file -> sorted dead ordinals
         dead_parts = []
         for pd_file in task["position-delete-files"]:
-            t = pq.read_table(
-                f"{partition.location}/{pd_file['path']}",
-                columns=["file_path", "pos"],
-            )
+            path = f"{partition.location}/{pd_file['path']}"
+            if path.endswith(".puffin"):  # v3 deletion-vector container
+                from ..format.dv import read_deletion_vectors
+
+                dead_parts.append(
+                    np.asarray(
+                        read_deletion_vectors(path).get(d["path"], []),
+                        dtype=np.int64,
+                    )
+                )
+                continue
+            t = pq.read_table(path, columns=["file_path", "pos"])
             t = t.filter(pc.equal(t.column("file_path"), pa.scalar(d["path"])))
             dead_parts.append(
                 t.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
