@@ -209,10 +209,16 @@ class RestCatalogClient:
         ref=None,
         partition_filter=None,
         stats_filter=None,
+        page_size=None,
     ):
         """PlanTableScan: server-side file scan tasks with per-file delete
-        artifacts and partition/bounds pruning (the endpoint the
-        reference leaves unimplemented, api/endpoints.rs:126-135)."""
+        artifacts and partition/bounds pruning (the four-route protocol
+        the reference declares but leaves unimplemented,
+        api/endpoints.rs:126-135). With ``page_size`` the ASYNC protocol
+        runs: submit -> poll FetchPlanningResult -> exchange each opaque
+        plan-task token via FetchScanTasks — the flow that stays usable
+        when the plan is too large for one response. The returned dict
+        has the same shape either way."""
         body = {}
         if snapshot_id is not None:
             body["snapshot-id"] = snapshot_id
@@ -222,10 +228,53 @@ class RestCatalogClient:
             body["partition-filter"] = partition_filter
         if stats_filter:
             body["stats-filter"] = {k: list(v) for k, v in stats_filter.items()}
+        if page_size:
+            body["page-size"] = int(page_size)
         _, plan, _ = self._request(
             "POST", self._tbl(warehouse, levels, name) + "/plan", body
         )
-        return plan
+        if plan.get("status") != "submitted":
+            return plan
+        result = self.fetch_planning_result(warehouse, levels, name, plan["plan-id"])
+        tasks = []
+        for token in result["plan-tasks"]:
+            tasks.extend(self.fetch_scan_tasks(warehouse, levels, name, token))
+        result["plan-tasks"] = tasks
+        return result
+
+    def fetch_planning_result(
+        self, warehouse, levels, name, plan_id, timeout_s: float = 30.0
+    ):
+        """Poll GET .../plan/{id} until the plan leaves 'submitted'."""
+        import time
+
+        deadline = time.monotonic() + timeout_s
+        while True:
+            _, result, _ = self._request(
+                "GET", self._tbl(warehouse, levels, name) + f"/plan/{plan_id}"
+            )
+            if result["status"] == "completed":
+                return result
+            if result["status"] in ("failed", "cancelled"):
+                raise CatalogError(
+                    f"plan {plan_id} {result['status']}: {result.get('error', '')}"
+                )
+            if time.monotonic() > deadline:
+                raise CatalogError(f"plan {plan_id} timed out")
+            time.sleep(0.02)
+
+    def fetch_scan_tasks(self, warehouse, levels, name, plan_task):
+        _, body, _ = self._request(
+            "POST",
+            self._tbl(warehouse, levels, name) + "/tasks",
+            {"plan-task": plan_task},
+        )
+        return body["file-scan-tasks"]
+
+    def cancel_planning(self, warehouse, levels, name, plan_id):
+        self._request(
+            "DELETE", self._tbl(warehouse, levels, name) + f"/plan/{plan_id}"
+        )
 
     def table_exists(self, warehouse, levels, name) -> bool:
         try:

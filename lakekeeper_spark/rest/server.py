@@ -348,10 +348,21 @@ class _Handler(BaseHTTPRequestHandler):
     @route("POST", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}/plan")
     def plan_table_scan(self, prefix, ns, tbl):
         """Server-side scan planning (Iceberg REST PlanTableScan — the
-        endpoint the reference declares but leaves unimplemented,
-        api/endpoints.rs:126-135): file scan tasks with per-file delete
-        artifacts, partition/bounds pruning applied server-side. Body:
-        {snapshot-id?, ref?, partition-filter?, stats-filter?}."""
+        reference declares the full four-route protocol but leaves it
+        unimplemented, api/endpoints.rs:126-135): file scan tasks with
+        per-file delete artifacts, partition/bounds pruning applied
+        server-side. Body: {snapshot-id?, ref?, partition-filter?,
+        stats-filter?, page-size?, async?}.
+
+        Default is the synchronous completed response (inline tasks).
+        ``page-size`` or ``async`` switches to the ASYNC protocol the
+        spec defines for tables whose plan doesn't fit one response —
+        the shape that stays usable on a 10M-file table: the reply is
+        {"status": "submitted", "plan-id"}, the result is fetched via
+        GET .../plan/{id} (FetchPlanningResult) which returns opaque
+        plan-task TOKENS, each exchanged for one page of file scan
+        tasks via POST .../tasks (FetchScanTasks); DELETE .../plan/{id}
+        cancels (CancelPlanning)."""
         from ..format.icelite import plan_table_scan as _plan
 
         body = self._body() if int(self.headers.get("Content-Length") or 0) else {}
@@ -359,15 +370,101 @@ class _Handler(BaseHTTPRequestHandler):
         stats = body.get("stats-filter") or None
         if stats:
             stats = {k: tuple(v) for k, v in stats.items()}
-        plan = _plan(
-            meta,
-            snapshot_id=body.get("snapshot-id"),
-            ref=body.get("ref"),
-            partition_filter=body.get("partition-filter") or None,
-            stats_filter=stats,
+
+        def compute():
+            return _plan(
+                meta,
+                snapshot_id=body.get("snapshot-id"),
+                ref=body.get("ref"),
+                partition_filter=body.get("partition-filter") or None,
+                stats_filter=stats,
+            )
+
+        page_size = int(body.get("page-size") or 0)
+        if not page_size and not body.get("async"):
+            plan = compute()
+            plan["base-location"] = meta.get("location")
+            plan["status"] = "completed"
+            self._reply(200, plan)
+            return
+        import uuid as _uuid
+
+        plan_id = _uuid.uuid4().hex
+        state = {
+            "status": "submitted",
+            "tasks": None,
+            "page": page_size or 100,
+            "location": meta.get("location"),
+        }
+        self.server.plans[plan_id] = state  # type: ignore[attr-defined]
+
+        def run():
+            try:
+                plan = compute()
+                if state["status"] == "cancelled":
+                    return
+                state["tasks"] = plan["plan-tasks"]
+                state["snapshot-id"] = plan["snapshot-id"]
+                state["pruned"] = plan.get("pruned-data-files", 0)
+                state["status"] = "completed"
+            except Exception as e:  # surfaced via FetchPlanningResult
+                state["error"] = str(e)
+                state["status"] = "failed"
+
+        threading.Thread(target=run, daemon=True).start()
+        self._reply(202, {"status": "submitted", "plan-id": plan_id})
+
+    @route("GET", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}/plan/(?P<plan_id>[^/]+)")
+    def fetch_planning_result(self, prefix, ns, tbl, plan_id):
+        """FetchPlanningResult: poll an async plan; on completion the
+        response carries opaque plan-task tokens, one per page."""
+        state = self.server.plans.get(plan_id)  # type: ignore[attr-defined]
+        if state is None:
+            raise NoSuchEntity(f"no such plan: {plan_id}")
+        if state["status"] != "completed":
+            out = {"status": state["status"]}
+            if state.get("error"):
+                out["error"] = state["error"]
+            self._reply(200, out)
+            return
+        tokens = [
+            f"{plan_id}:{i}"
+            for i in range(0, len(state["tasks"]), state["page"])
+        ]
+        self._reply(
+            200,
+            {
+                "status": "completed",
+                "plan-tasks": tokens,
+                "base-location": state["location"],
+                "snapshot-id": state.get("snapshot-id"),
+                "pruned-data-files": state.get("pruned", 0),
+            },
         )
-        plan["base-location"] = meta.get("location")
-        self._reply(200, plan)
+
+    @route("POST", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}/tasks")
+    def fetch_scan_tasks(self, prefix, ns, tbl):
+        """FetchScanTasks: exchange one opaque plan-task token for its
+        page of file scan tasks."""
+        token = self._body().get("plan-task") or ""
+        plan_id, _, start = token.partition(":")
+        state = self.server.plans.get(plan_id)  # type: ignore[attr-defined]
+        if state is None or not start.isdigit():
+            raise NoSuchEntity(f"no such plan task: {token}")
+        if state["status"] != "completed":
+            raise CatalogError(f"plan {plan_id} is {state['status']}")
+        lo = int(start)
+        self._reply(
+            200, {"file-scan-tasks": state["tasks"][lo : lo + state["page"]]}
+        )
+
+    @route("DELETE", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}/plan/(?P<plan_id>[^/]+)")
+    def cancel_planning(self, prefix, ns, tbl, plan_id):
+        """CancelPlanning: drop the server-side planning state."""
+        state = self.server.plans.pop(plan_id, None)  # type: ignore[attr-defined]
+        if state is not None:
+            state["status"] = "cancelled"
+        self._reply(204)
 
     @route("POST", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}/metrics")
     def report_metrics(self, prefix, ns, tbl):
@@ -573,6 +670,7 @@ class RestCatalogServer:
     def __init__(self, catalog: Catalog, port: int = 0):
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
         self.httpd.catalog = catalog  # type: ignore[attr-defined]
+        self.httpd.plans = {}  # type: ignore[attr-defined]  # async PlanTableScan state
         self._thread: threading.Thread | None = None
 
     @property

@@ -765,6 +765,66 @@ def test_plan_table_scan_over_http(rest, spark):
     )
 
 
+def test_async_plan_protocol_over_http(rest, spark):
+    """The async/paginated PlanTableScan protocol (the reference's four
+    declared routes, api/endpoints.rs:126-135): submit -> poll
+    FetchPlanningResult -> page through FetchScanTasks; tasks across all
+    pages equal the synchronous plan; CancelPlanning invalidates the
+    plan's tokens."""
+    import pytest as _pytest
+
+    from lakekeeper_spark.catalog.catalog import CatalogError, NoSuchEntity
+    from lakekeeper_spark.format.types import struct_to_schema
+
+    rest.create_namespace("wh", ["ap"])
+    df = spark.createDataFrame(
+        [(i, i % 7, float(i)) for i in range(70)], "k long, p long, v double"
+    )
+    rest.create_table(
+        "wh",
+        ["ap"],
+        "t",
+        struct_to_schema(df.schema),
+        partition_spec={
+            "spec-id": 0,
+            "fields": [{"name": "p", "source-name": "p", "field-id": 1000}],
+        },
+    )
+    t = SparkTable(spark, rest, "wh", ["ap"], "t")
+    t.append(df)  # 7 partitions -> 7 data files -> multi-page at size 2
+    sync = rest.plan_table_scan("wh", ["ap"], "t")
+    assert len(sync["plan-tasks"]) >= 7
+
+    # drive the raw protocol (not the client's convenience assembly)
+    _, sub, _ = rest._request(
+        "POST",
+        rest._tbl("wh", ["ap"], "t") + "/plan",
+        {"page-size": 2},
+    )
+    assert sub["status"] == "submitted" and sub["plan-id"]
+    result = rest.fetch_planning_result("wh", ["ap"], "t", sub["plan-id"])
+    assert result["status"] == "completed"
+    tokens = result["plan-tasks"]
+    assert len(tokens) == (len(sync["plan-tasks"]) + 1) // 2  # ceil(n/2) pages
+    pages = [rest.fetch_scan_tasks("wh", ["ap"], "t", tok) for tok in tokens]
+    assert all(len(p) <= 2 for p in pages)
+    got = sorted(
+        task["data-file"]["path"] for page in pages for task in page
+    )
+    assert got == sorted(task["data-file"]["path"] for task in sync["plan-tasks"])
+
+    # the client convenience path assembles the same plan
+    assembled = rest.plan_table_scan("wh", ["ap"], "t", page_size=3)
+    assert sorted(t2["data-file"]["path"] for t2 in assembled["plan-tasks"]) == got
+
+    # cancellation drops the state; tokens stop resolving
+    rest.cancel_planning("wh", ["ap"], "t", sub["plan-id"])
+    with _pytest.raises((NoSuchEntity, CatalogError)):
+        rest.fetch_scan_tasks("wh", ["ap"], "t", tokens[0])
+    with _pytest.raises(NoSuchEntity):
+        rest.fetch_planning_result("wh", ["ap"], "t", sub["plan-id"])
+
+
 def test_datasource_read_write_over_rest(rest, spark):
     """The stock-engine topology end-to-end over HTTP: df.write.format(
     'icelite') commits THROUGH the REST catalog (two-phase write, CAS on
