@@ -1,0 +1,158 @@
+"""Distributed ranking primitives without unpartitioned WindowExec.
+
+An ``ORDER BY``-only window moves EVERY row to one partition — the
+single-threaded sort that becomes the bottleneck at 100 TB (Spark warns
+"No Partition Defined" for exactly this reason). The two helpers here
+keep the row-level work partition-parallel:
+
+``exclusive_prefix_sum``
+  level 1: rows bucket by ``key div group`` (order-preserving); a
+           window PARTITIONED by bucket computes the within-bucket
+           exclusive running sum in parallel.
+  level 2: one total per bucket is either collected to the driver and
+           offset-scanned in Python (t16's scalar-to-driver
+           discipline: group-count rows, not data) or — when the
+           caller says the bucket frame itself is corpus-scale
+           (``levels`` > 1) — fed back through the same two-phase
+           form, shrinking by ``group``× per level.
+
+``global_row_number``
+  exact global ROW_NUMBER via ``repartitionByRange`` on the sort keys
+  (sampled split points → bounded partition count), a per-partition
+  rank window in parallel, and per-partition row-count offsets (one
+  collected row per partition). ``localCheckpoint`` pins the sampled
+  partitioning so the count job and the final plan read the same
+  layout — range sampling is otherwise free to re-draw between jobs.
+
+``ntile_expr`` turns a global row number + total count into the SQL
+NTILE(k) bucket (first ``n % k`` buckets get ``n div k + 1`` rows),
+so RFM-style quartiles never need a single-partition window.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    key: str,
+    val: str,
+    group: int = 4096,
+    descending: bool = False,
+    levels: int = 1,
+) -> DataFrame:
+    """(key, off): for each distinct ``key`` row, the sum of ``val``
+    over all rows ordered strictly before it (exclusive). ``df`` must
+    hold one row per key (aggregate it first); ``key`` must be numeric.
+    ``descending`` orders the scan from the largest key down.
+
+    ``levels`` is the recursion depth for the bucket-total frame: 1
+    collects the totals to the driver (fine below ~1M buckets); each
+    extra level shrinks the collected frame by another ``group``× —
+    callers whose key domain is corpus-scale (e.g. doc_id div 4096 over
+    a trillion documents) pass 2 or 3 instead of single-threading or
+    over-collecting.
+    """
+    order = F.col(key).desc() if descending else F.col(key).asc()
+    base = df.select(key, val).withColumn(
+        "_g", F.floor(F.col(key) / F.lit(group)).cast("long")
+    )
+    w_in = Window.partitionBy("_g").orderBy(order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    within = base.withColumn(
+        "_off_in", F.coalesce(F.sum(val).over(w_in), F.lit(0))
+    )
+    totals_df = base.groupBy("_g").agg(F.sum(val).alias("_gt"))
+    if levels > 1:
+        # bucket frame may itself be huge: recurse instead of collecting.
+        # localCheckpoint so the recursion's two consumers (its own
+        # groupBy and the join below) don't recompute the corpus scan.
+        totals_df = totals_df.localCheckpoint(eager=True)
+        goff = (
+            exclusive_prefix_sum(
+                totals_df.select(F.col("_g").alias("_k"), "_gt"),
+                "_k",
+                "_gt",
+                group=group,
+                descending=descending,
+                levels=levels - 1,
+            )
+            .select(F.col("_k").alias("_g"), F.col("off").alias("_goff"))
+        )
+        joined = within.join(goff, "_g")  # goff can be large: shuffle join
+    else:
+        totals = totals_df.collect()
+        totals.sort(key=lambda r: r["_g"], reverse=descending)
+        acc, rows = 0, []
+        for r in totals:
+            rows.append((r["_g"], acc))
+            acc += r["_gt"] or 0
+        spark = df.sparkSession
+        goff = spark.createDataFrame(rows or [], "_g long, _goff long")
+        joined = within.join(F.broadcast(goff), "_g")
+    return joined.select(
+        key, (F.col("_off_in") + F.col("_goff")).alias("off")
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order: Sequence[Column],
+    out: str = "rn",
+    npart: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Exact global ROW_NUMBER() over ``order`` with no unpartitioned
+    window. Returns (df + ``out`` column, total row count).
+
+    Shape: range-repartition on the sort keys (sampled split points →
+    ``npart`` ordered partitions), rank WITHIN each partition in
+    parallel, add per-partition row-count offsets (one collected row
+    per partition — bounded scalar traffic). The ranked frame is
+    localCheckpointed because range sampling may re-draw split points
+    between the count job and the consumer's job.
+    """
+    spark = df.sparkSession
+    if npart is None:
+        npart = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(npart, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    within = ranged.withColumn("_rn_in", F.row_number().over(w)).localCheckpoint(
+        eager=True
+    )
+    counts = within.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c")).collect()
+    counts.sort(key=lambda r: r["_pid"])
+    acc, rows = 0, []
+    for r in counts:
+        rows.append((r["_pid"], acc))
+        acc += r["_c"]
+    offs = spark.createDataFrame(rows or [], "_pid int, _off long")
+    ranked = (
+        within.join(F.broadcast(offs), "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_rn_in")).cast("long"))
+        .drop("_pid", "_rn_in", "_off")
+    )
+    return ranked, acc
+
+
+def ntile_expr(rn: str, n: int, k: int) -> Column:
+    """SQL-standard NTILE(k) bucket for global row number ``rn`` over
+    ``n`` total rows, as a pure column expression: the first ``n % k``
+    buckets take ``n div k + 1`` rows, the rest ``n div k`` — byte-for-
+    byte the distribution Spark's and DuckDB's NTILE produce."""
+    size, rem = divmod(n, k)
+    if size == 0:  # k >= n: every row its own bucket, bins 1..n
+        return F.col(rn).cast("int")
+    cut = rem * (size + 1)
+    # integer `div`, not float `/`: double rounding near exact-quotient
+    # boundaries would off-by-one the bucket at large n
+    head = F.expr(f"(({rn} - 1) div {size + 1}) + 1")
+    tail = F.expr(f"{rem} + (({rn} - 1 - {cut}) div {size}) + 1")
+    return F.when(F.col(rn) <= cut, head).otherwise(tail).cast("int")

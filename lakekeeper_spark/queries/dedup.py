@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.prefix import global_row_number
+
 from ..data import load_table
 from ..functions.components import connected_components
 from ..registry import register
@@ -272,12 +274,14 @@ def d02_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(docs)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("freq"))
     # dictionary-encode shingles: sid in [0, vocab) ordered by (freq, shingle).
-    # The global window runs over the DICTIONARY (distinct 3-char shingles,
-    # <= charset^3 rows — vocab-bounded, not corpus-bounded), the same
-    # metadata-sized-frame exception as p01's per-bucket offsets; the
-    # corpus-sized frames below never see an unpartitioned window.
-    w_vocab = Window.orderBy("freq", "shingle")
-    dictionary = freq.withColumn("sid", F.row_number().over(w_vocab) - F.lit(1))
+    # The rank runs over the DICTIONARY (distinct 3-char shingles) via the
+    # distributed global row number (range-repartition + per-range windows
+    # + bounded offsets) — this fallback path is the LARGE-vocab one, so
+    # no unpartitioned window even over the dictionary frame.
+    ranked, _n_vocab = global_row_number(
+        freq, [F.col("freq").asc(), F.col("shingle").asc()], out="_vrn"
+    )
+    dictionary = ranked.withColumn("sid", F.col("_vrn") - F.lit(1)).drop("_vrn")
     shd = sh.join(F.broadcast(dictionary.select("shingle", "sid")), "shingle")
     # per-doc shingle-id BITSET: vocab/64 longs. The synthetic corpus draws
     # from a tiny 3-gram vocabulary (~400), so a doc's set is a handful of

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..data import load_table
+from ..functions.prefix import exclusive_prefix_sum, global_row_number, ntile_expr
 from ..registry import register
 from .detsum import dsum, sql_dsum
 
@@ -935,12 +936,12 @@ def r02_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     within = bucketed.withColumn("cum_in", F.sum("net").over(w_in))
-    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        bucketed.groupBy("bkt")
-        .agg(F.sum("net").alias("bkt_net"))
-        .withColumn("off", F.coalesce(F.sum("bkt_net").over(w_off), F.lit(0)))
-        .select("bkt", "off")
+    # offsets from a driver-side scan of the per-hour totals (frame is
+    # time-horizon-bounded) — no unpartitioned window in the plan
+    offsets = exclusive_prefix_sum(
+        bucketed.groupBy("bkt").agg(F.sum("net").alias("bkt_net")),
+        "bkt",
+        "bkt_net",
     )
     conc = within.join(F.broadcast(offsets), "bkt").withColumn(
         "conc", F.col("cum_in") + F.col("off")
@@ -1933,21 +1934,30 @@ def e15_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("monetary_fp"),
     )
     gmax = per_user.agg(F.max("last_t").alias("gmax"))
-    pu = per_user.crossJoin(F.broadcast(gmax)).select(
-        "user_id",
-        F.expr(f"gmax div {day_ns} - last_t div {day_ns}").alias("recency_d"),
-        "freq",
-        "monetary_fp",
+    # checkpointed once: three independent rankings consume this frame
+    pu = (
+        per_user.crossJoin(F.broadcast(gmax))
+        .select(
+            "user_id",
+            F.expr(f"gmax div {day_ns} - last_t div {day_ns}").alias("recency_d"),
+            "freq",
+            "monetary_fp",
+        )
+        .localCheckpoint(eager=True)
     )
-    binned = pu.select(
-        "user_id",
-        "monetary_fp",
-        F.ntile(4).over(Window.orderBy("recency_d", "user_id")).alias("r_bin"),
-        F.ntile(4).over(Window.orderBy(F.col("freq").desc(), "user_id")).alias("f_bin"),
-        F.ntile(4)
-        .over(Window.orderBy(F.col("monetary_fp").desc(), "user_id"))
-        .alias("m_bin"),
-    )
+    # NTILE without a single-partition window: each quartile cut is an
+    # exact global rank (range-repartition + parallel per-range windows
+    # + per-partition offsets) mapped through the NTILE bucket formula
+    cuts = {
+        "r_bin": [F.col("recency_d").asc(), F.col("user_id").asc()],
+        "f_bin": [F.col("freq").desc(), F.col("user_id").asc()],
+        "m_bin": [F.col("monetary_fp").desc(), F.col("user_id").asc()],
+    }
+    binned = pu.select("user_id", "monetary_fp")
+    for name, order in cuts.items():
+        ranked, n = global_row_number(pu, order, out="rn")
+        bins = ranked.select("user_id", ntile_expr("rn", n, 4).alias(name))
+        binned = binned.join(bins, "user_id")
     return binned.groupBy("r_bin", "f_bin", "m_bin").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("monetary_fp").cast("long").alias("segment_monetary_fp"),
@@ -2020,11 +2030,15 @@ def e16_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(first_purchase - first_click) div {day_ns}").alias("day_bucket")
     )
     curve = conv.groupBy("day_bucket").agg(F.count(F.lit(1)).alias("n_converted"))
-    w = Window.orderBy("day_bucket").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # inclusive cumulative = own count + exclusive driver-scanned offset
+    # over the bounded day frame (no unpartitioned window)
+    offs = exclusive_prefix_sum(curve, "day_bucket", "n_converted")
     return (
-        curve.withColumn("cum_converted", F.sum("n_converted").over(w).cast("long"))
+        curve.join(F.broadcast(offs), "day_bucket")
+        .withColumn(
+            "cum_converted", (F.col("n_converted") + F.col("off")).cast("long")
+        )
+        .drop("off")
         .crossJoin(F.broadcast(pop))
         .select(
             "day_bucket",

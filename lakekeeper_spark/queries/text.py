@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..data import load_table
+from ..functions.prefix import exclusive_prefix_sum, global_row_number
 from ..registry import register
 
 WORD_RE = "[A-Za-z]+"
@@ -338,17 +339,14 @@ def p01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("stop_ratio"), F.asc("doc_id")
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     within = bucketed.withColumn("cum_in", F.sum("n_tokens").over(w_in))
-    # per-bucket totals: bounded at n_buckets+1 rows — the only global
-    # ordered window runs over THIS metadata-sized frame, and the
-    # broadcast back is structurally bounded.
-    w_off = Window.orderBy(F.desc("bkt")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    offsets = (
-        bucketed.groupBy("bkt")
-        .agg(F.sum("n_tokens").alias("bkt_tokens"))
-        .withColumn("off", F.coalesce(F.sum("bkt_tokens").over(w_off), F.lit(0)))
-        .select("bkt", "off")
+    # per-bucket totals: bounded at n_buckets+1 rows — the offsets come
+    # from a driver-side scan of that metadata-sized frame (no
+    # unpartitioned window anywhere in the plan).
+    offsets = exclusive_prefix_sum(
+        bucketed.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_tokens")),
+        "bkt",
+        "bkt_tokens",
+        descending=True,
     )
     budgeted = within.join(F.broadcast(offsets), "bkt").withColumn(
         "cum_tokens", F.col("cum_in") + F.col("off")
@@ -523,12 +521,14 @@ def p02_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     within = bucketed.withColumn("cum_in", F.sum("n").over(w_in))
-    w_off = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = (
-        bucketed.groupBy("bkt")
-        .agg(F.sum("n").alias("bkt_tokens"))
-        .withColumn("off", F.coalesce(F.sum("bkt_tokens").over(w_off), F.lit(0)))
-        .select("bkt", "off")
+    # bucket count scales with the corpus (doc_id div 4096): levels=2
+    # recurses the offset scan so neither a window nor the driver ever
+    # sees the full bucket frame.
+    offsets = exclusive_prefix_sum(
+        bucketed.groupBy("bkt").agg(F.sum("n").alias("bkt_tokens")),
+        "bkt",
+        "bkt_tokens",
+        levels=2,
     )
     packed = (
         within.join(F.broadcast(offsets), "bkt")

@@ -209,3 +209,86 @@ def test_streaming_state_rocksdb_provider_matches_default(spark):
         else:
             spark.conf.set(key, old)
     assert got == base and len(got) > 0
+
+
+def test_exclusive_prefix_sum_matches_window(spark):
+    """exclusive_prefix_sum (both driver-collected and recursive levels)
+    must equal the single unpartitioned-window form exactly, asc and
+    desc, including negative keys straddling bucket 0."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lakekeeper_spark.functions.prefix import exclusive_prefix_sum
+
+    rng = random.Random(7)
+    rows = [(k, rng.randint(-50, 50)) for k in rng.sample(range(-9000, 9000), 500)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    for descending in (False, True):
+        order = F.col("k").desc() if descending else F.col("k").asc()
+        w = Window.orderBy(order).rowsBetween(Window.unboundedPreceding, -1)
+        want = {
+            r["k"]: r["off"]
+            for r in df.withColumn(
+                "off", F.coalesce(F.sum("v").over(w), F.lit(0))
+            ).collect()
+        }
+        for levels in (1, 2, 3):
+            got = {
+                r["k"]: r["off"]
+                for r in exclusive_prefix_sum(
+                    df, "k", "v", group=16, descending=descending, levels=levels
+                ).collect()
+            }
+            assert got == want, (descending, levels)
+
+
+def test_global_row_number_matches_window(spark):
+    """global_row_number must equal ROW_NUMBER() OVER (ORDER BY ...) for
+    multi-column mixed-direction orders, and report the exact total."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lakekeeper_spark.functions.prefix import global_row_number
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randint(0, 20), rng.choice("abcdef")) for i in range(1, 701)
+    ]
+    df = spark.createDataFrame(rows, "id long, a int, s string")
+    order = [F.col("a").desc(), F.col("s").asc(), F.col("id").asc()]
+    w = Window.orderBy(*order)
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    got_df, n = global_row_number(df, order, out="rn", npart=8)
+    got = {r["id"]: r["rn"] for r in got_df.collect()}
+    assert n == 700
+    assert got == want
+
+
+def test_ntile_expr_matches_spark_ntile(spark):
+    """ntile_expr over an exact global rank must reproduce F.ntile for
+    remainder-heavy, even, and k>n cases."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from lakekeeper_spark.functions.prefix import ntile_expr
+
+    for n, k in ((103, 4), (100, 4), (3, 7), (64, 8), (5, 5)):
+        df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "rn long")
+        want = {
+            r["rn"]: r["b"]
+            for r in df.withColumn(
+                "b", F.ntile(k).over(Window.orderBy("rn"))
+            ).collect()
+        }
+        got = {
+            r["rn"]: r["b"]
+            for r in df.withColumn("b", ntile_expr("rn", n, k)).collect()
+        }
+        assert got == want, (n, k)

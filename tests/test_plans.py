@@ -593,3 +593,54 @@ def test_d14_generates_no_base_x_base_work(spark):
     assert "% 4) = 3" in plan
     assert plan.count("% 4) = 3") >= 2  # positive + NOT(...) on base side
     assert "NOT" in plan
+
+
+def _unpartitioned_window_lines(plan_str: str) -> list[str]:
+    """Lines for Window nodes with NO partition spec: a partitioned+
+    ordered Window prints three top-level bracket groups ([exprs],
+    [part], [order]); an unpartitioned ordered one prints two, where
+    the SECOND group is a sort spec (carries ASC/DESC) — the exact
+    condition under which WindowExec warns and single-threads all
+    input. Partition-only windows (two groups, no sort tokens) are
+    parallel and fine."""
+    bad = []
+    for line in plan_str.splitlines():
+        s = line.strip().lstrip("+-:* ").strip()
+        for prefix in ("Window [", "WindowInPandas ["):
+            if s.startswith(prefix):
+                groups: list[str] = []
+                depth = 0
+                for ch in s[len(prefix) - 1 :]:
+                    if ch == "[":
+                        if depth == 0:
+                            groups.append("")
+                        depth += 1
+                    elif ch == "]":
+                        depth -= 1
+                    elif depth >= 1:
+                        groups[-1] += ch
+                if len(groups) == 2 and (
+                    " ASC" in groups[1] or " DESC" in groups[1]
+                ):
+                    bad.append(s)
+    return bad
+
+
+def test_headline_plans_have_no_unpartitioned_windows(spark):
+    """Round-5 verdict Wrong #4: the bench tail showed 'No Partition
+    Defined' WindowExec warnings. Every HEADLINE query's executed plan
+    must be free of unpartitioned Window nodes — global running sums
+    route through the two-phase prefix-sum helpers instead."""
+    import bench
+    from lakekeeper_spark.registry import load_registry
+
+    reg = load_registry()
+    offenders = {}
+    for name in bench.HEADLINE:
+        df = reg[name].spark_fn(spark, SF_DIR)
+        lines = _unpartitioned_window_lines(
+            df._jdf.queryExecution().executedPlan().toString()
+        )
+        if lines:
+            offenders[name] = lines
+    assert not offenders, offenders
