@@ -442,7 +442,12 @@ def json_offset(d: dict) -> str:  # debugging helper
 class _TaskPartition(InputPartition):
     """One PlanTableScan file task: the data file plus exactly the delete
     artifacts an independent reader must apply (resolved driver-side so
-    executors touch only storage)."""
+    executors touch only storage). CDC additions: `change_type`/
+    `commit_id` tag every surviving row as one change event;
+    `include_pos` = (new tombstone paths, re-stated tombstone paths)
+    restricts output to positions newly deleted by a commit;
+    `include_eq` = (delete-file path, [(write name, field id)])
+    restricts output to rows matching a newly-added equality delete."""
 
     def __init__(
         self,
@@ -454,6 +459,10 @@ class _TaskPartition(InputPartition):
         partition_values: dict,
         partition_types: dict,
         eq_read: list[list[tuple[str, int]]],
+        change_type: str | None = None,
+        commit_id: int | None = None,
+        include_pos: tuple[list[str], list[str]] | None = None,
+        include_eq: tuple[str, list[tuple[str, int]]] | None = None,
     ):
         self.location = location
         self.task = task
@@ -469,6 +478,70 @@ class _TaskPartition(InputPartition):
         # field id)] — the name reads the tombstone, the id finds the
         # matching data column
         self.eq_read = eq_read
+        self.change_type = change_type
+        self.commit_id = commit_id
+        self.include_pos = include_pos
+        self.include_eq = include_eq
+
+
+def _task_partitions(
+    meta: dict,
+    tasks: list[dict],
+    arrow_schema,
+    **cdc,
+) -> list[_TaskPartition]:
+    """Resolve PlanTableScan tasks into executor partitions: the data
+    file's write schema (field-id map) and each equality-delete file's
+    (write name, field id) read spec, all from table metadata on the
+    driver. `cdc` kwargs pass through to _TaskPartition."""
+    target_doc = _schema_doc(meta)
+    target = [
+        (f.get("id", i + 1), f["name"])
+        for i, f in enumerate(target_doc["fields"])
+    ]
+    ptypes = {
+        f["name"]: f["type"]
+        for f in target_doc["fields"]
+        if isinstance(f["type"], str)
+    }
+    by_sid = {s["schema-id"]: s for s in meta["schemas"]}
+    cur_sid = meta["current-schema-id"]
+    parts = []
+    for task in tasks:
+        d = task["data-file"]
+        dsid = d.get("schema-id")
+        ws = by_sid.get(cur_sid if dsid is None else dsid, by_sid[cur_sid])
+        eq_read = []
+        for eq in task["equality-delete-files"]:
+            esid = eq.get("schema-id")
+            esid = cur_sid if esid is None else esid
+            eby_id = _fid_map(by_sid.get(esid, by_sid[cur_sid]))
+            eq_read.append([(eby_id[i], i) for i in eq.get("equality-ids", [])])
+        parts.append(
+            _TaskPartition(
+                meta["location"],
+                task,
+                _fid_map(ws),
+                target,
+                arrow_schema,
+                d.get("partition", {}),
+                ptypes,
+                eq_read,
+                **cdc,
+            )
+        )
+    return parts
+
+
+def _eq_include_spec(meta: dict, entry: dict) -> tuple[str, list[tuple[str, int]]]:
+    """(path, [(write-time name, field id)]) for a newly-added equality
+    delete file — the reader loads the tombstone by its own write names
+    and matches data columns by field id."""
+    by_sid = {s["schema-id"]: s for s in meta["schemas"]}
+    cur_sid = meta["current-schema-id"]
+    esid = entry.get("schema-id")
+    eby_id = _fid_map(by_sid.get(cur_sid if esid is None else esid, by_sid[cur_sid]))
+    return entry["path"], [(eby_id[i], i) for i in entry.get("equality-ids", [])]
 
 
 class IceliteBatchReader(DataSourceReader):
