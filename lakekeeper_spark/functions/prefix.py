@@ -45,6 +45,7 @@ def exclusive_prefix_sum(
     group: int = 4096,
     descending: bool = False,
     levels: int = 1,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(key, off): for each distinct ``key`` row, the sum of ``val``
     over all rows ordered strictly before it (exclusive). ``df`` must
@@ -57,11 +58,23 @@ def exclusive_prefix_sum(
     callers whose key domain is corpus-scale (e.g. doc_id div 4096 over
     a trillion documents) pass 2 or 3 instead of single-threading or
     over-collecting.
+
+    ``checkpoint=False`` skips pinning the input frame — pass it when
+    ``df`` is already one cheap groupBy away from a localCheckpoint the
+    caller owns, so the totals job and the returned plan re-derive it
+    instead of paying an extra materialization job.
     """
     order = F.col(key).desc() if descending else F.col(key).asc()
+    # localCheckpoint the one-row-per-key frame BEFORE the totals scan:
+    # without it the collect() job and the returned plan's join subtree
+    # each re-run ``df``'s full upstream (cross-job plans don't share
+    # exchanges), doubling the corpus scan for every caller. The frame
+    # itself is key-cardinality-sized — a bounded distributed write.
     base = df.select(key, val).withColumn(
         "_g", F.floor(F.col(key) / F.lit(group)).cast("long")
     )
+    if checkpoint:
+        base = base.localCheckpoint(eager=True)
     w_in = Window.partitionBy("_g").orderBy(order).rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -71,9 +84,10 @@ def exclusive_prefix_sum(
     totals_df = base.groupBy("_g").agg(F.sum(val).alias("_gt"))
     if levels > 1:
         # bucket frame may itself be huge: recurse instead of collecting.
-        # localCheckpoint so the recursion's two consumers (its own
-        # groupBy and the join below) don't recompute the corpus scan.
-        totals_df = totals_df.localCheckpoint(eager=True)
+        # base is already pinned, so the recursion's consumers re-derive
+        # totals_df with one cheap groupBy over the checkpoint — no
+        # further checkpoint jobs down the recursion (group×-smaller per
+        # level, always checkpoint-backed).
         goff = (
             exclusive_prefix_sum(
                 totals_df.select(F.col("_g").alias("_k"), "_gt"),
@@ -82,6 +96,7 @@ def exclusive_prefix_sum(
                 group=group,
                 descending=descending,
                 levels=levels - 1,
+                checkpoint=False,
             )
             .select(F.col("_k").alias("_g"), F.col("off").alias("_goff"))
         )

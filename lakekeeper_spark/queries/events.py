@@ -935,13 +935,19 @@ def r02_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_in = Window.partitionBy("bkt").orderBy("ts").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    within = bucketed.withColumn("cum_in", F.sum("net").over(w_in))
+    # localCheckpoint pins the bucketed window frame so the offsets'
+    # driver scan and the final join consume ONE corpus pass (the same
+    # sharing the pre-split single-plan version got from exchange reuse)
+    within = bucketed.withColumn(
+        "cum_in", F.sum("net").over(w_in)
+    ).localCheckpoint(eager=True)
     # offsets from a driver-side scan of the per-hour totals (frame is
     # time-horizon-bounded) — no unpartitioned window in the plan
     offsets = exclusive_prefix_sum(
-        bucketed.groupBy("bkt").agg(F.sum("net").alias("bkt_net")),
+        within.groupBy("bkt").agg(F.sum("net").alias("bkt_net")),
         "bkt",
         "bkt_net",
+        checkpoint=False,  # one groupBy from the pinned frame
     )
     conc = within.join(F.broadcast(offsets), "bkt").withColumn(
         "conc", F.col("cum_in") + F.col("off")
@@ -2021,7 +2027,12 @@ def e16_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_purchase"
         ),
     )
-    clicked = per_user.filter(F.col("first_click").isNotNull())
+    # checkpoint the per-user frame: it feeds three jobs (population
+    # count, the offsets' driver scan, the final join) that would each
+    # re-aggregate the raw events otherwise
+    clicked = per_user.filter(F.col("first_click").isNotNull()).localCheckpoint(
+        eager=True
+    )
     pop = clicked.agg(F.count(F.lit(1)).alias("n_clicked"))
     conv = clicked.filter(
         F.col("first_purchase").isNotNull()
@@ -2032,7 +2043,9 @@ def e16_conversion_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve = conv.groupBy("day_bucket").agg(F.count(F.lit(1)).alias("n_converted"))
     # inclusive cumulative = own count + exclusive driver-scanned offset
     # over the bounded day frame (no unpartitioned window)
-    offs = exclusive_prefix_sum(curve, "day_bucket", "n_converted")
+    offs = exclusive_prefix_sum(
+        curve, "day_bucket", "n_converted", checkpoint=False
+    )
     return (
         curve.join(F.broadcast(offs), "day_bucket")
         .withColumn(

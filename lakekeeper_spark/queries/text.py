@@ -338,15 +338,20 @@ def p01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_in = Window.partitionBy("bkt").orderBy(
         F.desc("stop_ratio"), F.asc("doc_id")
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    within = bucketed.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+    # localCheckpoint: one pass over the regexp-scored corpus feeds both
+    # the offsets pipeline and the final join
+    within = bucketed.withColumn(
+        "cum_in", F.sum("n_tokens").over(w_in)
+    ).localCheckpoint(eager=True)
     # per-bucket totals: bounded at n_buckets+1 rows — the offsets come
     # from a driver-side scan of that metadata-sized frame (no
     # unpartitioned window anywhere in the plan).
     offsets = exclusive_prefix_sum(
-        bucketed.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_tokens")),
+        within.groupBy("bkt").agg(F.sum("n_tokens").alias("bkt_tokens")),
         "bkt",
         "bkt_tokens",
         descending=True,
+        checkpoint=False,  # one groupBy from the pinned frame
     )
     budgeted = within.join(F.broadcast(offsets), "bkt").withColumn(
         "cum_tokens", F.col("cum_in") + F.col("off")
@@ -512,10 +517,16 @@ def p02_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # localCheckpoint the tokenized scan output (the regexp pass is the
+    # expensive part): one corpus pass feeds both the offsets pipeline
+    # and the final windowed join — cross-job plans don't share
+    # exchanges, so without the pin each job re-runs the regexp scan.
+    # Pinning BEFORE the window keeps the materialization job at full
+    # scan parallelism (the 15-bucket window would bottleneck it).
     toks = docs.select(
         "doc_id",
         F.regexp_count(F.lower(F.col("text")), F.lit(BPE_RE)).alias("n"),
-    )
+    ).localCheckpoint(eager=True)
     bucketed = toks.withColumn("bkt", (F.col("doc_id") / PACK_BUCKET).cast("long"))
     w_in = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -529,6 +540,7 @@ def p02_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bkt",
         "bkt_tokens",
         levels=2,
+        checkpoint=False,  # one groupBy from the pinned frame
     )
     packed = (
         within.join(F.broadcast(offsets), "bkt")
