@@ -21,17 +21,21 @@ Puffin-backed deletion vectors through the catalog)."""
 
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 
+import numpy as np
+
 from .puffin import read_puffin, write_puffin
-from .roaring import deserialize_64, serialize_64
+from .roaring import deserialize_64_np, serialize_64
 
 _DV_MAGIC = b"\xd1\xd3\x39\x64"
 BLOB_TYPE = "deletion-vector-v1"
 
 
-def dv_payload(positions: list[int]) -> bytes:
+def dv_payload(positions) -> bytes:
+    """positions: iterable or numpy array of row ordinals."""
     body = _DV_MAGIC + serialize_64(positions)
     return (
         struct.pack(">I", len(body))
@@ -41,6 +45,11 @@ def dv_payload(positions: list[int]) -> bytes:
 
 
 def dv_positions(payload: bytes) -> list[int]:
+    return dv_positions_np(payload).tolist()
+
+
+def dv_positions_np(payload: bytes) -> np.ndarray:
+    """Sorted int64 array of deleted positions (the scan hot path)."""
     (length,) = struct.unpack_from(">I", payload, 0)
     body = payload[4 : 4 + length]
     if body[:4] != _DV_MAGIC:
@@ -48,7 +57,7 @@ def dv_positions(payload: bytes) -> list[int]:
     (crc,) = struct.unpack_from(">I", payload, 4 + length)
     if crc != (zlib.crc32(body) & 0xFFFFFFFF):
         raise ValueError("deletion-vector blob: CRC mismatch")
-    return sorted(deserialize_64(body[4:]))
+    return np.sort(deserialize_64_np(body[4:])).astype(np.int64)
 
 
 def write_deletion_vectors(
@@ -59,32 +68,93 @@ def write_deletion_vectors(
 ) -> int:
     """One Puffin container holding one deletion-vector-v1 blob per
     referenced data file. Returns the file size in bytes."""
+    size, _ = write_deletion_vector_blobs(
+        path,
+        [(fp, dv_payload(poss), len(set(poss))) for fp, poss in by_file.items()],
+        snapshot_id,
+        sequence_number,
+    )
+    return size
+
+
+def write_deletion_vector_blobs(
+    path: str,
+    encoded: list[tuple[str, bytes, int]],
+    snapshot_id: int = 0,
+    sequence_number: int = 0,
+) -> tuple[int, dict[str, tuple[int, int, int]]]:
+    """Assemble a Puffin container from PRE-ENCODED (referenced file,
+    dv_payload bytes, cardinality) triples — the executor-parallel
+    encode path hands compressed payloads here, so raw positions never
+    funnel into one process. Returns (file size, per-file blob layout
+    {referenced file: (offset, length, cardinality)}) — the offsets feed
+    the v3 manifest fields 143/144/145 (content_offset /
+    content_size_in_bytes) external readers need to locate each blob."""
     blobs = [
         {
             "type": BLOB_TYPE,
             "fields": [],
             "snapshot-id": snapshot_id,
             "sequence-number": sequence_number,
-            "payload": dv_payload(positions),
+            "payload": payload,
             "properties": {
                 "referenced-data-file": fp,
-                "cardinality": str(len(set(positions))),
+                "cardinality": str(int(card)),
             },
         }
-        for fp, positions in sorted(by_file.items())
+        for fp, payload, card in sorted(encoded)
     ]
-    return write_puffin(path, blobs)
+    size = write_puffin(path, blobs)
+    layout: dict[str, tuple[int, int, int]] = {}
+    offset = 4  # container magic
+    for b in blobs:
+        plen = len(b["payload"])
+        layout[b["properties"]["referenced-data-file"]] = (
+            offset,
+            plen,
+            int(b["properties"]["cardinality"]),
+        )
+        offset += plen
+    return size, layout
 
 
 def read_deletion_vectors(path: str) -> dict[str, list[int]]:
     """referenced-data-file -> sorted deleted positions."""
+    return {fp: a.tolist() for fp, a in read_deletion_vectors_np(path).items()}
+
+
+def read_deletion_vectors_np(path: str) -> dict[str, np.ndarray]:
+    """referenced-data-file -> sorted int64 position arrays."""
     blobs, _ = read_puffin(path)
-    out: dict[str, list[int]] = {}
+    out: dict[str, list[np.ndarray]] = {}
     for b in blobs:
         if b.get("type") != BLOB_TYPE:
             continue
         fp = (b.get("properties") or {}).get("referenced-data-file")
         if fp is None:
             continue
-        out.setdefault(fp, []).extend(dv_positions(b["payload"]))
-    return {fp: sorted(set(poss)) for fp, poss in out.items()}
+        out.setdefault(fp, []).append(dv_positions_np(b["payload"]))
+    return {
+        fp: np.unique(np.concatenate(parts)) for fp, parts in out.items()
+    }
+
+
+# Scan-side decode cache, keyed by (path, mtime): a committed Puffin
+# container is immutable (new commits write new paths), so repeated
+# scans of the same table state decode each container once per python
+# worker process (workers are reused across tasks) / once on the
+# driver. The mtime guard handles path reuse across table recreates.
+_DV_CACHE: dict[str, tuple[float, dict[str, np.ndarray]]] = {}
+_DV_CACHE_MAX = 64
+
+
+def read_deletion_vectors_cached(path: str) -> dict[str, np.ndarray]:
+    mtime = os.path.getmtime(path)
+    hit = _DV_CACHE.get(path)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    out = read_deletion_vectors_np(path)
+    if len(_DV_CACHE) >= _DV_CACHE_MAX:
+        _DV_CACHE.pop(next(iter(_DV_CACHE)))
+    _DV_CACHE[path] = (mtime, out)
+    return out

@@ -126,6 +126,28 @@ def _data_file_schema(partition_fields: list[dict[str, Any]]) -> dict[str, Any]:
                 "field-id": 135,
             },
             {"name": "sort_order_id", "type": ["null", "int"], "default": None, "field-id": 140},
+            # v3 deletion-vector addressing (spec fields 143-145): the
+            # referenced data file plus the blob's position inside the
+            # Puffin container — external v3 readers locate and apply a
+            # DV from exactly these three fields
+            {
+                "name": "referenced_data_file",
+                "type": ["null", "string"],
+                "default": None,
+                "field-id": 143,
+            },
+            {
+                "name": "content_offset",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 144,
+            },
+            {
+                "name": "content_size_in_bytes",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 145,
+            },
         ],
     }
 
@@ -295,8 +317,37 @@ def _entry_record(
             "split_offsets": None,
             "equality_ids": e.get("equality-ids") or None,
             "sort_order_id": None,
+            "referenced_data_file": None,
+            "content_offset": None,
+            "content_size_in_bytes": None,
         },
     }
+
+
+def _dv_entry_records(
+    base: dict[str, Any], e: dict[str, Any]
+) -> list[dict[str, Any]]:
+    """Expand a deletion-vector entry into ONE manifest record per blob
+    (per referenced data file), populating spec fields 143/144/145 from
+    the Puffin container layout the writer recorded (``dv-blobs``:
+    {referenced file: [offset, length, cardinality]}). Entries written
+    before the layout was tracked fall back to a single container-level
+    record with null addressing fields."""
+    blobs = e.get("dv-blobs")
+    if not blobs:
+        return [base]
+    out = []
+    for fp, (offset, length, card) in sorted(blobs.items()):
+        rec = dict(base)
+        rec["data_file"] = {
+            **base["data_file"],
+            "record_count": int(card),
+            "referenced_data_file": fp,
+            "content_offset": int(offset),
+            "content_size_in_bytes": int(length),
+        }
+        out.append(rec)
+    return out
 
 
 def write_snapshot_manifests(
@@ -332,7 +383,11 @@ def write_snapshot_manifests(
     for content, entries in sorted(groups.items()):
         mpath = os.path.join(out_dir, f"m{content}-{sid}-{len(entries)}.avro")
         records = [
-            _entry_record(e, snapshot, schema, ptypes, seq_to_sid) for e in entries
+            rec
+            for e in entries
+            for rec in _dv_entry_records(
+                _entry_record(e, snapshot, schema, ptypes, seq_to_sid), e
+            )
         ]
         write_ocf(
             mpath,
@@ -437,9 +492,17 @@ def entries_from_manifest_list(path: str) -> list[dict[str, Any]]:
     inverse of write_snapshot_manifests — used to prove the Avro files
     carry the same inventory as the inline manifest."""
     out = []
+    dv_by_path: dict[str, dict[str, Any]] = {}
     for mf in read_manifest_list(path):
         for r in read_manifest(mf["manifest_path"]):
             df = r["data_file"]
+            if df.get("referenced_data_file") is not None:
+                # per-blob DV records (fields 143-145) collapse back to
+                # one engine entry per Puffin container; cardinalities sum
+                hit = dv_by_path.get(df["file_path"])
+                if hit is not None:
+                    hit["record-count"] += df["record_count"]
+                    continue
             entry: dict[str, Any] = {
                 "path": df["file_path"],
                 "record-count": df["record_count"],
@@ -457,5 +520,7 @@ def entries_from_manifest_list(path: str) -> list[dict[str, Any]]:
                 entry["equality-ids"] = df["equality_ids"]
             elif content == 1:
                 entry["content"] = "position-deletes"
+            if df.get("referenced_data_file") is not None:
+                dv_by_path[df["file_path"]] = entry
             out.append(entry)
     return out

@@ -1142,12 +1142,12 @@ class SparkTable:
             def decode(batches):
                 import pandas as pd
 
-                from lakekeeper_spark.format.dv import read_deletion_vectors
+                from lakekeeper_spark.format.dv import read_deletion_vectors_cached
 
                 for pdf in batches:
                     for p in pdf["puffin_path"]:
-                        for fp, poss in read_deletion_vectors(p).items():
-                            if poss:
+                        for fp, poss in read_deletion_vectors_cached(p).items():
+                            if poss.size:
                                 yield pd.DataFrame(
                                     {
                                         "file_path": fp,
@@ -1420,44 +1420,100 @@ class SparkTable:
         """v3 deletion vectors: ONE Puffin container with a
         ``deletion-vector-v1`` blob (portable 64-bit roaring bitmap,
         Delta-compatible framing — format/dv.py) per referenced data
-        file, replacing the pre-round-6 parquet stand-in. The per-file
-        position sets are aggregated distributed (groupBy file_path);
-        only the already-consolidated artifact content routes through
-        the driver for the single-file write — the same volume the
-        coalesce(1) parquet write previously held (the v3 invariant is
-        one artifact chain per table, so this is the artifact's size,
-        not the table's)."""
-        from .dv import write_deletion_vectors
+        file, replacing the pre-round-6 parquet stand-in.
+
+        Scale shape: per-file roaring payloads ENCODE IN PARALLEL on the
+        executors (applyInPandas per referenced file — the numpy-packed
+        encode in format/roaring.py), then ONE executor task assembles
+        the container from the compressed payloads; raw positions never
+        route through the driver OR any single process — the widest
+        single-process frame is one file's compressed bitmap, bounded by
+        rows-per-file/8 bytes. The driver receives only the entry
+        metadata row (size, count, per-blob layout).
+
+        Blobs are stamped with the snapshot id that ADDS them (the next
+        id, mirroring _commit_snapshot's max+1 assignment) per Puffin
+        blob semantics — the pre-round-7 writer stamped the parent."""
+        commit_id = uuid.uuid4().hex
+        out_dir = Path(meta["location"]) / "data" / "deletes" / commit_id
+        fpath = out_dir / f"dv-{commit_id[:12]}.puffin"
+        seq = _next_seq(meta)
+        new_sid = (
+            max((s["snapshot-id"] for s in meta.get("snapshots", [])), default=0) + 1
+        )
+        out_dir_s, fpath_s = str(out_dir), str(fpath)
+
+        def encode(pdf):
+            import numpy as np
+            import pandas as pd
+
+            from lakekeeper_spark.format.dv import dv_payload
+
+            poss = np.unique(pdf["pos"].to_numpy(np.int64))
+            return pd.DataFrame(
+                {
+                    "file_path": [pdf["file_path"].iloc[0]],
+                    "payload": [dv_payload(poss)],
+                    "cardinality": [int(poss.size)],
+                }
+            )
+
+        def write_container(batches):
+            import json as _json
+            import os
+
+            import pandas as pd
+
+            from lakekeeper_spark.format.dv import write_deletion_vector_blobs
+
+            encoded = []
+            for pdf in batches:
+                for fp, payload, card in zip(
+                    pdf["file_path"], pdf["payload"], pdf["cardinality"]
+                ):
+                    encoded.append((str(fp), bytes(payload), int(card)))
+            if not encoded:
+                return
+            os.makedirs(out_dir_s, exist_ok=True)
+            size, layout = write_deletion_vector_blobs(
+                fpath_s, encoded, snapshot_id=new_sid, sequence_number=seq
+            )
+            yield pd.DataFrame(
+                {
+                    "size": [size],
+                    "record_count": [sum(c for _, _, c in encoded)],
+                    "layout": [
+                        _json.dumps({fp: list(l) for fp, l in layout.items()})
+                    ],
+                }
+            )
 
         rows = (
             positions.groupBy("file_path")
-            .agg(F.sort_array(F.collect_list("pos")).alias("poss"))
+            .applyInPandas(encode, "file_path string, payload binary, cardinality long")
+            .repartition(1)
+            .mapInPandas(write_container, "size long, record_count long, layout string")
             .collect()
         )
-        by_file = {r["file_path"]: list(r["poss"]) for r in rows if r["poss"]}
-        if not by_file:
+        if not rows:
             return []
-        commit_id = uuid.uuid4().hex
-        out_dir = Path(meta["location"]) / "data" / "deletes" / commit_id
-        out_dir.mkdir(parents=True, exist_ok=True)
-        fpath = out_dir / f"dv-{commit_id[:12]}.puffin"
-        seq = _next_seq(meta)
-        size = write_deletion_vectors(
-            str(fpath),
-            by_file,
-            snapshot_id=meta.get("current-snapshot-id") or 0,
-            sequence_number=seq,
-        )
+        layout = json.loads(rows[0]["layout"])
         return [
             {
                 "path": fpath.relative_to(meta["location"]).as_posix(),
-                "file-size-in-bytes": size,
-                "record-count": sum(len(v) for v in by_file.values()),
+                "file-size-in-bytes": int(rows[0]["size"]),
+                "record-count": int(rows[0]["record_count"]),
                 "partition": {},
                 "schema-id": meta["current-schema-id"],
                 "content": "deletion-vectors",
                 "sequence-number": seq,
-                "referenced-files": sorted(by_file),
+                "referenced-files": sorted(layout),
+                # per-blob container layout {referenced file: [offset,
+                # length, cardinality]} — feeds v3 manifest fields
+                # 143/144/145 so external readers can locate each blob
+                "dv-blobs": {
+                    fp: [int(v) for v in vals] for fp, vals in sorted(layout.items())
+                },
             }
         ]
 

@@ -25,11 +25,19 @@ a roaring library in the sandbox. The rules, restated for offline audit:
 
 The writer emits the no-run-container form only (run encoding is an
 optional optimization); the reader accepts both forms.
+
+Hot paths are numpy-vectorized (the encode runs per MOR commit on the
+container-writing task, the decode per scan): array containers pack via
+``.astype('<u2').tobytes()``, bitmap containers via ``np.packbits``/
+``np.unpackbits`` with ``bitorder='little'`` — byte b bit j (LSB-first)
+is value 8b+j, byte-identical to the spec's little-endian u64 words.
 """
 
 from __future__ import annotations
 
 import struct
+
+import numpy as np
 
 SERIAL_COOKIE_NO_RUNCONTAINER = 12346
 SERIAL_COOKIE = 12347
@@ -37,49 +45,62 @@ NO_OFFSET_THRESHOLD = 4
 _ARRAY_MAX = 4096
 
 
-def serialize_32(values: list[int]) -> bytes:
-    """Portable 32-bit roaring stream for a sorted-or-not iterable of
-    uint32 values (deduplicated here)."""
-    buckets: dict[int, list[int]] = {}
-    for v in set(values):
-        if not 0 <= v < (1 << 32):
-            raise ValueError(f"uint32 out of range: {v}")
-        buckets.setdefault(v >> 16, []).append(v & 0xFFFF)
-    keys = sorted(buckets)
-    n = len(keys)
+def _as_u32(values) -> np.ndarray:
+    """Sorted deduplicated uint32 array; range-checked for list input."""
+    if isinstance(values, np.ndarray) and values.dtype == np.uint32:
+        return np.unique(values)
+    try:
+        arr = np.unique(np.asarray(values, dtype=np.int64))
+    except OverflowError as e:  # python int >= 2**63
+        raise ValueError(f"uint32 out of range: {e}") from None
+    if arr.size and (arr[0] < 0 or arr[-1] >= (1 << 32)):
+        bad = arr[0] if arr[0] < 0 else arr[-1]
+        raise ValueError(f"uint32 out of range: {bad}")
+    return arr.astype(np.uint32)
+
+
+def serialize_32(values) -> bytes:
+    """Portable 32-bit roaring stream for a sorted-or-not iterable (or
+    numpy array) of uint32 values (deduplicated here)."""
+    arr = _as_u32(values)
+    keys = (arr >> 16).astype(np.uint32)
+    lows = arr.astype(np.uint16)  # low 16 bits (truncating cast)
+    ukeys, starts = np.unique(keys, return_index=True)
+    n = int(ukeys.size)
+    bounds = np.append(starts, arr.size)
+    cards = bounds[1:] - bounds[:-1]
     header = struct.pack("<II", SERIAL_COOKIE_NO_RUNCONTAINER, n)
-    desc = b"".join(
-        struct.pack("<HH", k, len(buckets[k]) - 1) for k in keys
-    )
-    # container payloads first, to compute offsets
+    desc = np.empty(2 * n, dtype="<u2")
+    desc[0::2] = ukeys
+    desc[1::2] = (cards - 1).astype(np.uint16)
     payloads = []
-    for k in keys:
-        lows = sorted(buckets[k])
-        if len(lows) <= _ARRAY_MAX:
-            payloads.append(struct.pack(f"<{len(lows)}H", *lows))
+    sizes = np.where(cards <= _ARRAY_MAX, 2 * cards, 8192)
+    for i in range(n):
+        cl = lows[bounds[i] : bounds[i + 1]]
+        if cl.size <= _ARRAY_MAX:
+            payloads.append(cl.astype("<u2").tobytes())
         else:
-            words = [0] * 1024
-            for low in lows:
-                words[low >> 6] |= 1 << (low & 63)
-            payloads.append(struct.pack("<1024Q", *words))
-    offsets_base = len(header) + len(desc) + 4 * n
-    offsets = []
-    pos = offsets_base
-    for p in payloads:
-        offsets.append(pos)
-        pos += len(p)
-    return (
-        header
-        + desc
-        + struct.pack(f"<{n}I", *offsets)
-        + b"".join(payloads)
-    )
+            bits = np.zeros(1 << 16, dtype=np.uint8)
+            bits[cl] = 1
+            payloads.append(np.packbits(bits, bitorder="little").tobytes())
+    offsets_base = len(header) + 4 * n + 4 * n  # header + desc + offsets
+    offsets = (offsets_base + np.concatenate(([0], np.cumsum(sizes)[:-1]))).astype(
+        "<u4"
+    ) if n else np.empty(0, dtype="<u4")
+    return header + desc.tobytes() + offsets.tobytes() + b"".join(payloads)
 
 
 def deserialize_32(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
     """Decode one 32-bit roaring stream at ``pos``; returns (sorted
     values, next position). Accepts both cookie forms incl. run
     containers."""
+    arr, pos = deserialize_32_np(buf, pos)
+    return arr.tolist(), pos
+
+
+def deserialize_32_np(buf: bytes, pos: int = 0) -> tuple[np.ndarray, int]:
+    """`deserialize_32` returning an int64 numpy array (the hot path —
+    scan-side DV application consumes arrays, not lists)."""
     (cookie,) = struct.unpack_from("<I", buf, pos)
     run_flags = b""
     if (cookie & 0xFFFF) == SERIAL_COOKIE:
@@ -95,60 +116,70 @@ def deserialize_32(buf: bytes, pos: int = 0) -> tuple[list[int], int]:
         has_offsets = True
     else:
         raise ValueError(f"bad roaring cookie: {cookie}")
-    desc = struct.unpack_from(f"<{2 * n}H", buf, pos)
+    desc = np.frombuffer(buf, dtype="<u2", count=2 * n, offset=pos)
     pos += 4 * n
     if has_offsets:
         pos += 4 * n  # offsets are redundant for sequential decode
-    out: list[int] = []
+    parts: list[np.ndarray] = []
     for i in range(n):
-        key, card_m1 = desc[2 * i], desc[2 * i + 1]
-        card = card_m1 + 1
+        key, card = int(desc[2 * i]), int(desc[2 * i + 1]) + 1
         hi = key << 16
         is_run = bool(run_flags) and bool(run_flags[i // 8] & (1 << (i % 8)))
         if is_run:
             (n_runs,) = struct.unpack_from("<H", buf, pos)
             pos += 2
-            for _ in range(n_runs):
-                start, len_m1 = struct.unpack_from("<HH", buf, pos)
-                pos += 4
-                out.extend(hi | v for v in range(start, start + len_m1 + 1))
+            runs = np.frombuffer(buf, dtype="<u2", count=2 * n_runs, offset=pos)
+            pos += 4 * n_runs
+            for j in range(n_runs):
+                start, len_m1 = int(runs[2 * j]), int(runs[2 * j + 1])
+                parts.append(hi + np.arange(start, start + len_m1 + 1, dtype=np.int64))
         elif card <= _ARRAY_MAX:
-            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            vals = np.frombuffer(buf, dtype="<u2", count=card, offset=pos)
             pos += 2 * card
-            out.extend(hi | v for v in vals)
+            parts.append(hi + vals.astype(np.int64))
         else:
-            words = struct.unpack_from("<1024Q", buf, pos)
+            bits = np.unpackbits(
+                np.frombuffer(buf, dtype=np.uint8, count=8192, offset=pos),
+                bitorder="little",
+            )
             pos += 8192
-            for wi, w in enumerate(words):
-                while w:
-                    b = w & -w
-                    out.append(hi | (wi << 6) | b.bit_length() - 1)
-                    w ^= b
+            parts.append(hi + np.flatnonzero(bits).astype(np.int64))
+    out = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
     return out, pos
 
 
-def serialize_64(values: list[int]) -> bytes:
+def serialize_64(values) -> bytes:
     """Portable 64-bit roaring: u64 bucket count, then per high-32 key
     (ascending): <u32 key><32-bit stream>."""
-    buckets: dict[int, list[int]] = {}
-    for v in set(values):
-        if not 0 <= v < (1 << 64):
-            raise ValueError(f"uint64 out of range: {v}")
-        buckets.setdefault(v >> 32, []).append(v & 0xFFFFFFFF)
-    out = bytearray(struct.pack("<Q", len(buckets)))
-    for k in sorted(buckets):
-        out += struct.pack("<I", k)
-        out += serialize_32(buckets[k])
+    try:
+        arr = np.unique(np.asarray(values, dtype=np.uint64))
+    except (OverflowError, TypeError) as e:  # negative or >= 2**64
+        raise ValueError(f"uint64 out of range: {e}") from None
+    his = (arr >> np.uint64(32)).astype(np.uint32)
+    lows = arr.astype(np.uint32)  # low 32 bits (truncating cast)
+    ukeys, starts = np.unique(his, return_index=True)
+    bounds = np.append(starts, arr.size)
+    out = bytearray(struct.pack("<Q", len(ukeys)))
+    for i, k in enumerate(ukeys):
+        out += struct.pack("<I", int(k))
+        out += serialize_32(lows[bounds[i] : bounds[i + 1]])
     return bytes(out)
 
 
 def deserialize_64(buf: bytes) -> list[int]:
+    return deserialize_64_np(buf).tolist()
+
+
+def deserialize_64_np(buf: bytes) -> np.ndarray:
+    """`deserialize_64` as a sorted uint64 numpy array (uint64 so the
+    full 64-bit key space survives; DV consumers cast to int64 — row
+    positions are ordinals far below 2**63)."""
     (n_buckets,) = struct.unpack_from("<Q", buf, 0)
     pos = 8
-    out: list[int] = []
+    parts: list[np.ndarray] = []
     for _ in range(n_buckets):
         (hi,) = struct.unpack_from("<I", buf, pos)
         pos += 4
-        vals, pos = deserialize_32(buf, pos)
-        out.extend((hi << 32) | v for v in vals)
-    return out
+        vals, pos = deserialize_32_np(buf, pos)
+        parts.append((np.uint64(hi) << np.uint64(32)) + vals.astype(np.uint64))
+    return np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)

@@ -636,13 +636,13 @@ class IceliteBatchReader(DataSourceReader):
         for pd_file in task["position-delete-files"]:
             path = f"{partition.location}/{pd_file['path']}"
             if path.endswith(".puffin"):  # v3 deletion-vector container
-                from ..format.dv import read_deletion_vectors
+                # cached per (path, mtime) in the worker process: one
+                # decode per container per reused worker, not per task
+                from ..format.dv import read_deletion_vectors_cached
 
+                dv = read_deletion_vectors_cached(path).get(d["path"])
                 dead_parts.append(
-                    np.asarray(
-                        read_deletion_vectors(path).get(d["path"], []),
-                        dtype=np.int64,
-                    )
+                    dv if dv is not None else np.empty(0, dtype=np.int64)
                 )
                 continue
             t = pq.read_table(path, columns=["file_path", "pos"])
