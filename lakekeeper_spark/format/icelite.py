@@ -232,7 +232,13 @@ def _file_bounds(md) -> dict[str, list]:
             st = col.statistics
             if st is None or not st.has_min_max:
                 continue
-            lo, hi = st.min, st.max
+            try:
+                lo, hi = st.min, st.max
+            except Exception:
+                # pyarrow can't cast stats for every physical/logical
+                # type combination (e.g. decimal-as-INT32) — bounds are
+                # a skipping optimization, never required
+                continue
             if isinstance(lo, bytes) or isinstance(hi, bytes):
                 continue
             if not isinstance(lo, (int, float, str)) or not isinstance(
@@ -1539,9 +1545,18 @@ class SparkTable:
             self._rel_file(meta["location"]).alias("file_path"),
             F.col("_pos").alias("pos"),
         )
+        # cast each assignment back to the column's DECLARED type: a bare
+        # literal like `999.0` parses as DECIMAL(4,1), and writing that
+        # into a double column would flip the file's physical type out
+        # from under the schema (the CoW path coerces via otherwise(col);
+        # this path replaces the column, so it must cast explicitly)
+        struct = schema_to_struct(schema)
+        types = {f.name: f.dataType for f in struct.fields}
         updated = matched
         for col_name, expr in assignments.items():
-            updated = updated.withColumn(col_name, F.expr(expr))
+            updated = updated.withColumn(
+                col_name, F.expr(expr).cast(types[col_name])
+            )
         updated = updated.select(*[f["name"] for f in schema["fields"]])
         base_manifest, del_entries, removed = self._positional_artifacts(
             meta, snap, positions

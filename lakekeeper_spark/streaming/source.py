@@ -261,40 +261,125 @@ class IceliteStreamReader(DataSourceStreamReader):
         )
 
     def _plan_change_feed(self, meta, lineage, by_id, target, parts) -> None:
-        """CDC planning: per lineage commit, added data files emit their
-        rows as inserts and removed data files as deletes — the file-
-        granular net change of SparkTable.changelog() (a copy-on-write
-        rewrite yields delete+insert pairs for surviving rows, exactly as
-        Iceberg's changelog view). Merge-on-read tombstones need the
-        parent-row join the batch changelog does; the streaming feed
-        rejects them rather than emit wrong events."""
+        """CDC planning, merge-on-read included — the STREAMING twin of
+        SparkTable.changelog() (same event semantics, file-task form).
+        Per lineage commit:
+
+          - data files ADDED    -> their rows as 'insert' events
+            (plain file partitions — every row of a new file is live at
+            its own commit);
+          - data files REMOVED  -> 'delete' events for the rows LIVE at
+            the parent: a parent-state plan_table_scan task per file, so
+            parent tombstones keep already-dead rows out (a CoW rewrite
+            after a MOR delete must not re-emit those);
+          - positional tombstones ADDED -> 'delete' events for the
+            ordinals they NEWLY assert: bare parent-file tasks with
+            ``include_pos`` = (new artifact paths, replaced artifact
+            paths) — v3 consolidated vectors re-state prior positions,
+            so the executor subtracts the replaced artifacts' ordinals
+            (the batch changelog's new_pos.exceptAll(old_pos));
+          - equality deletes ADDED -> 'delete' events for the PARENT-live
+            rows they match: parent tasks (full MOR artifact set) with
+            ``include_eq``, sequence-gated to strictly-older data files;
+          - operation 'replace' (compaction) -> skipped, no logical rows.
+        """
+        from ..format.icelite import _split_manifest, plan_table_scan
+
         for snap in reversed(lineage):
             op = snap["summary"].get("operation")
             if op == "replace":
                 continue  # compaction: no logical change
+            sid = snap["snapshot-id"]
             pid = snap.get("parent-snapshot-id")
-            p_manifest = by_id[pid]["manifest"] if pid in by_id else []
-            if any(
-                e.get("content", "data") != "data"
-                for e in list(snap["manifest"]) + list(p_manifest)
-            ):
-                raise ValueError(
-                    "change-feed streaming supports copy-on-write histories; "
-                    f"snapshot {snap['snapshot-id']} carries merge-on-read "
-                    "tombstones — use SparkTable.changelog() for MoR tables"
-                )
+            parent = by_id.get(pid)
+            p_manifest = parent["manifest"] if parent else []
             p_paths = {e["path"] for e in p_manifest}
             s_paths = {e["path"] for e in snap["manifest"]}
-            sid = snap["snapshot-id"]
-            for e in snap["manifest"]:
+            s_data, s_dels = _split_manifest(snap["manifest"])
+            p_data, p_dels = _split_manifest(p_manifest)
+            for e in s_data:
                 if e["path"] not in p_paths:
-                    parts.append(
-                        self._file_part(meta, e, target, "insert", sid)
+                    parts.append(self._file_part(meta, e, target, "insert", sid))
+            parent_tasks: dict[str, dict] | None = None
+
+            def ptasks(_pid=pid, _has=parent is not None):
+                nonlocal parent_tasks
+                if parent_tasks is None:
+                    plan = (
+                        plan_table_scan(meta, snapshot_id=_pid)
+                        if _has
+                        else {"plan-tasks": []}
                     )
-            for e in p_manifest:
-                if e["path"] not in s_paths:
-                    parts.append(
-                        self._file_part(meta, e, target, "delete", sid)
+                    parent_tasks = {
+                        t["data-file"]["path"]: t for t in plan["plan-tasks"]
+                    }
+                return parent_tasks
+
+            removed = [e for e in p_data if e["path"] not in s_paths]
+            if removed:
+                tmap = ptasks()
+                parts.extend(
+                    _task_partitions(
+                        meta,
+                        [tmap[e["path"]] for e in removed if e["path"] in tmap],
+                        self._aschema,
+                        change_type="delete",
+                        commit_id=sid,
+                    )
+                )
+            added_dels = [e for e in s_dels if e["path"] not in p_paths]
+            removed_dels = [e for e in p_dels if e["path"] not in s_paths]
+            pos_added = [
+                e for e in added_dels if e.get("content") != "equality-deletes"
+            ]
+            eq_added = [
+                e for e in added_dels if e.get("content") == "equality-deletes"
+            ]
+            if pos_added and parent is not None:
+                new_paths = [e["path"] for e in pos_added]
+                restated = [
+                    e["path"]
+                    for e in removed_dels
+                    if e.get("content") != "equality-deletes"
+                ]
+                # plan only files a new artifact can address: DV entries
+                # declare referenced-files; artifacts without the summary
+                # attach everywhere (executors filter by file_path)
+                refs: set[str] | None = set()
+                for e in pos_added:
+                    if e.get("referenced-files") is None:
+                        refs = None
+                        break
+                    refs.update(e["referenced-files"])
+                cand = [e for e in p_data if refs is None or e["path"] in refs]
+                parts.extend(
+                    _task_partitions(
+                        meta,
+                        [_bare_task(e) for e in cand],
+                        self._aschema,
+                        change_type="delete",
+                        commit_id=sid,
+                        include_pos=(new_paths, restated),
+                    )
+                )
+            if eq_added and parent is not None:
+                tmap = ptasks()
+                for eqe in eq_added:
+                    eseq = eqe.get("sequence-number", 0)
+                    tasks = [
+                        t
+                        for t in tmap.values()
+                        if t["data-file"].get("sequence-number", 0) < eseq
+                    ]
+                    parts.extend(
+                        _task_partitions(
+                            meta,
+                            tasks,
+                            self._aschema,
+                            change_type="delete",
+                            commit_id=sid,
+                            include_eq=_eq_include_spec(meta, eqe),
+                        )
                     )
 
     def commit(self, end: dict) -> None:
@@ -308,6 +393,10 @@ class IceliteStreamReader(DataSourceStreamReader):
         renamed columns still read and later-added columns are NULL;
         identity-partition columns fill from the manifest's partition
         tuple (they live in the directory name, not the file)."""
+        if isinstance(partition, _TaskPartition):
+            # MoR change-feed task (include_pos / include_eq restricted)
+            yield from _read_task_batches(partition)
+            return
         if not getattr(partition, "path", ""):
             return
         import pyarrow as pa
@@ -533,6 +622,25 @@ def _task_partitions(
     return parts
 
 
+def _bare_task(e: dict) -> dict:
+    """A plan-task shell for one manifest data entry with NO delete
+    artifacts attached — the include_pos CDC path reads raw parent rows
+    at exactly the newly-tombstoned ordinals, so ordinary tombstone
+    application must not interfere."""
+    return {
+        "data-file": {
+            "path": e["path"],
+            "record-count": e.get("record-count", 0),
+            "file-size-in-bytes": e.get("file-size-in-bytes", 0),
+            "partition": e.get("partition", {}),
+            "sequence-number": e.get("sequence-number", 0),
+            "schema-id": e.get("schema-id"),
+        },
+        "position-delete-files": [],
+        "equality-delete-files": [],
+    }
+
+
 def _eq_include_spec(meta: dict, entry: dict) -> tuple[str, list[tuple[str, int]]]:
     """(path, [(write-time name, field id)]) for a newly-added equality
     delete file — the reader loads the tombstone by its own write names
@@ -571,146 +679,156 @@ class IceliteBatchReader(DataSourceReader):
             ref=options.get("ref"),
             partition_filter=pfilter,
         )
-        target_doc = _schema_doc(meta)
-        target = [
-            (f.get("id", i + 1), f["name"])
-            for i, f in enumerate(target_doc["fields"])
-        ]
-        aschema = _arrow_schema_of(target_doc)
-        ptypes = {
-            f["name"]: f["type"]
-            for f in target_doc["fields"]
-            if isinstance(f["type"], str)
-        }
-        by_sid = {s["schema-id"]: s for s in meta["schemas"]}
-        cur_sid = meta["current-schema-id"]
-        self.parts: list[_TaskPartition] = []
-        for task in plan["plan-tasks"]:
-            d = task["data-file"]
-            dsid = d.get("schema-id")
-            ws = by_sid.get(cur_sid if dsid is None else dsid, by_sid[cur_sid])
-            eq_read = []
-            for eq in task["equality-delete-files"]:
-                esid = eq.get("schema-id")
-                esid = cur_sid if esid is None else esid
-                eby_id = _fid_map(by_sid.get(esid, by_sid[cur_sid]))
-                eq_read.append(
-                    [(eby_id[i], i) for i in eq.get("equality-ids", [])]
-                )
-            self.parts.append(
-                _TaskPartition(
-                    self.location,
-                    task,
-                    _fid_map(ws),
-                    target,
-                    aschema,
-                    d.get("partition", {}),
-                    ptypes,
-                    eq_read,
-                )
-            )
+        self.parts: list[_TaskPartition] = _task_partitions(
+            meta, plan["plan-tasks"], _arrow_schema_of(_schema_doc(meta))
+        )
 
     def partitions(self):
         return self.parts
 
     def read(self, partition: _TaskPartition):
-        """Arrow-batched MOR scan: yields `pyarrow.RecordBatch`es. Position
-        deletes apply as a boolean mask over the batch's row-ordinal range;
-        equality deletes as vectorized set membership (`pc.is_in`), with
-        comparison columns resolved by FIELD ID against the data file's
-        write schema — renames never resurrect deleted rows."""
-        import numpy as np
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
+        yield from _read_task_batches(partition)
 
-        task = partition.task
-        d = task["data-file"]
-        pf = pq.ParquetFile(f"{partition.location}/{d['path']}")
-        avail = set(pf.schema_arrow.names)
-        fid_to_w = partition.fid_to_wname
-        tgt = partition.target_fields
-        aschema = partition.arrow_schema
-        # positional tombstones targeting THIS file -> sorted dead ordinals
-        dead_parts = []
-        for pd_file in task["position-delete-files"]:
-            path = f"{partition.location}/{pd_file['path']}"
-            if path.endswith(".puffin"):  # v3 deletion-vector container
-                # cached per (path, mtime) in the worker process: one
-                # decode per container per reused worker, not per task
-                from ..format.dv import read_deletion_vectors_cached
 
-                dv = read_deletion_vectors_cached(path).get(d["path"])
-                dead_parts.append(
-                    dv if dv is not None else np.empty(0, dtype=np.int64)
-                )
-                continue
-            t = pq.read_table(path, columns=["file_path", "pos"])
-            t = t.filter(pc.equal(t.column("file_path"), pa.scalar(d["path"])))
-            dead_parts.append(
-                t.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
-            )
-        dead = (
-            np.unique(np.concatenate(dead_parts))
-            if dead_parts
-            else np.empty(0, np.int64)
+def _positions_for(location: str, paths: list[str], data_path: str):
+    """Sorted unique int64 ordinals that the given positional artifacts
+    (parquet position-delete files or Puffin DV containers, by relative
+    path) assert against ``data_path``. Containers decode once per
+    worker via the (path, mtime) cache."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    parts = []
+    for rel in paths:
+        path = f"{location}/{rel}"
+        if path.endswith(".puffin"):  # v3 deletion-vector container
+            from ..format.dv import read_deletion_vectors_cached
+
+            dv = read_deletion_vectors_cached(path).get(data_path)
+            parts.append(dv if dv is not None else np.empty(0, dtype=np.int64))
+            continue
+        t = pq.read_table(path, columns=["file_path", "pos"])
+        t = t.filter(pc.equal(t.column("file_path"), pa.scalar(data_path)))
+        parts.append(t.column("pos").to_numpy(zero_copy_only=False).astype(np.int64))
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+
+def _read_task_batches(partition: _TaskPartition):
+    """Arrow-batched MOR scan: yields `pyarrow.RecordBatch`es. Position
+    deletes apply as a boolean mask over the batch's row-ordinal range;
+    equality deletes as vectorized set membership (`pc.is_in`), with
+    comparison columns resolved by FIELD ID against the data file's
+    write schema — renames never resurrect deleted rows.
+
+    CDC restrictions invert the mask sense: ``include_pos`` keeps ONLY
+    ordinals newly tombstoned by a commit (new minus re-stated) and
+    ``include_eq`` keeps ONLY rows matching a newly-added equality
+    delete; ``change_type`` appends the `_change_type` /
+    `_commit_snapshot_id` tail columns — together they turn the batch
+    MOR reader into the executor side of the streaming change feed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    task = partition.task
+    d = task["data-file"]
+    pf = pq.ParquetFile(f"{partition.location}/{d['path']}")
+    avail = set(pf.schema_arrow.names)
+    fid_to_w = partition.fid_to_wname
+    tgt = partition.target_fields
+    aschema = partition.arrow_schema
+    change = getattr(partition, "change_type", None)
+    # positional tombstones targeting THIS file -> sorted dead ordinals
+    dead = _positions_for(
+        partition.location,
+        [pd_file["path"] for pd_file in task["position-delete-files"]],
+        d["path"],
+    )
+    # CDC: ordinals newly killed by this commit = new minus re-stated
+    inc_pos = None
+    if partition.include_pos is not None:
+        new_paths, restated_paths = partition.include_pos
+        inc_pos = np.setdiff1d(
+            _positions_for(partition.location, new_paths, d["path"]),
+            _positions_for(partition.location, restated_paths, d["path"]),
         )
-        # equality tombstones: the delete FILE reads by its own write-time
-        # names; the DATA-side comparison columns resolve by field id
-        eq_specs: list[tuple[list[str | None], set]] = []
-        extra: set[str] = set()
-        for eq, cols_fids in zip(task["equality-delete-files"], partition.eq_read):
-            names = [c for c, _ in cols_fids]
-            t = pq.read_table(f"{partition.location}/{eq['path']}", columns=names)
-            keys = (
-                set(zip(*[t.column(c).to_pylist() for c in names]))
-                if names
-                else set()
-            )
-            data_cols = []
-            for _, fid in cols_fids:
-                w = fid_to_w.get(fid)
-                data_cols.append(w if (w and w in avail) else None)
-            eq_specs.append((data_cols, keys))
-            extra.update(c for c in data_cols if c)
-        need = sorted(
-            {
-                fid_to_w[fid]
-                for fid, _ in tgt
-                if fid in fid_to_w and fid_to_w[fid] in avail
-            }
-            | extra
-        )
-        if aschema is None:  # arrow-unexpressible schema: row fallback
-            yield from _batch_row_fallback(pf, partition, need, dead, eq_specs)
+        if not inc_pos.size:
             return
-        ordinal = 0
-        for batch in pf.iter_batches(columns=need):
-            n = batch.num_rows
-            got = dict(zip(batch.schema.names, batch.columns))
-            mask = np.ones(n, dtype=bool)
-            if dead.size:
-                lo, hi = np.searchsorted(dead, (ordinal, ordinal + n))
-                mask[dead[lo:hi] - ordinal] = False
-            for data_cols, keys in eq_specs:
-                if keys:
-                    mask &= ~_eq_hit(got, data_cols, keys, n)
-            ordinal += n
-            sel = None if mask.all() else np.flatnonzero(mask)
-            m = n if sel is None else len(sel)
-            if m == 0:
-                continue
-            arrays = []
-            for (fid, name), ftype in zip(tgt, aschema.types):
-                arr = got.get(fid_to_w.get(fid))
-                if arr is not None and sel is not None:
-                    arr = arr.take(pa.array(sel))
-                arrays.append(
-                    _project_column(
-                        arr, ftype, m, partition.partition_values.get(name)
-                    )
+    # equality tombstones: the delete FILE reads by its own write-time
+    # names; the DATA-side comparison columns resolve by field id
+    eq_specs: list[tuple[list[str | None], set]] = []
+    extra: set[str] = set()
+
+    def eq_spec(path: str, cols_fids):
+        names = [c for c, _ in cols_fids]
+        t = pq.read_table(f"{partition.location}/{path}", columns=names)
+        keys = (
+            set(zip(*[t.column(c).to_pylist() for c in names])) if names else set()
+        )
+        data_cols = []
+        for _, fid in cols_fids:
+            w = fid_to_w.get(fid)
+            data_cols.append(w if (w and w in avail) else None)
+        extra.update(c for c in data_cols if c)
+        return data_cols, keys
+
+    for eq, cols_fids in zip(task["equality-delete-files"], partition.eq_read):
+        eq_specs.append(eq_spec(eq["path"], cols_fids))
+    inc_eq = None
+    if partition.include_eq is not None:
+        inc_eq = eq_spec(*partition.include_eq)
+    need = sorted(
+        {
+            fid_to_w[fid]
+            for fid, _ in tgt
+            if fid in fid_to_w and fid_to_w[fid] in avail
+        }
+        | extra
+    )
+    if aschema is None:  # arrow-unexpressible schema: row fallback
+        yield from _batch_row_fallback(
+            pf, partition, need, dead, eq_specs, inc_pos, inc_eq
+        )
+        return
+    ordinal = 0
+    for batch in pf.iter_batches(columns=need):
+        n = batch.num_rows
+        got = dict(zip(batch.schema.names, batch.columns))
+        mask = np.ones(n, dtype=bool)
+        if dead.size:
+            lo, hi = np.searchsorted(dead, (ordinal, ordinal + n))
+            mask[dead[lo:hi] - ordinal] = False
+        for data_cols, keys in eq_specs:
+            if keys:
+                mask &= ~_eq_hit(got, data_cols, keys, n)
+        if inc_pos is not None:
+            keep = np.zeros(n, dtype=bool)
+            lo, hi = np.searchsorted(inc_pos, (ordinal, ordinal + n))
+            keep[inc_pos[lo:hi] - ordinal] = True
+            mask &= keep
+        if inc_eq is not None:
+            mask &= _eq_hit(got, inc_eq[0], inc_eq[1], n)
+        ordinal += n
+        sel = None if mask.all() else np.flatnonzero(mask)
+        m = n if sel is None else len(sel)
+        if m == 0:
+            continue
+        arrays = []
+        for (fid, name), ftype in zip(tgt, aschema.types):
+            arr = got.get(fid_to_w.get(fid))
+            if arr is not None and sel is not None:
+                arr = arr.take(pa.array(sel))
+            arrays.append(
+                _project_column(
+                    arr, ftype, m, partition.partition_values.get(name)
                 )
-            yield pa.RecordBatch.from_arrays(arrays, schema=aschema)
+            )
+        if change:
+            arrays.append(pa.array([change] * m, type=pa.string()))
+            arrays.append(pa.array([partition.commit_id] * m, type=pa.int64()))
+        yield pa.RecordBatch.from_arrays(arrays, schema=aschema)
 
 
 def _eq_hit(got, data_cols, keys, n):
@@ -749,10 +867,16 @@ def _eq_hit(got, data_cols, keys, n):
     return np.fromiter((t in proj for t in zip(*cols)), dtype=bool, count=n)
 
 
-def _batch_row_fallback(pf, partition, need, dead, eq_specs):
-    """Row-tuple MOR fallback for schemas Arrow can't carry (variant)."""
+def _batch_row_fallback(pf, partition, need, dead, eq_specs, inc_pos=None, inc_eq=None):
+    """Row-tuple MOR fallback for schemas Arrow can't carry (variant).
+    Honors the CDC restrictions (`inc_pos` ordinal set / `inc_eq` key
+    match) and appends the change-event tail when the partition is a
+    change-feed task."""
     fid_to_w = partition.fid_to_wname
     deadset = set(dead.tolist())
+    incset = set(inc_pos.tolist()) if inc_pos is not None else None
+    change = getattr(partition, "change_type", None)
+    tail = (change, partition.commit_id) if change else ()
     ordinal = 0
     for batch in pf.iter_batches(columns=need):
         cols = dict(
@@ -769,14 +893,24 @@ def _batch_row_fallback(pf, partition, need, dead, eq_specs):
                 if keys
             ):
                 continue
-            yield tuple(
-                cols[fid_to_w[fid]][i]
-                if fid in fid_to_w and fid_to_w[fid] in cols
-                else _cast_partition_value(
-                    partition.partition_values.get(name),
-                    partition.partition_types.get(name),
+            if incset is not None and pos not in incset:
+                continue
+            if inc_eq is not None and (
+                tuple(cols[c][i] if c else None for c in inc_eq[0])
+                not in inc_eq[1]
+            ):
+                continue
+            yield (
+                tuple(
+                    cols[fid_to_w[fid]][i]
+                    if fid in fid_to_w and fid_to_w[fid] in cols
+                    else _cast_partition_value(
+                        partition.partition_values.get(name),
+                        partition.partition_types.get(name),
+                    )
+                    for fid, name in partition.target_fields
                 )
-                for fid, name in partition.target_fields
+                + tail
             )
 
 

@@ -1,5 +1,7 @@
 """Streaming change-feed source (st11's machinery): event composition for
-CoW histories and the explicit merge-on-read rejection."""
+CoW histories AND merge-on-read histories (position tombstones, v3
+deletion vectors with consolidation re-statement, equality deletes),
+checkpoint-resume included — the streaming twin of SparkTable.changelog()."""
 
 from __future__ import annotations
 
@@ -33,7 +35,7 @@ def feed(spark, tmp_path):
     return cat, t, str(tmp_path / "m.db")
 
 
-def _drain(spark, mpath, collected):
+def _drain(spark, mpath, collected, ckpt=None, namespace="s"):
     def collect(batch, batch_id):
         collected[batch_id] = batch.collect()
 
@@ -41,16 +43,26 @@ def _drain(spark, mpath, collected):
         spark.readStream.format("icelite")
         .option("metastore", mpath)
         .option("warehouse", "wh")
-        .option("namespace", "s")
+        .option("namespace", namespace)
         .option("table", "t")
         .option("change-feed", "true")
         .load()
         .writeStream.foreachBatch(collect)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", ckpt or tempfile.mkdtemp(prefix="ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def _events(collected):
+    return [r for batch in collected.values() for r in batch]
+
+
+def _keyed(rows):
+    return sorted(
+        (r["k"], r["_change_type"], r["_commit_snapshot_id"]) for r in rows
+    )
 
 
 def test_cow_delete_emits_delete_insert_pairs(spark, feed):
@@ -74,13 +86,96 @@ def test_cow_delete_emits_delete_insert_pairs(spark, feed):
     assert len({r["_commit_snapshot_id"] for r in rows}) == 2
 
 
-def test_change_feed_rejects_mor_tombstones(spark, feed):
+def test_change_feed_mor_position_tombstones(spark, feed):
+    """A MoR position-delete commit streams 'delete' events for exactly
+    the newly-tombstoned rows — byte-equal to the batch changelog."""
     cat, t, mpath = feed
-    t.delete_where("k < 3", )  # first a CoW (fine)
-    t._mor_delete("k >= 18")  # then a MoR position-delete commit
+    t.delete_where("k < 3")  # CoW rewrite commit
+    t._mor_delete("k >= 18")  # MoR position-delete commit (v2 tombstones)
     collected: dict[int, list] = {}
-    with pytest.raises(Exception, match="merge-on-read|change-feed"):
-        _drain(spark, mpath, collected)
+    _drain(spark, mpath, collected)
+    rows = _events(collected)
+    assert _keyed(rows) == _keyed(t.changelog().collect())
+    # the MoR commit contributed exactly two delete events, k in {18,19}
+    mor_sid = t.metadata()["current-snapshot-id"]
+    mor = [r for r in rows if r["_commit_snapshot_id"] == mor_sid]
+    assert sorted((r["k"], r["_change_type"]) for r in mor) == [
+        (18, "delete"),
+        (19, "delete"),
+    ]
+
+
+def test_change_feed_mor_equality_and_update(spark, feed):
+    """Equality-delete commits stream the parent-live matching rows as
+    deletes (sequence-gated); a MoR UPDATE streams delete+insert pairs."""
+    cat, t, mpath = feed
+    t.delete_where("k IN (2, 4)", mode="equality", equality_cols=["k"])
+    t.append(
+        spark.createDataFrame([(2, 200.0)], "k long, v double")
+    )  # reborn AFTER the equality delete: must NOT re-emit a delete
+    t.update_where("k = 10", {"v": "999.0"}, mode="merge-on-read")
+    collected: dict[int, list] = {}
+    _drain(spark, mpath, collected)
+    rows = _events(collected)
+    assert _keyed(rows) == _keyed(t.changelog().collect())
+    # net state equals the live table
+    net: dict[tuple, int] = {}
+    for r in rows:
+        sign = 1 if r["_change_type"] == "insert" else -1
+        net[(r["k"], r["v"])] = net.get((r["k"], r["v"]), 0) + sign
+    live = sorted(kv for kv, n in net.items() if n > 0)
+    assert live == sorted((r["k"], r["v"]) for r in t.scan().collect())
+
+
+def test_change_feed_v3_dv_checkpoint_resume(spark, tmp_path):
+    """v3 consolidated deletion vectors re-state prior positions; a
+    checkpoint-resumed stream must emit ONLY the newly-deleted rows of
+    each incremental batch."""
+    from tests.test_delete_artifacts import _upgrade_v3
+
+    try:
+        spark.dataSource.register(IceliteStreamDataSource)
+    except Exception:
+        pass
+    cat = Catalog(Metastore(str(tmp_path / "m.db")))
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["s"])
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double"
+    )
+    cat.create_table("wh", ["s"], "t", struct_to_schema(df.schema))
+    t = SparkTable(spark, cat, "wh", ["s"], "t")
+    t.append(df.coalesce(1))
+    _upgrade_v3(t)
+    mpath = str(tmp_path / "m.db")
+    ckpt = str(tmp_path / "ckpt")
+
+    c1: dict[int, list] = {}
+    _drain(spark, mpath, c1, ckpt)
+    assert _keyed(_events(c1)) == [
+        (k, "insert", t.metadata()["snapshots"][0]["snapshot-id"])
+        for k in range(20)
+    ]
+
+    t.delete_where("k < 5", mode="merge-on-read")  # DV #1
+    c2: dict[int, list] = {}
+    _drain(spark, mpath, c2, ckpt)
+    assert sorted((r["k"], r["_change_type"]) for r in _events(c2)) == [
+        (k, "delete") for k in range(5)
+    ]
+
+    # DV #2 consolidates: it re-states positions 0-4 — resume must emit
+    # ONLY k >= 15
+    t.delete_where("k >= 15", mode="merge-on-read")
+    c3: dict[int, list] = {}
+    _drain(spark, mpath, c3, ckpt)
+    assert sorted((r["k"], r["_change_type"]) for r in _events(c3)) == [
+        (k, "delete") for k in range(15, 20)
+    ]
+    # and the full feed from scratch equals the batch changelog
+    call: dict[int, list] = {}
+    _drain(spark, mpath, call)
+    assert _keyed(_events(call)) == _keyed(t.changelog().collect())
 
 
 def test_batch_read_format_icelite_applies_mor_artifacts(spark, tmp_path):
