@@ -100,11 +100,14 @@ def verified_rounds() -> dict[str, int]:
     return out
 
 
-def _ranked_names() -> dict[str, str]:
+def _ranked_names(last: dict[str, int] | None = None) -> dict[str, str]:
     """exposed name -> registry name; checked-recency ranking with a
-    per-family guard block (see module docstring)."""
+    per-family guard block (see module docstring). ``last`` defaults to
+    the committed-artifact history; tests pass synthetic histories to
+    property-check the rotation's revisit bound."""
     names = sorted(load_registry())
-    last = driver_checked_rounds()
+    if last is None:
+        last = driver_checked_rounds()
     by_staleness = sorted(names, key=lambda n: (last.get(n, -1), n))
     guard: dict[str, str] = {}
     for n in by_staleness:
@@ -112,6 +115,64 @@ def _ranked_names() -> dict[str, str]:
     front = [guard[f] for f in sorted(guard)]
     rest = [n for n in by_staleness if n not in set(front)]
     return {f"r{i:03d}_{n}": n for i, n in enumerate(front + rest, start=1)}
+
+
+def query_module_files() -> dict[str, Path]:
+    """raw query name -> the source file of the module that implements it
+    (the defining module of its registered spark_fn)."""
+    import importlib
+
+    out: dict[str, Path] = {}
+    for name, q in load_registry().items():
+        mod = importlib.import_module(q.spark_fn.__module__)
+        out[name] = Path(mod.__file__).resolve()
+    return out
+
+
+def current_module_hashes() -> dict[str, str]:
+    """repo-relative module path -> sha256 of its current source, for every
+    module implementing at least one registry query."""
+    import hashlib
+
+    out: dict[str, str] = {}
+    for path in set(query_module_files().values()):
+        rel = str(path.relative_to(_REPO))
+        out[rel] = hashlib.sha256(path.read_bytes()).hexdigest()
+    return out
+
+
+def changed_unverified(manifest: dict | None = None) -> dict[str, str]:
+    """Queries whose implementing module changed since the last all-green
+    sweep recorded it (round-7 verdict item 2: 'changed-in-round-N needs a
+    round-N green row', made structural). tools/fullsweep.py refreshes
+    MODULE_HASHES.json only for modules whose every query is green, so any
+    source edit to a query module makes this non-empty until the module's
+    queries are re-verified. Returns {query: reason}; empty == clean."""
+    if manifest is None:
+        path = _REPO / "MODULE_HASHES.json"
+        if not path.exists():
+            return {
+                n: "MODULE_HASHES.json missing — run tools/fullsweep.py"
+                for n in load_registry()
+            }
+        manifest = json.loads(path.read_text())
+    recorded = manifest.get("modules", {})
+    current = current_module_hashes()
+    stale_mods = {
+        rel
+        for rel, h in current.items()
+        if recorded.get(rel, {}).get("sha256") != h
+    }
+    out: dict[str, str] = {}
+    for name, path in query_module_files().items():
+        rel = str(path.relative_to(_REPO))
+        if rel in stale_mods:
+            out[name] = (
+                f"{rel} changed since its last all-green sweep "
+                f"(round {recorded.get(rel, {}).get('round', 'never')}) — "
+                f"re-run tools/fullsweep.py for its queries"
+            )
+    return out
 
 
 def entry(spark: SparkSession) -> DataFrame:

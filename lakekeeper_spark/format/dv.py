@@ -139,22 +139,30 @@ def read_deletion_vectors_np(path: str) -> dict[str, np.ndarray]:
     }
 
 
-# Scan-side decode cache, keyed by (path, mtime): a committed Puffin
-# container is immutable (new commits write new paths), so repeated
-# scans of the same table state decode each container once per python
-# worker process (workers are reused across tasks) / once on the
-# driver. The mtime guard handles path reuse across table recreates.
-_DV_CACHE: dict[str, tuple[float, dict[str, np.ndarray]]] = {}
+# Scan-side decode cache, keyed by (path, mtime, size): a committed
+# Puffin container is immutable (new commits write new paths), so
+# repeated scans of the same table state decode each container once per
+# python worker process (workers are reused across tasks) / once on the
+# driver. The (mtime, size) guard handles path reuse across table
+# recreates even on filesystems with 1 s mtime granularity. Returned
+# arrays are shared by reference and marked read-only so a caller
+# mutation raises instead of poisoning later scans.
+_DV_CACHE: dict[str, tuple[tuple[float, int], dict[str, np.ndarray]]] = {}
 _DV_CACHE_MAX = 64
 
 
 def read_deletion_vectors_cached(path: str) -> dict[str, np.ndarray]:
-    mtime = os.path.getmtime(path)
+    """Callers MUST NOT mutate the returned dict or arrays (shared,
+    write-protected cache entries)."""
+    st = os.stat(path)
+    key = (st.st_mtime, st.st_size)
     hit = _DV_CACHE.get(path)
-    if hit is not None and hit[0] == mtime:
+    if hit is not None and hit[0] == key:
         return hit[1]
     out = read_deletion_vectors_np(path)
+    for arr in out.values():
+        arr.setflags(write=False)
     if len(_DV_CACHE) >= _DV_CACHE_MAX:
         _DV_CACHE.pop(next(iter(_DV_CACHE)))
-    _DV_CACHE[path] = (mtime, out)
+    _DV_CACHE[path] = (key, out)
     return out

@@ -44,11 +44,27 @@ _TYPE_MAP = {
 }
 
 
+def _arrow_type_ddl(t: str) -> str | None:
+    """arrow-style type name -> Spark DDL type. Handles the scalar map
+    plus list/fixed_size_list element types (vector datasets declare
+    their embedding column as list<float32> / fixed_size_list<float32,
+    64> — the shape lance/pyarrow print)."""
+    t = str(t).strip().lower()
+    if t in _TYPE_MAP:
+        return _TYPE_MAP[t]
+    for prefix in ("fixed_size_list<", "list<", "large_list<"):
+        if t.startswith(prefix) and t.endswith(">"):
+            inner = t[len(prefix) : -1].split(",")[0].strip()  # drop list size
+            elem = _TYPE_MAP.get(inner)
+            return f"array<{elem}>" if elem else None
+    return None
+
+
 def _ddl_schema(schema: dict[str, Any]) -> str | None:
     fields = (schema or {}).get("fields") or []
     parts = []
     for f in fields:
-        t = _TYPE_MAP.get(str(f.get("type", "")).lower())
+        t = _arrow_type_ddl(f.get("type", ""))
         if t is None:
             return None  # unknown type -> let Spark infer
         parts.append(f"`{f['name']}` {t}")

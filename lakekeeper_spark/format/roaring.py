@@ -151,10 +151,21 @@ def deserialize_32_np(buf: bytes, pos: int = 0) -> tuple[np.ndarray, int]:
 def serialize_64(values) -> bytes:
     """Portable 64-bit roaring: u64 bucket count, then per high-32 key
     (ascending): <u32 key><32-bit stream>."""
-    try:
-        arr = np.unique(np.asarray(values, dtype=np.uint64))
-    except (OverflowError, TypeError) as e:  # negative or >= 2**64
-        raise ValueError(f"uint64 out of range: {e}") from None
+    # Range-check BEFORE the uint64 cast: numpy's cast of negative
+    # int64/ndarray inputs wraps silently (no OverflowError on 1.26+), which
+    # would encode a corrupt position near 2**64 instead of raising.
+    src = np.asarray(values)
+    if src.size and src.dtype.kind in "iuf":
+        if src.min() < 0:
+            raise ValueError("uint64 out of range: negative position")
+        arr = np.unique(src.astype(np.uint64))
+    else:
+        try:
+            if any(int(v) < 0 for v in src.ravel().tolist()):
+                raise OverflowError("negative position")
+            arr = np.unique(src.astype(np.uint64))
+        except (OverflowError, TypeError, ValueError) as e:
+            raise ValueError(f"uint64 out of range: {e}") from None
     his = (arr >> np.uint64(32)).astype(np.uint32)
     lows = arr.astype(np.uint32)  # low 32 bits (truncating cast)
     ukeys, starts = np.unique(his, return_index=True)

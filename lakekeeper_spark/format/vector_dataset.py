@@ -1,0 +1,128 @@
+"""Vector datasets through the generic-table API (parquet-backed).
+
+The reference registers Lance vector datasets as GENERIC tables and hands
+engines the base location plus vended credentials; the engine-side library
+then writes/reads the format natively
+(/root/reference/tests/integration-tests/lance/test_lance.py:42-110:
+create-entry -> vend-credentials -> write -> read, and
+api/data/v1/generic_tables/mod.rs:36-90 for the catalog surface). This
+module is that engine side for Spark with PARQUET as the dataset format —
+the container has no lance package, so the physical format is the one
+Spark ships a scalable DataSource for, while the catalog flow (entry with
+arrow-style schema incl. the list<float32> vector column, credential
+vending before storage access, reads resolving location+schema from the
+catalog) is the reference's, unchanged. The lance swap-in point stays
+marked in generic.py:read_generic_table.
+
+Scale shape: the dataset is plain partitioned parquet — writes are
+distributed executor writes, reads are parquet scans with column pruning
+and predicate pushdown (an ANN query over the registered dataset prunes
+to (vec_id, embedding) at the scan). Nothing routes through the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..catalog.catalog import Catalog, CatalogError
+from .generic import read_generic_table
+
+# Spark scalar types -> arrow-style generic-table schema names (the
+# reverse direction of generic._TYPE_MAP, restricted to what vector
+# datasets carry).
+_SPARK_TO_ARROW = {
+    T.ByteType(): "int8",
+    T.ShortType(): "int16",
+    T.IntegerType(): "int32",
+    T.LongType(): "int64",
+    T.FloatType(): "float32",
+    T.DoubleType(): "float64",
+    T.StringType(): "string",
+    T.BooleanType(): "bool",
+    T.BinaryType(): "binary",
+    T.DateType(): "date32",
+    T.TimestampType(): "timestamp",
+}
+
+
+def _arrow_name(dt: T.DataType) -> str:
+    if isinstance(dt, T.ArrayType):
+        return f"list<{_arrow_name(dt.elementType)}>"
+    name = _SPARK_TO_ARROW.get(dt)
+    if name is None:
+        raise CatalogError(f"unsupported vector-dataset column type: {dt}")
+    return name
+
+
+def arrow_schema_of(df: DataFrame) -> dict[str, Any]:
+    """Generic-table schema dict (arrow-style type names) for a frame."""
+    return {
+        "fields": [
+            {"name": f.name, "type": _arrow_name(f.dataType)}
+            for f in df.schema.fields
+        ]
+    }
+
+
+def create_vector_dataset(
+    catalog: Catalog,
+    warehouse: str,
+    levels,
+    name: str,
+    df: DataFrame,
+    vector_col: str = "embedding",
+    properties: dict[str, str] | None = None,
+) -> dict[str, Any]:
+    """The reference's generic-table dataset flow, Spark-native:
+
+      1. create the catalog entry (format, base-location, arrow schema);
+      2. LoadCredentials for the entry BEFORE touching storage (the
+         vending call engines make; local-fs stub here, STS in a cloud
+         deployment — the call and response shape are the contract);
+      3. distributed parquet write of the frame to the vended location.
+
+    The vector column must be array<float|double>; its dimensionality is
+    recorded in the entry properties (``vector-dim``) when constant-width
+    probing is cheap, so readers can validate without scanning."""
+    field = dict(zip(df.columns, [f.dataType for f in df.schema.fields])).get(
+        vector_col
+    )
+    if not isinstance(field, T.ArrayType) or not isinstance(
+        field.elementType, (T.FloatType, T.DoubleType)
+    ):
+        raise CatalogError(
+            f"vector column {vector_col!r} must be array<float|double>, got {field}"
+        )
+    wh = catalog._warehouse(warehouse)
+    location = f"{wh['location']}/vector-data/{'/'.join(levels)}/{name}"
+    props = {"vector-column": vector_col, **(properties or {})}
+    meta = catalog.create_generic_table(
+        warehouse,
+        levels,
+        name,
+        format="parquet",
+        base_location=location,
+        schema=arrow_schema_of(df),
+        properties=props,
+    )
+    creds = catalog.load_credentials(warehouse, levels, name, kind="generic")
+    prefix = creds["storage-credentials"][0]["prefix"]
+    # the stub vends a prefix scoped to the entry's base-location; a real
+    # deployment would configure the Hadoop FS with the vended token here
+    assert prefix == location, (prefix, location)
+    df.write.mode("overwrite").parquet(location)
+    return meta
+
+
+def read_vector_dataset(
+    spark: SparkSession, catalog: Catalog, warehouse: str, levels, name: str
+) -> DataFrame:
+    """Read path: vend credentials, then resolve location+schema through
+    the generic-table entry (generic.read_generic_table applies the
+    declared arrow schema, so the scan projects list<float32> as
+    array<float> instead of re-inferring)."""
+    catalog.load_credentials(warehouse, levels, name, kind="generic")
+    return read_generic_table(spark, catalog, warehouse, levels, name)

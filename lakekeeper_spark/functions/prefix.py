@@ -63,6 +63,15 @@ def exclusive_prefix_sum(
     ``df`` is already one cheap groupBy away from a localCheckpoint the
     caller owns, so the totals job and the returned plan re-derive it
     instead of paying an extra materialization job.
+
+    Side effects of the default ``checkpoint=True``: an EAGER Spark job
+    runs at call time (building the plan without consuming it still pays
+    a full materialization of the one-row-per-key frame), and
+    localCheckpoint blocks are not lineage-recoverable — an executor
+    loss fails downstream jobs instead of recomputing. The trade is
+    deliberate: it removes a full second corpus scan for every consumer
+    (cross-job plans don't share exchanges). Callers that only build
+    plans speculatively should pass ``checkpoint=False``.
     """
     order = F.col(key).desc() if descending else F.col(key).asc()
     # localCheckpoint the one-row-per-key frame BEFORE the totals scan:

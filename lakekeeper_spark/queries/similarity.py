@@ -75,9 +75,11 @@ def _quant_round(p):
 # --------------------------------------------------------------------------
 # s01: brute-force cosine top-k (oracle-exact via quantization)
 # --------------------------------------------------------------------------
-@register(
-    "s01_knn_bruteforce",
-    oracle=f"""
+# Shared by s01 (direct parquet) and s09 (same corpus registered and read
+# back through the generic-table vector-dataset API — identical rows by
+# construction, so the same oracle pins that the catalog path changes
+# nothing about the data).
+_S01_ORACLE = f"""
 WITH norms AS (
   SELECT vec_id, {_sql_dot6('embedding', 'embedding')} AS norm6
   FROM embeddings
@@ -100,7 +102,12 @@ FROM (
   FROM scored
 ) t
 WHERE rnk <= {TOP_K}
-""",
+"""
+
+
+@register(
+    "s01_knn_bruteforce",
+    oracle=_S01_ORACLE,
     description="Exact top-k cosine neighbors for the first 10 vectors; "
     "broadcast queries x full scan, quantized-integer dot products. "
     "Adaptive physical plan: JVM expression scoring for small corpora, "
@@ -108,7 +115,10 @@ WHERE rnk <= {TOP_K}
     tags=("similarity", "llm"),
 )
 def s01_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    return _s01_adaptive(load_table(spark, sf_dir, "embeddings"))
+
+
+def _s01_adaptive(emb: DataFrame) -> DataFrame:
     # Same exact semantics, two physical strategies: the Python-worker pool
     # + Arrow startup (~10 s on local[32]) only amortizes once the
     # vectorized (batch x queries x dim) kernel saves more than that, so
@@ -699,3 +709,37 @@ def s08_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.col("pick").cast("int").alias("pick"), "neighbor_id",
         "relevance", "mmr_score"
     )
+
+
+# --------------------------------------------------------------------------
+# s09: vector search over a generic-table-registered dataset
+# --------------------------------------------------------------------------
+@register(
+    "s09_generic_vector_knn",
+    oracle=_S01_ORACLE,
+    description="s01-style exact kNN over a vector dataset registered and "
+    "read through the generic-table API (reference Lance flow, "
+    "tests/integration-tests/lance/test_lance.py:42-110: create-entry -> "
+    "vend-credentials -> write -> read; parquet-backed here, lance swap-in "
+    "marked in format/generic.py). The oracle is s01's: the catalog path "
+    "must change nothing about the data.",
+    tags=("similarity", "catalog", "generic-table", "llm"),
+)
+def s09_generic_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.vector_dataset import (
+        create_vector_dataset,
+        read_vector_dataset,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_vec_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["vectors"])
+    src = load_table(spark, sf_dir, "embeddings")
+    create_vector_dataset(cat, "wh", ["vectors"], "emb", src, "embedding")
+    emb = read_vector_dataset(spark, cat, "wh", ["vectors"], "emb")
+    return _s01_adaptive(emb)

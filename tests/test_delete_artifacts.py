@@ -211,3 +211,40 @@ def test_v3_mor_update_consolidates_vectors(spark, catalog):
     assert _delete_kinds(t) == ["deletion-vectors"]
     rows = {r.id: r.s for r in t.scan().collect()}
     assert 1 not in rows and rows[3] == "u3" and len(rows) == 4
+
+
+def test_v3_dv_shards_into_multiple_containers(spark, catalog, monkeypatch):
+    """A delete whose tombstones reference more data files than
+    _DV_BLOBS_PER_CONTAINER must shard into multiple Puffin containers —
+    one writer task each — instead of funnelling every blob through one
+    task (spec-legal: the manifest addresses blobs by container path +
+    offset/length). Reads, consolidation, and record counts must be
+    unchanged."""
+    from lakekeeper_spark.format import icelite as _il
+
+    catalog.create_namespace("wh", ["da"], exists_ok=True)
+    df = spark.createDataFrame(
+        [(i, float(i), f"r{i}") for i in range(40)], DDL
+    ).repartition(8)  # 8 data files
+    catalog.create_table("wh", ["da"], "dvshard", struct_to_schema(df.schema))
+    t = SparkTable(spark, catalog, "wh", ["da"], "dvshard")
+    t.append(df)
+    _upgrade_v3(t)
+    monkeypatch.setattr(_il, "_DV_BLOBS_PER_CONTAINER", 3)
+    t.delete_where("id % 2 = 0", mode="merge-on-read")  # touches all 8 files
+
+    snap = t._resolve_snapshot(t.metadata())
+    dels = _split_manifest(snap["manifest"])[1]
+    assert all(e["content"] == "deletion-vectors" for e in dels)
+    assert len(dels) == 3  # ceil(8/3) containers
+    assert len({e["path"] for e in dels}) == 3
+    ref = sorted(fp for e in dels for fp in e["referenced-files"])
+    assert len(ref) == len(set(ref)) == 8  # every file in exactly one container
+    assert sum(e["record-count"] for e in dels) == 20
+    assert _ids(t) == list(range(1, 40, 2))
+
+    # a second delete consolidates ALL containers back through the policy
+    t.delete_where("id in (1, 3)", mode="merge-on-read")
+    dels2 = _split_manifest(t._resolve_snapshot(t.metadata())["manifest"])[1]
+    assert sum(e["record-count"] for e in dels2) == 22
+    assert _ids(t) == list(range(5, 40, 2))

@@ -194,3 +194,42 @@ def test_manifest_marks_dv_as_puffin(spark, catalog):
     # one, still claim their adding snapshot id
     carried = [r for r in entries if r["status"] == 0]
     assert carried and all(r["snapshot_id"] == first_sid for r in carried)
+
+
+def test_serialize_64_rejects_negatives_and_guards_cache():
+    """Negative positions must raise, not wrap (numpy's uint64 cast of a
+    negative int64/ndarray wraps silently on 1.26+); and cached DV arrays
+    are write-protected so a caller mutation cannot poison the per-worker
+    decode cache."""
+    import numpy as np
+    import pytest
+
+    for bad in ([-1], np.asarray([-1], dtype=np.int64), [5, -3, 9], [-(2**40)]):
+        with pytest.raises(ValueError):
+            serialize_64(bad)
+    with pytest.raises((ValueError, OverflowError)):
+        serialize_64([2**64])
+    assert deserialize_64(serialize_64([])) == []
+    assert deserialize_64(serialize_64(np.asarray([0, 2**33], dtype=np.uint64))) == [
+        0,
+        2**33,
+    ]
+
+
+def test_dv_cache_entries_are_readonly(tmp_path):
+    import numpy as np
+    import pytest
+
+    from lakekeeper_spark.format.dv import (
+        read_deletion_vectors_cached,
+        write_deletion_vectors,
+    )
+
+    p = str(tmp_path / "dv.puffin")
+    write_deletion_vectors(p, {"f1.parquet": [1, 5, 9]})
+    got = read_deletion_vectors_cached(p)
+    arr = got["f1.parquet"]
+    with pytest.raises(ValueError):
+        arr[0] = 99
+    again = read_deletion_vectors_cached(p)
+    assert np.array_equal(again["f1.parquet"], [1, 5, 9])

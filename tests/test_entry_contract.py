@@ -76,6 +76,83 @@ def test_every_query_verified_within_two_rounds():
     )
 
 
+def test_changed_modules_are_reverified():
+    """Structural form of the recurring round-6/7 finding: any query whose
+    implementing module changed since its last all-green sweep must be
+    re-verified before the tree is green. tools/fullsweep.py records each
+    module's source hash in MODULE_HASHES.json only when every one of its
+    queries passed; this asserts the current source matches."""
+    stale = entry_mod.changed_unverified()
+    assert not stale, (
+        f"queries in modules edited since their last all-green sweep: "
+        f"{stale} — run `python tools/fullsweep.py <round> {' '.join(sorted(stale))}`"
+    )
+
+
+def test_changed_module_detector_fires_on_synthetic_change():
+    """The detector must actually fire: doctor one module hash in a copy of
+    the manifest and every query in that module must be reported."""
+    import json as _json
+    from pathlib import Path as _P
+
+    mpath = _P(entry_mod.__file__).resolve().parent / "MODULE_HASHES.json"
+    manifest = _json.loads(mpath.read_text())
+    victims = [r for r in manifest["modules"] if r.endswith("dedup.py")]
+    assert victims, "dedup.py missing from manifest"
+    doctored = {"modules": dict(manifest["modules"])}
+    doctored["modules"][victims[0]] = {"sha256": "0" * 64, "round": 0}
+    flagged = entry_mod.changed_unverified(doctored)
+    mod_files = entry_mod.query_module_files()
+    expect = {
+        n
+        for n, p in mod_files.items()
+        if str(p).endswith(victims[0].split("/")[-1]) and victims[0] in str(p)
+    }
+    assert expect and set(flagged) >= expect, (flagged, expect)
+    # and with the real manifest the same queries are NOT flagged
+    assert not set(entry_mod.changed_unverified(manifest)) & expect
+
+
+def test_rotation_revisit_bound():
+    """Property (round-7 verdict item 2 / round-6 item): simulating the
+    driver gate (first 50 exposed keys, green rows only for oracle-backed
+    queries) over synthetic histories, every oracle-backed query must be
+    re-checked within ceil(n_oracle / effective_slots) + 1 rounds, so no
+    query can drift unverified between driver gates."""
+    import math
+
+    reg = load_registry()
+    names = sorted(reg)
+    no_oracle = {n for n in names if reg[n].oracle is None}
+    n_oracle = len(names) - len(no_oracle)
+    slots = 50 - len(no_oracle)  # no-oracle rows never go green -> always in gate
+    bound = math.ceil(n_oracle / slots) + 1
+
+    histories = [
+        {},  # nothing ever checked
+        {n: i % 7 for i, n in enumerate(names)},  # staggered
+        {n: (50 if i % 2 else 0) for i, n in enumerate(names)},  # adversarial split
+    ]
+    for last0 in histories:
+        last = dict(last0)
+        start = max(last.values(), default=-1) + 1
+        checked_at = {n: last.get(n, -10**9) for n in names}
+        for r in range(start, start + 3 * bound):
+            gate = [entry_mod._ranked_names(last)[k] for k in sorted(entry_mod._ranked_names(last))[:50]]
+            for n in gate:
+                if n not in no_oracle:
+                    last[n] = r
+                    checked_at[n] = r
+        for n in names:
+            if n in no_oracle:
+                continue
+            gap = (start + 3 * bound - 1) - checked_at[n]
+            assert gap < bound, (
+                f"{n} not driver-checked in the last {bound} simulated rounds "
+                f"(history {list(last0.items())[:3]}...)"
+            )
+
+
 def test_artifact_keys_resolve_to_registry_names():
     """Every green row in the committed artifacts must map to an actual
     registry query — guards the key-format contract (CORRECTNESS keys are

@@ -1,0 +1,152 @@
+"""Vector datasets through the generic-table API (round-7 verdict item 3).
+
+Mirrors the reference's Lance generic-table flow
+(/root/reference/tests/integration-tests/lance/test_lance.py:42-110):
+create-entry -> vend-credentials -> write -> read, with parquet as the
+engine-side format (no lance package in the container; the swap-in point
+stays marked in format/generic.py). Asserts the catalog carries the
+arrow-style vector schema (list<float32>), reads project the declared
+schema, the vended prefix scopes to the entry's base-location, and a
+catalog drop leaves the data readable (reference
+test_drop_removes_from_listing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from lakekeeper_spark.catalog.catalog import CatalogError, NoSuchEntity
+from lakekeeper_spark.format.generic import _arrow_type_ddl, read_generic_table
+from lakekeeper_spark.format.vector_dataset import (
+    arrow_schema_of,
+    create_vector_dataset,
+    read_vector_dataset,
+)
+
+
+def _vec_df(spark, n=20, dim=4):
+    rows = [(i, [float(i) + j / 10.0 for j in range(dim)], f"d{i}") for i in range(n)]
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField(
+                "embedding", T.ArrayType(T.FloatType(), containsNull=True)
+            ),
+            T.StructField("doc", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_create_vend_write_read_roundtrip(spark, catalog):
+    catalog.create_namespace("wh", ["vec"])
+    df = _vec_df(spark)
+    meta = create_vector_dataset(catalog, "wh", ["vec"], "emb", df, "embedding")
+    assert meta["format"] == "parquet"
+    assert meta["properties"]["vector-column"] == "embedding"
+    # arrow-style schema recorded on the entry (the reference fixture's
+    # naming: int64 / list<float32> / string)
+    types = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
+    assert types == {
+        "vec_id": "int64",
+        "embedding": "list<float32>",
+        "doc": "string",
+    }
+    got = read_vector_dataset(spark, catalog, "wh", ["vec"], "emb")
+    # declared schema applied: embedding projects as array<float>, not
+    # re-inferred
+    assert dict(got.dtypes)["embedding"] == "array<float>"
+    assert got.count() == 20
+    assert sorted(r.vec_id for r in got.select("vec_id").collect()) == list(range(20))
+
+
+def test_vended_prefix_scopes_to_entry_location(spark, catalog):
+    catalog.create_namespace("wh", ["vec2"])
+    create_vector_dataset(catalog, "wh", ["vec2"], "e2", _vec_df(spark, 5))
+    creds = catalog.load_credentials("wh", ["vec2"], "e2", kind="generic")
+    prefix = creds["storage-credentials"][0]["prefix"]
+    assert prefix.endswith("/vector-data/vec2/e2")
+    meta = catalog.load_generic_table("wh", ["vec2"], "e2")
+    assert meta["base-location"] == prefix
+
+
+def test_vector_column_must_be_float_array(spark, catalog):
+    catalog.create_namespace("wh", ["vec3"])
+    bad = _vec_df(spark).withColumnRenamed("embedding", "emb2")
+    with pytest.raises(CatalogError, match="array<float"):
+        create_vector_dataset(catalog, "wh", ["vec3"], "bad", bad, "embedding")
+    ints = spark.createDataFrame([(1, [1, 2])], "vec_id long, embedding array<int>")
+    with pytest.raises(CatalogError, match="array<float"):
+        create_vector_dataset(catalog, "wh", ["vec3"], "bad", ints, "embedding")
+
+
+def test_drop_keeps_data_readable(spark, catalog):
+    catalog.create_namespace("wh", ["vec4"])
+    create_vector_dataset(catalog, "wh", ["vec4"], "e4", _vec_df(spark, 7))
+    meta = catalog.load_generic_table("wh", ["vec4"], "e4")
+    catalog.drop_generic_table("wh", ["vec4"], "e4")
+    with pytest.raises(NoSuchEntity):
+        catalog.load_generic_table("wh", ["vec4"], "e4")
+    # underlying data survives the catalog drop (no purge requested)
+    assert spark.read.parquet(meta["base-location"]).count() == 7
+
+
+def test_lance_swap_in_still_marked(spark, catalog):
+    catalog.create_namespace("wh", ["vec5"])
+    catalog.create_generic_table(
+        "wh", ["vec5"], "l", format="lance", base_location="/nowhere"
+    )
+    with pytest.raises(NotImplementedError, match="lance"):
+        read_generic_table(spark, catalog, "wh", ["vec5"], "l")
+
+
+def test_arrow_type_ddl_list_forms():
+    assert _arrow_type_ddl("list<float32>") == "array<float>"
+    assert _arrow_type_ddl("fixed_size_list<float32, 64>") == "array<float>"
+    assert _arrow_type_ddl("large_list<int64>") == "array<bigint>"
+    assert _arrow_type_ddl("list<wat>") is None
+    assert _arrow_type_ddl("int64") == "bigint"
+
+
+def test_arrow_schema_of_rejects_exotic_types(spark):
+    df = spark.createDataFrame([(1, {"a": 1})], "k long, m map<string,int>")
+    with pytest.raises(CatalogError, match="unsupported"):
+        arrow_schema_of(df)
+
+
+def test_flow_over_rest_facade(spark, tmp_path):
+    """The same create -> vend -> write -> read flow with every catalog
+    operation crossing HTTP (the reference test topology)."""
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+    from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
+
+    server = RestCatalogServer(Catalog(Metastore(str(tmp_path / "m.db")))).start()
+    client = RestCatalogClient(server.url)
+    try:
+        client.create_warehouse("wh", str(tmp_path / "warehouse"))
+        client.create_namespace("wh", ["rv"])
+        df = _vec_df(spark, 9)
+        location = str(tmp_path / "warehouse" / "vector-data" / "rv" / "emb")
+        client.create_generic_table(
+            "wh",
+            ["rv"],
+            "emb",
+            format="parquet",
+            base_location=location,
+            schema=arrow_schema_of(df),
+            properties={"vector-column": "embedding"},
+        )
+        creds = client.load_credentials("wh", ["rv"], "emb", kind="generic")
+        assert creds["storage-credentials"][0]["prefix"] == location
+        df.write.mode("overwrite").parquet(location)
+        names, _ = client.list_tables("wh", ["rv"], kind="generic")
+        assert names == ["emb"]
+        meta = client.load_generic_table("wh", ["rv"], "emb")
+        reader = spark.read.schema(
+            "`vec_id` bigint, `embedding` array<float>, `doc` string"
+        )
+        got = reader.parquet(meta["base-location"])
+        assert got.count() == 9
+    finally:
+        server.stop()
