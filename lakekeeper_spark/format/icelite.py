@@ -215,6 +215,67 @@ def plan_table_scan(
     }
 
 
+def pair_update_images(
+    changes: DataFrame, identifier_columns: list[str]
+) -> DataFrame:
+    """Iceberg create_changelog_view(identifier_columns=...) update pairing
+    over a changelog frame (`_change_type`, `_commit_snapshot_id` + data
+    columns) — works on the batch changelog AND on a change-feed
+    micro-batch (the streaming planner never splits a commit across
+    batches, so per-commit grouping is complete in-batch):
+
+      1. carry-over removal: within a commit, delete+insert rows identical
+         in EVERY data column cancel pairwise (a CoW rewrite restates each
+         surviving row as delete+insert; those are not logical changes);
+      2. update pairing: a remaining delete+insert sharing the identifier
+         tuple within the commit retags as update_preimage /
+         update_postimage. Keys with multiple residual deletes or inserts
+         in one commit are left as plain delete/insert rows (Iceberg
+         raises on ambiguous identifiers; this engine degrades to the
+         unpaired form instead of failing the scan).
+
+    Scale shape: two window passes, both hash-partitioned by
+    (commit, columns) — no unpartitioned window, no driver state."""
+    from pyspark.sql.window import Window
+
+    data_cols = [
+        c
+        for c in changes.columns
+        if c not in ("_change_type", "_commit_snapshot_id")
+    ]
+    ct = F.col("_change_type")
+    cid = "_commit_snapshot_id"
+    # 1. pairwise-cancel identical full rows: the k-th delete cancels the
+    # k-th insert of the same (commit, full-row) group, so only the excess
+    # of the more numerous side survives
+    w_full = Window.partitionBy(cid, *data_cols, "_change_type").orderBy(F.lit(1))
+    w_row = Window.partitionBy(cid, *data_cols)
+    is_del = F.when(ct == "delete", 1).otherwise(0)
+    is_ins = F.when(ct == "insert", 1).otherwise(0)
+    tagged = (
+        changes.withColumn("_rn", F.row_number().over(w_full))
+        .withColumn("_n_del", F.sum(is_del).over(w_row))
+        .withColumn("_n_ins", F.sum(is_ins).over(w_row))
+    )
+    survivors = tagged.filter(
+        ((ct == "delete") & (F.col("_rn") > F.col("_n_ins")))
+        | ((ct == "insert") & (F.col("_rn") > F.col("_n_del")))
+        | (~ct.isin("delete", "insert"))
+    ).drop("_rn", "_n_del", "_n_ins")
+    # 2. retag exactly-one-delete + exactly-one-insert identifier groups
+    w_key = Window.partitionBy(cid, *identifier_columns)
+    k = survivors.withColumn("_k_del", F.sum(is_del).over(w_key)).withColumn(
+        "_k_ins", F.sum(is_ins).over(w_key)
+    )
+    paired = (F.col("_k_del") == 1) & (F.col("_k_ins") == 1)
+    return k.withColumn(
+        "_change_type",
+        F.when(paired & (ct == "delete"), F.lit("update_preimage"))
+        .when(paired & (ct == "insert"), F.lit("update_postimage"))
+        .otherwise(ct),
+    ).drop("_k_del", "_k_ins")
+
+
 def _next_seq(meta: dict[str, Any]) -> int:
     """Next data sequence number (Iceberg spec: assigned per commit,
     monotonically increasing; equality deletes apply to strictly-older
@@ -836,6 +897,7 @@ class SparkTable:
         self,
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
+        identifier_columns: list[str] | None = None,
     ) -> DataFrame:
         """CDC changelog scan (Iceberg's create_changelog_view semantics):
         one row per NET row-level change between two snapshots, tagged
@@ -854,7 +916,15 @@ class SparkTable:
             materialization) -> skipped: no logical change.
 
         All reads are file-list-driven (metadata-sized driver state) and
-        field-id-aware, so the changelog survives column renames."""
+        field-id-aware, so the changelog survives column renames.
+
+        ``identifier_columns`` opts into Iceberg's
+        create_changelog_view(identifier_columns=...) semantics: carry-over
+        rows (delete+insert pairs identical in every column within one
+        commit — the restated survivors of a CoW rewrite) are removed, and
+        a remaining delete+insert sharing the identifier tuple in the same
+        commit is retagged update_preimage/update_postimage (see
+        pair_update_images)."""
         meta = self.metadata()
         to_snap = self._resolve_snapshot(meta, to_snapshot_id)
         schema = self._current_schema(meta)
@@ -983,6 +1053,8 @@ class SparkTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if identifier_columns:
+            out = pair_update_images(out, list(identifier_columns))
         return out
 
     # ---------------- statistics (ANALYZE) ----------------

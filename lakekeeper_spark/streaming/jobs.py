@@ -1380,3 +1380,151 @@ def st15_stream_native_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("qty_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# st16: streaming change feed with UPDATE pairing (pre/post images)
+# --------------------------------------------------------------------------
+# st11 streams raw insert/delete events; st16 layers Iceberg's
+# create_changelog_view(identifier_columns=...) semantics on the feed:
+# per micro-batch (the planner never splits a commit across batches),
+# pair_update_images removes CoW carry-over rows and retags matched
+# delete+insert pairs as update_preimage/update_postimage. The history
+# exercises BOTH update paths — a copy-on-write UPDATE (file rewrite with
+# restated survivors) and a v3 merge-on-read UPDATE (deletion-vector
+# tombstones + appended images) — and the oracle computes the exact
+# per-change-type row counts and fixed-point quantity sums the paired
+# feed must reconstruct.
+@register(
+    "st16_stream_update_pairing",
+    oracle="""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= 1000
+),
+mid AS (  -- state after the CoW update (+100 where qty < 10)
+  SELECT rn,
+         CASE WHEN l_quantity < 10 THEN l_quantity + 100 ELSE l_quantity END AS q1,
+         l_quantity AS q0
+  FROM src
+),
+events AS (
+  SELECT 'insert' AS change_type, q0 AS q FROM mid
+  UNION ALL
+  SELECT 'update_preimage', q0 FROM mid WHERE q0 < 10
+  UNION ALL
+  SELECT 'update_postimage', q0 + 100 FROM mid WHERE q0 < 10
+  UNION ALL
+  SELECT 'update_preimage', q1 FROM mid WHERE q1 >= 49
+  UNION ALL
+  SELECT 'update_postimage', q1 - 7 FROM mid WHERE q1 >= 49
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(q * 100) AS BIGINT)) AS BIGINT) AS qty_fp
+FROM events
+GROUP BY change_type
+ORDER BY change_type
+""",
+    description="Streaming CDC with update pairing: the change feed's "
+    "micro-batches run through pair_update_images(identifier_columns="
+    "[rn]) — CoW carry-overs cancel, matched "
+    "delete+insert pairs arrive as update_preimage/update_postimage for "
+    "both a CoW UPDATE and a v3 MoR (deletion-vector) UPDATE.",
+    tags=("streaming", "catalog", "icelite", "source", "cdc", "changelog"),
+)
+def st16_stream_update_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..data import load_table
+    from ..format.icelite import SparkTable, pair_update_images
+    from ..format.types import struct_to_schema
+    from .source import IceliteStreamDataSource
+
+    ensure_runtime_confs(spark)
+    try:
+        spark.dataSource.register(IceliteStreamDataSource)
+    except Exception:
+        pass
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_updfeed_")
+    mpath = f"{tmp}/metastore.db"
+    cat = Catalog(Metastore(mpath))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["stream"])
+
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus, so
+    # the row-number surrogate is the update identifier — pairing requires
+    # a per-commit-unique key, exactly as Iceberg's identifier fields do
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(1000)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .select("rn", "l_quantity")
+    )
+    cat.create_table("wh", ["stream"], "upd", struct_to_schema(src.schema))
+    t = SparkTable(spark, cat, "wh", ["stream"], "upd")
+    t.append(src)
+    # CoW UPDATE: rewrites whole files; survivors restate as carry-overs
+    t.update_where("l_quantity < 10", {"l_quantity": "l_quantity + 100"})
+    # v3 MoR UPDATE: DV tombstones + appended post-images
+    t._commit([], [{"action": "upgrade-format-version", "format-version": 3}])
+    t.update_where(
+        "l_quantity >= 49", {"l_quantity": "l_quantity - 7"}, mode="merge-on-read"
+    )
+
+    # per-batch paired partials, keyed by batch_id (replay-safe overwrite)
+    partials: dict[int, list] = {}
+
+    def collect(batch: DataFrame, batch_id: int) -> None:
+        paired = pair_update_images(batch, ["rn"])
+        partials[batch_id] = (
+            paired.groupBy("_change_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+                .cast("long")
+                .alias("qty_fp"),
+            )
+            .collect()
+        )
+
+    q = (
+        spark.readStream.format("icelite")
+        .option("metastore", mpath)
+        .option("warehouse", "wh")
+        .option("namespace", "stream")
+        .option("table", "upd")
+        .option("change-feed", "true")
+        .load()
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="lkspark_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = [
+        (r["_change_type"], r["n_rows"], r["qty_fp"])
+        for batch in partials.values()
+        for r in batch
+    ]
+    out = spark.createDataFrame(
+        rows, "change_type string, n_rows long, qty_fp long"
+    )
+    return (
+        out.groupBy("change_type")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("qty_fp").cast("long").alias("qty_fp"),
+        )
+        .orderBy("change_type")
+    )

@@ -279,3 +279,184 @@ def test_field_ids_present_in_written_schema(tmp_path):
 
     walk(MANIFEST_FILE_SCHEMA, "manifest_file")
     walk(manifest_entry_schema([]), "manifest_entry")
+
+
+# ---------------------------------------------------------------------------
+# Golden FOREIGN fixtures (round-7 verdict item 4): manifest-list + manifest
+# OCF bytes hand-assembled from the Avro 1.11 spec's encoding rules, fully
+# independent of write_ocf — the pattern test_dv_puffin.py set for roaring/
+# Puffin. Proves format/avro.py decodes what a stock engine would WRITE,
+# not merely what its own writer emits: deflate codec, the skippable
+# negative-count array-block form (which write_ocf never produces), and v3
+# DV addressing fields 143/144/145.
+# ---------------------------------------------------------------------------
+def _zz(n: int) -> bytes:
+    """Spec 'Binary Encoding': zigzag then base-128 varint, low groups
+    first, high bit = continuation. Pinned against the spec's own vectors
+    below, NOT against format/avro.py."""
+    z = ((n << 1) ^ (n >> 63)) & ((1 << 64) - 1)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _s(x: str) -> bytes:  # string: long length + utf8
+    b = x.encode()
+    return _zz(len(b)) + b
+
+
+def _b(x: bytes) -> bytes:  # bytes: long length + raw
+    return _zz(len(x)) + x
+
+
+def test_hand_zigzag_matches_spec_vectors():
+    assert _zz(0) == b"\x00" and _zz(-1) == b"\x01" and _zz(1) == b"\x02"
+    assert _zz(-64) == b"\x7f" and _zz(64) == b"\x80\x01"
+
+
+def _ocf(schema: dict, payload: bytes, n_records: int, codec: str = "null") -> bytes:
+    """Spec 'Object Container Files': magic, metadata map (avro.schema +
+    avro.codec), sync marker, one data block (count, byte-size, bytes,
+    sync)."""
+    import zlib as _zlib
+
+    sync = bytes(range(16))
+    meta_entries = {
+        "avro.schema": json.dumps(schema).encode(),
+        "avro.codec": codec.encode(),
+    }
+    meta = _zz(len(meta_entries))
+    for k, v in meta_entries.items():
+        meta += _s(k) + _b(v)
+    meta += _zz(0)  # map terminator block
+    if codec == "deflate":
+        co = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+        payload = co.compress(payload) + co.flush()
+    return (
+        b"Obj\x01" + meta + sync + _zz(n_records) + _zz(len(payload)) + payload + sync
+    )
+
+
+def test_golden_foreign_manifest_list(tmp_path):
+    """One manifest_file record, null codec, encoded field-by-field from
+    the spec's record/union/string/long rules."""
+    from lakekeeper_spark.format.iceberg_manifests import (
+        MANIFEST_FILE_SCHEMA,
+        read_manifest_list,
+    )
+
+    rec = (
+        _s("s3://bucket/meta/m1.avro")  # manifest_path (string)
+        + _zz(1234)  # manifest_length
+        + _zz(0)  # partition_spec_id (int)
+        + _zz(1)  # content = deletes
+        + _zz(5)  # sequence_number
+        + _zz(5)  # min_sequence_number
+        + _zz(99)  # added_snapshot_id
+        + _zz(1)  # added_files_count
+        + _zz(0)  # existing_files_count
+        + _zz(0)  # deleted_files_count
+        + _zz(3)  # added_rows_count
+        + _zz(0)  # existing_rows_count
+        + _zz(0)  # deleted_rows_count
+        # partitions: union ["null", array] -> branch 1, one block with one
+        # field_summary, then terminator
+        + _zz(1)
+        + _zz(1)
+        + (b"\x01" + _zz(1) + b"\x00" + _zz(1) + _b(b"\x2a\x00\x00\x00") + _zz(1) + _b(b"\x99\x00\x00\x00"))
+        + _zz(0)
+        + _zz(0)  # key_metadata: union branch 0 = null
+    )
+    p = tmp_path / "list.avro"
+    p.write_bytes(_ocf(MANIFEST_FILE_SCHEMA, rec, 1))
+    rows = read_manifest_list(str(p))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["manifest_path"] == "s3://bucket/meta/m1.avro"
+    assert r["manifest_length"] == 1234
+    assert r["content"] == 1
+    assert r["sequence_number"] == r["min_sequence_number"] == 5
+    assert r["added_snapshot_id"] == 99
+    assert (r["added_files_count"], r["added_rows_count"]) == (1, 3)
+    assert r["partitions"] == [
+        {
+            "contains_null": True,
+            "contains_nan": False,
+            "lower_bound": b"\x2a\x00\x00\x00",
+            "upper_bound": b"\x99\x00\x00\x00",
+        }
+    ]
+    assert r["key_metadata"] is None
+
+
+def test_golden_foreign_manifest_with_dv_entry(tmp_path):
+    """One manifest_entry carrying a v3 deletion-vector data_file
+    (fields 143/144/145), DEFLATE codec, and the skippable negative-count
+    array-block form for lower_bounds — a foreign encoding write_ocf never
+    emits."""
+    from lakekeeper_spark.format.iceberg_manifests import (
+        manifest_entry_schema,
+        read_manifest,
+    )
+
+    # kv-record for lower_bounds' single item: key int 1, value bytes
+    kv = _zz(1) + _b(b"\x07\x00\x00\x00")
+    data_file = (
+        _zz(1)  # content = 1 (positional/DV)
+        + _s("data/deletes/dv-abc.puffin")  # file_path
+        + _s("puffin")  # file_format
+        + b""  # partition: r102 with zero fields -> zero bytes
+        + _zz(3)  # record_count
+        + _zz(77)  # file_size_in_bytes
+        # lower_bounds: union branch 1, NEGATIVE block count -1 (abs=1 item)
+        # followed by the block's byte size, then the item, then terminator
+        + _zz(1)
+        + _zz(-1)
+        + _zz(len(kv))
+        + kv
+        + _zz(0)
+        + _zz(0)  # upper_bounds: null
+        + _zz(0)  # key_metadata: null
+        + _zz(0)  # split_offsets: null
+        + _zz(0)  # equality_ids: null
+        + _zz(0)  # sort_order_id: null
+        + _zz(1)
+        + _s("data/part-00001.parquet")  # referenced_data_file (143)
+        + _zz(1)
+        + _zz(4)  # content_offset (144)
+        + _zz(1)
+        + _zz(40)  # content_size_in_bytes (145)
+    )
+    entry = (
+        _zz(1)  # status = added
+        + _zz(1)
+        + _zz(99)  # snapshot_id
+        + _zz(1)
+        + _zz(5)  # sequence_number
+        + _zz(1)
+        + _zz(5)  # file_sequence_number
+        + data_file
+    )
+    p = tmp_path / "manifest.avro"
+    p.write_bytes(_ocf(manifest_entry_schema([]), entry, 1, codec="deflate"))
+    rows = read_manifest(str(p))
+    assert len(rows) == 1
+    e = rows[0]
+    assert (e["status"], e["snapshot_id"]) == (1, 99)
+    assert e["sequence_number"] == e["file_sequence_number"] == 5
+    df = e["data_file"]
+    assert df["content"] == 1
+    assert df["file_path"] == "data/deletes/dv-abc.puffin"
+    assert df["file_format"] == "puffin"
+    assert df["partition"] == {}
+    assert (df["record_count"], df["file_size_in_bytes"]) == (3, 77)
+    assert df["lower_bounds"] == [{"key": 1, "value": b"\x07\x00\x00\x00"}]
+    assert df["referenced_data_file"] == "data/part-00001.parquet"
+    assert df["content_offset"] == 4
+    assert df["content_size_in_bytes"] == 40

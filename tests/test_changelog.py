@@ -118,3 +118,91 @@ def test_cow_after_mor_does_not_reemit_dead_rows(spark, catalog):
     ins = sorted(c[1] for c in ch if c[0] == "insert")
     assert dels == [2, 3, 4, 5]  # id=1 was already dead: not re-emitted
     assert ins == [3, 4, 5]
+
+
+# ---------------------------------------------------------------------------
+# Update pairing (round-7 verdict item 7): identifier_columns retags
+# delete+insert pairs as update_preimage/update_postimage and removes
+# CoW carry-over rows, matching Iceberg's
+# create_changelog_view(identifier_columns=...).
+# ---------------------------------------------------------------------------
+def _typed(t, **kw):
+    return sorted(
+        (r._change_type, r.id, float(r.v)) for r in t.changelog(**kw).collect()
+    )
+
+
+def test_cow_update_pairs_images_and_drops_carryovers(table):
+    pre = table.metadata()["current-snapshot-id"]
+    table.update_where("id <= 2", {"v": "v + 100"})
+    ch = _typed(table, from_snapshot_id=pre, identifier_columns=["id"])
+    # rows 3-5 were restated by the CoW rewrite -> carry-overs, removed;
+    # rows 1-2 pair into pre/post images
+    assert ch == [
+        ("update_postimage", 1, 101.0),
+        ("update_postimage", 2, 102.0),
+        ("update_preimage", 1, 1.0),
+        ("update_preimage", 2, 2.0),
+    ]
+    # without identifier_columns the raw file-granular feed is unchanged
+    raw = _typed(table, from_snapshot_id=pre)
+    assert ("delete", 3, 3.0) in raw and ("insert", 3, 3.0) in raw
+
+
+def test_mor_update_pairs_images(table):
+    table._commit([], [{"action": "upgrade-format-version", "format-version": 3}])
+    pre = table.metadata()["current-snapshot-id"]
+    table.update_where("id = 4", {"v": "v * 10"}, mode="merge-on-read")
+    ch = _typed(table, from_snapshot_id=pre, identifier_columns=["id"])
+    assert ch == [
+        ("update_postimage", 4, 40.0),
+        ("update_preimage", 4, 4.0),
+    ]
+
+
+def test_plain_insert_and_delete_stay_untagged(table, spark):
+    pre = table.metadata()["current-snapshot-id"]
+    table.append(spark.createDataFrame([(9, 9.0, "r9")], DDL))
+    ch = _typed(table, from_snapshot_id=pre, identifier_columns=["id"])
+    assert ch == [("insert", 9, 9.0)]
+    pre2 = table.metadata()["current-snapshot-id"]
+    table.delete_where("id = 9", mode="merge-on-read")
+    ch2 = _typed(table, from_snapshot_id=pre2, identifier_columns=["id"])
+    assert ch2 == [("delete", 9, 9.0)]
+
+
+def test_ambiguous_identifier_left_unpaired(spark, catalog):
+    """Two rows with the same identifier updated in one commit: Iceberg
+    raises; this engine leaves them as plain delete/insert rows."""
+    catalog.create_namespace("wh", ["cdc2"])
+    df = spark.createDataFrame(
+        [(1, 1.0, "a"), (1, 2.0, "b"), (3, 3.0, "c")], DDL
+    ).coalesce(1)
+    catalog.create_table("wh", ["cdc2"], "t", struct_to_schema(df.schema))
+    t = SparkTable(spark, catalog, "wh", ["cdc2"], "t")
+    t.append(df)
+    pre = t.metadata()["current-snapshot-id"]
+    t.update_where("id = 1", {"v": "v + 10"})
+    ch = _typed(t, from_snapshot_id=pre, identifier_columns=["id"])
+    kinds = {c[0] for c in ch}
+    assert kinds == {"delete", "insert"}  # ambiguous -> unpaired
+    assert sorted(c[2] for c in ch if c[0] == "insert") == [11.0, 12.0]
+
+
+def test_reinserted_identical_row_cancels(spark, catalog):
+    """A delete+insert of a byte-identical row in ONE commit is a
+    carry-over even outside a rewrite context (merge restating a row)."""
+    from lakekeeper_spark.format.icelite import pair_update_images
+
+    import pyspark.sql.functions as F
+
+    base = spark.createDataFrame(
+        [(1, 1.0, "a", "delete", 7), (1, 1.0, "a", "insert", 7),
+         (2, 2.0, "b", "insert", 7)],
+        DDL + ", _change_type string, _commit_snapshot_id long",
+    )
+    out = sorted(
+        (r._change_type, r.id)
+        for r in pair_update_images(base, ["id"]).collect()
+    )
+    assert out == [("insert", 2)]
