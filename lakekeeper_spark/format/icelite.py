@@ -1057,6 +1057,21 @@ class SparkTable:
             out = pair_update_images(out, list(identifier_columns))
         return out
 
+    def create_changelog_view(
+        self,
+        view_name: str,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+        identifier_columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Iceberg's spark procedure `create_changelog_view`: registers the
+        changelog (optionally update-paired via ``identifier_columns``) as
+        a session temp view and returns the frame, so downstream SQL can
+        `SELECT * FROM <view_name>` exactly as with the stock procedure."""
+        df = self.changelog(from_snapshot_id, to_snapshot_id, identifier_columns)
+        df.createOrReplaceTempView(view_name)
+        return df
+
     # ---------------- statistics (ANALYZE) ----------------
     def analyze(self) -> dict[str, Any]:
         """Compute per-column table statistics with ONE Spark aggregate and

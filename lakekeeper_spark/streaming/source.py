@@ -162,7 +162,11 @@ class IceliteStreamReader(DataSourceStreamReader):
         # change-feed=true: emit CDC rows (`_change_type` insert|delete,
         # `_commit_snapshot_id`) instead of append-only rows — the
         # STREAMING twin of SparkTable.changelog() (Iceberg's
-        # create_changelog_view), driven by the same snapshot-log offsets
+        # create_changelog_view), driven by the same snapshot-log offsets.
+        # Update pairing (update_preimage/update_postimage) is a per-batch
+        # post-transform: apply icelite.pair_update_images inside
+        # foreachBatch — safe because a commit's events never split
+        # across micro-batches (offsets are snapshot ids)
         self.change_feed = (
             str(options.get("change-feed", "false")).lower() == "true"
         )

@@ -206,3 +206,22 @@ def test_reinserted_identical_row_cancels(spark, catalog):
         for r in pair_update_images(base, ["id"]).collect()
     )
     assert out == [("insert", 2)]
+
+
+def test_create_changelog_view_procedure(table, spark):
+    """Iceberg spark-procedure parity: the changelog registers as a temp
+    view queryable via SQL, with pairing applied when identifier columns
+    are declared."""
+    pre = table.metadata()["current-snapshot-id"]
+    table.update_where("id = 5", {"v": "v + 1"})
+    table.create_changelog_view(
+        "t_changes", from_snapshot_id=pre, identifier_columns=["id"]
+    )
+    got = sorted(
+        (r._change_type, r.id)
+        for r in spark.sql(
+            "SELECT _change_type, id FROM t_changes ORDER BY _change_type"
+        ).collect()
+    )
+    assert got == [("update_postimage", 5), ("update_preimage", 5)]
+    spark.catalog.dropTempView("t_changes")
