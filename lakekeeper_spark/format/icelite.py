@@ -1510,11 +1510,19 @@ class SparkTable:
         if pos_like:
             old = self._read_positional(meta, pos_like)
             merged = merged.unionByName(old).distinct()
-        del_entries = self._write_deletion_vectors(meta, merged)
+        # metadata-known bound on referenced files (positions only ever
+        # reference data files of this snapshot) — lets the writer pick
+        # the single-container fast path without a counting job
+        del_entries = self._write_deletion_vectors(
+            meta, merged, max_files=len(data_entries)
+        )
         return data_entries + eq_dels, del_entries, len(pos_like)
 
     def _write_deletion_vectors(
-        self, meta: dict[str, Any], positions: DataFrame
+        self,
+        meta: dict[str, Any],
+        positions: DataFrame,
+        max_files: int | None = None,
     ) -> list[dict[str, Any]]:
         """v3 deletion vectors: ONE Puffin container with a
         ``deletion-vector-v1`` blob (portable 64-bit roaring bitmap,
@@ -1597,18 +1605,26 @@ class SparkTable:
         encoded_df = positions.groupBy("file_path").applyInPandas(
             encode, "file_path string, payload binary, cardinality long"
         )
-        # pin the (n_files × ≤8 KB-payload) frame so the shard-count probe
-        # and the container write share one encode pass
-        encoded_df = encoded_df.localCheckpoint(eager=True)
-        n_files = encoded_df.count()
-        if n_files == 0:
-            return []
-        n_parts = -(-n_files // _DV_BLOBS_PER_CONTAINER)
-        sharded = (
-            encoded_df.repartition(1)
-            if n_parts == 1
-            else encoded_df.repartitionByRange(n_parts, "file_path")
-        )
+        if max_files is not None and max_files <= _DV_BLOBS_PER_CONTAINER:
+            # single-container fast path: the caller's METADATA-derived
+            # bound (data-file count of the snapshot) proves one container
+            # suffices, so the whole write stays ONE job — no counting or
+            # checkpoint jobs on the commit path (they cost ~0.3 s each per
+            # DML step; c04's 13-step lifecycle made that a 3 s regression)
+            sharded = encoded_df.repartition(1)
+        else:
+            # pin the (n_files × ≤8 KB-payload) frame so the shard-count
+            # probe and the container write share one encode pass
+            encoded_df = encoded_df.localCheckpoint(eager=True)
+            n_files = encoded_df.count()
+            if n_files == 0:
+                return []
+            n_parts = -(-n_files // _DV_BLOBS_PER_CONTAINER)
+            sharded = (
+                encoded_df.repartition(1)
+                if n_parts == 1
+                else encoded_df.repartitionByRange(n_parts, "file_path")
+            )
         rows = sharded.mapInPandas(
             write_container, "path string, size long, record_count long, layout string"
         ).collect()
