@@ -1,0 +1,142 @@
+"""AWS Signature Version 4 request signing (header-based), clean-room from
+the PUBLIC SigV4 specification ("Signature Version 4 signing process",
+https://docs.aws.amazon.com/IAM/latest/UserGuide/reference_sigv.html and
+the SigV4 test-suite examples).
+
+This backs the catalog's S3 remote-signing endpoint
+(rest/server.py: the reference's
+crates/lakekeeper/src/server/s3_signer/sign.rs:282-380, which delegates
+the same math to aws_sigv4). The algorithm:
+
+  1. canonical request = METHOD \n canonical-URI \n canonical-query \n
+     canonical-headers \n signed-headers \n payload-hash
+     - canonical URI: the path with each segment percent-encoded once
+       (PercentEncodingMode::Single in the reference), '/' preserved;
+     - canonical query: key=value pairs RFC-3986-encoded, sorted;
+     - canonical headers: lowercased names, trimmed values, sorted,
+       each "name:value\n"; signed-headers = ';'-joined sorted names.
+  2. string to sign = "AWS4-HMAC-SHA256" \n timestamp(YYYYMMDD'T'HHMMSS'Z')
+     \n scope(date/region/service/aws4_request) \n sha256(canonical request)
+  3. signing key = HMAC-chain("AWS4"+secret, date, region, service,
+     "aws4_request"); signature = HMAC(signing key, string to sign)
+  4. Authorization: AWS4-HMAC-SHA256 Credential=<akid>/<scope>,
+     SignedHeaders=<signed-headers>, Signature=<hex signature>
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac
+from urllib.parse import quote, urlsplit
+
+UNSIGNED_PAYLOAD = "UNSIGNED-PAYLOAD"
+
+ALGORITHM = "AWS4-HMAC-SHA256"
+
+
+def _hmac(key: bytes, msg: str) -> bytes:
+    return hmac.new(key, msg.encode(), hashlib.sha256).digest()
+
+
+def sha256_hex(data: bytes) -> str:
+    return hashlib.sha256(data).hexdigest()
+
+
+def _canonical_uri(path: str) -> str:
+    """Each path segment percent-encoded ONCE (the already-encoded path is
+    used verbatim apart from re-encoding unsafe chars), '/' preserved —
+    S3-style single encoding."""
+    if not path:
+        return "/"
+    return quote(path, safe="/-_.~%")
+
+
+def _canonical_query(query: str) -> str:
+    if not query:
+        return ""
+    pairs = []
+    for part in query.split("&"):
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        pairs.append((quote(k, safe="-_.~"), quote(v, safe="-_.~")))
+    return "&".join(f"{k}={v}" for k, v in sorted(pairs))
+
+
+def canonical_request(
+    method: str,
+    url: str,
+    headers: dict[str, str],
+    payload_hash: str,
+) -> tuple[str, str]:
+    """Returns (canonical_request, signed_headers)."""
+    parts = urlsplit(url)
+    lowered = {k.lower().strip(): " ".join(v.split()) for k, v in headers.items()}
+    if "host" not in lowered:
+        lowered["host"] = parts.netloc
+    names = sorted(lowered)
+    canon_headers = "".join(f"{n}:{lowered[n]}\n" for n in names)
+    signed = ";".join(names)
+    req = "\n".join(
+        [
+            method.upper(),
+            _canonical_uri(parts.path),
+            _canonical_query(parts.query),
+            canon_headers,
+            signed,
+            payload_hash,
+        ]
+    )
+    return req, signed
+
+
+def signing_key(secret_key: str, date: str, region: str, service: str) -> bytes:
+    k = _hmac(b"AWS4" + secret_key.encode(), date)
+    k = _hmac(k, region)
+    k = _hmac(k, service)
+    return _hmac(k, "aws4_request")
+
+
+def sign_request(
+    method: str,
+    url: str,
+    headers: dict[str, str],
+    access_key: str,
+    secret_key: str,
+    region: str,
+    timestamp: str,
+    service: str = "s3",
+    payload_hash: str = UNSIGNED_PAYLOAD,
+    session_token: str | None = None,
+) -> dict[str, str]:
+    """Sign one HTTP request; returns the headers to ADD/replace
+    (authorization, x-amz-date, x-amz-content-sha256 for S3, and
+    x-amz-security-token when a session token is vended). ``timestamp``
+    is the ISO-basic instant YYYYMMDD'T'HHMMSS'Z'; ``headers`` must
+    already contain every header that should be signed (host is derived
+    from the url when absent)."""
+    date = timestamp[:8]
+    to_sign = dict(headers)
+    to_sign["x-amz-date"] = timestamp
+    if service == "s3":
+        to_sign["x-amz-content-sha256"] = payload_hash
+    if session_token:
+        to_sign["x-amz-security-token"] = session_token
+    creq, signed = canonical_request(method, url, to_sign, payload_hash)
+    scope = f"{date}/{region}/{service}/aws4_request"
+    sts = "\n".join([ALGORITHM, timestamp, scope, sha256_hex(creq.encode())])
+    sig = hmac.new(
+        signing_key(secret_key, date, region, service), sts.encode(), hashlib.sha256
+    ).hexdigest()
+    out = {
+        "authorization": (
+            f"{ALGORITHM} Credential={access_key}/{scope}, "
+            f"SignedHeaders={signed}, Signature={sig}"
+        ),
+        "x-amz-date": timestamp,
+    }
+    if service == "s3":
+        out["x-amz-content-sha256"] = payload_hash
+    if session_token:
+        out["x-amz-security-token"] = session_token
+    return out
