@@ -129,13 +129,89 @@ def query_module_files() -> dict[str, Path]:
     return out
 
 
+def _module_name_to_path(dotted: str) -> Path | None:
+    """``lakekeeper_spark.format.icelite`` -> its source file, or None when
+    the dotted name is an attribute (function/class), not a module."""
+    base = _REPO / dotted.replace(".", "/")
+    for cand in (base.with_suffix(".py"), base / "__init__.py"):
+        if cand.is_file():
+            return cand.resolve()
+    return None
+
+
+def _direct_imports(path: Path) -> set[Path]:
+    """Source files of the lakekeeper_spark modules ``path`` imports
+    directly (AST walk — absolute and relative import forms)."""
+    import ast
+
+    try:
+        tree = ast.parse(path.read_text())
+    except SyntaxError:
+        return set()
+    # For relative imports, the containing package is rel_parts[:-1] —
+    # this holds for both plain modules (a/b/c.py -> a.b) and package
+    # __init__ files (a/b/__init__.py: level-1 imports resolve in a.b).
+    rel_parts = path.relative_to(_REPO).with_suffix("").parts
+    names: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            names.update(
+                a.name for a in node.names if a.name.startswith("lakekeeper_spark")
+            )
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:
+                pkg = rel_parts[:-1]
+                if node.level > 1:
+                    pkg = pkg[: len(pkg) - (node.level - 1)]
+                mod = ".".join(pkg + tuple((node.module or "").split("."))).strip(".")
+            else:
+                mod = node.module or ""
+            if not mod.startswith("lakekeeper_spark"):
+                continue
+            names.add(mod)
+            names.update(f"{mod}.{a.name}" for a in node.names)
+    return {p for n in names if (p := _module_name_to_path(n)) is not None}
+
+
+def _import_closure(roots: frozenset[Path]) -> set[Path]:
+    """All lakekeeper_spark source files transitively imported from
+    ``roots`` (inclusive)."""
+    seen: set[Path] = set()
+    stack = list(roots)
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        stack.extend(_direct_imports(p))
+    return seen
+
+
+def query_module_closure() -> dict[str, set[Path]]:
+    """raw query name -> every lakekeeper_spark source file its defining
+    module transitively imports (round-8 verdict item 2: the changed-module
+    gate must cover infrastructure modules — format/, catalog/, functions/,
+    streaming/ — not just the queries/* module that defines the entry)."""
+    closures: dict[frozenset[Path], set[Path]] = {}
+    out: dict[str, set[Path]] = {}
+    for name, path in query_module_files().items():
+        key = frozenset([path])
+        if key not in closures:
+            closures[key] = _import_closure(key)
+        out[name] = closures[key]
+    return out
+
+
 def current_module_hashes() -> dict[str, str]:
     """repo-relative module path -> sha256 of its current source, for every
-    module implementing at least one registry query."""
+    module any registry query transitively depends on."""
     import hashlib
 
+    files: set[Path] = set()
+    for closure in query_module_closure().values():
+        files.update(closure)
     out: dict[str, str] = {}
-    for path in set(query_module_files().values()):
+    for path in files:
         rel = str(path.relative_to(_REPO))
         out[rel] = hashlib.sha256(path.read_bytes()).hexdigest()
     return out
@@ -164,9 +240,11 @@ def changed_unverified(manifest: dict | None = None) -> dict[str, str]:
         if recorded.get(rel, {}).get("sha256") != h
     }
     out: dict[str, str] = {}
-    for name, path in query_module_files().items():
-        rel = str(path.relative_to(_REPO))
-        if rel in stale_mods:
+    for name, closure in query_module_closure().items():
+        rels = {str(p.relative_to(_REPO)) for p in closure}
+        hit = sorted(rels & stale_mods)
+        if hit:
+            rel = hit[0]
             out[name] = (
                 f"{rel} changed since its last all-green sweep "
                 f"(round {recorded.get(rel, {}).get('round', 'never')}) — "

@@ -30,7 +30,7 @@ def test_readme_counts_match_registry():
 def test_coverage_counts_match_registry():
     n, n_oracle = _true_counts()
     text = (REPO / "COVERAGE.md").read_text()
-    m = re.search(r"Registry: (\d+) queries, (\d+) with\s*\nexact value-hash", text)
+    m = re.search(r"Registry: (\d+) queries, (\d+) with\s+exact value-hash", text)
     assert m, "COVERAGE.md lost its counts line"
     assert (int(m.group(1)), int(m.group(2))) == (n, n_oracle), (
         f"COVERAGE says {m.groups()}, registry has {(n, n_oracle)}"

@@ -90,27 +90,43 @@ def test_changed_modules_are_reverified():
 
 
 def test_changed_module_detector_fires_on_synthetic_change():
-    """The detector must actually fire: doctor one module hash in a copy of
-    the manifest and every query in that module must be reported."""
+    """The detector must actually fire — for a queries/* module AND for an
+    infrastructure module (format/icelite.py), the round-8 blind spot:
+    doctor one module hash in a copy of the manifest and every query whose
+    import closure contains that module must be reported."""
     import json as _json
     from pathlib import Path as _P
 
-    mpath = _P(entry_mod.__file__).resolve().parent / "MODULE_HASHES.json"
+    repo = _P(entry_mod.__file__).resolve().parent
+    mpath = repo / "MODULE_HASHES.json"
     manifest = _json.loads(mpath.read_text())
-    victims = [r for r in manifest["modules"] if r.endswith("dedup.py")]
-    assert victims, "dedup.py missing from manifest"
-    doctored = {"modules": dict(manifest["modules"])}
-    doctored["modules"][victims[0]] = {"sha256": "0" * 64, "round": 0}
-    flagged = entry_mod.changed_unverified(doctored)
-    mod_files = entry_mod.query_module_files()
-    expect = {
+    closures = entry_mod.query_module_closure()
+    for victim in (
+        "lakekeeper_spark/queries/dedup.py",
+        "lakekeeper_spark/format/icelite.py",
+        "lakekeeper_spark/streaming/source.py",
+    ):
+        assert victim in manifest["modules"], f"{victim} missing from manifest"
+        doctored = {"modules": dict(manifest["modules"])}
+        doctored["modules"][victim] = {"sha256": "0" * 64, "round": 0}
+        flagged = entry_mod.changed_unverified(doctored)
+        expect = {
+            n
+            for n, closure in closures.items()
+            if victim in {str(p.relative_to(repo)) for p in closure}
+        }
+        assert expect and set(flagged) >= expect, (victim, flagged, expect)
+        # and with the real manifest the same queries are NOT flagged
+        assert not set(entry_mod.changed_unverified(manifest)) & expect
+    # icelite must flag the catalog/streaming families in particular
+    icelite_flagged = {
         n
-        for n, p in mod_files.items()
-        if str(p).endswith(victims[0].split("/")[-1]) and victims[0] in str(p)
+        for n, closure in closures.items()
+        if "lakekeeper_spark/format/icelite.py"
+        in {str(p.relative_to(repo)) for p in closure}
     }
-    assert expect and set(flagged) >= expect, (flagged, expect)
-    # and with the real manifest the same queries are NOT flagged
-    assert not set(entry_mod.changed_unverified(manifest)) & expect
+    assert any(n.startswith("c") for n in icelite_flagged)
+    assert any(n.startswith("st") for n in icelite_flagged)
 
 
 def test_rotation_revisit_bound():

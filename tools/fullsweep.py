@@ -78,22 +78,37 @@ def main() -> int:
         "results": results,
     }
     path.write_text(json.dumps(out, indent=1))
-    _refresh_module_manifest(rnd, results)
+    run_names = set(only) if only else set(reg)
+    _refresh_module_manifest(rnd, results, run_names)
+    sync_doc_counts()
     print(f"\n{len(results) - n_fail}/{len(results)} passed -> {path}")
     return 1 if n_fail else 0
 
 
-def _refresh_module_manifest(rnd: int, results: dict[str, dict]) -> None:
-    """Record the source hash of every query module whose queries are ALL
-    green in this sweep's (merged) results. tests/test_entry_contract.py
-    fails the build when a module's current hash differs from its recorded
-    one — so editing a query module forces its queries back through the
-    oracle before the tree is green again (round-7 verdict item 2)."""
+def _refresh_module_manifest(
+    rnd: int, results: dict[str, dict], run_names: set[str]
+) -> None:
+    """Record the source hash of every module (queries/* AND everything it
+    transitively imports — format/, catalog/, functions/, streaming/) whose
+    dependent queries are ALL green in results AND were ALL actually run in
+    THIS invocation. tests/test_entry_contract.py fails the build when a
+    module's current hash differs from its recorded one — so editing any
+    module a query executes through forces that query back through the
+    oracle before the tree is green again (round-7 item 2, extended to
+    infrastructure modules per round-8 item 2).
+
+    ``run_names`` closes the round-8 ADVICE hole: a partial sweep
+    (explicit query args) merges stale green rows from the existing
+    artifact, so membership in ``results`` alone would let a module's NEW
+    hash be stamped without its other queries re-running against the
+    edited source. Requiring members <= run_names means partial sweeps can
+    only refresh modules whose every dependent query re-ran."""
     import __spark_entry__ as entry_mod
 
-    mod_files = entry_mod.query_module_files()
+    repo = Path(__file__).resolve().parent.parent
+    closures = entry_mod.query_module_closure()
     current = entry_mod.current_module_hashes()
-    mpath = Path(__file__).resolve().parent.parent / "MODULE_HASHES.json"
+    mpath = repo / "MODULE_HASHES.json"
     manifest = (
         json.loads(mpath.read_text()) if mpath.exists() else {"modules": {}}
     )
@@ -101,14 +116,56 @@ def _refresh_module_manifest(rnd: int, results: dict[str, dict]) -> None:
     def green(res: dict | None) -> bool:
         return bool(res) and entry_mod._entry_green(res)
 
+    members_of: dict[str, list[str]] = {rel: [] for rel in current}
+    for name, closure in closures.items():
+        for p in closure:
+            members_of[str(p.relative_to(repo))].append(name)
     for rel in sorted(current):
-        members = [
-            n for n, p in mod_files.items() if str(p.relative_to(mpath.parent)) == rel
-        ]
-        if all(green(results.get(n)) for n in members):
+        members = members_of[rel]
+        if set(members) <= run_names and all(
+            green(results.get(n)) for n in members
+        ):
             manifest["modules"][rel] = {"sha256": current[rel], "round": rnd}
+    # Drop manifest rows for modules no longer in any query's closure.
+    manifest["modules"] = {
+        rel: v for rel, v in manifest["modules"].items() if rel in current
+    }
     mpath.write_text(json.dumps(manifest, indent=1, sort_keys=True))
     print(f"module manifest refreshed -> {mpath}")
+
+
+def sync_doc_counts() -> None:
+    """Rewrite the canonical query/oracle counts lines in README.md and
+    COVERAGE.md from load_registry() (round-8 verdict item 1: generated,
+    not hand-maintained — tests/test_docs_counts.py pins them)."""
+    import re
+
+    repo = Path(__file__).resolve().parent.parent
+    reg = load_registry()
+    n = len(reg)
+    n_oracle = sum(1 for q in reg.values() if q.oracle is not None)
+
+    readme = repo / "README.md"
+    text = readme.read_text()
+    new = re.sub(
+        r"\d+ registered queries, \d+ with exact value-hash",
+        f"{n} registered queries, {n_oracle} with exact value-hash",
+        text,
+    )
+    if new != text:
+        readme.write_text(new)
+        print(f"README.md counts -> {n}/{n_oracle}")
+
+    coverage = repo / "COVERAGE.md"
+    text = coverage.read_text()
+    new = re.sub(
+        r"Registry: \d+ queries, \d+ with exact value-hash",
+        f"Registry: {n} queries, {n_oracle} with exact value-hash",
+        text,
+    )
+    if new != text:
+        coverage.write_text(new)
+        print(f"COVERAGE.md counts -> {n}/{n_oracle}")
 
 
 if __name__ == "__main__":
