@@ -165,6 +165,13 @@ class Catalog:
             "protected": bool(row["protected"]),
         }
 
+    def describe_warehouse(self, warehouse: str) -> dict[str, Any]:
+        """Public warehouse lookup (name/location/properties/protected) —
+        the accessor service layers (REST signer, vector datasets) use
+        instead of reaching into _warehouse."""
+        wh = self._warehouse(warehouse)
+        return {k: wh[k] for k in ("name", "location", "properties", "protected")}
+
     def list_warehouses(self) -> list[str]:
         return [r["name"] for r in self.store.query("SELECT name FROM warehouses ORDER BY wh_key")]
 
@@ -676,6 +683,73 @@ class Catalog:
     def table_exists(self, warehouse: str, levels, name: str) -> bool:
         wh = self._warehouse(warehouse)
         return self._tabular_row(wh["wh_key"], levels, name, "table") is not None
+
+    def authorize_table_action(
+        self, warehouse: str, levels, name: str, action: str
+    ) -> None:
+        """Public authz gate for service layers that resolve a table
+        themselves (the S3 signer authorizes read_data/write_data on the
+        table it found by id/location, reference
+        s3_signer/sign.rs:185-188,447-489)."""
+        wh = self._warehouse(warehouse)
+        self._authorize(action, wh["wh_key"], f"{'.'.join(levels)}.{name}")
+
+    def table_by_id(
+        self, warehouse: str, table_id: str
+    ) -> tuple[tuple[str, ...], str, dict[str, Any]] | None:
+        """Resolve a table by uuid -> (levels, name, row) incl. soft-deleted
+        (reference get_table_info with TabularListFlags, sign.rs:131-140)."""
+        wh = self._warehouse(warehouse)
+        r = self.store.one(
+            "SELECT t.*, n.ns_stored FROM tabulars t"
+            " JOIN namespaces n ON n.wh_key = t.wh_key AND n.ns_key = t.ns_key"
+            " WHERE t.wh_key=? AND t.id=? AND t.kind='table'",
+            (wh["wh_key"], table_id),
+        )
+        if not r:
+            return None
+        return ident.ns_load(r["ns_stored"]), r["name"], dict(r)
+
+    def table_by_location(
+        self, warehouse: str, location: str
+    ) -> tuple[tuple[str, ...], str, dict[str, Any]] | None:
+        """Resolve the table whose location contains ``location`` (itself
+        or a sublocation) -> (namespace levels, name, row metadata dict).
+
+        Backs the S3 remote-signing endpoint (reference
+        get_tabular_infos_by_s3_location, service/catalog_store/
+        tabular.rs:1675, called from s3_signer/sign.rs:421). Soft-DELETED
+        tables are included on purpose: engines HEAD metadata files of
+        just-dropped tables and those requests must still sign
+        (sign.rs:429-432, TabularListFlags::all). s3a://'s3n:// normalize
+        to s3:// on both sides. Uses the tabular_location index via a
+        prefix LIKE; the reference does the indexed lookup in Postgres."""
+        wh = self._warehouse(warehouse)
+        want = location.rstrip("/")
+        for prefix in ("s3a://", "s3n://"):
+            if want.startswith(prefix):
+                want = "s3://" + want[len(prefix):]
+        rows = self.store.query(
+            "SELECT t.*, n.ns_stored FROM tabulars t"
+            " JOIN namespaces n ON n.wh_key = t.wh_key AND n.ns_key = t.ns_key"
+            " WHERE t.wh_key=? AND t.kind='table' AND t.location IS NOT NULL",
+            (wh["wh_key"],),
+        )
+        best: tuple[tuple[int, bool], Any] | None = None
+        for r in rows:
+            loc = (r["location"] or "").rstrip("/")
+            for prefix in ("s3a://", "s3n://"):
+                if loc.startswith(prefix):
+                    loc = "s3://" + loc[len(prefix):]
+            if loc and (want == loc or want.startswith(loc + "/")):
+                # deepest (longest) match wins; active beats soft-deleted
+                score = (len(loc), r["deleted_ms"] is None)
+                if best is None or score > best[0]:
+                    best = (score, r)
+        if best is None:
+            return None
+        r = best[1]
+        return ident.ns_load(r["ns_stored"]), r["name"], dict(r)
 
     def list_tables(
         self,

@@ -216,7 +216,7 @@ def plan_table_scan(
 
 
 def pair_update_images(
-    changes: DataFrame, identifier_columns: list[str]
+    changes: DataFrame, identifier_columns: list[str], strict: bool = False
 ) -> DataFrame:
     """Iceberg create_changelog_view(identifier_columns=...) update pairing
     over a changelog frame (`_change_type`, `_commit_snapshot_id` + data
@@ -232,10 +232,13 @@ def pair_update_images(
          update_postimage. Keys with multiple residual deletes or inserts
          in one commit are left as plain delete/insert rows (Iceberg
          raises on ambiguous identifiers; this engine degrades to the
-         unpaired form instead of failing the scan).
+         unpaired form instead of failing the scan). ``strict=True``
+         opts into reference parity: ambiguous identifier groups raise
+         ValueError like Iceberg's create_changelog_view does.
 
     Scale shape: two window passes, both hash-partitioned by
-    (commit, columns) — no unpartitioned window, no driver state."""
+    (commit, columns) — no unpartitioned window, no driver state. The
+    strict check is a filtered LIMIT-1 existence probe, not a count."""
     from pyspark.sql.window import Window
 
     data_cols = [
@@ -268,6 +271,21 @@ def pair_update_images(
         "_k_ins", F.sum(is_ins).over(w_key)
     )
     paired = (F.col("_k_del") == 1) & (F.col("_k_ins") == 1)
+    if strict:
+        ambiguous = k.filter(
+            ct.isin("delete", "insert")
+            & (F.col("_k_del") + F.col("_k_ins") > 1)
+            & ~paired
+        )
+        sample = ambiguous.select(*identifier_columns).limit(1).collect()
+        if sample:
+            ident = {c: sample[0][c] for c in identifier_columns}
+            raise ValueError(
+                "ambiguous changelog identifier group (multiple residual "
+                f"deletes or inserts in one commit) for {ident}; Iceberg "
+                "create_changelog_view raises here — pass strict=False to "
+                "degrade to unpaired delete/insert rows"
+            )
     return k.withColumn(
         "_change_type",
         F.when(paired & (ct == "delete"), F.lit("update_preimage"))
@@ -898,6 +916,7 @@ class SparkTable:
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
         identifier_columns: list[str] | None = None,
+        strict_identifiers: bool = False,
     ) -> DataFrame:
         """CDC changelog scan (Iceberg's create_changelog_view semantics):
         one row per NET row-level change between two snapshots, tagged
@@ -1054,7 +1073,9 @@ class SparkTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         if identifier_columns:
-            out = pair_update_images(out, list(identifier_columns))
+            out = pair_update_images(
+                out, list(identifier_columns), strict=strict_identifiers
+            )
         return out
 
     def create_changelog_view(
@@ -1063,12 +1084,18 @@ class SparkTable:
         from_snapshot_id: int | None = None,
         to_snapshot_id: int | None = None,
         identifier_columns: list[str] | None = None,
+        strict_identifiers: bool = False,
     ) -> DataFrame:
         """Iceberg's spark procedure `create_changelog_view`: registers the
         changelog (optionally update-paired via ``identifier_columns``) as
         a session temp view and returns the frame, so downstream SQL can
-        `SELECT * FROM <view_name>` exactly as with the stock procedure."""
-        df = self.changelog(from_snapshot_id, to_snapshot_id, identifier_columns)
+        `SELECT * FROM <view_name>` exactly as with the stock procedure.
+        ``strict_identifiers=True`` matches Iceberg's behavior of raising
+        on ambiguous identifier groups instead of degrading."""
+        df = self.changelog(
+            from_snapshot_id, to_snapshot_id, identifier_columns,
+            strict_identifiers=strict_identifiers,
+        )
         df.createOrReplaceTempView(view_name)
         return df
 
@@ -1587,20 +1614,30 @@ class SparkTable:
             if not encoded:
                 return
             os.makedirs(out_dir_s, exist_ok=True)
-            cpath = os.path.join(out_dir_s, f"dv-{_uuid.uuid4().hex[:12]}.puffin")
-            size, layout = write_deletion_vector_blobs(
-                cpath, encoded, snapshot_id=new_sid, sequence_number=seq
-            )
-            yield pd.DataFrame(
-                {
-                    "path": [cpath],
-                    "size": [size],
-                    "record_count": [sum(c for _, _, c in encoded)],
-                    "layout": [
-                        _json.dumps({fp: list(l) for fp, l in layout.items()})
-                    ],
-                }
-            )
+            # HARD per-container bound: repartitionByRange balances by
+            # sampling, so a skewed partition can exceed
+            # _DV_BLOBS_PER_CONTAINER — the writer chunks its rows so no
+            # container ever holds more (round-8 ADVICE: the documented
+            # memory bound must not depend on range-sampling accuracy).
+            encoded.sort(key=lambda t: t[0])
+            for i in range(0, len(encoded), _DV_BLOBS_PER_CONTAINER):
+                chunk = encoded[i : i + _DV_BLOBS_PER_CONTAINER]
+                cpath = os.path.join(
+                    out_dir_s, f"dv-{_uuid.uuid4().hex[:12]}.puffin"
+                )
+                size, layout = write_deletion_vector_blobs(
+                    cpath, chunk, snapshot_id=new_sid, sequence_number=seq
+                )
+                yield pd.DataFrame(
+                    {
+                        "path": [cpath],
+                        "size": [size],
+                        "record_count": [sum(c for _, _, c in chunk)],
+                        "layout": [
+                            _json.dumps({fp: list(l) for fp, l in layout.items()})
+                        ],
+                    }
+                )
 
         encoded_df = positions.groupBy("file_path").applyInPandas(
             encode, "file_path string, payload binary, cardinality long"

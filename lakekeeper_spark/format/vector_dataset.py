@@ -96,7 +96,7 @@ def create_vector_dataset(
         raise CatalogError(
             f"vector column {vector_col!r} must be array<float|double>, got {field}"
         )
-    wh = catalog._warehouse(warehouse)
+    wh = catalog.describe_warehouse(warehouse)
     location = f"{wh['location']}/vector-data/{'/'.join(levels)}/{name}"
     props = {"vector-column": vector_col, **(properties or {})}
     meta = catalog.create_generic_table(
@@ -110,10 +110,14 @@ def create_vector_dataset(
     )
     creds = catalog.load_credentials(warehouse, levels, name, kind="generic")
     prefix = creds["storage-credentials"][0]["prefix"]
-    # the stub vends a prefix scoped to the entry's base-location; a real
-    # deployment would configure the Hadoop FS with the vended token here
-    assert prefix == location, (prefix, location)
-    df.write.mode("overwrite").parquet(location)
+    if not prefix:
+        raise CatalogError(
+            f"credential vending returned no storage prefix for {name}"
+        )
+    # The vended prefix IS the write location (the credentials response is
+    # the source of truth, not a re-derived path); a real deployment would
+    # also configure the Hadoop FS with the vended token here.
+    df.write.mode("overwrite").parquet(prefix)
     return meta
 
 

@@ -464,6 +464,38 @@ class RestCatalogClient:
             f"/generic-tables/{quote(name, safe='')}",
         )
 
+    # ---- S3 remote signing (reference endpoints.rs:181-185) -----------------
+    def sign_s3(
+        self,
+        warehouse,
+        region,
+        uri,
+        method,
+        headers=None,
+        body=None,
+        tabular_id=None,
+    ) -> dict[str, Any]:
+        """POST an S3SignRequest; returns {'uri': ..., 'headers': {name:
+        [values]}} with the Authorization header filled in."""
+        path = (
+            f"/catalog/v1/signer/{warehouse}/tabular-id/{quote(str(tabular_id), safe='')}"
+            "/v1/aws/s3/sign"
+            if tabular_id is not None
+            else f"/catalog/v1/{warehouse}/v1/aws/s3/sign"
+        )
+        _, out, _ = self._request(
+            "POST",
+            path,
+            {
+                "region": region,
+                "uri": uri,
+                "method": method,
+                "headers": headers or {},
+                "body": body,
+            },
+        )
+        return out
+
     # ---- management ---------------------------------------------------------
     def create_warehouse(self, name, location, properties=None):
         _, body, _ = self._request(

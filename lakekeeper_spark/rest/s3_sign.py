@@ -1,0 +1,350 @@
+"""S3 remote-signing service: URL parsing, request authorization inputs,
+DeleteObjects body handling, and SigV4 signing orchestration.
+
+Mirrors the reference's signer semantics
+(crates/lakekeeper/src/server/s3_signer/sign.rs:282-380):
+
+  - Operation from HTTP method: GET/HEAD -> read; PUT/POST -> write,
+    except POST with ``delete`` in the query string + XML body, which is
+    the S3 DeleteObjects batch call -> delete (sign.rs:627-647); DELETE
+    -> delete. Read signs with ``read_data`` authz, write/delete with
+    ``write_data`` (sign.rs:185-188).
+  - URL styles (sign.rs:608-806): virtual-host (``bucket.s3.region.
+    amazonaws.com/key`` and custom endpoints matched by the ``s3[.-]``
+    host pattern), path (``endpoint/bucket/key``), or auto (try
+    virtual-host first, fall back to path).
+  - DeleteObjects XML: every <Object><Key> becomes a location that must
+    be authorized (sign.rs:666-700) — one foreign key smuggled into the
+    batch fails the whole request.
+  - Path segments arrive percent-encoded; they are decoded once for
+    table lookup/validation (urldecode_uri_path_segments, sign.rs:386)
+    while the ORIGINAL url is what gets signed.
+  - Signed output: the request headers minus the unsigned set (range,
+    x-amz-date, amz-sdk-*, sign.rs:35-40), plus authorization/x-amz-date/
+    x-amz-content-sha256, plus Cache-Control private (GET/HEAD) or
+    no-cache (mutations) (sign.rs:366-374).
+
+The signature math lives in sigv4.py (clean-room from the public AWS
+SigV4 spec); this module is the policy layer the REST facade exposes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass
+from typing import Any
+from urllib.parse import unquote, urlsplit
+
+from . import sigv4
+
+UNSIGNED_HEADERS = frozenset(
+    {"range", "x-amz-date", "amz-sdk-invocation-id", "amz-sdk-retry"}
+)
+
+_READ_METHODS = frozenset({"GET", "HEAD"})
+
+
+class SignRequestError(ValueError):
+    """Malformed / unsupported sign request (HTTP 400)."""
+
+
+class SignUriMismatch(SignRequestError):
+    """Request URI escapes the resolved table's location."""
+
+
+@dataclass(frozen=True)
+class S3Location:
+    bucket: str
+    key: str  # '/'-joined, no leading slash; '' for bucket-level calls
+
+    def as_s3_uri(self) -> str:
+        return f"s3://{self.bucket}/{self.key}" if self.key else f"s3://{self.bucket}"
+
+
+@dataclass(frozen=True)
+class ParsedSignRequest:
+    url: str
+    locations: tuple[S3Location, ...]
+    endpoint: str
+    operation: str  # read | write | delete
+
+
+def _decode_path_segments(path: str) -> list[str]:
+    return [unquote(seg) for seg in path.lstrip("/").split("/")] if path.lstrip("/") else []
+
+
+def parse_delete_objects_xml(xml_body: str) -> list[str]:
+    """Object keys from an S3 DeleteObjects body (sign.rs:591-606). The
+    document may carry the S3 xmlns or none; both are accepted."""
+    try:
+        root = ET.fromstring(xml_body)
+    except ET.ParseError as e:
+        raise SignRequestError(f"invalid DeleteObjects XML: {e}") from e
+    if root.tag.split("}")[-1] != "Delete":
+        raise SignRequestError("DeleteObjects body must have a <Delete> root")
+    keys = []
+    for obj in root:
+        if obj.tag.split("}")[-1] != "Object":
+            continue
+        key = next(
+            (c.text or "" for c in obj if c.tag.split("}")[-1] == "Key"), None
+        )
+        if key is None:
+            raise SignRequestError("DeleteObjects <Object> without <Key>")
+        keys.append(key)
+    if not keys:
+        raise SignRequestError("no objects found in DeleteObjects request")
+    return keys
+
+
+def _virtual_host_style(parts) -> tuple[str, str] | None:
+    """(bucket, endpoint) when the host matches virtual-host style, else
+    None. Mirrors the reference's ``^((.+)\\.)?(s3[.-]([a-z0-9-]+)(\\..*)?)``
+    host pattern (sign.rs:719)."""
+    host = parts.hostname or ""
+    import re
+
+    m = re.match(r"^(?:(.+)\.)?(s3[.-][a-z0-9-]+(?:\..*)?)$", host)
+    if not m or not m.group(1):
+        return None
+    return m.group(1), m.group(2)
+
+
+def parse_s3_url(
+    url: str,
+    method: str,
+    body: str | None,
+    url_style: str = "auto",
+) -> ParsedSignRequest:
+    """Parse the engine's S3 URL into bucket/key locations + operation.
+    ``url_style`` is path | virtual-host | auto (the per-warehouse
+    ``remote_signing_url_style``, storage/s3.rs)."""
+    parts = urlsplit(url)
+    if parts.scheme not in ("http", "https"):
+        raise SignRequestError(
+            "URI to sign does not have a supported scheme; expected http(s)"
+        )
+    if not parts.hostname:
+        raise SignRequestError("URI to sign does not have a host")
+    method = method.upper()
+    if method in _READ_METHODS:
+        operation, is_post_delete = "read", False
+    elif method in ("POST", "PUT"):
+        if method == "POST" and "delete" in (parts.query or ""):
+            operation, is_post_delete = "delete", True
+        else:
+            operation, is_post_delete = "write", False
+    elif method == "DELETE":
+        operation, is_post_delete = "delete", False
+    else:
+        raise SignRequestError(f"method not allowed for signing: {method}")
+
+    segments = _decode_path_segments(parts.path)
+    vh = _virtual_host_style(parts)
+
+    def as_vh() -> ParsedSignRequest:
+        bucket, endpoint = vh  # type: ignore[misc]
+        return ParsedSignRequest(
+            url, (S3Location(bucket, "/".join(segments)),), endpoint, operation
+        )
+
+    def as_path() -> ParsedSignRequest:
+        min_segs = 1 if is_post_delete else 2
+        if len(segments) < min_segs:
+            raise SignRequestError(
+                f"path-style URI needs at least {min_segs} path segments"
+            )
+        return ParsedSignRequest(
+            url,
+            (S3Location(segments[0], "/".join(segments[1:])),),
+            parts.hostname,
+            operation,
+        )
+
+    if url_style == "virtual-host":
+        if vh is None:
+            # reference known_host_style: any dotted host splits bucket.rest
+            host = parts.hostname
+            if "." not in host:
+                raise SignRequestError("URI does not match S3 virtual-host style")
+            bucket, endpoint = host.split(".", 1)
+            parsed = ParsedSignRequest(
+                url, (S3Location(bucket, "/".join(segments)),), endpoint, operation
+            )
+        else:
+            parsed = as_vh()
+    elif url_style == "path":
+        parsed = as_path()
+    elif url_style == "auto":
+        if vh is not None:
+            parsed = as_vh()
+        else:
+            try:
+                parsed = as_path()
+            except SignRequestError:
+                raise SignRequestError(
+                    "URI does not match S3 host or path style"
+                ) from None
+    else:
+        raise SignRequestError(f"unknown url style: {url_style}")
+
+    if is_post_delete:
+        if body is None:
+            raise SignRequestError("DeleteObjects requests require a body")
+        bucket = parsed.locations[0].bucket
+        locs = tuple(
+            S3Location(bucket, key) for key in parse_delete_objects_xml(body)
+        )
+        parsed = ParsedSignRequest(url, locs, parsed.endpoint, operation)
+    return parsed
+
+
+def _normalize_s3_scheme(location: str) -> str:
+    """s3a:// and s3n:// count as s3:// for sublocation checks (the
+    reference's set_s3_scheme normalization, sign.rs:500-507)."""
+    for prefix in ("s3a://", "s3n://"):
+        if location.startswith(prefix):
+            return "s3://" + location[len(prefix):]
+    return location
+
+
+def validate_uri(parsed: ParsedSignRequest, table_location: str) -> None:
+    """Every requested location must be the table location or below it
+    (sign.rs validate_uri:492-530)."""
+    base = _normalize_s3_scheme(table_location).rstrip("/")
+    for loc in parsed.locations:
+        uri = loc.as_s3_uri()
+        if not (uri == base or uri.startswith(base + "/")):
+            raise SignUriMismatch(
+                f"request location {uri} is outside table location {base}"
+            )
+
+
+def handle_sign(
+    catalog,
+    warehouse: str,
+    request: dict[str, Any],
+    tabular_id: str | None = None,
+    timestamp: str | None = None,
+) -> dict[str, Any]:
+    """Full signer flow for one S3SignRequest {region, uri, method,
+    headers, body} (iceberg-ext s3_signer.rs:9-16), mirroring the
+    reference handler order (sign.rs:58-282): signing-enabled check ->
+    region validation -> URL parse (segments decoded once for lookup,
+    original URL signed) -> table by id (with location fallback, the
+    pyiceberg <=0.9.1 compat path, sign.rs:143-175) or by location ->
+    read/write authz -> location containment -> SigV4.
+
+    Signing config comes from warehouse properties (the local stand-in
+    for the reference's S3 storage profile + secret store):
+    remote-signing-enabled, s3.region, remote-signing-url-style,
+    s3.access-key-id / s3.secret-access-key / s3.session-token.
+    """
+    import time
+
+    from ..catalog.authz import AuthorizationError
+    from ..catalog.catalog import NoSuchEntity
+
+    props = catalog.describe_warehouse(warehouse)["properties"]
+    if str(props.get("remote-signing-enabled", "false")).lower() != "true":
+        raise AuthorizationError(
+            "Remote signing is disabled for this storage profile"
+        )
+    profile_region = props.get("s3.region", "us-east-1")
+    request_region = request.get("region")
+    if request_region != profile_region:
+        raise SignRequestError("Region does not match storage profile")
+    url = request["uri"]
+    method = str(request["method"]).upper()
+    headers = request.get("headers") or {}
+    body = request.get("body")
+
+    parsed = parse_s3_url(
+        url, method, body, props.get("remote-signing-url-style", "auto")
+    )
+    first = parsed.locations[0]
+
+    resolved = None
+    if tabular_id is not None:
+        resolved = catalog.table_by_id(warehouse, tabular_id)
+        if resolved is not None:
+            try:
+                validate_uri(parsed, resolved[2]["location"] or "")
+            except SignUriMismatch:
+                # engine reused another table's signer URI; fall back to
+                # location-based resolution (sign.rs:150-168)
+                resolved = None
+    if resolved is None:
+        resolved = catalog.table_by_location(warehouse, first.as_s3_uri())
+    if resolved is None:
+        raise NoSuchEntity(
+            f"no table found for sign location {first.as_s3_uri()}"
+        )
+    levels, name, row = resolved
+
+    action = "read_data" if parsed.operation == "read" else "write_data"
+    catalog.authorize_table_action(warehouse, levels, name, action)
+    validate_uri(parsed, row["location"] or "")
+
+    return sign_s3_request(
+        method=method,
+        url=url,
+        headers=headers,
+        body=body,
+        region=profile_region,
+        access_key=props.get("s3.access-key-id", "lakekeeper"),
+        secret_key=props.get("s3.secret-access-key", ""),
+        session_token=props.get("s3.session-token"),
+        timestamp=timestamp
+        or time.strftime("%Y%m%dT%H%M%SZ", time.gmtime()),
+    )
+
+
+def sign_s3_request(
+    *,
+    method: str,
+    url: str,
+    headers: dict[str, Any],
+    body: str | None,
+    region: str,
+    access_key: str,
+    secret_key: str,
+    session_token: str | None,
+    timestamp: str,
+) -> dict[str, Any]:
+    """Produce the S3SignResponse payload {'uri': ..., 'headers': {name:
+    [values]}}. ``headers`` values may be strings or lists of strings (the
+    REST shape is name -> [values], iceberg-ext s3_signer.rs:14)."""
+    flat: dict[str, str] = {}
+    for name, value in headers.items():
+        if name.lower() in UNSIGNED_HEADERS:
+            continue
+        flat[name] = (
+            ",".join(str(v) for v in value) if isinstance(value, list) else str(value)
+        )
+    payload_hash = (
+        hashlib.sha256(body.encode()).hexdigest()
+        if body is not None
+        else sigv4.UNSIGNED_PAYLOAD
+    )
+    added = sigv4.sign_request(
+        method,
+        url,
+        flat,
+        access_key,
+        secret_key,
+        region,
+        timestamp,
+        payload_hash=payload_hash,
+        session_token=session_token,
+    )
+    out: dict[str, list[str]] = {}
+    for name, value in headers.items():
+        out[name] = [str(v) for v in value] if isinstance(value, list) else [str(value)]
+    for name, value in added.items():
+        out[name] = [value]
+    out["Cache-Control"] = [
+        "private" if method.upper() in _READ_METHODS else "no-cache"
+    ]
+    return {"uri": url, "headers": out}

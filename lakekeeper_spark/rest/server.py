@@ -31,6 +31,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any
 from urllib.parse import parse_qs, unquote, urlparse
 
+from . import s3_sign
 from ..catalog.catalog import (
     AlreadyExists,
     Catalog,
@@ -487,6 +488,32 @@ class _Handler(BaseHTTPRequestHandler):
     @route("GET", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}/credentials")
     def load_table_credentials(self, prefix, ns, tbl):
         self._reply(200, self.catalog.load_credentials(prefix, _ns(ns), unquote(tbl)))
+
+    # ---- S3 remote signing (reference endpoints.rs:181-185, three route
+    # shapes; handler semantics in rest/s3_sign.py) ----------------------
+    @route("POST", r"/catalog/v1/aws/s3/sign")
+    def sign_s3_global(self):
+        # Global shape: no prefix in the path — the request's warehouse
+        # query param or the sole warehouse resolves it (our facade serves
+        # one catalog; reference require_warehouse_id errors without one).
+        wh = self.query.get("warehouse") or self.catalog.list_warehouses()[0]
+        self._reply(200, s3_sign.handle_sign(self.catalog, wh, self._body()))
+
+    @route("POST", rf"/catalog/v1/{P}/v1/aws/s3/sign")
+    def sign_s3_prefix(self, prefix):
+        self._reply(200, s3_sign.handle_sign(self.catalog, prefix, self._body()))
+
+    @route(
+        "POST",
+        rf"/catalog/v1/signer/{P}/tabular-id/(?P<tabular_id>[^/]+)/v1/aws/s3/sign",
+    )
+    def sign_s3_tabular(self, prefix, tabular_id):
+        self._reply(
+            200,
+            s3_sign.handle_sign(
+                self.catalog, prefix, self._body(), tabular_id=unquote(tabular_id)
+            ),
+        )
 
     @route("POST", rf"/catalog/v1/{P}/tables/rename")
     def rename_table(self, prefix):

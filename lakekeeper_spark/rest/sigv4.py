@@ -52,6 +52,10 @@ def _canonical_uri(path: str) -> str:
 
 
 def _canonical_query(query: str) -> str:
+    """Single-encoding mode, consistent with _canonical_uri: the wire query
+    is treated as ALREADY percent-encoded ('%' stays in the safe set), so
+    uploadId=ab%2Fcd canonicalizes as ab%2Fcd — what S3 recomputes from the
+    wire bytes (the reference signs with PercentEncodingMode::Single)."""
     if not query:
         return ""
     pairs = []
@@ -59,7 +63,7 @@ def _canonical_query(query: str) -> str:
         if not part:
             continue
         k, _, v = part.partition("=")
-        pairs.append((quote(k, safe="-_.~"), quote(v, safe="-_.~")))
+        pairs.append((quote(k, safe="-_.~%"), quote(v, safe="-_.~%")))
     return "&".join(f"{k}={v}" for k, v in sorted(pairs))
 
 
