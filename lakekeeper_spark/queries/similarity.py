@@ -249,7 +249,10 @@ def lsh_buckets(col: str, tables: list[list[list[float]]]) -> F.Column:
     tags=("similarity", "llm", "lsh"),
 )
 def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    return _s02_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+def _s02_lsh(emb: DataFrame) -> DataFrame:
     # dim probe: LIMIT-1 scan of a single int — never ships an embedding
     # row to the driver (array schemas don't carry a length).
     dim = emb.select(F.size("embedding").alias("d")).limit(1).collect()[0]["d"]
@@ -743,3 +746,37 @@ def s09_generic_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     create_vector_dataset(cat, "wh", ["vectors"], "emb", src, "embedding")
     emb = read_vector_dataset(spark, cat, "wh", ["vectors"], "emb")
     return _s01_adaptive(emb)
+
+
+# --------------------------------------------------------------------------
+# s10: LSH ANN over a generic-table-registered dataset (approximate path)
+# --------------------------------------------------------------------------
+@register(
+    "s10_generic_vector_lsh",
+    oracle=None,  # approximate like s02; pytest pins row-identity with s02
+    description="s02-style random-hyperplane LSH ANN over a vector dataset "
+    "registered and read through the generic-table API — the approximate "
+    "operator family exercised through the registered-dataset read path "
+    "(round-8 verdict item 8). Deterministic hyperplanes + identical rows "
+    "by construction mean the result must equal s02's exactly "
+    "(tests/test_generic_vector.py pins it).",
+    tags=("similarity", "catalog", "generic-table", "llm", "lsh"),
+)
+def s10_generic_vector_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.vector_dataset import (
+        create_vector_dataset,
+        read_vector_dataset,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_vec_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["vectors"])
+    src = load_table(spark, sf_dir, "embeddings")
+    create_vector_dataset(cat, "wh", ["vectors"], "emb", src, "embedding")
+    emb = read_vector_dataset(spark, cat, "wh", ["vectors"], "emb")
+    return _s02_lsh(emb)

@@ -1,0 +1,65 @@
+"""Anchor-normalized bench budget guard (round-8 verdict item 4): a
+synthetic uniform 2x slowdown must produce ZERO violations, while a
+single-query 2x regression must still trip."""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from bench import HEADLINE, ratio_violations
+
+BUDGET = json.loads(
+    (Path(__file__).resolve().parent.parent / "BENCH_BUDGET.json").read_text()
+)
+ANCHOR = BUDGET["anchor"]
+CEILINGS = BUDGET["ratio_ceilings"]
+
+# Synthetic steady-state run: every query comfortably inside its ratio
+# ceiling (80% of ceiling x a 1.0s anchor).
+BASE = {ANCHOR: 1.0}
+BASE.update({n: 0.8 * c for n, c in CEILINGS.items()})
+
+
+def test_steady_state_is_clean():
+    assert ratio_violations(BASE, ANCHOR, CEILINGS) == {}
+
+
+def test_global_slowdown_produces_zero_violations():
+    for k in (1.5, 2.0, 3.7):
+        slowed = {n: t * k for n, t in BASE.items()}
+        assert ratio_violations(slowed, ANCHOR, CEILINGS) == {}, k
+
+
+def test_single_query_regression_still_trips():
+    for victim in ("p02_sequence_packing", "c04_delete_artifacts", "d01_dedup_exact"):
+        run = dict(BASE)
+        run[victim] = BASE[victim] * 2
+        v = ratio_violations(run, ANCHOR, CEILINGS)
+        assert set(v) == {victim}
+        assert v[victim]["ratio"] > v[victim]["ceiling"]
+        # and the same regression under a 2x-slower box still trips
+        slowed = {n: t * 2 for n, t in run.items()}
+        assert set(ratio_violations(slowed, ANCHOR, CEILINGS)) == {victim}
+
+
+def test_budget_covers_headline():
+    """Every HEADLINE query (except the anchor) needs a ratio ceiling, so
+    new headline entries can't silently run unguarded."""
+    missing = set(HEADLINE) - set(CEILINGS) - {ANCHOR}
+    assert not missing, f"HEADLINE queries without ratio ceilings: {missing}"
+    assert ANCHOR in HEADLINE
+
+
+def test_anchor_regression_is_not_masked():
+    """If ONLY the anchor regresses, every other ratio shrinks — no false
+    violations — and the anchor's informational ceiling is the signal.
+    Guard documents this tradeoff: the anchor is chosen for stability."""
+    run = dict(BASE)
+    run[ANCHOR] = BUDGET["anchor_ceiling_sec"] * 1.5
+    assert ratio_violations(run, ANCHOR, CEILINGS) == {}
+    # bench.main() reports the informational anchor note in this case
+    assert run[ANCHOR] > BUDGET["anchor_ceiling_sec"]

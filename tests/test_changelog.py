@@ -225,3 +225,136 @@ def test_create_changelog_view_procedure(table, spark):
     )
     assert got == [("update_postimage", 5), ("update_preimage", 5)]
     spark.catalog.dropTempView("t_changes")
+
+
+# ---------------------------------------------------------------------------
+# Golden cross-engine fixture (round-8 verdict item 6): hand-computed
+# per-commit shapes pinned against Iceberg's DOCUMENTED
+# create_changelog_view semantics (identifier-paired updates, carry-over
+# removal, commit-scoped grouping, ambiguity). Each case is a raw
+# changelog frame -> the exact (change_type, id, v) multiset expected.
+# ---------------------------------------------------------------------------
+CHANGE_DDL = DDL + ", _change_type string, _commit_snapshot_id long"
+
+GOLDEN_SHAPES = [
+    (
+        "plain_insert",
+        [(1, 1.0, "a", "insert", 10)],
+        [("insert", 1, 1.0)],
+    ),
+    (
+        "paired_update",
+        [(1, 1.0, "a", "delete", 10), (1, 2.0, "a", "insert", 10)],
+        [("update_postimage", 1, 2.0), ("update_preimage", 1, 1.0)],
+    ),
+    (
+        "carryover_removed",
+        [(1, 1.0, "a", "delete", 10), (1, 1.0, "a", "insert", 10)],
+        [],
+    ),
+    (
+        "plain_delete",
+        [(1, 1.0, "a", "delete", 10)],
+        [("delete", 1, 1.0)],
+    ),
+    (
+        "carryover_plus_update_mixed_commit",
+        [
+            (1, 1.0, "a", "delete", 10),
+            (1, 1.0, "a", "insert", 10),  # carry-over for key 1
+            (2, 2.0, "b", "delete", 10),
+            (2, 20.0, "b", "insert", 10),  # genuine update for key 2
+        ],
+        [("update_postimage", 2, 20.0), ("update_preimage", 2, 2.0)],
+    ),
+    (
+        "cross_commit_never_pairs",
+        # same key deleted in commit 10 and re-inserted in commit 11:
+        # pairing is per-commit, both stay plain
+        [(1, 1.0, "a", "delete", 10), (1, 2.0, "a", "insert", 11)],
+        [("delete", 1, 1.0), ("insert", 1, 2.0)],
+    ),
+    (
+        "ambiguous_degrades_to_plain",
+        [
+            (1, 1.0, "a", "delete", 10),
+            (1, 2.0, "b", "delete", 10),
+            (1, 3.0, "c", "insert", 10),
+        ],
+        [("delete", 1, 1.0), ("delete", 1, 2.0), ("insert", 1, 3.0)],
+    ),
+]
+
+
+@pytest.mark.parametrize(
+    "name,rows,expect", GOLDEN_SHAPES, ids=[s[0] for s in GOLDEN_SHAPES]
+)
+def test_golden_pairing_shapes(spark, name, rows, expect):
+    from lakekeeper_spark.format.icelite import pair_update_images
+
+    frame = spark.createDataFrame(rows, CHANGE_DDL)
+    got = sorted(
+        (r._change_type, r.id, float(r.v))
+        for r in pair_update_images(frame, ["id"]).collect()
+    )
+    assert got == expect, name
+
+
+def test_strict_mode_raises_on_ambiguity_only(spark):
+    from lakekeeper_spark.format.icelite import pair_update_images
+
+    ambiguous = spark.createDataFrame(
+        GOLDEN_SHAPES[6][1], CHANGE_DDL
+    )
+    with pytest.raises(ValueError, match="ambiguous changelog identifier"):
+        pair_update_images(ambiguous, ["id"], strict=True).collect()
+    # every unambiguous golden shape passes strict mode unchanged
+    for name, rows, expect in GOLDEN_SHAPES[:6]:
+        frame = spark.createDataFrame(rows, CHANGE_DDL)
+        got = sorted(
+            (r._change_type, r.id, float(r.v))
+            for r in pair_update_images(frame, ["id"], strict=True).collect()
+        )
+        assert got == expect, name
+
+
+def test_golden_lifecycle_sequence(table, spark):
+    """End-to-end hand-computed _change_type sequence for ONE key across
+    four commits (insert -> paired update -> carry-over-only commit ->
+    delete), read per-commit through the real changelog."""
+    t = table  # commit 1 already appended ids 1-5
+    snaps = [t.metadata()["current-snapshot-id"]]
+    t.update_where("id = 2", {"v": "v + 100"})  # commit 2: update key 2
+    snaps.append(t.metadata()["current-snapshot-id"])
+    t.delete_where("id = 5")  # commit 3: CoW -> key 2 restated (carry-over)
+    snaps.append(t.metadata()["current-snapshot-id"])
+    t.delete_where("id = 2", mode="merge-on-read")  # commit 4: delete key 2
+    snaps.append(t.metadata()["current-snapshot-id"])
+
+    def key2(frm, to):
+        return sorted(
+            (r._change_type, float(r.v))
+            for r in t.changelog(
+                from_snapshot_id=frm, to_snapshot_id=to,
+                identifier_columns=["id"],
+            ).collect()
+            if r.id == 2
+        )
+
+    full = t.changelog(identifier_columns=["id"])
+    by_commit = {
+        int(r["_commit_snapshot_id"])
+        for r in full.select("_commit_snapshot_id").distinct().collect()
+    }
+    assert key2(None, snaps[0]) == [("insert", 2.0)]
+    assert key2(snaps[0], snaps[1]) == [
+        ("update_postimage", 102.0),
+        ("update_preimage", 2.0),
+    ]
+    # commit 3 rewrote the file but key 2 is a carry-over: silent
+    assert key2(snaps[1], snaps[2]) == []
+    assert snaps[2] not in by_commit or all(
+        r.id != 2
+        for r in full.filter(full._commit_snapshot_id == snaps[2]).collect()
+    )
+    assert key2(snaps[2], snaps[3]) == [("delete", 102.0)]
