@@ -156,6 +156,16 @@ def main() -> None:
             "2.6-4.7s at identical code under load avg ~5) - single-run "
             "spread on this shared box exceeds the r4->r5 delta on every "
             "flagged query",
+            "r8_drift": "r8's uniform +30-80% vs r7 re-measured at r9 "
+            "head (two quiet-box runs, 2026-08-15): anchor q01 back to "
+            "0.796-1.039s (r8 logged ~1.18s, r7 0.674s) and the r8-flagged "
+            "queries returned with it - r02 2.20-2.74s (r8 2.67), p02 "
+            "1.79-2.37s (r8 2.22), with code identical on both. Confirms "
+            "the r8 verdict's adjudication: environmental box drift, no "
+            "plan regression. The guard is now anchor-normalized with "
+            "ceilings recorded from ratios observed together in these "
+            "runs (tools/record_budget.py), so this class of false alarm "
+            "is closed in both directions",
         },
     }
     if BUDGET_FILE.exists() and abs(sf - 0.1) < 1e-9:

@@ -1,0 +1,74 @@
+"""Re-record BENCH_BUDGET.json ratio ceilings from measured bench runs.
+
+Usage: python tools/record_budget.py run1.json [run2.json ...]
+
+The round-8 verdict (item 4) moved the guard to anchor-normalized ratios,
+but the first ceiling set was derived by dividing the historical ABSOLUTE
+per-query ceilings by the anchor's absolute ceiling. Those absolutes were
+recorded across rounds 3..8 under different box conditions, so the implied
+ratios never co-existed in one run — the first r9 bench tripped 19 of 29
+queries while the judge's own quiet-box measurements (VERDICT r8) put the
+same ratios at steady state. Ceilings must come from ratios OBSERVED
+TOGETHER: this tool takes one or more bench JSON outputs, computes each
+query's time/anchor_time per run, and writes
+
+    ceiling = HEADROOM * max(ratio across runs)
+
+HEADROOM (1.5) matches the absolute-era policy ("1.5x steady state",
+round-8 commit 4c6ea1f). Absolute seconds are refreshed as informational.
+The anchor's own informational ceiling is 1.5x its slowest observed run.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+HEADROOM = 1.5
+BUDGET = Path(__file__).resolve().parent.parent / "BENCH_BUDGET.json"
+
+
+def main() -> None:
+    runs = [json.loads(Path(p).read_text()) for p in sys.argv[1:]]
+    if not runs:
+        sys.exit("usage: record_budget.py run1.json [run2.json ...]")
+    budget = json.loads(BUDGET.read_text())
+    anchor = budget["anchor"]
+    ratios: dict[str, list[float]] = {}
+    absolutes: dict[str, list[float]] = {}
+    for run in runs:
+        times = run["queries"]
+        a = times[anchor]
+        for name, sec in times.items():
+            absolutes.setdefault(name, []).append(sec)
+            if name != anchor:
+                ratios.setdefault(name, []).append(sec / a)
+    budget["ratio_ceilings"] = {
+        n: round(HEADROOM * max(rs), 3) for n, rs in sorted(ratios.items())
+    }
+    budget["anchor_ceiling_sec"] = round(
+        HEADROOM * max(absolutes[anchor]), 2
+    )
+    budget["absolute_sec_informational"] = {
+        n: round(max(ss), 3) for n, ss in sorted(absolutes.items())
+    }
+    budget["comment"] = (
+        "ratio_ceilings are per-query ceilings on time/anchor_time "
+        f"(anchor={anchor}, measured in the same run): a uniform box "
+        "slowdown moves numerator and denominator together (zero "
+        "violations); a single-query plan regression trips its own ratio. "
+        f"Recorded by tools/record_budget.py as {HEADROOM}x the max ratio "
+        f"observed across {len(runs)} quiet-box bench run(s) at round-9 "
+        "HEAD — ratios observed together in one run, not stitched from "
+        "historical absolutes (the round-9 initial derivation tripped "
+        "19/29 queries because rounds-3..8 absolutes never co-existed). "
+        "absolute_sec_informational: max observed seconds, context only."
+    )
+    BUDGET.write_text(json.dumps(budget, indent=1))
+    print(f"recorded {len(ratios)} ratio ceilings from {len(runs)} run(s); "
+          f"anchor ceiling {budget['anchor_ceiling_sec']}s")
+
+
+if __name__ == "__main__":
+    main()
