@@ -110,6 +110,19 @@ def ratio_violations(
     return out
 
 
+def headline_subset(sf: float, only: str | None) -> list[str]:
+    """Optional subset (comma-separated names in $SPARK_GRAFT_BENCH_ONLY)
+    for OFF-SF scale audits — e.g. the sf1 sweep drops d02, which is
+    output-cardinality-bound at sf1 by design (85M true near-dup pairs on
+    the replication corpus; see BENCH_sf1.json d02_note). The budget
+    guard only ever judges full runs at sf0.1, where the knob is IGNORED
+    so a guarded run can never be silently narrowed (pytest-covered)."""
+    if not only or abs(sf - 0.1) < 1e-9:
+        return list(HEADLINE)
+    names = {n.strip() for n in only.split(",") if n.strip()}
+    return [n for n in HEADLINE if n in names]
+
+
 def _run(q, spark, sf_dir: str) -> float:
     t0 = time.time()
     q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -120,6 +133,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    headline = headline_subset(sf, os.environ.get("SPARK_GRAFT_BENCH_ONLY"))
     reg = load_registry()
     spark = get_session("bench")
     # warm-up: JVM + parquet footer caches
@@ -127,9 +141,9 @@ def main() -> None:
 
     cold: dict[str, float] = {}
     times: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         cold[name] = _run(reg[name], spark, sf_dir)
-    for name in HEADLINE:
+    for name in headline:
         times[name] = _run(reg[name], spark, sf_dir)
     total = round(sum(times.values()), 3)
 

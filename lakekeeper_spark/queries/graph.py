@@ -1,0 +1,236 @@
+"""Iterative graph analytics over event streams: fixed-point PageRank.
+
+Training-data pipelines rank entities (domains, pages, items) by link
+structure to weight or filter sources — PageRank over the hyperlink graph
+is the classic quality prior (the CCNet/RefinedWeb lineage of web-corpus
+pipelines), and personalized PageRank from a seed set is the standard
+"expand from known-good sources" crawl-frontier / source-discovery
+primitive. The registry already has one iterative graph kernel (d09
+connected components via min-label propagation); this module adds the
+weighted-PageRank shape: per BSP round one shuffle join of the rank
+vector with the edge list on ``src`` plus one aggregation keyed by
+``dst`` — expressed declaratively so Catalyst plans both as hash
+joins/aggregates.
+
+Determinism contract (why the DuckDB oracles hash-match bit-for-bit):
+all arithmetic is FIXED-POINT INTEGER. Ranks are longs scaled by
+S = 10^12; the damping update is ``(15*tele + 85*contrib) // 100`` and
+per-edge contributions are ``(rank * w) // out_w`` — integer division
+and integer sums are associative and order-independent, so Spark's
+partial aggregation and DuckDB's vectorized aggregation agree exactly,
+with no IEEE-754 sum-order hazard (registry.py determinism contract).
+Bounds: rank <= S = 1e12, edge weight < 2^20 at any realistic SF, so
+``rank * w`` < 2^63 and ANSI overflow checks never fire.
+
+Graph definition (shared by Spark and the oracles): nodes are the item
+ids carried in ``events.props.k``; a directed edge src -> dst for each
+consecutive pair of events by the same user ordered by (ts, event_id),
+weighted by pair multiplicity. Nodes with no out-edges leak their rank
+(the "sink-leak" PageRank variant) — chosen over dangling-mass
+redistribution because it keeps the oracle a pure CTE chain; both
+engines compute the identical variant.
+
+Scale notes (100 TB): the edge list is built with one window (keyed by
+user) + one groupBy(src, dst); it and the node set are localCheckpoint-
+pinned so the 5 BSP rounds do not re-derive them from the raw events.
+Each round shuffles only the rank vector (|V| rows) and the contribution
+aggregate — never the raw event stream. The only driver-side values are
+scalars (|V|, |seeds|). On a 1000-executor cluster the rank-vector join
+keys on the same ``item`` hash partitioning every round, which AQE
+reuses; skewed in-degree (a few mega-hub pages) is the known hazard and
+is exactly the two-phase (key, salt) pattern functions/skew.py already
+provides if a corpus needs it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..data import load_table
+from ..registry import register
+
+_S = 1_000_000_000_000  # fixed-point scale: rank of 1.0 == 10^12
+_ITERS = 5
+_DAMP_NUM, _TELE_NUM, _DAMP_DEN = 85, 15, 100
+
+# Shared graph-derivation SQL: the item-transition edge list, out-weights
+# and node set (identical text in both oracles).
+_GRAPH_SQL = """
+ev AS (
+  SELECT user_id, ts, event_id,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+nxt AS (
+  SELECT item AS src,
+         LEAD(item) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM ev
+),
+edges AS (
+  SELECT src, dst, COUNT(*) AS w FROM nxt WHERE dst IS NOT NULL
+  GROUP BY src, dst
+),
+outw AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src
+),
+nodes AS (
+  SELECT src AS item FROM edges UNION SELECT dst FROM edges
+)"""
+
+
+def _rounds_sql() -> str:
+    """The 5 BSP rounds as a CTE chain over a ``t(item, tele)`` relation
+    (per-node fixed-point teleport mass; r0 = tele). Identical damping
+    arithmetic to the Spark loop."""
+    s = """,
+r0 AS (SELECT item, tele AS r FROM t)"""
+    prev = "r0"
+    for k in range(1, _ITERS + 1):
+        s += f""",
+c{k} AS (
+  SELECT e.dst AS item, CAST(SUM((r.r * e.w) // o.ow) AS BIGINT) AS c
+  FROM edges e
+  JOIN {prev} r ON e.src = r.item
+  JOIN outw o ON e.src = o.src
+  GROUP BY e.dst
+),
+r{k} AS (
+  SELECT t.item,
+         CAST(({_TELE_NUM} * t.tele
+               + {_DAMP_NUM} * COALESCE(c.c, 0)) // {_DAMP_DEN} AS BIGINT) AS r
+  FROM t LEFT JOIN c{k} c ON t.item = c.item
+)"""
+        prev = f"r{k}"
+    return s + f"""
+SELECT item, r AS rank_fp FROM {prev}
+"""
+
+
+def _transition_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(edges+outw, nodes) of the item-transition graph, both
+    localCheckpoint-pinned so BSP rounds never re-derive them from the
+    raw event stream (same pinning pattern as p02/r02): bounded by |E|
+    distinct (src, dst) pairs / |V| items, not by event count."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("item"),
+        )
+        .where(F.col("item").isNotNull())
+    )
+    nxt = ev.select(
+        F.col("item").alias("src"),
+        F.lead("item")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    edges = nxt.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
+    edges = edges.join(outw, "src").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("item"))
+        .union(edges.select(F.col("dst").alias("item")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return edges, nodes
+
+
+def _pagerank_rounds(edges: DataFrame, t: DataFrame) -> DataFrame:
+    """5 BSP rounds over ``t(item, tele)``; r0 = tele. Mirrors
+    _rounds_sql() op for op."""
+    ranks = t.select("item", F.col("tele").alias("r"))
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["item"])
+            .select("dst", F.expr("(r * w) div ow").alias("cp"))
+            .groupBy("dst")
+            .agg(F.sum("cp").cast("long").alias("c"))
+        )
+        ranks = t.join(contrib, t["item"] == contrib["dst"], "left").select(
+            "item",
+            F.expr(
+                f"CAST(({_TELE_NUM} * tele + {_DAMP_NUM} * "
+                f"coalesce(c, 0L)) div {_DAMP_DEN} AS BIGINT)"
+            ).alias("r"),
+        )
+    return ranks.select("item", F.col("r").alias("rank_fp"))
+
+
+@register(
+    "g01_pagerank_fixedpoint",
+    oracle=f"""
+WITH {_GRAPH_SQL},
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+t AS (SELECT item, CAST({_S} // nn.n AS BIGINT) AS tele FROM nodes, nn)
+{_rounds_sql()}""",
+    description="Weighted PageRank over the item-transition graph "
+    "(consecutive events per user), 5 BSP rounds of join-on-src + "
+    "aggregate-on-dst in fixed-point integer arithmetic (scale 10^12, "
+    "sink-leak variant) - bit-exact across engines by construction. "
+    "Oracle = the identical CTE chain in DuckDB.",
+    tags=("graph", "iterative", "llm", "events"),
+)
+def g01_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, nodes = _transition_graph(spark, sf_dir)
+    # the only driver-side value in the whole query: |V| (a scalar)
+    n = nodes.count()
+    t = nodes.select("item", F.lit(_S // n).cast("long").alias("tele"))
+    return _pagerank_rounds(edges, t)
+
+
+@register(
+    "g02_personalized_pagerank",
+    oracle=f"""
+WITH {_GRAPH_SQL},
+seeds AS (
+  SELECT DISTINCT n.item
+  FROM nodes n
+  JOIN (
+    SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+    FROM events WHERE event_type = 'purchase'
+  ) p ON n.item = p.item
+),
+ns AS (SELECT COUNT(*) AS n FROM seeds),
+t AS (
+  SELECT n.item,
+         CAST(CASE WHEN s.item IS NOT NULL THEN {_S} // ns.n ELSE 0 END
+              AS BIGINT) AS tele
+  FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON n.item = s.item
+)
+{_rounds_sql()}""",
+    description="Personalized PageRank: teleport mass restricted to the "
+    "seed set (items that appear in purchase events), same fixed-point "
+    "BSP kernel as g01 - the 'expand from known-good sources' "
+    "source-discovery primitive. Seeds intersected with the node set so "
+    "isolated seed items carry no mass in either engine.",
+    tags=("graph", "iterative", "llm", "events"),
+)
+def g02_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, nodes = _transition_graph(spark, sf_dir)
+    purchase_items = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.get_json_object("props", "$.k").cast("long").alias("item"))
+        .distinct()
+    )
+    seeds = nodes.join(purchase_items, "item").localCheckpoint(eager=True)
+    n_seeds = seeds.count()  # scalar
+    t = nodes.join(
+        seeds.withColumn("is_seed", F.lit(True)), "item", "left"
+    ).select(
+        "item",
+        F.when(F.col("is_seed").isNotNull(), F.lit(_S // n_seeds))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("tele"),
+    )
+    return _pagerank_rounds(edges, t)

@@ -1713,3 +1713,86 @@ def t16_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_str(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+# --------------------------------------------------------------------------
+# t17: n-gram novelty scoring (first-occurrence attribution)
+# --------------------------------------------------------------------------
+# Curriculum ordering and diversity-aware mixing weight documents by how
+# much NEW text they contribute relative to everything already ingested
+# (doc_id order = ingestion order). An occurrence of a W-word window is
+# novel iff this doc is the window's first-ever occurrence (min doc_id
+# corpus-wide). Fixed-point ppm output keeps the oracle hash-exact with
+# no float division.
+#
+# Plan shape (100 TB): one exchange keyed by window text for the
+# MIN(doc_id) partial aggregate, the result joined straight back on the
+# SAME key (exchange reused, as in d10), then one doc-keyed rollup.
+# Nothing driver-side; window stream never collects. Docs shorter than
+# W words have no windows and are absent from the output in both engines.
+T17_W = 5
+
+
+@register(
+    "t17_ngram_novelty",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, array_to_string(words[i+1 : i+{T17_W}], ' ') AS win
+  FROM w, unnest(range(0, greatest(len(words) - {T17_W} + 1, 0))) AS t(i)
+),
+firsts AS (
+  SELECT win, MIN(doc_id) AS first_doc FROM wins GROUP BY win
+)
+SELECT CAST(s.doc_id AS BIGINT) AS doc_id,
+       COUNT(*) AS n_windows,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST((CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000000) // COUNT(*) AS BIGINT) AS novelty_ppm
+FROM wins s JOIN firsts f ON s.win = f.win
+GROUP BY s.doc_id
+""",
+    description="Per-document n-gram novelty: fraction (ppm, fixed-point) "
+    "of a doc's overlapping 5-word windows whose corpus-wide first "
+    "occurrence (min doc_id = ingestion order) is this doc - the "
+    "curriculum/diversity contribution score. One shuffle on window text "
+    "(reused by the join back), one doc rollup.",
+    tags=("text", "llm", "novelty"),
+)
+def t17_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("words"),
+    )
+    # sequence(a, b) DESCENDS when b < a (the m08 phantom-chunk lesson):
+    # short docs guarded to an empty window array
+    wins = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(words) < {T17_W} THEN array() ELSE "
+                f"transform(sequence(0, size(words) - {T17_W}), "
+                f"i -> array_join(slice(words, i + 1, {T17_W}), ' ')) END"
+            )
+        ).alias("win"),
+    )
+    firsts = wins.groupBy("win").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        wins.join(firsts, "win")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_windows"), novel.alias("n_novel"))
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_windows",
+            "n_novel",
+            F.expr("(n_novel * 1000000L) div n_windows").alias("novelty_ppm"),
+        )
+    )

@@ -58,6 +58,7 @@ def load_registry() -> dict[str, Query]:
         dedup,
         embeddings_ops,
         events,
+        graph,
         multimodal,
         similarity,
         text,

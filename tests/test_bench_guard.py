@@ -63,3 +63,16 @@ def test_anchor_regression_is_not_masked():
     assert ratio_violations(run, ANCHOR, CEILINGS) == {}
     # bench.main() reports the informational anchor note in this case
     assert run[ANCHOR] > BUDGET["anchor_ceiling_sec"]
+
+
+def test_headline_subset_ignored_on_guarded_sf():
+    """$SPARK_GRAFT_BENCH_ONLY narrows off-SF scale audits only: at the
+    guarded sf0.1 the full HEADLINE always runs (a guarded run can never
+    be silently narrowed), off-SF it filters while preserving order."""
+    from bench import headline_subset
+
+    assert headline_subset(0.1, "q01_pricing_summary") == HEADLINE
+    assert headline_subset(0.1, None) == HEADLINE
+    sub = headline_subset(1.0, "t01_text_stats, q01_pricing_summary")
+    assert sub == ["q01_pricing_summary", "t01_text_stats"]
+    assert headline_subset(1.0, None) == HEADLINE

@@ -644,3 +644,40 @@ def test_headline_plans_have_no_unpartitioned_windows(spark):
         if lines:
             offenders[name] = lines
     assert not offenders, offenders
+
+
+def test_g01_rounds_never_rescan_events(spark):
+    """The 5 PageRank BSP rounds must iterate over the localCheckpoint-
+    pinned edge list / node set, never re-deriving the graph from the raw
+    event stream: the FINAL plan contains no events parquet scan at all
+    (graph.py scale note), and the per-round rank update joins on the
+    node key without any nested-loop pair enumeration."""
+    from lakekeeper_spark.queries.graph import g01_pagerank_fixedpoint
+
+    plan = _plan(g01_pagerank_fixedpoint(spark, SF_DIR))
+    assert "events.parquet" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "Join" in plan
+
+
+def test_g02_teleport_vector_is_node_sized(spark):
+    """Personalized PageRank's teleport vector derives from the pinned
+    node set + seed scalars; like g01 the iteration plan must be free of
+    raw event scans (one scan happens up front when the graph is pinned,
+    none per round)."""
+    from lakekeeper_spark.queries.graph import g02_personalized_pagerank
+
+    plan = _plan(g02_personalized_pagerank(spark, SF_DIR))
+    assert "events.parquet" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_t17_firsts_join_reuses_window_key_exchange(spark):
+    """t17's first-occurrence join keys on the window text — the same key
+    as the MIN(doc_id) aggregate — so co-partitioned streams join without
+    a second shuffle of the window stream (d10's pattern), and nothing
+    nested-loops."""
+    from lakekeeper_spark.queries.text import t17_ngram_novelty
+
+    plan = _plan(t17_ngram_novelty(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan and "Join" in plan
+    assert "hashpartitioning(win" in plan
