@@ -79,6 +79,9 @@ HEADLINE = [
     # position+equality+DV artifact mix and scans through the tombstone
     # anti-join, so its cost is tracked round-over-round
     "c04_delete_artifacts",
+    # round-9: iterative-graph family representative (5 fixed-point BSP
+    # rounds over the pinned transition graph; g02 shares the kernel)
+    "g01_pagerank_fixedpoint",
 ]
 
 BUDGET_FILE = Path(__file__).resolve().parent / "BENCH_BUDGET.json"

@@ -1,0 +1,96 @@
+"""Independent-model tests for the fixed-point PageRank kernel
+(queries/graph.py): the Spark BSP loop and the DuckDB oracle were written
+by the same hand, so a shared-semantics bug would pass the value-hash
+gate. The reference below is a pure-Python integer reimplementation of
+the update rule, plus one 3-node fixture whose five rounds were computed
+BY HAND (long division on paper), pinning both implementations at once.
+"""
+
+from __future__ import annotations
+
+import random
+
+from lakekeeper_spark.queries.graph import (
+    _DAMP_DEN,
+    _DAMP_NUM,
+    _ITERS,
+    _S,
+    _TELE_NUM,
+    _pagerank_rounds,
+)
+
+# 3-node hand fixture: edges A->B, B->A, B->C (all weight 1); N=3,
+# tele = S//3. C is a sink (mass leaks). Hand-computed ranks after
+# 5 rounds of r' = (15*tele + 85*sum((r*w)//ow)) // 100:
+HAND_EDGES = [(1, 2, 1), (2, 1, 1), (2, 3, 1)]
+HAND_EXPECT = {1: 122_001_861_978, 2: 169_416_145_833, 3: 122_001_861_978}
+
+
+def _py_pagerank(edges, tele, iters=_ITERS):
+    """Pure-python integer reference: edges = [(src, dst, w)],
+    tele = {node: fixed-point teleport mass}; r0 = tele."""
+    ow: dict[int, int] = {}
+    for s, _, w in edges:
+        ow[s] = ow.get(s, 0) + w
+    r = dict(tele)
+    for _ in range(iters):
+        c: dict[int, int] = {}
+        for s, d, w in edges:
+            c[d] = c.get(d, 0) + (r[s] * w) // ow[s]
+        r = {
+            v: (_TELE_NUM * t + _DAMP_NUM * c.get(v, 0)) // _DAMP_DEN
+            for v, t in tele.items()
+        }
+    return r
+
+
+def _run_kernel(spark, edges, tele):
+    ow: dict[int, int] = {}
+    for s, _, w in edges:
+        ow[s] = ow.get(s, 0) + w
+    edges_df = spark.createDataFrame(
+        [(s, d, w, ow[s]) for s, d, w in edges],
+        "src long, dst long, w long, ow long",
+    )
+    t_df = spark.createDataFrame(
+        list(tele.items()), "item long, tele long"
+    )
+    got = _pagerank_rounds(edges_df, t_df).collect()
+    return {row["item"]: row["rank_fp"] for row in got}
+
+
+def test_hand_computed_three_node_fixture(spark):
+    tele = {n: _S // 3 for n in (1, 2, 3)}
+    assert _py_pagerank(HAND_EDGES, tele) == HAND_EXPECT
+    assert _run_kernel(spark, HAND_EDGES, tele) == HAND_EXPECT
+
+
+def test_kernel_matches_python_reference_on_random_graph(spark):
+    rng = random.Random(20260815)
+    nodes = list(range(20))
+    edges = sorted(
+        {
+            (rng.choice(nodes), rng.choice(nodes))
+            for _ in range(60)
+        }
+    )
+    edges = [(s, d, rng.randint(1, 3)) for s, d in edges]
+    present = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    tele = {n: _S // len(present) for n in present}
+    assert _run_kernel(spark, edges, tele) == _py_pagerank(edges, tele)
+
+
+def test_seed_teleport_semantics(spark):
+    """g02 shape: teleport mass only on seeds. A non-seed node with no
+    inbound edges must decay to exactly 0 (no teleport floor), and rank
+    mass never exceeds the injected seed mass."""
+    # 1 -> 2 -> 3, seed = {1}; node 1 has no inbound: rank(1) ends at
+    # pure teleport; 4 is isolated-but-present (no edges touch it).
+    edges = [(1, 2, 1), (2, 3, 1)]
+    tele = {1: _S, 2: 0, 3: 0, 4: 0}
+    got = _run_kernel(spark, edges, tele)
+    ref = _py_pagerank(edges, tele)
+    assert got == ref
+    assert got[4] == 0
+    assert got[1] == (_TELE_NUM * _S) // _DAMP_DEN  # teleport-only
+    assert sum(got.values()) <= _S
