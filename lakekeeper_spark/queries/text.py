@@ -1796,3 +1796,96 @@ def t17_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_novel * 1000000L) div n_windows").alias("novelty_ppm"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p08: duplication-aware source mixing
+# --------------------------------------------------------------------------
+# Mixing quotas computed on RAW doc counts over-sample sources whose bulk
+# is duplicated boilerplate (the Dolma/RefinedWeb pipelines dedup before
+# weighting for exactly this reason). p08 composes the d01 kernel into
+# the p06 allocator: each doc is downweighted by its corpus-wide exact
+# copy count (w_doc = 1e6 // n_copies, fixed-point long), a source's
+# mass is the sum of its downweighted docs, and the integer target is
+# split by Hamilton largest-remainder on that mass — so a source with
+# 10x-replicated docs counts once, not ten times.
+#
+# Plan shape (100 TB): one exchange keyed by text for the copy count
+# (d01's shuffle), the count joined straight back on the SAME key
+# (exchange reused, as d10/t17), one per-source rollup; the allocation
+# runs on the #sources-row frame with broadcast scalar totals. No
+# driver-side data values.
+P08_TOTAL = 100_000
+P08_W = 1_000_000
+
+
+@register(
+    "p08_dedup_aware_mixture",
+    oracle=f"""
+WITH copies AS (
+  SELECT text, COUNT(*) AS n_copies FROM documents GROUP BY text
+),
+dw AS (
+  SELECT d.source, {P08_W} // c.n_copies AS w_doc
+  FROM documents d JOIN copies c ON d.text = c.text
+),
+mass AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(w_doc) AS BIGINT) AS mass
+  FROM dw GROUP BY source
+),
+tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS tm FROM mass),
+base AS (
+  SELECT source, n_docs, mass,
+         ({P08_TOTAL} * mass) // tm AS base_quota,
+         ({P08_TOTAL} * mass) % tm AS rem
+  FROM mass, tot
+),
+seats AS (SELECT {P08_TOTAL} - SUM(base_quota) AS r FROM base),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk FROM base
+)
+SELECT source, n_docs,
+       mass AS dedup_mass_fp,
+       CAST(base_quota + CASE WHEN rk <= (SELECT r FROM seats) THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+FROM ranked
+""",
+    description="Duplication-aware source mixing: each doc downweighted "
+    "by its corpus-wide exact-copy count (fixed-point 1e6//n_copies), "
+    "per-source deduplicated mass allocated to an integer quota target "
+    "by Hamilton largest remainder - d01's dedup kernel composed into "
+    "p06's allocator, all integer arithmetic.",
+    tags=("llm", "training-mix", "dedup", "sampling"),
+)
+def p08_dedup_aware_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.groupBy("text").agg(F.count(F.lit(1)).alias("n_copies"))
+    dw = docs.join(copies, "text").select(
+        "source", F.expr(f"{P08_W}L div n_copies").alias("w_doc")
+    )
+    mass = dw.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w_doc").cast("long").alias("mass"),
+    )
+    tot = mass.agg(F.sum("mass").cast("long").alias("tm"))
+    base = mass.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "mass",
+        F.expr(f"({P08_TOTAL} * mass) div tm").alias("base_quota"),
+        F.expr(f"({P08_TOTAL} * mass) % tm").alias("rem"),
+    )
+    seats = base.agg((F.lit(P08_TOTAL) - F.sum("base_quota")).alias("r"))
+    ranked = base.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("rem").desc(), "source"))
+    )
+    return ranked.crossJoin(F.broadcast(seats)).select(
+        "source",
+        "n_docs",
+        F.col("mass").alias("dedup_mass_fp"),
+        (F.col("base_quota") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+    )

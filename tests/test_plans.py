@@ -681,3 +681,25 @@ def test_t17_firsts_join_reuses_window_key_exchange(spark):
     plan = _plan(t17_ngram_novelty(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan and "Join" in plan
     assert "hashpartitioning(win" in plan
+
+
+def test_p08_copycount_join_reuses_text_exchange(spark):
+    """p08's downweighting join keys on the text column — the same key as
+    the copy-count aggregate (d01's shuffle) — so the corpus never
+    re-shuffles for the join-back; the allocation frame is #sources-sized
+    with broadcast scalar totals, and quotas sum exactly to the target."""
+    from lakekeeper_spark.queries.text import P08_TOTAL, p08_dedup_aware_mixture
+
+    df = p08_dedup_aware_mixture(spark, SF_DIR)
+    plan = _plan(df)
+    # the corpus-sized join keys on text (hash join over the reused
+    # exchange); nested-loop joins may only be the 1-row scalar
+    # broadcasts (tm, seats) on the #sources-row allocation frame —
+    # the e18/p06 pattern: every BNLJ must be a Cross BuildRight
+    # (broadcast build side), never a data-sized pair enumeration
+    assert "hashpartitioning(text" in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line and ("+-" in line or ":-" in line):
+            assert "Cross BuildRight" in line, line
+    rows = df.collect()
+    assert sum(r["quota"] for r in rows) == P08_TOTAL
