@@ -183,6 +183,10 @@ def g01_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges, nodes = _transition_graph(spark, sf_dir)
     # the only driver-side value in the whole query: |V| (a scalar)
     n = nodes.count()
+    if n == 0:
+        # no user has two consecutive events -> empty graph; the oracle's
+        # empty nodes CTE yields zero rows, so must we (not a 1//0 crash)
+        return spark.createDataFrame([], "item long, rank_fp long")
     t = nodes.select("item", F.lit(_S // n).cast("long").alias("tele"))
     return _pagerank_rounds(edges, t)
 
@@ -224,11 +228,18 @@ def g02_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = nodes.join(purchase_items, "item").localCheckpoint(eager=True)
     n_seeds = seeds.count()  # scalar
+    if nodes.count() == 0:
+        # empty transition graph: zero rows in both engines
+        return spark.createDataFrame([], "item long, rank_fp long")
+    # no purchase item reachable in the graph -> the oracle's CASE never
+    # evaluates the THEN branch, every tele is 0 and all ranks decay to 0;
+    # mirror that instead of computing _S // 0
+    seed_mass = _S // n_seeds if n_seeds else 0
     t = nodes.join(
         seeds.withColumn("is_seed", F.lit(True)), "item", "left"
     ).select(
         "item",
-        F.when(F.col("is_seed").isNotNull(), F.lit(_S // n_seeds))
+        F.when(F.col("is_seed").isNotNull(), F.lit(seed_mass))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("tele"),

@@ -50,3 +50,65 @@ def test_m08_empty_docs_emit_no_phantom_chunks(spark, tmp_path):
         (a, b): n for a, b, n in con.execute(q.oracle).fetchall()
     }
     assert oracle == got
+
+
+def _events_dir(tmp_path, rows, sub="ev"):
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df["event_id"] = df["event_id"].astype("int64")
+    df["user_id"] = df["user_id"].astype("int64")
+    df["value"] = df["value"].astype("float64")
+    df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+    (tmp_path / sub).mkdir()
+    df.to_parquet(tmp_path / sub / "events.parquet", index=False)
+    return str(tmp_path / sub)
+
+
+def test_g01_empty_transition_graph_is_empty_not_a_crash(spark, tmp_path):
+    """Every user has exactly one event -> no consecutive pair, no edges,
+    no nodes: the oracle's empty CTE chain yields zero rows and Spark
+    must too (|V|=0 previously reached _S // 0)."""
+    from lakekeeper_spark.registry import load_registry
+
+    sf_dir = _events_dir(
+        tmp_path,
+        [
+            (1, "2026-01-01 00:00:00", 10, "view", 1.0, '{"k": 3}'),
+            (2, "2026-01-01 00:01:00", 20, "click", 1.0, '{"k": 5}'),
+        ],
+    )
+    reg = load_registry()
+    for name in ("g01_pagerank_fixedpoint", "g02_personalized_pagerank"):
+        got = reg[name].spark_fn(spark, sf_dir).collect()
+        assert got == [], name
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+        )
+        assert con.execute(reg[name].oracle).fetchall() == [], name
+
+
+def test_g02_no_reachable_seeds_decays_to_zero(spark, tmp_path):
+    """Transitions exist but no purchase event: the seed set is empty, so
+    every teleport is 0 and all ranks decay to exactly 0 in both engines
+    (previously _S // 0 on the Spark side)."""
+    from lakekeeper_spark.registry import load_registry
+
+    sf_dir = _events_dir(
+        tmp_path,
+        [
+            (1, "2026-01-01 00:00:00", 10, "view", 1.0, '{"k": 3}'),
+            (2, "2026-01-01 00:01:00", 10, "click", 1.0, '{"k": 5}'),
+            (3, "2026-01-01 00:02:00", 10, "view", 1.0, '{"k": 3}'),
+        ],
+        sub="ev2",
+    )
+    q = load_registry()["g02_personalized_pagerank"]
+    got = sorted((r["item"], r["rank_fp"]) for r in q.spark_fn(spark, sf_dir).collect())
+    assert got == [(3, 0), (5, 0)]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    assert sorted(con.execute(q.oracle).fetchall()) == got
