@@ -297,14 +297,25 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
-    return (
+    # Revenue pre-aggregates on the NARROW o_custkey (map-side combine)
+    # and the top-20 is taken BEFORE customer attributes enter the plan:
+    # c_custkey functionally determines (c_name, c_acctbal, n_name), so
+    # grouping by custkey alone is the same partition of rows, and the
+    # (revenue DESC, custkey ASC) tie-break is available pre-join. The
+    # customer/nation joins then run on a 20-row frame instead of
+    # shipping wide customer attrs through the aggregation exchange.
+    top = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(nation, cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .groupBy("o_custkey")
         .agg(dsum(disc_price_col(), 10000).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .orderBy(F.desc("revenue"), F.asc("o_custkey"))
         .limit(20)
+    )
+    return (
+        top.join(cust, top.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "c_name", "c_acctbal", "n_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
     )
 
 
@@ -487,19 +498,36 @@ LIMIT 100
     tags=("analytics", "aggregate", "topn"),
 )
 def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pre-aggregate lineitem on the NARROW l_orderkey before any join:
+    # the orderkey functionally determines every grouped order/customer
+    # attribute, so the sums are identical — but the exchange now carries
+    # (orderkey, two longs) with map-side combine instead of the wide
+    # joined stream keyed on 5 columns, and the HAVING filter shrinks the
+    # stream to the handful of large-volume orders BEFORE the joins (AQE
+    # broadcasts the survivors against orders at any SF).
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    big = (
+        li.groupBy("l_orderkey")
         .agg(
             dsum("l_quantity", 100).alias("sum_qty"),
             F.sum(scaled_long("l_quantity", 100)).alias("_sq"),
         )
         .filter(F.col("_sq") > 21000)
         .drop("_sq")
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )

@@ -703,3 +703,28 @@ def test_p08_copycount_join_reuses_text_exchange(spark):
             assert "Cross BuildRight" in line, line
     rows = df.collect()
     assert sum(r["quota"] for r in rows) == P08_TOTAL
+
+
+def test_q18_preaggregates_on_narrow_orderkey(spark):
+    """Q18's quantity sum must aggregate on l_orderkey BEFORE any join
+    (map-side combine on a narrow key; orderkey functionally determines
+    every grouped attribute) — the wide joined stream must never be the
+    aggregation input, so no exchange keys on the 5-column group."""
+    from lakekeeper_spark.queries.analytics import q18_large_volume_customer
+
+    plan = _plan(q18_large_volume_customer(spark, SF_DIR))
+    assert "hashpartitioning(l_orderkey" in plan
+    assert "hashpartitioning(c_name" not in plan
+
+
+def test_q10_takes_top20_before_customer_attrs(spark):
+    """Q10's revenue pre-aggregates on o_custkey and the top-20 cut runs
+    before customer/nation attributes enter the plan: the aggregation
+    exchange keys on the narrow custkey, never on the 4-column customer
+    group, and a TakeOrdered bounds the frame the joins see."""
+    from lakekeeper_spark.queries.analytics import q10_returned_items
+
+    plan = _plan(q10_returned_items(spark, SF_DIR))
+    assert "hashpartitioning(o_custkey" in plan
+    assert "hashpartitioning(c_custkey" not in plan
+    assert "TakeOrderedAndProject" in plan
