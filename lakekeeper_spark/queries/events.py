@@ -2397,3 +2397,106 @@ def a04_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("ts_us"),
         F.coalesce(F.col("cur_tier"), F.lit("none")).alias("tier"),
     )
+
+
+# --------------------------------------------------------------------------
+# h07: distributed histogram quantile estimation (the sketch family's
+# quantile member: KMV/bloom/count-min/HLL/reservoir exist, quantiles
+# didn't)
+# --------------------------------------------------------------------------
+# The classic warehouse-scale quantile estimator: one aggregate pass for
+# (min, max, n), one histogram pass binning every row into B equi-width
+# buckets (map-side combine shrinks each partition to <=B partial counts),
+# then ALL remaining math — cumulative counts, rank targeting, in-bin
+# linear interpolation — runs on the B-row frame. Values are fixed-point
+# cents (prices are 2dp doubles) and every step is integer arithmetic,
+# so the estimate is bit-identical across engines and the oracle is an
+# exact value-hash. A one-pass mergeable sketch (KLL/t-digest) is the
+# drop-in upgrade at the same output contract.
+H07_B = 64
+H07_PCTS = (1, 5, 25, 50, 75, 95, 99)
+
+
+@register(
+    "h07_histogram_quantiles",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem
+),
+s AS (SELECT MIN(c) AS mn, MAX(c) AS mx, COUNT(*) AS n FROM v),
+h AS (
+  SELECT LEAST(((v.c - s.mn) * {H07_B}) // (s.mx - s.mn + 1), {H07_B - 1}) AS bin,
+         COUNT(*) AS cnt
+  FROM v, s GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM h
+),
+q AS (SELECT * FROM (VALUES {", ".join(f"({p})" for p in H07_PCTS)}) AS t(p))
+SELECT q.p,
+       CAST(c.bin AS BIGINT) AS bin,
+       CAST(s.mn + (c.bin * (s.mx - s.mn + 1)) // {H07_B}
+            + (((s.mx - s.mn + 1) // {H07_B})
+               * ((q.p * (s.n - 1)) // 100 - c.cum_before)) // c.cnt
+            AS BIGINT) AS est_cents
+FROM q CROSS JOIN s
+JOIN cum c
+  ON c.cum_before <= (q.p * (s.n - 1)) // 100
+ AND (q.p * (s.n - 1)) // 100 < c.cum_before + c.cnt
+""",
+    description="Distributed equi-width histogram quantiles over "
+    "l_extendedprice (fixed-point cents): one (min,max,n) pass, one "
+    "64-bin histogram pass with map-side combine, then rank targeting "
+    "and in-bin linear interpolation on the 64-row frame - all integer "
+    "arithmetic, bit-identical across engines.",
+    tags=("sketch", "quantile", "llm"),
+)
+def h07_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = H07_B
+    v = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c")
+    )
+    # the 1-row stats frame is referenced by the histogram pass AND the
+    # rank-target join; pin it so the (min,max,n) pass runs exactly once
+    s = v.agg(
+        F.min("c").alias("mn"), F.max("c").alias("mx"), F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+    h = (
+        v.crossJoin(F.broadcast(s))
+        .select(
+            F.expr(f"least(((c - mn) * {B}) div (mx - mn + 1), {B - 1})").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = h.select(
+        "bin",
+        "cnt",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    q = spark.createDataFrame([(p,) for p in H07_PCTS], "p int")
+    r = "(p * (n - 1)) div 100"
+    return (
+        q.crossJoin(F.broadcast(s))
+        .join(
+            cum,
+            F.expr(f"cum_before <= {r}") & F.expr(f"{r} < cum_before + cnt"),
+        )
+        .select(
+            "p",
+            F.col("bin").cast("long").alias("bin"),
+            F.expr(
+                f"CAST(mn + (bin * (mx - mn + 1)) div {B}"
+                f" + (((mx - mn + 1) div {B}) * ({r} - cum_before)) div cnt"
+                " AS BIGINT)"
+            ).alias("est_cents"),
+        )
+    )

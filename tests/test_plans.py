@@ -728,3 +728,21 @@ def test_q10_takes_top20_before_customer_attrs(spark):
     assert "hashpartitioning(o_custkey" in plan
     assert "hashpartitioning(c_custkey" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_h07_two_scans_then_bounded_frame(spark):
+    """h07 touches the data exactly twice — the (min,max,n) pass and the
+    histogram pass, both two-phase aggregates reading only the price
+    column — and everything downstream (cumulative window, rank join,
+    interpolation) runs on the 64-row frame."""
+    from lakekeeper_spark.queries.events import h07_histogram_quantiles
+
+    plan = _plan(h07_histogram_quantiles(spark, SF_DIR))
+    # the pinned 1-row stats frame leaves exactly ONE parquet scan in the
+    # final plan (the histogram pass; formatted output mentions each scan
+    # node twice: tree + detail) reading only the price column
+    assert plan.count("Scan parquet") == 2
+    for seg in plan.split("ReadSchema")[1:]:
+        assert "l_extendedprice" in seg[:200]
+        assert "l_orderkey" not in seg[:200]
+    assert plan.count("HashAggregate") >= 2  # partial+final histogram
