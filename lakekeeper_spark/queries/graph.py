@@ -245,3 +245,123 @@ def g02_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tele"),
     )
     return _pagerank_rounds(edges, t)
+
+
+# --------------------------------------------------------------------------
+# g03: HITS hubs/authorities (the second classic link-analysis fixpoint)
+# --------------------------------------------------------------------------
+# HITS is the mutual recursion: authority(v) = sum of hub scores over
+# in-edges, hub(u) = sum of authority scores over out-edges, renormalized
+# each half-step. Per half-step the plan is the same BSP shape as
+# PageRank — one join of the score vector with the pinned edge list, one
+# key-grouped sum — plus a 1-row max frame broadcast for the
+# renormalization. Scores are fixed-point longs normalized to max = S
+# after every half-step, so the raw sums are bounded by S * in_weight;
+# at extreme in-degrees a production deployment rescales weights first
+# (documented bound), and every operation is integer arithmetic so the
+# DuckDB oracle hash-matches exactly.
+# HITS uses its own smaller fixed-point scale: renormalization computes
+# (raw * S_HITS) // max(raw) and raw <= S_HITS * in_weight, so the
+# product is bounded by S_HITS^2 * in_weight = 1e12 * in_weight — safe
+# for in-weights up to ~9e6; heavier hubs need weight rescaling first
+# (documented bound; PageRank's 1e12 scale would overflow here).
+_S_HITS = 1_000_000
+
+
+def _hits_rounds_sql() -> str:
+    s = """,
+h0 AS (SELECT item, CAST({S} AS BIGINT) AS h FROM nodes)""".format(S=_S_HITS)
+    prev_h = "h0"
+    # ar{k}/hr{k} are each referenced twice (max frame + join); without
+    # MATERIALIZED, CTE inlining doubles the expansion per half-step and
+    # the 5-round chain blows up 4^5x — materialize every per-round CTE
+    # so each evaluates exactly once (the Spark loop's localCheckpoint
+    # is the same cure on the other engine).
+    for k in range(1, _ITERS + 1):
+        s += f""",
+ar{k} AS MATERIALIZED (
+  SELECT e.dst AS item, CAST(SUM(x.h * e.w) AS BIGINT) AS raw
+  FROM edges e JOIN {prev_h} x ON e.src = x.item GROUP BY e.dst
+),
+am{k} AS MATERIALIZED (SELECT MAX(raw) AS m FROM ar{k}),
+a{k} AS MATERIALIZED (
+  SELECT n.item,
+         CAST(COALESCE((r.raw * {_S_HITS}) // am{k}.m, 0) AS BIGINT) AS a
+  FROM nodes n CROSS JOIN am{k} LEFT JOIN ar{k} r ON n.item = r.item
+),
+hr{k} AS MATERIALIZED (
+  SELECT e.src AS item, CAST(SUM(x.a * e.w) AS BIGINT) AS raw
+  FROM edges e JOIN a{k} x ON e.dst = x.item GROUP BY e.src
+),
+hm{k} AS MATERIALIZED (SELECT MAX(raw) AS m FROM hr{k}),
+h{k} AS MATERIALIZED (
+  SELECT n.item,
+         CAST(COALESCE((r.raw * {_S_HITS}) // hm{k}.m, 0) AS BIGINT) AS h
+  FROM nodes n CROSS JOIN hm{k} LEFT JOIN hr{k} r ON n.item = r.item
+)"""
+        prev_h = f"h{k}"
+    s += f"""
+SELECT h.item, h.h AS hub_fp, a.a AS auth_fp
+FROM h{_ITERS} h JOIN a{_ITERS} a ON h.item = a.item
+"""
+    return s
+
+
+@register(
+    "g03_hits_hubs_authorities",
+    oracle=f"""
+WITH {_GRAPH_SQL}
+{_hits_rounds_sql()}""",
+    description="HITS hubs/authorities over the item-transition graph: "
+    "5 rounds of the mutual auth<-hub / hub<-auth recursion, each "
+    "half-step one edge join + key-grouped integer sum with max "
+    "renormalization to S=10^12 (1-row broadcast) - same BSP plan "
+    "shape as g01, bit-exact oracle by integer arithmetic.",
+    tags=("graph", "iterative", "llm", "events"),
+)
+def g03_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, nodes = _transition_graph(spark, sf_dir)
+    if nodes.count() == 0:
+        return spark.createDataFrame([], "item long, hub_fp long, auth_fp long")
+
+    def _half(
+        score: DataFrame, val: str, from_key: str, to_key: str, out: str
+    ) -> DataFrame:
+        """One HITS half-step: propagate score[val] along edges from
+        ``from_key`` to ``to_key``, renormalize the grouped sum to
+        max = S; mirrors the oracle's (ar/am/a | hr/hm/h) CTE triple."""
+        # raw feeds BOTH the max frame and the renormalization join: pin
+        # it (|V|-row frame) so the lineage doesn't double per half-step
+        # (10 half-steps would otherwise blow the plan up 2^10x — the
+        # Spark twin of the oracle's MATERIALIZED CTEs)
+        raw = (
+            edges.join(score, edges[from_key] == score["item"])
+            .select(to_key, F.expr(f"{val} * w").alias("xw"))
+            .groupBy(to_key)
+            .agg(F.sum("xw").cast("long").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        mx = raw.agg(F.max("raw").alias("m"))
+        return (
+            nodes.join(raw, nodes["item"] == raw[to_key], "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "item",
+                F.expr(f"CAST(COALESCE((raw * {_S_HITS}) div m, 0) AS BIGINT)").alias(out),
+            )
+        )
+
+    hubs = nodes.select("item", F.lit(_S_HITS).cast("long").alias("h"))
+    auths = None
+    for _ in range(_ITERS):
+        auths = _half(hubs, "h", "src", "dst", "a")
+        hubs = _half(auths, "a", "dst", "src", "h")
+    return (
+        hubs.alias("hs")
+        .join(auths.alias("as"), F.col("hs.item") == F.col("as.item"))
+        .select(
+            F.col("hs.item").alias("item"),
+            F.col("hs.h").alias("hub_fp"),
+            F.col("as.a").alias("auth_fp"),
+        )
+    )

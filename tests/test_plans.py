@@ -671,6 +671,18 @@ def test_g02_teleport_vector_is_node_sized(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_g03_half_steps_are_pinned(spark):
+    """HITS' per-half-step raw frame feeds both the max frame and the
+    renormalization join; pinning it keeps the final plan free of raw
+    event scans AND of exponential lineage (the oracle's MATERIALIZED
+    CTEs are the same cure)."""
+    from lakekeeper_spark.queries.graph import g03_hits_hubs_authorities
+
+    plan = _plan(g03_hits_hubs_authorities(spark, SF_DIR))
+    assert "events.parquet" not in plan
+    assert len(plan.splitlines()) < 200  # pinned: no lineage blowup
+
+
 def test_t17_firsts_join_reuses_window_key_exchange(spark):
     """t17's first-occurrence join keys on the window text — the same key
     as the MIN(doc_id) aggregate — so co-partitioned streams join without

@@ -79,7 +79,11 @@ def test_g01_empty_transition_graph_is_empty_not_a_crash(spark, tmp_path):
         ],
     )
     reg = load_registry()
-    for name in ("g01_pagerank_fixedpoint", "g02_personalized_pagerank"):
+    for name in (
+        "g01_pagerank_fixedpoint",
+        "g02_personalized_pagerank",
+        "g03_hits_hubs_authorities",
+    ):
         got = reg[name].spark_fn(spark, sf_dir).collect()
         assert got == [], name
         con = duckdb.connect()
