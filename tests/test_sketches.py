@@ -1,0 +1,55 @@
+"""Accuracy-contract property test for h07 histogram quantiles.
+
+The fullsweep proves Spark == oracle bit-for-bit; this pins that the
+SHARED algorithm is actually a quantile estimator: for any data, each
+estimate must land within one bin width of the true rank statistic
+(equi-width histogram + in-bin linear interpolation can never be further
+off than the bin it targeted), and estimates must be monotone in p.
+Runs the oracle SQL (DuckDB) against synthetic corpora — no Spark
+session, so hypothesis can afford many examples.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lakekeeper_spark.queries.events import H07_B, H07_PCTS
+from lakekeeper_spark.registry import load_registry
+
+ORACLE = load_registry()["h07_histogram_quantiles"].oracle
+
+values = st.lists(
+    st.integers(1, 2_000_000),  # cents: covers sub-bin-width collapses
+    min_size=2,
+    max_size=400,
+)
+
+
+def _run_oracle(cents: list[int], tmp_path) -> dict[int, int]:
+    df = pd.DataFrame({"l_extendedprice": [c / 100.0 for c in cents]})
+    path = tmp_path / "li.parquet"
+    df.to_parquet(path, index=False)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{path}'")
+    return {p: est for p, _bin, est in con.execute(ORACLE).fetchall()}
+
+
+@settings(max_examples=30, deadline=None)
+@given(values)
+def test_h07_estimate_within_one_bin_and_monotone(tmp_path_factory, cents):
+    tmp_path = tmp_path_factory.mktemp("h07")
+    est = _run_oracle(cents, tmp_path)
+    s = sorted(cents)
+    mn, mx, n = s[0], s[-1], len(s)
+    bin_width = max((mx - mn + 1 + H07_B - 1) // H07_B, 1)
+    prev = None
+    for p in H07_PCTS:
+        true = s[(p * (n - 1)) // 100]  # the targeted rank statistic
+        assert abs(est[p] - true) <= bin_width, (p, est[p], true, bin_width)
+        assert mn <= est[p] <= mx + bin_width
+        if prev is not None:
+            assert est[p] >= prev  # monotone in p
+        prev = est[p]
