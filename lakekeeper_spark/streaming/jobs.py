@@ -1528,3 +1528,109 @@ def st16_stream_update_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# --------------------------------------------------------------------------
+# st17: streaming histogram quantiles (h07's kernel as mergeable
+# micro-batch state)
+# --------------------------------------------------------------------------
+# The streaming form of distributed quantile estimation: bin bounds come
+# from a static statistics pass (in production, the table's column
+# min/max stats — icelite manifests already carry them), each micro-batch
+# folds its rows into the 64 per-bin counters (a complete-mode grouped
+# count: bounded state, trivially mergeable), and the rank targeting +
+# in-bin interpolation run once on the drained 64-row frame. All integer
+# arithmetic at scale 10^6 -> exact-hash oracle, like h07.
+ST17_B = 64
+ST17_PCTS = (5, 25, 50, 75, 95)
+
+
+@register(
+    "st17_stream_histogram_quantiles",
+    oracle=f"""
+WITH v AS (
+  SELECT CAST(ROUND(value * 1000000) AS BIGINT) AS c FROM events
+),
+s AS (SELECT MIN(c) AS mn, MAX(c) AS mx, COUNT(*) AS n FROM v),
+h AS (
+  SELECT LEAST(((v.c - s.mn) * {ST17_B}) // (s.mx - s.mn + 1), {ST17_B - 1}) AS bin,
+         COUNT(*) AS cnt
+  FROM v, s GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         COALESCE(SUM(cnt) OVER (ORDER BY bin
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM h
+),
+q AS (SELECT * FROM (VALUES {", ".join(f"({p})" for p in ST17_PCTS)}) AS t(p))
+SELECT q.p,
+       CAST(c.bin AS BIGINT) AS bin,
+       CAST(s.mn + (c.bin * (s.mx - s.mn + 1)) // {ST17_B}
+            + (((s.mx - s.mn + 1) // {ST17_B})
+               * ((q.p * (s.n - 1)) // 100 - c.cum_before)) // c.cnt
+            AS BIGINT) AS est_micro
+FROM q CROSS JOIN s
+JOIN cum c
+  ON c.cum_before <= (q.p * (s.n - 1)) // 100
+ AND (q.p * (s.n - 1)) // 100 < c.cum_before + c.cnt
+""",
+    description="Streaming quantile estimation: static stats pass fixes "
+    "the 64 equi-width bin bounds, the stream folds micro-batches into "
+    "per-bin counters (complete-mode grouped count - bounded, mergeable "
+    "state), rank targeting + interpolation on the drained 64-row frame; "
+    "integer arithmetic at 10^6 scale, exact-hash oracle.",
+    tags=("streaming", "sketch", "quantile"),
+)
+def st17_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = ST17_B
+    # static statistics pass: bin bounds (in production: column min/max
+    # from table metadata — icelite manifests carry exactly these)
+    stats = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(F.round(F.col("value") * 1_000_000).cast("long").alias("c"))
+        .agg(F.min("c").alias("mn"), F.max("c").alias("mx"))
+        .collect()[0]
+    )
+    mn, mx = stats["mn"], stats["mx"]
+    ev = _events_stream(spark, sf_dir)
+    binned = ev.select(
+        F.expr(
+            f"least(((CAST(ROUND(value * 1000000) AS BIGINT) - {mn}L) * {B}) "
+            f"div ({mx}L - {mn}L + 1), {B - 1})"
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    h = _run_to_memory(hist, "complete")
+    # everything below runs on the drained 64-row frame
+    from pyspark.sql.window import Window
+
+    n1 = h.agg(F.sum("cnt").cast("long").alias("n"))
+    cum = h.select(
+        "bin",
+        "cnt",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    q = spark.createDataFrame([(p,) for p in ST17_PCTS], "p int")
+    r = "(p * (n - 1)) div 100"
+    return (
+        q.crossJoin(F.broadcast(n1))
+        .join(
+            cum,
+            F.expr(f"cum_before <= {r}") & F.expr(f"{r} < cum_before + cnt"),
+        )
+        .select(
+            "p",
+            F.col("bin").cast("long").alias("bin"),
+            F.expr(
+                f"CAST({mn}L + (bin * ({mx}L - {mn}L + 1)) div {B}"
+                f" + ((({mx}L - {mn}L + 1) div {B}) * ({r} - cum_before)) div cnt"
+                " AS BIGINT)"
+            ).alias("est_micro"),
+        )
+    )
