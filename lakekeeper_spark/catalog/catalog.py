@@ -1415,40 +1415,78 @@ class Catalog:
             raise
         return meta
 
+    def storage_permissions_for(
+        self, warehouse: str, levels, name: str
+    ) -> "StoragePermissions | None":
+        """Interpret the installed authorizer's read_data/write_data grants
+        on one tabular into a vended-credential permission level, exactly
+        like the tail of ``interpret_authz_results_for_load_table``
+        (reference server/tables.rs:1164-1170): write access vends
+        ReadWriteDelete, else read access vends Read, else None (no
+        storage credentials — metadata-only access)."""
+        from .vending import interpret_storage_permissions
+
+        wh = self._warehouse(warehouse)
+        resource = f"{'.'.join(levels)}.{name}"
+        del wh  # resolved only for existence/normalization
+        can_read = self.authz.is_allowed(self._actor, "read_data", resource)
+        can_write = self.authz.is_allowed(self._actor, "write_data", resource)
+        return interpret_storage_permissions(can_read, can_write)
+
     def load_credentials(
         self, warehouse: str, levels, name: str, kind: str = "table"
     ) -> dict[str, Any]:
-        """LoadCredentials / LoadTableCredentials interface stub (reference
-        server/tables.rs:563, generic-table LoadCredentials,
-        api/data/v1/generic_tables/mod.rs). There is no object store in
-        this environment, so no real STS vending happens — the response
-        carries the REST shape engines consume: a per-table scoped prefix,
-        an opaque token deterministic in (table uuid, hour) so repeated
-        calls within the hour are cache-equivalent, and a revalidation
-        horizon. A cloud deployment swaps the token fields for
-        assume-role/SAS/downscoped-token output (reference
-        service/storage/{s3,az,gcs})."""
-        import hashlib
+        """LoadCredentials / LoadTableCredentials with the reference's
+        downscoping semantics (server/tables.rs:563; generic-table
+        LoadCredentials, api/data/v1/generic_tables/mod.rs):
+
+          - the caller must be able to see the tabular (get_metadata) —
+            denial is a 403 before existence is revealed;
+          - the permission LEVEL comes from the authorizer's
+            read_data/write_data grants (tables.rs:1164-1170) — a
+            read-only RBAC principal gets read-only credentials;
+          - a principal with neither grant gets NO storage credentials
+            (AuthorizationError, matching the reference's empty
+            storage_permissions → no creds in the LoadTable response);
+          - the vended prefix is the TABLE location, never the warehouse
+            root; the session policy downscopes to exactly that prefix
+            (service/storage/s3.rs:961-1015);
+          - expiry honors the warehouse `sts-token-validity-seconds`
+            property (S3Profile.sts_token_validity_seconds, s3.rs:101,
+            default 3600); the revalidate-after horizon is half the
+            remaining lifetime capped at 1h
+            (credential_serve_window, service/storage/mod.rs:128-133).
+
+        The STS call itself is cloud-bound; the session keys are
+        deterministic sha256 derivations (catalog/vending.py) so re-vends
+        inside the validity window are cache-equivalent."""
+        from .vending import credential_serve_window_ms, vend
 
         wh = self._warehouse(warehouse)
+        resource = f"{'.'.join(levels)}.{name}"
+        self._authorize("get_metadata", wh["wh_key"], resource)
         row = self._tabular_row(wh["wh_key"], levels, name, kind)
         if not row:
             raise NoSuchEntity(f"{kind} {'.'.join(levels)}.{name} not found")
-        hour = now_ms() // 3_600_000
-        token = hashlib.sha256(f"{row['id']}:{hour}".encode()).hexdigest()
+        perms = self.storage_permissions_for(warehouse, levels, name)
+        if perms is None:
+            from .authz import AuthorizationError
+
+            raise AuthorizationError(
+                f"actor {self._actor!r} holds neither read_data nor"
+                f" write_data on {resource}: no storage credentials vended"
+            )
+        validity = int(
+            wh["properties"].get("sts-token-validity-seconds", 3600)
+        )
+        now = now_ms()
+        cred = vend(row["id"], row["location"] or "", perms, validity, now)
         self.store.record_endpoint("load_credentials", wh["wh_key"])
+        remaining = cred["config"]["expiration-ms"] - now
         return {
-            "storage-credentials": [
-                {
-                    "prefix": row["location"] or "",
-                    "config": {
-                        "type": "local-fs-stub",
-                        "token": token,
-                        "permissions": "read-write",
-                    },
-                }
-            ],
-            "credentials-revalidate-after-ms": (hour + 1) * 3_600_000,
+            "storage-credentials": [cred],
+            "credentials-revalidate-after-ms": now
+            + credential_serve_window_ms(remaining),
         }
 
     def load_generic_table(self, warehouse: str, levels, name: str) -> dict[str, Any]:

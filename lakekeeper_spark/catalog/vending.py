@@ -1,0 +1,209 @@
+"""Downscoped, expiring, permission-leveled credential vending.
+
+Computes the reference's vended-credential semantics locally — everything
+short of the cloud STS call itself:
+
+  - ``StoragePermissions`` levels (``service/storage/mod.rs:110-115``:
+    Read / ReadWrite / ReadWriteDelete).
+  - ``interpret_storage_permissions``: how LoadTable turns authz results
+    into a level — write access vends ReadWriteDelete, else read access
+    vends Read, else no credentials at all
+    (``server/tables.rs:1164-1170``, the tail of
+    ``interpret_authz_results_for_load_table``).
+  - ``permission_to_actions``: the per-level S3 action sets
+    (``service/storage/s3.rs:940-958``).
+  - ``sts_policy``: the downscoped IAM session policy — a TableAccess
+    statement on ``{prefix}*`` with the prefix IAM-glob-escaped, a
+    ListBucketForFolder statement conditioned on ``s3:prefix``, and
+    GetBucketLocation (``s3.rs:961-1015``). A single wildcard resource is
+    deliberate: ``{key}*`` already matches the bare key, and STS enforces a
+    small packed-size limit on session policies.
+  - ``escape_iam_glob_literal``: ``*``→``${*}``, ``?``→``${?}``,
+    ``$``→``${$}`` (``s3.rs:1197-1208``) so a key containing
+    ``${aws:username}`` cannot smuggle a live IAM policy variable.
+  - ``credential_serve_window_ms``: half the credential's remaining
+    lifetime capped at one hour — the window during which a cached
+    credential-bearing LoadTable response may still answer 304
+    (``service/storage/mod.rs:128-133``).
+
+What is vended is the full credential DOCUMENT an engine consumes: the
+scoped prefix (the table location — never the warehouse root), the
+permission level and its action set, the session policy, an absolute
+expiry, and session keys. The keys are sha256-derived from
+(table uuid, permission, expiry window) so repeated vends inside the
+validity window are cache-equivalent and tests are deterministic; a cloud
+deployment swaps ``session_keys`` for ``sts:AssumeRole`` output
+(``s3.rs:1855`` passes exactly this policy string) and changes nothing
+else.
+"""
+
+from __future__ import annotations
+
+import enum
+import hashlib
+import json
+from typing import Any
+
+_HOUR_MS = 3_600_000
+
+
+class StoragePermissions(enum.Enum):
+    """Vended-credential permission levels (service/storage/mod.rs:110)."""
+
+    READ = "read"
+    READ_WRITE = "read-write"
+    READ_WRITE_DELETE = "read-write-delete"
+
+
+#: Per-level S3 action sets (service/storage/s3.rs:940-958, verbatim).
+PERMISSION_ACTIONS: dict[StoragePermissions, tuple[str, ...]] = {
+    StoragePermissions.READ: ("s3:GetObject", "s3:GetObjectVersion"),
+    StoragePermissions.READ_WRITE: (
+        "s3:GetObject",
+        "s3:GetObjectVersion",
+        "s3:PutObject",
+        "s3:AbortMultipartUpload",
+        "s3:ListMultipartUploadParts",
+    ),
+    StoragePermissions.READ_WRITE_DELETE: (
+        "s3:GetObject",
+        "s3:GetObjectVersion",
+        "s3:PutObject",
+        "s3:DeleteObject",
+        "s3:AbortMultipartUpload",
+        "s3:ListMultipartUploadParts",
+    ),
+}
+
+
+def interpret_storage_permissions(
+    can_read: bool, can_write: bool
+) -> StoragePermissions | None:
+    """Authz results -> permission level (server/tables.rs:1164-1170):
+    writers get ReadWriteDelete, readers get Read, neither gets None —
+    the caller then vends no storage credentials at all (metadata-only
+    LoadTable)."""
+    if can_write:
+        return StoragePermissions.READ_WRITE_DELETE
+    if can_read:
+        return StoragePermissions.READ
+    return None
+
+
+def escape_iam_glob_literal(value: str) -> str:
+    """Escape IAM policy glob/variable metacharacters so the key is a
+    literal (s3.rs:1197-1208). ``${`` openers are broken into ``${$}{``,
+    so ``${aws:username}`` in a key cannot become a live variable."""
+    out: list[str] = []
+    for c in value:
+        if c == "*":
+            out.append("${*}")
+        elif c == "?":
+            out.append("${?}")
+        elif c == "$":
+            out.append("${$}")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def split_location(location: str) -> tuple[str, str, str]:
+    """``(scheme, bucket, key)`` of a storage location. ``s3://b/k`` parses
+    like the reference's S3Location; bare paths (this environment's local
+    filesystem warehouses) map to scheme ``file`` with the leading path
+    segment as the bucket-equivalent so the policy shape stays identical."""
+    if "://" in location:
+        scheme, rest = location.split("://", 1)
+        bucket, _, key = rest.partition("/")
+        return scheme, bucket, key.strip("/")
+    parts = location.strip("/").split("/", 1)
+    return "file", parts[0], parts[1] if len(parts) > 1 else ""
+
+
+def sts_policy(location: str, permissions: StoragePermissions) -> dict[str, Any]:
+    """The downscoped session policy for one table location
+    (get_sts_policy_string, s3.rs:961-1015): actions per level on the
+    escaped ``{key}/*`` wildcard, ListBucket conditioned to the prefix,
+    GetBucketLocation for region discovery."""
+    scheme, bucket, key = split_location(location)
+    arn_scheme = "s3" if scheme in ("s3", "s3a", "s3n") else scheme
+    bucket_arn = f"arn:aws:{arn_scheme}:::{bucket.rstrip('/')}"
+    key_wildcard = escape_iam_glob_literal(f"{key}/" if key else "") + "*"
+    return {
+        "Version": "2012-10-17",
+        "Statement": [
+            {
+                "Sid": "TableAccess",
+                "Effect": "Allow",
+                "Action": list(PERMISSION_ACTIONS[permissions]),
+                "Resource": f"{bucket_arn}/{key_wildcard}",
+            },
+            {
+                "Sid": "ListBucketForFolder",
+                "Effect": "Allow",
+                "Action": "s3:ListBucket",
+                "Resource": bucket_arn,
+                "Condition": {"StringLike": {"s3:prefix": key_wildcard}},
+            },
+            {
+                "Sid": "GetBucketLocation",
+                "Effect": "Allow",
+                "Action": "s3:GetBucketLocation",
+                "Resource": bucket_arn,
+            },
+        ],
+    }
+
+
+def credential_serve_window_ms(remaining_ms: int) -> int:
+    """Half the remaining credential lifetime, capped at 1h
+    (credential_serve_window, service/storage/mod.rs:128-133)."""
+    return min(max(remaining_ms, 0) // 2, _HOUR_MS)
+
+
+def session_keys(
+    table_id: str, permissions: StoragePermissions, expiration_ms: int
+) -> dict[str, str]:
+    """Deterministic stand-in for sts:AssumeRole output: keys derived from
+    (table uuid, level, expiry) so a re-vend inside the validity window
+    returns byte-identical credentials (cache-equivalent, like the
+    reference's STC cache serving the same credential until its window
+    lapses)."""
+    seed = f"{table_id}:{permissions.value}:{expiration_ms}"
+    h = hashlib.sha256(seed.encode()).hexdigest()
+    return {
+        "access-key-id": "LKV" + h[:17].upper(),
+        "secret-access-key": h[17:57],
+        "session-token": hashlib.sha256((seed + ":token").encode()).hexdigest(),
+    }
+
+
+def vend(
+    table_id: str,
+    location: str,
+    permissions: StoragePermissions,
+    validity_seconds: int,
+    now_ms: int,
+) -> dict[str, Any]:
+    """One vended storage credential for ``location`` at ``permissions``.
+
+    The expiry is bucketed to the validity interval (like the hour-bucket
+    token the earlier stub used) so repeated vends within one interval are
+    identical; ``credentials-revalidate-after-ms`` at the call site comes
+    from ``credential_serve_window_ms`` of the remaining lifetime."""
+    validity_ms = validity_seconds * 1000
+    bucket = now_ms // validity_ms
+    expiration_ms = (bucket + 1) * validity_ms
+    return {
+        "prefix": location,
+        "config": {
+            "type": "sts-downscoped",
+            "permissions": permissions.value,
+            "actions": list(PERMISSION_ACTIONS[permissions]),
+            "session-policy": json.dumps(
+                sts_policy(location, permissions), sort_keys=True
+            ),
+            "expiration-ms": expiration_ms,
+            **session_keys(table_id, permissions, expiration_ms),
+        },
+    }

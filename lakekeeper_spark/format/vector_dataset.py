@@ -109,14 +109,25 @@ def create_vector_dataset(
         properties=props,
     )
     creds = catalog.load_credentials(warehouse, levels, name, kind="generic")
-    prefix = creds["storage-credentials"][0]["prefix"]
+    vended = creds["storage-credentials"][0]
+    prefix = vended["prefix"]
     if not prefix:
         raise CatalogError(
             f"credential vending returned no storage prefix for {name}"
         )
+    # The engine side honors the vended permission LEVEL: a read-only
+    # principal's credentials cannot take the write path (the reference's
+    # STS session policy would reject the PutObject; here the engine
+    # refuses up front — catalog/vending.py, s3.rs:940-958 semantics).
+    if vended["config"]["permissions"] == "read":
+        from ..catalog.authz import AuthorizationError
+
+        raise AuthorizationError(
+            f"vended credentials for {name} are read-only: write refused"
+        )
     # The vended prefix IS the write location (the credentials response is
     # the source of truth, not a re-derived path); a real deployment would
-    # also configure the Hadoop FS with the vended token here.
+    # also configure the Hadoop FS with the vended session keys here.
     df.write.mode("overwrite").parquet(prefix)
     return meta
 

@@ -1362,3 +1362,106 @@ def c13_plan_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+# --------------------------------------------------------------------------
+# c14: credential vending with downscoping semantics, end to end
+# --------------------------------------------------------------------------
+# The reference vends downscoped, expiring, permission-leveled storage
+# credentials per table (service/storage/s3.rs:71-108,940-1015;
+# StoragePermissions, service/storage/mod.rs:110), with the LEVEL decided
+# by the caller's authz grants (interpret_authz_results_for_load_table,
+# server/tables.rs:1086,1164-1170: writers get ReadWriteDelete, read-only
+# principals get Read). This row drives the full engine flow on a vector
+# dataset: a writer principal vends write-leveled credentials and writes;
+# a read-only principal vends read-leveled credentials, reads, and is
+# REFUSED the write path; a metadata-only principal is refused vending
+# entirely. Checkpoints are action-set sizes and row counts — all
+# deterministic; the oracle restates them from the same source table.
+@register(
+    "c14_credential_vending",
+    oracle="""
+SELECT * FROM (
+  SELECT 'outsider_vend_refused' AS checkpoint, 1 AS value
+  UNION ALL SELECT 'reader_read_rows', (SELECT COUNT(*) FROM embeddings)
+  UNION ALL SELECT 'reader_vend_actions', 2
+  UNION ALL SELECT 'reader_write_refused', 1
+  UNION ALL SELECT 'revalidate_before_expiry', 1
+  UNION ALL SELECT 'rows_written', (SELECT COUNT(*) FROM embeddings)
+  UNION ALL SELECT 'writer_vend_actions', 6
+) ORDER BY checkpoint
+""",
+    description="Credential vending with the reference's downscoping "
+    "semantics: permission level from RBAC grants (writer -> "
+    "read-write-delete with 6 S3 actions, reader -> read with 2), vended "
+    "prefix scoped to the dataset location, vend -> write -> read end to "
+    "end, the read-only principal refused the write path, a metadata-only "
+    "principal refused vending, and the revalidation horizon inside the "
+    "credential lifetime.",
+    tags=("catalog", "credentials", "authz", "vector"),
+)
+def c14_credential_vending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.authz import AuthorizationError, StaticRbacAuthorizer
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.vector_dataset import (
+        create_vector_dataset,
+        read_vector_dataset,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = tempfile.mkdtemp(prefix="lkspark_vend_")
+    authz = StaticRbacAuthorizer(
+        {
+            None: {"*"},  # system principal (warehouse/namespace setup)
+            "writer": {"*"},
+            "reader": {"get_metadata", "read_data", "include_in_list"},
+            "outsider": {"get_metadata"},
+        }
+    )
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"), authorizer=authz)
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["vec"])
+
+    rows: list[tuple[str, int]] = []
+    with cat.acting_as("writer"):
+        create_vector_dataset(cat, "wh", ["vec"], "emb", emb)
+        wc = cat.load_credentials("wh", ["vec"], "emb", kind="generic")
+        wcfg = wc["storage-credentials"][0]["config"]
+        rows.append(("writer_vend_actions", len(wcfg["actions"])))
+        rows.append(
+            (
+                "revalidate_before_expiry",
+                int(
+                    wc["credentials-revalidate-after-ms"]
+                    <= wcfg["expiration-ms"]
+                ),
+            )
+        )
+    rows.append(("rows_written", read_vector_dataset(spark, cat, "wh", ["vec"], "emb").count()))
+    with cat.acting_as("reader"):
+        rc = cat.load_credentials("wh", ["vec"], "emb", kind="generic")
+        rows.append(
+            ("reader_vend_actions", len(rc["storage-credentials"][0]["config"]["actions"]))
+        )
+        rows.append(
+            ("reader_read_rows", read_vector_dataset(spark, cat, "wh", ["vec"], "emb").count())
+        )
+        try:
+            create_vector_dataset(cat, "wh", ["vec"], "emb2", emb)
+            refused = 0
+        except AuthorizationError:
+            refused = 1
+        rows.append(("reader_write_refused", refused))
+    with cat.acting_as("outsider"):
+        try:
+            cat.load_credentials("wh", ["vec"], "emb", kind="generic")
+            refused = 0
+        except AuthorizationError:
+            refused = 1
+        rows.append(("outsider_vend_refused", refused))
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )

@@ -315,11 +315,30 @@ class _Handler(BaseHTTPRequestHandler):
             meta["snapshots"] = [
                 s for s in meta["snapshots"] if s["snapshot-id"] in keep
             ]
-        self._reply(
-            200,
-            {"metadata": meta, "metadata-location": meta.get("location"), "config": {}},
-            headers={"ETag": f'W/"{seq}"'},
-        )
+        out = {
+            "metadata": meta,
+            "metadata-location": meta.get("location"),
+            "config": {},
+        }
+        # X-Iceberg-Access-Delegation: vended-credentials — include
+        # downscoped storage credentials at the level the authorizer grants
+        # THIS principal (reference load_table.rs:268-313 +
+        # interpret_authz_results_for_load_table, tables.rs:1086: read-only
+        # principals get read-only credentials; principals with neither
+        # read nor write get a metadata-only response, not an error).
+        delegation = self.headers.get("X-Iceberg-Access-Delegation", "")
+        if "vended-credentials" in delegation:
+            from ..catalog.authz import AuthorizationError
+
+            try:
+                creds = self.catalog.load_credentials(prefix, _ns(ns), unquote(tbl))
+                out["storage-credentials"] = creds["storage-credentials"]
+                out["config"]["credentials-revalidate-after-ms"] = creds[
+                    "credentials-revalidate-after-ms"
+                ]
+            except AuthorizationError:
+                pass  # metadata-only load
+        self._reply(200, out, headers={"ETag": f'W/"{seq}"'})
 
     @route("HEAD", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}")
     def head_table(self, prefix, ns, tbl):
@@ -496,7 +515,16 @@ class _Handler(BaseHTTPRequestHandler):
         # Global shape: no prefix in the path — the request's warehouse
         # query param or the sole warehouse resolves it (our facade serves
         # one catalog; reference require_warehouse_id errors without one).
-        wh = self.query.get("warehouse") or self.catalog.list_warehouses()[0]
+        wh = self.query.get("warehouse")
+        if not wh:
+            warehouses = self.catalog.list_warehouses()
+            if not warehouses:
+                # reference require_warehouse_id: clean 400, not a 500
+                raise s3_sign.SignRequestError(
+                    "warehouse required: no warehouse query parameter and"
+                    " no warehouse configured"
+                )
+            wh = warehouses[0]
         self._reply(200, s3_sign.handle_sign(self.catalog, wh, self._body()))
 
     @route("POST", rf"/catalog/v1/{P}/v1/aws/s3/sign")

@@ -437,18 +437,34 @@ def test_generic_table_read_path(catalog, spark, tmp_path):
         read_generic_table(spark, catalog, "wh", ["gns"], "vecs")
 
 
-def test_load_credentials_stub(catalog):
-    """LoadCredentials interface parity: scoped prefix, hour-stable token,
-    revalidation horizon; works for tables and generic tables."""
+def test_load_credentials_downscoped(catalog):
+    """LoadCredentials parity: scoped prefix, deterministic session keys
+    inside the validity window, revalidation horizon; works for tables and
+    generic tables."""
     catalog.create_namespace("wh", ["cns"])
     catalog.create_table("wh", ["cns"], "t", SCHEMA)
     c1 = catalog.load_credentials("wh", ["cns"], "t")
     c2 = catalog.load_credentials("wh", ["cns"], "t")
-    assert c1 == c2  # stable within the hour
     cred = c1["storage-credentials"][0]
+    # session keys stable within the validity window (cache-equivalent)
+    assert cred == c2["storage-credentials"][0]
     assert cred["prefix"]  # scoped to the table location
-    assert cred["config"]["token"]
+    cfg = cred["config"]
+    assert cfg["type"] == "sts-downscoped"
+    assert cfg["permissions"] == "read-write-delete"  # AllowAll default
+    assert cfg["access-key-id"].startswith("LKV")
+    assert cfg["session-token"] and cfg["secret-access-key"]
+    assert cfg["expiration-ms"] > 0
     assert c1["credentials-revalidate-after-ms"] > 0
+    # the session policy downscopes to exactly the table prefix
+    import json as _json
+
+    policy = _json.loads(cfg["session-policy"])
+    table_stmt = next(
+        s for s in policy["Statement"] if s["Sid"] == "TableAccess"
+    )
+    assert "s3:DeleteObject" in table_stmt["Action"]
+    assert table_stmt["Resource"].endswith("/*")
     catalog.create_generic_table("wh", ["cns"], "g", "parquet", "/data/g")
     g = catalog.load_credentials("wh", ["cns"], "g", kind="generic")
     assert g["storage-credentials"][0]["prefix"] == "/data/g"

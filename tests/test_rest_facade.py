@@ -160,7 +160,7 @@ def test_views_and_generic_tables_over_http(rest):
     g = rest.load_generic_table("wh", ["v"], "lance_t")
     assert g["format"] == "lance"
     creds = rest.load_credentials("wh", ["v"], "lance_t", kind="generic")
-    assert creds["storage-credentials"][0]["config"]["type"] == "local-fs-stub"
+    assert creds["storage-credentials"][0]["config"]["type"] == "sts-downscoped"
     rest.drop_generic_table("wh", ["v"], "lance_t")
     with pytest.raises(NoSuchEntity):
         rest.load_generic_table("wh", ["v"], "lance_t")
@@ -916,5 +916,98 @@ def test_async_plan_state_evicted_after_last_page(spark, tmp_path):
         res2 = client.fetch_planning_result("wh", ["ev"], "t", sub2["plan-id"])
         assert res2["plan-tasks"] == []
         assert server.httpd.plans == {}
+    finally:
+        server.stop()
+
+
+def test_vended_credentials_on_load_table_over_http(tmp_path):
+    """X-Iceberg-Access-Delegation: vended-credentials on loadTable returns
+    downscoped storage credentials at the level the authorizer grants the
+    BEARER principal (reference load_table.rs:268-313 +
+    interpret_authz_results_for_load_table, server/tables.rs:1086):
+    writers get read-write-delete, read-only principals get read-only
+    creds, metadata-only principals get a metadata-only response (no
+    storage-credentials key, not an error), and without the header no
+    credentials are computed at all."""
+    import json as _json
+    import urllib.request
+
+    from lakekeeper_spark.catalog.authz import StaticRbacAuthorizer
+
+    authz = StaticRbacAuthorizer(
+        grants={
+            None: {"*"},
+            "writer": {"*"},
+            "reader": {"get_metadata", "read_data", "include_in_list"},
+            "outsider": {"get_metadata"},
+        }
+    )
+    catalog = Catalog(Metastore(str(tmp_path / "m.db")), authorizer=authz)
+    server = RestCatalogServer(catalog).start()
+    try:
+        client = RestCatalogClient(server.url)
+        client.create_warehouse("wh", str(tmp_path / "wh"))
+        client.create_namespace("wh", ["ns"])
+        schema = {"type": "struct", "schema-id": 0,
+                  "fields": [{"id": 1, "name": "x", "required": False, "type": "long"}]}
+        client.create_table("wh", ["ns"], "t", schema)
+
+        def load(token, delegation=True):
+            r = urllib.request.Request(
+                server.url + "/catalog/v1/wh/namespaces/ns/tables/t"
+            )
+            if token:
+                r.add_header("Authorization", f"Bearer {token}")
+            if delegation:
+                r.add_header("X-Iceberg-Access-Delegation", "vended-credentials")
+            return _json.loads(urllib.request.urlopen(r).read())
+
+        w = load("writer")
+        wcred = w["storage-credentials"][0]
+        assert wcred["config"]["permissions"] == "read-write-delete"
+        assert wcred["prefix"] == w["metadata"]["location"]
+        assert w["config"]["credentials-revalidate-after-ms"] > 0
+
+        r = load("reader")
+        rcred = r["storage-credentials"][0]
+        assert rcred["config"]["permissions"] == "read"
+        assert "s3:PutObject" not in rcred["config"]["actions"]
+
+        o = load("outsider")  # metadata-only: visible but no creds vended
+        assert "storage-credentials" not in o
+        assert o["metadata"]["table-uuid"]
+
+        plain = load("writer", delegation=False)
+        assert "storage-credentials" not in plain
+    finally:
+        server.stop()
+
+
+def test_global_sign_route_without_warehouse_is_400(tmp_path):
+    """The global /aws/s3/sign route with no warehouse query param and no
+    warehouse configured returns a clean 400 (reference
+    require_warehouse_id), not an unhandled 500."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    catalog = Catalog(Metastore(str(tmp_path / "m.db")))
+    server = RestCatalogServer(catalog).start()
+    try:
+        r = urllib.request.Request(
+            server.url + "/catalog/v1/aws/s3/sign",
+            data=_json.dumps(
+                {"method": "GET", "region": "us-east-1",
+                 "uri": "https://b.s3.us-east-1.amazonaws.com/k"}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        try:
+            urllib.request.urlopen(r)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "warehouse required" in _json.loads(e.read())["error"]["message"]
     finally:
         server.stop()

@@ -1,0 +1,215 @@
+"""Credential-vending semantics matrix.
+
+Mirrors the reference's permission-level computation end to end:
+  - interpret_authz_results_for_load_table tail (server/tables.rs:1164-1170)
+  - permission_to_actions (service/storage/s3.rs:940-958)
+  - get_sts_policy_string statement shapes + IAM glob escaping
+    (s3.rs:961-1015, 1197-1208, 2200-2207)
+  - credential_serve_window (service/storage/mod.rs:128-133)
+  - read-only principals get read-only creds on LoadTable
+    (interpret_authz_results_for_load_table, tables.rs:1086)
+"""
+
+import json
+
+import pytest
+
+from lakekeeper_spark.catalog.authz import (
+    AuthorizationError,
+    StaticRbacAuthorizer,
+)
+from lakekeeper_spark.catalog.catalog import Catalog, NoSuchEntity
+from lakekeeper_spark.catalog.metastore import Metastore
+from lakekeeper_spark.catalog.vending import (
+    PERMISSION_ACTIONS,
+    StoragePermissions,
+    credential_serve_window_ms,
+    escape_iam_glob_literal,
+    interpret_storage_permissions,
+    session_keys,
+    split_location,
+    sts_policy,
+    vend,
+)
+
+SCHEMA = {
+    "type": "struct",
+    "fields": [
+        {"id": 1, "name": "id", "type": "long", "required": True},
+        {"id": 2, "name": "v", "type": "string", "required": False},
+    ],
+}
+
+
+# ---------------------------------------------------------------------------
+# pure-function matrix (s3.rs parity)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize(
+    "can_read,can_write,expected",
+    [
+        (False, False, None),
+        (True, False, StoragePermissions.READ),
+        # tables.rs:1164: write implies ReadWriteDelete even without read
+        (False, True, StoragePermissions.READ_WRITE_DELETE),
+        (True, True, StoragePermissions.READ_WRITE_DELETE),
+    ],
+)
+def test_interpret_storage_permissions(can_read, can_write, expected):
+    assert interpret_storage_permissions(can_read, can_write) == expected
+
+
+def test_permission_to_actions_matrix():
+    """Exact action sets per level (s3.rs:940-958)."""
+    assert PERMISSION_ACTIONS[StoragePermissions.READ] == (
+        "s3:GetObject",
+        "s3:GetObjectVersion",
+    )
+    rw = PERMISSION_ACTIONS[StoragePermissions.READ_WRITE]
+    assert "s3:PutObject" in rw and "s3:DeleteObject" not in rw
+    assert "s3:AbortMultipartUpload" in rw
+    rwd = PERMISSION_ACTIONS[StoragePermissions.READ_WRITE_DELETE]
+    assert "s3:DeleteObject" in rwd
+    assert set(rw) < set(rwd)
+
+
+def test_escape_iam_glob_literal():
+    """s3.rs:2200-2207 cases, incl. the ${aws:username} adversarial one."""
+    assert escape_iam_glob_literal("plain/key") == "plain/key"
+    assert escape_iam_glob_literal("with*star") == "with${*}star"
+    assert escape_iam_glob_literal("with?q") == "with${?}q"
+    assert escape_iam_glob_literal("with$dollar") == "with${$}dollar"
+    # ${ opener broken into ${$}{ so IAM sees an escape + literal brace
+    assert (
+        escape_iam_glob_literal("${aws:username}") == "${$}{aws:username}"
+    )
+
+
+def test_split_location():
+    assert split_location("s3://bkt/a/b/c") == ("s3", "bkt", "a/b/c")
+    assert split_location("s3://bkt") == ("s3", "bkt", "")
+    assert split_location("/tmp/wh/ns/t") == ("file", "tmp", "wh/ns/t")
+
+
+def test_sts_policy_statements():
+    pol = sts_policy("s3://bkt/wh/ns/t*1", StoragePermissions.READ)
+    sids = [s["Sid"] for s in pol["Statement"]]
+    assert sids == ["TableAccess", "ListBucketForFolder", "GetBucketLocation"]
+    table, lst, loc = pol["Statement"]
+    # downscoped to exactly the escaped table prefix wildcard
+    assert table["Resource"] == "arn:aws:s3:::bkt/wh/ns/t${*}1/*"
+    assert table["Action"] == ["s3:GetObject", "s3:GetObjectVersion"]
+    assert lst["Condition"]["StringLike"]["s3:prefix"] == "wh/ns/t${*}1/*"
+    assert lst["Resource"] == "arn:aws:s3:::bkt"
+    assert loc["Action"] == "s3:GetBucketLocation"
+
+
+def test_credential_serve_window():
+    """Half the remaining lifetime capped at 1h (mod.rs:128-133)."""
+    assert credential_serve_window_ms(30 * 60 * 1000) == 15 * 60 * 1000
+    assert credential_serve_window_ms(10 * 3_600_000) == 3_600_000
+    assert credential_serve_window_ms(-5) == 0
+
+
+def test_vend_deterministic_within_window():
+    a = vend("uuid-1", "/wh/ns/t", StoragePermissions.READ, 3600, 1_000_000)
+    b = vend("uuid-1", "/wh/ns/t", StoragePermissions.READ, 3600, 1_200_000)
+    assert a == b  # same validity bucket -> identical credentials
+    c = vend("uuid-1", "/wh/ns/t", StoragePermissions.READ, 3600, 3_700_000_000)
+    assert c["config"]["session-token"] != a["config"]["session-token"]
+    # different permission level -> different keys (no privilege reuse)
+    d = vend(
+        "uuid-1", "/wh/ns/t", StoragePermissions.READ_WRITE_DELETE, 3600, 1_000_000
+    )
+    assert d["config"]["access-key-id"] != a["config"]["access-key-id"]
+    assert d["config"]["expiration-ms"] == a["config"]["expiration-ms"]
+
+
+def test_session_keys_shape():
+    keys = session_keys("uuid-9", StoragePermissions.READ, 7_200_000)
+    assert keys["access-key-id"].startswith("LKV")
+    assert len(keys["session-token"]) == 64
+
+
+# ---------------------------------------------------------------------------
+# catalog integration: authz-leveled vending
+# ---------------------------------------------------------------------------
+@pytest.fixture
+def rbac_catalog(tmp_path):
+    """writer: full access; reader: metadata+read only; outsider: can see
+    metadata but holds neither read_data nor write_data; ghost: nothing."""
+    authz = StaticRbacAuthorizer(
+        {
+            "writer": {"*"},
+            "reader": {"get_metadata", "read_data", "include_in_list"},
+            "outsider": {"get_metadata"},
+            "ghost": set(),
+            None: {"*"},  # anonymous/system principal for setup
+        }
+    )
+    cat = Catalog(Metastore(str(tmp_path / "m.db")), authorizer=authz)
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["ns"])
+    cat.create_table("wh", ["ns"], "t", SCHEMA)
+    return cat
+
+
+def test_vending_levels_follow_rbac(rbac_catalog):
+    cat = rbac_catalog
+    with cat.acting_as("writer"):
+        c = cat.load_credentials("wh", ["ns"], "t")
+        assert (
+            c["storage-credentials"][0]["config"]["permissions"]
+            == "read-write-delete"
+        )
+    with cat.acting_as("reader"):
+        c = cat.load_credentials("wh", ["ns"], "t")
+        cfg = c["storage-credentials"][0]["config"]
+        assert cfg["permissions"] == "read"
+        assert "s3:PutObject" not in cfg["actions"]
+    with cat.acting_as("outsider"):
+        # can see the table but holds neither grant: no creds vended
+        with pytest.raises(AuthorizationError):
+            cat.load_credentials("wh", ["ns"], "t")
+    with cat.acting_as("ghost"):
+        # cannot even see the table: 403 before existence is revealed
+        with pytest.raises(AuthorizationError):
+            cat.load_credentials("wh", ["ns"], "t")
+
+
+def test_vended_prefix_is_table_location_not_warehouse_root(rbac_catalog):
+    cat = rbac_catalog
+    with cat.acting_as("writer"):
+        c = cat.load_credentials("wh", ["ns"], "t")
+    prefix = c["storage-credentials"][0]["prefix"]
+    wh_loc = cat.describe_warehouse("wh")["location"]
+    assert prefix.startswith(wh_loc)
+    assert len(prefix) > len(wh_loc)  # scoped BELOW the warehouse root
+    pol = json.loads(c["storage-credentials"][0]["config"]["session-policy"])
+    table_stmt = pol["Statement"][0]
+    # policy resource downscopes to the vended table prefix's key (the
+    # uuid-dir the storage layout assigned), not the warehouse root
+    _, _, key = split_location(prefix)
+    assert table_stmt["Resource"].endswith(f"{escape_iam_glob_literal(key)}/*")
+
+
+def test_vending_validity_from_warehouse_property(tmp_path):
+    cat = Catalog(Metastore(str(tmp_path / "m.db")))
+    cat.create_warehouse(
+        "wh", str(tmp_path / "wh"), {"sts-token-validity-seconds": "60"}
+    )
+    cat.create_namespace("wh", ["ns"])
+    cat.create_table("wh", ["ns"], "t", SCHEMA)
+    c = cat.load_credentials("wh", ["ns"], "t")
+    cfg = c["storage-credentials"][0]["config"]
+    import time
+
+    now = time.time() * 1000
+    assert cfg["expiration-ms"] - now <= 60_000
+    # revalidate horizon <= half the remaining lifetime
+    assert c["credentials-revalidate-after-ms"] <= now + 30_000 + 1000
+
+
+def test_vending_missing_table(rbac_catalog):
+    with rbac_catalog.acting_as("writer"):
+        with pytest.raises(NoSuchEntity):
+            rbac_catalog.load_credentials("wh", ["ns"], "nope")
