@@ -27,7 +27,7 @@ from pyspark.sql.window import Window
 
 from ..data import load_table
 from ..registry import register
-from .similarity import N_QUERIES, TOP_K, _dot6, _sql_dot6
+from .similarity import N_QUERIES, SQL_MD5_BUCKETS, TOP_K, _dot6, _sql_dot6
 
 NEAR_DUP_COS = 0.35  # the synthetic embeddings are near-random; see tests
 IVF_CELLS = 16
@@ -216,12 +216,35 @@ def s03_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "d06_dedup_embedding_lsh",
-    oracle=None,  # LSH recall < 1 by construction; pytest-verified vs d05-style exact pairs
+    oracle=f"""
+WITH {SQL_MD5_BUCKETS},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a
+  JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+norms AS (
+  SELECT vec_id, {_sql_dot6('embedding', 'embedding')} AS norm6 FROM embeddings
+)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT c.vec_a, c.vec_b,
+         CAST({_sql_dot6('a.embedding', 'b.embedding')} AS DOUBLE)
+           / sqrt(CAST(na.norm6 AS DOUBLE) * CAST(nb.norm6 AS DOUBLE)) AS cosine
+  FROM cand c
+  JOIN embeddings a ON a.vec_id = c.vec_a
+  JOIN embeddings b ON b.vec_id = c.vec_b
+  JOIN norms na ON na.vec_id = c.vec_a
+  JOIN norms nb ON nb.vec_id = c.vec_b
+)
+WHERE cosine >= {NEAR_DUP_COS}
+""",
     description="Embedding near-duplicates WITHOUT a blocking label (the "
-    "real 100 TB shape): random-hyperplane LSH buckets generate candidate "
-    "pairs (bucket-join only, no all-pairs stage anywhere), then exact "
+    "real 100 TB shape): random-hyperplane LSH buckets (md5-derived "
+    "Rademacher family — oracle-exact like s02) generate candidate pairs "
+    "(bucket-join only, no all-pairs stage anywhere), then exact "
     "quantized cosine verifies. Emitted pairs are all true near-dups; "
-    "recall vs the exact pair set is pytest-bounded.",
+    "recall vs the exact pair set is additionally pytest-bounded.",
     tags=("dedup", "similarity", "llm", "lsh"),
 )
 def d06_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

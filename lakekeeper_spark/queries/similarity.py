@@ -8,8 +8,10 @@
       a single narrow pass (no shuffle except the final per-query top-k,
       which is #queries*k rows).
   s02 LSH-bucketed ANN — random-hyperplane signatures; only rows sharing a
-      signature bucket with the query are scored. The hyperplanes derive
-      from a fixed seed so results are deterministic run-to-run.
+      signature bucket with the query are scored. The hyperplane family is
+      md5-derived (±1 Rademacher signs) over quantized integer components,
+      so bucket assignment is bit-reproducible in SQL and s02/s10 are
+      oracle-exact, not just deterministic.
 
 Determinism contract for the s01 oracle: the dot product and the squared
 norms are quantized per element — round(x*y*1e6) as BIGINT — then summed as
@@ -41,7 +43,6 @@ _NUMPY_SCORER_MIN_ROWS = 100_000
 # so candidates stay a small fraction of the corpus.
 LSH_TABLES = 16
 LSH_BITS = 6
-HYPERPLANE_SEED = 42
 
 
 def _dot6(a: str, b: str) -> F.Column:
@@ -206,46 +207,123 @@ def _s01_numpy(emb: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# s02: random-hyperplane LSH ANN (scale path; pytest-verified recall)
+# s02: random-hyperplane LSH ANN (scale path; oracle-exact md5 family)
 # --------------------------------------------------------------------------
-def _hyperplanes(dim: int):
-    """Deterministic pseudo-random hyperplanes from a fixed seed:
-    LSH_TABLES tables x LSH_BITS planes each."""
-    import numpy as np
+def _hyperplanes(dim: int) -> "np.ndarray":
+    """Deterministic ±1 (Rademacher) hyperplane family derived from md5 —
+    the d11 discipline (queries/dedup.py, _SQL_D11_PAIRS) applied to
+    sign-projection LSH: both engines share md5, so DuckDB reproduces
+    bucket assignment bit-for-bit and the driver hash-checks the entire
+    ANN pipeline (buckets, candidates, scores). Sign-random projections
+    are a standard SimHash-family choice (Charikar 2002; Achlioptas-style
+    signed projections) with the same per-bit collision law
+    P = 1 - theta/pi as Gaussian hyperplanes. Entry for (table t, bit b,
+    dim i) is +1 when the 48-bit md5 prefix of "t:b:i" is even, else -1.
+    Returns a d x (LSH_TABLES*LSH_BITS) int64 matrix."""
+    import hashlib
 
-    rng = np.random.default_rng(HYPERPLANE_SEED)
-    return rng.standard_normal((LSH_TABLES, LSH_BITS, dim)).astype(float).tolist()
+    s = np.empty((LSH_TABLES * LSH_BITS, dim), dtype=np.int64)
+    for t in range(LSH_TABLES):
+        for b in range(LSH_BITS):
+            for i in range(dim):
+                h = int(hashlib.md5(f"{t}:{b}:{i}".encode()).hexdigest()[:12], 16)
+                s[t * LSH_BITS + b, i] = 1 if h % 2 == 0 else -1
+    return s.T  # d x (T*B)
 
 
-def lsh_buckets(col: str, tables: list[list[list[float]]]) -> F.Column:
+def lsh_buckets(col: str, smat: "np.ndarray") -> F.Column:
     """array<bigint>: one sign-bit bucket id per hash table.
 
-    Arrow-batched numpy kernel: one (batch x dim) @ (dim x tables*bits)
-    matmul + sign-bit packing per batch. The previous pure-expression form
-    (LSH_TABLES x LSH_BITS nested zip_with/aggregate folds over array
-    literals) built a ~6k-node expression tree whose analysis/codegen alone
-    dominated runtime; the kernel is both faster to plan and to run, and
-    the numpy matmul is deterministic run-to-run."""
-    planes = np.asarray(tables, dtype=np.float64)  # T x B x d
-    t, b, d = planes.shape
-    pmat = planes.reshape(t * b, d).T  # d x (T*B)
+    Arrow-batched numpy kernel: components quantized to int64 exactly like
+    _dot6 (round(x*1e6), half-away-from-zero), then ONE integer
+    (batch x dim) @ (dim x tables*bits) matmul + sign-bit packing per
+    batch. All-integer dots mean summation order cannot perturb the sign,
+    so the SQL oracle's list_sum reproduces every bucket id exactly."""
+    t, b = LSH_TABLES, LSH_BITS
     weights = 1 << np.arange(b, dtype=np.int64)
 
     @F.pandas_udf("array<bigint>")
     def buckets_udf(embs: pd.Series) -> pd.Series:
         a = np.stack(embs.to_numpy()).astype(np.float64)  # n x d
-        bits = (a @ pmat > 0).reshape(len(a), t, b)
+        q = _quant_round(a * QUANT).astype(np.int64)  # exact int components
+        bits = ((q @ smat) > 0).reshape(len(a), t, b)
         sigs = (bits * weights).sum(axis=2).astype(np.int64)  # n x T
         return pd.Series(list(sigs))
 
     return buckets_udf(col)
 
 
+# The md5-family bucket pipeline as a reusable CTE block: planes from md5
+# parity, components quantized like _sql_dot6, integer dots -> sign bits
+# -> one bucket id per (vec, table). Shared by s02/s10 (ANN) and d06
+# (embedding near-dup blocking) — ends with ``buckets(vec_id, tbl,
+# bucket)``.
+SQL_MD5_BUCKETS = f"""planes AS (
+  SELECT t.t, b.b,
+         list_transform(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1)),
+           i -> CASE WHEN ('0x' || substr(md5(t.t || ':' || b.b || ':' || i), 1, 12))::BIGINT % 2 = 0
+                     THEN 1 ELSE -1 END) AS s
+  FROM (SELECT unnest(range(0, {LSH_TABLES})) AS t) t,
+       (SELECT unnest(range(0, {LSH_BITS})) AS b) b
+),
+qcomp AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS q
+  FROM embeddings
+),
+buckets AS (
+  SELECT e.vec_id, p.t AS tbl,
+         CAST(SUM(CASE WHEN list_sum(list_transform(range(1, len(e.q) + 1),
+                          i -> e.q[i] * p.s[i])) > 0
+                  THEN (1 << p.b) ELSE 0 END) AS BIGINT) AS bucket
+  FROM qcomp e, planes p
+  GROUP BY e.vec_id, p.t
+)"""
+
+# s02/s10 oracle: bucket collisions in any table -> candidate pairs ->
+# exact cosine top-k over candidates only.
+_S02_ORACLE = f"""
+WITH {SQL_MD5_BUCKETS},
+cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+  FROM buckets qb
+  JOIN buckets nb ON qb.tbl = nb.tbl AND qb.bucket = nb.bucket
+  WHERE qb.vec_id < {N_QUERIES} AND nb.vec_id != qb.vec_id
+),
+norms AS (
+  SELECT vec_id, {_sql_dot6('embedding', 'embedding')} AS norm6
+  FROM embeddings
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         CAST({_sql_dot6('q.embedding', 'e.embedding')} AS DOUBLE)
+           / sqrt(CAST(nq.norm6 AS DOUBLE) * CAST(ne.norm6 AS DOUBLE)) AS cosine
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings e ON e.vec_id = c.neighbor_id
+  JOIN norms nq ON nq.vec_id = c.query_id
+  JOIN norms ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+WHERE rnk <= {TOP_K}
+"""
+
+
 @register(
     "s02_knn_lsh",
-    oracle=None,  # approximate (recall < 1); recall pytest-verified vs s01
+    oracle=_S02_ORACLE,
     description=f"Random-hyperplane LSH ANN: {LSH_TABLES} tables x "
-    f"{LSH_BITS} sign bits; candidates = bucket collisions in any table.",
+    f"{LSH_BITS} sign bits over an md5-derived Rademacher family; "
+    "candidates = bucket collisions in any table. Oracle-exact: integer "
+    "quantized dots make bucket assignment, the candidate graph and the "
+    "scored top-k bit-reproducible in SQL (the d11 discipline applied to "
+    "ANN).",
     tags=("similarity", "llm", "lsh"),
 )
 def s02_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -753,13 +831,13 @@ def s09_generic_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "s10_generic_vector_lsh",
-    oracle=None,  # approximate like s02; pytest pins row-identity with s02
+    oracle=_S02_ORACLE,
     description="s02-style random-hyperplane LSH ANN over a vector dataset "
     "registered and read through the generic-table API — the approximate "
-    "operator family exercised through the registered-dataset read path "
-    "(round-8 verdict item 8). Deterministic hyperplanes + identical rows "
-    "by construction mean the result must equal s02's exactly "
-    "(tests/test_generic_vector.py pins it).",
+    "operator family exercised through the registered-dataset read path. "
+    "The md5-derived family makes it oracle-exact like s02: identical rows "
+    "by construction, so the registered read path must reproduce s02's "
+    "result bit-for-bit (tests/test_generic_vector.py also pins it).",
     tags=("similarity", "catalog", "generic-table", "llm", "lsh"),
 )
 def s10_generic_vector_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
