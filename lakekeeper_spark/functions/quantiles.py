@@ -1,0 +1,229 @@
+"""Distributed quantile estimation kernels.
+
+Two shapes share this module:
+
+1. ``histogram_rank_targets`` — the equi-width-histogram estimator used by
+   h07 (batch) and st17 (streaming): given a (bin, cnt) frame, compute
+   cumulative counts, target ranks and in-bin interpolation on the
+   B-row frame. Extracted here so the batch and streaming rows share one
+   kernel instead of two hand-copies.
+
+2. The **compactor sketch** (h08) — a deterministic, mergeable,
+   one-data-pass quantile summary in the KLL/Munro-Paterson compactor
+   family (Karnin-Lang-Liberty 2016; Manku-Rajagopalan-Lindsay 1998),
+   made engine-reproducible the same way d11/s02 make LSH reproducible:
+
+   - every row gets a content-defined leaf buffer ``g = h48 mod G``
+     (``h48`` = 48-bit md5 prefix of the row key — NOT Spark's
+     partitioning, so the sketch is independent of physical layout and a
+     SQL oracle can replay it bit-for-bit);
+   - the geometry (G = leaf count, L = log2 G levels) derives from the
+     row count alone: the smallest power of two with n/G <= cap. Row
+     counts are metadata (parquet footers / icelite manifests), so unlike
+     h07's (min,max) pre-pass no DATA pass is needed before the sketch;
+   - L compaction levels: at level l each buffer sorts its items by
+     (value, h48, key) and keeps every second one (parity alternates by
+     level to cancel bias), then merges with its sibling (g -> g div 2).
+     After L levels one buffer of ~cap items remains, every item carrying
+     implicit weight 2^L = G;
+   - quantile p selects the item at weighted rank
+     ((p*(W-1)) div 100) div G + 1 on the final sorted buffer
+     (W = retained*G). Everything is int64 arithmetic — no floats
+     anywhere — so Spark and DuckDB agree exactly.
+
+   Scale shape: level 0 shuffles (value, h48, key) triples across
+   n/cap ~ millions of buffers (full parallelism, ~cap rows each); each
+   level halves the rows, so total shuffled volume is ~2n narrow rows
+   for ONE pass over the source. The state is mergeable by construction
+   (buffers union, then compact), the property a 1000-executor rollup or
+   a streaming micro-batch fold needs. Worst-case rank error is bounded
+   by sum_l (G/2^l)*(2^(l-1)) = L*G/2 ABSOLUTE ranks (independent of n),
+   pinned by the hypothesis contract in tests/test_sketches.py.
+
+The SQL twin (``sql_compactor_quantiles``) unrolls ``l_max`` CONDITIONAL
+levels: level l compacts when l <= L(n) and passes through otherwise, so
+one static oracle string is exact at every scale factor up to
+cap * 2^l_max rows (~10^9 at the defaults; beyond that the sketch simply
+caps G and keeps bigger leaves).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+CAP = 1024  # target leaf-buffer size
+L_MAX = 20  # unrolled-oracle level budget (supports ~10^9 rows)
+
+
+# ---------------------------------------------------------------------------
+# shared histogram estimator (h07 batch / st17 streaming)
+# ---------------------------------------------------------------------------
+def histogram_rank_targets(
+    hist: DataFrame,
+    n_frame: DataFrame,
+    pcts: tuple[int, ...],
+    est_expr: str,
+    est_alias: str,
+) -> DataFrame:
+    """Rank targeting + in-bin interpolation on a (bin, cnt) histogram.
+
+    ``n_frame`` is a 1-row frame carrying ``n`` (and whatever scalars
+    ``est_expr`` needs, e.g. mn/mx); ``est_expr`` is the integer
+    interpolation expression over (bin, cnt, cum_before, n, ...) — the
+    caller owns it because batch (h07) carries mn/mx in the frame while
+    streaming (st17) folds them in as literals."""
+    spark = hist.sparkSession
+    cum = hist.select(
+        "bin",
+        "cnt",
+        F.coalesce(
+            F.sum("cnt").over(
+                Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    q = spark.createDataFrame([(p,) for p in pcts], "p int")
+    r = "(p * (n - 1)) div 100"
+    return (
+        q.crossJoin(F.broadcast(n_frame))
+        .join(
+            cum,
+            F.expr(f"cum_before <= {r}") & F.expr(f"{r} < cum_before + cnt"),
+        )
+        .select(
+            "p",
+            F.col("bin").cast("long").alias("bin"),
+            F.expr(est_expr).alias(est_alias),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# compactor sketch (h08)
+# ---------------------------------------------------------------------------
+def compactor_geometry(n: int, cap: int = CAP, l_max: int = L_MAX) -> tuple[int, int]:
+    """(L, G): the level count and leaf count for ``n`` rows — smallest
+    power of two G=2^L with n/G <= cap, L capped at l_max. Pure integer
+    logic mirrored verbatim in the SQL twin."""
+    for level in range(l_max + 1):
+        if cap * (1 << level) >= n:
+            return level, 1 << level
+    return l_max, 1 << l_max
+
+
+def compactor_retained(
+    df: DataFrame,
+    value_col: str,
+    hash_col: str,
+    tiebreak_cols: list[str],
+    cap: int = CAP,
+    l_max: int = L_MAX,
+) -> tuple[DataFrame, int, int]:
+    """Run the L compaction levels; returns (retained frame, L, G).
+
+    ``df`` must carry ``value_col`` (int64), ``hash_col`` (the md5-derived
+    int64 leaf hash) and ``tiebreak_cols`` (a deterministic total-order
+    key for exact parity when value+hash collide). The retained frame
+    keeps all input columns; every retained item has implicit weight G.
+    """
+    n = df.count()  # row count only — metadata-grade, never a data pass
+    level_count, g_total = compactor_geometry(n, cap, l_max)
+    cur = df.withColumn("g", F.col(hash_col) % F.lit(g_total))
+    order = [F.col(value_col), F.col(hash_col)] + [
+        F.col(c) for c in tiebreak_cols
+    ]
+    for level in range(1, level_count + 1):
+        w = Window.partitionBy("g").orderBy(*order)
+        cur = (
+            cur.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") % 2 == F.lit(level % 2))
+            .withColumn("g", F.expr("g div 2"))
+            .drop("rn")
+        )
+    return cur.drop("g"), level_count, g_total
+
+
+def compactor_quantiles(
+    retained: DataFrame,
+    g_total: int,
+    value_col: str,
+    hash_col: str,
+    tiebreak_cols: list[str],
+    pcts: tuple[int, ...],
+    est_alias: str,
+) -> DataFrame:
+    """Weighted-rank selection on the final buffer: quantile p picks the
+    item at rank ((p*(W-1)) div 100) div G + 1, W = retained*G."""
+    spark = retained.sparkSession
+    order = [F.col(value_col), F.col(hash_col)] + [
+        F.col(c) for c in tiebreak_cols
+    ]
+    # the final buffer is referenced twice (rank frame + weight total);
+    # it is bounded (~cap items), so pin it — otherwise the whole
+    # compaction lineage re-executes per reference
+    retained = retained.localCheckpoint(eager=True)
+    fin = retained.select(
+        F.col(value_col).alias("c"),
+        F.row_number().over(Window.orderBy(*order)).alias("rn"),
+    )
+    cnt = fin.agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    q = spark.createDataFrame([(p,) for p in pcts], "p int")
+    sel = f"((p * (cnt * {g_total} - 1)) div 100) div {g_total} + 1"
+    return (
+        q.crossJoin(F.broadcast(cnt))
+        .join(fin, F.expr(f"rn = {sel}"))
+        .select("p", F.col("c").cast("long").alias(est_alias))
+    )
+
+
+def sql_compactor_quantiles(
+    source_cte: str,
+    pcts: tuple[int, ...],
+    est_alias: str,
+    cap: int = CAP,
+    l_max: int = L_MAX,
+) -> str:
+    """The DuckDB twin: ``source_cte`` must define ``v(c, h, k)`` —
+    int64 value, int64 48-bit md5 leaf hash, and a string total-order
+    tiebreak key. Unrolls ``l_max`` conditional levels: level l compacts
+    (keep rn%2 = l%2, halve g) when l <= L, else passes rows through —
+    one static string, exact at every n up to cap*2^l_max."""
+    levels = []
+    for level in range(1, l_max + 1):
+        parity = level % 2
+        levels.append(
+            f"""lvl{level} AS (
+  SELECT c, h, k,
+         CASE WHEN {level} <= (SELECT L FROM geo) THEN g // 2 ELSE g END AS g
+  FROM (
+    SELECT c, h, k, g,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY c, h, k) AS rn
+    FROM lvl{level - 1}
+  )
+  WHERE {level} > (SELECT L FROM geo) OR rn % 2 = {parity}
+)"""
+        )
+    pct_values = ", ".join(f"({p})" for p in pcts)
+    return f"""
+WITH {source_cte},
+geo AS (
+  SELECT L, CAST(1 AS BIGINT) << L AS G FROM (
+    SELECT COALESCE(MIN(l), {l_max}) AS L
+    FROM (SELECT unnest(range(0, {l_max + 1})) AS l)
+    WHERE {cap} * (CAST(1 AS BIGINT) << l) >= (SELECT COUNT(*) FROM v)
+  )
+),
+lvl0 AS (SELECT c, h, k, h % (SELECT G FROM geo) AS g FROM v),
+{", ".join(levels)},
+fin AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, h, k) AS rn FROM lvl{l_max}
+),
+w AS (SELECT COUNT(*) AS cnt FROM fin)
+SELECT q.p, CAST(f.c AS BIGINT) AS {est_alias}
+FROM (VALUES {pct_values}) q(p)
+CROSS JOIN geo CROSS JOIN w
+JOIN fin f ON f.rn = ((q.p * (w.cnt * geo.G - 1)) // 100) // geo.G + 1
+"""

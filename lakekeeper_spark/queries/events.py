@@ -2472,31 +2472,76 @@ def h07_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    cum = h.select(
-        "bin",
-        "cnt",
-        F.coalesce(
-            F.sum("cnt").over(
-                Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("cum_before"),
-    )
-    q = spark.createDataFrame([(p,) for p in H07_PCTS], "p int")
+    from ..functions.quantiles import histogram_rank_targets
+
     r = "(p * (n - 1)) div 100"
-    return (
-        q.crossJoin(F.broadcast(s))
-        .join(
-            cum,
-            F.expr(f"cum_before <= {r}") & F.expr(f"{r} < cum_before + cnt"),
-        )
-        .select(
-            "p",
-            F.col("bin").cast("long").alias("bin"),
-            F.expr(
-                f"CAST(mn + (bin * (mx - mn + 1)) div {B}"
-                f" + (((mx - mn + 1) div {B}) * ({r} - cum_before)) div cnt"
-                " AS BIGINT)"
-            ).alias("est_cents"),
-        )
+    return histogram_rank_targets(
+        h,
+        s,
+        H07_PCTS,
+        f"CAST(mn + (bin * (mx - mn + 1)) div {B}"
+        f" + (((mx - mn + 1) div {B}) * ({r} - cum_before)) div cnt"
+        " AS BIGINT)",
+        "est_cents",
+    )
+
+
+# --------------------------------------------------------------------------
+# h08: one-pass mergeable compactor quantile sketch (KLL/MRL family)
+# --------------------------------------------------------------------------
+# h07's histogram needs a (min,max) pre-pass before it can bin; the
+# compactor sketch needs only the ROW COUNT (metadata: parquet footers /
+# icelite manifests) to fix its geometry, then summarizes the data in ONE
+# pass of content-defined leaf buffers + log2(G) pair-merge compactions —
+# the mergeable-state shape a 1000-executor rollup or a streaming fold
+# consumes. Deterministic md5 leaf assignment + all-int64 arithmetic make
+# it oracle-exact at ANY scale factor (the SQL twin unrolls conditional
+# levels); the rank-error contract is hypothesis-pinned in
+# tests/test_sketches.py. Kernel: functions/quantiles.py.
+H08_PCTS = (1, 5, 25, 50, 75, 95, 99)
+_H08_SOURCE = """v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c,
+         ('0x' || substr(md5(l_orderkey || ':' || l_linenumber), 1, 12))::BIGINT AS h,
+         l_orderkey || ':' || l_linenumber AS k
+  FROM lineitem
+)"""
+
+
+def _h08_oracle() -> str:
+    from ..functions.quantiles import sql_compactor_quantiles
+
+    return sql_compactor_quantiles(_H08_SOURCE, H08_PCTS, "est_cents")
+
+
+@register(
+    "h08_compactor_quantiles",
+    oracle=_h08_oracle(),
+    description="One-pass mergeable quantile sketch (KLL/Munro-Paterson "
+    "compactor family) over l_extendedprice cents: content-defined md5 "
+    "leaf buffers (geometry from the row count alone - no data pre-pass, "
+    "unlike h07's min/max), log2(G) deterministic pair-merge compactions "
+    "with alternating parity, weighted-rank selection on the final "
+    "~1024-item buffer. All int64 arithmetic: bit-identical across "
+    "engines at every scale factor; absolute rank error <= L*G/2, "
+    "hypothesis-pinned.",
+    tags=("sketch", "quantile", "llm"),
+)
+def h08_compactor_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantiles import compactor_quantiles, compactor_retained
+
+    v = load_table(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        F.expr(
+            "CAST(conv(substr(md5(concat(l_orderkey, ':', l_linenumber)), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("k"),
+    )
+    retained, _level_count, g_total = compactor_retained(v, "c", "h", ["k"])
+    return compactor_quantiles(
+        retained, g_total, "c", "h", ["k"], H08_PCTS, "est_cents"
     )

@@ -1602,35 +1602,19 @@ def st17_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     )
     hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
     h = _run_to_memory(hist, "complete")
-    # everything below runs on the drained 64-row frame
-    from pyspark.sql.window import Window
+    # everything below runs on the drained 64-row frame, through the same
+    # estimator kernel h07 uses (functions/quantiles.py) — the streaming
+    # job only owns the mergeable micro-batch histogram state
+    from ..functions.quantiles import histogram_rank_targets
 
     n1 = h.agg(F.sum("cnt").cast("long").alias("n"))
-    cum = h.select(
-        "bin",
-        "cnt",
-        F.coalesce(
-            F.sum("cnt").over(
-                Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("cum_before"),
-    )
-    q = spark.createDataFrame([(p,) for p in ST17_PCTS], "p int")
     r = "(p * (n - 1)) div 100"
-    return (
-        q.crossJoin(F.broadcast(n1))
-        .join(
-            cum,
-            F.expr(f"cum_before <= {r}") & F.expr(f"{r} < cum_before + cnt"),
-        )
-        .select(
-            "p",
-            F.col("bin").cast("long").alias("bin"),
-            F.expr(
-                f"CAST({mn}L + (bin * ({mx}L - {mn}L + 1)) div {B}"
-                f" + ((({mx}L - {mn}L + 1) div {B}) * ({r} - cum_before)) div cnt"
-                " AS BIGINT)"
-            ).alias("est_micro"),
-        )
+    return histogram_rank_targets(
+        h,
+        n1,
+        ST17_PCTS,
+        f"CAST({mn}L + (bin * ({mx}L - {mn}L + 1)) div {B}"
+        f" + ((({mx}L - {mn}L + 1) div {B}) * ({r} - cum_before)) div cnt"
+        " AS BIGINT)",
+        "est_micro",
     )

@@ -758,3 +758,54 @@ def test_h07_two_scans_then_bounded_frame(spark):
         assert "l_extendedprice" in seg[:200]
         assert "l_orderkey" not in seg[:200]
     assert plan.count("HashAggregate") >= 2  # partial+final histogram
+
+
+def test_h08_compactor_one_scan_partitioned_levels(spark):
+    """h08 touches the DATA once: a single parquet scan (plus the count
+    that fixes the geometry — row-count metadata, no value columns), and
+    every compaction level's window partitions by the leaf buffer `g`
+    (level-0 parallelism = n/cap buffers). The only unpartitioned window
+    is the final rank over the ~cap-item retained buffer — the same
+    bounded-frame exemption h07's estimator carries."""
+    from pyspark.sql import functions as F
+
+    from lakekeeper_spark.data import load_table
+    from lakekeeper_spark.functions.quantiles import (
+        compactor_quantiles,
+        compactor_retained,
+    )
+    from lakekeeper_spark.queries.events import H08_PCTS
+
+    v = load_table(spark, SF_DIR, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        F.expr(
+            "CAST(conv(substr(md5(concat(l_orderkey, ':', l_linenumber)),"
+            " 1, 12), 16, 10) AS BIGINT)"
+        ).alias("h"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("k"),
+    )
+    retained, level_count, _g = compactor_retained(v, "c", "h", ["k"])
+    cascade = _plan(retained)
+    # the cascade reads the data ONCE (tree + detail = 2 mentions),
+    # projecting only the columns the sketch needs
+    assert cascade.count("Scan parquet") == 2
+    for seg in cascade.split("ReadSchema")[1:]:
+        assert "l_extendedprice" in seg[:250]
+    # every compaction window partitions by the leaf buffer g — the
+    # cascade never funnels data through a single partition
+    assert level_count >= 1  # sf0.001+ exceeds one buffer
+    assert cascade.count("Window") >= level_count
+    assert not _unpartitioned_window_lines(
+        retained._jdf.queryExecution().executedPlan().toString()
+    )
+    # downstream estimator runs on the pinned ~cap-item buffer: its plan
+    # is scan-free (the only unpartitioned window is over that buffer)
+    final = _plan(
+        compactor_quantiles(retained, _g, "c", "h", ["k"], H08_PCTS, "est")
+    )
+    assert "Scan parquet" not in final
+    assert "CartesianProduct" not in final

@@ -53,3 +53,80 @@ def test_h07_estimate_within_one_bin_and_monotone(tmp_path_factory, cents):
         if prev is not None:
             assert est[p] >= prev  # monotone in p
         prev = est[p]
+
+
+# ---------------------------------------------------------------------------
+# h08 compactor-sketch rank-error contract
+# ---------------------------------------------------------------------------
+# Same discipline as the h07 contract: the fullsweep proves Spark == oracle
+# bit-for-bit, so pinning the ORACLE pins the shared algorithm. Two regimes:
+#   - production geometry (cap=1024): hypothesis corpora fit one buffer, so
+#     L=0 and the sketch must return the EXACT rank statistic;
+#   - forced compaction (cap=16): L >= 1 levels actually run, and every
+#     estimate must honor the worst-case absolute rank bound L*G/2 + G.
+from lakekeeper_spark.functions.quantiles import (
+    compactor_geometry,
+    sql_compactor_quantiles,
+)
+from lakekeeper_spark.queries.events import _H08_SOURCE, H08_PCTS
+
+H08_ORACLE = load_registry()["h08_compactor_quantiles"].oracle
+H08_ORACLE_CAP16 = sql_compactor_quantiles(
+    _H08_SOURCE, H08_PCTS, "est_cents", cap=16, l_max=12
+)
+
+
+def _run_h08(cents: list[int], tmp_path, oracle: str) -> dict[int, int]:
+    df = pd.DataFrame(
+        {
+            "l_orderkey": range(len(cents)),
+            "l_linenumber": [1] * len(cents),
+            "l_extendedprice": [c / 100.0 for c in cents],
+        }
+    )
+    path = tmp_path / "li8.parquet"
+    df.to_parquet(path, index=False)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{path}'")
+    return {p: est for p, est in con.execute(oracle).fetchall()}
+
+
+def _rank_bounds(s: list[int], value: int) -> tuple[int, int]:
+    """[lo, hi] 0-based rank interval a (possibly duplicated) value spans."""
+    import bisect
+
+    return bisect.bisect_left(s, value), bisect.bisect_right(s, value) - 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(values)
+def test_h08_exact_rank_statistic_below_cap(tmp_path_factory, cents):
+    """cap=1024 >= corpus: no compaction, selection is the exact statistic."""
+    tmp_path = tmp_path_factory.mktemp("h08")
+    est = _run_h08(cents, tmp_path, H08_ORACLE)
+    s = sorted(cents)
+    n = len(s)
+    for p in H08_PCTS:
+        assert est[p] == s[(p * (n - 1)) // 100], (p, est[p])
+
+
+@settings(max_examples=25, deadline=None)
+@given(values)
+def test_h08_rank_error_bounded_under_compaction(tmp_path_factory, cents):
+    """cap=16 forces L>=1 on most corpora: worst-case absolute rank error
+    is L*G/2 (compaction) + G (weighted-selection granularity)."""
+    tmp_path = tmp_path_factory.mktemp("h08c")
+    est = _run_h08(cents, tmp_path, H08_ORACLE_CAP16)
+    s = sorted(cents)
+    n = len(s)
+    level_count, g_total = compactor_geometry(n, cap=16, l_max=12)
+    bound = level_count * g_total // 2 + g_total
+    prev = None
+    for p in H08_PCTS:
+        target = (p * (n - 1)) // 100
+        lo, hi = _rank_bounds(s, est[p])
+        dist = 0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))
+        assert dist <= bound, (p, est[p], target, dist, bound)
+        if prev is not None:
+            assert est[p] >= prev  # monotone in p
+        prev = est[p]
