@@ -1606,7 +1606,9 @@ T16_MERGES = 8
 _T16_EOW = "</w>"
 
 
-def _t16_oracle() -> str:
+def _t16_cte_chain() -> str:
+    """The unrolled training rounds as a CTE chain ending with
+    w{T16_MERGES} (word, n, rep) — shared by t16's and t18's oracles."""
     parts = [
         f"""
 w0 AS (
@@ -1637,11 +1639,15 @@ w{i} AS (
   FROM {prev}, t{i} t
 )"""
         )
+    return ",".join(parts)
+
+
+def _t16_oracle() -> str:
     steps = "\nUNION ALL\n".join(
         f"SELECT {i} AS step, l AS left_sym, r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM t{i}"
         for i in range(1, T16_MERGES + 1)
     )
-    return "WITH " + ",".join(parts) + f"\nSELECT * FROM (\n{steps}\n) ORDER BY step"
+    return "WITH " + _t16_cte_chain() + f"\nSELECT * FROM (\n{steps}\n) ORDER BY step"
 
 
 @register(
@@ -1656,6 +1662,19 @@ w{i} AS (
     tags=("text", "llm", "tokenizer", "iterative"),
 )
 def t16_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _w, merges = _t16_learn(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "step int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+def _t16_learn(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[tuple[int, str, str, int]]]:
+    """The t16 training loop, shared with t18 (which consumes the final
+    vocab frame — after the last merge round, each word's ``rep`` IS its
+    tokenization under the learned rules). Returns (w, merges) where w =
+    (word, n, rep) after T16_MERGES rounds."""
     docs = load_table(spark, sf_dir, "documents")
     w = (
         docs.select(
@@ -1706,9 +1725,7 @@ def t16_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("rep"),
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "step int, left_sym string, right_sym string, pair_count long"
-    )
+    return w, merges
 
 
 def _sql_str(s: str) -> str:
@@ -1888,4 +1905,125 @@ def p08_dedup_aware_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("base_quota") + F.when(F.col("rk") <= F.col("r"), 1).otherwise(0))
         .cast("long")
         .alias("quota"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t18: apply the learned BPE merges — tokenize the corpus
+# --------------------------------------------------------------------------
+# t16 learns merge rules; t18 runs the other half of the tokenizer: encode
+# every document into token-id sequences under those rules. The scale
+# discipline is the BPE property that tokenization factors through the
+# WORD VOCABULARY: merges replay over the vocab frame (t16's rounds
+# already leave each word's `rep` fully merged), token ids assign by
+# symbol sort order, and per-word (token_count, id_sum, position-weighted
+# id_sum) stats fold into per-document outputs with ONE corpus-sized
+# word explode + vocab join + per-doc prefix sum — no per-row Python
+# anywhere. The output pins the exact token-id SEQUENCE of every doc:
+# n_tokens plus an order-sensitive integer checksum
+# sum_t (t * id_t) over global 1-based token positions t (any id at any
+# position perturbs it), all int64. Docs with no [a-z]+ words have no
+# tokens and are absent in both engines (the t17 convention).
+
+
+def _t18_oracle() -> str:
+    last = f"w{T16_MERGES}"
+    return f"""
+WITH {_t16_cte_chain()},
+vt AS (SELECT word, string_split(rep, ' ') AS syms FROM {last}),
+symv AS (
+  SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym) - 1 AS BIGINT) AS tid
+  FROM (SELECT DISTINCT unnest(syms) AS sym FROM vt)
+),
+wtok AS (
+  SELECT v.word, t.j, s.tid
+  FROM vt v, unnest(range(1, len(v.syms) + 1)) AS t(j)
+  JOIN symv s ON s.sym = v.syms[j]
+),
+wstats AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(tid) AS BIGINT) AS s1,
+         CAST(SUM(j * tid) AS BIGINT) AS s2
+  FROM wtok GROUP BY word
+),
+dwords AS (
+  SELECT doc_id, t.i AS widx, words[i] AS word
+  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+        FROM documents),
+       unnest(range(1, len(words) + 1)) AS t(i)
+),
+seq AS (
+  SELECT d.doc_id, ws.k, ws.s1, ws.s2,
+         COALESCE(SUM(ws.k) OVER (PARTITION BY d.doc_id ORDER BY d.widx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM dwords d JOIN wstats ws ON ws.word = d.word
+)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_tokens,
+       CAST(SUM(off * s1 + s2) AS BIGINT) AS token_checksum
+FROM seq GROUP BY doc_id
+"""
+
+
+@register(
+    "t18_bpe_tokenize",
+    oracle=_t18_oracle(),
+    description="BPE encoding under t16's learned merges: tokenization "
+    "factors through the word vocabulary (merged reps -> token ids by "
+    "symbol sort order -> per-word stats), then one corpus word-explode, "
+    "one vocab join and a per-doc prefix sum emit each document's exact "
+    "token-id sequence as (n_tokens, position-weighted checksum) - all "
+    "int64, no per-row Python, the t06/t16 pair completed.",
+    tags=("text", "llm", "tokenizer"),
+)
+def t18_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w, _merges = _t16_learn(spark, sf_dir)
+    vt = w.select("word", F.split("rep", " ").alias("syms"))
+    symv = (
+        vt.select(F.explode("syms").alias("sym"))
+        .distinct()
+        .select(
+            "sym",
+            (F.row_number().over(Window.orderBy("sym")) - 1)
+            .cast("long")
+            .alias("tid"),
+        )
+    )
+    wstats = (
+        vt.select("word", F.posexplode("syms").alias("j0", "sym"))
+        .join(F.broadcast(symv), "sym")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum("tid").cast("long").alias("s1"),
+            F.sum((F.col("j0") + 1) * F.col("tid")).cast("long").alias("s2"),
+        )
+    )
+    dwords = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("widx", "word"),
+    )
+    seq = dwords.join(wstats, "word").select(
+        "doc_id",
+        "k",
+        "s1",
+        "s2",
+        F.coalesce(
+            F.sum("k").over(
+                Window.partitionBy("doc_id")
+                .orderBy("widx")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("off"),
+    )
+    return seq.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_tokens"),
+        F.sum(F.col("off") * F.col("s1") + F.col("s2"))
+        .cast("long")
+        .alias("token_checksum"),
     )

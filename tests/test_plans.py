@@ -809,3 +809,21 @@ def test_h08_compactor_one_scan_partitioned_levels(spark):
     )
     assert "Scan parquet" not in final
     assert "CartesianProduct" not in final
+
+
+def test_t18_tokenize_single_corpus_pass_partitioned_window(spark):
+    """t18's encode factors through the vocab: the learned vocab frame is
+    checkpoint-pinned, so the FINAL plan reads the corpus exactly once
+    (the dwords explode); the token-position prefix sum windows by doc_id
+    (never a global window over the token stream); the symbol-id join
+    broadcasts the bounded symbol vocabulary."""
+    from lakekeeper_spark.queries.text import t18_bpe_tokenize
+
+    plan = _plan(t18_bpe_tokenize(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # tree + detail = one scan
+    for seg in plan.split("ReadSchema")[1:]:
+        assert "text" in seg[:200]
+    assert "partitionBy=[doc_id" in plan.replace("#", "").replace(
+        " ", ""
+    ) or "[doc_id" in plan  # doc-partitioned prefix-sum window
+    assert "CartesianProduct" not in plan
