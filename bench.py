@@ -97,7 +97,17 @@ def ratio_violations(
     regression moves only that query's ratio."""
     anchor_sec = times.get(anchor)
     if not anchor_sec:
-        return {}
+        # a guarded run that failed to measure its anchor must fail LOUDLY
+        # — an empty dict would make every ceiling pass vacuously
+        return {
+            anchor: {
+                "sec": float(anchor_sec or 0.0),
+                "ratio": float("inf"),
+                "ceiling": 0.0,
+                "anchor_sec": float(anchor_sec or 0.0),
+                "error": "anchor missing or zero in guarded run",
+            }
+        }
     out: dict[str, dict[str, float]] = {}
     for name, ceiling in ceilings.items():
         if name not in times or name == anchor:

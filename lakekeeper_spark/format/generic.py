@@ -92,15 +92,35 @@ def read_generic_table(
             reader = reader.option(k, v)
         return reader.format(fmt).load(location)
     if fmt == "lance":
-        # SWAP-IN POINT: with the lance library installed this becomes
-        #   lance.dataset(location).to_table() -> spark.createDataFrame /
-        # or the Lance Spark connector's `format("lance")`. The container
-        # has no lance package, so reads of this format are stubbed.
+        # SWAP-IN POINT: install an adapter via register_lance_reader()
+        # — with the lance library present it is one line, e.g.
+        #   register_lance_reader(lambda spark, location, meta:
+        #       spark.read.format("lance").load(location))
+        # (or lance.dataset(location).to_table() -> createDataFrame).
+        # The container has no lance package, so without an adapter reads
+        # of this format raise; the contract (signature, metadata dict,
+        # error text) is pinned in tests/test_generic_vector.py.
+        if _LANCE_READER is not None:
+            return _LANCE_READER(spark, location, meta)
         raise NotImplementedError(
             "lance reads need the external lance library; register the "
             "dataset with a Spark-native format or install the connector"
         )
     raise CatalogError(f"unsupported generic-table format: {fmt}")
+
+
+# Adapter hook for the lance swap-in point above. Signature:
+#   reader(spark: SparkSession, location: str, meta: dict) -> DataFrame
+# where ``meta`` is the full generic-table entry ({"format",
+# "base-location", "schema", "properties"}) so a connector can honor the
+# declared arrow schema and free-form options.
+_LANCE_READER = None
+
+
+def register_lance_reader(reader) -> None:
+    """Install (or clear, with None) the lance read adapter."""
+    global _LANCE_READER
+    _LANCE_READER = reader
 
 
 def read_view(

@@ -315,8 +315,9 @@ WITH {_GRAPH_SQL}
     description="HITS hubs/authorities over the item-transition graph: "
     "5 rounds of the mutual auth<-hub / hub<-auth recursion, each "
     "half-step one edge join + key-grouped integer sum with max "
-    "renormalization to S=10^12 (1-row broadcast) - same BSP plan "
-    "shape as g01, bit-exact oracle by integer arithmetic.",
+    f"renormalization to S={_S_HITS} (1-row broadcast; smaller than "
+    "g01's 10^12 scale to keep raw*S products inside int64) - same BSP "
+    "plan shape as g01, bit-exact oracle by integer arithmetic.",
     tags=("graph", "iterative", "llm", "events"),
 )
 def g03_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:

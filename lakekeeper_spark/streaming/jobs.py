@@ -1239,7 +1239,7 @@ def st13_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SAME event time, so they always land inside the horizon and are
 # removed regardless of how availableNow splits the files into batches.
 @register(
-    "st14_stream_dedup",
+    "st14_stream_dedup_watermarked",
     oracle="""
 SELECT event_id, user_id, event_type,
        CAST(ROUND(value * 1000000) AS BIGINT) AS value_fp
@@ -1251,7 +1251,7 @@ FROM events
     "with watermark-bounded state; output is the exact original table.",
     tags=("streaming", "events", "dedup", "exactly-once"),
 )
-def st14_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def st14_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_runtime_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     d = tempfile.mkdtemp(prefix="lkspark_stream_")

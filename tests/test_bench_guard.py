@@ -76,3 +76,15 @@ def test_headline_subset_ignored_on_guarded_sf():
     sub = headline_subset(1.0, "t01_text_stats, q01_pricing_summary")
     assert sub == ["q01_pricing_summary", "t01_text_stats"]
     assert headline_subset(1.0, None) == HEADLINE
+
+
+def test_missing_anchor_is_a_loud_violation():
+    """A guarded run that failed to measure its anchor must not pass
+    vacuously (round-9 ADVICE): ratio_violations reports the anchor
+    itself as an infinite-ratio violation."""
+    from bench import ratio_violations
+
+    v = ratio_violations({"q05": 1.0}, "q01", {"q05": 2.0})
+    assert "q01" in v and v["q01"]["ratio"] == float("inf")
+    v2 = ratio_violations({"q01": 0.0, "q05": 1.0}, "q01", {"q05": 2.0})
+    assert "q01" in v2

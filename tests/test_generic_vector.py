@@ -172,3 +172,64 @@ def test_s10_lsh_over_registered_dataset_matches_s02(spark):
         for r in s10_generic_vector_lsh(spark, sf_dir).collect()
     )
     assert direct and via_catalog == direct
+
+
+def test_lance_swap_in_contract(spark, tmp_path):
+    """The lance branch's pinned contract (round-9 verdict item 8): the
+    reference registers Lance datasets as generic tables and the ENGINE
+    library does the IO (tests/integration-tests/lance/test_lance.py:
+    42-110). Without the library our read path raises the documented
+    NotImplementedError; register_lance_reader(spark, location, meta)
+    is the one-line adapter a lance-equipped environment installs — its
+    signature receives the full generic-table entry so a connector can
+    honor the declared schema and properties."""
+    import pytest as _pytest
+
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+    from lakekeeper_spark.format.generic import (
+        read_generic_table,
+        register_lance_reader,
+    )
+
+    cat = Catalog(Metastore(str(tmp_path / "m.db")))
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["lz"])
+    # stage real rows as parquet: the fake adapter below "is" the lance
+    # library reading the same location
+    df = spark.createDataFrame([(1, [0.1, 0.2]), (2, [0.3, 0.4])],
+                               "vec_id long, embedding array<double>")
+    loc = str(tmp_path / "ds")
+    df.write.parquet(loc)
+    cat.create_generic_table(
+        "wh", ["lz"], "ds", "lance", loc,
+        schema={"fields": [{"name": "vec_id", "type": "int64"},
+                           {"name": "embedding", "type": "list<float64>"}]},
+        properties={"k": "v"},
+    )
+
+    # 1. no adapter installed: the exact documented error
+    with _pytest.raises(NotImplementedError, match="lance reads need the external"):
+        read_generic_table(spark, cat, "wh", ["lz"], "ds")
+
+    # 2. adapter installed: reads route through it with the full entry
+    seen = {}
+
+    def fake_lance(spark_, location, meta):
+        seen["location"], seen["meta"] = location, meta
+        return spark_.read.parquet(location)
+
+    register_lance_reader(fake_lance)
+    try:
+        out = read_generic_table(spark, cat, "wh", ["lz"], "ds")
+        assert sorted(r.vec_id for r in out.collect()) == [1, 2]
+        assert seen["location"] == loc
+        assert seen["meta"]["format"] == "lance"
+        assert seen["meta"]["properties"] == {"k": "v"}
+        assert seen["meta"]["schema"]["fields"][1]["type"] == "list<float64>"
+    finally:
+        register_lance_reader(None)
+
+    # 3. adapter cleared: the stub contract is back
+    with _pytest.raises(NotImplementedError):
+        read_generic_table(spark, cat, "wh", ["lz"], "ds")
