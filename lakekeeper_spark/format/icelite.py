@@ -294,6 +294,74 @@ def pair_update_images(
     ).drop("_k_del", "_k_ins")
 
 
+def net_changes(
+    changes: DataFrame, commit_order: dict[int, int] | None = None
+) -> DataFrame:
+    """Iceberg create_changelog_view(net_changes => true): collapse the
+    changelog to the NET change per unique row content across the WHOLE
+    snapshot range (Iceberg's RemoveNetCarryoverIterator semantics):
+
+      - a row inserted then deleted inside the range disappears;
+      - a row deleted then restated identically in a later commit (a
+        cross-commit carry-over) disappears;
+      - survivors keep their original _change_type and
+        _commit_snapshot_id, with the LATEST occurrences surviving (the
+        k-th-earliest delete cancels the k-th-earliest identical insert
+        — the same rank-pairing kernel pair_update_images uses within a
+        commit, partitioned WITHOUT the commit column and ordered by
+        commit position).
+
+    Like Iceberg, net mode cannot combine with update-image pairing —
+    callers enforce that (changelog() raises).
+
+    ``commit_order`` maps snapshot-id -> lineage ordinal (snapshot ids
+    are unordered random longs); without it, ids order by value.
+
+    Scale shape: two window passes hash-partitioned by the row content —
+    no unpartitioned window, no driver state beyond the metadata-sized
+    ordinal map (broadcast)."""
+    from pyspark.sql.window import Window
+
+    data_cols = [
+        c
+        for c in changes.columns
+        if c not in ("_change_type", "_commit_snapshot_id")
+    ]
+    if commit_order:
+        spark = changes.sparkSession
+        omap = spark.createDataFrame(
+            [(int(s), int(i)) for s, i in commit_order.items()],
+            "_commit_snapshot_id long, _ord int",
+        )
+        changes = changes.join(F.broadcast(omap), "_commit_snapshot_id", "left")
+        changes = changes.withColumn(
+            "_ord", F.coalesce(F.col("_ord"), F.lit(2**31 - 1))
+        )
+    else:
+        changes = changes.withColumn("_ord", F.col("_commit_snapshot_id"))
+    ct = F.col("_change_type")
+    w_side = Window.partitionBy(*data_cols, "_change_type").orderBy(
+        "_ord", "_commit_snapshot_id"
+    )
+    w_row = Window.partitionBy(*data_cols)
+    is_del = F.when(ct == "delete", 1).otherwise(0)
+    is_ins = F.when(ct == "insert", 1).otherwise(0)
+    tagged = (
+        changes.withColumn("_rn", F.row_number().over(w_side))
+        .withColumn("_n_del", F.sum(is_del).over(w_row))
+        .withColumn("_n_ins", F.sum(is_ins).over(w_row))
+    )
+    return tagged.filter(
+        ((ct == "delete") & (F.col("_rn") > F.col("_n_ins")))
+        | ((ct == "insert") & (F.col("_rn") > F.col("_n_del")))
+        | (~ct.isin("delete", "insert"))
+    ).drop("_rn", "_n_del", "_n_ins", "_ord")
+
+
+# alias for call sites where a `net_changes` keyword shadows the function
+_net_changes_fn = net_changes
+
+
 def _next_seq(meta: dict[str, Any]) -> int:
     """Next data sequence number (Iceberg spec: assigned per commit,
     monotonically increasing; equality deletes apply to strictly-older
@@ -917,6 +985,7 @@ class SparkTable:
         to_snapshot_id: int | None = None,
         identifier_columns: list[str] | None = None,
         strict_identifiers: bool = False,
+        net_changes: bool = False,
     ) -> DataFrame:
         """CDC changelog scan (Iceberg's create_changelog_view semantics):
         one row per NET row-level change between two snapshots, tagged
@@ -943,7 +1012,19 @@ class SparkTable:
         commit — the restated survivors of a CoW rewrite) are removed, and
         a remaining delete+insert sharing the identifier tuple in the same
         commit is retagged update_preimage/update_postimage (see
-        pair_update_images)."""
+        pair_update_images).
+
+        ``net_changes=True`` opts into Iceberg's
+        create_changelog_view(net_changes => true): one net row per unique
+        row content across the whole range, cross-commit carry-overs
+        folded (see net_changes above). Like Iceberg, it cannot combine
+        with identifier_columns (update images)."""
+        if net_changes and identifier_columns:
+            raise ValueError(
+                "net_changes cannot be combined with identifier_columns "
+                "(update images) — Iceberg's create_changelog_view raises "
+                "the same"
+            )
         meta = self.metadata()
         to_snap = self._resolve_snapshot(meta, to_snapshot_id)
         schema = self._current_schema(meta)
@@ -1076,6 +1157,10 @@ class SparkTable:
             out = pair_update_images(
                 out, list(identifier_columns), strict=strict_identifiers
             )
+        if net_changes:
+            out = _net_changes_fn(
+                out, {s["snapshot-id"]: i for i, s in enumerate(lineage)}
+            )
         return out
 
     def create_changelog_view(
@@ -1085,16 +1170,19 @@ class SparkTable:
         to_snapshot_id: int | None = None,
         identifier_columns: list[str] | None = None,
         strict_identifiers: bool = False,
+        net_changes: bool = False,
     ) -> DataFrame:
         """Iceberg's spark procedure `create_changelog_view`: registers the
-        changelog (optionally update-paired via ``identifier_columns``) as
-        a session temp view and returns the frame, so downstream SQL can
-        `SELECT * FROM <view_name>` exactly as with the stock procedure.
-        ``strict_identifiers=True`` matches Iceberg's behavior of raising
-        on ambiguous identifier groups instead of degrading."""
+        changelog (optionally update-paired via ``identifier_columns``, or
+        net-folded via ``net_changes`` — mutually exclusive, as in
+        Iceberg) as a session temp view and returns the frame, so
+        downstream SQL can `SELECT * FROM <view_name>` exactly as with the
+        stock procedure. ``strict_identifiers=True`` matches Iceberg's
+        behavior of raising on ambiguous identifier groups instead of
+        degrading."""
         df = self.changelog(
             from_snapshot_id, to_snapshot_id, identifier_columns,
-            strict_identifiers=strict_identifiers,
+            strict_identifiers=strict_identifiers, net_changes=net_changes,
         )
         df.createOrReplaceTempView(view_name)
         return df
