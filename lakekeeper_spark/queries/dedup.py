@@ -1276,3 +1276,146 @@ def d14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("blocked_by").cast("long").alias("blocked_by"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# d15: SimHash with an md5-shared bit family (oracle-exact twin of d04)
+# --------------------------------------------------------------------------
+# d04's fingerprints ride Spark's xxhash64 (fast, JVM-native, not
+# reproducible in SQL); d15 is the same pipeline — per-bit token votes ->
+# 64-bit fingerprint -> 4x16-bit band bucketing -> Hamming<=8 candidate
+# pairs — on token bits both engines share: bits 0..31 from the first 8
+# md5 hex chars, bits 32..63 from the next 8. The fingerprint is carried
+# as two uint32 halves (lo, hi) so no arithmetic ever touches the int64
+# sign bit; Hamming = bit_count(lo^lo') + bit_count(hi^hi'). Tokens are
+# the corpus-standard [a-z]+ words (regex parity across engines). Same
+# plan shape as d04: one token aggregate with map-side combine, one
+# band-bucket equi-join, no all-pairs stage.
+def _d15_vote_sql() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (c{i // 32} >> {i % 32}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    lo = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END"
+        for i in range(32)
+    )
+    hi = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i - 32}) ELSE 0 END"
+        for i in range(32, 64)
+    )
+    return f"""toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+  FROM documents
+),
+hb AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS c0,
+         ('0x' || substr(md5(tok), 9, 8))::BIGINT AS c1
+  FROM toks
+),
+votes AS (SELECT doc_id, {votes} FROM hb GROUP BY doc_id),
+fp AS (SELECT doc_id, {lo} AS lo, {hi} AS hi FROM votes),
+bands AS (
+  SELECT doc_id, lo, hi, b.b AS band,
+         CASE WHEN b.b < 2 THEN (lo >> (16 * b.b)) & 65535
+              ELSE (hi >> (16 * (b.b - 2))) & 65535 END AS bucket
+  FROM fp, (SELECT unnest(range(0, 4)) AS b) b
+)"""
+
+
+@register(
+    "d15_simhash_exact",
+    oracle=f"""
+WITH {_d15_vote_sql()}
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= {SIMHASH_HAMMING_MAX}
+""",
+    description="SimHash near-dup with an md5-shared bit family: d04's "
+    "exact pipeline (per-bit token votes -> 64-bit fingerprint as two "
+    "uint32 halves -> 4x16-bit band bucketing -> Hamming<=8 pairs) made "
+    "bit-reproducible in SQL, so the driver hash-checks fingerprints, "
+    "banding AND the candidate graph; no all-pairs stage anywhere.",
+    tags=("dedup", "llm", "lsh", "simhash"),
+)
+def d15_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("tok"),
+    )
+    hb = toks.select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)").alias("c0"),
+        F.expr("CAST(conv(substr(md5(tok), 9, 8), 16, 10) AS BIGINT)").alias("c1"),
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"c{i // 32}"), i % 32).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = hb.groupBy("doc_id").agg(*votes)
+
+    def _half(lo_bit: int) -> F.Column:
+        terms = [
+            F.when(
+                F.col(f"v{i}") > 0,
+                F.shiftleft(F.lit(1).cast("long"), i - lo_bit),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(lo_bit, lo_bit + 32)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    fp = agg.select("doc_id", _half(0).alias("lo"), _half(32).alias("hi"))
+    bands = fp.select(
+        "doc_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("lo" if b < 2 else "hi"), 16 * (b % 2))
+                            .bitwiseAND(F.lit(0xFFFF))
+                        ).alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "lo", "hi", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = (
+        F.bit_count(F.col("a.lo").bitwiseXOR(F.col("b.lo")))
+        + F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi")))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+    )

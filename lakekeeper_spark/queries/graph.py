@@ -366,3 +366,119 @@ def g03_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("as.a").alias("auth_fp"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# g04: triangle counting (degree-ordered orientation — the scalable form)
+# --------------------------------------------------------------------------
+# Clustering structure of the item-transition graph: triangles per node.
+# The naive wedge enumeration is sum(deg^2) and dies on hub nodes; the
+# standard scale form (forward/compact-forward counting) orients every
+# undirected edge from its lower-(degree, id) endpoint to the higher one,
+# bounding out-degree by O(sqrt(E)) — wedges then enumerate from each
+# node's SMALL oriented neighborhood and close with one equi-join back on
+# the oriented edge list. Each triangle materializes exactly once (the
+# closing edge exists in exactly one orientation), with no orientation
+# comparison needed at closure time. Pure set/integer arithmetic -> exact
+# value-hash oracle.
+_G04_SQL = """
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM edges WHERE src != dst
+),
+deg AS (
+  SELECT x, COUNT(*) AS d
+  FROM (SELECT a AS x FROM und UNION ALL SELECT b FROM und)
+  GROUP BY x
+),
+orient AS (
+  SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN (da.d < db.d) OR (da.d = db.d AND u.a < u.b)
+              THEN u.b ELSE u.a END AS v
+  FROM und u
+  JOIN deg da ON da.x = u.a
+  JOIN deg db ON db.x = u.b
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM orient e1
+  JOIN orient e2 ON e1.u = e2.u AND e1.v <> e2.v
+  JOIN orient e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+pern AS (
+  SELECT c AS item, COUNT(*) AS t
+  FROM (SELECT x AS c FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY c
+)
+SELECT n.item, CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles
+FROM nodes n LEFT JOIN pern p ON p.item = n.item
+"""
+
+
+@register(
+    "g04_triangle_count",
+    oracle=f"""
+WITH {_GRAPH_SQL},
+{_G04_SQL}""",
+    description="Per-node triangle counts over the item-transition graph "
+    "via degree-ordered orientation (compact-forward): every undirected "
+    "edge points low-(degree,id) -> high, bounding oriented out-degree "
+    "by O(sqrt(E)) so wedge enumeration survives hub nodes; closure is "
+    "one equi-join on the oriented edge list and each triangle counts "
+    "exactly once. Pure integer/set arithmetic, exact oracle.",
+    tags=("graph", "llm", "events"),
+)
+def g04_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, nodes = _transition_graph(spark, sf_dir)
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("x"))
+        .unionAll(und.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("x").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("x").alias("b"), F.col("d").alias("db"))
+    low_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # orient is referenced three times by the closure join: pin it so the
+    # und/deg derivation runs once (|E|-bounded frame, same discipline as
+    # the pinned edge list)
+    orient = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = orient.select(F.col("u"), F.col("v").alias("y"))
+    e2 = orient.select(F.col("u"), F.col("v").alias("z"))
+    e3 = orient.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = (
+        e1.join(e2, "u")
+        .where(F.col("y") != F.col("z"))
+        .join(e3, ["y", "z"])
+        .select(F.col("u").alias("x"), "y", "z")
+    )
+    pern = (
+        tri.select(F.col("x").alias("c"))
+        .unionAll(tri.select(F.col("y").alias("c")))
+        .unionAll(tri.select(F.col("z").alias("c")))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return nodes.join(pern, nodes["item"] == pern["c"], "left").select(
+        "item", F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles")
+    )

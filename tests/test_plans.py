@@ -827,3 +827,30 @@ def test_t18_tokenize_single_corpus_pass_partitioned_window(spark):
         " ", ""
     ) or "[doc_id" in plan  # doc-partitioned prefix-sum window
     assert "CartesianProduct" not in plan
+
+
+def test_d15_simhash_band_join_no_cartesian(spark):
+    """d15's candidates come from the 4x16-bit band-bucket equi-join —
+    never an all-pairs stage — and the fingerprint aggregate is two-phase
+    (map-side combined)."""
+    from lakekeeper_spark.queries.dedup import d15_simhash_exact
+
+    plan = _plan(d15_simhash_exact(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final vote sums
+
+
+def test_g04_triangles_on_pinned_orientation(spark):
+    """The closure join references the oriented edge list three times;
+    it must be checkpoint-pinned so und/deg derive once, and the final
+    plan is equi-joins only (degree-ordered orientation makes wedge
+    enumeration neighborhood-bounded — no cartesian anywhere)."""
+    from lakekeeper_spark.queries.graph import g04_triangle_count
+
+    plan = _plan(g04_triangle_count(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # pinned orientation: the raw event scan does NOT appear 3x in the
+    # final plan (the edge list + orientation are checkpointed)
+    assert plan.count("Scan parquet") == 0
