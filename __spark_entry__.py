@@ -59,12 +59,18 @@ def _entry_green(res: dict) -> bool:
     )
 
 
+# Registry renames: historical artifact rows keep the old key; their green
+# checks are real checks of the same query, so freshness history carries
+# over to the new name instead of dangling.
+_RENAMED = {"st14_stream_dedup": "st14_stream_dedup_watermarked"}
+
+
 def _last_checked(pattern: str) -> dict[str, int]:
     """raw query name -> last round with a GREEN row in artifacts matching
     ``pattern``. CORRECTNESS keys are rank-prefixed ("r012_e02_..."),
     FULLSWEEP keys are raw — and raw r-family names ("r03_...") LOOK
     prefixed, so the prefix is stripped only when the remainder is an
-    actual registry name."""
+    actual registry name. Renamed queries resolve through _RENAMED."""
     known = set(load_registry())
     last: dict[str, int] = {}
     for p in _REPO.glob(pattern):
@@ -81,7 +87,8 @@ def _last_checked(pattern: str) -> dict[str, int]:
             if not isinstance(res, dict) or not _entry_green(res):
                 continue
             stripped = re.sub(r"^r\d+_", "", key)
-            raw = stripped if stripped in known else key
+            stripped = _RENAMED.get(stripped, stripped)
+            raw = stripped if stripped in known else _RENAMED.get(key, key)
             last[raw] = max(last.get(raw, -1), rnd)
     return last
 

@@ -82,6 +82,15 @@ HEADLINE = [
     # round-9: iterative-graph family representative (5 fixed-point BSP
     # rounds over the pinned transition graph; g02 shares the kernel)
     "g01_pagerank_fixedpoint",
+    # round-10 drift guards (round-9 verdict item 7): the quantile
+    # estimators (two-pass histogram + one-pass compactor sketch), the
+    # HITS half-step chain (worst scaler of the round-9 additions), and
+    # the BPE encode pass (t16's learning is already guarded; t18 adds
+    # the corpus-sized apply join)
+    "h07_histogram_quantiles",
+    "h08_compactor_quantiles",
+    "g03_hits_hubs_authorities",
+    "t18_bpe_tokenize",
 ]
 
 BUDGET_FILE = Path(__file__).resolve().parent / "BENCH_BUDGET.json"

@@ -179,6 +179,84 @@ def compactor_quantiles(
     )
 
 
+def compactor_merge_quantiles(
+    merged: DataFrame,
+    pcts: tuple[int, ...],
+    est_alias: str,
+) -> DataFrame:
+    """Weighted-rank selection over a UNION of compactor buffers
+    ``merged(c, h, k, slice, w)`` — the mergeable-state read path: each
+    (slice, w) is one sketch's retained buffer and its item weight.
+    Quantile p picks the item whose cumulative-weight interval contains
+    (p*(W-1)) div 100. The merged frame is bounded (~cap per sketch), so
+    the global window is a bounded-frame pass like h07's estimator."""
+    spark = merged.sparkSession
+    merged = merged.localCheckpoint(eager=True)  # referenced twice below
+    cum = merged.select(
+        "c",
+        "w",
+        F.coalesce(
+            F.sum("w").over(
+                Window.orderBy("c", "slice", "h", "k").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    # Spark resolves case-insensitively, so the total must not collide
+    # with the per-item weight column `w`
+    tot = merged.agg(F.sum("w").cast("long").alias("wtot"))
+    q = spark.createDataFrame([(p,) for p in pcts], "p int")
+    r = "(p * (wtot - 1)) div 100"
+    return (
+        q.crossJoin(F.broadcast(tot))
+        .join(
+            cum,
+            F.expr(f"cum_before <= {r}") & F.expr(f"{r} < cum_before + w"),
+        )
+        .select("p", F.col("c").cast("long").alias(est_alias))
+    )
+
+
+def sql_compactor_chain(
+    prefix: str = "", cap: int = CAP, l_max: int = L_MAX
+) -> str:
+    """CTE fragment for one compactor chain: expects ``{prefix}v(c, h,
+    k)`` (int64 value, int64 48-bit md5 leaf hash, string total-order
+    tiebreak key); defines ``{prefix}geo(L, G)`` and the retained buffer
+    ``{prefix}fin(c, h, k)`` (every item implicit weight G). Unrolls
+    ``l_max`` conditional levels: level l compacts (keep rn%2 = l%2,
+    halve g) when l <= L, else passes rows through — one static string,
+    exact at every n up to cap*2^l_max."""
+    p = prefix
+    levels = []
+    for level in range(1, l_max + 1):
+        parity = level % 2
+        levels.append(
+            f"""{p}lvl{level} AS (
+  SELECT c, h, k,
+         CASE WHEN {level} <= (SELECT L FROM {p}geo) THEN g // 2 ELSE g END AS g
+  FROM (
+    SELECT c, h, k, g,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY c, h, k) AS rn
+    FROM {p}lvl{level - 1}
+  )
+  WHERE {level} > (SELECT L FROM {p}geo) OR rn % 2 = {parity}
+)"""
+        )
+    return f"""{p}geo AS (
+  SELECT L, CAST(1 AS BIGINT) << L AS G FROM (
+    SELECT COALESCE(MIN(l), {l_max}) AS L
+    FROM (SELECT unnest(range(0, {l_max + 1})) AS l)
+    WHERE {cap} * (CAST(1 AS BIGINT) << l) >= (SELECT COUNT(*) FROM {p}v)
+  )
+),
+{p}lvl0 AS (SELECT c, h, k, h % (SELECT G FROM {p}geo) AS g FROM {p}v),
+{", ".join(levels)},
+{p}fin AS (SELECT c, h, k FROM {p}lvl{l_max})"""
+
+
 def sql_compactor_quantiles(
     source_cte: str,
     pcts: tuple[int, ...],
@@ -186,44 +264,54 @@ def sql_compactor_quantiles(
     cap: int = CAP,
     l_max: int = L_MAX,
 ) -> str:
-    """The DuckDB twin: ``source_cte`` must define ``v(c, h, k)`` —
-    int64 value, int64 48-bit md5 leaf hash, and a string total-order
-    tiebreak key. Unrolls ``l_max`` conditional levels: level l compacts
-    (keep rn%2 = l%2, halve g) when l <= L, else passes rows through —
-    one static string, exact at every n up to cap*2^l_max."""
-    levels = []
-    for level in range(1, l_max + 1):
-        parity = level % 2
-        levels.append(
-            f"""lvl{level} AS (
-  SELECT c, h, k,
-         CASE WHEN {level} <= (SELECT L FROM geo) THEN g // 2 ELSE g END AS g
-  FROM (
-    SELECT c, h, k, g,
-           ROW_NUMBER() OVER (PARTITION BY g ORDER BY c, h, k) AS rn
-    FROM lvl{level - 1}
-  )
-  WHERE {level} > (SELECT L FROM geo) OR rn % 2 = {parity}
-)"""
-        )
+    """One-chain DuckDB twin (see sql_compactor_chain): uniform-weight
+    rank selection on the retained buffer."""
     pct_values = ", ".join(f"({p})" for p in pcts)
     return f"""
 WITH {source_cte},
-geo AS (
-  SELECT L, CAST(1 AS BIGINT) << L AS G FROM (
-    SELECT COALESCE(MIN(l), {l_max}) AS L
-    FROM (SELECT unnest(range(0, {l_max + 1})) AS l)
-    WHERE {cap} * (CAST(1 AS BIGINT) << l) >= (SELECT COUNT(*) FROM v)
-  )
+{sql_compactor_chain("", cap, l_max)},
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, h, k) AS rn FROM fin
 ),
-lvl0 AS (SELECT c, h, k, h % (SELECT G FROM geo) AS g FROM v),
-{", ".join(levels)},
-fin AS (
-  SELECT c, ROW_NUMBER() OVER (ORDER BY c, h, k) AS rn FROM lvl{l_max}
-),
-w AS (SELECT COUNT(*) AS cnt FROM fin)
+w AS (SELECT COUNT(*) AS cnt FROM ranked)
 SELECT q.p, CAST(f.c AS BIGINT) AS {est_alias}
 FROM (VALUES {pct_values}) q(p)
 CROSS JOIN geo CROSS JOIN w
-JOIN fin f ON f.rn = ((q.p * (w.cnt * geo.G - 1)) // 100) // geo.G + 1
+JOIN ranked f ON f.rn = ((q.p * (w.cnt * geo.G - 1)) // 100) // geo.G + 1
+"""
+
+
+def sql_compactor_merge_quantiles(
+    prefixes: list[str],
+    pcts: tuple[int, ...],
+    est_alias: str,
+) -> str:
+    """Merged-estimator tail over MULTIPLE compactor chains (the
+    mergeable-state read path: each chain is one executor's / one
+    micro-batch's sketch): union the retained buffers with their own
+    chain weights G_i, then weighted-rank select — quantile p picks the
+    item whose cumulative-weight interval contains
+    (p*(W-1)) div 100, W = sum of all weights. Caller composes
+    ``WITH <v-sources>, <chains>, {this}``."""
+    union = "\n  UNION ALL\n".join(
+        f"  SELECT c, h, k, {i} AS slice,"
+        f" (SELECT G FROM {p}geo) AS w FROM {p}fin"
+        for i, p in enumerate(prefixes)
+    )
+    pct_values = ", ".join(f"({p})" for p in pcts)
+    return f"""merged AS (
+{union}
+),
+cum AS (
+  SELECT c, w,
+         COALESCE(SUM(w) OVER (ORDER BY c, slice, h, k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM merged
+),
+tot AS (SELECT SUM(w) AS W FROM merged)
+SELECT q.p, CAST(f.c AS BIGINT) AS {est_alias}
+FROM (VALUES {pct_values}) q(p)
+CROSS JOIN tot
+JOIN cum f ON f.cum_before <= (q.p * (tot.W - 1)) // 100
+          AND (q.p * (tot.W - 1)) // 100 < f.cum_before + f.w
 """

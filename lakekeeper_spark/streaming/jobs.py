@@ -1618,3 +1618,121 @@ def st17_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
         " AS BIGINT)",
         "est_micro",
     )
+
+
+# --------------------------------------------------------------------------
+# st18: streaming MERGEABLE compactor quantiles (h08's state, folded
+# per micro-batch)
+# --------------------------------------------------------------------------
+# st17 streams a histogram whose bins need a static (min,max) pre-pass;
+# st18 is the pre-pass-free shape: every micro-batch builds its OWN
+# h08-style compactor sketch (functions/quantiles.py — geometry from the
+# batch's row count alone), appends the ~cap-item retained buffer with
+# its weight to the accumulating state, and the drain merges the buffers
+# with weighted-rank selection. That union-then-select step is the
+# mergeable-sketch contract a 1000-executor rollup consumes — per-batch
+# state is O(cap), never O(rows). Determinism: batches are the three
+# staged event_id%3 slices (maxFilesPerTrigger=1, mtime-ordered — the
+# st03 discipline), each sketch is a pure set-function of its slice, and
+# the merge orders on (c, slice, h, k); the oracle replays the three
+# chains + the weighted merge in SQL, so the row is exact value-hash.
+ST18_PCTS = ST17_PCTS
+ST18_SLICES = 3
+
+
+def _stage_id_slices(sf_dir: str) -> str:
+    """Stage events as ST18_SLICES files keyed by event_id % N (mtime-
+    ordered so availableNow+maxFilesPerTrigger=1 drains slice s in batch
+    s — the slice is content-defined, so the oracle reproduces it)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="lkspark_st18_src_")
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    ids = tbl.column("event_id").to_numpy()
+    now = time.time()
+    for s in range(ST18_SLICES):
+        p = str(Path(d) / f"{s}.parquet")
+        pq.write_table(tbl.filter(pa.array(ids % ST18_SLICES == s)), p)
+        os.utime(p, (now - 60 + 10 * s, now - 60 + 10 * s))
+    return d
+
+
+def _st18_oracle() -> str:
+    from ..functions.quantiles import (
+        sql_compactor_chain,
+        sql_compactor_merge_quantiles,
+    )
+
+    srcs = ",\n".join(
+        f"""s{s}v AS (
+  SELECT CAST(ROUND(value * 1000000) AS BIGINT) AS c,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+         CAST(event_id AS VARCHAR) AS k
+  FROM events WHERE event_id % {ST18_SLICES} = {s}
+)"""
+        for s in range(ST18_SLICES)
+    )
+    chains = ",\n".join(sql_compactor_chain(f"s{s}") for s in range(ST18_SLICES))
+    tail = sql_compactor_merge_quantiles(
+        [f"s{s}" for s in range(ST18_SLICES)], ST18_PCTS, "est_micro"
+    )
+    return f"WITH {srcs},\n{chains},\n{tail}"
+
+
+@register(
+    "st18_stream_compactor_quantiles",
+    oracle=_st18_oracle(),
+    description="Streaming one-pass mergeable quantile sketch: each "
+    "micro-batch folds into its own h08 compactor buffer (geometry from "
+    "the batch row count - no min/max pre-pass, unlike st17), the drain "
+    "merges buffers by weighted-rank selection. Per-batch state is "
+    "O(cap); the merge is the mergeable-sketch contract a distributed "
+    "rollup consumes. Exact value-hash: content-defined slices + "
+    "all-int64 arithmetic, oracle replays the chains + merge.",
+    tags=("streaming", "events", "sketch", "quantile"),
+)
+def st18_stream_compactor_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantiles import (
+        compactor_merge_quantiles,
+        compactor_retained,
+    )
+
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_stage_id_slices(sf_dir))
+    )
+    acc = tempfile.mkdtemp(prefix="lkspark_st18_state_")
+    ckpt = tempfile.mkdtemp(prefix="lkspark_ckpt_")
+
+    def fold_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        v = batch.select(
+            F.round(F.col("value") * 1_000_000).cast("long").alias("c"),
+            F.expr(
+                "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 12),"
+                " 16, 10) AS BIGINT)"
+            ).alias("h"),
+            F.col("event_id").cast("string").alias("k"),
+            (F.col("event_id") % ST18_SLICES).cast("int").alias("slice"),
+        )
+        retained, _level_count, g_total = compactor_retained(v, "c", "h", ["k"])
+        retained.withColumn("w", F.lit(g_total).cast("long")).write.mode(
+            "append"
+        ).parquet(acc)
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = spark.read.parquet(acc).select("c", "h", "k", "slice", "w")
+    return compactor_merge_quantiles(merged, ST18_PCTS, "est_micro")
