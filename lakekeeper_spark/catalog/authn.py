@@ -1,0 +1,254 @@
+"""AuthN: multi-provider OIDC/JWT token validation.
+
+Mirrors the reference's authentication layer (``service/authn.rs``,
+which configures the ``limes`` authenticator chain) at the semantics
+level, with stdlib/cryptography primitives instead of a JWKS fetch —
+the one cloud-bound piece (live ``.well-known`` / JWKS discovery) is a
+documented swap-in; everything the reference's own code decides is here:
+
+  - ``OidcProviderConfig``: issuer URI + additional issuers, expected
+    audiences, an optionally-required scope, subject-claim preference
+    order (default ``["oid", "sub"]`` — Entra-ID's stable per-tenant id
+    first, authn.rs:92), a dot-notation roles claim path, and the
+    provider's IdP id (authn.rs:110-149).
+  - Token validation per provider: signature (HS256 via stdlib hmac;
+    RS256 via the cryptography package when a public key is configured),
+    ``exp``/``nbf`` with leeway, issuer membership, audience
+    intersection, required-scope presence in the space-separated
+    ``scope`` claim.
+  - Principal construction: ``<idp_id>~<subject>`` (IDP_SEPARATOR '~',
+    authn.rs:35) with the reference's subject validation — non-empty,
+    < 128 chars, no control characters (UserId::validate_subject,
+    authn.rs:749-785).
+  - ``AuthenticatorChain``: providers tried in order; a provider is
+    eligible when the (unverified) ``iss`` claim matches one of its
+    issuers, then MUST validate — matching the chain short-circuit of
+    ``assemble_authenticator_chain`` (authn.rs:220+).
+  - Roles extraction via dot-notation claim path
+    (``resource_access.account.roles`` style, authn.rs:141-144).
+
+The REST facade consumes this through ``RestCatalogServer(
+authenticator=...)``: valid tokens act as their ``<idp>~<sub>``
+principal (which the authorizer then scopes), invalid ones map to 401
+before any route logic runs. Without an authenticator the facade keeps
+its default identity stub (token == principal).
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+IDP_SEPARATOR = "~"
+DEFAULT_SUBJECT_CLAIMS = ("oid", "sub")
+DEFAULT_LEEWAY_S = 60
+
+
+class AuthenticationError(Exception):
+    """Token rejected (maps to HTTP 401 UnauthorizedException)."""
+
+
+def _b64url_decode(part: str) -> bytes:
+    return base64.urlsafe_b64decode(part + "=" * (-len(part) % 4))
+
+
+def _b64url_encode(raw: bytes) -> str:
+    return base64.urlsafe_b64encode(raw).rstrip(b"=").decode()
+
+
+def encode_hs256(claims: dict[str, Any], secret: str) -> str:
+    """Mint an HS256 JWT (test/dev utility — the validation path is the
+    product surface)."""
+    header = _b64url_encode(json.dumps({"alg": "HS256", "typ": "JWT"}).encode())
+    body = _b64url_encode(json.dumps(claims).encode())
+    signing_input = f"{header}.{body}".encode()
+    sig = hmac.new(secret.encode(), signing_input, hashlib.sha256).digest()
+    return f"{header}.{body}.{_b64url_encode(sig)}"
+
+
+def peek_claims(token: str) -> dict[str, Any]:
+    """Decode the payload WITHOUT verification (used only to route a
+    token to its provider by issuer; every consumed claim comes from the
+    verified decode)."""
+    try:
+        _, body, _ = token.split(".")
+        return json.loads(_b64url_decode(body))
+    except Exception as e:  # noqa: BLE001
+        raise AuthenticationError(f"malformed JWT: {e!r}") from e
+
+
+def claim_path(claims: dict[str, Any], path: str) -> Any:
+    """Dot-notation claim lookup (roles_claim semantics,
+    authn.rs:141-144): `resource_access.account.roles`."""
+    cur: Any = claims
+    for part in path.split("."):
+        if not isinstance(cur, dict) or part not in cur:
+            return None
+        cur = cur[part]
+    return cur
+
+
+def validate_subject(subject: str) -> None:
+    """UserId::validate_subject (authn.rs:749-785): non-empty, < 128
+    chars, no control characters."""
+    if not subject:
+        raise AuthenticationError("user id cannot be empty")
+    if len(subject) >= 128:
+        raise AuthenticationError("user id must be shorter than 128 chars")
+    # Rust char::is_control = C0 (0..31), DEL (127), C1 (0x80..0x9F)
+    if any(
+        ord(ch) < 32 or ord(ch) == 127 or 0x80 <= ord(ch) <= 0x9F
+        for ch in subject
+    ):
+        raise AuthenticationError("User ID cannot contain control characters.")
+
+
+@dataclass
+class Principal:
+    """A validated identity: the `<idp>~<subject>` user id the catalog
+    acts as, plus roles and the verified claim set."""
+
+    user_id: str
+    idp_id: str
+    subject: str
+    roles: tuple[str, ...] = ()
+    claims: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class OidcProviderConfig:
+    """One provider of a multi-provider chain (OidcProviderConfig,
+    authn.rs:110-149). ``hs256_secret`` / ``rs256_public_key_pem`` stand
+    in for the JWKS fetch — a live deployment loads keys from
+    ``{uri}/.well-known`` instead; nothing else changes."""
+
+    idp_id: str
+    issuer: str
+    audience: list[str] | None = None
+    additional_issuers: list[str] | None = None
+    scope: str | None = None
+    subject_claims: list[str] | None = None
+    roles_claim: str | None = None
+    hs256_secret: str | None = None
+    rs256_public_key_pem: bytes | None = None
+    leeway_s: int = DEFAULT_LEEWAY_S
+
+    def issuers(self) -> list[str]:
+        return [self.issuer, *(self.additional_issuers or [])]
+
+    # ---- validation --------------------------------------------------
+    def _verify_signature(self, token: str) -> dict[str, Any]:
+        header_part, body_part, sig_part = token.split(".")
+        header = json.loads(_b64url_decode(header_part))
+        alg = header.get("alg")
+        signing_input = f"{header_part}.{body_part}".encode()
+        sig = _b64url_decode(sig_part)
+        if alg == "HS256":
+            if not self.hs256_secret:
+                raise AuthenticationError(
+                    f"provider {self.idp_id} has no HS256 secret configured"
+                )
+            want = hmac.new(
+                self.hs256_secret.encode(), signing_input, hashlib.sha256
+            ).digest()
+            if not hmac.compare_digest(sig, want):
+                raise AuthenticationError("invalid token signature")
+        elif alg == "RS256":
+            if not self.rs256_public_key_pem:
+                raise AuthenticationError(
+                    f"provider {self.idp_id} has no RS256 key configured"
+                )
+            try:
+                from cryptography.hazmat.primitives import hashes, serialization
+                from cryptography.hazmat.primitives.asymmetric import padding
+            except ImportError as e:  # pragma: no cover - baked into env
+                raise AuthenticationError(
+                    "RS256 needs the cryptography package"
+                ) from e
+            key = serialization.load_pem_public_key(self.rs256_public_key_pem)
+            try:
+                key.verify(sig, signing_input, padding.PKCS1v15(), hashes.SHA256())
+            except Exception as e:  # noqa: BLE001
+                raise AuthenticationError("invalid token signature") from e
+        else:
+            raise AuthenticationError(f"unsupported JWT alg: {alg!r}")
+        return json.loads(_b64url_decode(body_part))
+
+    def validate(self, token: str, now_s: float | None = None) -> Principal:
+        """Full validation: signature, time window, issuer, audience,
+        required scope; then principal + roles extraction."""
+        claims = self._verify_signature(token)
+        now = time.time() if now_s is None else now_s
+        if "exp" in claims and now > claims["exp"] + self.leeway_s:
+            raise AuthenticationError("token expired")
+        if "nbf" in claims and now < claims["nbf"] - self.leeway_s:
+            raise AuthenticationError("token not yet valid")
+        if claims.get("iss") not in self.issuers():
+            raise AuthenticationError(
+                f"issuer {claims.get('iss')!r} not trusted by {self.idp_id}"
+            )
+        if self.audience is not None:
+            auds = claims.get("aud")
+            auds = [auds] if isinstance(auds, str) else (auds or [])
+            if not set(auds) & set(self.audience):
+                raise AuthenticationError("audience mismatch")
+        if self.scope is not None:
+            scopes = str(claims.get("scope", "")).split()
+            if self.scope not in scopes:
+                raise AuthenticationError(
+                    f"required scope {self.scope!r} missing"
+                )
+        subject = None
+        for claim in self.subject_claims or DEFAULT_SUBJECT_CLAIMS:
+            if claims.get(claim):
+                subject = str(claims[claim])
+                break
+        if subject is None:
+            raise AuthenticationError("no usable subject claim in token")
+        validate_subject(subject)
+        roles: tuple[str, ...] = ()
+        if self.roles_claim:
+            raw = claim_path(claims, self.roles_claim)
+            if isinstance(raw, list):
+                roles = tuple(str(r) for r in raw)
+        return Principal(
+            user_id=f"{self.idp_id}{IDP_SEPARATOR}{subject}",
+            idp_id=self.idp_id,
+            subject=subject,
+            roles=roles,
+            claims=claims,
+        )
+
+
+class AuthenticatorChain:
+    """Multi-provider chain (BuiltInAuthenticators::Chain): a token is
+    routed to providers whose issuer set contains its (unverified)
+    ``iss``, then MUST validate with one of them. Tokens matching no
+    provider's issuers are rejected — the chain is the complete trust
+    anchor set."""
+
+    def __init__(self, providers: list[OidcProviderConfig]) -> None:
+        if not providers:
+            raise ValueError("authenticator chain needs at least one provider")
+        self.providers = providers
+
+    def authenticate(self, token: str, now_s: float | None = None) -> Principal:
+        iss = peek_claims(token).get("iss")
+        errors: list[str] = []
+        matched = False
+        for p in self.providers:
+            if iss not in p.issuers():
+                continue
+            matched = True
+            try:
+                return p.validate(token, now_s=now_s)
+            except AuthenticationError as e:
+                errors.append(f"{p.idp_id}: {e}")
+        if not matched:
+            raise AuthenticationError(f"no provider trusts issuer {iss!r}")
+        raise AuthenticationError("; ".join(errors))

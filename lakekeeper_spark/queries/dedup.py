@@ -1419,3 +1419,131 @@ def d15_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
     )
+
+
+# --------------------------------------------------------------------------
+# d16: exact-substring dedup spans (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better" — the ExactSubstr step)
+# --------------------------------------------------------------------------
+# The fourth canonical dedup mode next to exact-hash / MinHash / SimHash:
+# find character spans of length >= L repeated ACROSS documents and
+# report, per document, how much of it is duplicated text. The suffix-
+# array formulation is sequential; the distributed shape is Rabin-Karp:
+# hash every length-L char gram (stride 1 — the honest ExactSubstr cost,
+# one narrow (hash, doc, pos) triple per character), one shuffle keyed by
+# gram hash to find grams carried by >= 2 documents, then a per-doc
+# interval merge of the flagged [pos, pos+L) windows (running-max window
+# partitioned BY DOC — never global). Grams are compared by 48-bit md5
+# (hash-defined semantics, the d11 discipline), so both engines flag the
+# identical span set and the oracle is exact.
+D16_L = 40  # minimum duplicated-span length, in characters
+
+
+@register(
+    "d16_exact_substring_spans",
+    oracle=f"""
+WITH grams AS (
+  SELECT doc_id, i AS pos,
+         ('0x' || substr(md5(substr(text, i + 1, {D16_L})), 1, 12))::BIGINT AS h
+  FROM documents,
+       unnest(range(0, greatest(length(text) - {D16_L} + 1, 0))) AS t(i)
+),
+dup AS (
+  SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+flagged AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (h)
+),
+grp AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM (
+    SELECT doc_id, pos,
+           MAX(pos + {D16_L}) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+    FROM flagged
+  )
+),
+spans AS (
+  SELECT doc_id, gid, MIN(pos) AS s, MAX(pos + {D16_L}) AS e
+  FROM grp GROUP BY doc_id, gid
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(e - s) AS BIGINT) AS flagged_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.flagged_chars, 0) AS flagged_chars
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+""",
+    description="Exact-substring dedup (Lee et al. 2021 ExactSubstr, "
+    f"distributed as Rabin-Karp): every length-{D16_L} char gram hashed "
+    "(48-bit md5, stride 1), grams carried by >=2 docs flag their "
+    "[pos, pos+L) windows, per-doc interval merge (doc-partitioned "
+    "running-max window) reports duplicated-span count and chars. One "
+    "gram shuffle + one doc-keyed window; exact value-hash oracle.",
+    tags=("dedup", "llm", "exact-substring"),
+)
+def d16_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    L = D16_L
+    docs = load_table(spark, sf_dir, "documents")
+    # sequence(a, b) DESCENDS when b < a (the m08 phantom-chunk class of
+    # bug): docs shorter than L must produce an EMPTY gram array, not
+    # negative-position phantoms
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN length(text) >= {L} THEN "
+                f"transform(sequence(0, length(text) - {L}),"
+                f" i -> conv(substr(md5(substr(text, i + 1, {L})), 1, 12), 16, 10))"
+                " ELSE array() END"
+            )
+        ).alias("pos", "hs"),
+    ).select("doc_id", "pos", F.col("hs").cast("long").alias("h"))
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    flagged = grams.join(dup, "h").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = flagged.withColumn(
+        "prev_end", F.max(F.col("pos") + L).over(w_prev)
+    ).withColumn(
+        "gid",
+        F.sum(
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") > F.col("prev_end")),
+                1,
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    spans = grp.groupBy("doc_id", "gid").agg(
+        F.min("pos").alias("s"), F.max(F.col("pos") + L).alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s")).cast("long").alias("flagged_chars"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("flagged_chars", F.lit(0)).cast("long").alias("flagged_chars"),
+    )

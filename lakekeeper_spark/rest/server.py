@@ -128,11 +128,24 @@ class _Handler(BaseHTTPRequestHandler):
             if not match:
                 continue
             try:
-                # Request identity: Bearer token -> principal (the
-                # reference resolves OIDC subjects, service/authn.rs; this
-                # stub maps the token verbatim). No header = anonymous.
+                # Request identity: Bearer token -> principal. With an
+                # authenticator configured, tokens are VALIDATED
+                # multi-provider OIDC JWTs and the principal is the
+                # `<idp>~<subject>` user id (catalog/authn.py mirroring
+                # service/authn.rs); without one, the token maps to the
+                # principal verbatim (the identity stub). No header =
+                # anonymous.
                 auth = self.headers.get("Authorization") or ""
                 actor = auth[7:] if auth.startswith("Bearer ") else None
+                chain = getattr(self.server, "authenticator", None)
+                if chain is not None and actor is not None:
+                    from ..catalog.authn import AuthenticationError
+
+                    try:
+                        actor = chain.authenticate(actor).user_id
+                    except AuthenticationError as e:
+                        self._reply_err(401, "UnauthorizedException", e)
+                        return
                 with self.catalog.acting_as(actor):
                     getattr(self, fname)(**match.groupdict())
             except NotModified:
@@ -735,10 +748,15 @@ class RestCatalogServer:
     writes, mirroring the reference's stateless-server/all-state-in-
     Postgres design (README.md:58)."""
 
-    def __init__(self, catalog: Catalog, port: int = 0):
+    def __init__(self, catalog: Catalog, port: int = 0, authenticator=None):
+        """``authenticator``: an optional catalog/authn.AuthenticatorChain;
+        when set, Bearer tokens must be valid JWTs from one of its
+        providers and requests act as the validated `<idp>~<subject>`
+        principal (401 otherwise)."""
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
         self.httpd.catalog = catalog  # type: ignore[attr-defined]
         self.httpd.plans = {}  # type: ignore[attr-defined]  # async PlanTableScan state
+        self.httpd.authenticator = authenticator  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
 
     @property

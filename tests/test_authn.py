@@ -1,0 +1,225 @@
+"""AuthN: multi-provider OIDC/JWT validation (catalog/authn.py), the
+semantics of the reference's service/authn.rs + limes chain:
+
+  - per-provider validation: signature (HS256/RS256), exp/nbf leeway,
+    issuer membership (uri + additional_issuers), audience intersection,
+    required scope, subject-claim preference order (oid before sub),
+    dot-notation roles claim
+  - `<idp>~<subject>` principal format with the reference's subject
+    validation (non-empty, <128 chars, no control chars)
+  - chain routing by issuer; tokens no provider trusts are rejected
+  - REST integration: validated principals feed the authorizer; bad
+    tokens 401 before any route logic
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from lakekeeper_spark.catalog.authn import (
+    AuthenticationError,
+    AuthenticatorChain,
+    OidcProviderConfig,
+    claim_path,
+    encode_hs256,
+    validate_subject,
+)
+
+OKTA = OidcProviderConfig(
+    idp_id="oidc",
+    issuer="https://company.okta.com",
+    audience=["lakekeeper"],
+    scope="catalog",
+    roles_claim="resource_access.account.roles",
+    hs256_secret="okta-secret",
+)
+K8S = OidcProviderConfig(
+    idp_id="kubernetes",
+    issuer="https://kubernetes.default.svc.cluster.local",
+    additional_issuers=["kubernetes/serviceaccount"],
+    subject_claims=["sub"],
+    hs256_secret="k8s-secret",
+)
+CHAIN = AuthenticatorChain([OKTA, K8S])
+
+
+def _claims(**over):
+    base = {
+        "iss": "https://company.okta.com",
+        "aud": "lakekeeper",
+        "scope": "openid catalog",
+        "sub": "alice-sub",
+        "oid": "alice-oid",
+        "exp": time.time() + 3600,
+        "resource_access": {"account": {"roles": ["admin", "reader"]}},
+    }
+    base.update(over)
+    return base
+
+
+def test_valid_token_full_principal():
+    p = CHAIN.authenticate(encode_hs256(_claims(), "okta-secret"))
+    # oid preferred over sub (DEFAULT_SUBJECT_CLAIMS, authn.rs:92)
+    assert p.user_id == "oidc~alice-oid"
+    assert p.idp_id == "oidc" and p.subject == "alice-oid"
+    assert p.roles == ("admin", "reader")
+
+
+def test_subject_claim_fallback_and_override():
+    p = CHAIN.authenticate(encode_hs256(_claims(oid=None), "okta-secret"))
+    assert p.user_id == "oidc~alice-sub"  # falls through to sub
+    tok = encode_hs256(
+        {"iss": "kubernetes/serviceaccount", "sub": "system:sa:default",
+         "oid": "ignored", "exp": time.time() + 60},
+        "k8s-secret",
+    )
+    p2 = CHAIN.authenticate(tok)
+    # k8s provider pins subject_claims=[sub]: oid ignored by override
+    assert p2.user_id == "kubernetes~system:sa:default"
+
+
+@pytest.mark.parametrize(
+    "mutate,err",
+    [
+        (dict(exp=time.time() - 3700), "expired"),
+        (dict(nbf=time.time() + 3700), "not yet valid"),
+        (dict(aud="other-api"), "audience"),
+        (dict(scope="openid profile"), "scope"),
+        (dict(sub=None, oid=None), "subject"),
+        (dict(oid="x" * 200, sub=None), "128"),
+        (dict(oid="bad\x00ctl", sub=None), "control"),
+    ],
+)
+def test_rejections(mutate, err):
+    tok = encode_hs256(_claims(**mutate), "okta-secret")
+    with pytest.raises(AuthenticationError, match=err):
+        CHAIN.authenticate(tok)
+
+
+def test_bad_signature_and_unknown_issuer():
+    with pytest.raises(AuthenticationError, match="signature"):
+        CHAIN.authenticate(encode_hs256(_claims(), "wrong-secret"))
+    tok = encode_hs256(_claims(iss="https://evil.example.com"), "okta-secret")
+    with pytest.raises(AuthenticationError, match="no provider trusts"):
+        CHAIN.authenticate(tok)
+    with pytest.raises(AuthenticationError, match="malformed"):
+        CHAIN.authenticate("not-a-jwt")
+
+
+def test_leeway_tolerates_clock_skew():
+    tok = encode_hs256(_claims(exp=time.time() - 30), "okta-secret")
+    assert CHAIN.authenticate(tok).subject == "alice-oid"  # 60s leeway
+
+
+def test_rs256_roundtrip():
+    """RS256 via the cryptography package: sign with a fresh private key,
+    validate against its public PEM."""
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding, rsa
+
+    import base64 as b64
+    import json as _json
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    pub = key.public_key().public_bytes(
+        serialization.Encoding.PEM,
+        serialization.PublicFormat.SubjectPublicKeyInfo,
+    )
+
+    def b64u(raw: bytes) -> str:
+        return b64.urlsafe_b64encode(raw).rstrip(b"=").decode()
+
+    header = b64u(_json.dumps({"alg": "RS256", "typ": "JWT"}).encode())
+    body = b64u(_json.dumps(
+        {"iss": "https://rs.example", "sub": "bob", "exp": time.time() + 60}
+    ).encode())
+    sig = key.sign(
+        f"{header}.{body}".encode(), padding.PKCS1v15(), hashes.SHA256()
+    )
+    tok = f"{header}.{body}.{b64u(sig)}"
+    prov = OidcProviderConfig(
+        idp_id="rs", issuer="https://rs.example", rs256_public_key_pem=pub
+    )
+    assert prov.validate(tok).user_id == "rs~bob"
+    bad = tok[:-8] + "AAAAAAAA"
+    with pytest.raises(AuthenticationError, match="signature"):
+        prov.validate(bad)
+
+
+def test_claim_path():
+    claims = {"a": {"b": {"c": [1]}}}
+    assert claim_path(claims, "a.b.c") == [1]
+    assert claim_path(claims, "a.x") is None
+
+
+def test_validate_subject_rules():
+    validate_subject("ok-subject")
+    for bad, err in [("", "empty"), ("y" * 128, "128"), ("a\x7fb", "control")]:
+        with pytest.raises(AuthenticationError, match=err):
+            validate_subject(bad)
+
+
+def test_rest_facade_validates_tokens(tmp_path):
+    """End-to-end over HTTP: a valid OIDC token acts as its validated
+    `oidc~<oid>` principal (scoped by the authorizer), an invalid token
+    gets 401 before any route logic, no token stays anonymous — with the
+    RBAC grants keyed by the AUTHENTICATED user ids."""
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from lakekeeper_spark.catalog.authz import StaticRbacAuthorizer
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+    from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
+
+    authz = StaticRbacAuthorizer(
+        {
+            None: {"*"},
+            "oidc~alice-oid": {"get_metadata", "read_data", "include_in_list"},
+        }
+    )
+    catalog = Catalog(Metastore(str(tmp_path / "m.db")), authorizer=authz)
+    server = RestCatalogServer(catalog, authenticator=CHAIN).start()
+    try:
+        client = RestCatalogClient(server.url)
+        client.create_warehouse("wh", str(tmp_path / "wh"))
+        client.create_namespace("wh", ["ns"])
+        schema = {"type": "struct", "schema-id": 0,
+                  "fields": [{"id": 1, "name": "x", "required": False,
+                              "type": "long"}]}
+        client.create_table("wh", ["ns"], "t", schema)
+
+        def req(method, path, token=None):
+            r = urllib.request.Request(server.url + path, method=method)
+            if token:
+                r.add_header("Authorization", f"Bearer {token}")
+            return urllib.request.urlopen(r)
+
+        tok = encode_hs256(_claims(), "okta-secret")
+        body = _json.loads(
+            req("GET", "/catalog/v1/wh/namespaces/ns/tables/t", tok).read()
+        )
+        assert body["metadata"]["table-uuid"]
+        # the validated principal is what authz scopes: alice can't drop
+        try:
+            req("DELETE", "/catalog/v1/wh/namespaces/ns/tables/t", tok)
+            raise AssertionError("expected 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+        # invalid token -> 401 with the typed error model
+        try:
+            req("GET", "/catalog/v1/wh/namespaces/ns/tables/t",
+                encode_hs256(_claims(), "wrong-secret"))
+            raise AssertionError("expected 401")
+        except urllib.error.HTTPError as e:
+            assert e.code == 401
+            assert _json.loads(e.read())["error"]["type"] == "UnauthorizedException"
+        # anonymous requests bypass the chain (root per the grants)
+        assert _json.loads(
+            req("GET", "/catalog/v1/wh/namespaces/ns/tables/t").read()
+        )["metadata"]["table-uuid"]
+    finally:
+        server.stop()

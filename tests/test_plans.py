@@ -876,3 +876,18 @@ def test_g04_triangles_on_pinned_orientation(spark):
     # pinned orientation: the raw event scan does NOT appear 3x in the
     # final plan (the edge list + orientation are checkpointed)
     assert plan.count("Scan parquet") == 0
+
+
+def test_d16_windows_doc_partitioned_no_cartesian(spark):
+    """d16's interval merge must window BY DOC (never a global ordered
+    window over the flagged gram stream) and the dup-gram reduction is a
+    two-phase aggregate; no cartesian anywhere."""
+    from lakekeeper_spark.queries.dedup import d16_exact_substring_spans
+
+    df = d16_exact_substring_spans(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert not _unpartitioned_window_lines(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("HashAggregate") >= 2

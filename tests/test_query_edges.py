@@ -116,3 +116,42 @@ def test_g02_no_reachable_seeds_decays_to_zero(spark, tmp_path):
         f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
     )
     assert sorted(con.execute(q.oracle).fetchall()) == got
+
+
+def test_d16_short_and_empty_docs_no_phantom_grams(spark, tmp_path):
+    """Docs shorter than D16_L (incl. empty) must contribute ZERO grams:
+    unguarded sequence(0, len-L) DESCENDS, emitting negative-position
+    phantom grams of md5 over short substrings that would cross-match
+    every short doc. Two long docs sharing a 40+-char run must flag one
+    merged span each; parity with the oracle on the same corpus."""
+    from lakekeeper_spark.queries.dedup import D16_L
+    from lakekeeper_spark.registry import load_registry
+
+    shared = "x" * (D16_L + 10)  # 50-char shared run -> 11 shared grams
+    sf_dir = _docs_dir(
+        tmp_path,
+        [
+            (1, ""),
+            (2, "tiny"),
+            (3, "also well under forty characters"),
+            (4, "PREFIX-A " + shared + " SUFFIX-A"),
+            (5, "PREFIX-BB " + shared + " SUFFIX-BB"),
+        ],
+    )
+    q = load_registry()["d16_exact_substring_spans"]
+    got = {
+        r.doc_id: (r.n_spans, r.flagged_chars)
+        for r in q.spark_fn(spark, sf_dir).collect()
+    }
+    assert got[1] == (0, 0) and got[2] == (0, 0) and got[3] == (0, 0)
+    assert got[4][0] == 1 and got[5][0] == 1  # one merged span each
+    assert got[4][1] >= D16_L and got[5][1] >= D16_L
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    oracle = {
+        d: (n, c) for d, n, c in con.execute(q.oracle).fetchall()
+    }
+    assert oracle == got
