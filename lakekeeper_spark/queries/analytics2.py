@@ -1136,3 +1136,84 @@ def w12_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.struct("ts_ns", "event_id", "value"))["value"].alias("close"),
         dsum("value", 1000000).alias("volume"),
     )
+
+
+# --------------------------------------------------------------------------
+# r04: big x big point-in-interval join via BUCKET DECOMPOSITION
+# --------------------------------------------------------------------------
+# r01's band join broadcasts a 5-row interval table — the right plan for
+# small dims, and exactly the plan that DIES when the interval side is
+# itself data-sized (broadcast impossible, and an unkeyed theta-join
+# degenerates to nested loops over every pair). The 100 TB form is bucket
+# decomposition: each interval [s, e) expands to the fixed-width time
+# buckets it covers (here B=7 days -> <= 2 buckets per 7-day interval),
+# each point maps to its single bucket, and the join becomes a plain
+# shuffle EQUI-join on the bucket id plus a residual s <= t < e filter —
+# candidate pairs are bounded by bucket co-residency, never by
+# |points| x |intervals|. Intervals here are data-derived (the distinct
+# (order date, priority) pairs -> [day, day+7) promo-style windows),
+# points are lineitem ship dates; output counts matched shipments per
+# priority. All integer day arithmetic -> exact oracle (DuckDB runs the
+# same semantics as a plain range join).
+R04_SPAN_DAYS = 7
+
+
+@register(
+    "r04_interval_join_bucketed",
+    oracle=f"""
+WITH iv AS (
+  SELECT DISTINCT (CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS s,
+         o_orderpriority AS priority
+  FROM orders
+),
+pt AS (
+  SELECT (CAST(l_shipdate AS DATE) - DATE '1970-01-01') AS t FROM lineitem
+)
+SELECT iv.priority,
+       CAST(COUNT(*) AS BIGINT) AS n_hits,
+       CAST(COUNT(DISTINCT iv.s) AS BIGINT) AS n_windows
+FROM pt JOIN iv ON pt.t >= iv.s AND pt.t < iv.s + {R04_SPAN_DAYS}
+GROUP BY iv.priority
+""",
+    description="Point-in-interval join at big x big scale via bucket "
+    f"decomposition: data-derived [day, day+{R04_SPAN_DAYS}) windows "
+    "expand to their <=2 covering week buckets, ship-date points map to "
+    "one bucket, and the theta-join becomes a shuffle equi-join on the "
+    "bucket id + residual range filter - candidates bounded by bucket "
+    "co-residency, never |points| x |intervals|. Exact integer day "
+    "arithmetic; the oracle runs the plain range join.",
+    tags=("analytics", "range-join", "interval", "scale"),
+)
+def r04_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    B = R04_SPAN_DAYS
+    iv = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+            .alias("s"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .distinct()
+    )
+    # expand each interval to its covering buckets: [s, s+B) spans
+    # floor(s/B) .. floor((s+B-1)/B) — at most 2 for B-wide windows
+    ivb = iv.select(
+        "s",
+        "priority",
+        F.explode(
+            F.sequence(F.expr(f"s div {B}"), F.expr(f"(s + {B} - 1) div {B}"))
+        ).alias("bkt"),
+    )
+    pt = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01"))
+        .alias("t")
+    ).withColumn("bkt", F.expr(f"t div {B}"))
+    return (
+        pt.join(ivb, "bkt")
+        .where((F.col("t") >= F.col("s")) & (F.col("t") < F.col("s") + B))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.countDistinct("s").cast("long").alias("n_windows"),
+        )
+    )

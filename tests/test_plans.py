@@ -891,3 +891,16 @@ def test_d16_windows_doc_partitioned_no_cartesian(spark):
         df._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("HashAggregate") >= 2
+
+
+def test_r04_bucketed_interval_join_is_equi_join(spark):
+    """The whole point of r04: a big x big point-in-interval join must
+    plan as a shuffle EQUI-join on the bucket id (SortMergeJoin or
+    shuffled/broadcast hash on `bkt`), never a nested-loop theta join —
+    the shape that survives when neither side broadcasts."""
+    from lakekeeper_spark.queries.analytics2 import r04_interval_join_bucketed
+
+    plan = _plan(r04_interval_join_bucketed(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
