@@ -587,8 +587,31 @@ def e10_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # h01: KMV (k-minimum-values) distinct-count sketch — exact cross-engine
 # --------------------------------------------------------------------------
 KMV_K = 256
-KMV_MUL = 2_654_435_761  # Knuth multiplicative constant
-KMV_P = 9_007_199_254_740_881  # largest prime < 2^53
+# The KMV hash family is md5-derived (48-bit prefix / 2^48 — exactly
+# representable doubles, engine-shared). The original multiplicative
+# family (Knuth constant mod a 2^53 prime) was REPLACED in round 10: a
+# hypothesis contract on h09 found that contiguous key ranges map to an
+# arithmetic progression with step MUL/P ~ 2.9e-7, so a block of
+# consecutive ids spans only ~n*3e-7 of hash space — a saturated sketch
+# over such keys mis-estimates by orders of magnitude. The fixtures'
+# contiguous-but-unsaturated user ids masked it at small SFs; at cluster
+# scale it would have been live. md5 is uniform regardless of key
+# structure, at the cost the d11/s02 rows already pay.
+KMV_TWO48 = float(1 << 48)
+
+
+def kmv_hv_sql(col: str = "user_id") -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 12))::BIGINT"
+        f" AS DOUBLE) / {int(KMV_TWO48)}"
+    )
+
+
+def kmv_hv_col(col: str = "user_id") -> F.Column:
+    return F.expr(
+        f"CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 12), 16, 10)"
+        " AS DOUBLE)"
+    ) / F.lit(KMV_TWO48)
 
 
 @register(
@@ -596,7 +619,7 @@ KMV_P = 9_007_199_254_740_881  # largest prime < 2^53
     oracle=f"""
 WITH h AS (
   SELECT DISTINCT user_id,
-         CAST((user_id * {KMV_MUL}) % {KMV_P} AS DOUBLE) / {KMV_P} AS hv
+         {kmv_hv_sql()} AS hv
   FROM events
 ),
 k AS (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K}),
@@ -611,7 +634,8 @@ SELECT x.exact_distinct,
 FROM x, kk
 """,
     description="Distinct-count SKETCH with exact cross-engine parity: "
-    "k-minimum-values over a deterministic multiplicative hash — the "
+    "k-minimum-values over the md5-derived hash family (uniform for ANY "
+    "key structure - see the round-10 family note) — the "
     "estimate ((k-1)/h_k) is a pure function of the data, so unlike "
     "HLL implementations it hash-matches bit-for-bit across engines "
     "while keeping sketch scaling properties: the k smallest hashes are "
@@ -623,12 +647,7 @@ FROM x, kk
 )
 def h01_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    h = ev.select(
-        ((F.col("user_id") * F.lit(KMV_MUL).cast("long")) % F.lit(KMV_P))
-        .cast("double")
-        .alias("num"),
-        "user_id",
-    ).select((F.col("num") / F.lit(float(KMV_P))).alias("hv")).distinct()
+    h = ev.select(kmv_hv_col().alias("hv")).distinct()
     k = h.orderBy("hv").limit(KMV_K)
     kk = k.agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("n"))
     exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
@@ -1273,12 +1292,8 @@ def e12_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
 b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
-ha AS (SELECT user_id,
-              CAST((user_id * {KMV_MUL}) % {KMV_P} AS DOUBLE) / {KMV_P} AS hv
-       FROM a),
-hb AS (SELECT user_id,
-              CAST((user_id * {KMV_MUL}) % {KMV_P} AS DOUBLE) / {KMV_P} AS hv
-       FROM b),
+ha AS (SELECT user_id, {kmv_hv_sql()} AS hv FROM a),
+hb AS (SELECT user_id, {kmv_hv_sql()} AS hv FROM b),
 ka AS (SELECT user_id, hv FROM ha ORDER BY hv LIMIT {KMV_K}),
 kb AS (SELECT user_id, hv FROM hb ORDER BY hv LIMIT {KMV_K}),
 ku AS (SELECT user_id, hv FROM (SELECT * FROM ka UNION SELECT * FROM kb)
@@ -1320,9 +1335,7 @@ def h04_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
     def kset(etype: str) -> DataFrame:
-        hv = (
-            (F.col("user_id") * F.lit(KMV_MUL).cast("long")) % F.lit(KMV_P)
-        ).cast("double") / F.lit(float(KMV_P))
+        hv = kmv_hv_col()
         return (
             ev.filter(F.col("event_type") == etype)
             .select("user_id")
@@ -2545,3 +2558,170 @@ def h08_compactor_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compactor_quantiles(
         retained, g_total, "c", "h", ["k"], H08_PCTS, "est_cents"
     )
+
+
+# --------------------------------------------------------------------------
+# h09: theta-sketch set algebra (KMV union / intersection / difference)
+# --------------------------------------------------------------------------
+# The sketch family's missing SET-OPERATION member: h01 estimates one
+# cardinality; production questions are "how many users did BOTH X and Y"
+# / "X but not Y" across sets too big to intersect exactly. Theta/KMV
+# algebra (Dasgupta et al., the DataSketches theta sketch): keep each
+# set's K smallest hash values; theta = min of the two Kth values (1.0
+# for unsaturated sketches); any set expression evaluates on the sampled
+# hashes below theta and scales by 1/theta. Sketches are mergeable
+# (bottom-K of a union = bottom-K of the merged bottom-Ks) — the same
+# map-side-combinable shape as h01/h07. The shared multiplicative hash
+# makes every sample value engine-reproducible, so estimates AND errors
+# hash-match exactly; K=64 < |users per type| at every SF, so the
+# saturation path (theta < 1) is the one under the gate.
+H09_K = 64
+H09_A, H09_B = "click", "purchase"
+
+
+def _h09_oracle() -> str:
+    hv = kmv_hv_sql()
+    return f"""
+WITH sa AS (
+  SELECT DISTINCT {hv} AS hv FROM events WHERE event_type = '{H09_A}'
+  ORDER BY hv LIMIT {H09_K}
+),
+sb AS (
+  SELECT DISTINCT {hv} AS hv FROM events WHERE event_type = '{H09_B}'
+  ORDER BY hv LIMIT {H09_K}
+),
+theta AS (
+  SELECT LEAST(
+    CASE WHEN (SELECT COUNT(*) FROM sa) < {H09_K} THEN 1.0
+         ELSE (SELECT MAX(hv) FROM sa) END,
+    CASE WHEN (SELECT COUNT(*) FROM sb) < {H09_K} THEN 1.0
+         ELSE (SELECT MAX(hv) FROM sb) END) AS th
+),
+samp AS (
+  SELECT hv, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT hv, 1 AS in_a, 0 AS in_b FROM sa
+    UNION ALL
+    SELECT hv, 0, 1 FROM sb
+  ) GROUP BY hv
+),
+est AS (
+  SELECT
+    CAST(SUM(CASE WHEN s.hv < t.th THEN 1 ELSE 0 END) AS DOUBLE) / t.th
+      AS union_est,
+    CAST(SUM(CASE WHEN s.hv < t.th AND in_a = 1 AND in_b = 1
+             THEN 1 ELSE 0 END) AS DOUBLE) / t.th AS inter_est,
+    CAST(SUM(CASE WHEN s.hv < t.th AND in_a = 1 AND in_b = 0
+             THEN 1 ELSE 0 END) AS DOUBLE) / t.th AS aonly_est
+  FROM samp s, theta t GROUP BY t.th
+),
+ex AS (
+  SELECT
+    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS union_exact,
+    CAST(COUNT(DISTINCT CASE WHEN has_a AND has_b THEN user_id END) AS BIGINT)
+      AS inter_exact,
+    CAST(COUNT(DISTINCT CASE WHEN has_a AND NOT has_b THEN user_id END) AS BIGINT)
+      AS aonly_exact
+  FROM (
+    SELECT user_id,
+           BOOL_OR(event_type = '{H09_A}') AS has_a,
+           BOOL_OR(event_type = '{H09_B}') AS has_b
+    FROM events WHERE event_type IN ('{H09_A}', '{H09_B}')
+    GROUP BY user_id
+  )
+)
+SELECT * FROM (
+  SELECT 'a_only' AS measure, aonly_exact AS exact, aonly_est AS estimate
+  FROM ex, est
+  UNION ALL
+  SELECT 'intersection', inter_exact, inter_est FROM ex, est
+  UNION ALL
+  SELECT 'union', union_exact, union_est FROM ex, est
+) ORDER BY measure
+"""
+
+
+@register(
+    "h09_theta_set_ops",
+    oracle=_h09_oracle(),
+    description="Theta/KMV sketch set algebra over two user sets "
+    f"({H09_A} vs {H09_B}): bottom-{H09_K} shared-hash samples per set, "
+    "theta = min of the Kth values, union/intersection/difference "
+    "estimated on the sub-theta samples and scaled by 1/theta - the "
+    "mergeable DataSketches shape for audience overlap at 100 TB. "
+    "Shared multiplicative hash makes samples engine-reproducible: "
+    "estimates hash-match exactly, with the saturation path exercised.",
+    tags=("sketch", "llm", "events", "set-ops"),
+)
+def h09_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hv = kmv_hv_col()
+
+    def sketch(etype: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .select(hv.alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(H09_K)
+            .localCheckpoint(eager=True)  # K rows; referenced twice below
+        )
+
+    sa, sb = sketch(H09_A), sketch(H09_B)
+
+    def theta_side(s: DataFrame) -> F.Column:
+        agg = s.agg(
+            F.max("hv").alias("mx"), F.count(F.lit(1)).alias("n")
+        ).first()
+        return F.lit(1.0 if agg["n"] < H09_K else agg["mx"])
+
+    th = F.least(theta_side(sa), theta_side(sb)).alias("th")
+    samp = (
+        sa.select("hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionAll(sb.select("hv", F.lit(0), F.lit(1)))
+        .groupBy("hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .select("hv", "in_a", "in_b", th)
+    )
+    est = samp.groupBy("th").agg(
+        (F.sum(F.when(F.col("hv") < F.col("th"), 1).otherwise(0)).cast("double")
+         / F.col("th")).alias("union_est"),
+        (F.sum(F.when((F.col("hv") < F.col("th"))
+                      & (F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+               .otherwise(0)).cast("double") / F.col("th")).alias("inter_est"),
+        (F.sum(F.when((F.col("hv") < F.col("th"))
+                      & (F.col("in_a") == 1) & (F.col("in_b") == 0), 1)
+               .otherwise(0)).cast("double") / F.col("th")).alias("aonly_est"),
+    ).drop("th")
+    flags = (
+        ev.where(F.col("event_type").isin(H09_A, H09_B))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("event_type") == H09_A, 1).otherwise(0)).alias("ha"),
+            F.max(F.when(F.col("event_type") == H09_B, 1).otherwise(0)).alias("hb"),
+        )
+    )
+    ex = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("union_exact"),
+        F.sum(F.when((F.col("ha") == 1) & (F.col("hb") == 1), 1).otherwise(0))
+        .cast("long").alias("inter_exact"),
+        F.sum(F.when((F.col("ha") == 1) & (F.col("hb") == 0), 1).otherwise(0))
+        .cast("long").alias("aonly_exact"),
+    )
+    joined = ex.crossJoin(F.broadcast(est))
+    rows = [
+        ("a_only", "aonly_exact", "aonly_est"),
+        ("intersection", "inter_exact", "inter_est"),
+        ("union", "union_exact", "union_est"),
+    ]
+    parts = [
+        joined.select(
+            F.lit(m).alias("measure"),
+            F.col(e).alias("exact"),
+            F.col(s).alias("estimate"),
+        )
+        for m, e, s in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("measure")

@@ -68,13 +68,20 @@ def test_salted_agg_equals_plain_agg(spark):
 def test_kmv_sketch_is_mergeable():
     """KMV of a union == min-k of the per-partition min-k unions — the
     property that lets the sketch build with partial aggregation and merge
-    across shards/streams. Pure-Python replay of the exact hash pipeline."""
+    across shards/streams. Pure-Python replay of the exact hash pipeline
+    (the md5 family h01/h04/h09 share since round 10)."""
+    import hashlib
+
     KMV_K = 256
-    KMV_MUL = 2_654_435_761
-    KMV_P = 9_007_199_254_740_881
 
     def hashes(users):
-        return sorted({(u * KMV_MUL) % KMV_P / KMV_P for u in users})
+        return sorted(
+            {
+                int(hashlib.md5(str(u).encode()).hexdigest()[:12], 16)
+                / float(1 << 48)
+                for u in users
+            }
+        )
 
     import random
 

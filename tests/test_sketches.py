@@ -130,3 +130,50 @@ def test_h08_rank_error_bounded_under_compaction(tmp_path_factory, cents):
         if prev is not None:
             assert est[p] >= prev  # monotone in p
         prev = est[p]
+
+
+# ---------------------------------------------------------------------------
+# h09 theta-sketch accuracy contract
+# ---------------------------------------------------------------------------
+# Parity is the gate's job; this pins that the ORACLE's algebra is a real
+# estimator: on random two-set corpora the union/intersection/difference
+# estimates stay within a generous multiple of the theoretical KMV RSE
+# (~1/sqrt(K) = 12.5% at K=64), and unsaturated sketches are EXACT.
+from lakekeeper_spark.queries.events import H09_K
+
+H09_ORACLE = load_registry()["h09_theta_set_ops"].oracle
+
+
+def _run_h09(user_events, tmp_path) -> dict[str, tuple[int, float]]:
+    df = pd.DataFrame(user_events, columns=["user_id", "event_type"])
+    df["user_id"] = df["user_id"].astype("int64")
+    path = tmp_path / "ev9.parquet"
+    df.to_parquet(path, index=False)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    return {m: (ex, est) for m, ex, est in con.execute(H09_ORACLE).fetchall()}
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.integers(1, 10_000),  # offset decorrelates ids from the hash family
+    st.integers(200, 1500),
+    st.integers(0, 100),
+)
+def test_h09_estimates_within_kmv_error(tmp_path_factory, off, n, overlap_pct):
+    tmp_path = tmp_path_factory.mktemp("h09")
+    n_b = max(n // 2, 1)
+    n_shared = n_b * overlap_pct // 100
+    a_ids = list(range(off, off + n))
+    b_ids = a_ids[:n_shared] + list(range(off + n, off + n + n_b - n_shared))
+    rows = [(u, "click") for u in a_ids] + [(u, "purchase") for u in b_ids]
+    out = _run_h09(rows, tmp_path)
+    saturated = n > H09_K or n_b > H09_K
+    for measure, (exact, est) in out.items():
+        if not saturated:
+            assert est == exact, (measure, exact, est)
+        else:
+            # 5x the 1/sqrt(K) RSE + small absolute slack for tiny truths
+            assert abs(est - exact) <= 5 * exact / (H09_K ** 0.5) + 25, (
+                measure, exact, est,
+            )
