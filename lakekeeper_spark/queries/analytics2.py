@@ -1217,3 +1217,44 @@ def r04_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("s").cast("long").alias("n_windows"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# w10: CUBE grouping sets (every dimension subset in one shuffle)
+# --------------------------------------------------------------------------
+# w03 covers ROLLUP (the hierarchical prefix subsets); CUBE materializes
+# ALL 2^d dimension subsets — the OLAP cross-tab shape. Spark plans both
+# through Expand + one shuffled aggregate: each input row fans out to one
+# row per grouping set BEFORE the map-side partial agg, so the exchange
+# still carries only #groups x partial-state rows, not 4x the data.
+@register(
+    "w10_cube_crosstab",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice', 100)} AS sum_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    description="CUBE grouping sets over lineitem: all four dimension "
+    "subsets (cell, per-flag, per-status, grand total) in ONE shuffle "
+    "via Expand + two-phase aggregation - the exchange carries "
+    "#groups x partial-state rows, never a re-scan per subset.",
+    tags=("analytics", "cube", "grouping-sets"),
+)
+def w10_cube_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", 100).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_price",
+        )
+    )

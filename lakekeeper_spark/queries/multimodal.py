@@ -761,3 +761,129 @@ def m09_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keyframe_checksum"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# m10: video-level embeddings (frame pooling) + cross-video retrieval
+# --------------------------------------------------------------------------
+# The retrieval half of a video pipeline: sample frames (m03's stride),
+# embed each frame (stub md5 features — a real CLIP/VideoMAE encoder swaps
+# into the same kernel), POOL to one vector per video INSIDE the Arrow
+# kernel (each input row is one video, so pooling is row-local — zero
+# shuffle for the embed+pool stage), then top-k cosine retrieval of
+# similar videos. Pooled features are per-dim integer SUMS of the frame
+# features (cosine is scale-invariant, so sum == mean for ranking, and
+# integer sums keep both engines bit-identical with no division anywhere
+# before the final IEEE cosine).
+M10_QUERIES = 5  # the 5 lowest video doc_ids are the query set
+M10_TOP_K = 3
+
+_M10_SCHEMA = StructType(
+    [StructField("doc_id", LongType())]
+    + [StructField(f"e{j}", LongType()) for j in range(FEAT_DIM)]
+)
+
+
+def _video_embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB FRAME ENCODER + POOLER — per video: md5-derived FEAT_DIM ints
+    per sampled frame, summed per dim. A real encoder replaces the md5
+    line; the row-local pooling and the typed (doc_id, e0..e7) output
+    are the production shape."""
+    for pdf in batches:
+        rows = []
+        for doc_id, payload, kind in zip(pdf["doc_id"], pdf["payload"], pdf["kind"]):
+            if kind != "video":
+                continue
+            _, _, n_frames, _ = _fake_decode(payload, kind)
+            sums = [0] * FEAT_DIM
+            for i in range(0, n_frames, FRAME_STRIDE):
+                h = hashlib.md5(bytes(payload) + b"#" + str(i).encode()).hexdigest()
+                for j in range(FEAT_DIM):
+                    sums[j] += int(h[2 * j : 2 * j + 2], 16)
+            rows.append([doc_id, *sums])
+        yield pd.DataFrame(rows, columns=["doc_id"] + [f"e{j}" for j in range(FEAT_DIM)])
+
+
+_M10_DOT = " + ".join(f"q.e{j} * n.e{j}" for j in range(FEAT_DIM))
+_M10_NORM = lambda a: " + ".join(f"{a}.e{j} * {a}.e{j}" for j in range(FEAT_DIM))  # noqa: E731
+
+
+@register(
+    "m10_video_embedding_retrieval",
+    oracle=f"""
+WITH vids AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(text), 9, 2))::BIGINT % 240 + 1 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2
+),
+frames AS (
+  SELECT doc_id, md5(text || '#' || i) AS h
+  FROM vids, unnest(range(0, n_frames, {FRAME_STRIDE})) AS t(i)
+),
+emb AS (
+  SELECT doc_id,
+         {", ".join(f"CAST(SUM(('0x' || substr(h, {2 * j + 1}, 2))::BIGINT) AS BIGINT) AS e{j}" for j in range(FEAT_DIM))}
+  FROM frames GROUP BY doc_id
+),
+q AS (SELECT * FROM emb ORDER BY doc_id LIMIT {M10_QUERIES}),
+scored AS (
+  SELECT q.doc_id AS query_id, n.doc_id AS neighbor_id,
+         CAST({_M10_DOT} AS DOUBLE)
+           / sqrt(CAST({_M10_NORM("q")} AS DOUBLE) * CAST({_M10_NORM("n")} AS DOUBLE))
+           AS cosine
+  FROM q, emb n WHERE n.doc_id != q.doc_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+WHERE rnk <= {M10_TOP_K}
+""",
+    description="Video retrieval: frames sampled and embedded per video "
+    "with row-local pooling INSIDE the Arrow kernel (stub md5 encoder - "
+    "a CLIP/VideoMAE model swaps into the same mapInPandas line; zero "
+    "shuffle to get one vector per video), then top-k cosine neighbors "
+    "per query video. Integer per-dim sums keep pooling exact; cosine "
+    "is scale-invariant so sum-pooling ranks like mean-pooling.",
+    tags=("multimodal", "llm", "similarity", "pandas-udf"),
+)
+def m10_video_embedding_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = _with_payload(docs).mapInPandas(_video_embed, _M10_SCHEMA)
+    # the bounded embedding frame is referenced as both query and corpus
+    emb = emb.localCheckpoint(eager=True)
+    q = emb.orderBy("doc_id").limit(M10_QUERIES)
+    qa, na = q.alias("q"), emb.alias("n")
+    dot = sum(
+        (F.col(f"q.e{j}") * F.col(f"n.e{j}") for j in range(1, FEAT_DIM)),
+        F.col("q.e0") * F.col("n.e0"),
+    )
+    nq = sum(
+        (F.col(f"q.e{j}") * F.col(f"q.e{j}") for j in range(1, FEAT_DIM)),
+        F.col("q.e0") * F.col("q.e0"),
+    )
+    nn = sum(
+        (F.col(f"n.e{j}") * F.col(f"n.e{j}") for j in range(1, FEAT_DIM)),
+        F.col("n.e0") * F.col("n.e0"),
+    )
+    scored = (
+        F.broadcast(qa)
+        .crossJoin(na)
+        .where(F.col("n.doc_id") != F.col("q.doc_id"))
+        .select(
+            F.col("q.doc_id").alias("query_id"),
+            F.col("n.doc_id").alias("neighbor_id"),
+            (dot.cast("double") / F.sqrt(nq.cast("double") * nn.cast("double"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= M10_TOP_K)
+    )

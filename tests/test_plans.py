@@ -904,3 +904,30 @@ def test_r04_bucketed_interval_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_m10_pooling_in_kernel_single_scan(spark):
+    """m10's embed+pool runs inside one mapInPandas over one corpus scan
+    (no shuffle before the per-video vectors exist); the retrieval side
+    joins a broadcast 5-row query frame against the pinned bounded
+    embedding frame — the only nested-loop is against that bounded
+    broadcast side (the r01 pattern)."""
+    from lakekeeper_spark.queries.multimodal import (
+        m10_video_embedding_retrieval,
+    )
+
+    plan = _plan(m10_video_embedding_retrieval(spark, SF_DIR))
+    assert "Scan parquet" not in plan  # pooled frame pinned; no re-scan
+    assert "SortMergeJoin" not in plan  # bounded frames never shuffle-join
+    assert "CartesianProduct" not in plan
+
+
+def test_w10_cube_is_expand_plus_one_shuffle(spark):
+    """CUBE must plan as Expand + two-phase aggregate: one exchange for
+    all four grouping sets, never one scan/shuffle per subset."""
+    from lakekeeper_spark.queries.analytics2 import w10_cube_crosstab
+
+    plan = _plan(w10_cube_crosstab(spark, SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 2  # tree + detail = ONE scan
+    assert plan.count("HashAggregate") >= 2
