@@ -447,3 +447,72 @@ def test_net_changes_end_to_end_and_exclusivity(table, spark):
     # the registered-view procedure honors the flag
     v = t.create_changelog_view("net_v", net_changes=True)
     assert spark.sql("SELECT COUNT(*) AS n FROM net_v").first().n == v.count()
+
+
+# ---------------------------------------------------------------------------
+# net_changes reconciliation invariant (property test)
+# ---------------------------------------------------------------------------
+# The semantic contract behind carry-over folding: applying the NET view
+# to the range-start state must reproduce the range-end state exactly, as
+# multisets — for ANY change stream. Randomized streams catch pairing
+# mistakes the hand-built golden shapes cannot (e.g. mis-ordered rank
+# cancellation double-emitting a restated row).
+def _apply(state, rows):
+    """state: multiset (Counter) of row contents; rows: (content, type)."""
+    from collections import Counter
+
+    out = Counter(state)
+    for content, ctype in rows:
+        if ctype == "insert":
+            out[content] += 1
+        else:
+            out[content] -= 1
+            if out[content] == 0:
+                del out[content]
+    return out
+
+
+def test_net_changes_reconciles_states(spark):
+    """Random commit streams: start-state + net view == end-state."""
+    import random
+    from collections import Counter
+
+    from lakekeeper_spark.format.icelite import net_changes
+
+    rng = random.Random(42)
+    for trial in range(8):
+        # build a well-formed change stream over 4 commits: deletes only
+        # remove rows live at that point, inserts are arbitrary
+        start = Counter(
+            {(k, float(k), "s"): 1 for k in rng.sample(range(20), 8)}
+        )
+        state = Counter(start)
+        stream, order = [], {}
+        for commit, sid in enumerate([100, 101, 102, 103]):
+            order[sid] = commit
+            for _ in range(rng.randrange(6)):
+                if state and rng.random() < 0.5:
+                    content = rng.choice(list(state))
+                    stream.append((*content, "delete", sid))
+                    state = _apply(state, [(content, "delete")])
+                else:
+                    content = (rng.randrange(20), float(rng.randrange(5)), "s")
+                    stream.append((*content, "insert", sid))
+                    state = _apply(state, [(content, "insert")])
+        if not stream:
+            continue
+        frame = spark.createDataFrame(stream, CHANGE_DDL)
+        net = [
+            ((r.id, r.v, r.s), r._change_type)
+            for r in net_changes(frame, order).collect()
+        ]
+        assert _apply(start, net) == state, (trial, stream, net)
+        # and the net view never contains an (insert, delete) pair of
+        # identical content — that's the definition of "net"
+        contents = Counter()
+        for content, ctype in net:
+            contents[content] += 1 if ctype == "insert" else -1
+        by_content = {}
+        for content, ctype in net:
+            by_content.setdefault(content, set()).add(ctype)
+        assert all(len(t) == 1 for t in by_content.values()), by_content

@@ -213,3 +213,49 @@ def test_vending_missing_table(rbac_catalog):
     with rbac_catalog.acting_as("writer"):
         with pytest.raises(NoSuchEntity):
             rbac_catalog.load_credentials("wh", ["ns"], "nope")
+
+
+# ---------------------------------------------------------------------------
+# adversarial policy downscoping (property test)
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="\x00"
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_policy_key_cannot_widen_or_inject(key_suffix):
+    """For ANY table-location suffix (incl. *, ?, ${aws:username}, IAM
+    variable openers), the session policy's TableAccess resource must
+    contain exactly ONE live wildcard — the trailing one the policy
+    appends — and no live ${...} policy variable. A location that could
+    smuggle either would widen the downscope (s3.rs:2205's adversarial
+    case, generalized)."""
+    import re
+
+    loc = f"s3://bkt/wh/{key_suffix}"
+    pol = sts_policy(loc, StoragePermissions.READ)
+    resource = pol["Statement"][0]["Resource"]
+    assert resource.startswith("arn:aws:s3:::bkt/")
+    # live wildcards: '*' not part of an ${*} escape; exactly the final one
+    stripped = resource.replace("${*}", "").replace("${?}", "").replace(
+        "${$}", ""
+    )
+    assert stripped.endswith("*") and stripped.count("*") == 1
+    assert stripped.count("?") == 0
+    # no live policy variable opener survives escaping
+    assert not re.search(r"\$\{(?![*?$]\})", stripped)
+    # the ListBucket condition prefix downscopes identically
+    cond = pol["Statement"][1]["Condition"]["StringLike"]["s3:prefix"]
+    stripped_cond = cond.replace("${*}", "").replace("${?}", "").replace(
+        "${$}", ""
+    )
+    assert stripped_cond.count("*") == 1 and stripped_cond.endswith("*")
