@@ -2725,3 +2725,110 @@ def h09_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("measure")
+
+
+# --------------------------------------------------------------------------
+# e19: robust anomaly detection — median/MAD via the h08 compactor kernel
+# --------------------------------------------------------------------------
+# e18's z-score breaks exactly when anomalies matter: mean and stddev are
+# themselves dragged by the outliers they're supposed to expose. The
+# robust form scores |x - median| against the MAD (median absolute
+# deviation) — and at 100 TB the median/MAD are where the one-pass
+# mergeable quantile sketch earns its keep: two compactor passes
+# (functions/quantiles.py, h08's kernel reused as a library), one over
+# the values and one over the absolute deviations from the first pass's
+# median, then a row-local threshold. Everything is int64 (micros +
+# compactor arithmetic), so the sketch medians — and therefore the
+# anomaly decisions — are bit-identical across engines.
+E19_K = 3  # flag |x - med| > K * MAD
+
+
+def _e19_oracle() -> str:
+    from ..functions.quantiles import sql_compactor_chain
+
+    base = """base AS (
+  SELECT CAST(ROUND(value * 1000000) AS BIGINT) AS c,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+         CAST(event_id AS VARCHAR) AS k,
+         event_type
+  FROM events
+)"""
+    # med is referenced per-row by m2v AND by the final SELECT — without
+    # MATERIALIZED DuckDB's CTE inlining replays the whole m1 chain at
+    # every reference site (the g03 hazard; see round-workflow notes)
+    med_sel = """med AS MATERIALIZED (
+  SELECT f.c AS m FROM (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c, h, k) AS rn FROM m1fin
+  ) f, (SELECT COUNT(*) AS cnt FROM m1fin) w, m1geo
+  WHERE f.rn = ((50 * (w.cnt * m1geo.G - 1)) // 100) // m1geo.G + 1
+)"""
+    mad_sel = """mad AS MATERIALIZED (
+  SELECT f.c AS d FROM (
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c, h, k) AS rn FROM m2fin
+  ) f, (SELECT COUNT(*) AS cnt FROM m2fin) w, m2geo
+  WHERE f.rn = ((50 * (w.cnt * m2geo.G - 1)) // 100) // m2geo.G + 1
+)"""
+    return f"""
+WITH {base},
+m1v AS (SELECT c, h, k FROM base),
+{sql_compactor_chain("m1")},
+{med_sel},
+m2v AS MATERIALIZED (SELECT ABS(c - (SELECT m FROM med)) AS c, h, k FROM base),
+{sql_compactor_chain("m2")},
+{mad_sel}
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ABS(b.c - med.m) > {E19_K} * mad.d
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+       med.m AS median_micro,
+       mad.d AS mad_micro
+FROM base b, med, mad
+GROUP BY event_type, med.m, mad.d
+"""
+
+
+@register(
+    "e19_robust_anomaly_mad",
+    oracle=_e19_oracle(),
+    description="Robust anomaly detection: median/MAD computed by TWO "
+    "passes of the h08 compactor sketch (the mergeable one-pass kernel "
+    "reused as a library - no sort of the full stream anywhere), then a "
+    f"row-local |x-med| > {E19_K}*MAD flag rolled up per event type. "
+    "All int64 micros: the sketch medians and the anomaly decisions are "
+    "bit-identical across engines.",
+    tags=("events", "sketch", "quantile", "anomaly", "llm"),
+)
+def e19_robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantiles import compactor_quantiles, compactor_retained
+
+    base = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 1_000_000).cast("long").alias("c"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 12),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h"),
+        F.col("event_id").cast("string").alias("k"),
+        "event_type",
+    )
+
+    def sketch_median(df: DataFrame) -> int:
+        retained, _lvl, g_total = compactor_retained(df, "c", "h", ["k"])
+        row = compactor_quantiles(
+            retained, g_total, "c", "h", ["k"], (50,), "m"
+        ).first()
+        return int(row["m"])  # one scalar crosses to the driver per pass
+
+    med = sketch_median(base.select("c", "h", "k"))
+    mad = sketch_median(
+        base.select(F.abs(F.col("c") - F.lit(med)).alias("c"), "h", "k")
+    )
+    return base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.abs(F.col("c") - F.lit(med)) > E19_K * mad, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_anomalies"),
+        F.lit(med).cast("long").alias("median_micro"),
+        F.lit(mad).cast("long").alias("mad_micro"),
+    )

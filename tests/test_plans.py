@@ -931,3 +931,19 @@ def test_w10_cube_is_expand_plus_one_shuffle(spark):
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 2  # tree + detail = ONE scan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_e19_sketch_passes_never_sort_full_stream(spark):
+    """e19's median/MAD come from the compactor kernel: the final plan
+    aggregates the event stream once per event type with two-phase
+    aggregation and carries the sketch medians as literals — no global
+    sort of the stream, no cartesian, only the broadcast of two scalars."""
+    from lakekeeper_spark.queries.events import e19_robust_anomaly_mad
+
+    df = e19_robust_anomaly_mad(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final rollup
+    assert not _unpartitioned_window_lines(
+        df._jdf.queryExecution().executedPlan().toString()
+    )
