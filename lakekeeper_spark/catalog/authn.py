@@ -95,11 +95,13 @@ def claim_path(claims: dict[str, Any], path: str) -> Any:
 
 def validate_subject(subject: str) -> None:
     """UserId::validate_subject (authn.rs:749-785): non-empty, < 128
-    chars, no control characters."""
+    BYTES (the reference's Rust ``len()`` is byte length, so a multi-byte
+    subject between 128 bytes and 127 chars must be rejected here too),
+    no control characters."""
     if not subject:
         raise AuthenticationError("user id cannot be empty")
-    if len(subject) >= 128:
-        raise AuthenticationError("user id must be shorter than 128 chars")
+    if len(subject.encode("utf-8")) >= 128:
+        raise AuthenticationError("user id must be shorter than 128 bytes")
     # Rust char::is_control = C0 (0..31), DEL (127), C1 (0x80..0x9F)
     if any(
         ord(ch) < 32 or ord(ch) == 127 or 0x80 <= ord(ch) <= 0x9F
@@ -137,6 +139,10 @@ class OidcProviderConfig:
     hs256_secret: str | None = None
     rs256_public_key_pem: bytes | None = None
     leeway_s: int = DEFAULT_LEEWAY_S
+    #: Claims that must be PRESENT in a validated token. The reference's
+    #: authn stack (limes / jsonwebtoken) requires ``exp`` by default —
+    #: a signed token without an expiry must not be accepted forever.
+    required_claims: tuple[str, ...] = ("exp",)
 
     def issuers(self) -> list[str]:
         return [self.issuer, *(self.additional_issuers or [])]
@@ -183,6 +189,11 @@ class OidcProviderConfig:
         """Full validation: signature, time window, issuer, audience,
         required scope; then principal + roles extraction."""
         claims = self._verify_signature(token)
+        for required in self.required_claims:
+            if required not in claims:
+                raise AuthenticationError(
+                    f"token missing required claim {required!r}"
+                )
         now = time.time() if now_s is None else now_s
         if "exp" in claims and now > claims["exp"] + self.leeway_s:
             raise AuthenticationError("token expired")

@@ -189,11 +189,18 @@ def vend(
 
     The expiry is bucketed to the validity interval (like the hour-bucket
     token the earlier stub used) so repeated vends within one interval are
-    identical; ``credentials-revalidate-after-ms`` at the call site comes
-    from ``credential_serve_window_ms`` of the remaining lifetime."""
+    identical, with a MINIMUM remaining lifetime of ``validity/2``: a vend
+    issued in the second half of a bucket rolls to the next bucket's
+    expiry, so no caller ever receives a near-dead credential (the
+    reference grants the full sts-token-validity window from issuance,
+    s3.rs:1855; the half-window floor is the cache-equivalent analogue).
+    ``credentials-revalidate-after-ms`` at the call site comes from
+    ``credential_serve_window_ms`` of the remaining lifetime."""
     validity_ms = validity_seconds * 1000
     bucket = now_ms // validity_ms
     expiration_ms = (bucket + 1) * validity_ms
+    if expiration_ms - now_ms < validity_ms // 2:
+        expiration_ms += validity_ms
     return {
         "prefix": location,
         "config": {

@@ -121,6 +121,7 @@ def compactor_retained(
     tiebreak_cols: list[str],
     cap: int = CAP,
     l_max: int = L_MAX,
+    n: int | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Run the L compaction levels; returns (retained frame, L, G).
 
@@ -128,8 +129,17 @@ def compactor_retained(
     int64 leaf hash) and ``tiebreak_cols`` (a deterministic total-order
     key for exact parity when value+hash collide). The retained frame
     keeps all input columns; every retained item has implicit weight G.
+
+    ``n`` is the row count the geometry derives from. Pass it when the
+    caller already knows it — icelite manifests and parquet footers carry
+    record counts, and a caller compacting the same frame twice (e19)
+    should count once. When omitted, ``df.count()`` runs here: that is
+    metadata-grade ONLY for a column-pruned parquet projection (footer
+    counts); for a filtered or transformed input it costs a full pass
+    over the source before the sketch even starts — supply ``n``.
     """
-    n = df.count()  # row count only — metadata-grade, never a data pass
+    if n is None:
+        n = df.count()
     level_count, g_total = compactor_geometry(n, cap, l_max)
     cur = df.withColumn("g", F.col(hash_col) % F.lit(g_total))
     order = [F.col(value_col), F.col(hash_col)] + [

@@ -384,7 +384,9 @@ def minhash_signatures(docs: DataFrame, n_perms: int = MINHASH_PERMS) -> DataFra
     oracle=None,  # Spark xxhash64 not reproducible in DuckDB; pytest-verified
     description="MinHash(64 perms) + 16-band LSH bucketing -> candidate "
     "pairs -> exact Jaccard verification. No all-pairs stage; "
-    "scales to 100 TB (bucket-join only).",
+    "scales to 100 TB (bucket-join only). Rows-only BY DESIGN (native "
+    "xxhash64 hot path); d11_minhash_lsh_exact is the oracle-exact twin "
+    "running the identical pipeline on the md5 hash family.",
     tags=("dedup", "llm", "lsh"),
 )
 def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -483,7 +485,9 @@ def simhash(docs: DataFrame) -> DataFrame:
     "d04_dedup_simhash",
     oracle=None,  # xxhash64-dependent; pytest-verified
     description="64-bit SimHash + 4x16-bit band bucketing -> Hamming<=8 "
-    "near-dup pairs. Candidate join keyed on band value.",
+    "near-dup pairs. Candidate join keyed on band value. Rows-only BY "
+    "DESIGN (native xxhash64 hot path); d15_simhash_exact is the "
+    "oracle-exact twin running the identical pipeline on md5 bits.",
     tags=("dedup", "llm", "lsh"),
 )
 def d04_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

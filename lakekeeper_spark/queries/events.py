@@ -1279,8 +1279,8 @@ def e12_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # purchase users), estimate |A ∪ B| from the merged min-k sketch and
 # |A ∩ B| via the KMV Jaccard estimator (fraction of the union's k
 # smallest hashes present in both sets), theta-sketch style
-# (Dasgupta et al. 2016). Everything derives from the same deterministic
-# multiplicative hash as h01, so both engines compute identical sketches
+# (Dasgupta et al. 2016). Everything derives from the same md5-derived
+# hash family as h01, so both engines compute identical sketches
 # AND identical estimates; exact counts ride along for the error check.
 # Scale shape: per-set sketches are TakeOrdered top-k (k rows each), the
 # algebra runs on 2k driver-side-sized rows — constant regardless of
@@ -2554,7 +2554,12 @@ def h08_compactor_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").cast("string"),
         ).alias("k"),
     )
-    retained, _level_count, g_total = compactor_retained(v, "c", "h", ["k"])
+    # geometry n from the UNPROJECTED table: a pure count over parquet is
+    # footer metadata, so no data pass happens before the sketch
+    n = load_table(spark, sf_dir, "lineitem").count()
+    retained, _level_count, g_total = compactor_retained(
+        v, "c", "h", ["k"], n=n
+    )
     return compactor_quantiles(
         retained, g_total, "c", "h", ["k"], H08_PCTS, "est_cents"
     )
@@ -2571,10 +2576,12 @@ def h08_compactor_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for unsaturated sketches); any set expression evaluates on the sampled
 # hashes below theta and scales by 1/theta. Sketches are mergeable
 # (bottom-K of a union = bottom-K of the merged bottom-Ks) — the same
-# map-side-combinable shape as h01/h07. The shared multiplicative hash
-# makes every sample value engine-reproducible, so estimates AND errors
-# hash-match exactly; K=64 < |users per type| at every SF, so the
-# saturation path (theta < 1) is the one under the gate.
+# map-side-combinable shape as h01/h07. The shared md5-derived hash
+# family (uniform over structured key ranges — the multiplicative family
+# it replaced degenerates on contiguous ids, see kmv_hv_col) makes every
+# sample value engine-reproducible, so estimates AND errors hash-match
+# exactly; K=64 < |users per type| at every SF, so the saturation path
+# (theta < 1) is the one under the gate.
 H09_K = 64
 H09_A, H09_B = "click", "purchase"
 
@@ -2648,7 +2655,7 @@ SELECT * FROM (
     "theta = min of the Kth values, union/intersection/difference "
     "estimated on the sub-theta samples and scaled by 1/theta - the "
     "mergeable DataSketches shape for audience overlap at 100 TB. "
-    "Shared multiplicative hash makes samples engine-reproducible: "
+    "Shared md5-derived hash family makes samples engine-reproducible: "
     "estimates hash-match exactly, with the saturation path exercised.",
     tags=("sketch", "llm", "events", "set-ops"),
 )
@@ -2811,8 +2818,15 @@ def e19_robust_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
 
+    # both sketch passes see every event row, so ONE footer-metadata count
+    # fixes the geometry for both — the MAD pass (a filtered-shape input
+    # compactor_retained could not count for free) reuses it
+    n = load_table(spark, sf_dir, "events").count()
+
     def sketch_median(df: DataFrame) -> int:
-        retained, _lvl, g_total = compactor_retained(df, "c", "h", ["k"])
+        retained, _lvl, g_total = compactor_retained(
+            df, "c", "h", ["k"], n=n
+        )
         row = compactor_quantiles(
             retained, g_total, "c", "h", ["k"], (50,), "m"
         ).first()

@@ -113,6 +113,34 @@ def test_leeway_tolerates_clock_skew():
     assert CHAIN.authenticate(tok).subject == "alice-oid"  # 60s leeway
 
 
+def test_missing_exp_rejected():
+    """A signed token WITHOUT an exp claim must be rejected — the
+    reference's authn stack (limes/jsonwebtoken) requires exp by default;
+    an exp-less token would otherwise never expire."""
+    claims = _claims()
+    del claims["exp"]
+    tok = encode_hs256(claims, "okta-secret")
+    with pytest.raises(AuthenticationError, match="required claim 'exp'"):
+        CHAIN.authenticate(tok)
+    # opt-out is explicit per provider, never the default
+    lax = OidcProviderConfig(
+        idp_id="lax", issuer="https://company.okta.com",
+        audience=["lakekeeper"], scope="catalog",
+        hs256_secret="okta-secret", required_claims=(),
+    )
+    assert lax.validate(tok).subject == "alice-oid"
+
+
+def test_subject_length_is_byte_length():
+    """UserId::validate_len is Rust BYTE length: 70 two-byte chars is 70
+    Python chars but 140 bytes — the reference rejects it, so must we."""
+    multi = "é" * 70  # 70 chars, 140 utf-8 bytes
+    assert len(multi) < 128
+    with pytest.raises(AuthenticationError, match="128"):
+        validate_subject(multi)
+    validate_subject("é" * 63)  # 126 bytes: still fine
+
+
 def test_rs256_roundtrip():
     """RS256 via the cryptography package: sign with a fresh private key,
     validate against its public PEM."""

@@ -169,11 +169,48 @@ def test_h09_estimates_within_kmv_error(tmp_path_factory, off, n, overlap_pct):
     rows = [(u, "click") for u in a_ids] + [(u, "purchase") for u in b_ids]
     out = _run_h09(rows, tmp_path)
     saturated = n > H09_K or n_b > H09_K
+    # Theta set-op error scales with the UNION (the sampled population:
+    # every estimate is a sub-theta sample count scaled by 1/theta), NOT
+    # with the measure's own cardinality — a small intersection of a big
+    # union carries the big union's absolute error (Dasgupta et al. 2016).
+    union_exact = out["union"][0]
     for measure, (exact, est) in out.items():
         if not saturated:
             assert est == exact, (measure, exact, est)
         else:
-            # 5x the 1/sqrt(K) RSE + small absolute slack for tiny truths
-            assert abs(est - exact) <= 5 * exact / (H09_K ** 0.5) + 25, (
-                measure, exact, est,
+            # 5x the 1/sqrt(K) RSE of the sampled population + slack
+            assert abs(est - exact) <= 5 * union_exact / (H09_K ** 0.5) + 25, (
+                measure, exact, est, union_exact,
             )
+
+
+# ---------------------------------------------------------------------------
+# compactor_retained: supplied n == counted n (metadata-count contract)
+# ---------------------------------------------------------------------------
+def test_compactor_supplied_n_matches_counted(spark):
+    """compactor_retained(n=...) must produce the identical geometry AND
+    the identical retained buffer as letting the kernel count — callers
+    with manifest/footer row counts (h08) or a shared count across two
+    passes (e19) rely on the equivalence."""
+    from pyspark.sql import functions as F
+
+    from lakekeeper_spark.functions.quantiles import (
+        compactor_geometry,
+        compactor_retained,
+    )
+
+    rows = 200
+    df = spark.range(rows).select(
+        (F.col("id") * 7 % 997).cast("long").alias("c"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(id AS STRING)), 1, 12), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
+        F.col("id").cast("string").alias("k"),
+    )
+    counted, l1, g1 = compactor_retained(df, "c", "h", ["k"], cap=16)
+    supplied, l2, g2 = compactor_retained(df, "c", "h", ["k"], cap=16, n=rows)
+    assert (l1, g1) == (l2, g2) == compactor_geometry(rows, cap=16)
+    a = sorted(tuple(r) for r in counted.collect())
+    b = sorted(tuple(r) for r in supplied.collect())
+    assert a == b and 0 < len(a) < rows  # compaction actually ran

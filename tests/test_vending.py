@@ -124,6 +124,27 @@ def test_vend_deterministic_within_window():
     assert d["config"]["expiration-ms"] == a["config"]["expiration-ms"]
 
 
+def test_vend_minimum_remaining_lifetime():
+    """A vend issued late in a validity bucket must NOT return a
+    near-dead credential: when the bucket's remainder is under half the
+    validity window, expiry rolls to the next bucket (the reference
+    grants the full sts-token-validity window from issuance, s3.rs:1855;
+    the half-window floor is the cache-equivalent analogue)."""
+    validity_ms = 3600 * 1000
+    # 1 second before the bucket edge: would have had 1s of life left
+    late = vend("uuid-1", "/wh/ns/t", StoragePermissions.READ, 3600,
+                validity_ms - 1000)
+    assert late["config"]["expiration-ms"] == 2 * validity_ms
+    remaining = late["config"]["expiration-ms"] - (validity_ms - 1000)
+    assert remaining >= validity_ms // 2
+    # early in the bucket: the plain bucket-end expiry stands
+    early = vend("uuid-1", "/wh/ns/t", StoragePermissions.READ, 3600, 1000)
+    assert early["config"]["expiration-ms"] == validity_ms
+    # determinism within each half-bucket is preserved
+    assert vend("uuid-1", "/wh/ns/t", StoragePermissions.READ, 3600,
+                validity_ms - 500) == late
+
+
 def test_session_keys_shape():
     keys = session_keys("uuid-9", StoragePermissions.READ, 7_200_000)
     assert keys["access-key-id"].startswith("LKV")
@@ -259,3 +280,49 @@ def test_policy_key_cannot_widen_or_inject(key_suffix):
         "${$}", ""
     )
     assert stripped_cond.count("*") == 1 and stripped_cond.endswith("*")
+
+
+def _policy_matches(pattern: str, key: str) -> bool:
+    """IAM StringLike semantics for the shapes vend() emits: unescape the
+    ${*}/${?}/${$} literals back to their characters, treat the single
+    trailing live '*' as any-suffix."""
+    assert pattern.endswith("*")
+    literal = (
+        pattern[:-1]
+        .replace("${*}", "*")
+        .replace("${?}", "?")
+        .replace("${$}", "$")
+    )
+    return key.startswith(literal)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    root=st.text(alphabet="ab", min_size=1, max_size=5),
+    suffix=st.text(alphabet="abx", min_size=1, max_size=4),
+    t1=st.text(alphabet="abc", min_size=0, max_size=6),
+    t2=st.text(alphabet="abc", min_size=0, max_size=6),
+)
+def test_sibling_warehouse_policies_cannot_overlap(root, suffix, t1, t2):
+    """Two warehouses under ONE shared filesystem root — including the
+    prefix trap where warehouse B's directory name strictly extends
+    warehouse A's (`/shared/wh` vs `/shared/whx`) — must never produce a
+    session policy whose resource matches the other warehouse's objects.
+    Pins split_location's bare-path fallback (the first segment becomes
+    the bucket-equivalent): the `{key}/` separator before the live
+    wildcard is what prevents the prefix collision."""
+    wh_a = f"/shared/{root}"
+    wh_b = f"/shared/{root}{suffix}"  # sibling dir, name extends A's
+    loc_a = f"{wh_a}/{t1}".rstrip("/")
+    loc_b = f"{wh_b}/{t2}".rstrip("/")
+    _, bucket_a, key_a = split_location(loc_a)
+    _, bucket_b, key_b = split_location(loc_b)
+    assert bucket_a == bucket_b == "shared"  # shared root = shared bucket
+    pol_a = sts_policy(loc_a, StoragePermissions.READ_WRITE_DELETE)
+    pattern_a = pol_a["Statement"][0]["Resource"].split(":::", 1)[1]
+    pattern_a = pattern_a.split("/", 1)[1]  # strip bucket -> key pattern
+    # A's policy covers its own objects...
+    assert _policy_matches(pattern_a, f"{key_a}/data/f.parquet")
+    # ...and can never match any object under warehouse B
+    assert not _policy_matches(pattern_a, f"{key_b}/data/f.parquet")
+    assert not _policy_matches(pattern_a, key_b)
