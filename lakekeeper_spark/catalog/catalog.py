@@ -141,15 +141,30 @@ class Catalog:
             raise
         return {"name": name, "location": location, "properties": props}
 
-    def task_config(self, warehouse: str) -> dict[str, int]:
+    def task_config(self, warehouse: str, queue: str | None = None) -> dict[str, int]:
         """Per-warehouse task-queue tuning for lifecycle workers
-        (reference per-warehouse queue config, api/management/v1/tasks.rs)."""
-        props = self._warehouse(warehouse)["properties"]
-        return {
+        (reference per-warehouse queue config, api/management/v1/tasks.rs).
+        Warehouse properties give the defaults; a per-queue config set via
+        SetTaskQueueConfig (catalog/tasks.py) overrides them."""
+        wh = self._warehouse(warehouse)
+        props = wh["properties"]
+        out = {
             "max_attempts": int(props.get("task-max-retries", 5)),
             "backoff_ms": int(props.get("task-backoff-ms", 1000)),
             "heartbeat_timeout_ms": int(props.get("task-heartbeat-timeout-ms", 120_000)),
         }
+        if queue is not None:
+            stored = self.store.get_task_queue_config(queue, wh["wh_key"])
+            if stored is not None:
+                cfg = stored["config"]
+                for key in ("max_attempts", "backoff_ms"):
+                    if cfg.get(key.replace("_", "-")) is not None:
+                        out[key] = int(cfg[key.replace("_", "-")])
+                if stored["max_seconds_since_last_heartbeat"] is not None:
+                    out["heartbeat_timeout_ms"] = (
+                        int(stored["max_seconds_since_last_heartbeat"]) * 1000
+                    )
+        return out
 
     def _warehouse(self, warehouse: str) -> dict[str, Any]:
         row = self.store.one(
@@ -255,6 +270,91 @@ class Catalog:
                 (wh["wh_key"],),
             )
         ]
+
+    def load_endpoint_statistics(
+        self, request: dict[str, Any] | None = None
+    ) -> dict[str, Any]:
+        """LoadEndpointStatistics (api/endpoints.rs:234; list semantics
+        from lakekeeper-storage-postgres/src/endpoint_statistics/list.rs):
+        the hourly endpoint counters grouped per time-slice, newest first,
+        paginated by STEPPING THROUGH TIME — the previous/next tokens move
+        the (end, interval) window one interval back/forward. Default
+        window: the last day ending now. Filters: warehouse ({type:
+        warehouse-id|unmapped|all}) and status-codes."""
+        import base64
+
+        request = request or {}
+        spec = request.get("range-specifier") or {}
+        if spec.get("type") == "page-token":
+            try:
+                end_ms, interval_ms = json.loads(
+                    base64.urlsafe_b64decode(spec["token"]).decode()
+                )
+            except Exception as e:  # noqa: BLE001
+                raise CatalogError(f"invalid page token: {e!r}") from e
+        else:
+            end_ms = (
+                _parse_rfc3339_ms(spec["end"]) if spec.get("end") else now_ms()
+            )
+            interval_ms = (
+                _parse_iso8601_duration_ms(spec["interval"])
+                if spec.get("interval")
+                else 86_400_000
+            )
+        if interval_ms <= 0:
+            raise CatalogError("interval must be positive")
+        from_ms = end_ms - interval_ms
+
+        wh_filter = request.get("warehouse") or {"type": "all"}
+        where = ["hour * 3600000 > ?", "hour * 3600000 <= ?"]
+        params: list[Any] = [from_ms, end_ms]
+        if wh_filter.get("type") == "warehouse-id":
+            where.append("wh_key = ?")
+            params.append(ident.fold(str(wh_filter.get("id", ""))))
+        elif wh_filter.get("type") == "unmapped":
+            where.append("wh_key = ''")
+        elif wh_filter.get("type") != "all":
+            raise CatalogError(
+                f"unknown warehouse filter type {wh_filter.get('type')!r}"
+            )
+        status_codes = request.get("status-codes")
+        if status_codes:
+            where.append(f"status IN ({','.join('?' * len(status_codes))})")
+            params.extend(int(s) for s in status_codes)
+        rows = self.store.query(
+            "SELECT hour, endpoint, status, wh_key, count FROM endpoint_stats"
+            f" WHERE {' AND '.join(where)}"
+            " ORDER BY hour DESC, endpoint, status, wh_key",
+            tuple(params),
+        )
+        timestamps: list[str] = []
+        called: list[list[dict[str, Any]]] = []
+        for r in rows:
+            ts = _ms_to_rfc3339(r["hour"] * 3_600_000)
+            if not timestamps or timestamps[-1] != ts:
+                timestamps.append(ts)
+                called.append([])
+            called[-1].append(
+                {
+                    "count": r["count"],
+                    "http-route": r["endpoint"],
+                    "status-code": r["status"],
+                    "warehouse-id": r["wh_key"] or None,
+                    "warehouse-name": r["wh_key"] or None,
+                }
+            )
+
+        def token(end: int) -> str:
+            return base64.urlsafe_b64encode(
+                json.dumps([end, interval_ms]).encode()
+            ).decode()
+
+        return {
+            "timestamps": timestamps,
+            "called-endpoints": called,
+            "previous-page-token": token(from_ms),
+            "next-page-token": token(end_ms + interval_ms),
+        }
 
     # ================= namespaces =================
     def create_namespace(
@@ -955,11 +1055,18 @@ class Catalog:
             if row["protected"]:
                 raise ProtectedEntity(f"table {name} is protected")
             profile = wh["properties"].get("delete-profile", "soft")
+            task_scope = {
+                "wh_key": wh["wh_key"],
+                "entity": {"type": "table", "table-id": row["id"]},
+                "entity_name": [*levels, name],
+            }
             if profile == "hard" or purge:
                 st.execute("DELETE FROM tabulars WHERE id=?", (row["id"],))
                 if purge:
                     st.enqueue_task(
-                        "tabular_purge", {"location": row["location"], "id": row["id"]}
+                        "tabular_purge",
+                        {"location": row["location"], "id": row["id"]},
+                        **task_scope,
                     )
             else:
                 st.execute(
@@ -970,6 +1077,7 @@ class Catalog:
                     "tabular_expiration",
                     {"id": row["id"], "purge": purge},
                     delay_ms=delay,
+                    **task_scope,
                 )
             st.emit_event(
                 "drop-table", wh["wh_key"], f"{'.'.join(levels)}.{name}", {"purge": purge}
@@ -1125,6 +1233,9 @@ class Catalog:
             st.enqueue_task(
                 "tabular_purge",
                 {"location": old_meta.get("location"), "id": old_meta.get("table-uuid")},
+                wh_key=wh["wh_key"],
+                entity={"type": "table", "table-id": old_meta.get("table-uuid")},
+                entity_name=[*levels, name],
             )
             st.emit_event(
                 "replace-table",
@@ -1529,3 +1640,50 @@ class Catalog:
             }
             for r in rows
         ]
+
+
+# ---------------------------------------------------------------------------
+# time helpers for the endpoint-statistics surface
+# ---------------------------------------------------------------------------
+def _parse_rfc3339_ms(value: Any) -> int:
+    """RFC 3339 string or epoch-milliseconds -> epoch-milliseconds."""
+    if isinstance(value, (int, float)):
+        return int(value)
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(str(value).replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def _ms_to_rfc3339(ms: int) -> str:
+    from datetime import datetime, timezone
+
+    return (
+        datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+        .isoformat(timespec="seconds")
+        .replace("+00:00", "Z")
+    )
+
+
+def _parse_iso8601_duration_ms(value: str) -> int:
+    """The ISO 8601 duration subset the reference's stats API documents
+    (PT1H, P1D, PT30M, ...): days + hours + minutes + seconds."""
+    import re as _re
+
+    m = _re.fullmatch(
+        r"P(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?",
+        str(value).upper(),
+    )
+    if not m or not any(m.groups()):
+        raise CatalogError(f"invalid ISO 8601 duration: {value!r}")
+    days, hours, minutes, seconds = (
+        int(m.group(1) or 0),
+        int(m.group(2) or 0),
+        int(m.group(3) or 0),
+        float(m.group(4) or 0),
+    )
+    return int(
+        ((days * 24 + hours) * 60 + minutes) * 60_000 + seconds * 1000
+    )

@@ -46,7 +46,12 @@ def run_expiration_queue(
                 st.execute("DELETE FROM tabulars WHERE id=?", (row["id"],))
                 if task["payload"].get("purge"):
                     st.enqueue_task(
-                        "tabular_purge", {"location": row["location"], "id": row["id"]}
+                        "tabular_purge",
+                        {"location": row["location"], "id": row["id"]},
+                        wh_key=task.get("wh_key"),
+                        entity=task.get("entity"),
+                        entity_name=task.get("entity_name"),
+                        parent_task_id=task["task_id"],
                     )
                 st.emit_event("expire-tabular", None, row["id"], {})
                 st.commit()
@@ -108,9 +113,14 @@ def enqueue_orphan_scan(catalog: Catalog, warehouse: str, levels, name: str) -> 
         raise CatalogError(
             "remove-orphan-files is disabled for this warehouse/table"
         )
+    from . import identifiers as ident
+
     return catalog.store.enqueue_task(
         "remove_orphan_files",
         {"warehouse": warehouse, "levels": list(levels), "name": name},
+        wh_key=ident.fold(warehouse),
+        entity={"type": "table", "table-id": meta["table-uuid"]},
+        entity_name=[*levels, name],
     )
 
 

@@ -65,7 +65,26 @@ CREATE TABLE IF NOT EXISTS tasks (
   payload TEXT NOT NULL, status TEXT NOT NULL DEFAULT 'pending',
   scheduled_ms INTEGER NOT NULL, attempts INTEGER NOT NULL DEFAULT 0,
   picked_ms INTEGER, last_heartbeat_ms INTEGER, finished_ms INTEGER,
-  error TEXT);
+  error TEXT,
+  -- task-management surface (api/management/v1/tasks.rs): warehouse +
+  -- entity scoping, progress reporting, sub-task linkage
+  wh_key TEXT, entity TEXT, entity_name TEXT,
+  parent_task_id INTEGER, progress REAL NOT NULL DEFAULT 0,
+  execution_details TEXT, created_ms INTEGER, updated_ms INTEGER);
+CREATE INDEX IF NOT EXISTS task_wh ON tasks (wh_key, queue, status);
+CREATE TABLE IF NOT EXISTS task_log (
+  -- per-attempt history (reference task_log table: every terminal or
+  -- superseded attempt is archived for GetTaskDetails)
+  task_id INTEGER NOT NULL, attempt INTEGER NOT NULL,
+  queue TEXT NOT NULL, wh_key TEXT, status TEXT NOT NULL, message TEXT,
+  scheduled_ms INTEGER, started_ms INTEGER, duration_ms INTEGER,
+  progress REAL NOT NULL DEFAULT 0, execution_details TEXT,
+  created_ms INTEGER NOT NULL, PRIMARY KEY (task_id, attempt));
+CREATE TABLE IF NOT EXISTS task_config (
+  -- per-warehouse queue config (reference task_config; SetTaskQueueConfig)
+  queue TEXT NOT NULL, wh_key TEXT NOT NULL DEFAULT '',
+  config TEXT NOT NULL, max_seconds_since_last_heartbeat INTEGER,
+  PRIMARY KEY (queue, wh_key));
 CREATE TABLE IF NOT EXISTS idempotency (
   key TEXT PRIMARY KEY, response TEXT NOT NULL, created_ms INTEGER NOT NULL);
 CREATE TABLE IF NOT EXISTS endpoint_stats (
@@ -208,18 +227,62 @@ class Metastore:
         )
 
     # -- tasks ----------------------------------------------------------
-    def enqueue_task(self, queue: str, payload: dict[str, Any], delay_ms: int = 0) -> int:
+    def enqueue_task(
+        self,
+        queue: str,
+        payload: dict[str, Any],
+        delay_ms: int = 0,
+        wh_key: str | None = None,
+        entity: dict[str, Any] | None = None,
+        entity_name: list[str] | None = None,
+        parent_task_id: int | None = None,
+    ) -> int:
+        """Schedule one task. ``wh_key``/``entity``/``entity_name`` scope it
+        for the task-management API (WarehouseTaskInfo fields,
+        api/management/v1/tasks.rs:83-120); workers only need queue+payload."""
         cur = self.con.execute(
-            "INSERT INTO tasks (queue, payload, status, scheduled_ms) VALUES (?,?,?,?)",
-            (queue, json.dumps(payload), "pending", now_ms() + delay_ms),
+            "INSERT INTO tasks (queue, payload, status, scheduled_ms,"
+            " wh_key, entity, entity_name, parent_task_id, created_ms, updated_ms)"
+            " VALUES (?,?,?,?,?,?,?,?,?,?)",
+            (
+                queue,
+                json.dumps(payload),
+                "pending",
+                now_ms() + delay_ms,
+                wh_key,
+                # canonical (sorted-key) JSON so entity equality filters
+                # and the one-active-task uniqueness check are stable
+                json.dumps(entity, sort_keys=True) if entity is not None else None,
+                json.dumps(entity_name) if entity_name is not None else None,
+                parent_task_id,
+                now_ms(),
+                now_ms(),
+            ),
         )
         return int(cur.lastrowid)
+
+    def _archive_attempt(
+        self, task_id: int, status: str, message: str | None
+    ) -> None:
+        """Copy the task's CURRENT attempt into task_log (the reference
+        archives every terminal/superseded attempt to its task_log table
+        so GetTaskDetails can show history)."""
+        self.con.execute(
+            "INSERT OR IGNORE INTO task_log (task_id, attempt, queue, wh_key,"
+            " status, message, scheduled_ms, started_ms, duration_ms,"
+            " progress, execution_details, created_ms)"
+            " SELECT task_id, attempts, queue, wh_key, ?, ?, scheduled_ms,"
+            " picked_ms, CASE WHEN picked_ms IS NOT NULL THEN ? - picked_ms END,"
+            " progress, execution_details, ? FROM tasks WHERE task_id=?",
+            (status, message, now_ms(), now_ms(), task_id),
+        )
 
     def pick_tasks(self, queue: str, limit: int = 10) -> list[dict[str, Any]]:
         self.begin()
         try:
             rows = self.query(
-                "SELECT task_id, payload, attempts FROM tasks"
+                "SELECT task_id, payload, attempts, wh_key, entity, entity_name"
+                " FROM tasks"
                 " WHERE queue = ? AND status = 'pending' AND scheduled_ms <= ?"
                 " ORDER BY scheduled_ms LIMIT ?",
                 (queue, now_ms(), limit),
@@ -240,20 +303,29 @@ class Metastore:
                 "payload": json.loads(r["payload"]),
                 # current attempt number (the UPDATE above incremented it)
                 "attempts": r["attempts"] + 1,
+                "wh_key": r["wh_key"],
+                "entity": json.loads(r["entity"]) if r["entity"] else None,
+                "entity_name": (
+                    json.loads(r["entity_name"]) if r["entity_name"] else None
+                ),
             }
             for r in rows
         ]
 
     def finish_task(self, task_id: int, error: str | None = None) -> None:
         if error is None:
+            self._archive_attempt(task_id, "done", None)
             self.con.execute(
-                "UPDATE tasks SET status='done', finished_ms=? WHERE task_id=?",
-                (now_ms(), task_id),
+                "UPDATE tasks SET status='done', finished_ms=?, progress=1.0,"
+                " updated_ms=? WHERE task_id=?",
+                (now_ms(), now_ms(), task_id),
             )
         else:
+            self._archive_attempt(task_id, "error", error)
             self.con.execute(
-                "UPDATE tasks SET status='error', finished_ms=?, error=? WHERE task_id=?",
-                (now_ms(), error, task_id),
+                "UPDATE tasks SET status='error', finished_ms=?, error=?,"
+                " updated_ms=? WHERE task_id=?",
+                (now_ms(), error, now_ms(), task_id),
             )
 
     def heartbeat_task(self, task_id: int) -> None:
@@ -274,16 +346,20 @@ class Metastore:
         row = self.one("SELECT attempts FROM tasks WHERE task_id=?", (task_id,))
         if row is None:
             return "error"
+        self._archive_attempt(task_id, "error", error)
         if row["attempts"] >= max_attempts:
             self.con.execute(
-                "UPDATE tasks SET status='error', finished_ms=?, error=? WHERE task_id=?",
-                (now_ms(), error, task_id),
+                "UPDATE tasks SET status='error', finished_ms=?, error=?,"
+                " updated_ms=? WHERE task_id=?",
+                (now_ms(), error, now_ms(), task_id),
             )
             return "error"
         delay = backoff_ms * (2 ** max(row["attempts"] - 1, 0))
         self.con.execute(
-            "UPDATE tasks SET status='pending', scheduled_ms=?, error=? WHERE task_id=?",
-            (now_ms() + delay, error, task_id),
+            "UPDATE tasks SET status='pending', scheduled_ms=?, error=?,"
+            " progress=0, execution_details=NULL, last_heartbeat_ms=NULL,"
+            " picked_ms=NULL, updated_ms=? WHERE task_id=?",
+            (now_ms() + delay, error, now_ms(), task_id),
         )
         return "pending"
 
@@ -324,6 +400,203 @@ class Metastore:
             (queue, f"%{match}%"),
         )
         return cur.rowcount
+
+    # -- task management (api/management/v1/tasks.rs semantics) ----------
+    def check_and_heartbeat(
+        self,
+        task_id: int,
+        progress: float | None = None,
+        execution_details: dict[str, Any] | None = None,
+    ) -> str:
+        """Worker heartbeat WITH progress reporting + stop-signal read
+        (check_and_heartbeat_task, lakekeeper-storage-postgres/src/
+        tasks.rs:989-1024): returns 'continue' while running, 'stop' when
+        an operator requested stop or rescheduled the attempt, and
+        'not-active' when the task is no longer live."""
+        self.con.execute(
+            "UPDATE tasks SET last_heartbeat_ms=?, updated_ms=?,"
+            " progress=COALESCE(?, progress),"
+            " execution_details=COALESCE(?, execution_details)"
+            " WHERE task_id=? AND status IN ('running','should-stop')",
+            (
+                now_ms(),
+                now_ms(),
+                progress,
+                json.dumps(execution_details) if execution_details else None,
+                task_id,
+            ),
+        )
+        row = self.one("SELECT status FROM tasks WHERE task_id=?", (task_id,))
+        if row is None or row["status"] not in ("running", "should-stop", "pending"):
+            return "not-active"
+        if row["status"] == "running":
+            return "continue"
+        # should-stop, or rescheduled back to pending mid-attempt
+        return "stop"
+
+    def stop_tasks(self, task_ids: list[int]) -> int:
+        """Graceful stop request (request_tasks_stop, postgres/tasks.rs:874):
+        only RUNNING tasks transition to should-stop; the worker sees the
+        signal on its next heartbeat and the task will be retried."""
+        qmarks = ",".join("?" * len(task_ids))
+        cur = self.con.execute(
+            f"UPDATE tasks SET status='should-stop', updated_ms=?"
+            f" WHERE task_id IN ({qmarks}) AND status='running'",
+            (now_ms(), *task_ids),
+        )
+        return cur.rowcount
+
+    def run_tasks_at(
+        self, task_ids: list[int], scheduled_ms: int | None = None
+    ) -> int:
+        """Reschedule (RunNow / RunAt): only tasks in SCHEDULED or
+        STOPPING move (reschedule_tasks_for, postgres/tasks.rs:898-975);
+        a should-stop attempt that gets rescheduled is archived as a
+        FAILED attempt with the reference's message, and the task resets
+        to a clean scheduled state."""
+        when = now_ms() if scheduled_ms is None else scheduled_ms
+        moved = 0
+        for tid in task_ids:
+            row = self.one(
+                "SELECT status FROM tasks WHERE task_id=?", (tid,)
+            )
+            if row is None or row["status"] not in ("pending", "should-stop"):
+                continue
+            if row["status"] == "should-stop":
+                self._archive_attempt(
+                    tid,
+                    "error",
+                    "Task did not stop in time before being rescheduled.",
+                )
+            self.con.execute(
+                "UPDATE tasks SET status='pending', scheduled_ms=?,"
+                " progress=0, execution_details=NULL, last_heartbeat_ms=NULL,"
+                " picked_ms=NULL, updated_ms=? WHERE task_id=?",
+                (when, now_ms(), tid),
+            )
+            moved += 1
+        return moved
+
+    def cancel_tasks_by_id(
+        self, task_ids: list[int], force_running: bool = True
+    ) -> int:
+        """Cancel permanently — a FINAL state, never retried
+        (cancel_scheduled_tasks, postgres/tasks.rs:1030). Scheduled tasks
+        always cancel; running/should-stop ones only when
+        ``force_running`` (the management API passes true)."""
+        states = ("pending", "running", "should-stop") if force_running else ("pending",)
+        n = 0
+        for tid in task_ids:
+            row = self.one("SELECT status FROM tasks WHERE task_id=?", (tid,))
+            if row is None or row["status"] not in states:
+                continue
+            self._archive_attempt(tid, "cancelled", None)
+            self.con.execute(
+                "UPDATE tasks SET status='cancelled', finished_ms=?,"
+                " updated_ms=? WHERE task_id=?",
+                (now_ms(), now_ms(), tid),
+            )
+            n += 1
+        return n
+
+    def get_task(self, task_id: int) -> dict[str, Any] | None:
+        row = self.one("SELECT * FROM tasks WHERE task_id=?", (task_id,))
+        return dict(row) if row else None
+
+    def task_attempts(self, task_id: int, limit: int = 5) -> list[dict[str, Any]]:
+        """Archived attempt history, newest first (GetTaskDetails
+        num_attempts semantics, tasks.rs:606-612)."""
+        return [
+            dict(r)
+            for r in self.query(
+                "SELECT * FROM task_log WHERE task_id=?"
+                " ORDER BY attempt DESC LIMIT ?",
+                (task_id, limit),
+            )
+        ]
+
+    def list_tasks_admin(
+        self,
+        wh_key: str | None = None,
+        statuses: list[str] | None = None,
+        queues: list[str] | None = None,
+        entities: list[str] | None = None,
+        created_after_ms: int | None = None,
+        created_before_ms: int | None = None,
+        page_size: int = 100,
+        page_token: str | None = None,
+    ) -> tuple[list[dict[str, Any]], str | None]:
+        """Filtered, keyset-paginated task listing (ListTasksRequest,
+        tasks.rs:518-552). ``entities`` are canonical JSON strings matched
+        against the stored entity document; ``statuses`` are INTERNAL
+        status names (the service layer maps wire names)."""
+        where, params = [], []
+        if wh_key is not None:
+            where.append("wh_key=?")
+            params.append(wh_key)
+        for col, vals in (("status", statuses), ("queue", queues), ("entity", entities)):
+            if vals is not None:
+                where.append(f"{col} IN ({','.join('?' * len(vals))})")
+                params.extend(vals)
+        if created_after_ms is not None:
+            where.append("created_ms > ?")
+            params.append(created_after_ms)
+        if created_before_ms is not None:
+            where.append("created_ms < ?")
+            params.append(created_before_ms)
+        if page_token is not None:
+            where.append("task_id > ?")
+            params.append(int(page_token))
+        clause = (" WHERE " + " AND ".join(where)) if where else ""
+        rows = self.query(
+            f"SELECT * FROM tasks{clause} ORDER BY task_id LIMIT ?",
+            (*params, page_size + 1),
+        )
+        out = [dict(r) for r in rows[:page_size]]
+        next_token = str(out[-1]["task_id"]) if len(rows) > page_size else None
+        return out, next_token
+
+    def set_task_queue_config(
+        self,
+        queue: str,
+        wh_key: str | None,
+        config: dict[str, Any],
+        max_seconds_since_last_heartbeat: int | None = None,
+    ) -> None:
+        """Upsert per-(queue, warehouse) config; a NULL heartbeat ceiling
+        keeps the existing value (set_task_queue_config COALESCE,
+        postgres/tasks.rs:851-857)."""
+        self.con.execute(
+            "INSERT INTO task_config (queue, wh_key, config,"
+            " max_seconds_since_last_heartbeat) VALUES (?,?,?,?)"
+            " ON CONFLICT (queue, wh_key) DO UPDATE SET config=excluded.config,"
+            " max_seconds_since_last_heartbeat=COALESCE("
+            "   excluded.max_seconds_since_last_heartbeat,"
+            "   task_config.max_seconds_since_last_heartbeat)",
+            (
+                queue,
+                wh_key or "",
+                json.dumps(config),
+                max_seconds_since_last_heartbeat,
+            ),
+        )
+
+    def get_task_queue_config(
+        self, queue: str, wh_key: str | None
+    ) -> dict[str, Any] | None:
+        row = self.one(
+            "SELECT config, max_seconds_since_last_heartbeat FROM task_config"
+            " WHERE queue=? AND wh_key=?",
+            (queue, wh_key or ""),
+        )
+        if row is None:
+            return None
+        return {
+            "config": json.loads(row["config"]),
+            "max_seconds_since_last_heartbeat": row[
+                "max_seconds_since_last_heartbeat"
+            ],
+        }
 
     # -- idempotency -----------------------------------------------------
     def idempotency_get(self, key: str) -> dict[str, Any] | None:

@@ -1,0 +1,467 @@
+"""Task-management service: the reference's tasks API over the metastore
+task framework.
+
+Mirrors ``api/management/v1/tasks.rs`` (1,824 LoC) and
+``api/management/v1/task_queue.rs`` at the semantics level:
+
+  - ``list_tasks`` — filter by status / queue names / entities /
+    created-after/before window, keyset pagination; the reference's
+    request guards (>100 entities -> 400 TooManyEntities, >100 queue
+    names -> 400 TooManyQueueNames, an explicitly EMPTY filter list ->
+    empty result, tasks.rs:662-700).
+  - ``get_task_details`` — task info + archived attempt history, newest
+    first, ``num_attempts`` deep (default 5, tasks.rs:606-612).
+  - ``control_tasks`` — stop / cancel / run-now / run-at with the
+    reference's guards (empty -> no-op, >100 -> 400 TooManyTasks,
+    duplicates -> 400 DuplicateTaskIds, tasks.rs:762-792) and state
+    rules (stop: running only; run-now/run-at: scheduled+stopping only,
+    a stopping attempt is archived FAILED with the reference's message;
+    cancel: final, and cancelling a tabular_expiration task clears the
+    tabular's deleted_at — the soft-delete is ABORTED, tasks.rs:824-838).
+  - ``schedule_task`` — user-scheduling gate per registered queue
+    (``UserScheduling``, service/tasks/task_registry.rs:27-57; all
+    built-in queues are Disabled — remove_orphan_files is this repo's
+    schedulable queue), the 365-day horizon clamp
+    (MAX_SCHEDULE_HORIZON_DAYS, tasks.rs:74), and the
+    one-active-task-per-(warehouse, entity, queue) conflict -> 409 with
+    the existing task id (task_queue.rs:171-178).
+  - ``set/get_task_queue_config`` — per-warehouse queue tuning with
+    unknown queues rejected listing the registered ones
+    (task_queue.rs:88-100); the stored config is what the lifecycle
+    workers read through ``Catalog.task_config``.
+
+Status names on the wire are the reference's SCREAMING_SNAKE_CASE
+``TaskStatus`` (tasks.rs:374-388); internally the metastore keeps its
+worker vocabulary (pending/running/should-stop/done/error/cancelled).
+
+AuthZ: listing/details require the warehouse-level ``get_all_tasks``
+action, control/schedule require ``control_all_tasks``
+(CatalogWarehouseAction::GetAllTasks / ControlAllTasks,
+service/authz/mod.rs:660-661).
+"""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timezone
+from typing import TYPE_CHECKING, Any
+
+from .catalog import AlreadyExists, CatalogError, NoSuchEntity
+from .metastore import now_ms
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .catalog import Catalog
+
+#: wire TaskStatus <-> internal metastore status (tasks.rs:374-388)
+WIRE_STATUS = {
+    "pending": "SCHEDULED",
+    "running": "RUNNING",
+    "should-stop": "STOPPING",
+    "cancelled": "CANCELLED",
+    "done": "SUCCESS",
+    "error": "FAILED",
+}
+INTERNAL_STATUS = {v: k for k, v in WIRE_STATUS.items()}
+
+#: queue registry: name -> user_schedulable (UserScheduling,
+#: task_registry.rs:27-57). The reference's built-in queues are all
+#: Disabled; extension queues opt in — here the orphan-file scan is the
+#: user-facing one (it already has an eligibility gate in lifecycle.py).
+REGISTERED_QUEUES: dict[str, bool] = {
+    "tabular_expiration": False,
+    "tabular_purge": False,
+    "task_log_cleanup": False,
+    "remove_orphan_files": True,
+}
+
+MAX_SCHEDULE_HORIZON_DAYS = 365
+DEFAULT_ATTEMPTS = 5
+_MAX_BATCH = 100
+
+
+def _iso(ms: int | None) -> str | None:
+    if ms is None:
+        return None
+    return (
+        datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+        .isoformat(timespec="milliseconds")
+        .replace("+00:00", "Z")
+    )
+
+
+def parse_ts_ms(value: Any) -> int:
+    """Accept RFC 3339 strings or epoch milliseconds."""
+    if isinstance(value, (int, float)):
+        return int(value)
+    dt = datetime.fromisoformat(str(value).replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp() * 1000)
+
+
+def _entity_key(entity: dict[str, Any]) -> str:
+    """Canonical JSON for entity equality (the filter match and the
+    one-active-task uniqueness key both compare this form)."""
+    return json.dumps(entity, sort_keys=True)
+
+
+def task_info(row: dict[str, Any]) -> dict[str, Any]:
+    """WarehouseTaskInfo wire shape (kebab-case, tasks.rs:83-120)."""
+    return {
+        "task-id": row["task_id"],
+        "warehouse-id": row.get("wh_key"),
+        "queue-name": row["queue"],
+        "entity": json.loads(row["entity"]) if row.get("entity") else None,
+        "entity-name": (
+            json.loads(row["entity_name"]) if row.get("entity_name") else None
+        ),
+        "status": WIRE_STATUS[row["status"]],
+        "scheduled-for": _iso(row["scheduled_ms"]),
+        "picked-up-at": _iso(row.get("picked_ms")),
+        "attempt": row["attempts"],
+        "last-heartbeat-at": _iso(row.get("last_heartbeat_ms")),
+        "progress": float(row.get("progress") or 0.0),
+        "parent-task-id": row.get("parent_task_id"),
+        "created-at": _iso(row.get("created_ms")),
+        "updated-at": _iso(row.get("updated_ms")),
+    }
+
+
+def _attempt_info(row: dict[str, Any]) -> dict[str, Any]:
+    """TaskAttempt wire shape (tasks.rs:347-369)."""
+    return {
+        "attempt": row["attempt"],
+        "status": WIRE_STATUS[row["status"]],
+        "scheduled-for": _iso(row.get("scheduled_ms")),
+        "started-at": _iso(row.get("started_ms")),
+        "duration-ms": row.get("duration_ms"),
+        "message": row.get("message"),
+        "created-at": _iso(row["created_ms"]),
+        "progress": float(row.get("progress") or 0.0),
+        "execution-details": (
+            json.loads(row["execution_details"])
+            if row.get("execution_details")
+            else None
+        ),
+    }
+
+
+def _check_batch(values: list[Any], what: str, code: str) -> None:
+    if len(values) > _MAX_BATCH:
+        raise CatalogError(
+            f"Cannot {what} more than {_MAX_BATCH} at once. ({code})"
+        )
+
+
+def list_tasks(
+    catalog: "Catalog", warehouse: str, request: dict[str, Any]
+) -> dict[str, Any]:
+    """ListTasks (tasks.rs:655-726). ``request`` is the kebab-case body."""
+    from . import identifiers as ident
+
+    catalog._authorize("get_all_tasks", ident.fold(warehouse), warehouse)
+    catalog._warehouse(warehouse)  # 404 on unknown warehouse
+    entities = request.get("entities")
+    queues = request.get("queue-name")
+    if entities is not None:
+        _check_batch(entities, "filter by entities", "TooManyEntities")
+        if not entities:
+            return {"tasks": [], "next-page-token": None}
+    if queues is not None:
+        _check_batch(queues, "filter by queue names", "TooManyQueueNames")
+        if not queues:
+            return {"tasks": [], "next-page-token": None}
+    statuses = request.get("status")
+    if statuses is not None:
+        unknown = [s for s in statuses if s not in INTERNAL_STATUS]
+        if unknown:
+            raise CatalogError(f"unknown task status {unknown[0]!r}")
+        statuses = [INTERNAL_STATUS[s] for s in statuses]
+    rows, next_token = catalog.store.list_tasks_admin(
+        wh_key=ident.fold(warehouse),
+        statuses=statuses,
+        queues=queues,
+        entities=(
+            [_entity_key(e) for e in entities] if entities is not None else None
+        ),
+        created_after_ms=(
+            parse_ts_ms(request["created-after"])
+            if request.get("created-after") is not None
+            else None
+        ),
+        created_before_ms=(
+            parse_ts_ms(request["created-before"])
+            if request.get("created-before") is not None
+            else None
+        ),
+        page_size=int(request.get("page-size") or 100),
+        page_token=request.get("page-token"),
+    )
+    return {
+        "tasks": [task_info(r) for r in rows],
+        "next-page-token": next_token,
+    }
+
+
+def get_task_details(
+    catalog: "Catalog",
+    warehouse: str,
+    task_id: int,
+    num_attempts: int = DEFAULT_ATTEMPTS,
+) -> dict[str, Any]:
+    """GetTaskDetails: info + attempt history (tasks.rs:728-759)."""
+    from . import identifiers as ident
+
+    catalog._authorize("get_all_tasks", ident.fold(warehouse), warehouse)
+    row = catalog.store.get_task(task_id)
+    if row is None or row.get("wh_key") != ident.fold(warehouse):
+        raise NoSuchEntity(f"task {task_id} not found in warehouse {warehouse}")
+    return {
+        "task": task_info(row),
+        "attempts": [
+            _attempt_info(a)
+            for a in catalog.store.task_attempts(task_id, num_attempts)
+        ],
+    }
+
+
+def control_tasks(
+    catalog: "Catalog", warehouse: str, request: dict[str, Any]
+) -> None:
+    """ControlTasks (tasks.rs:762-850): stop / cancel / run-now / run-at."""
+    from . import identifiers as ident
+
+    catalog._authorize("control_all_tasks", ident.fold(warehouse), warehouse)
+    task_ids = request.get("task-ids", [])
+    if not task_ids:
+        return
+    _check_batch(task_ids, "control tasks", "TooManyTasks")
+    if len(set(task_ids)) != len(task_ids):
+        raise CatalogError(
+            "Duplicate task IDs are not allowed in the request."
+            " (DuplicateTaskIds)"
+        )
+    wh_key = ident.fold(warehouse)
+    st = catalog.store
+    for tid in task_ids:
+        row = st.get_task(tid)
+        if row is None or row.get("wh_key") != wh_key:
+            raise NoSuchEntity(
+                f"task {tid} not found in warehouse {warehouse}"
+            )
+    action = request.get("action") or {}
+    kind = action.get("action-type")
+    st.begin()
+    try:
+        if kind == "stop":
+            st.stop_tasks(task_ids)
+        elif kind == "cancel":
+            # Cancelling a pending soft-delete ABORTS it: the reference
+            # clears the tabular's deleted_at for expiration tasks
+            # (clear_tabular_deleted_at, tasks.rs:824-838) — the table is
+            # effectively undropped rather than left half-deleted.
+            for tid in task_ids:
+                row = st.get_task(tid)
+                if row["queue"] == "tabular_expiration":
+                    tabular_id = json.loads(row["payload"]).get("id")
+                    if tabular_id is not None:
+                        st.execute(
+                            "UPDATE tabulars SET deleted_ms=NULL WHERE id=?",
+                            (tabular_id,),
+                        )
+            st.cancel_tasks_by_id(task_ids, force_running=True)
+        elif kind == "run-now":
+            st.run_tasks_at(task_ids, None)
+        elif kind == "run-at":
+            st.run_tasks_at(task_ids, parse_ts_ms(action["scheduled-for"]))
+        else:
+            raise CatalogError(f"unknown control action {kind!r}")
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+
+
+def schedule_task(
+    catalog: "Catalog",
+    warehouse: str,
+    queue_name: str,
+    request: dict[str, Any],
+) -> dict[str, Any]:
+    """ScheduleTask (tasks.rs:852-932 + task_queue.rs:171-240):
+    user-schedulable queues only, horizon clamp, one active task per
+    (warehouse, entity, queue)."""
+    from . import identifiers as ident
+
+    catalog._authorize("control_all_tasks", ident.fold(warehouse), warehouse)
+    catalog._warehouse(warehouse)
+    if queue_name not in REGISTERED_QUEUES:
+        known = ", ".join(sorted(REGISTERED_QUEUES))
+        raise CatalogError(
+            f"Queue '{queue_name}' not found! Existing queues: [{known}]"
+            " (QueueNotFound)"
+        )
+    if not REGISTERED_QUEUES[queue_name]:
+        raise CatalogError(
+            f"Queue '{queue_name}' does not accept user scheduling."
+            " (QueueNotUserSchedulable)"
+        )
+    entity = request.get("entity")
+    if not isinstance(entity, dict) or "type" not in entity:
+        raise CatalogError(
+            "entity must be a typed object, e.g."
+            ' {"type": "table", "table-id": "..."} (InvalidTaskPayload)'
+        )
+    delay_ms = 0
+    if request.get("scheduled-for") is not None:
+        target = parse_ts_ms(request["scheduled-for"])
+        horizon = now_ms() + MAX_SCHEDULE_HORIZON_DAYS * 86_400_000
+        if target > horizon:
+            raise CatalogError(
+                "scheduled-for is more than"
+                f" {MAX_SCHEDULE_HORIZON_DAYS} days in the future"
+                " (ScheduledForTooFarInFuture)"
+            )
+        delay_ms = max(target - now_ms(), 0)
+    wh_key = ident.fold(warehouse)
+    ekey = _entity_key(entity)
+    st = catalog.store
+    # Resolve the entity to its name parts (the reference resolves the
+    # tabular before enqueue, tasks.rs:905-918; workers like the orphan
+    # scan address tables by (warehouse, levels, name))
+    entity_id = (
+        entity.get("table-id")
+        or entity.get("view-id")
+        or entity.get("generic-table-id")
+    )
+    entity_name = None
+    payload_extra: dict[str, Any] = {}
+    if entity_id is not None:
+        row = st.one(
+            "SELECT t.name AS name, t.metadata AS metadata,"
+            " n.ns_stored AS ns_stored FROM tabulars t"
+            " JOIN namespaces n ON n.wh_key = t.wh_key AND n.ns_key = t.ns_key"
+            " WHERE t.id=? AND t.wh_key=? AND t.deleted_ms IS NULL",
+            (entity_id, wh_key),
+        )
+        if row is None:
+            raise NoSuchEntity(
+                f"entity {entity_id} not found in warehouse {warehouse}"
+            )
+        levels = ident.ns_load(row["ns_stored"])
+        entity_name = [*levels, row["name"]]
+        payload_extra = {"levels": list(levels), "name": row["name"]}
+        if queue_name == "remove_orphan_files":
+            # per-queue eligibility (run_eligibility_check,
+            # task_queue.rs:196-205): the orphan scan is opt-in via the
+            # warehouse flag, overridable per table — same gate
+            # lifecycle.enqueue_orphan_scan applies
+            wh_props = catalog._warehouse(warehouse)["properties"]
+            tbl_flag = (
+                json.loads(row["metadata"])
+                .get("properties", {})
+                .get("lakekeeper.remove-orphan-files.enabled")
+            )
+            enabled = str(
+                tbl_flag
+                if tbl_flag is not None
+                else wh_props.get("enable-remove-orphan-files", "false")
+            ).lower() in ("true", "yes", "1")
+            if not enabled:
+                raise CatalogError(
+                    "remove-orphan-files is disabled for this"
+                    " warehouse/table (ScheduleEligibilityFailed)"
+                )
+    st.begin()
+    try:
+        existing = st.one(
+            "SELECT task_id FROM tasks WHERE wh_key=? AND queue=? AND entity=?"
+            " AND status IN ('pending','running','should-stop')",
+            (wh_key, queue_name, ekey),
+        )
+        if existing:
+            raise AlreadyExists(
+                f"an active task for this entity already exists on queue"
+                f" '{queue_name}' (task-id {existing['task_id']})"
+            )
+        payload = request.get("payload") or {}
+        if not isinstance(payload, dict):
+            raise CatalogError(
+                "payload must be a JSON object (InvalidTaskPayload)"
+            )
+        task_id = st.enqueue_task(
+            queue_name,
+            {
+                **payload,
+                **payload_extra,
+                "entity": entity,
+                "warehouse": warehouse,
+            },
+            delay_ms=delay_ms,
+            wh_key=wh_key,
+            entity=json.loads(ekey),
+            entity_name=entity_name,
+        )
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+    return {"task-id": task_id}
+
+
+def set_task_queue_config(
+    catalog: "Catalog",
+    warehouse: str,
+    queue_name: str,
+    request: dict[str, Any],
+) -> None:
+    """SetTaskQueueConfig (task_queue.rs:72-112): unknown queues rejected
+    with the registered list; the heartbeat ceiling only overwrites when
+    provided."""
+    from . import identifiers as ident
+
+    catalog._authorize("control_all_tasks", ident.fold(warehouse), warehouse)
+    catalog._warehouse(warehouse)
+    if queue_name not in REGISTERED_QUEUES:
+        known = ", ".join(sorted(REGISTERED_QUEUES))
+        raise CatalogError(
+            f"Queue '{queue_name}' not found! Existing queues: [{known}]"
+            " (QueueNotFound)"
+        )
+    config = request.get("queue-config")
+    if not isinstance(config, dict):
+        raise CatalogError(
+            f"Failed to deserialize queue config for queue-name"
+            f" '{queue_name}' (InvalidQueueConfig)"
+        )
+    catalog.store.set_task_queue_config(
+        queue_name,
+        ident.fold(warehouse),
+        config,
+        request.get("max-seconds-since-last-heartbeat"),
+    )
+
+
+def get_task_queue_config(
+    catalog: "Catalog", warehouse: str, queue_name: str
+) -> dict[str, Any]:
+    """GetTaskQueueConfig (task_queue.rs:152-168): unset configs return
+    the empty-config default rather than 404."""
+    from . import identifiers as ident
+
+    catalog._authorize("get_all_tasks", ident.fold(warehouse), warehouse)
+    catalog._warehouse(warehouse)
+    stored = catalog.store.get_task_queue_config(
+        queue_name, ident.fold(warehouse)
+    )
+    if stored is None:
+        return {
+            "queue-config": {"queue-name": queue_name},
+            "max-seconds-since-last-heartbeat": None,
+        }
+    return {
+        "queue-config": {**stored["config"], "queue-name": queue_name},
+        "max-seconds-since-last-heartbeat": stored[
+            "max_seconds_since_last_heartbeat"
+        ],
+    }

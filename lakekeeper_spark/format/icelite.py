@@ -2549,9 +2549,18 @@ class SparkTable:
         self._commit([],
             [{"action": "remove-snapshots", "snapshot-ids": victims}],
         )
+        from ..catalog import identifiers as _ident
+
+        task_scope = {
+            "wh_key": _ident.fold(self.warehouse),
+            "entity": {"type": "table", "table-id": meta["table-uuid"]},
+            "entity_name": [*self.levels, self.name],
+        }
         for rel in orphaned:
             self.catalog.store.enqueue_task(
-                "tabular_purge", {"location": f"{meta['location']}/{rel}", "id": meta["table-uuid"]}
+                "tabular_purge",
+                {"location": f"{meta['location']}/{rel}", "id": meta["table-uuid"]},
+                **task_scope,
             )
         # expired snapshots' manifest-list + manifest Avro files go with
         # them (each snapshot's files live under one directory)
@@ -2561,6 +2570,7 @@ class SparkTable:
                     self.catalog.store.enqueue_task(
                         "tabular_purge",
                         {"location": victim_file, "id": meta["table-uuid"]},
+                        **task_scope,
                     )
         return victims
 

@@ -1465,3 +1465,242 @@ def c14_credential_vending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+# --------------------------------------------------------------------------
+# c15: task-management API — the task framework driven over REST
+# --------------------------------------------------------------------------
+# The reference exposes its background-task framework over HTTP
+# (api/management/v1/tasks.rs: list/details/control/schedule;
+# task_queue.rs: per-warehouse queue config) — the surface an operator of
+# a real deployment uses daily to inspect stuck purges and re-run
+# expirations. This row drives the full lifecycle THROUGH the HTTP API:
+# queue config set/get, a soft-delete surfacing as a SCHEDULED expiration
+# task, run-now + worker drain to SUCCESS, a purge task chain, a failing
+# orphan scan retried (attempt history) then cancelled, cancel of an
+# expiration task ABORTING the soft-delete (the table is loadable again,
+# clear_tabular_deleted_at semantics tasks.rs:824-838), and the 365-day
+# schedule horizon guard. Checkpoints are statuses and counts — all
+# deterministic; the customer row count ties the purged table to the
+# source data.
+@register(
+    "c15_task_management",
+    oracle="""
+SELECT * FROM (
+  SELECT 'config_max_attempts' AS checkpoint, 2 AS value
+  UNION ALL SELECT 'endpoint_stats_served', 1
+  UNION ALL SELECT 'expiration_scheduled', 1
+  UNION ALL SELECT 'expiration_success', 1
+  UNION ALL SELECT 'horizon_refused', 1
+  UNION ALL SELECT 'orphan_cancelled', 1
+  UNION ALL SELECT 'orphan_failed_attempts', 1
+  UNION ALL SELECT 'purge_success', 1
+  UNION ALL SELECT 'rows_before_drop', (SELECT COUNT(*) FROM customer)
+  UNION ALL SELECT 'undrop_via_cancel', 1
+) ORDER BY checkpoint
+""",
+    description="Task-management REST API (tasks.rs semantics): queue "
+    "config set/get over HTTP, soft-delete -> SCHEDULED expiration task, "
+    "run-now -> worker drain -> SUCCESS, purge chain, a failing orphan "
+    "scan's FAILED attempt history then cancel, cancelling an expiration "
+    "task aborts the soft-delete (table loadable again), and the 365-day "
+    "schedule horizon guard - every checkpoint observed through the HTTP "
+    "surface.",
+    tags=("catalog", "tasks", "rest", "lifecycle"),
+)
+def c15_task_management(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from ..catalog.catalog import Catalog
+    from ..catalog.lifecycle import run_expiration_queue, run_purge_queue
+    from ..catalog.metastore import Metastore, now_ms
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+    from ..rest import RestCatalogServer
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_tasks_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    server = RestCatalogServer(cat).start()
+    rows: list[tuple[str, int]] = []
+    try:
+        base = server.url
+
+        def req(method: str, path: str, body=None):
+            data = _json.dumps(body).encode() if body is not None else None
+            r = urllib.request.Request(base + path, data=data, method=method)
+            if data:
+                r.add_header("Content-Type", "application/json")
+            with urllib.request.urlopen(r) as resp:
+                raw = resp.read()
+                return _json.loads(raw) if raw else None
+
+        req(
+            "POST",
+            "/management/v1/warehouse",
+            {
+                "warehouse-name": "wh",
+                "storage-profile": {"location": f"{tmp}/warehouse"},
+                "properties": {
+                    "expiration-seconds": "3600",
+                    "enable-remove-orphan-files": "true",
+                },
+            },
+        )
+        cat.create_namespace("wh", ["ops"])
+
+        # --- queue config over HTTP (task_queue.rs set/get) ------------
+        req(
+            "POST",
+            "/management/v1/warehouse/wh/task-queue/tabular_expiration/config",
+            {"queue-config": {"max-attempts": 2}},
+        )
+        cfg = req(
+            "GET",
+            "/management/v1/warehouse/wh/task-queue/tabular_expiration/config",
+        )
+        rows.append(
+            ("config_max_attempts", int(cfg["queue-config"]["max-attempts"]))
+        )
+
+        # --- soft-delete -> SCHEDULED expiration task -------------------
+        src = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        cat.create_table("wh", ["ops"], "t1", struct_to_schema(src.schema))
+        SparkTable(spark, cat, "wh", ["ops"], "t1").append(src)
+        rows.append(("rows_before_drop", src.count()))
+        cat.drop_table("wh", ["ops"], "t1")
+        listing = req(
+            "POST",
+            "/management/v1/warehouse/wh/task/list",
+            {"queue-name": ["tabular_expiration"], "status": ["SCHEDULED"]},
+        )
+        exp_ids = [t["task-id"] for t in listing["tasks"]]
+        rows.append(("expiration_scheduled", len(exp_ids)))
+
+        # --- run-now over HTTP, drain the worker, SUCCESS over HTTP ----
+        req(
+            "POST",
+            "/management/v1/warehouse/wh/task/control",
+            {"action": {"action-type": "run-now"}, "task-ids": exp_ids},
+        )
+        run_expiration_queue(cat)
+        det = req(
+            "GET", f"/management/v1/warehouse/wh/task/by-id/{exp_ids[0]}"
+        )
+        rows.append(
+            ("expiration_success", int(det["task"]["status"] == "SUCCESS"))
+        )
+
+        # --- purge task (drop purge=True) drains to SUCCESS -------------
+        cat.create_table("wh", ["ops"], "t2", struct_to_schema(src.schema))
+        cat.drop_table("wh", ["ops"], "t2", purge=True)
+        run_purge_queue(cat)
+        listing = req(
+            "POST",
+            "/management/v1/warehouse/wh/task/list",
+            {"queue-name": ["tabular_purge"], "status": ["SUCCESS"]},
+        )
+        rows.append(("purge_success", int(len(listing["tasks"]) >= 1)))
+
+        # --- failing orphan scan: FAILED attempt archived, then cancel --
+        cat.create_table("wh", ["ops"], "t3", struct_to_schema(src.schema))
+        meta3, _ = cat.load_table("wh", ["ops"], "t3")
+        sched = req(
+            "POST",
+            "/management/v1/warehouse/wh/task-queue/remove_orphan_files/schedule",
+            {"entity": {"type": "table", "table-id": meta3["table-uuid"]}},
+        )
+        # break the task: drop its table so the worker load fails
+        cat.drop_table("wh", ["ops"], "t3", purge=True)
+        from ..catalog.lifecycle import run_orphan_queue
+
+        run_orphan_queue(cat, spark)
+        det = req(
+            "GET",
+            f"/management/v1/warehouse/wh/task/by-id/{sched['task-id']}",
+        )
+        rows.append(
+            (
+                "orphan_failed_attempts",
+                sum(1 for a in det["attempts"] if a["status"] == "FAILED"),
+            )
+        )
+        req(
+            "POST",
+            "/management/v1/warehouse/wh/task/control",
+            {"action": {"action-type": "cancel"}, "task-ids": [sched["task-id"]]},
+        )
+        det = req(
+            "GET",
+            f"/management/v1/warehouse/wh/task/by-id/{sched['task-id']}",
+        )
+        rows.append(
+            ("orphan_cancelled", int(det["task"]["status"] == "CANCELLED"))
+        )
+
+        # --- cancel of an expiration task ABORTS the soft-delete --------
+        cat.create_table("wh", ["ops"], "t4", struct_to_schema(src.schema))
+        cat.drop_table("wh", ["ops"], "t4")
+        listing = req(
+            "POST",
+            "/management/v1/warehouse/wh/task/list",
+            {"queue-name": ["tabular_expiration"], "status": ["SCHEDULED"]},
+        )
+        [t4_task] = [t["task-id"] for t in listing["tasks"]]
+        req(
+            "POST",
+            "/management/v1/warehouse/wh/task/control",
+            {"action": {"action-type": "cancel"}, "task-ids": [t4_task]},
+        )
+        meta4, _ = cat.load_table("wh", ["ops"], "t4")  # loadable again
+        rows.append(("undrop_via_cancel", int(bool(meta4["table-uuid"]))))
+
+        # --- schedule horizon guard (365 days, tasks.rs:74) -------------
+        try:
+            req(
+                "POST",
+                "/management/v1/warehouse/wh/task-queue/remove_orphan_files/schedule",
+                {
+                    "entity": {"type": "table", "table-id": meta4["table-uuid"]},
+                    "scheduled-for": now_ms() + 400 * 86_400_000,
+                },
+            )
+            refused = 0
+        except urllib.error.HTTPError as e:
+            refused = int(
+                e.code == 400
+                and "ScheduledForTooFarInFuture" in e.read().decode()
+            )
+        rows.append(("horizon_refused", refused))
+
+        # --- endpoint statistics over HTTP, rolled up via Spark ---------
+        # (LoadEndpointStatistics, endpoints.rs:234): the load_table calls
+        # this very row made are visible in the hourly counters; the
+        # rollup of the returned slices runs through a Spark aggregate.
+        stats = req("POST", "/management/v1/endpoint-statistics", {})
+        flat = [
+            (s["http-route"], int(s["count"]))
+            for hour_slice in stats["called-endpoints"]
+            for s in hour_slice
+        ]
+        served = 0
+        if flat:
+            rolled = (
+                spark.createDataFrame(flat, "route string, count long")
+                .groupBy("route")
+                .agg(F.sum("count").alias("n"))
+                .filter(F.col("route") == "load_table")
+                .first()
+            )
+            served = int(rolled is not None and rolled["n"] >= 1)
+        rows.append(("endpoint_stats_served", served))
+    finally:
+        server.stop()
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )

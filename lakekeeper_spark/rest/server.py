@@ -727,6 +727,88 @@ class _Handler(BaseHTTPRequestHandler):
             ),
         )
 
+    @route("POST", r"/management/v1/endpoint-statistics")
+    def load_endpoint_statistics(self):
+        # LoadEndpointStatistics (endpoints.rs:234): hourly counters per
+        # time-slice with warehouse/status filters and time-window paging
+        self._reply(200, self.catalog.load_endpoint_statistics(self._body()))
+
+    # ---- management v1: task management ----------------------------------
+    # Mirrors the reference's task routes (api/endpoints.rs:252-257):
+    # per-queue config, user scheduling, list/details/control — semantics
+    # in catalog/tasks.py (api/management/v1/tasks.rs + task_queue.rs).
+    @route(
+        "POST",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/task-queue/(?P<queue>[^/]+)/config",
+    )
+    def set_task_queue_config(self, wh, queue):
+        from ..catalog import tasks as task_api
+
+        task_api.set_task_queue_config(
+            self.catalog, unquote(wh), unquote(queue), self._body()
+        )
+        self._reply(204)
+
+    @route(
+        "GET",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/task-queue/(?P<queue>[^/]+)/config",
+    )
+    def get_task_queue_config(self, wh, queue):
+        from ..catalog import tasks as task_api
+
+        self._reply(
+            200,
+            task_api.get_task_queue_config(
+                self.catalog, unquote(wh), unquote(queue)
+            ),
+        )
+
+    @route(
+        "POST",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/task-queue/(?P<queue>[^/]+)/schedule",
+    )
+    def schedule_task(self, wh, queue):
+        from ..catalog import tasks as task_api
+
+        self._reply(
+            200,
+            task_api.schedule_task(
+                self.catalog, unquote(wh), unquote(queue), self._body()
+            ),
+        )
+
+    @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/task/list")
+    def list_tasks(self, wh):
+        from ..catalog import tasks as task_api
+
+        self._reply(
+            200, task_api.list_tasks(self.catalog, unquote(wh), self._body())
+        )
+
+    @route(
+        "GET",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/task/by-id/(?P<task_id>\d+)",
+    )
+    def get_task_details(self, wh, task_id):
+        from ..catalog import tasks as task_api
+
+        self._reply(
+            200,
+            task_api.get_task_details(
+                self.catalog,
+                unquote(wh),
+                int(task_id),
+                num_attempts=int(self.query.get("numAttempts", 5)),
+            ),
+        )
+
+    @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/task/control")
+    def control_tasks(self, wh):
+        from ..catalog import tasks as task_api
+
+        task_api.control_tasks(self.catalog, unquote(wh), self._body())
+        self._reply(204)
+
     @route("GET", r"/management/v1/search/tabular")
     def search_tabular(self):
         self._reply(

@@ -1011,3 +1011,76 @@ def test_global_sign_route_without_warehouse_is_400(tmp_path):
             assert "warehouse required" in _json.loads(e.read())["error"]["message"]
     finally:
         server.stop()
+
+
+def test_endpoint_statistics_over_http(tmp_path):
+    """LoadEndpointStatistics (endpoints.rs:234; postgres list.rs
+    semantics): hourly counters grouped per time-slice newest-first,
+    warehouse + status-code filters, and TIME-WINDOW pagination — the
+    previous/next tokens shift the (end, interval) window by one
+    interval."""
+    import json as _json
+    import urllib.request
+
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+
+    catalog = Catalog(Metastore(str(tmp_path / "m.db")))
+    catalog.create_warehouse("wh", str(tmp_path / "wh"))
+    # seed the sink the way the serving paths do (load_table /
+    # load_credentials / report_metrics record through the same method)
+    catalog.store.record_endpoint("load_table", "wh")
+    catalog.store.record_endpoint("load_table", "wh")
+    catalog.store.record_endpoint("load_table", "wh", status=404)
+    catalog.store.record_endpoint("create_warehouse", None)  # unmapped
+    server = RestCatalogServer(catalog).start()
+    try:
+        def stats(body):
+            r = urllib.request.Request(
+                server.url + "/management/v1/endpoint-statistics",
+                data=_json.dumps(body).encode(),
+                headers={"Content-Type": "application/json"},
+                method="POST",
+            )
+            with urllib.request.urlopen(r) as resp:
+                return _json.loads(resp.read())
+
+        # default window (last day, all warehouses): one active hour slice
+        out = stats({})
+        assert len(out["timestamps"]) == 1
+        [slice0] = out["called-endpoints"]
+        as_map = {(s["http-route"], s["status-code"], s["warehouse-id"]): s["count"]
+                  for s in slice0}
+        assert as_map[("load_table", 200, "wh")] == 2
+        assert as_map[("load_table", 404, "wh")] == 1
+        assert as_map[("create_warehouse", 200, None)] == 1
+
+        # warehouse filter
+        out = stats({"warehouse": {"type": "warehouse-id", "id": "wh"}})
+        assert all(s["warehouse-id"] == "wh" for s in out["called-endpoints"][0])
+        out = stats({"warehouse": {"type": "unmapped"}})
+        assert [s["http-route"] for s in out["called-endpoints"][0]] == [
+            "create_warehouse"
+        ]
+        # status filter
+        out = stats({"status-codes": [404]})
+        assert [s["count"] for s in out["called-endpoints"][0]] == [1]
+
+        # time-window pagination: the previous token moves one interval
+        # back (empty there), its NEXT token returns to the live window
+        out = stats({"range-specifier": {"type": "window",
+                                         "end": None or "2099-01-01T00:00:00Z",
+                                         "interval": "PT1H"}})
+        assert out["timestamps"] == []  # far-future hour: nothing
+        prev = stats({"range-specifier": {"type": "page-token",
+                                          "token": out["previous-page-token"]}})
+        assert prev["timestamps"] == []
+        live = stats({})
+        back = stats({"range-specifier": {"type": "page-token",
+                                          "token": live["previous-page-token"]}})
+        fwd = stats({"range-specifier": {"type": "page-token",
+                                         "token": back["next-page-token"]}})
+        assert fwd["timestamps"] == live["timestamps"]
+        assert fwd["called-endpoints"] == live["called-endpoints"]
+    finally:
+        server.stop()

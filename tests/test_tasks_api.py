@@ -1,0 +1,499 @@
+"""Task-management API (catalog/tasks.py + REST routes): the semantics of
+the reference's api/management/v1/tasks.rs + task_queue.rs over the
+metastore task framework.
+
+  - list: status/queue/entity/window filters, pagination, batch guards
+  - details: attempt history with num_attempts
+  - control: stop (running only), cancel (final; expiration-cancel clears
+    the soft-delete), run-now / run-at (scheduled+stopping only; a
+    stopping attempt is archived FAILED)
+  - schedule: user-scheduling gate, horizon clamp, entity resolution,
+    one-active-task conflict -> 409
+  - queue config: set/get with COALESCE heartbeat semantics, worker
+    pickup through Catalog.task_config
+  - full REST lifecycle: schedule -> run -> heartbeat/progress -> retry
+    -> complete, all observed over HTTP
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from lakekeeper_spark.catalog import tasks as task_api
+from lakekeeper_spark.catalog.catalog import (
+    AlreadyExists,
+    Catalog,
+    CatalogError,
+    NoSuchEntity,
+)
+from lakekeeper_spark.catalog.metastore import Metastore, now_ms
+
+SCHEMA = {
+    "type": "struct",
+    "fields": [{"id": 1, "name": "x", "type": "long", "required": False}],
+}
+
+
+@pytest.fixture
+def cat(tmp_path):
+    c = Catalog(Metastore(str(tmp_path / "m.db")))
+    c.create_warehouse(
+        "wh",
+        str(tmp_path / "wh"),
+        properties={"expiration-seconds": "3600"},
+    )
+    c.create_namespace("wh", ["ns"])
+    c.create_table("wh", ["ns"], "t", SCHEMA)
+    return c
+
+
+def _table_id(cat, name="t"):
+    meta, _ = cat.load_table("wh", ["ns"], name)
+    return meta["table-uuid"]
+
+
+def _drop_soft(cat, name="t"):
+    cat.drop_table("wh", ["ns"], name)
+    tasks = task_api.list_tasks(cat, "wh", {})["tasks"]
+    return [t for t in tasks if t["queue-name"] == "tabular_expiration"][-1]
+
+
+# ---------------------------------------------------------------------------
+# list + details
+# ---------------------------------------------------------------------------
+def test_list_tasks_filters_and_shape(cat):
+    info = _drop_soft(cat)
+    assert info["status"] == "SCHEDULED"
+    assert info["warehouse-id"] == "wh"
+    assert info["entity"] == {"type": "table", "table-id": info["entity"]["table-id"]}
+    assert info["entity-name"] == ["ns", "t"]
+    assert info["attempt"] == 0 and info["progress"] == 0.0
+    assert info["created-at"].endswith("Z") and info["scheduled-for"] > info["created-at"]
+    # status filter uses WIRE names
+    assert task_api.list_tasks(cat, "wh", {"status": ["SCHEDULED"]})["tasks"]
+    assert not task_api.list_tasks(cat, "wh", {"status": ["RUNNING"]})["tasks"]
+    # queue filter
+    assert not task_api.list_tasks(
+        cat, "wh", {"queue-name": ["tabular_purge"]}
+    )["tasks"]
+    # entity filter
+    hit = task_api.list_tasks(cat, "wh", {"entities": [info["entity"]]})["tasks"]
+    assert [t["task-id"] for t in hit] == [info["task-id"]]
+    # created window
+    assert not task_api.list_tasks(
+        cat, "wh", {"created-before": now_ms() - 60_000}
+    )["tasks"]
+    # explicit empty filter list -> empty result, not unfiltered
+    assert not task_api.list_tasks(cat, "wh", {"entities": []})["tasks"]
+    assert not task_api.list_tasks(cat, "wh", {"queue-name": []})["tasks"]
+
+
+def test_list_tasks_guards(cat):
+    with pytest.raises(CatalogError, match="TooManyEntities"):
+        task_api.list_tasks(
+            cat, "wh", {"entities": [{"type": "warehouse"}] * 101}
+        )
+    with pytest.raises(CatalogError, match="TooManyQueueNames"):
+        task_api.list_tasks(cat, "wh", {"queue-name": ["q"] * 101})
+    with pytest.raises(CatalogError, match="unknown task status"):
+        task_api.list_tasks(cat, "wh", {"status": ["pending"]})
+    with pytest.raises(NoSuchEntity):
+        task_api.list_tasks(cat, "nope", {})
+
+
+def test_list_tasks_pagination(cat):
+    for i in range(5):
+        cat.create_table("wh", ["ns"], f"p{i}", SCHEMA)
+        cat.drop_table("wh", ["ns"], f"p{i}")
+    seen: list[int] = []
+    token = None
+    while True:
+        page = task_api.list_tasks(
+            cat, "wh", {"page-size": 2, "page-token": token}
+        )
+        seen += [t["task-id"] for t in page["tasks"]]
+        token = page["next-page-token"]
+        if token is None:
+            break
+        assert len(page["tasks"]) == 2
+    assert len(seen) == 5 and seen == sorted(seen)
+
+
+def test_task_details_attempt_history(cat):
+    info = _drop_soft(cat)
+    st = cat.store
+    tid = info["task-id"]
+    st.run_tasks_at([tid], None)  # make it due now
+    [picked] = st.pick_tasks("tabular_expiration", 10)
+    st.fail_task(picked["task_id"], "transient-io", max_attempts=5)
+    st.run_tasks_at([tid], None)
+    [picked] = st.pick_tasks("tabular_expiration", 10)
+    st.finish_task(picked["task_id"])
+    det = task_api.get_task_details(cat, "wh", tid)
+    assert det["task"]["status"] == "SUCCESS"
+    assert det["task"]["progress"] == 1.0
+    statuses = [(a["attempt"], a["status"]) for a in det["attempts"]]
+    assert statuses == [(2, "SUCCESS"), (1, "FAILED")]
+    assert det["attempts"][1]["message"] == "transient-io"
+    assert det["attempts"][0]["duration-ms"] is not None
+    # num_attempts truncates, newest first
+    only_one = task_api.get_task_details(cat, "wh", tid, num_attempts=1)
+    assert [a["attempt"] for a in only_one["attempts"]] == [2]
+    with pytest.raises(NoSuchEntity):
+        task_api.get_task_details(cat, "wh", 99_999)
+
+
+# ---------------------------------------------------------------------------
+# control
+# ---------------------------------------------------------------------------
+def test_control_guards(cat):
+    info = _drop_soft(cat)
+    tid = info["task-id"]
+    # empty is a no-op
+    task_api.control_tasks(cat, "wh", {"action": {"action-type": "stop"}, "task-ids": []})
+    with pytest.raises(CatalogError, match="TooManyTasks"):
+        task_api.control_tasks(
+            cat, "wh",
+            {"action": {"action-type": "stop"}, "task-ids": list(range(101))},
+        )
+    with pytest.raises(CatalogError, match="DuplicateTaskIds"):
+        task_api.control_tasks(
+            cat, "wh", {"action": {"action-type": "stop"}, "task-ids": [tid, tid]}
+        )
+    with pytest.raises(NoSuchEntity):
+        task_api.control_tasks(
+            cat, "wh", {"action": {"action-type": "stop"}, "task-ids": [99_999]}
+        )
+    with pytest.raises(CatalogError, match="unknown control action"):
+        task_api.control_tasks(
+            cat, "wh", {"action": {"action-type": "pause"}, "task-ids": [tid]}
+        )
+
+
+def test_stop_only_affects_running(cat):
+    info = _drop_soft(cat)
+    tid = info["task-id"]
+    # scheduled: stop is a no-op
+    task_api.control_tasks(
+        cat, "wh", {"action": {"action-type": "stop"}, "task-ids": [tid]}
+    )
+    assert task_api.get_task_details(cat, "wh", tid)["task"]["status"] == "SCHEDULED"
+    # make it running, then stop -> STOPPING; worker heartbeat sees 'stop'
+    cat.store.run_tasks_at([tid], None)
+    cat.store.pick_tasks("tabular_expiration", 10)
+    assert cat.store.check_and_heartbeat(tid, progress=0.4) == "continue"
+    task_api.control_tasks(
+        cat, "wh", {"action": {"action-type": "stop"}, "task-ids": [tid]}
+    )
+    det = task_api.get_task_details(cat, "wh", tid)["task"]
+    assert det["status"] == "STOPPING" and det["progress"] == 0.4
+    assert cat.store.check_and_heartbeat(tid) == "stop"
+
+
+def test_run_now_and_run_at(cat):
+    info = _drop_soft(cat)
+    tid = info["task-id"]
+    assert info["scheduled-for"] > task_api._iso(now_ms() + 3_000_000)
+    # run-at moves the scheduled time of a SCHEDULED task
+    target = now_ms() + 50_000
+    task_api.control_tasks(
+        cat, "wh",
+        {"action": {"action-type": "run-at", "scheduled-for": target},
+         "task-ids": [tid]},
+    )
+    det = task_api.get_task_details(cat, "wh", tid)["task"]
+    assert det["scheduled-for"] == task_api._iso(target)
+    # run-now makes it due immediately; a stopping attempt is archived
+    # as FAILED with the reference's message
+    cat.store.run_tasks_at([tid], None)
+    cat.store.pick_tasks("tabular_expiration", 10)
+    cat.store.stop_tasks([tid])
+    task_api.control_tasks(
+        cat, "wh", {"action": {"action-type": "run-now"}, "task-ids": [tid]}
+    )
+    det = task_api.get_task_details(cat, "wh", tid)
+    assert det["task"]["status"] == "SCHEDULED"
+    assert det["task"]["progress"] == 0.0
+    assert det["attempts"][0]["status"] == "FAILED"
+    assert "did not stop in time" in det["attempts"][0]["message"]
+    # terminal tasks are not rescheduled
+    cat.store.pick_tasks("tabular_expiration", 10)
+    cat.store.finish_task(tid)
+    task_api.control_tasks(
+        cat, "wh", {"action": {"action-type": "run-now"}, "task-ids": [tid]}
+    )
+    assert task_api.get_task_details(cat, "wh", tid)["task"]["status"] == "SUCCESS"
+
+
+def test_cancel_is_final_and_aborts_soft_delete(cat):
+    info = _drop_soft(cat)
+    tid = info["task-id"]
+    with pytest.raises(NoSuchEntity):
+        cat.load_table("wh", ["ns"], "t")  # soft-deleted
+    task_api.control_tasks(
+        cat, "wh", {"action": {"action-type": "cancel"}, "task-ids": [tid]}
+    )
+    det = task_api.get_task_details(cat, "wh", tid)
+    assert det["task"]["status"] == "CANCELLED"
+    assert det["attempts"][-1]["status"] == "CANCELLED"
+    # cancelling the expiration task clears the soft-delete: the table is
+    # loadable again (clear_tabular_deleted_at semantics, tasks.rs:824)
+    meta, _ = cat.load_table("wh", ["ns"], "t")
+    assert meta["table-uuid"] == info["entity"]["table-id"]
+    # final state: run-now cannot revive it
+    task_api.control_tasks(
+        cat, "wh", {"action": {"action-type": "run-now"}, "task-ids": [tid]}
+    )
+    assert task_api.get_task_details(cat, "wh", tid)["task"]["status"] == "CANCELLED"
+
+
+# ---------------------------------------------------------------------------
+# schedule + queue config
+# ---------------------------------------------------------------------------
+def test_schedule_task_gates(cat):
+    tid = _table_id(cat)
+    entity = {"type": "table", "table-id": tid}
+    with pytest.raises(CatalogError, match="QueueNotFound"):
+        task_api.schedule_task(cat, "wh", "nonexistent", {"entity": entity})
+    with pytest.raises(CatalogError, match="QueueNotUserSchedulable"):
+        task_api.schedule_task(
+            cat, "wh", "tabular_expiration", {"entity": entity}
+        )
+    with pytest.raises(CatalogError, match="InvalidTaskPayload"):
+        task_api.schedule_task(cat, "wh", "remove_orphan_files", {})
+    # eligibility: the orphan scan is opt-in
+    with pytest.raises(CatalogError, match="ScheduleEligibilityFailed"):
+        task_api.schedule_task(
+            cat, "wh", "remove_orphan_files", {"entity": entity}
+        )
+    cat.update_warehouse_properties(
+        "wh", {"enable-remove-orphan-files": "true"}, []
+    )
+    with pytest.raises(CatalogError, match="ScheduledForTooFarInFuture"):
+        task_api.schedule_task(
+            cat, "wh", "remove_orphan_files",
+            {"entity": entity, "scheduled-for": now_ms() + 400 * 86_400_000},
+        )
+    with pytest.raises(NoSuchEntity):
+        task_api.schedule_task(
+            cat, "wh", "remove_orphan_files",
+            {"entity": {"type": "table", "table-id": "no-such-uuid"}},
+        )
+    out = task_api.schedule_task(
+        cat, "wh", "remove_orphan_files",
+        {"entity": entity, "scheduled-for": now_ms() + 60_000},
+    )
+    info = task_api.get_task_details(cat, "wh", out["task-id"])["task"]
+    assert info["status"] == "SCHEDULED"
+    assert info["entity-name"] == ["ns", "t"]
+    # one active task per (warehouse, entity, queue) -> 409
+    with pytest.raises(AlreadyExists, match=str(out["task-id"])):
+        task_api.schedule_task(
+            cat, "wh", "remove_orphan_files", {"entity": entity}
+        )
+    # after cancel, rescheduling is allowed again
+    task_api.control_tasks(
+        cat, "wh",
+        {"action": {"action-type": "cancel"}, "task-ids": [out["task-id"]]},
+    )
+    task_api.schedule_task(cat, "wh", "remove_orphan_files", {"entity": entity})
+
+
+def test_queue_config_roundtrip_and_worker_pickup(cat):
+    with pytest.raises(CatalogError, match="QueueNotFound"):
+        task_api.set_task_queue_config(
+            cat, "wh", "nope", {"queue-config": {}}
+        )
+    with pytest.raises(CatalogError, match="InvalidQueueConfig"):
+        task_api.set_task_queue_config(cat, "wh", "tabular_purge", {})
+    # unset -> empty default, not 404
+    assert task_api.get_task_queue_config(cat, "wh", "tabular_purge") == {
+        "queue-config": {"queue-name": "tabular_purge"},
+        "max-seconds-since-last-heartbeat": None,
+    }
+    task_api.set_task_queue_config(
+        cat, "wh", "tabular_purge",
+        {"queue-config": {"max-attempts": 2, "backoff-ms": 10},
+         "max-seconds-since-last-heartbeat": 7},
+    )
+    got = task_api.get_task_queue_config(cat, "wh", "tabular_purge")
+    assert got["queue-config"]["max-attempts"] == 2
+    assert got["max-seconds-since-last-heartbeat"] == 7
+    # COALESCE: omitting the ceiling keeps the stored one
+    task_api.set_task_queue_config(
+        cat, "wh", "tabular_purge",
+        {"queue-config": {"max-attempts": 3}},
+    )
+    got = task_api.get_task_queue_config(cat, "wh", "tabular_purge")
+    assert got["queue-config"]["max-attempts"] == 3
+    assert got["max-seconds-since-last-heartbeat"] == 7
+    # the lifecycle workers read the merged view
+    cfg = cat.task_config("wh", queue="tabular_purge")
+    assert cfg["max_attempts"] == 3
+    assert cfg["heartbeat_timeout_ms"] == 7_000
+    # other queues keep the warehouse-property defaults
+    assert cat.task_config("wh", queue="tabular_expiration")["max_attempts"] == 5
+
+
+# ---------------------------------------------------------------------------
+# authz
+# ---------------------------------------------------------------------------
+def test_task_api_requires_warehouse_actions(tmp_path):
+    from lakekeeper_spark.catalog.authz import (
+        AuthorizationError,
+        StaticRbacAuthorizer,
+    )
+
+    authz = StaticRbacAuthorizer(
+        {
+            None: {"*"},
+            "viewer": {"get_all_tasks"},
+            "operator": {"get_all_tasks", "control_all_tasks"},
+        }
+    )
+    cat = Catalog(Metastore(str(tmp_path / "m.db")), authorizer=authz)
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["ns"])
+    cat.create_table("wh", ["ns"], "t", SCHEMA)
+    cat.drop_table("wh", ["ns"], "t")
+    [info] = task_api.list_tasks(cat, "wh", {})["tasks"]
+    with cat.acting_as("viewer"):
+        assert task_api.list_tasks(cat, "wh", {})["tasks"]
+        with pytest.raises(AuthorizationError):
+            task_api.control_tasks(
+                cat, "wh",
+                {"action": {"action-type": "run-now"},
+                 "task-ids": [info["task-id"]]},
+            )
+    with cat.acting_as("operator"):
+        task_api.control_tasks(
+            cat, "wh",
+            {"action": {"action-type": "run-now"}, "task-ids": [info["task-id"]]},
+        )
+
+
+# ---------------------------------------------------------------------------
+# REST: the full lifecycle over HTTP
+# ---------------------------------------------------------------------------
+def test_rest_task_lifecycle(tmp_path):
+    from lakekeeper_spark.catalog.lifecycle import run_expiration_queue, run_purge_queue
+    from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
+
+    cat = Catalog(Metastore(str(tmp_path / "m.db")))
+    server = RestCatalogServer(cat).start()
+    try:
+        base = server.url
+        client = RestCatalogClient(base)
+        client.create_warehouse("wh", str(tmp_path / "wh"))
+        client.create_namespace("wh", ["ns"])
+        schema = {"type": "struct", "schema-id": 0,
+                  "fields": [{"id": 1, "name": "x", "required": False,
+                              "type": "long"}]}
+        client.create_table("wh", ["ns"], "t", schema)
+
+        def req(method, path, body=None):
+            data = json.dumps(body).encode() if body is not None else None
+            r = urllib.request.Request(base + path, data=data, method=method)
+            if data:
+                r.add_header("Content-Type", "application/json")
+            with urllib.request.urlopen(r) as resp:
+                raw = resp.read()
+                return resp.status, json.loads(raw) if raw else None
+
+        # queue config over HTTP
+        code, _ = req(
+            "POST", "/management/v1/warehouse/wh/task-queue/tabular_expiration/config",
+            {"queue-config": {"max-attempts": 4}},
+        )
+        assert code == 204
+        code, cfg = req(
+            "GET", "/management/v1/warehouse/wh/task-queue/tabular_expiration/config"
+        )
+        assert cfg["queue-config"] == {
+            "max-attempts": 4, "queue-name": "tabular_expiration"
+        }
+        # unknown queue -> 400
+        try:
+            req("POST", "/management/v1/warehouse/wh/task-queue/nope/config",
+                {"queue-config": {}})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "QueueNotFound" in json.loads(e.read())["error"]["message"]
+
+        # drop -> expiration task visible over HTTP
+        client.drop_table("wh", ["ns"], "t")
+        code, listing = req(
+            "POST", "/management/v1/warehouse/wh/task/list",
+            {"queue-name": ["tabular_expiration"]},
+        )
+        [info] = listing["tasks"]
+        tid = info["task-id"]
+        assert info["status"] == "SCHEDULED"
+
+        # run-now over HTTP, drain the worker, watch it complete + chain
+        code, _ = req(
+            "POST", "/management/v1/warehouse/wh/task/control",
+            {"action": {"action-type": "run-now"}, "task-ids": [tid]},
+        )
+        assert code == 204
+        assert run_expiration_queue(cat) == 1
+        code, det = req(
+            "GET", f"/management/v1/warehouse/wh/task/by-id/{tid}?numAttempts=3"
+        )
+        assert det["task"]["status"] == "SUCCESS"
+        assert det["attempts"][0]["status"] == "SUCCESS"
+        # details for a foreign warehouse -> 404
+        client.create_warehouse("other", str(tmp_path / "other"))
+        try:
+            req("GET", f"/management/v1/warehouse/other/task/by-id/{tid}")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        # schedule over HTTP on the user-schedulable queue
+        client.create_table("wh", ["ns"], "t2", schema)
+        code, _ = req(
+            "POST", "/management/v1/warehouse/wh/properties",
+            {"updates": {"enable-remove-orphan-files": "true"}},
+        )
+        status, body = req(
+            "GET", "/catalog/v1/wh/namespaces/ns/tables/t2"
+        )
+        t2_id = body["metadata"]["table-uuid"]
+        code, sched = req(
+            "POST", "/management/v1/warehouse/wh/task-queue/remove_orphan_files/schedule",
+            {"entity": {"type": "table", "table-id": t2_id}},
+        )
+        assert code == 200 and sched["task-id"]
+        # duplicate active schedule -> 409
+        try:
+            req("POST",
+                "/management/v1/warehouse/wh/task-queue/remove_orphan_files/schedule",
+                {"entity": {"type": "table", "table-id": t2_id}})
+            raise AssertionError("expected 409")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        # purge-chain visibility: drop t2 with purge, cancel the purge task
+        req("POST", "/management/v1/warehouse/wh/task/control",
+            {"action": {"action-type": "cancel"},
+             "task-ids": [sched["task-id"]]})
+        client.drop_table("wh", ["ns"], "t2", purge=True)
+        code, listing = req(
+            "POST", "/management/v1/warehouse/wh/task/list",
+            {"queue-name": ["tabular_purge"], "status": ["SCHEDULED"]},
+        )
+        purge_ids = [t["task-id"] for t in listing["tasks"]]
+        assert purge_ids
+        run_purge_queue(cat)
+        code, listing = req(
+            "POST", "/management/v1/warehouse/wh/task/list",
+            {"queue-name": ["tabular_purge"], "status": ["SUCCESS"]},
+        )
+        assert {t["task-id"] for t in listing["tasks"]} >= set(purge_ids)
+    finally:
+        server.stop()
