@@ -1571,7 +1571,7 @@ class Catalog:
         The STS call itself is cloud-bound; the session keys are
         deterministic sha256 derivations (catalog/vending.py) so re-vends
         inside the validity window are cache-equivalent."""
-        from .vending import credential_serve_window_ms, vend
+        from .vending import credential_serve_window_ms, vend_for_location
 
         wh = self._warehouse(warehouse)
         resource = f"{'.'.join(levels)}.{name}"
@@ -1591,7 +1591,12 @@ class Catalog:
             wh["properties"].get("sts-token-validity-seconds", 3600)
         )
         now = now_ms()
-        cred = vend(row["id"], row["location"] or "", perms, validity, now)
+        # profile dispatch: the location's storage flavor selects the
+        # credential shape — S3/STS session policy, ADLS directory SAS,
+        # or GCS downscoped access-boundary token (catalog/vending.py)
+        cred = vend_for_location(
+            row["id"], row["location"] or "", perms, validity, now
+        )
         self.store.record_endpoint("load_credentials", wh["wh_key"])
         remaining = cred["config"]["expiration-ms"] - now
         return {

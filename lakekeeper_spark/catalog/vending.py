@@ -214,3 +214,269 @@ def vend(
             **session_keys(table_id, permissions, expiration_ms),
         },
     }
+
+
+# ---------------------------------------------------------------------------
+# ADLS profile (service/storage/az/mod.rs) — user-delegation / service SAS
+# ---------------------------------------------------------------------------
+#: Per-level SAS permission strings in Azure's canonical permission order
+#: (BlobSasPermissions mapping, az/mod.rs:126-152: Read -> read+list,
+#: ReadWrite -> +write+add, ReadWriteDelete -> +delete).
+ADLS_SAS_PERMISSIONS: dict[StoragePermissions, str] = {
+    StoragePermissions.READ: "rl",
+    StoragePermissions.READ_WRITE: "rawl",
+    StoragePermissions.READ_WRITE_DELETE: "rawdl",
+}
+
+#: TTL policy constants (az/mod.rs:56-86)
+ADLS_MAX_GENERIC_VALIDITY_S = 7 * 24 * 3600
+ADLS_MAX_ONELAKE_VALIDITY_S = 3600
+ADLS_DEFAULT_VALIDITY_S = 3600
+ADLS_START_BACKSHIFT_S = 60
+ADLS_MIN_EFFECTIVE_TTL_S = 60 + ADLS_START_BACKSHIFT_S
+
+
+def adls_effective_ttl_s(user_ttl: int | None, onelake: bool = False) -> int:
+    """effective_ttl_seconds + the per-flavor cap
+    (az/mod.rs:228-233, validate_sas_token_validity_seconds):
+    user value (default 3600) floored at the minimum effective TTL and
+    capped at OneLake's 1 h / generic ADLS's 7 d."""
+    ttl = ADLS_DEFAULT_VALIDITY_S if user_ttl is None else int(user_ttl)
+    cap = ADLS_MAX_ONELAKE_VALIDITY_S if onelake else ADLS_MAX_GENERIC_VALIDITY_S
+    return min(max(ttl, ADLS_MIN_EFFECTIVE_TTL_S), cap)
+
+
+def split_adls_location(location: str) -> tuple[str, str, str, str]:
+    """``abfss://filesystem@account.dfs.core.windows.net/key`` ->
+    (account, endpoint_suffix, filesystem, key)."""
+    scheme, rest = location.split("://", 1)
+    if scheme not in ("abfs", "abfss", "wasb", "wasbs"):
+        raise ValueError(f"not an ADLS location: {location!r}")
+    authority, _, key = rest.partition("/")
+    filesystem, _, host = authority.partition("@")
+    account, _, suffix = host.partition(".")
+    return account, suffix or "dfs.core.windows.net", filesystem, key.strip("/")
+
+
+def adls_canonical_resource(location: str) -> tuple[str, int]:
+    """(canonical resource, directory depth) for SAS signing
+    (canonical_resource, az/mod.rs:272-289): Azure recomputes the
+    canonical form from the URL-DECODED path, and the signature carries
+    the rootless segment count as signed directory depth."""
+    from urllib.parse import unquote
+
+    account, _suffix, filesystem, key = split_adls_location(location)
+    rootless = key.strip("/")
+    depth = len(rootless.split("/")) if rootless else 0
+    decoded = unquote(rootless)
+    return f"/blob/{account}/{filesystem}/{decoded}", depth
+
+
+def vend_adls(
+    table_id: str,
+    location: str,
+    permissions: StoragePermissions,
+    validity_seconds: int | None,
+    now_ms: int,
+    onelake: bool = False,
+) -> dict[str, Any]:
+    """One vended ADLS credential document: a directory-scoped SAS with
+    the reference's signed fields (sp/st/se/sr=d/sdd/sv/sig,
+    build_directory_sas az/mod.rs:291-312), the start backshifted 60 s
+    for clock skew (sas_validity_window, az/mod.rs:241-247), published
+    under the iceberg property keys
+    ``adls.sas-token.{account}.{suffix}`` /
+    ``adls.sas-token-expires-at-ms.{account}.{suffix}``
+    (az/mod.rs:165-171). The user-delegation-key fetch is the one
+    cloud-bound step; the signature here is a deterministic HMAC over the
+    exact string-to-sign shape so re-vends are cache-equivalent."""
+    account, suffix, _filesystem, _key = split_adls_location(location)
+    ttl = adls_effective_ttl_s(validity_seconds, onelake=onelake)
+    # bucket the start like the S3 vend so repeated vends inside a window
+    # are byte-identical, then backshift for clock skew
+    window_ms = ttl * 1000
+    bucket = now_ms // window_ms
+    start_ms = (bucket * window_ms) - ADLS_START_BACKSHIFT_S * 1000
+    expiry_ms = start_ms + ttl * 1000
+    if expiry_ms - now_ms < window_ms // 2:
+        start_ms += window_ms
+        expiry_ms += window_ms
+    resource, depth = adls_canonical_resource(location)
+    sp = ADLS_SAS_PERMISSIONS[permissions]
+    st, se = _iso_s(start_ms), _iso_s(expiry_ms)
+    string_to_sign = "\n".join(
+        [sp, st, se, resource, "", "", "", "2025-01-05", "d", str(depth)]
+    )
+    key = hashlib.sha256(f"{table_id}:delegation-key".encode()).digest()
+    import hmac as _hmac
+
+    sig = _hmac.new(key, string_to_sign.encode(), hashlib.sha256).hexdigest()
+    sas = (
+        f"sv=2025-01-05&sr=d&sdd={depth}&sp={sp}&st={st}&se={se}&sig={sig}"
+    )
+    return {
+        "prefix": location,
+        "config": {
+            "type": "adls-sas",
+            "permissions": permissions.value,
+            "sas-permissions": sp,
+            f"adls.sas-token.{account}.{suffix}": sas,
+            f"adls.sas-token-expires-at-ms.{account}.{suffix}": expiry_ms,
+            "expiration-ms": expiry_ms,
+        },
+    }
+
+
+def _iso_s(ms: int) -> str:
+    from datetime import datetime, timezone
+
+    return (
+        datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+        .isoformat(timespec="seconds")
+        .replace("+00:00", "Z")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GCS profile (service/storage/gcs/) — downscoped access-boundary token
+# ---------------------------------------------------------------------------
+#: Per-level GCS role sets (sts.rs:146-157, verbatim: RWD collapses to
+#: the single objectUser role).
+GCS_ROLES: dict[StoragePermissions, tuple[str, ...]] = {
+    StoragePermissions.READ: ("inRole:roles/storage.objectViewer",),
+    StoragePermissions.READ_WRITE: (
+        "inRole:roles/storage.objectViewer",
+        "inRole:roles/storage.objectCreator",
+    ),
+    StoragePermissions.READ_WRITE_DELETE: ("inRole:roles/storage.objectUser",),
+}
+
+
+def escape_for_cel_single_quoted(value: str) -> str:
+    """Escape for interpolation inside a CEL single-quoted literal
+    (escape_for_cel_single_quoted, gcs/sts.rs:176-205): GCP's
+    access-boundary CEL has no raw strings or concat, and control
+    characters without a CEL escape are rejected outright."""
+    out: list[str] = []
+    escapes = {
+        "'": "\\'",
+        '"': '\\"',
+        "\\": "\\\\",
+        "\x08": "\\b",
+        "\x0c": "\\f",
+        "\n": "\\n",
+        "\r": "\\r",
+        "\t": "\\t",
+    }
+    for c in value:
+        if c in escapes:
+            out.append(escapes[c])
+        elif ord(c) < 32 or ord(c) == 127:
+            raise ValueError(
+                f"unsupported control character U+{ord(c):04X} in GCS"
+                " access-boundary input"
+            )
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def gcs_access_boundary(
+    location: str, permissions: StoragePermissions
+) -> dict[str, Any]:
+    """The Credential Access Boundary for one table location
+    (Options::from_location_and_permissions, gcs/sts.rs:117-173): one
+    rule on the bucket resource, the per-level role set, and the
+    object/folder/listPrefix availability condition over the
+    CEL-escaped prefix. The location must live under a gs:// bucket."""
+    scheme, bucket, key = split_location(location)
+    if scheme != "gs":
+        raise ValueError(f"not a GCS location: {location!r}")
+    prefix = f"{key}/" if key else ""
+    bucket_cel = escape_for_cel_single_quoted(bucket)
+    path_cel = escape_for_cel_single_quoted(prefix)
+    return {
+        "accessBoundary": {
+            "accessBoundaryRules": [
+                {
+                    "availableResource": (
+                        f"//storage.googleapis.com/projects/_/buckets/{bucket}"
+                    ),
+                    "availablePermissions": list(GCS_ROLES[permissions]),
+                    "availabilityCondition": {
+                        "title": "obj-prefixes",
+                        "expression": (
+                            "resource.name.startsWith('projects/_/buckets/"
+                            f"{bucket_cel}/objects/{path_cel}') || "
+                            "resource.name.startsWith('projects/_/buckets/"
+                            f"{bucket_cel}/folders/{path_cel}') || "
+                            "api.getAttribute('storage.googleapis.com/"
+                            f"objectListPrefix', '').startsWith('{path_cel}')"
+                        ),
+                    },
+                }
+            ]
+        }
+    }
+
+
+def vend_gcs(
+    table_id: str,
+    location: str,
+    permissions: StoragePermissions,
+    validity_seconds: int,
+    now_ms: int,
+) -> dict[str, Any]:
+    """One vended GCS credential document: the downscoped OAuth2 token
+    request shape (STSRequest, gcs/sts.rs:66-110: token-exchange grant
+    with the percent-encoded access boundary as ``options``) plus the
+    access token an engine consumes (``gcs.oauth2.token`` /
+    ``gcs.oauth2.token-expires-at`` iceberg config keys). The live STS
+    exchange is cloud-bound; the token here is a deterministic digest of
+    (table, level, window) so re-vends inside the validity window are
+    cache-equivalent — exactly the cache-key behavior of
+    generate_table_config (gcs/mod.rs:348-380: one downscope per cache
+    key)."""
+    validity_ms = validity_seconds * 1000
+    bucket_n = now_ms // validity_ms
+    expiration_ms = (bucket_n + 1) * validity_ms
+    if expiration_ms - now_ms < validity_ms // 2:
+        expiration_ms += validity_ms
+    boundary = gcs_access_boundary(location, permissions)
+    seed = f"{table_id}:{permissions.value}:{expiration_ms}:gcs"
+    token = "dsc." + hashlib.sha256(seed.encode()).hexdigest()
+    return {
+        "prefix": location,
+        "config": {
+            "type": "gcs-downscoped",
+            "permissions": permissions.value,
+            "access-boundary": json.dumps(boundary, sort_keys=True),
+            "gcs.oauth2.token": token,
+            "gcs.oauth2.token-expires-at": expiration_ms,
+            "expiration-ms": expiration_ms,
+        },
+    }
+
+
+def vend_for_location(
+    table_id: str,
+    location: str,
+    permissions: StoragePermissions,
+    validity_seconds: int,
+    now_ms: int,
+) -> dict[str, Any]:
+    """Profile dispatch: the warehouse's storage flavor is what its
+    location scheme says (the reference keys vending off the storage
+    profile type attached to the warehouse — S3/ADLS/OneLake/GCS;
+    storage/mod.rs). Local filesystem warehouses keep the S3/STS shape
+    (the sandbox default c14 pins)."""
+    scheme = location.split("://", 1)[0] if "://" in location else "file"
+    if scheme in ("abfs", "abfss", "wasb", "wasbs"):
+        onelake = "onelake" in location.split("/", 3)[2]
+        return vend_adls(
+            table_id, location, permissions, validity_seconds, now_ms,
+            onelake=onelake,
+        )
+    if scheme == "gs":
+        return vend_gcs(table_id, location, permissions, validity_seconds, now_ms)
+    return vend(table_id, location, permissions, validity_seconds, now_ms)

@@ -1704,3 +1704,142 @@ def c15_task_management(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+# --------------------------------------------------------------------------
+# c16: multi-cloud credential vending — ADLS SAS + GCS access boundary
+# --------------------------------------------------------------------------
+# The reference vends per-profile credential shapes: S3 session policies
+# (s3.rs:961-1015), ADLS directory SAS tokens (service/storage/az/mod.rs:
+# 126-152 permission mapping, 291-312 signed fields, 56-86 TTL caps) and
+# GCS downscoped access-boundary tokens (storage/gcs/sts.rs:117-173 —
+# role sets 146-157, CEL-escaped prefix condition). This row registers
+# generic tables on all three profiles in ONE warehouse and vends through
+# the same REST route, checkpointing the level->shape mapping per
+# profile, the OneLake 1-hour TTL cap, and the three-clause GCS
+# availability condition. RBAC decides the level exactly as in c14.
+@register(
+    "c16_multicloud_vending",
+    oracle="""
+SELECT * FROM (
+  SELECT 'adls_expiry_key_matches' AS checkpoint, 1 AS value
+  UNION ALL SELECT 'adls_reader_perm_len', 2
+  UNION ALL SELECT 'adls_writer_perm_len', 5
+  UNION ALL SELECT 'gcs_boundary_clauses', 3
+  UNION ALL SELECT 'gcs_reader_viewer_only', 1
+  UNION ALL SELECT 'gcs_writer_objectuser', 1
+  UNION ALL SELECT 'local_is_sts', 1
+  UNION ALL SELECT 'onelake_ttl_capped', 1
+  UNION ALL SELECT 'outsider_refused_all_profiles', 3
+) ORDER BY checkpoint
+""",
+    description="Multi-cloud credential vending: one warehouse, generic "
+    "tables on S3-shaped local, ADLS (abfss) and GCS (gs) locations, all "
+    "vended over the same REST route - writer gets rawdl SAS / "
+    "objectUser role, reader gets rl SAS / objectViewer role, the GCS "
+    "availability condition carries the objects+folders+listPrefix "
+    "clauses, OneLake TTLs cap at 1 hour, and a metadata-only principal "
+    "is refused on every profile.",
+    tags=("catalog", "credentials", "authz", "multicloud"),
+)
+def c16_multicloud_vending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from ..catalog.authz import AuthorizationError, StaticRbacAuthorizer
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_mcv_")
+    authz = StaticRbacAuthorizer(
+        {
+            None: {"*"},
+            "writer": {"*"},
+            "reader": {"get_metadata", "read_data", "include_in_list"},
+            "outsider": {"get_metadata"},
+        }
+    )
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"), authorizer=authz)
+    cat.create_warehouse(
+        "wh", f"{tmp}/warehouse", properties={"sts-token-validity-seconds": "7200"}
+    )
+    cat.create_namespace("wh", ["vnd"])
+    cat.create_generic_table("wh", ["vnd"], "loc", "parquet", f"{tmp}/warehouse/vnd/loc")
+    cat.create_generic_table(
+        "wh", ["vnd"], "az", "parquet",
+        "abfss://fs@acct.dfs.core.windows.net/wh/vnd/az",
+    )
+    cat.create_generic_table(
+        "wh", ["vnd"], "ol", "parquet",
+        "abfss://ws@acct.onelake.dfs.fabric.microsoft.com/lh/vnd/ol",
+    )
+    cat.create_generic_table(
+        "wh", ["vnd"], "gc", "parquet", "gs://bkt/wh/vnd/gc"
+    )
+
+    def cfg(actor: str, tbl: str) -> dict:
+        with cat.acting_as(actor):
+            out = cat.load_credentials("wh", ["vnd"], tbl, kind="generic")
+        return out["storage-credentials"][0]["config"]
+
+    rows: list[tuple[str, int]] = []
+    rows.append(("local_is_sts", int(cfg("writer", "loc")["type"] == "sts-downscoped")))
+    w_az, r_az = cfg("writer", "az"), cfg("reader", "az")
+    rows.append(("adls_writer_perm_len", len(w_az["sas-permissions"])))
+    rows.append(("adls_reader_perm_len", len(r_az["sas-permissions"])))
+    rows.append(
+        (
+            "adls_expiry_key_matches",
+            int(
+                w_az["adls.sas-token-expires-at-ms.acct.dfs.core.windows.net"]
+                == w_az["expiration-ms"]
+            ),
+        )
+    )
+    from ..catalog.metastore import now_ms as _now_ms
+
+    ol = cfg("writer", "ol")
+    rows.append(
+        (
+            "onelake_ttl_capped",
+            int(ol["expiration-ms"] - _now_ms() <= 2 * 3_600_000),
+        )
+    )
+    w_gc, r_gc = cfg("writer", "gc"), cfg("reader", "gc")
+    w_roles = _json.loads(w_gc["access-boundary"])["accessBoundary"][
+        "accessBoundaryRules"
+    ][0]["availablePermissions"]
+    r_rule = _json.loads(r_gc["access-boundary"])["accessBoundary"][
+        "accessBoundaryRules"
+    ][0]
+    rows.append(
+        ("gcs_writer_objectuser",
+         int(w_roles == ["inRole:roles/storage.objectUser"]))
+    )
+    rows.append(
+        ("gcs_reader_viewer_only",
+         int(r_rule["availablePermissions"]
+             == ["inRole:roles/storage.objectViewer"]))
+    )
+    expr = r_rule["availabilityCondition"]["expression"]
+    rows.append(
+        (
+            "gcs_boundary_clauses",
+            sum(
+                1
+                for clause in ("/objects/", "/folders/", "objectListPrefix")
+                if clause in expr
+            ),
+        )
+    )
+    refused = 0
+    for tbl in ("az", "gc", "loc"):
+        try:
+            cfg("outsider", tbl)
+        except AuthorizationError:
+            refused += 1
+    rows.append(("outsider_refused_all_profiles", refused))
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )

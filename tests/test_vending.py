@@ -326,3 +326,202 @@ def test_sibling_warehouse_policies_cannot_overlap(root, suffix, t1, t2):
     # ...and can never match any object under warehouse B
     assert not _policy_matches(pattern_a, f"{key_b}/data/f.parquet")
     assert not _policy_matches(pattern_a, key_b)
+
+
+# ---------------------------------------------------------------------------
+# ADLS profile (az/mod.rs parity)
+# ---------------------------------------------------------------------------
+from lakekeeper_spark.catalog.vending import (
+    ADLS_SAS_PERMISSIONS,
+    GCS_ROLES,
+    adls_canonical_resource,
+    adls_effective_ttl_s,
+    escape_for_cel_single_quoted,
+    gcs_access_boundary,
+    split_adls_location,
+    vend_adls,
+    vend_for_location,
+    vend_gcs,
+)
+
+ADLS_LOC = "abfss://fs@acct.dfs.core.windows.net/wh/ns/t"
+
+
+def test_adls_sas_permission_matrix():
+    """BlobSasPermissions mapping (az/mod.rs:126-152): Read -> read+list,
+    ReadWrite adds write+add, ReadWriteDelete adds delete."""
+    assert ADLS_SAS_PERMISSIONS[StoragePermissions.READ] == "rl"
+    assert ADLS_SAS_PERMISSIONS[StoragePermissions.READ_WRITE] == "rawl"
+    assert ADLS_SAS_PERMISSIONS[StoragePermissions.READ_WRITE_DELETE] == "rawdl"
+
+
+def test_adls_ttl_policy():
+    """effective_ttl_seconds + per-flavor caps (az/mod.rs:56-86,226-233):
+    default 3600, floor 120, OneLake capped at 1 h, generic at 7 d."""
+    assert adls_effective_ttl_s(None) == 3600
+    assert adls_effective_ttl_s(10) == 120  # floor
+    assert adls_effective_ttl_s(10 * 86_400) == 7 * 86_400  # generic cap
+    assert adls_effective_ttl_s(7200, onelake=True) == 3600  # OneLake cap
+
+
+def test_adls_location_and_canonical_resource():
+    assert split_adls_location(ADLS_LOC) == (
+        "acct", "dfs.core.windows.net", "fs", "wh/ns/t"
+    )
+    # canonical resource is URL-DECODED with the account+filesystem root,
+    # depth = rootless segment count (canonical_resource, az/mod.rs:272)
+    res, depth = adls_canonical_resource(
+        "abfss://fs@acct.dfs.core.windows.net/wh/a%3Fb/t"
+    )
+    assert res == "/blob/acct/fs/wh/a?b/t" and depth == 3
+    with pytest.raises(ValueError, match="not an ADLS location"):
+        split_adls_location("s3://bkt/k")
+
+
+def test_vend_adls_document():
+    d = vend_adls(
+        "uuid-1", ADLS_LOC, StoragePermissions.READ_WRITE_DELETE, 3600,
+        7_000_000_000,
+    )
+    cfg = d["config"]
+    assert d["prefix"] == ADLS_LOC
+    sas = cfg["adls.sas-token.acct.dfs.core.windows.net"]
+    # signed fields: directory resource, depth, permissions, window, sig
+    assert "sr=d" in sas and "sdd=3" in sas and "sp=rawdl" in sas
+    assert "st=" in sas and "se=" in sas and "sig=" in sas
+    assert (
+        cfg["adls.sas-token-expires-at-ms.acct.dfs.core.windows.net"]
+        == cfg["expiration-ms"]
+    )
+    # min remaining lifetime: never near-dead (same rule as the S3 vend)
+    assert cfg["expiration-ms"] - 7_000_000_000 >= 3600_000 // 2
+    # cache-equivalence within the window; different level -> different SAS
+    again = vend_adls(
+        "uuid-1", ADLS_LOC, StoragePermissions.READ_WRITE_DELETE, 3600,
+        7_000_100_000,
+    )
+    assert again == d
+    ro = vend_adls(
+        "uuid-1", ADLS_LOC, StoragePermissions.READ, 3600, 7_000_000_000
+    )
+    assert ro["config"]["sas-permissions"] == "rl"
+    assert ro["config"]["adls.sas-token.acct.dfs.core.windows.net"] != sas
+
+
+# ---------------------------------------------------------------------------
+# GCS profile (gcs/sts.rs parity)
+# ---------------------------------------------------------------------------
+def test_gcs_role_matrix():
+    """Per-level role sets (sts.rs:146-157): RWD collapses to the single
+    objectUser role."""
+    assert GCS_ROLES[StoragePermissions.READ] == (
+        "inRole:roles/storage.objectViewer",
+    )
+    assert GCS_ROLES[StoragePermissions.READ_WRITE] == (
+        "inRole:roles/storage.objectViewer",
+        "inRole:roles/storage.objectCreator",
+    )
+    assert GCS_ROLES[StoragePermissions.READ_WRITE_DELETE] == (
+        "inRole:roles/storage.objectUser",
+    )
+
+
+def test_gcs_access_boundary_shape():
+    b = gcs_access_boundary("gs://bkt/wh/ns/t", StoragePermissions.READ)
+    [rule] = b["accessBoundary"]["accessBoundaryRules"]
+    assert rule["availableResource"] == (
+        "//storage.googleapis.com/projects/_/buckets/bkt"
+    )
+    expr = rule["availabilityCondition"]["expression"]
+    # the three clauses: objects, folders, and the listing-prefix
+    # attribute (getAttribute is needed for List operations, sts.rs:163)
+    assert "buckets/bkt/objects/wh/ns/t/'" in expr
+    assert "buckets/bkt/folders/wh/ns/t/'" in expr
+    assert "objectListPrefix', '').startsWith('wh/ns/t/')" in expr
+    with pytest.raises(ValueError, match="not a GCS location"):
+        gcs_access_boundary("s3://bkt/k", StoragePermissions.READ)
+
+
+def test_gcs_cel_escaping():
+    """escape_for_cel_single_quoted (sts.rs:176-205): quotes/backslashes
+    escaped, CEL-escapable controls mapped, others rejected."""
+    assert escape_for_cel_single_quoted("plain/path") == "plain/path"
+    assert escape_for_cel_single_quoted("a'b") == "a\\'b"
+    assert escape_for_cel_single_quoted('a"b') == 'a\\"b'
+    assert escape_for_cel_single_quoted("a\\b") == "a\\\\b"
+    assert escape_for_cel_single_quoted("a\nb") == "a\\nb"
+    with pytest.raises(ValueError, match="U\\+0000"):
+        escape_for_cel_single_quoted("a\x00b")
+    # a quote in the key cannot break out of the CEL literal
+    b = gcs_access_boundary("gs://bkt/wh/o'||true||'x", StoragePermissions.READ)
+    expr = b["accessBoundary"]["accessBoundaryRules"][0][
+        "availabilityCondition"]["expression"]
+    assert "o\\'||true||\\'x" in expr
+
+
+def test_vend_gcs_document_and_dispatch():
+    g = vend_gcs("uuid-1", "gs://bkt/wh/t", StoragePermissions.READ, 3600,
+                 7_000_000_000)
+    cfg = g["config"]
+    assert cfg["type"] == "gcs-downscoped"
+    assert cfg["gcs.oauth2.token"].startswith("dsc.")
+    assert cfg["gcs.oauth2.token-expires-at"] == cfg["expiration-ms"]
+    assert cfg["expiration-ms"] - 7_000_000_000 >= 1_800_000
+    assert g == vend_gcs("uuid-1", "gs://bkt/wh/t", StoragePermissions.READ,
+                         3600, 7_000_100_000)  # cache-equivalent
+    # dispatch: scheme selects the profile; OneLake hosts get the 1h cap
+    assert vend_for_location("u", "/tmp/wh/t", StoragePermissions.READ,
+                             3600, 0)["config"]["type"] == "sts-downscoped"
+    assert vend_for_location("u", "s3://b/k", StoragePermissions.READ,
+                             3600, 0)["config"]["type"] == "sts-downscoped"
+    assert "adls.sas-token.acct.dfs.core.windows.net" in vend_for_location(
+        "u", ADLS_LOC, StoragePermissions.READ, 3600, 0)["config"]
+    assert vend_for_location("u", "gs://b/k", StoragePermissions.READ,
+                             3600, 0)["config"]["type"] == "gcs-downscoped"
+    onelake = vend_for_location(
+        "u", "abfss://ws@acct.onelake.dfs.fabric.microsoft.com/lh/t",
+        StoragePermissions.READ, 7200, 0,
+    )
+    exp = onelake["config"]["expiration-ms"]
+    assert exp <= 2 * 3600_000  # OneLake 1h cap applied (plus window roll)
+
+
+def test_rest_vends_profile_of_warehouse_location(tmp_path):
+    """The REST delegation path returns the credential shape of the
+    TABLE's storage profile: generic tables registered at gs:// / abfss://
+    locations vend GCS / ADLS documents over the same route that vends
+    S3/STS for local warehouses."""
+    import json as _json
+    import urllib.request
+
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+    from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
+
+    cat = Catalog(Metastore(str(tmp_path / "m.db")))
+    server = RestCatalogServer(cat).start()
+    try:
+        client = RestCatalogClient(server.url)
+        client.create_warehouse("wh", str(tmp_path / "wh"))
+        client.create_namespace("wh", ["ns"])
+        cat.create_generic_table(
+            "wh", ["ns"], "gtab", "parquet", "gs://bkt/wh/ns/gtab"
+        )
+        cat.create_generic_table(
+            "wh", ["ns"], "atab", "parquet", ADLS_LOC
+        )
+
+        def creds(tbl):
+            with urllib.request.urlopen(
+                f"{server.url}/data/v1/wh/namespaces/ns/generic-tables/{tbl}/credentials"
+            ) as resp:
+                return _json.loads(resp.read())
+
+        gcfg = creds("gtab")["storage-credentials"][0]["config"]
+        assert gcfg["type"] == "gcs-downscoped"
+        assert "gcs.oauth2.token" in gcfg
+        acfg = creds("atab")["storage-credentials"][0]["config"]
+        assert acfg["type"] == "adls-sas"
+        assert "adls.sas-token.acct.dfs.core.windows.net" in acfg
+    finally:
+        server.stop()
