@@ -2027,3 +2027,117 @@ def t18_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("token_checksum"),
     )
+
+
+# --------------------------------------------------------------------------
+# t19: model-based quality scoring (CCNet/C4-style linear classifier)
+# --------------------------------------------------------------------------
+# The canonical LLM-pipeline stage after heuristics: a LEARNED quality
+# filter (CCNet trains a fastText LM, C4 a badwords+classifier combo)
+# scoring every document and keeping those above threshold. The model
+# here is a linear scorer over hashed n-gram features — the fastText
+# architecture exactly (feature hashing -> weight lookup -> mean) — with
+# deterministic md5 feature hashing and fixed integer weights: a
+# function-word lexicon carries positive weight (natural-language signal)
+# and every other uni/bigram gets a zero-mean hash-derived weight in
+# [-100, 100]. A trained model swaps the weight expression; the Spark
+# shape is what matters at 100 TB:
+#   - ONE corpus scan, ZERO shuffles: grams are built row-locally with
+#     higher-order functions (zip_with bigrams, aggregate-fold scoring) —
+#     no explode, no join, no groupBy; output is per-doc narrow rows.
+#   - all int64 arithmetic (score*1 >= THRESH*n cross-multiply instead of
+#     a float mean), so Spark and DuckDB agree bit-for-bit.
+T19_LEXICON = ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for")
+T19_LEX_W = 60
+T19_THRESH = 5  # keep when mean gram weight >= 5 (integer cross-multiply)
+
+
+def _t19_weight_sql(g: str) -> str:
+    """Per-gram integer weight, identical text in both engines apart from
+    the hex->int idiom."""
+    lex = ", ".join(f"'{w}'" for w in T19_LEXICON)
+    return (
+        f"CASE WHEN {g} IN ({lex}) THEN {T19_LEX_W}"
+        f" ELSE ('0x' || substr(md5({g}), 1, 8))::BIGINT % 201 - 100 END"
+    )
+
+
+@register(
+    "t19_quality_classifier",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tokens
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, t.token, t.pos FROM toks,
+  LATERAL (SELECT unnest(tokens) AS token,
+                  generate_subscripts(tokens, 1) AS pos) t
+),
+grams AS (
+  SELECT doc_id, token AS g FROM uni
+  UNION ALL
+  SELECT a.doc_id, a.token || ' ' || b.token
+  FROM uni a JOIN uni b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM({_t19_weight_sql('g')}) AS BIGINT) AS score_sum
+  FROM grams GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(s.score_sum, 0) AS score_sum,
+       CAST(CASE WHEN COALESCE(s.n_grams, 0) > 0
+                  AND COALESCE(s.score_sum, 0) >= {T19_THRESH} * s.n_grams
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+""",
+    description="Model-based quality filtering (CCNet/C4 stage): a linear "
+    "classifier over hashed uni+bigram features - md5 feature hashing, "
+    f"fixed integer weights (function-word lexicon +{T19_LEX_W}, "
+    "zero-mean hash weights elsewhere), keep when the mean gram weight "
+    f"clears {T19_THRESH} by integer cross-multiply. Row-local "
+    "higher-order functions: ONE corpus scan, zero shuffles, no explode "
+    "- the shape a trained fastText-style scorer ships with at 100 TB.",
+    tags=("text", "llm", "quality", "classifier"),
+)
+def t19_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    weight = _t19_weight_sql("g").replace(
+        "('0x' || substr(md5(g), 1, 8))::BIGINT",
+        "CAST(conv(substr(md5(g), 1, 8), 16, 10) AS BIGINT)",
+    )
+    tokens = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+    grams = f"""
+    CASE WHEN size({tokens}) >= 2 THEN
+      concat({tokens},
+             zip_with(slice({tokens}, 1, size({tokens}) - 1),
+                      slice({tokens}, 2, size({tokens}) - 1),
+                      (x, y) -> concat(x, ' ', y)))
+    ELSE {tokens} END
+    """
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(grams).alias("grams"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(size(grams) AS BIGINT)").alias("n_grams"),
+            F.expr(
+                f"aggregate(grams, 0L, (acc, g) -> acc + ({weight}))"
+            ).alias("score_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "score_sum",
+            F.expr(
+                f"CAST(CASE WHEN n_grams > 0 AND score_sum >= {T19_THRESH}"
+                " * n_grams THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

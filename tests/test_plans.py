@@ -947,3 +947,29 @@ def test_e19_sketch_passes_never_sort_full_stream(spark):
     assert not _unpartitioned_window_lines(
         df._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_t19_quality_classifier_row_local_no_shuffle(spark):
+    """t19 scores every document ROW-LOCALLY: one corpus scan pruned to
+    (doc_id, text), grams built with higher-order functions — no explode
+    (Generate), no join, no aggregation shuffle. The only exchanges are
+    load_table's small-file repartition and the final presentation sort."""
+    from lakekeeper_spark.queries.text import t19_quality_classifier
+
+    plan = _plan(t19_quality_classifier(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 2  # tree + detail = one scan
+    seg = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in seg and "text" in seg  # column-pruned scan
+    assert "Generate" not in plan  # no explode: grams stay in-row
+    assert "Join" not in plan and "HashAggregate" not in plan
+    exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "Reused" not in ln and ") Exchange" in ln
+    ]
+    kinds = "\n".join(
+        ln for ln in plan.splitlines()
+        if "rangepartitioning" in ln or "RoundRobinPartitioning" in ln
+    )
+    assert len(exchanges) <= 2, plan
+    assert "hashpartitioning" not in plan  # zero data shuffles on keys
+    assert "rangepartitioning" in kinds  # just the output sort
