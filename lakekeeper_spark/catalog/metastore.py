@@ -102,6 +102,32 @@ CREATE TABLE IF NOT EXISTS metrics_reports (
 """
 
 
+#: PRAGMA user_version the current _DDL corresponds to. Bump whenever a
+#: table gains columns and record the additions in _COLUMN_MIGRATIONS —
+#: the reference ships explicit migrations
+#: (lakekeeper-storage-postgres/migrations/, 60+ files); this is the
+#: SQLite-weight equivalent so an existing metastore.db upgrades in place
+#: instead of raising OperationalError on the new columns.
+_SCHEMA_VERSION = 2
+
+#: table -> {column: declaration} added after that table first shipped.
+#: SQLite ALTER TABLE ADD COLUMN cannot add NOT NULL without a default,
+#: so every entry carries one where needed.
+_COLUMN_MIGRATIONS: dict[str, dict[str, str]] = {
+    "tasks": {
+        # task-management surface (round 11, api/management/v1/tasks.rs)
+        "wh_key": "TEXT",
+        "entity": "TEXT",
+        "entity_name": "TEXT",
+        "parent_task_id": "INTEGER",
+        "progress": "REAL NOT NULL DEFAULT 0",
+        "execution_details": "TEXT",
+        "created_ms": "INTEGER",
+        "updated_ms": "INTEGER",
+    },
+}
+
+
 def now_ms() -> int:
     return int(time.time() * 1000)
 
@@ -123,8 +149,31 @@ class Metastore:
         # delivery stays best-effort)
         self.dropped_events = 0
         con = self.con
+        self._migrate(con)
         con.executescript(_DDL)
+        con.execute(f"PRAGMA user_version = {_SCHEMA_VERSION}")
         con.commit()
+
+    @staticmethod
+    def _migrate(con: sqlite3.Connection) -> None:
+        """In-place column migration for databases created by an older
+        _DDL. Must run BEFORE the DDL script: ``CREATE INDEX IF NOT
+        EXISTS task_wh`` references tasks.wh_key, which an old database
+        doesn't have yet."""
+        ver = con.execute("PRAGMA user_version").fetchone()[0]
+        if ver >= _SCHEMA_VERSION:
+            return
+        for table, cols in _COLUMN_MIGRATIONS.items():
+            exists = con.execute(
+                "SELECT 1 FROM sqlite_master WHERE type='table' AND name=?",
+                (table,),
+            ).fetchone()
+            if not exists:
+                continue  # fresh DB: the DDL script creates it complete
+            have = {r[1] for r in con.execute(f"PRAGMA table_info({table})")}
+            for col, decl in cols.items():
+                if col not in have:
+                    con.execute(f"ALTER TABLE {table} ADD COLUMN {col} {decl}")
 
     @property
     def con(self) -> sqlite3.Connection:

@@ -257,11 +257,14 @@ def control_tasks(
             st.stop_tasks(task_ids)
         elif kind == "cancel":
             # Cancelling a pending soft-delete ABORTS it: the reference
-            # clears the tabular's deleted_at for expiration tasks
-            # (clear_tabular_deleted_at, tasks.rs:824-838) — the table is
-            # effectively undropped rather than left half-deleted.
+            # clears the tabular's deleted_at only for expiration tasks
+            # that actually MOVED to cancelled (tasks.rs:824-838) — a
+            # terminal task (done/error/cancelled) no-ops and must not
+            # undrop the table.
             for tid in task_ids:
                 row = st.get_task(tid)
+                if st.cancel_tasks_by_id([tid], force_running=True) == 0:
+                    continue
                 if row["queue"] == "tabular_expiration":
                     tabular_id = json.loads(row["payload"]).get("id")
                     if tabular_id is not None:
@@ -269,11 +272,32 @@ def control_tasks(
                             "UPDATE tabulars SET deleted_ms=NULL WHERE id=?",
                             (tabular_id,),
                         )
-            st.cancel_tasks_by_id(task_ids, force_running=True)
         elif kind == "run-now":
             st.run_tasks_at(task_ids, None)
         elif kind == "run-at":
-            st.run_tasks_at(task_ids, parse_ts_ms(action["scheduled-for"]))
+            # validate BEFORE parsing so a missing/malformed timestamp is
+            # a 400 (InvalidTaskArguments), not a KeyError 500; the
+            # schedule horizon applies here like in schedule_task
+            # (tasks.rs run-at shares the ScheduledForTooFarInFuture guard)
+            if action.get("scheduled-for") is None:
+                raise CatalogError(
+                    "run-at requires 'scheduled-for' (InvalidTaskArguments)"
+                )
+            try:
+                target = parse_ts_ms(action["scheduled-for"])
+            except (ValueError, OverflowError) as exc:
+                raise CatalogError(
+                    "invalid 'scheduled-for' timestamp:"
+                    f" {action['scheduled-for']!r} (InvalidTaskArguments)"
+                ) from exc
+            horizon = now_ms() + MAX_SCHEDULE_HORIZON_DAYS * 86_400_000
+            if target > horizon:
+                raise CatalogError(
+                    "scheduled-for is more than"
+                    f" {MAX_SCHEDULE_HORIZON_DAYS} days in the future"
+                    " (ScheduledForTooFarInFuture)"
+                )
+            st.run_tasks_at(task_ids, target)
         else:
             raise CatalogError(f"unknown control action {kind!r}")
         st.commit()
@@ -445,12 +469,20 @@ def set_task_queue_config(
 def get_task_queue_config(
     catalog: "Catalog", warehouse: str, queue_name: str
 ) -> dict[str, Any]:
-    """GetTaskQueueConfig (task_queue.rs:152-168): unset configs return
-    the empty-config default rather than 404."""
+    """GetTaskQueueConfig (task_queue.rs:152-168): unknown queues are
+    QueueNotFound exactly like the set route (task_queue.rs:88-100);
+    known-but-unset configs return the empty-config default rather
+    than 404."""
     from . import identifiers as ident
 
     catalog._authorize("get_all_tasks", ident.fold(warehouse), warehouse)
     catalog._warehouse(warehouse)
+    if queue_name not in REGISTERED_QUEUES:
+        known = ", ".join(sorted(REGISTERED_QUEUES))
+        raise CatalogError(
+            f"Queue '{queue_name}' not found! Existing queues: [{known}]"
+            " (QueueNotFound)"
+        )
     stored = catalog.store.get_task_queue_config(
         queue_name, ident.fold(warehouse)
     )

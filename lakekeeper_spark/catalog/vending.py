@@ -189,18 +189,18 @@ def vend(
 
     The expiry is bucketed to the validity interval (like the hour-bucket
     token the earlier stub used) so repeated vends within one interval are
-    identical, with a MINIMUM remaining lifetime of ``validity/2``: a vend
-    issued in the second half of a bucket rolls to the next bucket's
-    expiry, so no caller ever receives a near-dead credential (the
-    reference grants the full sts-token-validity window from issuance,
-    s3.rs:1855; the half-window floor is the cache-equivalent analogue).
-    ``credentials-revalidate-after-ms`` at the call site comes from
-    ``credential_serve_window_ms`` of the remaining lifetime."""
+    byte-identical (cache-equivalent, like the reference's credential
+    cache). The lifetime from issuance is therefore always in
+    ``(0, validity]`` — the reference grants AT MOST the configured
+    sts-token-validity window from issuance (storage/mod.rs:128-133;
+    ADLS caps it hard, az/mod.rs:228-247), never more. Near-dead
+    credentials at a bucket's tail are handled by the caller's
+    ``credentials-revalidate-after-ms`` (from
+    ``credential_serve_window_ms`` of the remaining lifetime), which
+    shrinks toward zero so clients re-vend into the next bucket early."""
     validity_ms = validity_seconds * 1000
     bucket = now_ms // validity_ms
     expiration_ms = (bucket + 1) * validity_ms
-    if expiration_ms - now_ms < validity_ms // 2:
-        expiration_ms += validity_ms
     return {
         "prefix": location,
         "config": {
@@ -298,7 +298,12 @@ def vend_adls(
     bucket = now_ms // window_ms
     start_ms = (bucket * window_ms) - ADLS_START_BACKSHIFT_S * 1000
     expiry_ms = start_ms + ttl * 1000
-    if expiry_ms - now_ms < window_ms // 2:
+    if expiry_ms <= now_ms:
+        # the 60 s start backshift puts the tail of each window before the
+        # window's end; a vend landing there rolls to the next window —
+        # lifetime stays <= ttl (never the 1.5x the old half-window floor
+        # allowed; the reference grants at most the validity from
+        # issuance, az/mod.rs:228-247)
         start_ms += window_ms
         expiry_ms += window_ms
     resource, depth = adls_canonical_resource(location)
@@ -440,8 +445,6 @@ def vend_gcs(
     validity_ms = validity_seconds * 1000
     bucket_n = now_ms // validity_ms
     expiration_ms = (bucket_n + 1) * validity_ms
-    if expiration_ms - now_ms < validity_ms // 2:
-        expiration_ms += validity_ms
     boundary = gcs_access_boundary(location, permissions)
     seed = f"{table_id}:{permissions.value}:{expiration_ms}:gcs"
     token = "dsc." + hashlib.sha256(seed.encode()).hexdigest()

@@ -497,3 +497,105 @@ def test_rest_task_lifecycle(tmp_path):
         assert {t["task-id"] for t in listing["tasks"]} >= set(purge_ids)
     finally:
         server.stop()
+
+
+# ---------------------------------------------------------------------------
+# round-12 hardening (ADVICE r11): terminal-cancel no-op, run-at
+# validation + horizon, queue-config QueueNotFound on GET, migration
+# ---------------------------------------------------------------------------
+def test_cancel_terminal_task_does_not_undrop(cat):
+    """Cancelling an already-terminal expiration task must NOT clear the
+    soft-delete: the reference clears deleted_at only for tasks actually
+    moved to cancelled (tasks.rs:824-838)."""
+    info = _drop_soft(cat)
+    tid = info["task-id"]
+    # run the expiration to completion: task terminal (SUCCESS)
+    cat.store.run_tasks_at([tid], None)
+    cat.store.pick_tasks("tabular_expiration", 10)
+    cat.store.finish_task(tid)
+    # re-mark the tabular soft-deleted to simulate a later drop the stale
+    # cancel must not touch
+    cat.store.execute(
+        "UPDATE tabulars SET deleted_ms=? WHERE id=?",
+        (now_ms(), info["entity"]["table-id"]),
+    )
+    task_api.control_tasks(
+        cat, "wh", {"action": {"action-type": "cancel"}, "task-ids": [tid]}
+    )
+    assert (
+        task_api.get_task_details(cat, "wh", tid)["task"]["status"]
+        == "SUCCESS"
+    )
+    with pytest.raises(NoSuchEntity):
+        cat.load_table("wh", ["ns"], "t")  # still soft-deleted
+
+
+def test_run_at_validation_and_horizon(cat):
+    info = _drop_soft(cat)
+    tid = info["task-id"]
+    # missing scheduled-for -> 400-shaped CatalogError, not KeyError
+    with pytest.raises(CatalogError, match="InvalidTaskArguments"):
+        task_api.control_tasks(
+            cat, "wh", {"action": {"action-type": "run-at"},
+                        "task-ids": [tid]},
+        )
+    with pytest.raises(CatalogError, match="InvalidTaskArguments"):
+        task_api.control_tasks(
+            cat, "wh",
+            {"action": {"action-type": "run-at", "scheduled-for": "nope"},
+             "task-ids": [tid]},
+        )
+    # same 365-day horizon as schedule_task
+    with pytest.raises(CatalogError, match="ScheduledForTooFarInFuture"):
+        task_api.control_tasks(
+            cat, "wh",
+            {"action": {"action-type": "run-at",
+                        "scheduled-for": now_ms() + 400 * 86_400_000},
+             "task-ids": [tid]},
+        )
+    # the task is untouched by the rejected controls
+    assert (
+        task_api.get_task_details(cat, "wh", tid)["task"]["scheduled-for"]
+        == info["scheduled-for"]
+    )
+
+
+def test_get_queue_config_unknown_queue(cat):
+    with pytest.raises(CatalogError, match="QueueNotFound"):
+        task_api.get_task_queue_config(cat, "wh", "nope")
+
+
+def test_metastore_migrates_old_tasks_schema(tmp_path):
+    """Opening a database created before the task-management columns must
+    upgrade it in place (the reference ships explicit migrations)."""
+    import sqlite3
+
+    db = str(tmp_path / "old.db")
+    con = sqlite3.connect(db)
+    con.executescript(
+        """
+        CREATE TABLE tasks (
+          task_id INTEGER PRIMARY KEY AUTOINCREMENT, queue TEXT NOT NULL,
+          payload TEXT NOT NULL, status TEXT NOT NULL DEFAULT 'pending',
+          scheduled_ms INTEGER NOT NULL, attempts INTEGER NOT NULL DEFAULT 0,
+          picked_ms INTEGER, last_heartbeat_ms INTEGER, finished_ms INTEGER,
+          error TEXT);
+        """
+    )
+    con.execute(
+        "INSERT INTO tasks (queue, payload, scheduled_ms)"
+        " VALUES ('tabular_purge', '{}', 0)"
+    )
+    con.commit()
+    con.close()
+    cat = Catalog(Metastore(db))
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["ns"])
+    cat.create_table("wh", ["ns"], "t", SCHEMA)
+    # pre-existing row survives; the new list/control surface works
+    listing = task_api.list_tasks(cat, "wh", {})
+    assert isinstance(listing["tasks"], list)
+    info = _drop_soft(cat)
+    assert info["status"] == "SCHEDULED"
+    # idempotent: reopening an already-migrated db is a no-op
+    Metastore(db)

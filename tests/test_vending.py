@@ -124,25 +124,59 @@ def test_vend_deterministic_within_window():
     assert d["config"]["expiration-ms"] == a["config"]["expiration-ms"]
 
 
-def test_vend_minimum_remaining_lifetime():
-    """A vend issued late in a validity bucket must NOT return a
-    near-dead credential: when the bucket's remainder is under half the
-    validity window, expiry rolls to the next bucket (the reference
-    grants the full sts-token-validity window from issuance, s3.rs:1855;
-    the half-window floor is the cache-equivalent analogue)."""
+def test_vend_lifetime_never_exceeds_validity():
+    """The reference grants AT MOST the configured validity window from
+    issuance (credential expiry, storage/mod.rs:128-133; ADLS caps it
+    hard, az/mod.rs:228-247). A vend late in a bucket keeps the
+    bucket-end expiry — near-dead credentials are the revalidate
+    horizon's job, not an expiry extension's."""
     validity_ms = 3600 * 1000
-    # 1 second before the bucket edge: would have had 1s of life left
     late = vend("uuid-1", "/wh/ns/t", StoragePermissions.READ, 3600,
                 validity_ms - 1000)
-    assert late["config"]["expiration-ms"] == 2 * validity_ms
-    remaining = late["config"]["expiration-ms"] - (validity_ms - 1000)
-    assert remaining >= validity_ms // 2
-    # early in the bucket: the plain bucket-end expiry stands
+    assert late["config"]["expiration-ms"] == validity_ms
+    assert late["config"]["expiration-ms"] - (validity_ms - 1000) <= validity_ms
+    # early in the bucket: same bucket-end expiry -> identical credential
     early = vend("uuid-1", "/wh/ns/t", StoragePermissions.READ, 3600, 1000)
-    assert early["config"]["expiration-ms"] == validity_ms
-    # determinism within each half-bucket is preserved
-    assert vend("uuid-1", "/wh/ns/t", StoragePermissions.READ, 3600,
-                validity_ms - 500) == late
+    assert early == late
+    # the revalidate horizon shrinks with remaining life, pushing the
+    # client to re-vend into the next bucket before expiry
+    assert credential_serve_window_ms(1000) == 500
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=80, deadline=None)
+@_given(
+    validity_s=_st.integers(min_value=1, max_value=7 * 24 * 3600),
+    now_ms=_st.integers(min_value=0, max_value=4_102_444_800_000),
+)
+def test_vend_lifetime_property(validity_s, now_ms):
+    """lifetime = expiration - now is in (0, validity] for EVERY vend
+    time and validity, across all three storage flavors (the ≤-validity
+    bound is the reference's contract, storage/mod.rs:128-133)."""
+    from lakekeeper_spark.catalog.vending import vend_adls, vend_gcs
+
+    validity_ms = validity_s * 1000
+    for doc in (
+        vend("u", "/wh/t", StoragePermissions.READ, validity_s, now_ms),
+        vend_gcs("u", "gs://b/wh/t", StoragePermissions.READ, validity_s,
+                 now_ms),
+    ):
+        life = doc["config"]["expiration-ms"] - now_ms
+        assert 0 < life <= validity_ms
+    adls = vend_adls(
+        "u", "abfss://fs@acct.dfs.core.windows.net/wh/t",
+        StoragePermissions.READ, validity_s, now_ms,
+    )
+    # ADLS floors the user TTL at its own minimum effective TTL, so the
+    # bound is against the effective (clamped) validity
+    from lakekeeper_spark.catalog.vending import adls_effective_ttl_s
+
+    eff_ms = adls_effective_ttl_s(validity_s) * 1000
+    life = adls["config"]["expiration-ms"] - now_ms
+    assert 0 < life <= eff_ms
 
 
 def test_session_keys_shape():
