@@ -156,6 +156,137 @@ def compactor_retained(
     return cur.drop("g"), level_count, g_total
 
 
+def compactor_fold_retained(
+    batch: DataFrame,
+    state: DataFrame | None,
+    state_level: int,
+    cum_n: int,
+    value_col: str,
+    hash_col: str,
+    tiebreak_cols: list[str],
+    cap: int = CAP,
+    l_max: int = L_MAX,
+) -> tuple[DataFrame, int, int]:
+    """KLL-style GROWING-GEOMETRY fold: merge a weight-1 ``batch`` into a
+    persistent ``state`` buffer (every state item carrying implicit
+    weight 2**state_level from the previous fold) and re-compact to the
+    geometry of the CUMULATIVE count ``cum_n`` — so an unbounded stream
+    keeps O(cap) state forever instead of one buffer per micro-batch
+    (st18's shape, whose drain-side state grows with the batch count).
+
+    This is the KLL compactor-ladder insight (Karnin-Lang-Liberty 2016
+    §2): an item of weight 2^j only participates in compactions at
+    levels > j. Batch items enter the ladder at level 0 (bucket
+    ``h % G``); state items inject at level ``state_level + 1`` with
+    bucket ``(h % G) div 2**state_level`` — exactly the bucket a level-0
+    item reaches after ``state_level`` halvings, so both populations are
+    indistinguishable from there on. When the geometry did not grow
+    (state_level == L) the injection level is a pass-through and the
+    state unions into the output uncompacted. Output weight is uniform
+    2**L, so the drain reuses ``compactor_quantiles`` unchanged.
+
+    ``cum_n`` is total rows EVER ingested — the caller accumulates it
+    from per-batch counts (micro-batches are finite; no global pre-pass
+    is needed, and the geometry is a pure function of that running
+    total, which a SQL oracle replays from slice-prefix counts).
+    """
+    level_count, g_total = compactor_geometry(cum_n, cap, l_max)
+    if state is not None and state_level > level_count:
+        raise ValueError(
+            f"geometry shrank: state level {state_level} > {level_count}"
+        )
+    order = [F.col(value_col), F.col(hash_col)] + [
+        F.col(c) for c in tiebreak_cols
+    ]
+    keep = [value_col, hash_col, *tiebreak_cols, "g"]
+    cur = batch.withColumn("g", F.col(hash_col) % F.lit(g_total)).select(keep)
+    inj = None
+    if state is not None:
+        inj = state.withColumn(
+            "g",
+            F.expr(f"({hash_col} % {g_total}L) div {1 << state_level}L"),
+        ).select(keep)
+    for level in range(1, level_count + 1):
+        if inj is not None and level == state_level + 1:
+            cur = cur.unionByName(inj)
+            inj = None
+        w = Window.partitionBy("g").orderBy(*order)
+        cur = (
+            cur.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") % 2 == F.lit(level % 2))
+            .withColumn("g", F.expr("g div 2"))
+            .drop("rn")
+        )
+    if inj is not None:
+        # no growth (state_level == L): the state skips every compaction
+        # level, exactly the SQL twin's pass-through branch
+        cur = cur.unionByName(inj)
+    return cur.drop("g"), level_count, g_total
+
+
+def sql_compactor_fold_chain(
+    prefix: str,
+    state_prefix: str,
+    count_expr: str,
+    cap: int = CAP,
+    l_max: int = L_MAX,
+) -> str:
+    """DuckDB twin of ``compactor_fold_retained`` for one fold: expects
+    ``{prefix}bv(c, h, k)`` (the weight-1 batch) and the PREVIOUS fold's
+    ``{state_prefix}geo`` / ``{state_prefix}fin``; defines ``{prefix}geo``
+    and ``{prefix}fin``. ``count_expr`` is a scalar SQL expression for the
+    cumulative ingested count (e.g. a slice-prefix COUNT(*)). State items
+    inject before level ``L_prev + 1`` with bucket
+    ``(h % G) // 2**L_prev``; levels beyond the fold's L pass rows
+    through, which also realizes the no-growth case.
+
+    ``geo``/``inj``/``fin`` are AS MATERIALIZED: ``inj`` is referenced at
+    every unrolled level and chains into the previous fold's ``fin`` —
+    inlined, a 4-fold chain re-expands the whole upstream ladder at every
+    level (the g03 CTE-inlining hazard, here exponential across folds)."""
+    p, sp = prefix, state_prefix
+    levels = []
+    for level in range(1, l_max + 1):
+        parity = level % 2
+        levels.append(
+            f"""{p}lvl{level} AS (
+  SELECT c, h, k,
+         CASE WHEN {level} <= (SELECT L FROM {p}geo) THEN g // 2 ELSE g END AS g
+  FROM (
+    SELECT c, h, k, g,
+           ROW_NUMBER() OVER (PARTITION BY g ORDER BY c, h, k) AS rn
+    FROM (
+      SELECT c, h, k, g FROM {p}lvl{level - 1}
+      UNION ALL
+      SELECT c, h, k, g FROM {p}inj
+      WHERE (SELECT L FROM {sp}geo) + 1 = {level}
+    )
+  )
+  WHERE {level} > (SELECT L FROM {p}geo) OR rn % 2 = {parity}
+)"""
+        )
+    return f"""{p}geo AS MATERIALIZED (
+  SELECT L, CAST(1 AS BIGINT) << L AS G FROM (
+    SELECT COALESCE(MIN(l), {l_max}) AS L
+    FROM (SELECT unnest(range(0, {l_max + 1})) AS l)
+    WHERE {cap} * (CAST(1 AS BIGINT) << l) >= ({count_expr})
+  )
+),
+{p}inj AS MATERIALIZED (
+  SELECT c, h, k,
+         (h % (SELECT G FROM {p}geo))
+           // (CAST(1 AS BIGINT) << (SELECT L FROM {sp}geo)) AS g
+  FROM {sp}fin
+),
+{p}lvl0 AS (SELECT c, h, k, h % (SELECT G FROM {p}geo) AS g FROM {p}bv),
+{", ".join(levels)},
+{p}fin AS MATERIALIZED (
+  SELECT c, h, k FROM {p}lvl{l_max}
+  UNION ALL
+  SELECT c, h, k FROM {p}inj WHERE (SELECT L FROM {sp}geo) >= {l_max}
+)"""
+
+
 def compactor_quantiles(
     retained: DataFrame,
     g_total: int,

@@ -1640,8 +1640,8 @@ ST18_PCTS = ST17_PCTS
 ST18_SLICES = 3
 
 
-def _stage_id_slices(sf_dir: str) -> str:
-    """Stage events as ST18_SLICES files keyed by event_id % N (mtime-
+def _stage_id_slices(sf_dir: str, n_slices: int = ST18_SLICES) -> str:
+    """Stage events as ``n_slices`` files keyed by event_id % N (mtime-
     ordered so availableNow+maxFilesPerTrigger=1 drains slice s in batch
     s — the slice is content-defined, so the oracle reproduces it)."""
     import os
@@ -1653,9 +1653,9 @@ def _stage_id_slices(sf_dir: str) -> str:
     tbl = pq.read_table(f"{sf_dir}/events.parquet")
     ids = tbl.column("event_id").to_numpy()
     now = time.time()
-    for s in range(ST18_SLICES):
+    for s in range(n_slices):
         p = str(Path(d) / f"{s}.parquet")
-        pq.write_table(tbl.filter(pa.array(ids % ST18_SLICES == s)), p)
+        pq.write_table(tbl.filter(pa.array(ids % n_slices == s)), p)
         os.utime(p, (now - 60 + 10 * s, now - 60 + 10 * s))
     return d
 
@@ -1736,3 +1736,153 @@ def st18_stream_compactor_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     q.awaitTermination()
     merged = spark.read.parquet(acc).select("c", "h", "k", "slice", "w")
     return compactor_merge_quantiles(merged, ST18_PCTS, "est_micro")
+
+
+# --------------------------------------------------------------------------
+# st19: GROWING-GEOMETRY streaming compactor (single persistent sketch)
+# --------------------------------------------------------------------------
+# st18 keeps one retained buffer PER micro-batch and merges at drain time —
+# state O(cap x batches), fine for a bounded replay but unbounded on an
+# infinite stream. st19 is the KLL answer (Karnin-Lang-Liberty 2016 §2):
+# ONE persistent buffer whose geometry grows with the cumulative ingested
+# count. Each micro-batch folds into the sketch via
+# functions/quantiles.compactor_fold_retained — batch rows enter the
+# compaction ladder at level 0, the previous state (weight 2^L_prev per
+# item) injects at level L_prev+1, and the result re-compacts to the
+# geometry of the RUNNING total, so the state parquet is always ~cap rows
+# no matter how many batches have passed. The running total needs only
+# per-batch counts (each micro-batch is finite) — no global pre-pass and
+# no per-batch-count-dependent drain state, the round-10/11 gap.
+# Determinism: the four content-defined event_id%4 slices drain in mtime
+# order (the st03/st18 discipline), the growth schedule L_0..L_3 is a pure
+# function of the slice-prefix counts, and every compaction orders on
+# (c, h, k) int64/md5 keys — the oracle replays the exact fold chain
+# (sql_compactor_fold_chain), so the row is exact value-hash.
+ST19_PCTS = ST17_PCTS
+ST19_SLICES = 4
+
+
+def _st19_oracle() -> str:
+    from ..functions.quantiles import (
+        sql_compactor_chain,
+        sql_compactor_fold_chain,
+    )
+
+    srcs = []
+    for s in range(ST19_SLICES):
+        tag = "v" if s == 0 else "bv"
+        srcs.append(
+            f"""f{s}{tag} AS (
+  SELECT CAST(ROUND(value * 1000000) AS BIGINT) AS c,
+         ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+         CAST(event_id AS VARCHAR) AS k
+  FROM events WHERE event_id % {ST19_SLICES} = {s}
+)"""
+        )
+    chains = [sql_compactor_chain("f0")]
+    for s in range(1, ST19_SLICES):
+        chains.append(
+            sql_compactor_fold_chain(
+                f"f{s}",
+                f"f{s - 1}",
+                f"SELECT COUNT(*) FROM events"
+                f" WHERE event_id % {ST19_SLICES} <= {s}",
+            )
+        )
+    last = f"f{ST19_SLICES - 1}"
+    pct_values = ", ".join(f"({p})" for p in ST19_PCTS)
+    srcs_sql = ",\n".join(srcs)
+    chains_sql = ",\n".join(chains)
+    return f"""WITH {srcs_sql},
+{chains_sql},
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, h, k) AS rn FROM {last}fin
+),
+w AS (SELECT COUNT(*) AS cnt FROM ranked)
+SELECT q.p, CAST(f.c AS BIGINT) AS est_micro
+FROM (VALUES {pct_values}) q(p)
+CROSS JOIN {last}geo geo CROSS JOIN w
+JOIN ranked f ON f.rn = ((q.p * (w.cnt * geo.G - 1)) // 100) // geo.G + 1"""
+
+
+@register(
+    "st19_stream_growing_compactor",
+    oracle=_st19_oracle(),
+    description="Growing-geometry streaming quantile sketch (KLL level "
+    "growth): ONE persistent ~cap-row buffer; each micro-batch folds in "
+    "at ladder level 0 while the previous state (weight 2^L per item) "
+    "injects at level L+1, re-compacting to the geometry of the running "
+    "ingested total - state stays O(cap) on an unbounded stream, unlike "
+    "st18's per-batch buffer list. Exact value-hash: content-defined "
+    "slices, integer-only arithmetic, oracle replays the fold chain.",
+    tags=("streaming", "events", "sketch", "quantile"),
+)
+def st19_stream_growing_compactor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+
+    from ..functions.quantiles import (
+        compactor_fold_retained,
+        compactor_quantiles,
+    )
+
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_stage_id_slices(sf_dir, ST19_SLICES))
+    )
+    root = tempfile.mkdtemp(prefix="lkspark_st19_state_")
+    ckpt = tempfile.mkdtemp(prefix="lkspark_ckpt_")
+    meta_path = Path(root) / "meta.json"
+
+    def fold_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        # persisted fold metadata: a restarted stream resumes the sketch
+        # from (cum_n, level, generation) exactly
+        meta = (
+            _json.loads(meta_path.read_text())
+            if meta_path.exists()
+            else {"cum_n": 0, "level": 0, "gen": -1}
+        )
+        v = batch.select(
+            F.round(F.col("value") * 1_000_000).cast("long").alias("c"),
+            F.expr(
+                "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 12),"
+                " 16, 10) AS BIGINT)"
+            ).alias("h"),
+            F.col("event_id").cast("string").alias("k"),
+        )
+        state = (
+            spark.read.parquet(f"{root}/gen{meta['gen']}")
+            if meta["gen"] >= 0
+            else None
+        )
+        cum_n = meta["cum_n"] + batch.count()
+        retained, level, _g = compactor_fold_retained(
+            v, state, meta["level"], cum_n, "c", "h", ["k"]
+        )
+        gen = meta["gen"] + 1
+        retained.write.mode("overwrite").parquet(f"{root}/gen{gen}")
+        meta_path.write_text(
+            _json.dumps({"cum_n": cum_n, "level": level, "gen": gen})
+        )
+        if meta["gen"] >= 0:  # previous generation is dead state
+            shutil.rmtree(f"{root}/gen{meta['gen']}", ignore_errors=True)
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    meta = _json.loads(meta_path.read_text())
+    final = spark.read.parquet(f"{root}/gen{meta['gen']}")
+    # the single surviving buffer has uniform weight 2^L — the plain
+    # (non-merge) selection tail h08 uses applies unchanged
+    return compactor_quantiles(
+        final, 1 << meta["level"], "c", "h", ["k"], ST19_PCTS, "est_micro"
+    )

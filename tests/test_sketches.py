@@ -214,3 +214,126 @@ def test_compactor_supplied_n_matches_counted(spark):
     a = sorted(tuple(r) for r in counted.collect())
     b = sorted(tuple(r) for r in supplied.collect())
     assert a == b and 0 < len(a) < rows  # compaction actually ran
+
+
+# ---------------------------------------------------------------------------
+# st19 growing-geometry fold: rank-error + state-boundedness contracts
+# ---------------------------------------------------------------------------
+# The fullsweep proves Spark == oracle bit-for-bit on st19; these pin that
+# the SHARED fold algorithm (functions/quantiles.sql_compactor_fold_chain)
+# is a real KLL sketch: folding S slices through growing geometry must
+# (a) honor the compaction rank-error bound, (b) keep the final buffer
+# O(cap) regardless of slice count, and (c) never shrink geometry.
+from lakekeeper_spark.functions.quantiles import (
+    sql_compactor_chain,
+    sql_compactor_fold_chain,
+)
+
+
+def _fold_oracle(
+    n_slices: int, pcts: tuple[int, ...], cap: int, l_max: int
+) -> str:
+    srcs = []
+    for s in range(n_slices):
+        tag = "v" if s == 0 else "bv"
+        srcs.append(
+            f"f{s}{tag} AS (SELECT c, h, k FROM corpus"
+            f" WHERE rid % {n_slices} = {s})"
+        )
+    chains = [sql_compactor_chain("f0", cap=cap, l_max=l_max)]
+    for s in range(1, n_slices):
+        chains.append(
+            sql_compactor_fold_chain(
+                f"f{s}",
+                f"f{s - 1}",
+                f"SELECT COUNT(*) FROM corpus WHERE rid % {n_slices} <= {s}",
+                cap=cap,
+                l_max=l_max,
+            )
+        )
+    last = f"f{n_slices - 1}"
+    pv = ", ".join(f"({p})" for p in pcts)
+    srcs_sql = ",\n".join(srcs)
+    chains_sql = ",\n".join(chains)
+    return f"""WITH {srcs_sql},
+{chains_sql},
+ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, h, k) AS rn
+           FROM {last}fin),
+w AS (SELECT COUNT(*) AS cnt FROM ranked)
+SELECT q.p, f.c AS est, (SELECT L FROM {last}geo) AS lvl,
+       (SELECT cnt FROM w) AS retained
+FROM (VALUES {pv}) q(p)
+CROSS JOIN {last}geo geo CROSS JOIN w
+JOIN ranked f ON f.rn = ((q.p * (w.cnt * geo.G - 1)) // 100) // geo.G + 1"""
+
+
+ST19_TEST_PCTS = (5, 25, 50, 75, 95)
+
+
+def _run_fold(cents: list[int], cap: int = 16, l_max: int = 12):
+    df = pd.DataFrame({"rid": range(len(cents)), "cent": cents})
+    con = duckdb.connect()
+    con.register("raw", df)
+    con.execute(
+        "CREATE VIEW corpus AS SELECT rid, CAST(cent AS BIGINT) AS c,"
+        " ('0x' || substr(md5(CAST(rid AS VARCHAR)), 1, 12))::BIGINT AS h,"
+        " CAST(rid AS VARCHAR) AS k FROM raw"
+    )
+    rows = con.execute(_fold_oracle(4, ST19_TEST_PCTS, cap, l_max)).fetchall()
+    return (
+        {p: est for p, est, _l, _r in rows},
+        rows[0][2],  # final level
+        rows[0][3],  # retained count
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(values)
+def test_st19_fold_rank_error_bounded(cents):
+    """cap=16, 4 slices: the folded sketch honors the same worst-case
+    bound family as one-shot compaction — L*G/2 (every level's discard)
+    + G (selection granularity) — and stays monotone in p."""
+    est, level, retained = _run_fold(cents)
+    s = sorted(cents)
+    n = len(s)
+    level_exp, g_total = compactor_geometry(n, cap=16, l_max=12)
+    assert level == level_exp  # geometry follows the CUMULATIVE count
+    bound = level * g_total // 2 + g_total
+    prev = None
+    for p in ST19_TEST_PCTS:
+        target = (p * (n - 1)) // 100
+        lo, hi = _rank_bounds(s, est[p])
+        dist = 0 if lo <= target <= hi else min(
+            abs(lo - target), abs(hi - target)
+        )
+        assert dist <= bound, (p, est[p], target, dist, bound)
+        if prev is not None:
+            assert est[p] >= prev
+        prev = est[p]
+
+
+def test_st19_state_stays_bounded_as_stream_grows():
+    """The whole point of growing geometry: the retained buffer stays
+    O(cap) as the ingested total grows 16x (st18's per-batch buffer list
+    would grow linearly with batch count)."""
+    import random
+
+    rng = random.Random(42)
+    for n in (400, 1600, 6400):
+        cents = [rng.randrange(1, 2_000_000) for _ in range(n)]
+        _est, level, retained = _run_fold(cents, cap=16)
+        level_exp, g = compactor_geometry(n, cap=16, l_max=12)
+        assert level == level_exp
+        # retained ~ n/G <= cap, with slack for odd-parity keeps per level
+        assert retained <= 16 + 2 * level, (n, retained)
+
+
+def test_st19_fold_exact_below_cap():
+    """One buffer, no compaction (L=0 throughout): the fold must return
+    the exact rank statistic, slices or not."""
+    cents = [7, 3, 11, 5, 2, 13, 17, 1, 19, 23]
+    est, level, _ = _run_fold(cents, cap=1024)
+    assert level == 0
+    s = sorted(cents)
+    for p in ST19_TEST_PCTS:
+        assert est[p] == s[(p * (len(s) - 1)) // 100]
