@@ -149,6 +149,72 @@ class RoleRbacAuthorizer(Authorizer):
         return "*" in allowed or action in allowed
 
 
+class MetastoreRbacAuthorizer(RoleRbacAuthorizer):
+    """RoleRbac whose ASSIGNMENTS live in the metastore's role tables
+    (catalog/principals.py) instead of a static dict: an actor's roles
+    are the transitive closure of their user->role and role->role
+    membership edges, resolved at check time — so role grants made over
+    the management API (AddRoleMembers) take effect on the next request,
+    the reference's OpenFGA ``role#assignee`` expansion semantics
+    (service/authz/mod.rs) without the external store.
+
+    ``role_grants``/``role_parents``/``role_resource_grants`` keep the
+    RoleRbac shapes, keyed by role NAME (the deployment's policy is
+    config; the membership graph is data)."""
+
+    def __init__(
+        self,
+        store,
+        role_grants: dict[str, set[str]],
+        role_parents: dict[str, set[str]] | None = None,
+        role_resource_grants: dict[tuple[str, str], set[str]] | None = None,
+        admins: set[str] | None = None,
+    ) -> None:
+        super().__init__(
+            {}, role_grants, role_parents, role_resource_grants
+        )
+        self.store = store
+        # instance admins (LAKEKEEPER__INSTANCE_ADMINS + the bootstrap
+        # user, server.rs): allowed everything — the escape hatch that
+        # lets the FIRST role/grant be created at all
+        self.admins = admins if admins is not None else set()
+
+    def is_allowed(self, actor: str | None, action: str, resource: str) -> bool:
+        if actor is not None and actor in self.admins:
+            return True
+        return super().is_allowed(actor, action, resource)
+
+    def _expand_roles(self, actor: str | None) -> set[str]:
+        if actor is None:
+            return set()
+        names: set[str] = set()
+        seen: set[str] = set()
+        frontier: list[tuple[str, str]] = [("user", actor)]
+        while frontier:
+            kind, mid = frontier.pop()
+            for r in self.store.query(
+                "SELECT rm.role_id, ro.name FROM role_members rm"
+                " JOIN roles ro ON ro.id = rm.role_id"
+                " WHERE rm.member_kind=? AND rm.member_id=?",
+                (kind, mid),
+            ):
+                if r["role_id"] in seen:
+                    continue
+                seen.add(r["role_id"])
+                names.add(r["name"])
+                frontier.append(("role", r["role_id"]))
+        # config-level inheritance (role_parents) still applies on top of
+        # the data-level closure
+        stack = list(names)
+        while stack:
+            role = stack.pop()
+            for parent in self.role_parents.get(role, set()):
+                if parent not in names:
+                    names.add(parent)
+                    stack.append(parent)
+        return names
+
+
 @contextmanager
 def acting_as(catalog: "Catalog", actor: str | None) -> Iterator[None]:
     """Scope the catalog's current principal (the reference resolves it

@@ -99,6 +99,33 @@ CREATE TABLE IF NOT EXISTS metrics_reports (
   seq INTEGER PRIMARY KEY AUTOINCREMENT, ts_ms INTEGER NOT NULL,
   wh_key TEXT NOT NULL, entity TEXT NOT NULL, report_type TEXT NOT NULL,
   report TEXT NOT NULL);
+CREATE TABLE IF NOT EXISTS users (
+  -- user provisioning (api/management/v1/user.rs; postgres user.rs):
+  -- id is the <idp>~<subject> principal, soft-deleted like the reference
+  id TEXT PRIMARY KEY, name TEXT NOT NULL, email TEXT,
+  user_type TEXT NOT NULL CHECK (user_type IN ('human','application')),
+  last_updated_with TEXT NOT NULL,
+  created_ms INTEGER NOT NULL, updated_ms INTEGER, deleted_ms INTEGER);
+CREATE TABLE IF NOT EXISTS roles (
+  -- role CRUD (api/management/v1/role.rs): uuid id, project-scoped
+  -- case-insensitive-unique name, provider~source external ident
+  id TEXT PRIMARY KEY, project_id TEXT NOT NULL DEFAULT 'default',
+  provider_id TEXT NOT NULL, source_id TEXT NOT NULL,
+  name TEXT NOT NULL, name_key TEXT NOT NULL, description TEXT,
+  created_ms INTEGER NOT NULL, updated_ms INTEGER);
+CREATE UNIQUE INDEX IF NOT EXISTS unique_role_name_in_project
+  ON roles (project_id, name_key);
+CREATE UNIQUE INDEX IF NOT EXISTS unique_role_provider_source_in_project
+  ON roles (project_id, provider_id, source_id);
+CREATE TABLE IF NOT EXISTS role_members (
+  -- membership edges (role_membership.rs / postgres role_assignment.rs):
+  -- user->role assignments and role->role inheritance in one typed table
+  role_id TEXT NOT NULL, member_kind TEXT NOT NULL
+    CHECK (member_kind IN ('user','role')),
+  member_id TEXT NOT NULL, created_ms INTEGER NOT NULL,
+  PRIMARY KEY (role_id, member_kind, member_id));
+CREATE INDEX IF NOT EXISTS role_members_by_member
+  ON role_members (member_kind, member_id);
 """
 
 
@@ -108,7 +135,8 @@ CREATE TABLE IF NOT EXISTS metrics_reports (
 #: (lakekeeper-storage-postgres/migrations/, 60+ files); this is the
 #: SQLite-weight equivalent so an existing metastore.db upgrades in place
 #: instead of raising OperationalError on the new columns.
-_SCHEMA_VERSION = 2
+_SCHEMA_VERSION = 3  # v3: users/roles/role_members (new tables only —
+# CREATE IF NOT EXISTS covers them; no column migrations needed)
 
 #: table -> {column: declaration} added after that table first shipped.
 #: SQLite ALTER TABLE ADD COLUMN cannot add NOT NULL without a default,

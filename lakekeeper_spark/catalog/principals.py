@@ -1,0 +1,793 @@
+"""User provisioning + role CRUD + role membership.
+
+Mirrors the reference's management surface:
+
+  - user provisioning — api/management/v1/user.rs:301 (create_user with
+    self-provisioning vs admin provisioning, parse_create_user_request
+    :227-297), :370 (search_user), get/list/update/delete (:398-575),
+    whoami; Postgres semantics in lakekeeper-storage-postgres/src/user.rs
+    (soft delete, ILIKE list filter, trigram-ranked search :337-380).
+  - role CRUD — api/management/v1/role.rs (EmptyRoleName :299, system
+    provider reserved :32-43, provider-id/source-id both-or-neither
+    :310-325, RoleNameAlreadyExists / RoleIdAlreadyExists unique
+    violations, postgres role.rs:144-151); search ranks exact id, then
+    source id, then name distance, LIMIT 10 (postgres role.rs:266-285).
+  - membership — api/management/v1/role_membership.rs (typed user/role
+    members, batch add deduped + idempotent :737-820, remove idempotent
+    204 :823-893, member-of / user-roles / transitive listings); cycle
+    rejection per postgres role_assignment.rs:627-760 (member == parent
+    or member already a transitive ancestor of parent).
+
+The user id is the ``<idp>~<subject>`` principal the authn layer mints
+(service/authn.rs:35 IDP_SEPARATOR; split at the FIRST ``~``, idp
+non-empty, subject validated — ``oidc~~x`` is legal, ``~x`` is not).
+"""
+
+from __future__ import annotations
+
+import difflib
+from typing import TYPE_CHECKING, Any
+
+from .authn import AuthenticationError, validate_subject
+from .catalog import AlreadyExists, CatalogError, NoSuchEntity
+from .metastore import new_uuid, now_ms
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .catalog import Catalog
+
+USER_TYPES = ("human", "application")
+#: reserved for catalog-managed roles (role.rs:32-43 reject_system_provider)
+SYSTEM_ROLE_PROVIDER = "system"
+DEFAULT_ROLE_PROVIDER = "lakekeeper"
+SEARCH_LIMIT = 10
+SEARCH_TERM_MAX_CHARS = 64
+DEFAULT_PAGE_SIZE = 100
+
+
+def parse_user_id(user_id: str) -> tuple[str, str]:
+    """``<idp>~<subject>`` (UserId::try_from, authn.rs:811-832): split at
+    the FIRST separator; empty idp rejected, subject rules shared with
+    the authn layer."""
+    idp, sep, subject = user_id.partition("~")
+    if not sep or not idp:
+        raise CatalogError(
+            f"Invalid user id: `{user_id}`."
+            " Expected format: `<idp_id>~<user-id>` (InvalidUserId)"
+        )
+    try:
+        validate_subject(subject)
+    except AuthenticationError as exc:
+        raise CatalogError(f"Invalid user id: {exc} (InvalidUserId)") from exc
+    return idp, subject
+
+
+def _user_info(row: dict[str, Any]) -> dict[str, Any]:
+    from .tasks import _iso
+
+    return {
+        "id": row["id"],
+        "name": row["name"],
+        "email": row["email"],
+        "user-type": row["user_type"],
+        "last-updated-with": row["last_updated_with"],
+        "created-at": _iso(row["created_ms"]),
+        "updated-at": _iso(row["updated_ms"]),
+    }
+
+
+def _role_info(row: dict[str, Any]) -> dict[str, Any]:
+    from .tasks import _iso
+
+    return {
+        "id": row["id"],
+        "ident": f"{row['provider_id']}~{row['source_id']}",
+        "provider-id": row["provider_id"],
+        "source-id": row["source_id"],
+        "name": row["name"],
+        "description": row["description"],
+        "project-id": row["project_id"],
+        "created-at": _iso(row["created_ms"]),
+        "updated-at": _iso(row["updated_ms"]),
+    }
+
+
+def _check_user_type(value: str) -> str:
+    if value not in USER_TYPES:
+        raise CatalogError(
+            f"user-type must be one of {USER_TYPES} (InvalidUserType)"
+        )
+    return value
+
+
+# ---------------------------------------------------------------------------
+# users
+# ---------------------------------------------------------------------------
+def create_user(
+    catalog: "Catalog", request: dict[str, Any]
+) -> dict[str, Any]:
+    """CreateUser (user.rs:301-368 + parse_create_user_request :227-297).
+
+    Self-provisioning (no id in the request, or id == the acting
+    principal): name/type may come from the token identity; a nameless
+    self-provision gets the reference's placeholder name. Admin
+    provisioning (id of ANOTHER principal): name and user-type are
+    required, token data is never used. ``update-if-exists`` turns the
+    409 UserAlreadyExists into an upsert."""
+    acting = catalog._actor
+    req_id = request.get("id") or None
+    self_provision = acting is not None and (req_id is None or req_id == acting)
+    if not self_provision:
+        catalog._authorize("provision_users", "", "server")
+    user_id = req_id or acting
+    if user_id is None:
+        raise CatalogError(
+            "User ID could not be extracted from the token and must be"
+            " provided for creating a user. (MissingUserId)"
+        )
+    parse_user_id(user_id)
+    name = (request.get("name") or "").strip() or None
+    email = (request.get("email") or "").strip() or None
+    user_type = request.get("user-type")
+    if self_provision:
+        name = name or f"Nameless App with ID {user_id}"
+        user_type = user_type or "application"
+    else:
+        if name is None:
+            raise CatalogError(
+                "Name must be provided for user provisioning"
+                " (MissingUserName)"
+            )
+        if user_type is None:
+            raise CatalogError(
+                "Name and user_type must be provided for user provisioning"
+                " (MissingUserType)"
+            )
+    _check_user_type(user_type)
+    st = catalog.store
+    st.begin()
+    try:
+        existing = st.one(
+            "SELECT * FROM users WHERE id=? AND deleted_ms IS NULL",
+            (user_id,),
+        )
+        if existing is not None and not request.get("update-if-exists"):
+            st.rollback()
+            raise AlreadyExists(
+                f"User with id {user_id} already exists. (UserAlreadyExists)"
+            )
+        now = now_ms()
+        st.execute(
+            "INSERT INTO users (id, name, email, user_type,"
+            " last_updated_with, created_ms, updated_ms, deleted_ms)"
+            " VALUES (?,?,?,?,?,?,?,NULL)"
+            " ON CONFLICT (id) DO UPDATE SET name=excluded.name,"
+            " email=excluded.email, user_type=excluded.user_type,"
+            " last_updated_with=excluded.last_updated_with,"
+            " updated_ms=excluded.updated_ms, deleted_ms=NULL",
+            (user_id, name, email, user_type, "create-endpoint", now, now),
+        )
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+    row = st.one("SELECT * FROM users WHERE id=?", (user_id,))
+    out = _user_info(dict(row))
+    out["created"] = existing is None
+    return out
+
+
+def get_user(catalog: "Catalog", user_id: str) -> dict[str, Any]:
+    """GetUser (user.rs:398-439): self-read is always allowed."""
+    if catalog._actor != user_id:
+        catalog._authorize("read_user", "", "server")
+    row = catalog.store.one(
+        "SELECT * FROM users WHERE id=? AND deleted_ms IS NULL", (user_id,)
+    )
+    if row is None:
+        raise NoSuchEntity(f"User with id {user_id} not found. (UserNotFound)")
+    return _user_info(dict(row))
+
+
+def whoami(catalog: "Catalog") -> dict[str, Any]:
+    """Whoami (user.rs:83-99): the catalog user for the current principal."""
+    if catalog._actor is None:
+        raise CatalogError("no authenticated principal (MissingUserId)")
+    return {"user": get_user(catalog, catalog._actor)}
+
+
+def list_users(
+    catalog: "Catalog", request: dict[str, Any] | None = None
+) -> dict[str, Any]:
+    """ListUser (user.rs:441-477): optional case-insensitive name filter
+    (postgres user.rs:157 ``name ILIKE %term%``), offset-token paging."""
+    catalog._authorize("list_users", "", "server")
+    request = request or {}
+    page_size = int(request.get("pageSize") or DEFAULT_PAGE_SIZE)
+    offset = int(request.get("pageToken") or 0)
+    name = request.get("name")
+    clause, params = "", []
+    if name:
+        clause = " AND lower(name) LIKE ?"
+        params.append(f"%{name.lower()}%")
+    rows = catalog.store.query(
+        "SELECT * FROM users WHERE deleted_ms IS NULL" + clause +
+        " ORDER BY id LIMIT ? OFFSET ?",
+        (*params, page_size + 1, offset),
+    )
+    out = {"users": [_user_info(dict(r)) for r in rows[:page_size]]}
+    if len(rows) > page_size:
+        out["next-page-token"] = str(offset + page_size)
+    return out
+
+
+def search_user(catalog: "Catalog", request: dict[str, Any]) -> dict[str, Any]:
+    """SearchUser (user.rs:370-396; postgres :337-380): term truncated to
+    64 chars; an exact-id hit ranks first, then name+email similarity
+    (the trigram <-> distance, approximated the way search_tabular
+    approximates the reference's pg_trgm), LIMIT 10."""
+    catalog._authorize("search_users", "", "server")
+    term = str(request.get("search") or "")[:SEARCH_TERM_MAX_CHARS]
+    rows = catalog.store.query(
+        "SELECT * FROM users WHERE deleted_ms IS NULL", ()
+    )
+    scored = []
+    for r in rows:
+        hay = f"{r['name'] or ''} {r['email'] or ''}".lower()
+        sim = difflib.SequenceMatcher(None, term.lower(), hay).ratio()
+        rank = 0 if r["id"] == term else 1
+        scored.append((rank, -sim, r["id"], dict(r)))
+    scored.sort(key=lambda t: t[:3])
+    return {
+        "users": [
+            {
+                "id": r["id"],
+                "name": r["name"],
+                "email": r["email"],
+                "user-type": r["user_type"],
+            }
+            for _, _, _, r in scored[:SEARCH_LIMIT]
+        ]
+    }
+
+
+def update_user(
+    catalog: "Catalog", user_id: str, request: dict[str, Any]
+) -> None:
+    """UpdateUser (user.rs:479-529): 404 when absent (never creates),
+    empty name rejected; self-update allowed."""
+    name = request.get("name")
+    if not name:
+        raise CatalogError("Name cannot be empty (EmptyName)")
+    if catalog._actor != user_id:
+        catalog._authorize("update_users", "", "server")
+    user_type = _check_user_type(request.get("user-type") or "application")
+    email = (request.get("email") or "").strip() or None
+    st = catalog.store
+    st.begin()
+    try:
+        row = st.one(
+            "SELECT 1 FROM users WHERE id=? AND deleted_ms IS NULL",
+            (user_id,),
+        )
+        if row is None:
+            st.rollback()
+            raise NoSuchEntity("User does not exist (UserNotFound)")
+        st.execute(
+            "UPDATE users SET name=?, email=?, user_type=?,"
+            " last_updated_with='update-endpoint', updated_ms=? WHERE id=?",
+            (name, email, user_type, now_ms(), user_id),
+        )
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+
+
+def delete_user(catalog: "Catalog", user_id: str) -> None:
+    """DeleteUser (user.rs:531-575): soft-deletes the user AND removes
+    their role assignments; 404 when absent."""
+    if catalog._actor != user_id:
+        catalog._authorize("delete_users", "", "server")
+    st = catalog.store
+    st.begin()
+    try:
+        cur = st.execute(
+            "UPDATE users SET deleted_ms=? WHERE id=? AND deleted_ms IS NULL",
+            (now_ms(), user_id),
+        )
+        if cur.rowcount == 0:
+            st.rollback()
+            raise NoSuchEntity(
+                f"User with id {user_id} not found. (UserNotFound)"
+            )
+        st.execute(
+            "DELETE FROM role_members WHERE member_kind='user' AND member_id=?",
+            (user_id,),
+        )
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+
+
+# ---------------------------------------------------------------------------
+# roles
+# ---------------------------------------------------------------------------
+def _get_role_row(catalog: "Catalog", role_id: str) -> dict[str, Any]:
+    row = catalog.store.one("SELECT * FROM roles WHERE id=?", (role_id,))
+    if row is None:
+        raise NoSuchEntity(f"Role {role_id} not found. (RoleNotFound)")
+    return dict(row)
+
+
+def create_role(
+    catalog: "Catalog", request: dict[str, Any], project_id: str = "default"
+) -> dict[str, Any]:
+    """CreateRole (role.rs:293-342): empty name rejected, provider-id
+    ``system`` reserved, provider-id/source-id both-or-neither (defaults:
+    ``lakekeeper`` + a fresh uuid); name and (provider, source) each
+    unique per project (postgres role.rs:144-151)."""
+    catalog._authorize("create_role", "", f"project/{project_id}")
+    name = (request.get("name") or "").strip()
+    if not name:
+        raise CatalogError("Role name cannot be empty (EmptyRoleName)")
+    provider = request.get("provider-id")
+    source = request.get("source-id")
+    if provider == SYSTEM_ROLE_PROVIDER:
+        raise CatalogError(
+            "provider_id `system` is reserved for catalog-managed roles"
+            " and cannot be used in role-management requests."
+            " (RoleProviderIdReserved)"
+        )
+    if (provider is None) != (source is None):
+        raise CatalogError(
+            "provider-id and source-id must be provided together, or both"
+            " omitted (InvalidRoleIdentifier)"
+        )
+    provider = provider or DEFAULT_ROLE_PROVIDER
+    source = source or new_uuid()
+    from . import identifiers as ident
+
+    st = catalog.store
+    role_id = request.get("id") or new_uuid()
+    st.begin()
+    try:
+        if st.one(
+            "SELECT 1 FROM roles WHERE project_id=? AND name_key=?",
+            (project_id, ident.fold(name)),
+        ):
+            st.rollback()
+            raise AlreadyExists(
+                f"Role with name {name} already exists in project"
+                f" {project_id}. (RoleNameAlreadyExists)"
+            )
+        if st.one(
+            "SELECT 1 FROM roles WHERE project_id=? AND provider_id=?"
+            " AND source_id=?",
+            (project_id, provider, source),
+        ):
+            st.rollback()
+            raise AlreadyExists(
+                f"Role {provider}~{source} already exists in project"
+                f" {project_id}. (RoleIdAlreadyExists)"
+            )
+        st.execute(
+            "INSERT INTO roles (id, project_id, provider_id, source_id,"
+            " name, name_key, description, created_ms) VALUES"
+            " (?,?,?,?,?,?,?,?)",
+            (
+                role_id,
+                project_id,
+                provider,
+                source,
+                name,
+                ident.fold(name),
+                request.get("description"),
+                now_ms(),
+            ),
+        )
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+    return _role_info(_get_role_row(catalog, role_id))
+
+
+def get_role(catalog: "Catalog", role_id: str) -> dict[str, Any]:
+    catalog._authorize("read_role", "", f"role/{role_id}")
+    return _role_info(_get_role_row(catalog, role_id))
+
+
+def list_roles(
+    catalog: "Catalog",
+    request: dict[str, Any] | None = None,
+    project_id: str = "default",
+) -> dict[str, Any]:
+    """ListRoles (role.rs:344-365): optional name filter, offset paging."""
+    catalog._authorize("list_roles", "", f"project/{project_id}")
+    request = request or {}
+    page_size = int(request.get("pageSize") or DEFAULT_PAGE_SIZE)
+    offset = int(request.get("pageToken") or 0)
+    clause, params = "", [project_id]
+    if request.get("name"):
+        clause = " AND lower(name) LIKE ?"
+        params.append(f"%{request['name'].lower()}%")
+    rows = catalog.store.query(
+        "SELECT * FROM roles WHERE project_id=?" + clause +
+        " ORDER BY name_key LIMIT ? OFFSET ?",
+        (*params, page_size + 1, offset),
+    )
+    out = {"roles": [_role_info(dict(r)) for r in rows[:page_size]]}
+    if len(rows) > page_size:
+        out["next-page-token"] = str(offset + page_size)
+    return out
+
+
+def search_role(
+    catalog: "Catalog",
+    request: dict[str, Any],
+    project_id: str = "default",
+) -> dict[str, Any]:
+    """SearchRole (postgres role.rs:266-285): rank exact id, then exact
+    source-id, then name distance; LIMIT 10."""
+    catalog._authorize("search_roles", "", f"project/{project_id}")
+    term = str(request.get("search") or "")[:SEARCH_TERM_MAX_CHARS]
+    rows = catalog.store.query(
+        "SELECT * FROM roles WHERE project_id=?", (project_id,)
+    )
+    scored = []
+    for r in rows:
+        if r["id"] == term:
+            rank = 1
+        elif r["source_id"] == term:
+            rank = 2
+        else:
+            rank = 3
+        sim = difflib.SequenceMatcher(
+            None, term.lower(), r["name"].lower()
+        ).ratio()
+        scored.append((rank, -sim, r["name"], dict(r)))
+    scored.sort(key=lambda t: t[:3])
+    return {"roles": [_role_info(r) for _, _, _, r in scored[:SEARCH_LIMIT]]}
+
+
+def update_role(
+    catalog: "Catalog", role_id: str, request: dict[str, Any]
+) -> dict[str, Any]:
+    """UpdateRole (role.rs:465-505): rename + description, empty name
+    rejected, rename honors the per-project name uniqueness."""
+    catalog._authorize("update_role", "", f"role/{role_id}")
+    name = (request.get("name") or "").strip()
+    if not name:
+        raise CatalogError("Role name cannot be empty (EmptyRoleName)")
+    from . import identifiers as ident
+
+    st = catalog.store
+    st.begin()
+    try:
+        row = st.one("SELECT * FROM roles WHERE id=?", (role_id,))
+        if row is None:
+            st.rollback()
+            raise NoSuchEntity(f"Role {role_id} not found. (RoleNotFound)")
+        clash = st.one(
+            "SELECT 1 FROM roles WHERE project_id=? AND name_key=? AND id<>?",
+            (row["project_id"], ident.fold(name), role_id),
+        )
+        if clash:
+            st.rollback()
+            raise AlreadyExists(
+                f"Role with name {name} already exists in project"
+                f" {row['project_id']}. (RoleNameAlreadyExists)"
+            )
+        st.execute(
+            "UPDATE roles SET name=?, name_key=?, description=?,"
+            " updated_ms=? WHERE id=?",
+            (
+                name,
+                ident.fold(name),
+                request.get("description"),
+                now_ms(),
+                role_id,
+            ),
+        )
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+    return _role_info(_get_role_row(catalog, role_id))
+
+
+def delete_role(catalog: "Catalog", role_id: str) -> None:
+    """DeleteRole (role.rs:441-463): membership edges in BOTH directions
+    go with it (postgres FK ON DELETE CASCADE)."""
+    catalog._authorize("delete_role", "", f"role/{role_id}")
+    st = catalog.store
+    st.begin()
+    try:
+        cur = st.execute("DELETE FROM roles WHERE id=?", (role_id,))
+        if cur.rowcount == 0:
+            st.rollback()
+            raise NoSuchEntity(f"Role {role_id} not found. (RoleNotFound)")
+        st.execute("DELETE FROM role_members WHERE role_id=?", (role_id,))
+        st.execute(
+            "DELETE FROM role_members WHERE member_kind='role' AND member_id=?",
+            (role_id,),
+        )
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+
+
+# ---------------------------------------------------------------------------
+# membership
+# ---------------------------------------------------------------------------
+def _transitive_ancestors(catalog: "Catalog", role_id: str) -> set[str]:
+    """Roles reachable upward from ``role_id`` through role->role edges
+    (the recursive-ancestors CTE, role_assignment.rs:737-751)."""
+    seen: set[str] = set()
+    frontier = [role_id]
+    while frontier:
+        rid = frontier.pop()
+        for r in catalog.store.query(
+            "SELECT role_id FROM role_members WHERE member_kind='role'"
+            " AND member_id=?",
+            (rid,),
+        ):
+            if r["role_id"] not in seen:
+                seen.add(r["role_id"])
+                frontier.append(r["role_id"])
+    return seen
+
+
+def add_role_members(
+    catalog: "Catalog", role_id: str, request: dict[str, Any]
+) -> dict[str, Any]:
+    """AddRoleMembers (role_membership.rs:737-820 +
+    role_assignment.rs:627-760): batch, deduped on the typed id with
+    order preserved, idempotent; parent validated before the empty-input
+    no-op; every member must exist; role members must be catalog-managed;
+    a member equal to the parent or already one of its transitive
+    ancestors closes a cycle -> rejected."""
+    catalog._authorize("manage_role_assignments", "", f"role/{role_id}")
+    parent = _get_role_row(catalog, role_id)
+    members = request.get("members") or []
+    seen: set[tuple[str, str]] = set()
+    subjects: list[tuple[str, str]] = []
+    for m in members:
+        kind, mid = m.get("type"), m.get("id")
+        if kind not in ("user", "role") or not mid:
+            raise CatalogError(
+                "members must be typed {type: user|role, id} objects"
+                " (InvalidRoleMember)"
+            )
+        if (kind, mid) not in seen:
+            seen.add((kind, mid))
+            subjects.append((kind, mid))
+    if not subjects:
+        return {"members": []}
+    ancestors = _transitive_ancestors(catalog, role_id)
+    st = catalog.store
+    st.begin()
+    try:
+        for kind, mid in subjects:
+            if kind == "user":
+                parse_user_id(mid)
+                if not st.one(
+                    "SELECT 1 FROM users WHERE id=? AND deleted_ms IS NULL",
+                    (mid,),
+                ):
+                    st.rollback()
+                    raise NoSuchEntity(
+                        f"User with id {mid} not found. (UserNotFound)"
+                    )
+            else:
+                member_row = st.one(
+                    "SELECT * FROM roles WHERE id=?", (mid,)
+                )
+                if member_row is None or (
+                    member_row["project_id"] != parent["project_id"]
+                ):
+                    st.rollback()
+                    raise NoSuchEntity(
+                        f"Role {mid} not found in project"
+                        f" {parent['project_id']}."
+                        " (RoleIdNotFoundInProject)"
+                    )
+                if member_row["provider_id"] not in (
+                    DEFAULT_ROLE_PROVIDER,
+                    SYSTEM_ROLE_PROVIDER,
+                ):
+                    st.rollback()
+                    raise CatalogError(
+                        f"Role {mid} is managed by provider"
+                        f" {member_row['provider_id']} and cannot be"
+                        " assigned manually. (RoleNotManuallyAssignable)"
+                    )
+                if mid == role_id or mid in ancestors:
+                    st.rollback()
+                    raise CatalogError(
+                        f"Adding role {mid} to {role_id} would create a"
+                        " membership cycle. (RoleMembershipCycle)"
+                    )
+            st.execute(
+                "INSERT INTO role_members (role_id, member_kind, member_id,"
+                " created_ms) VALUES (?,?,?,?)"
+                " ON CONFLICT (role_id, member_kind, member_id) DO NOTHING",
+                (role_id, kind, mid, now_ms()),
+            )
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+    return {"members": [{"type": k, "id": m} for k, m in subjects]}
+
+
+def remove_role_member(
+    catalog: "Catalog", role_id: str, member_type: str, member_id: str
+) -> None:
+    """RemoveRoleMember (role_membership.rs:823-893): idempotent — an
+    absent member is a no-op 204; only the parent role must exist."""
+    catalog._authorize("manage_role_assignments", "", f"role/{role_id}")
+    _get_role_row(catalog, role_id)
+    if member_type not in ("user", "role"):
+        raise CatalogError(
+            "member type must be 'user' or 'role' (InvalidRoleMember)"
+        )
+    catalog.store.execute(
+        "DELETE FROM role_members WHERE role_id=? AND member_kind=?"
+        " AND member_id=?",
+        (role_id, member_type, member_id),
+    )
+
+
+def _hydrate_members(
+    catalog: "Catalog", edges: list[tuple[str, str]]
+) -> list[dict[str, Any]]:
+    out = []
+    for kind, mid in edges:
+        if kind == "user":
+            u = catalog.store.one(
+                "SELECT * FROM users WHERE id=? AND deleted_ms IS NULL",
+                (mid,),
+            )
+            out.append(
+                {
+                    "type": "user",
+                    "id": mid,
+                    "name": u["name"] if u else None,
+                    "email": u["email"] if u else None,
+                    "user-type": u["user_type"] if u else None,
+                }
+            )
+        else:
+            r = catalog.store.one("SELECT * FROM roles WHERE id=?", (mid,))
+            if r is None:
+                continue  # dangling edge: dropped from listings, never null
+            out.append(
+                {
+                    "type": "role",
+                    "id": mid,
+                    "ident": f"{r['provider_id']}~{r['source_id']}",
+                    "name": r["name"],
+                }
+            )
+    return out
+
+
+def list_role_members(
+    catalog: "Catalog",
+    role_id: str,
+    member_type: str | None = None,
+    transitive: bool = False,
+) -> dict[str, Any]:
+    """ListRoleMembers (+/transitive): hydrated user/role members;
+    transitive walks role->role edges downward, cycle-safe."""
+    catalog._authorize("read_role_assignments", "", f"role/{role_id}")
+    _get_role_row(catalog, role_id)
+    edges: list[tuple[str, str]] = []
+    seen_roles = {role_id}
+    frontier = [role_id]
+    while frontier:
+        rid = frontier.pop(0)
+        for r in catalog.store.query(
+            "SELECT member_kind, member_id FROM role_members WHERE role_id=?"
+            " ORDER BY member_kind, member_id",
+            (rid,),
+        ):
+            edge = (r["member_kind"], r["member_id"])
+            if edge in edges:
+                continue
+            edges.append(edge)
+            if transitive and edge[0] == "role" and edge[1] not in seen_roles:
+                seen_roles.add(edge[1])
+                frontier.append(edge[1])
+    if member_type is not None:
+        edges = [e for e in edges if e[0] == member_type]
+    return {"members": _hydrate_members(catalog, edges)}
+
+
+def _memberships_of(
+    catalog: "Catalog", kind: str, member_id: str, transitive: bool
+) -> list[dict[str, Any]]:
+    roles: list[str] = []
+    seen: set[str] = set()
+    frontier = [(kind, member_id)]
+    while frontier:
+        k, mid = frontier.pop(0)
+        for r in catalog.store.query(
+            "SELECT role_id FROM role_members WHERE member_kind=?"
+            " AND member_id=? ORDER BY role_id",
+            (k, mid),
+        ):
+            rid = r["role_id"]
+            if rid in seen:
+                continue
+            seen.add(rid)
+            roles.append(rid)
+            if transitive:
+                frontier.append(("role", rid))
+    out = []
+    for rid in roles:
+        row = catalog.store.one("SELECT * FROM roles WHERE id=?", (rid,))
+        if row is None:
+            continue
+        out.append(
+            {
+                "id": rid,
+                "ident": f"{row['provider_id']}~{row['source_id']}",
+                "name": row["name"],
+            }
+        )
+    return out
+
+
+def list_role_member_of(
+    catalog: "Catalog", role_id: str, transitive: bool = False
+) -> dict[str, Any]:
+    """ListRoleMemberOf (+/transitive): the roles ``role_id`` is a member
+    of, walking upward."""
+    catalog._authorize("read_role_assignments", "", f"role/{role_id}")
+    _get_role_row(catalog, role_id)
+    return {"roles": _memberships_of(catalog, "role", role_id, transitive)}
+
+
+def list_user_roles(
+    catalog: "Catalog", user_id: str, transitive: bool = False
+) -> dict[str, Any]:
+    """ListUserRoles (+/transitive, role_membership.rs:956-1024): 404 for
+    an unprovisioned user; self-listing allowed."""
+    if catalog._actor != user_id:
+        catalog._authorize("read_user", "", "server")
+    if not catalog.store.one(
+        "SELECT 1 FROM users WHERE id=? AND deleted_ms IS NULL", (user_id,)
+    ):
+        raise NoSuchEntity(f"User with id {user_id} not found. (UserNotFound)")
+    return {"roles": _memberships_of(catalog, "user", user_id, transitive)}
+
+
+def effective_roles(catalog: "Catalog", user_id: str) -> set[str]:
+    """The transitive role-NAME closure for an actor — the resolver a
+    metastore-backed authorizer consumes (the reference's OpenFGA
+    ``role#assignee`` expansion, authz/mod.rs)."""
+    names: set[str] = set()
+    seen: set[str] = set()
+    frontier = [("user", user_id)]
+    while frontier:
+        kind, mid = frontier.pop()
+        for r in catalog.store.query(
+            "SELECT role_id FROM role_members WHERE member_kind=?"
+            " AND member_id=?",
+            (kind, mid),
+        ):
+            rid = r["role_id"]
+            if rid in seen:
+                continue
+            seen.add(rid)
+            row = catalog.store.one(
+                "SELECT name FROM roles WHERE id=?", (rid,)
+            )
+            if row is not None:
+                names.add(row["name"])
+            frontier.append(("role", rid))
+    return names

@@ -1843,3 +1843,229 @@ def c16_multicloud_vending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+# --------------------------------------------------------------------------
+# c17: user/role management — provision, grant, enforce, roll up via Spark
+# --------------------------------------------------------------------------
+# The reference's management surface for principals: user provisioning
+# (api/management/v1/user.rs:301 create_user with self-provisioning,
+# UserAlreadyExists conflicts), role CRUD (role.rs — per-project name
+# uniqueness, provider~source idents), role membership (role_membership.rs
+# batch add/remove, transitive listings; cycle rejection per postgres
+# role_assignment.rs:737-751), all wired into a metastore-backed RBAC
+# resolver so a grant made over HTTP immediately allows/denies table
+# actions over HTTP. The user population derives from the customer table
+# (20 lowest custkeys; parity decides human vs application) and the
+# final counts roll up through a Spark groupBy over the HTTP listing —
+# the reference's warehouse-statistics pattern (mod.rs:361-374) applied
+# to principals.
+@register(
+    "c17_user_role_management",
+    oracle="""
+SELECT * FROM (
+  SELECT 'conflict_refused' AS checkpoint, 1 AS value
+  UNION ALL SELECT 'cycle_refused', 1
+  UNION ALL SELECT 'deleted_user_loses_roles', 1
+  UNION ALL SELECT 'grant_allows_load', 1
+  UNION ALL SELECT 'revoke_denies_load', 1
+  UNION ALL SELECT 'roles_lakekeeper', 3
+  UNION ALL SELECT 'roles_oidc', 1
+  UNION ALL SELECT 'self_provisioned', 1
+  UNION ALL SELECT 'transitive_roles', 2
+  UNION ALL SELECT 'users_application',
+    (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+       ORDER BY c_custkey LIMIT 20) s WHERE c_custkey % 2 = 0)
+  UNION ALL SELECT 'users_human',
+    (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+       ORDER BY c_custkey LIMIT 20) s WHERE c_custkey % 2 = 1)
+) ORDER BY checkpoint
+""",
+    description="User/role management REST API (user.rs / role.rs / "
+    "role_membership.rs): provision 20 users from customer keys (parity "
+    "-> human/application), 409 conflict, self-provisioning, role CRUD "
+    "with provider idents, membership grant -> table load ALLOWED over "
+    "HTTP, revoke -> DENIED, role-to-role inheritance (transitive "
+    "listing), cycle rejection, user delete drops assignments; final "
+    "user-type and role-provider counts rolled up via Spark groupBy "
+    "over the HTTP listings (the warehouse-statistics pattern).",
+    tags=("catalog", "principals", "rest", "authz"),
+)
+def c17_user_role_management(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from ..catalog.authz import AuthorizationError, MetastoreRbacAuthorizer
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+    from ..rest import RestCatalogClient, RestCatalogServer
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_principals_")
+    store = Metastore(f"{tmp}/metastore.db")
+    authz = MetastoreRbacAuthorizer(
+        store,
+        role_grants={"readers": {"get_metadata", "read_data"}},
+        admins={"oidc~root"},
+    )
+    cat = Catalog(store, authorizer=authz)
+    server = RestCatalogServer(cat).start()
+    rows: list[tuple[str, int]] = []
+    try:
+        base = server.url
+
+        def req(method: str, path: str, body=None, token="oidc~root"):
+            data = _json.dumps(body).encode() if body is not None else None
+            r = urllib.request.Request(base + path, data=data, method=method)
+            if data:
+                r.add_header("Content-Type", "application/json")
+            r.add_header("Authorization", f"Bearer {token}")
+            with urllib.request.urlopen(r) as resp:
+                raw = resp.read()
+                return _json.loads(raw) if raw else None
+
+        root = RestCatalogClient(base, token="oidc~root")
+        root.create_warehouse("wh", f"{tmp}/warehouse")
+        root.create_namespace("wh", ["ns"])
+        src = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_acctbal"
+        )
+        root.create_table("wh", ["ns"], "t", struct_to_schema(src.schema))
+        with cat.acting_as("oidc~root"):
+            SparkTable(spark, cat, "wh", ["ns"], "t").append(src.limit(1))
+
+        # --- provision users from source keys (deterministic population)
+        keys = [
+            r["c_custkey"]
+            for r in src.orderBy("c_custkey").limit(20).collect()
+        ]
+        for k in keys:
+            req(
+                "POST",
+                "/management/v1/user",
+                {
+                    "id": f"oidc~c{k}",
+                    "name": f"Customer {k}",
+                    "user-type": "human" if k % 2 else "application",
+                },
+            )
+        # 409 on re-provision without update-if-exists
+        try:
+            req("POST", "/management/v1/user",
+                {"id": f"oidc~c{keys[0]}", "name": "X",
+                 "user-type": "human"})
+            conflict = 0
+        except urllib.error.HTTPError as e:
+            conflict = int(e.code == 409)
+        rows.append(("conflict_refused", conflict))
+        # self-provisioning: id + identity from the acting principal
+        me = req("POST", "/management/v1/user", {}, token="oidc~selfie")
+        rows.append(
+            ("self_provisioned", int(me["user"]["id"] == "oidc~selfie"))
+        )
+
+        # --- roles: CRUD + membership + inheritance ---------------------
+        readers = req("POST", "/management/v1/role", {"name": "readers"})
+        power = req("POST", "/management/v1/role", {"name": "power"})
+        inner = req("POST", "/management/v1/role", {"name": "inner"})
+        req("POST", "/management/v1/role",
+            {"name": "idp-group", "provider-id": "oidc",
+             "source-id": "grp-1"})
+        dev_id = f"oidc~c{keys[0]}"
+        req("POST", f"/management/v1/role/{readers['id']}/members",
+            {"members": [{"type": "user", "id": dev_id}]})
+        # role-to-role chain: inner -> power (power has inner as member)
+        req("POST", f"/management/v1/role/{power['id']}/members",
+            {"members": [{"type": "role", "id": inner["id"]}]})
+        req("POST", f"/management/v1/role/{inner['id']}/members",
+            {"members": [{"type": "user", "id": dev_id}]})
+        trans = req(
+            "GET", f"/management/v1/user/{dev_id}/roles/transitive"
+        )
+        # direct: readers + inner; transitive adds power — count the
+        # roles BEYOND the direct grant the closure discovered
+        direct = req("GET", f"/management/v1/user/{dev_id}/roles")
+        rows.append(
+            ("transitive_roles",
+             len(trans["roles"]) - len(direct["roles"]) + 1)
+        )
+        # cycle: power -> inner exists, so inner cannot absorb power
+        try:
+            req("POST", f"/management/v1/role/{inner['id']}/members",
+                {"members": [{"type": "role", "id": power["id"]}]})
+            cycle = 0
+        except urllib.error.HTTPError as e:
+            cycle = int(
+                e.code == 400 and "RoleMembershipCycle" in e.read().decode()
+            )
+        rows.append(("cycle_refused", cycle))
+
+        # --- the grant is live for table actions over HTTP --------------
+        dev = RestCatalogClient(base, token=dev_id)
+        meta, _ = dev.load_table("wh", ["ns"], "t")
+        rows.append(("grant_allows_load", int(bool(meta["table-uuid"]))))
+        req("DELETE",
+            f"/management/v1/role/{readers['id']}/members/user/{dev_id}")
+        try:
+            dev.load_table("wh", ["ns"], "t")
+            denied = 0
+        except AuthorizationError:
+            denied = 1
+        rows.append(("revoke_denies_load", denied))
+
+        # --- user delete drops assignments -------------------------------
+        victim = f"oidc~c{keys[1]}"
+        req("POST", f"/management/v1/role/{readers['id']}/members",
+            {"members": [{"type": "user", "id": victim}]})
+        req("DELETE", f"/management/v1/user/{victim}")
+        members = req("GET", f"/management/v1/role/{readers['id']}/members")
+        rows.append(
+            ("deleted_user_loses_roles",
+             int(victim not in {m["id"] for m in members["members"]}))
+        )
+
+        # --- Spark rollups over the HTTP listings ------------------------
+        # (warehouse-statistics pattern: counts per type/provider)
+        users = req("GET", "/management/v1/user?pageSize=1000")["users"]
+        by_type = {
+            r["user_type"]: r["n"]
+            for r in spark.createDataFrame(
+                [(u["user-type"],) for u in users], "user_type string"
+            )
+            .groupBy("user_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # selfie (application) and the deleted victim adjust the raw
+        # parity counts: report the SOURCE-derived population only
+        victim_human = keys[1] % 2 == 1
+        rows.append(
+            ("users_human",
+             by_type.get("human", 0) + (1 if victim_human else 0))
+        )
+        rows.append(
+            ("users_application",
+             by_type.get("application", 0) - 1
+             + (0 if victim_human else 1))
+        )
+        roles = req("GET", "/management/v1/role?pageSize=1000")["roles"]
+        by_provider = {
+            r["provider_id"]: r["n"]
+            for r in spark.createDataFrame(
+                [(x["provider-id"],) for x in roles], "provider_id string"
+            )
+            .groupBy("provider_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rows.append(("roles_lakekeeper", by_provider.get("lakekeeper", 0)))
+        rows.append(("roles_oidc", by_provider.get("oidc", 0)))
+    finally:
+        server.stop()
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )

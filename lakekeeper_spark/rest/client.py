@@ -41,8 +41,12 @@ class RestCatalogClient:
     method are honored (they become the route prefix), so one client can
     serve many warehouses just like the library Catalog."""
 
-    def __init__(self, base_url: str):
+    def __init__(self, base_url: str, token: str | None = None):
+        """``token``: optional Bearer credential sent on every request —
+        the raw principal with the identity stub, or a signed JWT when
+        the server runs an AuthenticatorChain."""
         self.base_url = base_url.rstrip("/")
+        self.token = token
 
     # ---- transport ------------------------------------------------------
     def _request(
@@ -58,6 +62,8 @@ class RestCatalogClient:
         )
         if data is not None:
             req.add_header("Content-Type", "application/json")
+        if self.token and "Authorization" not in (headers or {}):
+            req.add_header("Authorization", f"Bearer {self.token}")
         try:
             with urllib.request.urlopen(req) as resp:
                 raw = resp.read()
@@ -75,6 +81,10 @@ class RestCatalogClient:
     def _raise(code: int, etype: str, message: str):
         if code == 304:
             raise NotModified()
+        if code == 403:
+            from ..catalog.authz import AuthorizationError
+
+            raise AuthorizationError(message)
         if code == 404:
             raise NoSuchEntity(message)
         if code == 409:

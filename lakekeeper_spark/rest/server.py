@@ -190,6 +190,9 @@ class _Handler(BaseHTTPRequestHandler):
     def do_DELETE(self):
         self._dispatch("DELETE")
 
+    def do_PUT(self):
+        self._dispatch("PUT")
+
     def do_HEAD(self):
         self._dispatch("HEAD")
 
@@ -807,6 +810,193 @@ class _Handler(BaseHTTPRequestHandler):
         from ..catalog import tasks as task_api
 
         task_api.control_tasks(self.catalog, unquote(wh), self._body())
+        self._reply(204)
+
+    # ---- management v1: users + roles ------------------------------------
+    # User provisioning / role CRUD / role membership (endpoints.rs:190-214);
+    # semantics in catalog/principals.py (api/management/v1/user.rs,
+    # role.rs, role_membership.rs).
+    @route("POST", r"/management/v1/user")
+    def create_user(self):
+        from ..catalog import principals
+
+        out = principals.create_user(self.catalog, self._body())
+        created = out.pop("created", True)
+        self._reply(201 if created else 200, {"user": out})
+
+    @route("GET", r"/management/v1/user")
+    def list_users(self):
+        from ..catalog import principals
+
+        self._reply(200, principals.list_users(self.catalog, dict(self.query)))
+
+    @route("POST", r"/management/v1/search/user")
+    def search_user(self):
+        from ..catalog import principals
+
+        self._reply(200, principals.search_user(self.catalog, self._body()))
+
+    @route("GET", r"/management/v1/whoami")
+    def whoami(self):
+        from ..catalog import principals
+
+        self._reply(200, principals.whoami(self.catalog))
+
+    @route(
+        "GET", r"/management/v1/user/(?P<user_id>[^/]+)/roles/transitive"
+    )
+    def list_user_transitive_roles(self, user_id):
+        from ..catalog import principals
+
+        self._reply(
+            200,
+            principals.list_user_roles(
+                self.catalog, unquote(user_id), transitive=True
+            ),
+        )
+
+    @route("GET", r"/management/v1/user/(?P<user_id>[^/]+)/roles")
+    def list_user_roles(self, user_id):
+        from ..catalog import principals
+
+        self._reply(
+            200, principals.list_user_roles(self.catalog, unquote(user_id))
+        )
+
+    @route("GET", r"/management/v1/user/(?P<user_id>[^/]+)")
+    def get_user(self, user_id):
+        from ..catalog import principals
+
+        self._reply(200, principals.get_user(self.catalog, unquote(user_id)))
+
+    @route("PUT", r"/management/v1/user/(?P<user_id>[^/]+)")
+    def update_user(self, user_id):
+        from ..catalog import principals
+
+        principals.update_user(self.catalog, unquote(user_id), self._body())
+        self._reply(200, {})
+
+    @route("DELETE", r"/management/v1/user/(?P<user_id>[^/]+)")
+    def delete_user(self, user_id):
+        from ..catalog import principals
+
+        principals.delete_user(self.catalog, unquote(user_id))
+        self._reply(204)
+
+    @route("POST", r"/management/v1/role")
+    def create_role(self):
+        from ..catalog import principals
+
+        self._reply(201, principals.create_role(self.catalog, self._body()))
+
+    @route("GET", r"/management/v1/role")
+    def list_roles(self):
+        from ..catalog import principals
+
+        self._reply(200, principals.list_roles(self.catalog, dict(self.query)))
+
+    @route("POST", r"/management/v1/search/role")
+    def search_role(self):
+        from ..catalog import principals
+
+        self._reply(200, principals.search_role(self.catalog, self._body()))
+
+    @route(
+        "GET", r"/management/v1/role/(?P<role_id>[^/]+)/members/transitive"
+    )
+    def list_role_transitive_members(self, role_id):
+        from ..catalog import principals
+
+        self._reply(
+            200,
+            principals.list_role_members(
+                self.catalog,
+                unquote(role_id),
+                member_type=self.query.get("type"),
+                transitive=True,
+            ),
+        )
+
+    @route(
+        "DELETE",
+        r"/management/v1/role/(?P<role_id>[^/]+)/members"
+        r"/(?P<member_type>user|role)/(?P<member_id>[^/]+)",
+    )
+    def remove_role_member(self, role_id, member_type, member_id):
+        from ..catalog import principals
+
+        principals.remove_role_member(
+            self.catalog, unquote(role_id), member_type, unquote(member_id)
+        )
+        self._reply(204)
+
+    @route("GET", r"/management/v1/role/(?P<role_id>[^/]+)/members")
+    def list_role_members(self, role_id):
+        from ..catalog import principals
+
+        self._reply(
+            200,
+            principals.list_role_members(
+                self.catalog,
+                unquote(role_id),
+                member_type=self.query.get("type"),
+            ),
+        )
+
+    @route("POST", r"/management/v1/role/(?P<role_id>[^/]+)/members")
+    def add_role_members(self, role_id):
+        from ..catalog import principals
+
+        self._reply(
+            200,
+            principals.add_role_members(
+                self.catalog, unquote(role_id), self._body()
+            ),
+        )
+
+    @route(
+        "GET", r"/management/v1/role/(?P<role_id>[^/]+)/member-of/transitive"
+    )
+    def list_role_transitive_member_of(self, role_id):
+        from ..catalog import principals
+
+        self._reply(
+            200,
+            principals.list_role_member_of(
+                self.catalog, unquote(role_id), transitive=True
+            ),
+        )
+
+    @route("GET", r"/management/v1/role/(?P<role_id>[^/]+)/member-of")
+    def list_role_member_of(self, role_id):
+        from ..catalog import principals
+
+        self._reply(
+            200, principals.list_role_member_of(self.catalog, unquote(role_id))
+        )
+
+    @route("GET", r"/management/v1/role/(?P<role_id>[^/]+)")
+    def get_role(self, role_id):
+        from ..catalog import principals
+
+        self._reply(200, principals.get_role(self.catalog, unquote(role_id)))
+
+    @route("POST", r"/management/v1/role/(?P<role_id>[^/]+)")
+    def update_role(self, role_id):
+        from ..catalog import principals
+
+        self._reply(
+            200,
+            principals.update_role(
+                self.catalog, unquote(role_id), self._body()
+            ),
+        )
+
+    @route("DELETE", r"/management/v1/role/(?P<role_id>[^/]+)")
+    def delete_role(self, role_id):
+        from ..catalog import principals
+
+        principals.delete_role(self.catalog, unquote(role_id))
         self._reply(204)
 
     @route("GET", r"/management/v1/search/tabular")

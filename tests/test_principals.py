@@ -1,0 +1,438 @@
+"""User provisioning + role CRUD + membership (catalog/principals.py):
+the semantics of api/management/v1/user.rs / role.rs / role_membership.rs
+over the metastore, plus the metastore-backed RBAC resolver and the full
+REST lifecycle: provision -> role-grant -> allowed/denied table action,
+all observed over HTTP.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from lakekeeper_spark.catalog import principals as pr
+from lakekeeper_spark.catalog.authz import (
+    AuthorizationError,
+    MetastoreRbacAuthorizer,
+)
+from lakekeeper_spark.catalog.catalog import (
+    AlreadyExists,
+    Catalog,
+    CatalogError,
+    NoSuchEntity,
+)
+from lakekeeper_spark.catalog.metastore import Metastore
+
+SCHEMA = {
+    "type": "struct",
+    "fields": [{"id": 1, "name": "x", "type": "long", "required": False}],
+}
+
+
+@pytest.fixture
+def cat(tmp_path):
+    return Catalog(Metastore(str(tmp_path / "m.db")))
+
+
+# ---------------------------------------------------------------------------
+# user id parsing (<idp>~<subject>, authn.rs:811-832)
+# ---------------------------------------------------------------------------
+def test_parse_user_id():
+    assert pr.parse_user_id("oidc~123") == ("oidc", "123")
+    assert pr.parse_user_id("kubernetes~1234") == ("kubernetes", "1234")
+    # split at the FIRST separator: oidc~~x has subject "~x"
+    assert pr.parse_user_id("oidc~~1234") == ("oidc", "~1234")
+    assert pr.parse_user_id("oidc~a~b") == ("oidc", "a~b")
+    for bad in ("~123", "oidc~", "nodelim", "oidc~a\nb", "oidc~" + "x" * 128):
+        with pytest.raises(CatalogError, match="InvalidUserId"):
+            pr.parse_user_id(bad)
+
+
+# ---------------------------------------------------------------------------
+# users
+# ---------------------------------------------------------------------------
+def test_user_provisioning_matrix(cat):
+    # admin-provisioning requires name + user-type (user.rs:277-289)
+    with pytest.raises(CatalogError, match="MissingUserId"):
+        pr.create_user(cat, {})
+    with cat.acting_as("oidc~admin"):
+        with pytest.raises(CatalogError, match="MissingUserName"):
+            pr.create_user(cat, {"id": "oidc~u1"})
+        with pytest.raises(CatalogError, match="MissingUserType"):
+            pr.create_user(cat, {"id": "oidc~u1", "name": "User One"})
+        u = pr.create_user(
+            cat,
+            {"id": "oidc~u1", "name": "User One", "user-type": "human",
+             "email": "u1@example.com"},
+        )
+        assert u["id"] == "oidc~u1" and u["created"] is True
+        assert u["last-updated-with"] == "create-endpoint"
+        # conflict without update-if-exists (409)
+        with pytest.raises(AlreadyExists, match="UserAlreadyExists"):
+            pr.create_user(
+                cat,
+                {"id": "oidc~u1", "name": "X", "user-type": "human"},
+            )
+        # upsert with update-if-exists
+        u2 = pr.create_user(
+            cat,
+            {"id": "oidc~u1", "name": "Renamed", "user-type": "human",
+             "update-if-exists": True},
+        )
+        assert u2["name"] == "Renamed" and u2["created"] is False
+
+    # self-provisioning: id/name from the acting principal, nameless
+    # fallback, application default (parse_create_user_request :262-274)
+    with cat.acting_as("oidc~self"):
+        me = pr.create_user(cat, {})
+        assert me["id"] == "oidc~self"
+        assert me["name"] == "Nameless App with ID oidc~self"
+        assert me["user-type"] == "application"
+        assert pr.whoami(cat)["user"]["id"] == "oidc~self"
+
+
+def test_user_get_update_delete_search(cat):
+    with cat.acting_as("oidc~admin"):
+        pr.create_user(cat, {"id": "oidc~a", "name": "Alice Anderson",
+                             "user-type": "human",
+                             "email": "alice@example.com"})
+        pr.create_user(cat, {"id": "oidc~b", "name": "Bob", "user-type":
+                             "application"})
+        assert pr.get_user(cat, "oidc~a")["name"] == "Alice Anderson"
+        with pytest.raises(NoSuchEntity, match="UserNotFound"):
+            pr.get_user(cat, "oidc~nope")
+        # update: 404 when absent (never creates), EmptyName 400
+        with pytest.raises(CatalogError, match="EmptyName"):
+            pr.update_user(cat, "oidc~a", {"name": ""})
+        with pytest.raises(NoSuchEntity, match="UserNotFound"):
+            pr.update_user(cat, "oidc~zz", {"name": "Z", "user-type": "human"})
+        pr.update_user(cat, "oidc~a", {"name": "Alice A.",
+                                       "user-type": "human"})
+        got = pr.get_user(cat, "oidc~a")
+        assert got["name"] == "Alice A."
+        assert got["last-updated-with"] == "update-endpoint"
+        # list with name filter (ILIKE %term%)
+        names = [u["name"] for u in
+                 pr.list_users(cat, {"name": "alice"})["users"]]
+        assert names == ["Alice A."]
+        # search: exact-id first, then similarity, <=10
+        hits = pr.search_user(cat, {"search": "oidc~b"})["users"]
+        assert hits[0]["id"] == "oidc~b"
+        hits = pr.search_user(cat, {"search": "alice"})["users"]
+        assert hits[0]["id"] == "oidc~a"
+        # delete: soft; assignments removed; 404 when absent
+        r = pr.create_role(cat, {"name": "team"})
+        pr.add_role_members(cat, r["id"], {"members": [
+            {"type": "user", "id": "oidc~a"}]})
+        pr.delete_user(cat, "oidc~a")
+        with pytest.raises(NoSuchEntity):
+            pr.get_user(cat, "oidc~a")
+        with pytest.raises(NoSuchEntity):
+            pr.delete_user(cat, "oidc~a")
+        assert pr.list_role_members(cat, r["id"])["members"] == []
+
+
+def test_user_list_pagination(cat):
+    with cat.acting_as("oidc~admin"):
+        for i in range(7):
+            pr.create_user(cat, {"id": f"oidc~u{i}", "name": f"U{i}",
+                                 "user-type": "human"})
+        page1 = pr.list_users(cat, {"pageSize": 4})
+        assert len(page1["users"]) == 4 and "next-page-token" in page1
+        page2 = pr.list_users(cat, {"pageSize": 4,
+                                    "pageToken": page1["next-page-token"]})
+        assert len(page2["users"]) == 3 and "next-page-token" not in page2
+        ids = {u["id"] for u in page1["users"] + page2["users"]}
+        assert len(ids) == 7
+
+
+# ---------------------------------------------------------------------------
+# roles
+# ---------------------------------------------------------------------------
+def test_role_crud_matrix(cat):
+    with cat.acting_as("oidc~admin"):
+        with pytest.raises(CatalogError, match="EmptyRoleName"):
+            pr.create_role(cat, {"name": "  "})
+        with pytest.raises(CatalogError, match="RoleProviderIdReserved"):
+            pr.create_role(cat, {"name": "r", "provider-id": "system",
+                                 "source-id": "s"})
+        with pytest.raises(CatalogError, match="InvalidRoleIdentifier"):
+            pr.create_role(cat, {"name": "r", "provider-id": "oidc"})
+        r = pr.create_role(cat, {"name": "Engineers",
+                                 "description": "eng team"})
+        assert r["provider-id"] == "lakekeeper" and r["source-id"]
+        assert r["ident"] == f"lakekeeper~{r['source-id']}"
+        # name unique per project, case-insensitively
+        with pytest.raises(AlreadyExists, match="RoleNameAlreadyExists"):
+            pr.create_role(cat, {"name": "engineers"})
+        # provider~source unique per project
+        r2 = pr.create_role(cat, {"name": "ext", "provider-id": "oidc",
+                                  "source-id": "grp-1"})
+        with pytest.raises(AlreadyExists, match="RoleIdAlreadyExists"):
+            pr.create_role(cat, {"name": "ext2", "provider-id": "oidc",
+                                 "source-id": "grp-1"})
+        # get/update/delete
+        assert pr.get_role(cat, r["id"])["name"] == "Engineers"
+        with pytest.raises(AlreadyExists, match="RoleNameAlreadyExists"):
+            pr.update_role(cat, r2["id"], {"name": "ENGINEERS"})
+        upd = pr.update_role(cat, r["id"], {"name": "Core Engineers",
+                                            "description": "core"})
+        assert upd["name"] == "Core Engineers" and upd["updated-at"]
+        # list + search ranking (exact id > exact source-id > name sim)
+        assert [x["name"] for x in pr.list_roles(cat, {"name": "core"})[
+            "roles"]] == ["Core Engineers"]
+        hits = pr.search_role(cat, {"search": r2["id"]})["roles"]
+        assert hits[0]["id"] == r2["id"]
+        hits = pr.search_role(cat, {"search": "grp-1"})["roles"]
+        assert hits[0]["id"] == r2["id"]
+        hits = pr.search_role(cat, {"search": "engineer"})["roles"]
+        assert hits[0]["id"] == r["id"]
+        pr.delete_role(cat, r2["id"])
+        with pytest.raises(NoSuchEntity, match="RoleNotFound"):
+            pr.get_role(cat, r2["id"])
+        with pytest.raises(NoSuchEntity):
+            pr.delete_role(cat, r2["id"])
+
+
+def test_membership_matrix(cat):
+    with cat.acting_as("oidc~admin"):
+        pr.create_user(cat, {"id": "oidc~u1", "name": "U1",
+                             "user-type": "human"})
+        parent = pr.create_role(cat, {"name": "parent"})
+        child = pr.create_role(cat, {"name": "child"})
+        grand = pr.create_role(cat, {"name": "grand"})
+        # batch add, dedup preserving order, idempotent echo
+        out = pr.add_role_members(cat, parent["id"], {"members": [
+            {"type": "user", "id": "oidc~u1"},
+            {"type": "role", "id": child["id"]},
+            {"type": "user", "id": "oidc~u1"},  # dup collapses
+        ]})
+        assert out["members"] == [
+            {"type": "user", "id": "oidc~u1"},
+            {"type": "role", "id": child["id"]},
+        ]
+        # re-add is idempotent
+        pr.add_role_members(cat, parent["id"], {"members": [
+            {"type": "user", "id": "oidc~u1"}]})
+        members = pr.list_role_members(cat, parent["id"])["members"]
+        assert {(m["type"], m["id"]) for m in members} == {
+            ("user", "oidc~u1"), ("role", child["id"])}
+        # hydration
+        um = [m for m in members if m["type"] == "user"][0]
+        assert um["name"] == "U1" and um["user-type"] == "human"
+        # unknown member -> 404 typed errors
+        with pytest.raises(NoSuchEntity, match="UserNotFound"):
+            pr.add_role_members(cat, parent["id"], {"members": [
+                {"type": "user", "id": "oidc~ghost"}]})
+        with pytest.raises(NoSuchEntity, match="RoleIdNotFoundInProject"):
+            pr.add_role_members(cat, parent["id"], {"members": [
+                {"type": "role", "id": "no-such-role"}]})
+        # cycles: self-edge and transitive ancestor
+        with pytest.raises(CatalogError, match="RoleMembershipCycle"):
+            pr.add_role_members(cat, parent["id"], {"members": [
+                {"type": "role", "id": parent["id"]}]})
+        pr.add_role_members(cat, child["id"], {"members": [
+            {"type": "role", "id": grand["id"]}]})
+        with pytest.raises(CatalogError, match="RoleMembershipCycle"):
+            pr.add_role_members(cat, grand["id"], {"members": [
+                {"type": "role", "id": parent["id"]}]})
+        # externally-managed roles cannot be assigned manually
+        ext = pr.create_role(cat, {"name": "idp-group", "provider-id":
+                                   "oidc", "source-id": "g1"})
+        with pytest.raises(CatalogError, match="RoleNotManuallyAssignable"):
+            pr.add_role_members(cat, parent["id"], {"members": [
+                {"type": "role", "id": ext["id"]}]})
+        # member-of + transitive listings
+        assert [x["id"] for x in pr.list_role_member_of(
+            cat, child["id"])["roles"]] == [parent["id"]]
+        assert [x["id"] for x in pr.list_role_member_of(
+            cat, grand["id"], transitive=True)["roles"]] == [
+                child["id"], parent["id"]]
+        tm = pr.list_role_members(cat, parent["id"], transitive=True)
+        assert {(m["type"], m["id"]) for m in tm["members"]} == {
+            ("user", "oidc~u1"), ("role", child["id"]),
+            ("role", grand["id"])}
+        # user roles: u1 holds parent directly; transitive adds nothing
+        # upward here
+        assert [x["id"] for x in pr.list_user_roles(
+            cat, "oidc~u1")["roles"]] == [parent["id"]]
+        with pytest.raises(NoSuchEntity, match="UserNotFound"):
+            pr.list_user_roles(cat, "oidc~ghost")
+        # remove: idempotent 204 semantics
+        pr.remove_role_member(cat, parent["id"], "user", "oidc~u1")
+        pr.remove_role_member(cat, parent["id"], "user", "oidc~u1")
+        assert pr.list_user_roles(cat, "oidc~u1")["roles"] == []
+        # empty add on a bad parent still 404s (parent validated first)
+        with pytest.raises(NoSuchEntity):
+            pr.add_role_members(cat, "no-role", {"members": []})
+
+
+def test_user_transitive_roles_via_role_inheritance(cat):
+    """u in child, child member-of parent => u transitively holds parent."""
+    with cat.acting_as("oidc~admin"):
+        pr.create_user(cat, {"id": "oidc~u", "name": "U",
+                             "user-type": "human"})
+        parent = pr.create_role(cat, {"name": "parent"})
+        child = pr.create_role(cat, {"name": "child"})
+        pr.add_role_members(cat, parent["id"], {"members": [
+            {"type": "role", "id": child["id"]}]})
+        pr.add_role_members(cat, child["id"], {"members": [
+            {"type": "user", "id": "oidc~u"}]})
+        direct = pr.list_user_roles(cat, "oidc~u")["roles"]
+        assert [r["id"] for r in direct] == [child["id"]]
+        trans = pr.list_user_roles(cat, "oidc~u", transitive=True)["roles"]
+        assert {r["id"] for r in trans} == {child["id"], parent["id"]}
+        assert pr.effective_roles(cat, "oidc~u") == {"child", "parent"}
+
+
+# ---------------------------------------------------------------------------
+# metastore-backed RBAC: grants made via the API take effect
+# ---------------------------------------------------------------------------
+def test_metastore_rbac_resolves_api_grants(tmp_path):
+    store = Metastore(str(tmp_path / "m.db"))
+    authz = MetastoreRbacAuthorizer(
+        store,
+        role_grants={"readers": {"get_metadata", "read_data"},
+                     "writers": {"*"}},
+        admins={"oidc~root"},
+    )
+    cat = Catalog(store, authorizer=authz)
+    with cat.acting_as("oidc~root"):
+        cat.create_warehouse("wh", str(tmp_path / "wh"))
+        cat.create_namespace("wh", ["ns"])
+        cat.create_table("wh", ["ns"], "t", SCHEMA)
+        pr.create_user(cat, {"id": "oidc~dev", "name": "Dev",
+                             "user-type": "human"})
+        readers = pr.create_role(cat, {"name": "readers"})
+    # before the grant: denied
+    with cat.acting_as("oidc~dev"):
+        with pytest.raises(AuthorizationError):
+            cat.load_table("wh", ["ns"], "t")
+    with cat.acting_as("oidc~root"):
+        pr.add_role_members(cat, readers["id"], {"members": [
+            {"type": "user", "id": "oidc~dev"}]})
+    # after the grant: allowed — resolved from the metastore at check time
+    with cat.acting_as("oidc~dev"):
+        meta, _ = cat.load_table("wh", ["ns"], "t")
+        assert meta["table-uuid"]
+        with pytest.raises(AuthorizationError):
+            cat.drop_table("wh", ["ns"], "t")  # reader cannot drop
+    # role-to-role: writers inherits via membership edge
+    with cat.acting_as("oidc~root"):
+        writers = pr.create_role(cat, {"name": "writers"})
+        pr.add_role_members(cat, writers["id"], {"members": [
+            {"type": "role", "id": readers["id"]}]})
+    # readers' members now also hold writers (role#assignee expansion)
+    with cat.acting_as("oidc~dev"):
+        cat.drop_table("wh", ["ns"], "t")
+
+
+# ---------------------------------------------------------------------------
+# full REST lifecycle: provision -> role-grant -> allowed/denied over HTTP
+# ---------------------------------------------------------------------------
+def test_rest_user_role_lifecycle(tmp_path):
+    from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
+
+    store = Metastore(str(tmp_path / "m.db"))
+    authz = MetastoreRbacAuthorizer(
+        store,
+        role_grants={"readers": {"get_metadata", "read_data"}},
+        admins={"oidc~root"},
+    )
+    cat = Catalog(store, authorizer=authz)
+    server = RestCatalogServer(cat).start()
+    try:
+        base = server.url
+
+        def req(method, path, body=None, token="oidc~root"):
+            data = json.dumps(body).encode() if body is not None else None
+            r = urllib.request.Request(base + path, data=data, method=method)
+            if data:
+                r.add_header("Content-Type", "application/json")
+            if token:
+                r.add_header("Authorization", f"Bearer {token}")
+            with urllib.request.urlopen(r) as resp:
+                raw = resp.read()
+                return resp.status, json.loads(raw) if raw else None
+
+        client = RestCatalogClient(base, token="oidc~root")
+        client.create_warehouse("wh", str(tmp_path / "wh"))
+        client.create_namespace("wh", ["ns"])
+        client.create_table("wh", ["ns"], "t", SCHEMA)
+
+        # provision a user (201), re-create conflicts (409)
+        code, u = req("POST", "/management/v1/user",
+                      {"id": "oidc~dev", "name": "Dev",
+                       "user-type": "human"})
+        assert code == 201 and u["user"]["id"] == "oidc~dev"
+        try:
+            req("POST", "/management/v1/user",
+                {"id": "oidc~dev", "name": "Dev", "user-type": "human"})
+            raise AssertionError("expected 409")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+        # self-provision as the token principal; whoami reflects it
+        code, me = req("POST", "/management/v1/user", {},
+                       token="oidc~selfie")
+        assert code == 201 and me["user"]["id"] == "oidc~selfie"
+        code, who = req("GET", "/management/v1/whoami", token="oidc~selfie")
+        assert who["user"]["id"] == "oidc~selfie"
+
+        # role CRUD + membership over HTTP
+        code, role = req("POST", "/management/v1/role",
+                         {"name": "readers"})
+        assert code == 201
+        rid = role["id"]
+        code, add = req("POST", f"/management/v1/role/{rid}/members",
+                        {"members": [{"type": "user", "id": "oidc~dev"}]})
+        assert add["members"] == [{"type": "user", "id": "oidc~dev"}]
+        code, members = req("GET", f"/management/v1/role/{rid}/members")
+        assert members["members"][0]["id"] == "oidc~dev"
+        code, roles = req("GET", "/management/v1/user/oidc~dev/roles")
+        assert [r["id"] for r in roles["roles"]] == [rid]
+
+        # the grant is LIVE for table actions over HTTP: dev can load...
+        dev = RestCatalogClient(base, token="oidc~dev")
+        meta, _ = dev.load_table("wh", ["ns"], "t")
+        assert meta["table-uuid"]
+        # ...but cannot drop (403), and a stranger cannot even load
+        with pytest.raises(AuthorizationError):
+            dev.drop_table("wh", ["ns"], "t")
+        stranger = RestCatalogClient(base, token="oidc~nobody")
+        with pytest.raises(AuthorizationError):
+            stranger.load_table("wh", ["ns"], "t")
+
+        # revoke over HTTP -> denied again
+        code, _ = req(
+            "DELETE", f"/management/v1/role/{rid}/members/user/oidc~dev")
+        assert code == 204
+        with pytest.raises(AuthorizationError):
+            dev.load_table("wh", ["ns"], "t")
+
+        # search + list endpoints answer
+        code, found = req("POST", "/management/v1/search/user",
+                          {"search": "dev"})
+        assert found["users"][0]["id"] == "oidc~dev"
+        code, found = req("POST", "/management/v1/search/role",
+                          {"search": "read"})
+        assert found["roles"][0]["id"] == rid
+        code, listing = req("GET", "/management/v1/user")
+        assert {u["id"] for u in listing["users"]} >= {"oidc~dev",
+                                                       "oidc~selfie"}
+        # update + delete user over HTTP
+        code, _ = req("PUT", "/management/v1/user/oidc~dev",
+                      {"name": "Dev II", "user-type": "human"})
+        code, got = req("GET", "/management/v1/user/oidc~dev")
+        assert got["name"] == "Dev II"
+        code, _ = req("DELETE", "/management/v1/user/oidc~dev")
+        assert code == 204
+        try:
+            req("GET", "/management/v1/user/oidc~dev")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.stop()
