@@ -120,19 +120,46 @@ class Catalog:
 
     # ================= warehouses =================
     def create_warehouse(
-        self, name: str, location: str, properties: dict[str, Any] | None = None
+        self,
+        name: str,
+        location: str,
+        properties: dict[str, Any] | None = None,
+        project_id: str = "default",
     ) -> dict[str, Any]:
         ident.validate_level(name)
         props = {**_DEFAULT_WAREHOUSE_PROPS, **(properties or {})}
         st = self.store
         st.begin()
         try:
+            if project_id == "default":
+                # lazily materialize the default project (server.rs:268)
+                st.execute(
+                    "INSERT INTO projects (id, name, created_ms)"
+                    " VALUES ('default', 'Default Project', ?)"
+                    " ON CONFLICT (id) DO NOTHING",
+                    (now_ms(),),
+                )
+            elif not st.one(
+                "SELECT 1 FROM projects WHERE id=?", (project_id,)
+            ):
+                raise NoSuchEntity(
+                    f"Project with id {project_id} not found."
+                    " (ProjectNotFound)"
+                )
             if st.one("SELECT 1 FROM warehouses WHERE wh_key=?", (ident.fold(name),)):
                 raise AlreadyExists(f"warehouse {name} exists")
             st.execute(
-                "INSERT INTO warehouses (wh_key, name, location, properties, created_ms)"
-                " VALUES (?,?,?,?,?)",
-                (ident.fold(name), name, location.rstrip("/"), json.dumps(props), now_ms()),
+                "INSERT INTO warehouses (wh_key, name, location, properties,"
+                " created_ms, project_id)"
+                " VALUES (?,?,?,?,?,?)",
+                (
+                    ident.fold(name),
+                    name,
+                    location.rstrip("/"),
+                    json.dumps(props),
+                    now_ms(),
+                    project_id,
+                ),
             )
             st.emit_event("create-warehouse", ident.fold(name), name, {"location": location})
             st.commit()
@@ -167,17 +194,30 @@ class Catalog:
         return out
 
     def _warehouse(self, warehouse: str) -> dict[str, Any]:
+        """Resolve a warehouse by name, or by the ``project/name`` form
+        engines pass to GET /config (the reference resolves
+        ``<project>/<warehouse>`` warehouse identifiers,
+        server/config.rs) — the project part must match the warehouse's
+        project_id."""
+        project_scope = None
+        if "/" in warehouse:
+            project_scope, warehouse = warehouse.split("/", 1)
         row = self.store.one(
             "SELECT * FROM warehouses WHERE wh_key=?", (ident.fold(warehouse),)
         )
         if not row:
             raise NoSuchEntity(f"warehouse {warehouse} not found")
+        if project_scope is not None and row["project_id"] != project_scope:
+            raise NoSuchEntity(
+                f"warehouse {warehouse} not found in project {project_scope}"
+            )
         return {
             "wh_key": row["wh_key"],
             "name": row["name"],
             "location": row["location"],
             "properties": json.loads(row["properties"]),
             "protected": bool(row["protected"]),
+            "project_id": row["project_id"],
         }
 
     def describe_warehouse(self, warehouse: str) -> dict[str, Any]:
@@ -187,8 +227,24 @@ class Catalog:
         wh = self._warehouse(warehouse)
         return {k: wh[k] for k in ("name", "location", "properties", "protected")}
 
-    def list_warehouses(self) -> list[str]:
-        return [r["name"] for r in self.store.query("SELECT name FROM warehouses ORDER BY wh_key")]
+    def list_warehouses(self, project_id: str | None = None) -> list[str]:
+        """Warehouse names, optionally scoped to one project (the
+        reference lists warehouses per project, warehouse/mod.rs)."""
+        if project_id is None:
+            return [
+                r["name"]
+                for r in self.store.query(
+                    "SELECT name FROM warehouses ORDER BY wh_key"
+                )
+            ]
+        return [
+            r["name"]
+            for r in self.store.query(
+                "SELECT name FROM warehouses WHERE project_id=?"
+                " ORDER BY wh_key",
+                (project_id,),
+            )
+        ]
 
     def update_warehouse_properties(
         self,

@@ -42,7 +42,8 @@ _DDL = """
 CREATE TABLE IF NOT EXISTS warehouses (
   wh_key TEXT PRIMARY KEY, name TEXT NOT NULL, location TEXT NOT NULL,
   properties TEXT NOT NULL DEFAULT '{}', protected INTEGER NOT NULL DEFAULT 0,
-  created_ms INTEGER NOT NULL);
+  created_ms INTEGER NOT NULL,
+  project_id TEXT NOT NULL DEFAULT 'default');
 CREATE TABLE IF NOT EXISTS namespaces (
   wh_key TEXT NOT NULL, ns_key TEXT NOT NULL, ns_stored TEXT NOT NULL,
   properties TEXT NOT NULL DEFAULT '{}', protected INTEGER NOT NULL DEFAULT 0,
@@ -117,6 +118,16 @@ CREATE UNIQUE INDEX IF NOT EXISTS unique_role_name_in_project
   ON roles (project_id, name_key);
 CREATE UNIQUE INDEX IF NOT EXISTS unique_role_provider_source_in_project
   ON roles (project_id, provider_id, source_id);
+CREATE TABLE IF NOT EXISTS projects (
+  -- multi-project hierarchy above warehouses (api/management/v1/
+  -- project.rs; postgres warehouse.rs:295 delete guard)
+  id TEXT PRIMARY KEY, name TEXT NOT NULL, created_ms INTEGER NOT NULL);
+CREATE TABLE IF NOT EXISTS server_info (
+  -- bootstrap-once state (api/management/v1/server.rs:186; postgres
+  -- bootstrap.rs): a single row created at first open
+  id INTEGER PRIMARY KEY CHECK (id = 1), server_id TEXT NOT NULL,
+  bootstrapped INTEGER NOT NULL DEFAULT 0, terms_accepted INTEGER,
+  bootstrap_user TEXT, is_operator INTEGER, bootstrap_ms INTEGER);
 CREATE TABLE IF NOT EXISTS role_members (
   -- membership edges (role_membership.rs / postgres role_assignment.rs):
   -- user->role assignments and role->role inheritance in one typed table
@@ -135,8 +146,8 @@ CREATE INDEX IF NOT EXISTS role_members_by_member
 #: (lakekeeper-storage-postgres/migrations/, 60+ files); this is the
 #: SQLite-weight equivalent so an existing metastore.db upgrades in place
 #: instead of raising OperationalError on the new columns.
-_SCHEMA_VERSION = 3  # v3: users/roles/role_members (new tables only —
-# CREATE IF NOT EXISTS covers them; no column migrations needed)
+_SCHEMA_VERSION = 4  # v3: users/roles/role_members (new tables only);
+# v4: projects + server_info tables, warehouses.project_id column
 
 #: table -> {column: declaration} added after that table first shipped.
 #: SQLite ALTER TABLE ADD COLUMN cannot add NOT NULL without a default,
@@ -152,6 +163,10 @@ _COLUMN_MIGRATIONS: dict[str, dict[str, str]] = {
         "execution_details": "TEXT",
         "created_ms": "INTEGER",
         "updated_ms": "INTEGER",
+    },
+    "warehouses": {
+        # project scoping (round 12, api/management/v1/project.rs)
+        "project_id": "TEXT NOT NULL DEFAULT 'default'",
     },
 }
 
@@ -180,6 +195,13 @@ class Metastore:
         self._migrate(con)
         con.executescript(_DDL)
         con.execute(f"PRAGMA user_version = {_SCHEMA_VERSION}")
+        # one server-info row per database (postgres bootstrap.rs: the
+        # server row is created on first open, bootstrap flips the flag)
+        con.execute(
+            "INSERT INTO server_info (id, server_id) VALUES (1, ?)"
+            " ON CONFLICT (id) DO NOTHING",
+            (new_uuid(),),
+        )
         con.commit()
 
     @staticmethod

@@ -1,0 +1,230 @@
+"""Project entity + server bootstrap/info.
+
+Mirrors the reference's server/project management surface:
+
+  - projects — api/management/v1/project.rs: create (name 1..128 chars,
+    optional caller-supplied id, else a fresh uuid, :113-175), rename
+    (:176-208), get (:210-250 ProjectNotFound), delete (:252-287; the
+    postgres FK surfaces ProjectNotEmpty when warehouses still reference
+    it, warehouse.rs:295-323), list (:288-320). Warehouses carry a
+    project_id; GET /config accepts the ``project/name`` warehouse form.
+  - bootstrap — api/management/v1/server.rs:186-302: terms-of-use must
+    be accepted (TermsOfUseNotAccepted), once-only
+    (CatalogAlreadyBootstrapped on a re-bootstrap), the authenticated
+    bootstrapper is provisioned as a catalog user and becomes the
+    server admin (authorizer.bootstrap(is_operator)), and the default
+    project is created if absent.
+  - server info — server.rs:304-349: version, bootstrapped flag,
+    server-id, default project, authz backend, registered queues.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any
+
+from .catalog import AlreadyExists, CatalogError, NoSuchEntity
+from .metastore import new_uuid, now_ms
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .catalog import Catalog
+
+SERVER_VERSION = "0.13.1-spark"
+DEFAULT_PROJECT_ID = "default"
+
+
+class ProtectedEntityError(Exception):
+    pass
+
+
+def validate_project_name(name: str) -> None:
+    """validate_project_name (project.rs:621-639)."""
+    if not name:
+        raise CatalogError("Project name cannot be empty (EmptyProjectName)")
+    if len(name) > 128:
+        raise CatalogError(
+            "Project name must be shorter than 128 chars"
+            " (ProjectNameTooLong)"
+        )
+
+
+def ensure_default_project(catalog: "Catalog") -> None:
+    catalog.store.execute(
+        "INSERT INTO projects (id, name, created_ms) VALUES (?,?,?)"
+        " ON CONFLICT (id) DO NOTHING",
+        (DEFAULT_PROJECT_ID, "Default Project", now_ms()),
+    )
+
+
+def create_project(
+    catalog: "Catalog", request: dict[str, Any]
+) -> dict[str, Any]:
+    """CreateProject (project.rs:113-175)."""
+    catalog._authorize("create_project", "", "server")
+    name = request.get("project-name") or ""
+    validate_project_name(name)
+    project_id = request.get("project-id") or new_uuid()
+    st = catalog.store
+    st.begin()
+    try:
+        if st.one("SELECT 1 FROM projects WHERE id=?", (project_id,)):
+            st.rollback()
+            raise AlreadyExists(
+                f"Project with id {project_id} already exists."
+                " (ProjectIdAlreadyExists)"
+            )
+        st.execute(
+            "INSERT INTO projects (id, name, created_ms) VALUES (?,?,?)",
+            (project_id, name, now_ms()),
+        )
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+    return {"project-id": project_id}
+
+
+def get_project(catalog: "Catalog", project_id: str) -> dict[str, Any]:
+    """GetProject (project.rs:210-250)."""
+    catalog._authorize("get_project", "", f"project/{project_id}")
+    row = catalog.store.one(
+        "SELECT * FROM projects WHERE id=?", (project_id,)
+    )
+    if row is None:
+        raise NoSuchEntity(
+            f"Project with id {project_id} not found. (ProjectNotFound)"
+        )
+    return {"project-id": row["id"], "project-name": row["name"]}
+
+
+def rename_project(
+    catalog: "Catalog", project_id: str, request: dict[str, Any]
+) -> None:
+    """RenameProject (project.rs:176-208)."""
+    catalog._authorize("rename_project", "", f"project/{project_id}")
+    new_name = request.get("new-name") or ""
+    validate_project_name(new_name)
+    cur = catalog.store.execute(
+        "UPDATE projects SET name=? WHERE id=?", (new_name, project_id)
+    )
+    if cur.rowcount == 0:
+        raise NoSuchEntity(
+            f"Project with id {project_id} not found. (ProjectNotFound)"
+        )
+
+
+def delete_project(catalog: "Catalog", project_id: str) -> None:
+    """DeleteProject (project.rs:252-287): a project still referenced by
+    warehouses is ProjectNotEmpty (409), the postgres FK semantics
+    (warehouse.rs:304-309)."""
+    catalog._authorize("delete_project", "", f"project/{project_id}")
+    st = catalog.store
+    st.begin()
+    try:
+        if st.one(
+            "SELECT 1 FROM warehouses WHERE project_id=? LIMIT 1",
+            (project_id,),
+        ):
+            st.rollback()
+            raise AlreadyExists("Project is not empty (ProjectNotEmpty)")
+        cur = st.execute("DELETE FROM projects WHERE id=?", (project_id,))
+        if cur.rowcount == 0:
+            st.rollback()
+            raise NoSuchEntity(
+                f"Project with id {project_id} not found. (ProjectNotFound)"
+            )
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+
+
+def list_projects(catalog: "Catalog") -> dict[str, Any]:
+    """ListProjects (project.rs:288-320)."""
+    catalog._authorize("list_projects", "", "server")
+    rows = catalog.store.query(
+        "SELECT * FROM projects ORDER BY name, id", ()
+    )
+    return {
+        "projects": [
+            {"project-id": r["id"], "project-name": r["name"]} for r in rows
+        ]
+    }
+
+
+# ---------------------------------------------------------------------------
+# bootstrap + server info
+# ---------------------------------------------------------------------------
+def bootstrap(catalog: "Catalog", request: dict[str, Any]) -> None:
+    """Bootstrap (server.rs:186-302): terms-of-use gate, once-only, the
+    acting principal becomes a provisioned user and the server admin,
+    the default project is ensured."""
+    if not request.get("accept-terms-of-use"):
+        raise CatalogError(
+            "You must accept the terms of use to bootstrap the catalog."
+            " (TermsOfUseNotAccepted)"
+        )
+    st = catalog.store
+    st.begin()
+    try:
+        row = st.one("SELECT bootstrapped FROM server_info WHERE id=1", ())
+        if row and row["bootstrapped"]:
+            st.rollback()
+            raise CatalogError(
+                "Catalog is not open for bootstrap"
+                " (CatalogAlreadyBootstrapped)"
+            )
+        # check-and-set inside one transaction = the reference's
+        # ConcurrentBootstrap guard (C::bootstrap returns false when a
+        # racer already flipped the flag)
+        cur = st.execute(
+            "UPDATE server_info SET bootstrapped=1, terms_accepted=1,"
+            " bootstrap_user=?, is_operator=?, bootstrap_ms=? WHERE id=1"
+            " AND bootstrapped=0",
+            (
+                catalog._actor,
+                int(bool(request.get("is-operator", True))),
+                now_ms(),
+            ),
+        )
+        if cur.rowcount == 0:
+            st.rollback()
+            raise CatalogError(
+                "Concurrent bootstrap detected, catalog already"
+                " bootstrapped (ConcurrentBootstrap)"
+            )
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+    ensure_default_project(catalog)
+    # the authenticated bootstrapper becomes a catalog user + server admin
+    if catalog._actor is not None:
+        from . import principals
+
+        principals.create_user(
+            catalog,
+            {
+                "name": request.get("user-name"),
+                "email": request.get("user-email"),
+                "user-type": request.get("user-type"),
+                "update-if-exists": True,
+            },
+        )
+        admins = getattr(catalog.authz, "admins", None)
+        if admins is not None and request.get("is-operator", True):
+            admins.add(catalog._actor)
+
+
+def server_info(catalog: "Catalog") -> dict[str, Any]:
+    """ServerInfo (server.rs:304-349)."""
+    from .tasks import REGISTERED_QUEUES
+
+    row = catalog.store.one("SELECT * FROM server_info WHERE id=1", ())
+    return {
+        "version": SERVER_VERSION,
+        "bootstrapped": bool(row["bootstrapped"]),
+        "server-id": row["server_id"],
+        "default-project-id": DEFAULT_PROJECT_ID,
+        "authz-backend": type(catalog.authz).__name__,
+        "queues": sorted(REGISTERED_QUEUES),
+    }

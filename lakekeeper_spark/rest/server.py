@@ -678,6 +678,16 @@ class _Handler(BaseHTTPRequestHandler):
         )
 
     # ---- management v1 --------------------------------------------------
+    def _project_id(self) -> str:
+        """Project selection: the reference's ``x-project-id`` header,
+        with a query/default fallback (request_metadata.rs
+        require_project_id)."""
+        return (
+            self.headers.get("x-project-id")
+            or self.query.get("project-id")
+            or "default"
+        )
+
     @route("POST", r"/management/v1/warehouse")
     def create_warehouse(self):
         body = self._body()
@@ -685,8 +695,73 @@ class _Handler(BaseHTTPRequestHandler):
             body["warehouse-name"],
             body["storage-profile"]["location"],
             properties=body.get("properties"),
+            project_id=body.get("project-id") or self._project_id(),
         )
         self._reply(201, out)
+
+    @route("GET", r"/management/v1/warehouse")
+    def list_warehouses(self):
+        # project-scoped warehouse listing (warehouse/mod.rs ListWarehouses)
+        self._reply(
+            200,
+            {
+                "warehouses": [
+                    {"name": n, "project-id": self._project_id()}
+                    for n in self.catalog.list_warehouses(self._project_id())
+                ]
+            },
+        )
+
+    # ---- management v1: server bootstrap/info + projects ------------------
+    # (endpoints.rs:187-221; semantics in catalog/projects.py)
+    @route("GET", r"/management/v1/info")
+    def server_info(self):
+        from ..catalog import projects
+
+        self._reply(200, projects.server_info(self.catalog))
+
+    @route("POST", r"/management/v1/bootstrap")
+    def bootstrap(self):
+        from ..catalog import projects
+
+        projects.bootstrap(self.catalog, self._body())
+        self._reply(204)
+
+    @route("GET", r"/management/v1/project-list")
+    def list_projects(self):
+        from ..catalog import projects
+
+        self._reply(200, projects.list_projects(self.catalog))
+
+    @route("POST", r"/management/v1/project/rename")
+    def rename_project(self):
+        from ..catalog import projects
+
+        projects.rename_project(
+            self.catalog, self._project_id(), self._body()
+        )
+        self._reply(204)
+
+    @route("POST", r"/management/v1/project")
+    def create_project(self):
+        from ..catalog import projects
+
+        self._reply(201, projects.create_project(self.catalog, self._body()))
+
+    @route("GET", r"/management/v1/project")
+    def get_project(self):
+        from ..catalog import projects
+
+        self._reply(
+            200, projects.get_project(self.catalog, self._project_id())
+        )
+
+    @route("DELETE", r"/management/v1/project")
+    def delete_project(self):
+        from ..catalog import projects
+
+        projects.delete_project(self.catalog, self._project_id())
+        self._reply(204)
 
     @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/deleted-tabulars/undrop")
     def undrop_tabulars(self, wh):

@@ -1,0 +1,209 @@
+"""Project entity + server bootstrap/info (catalog/projects.py):
+api/management/v1/project.rs + server.rs:186 semantics, driven both at
+the library level and over HTTP (cannot-rebootstrap guard, project-scoped
+warehouse listing, project/name config resolution)."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from lakekeeper_spark.catalog import projects as pj
+from lakekeeper_spark.catalog.catalog import (
+    AlreadyExists,
+    Catalog,
+    CatalogError,
+    NoSuchEntity,
+)
+from lakekeeper_spark.catalog.metastore import Metastore
+
+
+@pytest.fixture
+def cat(tmp_path):
+    return Catalog(Metastore(str(tmp_path / "m.db")))
+
+
+def test_project_crud(cat, tmp_path):
+    with pytest.raises(CatalogError, match="EmptyProjectName"):
+        pj.create_project(cat, {"project-name": ""})
+    with pytest.raises(CatalogError, match="ProjectNameTooLong"):
+        pj.create_project(cat, {"project-name": "x" * 129})
+    p = pj.create_project(cat, {"project-name": "Research"})
+    pid = p["project-id"]
+    assert pj.get_project(cat, pid)["project-name"] == "Research"
+    # explicit id honored; duplicate id conflicts
+    pj.create_project(cat, {"project-name": "Ops", "project-id": "ops"})
+    with pytest.raises(AlreadyExists, match="ProjectIdAlreadyExists"):
+        pj.create_project(cat, {"project-name": "Dup", "project-id": "ops"})
+    with pytest.raises(NoSuchEntity, match="ProjectNotFound"):
+        pj.get_project(cat, "ghost")
+    pj.rename_project(cat, pid, {"new-name": "Research II"})
+    assert pj.get_project(cat, pid)["project-name"] == "Research II"
+    with pytest.raises(CatalogError, match="EmptyProjectName"):
+        pj.rename_project(cat, pid, {"new-name": ""})
+    # delete guard: a project with warehouses is ProjectNotEmpty
+    cat.create_warehouse("w1", str(tmp_path / "w1"), project_id="ops")
+    with pytest.raises(AlreadyExists, match="ProjectNotEmpty"):
+        pj.delete_project(cat, "ops")
+    pj.delete_project(cat, pid)
+    with pytest.raises(NoSuchEntity):
+        pj.delete_project(cat, pid)
+    ids = {x["project-id"] for x in pj.list_projects(cat)["projects"]}
+    assert "ops" in ids and pid not in ids
+
+
+def test_warehouse_project_scoping(cat, tmp_path):
+    pj.create_project(cat, {"project-name": "A", "project-id": "pa"})
+    pj.create_project(cat, {"project-name": "B", "project-id": "pb"})
+    cat.create_warehouse("wa", str(tmp_path / "wa"), project_id="pa")
+    cat.create_warehouse("wb", str(tmp_path / "wb"), project_id="pb")
+    cat.create_warehouse("wd", str(tmp_path / "wd"))  # default project
+    # unknown project refused at create time
+    with pytest.raises(NoSuchEntity, match="ProjectNotFound"):
+        cat.create_warehouse("wx", str(tmp_path / "wx"), project_id="ghost")
+    assert cat.list_warehouses("pa") == ["wa"]
+    assert cat.list_warehouses("pb") == ["wb"]
+    assert cat.list_warehouses("default") == ["wd"]
+    assert set(cat.list_warehouses()) == {"wa", "wb", "wd"}
+    # project/name resolution: right project resolves, wrong one 404s
+    assert cat.describe_warehouse("pa/wa")["name"] == "wa"
+    with pytest.raises(NoSuchEntity):
+        cat.describe_warehouse("pb/wa")
+    with pytest.raises(NoSuchEntity):
+        cat.describe_warehouse("pa/ghost")
+
+
+def test_bootstrap_once_and_server_info(cat):
+    info = pj.server_info(cat)
+    assert info["bootstrapped"] is False and info["server-id"]
+    with pytest.raises(CatalogError, match="TermsOfUseNotAccepted"):
+        pj.bootstrap(cat, {})
+    with cat.acting_as("oidc~founder"):
+        pj.bootstrap(cat, {"accept-terms-of-use": True,
+                           "user-name": "Founder", "user-type": "human"})
+        # the bootstrapper is provisioned as a catalog user
+        from lakekeeper_spark.catalog import principals as pr
+
+        assert pr.whoami(cat)["user"]["name"] == "Founder"
+    info = pj.server_info(cat)
+    assert info["bootstrapped"] is True
+    assert "tabular_expiration" in info["queues"]
+    # the default project exists after bootstrap
+    assert pj.get_project(cat, "default")["project-name"] == "Default Project"
+    # cannot re-bootstrap
+    with pytest.raises(CatalogError, match="CatalogAlreadyBootstrapped"):
+        pj.bootstrap(cat, {"accept-terms-of-use": True})
+
+
+def test_bootstrap_grants_admin(tmp_path):
+    from lakekeeper_spark.catalog.authz import (
+        AuthorizationError,
+        MetastoreRbacAuthorizer,
+    )
+
+    store = Metastore(str(tmp_path / "m.db"))
+    authz = MetastoreRbacAuthorizer(store, role_grants={})
+    cat = Catalog(store, authorizer=authz)
+    # before bootstrap: a random principal cannot create projects
+    with cat.acting_as("oidc~founder"):
+        with pytest.raises(AuthorizationError):
+            pj.create_project(cat, {"project-name": "P"})
+        pj.bootstrap(cat, {"accept-terms-of-use": True})
+        # bootstrapper became the server admin (authorizer.bootstrap)
+        pj.create_project(cat, {"project-name": "P", "project-id": "p1"})
+    # other principals stay denied
+    with cat.acting_as("oidc~other"):
+        with pytest.raises(AuthorizationError):
+            pj.create_project(cat, {"project-name": "Q"})
+
+
+def test_rest_bootstrap_projects_lifecycle(tmp_path):
+    from lakekeeper_spark.rest import RestCatalogServer
+
+    cat = Catalog(Metastore(str(tmp_path / "m.db")))
+    server = RestCatalogServer(cat).start()
+    try:
+        base = server.url
+
+        def req(method, path, body=None, headers=None):
+            data = json.dumps(body).encode() if body is not None else None
+            r = urllib.request.Request(base + path, data=data, method=method)
+            if data:
+                r.add_header("Content-Type", "application/json")
+            r.add_header("Authorization", "Bearer oidc~boss")
+            for k, v in (headers or {}).items():
+                r.add_header(k, v)
+            with urllib.request.urlopen(r) as resp:
+                raw = resp.read()
+                return resp.status, json.loads(raw) if raw else None
+
+        code, info = req("GET", "/management/v1/info")
+        assert info["bootstrapped"] is False
+        code, _ = req("POST", "/management/v1/bootstrap",
+                      {"accept-terms-of-use": True, "user-name": "Boss",
+                       "user-type": "human"})
+        assert code == 204
+        code, info = req("GET", "/management/v1/info")
+        assert info["bootstrapped"] is True
+        # cannot-rebootstrap guard over HTTP -> 400
+        try:
+            req("POST", "/management/v1/bootstrap",
+                {"accept-terms-of-use": True})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "CatalogAlreadyBootstrapped" in e.read().decode()
+
+        # project CRUD over HTTP, x-project-id header selection
+        code, p = req("POST", "/management/v1/project",
+                      {"project-name": "ML", "project-id": "ml"})
+        assert code == 201 and p["project-id"] == "ml"
+        code, got = req("GET", "/management/v1/project",
+                        headers={"x-project-id": "ml"})
+        assert got["project-name"] == "ML"
+        code, _ = req("POST", "/management/v1/project/rename",
+                      {"new-name": "ML Platform"},
+                      headers={"x-project-id": "ml"})
+        assert code == 204
+        code, listing = req("GET", "/management/v1/project-list")
+        names = {x["project-name"] for x in listing["projects"]}
+        assert "ML Platform" in names and "Default Project" in names
+
+        # project-scoped warehouse create + listing + config resolution
+        code, _ = req("POST", "/management/v1/warehouse",
+                      {"warehouse-name": "whml",
+                       "storage-profile": {"location": str(tmp_path / "whml")},
+                       "project-id": "ml"})
+        code, _ = req("POST", "/management/v1/warehouse",
+                      {"warehouse-name": "whdef",
+                       "storage-profile": {"location": str(tmp_path / "whd")}})
+        code, ws = req("GET", "/management/v1/warehouse",
+                       headers={"x-project-id": "ml"})
+        assert [w["name"] for w in ws["warehouses"]] == ["whml"]
+        code, ws = req("GET", "/management/v1/warehouse")
+        assert [w["name"] for w in ws["warehouses"]] == ["whdef"]
+        # GET /config accepts the project/name warehouse form
+        code, cfg = req(
+            "GET", "/catalog/v1/config?warehouse=" +
+            urllib.request.quote("ml/whml", safe=""))
+        assert code == 200
+        try:
+            req("GET", "/catalog/v1/config?warehouse=" +
+                urllib.request.quote("default/whml", safe=""))
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        # delete guard + delete
+        try:
+            req("DELETE", "/management/v1/project",
+                headers={"x-project-id": "ml"})
+            raise AssertionError("expected 409")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+            assert "ProjectNotEmpty" in e.read().decode()
+    finally:
+        server.stop()
