@@ -179,11 +179,62 @@ def new_uuid() -> str:
     return str(uuid.uuid4())
 
 
+def _pg_ddl(ddl: str) -> str:
+    """Translate the SQLite DDL to PostgreSQL: identity PKs, 64-bit
+    integers (epoch-millis columns overflow int4), double precision.
+    Everything else in the schema — partial indexes, CHECK constraints,
+    ON CONFLICT — is already common SQL."""
+    out = ddl.replace(
+        "INTEGER PRIMARY KEY AUTOINCREMENT",
+        "BIGINT GENERATED BY DEFAULT AS IDENTITY PRIMARY KEY",
+    )
+    out = out.replace("INTEGER", "BIGINT").replace("REAL", "DOUBLE PRECISION")
+    return out
+
+
+class _PgAdapter:
+    """sqlite3.Connection-shaped facade over pgwire.PgConnection: the
+    Metastore calls execute/executescript/commit/in_transaction only."""
+
+    def __init__(self, url: str):
+        from .pgwire import PgConnection
+
+        self._pg = PgConnection(url)
+
+    @property
+    def in_transaction(self) -> bool:
+        return self._pg.in_transaction
+
+    def execute(self, sql: str, params: tuple = ()):
+        from .pgwire import bind_placeholders
+
+        if sql == "BEGIN IMMEDIATE":
+            sql = "BEGIN"
+        if params:
+            sql = bind_placeholders(sql, tuple(params))
+        return self._pg.execute_sql(sql)
+
+    def executescript(self, script: str):
+        return self._pg.execute_sql(script)
+
+    def commit(self) -> None:
+        if self._pg.in_transaction:
+            self._pg.execute_sql("COMMIT")
+
+    def close(self) -> None:
+        self._pg.close()
+
+
 class Metastore:
-    """Thread-safe SQLite wrapper; one connection per thread."""
+    """Thread-safe transactional store: SQLite (file path, the default)
+    or PostgreSQL (a ``postgresql://`` URL — the reference's only
+    backend) behind one connection-per-thread facade. The SQL surface is
+    the common dialect; backend-specific bits live in ``_pg_ddl`` /
+    ``_PgAdapter`` / ``insert_returning``."""
 
     def __init__(self, path: str):
         self.path = path
+        self.is_postgres = path.startswith(("postgresql://", "postgres://"))
         self._local = threading.local()
         # external change-event backends (catalog/events.py): each receives
         # a CloudEvents envelope AFTER the surrounding transaction commits
@@ -192,9 +243,20 @@ class Metastore:
         # delivery stays best-effort)
         self.dropped_events = 0
         con = self.con
-        self._migrate(con)
-        con.executescript(_DDL)
-        con.execute(f"PRAGMA user_version = {_SCHEMA_VERSION}")
+        if self.is_postgres:
+            con.executescript(_pg_ddl(_DDL))
+            # ADD COLUMN IF NOT EXISTS covers pre-existing databases (the
+            # SQLite path needs PRAGMA bookkeeping instead)
+            for table, cols in _COLUMN_MIGRATIONS.items():
+                for col, decl in cols.items():
+                    con.execute(
+                        f"ALTER TABLE {table} ADD COLUMN IF NOT EXISTS"
+                        f" {col} {_pg_ddl(decl)}"
+                    )
+        else:
+            self._migrate(con)
+            con.executescript(_DDL)
+            con.execute(f"PRAGMA user_version = {_SCHEMA_VERSION}")
         # one server-info row per database (postgres bootstrap.rs: the
         # server row is created on first open, bootstrap flips the flag)
         con.execute(
@@ -226,15 +288,28 @@ class Metastore:
                     con.execute(f"ALTER TABLE {table} ADD COLUMN {col} {decl}")
 
     @property
-    def con(self) -> sqlite3.Connection:
+    def con(self):
         con = getattr(self._local, "con", None)
         if con is None:
-            con = sqlite3.connect(self.path, timeout=30, isolation_level=None)
-            con.execute("PRAGMA journal_mode=WAL")
-            con.execute("PRAGMA foreign_keys=ON")
-            con.row_factory = sqlite3.Row
+            if self.is_postgres:
+                con = _PgAdapter(self.path)
+            else:
+                con = sqlite3.connect(
+                    self.path, timeout=30, isolation_level=None
+                )
+                con.execute("PRAGMA journal_mode=WAL")
+                con.execute("PRAGMA foreign_keys=ON")
+                con.row_factory = sqlite3.Row
             self._local.con = con
         return con
+
+    def insert_returning(self, sql: str, params: tuple, id_col: str) -> int:
+        """INSERT returning the new autoincrement id — sqlite lastrowid
+        vs the PostgreSQL RETURNING clause."""
+        if self.is_postgres:
+            cur = self.con.execute(f"{sql} RETURNING {id_col}", params)
+            return int(cur.fetchone()[0])
+        return int(self.con.execute(sql, params).lastrowid)
 
     # -- transactions ---------------------------------------------------
     def begin(self) -> None:
@@ -249,6 +324,11 @@ class Metastore:
             self.con.execute("ROLLBACK")
         except sqlite3.OperationalError:
             pass
+        except Exception as exc:  # pragma: no cover - pg path
+            from .pgwire import PgError
+
+            if not isinstance(exc, PgError):
+                raise
         # a rolled-back mutation publishes nothing externally
         self._pending().clear()
 
@@ -310,7 +390,7 @@ class Metastore:
             "INSERT INTO endpoint_stats (endpoint, wh_key, hour, status, count)"
             " VALUES (?,?,?,?,1)"
             " ON CONFLICT(endpoint, wh_key, hour, status)"
-            " DO UPDATE SET count = count + 1",
+            " DO UPDATE SET count = endpoint_stats.count + 1",
             (endpoint, wh_key or "", hour, status),
         )
 
@@ -339,7 +419,7 @@ class Metastore:
         """Schedule one task. ``wh_key``/``entity``/``entity_name`` scope it
         for the task-management API (WarehouseTaskInfo fields,
         api/management/v1/tasks.rs:83-120); workers only need queue+payload."""
-        cur = self.con.execute(
+        return self.insert_returning(
             "INSERT INTO tasks (queue, payload, status, scheduled_ms,"
             " wh_key, entity, entity_name, parent_task_id, created_ms, updated_ms)"
             " VALUES (?,?,?,?,?,?,?,?,?,?)",
@@ -357,8 +437,8 @@ class Metastore:
                 now_ms(),
                 now_ms(),
             ),
+            "task_id",
         )
-        return int(cur.lastrowid)
 
     def _archive_attempt(
         self, task_id: int, status: str, message: str | None
@@ -367,12 +447,13 @@ class Metastore:
         archives every terminal/superseded attempt to its task_log table
         so GetTaskDetails can show history)."""
         self.con.execute(
-            "INSERT OR IGNORE INTO task_log (task_id, attempt, queue, wh_key,"
+            "INSERT INTO task_log (task_id, attempt, queue, wh_key,"
             " status, message, scheduled_ms, started_ms, duration_ms,"
             " progress, execution_details, created_ms)"
             " SELECT task_id, attempts, queue, wh_key, ?, ?, scheduled_ms,"
             " picked_ms, CASE WHEN picked_ms IS NOT NULL THEN ? - picked_ms END,"
-            " progress, execution_details, ? FROM tasks WHERE task_id=?",
+            " progress, execution_details, ? FROM tasks WHERE task_id=?"
+            " ON CONFLICT (task_id, attempt) DO NOTHING",
             (status, message, now_ms(), now_ms(), task_id),
         )
 
@@ -704,6 +785,7 @@ class Metastore:
 
     def idempotency_put(self, key: str, response: dict[str, Any]) -> None:
         self.con.execute(
-            "INSERT OR IGNORE INTO idempotency (key, response, created_ms) VALUES (?,?,?)",
+            "INSERT INTO idempotency (key, response, created_ms) VALUES (?,?,?)"
+            " ON CONFLICT (key) DO NOTHING",
             (key, json.dumps(response), now_ms()),
         )

@@ -1,0 +1,300 @@
+"""Minimal pure-Python PostgreSQL client (simple query protocol).
+
+The reference's only CatalogStore backend is Postgres
+(crates/lakekeeper-storage-postgres). This sandbox has Postgres server
+binaries but no Python driver, so the dual-backend metastore
+(catalog/metastore.py) talks the v3 wire protocol directly: startup +
+trust auth, simple ``Query`` messages, text-format results. That is all
+the metastore needs — parameters are bound client-side by literal
+escaping (the adapter layer owns placeholder translation), and the
+transaction status byte in ReadyForQuery gives exact ``in_transaction``
+tracking.
+
+Protocol per the PostgreSQL frontend/backend documentation (public):
+StartupMessage(196608), AuthenticationOk, ParameterStatus/BackendKeyData,
+ReadyForQuery('I'|'T'|'E'), Query -> RowDescription/DataRow/
+CommandComplete/ErrorResponse -> ReadyForQuery.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+from typing import Any
+from urllib.parse import parse_qs, unquote, urlparse
+
+
+class PgError(Exception):
+    """Server ErrorResponse surfaced with severity/code/message."""
+
+    def __init__(self, fields: dict[str, str]):
+        self.fields = fields
+        self.sqlstate = fields.get("C", "")
+        super().__init__(
+            f"{fields.get('S', 'ERROR')} {self.sqlstate}:"
+            f" {fields.get('M', '')}"
+        )
+
+
+#: text-format converters by type OID (pg_type.dat, public catalog)
+_OID_BOOL = 16
+_OID_INTS = (20, 21, 23, 26)
+_OID_FLOATS = (700, 701, 1700)
+
+
+def _convert(oid: int, text: str) -> Any:
+    if oid in _OID_INTS:
+        return int(text)
+    if oid in _OID_FLOATS:
+        return float(text)
+    if oid == _OID_BOOL:
+        return text == "t"
+    return text
+
+
+class PgRow:
+    """dict-like row also supporting positional access — the subset of
+    sqlite3.Row the metastore uses (r["col"], r[0], dict(r))."""
+
+    __slots__ = ("_cols", "_vals")
+
+    def __init__(self, cols: tuple[str, ...], vals: tuple[Any, ...]):
+        self._cols = cols
+        self._vals = vals
+
+    def __getitem__(self, key):
+        if isinstance(key, int):
+            return self._vals[key]
+        return self._vals[self._cols.index(key)]
+
+    def keys(self):
+        return list(self._cols)
+
+    def __iter__(self):
+        return iter(self._vals)
+
+    def __contains__(self, key):
+        return key in self._cols
+
+    def get(self, key, default=None):
+        return self._vals[self._cols.index(key)] if key in self._cols else default
+
+    def __repr__(self):  # pragma: no cover - debugging aid
+        return f"PgRow({dict(zip(self._cols, self._vals))!r})"
+
+
+class PgCursor:
+    """Result holder mirroring the sqlite3.Cursor subset in use."""
+
+    def __init__(self, rows: list[PgRow], rowcount: int, lastrowid=None):
+        self._rows = rows
+        self._idx = 0
+        self.rowcount = rowcount
+        self.lastrowid = lastrowid
+
+    def fetchall(self) -> list[PgRow]:
+        rows, self._idx = self._rows[self._idx:], len(self._rows)
+        return rows
+
+    def fetchone(self) -> PgRow | None:
+        if self._idx >= len(self._rows):
+            return None
+        row = self._rows[self._idx]
+        self._idx += 1
+        return row
+
+
+def parse_pg_url(url: str) -> dict[str, str]:
+    """postgresql://user@host:port/dbname?host=/unix/dir -> conn params.
+    A ``host`` query parameter (libpq convention) selects a unix-socket
+    directory."""
+    u = urlparse(url)
+    q = {k: v[0] for k, v in parse_qs(u.query).items()}
+    return {
+        "user": unquote(u.username or "postgres"),
+        "dbname": (u.path or "/postgres").lstrip("/") or "postgres",
+        "host": q.get("host") or u.hostname or "localhost",
+        "port": str(u.port or q.get("port") or 5432),
+    }
+
+
+class PgConnection:
+    """One socket, autocommit by default (like sqlite3 with
+    isolation_level=None): BEGIN/COMMIT are explicit statements and
+    ``in_transaction`` reflects the server's ReadyForQuery status."""
+
+    def __init__(self, url: str):
+        p = parse_pg_url(url)
+        if p["host"].startswith("/"):
+            self.sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self.sock.connect(f"{p['host']}/.s.PGSQL.{p['port']}")
+        else:
+            self.sock = socket.create_connection((p["host"], int(p["port"])))
+        self._buf = b""
+        self.in_transaction = False
+        params = f"user\0{p['user']}\0database\0{p['dbname']}\0\0".encode()
+        self._send(struct.pack("!ii", 8 + len(params), 196608) + params)
+        self._sync()  # consume auth + parameter messages up to ReadyForQuery
+
+    # -- low-level ------------------------------------------------------
+    def _send(self, raw: bytes) -> None:
+        self.sock.sendall(raw)
+
+    def _recv_msg(self) -> tuple[bytes, bytes]:
+        while len(self._buf) < 5:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("postgres connection closed")
+            self._buf += chunk
+        tag = self._buf[:1]
+        (length,) = struct.unpack("!i", self._buf[1:5])
+        total = 1 + length
+        while len(self._buf) < total:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("postgres connection closed")
+            self._buf += chunk
+        payload = self._buf[5:total]
+        self._buf = self._buf[total:]
+        return tag, payload
+
+    @staticmethod
+    def _error_fields(payload: bytes) -> dict[str, str]:
+        fields: dict[str, str] = {}
+        for part in payload.split(b"\0"):
+            if part:
+                fields[chr(part[0])] = part[1:].decode("utf-8", "replace")
+        return fields
+
+    def _sync(self) -> None:
+        """Drain messages until ReadyForQuery (startup / error recovery)."""
+        while True:
+            tag, payload = self._recv_msg()
+            if tag == b"Z":
+                self.in_transaction = payload != b"I"
+                return
+            if tag == b"E":
+                err = PgError(self._error_fields(payload))
+                self._drain_to_ready()
+                raise err
+            if tag == b"R":
+                (code,) = struct.unpack("!i", payload[:4])
+                if code != 0:
+                    raise PgError(
+                        {"M": f"unsupported auth method {code}; use trust"}
+                    )
+
+    def _drain_to_ready(self) -> None:
+        while True:
+            tag, payload = self._recv_msg()
+            if tag == b"Z":
+                self.in_transaction = payload != b"I"
+                return
+
+    # -- queries ----------------------------------------------------------
+    def execute_sql(self, sql: str) -> PgCursor:
+        """Run one (or several ;-separated) statements via the simple
+        protocol; returns the LAST statement's rows/rowcount."""
+        body = sql.encode() + b"\0"
+        self._send(b"Q" + struct.pack("!i", 4 + len(body)) + body)
+        cols: tuple[str, ...] = ()
+        oids: tuple[int, ...] = ()
+        rows: list[PgRow] = []
+        rowcount = -1
+        error: PgError | None = None
+        while True:
+            tag, payload = self._recv_msg()
+            if tag == b"T":
+                (n,) = struct.unpack("!h", payload[:2])
+                off, names, toids = 2, [], []
+                for _ in range(n):
+                    end = payload.index(b"\0", off)
+                    names.append(payload[off:end].decode())
+                    (typoid,) = struct.unpack(
+                        "!i", payload[end + 7: end + 11]
+                    )
+                    toids.append(typoid)
+                    off = end + 19
+                cols, oids = tuple(names), tuple(toids)
+                rows = []
+            elif tag == b"D":
+                (n,) = struct.unpack("!h", payload[:2])
+                off, vals = 2, []
+                for i in range(n):
+                    (ln,) = struct.unpack("!i", payload[off: off + 4])
+                    off += 4
+                    if ln == -1:
+                        vals.append(None)
+                    else:
+                        vals.append(
+                            _convert(oids[i], payload[off: off + ln].decode())
+                        )
+                        off += ln
+                rows.append(PgRow(cols, tuple(vals)))
+            elif tag == b"C":
+                words = payload.rstrip(b"\0").decode().split()
+                rowcount = (
+                    int(words[-1]) if words and words[-1].isdigit() else -1
+                )
+            elif tag == b"E":
+                error = PgError(self._error_fields(payload))
+            elif tag == b"Z":
+                self.in_transaction = payload != b"I"
+                if error is not None:
+                    raise error
+                return PgCursor(rows, rowcount)
+            # 'S' ParameterStatus, 'N' Notice, 'K' BackendKeyData,
+            # 'I' EmptyQueryResponse: skipped
+
+    def close(self) -> None:
+        try:
+            self._send(b"X" + struct.pack("!i", 4))
+        finally:
+            self.sock.close()
+
+
+def quote_literal(value: Any) -> str:
+    """Client-side parameter binding for the simple protocol: standard
+    ''-doubled string literals (standard_conforming_strings is on by
+    default since PostgreSQL 9.1); backslashes are then literal."""
+    if value is None:
+        return "NULL"
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    text = str(value)
+    if "\x00" in text:
+        raise ValueError("NUL byte in SQL parameter")
+    return "'" + text.replace("'", "''") + "'"
+
+
+def bind_placeholders(sql: str, params: tuple) -> str:
+    """Substitute sqlite-style ``?`` placeholders with escaped literals,
+    skipping quoted regions of the template."""
+    out: list[str] = []
+    it = iter(params)
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            end = i + 1
+            while end < n:
+                if sql[end] == "'":
+                    if end + 1 < n and sql[end + 1] == "'":
+                        end += 2
+                        continue
+                    break
+                end += 1
+            out.append(sql[i: end + 1])
+            i = end + 1
+        elif ch == "?":
+            out.append(quote_literal(next(it)))
+            i += 1
+        else:
+            out.append(ch)
+            i += 1
+    remaining = list(it)
+    if remaining:
+        raise ValueError(f"{len(remaining)} unbound SQL parameters")
+    return "".join(out)
