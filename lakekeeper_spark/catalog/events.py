@@ -83,3 +83,53 @@ class FanoutPublisher(EventPublisher):
                     event.get("type", "<event>"),
                     exc,
                 )
+
+
+class FilePublisher(EventPublisher):
+    """File-backed sink: one JSON-serialized CloudEvents envelope per
+    line (exactly what the reference's NATS backend hands to
+    ``client.publish(subject, serde_json::to_vec(&event))`` — a real
+    process boundary without the network daemon). Appends are
+    line-atomic for same-process writers; a rotating consumer tails the
+    file like a queue."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+    def publish(self, event: dict[str, Any]) -> None:
+        import json
+
+        with open(self.path, "a", encoding="utf-8") as fh:
+            fh.write(json.dumps(event, sort_keys=True) + "\n")
+
+
+class SocketPublisher(EventPublisher):
+    """TCP sink: newline-delimited JSON envelopes to a listening
+    consumer (the Kafka/NATS producer shape). Connects lazily and
+    RAISES on delivery failure so the caller's fan-out/drop accounting
+    observes the outage (the reference logs-and-counts publishing
+    errors, never fails the mutation)."""
+
+    def __init__(self, host: str, port: int) -> None:
+        self.host = host
+        self.port = port
+        self._sock = None
+
+    def publish(self, event: dict[str, Any]) -> None:
+        import json
+        import socket
+
+        if self._sock is None:
+            self._sock = socket.create_connection(
+                (self.host, self.port), timeout=5
+            )
+        try:
+            self._sock.sendall(
+                (json.dumps(event, sort_keys=True) + "\n").encode()
+            )
+        except OSError:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+            raise

@@ -161,12 +161,20 @@ SELECT * FROM (VALUES
 )
 def c02_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog.catalog import Catalog
+    from ..catalog.events import FilePublisher
     from ..catalog.metastore import Metastore
     from ..format.icelite import SparkTable
     from ..format.types import struct_to_schema
 
     tmp = tempfile.mkdtemp(prefix="lkspark_ev_")
     cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    # the rollup reads from a REAL sink boundary: every post-commit
+    # CloudEvents envelope crosses into a JSONL file (the NATS-backend
+    # serialization, catalog/events.py FilePublisher) and the analytics
+    # view is computed from what the sink received — not from the
+    # in-transaction events table
+    sink_path = f"{tmp}/events.jsonl"
+    cat.store.publishers.append(FilePublisher(sink_path))
     cat.create_warehouse("wh", f"{tmp}/warehouse")        # create-warehouse
     cat.create_namespace("wh", ["a"])                      # create-namespace
     cat.create_namespace("wh", ["a", "b"])                 # create-namespace
@@ -184,10 +192,13 @@ def c02_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.drop_view("wh", ["a"], "v")                        # drop-view
     cat.drop_table("wh", ["a"], "t2")                      # drop-table
     cat.undrop_table("wh", ["a"], "t2")                    # undrop-tabular
-    rows = [
-        (r["event_type"],)
-        for r in cat.store.query("SELECT event_type FROM events ORDER BY seq")
-    ]
+    import json as _json
+
+    with open(sink_path, encoding="utf-8") as fh:
+        rows = [
+            (_json.loads(line)["type"].removeprefix("lakekeeper-spark."),)
+            for line in fh
+        ]
     return (
         spark.createDataFrame(rows, "event_type string")
         .groupBy("event_type")

@@ -10,6 +10,8 @@ a failing backend never fails the mutation or starves other backends.
 
 from __future__ import annotations
 
+import json
+
 import pytest
 
 from lakekeeper_spark.catalog.catalog import AlreadyExists, Catalog
@@ -172,3 +174,68 @@ def test_publisher_failure_is_observable(tmp_path, caplog):
     with caplog.at_level(logging.WARNING, logger="lakekeeper_spark.catalog.metastore"):
         cat2.create_warehouse("wh", str(tmp_path / "wh2"))
     assert store.dropped_events >= 1
+
+
+# ---------------------------------------------------------------------------
+# round-12: file/socket sink boundaries (the NATS/Kafka backend shapes)
+# ---------------------------------------------------------------------------
+def test_file_publisher_jsonl_envelopes(tmp_path):
+    from lakekeeper_spark.catalog.events import FilePublisher
+
+    store = Metastore(str(tmp_path / "m.db"))
+    sink = tmp_path / "events.jsonl"
+    store.publishers.append(FilePublisher(str(sink)))
+    cat = Catalog(store)
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["ns"])
+    lines = [json.loads(x) for x in sink.read_text().splitlines()]
+    assert [e["type"] for e in lines] == [
+        "lakekeeper-spark.create-warehouse",
+        "lakekeeper-spark.create-namespace",
+    ]
+    # CloudEvents 1.0 envelope fields (publisher.rs:633-668 shape)
+    for e in lines:
+        assert e["specversion"] == "1.0" and e["id"] and e["source"]
+        assert "data" in e and "time_ms" in e
+
+
+def test_socket_publisher_delivery_and_failure(tmp_path):
+    import socket
+    import threading
+
+    from lakekeeper_spark.catalog.events import SocketPublisher
+
+    received: list[bytes] = []
+    srv = socket.create_server(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+
+    def accept_once():
+        conn, _ = srv.accept()
+        buf = b""
+        while b"\n" not in buf:
+            chunk = conn.recv(4096)
+            if not chunk:
+                break
+            buf += chunk
+        received.append(buf)
+        conn.close()
+
+    t = threading.Thread(target=accept_once, daemon=True)
+    t.start()
+    store = Metastore(str(tmp_path / "m.db"))
+    store.publishers.append(SocketPublisher("127.0.0.1", port))
+    cat = Catalog(store)
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    t.join(timeout=5)
+    srv.close()
+    assert received and json.loads(received[0].splitlines()[0])[
+        "type"] == "lakekeeper-spark.create-warehouse"
+    # sink outage after delivery: mutations still commit, and the loss
+    # is counted (post-commit best-effort, reference semantics). The
+    # first post-close send can land in the kernel buffer before the
+    # RST surfaces, so two mutations make the outage deterministic.
+    cat.create_namespace("wh", ["ns"])
+    cat.create_namespace("wh", ["ns2"])
+    assert store.dropped_events >= 1
+    assert cat.namespace_exists("wh", ["ns"])
+    assert cat.namespace_exists("wh", ["ns2"])
