@@ -791,3 +791,105 @@ def effective_roles(catalog: "Catalog", user_id: str) -> set[str]:
                 names.add(row["name"])
             frontier.append(("role", rid))
     return names
+
+
+# ---------------------------------------------------------------------------
+# actions probes + source-system rebinding
+# ---------------------------------------------------------------------------
+#: probe catalogs for the Get*Actions endpoints (lakekeeper_actions.rs:
+#: the handler batch-checks each variant against the authorizer and
+#: returns the allowed subset)
+USER_ACTIONS = ("read", "update", "delete")
+ROLE_ACTIONS = (
+    "read_role",
+    "update_role",
+    "delete_role",
+    "read_role_assignments",
+    "manage_role_assignments",
+    "update_role_source_system",
+)
+
+
+def get_user_actions(catalog: "Catalog", user_id: str) -> dict[str, Any]:
+    """GetUserActions (endpoints.rs:197): the current principal's allowed
+    actions on ``user_id`` — self-service principals always hold all
+    three on themselves (the reference's user-ownership rule)."""
+    get_user(catalog, user_id)  # 404 + read-authz
+    if catalog._actor == user_id:
+        return {"allowed-actions": list(USER_ACTIONS)}
+    return {
+        "allowed-actions": [
+            a
+            for a in USER_ACTIONS
+            if catalog.authz.is_allowed(catalog._actor, f"{a}_users", "server")
+        ]
+    }
+
+
+def get_role_actions(catalog: "Catalog", role_id: str) -> dict[str, Any]:
+    """GetRoleActions (endpoints.rs:205)."""
+    _get_role_row(catalog, role_id)
+    return {
+        "allowed-actions": [
+            a
+            for a in ROLE_ACTIONS
+            if catalog.authz.is_allowed(catalog._actor, a, f"role/{role_id}")
+        ]
+    }
+
+
+def update_role_source_system(
+    catalog: "Catalog", role_id: str, request: dict[str, Any]
+) -> dict[str, Any]:
+    """UpdateRoleSourceSystem (role.rs:507-550): rebind a role's
+    provider~source ident. Rebinding INTO the reserved ``system``
+    namespace is rejected up front; rebinding a system-managed role to
+    any other provider is rejected once the role resolves; the new
+    ident honors per-project uniqueness."""
+    provider = request.get("provider-id")
+    source = request.get("source-id")
+    if not provider or not source:
+        raise CatalogError(
+            "provider-id and source-id are required (InvalidRoleIdentifier)"
+        )
+    if provider == SYSTEM_ROLE_PROVIDER:
+        raise CatalogError(
+            "provider_id `system` is reserved for catalog-managed roles"
+            " and cannot be used in role-management requests."
+            " (RoleProviderIdReserved)"
+        )
+    catalog._authorize("update_role_source_system", "", f"role/{role_id}")
+    st = catalog.store
+    st.begin()
+    try:
+        row = st.one("SELECT * FROM roles WHERE id=?", (role_id,))
+        if row is None:
+            st.rollback()
+            raise NoSuchEntity(f"Role {role_id} not found. (RoleNotFound)")
+        if row["provider_id"] == SYSTEM_ROLE_PROVIDER:
+            st.rollback()
+            raise CatalogError(
+                "system-managed roles cannot be rebound to another"
+                " provider (RoleProviderIdReserved)"
+            )
+        clash = st.one(
+            "SELECT 1 FROM roles WHERE project_id=? AND provider_id=?"
+            " AND source_id=? AND id<>?",
+            (row["project_id"], provider, source, role_id),
+        )
+        if clash:
+            st.rollback()
+            raise AlreadyExists(
+                f"Role {provider}~{source} already exists in project"
+                f" {row['project_id']}. (RoleIdAlreadyExists)"
+            )
+        st.execute(
+            "UPDATE roles SET provider_id=?, source_id=?, updated_ms=?"
+            " WHERE id=?",
+            (provider, source, now_ms(), role_id),
+        )
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+    return _role_info(_get_role_row(catalog, role_id))

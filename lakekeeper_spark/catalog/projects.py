@@ -228,3 +228,36 @@ def server_info(catalog: "Catalog") -> dict[str, Any]:
         "authz-backend": type(catalog.authz).__name__,
         "queues": sorted(REGISTERED_QUEUES),
     }
+
+
+#: probe catalog for GetProjectActions (endpoints.rs:221)
+PROJECT_ACTIONS = (
+    "get_project",
+    "rename_project",
+    "delete_project",
+    "create_role",
+    "list_roles",
+    "search_roles",
+    "create_warehouse",
+)
+
+
+def get_project_actions(catalog: "Catalog", project_id: str) -> dict[str, Any]:
+    """GetProjectActions: the current principal's allowed subset, probed
+    action-by-action against the authorizer (lakekeeper_actions.rs)."""
+    row = catalog.store.one(
+        "SELECT 1 FROM projects WHERE id=?", (project_id,)
+    )
+    if row is None:
+        raise NoSuchEntity(
+            f"Project with id {project_id} not found. (ProjectNotFound)"
+        )
+    return {
+        "allowed-actions": [
+            a
+            for a in PROJECT_ACTIONS
+            if catalog.authz.is_allowed(
+                catalog._actor, a, f"project/{project_id}"
+            )
+        ]
+    }

@@ -748,6 +748,15 @@ class _Handler(BaseHTTPRequestHandler):
 
         self._reply(201, projects.create_project(self.catalog, self._body()))
 
+    @route("GET", r"/management/v1/project/actions")
+    def get_project_actions(self):
+        from ..catalog import projects
+
+        self._reply(
+            200,
+            projects.get_project_actions(self.catalog, self._project_id()),
+        )
+
     @route("GET", r"/management/v1/project")
     def get_project(self):
         from ..catalog import projects
@@ -938,6 +947,14 @@ class _Handler(BaseHTTPRequestHandler):
             200, principals.list_user_roles(self.catalog, unquote(user_id))
         )
 
+    @route("GET", r"/management/v1/user/(?P<user_id>[^/]+)/actions")
+    def get_user_actions(self, user_id):
+        from ..catalog import principals
+
+        self._reply(
+            200, principals.get_user_actions(self.catalog, unquote(user_id))
+        )
+
     @route("GET", r"/management/v1/user/(?P<user_id>[^/]+)")
     def get_user(self, user_id):
         from ..catalog import principals
@@ -1039,6 +1056,27 @@ class _Handler(BaseHTTPRequestHandler):
             200,
             principals.list_role_member_of(
                 self.catalog, unquote(role_id), transitive=True
+            ),
+        )
+
+    @route("GET", r"/management/v1/role/(?P<role_id>[^/]+)/actions")
+    def get_role_actions(self, role_id):
+        from ..catalog import principals
+
+        self._reply(
+            200, principals.get_role_actions(self.catalog, unquote(role_id))
+        )
+
+    @route(
+        "PUT", r"/management/v1/role/(?P<role_id>[^/]+)/source-system"
+    )
+    def update_role_source_system(self, role_id):
+        from ..catalog import principals
+
+        self._reply(
+            200,
+            principals.update_role_source_system(
+                self.catalog, unquote(role_id), self._body()
             ),
         )
 

@@ -973,3 +973,49 @@ def test_t19_quality_classifier_row_local_no_shuffle(spark):
     assert len(exchanges) <= 2, plan
     assert "hashpartitioning" not in plan  # zero data shuffles on keys
     assert "rangepartitioning" in kinds  # just the output sort
+
+
+def test_st19_fold_windows_stay_bucket_partitioned(spark):
+    """The growing-geometry fold (st19's kernel) keeps h08's plan
+    discipline when state injects mid-ladder: every compaction window
+    partitions by the leaf bucket `g` (no single-partition funnel), the
+    injected state UNIONs into the ladder exactly once, and no level
+    introduces a cartesian product. State is ~cap rows, so the fold's
+    shuffled volume stays ~2x the BATCH size regardless of how much
+    history the sketch summarizes."""
+    from pyspark.sql import functions as F
+
+    from lakekeeper_spark.data import load_table
+    from lakekeeper_spark.functions.quantiles import (
+        compactor_fold_retained,
+        compactor_retained,
+    )
+
+    v = load_table(spark, SF_DIR, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"),
+        F.expr(
+            "CAST(conv(substr(md5(concat(l_orderkey, ':', l_linenumber)),"
+            " 1, 12), 16, 10) AS BIGINT)"
+        ).alias("h"),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("k"),
+    )
+    half = v.filter(F.col("h") % 2 == 0)
+    n_half = half.count()
+    state, lev, _g = compactor_retained(half, "c", "h", ["k"], n=n_half)
+    state = state.localCheckpoint(eager=True)
+    batch = v.filter(F.col("h") % 2 == 1)
+    n_total = n_half + batch.count()
+    folded, lev2, _g2 = compactor_fold_retained(
+        batch, state, lev, n_total, "c", "h", ["k"]
+    )
+    assert lev2 >= lev  # geometry never shrinks
+    plan = _plan(folded)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Union") >= 1  # state injects once
+    assert not _unpartitioned_window_lines(
+        folded._jdf.queryExecution().executedPlan().toString()
+    )

@@ -436,3 +436,50 @@ def test_rest_user_role_lifecycle(tmp_path):
             assert e.code == 404
     finally:
         server.stop()
+
+
+# ---------------------------------------------------------------------------
+# actions probes + source-system rebinding (endpoints.rs:197,205,221,204)
+# ---------------------------------------------------------------------------
+def test_actions_probes_and_source_system(tmp_path):
+    from lakekeeper_spark.catalog import projects as pj
+
+    store = Metastore(str(tmp_path / "m.db"))
+    authz = MetastoreRbacAuthorizer(
+        store, role_grants={}, admins={"oidc~root"}
+    )
+    cat = Catalog(store, authorizer=authz)
+    with cat.acting_as("oidc~root"):
+        pj.bootstrap(cat, {"accept-terms-of-use": True})
+        pr.create_user(cat, {"id": "oidc~u", "name": "U",
+                             "user-type": "human"})
+        role = pr.create_role(cat, {"name": "team"})
+        # admin: full action sets
+        assert pr.get_role_actions(cat, role["id"])["allowed-actions"] == list(
+            pr.ROLE_ACTIONS)
+        assert pj.get_project_actions(cat, "default")[
+            "allowed-actions"] == list(pj.PROJECT_ACTIONS)
+        assert pr.get_user_actions(cat, "oidc~u")["allowed-actions"] == list(
+            pr.USER_ACTIONS)
+    # self: full user actions even without grants
+    with cat.acting_as("oidc~u"):
+        assert pr.get_user_actions(cat, "oidc~u")["allowed-actions"] == list(
+            pr.USER_ACTIONS)
+        with pytest.raises(AuthorizationError):
+            pr.get_user_actions(cat, "oidc~root")
+        assert pr.get_role_actions(cat, role["id"])["allowed-actions"] == []
+    # source-system rebinding
+    with cat.acting_as("oidc~root"):
+        upd = pr.update_role_source_system(
+            cat, role["id"], {"provider-id": "oidc", "source-id": "g7"})
+        assert upd["ident"] == "oidc~g7"
+        with pytest.raises(CatalogError, match="RoleProviderIdReserved"):
+            pr.update_role_source_system(
+                cat, role["id"], {"provider-id": "system", "source-id": "x"})
+        other = pr.create_role(cat, {"name": "other"})
+        with pytest.raises(AlreadyExists, match="RoleIdAlreadyExists"):
+            pr.update_role_source_system(
+                cat, other["id"], {"provider-id": "oidc", "source-id": "g7"})
+        with pytest.raises(CatalogError, match="InvalidRoleIdentifier"):
+            pr.update_role_source_system(
+                cat, other["id"], {"provider-id": "oidc"})

@@ -1,0 +1,71 @@
+"""End-of-round preflight: refuse to snapshot while the round gates are
+red (the round-11 failure mode: the snapshot landed with the fullsweep
+gate and doc counts failing).
+
+Runs the two cheap gate suites plus artifact checks and exits nonzero on
+any failure — run this BEFORE considering a round done:
+
+    python tools/preflight.py <round>
+
+Checks:
+  1. FULLSWEEP_r{N}.json exists, is committed at HEAD, and is all-green.
+  2. pytest tests/test_entry_contract.py tests/test_docs_counts.py green
+     (module staleness + auto-generated doc counts).
+  3. No tracked-module source edits after the sweep artifact was written
+     (a dirty tree over lakekeeper_spark/ means the sweep may be stale).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def fail(msg: str) -> None:
+    print(f"PREFLIGHT FAIL: {msg}")
+    sys.exit(1)
+
+
+def main() -> None:
+    if len(sys.argv) < 2:
+        fail("usage: python tools/preflight.py <round>")
+    rnd = int(sys.argv[1])
+    artifact = REPO / f"FULLSWEEP_r{rnd:02d}.json"
+    alt = REPO / f"FULLSWEEP_r{rnd}.json"
+    path = artifact if artifact.exists() else alt
+    if not path.exists():
+        fail(f"{artifact.name} missing — run tools/fullsweep.py {rnd}")
+    sweep = json.loads(path.read_text())
+    rows = sweep.get("results", sweep)
+    red = [
+        k
+        for k, v in rows.items()
+        if isinstance(v, dict)
+        and not (v.get("ok") or v.get("hash_match") or v.get("rows_match"))
+    ]
+    if red:
+        fail(f"fullsweep has {len(red)} red rows: {red[:5]}")
+    tracked = subprocess.run(
+        ["git", "status", "--porcelain", "--", "lakekeeper_spark",
+         "__spark_entry__.py", "bench.py", path.name,
+         "README.md", "COVERAGE.md"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.strip()
+    if tracked:
+        fail(f"uncommitted gate-relevant changes:\n{tracked}")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q",
+         "tests/test_entry_contract.py", "tests/test_docs_counts.py"],
+        cwd=REPO,
+    )
+    if r.returncode != 0:
+        fail("gate suites red (entry contract / doc counts)")
+    print("PREFLIGHT OK")
+
+
+if __name__ == "__main__":
+    main()
