@@ -2141,3 +2141,167 @@ def t19_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# t20: CCNet-style perplexity-bucket cut (head / middle / tail)
+# --------------------------------------------------------------------------
+# CCNet (Wenzek et al. 2020) buckets documents by language-model
+# perplexity into head/middle/tail at the 33rd/67th percentiles and keeps
+# head+middle for training. t13 already computes the SQL-expressible
+# perplexity proxy (mean unigram neg-logprob per doc); this row does the
+# CUT: the two percentile thresholds come from the h08 compactor sketch
+# over the per-doc scores — ONE pass, mergeable state, no global sort of
+# the corpus — then a single broadcast-filter pass buckets every doc.
+# At 100 TB the thresholds cost ~2n narrow shuffled rows (the compactor)
+# and the cut is a map-only pass against two broadcast scalars; nothing
+# ever funnels through one partition.
+#
+# Integer discipline: the per-doc score is the NEGATED fixed-point mean
+# ((-sum_logprob6) div n_tokens — Spark's `div` truncates toward zero,
+# DuckDB's `//` floors, so the dividend must be nonnegative for parity),
+# higher = less fluent; head = score <= p33 threshold.
+T20_PCTS = (33, 67)
+
+
+def _t20_oracle() -> str:
+    from ..functions.quantiles import sql_compactor_chain
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+freq AS (SELECT term, COUNT(*) AS cnt FROM w GROUP BY term),
+n AS (SELECT COUNT(*) AS total FROM w),
+lp AS (
+  SELECT term,
+         CAST(ROUND(ln(CAST(cnt AS DOUBLE) / n.total) * 1000000) AS BIGINT)
+           AS logprob6
+  FROM freq, n
+),
+scored AS (
+  SELECT tf.doc_id,
+         (-SUM(tf.tf * lp.logprob6)) // SUM(tf.tf) AS score6
+  FROM tf JOIN lp USING (term)
+  GROUP BY tf.doc_id
+),
+v AS (
+  SELECT score6 AS c,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h,
+         CAST(doc_id AS VARCHAR) AS k
+  FROM scored
+),
+{sql_compactor_chain("")},
+ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c, h, k) AS rn FROM fin),
+w2 AS (SELECT COUNT(*) AS cnt FROM ranked),
+thr AS (
+  SELECT q.p AS p, f.c AS cut6
+  FROM (VALUES (33), (67)) q(p)
+  CROSS JOIN geo CROSS JOIN w2
+  JOIN ranked f ON f.rn = ((q.p * (w2.cnt * geo.G - 1)) // 100) // geo.G + 1
+),
+cuts AS (
+  SELECT MIN(CASE WHEN p = 33 THEN cut6 END) AS lo,
+         MIN(CASE WHEN p = 67 THEN cut6 END) AS hi
+  FROM thr
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(MIN(cut_lo) AS BIGINT) AS cut_lo6,
+       CAST(MIN(cut_hi) AS BIGINT) AS cut_hi6
+FROM (
+  SELECT CASE WHEN s.score6 <= c.lo THEN 'head'
+              WHEN s.score6 <= c.hi THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         CASE WHEN s.score6 <= c.hi THEN 1 ELSE 0 END AS kept,
+         c.lo AS cut_lo, c.hi AS cut_hi
+  FROM scored s CROSS JOIN cuts c
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "t20_ccnet_bucket_cut",
+    oracle=_t20_oracle(),
+    description="CCNet-style perplexity bucket cut: per-doc unigram "
+    "neg-logprob scores (t13's fixed-point kernel), head/middle/tail "
+    "thresholds at p33/p67 from the h08 compactor sketch (one pass, "
+    "mergeable, no global sort), then a map-only bucket/keep pass "
+    "against two broadcast scalars. head+middle kept, tail cut - the "
+    "training-corpus filter shape at 100 TB.",
+    tags=("text", "llm", "quality", "sketch"),
+)
+def t20_ccnet_bucket_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantiles import compactor_quantiles, compactor_retained
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    tf = w.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    freq = w.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    n = w.agg(F.count(F.lit(1)).alias("total"))
+    lp = freq.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("total")) * 1_000_000
+        )
+        .cast("long")
+        .alias("logprob6"),
+    )
+    scored = (
+        tf.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "(-SUM(tf * logprob6)) div SUM(tf)"
+            ).alias("score6")
+        )
+    )
+    # scored is referenced twice (sketch + cut) and is doc-bounded: pin it
+    scored = scored.localCheckpoint(eager=True)
+    v = scored.select(
+        F.col("score6").alias("c"),
+        F.expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
+        F.col("doc_id").cast("string").alias("k"),
+    )
+    retained, _lv, g_total = compactor_retained(v, "c", "h", ["k"])
+    thr = compactor_quantiles(
+        retained, g_total, "c", "h", ["k"], T20_PCTS, "cut6"
+    )
+    cuts = thr.groupBy().agg(
+        F.min(F.when(F.col("p") == 33, F.col("cut6"))).alias("lo"),
+        F.min(F.when(F.col("p") == 67, F.col("cut6"))).alias("hi"),
+    )
+    bucketed = scored.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("score6") <= F.col("lo"), F.lit("head"))
+        .when(F.col("score6") <= F.col("hi"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        F.when(F.col("score6") <= F.col("hi"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("kept"),
+        F.col("lo").alias("cut_lo"),
+        F.col("hi").alias("cut_hi"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            F.min("cut_lo").cast("long").alias("cut_lo6"),
+            F.min("cut_hi").cast("long").alias("cut_hi6"),
+        )
+        .orderBy("bucket")
+    )

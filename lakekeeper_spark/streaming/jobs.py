@@ -1886,3 +1886,117 @@ def st19_stream_growing_compactor(spark: SparkSession, sf_dir: str) -> DataFrame
     return compactor_quantiles(
         final, 1 << meta["level"], "c", "h", ["k"], ST19_PCTS, "est_micro"
     )
+
+
+# --------------------------------------------------------------------------
+# st20: streaming incremental exact dedup (d14's streaming twin)
+# --------------------------------------------------------------------------
+# The training-data ingestion shape: an unbounded document stream where
+# each micro-batch must be deduplicated against EVERYTHING already
+# ingested. d14 does one incremental batch against a static base; st20
+# folds the seen-fingerprint state forward across micro-batches —
+# per batch: one distinct + one left_anti join against the state, then
+# the batch's new fingerprints append to the state. State is one 16-byte
+# md5 per distinct document; at 100 TB it lives as partitioned parquet
+# and the anti-join is a fingerprint-bucketed shuffle join (or swaps to
+# the d03 banded-LSH state for near-dup semantics) — never a broadcast
+# of the corpus. Determinism: content-defined doc_id%3 slices drain in
+# mtime order; novelty is defined per fingerprint (first slice wins), so
+# in-batch ordering never matters and the oracle replays it as a
+# min-slice groupBy.
+ST20_SLICES = 3
+
+
+def _stage_doc_slices(sf_dir: str, n_slices: int = ST20_SLICES) -> str:
+    """documents staged as n content-defined slices by doc_id % n
+    (mtime-ordered, the _stage_id_slices discipline)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="lkspark_st20_src_")
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    ids = tbl.column("doc_id").to_numpy()
+    now = time.time()
+    for s in range(n_slices):
+        p = str(Path(d) / f"{s}.parquet")
+        pq.write_table(tbl.filter(pa.array(ids % n_slices == s)), p)
+        os.utime(p, (now - 60 + 10 * s, now - 60 + 10 * s))
+    return d
+
+
+@register(
+    "st20_stream_incremental_dedup",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id % {ST20_SLICES} AS slice, md5(text) AS fp FROM documents
+),
+firsts AS (SELECT fp, MIN(slice) AS first_slice FROM d GROUP BY fp)
+SELECT CAST(d.slice AS BIGINT) AS slice,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT CASE WHEN d.slice = f.first_slice
+                                THEN d.fp END) AS BIGINT) AS n_new_fps,
+       CAST(SUM(CASE WHEN d.slice > f.first_slice THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_docs
+FROM d JOIN firsts f ON d.fp = f.fp
+GROUP BY d.slice
+ORDER BY slice
+""",
+    description="Streaming incremental exact dedup (d14's streaming "
+    "twin): each micro-batch anti-joins its document fingerprints "
+    "against the accumulated seen-state, reports per-batch novelty "
+    "(new fingerprints) and carry-over duplicates (docs whose "
+    "fingerprint arrived in an earlier batch), and appends only the new "
+    "fingerprints to state - one distinct + one anti-join per batch, "
+    "state is one md5 per distinct doc, bucketed parquet at scale.",
+    tags=("streaming", "dedup", "llm", "documents"),
+)
+def st20_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_runtime_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_stage_doc_slices(sf_dir))
+    )
+    state = tempfile.mkdtemp(prefix="lkspark_st20_state_")
+    ckpt = tempfile.mkdtemp(prefix="lkspark_ckpt_")
+    results: list[tuple[int, int, int, int]] = []
+    have_state = [False]
+
+    def fold_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        fps = batch.select(
+            (F.col("doc_id") % ST20_SLICES).cast("long").alias("slice"),
+            F.md5(F.col("text").cast("binary")).alias("fp"),
+        ).localCheckpoint(eager=True)
+        slice_no = fps.first()["slice"]
+        n_docs = fps.count()
+        if have_state[0]:
+            seen = batch.sparkSession.read.parquet(state)
+            unseen_docs = fps.join(seen, "fp", "left_anti")
+        else:
+            unseen_docs = fps
+        unseen_docs = unseen_docs.localCheckpoint(eager=True)
+        n_dup_docs = n_docs - unseen_docs.count()
+        new_fps = unseen_docs.select("fp").distinct()
+        n_new = new_fps.count()
+        new_fps.write.mode("append").parquet(state)
+        have_state[0] = True
+        results.append((slice_no, n_docs, n_new, n_dup_docs))
+
+    q = (
+        stream.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.createDataFrame(
+            results, "slice long, n_docs long, n_new_fps long, n_dup_docs long"
+        )
+        .orderBy("slice")
+    )

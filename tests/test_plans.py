@@ -1019,3 +1019,23 @@ def test_st19_fold_windows_stay_bucket_partitioned(spark):
     assert not _unpartitioned_window_lines(
         folded._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_t20_cut_is_broadcast_scalar_filter(spark):
+    """t20's bucket/keep pass must be a map-only pass against a 1-row
+    broadcast of the two thresholds: BroadcastNestedLoopJoin over the
+    single-row cuts frame, never a shuffle of the scored corpus, and the
+    per-doc scoring chain joins tf->vocab (vocab-sized), not
+    corpus x corpus."""
+    from lakekeeper_spark.queries.text import t20_ccnet_bucket_cut
+
+    df = t20_ccnet_bucket_cut(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the only cartesian-shaped node is the 1-row threshold broadcast
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert {r["bucket"] for r in rows} == {"head", "middle", "tail"}
+    # head+middle kept, tail cut
+    for r in rows:
+        assert r["n_kept"] == (r["n_docs"] if r["bucket"] != "tail" else 0)
