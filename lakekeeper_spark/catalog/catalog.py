@@ -182,6 +182,15 @@ class Catalog:
         }
         if queue is not None:
             stored = self.store.get_task_queue_config(queue, wh["wh_key"])
+            if stored is None:
+                # project-level config is the fallback a warehouse-specific
+                # row shadows (the reference's warehouse_id-NULL task_config
+                # rows, postgres tasks.rs:799)
+                from .tasks import _project_config_key
+
+                stored = self.store.get_task_queue_config(
+                    queue, _project_config_key(wh["project_id"])
+                )
             if stored is not None:
                 cfg = stored["config"]
                 for key in ("max_attempts", "backoff_ms"):

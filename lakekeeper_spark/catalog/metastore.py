@@ -711,7 +711,16 @@ class Metastore:
         against the stored entity document; ``statuses`` are INTERNAL
         status names (the service layer maps wire names)."""
         where, params = [], []
-        if wh_key is not None:
+        if isinstance(wh_key, (list, tuple, set)):
+            keys = sorted(wh_key)
+            # project scope (ListProjectTasks, postgres tasks.rs:1183):
+            # every warehouse in the project, plus unscoped rows
+            where.append(
+                f"(wh_key IN ({','.join('?' * len(keys))})"
+                " OR wh_key IS NULL)"
+            )
+            params.extend(keys)
+        elif wh_key is not None:
             where.append("wh_key=?")
             params.append(wh_key)
         for col, vals in (("status", statuses), ("queue", queues), ("entity", entities)):

@@ -497,3 +497,190 @@ def get_task_queue_config(
             "max_seconds_since_last_heartbeat"
         ],
     }
+
+
+# ---------------------------------------------------------------------------
+# project-scoped task management (endpoints.rs:258-262)
+# ---------------------------------------------------------------------------
+# The reference scopes every task route twice: per warehouse and per
+# project (ListProjectTasks / GetProjectTaskDetails / ControlProjectTasks
+# / {Set,Get}ProjectTaskQueueConfig). The project variants operate over
+# all of the project's warehouses; a project-level queue config is a row
+# with warehouse_id NULL that warehouse-specific rows shadow (postgres
+# tasks.rs:799,1183 + task_config precedence).
+def _project_wh_keys(catalog: "Catalog", project_id: str) -> list[str]:
+    if not catalog.store.one(
+        "SELECT 1 FROM projects WHERE id=?", (project_id,)
+    ):
+        raise NoSuchEntity(
+            f"Project with id {project_id} not found. (ProjectNotFound)"
+        )
+    return [
+        r["wh_key"]
+        for r in catalog.store.query(
+            "SELECT wh_key FROM warehouses WHERE project_id=?", (project_id,)
+        )
+    ]
+
+
+def _project_config_key(project_id: str) -> str:
+    """task_config rows at project scope (the reference's
+    warehouse_id-NULL rows) live under a reserved wh_key."""
+    return f"project\x1f{project_id}"
+
+
+def list_project_tasks(
+    catalog: "Catalog", project_id: str, request: dict[str, Any]
+) -> dict[str, Any]:
+    """ListProjectTasks: the warehouse listing's filters over every
+    warehouse in the project."""
+    catalog._authorize("get_all_tasks", "", f"project/{project_id}")
+    wh_keys = _project_wh_keys(catalog, project_id)
+    entities = request.get("entities")
+    queues = request.get("queue-name")
+    if entities is not None:
+        _check_batch(entities, "filter by entities", "TooManyEntities")
+        if not entities:
+            return {"tasks": [], "next-page-token": None}
+    if queues is not None:
+        _check_batch(queues, "filter by queue names", "TooManyQueueNames")
+        if not queues:
+            return {"tasks": [], "next-page-token": None}
+    statuses = request.get("status")
+    if statuses is not None:
+        unknown = [s for s in statuses if s not in INTERNAL_STATUS]
+        if unknown:
+            raise CatalogError(f"unknown task status {unknown[0]!r}")
+        statuses = [INTERNAL_STATUS[s] for s in statuses]
+    rows, next_token = catalog.store.list_tasks_admin(
+        wh_key=wh_keys,
+        statuses=statuses,
+        queues=queues,
+        entities=(
+            [_entity_key(e) for e in entities] if entities is not None else None
+        ),
+        created_after_ms=(
+            parse_ts_ms(request["created-after"])
+            if request.get("created-after") is not None
+            else None
+        ),
+        created_before_ms=(
+            parse_ts_ms(request["created-before"])
+            if request.get("created-before") is not None
+            else None
+        ),
+        page_size=int(request.get("page-size") or 100),
+        page_token=request.get("page-token"),
+    )
+    return {
+        "tasks": [task_info(r) for r in rows],
+        "next-page-token": next_token,
+    }
+
+
+def get_project_task_details(
+    catalog: "Catalog",
+    project_id: str,
+    task_id: int,
+    num_attempts: int = DEFAULT_ATTEMPTS,
+) -> dict[str, Any]:
+    """GetProjectTaskDetails: the task must belong to one of the
+    project's warehouses."""
+    catalog._authorize("get_all_tasks", "", f"project/{project_id}")
+    wh_keys = set(_project_wh_keys(catalog, project_id))
+    row = catalog.store.get_task(task_id)
+    if row is None or row.get("wh_key") not in wh_keys:
+        raise NoSuchEntity(
+            f"task {task_id} not found in project {project_id}"
+        )
+    return {
+        "task": task_info(row),
+        "attempts": [
+            _attempt_info(a)
+            for a in catalog.store.task_attempts(task_id, num_attempts)
+        ],
+    }
+
+
+def control_project_tasks(
+    catalog: "Catalog", project_id: str, request: dict[str, Any]
+) -> None:
+    """ControlProjectTasks: the warehouse control surface, membership
+    checked against ALL of the project's warehouses."""
+    catalog._authorize("control_all_tasks", "", f"project/{project_id}")
+    wh_keys = set(_project_wh_keys(catalog, project_id))
+    task_ids = request.get("task-ids", [])
+    for tid in task_ids:
+        row = catalog.store.get_task(tid)
+        if row is None or row.get("wh_key") not in wh_keys:
+            raise NoSuchEntity(
+                f"task {tid} not found in project {project_id}"
+            )
+        wh_name = catalog.store.one(
+            "SELECT name FROM warehouses WHERE wh_key=?", (row["wh_key"],)
+        )
+        control_tasks(
+            catalog,
+            wh_name["name"],
+            {"action": request.get("action") or {}, "task-ids": [tid]},
+        )
+
+
+def set_project_task_queue_config(
+    catalog: "Catalog",
+    project_id: str,
+    queue_name: str,
+    request: dict[str, Any],
+) -> None:
+    """SetProjectTaskQueueConfig: a project-level (warehouse_id-NULL)
+    config row, shadowed by any warehouse-specific config."""
+    catalog._authorize("control_all_tasks", "", f"project/{project_id}")
+    _project_wh_keys(catalog, project_id)  # 404 on unknown project
+    if queue_name not in REGISTERED_QUEUES:
+        known = ", ".join(sorted(REGISTERED_QUEUES))
+        raise CatalogError(
+            f"Queue '{queue_name}' not found! Existing queues: [{known}]"
+            " (QueueNotFound)"
+        )
+    config = request.get("queue-config")
+    if not isinstance(config, dict):
+        raise CatalogError(
+            f"Failed to deserialize queue config for queue-name"
+            f" '{queue_name}' (InvalidQueueConfig)"
+        )
+    catalog.store.set_task_queue_config(
+        queue_name,
+        _project_config_key(project_id),
+        config,
+        request.get("max-seconds-since-last-heartbeat"),
+    )
+
+
+def get_project_task_queue_config(
+    catalog: "Catalog", project_id: str, queue_name: str
+) -> dict[str, Any]:
+    """GetProjectTaskQueueConfig: QueueNotFound on unknown queues,
+    empty-config default when unset (same contract as the warehouse
+    route)."""
+    catalog._authorize("get_all_tasks", "", f"project/{project_id}")
+    _project_wh_keys(catalog, project_id)
+    if queue_name not in REGISTERED_QUEUES:
+        known = ", ".join(sorted(REGISTERED_QUEUES))
+        raise CatalogError(
+            f"Queue '{queue_name}' not found! Existing queues: [{known}]"
+            " (QueueNotFound)"
+        )
+    stored = catalog.store.get_task_queue_config(
+        queue_name, _project_config_key(project_id)
+    )
+    if stored is None:
+        return {
+            "queue-config": {"queue-name": queue_name},
+            "max-seconds-since-last-heartbeat": None,
+        }
+    return {
+        "queue-config": {**stored["config"], "queue-name": queue_name},
+        "max-seconds-since-last-heartbeat": stored[
+            "max_seconds_since_last_heartbeat"
+        ],
+    }

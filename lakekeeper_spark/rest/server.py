@@ -1112,6 +1112,67 @@ class _Handler(BaseHTTPRequestHandler):
         principals.delete_role(self.catalog, unquote(role_id))
         self._reply(204)
 
+    # ---- management v1: project-scoped tasks (endpoints.rs:258-262) -------
+    @route(
+        "POST",
+        r"/management/v1/project/task-queue/(?P<queue>[^/]+)/config",
+    )
+    def set_project_task_queue_config(self, queue):
+        from ..catalog import tasks as task_api
+
+        task_api.set_project_task_queue_config(
+            self.catalog, self._project_id(), unquote(queue), self._body()
+        )
+        self._reply(204)
+
+    @route(
+        "GET",
+        r"/management/v1/project/task-queue/(?P<queue>[^/]+)/config",
+    )
+    def get_project_task_queue_config(self, queue):
+        from ..catalog import tasks as task_api
+
+        self._reply(
+            200,
+            task_api.get_project_task_queue_config(
+                self.catalog, self._project_id(), unquote(queue)
+            ),
+        )
+
+    @route("POST", r"/management/v1/project/task/list")
+    def list_project_tasks(self):
+        from ..catalog import tasks as task_api
+
+        self._reply(
+            200,
+            task_api.list_project_tasks(
+                self.catalog, self._project_id(), self._body()
+            ),
+        )
+
+    @route("GET", r"/management/v1/project/task/by-id/(?P<task_id>\d+)")
+    def get_project_task_details(self, task_id):
+        from ..catalog import tasks as task_api
+
+        self._reply(
+            200,
+            task_api.get_project_task_details(
+                self.catalog,
+                self._project_id(),
+                int(task_id),
+                num_attempts=int(self.query.get("numAttempts", 5)),
+            ),
+        )
+
+    @route("POST", r"/management/v1/project/task/control")
+    def control_project_tasks(self):
+        from ..catalog import tasks as task_api
+
+        task_api.control_project_tasks(
+            self.catalog, self._project_id(), self._body()
+        )
+        self._reply(204)
+
     @route("GET", r"/management/v1/search/tabular")
     def search_tabular(self):
         self._reply(

@@ -599,3 +599,139 @@ def test_metastore_migrates_old_tasks_schema(tmp_path):
     assert info["status"] == "SCHEDULED"
     # idempotent: reopening an already-migrated db is a no-op
     Metastore(db)
+
+
+# ---------------------------------------------------------------------------
+# project-scoped task management (endpoints.rs:258-262)
+# ---------------------------------------------------------------------------
+def test_project_scoped_tasks(tmp_path):
+    from lakekeeper_spark.catalog import projects as pj
+
+    c = Catalog(Metastore(str(tmp_path / "m.db")))
+    pj.create_project(c, {"project-name": "A", "project-id": "pa"})
+    pj.create_project(c, {"project-name": "B", "project-id": "pb"})
+    for wh, pid in (("wha", "pa"), ("whb", "pb")):
+        c.create_warehouse(wh, str(tmp_path / wh),
+                           properties={"expiration-seconds": "3600"},
+                           project_id=pid)
+        c.create_namespace(wh, ["ns"])
+        c.create_table(wh, ["ns"], "t", SCHEMA)
+        c.drop_table(wh, ["ns"], "t")
+    # listing is project-scoped: pa sees only wha's task
+    la = task_api.list_project_tasks(c, "pa", {})["tasks"]
+    lb = task_api.list_project_tasks(c, "pb", {})["tasks"]
+    assert {t["warehouse-id"] for t in la} == {"wha"}
+    assert {t["warehouse-id"] for t in lb} == {"whb"}
+    with pytest.raises(NoSuchEntity, match="ProjectNotFound"):
+        task_api.list_project_tasks(c, "ghost", {})
+    # details: in-project resolves, cross-project 404s
+    tid_a, tid_b = la[0]["task-id"], lb[0]["task-id"]
+    det = task_api.get_project_task_details(c, "pa", tid_a)
+    assert det["task"]["status"] == "SCHEDULED"
+    with pytest.raises(NoSuchEntity):
+        task_api.get_project_task_details(c, "pa", tid_b)
+    # control: cancelling via the WRONG project 404s and changes nothing
+    with pytest.raises(NoSuchEntity):
+        task_api.control_project_tasks(
+            c, "pb",
+            {"action": {"action-type": "cancel"}, "task-ids": [tid_a]},
+        )
+    assert task_api.get_project_task_details(
+        c, "pa", tid_a)["task"]["status"] == "SCHEDULED"
+    # control via the right project: cancel aborts the soft-delete
+    task_api.control_project_tasks(
+        c, "pa", {"action": {"action-type": "cancel"}, "task-ids": [tid_a]}
+    )
+    assert task_api.get_project_task_details(
+        c, "pa", tid_a)["task"]["status"] == "CANCELLED"
+    meta, _ = c.load_table("wha", ["ns"], "t")  # undropped
+    assert meta["table-uuid"]
+
+
+def test_project_queue_config_precedence(tmp_path):
+    """Warehouse-specific config shadows the project-level row; project
+    config is the fallback (postgres task_config warehouse_id-NULL
+    semantics)."""
+    from lakekeeper_spark.catalog import projects as pj
+
+    c = Catalog(Metastore(str(tmp_path / "m.db")))
+    pj.create_project(c, {"project-name": "A", "project-id": "pa"})
+    c.create_warehouse("wh", str(tmp_path / "wh"), project_id="pa")
+    with pytest.raises(CatalogError, match="QueueNotFound"):
+        task_api.set_project_task_queue_config(
+            c, "pa", "nope", {"queue-config": {}})
+    with pytest.raises(CatalogError, match="QueueNotFound"):
+        task_api.get_project_task_queue_config(c, "pa", "nope")
+    # unset -> empty default
+    assert task_api.get_project_task_queue_config(
+        c, "pa", "tabular_purge")["queue-config"] == {
+            "queue-name": "tabular_purge"}
+    task_api.set_project_task_queue_config(
+        c, "pa", "tabular_purge",
+        {"queue-config": {"max-attempts": 9},
+         "max-seconds-since-last-heartbeat": 11},
+    )
+    got = task_api.get_project_task_queue_config(c, "pa", "tabular_purge")
+    assert got["queue-config"]["max-attempts"] == 9
+    # workers read the project config as the warehouse fallback...
+    cfg = c.task_config("wh", queue="tabular_purge")
+    assert cfg["max_attempts"] == 9
+    assert cfg["heartbeat_timeout_ms"] == 11_000
+    # ...until a warehouse-specific config shadows it
+    task_api.set_task_queue_config(
+        c, "wh", "tabular_purge", {"queue-config": {"max-attempts": 2}}
+    )
+    assert c.task_config("wh", queue="tabular_purge")["max_attempts"] == 2
+    # other projects are unaffected
+    pj.create_project(c, {"project-name": "B", "project-id": "pb"})
+    c.create_warehouse("wh2", str(tmp_path / "wh2"), project_id="pb")
+    assert c.task_config("wh2", queue="tabular_purge")["max_attempts"] == 5
+
+
+def test_rest_project_task_routes(tmp_path):
+    from lakekeeper_spark.catalog import projects as pj
+    from lakekeeper_spark.rest import RestCatalogServer
+
+    c = Catalog(Metastore(str(tmp_path / "m.db")))
+    pj.create_project(c, {"project-name": "A", "project-id": "pa"})
+    c.create_warehouse("wh", str(tmp_path / "wh"),
+                       properties={"expiration-seconds": "3600"},
+                       project_id="pa")
+    c.create_namespace("wh", ["ns"])
+    c.create_table("wh", ["ns"], "t", SCHEMA)
+    c.drop_table("wh", ["ns"], "t")
+    server = RestCatalogServer(c).start()
+    try:
+        base = server.url
+
+        def req(method, path, body=None):
+            data = json.dumps(body).encode() if body is not None else None
+            r = urllib.request.Request(base + path, data=data, method=method)
+            if data:
+                r.add_header("Content-Type", "application/json")
+            r.add_header("x-project-id", "pa")
+            with urllib.request.urlopen(r) as resp:
+                raw = resp.read()
+                return resp.status, json.loads(raw) if raw else None
+
+        code, _ = req(
+            "POST", "/management/v1/project/task-queue/tabular_purge/config",
+            {"queue-config": {"max-attempts": 7}})
+        assert code == 204
+        code, cfg = req(
+            "GET", "/management/v1/project/task-queue/tabular_purge/config")
+        assert cfg["queue-config"]["max-attempts"] == 7
+        code, listing = req("POST", "/management/v1/project/task/list", {})
+        tid = listing["tasks"][0]["task-id"]
+        code, det = req(
+            "GET", f"/management/v1/project/task/by-id/{tid}")
+        assert det["task"]["status"] == "SCHEDULED"
+        code, _ = req(
+            "POST", "/management/v1/project/task/control",
+            {"action": {"action-type": "cancel"}, "task-ids": [tid]})
+        assert code == 204
+        code, det = req(
+            "GET", f"/management/v1/project/task/by-id/{tid}")
+        assert det["task"]["status"] == "CANCELLED"
+    finally:
+        server.stop()
