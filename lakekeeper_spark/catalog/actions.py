@@ -1,0 +1,262 @@
+"""Allowed-action probes and batch checks.
+
+Mirrors the reference's action vocabulary
+(``service/authz/mod.rs`` — CatalogServerAction:384,
+CatalogProjectAction:452, CatalogWarehouseAction:635,
+CatalogNamespaceAction:772, CatalogTableAction:995,
+CatalogViewAction:1094, CatalogGenericTableAction:1191) and the
+batch-check endpoint (``api/management/v1/check.rs``:
+CatalogActionsBatchCheckRequest:243 — per-item optional id and
+identity override, ``error_on_not_found`` toggling 404 vs
+allowed=false for missing resources).
+
+Action names are the reference's kebab-case serde serialization.
+Parameterized variants (Drop{force,purge}, Commit{props},
+CreateTable{name,..}) probe as their bare kebab-case tag — the
+payload only refines audit events, not the decision vocabulary.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any
+
+from .catalog import CatalogError, NoSuchEntity
+
+if TYPE_CHECKING:
+    from .catalog import Catalog
+
+SERVER_ACTIONS = (
+    "create-project",
+    "update-users",
+    "delete-users",
+    "list-users",
+    "provision-users",
+)
+
+WAREHOUSE_ACTIONS = (
+    "create-namespace",
+    "delete",
+    "update-storage",
+    "update-storage-credential",
+    "get-metadata",
+    "get-config",
+    "list-namespaces",
+    "list-everything",
+    "use",
+    "include-in-list",
+    "deactivate",
+    "activate",
+    "rename",
+    "list-deleted-tabulars",
+    "modify-soft-deletion",
+    "get-task-queue-config",
+    "modify-task-queue-config",
+    "get-all-tasks",
+    "control-all-tasks",
+    "set-protection",
+    "set-format-version-policy",
+    "get-endpoint-statistics",
+)
+
+NAMESPACE_ACTIONS = (
+    "create-table",
+    "create-view",
+    "create-namespace",
+    "create-generic-table",
+    "delete",
+    "update-properties",
+    "get-metadata",
+    "list-tables",
+    "list-views",
+    "list-namespaces",
+    "list-everything",
+    "set-protection",
+    "include-in-list",
+)
+
+TABLE_ACTIONS = (
+    "drop",
+    "write-data",
+    "read-data",
+    "get-metadata",
+    "commit",
+    "rename",
+    "include-in-list",
+    "undrop",
+    "get-tasks",
+    "control-tasks",
+    "set-protection",
+)
+
+VIEW_ACTIONS = (
+    "drop",
+    "get-metadata",
+    "select",
+    "commit",
+    "include-in-list",
+    "rename",
+    "undrop",
+    "get-tasks",
+    "control-tasks",
+    "set-protection",
+)
+
+GENERIC_TABLE_ACTIONS = (
+    "drop",
+    "read-data",
+    "write-data",
+    "get-metadata",
+    "rename",
+    "include-in-list",
+    "undrop",
+    "get-tasks",
+    "control-tasks",
+    "set-protection",
+)
+
+_ENTITY_ACTIONS = {
+    "server": SERVER_ACTIONS,
+    "warehouse": WAREHOUSE_ACTIONS,
+    "namespace": NAMESPACE_ACTIONS,
+    "table": TABLE_ACTIONS,
+    "view": VIEW_ACTIONS,
+    "generic-table": GENERIC_TABLE_ACTIONS,
+}
+
+
+def _probe(catalog: "Catalog", actions, resource: str, actor=None) -> list[str]:
+    who = actor if actor is not None else catalog._actor
+    return [a for a in actions if catalog.authz.is_allowed(who, a, resource)]
+
+
+def get_server_actions(catalog: "Catalog") -> dict[str, Any]:
+    """GetServerActions (endpoints.rs ManagementV1::GetServerActions)."""
+    return {"allowed-actions": _probe(catalog, SERVER_ACTIONS, "server")}
+
+
+def get_warehouse_actions(catalog: "Catalog", warehouse: str) -> dict[str, Any]:
+    """GetWarehouseActions (warehouse/{id}/actions)."""
+    wh = catalog._warehouse(warehouse, any_status=True)
+    return {
+        "allowed-actions": _probe(
+            catalog, WAREHOUSE_ACTIONS, f"warehouse/{wh['wh_key']}"
+        )
+    }
+
+
+def get_tabular_actions(
+    catalog: "Catalog", warehouse: str, levels, name: str | None, kind: str = "table"
+) -> dict[str, Any]:
+    """GetTable/View/GenericTable/NamespaceActions: probe each action in
+    the entity's vocabulary against the installed authorizer for the
+    dotted resource path (the repo-wide resource convention)."""
+    wh = catalog._warehouse(warehouse, any_status=True)
+    if name is None:
+        if not catalog.namespace_exists(warehouse, list(levels)):
+            raise NoSuchEntity(f"namespace {'.'.join(levels)} not found")
+        resource = ".".join(levels)
+        actions = NAMESPACE_ACTIONS
+    else:
+        row = catalog._tabular_row(
+            wh["wh_key"], levels, name, "generic" if kind == "generic-table" else kind
+        )
+        if not row:
+            raise NoSuchEntity(f"{kind} {'.'.join(levels)}.{name} not found")
+        resource = f"{'.'.join(levels)}.{name}"
+        actions = _ENTITY_ACTIONS[kind]
+    return {"allowed-actions": _probe(catalog, actions, resource)}
+
+
+# ------------------------------------------------------------------
+# batch check
+# ------------------------------------------------------------------
+def batch_check(catalog: "Catalog", request: dict[str, Any]) -> dict[str, Any]:
+    """BatchCheckActions (check.rs:243): each item may name an identity
+    (user id, or role — probed as the role principal) and an operation
+    targeting server/project/warehouse/namespace/table/view/
+    generic-table. Missing resources are allowed=false unless
+    ``error-on-not-found`` asks for a 404."""
+    checks = request.get("checks")
+    if not isinstance(checks, list):
+        raise CatalogError("checks must be a list")
+    error_on_not_found = bool(
+        request.get("error-on-not-found", request.get("error_on_not_found", False))
+    )
+    results = []
+    for i, item in enumerate(checks):
+        op = item.get("operation") or {}
+        identity = item.get("identity")
+        actor = None
+        if identity is not None:
+            actor = identity.get("user") or identity.get("role")
+        try:
+            allowed = _check_one(catalog, op, actor)
+        except NoSuchEntity:
+            if error_on_not_found:
+                raise
+            allowed = False
+        results.append(
+            {"id": item.get("id", str(i)), "allowed": allowed}
+        )
+    return {"results": results}
+
+
+def _check_one(catalog: "Catalog", op: dict[str, Any], actor) -> bool:
+    action = op.get("action")
+    if not action:
+        raise CatalogError("operation requires an action")
+    who = actor if actor is not None else catalog._actor
+
+    def allowed(vocabulary, resource: str) -> bool:
+        if action not in vocabulary:
+            raise CatalogError(f"unknown action {action!r} for this entity type")
+        return catalog.authz.is_allowed(who, action, resource)
+
+    if "warehouse-id" in op and "namespace" not in op and "table" not in op:
+        wh = catalog._warehouse(op["warehouse-id"], any_status=True)
+        return allowed(WAREHOUSE_ACTIONS, f"warehouse/{wh['wh_key']}")
+    if "project-id" in op or op.get("type") == "project":
+        pid = op.get("project-id") or "default"
+        from .projects import PROJECT_ACTIONS
+
+        if not catalog.store.one("SELECT 1 FROM projects WHERE id=?", (pid,)):
+            raise NoSuchEntity(f"Project with id {pid} not found. (ProjectNotFound)")
+        return allowed(PROJECT_ACTIONS, f"project/{pid}")
+    for kind in ("table", "view", "generic-table", "namespace"):
+        if kind in op:
+            tgt = op[kind]
+            warehouse = tgt.get("warehouse-id")
+            if kind == "namespace":
+                levels, name = tgt["namespace"], None
+            else:
+                levels, name = tgt["namespace"], tgt.get("name")
+            wh = catalog._warehouse(warehouse, any_status=True)
+            if name is None:
+                if not catalog.namespace_exists(warehouse, list(levels)):
+                    raise NoSuchEntity(f"namespace {'.'.join(levels)} not found")
+                return allowed(NAMESPACE_ACTIONS, ".".join(levels))
+            row = catalog._tabular_row(
+                wh["wh_key"],
+                levels,
+                name,
+                "generic" if kind == "generic-table" else kind,
+            )
+            if not row:
+                raise NoSuchEntity(f"{kind} {'.'.join(levels)}.{name} not found")
+            return allowed(_ENTITY_ACTIONS[kind], f"{'.'.join(levels)}.{name}")
+    # no entity selector -> server-level action
+    return allowed(SERVER_ACTIONS, "server")
+
+
+__all__ = [
+    "SERVER_ACTIONS",
+    "WAREHOUSE_ACTIONS",
+    "NAMESPACE_ACTIONS",
+    "TABLE_ACTIONS",
+    "VIEW_ACTIONS",
+    "GENERIC_TABLE_ACTIONS",
+    "get_server_actions",
+    "get_warehouse_actions",
+    "get_tabular_actions",
+    "batch_check",
+]

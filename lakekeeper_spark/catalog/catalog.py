@@ -72,13 +72,23 @@ _DEFAULT_WAREHOUSE_PROPS = {
 
 
 class Catalog:
-    def __init__(self, metastore: Metastore, authorizer=None):
+    def __init__(
+        self,
+        metastore: Metastore,
+        authorizer=None,
+        instance_admins: set[str] | None = None,
+    ):
         import threading
 
         from .authz import AllowAllAuthorizer
 
         self.store = metastore
         self.authz = authorizer or AllowAllAuthorizer()
+        # principals with instance-admin capability (the reference's
+        # LAKEKEEPER__INSTANCE_ADMINS set, service/authz/instance_admin.rs)
+        # — required to set/clear a warehouse managed-by marker and to
+        # mutate the spec of an instance-admin-managed warehouse
+        self.instance_admins: set[str] = set(instance_admins or ())
         # thread-local: the REST facade serves concurrent requests from a
         # ThreadingHTTPServer, each scoped to its own request principal
         self._actor_ctx = threading.local()
@@ -125,12 +135,49 @@ class Catalog:
         location: str,
         properties: dict[str, Any] | None = None,
         project_id: str = "default",
+        storage_profile: dict[str, Any] | None = None,
+        storage_credential: dict[str, Any] | None = None,
+        delete_profile: dict[str, Any] | None = None,
+        allowed_format_versions: list[int] | None = None,
+        default_format_version: int | None = None,
+        managed_by: str = "self-managed",
     ) -> dict[str, Any]:
+        """CreateWarehouse (api/management/v1/warehouse/mod.rs:97
+        CreateWarehouseRequest): name unique within a project and may not
+        contain "/"; typed delete profile; format-version policy
+        (non-empty subset of [1,2,3], default member of allowed);
+        storage credential held in the secret store; managed-by marker
+        settable only with instance-admin privilege."""
+        from . import warehouse as wh_ops
+
         ident.validate_level(name)
+        if "/" in name:
+            raise CatalogError('warehouse name may not contain "/"')
         props = {**_DEFAULT_WAREHOUSE_PROPS, **(properties or {})}
+        if delete_profile is not None:
+            props.update(wh_ops.delete_profile_to_props(delete_profile))
+        if allowed_format_versions is not None or default_format_version is not None:
+            props.update(
+                wh_ops.format_policy_to_props(
+                    allowed_format_versions, default_format_version
+                )
+            )
+        if managed_by not in ("self-managed", "instance-admin"):
+            raise CatalogError(f"invalid managed-by: {managed_by}")
+        if managed_by != "self-managed" and not self.is_instance_admin():
+            from .authz import AuthorizationError
+
+            raise AuthorizationError(
+                "creating a managed warehouse requires instance-admin privilege"
+            )
+        if storage_profile is not None:
+            wh_ops.validate_storage_profile(storage_profile, location)
+        secret_id = None
         st = self.store
         st.begin()
         try:
+            if storage_credential is not None:
+                secret_id = wh_ops.store_secret(st, storage_credential)
             if project_id == "default":
                 # lazily materialize the default project (server.rs:268)
                 st.execute(
@@ -148,10 +195,12 @@ class Catalog:
                 )
             if st.one("SELECT 1 FROM warehouses WHERE wh_key=?", (ident.fold(name),)):
                 raise AlreadyExists(f"warehouse {name} exists")
+            wh_id = new_uuid()
             st.execute(
                 "INSERT INTO warehouses (wh_key, name, location, properties,"
-                " created_ms, project_id)"
-                " VALUES (?,?,?,?,?,?)",
+                " created_ms, project_id, wh_id, status, managed_by,"
+                " storage_profile, storage_secret_id, updated_ms)"
+                " VALUES (?,?,?,?,?,?,?,?,?,?,?,?)",
                 (
                     ident.fold(name),
                     name,
@@ -159,6 +208,12 @@ class Catalog:
                     json.dumps(props),
                     now_ms(),
                     project_id,
+                    wh_id,
+                    "active",
+                    managed_by,
+                    json.dumps(storage_profile) if storage_profile else None,
+                    secret_id,
+                    now_ms(),
                 ),
             )
             st.emit_event("create-warehouse", ident.fold(name), name, {"location": location})
@@ -166,14 +221,29 @@ class Catalog:
         except BaseException:
             st.rollback()
             raise
-        return {"name": name, "location": location, "properties": props}
+        return {
+            "name": name,
+            "location": location,
+            "properties": props,
+            "warehouse-id": wh_id,
+            "project-id": project_id,
+            "status": "active",
+            "managed-by": managed_by,
+        }
+
+    def is_instance_admin(self) -> bool:
+        """Whether the current request may bypass control-plane spec locks
+        (bypasses_control_plane_authz, request_metadata.rs:334): an
+        in-process caller (no request actor — is_lakekeeper_internal) or
+        a principal in the configured instance-admins set."""
+        return self._actor is None or self._actor in self.instance_admins
 
     def task_config(self, warehouse: str, queue: str | None = None) -> dict[str, int]:
         """Per-warehouse task-queue tuning for lifecycle workers
         (reference per-warehouse queue config, api/management/v1/tasks.rs).
         Warehouse properties give the defaults; a per-queue config set via
         SetTaskQueueConfig (catalog/tasks.py) overrides them."""
-        wh = self._warehouse(warehouse)
+        wh = self._warehouse(warehouse, any_status=True)
         props = wh["properties"]
         out = {
             "max_attempts": int(props.get("task-max-retries", 5)),
@@ -202,12 +272,18 @@ class Catalog:
                     )
         return out
 
-    def _warehouse(self, warehouse: str) -> dict[str, Any]:
+    def _warehouse(self, warehouse: str, any_status: bool = False) -> dict[str, Any]:
         """Resolve a warehouse by name, or by the ``project/name`` form
         engines pass to GET /config (the reference resolves
         ``<project>/<warehouse>`` warehouse identifiers,
         server/config.rs) — the project part must match the warehouse's
-        project_id."""
+        project_id.
+
+        Catalog data-plane operations require an ACTIVE warehouse
+        (require_active_warehouse, server/tables.rs:2054 — 404
+        WarehouseNotActive); management operations pass
+        ``any_status=True`` (the reference's
+        WarehouseStatus::active_and_inactive() fetches)."""
         project_scope = None
         if "/" in warehouse:
             project_scope, warehouse = warehouse.split("/", 1)
@@ -220,6 +296,9 @@ class Catalog:
             raise NoSuchEntity(
                 f"warehouse {warehouse} not found in project {project_scope}"
             )
+        status = row["status"] if "status" in row.keys() else "active"
+        if not any_status and status != "active":
+            raise NoSuchEntity("Warehouse is not active (WarehouseNotActive)")
         return {
             "wh_key": row["wh_key"],
             "name": row["name"],
@@ -227,13 +306,28 @@ class Catalog:
             "properties": json.loads(row["properties"]),
             "protected": bool(row["protected"]),
             "project_id": row["project_id"],
+            "wh_id": row["wh_id"] if "wh_id" in row.keys() else None,
+            "status": status,
+            "managed_by": (
+                row["managed_by"] if "managed_by" in row.keys() else "self-managed"
+            ),
+            "storage_profile": (
+                json.loads(row["storage_profile"])
+                if "storage_profile" in row.keys() and row["storage_profile"]
+                else None
+            ),
+            "storage_secret_id": (
+                row["storage_secret_id"] if "storage_secret_id" in row.keys() else None
+            ),
+            "created_ms": row["created_ms"],
+            "updated_ms": row["updated_ms"] if "updated_ms" in row.keys() else None,
         }
 
     def describe_warehouse(self, warehouse: str) -> dict[str, Any]:
         """Public warehouse lookup (name/location/properties/protected) —
         the accessor service layers (REST signer, vector datasets) use
         instead of reaching into _warehouse."""
-        wh = self._warehouse(warehouse)
+        wh = self._warehouse(warehouse, any_status=True)
         return {k: wh[k] for k in ("name", "location", "properties", "protected")}
 
     def list_warehouses(self, project_id: str | None = None) -> list[str]:
@@ -296,7 +390,7 @@ class Catalog:
         row for this hour (reference: hourly lazily-rolled statistics,
         api/management/v1/warehouse/mod.rs:361-374 — a row per hour is
         created/updated when statistics are requested, not by a cron)."""
-        wh = self._warehouse(warehouse)
+        wh = self._warehouse(warehouse, any_status=True)
         row = self.store.one(
             "SELECT SUM(CASE WHEN kind='table' THEN 1 ELSE 0 END) AS n_tables,"
             "       SUM(CASE WHEN kind='view' THEN 1 ELSE 0 END) AS n_views"
@@ -321,7 +415,7 @@ class Catalog:
 
     def warehouse_statistics_history(self, warehouse: str) -> list[dict[str, Any]]:
         """The rolled hourly series (GetWarehouseStatistics list form)."""
-        wh = self._warehouse(warehouse)
+        wh = self._warehouse(warehouse, any_status=True)
         return [
             {
                 "hour": r["hour"],
@@ -659,7 +753,7 @@ class Catalog:
         sort_order: dict[str, Any] | None = None,
         properties: dict[str, str] | None = None,
         stage_create: bool = False,
-        format_version: int = 2,
+        format_version: int | None = None,
         location: str | None = None,
     ) -> dict[str, Any]:
         """``location`` overrides the storage-layout template (reference
@@ -670,10 +764,17 @@ class Catalog:
         ident.validate_level(name)
         wh = self._warehouse(warehouse)
         self._authorize("create", wh["wh_key"], f"{'.'.join(levels)}.{name}")
-        policy = int(wh["properties"].get("format-version-policy", 3))
-        if format_version > policy:
+        from . import warehouse as wh_ops
+
+        if format_version is None:
+            # CreateWarehouseRequest.default_format_version resolution:
+            # v2 if allowed, else the highest allowed version
+            format_version = wh_ops.resolve_default_format_version(wh["properties"])
+        allowed = wh_ops.allowed_format_version_set(wh["properties"])
+        if format_version not in allowed:
             raise CommitValidationError(
-                f"format-version {format_version} exceeds warehouse policy ({policy})"
+                f"format-version {format_version} not in warehouse policy"
+                f" (allowed: {sorted(allowed)})"
             )
         table_uuid = new_uuid()
         if location is not None:
@@ -998,7 +1099,9 @@ class Catalog:
             self._authorize(
                 "commit", wh["wh_key"], f"{'.'.join(ch['levels'])}.{ch['name']}"
             )
-        policy = int(wh["properties"].get("format-version-policy", 3))
+        from . import warehouse as wh_ops
+
+        allowed_versions = wh_ops.allowed_format_version_set(wh["properties"])
         st = self.store
         expired_files: list[str] = []
         st.begin()
@@ -1011,7 +1114,8 @@ class Catalog:
                     meta if meta is not None else {},
                     ch["requirements"],
                     ch["updates"],
-                    max_format_version=policy,
+                    max_format_version=max(allowed_versions),
+                    allowed_format_versions=allowed_versions,
                 )
                 if row is None:
                     raise NoSuchEntity(f"table {ch['name']} not found")
@@ -1241,7 +1345,7 @@ class Catalog:
         partition_spec: dict[str, Any] | None = None,
         sort_order: dict[str, Any] | None = None,
         properties: dict[str, str] | None = None,
-        format_version: int = 2,
+        format_version: int | None = None,
     ) -> dict[str, Any]:
         """CREATE OR REPLACE TABLE (reference test_spark.py:62-68,
         test_replace_table): an existing table is atomically replaced by a
@@ -1267,10 +1371,17 @@ class Catalog:
                 )
             if row["protected"]:
                 raise ProtectedEntity(f"table {name} is protected")
-            policy = int(wh["properties"].get("format-version-policy", 3))
-            if format_version > policy:
+            from . import warehouse as wh_ops
+
+            if format_version is None:
+                format_version = wh_ops.resolve_default_format_version(
+                    wh["properties"]
+                )
+            allowed = wh_ops.allowed_format_version_set(wh["properties"])
+            if format_version not in allowed:
                 raise CommitValidationError(
-                    f"format-version {format_version} exceeds warehouse policy ({policy})"
+                    f"format-version {format_version} not in warehouse policy"
+                    f" (allowed: {sorted(allowed)})"
                 )
             old_meta = json.loads(row["metadata"])
             table_uuid = new_uuid()
@@ -1316,24 +1427,63 @@ class Catalog:
 
     def set_protection(
         self, warehouse: str, levels, name: str | None, protected: bool, kind: str = "table"
-    ) -> None:
-        wh = self._warehouse(warehouse)
+    ) -> dict[str, Any]:
+        """Set the tabular/namespace protection flag; returns the
+        reference's ProtectionResponse shape (management/mod.rs:1648)."""
+        wh = self._warehouse(warehouse, any_status=True)
         resource = ".".join(levels) if name is None else f"{'.'.join(levels)}.{name}"
         self._authorize("set_protection", wh["wh_key"], resource)
         st = self.store
         if name is None:
             cur = st.execute(
-                "UPDATE namespaces SET protected=? WHERE wh_key=? AND ns_key=?",
-                (int(protected), wh["wh_key"], ident.ns_key(levels)),
+                "UPDATE namespaces SET protected=?, updated_ms=? WHERE wh_key=?"
+                " AND ns_key=?",
+                (int(protected), now_ms(), wh["wh_key"], ident.ns_key(levels)),
             )
         else:
             cur = st.execute(
-                "UPDATE tabulars SET protected=? WHERE wh_key=? AND ns_key=? AND name_key=?"
+                "UPDATE tabulars SET protected=?, updated_ms=? WHERE wh_key=?"
+                " AND ns_key=? AND name_key=?"
                 " AND kind=? AND deleted_ms IS NULL",
-                (int(protected), wh["wh_key"], ident.ns_key(levels), ident.fold(name), kind),
+                (
+                    int(protected),
+                    now_ms(),
+                    wh["wh_key"],
+                    ident.ns_key(levels),
+                    ident.fold(name),
+                    kind,
+                ),
             )
         if cur.rowcount == 0:
             raise NoSuchEntity("entity not found")
+        return {"protected": protected, "updated-at": _ms_to_rfc3339(now_ms())}
+
+    def get_protection(
+        self, warehouse: str, levels, name: str | None, kind: str = "table"
+    ) -> dict[str, Any]:
+        """GetTable/View/GenericTable/NamespaceProtection
+        (endpoints.rs:238-250): the current flag + last update time as a
+        ProtectionResponse (management/mod.rs:1648)."""
+        wh = self._warehouse(warehouse, any_status=True)
+        if name is None:
+            row = self.store.one(
+                "SELECT protected, updated_ms FROM namespaces WHERE wh_key=?"
+                " AND ns_key=?",
+                (wh["wh_key"], ident.ns_key(levels)),
+            )
+        else:
+            row = self.store.one(
+                "SELECT protected, updated_ms FROM tabulars WHERE wh_key=?"
+                " AND ns_key=? AND name_key=? AND kind=? AND deleted_ms IS NULL",
+                (wh["wh_key"], ident.ns_key(levels), ident.fold(name), kind),
+            )
+        if row is None:
+            raise NoSuchEntity("entity not found")
+        updated = row["updated_ms"] if "updated_ms" in row.keys() else None
+        return {
+            "protected": bool(row["protected"]),
+            "updated-at": _ms_to_rfc3339(updated) if updated else None,
+        }
 
     def search_tabular(self, warehouse: str, query: str, limit: int = 10) -> list[dict[str, Any]]:
         """Fuzzy name search (reference SearchTabular, endpoints.rs:235)."""

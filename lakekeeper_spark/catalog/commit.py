@@ -189,17 +189,21 @@ def apply_commit(
     requirements: list[dict[str, Any]],
     updates: list[dict[str, Any]],
     max_format_version: int | None = None,
+    allowed_format_versions: set[int] | frozenset[int] | None = None,
 ) -> dict[str, Any]:
     """Validate requirements then fold updates; returns NEW metadata dict.
 
     ``max_format_version`` is the warehouse format-version policy gate
     (reference: UpdateWarehouseFormatVersionPolicy, commit_tables.rs:22-31).
+    ``allowed_format_versions`` is the v0.13 allowed-set form of the same
+    policy (warehouse/mod.rs:257 — versions "that may be created in, or
+    upgraded to"); when given, an upgrade target must be a member.
     """
     for req in requirements:
         check_requirement(req, meta)
     out = _deep_copy(meta)
     for upd in updates:
-        _apply_update(out, upd, max_format_version)
+        _apply_update(out, upd, max_format_version, allowed_format_versions)
     out["last-updated-ms"] = int(time.time() * 1000)
     return out
 
@@ -215,7 +219,10 @@ def _schema_by_id(meta: dict[str, Any], schema_id: int) -> dict[str, Any] | None
 
 
 def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
-    meta: dict[str, Any], upd: dict[str, Any], max_format_version: int | None
+    meta: dict[str, Any],
+    upd: dict[str, Any],
+    max_format_version: int | None,
+    allowed_format_versions: set[int] | frozenset[int] | None = None,
 ) -> None:
     action = upd.get("action")
     if action == "assign-uuid":
@@ -229,6 +236,11 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
         if max_format_version is not None and target > max_format_version:
             raise CommitValidationError(
                 f"format-version {target} exceeds warehouse policy ({max_format_version})"
+            )
+        if allowed_format_versions is not None and target not in allowed_format_versions:
+            raise CommitValidationError(
+                f"format-version {target} not in warehouse policy"
+                f" (allowed: {sorted(allowed_format_versions)})"
             )
         meta["format-version"] = target
     elif action == "add-schema":

@@ -43,11 +43,18 @@ CREATE TABLE IF NOT EXISTS warehouses (
   wh_key TEXT PRIMARY KEY, name TEXT NOT NULL, location TEXT NOT NULL,
   properties TEXT NOT NULL DEFAULT '{}', protected INTEGER NOT NULL DEFAULT 0,
   created_ms INTEGER NOT NULL,
-  project_id TEXT NOT NULL DEFAULT 'default');
+  project_id TEXT NOT NULL DEFAULT 'default',
+  -- warehouse lifecycle (api/management/v1/warehouse/mod.rs;
+  -- postgres warehouse.rs): stable uuid, active/inactive status,
+  -- control-plane spec lock, storage profile + secret pointer
+  wh_id TEXT, status TEXT NOT NULL DEFAULT 'active',
+  managed_by TEXT NOT NULL DEFAULT 'self-managed',
+  storage_profile TEXT, storage_secret_id TEXT, updated_ms INTEGER);
 CREATE TABLE IF NOT EXISTS namespaces (
   wh_key TEXT NOT NULL, ns_key TEXT NOT NULL, ns_stored TEXT NOT NULL,
   properties TEXT NOT NULL DEFAULT '{}', protected INTEGER NOT NULL DEFAULT 0,
-  created_ms INTEGER NOT NULL, PRIMARY KEY (wh_key, ns_key));
+  created_ms INTEGER NOT NULL, updated_ms INTEGER,
+  PRIMARY KEY (wh_key, ns_key));
 CREATE TABLE IF NOT EXISTS tabulars (
   id TEXT PRIMARY KEY, wh_key TEXT NOT NULL, ns_key TEXT NOT NULL,
   name_key TEXT NOT NULL, name TEXT NOT NULL,
@@ -137,6 +144,13 @@ CREATE TABLE IF NOT EXISTS role_members (
   PRIMARY KEY (role_id, member_kind, member_id));
 CREATE INDEX IF NOT EXISTS role_members_by_member
   ON role_members (member_kind, member_id);
+CREATE TABLE IF NOT EXISTS secrets (
+  -- warehouse storage credentials (reference secret store: postgres
+  -- migrations/03_secret.sql encrypted with pgcrypto, or the Vault kv2
+  -- crate). Values are stored verbatim here; the encryption-at-rest /
+  -- Vault backend is the cloud swap-in point.
+  id TEXT PRIMARY KEY, kind TEXT NOT NULL, value TEXT NOT NULL,
+  created_ms INTEGER NOT NULL, updated_ms INTEGER);
 """
 
 
@@ -146,8 +160,10 @@ CREATE INDEX IF NOT EXISTS role_members_by_member
 #: (lakekeeper-storage-postgres/migrations/, 60+ files); this is the
 #: SQLite-weight equivalent so an existing metastore.db upgrades in place
 #: instead of raising OperationalError on the new columns.
-_SCHEMA_VERSION = 4  # v3: users/roles/role_members (new tables only);
+_SCHEMA_VERSION = 5  # v3: users/roles/role_members (new tables only);
 # v4: projects + server_info tables, warehouses.project_id column
+# v5: warehouse lifecycle columns (status/managed_by/storage profile) +
+#     secrets table
 
 #: table -> {column: declaration} added after that table first shipped.
 #: SQLite ALTER TABLE ADD COLUMN cannot add NOT NULL without a default,
@@ -167,6 +183,17 @@ _COLUMN_MIGRATIONS: dict[str, dict[str, str]] = {
     "warehouses": {
         # project scoping (round 12, api/management/v1/project.rs)
         "project_id": "TEXT NOT NULL DEFAULT 'default'",
+        # warehouse lifecycle (round 12, warehouse/mod.rs)
+        "wh_id": "TEXT",
+        "status": "TEXT NOT NULL DEFAULT 'active'",
+        "managed_by": "TEXT NOT NULL DEFAULT 'self-managed'",
+        "storage_profile": "TEXT",
+        "storage_secret_id": "TEXT",
+        "updated_ms": "INTEGER",
+    },
+    "namespaces": {
+        # ProtectionResponse.updated_at (round 12, management/mod.rs:1648)
+        "updated_ms": "INTEGER",
     },
 }
 

@@ -1,0 +1,545 @@
+"""Warehouse lifecycle management.
+
+Mirrors the reference's warehouse management surface
+(``api/management/v1/warehouse/mod.rs``; store semantics
+``lakekeeper-storage-postgres/src/warehouse.rs``):
+
+- GetWarehouse / ListWarehouses response shapes (mod.rs:281
+  ``GetWarehouseResponse``) including delete profile, format-version
+  policy, status, managed-by marker, and best-effort storage
+  credential type.
+- RenameWarehouse (active-only UPDATE, warehouse.rs:586),
+  DeleteWarehouse (unfinished-tasks + not-empty + protection guards,
+  warehouse.rs:530-585), Activate/Deactivate (status flips;
+  an inactive warehouse 404s on the catalog data plane —
+  require_active_warehouse, server/tables.rs:2054).
+- UpdateWarehouseDeleteProfile / UpdateWarehouseFormatVersionPolicy /
+  UpdateStorageProfile / UpdateStorageCredential / SetWarehouseManagedBy
+  — all spec mutations gated by ``ensure_warehouse_spec_mutable``
+  (warehouse.rs:754: an instance-admin-managed warehouse rejects spec
+  mutations unless the caller bypasses control-plane authz,
+  request_metadata.rs:334).
+- SetWarehouseProtection (ProtectionResponse, management/mod.rs:1648)
+  and ListDeletedTabulars (DeletedTabularResponse with the
+  expiration-task date, warehouse/mod.rs:1560-1640).
+
+The credential "secret store" is the metastore ``secrets`` table — the
+reference encrypts in Postgres (migrations/03_secret.sql) or delegates
+to Vault (lakekeeper-secrets-kv2); those backends are the cloud
+swap-in point, the catalog only ever exposes the credential *type*.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import TYPE_CHECKING, Any
+
+from . import identifiers as ident
+from .catalog import (
+    AlreadyExists,
+    CatalogError,
+    NoSuchEntity,
+    ProtectedEntity,
+    _ms_to_rfc3339,
+)
+from .metastore import new_uuid, now_ms
+
+if TYPE_CHECKING:
+    from .catalog import Catalog
+
+_FORMAT_VERSIONS = (1, 2, 3)
+_UNSET = object()
+
+
+# ------------------------------------------------------------------
+# delete profile / format-version policy <-> warehouse properties
+# ------------------------------------------------------------------
+def delete_profile_to_props(profile: dict[str, Any]) -> dict[str, Any]:
+    """Typed TabularDeleteProfile (mod.rs:140 — kebab-case tagged enum)
+    to the internal property keys drop_table reads."""
+    kind = profile.get("type")
+    if kind == "hard":
+        return {"delete-profile": "hard"}
+    if kind == "soft":
+        secs = profile.get("expiration-seconds", profile.get("expiration_seconds"))
+        if secs is None:
+            raise CatalogError("soft delete profile requires expiration-seconds")
+        return {"delete-profile": "soft", "expiration-seconds": int(secs)}
+    raise CatalogError(f"invalid delete profile type: {kind!r}")
+
+
+def props_to_delete_profile(props: dict[str, Any]) -> dict[str, Any]:
+    if props.get("delete-profile", "soft") == "hard":
+        return {"type": "hard"}
+    return {
+        "type": "soft",
+        "expiration-seconds": int(props.get("expiration-seconds", 0)),
+    }
+
+
+def format_policy_to_props(
+    allowed: list[int] | None, default: int | None
+) -> dict[str, Any]:
+    """Validate + normalize the format-version policy
+    (UpdateWarehouseFormatVersionPolicyRequest, mod.rs:257): allowed
+    must be a non-empty subset of [1,2,3]; default must be a member."""
+    if allowed is None:
+        allowed = list(_FORMAT_VERSIONS)
+    allowed = sorted({int(v) for v in allowed})
+    if not allowed or any(v not in _FORMAT_VERSIONS for v in allowed):
+        raise CatalogError(
+            "allowed-format-versions must be a non-empty subset of [1, 2, 3]"
+        )
+    out: dict[str, Any] = {
+        "allowed-format-versions": allowed,
+        # legacy max-version key kept in sync for older call sites
+        "format-version-policy": max(allowed),
+    }
+    if default is not None:
+        if int(default) not in allowed:
+            raise CatalogError(
+                f"default-format-version {default} not in allowed versions {allowed}"
+            )
+        out["default-format-version"] = int(default)
+    return out
+
+
+def allowed_format_version_set(props: dict[str, Any]) -> frozenset[int]:
+    """The versions tables may be created at or upgraded to. Warehouses
+    predating the allowed-set policy fall back to the legacy max-version
+    property (every version up to the max)."""
+    if "allowed-format-versions" in props:
+        return frozenset(int(v) for v in props["allowed-format-versions"])
+    policy = int(props.get("format-version-policy", 3))
+    return frozenset(v for v in _FORMAT_VERSIONS if v <= policy)
+
+
+def resolve_default_format_version(props: dict[str, Any]) -> int:
+    """CreateWarehouseRequest.default_format_version resolution
+    (mod.rs:121-128): explicit value, else v2 if allowed, else the
+    highest allowed version."""
+    if props.get("default-format-version") is not None:
+        return int(props["default-format-version"])
+    allowed = allowed_format_version_set(props)
+    return 2 if 2 in allowed else max(allowed)
+
+
+# ------------------------------------------------------------------
+# storage profile + secret store
+# ------------------------------------------------------------------
+_FLAVOR_SCHEMES = {"s3": ("s3://", "s3a://"), "adls": ("abfss://", "wasbs://"), "gcs": ("gs://",)}
+
+
+def validate_storage_profile(profile: dict[str, Any], location: str | None = None) -> None:
+    """Shape check for StorageProfile (service/storage/mod.rs:60 enum:
+    s3/adls/gcs). The reference additionally probes the live bucket
+    (read/write/list, s3.rs:340+) — that network half is the cloud
+    swap-in point; locally we validate type/location consistency."""
+    # s3/adls/gcs are the reference's StorageProfile flavors; local and
+    # memory are this repo's test/file-system profiles, and an untyped
+    # profile (location only) is treated as local
+    kind = profile.get("type", "local")
+    if kind not in ("s3", "adls", "gcs", "memory", "local"):
+        raise CatalogError(f"invalid storage profile type: {kind!r}")
+    loc = location or profile.get("location")
+    if loc and "://" in loc and kind in _FLAVOR_SCHEMES:
+        if not loc.startswith(_FLAVOR_SCHEMES[kind]):
+            raise CatalogError(
+                f"storage profile type {kind} does not match location {loc}"
+            )
+
+
+def store_secret(store, credential: dict[str, Any]) -> str:
+    """Persist a storage credential; returns the secret id the
+    warehouse row points at (03_secret.sql storage_secret_id)."""
+    secret_id = new_uuid()
+    store.execute(
+        "INSERT INTO secrets (id, kind, value, created_ms) VALUES (?,?,?,?)",
+        (
+            secret_id,
+            str(credential.get("type", "unknown")),
+            json.dumps(credential),
+            now_ms(),
+        ),
+    )
+    return secret_id
+
+
+def credential_type(store, secret_id: str | None) -> str | None:
+    """Best-effort credential-kind lookup for GetWarehouseResponse
+    (storage_credential_type — never the secret value, mod.rs:300)."""
+    if secret_id is None:
+        return None
+    row = store.one("SELECT kind FROM secrets WHERE id=?", (secret_id,))
+    return row["kind"] if row else None
+
+
+# ------------------------------------------------------------------
+# guards
+# ------------------------------------------------------------------
+def ensure_spec_mutable(catalog: "Catalog", wh: dict[str, Any]) -> None:
+    """ensure_warehouse_spec_mutable (postgres warehouse.rs:754): an
+    externally-managed warehouse rejects spec mutations (the action set
+    in CatalogWarehouseAction::is_spec_mutation, authz/mod.rs:710)
+    unless the caller bypasses control-plane authz."""
+    from .authz import AuthorizationError
+
+    if wh.get("managed_by", "self-managed") == "self-managed":
+        return
+    if catalog.is_instance_admin():
+        return
+    raise AuthorizationError(
+        f"warehouse spec is managed by {wh['managed_by']} (WarehouseSpecLocked)"
+    )
+
+
+def _touch(catalog: "Catalog", wh_key: str, **cols: Any) -> None:
+    sets = ", ".join(f"{k}=?" for k in cols) + ", updated_ms=?"
+    catalog.store.execute(
+        f"UPDATE warehouses SET {sets} WHERE wh_key=?",
+        (*cols.values(), now_ms(), wh_key),
+    )
+
+
+# ------------------------------------------------------------------
+# GetWarehouse / ListWarehouses
+# ------------------------------------------------------------------
+def get_warehouse(catalog: "Catalog", warehouse: str) -> dict[str, Any]:
+    """GetWarehouseResponse (mod.rs:281) in kebab-case wire form."""
+    wh = catalog._warehouse(warehouse, any_status=True)
+    if wh["wh_id"] is None:
+        # rows created before the lifecycle columns (schema v5) get their
+        # stable uuid on first read
+        wh["wh_id"] = new_uuid()
+        catalog.store.execute(
+            "UPDATE warehouses SET wh_id=? WHERE wh_key=?",
+            (wh["wh_id"], wh["wh_key"]),
+        )
+    props = wh["properties"]
+    out = {
+        "id": wh["wh_id"],  # deprecated alias kept for parity (mod.rs:284)
+        "warehouse-id": wh["wh_id"],
+        "name": wh["name"],
+        "project-id": wh["project_id"],
+        "storage-profile": wh["storage_profile"]
+        or {"type": "memory", "location": wh["location"]},
+        "delete-profile": props_to_delete_profile(props),
+        "status": wh["status"],
+        "protected": wh["protected"],
+        "managed-by": wh["managed_by"],
+        "allowed-format-versions": sorted(allowed_format_version_set(props)),
+        "updated-at": _ms_to_rfc3339(wh["updated_ms"]) if wh["updated_ms"] else None,
+    }
+    ctype = credential_type(catalog.store, wh["storage_secret_id"])
+    if ctype is not None:
+        out["storage-credential-type"] = ctype
+    if props.get("default-format-version") is not None:
+        out["default-format-version"] = int(props["default-format-version"])
+    return out
+
+
+def list_warehouses(
+    catalog: "Catalog",
+    project_id: str,
+    warehouse_status: list[str] | None = None,
+) -> list[dict[str, Any]]:
+    """ListWarehousesResponse rows (mod.rs:329): full GetWarehouseResponse
+    per warehouse; default filter is active-only (ListWarehousesRequest
+    warehouse_status, mod.rs:231)."""
+    statuses = set(warehouse_status or ["active"])
+    bad = statuses - {"active", "inactive"}
+    if bad:
+        raise CatalogError(f"invalid warehouse status filter: {sorted(bad)}")
+    out = []
+    for r in catalog.store.query(
+        "SELECT name FROM warehouses WHERE project_id=? ORDER BY wh_key",
+        (project_id,),
+    ):
+        info = get_warehouse(catalog, r["name"])
+        if info["status"] in statuses:
+            out.append(info)
+    return out
+
+
+# ------------------------------------------------------------------
+# lifecycle mutations
+# ------------------------------------------------------------------
+def rename_warehouse(catalog: "Catalog", warehouse: str, new_name: str) -> None:
+    """RenameWarehouse: active-only (warehouse.rs:586 UPDATE ... AND
+    status='active'), name unique within the project."""
+    wh = catalog._warehouse(warehouse, any_status=True)
+    ensure_spec_mutable(catalog, wh)
+    if wh["status"] != "active":
+        raise NoSuchEntity("Warehouse is not active (WarehouseNotActive)")
+    ident.validate_level(new_name)
+    if "/" in new_name:
+        raise CatalogError('warehouse name may not contain "/"')
+    new_key = ident.fold(new_name)
+    st = catalog.store
+    st.begin()
+    try:
+        if new_key != wh["wh_key"] and st.one(
+            "SELECT 1 FROM warehouses WHERE wh_key=?", (new_key,)
+        ):
+            raise AlreadyExists(f"warehouse {new_name} exists")
+        # the folded key is the FK everywhere (namespaces, tabulars,
+        # tasks, stats) — move dependents in the same transaction
+        for table in (
+            "namespaces",
+            "tabulars",
+            "warehouse_stats_history",
+            "task_config",
+            "tasks",
+            "endpoint_stats",
+        ):
+            st.execute(
+                f"UPDATE {table} SET wh_key=? WHERE wh_key=?",
+                (new_key, wh["wh_key"]),
+            )
+        st.execute(
+            "UPDATE warehouses SET wh_key=?, name=?, updated_ms=? WHERE wh_key=?",
+            (new_key, new_name, now_ms(), wh["wh_key"]),
+        )
+        st.emit_event(
+            "rename-warehouse", new_key, new_name, {"old-name": wh["name"]}
+        )
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+
+
+def delete_warehouse(catalog: "Catalog", warehouse: str, force: bool = False) -> None:
+    """DeleteWarehouse (warehouse.rs:530): refuse while unfinished tasks
+    exist (per-queue counts in the error), refuse when non-empty,
+    refuse when protected unless ``force``."""
+    wh = catalog._warehouse(warehouse, any_status=True)
+    ensure_spec_mutable(catalog, wh)
+    st = catalog.store
+    st.begin()
+    try:
+        task_counts = st.query(
+            "SELECT queue, COUNT(*) AS n FROM tasks WHERE wh_key=?"
+            " AND status IN ('pending','running','should-stop') GROUP BY queue",
+            (wh["wh_key"],),
+        )
+        if task_counts:
+            desc = ", ".join(
+                f"{r['n']} Tasks in queue '{r['queue']}'" for r in task_counts
+            )
+            raise CatalogError(
+                f"Unfinished tasks: {desc} (WarehouseHasUnfinishedTasks)"
+            )
+        n_tabulars = st.one(
+            "SELECT COUNT(*) AS n FROM tabulars WHERE wh_key=?", (wh["wh_key"],)
+        )["n"]
+        n_namespaces = st.one(
+            "SELECT COUNT(*) AS n FROM namespaces WHERE wh_key=?", (wh["wh_key"],)
+        )["n"]
+        if n_tabulars or n_namespaces:
+            raise CatalogError("Warehouse is not empty (WarehouseNotEmpty)")
+        if wh["protected"] and not force:
+            raise ProtectedEntity("warehouse is protected (WarehouseProtected)")
+        for table in ("warehouse_stats_history", "task_config", "endpoint_stats"):
+            st.execute(f"DELETE FROM {table} WHERE wh_key=?", (wh["wh_key"],))
+        if wh["storage_secret_id"]:
+            st.execute("DELETE FROM secrets WHERE id=?", (wh["storage_secret_id"],))
+        st.execute("DELETE FROM warehouses WHERE wh_key=?", (wh["wh_key"],))
+        st.emit_event("delete-warehouse", wh["wh_key"], wh["name"], {})
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+
+
+def set_status(catalog: "Catalog", warehouse: str, active: bool) -> None:
+    """Activate/DeactivateWarehouse (mod.rs:1034,1092). Inactive
+    warehouses 404 on the catalog data plane and GET /config but stay
+    visible to management routes."""
+    wh = catalog._warehouse(warehouse, any_status=True)
+    ensure_spec_mutable(catalog, wh)
+    _touch(catalog, wh["wh_key"], status="active" if active else "inactive")
+    catalog.store.emit_event(
+        "activate-warehouse" if active else "deactivate-warehouse",
+        wh["wh_key"],
+        wh["name"],
+        {},
+    )
+
+
+def update_delete_profile(
+    catalog: "Catalog", warehouse: str, profile: dict[str, Any]
+) -> None:
+    """UpdateWarehouseDeleteProfile (mod.rs:250)."""
+    wh = catalog._warehouse(warehouse, any_status=True)
+    ensure_spec_mutable(catalog, wh)
+    props = {**wh["properties"], **delete_profile_to_props(profile)}
+    if props.get("delete-profile") == "hard":
+        props.pop("expiration-seconds", None)
+    _touch(catalog, wh["wh_key"], properties=json.dumps(props))
+
+
+def update_format_version_policy(
+    catalog: "Catalog",
+    warehouse: str,
+    allowed: list[int],
+    default: int | None = None,
+) -> None:
+    """UpdateWarehouseFormatVersionPolicy (mod.rs:257; the commit-side
+    gate is commit_tables.rs:22-31)."""
+    wh = catalog._warehouse(warehouse, any_status=True)
+    ensure_spec_mutable(catalog, wh)
+    props = dict(wh["properties"])
+    props.pop("default-format-version", None)
+    props.update(format_policy_to_props(allowed, default))
+    _touch(catalog, wh["wh_key"], properties=json.dumps(props))
+
+
+def update_storage_profile(
+    catalog: "Catalog",
+    warehouse: str,
+    profile: dict[str, Any],
+    credential: Any = _UNSET,
+) -> None:
+    """UpdateStorageProfile (UpdateWarehouseStorageRequest, mod.rs:207):
+    new profile, optionally rotating the credential in the same call."""
+    wh = catalog._warehouse(warehouse, any_status=True)
+    ensure_spec_mutable(catalog, wh)
+    validate_storage_profile(profile)
+    cols: dict[str, Any] = {"storage_profile": json.dumps(profile)}
+    if profile.get("location"):
+        cols["location"] = str(profile["location"]).rstrip("/")
+    st = catalog.store
+    st.begin()
+    try:
+        if credential is not _UNSET:
+            cols["storage_secret_id"] = _swap_secret(st, wh, credential)
+        _touch(catalog, wh["wh_key"], **cols)
+        st.emit_event("update-warehouse-storage", wh["wh_key"], wh["name"], {})
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+
+
+def update_storage_credential(
+    catalog: "Catalog", warehouse: str, credential: dict[str, Any] | None
+) -> None:
+    """UpdateStorageCredential (UpdateWarehouseCredentialRequest,
+    mod.rs:337): None removes the credential."""
+    wh = catalog._warehouse(warehouse, any_status=True)
+    ensure_spec_mutable(catalog, wh)
+    st = catalog.store
+    st.begin()
+    try:
+        _touch(catalog, wh["wh_key"], storage_secret_id=_swap_secret(st, wh, credential))
+        st.emit_event("update-warehouse-credential", wh["wh_key"], wh["name"], {})
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+
+
+def _swap_secret(st, wh: dict[str, Any], credential: dict[str, Any] | None) -> str | None:
+    if wh["storage_secret_id"]:
+        st.execute("DELETE FROM secrets WHERE id=?", (wh["storage_secret_id"],))
+    if credential is None:
+        return None
+    return store_secret(st, credential)
+
+
+def set_managed_by(catalog: "Catalog", warehouse: str, managed_by: str) -> None:
+    """SetWarehouseManagedBy (mod.rs:346): setting or clearing the
+    marker requires instance-admin privilege."""
+    from .authz import AuthorizationError
+
+    if managed_by not in ("self-managed", "instance-admin"):
+        raise CatalogError(f"invalid managed-by: {managed_by}")
+    wh = catalog._warehouse(warehouse, any_status=True)
+    if not catalog.is_instance_admin():
+        raise AuthorizationError(
+            "setting managed-by requires instance-admin privilege"
+        )
+    _touch(catalog, wh["wh_key"], managed_by=managed_by)
+
+
+def set_warehouse_protection(
+    catalog: "Catalog", warehouse: str, protected: bool
+) -> dict[str, Any]:
+    """SetWarehouseProtection (a spec mutation, authz/mod.rs:719);
+    checked by delete_warehouse."""
+    wh = catalog._warehouse(warehouse, any_status=True)
+    ensure_spec_mutable(catalog, wh)
+    _touch(catalog, wh["wh_key"], protected=int(protected))
+    return {"protected": protected, "updated-at": _ms_to_rfc3339(now_ms())}
+
+
+def get_warehouse_protection(catalog: "Catalog", warehouse: str) -> dict[str, Any]:
+    wh = catalog._warehouse(warehouse, any_status=True)
+    return {
+        "protected": wh["protected"],
+        "updated-at": _ms_to_rfc3339(wh["updated_ms"]) if wh["updated_ms"] else None,
+    }
+
+
+# ------------------------------------------------------------------
+# deleted tabulars
+# ------------------------------------------------------------------
+def list_deleted_tabulars(
+    catalog: "Catalog",
+    warehouse: str,
+    namespace: tuple[str, ...] | list[str] | None = None,
+    page_token: str | None = None,
+    page_size: int = 100,
+) -> dict[str, Any]:
+    """ListDeletedTabulars (warehouse/mod.rs:1560-1640): soft-deleted
+    tabulars with created/deleted timestamps and the expiration date
+    taken from the pending tabular_expiration task."""
+    wh = catalog._warehouse(warehouse, any_status=True)
+    page_size = max(0, min(int(page_size), 1000))
+    params: list[Any] = [wh["wh_key"]]
+    where = "t.wh_key=? AND t.deleted_ms IS NOT NULL"
+    if namespace is not None:
+        where += " AND t.ns_key=?"
+        params.append(ident.ns_key(namespace))
+    if page_token:
+        where += " AND t.id > ?"
+        params.append(page_token)
+    rows = catalog.store.query(
+        "SELECT t.id, t.name, t.kind, t.created_ms, t.deleted_ms, n.ns_stored"
+        " FROM tabulars t JOIN namespaces n"
+        "   ON t.wh_key=n.wh_key AND t.ns_key=n.ns_key"
+        f" WHERE {where} ORDER BY t.id LIMIT ?",
+        (*params, page_size + 1),
+    )
+    # one bounded pass over the warehouse's pending expiration tasks
+    expirations: dict[str, int] = {}
+    for task in catalog.store.query(
+        "SELECT payload, scheduled_ms FROM tasks WHERE wh_key=?"
+        " AND queue='tabular_expiration' AND status IN"
+        " ('pending','running','should-stop')",
+        (wh["wh_key"],),
+    ):
+        expirations[json.loads(task["payload"]).get("id")] = task["scheduled_ms"]
+    typ = {"table": "table", "view": "view", "generic": "generic-table"}
+    tabulars = [
+        {
+            "id": r["id"],
+            "name": r["name"],
+            "namespace": ident.ns_load(r["ns_stored"]),
+            "typ": typ.get(r["kind"], r["kind"]),
+            "warehouse-id": wh["wh_id"],
+            "created-at": _ms_to_rfc3339(r["created_ms"]),
+            "deleted-at": _ms_to_rfc3339(r["deleted_ms"]),
+            "expiration-date": (
+                _ms_to_rfc3339(expirations[r["id"]])
+                if r["id"] in expirations
+                else None
+            ),
+        }
+        for r in rows[:page_size]
+    ]
+    out: dict[str, Any] = {"tabulars": tabulars}
+    if len(rows) > page_size:
+        out["next-page-token"] = rows[page_size - 1]["id"]
+    return out

@@ -2080,3 +2080,315 @@ def c17_user_role_management(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+# --------------------------------------------------------------------------
+# c18: warehouse lifecycle management — fleet driven over HTTP, Spark rollup
+# --------------------------------------------------------------------------
+# The reference's warehouse management surface beyond create/list
+# (api/management/v1/warehouse/mod.rs; postgres warehouse.rs):
+# GetWarehouse response shape, rename (active-only, warehouse.rs:586),
+# activate/deactivate with the data-plane active gate
+# (require_active_warehouse, server/tables.rs:2054), per-warehouse
+# delete-profile and format-version-policy updates, warehouse protection,
+# the three delete guards (unfinished tasks / not-empty / protected —
+# warehouse.rs:530-585), ListDeletedTabulars with expiration dates
+# (mod.rs:1560-1640), and BatchCheckActions (check.rs:243). A 25-warehouse
+# fleet derives deterministically from the nation table; the final
+# status/protected/renamed counts roll up via a Spark groupBy over the
+# HTTP listing and must equal the oracle's arithmetic over nation keys.
+@register(
+    "c18_warehouse_lifecycle",
+    oracle="""
+SELECT * FROM (
+  SELECT 'batch_check_allowed' AS checkpoint, 4 AS value
+  UNION ALL SELECT 'delete_refused_nonempty', 1
+  UNION ALL SELECT 'delete_refused_protected', 1
+  UNION ALL SELECT 'delete_refused_tasks', 1
+  UNION ALL SELECT 'deleted_tabulars', 3
+  UNION ALL SELECT 'expiration_window_ok', 1
+  UNION ALL SELECT 'force_delete_ok', 1
+  UNION ALL SELECT 'format_gate_refused', 1
+  UNION ALL SELECT 'inactive_config_404', 1
+  UNION ALL SELECT 'wh_active',
+    (SELECT COUNT(*) FROM nation WHERE n_nationkey % 3 <> 0)
+  UNION ALL SELECT 'wh_inactive',
+    (SELECT COUNT(*) FROM nation WHERE n_nationkey % 3 = 0)
+  UNION ALL SELECT 'wh_protected',
+    (SELECT COUNT(*) FROM nation WHERE n_nationkey % 5 = 0)
+  UNION ALL SELECT 'wh_renamed',
+    (SELECT COUNT(*) FROM nation
+      WHERE n_nationkey % 7 = 0 AND n_nationkey % 3 <> 0)
+  UNION ALL SELECT 'wh_total', (SELECT COUNT(*) FROM nation)
+) ORDER BY checkpoint
+""",
+    description="Warehouse lifecycle management API (warehouse/mod.rs; "
+    "postgres warehouse.rs): a 25-warehouse fleet from nation keys — "
+    "rename (active-only), deactivate gates the data plane (404 "
+    "WarehouseNotActive), protection + the three delete guards "
+    "(unfinished tasks, not-empty, protected vs force), delete-profile "
+    "and format-version-policy updates with the commit-side gate, "
+    "ListDeletedTabulars expiration dates, BatchCheckActions; "
+    "status/protected/renamed counts rolled up via Spark groupBy over "
+    "the HTTP listing.",
+    tags=("catalog", "warehouse", "rest", "lifecycle"),
+)
+def c18_warehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from ..catalog.catalog import Catalog, _parse_rfc3339_ms
+    from ..catalog.metastore import Metastore
+    from ..rest import RestCatalogClient, RestCatalogServer
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_whlife_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    server = RestCatalogServer(cat).start()
+    rows: list[tuple[str, int]] = []
+    try:
+        base = server.url
+        client = RestCatalogClient(base)
+
+        def req(method: str, path: str, body=None):
+            data = _json.dumps(body).encode() if body is not None else None
+            r = urllib.request.Request(base + path, data=data, method=method)
+            if data:
+                r.add_header("Content-Type", "application/json")
+            with urllib.request.urlopen(r) as resp:
+                raw = resp.read()
+                return _json.loads(raw) if raw else None
+
+        schema = {
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "id", "type": "long", "required": False}
+            ],
+        }
+
+        # --- the fleet: one warehouse per nation key ----------------------
+        keys = sorted(
+            r["n_nationkey"]
+            for r in load_table(spark, sf_dir, "nation")
+            .select("n_nationkey")
+            .collect()
+        )
+        names = {k: f"wh_n{k:02d}" for k in keys}
+        for k in keys:
+            req(
+                "POST",
+                "/management/v1/warehouse",
+                {
+                    "warehouse-name": names[k],
+                    "storage-profile": {
+                        "type": "local",
+                        "location": f"{tmp}/{names[k]}",
+                    },
+                    "delete-profile": {
+                        "type": "soft",
+                        "expiration-seconds": 3600 + k,
+                    },
+                },
+            )
+        # rename while active (deactivation below would 404 the rename,
+        # warehouse.rs:586 UPDATE ... AND status='active')
+        for k in keys:
+            if k % 7 == 0 and k % 3 != 0:
+                req(
+                    "POST",
+                    f"/management/v1/warehouse/{names[k]}/rename",
+                    {"new-name": names[k] + "x"},
+                )
+                names[k] += "x"
+        for k in keys:
+            if k % 3 == 0:
+                req(
+                    "POST",
+                    f"/management/v1/warehouse/{names[k]}/deactivate",
+                    {},
+                )
+        for k in keys:
+            if k % 5 == 0:
+                req(
+                    "POST",
+                    f"/management/v1/warehouse/{names[k]}/protection",
+                    {"protected": True},
+                )
+
+        # data plane + config resolution 404 on an inactive warehouse
+        inactive = names[3]
+        try:
+            req("GET", f"/catalog/v1/config?warehouse={inactive}")
+            gate = 0
+        except urllib.error.HTTPError as e:
+            gate = int(e.code == 404)
+        rows.append(("inactive_config_404", gate))
+
+        # --- guard warehouse: the three delete refusals -------------------
+        req(
+            "POST",
+            "/management/v1/warehouse",
+            {
+                "warehouse-name": "whguard",
+                "storage-profile": {
+                    "type": "local",
+                    "location": f"{tmp}/whguard",
+                },
+                "delete-profile": {"type": "soft", "expiration-seconds": 60},
+            },
+        )
+        client.create_namespace("whguard", ["ns"])
+        client.create_table("whguard", ["ns"], "t", schema)
+
+        # BatchCheckActions while the table exists (AllowAll -> 4/4)
+        checks = req(
+            "POST",
+            "/management/v1/action/batch-check",
+            {
+                "checks": [
+                    {"operation": {"action": "delete",
+                                   "warehouse-id": "whguard"}},
+                    {"operation": {"action": "read-data",
+                                   "table": {"warehouse-id": "whguard",
+                                             "namespace": ["ns"],
+                                             "name": "t"}}},
+                    {"operation": {"action": "get-metadata",
+                                   "namespace": {"warehouse-id": "whguard",
+                                                 "namespace": ["ns"]}}},
+                    {"operation": {"action": "create-project"}},
+                ]
+            },
+        )
+        rows.append(
+            ("batch_check_allowed",
+             sum(1 for r in checks["results"] if r["allowed"]))
+        )
+
+        def expect_refused(substr: str):
+            try:
+                req("DELETE", "/management/v1/warehouse/whguard")
+                return 0
+            except urllib.error.HTTPError as e:
+                return int(substr in e.read().decode())
+
+        rows.append(("delete_refused_nonempty",
+                     expect_refused("WarehouseNotEmpty")))
+        # a soft drop leaves a pending expiration task -> tasks guard
+        client.drop_table("whguard", ["ns"], "t")
+        rows.append(("delete_refused_tasks",
+                     expect_refused("tabular_expiration")))
+        client.undrop_table("whguard", ["ns"], "t")
+        # hard profile empties without queueing
+        req(
+            "POST",
+            "/management/v1/warehouse/whguard/delete-profile",
+            {"delete-profile": {"type": "hard"}},
+        )
+        client.drop_table("whguard", ["ns"], "t")
+        client.drop_namespace("whguard", ["ns"])
+        req("POST", "/management/v1/warehouse/whguard/protection",
+            {"protected": True})
+        rows.append(("delete_refused_protected",
+                     expect_refused("WarehouseProtected")))
+        req("DELETE", "/management/v1/warehouse/whguard?force=true")
+        try:
+            req("GET", "/management/v1/warehouse/whguard")
+            gone = 0
+        except urllib.error.HTTPError as e:
+            gone = int(e.code == 404)
+        rows.append(("force_delete_ok", gone))
+
+        # --- format-version policy gates table creation -------------------
+        req(
+            "POST",
+            "/management/v1/warehouse",
+            {
+                "warehouse-name": "whfmt",
+                "storage-profile": {"type": "local",
+                                    "location": f"{tmp}/whfmt"},
+                "allowed-format-versions": [1, 2],
+            },
+        )
+        client.create_namespace("whfmt", ["ns"])
+        try:
+            client.create_table("whfmt", ["ns"], "t3", schema,
+                                format_version=3)
+            refused = 0
+        except Exception:
+            refused = 1
+        rows.append(("format_gate_refused", refused))
+
+        # --- deleted tabulars with expiration dates ------------------------
+        req(
+            "POST",
+            "/management/v1/warehouse",
+            {
+                "warehouse-name": "whdel",
+                "storage-profile": {"type": "local",
+                                    "location": f"{tmp}/whdel"},
+                "delete-profile": {"type": "soft",
+                                   "expiration-seconds": 7200},
+            },
+        )
+        client.create_namespace("whdel", ["ns"])
+        for t in ("t1", "t2", "t3"):
+            client.create_table("whdel", ["ns"], t, schema)
+            client.drop_table("whdel", ["ns"], t)
+        deleted = req(
+            "GET", "/management/v1/warehouse/whdel/deleted-tabulars"
+        )["tabulars"]
+        rows.append(("deleted_tabulars", len(deleted)))
+        window_ok = all(
+            abs(
+                _parse_rfc3339_ms(d["expiration-date"])
+                - _parse_rfc3339_ms(d["deleted-at"])
+                - 7_200_000
+            )
+            < 10_000
+            for d in deleted
+        )
+        rows.append(("expiration_window_ok", int(window_ok)))
+
+        # --- Spark rollup over the HTTP listing ---------------------------
+        listing = req(
+            "GET",
+            "/management/v1/warehouse?warehouseStatus=active,inactive",
+        )["warehouses"]
+        fleet = (
+            spark.createDataFrame(
+                [
+                    (w["name"], w["status"], bool(w["protected"]))
+                    for w in listing
+                ],
+                "name string, status string, protected boolean",
+            )
+            # scratch warehouses (whfmt/whdel) are not part of the fleet
+            .filter(F.col("name").startswith("wh_n"))
+        )
+        agg = fleet.agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.when(F.col("status") == "active", 1).otherwise(0)).alias(
+                "active"
+            ),
+            F.sum(
+                F.when(F.col("status") == "inactive", 1).otherwise(0)
+            ).alias("inactive"),
+            F.sum(F.when(F.col("protected"), 1).otherwise(0)).alias(
+                "protected"
+            ),
+            F.sum(
+                F.when(F.col("name").endswith("x"), 1).otherwise(0)
+            ).alias("renamed"),
+        ).collect()[0]
+        rows.append(("wh_total", agg["total"]))
+        rows.append(("wh_active", agg["active"]))
+        rows.append(("wh_inactive", agg["inactive"]))
+        rows.append(("wh_protected", agg["protected"]))
+        rows.append(("wh_renamed", agg["renamed"]))
+    finally:
+        server.stop()
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )

@@ -174,11 +174,12 @@ class RestCatalogClient:
         sort_order=None,
         properties=None,
         stage_create=False,
-        format_version=2,
+        format_version=None,
         location=None,
     ):
         props = dict(properties or {})
-        props.setdefault("format-version", format_version)
+        if format_version is not None:
+            props.setdefault("format-version", format_version)
         _, body, _ = self._request(
             "POST",
             f"/catalog/v1/{warehouse}/namespaces/{_ns_path(levels)}/tables",

@@ -287,8 +287,12 @@ class _Handler(BaseHTTPRequestHandler):
             sort_order=body.get("write-order"),
             properties=body.get("properties"),
             stage_create=bool(body.get("stage-create")),
-            format_version=int(
-                (body.get("properties") or {}).get("format-version", 2)
+            # absent -> the warehouse default-format-version resolution
+            # (CreateWarehouseRequest, warehouse/mod.rs:121-128)
+            format_version=(
+                int((body.get("properties") or {})["format-version"])
+                if "format-version" in (body.get("properties") or {})
+                else None
             ),
             location=body.get("location"),
         )
@@ -690,27 +694,201 @@ class _Handler(BaseHTTPRequestHandler):
 
     @route("POST", r"/management/v1/warehouse")
     def create_warehouse(self):
+        from ..catalog import warehouse as wh_ops
+
         body = self._body()
-        out = self.catalog.create_warehouse(
+        profile = body["storage-profile"]
+        self.catalog.create_warehouse(
             body["warehouse-name"],
-            body["storage-profile"]["location"],
+            profile["location"],
             properties=body.get("properties"),
             project_id=body.get("project-id") or self._project_id(),
+            storage_profile=profile,
+            storage_credential=body.get("storage-credential"),
+            delete_profile=body.get("delete-profile"),
+            allowed_format_versions=body.get("allowed-format-versions"),
+            default_format_version=body.get("default-format-version"),
+            managed_by=body.get("managed-by", "self-managed"),
         )
-        self._reply(201, out)
+        # CreateWarehouseResponse is a transparent GetWarehouseResponse
+        # (warehouse/mod.rs:191), returned with 201 Created
+        self._reply(
+            201, wh_ops.get_warehouse(self.catalog, body["warehouse-name"])
+        )
 
     @route("GET", r"/management/v1/warehouse")
     def list_warehouses(self):
-        # project-scoped warehouse listing (warehouse/mod.rs ListWarehouses)
+        # project-scoped warehouse listing with full GetWarehouseResponse
+        # rows and an optional warehouseStatus filter, default active-only
+        # (warehouse/mod.rs:225 ListWarehousesRequest, :329 response)
+        from ..catalog import warehouse as wh_ops
+
+        statuses = None
+        if "warehouseStatus" in self.query:
+            statuses = self.query["warehouseStatus"].split(",")
         self._reply(
             200,
             {
-                "warehouses": [
-                    {"name": n, "project-id": self._project_id()}
-                    for n in self.catalog.list_warehouses(self._project_id())
-                ]
+                "warehouses": wh_ops.list_warehouses(
+                    self.catalog, self._project_id(), statuses
+                )
             },
         )
+
+    # ---- management v1: warehouse lifecycle -------------------------------
+    # (warehouse/mod.rs handlers; store semantics postgres warehouse.rs —
+    # resolved by warehouse NAME where the reference uses the uuid, the
+    # repo-wide identifier convention)
+    @route("GET", r"/management/v1/warehouse/(?P<wh>[^/]+)")
+    def get_warehouse(self, wh):
+        from ..catalog import warehouse as wh_ops
+
+        self._reply(200, wh_ops.get_warehouse(self.catalog, wh))
+
+    @route("DELETE", r"/management/v1/warehouse/(?P<wh>[^/]+)")
+    def delete_warehouse(self, wh):
+        from ..catalog import warehouse as wh_ops
+
+        force = self.query.get("force", "false").lower() == "true"
+        wh_ops.delete_warehouse(self.catalog, wh, force=force)
+        self._reply(204)
+
+    @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/rename")
+    def rename_warehouse(self, wh):
+        from ..catalog import warehouse as wh_ops
+
+        wh_ops.rename_warehouse(self.catalog, wh, self._body()["new-name"])
+        self._reply(200)
+
+    @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/deactivate")
+    def deactivate_warehouse(self, wh):
+        from ..catalog import warehouse as wh_ops
+
+        wh_ops.set_status(self.catalog, wh, active=False)
+        self._reply(200)
+
+    @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/activate")
+    def activate_warehouse(self, wh):
+        from ..catalog import warehouse as wh_ops
+
+        wh_ops.set_status(self.catalog, wh, active=True)
+        self._reply(200)
+
+    @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/delete-profile")
+    def update_warehouse_delete_profile(self, wh):
+        from ..catalog import warehouse as wh_ops
+
+        wh_ops.update_delete_profile(
+            self.catalog, wh, self._body()["delete-profile"]
+        )
+        self._reply(200)
+
+    @route(
+        "POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/format-version-policy"
+    )
+    def update_warehouse_format_version_policy(self, wh):
+        from ..catalog import warehouse as wh_ops
+
+        body = self._body()
+        wh_ops.update_format_version_policy(
+            self.catalog,
+            wh,
+            body["allowed-format-versions"],
+            body.get("default-format-version"),
+        )
+        self._reply(200)
+
+    @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/storage")
+    def update_warehouse_storage(self, wh):
+        from ..catalog import warehouse as wh_ops
+
+        body = self._body()
+        if "storage-credential" in body:
+            wh_ops.update_storage_profile(
+                self.catalog,
+                wh,
+                body["storage-profile"],
+                credential=body["storage-credential"],
+            )
+        else:
+            wh_ops.update_storage_profile(self.catalog, wh, body["storage-profile"])
+        self._reply(200)
+
+    @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/storage-credential")
+    def update_warehouse_storage_credential(self, wh):
+        from ..catalog import warehouse as wh_ops
+
+        wh_ops.update_storage_credential(
+            self.catalog, wh, self._body().get("new-storage-credential")
+        )
+        self._reply(200)
+
+    @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/managed-by")
+    def set_warehouse_managed_by(self, wh):
+        from ..catalog import warehouse as wh_ops
+
+        wh_ops.set_managed_by(self.catalog, wh, self._body()["managed-by"])
+        self._reply(200)
+
+    @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/protection")
+    def set_warehouse_protection(self, wh):
+        from ..catalog import warehouse as wh_ops
+
+        self._reply(
+            200,
+            wh_ops.set_warehouse_protection(
+                self.catalog, wh, bool(self._body().get("protected"))
+            ),
+        )
+
+    @route("GET", r"/management/v1/warehouse/(?P<wh>[^/]+)/actions")
+    def get_warehouse_actions(self, wh):
+        from ..catalog import actions as act
+
+        self._reply(200, act.get_warehouse_actions(self.catalog, wh))
+
+    @route("GET", r"/management/v1/warehouse/(?P<wh>[^/]+)/deleted-tabulars")
+    def list_deleted_tabulars(self, wh):
+        from ..catalog import warehouse as wh_ops
+
+        namespace = None
+        if "namespace" in self.query:
+            namespace = _ns(self.query["namespace"])
+        self._reply(
+            200,
+            wh_ops.list_deleted_tabulars(
+                self.catalog,
+                wh,
+                namespace=namespace,
+                page_token=self.query.get("pageToken"),
+                page_size=int(self.query.get("pageSize", 100)),
+            ),
+        )
+
+    @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/search-tabular")
+    def search_tabular_in_warehouse(self, wh):
+        # SearchTabular (endpoints.rs:235): the per-warehouse POST shape
+        body = self._body()
+        self._reply(
+            200,
+            {
+                "tabulars": self.catalog.search_tabular(
+                    wh, body["search"], int(body.get("limit", 10))
+                )
+            },
+        )
+
+    @route("GET", r"/management/v1/server/actions")
+    def get_server_actions(self):
+        from ..catalog import actions as act
+
+        self._reply(200, act.get_server_actions(self.catalog))
+
+    @route("POST", r"/management/v1/action/batch-check")
+    def batch_check_actions(self):
+        from ..catalog import actions as act
+
+        self._reply(200, act.batch_check(self.catalog, self._body()))
 
     # ---- management v1: server bootstrap/info + projects ------------------
     # (endpoints.rs:187-221; semantics in catalog/projects.py)
@@ -782,16 +960,43 @@ class _Handler(BaseHTTPRequestHandler):
     def warehouse_statistics(self, wh):
         self._reply(200, self.catalog.warehouse_statistics(wh))
 
+    # ---- management v1: per-entity protection + actions -------------------
+    # Get/Set{Table,View,GenericTable,Namespace}Protection and the
+    # Get*Actions probes (endpoints.rs:238-250) — 200 ProtectionResponse
+    # (management/mod.rs:1648). Entities are addressed by namespace path +
+    # name (the repo-wide convention) where the reference uses uuids.
     @route(
         "POST",
         r"/management/v1/warehouse/(?P<wh>[^/]+)/namespace/(?P<ns>[^/]+)"
         r"/protection",
     )
     def set_namespace_protection(self, wh, ns):
-        self.catalog.set_protection(
-            wh, _ns(ns), None, bool(self._body().get("protected"))
+        self._reply(
+            200,
+            self.catalog.set_protection(
+                wh, _ns(ns), None, bool(self._body().get("protected"))
+            ),
         )
-        self._reply(204)
+
+    @route(
+        "GET",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/namespace/(?P<ns>[^/]+)"
+        r"/protection",
+    )
+    def get_namespace_protection(self, wh, ns):
+        self._reply(200, self.catalog.get_protection(wh, _ns(ns), None))
+
+    @route(
+        "GET",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/namespace/(?P<ns>[^/]+)"
+        r"/actions",
+    )
+    def get_namespace_actions(self, wh, ns):
+        from ..catalog import actions as act
+
+        self._reply(
+            200, act.get_tabular_actions(self.catalog, wh, _ns(ns), None)
+        )
 
     @route(
         "POST",
@@ -799,10 +1004,121 @@ class _Handler(BaseHTTPRequestHandler):
         r"/(?P<tbl>[^/]+)/protection",
     )
     def set_table_protection(self, wh, ns, tbl):
-        self.catalog.set_protection(
-            wh, _ns(ns), unquote(tbl), bool(self._body().get("protected"))
+        self._reply(
+            200,
+            self.catalog.set_protection(
+                wh, _ns(ns), unquote(tbl), bool(self._body().get("protected"))
+            ),
         )
-        self._reply(204)
+
+    @route(
+        "GET",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/table/(?P<ns>[^/]+)"
+        r"/(?P<tbl>[^/]+)/protection",
+    )
+    def get_table_protection(self, wh, ns, tbl):
+        self._reply(200, self.catalog.get_protection(wh, _ns(ns), unquote(tbl)))
+
+    @route(
+        "GET",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/table/(?P<ns>[^/]+)"
+        r"/(?P<tbl>[^/]+)/actions",
+    )
+    def get_table_actions(self, wh, ns, tbl):
+        from ..catalog import actions as act
+
+        self._reply(
+            200,
+            act.get_tabular_actions(self.catalog, wh, _ns(ns), unquote(tbl)),
+        )
+
+    @route(
+        "POST",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/view/(?P<ns>[^/]+)"
+        r"/(?P<tbl>[^/]+)/protection",
+    )
+    def set_view_protection(self, wh, ns, tbl):
+        self._reply(
+            200,
+            self.catalog.set_protection(
+                wh,
+                _ns(ns),
+                unquote(tbl),
+                bool(self._body().get("protected")),
+                kind="view",
+            ),
+        )
+
+    @route(
+        "GET",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/view/(?P<ns>[^/]+)"
+        r"/(?P<tbl>[^/]+)/protection",
+    )
+    def get_view_protection(self, wh, ns, tbl):
+        self._reply(
+            200,
+            self.catalog.get_protection(wh, _ns(ns), unquote(tbl), kind="view"),
+        )
+
+    @route(
+        "GET",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/view/(?P<ns>[^/]+)"
+        r"/(?P<tbl>[^/]+)/actions",
+    )
+    def get_view_actions(self, wh, ns, tbl):
+        from ..catalog import actions as act
+
+        self._reply(
+            200,
+            act.get_tabular_actions(
+                self.catalog, wh, _ns(ns), unquote(tbl), kind="view"
+            ),
+        )
+
+    @route(
+        "POST",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/generic-table/(?P<ns>[^/]+)"
+        r"/(?P<tbl>[^/]+)/protection",
+    )
+    def set_generic_table_protection(self, wh, ns, tbl):
+        self._reply(
+            200,
+            self.catalog.set_protection(
+                wh,
+                _ns(ns),
+                unquote(tbl),
+                bool(self._body().get("protected")),
+                kind="generic",
+            ),
+        )
+
+    @route(
+        "GET",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/generic-table/(?P<ns>[^/]+)"
+        r"/(?P<tbl>[^/]+)/protection",
+    )
+    def get_generic_table_protection(self, wh, ns, tbl):
+        self._reply(
+            200,
+            self.catalog.get_protection(
+                wh, _ns(ns), unquote(tbl), kind="generic"
+            ),
+        )
+
+    @route(
+        "GET",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/generic-table/(?P<ns>[^/]+)"
+        r"/(?P<tbl>[^/]+)/actions",
+    )
+    def get_generic_table_actions(self, wh, ns, tbl):
+        from ..catalog import actions as act
+
+        self._reply(
+            200,
+            act.get_tabular_actions(
+                self.catalog, wh, _ns(ns), unquote(tbl), kind="generic-table"
+            ),
+        )
 
     @route("POST", r"/management/v1/warehouse/(?P<wh>[^/]+)/properties")
     def update_warehouse_properties(self, wh):
@@ -1185,6 +1501,81 @@ class _Handler(BaseHTTPRequestHandler):
                 )
             },
         )
+
+    @route("GET", r"/management/v1/role/(?P<role_id>[^/]+)/metadata")
+    def get_role_metadata(self, role_id):
+        # GetRoleMetadata (role.rs:398,639): the identity subset of the
+        # full Role response — no description/timestamps
+        from ..catalog import principals
+
+        info = principals.get_role(self.catalog, unquote(role_id))
+        self._reply(
+            200,
+            {
+                k: info[k]
+                for k in (
+                    "id",
+                    "ident",
+                    "provider-id",
+                    "source-id",
+                    "name",
+                    "project-id",
+                )
+            },
+        )
+
+    # ---- deprecated route aliases (endpoints.rs:268-276) ------------------
+    # kept path-compatible so pre-0.11 clients keep working; each delegates
+    # to the canonical handler semantics
+    @route("GET", r"/management/v1/default-project")
+    def get_default_project_deprecated(self):
+        from ..catalog import projects
+
+        self._reply(200, projects.get_project(self.catalog, "default"))
+
+    @route("DELETE", r"/management/v1/default-project")
+    def delete_default_project_deprecated(self):
+        from ..catalog import projects
+
+        projects.delete_project(self.catalog, "default")
+        self._reply(204)
+
+    @route("POST", r"/management/v1/default-project/rename")
+    def rename_default_project_deprecated(self):
+        from ..catalog import projects
+
+        projects.rename_project(self.catalog, "default", self._body())
+        self._reply(200)
+
+    @route("GET", r"/management/v1/project/(?P<project_id>[^/]+)")
+    def get_project_by_id_deprecated(self, project_id):
+        from ..catalog import projects
+
+        self._reply(200, projects.get_project(self.catalog, unquote(project_id)))
+
+    @route("DELETE", r"/management/v1/project/(?P<project_id>[^/]+)")
+    def delete_project_by_id_deprecated(self, project_id):
+        from ..catalog import projects
+
+        projects.delete_project(self.catalog, unquote(project_id))
+        self._reply(204)
+
+    @route("POST", r"/management/v1/project/(?P<project_id>[^/]+)/rename")
+    def rename_project_by_id_deprecated(self, project_id):
+        from ..catalog import projects
+
+        projects.rename_project(self.catalog, unquote(project_id), self._body())
+        self._reply(200)
+
+    @route(
+        "POST",
+        r"/management/v1/warehouse/(?P<wh>[^/]+)/deleted_tabulars/undrop",
+    )
+    def undrop_tabulars_deprecated(self, wh):
+        # UndropTabularsDeprecated: the pre-rename underscore path
+        for target in self._body().get("targets", []):
+            self.catalog.undrop_table(wh, target["namespace"], target["name"])
+        self._reply(204)
 
 
 class RestCatalogServer:

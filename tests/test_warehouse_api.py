@@ -1,0 +1,600 @@
+"""Warehouse lifecycle management API over HTTP.
+
+Mirrors the reference's warehouse management surface
+(api/management/v1/warehouse/mod.rs; postgres warehouse.rs):
+get/rename/delete with guards, activate/deactivate and the data-plane
+active gate, delete-profile + format-version-policy updates, storage
+profile/credential rotation, managed-by spec locks, per-entity
+protection GET/SET + actions probes, deleted-tabular listing with
+expiration dates, batch action checks, and the deprecated route
+aliases (endpoints.rs:268-276).
+"""
+
+import pytest
+
+from lakekeeper_spark.catalog.authz import (
+    AuthorizationError,
+    StaticRbacAuthorizer,
+)
+from lakekeeper_spark.catalog.catalog import (
+    AlreadyExists,
+    Catalog,
+    CatalogError,
+    NoSuchEntity,
+    ProtectedEntity,
+)
+from lakekeeper_spark.catalog.commit import CommitValidationError
+from lakekeeper_spark.catalog.metastore import Metastore
+from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
+
+SCHEMA = {
+    "type": "struct",
+    "fields": [{"id": 1, "name": "id", "type": "long", "required": False}],
+}
+
+
+@pytest.fixture()
+def env(tmp_path):
+    catalog = Catalog(
+        Metastore(str(tmp_path / "ms.db")), instance_admins={"root"}
+    )
+    server = RestCatalogServer(catalog).start()
+    client = RestCatalogClient(server.url)
+    yield client, catalog, str(tmp_path)
+    server.stop()
+
+
+def _mk(client, tmp, name, **extra):
+    body = {
+        "warehouse-name": name,
+        "storage-profile": {"type": "local", "location": f"{tmp}/{name}"},
+        **extra,
+    }
+    _, out, _ = client._request("POST", "/management/v1/warehouse", body)
+    return out
+
+
+def test_get_warehouse_response_shape(env):
+    client, _, tmp = env
+    out = _mk(
+        client,
+        tmp,
+        "w1",
+        **{
+            "delete-profile": {"type": "soft", "expiration-seconds": 3600},
+            "allowed-format-versions": [2, 3],
+            "default-format-version": 3,
+            "storage-credential": {
+                "type": "s3-access-key",
+                "access-key-id": "AK",
+                "secret-access-key": "SK",
+            },
+        },
+    )
+    # CreateWarehouseResponse is a transparent GetWarehouseResponse
+    assert out["warehouse-id"] and out["id"] == out["warehouse-id"]
+    _, got, _ = client._request("GET", "/management/v1/warehouse/w1")
+    assert got["name"] == "w1"
+    assert got["status"] == "active"
+    assert got["protected"] is False
+    assert got["managed-by"] == "self-managed"
+    assert got["delete-profile"] == {"type": "soft", "expiration-seconds": 3600}
+    assert got["allowed-format-versions"] == [2, 3]
+    assert got["default-format-version"] == 3
+    assert got["storage-profile"]["type"] == "local"
+    # credential TYPE only, never the secret value (mod.rs:300)
+    assert got["storage-credential-type"] == "s3-access-key"
+    assert "secret-access-key" not in str(got)
+
+    # full rows in ListWarehouses
+    _, listed, _ = client._request("GET", "/management/v1/warehouse")
+    (row,) = listed["warehouses"]
+    assert row["warehouse-id"] == out["warehouse-id"]
+
+
+def test_create_warehouse_validation(env):
+    client, _, tmp = env
+    with pytest.raises(CatalogError):
+        _mk(client, tmp, "bad", **{"allowed-format-versions": []})
+    with pytest.raises(CatalogError):
+        _mk(client, tmp, "bad", **{"allowed-format-versions": [2, 9]})
+    with pytest.raises(CatalogError):
+        _mk(
+            client,
+            tmp,
+            "bad",
+            **{"allowed-format-versions": [2], "default-format-version": 3},
+        )
+    with pytest.raises(CatalogError):
+        _mk(client, tmp, "bad", **{"delete-profile": {"type": "nope"}})
+
+
+def test_rename_warehouse_moves_dependents(env):
+    client, _, tmp = env
+    _mk(client, tmp, "w1")
+    client.create_namespace("w1", ["ns"])
+    client.create_table("w1", ["ns"], "t", SCHEMA)
+    client._request(
+        "POST", "/management/v1/warehouse/w1/rename", {"new-name": "w2"}
+    )
+    assert client.load_table("w2", ["ns"], "t")
+    with pytest.raises(NoSuchEntity):
+        client.load_table("w1", ["ns"], "t")
+    _mk(client, tmp, "w3")
+    with pytest.raises(AlreadyExists):
+        client._request(
+            "POST", "/management/v1/warehouse/w3/rename", {"new-name": "w2"}
+        )
+    with pytest.raises(CatalogError):
+        client._request(
+            "POST", "/management/v1/warehouse/w3/rename", {"new-name": "a/b"}
+        )
+
+
+def test_deactivate_blocks_data_plane(env):
+    client, _, tmp = env
+    _mk(client, tmp, "w1")
+    client.create_namespace("w1", ["ns"])
+    client.create_table("w1", ["ns"], "t", SCHEMA)
+    client._request("POST", "/management/v1/warehouse/w1/deactivate", {})
+    # data plane + config resolution 404 (require_active_warehouse,
+    # server/tables.rs:2054; config.rs:67 resolves active only)
+    with pytest.raises(NoSuchEntity):
+        client.load_table("w1", ["ns"], "t")
+    with pytest.raises(NoSuchEntity):
+        client.config("w1")
+    # management plane still sees it (active_and_inactive fetches)
+    _, got, _ = client._request("GET", "/management/v1/warehouse/w1")
+    assert got["status"] == "inactive"
+    # default listing is active-only; explicit filter shows it
+    _, listed, _ = client._request("GET", "/management/v1/warehouse")
+    assert listed["warehouses"] == []
+    _, listed, _ = client._request(
+        "GET", "/management/v1/warehouse?warehouseStatus=inactive"
+    )
+    assert [w["name"] for w in listed["warehouses"]] == ["w1"]
+    # rename requires active (warehouse.rs:586 UPDATE ... status='active')
+    with pytest.raises(NoSuchEntity):
+        client._request(
+            "POST", "/management/v1/warehouse/w1/rename", {"new-name": "x"}
+        )
+    client._request("POST", "/management/v1/warehouse/w1/activate", {})
+    assert client.load_table("w1", ["ns"], "t")
+
+
+def test_delete_warehouse_guards(env):
+    client, _, tmp = env
+    _mk(client, tmp, "w1")
+    client.create_namespace("w1", ["ns"])
+    client.create_table("w1", ["ns"], "t", SCHEMA)
+    # non-empty -> WarehouseNotEmpty (FK-violation path, warehouse.rs:570)
+    with pytest.raises(CatalogError, match="WarehouseNotEmpty"):
+        client._request("DELETE", "/management/v1/warehouse/w1")
+    # soft-drop leaves a pending expiration task -> unfinished-tasks guard
+    # with per-queue counts (warehouse.rs:535-553)
+    client.drop_table("w1", ["ns"], "t")
+    with pytest.raises(CatalogError, match="tabular_expiration"):
+        client._request("DELETE", "/management/v1/warehouse/w1")
+    client.undrop_table("w1", ["ns"], "t")
+    # switch to hard deletes so emptying enqueues nothing
+    client._request(
+        "POST",
+        "/management/v1/warehouse/w1/delete-profile",
+        {"delete-profile": {"type": "hard"}},
+    )
+    client.drop_table("w1", ["ns"], "t")
+    client.drop_namespace("w1", ["ns"])
+    # protected -> 409 unless force (warehouse.rs:580)
+    client._request(
+        "POST", "/management/v1/warehouse/w1/protection", {"protected": True}
+    )
+    with pytest.raises(ProtectedEntity):
+        client._request("DELETE", "/management/v1/warehouse/w1")
+    client._request("DELETE", "/management/v1/warehouse/w1?force=true")
+    with pytest.raises(NoSuchEntity):
+        client._request("GET", "/management/v1/warehouse/w1")
+
+
+def test_format_version_policy_gates(env):
+    client, catalog, tmp = env
+    _mk(client, tmp, "w1", **{"allowed-format-versions": [1, 2]})
+    client.create_namespace("w1", ["ns"])
+    # creating outside the allowed set fails
+    with pytest.raises(CatalogError):
+        client.create_table("w1", ["ns"], "t3", SCHEMA, format_version=3)
+    client.create_table("w1", ["ns"], "t", SCHEMA)  # default resolves to v2
+    assert client.load_table("w1", ["ns"], "t")[0]["format-version"] == 2
+    # upgrade to a non-member version is rejected by the commit engine
+    with pytest.raises((CatalogError, CommitValidationError)):
+        catalog.commit_table(
+            "w1",
+            ["ns"],
+            "t",
+            [],
+            [{"action": "upgrade-format-version", "format-version": 3}],
+        )
+    # widen the policy over HTTP, then the upgrade commits
+    client._request(
+        "POST",
+        "/management/v1/warehouse/w1/format-version-policy",
+        {"allowed-format-versions": [1, 2, 3], "default-format-version": 3},
+    )
+    catalog.commit_table(
+        "w1",
+        ["ns"],
+        "t",
+        [],
+        [{"action": "upgrade-format-version", "format-version": 3}],
+    )
+    # new default applies to fresh tables
+    client.create_table("w1", ["ns"], "t2", SCHEMA)
+    assert client.load_table("w1", ["ns"], "t2")[0]["format-version"] == 3
+
+
+def test_storage_profile_and_credential_rotation(env):
+    client, _, tmp = env
+    _mk(
+        client,
+        tmp,
+        "w1",
+        **{"storage-credential": {"type": "s3-access-key", "access-key-id": "A"}},
+    )
+    client._request(
+        "POST",
+        "/management/v1/warehouse/w1/storage",
+        {"storage-profile": {"type": "local", "location": f"{tmp}/moved"}},
+    )
+    _, got, _ = client._request("GET", "/management/v1/warehouse/w1")
+    assert got["storage-profile"]["location"] == f"{tmp}/moved"
+    assert got["storage-credential-type"] == "s3-access-key"
+    # rotate the credential kind
+    client._request(
+        "POST",
+        "/management/v1/warehouse/w1/storage-credential",
+        {"new-storage-credential": {"type": "az-client-credentials"}},
+    )
+    _, got, _ = client._request("GET", "/management/v1/warehouse/w1")
+    assert got["storage-credential-type"] == "az-client-credentials"
+    # omitting the credential removes it (mod.rs:337)
+    client._request(
+        "POST", "/management/v1/warehouse/w1/storage-credential", {}
+    )
+    _, got, _ = client._request("GET", "/management/v1/warehouse/w1")
+    assert "storage-credential-type" not in got
+    # profile/location mismatch is rejected
+    with pytest.raises(CatalogError):
+        client._request(
+            "POST",
+            "/management/v1/warehouse/w1/storage",
+            {"storage-profile": {"type": "gcs", "location": "s3://bucket/x"}},
+        )
+
+
+def test_managed_by_spec_lock(env):
+    client, _, tmp = env
+    _mk(client, tmp, "w1")
+    admin = RestCatalogClient(client.base_url, token="root")
+    user = RestCatalogClient(client.base_url, token="bob")
+    # only instance admins may set the marker (mod.rs:346)
+    with pytest.raises(AuthorizationError):
+        user._request(
+            "POST",
+            "/management/v1/warehouse/w1/managed-by",
+            {"managed-by": "instance-admin"},
+        )
+    admin._request(
+        "POST",
+        "/management/v1/warehouse/w1/managed-by",
+        {"managed-by": "instance-admin"},
+    )
+    _, got, _ = client._request("GET", "/management/v1/warehouse/w1")
+    assert got["managed-by"] == "instance-admin"
+    # spec mutations are locked for non-admin principals
+    # (ensure_warehouse_spec_mutable, warehouse.rs:754; the locked action
+    # set is CatalogWarehouseAction::is_spec_mutation, authz/mod.rs:710)
+    for method, path, body in [
+        ("POST", "/management/v1/warehouse/w1/rename", {"new-name": "x"}),
+        ("POST", "/management/v1/warehouse/w1/deactivate", {}),
+        (
+            "POST",
+            "/management/v1/warehouse/w1/delete-profile",
+            {"delete-profile": {"type": "hard"}},
+        ),
+        ("POST", "/management/v1/warehouse/w1/protection", {"protected": True}),
+        ("DELETE", "/management/v1/warehouse/w1", None),
+    ]:
+        with pytest.raises(AuthorizationError):
+            user._request(method, path, body)
+    # reads and task-queue tuning stay open (ModifyTaskQueueConfig is
+    # intentionally NOT locked, authz/mod.rs:721-726)
+    user._request("GET", "/management/v1/warehouse/w1")
+    user._request(
+        "POST",
+        "/management/v1/warehouse/w1/task-queue/tabular_expiration/config",
+        {"queue-config": {"max-attempts": 3}},
+    )
+    # admins mutate freely; clearing the marker unlocks everyone
+    admin._request(
+        "POST", "/management/v1/warehouse/w1/rename", {"new-name": "w2"}
+    )
+    admin._request(
+        "POST",
+        "/management/v1/warehouse/w2/managed-by",
+        {"managed-by": "self-managed"},
+    )
+    user._request("POST", "/management/v1/warehouse/w2/deactivate", {})
+
+
+def test_protection_routes_all_entities(env):
+    client, _, tmp = env
+    _mk(client, tmp, "w1")
+    client.create_namespace("w1", ["ns"])
+    client.create_table("w1", ["ns"], "t", SCHEMA)
+    client.create_view("w1", ["ns"], "v", "SELECT 1 AS x", {"type": "struct", "fields": []})
+    client.create_generic_table("w1", ["ns"], "g", "lance", f"{tmp}/g")
+    for path in [
+        "/management/v1/warehouse/w1/table/ns/t",
+        "/management/v1/warehouse/w1/view/ns/v",
+        "/management/v1/warehouse/w1/generic-table/ns/g",
+        "/management/v1/warehouse/w1/namespace/ns",
+    ]:
+        _, got, _ = client._request("GET", path + "/protection")
+        assert got["protected"] is False
+        _, got, _ = client._request(
+            "POST", path + "/protection", {"protected": True}
+        )
+        assert got["protected"] is True and got["updated-at"]
+        _, got, _ = client._request("GET", path + "/protection")
+        assert got["protected"] is True
+        client._request("POST", path + "/protection", {"protected": False})
+        # the actions probe exists for every protected entity kind
+        _, acts, _ = client._request("GET", path + "/actions")
+        assert "set-protection" in acts["allowed-actions"]
+    # warehouse actions + server actions probes
+    _, acts, _ = client._request("GET", "/management/v1/warehouse/w1/actions")
+    assert "create-namespace" in acts["allowed-actions"]
+    _, acts, _ = client._request("GET", "/management/v1/server/actions")
+    assert acts["allowed-actions"] == list(
+        __import__(
+            "lakekeeper_spark.catalog.actions", fromlist=["SERVER_ACTIONS"]
+        ).SERVER_ACTIONS
+    )
+
+
+def test_list_deleted_tabulars(env):
+    client, _, tmp = env
+    _mk(
+        client,
+        tmp,
+        "w1",
+        **{"delete-profile": {"type": "soft", "expiration-seconds": 7200}},
+    )
+    client.create_namespace("w1", ["a"])
+    client.create_namespace("w1", ["b"])
+    for ns, name in [("a", "t1"), ("a", "t2"), ("b", "t3")]:
+        client.create_table("w1", [ns], name, SCHEMA)
+        client.drop_table("w1", [ns], name)
+    _, got, _ = client._request(
+        "GET", "/management/v1/warehouse/w1/deleted-tabulars"
+    )
+    assert len(got["tabulars"]) == 3
+    row = got["tabulars"][0]
+    assert row["typ"] == "table" and row["deleted-at"] and row["warehouse-id"]
+    # expiration-date = deleted-at + expiration window (the pending
+    # tabular_expiration task's scheduled time, mod.rs:1622)
+    from lakekeeper_spark.catalog.catalog import _parse_rfc3339_ms
+
+    delta = _parse_rfc3339_ms(row["expiration-date"]) - _parse_rfc3339_ms(
+        row["deleted-at"]
+    )
+    assert abs(delta - 7_200_000) < 5_000
+    # namespace filter
+    _, got, _ = client._request(
+        "GET", "/management/v1/warehouse/w1/deleted-tabulars?namespace=b"
+    )
+    assert [t["name"] for t in got["tabulars"]] == ["t3"]
+    # pagination
+    _, p1, _ = client._request(
+        "GET", "/management/v1/warehouse/w1/deleted-tabulars?pageSize=2"
+    )
+    assert len(p1["tabulars"]) == 2 and p1["next-page-token"]
+    _, p2, _ = client._request(
+        "GET",
+        "/management/v1/warehouse/w1/deleted-tabulars?pageSize=2"
+        f"&pageToken={p1['next-page-token']}",
+    )
+    assert len(p2["tabulars"]) == 1 and "next-page-token" not in p2
+    names = {t["name"] for t in p1["tabulars"]} | {
+        t["name"] for t in p2["tabulars"]
+    }
+    assert names == {"t1", "t2", "t3"}
+
+
+def test_search_tabular_post_route(env):
+    client, _, tmp = env
+    _mk(client, tmp, "w1")
+    client.create_namespace("w1", ["ns"])
+    client.create_table("w1", ["ns"], "orders", SCHEMA)
+    client.create_table("w1", ["ns"], "lineitem", SCHEMA)
+    _, got, _ = client._request(
+        "POST",
+        "/management/v1/warehouse/w1/search-tabular",
+        {"search": "order", "limit": 1},
+    )
+    assert got["tabulars"][0]["name"] == "orders"
+
+
+def test_batch_check_actions(tmp_path):
+    grants = {
+        "alice": {"read-data", "get-metadata"},
+        "root": {"*"},
+    }
+    catalog = Catalog(
+        Metastore(str(tmp_path / "ms.db")),
+        authorizer=StaticRbacAuthorizer(grants),
+        instance_admins={"root"},
+    )
+    server = RestCatalogServer(catalog).start()
+    try:
+        client = RestCatalogClient(server.url, token="root")
+        client.create_warehouse("w1", str(tmp_path / "w1"))
+        client.create_namespace("w1", ["ns"])
+        client.create_table("w1", ["ns"], "t", SCHEMA)
+        checks = [
+            # implicit identity = the requester (check.rs:237)
+            {
+                "id": "self-wh",
+                "operation": {"action": "delete", "warehouse-id": "w1"},
+            },
+            # identity override: alice can read but not write
+            {
+                "id": "alice-read",
+                "identity": {"user": "alice"},
+                "operation": {
+                    "action": "read-data",
+                    "table": {"warehouse-id": "w1", "namespace": ["ns"], "name": "t"},
+                },
+            },
+            {
+                "id": "alice-write",
+                "identity": {"user": "alice"},
+                "operation": {
+                    "action": "write-data",
+                    "table": {"warehouse-id": "w1", "namespace": ["ns"], "name": "t"},
+                },
+            },
+            # missing resource -> allowed=false by default (check.rs:248)
+            {
+                "id": "ghost",
+                "operation": {
+                    "action": "read-data",
+                    "table": {
+                        "warehouse-id": "w1",
+                        "namespace": ["ns"],
+                        "name": "ghost",
+                    },
+                },
+            },
+        ]
+        _, got, _ = client._request(
+            "POST", "/management/v1/action/batch-check", {"checks": checks}
+        )
+        results = {r["id"]: r["allowed"] for r in got["results"]}
+        assert results == {
+            "self-wh": True,
+            "alice-read": True,
+            "alice-write": False,
+            "ghost": False,
+        }
+        # error-on-not-found flips missing resources to 404
+        with pytest.raises(NoSuchEntity):
+            client._request(
+                "POST",
+                "/management/v1/action/batch-check",
+                {"checks": [checks[-1]], "error-on-not-found": True},
+            )
+        # unknown action for the entity type is a 400
+        with pytest.raises(CatalogError):
+            client._request(
+                "POST",
+                "/management/v1/action/batch-check",
+                {
+                    "checks": [
+                        {
+                            "operation": {
+                                "action": "frobnicate",
+                                "warehouse-id": "w1",
+                            }
+                        }
+                    ]
+                },
+            )
+    finally:
+        server.stop()
+
+
+def test_role_metadata_and_deprecated_aliases(env):
+    client, _, tmp = env
+    _mk(client, tmp, "w1")
+    _, role, _ = client._request(
+        "POST", "/management/v1/role", {"name": "ops", "description": "d"}
+    )
+    _, meta, _ = client._request(
+        "GET", f"/management/v1/role/{role['id']}/metadata"
+    )
+    assert set(meta) == {
+        "id",
+        "ident",
+        "provider-id",
+        "source-id",
+        "name",
+        "project-id",
+    }
+    assert meta["name"] == "ops" and "description" not in meta
+    # deprecated default-project aliases resolve the default project
+    _, proj, _ = client._request("GET", "/management/v1/default-project")
+    assert proj["project-id"] == "default"
+    client._request(
+        "POST", "/management/v1/default-project/rename", {"new-name": "Core"}
+    )
+    _, proj, _ = client._request("GET", "/management/v1/project/default")
+    assert proj["project-name"] == "Core"
+    # deprecated underscore undrop path
+    client.create_namespace("w1", ["ns"])
+    client.create_table("w1", ["ns"], "t", SCHEMA)
+    client.drop_table("w1", ["ns"], "t")
+    client._request(
+        "POST",
+        "/management/v1/warehouse/w1/deleted_tabulars/undrop",
+        {"targets": [{"namespace": ["ns"], "name": "t"}]},
+    )
+    assert client.load_table("w1", ["ns"], "t")
+
+
+def test_metastore_migrates_old_warehouse_schema(tmp_path):
+    """Opening a pre-v5 database (no lifecycle columns) upgrades it in
+    place; legacy rows read as active/self-managed and get a stable
+    warehouse uuid on first GET."""
+    import sqlite3
+
+    from lakekeeper_spark.catalog import warehouse as wh_ops
+
+    db = str(tmp_path / "old.db")
+    con = sqlite3.connect(db)
+    con.executescript(
+        """
+        CREATE TABLE warehouses (
+          wh_key TEXT PRIMARY KEY, name TEXT NOT NULL, location TEXT NOT NULL,
+          properties TEXT NOT NULL DEFAULT '{}',
+          protected INTEGER NOT NULL DEFAULT 0,
+          created_ms INTEGER NOT NULL);
+        CREATE TABLE namespaces (
+          wh_key TEXT NOT NULL, ns_key TEXT NOT NULL, ns_stored TEXT NOT NULL,
+          properties TEXT NOT NULL DEFAULT '{}',
+          protected INTEGER NOT NULL DEFAULT 0,
+          created_ms INTEGER NOT NULL, PRIMARY KEY (wh_key, ns_key));
+        """
+    )
+    con.execute(
+        "INSERT INTO warehouses (wh_key, name, location, properties,"
+        " created_ms) VALUES ('legacy', 'legacy', '/tmp/legacy', '{}', 1)"
+    )
+    con.commit()
+    con.close()
+    cat = Catalog(Metastore(db))
+    got = wh_ops.get_warehouse(cat, "legacy")
+    assert got["status"] == "active"
+    assert got["managed-by"] == "self-managed"
+    assert got["warehouse-id"]
+    # the assigned uuid is stable across reads
+    assert wh_ops.get_warehouse(cat, "legacy")["warehouse-id"] == got[
+        "warehouse-id"
+    ]
+    # lifecycle mutations work on the migrated row
+    wh_ops.set_status(cat, "legacy", active=False)
+    assert wh_ops.get_warehouse(cat, "legacy")["status"] == "inactive"
+    # namespace protection timestamps work on the migrated namespaces table
+    cat.create_warehouse("w2", str(tmp_path / "w2"))
+    cat.create_namespace("w2", ["ns"])
+    out = cat.set_protection("w2", ["ns"], None, True)
+    assert out["protected"] is True and out["updated-at"]
