@@ -164,6 +164,9 @@ def get_tabular_actions(
             raise NoSuchEntity(f"{kind} {'.'.join(levels)}.{name} not found")
         resource = f"{'.'.join(levels)}.{name}"
         actions = _ENTITY_ACTIONS[kind]
+    if getattr(catalog.authz, "qualified", False):
+        # fine-grained backends key grants by warehouse-qualified paths
+        resource = f"{wh['wh_key']}#{resource}"
     return {"allowed-actions": _probe(catalog, actions, resource)}
 
 
@@ -231,10 +234,15 @@ def _check_one(catalog: "Catalog", op: dict[str, Any], actor) -> bool:
             else:
                 levels, name = tgt["namespace"], tgt.get("name")
             wh = catalog._warehouse(warehouse, any_status=True)
+            qualify = getattr(catalog.authz, "qualified", False)
+
+            def path(dotted: str) -> str:
+                return f"{wh['wh_key']}#{dotted}" if qualify else dotted
+
             if name is None:
                 if not catalog.namespace_exists(warehouse, list(levels)):
                     raise NoSuchEntity(f"namespace {'.'.join(levels)} not found")
-                return allowed(NAMESPACE_ACTIONS, ".".join(levels))
+                return allowed(NAMESPACE_ACTIONS, path(".".join(levels)))
             row = catalog._tabular_row(
                 wh["wh_key"],
                 levels,
@@ -243,7 +251,7 @@ def _check_one(catalog: "Catalog", op: dict[str, Any], actor) -> bool:
             )
             if not row:
                 raise NoSuchEntity(f"{kind} {'.'.join(levels)}.{name} not found")
-            return allowed(_ENTITY_ACTIONS[kind], f"{'.'.join(levels)}.{name}")
+            return allowed(_ENTITY_ACTIONS[kind], path(f"{'.'.join(levels)}.{name}"))
     # no entity selector -> server-level action
     return allowed(SERVER_ACTIONS, "server")
 

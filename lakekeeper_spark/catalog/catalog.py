@@ -116,7 +116,7 @@ class Catalog:
         catalog emits zero audit noise and behaves exactly as before."""
         from .authz import AuthorizationError
 
-        if self.authz.is_allowed(self._actor, action, resource):
+        if self._is_allowed(action, wh_key, resource):
             return
         self.store.emit_event(
             "authorization-failed",
@@ -127,6 +127,15 @@ class Catalog:
         raise AuthorizationError(
             f"actor {self._actor!r} may not {action} on {resource}"
         )
+
+    def _is_allowed(self, action: str, wh_key: str, resource: str) -> bool:
+        """Probe the authorizer without raising. Fine-grained backends
+        (catalog/fga.py) key tuples by warehouse-qualified paths —
+        same-named namespaces in two warehouses must not share grants —
+        so they mark themselves ``qualified`` and get the wh_key prefix."""
+        if wh_key and getattr(self.authz, "qualified", False):
+            resource = f"{wh_key}#{resource}"
+        return self.authz.is_allowed(self._actor, action, resource)
 
     # ================= warehouses =================
     def create_warehouse(
@@ -591,8 +600,8 @@ class Catalog:
             # page is full-sized whenever enough authorized rows exist
             # and a restricted caller cannot infer hidden entries from
             # page gaps (reference list-filtering semantics)
-            if not self.authz.is_allowed(
-                self._actor, "include_in_list", ".".join(levels)
+            if not self._is_allowed(
+                "include_in_list", wh["wh_key"], ".".join(levels)
             ):
                 continue
             if page_size is not None and len(out) >= page_size:
@@ -1041,8 +1050,8 @@ class Catalog:
         next_token = None
         last_key = None
         for r in rows:
-            if not self.authz.is_allowed(
-                self._actor, "include_in_list", f"{ns}.{r['name']}"
+            if not self._is_allowed(
+                "include_in_list", wh["wh_key"], f"{ns}.{r['name']}"
             ):
                 continue
             if page_size is not None and len(names) >= page_size:
@@ -1754,9 +1763,8 @@ class Catalog:
 
         wh = self._warehouse(warehouse)
         resource = f"{'.'.join(levels)}.{name}"
-        del wh  # resolved only for existence/normalization
-        can_read = self.authz.is_allowed(self._actor, "read_data", resource)
-        can_write = self.authz.is_allowed(self._actor, "write_data", resource)
+        can_read = self._is_allowed("read_data", wh["wh_key"], resource)
+        can_write = self._is_allowed("write_data", wh["wh_key"], resource)
         return interpret_storage_permissions(can_read, can_write)
 
     def load_credentials(

@@ -1,0 +1,710 @@
+"""Fine-grained, OpenFGA-style authorization (grants API + authorizer).
+
+Mirrors the reference's ``authz-openfga`` crate without the external
+OpenFGA store: the relation vocabulary per entity
+(``authz-openfga/src/relations.rs`` — ServerRelation:260,
+ProjectRelation:433, WarehouseRelation:728, NamespaceRelation:1060,
+TableRelation:1349, ViewRelation:1614, GenericTableRelation:1879,
+RoleRelation:86), the assignments/access/check HTTP surface
+(``authz-openfga/src/api.rs`` — GET/POST ``.../assignments`` with
+``writes``/``deletes``, GET ``.../access``, POST
+``/permissions/check``, GET/POST ``.../managed-access``), and the
+documented grant semantics (``docs/docs/authorization-openfga.md``):
+
+- ``describe`` < ``select`` < ``modify`` imply each other upward;
+  ``create`` implies ``describe`` (doc lines 47-56).
+- Top-down inheritance: a relation granted on a warehouse/namespace
+  applies to every child namespace/table/view (doc line 66).
+- Bottom-up navigational inheritance: a grant on a descendant gives
+  list/browse visibility of the ancestors on its direct path (line 67).
+- ``pass_grants`` lets a holder grant relations they themselves hold,
+  but never ``pass_grants``/``manage_grants``/``ownership`` (line 59);
+  ``manage_grants`` manages all grants including those (line 62);
+  ``ownership`` holds every privilege on the object.
+- Project roles: ``project_admin`` = ``security_admin`` +
+  ``data_admin``; ``security_admin`` owns the grant plane plus
+  browse-only visibility; ``data_admin`` owns the content plane with
+  no grant administration; ``role_creator`` may create roles
+  (doc lines 35-44).
+- Managed access (warehouse/namespace, inherited down): owners lose
+  the ability to grant; only ``manage_grants`` holders and the admin
+  roles may (doc lines 72-78).
+
+Tuples live in the metastore (``authz_tuples``), so a grant made over
+HTTP is live for the next catalog request — the reference's
+write-through to OpenFGA. Role *assignee* assignments delegate to the
+role-membership tables (catalog/principals.py), exactly as the
+reference stores role membership as OpenFGA ``role#assignee`` tuples.
+
+Entity addressing: the reference keys tuples by entity UUID; this repo
+keys by the catalog's folded identifier paths — ``server``,
+``project/<id>``, ``<wh_key>`` for warehouses, ``<wh_key>#<a.b>`` for
+namespaces and ``<wh_key>#<a.b.t>`` for tabulars (the authorizer marks
+itself ``qualified`` so the catalog passes warehouse-qualified
+resources).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import TYPE_CHECKING, Any
+
+from . import identifiers as ident
+from .authz import AuthorizationError, Authorizer
+from .catalog import CatalogError, NoSuchEntity
+from .metastore import now_ms
+
+if TYPE_CHECKING:
+    from .catalog import Catalog
+
+# assignable relations per entity (the ``*Assignment`` enums,
+# relations.rs; table at docs/authorization-openfga.md:14-22)
+ASSIGNABLE: dict[str, tuple[str, ...]] = {
+    "server": ("admin", "operator"),
+    "project": (
+        "project_admin",
+        "security_admin",
+        "data_admin",
+        "role_creator",
+        "describe",
+        "select",
+        "create",
+        "modify",
+    ),
+    "warehouse": (
+        "ownership",
+        "pass_grants",
+        "manage_grants",
+        "describe",
+        "select",
+        "create",
+        "modify",
+    ),
+    "namespace": (
+        "ownership",
+        "pass_grants",
+        "manage_grants",
+        "describe",
+        "select",
+        "create",
+        "modify",
+    ),
+    "table": (
+        "ownership",
+        "pass_grants",
+        "manage_grants",
+        "describe",
+        "select",
+        "modify",
+    ),
+    "view": (
+        "ownership",
+        "pass_grants",
+        "manage_grants",
+        "describe",
+        "select",
+        "modify",
+    ),
+    "generic-table": (
+        "ownership",
+        "pass_grants",
+        "manage_grants",
+        "describe",
+        "select",
+        "modify",
+    ),
+    "role": ("assignee", "ownership"),
+}
+
+#: relation -> relations it implies on the SAME entity (doc lines 47-56;
+#: ownership holds everything; project_admin = security + data admin)
+IMPLIES: dict[str, set[str]] = {
+    "select": {"describe"},
+    "create": {"describe"},
+    "modify": {"select", "describe"},
+    # ownership's grant-plane powers are NOT implications: they are
+    # resolved by the explicit ownership branches in the grant-plane
+    # rules, where managed access can strip them (doc lines 72-78)
+    "ownership": {
+        "modify",
+        "create",
+        "select",
+        "describe",
+    },
+    "project_admin": {"security_admin", "data_admin"},
+    "data_admin": {"modify", "create", "select", "describe"},
+    "security_admin": {"describe"},
+    "admin": set(),  # expanded structurally (server admin covers all)
+}
+
+#: action (snake_case; kebab inputs are normalized) -> the minimum
+#: relation tier that allows it. ``grant``/``assignments`` tiers are
+#: resolved by the dedicated grant-plane rules below.
+_DESCRIBE = {
+    "get_metadata",
+    "get_config",
+    "include_in_list",
+    "list_tables",
+    "list_views",
+    "list_namespaces",
+    "list_everything",
+    "list_deleted_tabulars",
+    "use",
+    "get_task_queue_config",
+    "get_all_tasks",
+    "get_tasks",
+    "get_endpoint_statistics",
+    "get_project",
+    "list_projects",
+    "list_warehouses",
+    "read_user",
+    "read_role",
+    "search_roles",
+    "search_users",
+    "list_users",
+    "list_roles",
+    "search_tabular",
+}
+_SELECT = {"read_data", "select"}
+_CREATE = {
+    "create",
+    "create_table",
+    "create_view",
+    "create_namespace",
+    "create_generic_table",
+    "register",
+    "create_warehouse",
+}
+_MODIFY = {
+    "write_data",
+    "commit",
+    "drop",
+    "undrop",
+    "rename",
+    "delete",
+    "update_properties",
+    "modify_soft_deletion",
+    "set_format_version_policy",
+    "update_storage",
+    "update_storage_credential",
+    "deactivate",
+    "activate",
+    "modify_task_queue_config",
+    "control_tasks",
+    "control_all_tasks",
+    "report_metrics",
+    "rename_project",
+    "delete_project",
+    "update_role",
+    "update_role_source_system",
+    "delete_role",
+    "update_users",
+    "delete_users",
+    "provision_users",
+    "create_project",
+    "create_role",
+    "update_user",
+    "delete_user",
+}
+_GRANT_PLANE = {
+    "read_assignments",
+    "read_role_assignments",
+    "manage_role_assignments",
+    "set_protection",
+    "set_managed_access",
+    "change_ownership",
+}
+
+
+def _tier_relations(action: str) -> set[str] | None:
+    """Relations that allow ``action`` directly (before implication
+    expansion); None means the action is grant-plane."""
+    if action in _DESCRIBE:
+        return {"describe"}
+    if action in _SELECT:
+        return {"select"}
+    if action in _CREATE:
+        return {"create"}
+    if action in _MODIFY:
+        return {"modify"}
+    if action in _GRANT_PLANE:
+        return None
+    # unknown actions are treated as modify-tier (fail toward the
+    # stricter grant rather than describe)
+    return {"modify"}
+
+
+def _expand(relations: set[str]) -> set[str]:
+    """Close a granted-relation set over IMPLIES."""
+    out = set(relations)
+    frontier = list(relations)
+    while frontier:
+        for implied in IMPLIES.get(frontier.pop(), ()):  # noqa: B909
+            if implied not in out:
+                out.add(implied)
+                frontier.append(implied)
+    return out
+
+
+class FgaAuthorizer(Authorizer):
+    """Metastore-backed fine-grained authorizer with the reference's
+    OpenFGA semantics. ``admins`` plays the LAKEKEEPER__INSTANCE_ADMINS
+    escape hatch (the first server-admin tuple must come from
+    somewhere, like the reference's bootstrap)."""
+
+    #: tells Catalog._authorize to pass warehouse-qualified resources
+    qualified = True
+
+    def __init__(self, store, admins: set[str] | None = None) -> None:
+        self.store = store
+        self.admins = set(admins or ())
+
+    # -- principal expansion ------------------------------------------
+    def _principals(self, actor: str | None) -> set[str]:
+        if actor is None:
+            return set()
+        out = {f"user:{actor}"}
+        seen: set[str] = set()
+        frontier: list[tuple[str, str]] = [("user", actor)]
+        while frontier:
+            kind, mid = frontier.pop()
+            for r in self.store.query(
+                "SELECT role_id FROM role_members WHERE member_kind=?"
+                " AND member_id=?",
+                (kind, mid),
+            ):
+                if r["role_id"] in seen:
+                    continue
+                seen.add(r["role_id"])
+                out.add(f"role:{r['role_id']}")
+                frontier.append(("role", r["role_id"]))
+        return out
+
+    # -- tuple lookups --------------------------------------------------
+    def _direct_relations(self, entity_key: str, principals: set[str]) -> set[str]:
+        if not principals:
+            return set()
+        marks = ",".join("?" for _ in principals)
+        return {
+            r["relation"]
+            for r in self.store.query(
+                f"SELECT relation FROM authz_tuples WHERE entity_key=?"
+                f" AND assignee IN ({marks})",
+                (entity_key, *principals),
+            )
+        }
+
+    def _ancestry(self, resource: str) -> list[str]:
+        """Entity key + all ancestor keys, nearest first: the entity,
+        its parent namespaces, the warehouse, the owning project, the
+        server (top-down inheritance, doc line 66)."""
+        chain: list[str] = []
+        wh_key = None
+        if resource == "server":
+            return ["server"]
+        if resource.startswith("project/"):
+            return [resource, "server"]
+        if resource.startswith("role/"):
+            return [resource, "server"]
+        if resource.startswith("warehouse/"):
+            wh_key = resource.split("/", 1)[1]
+            chain.append(wh_key)
+        elif "#" in resource:
+            wh_key, dotted = resource.split("#", 1)
+            parts = [ident.fold(p) for p in dotted.split(".")]
+            for i in range(len(parts), 0, -1):
+                chain.append(f"{wh_key}#{'.'.join(parts[:i])}")
+            chain.append(wh_key)
+        else:
+            # unqualified resource (library use without warehouse
+            # context): the dotted path only
+            parts = [ident.fold(p) for p in resource.split(".")]
+            for i in range(len(parts), 0, -1):
+                chain.append(".".join(parts[:i]))
+        if wh_key is not None:
+            row = self.store.one(
+                "SELECT project_id FROM warehouses WHERE wh_key=?", (wh_key,)
+            )
+            if row:
+                chain.append(f"project/{row['project_id']}")
+        chain.append("server")
+        return chain
+
+    def _granted(self, resource: str, principals: set[str]) -> set[str]:
+        """All relations the principals hold on the entity, its
+        ancestors (top-down inheritance), closed over IMPLIES. Server
+        admin expands to everything."""
+        rels: set[str] = set()
+        for key in self._ancestry(resource):
+            rels |= self._direct_relations(key, principals)
+        if "admin" in rels:
+            rels |= {"ownership", "project_admin"}
+        return _expand(rels)
+
+    def _managed_access(self, resource: str) -> bool:
+        keys = self._ancestry(resource)
+        marks = ",".join("?" for _ in keys)
+        return (
+            self.store.one(
+                f"SELECT 1 FROM authz_tuples WHERE relation='managed_access'"
+                f" AND entity_key IN ({marks})",
+                tuple(keys),
+            )
+            is not None
+        )
+
+    # -- the decision ---------------------------------------------------
+    def is_allowed(self, actor: str | None, action: str, resource: str) -> bool:
+        if actor is not None and actor in self.admins:
+            return True
+        action = action.replace("-", "_")
+        principals = self._principals(actor)
+        granted = self._granted(resource, principals)
+        # role_creator is its own project relation (doc line 44)
+        if action == "create_role" and "role_creator" in granted:
+            return True
+        tier = _tier_relations(action)
+        if tier is None:
+            return self._grant_plane_allowed(action, resource, granted)
+        if granted & tier:
+            return True
+        # bottom-up navigational inheritance (doc line 67): a grant on a
+        # descendant makes the ancestor browsable
+        if tier == {"describe"} and self._descendant_grant(resource, principals):
+            return True
+        return False
+
+    def _descendant_grant(self, resource: str, principals: set[str]) -> bool:
+        if not principals or resource == "server":
+            return False
+        if resource.startswith("warehouse/"):
+            prefix = resource.split("/", 1)[1] + "#"
+        elif "#" in resource:
+            wh_key, dotted = resource.split("#", 1)
+            folded = ".".join(ident.fold(p) for p in dotted.split("."))
+            prefix = f"{wh_key}#{folded}."
+        else:
+            prefix = ".".join(ident.fold(p) for p in resource.split(".")) + "."
+        marks = ",".join("?" for _ in principals)
+        return (
+            self.store.one(
+                f"SELECT 1 FROM authz_tuples WHERE entity_key LIKE ?"
+                f" AND assignee IN ({marks})",
+                (prefix.replace("%", "\\%") + "%", *principals),
+            )
+            is not None
+        )
+
+    def _grant_plane_allowed(
+        self, action: str, resource: str, granted: set[str]
+    ) -> bool:
+        """read_assignments / set_protection / managed-access / ownership
+        transfer: security_admin, manage_grants, or (unmanaged) owners."""
+        if "security_admin" in granted or "manage_grants" in granted:
+            return True
+        if "ownership" in granted:
+            if action in ("read_assignments", "read_role_assignments"):
+                return True
+            # managed access strips owners of the rest of the grant
+            # plane (doc lines 72-78)
+            return not self._managed_access(resource)
+        return False
+
+    def can_grant(
+        self,
+        actor: str | None,
+        resource: str,
+        relation: str,
+    ) -> bool:
+        """Who may write/delete an assignment (GrantableRelation,
+        relations.rs:1435): manage_grants/security_admin anywhere above,
+        owners unless managed access, pass_grants holders for relations
+        they themselves hold (never the grant-plane relations)."""
+        if actor is not None and actor in self.admins:
+            return True
+        granted = self._granted(resource, self._principals(actor))
+        if "security_admin" in granted or "manage_grants" in granted:
+            return True
+        if "ownership" in granted and not self._managed_access(resource):
+            return True
+        return (
+            "pass_grants" in granted
+            and relation in granted
+            and relation not in ("pass_grants", "manage_grants", "ownership")
+        )
+
+
+# ----------------------------------------------------------------------
+# entity resolution for the HTTP surface
+# ----------------------------------------------------------------------
+def _entity_key(
+    catalog: "Catalog",
+    etype: str,
+    warehouse: str | None = None,
+    levels=None,
+    name: str | None = None,
+    entity_id: str | None = None,
+) -> str:
+    """Resolve + existence-check an entity, returning its tuple key."""
+    if etype == "server":
+        return "server"
+    if etype == "project":
+        pid = entity_id or "default"
+        if not catalog.store.one("SELECT 1 FROM projects WHERE id=?", (pid,)):
+            raise NoSuchEntity(f"Project with id {pid} not found. (ProjectNotFound)")
+        return f"project/{pid}"
+    if etype == "role":
+        if not catalog.store.one("SELECT 1 FROM roles WHERE id=?", (entity_id,)):
+            raise NoSuchEntity(f"Role with id {entity_id} not found. (RoleNotFound)")
+        return f"role/{entity_id}"
+    wh = catalog._warehouse(warehouse, any_status=True)
+    if etype == "warehouse":
+        return wh["wh_key"]
+    if etype == "namespace":
+        if not catalog.namespace_exists(warehouse, list(levels)):
+            raise NoSuchEntity(f"namespace {'.'.join(levels)} not found")
+        return f"{wh['wh_key']}#{ident.ns_key(levels)}"
+    kind = "generic" if etype == "generic-table" else etype
+    row = catalog._tabular_row(wh["wh_key"], levels, name, kind)
+    if not row:
+        raise NoSuchEntity(f"{etype} {'.'.join(levels)}.{name} not found")
+    return f"{wh['wh_key']}#{ident.ns_key(levels)}.{ident.fold(name)}"
+
+
+def _parse_assignment(etype: str, item: dict[str, Any]) -> tuple[str, str]:
+    rel = item.get("type")
+    if rel not in ASSIGNABLE[etype]:
+        raise CatalogError(
+            f"invalid {etype} assignment type {rel!r}"
+            f" (assignable: {sorted(ASSIGNABLE[etype])})"
+        )
+    if "user" in item:
+        return rel, f"user:{item['user']}"
+    if "role" in item:
+        return rel, f"role:{item['role']}"
+    raise CatalogError("assignment requires a user or role assignee")
+
+
+def _require_fga(catalog: "Catalog") -> FgaAuthorizer:
+    if not isinstance(catalog.authz, FgaAuthorizer):
+        raise CatalogError(
+            "the permissions API requires the FgaAuthorizer backend"
+            " (AuthorizationBackendUnavailable)"
+        )
+    return catalog.authz
+
+
+# ----------------------------------------------------------------------
+# API operations (api.rs assignments/access/check/managed-access)
+# ----------------------------------------------------------------------
+def get_assignments(
+    catalog: "Catalog",
+    etype: str,
+    relations: list[str] | None = None,
+    **where: Any,
+) -> dict[str, Any]:
+    """GET .../assignments (api.rs Get*AssignmentsQuery: optional
+    relation filter). Requires read_assignments on the entity."""
+    authz = _require_fga(catalog)
+    key = _entity_key(catalog, etype, **where)
+    if not authz.is_allowed(catalog._actor, "read_assignments", key):
+        raise AuthorizationError(
+            f"actor {catalog._actor!r} may not read assignments on {key}"
+        )
+    if relations is not None:
+        bad = set(relations) - set(ASSIGNABLE[etype])
+        if bad:
+            raise CatalogError(f"invalid relation filter: {sorted(bad)}")
+    out = []
+    if etype == "role" and (relations is None or "assignee" in relations):
+        # assignee tuples live in the membership tables (principals.py),
+        # the single source the reference mirrors into OpenFGA
+        role_id = key.split("/", 1)[1]
+        for m in catalog.store.query(
+            "SELECT member_kind, member_id FROM role_members WHERE role_id=?",
+            (role_id,),
+        ):
+            out.append({"type": "assignee", m["member_kind"]: m["member_id"]})
+    for r in catalog.store.query(
+        "SELECT relation, assignee FROM authz_tuples WHERE entity_key=?"
+        " ORDER BY relation, assignee",
+        (key,),
+    ):
+        if r["relation"] == "managed_access":
+            continue
+        if relations is not None and r["relation"] not in relations:
+            continue
+        kind, _, aid = r["assignee"].partition(":")
+        out.append({"type": r["relation"], kind: aid})
+    return {"assignments": out}
+
+
+def update_assignments(
+    catalog: "Catalog",
+    etype: str,
+    request: dict[str, Any],
+    **where: Any,
+) -> None:
+    """POST .../assignments {writes, deletes} (api.rs Update*Assignments
+    — both lists validated against the entity's assignable relations;
+    each write/delete is authorized by the grant-plane rules)."""
+    authz = _require_fga(catalog)
+    key = _entity_key(catalog, etype, **where)
+    writes = [_parse_assignment(etype, w) for w in request.get("writes", [])]
+    deletes = [_parse_assignment(etype, d) for d in request.get("deletes", [])]
+    for rel, _ in writes + deletes:
+        if not authz.can_grant(catalog._actor, key, rel):
+            raise AuthorizationError(
+                f"actor {catalog._actor!r} may not grant {rel} on {key}"
+            )
+    st = catalog.store
+    # role-assignee rows live in the membership tables (principals.py);
+    # add_role_members runs its own transaction (cycle checks, dedup),
+    # so membership writes happen outside the tuple transaction
+    member_writes = [
+        (rel, a) for rel, a in writes if etype == "role" and rel == "assignee"
+    ]
+    member_deletes = [
+        (rel, a) for rel, a in deletes if etype == "role" and rel == "assignee"
+    ]
+    tuple_writes = [w for w in writes if w not in member_writes]
+    tuple_deletes = [d for d in deletes if d not in member_deletes]
+    for _, assignee in member_writes:
+        from . import principals
+
+        kind, _, aid = assignee.partition(":")
+        principals.add_role_members(
+            catalog,
+            key.split("/", 1)[1],
+            {"members": [{"type": kind, "id": aid}]},
+        )
+    st.begin()
+    try:
+        for _, assignee in member_deletes:
+            kind, _, aid = assignee.partition(":")
+            st.execute(
+                "DELETE FROM role_members WHERE role_id=? AND"
+                " member_kind=? AND member_id=?",
+                (key.split("/", 1)[1], kind, aid),
+            )
+        for rel, assignee in tuple_deletes:
+            st.execute(
+                "DELETE FROM authz_tuples WHERE entity_key=? AND relation=?"
+                " AND assignee=?",
+                (key, rel, assignee),
+            )
+        for rel, assignee in tuple_writes:
+            st.execute(
+                "INSERT INTO authz_tuples (entity_key, relation, assignee,"
+                " created_ms) VALUES (?,?,?,?)"
+                " ON CONFLICT (entity_key, relation, assignee) DO NOTHING",
+                (key, rel, assignee, now_ms()),
+            )
+        st.emit_event(
+            "update-assignments",
+            key.split("#")[0],
+            key,
+            {"writes": len(writes), "deletes": len(deletes)},
+        )
+        st.commit()
+    except BaseException:
+        st.rollback()
+        raise
+
+
+def get_access(
+    catalog: "Catalog",
+    etype: str,
+    principal: dict[str, str] | None = None,
+    **where: Any,
+) -> dict[str, Any]:
+    """GET .../access (api.rs get_*_access): the allowed actions for the
+    caller, or for an explicit principalUser/principalRole override."""
+    from . import actions as act
+
+    _require_fga(catalog)
+    key = _entity_key(catalog, etype, **where)
+    actor = catalog._actor
+    if principal:
+        actor = principal.get("user") or principal.get("role")
+    vocab = act._ENTITY_ACTIONS.get(etype)
+    if vocab is None:
+        from .projects import PROJECT_ACTIONS
+
+        vocab = PROJECT_ACTIONS if etype == "project" else act.SERVER_ACTIONS
+    return {
+        "allowed-actions": [
+            a for a in vocab if catalog.authz.is_allowed(actor, a, key)
+        ]
+    }
+
+
+def get_managed_access(catalog: "Catalog", etype: str, **where: Any) -> dict[str, Any]:
+    _require_fga(catalog)
+    key = _entity_key(catalog, etype, **where)
+    row = catalog.store.one(
+        "SELECT 1 FROM authz_tuples WHERE entity_key=? AND"
+        " relation='managed_access'",
+        (key,),
+    )
+    return {"managed-access": row is not None}
+
+
+def set_managed_access(
+    catalog: "Catalog", etype: str, managed: bool, **where: Any
+) -> None:
+    """POST .../managed-access (warehouse/namespace only; inherited down
+    the hierarchy by the authorizer — doc line 78). Setting it is itself
+    a grant-plane action (CanSetManagedAccess)."""
+    authz = _require_fga(catalog)
+    if etype not in ("warehouse", "namespace"):
+        raise CatalogError("managed access applies to warehouses and namespaces")
+    key = _entity_key(catalog, etype, **where)
+    if not authz.is_allowed(catalog._actor, "set_managed_access", key):
+        raise AuthorizationError(
+            f"actor {catalog._actor!r} may not set managed access on {key}"
+        )
+    if managed:
+        catalog.store.execute(
+            "INSERT INTO authz_tuples (entity_key, relation, assignee,"
+            " created_ms) VALUES (?,?,?,?)"
+            " ON CONFLICT (entity_key, relation, assignee) DO NOTHING",
+            (key, "managed_access", "flag", now_ms()),
+        )
+    else:
+        catalog.store.execute(
+            "DELETE FROM authz_tuples WHERE entity_key=? AND"
+            " relation='managed_access'",
+            (key,),
+        )
+
+
+def check(catalog: "Catalog", request: dict[str, Any]) -> dict[str, Any]:
+    """POST /permissions/check (api.rs:2459): a single allowed/denied
+    probe — the batch-check item shape with one operation."""
+    from . import actions as act
+
+    op = request.get("operation") or {}
+    identity = request.get("identity")
+    actor = None
+    if identity is not None:
+        actor = identity.get("user") or identity.get("role")
+    try:
+        allowed = act._check_one(catalog, op, actor)
+    except NoSuchEntity:
+        if request.get("error-on-not-found"):
+            raise
+        allowed = False
+    return {"allowed": allowed}
+
+
+__all__ = [
+    "ASSIGNABLE",
+    "FgaAuthorizer",
+    "get_assignments",
+    "update_assignments",
+    "get_access",
+    "get_managed_access",
+    "set_managed_access",
+    "check",
+]

@@ -144,6 +144,14 @@ CREATE TABLE IF NOT EXISTS role_members (
   PRIMARY KEY (role_id, member_kind, member_id));
 CREATE INDEX IF NOT EXISTS role_members_by_member
   ON role_members (member_kind, member_id);
+CREATE TABLE IF NOT EXISTS authz_tuples (
+  -- fine-grained grants (the reference's OpenFGA tuples,
+  -- authz-openfga/src/tuples.rs): entity key -> relation -> assignee
+  -- ('user:<id>' | 'role:<uuid>' | 'flag' for managed_access)
+  entity_key TEXT NOT NULL, relation TEXT NOT NULL, assignee TEXT NOT NULL,
+  created_ms INTEGER NOT NULL,
+  PRIMARY KEY (entity_key, relation, assignee));
+CREATE INDEX IF NOT EXISTS authz_by_assignee ON authz_tuples (assignee);
 CREATE TABLE IF NOT EXISTS secrets (
   -- warehouse storage credentials (reference secret store: postgres
   -- migrations/03_secret.sql encrypted with pgcrypto, or the Vault kv2
@@ -160,10 +168,11 @@ CREATE TABLE IF NOT EXISTS secrets (
 #: (lakekeeper-storage-postgres/migrations/, 60+ files); this is the
 #: SQLite-weight equivalent so an existing metastore.db upgrades in place
 #: instead of raising OperationalError on the new columns.
-_SCHEMA_VERSION = 5  # v3: users/roles/role_members (new tables only);
+_SCHEMA_VERSION = 6  # v3: users/roles/role_members (new tables only);
 # v4: projects + server_info tables, warehouses.project_id column
 # v5: warehouse lifecycle columns (status/managed_by/storage profile) +
 #     secrets table
+# v6: authz_tuples (fine-grained grants; new table only)
 
 #: table -> {column: declaration} added after that table first shipped.
 #: SQLite ALTER TABLE ADD COLUMN cannot add NOT NULL without a default,

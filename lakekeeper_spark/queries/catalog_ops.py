@@ -2392,3 +2392,232 @@ def c18_warehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+# --------------------------------------------------------------------------
+# c19: fine-grained grants (OpenFGA semantics) — population-scale checks
+# --------------------------------------------------------------------------
+# The reference's authz-openfga surface (authz-openfga/src/api.rs;
+# semantics docs/docs/authorization-openfga.md): assignments written over
+# HTTP, describe<select<modify implication, top-down inheritance from
+# warehouse grants, the pass_grants/managed-access grant-plane rules, and
+# BatchCheckActions as the decision probe. A 20-principal population
+# derives from supplier keys; grant placement is keyed on divisibility so
+# the DuckDB oracle can recompute every expected decision count from the
+# supplier table alone. Decision rollups run through a Spark groupBy over
+# the batch-check results.
+@register(
+    "c19_fga_grants",
+    oracle="""
+WITH pop AS (
+  SELECT s_suppkey AS k FROM supplier ORDER BY s_suppkey LIMIT 20
+)
+SELECT * FROM (
+  SELECT 'bottom_up_list' AS checkpoint, 1 AS value
+  UNION ALL SELECT 'managed_access_strips_owner', 1
+  UNION ALL SELECT 'pass_grants_rule', 1
+  UNION ALL SELECT 'read_a_allowed',
+    (SELECT COUNT(*) FROM pop WHERE k % 2 = 0 OR k % 7 = 0)
+  UNION ALL SELECT 'meta_b_allowed',
+    (SELECT COUNT(*) FROM pop WHERE k % 3 = 0 OR k % 7 = 0)
+  UNION ALL SELECT 'write_a_allowed',
+    (SELECT COUNT(*) FROM pop WHERE k % 7 = 0)
+  UNION ALL SELECT 'fully_denied',
+    (SELECT COUNT(*) FROM pop
+      WHERE k % 2 <> 0 AND k % 3 <> 0 AND k % 7 <> 0)
+) ORDER BY checkpoint
+""",
+    description="Fine-grained authorization (authz-openfga parity, "
+    "docs/authorization-openfga.md): 20 principals from supplier keys, "
+    "select/describe/modify assignments placed by divisibility over the "
+    "permissions API, decisions probed via BatchCheckActions and rolled "
+    "up with Spark — read/write/metadata allowed counts match the "
+    "oracle's arithmetic; plus pass_grants, managed-access owner "
+    "stripping, and bottom-up navigational listing checkpoints.",
+    tags=("catalog", "authz", "fga", "rest"),
+)
+def c19_fga_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    from ..catalog.catalog import Catalog
+    from ..catalog.fga import FgaAuthorizer
+    from ..catalog.metastore import Metastore
+    from ..rest import RestCatalogClient, RestCatalogServer
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_fga_")
+    store = Metastore(f"{tmp}/metastore.db")
+    cat = Catalog(store, authorizer=FgaAuthorizer(store, admins={"root"}))
+    server = RestCatalogServer(cat).start()
+    rows: list[tuple[str, int]] = []
+    schema = {
+        "type": "struct",
+        "fields": [{"id": 1, "name": "id", "type": "long", "required": False}],
+    }
+    try:
+        base = server.url
+        root = RestCatalogClient(base, token="root")
+
+        def req(method: str, path: str, body=None, token="root"):
+            data = _json.dumps(body).encode() if body is not None else None
+            r = urllib.request.Request(base + path, data=data, method=method)
+            if data:
+                r.add_header("Content-Type", "application/json")
+            r.add_header("Authorization", f"Bearer {token}")
+            with urllib.request.urlopen(r) as resp:
+                raw = resp.read()
+                return _json.loads(raw) if raw else None
+
+        root.create_warehouse("wh", f"{tmp}/wh")
+        root.create_namespace("wh", ["nsa"])
+        root.create_namespace("wh", ["nsb"])
+        root.create_table("wh", ["nsa"], "ta", schema)
+        root.create_table("wh", ["nsb"], "tb", schema)
+
+        keys = [
+            r["s_suppkey"]
+            for r in load_table(spark, sf_dir, "supplier")
+            .select("s_suppkey")
+            .orderBy("s_suppkey")
+            .limit(20)
+            .collect()
+        ]
+        # grant placement keyed on divisibility (oracle-recomputable):
+        #   k%2==0 -> select on namespace nsa (inherits to table ta)
+        #   k%3==0 -> describe on table tb
+        #   k%7==0 -> modify on the WAREHOUSE (inherits everywhere)
+        for k in keys:
+            uid = f"oidc~s{k}"
+            if k % 2 == 0:
+                req("POST",
+                    "/management/v1/permissions/warehouse/wh/namespace/nsa"
+                    "/assignments",
+                    {"writes": [{"type": "select", "user": uid}]})
+            if k % 3 == 0:
+                req("POST",
+                    "/management/v1/permissions/warehouse/wh/table/nsb/tb"
+                    "/assignments",
+                    {"writes": [{"type": "describe", "user": uid}]})
+            if k % 7 == 0:
+                req("POST",
+                    "/management/v1/permissions/warehouse/wh/assignments",
+                    {"writes": [{"type": "modify", "user": uid}]})
+
+        # --- decision probes via BatchCheckActions -----------------------
+        checks = []
+        for k in keys:
+            uid = f"oidc~s{k}"
+            checks.extend([
+                {"id": f"read_a:{k}", "identity": {"user": uid},
+                 "operation": {"action": "read-data",
+                               "table": {"warehouse-id": "wh",
+                                         "namespace": ["nsa"],
+                                         "name": "ta"}}},
+                {"id": f"write_a:{k}", "identity": {"user": uid},
+                 "operation": {"action": "write-data",
+                               "table": {"warehouse-id": "wh",
+                                         "namespace": ["nsa"],
+                                         "name": "ta"}}},
+                {"id": f"meta_b:{k}", "identity": {"user": uid},
+                 "operation": {"action": "get-metadata",
+                               "table": {"warehouse-id": "wh",
+                                         "namespace": ["nsb"],
+                                         "name": "tb"}}},
+            ])
+        results = req("POST", "/management/v1/action/batch-check",
+                      {"checks": checks})["results"]
+
+        # --- Spark rollup of the decision matrix --------------------------
+        decisions = spark.createDataFrame(
+            [
+                (r["id"].split(":")[0], int(r["id"].split(":")[1]),
+                 bool(r["allowed"]))
+                for r in results
+            ],
+            "probe string, k long, allowed boolean",
+        )
+        agg = {
+            r["probe"]: r["n"]
+            for r in decisions.filter(F.col("allowed"))
+            .groupBy("probe")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rows.append(("read_a_allowed", agg.get("read_a", 0)))
+        rows.append(("write_a_allowed", agg.get("write_a", 0)))
+        rows.append(("meta_b_allowed", agg.get("meta_b", 0)))
+        denied = (
+            decisions.groupBy("k")
+            .agg(F.max(F.when(F.col("allowed"), 1).otherwise(0)).alias("any"))
+            .filter(F.col("any") == 0)
+            .count()
+        )
+        rows.append(("fully_denied", denied))
+
+        # --- grant-plane checkpoints --------------------------------------
+        # pass_grants: a select+pass_grants holder passes select on, but
+        # cannot hand out modify or the grant plane (doc line 59)
+        req("POST",
+            "/management/v1/permissions/warehouse/wh/namespace/nsa"
+            "/assignments",
+            {"writes": [{"type": "pass_grants", "user": "oidc~passer"},
+                        {"type": "select", "user": "oidc~passer"}]})
+        req("POST",
+            "/management/v1/permissions/warehouse/wh/namespace/nsa"
+            "/assignments",
+            {"writes": [{"type": "select", "user": "oidc~recipient"}]},
+            token="oidc~passer")
+        try:
+            req("POST",
+                "/management/v1/permissions/warehouse/wh/namespace/nsa"
+                "/assignments",
+                {"writes": [{"type": "modify", "user": "oidc~recipient"}]},
+                token="oidc~passer")
+            ok_pass = 0
+        except urllib.error.HTTPError as e:
+            ok_pass = int(e.code == 403)
+        rows.append(("pass_grants_rule", ok_pass))
+
+        # managed access strips the owner's grant plane (doc lines 72-78)
+        req("POST",
+            "/management/v1/permissions/warehouse/wh/table/nsa/ta"
+            "/assignments",
+            {"writes": [{"type": "ownership", "user": "oidc~owner"}]})
+        req("POST",
+            "/management/v1/permissions/warehouse/wh/managed-access",
+            {"managed-access": True})
+        try:
+            req("POST",
+                "/management/v1/permissions/warehouse/wh/table/nsa/ta"
+                "/assignments",
+                {"writes": [{"type": "select", "user": "oidc~leak"}]},
+                token="oidc~owner")
+            stripped = 0
+        except urllib.error.HTTPError as e:
+            stripped = int(e.code == 403)
+        rows.append(("managed_access_strips_owner", stripped))
+
+        # bottom-up navigation: a table grant lights up ONLY its ancestor
+        # path in listings (doc line 67)
+        lister = RestCatalogClient(base, token=f"oidc~s{keys[0]}")
+        try:
+            listed = lister.list_namespaces("wh")[0]
+            names = {tuple(n) for n in listed}
+        except Exception:
+            names = set()
+        expect = set()
+        if keys[0] % 2 == 0 or keys[0] % 7 == 0:
+            expect.add(("nsa",))
+        if keys[0] % 3 == 0:
+            expect.add(("nsb",))
+        if keys[0] % 7 == 0:
+            expect.add(("nsb",))
+        rows.append(("bottom_up_list", int(names == expect)))
+    finally:
+        server.stop()
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )

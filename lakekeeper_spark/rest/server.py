@@ -1502,6 +1502,305 @@ class _Handler(BaseHTTPRequestHandler):
             },
         )
 
+    # ---- management v1: fine-grained permissions (authz-openfga parity) ---
+    # assignments/access/check/managed-access (authz-openfga/src/api.rs;
+    # semantics catalog/fga.py). Entities are addressed by name paths
+    # (namespace/table routes nest under their warehouse) where the
+    # reference uses entity uuids.
+    def _fga_kwargs(self, wh=None, ns=None, tbl=None, entity_id=None):
+        out = {}
+        if wh is not None:
+            out["warehouse"] = unquote(wh)
+        if ns is not None:
+            out["levels"] = _ns(ns)
+        if tbl is not None:
+            out["name"] = unquote(tbl)
+        if entity_id is not None:
+            out["entity_id"] = unquote(entity_id)
+        return out
+
+    def _fga_assignments(self, etype, **kw):
+        from ..catalog import fga
+
+        relations = None
+        if "relations" in self.query:
+            relations = self.query["relations"].split(",")
+        self._reply(
+            200,
+            fga.get_assignments(
+                self.catalog, etype, relations=relations, **self._fga_kwargs(**kw)
+            ),
+        )
+
+    def _fga_update(self, etype, **kw):
+        from ..catalog import fga
+
+        fga.update_assignments(
+            self.catalog, etype, self._body(), **self._fga_kwargs(**kw)
+        )
+        self._reply(204)
+
+    def _fga_access(self, etype, **kw):
+        from ..catalog import fga
+
+        principal = None
+        if "principalUser" in self.query:
+            principal = {"user": self.query["principalUser"]}
+        elif "principalRole" in self.query:
+            principal = {"role": self.query["principalRole"]}
+        self._reply(
+            200,
+            fga.get_access(
+                self.catalog, etype, principal=principal, **self._fga_kwargs(**kw)
+            ),
+        )
+
+    @route("GET", r"/management/v1/permissions/server/assignments")
+    def fga_server_assignments(self):
+        self._fga_assignments("server")
+
+    @route("POST", r"/management/v1/permissions/server/assignments")
+    def fga_server_assignments_update(self):
+        self._fga_update("server")
+
+    @route("GET", r"/management/v1/permissions/server/access")
+    def fga_server_access(self):
+        self._fga_access("server")
+
+    @route("GET", r"/management/v1/permissions/project/assignments")
+    def fga_project_assignments(self):
+        self._fga_assignments("project", entity_id=self._project_id())
+
+    @route("POST", r"/management/v1/permissions/project/assignments")
+    def fga_project_assignments_update(self):
+        self._fga_update("project", entity_id=self._project_id())
+
+    @route("GET", r"/management/v1/permissions/project/access")
+    def fga_project_access(self):
+        self._fga_access("project", entity_id=self._project_id())
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/project/(?P<entity_id>[^/]+)/assignments",
+    )
+    def fga_project_assignments_by_id(self, entity_id):
+        self._fga_assignments("project", entity_id=entity_id)
+
+    @route(
+        "POST",
+        r"/management/v1/permissions/project/(?P<entity_id>[^/]+)/assignments",
+    )
+    def fga_project_assignments_update_by_id(self, entity_id):
+        self._fga_update("project", entity_id=entity_id)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/project/(?P<entity_id>[^/]+)/access",
+    )
+    def fga_project_access_by_id(self, entity_id):
+        self._fga_access("project", entity_id=entity_id)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/role/(?P<entity_id>[^/]+)/assignments",
+    )
+    def fga_role_assignments(self, entity_id):
+        self._fga_assignments("role", entity_id=entity_id)
+
+    @route(
+        "POST",
+        r"/management/v1/permissions/role/(?P<entity_id>[^/]+)/assignments",
+    )
+    def fga_role_assignments_update(self, entity_id):
+        self._fga_update("role", entity_id=entity_id)
+
+    @route(
+        "GET", r"/management/v1/permissions/role/(?P<entity_id>[^/]+)/access"
+    )
+    def fga_role_access(self, entity_id):
+        self._fga_access("role", entity_id=entity_id)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)/assignments",
+    )
+    def fga_warehouse_assignments(self, wh):
+        self._fga_assignments("warehouse", wh=wh)
+
+    @route(
+        "POST",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)/assignments",
+    )
+    def fga_warehouse_assignments_update(self, wh):
+        self._fga_update("warehouse", wh=wh)
+
+    @route(
+        "GET", r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)/access"
+    )
+    def fga_warehouse_access(self, wh):
+        self._fga_access("warehouse", wh=wh)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)/managed-access",
+    )
+    def fga_warehouse_managed_access(self, wh):
+        from ..catalog import fga
+
+        self._reply(
+            200,
+            fga.get_managed_access(self.catalog, "warehouse", warehouse=unquote(wh)),
+        )
+
+    @route(
+        "POST",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)/managed-access",
+    )
+    def fga_warehouse_managed_access_set(self, wh):
+        from ..catalog import fga
+
+        fga.set_managed_access(
+            self.catalog,
+            "warehouse",
+            bool(self._body().get("managed-access")),
+            warehouse=unquote(wh),
+        )
+        self._reply(204)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/namespace/(?P<ns>[^/]+)/assignments",
+    )
+    def fga_namespace_assignments(self, wh, ns):
+        self._fga_assignments("namespace", wh=wh, ns=ns)
+
+    @route(
+        "POST",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/namespace/(?P<ns>[^/]+)/assignments",
+    )
+    def fga_namespace_assignments_update(self, wh, ns):
+        self._fga_update("namespace", wh=wh, ns=ns)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/namespace/(?P<ns>[^/]+)/access",
+    )
+    def fga_namespace_access(self, wh, ns):
+        self._fga_access("namespace", wh=wh, ns=ns)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/namespace/(?P<ns>[^/]+)/managed-access",
+    )
+    def fga_namespace_managed_access(self, wh, ns):
+        from ..catalog import fga
+
+        self._reply(
+            200,
+            fga.get_managed_access(
+                self.catalog, "namespace", warehouse=unquote(wh), levels=_ns(ns)
+            ),
+        )
+
+    @route(
+        "POST",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/namespace/(?P<ns>[^/]+)/managed-access",
+    )
+    def fga_namespace_managed_access_set(self, wh, ns):
+        from ..catalog import fga
+
+        fga.set_managed_access(
+            self.catalog,
+            "namespace",
+            bool(self._body().get("managed-access")),
+            warehouse=unquote(wh),
+            levels=_ns(ns),
+        )
+        self._reply(204)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/table/(?P<ns>[^/]+)/(?P<tbl>[^/]+)/assignments",
+    )
+    def fga_table_assignments(self, wh, ns, tbl):
+        self._fga_assignments("table", wh=wh, ns=ns, tbl=tbl)
+
+    @route(
+        "POST",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/table/(?P<ns>[^/]+)/(?P<tbl>[^/]+)/assignments",
+    )
+    def fga_table_assignments_update(self, wh, ns, tbl):
+        self._fga_update("table", wh=wh, ns=ns, tbl=tbl)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/table/(?P<ns>[^/]+)/(?P<tbl>[^/]+)/access",
+    )
+    def fga_table_access(self, wh, ns, tbl):
+        self._fga_access("table", wh=wh, ns=ns, tbl=tbl)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/view/(?P<ns>[^/]+)/(?P<tbl>[^/]+)/assignments",
+    )
+    def fga_view_assignments(self, wh, ns, tbl):
+        self._fga_assignments("view", wh=wh, ns=ns, tbl=tbl)
+
+    @route(
+        "POST",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/view/(?P<ns>[^/]+)/(?P<tbl>[^/]+)/assignments",
+    )
+    def fga_view_assignments_update(self, wh, ns, tbl):
+        self._fga_update("view", wh=wh, ns=ns, tbl=tbl)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/view/(?P<ns>[^/]+)/(?P<tbl>[^/]+)/access",
+    )
+    def fga_view_access(self, wh, ns, tbl):
+        self._fga_access("view", wh=wh, ns=ns, tbl=tbl)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/generic-table/(?P<ns>[^/]+)/(?P<tbl>[^/]+)/assignments",
+    )
+    def fga_generic_assignments(self, wh, ns, tbl):
+        self._fga_assignments("generic-table", wh=wh, ns=ns, tbl=tbl)
+
+    @route(
+        "POST",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/generic-table/(?P<ns>[^/]+)/(?P<tbl>[^/]+)/assignments",
+    )
+    def fga_generic_assignments_update(self, wh, ns, tbl):
+        self._fga_update("generic-table", wh=wh, ns=ns, tbl=tbl)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/generic-table/(?P<ns>[^/]+)/(?P<tbl>[^/]+)/access",
+    )
+    def fga_generic_access(self, wh, ns, tbl):
+        self._fga_access("generic-table", wh=wh, ns=ns, tbl=tbl)
+
+    @route("POST", r"/management/v1/permissions/check")
+    def fga_check(self):
+        from ..catalog import fga
+
+        self._reply(200, fga.check(self.catalog, self._body()))
+
     @route("GET", r"/management/v1/role/(?P<role_id>[^/]+)/metadata")
     def get_role_metadata(self, role_id):
         # GetRoleMetadata (role.rs:398,639): the identity subset of the

@@ -1,0 +1,378 @@
+"""Fine-grained (OpenFGA-style) authorization: grants API + authorizer.
+
+Mirrors the reference's authz-openfga crate semantics
+(docs/docs/authorization-openfga.md; relations.rs; api.rs):
+describe<select<modify implication, create, top-down and bottom-up
+inheritance, pass_grants/manage_grants/ownership grant-plane rules,
+managed access, project roles, role-assignee delegation to the
+membership tables, and the assignments/access/check HTTP surface.
+"""
+
+import pytest
+
+from lakekeeper_spark.catalog import fga
+from lakekeeper_spark.catalog.authz import AuthorizationError
+from lakekeeper_spark.catalog.catalog import Catalog, CatalogError, NoSuchEntity
+from lakekeeper_spark.catalog.fga import FgaAuthorizer
+from lakekeeper_spark.catalog.metastore import Metastore
+from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
+
+SCHEMA = {
+    "type": "struct",
+    "fields": [{"id": 1, "name": "id", "type": "long", "required": False}],
+}
+
+
+@pytest.fixture()
+def env(tmp_path):
+    store = Metastore(str(tmp_path / "ms.db"))
+    catalog = Catalog(
+        store, authorizer=FgaAuthorizer(store, admins={"root"}),
+        instance_admins={"root"},
+    )
+    server = RestCatalogServer(catalog).start()
+    root = RestCatalogClient(server.url, token="root")
+    root.create_warehouse("wh", str(tmp_path / "wh"))
+    root.create_namespace("wh", ["ns"])
+    root.create_table("wh", ["ns"], "t", SCHEMA)
+    yield catalog, server.url, root
+    server.stop()
+
+
+def _grant(catalog, etype, rel, user, **where):
+    with catalog.acting_as("root"):
+        fga.update_assignments(
+            catalog, etype, {"writes": [{"type": rel, "user": user}]}, **where
+        )
+
+
+def test_describe_select_modify_implication(env):
+    catalog, url, root = env
+    alice = RestCatalogClient(url, token="alice")
+    # nothing granted -> even metadata is denied
+    with pytest.raises(AuthorizationError):
+        alice.load_table("wh", ["ns"], "t")
+    # describe -> metadata yes, data no (doc line 47)
+    _grant(catalog, "table", "describe", "alice",
+           warehouse="wh", levels=["ns"], name="t")
+    assert alice.load_table("wh", ["ns"], "t")
+    with catalog.acting_as("alice"):
+        assert catalog.storage_permissions_for("wh", ["ns"], "t") is None
+    # select implies describe and reads data (doc line 50)
+    _grant(catalog, "table", "select", "alice",
+           warehouse="wh", levels=["ns"], name="t")
+    with catalog.acting_as("alice"):
+        perms = catalog.storage_permissions_for("wh", ["ns"], "t")
+        assert perms is not None and "read" in str(perms).lower()
+    # modify implies select (doc line 56): write grants appear
+    _grant(catalog, "table", "modify", "alice",
+           warehouse="wh", levels=["ns"], name="t")
+    with catalog.acting_as("alice"):
+        perms = catalog.storage_permissions_for("wh", ["ns"], "t")
+        assert "write" in str(perms).lower() or "delete" in str(perms).lower()
+
+
+def test_top_down_inheritance(env):
+    catalog, url, root = env
+    root.create_namespace("wh", ["ns", "inner"])
+    root.create_table("wh", ["ns", "inner"], "deep", SCHEMA)
+    # select on the WAREHOUSE reaches every table below (doc line 66)
+    _grant(catalog, "warehouse", "select", "bob", warehouse="wh")
+    bob = RestCatalogClient(url, token="bob")
+    assert bob.load_table("wh", ["ns"], "t")
+    assert bob.load_table("wh", ["ns", "inner"], "deep")
+    with catalog.acting_as("bob"):
+        assert catalog.storage_permissions_for("wh", ["ns", "inner"], "deep")
+    # select does not allow create (create is its own relation, line 53)
+    with pytest.raises(AuthorizationError):
+        bob.create_table("wh", ["ns"], "new", SCHEMA)
+    _grant(catalog, "namespace", "create", "bob",
+           warehouse="wh", levels=["ns"])
+    bob.create_table("wh", ["ns"], "new", SCHEMA)
+    # ...but create in the OTHER warehouse's same-named namespace stays
+    # denied (grants are warehouse-qualified)
+    root.create_warehouse("wh2", "/tmp/fga-wh2")
+    root.create_namespace("wh2", ["ns"])
+    with pytest.raises(AuthorizationError):
+        bob.create_table("wh2", ["ns"], "new", SCHEMA)
+
+
+def test_bottom_up_navigation(env):
+    catalog, url, root = env
+    root.create_namespace("wh", ["other"])
+    # a table grant makes the ancestor path browsable but not siblings
+    # (doc line 67)
+    _grant(catalog, "table", "select", "carol",
+           warehouse="wh", levels=["ns"], name="t")
+    carol = RestCatalogClient(url, token="carol")
+    namespaces = carol.list_namespaces("wh")
+    assert [tuple(n) for n in namespaces[0]] == [("ns",)]
+    tables, _ = carol.list_tables("wh", ["ns"])
+    assert tables == ["t"]
+
+
+def test_pass_grants_rules(env):
+    catalog, url, root = env
+    for rel in ("select", "pass_grants"):
+        _grant(catalog, "namespace", rel, "bob",
+               warehouse="wh", levels=["ns"])
+    bob = RestCatalogClient(url, token="bob")
+    # bob can pass on a relation he holds (doc line 59)
+    bob._request(
+        "POST",
+        "/management/v1/permissions/warehouse/wh/namespace/ns/assignments",
+        {"writes": [{"type": "select", "user": "carol"}]},
+    )
+    carol = RestCatalogClient(url, token="carol")
+    assert carol.load_table("wh", ["ns"], "t")
+    # ...but not a relation he does not hold, and never the grant plane
+    for rel in ("modify", "pass_grants", "manage_grants", "ownership"):
+        with pytest.raises(AuthorizationError):
+            bob._request(
+                "POST",
+                "/management/v1/permissions/warehouse/wh/namespace/ns"
+                "/assignments",
+                {"writes": [{"type": rel, "user": "carol"}]},
+            )
+    # pass_grants alone cannot read assignments; manage_grants can
+    with pytest.raises(AuthorizationError):
+        bob._request(
+            "GET",
+            "/management/v1/permissions/warehouse/wh/namespace/ns"
+            "/assignments",
+        )
+    _grant(catalog, "namespace", "manage_grants", "bob",
+           warehouse="wh", levels=["ns"])
+    _, got, _ = bob._request(
+        "GET",
+        "/management/v1/permissions/warehouse/wh/namespace/ns/assignments",
+    )
+    assert {"type": "select", "user": "carol"} in got["assignments"]
+    # relation filter (api.rs Get*AssignmentsQuery)
+    _, got, _ = bob._request(
+        "GET",
+        "/management/v1/permissions/warehouse/wh/namespace/ns/assignments"
+        "?relations=pass_grants",
+    )
+    assert all(a["type"] == "pass_grants" for a in got["assignments"])
+
+
+def test_ownership_and_managed_access(env):
+    catalog, url, root = env
+    _grant(catalog, "table", "ownership", "owner",
+           warehouse="wh", levels=["ns"], name="t")
+    owner = RestCatalogClient(url, token="owner")
+    # owners hold the full grant plane by default
+    owner._request(
+        "POST",
+        "/management/v1/permissions/warehouse/wh/table/ns/t/assignments",
+        {"writes": [{"type": "select", "user": "dave"}]},
+    )
+    # managed access on the warehouse strips the owner's grant ability
+    # (doc lines 72-78), inherited down to the table
+    root._request(
+        "POST",
+        "/management/v1/permissions/warehouse/wh/managed-access",
+        {"managed-access": True},
+    )
+    _, got, _ = root._request(
+        "GET", "/management/v1/permissions/warehouse/wh/managed-access"
+    )
+    assert got["managed-access"] is True
+    with pytest.raises(AuthorizationError):
+        owner._request(
+            "POST",
+            "/management/v1/permissions/warehouse/wh/table/ns/t/assignments",
+            {"writes": [{"type": "select", "user": "eve"}]},
+        )
+    # manage_grants holders still can
+    _grant(catalog, "table", "manage_grants", "sec",
+           warehouse="wh", levels=["ns"], name="t")
+    sec = RestCatalogClient(url, token="sec")
+    sec._request(
+        "POST",
+        "/management/v1/permissions/warehouse/wh/table/ns/t/assignments",
+        {"writes": [{"type": "select", "user": "eve"}]},
+    )
+    # clearing managed access restores the owner
+    root._request(
+        "POST",
+        "/management/v1/permissions/warehouse/wh/managed-access",
+        {"managed-access": False},
+    )
+    owner._request(
+        "POST",
+        "/management/v1/permissions/warehouse/wh/table/ns/t/assignments",
+        {"writes": [{"type": "select", "user": "frank"}]},
+    )
+
+
+def test_project_roles(env):
+    catalog, url, root = env
+    for rel, who in [
+        ("security_admin", "sec"),
+        ("data_admin", "dat"),
+        ("role_creator", "rc"),
+    ]:
+        _grant(catalog, "project", rel, who, entity_id="default")
+    sec = RestCatalogClient(url, token="sec")
+    dat = RestCatalogClient(url, token="dat")
+    rc = RestCatalogClient(url, token="rc")
+    # security_admin: grant plane across the project, no content access
+    # (doc line 35)
+    sec._request(
+        "POST",
+        "/management/v1/permissions/warehouse/wh/table/ns/t/assignments",
+        {"writes": [{"type": "select", "user": "x1"}]},
+    )
+    with catalog.acting_as("sec"):
+        assert catalog.storage_permissions_for("wh", ["ns"], "t") is None
+    # data_admin: content plane, no grant administration (doc line 38)
+    dat.create_table("wh", ["ns"], "dat_t", SCHEMA)
+    with catalog.acting_as("dat"):
+        assert catalog.storage_permissions_for("wh", ["ns"], "t")
+    with pytest.raises(AuthorizationError):
+        dat._request(
+            "POST",
+            "/management/v1/permissions/warehouse/wh/table/ns/t/assignments",
+            {"writes": [{"type": "select", "user": "x2"}]},
+        )
+    # role_creator can create roles and nothing else
+    _, role, _ = rc._request("POST", "/management/v1/role", {"name": "team"})
+    assert role["id"]
+    with pytest.raises(AuthorizationError):
+        rc.load_table("wh", ["ns"], "t")
+    # project_admin = both planes (doc line 41)
+    _grant(catalog, "project", "project_admin", "pa", entity_id="default")
+    pa = RestCatalogClient(url, token="pa")
+    pa.create_table("wh", ["ns"], "pa_t", SCHEMA)
+    pa._request(
+        "POST",
+        "/management/v1/permissions/warehouse/wh/table/ns/t/assignments",
+        {"writes": [{"type": "select", "user": "x3"}]},
+    )
+
+
+def test_role_assignee_delegates_to_membership(env):
+    catalog, url, root = env
+    _, role, _ = root._request("POST", "/management/v1/role", {"name": "readers"})
+    rid = role["id"]
+    # members must be provisioned users (AddRoleMembers UserNotFound)
+    for uid in ("oidc~gina", "oidc~hank"):
+        root._request(
+            "POST",
+            "/management/v1/user",
+            {"id": uid, "name": uid.split("~")[1], "user-type": "human"},
+        )
+    # assignee via the permissions API lands in role_members (the
+    # reference's OpenFGA role#assignee tuple is the membership store)
+    root._request(
+        "POST",
+        f"/management/v1/permissions/role/{rid}/assignments",
+        {"writes": [{"type": "assignee", "user": "oidc~gina"}]},
+    )
+    _, members, _ = root._request(f"GET", f"/management/v1/role/{rid}/members")
+    assert [m["id"] for m in members["members"]] == ["oidc~gina"]
+    # grants to the ROLE flow to its members through the closure
+    with catalog.acting_as("root"):
+        fga.update_assignments(
+            catalog,
+            "namespace",
+            {"writes": [{"type": "select", "role": rid}]},
+            warehouse="wh",
+            levels=["ns"],
+        )
+    gina = RestCatalogClient(url, token="oidc~gina")
+    assert gina.load_table("wh", ["ns"], "t")
+    # removing the assignee removes the access
+    root._request(
+        "POST",
+        f"/management/v1/permissions/role/{rid}/assignments",
+        {"deletes": [{"type": "assignee", "user": "oidc~gina"}]},
+    )
+    with pytest.raises(AuthorizationError):
+        gina.load_table("wh", ["ns"], "t")
+    # role assignments listing shows assignee rows from the membership
+    root._request(
+        "POST",
+        f"/management/v1/permissions/role/{rid}/assignments",
+        {"writes": [{"type": "assignee", "user": "oidc~hank"},
+                    {"type": "ownership", "user": "oidc~gina"}]},
+    )
+    _, got, _ = root._request(
+        "GET", f"/management/v1/permissions/role/{rid}/assignments"
+    )
+    assert {"type": "assignee", "user": "oidc~hank"} in got["assignments"]
+    assert {"type": "ownership", "user": "oidc~gina"} in got["assignments"]
+
+
+def test_access_and_check_endpoints(env):
+    catalog, url, root = env
+    _grant(catalog, "table", "select", "alice",
+           warehouse="wh", levels=["ns"], name="t")
+    # access for the caller
+    alice = RestCatalogClient(url, token="alice")
+    _, got, _ = alice._request(
+        "GET", "/management/v1/permissions/warehouse/wh/table/ns/t/access"
+    )
+    assert "read-data" in got["allowed-actions"]
+    assert "write-data" not in got["allowed-actions"]
+    # access with a principal override (api.rs principalUser)
+    _, got, _ = root._request(
+        "GET",
+        "/management/v1/permissions/warehouse/wh/table/ns/t/access"
+        "?principalUser=alice",
+    )
+    assert "read-data" in got["allowed-actions"]
+    # single check endpoint (api.rs:2459)
+    _, got, _ = root._request(
+        "POST",
+        "/management/v1/permissions/check",
+        {
+            "identity": {"user": "alice"},
+            "operation": {
+                "action": "write-data",
+                "table": {"warehouse-id": "wh", "namespace": ["ns"],
+                          "name": "t"},
+            },
+        },
+    )
+    assert got["allowed"] is False
+    # server access probe for an admin
+    _, got, _ = root._request(
+        "GET", "/management/v1/permissions/server/access"
+    )
+    assert got["allowed-actions"]
+
+
+def test_assignment_validation(env):
+    catalog, url, root = env
+    # invalid relation for the entity type
+    with pytest.raises(CatalogError):
+        root._request(
+            "POST",
+            "/management/v1/permissions/warehouse/wh/table/ns/t/assignments",
+            {"writes": [{"type": "create", "user": "x"}]},
+        )
+    # missing assignee
+    with pytest.raises(CatalogError):
+        root._request(
+            "POST",
+            "/management/v1/permissions/warehouse/wh/assignments",
+            {"writes": [{"type": "describe"}]},
+        )
+    # unknown entity 404s
+    with pytest.raises(NoSuchEntity):
+        root._request(
+            "GET",
+            "/management/v1/permissions/warehouse/wh/table/ns/ghost"
+            "/assignments",
+        )
+    # managed access only applies to warehouses/namespaces
+    with pytest.raises(CatalogError):
+        fga.set_managed_access(catalog, "table", True,
+                               warehouse="wh", levels=["ns"], name="t")
+    # the permissions API requires the FGA backend
+    plain = Catalog(Metastore(":memory:"))
+    with pytest.raises(CatalogError, match="AuthorizationBackendUnavailable"):
+        fga.get_assignments(plain, "server")
