@@ -639,6 +639,33 @@ def get_access(
     }
 
 
+def get_authorizer_actions(
+    catalog: "Catalog",
+    etype: str,
+    principal: dict[str, str] | None = None,
+    **where: Any,
+) -> dict[str, Any]:
+    """GET .../authorizer-actions (api.rs:517 get_authorizer_*_actions):
+    the AUTHORIZER's relation view — which of the entity's assignable
+    relations the principal holds, directly or via implication and
+    hierarchy — as opposed to ``access``, which answers in catalog-action
+    vocabulary."""
+    authz = _require_fga(catalog)
+    key = _entity_key(catalog, etype, **where)
+    actor = catalog._actor
+    if principal:
+        actor = principal.get("user") or principal.get("role")
+    if actor is not None and actor in authz.admins:
+        held = set(ASSIGNABLE[etype])
+    else:
+        granted = authz._granted(key, authz._principals(actor))
+        held = granted & set(ASSIGNABLE[etype])
+        # server admin / project_admin expansion reaches every entity
+        if "project_admin" in granted or "admin" in granted:
+            held = set(ASSIGNABLE[etype])
+    return {"allowed-actions": sorted(held)}
+
+
 def get_managed_access(catalog: "Catalog", etype: str, **where: Any) -> dict[str, Any]:
     _require_fga(catalog)
     key = _entity_key(catalog, etype, **where)

@@ -858,3 +858,64 @@ def s10_generic_vector_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     create_vector_dataset(cat, "wh", ["vectors"], "emb", src, "embedding")
     emb = read_vector_dataset(spark, cat, "wh", ["vectors"], "emb")
     return _s02_lsh(emb)
+
+
+# --------------------------------------------------------------------------
+# s11: ANN recall harness — LSH candidates scored against exact top-k
+# --------------------------------------------------------------------------
+@register(
+    "s11_ann_recall",
+    oracle=f"""
+WITH exact_topk AS ({_S01_ORACLE}),
+lsh_topk AS ({_S02_ORACLE}),
+hits AS (
+  SELECT e.query_id,
+         COUNT(l.neighbor_id) AS n_hits,
+         COUNT(*) AS n_exact
+  FROM exact_topk e
+  LEFT JOIN lsh_topk l
+    ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT query_id, CAST(n_hits AS BIGINT) AS n_hits,
+       CAST(n_exact AS BIGINT) AS k,
+       CAST(n_hits * 1000 / n_exact AS BIGINT) AS recall_millis
+FROM hits ORDER BY query_id
+""",
+    description=f"ANN quality evaluation: recall@{TOP_K} of the "
+    f"{LSH_TABLES}x{LSH_BITS}-bit LSH index (s02) against the exact "
+    "brute-force top-k (s01), per query — the measurement loop every "
+    "production ANN deployment runs before trusting an index. Both "
+    "pipelines are oracle-exact (quantized integer dots), so the "
+    "intersection counts and millirecall are exact integers.",
+    tags=("similarity", "llm", "evaluation"),
+)
+def s11_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the exact side is the one expensive pass (s01's
+    adaptive broadcast/numpy kernel); the LSH side touches only bucket
+    collisions. The recall join keys on (query_id, neighbor_id) — at
+    N_QUERIES x TOP_K rows per side it broadcasts regardless of corpus
+    size, so evaluation cost is dominated by the index builds, never
+    the comparison."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _s01_adaptive(emb).select("query_id", "neighbor_id")
+    approx = _s02_lsh(emb).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        exact.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            "k",
+            ((F.col("n_hits") * 1000) / F.col("k"))
+            .cast("long")
+            .alias("recall_millis"),
+        )
+        .orderBy("query_id")
+    )

@@ -2305,3 +2305,95 @@ def t20_ccnet_bucket_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# t21: sliding-window token chunking (training-sample windowing)
+# --------------------------------------------------------------------------
+#: window width / stride in tokens: 64-token chunks, 16-token overlap —
+#: the standard fixed-window + overlap training-data chunker shape
+CHUNK_W = 64
+CHUNK_S = 48
+
+
+@register(
+    "t21_sliding_window_chunks",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+),
+chunks AS (
+  SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
+         1 + u.i * {CHUNK_S} AS start_tok,
+         LEAST(1 + u.i * {CHUNK_S} + {CHUNK_W} - 1, n) AS end_tok, t
+  FROM sized,
+       LATERAL unnest(range(0,
+         1 + (GREATEST(n - {CHUNK_W}, 0) + {CHUNK_S} - 1) // {CHUNK_S}
+       )) AS u(i)
+)
+SELECT doc_id, chunk_idx,
+       CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(end_tok - start_tok + 1 AS BIGINT) AS n_tok,
+       t[start_tok] AS head_tok, t[end_tok] AS tail_tok
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+    description=f"Sliding-window token chunking: {CHUNK_W}-token windows "
+    f"with stride {CHUNK_S} ({CHUNK_W - CHUNK_S}-token overlap) over the "
+    "shared TOKEN_RE tokenization; one map-only pass — tokens stay in-row "
+    "as an array, chunk starts come from an in-row sequence, and only the "
+    "chunk COORDINATES + head/tail tokens leave the row (never the chunk "
+    "text). n_chunks = 1 + ceil(max(n-W,0)/S), trailing chunk truncated.",
+    tags=("text", "llm", "chunking"),
+)
+def t21_sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sample windowing at 100 TB scale: the scan is the only
+    pass — tokenization, window enumeration, and head/tail extraction
+    all happen row-locally (posexplode fans out coordinate rows, not
+    data shuffles), so the plan has no key shuffle at any size; chunk
+    TEXT is never materialized (downstream samplers re-slice lazily).
+    Spark `sequence(a,b)` would DESCEND for b<a (the m08 lesson) —
+    n_extra is clamped to >= 0 before the sequence is built."""
+    w, s = CHUNK_W, CHUNK_S
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), F.lit(0)).alias("t")
+    )
+    sized = docs.withColumn("n", F.size("t")).filter(F.col("n") > 0)
+    # chunk index sequence 0..n_extra where n_extra = ceil(max(n-W,0)/S)
+    chunked = sized.select(
+        "doc_id",
+        "t",
+        "n",
+        F.posexplode(
+            F.sequence(
+                F.lit(0),
+                F.floor(
+                    (F.greatest(F.col("n") - w, F.lit(0)) + (s - 1)) / s
+                ).cast("long"),
+            )
+        ).alias("chunk_idx", "i"),
+    )
+    return (
+        chunked.select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            (F.lit(1) + F.col("i") * s).cast("long").alias("start_tok"),
+            F.least(F.lit(1) + F.col("i") * s + (w - 1), F.col("n"))
+            .cast("long")
+            .alias("end_tok"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start_tok",
+            (F.col("end_tok") - F.col("start_tok") + 1).alias("n_tok"),
+            F.element_at("t", F.col("start_tok").cast("int")).alias("head_tok"),
+            F.element_at("t", F.col("end_tok").cast("int")).alias("tail_tok"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -1795,6 +1795,77 @@ class _Handler(BaseHTTPRequestHandler):
     def fga_generic_access(self, wh, ns, tbl):
         self._fga_access("generic-table", wh=wh, ns=ns, tbl=tbl)
 
+    def _fga_authorizer_actions(self, etype, **kw):
+        from ..catalog import fga
+
+        principal = None
+        if "principalUser" in self.query:
+            principal = {"user": self.query["principalUser"]}
+        elif "principalRole" in self.query:
+            principal = {"role": self.query["principalRole"]}
+        self._reply(
+            200,
+            fga.get_authorizer_actions(
+                self.catalog, etype, principal=principal, **self._fga_kwargs(**kw)
+            ),
+        )
+
+    @route("GET", r"/management/v1/permissions/server/authorizer-actions")
+    def fga_server_authorizer_actions(self):
+        self._fga_authorizer_actions("server")
+
+    @route("GET", r"/management/v1/permissions/project/authorizer-actions")
+    def fga_project_authorizer_actions(self):
+        self._fga_authorizer_actions("project", entity_id=self._project_id())
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/role/(?P<entity_id>[^/]+)"
+        r"/authorizer-actions",
+    )
+    def fga_role_authorizer_actions(self, entity_id):
+        self._fga_authorizer_actions("role", entity_id=entity_id)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/authorizer-actions",
+    )
+    def fga_warehouse_authorizer_actions(self, wh):
+        self._fga_authorizer_actions("warehouse", wh=wh)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/namespace/(?P<ns>[^/]+)/authorizer-actions",
+    )
+    def fga_namespace_authorizer_actions(self, wh, ns):
+        self._fga_authorizer_actions("namespace", wh=wh, ns=ns)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/table/(?P<ns>[^/]+)/(?P<tbl>[^/]+)/authorizer-actions",
+    )
+    def fga_table_authorizer_actions(self, wh, ns, tbl):
+        self._fga_authorizer_actions("table", wh=wh, ns=ns, tbl=tbl)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/view/(?P<ns>[^/]+)/(?P<tbl>[^/]+)/authorizer-actions",
+    )
+    def fga_view_authorizer_actions(self, wh, ns, tbl):
+        self._fga_authorizer_actions("view", wh=wh, ns=ns, tbl=tbl)
+
+    @route(
+        "GET",
+        r"/management/v1/permissions/warehouse/(?P<wh>[^/]+)"
+        r"/generic-table/(?P<ns>[^/]+)/(?P<tbl>[^/]+)/authorizer-actions",
+    )
+    def fga_generic_authorizer_actions(self, wh, ns, tbl):
+        self._fga_authorizer_actions("generic-table", wh=wh, ns=ns, tbl=tbl)
+
     @route("POST", r"/management/v1/permissions/check")
     def fga_check(self):
         from ..catalog import fga

@@ -376,3 +376,35 @@ def test_assignment_validation(env):
     plain = Catalog(Metastore(":memory:"))
     with pytest.raises(CatalogError, match="AuthorizationBackendUnavailable"):
         fga.get_assignments(plain, "server")
+
+
+def test_authorizer_actions_relation_view(env):
+    """authorizer-actions returns held RELATIONS (api.rs:517) — the
+    authorizer-vocabulary companion to the catalog-action access probe:
+    implication and hierarchy show up as relation names."""
+    catalog, url, root = env
+    _grant(catalog, "warehouse", "modify", "alice", warehouse="wh")
+    alice = RestCatalogClient(url, token="alice")
+    _, got, _ = alice._request(
+        "GET", "/management/v1/permissions/warehouse/wh/authorizer-actions"
+    )
+    # modify implies select + describe on the same entity
+    assert set(got["allowed-actions"]) == {"describe", "modify", "select"}
+    # ...and inherits down to the table, in the table's vocabulary
+    _, got, _ = alice._request(
+        "GET",
+        "/management/v1/permissions/warehouse/wh/table/ns/t"
+        "/authorizer-actions",
+    )
+    assert set(got["allowed-actions"]) == {"describe", "modify", "select"}
+    # principal override; admins see the full assignable set
+    _, got, _ = root._request(
+        "GET",
+        "/management/v1/permissions/warehouse/wh/authorizer-actions"
+        "?principalUser=alice",
+    )
+    assert set(got["allowed-actions"]) == {"describe", "modify", "select"}
+    _, got, _ = root._request(
+        "GET", "/management/v1/permissions/warehouse/wh/authorizer-actions"
+    )
+    assert "ownership" in got["allowed-actions"]

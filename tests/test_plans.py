@@ -1039,3 +1039,31 @@ def test_t20_cut_is_broadcast_scalar_filter(spark):
     # head+middle kept, tail cut
     for r in rows:
         assert r["n_kept"] == (r["n_docs"] if r["bucket"] != "tail" else 0)
+
+
+def test_t21_chunking_is_map_only(spark):
+    """t21 enumerates sliding windows ROW-LOCALLY: one column-pruned
+    corpus scan, chunk starts from an in-row sequence (posexplode fans
+    out coordinate rows — a Generate, not a shuffle), head/tail tokens
+    by element_at. No join, no aggregation, no key shuffle at any data
+    size; the only exchanges are the load repartition and the output
+    presentation sort."""
+    from lakekeeper_spark.queries.text import t21_sliding_window_chunks
+
+    plan = _plan(t21_sliding_window_chunks(spark, SF_DIR))
+    seg = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in seg and "text" in seg  # column-pruned scan
+    assert "Generate" in plan  # the window fan-out is in-row posexplode
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert "hashpartitioning" not in plan  # zero key shuffles
+    assert "rangepartitioning" in plan  # just the output sort
+
+
+def test_s11_recall_join_broadcasts(spark):
+    """s11's comparison join is bounded by N_QUERIES x TOP_K rows per
+    side, so it must broadcast — a shuffle there would serialize the
+    evaluation on the index-build stages' output partitioning."""
+    from lakekeeper_spark.queries.similarity import s11_ann_recall
+
+    plan = _plan(s11_ann_recall(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
