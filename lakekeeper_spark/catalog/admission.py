@@ -1,0 +1,169 @@
+"""Post-authentication admission gates.
+
+Mirrors the reference's admission layer (``service/admission.rs``): an
+AdmissionGate is a coarse, pluggable check run once per request right
+after authentication and actor resolution, before any handler — it can
+reject a *validated* principal that must not be admitted to this
+instance at all (e.g. by consulting an external entitlement service).
+
+Deliberately distinct from authentication (is the token valid) and
+authorization (may this actor do X on Y):
+
+- a rejection is NOT an authentication failure: ``forbidden`` is a
+  terminal 403; ``unavailable`` is a fail-closed 503 carrying the
+  gate-chosen ``Retry-After`` so clients back off instead of treating
+  it as terminal (admission.rs:43-57 AdmissionRejection);
+- gates run AFTER the instance-admin break-glass is resolved and see
+  the full request context including the raw bearer token (which never
+  lands in metadata or audit — AdmissionContext, admission.rs:140);
+- gates compose in registration order, first rejection wins and
+  short-circuits; an empty collection admits everything so the layer is
+  a no-op unless the host registers gates (AdmissionGates,
+  admission.rs:192);
+- an admitting gate may contribute roles it resolved in the same call
+  (Admission::with_roles, admission.rs:102). Resolved roles merge
+  across gates and are exposed for the request's duration via
+  ``current_admission_roles()`` — kept separate from token-claim roles
+  so the provenance stays explicit (RequestMetadata::admission_roles);
+  the RoleRbac family unions them into the actor's role set.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Protocol
+
+_CTX = threading.local()
+
+
+class AdmissionRejection(Exception):
+    """A gate rejected the request. ``kind`` picks the HTTP semantics:
+    'forbidden' -> terminal 403; 'unavailable' -> fail-closed 503 with
+    ``retry_after_s`` surfaced as a Retry-After header."""
+
+    def __init__(
+        self,
+        message: str,
+        error_type: str,
+        kind: str = "forbidden",
+        retry_after_s: int | None = None,
+    ) -> None:
+        super().__init__(message)
+        if kind not in ("forbidden", "unavailable"):
+            raise ValueError(f"invalid rejection kind: {kind}")
+        self.error_type = error_type
+        self.kind = kind
+        self.retry_after_s = retry_after_s
+
+    @classmethod
+    def forbidden(cls, message: str, error_type: str = "AdmissionDenied"):
+        return cls(message, error_type, "forbidden")
+
+    @classmethod
+    def unavailable(
+        cls,
+        message: str,
+        retry_after_s: int,
+        error_type: str = "AdmissionBackendUnavailable",
+    ):
+        return cls(message, error_type, "unavailable", retry_after_s)
+
+
+class Admission:
+    """What a gate returns when it admits: optionally the roles it
+    resolved for the principal in the same call."""
+
+    __slots__ = ("resolved_roles",)
+
+    def __init__(self, resolved_roles: set[str] | None = None) -> None:
+        self.resolved_roles = resolved_roles
+
+    @classmethod
+    def admit(cls) -> "Admission":
+        return cls()
+
+    @classmethod
+    def with_roles(cls, roles: set[str]) -> "Admission":
+        return cls(set(roles))
+
+
+class AdmissionContext:
+    """Borrowed request state for the duration of one admit() call only
+    — in particular the raw bearer token is visible to gates that must
+    relay it to an external service without it entering audit trails."""
+
+    __slots__ = ("actor", "bearer_token", "method", "path", "project_id")
+
+    def __init__(
+        self,
+        actor: str,
+        bearer_token: str | None,
+        method: str,
+        path: str,
+        project_id: str | None = None,
+    ) -> None:
+        self.actor = actor
+        self.bearer_token = bearer_token
+        self.method = method
+        self.path = path
+        self.project_id = project_id
+
+    def __repr__(self) -> str:  # the bearer token stays redacted
+        return (
+            f"AdmissionContext(actor={self.actor!r}, method={self.method!r},"
+            f" path={self.path!r}, bearer_token=<redacted>)"
+        )
+
+
+class AdmissionGate(Protocol):
+    """One post-authentication check. Implementations should be cheap
+    and cache aggressively — admit() runs on every authenticated
+    request."""
+
+    def name(self) -> str: ...
+
+    def admit(self, ctx: AdmissionContext) -> Admission: ...
+
+
+class AdmissionGates:
+    """Ordered gate collection: first rejection wins; on success the
+    Admission carries the union of every gate's resolved roles."""
+
+    def __init__(self, gates: list | None = None) -> None:
+        self.gates = list(gates or ())
+
+    def is_empty(self) -> bool:
+        return not self.gates
+
+    def admit(self, ctx: AdmissionContext) -> Admission:
+        resolved: set[str] | None = None
+        for gate in self.gates:
+            admission = gate.admit(ctx)  # raises AdmissionRejection
+            if admission.resolved_roles:
+                resolved = (resolved or set()) | admission.resolved_roles
+        return Admission(resolved)
+
+
+# ----------------------------------------------------------------------
+# request-scoped resolved-roles context (RequestMetadata::admission_roles)
+# ----------------------------------------------------------------------
+def set_admission_roles(roles: set[str] | None) -> None:
+    _CTX.roles = set(roles) if roles else None
+
+
+def current_admission_roles() -> set[str]:
+    """Roles admission gates resolved for the CURRENT request (empty set
+    outside a gated request). RoleRbac-family authorizers union these
+    into the actor's expanded role set."""
+    return set(getattr(_CTX, "roles", None) or ())
+
+
+__all__ = [
+    "Admission",
+    "AdmissionContext",
+    "AdmissionGate",
+    "AdmissionGates",
+    "AdmissionRejection",
+    "current_admission_roles",
+    "set_admission_roles",
+]

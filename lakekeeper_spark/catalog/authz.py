@@ -131,8 +131,16 @@ class RoleRbacAuthorizer(Authorizer):
         self.role_resource_grants = role_resource_grants or {}
 
     def _expand_roles(self, actor: str | None) -> set[str]:
+        from .admission import current_admission_roles
+
         seen: set[str] = set()
+        # roles resolved by admission gates for this request merge with
+        # the actor's assignments before parent expansion — the
+        # reference's RequestMetadata::admission_roles provenance
+        # (service/admission.rs Admission::with_roles)
         stack = list(self.assignments.get(actor, set()))
+        if actor is not None:
+            stack.extend(current_admission_roles())
         while stack:
             role = stack.pop()
             if role in seen:
@@ -185,9 +193,13 @@ class MetastoreRbacAuthorizer(RoleRbacAuthorizer):
         return super().is_allowed(actor, action, resource)
 
     def _expand_roles(self, actor: str | None) -> set[str]:
+        from .admission import current_admission_roles
+
         if actor is None:
             return set()
-        names: set[str] = set()
+        # admission-gate-resolved roles join the data-level closure
+        # (service/admission.rs Admission::with_roles)
+        names: set[str] = current_admission_roles()
         seen: set[str] = set()
         frontier: list[tuple[str, str]] = [("user", actor)]
         while frontier:

@@ -136,7 +136,8 @@ class _Handler(BaseHTTPRequestHandler):
                 # principal verbatim (the identity stub). No header =
                 # anonymous.
                 auth = self.headers.get("Authorization") or ""
-                actor = auth[7:] if auth.startswith("Bearer ") else None
+                token = auth[7:] if auth.startswith("Bearer ") else None
+                actor = token
                 chain = getattr(self.server, "authenticator", None)
                 if chain is not None and actor is not None:
                     from ..catalog.authn import AuthenticationError
@@ -146,8 +147,40 @@ class _Handler(BaseHTTPRequestHandler):
                     except AuthenticationError as e:
                         self._reply_err(401, "UnauthorizedException", e)
                         return
-                with self.catalog.acting_as(actor):
-                    getattr(self, fname)(**match.groupdict())
+                # post-authentication admission gates (service/admission.rs):
+                # run once per AUTHENTICATED request, after actor resolution,
+                # before any handler; first rejection wins. Distinct HTTP
+                # semantics per rejection kind: forbidden -> terminal 403;
+                # unavailable -> fail-closed 503 + Retry-After.
+                from ..catalog import admission as adm
+
+                gates = getattr(self.server, "admission_gates", None)
+                roles = None
+                if gates is not None and not gates.is_empty() and actor is not None:
+                    ctx = adm.AdmissionContext(
+                        actor, token, method, parsed.path,
+                        self.headers.get("x-project-id"),
+                    )
+                    try:
+                        roles = gates.admit(ctx).resolved_roles
+                    except adm.AdmissionRejection as e:
+                        if e.kind == "unavailable":
+                            self.send_response(503)
+                            body = _error_body(503, e.error_type, str(e))
+                            self.send_header("Retry-After", str(e.retry_after_s))
+                            self.send_header("Content-Type", "application/json")
+                            self.send_header("Content-Length", str(len(body)))
+                            self.end_headers()
+                            self.wfile.write(body)
+                        else:
+                            self._reply_err(403, e.error_type, e)
+                        return
+                adm.set_admission_roles(roles)
+                try:
+                    with self.catalog.acting_as(actor):
+                        getattr(self, fname)(**match.groupdict())
+                finally:
+                    adm.set_admission_roles(None)
             except NotModified:
                 self._reply(304)
             except AuthorizationError as e:
@@ -1955,15 +1988,24 @@ class RestCatalogServer:
     writes, mirroring the reference's stateless-server/all-state-in-
     Postgres design (README.md:58)."""
 
-    def __init__(self, catalog: Catalog, port: int = 0, authenticator=None):
+    def __init__(
+        self,
+        catalog: Catalog,
+        port: int = 0,
+        authenticator=None,
+        admission_gates=None,
+    ):
         """``authenticator``: an optional catalog/authn.AuthenticatorChain;
         when set, Bearer tokens must be valid JWTs from one of its
         providers and requests act as the validated `<idp>~<subject>`
-        principal (401 otherwise)."""
+        principal (401 otherwise). ``admission_gates``: an optional
+        catalog/admission.AdmissionGates collection run post-authn,
+        pre-handler (service/admission.rs)."""
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
         self.httpd.catalog = catalog  # type: ignore[attr-defined]
         self.httpd.plans = {}  # type: ignore[attr-defined]  # async PlanTableScan state
         self.httpd.authenticator = authenticator  # type: ignore[attr-defined]
+        self.httpd.admission_gates = admission_gates  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
 
     @property

@@ -1,0 +1,236 @@
+"""Post-authentication admission gates (service/admission.rs).
+
+Gates run once per authenticated request after actor resolution and
+before any handler: a 'forbidden' rejection is a terminal 403, an
+'unavailable' rejection fails closed as a 503 with the gate-chosen
+Retry-After; gates evaluate in order with first-rejection-wins; an
+admitting gate can contribute roles resolved in the same call, which
+merge into the RoleRbac expansion for the request's duration only.
+"""
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from lakekeeper_spark.catalog.admission import (
+    Admission,
+    AdmissionContext,
+    AdmissionGates,
+    AdmissionRejection,
+    current_admission_roles,
+)
+from lakekeeper_spark.catalog.authz import (
+    AuthorizationError,
+    MetastoreRbacAuthorizer,
+    RoleRbacAuthorizer,
+)
+from lakekeeper_spark.catalog.catalog import Catalog
+from lakekeeper_spark.catalog.metastore import Metastore
+from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
+
+SCHEMA = {
+    "type": "struct",
+    "fields": [{"id": 1, "name": "id", "type": "long", "required": False}],
+}
+
+
+class DenyListGate:
+    def __init__(self, denied):
+        self.denied = set(denied)
+        self.calls = 0
+
+    def name(self):
+        return "deny-list"
+
+    def admit(self, ctx):
+        self.calls += 1
+        if ctx.actor in self.denied:
+            raise AdmissionRejection.forbidden(
+                f"principal {ctx.actor} is not entitled to this instance"
+            )
+        return Admission.admit()
+
+
+class FlakyUpstreamGate:
+    """Fails closed while its upstream is 'down' (admission.rs:50-57)."""
+
+    def __init__(self):
+        self.up = True
+
+    def name(self):
+        return "entitlement-upstream"
+
+    def admit(self, ctx):
+        if not self.up:
+            raise AdmissionRejection.unavailable(
+                "entitlement service unreachable", retry_after_s=17
+            )
+        return Admission.admit()
+
+
+class RoleResolvingGate:
+    """Resolves roles from an 'external service' in the same call
+    (Admission::with_roles) — here keyed off the raw bearer token, which
+    gates may see but which never lands in metadata/audit."""
+
+    def __init__(self, roles_by_token):
+        self.roles_by_token = roles_by_token
+
+    def name(self):
+        return "role-resolver"
+
+    def admit(self, ctx):
+        roles = self.roles_by_token.get(ctx.bearer_token)
+        return Admission.with_roles(roles) if roles else Admission.admit()
+
+
+def _mkserver(tmp_path, gates, authorizer=None):
+    catalog = Catalog(Metastore(str(tmp_path / "ms.db")), authorizer=authorizer)
+    server = RestCatalogServer(
+        catalog, admission_gates=AdmissionGates(gates)
+    ).start()
+    return catalog, server
+
+
+def test_forbidden_is_403_and_unavailable_is_503(tmp_path):
+    flaky = FlakyUpstreamGate()
+    _, server = _mkserver(tmp_path, [DenyListGate({"mallory"}), flaky])
+    try:
+        ok = RestCatalogClient(server.url, token="alice")
+        ok.create_warehouse("wh", str(tmp_path / "wh"))
+        # a denied VALIDATED principal -> terminal 403, not a 401
+        with pytest.raises(AuthorizationError):
+            RestCatalogClient(server.url, token="mallory").config("wh")
+        # upstream down -> fail-closed 503 with the gate's Retry-After
+        flaky.up = False
+        req = urllib.request.Request(
+            server.url + "/catalog/v1/config?warehouse=wh",
+            headers={"Authorization": "Bearer alice"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 503
+        assert exc.value.headers["Retry-After"] == "17"
+        assert "AdmissionBackendUnavailable" in exc.value.read().decode()
+        flaky.up = True
+        assert ok.config("wh")
+    finally:
+        server.stop()
+
+
+def test_first_rejection_short_circuits(tmp_path):
+    first = DenyListGate({"mallory"})
+    second = DenyListGate(set())
+    _, server = _mkserver(tmp_path, [first, second])
+    try:
+        client = RestCatalogClient(server.url, token="alice")
+        client.create_warehouse("wh", str(tmp_path / "wh"))
+        calls_before = second.calls
+        with pytest.raises(AuthorizationError):
+            RestCatalogClient(server.url, token="mallory").config("wh")
+        # the second gate never ran for the rejected request
+        assert second.calls == calls_before
+    finally:
+        server.stop()
+
+
+def test_anonymous_requests_skip_gates(tmp_path):
+    gate = DenyListGate({None})
+    _, server = _mkserver(tmp_path, [gate])
+    try:
+        # no Authorization header -> gates never run (the reference runs
+        # gates only for authenticated requests)
+        client = RestCatalogClient(server.url)
+        client.create_warehouse("wh", str(tmp_path / "wh"))
+        assert gate.calls == 0
+    finally:
+        server.stop()
+
+
+def test_resolved_roles_feed_rolerbac_for_request_duration(tmp_path):
+    # the authorizer knows what the 'readers' role MAY do; WHO holds it
+    # comes from the admission gate's external resolution
+    authz = RoleRbacAuthorizer(
+        assignments={"root": {"admin"}},
+        role_grants={
+            "admin": {"*"},
+            "readers": {"get_metadata", "include_in_list"},
+        },
+    )
+    gate = RoleResolvingGate({"ext-token": {"readers"}})
+    catalog, server = _mkserver(tmp_path, [gate], authorizer=authz)
+    try:
+        with catalog.acting_as("root"):
+            catalog.create_warehouse("wh", str(tmp_path / "wh"))
+            catalog.create_namespace("wh", ["ns"])
+            catalog.create_table("wh", ["ns"], "t", SCHEMA)
+        # same-principal request WITHOUT the entitled token -> denied
+        with pytest.raises(AuthorizationError):
+            RestCatalogClient(server.url, token="other").load_table(
+                "wh", ["ns"], "t"
+            )
+        # the entitled token is admitted AND acts with the resolved role
+        meta, _ = RestCatalogClient(server.url, token="ext-token").load_table(
+            "wh", ["ns"], "t"
+        )
+        assert meta["table-uuid"]
+        # roles were request-scoped: nothing leaks outside the request
+        assert current_admission_roles() == set()
+        # ...and grants beyond the resolved role stay denied
+        with pytest.raises(AuthorizationError):
+            RestCatalogClient(server.url, token="ext-token").drop_table(
+                "wh", ["ns"], "t"
+            )
+    finally:
+        server.stop()
+
+
+def test_metastore_rbac_unions_admission_roles(tmp_path):
+    store = Metastore(str(tmp_path / "m.db"))
+    authz = MetastoreRbacAuthorizer(
+        store, role_grants={"ops": {"get_metadata"}}, admins={"root"}
+    )
+    catalog = Catalog(store, authorizer=authz)
+    server = RestCatalogServer(
+        catalog,
+        admission_gates=AdmissionGates(
+            [RoleResolvingGate({"tok": {"ops"}})]
+        ),
+    ).start()
+    try:
+        root = RestCatalogClient(server.url, token="root")
+        root.create_warehouse("wh", str(tmp_path / "wh"))
+        root.create_namespace("wh", ["ns"])
+        root.create_table("wh", ["ns"], "t", SCHEMA)
+        meta, _ = RestCatalogClient(server.url, token="tok").load_table(
+            "wh", ["ns"], "t"
+        )
+        assert meta["table-uuid"]
+        with pytest.raises(AuthorizationError):
+            RestCatalogClient(server.url, token="other").load_table(
+                "wh", ["ns"], "t"
+            )
+    finally:
+        server.stop()
+
+
+def test_context_redacts_bearer_token():
+    ctx = AdmissionContext("alice", "secret-token", "GET", "/x")
+    assert "secret-token" not in repr(ctx)
+    assert "redacted" in repr(ctx)
+
+
+def test_gates_collection_unions_roles():
+    gates = AdmissionGates(
+        [
+            RoleResolvingGate({"t": {"a"}}),
+            RoleResolvingGate({"t": {"b"}}),
+        ]
+    )
+    adm = gates.admit(AdmissionContext("u", "t", "GET", "/"))
+    assert adm.resolved_roles == {"a", "b"}
+    assert AdmissionGates([]).is_empty()
+    with pytest.raises(ValueError):
+        AdmissionRejection("x", "T", kind="nonsense")
