@@ -683,6 +683,11 @@ class Catalog:
             st.execute(
                 "DELETE FROM namespaces WHERE wh_key=? AND ns_key=?", (wh["wh_key"], key)
             )
+            # grants die with the entity (the reference deletes authorizer
+            # tuples on entity deletion, e.g. warehouse/mod.rs:722)
+            st.purge_authz_entity(
+                f"{wh['wh_key']}#{ident.dotted_key(levels)}", prefix=True
+            )
             st.emit_event("drop-namespace", wh["wh_key"], ".".join(levels), {})
             st.commit()
         except BaseException:
@@ -1240,6 +1245,11 @@ class Catalog:
             }
             if profile == "hard" or purge:
                 st.execute("DELETE FROM tabulars WHERE id=?", (row["id"],))
+                # hard delete kills the grants too; a soft delete keeps
+                # them so undrop restores access (expiration purges later)
+                st.purge_authz_entity(
+                    f"{wh['wh_key']}#{ident.dotted_key(levels, name)}"
+                )
                 if purge:
                     st.enqueue_task(
                         "tabular_purge",
@@ -1314,6 +1324,10 @@ class Catalog:
             st.execute(
                 "UPDATE tabulars SET ns_key=?, name_key=?, name=? WHERE id=?",
                 (ident.ns_key(new_levels), ident.fold(new_name), new_name, row["id"]),
+            )
+            st.move_authz_entity(
+                f"{wh['wh_key']}#{ident.dotted_key(levels, name)}",
+                f"{wh['wh_key']}#{ident.dotted_key(new_levels, new_name)}",
             )
             st.emit_event(
                 "rename-table",
@@ -1399,6 +1413,7 @@ class Catalog:
                 table_uuid, location, schema, partition_spec, sort_order, properties, format_version
             )
             st.execute("DELETE FROM tabulars WHERE id=?", (row["id"],))
+            st.purge_authz_entity(f"{wh['wh_key']}#{ident.dotted_key(levels, name)}")
             st.execute(
                 "INSERT INTO tabulars (id, wh_key, ns_key, name_key, name, kind, metadata,"
                 " location, created_ms, updated_ms) VALUES (?,?,?,?,?,?,?,?,?,?)",
@@ -1695,6 +1710,7 @@ class Catalog:
             if row["protected"]:
                 raise ProtectedEntity(f"view {name} is protected")
             st.execute("DELETE FROM tabulars WHERE id=?", (row["id"],))
+            st.purge_authz_entity(f"{wh['wh_key']}#{ident.dotted_key(levels, name)}")
             st.emit_event("drop-view", wh["wh_key"], f"{'.'.join(levels)}.{name}", {})
             st.commit()
         except BaseException:
@@ -1844,6 +1860,7 @@ class Catalog:
             if not row:
                 raise NoSuchEntity(f"generic table {name} not found")
             st.execute("DELETE FROM tabulars WHERE id=?", (row["id"],))
+            st.purge_authz_entity(f"{wh['wh_key']}#{ident.dotted_key(levels, name)}")
             st.emit_event("drop-generic-table", wh["wh_key"], name, {})
             st.commit()
         except BaseException:

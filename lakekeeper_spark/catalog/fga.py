@@ -463,12 +463,14 @@ def _entity_key(
     if etype == "namespace":
         if not catalog.namespace_exists(warehouse, list(levels)):
             raise NoSuchEntity(f"namespace {'.'.join(levels)} not found")
-        return f"{wh['wh_key']}#{ident.ns_key(levels)}"
+        # '.'-joined folded path — MUST match the ancestry convention
+        # (is_allowed folds the dotted resource the catalog passes)
+        return f"{wh['wh_key']}#{ident.dotted_key(levels)}"
     kind = "generic" if etype == "generic-table" else etype
     row = catalog._tabular_row(wh["wh_key"], levels, name, kind)
     if not row:
         raise NoSuchEntity(f"{etype} {'.'.join(levels)}.{name} not found")
-    return f"{wh['wh_key']}#{ident.ns_key(levels)}.{ident.fold(name)}"
+    return f"{wh['wh_key']}#{ident.dotted_key(levels, name)}"
 
 
 def _parse_assignment(etype: str, item: dict[str, Any]) -> tuple[str, str]:
@@ -704,6 +706,73 @@ def set_managed_access(
             " relation='managed_access'",
             (key,),
         )
+
+
+def reconcile(catalog: "Catalog") -> dict[str, int]:
+    """Prune orphaned grant tuples — rows whose entity or assignee no
+    longer exists. The entity-deletion hooks (catalog/metastore
+    purge_authz_entity/assignee) keep the store clean in normal
+    operation; reconcile is the repair path for stores that predate the
+    hooks or were mutated out-of-band (the spirit of the reference's
+    ``lakekeeper reconcile``, docs/authorization-openfga.md:100-145,
+    which rebuilds OpenFGA structure from the catalog while leaving
+    valid grants alone). Returns pruning counts by reason."""
+    _require_fga(catalog)
+    st = catalog.store
+    pruned = {"entity": 0, "assignee": 0}
+    wh_keys = {r["wh_key"] for r in st.query("SELECT wh_key FROM warehouses")}
+    for r in st.query("SELECT DISTINCT entity_key FROM authz_tuples"):
+        key = r["entity_key"]
+        alive = True
+        if key == "server":
+            pass
+        elif key.startswith("project/"):
+            alive = bool(
+                st.one("SELECT 1 FROM projects WHERE id=?", (key.split("/", 1)[1],))
+            )
+        elif key.startswith("role/"):
+            alive = bool(
+                st.one("SELECT 1 FROM roles WHERE id=?", (key.split("/", 1)[1],))
+            )
+        elif "#" in key:
+            wh_key, dotted = key.split("#", 1)
+            parts = dotted.split(".")
+            ns_all = ident.SEP.join(parts)
+            ns_parent = ident.SEP.join(parts[:-1])
+            alive = wh_key in wh_keys and bool(
+                st.one(
+                    "SELECT 1 FROM namespaces WHERE wh_key=? AND ns_key=?",
+                    (wh_key, ns_all),
+                )
+                or st.one(
+                    "SELECT 1 FROM tabulars WHERE wh_key=? AND ns_key=?"
+                    " AND name_key=?",
+                    (wh_key, ns_parent, parts[-1]),
+                )
+            )
+        else:
+            alive = key in wh_keys
+        if not alive:
+            pruned["entity"] += st.purge_authz_entity(key)
+    for r in st.query(
+        "SELECT DISTINCT assignee FROM authz_tuples WHERE assignee != 'flag'"
+    ):
+        kind, _, aid = r["assignee"].partition(":")
+        if kind == "user":
+            alive = bool(
+                st.one(
+                    "SELECT 1 FROM users WHERE id=? AND deleted_ms IS NULL",
+                    (aid,),
+                )
+                # unprovisioned principals are legal assignees (grants can
+                # precede first login); only soft-DELETED users are dead
+                or not st.one("SELECT 1 FROM users WHERE id=?", (aid,))
+            )
+        else:
+            alive = bool(st.one("SELECT 1 FROM roles WHERE id=?", (aid,)))
+        if not alive:
+            pruned["assignee"] += st.purge_authz_assignee(r["assignee"])
+    return pruned
 
 
 def check(catalog: "Catalog", request: dict[str, Any]) -> dict[str, Any]:

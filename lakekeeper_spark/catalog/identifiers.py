@@ -28,6 +28,16 @@ def ns_key(levels: tuple[str, ...] | list[str]) -> str:
     return SEP.join(fold(level) for level in levels)
 
 
+def dotted_key(levels: tuple[str, ...] | list[str], name: str | None = None) -> str:
+    """Folded '.'-joined path — the resource convention the authorizers
+    see (catalog._authorize passes dotted paths; catalog/fga.py keys
+    grant tuples with it and walks ancestry by '.'-prefixes)."""
+    parts = [fold(level) for level in levels]
+    if name is not None:
+        parts.append(fold(name))
+    return ".".join(parts)
+
+
 def ns_store(levels: tuple[str, ...] | list[str]) -> str:
     return SEP.join(levels)
 

@@ -34,7 +34,8 @@ def run_expiration_queue(
     for task in st.pick_tasks("tabular_expiration", limit):
         try:
             row = st.one(
-                "SELECT id, location, deleted_ms FROM tabulars WHERE id=?",
+                "SELECT id, location, deleted_ms, wh_key, ns_key, name_key"
+                " FROM tabulars WHERE id=?",
                 (task["payload"]["id"],),
             )
             if row is None or row["deleted_ms"] is None:
@@ -44,6 +45,10 @@ def run_expiration_queue(
             st.begin()
             try:
                 st.execute("DELETE FROM tabulars WHERE id=?", (row["id"],))
+                # the grace period is over: grants die with the tabular
+                # (catalog/fga.py tuples; soft delete had kept them so
+                # undrop restored access)
+                _purge_tabular_grants(st, row)
                 if task["payload"].get("purge"):
                     st.enqueue_task(
                         "tabular_purge",
@@ -147,3 +152,15 @@ def run_orphan_queue(catalog: Catalog, spark, limit: int = 100) -> int:
         except Exception as e:  # noqa: BLE001 - keep queue draining
             st.fail_task(task["task_id"], str(e))
     return n
+
+
+def _purge_tabular_grants(st, row) -> None:
+    """Drop fine-grained grant tuples for an expired tabular (the
+    reference deletes authorizer tuples when the entity is finally
+    removed). Key = wh_key '#' dotted folded path (catalog/fga.py)."""
+    from . import identifiers as ident
+
+    ns_parts = row["ns_key"].split(ident.SEP)
+    st.purge_authz_entity(
+        f"{row['wh_key']}#{'.'.join([*ns_parts, row['name_key']])}"
+    )

@@ -420,6 +420,54 @@ class Metastore:
             if not self.con.in_transaction:  # autocommit: already durable
                 self._flush_pending()
 
+    # -- fine-grained grant tuples (catalog/fga.py) -----------------------
+    # The reference deletes authorizer tuples when the entity goes away
+    # (e.g. authorizer.delete_warehouse in the DeleteWarehouse handler,
+    # api/management/v1/warehouse/mod.rs:722) — without this, a recreated
+    # same-name entity would inherit the old entity's grants.
+    def purge_authz_entity(self, entity_key: str, prefix: bool = False) -> int:
+        """Remove every grant ON an entity (and, with ``prefix``, on all
+        its '#'-nested or '.'-nested descendants)."""
+        n = self.execute(
+            "DELETE FROM authz_tuples WHERE entity_key=?", (entity_key,)
+        ).rowcount
+        if prefix:
+            for sep in ("#", "."):
+                pat = entity_key.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+                n += self.execute(
+                    "DELETE FROM authz_tuples WHERE entity_key LIKE ? ESCAPE '\\'",
+                    (pat + sep + "%",),
+                ).rowcount
+        return n
+
+    def purge_authz_assignee(self, assignee: str) -> int:
+        """Remove every grant HELD BY a principal ('user:<id>' /
+        'role:<uuid>') — the reference drops a deleted user/role's
+        permissions everywhere."""
+        return self.execute(
+            "DELETE FROM authz_tuples WHERE assignee=?", (assignee,)
+        ).rowcount
+
+    def move_authz_entity(self, old_key: str, new_key: str, prefix: bool = False) -> None:
+        """Re-key grants when an entity is renamed, so they follow it."""
+        self.execute(
+            "UPDATE authz_tuples SET entity_key=? WHERE entity_key=?",
+            (new_key, old_key),
+        )
+        if prefix:
+            for sep in ("#", "."):
+                pat = old_key.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+                old_pre, new_pre = old_key + sep, new_key + sep
+                for r in self.query(
+                    "SELECT entity_key FROM authz_tuples WHERE entity_key"
+                    " LIKE ? ESCAPE '\\'",
+                    (pat + sep + "%",),
+                ):
+                    self.execute(
+                        "UPDATE authz_tuples SET entity_key=? WHERE entity_key=?",
+                        (new_pre + r["entity_key"][len(old_pre):], r["entity_key"]),
+                    )
+
     def record_endpoint(self, endpoint: str, wh_key: str | None, status: int = 200) -> None:
         hour = now_ms() // 3_600_000
         self.con.execute(

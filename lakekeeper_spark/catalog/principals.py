@@ -304,6 +304,9 @@ def delete_user(catalog: "Catalog", user_id: str) -> None:
             "DELETE FROM role_members WHERE member_kind='user' AND member_id=?",
             (user_id,),
         )
+        # fine-grained grants held by the user go too (the reference
+        # removes a deleted user's permissions everywhere)
+        st.purge_authz_assignee(f"user:{user_id}")
         st.commit()
     except BaseException:
         st.rollback()
@@ -505,6 +508,9 @@ def delete_role(catalog: "Catalog", role_id: str) -> None:
     st.begin()
     try:
         cur = st.execute("DELETE FROM roles WHERE id=?", (role_id,))
+        # grants ON the role and grants HELD BY it go with it
+        st.purge_authz_entity(f"role/{role_id}")
+        st.purge_authz_assignee(f"role:{role_id}")
         if cur.rowcount == 0:
             st.rollback()
             raise NoSuchEntity(f"Role {role_id} not found. (RoleNotFound)")

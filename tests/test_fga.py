@@ -408,3 +408,161 @@ def test_authorizer_actions_relation_view(env):
         "GET", "/management/v1/permissions/warehouse/wh/authorizer-actions"
     )
     assert "ownership" in got["allowed-actions"]
+
+
+def test_grants_die_with_entities(env):
+    """The reference deletes authorizer tuples when entities go away
+    (e.g. authorizer.delete_warehouse, warehouse/mod.rs:722) — without
+    that, a recreated same-name entity would inherit stale grants."""
+    catalog, url, root = env
+    _grant(catalog, "table", "select", "alice",
+           warehouse="wh", levels=["ns"], name="t")
+    alice = RestCatalogClient(url, token="alice")
+    assert alice.load_table("wh", ["ns"], "t")
+    # hard drop kills the grant; the recreated table inherits NOTHING
+    root.drop_table("wh", ["ns"], "t", purge=False)  # default soft...
+    root.undrop_table("wh", ["ns"], "t")
+    assert alice.load_table("wh", ["ns"], "t")  # soft+undrop kept it
+    root._request(
+        "POST",
+        "/management/v1/warehouse/wh/delete-profile",
+        {"delete-profile": {"type": "hard"}},
+    )
+    root.drop_table("wh", ["ns"], "t")
+    root.create_table("wh", ["ns"], "t", SCHEMA)
+    with pytest.raises(AuthorizationError):
+        alice.load_table("wh", ["ns"], "t")
+
+
+def test_grants_follow_renames(env):
+    catalog, url, root = env
+    _grant(catalog, "table", "select", "alice",
+           warehouse="wh", levels=["ns"], name="t")
+    root.rename_table("wh", ["ns"], "t", ["ns"], "t2")
+    alice = RestCatalogClient(url, token="alice")
+    assert alice.load_table("wh", ["ns"], "t2")
+    # warehouse rename carries every nested grant
+    root._request(
+        "POST", "/management/v1/warehouse/wh/rename", {"new-name": "whx"}
+    )
+    assert alice.load_table("whx", ["ns"], "t2")
+    with catalog.acting_as("root"):
+        listed = fga.get_assignments(
+            catalog, "table", warehouse="whx", levels=["ns"], name="t2"
+        )
+    assert {"type": "select", "user": "alice"} in listed["assignments"]
+
+
+def test_expiration_purges_grants(env):
+    catalog, url, root = env
+    from lakekeeper_spark.catalog import lifecycle
+
+    _grant(catalog, "table", "select", "alice",
+           warehouse="wh", levels=["ns"], name="t")
+    # zero-grace soft delete, then drain the expiration queue
+    root._request(
+        "POST",
+        "/management/v1/warehouse/wh/delete-profile",
+        {"delete-profile": {"type": "soft", "expiration-seconds": 0}},
+    )
+    root.drop_table("wh", ["ns"], "t")
+    with catalog.acting_as(None):
+        lifecycle.run_expiration_queue(catalog)
+    assert (
+        catalog.store.one(
+            "SELECT 1 FROM authz_tuples WHERE entity_key LIKE 'wh#%'"
+        )
+        is None
+    )
+
+
+def test_deleted_principals_lose_grants(env):
+    catalog, url, root = env
+    root._request(
+        "POST",
+        "/management/v1/user",
+        {"id": "oidc~temp", "name": "Temp", "user-type": "human"},
+    )
+    _, role, _ = root._request("POST", "/management/v1/role", {"name": "tmp"})
+    _grant(catalog, "table", "select", "oidc~temp",
+           warehouse="wh", levels=["ns"], name="t")
+    with catalog.acting_as("root"):
+        fga.update_assignments(
+            catalog,
+            "table",
+            {"writes": [{"type": "modify", "role": role["id"]}]},
+            warehouse="wh",
+            levels=["ns"],
+            name="t",
+        )
+    root._request("DELETE", "/management/v1/user/oidc~temp")
+    root._request("DELETE", f"/management/v1/role/{role['id']}")
+    rows = catalog.store.query("SELECT assignee FROM authz_tuples")
+    assignees = {r["assignee"] for r in rows}
+    assert "user:oidc~temp" not in assignees
+    assert f"role:{role['id']}" not in assignees
+
+
+def test_multilevel_namespace_grants(env):
+    """Grants written through the API on a NESTED namespace must use the
+    same dotted key the authorizer's ancestry walk folds to."""
+    catalog, url, root = env
+    root.create_namespace("wh", ["ns", "Inner"])
+    root.create_table("wh", ["ns", "Inner"], "deep", SCHEMA)
+    with catalog.acting_as("root"):
+        fga.update_assignments(
+            catalog,
+            "namespace",
+            {"writes": [{"type": "select", "user": "alice"}]},
+            warehouse="wh",
+            levels=["ns", "INNER"],  # case-insensitive resolution
+        )
+    alice = RestCatalogClient(url, token="alice")
+    assert alice.load_table("wh", ["ns", "inner"], "deep")
+    # dropping the nested namespace removes the grant
+    root.drop_table("wh", ["ns", "Inner"], "deep", purge=True)
+    root.drop_namespace("wh", ["ns", "Inner"])
+    assert (
+        catalog.store.one(
+            "SELECT 1 FROM authz_tuples WHERE entity_key LIKE '%inner%'"
+        )
+        is None
+    )
+
+
+def test_reconcile_prunes_orphans(env):
+    catalog, url, root = env
+    st = catalog.store
+    # out-of-band rows: a ghost table, a ghost role, a deleted user
+    st.execute(
+        "INSERT INTO authz_tuples (entity_key, relation, assignee, created_ms)"
+        " VALUES ('wh#ns.ghost', 'select', 'user:alice', 1)"
+    )
+    st.execute(
+        "INSERT INTO authz_tuples (entity_key, relation, assignee, created_ms)"
+        " VALUES ('role/nope', 'ownership', 'user:alice', 1)"
+    )
+    root._request(
+        "POST",
+        "/management/v1/user",
+        {"id": "oidc~gone", "name": "G", "user-type": "human"},
+    )
+    _grant(catalog, "table", "select", "oidc~gone",
+           warehouse="wh", levels=["ns"], name="t")
+    st.execute("UPDATE users SET deleted_ms=1 WHERE id='oidc~gone'")
+    st.execute(
+        "DELETE FROM role_members WHERE member_kind='user'"
+        " AND member_id='oidc~gone'"
+    )
+    # a live grant survives reconcile
+    _grant(catalog, "table", "describe", "alice",
+           warehouse="wh", levels=["ns"], name="t")
+    pruned = fga.reconcile(catalog)
+    assert pruned["entity"] >= 2 and pruned["assignee"] >= 1
+    rows = {
+        (r["entity_key"], r["assignee"])
+        for r in st.query("SELECT entity_key, assignee FROM authz_tuples")
+    }
+    assert ("wh#ns.t", "user:alice") in rows
+    assert not any(k == "wh#ns.ghost" or k == "role/nope" for k, _ in rows)
+    assert not any(a == "user:oidc~gone" for _, a in rows)

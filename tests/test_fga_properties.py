@@ -1,0 +1,156 @@
+"""Property tests for the fine-grained authorizer (catalog/fga.py).
+
+Contracts that must hold for ANY grant placement (the OpenFGA model's
+algebraic shape, docs/authorization-openfga.md):
+
+1. Monotonicity: adding a grant never revokes an allowed action.
+2. Implication soundness: wherever select is granted, describe-tier
+   actions are allowed; wherever modify is granted, select- and
+   describe-tier actions are allowed (doc lines 47-56).
+3. Top-down inheritance: an action allowed at an entity via an ancestor
+   grant is allowed at every descendant of that ancestor too.
+4. Isolation: grants never leak to a sibling warehouse's entities.
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lakekeeper_spark.catalog.catalog import Catalog
+from lakekeeper_spark.catalog.fga import FgaAuthorizer
+from lakekeeper_spark.catalog.metastore import Metastore, now_ms
+
+# the entity tree: two warehouses, nested namespaces, tables
+WAREHOUSES = ("wha", "whb")
+ENTITIES = {
+    "wha": ["wha", "wha#ns1", "wha#ns1.t1", "wha#ns1.sub", "wha#ns1.sub.t2"],
+    "whb": ["whb", "whb#ns1", "whb#ns1.t1"],
+}
+RELATIONS = ("describe", "select", "create", "modify", "ownership")
+ACTIONS = ("get_metadata", "read_data", "create", "write_data", "commit")
+#: action -> relations that must imply it on the same entity
+IMPLIED_BY = {
+    "get_metadata": {"describe", "select", "create", "modify", "ownership"},
+    "read_data": {"select", "modify", "ownership"},
+    # modify does NOT imply create (doc line 56: modify includes select
+    # and describe only; create is its own relation, line 53)
+    "create": {"create", "ownership"},
+    "write_data": {"modify", "ownership"},
+    "commit": {"modify", "ownership"},
+}
+
+grant_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(ENTITIES["wha"] + ENTITIES["whb"]),
+        st.sampled_from(RELATIONS),
+    ),
+    min_size=0,
+    max_size=6,
+    unique=True,
+)
+
+
+def _build(grants):
+    store = Metastore(":memory:")
+    for wh in WAREHOUSES:
+        store.execute(
+            "INSERT INTO warehouses (wh_key, name, location, created_ms)"
+            " VALUES (?,?,?,?)",
+            (wh, wh, f"/tmp/{wh}", now_ms()),
+        )
+    authz = FgaAuthorizer(store)
+    cat = Catalog(store, authorizer=authz)
+    for key, rel in grants:
+        store.execute(
+            "INSERT INTO authz_tuples (entity_key, relation, assignee,"
+            " created_ms) VALUES (?,?,?,?)"
+            " ON CONFLICT (entity_key, relation, assignee) DO NOTHING",
+            (key, rel, "user:u", now_ms()),
+        )
+    return cat, authz
+
+
+def _decisions(authz):
+    return {
+        (e, a): authz.is_allowed("u", a, e)
+        for wh in WAREHOUSES
+        for e in ENTITIES[wh]
+        for a in ACTIONS
+    }
+
+
+@given(grants=grant_strategy, extra=st.tuples(
+    st.sampled_from(ENTITIES["wha"] + ENTITIES["whb"]),
+    st.sampled_from(RELATIONS),
+))
+@settings(max_examples=60, deadline=None)
+def test_grants_are_monotone(grants, extra):
+    cat, authz = _build(grants)
+    before = _decisions(authz)
+    cat.store.execute(
+        "INSERT INTO authz_tuples (entity_key, relation, assignee, created_ms)"
+        " VALUES (?,?,?,?) ON CONFLICT (entity_key, relation, assignee)"
+        " DO NOTHING",
+        (extra[0], extra[1], "user:u", now_ms()),
+    )
+    after = _decisions(authz)
+    for key, allowed in before.items():
+        assert not (allowed and not after[key]), (
+            f"adding grant {extra} revoked {key}"
+        )
+
+
+@given(grants=grant_strategy)
+@settings(max_examples=60, deadline=None)
+def test_implication_and_inheritance_soundness(grants):
+    _, authz = _build(grants)
+    placed = {}  # entity -> relations granted at-or-above it
+    for wh in WAREHOUSES:
+        for entity in ENTITIES[wh]:
+            ancestors = [
+                a
+                for a in ENTITIES[wh]
+                if a == entity
+                or entity.startswith(a + "#")
+                or entity.startswith(a + ".")
+            ]
+            placed[entity] = {
+                rel for key, rel in grants if key in ancestors
+            }
+    for entity, rels in placed.items():
+        for action, implying in IMPLIED_BY.items():
+            if rels & implying:
+                assert authz.is_allowed("u", action, entity), (
+                    f"{action} must be allowed on {entity}: holds {rels}"
+                )
+
+
+@given(grants=st.lists(
+    st.tuples(st.sampled_from(ENTITIES["wha"]), st.sampled_from(RELATIONS)),
+    min_size=1, max_size=5, unique=True,
+))
+@settings(max_examples=40, deadline=None)
+def test_no_cross_warehouse_leakage(grants):
+    # every grant lands in wha; whb must stay fully denied (including
+    # bottom-up navigation, which never crosses warehouse roots)
+    _, authz = _build(grants)
+    for entity in ENTITIES["whb"]:
+        for action in ACTIONS:
+            assert not authz.is_allowed("u", action, entity), (
+                f"{action} leaked to {entity} from {grants}"
+            )
+
+
+def test_anonymous_always_denied():
+    _, authz = _build([("wha", "ownership")])
+    for entity in ENTITIES["wha"]:
+        for action in ACTIONS:
+            assert not authz.is_allowed(None, action, entity)
+
+
+@pytest.mark.parametrize("rel", ["describe", "select", "create"])
+def test_non_mutating_relations_never_allow_writes(rel):
+    _, authz = _build([("wha", rel)])
+    for entity in ENTITIES["wha"]:
+        assert not authz.is_allowed("u", "write_data", entity)
+        assert not authz.is_allowed("u", "drop", entity)
