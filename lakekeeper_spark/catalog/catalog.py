@@ -686,7 +686,7 @@ class Catalog:
             # grants die with the entity (the reference deletes authorizer
             # tuples on entity deletion, e.g. warehouse/mod.rs:722)
             st.purge_authz_entity(
-                f"{wh['wh_key']}#{ident.dotted_key(levels)}", prefix=True
+                f"{wh['wh_key']}#{ident.dotted_key(levels)}", child_sep="."
             )
             st.emit_event("drop-namespace", wh["wh_key"], ".".join(levels), {})
             st.commit()

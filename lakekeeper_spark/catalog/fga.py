@@ -386,11 +386,16 @@ class FgaAuthorizer(Authorizer):
         else:
             prefix = ".".join(ident.fold(p) for p in resource.split(".")) + "."
         marks = ",".join("?" for _ in principals)
+        # escape LIKE metacharacters in the prefix — '_' is common in
+        # warehouse names and would otherwise wildcard-match a sibling
+        pat = (
+            prefix.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        )
         return (
             self.store.one(
-                f"SELECT 1 FROM authz_tuples WHERE entity_key LIKE ?"
+                f"SELECT 1 FROM authz_tuples WHERE entity_key LIKE ? ESCAPE '\\'"
                 f" AND assignee IN ({marks})",
-                (prefix.replace("%", "\\%") + "%", *principals),
+                (pat + "%", *principals),
             )
             is not None
         )

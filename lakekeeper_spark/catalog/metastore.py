@@ -425,19 +425,21 @@ class Metastore:
     # (e.g. authorizer.delete_warehouse in the DeleteWarehouse handler,
     # api/management/v1/warehouse/mod.rs:722) — without this, a recreated
     # same-name entity would inherit the old entity's grants.
-    def purge_authz_entity(self, entity_key: str, prefix: bool = False) -> int:
-        """Remove every grant ON an entity (and, with ``prefix``, on all
-        its '#'-nested or '.'-nested descendants)."""
+    def purge_authz_entity(self, entity_key: str, child_sep: str | None = None) -> int:
+        """Remove every grant ON an entity and, with ``child_sep``, on
+        all its descendants. The separator is explicit per entity kind —
+        '#' nests under a warehouse key, '.' under a namespace key —
+        because '.' is legal inside identifiers, so a blanket prefix
+        purge of warehouse 'wh' must not reach a sibling named 'wh.x'."""
         n = self.execute(
             "DELETE FROM authz_tuples WHERE entity_key=?", (entity_key,)
         ).rowcount
-        if prefix:
-            for sep in ("#", "."):
-                pat = entity_key.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
-                n += self.execute(
-                    "DELETE FROM authz_tuples WHERE entity_key LIKE ? ESCAPE '\\'",
-                    (pat + sep + "%",),
-                ).rowcount
+        if child_sep:
+            pat = entity_key.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+            n += self.execute(
+                "DELETE FROM authz_tuples WHERE entity_key LIKE ? ESCAPE '\\'",
+                (pat + child_sep + "%",),
+            ).rowcount
         return n
 
     def purge_authz_assignee(self, assignee: str) -> int:
@@ -448,25 +450,25 @@ class Metastore:
             "DELETE FROM authz_tuples WHERE assignee=?", (assignee,)
         ).rowcount
 
-    def move_authz_entity(self, old_key: str, new_key: str, prefix: bool = False) -> None:
-        """Re-key grants when an entity is renamed, so they follow it."""
+    def move_authz_entity(self, old_key: str, new_key: str, child_sep: str | None = None) -> None:
+        """Re-key grants when an entity is renamed, so they follow it
+        (``child_sep`` as in purge_authz_entity)."""
         self.execute(
             "UPDATE authz_tuples SET entity_key=? WHERE entity_key=?",
             (new_key, old_key),
         )
-        if prefix:
-            for sep in ("#", "."):
-                pat = old_key.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
-                old_pre, new_pre = old_key + sep, new_key + sep
-                for r in self.query(
-                    "SELECT entity_key FROM authz_tuples WHERE entity_key"
-                    " LIKE ? ESCAPE '\\'",
-                    (pat + sep + "%",),
-                ):
-                    self.execute(
-                        "UPDATE authz_tuples SET entity_key=? WHERE entity_key=?",
-                        (new_pre + r["entity_key"][len(old_pre):], r["entity_key"]),
-                    )
+        if child_sep:
+            pat = old_key.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+            old_pre, new_pre = old_key + child_sep, new_key + child_sep
+            for r in self.query(
+                "SELECT entity_key FROM authz_tuples WHERE entity_key"
+                " LIKE ? ESCAPE '\\'",
+                (pat + child_sep + "%",),
+            ):
+                self.execute(
+                    "UPDATE authz_tuples SET entity_key=? WHERE entity_key=?",
+                    (new_pre + r["entity_key"][len(old_pre):], r["entity_key"]),
+                )
 
     def record_endpoint(self, endpoint: str, wh_key: str | None, status: int = 200) -> None:
         hour = now_ms() // 3_600_000

@@ -566,3 +566,33 @@ def test_reconcile_prunes_orphans(env):
     assert ("wh#ns.t", "user:alice") in rows
     assert not any(k == "wh#ns.ghost" or k == "role/nope" for k, _ in rows)
     assert not any(a == "user:oidc~gone" for _, a in rows)
+
+
+def test_underscore_names_do_not_wildcard(tmp_path):
+    """'_' in entity names must not act as a LIKE wildcard in the
+    bottom-up navigation probe: a grant in wh_b must not make the
+    sibling whXb (same length) browsable."""
+    store = Metastore(str(tmp_path / "ms.db"))
+    catalog = Catalog(store, authorizer=FgaAuthorizer(store, admins={"root"}))
+    server = RestCatalogServer(catalog).start()
+    try:
+        root = RestCatalogClient(server.url, token="root")
+        for wh in ("wh_b", "whxb"):
+            root.create_warehouse(wh, str(tmp_path / wh))
+            root.create_namespace(wh, ["ns"])
+            root.create_table(wh, ["ns"], "t", SCHEMA)
+        with catalog.acting_as("root"):
+            fga.update_assignments(
+                catalog,
+                "table",
+                {"writes": [{"type": "select", "user": "alice"}]},
+                warehouse="wh_b",
+                levels=["ns"],
+                name="t",
+            )
+        alice = RestCatalogClient(server.url, token="alice")
+        # granted path navigates; the underscore-sibling stays dark
+        assert alice.list_namespaces("wh_b")[0] == [("ns",)]
+        assert alice.list_namespaces("whxb")[0] == []
+    finally:
+        server.stop()

@@ -219,3 +219,45 @@ def test_pg_sqlite_equivalence(pg_store, tmp_path):
             "warehouses": cat.list_warehouses(),
         }
     assert snapshots["pg"] == snapshots["sqlite"]
+
+
+def test_pg_fga_grants_and_lifecycle(pg_store, tmp_path):
+    """The fine-grained grant store (authz_tuples) on PostgreSQL:
+    tuple writes (ON CONFLICT), the LIKE ESCAPE descendant probes, and
+    the entity-lifecycle purge/move hooks all run in the common SQL
+    dialect."""
+    from lakekeeper_spark.catalog import fga
+    from lakekeeper_spark.catalog.fga import FgaAuthorizer
+
+    cat = Catalog(pg_store, authorizer=FgaAuthorizer(pg_store, admins={"root"}))
+    with cat.acting_as("root"):
+        cat.create_warehouse("wh_f", str(tmp_path / "whf"))
+        cat.create_namespace("wh_f", ["ns"])
+        cat.create_table("wh_f", ["ns"], "t", SCHEMA)
+        fga.update_assignments(
+            cat,
+            "table",
+            {"writes": [{"type": "select", "user": "alice"}]},
+            warehouse="wh_f",
+            levels=["ns"],
+            name="t",
+        )
+    # implication + top-down resolution on pg
+    assert cat.authz.is_allowed("alice", "read_data", "wh_f#ns.t")
+    assert cat.authz.is_allowed("alice", "get_metadata", "wh_f#ns.t")
+    assert not cat.authz.is_allowed("alice", "write_data", "wh_f#ns.t")
+    # bottom-up navigation (LIKE ESCAPE path) + no underscore wildcarding
+    assert cat.authz.is_allowed("alice", "include_in_list", "wh_f#ns")
+    assert not cat.authz.is_allowed("alice", "include_in_list", "whxf#ns")
+    # rename moves the tuples; hard drop purges them
+    with cat.acting_as("root"):
+        cat.rename_table("wh_f", ["ns"], "t", ["ns"], "t2")
+    assert cat.authz.is_allowed("alice", "read_data", "wh_f#ns.t2")
+    with cat.acting_as("root"):
+        cat.drop_table("wh_f", ["ns"], "t2", purge=True)
+    assert (
+        pg_store.one(
+            "SELECT 1 FROM authz_tuples WHERE entity_key='wh_f#ns.t2'", ()
+        )
+        is None
+    )
