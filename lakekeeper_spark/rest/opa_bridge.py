@@ -1,0 +1,307 @@
+"""Trino Open Policy Agent bridge.
+
+Mirrors the reference's OPA bridge (``authz/opa-bridge`` — a Rego
+policy pack documented in ``docs/docs/opa.md``): a TRUSTED multi-user
+engine (Trino) contacts the catalog with a god-like credential, then
+enforces per-user permissions itself by asking OPA, and the bridge
+answers OPA's questions by translating Trino authorization queries
+into Lakekeeper batch-check decisions
+(``policies/lakekeeper/check.rego`` calls
+``/management/v1/action/batch-check`` with an identity override for
+every probe — exactly the catalog/actions.py machinery this module
+reuses in-process).
+
+Faithful translations (``policies/trino/*.rego``):
+
+- identity: ``lakekeeper_user_id = "oidc~" + trino_user_id``
+  (user.rego:4-5; the prefix is configurable like configuration.rego)
+- catalog ops: Create/DropCatalog -> warehouse ``delete``;
+  AccessCatalog/FilterCatalogs -> warehouse ``get_config``
+  (allow_catalog.rego)
+- schema ops: CreateSchema -> ``create_namespace`` on the warehouse
+  (top-level) or the parent schema (nested); DropSchema -> namespace
+  ``delete``; ShowSchemas -> warehouse ``list_namespaces``;
+  FilterSchemas/ShowCreateSchema/ShowTables -> namespace
+  ``get_metadata`` (allow_schema.rego)
+- table ops: CreateTable -> ``create_table`` on the schema; DropTable
+  -> ``drop``; RenameTable -> source ``rename`` AND target-schema
+  ``create_table``; the modify family (Insert/Delete/Update/Truncate/
+  column DDL/comments/properties/ExecuteTableProcedure) ->
+  ``write_data``; SelectFromColumns + view-from-select + filters ->
+  ``read_data`` (or ``get_metadata`` for ``$``-suffixed Iceberg
+  metadata tables); ShowColumns/ShowCreateTable -> ``get_metadata``
+  (allow_table.rego)
+- default access (allow_default_access.rego): ExecuteQuery always;
+  information_schema's columns/schemata/tables/views and the
+  Lakekeeper system schemas readable in managed catalogs; admin users
+  get Trino system schemas and cross-user query visibility; unmanaged
+  catalogs are governed by ``allow_unmanaged``
+- the Trino OPA plugin's batch endpoint (filterResources) returns the
+  INDICES of permitted resources
+
+Served by the REST facade at the OPA data-API paths Trino is pointed
+at (``opa.policy.uri=/v1/data/trino/allow``,
+``opa.policy.batched-uri=/v1/data/trino/batch``).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any
+
+from ..catalog.catalog import CatalogError, NoSuchEntity
+
+if TYPE_CHECKING:
+    from ..catalog.catalog import Catalog
+
+#: information_schema tables readable in every catalog
+#: (allow_default_access.rego:7)
+INFORMATION_SCHEMA_TABLES = ("columns", "schemata", "tables", "views")
+#: non-user schemas of managed catalogs (allow_default_access.rego:10)
+SYSTEM_SCHEMAS = ("information_schema", "schema_discovery", "system")
+
+_WRITE_OPS = frozenset(
+    {
+        "InsertIntoTable",
+        "DeleteFromTable",
+        "UpdateTableColumns",
+        "TruncateTable",
+        "AddColumn",
+        "DropColumn",
+        "RenameColumn",
+        "AlterColumn",
+        "SetColumnComment",
+        "SetTableComment",
+        "SetTableProperties",
+        "ExecuteTableProcedure",
+    }
+)
+_READ_OPS = frozenset(
+    {
+        "SelectFromColumns",
+        "CreateViewWithSelectFromColumns",
+        "FilterTables",
+        "FilterColumns",
+    }
+)
+_META_OPS = frozenset({"ShowColumns", "ShowCreateTable"})
+
+
+class TrinoOpaBridge:
+    """One bridge instance per server: ``catalogs`` maps Trino catalog
+    names to Lakekeeper warehouse names (the TRINO_*_CATALOG_NAME /
+    LAKEKEEPER_*_WAREHOUSE pairs of configuration.rego)."""
+
+    def __init__(
+        self,
+        catalog: "Catalog",
+        catalogs: dict[str, str],
+        admin_users: set[str] | None = None,
+        allow_unmanaged: bool = False,
+        user_prefix: str = "oidc~",
+    ) -> None:
+        self.catalog = catalog
+        self.catalogs = dict(catalogs)
+        self.admin_users = set(admin_users or ())
+        self.allow_unmanaged = allow_unmanaged
+        self.user_prefix = user_prefix
+
+    # -- plumbing -------------------------------------------------------
+    def _user(self, opa_input: dict[str, Any]) -> tuple[str | None, str | None]:
+        trino_user = (
+            (opa_input.get("context") or {}).get("identity") or {}
+        ).get("user")
+        if trino_user is None:
+            return None, None
+        return trino_user, f"{self.user_prefix}{trino_user}"
+
+    def _check(self, user: str | None, op: dict[str, Any]) -> bool:
+        """One decision through the batch-check machinery; missing
+        resources deny (check.rego treats non-200/false as deny)."""
+        from ..catalog import actions
+
+        try:
+            return actions._check_one(self.catalog, op, user)
+        except (NoSuchEntity, CatalogError):
+            return False
+
+    @staticmethod
+    def _split_schema(schema_name: str) -> list[str]:
+        # Trino schemas are dot-joined multi-part namespaces
+        # (check.rego namespace_for_schema)
+        return schema_name.split(".")
+
+    @staticmethod
+    def _is_metadata_table(table_name: str) -> bool:
+        return "$" in table_name
+
+    # -- the decision ---------------------------------------------------
+    def decide(self, opa_input: dict[str, Any]) -> bool:
+        action = opa_input.get("action") or {}
+        operation = action.get("operation")
+        resource = action.get("resource") or {}
+        trino_user, lk_user = self._user(opa_input)
+
+        # ---- default access -------------------------------------------
+        if operation == "ExecuteQuery":
+            return True
+        if operation in ("ViewQueryOwnedBy", "FilterViewQueryOwnedBy"):
+            owner = (resource.get("user") or {}).get("user")
+            return trino_user in self.admin_users or owner == trino_user
+
+        # resolve the governing catalog (if the resource names one)
+        entity = (
+            resource.get("table")
+            or resource.get("schema")
+            or resource.get("catalog")
+            or {}
+        )
+        catalog_name = entity.get("catalogName") or entity.get("name")
+        if catalog_name is not None and catalog_name not in self.catalogs:
+            if trino_user in self.admin_users and catalog_name == "system":
+                return True
+            return self.allow_unmanaged
+        warehouse = self.catalogs.get(catalog_name)
+
+        # system/information_schema reads inside managed catalogs
+        schema_name = entity.get("schemaName")
+        table_name = entity.get("tableName")
+        if schema_name == "information_schema":
+            if operation in ("FilterSchemas", "ShowSchemas"):
+                return True
+            return operation in _READ_OPS and (
+                table_name is None or table_name in INFORMATION_SCHEMA_TABLES
+            )
+        if schema_name in SYSTEM_SCHEMAS:
+            return operation in ("FilterSchemas", "ShowSchemas") or (
+                operation in _READ_OPS
+            )
+
+        # ---- catalog plane --------------------------------------------
+        if operation in ("CreateCatalog", "DropCatalog"):
+            return self._check(
+                lk_user, {"action": "delete", "warehouse-id": warehouse}
+            )
+        if operation in ("AccessCatalog", "FilterCatalogs"):
+            return self._check(
+                lk_user, {"action": "get-config", "warehouse-id": warehouse}
+            )
+        if operation == "ShowSchemas":
+            return self._check(
+                lk_user,
+                {"action": "list-namespaces", "warehouse-id": warehouse},
+            )
+
+        # ---- schema plane ---------------------------------------------
+        if operation == "CreateSchema":
+            levels = self._split_schema(schema_name)
+            if len(levels) == 1:
+                return self._check(
+                    lk_user,
+                    {"action": "create-namespace", "warehouse-id": warehouse},
+                )
+            return self._check(
+                lk_user,
+                {
+                    "action": "create-namespace",
+                    "namespace": {
+                        "warehouse-id": warehouse,
+                        "namespace": levels[:-1],
+                    },
+                },
+            )
+        if operation in ("DropSchema", "FilterSchemas", "ShowCreateSchema", "ShowTables"):
+            lk_action = "delete" if operation == "DropSchema" else "get-metadata"
+            return self._check(
+                lk_user,
+                {
+                    "action": lk_action,
+                    "namespace": {
+                        "warehouse-id": warehouse,
+                        "namespace": self._split_schema(schema_name),
+                    },
+                },
+            )
+
+        # ---- table plane ----------------------------------------------
+        def table_op(lk_action: str, name: str) -> dict[str, Any]:
+            return {
+                "action": lk_action,
+                "table": {
+                    "warehouse-id": warehouse,
+                    "namespace": self._split_schema(schema_name),
+                    "name": name,
+                },
+            }
+
+        if operation == "CreateTable":
+            return self._check(
+                lk_user,
+                {
+                    "action": "create-table",
+                    "namespace": {
+                        "warehouse-id": warehouse,
+                        "namespace": self._split_schema(schema_name),
+                    },
+                },
+            )
+        if operation == "DropTable":
+            return self._check(lk_user, table_op("drop", table_name))
+        if operation == "RenameTable":
+            target = (action.get("targetResource") or {}).get("table") or {}
+            t_catalog = target.get("catalogName")
+            if t_catalog not in self.catalogs:
+                return False
+            return self._check(
+                lk_user, table_op("rename", table_name)
+            ) and self._check(
+                lk_user,
+                {
+                    "action": "create-table",
+                    "namespace": {
+                        "warehouse-id": self.catalogs[t_catalog],
+                        "namespace": self._split_schema(target.get("schemaName", "")),
+                    },
+                },
+            )
+        if operation in _WRITE_OPS:
+            return self._check(lk_user, table_op("write-data", table_name))
+        if operation in _READ_OPS:
+            if table_name is not None and self._is_metadata_table(table_name):
+                base = table_name.split("$", 1)[0]
+                return self._check(lk_user, table_op("get-metadata", base))
+            if table_name is None:
+                # FilterTables at schema granularity
+                return self._check(
+                    lk_user,
+                    {
+                        "action": "get-metadata",
+                        "namespace": {
+                            "warehouse-id": warehouse,
+                            "namespace": self._split_schema(schema_name),
+                        },
+                    },
+                )
+            return self._check(lk_user, table_op("read-data", table_name))
+        if operation in _META_OPS:
+            return self._check(lk_user, table_op("get-metadata", table_name))
+
+        # unknown operations fail closed (the rego default)
+        return False
+
+    def decide_batch(self, opa_input: dict[str, Any]) -> list[int]:
+        """The Trino OPA plugin's batched filter: one operation applied
+        to ``filterResources``; the result is the indices of permitted
+        resources."""
+        action = opa_input.get("action") or {}
+        out = []
+        for i, res in enumerate(action.get("filterResources") or []):
+            single = {
+                "context": opa_input.get("context"),
+                "action": {
+                    "operation": action.get("operation"),
+                    "resource": res,
+                },
+            }
+            if self.decide(single):
+                out.append(i)
+        return out

@@ -1522,6 +1522,29 @@ class _Handler(BaseHTTPRequestHandler):
         )
         self._reply(204)
 
+    # ---- OPA bridge (authz/opa-bridge; docs/opa.md) ------------------------
+    # Trino's OPA plugin posts {"input": ...} to the data-API paths its
+    # access-control.properties point at; the bridge answers by
+    # translating to in-process batch-check decisions.
+    @route("POST", r"/v1/data/trino/allow")
+    def opa_trino_allow(self):
+        bridge = getattr(self.server, "opa_bridge", None)
+        if bridge is None:
+            raise NoSuchEntity("no OPA bridge configured")
+        self._reply(
+            200, {"result": bridge.decide(self._body().get("input") or {})}
+        )
+
+    @route("POST", r"/v1/data/trino/batch")
+    def opa_trino_batch(self):
+        bridge = getattr(self.server, "opa_bridge", None)
+        if bridge is None:
+            raise NoSuchEntity("no OPA bridge configured")
+        self._reply(
+            200,
+            {"result": bridge.decide_batch(self._body().get("input") or {})},
+        )
+
     @route("GET", r"/management/v1/search/tabular")
     def search_tabular(self):
         self._reply(
@@ -1994,18 +2017,22 @@ class RestCatalogServer:
         port: int = 0,
         authenticator=None,
         admission_gates=None,
+        opa_bridge=None,
     ):
         """``authenticator``: an optional catalog/authn.AuthenticatorChain;
         when set, Bearer tokens must be valid JWTs from one of its
         providers and requests act as the validated `<idp>~<subject>`
         principal (401 otherwise). ``admission_gates``: an optional
         catalog/admission.AdmissionGates collection run post-authn,
-        pre-handler (service/admission.rs)."""
+        pre-handler (service/admission.rs). ``opa_bridge``: an optional
+        rest/opa_bridge.TrinoOpaBridge answering Trino OPA queries at
+        /v1/data/trino/allow|batch (authz/opa-bridge)."""
         self.httpd = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
         self.httpd.catalog = catalog  # type: ignore[attr-defined]
         self.httpd.plans = {}  # type: ignore[attr-defined]  # async PlanTableScan state
         self.httpd.authenticator = authenticator  # type: ignore[attr-defined]
         self.httpd.admission_gates = admission_gates  # type: ignore[attr-defined]
+        self.httpd.opa_bridge = opa_bridge  # type: ignore[attr-defined]
         self._thread: threading.Thread | None = None
 
     @property

@@ -1,0 +1,191 @@
+"""Trino OPA bridge (authz/opa-bridge; docs/docs/opa.md).
+
+A trusted engine enforces per-user permissions by asking OPA; the
+bridge answers Trino's authorization queries by translating them into
+Lakekeeper decisions with the ``oidc~<trino user>`` identity mapping.
+Driven over HTTP at the OPA data-API paths Trino is configured with.
+"""
+
+import pytest
+
+from lakekeeper_spark.catalog import fga
+from lakekeeper_spark.catalog.catalog import Catalog
+from lakekeeper_spark.catalog.fga import FgaAuthorizer
+from lakekeeper_spark.catalog.metastore import Metastore
+from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
+from lakekeeper_spark.rest.opa_bridge import TrinoOpaBridge
+
+SCHEMA = {
+    "type": "struct",
+    "fields": [{"id": 1, "name": "id", "type": "long", "required": False}],
+}
+
+
+@pytest.fixture()
+def env(tmp_path):
+    store = Metastore(str(tmp_path / "ms.db"))
+    catalog = Catalog(store, authorizer=FgaAuthorizer(store, admins={"root"}))
+    bridge = TrinoOpaBridge(
+        catalog,
+        catalogs={"prod": "production", "dev": "development"},
+        admin_users={"ops"},
+    )
+    server = RestCatalogServer(catalog, opa_bridge=bridge).start()
+    root = RestCatalogClient(server.url, token="root")
+    for wh in ("production", "development"):
+        root.create_warehouse(wh, str(tmp_path / wh))
+        root.create_namespace(wh, ["sales"])
+        root.create_table(wh, ["sales"], "orders", SCHEMA)
+    # alice may read production.sales.orders, bob may modify the schema
+    with catalog.acting_as("root"):
+        fga.update_assignments(
+            catalog,
+            "table",
+            {"writes": [{"type": "select", "user": "oidc~alice"}]},
+            warehouse="production",
+            levels=["sales"],
+            name="orders",
+        )
+        fga.update_assignments(
+            catalog,
+            "namespace",
+            {"writes": [{"type": "modify", "user": "oidc~bob"},
+                        {"type": "create", "user": "oidc~bob"}]},
+            warehouse="production",
+            levels=["sales"],
+        )
+    yield catalog, server.url, root
+    server.stop()
+
+
+def _allow(url, user, operation, resource, target=None):
+    import json
+    import urllib.request
+
+    action = {"operation": operation, "resource": resource}
+    if target is not None:
+        action["targetResource"] = target
+    body = {"input": {"context": {"identity": {"user": user}},
+                      "action": action}}
+    req = urllib.request.Request(
+        url + "/v1/data/trino/allow",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read())["result"]
+
+
+def _table(catalog, schema, table):
+    return {"table": {"catalogName": catalog, "schemaName": schema,
+                      "tableName": table}}
+
+
+def test_identity_mapping_and_read_write_split(env):
+    _, url, _ = env
+    t = _table("prod", "sales", "orders")
+    # trino user 'alice' maps to lakekeeper 'oidc~alice' (user.rego:4-5)
+    assert _allow(url, "alice", "SelectFromColumns", t) is True
+    assert _allow(url, "alice", "InsertIntoTable", t) is False
+    assert _allow(url, "alice", "DropTable", t) is False
+    # bob's namespace modify covers the write family top-down
+    for op in ("InsertIntoTable", "DeleteFromTable", "AddColumn",
+               "SetTableComment", "ExecuteTableProcedure"):
+        assert _allow(url, "bob", op, t) is True, op
+    # nobody granted in dev -> denied there (per-warehouse isolation)
+    assert _allow(url, "alice", "SelectFromColumns",
+                  _table("dev", "sales", "orders")) is False
+
+
+def test_schema_and_catalog_operations(env):
+    _, url, _ = env
+    schema = {"schema": {"catalogName": "prod", "schemaName": "sales"}}
+    assert _allow(url, "bob", "DropSchema", schema) is True
+    assert _allow(url, "alice", "DropSchema", schema) is False
+    # alice's table grant lights the schema + catalog up bottom-up
+    assert _allow(url, "alice", "FilterSchemas", schema) is True
+    assert _allow(url, "alice", "FilterCatalogs",
+                  {"catalog": {"name": "prod"}}) is True
+    # CreateSchema at the top level asks the WAREHOUSE; nested asks the
+    # parent schema (allow_schema.rego)
+    assert _allow(url, "bob", "CreateSchema",
+                  {"schema": {"catalogName": "prod",
+                              "schemaName": "sales.q1"}}) is True
+    assert _allow(url, "alice", "CreateSchema",
+                  {"schema": {"catalogName": "prod",
+                              "schemaName": "fresh"}}) is False
+    # CreateTable asks create-table on the schema
+    assert _allow(url, "bob", "CreateTable",
+                  _table("prod", "sales", "newt")) is True
+    assert _allow(url, "alice", "CreateTable",
+                  _table("prod", "sales", "newt")) is False
+
+
+def test_metadata_tables_and_rename(env):
+    _, url, _ = env
+    # $-suffixed Iceberg metadata tables need only get-metadata on the base
+    assert _allow(url, "alice", "SelectFromColumns",
+                  _table("prod", "sales", "orders$snapshots")) is True
+    # rename needs source rename AND target-schema create (allow_table.rego)
+    assert _allow(url, "bob", "RenameTable",
+                  _table("prod", "sales", "orders"),
+                  target=_table("prod", "sales", "orders2")) is True
+    assert _allow(url, "alice", "RenameTable",
+                  _table("prod", "sales", "orders"),
+                  target=_table("prod", "sales", "orders2")) is False
+
+
+def test_default_access_rules(env):
+    _, url, _ = env
+    # ExecuteQuery is always admitted (allow_default_access.rego)
+    assert _allow(url, "nobody", "ExecuteQuery", {}) is True
+    # information_schema reads are open within managed catalogs
+    assert _allow(url, "nobody", "SelectFromColumns",
+                  _table("prod", "information_schema", "tables")) is True
+    assert _allow(url, "nobody", "SelectFromColumns",
+                  _table("prod", "information_schema", "applicable_roles")
+                  ) is False
+    # unmanaged catalogs are denied unless allow_unmanaged / admin system
+    assert _allow(url, "nobody", "SelectFromColumns",
+                  _table("postgres", "public", "t")) is False
+    assert _allow(url, "ops", "AccessCatalog",
+                  {"catalog": {"name": "system"}}) is True
+    assert _allow(url, "nobody", "AccessCatalog",
+                  {"catalog": {"name": "system"}}) is False
+    # query ownership: admins see everyone, users see themselves
+    q = {"user": {"user": "alice"}}
+    assert _allow(url, "ops", "ViewQueryOwnedBy", q) is True
+    assert _allow(url, "alice", "ViewQueryOwnedBy", q) is True
+    assert _allow(url, "bob", "ViewQueryOwnedBy", q) is False
+    # unknown operations fail closed
+    assert _allow(url, "root", "Frobnicate",
+                  _table("prod", "sales", "orders")) is False
+
+
+def test_batched_filter_returns_indices(env):
+    import json
+    import urllib.request
+
+    _, url, _ = env
+    body = {
+        "input": {
+            "context": {"identity": {"user": "alice"}},
+            "action": {
+                "operation": "FilterTables",
+                "filterResources": [
+                    _table("prod", "sales", "orders"),
+                    _table("prod", "sales", "ghost"),
+                    _table("dev", "sales", "orders"),
+                ],
+            },
+        }
+    }
+    req = urllib.request.Request(
+        url + "/v1/data/trino/batch",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert json.loads(resp.read())["result"] == [0]
