@@ -77,6 +77,7 @@ class Catalog:
         metastore: Metastore,
         authorizer=None,
         instance_admins: set[str] | None = None,
+        trusted_engines=None,
     ):
         import threading
 
@@ -89,6 +90,10 @@ class Catalog:
         # — required to set/clear a warehouse managed-by marker and to
         # mutate the spec of an instance-admin-managed warehouse
         self.instance_admins: set[str] = set(instance_admins or ())
+        # DEFINER/INVOKER view security (docs/view-security.md): when a
+        # TrustedEngines registry is installed, its owner properties are
+        # protected on views and loadTable honors referenced-by chains
+        self.trusted_engines = trusted_engines
         # thread-local: the REST facade serves concurrent requests from a
         # ThreadingHTTPServer, each scoped to its own request principal
         self._actor_ctx = threading.local()
@@ -1589,6 +1594,14 @@ class Catalog:
                 if not replace:
                     raise AlreadyExists(f"view {name} exists")
                 meta = json.loads(row["metadata"])
+                if properties:
+                    from .view_security import guard_view_properties
+
+                    guard_view_properties(
+                        self,
+                        meta.get("properties"),
+                        {**meta.get("properties", {}), **properties},
+                    )
                 version["version-id"] = meta["current-version-id"] + 1
                 meta["versions"].append(version)
                 meta["current-version-id"] = version["version-id"]
@@ -1605,6 +1618,9 @@ class Catalog:
                 if cur.rowcount != 1:
                     raise CommitConflict("concurrent view update")
             else:
+                from .view_security import guard_view_properties
+
+                guard_view_properties(self, None, properties)
                 view_uuid = new_uuid()
                 meta = {
                     "view-uuid": view_uuid,

@@ -1,0 +1,181 @@
+"""DEFINER / INVOKER view security with trusted engines.
+
+Mirrors the reference's view-security model (``docs/docs/view-security.md``;
+chain resolution ``server/tables/authorize_load.rs``; engine matching
+``service/authn.rs`` MatchedEngines; owner-property protection
+``server/views/create.rs`` / ``views/commit.rs``):
+
+- **Trusted engines** are configured with an ``owner-property`` key
+  (e.g. ``trino.run-as-owner``) and per-IdP identity matchers: a
+  request is from the engine when its token's IdP block matches by
+  audience OR subject (configuration.md#trusted-engines; matching is
+  scoped to the token's own IdP).
+- **Protected owner property**: only a matched trusted engine may set,
+  change, or remove an engine's owner property on a view — everyone
+  else gets ``403 ProtectedPropertyModification`` (the guard that keeps
+  untrusted principals from minting DEFINER views that execute as
+  somebody else).
+- **Security model per view** (authorize_load.rs:229-340): a view whose
+  properties carry a configured owner property is DEFINER with that
+  owner; otherwise INVOKER. The owner user id is
+  ``<token idp>~<owner>`` — the IdP comes from the requesting token
+  because that same IdP set the owner string.
+- **Chain walk**: ``loadTable`` with ``referenced-by`` (the view chain,
+  entry point first) checks each view as the CURRENT user, switching
+  the current user at every DEFINER boundary; the base tabular is
+  checked as the final user. Without a trusted engine the parameter is
+  ignored and only the caller's permission on the target is checked
+  (the standard behavior).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Any
+
+from .authz import AuthorizationError
+from .catalog import CatalogError, NoSuchEntity
+
+if TYPE_CHECKING:
+    from .catalog import Catalog
+
+
+class TrustedEngines:
+    """Engine registry (LAKEKEEPER__TRUSTED_ENGINES__*): each engine is
+    ``{"name", "type", "owner-property", "identities": {idp: {"subjects":
+    [...], "audiences": [...]}}}``."""
+
+    def __init__(self, engines: list[dict[str, Any]] | None = None) -> None:
+        self.engines = list(engines or ())
+        for e in self.engines:
+            if not e.get("owner-property"):
+                raise CatalogError("trusted engine requires owner-property")
+
+    def owner_property_keys(self) -> set[str]:
+        return {e["owner-property"] for e in self.engines}
+
+    def match(
+        self, actor: str | None, audiences: set[str] | None = None
+    ) -> dict[str, Any] | None:
+        """The engine this request belongs to, or None. Matching is
+        scoped to the token's IdP (the ``<idp>~`` prefix of the
+        principal); within the IdP block, audience OR subject matches
+        (view-security.md: 'a request is matched when either its
+        audience appears in AUDIENCES or its subject appears in
+        SUBJECTS')."""
+        if actor is None or "~" not in actor:
+            return None
+        idp, _, subject = actor.partition("~")
+        for engine in self.engines:
+            block = (engine.get("identities") or {}).get(idp)
+            if not block:
+                continue
+            if subject in (block.get("subjects") or ()):
+                return engine
+            if audiences and audiences & set(block.get("audiences") or ()):
+                return engine
+        return None
+
+    # -- owner-property protection --------------------------------------
+    def check_protected_properties(
+        self,
+        matched_engine: dict[str, Any] | None,
+        old_props: dict[str, Any] | None,
+        new_props: dict[str, Any] | None,
+    ) -> None:
+        """Reject set/change/remove of any engine's owner property
+        unless the request came from a matched trusted engine (the
+        reference rejects with 403 ProtectedPropertyModification)."""
+        old_props = old_props or {}
+        new_props = new_props or {}
+        allowed = (
+            {matched_engine["owner-property"]} if matched_engine else set()
+        )
+        for key in self.owner_property_keys() - allowed:
+            if old_props.get(key) != new_props.get(key):
+                raise AuthorizationError(
+                    f"only the trusted engine may modify {key!r}"
+                    " (ProtectedPropertyModification)"
+                )
+
+    # -- security model ---------------------------------------------------
+    def security_model(
+        self, engine: dict[str, Any], view_props: dict[str, Any]
+    ) -> tuple[str, str | None]:
+        """('definer', owner) when the matched engine's owner property is
+        set on the view, else ('invoker', None). Only the MATCHED
+        engine's key is consulted (authorize_load.rs:291 — another
+        engine's key must not be misread)."""
+        owner = (view_props or {}).get(engine["owner-property"])
+        if owner:
+            return "definer", str(owner)
+        return "invoker", None
+
+
+def authorize_load_chain(
+    catalog: "Catalog",
+    warehouse: str,
+    referenced_by: list[tuple[list[str], str]],
+    target: tuple[list[str], str],
+    engine: dict[str, Any] | None,
+) -> str | None:
+    """Walk the view chain (entry point first) and return the EFFECTIVE
+    user for the base-tabular checks (authorize_load.rs
+    resolve_users_for_authorize_load_tabular):
+
+    - no trusted engine -> referenced-by ignored, caller stays the
+      effective user;
+    - each view is checked (get_metadata) as the CURRENT user; a
+      DEFINER view switches the current user to ``<token idp>~<owner>``
+      for everything downstream;
+    - a failed check raises (the whole load fails).
+
+    The caller then performs the normal target authorization as the
+    returned user."""
+    actor = catalog._actor
+    if engine is None or not referenced_by:
+        return actor
+    trusted: TrustedEngines = catalog.trusted_engines
+    if actor is None or "~" not in actor:
+        raise CatalogError(
+            "DEFINER view requires token with IdP ID (AuthzBadRequest)"
+        )
+    token_idp = actor.partition("~")[0]
+    wh = catalog._warehouse(warehouse)
+    current = actor
+    for levels, name in referenced_by:
+        row = catalog._tabular_row(wh["wh_key"], levels, name, "view")
+        if not row:
+            raise NoSuchEntity(f"view {'.'.join(levels)}.{name} not found")
+        resource = f"{'.'.join(levels)}.{name}"
+        with catalog.acting_as(current):
+            catalog._authorize("get_metadata", wh["wh_key"], resource)
+        import json as _json
+
+        props = _json.loads(row["metadata"]).get("properties") or {}
+        model, owner = trusted.security_model(engine, props)
+        if model == "definer":
+            current = f"{token_idp}~{owner}"
+    return current
+
+
+def guard_view_properties(
+    catalog: "Catalog",
+    old_props: dict[str, Any] | None,
+    new_props: dict[str, Any] | None,
+) -> None:
+    """Entry point for view create/replace paths: no-op unless trusted
+    engines are configured."""
+    engines: TrustedEngines | None = getattr(catalog, "trusted_engines", None)
+    if engines is None or not engines.engines:
+        return
+    audiences = getattr(catalog._actor_ctx, "audiences", None)
+    engines.check_protected_properties(
+        engines.match(catalog._actor, audiences), old_props, new_props
+    )
+
+
+__all__ = [
+    "TrustedEngines",
+    "authorize_load_chain",
+    "guard_view_properties",
+]

@@ -139,14 +139,22 @@ class _Handler(BaseHTTPRequestHandler):
                 token = auth[7:] if auth.startswith("Bearer ") else None
                 actor = token
                 chain = getattr(self.server, "authenticator", None)
+                self._token_audiences = None
                 if chain is not None and actor is not None:
                     from ..catalog.authn import AuthenticationError
 
                     try:
-                        actor = chain.authenticate(actor).user_id
+                        principal = chain.authenticate(actor)
                     except AuthenticationError as e:
                         self._reply_err(401, "UnauthorizedException", e)
                         return
+                    actor = principal.user_id
+                    # verified token audiences drive trusted-engine
+                    # matching (view-security.md: audience OR subject)
+                    auds = principal.claims.get("aud")
+                    self._token_audiences = set(
+                        [auds] if isinstance(auds, str) else (auds or [])
+                    )
                 # post-authentication admission gates (service/admission.rs):
                 # run once per AUTHENTICATED request, after actor resolution,
                 # before any handler; first rejection wins. Distinct HTTP
@@ -176,11 +184,15 @@ class _Handler(BaseHTTPRequestHandler):
                             self._reply_err(403, e.error_type, e)
                         return
                 adm.set_admission_roles(roles)
+                # verified token audiences, request-scoped, for
+                # trusted-engine matching in the catalog layer
+                self.catalog._actor_ctx.audiences = self._token_audiences
                 try:
                     with self.catalog.acting_as(actor):
                         getattr(self, fname)(**match.groupdict())
                 finally:
                     adm.set_admission_roles(None)
+                    self.catalog._actor_ctx.audiences = None
             except NotModified:
                 self._reply(304)
             except AuthorizationError as e:
@@ -349,6 +361,41 @@ class _Handler(BaseHTTPRequestHandler):
     def load_table(self, prefix, ns, tbl):
         inm = self.headers.get("If-None-Match")
         etag = int(inm.strip('W/"')) if inm else None
+        # DEFINER/INVOKER view-chain security (docs/view-security.md;
+        # authorize_load.rs): ?referenced-by=<dotted view idents, comma
+        # separated, entry point first>. Only honored for a matched
+        # TRUSTED engine — everyone else gets the standard
+        # caller-permission check; a DEFINER boundary switches the
+        # effective user for everything downstream, incl. this load.
+        engines = getattr(self.catalog, "trusted_engines", None)
+        if engines is not None and "referenced-by" in self.query:
+            from ..catalog.view_security import authorize_load_chain
+
+            chain = []
+            for entry in unquote(self.query["referenced-by"]).split(","):
+                parts = entry.split(".")
+                if len(parts) < 2:
+                    raise CatalogError(
+                        f"invalid referenced-by entry: {entry!r}"
+                    )
+                chain.append((parts[:-1], parts[-1]))
+            effective = authorize_load_chain(
+                self.catalog,
+                prefix,
+                chain,
+                (_ns(ns), unquote(tbl)),
+                engines.match(
+                    self.catalog._actor,
+                    getattr(self, "_token_audiences", None),
+                ),
+            )
+        else:
+            effective = self.catalog._actor
+        # the effective user governs the rest of the load — including the
+        # credential-vending level below (delegated execution vends at the
+        # DEFINER owner's grant level, authorize_load.rs ResolvedTabular
+        # is_delegated_execution)
+        self.catalog._actor = effective
         meta, seq = self.catalog.load_table(prefix, _ns(ns), unquote(tbl), etag)
         # ?snapshots=refs trims the snapshot list to ref-reachable ancestry
         # (reference LoadTableQuery, api/iceberg/v1/tables.rs:83-86)

@@ -1,0 +1,232 @@
+"""DEFINER/INVOKER view security with trusted engines
+(docs/docs/view-security.md; server/tables/authorize_load.rs;
+views/create.rs owner-property protection).
+"""
+
+import time
+
+import pytest
+
+from lakekeeper_spark.catalog import fga
+from lakekeeper_spark.catalog.authn import (
+    AuthenticatorChain,
+    OidcProviderConfig,
+    encode_hs256,
+)
+from lakekeeper_spark.catalog.authz import AuthorizationError
+from lakekeeper_spark.catalog.catalog import Catalog
+from lakekeeper_spark.catalog.fga import FgaAuthorizer
+from lakekeeper_spark.catalog.metastore import Metastore
+from lakekeeper_spark.catalog.view_security import TrustedEngines
+from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
+
+SECRET = "view-sec-secret"
+ISSUER = "https://idp.example.com"
+PROVIDER = OidcProviderConfig(
+    idp_id="oidc",
+    issuer=ISSUER,
+    audience=["lakekeeper", "trino"],
+    hs256_secret=SECRET,
+)
+
+
+def mint(subject: str, aud: str = "lakekeeper") -> str:
+    """A verified user token; aud='trino' marks the request as flowing
+    through the trusted engine (view-security.md audience matching)."""
+    return encode_hs256(
+        {
+            "iss": ISSUER,
+            "aud": aud,
+            "sub": subject,
+            "exp": time.time() + 3600,
+        },
+        SECRET,
+    )
+
+SCHEMA = {
+    "type": "struct",
+    "fields": [{"id": 1, "name": "id", "type": "long", "required": False}],
+}
+
+TRINO = {
+    "name": "trino",
+    "type": "trino",
+    "owner-property": "trino.run-as-owner",
+    "identities": {"oidc": {"subjects": ["trino-svc"], "audiences": ["trino"]}},
+}
+
+
+@pytest.fixture()
+def env(tmp_path):
+    store = Metastore(str(tmp_path / "ms.db"))
+    catalog = Catalog(
+        store,
+        authorizer=FgaAuthorizer(store, admins={"oidc~root"}),
+        trusted_engines=TrustedEngines([TRINO]),
+    )
+    server = RestCatalogServer(
+        catalog, authenticator=AuthenticatorChain([PROVIDER])
+    ).start()
+    root = RestCatalogClient(server.url, token=mint("root"))
+    root.create_warehouse("wh", str(tmp_path / "wh"))
+    root.create_namespace("wh", ["ns"])
+    root.create_table("wh", ["ns"], "t", SCHEMA)
+    yield catalog, server.url, root
+    server.stop()
+
+
+def _grant(catalog, etype, rel, user, **where):
+    with catalog.acting_as("oidc~root"):
+        fga.update_assignments(
+            catalog, etype, {"writes": [{"type": rel, "user": user}]}, **where
+        )
+
+
+def test_owner_property_is_protected(env):
+    catalog, url, root = env
+    _grant(catalog, "namespace", "create", "oidc~mallory",
+           warehouse="wh", levels=["ns"])
+    _grant(catalog, "namespace", "create", "oidc~trino-svc",
+           warehouse="wh", levels=["ns"])
+    mallory = RestCatalogClient(url, token=mint("mallory"))
+    # an untrusted principal cannot mint a DEFINER view
+    # (ProtectedPropertyModification, views/create.rs)
+    with pytest.raises(AuthorizationError, match="ProtectedPropertyModification"):
+        mallory.create_view(
+            "wh", ["ns"], "v", "SELECT 1 AS x", SCHEMA,
+            properties={"trino.run-as-owner": "root"},
+        )
+    # the matched trusted engine (subject match, scoped to its IdP) can
+    engine = RestCatalogClient(url, token=mint("trino-svc"))
+    engine.create_view(
+        "wh", ["ns"], "v", "SELECT 1 AS x", SCHEMA,
+        properties={"trino.run-as-owner": "bob"},
+    )
+    # ...and only the engine may change or remove it (replace path)
+    _grant(catalog, "view", "modify", "oidc~mallory",
+           warehouse="wh", levels=["ns"], name="v")
+    with pytest.raises(AuthorizationError, match="ProtectedPropertyModification"):
+        mallory.create_view(
+            "wh", ["ns"], "v", "SELECT 2 AS x", SCHEMA,
+            properties={"trino.run-as-owner": "mallory"}, replace=True,
+        )
+    # non-owner-property changes by non-engines stay legal
+    mallory.create_view(
+        "wh", ["ns"], "v", "SELECT 2 AS x", SCHEMA,
+        properties={"comment": "fine"}, replace=True,
+    )
+    # IdP scoping of the engine match itself is covered by
+    # test_engine_matching_rules (the HTTP chain only mints 'oidc' tokens)
+
+
+def _mk_definer_chain(catalog, root, url):
+    """table t readable by bob only; view v (DEFINER owner=bob) readable
+    by alice; alice cannot read t directly."""
+    engine = RestCatalogClient(url, token=mint("trino-svc"))
+    engine_grants = [
+        ("table", "select", "oidc~bob", dict(warehouse="wh", levels=["ns"], name="t")),
+        ("view", "describe", "oidc~alice", dict(warehouse="wh", levels=["ns"], name="v")),
+        ("namespace", "create", "oidc~trino-svc", dict(warehouse="wh", levels=["ns"])),
+    ]
+    _grant(catalog, "namespace", "create", "oidc~trino-svc",
+           warehouse="wh", levels=["ns"])
+    engine.create_view(
+        "wh", ["ns"], "v", "SELECT * FROM ns.t", SCHEMA,
+        properties={"trino.run-as-owner": "bob"},
+    )
+    for etype, rel, user, where in engine_grants[:2]:
+        _grant(catalog, etype, rel, user, **where)
+    return engine
+
+
+def test_definer_chain_switches_user(env):
+    catalog, url, root = env
+    _mk_definer_chain(catalog, root, url)
+    alice = RestCatalogClient(url, token=mint("alice", aud="trino"))
+    # direct load: alice has no table grant -> denied
+    with pytest.raises(AuthorizationError):
+        alice.load_table("wh", ["ns"], "t")
+    # via the DEFINER view chain: the table check runs as bob -> allowed
+    _, body, _ = alice._request(
+        "GET",
+        "/catalog/v1/wh/namespaces/ns/tables/t?referenced-by=ns.v",
+    )
+    assert body["metadata"]["table-uuid"]
+    # alice must still be allowed to see the VIEW itself: carol (no view
+    # grant) cannot ride the same chain
+    with pytest.raises(AuthorizationError):
+        RestCatalogClient(url, token=mint("carol", aud="trino"))._request(
+            "GET",
+            "/catalog/v1/wh/namespaces/ns/tables/t?referenced-by=ns.v",
+        )
+
+
+def test_untrusted_engines_ignore_referenced_by(env):
+    catalog, url, root = env
+    _mk_definer_chain(catalog, root, url)
+    # alice is NOT a trusted engine: referenced-by is ignored and the
+    # standard caller check applies (view-security.md 'Without a trusted
+    # engine...') — but alice has no engine identity, so she IS the
+    # caller here; build an untrusted service principal with view access
+    _grant(catalog, "view", "describe", "oidc~rogue-svc",
+           warehouse="wh", levels=["ns"], name="v")
+    with pytest.raises(AuthorizationError):
+        RestCatalogClient(url, token=mint("rogue-svc"))._request(
+            "GET",
+            "/catalog/v1/wh/namespaces/ns/tables/t?referenced-by=ns.v",
+        )
+
+
+def test_invoker_views_keep_the_caller(env):
+    catalog, url, root = env
+    # an INVOKER view (no owner property) never switches the user
+    _grant(catalog, "namespace", "create", "oidc~trino-svc",
+           warehouse="wh", levels=["ns"])
+    engine = RestCatalogClient(url, token=mint("trino-svc"))
+    engine.create_view("wh", ["ns"], "plain", "SELECT * FROM ns.t", SCHEMA)
+    _grant(catalog, "view", "describe", "oidc~alice",
+           warehouse="wh", levels=["ns"], name="plain")
+    with pytest.raises(AuthorizationError):
+        RestCatalogClient(url, token=mint("alice", aud="trino"))._request(
+            "GET",
+            "/catalog/v1/wh/namespaces/ns/tables/t?referenced-by=ns.plain",
+        )
+
+
+def test_chained_views_mixed_models(env):
+    catalog, url, root = env
+    engine = RestCatalogClient(url, token=mint("trino-svc"))
+    _grant(catalog, "namespace", "create", "oidc~trino-svc",
+           warehouse="wh", levels=["ns"])
+    # v1 DEFINER owner=bob -> v2 INVOKER -> t (checked as bob throughout)
+    engine.create_view(
+        "wh", ["ns"], "v1", "SELECT * FROM ns.v2", SCHEMA,
+        properties={"trino.run-as-owner": "bob"},
+    )
+    engine.create_view("wh", ["ns"], "v2", "SELECT * FROM ns.t", SCHEMA)
+    _grant(catalog, "view", "describe", "oidc~alice",
+           warehouse="wh", levels=["ns"], name="v1")
+    _grant(catalog, "view", "describe", "oidc~bob",
+           warehouse="wh", levels=["ns"], name="v2")
+    _grant(catalog, "table", "select", "oidc~bob",
+           warehouse="wh", levels=["ns"], name="t")
+    alice = RestCatalogClient(url, token=mint("alice", aud="trino"))
+    _, body, _ = alice._request(
+        "GET",
+        "/catalog/v1/wh/namespaces/ns/tables/t?referenced-by=ns.v1,ns.v2",
+    )
+    assert body["metadata"]["table-uuid"]
+    # alice cannot see v2 directly — DEFINER delegation is what made the
+    # middle hop pass (it was checked as bob)
+    with pytest.raises(AuthorizationError):
+        alice.load_view("wh", ["ns"], "v2")
+
+
+def test_engine_matching_rules():
+    engines = TrustedEngines([TRINO])
+    assert engines.match("oidc~trino-svc")["name"] == "trino"
+    assert engines.match("oidc~other") is None
+    assert engines.match("ldap~trino-svc") is None  # idp-scoped
+    assert engines.match(None) is None
+    assert engines.match("oidc~other", audiences={"trino"})["name"] == "trino"
+    assert engines.match("oidc~other", audiences={"nope"}) is None
