@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, Any
 
+from . import identifiers as ident
 from .catalog import CatalogError, NoSuchEntity
 
 if TYPE_CHECKING:
@@ -149,12 +150,13 @@ def get_tabular_actions(
 ) -> dict[str, Any]:
     """GetTable/View/GenericTable/NamespaceActions: probe each action in
     the entity's vocabulary against the installed authorizer for the
-    dotted resource path (the repo-wide resource convention)."""
+    structured resource path (ident.res_key, the repo-wide resource
+    convention)."""
     wh = catalog._warehouse(warehouse, any_status=True)
     if name is None:
         if not catalog.namespace_exists(warehouse, list(levels)):
             raise NoSuchEntity(f"namespace {'.'.join(levels)} not found")
-        resource = ".".join(levels)
+        resource = ident.res_key(levels)
         actions = NAMESPACE_ACTIONS
     else:
         row = catalog._tabular_row(
@@ -162,11 +164,11 @@ def get_tabular_actions(
         )
         if not row:
             raise NoSuchEntity(f"{kind} {'.'.join(levels)}.{name} not found")
-        resource = f"{'.'.join(levels)}.{name}"
+        resource = ident.res_key(levels, name)
         actions = _ENTITY_ACTIONS[kind]
     if getattr(catalog.authz, "qualified", False):
         # fine-grained backends key grants by warehouse-qualified paths
-        resource = f"{wh['wh_key']}#{resource}"
+        resource = ident.qualify(wh["wh_key"], resource)
     return {"allowed-actions": _probe(catalog, actions, resource)}
 
 
@@ -236,13 +238,13 @@ def _check_one(catalog: "Catalog", op: dict[str, Any], actor) -> bool:
             wh = catalog._warehouse(warehouse, any_status=True)
             qualify = getattr(catalog.authz, "qualified", False)
 
-            def path(dotted: str) -> str:
-                return f"{wh['wh_key']}#{dotted}" if qualify else dotted
+            def path(res: str) -> str:
+                return ident.qualify(wh["wh_key"], res) if qualify else res
 
             if name is None:
                 if not catalog.namespace_exists(warehouse, list(levels)):
                     raise NoSuchEntity(f"namespace {'.'.join(levels)} not found")
-                return allowed(NAMESPACE_ACTIONS, path(".".join(levels)))
+                return allowed(NAMESPACE_ACTIONS, path(ident.res_key(levels)))
             row = catalog._tabular_row(
                 wh["wh_key"],
                 levels,
@@ -251,7 +253,9 @@ def _check_one(catalog: "Catalog", op: dict[str, Any], actor) -> bool:
             )
             if not row:
                 raise NoSuchEntity(f"{kind} {'.'.join(levels)}.{name} not found")
-            return allowed(_ENTITY_ACTIONS[kind], path(f"{'.'.join(levels)}.{name}"))
+            return allowed(
+                _ENTITY_ACTIONS[kind], path(ident.res_key(levels, name))
+            )
     # no entity selector -> server-level action
     return allowed(SERVER_ACTIONS, "server")
 

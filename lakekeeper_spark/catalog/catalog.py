@@ -137,9 +137,11 @@ class Catalog:
         """Probe the authorizer without raising. Fine-grained backends
         (catalog/fga.py) key tuples by warehouse-qualified paths —
         same-named namespaces in two warehouses must not share grants —
-        so they mark themselves ``qualified`` and get the wh_key prefix."""
+        so they mark themselves ``qualified`` and get the wh_key prefix.
+        Resources are SEP-joined folded segments (ident.res_key), never
+        dotted strings — '.' is legal inside identifiers."""
         if wh_key and getattr(self.authz, "qualified", False):
-            resource = f"{wh_key}#{resource}"
+            resource = ident.qualify(wh_key, resource)
         return self.authz.is_allowed(self._actor, action, resource)
 
     # ================= warehouses =================
@@ -167,6 +169,13 @@ class Catalog:
         ident.validate_level(name)
         if "/" in name:
             raise CatalogError('warehouse name may not contain "/"')
+        # the reference gates warehouse creation on the owning project's
+        # CreateWarehouse action BEFORE any row exists
+        # (api/management/v1/warehouse/mod.rs:421-440). The default
+        # AllowAll authorizer never denies, so library use without an
+        # authorizer is unchanged; under FGA/Rbac a principal needs the
+        # project `create` tier (project_admin/data_admin imply it).
+        self._authorize("create_warehouse", "", f"project/{project_id}")
         props = {**_DEFAULT_WAREHOUSE_PROPS, **(properties or {})}
         if delete_profile is not None:
             props.update(wh_ops.delete_profile_to_props(delete_profile))
@@ -540,7 +549,7 @@ class Catalog:
         for level in levels:
             ident.validate_level(level)
         wh = self._warehouse(warehouse)
-        self._authorize("create", wh["wh_key"], ".".join(levels))
+        self._authorize("create", wh["wh_key"], ident.res_key(levels))
         key = ident.ns_key(levels)
         parent = tuple(levels[:-1])
         st = self.store
@@ -606,7 +615,7 @@ class Catalog:
             # and a restricted caller cannot infer hidden entries from
             # page gaps (reference list-filtering semantics)
             if not self._is_allowed(
-                "include_in_list", wh["wh_key"], ".".join(levels)
+                "include_in_list", wh["wh_key"], ident.res_key(levels)
             ):
                 continue
             if page_size is not None and len(out) >= page_size:
@@ -621,7 +630,7 @@ class Catalog:
 
     def namespace_properties(self, warehouse: str, levels) -> dict[str, Any]:
         wh = self._warehouse(warehouse)
-        self._authorize("get_metadata", wh["wh_key"], ".".join(levels))
+        self._authorize("get_metadata", wh["wh_key"], ident.res_key(levels))
         row = self.store.one(
             "SELECT properties FROM namespaces WHERE wh_key=? AND ns_key=?",
             (wh["wh_key"], ident.ns_key(levels)),
@@ -634,7 +643,7 @@ class Catalog:
         self, warehouse: str, levels, updates: dict[str, Any], removals: list[str] = ()
     ) -> dict[str, Any]:
         wh = self._warehouse(warehouse)
-        self._authorize("update_properties", wh["wh_key"], ".".join(levels))
+        self._authorize("update_properties", wh["wh_key"], ident.res_key(levels))
         st = self.store
         st.begin()
         try:
@@ -661,7 +670,7 @@ class Catalog:
 
     def drop_namespace(self, warehouse: str, levels) -> None:
         wh = self._warehouse(warehouse)
-        self._authorize("drop", wh["wh_key"], ".".join(levels))
+        self._authorize("drop", wh["wh_key"], ident.res_key(levels))
         key = ident.ns_key(levels)
         st = self.store
         st.begin()
@@ -691,7 +700,8 @@ class Catalog:
             # grants die with the entity (the reference deletes authorizer
             # tuples on entity deletion, e.g. warehouse/mod.rs:722)
             st.purge_authz_entity(
-                f"{wh['wh_key']}#{ident.dotted_key(levels)}", child_sep="."
+                ident.qualify(wh["wh_key"], ident.res_key(levels)),
+                child_sep=(ident.SEP, ident.TSEP),
             )
             st.emit_event("drop-namespace", wh["wh_key"], ".".join(levels), {})
             st.commit()
@@ -782,7 +792,7 @@ class Catalog:
         (test_spark.py:740 test_drop_with_shared_prefix)."""
         ident.validate_level(name)
         wh = self._warehouse(warehouse)
-        self._authorize("create", wh["wh_key"], f"{'.'.join(levels)}.{name}")
+        self._authorize("create", wh["wh_key"], ident.res_key(levels, name))
         from . import warehouse as wh_ops
 
         if format_version is None:
@@ -922,7 +932,7 @@ class Catalog:
         """Returns (metadata, etag). Raises NotModified when the caller's
         etag still matches (reference If-None-Match -> 304)."""
         wh = self._warehouse(warehouse)
-        self._authorize("get_metadata", wh["wh_key"], f"{'.'.join(levels)}.{name}")
+        self._authorize("get_metadata", wh["wh_key"], ident.res_key(levels, name))
         row = self._tabular_row(wh["wh_key"], levels, name, "table")
         if not row:
             raise NoSuchEntity(f"table {'.'.join(levels)}.{name} not found")
@@ -977,7 +987,7 @@ class Catalog:
         table it found by id/location, reference
         s3_signer/sign.rs:185-188,447-489)."""
         wh = self._warehouse(warehouse)
-        self._authorize(action, wh["wh_key"], f"{'.'.join(levels)}.{name}")
+        self._authorize(action, wh["wh_key"], ident.res_key(levels, name))
 
     def table_by_id(
         self, warehouse: str, table_id: str
@@ -1055,13 +1065,12 @@ class Catalog:
         # BEFORE page_size truncation: a page is full-sized whenever
         # enough authorized rows remain, next_token points at the last
         # AUTHORIZED row, and page gaps never reveal hidden entries.
-        ns = ".".join(levels)
         names: list[str] = []
         next_token = None
         last_key = None
         for r in rows:
             if not self._is_allowed(
-                "include_in_list", wh["wh_key"], f"{ns}.{r['name']}"
+                "include_in_list", wh["wh_key"], ident.res_key(levels, r["name"])
             ):
                 continue
             if page_size is not None and len(names) >= page_size:
@@ -1116,7 +1125,7 @@ class Catalog:
             seen.add(key)
         for ch in table_changes:
             self._authorize(
-                "commit", wh["wh_key"], f"{'.'.join(ch['levels'])}.{ch['name']}"
+                "commit", wh["wh_key"], ident.res_key(ch["levels"], ch["name"])
             )
         from . import warehouse as wh_ops
 
@@ -1233,7 +1242,7 @@ class Catalog:
         """Soft-delete (default, -> expiration queue) or schedule purge
         (reference DropTable + TabularDeleteProfile, server/tables.rs:710)."""
         wh = self._warehouse(warehouse)
-        self._authorize("drop", wh["wh_key"], f"{'.'.join(levels)}.{name}")
+        self._authorize("drop", wh["wh_key"], ident.res_key(levels, name))
         st = self.store
         st.begin()
         try:
@@ -1253,7 +1262,7 @@ class Catalog:
                 # hard delete kills the grants too; a soft delete keeps
                 # them so undrop restores access (expiration purges later)
                 st.purge_authz_entity(
-                    f"{wh['wh_key']}#{ident.dotted_key(levels, name)}"
+                    ident.qualify(wh["wh_key"], ident.res_key(levels, name))
                 )
                 if purge:
                     st.enqueue_task(
@@ -1284,7 +1293,7 @@ class Catalog:
         """Restore a soft-deleted table and cancel its expiration task
         (reference UndropTabularsRequest, warehouse/mod.rs:1450,1591-1615)."""
         wh = self._warehouse(warehouse)
-        self._authorize("undrop", wh["wh_key"], f"{'.'.join(levels)}.{name}")
+        self._authorize("undrop", wh["wh_key"], ident.res_key(levels, name))
         st = self.store
         st.begin()
         try:
@@ -1307,7 +1316,7 @@ class Catalog:
     ) -> None:
         ident.validate_level(new_name)
         wh = self._warehouse(warehouse)
-        self._authorize("rename", wh["wh_key"], f"{'.'.join(levels)}.{name}")
+        self._authorize("rename", wh["wh_key"], ident.res_key(levels, name))
         st = self.store
         st.begin()
         try:
@@ -1331,8 +1340,8 @@ class Catalog:
                 (ident.ns_key(new_levels), ident.fold(new_name), new_name, row["id"]),
             )
             st.move_authz_entity(
-                f"{wh['wh_key']}#{ident.dotted_key(levels, name)}",
-                f"{wh['wh_key']}#{ident.dotted_key(new_levels, new_name)}",
+                ident.qualify(wh["wh_key"], ident.res_key(levels, name)),
+                ident.qualify(wh["wh_key"], ident.res_key(new_levels, new_name)),
             )
             st.emit_event(
                 "rename-table",
@@ -1418,7 +1427,7 @@ class Catalog:
                 table_uuid, location, schema, partition_spec, sort_order, properties, format_version
             )
             st.execute("DELETE FROM tabulars WHERE id=?", (row["id"],))
-            st.purge_authz_entity(f"{wh['wh_key']}#{ident.dotted_key(levels, name)}")
+            st.purge_authz_entity(ident.qualify(wh["wh_key"], ident.res_key(levels, name)))
             st.execute(
                 "INSERT INTO tabulars (id, wh_key, ns_key, name_key, name, kind, metadata,"
                 " location, created_ms, updated_ms) VALUES (?,?,?,?,?,?,?,?,?,?)",
@@ -1460,7 +1469,7 @@ class Catalog:
         """Set the tabular/namespace protection flag; returns the
         reference's ProtectionResponse shape (management/mod.rs:1648)."""
         wh = self._warehouse(warehouse, any_status=True)
-        resource = ".".join(levels) if name is None else f"{'.'.join(levels)}.{name}"
+        resource = ident.res_key(levels, name)
         self._authorize("set_protection", wh["wh_key"], resource)
         st = self.store
         if name is None:
@@ -1565,7 +1574,7 @@ class Catalog:
         self._authorize(
             "commit" if replace else "create",
             wh["wh_key"],
-            f"{'.'.join(levels)}.{name}",
+            ident.res_key(levels, name),
         )
         reps = [{"type": "sql", "sql": sql, "dialect": dialect}]
         for d, s in (representations or {}).items():
@@ -1658,7 +1667,7 @@ class Catalog:
 
     def load_view(self, warehouse: str, levels, name: str) -> dict[str, Any]:
         wh = self._warehouse(warehouse)
-        self._authorize("get_metadata", wh["wh_key"], f"{'.'.join(levels)}.{name}")
+        self._authorize("get_metadata", wh["wh_key"], ident.res_key(levels, name))
         row = self._tabular_row(wh["wh_key"], levels, name, "view")
         if not row:
             raise NoSuchEntity(f"view {'.'.join(levels)}.{name} not found")
@@ -1716,7 +1725,7 @@ class Catalog:
 
     def drop_view(self, warehouse: str, levels, name: str) -> None:
         wh = self._warehouse(warehouse)
-        self._authorize("drop", wh["wh_key"], f"{'.'.join(levels)}.{name}")
+        self._authorize("drop", wh["wh_key"], ident.res_key(levels, name))
         st = self.store
         st.begin()
         try:
@@ -1726,7 +1735,7 @@ class Catalog:
             if row["protected"]:
                 raise ProtectedEntity(f"view {name} is protected")
             st.execute("DELETE FROM tabulars WHERE id=?", (row["id"],))
-            st.purge_authz_entity(f"{wh['wh_key']}#{ident.dotted_key(levels, name)}")
+            st.purge_authz_entity(ident.qualify(wh["wh_key"], ident.res_key(levels, name)))
             st.emit_event("drop-view", wh["wh_key"], f"{'.'.join(levels)}.{name}", {})
             st.commit()
         except BaseException:
@@ -1794,7 +1803,7 @@ class Catalog:
         from .vending import interpret_storage_permissions
 
         wh = self._warehouse(warehouse)
-        resource = f"{'.'.join(levels)}.{name}"
+        resource = ident.res_key(levels, name)
         can_read = self._is_allowed("read_data", wh["wh_key"], resource)
         can_write = self._is_allowed("write_data", wh["wh_key"], resource)
         return interpret_storage_permissions(can_read, can_write)
@@ -1829,7 +1838,7 @@ class Catalog:
         from .vending import credential_serve_window_ms, vend_for_location
 
         wh = self._warehouse(warehouse)
-        resource = f"{'.'.join(levels)}.{name}"
+        resource = ident.res_key(levels, name)
         self._authorize("get_metadata", wh["wh_key"], resource)
         row = self._tabular_row(wh["wh_key"], levels, name, kind)
         if not row:
@@ -1876,7 +1885,7 @@ class Catalog:
             if not row:
                 raise NoSuchEntity(f"generic table {name} not found")
             st.execute("DELETE FROM tabulars WHERE id=?", (row["id"],))
-            st.purge_authz_entity(f"{wh['wh_key']}#{ident.dotted_key(levels, name)}")
+            st.purge_authz_entity(ident.qualify(wh["wh_key"], ident.res_key(levels, name)))
             st.emit_event("drop-generic-table", wh["wh_key"], name, {})
             st.commit()
         except BaseException:

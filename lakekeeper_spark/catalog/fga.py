@@ -38,7 +38,8 @@ reference stores role membership as OpenFGA ``role#assignee`` tuples.
 
 Entity addressing: the reference keys tuples by entity UUID; this repo
 keys by the catalog's folded identifier paths — ``server``,
-``project/<id>``, ``<wh_key>`` for warehouses, ``<wh_key>#<a.b>`` for
+``project/<id>``, ``<wh_key>`` for warehouses, ``<wh_key> QSEP
+<a SEP b>`` (ident.qualify/res_key — SEP-joined folded segments) for
 namespaces and ``<wh_key>#<a.b.t>`` for tabulars (the authorizer marks
 itself ``qualified`` so the catalog passes warehouse-qualified
 resources).
@@ -309,18 +310,34 @@ class FgaAuthorizer(Authorizer):
         if resource.startswith("warehouse/"):
             wh_key = resource.split("/", 1)[1]
             chain.append(wh_key)
-        elif "#" in resource:
-            wh_key, dotted = resource.split("#", 1)
-            parts = [ident.fold(p) for p in dotted.split(".")]
+        elif ident.QSEP in resource:
+            wh_key, path = resource.split(ident.QSEP, 1)
+            ns_path, tsep, leaf = path.partition(ident.TSEP)
+            parts = [ident.fold(p) for p in ns_path.split(ident.SEP)]
+            if tsep:
+                # the tabular itself, then its namespace chain
+                chain.append(
+                    ident.qualify(
+                        wh_key,
+                        ident.SEP.join(parts) + ident.TSEP + ident.fold(leaf),
+                    )
+                )
             for i in range(len(parts), 0, -1):
-                chain.append(f"{wh_key}#{'.'.join(parts[:i])}")
+                chain.append(
+                    ident.qualify(wh_key, ident.SEP.join(parts[:i]))
+                )
             chain.append(wh_key)
         else:
             # unqualified resource (library use without warehouse
-            # context): the dotted path only
-            parts = [ident.fold(p) for p in resource.split(".")]
+            # context): the SEP/TSEP-joined path only
+            ns_path, tsep, leaf = resource.partition(ident.TSEP)
+            parts = [ident.fold(p) for p in ns_path.split(ident.SEP)]
+            if tsep:
+                chain.append(
+                    ident.SEP.join(parts) + ident.TSEP + ident.fold(leaf)
+                )
             for i in range(len(parts), 0, -1):
-                chain.append(".".join(parts[:i]))
+                chain.append(ident.SEP.join(parts[:i]))
         if wh_key is not None:
             row = self.store.one(
                 "SELECT project_id FROM warehouses WHERE wh_key=?", (wh_key,)
@@ -378,24 +395,40 @@ class FgaAuthorizer(Authorizer):
         if not principals or resource == "server":
             return False
         if resource.startswith("warehouse/"):
-            prefix = resource.split("/", 1)[1] + "#"
-        elif "#" in resource:
-            wh_key, dotted = resource.split("#", 1)
-            folded = ".".join(ident.fold(p) for p in dotted.split("."))
-            prefix = f"{wh_key}#{folded}."
+            prefixes = [resource.split("/", 1)[1] + ident.QSEP]
+        elif ident.QSEP in resource:
+            wh_key, path = resource.split(ident.QSEP, 1)
+            if ident.TSEP in path:
+                return False  # tabulars have no descendants
+            folded = ident.SEP.join(
+                ident.fold(p) for p in path.split(ident.SEP)
+            )
+            base = ident.qualify(wh_key, folded)
+            # child namespaces nest with SEP, direct tabulars with TSEP
+            prefixes = [base + ident.SEP, base + ident.TSEP]
         else:
-            prefix = ".".join(ident.fold(p) for p in resource.split(".")) + "."
+            if ident.TSEP in resource:
+                return False
+            base = ident.SEP.join(
+                ident.fold(p) for p in resource.split(ident.SEP)
+            )
+            prefixes = [base + ident.SEP, base + ident.TSEP]
         marks = ",".join("?" for _ in principals)
-        # escape LIKE metacharacters in the prefix — '_' is common in
+        # escape LIKE metacharacters in the prefixes — '_' is common in
         # warehouse names and would otherwise wildcard-match a sibling
-        pat = (
-            prefix.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        pats = [
+            p.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+            + "%"
+            for p in prefixes
+        ]
+        like = " OR ".join(
+            "entity_key LIKE ? ESCAPE '\\'" for _ in pats
         )
         return (
             self.store.one(
-                f"SELECT 1 FROM authz_tuples WHERE entity_key LIKE ? ESCAPE '\\'"
+                f"SELECT 1 FROM authz_tuples WHERE ({like})"
                 f" AND assignee IN ({marks})",
-                (pat + "%", *principals),
+                (*pats, *principals),
             )
             is not None
         )
@@ -468,14 +501,14 @@ def _entity_key(
     if etype == "namespace":
         if not catalog.namespace_exists(warehouse, list(levels)):
             raise NoSuchEntity(f"namespace {'.'.join(levels)} not found")
-        # '.'-joined folded path — MUST match the ancestry convention
-        # (is_allowed folds the dotted resource the catalog passes)
-        return f"{wh['wh_key']}#{ident.dotted_key(levels)}"
+        # SEP-joined folded path — MUST match the ancestry convention
+        # (is_allowed folds the resource the catalog passes)
+        return ident.qualify(wh["wh_key"], ident.res_key(levels))
     kind = "generic" if etype == "generic-table" else etype
     row = catalog._tabular_row(wh["wh_key"], levels, name, kind)
     if not row:
         raise NoSuchEntity(f"{etype} {'.'.join(levels)}.{name} not found")
-    return f"{wh['wh_key']}#{ident.dotted_key(levels, name)}"
+    return ident.qualify(wh["wh_key"], ident.res_key(levels, name))
 
 
 def _parse_assignment(etype: str, item: dict[str, Any]) -> tuple[str, str]:
@@ -609,7 +642,7 @@ def update_assignments(
             )
         st.emit_event(
             "update-assignments",
-            key.split("#")[0],
+            key.split(ident.QSEP)[0],
             key,
             {"writes": len(writes), "deletes": len(deletes)},
         )
@@ -739,22 +772,24 @@ def reconcile(catalog: "Catalog") -> dict[str, int]:
             alive = bool(
                 st.one("SELECT 1 FROM roles WHERE id=?", (key.split("/", 1)[1],))
             )
-        elif "#" in key:
-            wh_key, dotted = key.split("#", 1)
-            parts = dotted.split(".")
-            ns_all = ident.SEP.join(parts)
-            ns_parent = ident.SEP.join(parts[:-1])
-            alive = wh_key in wh_keys and bool(
-                st.one(
-                    "SELECT 1 FROM namespaces WHERE wh_key=? AND ns_key=?",
-                    (wh_key, ns_all),
+        elif ident.QSEP in key:
+            wh_key, path = key.split(ident.QSEP, 1)
+            if ident.TSEP in path:
+                ns_key, name_key = path.split(ident.TSEP, 1)
+                alive = wh_key in wh_keys and bool(
+                    st.one(
+                        "SELECT 1 FROM tabulars WHERE wh_key=? AND ns_key=?"
+                        " AND name_key=?",
+                        (wh_key, ns_key, name_key),
+                    )
                 )
-                or st.one(
-                    "SELECT 1 FROM tabulars WHERE wh_key=? AND ns_key=?"
-                    " AND name_key=?",
-                    (wh_key, ns_parent, parts[-1]),
+            else:
+                alive = wh_key in wh_keys and bool(
+                    st.one(
+                        "SELECT 1 FROM namespaces WHERE wh_key=? AND ns_key=?",
+                        (wh_key, path),
+                    )
                 )
-            )
         else:
             alive = key in wh_keys
         if not alive:

@@ -17,6 +17,20 @@ from __future__ import annotations
 
 SEP = "\x1f"
 
+#: separator between a warehouse key and the entity path inside an
+#: authz resource key. A DISTINCT control character from SEP so
+#: ``wh QSEP a SEP b`` parses unambiguously even though both ends are
+#: variable-length; rejected in identifiers like SEP.
+QSEP = "\x1e"
+
+#: separator between a namespace path and a tabular (table/view/generic)
+#: name inside an authz resource key. Distinct from SEP so a grant on
+#: namespace ``[a, b]`` (key ``a SEP b``) never collides with one on
+#: table ``b`` in namespace ``[a]`` (key ``a TSEP b``) — the reference
+#: models these as different OpenFGA object types, so they never share
+#: grants. Rejected in identifiers like SEP/QSEP.
+TSEP = "\x1d"
+
 
 def fold(name: str) -> str:
     """ICU level2-equivalent fold for our purposes: case-insensitive,
@@ -28,14 +42,26 @@ def ns_key(levels: tuple[str, ...] | list[str]) -> str:
     return SEP.join(fold(level) for level in levels)
 
 
-def dotted_key(levels: tuple[str, ...] | list[str], name: str | None = None) -> str:
-    """Folded '.'-joined path — the resource convention the authorizers
-    see (catalog._authorize passes dotted paths; catalog/fga.py keys
-    grant tuples with it and walks ancestry by '.'-prefixes)."""
-    parts = [fold(level) for level in levels]
-    if name is not None:
-        parts.append(fold(name))
-    return ".".join(parts)
+def res_key(levels: tuple[str, ...] | list[str], name: str | None = None) -> str:
+    """Folded SEP-joined path — the resource convention the authorizers
+    see (catalog._authorize passes these; catalog/fga.py keys grant
+    tuples with them and walks ancestry by SEP-prefixes). SEP is
+    rejected in identifiers (validate_level), so a grant on namespace
+    ``a.b`` can never collide with one on namespace ``a`` + table ``b``
+    — the ambiguity the old '.'-joined convention had. A tabular name
+    joins with TSEP so table ``b`` in namespace ``[a]`` is a different
+    key than namespace ``[a, b]`` (different entity types in the
+    reference's OpenFGA model)."""
+    path = SEP.join(fold(level) for level in levels)
+    if name is None:
+        return path
+    return path + TSEP + fold(name)
+
+
+def qualify(wh_key: str, resource: str) -> str:
+    """Warehouse-qualified authz resource key: same-named namespaces in
+    two warehouses must not share grants (catalog/fga.py)."""
+    return f"{wh_key}{QSEP}{resource}"
 
 
 def ns_store(levels: tuple[str, ...] | list[str]) -> str:
@@ -49,5 +75,7 @@ def ns_load(stored: str) -> tuple[str, ...]:
 def validate_level(level: str) -> None:
     if not level:
         raise ValueError("empty namespace/table name level")
-    if SEP in level:
-        raise ValueError("identifier contains reserved separator 0x1F")
+    if SEP in level or QSEP in level or TSEP in level:
+        raise ValueError(
+            "identifier contains reserved separator 0x1F/0x1E/0x1D"
+        )

@@ -157,10 +157,11 @@ def run_orphan_queue(catalog: Catalog, spark, limit: int = 100) -> int:
 def _purge_tabular_grants(st, row) -> None:
     """Drop fine-grained grant tuples for an expired tabular (the
     reference deletes authorizer tuples when the entity is finally
-    removed). Key = wh_key '#' dotted folded path (catalog/fga.py)."""
+    removed). Key = ident.qualify(wh_key, SEP-joined folded path)."""
     from . import identifiers as ident
 
-    ns_parts = row["ns_key"].split(ident.SEP)
     st.purge_authz_entity(
-        f"{row['wh_key']}#{'.'.join([*ns_parts, row['name_key']])}"
+        ident.qualify(
+            row["wh_key"], row["ns_key"] + ident.TSEP + row["name_key"]
+        )
     )

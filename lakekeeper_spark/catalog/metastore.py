@@ -425,20 +425,24 @@ class Metastore:
     # (e.g. authorizer.delete_warehouse in the DeleteWarehouse handler,
     # api/management/v1/warehouse/mod.rs:722) — without this, a recreated
     # same-name entity would inherit the old entity's grants.
-    def purge_authz_entity(self, entity_key: str, child_sep: str | None = None) -> int:
+    def purge_authz_entity(
+        self, entity_key: str, child_sep: str | tuple[str, ...] | None = None
+    ) -> int:
         """Remove every grant ON an entity and, with ``child_sep``, on
-        all its descendants. The separator is explicit per entity kind —
-        '#' nests under a warehouse key, '.' under a namespace key —
-        because '.' is legal inside identifiers, so a blanket prefix
-        purge of warehouse 'wh' must not reach a sibling named 'wh.x'."""
+        all its descendants. The separator(s) are explicit per entity
+        kind — QSEP nests under a warehouse key; a namespace has BOTH
+        SEP (child namespaces) and TSEP (direct tabulars) children
+        (catalog/identifiers.py). Identifiers cannot contain the
+        separators, so a prefix purge never reaches a sibling."""
         n = self.execute(
             "DELETE FROM authz_tuples WHERE entity_key=?", (entity_key,)
         ).rowcount
-        if child_sep:
-            pat = entity_key.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        seps = (child_sep,) if isinstance(child_sep, str) else (child_sep or ())
+        pat = entity_key.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        for sep in seps:
             n += self.execute(
                 "DELETE FROM authz_tuples WHERE entity_key LIKE ? ESCAPE '\\'",
-                (pat + child_sep + "%",),
+                (pat + sep + "%",),
             ).rowcount
         return n
 
@@ -450,20 +454,26 @@ class Metastore:
             "DELETE FROM authz_tuples WHERE assignee=?", (assignee,)
         ).rowcount
 
-    def move_authz_entity(self, old_key: str, new_key: str, child_sep: str | None = None) -> None:
+    def move_authz_entity(
+        self,
+        old_key: str,
+        new_key: str,
+        child_sep: str | tuple[str, ...] | None = None,
+    ) -> None:
         """Re-key grants when an entity is renamed, so they follow it
         (``child_sep`` as in purge_authz_entity)."""
         self.execute(
             "UPDATE authz_tuples SET entity_key=? WHERE entity_key=?",
             (new_key, old_key),
         )
-        if child_sep:
-            pat = old_key.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
-            old_pre, new_pre = old_key + child_sep, new_key + child_sep
+        seps = (child_sep,) if isinstance(child_sep, str) else (child_sep or ())
+        pat = old_key.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+        for sep in seps:
+            old_pre, new_pre = old_key + sep, new_key + sep
             for r in self.query(
                 "SELECT entity_key FROM authz_tuples WHERE entity_key"
                 " LIKE ? ESCAPE '\\'",
-                (pat + child_sep + "%",),
+                (pat + sep + "%",),
             ):
                 self.execute(
                     "UPDATE authz_tuples SET entity_key=? WHERE entity_key=?",

@@ -1,0 +1,240 @@
+"""Pure-Python NATS publisher for change events.
+
+The reference ships a NATS CloudEvents backend
+(``crates/lakekeeper-events-nats/src/lib.rs``: ``NatsBackend::publish``
+serializes the envelope with ``serde_json::to_vec`` and calls
+``client.publish(topic, bytes)``; connection options support
+user/password or token auth, ``config.rs``). No NATS client library
+exists in this sandbox, so — like catalog/pgwire.py for Postgres — this
+module speaks the NATS **text wire protocol** directly over a TCP
+socket, written from the public protocol documentation
+(https://docs.nats.io/reference/reference-protocols/nats-protocol):
+
+- server greets with ``INFO {json}\\r\\n``;
+- client answers ``CONNECT {json}\\r\\n`` (auth fields ``user``/``pass``
+  or ``auth_token`` when the INFO advertises ``auth_required``);
+- publishing is ``PUB <subject> <#bytes>\\r\\nPAYLOAD\\r\\n``;
+- the server keep-alives with ``PING\\r\\n`` which the client must
+  answer with ``PONG\\r\\n`` or be disconnected;
+- in verbose mode every client command is acknowledged ``+OK\\r\\n``;
+  protocol/auth failures arrive as ``-ERR 'message'\\r\\n``.
+
+Semantics match the reference backend: serialization is byte-identical
+to FilePublisher's JSONL (one ``json.dumps(event, sort_keys=True)``
+document per message), and delivery failures RAISE so the catalog's
+fan-out drop accounting observes the outage (the mutation itself is
+already committed and never fails — events.py module docstring).
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+from typing import Any
+
+from .events import EventPublisher
+
+
+class NatsProtocolError(RuntimeError):
+    """Server sent ``-ERR`` or violated the protocol."""
+
+
+class NatsConnection:
+    """Minimal synchronous NATS client connection (publish-only).
+
+    Handles the INFO/CONNECT handshake, PING/PONG keep-alive, verbose
+    ``+OK`` acknowledgements, and ``-ERR`` surfacing. Not thread-safe;
+    the publisher guards it with a lock.
+    """
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        user: str | None = None,
+        password: str | None = None,
+        token: str | None = None,
+        verbose: bool = False,
+        timeout: float = 5.0,
+    ) -> None:
+        self.host = host
+        self.port = port
+        self.user = user
+        self.password = password
+        self.token = token
+        self.verbose = verbose
+        self.timeout = timeout
+        self._sock: socket.socket | None = None
+        self._buf = b""
+        self.server_info: dict[str, Any] | None = None
+
+    # -- line transport -------------------------------------------------
+    def _readline(self) -> bytes:
+        """One CRLF-terminated protocol line."""
+        assert self._sock is not None
+        while b"\r\n" not in self._buf:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise NatsProtocolError("connection closed by server")
+            self._buf += chunk
+        line, self._buf = self._buf.split(b"\r\n", 1)
+        return line
+
+    def _send(self, data: bytes) -> None:
+        assert self._sock is not None
+        self._sock.sendall(data)
+
+    # -- control-line dispatch -------------------------------------------
+    def _handle_control(self, line: bytes) -> bool:
+        """Answer protocol housekeeping; True when the line was consumed
+        (PING/INFO), False when the caller should interpret it."""
+        if line == b"PING":
+            self._send(b"PONG\r\n")
+            return True
+        if line.startswith(b"INFO "):
+            # servers may push INFO updates (e.g. cluster topology)
+            self.server_info = json.loads(line[5:])
+            return True
+        if line.startswith(b"-ERR"):
+            raise NatsProtocolError(line.decode("utf-8", "replace"))
+        return False
+
+    def _await_ok(self) -> None:
+        """In verbose mode the server acks each command with ``+OK``."""
+        while True:
+            line = self._readline()
+            if self._handle_control(line):
+                continue
+            if line == b"+OK":
+                return
+            raise NatsProtocolError(f"unexpected reply {line!r}")
+
+    # -- lifecycle --------------------------------------------------------
+    def connect(self) -> None:
+        self._sock = socket.create_connection(
+            (self.host, self.port), timeout=self.timeout
+        )
+        self._buf = b""
+        line = self._readline()
+        if not line.startswith(b"INFO "):
+            raise NatsProtocolError(f"expected INFO, got {line!r}")
+        self.server_info = json.loads(line[5:])
+        opts: dict[str, Any] = {
+            "verbose": self.verbose,
+            "pedantic": False,
+            "tls_required": False,
+            "lang": "python",
+            "version": "0",
+            "name": "lakekeeper-spark",
+            # protocol 1 would enable dynamic INFO; keep the simple mode
+            "protocol": 0,
+        }
+        # same auth precedence as the reference's ConnectOptions chain
+        # (lakekeeper-events-nats/src/lib.rs:36-59: creds file, then
+        # user+password, then token)
+        if self.user is not None and self.password is not None:
+            opts["user"] = self.user
+            opts["pass"] = self.password
+        elif self.token is not None:
+            opts["auth_token"] = self.token
+        self._send(b"CONNECT " + json.dumps(opts).encode() + b"\r\n")
+        if self.verbose:
+            self._await_ok()
+        else:
+            # surface an immediate -ERR (bad auth) without blocking when
+            # the server has nothing to say
+            self._sock.settimeout(0.05)
+            try:
+                line = self._readline()
+                self._handle_control(line)
+            except (TimeoutError, socket.timeout):
+                pass
+            finally:
+                self._sock.settimeout(self.timeout)
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+                self._buf = b""
+
+    # -- publish ----------------------------------------------------------
+    def publish(self, subject: str, payload: bytes) -> None:
+        if self._sock is None:
+            self.connect()
+        # drain any pending server traffic (PING keep-alives) first so
+        # long-idle connections are not dropped as unresponsive
+        assert self._sock is not None
+        self._sock.settimeout(0.0)
+        try:
+            while True:
+                line = self._readline()
+                if not self._handle_control(line):
+                    raise NatsProtocolError(f"unexpected line {line!r}")
+        except (BlockingIOError, TimeoutError, socket.timeout):
+            pass
+        except NatsProtocolError:
+            self.close()
+            raise
+        finally:
+            if self._sock is not None:
+                self._sock.settimeout(self.timeout)
+        try:
+            self._send(
+                f"PUB {subject} {len(payload)}\r\n".encode()
+                + payload
+                + b"\r\n"
+            )
+            if self.verbose:
+                self._await_ok()
+        except (OSError, NatsProtocolError):
+            self.close()
+            raise
+
+
+class NatsPublisher(EventPublisher):
+    """EventPublisher backend over a NATS connection — the reference's
+    ``NatsBackend`` (topic + client; ``publish`` sends the JSON-encoded
+    CloudEvents envelope to the fixed topic). RAISES on delivery
+    failure (connection refused, -ERR, mid-write outage) so
+    FanoutPublisher's drop accounting sees it; the next publish
+    reconnects lazily."""
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        topic: str,
+        user: str | None = None,
+        password: str | None = None,
+        token: str | None = None,
+        verbose: bool = False,
+    ) -> None:
+        if not topic or not topic.strip():
+            # the reference refuses to build a publisher for an empty
+            # topic (build_nats_publisher_from_config)
+            raise ValueError("NATS topic must be non-empty")
+        import threading
+
+        self.topic = topic
+        self.conn = NatsConnection(
+            host, port, user=user, password=password, token=token,
+            verbose=verbose,
+        )
+        self._lock = threading.Lock()
+
+    def publish(self, event: dict[str, Any]) -> None:
+        # byte-identical serialization to FilePublisher's JSONL (the
+        # NATS message body IS the file sink's line)
+        body = json.dumps(event, sort_keys=True).encode()
+        with self._lock:
+            self.conn.publish(self.topic, body)
+
+    def close(self) -> None:
+        with self._lock:
+            self.conn.close()
+
+
+__all__ = ["NatsConnection", "NatsPublisher", "NatsProtocolError"]

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING, Any
 
+from . import identifiers as ident
 from .authz import AuthorizationError
 from .catalog import CatalogError, NoSuchEntity
 
@@ -146,7 +147,7 @@ def authorize_load_chain(
         row = catalog._tabular_row(wh["wh_key"], levels, name, "view")
         if not row:
             raise NoSuchEntity(f"view {'.'.join(levels)}.{name} not found")
-        resource = f"{'.'.join(levels)}.{name}"
+        resource = ident.res_key(levels, name)
         with catalog.acting_as(current):
             catalog._authorize("get_metadata", wh["wh_key"], resource)
         import json as _json

@@ -302,7 +302,7 @@ def rename_warehouse(catalog: "Catalog", warehouse: str, new_name: str) -> None:
         )
         # fine-grained grants are keyed by wh_key paths — they follow
         # the warehouse and all its nested entities
-        st.move_authz_entity(wh["wh_key"], new_key, child_sep="#")
+        st.move_authz_entity(wh["wh_key"], new_key, child_sep=ident.QSEP)
         st.emit_event(
             "rename-warehouse", new_key, new_name, {"old-name": wh["name"]}
         )
@@ -349,7 +349,7 @@ def delete_warehouse(catalog: "Catalog", warehouse: str, force: bool = False) ->
             st.execute("DELETE FROM secrets WHERE id=?", (wh["storage_secret_id"],))
         # grants die with the warehouse and everything under it (the
         # reference's authorizer.delete_warehouse, warehouse/mod.rs:722)
-        st.purge_authz_entity(wh["wh_key"], child_sep="#")
+        st.purge_authz_entity(wh["wh_key"], child_sep=ident.QSEP)
         st.execute("DELETE FROM warehouses WHERE wh_key=?", (wh["wh_key"],))
         st.emit_event("delete-warehouse", wh["wh_key"], wh["name"], {})
         st.commit()

@@ -14,6 +14,7 @@ from lakekeeper_spark.catalog.catalog import (
     NotModified,
     ProtectedEntity,
 )
+from lakekeeper_spark.catalog.identifiers import res_key
 from lakekeeper_spark.catalog.lifecycle import run_expiration_queue
 
 SCHEMA = {"schema-id": 0, "fields": [{"id": 1, "name": "id", "type": "int", "required": False}]}
@@ -603,7 +604,7 @@ def _rbac_catalog(tmp_path):
             "admin": {"*"},
             "reader": {"get_metadata", "read_data", "include_in_list"},
         },
-        resource_grants={("reader", "ns.secret"): set()},  # fully hidden
+        resource_grants={("reader", res_key(["ns"], "secret")): set()},  # fully hidden
     )
     cat = Catalog(Metastore(str(tmp_path / "m.db")), authorizer=authz)
     cat.create_warehouse("wh", str(tmp_path / "wh"))
@@ -780,8 +781,8 @@ def test_authz_list_pagination_filters_before_truncation(tmp_path):
     authz = StaticRbacAuthorizer(
         grants={None: {"*"}, "reader": {"include_in_list"}},
         resource_grants={
-            ("reader", "ns.b"): set(),
-            ("reader", "ns.d"): set(),
+            ("reader", res_key(["ns"], "b")): set(),
+            ("reader", res_key(["ns"], "d")): set(),
         },
     )
     cat = Catalog(Metastore(str(tmp_path / "m.db")), authorizer=authz)
@@ -826,7 +827,7 @@ def test_authz_role_hierarchy_inheritance(tmp_path):
             "data_admin": {"drop", "rename"},
         },
         role_parents={"data_admin": {"writer"}, "writer": {"analyst"}},
-        role_resource_grants={("analyst", "ns.secret"): set()},
+        role_resource_grants={("analyst", res_key(["ns"], "secret")): set()},
     )
     cat = Catalog(Metastore(str(tmp_path / "m.db")), authorizer=authz)
     cat.create_warehouse("wh", str(tmp_path / "wh"))

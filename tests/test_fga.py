@@ -14,6 +14,7 @@ from lakekeeper_spark.catalog import fga
 from lakekeeper_spark.catalog.authz import AuthorizationError
 from lakekeeper_spark.catalog.catalog import Catalog, CatalogError, NoSuchEntity
 from lakekeeper_spark.catalog.fga import FgaAuthorizer
+from lakekeeper_spark.catalog.identifiers import qualify, res_key
 from lakekeeper_spark.catalog.metastore import Metastore
 from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
 
@@ -470,7 +471,7 @@ def test_expiration_purges_grants(env):
         lifecycle.run_expiration_queue(catalog)
     assert (
         catalog.store.one(
-            "SELECT 1 FROM authz_tuples WHERE entity_key LIKE 'wh#%'"
+            "SELECT 1 FROM authz_tuples WHERE entity_key LIKE 'wh' || x'1e' || '%'"
         )
         is None
     )
@@ -536,7 +537,8 @@ def test_reconcile_prunes_orphans(env):
     # out-of-band rows: a ghost table, a ghost role, a deleted user
     st.execute(
         "INSERT INTO authz_tuples (entity_key, relation, assignee, created_ms)"
-        " VALUES ('wh#ns.ghost', 'select', 'user:alice', 1)"
+        " VALUES ('wh' || x'1e' || 'ns' || x'1f' || 'ghost',"
+        " 'select', 'user:alice', 1)"
     )
     st.execute(
         "INSERT INTO authz_tuples (entity_key, relation, assignee, created_ms)"
@@ -563,8 +565,9 @@ def test_reconcile_prunes_orphans(env):
         (r["entity_key"], r["assignee"])
         for r in st.query("SELECT entity_key, assignee FROM authz_tuples")
     }
-    assert ("wh#ns.t", "user:alice") in rows
-    assert not any(k == "wh#ns.ghost" or k == "role/nope" for k, _ in rows)
+    assert (qualify("wh", res_key(["ns"], "t")), "user:alice") in rows
+    ghost = qualify("wh", res_key(["ns"], "ghost"))
+    assert not any(k == ghost or k == "role/nope" for k, _ in rows)
     assert not any(a == "user:oidc~gone" for _, a in rows)
 
 
@@ -596,3 +599,78 @@ def test_underscore_names_do_not_wildcard(tmp_path):
         assert alice.list_namespaces("whxb")[0] == []
     finally:
         server.stop()
+
+
+def test_create_warehouse_gated_on_project(env):
+    """The reference authorizes CatalogProjectAction::CreateWarehouse on
+    the owning project before creating (warehouse/mod.rs:421-440): a
+    non-admin principal gets 403 over HTTP; a principal granted the
+    project `create` tier (here via data_admin) succeeds."""
+    import urllib.error
+    import urllib.request as _rq
+    import json as _json
+
+    catalog, url, root = env
+    body = _json.dumps(
+        {
+            "warehouse-name": "mallory-wh",
+            "storage-profile": {"type": "local", "location": "/tmp/m-wh"},
+        }
+    ).encode()
+
+    def post(token):
+        req = _rq.Request(
+            url + "/management/v1/warehouse",
+            data=body,
+            method="POST",
+            headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {token}",
+            },
+        )
+        return _rq.urlopen(req)
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post("mallory")
+    assert exc.value.code == 403
+    # the project data_admin relation implies create (fga.IMPLIES)
+    with catalog.acting_as("root"):
+        fga.update_assignments(
+            catalog,
+            "project",
+            {"writes": [{"type": "data_admin", "user": "mallory"}]},
+            entity_id="default",
+        )
+    assert post("mallory").status == 201
+
+
+def test_dotted_identifiers_do_not_share_grants(tmp_path):
+    """Structured resource keys: a grant on namespace ['a.b'] must not
+    leak to namespace ['a','b'] (or its table 'b'), and vice versa —
+    the ambiguity the '.'-joined convention had."""
+    store = Metastore(str(tmp_path / "ms.db"))
+    catalog = Catalog(store, authorizer=FgaAuthorizer(store, admins={"root"}))
+    with catalog.acting_as("root"):
+        catalog.create_warehouse("wh", str(tmp_path / "wh"))
+        catalog.create_namespace("wh", ["a.b"])
+        catalog.create_namespace("wh", ["a"])
+        catalog.create_namespace("wh", ["a", "b"])
+        catalog.create_table("wh", ["a"], "b", SCHEMA)
+    _grant(catalog, "namespace", "modify", "dotty",
+           warehouse="wh", levels=["a.b"])
+    _grant(catalog, "namespace", "select", "nesty",
+           warehouse="wh", levels=["a", "b"])
+    with catalog.acting_as("dotty"):
+        # granted: the single-level namespace literally named "a.b"
+        catalog.namespace_properties("wh", ["a.b"])
+        # NOT granted: the nested namespace a/b or table a.b
+        with pytest.raises(AuthorizationError):
+            catalog.load_table("wh", ["a"], "b")
+        with pytest.raises(AuthorizationError):
+            catalog.update_namespace_properties("wh", ["a", "b"], {"k": "v"})
+    with catalog.acting_as("nesty"):
+        catalog.namespace_properties("wh", ["a", "b"])
+        with pytest.raises(AuthorizationError):
+            catalog.update_namespace_properties("wh", ["a.b"], {"k": "v"})
+        with pytest.raises(AuthorizationError):
+            catalog.load_table("wh", ["a"], "b")

@@ -21,10 +21,22 @@ from lakekeeper_spark.catalog.fga import FgaAuthorizer
 from lakekeeper_spark.catalog.metastore import Metastore, now_ms
 
 # the entity tree: two warehouses, nested namespaces, tables
+# (keys use the structured QSEP/SEP resource convention, identifiers.py)
+from lakekeeper_spark.catalog.identifiers import QSEP, SEP, TSEP, qualify, res_key
+
+def _k(wh, levels=(), name=None):
+    return qualify(wh, res_key(levels, name)) if levels else wh
+
 WAREHOUSES = ("wha", "whb")
 ENTITIES = {
-    "wha": ["wha", "wha#ns1", "wha#ns1.t1", "wha#ns1.sub", "wha#ns1.sub.t2"],
-    "whb": ["whb", "whb#ns1", "whb#ns1.t1"],
+    "wha": [
+        _k("wha"),
+        _k("wha", ["ns1"]),
+        _k("wha", ["ns1"], "t1"),
+        _k("wha", ["ns1", "sub"]),
+        _k("wha", ["ns1", "sub"], "t2"),
+    ],
+    "whb": [_k("whb"), _k("whb", ["ns1"]), _k("whb", ["ns1"], "t1")],
 }
 RELATIONS = ("describe", "select", "create", "modify", "ownership")
 ACTIONS = ("get_metadata", "read_data", "create", "write_data", "commit")
@@ -111,8 +123,9 @@ def test_implication_and_inheritance_soundness(grants):
                 a
                 for a in ENTITIES[wh]
                 if a == entity
-                or entity.startswith(a + "#")
-                or entity.startswith(a + ".")
+                or entity.startswith(a + QSEP)
+                or entity.startswith(a + SEP)
+                or entity.startswith(a + TSEP)
             ]
             placed[entity] = {
                 rel for key, rel in grants if key in ancestors

@@ -1,0 +1,299 @@
+"""NATS event backend (catalog/nats.py vs the reference's
+crates/lakekeeper-events-nats): the client side of the NATS text
+protocol, driven against a scripted in-process server. Covers the
+INFO/CONNECT handshake (anonymous, user/pass, token), verbose +OK
+acks, PING/PONG keep-alive, -ERR auth rejection, serialization parity
+with FilePublisher's JSONL, outage observability through the catalog's
+fan-out drop accounting, and the post-commit delivery boundary (a
+rolled-back mutation publishes nothing)."""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import threading
+
+import pytest
+
+from lakekeeper_spark.catalog.catalog import Catalog
+from lakekeeper_spark.catalog.events import FanoutPublisher, FilePublisher
+from lakekeeper_spark.catalog.metastore import Metastore
+from lakekeeper_spark.catalog.nats import (
+    NatsProtocolError,
+    NatsPublisher,
+)
+
+SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "x", "required": False, "type": "long"}
+    ],
+}
+
+
+class _NatsHandler(socketserver.StreamRequestHandler):
+    """One NATS server connection: INFO -> CONNECT -> PUB loop."""
+
+    def handle(self):  # noqa: C901 - a protocol state machine
+        srv = self.server
+        info = {
+            "server_id": "scripted",
+            "version": "0.0-test",
+            "proto": 0,
+            "auth_required": bool(srv.expect_auth),
+            "max_payload": 1048576,
+        }
+        self.wfile.write(b"INFO " + json.dumps(info).encode() + b"\r\n")
+        verbose = False
+        while True:
+            line = self.rfile.readline()
+            if not line:
+                return
+            line = line.rstrip(b"\r\n")
+            if line.startswith(b"CONNECT "):
+                opts = json.loads(line[8:])
+                verbose = bool(opts.get("verbose"))
+                srv.connects.append(opts)
+                if srv.expect_auth:
+                    ok = (
+                        opts.get("user") == srv.expect_auth.get("user")
+                        and opts.get("pass") == srv.expect_auth.get("pass")
+                    ) or (
+                        "auth_token" in srv.expect_auth
+                        and opts.get("auth_token")
+                        == srv.expect_auth["auth_token"]
+                    )
+                    if not ok:
+                        self.wfile.write(
+                            b"-ERR 'Authorization Violation'\r\n"
+                        )
+                        return
+                if verbose:
+                    self.wfile.write(b"+OK\r\n")
+            elif line.startswith(b"PUB "):
+                parts = line.split(b" ")
+                subject = parts[1].decode()
+                nbytes = int(parts[-1])
+                payload = self.rfile.read(nbytes)
+                self.rfile.read(2)  # trailing CRLF
+                srv.messages.append((subject, payload))
+                if verbose:
+                    self.wfile.write(b"+OK\r\n")
+                if srv.ping_every and len(srv.messages) % srv.ping_every == 0:
+                    self.wfile.write(b"PING\r\n")
+                    srv.pings_sent += 1
+                if srv.die_after and len(srv.messages) >= srv.die_after:
+                    return  # simulate a server crash mid-stream
+            elif line == b"PONG":
+                srv.pongs.append(True)
+            elif line == b"PING":
+                self.wfile.write(b"PONG\r\n")
+
+
+class ScriptedNats(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, expect_auth=None, ping_every=0, die_after=0):
+        super().__init__(("127.0.0.1", 0), _NatsHandler)
+        self.expect_auth = expect_auth
+        self.ping_every = ping_every
+        self.die_after = die_after
+        self.messages: list[tuple[str, bytes]] = []
+        self.connects: list[dict] = []
+        self.pings_sent = 0
+        self.pongs: list[bool] = []
+        self._thread = threading.Thread(target=self.serve_forever, daemon=True)
+        self._thread.start()
+
+    @property
+    def port(self):
+        return self.server_address[1]
+
+    def wait(self, n, timeout=5.0):
+        """Block until the server has processed >= n messages (the
+        client's publish returns after the socket write, before the
+        server thread reads it)."""
+        import time
+
+        deadline = time.monotonic() + timeout
+        while len(self.messages) < n and time.monotonic() < deadline:
+            time.sleep(0.005)
+        return len(self.messages)
+
+    def stop(self):
+        self.shutdown()
+        self.server_close()
+
+
+def test_handshake_publish_and_serialization_parity(tmp_path):
+    srv = ScriptedNats()
+    try:
+        pub = NatsPublisher("127.0.0.1", srv.port, topic="lakekeeper")
+        fp = FilePublisher(str(tmp_path / "events.jsonl"))
+        ev = {
+            "specversion": "1.0",
+            "id": "e-1",
+            "type": "lakekeeper-spark.create-table",
+            "source": "warehouse/wh",
+            "subject": "ns.t",
+            "time_ms": 123,
+            "data": {"k": "v", "n": 7},
+        }
+        pub.publish(ev)
+        fp.publish(ev)
+        assert srv.wait(1) == 1
+        pub.close()
+        subject, body = srv.messages[0]
+        assert subject == "lakekeeper"
+        # the NATS message body IS the file sink's line (the reference
+        # serializes the same envelope with serde_json in both backends)
+        file_line = open(tmp_path / "events.jsonl", "rb").read().rstrip(b"\n")
+        assert body == file_line
+        # anonymous connect carries no credentials
+        assert "user" not in srv.connects[0]
+    finally:
+        srv.stop()
+
+
+def test_verbose_mode_waits_for_ok():
+    srv = ScriptedNats()
+    try:
+        pub = NatsPublisher(
+            "127.0.0.1", srv.port, topic="t", verbose=True
+        )
+        for i in range(5):
+            pub.publish({"id": f"e{i}"})
+        assert srv.wait(5) == 5
+        pub.close()
+    finally:
+        srv.stop()
+
+
+def test_ping_pong_keepalive():
+    import time
+
+    srv = ScriptedNats(ping_every=2)
+    try:
+        pub = NatsPublisher("127.0.0.1", srv.port, topic="t")
+        pub.publish({"id": "e0"})
+        pub.publish({"id": "e1"})
+        assert srv.wait(2) == 2
+        deadline = time.monotonic() + 5
+        while srv.pings_sent < 1 and time.monotonic() < deadline:
+            time.sleep(0.005)
+        assert srv.pings_sent == 1
+        time.sleep(0.1)  # let the PING reach the client socket
+        # the next publish drains pending server traffic and answers it
+        pub.publish({"id": "e2"})
+        assert srv.wait(3) == 3
+        deadline = time.monotonic() + 5
+        while not srv.pongs and time.monotonic() < deadline:
+            time.sleep(0.005)
+        assert srv.pongs, "client must answer the server's PING"
+        pub.close()
+    finally:
+        srv.stop()
+
+
+def test_user_password_and_token_auth():
+    srv = ScriptedNats(expect_auth={"user": "lk", "pass": "s3cr3t"})
+    try:
+        pub = NatsPublisher(
+            "127.0.0.1", srv.port, topic="t", user="lk", password="s3cr3t",
+            verbose=True,
+        )
+        pub.publish({"id": "ok"})
+        assert srv.wait(1) == 1
+        pub.close()
+        # wrong password -> -ERR on connect -> publisher raises
+        bad = NatsPublisher(
+            "127.0.0.1", srv.port, topic="t", user="lk", password="nope",
+            verbose=True,
+        )
+        with pytest.raises(NatsProtocolError):
+            bad.publish({"id": "denied"})
+    finally:
+        srv.stop()
+    srv2 = ScriptedNats(expect_auth={"auth_token": "tok-1"})
+    try:
+        pub = NatsPublisher(
+            "127.0.0.1", srv2.port, topic="t", token="tok-1", verbose=True
+        )
+        pub.publish({"id": "ok"})
+        import time
+        deadline = time.monotonic() + 5
+        while not srv2.messages and time.monotonic() < deadline:
+            time.sleep(0.005)
+        assert srv2.messages
+        pub.close()
+    finally:
+        srv2.stop()
+
+
+def test_empty_topic_refused():
+    # the reference refuses to build a publisher for an empty topic
+    # (build_nats_publisher_from_config)
+    with pytest.raises(ValueError):
+        NatsPublisher("127.0.0.1", 1, topic="  ")
+
+
+def test_outage_is_observable_and_recoverable():
+    srv = ScriptedNats(die_after=2)
+    try:
+        nats = NatsPublisher("127.0.0.1", srv.port, topic="t")
+        fan = FanoutPublisher(nats)
+        fan.publish({"id": "e1"})
+        fan.publish({"id": "e2"})  # server hangs up after this one
+        assert srv.wait(2) == 2
+        import time
+
+        time.sleep(0.1)  # let the FIN reach the client socket
+        # next delivery fails; fan-out counts the drop, never raises
+        fan.publish({"id": "e3"})
+        assert fan.dropped == 1
+        # a fresh connection resumes delivery (lazy reconnect)
+        fan.publish({"id": "e4"})
+        assert fan.dropped == 1
+        assert srv.wait(3) == 3
+        assert [json.loads(b)["id"] for _, b in srv.messages] == [
+            "e1", "e2", "e4",
+        ]
+    finally:
+        srv.stop()
+
+
+def test_catalog_mutations_flow_post_commit(tmp_path):
+    """The c02 rollup boundary, through NATS: catalog mutations publish
+    CloudEvents envelopes to the scripted server AFTER their metastore
+    transaction commits; the envelope stream matches the transactional
+    events table; a failed mutation publishes nothing."""
+    srv = ScriptedNats()
+    try:
+        store = Metastore(str(tmp_path / "ms.db"))
+        nats = NatsPublisher("127.0.0.1", srv.port, topic="lakekeeper")
+        store.publishers.append(nats)
+        cat = Catalog(store)
+        cat.create_warehouse("wh", str(tmp_path / "wh"))
+        cat.create_namespace("wh", ["ns"])
+        cat.create_table("wh", ["ns"], "t", SCHEMA)
+        cat.drop_table("wh", ["ns"], "t")
+        with pytest.raises(Exception):
+            cat.create_namespace("wh", ["ns"])  # AlreadyExists -> rollback
+        want_n = store.one("SELECT COUNT(*) AS n FROM events")["n"]
+        assert srv.wait(want_n) == want_n
+        got = [json.loads(b)["type"] for _, b in srv.messages]
+        want = [
+            "lakekeeper-spark." + r["event_type"]
+            for r in store.query(
+                "SELECT event_type FROM events ORDER BY seq"
+            )
+        ]
+        assert got == want and len(got) >= 4
+        # exactly one create-namespace: the rolled-back duplicate never
+        # reached the sink
+        assert got.count("lakekeeper-spark.create-namespace") == 1
+    finally:
+        srv.stop()

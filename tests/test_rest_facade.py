@@ -20,6 +20,7 @@ from lakekeeper_spark.catalog.catalog import (
     NoSuchEntity,
     NotModified,
 )
+from lakekeeper_spark.catalog.identifiers import res_key
 from lakekeeper_spark.catalog.metastore import Metastore
 from lakekeeper_spark.format.icelite import SparkTable
 from lakekeeper_spark.format.types import struct_to_schema
@@ -468,7 +469,7 @@ def test_bearer_identity_and_403_over_http(tmp_path):
             None: {"*"},
             "reader": {"get_metadata", "read_data", "include_in_list"},
         },
-        resource_grants={("reader", "ns.secret"): set()},
+        resource_grants={("reader", res_key(["ns"], "secret")): set()},
     )
     catalog = Catalog(Metastore(str(tmp_path / "m.db")), authorizer=authz)
     server = RestCatalogServer(catalog).start()
@@ -618,12 +619,12 @@ def test_role_hierarchy_and_list_filtering_over_http(tmp_path):
         role_parents={"data_admin": {"writer"}, "writer": {"analyst"}},
         role_resource_grants={
             ("analyst", "restricted"): set(),  # namespace hidden from subtree-less analysts
-            ("analyst", "ns.secret"): set(),
+            ("analyst", res_key(["ns"], "secret")): set(),
         },
     )
     # amy regains visibility of the restricted resources at the admin level
     authz.role_resource_grants[("data_admin", "restricted")] = {"*"}
-    authz.role_resource_grants[("data_admin", "ns.secret")] = {"*"}
+    authz.role_resource_grants[("data_admin", res_key(["ns"], "secret"))] = {"*"}
     catalog = Catalog(Metastore(str(tmp_path / "m.db")), authorizer=authz)
     server = RestCatalogServer(catalog).start()
     try:
