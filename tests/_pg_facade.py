@@ -1,0 +1,26 @@
+"""Child-process runner for the horizontal-scale test: one REST facade
+over a shared Postgres metastore. Prints its base URL on stdout, serves
+until stdin closes (the parent's handle going away tears it down)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lakekeeper_spark.catalog.catalog import Catalog  # noqa: E402
+from lakekeeper_spark.catalog.metastore import Metastore  # noqa: E402
+from lakekeeper_spark.rest import RestCatalogServer  # noqa: E402
+
+
+def main() -> None:
+    url = sys.argv[1]
+    server = RestCatalogServer(Catalog(Metastore(url))).start()
+    print(server.url, flush=True)
+    sys.stdin.read()  # block until the parent closes our stdin
+    server.stop()
+
+
+if __name__ == "__main__":
+    main()
