@@ -278,6 +278,10 @@ class Metastore:
         # post-commit events a failing backend lost (observability only;
         # delivery stays best-effort)
         self.dropped_events = 0
+        # storage-credential backend (catalog/secrets.py): the secrets
+        # table by default, swappable for Vault KV2
+        # (service/secrets.rs SecretStore; crates/lakekeeper-secrets-kv2)
+        self._secret_store = None
         con = self.con
         if self.is_postgres:
             con.executescript(_pg_ddl(_DDL))
@@ -392,6 +396,18 @@ class Metastore:
                         exc,
                     )
         buf.clear()
+
+    @property
+    def secret_store(self):
+        from .secrets import MetastoreSecretStore
+
+        if self._secret_store is None:
+            self._secret_store = MetastoreSecretStore(self)
+        return self._secret_store
+
+    @secret_store.setter
+    def secret_store(self, backend) -> None:
+        self._secret_store = backend
 
     # -- generic helpers ------------------------------------------------
     def query(self, sql: str, params: tuple = ()) -> list[sqlite3.Row]:

@@ -1,0 +1,239 @@
+"""Pluggable secret stores for warehouse storage credentials.
+
+The reference hides credentials behind one trait
+(``service/secrets.rs``: ``SecretStore`` with
+``create_secret_impl``/``get_secret_by_id_impl``/``delete_secret_impl``)
+with two backends: the Postgres ``secret`` table (the default) and
+HashiCorp Vault's KV2 engine (``crates/lakekeeper-secrets-kv2``). This
+module is that seam:
+
+- :class:`MetastoreSecretStore` keeps the existing behavior — secrets
+  live in the metastore ``secrets`` table and participate in the
+  surrounding transaction.
+- :class:`Kv2SecretStore` speaks Vault's KV2 **HTTP API** directly
+  (no vault client library in this sandbox; written from the public API
+  docs, https://developer.hashicorp.com/vault/api-docs/secret/kv/kv-v2
+  and /auth/userpass): userpass login with token refresh near lease
+  expiry (the reference's background ``login_task`` refreshes
+  ``lease_duration - 10`` seconds in, lib.rs:174-223 — here the refresh
+  happens lazily at call time, same observable effect for a synchronous
+  server), versioned read via ``metadata`` + ``data?version=N`` exactly
+  like ``get_secret_by_id_impl`` (lib.rs:29-89: no atomic
+  metadata+value read exists, so read metadata first, then the value at
+  ``current_version``), ``delete_metadata`` for deletion (all versions,
+  lib.rs:115-128), and keys shaped ``secret/<uuid>``
+  (``secret_ident_to_key``, lib.rs:265-267).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.request
+from typing import Any
+
+from .metastore import now_ms, new_uuid
+
+
+class SecretStoreError(RuntimeError):
+    """Backend failure (the reference's SecretReadFailed /
+    SecretCreationFailed / SecretDeletionFailed internal errors)."""
+
+
+class SecretStore:
+    """service/secrets.rs SecretStore: ids are opaque strings; values
+    are JSON-serializable credential documents."""
+
+    def create_secret(self, secret: dict[str, Any]) -> str:
+        raise NotImplementedError
+
+    def get_secret(self, secret_id: str) -> dict[str, Any] | None:
+        """The credential document, or None when unknown (the reference
+        returns Ok(None) on 404)."""
+        raise NotImplementedError
+
+    def delete_secret(self, secret_id: str) -> None:
+        raise NotImplementedError
+
+    def credential_kind(self, secret_id: str) -> str | None:
+        """The credential's ``type`` field for GetWarehouseResponse's
+        storage_credential_type — never the secret value."""
+        doc = self.get_secret(secret_id)
+        return str(doc.get("type", "unknown")) if doc else None
+
+
+class MetastoreSecretStore(SecretStore):
+    """Default backend: the metastore ``secrets`` table (the reference's
+    Postgres ``secret`` table, 03_secret.sql). Writes join the caller's
+    open transaction, so a rolled-back warehouse mutation leaks no
+    secret row."""
+
+    def __init__(self, store) -> None:
+        self.store = store
+
+    def create_secret(self, secret: dict[str, Any]) -> str:
+        secret_id = new_uuid()
+        self.store.execute(
+            "INSERT INTO secrets (id, kind, value, created_ms)"
+            " VALUES (?,?,?,?)",
+            (
+                secret_id,
+                str(secret.get("type", "unknown")),
+                json.dumps(secret),
+                now_ms(),
+            ),
+        )
+        return secret_id
+
+    def get_secret(self, secret_id: str) -> dict[str, Any] | None:
+        row = self.store.one(
+            "SELECT value FROM secrets WHERE id=?", (secret_id,)
+        )
+        return json.loads(row["value"]) if row else None
+
+    def delete_secret(self, secret_id: str) -> None:
+        self.store.execute("DELETE FROM secrets WHERE id=?", (secret_id,))
+
+    def credential_kind(self, secret_id: str) -> str | None:
+        row = self.store.one(
+            "SELECT kind FROM secrets WHERE id=?", (secret_id,)
+        )
+        return row["kind"] if row else None
+
+
+class Kv2SecretStore(SecretStore):
+    """Vault KV2 backend over the HTTP API (lakekeeper-secrets-kv2)."""
+
+    def __init__(
+        self,
+        url: str,
+        user: str,
+        password: str,
+        secret_mount: str = "secret",
+        timeout: float = 5.0,
+    ) -> None:
+        self.url = url.rstrip("/")
+        self.user = user
+        self._password = password
+        self.secret_mount = secret_mount
+        self.timeout = timeout
+        self._token: str | None = None
+        self._token_expiry = 0.0
+
+    def __repr__(self) -> str:  # password/token never in reprs
+        return (
+            f"Kv2SecretStore(url={self.url!r}, user={self.user!r},"
+            f" secret_mount={self.secret_mount!r}, password=<REDACTED>)"
+        )
+
+    # -- http plumbing ----------------------------------------------------
+    def _request(
+        self,
+        method: str,
+        path: str,
+        body: dict[str, Any] | None = None,
+        authed: bool = True,
+    ) -> dict[str, Any] | None:
+        headers = {"Content-Type": "application/json"}
+        if authed:
+            headers["X-Vault-Token"] = self._current_token()
+        req = urllib.request.Request(
+            self.url + path,
+            data=json.dumps(body).encode() if body is not None else None,
+            method=method,
+            headers=headers,
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                raw = resp.read()
+                return json.loads(raw) if raw else None
+        except urllib.error.HTTPError as e:
+            if e.code == 404:
+                return None
+            detail = e.read().decode("utf-8", "replace")[:200]
+            raise SecretStoreError(
+                f"vault {method} {path} failed: {e.code} {detail}"
+            ) from e
+        except OSError as e:
+            raise SecretStoreError(f"vault unreachable: {e}") from e
+
+    def _current_token(self) -> str:
+        """Lazily (re)login near lease expiry — the reference refreshes
+        ``lease_duration - 10`` seconds into the lease (lib.rs:210)."""
+        if self._token is None or time.monotonic() >= self._token_expiry:
+            self._login()
+        assert self._token is not None
+        return self._token
+
+    def _login(self) -> None:
+        doc = self._request(
+            "POST",
+            f"/v1/auth/userpass/login/{self.user}",
+            {"password": self._password},
+            authed=False,
+        )
+        if not doc or "auth" not in doc:
+            raise SecretStoreError("vault userpass login rejected")
+        auth = doc["auth"]
+        self._token = auth["client_token"]
+        lease = int(auth.get("lease_duration") or 3600)
+        self._token_expiry = time.monotonic() + max(lease - 10, 1)
+
+    @staticmethod
+    def _key(secret_id: str) -> str:
+        # secret_ident_to_key (lib.rs:265): "secret/<uuid>"
+        return f"secret/{secret_id}"
+
+    # -- SecretStore ------------------------------------------------------
+    def create_secret(self, secret: dict[str, Any]) -> str:
+        secret_id = new_uuid()
+        doc = self._request(
+            "POST",
+            f"/v1/{self.secret_mount}/data/{self._key(secret_id)}",
+            {"data": secret},
+        )
+        if doc is None:
+            raise SecretStoreError("vault kv2 write returned 404")
+        return secret_id
+
+    def get_secret(self, secret_id: str) -> dict[str, Any] | None:
+        # two-step read like get_secret_by_id_impl: metadata for the
+        # current version, then the value at exactly that version
+        meta = self._request(
+            "GET",
+            f"/v1/{self.secret_mount}/metadata/{self._key(secret_id)}",
+        )
+        if meta is None:
+            return None
+        version = meta["data"]["current_version"]
+        doc = self._request(
+            "GET",
+            f"/v1/{self.secret_mount}/data/{self._key(secret_id)}"
+            f"?version={version}",
+        )
+        if doc is None:
+            return None
+        return doc["data"]["data"]
+
+    def delete_secret(self, secret_id: str) -> None:
+        # delete_metadata removes every version (delete_secret_impl)
+        self._request(
+            "DELETE",
+            f"/v1/{self.secret_mount}/metadata/{self._key(secret_id)}",
+        )
+
+    def health(self) -> bool:
+        """GET /v1/sys/health (the reference's HealthExt::update_health)."""
+        try:
+            return self._request("GET", "/v1/sys/health", authed=False) is not None
+        except SecretStoreError:
+            return False
+
+
+__all__ = [
+    "SecretStore",
+    "SecretStoreError",
+    "MetastoreSecretStore",
+    "Kv2SecretStore",
+]

@@ -150,19 +150,11 @@ def validate_storage_profile(profile: dict[str, Any], location: str | None = Non
 
 
 def store_secret(store, credential: dict[str, Any]) -> str:
-    """Persist a storage credential; returns the secret id the
-    warehouse row points at (03_secret.sql storage_secret_id)."""
-    secret_id = new_uuid()
-    store.execute(
-        "INSERT INTO secrets (id, kind, value, created_ms) VALUES (?,?,?,?)",
-        (
-            secret_id,
-            str(credential.get("type", "unknown")),
-            json.dumps(credential),
-            now_ms(),
-        ),
-    )
-    return secret_id
+    """Persist a storage credential via the configured secret store
+    (catalog/secrets.py — the secrets table by default, Vault KV2 when
+    swapped in); returns the secret id the warehouse row points at
+    (03_secret.sql storage_secret_id)."""
+    return store.secret_store.create_secret(credential)
 
 
 def credential_type(store, secret_id: str | None) -> str | None:
@@ -170,8 +162,7 @@ def credential_type(store, secret_id: str | None) -> str | None:
     (storage_credential_type — never the secret value, mod.rs:300)."""
     if secret_id is None:
         return None
-    row = store.one("SELECT kind FROM secrets WHERE id=?", (secret_id,))
-    return row["kind"] if row else None
+    return store.secret_store.credential_kind(secret_id)
 
 
 # ------------------------------------------------------------------
@@ -346,7 +337,7 @@ def delete_warehouse(catalog: "Catalog", warehouse: str, force: bool = False) ->
         for table in ("warehouse_stats_history", "task_config", "endpoint_stats"):
             st.execute(f"DELETE FROM {table} WHERE wh_key=?", (wh["wh_key"],))
         if wh["storage_secret_id"]:
-            st.execute("DELETE FROM secrets WHERE id=?", (wh["storage_secret_id"],))
+            st.secret_store.delete_secret(wh["storage_secret_id"])
         # grants die with the warehouse and everything under it (the
         # reference's authorizer.delete_warehouse, warehouse/mod.rs:722)
         st.purge_authz_entity(wh["wh_key"], child_sep=ident.QSEP)
@@ -448,7 +439,7 @@ def update_storage_credential(
 
 def _swap_secret(st, wh: dict[str, Any], credential: dict[str, Any] | None) -> str | None:
     if wh["storage_secret_id"]:
-        st.execute("DELETE FROM secrets WHERE id=?", (wh["storage_secret_id"],))
+        st.secret_store.delete_secret(wh["storage_secret_id"])
     if credential is None:
         return None
     return store_secret(st, credential)

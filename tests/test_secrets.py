@@ -1,0 +1,251 @@
+"""Secret-store backends (catalog/secrets.py).
+
+MetastoreSecretStore mirrors the reference's Postgres secret table;
+Kv2SecretStore mirrors crates/lakekeeper-secrets-kv2 over Vault's KV2
+HTTP API, driven here against a scripted in-process Vault server:
+userpass login + token expiry/refresh, versioned writes (metadata
+current_version + data?version=N reads), delete_metadata, 404 -> None,
+and warehouse credential rotation parameterized over BOTH backends.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from lakekeeper_spark.catalog import warehouse as wh_ops
+from lakekeeper_spark.catalog.catalog import Catalog
+from lakekeeper_spark.catalog.metastore import Metastore
+from lakekeeper_spark.catalog.secrets import (
+    Kv2SecretStore,
+    MetastoreSecretStore,
+    SecretStoreError,
+)
+
+
+class _VaultHandler(BaseHTTPRequestHandler):
+    """Scripted Vault: userpass auth + KV2 versioned storage."""
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _reply(self, code, body=None):
+        data = json.dumps(body).encode() if body is not None else b""
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _body(self):
+        n = int(self.headers.get("Content-Length") or 0)
+        return json.loads(self.rfile.read(n)) if n else {}
+
+    def _authed(self):
+        tok = self.headers.get("X-Vault-Token")
+        srv = self.server
+        exp = srv.tokens.get(tok)
+        if exp is None or exp < time.monotonic():
+            self._reply(403, {"errors": ["permission denied"]})
+            return False
+        return True
+
+    def do_POST(self):
+        srv = self.server
+        if self.path.startswith("/v1/auth/userpass/login/"):
+            user = self.path.rsplit("/", 1)[-1]
+            pw = self._body().get("password")
+            if (user, pw) != (srv.user, srv.password):
+                return self._reply(400, {"errors": ["invalid credentials"]})
+            tok = "s." + uuid.uuid4().hex[:16]
+            srv.tokens[tok] = time.monotonic() + srv.lease_seconds
+            srv.logins += 1
+            return self._reply(200, {
+                "auth": {
+                    "client_token": tok,
+                    "lease_duration": srv.lease_seconds,
+                }
+            })
+        if self.path.startswith("/v1/secret/data/"):
+            if not self._authed():
+                return None
+            key = self.path[len("/v1/secret/data/"):]
+            versions = srv.kv.setdefault(key, [])
+            versions.append(self._body()["data"])
+            return self._reply(200, {
+                "data": {"version": len(versions),
+                         "created_time": "2026-01-01T00:00:00Z"}
+            })
+        return self._reply(404, {"errors": []})
+
+    def do_GET(self):
+        srv = self.server
+        if self.path == "/v1/sys/health":
+            return self._reply(200, {"initialized": True, "sealed": False})
+        if not self._authed():
+            return None
+        if self.path.startswith("/v1/secret/metadata/"):
+            key = self.path[len("/v1/secret/metadata/"):]
+            versions = srv.kv.get(key)
+            if not versions:
+                return self._reply(404, {"errors": []})
+            return self._reply(200, {
+                "data": {
+                    "current_version": len(versions),
+                    "created_time": "2026-01-01T00:00:00Z",
+                    "updated_time": "2026-01-01T00:00:00Z",
+                }
+            })
+        if self.path.startswith("/v1/secret/data/"):
+            key, _, q = self.path[len("/v1/secret/data/"):].partition("?")
+            versions = srv.kv.get(key)
+            if not versions:
+                return self._reply(404, {"errors": []})
+            version = len(versions)
+            if q.startswith("version="):
+                version = int(q[len("version="):])
+            if not (1 <= version <= len(versions)):
+                return self._reply(404, {"errors": []})
+            return self._reply(200, {
+                "data": {
+                    "data": versions[version - 1],
+                    "metadata": {"version": version},
+                }
+            })
+        return self._reply(404, {"errors": []})
+
+    def do_DELETE(self):
+        srv = self.server
+        if not self._authed():
+            return None
+        if self.path.startswith("/v1/secret/metadata/"):
+            key = self.path[len("/v1/secret/metadata/"):]
+            srv.kv.pop(key, None)
+            return self._reply(204)
+        return self._reply(404, {"errors": []})
+
+
+class ScriptedVault(ThreadingHTTPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, user="lk", password="pw", lease_seconds=3600):
+        super().__init__(("127.0.0.1", 0), _VaultHandler)
+        self.user, self.password = user, password
+        self.lease_seconds = lease_seconds
+        self.tokens: dict[str, float] = {}
+        self.kv: dict[str, list[dict]] = {}
+        self.logins = 0
+        t = threading.Thread(target=self.serve_forever, daemon=True)
+        t.start()
+
+    @property
+    def url(self):
+        return f"http://127.0.0.1:{self.server_address[1]}"
+
+    def stop(self):
+        self.shutdown()
+        self.server_close()
+
+
+@pytest.fixture()
+def vault():
+    srv = ScriptedVault()
+    yield srv
+    srv.stop()
+
+
+def _kv2(vault, **kw):
+    return Kv2SecretStore(vault.url, "lk", "pw", **kw)
+
+
+def test_kv2_roundtrip_versioning_and_delete(vault):
+    store = _kv2(vault)
+    sid = store.create_secret({"type": "s3", "aws-secret-access-key": "A"})
+    assert store.get_secret(sid) == {
+        "type": "s3", "aws-secret-access-key": "A",
+    }
+    assert store.credential_kind(sid) == "s3"
+    # a second write to the same key versions up; reads follow
+    # current_version (the reference's metadata-then-read_version dance)
+    store._request(
+        "POST", f"/v1/secret/data/secret/{sid}",
+        {"data": {"type": "s3", "aws-secret-access-key": "B"}},
+    )
+    assert store.get_secret(sid)["aws-secret-access-key"] == "B"
+    store.delete_secret(sid)
+    assert store.get_secret(sid) is None
+    assert store.credential_kind(sid) is None
+
+
+def test_kv2_login_refresh_and_bad_credentials(vault):
+    vault.lease_seconds = 11  # refresh margin is lease-10 (lib.rs:210)
+    store = _kv2(vault)
+    sid = store.create_secret({"type": "az"})
+    assert vault.logins == 1
+    time.sleep(1.1)  # past the 1s effective lease -> relogin on next call
+    assert store.get_secret(sid)["type"] == "az"
+    assert vault.logins == 2
+    bad = Kv2SecretStore(vault.url, "lk", "wrong")
+    with pytest.raises(SecretStoreError):
+        bad.create_secret({"type": "s3"})
+
+
+def test_kv2_health_and_unreachable(vault):
+    store = _kv2(vault)
+    assert store.health() is True
+    vault.stop()
+    assert store.health() is False
+    with pytest.raises(SecretStoreError):
+        store.create_secret({"type": "s3"})
+
+
+def test_kv2_repr_never_leaks_password(vault):
+    store = Kv2SecretStore(vault.url, "lk", "hunter2")
+    assert "hunter2" not in repr(store)
+
+
+@pytest.mark.parametrize("backend", ["metastore", "kv2"])
+def test_warehouse_credential_rotation_over_both_backends(
+    backend, vault, tmp_path
+):
+    """The UpdateStorageCredential flow (warehouse/mod.rs:337) must be
+    backend-agnostic: create with a credential, rotate, remove — the
+    warehouse row tracks the live secret id, the old secret dies with
+    each swap, and GetWarehouse reports the credential TYPE only."""
+    ms = Metastore(str(tmp_path / "ms.db"))
+    if backend == "kv2":
+        ms.secret_store = _kv2(vault)
+    cat = Catalog(ms)
+    cat.create_warehouse(
+        "wh", str(tmp_path / "wh"),
+        storage_profile={"type": "local", "location": str(tmp_path / "wh")},
+        storage_credential={"type": "s3", "aws-secret-access-key": "K1"},
+    )
+    wh = cat._warehouse("wh")
+    sid1 = wh["storage_secret_id"]
+    assert ms.secret_store.get_secret(sid1)["aws-secret-access-key"] == "K1"
+    info = wh_ops.get_warehouse(cat, "wh")
+    assert info["storage-credential-type"] == "s3"
+    assert "K1" not in json.dumps(info)  # never the value
+
+    wh_ops.update_storage_credential(
+        cat, "wh", {"type": "az", "sas-token": "T2"}
+    )
+    wh = cat._warehouse("wh")
+    sid2 = wh["storage_secret_id"]
+    assert sid2 != sid1
+    assert ms.secret_store.get_secret(sid1) is None, "old secret must die"
+    assert ms.secret_store.get_secret(sid2)["sas-token"] == "T2"
+    assert wh_ops.get_warehouse(cat, "wh")["storage-credential-type"] == "az"
+
+    wh_ops.update_storage_credential(cat, "wh", None)
+    wh = cat._warehouse("wh")
+    assert wh["storage_secret_id"] is None
+    assert ms.secret_store.get_secret(sid2) is None
+    assert wh_ops.get_warehouse(cat, "wh").get("storage-credential-type") is None
