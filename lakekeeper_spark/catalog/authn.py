@@ -2,9 +2,12 @@
 
 Mirrors the reference's authentication layer (``service/authn.rs``,
 which configures the ``limes`` authenticator chain) at the semantics
-level, with stdlib/cryptography primitives instead of a JWKS fetch —
-the one cloud-bound piece (live ``.well-known`` / JWKS discovery) is a
-documented swap-in; everything the reference's own code decides is here:
+level, with stdlib/cryptography primitives. Live ``.well-known`` /
+JWKS discovery is catalog/jwks.py (RFC 8414/7517, the reference's
+limes JWKSWebAuthenticator with its 1-hour refetch, authn.rs:360-364)
+— configure a provider with ``jwks_client=JwksClient(issuer_uri)`` and
+RS256 keys resolve by the token's ``kid`` with rotation pickup;
+everything the reference's own code decides is here:
 
   - ``OidcProviderConfig``: issuer URI + additional issuers, expected
     audiences, an optionally-required scope, subject-claim preference
@@ -138,6 +141,10 @@ class OidcProviderConfig:
     roles_claim: str | None = None
     hs256_secret: str | None = None
     rs256_public_key_pem: bytes | None = None
+    #: live key discovery (catalog/jwks.py). When set, RS256 tokens
+    #: verify against the JWKS key matching their JOSE ``kid``
+    #: (rotation-aware); the static pem is the no-network fallback.
+    jwks_client: Any | None = None
     leeway_s: int = DEFAULT_LEEWAY_S
     #: Claims that must be PRESENT in a validated token. The reference's
     #: authn stack (limes / jsonwebtoken) requires ``exp`` by default —
@@ -165,10 +172,6 @@ class OidcProviderConfig:
             if not hmac.compare_digest(sig, want):
                 raise AuthenticationError("invalid token signature")
         elif alg == "RS256":
-            if not self.rs256_public_key_pem:
-                raise AuthenticationError(
-                    f"provider {self.idp_id} has no RS256 key configured"
-                )
             try:
                 from cryptography.hazmat.primitives import hashes, serialization
                 from cryptography.hazmat.primitives.asymmetric import padding
@@ -176,11 +179,31 @@ class OidcProviderConfig:
                 raise AuthenticationError(
                     "RS256 needs the cryptography package"
                 ) from e
-            key = serialization.load_pem_public_key(self.rs256_public_key_pem)
-            try:
-                key.verify(sig, signing_input, padding.PKCS1v15(), hashes.SHA256())
-            except Exception as e:  # noqa: BLE001
-                raise AuthenticationError("invalid token signature") from e
+            if self.jwks_client is not None:
+                from .jwks import JwksError
+
+                try:
+                    candidates = self.jwks_client.keys_for(header.get("kid"))
+                except JwksError as e:
+                    raise AuthenticationError(str(e)) from e
+            elif self.rs256_public_key_pem:
+                candidates = [
+                    serialization.load_pem_public_key(self.rs256_public_key_pem)
+                ]
+            else:
+                raise AuthenticationError(
+                    f"provider {self.idp_id} has no RS256 key configured"
+                )
+            for key in candidates:
+                try:
+                    key.verify(
+                        sig, signing_input, padding.PKCS1v15(), hashes.SHA256()
+                    )
+                    break
+                except Exception:  # noqa: BLE001 - try the next candidate
+                    continue
+            else:
+                raise AuthenticationError("invalid token signature")
         else:
             raise AuthenticationError(f"unsupported JWT alg: {alg!r}")
         return json.loads(_b64url_decode(body_part))

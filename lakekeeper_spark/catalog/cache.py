@@ -1,0 +1,165 @@
+"""TTL cache for REST hot-path lookups.
+
+The reference fronts warehouse / namespace / role metastore reads with
+in-process moka caches (``service/catalog_store/warehouse_cache.rs``,
+``namespace_cache.rs``, ``role_cache.rs``). This module reproduces the
+load-bearing semantics for the facade's per-request warehouse
+resolution:
+
+- **Bounded capacity** with LRU eviction.
+- **Downward-jittered TTL** (``service/cache_ttl.rs``): each entry
+  lives ``base * f`` for random ``f ∈ (1 - jitter, 1]`` so co-warmed
+  replicas don't expire a hot key on the same boundary and stampede the
+  store together; the configured TTL stays a hard upper bound
+  (staleness can only shrink).
+- **Single-flight miss coalescing**
+  (``warehouse_cache_get_or_load``, warehouse_cache.rs:162-238):
+  concurrent misses on one key run the loader ONCE; waiters observe the
+  just-inserted entry. A loader returning None (entity gone) is never
+  negative-cached.
+- **Version-guarded insert** (``warehouse_cache_insert``,
+  warehouse_cache.rs:128-157): an insert carrying an older version than
+  the cached entry is skipped, and a get_or_load's loaded value never
+  clobbers a newer version a concurrent writer cached during the load.
+
+One honest divergence: the reference keys warehouses by UUID with a
+``(project, name) → id`` secondary index because its primary key is the
+id; here the folded warehouse name IS the primary key, so no secondary
+index is needed.
+"""
+
+from __future__ import annotations
+
+import random
+import threading
+import time
+from collections import OrderedDict
+from typing import Any, Callable
+
+#: the reference's DEFAULT_TTL_JITTER (cache_ttl.rs:32): entries live
+#: 90-100% of their base TTL
+DEFAULT_TTL_JITTER = 0.10
+
+
+class TtlCache:
+    """Thread-safe bounded TTL cache with jitter, single-flight loads,
+    and version-guarded inserts. ``version_of`` extracts a monotonic
+    version from a cached value (the reference compares
+    ``ResolvedWarehouse::version``)."""
+
+    def __init__(
+        self,
+        capacity: int = 1000,
+        ttl_seconds: float = 300.0,
+        jitter: float = DEFAULT_TTL_JITTER,
+        version_of: Callable[[Any], Any] | None = None,
+        clock: Callable[[], float] = time.monotonic,
+        rng: Callable[[], float] = random.random,
+    ) -> None:
+        if not 0.0 <= jitter < 1.0:
+            raise ValueError("jitter must be in [0.0, 1.0)")
+        self.capacity = capacity
+        self.ttl = ttl_seconds
+        self.jitter = jitter
+        self.version_of = version_of or (lambda v: 0)
+        self.clock = clock
+        self.rng = rng
+        self._lock = threading.Lock()
+        # key -> (value, expires_at); move_to_end on access = LRU
+        self._data: OrderedDict[Any, tuple[Any, float]] = OrderedDict()
+        # per-key in-flight load locks (single-flight)
+        self._loading: dict[Any, threading.Lock] = {}
+        self.hits = 0
+        self.misses = 0
+        self.loads = 0  # actual loader runs (diverges from misses under a herd)
+
+    # -- internals --------------------------------------------------------
+    def _jittered_ttl(self) -> float:
+        # sampled lifetime in (base*(1-jitter), base] (cache_ttl.rs)
+        return self.ttl * (1.0 - self.rng() * self.jitter)
+
+    def _get_locked(self, key: Any) -> Any | None:
+        ent = self._data.get(key)
+        if ent is None:
+            return None
+        value, expires = ent
+        if self.clock() >= expires:
+            del self._data[key]
+            return None
+        self._data.move_to_end(key)
+        return value
+
+    def _put_locked(self, key: Any, value: Any) -> None:
+        self._data[key] = (value, self.clock() + self._jittered_ttl())
+        self._data.move_to_end(key)
+        while len(self._data) > self.capacity:
+            self._data.popitem(last=False)
+
+    # -- public api ---------------------------------------------------------
+    def get(self, key: Any) -> Any | None:
+        with self._lock:
+            value = self._get_locked(key)
+            if value is None:
+                self.misses += 1
+            else:
+                self.hits += 1
+            return value
+
+    def insert(self, key: Any, value: Any) -> bool:
+        """Version-guarded put: skipped (False) when the cached entry is
+        strictly newer (warehouse_cache_insert inserts on >=)."""
+        with self._lock:
+            cur = self._get_locked(key)
+            if cur is not None and self.version_of(cur) > self.version_of(value):
+                return False
+            self._put_locked(key, value)
+            return True
+
+    def invalidate(self, key: Any) -> None:
+        with self._lock:
+            self._data.pop(key, None)
+
+    def invalidate_all(self) -> None:
+        with self._lock:
+            self._data.clear()
+
+    def get_or_load(
+        self, key: Any, loader: Callable[[], Any | None]
+    ) -> Any | None:
+        """Single-flight read-through: concurrent misses for ``key``
+        coalesce on a per-key lock so the loader runs once; a None from
+        the loader is returned but never cached; the insert re-checks
+        the version gate against concurrent writers."""
+        value = self.get(key)
+        if value is not None:
+            return value
+        with self._lock:
+            flight = self._loading.setdefault(key, threading.Lock())
+        with flight:
+            # populated by another caller while we waited on the key lock
+            with self._lock:
+                value = self._get_locked(key)
+                if value is not None:
+                    self.hits += 1
+                    return value
+            self.loads += 1
+            value = loader()
+            if value is None:
+                return None  # never negative-cached
+            with self._lock:
+                cur = self._get_locked(key)
+                if cur is not None and self.version_of(cur) >= self.version_of(
+                    value
+                ):
+                    # a concurrent insert cached a newer/equal version
+                    # during our load — keep it (warehouse_cache.rs:196)
+                    return cur
+                self._put_locked(key, value)
+            return value
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._data)
+
+
+__all__ = ["TtlCache", "DEFAULT_TTL_JITTER"]

@@ -78,6 +78,7 @@ class Catalog:
         authorizer=None,
         instance_admins: set[str] | None = None,
         trusted_engines=None,
+        warehouse_cache=None,
     ):
         import threading
 
@@ -90,6 +91,10 @@ class Catalog:
         # — required to set/clear a warehouse managed-by marker and to
         # mutate the spec of an instance-admin-managed warehouse
         self.instance_admins: set[str] = set(instance_admins or ())
+        # optional REST hot-path cache for warehouse resolution
+        # (catalog/cache.py; reference warehouse_cache.rs). None = off,
+        # the default — every lookup hits the metastore as before.
+        self.warehouse_cache = warehouse_cache
         # DEFINER/INVOKER view security (docs/view-security.md): when a
         # TrustedEngines registry is installed, its owner properties are
         # protected on views and loadTable honors referenced-by chains
@@ -241,6 +246,7 @@ class Catalog:
             )
             st.emit_event("create-warehouse", ident.fold(name), name, {"location": location})
             st.commit()
+            self._invalidate_warehouse(ident.fold(name))
         except BaseException:
             st.rollback()
             raise
@@ -310,18 +316,38 @@ class Catalog:
         project_scope = None
         if "/" in warehouse:
             project_scope, warehouse = warehouse.split("/", 1)
-        row = self.store.one(
-            "SELECT * FROM warehouses WHERE wh_key=?", (ident.fold(warehouse),)
-        )
-        if not row:
+        wh_key = ident.fold(warehouse)
+        if self.warehouse_cache is not None:
+            import copy
+
+            wh = self.warehouse_cache.get_or_load(
+                wh_key, lambda: self._load_warehouse(wh_key)
+            )
+            # callers mutate the resolved dict (properties updates,
+            # wh_id backfill) — never hand out the cached object itself
+            wh = copy.deepcopy(wh) if wh is not None else None
+        else:
+            wh = self._load_warehouse(wh_key)
+        if wh is None:
             raise NoSuchEntity(f"warehouse {warehouse} not found")
-        if project_scope is not None and row["project_id"] != project_scope:
+        if project_scope is not None and wh["project_id"] != project_scope:
             raise NoSuchEntity(
                 f"warehouse {warehouse} not found in project {project_scope}"
             )
-        status = row["status"] if "status" in row.keys() else "active"
-        if not any_status and status != "active":
+        # status/scope gates run per-request on the (possibly cached)
+        # row — the cache stores resolution, not authorization outcomes
+        if not any_status and wh["status"] != "active":
             raise NoSuchEntity("Warehouse is not active (WarehouseNotActive)")
+        return wh
+
+    def _load_warehouse(self, wh_key: str) -> dict[str, Any] | None:
+        """One metastore read -> resolved warehouse dict (the cache
+        loader; None = not found, never negative-cached)."""
+        row = self.store.one(
+            "SELECT * FROM warehouses WHERE wh_key=?", (wh_key,)
+        )
+        if not row:
+            return None
         return {
             "wh_key": row["wh_key"],
             "name": row["name"],
@@ -330,7 +356,7 @@ class Catalog:
             "protected": bool(row["protected"]),
             "project_id": row["project_id"],
             "wh_id": row["wh_id"] if "wh_id" in row.keys() else None,
-            "status": status,
+            "status": row["status"] if "status" in row.keys() else "active",
             "managed_by": (
                 row["managed_by"] if "managed_by" in row.keys() else "self-managed"
             ),
@@ -345,6 +371,14 @@ class Catalog:
             "created_ms": row["created_ms"],
             "updated_ms": row["updated_ms"] if "updated_ms" in row.keys() else None,
         }
+
+    def _invalidate_warehouse(self, *wh_keys: str) -> None:
+        """Drop cached resolutions after a warehouses-table write (the
+        reference invalidates through the loader's per-key compute lock,
+        warehouse_cache.rs warehouse_cache_invalidate)."""
+        if self.warehouse_cache is not None:
+            for k in wh_keys:
+                self.warehouse_cache.invalidate(k)
 
     def describe_warehouse(self, warehouse: str) -> dict[str, Any]:
         """Public warehouse lookup (name/location/properties/protected) —
@@ -403,6 +437,7 @@ class Catalog:
                 "update-warehouse", wh["wh_key"], wh["name"], {"updated": sorted(props)}
             )
             st.commit()
+            self._invalidate_warehouse(wh["wh_key"])
         except BaseException:
             st.rollback()
             raise

@@ -1,0 +1,141 @@
+"""JWKS discovery + key fetch for OIDC providers.
+
+The reference authenticates through ``limes::jwks::JWKSWebAuthenticator``
+(``service/authn.rs:360``: built from the provider URI with a 1-hour
+refetch interval): the provider URI must expose
+``.well-known/openid-configuration`` whose ``jwks_uri`` serves the JSON
+Web Key Set; tokens select their verification key by the JOSE header's
+``kid``. This module is that client, written from the public specs
+(RFC 8414 discovery, RFC 7517 JWK, RFC 7518 RSA keys):
+
+- discovery: ``GET {issuer-uri}/.well-known/openid-configuration`` ->
+  ``jwks_uri`` -> ``GET jwks_uri`` -> ``{"keys": [...]}``;
+- RSA JWKs (``kty=RSA``) become verification keys via their base64url
+  ``n``/``e`` members (cryptography ``RSAPublicNumbers``);
+- keys cache for ``refresh_seconds`` (default 3600, the reference's
+  interval, authn.rs:364);
+- an UNKNOWN ``kid`` triggers one immediate refetch — key rotation is
+  picked up without waiting out the TTL — but refetches are rate-limited
+  (``min_refetch_seconds``) so a flood of bad-kid tokens cannot hammer
+  the IdP.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+from typing import Any
+
+
+class JwksError(Exception):
+    """Discovery/fetch failure or malformed key material."""
+
+
+def _b64url_uint(part: str) -> int:
+    raw = base64.urlsafe_b64decode(part + "=" * (-len(part) % 4))
+    return int.from_bytes(raw, "big")
+
+
+def jwk_to_public_key(jwk: dict[str, Any]):
+    """RFC 7518 §6.3 RSA public key from an ``n``/``e`` JWK."""
+    if jwk.get("kty") != "RSA":
+        raise JwksError(f"unsupported JWK kty {jwk.get('kty')!r}")
+    from cryptography.hazmat.primitives.asymmetric.rsa import RSAPublicNumbers
+
+    return RSAPublicNumbers(
+        e=_b64url_uint(jwk["e"]), n=_b64url_uint(jwk["n"])
+    ).public_key()
+
+
+class JwksClient:
+    """Fetches and caches a provider's key set, keyed by ``kid``."""
+
+    def __init__(
+        self,
+        issuer_uri: str,
+        refresh_seconds: float = 3600.0,
+        min_refetch_seconds: float = 10.0,
+        timeout: float = 5.0,
+    ) -> None:
+        self.issuer_uri = issuer_uri.rstrip("/")
+        self.refresh_seconds = refresh_seconds
+        self.min_refetch_seconds = min_refetch_seconds
+        self.timeout = timeout
+        self._lock = threading.Lock()
+        self._keys: dict[str, Any] = {}  # kid -> public key
+        self._keys_no_kid: list[Any] = []  # keys the IdP served without kid
+        self._fetched_at = 0.0
+        self._jwks_uri: str | None = None
+        self.fetch_count = 0  # observability (tests assert cache behavior)
+
+    # -- http -------------------------------------------------------------
+    def _get_json(self, url: str) -> dict[str, Any]:
+        try:
+            with urllib.request.urlopen(url, timeout=self.timeout) as resp:
+                return json.loads(resp.read())
+        except (urllib.error.URLError, OSError, ValueError) as e:
+            raise JwksError(f"JWKS fetch failed for {url}: {e}") from e
+
+    def _discover(self) -> str:
+        if self._jwks_uri is None:
+            doc = self._get_json(
+                self.issuer_uri + "/.well-known/openid-configuration"
+            )
+            uri = doc.get("jwks_uri")
+            if not uri:
+                raise JwksError(
+                    "openid-configuration document has no jwks_uri"
+                )
+            self._jwks_uri = uri
+        return self._jwks_uri
+
+    def _refetch_locked(self) -> None:
+        doc = self._get_json(self._discover())
+        keys: dict[str, Any] = {}
+        no_kid: list[Any] = []
+        for jwk in doc.get("keys", []):
+            if jwk.get("kty") != "RSA":
+                continue  # only RS256 keys are consumed here
+            if jwk.get("use") not in (None, "sig"):
+                continue
+            key = jwk_to_public_key(jwk)
+            if jwk.get("kid"):
+                keys[jwk["kid"]] = key
+            else:
+                no_kid.append(key)
+        self._keys = keys
+        self._keys_no_kid = no_kid
+        self._fetched_at = time.monotonic()
+        self.fetch_count += 1
+
+    # -- public -------------------------------------------------------------
+    def keys_for(self, kid: str | None):
+        """Verification-key candidates for a token's ``kid``. Refreshes
+        on TTL expiry and (rate-limited) on an unknown kid."""
+        with self._lock:
+            now = time.monotonic()
+            if now - self._fetched_at >= self.refresh_seconds:
+                self._refetch_locked()
+            if kid is not None:
+                key = self._keys.get(kid)
+                if key is None and (
+                    now - self._fetched_at >= self.min_refetch_seconds
+                ):
+                    # rotation: the IdP may have published a new key
+                    self._refetch_locked()
+                    key = self._keys.get(kid)
+                if key is None:
+                    raise JwksError(f"no JWKS key for kid {kid!r}")
+                return [key]
+            # no kid in the JOSE header: try every published key
+            candidates = list(self._keys.values()) + list(self._keys_no_kid)
+            if not candidates:
+                raise JwksError("provider published no RSA signing keys")
+            return candidates
+
+
+__all__ = ["JwksClient", "JwksError", "jwk_to_public_key"]

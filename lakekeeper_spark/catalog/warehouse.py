@@ -190,6 +190,7 @@ def _touch(catalog: "Catalog", wh_key: str, **cols: Any) -> None:
         f"UPDATE warehouses SET {sets} WHERE wh_key=?",
         (*cols.values(), now_ms(), wh_key),
     )
+    catalog._invalidate_warehouse(wh_key)
 
 
 # ------------------------------------------------------------------
@@ -206,6 +207,7 @@ def get_warehouse(catalog: "Catalog", warehouse: str) -> dict[str, Any]:
             "UPDATE warehouses SET wh_id=? WHERE wh_key=?",
             (wh["wh_id"], wh["wh_key"]),
         )
+        catalog._invalidate_warehouse(wh["wh_key"])
     props = wh["properties"]
     out = {
         "id": wh["wh_id"],  # deprecated alias kept for parity (mod.rs:284)
@@ -297,6 +299,7 @@ def rename_warehouse(catalog: "Catalog", warehouse: str, new_name: str) -> None:
         st.emit_event(
             "rename-warehouse", new_key, new_name, {"old-name": wh["name"]}
         )
+        catalog._invalidate_warehouse(wh["wh_key"], new_key)
         st.commit()
     except BaseException:
         st.rollback()
@@ -343,6 +346,7 @@ def delete_warehouse(catalog: "Catalog", warehouse: str, force: bool = False) ->
         st.purge_authz_entity(wh["wh_key"], child_sep=ident.QSEP)
         st.execute("DELETE FROM warehouses WHERE wh_key=?", (wh["wh_key"],))
         st.emit_event("delete-warehouse", wh["wh_key"], wh["name"], {})
+        catalog._invalidate_warehouse(wh["wh_key"])
         st.commit()
     except BaseException:
         st.rollback()

@@ -1,0 +1,239 @@
+"""REST hot-path warehouse cache (catalog/cache.py vs the reference's
+service/catalog_store/warehouse_cache.rs + cache_ttl.rs): jittered TTL
+bounds, LRU capacity, version-guarded inserts, single-flight stampede
+coalescing (N concurrent misses -> 1 metastore read), no negative
+caching, and the catalog integration — mutation invalidation keeps
+c06's ETag/commit semantics while cached resolution stops per-request
+metastore reads."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+
+from lakekeeper_spark.catalog.cache import TtlCache
+from lakekeeper_spark.catalog.catalog import Catalog, NoSuchEntity
+from lakekeeper_spark.catalog.metastore import Metastore
+
+SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [{"id": 1, "name": "x", "required": False, "type": "long"}],
+}
+
+
+# ---------------------------------------------------------------------
+# TtlCache unit semantics
+# ---------------------------------------------------------------------
+def test_ttl_is_jittered_downward_only():
+    """cache_ttl.rs: lifetime in (base*(1-jitter), base] — the
+    configured TTL is a hard upper bound, never exceeded."""
+    now = [0.0]
+    draws = iter([0.0, 0.999, 0.5])
+    c = TtlCache(
+        ttl_seconds=100.0,
+        jitter=0.10,
+        clock=lambda: now[0],
+        rng=lambda: next(draws),
+    )
+    c.insert("a", "v1")  # rng 0.0 -> full TTL (the upper bound)
+    c.insert("b", "v2")  # rng .999 -> ~90% of TTL
+    c.insert("x", "v3")  # rng .5 -> 95% of TTL
+    now[0] = 89.9
+    assert c.get("b") == "v2"  # still under the shortest possible life
+    now[0] = 90.02
+    assert c.get("b") is None  # ~90% life expired
+    assert c.get("x") == "v3"
+    now[0] = 99.99
+    assert c.get("a") == "v1"
+    now[0] = 100.0
+    assert c.get("a") is None  # never lives past base
+
+
+def test_capacity_is_lru():
+    c = TtlCache(capacity=2, ttl_seconds=100)
+    c.insert("a", 1)
+    c.insert("b", 2)
+    assert c.get("a") == 1  # refresh a
+    c.insert("x", 3)  # evicts b (least recently used)
+    assert c.get("b") is None
+    assert c.get("a") == 1 and c.get("x") == 3
+    assert len(c) == 2
+
+
+def test_version_guarded_insert():
+    """warehouse_cache_insert: an older version never clobbers a newer
+    cached one; equal versions re-insert (refreshing TTL)."""
+    c = TtlCache(ttl_seconds=100, version_of=lambda v: v["version"])
+    assert c.insert("w", {"version": 5, "x": "new"})
+    assert not c.insert("w", {"version": 4, "x": "stale"})
+    assert c.get("w")["x"] == "new"
+    assert c.insert("w", {"version": 5, "x": "equal"})  # >= inserts
+    assert c.insert("w", {"version": 6, "x": "newer"})
+    assert c.get("w")["x"] == "newer"
+
+
+def test_get_or_load_respects_concurrent_newer_insert():
+    """warehouse_cache.rs:196: a load racing a writer that cached a
+    newer version must not clobber it — the loaded (older) value is
+    discarded and the newer cached value returned."""
+    c = TtlCache(ttl_seconds=100, version_of=lambda v: v["version"])
+
+    def loader():
+        # a writer commits + caches version 7 while our load is running
+        c.insert("w", {"version": 7, "x": "writer"})
+        return {"version": 6, "x": "loader"}
+
+    out = c.get_or_load("w", loader)
+    assert out["x"] == "writer"
+    assert c.get("w")["x"] == "writer"
+
+
+def test_single_flight_stampede_coalescing():
+    """N concurrent misses for one key -> exactly 1 loader run."""
+    c = TtlCache(ttl_seconds=100)
+    load_count = [0]
+    gate = threading.Event()
+
+    def loader():
+        gate.wait(5)  # hold every racer at the miss
+        load_count[0] += 1
+        time.sleep(0.02)
+        return {"v": 1}
+
+    results = [None] * 16
+    threads = [
+        threading.Thread(
+            target=lambda i=i: results.__setitem__(
+                i, c.get_or_load("hot", loader)
+            )
+        )
+        for i in range(16)
+    ]
+    for t in threads:
+        t.start()
+    time.sleep(0.05)  # let all 16 reach the miss
+    gate.set()
+    for t in threads:
+        t.join(timeout=10)
+    assert load_count[0] == 1, "misses must coalesce into one load"
+    assert all(r == {"v": 1} for r in results)
+    assert c.loads == 1 and c.misses >= 1
+
+
+def test_none_is_never_negative_cached():
+    c = TtlCache(ttl_seconds=100)
+    calls = [0]
+
+    def loader():
+        calls[0] += 1
+        return None if calls[0] == 1 else {"found": True}
+
+    assert c.get_or_load("k", loader) is None
+    # the miss was NOT cached: the next lookup re-runs the loader
+    assert c.get_or_load("k", loader) == {"found": True}
+    assert calls[0] == 2
+
+
+# ---------------------------------------------------------------------
+# catalog integration
+# ---------------------------------------------------------------------
+def _cached_catalog(tmp_path, ttl=300.0):
+    cache = TtlCache(
+        capacity=100,
+        ttl_seconds=ttl,
+        version_of=lambda wh: wh.get("updated_ms") or wh.get("created_ms") or 0,
+    )
+    cat = Catalog(Metastore(str(tmp_path / "ms.db")), warehouse_cache=cache)
+    return cat, cache
+
+
+def test_cached_resolution_skips_metastore_reads(tmp_path):
+    cat, cache = _cached_catalog(tmp_path)
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["ns"])
+    assert cache.loads <= 2
+    before = cache.loads
+    for _ in range(50):
+        cat._warehouse("wh")
+    assert cache.loads == before, "hot lookups must not hit the store"
+    assert cache.hits >= 50
+
+
+def test_mutations_invalidate_and_reads_stay_correct(tmp_path):
+    """Eviction-on-commit: every warehouses-table write drops the cached
+    row, so management mutations are immediately visible (the staleness
+    window only applies to out-of-band writers, bounded by TTL)."""
+    from lakekeeper_spark.catalog import warehouse as wh_ops
+
+    cat, cache = _cached_catalog(tmp_path)
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat._warehouse("wh")  # warm
+    # properties update
+    cat.update_warehouse_properties("wh", {"k": "v"})
+    assert cat._warehouse("wh")["properties"]["k"] == "v"
+    # deactivate -> data plane 404s immediately, not after TTL
+    wh_ops.set_status(cat, "wh", False)
+    with pytest.raises(NoSuchEntity):
+        cat._warehouse("wh")
+    assert cat._warehouse("wh", any_status=True)["status"] == "inactive"
+    wh_ops.set_status(cat, "wh", True)
+    assert cat._warehouse("wh")["status"] == "active"
+    # rename moves the key; the old name 404s at once
+    wh_ops.rename_warehouse(cat, "wh", "wh2")
+    with pytest.raises(NoSuchEntity):
+        cat._warehouse("wh")
+    assert cat._warehouse("wh2")["name"] == "wh2"
+    # delete drops it
+    wh_ops.delete_warehouse(cat, "wh2", force=True)
+    with pytest.raises(NoSuchEntity):
+        cat._warehouse("wh2")
+    # recreate under the same name: no stale row resurfaces
+    cat.create_warehouse("wh2", str(tmp_path / "wh2b"))
+    assert cat._warehouse("wh2")["location"].endswith("wh2b")
+
+
+def test_cached_facade_keeps_etag_semantics(tmp_path):
+    """c06's wire contract with the cache ON: load -> 304 while
+    unchanged, commit bumps the ETag, stale etag misses."""
+    from lakekeeper_spark.catalog.catalog import NotModified
+    from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
+
+    cat, cache = _cached_catalog(tmp_path)
+    server = RestCatalogServer(cat).start()
+    try:
+        client = RestCatalogClient(server.url)
+        client.create_warehouse("wh", str(tmp_path / "wh"))
+        client.create_namespace("wh", ["ns"])
+        client.create_table("wh", ["ns"], "t", SCHEMA)
+        _, etag = client.load_table("wh", ["ns"], "t")
+        with pytest.raises(NotModified):
+            client.load_table("wh", ["ns"], "t", etag=etag)
+        client.commit_table(
+            "wh", ["ns"], "t",
+            requirements=[],
+            updates=[{"action": "set-properties", "updates": {"k": "1"}}],
+        )
+        meta2, etag2 = client.load_table("wh", ["ns"], "t", etag=etag)
+        assert etag2 != etag and meta2["properties"]["k"] == "1"
+        with pytest.raises(NotModified):
+            client.load_table("wh", ["ns"], "t", etag=etag2)
+        # the hot path genuinely served from cache
+        assert cache.hits > 0
+    finally:
+        server.stop()
+
+
+def test_cached_dict_mutation_cannot_poison_cache(tmp_path):
+    """Callers receive copies: mutating a resolved warehouse dict must
+    not alter what the next caller sees."""
+    cat, _ = _cached_catalog(tmp_path)
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    wh = cat._warehouse("wh")
+    wh["properties"]["poison"] = True
+    wh["status"] = "inactive"
+    fresh = cat._warehouse("wh")
+    assert "poison" not in fresh["properties"]
+    assert fresh["status"] == "active"
