@@ -1,0 +1,349 @@
+"""Pure-Python Kafka producer for change events.
+
+The reference ships a Kafka CloudEvents backend
+(``crates/lakekeeper-events-kafka/src/lib.rs``: ``KafkaBackend`` sends
+each envelope to a fixed topic through librdkafka's FutureProducer,
+keyed by the event's ``tabular-id`` extension — empty key otherwise —
+and awaits the delivery ack, lib.rs:119-151). No Kafka client library
+exists in this sandbox, so — like catalog/pgwire.py and catalog/nats.py
+— this module speaks the Kafka **binary wire protocol** directly,
+written from the public protocol guide
+(https://kafka.apache.org/protocol):
+
+- requests carry a big-endian size prefix and header v1
+  (api_key, api_version, correlation_id, client_id);
+- messages are encoded as **record batch v2** (magic 2): zigzag-varint
+  records, CRC32C (Castagnoli) over the batch body from the attributes
+  field on — the modern on-wire format every >=0.11 broker requires;
+- ``Produce`` v3 (header v1 + record batches, acks=1) is sent to the
+  bootstrap broker and the per-partition ``error_code`` of the response
+  is checked — a non-zero code or transport failure RAISES so the
+  catalog's fan-out drop accounting observes the loss, exactly like the
+  NATS backend.
+
+Scope note: partition selection and broker discovery (Metadata
+round-trips) are librdkafka's job in the reference; this minimal
+producer publishes to partition 0 of the configured bootstrap broker,
+which is the honest single-broker shape the scripted test server (and
+any single-node dev broker) accepts.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+import threading
+from typing import Any
+
+from .events import EventPublisher
+
+
+class KafkaProtocolError(RuntimeError):
+    """Broker returned an error code or violated the protocol."""
+
+
+# Kafka error_code -> name, for actionable failures (protocol guide)
+ERROR_NAMES = {
+    1: "OFFSET_OUT_OF_RANGE",
+    2: "CORRUPT_MESSAGE",
+    3: "UNKNOWN_TOPIC_OR_PARTITION",
+    5: "LEADER_NOT_AVAILABLE",
+    6: "NOT_LEADER_OR_FOLLOWER",
+    7: "REQUEST_TIMED_OUT",
+}
+
+
+# ----------------------------------------------------------------------
+# primitives (protocol guide: BIG-ENDIAN ints, zigzag varints in records)
+# ----------------------------------------------------------------------
+def zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = z = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos
+
+
+_CRC32C_TABLE: list[int] = []
+
+
+def _crc32c_table() -> list[int]:
+    if not _CRC32C_TABLE:
+        poly = 0x82F63B78  # Castagnoli, reflected
+        for i in range(256):
+            crc = i
+            for _ in range(8):
+                crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
+            _CRC32C_TABLE.append(crc)
+    return _CRC32C_TABLE
+
+
+def crc32c(data: bytes) -> int:
+    table = _crc32c_table()
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    raw = s.encode()
+    return struct.pack(">h", len(raw)) + raw
+
+
+def _bytes_field(raw: bytes | None) -> bytes:
+    if raw is None:
+        return struct.pack(">i", -1)
+    return struct.pack(">i", len(raw)) + raw
+
+
+# ----------------------------------------------------------------------
+# record batch v2 (magic 2)
+# ----------------------------------------------------------------------
+def encode_record(key: bytes | None, value: bytes, offset_delta: int) -> bytes:
+    body = bytearray()
+    body += b"\x00"  # attributes
+    body += zigzag_encode(0)  # timestampDelta
+    body += zigzag_encode(offset_delta)
+    if key is None:
+        body += zigzag_encode(-1)
+    else:
+        body += zigzag_encode(len(key)) + key
+    body += zigzag_encode(len(value)) + value
+    body += zigzag_encode(0)  # headers count
+    return zigzag_encode(len(body)) + bytes(body)
+
+
+def encode_record_batch(
+    records: list[tuple[bytes | None, bytes]], first_timestamp_ms: int = 0
+) -> bytes:
+    recs = b"".join(
+        encode_record(k, v, i) for i, (k, v) in enumerate(records)
+    )
+    # the CRC32C covers everything from attributes (after the crc field)
+    after_crc = (
+        struct.pack(">h", 0)  # attributes: no compression
+        + struct.pack(">i", len(records) - 1)  # lastOffsetDelta
+        + struct.pack(">q", first_timestamp_ms)  # firstTimestamp
+        + struct.pack(">q", first_timestamp_ms)  # maxTimestamp
+        + struct.pack(">q", -1)  # producerId (non-idempotent)
+        + struct.pack(">h", -1)  # producerEpoch
+        + struct.pack(">i", -1)  # baseSequence
+        + struct.pack(">i", len(records))
+        + recs
+    )
+    header = (
+        struct.pack(">i", 0)  # partitionLeaderEpoch
+        + b"\x02"  # magic 2
+        + struct.pack(">I", crc32c(after_crc))
+    )
+    body = header + after_crc
+    return struct.pack(">q", 0) + struct.pack(">i", len(body)) + body
+
+
+def decode_record_batch(batch: bytes) -> list[tuple[bytes | None, bytes]]:
+    """Inverse of encode_record_batch (the scripted broker and any
+    consumer-side test use this); validates magic + CRC."""
+    base_offset, batch_len = struct.unpack(">qi", batch[:12])
+    body = batch[12 : 12 + batch_len]
+    magic = body[4]
+    if magic != 2:
+        raise KafkaProtocolError(f"unsupported record-batch magic {magic}")
+    crc = struct.unpack(">I", body[5:9])[0]
+    after = body[9:]
+    if crc32c(after) != crc:
+        raise KafkaProtocolError("record batch CRC32C mismatch")
+    # attributes(2) lastOffsetDelta(4) timestamps(16) producerId(8)
+    # producerEpoch(2) baseSequence(4) -> recordCount at bytes 36-40
+    count = struct.unpack(">i", after[36:40])[0]
+    out: list[tuple[bytes | None, bytes]] = []
+    pos = 40
+    buf = after
+    for _ in range(count):
+        _len, pos = zigzag_decode(buf, pos)
+        pos += 1  # attributes
+        _ts, pos = zigzag_decode(buf, pos)
+        _off, pos = zigzag_decode(buf, pos)
+        klen, pos = zigzag_decode(buf, pos)
+        key = None
+        if klen >= 0:
+            key = buf[pos : pos + klen]
+            pos += klen
+        vlen, pos = zigzag_decode(buf, pos)
+        value = buf[pos : pos + vlen]
+        pos += vlen
+        nheaders, pos = zigzag_decode(buf, pos)
+        for _ in range(nheaders):
+            hklen, pos = zigzag_decode(buf, pos)
+            pos += hklen
+            hvlen, pos = zigzag_decode(buf, pos)
+            pos += max(hvlen, 0)
+        out.append((key, value))
+    return out
+
+
+# ----------------------------------------------------------------------
+# the producer connection
+# ----------------------------------------------------------------------
+PRODUCE_API_KEY = 0
+PRODUCE_API_VERSION = 3  # first version with the v1 header + batch v2
+
+
+class KafkaConnection:
+    """Minimal synchronous produce-only connection to one broker."""
+
+    def __init__(self, host: str, port: int, client_id: str = "lakekeeper-spark", timeout: float = 5.0):
+        self.host = host
+        self.port = port
+        self.client_id = client_id
+        self.timeout = timeout
+        self._sock: socket.socket | None = None
+        self._correlation = 0
+
+    def connect(self) -> None:
+        self._sock = socket.create_connection(
+            (self.host, self.port), timeout=self.timeout
+        )
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+
+    def _recv_exact(self, n: int) -> bytes:
+        assert self._sock is not None
+        buf = b""
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise KafkaProtocolError("connection closed by broker")
+            buf += chunk
+        return buf
+
+    def produce(
+        self, topic: str, key: bytes | None, value: bytes, acks: int = 1
+    ) -> tuple[int, int]:
+        """One Produce round-trip; returns (partition, base_offset).
+        Raises on transport failure or a broker error code."""
+        if self._sock is None:
+            self.connect()
+        self._correlation += 1
+        batch = encode_record_batch([(key, value)])
+        partition_data = struct.pack(">i", 0) + _bytes_field(batch)
+        topic_data = (
+            _str(topic) + struct.pack(">i", 1) + partition_data
+        )
+        body = (
+            _str(None)  # transactional_id (v3+)
+            + struct.pack(">h", acks)
+            + struct.pack(">i", int(self.timeout * 1000))
+            + struct.pack(">i", 1)  # one topic
+            + topic_data
+        )
+        header = (
+            struct.pack(">hhi", PRODUCE_API_KEY, PRODUCE_API_VERSION, self._correlation)
+            + _str(self.client_id)
+        )
+        req = header + body
+        try:
+            assert self._sock is not None
+            self._sock.sendall(struct.pack(">i", len(req)) + req)
+            size = struct.unpack(">i", self._recv_exact(4))[0]
+            resp = self._recv_exact(size)
+        except (OSError, KafkaProtocolError):
+            # a dead/broken connection must not be reused — the next
+            # publish reconnects lazily
+            self.close()
+            raise
+        # response: correlation_id, [topics], throttle_time
+        corr = struct.unpack(">i", resp[:4])[0]
+        if corr != self._correlation:
+            self.close()
+            raise KafkaProtocolError(
+                f"correlation mismatch: {corr} != {self._correlation}"
+            )
+        pos = 4
+        (n_topics,) = struct.unpack(">i", resp[pos : pos + 4])
+        pos += 4
+        for _ in range(n_topics):
+            (tlen,) = struct.unpack(">h", resp[pos : pos + 2])
+            pos += 2 + tlen
+            (n_parts,) = struct.unpack(">i", resp[pos : pos + 4])
+            pos += 4
+            for _ in range(n_parts):
+                part, err, base_offset, _log_append = struct.unpack(
+                    ">ihqq", resp[pos : pos + 22]
+                )
+                pos += 22
+                if err != 0:
+                    raise KafkaProtocolError(
+                        f"produce failed: error_code={err}"
+                        f" ({ERROR_NAMES.get(err, 'UNKNOWN')})"
+                    )
+                return part, base_offset
+        raise KafkaProtocolError("produce response carried no partitions")
+
+
+class KafkaPublisher(EventPublisher):
+    """EventPublisher backend over a Kafka connection — the reference's
+    ``KafkaBackend``: fixed topic, message key = the event's
+    ``tabular-id`` extension (empty when absent, lib.rs:120-123), value
+    = the JSON CloudEvents envelope, delivery awaited. RAISES on
+    failure so FanoutPublisher's drop accounting sees it; the next
+    publish reconnects lazily."""
+
+    def __init__(self, host: str, port: int, topic: str) -> None:
+        if not topic or not topic.strip():
+            # build_kafka_publisher_from_config refuses an empty topic
+            raise ValueError("Kafka topic must be non-empty")
+        self.topic = topic
+        self.conn = KafkaConnection(host, port)
+        self._lock = threading.Lock()
+
+    def publish(self, event: dict[str, Any]) -> None:
+        # the reference keys by the tabular-id CloudEvents extension and
+        # falls back to "" (lib.rs:120-123); our envelopes carry the
+        # entity path in `subject` (catalog/events.py cloud_event), which
+        # serves the same per-entity partition-affinity purpose
+        key = str(
+            event.get("tabular-id") or event.get("subject") or ""
+        ).encode()
+        value = json.dumps(event, sort_keys=True).encode()
+        with self._lock:
+            self.conn.produce(self.topic, key, value)
+
+    def close(self) -> None:
+        with self._lock:
+            self.conn.close()
+
+
+__all__ = [
+    "KafkaConnection",
+    "KafkaPublisher",
+    "KafkaProtocolError",
+    "crc32c",
+    "encode_record_batch",
+    "decode_record_batch",
+]

@@ -1,0 +1,211 @@
+"""Kafka event backend (catalog/kafka.py vs the reference's
+crates/lakekeeper-events-kafka): the Produce v3 wire path (record batch
+v2, CRC32C, zigzag varints) driven against a scripted in-process broker
+that decodes and validates every batch; tabular-id keying, broker error
+codes raising, outage observability through fan-out drop accounting,
+and the post-commit catalog delivery boundary."""
+
+from __future__ import annotations
+
+import json
+import socketserver
+import struct
+import threading
+
+import pytest
+
+from lakekeeper_spark.catalog.catalog import Catalog
+from lakekeeper_spark.catalog.events import FanoutPublisher
+from lakekeeper_spark.catalog.kafka import (
+    KafkaProtocolError,
+    KafkaPublisher,
+    crc32c,
+    decode_record_batch,
+    encode_record_batch,
+)
+from lakekeeper_spark.catalog.metastore import Metastore
+
+SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [{"id": 1, "name": "x", "required": False, "type": "long"}],
+}
+
+
+# ----------------------------------------------------------------------
+# unit: primitives against known vectors
+# ----------------------------------------------------------------------
+def test_crc32c_known_vectors():
+    # RFC 3720 B.4 test vectors for CRC32C (Castagnoli)
+    assert crc32c(b"") == 0x00000000
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(bytes(32)) == 0x8A9136AA
+
+
+def test_record_batch_roundtrip():
+    msgs = [(b"k1", b"v1"), (None, b"v2"), (b"", b'{"json": true}')]
+    assert decode_record_batch(encode_record_batch(msgs)) == msgs
+
+
+def test_corrupt_batch_rejected():
+    batch = bytearray(encode_record_batch([(b"k", b"v")]))
+    batch[-1] ^= 0xFF
+    with pytest.raises(KafkaProtocolError):
+        decode_record_batch(bytes(batch))
+
+
+# ----------------------------------------------------------------------
+# scripted broker
+# ----------------------------------------------------------------------
+class _BrokerHandler(socketserver.BaseRequestHandler):
+    def handle(self):
+        srv = self.server
+        sock = self.request
+        while True:
+            head = b""
+            while len(head) < 4:
+                chunk = sock.recv(4 - len(head))
+                if not chunk:
+                    return
+                head += chunk
+            (size,) = struct.unpack(">i", head)
+            req = b""
+            while len(req) < size:
+                req += sock.recv(size - len(req))
+            api_key, api_version, correlation = struct.unpack(">hhi", req[:8])
+            pos = 8
+            (cid_len,) = struct.unpack(">h", req[pos : pos + 2])
+            pos += 2 + cid_len
+            assert api_key == 0 and api_version == 3
+            # produce body: transactional_id, acks, timeout, topics
+            (tx_len,) = struct.unpack(">h", req[pos : pos + 2])
+            pos += 2 + max(tx_len, 0)
+            acks, _timeout, n_topics = struct.unpack(">hii", req[pos : pos + 10])
+            pos += 10
+            (tlen,) = struct.unpack(">h", req[pos : pos + 2])
+            pos += 2
+            topic = req[pos : pos + tlen].decode()
+            pos += tlen
+            (n_parts,) = struct.unpack(">i", req[pos : pos + 4])
+            pos += 4
+            (partition,) = struct.unpack(">i", req[pos : pos + 4])
+            pos += 4
+            (blen,) = struct.unpack(">i", req[pos : pos + 4])
+            pos += 4
+            batch = req[pos : pos + blen]
+            err = srv.force_error
+            base_offset = len(srv.messages)
+            if not err:
+                try:
+                    for key, value in decode_record_batch(batch):
+                        srv.messages.append((topic, key, value))
+                except KafkaProtocolError:
+                    err = 2  # CORRUPT_MESSAGE
+            # response: correlation, topics[name, parts[idx,err,off,lat]], throttle
+            part_resp = struct.pack(">ihqq", partition, err, base_offset, -1)
+            topic_resp = (
+                struct.pack(">h", tlen) + topic.encode()
+                + struct.pack(">i", 1) + part_resp
+            )
+            resp = (
+                struct.pack(">i", correlation)
+                + struct.pack(">i", 1)
+                + topic_resp
+                + struct.pack(">i", 0)  # throttle_time_ms
+            )
+            sock.sendall(struct.pack(">i", len(resp)) + resp)
+            if srv.die_after and len(srv.messages) >= srv.die_after:
+                return
+
+
+class ScriptedBroker(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, force_error=0, die_after=0):
+        super().__init__(("127.0.0.1", 0), _BrokerHandler)
+        self.messages: list[tuple[str, bytes, bytes]] = []
+        self.force_error = force_error
+        self.die_after = die_after
+        threading.Thread(target=self.serve_forever, daemon=True).start()
+
+    @property
+    def port(self):
+        return self.server_address[1]
+
+    def stop(self):
+        self.shutdown()
+        self.server_close()
+
+
+def test_produce_roundtrip_with_tabular_id_key():
+    srv = ScriptedBroker()
+    try:
+        pub = KafkaPublisher("127.0.0.1", srv.port, topic="lakekeeper")
+        pub.publish({"type": "create-table", "tabular-id": "t-123"})
+        pub.publish({"type": "create-namespace"})  # no tabular-id -> "" key
+        pub.close()
+        assert len(srv.messages) == 2
+        topic, key, value = srv.messages[0]
+        assert topic == "lakekeeper" and key == b"t-123"
+        assert json.loads(value)["type"] == "create-table"
+        assert srv.messages[1][1] == b""  # no id, no subject -> "" key
+    finally:
+        srv.stop()
+
+
+def test_broker_error_code_raises():
+    srv = ScriptedBroker(force_error=3)  # UNKNOWN_TOPIC_OR_PARTITION
+    try:
+        pub = KafkaPublisher("127.0.0.1", srv.port, topic="ghost")
+        with pytest.raises(KafkaProtocolError, match="UNKNOWN_TOPIC"):
+            pub.publish({"type": "x"})
+    finally:
+        srv.stop()
+
+
+def test_empty_topic_refused():
+    with pytest.raises(ValueError):
+        KafkaPublisher("127.0.0.1", 1, topic=" ")
+
+
+def test_outage_observable_and_recoverable():
+    srv = ScriptedBroker(die_after=1)
+    try:
+        fan = FanoutPublisher(KafkaPublisher("127.0.0.1", srv.port, topic="t"))
+        fan.publish({"id": "e1"})
+        # broker hung up after e1: the next send hits the dead socket
+        fan.publish({"id": "e2"})
+        assert fan.dropped == 1
+        srv.die_after = 0
+        fan.publish({"id": "e3"})  # lazy reconnect resumes delivery
+        assert fan.dropped == 1
+        assert [json.loads(v)["id"] for _, _, v in srv.messages] == ["e1", "e3"]
+    finally:
+        srv.stop()
+
+
+def test_catalog_mutations_flow_post_commit(tmp_path):
+    """Same boundary as the NATS twin: envelopes reach the broker only
+    after the metastore transaction commits, in event-log order."""
+    srv = ScriptedBroker()
+    try:
+        store = Metastore(str(tmp_path / "ms.db"))
+        store.publishers.append(
+            KafkaPublisher("127.0.0.1", srv.port, topic="lakekeeper")
+        )
+        cat = Catalog(store)
+        cat.create_warehouse("wh", str(tmp_path / "wh"))
+        cat.create_namespace("wh", ["ns"])
+        cat.create_table("wh", ["ns"], "t", SCHEMA)
+        with pytest.raises(Exception):
+            cat.create_table("wh", ["ns"], "t", SCHEMA)  # rollback
+        got = [json.loads(v)["type"] for _, _, v in srv.messages]
+        want = [
+            "lakekeeper-spark." + r["event_type"]
+            for r in store.query("SELECT event_type FROM events ORDER BY seq")
+        ]
+        assert got == want and len(got) >= 3
+        assert got.count("lakekeeper-spark.create-table") == 1
+    finally:
+        srv.stop()
