@@ -79,6 +79,7 @@ class Catalog:
         instance_admins: set[str] | None = None,
         trusted_engines=None,
         warehouse_cache=None,
+        sts_vendor=None,
     ):
         import threading
 
@@ -95,6 +96,10 @@ class Catalog:
         # (catalog/cache.py; reference warehouse_cache.rs). None = off,
         # the default — every lookup hits the metastore as before.
         self.warehouse_cache = warehouse_cache
+        # live sts:AssumeRole vending (catalog/sts.py): {"client":
+        # StsClient, "role_arn"?, "external_id"?, "tags"?}. None = the
+        # deterministic derivation (the sandbox default c14 pins).
+        self.sts_vendor = sts_vendor
         # DEFINER/INVOKER view security (docs/view-security.md): when a
         # TrustedEngines registry is installed, its owner properties are
         # protected on views and loadTable honors referenced-by chains
@@ -1894,7 +1899,8 @@ class Catalog:
         # credential shape — S3/STS session policy, ADLS directory SAS,
         # or GCS downscoped access-boundary token (catalog/vending.py)
         cred = vend_for_location(
-            row["id"], row["location"] or "", perms, validity, now
+            row["id"], row["location"] or "", perms, validity, now,
+            sts_vendor=self.sts_vendor,
         )
         self.store.record_endpoint("load_credentials", wh["wh_key"])
         remaining = cred["config"]["expiration-ms"] - now

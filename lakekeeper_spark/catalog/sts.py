@@ -1,0 +1,175 @@
+"""AWS STS ``AssumeRole`` client for vended credentials.
+
+The reference's S3 vending path calls ``sts:AssumeRole`` through the
+AWS SDK with the downscoped session policy, the configured role ARN,
+optional external-id and session tags, and the warehouse's
+sts-token-validity as the session duration
+(``service/storage/s3.rs:758-880``: ``get_sts_token`` ->
+``assume_role_with_sts``; session name "lakekeeper-sts", s3.rs:818;
+a separate ``sts_endpoint`` may override the S3 endpoint for
+S3-compatible stores like MinIO, s3.rs:806-814, which also accept
+AssumeRole WITHOUT a role ARN, s3.rs:829-831).
+
+No AWS SDK exists in this sandbox, so this client speaks the STS
+**Query API** directly (public docs,
+https://docs.aws.amazon.com/STS/latest/APIReference/API_AssumeRole.html):
+a SigV4-signed (service ``sts``) form-encoded POST of
+``Action=AssumeRole&Version=2011-06-15`` plus the builder parameters,
+parsing the XML ``AssumeRoleResponse``'s ``Credentials`` element. The
+signature math reuses rest/sigv4.py (clean-room from the published
+AWS signing walkthrough).
+"""
+
+from __future__ import annotations
+
+import urllib.error
+import urllib.parse
+import urllib.request
+import xml.etree.ElementTree as ET
+from datetime import datetime, timezone
+from typing import Any
+
+from ..rest import sigv4
+
+STS_API_VERSION = "2011-06-15"
+DEFAULT_SESSION_NAME = "lakekeeper-sts"  # s3.rs:818
+
+
+class StsError(RuntimeError):
+    """Transport failure or an STS error response."""
+
+
+def _sigv4_timestamp(now_s: float | None = None) -> str:
+    dt = (
+        datetime.now(timezone.utc)
+        if now_s is None
+        else datetime.fromtimestamp(now_s, timezone.utc)
+    )
+    return dt.strftime("%Y%m%dT%H%M%SZ")
+
+
+class StsClient:
+    """Synchronous AssumeRole-only STS client."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        access_key: str,
+        secret_key: str,
+        region: str = "us-east-1",
+        session_token: str | None = None,
+        timeout: float = 5.0,
+    ) -> None:
+        self.endpoint = endpoint.rstrip("/")
+        self.access_key = access_key
+        self._secret_key = secret_key
+        self.region = region
+        self.session_token = session_token
+        self.timeout = timeout
+
+    def __repr__(self) -> str:
+        return (
+            f"StsClient(endpoint={self.endpoint!r}, region={self.region!r},"
+            f" access_key={self.access_key!r}, secret_key=<REDACTED>)"
+        )
+
+    def assume_role(
+        self,
+        role_arn: str | None = None,
+        policy: str | None = None,
+        duration_seconds: int = 3600,
+        session_name: str = DEFAULT_SESSION_NAME,
+        external_id: str | None = None,
+        tags: dict[str, str] | None = None,
+        now_s: float | None = None,
+    ) -> dict[str, Any]:
+        """One AssumeRole round-trip -> ``{"access-key-id",
+        "secret-access-key", "session-token", "expiration-ms"}``.
+        Parameter optionality mirrors assume_role_with_sts
+        (s3.rs:817-858): the role ARN is optional (MinIO), the policy is
+        the downscoped session policy, tags become Tags.member.N."""
+        params: dict[str, str] = {
+            "Action": "AssumeRole",
+            "Version": STS_API_VERSION,
+            "RoleSessionName": session_name,
+            "DurationSeconds": str(duration_seconds),
+        }
+        if role_arn is not None:
+            params["RoleArn"] = role_arn
+        if policy is not None:
+            params["Policy"] = policy
+        if external_id is not None:
+            params["ExternalId"] = external_id
+        for i, (k, v) in enumerate(sorted((tags or {}).items()), start=1):
+            params[f"Tags.member.{i}.Key"] = k
+            params[f"Tags.member.{i}.Value"] = v
+        body = urllib.parse.urlencode(params)
+        headers = {
+            "Content-Type": "application/x-www-form-urlencoded",
+            "Host": urllib.parse.urlparse(self.endpoint).netloc,
+        }
+        import hashlib
+
+        signed = sigv4.sign_request(
+            "POST",
+            self.endpoint + "/",
+            dict(headers),
+            self.access_key,
+            self._secret_key,
+            self.region,
+            _sigv4_timestamp(now_s),
+            service="sts",
+            payload_hash=hashlib.sha256(body.encode()).hexdigest(),
+            session_token=self.session_token,
+        )
+        headers.update(signed)
+        req = urllib.request.Request(
+            self.endpoint + "/",
+            data=body.encode(),
+            method="POST",
+            headers=headers,
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                raw = resp.read()
+        except urllib.error.HTTPError as e:
+            detail = e.read().decode("utf-8", "replace")[:300]
+            raise StsError(f"AssumeRole failed: {e.code} {detail}") from e
+        except OSError as e:
+            raise StsError(f"STS endpoint unreachable: {e}") from e
+        return _parse_assume_role_response(raw)
+
+
+def _parse_assume_role_response(raw: bytes) -> dict[str, Any]:
+    """XML AssumeRoleResponse -> the vended-credential key shape."""
+    try:
+        root = ET.fromstring(raw)
+    except ET.ParseError as e:
+        raise StsError(f"malformed STS response: {e}") from e
+    # strip the xmlns so find() paths stay readable
+    ns = ""
+    if root.tag.startswith("{"):
+        ns = root.tag[: root.tag.index("}") + 1]
+    creds = root.find(f".//{ns}Credentials")
+    if creds is None:
+        # the reference maps a credential-less response to an error
+        # ("No credentials returned from STS", s3.rs:869)
+        raise StsError("no credentials returned from STS")
+
+    def text(tag: str) -> str:
+        el = creds.find(f"{ns}{tag}")
+        if el is None or not el.text:
+            raise StsError(f"STS response missing {tag}")
+        return el.text
+
+    expiration = text("Expiration")
+    exp_dt = datetime.fromisoformat(expiration.replace("Z", "+00:00"))
+    return {
+        "access-key-id": text("AccessKeyId"),
+        "secret-access-key": text("SecretAccessKey"),
+        "session-token": text("SessionToken"),
+        "expiration-ms": int(exp_dt.timestamp() * 1000),
+    }
+
+
+__all__ = ["StsClient", "StsError", "DEFAULT_SESSION_NAME"]

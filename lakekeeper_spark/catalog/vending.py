@@ -461,18 +461,53 @@ def vend_gcs(
     }
 
 
+def vend_live_sts(
+    sts_vendor: dict[str, Any],
+    location: str,
+    permissions: StoragePermissions,
+    validity_seconds: int,
+) -> dict[str, Any]:
+    """The reference's REAL S3 vending path (get_sts_token,
+    s3.rs:758-768): sts:AssumeRole with the downscoped session policy
+    as the inline Policy, the configured role ARN / external-id /
+    session tags, and the warehouse validity as DurationSeconds —
+    via the wire client in catalog/sts.py. ``sts_vendor`` =
+    {"client": StsClient, "role_arn"?, "external_id"?, "tags"?}."""
+    policy = json.dumps(sts_policy(location, permissions), sort_keys=True)
+    creds = sts_vendor["client"].assume_role(
+        role_arn=sts_vendor.get("role_arn"),
+        policy=policy,
+        duration_seconds=validity_seconds,
+        external_id=sts_vendor.get("external_id"),
+        tags=sts_vendor.get("tags"),
+    )
+    return {
+        "prefix": location,
+        "config": {
+            "type": "sts-downscoped",
+            "permissions": permissions.value,
+            "actions": list(PERMISSION_ACTIONS[permissions]),
+            "session-policy": policy,
+            **creds,
+        },
+    }
+
+
 def vend_for_location(
     table_id: str,
     location: str,
     permissions: StoragePermissions,
     validity_seconds: int,
     now_ms: int,
+    sts_vendor: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Profile dispatch: the warehouse's storage flavor is what its
     location scheme says (the reference keys vending off the storage
     profile type attached to the warehouse — S3/ADLS/OneLake/GCS;
     storage/mod.rs). Local filesystem warehouses keep the S3/STS shape
-    (the sandbox default c14 pins)."""
+    (the sandbox default c14 pins). With ``sts_vendor`` configured the
+    S3 path calls the live AssumeRole endpoint instead of the
+    deterministic derivation."""
     scheme = location.split("://", 1)[0] if "://" in location else "file"
     if scheme in ("abfs", "abfss", "wasb", "wasbs"):
         onelake = "onelake" in location.split("/", 3)[2]
@@ -482,4 +517,6 @@ def vend_for_location(
         )
     if scheme == "gs":
         return vend_gcs(table_id, location, permissions, validity_seconds, now_ms)
+    if sts_vendor is not None:
+        return vend_live_sts(sts_vendor, location, permissions, validity_seconds)
     return vend(table_id, location, permissions, validity_seconds, now_ms)
