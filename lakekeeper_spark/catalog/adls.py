@@ -1,0 +1,266 @@
+"""Azure ADLS live SAS minting: AAD token + user-delegation key + SAS.
+
+The reference's ADLS vending path (``service/storage/az/mod.rs:314-340``
+``mint_sas_via_delegation_key``) calls Azure's *Get User Delegation Key*
+service operation, then signs a directory-scoped SAS with the returned
+key (``build_directory_sas``, az/mod.rs:291-312). No Azure SDK exists in
+this sandbox, so this module speaks the two public HTTP APIs directly:
+
+- **AAD client-credentials flow** (https://learn.microsoft.com/entra/
+  identity-platform/v2-oauth2-client-creds-grant-flow): form-encoded
+  POST to ``{authority}/{tenant}/oauth2/v2.0/token`` with
+  client_id/client_secret and the storage scope; the bearer refreshes
+  lazily near ``expires_in`` like the reference's credential chain.
+- **Get User Delegation Key** (https://learn.microsoft.com/rest/api/
+  storageservices/get-user-delegation-key): POST
+  ``https://{account}.{suffix}/?restype=service&comp=userdelegationkey``
+  with a ``<KeyInfo><Start/><Expiry/></KeyInfo>`` body, returning the
+  SignedOid/SignedTid/SignedStart/SignedExpiry/SignedService/
+  SignedVersion and the base64 ``Value`` used as the HMAC key.
+- **User-delegation SAS** (https://learn.microsoft.com/rest/api/
+  storageservices/create-user-delegation-sas): the version 2020-12-06+
+  string-to-sign (sp, st, se, canonical resource ``/blob/{account}/
+  {filesystem}/{path}``, the six signed-key fields, saoid/suoid/scid,
+  sip, spr, sv, sr, snapshot time, encryption scope, five rsc*
+  overrides), HMAC-SHA256 with the base64-decoded key, base64
+  signature — for ``sr=d`` directory SAS with ``sdd`` depth, the
+  resource shape the reference vends.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import hmac
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+import xml.etree.ElementTree as ET
+from typing import Any
+
+SAS_VERSION = "2020-12-06"
+STORAGE_SCOPE = "https://storage.azure.com/.default"
+
+
+class AdlsError(RuntimeError):
+    """AAD/storage endpoint failure or malformed response."""
+
+
+class AadTokenClient:
+    """OAuth2 client-credentials bearer source with lazy refresh."""
+
+    def __init__(
+        self,
+        tenant_id: str,
+        client_id: str,
+        client_secret: str,
+        authority: str = "https://login.microsoftonline.com",
+        scope: str = STORAGE_SCOPE,
+        timeout: float = 5.0,
+    ) -> None:
+        self.tenant_id = tenant_id
+        self.client_id = client_id
+        self._client_secret = client_secret
+        self.authority = authority.rstrip("/")
+        self.scope = scope
+        self.timeout = timeout
+        self._token: str | None = None
+        self._expiry = 0.0
+
+    def __repr__(self) -> str:
+        return (
+            f"AadTokenClient(tenant_id={self.tenant_id!r},"
+            f" client_id={self.client_id!r}, client_secret=<REDACTED>)"
+        )
+
+    def bearer(self) -> str:
+        if self._token is None or time.monotonic() >= self._expiry:
+            body = urllib.parse.urlencode(
+                {
+                    "grant_type": "client_credentials",
+                    "client_id": self.client_id,
+                    "client_secret": self._client_secret,
+                    "scope": self.scope,
+                }
+            ).encode()
+            url = f"{self.authority}/{self.tenant_id}/oauth2/v2.0/token"
+            req = urllib.request.Request(url, data=body, method="POST")
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                    doc = json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                raise AdlsError(
+                    f"AAD token request failed: {e.code}"
+                    f" {e.read().decode('utf-8', 'replace')[:200]}"
+                ) from e
+            except OSError as e:
+                raise AdlsError(f"AAD endpoint unreachable: {e}") from e
+            self._token = doc["access_token"]
+            # refresh 60 s before expiry (clock-skew margin)
+            self._expiry = time.monotonic() + max(
+                int(doc.get("expires_in") or 3600) - 60, 1
+            )
+        return self._token
+
+
+class AdlsDelegationClient:
+    """Get-User-Delegation-Key + SAS signing for one storage account."""
+
+    def __init__(
+        self,
+        account: str,
+        token_source: AadTokenClient,
+        endpoint_suffix: str = "dfs.core.windows.net",
+        blob_endpoint: str | None = None,
+        timeout: float = 5.0,
+    ) -> None:
+        self.account = account
+        self.token_source = token_source
+        self.endpoint_suffix = endpoint_suffix
+        # the delegation-key call goes to the BLOB endpoint; tests point
+        # this at the scripted server
+        self.blob_endpoint = (
+            blob_endpoint or f"https://{account}.blob.core.windows.net"
+        ).rstrip("/")
+        self.timeout = timeout
+
+    # -- user delegation key ----------------------------------------------
+    def get_user_delegation_key(
+        self, start_iso: str, expiry_iso: str
+    ) -> dict[str, str]:
+        body = (
+            "<?xml version='1.0' encoding='utf-8'?>"
+            f"<KeyInfo><Start>{start_iso}</Start>"
+            f"<Expiry>{expiry_iso}</Expiry></KeyInfo>"
+        ).encode()
+        url = self.blob_endpoint + "/?restype=service&comp=userdelegationkey"
+        req = urllib.request.Request(
+            url,
+            data=body,
+            method="POST",
+            headers={
+                "Authorization": f"Bearer {self.token_source.bearer()}",
+                "x-ms-version": SAS_VERSION,
+                "Content-Type": "application/xml",
+            },
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                raw = r.read()
+        except urllib.error.HTTPError as e:
+            raise AdlsError(
+                f"user delegation key request failed: {e.code}"
+                f" {e.read().decode('utf-8', 'replace')[:200]}"
+            ) from e
+        except OSError as e:
+            raise AdlsError(f"storage endpoint unreachable: {e}") from e
+        try:
+            root = ET.fromstring(raw)
+        except ET.ParseError as e:
+            raise AdlsError(f"malformed delegation-key response: {e}") from e
+        out = {el.tag: (el.text or "") for el in root}
+        for required in (
+            "SignedOid", "SignedTid", "SignedStart", "SignedExpiry",
+            "SignedService", "SignedVersion", "Value",
+        ):
+            if required not in out:
+                raise AdlsError(f"delegation key missing {required}")
+        return out
+
+    # -- SAS signing ---------------------------------------------------------
+    def sign_directory_sas(
+        self,
+        key: dict[str, str],
+        canonical_resource: str,
+        permissions: str,
+        start_iso: str,
+        expiry_iso: str,
+        depth: int,
+    ) -> str:
+        """User-delegation SAS for ``sr=d`` (create-user-delegation-sas,
+        version 2020-12-06 string-to-sign field order)."""
+        string_to_sign = "\n".join(
+            [
+                permissions,          # sp
+                start_iso,            # st
+                expiry_iso,           # se
+                canonical_resource,   # /blob/{account}/{fs}/{path}
+                key["SignedOid"],     # skoid
+                key["SignedTid"],     # sktid
+                key["SignedStart"],   # skt
+                key["SignedExpiry"],  # ske
+                key["SignedService"],  # sks
+                key["SignedVersion"],  # skv
+                "",  # saoid
+                "",  # suoid
+                "",  # scid
+                "",  # sip
+                "https",  # spr
+                SAS_VERSION,  # sv
+                "d",  # sr (directory)
+                "",  # snapshot time
+                "",  # ses (encryption scope)
+                "",  # rscc
+                "",  # rscd
+                "",  # rsce
+                "",  # rscl
+                "",  # rsct
+            ]
+        )
+        sig = base64.b64encode(
+            hmac.new(
+                base64.b64decode(key["Value"]),
+                string_to_sign.encode("utf-8"),
+                hashlib.sha256,
+            ).digest()
+        ).decode()
+        params = [
+            ("sv", SAS_VERSION),
+            ("sr", "d"),
+            ("sdd", str(depth)),
+            ("sp", permissions),
+            ("st", start_iso),
+            ("se", expiry_iso),
+            ("spr", "https"),
+            ("skoid", key["SignedOid"]),
+            ("sktid", key["SignedTid"]),
+            ("skt", key["SignedStart"]),
+            ("ske", key["SignedExpiry"]),
+            ("sks", key["SignedService"]),
+            ("skv", key["SignedVersion"]),
+            ("sig", sig),
+        ]
+        return urllib.parse.urlencode(params)
+
+    def mint_directory_sas(
+        self,
+        canonical_resource: str,
+        permissions: str,
+        start_iso: str,
+        expiry_iso: str,
+        depth: int,
+    ) -> tuple[str, str]:
+        """The mint_sas_via_delegation_key flow (az/mod.rs:314-340):
+        fetch a delegation key for the window, sign, and return
+        (sas_query_string, signed_expiry) — the SAS expiry is the KEY's
+        SignedExpiry, which Azure may clamp below the requested one."""
+        key = self.get_user_delegation_key(start_iso, expiry_iso)
+        sas = self.sign_directory_sas(
+            key,
+            canonical_resource,
+            permissions,
+            start_iso,
+            key["SignedExpiry"],
+            depth,
+        )
+        return sas, key["SignedExpiry"]
+
+
+__all__ = [
+    "AadTokenClient",
+    "AdlsDelegationClient",
+    "AdlsError",
+    "SAS_VERSION",
+]

@@ -80,6 +80,7 @@ class Catalog:
         trusted_engines=None,
         warehouse_cache=None,
         sts_vendor=None,
+        adls_vendor=None,
     ):
         import threading
 
@@ -100,6 +101,9 @@ class Catalog:
         # StsClient, "role_arn"?, "external_id"?, "tags"?}. None = the
         # deterministic derivation (the sandbox default c14 pins).
         self.sts_vendor = sts_vendor
+        # live ADLS user-delegation SAS minting (catalog/adls.py):
+        # {"client": AdlsDelegationClient}. None = deterministic SAS.
+        self.adls_vendor = adls_vendor
         # DEFINER/INVOKER view security (docs/view-security.md): when a
         # TrustedEngines registry is installed, its owner properties are
         # protected on views and loadTable honors referenced-by chains
@@ -1901,6 +1905,7 @@ class Catalog:
         cred = vend_for_location(
             row["id"], row["location"] or "", perms, validity, now,
             sts_vendor=self.sts_vendor,
+            adls_vendor=self.adls_vendor,
         )
         self.store.record_endpoint("load_credentials", wh["wh_key"])
         remaining = cred["config"]["expiration-ms"] - now

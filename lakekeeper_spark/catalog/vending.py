@@ -279,6 +279,7 @@ def vend_adls(
     validity_seconds: int | None,
     now_ms: int,
     onelake: bool = False,
+    adls_vendor: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """One vended ADLS credential document: a directory-scoped SAS with
     the reference's signed fields (sp/st/se/sr=d/sdd/sv/sig,
@@ -309,16 +310,33 @@ def vend_adls(
     resource, depth = adls_canonical_resource(location)
     sp = ADLS_SAS_PERMISSIONS[permissions]
     st, se = _iso_s(start_ms), _iso_s(expiry_ms)
-    string_to_sign = "\n".join(
-        [sp, st, se, resource, "", "", "", "2025-01-05", "d", str(depth)]
-    )
-    key = hashlib.sha256(f"{table_id}:delegation-key".encode()).digest()
-    import hmac as _hmac
+    if adls_vendor is not None:
+        # LIVE path (mint_sas_via_delegation_key, az/mod.rs:314-340):
+        # fetch a user delegation key for the window and sign the
+        # directory SAS with it (catalog/adls.py); Azure may clamp the
+        # expiry to the key's SignedExpiry
+        sas, signed_expiry = adls_vendor["client"].mint_directory_sas(
+            resource, sp, st, se, depth
+        )
+        from datetime import datetime
 
-    sig = _hmac.new(key, string_to_sign.encode(), hashlib.sha256).hexdigest()
-    sas = (
-        f"sv=2025-01-05&sr=d&sdd={depth}&sp={sp}&st={st}&se={se}&sig={sig}"
-    )
+        expiry_ms = int(
+            datetime.fromisoformat(
+                signed_expiry.replace("Z", "+00:00")
+            ).timestamp()
+            * 1000
+        )
+    else:
+        string_to_sign = "\n".join(
+            [sp, st, se, resource, "", "", "", "2025-01-05", "d", str(depth)]
+        )
+        key = hashlib.sha256(f"{table_id}:delegation-key".encode()).digest()
+        import hmac as _hmac
+
+        sig = _hmac.new(key, string_to_sign.encode(), hashlib.sha256).hexdigest()
+        sas = (
+            f"sv=2025-01-05&sr=d&sdd={depth}&sp={sp}&st={st}&se={se}&sig={sig}"
+        )
     return {
         "prefix": location,
         "config": {
@@ -500,6 +518,7 @@ def vend_for_location(
     validity_seconds: int,
     now_ms: int,
     sts_vendor: dict[str, Any] | None = None,
+    adls_vendor: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Profile dispatch: the warehouse's storage flavor is what its
     location scheme says (the reference keys vending off the storage
@@ -513,7 +532,7 @@ def vend_for_location(
         onelake = "onelake" in location.split("/", 3)[2]
         return vend_adls(
             table_id, location, permissions, validity_seconds, now_ms,
-            onelake=onelake,
+            onelake=onelake, adls_vendor=adls_vendor,
         )
     if scheme == "gs":
         return vend_gcs(table_id, location, permissions, validity_seconds, now_ms)
