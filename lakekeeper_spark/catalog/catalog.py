@@ -81,6 +81,7 @@ class Catalog:
         warehouse_cache=None,
         sts_vendor=None,
         adls_vendor=None,
+        gcs_vendor=None,
     ):
         import threading
 
@@ -104,6 +105,9 @@ class Catalog:
         # live ADLS user-delegation SAS minting (catalog/adls.py):
         # {"client": AdlsDelegationClient}. None = deterministic SAS.
         self.adls_vendor = adls_vendor
+        # live GCS downscoped-token vending (catalog/gcs.py):
+        # {"client": GcsTokenExchangeClient}. None = deterministic token.
+        self.gcs_vendor = gcs_vendor
         # DEFINER/INVOKER view security (docs/view-security.md): when a
         # TrustedEngines registry is installed, its owner properties are
         # protected on views and loadTable honors referenced-by chains
@@ -1906,6 +1910,7 @@ class Catalog:
             row["id"], row["location"] or "", perms, validity, now,
             sts_vendor=self.sts_vendor,
             adls_vendor=self.adls_vendor,
+            gcs_vendor=self.gcs_vendor,
         )
         self.store.record_endpoint("load_credentials", wh["wh_key"])
         remaining = cred["config"]["expiration-ms"] - now

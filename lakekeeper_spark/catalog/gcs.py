@@ -1,0 +1,184 @@
+"""GCS live downscoped-token vending: service-account grant + token
+exchange.
+
+The reference's GCS vending path (``service/storage/gcs/sts.rs``)
+downscopes a broad Google access token through the STS **token
+exchange** API: ``POST https://sts.googleapis.com/v1/token`` with
+``grant_type=urn:ietf:params:oauth:grant-type:token-exchange``, the
+subject token, and the Credential Access Boundary JSON percent-encoded
+into ``options`` (STSRequest, sts.rs:66-110). The broad token itself
+comes from the service-account key via google_cloud_auth. No Google SDK
+exists in this sandbox, so both halves are spoken directly from the
+public specs:
+
+- :class:`GcsServiceAccountTokenSource` — the OAuth2 **JWT Bearer
+  grant** (RFC 7523; https://developers.google.com/identity/protocols/
+  oauth2/service-account): a self-signed RS256 assertion
+  (iss/scope/aud/iat/exp from the service-account key) posted to the
+  key's ``token_uri`` as
+  ``grant_type=urn:ietf:params:oauth:grant-type:jwt-bearer``; the
+  access token refreshes lazily near expiry.
+- :class:`GcsTokenExchangeClient` — the STS token-exchange POST
+  (https://cloud.google.com/iam/docs/downscoping-short-lived-
+  credentials), field-for-field the reference's STSRequest shape
+  including the NON_ALPHANUMERIC percent encoding of the options JSON.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+from typing import Any, Callable
+
+TOKEN_EXCHANGE_GRANT = "urn:ietf:params:oauth:grant-type:token-exchange"
+ACCESS_TOKEN_TYPE = "urn:ietf:params:oauth:token-type:access_token"
+JWT_BEARER_GRANT = "urn:ietf:params:oauth:grant-type:jwt-bearer"
+DEFAULT_SCOPE = "https://www.googleapis.com/auth/cloud-platform"
+
+
+class GcsError(RuntimeError):
+    """Token-source or exchange failure."""
+
+
+def _b64url(raw: bytes) -> str:
+    return base64.urlsafe_b64encode(raw).rstrip(b"=").decode()
+
+
+def _post_form(url: str, params: dict[str, str], timeout: float) -> dict:
+    req = urllib.request.Request(
+        url, data=urllib.parse.urlencode(params).encode(), method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        raise GcsError(
+            f"POST {url} failed: {e.code}"
+            f" {e.read().decode('utf-8', 'replace')[:200]}"
+        ) from e
+    except OSError as e:
+        raise GcsError(f"{url} unreachable: {e}") from e
+
+
+class GcsServiceAccountTokenSource:
+    """Broad access token from a service-account key (the reference's
+    TokenSource via google_cloud_auth). ``key`` is the downloaded JSON
+    service-account document: client_email, private_key (PEM),
+    token_uri."""
+
+    def __init__(
+        self,
+        key: dict[str, Any],
+        scope: str = DEFAULT_SCOPE,
+        timeout: float = 5.0,
+    ) -> None:
+        self.key = key
+        self.scope = scope
+        self.timeout = timeout
+        self._token: str | None = None
+        self._expiry = 0.0
+
+    def __repr__(self) -> str:
+        return (
+            "GcsServiceAccountTokenSource("
+            f"client_email={self.key.get('client_email')!r},"
+            " private_key=<REDACTED>)"
+        )
+
+    def _assertion(self, now_s: float) -> str:
+        from cryptography.hazmat.primitives import hashes, serialization
+        from cryptography.hazmat.primitives.asymmetric import padding
+
+        header = {"alg": "RS256", "typ": "JWT"}
+        claims = {
+            "iss": self.key["client_email"],
+            "scope": self.scope,
+            "aud": self.key["token_uri"],
+            "iat": int(now_s),
+            "exp": int(now_s) + 3600,
+        }
+        signing_input = (
+            _b64url(json.dumps(header).encode())
+            + "."
+            + _b64url(json.dumps(claims).encode())
+        )
+        private_key = serialization.load_pem_private_key(
+            self.key["private_key"].encode(), password=None
+        )
+        sig = private_key.sign(
+            signing_input.encode(), padding.PKCS1v15(), hashes.SHA256()
+        )
+        return signing_input + "." + _b64url(sig)
+
+    def token(self) -> str:
+        now = time.time()
+        if self._token is None or time.monotonic() >= self._expiry:
+            doc = _post_form(
+                self.key["token_uri"],
+                {
+                    "grant_type": JWT_BEARER_GRANT,
+                    "assertion": self._assertion(now),
+                },
+                self.timeout,
+            )
+            if "access_token" not in doc:
+                raise GcsError("token endpoint returned no access_token")
+            self._token = doc["access_token"]
+            self._expiry = time.monotonic() + max(
+                int(doc.get("expires_in") or 3600) - 60, 1
+            )
+        return self._token
+
+
+class GcsTokenExchangeClient:
+    """Downscope a broad token through the STS token-exchange API —
+    the reference's ``downscope`` (gcs/sts.rs:10-58)."""
+
+    def __init__(
+        self,
+        token_source: GcsServiceAccountTokenSource | Callable[[], str],
+        sts_url: str = "https://sts.googleapis.com/v1/token",
+        timeout: float = 5.0,
+    ) -> None:
+        self.token_source = token_source
+        self.sts_url = sts_url
+        self.timeout = timeout
+
+    def downscope(self, access_boundary: dict[str, Any]) -> dict[str, Any]:
+        """-> {"access_token", "expires_in"}; ``access_boundary`` is the
+        ``{"accessBoundary": {...}}`` options document
+        (Options, sts.rs:110-173)."""
+        source = self.token_source
+        subject = source.token() if hasattr(source, "token") else source()
+        options_json = json.dumps(access_boundary, sort_keys=True)
+        # the reference percent-encodes the options JSON with
+        # NON_ALPHANUMERIC (sts.rs:104-106)
+        options = urllib.parse.quote(options_json, safe="")
+        doc = _post_form(
+            self.sts_url,
+            {
+                "grant_type": TOKEN_EXCHANGE_GRANT,
+                "requested_token_type": ACCESS_TOKEN_TYPE,
+                "subject_token": subject,
+                "subject_token_type": ACCESS_TOKEN_TYPE,
+                "options": options,
+            },
+            self.timeout,
+        )
+        if "access_token" not in doc:
+            raise GcsError("STS exchange returned no access_token")
+        return doc
+
+
+__all__ = [
+    "GcsError",
+    "GcsServiceAccountTokenSource",
+    "GcsTokenExchangeClient",
+    "TOKEN_EXCHANGE_GRANT",
+    "ACCESS_TOKEN_TYPE",
+    "JWT_BEARER_GRANT",
+]

@@ -449,6 +449,7 @@ def vend_gcs(
     permissions: StoragePermissions,
     validity_seconds: int,
     now_ms: int,
+    gcs_vendor: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """One vended GCS credential document: the downscoped OAuth2 token
     request shape (STSRequest, gcs/sts.rs:66-110: token-exchange grant
@@ -464,8 +465,15 @@ def vend_gcs(
     bucket_n = now_ms // validity_ms
     expiration_ms = (bucket_n + 1) * validity_ms
     boundary = gcs_access_boundary(location, permissions)
-    seed = f"{table_id}:{permissions.value}:{expiration_ms}:gcs"
-    token = "dsc." + hashlib.sha256(seed.encode()).hexdigest()
+    if gcs_vendor is not None:
+        # LIVE path (downscope, gcs/sts.rs:10-58): exchange the broad
+        # token for one bounded by the table's access boundary
+        doc = gcs_vendor["client"].downscope({"accessBoundary": boundary})
+        token = doc["access_token"]
+        expiration_ms = now_ms + int(doc.get("expires_in") or validity_seconds) * 1000
+    else:
+        seed = f"{table_id}:{permissions.value}:{expiration_ms}:gcs"
+        token = "dsc." + hashlib.sha256(seed.encode()).hexdigest()
     return {
         "prefix": location,
         "config": {
@@ -519,6 +527,7 @@ def vend_for_location(
     now_ms: int,
     sts_vendor: dict[str, Any] | None = None,
     adls_vendor: dict[str, Any] | None = None,
+    gcs_vendor: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Profile dispatch: the warehouse's storage flavor is what its
     location scheme says (the reference keys vending off the storage
@@ -535,7 +544,10 @@ def vend_for_location(
             onelake=onelake, adls_vendor=adls_vendor,
         )
     if scheme == "gs":
-        return vend_gcs(table_id, location, permissions, validity_seconds, now_ms)
+        return vend_gcs(
+            table_id, location, permissions, validity_seconds, now_ms,
+            gcs_vendor=gcs_vendor,
+        )
     if sts_vendor is not None:
         return vend_live_sts(sts_vendor, location, permissions, validity_seconds)
     return vend(table_id, location, permissions, validity_seconds, now_ms)

@@ -1,0 +1,229 @@
+"""GCS live downscoped vending (catalog/gcs.py vs gcs/sts.rs): the
+RFC 7523 service-account JWT Bearer grant (assertion signature verified
+server-side with the test key) and the STS token-exchange POST
+(grant/requested-token-type fields, NON_ALPHANUMERIC percent-encoded
+access boundary) against scripted endpoints, plus the full
+LoadCredentials path on a gs:// warehouse."""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from lakekeeper_spark.catalog.gcs import (
+    ACCESS_TOKEN_TYPE,
+    GcsError,
+    GcsServiceAccountTokenSource,
+    GcsTokenExchangeClient,
+    JWT_BEARER_GRANT,
+    TOKEN_EXCHANGE_GRANT,
+)
+
+
+@pytest.fixture(scope="module")
+def sa_key():
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    private = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    pem = private.private_bytes(
+        serialization.Encoding.PEM,
+        serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption(),
+    )
+    return {
+        "type": "service_account",
+        "client_email": "lk@project.iam.gserviceaccount.com",
+        "private_key": pem.decode(),
+        "token_uri": None,  # filled by the fixture below
+        "_public": private.public_key(),
+    }
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *a):
+        pass
+
+    def _reply(self, code, body):
+        data = json.dumps(body).encode()
+        self.send_response(code)
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_POST(self):
+        srv = self.server
+        n = int(self.headers.get("Content-Length") or 0)
+        form = dict(urllib.parse.parse_qsl(self.rfile.read(n).decode()))
+        if self.path == "/token":  # the service-account token endpoint
+            srv.token_requests.append(form)
+            if form.get("grant_type") != JWT_BEARER_GRANT:
+                return self._reply(400, {"error": "unsupported_grant_type"})
+            # verify the RS256 assertion against the known public key
+            from cryptography.hazmat.primitives import hashes
+            from cryptography.hazmat.primitives.asymmetric import padding
+
+            h, c, s = form["assertion"].split(".")
+            try:
+                srv.public_key.verify(
+                    base64.urlsafe_b64decode(s + "=" * (-len(s) % 4)),
+                    f"{h}.{c}".encode(),
+                    padding.PKCS1v15(),
+                    hashes.SHA256(),
+                )
+            except Exception:
+                return self._reply(401, {"error": "invalid_grant"})
+            claims = json.loads(
+                base64.urlsafe_b64decode(c + "=" * (-len(c) % 4))
+            )
+            srv.assertions.append(claims)
+            srv.issued += 1
+            return self._reply(200, {
+                "access_token": f"broad-{srv.issued}",
+                "expires_in": srv.expires_in,
+                "token_type": "Bearer",
+            })
+        if self.path == "/v1/token":  # the STS exchange endpoint
+            srv.exchange_requests.append(form)
+            if (
+                form.get("grant_type") != TOKEN_EXCHANGE_GRANT
+                or form.get("requested_token_type") != ACCESS_TOKEN_TYPE
+                or not form.get("subject_token", "").startswith("broad-")
+            ):
+                return self._reply(400, {"error": "invalid_request"})
+            return self._reply(200, {
+                "access_token": "downscoped-token",
+                "expires_in": 900,
+                "token_type": "Bearer",
+            })
+        return self._reply(404, {})
+
+
+class ScriptedGoogle(ThreadingHTTPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, public_key, expires_in=3600):
+        super().__init__(("127.0.0.1", 0), _Handler)
+        self.public_key = public_key
+        self.expires_in = expires_in
+        self.issued = 0
+        self.token_requests: list[dict] = []
+        self.exchange_requests: list[dict] = []
+        self.assertions: list[dict] = []
+        threading.Thread(target=self.serve_forever, daemon=True).start()
+
+    @property
+    def url(self):
+        return f"http://127.0.0.1:{self.server_address[1]}"
+
+    def stop(self):
+        self.shutdown()
+        self.server_close()
+
+
+@pytest.fixture()
+def google(sa_key):
+    srv = ScriptedGoogle(sa_key["_public"])
+    sa_key = dict(sa_key)
+    yield srv
+    srv.stop()
+
+
+def _exchange_client(google, sa_key):
+    key = {k: v for k, v in sa_key.items() if k != "_public"}
+    key["token_uri"] = google.url + "/token"
+    return GcsTokenExchangeClient(
+        GcsServiceAccountTokenSource(key),
+        sts_url=google.url + "/v1/token",
+    )
+
+
+def test_jwt_grant_and_exchange_end_to_end(google, sa_key):
+    client = _exchange_client(google, sa_key)
+    boundary = {"accessBoundary": {"accessBoundaryRules": [{
+        "availableResource": "//storage.googleapis.com/projects/_/buckets/b",
+        "availablePermissions": ["inRole:roles/storage.objectViewer"],
+    }]}}
+    doc = client.downscope(boundary)
+    assert doc["access_token"] == "downscoped-token"
+    # assertion claims carried the service-account identity (RFC 7523)
+    claims = google.assertions[0]
+    assert claims["iss"] == "lk@project.iam.gserviceaccount.com"
+    assert claims["aud"].endswith("/token")
+    # exchange fields match STSRequest (gcs/sts.rs:66-110), options is
+    # the percent-encoded boundary JSON
+    ex = google.exchange_requests[0]
+    assert ex["subject_token"] == "broad-1"
+    assert json.loads(urllib.parse.unquote(ex["options"])) == boundary
+
+
+def test_broad_token_cached_across_exchanges(google, sa_key):
+    client = _exchange_client(google, sa_key)
+    b = {"accessBoundary": {"accessBoundaryRules": []}}
+    for _ in range(5):
+        client.downscope(b)
+    assert google.issued == 1  # one JWT grant serves all five exchanges
+
+
+def test_wrong_key_rejected(google, sa_key):
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+
+    rogue = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    key = {
+        "client_email": "rogue@x.iam.gserviceaccount.com",
+        "private_key": rogue.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.PKCS8,
+            serialization.NoEncryption(),
+        ).decode(),
+        "token_uri": google.url + "/token",
+    }
+    client = GcsTokenExchangeClient(
+        GcsServiceAccountTokenSource(key), sts_url=google.url + "/v1/token"
+    )
+    with pytest.raises(GcsError, match="401"):
+        client.downscope({"accessBoundary": {}})
+
+
+def test_load_credentials_on_gs_through_live_exchange(
+    google, sa_key, tmp_path
+):
+    """The full GCS vending path: the access boundary the exchange
+    carries is exactly gcs_access_boundary(table location, perms), and
+    the downscoped token surfaces under gcs.oauth2.token."""
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+    from lakekeeper_spark.catalog.vending import (
+        StoragePermissions,
+        gcs_access_boundary,
+    )
+
+    cat = Catalog(
+        Metastore(str(tmp_path / "ms.db")),
+        gcs_vendor={"client": _exchange_client(google, sa_key)},
+    )
+    cat.create_warehouse("wh", "gs://bucket/wh")
+    cat.create_namespace("wh", ["ns"])
+    cat.create_table(
+        "wh", ["ns"], "t",
+        {"type": "struct", "schema-id": 0,
+         "fields": [{"id": 1, "name": "x", "required": False, "type": "long"}]},
+    )
+    out = cat.load_credentials("wh", ["ns"], "t")
+    cfg = out["storage-credentials"][0]["config"]
+    assert cfg["gcs.oauth2.token"] == "downscoped-token"
+    row = cat._tabular_row("wh", ["ns"], "t", "table")
+    want = gcs_access_boundary(
+        row["location"], StoragePermissions.READ_WRITE_DELETE
+    )
+    sent = json.loads(
+        urllib.parse.unquote(google.exchange_requests[0]["options"])
+    )
+    assert sent == {"accessBoundary": want}
