@@ -68,7 +68,11 @@ class JwksClient:
         self._lock = threading.Lock()
         self._keys: dict[str, Any] = {}  # kid -> public key
         self._keys_no_kid: list[Any] = []  # keys the IdP served without kid
-        self._fetched_at = 0.0
+        # -inf sentinel: "never fetched" must trigger the first fetch even
+        # when time.monotonic() itself is small (a freshly-booted host has
+        # monotonic() < refresh_seconds, so a 0.0 sentinel would silently
+        # skip the initial fetch and fail every kid lookup for an hour)
+        self._fetched_at = float("-inf")
         self._jwks_uri: str | None = None
         self.fetch_count = 0  # observability (tests assert cache behavior)
 

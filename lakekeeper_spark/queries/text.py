@@ -2397,3 +2397,277 @@ def t21_sliding_window_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# t22: Gopher-rules document quality filter
+# --------------------------------------------------------------------------
+# The rule-based quality filter from the Gopher corpus work (Rae et al.
+# 2021, "Scaling Language Models", Table A1) — the standard pre-filter
+# every large training-data pipeline runs before model-based scoring.
+# Every rule reduces to integer arithmetic on per-row counts, so the
+# whole filter is a single map-only pass: no shuffle at ANY corpus size,
+# and every rule decision is an integer comparison (cross-multiplied
+# ratios), bit-identical between engines.
+#: Gopher's required-stopword list — a doc must contain >= 2 of these
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _t22_oracle() -> str:
+    stops = " + ".join(
+        f"CAST(list_contains(w, '{s}') AS BIGINT)" for s in GOPHER_STOPS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[^\\s]+') AS w,
+         string_split(text, chr(10)) AS ls,
+         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+           AS sum_word_len,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           AS hash_sym,
+         CAST((length(text) - length(replace(text, '...', ''))) // 3
+           AS BIGINT) AS ell_sym
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         sum_word_len,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+           AS BIGINT) AS alpha_words,
+         CAST({stops} AS BIGINT) AS stop_hits,
+         hash_sym + ell_sym AS symbol_count,
+         CAST(len(ls) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%'
+                OR ltrim(l) LIKE '*%')) AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT)
+           AS ellipsis_lines
+  FROM base
+),
+r AS (
+  SELECT *,
+         CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_word_count,
+         CAST(3 * n_words <= sum_word_len
+              AND sum_word_len <= 10 * n_words AS BIGINT) AS r_mean_len,
+         CAST(10 * symbol_count <= n_words AS BIGINT) AS r_symbol,
+         CAST(10 * alpha_words >= 8 * n_words AS BIGINT) AS r_alpha,
+         CAST(stop_hits >= 2 AS BIGINT) AS r_stop,
+         CAST(10 * bullet_lines <= 9 * n_lines AS BIGINT) AS r_bullet,
+         CAST(10 * ellipsis_lines <= 3 * n_lines AS BIGINT) AS r_ellipsis
+  FROM m
+)
+SELECT doc_id, n_words, sum_word_len, alpha_words, stop_hits, symbol_count,
+       n_lines, bullet_lines, ellipsis_lines,
+       r_word_count, r_mean_len, r_symbol, r_alpha, r_stop, r_bullet,
+       r_ellipsis,
+       r_word_count * r_mean_len * r_symbol * r_alpha * r_stop
+         * r_bullet * r_ellipsis AS keep
+FROM r
+"""
+
+
+@register(
+    "t22_gopher_rules",
+    oracle=_t22_oracle(),
+    description="Gopher rule-based quality filter (Rae et al. 2021 Table "
+    "A1): word-count bounds, mean-word-length band, symbol-to-word and "
+    "alpha-word ratios, required stopwords, bullet/ellipsis line caps. "
+    "Every ratio rule is an integer cross-multiplication and the whole "
+    "filter is one map-only projection - zero shuffles at any corpus "
+    "size.",
+    tags=("text", "llm", "quality", "pipeline"),
+)
+def t22_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-local Gopher filter: all eight metric families come from the
+    document's own text (token array, line array, char counts), so the
+    plan is scan -> project with no Exchange — the shape a 100 TB
+    pre-filter must have (it runs before anything that shuffles)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stops = "+".join(
+        f"CAST(array_contains(w, '{s}') AS BIGINT)" for s in GOPHER_STOPS
+    )
+    base = docs.select(
+        "doc_id",
+        F.expr(r"regexp_extract_all(text, '[^\\s]+', 0)").alias("w"),
+        F.split("text", "\n").alias("ls"),
+        F.length(F.regexp_replace("text", r"\s", "")).cast("long").alias(
+            "sum_word_len"
+        ),
+        (
+            F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+        ).cast("long").alias("hash_sym"),
+        F.expr(
+            "(length(text) - length(replace(text, '...', ''))) div 3"
+        ).cast("long").alias("ell_sym"),
+    )
+    m = base.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        "sum_word_len",
+        F.expr(
+            "size(filter(w, x -> x rlike '[A-Za-z]'))"
+        ).cast("long").alias("alpha_words"),
+        F.expr(stops).cast("long").alias("stop_hits"),
+        (F.col("hash_sym") + F.col("ell_sym")).alias("symbol_count"),
+        F.size("ls").cast("long").alias("n_lines"),
+        F.expr(
+            "size(filter(ls, l -> ltrim(l) LIKE '-%' OR ltrim(l) LIKE '*%'))"
+        ).cast("long").alias("bullet_lines"),
+        F.expr("size(filter(ls, l -> l LIKE '%...'))").cast("long").alias(
+            "ellipsis_lines"
+        ),
+    )
+    n, sl = F.col("n_words"), F.col("sum_word_len")
+    rules = {
+        "r_word_count": (n >= 50) & (n <= 100000),
+        "r_mean_len": (3 * n <= sl) & (sl <= 10 * n),
+        "r_symbol": 10 * F.col("symbol_count") <= n,
+        "r_alpha": 10 * F.col("alpha_words") >= 8 * n,
+        "r_stop": F.col("stop_hits") >= 2,
+        "r_bullet": 10 * F.col("bullet_lines") <= 9 * F.col("n_lines"),
+        "r_ellipsis": 10 * F.col("ellipsis_lines") <= 3 * F.col("n_lines"),
+    }
+    r = m.select(
+        "*", *[c.cast("long").alias(k) for k, c in rules.items()]
+    )
+    keep = None
+    for k in rules:
+        keep = F.col(k) if keep is None else keep * F.col(k)
+    return r.select("*", keep.alias("keep"))
+
+
+# --------------------------------------------------------------------------
+# t23: DSIR importance weights (hashed-n-gram domain selection)
+# --------------------------------------------------------------------------
+# Data Selection with Importance Resampling (Xie et al. 2023): score every
+# raw document by log p_target(x) - log p_raw(x) under hashed bag-of-words
+# unigram models. The models are O(B) arrays (B=64 here), so at 100 TB the
+# "model" is a 64-row broadcast and scoring is one token aggregation —
+# the paper's exact recipe for selecting in-domain training data from a
+# web-scale crawl. Target domain: lang='en' documents.
+T23_B = 64  #: hash buckets — the paper's models are fixed-size hashed arrays
+
+
+def _t23_oracle() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(term), 1, 8))::BIGINT % {T23_B} AS bucket
+  FROM w
+),
+dom AS (SELECT unnest(range({T23_B})) AS bucket),
+ct AS (
+  SELECT bucket, COUNT(*) AS c FROM b WHERE lang = 'en' GROUP BY bucket
+),
+cr AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket),
+nt AS (SELECT COUNT(*) AS n FROM b WHERE lang = 'en'),
+nr AS (SELECT COUNT(*) AS n FROM b),
+llr AS (
+  SELECT dom.bucket,
+         CAST(ROUND((ln((COALESCE(ct.c, 0) + 1.0) / (nt.n + {T23_B}.0))
+                   - ln((COALESCE(cr.c, 0) + 1.0) / (nr.n + {T23_B}.0)))
+                   * 1000000) AS BIGINT) AS llr6
+  FROM dom LEFT JOIN ct ON dom.bucket = ct.bucket
+           LEFT JOIN cr ON dom.bucket = cr.bucket, nt, nr
+),
+tb AS (
+  SELECT doc_id, lang, bucket, COUNT(*) AS tf
+  FROM b GROUP BY doc_id, lang, bucket
+)
+SELECT tb.doc_id,
+       CAST(MIN(tb.lang = 'en') AS BIGINT) AS in_target,
+       CAST(SUM(tb.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(tb.tf * llr.llr6) AS BIGINT) AS weight6,
+       CAST(SUM(tb.tf * llr.llr6) AS DOUBLE) / 1000000.0 AS log_importance
+FROM tb JOIN llr ON tb.bucket = llr.bucket
+GROUP BY tb.doc_id
+"""
+
+
+@register(
+    "t23_dsir_importance",
+    oracle=_t23_oracle(),
+    description="DSIR importance weights (Xie et al. 2023): hashed "
+    f"bag-of-words unigram models over {T23_B} md5 buckets, per-bucket "
+    "log-likelihood ratio target-vs-raw quantized once to fixed-point, "
+    "per-doc weights summed in exact integers. The model is an O(B) "
+    "broadcast; scoring is one token aggregation - the domain-selection "
+    "shape that works at crawl scale.",
+    tags=("text", "llm", "pipeline", "quality"),
+)
+def t23_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both unigram models (target = lang='en', raw = whole corpus) are
+    per-bucket token counts; the 64-entry LLR table is broadcast into a
+    doc-level rollup. Smoothing is add-1 over the FULL bucket domain
+    (spark.range(B) left-joined) so empty buckets score identically in
+    both engines."""
+    B = T23_B
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"CAST(conv(substr(md5(term), 1, 8), 16, 10) AS BIGINT) % {B}"
+        ).alias("bucket"),
+    )
+    ct = b.filter(F.col("lang") == "en").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_t")
+    )
+    cr = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
+    nt = b.filter(F.col("lang") == "en").agg(
+        F.count(F.lit(1)).alias("n_t")
+    )
+    nr = b.agg(F.count(F.lit(1)).alias("n_r"))
+    dom = spark.range(B).select(F.col("id").alias("bucket"))
+    llr = (
+        dom.join(F.broadcast(ct), "bucket", "left")
+        .join(F.broadcast(cr), "bucket", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nr))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce("c_t", F.lit(0)) + F.lit(1.0))
+                        / (F.col("n_t") + F.lit(float(B)))
+                    )
+                    - F.log(
+                        (F.coalesce("c_r", F.lit(0)) + F.lit(1.0))
+                        / (F.col("n_r") + F.lit(float(B)))
+                    )
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("llr6"),
+        )
+    )
+    tb = b.groupBy("doc_id", "lang", "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        tb.join(F.broadcast(llr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.min((F.col("lang") == "en").cast("long")).alias("in_target"),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("llr6")).cast("long").alias("weight6"),
+            (
+                F.sum(F.col("tf") * F.col("llr6")).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("log_importance"),
+        )
+    )

@@ -1067,3 +1067,33 @@ def test_s11_recall_join_broadcasts(spark):
 
     plan = _plan(s11_ann_recall(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
+
+
+def test_t22_gopher_rules_map_only(spark):
+    """t22 is a pre-filter: every rule metric comes from the row's own
+    text (token array, line array, char counts via higher-order
+    functions), so the plan must be scan -> project with NO key shuffle,
+    no join, no aggregation, and no Generate (arrays never explode)."""
+    from lakekeeper_spark.queries.text import t22_gopher_rules
+
+    plan = _plan(t22_gopher_rules(spark, SF_DIR))
+    seg = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in seg and "text" in seg  # column-pruned scan
+    assert "Generate" not in plan  # filters/sizes stay in-row
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert "hashpartitioning" not in plan  # zero key shuffles
+
+
+def test_t23_dsir_model_is_broadcast(spark):
+    """t23's unigram models reduce to a B-row LLR table; scoring must
+    broadcast it into the doc rollup (BroadcastHashJoin), never shuffle
+    the token stream against it, and the bucket-domain left joins for
+    smoothing are all broadcasts too. No cartesian anywhere."""
+    from lakekeeper_spark.queries.text import t23_dsir_importance
+
+    plan = _plan(t23_dsir_importance(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # token-scale shuffles: tf rollup + doc rollup only; the LLR table
+    # never induces a SortMergeJoin over the corpus
+    assert "SortMergeJoin" not in plan
