@@ -97,15 +97,17 @@ def read_generic_table(
         #   register_lance_reader(lambda spark, location, meta:
         #       spark.read.format("lance").load(location))
         # (or lance.dataset(location).to_table() -> createDataFrame).
-        # The container has no lance package, so without an adapter reads
-        # of this format raise; the contract (signature, metadata dict,
-        # error text) is pinned in tests/test_generic_vector.py.
+        # Without an adapter the built-in lancelite codec reads the
+        # dataset (pure-Python Lance-v2-subset, one task per data file —
+        # see format/lancelite.py for its fidelity contract); a real
+        # protobuf-metadata Lance file raises a LanceLiteError naming
+        # the library to register. Contract pinned in
+        # tests/test_generic_vector.py + tests/test_lancelite.py.
         if _LANCE_READER is not None:
             return _LANCE_READER(spark, location, meta)
-        raise NotImplementedError(
-            "lance reads need the external lance library; register the "
-            "dataset with a Spark-native format or install the connector"
-        )
+        from . import lancelite
+
+        return lancelite.read_dataset(spark, location, meta)
     raise CatalogError(f"unsupported generic-table format: {fmt}")
 
 

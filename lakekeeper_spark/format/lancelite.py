@@ -1,0 +1,538 @@
+"""lancelite: a pure-Python subset of the Lance v2 file format, enough to
+serve vector datasets through the generic-table API without the external
+``lance`` library.
+
+Why this exists
+---------------
+The reference registers Lance datasets as *generic tables* — a
+format-agnostic (format, base-location, properties) registry entry — and
+its integration suite (``tests/integration-tests/lance/test_lance.py``)
+drives create/register/LoadCredentials/read end-to-end with the ``lance``
+client library doing the byte-level IO. The catalog itself never parses
+Lance bytes (``server/generic_tables.rs`` stores the location string).
+This container has no ``lance`` package, so this module supplies the
+missing byte-level half for the read path.
+
+Fidelity contract (READ THIS before comparing to real Lance)
+-----------------------------------------------------------
+The *container* layout follows the published Lance v2 file spec exactly:
+
+- data pages first, then per-column metadata blobs, then the column
+  metadata offset table (u64 offset/size pairs), then the global-buffer
+  offset table (u64 pairs), then a 40-byte footer;
+- footer = ``<Q col_meta_start><Q col_meta_offsets_start>
+  <Q global_buff_offsets_start><I num_global_buffers><I num_columns>
+  <H major><H minor>'LANC'`` (little-endian);
+- version is written as (major=0, minor=3): the spec numbers the stable
+  2.0 format ``0.3`` for historical reasons;
+- global buffer 0 is the file descriptor (schema + row count);
+- each column's pages carry parallel ``buffer_offsets``/``buffer_sizes``
+  arrays, a row ``length``, and an encoding descriptor.
+
+The metadata *payloads* diverge deliberately: real Lance serializes them
+as protobuf messages (``file2.proto``); lancelite serializes the same
+information as canonical JSON. Without the lance library in this
+environment a hand-rolled protobuf twin could only be validated against
+itself, so the honest subset keeps the container spec-exact and makes
+the payload encoding explicit. Real-library integration stays one line
+away via :func:`lakekeeper_spark.format.generic.register_lance_reader`.
+
+Supported logical types (the test_lance.py fixture set + vectors):
+``int32``, ``int64``, ``float32``, ``float64``, ``utf8`` (string), and
+``fixed_size_list<float32, dim>`` (embedding vectors). All types support
+nulls via an Arrow-style LSB validity bitmap buffer.
+
+A *dataset* is a directory containing ``data/*.lance`` files sharing one
+schema (the layout the lance library writes); readers merge all files in
+lexicographic order. The Spark adapter distributes one task per data
+file via ``mapInPandas`` — at cluster scale every executor decodes its
+own shard and nothing but the file list touches the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from dataclasses import dataclass
+
+MAGIC = b"LANC"
+# the stable 2.0 format is numbered (0, 3) on disk — spec quirk
+MAJOR, MINOR = 0, 3
+FOOTER = struct.Struct("<QQQIIHH4s")  # 40 bytes
+_U64PAIR = struct.Struct("<QQ")
+
+_FIXED = {  # logical type -> (struct fmt char, bytes per value)
+    "int32": ("i", 4),
+    "int64": ("q", 8),
+    "float32": ("f", 4),
+    "float64": ("d", 8),
+}
+
+
+class LanceLiteError(ValueError):
+    """Malformed or unsupported lancelite/Lance bytes."""
+
+
+@dataclass
+class Field:
+    name: str
+    type: str  # int32|int64|float32|float64|utf8|fsl_float32
+    nullable: bool = True
+    dim: int = 0  # fsl_float32 only
+
+    def to_json(self) -> dict:
+        d = {"name": self.name, "type": self.type, "nullable": self.nullable}
+        if self.type == "fsl_float32":
+            d["dim"] = self.dim
+        return d
+
+    @staticmethod
+    def from_json(d: dict) -> "Field":
+        return Field(
+            d["name"], d["type"], bool(d.get("nullable", True)),
+            int(d.get("dim", 0)),
+        )
+
+
+# --------------------------------------------------------------------------
+# validity bitmaps (Arrow LSB convention)
+# --------------------------------------------------------------------------
+def _pack_validity(mask: list[bool]) -> bytes:
+    out = bytearray((len(mask) + 7) // 8)
+    for i, ok in enumerate(mask):
+        if ok:
+            out[i >> 3] |= 1 << (i & 7)
+    return bytes(out)
+
+
+def _unpack_validity(buf: bytes, n: int) -> list[bool]:
+    return [bool(buf[i >> 3] >> (i & 7) & 1) for i in range(n)]
+
+
+# --------------------------------------------------------------------------
+# page codecs: values -> buffers and back
+# --------------------------------------------------------------------------
+def _encode_page(field: Field, values: list) -> tuple[list[bytes], dict]:
+    """Encode one page of python values; returns (buffers, encoding doc).
+    Buffer order: [validity?] + type-specific value buffers."""
+    n = len(values)
+    mask = [v is not None for v in values]
+    has_nulls = not all(mask)
+    bufs: list[bytes] = [_pack_validity(mask)] if has_nulls else []
+    enc: dict = {"type": None, "has_validity": has_nulls}
+    if field.type in _FIXED:
+        fmt, _ = _FIXED[field.type]
+        filled = [v if v is not None else 0 for v in values]
+        bufs.append(struct.pack(f"<{n}{fmt}", *filled))
+        enc["type"] = "plain"
+    elif field.type == "utf8":
+        offsets = [0]
+        blob = bytearray()
+        for v in values:
+            if v is not None:
+                blob += str(v).encode("utf-8")
+            offsets.append(len(blob))
+        bufs.append(struct.pack(f"<{n + 1}i", *offsets))
+        bufs.append(bytes(blob))
+        enc["type"] = "utf8"
+    elif field.type == "fsl_float32":
+        d = field.dim
+        flat: list[float] = []
+        for v in values:
+            if v is None:
+                flat.extend([0.0] * d)
+            else:
+                if len(v) != d:
+                    raise LanceLiteError(
+                        f"vector length {len(v)} != fixed dim {d}"
+                    )
+                flat.extend(float(x) for x in v)
+        bufs.append(struct.pack(f"<{n * d}f", *flat))
+        enc["type"] = "fsl"
+        enc["dim"] = d
+    else:
+        raise LanceLiteError(f"unsupported type: {field.type}")
+    return bufs, enc
+
+
+def _decode_page(field: Field, enc: dict, bufs: list[bytes], n: int) -> list:
+    i = 0
+    mask = None
+    if enc.get("has_validity"):
+        mask = _unpack_validity(bufs[0], n)
+        i = 1
+    kind = enc.get("type")
+    if kind == "plain":
+        fmt, width = _FIXED[field.type]
+        if len(bufs[i]) != n * width:
+            raise LanceLiteError("value buffer size mismatch")
+        vals = list(struct.unpack(f"<{n}{fmt}", bufs[i]))
+    elif kind == "utf8":
+        offsets = struct.unpack(f"<{n + 1}i", bufs[i])
+        blob = bufs[i + 1]
+        vals = [
+            blob[offsets[k]:offsets[k + 1]].decode("utf-8") for k in range(n)
+        ]
+    elif kind == "fsl":
+        d = int(enc["dim"])
+        flat = struct.unpack(f"<{n * d}f", bufs[i])
+        vals = [list(flat[k * d:(k + 1) * d]) for k in range(n)]
+    else:
+        raise LanceLiteError(f"unsupported page encoding: {kind!r}")
+    if mask is not None:
+        vals = [v if ok else None for v, ok in zip(vals, mask)]
+    return vals
+
+
+# --------------------------------------------------------------------------
+# file writer
+# --------------------------------------------------------------------------
+def write_file(
+    path: str,
+    fields: list[Field],
+    columns: dict[str, list],
+    rows_per_page: int = 65536,
+) -> None:
+    """Write one .lance file: pages first, then column metadata, offset
+    tables, global buffers, footer — the v2 container layout."""
+    names = [f.name for f in fields]
+    if set(names) != set(columns):
+        raise LanceLiteError("schema fields != provided columns")
+    n_rows = len(columns[names[0]]) if names else 0
+    for c in names:
+        if len(columns[c]) != n_rows:
+            raise LanceLiteError("ragged columns")
+
+    out = bytearray()
+    col_meta: list[dict] = []
+    for f in fields:
+        pages = []
+        for start in range(0, max(n_rows, 1), rows_per_page):
+            vals = columns[f.name][start:start + rows_per_page]
+            if not vals and n_rows:
+                break
+            bufs, enc = _encode_page(f, vals)
+            offs, sizes = [], []
+            for b in bufs:
+                offs.append(len(out))
+                sizes.append(len(b))
+                out += b
+            pages.append(
+                {
+                    "buffer_offsets": offs,
+                    "buffer_sizes": sizes,
+                    "length": len(vals),
+                    "priority": start,
+                    "encoding": enc,
+                }
+            )
+        col_meta.append({"pages": pages})
+
+    # column metadata section + its offset table
+    col_meta_start = len(out)
+    cm_entries = []
+    for cm in col_meta:
+        blob = json.dumps(cm, sort_keys=True).encode("utf-8")
+        cm_entries.append((len(out), len(blob)))
+        out += blob
+    col_meta_offsets_start = len(out)
+    for off, size in cm_entries:
+        out += _U64PAIR.pack(off, size)
+
+    # global buffer 0: file descriptor (schema + row count)
+    descriptor = json.dumps(
+        {
+            "fields": [f.to_json() for f in fields],
+            "num_rows": n_rows,
+            "writer": "lakekeeper_spark.lancelite",
+        },
+        sort_keys=True,
+    ).encode("utf-8")
+    gb_entries = [(len(out), len(descriptor))]
+    out += descriptor
+    global_buff_offsets_start = len(out)
+    for off, size in gb_entries:
+        out += _U64PAIR.pack(off, size)
+
+    out += FOOTER.pack(
+        col_meta_start,
+        col_meta_offsets_start,
+        global_buff_offsets_start,
+        len(gb_entries),
+        len(fields),
+        MAJOR,
+        MINOR,
+        MAGIC,
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(out)
+    os.replace(tmp, path)
+
+
+# --------------------------------------------------------------------------
+# file reader
+# --------------------------------------------------------------------------
+def read_schema(path: str) -> tuple[list[Field], int]:
+    """Schema + row count from the file descriptor (global buffer 0) —
+    a footer + descriptor read, no data pages touched."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    return _parse_descriptor(data)
+
+
+def _parse_footer(data: bytes):
+    if len(data) < FOOTER.size:
+        raise LanceLiteError("file shorter than the 40-byte footer")
+    (
+        col_meta_start,
+        col_meta_offsets_start,
+        global_buff_offsets_start,
+        num_global,
+        num_cols,
+        major,
+        minor,
+        magic,
+    ) = FOOTER.unpack(data[-FOOTER.size:])
+    if magic != MAGIC:
+        raise LanceLiteError(f"bad magic {magic!r} (want {MAGIC!r})")
+    if (major, minor) != (MAJOR, MINOR):
+        raise LanceLiteError(
+            f"unsupported Lance file version {major}.{minor} "
+            f"(lancelite reads the stable 2.0 layout, stored as 0.3)"
+        )
+    return (
+        col_meta_start,
+        col_meta_offsets_start,
+        global_buff_offsets_start,
+        num_global,
+        num_cols,
+    )
+
+
+def _parse_descriptor(data: bytes) -> tuple[list[Field], int]:
+    _, _, gb_start, num_global, _ = _parse_footer(data)
+    if num_global < 1:
+        raise LanceLiteError("no global buffers: missing file descriptor")
+    off, size = _U64PAIR.unpack_from(data, gb_start)
+    try:
+        doc = json.loads(data[off:off + size])
+    except ValueError as e:
+        raise LanceLiteError(
+            "file descriptor is not lancelite JSON — a real-protobuf Lance "
+            "file needs the lance library (register_lance_reader)"
+        ) from e
+    fields = [Field.from_json(f) for f in doc["fields"]]
+    return fields, int(doc["num_rows"])
+
+
+def read_file(path: str) -> tuple[list[Field], dict[str, list]]:
+    with open(path, "rb") as fh:
+        data = fh.read()
+    cm_start, cm_off_start, _, _, num_cols = _parse_footer(data)
+    fields, n_rows = _parse_descriptor(data)
+    if len(fields) != num_cols:
+        raise LanceLiteError("descriptor field count != footer num_columns")
+    columns: dict[str, list] = {}
+    for ci, f in enumerate(fields):
+        off, size = _U64PAIR.unpack_from(data, cm_off_start + 16 * ci)
+        if not (cm_start <= off and off + size <= len(data)):
+            raise LanceLiteError("column metadata offsets out of range")
+        cm = json.loads(data[off:off + size])
+        vals: list = []
+        for page in cm["pages"]:
+            bufs = [
+                data[o:o + s]
+                for o, s in zip(page["buffer_offsets"], page["buffer_sizes"])
+            ]
+            vals.extend(_decode_page(f, page["encoding"], bufs, page["length"]))
+        if len(vals) != n_rows:
+            raise LanceLiteError(
+                f"column {f.name}: {len(vals)} rows != descriptor {n_rows}"
+            )
+        columns[f.name] = vals
+    return fields, columns
+
+
+# --------------------------------------------------------------------------
+# dataset layer: <base>/data/*.lance
+# --------------------------------------------------------------------------
+def dataset_files(location: str) -> list[str]:
+    ddir = os.path.join(location, "data")
+    root = ddir if os.path.isdir(ddir) else location
+    files = sorted(
+        os.path.join(root, f)
+        for f in os.listdir(root)
+        if f.endswith(".lance")
+    )
+    if not files:
+        raise LanceLiteError(f"no .lance data files under {location}")
+    return files
+
+
+def write_dataset(
+    location: str,
+    fields: list[Field],
+    columns: dict[str, list],
+    max_rows_per_file: int = 1 << 20,
+) -> list[str]:
+    os.makedirs(os.path.join(location, "data"), exist_ok=True)
+    names = [f.name for f in fields]
+    n = len(columns[names[0]]) if names else 0
+    paths = []
+    frag = 0
+    for start in range(0, max(n, 1), max_rows_per_file):
+        shard = {c: columns[c][start:start + max_rows_per_file] for c in names}
+        p = os.path.join(location, "data", f"{frag:06d}.lance")
+        write_file(p, fields, shard)
+        paths.append(p)
+        frag += 1
+    return paths
+
+
+def _spark_type(f: Field):
+    from pyspark.sql import types as T
+
+    m = {
+        "int32": T.IntegerType(),
+        "int64": T.LongType(),
+        "float32": T.FloatType(),
+        "float64": T.DoubleType(),
+        "utf8": T.StringType(),
+    }
+    if f.type == "fsl_float32":
+        return T.ArrayType(T.FloatType(), containsNull=False)
+    return m[f.type]
+
+
+def read_dataset(spark, location: str, meta: dict | None = None):
+    """The generic-table read adapter (register_lance_reader signature):
+    one footer read on the driver for the schema, then one task per data
+    file decodes its shard executor-side via mapInPandas — the same
+    scale shape as a native DataSource (no file bytes ever cross the
+    driver)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    files = dataset_files(location)
+    fields, _ = read_schema(files[0])
+    schema = T.StructType(
+        [T.StructField(f.name, _spark_type(f), f.nullable) for f in fields]
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            for path in pdf["path"]:
+                fs, cols = read_file(path)
+                if [f.to_json() for f in fs] != [f.to_json() for f in fields]:
+                    raise LanceLiteError(
+                        f"{path}: schema differs from the dataset schema"
+                    )
+                yield pd.DataFrame({f.name: cols[f.name] for f in fields})
+
+    paths = spark.createDataFrame(
+        [(p,) for p in files], "path string"
+    ).repartition(len(files), "path")
+    return paths.mapInPandas(decode, schema=schema)
+
+
+def fields_from_spark_schema(schema, dims: dict[str, int]) -> list[Field]:
+    """Map a Spark StructType onto lancelite fields. ``dims`` supplies the
+    fixed dimension for every array<float> column (Spark schemas don't
+    carry list lengths; Lance fixed_size_list does)."""
+    from pyspark.sql import types as T
+
+    out: list[Field] = []
+    for f in schema.fields:
+        t = f.dataType
+        if isinstance(t, T.LongType):
+            ty, dim = "int64", 0
+        elif isinstance(t, T.IntegerType):
+            ty, dim = "int32", 0
+        elif isinstance(t, T.FloatType):
+            ty, dim = "float32", 0
+        elif isinstance(t, T.DoubleType):
+            ty, dim = "float64", 0
+        elif isinstance(t, T.StringType):
+            ty, dim = "utf8", 0
+        elif isinstance(t, T.ArrayType) and isinstance(
+            t.elementType, T.FloatType
+        ):
+            if f.name not in dims:
+                raise LanceLiteError(
+                    f"array<float> column {f.name!r} needs a dim entry"
+                )
+            ty, dim = "fsl_float32", dims[f.name]
+        else:
+            raise LanceLiteError(
+                f"unsupported Spark type for lancelite: {f.name}: {t}"
+            )
+        out.append(Field(f.name, ty, f.nullable, dim))
+    return out
+
+
+def write_dataset_spark(df, location: str, dims: dict[str, int] | None = None):
+    """Distributed lancelite sink: every partition writes its own
+    ``data/part-*.lance`` file EXECUTOR-SIDE (mapInPandas), so nothing
+    but the resulting file list crosses the driver — the write-path twin
+    of :func:`read_dataset`. Returns the written paths."""
+    import os as _os
+    import uuid as _uuid
+
+    import pandas as pd
+
+    dims = dims or {}
+    fields = fields_from_spark_schema(df.schema, dims)
+    _os.makedirs(_os.path.join(location, "data"), exist_ok=True)
+
+    def sink(batches):
+        rows: dict[str, list] = {f.name: [] for f in fields}
+        for pdf in batches:
+            for f in fields:
+                col = pdf[f.name]
+                if f.type == "fsl_float32":
+                    rows[f.name].extend(
+                        None if v is None else [float(x) for x in v]
+                        for v in col
+                    )
+                elif f.type in ("int32", "int64"):
+                    # pandas widens nullable ints to float64 + NaN
+                    rows[f.name].extend(
+                        None if pd.isna(v) else int(v) for v in col
+                    )
+                elif f.type in ("float32", "float64"):
+                    rows[f.name].extend(
+                        None if pd.isna(v) else float(v) for v in col
+                    )
+                else:  # utf8
+                    rows[f.name].extend(
+                        None if v is None else str(v) for v in col
+                    )
+        if not rows[fields[0].name]:
+            return
+        p = _os.path.join(
+            location, "data", f"part-{_uuid.uuid4().hex}.lance"
+        )
+        write_file(p, fields, rows)
+        yield pd.DataFrame({"path": [p]})
+
+    return [
+        r.path
+        for r in df.mapInPandas(sink, schema="path string").collect()
+    ]
+
+
+__all__ = [
+    "Field",
+    "LanceLiteError",
+    "write_file",
+    "read_file",
+    "read_schema",
+    "write_dataset",
+    "dataset_files",
+    "read_dataset",
+    "MAGIC",
+    "MAJOR",
+    "MINOR",
+]

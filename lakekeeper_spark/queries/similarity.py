@@ -861,6 +861,65 @@ def s10_generic_vector_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# s12: vector search over a LANCE-registered dataset (lancelite codec)
+# --------------------------------------------------------------------------
+@register(
+    "s12_lance_vector_knn",
+    oracle=_S01_ORACLE,
+    description="s01-style exact kNN over a vector dataset stored in the "
+    "Lance v2 container layout (format/lancelite.py) and registered/read "
+    "through the generic-table API with format='lance' — the reference's "
+    "actual Lance flow (tests/integration-tests/lance/test_lance.py:"
+    "42-110) running WITHOUT the lance library. The oracle is s01's over "
+    "the source parquet: the write->register->read round through the "
+    "lance path must change nothing about the data.",
+    tags=("similarity", "catalog", "generic-table", "llm", "lance"),
+)
+def s12_lance_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the lancelite sink writes one data file per
+    partition EXECUTOR-side (mapInPandas), the read runs one decode task
+    per file — only the file list crosses the driver, like a native
+    DataSource. The KNN kernel is s01's adaptive exact scorer."""
+    import tempfile
+
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.generic import read_generic_table
+    from ..format.lancelite import write_dataset_spark
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_lance_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["vectors"])
+    src = load_table(spark, sf_dir, "embeddings")
+    dim = src.select(F.size("embedding")).first()[0]  # 1-row probe
+    loc = f"{tmp}/warehouse/lance/emb"
+    # size data files to the corpus (~1M rows each, the real writer's
+    # target), not to the source partitioning — 32 near-empty files
+    # would mean 32 decode tasks of nothing at this SF and a too-coarse
+    # layout at 100 TB either way. count() is parquet-metadata cheap.
+    n_files = max(1, -(-src.count() // (1 << 20)))
+    write_dataset_spark(src.repartition(n_files), loc, dims={"embedding": int(dim)})
+    cat.create_generic_table(
+        "wh",
+        ["vectors"],
+        "emb",
+        format="lance",
+        base_location=loc,
+        schema={
+            "fields": [
+                {"name": "vec_id", "type": "int64"},
+                {"name": "embedding", "type": f"fixed_size_list<float32, {dim}>"},
+                {"name": "label", "type": "string"},
+            ]
+        },
+        properties={"vector-column": "embedding"},
+    )
+    emb = read_generic_table(spark, cat, "wh", ["vectors"], "emb")
+    return _s01_adaptive(emb.select("vec_id", "embedding", "label"))
+
+
+# --------------------------------------------------------------------------
 # s11: ANN recall harness — LSH candidates scored against exact top-k
 # --------------------------------------------------------------------------
 @register(

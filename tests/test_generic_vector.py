@@ -91,12 +91,16 @@ def test_drop_keeps_data_readable(spark, catalog):
     assert spark.read.parquet(meta["base-location"]).count() == 7
 
 
-def test_lance_swap_in_still_marked(spark, catalog):
+def test_lance_default_reader_is_lancelite(spark, catalog):
+    """With no adapter registered, the lance branch routes to the
+    built-in lancelite codec (round-12 verdict stretch item 8) — a
+    missing dataset surfaces the codec's error, not a stub
+    NotImplementedError."""
     catalog.create_namespace("wh", ["vec5"])
     catalog.create_generic_table(
         "wh", ["vec5"], "l", format="lance", base_location="/nowhere"
     )
-    with pytest.raises(NotImplementedError, match="lance"):
+    with pytest.raises((FileNotFoundError, OSError)):
         read_generic_table(spark, catalog, "wh", ["vec5"], "l")
 
 
@@ -178,11 +182,13 @@ def test_lance_swap_in_contract(spark, tmp_path):
     """The lance branch's pinned contract (round-9 verdict item 8): the
     reference registers Lance datasets as generic tables and the ENGINE
     library does the IO (tests/integration-tests/lance/test_lance.py:
-    42-110). Without the library our read path raises the documented
-    NotImplementedError; register_lance_reader(spark, location, meta)
+    42-110). Without the library our read path falls back to the
+    built-in lancelite codec (which rejects non-lancelite bytes with an
+    actionable error); register_lance_reader(spark, location, meta)
     is the one-line adapter a lance-equipped environment installs — its
     signature receives the full generic-table entry so a connector can
-    honor the declared schema and properties."""
+    honor the declared schema and properties, and it always takes
+    precedence over the built-in codec."""
     import pytest as _pytest
 
     from lakekeeper_spark.catalog.catalog import Catalog
@@ -208,8 +214,11 @@ def test_lance_swap_in_contract(spark, tmp_path):
         properties={"k": "v"},
     )
 
-    # 1. no adapter installed: the exact documented error
-    with _pytest.raises(NotImplementedError, match="lance reads need the external"):
+    # 1. no adapter installed: lancelite engages and rejects the parquet
+    # bytes staged at the location (it is not a lance dataset)
+    from lakekeeper_spark.format.lancelite import LanceLiteError
+
+    with _pytest.raises(LanceLiteError, match="no .lance data files"):
         read_generic_table(spark, cat, "wh", ["lz"], "ds")
 
     # 2. adapter installed: reads route through it with the full entry
@@ -230,6 +239,6 @@ def test_lance_swap_in_contract(spark, tmp_path):
     finally:
         register_lance_reader(None)
 
-    # 3. adapter cleared: the stub contract is back
-    with _pytest.raises(NotImplementedError):
+    # 3. adapter cleared: the lancelite default is back
+    with _pytest.raises(LanceLiteError):
         read_generic_table(spark, cat, "wh", ["lz"], "ds")

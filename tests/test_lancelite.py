@@ -1,0 +1,256 @@
+"""lancelite: the pure-Python Lance-v2-subset codec behind the generic
+table API's lance branch (round-12 verdict stretch item 8).
+
+Covers the container invariants of the published v2 file layout (footer
+shape, magic, the 0.3==2.0 version quirk, pages-before-metadata), value
+roundtrips for every supported logical type incl. nulls and multi-page
+splits, the dataset directory layout, foreign-bytes error paths, the
+distributed Spark read, and the reference's end-to-end generic-table
+flow (tests/integration-tests/lance/test_lance.py:42-110) running
+WITHOUT the lance library."""
+
+from __future__ import annotations
+
+import os
+import struct
+
+import pytest
+
+from lakekeeper_spark.format import lancelite as ll
+from lakekeeper_spark.format.lancelite import Field, LanceLiteError
+
+
+FIELDS = [
+    Field("vec_id", "int64", nullable=False),
+    Field("score", "float64"),
+    Field("rank", "int32"),
+    Field("name", "utf8"),
+    Field("embedding", "fsl_float32", nullable=False, dim=4),
+]
+
+
+def _columns(n=10):
+    return {
+        "vec_id": list(range(n)),
+        "score": [None if i % 4 == 3 else i * 1.5 for i in range(n)],
+        "rank": [None if i == 0 else -i for i in range(n)],
+        "name": [None if i % 5 == 2 else f"row-{i}" for i in range(n)],
+        "embedding": [[float(i), i + 0.25, 0.0, -i / 2] for i in range(n)],
+    }
+
+
+def test_roundtrip_all_types_with_nulls(tmp_path):
+    p = str(tmp_path / "f.lance")
+    cols = _columns(10)
+    ll.write_file(p, FIELDS, cols)
+    fields, got = ll.read_file(p)
+    assert [f.to_json() for f in fields] == [f.to_json() for f in FIELDS]
+    assert got == {
+        **cols,
+        # float32 roundtrip: values were chosen exactly representable
+        "embedding": cols["embedding"],
+    }
+
+
+def test_multi_page_split_preserves_order(tmp_path):
+    p = str(tmp_path / "f.lance")
+    cols = _columns(100)
+    ll.write_file(p, FIELDS, cols, rows_per_page=7)
+    _, got = ll.read_file(p)
+    assert got["vec_id"] == cols["vec_id"]
+    assert got["name"] == cols["name"]
+
+
+def test_container_layout_matches_v2_spec(tmp_path):
+    """Footer = 3x u64 offsets + 2x u32 counts + u16 major/minor + LANC;
+    version stored as 0.3 (the spec's number for stable 2.0); data pages
+    come first so all metadata offsets sit above them."""
+    p = str(tmp_path / "f.lance")
+    ll.write_file(p, FIELDS, _columns(5))
+    data = open(p, "rb").read()
+    assert data[-4:] == b"LANC"
+    (cm, cmo, gbo, n_gb, n_cols, major, minor, magic) = struct.unpack(
+        "<QQQIIHH4s", data[-40:]
+    )
+    assert magic == b"LANC" and (major, minor) == (0, 3)
+    assert n_cols == len(FIELDS) and n_gb == 1
+    assert 0 < cm <= cmo <= gbo < len(data) - 40
+    # column metadata offset table: one u64 pair per column, all inside
+    # [cm, cmo)
+    for ci in range(n_cols):
+        off, size = struct.unpack_from("<QQ", data, cmo + 16 * ci)
+        assert cm <= off and off + size <= cmo
+
+
+def test_schema_read_is_footer_only(tmp_path):
+    p = str(tmp_path / "f.lance")
+    ll.write_file(p, FIELDS, _columns(64))
+    fields, n = ll.read_schema(p)
+    assert n == 64 and [f.name for f in fields] == [f.name for f in FIELDS]
+
+
+def test_bad_magic_and_version_rejected(tmp_path):
+    p = str(tmp_path / "f.lance")
+    ll.write_file(p, FIELDS, _columns(3))
+    data = bytearray(open(p, "rb").read())
+    bad = str(tmp_path / "bad.lance")
+    open(bad, "wb").write(bytes(data[:-4]) + b"NOPE")
+    with pytest.raises(LanceLiteError, match="magic"):
+        ll.read_file(bad)
+    v = bytearray(data)
+    v[-8:-6] = struct.pack("<H", 9)  # bogus major
+    open(bad, "wb").write(bytes(v))
+    with pytest.raises(LanceLiteError, match="version"):
+        ll.read_file(bad)
+
+
+def test_real_protobuf_descriptor_gets_actionable_error(tmp_path):
+    """A genuine lance file's descriptor is protobuf, not JSON — the
+    error must say to register the real library, not crash opaquely."""
+    p = str(tmp_path / "f.lance")
+    ll.write_file(p, FIELDS[:1], {"vec_id": [1, 2]})
+    data = bytearray(open(p, "rb").read())
+    _, _, gbo, _, _ = struct.unpack_from("<QQQII", data, len(data) - 40)
+    off, size = struct.unpack_from("<QQ", data, gbo)
+    data[off:off + min(size, 4)] = b"\x0a\x03\x08\x01"  # protobuf-ish bytes
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(LanceLiteError, match="lance library"):
+        ll.read_file(p)
+
+
+def test_vector_dim_enforced(tmp_path):
+    with pytest.raises(LanceLiteError, match="fixed dim"):
+        ll.write_file(
+            str(tmp_path / "f.lance"),
+            [Field("v", "fsl_float32", dim=3)],
+            {"v": [[1.0, 2.0]]},
+        )
+
+
+def test_dataset_multi_file_roundtrip(tmp_path):
+    loc = str(tmp_path / "ds")
+    cols = _columns(25)
+    paths = ll.write_dataset(loc, FIELDS, cols, max_rows_per_file=10)
+    assert len(paths) == 3
+    assert ll.dataset_files(loc) == paths
+    merged: list = []
+    for p in paths:
+        merged.extend(ll.read_file(p)[1]["vec_id"])
+    assert merged == cols["vec_id"]
+
+
+def test_spark_read_distributes_one_task_per_file(spark, tmp_path):
+    loc = str(tmp_path / "ds")
+    cols = _columns(30)
+    ll.write_dataset(loc, FIELDS, cols, max_rows_per_file=10)
+    df = ll.read_dataset(spark, loc)
+    assert dict(df.dtypes) == {
+        "vec_id": "bigint",
+        "score": "double",
+        "rank": "int",
+        "name": "string",
+        "embedding": "array<float>",
+    }
+    rows = {r.vec_id: r for r in df.collect()}
+    assert len(rows) == 30
+    assert rows[3].score is None and rows[2].name is None
+    assert rows[4].embedding == [4.0, 4.25, 0.0, -2.0]
+    # decode is executor-side: the only driver data is the file list
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_generic_table_lance_flow_end_to_end(spark, catalog, tmp_path):
+    """The reference's lance flow (test_lance.py:42-110) with lancelite
+    standing in for the lance client: namespace -> register generic
+    table (format=lance) -> LoadCredentials scopes to the base-location
+    -> engine read through the catalog -> SELECT."""
+    from lakekeeper_spark.format.generic import read_generic_table
+
+    catalog.create_namespace("wh", ["lz"])
+    loc = str(tmp_path / "users.lance")
+    fields = [
+        Field("user_id", "int64", nullable=False),
+        Field("name", "utf8", nullable=False),
+        Field("score", "float64", nullable=False),
+    ]
+    ll.write_dataset(
+        loc,
+        fields,
+        {
+            "user_id": [1, 2, 3, 4, 5],
+            "name": ["Alice", "Bob", "Charlie", "Diana", "Eve"],
+            "score": [95.5, 87.3, 92.1, 78.9, 99.0],
+        },
+    )
+    catalog.create_generic_table(
+        "wh", ["lz"], "users", format="lance", base_location=loc
+    )
+    creds = catalog.load_credentials("wh", ["lz"], "users", kind="generic")
+    assert creds["storage-credentials"][0]["prefix"] == loc
+    df = read_generic_table(spark, catalog, "wh", ["lz"], "users")
+    got = {r.user_id: (r.name, r.score) for r in df.collect()}
+    assert got[5] == ("Eve", 99.0) and len(got) == 5
+    top = df.filter("score > 90").count()
+    assert top == 3
+
+
+def test_registered_adapter_still_wins(spark, catalog, tmp_path):
+    """register_lance_reader stays the real-library override: when an
+    adapter is installed it takes precedence over the lancelite default."""
+    from lakekeeper_spark.format.generic import (
+        read_generic_table,
+        register_lance_reader,
+    )
+
+    catalog.create_namespace("wh", ["lz2"])
+    catalog.create_generic_table(
+        "wh", ["lz2"], "t", format="lance", base_location="/nowhere"
+    )
+    sentinel = spark.range(3).toDF("user_id")
+    register_lance_reader(lambda s, location, meta: sentinel)
+    try:
+        assert (
+            read_generic_table(spark, catalog, "wh", ["lz2"], "t").count()
+            == 3
+        )
+    finally:
+        register_lance_reader(None)
+    # without the adapter the lancelite default engages (and reports the
+    # missing data files, not a NotImplementedError)
+    with pytest.raises((LanceLiteError, FileNotFoundError)):
+        read_generic_table(spark, catalog, "wh", ["lz2"], "t")
+
+
+def test_atomic_write_no_tmp_left_behind(tmp_path):
+    p = str(tmp_path / "f.lance")
+    ll.write_file(p, FIELDS[:1], {"vec_id": [1]})
+    assert os.path.exists(p) and not os.path.exists(p + ".tmp")
+
+
+def test_spark_distributed_write_roundtrip(spark, tmp_path):
+    """write_dataset_spark writes one file per non-empty partition
+    executor-side; reading the dataset back returns the same rows."""
+    from pyspark.sql import functions as F
+
+    loc = str(tmp_path / "spark_ds")
+    df = (
+        spark.range(40)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.col("id").cast("float"), F.lit(0.5).cast("float")
+            ).alias("embedding"),
+            F.concat(F.lit("lbl-"), F.col("id")).alias("label"),
+            F.when(F.col("id") % 7 == 0, None)
+            .otherwise(F.col("id") * 2)
+            .alias("even"),
+        )
+        .repartition(4)
+    )
+    paths = ll.write_dataset_spark(df, loc, dims={"embedding": 2})
+    assert 1 <= len(paths) <= 4
+    back = ll.read_dataset(spark, loc)
+    rows = {r.vec_id: r for r in back.collect()}
+    assert len(rows) == 40
+    assert rows[3].embedding == [3.0, 0.5] and rows[3].label == "lbl-3"
+    assert rows[7].even is None and rows[8].even == 16
