@@ -2671,3 +2671,125 @@ def t23_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("log_importance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# t24: bigram-interpolated perplexity scoring
+# --------------------------------------------------------------------------
+# One modeling step past t13's unigram proxy and t20's bucket cut: a
+# bigram language model with unigram interpolation —
+# p(b|a) = L2 * c2(a,b)/c1(a) + L1 * c1(b)/N — the closest
+# SQL-expressible analogue of CCNet's KenLM scoring. Everything
+# expensive happens at VOCABULARY scale: both count tables and the one
+# ln() per distinct bigram, quantized to fixed point; the corpus-scale
+# work is one bigram aggregation plus a vocab join, never a token-level
+# sort. Docs with fewer than 2 tokens carry no bigram and drop (the
+# fate KenLM gives empty text too) — documented output contract.
+T24_L2_NUM, T24_L1_NUM, T24_DEN = 3, 1, 4  # L2=0.75, L1=0.25 exactly
+
+
+def _t24_oracle() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS t
+  FROM documents
+),
+sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 2),
+uni AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+),
+c1 AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+ntot AS (SELECT COUNT(*) AS n FROM uni),
+bg AS (
+  SELECT doc_id, t[u.i] AS a, t[u.i + 1] AS b
+  FROM sized, LATERAL unnest(range(1, n)) AS u(i)
+),
+tf AS (SELECT doc_id, a, b, COUNT(*) AS tf FROM bg GROUP BY doc_id, a, b),
+c2 AS (SELECT a, b, COUNT(*) AS c FROM bg GROUP BY a, b),
+lp AS (
+  SELECT c2.a, c2.b,
+         CAST(ROUND(ln(
+             ({T24_L2_NUM}.0 / {T24_DEN}) * (CAST(c2.c AS DOUBLE) / ca.c)
+           + ({T24_L1_NUM}.0 / {T24_DEN}) * (CAST(cb.c AS DOUBLE) / ntot.n)
+         ) * 1000000) AS BIGINT) AS lp6
+  FROM c2 JOIN c1 ca ON c2.a = ca.w
+          JOIN c1 cb ON c2.b = cb.w, ntot
+)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+       CAST(SUM(tf.tf * lp.lp6) AS BIGINT) AS sum_lp6,
+       CAST(-SUM(tf.tf * lp.lp6) AS DOUBLE)
+         / (1000000.0 * SUM(tf.tf)) AS neg_mean_logprob
+FROM tf JOIN lp ON tf.a = lp.a AND tf.b = lp.b
+GROUP BY tf.doc_id
+"""
+
+
+@register(
+    "t24_bigram_perplexity",
+    oracle=_t24_oracle(),
+    description="Bigram-interpolated perplexity scoring (the CCNet/KenLM "
+    "analogue): p(b|a) = 0.75*c2(a,b)/c1(a) + 0.25*c1(b)/N, one ln() per "
+    "DISTINCT bigram quantized to fixed point, per-doc negative mean "
+    "logprob summed in exact integers. Counts, interpolation, and logs "
+    "all live at vocabulary scale; the corpus pass is one bigram "
+    "aggregation + a vocab join. Docs with <2 tokens drop (no bigram).",
+    tags=("text", "llm", "quality"),
+)
+def t24_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: c1/c2/lp are vocabulary-bounded; the doc-level
+    rollup joins the per-doc bigram tf against lp on (a,b) — a
+    vocab-sized build side at any corpus size. The in-row bigram
+    enumeration reuses t21's posexplode-coordinates pattern (a
+    Generate, not a shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)").alias("t"),
+    )
+    uni = docs.select("doc_id", F.explode("t").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ntot = uni.agg(F.count(F.lit(1)).alias("n"))
+    sized = docs.withColumn("n", F.size("t")).filter(F.col("n") >= 2)
+    bg = sized.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        F.element_at("t", F.col("i").cast("int")).alias("a"),
+        F.element_at("t", (F.col("i") + 1).cast("int")).alias("b"),
+    )
+    tf = bg.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("tf"))
+    c2 = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c"))
+    l2 = F.lit(T24_L2_NUM / T24_DEN)
+    l1 = F.lit(T24_L1_NUM / T24_DEN)
+    lp = (
+        c2.join(c1.withColumnRenamed("w", "a").withColumnRenamed("c", "ca"), "a")
+        .join(c1.withColumnRenamed("w", "b").withColumnRenamed("c", "cb"), "b")
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.log(
+                    l2 * (F.col("c").cast("double") / F.col("ca"))
+                    + l1 * (F.col("cb").cast("double") / F.col("n"))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lp6"),
+        )
+    )
+    return (
+        tf.join(lp, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lp6")).cast("long").alias("sum_lp6"),
+            (
+                (-F.sum(F.col("tf") * F.col("lp6"))).cast("double")
+                / (F.lit(1_000_000.0) * F.sum("tf"))
+            ).alias("neg_mean_logprob"),
+        )
+    )

@@ -254,3 +254,75 @@ def test_spark_distributed_write_roundtrip(spark, tmp_path):
     assert len(rows) == 40
     assert rows[3].embedding == [3.0, 0.5] and rows[3].label == "lbl-3"
     assert rows[7].even is None and rows[8].even == 16
+
+
+# --------------------------------------------------------------------------
+# property: arbitrary values roundtrip bit-exactly through the codec
+# --------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+if _HAS_HYP:
+    _f32 = st.floats(
+        width=32, allow_nan=False, allow_infinity=False
+    ).map(float)
+
+    @st.composite
+    def _tables(draw):
+        n = draw(st.integers(min_value=0, max_value=40))
+        dim = draw(st.integers(min_value=1, max_value=8))
+        opt = lambda s: st.one_of(st.none(), s)  # noqa: E731
+        cols = {
+            "i64": draw(
+                st.lists(
+                    opt(st.integers(min_value=-(2**63), max_value=2**63 - 1)),
+                    min_size=n, max_size=n,
+                )
+            ),
+            "i32": draw(
+                st.lists(
+                    opt(st.integers(min_value=-(2**31), max_value=2**31 - 1)),
+                    min_size=n, max_size=n,
+                )
+            ),
+            "f64": draw(
+                st.lists(
+                    opt(st.floats(allow_nan=False)), min_size=n, max_size=n
+                )
+            ),
+            "s": draw(
+                st.lists(opt(st.text(max_size=20)), min_size=n, max_size=n)
+            ),
+            "v": draw(
+                st.lists(
+                    st.lists(_f32, min_size=dim, max_size=dim),
+                    min_size=n, max_size=n,
+                )
+            ),
+        }
+        fields = [
+            Field("i64", "int64"),
+            Field("i32", "int32"),
+            Field("f64", "float64"),
+            Field("s", "utf8"),
+            Field("v", "fsl_float32", nullable=False, dim=dim),
+        ]
+        rpp = draw(st.integers(min_value=1, max_value=17))
+        return fields, cols, rpp
+
+    @settings(max_examples=60, deadline=None)
+    @given(_tables())
+    def test_property_roundtrip_bit_exact(tmp_path_factory, t):
+        fields, cols, rows_per_page = t
+        p = str(tmp_path_factory.mktemp("ll") / "f.lance")
+        ll.write_file(p, fields, cols, rows_per_page=rows_per_page)
+        got_fields, got = ll.read_file(p)
+        assert [f.to_json() for f in got_fields] == [
+            f.to_json() for f in fields
+        ]
+        assert got == cols

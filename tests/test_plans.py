@@ -1097,3 +1097,18 @@ def test_t23_dsir_model_is_broadcast(spark):
     # token-scale shuffles: tf rollup + doc rollup only; the LLR table
     # never induces a SortMergeJoin over the corpus
     assert "SortMergeJoin" not in plan
+
+
+def test_t24_bigram_lm_is_vocab_scale(spark):
+    """t24's language model lives at vocabulary scale: the bigram
+    enumeration is an in-row Generate (posexplode coordinates), the
+    interpolation/log runs once per distinct bigram, and the only
+    corpus-scale operations are hash aggregations — no cartesian, no
+    window over the token stream."""
+    from lakekeeper_spark.queries.text import t24_bigram_perplexity
+
+    plan = _plan(t24_bigram_perplexity(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # in-row bigram coordinates
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 4  # c1/c2/tf partial+final
