@@ -112,7 +112,12 @@ def new_table_metadata(
 
     last_column_id = max_field_id(schema)  # includes nested element/key ids
     last_partition_id = max((f["field-id"] for f in spec.get("fields", [])), default=999)
+    # v3 row lineage: next-row-id is REQUIRED table metadata from v3 on
+    # (Iceberg v3 spec; the reference persists it per table —
+    # lakekeeper-storage-postgres migrations/20250923102542_v3_support.sql)
+    lineage = {"next-row-id": 0} if format_version >= 3 else {}
     return {
+        **lineage,
         "format-version": format_version,
         "table-uuid": table_uuid,
         "location": location,
@@ -243,6 +248,11 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
                 f" (allowed: {sorted(allowed_format_versions)})"
             )
         meta["format-version"] = target
+        if target >= 3:
+            # v3 requires next-row-id; on upgrade row-id assignment starts
+            # at 0 — existing snapshots keep no first-row-id and their
+            # files carry no row ids (assigned only from the next commit)
+            meta.setdefault("next-row-id", 0)
     elif action == "add-schema":
         schema = _deep_copy(upd["schema"])
         schema.setdefault("type", "struct")  # Iceberg schemas ARE struct types
@@ -310,6 +320,48 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
             snap["sequence-number"] = seq
         meta["last-sequence-number"] = max(meta["last-sequence-number"], seq)
         snap.setdefault("timestamp-ms", int(time.time() * 1000))
+        if meta.get("format-version", 2) >= 3:
+            # v3 row lineage (Iceberg v3 spec): the snapshot claims the id
+            # range [first-row-id, first-row-id + assigned rows); every
+            # ADDED data file (no first-row-id yet) gets a running start
+            # offset; carried-over entries keep the ids they were born
+            # with. next-row-id then advances past the claimed range.
+            base = meta.setdefault("next-row-id", 0)
+            frid = snap.get("first-row-id")
+            if frid is None:
+                frid = base
+                snap["first-row-id"] = frid
+            elif frid < base:
+                raise CommitValidationError(
+                    f"add-snapshot: first-row-id {frid} is behind the "
+                    f"table's next-row-id {base} (row-id ranges must not "
+                    "overlap)"
+                )
+            # only ADDED files receive ids: a pre-v3 file carried forward
+            # from the parent snapshot keeps a null first-row-id and its
+            # rows read _row_id NULL until the file is rewritten (spec
+            # behavior on upgrade). "added" = not in the parent manifest.
+            parent = next(
+                (
+                    s
+                    for s in meta["snapshots"]
+                    if s["snapshot-id"] == snap.get("parent-snapshot-id")
+                ),
+                None,
+            )
+            inherited = (
+                {e["path"] for e in parent.get("manifest", [])}
+                if parent
+                else set()
+            )
+            running = frid
+            for e in snap.get("manifest", []):
+                if e.get("content", "data") != "data":
+                    continue  # delete files carry no row ids
+                if e.get("first-row-id") is None and e["path"] not in inherited:
+                    e["first-row-id"] = running
+                    running += int(e.get("record-count", 0))
+            meta["next-row-id"] = max(base, running)
         meta["snapshots"].append(snap)
     elif action == "set-snapshot-ref":
         ref_name = upd["ref-name"]

@@ -764,6 +764,7 @@ class SparkTable:
         partition_filter: dict[str, Any] | None = None,
         stats_filter: dict[str, tuple] | None = None,
         use_cache: bool = False,
+        row_lineage: bool = False,
     ) -> DataFrame:
         """Read the table at a snapshot. `partition_filter` prunes manifest
         entries by partition value BEFORE any file is opened — the
@@ -775,7 +776,16 @@ class SparkTable:
         also be applied as a .filter for row-level exactness — the
         stats_filter only controls which FILES open. With
         ``use_cache=True`` the scan plans against this handle's cached
-        metadata (stale until refresh(); see metadata_cached)."""
+        metadata (stale until refresh(); see metadata_cached).
+
+        ``row_lineage=True`` (v3 tables only) adds the Iceberg v3 row
+        lineage columns: ``_row_id`` = the file's assigned first-row-id +
+        the row's position (stable across reads, survives MoR deletes
+        because surviving rows keep their physical position), and
+        ``_last_updated_sequence_number`` = the file's data sequence
+        number. Files committed before the v3 upgrade carry no
+        first-row-id and read ``_row_id`` as NULL (spec behavior). The
+        per-file map is metadata-sized and broadcast."""
         meta = self.metadata_cached() if use_cache else self.metadata()
         snap = self._resolve_snapshot(meta, snapshot_id, ref, as_of_ms)
         # head reads project the CURRENT schema (schema evolution applies to
@@ -796,14 +806,53 @@ class SparkTable:
             ]
         if entries and stats_filter:
             entries = [e for e in entries if _bounds_overlap(e, stats_filter)]
+        if row_lineage and meta.get("format-version", 2) < 3:
+            raise ValueError(
+                "row lineage requires format-version >= 3 "
+                f"(table is v{meta.get('format-version', 2)})"
+            )
         self._report_scan(snap, partition_filter, entries, total)
         if not entries:
-            return self.spark.createDataFrame([], struct)
+            df = self.spark.createDataFrame([], struct)
+            if row_lineage:
+                df = df.withColumn("_row_id", F.lit(None).cast("long")).withColumn(
+                    "_last_updated_sequence_number", F.lit(None).cast("long")
+                )
+            return df
         df = self._read_entries(
-            meta, schema, entries, snap["schema-id"], with_pos=bool(delete_entries)
+            meta,
+            schema,
+            entries,
+            snap["schema-id"],
+            with_pos=bool(delete_entries) or row_lineage,
         )
         if delete_entries:
             df = self._apply_position_deletes(df, meta, delete_entries, entries)
+        if row_lineage:
+            fmap = self.spark.createDataFrame(
+                [
+                    (
+                        e["path"],
+                        e.get("first-row-id"),
+                        e.get("sequence-number", 0),
+                    )
+                    for e in entries
+                ],
+                "lineage_path string, _frid long, _fseq long",
+            )
+            df = (
+                df.join(
+                    F.broadcast(fmap),
+                    self._rel_file(meta["location"]) == fmap["lineage_path"],
+                    "left",
+                )
+                .withColumn("_row_id", F.col("_frid") + F.col("_pos"))
+                .withColumn(
+                    "_last_updated_sequence_number", F.col("_fseq")
+                )
+                .drop("lineage_path", "_frid", "_fseq", "_file", "_pos")
+            )
+        elif delete_entries:
             df = df.drop("_file", "_pos")
         return df
 
@@ -2479,7 +2528,14 @@ class SparkTable:
         (OPTIMIZE ... ZORDER BY): every output file then covers a small
         HYPER-RECTANGLE of the key space, so min/max file skipping works
         on ALL the z-ordered columns at once instead of only the leading
-        sort column."""
+        sort column.
+
+        v3 row-lineage caveat: rewritten files are NEW files and receive
+        fresh first-row-ids — compaction does not preserve _row_id here.
+        Spec-complete preservation requires materializing the _row_id
+        column into the rewritten files (what lineage-aware engines do);
+        scans of v3 tables that need stable ids across compaction should
+        read before compacting or snapshot-pin their lineage join."""
         meta = self.metadata()
         snap = self._resolve_snapshot(meta)
         if snap is None or not snap["manifest"]:
@@ -2664,7 +2720,7 @@ class SparkTable:
     # ---------------- metadata tables ----------------
     _FILES_DDL = (
         "file_path string, file_size_in_bytes long, record_count long,"
-        " partition string, bounds string"
+        " partition string, bounds string, first_row_id long"
     )
 
     def _files_of(self, kind_idx: int) -> DataFrame:
@@ -2678,6 +2734,7 @@ class SparkTable:
                 e["record-count"],
                 str(e.get("partition", {})),
                 str(e.get("bounds", {})),
+                e.get("first-row-id"),  # v3 row lineage; NULL pre-v3
             )
             for e in entries
         ]

@@ -2621,3 +2621,89 @@ def c19_fga_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
+
+
+# --------------------------------------------------------------------------
+# c20: v3 row lineage through the catalog lifecycle
+# --------------------------------------------------------------------------
+# Iceberg v3 row lineage end-to-end (reference persists the fields per
+# table/snapshot: lakekeeper-storage-postgres migrations/
+# 20250923102542_v3_support.sql, tabular/table/commit.rs:209-263): a v3
+# table takes two appends (each a single SORTED file, so the row-id
+# assignment is deterministic: file order == sort order), then a
+# merge-on-read DELETE. _row_id must be stable across the delete
+# (surviving rows keep their physical position) and
+# _last_updated_sequence_number must identify which append wrote each
+# row. The oracle reconstructs the expected lineage from the source
+# table alone.
+
+
+@register(
+    "c20_row_lineage",
+    oracle="""
+WITH base AS (
+  SELECT n_nationkey,
+         ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS rid
+  FROM nation
+),
+both_batches AS (
+  SELECT n_nationkey, rid AS row_id, 1 AS last_seq FROM base
+  UNION ALL
+  SELECT n_nationkey + 100 AS n_nationkey,
+         rid + (SELECT COUNT(*) FROM nation) AS row_id,
+         2 AS last_seq
+  FROM base
+)
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       CAST(row_id AS BIGINT) AS row_id,
+       CAST(last_seq AS BIGINT) AS last_seq
+FROM both_batches
+WHERE n_nationkey % 5 <> 0
+""",
+    description="Iceberg v3 row lineage through the catalog: next-row-id "
+    "on create, per-append first-row-id claims, _row_id + "
+    "_last_updated_sequence_number on scan, stability across a "
+    "merge-on-read DELETE. Deterministic because each append writes one "
+    "sorted file (file position == sort rank); the oracle rebuilds the "
+    "expected ids from the source table.",
+    tags=("catalog", "icelite", "v3", "lineage"),
+)
+def c20_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_c20_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["lineage"])
+    schema = {
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "n_nationkey", "type": "long", "required": False},
+            {"id": 2, "name": "n_name", "type": "string", "required": False},
+        ],
+    }
+    cat.create_table("wh", ["lineage"], "nations", schema, format_version=3)
+    t = SparkTable(spark, cat, "wh", ["lineage"], "nations")
+    src = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    )
+    # repartition(1) + sortWithinPartitions: exactly one file whose
+    # physical row order IS the sort order (orderBy+coalesce can execute
+    # the sort with collapsed parallelism but this form is contractual)
+    one_file = src.repartition(1).sortWithinPartitions("n_nationkey")
+    t.append(one_file)  # snapshot 1: ids [0, 25)
+    t.append(  # snapshot 2: ids [25, 50)
+        one_file.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"), "n_name"
+        )
+    )
+    t.delete_where("n_nationkey % 5 = 0", mode="merge-on-read")
+    return t.scan(row_lineage=True).select(
+        "n_nationkey",
+        F.col("_row_id").alias("row_id"),
+        F.col("_last_updated_sequence_number").alias("last_seq"),
+    )

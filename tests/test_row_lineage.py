@@ -1,0 +1,202 @@
+"""Iceberg v3 row lineage: table-level next-row-id, snapshot-level
+first-row-id, per-file row-id ranges, and the _row_id /
+_last_updated_sequence_number read columns.
+
+Reference persists exactly these fields per table/snapshot
+(lakekeeper-storage-postgres/migrations/20250923102542_v3_support.sql:
+next_row_id on tables, first_row_id + assigned_rows on snapshots;
+tabular/table/commit.rs:209-263) — the metadata computation itself lives
+in the iceberg library there and in catalog/commit.py here."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakekeeper_spark.catalog.commit import (
+    CommitValidationError,
+    apply_commit,
+    new_table_metadata,
+)
+from lakekeeper_spark.format.icelite import SparkTable
+
+SCHEMA = {
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "id", "type": "long", "required": True},
+        {"id": 2, "name": "v", "type": "string", "required": False},
+    ],
+}
+
+
+def _snap(sid, manifest, first_row_id=None, parent=None):
+    s = {
+        "snapshot-id": sid,
+        "parent-snapshot-id": parent,
+        "summary": {"operation": "append"},
+        "schema-id": 0,
+        "manifest": manifest,
+    }
+    if first_row_id is not None:
+        s["first-row-id"] = first_row_id
+    return s
+
+
+def _entry(path, n, content="data", frid=None):
+    e = {"path": path, "record-count": n, "file-size-in-bytes": 1,
+         "partition": {}, "content": content}
+    if frid is not None:
+        e["first-row-id"] = frid
+    return e
+
+
+# ---------------------------------------------------------------------------
+# commit-engine unit level
+# ---------------------------------------------------------------------------
+def test_v3_create_initializes_next_row_id():
+    meta = new_table_metadata("u", "loc", SCHEMA, format_version=3)
+    assert meta["next-row-id"] == 0
+    assert "next-row-id" not in new_table_metadata("u", "loc", SCHEMA)
+
+
+def test_upgrade_to_v3_initializes_next_row_id():
+    meta = new_table_metadata("u", "loc", SCHEMA, format_version=2)
+    out = apply_commit(
+        meta, [], [{"action": "upgrade-format-version", "format-version": 3}]
+    )
+    assert out["next-row-id"] == 0
+
+
+def test_add_snapshot_assigns_file_row_id_ranges():
+    meta = new_table_metadata("u", "loc", SCHEMA, format_version=3)
+    m1 = [_entry("data/a.parquet", 10), _entry("data/b.parquet", 5)]
+    out = apply_commit(
+        meta, [], [{"action": "add-snapshot", "snapshot": _snap(1, m1)}]
+    )
+    s1 = out["snapshots"][0]
+    assert s1["first-row-id"] == 0
+    assert [e["first-row-id"] for e in s1["manifest"]] == [0, 10]
+    assert out["next-row-id"] == 15
+    # second append: carried entries keep their ids, new file starts at 15
+    m2 = [dict(e) for e in s1["manifest"]] + [_entry("data/c.parquet", 7)]
+    out2 = apply_commit(
+        out, [], [{"action": "add-snapshot", "snapshot": _snap(2, m2, parent=1)}]
+    )
+    s2 = out2["snapshots"][1]
+    assert s2["first-row-id"] == 15
+    assert [e["first-row-id"] for e in s2["manifest"]] == [0, 10, 15]
+    assert out2["next-row-id"] == 22
+
+
+def test_delete_files_carry_no_row_ids():
+    meta = new_table_metadata("u", "loc", SCHEMA, format_version=3)
+    m = [
+        _entry("data/a.parquet", 4),
+        _entry("data/d.parquet", 3, content="position-deletes"),
+    ]
+    out = apply_commit(
+        meta, [], [{"action": "add-snapshot", "snapshot": _snap(1, m)}]
+    )
+    s = out["snapshots"][0]
+    assert s["manifest"][0]["first-row-id"] == 0
+    assert "first-row-id" not in s["manifest"][1]
+    assert out["next-row-id"] == 4
+
+
+def test_stale_first_row_id_rejected():
+    meta = new_table_metadata("u", "loc", SCHEMA, format_version=3)
+    out = apply_commit(
+        meta,
+        [],
+        [{"action": "add-snapshot",
+          "snapshot": _snap(1, [_entry("data/a.parquet", 10)])}],
+    )
+    with pytest.raises(CommitValidationError, match="behind"):
+        apply_commit(
+            out,
+            [],
+            [{"action": "add-snapshot",
+              "snapshot": _snap(2, [_entry("data/b.parquet", 1)],
+                                first_row_id=3)}],
+        )
+
+
+def test_v2_snapshots_untouched():
+    meta = new_table_metadata("u", "loc", SCHEMA, format_version=2)
+    out = apply_commit(
+        meta,
+        [],
+        [{"action": "add-snapshot",
+          "snapshot": _snap(1, [_entry("data/a.parquet", 10)])}],
+    )
+    s = out["snapshots"][0]
+    assert "first-row-id" not in s
+    assert "first-row-id" not in s["manifest"][0]
+    assert "next-row-id" not in out
+
+
+# ---------------------------------------------------------------------------
+# end-to-end through the engine read path
+# ---------------------------------------------------------------------------
+@pytest.fixture
+def table(spark, catalog):
+    catalog.create_namespace("wh", ["rl"])
+    catalog.create_table("wh", ["rl"], "t", SCHEMA, format_version=3)
+    return SparkTable(spark, catalog, "wh", ["rl"], "t")
+
+
+def test_scan_row_ids_stable_and_disjoint_across_appends(spark, table):
+    df1 = spark.createDataFrame([(i, f"a{i}") for i in range(6)], "id long, v string")
+    table.append(df1)
+    df2 = spark.createDataFrame([(i, f"b{i}") for i in range(6, 10)], "id long, v string")
+    table.append(df2)
+    got = table.scan(row_lineage=True)
+    assert {"_row_id", "_last_updated_sequence_number"} <= set(got.columns)
+    rows = {r.id: r for r in got.collect()}
+    assert sorted(r._row_id for r in rows.values()) == list(range(10))
+    # rows of one append share the file's sequence number; appends differ
+    seqs = {rows[0]._last_updated_sequence_number,
+            rows[9]._last_updated_sequence_number}
+    assert len(seqs) == 2
+    # metadata matches: next-row-id past the claimed ranges
+    assert table.metadata()["next-row-id"] == 10
+    # files metadata table exposes the per-file range starts
+    frids = sorted(
+        r.first_row_id for r in table.files().collect()
+    )
+    assert frids[0] == 0 and len(frids) >= 2
+
+
+def test_row_ids_survive_mor_delete(spark, table):
+    df = spark.createDataFrame([(i, f"x{i}") for i in range(8)], "id long, v string")
+    table.append(df)
+    before = {r.id: r._row_id for r in table.scan(row_lineage=True).collect()}
+    table.delete_where("id IN (2, 5)", mode="merge-on-read")
+    after = {r.id: r._row_id for r in table.scan(row_lineage=True).collect()}
+    assert set(after) == set(range(8)) - {2, 5}
+    # survivors keep their original row ids (physical position is stable)
+    for k, v in after.items():
+        assert before[k] == v
+
+
+def test_v2_scan_rejects_row_lineage(spark, catalog):
+    catalog.create_namespace("wh", ["rl2"])
+    catalog.create_table("wh", ["rl2"], "t2", SCHEMA, format_version=2)
+    t = SparkTable(spark, catalog, "wh", ["rl2"], "t2")
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(ValueError, match="format-version >= 3"):
+        t.scan(row_lineage=True)
+
+
+def test_upgrade_then_append_starts_ids_at_zero(spark, catalog):
+    """Pre-upgrade files have no ids (NULL _row_id); the first post-
+    upgrade append claims the range starting at 0."""
+    catalog.create_namespace("wh", ["rl3"])
+    catalog.create_table("wh", ["rl3"], "t3", SCHEMA, format_version=2)
+    t = SparkTable(spark, catalog, "wh", ["rl3"], "t3")
+    t.append(spark.createDataFrame([(1, "old")], "id long, v string"))
+    t._commit([], [{"action": "upgrade-format-version", "format-version": 3}])
+    t.append(spark.createDataFrame([(2, "new")], "id long, v string"))
+    rows = {r.id: r for r in t.scan(row_lineage=True).collect()}
+    assert rows[1]._row_id is None  # pre-upgrade file: no lineage
+    assert rows[2]._row_id == 0
+    assert t.metadata()["next-row-id"] == 1
