@@ -256,6 +256,16 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
     elif action == "add-schema":
         schema = _deep_copy(upd["schema"])
         schema.setdefault("type", "struct")  # Iceberg schemas ARE struct types
+        if meta.get("format-version", 2) < 3:
+            # default values (initial-default / write-default) are an
+            # Iceberg v3 feature; v1/v2 metadata must not carry them
+            for f in schema.get("fields", []):
+                if "initial-default" in f or "write-default" in f:
+                    raise CommitValidationError(
+                        f"add-schema: field {f.get('name')!r} carries a "
+                        "default value — defaults require format-version"
+                        " >= 3"
+                    )
         if schema.get("schema-id") is None or schema["schema-id"] == -1:
             schema["schema-id"] = max((s["schema-id"] for s in meta["schemas"]), default=-1) + 1
         if _schema_by_id(meta, schema["schema-id"]) is not None:

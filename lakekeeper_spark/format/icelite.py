@@ -598,6 +598,17 @@ class SparkTable:
         out_dir = f"{meta['location']}/data/{commit_id}"
         partcols = self._partition_columns(meta)
         writer_df = df
+        # v3 write-default: a writer that omits a schema column has it
+        # filled with the declared default (missing columns without one
+        # keep the existing behavior: absent from the file, read NULL)
+        cur = self._current_schema(meta)
+        have = set(df.columns)
+        for f in cur["fields"]:
+            if f["name"] not in have and f.get("write-default") is not None:
+                writer_df = writer_df.withColumn(
+                    f["name"],
+                    F.lit(f["write-default"]).cast(spark_ddl_of(f["type"])),
+                )
         for pname, pcol in partcols:
             writer_df = writer_df.withColumn(pname, pcol)
         sort_cols = self._sort_columns(meta)
@@ -949,7 +960,11 @@ class SparkTable:
             for f, sf in zip(target_schema["fields"], tstruct.fields):
                 wname = by_id.get(f["id"])
                 if wname is None:
-                    cols.append(F.lit(None).cast(sf.dataType).alias(f["name"]))
+                    # field didn't exist when this file was written: v3
+                    # initial-default (JSON single-value; ISO strings
+                    # cast to date/timestamp) — NULL when none declared
+                    dv = f.get("initial-default")
+                    cols.append(F.lit(dv).cast(sf.dataType).alias(f["name"]))
                 else:
                     cols.append(F.col(wname).cast(sf.dataType).alias(f["name"]))
             if with_file or with_pos:
@@ -2395,7 +2410,25 @@ class SparkTable:
         )
 
     # ---------------- schema evolution ----------------
-    def add_column(self, name: str, ddl_type: str, required: bool = False) -> None:
+    def add_column(
+        self,
+        name: str,
+        ddl_type: str,
+        required: bool = False,
+        initial_default: Any | None = None,
+        write_default: Any | None = None,
+    ) -> None:
+        """ADD COLUMN, optionally with Iceberg v3 default values:
+        ``initial_default`` is what rows written BEFORE the column
+        existed read back (instead of NULL); ``write_default`` fills the
+        column when a writer omits it. Following engine ALTER TABLE ...
+        ADD COLUMN ... DEFAULT semantics, giving only initial_default
+        sets write_default to the same value. Defaults use the spec's
+        JSON single-value forms (numbers/strings/bools; date/timestamp
+        as ISO strings) and require format-version >= 3 — the commit
+        engine rejects them on v1/v2 tables. A required column with no
+        initial_default would make pre-existing rows unreadable, so
+        that combination is rejected when the table has data."""
         meta = self.metadata()
         schema = self._current_schema(meta)
         # normalize the DDL spelling to the Iceberg type (nested ids for
@@ -2403,10 +2436,25 @@ class SparkTable:
         fid = next_field_id(schema)
         counter = iter(range(fid + 1, fid + 1000))
         itype = _iceberg_type_of(_parse_type(ddl_type), lambda: next(counter))
+        field: dict[str, Any] = {
+            "id": fid, "name": name, "type": itype, "required": required,
+        }
+        if initial_default is not None and write_default is None:
+            write_default = initial_default
+        if initial_default is not None:
+            field["initial-default"] = initial_default
+        if write_default is not None:
+            field["write-default"] = write_default
+        if required and initial_default is None:
+            snap = self._resolve_snapshot(meta)
+            if snap and snap["manifest"]:
+                raise CatalogError(
+                    f"cannot add required column {name!r} without an "
+                    "initial-default to a table with existing data"
+                )
         new_schema = {
             "schema-id": max(s["schema-id"] for s in meta["schemas"]) + 1,
-            "fields": schema["fields"]
-            + [{"id": fid, "name": name, "type": itype, "required": required}],
+            "fields": schema["fields"] + [field],
         }
         self._commit([{"type": "assert-current-schema-id", "current-schema-id": meta["current-schema-id"]}],
             [

@@ -2707,3 +2707,72 @@ def c20_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_row_id").alias("row_id"),
         F.col("_last_updated_sequence_number").alias("last_seq"),
     )
+
+
+# --------------------------------------------------------------------------
+# c21: v3 default values through the catalog lifecycle
+# --------------------------------------------------------------------------
+# Iceberg v3 default values end-to-end: rows written BEFORE a column
+# existed read its initial-default (not NULL), a writer that omits the
+# column gets the write-default filled in, and explicitly-written values
+# (including NULL) are stored as given. The oracle rebuilds the expected
+# states from the source table alone.
+
+
+@register(
+    "c21_default_values",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+       'unknown' AS region_name, CAST(0 AS BIGINT) AS score
+FROM nation WHERE n_nationkey < 10
+UNION ALL
+SELECT CAST(n_nationkey + 100 AS BIGINT) AS n_nationkey,
+       'unknown' AS region_name, CAST(50 AS BIGINT) AS score
+FROM nation WHERE n_nationkey < 10
+UNION ALL
+SELECT CAST(n_nationkey + 200 AS BIGINT) AS n_nationkey,
+       n_name AS region_name, CAST(n_regionkey AS BIGINT) AS score
+FROM nation WHERE n_nationkey < 10
+""",
+    description="Iceberg v3 default values through the catalog: "
+    "initial-default read-back for pre-existing rows, write-default for "
+    "writer-omitted columns, explicit values stored as given — three "
+    "appends around two ALTER TABLE ADD COLUMN ... DEFAULT steps, "
+    "expected state reconstructed in SQL from the source table.",
+    tags=("catalog", "icelite", "v3", "defaults"),
+)
+def c21_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_c21_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["defaults"])
+    schema = {
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "n_nationkey", "type": "long", "required": False},
+        ],
+    }
+    cat.create_table("wh", ["defaults"], "t", schema, format_version=3)
+    t = SparkTable(spark, cat, "wh", ["defaults"], "t")
+    src = load_table(spark, sf_dir, "nation").filter("n_nationkey < 10")
+    keys = src.select(F.col("n_nationkey").cast("long").alias("n_nationkey"))
+    t.append(keys)  # batch 1: before either column exists
+    t.add_column("region_name", "string", initial_default="unknown")
+    t.add_column("score", "long", initial_default=0, write_default=50)
+    t.append(  # batch 2: writer omits both -> write-defaults
+        keys.select((F.col("n_nationkey") + 100).alias("n_nationkey"))
+    )
+    t.append(  # batch 3: explicit values stored as given
+        src.select(
+            (F.col("n_nationkey").cast("long") + 200).alias("n_nationkey"),
+            F.col("n_name").alias("region_name"),
+            F.col("n_regionkey").cast("long").alias("score"),
+        )
+    )
+    return t.scan().select("n_nationkey", "region_name", "score")

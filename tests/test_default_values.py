@@ -1,0 +1,109 @@
+"""Iceberg v3 default values: initial-default fills pre-existing rows on
+read, write-default fills writer-omitted columns, and the commit engine
+rejects defaults below format v3 (the v3 spec's default-value feature;
+the reference's commit path delegates the same rules to the iceberg
+library and gates v3 behind its format-version policy,
+catalog/commit.py here)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakekeeper_spark.catalog.catalog import CatalogError
+from lakekeeper_spark.catalog.commit import (
+    CommitValidationError,
+    apply_commit,
+    new_table_metadata,
+)
+from lakekeeper_spark.format.icelite import SparkTable
+
+SCHEMA = {
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "id", "type": "long", "required": True},
+    ],
+}
+
+
+def _table(spark, catalog, ns, fv=3):
+    catalog.create_namespace("wh", [ns])
+    catalog.create_table("wh", [ns], "t", SCHEMA, format_version=fv)
+    return SparkTable(spark, catalog, "wh", [ns], "t")
+
+
+def test_commit_engine_rejects_defaults_below_v3():
+    meta = new_table_metadata("u", "loc", SCHEMA, format_version=2)
+    bad = {
+        "schema-id": 1,
+        "fields": SCHEMA["fields"]
+        + [{"id": 2, "name": "d", "type": "int", "required": False,
+            "initial-default": 7}],
+    }
+    with pytest.raises(CommitValidationError, match="format-version"):
+        apply_commit(meta, [], [{"action": "add-schema", "schema": bad}])
+    # the same schema is legal on a v3 table
+    meta3 = new_table_metadata("u", "loc", SCHEMA, format_version=3)
+    out = apply_commit(meta3, [], [{"action": "add-schema", "schema": bad}])
+    assert out["schemas"][1]["fields"][1]["initial-default"] == 7
+
+
+def test_initial_default_fills_pre_existing_rows(spark, catalog):
+    t = _table(spark, catalog, "dv1")
+    t.append(spark.createDataFrame([(1,), (2,)], "id long"))
+    t.add_column("region", "string", initial_default="unknown")
+    t.append(
+        spark.createDataFrame([(3, "emea")], "id long, region string")
+    )
+    rows = {r.id: r.region for r in t.scan().collect()}
+    # rows written before the column existed read the default, not NULL
+    assert rows == {1: "unknown", 2: "unknown", 3: "emea"}
+
+
+def test_write_default_fills_omitted_column(spark, catalog):
+    t = _table(spark, catalog, "dv2")
+    t.add_column("status", "string", initial_default="new")
+    # writer omits the column entirely -> write-default (= initial here)
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    # writer supplies it, including an explicit NULL -> stored as given
+    t.append(
+        spark.createDataFrame([(2, "done"), (3, None)],
+                              "id long, status string")
+    )
+    rows = {r.id: r.status for r in t.scan().collect()}
+    assert rows == {1: "new", 2: "done", 3: None}
+
+
+def test_distinct_initial_and_write_defaults(spark, catalog):
+    t = _table(spark, catalog, "dv3")
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    t.add_column("score", "int", initial_default=0, write_default=100)
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    rows = {r.id: r.score for r in t.scan().collect()}
+    assert rows == {1: 0, 2: 100}
+
+
+def test_required_column_needs_default_when_data_exists(spark, catalog):
+    t = _table(spark, catalog, "dv4")
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(CatalogError, match="initial-default"):
+        t.add_column("must", "string", required=True)
+    # with a default it works
+    t.add_column("must", "string", required=True, initial_default="x")
+    assert {r.must for r in t.scan().collect()} == {"x"}
+
+
+def test_add_column_with_default_on_v2_rejected(spark, catalog):
+    t = _table(spark, catalog, "dv5", fv=2)
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(CommitValidationError, match="format-version"):
+        t.add_column("d", "int", initial_default=5)
+
+
+def test_iso_date_default_casts(spark, catalog):
+    import datetime
+
+    t = _table(spark, catalog, "dv6")
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    t.add_column("since", "date", initial_default="2024-01-15")
+    rows = {r.id: r.since for r in t.scan().collect()}
+    assert rows[1] == datetime.date(2024, 1, 15)
