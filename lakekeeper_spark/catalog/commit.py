@@ -92,6 +92,45 @@ def _current_schema_of(meta: dict[str, Any]) -> dict[str, Any]:
     )
 
 
+#: schema features introduced by Iceberg format v3 — rejected below it
+_V3_ONLY_TYPES = frozenset(
+    {"variant", "unknown", "timestamp_ns", "timestamptz_ns"}
+)
+
+
+def _check_v3_only_schema_features(
+    schema: dict[str, Any], format_version: int, where: str
+) -> None:
+    """Default values and the v3-only types (variant/unknown/nanosecond
+    timestamps) are Iceberg v3 features; v1/v2 metadata must not carry
+    them (the reference inherits the same rule from the iceberg lib)."""
+    if format_version >= 3:
+        return
+
+    def _prims(t):
+        if isinstance(t, str):
+            yield t
+        elif isinstance(t, dict):
+            for k in ("element", "key", "value"):
+                if k in t:
+                    yield from _prims(t[k])
+            for sf in t.get("fields", []):
+                yield from _prims(sf.get("type"))
+
+    for f in schema.get("fields", []):
+        if "initial-default" in f or "write-default" in f:
+            raise CommitValidationError(
+                f"{where}: field {f.get('name')!r} carries a default "
+                "value — defaults require format-version >= 3"
+            )
+        bad = _V3_ONLY_TYPES.intersection(_prims(f.get("type")))
+        if bad:
+            raise CommitValidationError(
+                f"{where}: field {f.get('name')!r} uses {sorted(bad)} — "
+                "these types require format-version >= 3"
+            )
+
+
 def new_table_metadata(
     table_uuid: str,
     location: str,
@@ -104,6 +143,7 @@ def new_table_metadata(
     schema = dict(schema)
     schema.setdefault("schema-id", 0)
     schema.setdefault("type", "struct")  # Iceberg schemas ARE struct types
+    _check_v3_only_schema_features(schema, format_version, "create-table")
     spec = dict(partition_spec or {"spec-id": 0, "fields": []})
     spec["fields"] = _normalize_partition_fields(spec.get("fields", []), schema)
     order = dict(sort_order or {"order-id": 0, "fields": []})
@@ -256,16 +296,9 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
     elif action == "add-schema":
         schema = _deep_copy(upd["schema"])
         schema.setdefault("type", "struct")  # Iceberg schemas ARE struct types
-        if meta.get("format-version", 2) < 3:
-            # default values (initial-default / write-default) are an
-            # Iceberg v3 feature; v1/v2 metadata must not carry them
-            for f in schema.get("fields", []):
-                if "initial-default" in f or "write-default" in f:
-                    raise CommitValidationError(
-                        f"add-schema: field {f.get('name')!r} carries a "
-                        "default value — defaults require format-version"
-                        " >= 3"
-                    )
+        _check_v3_only_schema_features(
+            schema, meta.get("format-version", 2), "add-schema"
+        )
         if schema.get("schema-id") is None or schema["schema-id"] == -1:
             schema["schema-id"] = max((s["schema-id"] for s in meta["schemas"]), default=-1) + 1
         if _schema_by_id(meta, schema["schema-id"]) is not None:

@@ -628,9 +628,34 @@ class SparkTable:
         import pyarrow.parquet as pq
 
         entries = []
+        counts_by_file: dict[str, int] | None = None
         for p in sorted(Path(out_dir).rglob("*.parquet")):
             rel = p.relative_to(meta["location"]).as_posix()
-            md = pq.ParquetFile(p).metadata
+            try:
+                md = pq.ParquetFile(p).metadata
+                nrows, bounds = md.num_rows, _file_bounds(md)
+            except OSError:
+                # the footer carries a LogicalType this pyarrow build
+                # can't parse (Spark 4 writes a VARIANT logical type);
+                # fall back to one Spark count over the commit dir and
+                # skip stats bounds for these files
+                if counts_by_file is None:
+                    counts_by_file = {
+                        r.f: r.n
+                        for r in self.spark.read.parquet(out_dir)
+                        .groupBy(F.col("_metadata.file_path").alias("f"))
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    }
+                nrows = next(
+                    (
+                        n
+                        for f, n in counts_by_file.items()
+                        if f.endswith("/" + p.name)
+                    ),
+                    0,  # row-group-less file: holds no rows
+                )
+                bounds = {}
             partition = {}
             for part in p.relative_to(out_dir).parts[:-1]:
                 if "=" in part:
@@ -644,10 +669,10 @@ class SparkTable:
                 {
                     "path": rel,
                     "file-size-in-bytes": p.stat().st_size,
-                    "record-count": md.num_rows,
+                    "record-count": nrows,
                     "partition": partition,
                     "schema-id": meta["current-schema-id"],
-                    "bounds": _file_bounds(md),
+                    "bounds": bounds,
                     "sequence-number": _next_seq(meta),
                 }
             )

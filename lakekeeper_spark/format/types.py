@@ -57,6 +57,8 @@ _ICEBERG_TO_SPARK = {
     "string": "string",
     "uuid": "string",
     "binary": "binary",
+    "variant": "variant",  # Iceberg v3 <-> Spark 4 native VariantType
+    "unknown": "string",  # v3 unknown type: readable as null strings
 }
 
 
