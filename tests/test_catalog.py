@@ -411,8 +411,9 @@ def test_report_metrics_sink(catalog):
 
 def test_generic_table_read_path(catalog, spark, tmp_path):
     """Registered generic tables with a Spark-native format are readable
-    through the registry (reference test_lance.py read path); lance itself
-    is stubbed behind NotImplementedError."""
+    through the registry (reference test_lance.py read path); the lance
+    branch defaults to the built-in lancelite codec, which reports the
+    missing dataset for a bogus location."""
     from lakekeeper_spark.format.generic import read_generic_table
 
     data_dir = str(tmp_path / "gdata")
@@ -434,7 +435,7 @@ def test_generic_table_read_path(catalog, spark, tmp_path):
     assert [f.dataType.simpleString() for f in df.schema.fields] == [
         "bigint", "string", "double"]
     catalog.create_generic_table("wh", ["gns"], "vecs", "lance", "/data/vec")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises((FileNotFoundError, OSError)):
         read_generic_table(spark, catalog, "wh", ["gns"], "vecs")
 
 

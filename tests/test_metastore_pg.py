@@ -228,6 +228,7 @@ def test_pg_fga_grants_and_lifecycle(pg_store, tmp_path):
     dialect."""
     from lakekeeper_spark.catalog import fga
     from lakekeeper_spark.catalog.fga import FgaAuthorizer
+    from lakekeeper_spark.catalog.identifiers import qualify, res_key
 
     cat = Catalog(pg_store, authorizer=FgaAuthorizer(pg_store, admins={"root"}))
     with cat.acting_as("root"):
@@ -243,21 +244,22 @@ def test_pg_fga_grants_and_lifecycle(pg_store, tmp_path):
             name="t",
         )
     # implication + top-down resolution on pg
-    assert cat.authz.is_allowed("alice", "read_data", "wh_f#ns.t")
-    assert cat.authz.is_allowed("alice", "get_metadata", "wh_f#ns.t")
-    assert not cat.authz.is_allowed("alice", "write_data", "wh_f#ns.t")
+    assert cat.authz.is_allowed("alice", "read_data", qualify("wh_f", res_key(["ns"], "t")))
+    assert cat.authz.is_allowed("alice", "get_metadata", qualify("wh_f", res_key(["ns"], "t")))
+    assert not cat.authz.is_allowed("alice", "write_data", qualify("wh_f", res_key(["ns"], "t")))
     # bottom-up navigation (LIKE ESCAPE path) + no underscore wildcarding
-    assert cat.authz.is_allowed("alice", "include_in_list", "wh_f#ns")
-    assert not cat.authz.is_allowed("alice", "include_in_list", "whxf#ns")
+    assert cat.authz.is_allowed("alice", "include_in_list", qualify("wh_f", res_key(["ns"])))
+    assert not cat.authz.is_allowed("alice", "include_in_list", qualify("whxf", res_key(["ns"])))
     # rename moves the tuples; hard drop purges them
     with cat.acting_as("root"):
         cat.rename_table("wh_f", ["ns"], "t", ["ns"], "t2")
-    assert cat.authz.is_allowed("alice", "read_data", "wh_f#ns.t2")
+    assert cat.authz.is_allowed("alice", "read_data", qualify("wh_f", res_key(["ns"], "t2")))
     with cat.acting_as("root"):
         cat.drop_table("wh_f", ["ns"], "t2", purge=True)
     assert (
         pg_store.one(
-            "SELECT 1 FROM authz_tuples WHERE entity_key='wh_f#ns.t2'", ()
+            "SELECT 1 FROM authz_tuples WHERE entity_key=?",
+            (qualify("wh_f", res_key(["ns"], "t2")),),
         )
         is None
     )
