@@ -2793,3 +2793,146 @@ def t24_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neg_mean_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# p10: fuzzy (MinHash-LSH) benchmark decontamination
+# --------------------------------------------------------------------------
+# p03 removes exact n-gram overlap; production pipelines (Llama-style)
+# ALSO run fuzzy decontamination so paraphrased/reformatted benchmark
+# text is caught. This row reuses the md5 MinHash family the dedup rows
+# share (queries/dedup.py), but joins TRAIN bands against BENCHMARK
+# bands only — the benchmark side is small at any corpus size, so the
+# candidate join broadcasts it and cost is train-side-linear, never the
+# corpus self-join. A flagged doc = any band collision with the eval
+# split (the recall-oriented "drop candidates" policy).
+
+
+def _p10_oracle() -> str:
+    from .dedup import _D11_H48, _SQL_SHINGLES, D11_BANDS, D11_PERMS, MERSENNE_P
+
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+hashed AS (
+  SELECT doc_id, p.p,
+         MIN(((2 * p.p + 3) * {_D11_H48} + 7 * p.p + 1) % {MERSENNE_P}) AS sig
+  FROM sh, (SELECT unnest(range(0, {D11_PERMS})) AS p) p
+  GROUP BY doc_id, p.p
+),
+bands AS (
+  SELECT doc_id, p // {D11_BANDS} AS band,
+         string_agg(CAST(sig AS VARCHAR), ':' ORDER BY p) AS band_key
+  FROM hashed GROUP BY doc_id, p // {D11_BANDS}
+),
+flags AS (
+  SELECT doc_id, source, doc_id % {EVAL_MOD} = 0 AS is_eval FROM documents
+),
+cand AS (
+  SELECT DISTINCT t.doc_id
+  FROM bands t
+  JOIN flags ft ON t.doc_id = ft.doc_id AND NOT ft.is_eval
+  JOIN bands e ON t.band = e.band AND t.band_key = e.band_key
+  JOIN flags fe ON e.doc_id = fe.doc_id AND fe.is_eval
+),
+train AS (SELECT doc_id, source FROM flags WHERE NOT is_eval)
+SELECT tr.source,
+       COUNT(*) AS n_train_docs,
+       COUNT(c.doc_id) AS n_flagged
+FROM train tr LEFT JOIN cand c ON tr.doc_id = c.doc_id
+GROUP BY tr.source ORDER BY tr.source
+"""
+
+
+@register(
+    "p10_fuzzy_decontamination",
+    oracle=_p10_oracle(),
+    description="Fuzzy benchmark decontamination: md5-MinHash band keys "
+    "(the dedup family's shared generator) joined TRAIN x BENCHMARK "
+    "only — the benchmark side stays small at any corpus size, so the "
+    "candidate join broadcasts it and cost is train-linear. Per-source "
+    "flagged-document report; complements p03's exact n-gram pass the "
+    "way production pipelines run both.",
+    tags=("text", "llm", "pipeline", "decontamination", "lsh"),
+)
+def p10_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _md5_bands, _shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    flags = docs.select(
+        "doc_id", "source", (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval")
+    )
+    bands = _md5_bands(_shingles(docs)).join(
+        F.broadcast(flags.select("doc_id", "is_eval")), "doc_id"
+    )
+    tb = bands.filter(~F.col("is_eval"))
+    eb = bands.filter(F.col("is_eval")).select(
+        "band", "band_key", F.col("doc_id").alias("eval_id")
+    )
+    cand = (
+        tb.join(F.broadcast(eb), ["band", "band_key"])
+        .select("doc_id")
+        .distinct()
+        .withColumn("flagged", F.lit(1))
+    )
+    return (
+        flags.filter(~F.col("is_eval"))
+        .join(cand, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train_docs"),
+            F.sum(F.coalesce("flagged", F.lit(0))).cast("long").alias(
+                "n_flagged"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# t25: filter agreement audit (rules vs classifier)
+# --------------------------------------------------------------------------
+# Before a pipeline swaps one quality filter for another it measures
+# their agreement: the confusion matrix between the Gopher rule filter
+# (t22) and the hashed-feature quality classifier (t19) over the same
+# corpus. Both inputs are row-local scoring passes, so the audit costs
+# one join on doc_id + a 2x2 rollup — the cheap sanity check that
+# catches a filter swap silently changing corpus composition.
+
+
+def _t25_oracle() -> str:
+    from ..registry import REGISTRY
+
+    t19 = REGISTRY["t19_quality_classifier"].oracle
+    t22 = REGISTRY["t22_gopher_rules"].oracle
+    return f"""
+SELECT CAST(r.keep AS BIGINT) AS rules_keep,
+       CAST(c.keep AS BIGINT) AS classifier_keep,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM ({t22}) r JOIN ({t19}) c ON r.doc_id = c.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register(
+    "t25_filter_agreement",
+    oracle=_t25_oracle(),
+    description="Quality-filter agreement audit: the 2x2 confusion "
+    "matrix between the Gopher rule filter (t22) and the hashed-feature "
+    "quality classifier (t19) over the same corpus — one doc_id join of "
+    "two row-local scoring passes plus a four-row rollup. The check a "
+    "pipeline runs before swapping filters.",
+    tags=("text", "llm", "quality", "evaluation"),
+)
+def t25_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules = t22_gopher_rules(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("rules_keep")
+    )
+    clf = t19_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("classifier_keep")
+    )
+    return (
+        rules.join(clf, "doc_id")
+        .groupBy("rules_keep", "classifier_keep")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("rules_keep", "classifier_keep")
+    )

@@ -1112,3 +1112,15 @@ def test_t24_bigram_lm_is_vocab_scale(spark):
     assert "Generate" in plan  # in-row bigram coordinates
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 4  # c1/c2/tf partial+final
+
+
+def test_p10_benchmark_side_broadcasts(spark):
+    """p10's candidate join is TRAIN bands x BENCHMARK bands; the
+    benchmark split is small at any corpus size, so it must broadcast —
+    a corpus self-join (d11's shape) would be the wrong plan for
+    decontamination. No cartesian anywhere."""
+    from lakekeeper_spark.queries.text import p10_fuzzy_decontamination
+
+    plan = _plan(p10_fuzzy_decontamination(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
