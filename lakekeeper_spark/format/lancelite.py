@@ -327,32 +327,105 @@ def _parse_descriptor(data: bytes) -> tuple[list[Field], int]:
     return fields, int(doc["num_rows"])
 
 
-def read_file(path: str) -> tuple[list[Field], dict[str, list]]:
+def read_file(
+    path: str, columns: list[str] | None = None
+) -> tuple[list[Field], dict[str, list]]:
+    """Decode a .lance file. With ``columns``, this is a PROJECTED read:
+    only the footer + metadata tail and the SELECTED columns' page
+    buffers are ever read from disk (seek-based) — IO stays proportional
+    to the projection, the property that makes a columnar layout worth
+    having. Unselected columns' bytes are never touched."""
     with open(path, "rb") as fh:
-        data = fh.read()
-    cm_start, cm_off_start, _, _, num_cols = _parse_footer(data)
-    fields, n_rows = _parse_descriptor(data)
-    if len(fields) != num_cols:
-        raise LanceLiteError("descriptor field count != footer num_columns")
-    columns: dict[str, list] = {}
-    for ci, f in enumerate(fields):
-        off, size = _U64PAIR.unpack_from(data, cm_off_start + 16 * ci)
-        if not (cm_start <= off and off + size <= len(data)):
-            raise LanceLiteError("column metadata offsets out of range")
-        cm = json.loads(data[off:off + size])
-        vals: list = []
-        for page in cm["pages"]:
-            bufs = [
-                data[o:o + s]
-                for o, s in zip(page["buffer_offsets"], page["buffer_sizes"])
-            ]
-            vals.extend(_decode_page(f, page["encoding"], bufs, page["length"]))
-        if len(vals) != n_rows:
+        fh.seek(0, 2)
+        fsize = fh.tell()
+        if fsize < FOOTER.size:
+            raise LanceLiteError("file shorter than the 40-byte footer")
+        fh.seek(fsize - FOOTER.size)
+        footer = fh.read(FOOTER.size)
+        # parse the footer standalone, then pull the metadata TAIL
+        # (everything from col_meta_start on: column metadata blobs,
+        # offset tables, global buffers, footer) in one read
+        (
+            cm_start,
+            cm_off_start,
+            _gb_start,
+            _n_gb,
+            num_cols,
+        ) = _parse_footer(footer)
+        if cm_start > fsize:
+            raise LanceLiteError("column metadata offset out of range")
+        fh.seek(cm_start)
+        tail = fh.read(fsize - cm_start)
+
+        def _tail(off: int, size: int) -> bytes:
+            if not (cm_start <= off and off + size <= fsize):
+                raise LanceLiteError("metadata offsets out of range")
+            return tail[off - cm_start:off - cm_start + size]
+
+        # descriptor lives in the tail (written after the data pages)
+        fields, n_rows = _parse_descriptor_tail(footer, _tail)
+        if len(fields) != num_cols:
             raise LanceLiteError(
-                f"column {f.name}: {len(vals)} rows != descriptor {n_rows}"
+                "descriptor field count != footer num_columns"
             )
-        columns[f.name] = vals
-    return fields, columns
+        if columns is not None:
+            unknown = set(columns) - {f.name for f in fields}
+            if unknown:
+                raise LanceLiteError(f"unknown columns: {sorted(unknown)}")
+            selected = [f for f in fields if f.name in set(columns)]
+        else:
+            selected = fields
+        sel_names = {f.name for f in selected}
+        out: dict[str, list] = {}
+        for ci, f in enumerate(fields):
+            if f.name not in sel_names:
+                continue
+            off, size = _U64PAIR.unpack_from(
+                _tail(cm_off_start + 16 * ci, 16), 0
+            )
+            cm = json.loads(_tail(off, size))
+            vals: list = []
+            for page in cm["pages"]:
+                offs = page["buffer_offsets"]
+                sizes = page["buffer_sizes"]
+                if offs:
+                    # one page's buffers are contiguous: single read
+                    lo = min(offs)
+                    hi = max(o + s for o, s in zip(offs, sizes))
+                    fh.seek(lo)
+                    blob = fh.read(hi - lo)
+                    bufs = [
+                        blob[o - lo:o - lo + s]
+                        for o, s in zip(offs, sizes)
+                    ]
+                else:
+                    bufs = []
+                vals.extend(
+                    _decode_page(f, page["encoding"], bufs, page["length"])
+                )
+            if len(vals) != n_rows:
+                raise LanceLiteError(
+                    f"column {f.name}: {len(vals)} rows != descriptor "
+                    f"{n_rows}"
+                )
+            out[f.name] = vals
+    return selected, out
+
+
+def _parse_descriptor_tail(footer: bytes, tail_read) -> tuple[list[Field], int]:
+    _, _, gb_start, num_global, _ = _parse_footer(footer)
+    if num_global < 1:
+        raise LanceLiteError("no global buffers: missing file descriptor")
+    off, size = _U64PAIR.unpack_from(tail_read(gb_start, 16), 0)
+    try:
+        doc = json.loads(tail_read(off, size))
+    except ValueError as e:
+        raise LanceLiteError(
+            "file descriptor is not lancelite JSON — a real-protobuf Lance "
+            "file needs the lance library (register_lance_reader)"
+        ) from e
+    fields = [Field.from_json(f) for f in doc["fields"]]
+    return fields, int(doc["num_rows"])
 
 
 # --------------------------------------------------------------------------
@@ -406,25 +479,38 @@ def _spark_type(f: Field):
     return m[f.type]
 
 
-def read_dataset(spark, location: str, meta: dict | None = None):
+def read_dataset(
+    spark, location: str, meta: dict | None = None,
+    columns: list[str] | None = None,
+):
     """The generic-table read adapter (register_lance_reader signature):
     one footer read on the driver for the schema, then one task per data
     file decodes its shard executor-side via mapInPandas — the same
     scale shape as a native DataSource (no file bytes ever cross the
-    driver)."""
+    driver). ``columns`` is the projection hook: executors then seek-read
+    ONLY the selected columns' buffers, so IO tracks the projection
+    (read_file's contract)."""
     import pandas as pd
     from pyspark.sql import types as T
 
     files = dataset_files(location)
-    fields, _ = read_schema(files[0])
+    all_fields, _ = read_schema(files[0])
+    if columns is None:
+        fields = all_fields
+    else:
+        unknown = set(columns) - {f.name for f in all_fields}
+        if unknown:
+            raise LanceLiteError(f"unknown columns: {sorted(unknown)}")
+        fields = [f for f in all_fields if f.name in set(columns)]
     schema = T.StructType(
         [T.StructField(f.name, _spark_type(f), f.nullable) for f in fields]
     )
+    names = [f.name for f in fields]
 
     def decode(batches):
         for pdf in batches:
             for path in pdf["path"]:
-                fs, cols = read_file(path)
+                fs, cols = read_file(path, columns=names)
                 if [f.to_json() for f in fs] != [f.to_json() for f in fields]:
                     raise LanceLiteError(
                         f"{path}: schema differs from the dataset schema"

@@ -326,3 +326,61 @@ if _HAS_HYP:
             f.to_json() for f in fields
         ]
         assert got == cols
+
+
+# --------------------------------------------------------------------------
+# projected reads: IO proportional to the selected columns
+# --------------------------------------------------------------------------
+def test_projected_read_returns_selected_columns(tmp_path):
+    p = str(tmp_path / "f.lance")
+    cols = _columns(12)
+    ll.write_file(p, FIELDS, cols)
+    fs, got = ll.read_file(p, columns=["vec_id", "name"])
+    assert [f.name for f in fs] == ["vec_id", "name"]
+    assert got == {"vec_id": cols["vec_id"], "name": cols["name"]}
+    with pytest.raises(LanceLiteError, match="unknown columns"):
+        ll.read_file(p, columns=["nope"])
+
+
+def test_projected_read_never_touches_unselected_bytes(tmp_path):
+    """The proof that projection prunes IO, not just output: corrupt
+    every data byte of the UNSELECTED columns' buffers — a projected
+    read still decodes perfectly because those ranges are never read."""
+    p = str(tmp_path / "f.lance")
+    cols = _columns(20)
+    ll.write_file(p, FIELDS, cols, rows_per_page=6)
+    data = bytearray(open(p, "rb").read())
+    cm_start, cm_off_start, _, _, n_cols = __import__("struct").unpack(
+        "<QQQII", data[len(data) - 40:len(data) - 8]
+    )
+    import json as _json
+    import struct as _struct
+
+    keep = {"vec_id", "embedding"}
+    for ci, f in enumerate(FIELDS):
+        off, size = _struct.unpack_from("<QQ", data, cm_off_start + 16 * ci)
+        cm = _json.loads(bytes(data[off:off + size]))
+        if f.name in keep:
+            continue
+        for page in cm["pages"]:
+            for o, s in zip(page["buffer_offsets"], page["buffer_sizes"]):
+                data[o:o + s] = b"\xff" * s  # scorch the bytes
+    open(p, "wb").write(bytes(data))
+    fs, got = ll.read_file(p, columns=sorted(keep))
+    assert got["vec_id"] == cols["vec_id"]
+    assert got["embedding"] == cols["embedding"]
+    # and the scorched columns really were destroyed: reading one gives
+    # garbage (or raises), never the original values
+    try:
+        _, bad = ll.read_file(p, columns=["name"])
+        assert bad["name"] != cols["name"]
+    except Exception:
+        pass  # struct/utf8 decode failure is equally fine
+
+
+def test_spark_dataset_projection(spark, tmp_path):
+    loc = str(tmp_path / "ds")
+    ll.write_dataset(loc, FIELDS, _columns(15), max_rows_per_file=8)
+    df = ll.read_dataset(spark, loc, columns=["vec_id", "score"])
+    assert df.columns == ["vec_id", "score"]
+    assert df.count() == 15

@@ -200,3 +200,83 @@ def test_upgrade_then_append_starts_ids_at_zero(spark, catalog):
     assert rows[1]._row_id is None  # pre-upgrade file: no lineage
     assert rows[2]._row_id == 0
     assert t.metadata()["next-row-id"] == 1
+
+
+# ---------------------------------------------------------------------------
+# property: random append sequences keep row-id ranges disjoint and stable
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+if _HAS_HYP:
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=50),  # record counts
+                min_size=1,
+                max_size=4,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_property_row_id_ranges_disjoint_and_stable(appends):
+        meta = new_table_metadata("u", "loc", SCHEMA, format_version=3)
+        seen: dict[str, int] = {}  # path -> first-row-id, must never move
+        fidx = 0
+        sid = 0
+        for counts in appends:
+            sid += 1
+            parent = meta.get("current-snapshot-id")
+            prev = next(
+                (
+                    s
+                    for s in meta["snapshots"]
+                    if s["snapshot-id"] == parent
+                ),
+                None,
+            )
+            manifest = [dict(e) for e in (prev["manifest"] if prev else [])]
+            for rc in counts:
+                manifest.append(_entry(f"data/f{fidx}.parquet", rc))
+                fidx += 1
+            meta = apply_commit(
+                meta,
+                [],
+                [
+                    {
+                        "action": "add-snapshot",
+                        "snapshot": _snap(sid, manifest, parent=parent),
+                    },
+                    {
+                        "action": "set-snapshot-ref",
+                        "ref-name": "main",
+                        "snapshot-id": sid,
+                    },
+                ],
+            )
+            snap = meta["snapshots"][-1]
+            ranges = []
+            for e in snap["manifest"]:
+                frid = e["first-row-id"]
+                # stability: once assigned, a file's id never moves
+                if e["path"] in seen:
+                    assert seen[e["path"]] == frid
+                else:
+                    seen[e["path"]] = frid
+                ranges.append((frid, frid + e["record-count"]))
+            # disjoint (zero-length ranges may share a start point)
+            ranges.sort()
+            for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+                assert a1 <= b0
+            # next-row-id is past every claimed range
+            assert meta["next-row-id"] >= max(
+                (end for _, end in ranges), default=0
+            )

@@ -93,6 +93,55 @@ def main() -> None:
     assert reports and reports[0]["report-type"] == "scan-report"
     print(f"OK scan reports ({len(reports)} filed)")
 
+    # ---- Iceberg v3: row lineage + default values + lance reads ----
+    from pyspark.sql import functions as F
+
+    from lakekeeper_spark.format.generic import read_generic_table
+    from lakekeeper_spark.format.lancelite import write_dataset_spark
+
+    cat.create_table(
+        "wh",
+        ["demo"],
+        "v3t",
+        {
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "k", "type": "long", "required": False}
+            ],
+        },
+        format_version=3,
+    )
+    v3 = SparkTable(spark, cat, "wh", ["demo"], "v3t")
+    v3.append(
+        spark.range(6).select(F.col("id").alias("k"))
+        .repartition(1).sortWithinPartitions("k")
+    )
+    v3.add_column("tag", "string", initial_default="legacy")
+    v3.append(
+        spark.createDataFrame([(100, "fresh")], "k long, tag string")
+    )
+    rows = {r.k: r for r in v3.scan(row_lineage=True).collect()}
+    assert rows[0]._row_id == 0 and rows[100]._row_id == 6
+    assert rows[0].tag == "legacy" and rows[100].tag == "fresh"
+    assert v3.metadata()["next-row-id"] == 7
+    print("OK v3 row lineage + default values")
+
+    loc = f"{tmp}/warehouse/lance_demo"
+    write_dataset_spark(
+        spark.range(8).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.col("id").cast("float")).alias("embedding"),
+        ),
+        loc,
+        dims={"embedding": 1},
+    )
+    cat.create_generic_table(
+        "wh", ["demo"], "lance_vecs", format="lance", base_location=loc
+    )
+    lv = read_generic_table(spark, cat, "wh", ["demo"], "lance_vecs")
+    assert lv.count() == 8 and dict(lv.dtypes)["embedding"] == "array<float>"
+    print("OK lance generic table (lancelite codec)")
+
     # ---- REST facade: the same lifecycle over an actual HTTP socket ----
     from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
 
