@@ -401,6 +401,10 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
             for e in snap.get("manifest", []):
                 if e.get("content", "data") != "data":
                     continue  # delete files carry no row ids
+                if e.get("materialized-row-ids"):
+                    # row-id-preserving compaction stores ids as a
+                    # physical column; no range to claim
+                    continue
                 if e.get("first-row-id") is None and e["path"] not in inherited:
                     e["first-row-id"] = running
                     running += int(e.get("record-count", 0))

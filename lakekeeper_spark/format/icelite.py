@@ -855,16 +855,32 @@ class SparkTable:
                     "_last_updated_sequence_number", F.lit(None).cast("long")
                 )
             return df
-        df = self._read_entries(
-            meta,
-            schema,
-            entries,
-            snap["schema-id"],
-            with_pos=bool(delete_entries) or row_lineage,
-        )
-        if delete_entries:
-            df = self._apply_position_deletes(df, meta, delete_entries, entries)
-        if row_lineage:
+        if not row_lineage:
+            df = self._read_entries(
+                meta,
+                schema,
+                entries,
+                snap["schema-id"],
+                with_pos=bool(delete_entries),
+            )
+            if delete_entries:
+                df = self._apply_position_deletes(
+                    df, meta, delete_entries, entries
+                )
+                df = df.drop("_file", "_pos")
+            return df
+        # row lineage: files fall in two classes — row-id-preserving
+        # compaction MATERIALIZES _row_id as a physical column (the
+        # spec's explicit-column-overrides-inheritance rule), everything
+        # else INHERITS file first-row-id + position. Read each class
+        # with _file/_pos kept, union, then apply deletes once.
+        mat = [e for e in entries if e.get("materialized-row-ids")]
+        inh = [e for e in entries if not e.get("materialized-row-ids")]
+        parts = []
+        if inh:
+            d = self._read_entries(
+                meta, schema, inh, snap["schema-id"], with_pos=True
+            )
             fmap = self.spark.createDataFrame(
                 [
                     (
@@ -872,12 +888,12 @@ class SparkTable:
                         e.get("first-row-id"),
                         e.get("sequence-number", 0),
                     )
-                    for e in entries
+                    for e in inh
                 ],
                 "lineage_path string, _frid long, _fseq long",
             )
-            df = (
-                df.join(
+            d = (
+                d.join(
                     F.broadcast(fmap),
                     self._rel_file(meta["location"]) == fmap["lineage_path"],
                     "left",
@@ -886,11 +902,40 @@ class SparkTable:
                 .withColumn(
                     "_last_updated_sequence_number", F.col("_fseq")
                 )
-                .drop("lineage_path", "_frid", "_fseq", "_file", "_pos")
+                .drop("lineage_path", "_frid", "_fseq")
             )
-        elif delete_entries:
-            df = df.drop("_file", "_pos")
-        return df
+            parts.append(d)
+        if mat:
+            d = self._read_entries(
+                meta,
+                schema,
+                mat,
+                snap["schema-id"],
+                with_pos=True,
+                with_row_id=True,
+            )
+            smap = self.spark.createDataFrame(
+                [(e["path"], e.get("sequence-number", 0)) for e in mat],
+                "lineage_path string, _fseq long",
+            )
+            d = (
+                d.join(
+                    F.broadcast(smap),
+                    self._rel_file(meta["location"]) == smap["lineage_path"],
+                    "left",
+                )
+                .withColumn(
+                    "_last_updated_sequence_number", F.col("_fseq")
+                )
+                .drop("lineage_path", "_fseq")
+            )
+            parts.append(d)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if delete_entries:
+            df = self._apply_position_deletes(df, meta, delete_entries, entries)
+        return df.drop("_file", "_pos")
 
     def _read_entries(
         self,
@@ -900,6 +945,7 @@ class SparkTable:
         default_schema_id: int,
         with_file: bool = False,
         with_pos: bool = False,
+        with_row_id: bool = False,
     ) -> DataFrame:
         """Field-id-based projection (Iceberg read semantics): each data
         file is read with its WRITE-time schema, then columns map to the
@@ -912,10 +958,25 @@ class SparkTable:
         hidden ``_metadata`` struct (file_path / row_index) — the stable
         per-file row ordinal Iceberg position deletes address. Both
         columns come from the SAME source on the write and read sides of
-        a delete file, so the (file, pos) keys always line up."""
+        a delete file, so the (file, pos) keys always line up.
+
+        ``with_row_id`` additionally reads the PHYSICAL ``_row_id``
+        column that row-id-preserving compaction materializes into its
+        output files (v3 row lineage: an explicit column overrides
+        inherited assignment) — NULL for files that don't carry it."""
         tstruct = schema_to_struct(target_schema)
+        if with_row_id:
+            from pyspark.sql import types as _T
+
+            def _plus_rid(st):
+                return _T.StructType(
+                    list(st.fields)
+                    + [_T.StructField("_row_id", _T.LongType(), True)]
+                )
         if not entries:
             empty = self.spark.createDataFrame([], tstruct)
+            if with_row_id:
+                empty = empty.withColumn("_row_id", F.lit(None).cast("long"))
             if with_pos:
                 empty = empty.withColumn("_file", F.lit(None).cast("string")).withColumn(
                     "_pos", F.lit(None).cast("long")
@@ -965,11 +1026,15 @@ class SparkTable:
                 # (bucket/truncate transform columns) that are not schema
                 # columns — project back to exactly the declared shape
                 raw = _tag(
-                    self.spark.read.schema(tstruct)
+                    self.spark.read.schema(
+                        _plus_rid(tstruct) if with_row_id else tstruct
+                    )
                     .option("basePath", base_path)
                     .parquet(*paths)
                 )
                 keep = [f.name for f in tstruct.fields]
+                if with_row_id:
+                    keep += ["_row_id"]
                 if with_pos:
                     keep += ["_file", "_pos"]
                 elif with_file:
@@ -977,7 +1042,11 @@ class SparkTable:
                 parts.append(raw.select(*keep))
                 continue
             raw = _tag(
-                self.spark.read.schema(schema_to_struct(wschema))
+                self.spark.read.schema(
+                    _plus_rid(schema_to_struct(wschema))
+                    if with_row_id
+                    else schema_to_struct(wschema)
+                )
                 .option("basePath", base_path)
                 .parquet(*paths)
             )
@@ -992,6 +1061,8 @@ class SparkTable:
                     cols.append(F.lit(dv).cast(sf.dataType).alias(f["name"]))
                 else:
                     cols.append(F.col(wname).cast(sf.dataType).alias(f["name"]))
+            if with_row_id:
+                cols.append(F.col("_row_id"))
             if with_file or with_pos:
                 cols.append(F.col("_file"))
             if with_pos:
@@ -2592,7 +2663,10 @@ class SparkTable:
 
     # ---------------- maintenance ----------------
     def rewrite_data_files(
-        self, target_files: int = 1, zorder_by: list[str] | None = None
+        self,
+        target_files: int = 1,
+        zorder_by: list[str] | None = None,
+        preserve_row_ids: bool = False,
     ) -> dict[str, Any]:
         """Compaction parity with CALL system.rewrite_data_files
         (reference test_spark.py:710-738: N files -> 1). With
@@ -2603,17 +2677,28 @@ class SparkTable:
         on ALL the z-ordered columns at once instead of only the leading
         sort column.
 
-        v3 row-lineage caveat: rewritten files are NEW files and receive
-        fresh first-row-ids — compaction does not preserve _row_id here.
-        Spec-complete preservation requires materializing the _row_id
-        column into the rewritten files (what lineage-aware engines do);
-        scans of v3 tables that need stable ids across compaction should
-        read before compacting or snapshot-pin their lineage join."""
+        ``preserve_row_ids=True`` (v3 tables) keeps _row_id STABLE across
+        the rewrite the way lineage-aware engines do: the compaction read
+        carries each row's id and the output files MATERIALIZE it as a
+        physical ``_row_id`` column (the spec's explicit-column-overrides-
+        inheritance rule); the new entries are flagged so the commit
+        engine assigns them no fresh first-row-id and readers take the
+        stored column. Default False keeps the fresh-id behavior (cheaper
+        files; ids change across compaction)."""
         meta = self.metadata()
         snap = self._resolve_snapshot(meta)
         if snap is None or not snap["manifest"]:
             raise CatalogError("nothing to compact")
-        df = self.scan()
+        if preserve_row_ids:
+            if meta.get("format-version", 2) < 3:
+                raise CatalogError(
+                    "preserve_row_ids requires format-version >= 3"
+                )
+            df = self.scan(row_lineage=True).drop(
+                "_last_updated_sequence_number"
+            )
+        else:
+            df = self.scan()
         if zorder_by:
             z = F.expr(_zvalue_expr(zorder_by))
             df = (
@@ -2625,6 +2710,9 @@ class SparkTable:
         else:
             df = df.coalesce(target_files)
         entries = self._write_files(meta, df, distribute=False)
+        if preserve_row_ids:
+            for e in entries:
+                e["materialized-row-ids"] = True
         return self._commit_snapshot(
             meta,
             entries,
@@ -2632,6 +2720,7 @@ class SparkTable:
             extra_summary={
                 "compacted-from": len(snap["manifest"]),
                 **({"zorder-by": zorder_by} if zorder_by else {}),
+                **({"preserved-row-ids": True} if preserve_row_ids else {}),
             },
         )
 

@@ -155,3 +155,46 @@ def test_d16_short_and_empty_docs_no_phantom_grams(spark, tmp_path):
         d: (n, c) for d, n, c in con.execute(q.oracle).fetchall()
     }
     assert oracle == got
+
+
+def _docs_dir_full(tmp_path, rows, name="docsf"):
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    (tmp_path / name).mkdir()
+    df.to_parquet(tmp_path / name / "documents.parquet", index=False)
+    return str(tmp_path / name)
+
+
+def test_t22_t24_degenerate_docs_match_oracle(spark, tmp_path):
+    """Empty text, one-token docs, and symbol-only docs through the
+    Gopher rule filter (t22: integer ratio rules must not divide) and
+    the bigram LM (t24: <2-token docs drop, never emit a phantom
+    bigram from a descending sequence)."""
+    from lakekeeper_spark.registry import load_registry
+
+    rows = [
+        (1, "", "en", "s0", 0),
+        (2, "word", "en", "s0", 4),
+        (3, "### --- ...", "en", "s1", 11),
+        (4, "the cat and the hat with the mat " * 10, "en", "s1", 330),
+        (5, "- bullet one\n- bullet two\nplain tail...", "fr", "s2", 39),
+    ]
+    sf_dir = _docs_dir_full(tmp_path, rows)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    reg = load_registry()
+    for name in ("t22_gopher_rules", "t24_bigram_perplexity"):
+        q = reg[name]
+        got = sorted(
+            tuple(r) for r in q.spark_fn(spark, sf_dir).collect()
+        )
+        oracle = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
+        assert got == oracle, f"{name}: {got} != {oracle}"
+    # t24 drops the <2-token docs entirely
+    t24_ids = {r[0] for r in con.execute(reg["t24_bigram_perplexity"].oracle).fetchall()}
+    assert 1 not in t24_ids and 2 not in t24_ids and 4 in t24_ids

@@ -280,3 +280,76 @@ if _HAS_HYP:
             assert meta["next-row-id"] >= max(
                 (end for _, end in ranges), default=0
             )
+
+
+# ---------------------------------------------------------------------------
+# row-id-preserving compaction: materialized _row_id column
+# ---------------------------------------------------------------------------
+def test_compaction_preserves_row_ids(spark, table):
+    spark_df = spark.createDataFrame(
+        [(i, f"x{i}") for i in range(6)], "id long, v string"
+    )
+    table.append(spark_df)
+    table.append(
+        spark.createDataFrame([(i, f"y{i}") for i in range(6, 10)],
+                              "id long, v string")
+    )
+    table.delete_where("id IN (1, 8)", mode="merge-on-read")
+    before = {r.id: r._row_id for r in table.scan(row_lineage=True).collect()}
+    nri_before = table.metadata()["next-row-id"]
+    table.rewrite_data_files(target_files=1, preserve_row_ids=True)
+    after = {r.id: r._row_id for r in table.scan(row_lineage=True).collect()}
+    # survivors keep their PRE-compaction ids (materialized column wins)
+    assert after == before
+    # no fresh id range was claimed for the rewritten files
+    assert table.metadata()["next-row-id"] == nri_before
+    # the compacted snapshot is a single flagged file
+    snap = table.metadata()["snapshots"][-1]
+    datas = [e for e in snap["manifest"]
+             if e.get("content", "data") == "data"]
+    assert len(datas) == 1 and datas[0]["materialized-row-ids"] is True
+    assert "first-row-id" not in datas[0]
+    # appends after the preserved compaction continue from next-row-id
+    # with no overlap
+    table.append(spark.createDataFrame([(99, "z")], "id long, v string"))
+    rows = {r.id: r._row_id for r in table.scan(row_lineage=True).collect()}
+    assert rows[99] == nri_before
+    assert len(set(rows.values())) == len(rows)
+
+
+def test_default_compaction_still_assigns_fresh_ids(spark, table):
+    table.append(
+        spark.createDataFrame([(i, "a") for i in range(4)],
+                              "id long, v string")
+    )
+    table.rewrite_data_files(target_files=1)
+    snap = table.metadata()["snapshots"][-1]
+    e = next(x for x in snap["manifest"]
+             if x.get("content", "data") == "data")
+    assert e.get("materialized-row-ids") is None
+    assert e["first-row-id"] == 4  # fresh range after the original [0,4)
+
+
+def test_preserved_ids_survive_schema_evolution(spark, table):
+    """The materialized read path stays field-id-aware: rename a column
+    AFTER the preserving compaction and the lineage scan still works."""
+    table.append(
+        spark.createDataFrame([(i, f"v{i}") for i in range(5)],
+                              "id long, v string")
+    )
+    table.rewrite_data_files(target_files=1, preserve_row_ids=True)
+    table.rename_column("v", "val")
+    rows = {r.id: (r.val, r._row_id)
+            for r in table.scan(row_lineage=True).collect()}
+    assert rows[3] == ("v3", 3)
+
+
+def test_preserve_requires_v3(spark, catalog):
+    catalog.create_namespace("wh", ["rl4"])
+    catalog.create_table("wh", ["rl4"], "t", SCHEMA, format_version=2)
+    from lakekeeper_spark.catalog.catalog import CatalogError
+
+    t = SparkTable(spark, catalog, "wh", ["rl4"], "t")
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(CatalogError, match="format-version >= 3"):
+        t.rewrite_data_files(preserve_row_ids=True)
