@@ -397,14 +397,15 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
                 if parent
                 else set()
             )
+            # every ADDED data file claims a range — including files that
+            # materialize some/all row ids as a physical column (spec
+            # inheritance is PER ROW: a null stored _row_id inherits
+            # first-row-id + position, a non-null one wins; unused ids in
+            # a claimed range are simply never observed)
             running = frid
             for e in snap.get("manifest", []):
                 if e.get("content", "data") != "data":
                     continue  # delete files carry no row ids
-                if e.get("materialized-row-ids"):
-                    # row-id-preserving compaction stores ids as a
-                    # physical column; no range to claim
-                    continue
                 if e.get("first-row-id") is None and e["path"] not in inherited:
                     e["first-row-id"] = running
                     running += int(e.get("record-count", 0))

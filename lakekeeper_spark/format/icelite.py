@@ -869,70 +869,45 @@ class SparkTable:
                 )
                 df = df.drop("_file", "_pos")
             return df
-        # row lineage: files fall in two classes — row-id-preserving
-        # compaction MATERIALIZES _row_id as a physical column (the
-        # spec's explicit-column-overrides-inheritance rule), everything
-        # else INHERITS file first-row-id + position. Read each class
-        # with _file/_pos kept, union, then apply deletes once.
-        mat = [e for e in entries if e.get("materialized-row-ids")]
-        inh = [e for e in entries if not e.get("materialized-row-ids")]
-        parts = []
-        if inh:
-            d = self._read_entries(
-                meta, schema, inh, snap["schema-id"], with_pos=True
-            )
-            fmap = self.spark.createDataFrame(
-                [
-                    (
-                        e["path"],
-                        e.get("first-row-id"),
-                        e.get("sequence-number", 0),
-                    )
-                    for e in inh
-                ],
-                "lineage_path string, _frid long, _fseq long",
-            )
-            d = (
-                d.join(
-                    F.broadcast(fmap),
-                    self._rel_file(meta["location"]) == fmap["lineage_path"],
-                    "left",
+        # row lineage, the spec's PER-ROW inheritance rule in one read:
+        # every file is read with the physical ``_row_id`` column (files
+        # that never materialized it — plain appends — read it as NULL),
+        # and _row_id = coalesce(stored, file first-row-id + position).
+        # Row-id-preserving rewrites store ids for carried rows; rows a
+        # rewrite ADDS (merge inserts) store NULL and inherit from the
+        # file's claimed range. One metadata-sized broadcast map.
+        df = self._read_entries(
+            meta,
+            schema,
+            entries,
+            snap["schema-id"],
+            with_pos=True,
+            with_row_id=True,
+        )
+        fmap = self.spark.createDataFrame(
+            [
+                (
+                    e["path"],
+                    e.get("first-row-id"),
+                    e.get("sequence-number", 0),
                 )
-                .withColumn("_row_id", F.col("_frid") + F.col("_pos"))
-                .withColumn(
-                    "_last_updated_sequence_number", F.col("_fseq")
-                )
-                .drop("lineage_path", "_frid", "_fseq")
+                for e in entries
+            ],
+            "lineage_path string, _frid long, _fseq long",
+        )
+        df = (
+            df.join(
+                F.broadcast(fmap),
+                self._rel_file(meta["location"]) == fmap["lineage_path"],
+                "left",
             )
-            parts.append(d)
-        if mat:
-            d = self._read_entries(
-                meta,
-                schema,
-                mat,
-                snap["schema-id"],
-                with_pos=True,
-                with_row_id=True,
+            .withColumn(
+                "_row_id",
+                F.coalesce(F.col("_row_id"), F.col("_frid") + F.col("_pos")),
             )
-            smap = self.spark.createDataFrame(
-                [(e["path"], e.get("sequence-number", 0)) for e in mat],
-                "lineage_path string, _fseq long",
-            )
-            d = (
-                d.join(
-                    F.broadcast(smap),
-                    self._rel_file(meta["location"]) == smap["lineage_path"],
-                    "left",
-                )
-                .withColumn(
-                    "_last_updated_sequence_number", F.col("_fseq")
-                )
-                .drop("lineage_path", "_fseq")
-            )
-            parts.append(d)
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
+            .withColumn("_last_updated_sequence_number", F.col("_fseq"))
+            .drop("lineage_path", "_frid", "_fseq")
+        )
         if delete_entries:
             df = self._apply_position_deletes(df, meta, delete_entries, entries)
         return df.drop("_file", "_pos")
@@ -1631,27 +1606,58 @@ class SparkTable:
         schema: dict[str, Any],
         snap: dict[str, Any],
         with_file: bool = False,
+        lineage: bool = False,
     ) -> DataFrame:
         """Live rows of a snapshot: data entries read field-id-aware, with
-        any position deletes applied. The shared read for DML paths."""
+        any position deletes applied. The shared read for DML paths.
+        ``lineage=True`` (v3) also carries each row's resolved ``_row_id``
+        — coalesce(stored column, file first-row-id + position) — so
+        rewriting DML can materialize it back (row-id preservation)."""
         data_entries, delete_entries = _split_manifest(snap["manifest"])
         if not data_entries:
             df = self.spark.createDataFrame([], schema_to_struct(schema))
             if with_file:
                 df = df.withColumn("_file", F.lit(None).cast("string"))
+            if lineage:
+                df = df.withColumn("_row_id", F.lit(None).cast("long"))
             return df
         df = self._read_entries(
             meta,
             schema,
             data_entries,
             snap["schema-id"],
-            with_file=with_file and not delete_entries,
-            with_pos=bool(delete_entries),
+            with_file=with_file and not (delete_entries or lineage),
+            with_pos=bool(delete_entries) or lineage,
+            with_row_id=lineage,
         )
-        if delete_entries:
-            df = self._apply_position_deletes(
-                df, meta, delete_entries, data_entries
-            ).drop("_pos")
+        if lineage:
+            fmap = self.spark.createDataFrame(
+                [
+                    (e["path"], e.get("first-row-id"))
+                    for e in data_entries
+                ],
+                "lineage_path string, _frid long",
+            )
+            df = (
+                df.join(
+                    F.broadcast(fmap),
+                    self._rel_file(meta["location"]) == fmap["lineage_path"],
+                    "left",
+                )
+                .withColumn(
+                    "_row_id",
+                    F.coalesce(
+                        F.col("_row_id"), F.col("_frid") + F.col("_pos")
+                    ),
+                )
+                .drop("lineage_path", "_frid")
+            )
+        if delete_entries or lineage:
+            if delete_entries:
+                df = self._apply_position_deletes(
+                    df, meta, delete_entries, data_entries
+                )
+            df = df.drop("_pos")
             if not with_file:
                 df = df.drop("_file")
         return df
@@ -1707,14 +1713,45 @@ class SparkTable:
         return entries
 
     def _mor_positions(
-        self, meta: dict[str, Any], schema: dict[str, Any], snap: dict[str, Any]
+        self,
+        meta: dict[str, Any],
+        schema: dict[str, Any],
+        snap: dict[str, Any],
+        lineage: bool = False,
     ) -> DataFrame:
         """Positioned live rows (current deletes already applied), ready
-        for tombstone derivation."""
+        for tombstone derivation. ``lineage=True`` (v3) carries each
+        row's resolved ``_row_id`` (stored column wins over inherited
+        first-row-id + position) so MOR UPDATE/MERGE can materialize it
+        into the updated images."""
         data_entries, delete_entries = _split_manifest(snap["manifest"])
         df = self._read_entries(
-            meta, schema, data_entries, snap["schema-id"], with_pos=True
+            meta,
+            schema,
+            data_entries,
+            snap["schema-id"],
+            with_pos=True,
+            with_row_id=lineage,
         )
+        if lineage:
+            fmap = self.spark.createDataFrame(
+                [(e["path"], e.get("first-row-id")) for e in data_entries],
+                "lineage_path string, _frid long",
+            )
+            df = (
+                df.join(
+                    F.broadcast(fmap),
+                    self._rel_file(meta["location"]) == fmap["lineage_path"],
+                    "left",
+                )
+                .withColumn(
+                    "_row_id",
+                    F.coalesce(
+                        F.col("_row_id"), F.col("_frid") + F.col("_pos")
+                    ),
+                )
+                .drop("lineage_path", "_frid")
+            )
         if delete_entries:
             df = self._apply_position_deletes(df, meta, delete_entries, data_entries)
         return df
@@ -1949,9 +1986,11 @@ class SparkTable:
             raise CatalogError("table has no data")
         schema = self._current_schema(meta)
         # matched feeds THREE consumers (empty-probe, tombstone positions,
-        # updated images) — one materialization, not three table scans
+        # updated images) — one materialization, not three table scans.
+        # v3: lineage rides along so updated images KEEP their row ids
+        lineage = meta.get("format-version", 2) >= 3
         matched = (
-            self._mor_positions(meta, schema, snap)
+            self._mor_positions(meta, schema, snap, lineage=lineage)
             .filter(condition)
             .localCheckpoint(eager=True)
         )
@@ -1973,7 +2012,10 @@ class SparkTable:
             updated = updated.withColumn(
                 col_name, F.expr(expr).cast(types[col_name])
             )
-        updated = updated.select(*[f["name"] for f in schema["fields"]])
+        updated = updated.select(
+            *[f["name"] for f in schema["fields"]],
+            *(["_row_id"] if lineage else []),
+        )
         base_manifest, del_entries, removed = self._positional_artifacts(
             meta, snap, positions
         )
@@ -2015,7 +2057,8 @@ class SparkTable:
             raise CatalogError("table has no data")
         schema = self._current_schema(meta)
         cols = [f["name"] for f in schema["fields"]]
-        live = self._mor_positions(meta, schema, snap)
+        lineage = fv >= 3
+        live = self._mor_positions(meta, schema, snap, lineage=lineage)
         src = source.withColumn("__src_match", F.lit(1)).alias("s")
         t = live.alias("t")
         matched = t.join(src, F.expr(on), "inner")
@@ -2029,10 +2072,18 @@ class SparkTable:
             out_cols.append(
                 F.expr(upd).alias(c) if upd is not None else F.col(f"t.{c}").alias(c)
             )
+        if lineage:
+            # updated images keep their row ids (materialized column)
+            out_cols.append(F.col("t._row_id").alias("_row_id"))
         new_rows = matched.select(*out_cols)
         if not_matched_insert:
             inserts = src.join(t, F.expr(on), "left_anti").select(
-                *[F.col(c) for c in cols]
+                *[F.col(c) for c in cols],
+                *(
+                    [F.lit(None).cast("long").alias("_row_id")]
+                    if lineage
+                    else []
+                ),
             )
             new_rows = new_rows.unionByName(inserts)
         base_manifest, del_entries, removed_delete_files = self._positional_artifacts(
@@ -2105,7 +2156,36 @@ class SparkTable:
                 "rewritten-data-files": 0,
                 "removed-delete-files": len(delete_entries),
             }
-        df = self._read_entries(meta, schema, affected, snap["schema-id"], with_pos=True)
+        lineage = meta.get("format-version", 2) >= 3
+        df = self._read_entries(
+            meta,
+            schema,
+            affected,
+            snap["schema-id"],
+            with_pos=True,
+            with_row_id=lineage,
+        )
+        if lineage:
+            # materialization preserves row ids: survivors carry their
+            # resolved id into the rewritten files (per-row inheritance)
+            fmap = self.spark.createDataFrame(
+                [(e["path"], e.get("first-row-id")) for e in affected],
+                "lineage_path string, _frid long",
+            )
+            df = (
+                df.join(
+                    F.broadcast(fmap),
+                    self._rel_file(meta["location"]) == fmap["lineage_path"],
+                    "left",
+                )
+                .withColumn(
+                    "_row_id",
+                    F.coalesce(
+                        F.col("_row_id"), F.col("_frid") + F.col("_pos")
+                    ),
+                )
+                .drop("lineage_path", "_frid")
+            )
         df = self._apply_position_deletes(df, meta, delete_entries, affected).drop(
             "_file", "_pos"
         )
@@ -2139,14 +2219,22 @@ class SparkTable:
         merge-on-write strategy Iceberg uses for DELETE/UPDATE/MERGE with
         copy-on-write tables (reference test_spark.py:1321-1340 exercises
         DELETE FROM). The affected list is file-level metadata (small);
-        the row data itself never touches the driver."""
+        the row data itself never touches the driver.
+
+        On v3 tables the rewrite PRESERVES row lineage automatically
+        (spec: a rewritten row keeps its _row_id): the read carries each
+        row's resolved id, rewriters pass it through, and the new files
+        materialize it as a physical column (rows a rewrite ADDS —
+        merge inserts — store NULL and inherit fresh ids from the new
+        file's claimed range)."""
         meta = self.metadata()
         snap = self._resolve_snapshot(meta)
         if snap is None:
             raise CatalogError("table has no data")
         schema = self._current_schema(meta)
         loc = meta["location"]
-        df = self._data_df(meta, schema, snap, with_file=True)
+        lineage = meta.get("format-version", 2) >= 3
+        df = self._data_df(meta, schema, snap, with_file=True, lineage=lineage)
         if affected is None:
             affected = [
                 r["_file"]
@@ -2176,11 +2264,31 @@ class SparkTable:
             )
         ]
         rewritten_entries: list[dict[str, Any]] = []
-        to_rewrite = df.filter(F.col("_file").isin(affected)).drop("_file") if affected else None
+        # the affected list may come from a different _file source than
+        # this read (input_file_name vs _metadata.file_path render the
+        # scheme differently) — compare scheme-stripped paths on both
+        # sides, like affected_set above
+        _clean = F.regexp_replace(F.col("_file"), "^file:(//)?", "")
+        to_rewrite = (
+            df.filter(_clean.isin(sorted(affected_set))).drop("_file")
+            if affected
+            else None
+        )
         new_rows = rewriter(to_rewrite) if to_rewrite is not None else None
         if extra_rows is not None:
+            if lineage and extra_rows is not None:
+                # added rows store NULL: they inherit fresh ids from the
+                # new file's claimed range (per-row inheritance)
+                extra_rows = extra_rows.withColumn(
+                    "_row_id", F.lit(None).cast("long")
+                )
             new_rows = extra_rows if new_rows is None else new_rows.unionByName(extra_rows)
         if new_rows is not None:
+            if lineage and "_row_id" not in new_rows.columns:
+                raise CatalogError(
+                    "v3 rewrite dropped the _row_id lineage column — "
+                    "rewriters must pass it through"
+                )
             rewritten_entries = self._write_files(meta, new_rows)
         manifest = kept + rewritten_entries
         return self._commit_snapshot(
@@ -2323,6 +2431,10 @@ class SparkTable:
                     )
                 else:
                     out_cols.append(F.col(f"t.{c}").alias(c))
+            if "_row_id" in tgt.columns:
+                # v3 lineage: an updated row KEEPS its row id (spec) —
+                # pass the target's resolved id through the projection
+                out_cols.append(F.col("t._row_id").alias("_row_id"))
             return joined.select(*out_cols)
 
         snap = self._resolve_snapshot(meta)
@@ -2680,11 +2792,12 @@ class SparkTable:
         ``preserve_row_ids=True`` (v3 tables) keeps _row_id STABLE across
         the rewrite the way lineage-aware engines do: the compaction read
         carries each row's id and the output files MATERIALIZE it as a
-        physical ``_row_id`` column (the spec's explicit-column-overrides-
-        inheritance rule); the new entries are flagged so the commit
-        engine assigns them no fresh first-row-id and readers take the
-        stored column. Default False keeps the fresh-id behavior (cheaper
-        files; ids change across compaction)."""
+        physical ``_row_id`` column — per the spec's PER-ROW inheritance
+        rule a stored id wins over the file's claimed range, so the ids
+        survive while new files still claim (unused) ranges. Default
+        False keeps the fresh-id behavior (cheaper files; ids change
+        across compaction). Copy-on-write DELETE/UPDATE/MERGE preserve
+        ids automatically on v3 tables (_rewrite)."""
         meta = self.metadata()
         snap = self._resolve_snapshot(meta)
         if snap is None or not snap["manifest"]:
@@ -2710,9 +2823,6 @@ class SparkTable:
         else:
             df = df.coalesce(target_files)
         entries = self._write_files(meta, df, distribute=False)
-        if preserve_row_ids:
-            for e in entries:
-                e["materialized-row-ids"] = True
         return self._commit_snapshot(
             meta,
             entries,

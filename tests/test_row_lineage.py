@@ -296,25 +296,23 @@ def test_compaction_preserves_row_ids(spark, table):
     )
     table.delete_where("id IN (1, 8)", mode="merge-on-read")
     before = {r.id: r._row_id for r in table.scan(row_lineage=True).collect()}
-    nri_before = table.metadata()["next-row-id"]
     table.rewrite_data_files(target_files=1, preserve_row_ids=True)
     after = {r.id: r._row_id for r in table.scan(row_lineage=True).collect()}
-    # survivors keep their PRE-compaction ids (materialized column wins)
+    # survivors keep their PRE-compaction ids: the stored column wins
+    # over the new file's claimed (and therefore unused) range
     assert after == before
-    # no fresh id range was claimed for the rewritten files
-    assert table.metadata()["next-row-id"] == nri_before
-    # the compacted snapshot is a single flagged file
+    # the compacted snapshot is a single file; it still claims a fresh
+    # range (per-row inheritance makes the stored ids win)
     snap = table.metadata()["snapshots"][-1]
     datas = [e for e in snap["manifest"]
              if e.get("content", "data") == "data"]
-    assert len(datas) == 1 and datas[0]["materialized-row-ids"] is True
-    assert "first-row-id" not in datas[0]
-    # appends after the preserved compaction continue from next-row-id
-    # with no overlap
+    assert len(datas) == 1 and "first-row-id" in datas[0]
+    # appends after the preserved compaction stay globally unique
     table.append(spark.createDataFrame([(99, "z")], "id long, v string"))
     rows = {r.id: r._row_id for r in table.scan(row_lineage=True).collect()}
-    assert rows[99] == nri_before
+    assert rows[99] == table.metadata()["next-row-id"] - 1
     assert len(set(rows.values())) == len(rows)
+    assert {k: v for k, v in rows.items() if k != 99} == before
 
 
 def test_default_compaction_still_assigns_fresh_ids(spark, table):
@@ -353,3 +351,56 @@ def test_preserve_requires_v3(spark, catalog):
     t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
     with pytest.raises(CatalogError, match="format-version >= 3"):
         t.rewrite_data_files(preserve_row_ids=True)
+
+
+# ---------------------------------------------------------------------------
+# automatic DML preservation on v3 (spec: a rewritten row keeps its id)
+# ---------------------------------------------------------------------------
+def test_cow_delete_preserves_survivor_ids(spark, table):
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(8)], "id long, v string"))
+    before = {r.id: r._row_id for r in table.scan(row_lineage=True).collect()}
+    table.delete_where("id IN (0, 3)", mode="copy-on-write")
+    after = {r.id: r._row_id for r in table.scan(row_lineage=True).collect()}
+    assert set(after) == set(range(8)) - {0, 3}
+    for k, v in after.items():
+        assert before[k] == v
+
+
+def test_cow_update_keeps_row_ids(spark, table):
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(6)], "id long, v string"))
+    before = {r.id: r._row_id for r in table.scan(row_lineage=True).collect()}
+    table.update_where("id >= 3", {"v": "'updated'"})
+    got = {r.id: (r.v, r._row_id)
+           for r in table.scan(row_lineage=True).collect()}
+    assert got[4] == ("updated", before[4])  # updated row KEEPS its id
+    assert got[1] == ("x1", before[1])
+    assert len({rid for _, rid in got.values()}) == 6
+
+
+def test_mor_update_keeps_row_ids(spark, table):
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(6)], "id long, v string"))
+    before = {r.id: r._row_id for r in table.scan(row_lineage=True).collect()}
+    table.update_where("id = 2", {"v": "'patched'"}, mode="merge-on-read")
+    got = {r.id: (r.v, r._row_id)
+           for r in table.scan(row_lineage=True).collect()}
+    assert got[2] == ("patched", before[2])
+    assert {rid for _, rid in got.values()} == set(before.values())
+
+
+def test_merge_keeps_matched_ids_fresh_ids_for_inserts(spark, table):
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(4)], "id long, v string"))
+    before = {r.id: r._row_id for r in table.scan(row_lineage=True).collect()}
+    src = spark.createDataFrame(
+        [(2, "merged"), (100, "new")], "id long, v string"
+    ).alias("s")
+    table.merge(src, "t.id = s.id", matched_update={"v": "s.v"})
+    got = {r.id: (r.v, r._row_id)
+           for r in table.scan(row_lineage=True).collect()}
+    assert got[2] == ("merged", before[2])  # matched row keeps its id
+    assert got[100][0] == "new"
+    assert got[100][1] is not None  # insert inherits a fresh id
+    assert len({rid for _, rid in got.values()}) == 5
