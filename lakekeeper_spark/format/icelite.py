@@ -1121,6 +1121,7 @@ class SparkTable:
         identifier_columns: list[str] | None = None,
         strict_identifiers: bool = False,
         net_changes: bool = False,
+        row_lineage: bool = False,
     ) -> DataFrame:
         """CDC changelog scan (Iceberg's create_changelog_view semantics):
         one row per NET row-level change between two snapshots, tagged
@@ -1161,11 +1162,30 @@ class SparkTable:
                 "the same"
             )
         meta = self.metadata()
+        # row_lineage: every change row carries the v3 _row_id it refers
+        # to (per-row inheritance, stable across all DML here), so
+        # downstream CDC can pair update images BY ROW ID —
+        # identifier_columns=["_row_id"] — the lineage-native pairing.
+        if row_lineage and meta.get("format-version", 2) < 3:
+            raise ValueError(
+                "row lineage requires format-version >= 3 "
+                f"(table is v{meta.get('format-version', 2)})"
+            )
+        if row_lineage and net_changes:
+            raise ValueError(
+                "net_changes collapses by row CONTENT; it cannot carry "
+                "per-row lineage ids — use one or the other"
+            )
         to_snap = self._resolve_snapshot(meta, to_snapshot_id)
         schema = self._current_schema(meta)
         struct = schema_to_struct(schema)
         empty = self.spark.createDataFrame([], struct).select(
             "*",
+            *(
+                [F.lit(None).cast("long").alias("_row_id")]
+                if row_lineage
+                else []
+            ),
             F.lit("insert").alias("_change_type"),
             F.lit(0).cast("long").alias("_commit_snapshot_id"),
         )
@@ -1193,6 +1213,7 @@ class SparkTable:
             def tag(df: DataFrame, kind: str, _sid=sid) -> DataFrame:
                 return df.select(
                     *[f["name"] for f in schema["fields"]],
+                    *(["_row_id"] if row_lineage else []),
                     F.lit(kind).alias("_change_type"),
                     F.lit(_sid).cast("long").alias("_commit_snapshot_id"),
                 )
@@ -1204,9 +1225,19 @@ class SparkTable:
                 e for e in _split_manifest(p_manifest)[0] if e["path"] not in s_paths
             ]
             if added_data:
-                parts.append(
-                    tag(self._read_entries(meta, schema, added_data, s["schema-id"]), "insert")
+                ins = self._read_entries(
+                    meta,
+                    schema,
+                    added_data,
+                    s["schema-id"],
+                    with_pos=row_lineage,
+                    with_row_id=row_lineage,
                 )
+                if row_lineage:
+                    ins = self._lineage_ids(ins, meta, added_data).drop(
+                        "_file", "_pos"
+                    )
+                parts.append(tag(ins, "insert"))
             if removed_data:
                 # only rows LIVE at the parent emit delete events: apply the
                 # parent's tombstones to the removed files' raw rows, else a
@@ -1217,12 +1248,19 @@ class SparkTable:
                     schema,
                     removed_data,
                     parent["schema-id"],
-                    with_pos=bool(p_dels),
+                    with_pos=bool(p_dels) or row_lineage,
+                    with_row_id=row_lineage,
                 )
+                if row_lineage:
+                    removed_rows = self._lineage_ids(
+                        removed_rows, meta, removed_data
+                    )
                 if p_dels:
                     removed_rows = self._apply_position_deletes(
                         removed_rows, meta, p_dels, removed_data
-                    ).drop("_file", "_pos")
+                    )
+                if bool(p_dels) or row_lineage:
+                    removed_rows = removed_rows.drop("_file", "_pos")
                 parts.append(tag(removed_rows, "delete"))
             # newly-added tombstones -> deletes against the PARENT state
             added_dels = [
@@ -1245,8 +1283,15 @@ class SparkTable:
                     new_pos = new_pos.exceptAll(old_pos)
                 p_data = _split_manifest(p_manifest)[0]
                 rows = self._read_entries(
-                    meta, schema, p_data, parent["schema-id"], with_pos=True
+                    meta,
+                    schema,
+                    p_data,
+                    parent["schema-id"],
+                    with_pos=True,
+                    with_row_id=row_lineage,
                 )
+                if row_lineage:
+                    rows = self._lineage_ids(rows, meta, p_data)
                 cond = (self._rel_file(meta["location"]) == new_pos["file_path"]) & (
                     F.col("_pos") == new_pos["pos"]
                 )
@@ -1254,7 +1299,9 @@ class SparkTable:
                     tag(rows.join(new_pos, cond, "left_semi").drop("_file", "_pos"), "delete")
                 )
             if eq_added and parent is not None:
-                live = self._data_df(meta, schema, parent)
+                live = self._data_df(
+                    meta, schema, parent, lineage=row_lineage
+                )
                 by_id_cur = {f["id"]: f["name"] for f in schema["fields"]}
                 for e in eq_added:
                     wschema = next(
@@ -1600,6 +1647,32 @@ class SparkTable:
             tagged = tagged.join(del_rows, cond, "left_anti")
         return tagged.drop("_seq")
 
+
+    def _lineage_ids(
+        self, df: DataFrame, meta: dict[str, Any], entries: list[dict[str, Any]]
+    ) -> DataFrame:
+        """Resolve each row's v3 row id per the spec's PER-ROW inheritance:
+        the physical ``_row_id`` column when stored, else the file's
+        first-row-id + the row's position. ``df`` must carry ``_file`` /
+        ``_pos`` and the physical column (with_pos + with_row_id reads);
+        the per-file map is metadata-sized and broadcast."""
+        fmap = self.spark.createDataFrame(
+            [(e["path"], e.get("first-row-id")) for e in entries],
+            "lineage_path string, _frid long",
+        )
+        return (
+            df.join(
+                F.broadcast(fmap),
+                self._rel_file(meta["location"]) == fmap["lineage_path"],
+                "left",
+            )
+            .withColumn(
+                "_row_id",
+                F.coalesce(F.col("_row_id"), F.col("_frid") + F.col("_pos")),
+            )
+            .drop("lineage_path", "_frid")
+        )
+
     def _data_df(
         self,
         meta: dict[str, Any],
@@ -1631,27 +1704,7 @@ class SparkTable:
             with_row_id=lineage,
         )
         if lineage:
-            fmap = self.spark.createDataFrame(
-                [
-                    (e["path"], e.get("first-row-id"))
-                    for e in data_entries
-                ],
-                "lineage_path string, _frid long",
-            )
-            df = (
-                df.join(
-                    F.broadcast(fmap),
-                    self._rel_file(meta["location"]) == fmap["lineage_path"],
-                    "left",
-                )
-                .withColumn(
-                    "_row_id",
-                    F.coalesce(
-                        F.col("_row_id"), F.col("_frid") + F.col("_pos")
-                    ),
-                )
-                .drop("lineage_path", "_frid")
-            )
+            df = self._lineage_ids(df, meta, data_entries)
         if delete_entries or lineage:
             if delete_entries:
                 df = self._apply_position_deletes(
@@ -1734,24 +1787,7 @@ class SparkTable:
             with_row_id=lineage,
         )
         if lineage:
-            fmap = self.spark.createDataFrame(
-                [(e["path"], e.get("first-row-id")) for e in data_entries],
-                "lineage_path string, _frid long",
-            )
-            df = (
-                df.join(
-                    F.broadcast(fmap),
-                    self._rel_file(meta["location"]) == fmap["lineage_path"],
-                    "left",
-                )
-                .withColumn(
-                    "_row_id",
-                    F.coalesce(
-                        F.col("_row_id"), F.col("_frid") + F.col("_pos")
-                    ),
-                )
-                .drop("lineage_path", "_frid")
-            )
+            df = self._lineage_ids(df, meta, data_entries)
         if delete_entries:
             df = self._apply_position_deletes(df, meta, delete_entries, data_entries)
         return df
@@ -2168,24 +2204,7 @@ class SparkTable:
         if lineage:
             # materialization preserves row ids: survivors carry their
             # resolved id into the rewritten files (per-row inheritance)
-            fmap = self.spark.createDataFrame(
-                [(e["path"], e.get("first-row-id")) for e in affected],
-                "lineage_path string, _frid long",
-            )
-            df = (
-                df.join(
-                    F.broadcast(fmap),
-                    self._rel_file(meta["location"]) == fmap["lineage_path"],
-                    "left",
-                )
-                .withColumn(
-                    "_row_id",
-                    F.coalesce(
-                        F.col("_row_id"), F.col("_frid") + F.col("_pos")
-                    ),
-                )
-                .drop("lineage_path", "_frid")
-            )
+            df = self._lineage_ids(df, meta, affected)
         df = self._apply_position_deletes(df, meta, delete_entries, affected).drop(
             "_file", "_pos"
         )

@@ -404,3 +404,49 @@ def test_merge_keeps_matched_ids_fresh_ids_for_inserts(spark, table):
     assert got[100][0] == "new"
     assert got[100][1] is not None  # insert inherits a fresh id
     assert len({rid for _, rid in got.values()}) == 5
+
+
+# ---------------------------------------------------------------------------
+# changelog with row lineage: CDC keyed by _row_id
+# ---------------------------------------------------------------------------
+def test_changelog_rows_carry_row_ids(spark, table):
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(5)], "id long, v string"))
+    table.delete_where("id = 3", mode="merge-on-read")
+    ch = table.changelog(row_lineage=True)
+    assert "_row_id" in ch.columns
+    rows = [(r.id, r._change_type, r._row_id) for r in ch.collect()]
+    inserts = {(i, rid) for i, t, rid in rows if t == "insert"}
+    deletes = {(i, rid) for i, t, rid in rows if t == "delete"}
+    assert inserts == {(0, 0), (1, 1), (2, 2), (3, 3), (4, 4)}
+    assert deletes == {(3, 3)}  # the tombstoned row, by its ORIGINAL id
+
+
+def test_changelog_update_pairing_by_row_id(spark, table):
+    """The lineage-native CDC pairing: after a MoR UPDATE (delete +
+    reinsert with preserved id), identifier_columns=["_row_id"] retags
+    the pair as update_preimage/update_postimage."""
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(4)], "id long, v string"))
+    s1 = table.metadata()["current-snapshot-id"]
+    table.update_where("id = 2", {"v": "'patched'"}, mode="merge-on-read")
+    ch = table.changelog(
+        from_snapshot_id=s1, row_lineage=True,
+        identifier_columns=["_row_id"],
+    )
+    got = {(r._change_type, r.id, r.v, r._row_id) for r in ch.collect()}
+    assert ("update_preimage", 2, "x2", 2) in got
+    assert ("update_postimage", 2, "patched", 2) in got
+    assert len(got) == 2  # nothing else changed in that commit
+
+
+def test_changelog_row_lineage_guards(spark, table, catalog):
+    table.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(ValueError, match="net_changes"):
+        table.changelog(row_lineage=True, net_changes=True)
+    catalog.create_namespace("wh", ["rl5"])
+    catalog.create_table("wh", ["rl5"], "t5", SCHEMA, format_version=2)
+    t2 = SparkTable(spark, catalog, "wh", ["rl5"], "t5")
+    t2.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(ValueError, match="format-version >= 3"):
+        t2.changelog(row_lineage=True)
