@@ -2000,3 +2000,102 @@ def st20_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("slice")
     )
+
+
+# --------------------------------------------------------------------------
+# st21: streaming CDC with v3 row lineage — update pairing by _row_id
+# --------------------------------------------------------------------------
+@register(
+    "st21_stream_lineage_cdc",
+    oracle="""
+WITH base AS (
+  SELECT n_nationkey, n_name,
+         ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS rid
+  FROM nation WHERE n_nationkey < 20
+)
+SELECT n_nationkey, 'insert' AS change_type,
+       CAST(rid AS BIGINT) AS row_id, n_name AS val
+FROM base
+UNION ALL
+SELECT n_nationkey, 'update_preimage', CAST(rid AS BIGINT), n_name
+FROM base WHERE n_nationkey % 4 = 0
+UNION ALL
+SELECT n_nationkey, 'update_postimage', CAST(rid AS BIGINT), 'upd'
+FROM base WHERE n_nationkey % 4 = 0
+""",
+    description="Streaming CDC with v3 row lineage: the icelite stream "
+    "source in change-feed + row-lineage mode emits every event with "
+    "its _row_id (stored column wins, else first-row-id + ordinal — "
+    "resolved executor-side per file task), and foreachBatch pairs a "
+    "merge-on-read UPDATE's delete+reinsert into update_preimage/"
+    "update_postimage BY ROW ID (pair_update_images on _row_id) — the "
+    "identifier-free CDC pairing stable row ids enable. Deterministic "
+    "because the append is one sorted file (ids = sort rank).",
+    tags=("streaming", "catalog", "icelite", "cdc", "lineage", "v3"),
+)
+def st21_stream_lineage_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..data import load_table
+    from ..format.icelite import SparkTable, pair_update_images
+    from ..format.types import struct_to_schema
+    from .source import IceliteStreamDataSource
+
+    ensure_runtime_confs(spark)
+    try:
+        spark.dataSource.register(IceliteStreamDataSource)
+    except Exception:
+        pass
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_lincdc_")
+    mpath = f"{tmp}/metastore.db"
+    cat = Catalog(Metastore(mpath))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["stream"])
+    src = (
+        load_table(spark, sf_dir, "nation")
+        .filter("n_nationkey < 20")
+        .select(F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name")
+    )
+    cat.create_table(
+        "wh", ["stream"], "nations", struct_to_schema(src.schema),
+        format_version=3,
+    )
+    t = SparkTable(spark, cat, "wh", ["stream"], "nations")
+    # one sorted file: row ids deterministically equal the sort rank
+    t.append(src.repartition(1).sortWithinPartitions("n_nationkey"))
+    t.update_where(
+        "n_nationkey % 4 = 0", {"n_name": "'upd'"}, mode="merge-on-read"
+    )
+
+    # bounded driver state: <= 20 + 2*5 event rows total at every SF
+    # (nation is a fixed-size dimension)
+    events: dict[int, list] = {}
+
+    def collect(batch: DataFrame, batch_id: int) -> None:
+        events[batch_id] = batch.collect()
+
+    q = (
+        spark.readStream.format("icelite")
+        .option("metastore", mpath)
+        .option("warehouse", "wh")
+        .option("namespace", "stream")
+        .option("table", "nations")
+        .option("change-feed", "true")
+        .option("row-lineage", "true")
+        .load()
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r for b in events.values() for r in b]
+    feed = spark.createDataFrame(rows)
+    paired = pair_update_images(feed, ["_row_id"])
+    return paired.select(
+        "n_nationkey",
+        F.col("_change_type").alias("change_type"),
+        F.col("_row_id").cast("long").alias("row_id"),
+        F.col("n_name").alias("val"),
+    )

@@ -51,6 +51,8 @@ class _FilePartition(InputPartition):
         partition_types: dict | None = None,
         change_type: str | None = None,
         commit_id: int | None = None,
+        first_row_id: int | None = None,
+        row_lineage: bool = False,
     ):
         self.path = path
         # field-id -> write-time column name for THIS file's write schema:
@@ -65,6 +67,10 @@ class _FilePartition(InputPartition):
         # 'insert' or 'delete' event of commit `commit_id`
         self.change_type = change_type
         self.commit_id = commit_id
+        # v3 row lineage: the file's claimed range start (None for
+        # pre-lineage files) + whether to emit the _row_id column
+        self.first_row_id = first_row_id
+        self.row_lineage = row_lineage
 
 
 def _load_meta(options: dict) -> dict[str, Any]:
@@ -109,7 +115,9 @@ def _fid_map(schema_doc: dict[str, Any]) -> dict[int, str]:
     return out
 
 
-def _arrow_schema_of(schema_doc: dict[str, Any], cdc: bool = False):
+def _arrow_schema_of(
+    schema_doc: dict[str, Any], cdc: bool = False, lineage: bool = False
+):
     """pa.Schema matching the DataSource's declared Spark schema — built
     on the DRIVER and shipped inside each partition so executors emit
     `pyarrow.RecordBatch`es Spark ingests without a Python row loop.
@@ -123,6 +131,8 @@ def _arrow_schema_of(schema_doc: dict[str, Any], cdc: bool = False):
 
         struct = schema_to_struct(schema_doc)
         sch = to_arrow_schema(struct)
+        if lineage:
+            sch = sch.append(pa.field("_row_id", pa.int64()))
         if cdc:
             sch = sch.append(pa.field("_change_type", pa.string())).append(
                 pa.field("_commit_snapshot_id", pa.int64())
@@ -170,6 +180,13 @@ class IceliteStreamReader(DataSourceStreamReader):
         self.change_feed = (
             str(options.get("change-feed", "false")).lower() == "true"
         )
+        # row-lineage=true (v3 tables): every emitted row carries its
+        # _row_id — appended AFTER the data columns, BEFORE the CDC tail
+        # (same order as SparkTable.changelog(row_lineage=True)); change
+        # feeds can then pair update images by id in foreachBatch
+        self.row_lineage = (
+            str(options.get("row-lineage", "false")).lower() == "true"
+        )
 
     # ---- driver-side planning ------------------------------------------
     def initialOffset(self) -> dict:
@@ -188,7 +205,17 @@ class IceliteStreamReader(DataSourceStreamReader):
             (f.get("id", i + 1), f["name"])
             for i, f in enumerate(target_doc["fields"])
         ]
-        self._aschema = _arrow_schema_of(target_doc, cdc=self.change_feed)
+        if self.row_lineage and meta.get("format-version", 2) < 3:
+            raise ValueError(
+                "row-lineage=true requires format-version >= 3 "
+                f"(table is v{meta.get('format-version', 2)})"
+            )
+        self._aschema = _arrow_schema_of(
+            target_doc, cdc=self.change_feed, lineage=self.row_lineage
+        )
+        # self._aschema may be None here (the planner subprocess has no
+        # active SparkSession for the DDL parse) — both the arrow path
+        # and the row fallbacks carry lineage, so nothing to gate
         self._ptypes = {
             f["name"]: f["type"]
             for f in target_doc["fields"]
@@ -258,6 +285,8 @@ class IceliteStreamReader(DataSourceStreamReader):
             _fid_map(wdoc),
             target,
             self._aschema,
+            first_row_id=entry.get("first-row-id"),
+            row_lineage=self.row_lineage,
             partition_values=entry.get("partition", {}),
             partition_types=self._ptypes,
             change_type=change_type,
@@ -322,13 +351,24 @@ class IceliteStreamReader(DataSourceStreamReader):
             removed = [e for e in p_data if e["path"] not in s_paths]
             if removed:
                 tmap = ptasks()
+                rtasks = []
+                for e in removed:
+                    t = tmap.get(e["path"])
+                    if t is None:
+                        continue
+                    # lineage rides on the task: plan_table_scan's
+                    # data-file payload predates v3 lineage, so attach
+                    # the manifest entry's range start here
+                    t["data-file"]["first-row-id"] = e.get("first-row-id")
+                    rtasks.append(t)
                 parts.extend(
                     _task_partitions(
                         meta,
-                        [tmap[e["path"]] for e in removed if e["path"] in tmap],
+                        rtasks,
                         self._aschema,
                         change_type="delete",
                         commit_id=sid,
+                        row_lineage=self.row_lineage,
                     )
                 )
             added_dels = [e for e in s_dels if e["path"] not in p_paths]
@@ -364,10 +404,19 @@ class IceliteStreamReader(DataSourceStreamReader):
                         change_type="delete",
                         commit_id=sid,
                         include_pos=(new_paths, restated),
+                        row_lineage=self.row_lineage,
                     )
                 )
             if eq_added and parent is not None:
                 tmap = ptasks()
+                frid_by_path = {
+                    e["path"]: e.get("first-row-id") for e in p_data
+                }
+                for t in tmap.values():
+                    t["data-file"].setdefault(
+                        "first-row-id",
+                        frid_by_path.get(t["data-file"]["path"]),
+                    )
                 for eqe in eq_added:
                     eseq = eqe.get("sequence-number", 0)
                     tasks = [
@@ -383,6 +432,7 @@ class IceliteStreamReader(DataSourceStreamReader):
                             change_type="delete",
                             commit_id=sid,
                             include_eq=_eq_include_spec(meta, eqe),
+                            row_lineage=self.row_lineage,
                         )
                     )
 
@@ -418,13 +468,16 @@ class IceliteStreamReader(DataSourceStreamReader):
                 (change, partition.commit_id) if change else (),
             )
             return
+        lineage = getattr(partition, "row_lineage", False)
         need = sorted(
             {
                 fid_to_w[fid]
                 for fid, _ in tgt
                 if fid in fid_to_w and fid_to_w[fid] in avail
             }
+            | ({"_row_id"} if lineage and "_row_id" in avail else set())
         )
+        ordinal = 0
         for batch in pf.iter_batches(columns=need):
             n = batch.num_rows
             got = dict(zip(batch.schema.names, batch.columns))
@@ -436,12 +489,49 @@ class IceliteStreamReader(DataSourceStreamReader):
                         partition.partition_values.get(name),
                     )
                 )
+            if lineage:
+                arrays.append(
+                    _lineage_array(
+                        got.get("_row_id"),
+                        partition.first_row_id,
+                        ordinal,
+                        n,
+                        None,
+                    )
+                )
+            ordinal += n
             if change:
                 arrays.append(pa.array([change] * n, type=pa.string()))
                 arrays.append(
                     pa.array([partition.commit_id] * n, type=pa.int64())
                 )
             yield pa.RecordBatch.from_arrays(arrays, schema=aschema)
+
+
+def _lineage_array(stored, first_row_id, base_ordinal: int, n: int, sel):
+    """The v3 _row_id column for one batch (spec per-row inheritance):
+    the file's stored ``_row_id`` where non-null, else first-row-id +
+    the row's ORIGINAL ordinal; ``sel`` restricts to the kept ordinals
+    after tombstone masking (ids follow the surviving rows). Vectorized
+    (numpy + arrow compute), no row loop."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ords = (
+        np.arange(base_ordinal, base_ordinal + n)
+        if sel is None
+        else base_ordinal + sel
+    )
+    if first_row_id is None:
+        inherited = pa.nulls(len(ords), pa.int64())
+    else:
+        inherited = pa.array(first_row_id + ords, type=pa.int64())
+    if stored is None:
+        return inherited
+    if sel is not None:
+        stored = stored.take(pa.array(sel))
+    return pc.coalesce(pc.cast(stored, pa.int64()), inherited)
 
 
 def _project_column(arr, pa_type, n: int, pvalue=None):
@@ -459,15 +549,29 @@ def _project_column(arr, pa_type, n: int, pvalue=None):
 
 
 def _row_fallback(pf, partition, avail, cdc_tail):
-    """Row-tuple fallback for schemas Arrow can't carry (variant)."""
+    """Row-tuple fallback used when the planner couldn't build an arrow
+    schema (variant types, or no active session in the planner
+    subprocess). Carries v3 row lineage when requested: the stored
+    ``_row_id`` wins, else first-row-id + the row's ordinal."""
     fid_to_w = partition.fid_to_wname
     tgt = partition.target_fields
+    lineage = getattr(partition, "row_lineage", False)
+    frid = getattr(partition, "first_row_id", None)
+    ordinal = 0
     for batch in pf.iter_batches():
         cols = {
             n: batch.column(i).to_pylist()
             for i, n in enumerate(batch.schema.names)
         }
+        stored = cols.get("_row_id") if lineage else None
         for i in range(batch.num_rows):
+            lin = ()
+            if lineage:
+                rid = stored[i] if stored is not None else None
+                if rid is None and frid is not None:
+                    rid = frid + ordinal
+                lin = (rid,)
+            ordinal += 1
             yield (
                 tuple(
                     cols[fid_to_w[fid]][i]
@@ -478,6 +582,7 @@ def _row_fallback(pf, partition, avail, cdc_tail):
                     )
                     for fid, name in tgt
                 )
+                + lin
                 + cdc_tail
             )
 
@@ -502,6 +607,8 @@ class IceliteStreamDataSource(DataSource):
         cols = ", ".join(
             f"`{n}` {spark_ddl_of(t, legacy=leg)}" for n, t in _schema_fields(meta)
         )
+        if str(self.options.get("row-lineage", "false")).lower() == "true":
+            cols += ", `_row_id` bigint"
         if str(self.options.get("change-feed", "false")).lower() == "true":
             cols += ", `_change_type` string, `_commit_snapshot_id` bigint"
         return cols
@@ -556,6 +663,7 @@ class _TaskPartition(InputPartition):
         commit_id: int | None = None,
         include_pos: tuple[list[str], list[str]] | None = None,
         include_eq: tuple[str, list[tuple[str, int]]] | None = None,
+        row_lineage: bool = False,
     ):
         self.location = location
         self.task = task
@@ -575,6 +683,10 @@ class _TaskPartition(InputPartition):
         self.commit_id = commit_id
         self.include_pos = include_pos
         self.include_eq = include_eq
+        # v3 row lineage: emit _row_id (stored column wins, else the
+        # data file's claimed range start + row ordinal)
+        self.row_lineage = row_lineage
+        self.first_row_id = task["data-file"].get("first-row-id")
 
 
 def _task_partitions(
@@ -639,6 +751,7 @@ def _bare_task(e: dict) -> dict:
             "partition": e.get("partition", {}),
             "sequence-number": e.get("sequence-number", 0),
             "schema-id": e.get("schema-id"),
+            "first-row-id": e.get("first-row-id"),
         },
         "position-delete-files": [],
         "equality-delete-files": [],
@@ -783,6 +896,7 @@ def _read_task_batches(partition: _TaskPartition):
     inc_eq = None
     if partition.include_eq is not None:
         inc_eq = eq_spec(*partition.include_eq)
+    lineage = getattr(partition, "row_lineage", False)
     need = sorted(
         {
             fid_to_w[fid]
@@ -790,6 +904,7 @@ def _read_task_batches(partition: _TaskPartition):
             if fid in fid_to_w and fid_to_w[fid] in avail
         }
         | extra
+        | ({"_row_id"} if lineage and "_row_id" in avail else set())
     )
     if aschema is None:  # arrow-unexpressible schema: row fallback
         yield from _batch_row_fallback(
@@ -814,6 +929,7 @@ def _read_task_batches(partition: _TaskPartition):
             mask &= keep
         if inc_eq is not None:
             mask &= _eq_hit(got, inc_eq[0], inc_eq[1], n)
+        base_ordinal = ordinal
         ordinal += n
         sel = None if mask.all() else np.flatnonzero(mask)
         m = n if sel is None else len(sel)
@@ -827,6 +943,16 @@ def _read_task_batches(partition: _TaskPartition):
             arrays.append(
                 _project_column(
                     arr, ftype, m, partition.partition_values.get(name)
+                )
+            )
+        if lineage:
+            arrays.append(
+                _lineage_array(
+                    got.get("_row_id"),
+                    partition.first_row_id,
+                    base_ordinal,
+                    n,
+                    sel,
                 )
             )
         if change:
@@ -881,11 +1007,14 @@ def _batch_row_fallback(pf, partition, need, dead, eq_specs, inc_pos=None, inc_e
     incset = set(inc_pos.tolist()) if inc_pos is not None else None
     change = getattr(partition, "change_type", None)
     tail = (change, partition.commit_id) if change else ()
+    lineage = getattr(partition, "row_lineage", False)
+    frid = getattr(partition, "first_row_id", None)
     ordinal = 0
     for batch in pf.iter_batches(columns=need):
         cols = dict(
             zip(batch.schema.names, (c.to_pylist() for c in batch.columns))
         )
+        stored = cols.get("_row_id") if lineage else None
         for i in range(batch.num_rows):
             pos = ordinal
             ordinal += 1
@@ -904,6 +1033,12 @@ def _batch_row_fallback(pf, partition, need, dead, eq_specs, inc_pos=None, inc_e
                 not in inc_eq[1]
             ):
                 continue
+            lin = ()
+            if lineage:
+                rid = stored[i] if stored is not None else None
+                if rid is None and frid is not None:
+                    rid = frid + pos
+                lin = (rid,)
             yield (
                 tuple(
                     cols[fid_to_w[fid]][i]
@@ -914,6 +1049,7 @@ def _batch_row_fallback(pf, partition, need, dead, eq_specs, inc_pos=None, inc_e
                     )
                     for fid, name in partition.target_fields
                 )
+                + lin
                 + tail
             )
 

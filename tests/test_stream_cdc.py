@@ -522,3 +522,97 @@ def test_stream_sink_exactly_once(spark, tmp_path):
         [_WriteMessage([])], last_epoch
     )  # idempotent — and a stale-epoch message with files would be discarded
     assert dst.scan().count() == 30
+
+
+# ---------------------------------------------------------------------------
+# v3 row lineage on the streaming change feed
+# ---------------------------------------------------------------------------
+@pytest.fixture()
+def v3feed(spark, tmp_path):
+    try:
+        spark.dataSource.register(IceliteStreamDataSource)
+    except Exception:
+        pass
+    cat = Catalog(Metastore(str(tmp_path / "m3.db")))
+    cat.create_warehouse("wh", str(tmp_path / "wh3"))
+    cat.create_namespace("wh", ["s3"])
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "k long, v double"
+    )
+    cat.create_table(
+        "wh", ["s3"], "t", struct_to_schema(df.schema), format_version=3
+    )
+    t = SparkTable(spark, cat, "wh", ["s3"], "t")
+    t.append(df.repartition(1).sortWithinPartitions("k"))
+    return cat, t, str(tmp_path / "m3.db")
+
+
+def _drain_lineage(spark, mpath, collected, namespace="s3"):
+    def collect(batch, batch_id):
+        collected[batch_id] = batch.collect()
+
+    q = (
+        spark.readStream.format("icelite")
+        .option("metastore", mpath)
+        .option("warehouse", "wh")
+        .option("namespace", namespace)
+        .option("table", "t")
+        .option("change-feed", "true")
+        .option("row-lineage", "true")
+        .load()
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stream_feed_rows_carry_row_ids(spark, v3feed):
+    """The streaming change feed's _row_id matches the batch
+    changelog(row_lineage=True): inserts carry the file's assigned ids,
+    MoR tombstone deletes carry the ORIGINAL id of the dead row."""
+    cat, t, mpath = v3feed
+    t.delete_where("k = 4", mode="merge-on-read")
+    collected: dict[int, list] = {}
+    _drain_lineage(spark, mpath, collected)
+    rows = [r for b in collected.values() for r in b]
+    got = sorted((r["k"], r["_change_type"], r["_row_id"]) for r in rows)
+    want = sorted(
+        (r["k"], r["_change_type"], r["_row_id"])
+        for r in t.changelog(row_lineage=True).collect()
+    )
+    assert got == want
+    assert (4, "delete", 4) in got  # dead row by its original id
+
+
+def test_stream_feed_pairs_updates_by_row_id(spark, v3feed):
+    """foreachBatch + pair_update_images(identifier_columns=['_row_id'])
+    over the lineage feed retags a MoR UPDATE's delete+reinsert as
+    update_preimage/update_postimage — streaming CDC keyed by row id."""
+    from lakekeeper_spark.format.icelite import pair_update_images
+
+    cat, t, mpath = v3feed
+    s1 = t.metadata()["current-snapshot-id"]
+    t.update_where("k = 7", {"v": "99.0"}, mode="merge-on-read")
+    collected: dict[int, list] = {}
+    _drain_lineage(spark, mpath, collected)
+    rows = [r for b in collected.values() for r in b]
+    df = spark.createDataFrame(rows)
+    update_commit = t.metadata()["current-snapshot-id"]
+    paired = pair_update_images(
+        df.filter(f"_commit_snapshot_id = {update_commit}"), ["_row_id"]
+    )
+    got = {(r._change_type, r.k, r.v, r._row_id) for r in paired.collect()}
+    assert got == {
+        ("update_preimage", 7, 7.0, 7),
+        ("update_postimage", 7, 99.0, 7),
+    }
+
+
+def test_stream_feed_lineage_guards(spark, feed):
+    """row-lineage on a v2 table fails loudly at planning time."""
+    cat, t, mpath = feed
+    collected: dict[int, list] = {}
+    with pytest.raises(Exception, match="format-version >= 3"):
+        _drain_lineage(spark, mpath, collected, namespace="s")
