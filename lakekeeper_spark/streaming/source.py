@@ -796,8 +796,43 @@ class IceliteBatchReader(DataSourceReader):
             ref=options.get("ref"),
             partition_filter=pfilter,
         )
+        # row-lineage=true (v3): emit _row_id after the data columns —
+        # the DataFrame-API twin of SparkTable.scan(row_lineage=True).
+        # plan_table_scan payloads predate v3 lineage, so attach each
+        # entry's claimed range start from the resolved snapshot.
+        row_lineage = (
+            str(options.get("row-lineage", "false")).lower() == "true"
+        )
+        if row_lineage:
+            if meta.get("format-version", 2) < 3:
+                raise ValueError(
+                    "row-lineage=true requires format-version >= 3 "
+                    f"(table is v{meta.get('format-version', 2)})"
+                )
+            if options.get("snapshot-id"):
+                sid = int(options["snapshot-id"])
+            elif options.get("ref"):
+                sid = meta["refs"][options["ref"]]["snapshot-id"]
+            else:
+                sid = meta.get("current-snapshot-id")
+            snap = next(
+                (s for s in meta["snapshots"] if s["snapshot-id"] == sid),
+                None,
+            )
+            frid = (
+                {e["path"]: e.get("first-row-id") for e in snap["manifest"]}
+                if snap
+                else {}
+            )
+            for t in plan["plan-tasks"]:
+                t["data-file"]["first-row-id"] = frid.get(
+                    t["data-file"]["path"]
+                )
         self.parts: list[_TaskPartition] = _task_partitions(
-            meta, plan["plan-tasks"], _arrow_schema_of(_schema_doc(meta))
+            meta,
+            plan["plan-tasks"],
+            _arrow_schema_of(_schema_doc(meta), lineage=row_lineage),
+            row_lineage=row_lineage,
         )
 
     def partitions(self):

@@ -450,3 +450,34 @@ def test_changelog_row_lineage_guards(spark, table, catalog):
     t2.append(spark.createDataFrame([(1, "a")], "id long, v string"))
     with pytest.raises(ValueError, match="format-version >= 3"):
         t2.changelog(row_lineage=True)
+
+
+def test_batch_datasource_read_carries_row_ids(spark, catalog, tmp_path):
+    """spark.read.format("icelite").option("row-lineage","true") — the
+    DataFrame-API twin of scan(row_lineage=True): same ids, same
+    survivors after a MoR delete; v2 tables are rejected."""
+    from lakekeeper_spark.streaming.source import IceliteStreamDataSource
+
+    try:
+        spark.dataSource.register(IceliteStreamDataSource)
+    except Exception:
+        pass
+    catalog.create_namespace("wh", ["rds"])
+    catalog.create_table("wh", ["rds"], "t", SCHEMA, format_version=3)
+    t = SparkTable(spark, catalog, "wh", ["rds"], "t")
+    t.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(8)], "id long, v string"))
+    t.delete_where("id IN (2, 6)", mode="merge-on-read")
+    mpath = str(tmp_path / "metastore.db")  # the conftest catalog's store
+    df = (
+        spark.read.format("icelite")
+        .option("metastore", mpath)
+        .option("warehouse", "wh")
+        .option("namespace", "rds")
+        .option("table", "t")
+        .option("row-lineage", "true")
+        .load()
+    )
+    got = {r.id: r._row_id for r in df.collect()}
+    want = {r.id: r._row_id for r in t.scan(row_lineage=True).collect()}
+    assert got == want and set(got) == set(range(8)) - {2, 6}
