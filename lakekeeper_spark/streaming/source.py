@@ -122,15 +122,66 @@ def _arrow_schema_of(
     on the DRIVER and shipped inside each partition so executors emit
     `pyarrow.RecordBatch`es Spark ingests without a Python row loop.
     Returns None for types Arrow can't carry (variant); the reader then
-    falls back to row tuples for that table only."""
+    falls back to row tuples for that table only.
+
+    Built SESSION-FREE straight from the Iceberg types: the streaming
+    planner runs in a subprocess with no active SparkSession, where the
+    DDL-parse route (pandas to_arrow_schema over schema_to_struct)
+    always threw and silently forced every stream onto the row
+    fallback. Primitive mapping mirrors Spark's arrow conversion
+    (timestamptz as UTC — the engine pins the session to UTC)."""
     try:
         import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
 
-        from ..format.types import schema_to_struct
+        def prim(t: str):
+            if t.startswith("decimal"):
+                p, sc = t[t.index("(") + 1 : t.index(")")].split(",")
+                return pa.decimal128(int(p), int(sc.strip()))
+            return {
+                "boolean": pa.bool_(),
+                "int": pa.int32(),
+                "long": pa.int64(),
+                "float": pa.float32(),
+                "double": pa.float64(),
+                "date": pa.date32(),
+                "timestamp": pa.timestamp("us"),
+                "timestamptz": pa.timestamp("us", tz="UTC"),
+                "string": pa.string(),
+                "uuid": pa.string(),
+                "binary": pa.binary(),
+            }[t]
 
-        struct = schema_to_struct(schema_doc)
-        sch = to_arrow_schema(struct)
+        def conv(t):
+            if isinstance(t, str):
+                return prim(t)
+            kind = t.get("type")
+            if kind == "list":
+                return pa.list_(conv(t["element"]))
+            if kind == "map":
+                return pa.map_(conv(t["key"]), conv(t["value"]))
+            if kind == "struct":
+                return pa.struct(
+                    [
+                        pa.field(
+                            f["name"],
+                            conv(f["type"]),
+                            nullable=not f.get("required", False),
+                        )
+                        for f in t["fields"]
+                    ]
+                )
+            raise ValueError(f"no arrow type for {t!r}")
+
+        sch = pa.schema(
+            [
+                pa.field(
+                    f["name"],
+                    conv(f["type"]),
+                    nullable=not f.get("required", False),
+                )
+                for f in schema_doc["fields"]
+            ]
+        )
         if lineage:
             sch = sch.append(pa.field("_row_id", pa.int64()))
         if cdc:
