@@ -920,6 +920,73 @@ def s12_lance_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# s13: zone-map-filtered kNN over the lance dataset
+# --------------------------------------------------------------------------
+S13_MAX_ID = 299  #: corpus restriction pushed down to the page zone maps
+
+
+@register(
+    "s13_lance_zonemap_knn",
+    oracle=f"""
+WITH sub AS (SELECT * FROM embeddings WHERE vec_id <= {S13_MAX_ID}),
+norms AS (
+  SELECT vec_id, {_sql_dot6('embedding', 'embedding')} AS norm6
+  FROM sub
+),
+q AS (SELECT e.vec_id, e.embedding, n.norm6 FROM sub e
+      JOIN norms n USING (vec_id) WHERE e.vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         CAST({_sql_dot6('q.embedding', 'e.embedding')} AS DOUBLE)
+           / sqrt(CAST(q.norm6 AS DOUBLE) * CAST(n2.norm6 AS DOUBLE)) AS cosine
+  FROM q, sub e
+  JOIN norms n2 ON e.vec_id = n2.vec_id
+  WHERE e.vec_id != q.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+) t
+WHERE rnk <= {TOP_K}
+""",
+    description=f"Predicate-pushdown retrieval: exact kNN over the lance "
+    f"dataset restricted to vec_id <= {S13_MAX_ID} — the restriction is "
+    "pushed to lancelite's page ZONE MAPS (excluded stripes' bytes are "
+    "never read; the decoder applies the exact residual), then s01's "
+    "adaptive kernel scores the surviving subset. The filtered-corpus "
+    "retrieval shape every metadata-filtered vector search runs.",
+    tags=("similarity", "catalog", "generic-table", "llm", "lance", "pushdown"),
+)
+def s13_lance_zonemap_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: the filter prunes at PAGE granularity inside each
+    file task before any value decodes, so executor IO tracks the
+    selected id range, not the corpus; the KNN kernel then only sees
+    the subset."""
+    import tempfile
+
+    from ..format.lancelite import read_dataset, write_dataset_spark
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_zmap_")
+    src = load_table(spark, sf_dir, "embeddings")
+    dim = src.select(F.size("embedding")).first()[0]
+    loc = f"{tmp}/lance/emb"
+    n_files = max(1, -(-src.count() // (1 << 20)))
+    # page-aligned sort: zone maps are selective when ids cluster
+    write_dataset_spark(
+        src.repartition(n_files).sortWithinPartitions("vec_id"),
+        loc,
+        dims={"embedding": int(dim)},
+    )
+    emb = read_dataset(
+        spark, loc, range_filter={"vec_id": (None, S13_MAX_ID)}
+    )
+    return _s01_adaptive(emb.select("vec_id", "embedding", "label"))
+
+
+# --------------------------------------------------------------------------
 # s11: ANN recall harness — LSH candidates scored against exact top-k
 # --------------------------------------------------------------------------
 @register(
