@@ -117,11 +117,31 @@ def _check_v3_only_schema_features(
             for sf in t.get("fields", []):
                 yield from _prims(sf.get("type"))
 
+    def _defaulted(t):
+        # a default can hide on a NESTED struct field — recurse the same
+        # shapes _prims does for types
+        if not isinstance(t, dict):
+            return
+        for k in ("element", "key", "value"):
+            if k in t:
+                yield from _defaulted(t[k])
+        for sf in t.get("fields", []):
+            if "initial-default" in sf or "write-default" in sf:
+                yield sf.get("name")
+            yield from _defaulted(sf.get("type"))
+
     for f in schema.get("fields", []):
         if "initial-default" in f or "write-default" in f:
             raise CommitValidationError(
                 f"{where}: field {f.get('name')!r} carries a default "
                 "value — defaults require format-version >= 3"
+            )
+        nested = next(_defaulted(f.get("type")), None)
+        if nested is not None:
+            raise CommitValidationError(
+                f"{where}: nested field {nested!r} (inside "
+                f"{f.get('name')!r}) carries a default value — defaults "
+                "require format-version >= 3"
             )
         bad = _V3_ONLY_TYPES.intersection(_prims(f.get("type")))
         if bad:
@@ -380,35 +400,38 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
                     f"table's next-row-id {base} (row-id ranges must not "
                     "overlap)"
                 )
-            # only ADDED files receive ids: a pre-v3 file carried forward
-            # from the parent snapshot keeps a null first-row-id and its
-            # rows read _row_id NULL until the file is rewritten (spec
-            # behavior on upgrade). "added" = not in the parent manifest.
-            parent = next(
-                (
-                    s
-                    for s in meta["snapshots"]
-                    if s["snapshot-id"] == snap.get("parent-snapshot-id")
-                ),
-                None,
-            )
-            inherited = (
-                {e["path"] for e in parent.get("manifest", [])}
-                if parent
-                else set()
-            )
-            # every ADDED data file claims a range — including files that
-            # materialize some/all row ids as a physical column (spec
-            # inheritance is PER ROW: a null stored _row_id inherits
-            # first-row-id + position, a non-null one wins; unused ids in
-            # a claimed range are simply never observed)
+            # every data file in the new manifest that lacks a
+            # first-row-id gets one — both files ADDED by this commit and
+            # files carried forward from a pre-v3 parent (the spec
+            # directs writers to assign first_row_id to data files
+            # lacking one whenever a new manifest is written, so upgraded
+            # tables converge to non-null _row_id without rewriting
+            # bytes; add-snapshot _deep_copy isolates these entries, so
+            # the PARENT snapshot's manifest still reads null — time
+            # travel is unaffected). Every assigned file claims a range —
+            # including files that materialize some/all row ids as a
+            # physical column (spec inheritance is PER ROW: a null stored
+            # _row_id inherits first-row-id + position, a non-null one
+            # wins; unused ids in a claimed range are simply never
+            # observed).
             running = frid
             for e in snap.get("manifest", []):
                 if e.get("content", "data") != "data":
                     continue  # delete files carry no row ids
-                if e.get("first-row-id") is None and e["path"] not in inherited:
+                if e.get("first-row-id") is None:
+                    rc = e.get("record-count")
+                    if rc is None:
+                        # a defaulted 0 would make the NEXT file's range
+                        # overlap this file's inherited ids — the same
+                        # invariant the stale-first-row-id check above
+                        # rejects
+                        raise CommitValidationError(
+                            "add-snapshot: v3 data file "
+                            f"{e.get('path')!r} has no record-count — "
+                            "row-id range assignment requires it"
+                        )
                     e["first-row-id"] = running
-                    running += int(e.get("record-count", 0))
+                    running += int(rc)
             meta["next-row-id"] = max(base, running)
         meta["snapshots"].append(snap)
     elif action == "set-snapshot-ref":

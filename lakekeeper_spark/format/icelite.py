@@ -647,11 +647,18 @@ class SparkTable:
                         .agg(F.count(F.lit(1)).alias("n"))
                         .collect()
                     }
+                # match on the out_dir-relative path, not the basename:
+                # one dynamic-partitioning task writes the SAME basename
+                # (part-NNNNN-<jobuuid>.parquet) into several partition
+                # dirs, so a basename match could pick another
+                # partition's count (wrong manifest stats and, on v3
+                # tables, overlapping first-row-id ranges)
+                relp = p.relative_to(out_dir).as_posix()
                 nrows = next(
                     (
                         n
                         for f, n in counts_by_file.items()
-                        if f.endswith("/" + p.name)
+                        if f.endswith("/" + relp)
                     ),
                     0,  # row-group-less file: holds no rows
                 )
@@ -905,7 +912,16 @@ class SparkTable:
                 "_row_id",
                 F.coalesce(F.col("_row_id"), F.col("_frid") + F.col("_pos")),
             )
-            .withColumn("_last_updated_sequence_number", F.col("_fseq"))
+            .withColumn(
+                # stored wins over the file's sequence number: a carried
+                # (compacted/rewritten-unchanged) row keeps the sequence
+                # number of the commit that last MODIFIED it, not the
+                # rewrite's (spec row-lineage inheritance)
+                "_last_updated_sequence_number",
+                F.coalesce(
+                    F.col("_last_updated_sequence_number"), F.col("_fseq")
+                ),
+            )
             .drop("lineage_path", "_frid", "_fseq")
         )
         if delete_entries:
@@ -935,10 +951,12 @@ class SparkTable:
         columns come from the SAME source on the write and read sides of
         a delete file, so the (file, pos) keys always line up.
 
-        ``with_row_id`` additionally reads the PHYSICAL ``_row_id``
-        column that row-id-preserving compaction materializes into its
-        output files (v3 row lineage: an explicit column overrides
-        inherited assignment) — NULL for files that don't carry it."""
+        ``with_row_id`` additionally reads the PHYSICAL ``_row_id`` and
+        ``_last_updated_sequence_number`` columns that row-id-preserving
+        compaction materializes into its output files (v3 row lineage: an
+        explicit column overrides inherited assignment; the spec requires
+        a carried row to keep BOTH its id and its last-updated sequence
+        number) — NULL for files that don't carry them."""
         tstruct = schema_to_struct(target_schema)
         if with_row_id:
             from pyspark.sql import types as _T
@@ -946,12 +964,23 @@ class SparkTable:
             def _plus_rid(st):
                 return _T.StructType(
                     list(st.fields)
-                    + [_T.StructField("_row_id", _T.LongType(), True)]
+                    + [
+                        _T.StructField("_row_id", _T.LongType(), True),
+                        _T.StructField(
+                            "_last_updated_sequence_number",
+                            _T.LongType(),
+                            True,
+                        ),
+                    ]
                 )
         if not entries:
             empty = self.spark.createDataFrame([], tstruct)
             if with_row_id:
-                empty = empty.withColumn("_row_id", F.lit(None).cast("long"))
+                empty = empty.withColumn(
+                    "_row_id", F.lit(None).cast("long")
+                ).withColumn(
+                    "_last_updated_sequence_number", F.lit(None).cast("long")
+                )
             if with_pos:
                 empty = empty.withColumn("_file", F.lit(None).cast("string")).withColumn(
                     "_pos", F.lit(None).cast("long")
@@ -1009,7 +1038,7 @@ class SparkTable:
                 )
                 keep = [f.name for f in tstruct.fields]
                 if with_row_id:
-                    keep += ["_row_id"]
+                    keep += ["_row_id", "_last_updated_sequence_number"]
                 if with_pos:
                     keep += ["_file", "_pos"]
                 elif with_file:
@@ -1038,6 +1067,7 @@ class SparkTable:
                     cols.append(F.col(wname).cast(sf.dataType).alias(f["name"]))
             if with_row_id:
                 cols.append(F.col("_row_id"))
+                cols.append(F.col("_last_updated_sequence_number"))
             if with_file or with_pos:
                 cols.append(F.col("_file"))
             if with_pos:
@@ -1653,12 +1683,17 @@ class SparkTable:
     ) -> DataFrame:
         """Resolve each row's v3 row id per the spec's PER-ROW inheritance:
         the physical ``_row_id`` column when stored, else the file's
-        first-row-id + the row's position. ``df`` must carry ``_file`` /
-        ``_pos`` and the physical column (with_pos + with_row_id reads);
-        the per-file map is metadata-sized and broadcast."""
+        first-row-id + the row's position; same rule for
+        ``_last_updated_sequence_number`` over the file's data sequence
+        number. ``df`` must carry ``_file`` / ``_pos`` and the physical
+        columns (with_pos + with_row_id reads); the per-file map is
+        metadata-sized and broadcast."""
         fmap = self.spark.createDataFrame(
-            [(e["path"], e.get("first-row-id")) for e in entries],
-            "lineage_path string, _frid long",
+            [
+                (e["path"], e.get("first-row-id"), e.get("sequence-number", 0))
+                for e in entries
+            ],
+            "lineage_path string, _frid long, _fseq long",
         )
         return (
             df.join(
@@ -1670,7 +1705,13 @@ class SparkTable:
                 "_row_id",
                 F.coalesce(F.col("_row_id"), F.col("_frid") + F.col("_pos")),
             )
-            .drop("lineage_path", "_frid")
+            .withColumn(
+                "_last_updated_sequence_number",
+                F.coalesce(
+                    F.col("_last_updated_sequence_number"), F.col("_fseq")
+                ),
+            )
+            .drop("lineage_path", "_frid", "_fseq")
         )
 
     def _data_df(
@@ -1692,7 +1733,11 @@ class SparkTable:
             if with_file:
                 df = df.withColumn("_file", F.lit(None).cast("string"))
             if lineage:
-                df = df.withColumn("_row_id", F.lit(None).cast("long"))
+                df = df.withColumn(
+                    "_row_id", F.lit(None).cast("long")
+                ).withColumn(
+                    "_last_updated_sequence_number", F.lit(None).cast("long")
+                )
             return df
         df = self._read_entries(
             meta,
@@ -2297,9 +2342,12 @@ class SparkTable:
         if extra_rows is not None:
             if lineage and extra_rows is not None:
                 # added rows store NULL: they inherit fresh ids from the
-                # new file's claimed range (per-row inheritance)
+                # new file's claimed range and the new commit's sequence
+                # number (per-row inheritance)
                 extra_rows = extra_rows.withColumn(
                     "_row_id", F.lit(None).cast("long")
+                ).withColumn(
+                    "_last_updated_sequence_number", F.lit(None).cast("long")
                 )
             new_rows = extra_rows if new_rows is None else new_rows.unionByName(extra_rows)
         if new_rows is not None:
@@ -2397,13 +2445,33 @@ class SparkTable:
             return self._mor_update(condition, assignments)
 
         def rewriter(df: DataFrame) -> DataFrame:
-            updated = df
-            for col_name, expr in assignments.items():
+            # evaluate the condition ONCE against the pre-update row:
+            # SQL UPDATE semantics — an assignment that falsifies the
+            # condition (SET x=0 WHERE x>5) must not stop the remaining
+            # assignments (or the lineage bump) from applying
+            updated = df.withColumn("__upd_hit", F.expr(condition))
+            # one withColumns projection: every RHS evaluates against the
+            # PRE-update row (SQL semantics; SET x=y, y=x swaps)
+            updated = updated.withColumns(
+                {
+                    col_name: F.when(
+                        F.col("__upd_hit"), F.expr(expr)
+                    ).otherwise(F.col(col_name))
+                    for col_name, expr in assignments.items()
+                }
+            )
+            if "_last_updated_sequence_number" in df.columns:
+                # v3 lineage: rows this UPDATE actually modifies take the
+                # NEW commit's sequence number (store NULL -> inherit the
+                # file's seq on read); untouched rows carried by the
+                # rewrite keep their old one (stored column wins)
                 updated = updated.withColumn(
-                    col_name,
-                    F.when(F.expr(condition), F.expr(expr)).otherwise(F.col(col_name)),
+                    "_last_updated_sequence_number",
+                    F.when(
+                        F.col("__upd_hit"), F.lit(None).cast("long")
+                    ).otherwise(F.col("_last_updated_sequence_number")),
                 )
-            return updated
+            return updated.drop("__upd_hit")
 
         return self._rewrite(condition, rewriter, "update")
 
@@ -2454,6 +2522,18 @@ class SparkTable:
                 # v3 lineage: an updated row KEEPS its row id (spec) —
                 # pass the target's resolved id through the projection
                 out_cols.append(F.col("t._row_id").alias("_row_id"))
+            if "_last_updated_sequence_number" in tgt.columns:
+                # matched (modified) rows take the NEW commit's sequence
+                # number (store NULL -> inherit file seq on read);
+                # unmatched rows carried by the rewrite keep their own
+                out_cols.append(
+                    F.when(
+                        F.col("s.__src_match").isNotNull() & F.lit(bool(matched_update)),
+                        F.lit(None).cast("long"),
+                    )
+                    .otherwise(F.col("t._last_updated_sequence_number"))
+                    .alias("_last_updated_sequence_number")
+                )
             return joined.select(*out_cols)
 
         snap = self._resolve_snapshot(meta)
@@ -2808,12 +2888,15 @@ class SparkTable:
         on ALL the z-ordered columns at once instead of only the leading
         sort column.
 
-        ``preserve_row_ids=True`` (v3 tables) keeps _row_id STABLE across
-        the rewrite the way lineage-aware engines do: the compaction read
-        carries each row's id and the output files MATERIALIZE it as a
-        physical ``_row_id`` column — per the spec's PER-ROW inheritance
-        rule a stored id wins over the file's claimed range, so the ids
-        survive while new files still claim (unused) ranges. Default
+        ``preserve_row_ids=True`` (v3 tables) keeps _row_id AND
+        _last_updated_sequence_number STABLE across the rewrite the way
+        lineage-aware engines do: the compaction read carries each row's
+        resolved id + last-updated sequence number and the output files
+        MATERIALIZE both as physical columns — per the spec's PER-ROW
+        inheritance rule a stored value wins over the file's claimed
+        range / data sequence number, so carried rows neither change ids
+        nor read the rewrite's sequence number as their last update (CDC
+        consumers see no phantom updates after compaction). Default
         False keeps the fresh-id behavior (cheaper files; ids change
         across compaction). Copy-on-write DELETE/UPDATE/MERGE preserve
         ids automatically on v3 tables (_rewrite)."""
@@ -2826,9 +2909,7 @@ class SparkTable:
                 raise CatalogError(
                     "preserve_row_ids requires format-version >= 3"
                 )
-            df = self.scan(row_lineage=True).drop(
-                "_last_updated_sequence_number"
-            )
+            df = self.scan(row_lineage=True)
         else:
             df = self.scan()
         if zorder_by:

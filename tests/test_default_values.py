@@ -168,3 +168,96 @@ def test_variant_column_roundtrips_through_icelite(spark, catalog):
         ).collect()
     }
     assert ks == {0: 0, 1: 1, 2: 2}
+
+
+def test_commit_engine_rejects_nested_defaults_below_v3():
+    """A default hiding on a NESTED struct field is just as v3-only as a
+    top-level one."""
+    meta = new_table_metadata("u", "loc", SCHEMA, format_version=2)
+    bad = {
+        "schema-id": 1,
+        "fields": SCHEMA["fields"]
+        + [
+            {
+                "id": 2,
+                "name": "s",
+                "required": False,
+                "type": {
+                    "type": "struct",
+                    "fields": [
+                        {
+                            "id": 3,
+                            "name": "inner",
+                            "type": "int",
+                            "required": False,
+                            "initial-default": 9,
+                        }
+                    ],
+                },
+            }
+        ],
+    }
+    with pytest.raises(CommitValidationError, match="nested.*default"):
+        apply_commit(meta, [], [{"action": "add-schema", "schema": bad}])
+    # legal on v3
+    meta3 = new_table_metadata("u", "loc", SCHEMA, format_version=3)
+    apply_commit(meta3, [], [{"action": "add-schema", "schema": bad}])
+
+
+def test_variant_footer_fallback_counts_by_partition_path(
+    spark, catalog, monkeypatch
+):
+    """The pyarrow-footer fallback (VARIANT logical type) must attribute
+    per-file row counts by the out_dir-RELATIVE path: with dynamic
+    partitioning one task writes the SAME basename into several
+    partition dirs, so a basename match could return another partition's
+    count — wrong manifest stats and, on v3, overlapping first-row-id
+    ranges."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    p_schema = {
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "type": "long", "required": True},
+            {"id": 2, "name": "part", "type": "string", "required": False},
+            {"id": 3, "name": "payload", "type": "variant",
+             "required": False},
+        ],
+    }
+    catalog.create_namespace("wh", ["vfb"])
+    catalog.create_table(
+        "wh", ["vfb"], "t", p_schema, format_version=3,
+        partition_spec={
+            "spec-id": 0,
+            "fields": [{"source-id": 2, "field-id": 1000,
+                        "transform": "identity", "name": "part"}],
+        },
+    )
+    t = SparkTable(spark, catalog, "wh", ["vfb"], "t")
+    # 2 rows in partition a, 5 in partition b, ONE upstream task ->
+    # identical basenames across both partition directories
+    df = (
+        spark.createDataFrame(
+            [(i, "a" if i < 2 else "b") for i in range(7)],
+            "id long, part string",
+        )
+        .withColumn("payload", F.parse_json(F.lit('{"x": 1}')))
+        .coalesce(1)
+    )
+    # force the fallback even if this pyarrow build parses the footer
+    def _boom(*a, **k):
+        raise OSError("unsupported logical type")
+
+    monkeypatch.setattr(pq, "ParquetFile", _boom)
+    t.append(df)
+    snap = t.metadata()["snapshots"][-1]
+    counts = {
+        e["partition"]["part"]: e["record-count"]
+        for e in snap["manifest"]
+        if e.get("content", "data") == "data"
+    }
+    assert counts == {"a": 2, "b": 5}
+    # and the v3 row-id ranges built on those counts stay disjoint
+    rows = {r.id: r._row_id for r in t.scan(row_lineage=True).collect()}
+    assert sorted(rows.values()) == list(range(7))

@@ -187,9 +187,12 @@ def test_v2_scan_rejects_row_lineage(spark, catalog):
         t.scan(row_lineage=True)
 
 
-def test_upgrade_then_append_starts_ids_at_zero(spark, catalog):
-    """Pre-upgrade files have no ids (NULL _row_id); the first post-
-    upgrade append claims the range starting at 0."""
+def test_upgrade_then_append_assigns_ids_to_inherited_files(spark, catalog):
+    """The v3 spec directs writers to assign first_row_id to data files
+    LACKING one whenever a new manifest is written — so the first
+    post-upgrade commit gives the carried pre-upgrade file an id range
+    too, and the upgraded table converges to non-null _row_id without
+    rewriting any bytes. Ranges stay disjoint."""
     catalog.create_namespace("wh", ["rl3"])
     catalog.create_table("wh", ["rl3"], "t3", SCHEMA, format_version=2)
     t = SparkTable(spark, catalog, "wh", ["rl3"], "t3")
@@ -197,9 +200,17 @@ def test_upgrade_then_append_starts_ids_at_zero(spark, catalog):
     t._commit([], [{"action": "upgrade-format-version", "format-version": 3}])
     t.append(spark.createDataFrame([(2, "new")], "id long, v string"))
     rows = {r.id: r for r in t.scan(row_lineage=True).collect()}
-    assert rows[1]._row_id is None  # pre-upgrade file: no lineage
-    assert rows[2]._row_id == 0
-    assert t.metadata()["next-row-id"] == 1
+    ids = {rows[1]._row_id, rows[2]._row_id}
+    assert None not in ids  # converged: inherited file got a range
+    assert ids == {0, 1}  # disjoint, both claimed from next-row-id
+    assert t.metadata()["next-row-id"] == 2
+    # time travel: the PRE-upgrade snapshot's manifest is untouched
+    old_snap = t.metadata()["snapshots"][0]
+    assert all(
+        e.get("first-row-id") is None
+        for e in old_snap["manifest"]
+        if e.get("content", "data") == "data"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -481,3 +492,118 @@ def test_batch_datasource_read_carries_row_ids(spark, catalog, tmp_path):
     got = {r.id: r._row_id for r in df.collect()}
     want = {r.id: r._row_id for r in t.scan(row_lineage=True).collect()}
     assert got == want and set(got) == set(range(8)) - {2, 6}
+
+
+# ---------------------------------------------------------------------------
+# _last_updated_sequence_number preservation (v3 spec: a carried row keeps
+# the sequence number of the commit that last MODIFIED it)
+# ---------------------------------------------------------------------------
+def test_compaction_preserves_last_updated_seq(spark, table):
+    """preserve_row_ids compaction materializes _last_updated_sequence_number
+    alongside _row_id: CDC consumers keying on it must see NO phantom
+    updates after a rewrite."""
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(6)], "id long, v string"))
+    table.update_where("id = 4", {"v": "'bumped'"}, mode="merge-on-read")
+    before = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in table.scan(row_lineage=True).collect()
+    }
+    # the MoR-updated row reads a LATER seq than the untouched ones
+    assert before[4][1] > before[0][1]
+    table.rewrite_data_files(target_files=1, preserve_row_ids=True)
+    after = {
+        r.id: (r._row_id, r._last_updated_sequence_number)
+        for r in table.scan(row_lineage=True).collect()
+    }
+    assert after == before  # neither ids NOR last-updated seqs moved
+
+
+def test_cow_update_bumps_seq_only_for_modified_rows(spark, table):
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(6)], "id long, v string"))
+    base_seq = {
+        r.id: r._last_updated_sequence_number
+        for r in table.scan(row_lineage=True).collect()
+    }
+    table.update_where("id >= 3", {"v": "'updated'"})
+    got = {
+        r.id: r._last_updated_sequence_number
+        for r in table.scan(row_lineage=True).collect()
+    }
+    new_seq = table.metadata()["last-sequence-number"]
+    for i in range(6):
+        if i >= 3:
+            assert got[i] == new_seq  # modified: the UPDATE's commit seq
+        else:
+            # carried unchanged through the rewrite: keeps its old seq
+            assert got[i] == base_seq[i] < new_seq
+
+
+def test_cow_delete_preserves_survivor_seq(spark, table):
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(4)], "id long, v string"))
+    base_seq = {
+        r.id: r._last_updated_sequence_number
+        for r in table.scan(row_lineage=True).collect()
+    }
+    table.delete_where("id = 1", mode="copy-on-write")
+    got = {
+        r.id: r._last_updated_sequence_number
+        for r in table.scan(row_lineage=True).collect()
+    }
+    assert set(got) == {0, 2, 3}
+    for k, v in got.items():
+        assert v == base_seq[k]  # survivors: no phantom update
+
+
+def test_cow_merge_bumps_seq_only_for_matched_rows(spark, table):
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(4)], "id long, v string"))
+    base_seq = {
+        r.id: r._last_updated_sequence_number
+        for r in table.scan(row_lineage=True).collect()
+    }
+    src = spark.createDataFrame(
+        [(2, "merged"), (100, "new")], "id long, v string").alias("s")
+    table.merge(src, "t.id = s.id", matched_update={"v": "s.v"})
+    got = {
+        r.id: r._last_updated_sequence_number
+        for r in table.scan(row_lineage=True).collect()
+    }
+    new_seq = table.metadata()["last-sequence-number"]
+    assert got[2] == new_seq  # matched+updated
+    assert got[100] == new_seq  # fresh insert
+    for i in (0, 1, 3):
+        assert got[i] == base_seq[i] < new_seq  # carried unchanged
+
+
+def test_update_where_multi_assignment_sees_pre_update_row(spark, table):
+    """SQL UPDATE semantics: every RHS (and the WHERE) evaluates against
+    the PRE-update row — SET v = 'hit' WHERE id > 2 combined with an
+    id-mutating assignment must still apply both."""
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(5)], "id long, v string"))
+    table.update_where("id > 2", {"id": "0", "v": "'hit'"})
+    got = sorted((r.id, r.v) for r in table.scan().collect())
+    assert got == [(0, "hit"), (0, "hit"), (0, "x0"), (1, "x1"), (2, "x2")]
+
+
+def test_add_snapshot_rejects_added_file_without_record_count():
+    """A v3 added data file with no record-count cannot claim a row-id
+    range (a defaulted 0 would overlap the next file's ids)."""
+    meta = new_table_metadata("u", "file:///tmp/t", SCHEMA, format_version=3)
+    with pytest.raises(CommitValidationError, match="record-count"):
+        apply_commit(
+            meta,
+            [],
+            [
+                {
+                    "action": "add-snapshot",
+                    "snapshot": _snap(
+                        1,
+                        [{"path": "data/a.parquet", "content": "data"}],
+                    ),
+                },
+            ],
+        )
