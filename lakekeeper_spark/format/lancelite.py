@@ -29,18 +29,45 @@ The *container* layout follows the published Lance v2 file spec exactly:
 - each column's pages carry parallel ``buffer_offsets``/``buffer_sizes``
   arrays, a row ``length``, and an encoding descriptor.
 
-The metadata *payloads* diverge deliberately: real Lance serializes them
-as protobuf messages (``file2.proto``); lancelite serializes the same
-information as canonical JSON. Without the lance library in this
-environment a hand-rolled protobuf twin could only be validated against
-itself, so the honest subset keeps the container spec-exact and makes
-the payload encoding explicit. Real-library integration stays one line
-away via :func:`lakekeeper_spark.format.generic.register_lance_reader`.
+The metadata *payloads* are real protobuf wire format (hand-rolled
+varint/tag encoding in :mod:`.protowire` — the same move as the repo's
+Postgres/Kafka/NATS wire clients), mirroring the message shapes of the
+public ``file2.proto`` / ``file.proto``:
+
+- column metadata = ``ColumnMetadata{ pages=1 }`` with
+  ``Page{ buffer_offsets=1, buffer_sizes=2, length=3, encoding=4,
+  priority=5 }`` (packed uint64s);
+- ``Encoding{ direct=1 }`` / ``DirectEncoding{ encoding=1 bytes }`` —
+  real Lance packs a ``google.protobuf.Any`` encoding message into those
+  bytes; lancelite packs its own ``LanceliteEncoding`` message there
+  (kind / has_validity / dim / page zone-map stats), which is the one
+  deliberate payload divergence left: the bytes ARE protobuf, but the
+  inner encoding vocabulary is the lancelite subset's, so a real-library
+  file whose encodings fall outside the subset raises the actionable
+  "needs the lance library" error instead of mis-decoding;
+- file descriptor = ``FileDescriptor{ schema=1, num_rows=2 }`` with
+  ``Schema{ fields=1, metadata=2 }`` and the ``file.proto``
+  ``Field{ type=1, name=2, id=3, parent_id=4, logical_type=5,
+  nullable=6 }`` tree — fixed-size-list columns serialize the way Lance
+  schemas do, as a PARENT field (``logical_type="fixed_size_list:<dim>"``)
+  with a LEAF ``item`` child, ids depth-first, top-level parent_id = -1.
+
+Files written by earlier lancelite rounds carried the same information
+as canonical JSON; the reader auto-detects per payload (JSON starts with
+``{``, protobuf never does) so old datasets stay readable.
 
 Supported logical types (the test_lance.py fixture set + vectors):
 ``int32``, ``int64``, ``float32``, ``float64``, ``utf8`` (string), and
 ``fixed_size_list<float32, dim>`` (embedding vectors). All types support
 nulls via an Arrow-style LSB validity bitmap buffer.
+
+Page codecs are Arrow-vectorized end to end: encode slices pyarrow
+arrays and emits buffers via numpy (no per-value Python), decode builds
+pyarrow arrays zero-copy from the page buffers
+(``pa.Array.from_buffers`` + ``validate(full=True)`` so corrupt bytes
+raise instead of misbehaving). ``read_file`` keeps its python-list
+return for callers/tests; the Spark read path consumes the arrays
+directly.
 
 A *dataset* is a directory containing ``data/*.lance`` files sharing one
 schema (the layout the lance library writes); readers merge all files in
@@ -56,18 +83,75 @@ import os
 import struct
 from dataclasses import dataclass
 
+from .protowire import ProtoWireError, decode_message, encode_message
+
 MAGIC = b"LANC"
 # the stable 2.0 format is numbered (0, 3) on disk — spec quirk
 MAJOR, MINOR = 0, 3
 FOOTER = struct.Struct("<QQQIIHH4s")  # 40 bytes
 _U64PAIR = struct.Struct("<QQ")
 
-_FIXED = {  # logical type -> (struct fmt char, bytes per value)
-    "int32": ("i", 4),
-    "int64": ("q", 8),
-    "float32": ("f", 4),
-    "float64": ("d", 8),
+_FIXED = {  # logical type -> (numpy dtype, bytes per value)
+    "int32": ("<i4", 4),
+    "int64": ("<i8", 8),
+    "float32": ("<f4", 4),
+    "float64": ("<f8", 8),
 }
+
+# ---------------------------------------------------------------------------
+# protobuf message schemas (file2.proto / file.proto shapes; see module
+# docstring). protowire is schema-driven: name -> (field number, kind).
+# ---------------------------------------------------------------------------
+_P_LL_ENCODING = {  # lancelite's payload inside DirectEncoding.encoding
+    "kind": (1, "string"),  # plain | utf8 | fsl
+    "has_validity": (2, "bool"),
+    "dim": (3, "uint32"),  # fsl only
+    "has_stats": (4, "bool"),  # page zone map present
+    "stats_float": (5, "bool"),  # live pair: int (sint64) or float (double)
+    "min_int": (6, "sint64"),
+    "max_int": (7, "sint64"),
+    "min_double": (8, "double"),
+    "max_double": (9, "double"),
+}
+_P_DIRECT_ENCODING = {"encoding": (1, "bytes")}
+_P_ENCODING = {"direct": (1, "msg", _P_DIRECT_ENCODING)}
+_P_PAGE = {
+    "buffer_offsets": (1, "packed_uint64"),
+    "buffer_sizes": (2, "packed_uint64"),
+    "length": (3, "uint64"),
+    "encoding": (4, "msg", _P_ENCODING),
+    "priority": (5, "uint64"),
+}
+_P_COLUMN_METADATA = {
+    "pages": (1, "rep_msg", _P_PAGE),
+    "buffer_offsets": (2, "packed_uint64"),
+    "buffer_sizes": (3, "packed_uint64"),
+    "encoding": (4, "msg", _P_ENCODING),
+}
+_P_FIELD = {  # file.proto Field; type enum: 0 PARENT, 1 REPEATED, 2 LEAF
+    "type": (1, "int32"),
+    "name": (2, "string"),
+    "id": (3, "int32"),
+    "parent_id": (4, "int32"),
+    "logical_type": (5, "string"),
+    "nullable": (6, "bool"),
+}
+_P_SCHEMA_META = {"key": (1, "string"), "value": (2, "bytes")}
+_P_SCHEMA = {
+    "fields": (1, "rep_msg", _P_FIELD),
+    "metadata": (2, "rep_msg", _P_SCHEMA_META),
+}
+_P_FILE_DESCRIPTOR = {"schema": (1, "msg", _P_SCHEMA), "num_rows": (2, "uint64")}
+
+_PARENT, _LEAF = 0, 2
+_LOGICAL = {  # lancelite type <-> lance logical_type string
+    "int32": "int32",
+    "int64": "int64",
+    "float32": "float",
+    "float64": "double",
+    "utf8": "string",
+}
+_LOGICAL_BACK = {v: k for k, v in _LOGICAL.items()}
 
 
 class LanceLiteError(ValueError):
@@ -95,94 +179,364 @@ class Field:
         )
 
 
-# --------------------------------------------------------------------------
-# validity bitmaps (Arrow LSB convention)
-# --------------------------------------------------------------------------
-def _pack_validity(mask: list[bool]) -> bytes:
-    out = bytearray((len(mask) + 7) // 8)
-    for i, ok in enumerate(mask):
-        if ok:
-            out[i >> 3] |= 1 << (i & 7)
-    return bytes(out)
+def _pa_type(f: Field):
+    import pyarrow as pa
+
+    m = {
+        "int32": pa.int32(),
+        "int64": pa.int64(),
+        "float32": pa.float32(),
+        "float64": pa.float64(),
+        "utf8": pa.utf8(),
+    }
+    if f.type == "fsl_float32":
+        return pa.list_(pa.float32(), f.dim)
+    if f.type not in m:
+        raise LanceLiteError(f"unsupported type: {f.type}")
+    return m[f.type]
 
 
-def _unpack_validity(buf: bytes, n: int) -> list[bool]:
-    return [bool(buf[i >> 3] >> (i & 7) & 1) for i in range(n)]
+# ---------------------------------------------------------------------------
+# schema tree <-> flat lancelite fields (file.proto Field messages)
+# ---------------------------------------------------------------------------
+def _fields_to_proto(fields: list[Field]) -> list[dict]:
+    out: list[dict] = []
+    next_id = 0
+    for f in fields:
+        if f.type == "fsl_float32":
+            pid = next_id
+            out.append(
+                {
+                    "type": _PARENT,
+                    "name": f.name,
+                    "id": pid,
+                    "parent_id": -1,
+                    "logical_type": f"fixed_size_list:{f.dim}",
+                    "nullable": f.nullable,
+                }
+            )
+            out.append(
+                {
+                    "type": _LEAF,
+                    "name": "item",
+                    "id": pid + 1,
+                    "parent_id": pid,
+                    "logical_type": "float",
+                    "nullable": False,
+                }
+            )
+            next_id += 2
+        else:
+            out.append(
+                {
+                    "type": _LEAF,
+                    "name": f.name,
+                    "id": next_id,
+                    "parent_id": -1,
+                    "logical_type": _LOGICAL[f.type],
+                    "nullable": f.nullable,
+                }
+            )
+            next_id += 1
+    return out
+
+
+def _fields_from_proto(pfields: list[dict]) -> list[Field]:
+    children: dict[int, list[dict]] = {}
+    for pf in pfields:
+        children.setdefault(pf["parent_id"], []).append(pf)
+    out: list[Field] = []
+    for pf in children.get(-1, []):
+        lt = pf["logical_type"]
+        if pf["type"] == _LEAF and lt in _LOGICAL_BACK:
+            out.append(Field(pf["name"], _LOGICAL_BACK[lt], pf["nullable"]))
+            continue
+        if pf["type"] == _PARENT and lt.startswith("fixed_size_list:"):
+            kids = children.get(pf["id"], [])
+            if len(kids) == 1 and kids[0]["logical_type"] == "float":
+                try:
+                    dim = int(lt.split(":")[-1])
+                except ValueError:
+                    dim = -1
+                if dim > 0:
+                    out.append(
+                        Field(pf["name"], "fsl_float32", pf["nullable"], dim)
+                    )
+                    continue
+        raise LanceLiteError(
+            f"schema field {pf['name']!r} ({lt!r}) is outside the lancelite "
+            "subset — this Lance file needs the lance library "
+            "(register_lance_reader)"
+        )
+    if not out:
+        raise LanceLiteError(
+            "file descriptor carries no readable schema — a real-protobuf "
+            "Lance file outside the subset needs the lance library "
+            "(register_lance_reader)"
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# metadata payload (de)serialization: protobuf, with a JSON read fallback
+# for files written by earlier lancelite rounds
+# ---------------------------------------------------------------------------
+def _enc_to_proto(enc: dict, stats: dict | None, is_float: bool) -> dict:
+    doc = {
+        "kind": enc["type"],
+        "has_validity": bool(enc.get("has_validity")),
+        "dim": int(enc.get("dim", 0)),
+    }
+    if stats is not None:
+        doc["has_stats"] = True
+        doc["stats_float"] = is_float
+        if is_float:
+            doc["min_double"] = float(stats["min"])
+            doc["max_double"] = float(stats["max"])
+        else:
+            doc["min_int"] = int(stats["min"])
+            doc["max_int"] = int(stats["max"])
+    return {"direct": {"encoding": encode_message(_P_LL_ENCODING, doc)}}
+
+
+def _enc_from_proto(pmsg: dict | None) -> tuple[dict, dict | None]:
+    direct = (pmsg or {}).get("direct")
+    if not direct or not direct.get("encoding"):
+        raise LanceLiteError(
+            "page has no direct encoding — this Lance file's encodings are "
+            "outside the lancelite subset and need the lance library "
+            "(register_lance_reader)"
+        )
+    doc = decode_message(_P_LL_ENCODING, direct["encoding"])
+    enc = {
+        "type": doc["kind"],
+        "has_validity": doc["has_validity"],
+    }
+    if doc["dim"]:
+        enc["dim"] = doc["dim"]
+    stats = None
+    if doc["has_stats"]:
+        stats = (
+            {"min": doc["min_double"], "max": doc["max_double"]}
+            if doc["stats_float"]
+            else {"min": doc["min_int"], "max": doc["max_int"]}
+        )
+    return enc, stats
+
+
+def _col_meta_to_bytes(cm: dict, is_float: bool) -> bytes:
+    pages = []
+    for p in cm["pages"]:
+        pages.append(
+            {
+                "buffer_offsets": p["buffer_offsets"],
+                "buffer_sizes": p["buffer_sizes"],
+                "length": p["length"],
+                "priority": p["priority"],
+                "encoding": _enc_to_proto(
+                    p["encoding"], p.get("stats"), is_float
+                ),
+            }
+        )
+    return encode_message(_P_COLUMN_METADATA, {"pages": pages})
+
+
+def parse_column_metadata(blob: bytes) -> dict:
+    """Decode one column-metadata payload (protobuf, or legacy lancelite
+    JSON) into the internal page-dict shape. Public for tests/tools that
+    inspect raw files."""
+    if blob[:1] == b"{":  # legacy JSON payload
+        return json.loads(blob)
+    try:
+        pcm = decode_message(_P_COLUMN_METADATA, blob)
+    except ProtoWireError as e:
+        raise LanceLiteError(
+            f"column metadata is neither lancelite protobuf nor JSON: {e}"
+        ) from e
+    pages = []
+    for p in pcm["pages"]:
+        enc, stats = _enc_from_proto(p["encoding"])
+        page = {
+            "buffer_offsets": p["buffer_offsets"],
+            "buffer_sizes": p["buffer_sizes"],
+            "length": p["length"],
+            "priority": p["priority"],
+            "encoding": enc,
+        }
+        if stats is not None:
+            page["stats"] = stats
+        pages.append(page)
+    return {"pages": pages}
+
+
+def _descriptor_to_bytes(fields: list[Field], n_rows: int) -> bytes:
+    return encode_message(
+        _P_FILE_DESCRIPTOR,
+        {
+            "schema": {
+                "fields": _fields_to_proto(fields),
+                "metadata": [
+                    {"key": "writer", "value": b"lakekeeper_spark.lancelite"}
+                ],
+            },
+            "num_rows": n_rows,
+        },
+    )
+
+
+def _descriptor_from_bytes(blob: bytes) -> tuple[list[Field], int]:
+    if blob[:1] == b"{":  # legacy JSON descriptor
+        doc = json.loads(blob)
+        return [Field.from_json(f) for f in doc["fields"]], int(
+            doc["num_rows"]
+        )
+    try:
+        fd = decode_message(_P_FILE_DESCRIPTOR, blob)
+    except ProtoWireError as e:
+        raise LanceLiteError(
+            "file descriptor does not parse as file2.proto FileDescriptor — "
+            "this Lance file needs the lance library "
+            f"(register_lance_reader): {e}"
+        ) from e
+    if not fd.get("schema"):
+        raise LanceLiteError(
+            "file descriptor has no schema — this Lance file needs the "
+            "lance library (register_lance_reader)"
+        )
+    return _fields_from_proto(fd["schema"]["fields"]), int(fd["num_rows"])
 
 
 # --------------------------------------------------------------------------
-# page codecs: values -> buffers and back
+# page codecs: pyarrow array slices -> buffers and back (vectorized; no
+# per-value Python anywhere on the hot path)
 # --------------------------------------------------------------------------
-def _encode_page(field: Field, values: list) -> tuple[list[bytes], dict]:
-    """Encode one page of python values; returns (buffers, encoding doc).
+def _pack_validity(arr) -> bytes:
+    import numpy as np
+    import pyarrow.compute as pc
+
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    return np.packbits(valid, bitorder="little").tobytes()
+
+
+def _encode_page(field: Field, arr) -> tuple[list[bytes], dict, dict | None]:
+    """Encode one page from a pyarrow array slice; returns
+    (buffers, encoding doc, zone-map stats or None).
     Buffer order: [validity?] + type-specific value buffers."""
-    n = len(values)
-    mask = [v is not None for v in values]
-    has_nulls = not all(mask)
-    bufs: list[bytes] = [_pack_validity(mask)] if has_nulls else []
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = len(arr)
+    has_nulls = arr.null_count > 0
+    bufs: list[bytes] = [_pack_validity(arr)] if has_nulls else []
     enc: dict = {"type": None, "has_validity": has_nulls}
+    stats: dict | None = None
     if field.type in _FIXED:
-        fmt, _ = _FIXED[field.type]
-        filled = [v if v is not None else 0 for v in values]
-        bufs.append(struct.pack(f"<{n}{fmt}", *filled))
+        dtype, _ = _FIXED[field.type]
+        filled = pc.fill_null(arr, 0) if has_nulls else arr
+        npv = filled.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+        bufs.append(npv.tobytes())
         enc["type"] = "plain"
+        # zone map: per-page min/max (the page-skipping statistics real
+        # Lance keeps as zone maps); null-only pages carry none and are
+        # never wrongly skipped
+        mm = pc.min_max(arr)
+        if mm["min"].is_valid:
+            stats = {"min": mm["min"].as_py(), "max": mm["max"].as_py()}
     elif field.type == "utf8":
-        offsets = [0]
-        blob = bytearray()
-        for v in values:
-            if v is not None:
-                blob += str(v).encode("utf-8")
-            offsets.append(len(blob))
-        bufs.append(struct.pack(f"<{n + 1}i", *offsets))
-        bufs.append(bytes(blob))
+        a = pc.fill_null(arr, "") if has_nulls else arr
+        vb = a.buffers()
+        off = np.frombuffer(vb[1], "<i4", count=a.offset + n + 1)[a.offset:]
+        lo, hi = int(off[0]), int(off[-1])
+        bufs.append((off - lo).astype("<i4").tobytes())
+        bufs.append(vb[2].slice(lo, hi - lo).to_pybytes() if hi > lo else b"")
         enc["type"] = "utf8"
     elif field.type == "fsl_float32":
         d = field.dim
-        flat: list[float] = []
-        for v in values:
-            if v is None:
-                flat.extend([0.0] * d)
-            else:
-                if len(v) != d:
-                    raise LanceLiteError(
-                        f"vector length {len(v)} != fixed dim {d}"
-                    )
-                flat.extend(float(x) for x in v)
-        bufs.append(struct.pack(f"<{n * d}f", *flat))
+        child = arr.values.slice(arr.offset * d, n * d)
+        if child.null_count:
+            child = pc.fill_null(child, 0.0)
+        npv = child.to_numpy(zero_copy_only=False).astype("<f4", copy=False)
+        bufs.append(npv.tobytes())
         enc["type"] = "fsl"
         enc["dim"] = d
     else:
         raise LanceLiteError(f"unsupported type: {field.type}")
-    return bufs, enc
+    return bufs, enc, stats
 
 
-def _decode_page(field: Field, enc: dict, bufs: list[bytes], n: int) -> list:
+def _decode_page(field: Field, enc: dict, bufs: list[bytes], n: int):
+    """Decode one page into a pyarrow array — zero-copy from_buffers over
+    the page bytes, then a full validation pass so corrupt/scorched bytes
+    raise LanceLiteError instead of yielding undefined values."""
+    import pyarrow as pa
+
     i = 0
-    mask = None
+    validity = None
     if enc.get("has_validity"):
-        mask = _unpack_validity(bufs[0], n)
+        if len(bufs[0]) < (n + 7) // 8:
+            raise LanceLiteError("validity bitmap shorter than the page")
+        validity = pa.py_buffer(bufs[0])
         i = 1
     kind = enc.get("type")
-    if kind == "plain":
-        fmt, width = _FIXED[field.type]
-        if len(bufs[i]) != n * width:
-            raise LanceLiteError("value buffer size mismatch")
-        vals = list(struct.unpack(f"<{n}{fmt}", bufs[i]))
-    elif kind == "utf8":
-        offsets = struct.unpack(f"<{n + 1}i", bufs[i])
-        blob = bufs[i + 1]
-        vals = [
-            blob[offsets[k]:offsets[k + 1]].decode("utf-8") for k in range(n)
-        ]
-    elif kind == "fsl":
-        d = int(enc["dim"])
-        flat = struct.unpack(f"<{n * d}f", bufs[i])
-        vals = [list(flat[k * d:(k + 1) * d]) for k in range(n)]
-    else:
-        raise LanceLiteError(f"unsupported page encoding: {kind!r}")
-    if mask is not None:
-        vals = [v if ok else None for v, ok in zip(vals, mask)]
-    return vals
+    try:
+        if kind == "plain":
+            _, width = _FIXED[field.type]
+            if len(bufs[i]) != n * width:
+                raise LanceLiteError("value buffer size mismatch")
+            arr = pa.Array.from_buffers(
+                _pa_type(field), n, [validity, pa.py_buffer(bufs[i])]
+            )
+        elif kind == "utf8":
+            if len(bufs[i]) != 4 * (n + 1):
+                raise LanceLiteError("utf8 offsets buffer size mismatch")
+            arr = pa.Array.from_buffers(
+                pa.utf8(),
+                n,
+                [validity, pa.py_buffer(bufs[i]), pa.py_buffer(bufs[i + 1])],
+            )
+        elif kind == "fsl":
+            d = int(enc["dim"])
+            if len(bufs[i]) != n * d * 4:
+                raise LanceLiteError("fsl value buffer size mismatch")
+            values = pa.Array.from_buffers(
+                pa.float32(), n * d, [None, pa.py_buffer(bufs[i])]
+            )
+            arr = pa.Array.from_buffers(
+                pa.list_(pa.float32(), d), n, [validity], children=[values]
+            )
+        else:
+            raise LanceLiteError(f"unsupported page encoding: {kind!r}")
+        arr.validate(full=True)
+    except LanceLiteError:
+        raise
+    except Exception as e:  # ArrowInvalid etc: corrupt page bytes
+        raise LanceLiteError(f"column {field.name}: corrupt page: {e}") from e
+    return arr
+
+
+def _to_arrow_column(field: Field, values):
+    """Normalize one column of input (python list, numpy, pandas Series,
+    or pyarrow array) to a pyarrow array of the field's type."""
+    import pyarrow as pa
+
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        arr = (
+            values.combine_chunks()
+            if isinstance(values, pa.ChunkedArray)
+            else values
+        )
+        if arr.type != _pa_type(field):
+            arr = arr.cast(_pa_type(field))
+        return arr
+    try:
+        return pa.array(values, type=_pa_type(field), from_pandas=True)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError) as e:
+        if field.type == "fsl_float32":
+            raise LanceLiteError(
+                f"column {field.name!r}: a vector's length != fixed dim "
+                f"{field.dim} (or non-numeric content): {e}"
+            ) from e
+        raise LanceLiteError(f"column {field.name!r}: {e}") from e
 
 
 # --------------------------------------------------------------------------
@@ -191,28 +545,32 @@ def _decode_page(field: Field, enc: dict, bufs: list[bytes], n: int) -> list:
 def write_file(
     path: str,
     fields: list[Field],
-    columns: dict[str, list],
+    columns: dict,
     rows_per_page: int = 65536,
 ) -> None:
-    """Write one .lance file: pages first, then column metadata, offset
-    tables, global buffers, footer — the v2 container layout."""
+    """Write one .lance file: pages first, then column metadata (protobuf
+    ColumnMetadata), offset tables, global buffers (protobuf
+    FileDescriptor), footer — the v2 container layout. ``columns`` maps
+    name -> python list | numpy | pandas Series | pyarrow array."""
     names = [f.name for f in fields]
     if set(names) != set(columns):
         raise LanceLiteError("schema fields != provided columns")
-    n_rows = len(columns[names[0]]) if names else 0
+    arrays = {f.name: _to_arrow_column(f, columns[f.name]) for f in fields}
+    n_rows = len(arrays[names[0]]) if names else 0
     for c in names:
-        if len(columns[c]) != n_rows:
+        if len(arrays[c]) != n_rows:
             raise LanceLiteError("ragged columns")
 
     out = bytearray()
-    col_meta: list[dict] = []
+    col_blobs: list[bytes] = []
     for f in fields:
         pages = []
+        arr = arrays[f.name]
         for start in range(0, max(n_rows, 1), rows_per_page):
-            vals = columns[f.name][start:start + rows_per_page]
-            if not vals and n_rows:
+            m = min(rows_per_page, n_rows - start) if n_rows else 0
+            if m == 0 and n_rows:
                 break
-            bufs, enc = _encode_page(f, vals)
+            bufs, enc, stats = _encode_page(f, arr.slice(start, m))
             offs, sizes = [], []
             for b in bufs:
                 offs.append(len(out))
@@ -221,28 +579,23 @@ def write_file(
             page = {
                 "buffer_offsets": offs,
                 "buffer_sizes": sizes,
-                "length": len(vals),
+                "length": m,
                 "priority": start,
                 "encoding": enc,
             }
-            # zone map: per-page min/max for numeric columns (the
-            # page-skipping statistics real Lance keeps as zone maps);
-            # null-only pages carry none and are never wrongly skipped
-            if f.type in _FIXED:
-                present = [v for v in vals if v is not None]
-                if present:
-                    page["stats"] = {
-                        "min": min(present),
-                        "max": max(present),
-                    }
+            if stats is not None:
+                page["stats"] = stats
             pages.append(page)
-        col_meta.append({"pages": pages})
+        col_blobs.append(
+            _col_meta_to_bytes(
+                {"pages": pages}, is_float=f.type in ("float32", "float64")
+            )
+        )
 
     # column metadata section + its offset table
     col_meta_start = len(out)
     cm_entries = []
-    for cm in col_meta:
-        blob = json.dumps(cm, sort_keys=True).encode("utf-8")
+    for blob in col_blobs:
         cm_entries.append((len(out), len(blob)))
         out += blob
     col_meta_offsets_start = len(out)
@@ -250,14 +603,7 @@ def write_file(
         out += _U64PAIR.pack(off, size)
 
     # global buffer 0: file descriptor (schema + row count)
-    descriptor = json.dumps(
-        {
-            "fields": [f.to_json() for f in fields],
-            "num_rows": n_rows,
-            "writer": "lakekeeper_spark.lancelite",
-        },
-        sort_keys=True,
-    ).encode("utf-8")
+    descriptor = _descriptor_to_bytes(fields, n_rows)
     gb_entries = [(len(out), len(descriptor))]
     out += descriptor
     global_buff_offsets_start = len(out)
@@ -325,27 +671,19 @@ def _parse_descriptor(data: bytes) -> tuple[list[Field], int]:
     if num_global < 1:
         raise LanceLiteError("no global buffers: missing file descriptor")
     off, size = _U64PAIR.unpack_from(data, gb_start)
-    try:
-        doc = json.loads(data[off:off + size])
-    except ValueError as e:
-        raise LanceLiteError(
-            "file descriptor is not lancelite JSON — a real-protobuf Lance "
-            "file needs the lance library (register_lance_reader)"
-        ) from e
-    fields = [Field.from_json(f) for f in doc["fields"]]
-    return fields, int(doc["num_rows"])
+    return _descriptor_from_bytes(data[off:off + size])
 
 
-def read_file(
+def _read_file_arrays(
     path: str,
     columns: list[str] | None = None,
     range_filter: dict[str, tuple] | None = None,
-) -> tuple[list[Field], dict[str, list]]:
-    """Decode a .lance file. With ``columns``, this is a PROJECTED read:
-    only the footer + metadata tail and the SELECTED columns' page
-    buffers are ever read from disk (seek-based) — IO stays proportional
-    to the projection, the property that makes a columnar layout worth
-    having. Unselected columns' bytes are never touched.
+):
+    """Decode a .lance file into pyarrow arrays. With ``columns``, this
+    is a PROJECTED read: only the footer + metadata tail and the SELECTED
+    columns' page buffers are ever read from disk (seek-based) — IO stays
+    proportional to the projection, the property that makes a columnar
+    layout worth having. Unselected columns' bytes are never touched.
 
     ``range_filter`` = {col: (lo, hi)} additionally prunes PAGES via the
     writer's zone maps: every column shares the same page row-ranges
@@ -355,6 +693,8 @@ def read_file(
     are kept — pruning never loses a matching row; callers still apply
     the exact row filter downstream (zone maps are a superset contract,
     like parquet row-group skipping)."""
+    import pyarrow as pa
+
     with open(path, "rb") as fh:
         fh.seek(0, 2)
         fsize = fh.tell()
@@ -368,8 +708,8 @@ def read_file(
         (
             cm_start,
             cm_off_start,
-            _gb_start,
-            _n_gb,
+            gb_start,
+            n_gb,
             num_cols,
         ) = _parse_footer(footer)
         if cm_start > fsize:
@@ -383,7 +723,10 @@ def read_file(
             return tail[off - cm_start:off - cm_start + size]
 
         # descriptor lives in the tail (written after the data pages)
-        fields, n_rows = _parse_descriptor_tail(footer, _tail)
+        if n_gb < 1:
+            raise LanceLiteError("no global buffers: missing file descriptor")
+        d_off, d_size = _U64PAIR.unpack_from(_tail(gb_start, 16), 0)
+        fields, n_rows = _descriptor_from_bytes(_tail(d_off, d_size))
         if len(fields) != num_cols:
             raise LanceLiteError(
                 "descriptor field count != footer num_columns"
@@ -401,7 +744,7 @@ def read_file(
             off, size = _U64PAIR.unpack_from(
                 _tail(cm_off_start + 16 * ci, 16), 0
             )
-            return json.loads(_tail(off, size))
+            return parse_column_metadata(_tail(off, size))
 
         # zone-map pruning: page keep-set from the filter columns' stats
         # (page i covers the same row stripe in every column)
@@ -428,12 +771,12 @@ def read_file(
                 keep_pages = (
                     hits if keep_pages is None else keep_pages & hits
                 )
-        out: dict[str, list] = {}
+        out: dict[str, pa.Array] = {}
         for ci, f in enumerate(fields):
             if f.name not in sel_names:
                 continue
             cm = _col_meta(ci)
-            vals: list = []
+            parts = []
             for pi, page in enumerate(cm["pages"]):
                 if keep_pages is not None and pi not in keep_pages:
                     continue
@@ -451,32 +794,33 @@ def read_file(
                     ]
                 else:
                     bufs = []
-                vals.extend(
+                parts.append(
                     _decode_page(f, page["encoding"], bufs, page["length"])
                 )
-            if keep_pages is None and len(vals) != n_rows:
+            arr = (
+                pa.concat_arrays(parts)
+                if parts
+                else pa.array([], type=_pa_type(f))
+            )
+            if keep_pages is None and len(arr) != n_rows:
                 raise LanceLiteError(
-                    f"column {f.name}: {len(vals)} rows != descriptor "
+                    f"column {f.name}: {len(arr)} rows != descriptor "
                     f"{n_rows}"
                 )
-            out[f.name] = vals
+            out[f.name] = arr
     return selected, out
 
 
-def _parse_descriptor_tail(footer: bytes, tail_read) -> tuple[list[Field], int]:
-    _, _, gb_start, num_global, _ = _parse_footer(footer)
-    if num_global < 1:
-        raise LanceLiteError("no global buffers: missing file descriptor")
-    off, size = _U64PAIR.unpack_from(tail_read(gb_start, 16), 0)
-    try:
-        doc = json.loads(tail_read(off, size))
-    except ValueError as e:
-        raise LanceLiteError(
-            "file descriptor is not lancelite JSON — a real-protobuf Lance "
-            "file needs the lance library (register_lance_reader)"
-        ) from e
-    fields = [Field.from_json(f) for f in doc["fields"]]
-    return fields, int(doc["num_rows"])
+def read_file(
+    path: str,
+    columns: list[str] | None = None,
+    range_filter: dict[str, tuple] | None = None,
+) -> tuple[list[Field], dict[str, list]]:
+    """Python-list facade over :func:`_read_file_arrays` (same projection
+    + zone-map contracts); the Spark read path consumes the arrays
+    directly and never pays this conversion."""
+    fields, arrays = _read_file_arrays(path, columns, range_filter)
+    return fields, {name: arr.to_pylist() for name, arr in arrays.items()}
 
 
 # --------------------------------------------------------------------------
@@ -498,16 +842,18 @@ def dataset_files(location: str) -> list[str]:
 def write_dataset(
     location: str,
     fields: list[Field],
-    columns: dict[str, list],
+    columns: dict,
     max_rows_per_file: int = 1 << 20,
 ) -> list[str]:
     os.makedirs(os.path.join(location, "data"), exist_ok=True)
     names = [f.name for f in fields]
-    n = len(columns[names[0]]) if names else 0
+    arrays = {f.name: _to_arrow_column(f, columns[f.name]) for f in fields}
+    n = len(arrays[names[0]]) if names else 0
     paths = []
     frag = 0
     for start in range(0, max(n, 1), max_rows_per_file):
-        shard = {c: columns[c][start:start + max_rows_per_file] for c in names}
+        m = min(max_rows_per_file, n - start) if n else 0
+        shard = {c: arrays[c].slice(start, m) for c in names}
         p = os.path.join(location, "data", f"{frag:06d}.lance")
         write_file(p, fields, shard)
         paths.append(p)
@@ -543,9 +889,9 @@ def read_dataset(
     ONLY the selected columns' buffers, so IO tracks the projection
     (read_file's contract). ``range_filter`` = {col: (lo, hi)} pushes
     page skipping down to the zone maps AND applies the exact residual
-    filter in the decoder, so the returned frame contains exactly the
-    matching rows while excluded stripes' bytes are never read."""
-    import pandas as pd
+    filter vectorized in Arrow, so the returned frame contains exactly
+    the matching rows while excluded stripes' bytes are never read."""
+    import pyarrow as pa
     from pyspark.sql import types as T
 
     files = dataset_files(location)
@@ -573,9 +919,11 @@ def read_dataset(
     ]
 
     def decode(batches):
+        import pyarrow.compute as pc
+
         for pdf in batches:
             for path in pdf["path"]:
-                fs, cols = read_file(
+                fs, cols = _read_file_arrays(
                     path, columns=read_cols, range_filter=range_filter
                 )
                 if [f.to_json() for f in fs] != expect:
@@ -583,21 +931,23 @@ def read_dataset(
                         f"{path}: schema differs from the dataset schema"
                     )
                 if range_filter:
-                    n = len(next(iter(cols.values()), []))
-                    keep = [
-                        i
-                        for i in range(n)
-                        if all(
-                            cols[c][i] is not None
-                            and (lo is None or cols[c][i] >= lo)
-                            and (hi is None or cols[c][i] <= hi)
-                            for c, (lo, hi) in range_filter.items()
-                        )
-                    ]
+                    mask = None
+                    for c, (lo, hi) in range_filter.items():
+                        m = pc.is_valid(cols[c])
+                        if lo is not None:
+                            m = pc.and_(
+                                m, pc.greater_equal(cols[c], lo)
+                            )
+                        if hi is not None:
+                            m = pc.and_(m, pc.less_equal(cols[c], hi))
+                        mask = m if mask is None else pc.and_(mask, m)
+                    mask = pc.fill_null(mask, False)
                     cols = {
-                        c: [v[i] for i in keep] for c, v in cols.items()
+                        c: pc.filter(v, mask) for c, v in cols.items()
                     }
-                yield pd.DataFrame({f.name: cols[f.name] for f in fields})
+                yield pa.table(
+                    {name: cols[name] for name in names}
+                ).to_pandas()
 
     paths = spark.createDataFrame(
         [(p,) for p in files], "path string"
@@ -644,7 +994,8 @@ def write_dataset_spark(df, location: str, dims: dict[str, int] | None = None):
     """Distributed lancelite sink: every partition writes its own
     ``data/part-*.lance`` file EXECUTOR-SIDE (mapInPandas), so nothing
     but the resulting file list crosses the driver — the write-path twin
-    of :func:`read_dataset`. Returns the written paths."""
+    of :func:`read_dataset`. Columns convert pandas -> Arrow in one
+    vectorized pass per batch. Returns the written paths."""
     import os as _os
     import uuid as _uuid
 
@@ -655,34 +1006,27 @@ def write_dataset_spark(df, location: str, dims: dict[str, int] | None = None):
     _os.makedirs(_os.path.join(location, "data"), exist_ok=True)
 
     def sink(batches):
-        rows: dict[str, list] = {f.name: [] for f in fields}
+        import pyarrow as pa
+
+        chunks: dict[str, list] = {f.name: [] for f in fields}
+        got = 0
         for pdf in batches:
+            if not len(pdf):
+                continue
+            got += len(pdf)
             for f in fields:
-                col = pdf[f.name]
-                if f.type == "fsl_float32":
-                    rows[f.name].extend(
-                        None if v is None else [float(x) for x in v]
-                        for v in col
-                    )
-                elif f.type in ("int32", "int64"):
-                    # pandas widens nullable ints to float64 + NaN
-                    rows[f.name].extend(
-                        None if pd.isna(v) else int(v) for v in col
-                    )
-                elif f.type in ("float32", "float64"):
-                    rows[f.name].extend(
-                        None if pd.isna(v) else float(v) for v in col
-                    )
-                else:  # utf8
-                    rows[f.name].extend(
-                        None if v is None else str(v) for v in col
-                    )
-        if not rows[fields[0].name]:
+                chunks[f.name].append(
+                    pa.Array.from_pandas(pdf[f.name], type=_pa_type(f))
+                )
+        if not got:
             return
+        arrays = {
+            name: pa.concat_arrays(parts) for name, parts in chunks.items()
+        }
         p = _os.path.join(
             location, "data", f"part-{_uuid.uuid4().hex}.lance"
         )
-        write_file(p, fields, rows)
+        write_file(p, fields, arrays)
         yield pd.DataFrame({"path": [p]})
 
     return [
@@ -700,6 +1044,7 @@ __all__ = [
     "write_dataset",
     "dataset_files",
     "read_dataset",
+    "parse_column_metadata",
     "MAGIC",
     "MAJOR",
     "MINOR",

@@ -1,0 +1,269 @@
+"""Minimal, schema-driven protobuf wire-format codec (proto3 rules).
+
+The repo already hand-rolls the Postgres, Kafka, and NATS wire protocols
+against scripted validators; this is the same move for protobuf: just
+the public encoding rules (varint tags, ZigZag, length-delimited,
+packed repeated scalars — developers.google.com/protocol-buffers/docs/encoding),
+no generated code and no dependency. lancelite uses it to serialize the
+Lance v2 metadata payloads (``file2.proto`` message shapes) instead of
+JSON.
+
+A message schema is a dict ``name -> (field_number, kind)`` where kind
+is one of:
+
+- ``"uint64" | "uint32" | "int32" | "bool"`` — varint scalar
+- ``"sint64"`` — ZigZag varint (exact for the full ±2^63 range)
+- ``"double"`` — 8-byte LE (wire type 1)
+- ``"string" | "bytes"`` — length-delimited
+- ``("msg", SUB)`` — embedded message with schema SUB
+- ``("rep_msg", SUB)`` — repeated embedded message (list of dicts)
+- ``"packed_uint64"`` — repeated uint64, packed (list of ints)
+
+Canonical proto3 encoding: scalar fields equal to their default
+(0 / False / "" / b"") are omitted; absent fields decode to that
+default. Unknown field numbers are skipped on decode (forward
+compatibility — a real-library file carrying extra fields still
+parses); a known field arriving with the wrong wire type raises
+``ProtoWireError`` (the payload is not what the schema says it is).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any
+
+_DOUBLE = struct.Struct("<d")
+
+
+class ProtoWireError(ValueError):
+    """Bytes do not parse as the given message schema."""
+
+
+# --------------------------------------------------------------------------
+# varints
+# --------------------------------------------------------------------------
+def _uvarint(value: int) -> bytes:
+    if value < 0:
+        raise ProtoWireError(f"uvarint of negative value {value}")
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_uvarint(data: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(data):
+            raise ProtoWireError("truncated varint")
+        b = data[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ProtoWireError("varint longer than 64 bits")
+
+
+def _zigzag(value: int) -> int:
+    return (value << 1) ^ (value >> 63) if value >= 0 else ((-value) << 1) - 1
+
+
+def _unzigzag(value: int) -> int:
+    return (value >> 1) ^ -(value & 1)
+
+
+# --------------------------------------------------------------------------
+# encode
+# --------------------------------------------------------------------------
+def _tag(num: int, wire: int) -> bytes:
+    return _uvarint((num << 3) | wire)
+
+
+def encode_message(schema: dict[str, tuple], msg: dict[str, Any]) -> bytes:
+    """Serialize ``msg`` per ``schema``; unknown keys raise (a typo would
+    otherwise silently drop data)."""
+    out = bytearray()
+    # emit in field-number order (stable bytes for identical input)
+    for name, spec in sorted(schema.items(), key=lambda kv: kv[1][0]):
+        if name not in msg or msg[name] is None:
+            continue
+        num, kind = spec[0], spec[1]
+        v = msg[name]
+        if kind == "packed_uint64":
+            if not v:
+                continue
+            payload = b"".join(_uvarint(int(x)) for x in v)
+            out += _tag(num, 2) + _uvarint(len(payload)) + payload
+        elif kind == "rep_msg":
+            for item in v:
+                payload = encode_message(spec[2], item)
+                out += _tag(num, 2) + _uvarint(len(payload)) + payload
+        elif kind == "msg":
+            payload = encode_message(spec[2], v)
+            out += _tag(num, 2) + _uvarint(len(payload)) + payload
+        elif kind in ("uint64", "uint32"):
+            if int(v) == 0:
+                continue
+            out += _tag(num, 0) + _uvarint(int(v))
+        elif kind == "int32":
+            if int(v) == 0:
+                continue
+            # negative int32 encodes as a 10-byte two's-complement varint
+            out += _tag(num, 0) + _uvarint(int(v) & 0xFFFFFFFFFFFFFFFF)
+        elif kind == "sint64":
+            if int(v) == 0:
+                continue
+            out += _tag(num, 0) + _uvarint(_zigzag(int(v)))
+        elif kind == "bool":
+            if not v:
+                continue
+            out += _tag(num, 0) + _uvarint(1)
+        elif kind == "double":
+            if v == 0.0 and not _is_neg_zero(v):
+                continue
+            out += _tag(num, 1) + _DOUBLE.pack(float(v))
+        elif kind == "string":
+            b = str(v).encode("utf-8")
+            if not b:
+                continue
+            out += _tag(num, 2) + _uvarint(len(b)) + b
+        elif kind == "bytes":
+            if not v:
+                continue
+            out += _tag(num, 2) + _uvarint(len(v)) + bytes(v)
+        else:
+            raise ProtoWireError(f"unknown kind {kind!r} for field {name}")
+    unknown = set(msg) - set(schema) - {k for k in msg if msg[k] is None}
+    unknown = {k for k in unknown if msg[k] is not None}
+    if unknown:
+        raise ProtoWireError(f"fields not in schema: {sorted(unknown)}")
+    return bytes(out)
+
+
+def _is_neg_zero(v: float) -> bool:
+    return v == 0.0 and str(v)[0] == "-"
+
+
+# --------------------------------------------------------------------------
+# decode
+# --------------------------------------------------------------------------
+def _skip(data: bytes, pos: int, wire: int) -> int:
+    if wire == 0:
+        _, pos = _read_uvarint(data, pos)
+        return pos
+    if wire == 1:
+        return pos + 8
+    if wire == 2:
+        size, pos = _read_uvarint(data, pos)
+        return pos + size
+    if wire == 5:
+        return pos + 4
+    raise ProtoWireError(f"unsupported wire type {wire}")
+
+
+def decode_message(schema: dict[str, tuple], data: bytes) -> dict[str, Any]:
+    """Parse ``data`` per ``schema``. Missing fields default (0/False/""/
+    b""/[]/None-for-msg); unknown field numbers are skipped; a known
+    field with the wrong wire type raises."""
+    by_num = {spec[0]: (name, spec) for name, spec in schema.items()}
+    out: dict[str, Any] = {}
+    for name, spec in schema.items():
+        kind = spec[1]
+        if kind in ("packed_uint64", "rep_msg"):
+            out[name] = []
+        elif kind == "msg":
+            out[name] = None
+        elif kind in ("uint64", "uint32", "int32", "sint64"):
+            out[name] = 0
+        elif kind == "bool":
+            out[name] = False
+        elif kind == "double":
+            out[name] = 0.0
+        elif kind == "string":
+            out[name] = ""
+        elif kind == "bytes":
+            out[name] = b""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        key, pos = _read_uvarint(data, pos)
+        num, wire = key >> 3, key & 7
+        hit = by_num.get(num)
+        if hit is None:
+            pos = _skip(data, pos, wire)
+            if pos > n:
+                raise ProtoWireError("field overruns message")
+            continue
+        name, spec = hit
+        kind = spec[1]
+        if kind == "packed_uint64":
+            if wire == 2:  # packed
+                size, pos = _read_uvarint(data, pos)
+                end = pos + size
+                if end > n:
+                    raise ProtoWireError("packed field overruns message")
+                vals = out[name]
+                while pos < end:
+                    v, pos = _read_uvarint(data, pos)
+                    vals.append(v)
+                if pos != end:
+                    raise ProtoWireError("packed field misaligned")
+            elif wire == 0:  # unpacked repeated scalar is legal proto
+                v, pos = _read_uvarint(data, pos)
+                out[name].append(v)
+            else:
+                raise ProtoWireError(f"field {name}: bad wire type {wire}")
+        elif kind in ("rep_msg", "msg", "string", "bytes"):
+            if wire != 2:
+                raise ProtoWireError(f"field {name}: bad wire type {wire}")
+            size, pos = _read_uvarint(data, pos)
+            end = pos + size
+            if end > n:
+                raise ProtoWireError("field overruns message")
+            payload = data[pos:end]
+            pos = end
+            if kind == "rep_msg":
+                out[name].append(decode_message(spec[2], payload))
+            elif kind == "msg":
+                out[name] = decode_message(spec[2], payload)
+            elif kind == "string":
+                try:
+                    out[name] = payload.decode("utf-8")
+                except UnicodeDecodeError as e:
+                    raise ProtoWireError(f"field {name}: bad utf-8") from e
+            else:
+                out[name] = payload
+        elif kind in ("uint64", "uint32", "int32", "sint64", "bool"):
+            if wire != 0:
+                raise ProtoWireError(f"field {name}: bad wire type {wire}")
+            v, pos = _read_uvarint(data, pos)
+            if kind == "sint64":
+                out[name] = _unzigzag(v)
+            elif kind == "bool":
+                out[name] = bool(v)
+            elif kind == "int32":
+                # two's complement back to signed
+                out[name] = v - (1 << 64) if v >= (1 << 63) else v
+            else:
+                out[name] = v
+        elif kind == "double":
+            if wire != 1:
+                raise ProtoWireError(f"field {name}: bad wire type {wire}")
+            if pos + 8 > n:
+                raise ProtoWireError("truncated double")
+            out[name] = _DOUBLE.unpack_from(data, pos)[0]
+            pos += 8
+        else:  # pragma: no cover - schema authoring error
+            raise ProtoWireError(f"unknown kind {kind!r}")
+    return out
+
+
+__all__ = ["ProtoWireError", "encode_message", "decode_message"]

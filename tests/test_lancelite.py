@@ -353,13 +353,12 @@ def test_projected_read_never_touches_unselected_bytes(tmp_path):
     cm_start, cm_off_start, _, _, n_cols = __import__("struct").unpack(
         "<QQQII", data[len(data) - 40:len(data) - 8]
     )
-    import json as _json
     import struct as _struct
 
     keep = {"vec_id", "embedding"}
     for ci, f in enumerate(FIELDS):
         off, size = _struct.unpack_from("<QQ", data, cm_off_start + 16 * ci)
-        cm = _json.loads(bytes(data[off:off + size]))
+        cm = ll.parse_column_metadata(bytes(data[off:off + size]))
         if f.name in keep:
             continue
         for page in cm["pages"]:
@@ -425,7 +424,6 @@ def test_zone_map_pruning_reads_matching_stripes(tmp_path):
 def test_zone_map_pruning_never_reads_excluded_bytes(tmp_path):
     """Scorch every byte of the stripes outside the filter range — the
     pruned read still decodes perfectly (their pages are never read)."""
-    import json as _json
     import struct as _struct
 
     p = str(tmp_path / "f.lance")
@@ -443,7 +441,7 @@ def test_zone_map_pruning_never_reads_excluded_bytes(tmp_path):
     # keep only the stripe holding k in [30, 39] (page index 3)
     for ci in range(n_cols):
         off, size = _struct.unpack_from("<QQ", data, cm_off_start + 16 * ci)
-        cm = _json.loads(bytes(data[off : off + size]))
+        cm = ll.parse_column_metadata(bytes(data[off : off + size]))
         for pi, page in enumerate(cm["pages"]):
             if pi == 3:
                 continue
@@ -494,3 +492,175 @@ def test_spark_dataset_range_filter_exact(spark, tmp_path):
     assert sorted(r.name for r in df.collect()) == sorted(
         f"r{i}" for i in range(33, 48)
     )
+
+
+# --------------------------------------------------------------------------
+# protobuf metadata payloads (round-14: real file2.proto wire encoding)
+# --------------------------------------------------------------------------
+def _pb_parse(data):
+    """Independent, test-local protobuf wire parser (NOT protowire):
+    returns {field_number: [raw values]} where varints come back as ints
+    and length-delimited fields as bytes. Written from the public wire
+    spec so the writer's bytes are validated against a second
+    implementation."""
+    out = {}
+    pos, n = 0, len(data)
+
+    def uvarint(p):
+        r, s = 0, 0
+        while True:
+            b = data[p]
+            p += 1
+            r |= (b & 0x7F) << s
+            if not b & 0x80:
+                return r, p
+            s += 7
+
+    while pos < n:
+        key, pos = uvarint(pos)
+        num, wire = key >> 3, key & 7
+        if wire == 0:
+            v, pos = uvarint(pos)
+        elif wire == 1:
+            v, pos = data[pos:pos + 8], pos + 8
+        elif wire == 2:
+            size, pos = uvarint(pos)
+            v, pos = data[pos:pos + size], pos + size
+        elif wire == 5:
+            v, pos = data[pos:pos + 4], pos + 4
+        else:
+            raise AssertionError(f"wire {wire}")
+        out.setdefault(num, []).append(v)
+    assert pos == n
+    return out
+
+
+def test_descriptor_is_real_protobuf(tmp_path):
+    """The file descriptor round-trips through an INDEPENDENT protobuf
+    wire parser with the file2.proto field numbers: FileDescriptor
+    { schema=1, num_rows=2 }, Schema { fields=1 }, Field { type=1,
+    name=2, id=3, parent_id=4, logical_type=5, nullable=6 } — fsl as a
+    PARENT node with a LEAF 'item' child, ids depth-first."""
+    p = str(tmp_path / "f.lance")
+    ll.write_file(p, FIELDS, _columns(7))
+    data = open(p, "rb").read()
+    _, _, gbo, _, _ = struct.unpack_from("<QQQII", data, len(data) - 40)
+    off, size = struct.unpack_from("<QQ", data, gbo)
+    blob = data[off:off + size]
+    assert blob[:1] != b"{"  # not JSON anymore
+    fd = _pb_parse(blob)
+    assert [x for x, in [(v, ) for v in fd[2]]] == [7]  # num_rows varint
+    schema = _pb_parse(fd[1][0])
+    fields = [_pb_parse(f) for f in schema[1]]
+    # FIELDS has 4 scalars + 1 fsl -> 6 proto nodes (parent + item child)
+    assert len(fields) == 6
+    names = [f[2][0].decode() for f in fields]
+    assert names == ["vec_id", "score", "rank", "name", "embedding", "item"]
+    logical = [f[5][0].decode() for f in fields]
+    assert logical == [
+        "int64", "double", "int32", "string", "fixed_size_list:4", "float",
+    ]
+    emb = fields[4]
+    item = fields[5]
+    assert emb.get(1, [0]) == [0]  # PARENT enum value 0 (omitted=default)
+    assert item[1] == [2]  # LEAF
+    assert item[4][0] == emb[3][0]  # child's parent_id == parent's id
+    # vec_id is top-level: parent_id -1 encodes as 10-byte varint
+    assert fields[0][4][0] == (1 << 64) - 1
+
+
+def test_column_metadata_is_real_protobuf(tmp_path):
+    """ColumnMetadata { pages=1 } / Page { buffer_offsets=1,
+    buffer_sizes=2, length=3, encoding=4, priority=5 } with packed
+    uint64s, parsed by the independent decoder; buffer extents must
+    address the real page bytes."""
+    p = str(tmp_path / "f.lance")
+    ll.write_file(p, FIELDS, _columns(20), rows_per_page=8)
+    data = open(p, "rb").read()
+    cm_start, cmo, _, _, n_cols = struct.unpack_from(
+        "<QQQII", data, len(data) - 40
+    )
+    off, size = struct.unpack_from("<QQ", data, cmo)  # column 0
+    cm = _pb_parse(data[off:off + size])
+    pages = [_pb_parse(pb) for pb in cm[1]]
+    assert len(pages) == 3  # 20 rows / 8 per page
+
+    def unpack_packed(raw):
+        vals, pos = [], 0
+        while pos < len(raw):
+            r, s = 0, 0
+            while True:
+                b = raw[pos]
+                pos += 1
+                r |= (b & 0x7F) << s
+                if not b & 0x80:
+                    break
+                s += 7
+            vals.append(r)
+        return vals
+
+    lengths = [pg.get(3, [0])[0] for pg in pages]
+    assert lengths == [8, 8, 4]
+    for pg in pages:
+        offs = unpack_packed(pg[1][0])
+        sizes = unpack_packed(pg[2][0])
+        assert len(offs) == len(sizes) >= 1
+        for o, s in zip(offs, sizes):
+            assert o + s <= cm_start  # pages live before the metadata
+
+
+def test_legacy_json_metadata_files_still_read(tmp_path):
+    """Files written by earlier lancelite rounds carried JSON payloads;
+    the reader auto-detects per payload, so old datasets stay
+    readable."""
+    import json as _json
+
+    fields = [Field("k", "int64", nullable=False), Field("s", "utf8")]
+    cols = {"k": [1, 2, 3], "s": ["a", None, "c"]}
+    # assemble a legacy file: same container, JSON metadata payloads
+    out = bytearray()
+    col_meta = []
+    for f in fields:
+        arr = ll._to_arrow_column(f, cols[f.name])
+        bufs, enc, stats = ll._encode_page(f, arr)
+        offs, sizes = [], []
+        for b in bufs:
+            offs.append(len(out))
+            sizes.append(len(b))
+            out += b
+        page = {
+            "buffer_offsets": offs, "buffer_sizes": sizes,
+            "length": 3, "priority": 0, "encoding": enc,
+        }
+        if stats is not None:
+            page["stats"] = stats
+        col_meta.append({"pages": [page]})
+    cm_start = len(out)
+    cm_entries = []
+    for cm in col_meta:
+        blob = _json.dumps(cm, sort_keys=True).encode()
+        cm_entries.append((len(out), len(blob)))
+        out += blob
+    cmo = len(out)
+    for o, s in cm_entries:
+        out += struct.pack("<QQ", o, s)
+    desc = _json.dumps(
+        {"fields": [f.to_json() for f in fields], "num_rows": 3},
+        sort_keys=True,
+    ).encode()
+    gb = [(len(out), len(desc))]
+    out += desc
+    gbo = len(out)
+    for o, s in gb:
+        out += struct.pack("<QQ", o, s)
+    out += struct.pack(
+        "<QQQIIHH4s", cm_start, cmo, gbo, 1, len(fields), 0, 3, b"LANC"
+    )
+    p = str(tmp_path / "legacy.lance")
+    open(p, "wb").write(bytes(out))
+    got_fields, got = ll.read_file(p)
+    assert [f.name for f in got_fields] == ["k", "s"]
+    assert got == cols
+    # zone maps from JSON stats work too
+    _, pruned = ll.read_file(p, range_filter={"k": (100, 200)})
+    assert pruned["k"] == []  # single page skipped by its stats
