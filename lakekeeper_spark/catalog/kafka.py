@@ -16,16 +16,25 @@ written from the public protocol guide
   records, CRC32C (Castagnoli) over the batch body from the attributes
   field on — the modern on-wire format every >=0.11 broker requires;
 - ``Produce`` v3 (header v1 + record batches, acks=1) is sent to the
-  bootstrap broker and the per-partition ``error_code`` of the response
+  partition leader and the per-partition ``error_code`` of the response
   is checked — a non-zero code or transport failure RAISES so the
   catalog's fan-out drop accounting observes the loss, exactly like the
-  NATS backend.
-
-Scope note: partition selection and broker discovery (Metadata
-round-trips) are librdkafka's job in the reference; this minimal
-producer publishes to partition 0 of the configured bootstrap broker,
-which is the honest single-broker shape the scripted test server (and
-any single-node dev broker) accepts.
+  NATS backend;
+- connections open with an ``ApiVersions`` (v0) handshake and the
+  produce version is picked from the broker's advertised range (we
+  encode batch v2, so the floor is Produce v3 — an older broker gets an
+  actionable error instead of undecodable bytes);
+- ``Metadata`` (v0) discovers the topic's partition count and each
+  partition's leader broker; messages route to the leader's connection;
+- partition selection is the Java client's default partitioner —
+  ``murmur2(key) & 0x7fffffff % num_partitions`` — over the event's
+  tabular-id key, giving the reference's per-entity partition affinity
+  (``lakekeeper-events-kafka/src/lib.rs:119-151``: librdkafka keys by
+  tabular-id so one entity's events stay ordered on one partition);
+- a ``NOT_LEADER_OR_FOLLOWER``/``UNKNOWN_TOPIC_OR_PARTITION`` produce
+  error triggers ONE metadata refresh + retry (leadership moved);
+  transport failures raise through so fan-out drop accounting sees them
+  and the next publish reconnects lazily.
 """
 
 from __future__ import annotations
@@ -203,10 +212,50 @@ def decode_record_batch(batch: bytes) -> list[tuple[bytes | None, bytes]]:
 
 
 # ----------------------------------------------------------------------
+# partitioning: the Java client's default partitioner
+# ----------------------------------------------------------------------
+def murmur2(data: bytes) -> int:
+    """32-bit MurmurHash2 exactly as Apache Kafka's Utils.murmur2
+    (seed 0x9747b28c, m 0x5bd1e995, r 24) — byte-compatible partitioning
+    with Java-client producers sharing the topic."""
+    m = 0x5BD1E995
+    h = (0x9747B28C ^ len(data)) & 0xFFFFFFFF
+    i = 0
+    n4 = len(data) & ~3
+    while i < n4:
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> 24
+        k = (k * m) & 0xFFFFFFFF
+        h = ((h * m) & 0xFFFFFFFF) ^ k
+        i += 4
+    rem = len(data) - n4
+    if rem == 3:
+        h ^= data[i + 2] << 16
+    if rem >= 2:
+        h ^= data[i + 1] << 8
+    if rem >= 1:
+        h = ((h ^ data[i]) * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
+def partition_for_key(key: bytes, num_partitions: int) -> int:
+    """Java DefaultPartitioner: toPositive(murmur2(key)) % partitions."""
+    return (murmur2(key) & 0x7FFFFFFF) % num_partitions
+
+
+# ----------------------------------------------------------------------
 # the producer connection
 # ----------------------------------------------------------------------
 PRODUCE_API_KEY = 0
+METADATA_API_KEY = 3
+API_VERSIONS_API_KEY = 18
 PRODUCE_API_VERSION = 3  # first version with the v1 header + batch v2
+# produce errors that mean "the cluster map moved" -> refresh + retry once
+_ROUTING_ERRORS = {3, 5, 6}  # UNKNOWN_TOPIC / LEADER_NOT_AVAIL / NOT_LEADER
 
 
 class KafkaConnection:
@@ -242,28 +291,16 @@ class KafkaConnection:
             buf += chunk
         return buf
 
-    def produce(
-        self, topic: str, key: bytes | None, value: bytes, acks: int = 1
-    ) -> tuple[int, int]:
-        """One Produce round-trip; returns (partition, base_offset).
-        Raises on transport failure or a broker error code."""
+    def _request(self, api_key: int, api_version: int, body: bytes) -> bytes:
+        """One size-prefixed request/response round-trip (header v1);
+        returns the response body after the correlation-id check. A
+        transport failure closes the socket so the next call reconnects
+        lazily."""
         if self._sock is None:
             self.connect()
         self._correlation += 1
-        batch = encode_record_batch([(key, value)])
-        partition_data = struct.pack(">i", 0) + _bytes_field(batch)
-        topic_data = (
-            _str(topic) + struct.pack(">i", 1) + partition_data
-        )
-        body = (
-            _str(None)  # transactional_id (v3+)
-            + struct.pack(">h", acks)
-            + struct.pack(">i", int(self.timeout * 1000))
-            + struct.pack(">i", 1)  # one topic
-            + topic_data
-        )
         header = (
-            struct.pack(">hhi", PRODUCE_API_KEY, PRODUCE_API_VERSION, self._correlation)
+            struct.pack(">hhi", api_key, api_version, self._correlation)
             + _str(self.client_id)
         )
         req = header + body
@@ -277,14 +314,115 @@ class KafkaConnection:
             # publish reconnects lazily
             self.close()
             raise
-        # response: correlation_id, [topics], throttle_time
         corr = struct.unpack(">i", resp[:4])[0]
         if corr != self._correlation:
             self.close()
             raise KafkaProtocolError(
                 f"correlation mismatch: {corr} != {self._correlation}"
             )
-        pos = 4
+        return resp[4:]
+
+    def api_versions(self) -> dict[int, tuple[int, int]]:
+        """ApiVersions v0 handshake: {api_key: (min, max)} the broker
+        supports. Raises on a broker error code."""
+        resp = self._request(API_VERSIONS_API_KEY, 0, b"")
+        (err, count) = struct.unpack(">hi", resp[:6])
+        if err != 0:
+            raise KafkaProtocolError(
+                f"ApiVersions failed: error_code={err}"
+                f" ({ERROR_NAMES.get(err, 'UNKNOWN')})"
+            )
+        out: dict[int, tuple[int, int]] = {}
+        pos = 6
+        for _ in range(count):
+            k, lo, hi = struct.unpack(">hhh", resp[pos:pos + 6])
+            pos += 6
+            out[k] = (lo, hi)
+        return out
+
+    def metadata(
+        self, topics: list[str]
+    ) -> tuple[dict[int, tuple[str, int]], dict[str, dict[int, int]]]:
+        """Metadata v0: (brokers {node_id: (host, port)},
+        topics {name: {partition: leader node_id}}). Topic/partition
+        error codes raise (the caller can't route without a map)."""
+        body = struct.pack(">i", len(topics)) + b"".join(
+            _str(t) for t in topics
+        )
+        resp = self._request(METADATA_API_KEY, 0, body)
+        pos = 0
+        (n_brokers,) = struct.unpack(">i", resp[pos:pos + 4])
+        pos += 4
+        brokers: dict[int, tuple[str, int]] = {}
+        for _ in range(n_brokers):
+            (node_id,) = struct.unpack(">i", resp[pos:pos + 4])
+            pos += 4
+            (hlen,) = struct.unpack(">h", resp[pos:pos + 2])
+            pos += 2
+            host = resp[pos:pos + hlen].decode()
+            pos += hlen
+            (port,) = struct.unpack(">i", resp[pos:pos + 4])
+            pos += 4
+            brokers[node_id] = (host, port)
+        (n_topics,) = struct.unpack(">i", resp[pos:pos + 4])
+        pos += 4
+        tmap: dict[str, dict[int, int]] = {}
+        for _ in range(n_topics):
+            (terr,) = struct.unpack(">h", resp[pos:pos + 2])
+            pos += 2
+            (tlen,) = struct.unpack(">h", resp[pos:pos + 2])
+            pos += 2
+            tname = resp[pos:pos + tlen].decode()
+            pos += tlen
+            if terr != 0:
+                raise KafkaProtocolError(
+                    f"metadata for topic {tname!r}: error_code={terr}"
+                    f" ({ERROR_NAMES.get(terr, 'UNKNOWN')})"
+                )
+            (n_parts,) = struct.unpack(">i", resp[pos:pos + 4])
+            pos += 4
+            parts: dict[int, int] = {}
+            for _ in range(n_parts):
+                perr, pid, leader = struct.unpack(">hii", resp[pos:pos + 10])
+                pos += 10
+                for _arr in range(2):  # replicas, then isr
+                    (cnt,) = struct.unpack(">i", resp[pos:pos + 4])
+                    pos += 4 + 4 * cnt
+                if perr != 0:
+                    raise KafkaProtocolError(
+                        f"metadata for {tname!r}/{pid}: error_code={perr}"
+                        f" ({ERROR_NAMES.get(perr, 'UNKNOWN')})"
+                    )
+                parts[pid] = leader
+            tmap[tname] = parts
+        return brokers, tmap
+
+    def produce(
+        self,
+        topic: str,
+        key: bytes | None,
+        value: bytes,
+        acks: int = 1,
+        partition: int = 0,
+        api_version: int = PRODUCE_API_VERSION,
+    ) -> tuple[int, int]:
+        """One Produce round-trip; returns (partition, base_offset).
+        Raises on transport failure or a broker error code."""
+        batch = encode_record_batch([(key, value)])
+        partition_data = struct.pack(">i", partition) + _bytes_field(batch)
+        topic_data = (
+            _str(topic) + struct.pack(">i", 1) + partition_data
+        )
+        body = (
+            _str(None)  # transactional_id (v3+)
+            + struct.pack(">h", acks)
+            + struct.pack(">i", int(self.timeout * 1000))
+            + struct.pack(">i", 1)  # one topic
+            + topic_data
+        )
+        resp = self._request(PRODUCE_API_KEY, api_version, body)
+        # response: [topics], throttle_time
+        pos = 0
         (n_topics,) = struct.unpack(">i", resp[pos : pos + 4])
         pos += 4
         for _ in range(n_topics):
@@ -306,20 +444,155 @@ class KafkaConnection:
         raise KafkaProtocolError("produce response carried no partitions")
 
 
+class KafkaProducer:
+    """Cluster-aware produce path: ApiVersions handshake on the
+    bootstrap connection (produce version picked from the advertised
+    range; floor v3 because we encode record-batch v2), Metadata v0 for
+    partition counts + per-partition leaders, murmur2 key partitioning
+    (Java DefaultPartitioner), and routing to each partition's leader
+    connection. A routing error code (NOT_LEADER / LEADER_NOT_AVAILABLE
+    / UNKNOWN_TOPIC) refreshes the metadata once and retries once;
+    transport failures raise through (callers' drop accounting must see
+    them) and the next produce reconnects + re-resolves lazily."""
+
+    def __init__(
+        self,
+        bootstrap: list[tuple[str, int]],
+        client_id: str = "lakekeeper-spark",
+        timeout: float = 5.0,
+    ) -> None:
+        if not bootstrap:
+            raise ValueError("at least one bootstrap broker required")
+        self.bootstrap = list(bootstrap)
+        self.client_id = client_id
+        self.timeout = timeout
+        self._conns: dict[tuple[str, int], KafkaConnection] = {}
+        self._brokers: dict[int, tuple[str, int]] = {}
+        self._topics: dict[str, dict[int, int]] = {}
+        self._produce_version: int | None = None
+
+    def _conn(self, addr: tuple[str, int]) -> KafkaConnection:
+        conn = self._conns.get(addr)
+        if conn is None:
+            conn = KafkaConnection(
+                addr[0], addr[1], self.client_id, self.timeout
+            )
+            self._conns[addr] = conn
+        return conn
+
+    def _handshake(self, conn: KafkaConnection) -> None:
+        versions = conn.api_versions()
+        lo, hi = versions.get(PRODUCE_API_KEY, (0, -1))
+        if hi < PRODUCE_API_VERSION:
+            raise KafkaProtocolError(
+                f"broker supports Produce <= v{hi}; record-batch v2 needs"
+                f" >= v{PRODUCE_API_VERSION} (broker too old)"
+            )
+        if lo > PRODUCE_API_VERSION:
+            raise KafkaProtocolError(
+                f"broker requires Produce >= v{lo}; this producer encodes"
+                f" v{PRODUCE_API_VERSION}"
+            )
+        # highest mutually supported version we can ENCODE: the request
+        # schema is stable v3..v8 modulo response fields we ignore, but
+        # honesty beats ambition — claim exactly what we serialize
+        self._produce_version = PRODUCE_API_VERSION
+
+    def _refresh(self, topic: str) -> None:
+        last_err: Exception | None = None
+        for addr in self.bootstrap:
+            conn = self._conn(addr)
+            try:
+                if self._produce_version is None:
+                    self._handshake(conn)
+                brokers, tmap = conn.metadata([topic])
+                self._brokers = brokers
+                self._topics.update(tmap)
+                return
+            except (OSError, KafkaProtocolError) as e:
+                last_err = e
+        raise KafkaProtocolError(
+            f"no bootstrap broker answered metadata for {topic!r}: "
+            f"{last_err}"
+        )
+
+    def produce(self, topic: str, key: bytes, value: bytes) -> tuple[int, int]:
+        """Returns (partition, base_offset)."""
+        if topic not in self._topics:
+            self._refresh(topic)
+        parts = self._topics[topic]
+        if not parts:
+            raise KafkaProtocolError(f"topic {topic!r} has no partitions")
+        partition = partition_for_key(key, len(parts))
+        for attempt in (0, 1):
+            leader = parts.get(partition)
+            addr = self._brokers.get(leader)
+            if addr is None:
+                raise KafkaProtocolError(
+                    f"no broker address for leader {leader} of "
+                    f"{topic!r}/{partition}"
+                )
+            conn = self._conn(addr)
+            try:
+                return conn.produce(
+                    topic,
+                    key,
+                    value,
+                    partition=partition,
+                    api_version=self._produce_version or PRODUCE_API_VERSION,
+                )
+            except KafkaProtocolError as e:
+                code = _error_code_of(e)
+                if attempt == 0 and code in _ROUTING_ERRORS:
+                    # leadership moved: refresh the map, retry ONCE
+                    self._refresh(topic)
+                    parts = self._topics[topic]
+                    if partition not in parts:
+                        partition = partition_for_key(key, len(parts))
+                    continue
+                raise
+        raise AssertionError("unreachable")  # pragma: no cover
+
+    def close(self) -> None:
+        for conn in self._conns.values():
+            conn.close()
+        self._conns.clear()
+
+
+def _error_code_of(e: KafkaProtocolError) -> int | None:
+    msg = str(e)
+    marker = "error_code="
+    i = msg.find(marker)
+    if i < 0:
+        return None
+    j = i + len(marker)
+    k = j
+    while k < len(msg) and msg[k].isdigit():
+        k += 1
+    return int(msg[j:k]) if k > j else None
+
+
 class KafkaPublisher(EventPublisher):
-    """EventPublisher backend over a Kafka connection — the reference's
-    ``KafkaBackend``: fixed topic, message key = the event's
-    ``tabular-id`` extension (empty when absent, lib.rs:120-123), value
-    = the JSON CloudEvents envelope, delivery awaited. RAISES on
+    """EventPublisher backend over the cluster-aware producer — the
+    reference's ``KafkaBackend``: fixed topic, message key = the event's
+    ``tabular-id`` extension (empty when absent, lib.rs:120-123) so one
+    entity's events share a partition (librdkafka's key partitioning),
+    value = the JSON CloudEvents envelope, delivery awaited. RAISES on
     failure so FanoutPublisher's drop accounting sees it; the next
     publish reconnects lazily."""
 
-    def __init__(self, host: str, port: int, topic: str) -> None:
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        topic: str,
+        bootstrap: list[tuple[str, int]] | None = None,
+    ) -> None:
         if not topic or not topic.strip():
             # build_kafka_publisher_from_config refuses an empty topic
             raise ValueError("Kafka topic must be non-empty")
         self.topic = topic
-        self.conn = KafkaConnection(host, port)
+        self.producer = KafkaProducer(bootstrap or [(host, port)])
         self._lock = threading.Lock()
 
     def publish(self, event: dict[str, Any]) -> None:
@@ -332,18 +605,21 @@ class KafkaPublisher(EventPublisher):
         ).encode()
         value = json.dumps(event, sort_keys=True).encode()
         with self._lock:
-            self.conn.produce(self.topic, key, value)
+            self.producer.produce(self.topic, key, value)
 
     def close(self) -> None:
         with self._lock:
-            self.conn.close()
+            self.producer.close()
 
 
 __all__ = [
     "KafkaConnection",
+    "KafkaProducer",
     "KafkaPublisher",
     "KafkaProtocolError",
     "crc32c",
+    "murmur2",
+    "partition_for_key",
     "encode_record_batch",
     "decode_record_batch",
 ]

@@ -57,9 +57,21 @@ def test_corrupt_batch_rejected():
 # ----------------------------------------------------------------------
 # scripted broker
 # ----------------------------------------------------------------------
+def _kstr(s):
+    raw = s.encode()
+    return struct.pack(">h", len(raw)) + raw
+
+
 class _BrokerHandler(socketserver.BaseRequestHandler):
+    """One scripted broker node: answers ApiVersions v0, Metadata v0
+    (advertising the whole cluster + per-partition leadership) and
+    Produce v3 — returning NOT_LEADER_OR_FOLLOWER when a produce lands
+    on a node that isn't the partition's current leader, like a real
+    broker."""
+
     def handle(self):
         srv = self.server
+        cluster = srv.cluster
         sock = self.request
         while True:
             head = b""
@@ -76,6 +88,44 @@ class _BrokerHandler(socketserver.BaseRequestHandler):
             pos = 8
             (cid_len,) = struct.unpack(">h", req[pos : pos + 2])
             pos += 2 + cid_len
+            if api_key == 18:  # ApiVersions v0
+                assert api_version == 0
+                body = struct.pack(">hi", 0, 3) + b"".join(
+                    struct.pack(">hhh", k, lo, hi)
+                    for k, lo, hi in [(0, 0, 8), (3, 0, 5), (18, 0, 3)]
+                )
+                resp = struct.pack(">i", correlation) + body
+                sock.sendall(struct.pack(">i", len(resp)) + resp)
+                continue
+            if api_key == 3:  # Metadata v0
+                assert api_version == 0
+                (n_topics,) = struct.unpack(">i", req[pos : pos + 4])
+                pos += 4
+                topics = []
+                for _ in range(n_topics):
+                    (tlen,) = struct.unpack(">h", req[pos : pos + 2])
+                    pos += 2
+                    topics.append(req[pos : pos + tlen].decode())
+                    pos += tlen
+                body = struct.pack(">i", len(cluster.brokers))
+                for nid, b in enumerate(cluster.brokers):
+                    body += (
+                        struct.pack(">i", nid)
+                        + _kstr("127.0.0.1")
+                        + struct.pack(">i", b.server_address[1])
+                    )
+                body += struct.pack(">i", len(topics))
+                for t in topics:
+                    body += struct.pack(">h", 0) + _kstr(t)
+                    body += struct.pack(">i", cluster.n_partitions)
+                    for p in range(cluster.n_partitions):
+                        leader = cluster.leader_of(p)
+                        body += struct.pack(">hii", 0, p, leader)
+                        body += struct.pack(">ii", 1, leader)  # replicas
+                        body += struct.pack(">ii", 1, leader)  # isr
+                resp = struct.pack(">i", correlation) + body
+                sock.sendall(struct.pack(">i", len(resp)) + resp)
+                continue
             assert api_key == 0 and api_version == 3
             # produce body: transactional_id, acks, timeout, topics
             (tx_len,) = struct.unpack(">h", req[pos : pos + 2])
@@ -93,12 +143,17 @@ class _BrokerHandler(socketserver.BaseRequestHandler):
             (blen,) = struct.unpack(">i", req[pos : pos + 4])
             pos += 4
             batch = req[pos : pos + blen]
-            err = srv.force_error
-            base_offset = len(srv.messages)
+            err = cluster.force_error
+            if not err and cluster.leader_of(partition) != srv.node_id:
+                err = 6  # NOT_LEADER_OR_FOLLOWER
+            base_offset = len(cluster.messages)
             if not err:
                 try:
                     for key, value in decode_record_batch(batch):
-                        srv.messages.append((topic, key, value))
+                        cluster.messages.append((topic, key, value))
+                        cluster.records.append(
+                            (srv.node_id, topic, partition, key, value)
+                        )
                 except KafkaProtocolError:
                     err = 2  # CORRUPT_MESSAGE
             # response: correlation, topics[name, parts[idx,err,off,lat]], throttle
@@ -114,28 +169,49 @@ class _BrokerHandler(socketserver.BaseRequestHandler):
                 + struct.pack(">i", 0)  # throttle_time_ms
             )
             sock.sendall(struct.pack(">i", len(resp)) + resp)
-            if srv.die_after and len(srv.messages) >= srv.die_after:
+            if cluster.die_after and len(cluster.messages) >= cluster.die_after:
                 return
 
 
-class ScriptedBroker(socketserver.ThreadingTCPServer):
+class _BrokerServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, force_error=0, die_after=0):
+    def __init__(self, cluster, node_id):
         super().__init__(("127.0.0.1", 0), _BrokerHandler)
+        self.cluster = cluster
+        self.node_id = node_id
+
+
+class ScriptedBroker:
+    """A scripted Kafka cluster of N broker sockets sharing one message
+    log and a partition -> leader map (leader = (partition + shift) %
+    n_brokers; mutate ``leader_shift`` to move leadership)."""
+
+    def __init__(self, force_error=0, die_after=0, n_brokers=1, n_partitions=1):
         self.messages: list[tuple[str, bytes, bytes]] = []
+        self.records: list[tuple[int, str, int, bytes, bytes]] = []
         self.force_error = force_error
         self.die_after = die_after
-        threading.Thread(target=self.serve_forever, daemon=True).start()
+        self.n_partitions = n_partitions
+        self.leader_shift = 0
+        self.brokers = [
+            _BrokerServer(self, nid) for nid in range(n_brokers)
+        ]
+        for b in self.brokers:
+            threading.Thread(target=b.serve_forever, daemon=True).start()
+
+    def leader_of(self, partition):
+        return (partition + self.leader_shift) % len(self.brokers)
 
     @property
     def port(self):
-        return self.server_address[1]
+        return self.brokers[0].server_address[1]
 
     def stop(self):
-        self.shutdown()
-        self.server_close()
+        for b in self.brokers:
+            b.shutdown()
+            b.server_close()
 
 
 def test_produce_roundtrip_with_tabular_id_key():
@@ -209,3 +285,144 @@ def test_catalog_mutations_flow_post_commit(tmp_path):
         assert got.count("lakekeeper-spark.create-table") == 1
     finally:
         srv.stop()
+
+
+# ----------------------------------------------------------------------
+# round-14: murmur2 partitioning, metadata routing, ApiVersions
+# ----------------------------------------------------------------------
+def _murmur2_independent(data: bytes) -> int:
+    """Test-local MurmurHash2 written independently from the published
+    algorithm (seed/m/r as Kafka's Utils.murmur2) to cross-check the
+    production implementation."""
+    m, r = 0x5BD1E995, 24
+    h = (0x9747B28C ^ len(data)) & 0xFFFFFFFF
+    chunks, tail = divmod(len(data), 4)
+    for c in range(chunks):
+        k = (
+            data[4 * c]
+            | data[4 * c + 1] << 8
+            | data[4 * c + 2] << 16
+            | data[4 * c + 3] << 24
+        )
+        k = (k * m) & 0xFFFFFFFF
+        k = (k ^ (k >> r)) * m & 0xFFFFFFFF
+        h = ((h * m) & 0xFFFFFFFF) ^ k
+    t = data[4 * chunks:]
+    if tail == 3:
+        h ^= t[2] << 16
+    if tail >= 2:
+        h ^= t[1] << 8
+    if tail >= 1:
+        h = ((h ^ t[0]) * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    return h ^ (h >> 15)
+
+
+def test_murmur2_matches_independent_impl():
+    from lakekeeper_spark.catalog.kafka import murmur2, partition_for_key
+
+    keys = [b"", b"a", b"ab", b"abc", b"abcd", b"t-123",
+            b"wh/ns/table", bytes(range(256)), b"\xff" * 7]
+    for k in keys:
+        assert murmur2(k) == _murmur2_independent(k)
+        assert 0 <= murmur2(k) <= 0xFFFFFFFF
+    # DefaultPartitioner contract: stable, positive, in range
+    for k in keys:
+        p = partition_for_key(k, 12)
+        assert 0 <= p < 12
+        assert p == partition_for_key(k, 12)
+    # keys spread over partitions (not all one bucket)
+    assert len({partition_for_key(k, 12) for k in keys}) > 3
+
+
+def test_multi_partition_per_entity_affinity():
+    """The reference's per-entity partition affinity
+    (lakekeeper-events-kafka lib.rs:119-151): one tabular-id's events
+    always land on ONE partition, produced to that partition's LEADER
+    broker; different ids spread across partitions/brokers."""
+    from lakekeeper_spark.catalog.kafka import partition_for_key
+
+    srv = ScriptedBroker(n_brokers=2, n_partitions=4)
+    try:
+        pub = KafkaPublisher("127.0.0.1", srv.port, topic="lk")
+        ids = [f"tab-{i}" for i in range(12)]
+        for tid in ids:
+            for seq in range(3):  # several events per entity
+                pub.publish({"type": "updated", "seq": seq, "tabular-id": tid})
+        pub.close()
+        assert len(srv.records) == 36
+        by_key: dict[bytes, set[int]] = {}
+        for node_id, topic, partition, key, value in srv.records:
+            assert topic == "lk"
+            by_key.setdefault(key, set()).add(partition)
+            # routed to the partition's leader, never a follower
+            assert node_id == srv.leader_of(partition)
+            # and the partition is the Java DefaultPartitioner's choice
+            assert partition == partition_for_key(key, 4)
+        # affinity: every entity maps to exactly one partition
+        assert all(len(ps) == 1 for ps in by_key.values())
+        # spread: the 12 ids use more than one partition and both brokers
+        used = {next(iter(ps)) for ps in by_key.values()}
+        assert len(used) >= 2
+        assert len({srv.leader_of(p) for p in used}) == 2
+    finally:
+        srv.stop()
+
+
+def test_leadership_move_refreshes_metadata_and_retries_once():
+    """After leadership moves, the stale producer hits
+    NOT_LEADER_OR_FOLLOWER on the old leader, refreshes metadata once,
+    and the retry lands on the new leader — exactly one stored copy."""
+    srv = ScriptedBroker(n_brokers=2, n_partitions=2)
+    try:
+        pub = KafkaPublisher("127.0.0.1", srv.port, topic="lk")
+        pub.publish({"type": "a", "tabular-id": "x"})  # warms the map
+        before = len(srv.records)
+        srv.leader_shift = 1  # move every partition's leadership
+        pub.publish({"type": "b", "tabular-id": "x"})
+        assert len(srv.records) == before + 1
+        node_id, _, partition, _, value = srv.records[-1]
+        assert node_id == srv.leader_of(partition)  # the NEW leader
+        assert json.loads(value)["type"] == "b"
+        pub.close()
+    finally:
+        srv.stop()
+
+
+def test_too_old_broker_rejected_at_handshake():
+    """ApiVersions negotiation: a broker whose max Produce version is
+    below 3 cannot decode record-batch v2 — the producer refuses with an
+    actionable error instead of sending undecodable bytes."""
+    import socketserver as _ss
+    import struct as _struct
+    import threading as _threading
+
+    class _OldHandler(_ss.BaseRequestHandler):
+        def handle(self):
+            sock = self.request
+            head = b""
+            while len(head) < 4:
+                chunk = sock.recv(4 - len(head))
+                if not chunk:
+                    return
+                head += chunk
+            (size,) = _struct.unpack(">i", head)
+            req = b""
+            while len(req) < size:
+                req += sock.recv(size - len(req))
+            correlation = _struct.unpack(">i", req[4:8])[0]
+            body = _struct.pack(">hi", 0, 1) + _struct.pack(">hhh", 0, 0, 2)
+            resp = _struct.pack(">i", correlation) + body
+            sock.sendall(_struct.pack(">i", len(resp)) + resp)
+
+    srv = _ss.ThreadingTCPServer(("127.0.0.1", 0), _OldHandler)
+    srv.daemon_threads = True
+    _threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        pub = KafkaPublisher("127.0.0.1", srv.server_address[1], topic="t")
+        with pytest.raises(KafkaProtocolError, match="too old"):
+            pub.publish({"type": "x"})
+    finally:
+        srv.shutdown()
+        srv.server_close()
