@@ -1,0 +1,312 @@
+"""OneLake (Microsoft Fabric) storage profile.
+
+Behavior parity with the reference's
+``service/storage/az/onelake_profile.rs``: a convenience wrapper around
+the ADLS Gen2 surface that derives the abfss URL's account label,
+container (filesystem), key prefix, and endpoint host from the supplied
+workspace + lakehouse UUIDs and the endpoint mode.
+
+Profile document shape (kebab-case, like the reference's serde form)::
+
+    {
+      "type": "onelake",
+      "workspace-id": "<uuid>",
+      "lakehouse-id": "<uuid>",
+      "directory-rel-path": "my_warehouse",        # optional
+      "top-level-folder": "Files" | "Tables",      # default Files
+      "endpoint-mode": {"type": "default"}
+                     | {"type": "regional", "region": "westus"}
+                     | {"type": "workspace-private-link"},
+      "sas-token-validity-seconds": 3600,          # cap 3600 (OneLake)
+      "sas-enabled": true,
+      "authority-host": "https://login.microsoftonline.com",  # optional
+      "storage-layout": "default"                  # only default allowed
+    }
+
+Host derivation (onelake_profile.rs:352-409):
+
+- ``Default``            -> ``onelake.dfs.fabric.microsoft.com``
+- ``Regional{region}``   -> ``<region>-onelake.dfs.fabric.microsoft.com``
+- ``WorkspacePrivateLink`` -> ``<wsId-undashed>.z<xy>.dfs.fabric.microsoft.com``
+  where ``<xy>`` is the first two hex chars of the un-dashed workspace
+  UUID (the workspace-scoped private-endpoint FQDN Fabric publishes).
+
+The SAS canonical resource always signs against the LITERAL account
+``onelake`` (``/blob/onelake/<workspace>/...``) no matter which DNS host
+serves the request (onelake_profile.rs:370-377, per the Microsoft Learn
+OneLake-SAS doc) — using the regional or workspace label there yields
+``401 Access token validation failed``. The user-delegation-key call for
+a workspace-private-link profile is likewise pinned to the GLOBAL host
+(the workspace FQDN rejects it with ``DeniedByPolicy``,
+onelake_profile.rs:445-455).
+"""
+
+from __future__ import annotations
+
+import re
+import uuid as _uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+ONELAKE_SUFFIX = "fabric.microsoft.com"
+MAX_ONELAKE_SAS_TOKEN_VALIDITY_SECONDS = 3600
+_REGION_RE = re.compile(r"^[a-z][a-z0-9]*$")
+
+
+class OneLakeProfileError(ValueError):
+    """Invalid OneLake profile document or illegal update."""
+
+
+def _parse_uuid(value: Any, what: str) -> str:
+    try:
+        return str(_uuid.UUID(str(value)))
+    except (ValueError, AttributeError, TypeError) as e:
+        raise OneLakeProfileError(f"{what} must be a UUID: {value!r}") from e
+
+
+@dataclass
+class OneLakeProfile:
+    workspace_id: str
+    lakehouse_id: str
+    directory_rel_path: str | None = None
+    top_level_folder: str = "Files"
+    endpoint_mode: dict[str, Any] = field(
+        default_factory=lambda: {"type": "default"}
+    )
+    sas_token_validity_seconds: int | None = None
+    sas_enabled: bool = True
+    authority_host: str | None = None
+    storage_layout: str | None = None
+
+    # ---------------- construction / validation ----------------
+    @staticmethod
+    def from_doc(doc: dict[str, Any]) -> "OneLakeProfile":
+        """Parse the kebab-case profile document (serde shape); Pascal- or
+        lower-case top-level-folder both accepted, like serde's enum."""
+        known = {
+            "type", "workspace-id", "lakehouse-id", "directory-rel-path",
+            "top-level-folder", "endpoint-mode",
+            "sas-token-validity-seconds", "sas-enabled", "authority-host",
+            "storage-layout", "location",
+        }
+        unknown = set(doc) - known
+        if unknown:
+            raise OneLakeProfileError(
+                f"unknown onelake profile fields: {sorted(unknown)}"
+            )
+        mode = doc.get("endpoint-mode") or {"type": "default"}
+        if isinstance(mode, str):
+            mode = {"type": mode}
+        return OneLakeProfile(
+            workspace_id=_parse_uuid(doc.get("workspace-id"), "workspace-id"),
+            lakehouse_id=_parse_uuid(doc.get("lakehouse-id"), "lakehouse-id"),
+            directory_rel_path=doc.get("directory-rel-path"),
+            top_level_folder=str(doc.get("top-level-folder", "Files")),
+            endpoint_mode=dict(mode),
+            sas_token_validity_seconds=doc.get("sas-token-validity-seconds"),
+            sas_enabled=bool(doc.get("sas-enabled", True)),
+            authority_host=doc.get("authority-host"),
+            storage_layout=doc.get("storage-layout"),
+        )
+
+    def normalize(self, credential: dict[str, Any] | None = None) -> None:
+        """Validate + canonicalize in place (onelake_profile.rs:161-281):
+        shared-access-key credentials rejected (OneLake has no account
+        key); only the default storage layout (OneLake percent-decodes
+        ``%XX`` in blob paths, so ``{name}`` layouts would alias);
+        TTL in (0, 3600]; directory-rel-path trimmed of slashes,
+        non-empty, no ``..`` segments, < 512 chars; regional region slug
+        trimmed/lowercased and shape-checked so a stray ``.``/``-``
+        can't smuggle an extra DNS segment."""
+        if credential is not None and credential.get("type") in (
+            "shared-access-key", "azure-shared-access-key",
+        ):
+            raise OneLakeProfileError(
+                "OneLake does not support shared-access-key credentials. "
+                "Use client-credentials or system identity."
+            )
+        if self.storage_layout is not None and self.storage_layout != "default":
+            raise OneLakeProfileError(
+                "OneLake currently only supports the `default` "
+                "storage-layout: OneLake silently percent-decodes %XX in "
+                "blob paths, so {name} templates would alias after "
+                "server-side decoding."
+            )
+        if self.sas_token_validity_seconds is not None:
+            ttl = int(self.sas_token_validity_seconds)
+            if ttl <= 0:
+                raise OneLakeProfileError(
+                    "sas-token-validity-seconds must be greater than 0"
+                )
+            if ttl > MAX_ONELAKE_SAS_TOKEN_VALIDITY_SECONDS:
+                raise OneLakeProfileError(
+                    "sas-token-validity-seconds exceeds the OneLake cap of "
+                    f"{MAX_ONELAKE_SAS_TOKEN_VALIDITY_SECONDS}"
+                )
+        if self.top_level_folder.lower() not in ("files", "tables"):
+            raise OneLakeProfileError(
+                f"top-level-folder must be Files or Tables, got "
+                f"{self.top_level_folder!r}"
+            )
+        self.top_level_folder = self.top_level_folder.capitalize()
+        if self.directory_rel_path is not None:
+            p = self.directory_rel_path.strip("/")
+            if not p:
+                raise OneLakeProfileError(
+                    "directory-rel-path must not be empty if specified"
+                )
+            if any(seg == ".." for seg in p.split("/")):
+                raise OneLakeProfileError(
+                    "directory-rel-path must not contain .. segments"
+                )
+            if len(p) > 512:
+                raise OneLakeProfileError(
+                    "directory-rel-path must be less than 512 characters"
+                )
+            self.directory_rel_path = p
+        mode = self.endpoint_mode.get("type", "default")
+        if mode == "regional":
+            region = str(self.endpoint_mode.get("region", "")).strip().lower()
+            if not region:
+                raise OneLakeProfileError(
+                    "regional endpoint requires a non-empty region"
+                )
+            if not _REGION_RE.match(region):
+                raise OneLakeProfileError(
+                    "regional endpoint region must be an Azure region slug "
+                    "(lowercase ASCII letter followed by lowercase letters "
+                    "or digits)"
+                )
+            self.endpoint_mode = {"type": "regional", "region": region}
+        elif mode in ("default", "workspace-private-link"):
+            self.endpoint_mode = {"type": mode}
+        else:
+            raise OneLakeProfileError(f"unknown endpoint-mode: {mode!r}")
+
+    def update_with(self, other: "OneLakeProfile") -> "OneLakeProfile":
+        """Profile update rules (onelake_profile.rs:283-308): SAS
+        settings, authority-host, and storage-layout may change;
+        workspace/lakehouse/top-level-folder/directory-rel-path/
+        endpoint-mode are immutable — changing any would move the abfss
+        URL and orphan every table already written."""
+        for attr in (
+            "workspace_id", "lakehouse_id", "top_level_folder",
+            "directory_rel_path", "endpoint_mode",
+        ):
+            if getattr(self, attr) != getattr(other, attr):
+                raise OneLakeProfileError(
+                    f"immutable onelake profile field changed: {attr}"
+                )
+        if other.storage_layout is None:
+            other.storage_layout = self.storage_layout
+        return other
+
+    # ---------------- host derivation ----------------
+    def _ws_simple(self) -> str:
+        return self.workspace_id.replace("-", "")
+
+    def host_account(self) -> str:
+        """First DNS label of the host — what an Iceberg client extracts
+        from the table URL to find ``adls.sas-token.<account>.<host>``."""
+        mode = self.endpoint_mode["type"]
+        if mode == "regional":
+            return f"{self.endpoint_mode['region']}-onelake"
+        if mode == "workspace-private-link":
+            return self._ws_simple()
+        return "onelake"
+
+    @staticmethod
+    def sas_account() -> str:
+        """The account in the SAS canonical resource: ALWAYS the literal
+        ``onelake`` regardless of endpoint mode (Microsoft Learn OneLake
+        SAS doc; onelake_profile.rs:370-377)."""
+        return "onelake"
+
+    def endpoint_suffix(self) -> str:
+        if self.endpoint_mode["type"] == "workspace-private-link":
+            xy = self._ws_simple()[:2]
+            return f"z{xy}.dfs.{ONELAKE_SUFFIX}"
+        return f"dfs.{ONELAKE_SUFFIX}"
+
+    def dfs_host(self) -> str:
+        return f"{self.host_account()}.{self.endpoint_suffix()}"
+
+    def blob_host(self) -> str:
+        """The dfs host with its ``dfs.`` label rewritten to ``blob.`` —
+        published so adlfs clients hit ``*.blob.fabric.microsoft.com``
+        instead of defaulting to ``blob.core.windows.net``."""
+        return self.dfs_host().replace(".dfs.", ".blob.", 1)
+
+    def sas_host(self) -> str:
+        """Host for the Get-User-Delegation-Key call: the GLOBAL OneLake
+        host for workspace-private-link (the workspace FQDN rejects the
+        call with DeniedByPolicy); the data host otherwise."""
+        if self.endpoint_mode["type"] == "workspace-private-link":
+            return f"onelake.dfs.{ONELAKE_SUFFIX}"
+        return self.dfs_host()
+
+    def filesystem(self) -> str:
+        return self.workspace_id  # dashed UUID, the OneLake container
+
+    def key_prefix(self) -> str:
+        parts = [self.lakehouse_id, self.top_level_folder]
+        if self.directory_rel_path:
+            parts.append(self.directory_rel_path)
+        return "/".join(parts)
+
+    def base_location(self) -> str:
+        """``abfss://<workspace>@<dfs_host>/<lakehouse>/<Folder>[/<sub>]/``"""
+        return (
+            f"abfss://{self.filesystem()}@{self.dfs_host()}/"
+            f"{self.key_prefix()}/"
+        )
+
+    @staticmethod
+    def is_allowed_schema(schema: str) -> bool:
+        """Only abfss:// — wasbs is rejected for OneLake."""
+        return schema == "abfss"
+
+    def iceberg_sas_property_key(self) -> str:
+        return f"adls.sas-token.{self.host_account()}.{self.endpoint_suffix()}"
+
+    def iceberg_sas_expires_at_property_key(self) -> str:
+        return (
+            "adls.sas-token-expires-at-ms."
+            f"{self.host_account()}.{self.endpoint_suffix()}"
+        )
+
+    # ---------------- overlap ----------------
+    def is_overlapping_location(self, other: "OneLakeProfile") -> bool:
+        """Two profiles overlap iff same workspace + lakehouse +
+        top-level-folder and one directory-rel-path is a directory-
+        bounded prefix of the other. endpoint-mode / authority-host are
+        deliberately NOT part of the check: they pick the DNS host used
+        to reach the SAME on-storage path (onelake_profile.rs:582-599)."""
+        if (
+            self.workspace_id != other.workspace_id
+            or self.lakehouse_id != other.lakehouse_id
+            or self.top_level_folder != other.top_level_folder
+        ):
+            return False
+        a = self.directory_rel_path or ""
+        b = other.directory_rel_path or ""
+        if a == b:
+            return True
+        shorter, longer = (a, b) if len(a) <= len(b) else (b, a)
+        return shorter == "" or longer.startswith(shorter + "/")
+
+
+def is_onelake_host(host: str) -> bool:
+    """Every Fabric/OneLake DFS or Blob host — global, regional, or the
+    workspace-private-link FQDN ``<ws>.z<xy>.dfs.fabric.microsoft.com``
+    (which does NOT contain the word 'onelake', so suffix-match)."""
+    return host.endswith("." + ONELAKE_SUFFIX) or host == ONELAKE_SUFFIX
+
+
+__all__ = [
+    "OneLakeProfile",
+    "OneLakeProfileError",
+    "is_onelake_host",
+    "MAX_ONELAKE_SAS_TOKEN_VALIDITY_SECONDS",
+    "ONELAKE_SUFFIX",
+]

@@ -265,7 +265,16 @@ def adls_canonical_resource(location: str) -> tuple[str, int]:
     the rootless segment count as signed directory depth."""
     from urllib.parse import unquote
 
-    account, _suffix, filesystem, key = split_adls_location(location)
+    account, suffix, filesystem, key = split_adls_location(location)
+    if suffix.endswith("fabric.microsoft.com"):
+        # OneLake signs against the LITERAL account `onelake` no matter
+        # which DNS host served the URL — regional (<region>-onelake...)
+        # and workspace-private-link (<wsid>.z<xy>...) hosts included
+        # (onelake_profile.rs:370-377 sas_account; using the host label
+        # yields 401 Access token validation failed)
+        from .onelake import OneLakeProfile
+
+        account = OneLakeProfile.sas_account()
     rootless = key.strip("/")
     depth = len(rootless.split("/")) if rootless else 0
     decoded = unquote(rootless)
@@ -538,7 +547,13 @@ def vend_for_location(
     deterministic derivation."""
     scheme = location.split("://", 1)[0] if "://" in location else "file"
     if scheme in ("abfs", "abfss", "wasb", "wasbs"):
-        onelake = "onelake" in location.split("/", 3)[2]
+        # every Fabric host is OneLake — including the workspace-
+        # private-link FQDN <ws>.z<xy>.dfs.fabric.microsoft.com, which
+        # does NOT contain the word 'onelake' (catalog/onelake.py)
+        from .onelake import is_onelake_host
+
+        host = location.split("/", 3)[2].rpartition("@")[2]
+        onelake = is_onelake_host(host)
         return vend_adls(
             table_id, location, permissions, validity_seconds, now_ms,
             onelake=onelake, adls_vendor=adls_vendor,

@@ -135,12 +135,37 @@ def validate_storage_profile(profile: dict[str, Any], location: str | None = Non
     s3/adls/gcs). The reference additionally probes the live bucket
     (read/write/list, s3.rs:340+) — that network half is the cloud
     swap-in point; locally we validate type/location consistency."""
-    # s3/adls/gcs are the reference's StorageProfile flavors; local and
-    # memory are this repo's test/file-system profiles, and an untyped
-    # profile (location only) is treated as local
+    # s3/adls/gcs/onelake are the reference's StorageProfile flavors;
+    # local and memory are this repo's test/file-system profiles, and an
+    # untyped profile (location only) is treated as local
     kind = profile.get("type", "local")
-    if kind not in ("s3", "adls", "gcs", "memory", "local"):
+    if kind not in ("s3", "adls", "gcs", "onelake", "memory", "local"):
         raise CatalogError(f"invalid storage profile type: {kind!r}")
+    if kind == "onelake":
+        # full profile normalization (onelake_profile.rs:161-281): host/
+        # container/key-prefix derive from workspace+lakehouse ids; the
+        # warehouse location, when given, must sit at or under the
+        # profile's base location and use abfss://
+        from .onelake import OneLakeProfile, OneLakeProfileError
+
+        try:
+            olp = OneLakeProfile.from_doc(profile)
+            olp.normalize()
+        except OneLakeProfileError as e:
+            raise CatalogError(f"invalid onelake profile: {e}") from e
+        loc = location or profile.get("location")
+        if loc:
+            if not OneLakeProfile.is_allowed_schema(loc.split("://", 1)[0]):
+                raise CatalogError(
+                    f"onelake locations must use abfss://: {loc}"
+                )
+            base = olp.base_location()
+            if not (loc.rstrip("/") + "/").startswith(base):
+                raise CatalogError(
+                    f"location {loc} is outside the onelake profile's "
+                    f"base location {base}"
+                )
+        return
     loc = location or profile.get("location")
     if loc and "://" in loc and kind in _FLAVOR_SCHEMES:
         if not loc.startswith(_FLAVOR_SCHEMES[kind]):

@@ -1,0 +1,344 @@
+"""OneLake (Microsoft Fabric) storage profile — behavior parity with the
+reference's service/storage/az/onelake_profile.rs, its in-crate tests
+ported: URL/host derivation per endpoint mode (global / regional /
+workspace-private-link), the always-'onelake' SAS canonical account, the
+delegation-key host pinning, normalization rules, immutable-field update
+guards, overlap semantics, and the warehouse-create + vending wiring."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakekeeper_spark.catalog.onelake import (
+    MAX_ONELAKE_SAS_TOKEN_VALIDITY_SECONDS,
+    OneLakeProfile,
+    OneLakeProfileError,
+    is_onelake_host,
+)
+
+# the reference's sample UUIDs (onelake_profile.rs:600-601)
+WS = "c5e8a1f3-7b2d-4e8a-9f1c-3b6d8e5a2f47"
+LH = "9d3e7a1b-4c6f-4a8e-b2d5-1f8c7e3a9b04"
+
+
+def sample(**over) -> OneLakeProfile:
+    p = OneLakeProfile.from_doc(
+        {
+            "type": "onelake",
+            "workspace-id": WS,
+            "lakehouse-id": LH,
+            "directory-rel-path": "my_warehouse",
+            **over,
+        }
+    )
+    p.normalize()
+    return p
+
+
+# ---------------------------------------------------------------------------
+# base location + host derivation (onelake_profile.rs:618-787)
+# ---------------------------------------------------------------------------
+def test_base_location_default_endpoint():
+    assert sample().base_location() == (
+        f"abfss://{WS}@onelake.dfs.fabric.microsoft.com/{LH}/Files/"
+        "my_warehouse/"
+    )
+
+
+def test_base_location_regional_endpoint():
+    p = sample(**{"endpoint-mode": {"type": "regional", "region": "westus"}})
+    assert p.base_location() == (
+        f"abfss://{WS}@westus-onelake.dfs.fabric.microsoft.com/{LH}/Files/"
+        "my_warehouse/"
+    )
+
+
+def test_base_location_private_link():
+    p = sample(**{"endpoint-mode": {"type": "workspace-private-link"}})
+    assert p.base_location() == (
+        f"abfss://{WS}@c5e8a1f37b2d4e8a9f1c3b6d8e5a2f47.zc5."
+        f"dfs.fabric.microsoft.com/{LH}/Files/my_warehouse/"
+    )
+
+
+def test_base_location_tables_folder():
+    p = sample(**{"top-level-folder": "Tables"})
+    assert "/Tables/my_warehouse/" in p.base_location()
+
+
+def test_dfs_host_private_link_xy_is_first_two_chars():
+    p = sample(**{
+        "workspace-id": "abcdef12-3456-7890-1234-56789abcdef0",
+        "endpoint-mode": {"type": "workspace-private-link"},
+    })
+    assert p.dfs_host() == (
+        "abcdef1234567890123456789abcdef0.zab.dfs.fabric.microsoft.com"
+    )
+
+
+def test_host_account_per_endpoint_mode():
+    assert sample().host_account() == "onelake"
+    p = sample(**{"endpoint-mode": {"type": "regional", "region": "westus"}})
+    assert p.host_account() == "westus-onelake"
+    p = sample(**{"endpoint-mode": {"type": "workspace-private-link"}})
+    assert p.host_account() == "c5e8a1f37b2d4e8a9f1c3b6d8e5a2f47"
+
+
+def test_host_account_and_suffix_compose_to_dfs_host():
+    for mode in (
+        {"type": "default"},
+        {"type": "regional", "region": "northeurope"},
+        {"type": "workspace-private-link"},
+    ):
+        p = sample(**{"endpoint-mode": mode})
+        assert p.dfs_host() == f"{p.host_account()}.{p.endpoint_suffix()}"
+
+
+def test_sas_account_is_always_onelake():
+    # regression shape for `401 Access token validation failed`: the
+    # canonical SAS resource is /blob/onelake/... across ALL modes
+    for mode in (
+        {"type": "default"},
+        {"type": "regional", "region": "centralus"},
+        {"type": "workspace-private-link"},
+    ):
+        assert sample(**{"endpoint-mode": mode}).sas_account() == "onelake"
+
+
+def test_blob_host_per_endpoint_mode():
+    assert sample().blob_host() == "onelake.blob.fabric.microsoft.com"
+    p = sample(**{"endpoint-mode": {"type": "regional", "region": "westus"}})
+    assert p.blob_host() == "westus-onelake.blob.fabric.microsoft.com"
+    p = sample(**{"endpoint-mode": {"type": "workspace-private-link"}})
+    assert p.blob_host() == (
+        "c5e8a1f37b2d4e8a9f1c3b6d8e5a2f47.zc5.blob.fabric.microsoft.com"
+    )
+
+
+def test_sas_host_pins_to_global_for_private_link():
+    p = sample(**{"endpoint-mode": {"type": "workspace-private-link"}})
+    assert p.sas_host() == "onelake.dfs.fabric.microsoft.com"
+    # default + regional use the data host
+    assert sample().sas_host() == sample().dfs_host()
+    r = sample(**{"endpoint-mode": {"type": "regional", "region": "westus"}})
+    assert r.sas_host() == r.dfs_host()
+
+
+def test_iceberg_sas_property_keys():
+    assert sample().iceberg_sas_property_key() == (
+        "adls.sas-token.onelake.dfs.fabric.microsoft.com"
+    )
+    p = sample(**{"endpoint-mode": {"type": "regional", "region": "westus"}})
+    assert p.iceberg_sas_property_key() == (
+        "adls.sas-token.westus-onelake.dfs.fabric.microsoft.com"
+    )
+    p = sample(**{"endpoint-mode": {"type": "workspace-private-link"}})
+    assert p.iceberg_sas_property_key() == (
+        "adls.sas-token.c5e8a1f37b2d4e8a9f1c3b6d8e5a2f47."
+        "zc5.dfs.fabric.microsoft.com"
+    )
+
+
+def test_only_abfss_allowed():
+    assert OneLakeProfile.is_allowed_schema("abfss")
+    assert not OneLakeProfile.is_allowed_schema("wasbs")
+
+
+# ---------------------------------------------------------------------------
+# normalization (onelake_profile.rs:821-1000)
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("region", ["west.us", "west-us", "2westus", ""])
+def test_normalize_rejects_bad_regions(region):
+    with pytest.raises(OneLakeProfileError, match="region"):
+        sample(**{"endpoint-mode": {"type": "regional", "region": region}})
+
+
+def test_normalize_accepts_and_lowercases_regions():
+    for raw, want in [("westus", "westus"), ("  WestUS  ", "westus"),
+                      ("westus2", "westus2")]:
+        p = sample(**{"endpoint-mode": {"type": "regional", "region": raw}})
+        assert p.endpoint_mode["region"] == want
+
+
+def test_normalize_ttl_bounds():
+    with pytest.raises(OneLakeProfileError, match="greater than 0"):
+        sample(**{"sas-token-validity-seconds": 0})
+    with pytest.raises(OneLakeProfileError, match="3600"):
+        sample(**{"sas-token-validity-seconds": 3601})
+    assert sample(
+        **{"sas-token-validity-seconds": 3600}
+    ).sas_token_validity_seconds == MAX_ONELAKE_SAS_TOKEN_VALIDITY_SECONDS
+
+
+def test_normalize_rejects_shared_access_key_credential():
+    p = OneLakeProfile.from_doc({"workspace-id": WS, "lakehouse-id": LH})
+    with pytest.raises(OneLakeProfileError, match="shared-access-key"):
+        p.normalize(credential={"type": "shared-access-key", "key": "x"})
+    p.normalize(credential={"type": "client-credentials"})  # fine
+
+
+def test_normalize_directory_rel_path():
+    assert sample(
+        **{"directory-rel-path": "/foo/bar/"}
+    ).directory_rel_path == "foo/bar"
+    p = OneLakeProfile.from_doc({"workspace-id": WS, "lakehouse-id": LH})
+    p.normalize()
+    assert p.directory_rel_path is None
+    with pytest.raises(OneLakeProfileError, match="empty"):
+        sample(**{"directory-rel-path": "///"})
+    with pytest.raises(OneLakeProfileError, match=r"\.\."):
+        sample(**{"directory-rel-path": "a/../b"})
+    with pytest.raises(OneLakeProfileError, match="512"):
+        sample(**{"directory-rel-path": "x" * 513})
+
+
+def test_normalize_rejects_non_default_layout():
+    for layout in ("full-hierarchy", "tabular-only"):
+        with pytest.raises(OneLakeProfileError, match="storage-layout"):
+            sample(**{"storage-layout": layout})
+    assert sample(**{"storage-layout": "default"}).storage_layout == "default"
+
+
+def test_pascal_and_lower_top_level_folder_accepted():
+    assert sample(**{"top-level-folder": "files"}).top_level_folder == "Files"
+    assert sample(**{"top-level-folder": "Tables"}).top_level_folder == "Tables"
+    with pytest.raises(OneLakeProfileError, match="top-level-folder"):
+        sample(**{"top-level-folder": "Data"})
+
+
+def test_bad_uuids_rejected():
+    with pytest.raises(OneLakeProfileError, match="workspace-id"):
+        OneLakeProfile.from_doc({"workspace-id": "nope", "lakehouse-id": LH})
+
+
+# ---------------------------------------------------------------------------
+# update_with (onelake_profile.rs:283-308, 1000-1060)
+# ---------------------------------------------------------------------------
+def test_update_with_immutable_fields():
+    base = sample()
+    for over in (
+        {"workspace-id": "abcdef12-3456-7890-1234-56789abcdef0"},
+        {"endpoint-mode": {"type": "workspace-private-link"}},
+        {"top-level-folder": "Tables"},
+        {"directory-rel-path": "other"},
+    ):
+        with pytest.raises(OneLakeProfileError, match="immutable"):
+            base.update_with(sample(**over))
+
+
+def test_update_with_mutates_sas_settings_and_authority():
+    base = sample(**{"storage-layout": "default"})
+    new = sample(**{
+        "sas-token-validity-seconds": 1800,
+        "sas-enabled": False,
+        "authority-host": "https://login.example.com",
+    })
+    got = base.update_with(new)
+    assert got.sas_token_validity_seconds == 1800
+    assert got.sas_enabled is False
+    assert got.authority_host == "https://login.example.com"
+    # storage_layout carried over from self when other leaves it unset
+    assert got.storage_layout == "default"
+
+
+# ---------------------------------------------------------------------------
+# overlap (onelake_profile.rs:582-599, 1119-1196)
+# ---------------------------------------------------------------------------
+def test_overlap_semantics():
+    a = sample()
+    assert a.is_overlapping_location(sample())  # same directory
+    assert a.is_overlapping_location(
+        sample(**{"directory-rel-path": "my_warehouse/sub"})
+    )  # directory-bounded prefix
+    assert not a.is_overlapping_location(
+        sample(**{"directory-rel-path": "my_warehouse2"})
+    )  # same char-prefix but different directory
+    none_path = OneLakeProfile.from_doc(
+        {"workspace-id": WS, "lakehouse-id": LH}
+    )
+    none_path.normalize()
+    assert none_path.is_overlapping_location(a)  # None = lakehouse root
+    assert not a.is_overlapping_location(
+        sample(**{"workspace-id": "abcdef12-3456-7890-1234-56789abcdef0"})
+    )
+    assert not a.is_overlapping_location(sample(**{"top-level-folder": "Tables"}))
+    # endpoint-mode does NOT break overlap: same on-storage path
+    assert a.is_overlapping_location(
+        sample(**{"endpoint-mode": {"type": "workspace-private-link"}})
+    )
+
+
+# ---------------------------------------------------------------------------
+# wiring: warehouse create + credential vending
+# ---------------------------------------------------------------------------
+def test_is_onelake_host_covers_private_link():
+    assert is_onelake_host("onelake.dfs.fabric.microsoft.com")
+    assert is_onelake_host("westus-onelake.dfs.fabric.microsoft.com")
+    assert is_onelake_host(
+        "c5e8a1f37b2d4e8a9f1c3b6d8e5a2f47.zc5.dfs.fabric.microsoft.com"
+    )
+    assert not is_onelake_host("acct.dfs.core.windows.net")
+    assert not is_onelake_host("fabric.microsoft.com.evil.example")
+
+
+def test_warehouse_accepts_onelake_profile(tmp_path):
+    from lakekeeper_spark.catalog.catalog import Catalog, CatalogError
+    from lakekeeper_spark.catalog.metastore import Metastore
+
+    cat = Catalog(Metastore(str(tmp_path / "ms.db")))
+    profile = {
+        "type": "onelake",
+        "workspace-id": WS,
+        "lakehouse-id": LH,
+        "directory-rel-path": "wh1",
+    }
+    base = sample(**{"directory-rel-path": "wh1"}).base_location()
+    cat.create_warehouse("olwh", base, storage_profile=profile)
+    got = cat._warehouse("olwh")
+    assert got["storage_profile"]["type"] == "onelake"
+    # a location OUTSIDE the profile's base is refused
+    with pytest.raises(CatalogError, match="outside"):
+        cat.create_warehouse(
+            "olwh2",
+            f"abfss://{WS}@onelake.dfs.fabric.microsoft.com/{LH}/Files/other/",
+            storage_profile=profile,
+        )
+    # non-abfss scheme refused
+    with pytest.raises(CatalogError, match="abfss"):
+        cat.create_warehouse(
+            "olwh3",
+            base.replace("abfss://", "wasbs://"),
+            storage_profile=profile,
+        )
+    # invalid profile surfaces the normalization error
+    with pytest.raises(CatalogError, match="3600"):
+        cat.create_warehouse(
+            "olwh4", base,
+            storage_profile={**profile, "sas-token-validity-seconds": 7200},
+        )
+
+
+def test_vending_onelake_cap_and_canonical_account():
+    """The 1h OneLake TTL cap and the literal-'onelake' canonical
+    resource apply on EVERY Fabric host — including the workspace-
+    private-link FQDN that doesn't contain the word 'onelake'."""
+    from lakekeeper_spark.catalog.vending import (
+        StoragePermissions,
+        adls_canonical_resource,
+        vend_for_location,
+    )
+
+    p = sample(**{"endpoint-mode": {"type": "workspace-private-link"}})
+    loc = p.base_location() + "table1"
+    resource, depth = adls_canonical_resource(loc)
+    assert resource == f"/blob/onelake/{WS}/{LH}/Files/my_warehouse/table1"
+    assert depth == 4
+    now = 1_700_000_000_000
+    cred = vend_for_location(
+        "tid", loc, StoragePermissions.READ_WRITE,
+        validity_seconds=7 * 24 * 3600, now_ms=now,
+    )
+    # capped at the OneLake hour despite the 7d request
+    assert cred["config"]["expiration-ms"] - now <= 3600 * 1000
+    key = p.iceberg_sas_property_key()
+    assert key in cred["config"]  # published under the private-link host
