@@ -681,6 +681,15 @@ class SparkTable:
                     "schema-id": meta["current-schema-id"],
                     "bounds": bounds,
                     "sequence-number": _next_seq(meta),
+                    # files that STORE lineage columns (row-id-preserving
+                    # rewrites) can't have their row ids derived from the
+                    # claimed range alone — metadata-only CDC planning
+                    # (changelog_row_ids) must open them
+                    **(
+                        {"materialized-row-ids": True}
+                        if "_row_id" in writer_df.columns
+                        else {}
+                    ),
                 }
             )
         return entries
@@ -1375,6 +1384,140 @@ class SparkTable:
             )
         return out
 
+    def changelog_row_ids(
+        self,
+        from_snapshot_id: int | None = None,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """METADATA-ONLY CDC planning (v3 row lineage): the changelog's
+        (_row_id, _change_type, _commit_snapshot_id) stream, computed
+        WITHOUT opening data files wherever the commit metadata suffices:
+
+        - appended data files that don't materialize lineage columns emit
+          insert events straight from their claimed [first-row-id,
+          first-row-id + record-count) ranges (``spark.range`` per file —
+          distributed, no file IO);
+        - tombstone-only MoR DELETE commits emit delete events from the
+          ``deleted-row-id-ranges`` the commit recorded in its summary
+          (bounded; see _row_id_ranges) — the parent data files are never
+          read;
+        - everything else (CoW rewrites, equality deletes, oversized
+          deletes that recorded no ranges, files with materialized ids)
+          falls back per-commit to the full changelog(row_lineage=True)
+          projected to the three columns — correct, just not
+          metadata-only.
+
+        At scale this is the cheap half of lineage-native CDC: a consumer
+        keeping a row-id watermark learns WHICH rows changed from
+        metadata alone and fetches content only for the ids it actually
+        needs."""
+        meta = self.metadata()
+        if meta.get("format-version", 2) < 3:
+            raise ValueError(
+                "changelog_row_ids requires format-version >= 3 "
+                f"(table is v{meta.get('format-version', 2)})"
+            )
+        to_snap = self._resolve_snapshot(meta, to_snapshot_id)
+        out_schema = (
+            "_row_id long, _change_type string, _commit_snapshot_id long"
+        )
+        empty = self.spark.createDataFrame([], out_schema)
+        if to_snap is None:
+            return empty
+        lineage: list[dict[str, Any]] = []
+        cur: dict[str, Any] | None = to_snap
+        while cur is not None and cur["snapshot-id"] != from_snapshot_id:
+            lineage.append(cur)
+            pid = cur.get("parent-snapshot-id")
+            cur = self._snapshot(meta, pid) if pid is not None else None
+        lineage.reverse()
+
+        def _tagged(df: DataFrame, kind: str, sid: int) -> DataFrame:
+            return df.select(
+                F.col("_row_id"),
+                F.lit(kind).alias("_change_type"),
+                F.lit(sid).cast("long").alias("_commit_snapshot_id"),
+            )
+
+        def _ranges_df(pairs: list[list[int]]) -> DataFrame:
+            # bounded ranges (<= _MAX_RANGES, <= _MAX_RANGE_ROWS total):
+            # one sequence-explode over a ranges literal, never a
+            # per-range plan-node union
+            rdf = self.spark.createDataFrame(
+                [(int(s), int(e)) for s, e in pairs], "s long, e long"
+            )
+            return rdf.select(
+                F.explode(F.sequence("s", "e")).alias("_row_id")
+            )
+
+        parts: list[DataFrame] = []
+        for s in lineage:
+            if s["summary"].get("operation") == "replace":
+                continue
+            sid = s["snapshot-id"]
+            pid = s.get("parent-snapshot-id")
+            parent = self._snapshot(meta, pid) if pid is not None else None
+            p_manifest = parent["manifest"] if parent else []
+            p_paths = {e["path"] for e in p_manifest}
+            s_paths = {e["path"] for e in s["manifest"]}
+            added_data = [
+                e
+                for e in _split_manifest(s["manifest"])[0]
+                if e["path"] not in p_paths
+            ]
+            removed_data = [
+                e
+                for e in _split_manifest(p_manifest)[0]
+                if e["path"] not in s_paths
+            ]
+            added_dels = [
+                e
+                for e in _split_manifest(s["manifest"])[1]
+                if e["path"] not in p_paths
+            ]
+            insert_rangeable = all(
+                e.get("first-row-id") is not None
+                and not e.get("materialized-row-ids")
+                for e in added_data
+            )
+            del_ranges = s["summary"].get("deleted-row-id-ranges")
+            tombstones_covered = not added_dels or (
+                del_ranges is not None and not removed_data
+            )
+            if insert_rangeable and not removed_data and tombstones_covered:
+                # fully metadata-only commit: no file of any kind is read
+                for e in added_data:
+                    frid = int(e["first-row-id"])
+                    n = int(e.get("record-count", 0))
+                    if n:
+                        parts.append(
+                            _tagged(
+                                self.spark.range(frid, frid + n)
+                                .withColumnRenamed("id", "_row_id"),
+                                "insert",
+                                sid,
+                            )
+                        )
+                if added_dels and del_ranges:
+                    parts.append(
+                        _tagged(_ranges_df(del_ranges), "delete", sid)
+                    )
+                continue
+            # fallback: this one commit through the full content-reading
+            # changelog, projected to the lineage keys
+            parts.append(
+                self.changelog(
+                    from_snapshot_id=pid, to_snapshot_id=sid,
+                    row_lineage=True,
+                ).select("_row_id", "_change_type", "_commit_snapshot_id")
+            )
+        if not parts:
+            return empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def create_changelog_view(
         self,
         view_name: str,
@@ -1848,27 +1991,33 @@ class SparkTable:
         if snap is None:
             raise CatalogError("table has no data")
         schema = self._current_schema(meta)
-        df = self._mor_positions(meta, schema, snap)
+        lineage = meta.get("format-version", 2) >= 3
+        df = self._mor_positions(meta, schema, snap, lineage=lineage)
         # localCheckpoint: the matched (file_path, pos) set is consumed
         # TWICE (empty-probe + artifact write; on v3 also the DV merge) —
         # materialize it once instead of re-scanning the table per use.
         # Bounded by the delete's match count, the same rows the artifact
         # write must hold anyway; spills executor-local beyond memory.
-        positions = (
+        matched = (
             df.filter(condition)
             .select(
                 self._rel_file(meta["location"]).alias("file_path"),
                 F.col("_pos").alias("pos"),
+                *(["_row_id"] if lineage else []),
             )
             .localCheckpoint(eager=True)
         )
-        if positions.isEmpty():
+        if matched.isEmpty():
             return meta  # DELETE matching nothing commits no snapshot
+        positions = matched.select("file_path", "pos")
         base_manifest, del_entries, removed = self._positional_artifacts(
             meta, snap, positions
         )
         if not del_entries:
             return meta
+        ranges = (
+            self._row_id_ranges(matched.select("_row_id")) if lineage else None
+        )
         return self._commit_snapshot(
             meta,
             base_manifest + del_entries,
@@ -1877,8 +2026,49 @@ class SparkTable:
                 "added-delete-files": len(del_entries),
                 "added-position-deletes": sum(e["record-count"] for e in del_entries),
                 "removed-delete-files": removed,
+                # v3 lineage: this commit's newly-deleted row ids as
+                # compact [start, end] ranges — metadata-only CDC planning
+                # (changelog_row_ids) emits delete events from this alone,
+                # no parent data file opened. Bounded (see _row_id_ranges);
+                # absent when the delete is too large to record.
+                **({"deleted-row-id-ranges": ranges} if ranges else {}),
             },
         )
+
+    # deleted-row-id-range recording bounds: a delete matching more rows
+    # than this keeps the summary metadata-sized by NOT recording (CDC
+    # falls back to reading parent files); the range list itself is also
+    # capped for pathological scatter
+    _MAX_RANGE_ROWS = 100_000
+    _MAX_RANGES = 4096
+
+    def _row_id_ranges(self, ids: DataFrame) -> list[list[int]] | None:
+        """Compress a (small, pre-counted) set of row ids into sorted
+        inclusive [start, end] ranges (gaps-and-islands). Returns None —
+        record nothing — beyond the row/range caps, so commit metadata
+        stays bounded no matter how large the delete."""
+        from pyspark.sql.window import Window
+
+        n = ids.count()
+        if n == 0 or n > self._MAX_RANGE_ROWS:
+            return None
+        # <= 100k rows: a single-partition window is trivially cheap here
+        grp = F.col("_row_id") - F.row_number().over(
+            Window.orderBy("_row_id")
+        )
+        ranges = (
+            ids.withColumn("__g", grp)
+            .groupBy("__g")
+            .agg(F.min("_row_id").alias("s"), F.max("_row_id").alias("e"))
+            .orderBy("s")
+            .limit(self._MAX_RANGES + 1)
+            .collect()
+        )
+        if len(ranges) > self._MAX_RANGES:
+            return None
+        if any(r["s"] is None for r in ranges):
+            return None  # pre-lineage rows resolved NULL: not rangeable
+        return [[int(r["s"]), int(r["e"])] for r in ranges]
 
     def _positional_artifacts(
         self,

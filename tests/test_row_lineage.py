@@ -607,3 +607,86 @@ def test_add_snapshot_rejects_added_file_without_record_count():
                 },
             ],
         )
+
+
+# ---------------------------------------------------------------------------
+# metadata-only CDC planning: changelog_row_ids (round-14)
+# ---------------------------------------------------------------------------
+def _lineage_events(df):
+    return {
+        (r._row_id, r._change_type, r._commit_snapshot_id)
+        for r in df.collect()
+    }
+
+
+def test_changelog_row_ids_matches_full_changelog(spark, table):
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(6)], "id long, v string"))
+    table.append(spark.createDataFrame(
+        [(i, f"y{i}") for i in range(6, 9)], "id long, v string"))
+    table.delete_where("id IN (1, 7)", mode="merge-on-read")
+    want = _lineage_events(
+        table.changelog(row_lineage=True).select(
+            "_row_id", "_change_type", "_commit_snapshot_id"
+        )
+    )
+    got = _lineage_events(table.changelog_row_ids())
+    assert got == want
+    # the MoR delete recorded its ranges in the commit summary
+    assert table.metadata()["snapshots"][-1]["summary"][
+        "deleted-row-id-ranges"
+    ] == [[1, 1], [7, 7]]
+
+
+def test_changelog_row_ids_never_opens_data_files(spark, table, tmp_path):
+    """The plan guard: scorch EVERY parquet byte under the table's data
+    dir after the commits — append + tombstone-only MoR delete events
+    still plan exactly from metadata (file row-id ranges + the summary's
+    deleted-row-id-ranges). Any data-file read would throw."""
+    from pathlib import Path
+
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(8)], "id long, v string"))
+    table.delete_where("id >= 5", mode="merge-on-read")
+    want = _lineage_events(
+        table.changelog(row_lineage=True).select(
+            "_row_id", "_change_type", "_commit_snapshot_id"
+        )
+    )
+    loc = table.metadata()["location"].replace("file://", "")
+    scorched = 0
+    for p in Path(loc, "data").rglob("*.parquet"):
+        p.write_bytes(b"\xff" * 64)  # undecodable as parquet
+        scorched += 1
+    assert scorched >= 2  # the data file AND the tombstone artifact
+    got = _lineage_events(table.changelog_row_ids())
+    assert got == want
+    assert {t for _, t, _ in got} == {"insert", "delete"}
+
+
+def test_changelog_row_ids_falls_back_for_cow_and_oversize(spark, table):
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(6)], "id long, v string"))
+    # CoW delete: removes+rewrites data files -> content fallback path
+    table.delete_where("id = 2", mode="copy-on-write")
+    # oversized MoR delete: cap forced to 0 rows -> no ranges recorded
+    table._MAX_RANGE_ROWS = 0
+    table.delete_where("id = 4", mode="merge-on-read")
+    assert "deleted-row-id-ranges" not in (
+        table.metadata()["snapshots"][-1]["summary"]
+    )
+    want = _lineage_events(
+        table.changelog(row_lineage=True).select(
+            "_row_id", "_change_type", "_commit_snapshot_id"
+        )
+    )
+    assert _lineage_events(table.changelog_row_ids()) == want
+
+
+def test_changelog_row_ids_requires_v3(spark, catalog):
+    catalog.create_namespace("wh", ["rl6"])
+    catalog.create_table("wh", ["rl6"], "t6", SCHEMA, format_version=2)
+    t = SparkTable(spark, catalog, "wh", ["rl6"], "t6")
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(ValueError, match="format-version >= 3"):
+        t.changelog_row_ids()
