@@ -2776,3 +2776,99 @@ def c21_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return t.scan().select("n_nationkey", "region_name", "score")
+
+
+# --------------------------------------------------------------------------
+# c22: metadata-only CDC planning via v3 row lineage
+# --------------------------------------------------------------------------
+# changelog_row_ids(): the (_row_id, change_type, commit ordinal) event
+# stream planned WITHOUT opening data files — appends emit inserts from
+# each file's claimed [first-row-id, +record-count) range and a
+# tombstone-only MoR DELETE emits deletes from the bounded
+# deleted-row-id-ranges its commit recorded in the snapshot summary
+# (format/icelite.py changelog_row_ids/_row_id_ranges; the scorch-proof
+# no-file-read guard lives in tests/test_row_lineage.py). At 100 TB this
+# is the cheap half of lineage-native CDC: a consumer keeping a row-id
+# watermark learns WHICH rows changed from metadata alone.
+
+
+@register(
+    "c22_lineage_cdc_plan",
+    oracle="""
+WITH base AS (
+  SELECT n_nationkey,
+         ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS rid
+  FROM nation
+),
+n AS (SELECT COUNT(*) AS c FROM nation)
+SELECT CAST(rid AS BIGINT) AS row_id,
+       'insert' AS change_type,
+       CAST(1 AS BIGINT) AS commit_ord
+FROM base
+UNION ALL
+SELECT CAST(rid + (SELECT c FROM n) AS BIGINT), 'insert', CAST(2 AS BIGINT)
+FROM base
+UNION ALL
+SELECT CAST(rid AS BIGINT), 'delete', CAST(3 AS BIGINT)
+FROM base WHERE n_nationkey % 5 = 0
+UNION ALL
+SELECT CAST(rid + (SELECT c FROM n) AS BIGINT), 'delete', CAST(3 AS BIGINT)
+FROM base WHERE (n_nationkey + 100) % 5 = 0
+""",
+    description="Metadata-only CDC planning (v3 row lineage): two "
+    "single-file appends then a merge-on-read DELETE; changelog_row_ids "
+    "emits insert events from the files' claimed row-id ranges and "
+    "delete events from the commit summary's deleted-row-id-ranges — no "
+    "data file read. Snapshot ids map to commit ordinals for "
+    "determinism; the oracle rebuilds the expected event stream from "
+    "the source table.",
+    tags=("catalog", "icelite", "v3", "lineage", "cdc"),
+)
+def c22_lineage_cdc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_c22_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["cdc"])
+    schema = {
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "n_nationkey", "type": "long", "required": False},
+            {"id": 2, "name": "n_name", "type": "string", "required": False},
+        ],
+    }
+    cat.create_table("wh", ["cdc"], "nations", schema, format_version=3)
+    t = SparkTable(spark, cat, "wh", ["cdc"], "nations")
+    src = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    )
+    one_file = src.repartition(1).sortWithinPartitions("n_nationkey")
+    t.append(one_file)  # commit 1: inserts, ids [0, n)
+    t.append(  # commit 2: inserts, ids [n, 2n)
+        one_file.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"), "n_name"
+        )
+    )
+    t.delete_where("n_nationkey % 5 = 0", mode="merge-on-read")  # commit 3
+    events = t.changelog_row_ids()
+    # snapshot ids are generated; expose the deterministic commit ORDINAL
+    meta = t.metadata()
+    order = {
+        s["snapshot-id"]: i + 1
+        for i, s in enumerate(
+            sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+        )
+    }
+    ord_map = F.create_map(
+        *[F.lit(x) for kv in order.items() for x in kv]
+    )
+    return events.select(
+        F.col("_row_id").alias("row_id"),
+        F.col("_change_type").alias("change_type"),
+        ord_map[F.col("_commit_snapshot_id")].cast("long").alias("commit_ord"),
+    )
