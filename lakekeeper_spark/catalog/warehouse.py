@@ -432,6 +432,21 @@ def update_storage_profile(
     wh = catalog._warehouse(warehouse, any_status=True)
     ensure_spec_mutable(catalog, wh)
     validate_storage_profile(profile)
+    old = wh.get("storage_profile") or {}
+    if old.get("type") == "onelake" and profile.get("type") == "onelake":
+        # OneLake update rules (onelake_profile.rs:283-308): SAS/
+        # authority/layout settings may change; workspace/lakehouse/
+        # folder/path/endpoint-mode are immutable — changing any would
+        # move the abfss URL and orphan every table already written
+        from .onelake import OneLakeProfile, OneLakeProfileError
+
+        try:
+            a, b = OneLakeProfile.from_doc(old), OneLakeProfile.from_doc(profile)
+            a.normalize()
+            b.normalize()
+            a.update_with(b)
+        except OneLakeProfileError as e:
+            raise CatalogError(f"invalid onelake profile update: {e}") from e
     cols: dict[str, Any] = {"storage_profile": json.dumps(profile)}
     if profile.get("location"):
         cols["location"] = str(profile["location"]).rstrip("/")

@@ -342,3 +342,31 @@ def test_vending_onelake_cap_and_canonical_account():
     assert cred["config"]["expiration-ms"] - now <= 3600 * 1000
     key = p.iceberg_sas_property_key()
     assert key in cred["config"]  # published under the private-link host
+
+
+def test_update_storage_profile_enforces_onelake_immutability(tmp_path):
+    from lakekeeper_spark.catalog import warehouse as wh_ops
+    from lakekeeper_spark.catalog.catalog import Catalog, CatalogError
+    from lakekeeper_spark.catalog.metastore import Metastore
+
+    cat = Catalog(Metastore(str(tmp_path / "ms.db")))
+    profile = {
+        "type": "onelake",
+        "workspace-id": WS,
+        "lakehouse-id": LH,
+        "directory-rel-path": "wh1",
+    }
+    base = sample(**{"directory-rel-path": "wh1"}).base_location()
+    cat.create_warehouse("olwh", base, storage_profile=profile)
+    # mutable: SAS settings
+    wh_ops.update_storage_profile(
+        cat, "olwh", {**profile, "sas-token-validity-seconds": 1800}
+    )
+    got = cat._warehouse("olwh")["storage_profile"]
+    assert got["sas-token-validity-seconds"] == 1800
+    # immutable: lakehouse id (would orphan every table)
+    with pytest.raises(CatalogError, match="immutable"):
+        wh_ops.update_storage_profile(
+            cat, "olwh",
+            {**profile, "lakehouse-id": "abcdef12-3456-7890-1234-56789abcdef0"},
+        )
