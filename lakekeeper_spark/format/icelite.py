@@ -84,6 +84,63 @@ def _zvalue_expr(cols: list[str], bits: int = 21) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+#: manifest-level bloom filters: one bitmap per configured column per
+#: data file, stored base64 in the manifest entry — planning-time file
+#: skipping for EQUALITY predicates on high-cardinality columns where
+#: min/max bounds can't discriminate (an id spread uniformly across
+#: files overlaps every file's range). Each file's bitmap AUTO-SIZES to
+#: its distinct count: positions are hashed once at the power-of-two cap
+#: _BLOOM_CAP_BITS and downsized to the smallest power of two >=
+#: _BLOOM_BITS_PER_VALUE * ndv (valid because m_small divides m_cap, so
+#: pos % m_small == hash % m_small) — ~10 bits/value with k=6 holds FPP
+#: near 1% at any file size up to the ndv cap, where the bloom is
+#: skipped entirely (a saturated bitmap prunes nothing and only bloats
+#: the manifest).
+_BLOOM_CAP_BITS = 1 << 20
+_BLOOM_BITS_PER_VALUE = 10
+_BLOOM_MIN_BITS = 1024
+_BLOOM_MAX_NDV = 100_000
+_BLOOM_K = 6
+
+
+def _bloom_pack(positions: set[int], m: int) -> str:
+    import base64
+
+    bits = bytearray((m + 7) // 8)
+    for p in positions:
+        bits[p >> 3] |= 1 << (p & 7)
+    return base64.b64encode(bytes(bits)).decode()
+
+
+def _bloom_might_contain(bloom: dict[str, Any], raw_hashes: list[int]) -> bool:
+    """True unless some probe position's bit is unset. ``raw_hashes`` are
+    the k signed xxhash64 values of the probe; positions derive per
+    bloom via % m (matches the writer's pmod)."""
+    import base64
+
+    m = int(bloom["m"])
+    bits = base64.b64decode(bloom["bits"])
+    for h in raw_hashes:
+        p = h % m
+        if not bits[p >> 3] >> (p & 7) & 1:
+            return False
+    return True
+
+
+def _bloom_keep(
+    entry: dict[str, Any], probes: dict[str, list[int]]
+) -> bool:
+    """Keep the file unless some probed column's bloom PROVES the value
+    absent. Files without a bloom for the column are kept (safe,
+    superset contract — same shape as _bounds_overlap)."""
+    blooms = entry.get("bloom") or {}
+    for col, raw_hashes in probes.items():
+        b = blooms.get(col)
+        if b is not None and not _bloom_might_contain(b, raw_hashes):
+            return False
+    return True
+
+
 def _bounds_overlap(entry: dict[str, Any], stats_filter: dict[str, tuple]) -> bool:
     """Keep the file unless some filtered column's bounds are disjoint with
     the requested [lo, hi] range. Missing bounds keep the file (safe)."""
@@ -692,7 +749,131 @@ class SparkTable:
                     ),
                 }
             )
+        self._attach_bloom_filters(meta, cur, out_dir, entries)
         return entries
+
+    def _attach_bloom_filters(
+        self,
+        meta: dict[str, Any],
+        schema: dict[str, Any],
+        out_dir: str,
+        entries: list[dict[str, Any]],
+    ) -> None:
+        """Manifest-level bloom filters (opt-in via the table property
+        ``write.metadata.bloom-filter-columns`` = comma-separated column
+        names; ndv ceiling via ``write.metadata.bloom-filter-max-ndv``):
+        one AUTO-SIZED bitmap per configured column per data file, built
+        with a SINGLE distributed aggregate over the freshly written
+        files — per (column, seed) the distinct
+        ``pmod(xxhash64(col, seed), cap)`` positions plus an approximate
+        distinct count; the driver then downsizes each file's positions
+        to the smallest power of two holding ~10 bits per distinct value
+        (pos % m is exact because m divides the cap). Per-file driver
+        state is bounded by min(ndv*k, cap) ints, and columns past the
+        ndv ceiling store NO bloom (a saturated bitmap prunes nothing).
+        scan(point_filter=...) then skips files whose bloom proves an
+        equality value absent — planning-time pruning for point lookups
+        on high-cardinality columns where min/max bounds overlap every
+        file. Parquet keeps its own row-group blooms; this is the
+        FILE-granular analogue living in the manifest, like Iceberg's
+        ndv/bounds stats."""
+        props = meta.get("properties", {})
+        names = {f["name"] for f in schema["fields"]}
+        cols = [
+            c.strip()
+            for c in str(
+                props.get("write.metadata.bloom-filter-columns", "")
+            ).split(",")
+            if c.strip() and c.strip() in names
+        ]
+        if not cols or not entries:
+            return
+        max_ndv = int(
+            props.get("write.metadata.bloom-filter-max-ndv", _BLOOM_MAX_NDV)
+        )
+        cap = _BLOOM_CAP_BITS
+        aggs = [
+            a
+            for ci, c in enumerate(cols)
+            for a in (
+                *[
+                    F.collect_set(
+                        F.pmod(F.xxhash64(F.col(c), F.lit(s)), F.lit(cap))
+                    ).alias(f"__bf_{ci}_{s}")
+                    for s in range(_BLOOM_K)
+                ],
+                F.approx_count_distinct(F.col(c)).alias(f"__ndv_{ci}"),
+            )
+        ]
+        rows = (
+            self.spark.read.parquet(out_dir)
+            .groupBy(F.col("_metadata.file_path").alias("f"))
+            .agg(*aggs)
+            .collect()
+        )
+        by_entry: dict[str, Any] = {}
+        for r in rows:
+            for e in entries:
+                relp = e["path"].split("/", 2)[-1]  # path under out_dir
+                if r["f"].endswith("/" + relp):
+                    by_entry[e["path"]] = r
+                    break
+        for e in entries:
+            r = by_entry.get(e["path"])
+            if r is None:
+                continue  # zero-row file: no bloom, never wrongly skipped
+            blooms: dict[str, Any] = {}
+            for ci, c in enumerate(cols):
+                ndv = int(r[f"__ndv_{ci}"])
+                if ndv > max_ndv:
+                    continue  # would saturate: store nothing, file kept
+                m = _BLOOM_MIN_BITS
+                while m < min(cap, _BLOOM_BITS_PER_VALUE * max(ndv, 1)):
+                    m <<= 1
+                blooms[c] = {
+                    "m": m,
+                    "k": _BLOOM_K,
+                    "bits": _bloom_pack(
+                        {
+                            p % m
+                            for s in range(_BLOOM_K)
+                            for p in r[f"__bf_{ci}_{s}"]
+                        },
+                        m,
+                    ),
+                }
+            if blooms:
+                e["bloom"] = blooms
+
+    def _bloom_probes(
+        self,
+        schema: dict[str, Any],
+        point_filter: dict[str, Any],
+    ) -> dict[str, list[int]]:
+        """Raw xxhash64 probe values for each (column, literal) in a
+        point filter — ONE tiny local job (1 row x k*cols columns), cast
+        to each column's DECLARED type so the hash matches the writer's.
+        NULL probes and unknown columns are skipped (files kept)."""
+        by_name = {f["name"]: f["type"] for f in schema["fields"]}
+        probes = {
+            c: v
+            for c, v in point_filter.items()
+            if v is not None and c in by_name
+        }
+        if not probes:
+            return {}
+        sel = [
+            F.xxhash64(
+                F.lit(v).cast(spark_ddl_of(by_name[c])), F.lit(s)
+            ).alias(f"{i}_{s}")
+            for i, (c, v) in enumerate(probes.items())
+            for s in range(_BLOOM_K)
+        ]
+        row = self.spark.range(1).select(*sel).head()
+        return {
+            c: [row[f"{i}_{s}"] for s in range(_BLOOM_K)]
+            for i, c in enumerate(probes)
+        }
 
     def _attach_manifest_list(
         self, meta: dict[str, Any], snapshot: dict[str, Any]
@@ -815,6 +996,7 @@ class SparkTable:
         as_of_ms: int | None = None,
         partition_filter: dict[str, Any] | None = None,
         stats_filter: dict[str, tuple] | None = None,
+        point_filter: dict[str, Any] | None = None,
         use_cache: bool = False,
         row_lineage: bool = False,
     ) -> DataFrame:
@@ -826,7 +1008,14 @@ class SparkTable:
         lower/upper-bound file skipping; files without bounds for the
         column are kept, never wrongly skipped). The same range should
         also be applied as a .filter for row-level exactness — the
-        stats_filter only controls which FILES open. With
+        stats_filter only controls which FILES open.
+        ``point_filter`` = {col: value} skips files whose MANIFEST BLOOM
+        FILTER (written when the table property
+        ``write.metadata.bloom-filter-columns`` names the column) proves
+        the equality value absent — point-lookup pruning on
+        high-cardinality columns where every file's min/max overlaps;
+        files without a bloom are kept, and like stats_filter the caller
+        still applies the exact row .filter (superset contract). With
         ``use_cache=True`` the scan plans against this handle's cached
         metadata (stale until refresh(); see metadata_cached).
 
@@ -858,6 +1047,10 @@ class SparkTable:
             ]
         if entries and stats_filter:
             entries = [e for e in entries if _bounds_overlap(e, stats_filter)]
+        if entries and point_filter:
+            probes = self._bloom_probes(schema, point_filter)
+            if probes:
+                entries = [e for e in entries if _bloom_keep(e, probes)]
         if row_lineage and meta.get("format-version", 2) < 3:
             raise ValueError(
                 "row lineage requires format-version >= 3 "

@@ -2872,3 +2872,113 @@ def c22_lineage_cdc_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_change_type").alias("change_type"),
         ord_map[F.col("_commit_snapshot_id")].cast("long").alias("commit_ord"),
     )
+
+
+# --------------------------------------------------------------------------
+# c23: manifest bloom-filter point-lookup pruning
+# --------------------------------------------------------------------------
+# File skipping for EQUALITY predicates where min/max bounds can't help:
+# ids are written INTERLEAVED across files (every file's [min,max]
+# overlaps every probe), the table property
+# write.metadata.bloom-filter-columns attaches a per-file bloom to each
+# manifest entry, and scan(point_filter=...) opens only the file(s)
+# whose bloom might contain the probe. Inline plan guard: each probe
+# must keep at most 2 of the 4 files (FPP allowance) — a no-op bloom
+# would keep all 4 and fail the query, not just run slow. The
+# scorch-proof (pruned files' bytes destroyed, scan still exact) lives
+# in tests/test_bloom_skipping.py.
+
+
+@register(
+    "c23_bloom_point_lookup",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_orderkey) % 4 AS b
+  FROM orders WHERE o_orderkey % 100 < 2
+),
+keys AS (
+  SELECT MIN(o_orderkey) AS k FROM src GROUP BY b
+)
+SELECT CAST(s.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(s.o_custkey AS BIGINT) AS o_custkey,
+       s.o_totalprice AS o_totalprice
+FROM src s JOIN keys ON s.o_orderkey = keys.k
+""",
+    description="Manifest bloom-filter point lookups: orders subset "
+    "written as 4 files with INTERLEAVED ids (all bounds overlap), "
+    "per-file blooms from the write.metadata.bloom-filter-columns "
+    "property, one scan(point_filter=...) per probe key opening only "
+    "the matching file (inline guard: <=2 of 4 entries survive each "
+    "probe). Oracle rebuilds the probe keys and rows from the source "
+    "table.",
+    tags=("catalog", "icelite", "bloom", "pruning"),
+)
+def c23_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from functools import reduce
+
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable, _bloom_keep
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_c23_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["bloom"])
+    schema = {
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "o_orderkey", "type": "long", "required": False},
+            {"id": 2, "name": "o_custkey", "type": "long", "required": False},
+            {"id": 3, "name": "o_totalprice", "type": "double",
+             "required": False},
+        ],
+    }
+    cat.create_table(
+        "wh", ["bloom"], "orders_bf", schema,
+        properties={"write.metadata.bloom-filter-columns": "o_orderkey"},
+    )
+    t = SparkTable(spark, cat, "wh", ["bloom"], "orders_bf")
+    from pyspark.sql.window import Window
+
+    src = load_table(spark, sf_dir, "orders").filter(
+        "o_orderkey % 100 < 2"
+    ).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("o_custkey").cast("long").alias("o_custkey"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    ).withColumn(
+        # interleave by RANK, not raw key — TPC-H orderkeys are sparse
+        # (whole mod classes can be empty); rank % 4 guarantees every
+        # file holds an even id spread, so all bounds overlap and only
+        # the bloom can discriminate at planning time
+        "b",
+        F.row_number().over(Window.orderBy("o_orderkey")) % 4,
+    )
+    for b in range(4):
+        t.append(src.filter(f"b = {b}").drop("b").coalesce(1))
+    keys = [
+        r.k
+        for r in src.groupBy("b").agg(F.min("o_orderkey").alias("k")).collect()
+    ]
+    meta = t.metadata()
+    snap = meta["snapshots"][-1]
+    cur = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    parts = []
+    for k in sorted(keys):
+        probes = t._bloom_probes(cur, {"o_orderkey": int(k)})
+        kept = [e for e in snap["manifest"] if _bloom_keep(e, probes)]
+        if len(kept) > 2:  # inline plan guard (1 expected; 2 = FPP slack)
+            raise AssertionError(
+                f"bloom pruning ineffective: {len(kept)}/4 files kept"
+            )
+        parts.append(
+            t.scan(point_filter={"o_orderkey": int(k)}).filter(
+                F.col("o_orderkey") == int(k)
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -1,0 +1,191 @@
+"""Manifest-level bloom filters: planning-time file skipping for
+EQUALITY predicates on high-cardinality columns where min/max bounds
+can't discriminate (icelite._attach_bloom_filters / scan(point_filter)).
+Parquet keeps row-group blooms; this is the FILE-granular analogue in
+the manifest — the kind of point-lookup pruning a 100 TB id-keyed table
+needs (every file's id range overlaps, bounds skip nothing)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from lakekeeper_spark.format.icelite import SparkTable, _bloom_keep
+
+SCHEMA = {
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "id", "type": "long", "required": False},
+        {"id": 2, "name": "v", "type": "string", "required": False},
+    ],
+}
+
+PROPS = {"write.metadata.bloom-filter-columns": "id,v"}
+
+
+@pytest.fixture
+def table(spark, catalog):
+    catalog.create_namespace("wh", ["bf"])
+    catalog.create_table("wh", ["bf"], "t", SCHEMA, properties=PROPS)
+    return SparkTable(spark, catalog, "wh", ["bf"], "t")
+
+
+def _append_batches(spark, table, n_batches=4, rows=200):
+    # interleaved ids: every file's [min, max] BOUNDS overlap, so only
+    # the bloom can discriminate
+    for b in range(n_batches):
+        df = spark.createDataFrame(
+            [(b + i * n_batches, f"val-{b + i * n_batches}")
+             for i in range(rows)],
+            "id long, v string",
+        ).coalesce(1)
+        table.append(df)
+
+
+def test_bloom_written_per_file_and_column(spark, table):
+    _append_batches(spark, table)
+    snap = table.metadata()["snapshots"][-1]
+    for e in snap["manifest"]:
+        bl = e["bloom"]
+        assert set(bl) == {"id", "v"}
+        for c in ("id", "v"):
+            m = bl[c]["m"]
+            # auto-sized: power of two, >= ~10 bits per distinct value
+            assert m & (m - 1) == 0 and m >= 1024
+            assert bl[c]["k"] == 6
+            assert len(bl[c]["bits"]) > 0
+
+
+def test_point_filter_prunes_to_one_file(spark, table):
+    _append_batches(spark, table)
+    # id=5 lives only in batch 5 % 4 = 1's file; bounds can't tell
+    got = table.scan(point_filter={"id": 5}).filter("id = 5").collect()
+    assert [(r.id, r.v) for r in got] == [(5, "val-5")]
+    # plan-level proof: exactly one manifest entry survives the probe
+    meta = table.metadata()
+    snap = meta["snapshots"][-1]
+    schema = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    probes = table._bloom_probes(schema, {"id": 5})
+    kept = [e for e in snap["manifest"] if _bloom_keep(e, probes)]
+    assert len(kept) == 1
+
+
+def test_point_filter_never_opens_pruned_files(spark, table):
+    """The scorch proof: destroy every file the bloom excludes — the
+    pruned scan still reads perfectly."""
+    _append_batches(spark, table)
+    meta = table.metadata()
+    snap = meta["snapshots"][-1]
+    schema = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    probes = table._bloom_probes(schema, {"id": 6})
+    loc = meta["location"].replace("file://", "")
+    scorched = 0
+    for e in snap["manifest"]:
+        if not _bloom_keep(e, probes):
+            Path(loc, e["path"]).write_bytes(b"\xff" * 32)
+            scorched += 1
+    assert scorched >= 2
+    got = table.scan(point_filter={"id": 6}).filter("id = 6").collect()
+    assert [(r.id, r.v) for r in got] == [(6, "val-6")]
+
+
+def test_absent_value_prunes_everything(spark, table):
+    _append_batches(spark, table)
+    # a value no file contains: with k=6 / m=16384 / 200 values per
+    # file, all four files pruned (FPP ~1e-11 here)
+    df = table.scan(point_filter={"id": 999_999}).filter("id = 999999")
+    assert df.count() == 0
+
+
+def test_string_column_and_missing_bloom_are_safe(spark, table, catalog):
+    _append_batches(spark, table)
+    got = table.scan(point_filter={"v": "val-9"}).filter(
+        "v = 'val-9'"
+    ).collect()
+    assert [(r.id, r.v) for r in got] == [(9, "val-9")]
+    # unknown column / NULL probe / bloom-less table: files kept, scan
+    # stays exact (superset contract)
+    assert table.scan(point_filter={"nope": 1}).count() == 800
+    assert table.scan(point_filter={"id": None}).count() == 800
+    catalog.create_table("wh", ["bf"], "plain", SCHEMA)  # no property
+    t2 = SparkTable(spark, catalog, "wh", ["bf"], "plain")
+    t2.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    assert "bloom" not in t2.metadata()["snapshots"][-1]["manifest"][0]
+    assert t2.scan(point_filter={"id": 2}).count() == 1  # kept, exact
+    # row-level filter does the exactness; the bloom only gates FILES
+
+
+def test_bloom_survives_compaction_and_partitioned_writes(spark, catalog):
+    catalog.create_namespace("wh", ["bf2"])
+    catalog.create_table(
+        "wh", ["bf2"], "t", SCHEMA,
+        properties=PROPS,
+        partition_spec={
+            "spec-id": 0,
+            "fields": [{"source-id": 2, "field-id": 1000,
+                        "transform": "identity", "name": "v"}],
+        },
+    )
+    t = SparkTable(spark, catalog, "wh", ["bf2"], "t")
+    t.append(spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)],
+        "id long, v string",
+    ).coalesce(1))
+    # dynamic partitioning: same-basename files in two partition dirs
+    # still get THEIR OWN blooms (relative-path matching)
+    snap = t.metadata()["snapshots"][-1]
+    datas = [e for e in snap["manifest"]]
+    assert len(datas) == 2 and all("bloom" in e for e in datas)
+    got = t.scan(point_filter={"id": 7}).filter("id = 7").collect()
+    assert [(r.id, r.v) for r in got] == [(7, "a")]
+    # compaction rewrites files -> fresh blooms on the new entries
+    t.rewrite_data_files(target_files=1)
+    e = t.metadata()["snapshots"][-1]["manifest"][0]
+    assert "bloom" in e
+
+
+def test_bloom_auto_sizes_and_skips_saturating_columns(spark, catalog):
+    """A 20k-distinct-value file auto-sizes its bitmap (>= ~10 bits per
+    value) and still discriminates; with the ndv ceiling lowered below
+    the file's cardinality, NO bloom is stored (a saturated bitmap
+    prunes nothing) and scans stay exact."""
+    catalog.create_namespace("wh", ["bf3"])
+    catalog.create_table("wh", ["bf3"], "big", SCHEMA, properties=PROPS)
+    t = SparkTable(spark, catalog, "wh", ["bf3"], "big")
+    for b in range(2):
+        t.append(spark.createDataFrame(
+            [(b + i * 2, f"v{b + i * 2}") for i in range(20_000)],
+            "id long, v string",
+        ).coalesce(1))
+    es = t.metadata()["snapshots"][-1]["manifest"]
+    for e in es:
+        m = e["bloom"]["id"]["m"]
+        assert m >= 10 * 20_000 * 0.8  # approx ndv slack
+    got = t.scan(point_filter={"id": 3}).filter("id = 3").collect()
+    assert [(r.id, r.v) for r in got] == [(3, "v3")]
+    # plan-level: only one of the two files survives the probe
+    meta = t.metadata()
+    cur = next(s for s in meta["schemas"]
+               if s["schema-id"] == meta["current-schema-id"])
+    probes = t._bloom_probes(cur, {"id": 3})
+    assert sum(_bloom_keep(e, probes) for e in es) == 1
+    # ndv ceiling: columns past it store nothing
+    catalog.create_table(
+        "wh", ["bf3"], "huge", SCHEMA,
+        properties={**PROPS, "write.metadata.bloom-filter-max-ndv": "1000"},
+    )
+    t2 = SparkTable(spark, catalog, "wh", ["bf3"], "huge")
+    t2.append(spark.createDataFrame(
+        [(i, "same") for i in range(5_000)], "id long, v string"
+    ).coalesce(1))
+    e = t2.metadata()["snapshots"][-1]["manifest"][0]
+    assert "id" not in e.get("bloom", {})  # 5k ndv > 1k ceiling
+    assert "v" in e["bloom"]  # 1 distinct value: kept
+    assert t2.scan(point_filter={"id": 4999}).count() == 5000  # file kept
