@@ -184,6 +184,7 @@ def plan_table_scan(
     ref: str | None = None,
     partition_filter: dict[str, Any] | None = None,
     stats_filter: dict[str, tuple] | None = None,
+    point_filter_hashes: dict[str, list[int]] | None = None,
 ) -> dict[str, Any]:
     """Server-side scan planning — the Iceberg REST PlanTableScan the
     reference declares but leaves unimplemented
@@ -224,6 +225,14 @@ def plan_table_scan(
         ]
     if stats_filter:
         data = [e for e in data if _bounds_overlap(e, stats_filter)]
+    if point_filter_hashes:
+        # manifest bloom pruning for equality probes. The PLANNER can't
+        # hash (xxhash64 is engine-side); the CLIENT supplies the k raw
+        # xxhash64 values per probed column (SparkTable._bloom_probes) —
+        # the same split as Iceberg REST, where the client serializes
+        # its predicates. Files without a bloom are kept (superset
+        # contract, like bounds).
+        data = [e for e in data if _bloom_keep(e, point_filter_hashes)]
     pos_like = [d for d in deletes if d.get("content") != "equality-deletes"]
     eq_dels = [d for d in deletes if d.get("content") == "equality-deletes"]
     tasks = []

@@ -470,9 +470,12 @@ class _Handler(BaseHTTPRequestHandler):
         """Server-side scan planning (Iceberg REST PlanTableScan — the
         reference declares the full four-route protocol but leaves it
         unimplemented, api/endpoints.rs:126-135): file scan tasks with
-        per-file delete artifacts, partition/bounds pruning applied
+        per-file delete artifacts, partition/bounds/bloom pruning applied
         server-side. Body: {snapshot-id?, ref?, partition-filter?,
-        stats-filter?, page-size?, async?}.
+        stats-filter?, point-filter-hashes?, page-size?, async?} —
+        point-filter-hashes = {col: [k raw xxhash64 probe values]}, the
+        client-computed equality probes against each file's manifest
+        bloom (SparkTable._bloom_probes on the engine side).
 
         Default is the synchronous completed response (inline tasks).
         ``page-size`` or ``async`` switches to the ASYNC protocol the
@@ -498,6 +501,11 @@ class _Handler(BaseHTTPRequestHandler):
                 ref=body.get("ref"),
                 partition_filter=body.get("partition-filter") or None,
                 stats_filter=stats,
+                point_filter_hashes={
+                    k: [int(h) for h in v]
+                    for k, v in (body.get("point-filter-hashes") or {}).items()
+                }
+                or None,
             )
 
         page_size = int(body.get("page-size") or 0)

@@ -189,3 +189,22 @@ def test_bloom_auto_sizes_and_skips_saturating_columns(spark, catalog):
     assert "id" not in e.get("bloom", {})  # 5k ndv > 1k ceiling
     assert "v" in e["bloom"]  # 1 distinct value: kept
     assert t2.scan(point_filter={"id": 4999}).count() == 5000  # file kept
+
+
+def test_plan_table_scan_prunes_with_client_hashes(spark, table):
+    """PlanTableScan accepts client-computed probe hashes (the planner
+    has no engine to hash with) and drops files whose bloom proves the
+    value absent — the pruning rides the REST plan path too."""
+    from lakekeeper_spark.format.icelite import plan_table_scan
+
+    _append_batches(spark, table)
+    meta = table.metadata()
+    schema = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    probes = table._bloom_probes(schema, {"id": 11})
+    plan = plan_table_scan(meta, point_filter_hashes=probes)
+    assert len(plan["plan-tasks"]) == 1
+    full = plan_table_scan(meta)
+    assert len(full["plan-tasks"]) == 4
