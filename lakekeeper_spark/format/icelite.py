@@ -1598,16 +1598,17 @@ class SparkTable:
         - appended data files that don't materialize lineage columns emit
           insert events straight from their claimed [first-row-id,
           first-row-id + record-count) ranges (``spark.range`` per file —
-          distributed, no file IO);
-        - tombstone-only MoR DELETE commits emit delete events from the
-          ``deleted-row-id-ranges`` the commit recorded in its summary
-          (bounded; see _row_id_ranges) — the parent data files are never
-          read;
-        - everything else (CoW rewrites, equality deletes, oversized
-          deletes that recorded no ranges, files with materialized ids)
-          falls back per-commit to the full changelog(row_lineage=True)
-          projected to the three columns — correct, just not
-          metadata-only.
+          distributed, no file IO); added files that DO store ids (MoR
+          update/merge images, preserved rewrites) are read — but ONLY
+          those files, never the parent state;
+        - MoR DELETE / UPDATE / MERGE / equality-delete commits emit
+          delete events from the ``deleted-row-id-ranges`` each recorded
+          in its summary (bounded; see _row_id_ranges) — the parent data
+          files are never read;
+        - the rest (CoW rewrites, which diff file CONTENT, and oversized
+          deletes that recorded no ranges) falls back per-commit to the
+          full changelog(row_lineage=True) projected to the three
+          columns — correct, just not metadata-only.
 
         At scale this is the cheap half of lineage-native CDC: a consumer
         keeping a row-id watermark learns WHICH rows changed from
@@ -1677,42 +1678,57 @@ class SparkTable:
                 for e in _split_manifest(s["manifest"])[1]
                 if e["path"] not in p_paths
             ]
-            insert_rangeable = all(
-                e.get("first-row-id") is not None
-                and not e.get("materialized-row-ids")
-                for e in added_data
-            )
             del_ranges = s["summary"].get("deleted-row-id-ranges")
-            tombstones_covered = not added_dels or (
-                del_ranges is not None and not removed_data
-            )
-            if insert_rangeable and not removed_data and tombstones_covered:
-                # fully metadata-only commit: no file of any kind is read
-                for e in added_data:
-                    frid = int(e["first-row-id"])
-                    n = int(e.get("record-count", 0))
-                    if n:
-                        parts.append(
-                            _tagged(
-                                self.spark.range(frid, frid + n)
-                                .withColumnRenamed("id", "_row_id"),
-                                "insert",
-                                sid,
-                            )
-                        )
-                if added_dels and del_ranges:
-                    parts.append(
-                        _tagged(_ranges_df(del_ranges), "delete", sid)
+            if removed_data or (added_dels and del_ranges is None):
+                # CoW rewrites diff file CONTENT; an uncovered tombstone
+                # (oversized / pre-range-recording commit) needs the
+                # parent rows — this one commit goes through the full
+                # content-reading changelog, projected to lineage keys
+                parts.append(
+                    self.changelog(
+                        from_snapshot_id=pid, to_snapshot_id=sid,
+                        row_lineage=True,
+                    ).select(
+                        "_row_id", "_change_type", "_commit_snapshot_id"
                     )
+                )
                 continue
-            # fallback: this one commit through the full content-reading
-            # changelog, projected to the lineage keys
-            parts.append(
-                self.changelog(
-                    from_snapshot_id=pid, to_snapshot_id=sid,
-                    row_lineage=True,
-                ).select("_row_id", "_change_type", "_commit_snapshot_id")
-            )
+            # insert side: claimed ranges for plain files; added files
+            # that STORE ids are read — only those files, no parent scan
+            rangeable = [
+                e
+                for e in added_data
+                if e.get("first-row-id") is not None
+                and not e.get("materialized-row-ids")
+            ]
+            opened = [e for e in added_data if e not in rangeable]
+            for e in rangeable:
+                frid = int(e["first-row-id"])
+                n = int(e.get("record-count", 0))
+                if n:
+                    parts.append(
+                        _tagged(
+                            self.spark.range(frid, frid + n)
+                            .withColumnRenamed("id", "_row_id"),
+                            "insert",
+                            sid,
+                        )
+                    )
+            if opened:
+                schema = self._current_schema(meta)
+                ins = self._read_entries(
+                    meta,
+                    schema,
+                    opened,
+                    s["schema-id"],
+                    with_pos=True,
+                    with_row_id=True,
+                )
+                ins = self._lineage_ids(ins, meta, opened)
+                parts.append(_tagged(ins, "insert", sid))
+            # delete side: the commit's recorded ranges, parent unread
+            if added_dels and del_ranges:
+                parts.append(_tagged(_ranges_df(del_ranges), "delete", sid))
         if not parts:
             return empty
         out = parts[0]
@@ -2495,6 +2511,9 @@ class SparkTable:
         if not del_entries:
             return meta
         add_entries = self._write_files(meta, updated)
+        ranges = (
+            self._row_id_ranges(matched.select("_row_id")) if lineage else None
+        )
         return self._commit_snapshot(
             meta,
             base_manifest + del_entries + add_entries,
@@ -2503,6 +2522,10 @@ class SparkTable:
                 "added-delete-files": len(del_entries),
                 "added-position-deletes": sum(e["record-count"] for e in del_entries),
                 "removed-delete-files": removed,
+                # v3 lineage: the tombstoned (pre-update) rows as id
+                # ranges — metadata-only CDC plans the DELETE side of
+                # this commit without opening parent files
+                **({"deleted-row-id-ranges": ranges} if ranges else {}),
             },
         )
 
@@ -2565,6 +2588,13 @@ class SparkTable:
         add_entries = self._write_files(meta, new_rows)
         if not del_entries and not add_entries:
             return meta  # nothing matched, nothing to insert
+        ranges = (
+            self._row_id_ranges(
+                matched.select(F.col("t._row_id").alias("_row_id")).distinct()
+            )
+            if lineage and del_entries
+            else None
+        )
         return self._commit_snapshot(
             meta,
             base_manifest + del_entries + add_entries,
@@ -2576,6 +2606,9 @@ class SparkTable:
                 ),
                 "removed-delete-files": removed_delete_files,
                 "merge-mode": "merge-on-read",
+                # v3 lineage: tombstoned target rows as id ranges for
+                # metadata-only CDC planning of the delete side
+                **({"deleted-row-id-ranges": ranges} if ranges else {}),
             },
         )
 
@@ -2805,7 +2838,8 @@ class SparkTable:
         missing = [c for c in cols if c not in by_name]
         if missing:
             raise CatalogError(f"unknown equality columns: {missing}")
-        live = self._data_df(meta, schema, snap)
+        lineage = meta.get("format-version", 2) >= 3
+        live = self._data_df(meta, schema, snap, lineage=lineage)
         del_rows = live.filter(condition).select(*cols).distinct()
         entries = self._write_delete_files(
             meta,
@@ -2815,6 +2849,18 @@ class SparkTable:
         )
         if not entries:
             return meta
+        # v3 lineage: the victim set is every LIVE row whose key matches a
+        # deleted key (the key of a matching row can hit OTHER live rows
+        # the condition itself didn't select) — the same join the
+        # changelog's equality branch performs; recorded as bounded id
+        # ranges so metadata-only CDC skips that parent read
+        ranges = (
+            self._row_id_ranges(
+                live.join(del_rows, cols, "left_semi").select("_row_id")
+            )
+            if lineage
+            else None
+        )
         return self._commit_snapshot(
             meta,
             snap["manifest"] + entries,
@@ -2822,6 +2868,7 @@ class SparkTable:
             extra_summary={
                 "added-delete-files": len(entries),
                 "added-equality-deletes": sum(e["record-count"] for e in entries),
+                **({"deleted-row-id-ranges": ranges} if ranges else {}),
             },
         )
 

@@ -690,3 +690,47 @@ def test_changelog_row_ids_requires_v3(spark, catalog):
     t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
     with pytest.raises(ValueError, match="format-version >= 3"):
         t.changelog_row_ids()
+
+
+def test_changelog_row_ids_mor_update_merge_eq_are_parent_scan_free(
+    spark, table, catalog
+):
+    """Round-14 batch 2: MoR UPDATE / MERGE / equality-delete commits
+    record their tombstoned rows' id ranges too, so changelog_row_ids
+    never opens PARENT files for them — scorch every data byte written
+    BEFORE the DML commits (the update images themselves stay readable)
+    and the event stream is still exact."""
+    from pathlib import Path
+
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(8)], "id long, v string"))
+    loc = table.metadata()["location"].replace("file://", "")
+    parent_files = {
+        e["path"]
+        for e in table.metadata()["snapshots"][-1]["manifest"]
+    }
+    table.update_where("id = 2", {"v": "'patched'"}, mode="merge-on-read")
+    src = spark.createDataFrame(
+        [(5, "merged"), (100, "new")], "id long, v string").alias("s")
+    table.merge(src, "t.id = s.id", matched_update={"v": "s.v"},
+                mode="merge-on-read")
+    table.delete_where("v = 'x3'", mode="equality", equality_cols=["id"])
+    for s in table.metadata()["snapshots"][1:]:
+        assert s["summary"].get("deleted-row-id-ranges"), s["summary"]
+    want = _lineage_events(
+        table.changelog(row_lineage=True).select(
+            "_row_id", "_change_type", "_commit_snapshot_id"
+        )
+    )
+    # scorch ONLY the pre-DML files: their bytes must never be needed
+    for rel in parent_files:
+        Path(loc, rel).write_bytes(b"\xff" * 64)
+    got = _lineage_events(table.changelog_row_ids())
+    assert got == want
+    # sanity: the stream really contains update pairs + the eq delete
+    kinds = {}
+    for rid, t, sid in got:
+        kinds.setdefault(t, set()).add(rid)
+    assert 2 in kinds["delete"] and 2 in kinds["insert"]  # MoR update
+    assert 5 in kinds["delete"] and 5 in kinds["insert"]  # merge update
+    assert 3 in kinds["delete"]  # equality delete victim
