@@ -2099,3 +2099,113 @@ def st21_stream_lineage_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_row_id").cast("long").alias("row_id"),
         F.col("n_name").alias("val"),
     )
+
+
+# --------------------------------------------------------------------------
+# st22: the metadata-only lineage-event STREAM (readStream lineage-events)
+# --------------------------------------------------------------------------
+@register(
+    "st22_stream_lineage_events",
+    oracle="""
+WITH base AS (
+  SELECT n_nationkey,
+         ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS rid
+  FROM nation WHERE n_nationkey < 20
+)
+SELECT CAST(rid AS BIGINT) AS row_id, 'insert' AS change_type,
+       CAST(1 AS BIGINT) AS commit_ord
+FROM base
+UNION ALL
+SELECT CAST(rid AS BIGINT), 'delete', CAST(2 AS BIGINT)
+FROM base WHERE n_nationkey % 4 = 0
+UNION ALL
+SELECT CAST(rid AS BIGINT), 'insert', CAST(2 AS BIGINT)
+FROM base WHERE n_nationkey % 4 = 0
+UNION ALL
+SELECT CAST(rid AS BIGINT), 'delete', CAST(3 AS BIGINT)
+FROM base WHERE n_nationkey % 5 = 3
+""",
+    description="The metadata-only CDC key stream over Structured "
+    "Streaming: readStream.format('icelite').option('lineage-events',"
+    "'true') emits (_row_id, _change_type, _commit_snapshot_id) planned "
+    "from METADATA — insert events from each file's claimed row-id "
+    "range (pure range partitions, no file opened), a MoR UPDATE's "
+    "tombstones from its summary's deleted-row-id-ranges plus an "
+    "image-file-only read for the reinserts, a MoR DELETE entirely from "
+    "ranges. Snapshot ids map to commit ordinals for determinism; the "
+    "oracle rebuilds the stream from the source table. At 100 TB a "
+    "consumer keeps a row-id watermark at metadata cost and fetches "
+    "content only for ids it needs.",
+    tags=("streaming", "catalog", "icelite", "cdc", "lineage", "v3"),
+)
+def st22_stream_lineage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..data import load_table
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+    from .source import IceliteStreamDataSource
+
+    ensure_runtime_confs(spark)
+    try:
+        spark.dataSource.register(IceliteStreamDataSource)
+    except Exception:
+        pass
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_linev_")
+    mpath = f"{tmp}/metastore.db"
+    cat = Catalog(Metastore(mpath))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["stream"])
+    src = (
+        load_table(spark, sf_dir, "nation")
+        .filter("n_nationkey < 20")
+        .select(F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name")
+    )
+    cat.create_table(
+        "wh", ["stream"], "nations", struct_to_schema(src.schema),
+        format_version=3,
+    )
+    t = SparkTable(spark, cat, "wh", ["stream"], "nations")
+    t.append(src.repartition(1).sortWithinPartitions("n_nationkey"))  # c1
+    t.update_where(
+        "n_nationkey % 4 = 0", {"n_name": "'upd'"}, mode="merge-on-read"
+    )  # c2
+    t.delete_where("n_nationkey % 5 = 3", mode="merge-on-read")  # c3
+
+    events: dict[int, list] = {}
+
+    def collect(batch: DataFrame, batch_id: int) -> None:
+        # bounded: <= 20 + 2*5 + 4 event KEYS at every SF (nation is a
+        # fixed-size dimension); no data column ever crosses
+        events[batch_id] = batch.collect()
+
+    q = (
+        spark.readStream.format("icelite")
+        .option("metastore", mpath)
+        .option("warehouse", "wh")
+        .option("namespace", "stream")
+        .option("table", "nations")
+        .option("lineage-events", "true")
+        .load()
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r for b in events.values() for r in b]
+    feed = spark.createDataFrame(rows)
+    meta = t.metadata()
+    order = {
+        s["snapshot-id"]: i + 1
+        for i, s in enumerate(
+            sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+        )
+    }
+    ord_map = F.create_map(*[F.lit(x) for kv in order.items() for x in kv])
+    return feed.select(
+        F.col("_row_id").cast("long").alias("row_id"),
+        F.col("_change_type").alias("change_type"),
+        ord_map[F.col("_commit_snapshot_id")].cast("long").alias("commit_ord"),
+    )

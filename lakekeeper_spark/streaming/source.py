@@ -40,6 +40,47 @@ from pyspark.sql.datasource import (
 )
 
 
+class _RangeEventsPartition(InputPartition):
+    """lineage-events mode: one batch of (_row_id, _change_type,
+    _commit_snapshot_id) events generated straight from METADATA row-id
+    ranges — no file is opened (insert events from a file's claimed
+    range, delete events from the commit summary's
+    deleted-row-id-ranges)."""
+
+    def __init__(
+        self, ranges: list[tuple[int, int]], change_type: str, commit_id: int
+    ):
+        self.ranges = ranges  # inclusive [start, end] pairs
+        self.change_type = change_type
+        self.commit_id = commit_id
+
+
+def _range_event_batches(p: "_RangeEventsPartition"):
+    import numpy as np
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            pa.field("_row_id", pa.int64()),
+            pa.field("_change_type", pa.string()),
+            pa.field("_commit_snapshot_id", pa.int64()),
+        ]
+    )
+    chunk = 1 << 16
+    for s, e in p.ranges:
+        n = e - s + 1
+        for off in range(0, n, chunk):
+            m = min(chunk, n - off)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.arange(s + off, s + off + m, dtype=np.int64)),
+                    pa.array([p.change_type] * m, type=pa.string()),
+                    pa.array([p.commit_id] * m, type=pa.int64()),
+                ],
+                schema=schema,
+            )
+
+
 class _FilePartition(InputPartition):
     def __init__(
         self,
@@ -238,6 +279,18 @@ class IceliteStreamReader(DataSourceStreamReader):
         self.row_lineage = (
             str(options.get("row-lineage", "false")).lower() == "true"
         )
+        # lineage-events=true: emit ONLY (_row_id, _change_type,
+        # _commit_snapshot_id) — the metadata-only CDC key stream, the
+        # streaming twin of SparkTable.changelog_row_ids(). Covered
+        # commits plan as pure range partitions (no file opened);
+        # uncovered ones fall back to the regular CDC file tasks with an
+        # EMPTY column target, so only the files a content read truly
+        # needs are touched.
+        self.lineage_events = (
+            str(options.get("lineage-events", "false")).lower() == "true"
+        )
+        if self.lineage_events:
+            self.row_lineage = True
 
     # ---- driver-side planning ------------------------------------------
     def initialOffset(self) -> dict:
@@ -252,17 +305,22 @@ class IceliteStreamReader(DataSourceStreamReader):
         meta = _load_meta(self.options)
         lo, hi = start["snapshot-id"], end["snapshot-id"]
         target_doc = _schema_doc(meta)
+        if self.lineage_events:
+            target_doc = {"fields": []}  # key stream: no data columns
         target = [
             (f.get("id", i + 1), f["name"])
             for i, f in enumerate(target_doc["fields"])
         ]
         if self.row_lineage and meta.get("format-version", 2) < 3:
             raise ValueError(
-                "row-lineage=true requires format-version >= 3 "
-                f"(table is v{meta.get('format-version', 2)})"
+                "row-lineage=true (and lineage-events) requires "
+                f"format-version >= 3 (table is "
+                f"v{meta.get('format-version', 2)})"
             )
         self._aschema = _arrow_schema_of(
-            target_doc, cdc=self.change_feed, lineage=self.row_lineage
+            target_doc,
+            cdc=self.change_feed or self.lineage_events,
+            lineage=self.row_lineage,
         )
         # self._aschema may be None here (the planner subprocess has no
         # active SparkSession for the DDL parse) — both the arrow path
@@ -301,7 +359,9 @@ class IceliteStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"start snapshot {lo} not on the main lineage of {hi}"
             )
-        if self.change_feed:
+        if self.lineage_events:
+            self._plan_lineage_events(meta, lineage, by_id, target, parts)
+        elif self.change_feed:
             self._plan_change_feed(meta, lineage, by_id, target, parts)
         else:
             for snap in reversed(lineage):
@@ -343,6 +403,67 @@ class IceliteStreamReader(DataSourceStreamReader):
             change_type=change_type,
             commit_id=commit_id,
         )
+
+    def _plan_lineage_events(self, meta, lineage, by_id, target, parts) -> None:
+        """Metadata-only CDC planning, streaming form (the twin of
+        SparkTable.changelog_row_ids): per commit —
+
+          - plain added data files -> one range partition over each
+            file's claimed [first-row-id, +record-count) (insert events,
+            NO file opened);
+          - added files that STORE ids (MoR update/merge images,
+            preserved rewrites) -> file partitions with an EMPTY column
+            target (only those files read, never the parent state);
+          - tombstones covered by the commit summary's
+            deleted-row-id-ranges -> one range partition of delete
+            events;
+          - CoW rewrites / uncovered tombstones -> the regular CDC file
+            tasks for that one commit, column target empty.
+        """
+        from ..format.icelite import _split_manifest
+
+        for snap in reversed(lineage):
+            if snap["summary"].get("operation") == "replace":
+                continue
+            sid = snap["snapshot-id"]
+            pid = snap.get("parent-snapshot-id")
+            parent = by_id.get(pid)
+            p_manifest = parent["manifest"] if parent else []
+            p_paths = {e["path"] for e in p_manifest}
+            s_paths = {e["path"] for e in snap["manifest"]}
+            s_data, s_dels = _split_manifest(snap["manifest"])
+            p_data, _p_dels = _split_manifest(p_manifest)
+            added_data = [e for e in s_data if e["path"] not in p_paths]
+            removed_data = [e for e in p_data if e["path"] not in s_paths]
+            added_dels = [e for e in s_dels if e["path"] not in p_paths]
+            del_ranges = snap["summary"].get("deleted-row-id-ranges")
+            if removed_data or (added_dels and not del_ranges):
+                self._plan_change_feed(meta, [snap], by_id, target, parts)
+                continue
+            ins_ranges = []
+            for e in added_data:
+                n = int(e.get("record-count", 0))
+                if (
+                    e.get("first-row-id") is not None
+                    and not e.get("materialized-row-ids")
+                ):
+                    if n:
+                        frid = int(e["first-row-id"])
+                        ins_ranges.append((frid, frid + n - 1))
+                else:
+                    parts.append(
+                        self._file_part(meta, e, target, "insert", sid)
+                    )
+            if ins_ranges:
+                parts.append(_RangeEventsPartition(ins_ranges, "insert", sid))
+            if added_dels and del_ranges:
+                parts.append(
+                    _RangeEventsPartition(
+                        [(int(a), int(b)) for a, b in del_ranges],
+                        "delete",
+                        sid,
+                    )
+                )
 
     def _plan_change_feed(self, meta, lineage, by_id, target, parts) -> None:
         """CDC planning, merge-on-read included — the STREAMING twin of
@@ -417,6 +538,7 @@ class IceliteStreamReader(DataSourceStreamReader):
                         meta,
                         rtasks,
                         self._aschema,
+                        target_override=target,
                         change_type="delete",
                         commit_id=sid,
                         row_lineage=self.row_lineage,
@@ -452,6 +574,7 @@ class IceliteStreamReader(DataSourceStreamReader):
                         meta,
                         [_bare_task(e) for e in cand],
                         self._aschema,
+                        target_override=target,
                         change_type="delete",
                         commit_id=sid,
                         include_pos=(new_paths, restated),
@@ -480,6 +603,7 @@ class IceliteStreamReader(DataSourceStreamReader):
                             meta,
                             tasks,
                             self._aschema,
+                            target_override=target,
                             change_type="delete",
                             commit_id=sid,
                             include_eq=_eq_include_spec(meta, eqe),
@@ -498,6 +622,10 @@ class IceliteStreamReader(DataSourceStreamReader):
         renamed columns still read and later-added columns are NULL;
         identity-partition columns fill from the manifest's partition
         tuple (they live in the directory name, not the file)."""
+        if isinstance(partition, _RangeEventsPartition):
+            # metadata-only lineage events: generated, nothing opened
+            yield from _range_event_batches(partition)
+            return
         if isinstance(partition, _TaskPartition):
             # MoR change-feed task (include_pos / include_eq restricted)
             yield from _read_task_batches(partition)
@@ -651,6 +779,12 @@ class IceliteStreamDataSource(DataSource):
     def schema(self) -> str:
         from ..format.types import is_legacy_schema, spark_ddl_of
 
+        if str(self.options.get("lineage-events", "false")).lower() == "true":
+            # the metadata-only CDC key stream: no data columns at all
+            return (
+                "`_row_id` bigint, `_change_type` string, "
+                "`_commit_snapshot_id` bigint"
+            )
         meta = _load_meta(self.options)
         sid = meta["current-schema-id"]
         cur = next(s for s in meta["schemas"] if s["schema-id"] == sid)
@@ -744,6 +878,7 @@ def _task_partitions(
     meta: dict,
     tasks: list[dict],
     arrow_schema,
+    target_override: list | None = None,
     **cdc,
 ) -> list[_TaskPartition]:
     """Resolve PlanTableScan tasks into executor partitions: the data
@@ -751,10 +886,14 @@ def _task_partitions(
     (write name, field id) read spec, all from table metadata on the
     driver. `cdc` kwargs pass through to _TaskPartition."""
     target_doc = _schema_doc(meta)
-    target = [
-        (f.get("id", i + 1), f["name"])
-        for i, f in enumerate(target_doc["fields"])
-    ]
+    target = (
+        target_override
+        if target_override is not None
+        else [
+            (f.get("id", i + 1), f["name"])
+            for i, f in enumerate(target_doc["fields"])
+        ]
+    )
     ptypes = {
         f["name"]: f["type"]
         for f in target_doc["fields"]

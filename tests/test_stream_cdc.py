@@ -616,3 +616,95 @@ def test_stream_feed_lineage_guards(spark, feed):
     collected: dict[int, list] = {}
     with pytest.raises(Exception, match="format-version >= 3"):
         _drain_lineage(spark, mpath, collected, namespace="s")
+
+
+# ---------------------------------------------------------------------------
+# lineage-events mode: the metadata-only CDC key stream (round 14)
+# ---------------------------------------------------------------------------
+def _drain_events(spark, mpath, collected, namespace="s3"):
+    def collect(batch, batch_id):
+        collected[batch_id] = batch.collect()
+
+    q = (
+        spark.readStream.format("icelite")
+        .option("metastore", mpath)
+        .option("warehouse", "wh")
+        .option("namespace", namespace)
+        .option("table", "t")
+        .option("lineage-events", "true")
+        .load()
+        .writeStream.foreachBatch(collect)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_lineage_events_stream_matches_changelog_row_ids(spark, v3feed):
+    """readStream lineage-events == SparkTable.changelog_row_ids(): the
+    streaming twin plans from the same metadata (file ranges + summary
+    deleted-row-id-ranges + image-file-only reads)."""
+    cat, t, mpath = v3feed
+    t.update_where("k = 2", {"v": "-1.0"}, mode="merge-on-read")
+    t.delete_where("k IN (5, 6)", mode="merge-on-read")
+    src = spark.createDataFrame([(7, -7.0), (100, 100.0)],
+                                "k long, v double").alias("s")
+    t.merge(src, "t.k = s.k", matched_update={"v": "s.v"},
+            mode="merge-on-read")
+    want = sorted(
+        (r._row_id, r._change_type, r._commit_snapshot_id)
+        for r in t.changelog_row_ids().collect()
+    )
+    collected: dict = {}
+    _drain_events(spark, mpath, collected)
+    got = sorted(
+        (r._row_id, r._change_type, r._commit_snapshot_id)
+        for b in collected.values()
+        for r in b
+    )
+    assert got == want
+    # shape sanity: the update pair + both deletes + merge image/insert
+    kinds = {}
+    for rid, ct, _ in got:
+        kinds.setdefault(ct, []).append(rid)
+    assert 2 in kinds["delete"] and kinds["insert"].count(2) == 2
+    assert {5, 6} <= set(kinds["delete"])
+    assert 7 in kinds["delete"]  # merge-matched target row tombstoned
+
+
+def test_lineage_events_stream_never_opens_parent_files(spark, v3feed):
+    """Scorch every byte written BEFORE the DML commits: covered commits
+    plan as pure range partitions / image-file reads, so the stream
+    still delivers the exact event stream."""
+    from pathlib import Path
+
+    cat, t, mpath = v3feed
+    loc = t.metadata()["location"].replace("file://", "")
+    parent_files = {
+        e["path"] for e in t.metadata()["snapshots"][-1]["manifest"]
+    }
+    t.update_where("k = 3", {"v": "0.5"}, mode="merge-on-read")
+    t.delete_where("k = 8", mode="merge-on-read")
+    want = sorted(
+        (r._row_id, r._change_type)
+        for r in t.changelog_row_ids().collect()
+    )
+    for rel in parent_files:
+        Path(loc, rel).write_bytes(b"\xff" * 64)
+    collected: dict = {}
+    _drain_events(spark, mpath, collected)
+    got = sorted(
+        (r._row_id, r._change_type)
+        for b in collected.values()
+        for r in b
+    )
+    assert got == want
+    assert (8, "delete") in got and (3, "insert") in got
+
+
+def test_lineage_events_requires_v3(spark, feed):
+    cat, t, mpath = feed  # v2 table
+    collected: dict = {}
+    with pytest.raises(Exception, match="format-version"):
+        _drain_events(spark, mpath, collected, namespace="s")
