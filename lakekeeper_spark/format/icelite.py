@@ -178,6 +178,98 @@ def _split_manifest(
     return data, dels
 
 
+def plan_lineage_events(
+    meta: dict[str, Any],
+    from_snapshot_id: int | None = None,
+    to_snapshot_id: int | None = None,
+) -> list[dict[str, Any]]:
+    """PURE metadata-only CDC planning (v3 row lineage): per main-lineage
+    commit in (from, to], classify how its (_row_id, _change_type)
+    events can be produced — no Spark, no file IO, so the REST facade
+    can serve it directly. Each commit plan carries:
+
+    - ``insert-ranges``: [start, end] row-id ranges from plain added
+      files' claimed [first-row-id, +record-count) (events derivable
+      with zero reads);
+    - ``insert-file-entries``: added files that MATERIALIZE lineage
+      columns (MoR update/merge images, preserved rewrites) — a consumer
+      opens exactly these, never the parent state;
+    - ``delete-ranges``: the commit summary's bounded
+      deleted-row-id-ranges (MoR DELETE/UPDATE/MERGE + equality deletes
+      record them; see _row_id_ranges);
+    - ``content-fallback``: True when the commit needs a content diff
+      (CoW rewrites) or its tombstones recorded no ranges (oversized
+      delete / pre-range commit) — ranges/file lists are then omitted
+      and the consumer runs the full changelog for that one commit.
+
+    SparkTable.changelog_row_ids() consumes exactly this plan; the
+    ``lineage-events`` streaming source mirrors it per micro-batch."""
+    if meta.get("format-version", 2) < 3:
+        raise ValueError(
+            "lineage events require format-version >= 3 "
+            f"(table is v{meta.get('format-version', 2)})"
+        )
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots", [])}
+    if to_snapshot_id is None:
+        r = meta.get("refs", {}).get("main")
+        to_snapshot_id = r["snapshot-id"] if r else None
+    lineage: list[dict[str, Any]] = []
+    cur = by_id.get(to_snapshot_id) if to_snapshot_id is not None else None
+    while cur is not None and cur["snapshot-id"] != from_snapshot_id:
+        lineage.append(cur)
+        pid = cur.get("parent-snapshot-id")
+        cur = by_id.get(pid) if pid is not None else None
+    lineage.reverse()
+    plans: list[dict[str, Any]] = []
+    for s in lineage:
+        if s["summary"].get("operation") == "replace":
+            continue
+        sid = s["snapshot-id"]
+        pid = s.get("parent-snapshot-id")
+        parent = by_id.get(pid)
+        p_manifest = parent["manifest"] if parent else []
+        p_paths = {e["path"] for e in p_manifest}
+        s_paths = {e["path"] for e in s["manifest"]}
+        s_data, s_dels = _split_manifest(s["manifest"])
+        p_data, _ = _split_manifest(p_manifest)
+        added_data = [e for e in s_data if e["path"] not in p_paths]
+        removed_data = [e for e in p_data if e["path"] not in s_paths]
+        added_dels = [e for e in s_dels if e["path"] not in p_paths]
+        del_ranges = s["summary"].get("deleted-row-id-ranges")
+        plan: dict[str, Any] = {
+            "snapshot-id": sid,
+            "parent-snapshot-id": pid,
+            "schema-id": s.get("schema-id"),
+        }
+        if removed_data or (added_dels and not del_ranges):
+            plan["content-fallback"] = True
+            plans.append(plan)
+            continue
+        plan["content-fallback"] = False
+        ins_ranges: list[list[int]] = []
+        opened: list[dict[str, Any]] = []
+        for e in added_data:
+            n = int(e.get("record-count", 0))
+            if (
+                e.get("first-row-id") is not None
+                and not e.get("materialized-row-ids")
+            ):
+                if n:
+                    frid = int(e["first-row-id"])
+                    ins_ranges.append([frid, frid + n - 1])
+            else:
+                opened.append(e)
+        plan["insert-ranges"] = ins_ranges
+        plan["insert-file-entries"] = opened
+        plan["delete-ranges"] = (
+            [[int(a), int(b)] for a, b in del_ranges]
+            if added_dels and del_ranges
+            else []
+        )
+        plans.append(plan)
+    return plans
+
+
 def plan_table_scan(
     meta: dict[str, Any],
     snapshot_id: int | None = None,
@@ -1627,13 +1719,6 @@ class SparkTable:
         empty = self.spark.createDataFrame([], out_schema)
         if to_snap is None:
             return empty
-        lineage: list[dict[str, Any]] = []
-        cur: dict[str, Any] | None = to_snap
-        while cur is not None and cur["snapshot-id"] != from_snapshot_id:
-            lineage.append(cur)
-            pid = cur.get("parent-snapshot-id")
-            cur = self._snapshot(meta, pid) if pid is not None else None
-        lineage.reverse()
 
         def _tagged(df: DataFrame, kind: str, sid: int) -> DataFrame:
             return df.select(
@@ -1654,39 +1739,19 @@ class SparkTable:
             )
 
         parts: list[DataFrame] = []
-        for s in lineage:
-            if s["summary"].get("operation") == "replace":
-                continue
-            sid = s["snapshot-id"]
-            pid = s.get("parent-snapshot-id")
-            parent = self._snapshot(meta, pid) if pid is not None else None
-            p_manifest = parent["manifest"] if parent else []
-            p_paths = {e["path"] for e in p_manifest}
-            s_paths = {e["path"] for e in s["manifest"]}
-            added_data = [
-                e
-                for e in _split_manifest(s["manifest"])[0]
-                if e["path"] not in p_paths
-            ]
-            removed_data = [
-                e
-                for e in _split_manifest(p_manifest)[0]
-                if e["path"] not in s_paths
-            ]
-            added_dels = [
-                e
-                for e in _split_manifest(s["manifest"])[1]
-                if e["path"] not in p_paths
-            ]
-            del_ranges = s["summary"].get("deleted-row-id-ranges")
-            if removed_data or (added_dels and del_ranges is None):
+        for plan in plan_lineage_events(
+            meta, from_snapshot_id, to_snap["snapshot-id"]
+        ):
+            sid = plan["snapshot-id"]
+            if plan["content-fallback"]:
                 # CoW rewrites diff file CONTENT; an uncovered tombstone
                 # (oversized / pre-range-recording commit) needs the
                 # parent rows — this one commit goes through the full
                 # content-reading changelog, projected to lineage keys
                 parts.append(
                     self.changelog(
-                        from_snapshot_id=pid, to_snapshot_id=sid,
+                        from_snapshot_id=plan["parent-snapshot-id"],
+                        to_snapshot_id=sid,
                         row_lineage=True,
                     ).select(
                         "_row_id", "_change_type", "_commit_snapshot_id"
@@ -1695,40 +1760,33 @@ class SparkTable:
                 continue
             # insert side: claimed ranges for plain files; added files
             # that STORE ids are read — only those files, no parent scan
-            rangeable = [
-                e
-                for e in added_data
-                if e.get("first-row-id") is not None
-                and not e.get("materialized-row-ids")
-            ]
-            opened = [e for e in added_data if e not in rangeable]
-            for e in rangeable:
-                frid = int(e["first-row-id"])
-                n = int(e.get("record-count", 0))
-                if n:
-                    parts.append(
-                        _tagged(
-                            self.spark.range(frid, frid + n)
-                            .withColumnRenamed("id", "_row_id"),
-                            "insert",
-                            sid,
-                        )
+            for frid, end in plan["insert-ranges"]:
+                parts.append(
+                    _tagged(
+                        self.spark.range(frid, end + 1)
+                        .withColumnRenamed("id", "_row_id"),
+                        "insert",
+                        sid,
                     )
+                )
+            opened = plan["insert-file-entries"]
             if opened:
                 schema = self._current_schema(meta)
                 ins = self._read_entries(
                     meta,
                     schema,
                     opened,
-                    s["schema-id"],
+                    plan["schema-id"],
                     with_pos=True,
                     with_row_id=True,
                 )
                 ins = self._lineage_ids(ins, meta, opened)
                 parts.append(_tagged(ins, "insert", sid))
             # delete side: the commit's recorded ranges, parent unread
-            if added_dels and del_ranges:
-                parts.append(_tagged(_ranges_df(del_ranges), "delete", sid))
+            if plan["delete-ranges"]:
+                parts.append(
+                    _tagged(_ranges_df(plan["delete-ranges"]), "delete", sid)
+                )
         if not parts:
             return empty
         out = parts[0]

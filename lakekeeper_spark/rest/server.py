@@ -465,6 +465,44 @@ class _Handler(BaseHTTPRequestHandler):
         self.catalog.drop_table(prefix, _ns(ns), unquote(tbl), purge=purge)
         self._reply(204)
 
+    @route("GET", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}/lineage-events")
+    def lineage_events_plan(self, prefix, ns, tbl):
+        """Metadata-only CDC planning over HTTP (v3 row lineage): per
+        main-lineage commit in (from, to], the row-id event plan —
+        insert-ranges (claimed file ranges), insert-file-entries (the
+        files a consumer must open: MoR update/merge images),
+        delete-ranges (the commit summary's deleted-row-id-ranges), or
+        content-fallback for commits that need a content diff. PURE
+        metadata (format/icelite.py plan_lineage_events) — the facade
+        serves it without any engine, so a CDC consumer keeping a row-id
+        watermark learns WHICH rows changed at one HTTP round-trip.
+        Query params: from (snapshot id, exclusive), to (snapshot id,
+        default main head)."""
+        from ..format.icelite import plan_lineage_events
+
+        meta, _ = self.catalog.load_table(prefix, _ns(ns), unquote(tbl))
+        frm = self.query.get("from")
+        to = self.query.get("to")
+        try:
+            commits = plan_lineage_events(
+                meta,
+                from_snapshot_id=int(frm) if frm is not None else None,
+                to_snapshot_id=int(to) if to is not None else None,
+            )
+        except ValueError as e:
+            self._reply(
+                400,
+                {
+                    "error": {
+                        "message": str(e),
+                        "type": "BadRequestException",
+                        "code": 400,
+                    }
+                },
+            )
+            return
+        self._reply(200, {"commits": commits})
+
     @route("POST", rf"/catalog/v1/{P}/namespaces/{NS}/tables/{TBL}/plan")
     def plan_table_scan(self, prefix, ns, tbl):
         """Server-side scan planning (Iceberg REST PlanTableScan — the

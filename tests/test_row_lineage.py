@@ -734,3 +734,47 @@ def test_changelog_row_ids_mor_update_merge_eq_are_parent_scan_free(
     assert 2 in kinds["delete"] and 2 in kinds["insert"]  # MoR update
     assert 5 in kinds["delete"] and 5 in kinds["insert"]  # merge update
     assert 3 in kinds["delete"]  # equality delete victim
+
+
+def test_plan_lineage_events_pure_and_over_http(spark, table, catalog):
+    """The pure metadata planner (no Spark needed) classifies commits
+    exactly as changelog_row_ids consumes them, and the REST facade
+    serves the same plan over HTTP."""
+    import json
+    import urllib.request
+
+    from lakekeeper_spark.format.icelite import plan_lineage_events
+    from lakekeeper_spark.rest.server import RestCatalogServer
+
+    table.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(6)], "id long, v string").coalesce(1))
+    table.update_where("id = 1", {"v": "'u'"}, mode="merge-on-read")
+    table.delete_where("id = 4", mode="copy-on-write")  # content commit
+    meta = table.metadata()
+    plans = plan_lineage_events(meta)
+    assert len(plans) == 3
+    append, upd, cow = plans
+    assert not append["content-fallback"]
+    assert append["insert-ranges"] == [[0, 5]]
+    assert append["insert-file-entries"] == []
+    assert upd["delete-ranges"] == [[1, 1]]
+    assert len(upd["insert-file-entries"]) == 1  # the image file
+    assert cow["content-fallback"] is True
+    # from/to windowing: only the update commit
+    window = plan_lineage_events(
+        meta,
+        from_snapshot_id=append["snapshot-id"],
+        to_snapshot_id=upd["snapshot-id"],
+    )
+    assert [p["snapshot-id"] for p in window] == [upd["snapshot-id"]]
+    # over HTTP
+    srv = RestCatalogServer(catalog).start()
+    try:
+        url = (
+            f"{srv.url}/catalog/v1/wh/namespaces/rl/"
+            f"tables/t/lineage-events"
+        )
+        got = json.load(urllib.request.urlopen(url))
+        assert got["commits"] == json.loads(json.dumps(plans))
+    finally:
+        srv.stop()
