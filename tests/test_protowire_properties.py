@@ -1,0 +1,140 @@
+"""Property tests for the protobuf wire codec (format/protowire.py) and
+the bloom-filter primitives (format/icelite.py): randomized round-trips
+and the no-false-negative contract — the invariants the lancelite
+metadata payloads and manifest blooms stand on."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakekeeper_spark.format.protowire import (
+    ProtoWireError,
+    decode_message,
+    encode_message,
+)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+pytestmark = pytest.mark.skipif(not _HAS_HYP, reason="hypothesis missing")
+
+# a fixed schema exercising every kind, incl. a nested message
+_SUB = {
+    "name": (1, "string"),
+    "flag": (2, "bool"),
+    "vals": (3, "packed_uint64"),
+}
+_SCHEMA = {
+    "u64": (1, "uint64"),
+    "u32": (2, "uint32"),
+    "i32": (3, "int32"),
+    "s64": (4, "sint64"),
+    "b": (5, "bool"),
+    "d": (6, "double"),
+    "s": (7, "string"),
+    "raw": (8, "bytes"),
+    "packed": (9, "packed_uint64"),
+    "sub": (10, "msg", _SUB),
+    "subs": (11, "rep_msg", _SUB),
+}
+
+
+def _subs():
+    return st.fixed_dictionaries(
+        {
+            "name": st.text(max_size=20),
+            "flag": st.booleans(),
+            "vals": st.lists(
+                st.integers(min_value=0, max_value=2**64 - 1), max_size=8
+            ),
+        }
+    )
+
+
+def _msgs():
+    return st.fixed_dictionaries(
+        {
+            "u64": st.integers(min_value=0, max_value=2**64 - 1),
+            "u32": st.integers(min_value=0, max_value=2**32 - 1),
+            "i32": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            "s64": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            "b": st.booleans(),
+            "d": st.floats(allow_nan=False),
+            "s": st.text(max_size=40),
+            "raw": st.binary(max_size=40),
+            "packed": st.lists(
+                st.integers(min_value=0, max_value=2**64 - 1), max_size=16
+            ),
+            "sub": _subs(),
+            "subs": st.lists(_subs(), max_size=5),
+        }
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(_msgs())
+def test_property_roundtrip_exact(msg):
+    assert decode_message(_SCHEMA, encode_message(_SCHEMA, msg)) == msg
+
+
+@settings(max_examples=80, deadline=None)
+@given(_msgs(), st.binary(max_size=30))
+def test_property_unknown_fields_skipped(msg, junk):
+    """Prepending an unknown length-delimited field (number 99) must not
+    change the decode — forward compatibility, the property that lets a
+    real-library Lance file carrying extra metadata still parse."""
+    unknown = encode_message({"x": (99, "bytes")}, {"x": junk})
+    data = unknown + encode_message(_SCHEMA, msg)
+    assert decode_message(_SCHEMA, data) == msg
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=60))
+def test_property_random_bytes_never_crash_or_misdecode(data):
+    """Arbitrary bytes either decode (protobuf is permissive) or raise
+    ProtoWireError — never any other exception."""
+    try:
+        decode_message(_SCHEMA, data)
+    except ProtoWireError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.sets(st.integers(min_value=0, max_value=2**63 - 1), max_size=200),
+    st.integers(min_value=0, max_value=2**63 - 1),
+)
+def test_property_bloom_no_false_negatives(hashes, probe):
+    """A value whose positions were all set is ALWAYS reported present
+    (the superset contract file skipping depends on: pruning must never
+    lose a matching row)."""
+    from lakekeeper_spark.format.icelite import (
+        _bloom_might_contain,
+        _bloom_pack,
+    )
+
+    m = 4096
+    members = sorted(hashes)[:50]
+    positions = {h % m for h in members}
+    bloom = {"m": m, "k": 1, "bits": _bloom_pack(positions, m)}
+    for h in members:
+        assert _bloom_might_contain(bloom, [h])
+    # absent probe: may false-positive, must never crash
+    _bloom_might_contain(bloom, [probe])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=2**20 - 1), max_size=300))
+def test_property_bloom_downsizing_is_exact(positions):
+    """The auto-sizer stores pos % m for m dividing the hash cap: for
+    every member hash, (h % cap) % m == h % m — the divisibility fact
+    the writer's downsizing rests on."""
+    cap = 1 << 20
+    for m in (1 << 10, 1 << 14, 1 << 17):
+        for p in positions:
+            assert (p % cap) % m == p % m
