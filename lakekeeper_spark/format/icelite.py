@@ -141,6 +141,21 @@ def _bloom_keep(
     return True
 
 
+def _null_safe_semi(left: DataFrame, keys: DataFrame, cols: list[str]) -> DataFrame:
+    """LEFT SEMI join on ``cols`` with NULL keys MATCHING (eqNullSafe) —
+    the comparison equality-delete application uses: a NULL key value in
+    a delete file kills live rows whose column is NULL, so any victim
+    derivation must match the same way (a plain name-list join drops
+    NULL join keys and under-reports)."""
+    k = keys.alias("__k")
+    l = left.alias("__l")
+    cond = None
+    for c in cols:
+        cnd = F.col(f"__l.{c}").eqNullSafe(F.col(f"__k.{c}"))
+        cond = cnd if cond is None else cond & cnd
+    return l.join(k, cond, "left_semi")
+
+
 def _bounds_overlap(entry: dict[str, Any], stats_filter: dict[str, tuple]) -> bool:
     """Keep the file unless some filtered column's bounds are disjoint with
     the requested [lo, hi] range. Missing bounds keep the file (safe)."""
@@ -215,10 +230,22 @@ def plan_lineage_events(
         to_snapshot_id = r["snapshot-id"] if r else None
     lineage: list[dict[str, Any]] = []
     cur = by_id.get(to_snapshot_id) if to_snapshot_id is not None else None
+    reached_from = from_snapshot_id is None
     while cur is not None and cur["snapshot-id"] != from_snapshot_id:
         lineage.append(cur)
         pid = cur.get("parent-snapshot-id")
         cur = by_id.get(pid) if pid is not None else None
+    if cur is not None and cur["snapshot-id"] == from_snapshot_id:
+        reached_from = True
+    if not reached_from:
+        # a rolled-back / expired / mistyped `from` must FAIL, not
+        # silently replay the whole history as duplicate events (the
+        # streaming source raises the same way on expired offsets)
+        raise ValueError(
+            f"from snapshot {from_snapshot_id} is not an ancestor of "
+            f"{to_snapshot_id} on the main lineage (rolled back, expired, "
+            "or never existed)"
+        )
     lineage.reverse()
     plans: list[dict[str, Any]] = []
     for s in lineage:
@@ -893,13 +920,26 @@ class SparkTable:
             props.get("write.metadata.bloom-filter-max-ndv", _BLOOM_MAX_NDV)
         )
         cap = _BLOOM_CAP_BITS
+        # hash the DECLARED column type, matching _bloom_probes: identity
+        # partition columns come back from the hive directory names with
+        # an INFERRED type (a small long partitions as IntegerType), and
+        # xxhash64(int) != xxhash64(long) — without the cast every probe
+        # on a partition column would wrongly prune every file
+        decl = {
+            f["name"]: spark_ddl_of(f["type"]) for f in schema["fields"]
+        }
         aggs = [
             a
             for ci, c in enumerate(cols)
             for a in (
                 *[
                     F.collect_set(
-                        F.pmod(F.xxhash64(F.col(c), F.lit(s)), F.lit(cap))
+                        F.pmod(
+                            F.xxhash64(
+                                F.col(c).cast(decl[c]), F.lit(s)
+                            ),
+                            F.lit(cap),
+                        )
                     ).alias(f"__bf_{ci}_{s}")
                     for s in range(_BLOOM_K)
                 ],
@@ -1662,7 +1702,12 @@ class SparkTable:
                         ]
                     )
                     cols = [by_id_cur[fid] for fid in e["equality-ids"]]
-                    parts.append(tag(live.join(del_rows, cols, "left_semi"), "delete"))
+                    # NULL keys match, like _apply_equality_deletes — a
+                    # name-list join would silently drop delete events
+                    # for rows the table really removed
+                    parts.append(
+                        tag(_null_safe_semi(live, del_rows, cols), "delete")
+                    )
         if not parts:
             return empty.limit(0)
         out = parts[0]
@@ -1728,14 +1773,36 @@ class SparkTable:
             )
 
         def _ranges_df(pairs: list[list[int]]) -> DataFrame:
-            # bounded ranges (<= _MAX_RANGES, <= _MAX_RANGE_ROWS total):
-            # one sequence-explode over a ranges literal, never a
-            # per-range plan-node union
+            # ONE plan node for ALL of a commit's ranges, however many
+            # files: a two-level chunked sequence-explode (outer rows =
+            # metadata-sized chunk index, repartitioned for parallelism;
+            # inner arrays capped at 64k elements) — never a per-range
+            # spark.range union, whose plan-node count would grow with
+            # the file count of a "metadata-only" scan
+            chunk = 1 << 16
             rdf = self.spark.createDataFrame(
                 [(int(s), int(e)) for s, e in pairs], "s long, e long"
             )
-            return rdf.select(
-                F.explode(F.sequence("s", "e")).alias("_row_id")
+            outer = rdf.select(
+                "s",
+                "e",
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        ((F.col("e") - F.col("s")) / chunk).cast("long"),
+                    )
+                ).alias("ci"),
+            ).repartition(self.spark.sparkContext.defaultParallelism)
+            return outer.select(
+                F.explode(
+                    F.sequence(
+                        F.col("s") + F.col("ci") * chunk,
+                        F.least(
+                            F.col("e"),
+                            F.col("s") + (F.col("ci") + 1) * chunk - 1,
+                        ),
+                    )
+                ).alias("_row_id")
             )
 
         parts: list[DataFrame] = []
@@ -1760,14 +1827,9 @@ class SparkTable:
                 continue
             # insert side: claimed ranges for plain files; added files
             # that STORE ids are read — only those files, no parent scan
-            for frid, end in plan["insert-ranges"]:
+            if plan["insert-ranges"]:
                 parts.append(
-                    _tagged(
-                        self.spark.range(frid, end + 1)
-                        .withColumnRenamed("id", "_row_id"),
-                        "insert",
-                        sid,
-                    )
+                    _tagged(_ranges_df(plan["insert-ranges"]), "insert", sid)
                 )
             opened = plan["insert-file-entries"]
             if opened:
@@ -1789,10 +1851,15 @@ class SparkTable:
                 )
         if not parts:
             return empty
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+        # balanced union: analyzer depth O(log parts), not O(parts)
+        while len(parts) > 1:
+            parts = [
+                parts[i].unionByName(parts[i + 1])
+                if i + 1 < len(parts)
+                else parts[i]
+                for i in range(0, len(parts), 2)
+            ]
+        return parts[0]
 
     def create_changelog_view(
         self,
@@ -2319,12 +2386,15 @@ class SparkTable:
     _MAX_RANGES = 4096
 
     def _row_id_ranges(self, ids: DataFrame) -> list[list[int]] | None:
-        """Compress a (small, pre-counted) set of row ids into sorted
-        inclusive [start, end] ranges (gaps-and-islands). Returns None —
-        record nothing — beyond the row/range caps, so commit metadata
-        stays bounded no matter how large the delete."""
+        """Compress a set of row ids into sorted inclusive [start, end]
+        ranges (gaps-and-islands). Returns None — record nothing —
+        beyond the row/range caps, so commit metadata stays bounded no
+        matter how large the delete. The id derivation (often a join
+        against the live rows) executes ONCE: materialized here, then
+        the count probe and the window read the local copy."""
         from pyspark.sql.window import Window
 
+        ids = ids.localCheckpoint(eager=True)
         n = ids.count()
         if n == 0 or n > self._MAX_RANGE_ROWS:
             return None
@@ -2911,10 +2981,13 @@ class SparkTable:
         # deleted key (the key of a matching row can hit OTHER live rows
         # the condition itself didn't select) — the same join the
         # changelog's equality branch performs; recorded as bounded id
-        # ranges so metadata-only CDC skips that parent read
+        # ranges so metadata-only CDC skips that parent read. NULL keys
+        # MATCH (eqNullSafe) because _apply_equality_deletes kills rows
+        # with NULL keys too — a name-list join would drop them and the
+        # CDC stream would miss real deletions.
         ranges = (
             self._row_id_ranges(
-                live.join(del_rows, cols, "left_semi").select("_row_id")
+                _null_safe_semi(live, del_rows, cols).select("_row_id")
             )
             if lineage
             else None

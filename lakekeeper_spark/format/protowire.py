@@ -141,8 +141,7 @@ def encode_message(schema: dict[str, tuple], msg: dict[str, Any]) -> bytes:
             out += _tag(num, 2) + _uvarint(len(v)) + bytes(v)
         else:
             raise ProtoWireError(f"unknown kind {kind!r} for field {name}")
-    unknown = set(msg) - set(schema) - {k for k in msg if msg[k] is None}
-    unknown = {k for k in unknown if msg[k] is not None}
+    unknown = {k for k in msg if k not in schema and msg[k] is not None}
     if unknown:
         raise ProtoWireError(f"fields not in schema: {sorted(unknown)}")
     return bytes(out)

@@ -405,65 +405,62 @@ class IceliteStreamReader(DataSourceStreamReader):
         )
 
     def _plan_lineage_events(self, meta, lineage, by_id, target, parts) -> None:
-        """Metadata-only CDC planning, streaming form (the twin of
-        SparkTable.changelog_row_ids): per commit —
+        """Metadata-only CDC planning, streaming form: consumes the SAME
+        pure plan as SparkTable.changelog_row_ids
+        (format/icelite.plan_lineage_events — the single point of truth
+        for commit classification) and maps it onto partitions:
 
-          - plain added data files -> one range partition over each
-            file's claimed [first-row-id, +record-count) (insert events,
-            NO file opened);
-          - added files that STORE ids (MoR update/merge images,
-            preserved rewrites) -> file partitions with an EMPTY column
-            target (only those files read, never the parent state);
-          - tombstones covered by the commit summary's
-            deleted-row-id-ranges -> one range partition of delete
-            events;
-          - CoW rewrites / uncovered tombstones -> the regular CDC file
-            tasks for that one commit, column target empty.
+          - insert-ranges / delete-ranges -> range partitions (NO file
+            opened; large commits split into ~1M-row partitions for
+            parallelism);
+          - insert-file-entries (MoR update/merge images, preserved
+            rewrites) -> file partitions with an EMPTY column target
+            (only those files read, never the parent state);
+          - content-fallback commits -> the regular CDC file tasks for
+            that one commit, column target empty.
         """
-        from ..format.icelite import _split_manifest
+        from ..format.icelite import plan_lineage_events
 
-        for snap in reversed(lineage):
-            if snap["summary"].get("operation") == "replace":
-                continue
-            sid = snap["snapshot-id"]
-            pid = snap.get("parent-snapshot-id")
-            parent = by_id.get(pid)
-            p_manifest = parent["manifest"] if parent else []
-            p_paths = {e["path"] for e in p_manifest}
-            s_paths = {e["path"] for e in snap["manifest"]}
-            s_data, s_dels = _split_manifest(snap["manifest"])
-            p_data, _p_dels = _split_manifest(p_manifest)
-            added_data = [e for e in s_data if e["path"] not in p_paths]
-            removed_data = [e for e in p_data if e["path"] not in s_paths]
-            added_dels = [e for e in s_dels if e["path"] not in p_paths]
-            del_ranges = snap["summary"].get("deleted-row-id-ranges")
-            if removed_data or (added_dels and not del_ranges):
-                self._plan_change_feed(meta, [snap], by_id, target, parts)
-                continue
-            ins_ranges = []
-            for e in added_data:
-                n = int(e.get("record-count", 0))
-                if (
-                    e.get("first-row-id") is not None
-                    and not e.get("materialized-row-ids")
-                ):
-                    if n:
-                        frid = int(e["first-row-id"])
-                        ins_ranges.append((frid, frid + n - 1))
-                else:
+        if not lineage:
+            return
+        plans = plan_lineage_events(
+            meta,
+            from_snapshot_id=lineage[-1].get("parent-snapshot-id"),
+            to_snapshot_id=lineage[0]["snapshot-id"],
+        )
+        rows_per_part = 1 << 20
+
+        def _range_parts(ranges, change, sid):
+            cur: list[tuple[int, int]] = []
+            acc = 0
+            for a, b in ranges:
+                s, e = int(a), int(b)
+                while e - s + 1 > rows_per_part:
                     parts.append(
-                        self._file_part(meta, e, target, "insert", sid)
+                        _RangeEventsPartition(
+                            [(s, s + rows_per_part - 1)], change, sid
+                        )
                     )
-            if ins_ranges:
-                parts.append(_RangeEventsPartition(ins_ranges, "insert", sid))
-            if added_dels and del_ranges:
-                parts.append(
-                    _RangeEventsPartition(
-                        [(int(a), int(b)) for a, b in del_ranges],
-                        "delete",
-                        sid,
-                    )
-                )
+                    s += rows_per_part
+                cur.append((s, e))
+                acc += e - s + 1
+                if acc >= rows_per_part:
+                    parts.append(_RangeEventsPartition(cur, change, sid))
+                    cur, acc = [], 0
+            if cur:
+                parts.append(_RangeEventsPartition(cur, change, sid))
+
+        for plan in plans:
+            sid = plan["snapshot-id"]
+            if plan["content-fallback"]:
+                self._plan_change_feed(meta, [by_id[sid]], by_id, target, parts)
+                continue
+            if plan["insert-ranges"]:
+                _range_parts(plan["insert-ranges"], "insert", sid)
+            for e in plan["insert-file-entries"]:
+                parts.append(self._file_part(meta, e, target, "insert", sid))
+            if plan["delete-ranges"]:
+                _range_parts(plan["delete-ranges"], "delete", sid)
 
     def _plan_change_feed(self, meta, lineage, by_id, target, parts) -> None:
         """CDC planning, merge-on-read included — the STREAMING twin of

@@ -208,3 +208,36 @@ def test_plan_table_scan_prunes_with_client_hashes(spark, table):
     assert len(plan["plan-tasks"]) == 1
     full = plan_table_scan(meta)
     assert len(full["plan-tasks"]) == 4
+
+
+def test_bloom_on_identity_partition_long_column(spark, catalog):
+    """Identity-partition columns come back from the hive dir names with
+    an INFERRED type (small longs infer as int) — the writer must hash
+    the DECLARED type or every probe would wrongly prune every file."""
+    catalog.create_namespace("wh", ["bf4"])
+    catalog.create_table(
+        "wh", ["bf4"], "t",
+        {
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "bucket", "type": "long",
+                 "required": False},
+                {"id": 2, "name": "v", "type": "string", "required": False},
+            ],
+        },
+        properties={"write.metadata.bloom-filter-columns": "bucket"},
+        partition_spec={
+            "spec-id": 0,
+            "fields": [{"source-id": 1, "field-id": 1000,
+                        "transform": "identity", "name": "bucket"}],
+        },
+    )
+    t = SparkTable(spark, catalog, "wh", ["bf4"], "t")
+    t.append(spark.createDataFrame(
+        [(i % 3, f"v{i}") for i in range(30)], "bucket long, v string"
+    ).coalesce(1))
+    # the probe must NOT prune the file holding bucket=2
+    got = t.scan(point_filter={"bucket": 2}).filter("bucket = 2")
+    assert got.count() == 10
+    # and a truly absent bucket still prunes
+    assert t.scan(point_filter={"bucket": 99}).count() == 0

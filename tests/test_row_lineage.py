@@ -778,3 +778,43 @@ def test_plan_lineage_events_pure_and_over_http(spark, table, catalog):
         assert got["commits"] == json.loads(json.dumps(plans))
     finally:
         srv.stop()
+
+
+def test_eq_delete_null_key_victims_emit_events(spark, table):
+    """A NULL equality-key kills live rows whose column is NULL
+    (eqNullSafe in _apply_equality_deletes) — the recorded ranges AND
+    the full changelog's equality branch must report those victims
+    too (a name-list join silently drops NULL keys)."""
+    table.append(spark.createDataFrame(
+        [(0, "a"), (1, None), (2, "b"), (3, None)], "id long, v string"
+    ).coalesce(1))
+    # delete by v-key where id=1 matches: the NULL key kills id=3 too
+    table.delete_where("id = 1", mode="equality", equality_cols=["v"])
+    survivors = {r.id for r in table.scan().collect()}
+    assert survivors == {0, 2}  # eqNullSafe killed BOTH null-key rows
+    ranges = table.metadata()["snapshots"][-1]["summary"][
+        "deleted-row-id-ranges"
+    ]
+    assert ranges == [[1, 1], [3, 3]]
+    events = {
+        (r._row_id, r._change_type)
+        for r in table.changelog(row_lineage=True)
+        .select("_row_id", "_change_type")
+        .collect()
+    }
+    assert (1, "delete") in events and (3, "delete") in events
+    fast = {
+        (r._row_id, r._change_type)
+        for r in table.changelog_row_ids().collect()
+    }
+    assert (1, "delete") in fast and (3, "delete") in fast
+
+
+def test_plan_lineage_events_rejects_non_ancestor_from(spark, table):
+    table.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    from lakekeeper_spark.format.icelite import plan_lineage_events
+
+    with pytest.raises(ValueError, match="not an ancestor"):
+        plan_lineage_events(table.metadata(), from_snapshot_id=999999)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        table.changelog_row_ids(from_snapshot_id=999999)
