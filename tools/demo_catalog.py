@@ -142,6 +142,36 @@ def main() -> None:
     assert lv.count() == 8 and dict(lv.dtypes)["embedding"] == "array<float>"
     print("OK lance generic table (lancelite codec)")
 
+    # ---- round 14: metadata-only lineage CDC + bloom point lookups ----
+    from lakekeeper_spark.format.icelite import plan_lineage_events
+
+    cat.create_table(
+        "wh", ["demo"], "cdc14",
+        {"schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": False}]},
+        format_version=3,
+        properties={"write.metadata.bloom-filter-columns": "id"},
+    )
+    t14 = SparkTable(spark, cat, "wh", ["demo"], "cdc14")
+    t14.append(spark.createDataFrame(
+        [(i, f"x{i}") for i in range(8)], "id long, v string").coalesce(1))
+    t14.append(spark.createDataFrame(
+        [(100 + i, f"y{i}") for i in range(8)], "id long, v string"
+    ).coalesce(1))
+    t14.delete_where("id IN (2, 101)", mode="merge-on-read")
+    events = {(r._row_id, r._change_type)
+              for r in t14.changelog_row_ids().collect()}
+    assert (2, "delete") in events and sum(
+        1 for _, k in events if k == "insert") == 16
+    plans = plan_lineage_events(t14.metadata())
+    assert [p["content-fallback"] for p in plans] == [False, False, False]
+    print("OK metadata-only lineage CDC (changelog_row_ids + pure plan)")
+    hit = t14.scan(point_filter={"id": 102}).filter("id = 102").collect()
+    assert [(r.id, r.v) for r in hit] == [(102, "y2")]
+    assert t14.scan(point_filter={"id": 999}).count() == 0
+    print("OK manifest bloom point lookup (interleaved files pruned)")
+
     # ---- REST facade: the same lifecycle over an actual HTTP socket ----
     from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
 
@@ -160,6 +190,16 @@ def main() -> None:
         except Exception as e:
             assert type(e).__name__ == "NotModified"
         print("OK rest facade (append + etag 304 over HTTP)")
+        import json as _json
+        import urllib.request as _rq
+
+        plan = _json.load(_rq.urlopen(
+            f"{server.url}/catalog/v1/wh/namespaces/demo/tables/cdc14/"
+            "lineage-events"
+        ))
+        assert len(plan["commits"]) == 3
+        assert plan["commits"][-1]["delete-ranges"]
+        print("OK lineage-events plan over HTTP (no engine server-side)")
     finally:
         server.stop()
     print("DEMO PASSED")
