@@ -234,17 +234,45 @@ def plan_lineage_events(
     while cur is not None and cur["snapshot-id"] != from_snapshot_id:
         lineage.append(cur)
         pid = cur.get("parent-snapshot-id")
-        cur = by_id.get(pid) if pid is not None else None
+        if pid is None:
+            cur = None
+            break  # true table root: the walked history is complete
+        if pid == from_snapshot_id:
+            # `from` itself may have been expired while its CHILD was
+            # retained — the parent POINTER is enough to know the
+            # boundary was reached (the streaming source's pid==lo
+            # escape tolerates exactly this; a checkpointed stream must
+            # keep running after its offset snapshot expires)
+            reached_from = True
+            cur = None
+            break
+        cur = by_id.get(pid)
+        if cur is None:
+            # mid-history expiry: the events between `from` (or table
+            # creation) and here are GONE. Diffing the oldest retained
+            # snapshot against an empty parent would re-emit carried
+            # files as inserts mis-attributed to the wrong commit —
+            # fail loudly instead (the full changelog raises here too)
+            raise ValueError(
+                f"snapshot history expired at {pid}: lineage events "
+                "since "
+                + (
+                    "table creation"
+                    if from_snapshot_id is None
+                    else f"snapshot {from_snapshot_id}"
+                )
+                + " cannot be reconstructed — pass a retained "
+                "from_snapshot_id"
+            )
     if cur is not None and cur["snapshot-id"] == from_snapshot_id:
         reached_from = True
     if not reached_from:
-        # a rolled-back / expired / mistyped `from` must FAIL, not
-        # silently replay the whole history as duplicate events (the
-        # streaming source raises the same way on expired offsets)
+        # a rolled-back / mistyped `from` must FAIL, not silently replay
+        # the whole history as duplicate events
         raise ValueError(
             f"from snapshot {from_snapshot_id} is not an ancestor of "
-            f"{to_snapshot_id} on the main lineage (rolled back, expired, "
-            "or never existed)"
+            f"{to_snapshot_id} on the main lineage (rolled back or "
+            "never existed)"
         )
     lineage.reverse()
     plans: list[dict[str, Any]] = []
@@ -2389,15 +2417,18 @@ class SparkTable:
         """Compress a set of row ids into sorted inclusive [start, end]
         ranges (gaps-and-islands). Returns None — record nothing —
         beyond the row/range caps, so commit metadata stays bounded no
-        matter how large the delete. The id derivation (often a join
-        against the live rows) executes ONCE: materialized here, then
-        the count probe and the window read the local copy."""
+        matter how large the delete. Order matters: COUNT first (never
+        materialize an over-cap id set — a 10M-row delete must not park
+        10M ids in block storage just to discard them), then checkpoint
+        the <=100k survivors so the window reads a local copy instead of
+        re-executing the id derivation (often a join against the live
+        rows)."""
         from pyspark.sql.window import Window
 
-        ids = ids.localCheckpoint(eager=True)
         n = ids.count()
         if n == 0 or n > self._MAX_RANGE_ROWS:
             return None
+        ids = ids.localCheckpoint(eager=True)
         # <= 100k rows: a single-partition window is trivially cheap here
         grp = F.col("_row_id") - F.row_number().over(
             Window.orderBy("_row_id")

@@ -818,3 +818,34 @@ def test_plan_lineage_events_rejects_non_ancestor_from(spark, table):
         plan_lineage_events(table.metadata(), from_snapshot_id=999999)
     with pytest.raises(ValueError, match="not an ancestor"):
         table.changelog_row_ids(from_snapshot_id=999999)
+
+
+def test_plan_lineage_events_expired_snapshot_semantics(spark, table):
+    """Two expiry cases with OPPOSITE correct behaviors: a `from` whose
+    snapshot object was expired while its child survived is fine (the
+    child's parent POINTER marks the boundary — a checkpointed stream
+    keeps running); mid-history expiry with no `from` boundary must
+    FAIL (diffing the oldest survivor against an empty parent would
+    re-emit carried rows as inserts of the wrong commit)."""
+    import copy
+
+    from lakekeeper_spark.format.icelite import plan_lineage_events
+
+    for i in range(3):
+        table.append(spark.createDataFrame(
+            [(i, f"x{i}")], "id long, v string"))
+    meta = table.metadata()
+    s1, s2, s3 = [s["snapshot-id"] for s in meta["snapshots"]]
+    # expire s1 only; s2 (child) still points at it
+    pruned = copy.deepcopy(meta)
+    pruned["snapshots"] = [
+        s for s in pruned["snapshots"] if s["snapshot-id"] != s1
+    ]
+    plans = plan_lineage_events(pruned, from_snapshot_id=s1)
+    assert [p["snapshot-id"] for p in plans] == [s2, s3]
+    # same expiry, but NO from boundary: events since creation are gone
+    with pytest.raises(ValueError, match="expired"):
+        plan_lineage_events(pruned)
+    # and a from that never existed still reports non-ancestor
+    with pytest.raises(ValueError, match="not an ancestor"):
+        plan_lineage_events(meta, from_snapshot_id=424242)
