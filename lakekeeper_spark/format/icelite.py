@@ -919,20 +919,33 @@ class SparkTable:
         ``write.metadata.bloom-filter-columns`` = comma-separated column
         names; ndv ceiling via ``write.metadata.bloom-filter-max-ndv``):
         one AUTO-SIZED bitmap per configured column per data file, built
-        with a SINGLE distributed aggregate over the freshly written
-        files — per (column, seed) the distinct
-        ``pmod(xxhash64(col, seed), cap)`` positions plus an approximate
-        distinct count; the driver then downsizes each file's positions
-        to the smallest power of two holding ~10 bits per distinct value
-        (pos % m is exact because m divides the cap). Per-file driver
-        state is bounded by min(ndv*k, cap) ints, and columns past the
-        ndv ceiling store NO bloom (a saturated bitmap prunes nothing).
+        in TWO distributed passes over the freshly written files so raw
+        hash positions never cross to the driver:
+
+        1. a cheap ndv pre-pass (``approx_count_distinct`` per column
+           per file) sizes each file's bitmap to the smallest power of
+           two holding ~10 bits per distinct value and prunes columns
+           past the ndv ceiling BEFORE any position is computed (a
+           saturated bitmap prunes nothing, so above-ceiling columns
+           store NO bloom and cost NO heavy aggregate);
+        2. the surviving (file, column) pairs build their bitmaps
+           executor-side: positions ``pmod(xxhash64(col, seed), cap)``
+           (valid to downsize with ``% m`` because m divides the cap)
+           fold into per-byte ``bit_or`` partial aggregates, then an
+           Arrow-batched per-file-column packing step assembles the
+           final bitmap, so at most m/8 <= 128 KiB of PACKED bytes per
+           (file, column) reaches the driver — never the O(ndv*k)
+           position sets (the 2^20-position worst case is exactly the
+           high-cardinality id column this feature targets).
+
         scan(point_filter=...) then skips files whose bloom proves an
         equality value absent — planning-time pruning for point lookups
         on high-cardinality columns where min/max bounds overlap every
         file. Parquet keeps its own row-group blooms; this is the
         FILE-granular analogue living in the manifest, like Iceberg's
         ndv/bounds stats."""
+        import base64
+
         props = meta.get("properties", {})
         names = {f["name"] for f in schema["fields"]}
         cols = [
@@ -947,7 +960,6 @@ class SparkTable:
         max_ndv = int(
             props.get("write.metadata.bloom-filter-max-ndv", _BLOOM_MAX_NDV)
         )
-        cap = _BLOOM_CAP_BITS
         # hash the DECLARED column type, matching _bloom_probes: identity
         # partition columns come back from the hive directory names with
         # an INFERRED type (a small long partitions as IntegerType), and
@@ -956,63 +968,125 @@ class SparkTable:
         decl = {
             f["name"]: spark_ddl_of(f["type"]) for f in schema["fields"]
         }
-        aggs = [
-            a
-            for ci, c in enumerate(cols)
-            for a in (
-                *[
-                    F.collect_set(
-                        F.pmod(
-                            F.xxhash64(
-                                F.col(c).cast(decl[c]), F.lit(s)
-                            ),
-                            F.lit(cap),
-                        )
-                    ).alias(f"__bf_{ci}_{s}")
-                    for s in range(_BLOOM_K)
-                ],
-                F.approx_count_distinct(F.col(c)).alias(f"__ndv_{ci}"),
-            )
-        ]
-        rows = (
+        # pass 1 — ndv pre-pass: one tiny row per file (an int per
+        # column), sizes m and applies the ceiling before anything heavy
+        ndv_rows = (
             self.spark.read.parquet(out_dir)
             .groupBy(F.col("_metadata.file_path").alias("f"))
-            .agg(*aggs)
+            .agg(*[
+                F.approx_count_distinct(F.col(c)).alias(f"__ndv_{ci}")
+                for ci, c in enumerate(cols)
+            ])
             .collect()
         )
-        by_entry: dict[str, Any] = {}
-        for r in rows:
-            for e in entries:
-                relp = e["path"].split("/", 2)[-1]  # path under out_dir
-                if r["f"].endswith("/" + relp):
-                    by_entry[e["path"]] = r
-                    break
-        for e in entries:
-            r = by_entry.get(e["path"])
-            if r is None:
-                continue  # zero-row file: no bloom, never wrongly skipped
-            blooms: dict[str, Any] = {}
-            for ci, c in enumerate(cols):
+        pairs = []  # (file, column-index, m) that get a bloom
+        for r in ndv_rows:
+            for ci in range(len(cols)):
                 ndv = int(r[f"__ndv_{ci}"])
                 if ndv > max_ndv:
                     continue  # would saturate: store nothing, file kept
                 m = _BLOOM_MIN_BITS
-                while m < min(cap, _BLOOM_BITS_PER_VALUE * max(ndv, 1)):
+                while m < min(
+                    _BLOOM_CAP_BITS, _BLOOM_BITS_PER_VALUE * max(ndv, 1)
+                ):
                     m <<= 1
-                blooms[c] = {
-                    "m": m,
-                    "k": _BLOOM_K,
-                    "bits": _bloom_pack(
-                        {
-                            p % m
-                            for s in range(_BLOOM_K)
-                            for p in r[f"__bf_{ci}_{s}"]
-                        },
-                        m,
-                    ),
+                pairs.append((r["f"], ci, m))
+        if not pairs:
+            return
+        # pass 2 — executor-side bitmap build; <= m/8 bytes per row back
+        rows = self._bloom_bitmaps(out_dir, cols, decl, pairs).collect()
+        blooms_by_file: dict[str, dict[str, Any]] = {}
+        for r in rows:
+            blooms_by_file.setdefault(r["f"], {})[cols[r["ci"]]] = {
+                "m": int(r["m"]),
+                "k": _BLOOM_K,
+                "bits": base64.b64encode(bytes(r["bits"])).decode(),
+            }
+        for e in entries:
+            relp = e["path"].split("/", 2)[-1]  # path under out_dir
+            for f, blooms in blooms_by_file.items():
+                if f.endswith("/" + relp):
+                    e["bloom"] = blooms
+                    break
+            # zero-row file: no bloom, never wrongly skipped
+
+    def _bloom_bitmaps(
+        self,
+        out_dir: str,
+        cols: list[str],
+        decl: dict[str, str],
+        pairs: list[tuple[str, int, int]],
+    ) -> DataFrame:
+        """The heavy half of the bloom build, entirely executor-side:
+        returns one row ``(f, ci, m, bits)`` per surviving
+        (file, column) pair where ``bits`` is the PACKED bitmap
+        (m/8 <= 128 KiB binary). Positions explode to (file, ci, pos)
+        long form, an inner broadcast join against the tiny
+        pass-1 sizing table drops pruned pairs and attaches m, a
+        ``bit_or`` per (file, ci, byte) collapses positions map-side
+        (partial aggregation bounds every shuffle task's output at
+        m/8 rows per file-column it touches), and a final Arrow-batched
+        ``applyInPandas`` over the <= m/8 byte rows per group emits the
+        packed bytes. Nothing proportional to ndv*k ever serializes."""
+        import pandas as pd
+
+        cap = _BLOOM_CAP_BITS
+        needed = {ci for _, ci, _ in pairs}
+        mdf = self.spark.createDataFrame(
+            pairs, "f string, ci int, m int"
+        )
+        pos_structs = [
+            F.struct(
+                F.lit(ci).alias("ci"),
+                F.pmod(
+                    F.xxhash64(F.col(c).cast(decl[c]), F.lit(s)),
+                    F.lit(cap),
+                ).alias("pos"),
+            )
+            for ci, c in enumerate(cols)
+            if ci in needed
+            for s in range(_BLOOM_K)
+        ]
+        def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            m = int(pdf["m"].iloc[0])
+            arr = np.zeros(m >> 3, dtype=np.uint8)
+            arr[pdf["byte_idx"].to_numpy()] = pdf["b"].to_numpy().astype(
+                np.uint8
+            )
+            return pd.DataFrame(
+                {
+                    "f": [pdf["f"].iloc[0]],
+                    "ci": [int(pdf["ci"].iloc[0])],
+                    "m": [m],
+                    "bits": [arr.tobytes()],
                 }
-            if blooms:
-                e["bloom"] = blooms
+            )
+
+        return (
+            self.spark.read.parquet(out_dir)
+            .select(
+                F.col("_metadata.file_path").alias("f"),
+                F.explode(F.array(*pos_structs)).alias("x"),
+            )
+            .select("f", "x.ci", "x.pos")
+            .join(F.broadcast(mdf), ["f", "ci"])
+            .select(
+                "f",
+                "ci",
+                "m",
+                F.expr("shiftright(pos % m, 3)").alias("byte_idx"),
+                F.expr("shiftleft(1, cast(pos % m as int) & 7)")
+                .alias("bit"),
+            )
+            .groupBy("f", "ci", "m", "byte_idx")
+            .agg(F.bit_or("bit").alias("b"))
+            .groupBy("f", "ci")
+            .applyInPandas(
+                _pack, schema="f string, ci int, m int, bits binary"
+            )
+        )
 
     def _bloom_probes(
         self,

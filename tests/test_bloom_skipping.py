@@ -241,3 +241,74 @@ def test_bloom_on_identity_partition_long_column(spark, catalog):
     assert got.count() == 10
     # and a truly absent bucket still prunes
     assert t.scan(point_filter={"bucket": 99}).count() == 0
+
+
+def test_bloom_build_ships_packed_bytes_not_positions(spark, table):
+    """Scale contract (round-15): the heavy bloom aggregate's output
+    schema is exactly one PACKED bitmap row per (file, column) — at most
+    m/8 bytes of binary each — never a collect_set of raw hash
+    positions. A 2^20-position file-column therefore serializes 128 KiB
+    to the driver instead of k x 1M longs."""
+    _append_batches(spark, table)
+    meta = table.metadata()
+    schema = next(
+        s for s in meta["schemas"]
+        if s["schema-id"] == meta["current-schema-id"]
+    )
+    from lakekeeper_spark.format.types import spark_ddl_of
+
+    decl = {f["name"]: spark_ddl_of(f["type"]) for f in schema["fields"]}
+    loc = meta["location"].replace("file://", "")
+    snap = meta["snapshots"][-1]
+    # pick ONE commit's out_dir (entry paths are data/<commit>/<file>)
+    commit_dir = "/".join(snap["manifest"][0]["path"].split("/")[:2])
+    out_dir = str(Path(loc, commit_dir))
+    files = [
+        "file:" + str(Path(loc, e["path"]))
+        for e in snap["manifest"]
+        if e["path"].startswith(commit_dir + "/")
+    ]
+    assert files
+    pairs = [(f, ci, 4096) for f in files for ci in (0, 1)]
+    df = table._bloom_bitmaps(out_dir, ["id", "v"], decl, pairs)
+    # the ONLY thing allowed to cross to the driver: f, ci, m, bits
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema] == [
+        ("f", "string"), ("ci", "int"), ("m", "int"), ("bits", "binary"),
+    ]
+    rows = df.collect()
+    assert len(rows) == len(pairs)  # one packed row per (file, column)
+    for r in rows:
+        assert len(bytes(r["bits"])) == r["m"] // 8  # <= 128 KiB at cap
+    # and the driver-facing writer no longer collects positions at all
+    import inspect
+
+    from lakekeeper_spark.format.icelite import SparkTable as _ST
+
+    src = inspect.getsource(_ST._attach_bloom_filters)
+    assert "collect_set" not in src
+
+
+def test_bloom_ndv_ceiling_prunes_before_heavy_pass(spark, catalog):
+    """The ndv pre-pass must drop above-ceiling columns BEFORE the
+    bitmap aggregate: with every column past the ceiling, pass 2 never
+    runs (pairs is empty) and no bloom is stored — the old design
+    shipped the positions first and discarded them after."""
+    catalog.create_namespace("wh", ["bf5"])
+    catalog.create_table(
+        "wh", ["bf5"], "t", SCHEMA,
+        properties={**PROPS, "write.metadata.bloom-filter-max-ndv": "10"},
+    )
+    t = SparkTable(spark, catalog, "wh", ["bf5"], "t")
+    calls = []
+    orig = SparkTable._bloom_bitmaps
+    SparkTable._bloom_bitmaps = (  # spy: record pass-2 invocations
+        lambda self, *a, **k: calls.append(a) or orig(self, *a, **k)
+    )
+    try:
+        t.append(spark.createDataFrame(
+            [(i, f"v{i}") for i in range(500)], "id long, v string"
+        ).coalesce(1))
+    finally:
+        SparkTable._bloom_bitmaps = orig
+    assert calls == []  # both columns pruned by the pre-pass
+    assert "bloom" not in t.metadata()["snapshots"][-1]["manifest"][0]
