@@ -212,10 +212,19 @@ def plan_lineage_events(
     - ``delete-ranges``: the commit summary's bounded
       deleted-row-id-ranges (MoR DELETE/UPDATE/MERGE + equality deletes
       record them; see _row_id_ranges);
-    - ``content-fallback``: True when the commit needs a content diff
-      (CoW rewrites) or its tombstones recorded no ranges (oversized
-      delete / pre-range commit) — ranges/file lists are then omitted
-      and the consumer runs the full changelog for that one commit.
+    - ``targeted-diff``: True for pure CoW rewrite commits (files
+      removed, no tombstones added) — delete events come from reading
+      EXACTLY the removed files (``delete-file-entries``, masked by the
+      parent's tombstone artifacts in ``delete-mask-entries`` read at
+      ``parent-schema-id``), insert events from the added files' claimed
+      ranges / materialized entries as usual. The parent STATE is never
+      scanned: a CoW rewrite touching 3 of 100k files opens 3 files, not
+      the table;
+    - ``content-fallback``: True when the commit still needs the full
+      changelog — a rewrite that ALSO adds tombstones in the same
+      commit, or tombstones that recorded no ranges (oversized delete /
+      pre-range commit) — ranges/file lists are then omitted and the
+      consumer runs the full changelog for that one commit.
 
     SparkTable.changelog_row_ids() consumes exactly this plan; the
     ``lineage-events`` streaming source mirrors it per micro-batch."""
@@ -296,11 +305,25 @@ def plan_lineage_events(
             "parent-snapshot-id": pid,
             "schema-id": s.get("schema-id"),
         }
-        if removed_data or (added_dels and not del_ranges):
+        if removed_data and not added_dels:
+            # pure CoW rewrite: delete events need only the REMOVED
+            # files' rows (live at the parent — its tombstone artifacts
+            # mask already-dead rows), never the parent state; insert
+            # events fall through to the shared range/entry handling
+            _, p_del_entries = _split_manifest(p_manifest)
+            plan["content-fallback"] = False
+            plan["targeted-diff"] = True
+            plan["delete-file-entries"] = removed_data
+            plan["delete-mask-entries"] = p_del_entries
+            plan["parent-schema-id"] = (
+                parent.get("schema-id") if parent else None
+            )
+        elif removed_data or (added_dels and not del_ranges):
             plan["content-fallback"] = True
             plans.append(plan)
             continue
-        plan["content-fallback"] = False
+        else:
+            plan["content-fallback"] = False
         ins_ranges: list[list[int]] = []
         opened: list[dict[str, Any]] = []
         for e in added_data:
@@ -1844,7 +1867,12 @@ class SparkTable:
           delete events from the ``deleted-row-id-ranges`` each recorded
           in its summary (bounded; see _row_id_ranges) — the parent data
           files are never read;
-        - the rest (CoW rewrites, which diff file CONTENT, and oversized
+        - pure CoW rewrite commits take the plan's ``targeted-diff``
+          branch: delete events from reading EXACTLY the removed files
+          (parent tombstone artifacts mask already-dead rows), insert
+          events from the added files' ranges/entries — the parent state
+          is never scanned;
+        - the rest (rewrites that also add tombstones, and oversized
           deletes that recorded no ranges) falls back per-commit to the
           full changelog(row_lineage=True) projected to the three
           columns — correct, just not metadata-only.
@@ -1912,10 +1940,31 @@ class SparkTable:
             meta, from_snapshot_id, to_snap["snapshot-id"]
         ):
             sid = plan["snapshot-id"]
-            if plan["content-fallback"]:
-                # CoW rewrites diff file CONTENT; an uncovered tombstone
-                # (oversized / pre-range-recording commit) needs the
-                # parent rows — this one commit goes through the full
+            if plan.get("targeted-diff"):
+                # pure CoW rewrite: delete events from EXACTLY the
+                # removed files (parent tombstones mask already-dead
+                # rows), never the parent state; the insert side falls
+                # through to the shared range/entry handling below
+                schema = self._current_schema(meta)
+                removed = plan["delete-file-entries"]
+                dels = self._read_entries(
+                    meta,
+                    schema,
+                    removed,
+                    plan["parent-schema-id"],
+                    with_pos=True,
+                    with_row_id=True,
+                )
+                dels = self._lineage_ids(dels, meta, removed)
+                if plan["delete-mask-entries"]:
+                    dels = self._apply_position_deletes(
+                        dels, meta, plan["delete-mask-entries"], removed
+                    )
+                parts.append(_tagged(dels, "delete", sid))
+            elif plan["content-fallback"]:
+                # an uncovered tombstone (oversized / pre-range-recording
+                # commit) or a rewrite that also added tombstones needs
+                # the parent rows — this one commit goes through the full
                 # content-reading changelog, projected to lineage keys
                 parts.append(
                     self.changelog(

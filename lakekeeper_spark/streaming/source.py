@@ -416,10 +416,15 @@ class IceliteStreamReader(DataSourceStreamReader):
           - insert-file-entries (MoR update/merge images, preserved
             rewrites) -> file partitions with an EMPTY column target
             (only those files read, never the parent state);
+          - targeted-diff commits (pure CoW rewrites) -> delete events
+            from parent-scan TASKS for exactly the removed files (the
+            task bundles each file's tombstone artifacts, so
+            already-dead rows stay out), insert events from the shared
+            range/entry handling — the parent state is never scanned;
           - content-fallback commits -> the regular CDC file tasks for
             that one commit, column target empty.
         """
-        from ..format.icelite import plan_lineage_events
+        from ..format.icelite import plan_lineage_events, plan_table_scan
 
         if not lineage:
             return
@@ -455,6 +460,34 @@ class IceliteStreamReader(DataSourceStreamReader):
             if plan["content-fallback"]:
                 self._plan_change_feed(meta, [by_id[sid]], by_id, target, parts)
                 continue
+            if plan.get("targeted-diff"):
+                # delete side: parent-scan tasks for EXACTLY the removed
+                # files (task payload carries the tombstone artifacts
+                # that mask already-dead rows); insert side shared below
+                tmap = {
+                    t["data-file"]["path"]: t
+                    for t in plan_table_scan(
+                        meta, snapshot_id=plan["parent-snapshot-id"]
+                    )["plan-tasks"]
+                }
+                rtasks = []
+                for e in plan["delete-file-entries"]:
+                    t = tmap.get(e["path"])
+                    if t is None:
+                        continue
+                    t["data-file"]["first-row-id"] = e.get("first-row-id")
+                    rtasks.append(t)
+                parts.extend(
+                    _task_partitions(
+                        meta,
+                        rtasks,
+                        self._aschema,
+                        target_override=target,
+                        change_type="delete",
+                        commit_id=sid,
+                        row_lineage=self.row_lineage,
+                    )
+                )
             if plan["insert-ranges"]:
                 _range_parts(plan["insert-ranges"], "insert", sid)
             for e in plan["insert-file-entries"]:

@@ -1,0 +1,126 @@
+"""Property test (round-15): plan_lineage_events-driven
+changelog_row_ids() equals the full content-reading
+changelog(row_lineage=True) over RANDOM DML histories — append,
+CoW/MoR/equality DELETE, CoW/MoR UPDATE, CoW/MoR MERGE, compaction,
+snapshot expiry. The plan classifies commits (ranges / image files /
+targeted-diff / content-fallback); any classification drift as DML
+evolves shows up here as an event-stream mismatch."""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from lakekeeper_spark.catalog.catalog import Catalog
+from lakekeeper_spark.catalog.metastore import Metastore
+from lakekeeper_spark.format.icelite import SparkTable
+
+SCHEMA = {
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "id", "type": "long", "required": False},
+        {"id": 2, "name": "v", "type": "string", "required": False},
+    ],
+}
+
+_OP = st.one_of(
+    st.tuples(st.just("append"), st.integers(2, 6)),
+    st.tuples(st.just("cow_del"), st.integers(0, 6)),
+    st.tuples(st.just("mor_del"), st.integers(0, 6)),
+    st.tuples(st.just("eq_del"), st.integers(0, 6)),
+    st.tuples(st.just("upd_cow"), st.integers(0, 6)),
+    st.tuples(st.just("upd_mor"), st.integers(0, 6)),
+    st.tuples(st.just("merge_cow"), st.integers(0, 6)),
+    st.tuples(st.just("merge_mor"), st.integers(0, 6)),
+    st.tuples(st.just("compact"), st.integers(0, 1)),
+    st.tuples(st.just("expire"), st.just(0)),
+)
+
+
+def _events(df) -> list[tuple]:
+    return sorted(
+        (r._row_id, r._change_type, r._commit_snapshot_id)
+        for r in df.collect()
+    )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=st.lists(_OP, min_size=1, max_size=4))
+def test_planned_events_equal_full_changelog(spark, ops):
+    tmp = tempfile.mkdtemp(prefix="lkspark_lineage_prop_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["prop"])
+    cat.create_table("wh", ["prop"], "t", SCHEMA, format_version=3)
+    t = SparkTable(spark, cat, "wh", ["prop"], "t")
+
+    next_id = 0
+
+    def _append(n: int) -> None:
+        nonlocal next_id
+        t.append(
+            spark.createDataFrame(
+                [(i, f"x{i}") for i in range(next_id, next_id + n)],
+                "id long, v string",
+            ).coalesce(1)
+        )
+        next_id += n
+
+    _append(5)  # every history starts with data on the table
+    from_sid = None
+    for op, k in ops:
+        if op == "append":
+            _append(k)
+        elif op == "cow_del":
+            t.delete_where(f"id % 7 = {k}", mode="copy-on-write")
+        elif op == "mor_del":
+            t.delete_where(f"id % 7 = {k}", mode="merge-on-read")
+        elif op == "eq_del":
+            t.delete_where(
+                f"id % 7 = {k}", mode="equality", equality_cols=["id"]
+            )
+        elif op == "upd_cow":
+            t.update_where(
+                f"id % 7 = {k}", {"v": "'u'"}, mode="copy-on-write"
+            )
+        elif op == "upd_mor":
+            t.update_where(
+                f"id % 7 = {k}", {"v": "'m'"}, mode="merge-on-read"
+            )
+        elif op in ("merge_cow", "merge_mor"):
+            src = spark.createDataFrame(
+                [(k, "merged"), (next_id + 500 + k, "new")],
+                "id long, v string",
+            ).alias("s")
+            t.merge(
+                src,
+                "t.id = s.id",
+                matched_update={"v": "s.v"},
+                mode=(
+                    "copy-on-write" if op == "merge_cow" else "merge-on-read"
+                ),
+            )
+        elif op == "compact":
+            t.rewrite_data_files(target_files=1, preserve_row_ids=bool(k))
+        elif op == "expire":
+            # the head at expiry stays retained: compare from here on
+            from_sid = t.metadata()["current-snapshot-id"]
+            t.expire_snapshots(
+                older_than_ms=int(time.time() * 1000) + 10_000,
+                retain_last=2,
+            )
+    want = _events(
+        t.changelog(from_snapshot_id=from_sid, row_lineage=True).select(
+            "_row_id", "_change_type", "_commit_snapshot_id"
+        )
+    )
+    got = _events(t.changelog_row_ids(from_snapshot_id=from_sid))
+    assert got == want

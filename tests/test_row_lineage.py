@@ -749,7 +749,7 @@ def test_plan_lineage_events_pure_and_over_http(spark, table, catalog):
     table.append(spark.createDataFrame(
         [(i, f"x{i}") for i in range(6)], "id long, v string").coalesce(1))
     table.update_where("id = 1", {"v": "'u'"}, mode="merge-on-read")
-    table.delete_where("id = 4", mode="copy-on-write")  # content commit
+    table.delete_where("id = 4", mode="copy-on-write")  # targeted diff
     meta = table.metadata()
     plans = plan_lineage_events(meta)
     assert len(plans) == 3
@@ -759,7 +759,14 @@ def test_plan_lineage_events_pure_and_over_http(spark, table, catalog):
     assert append["insert-file-entries"] == []
     assert upd["delete-ranges"] == [[1, 1]]
     assert len(upd["insert-file-entries"]) == 1  # the image file
-    assert cow["content-fallback"] is True
+    # pure CoW rewrite: targeted diff, never the full changelog — the
+    # plan names EXACTLY the removed files (delete side) and carries the
+    # parent's tombstone artifacts as the liveness mask
+    assert cow["content-fallback"] is False
+    assert cow["targeted-diff"] is True
+    assert len(cow["delete-file-entries"]) == 1  # the rewritten file
+    assert len(cow["delete-mask-entries"]) == 1  # the MoR artifact
+    assert cow["parent-schema-id"] == upd["schema-id"]
     # from/to windowing: only the update commit
     window = plan_lineage_events(
         meta,
@@ -849,3 +856,60 @@ def test_plan_lineage_events_expired_snapshot_semantics(spark, table):
     # and a from that never existed still reports non-ancestor
     with pytest.raises(ValueError, match="not an ancestor"):
         plan_lineage_events(meta, from_snapshot_id=424242)
+
+
+def test_cow_rewrite_targeted_diff_never_scans_parent_state(spark, table):
+    """Round-15: a pure CoW rewrite takes the plan's targeted-diff
+    branch — delete events come from reading EXACTLY the removed files,
+    insert events from the added files' ranges/entries — so scorching
+    every UNTOUCHED parent file leaves the event stream exact (the old
+    content-fallback ran the full changelog for the commit; it also only
+    opened those files, but the plan said nothing and a REST consumer
+    had no file list)."""
+    from pathlib import Path
+
+    from lakekeeper_spark.format.icelite import plan_lineage_events
+
+    for lo in (0, 6, 12):  # three single-file appends
+        table.append(spark.createDataFrame(
+            [(i, f"x{i}") for i in range(lo, lo + 6)], "id long, v string"
+        ).coalesce(1))
+    # CoW delete hits ids 7 and 9: ONLY the middle file is rewritten
+    table.delete_where("id IN (7, 9)", mode="copy-on-write")
+    meta = table.metadata()
+    plans = plan_lineage_events(meta)
+    cow = plans[-1]
+    assert cow["targeted-diff"] is True and not cow["content-fallback"]
+    removed_paths = {e["path"] for e in cow["delete-file-entries"]}
+    assert len(removed_paths) == 1  # exactly the middle file
+    want = _lineage_events(
+        table.changelog(row_lineage=True).select(
+            "_row_id", "_change_type", "_commit_snapshot_id"
+        )
+    )
+    # scorch every file the targeted diff must NOT need: the untouched
+    # first/third files (still live) and everything else that is neither
+    # the removed file nor a survivor written by the CoW commit
+    loc = meta["location"].replace("file://", "")
+    needed = removed_paths | {
+        e["path"] for e in meta["snapshots"][-1]["manifest"]
+        if e["path"] not in {
+            p["path"] for p in meta["snapshots"][-2]["manifest"]
+        }
+    }
+    scorched = 0
+    for p in Path(loc, "data").rglob("*.parquet"):
+        rel = p.relative_to(loc).as_posix()
+        if rel not in needed:
+            p.write_bytes(b"\xff" * 64)
+            scorched += 1
+    assert scorched >= 2  # the two untouched live files
+    got = _lineage_events(table.changelog_row_ids())
+    assert got == want
+    kinds = {}
+    for rid, ct, _ in got:
+        kinds.setdefault(ct, set()).add(rid)
+    # all 6 parent rows of the rewritten file emit deletes; the 4
+    # survivors re-emit as inserts (carry-over pairs, changelog parity)
+    assert kinds["delete"] & {7, 9}
+    assert len([r for r in kinds["delete"]]) >= 6

@@ -708,3 +708,69 @@ def test_lineage_events_requires_v3(spark, feed):
     collected: dict = {}
     with pytest.raises(Exception, match="format-version"):
         _drain_events(spark, mpath, collected, namespace="s")
+
+
+def test_lineage_events_stream_cow_rewrite_is_targeted(spark, tmp_path):
+    """Round-15: a pure CoW rewrite streams through the plan's
+    targeted-diff branch — delete tasks name EXACTLY the removed files
+    (with their tombstone-artifact masks), inserts come from the shared
+    range/entry handling — so scorching every untouched live file leaves
+    the streamed event set equal to changelog_row_ids()."""
+    from pathlib import Path
+
+    try:
+        spark.dataSource.register(IceliteStreamDataSource)
+    except Exception:
+        pass
+    cat = Catalog(Metastore(str(tmp_path / "mcow.db")))
+    cat.create_warehouse("wh", str(tmp_path / "whcow"))
+    cat.create_namespace("wh", ["cow"])
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(6)], "k long, v double"
+    )
+    cat.create_table(
+        "wh", ["cow"], "t", struct_to_schema(df.schema), format_version=3
+    )
+    t = SparkTable(spark, cat, "wh", ["cow"], "t")
+    t.append(df.coalesce(1))  # file A: k 0..5
+    t.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(6, 12)], "k long, v double"
+    ).coalesce(1))  # file B: k 6..11
+    t.delete_where("k IN (7, 9)", mode="copy-on-write")  # rewrites B only
+    meta = t.metadata()
+    from lakekeeper_spark.format.icelite import plan_lineage_events
+
+    cow = plan_lineage_events(meta)[-1]
+    assert cow["targeted-diff"] is True
+    want = sorted(
+        (r._row_id, r._change_type, r._commit_snapshot_id)
+        for r in t.changelog_row_ids().collect()
+    )
+    # scorch file A (untouched, still live): the stream must not open it
+    needed = {e["path"] for e in cow["delete-file-entries"]} | {
+        e["path"] for e in meta["snapshots"][-1]["manifest"]
+        if e["path"] not in {
+            p["path"] for p in meta["snapshots"][-2]["manifest"]
+        }
+    }
+    loc = meta["location"].replace("file://", "")
+    scorched = 0
+    for p in Path(loc, "data").rglob("*.parquet"):
+        if p.relative_to(loc).as_posix() not in needed:
+            p.write_bytes(b"\xff" * 64)
+            scorched += 1
+    assert scorched >= 1
+    collected: dict = {}
+    _drain_events(spark, str(tmp_path / "mcow.db"), collected,
+                  namespace="cow")
+    got = sorted(
+        (r._row_id, r._change_type, r._commit_snapshot_id)
+        for b in collected.values()
+        for r in b
+    )
+    assert got == want
+    kinds = {}
+    for rid, ct, _ in got:
+        kinds.setdefault(ct, set()).add(rid)
+    # all 6 parent rows of file B emit deletes; 4 survivors re-insert
+    assert len(kinds["delete"]) >= 6 and 7 in kinds["delete"]
