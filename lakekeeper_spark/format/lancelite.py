@@ -37,14 +37,21 @@ public ``file2.proto`` / ``file.proto``:
 - column metadata = ``ColumnMetadata{ pages=1 }`` with
   ``Page{ buffer_offsets=1, buffer_sizes=2, length=3, encoding=4,
   priority=5 }`` (packed uint64s);
-- ``Encoding{ direct=1 }`` / ``DirectEncoding{ encoding=1 bytes }`` —
-  real Lance packs a ``google.protobuf.Any`` encoding message into those
-  bytes; lancelite packs its own ``LanceliteEncoding`` message there
-  (kind / has_validity / dim / page zone-map stats), which is the one
-  deliberate payload divergence left: the bytes ARE protobuf, but the
-  inner encoding vocabulary is the lancelite subset's, so a real-library
-  file whose encodings fall outside the subset raises the actionable
-  "needs the lance library" error instead of mis-decoding;
+- ``Encoding{ direct=1 }`` / ``DirectEncoding{ encoding=1 }`` — the
+  encoding bytes are a ``google.protobuf.Any`` (type_url + value)
+  wrapping the page's ``lance.encodings.ArrayEncoding`` message, the
+  real-library layout (round-15): ``Nullable{no_nulls|some_nulls}``
+  over ``Flat`` / ``Binary`` (32-bit offsets + bytes) /
+  ``FixedSizeList``, buffers referenced by page index (honored on read,
+  whatever order the file stored them in). Page zone-map stats ride in
+  DirectEncoding field 2 — a documented VENDOR field real parsers skip
+  as unknown, so field 1 stays the real shape. Files whose encodings
+  fall outside this vocabulary (all-null pages, non-flat validity,
+  dictionary/packed-struct/mini-block layouts, non-page buffers) raise
+  the actionable "needs the lance library" error instead of
+  mis-decoding; the ArrayEncoding field numbers follow the public
+  ``encodings.proto`` shapes. Round-14 files (a ``LanceliteEncoding``
+  message in those bytes) auto-detect and stay readable;
 - file descriptor = ``FileDescriptor{ schema=1, num_rows=2 }`` with
   ``Schema{ fields=1, metadata=2 }`` and the ``file.proto``
   ``Field{ type=1, name=2, id=3, parent_id=4, logical_type=5,
@@ -102,7 +109,7 @@ _FIXED = {  # logical type -> (numpy dtype, bytes per value)
 # protobuf message schemas (file2.proto / file.proto shapes; see module
 # docstring). protowire is schema-driven: name -> (field number, kind).
 # ---------------------------------------------------------------------------
-_P_LL_ENCODING = {  # lancelite's payload inside DirectEncoding.encoding
+_P_LL_ENCODING = {  # LEGACY round-14 payload inside DirectEncoding.encoding
     "kind": (1, "string"),  # plain | utf8 | fsl
     "has_validity": (2, "bool"),
     "dim": (3, "uint32"),  # fsl only
@@ -113,7 +120,64 @@ _P_LL_ENCODING = {  # lancelite's payload inside DirectEncoding.encoding
     "min_double": (8, "double"),
     "max_double": (9, "double"),
 }
-_P_DIRECT_ENCODING = {"encoding": (1, "bytes")}
+# google.protobuf.Any (well-known type): real Lance packs the page's
+# ArrayEncoding message into DirectEncoding.encoding through this
+# wrapper — type_url names the message, value carries its bytes.
+_P_ANY = {"type_url": (1, "string"), "value": (2, "bytes")}
+_AE_TYPE_URL = "type.googleapis.com/lance.encodings.ArrayEncoding"
+# lance.encodings ArrayEncoding subset (public encodings.proto shapes;
+# recursive message — the dict cycle is created by .update below).
+# Covered vocabulary: Flat values, Nullable{no_nulls|some_nulls},
+# FixedSizeList, Binary (offsets+bytes). Encodings outside it raise the
+# actionable "needs the lance library" error instead of mis-decoding.
+_P_AE: dict = {}
+_P_AE_BUFFER = {  # Buffer { buffer_index, buffer_type enum (0 = page) }
+    "buffer_index": (1, "uint64"),
+    "buffer_type": (2, "uint32"),
+}
+_P_AE_FLAT = {
+    "bits_per_value": (1, "uint64"),
+    "buffer": (2, "msg", _P_AE_BUFFER),
+}
+_P_AE_NO_NULL = {"values": (1, "msg", _P_AE)}
+_P_AE_ALL_NULL: dict = {}
+_P_AE_SOME_NULL = {
+    "validity": (1, "msg", _P_AE),
+    "values": (2, "msg", _P_AE),
+}
+_P_AE_NULLABLE = {
+    "no_nulls": (1, "msg", _P_AE_NO_NULL),
+    "all_nulls": (2, "msg", _P_AE_ALL_NULL),
+    "some_nulls": (3, "msg", _P_AE_SOME_NULL),
+}
+_P_AE_FSL = {"dimension": (1, "uint64"), "items": (2, "msg", _P_AE)}
+_P_AE_BINARY = {
+    "indices": (1, "msg", _P_AE),
+    "bytes": (2, "msg", _P_AE),
+    "null_adjustment": (3, "uint64"),
+}
+_P_AE.update(
+    {
+        "flat": (1, "msg", _P_AE_FLAT),
+        "nullable": (2, "msg", _P_AE_NULLABLE),
+        "fixed_size_list": (3, "msg", _P_AE_FSL),
+        "binary": (4, "msg", _P_AE_BINARY),
+    }
+)
+# page zone-map stats: a lancelite VENDOR field (number 2) on
+# DirectEncoding — real parsers skip unknown fields, so the Any-wrapped
+# ArrayEncoding in field 1 stays exactly the real-library layout
+_P_PAGE_STATS = {
+    "stats_float": (1, "bool"),
+    "min_int": (2, "sint64"),
+    "max_int": (3, "sint64"),
+    "min_double": (4, "double"),
+    "max_double": (5, "double"),
+}
+_P_DIRECT_ENCODING = {
+    "encoding": (1, "bytes"),
+    "stats": (2, "msg", _P_PAGE_STATS),
+}
 _P_ENCODING = {"direct": (1, "msg", _P_DIRECT_ENCODING)}
 _P_PAGE = {
     "buffer_offsets": (1, "packed_uint64"),
@@ -281,33 +345,194 @@ def _fields_from_proto(pfields: list[dict]) -> list[Field]:
 # metadata payload (de)serialization: protobuf, with a JSON read fallback
 # for files written by earlier lancelite rounds
 # ---------------------------------------------------------------------------
-def _enc_to_proto(enc: dict, stats: dict | None, is_float: bool) -> dict:
-    doc = {
-        "kind": enc["type"],
-        "has_validity": bool(enc.get("has_validity")),
-        "dim": int(enc.get("dim", 0)),
+def _ae_flat(bits: int, buffer_index: int) -> dict:
+    return {
+        "flat": {
+            "bits_per_value": bits,
+            "buffer": {"buffer_index": buffer_index},
+        }
+    }
+
+
+def _enc_to_proto(enc: dict, stats: dict | None, field: Field) -> dict:
+    """Page encoding descriptor, real-library layout (round-15):
+    DirectEncoding.encoding = google.protobuf.Any wrapping the page's
+    lance.encodings.ArrayEncoding tree (Nullable{no_nulls|some_nulls}
+    over Flat / Binary / FixedSizeList, buffers referenced by page
+    index). Zone-map stats ride in DirectEncoding field 2 — a vendor
+    field real parsers skip, keeping field 1 byte-compatible."""
+    has_validity = bool(enc.get("has_validity"))
+    i = 1 if has_validity else 0  # value buffers follow the validity
+    kind = enc["type"]
+    if kind == "plain":
+        values = _ae_flat(_FIXED[field.type][1] * 8, i)
+    elif kind == "utf8":
+        values = {
+            "binary": {"indices": _ae_flat(32, i), "bytes": _ae_flat(8, i + 1)}
+        }
+    elif kind == "fsl":
+        values = {
+            "fixed_size_list": {
+                "dimension": int(enc["dim"]),
+                "items": _ae_flat(32, i),
+            }
+        }
+    else:  # pragma: no cover - writer guards earlier
+        raise LanceLiteError(f"unsupported type: {kind!r}")
+    ae = {
+        "nullable": (
+            {"some_nulls": {"validity": _ae_flat(1, 0), "values": values}}
+            if has_validity
+            else {"no_nulls": {"values": values}}
+        )
+    }
+    direct: dict = {
+        "encoding": encode_message(
+            _P_ANY,
+            {"type_url": _AE_TYPE_URL, "value": encode_message(_P_AE, ae)},
+        )
     }
     if stats is not None:
-        doc["has_stats"] = True
-        doc["stats_float"] = is_float
+        is_float = field.type in ("float32", "float64")
+        s: dict = {"stats_float": is_float}
         if is_float:
-            doc["min_double"] = float(stats["min"])
-            doc["max_double"] = float(stats["max"])
+            s["min_double"] = float(stats["min"])
+            s["max_double"] = float(stats["max"])
         else:
-            doc["min_int"] = int(stats["min"])
-            doc["max_int"] = int(stats["max"])
-    return {"direct": {"encoding": encode_message(_P_LL_ENCODING, doc)}}
+            s["min_int"] = int(stats["min"])
+            s["max_int"] = int(stats["max"])
+        direct["stats"] = s
+    return {"direct": direct}
+
+
+def _unsupported(what: str) -> LanceLiteError:
+    return LanceLiteError(
+        f"{what} — this Lance file's encodings are outside the lancelite "
+        "subset and need the lance library (register_lance_reader)"
+    )
+
+
+def _ae_unwrap_no_nulls(node: dict | None) -> dict | None:
+    """Real Lance sometimes wraps inner value encodings in a redundant
+    Nullable.no_nulls; unwrap those so the dispatch below sees the
+    value encoding itself."""
+    while (
+        node is not None
+        and node.get("nullable") is not None
+        and node["nullable"].get("no_nulls") is not None
+    ):
+        node = node["nullable"]["no_nulls"]["values"]
+    return node
+
+
+def _ae_buffer_index(flat: dict, what: str) -> int:
+    buf = flat.get("buffer") or {}
+    if buf.get("buffer_type", 0) != 0:  # 0 = page buffer
+        raise _unsupported(f"{what} references a non-page buffer")
+    return int(buf.get("buffer_index", 0))
+
+
+def _enc_from_array_encoding(ae: dict) -> dict:
+    """Map a decoded lance.encodings.ArrayEncoding tree onto lancelite's
+    internal page-encoding dict. ``buffer_order`` lists the page-buffer
+    indexes in [validity?, value buffers...] order so _decode_page can
+    honor the message's buffer references whatever order the file
+    stored them in."""
+    has_validity = False
+    order: list[int] = []
+    node: dict | None = ae
+    nul = ae.get("nullable")
+    if nul is not None:
+        if nul.get("all_nulls") is not None:
+            raise _unsupported("all-null page encoding")
+        if nul.get("some_nulls") is not None:
+            sn = nul["some_nulls"]
+            has_validity = True
+            validity = _ae_unwrap_no_nulls(sn.get("validity"))
+            if validity is None or validity.get("flat") is None:
+                raise _unsupported("non-flat validity encoding")
+            order.append(_ae_buffer_index(validity["flat"], "validity"))
+            node = sn.get("values")
+        elif nul.get("no_nulls") is not None:
+            node = nul["no_nulls"]["values"]
+        else:
+            raise _unsupported("empty Nullable encoding")
+    node = _ae_unwrap_no_nulls(node)
+    if node is None:
+        raise _unsupported("missing value encoding")
+    enc: dict = {"has_validity": has_validity}
+    if node.get("flat") is not None:
+        enc["type"] = "plain"
+        order.append(_ae_buffer_index(node["flat"], "flat values"))
+    elif node.get("binary") is not None:
+        b = node["binary"]
+        idx = _ae_unwrap_no_nulls(b.get("indices"))
+        byt = _ae_unwrap_no_nulls(b.get("bytes"))
+        if (
+            idx is None
+            or idx.get("flat") is None
+            or byt is None
+            or byt.get("flat") is None
+        ):
+            raise _unsupported("non-flat binary encoding")
+        if int(idx["flat"].get("bits_per_value", 0)) != 32:
+            raise _unsupported("binary offsets are not 32-bit")
+        enc["type"] = "utf8"
+        order.append(_ae_buffer_index(idx["flat"], "binary offsets"))
+        order.append(_ae_buffer_index(byt["flat"], "binary bytes"))
+    elif node.get("fixed_size_list") is not None:
+        fsl = node["fixed_size_list"]
+        items = _ae_unwrap_no_nulls(fsl.get("items"))
+        if items is None or items.get("flat") is None:
+            raise _unsupported("non-flat fixed-size-list items")
+        if int(items["flat"].get("bits_per_value", 0)) != 32:
+            raise _unsupported("fixed-size-list items are not 32-bit")
+        enc["type"] = "fsl"
+        enc["dim"] = int(fsl.get("dimension", 0))
+        order.append(_ae_buffer_index(items["flat"], "fsl items"))
+    else:
+        raise _unsupported("unrecognized ArrayEncoding variant")
+    enc["buffer_order"] = order
+    return enc
 
 
 def _enc_from_proto(pmsg: dict | None) -> tuple[dict, dict | None]:
     direct = (pmsg or {}).get("direct")
     if not direct or not direct.get("encoding"):
-        raise LanceLiteError(
-            "page has no direct encoding — this Lance file's encodings are "
-            "outside the lancelite subset and need the lance library "
-            "(register_lance_reader)"
-        )
-    doc = decode_message(_P_LL_ENCODING, direct["encoding"])
+        raise _unsupported("page has no direct encoding")
+    raw = direct["encoding"]
+    # real-library layout first: a google.protobuf.Any wrapping the
+    # page's ArrayEncoding (legacy LanceliteEncoding bytes either fail
+    # the Any parse — field 2 is a varint there — or surface a kind
+    # string in type_url that never matches the ArrayEncoding URL)
+    any_msg = None
+    try:
+        any_msg = decode_message(_P_ANY, raw)
+    except ProtoWireError:
+        pass
+    if any_msg is not None and any_msg.get("type_url", "").endswith(
+        "lance.encodings.ArrayEncoding"
+    ):
+        try:
+            ae = decode_message(_P_AE, any_msg.get("value", b""))
+        except ProtoWireError as e:
+            raise LanceLiteError(
+                f"Any-wrapped ArrayEncoding does not parse: {e}"
+            ) from e
+        enc = _enc_from_array_encoding(ae)
+        stats = None
+        s = direct.get("stats") if isinstance(direct, dict) else None
+        if s:
+            stats = (
+                {"min": s["min_double"], "max": s["max_double"]}
+                if s["stats_float"]
+                else {"min": s["min_int"], "max": s["max_int"]}
+            )
+        return enc, stats
+    # legacy round-14 LanceliteEncoding payload
+    doc = decode_message(_P_LL_ENCODING, raw)
+    if doc["kind"] not in ("plain", "utf8", "fsl"):
+        raise _unsupported(f"unknown page encoding {doc['kind']!r}")
     enc = {
         "type": doc["kind"],
         "has_validity": doc["has_validity"],
@@ -324,7 +549,7 @@ def _enc_from_proto(pmsg: dict | None) -> tuple[dict, dict | None]:
     return enc, stats
 
 
-def _col_meta_to_bytes(cm: dict, is_float: bool) -> bytes:
+def _col_meta_to_bytes(cm: dict, field: Field) -> bytes:
     pages = []
     for p in cm["pages"]:
         pages.append(
@@ -334,7 +559,7 @@ def _col_meta_to_bytes(cm: dict, is_float: bool) -> bytes:
                 "length": p["length"],
                 "priority": p["priority"],
                 "encoding": _enc_to_proto(
-                    p["encoding"], p.get("stats"), is_float
+                    p["encoding"], p.get("stats"), field
                 ),
             }
         )
@@ -470,6 +695,16 @@ def _decode_page(field: Field, enc: dict, bufs: list[bytes], n: int):
     raise LanceLiteError instead of yielding undefined values."""
     import pyarrow as pa
 
+    order = enc.get("buffer_order")
+    if order is not None:
+        # ArrayEncoding messages reference page buffers by index; honor
+        # them (our writer stores buffers in reference order, but a
+        # real-library file may not)
+        if any(ix >= len(bufs) for ix in order):
+            raise LanceLiteError(
+                "encoding references a page buffer that does not exist"
+            )
+        bufs = [bufs[ix] for ix in order]
     i = 0
     validity = None
     if enc.get("has_validity"):
@@ -586,11 +821,7 @@ def write_file(
             if stats is not None:
                 page["stats"] = stats
             pages.append(page)
-        col_blobs.append(
-            _col_meta_to_bytes(
-                {"pages": pages}, is_float=f.type in ("float32", "float64")
-            )
-        )
+        col_blobs.append(_col_meta_to_bytes({"pages": pages}, f))
 
     # column metadata section + its offset table
     col_meta_start = len(out)

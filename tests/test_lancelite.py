@@ -664,3 +664,274 @@ def test_legacy_json_metadata_files_still_read(tmp_path):
     # zone maps from JSON stats work too
     _, pruned = ll.read_file(p, range_filter={"k": (100, 200)})
     assert pruned["k"] == []  # single page skipped by its stats
+
+
+# --------------------------------------------------------------------------
+# round-15: google.protobuf.Any-wrapped ArrayEncoding (real-library layout)
+# --------------------------------------------------------------------------
+def _uv(v):
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _vi(num, v):
+    return _uv((num << 3) | 0) + _uv(v)
+
+
+def _ld(num, payload):
+    return _uv((num << 3) | 2) + _uv(len(payload)) + payload
+
+
+def _ae_flat(bits, idx):
+    buf = _vi(1, idx) if idx else b""
+    return _ld(1, _vi(1, bits) + _ld(2, buf))  # ArrayEncoding.flat
+
+
+def _any_ae(ae_bytes):
+    url = b"type.googleapis.com/lance.encodings.ArrayEncoding"
+    return _ld(1, url) + _ld(2, ae_bytes)
+
+
+def _page(offs, sizes, length, enc_any):
+    packed = lambda vs: b"".join(_uv(v) for v in vs)  # noqa: E731
+    direct = _ld(1, enc_any)
+    encoding = _ld(1, direct)
+    return (
+        _ld(1, packed(offs)) + _ld(2, packed(sizes))
+        + _vi(3, length) + _ld(4, encoding)
+    )
+
+
+def _field_msg(ftype, name, fid, parent, logical, nullable):
+    b = b""
+    if ftype:
+        b += _vi(1, ftype)
+    b += _ld(2, name.encode())
+    if fid:
+        b += _vi(3, fid)
+    b += _vi(4, parent & ((1 << 64) - 1))
+    b += _ld(5, logical.encode())
+    if nullable:
+        b += _vi(6, 1)
+    return b
+
+
+def test_real_layout_any_array_encoding_fixture_reads(tmp_path):
+    """A hand-assembled file in the REAL library's layout — Any-wrapped
+    lance.encodings.ArrayEncoding page descriptors, buffers stored in a
+    DIFFERENT order than [validity, values] and referenced by
+    buffer_index — reads through lancelite without the 'needs the lance
+    library' branch. This is the golden-fixture proof that the round-15
+    encoding vocabulary is the real one, not a lancelite-private
+    message."""
+    out = bytearray()
+
+    # column k: int64 with a null; buffers stored [values, validity]
+    # (scrambled on purpose) — the encoding references them by index
+    import struct as _s
+
+    k_vals = _s.pack("<3q", 7, 0, 9)
+    k_valid = bytes([0b101])
+    k_offs, k_sizes = [len(out), len(out) + len(k_vals)], [
+        len(k_vals), len(k_valid)]
+    out += k_vals + k_valid
+    k_ae = _ld(2, _ld(3,  # Nullable.some_nulls
+        _ld(1, _ae_flat(1, 1))      # validity -> buffer 1
+        + _ld(2, _ae_flat(64, 0))   # values   -> buffer 0
+    ))
+    # column s: utf8, no nulls; buffers stored [bytes, offsets]
+    s_data = b"abxyz"
+    s_off = _s.pack("<4i", 0, 2, 2, 5)
+    s_offs, s_sizes = [len(out), len(out) + len(s_data)], [
+        len(s_data), len(s_off)]
+    out += s_data + s_off
+    s_ae = _ld(2, _ld(1, _ld(1,  # Nullable.no_nulls.values
+        _ld(4, _ld(1, _ae_flat(32, 1)) + _ld(2, _ae_flat(8, 0)))  # Binary
+    )))
+    # column v: fixed_size_list<float32, 2>, no nulls
+    v_vals = _s.pack("<6f", 1, 2, 3, 4, 5, 6)
+    v_offs, v_sizes = [len(out)], [len(v_vals)]
+    out += v_vals
+    v_ae = _ld(2, _ld(1, _ld(1,  # Nullable.no_nulls.values
+        _ld(3, _vi(1, 2) + _ld(2, _ae_flat(32, 0)))  # FixedSizeList dim=2
+    )))
+
+    cms = [
+        _ld(1, _page(k_offs, k_sizes, 3, _any_ae(k_ae))),
+        _ld(1, _page(s_offs, s_sizes, 3, _any_ae(s_ae))),
+        _ld(1, _page(v_offs, v_sizes, 3, _any_ae(v_ae))),
+    ]
+    cm_start = len(out)
+    cm_entries = []
+    for blob in cms:
+        cm_entries.append((len(out), len(blob)))
+        out += blob
+    cmo = len(out)
+    for o, s in cm_entries:
+        out += _s.pack("<QQ", o, s)
+    schema = (
+        _ld(1, _field_msg(2, "k", 0, -1, "int64", True))
+        + _ld(1, _field_msg(2, "s", 1, -1, "string", True))
+        + _ld(1, _field_msg(0, "v", 2, -1, "fixed_size_list:2", True))
+        + _ld(1, _field_msg(2, "item", 3, 2, "float", True))
+    )
+    desc = _ld(1, schema) + _vi(2, 3)
+    gb = [(len(out), len(desc))]
+    out += desc
+    gbo = len(out)
+    for o, s in gb:
+        out += _s.pack("<QQ", o, s)
+    out += _s.pack("<QQQIIHH4s", cm_start, cmo, gbo, 1, 3, 0, 3, b"LANC")
+    p = str(tmp_path / "real.lance")
+    open(p, "wb").write(bytes(out))
+
+    fields, cols = ll.read_file(p)
+    assert [f.name for f in fields] == ["k", "s", "v"]
+    assert cols["k"] == [7, None, 9]
+    assert cols["s"] == ["ab", "", "xyz"]
+    assert cols["v"] == [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+
+
+def test_written_pages_carry_any_wrapped_array_encoding(tmp_path):
+    """The writer's own page descriptors are Any-wrapped ArrayEncoding
+    messages (validated with the independent test-local parser), with
+    zone-map stats in DirectEncoding's documented vendor field 2 —
+    never in the Any."""
+    p = str(tmp_path / "f.lance")
+    ll.write_file(p, FIELDS, _columns(6))
+    data = open(p, "rb").read()
+    cm_start, cmo, _, _, n_cols = struct.unpack_from(
+        "<QQQII", data, len(data) - 40
+    )
+    for ci in range(n_cols):
+        off, size = struct.unpack_from("<QQ", data, cmo + 16 * ci)
+        cm = _pb_parse(data[off:off + size])
+        for pg_bytes in cm[1]:
+            pg = _pb_parse(pg_bytes)
+            direct = _pb_parse(_pb_parse(pg[4][0])[1][0])
+            any_msg = _pb_parse(direct[1][0])
+            assert any_msg[1][0] == (
+                b"type.googleapis.com/lance.encodings.ArrayEncoding"
+            )
+            ae = _pb_parse(any_msg[2][0])
+            assert 2 in ae  # Nullable wrapper (no_nulls or some_nulls)
+            if 2 in direct:  # vendor stats field: a message, not Any
+                st = _pb_parse(direct[2][0])
+                assert set(st) <= {1, 2, 3, 4, 5}
+
+
+def test_legacy_round14_encoding_payloads_still_read(tmp_path):
+    """Files written by round-14 lancelite carried a LanceliteEncoding
+    message in DirectEncoding.encoding; the reader auto-detects and
+    stays exact."""
+    p = str(tmp_path / "f.lance")
+    ll.write_file(p, FIELDS, _columns(5))
+    data = bytearray(open(p, "rb").read())
+    cm_start, cmo, gbo, ngb, n_cols = struct.unpack_from(
+        "<QQQII", data, len(data) - 40
+    )
+    # rewrite every column's metadata with the legacy payload
+    from lakekeeper_spark.format.protowire import encode_message
+    from lakekeeper_spark.format.lancelite import (
+        _P_COLUMN_METADATA, _P_LL_ENCODING, parse_column_metadata,
+    )
+
+    legacy_blobs = []
+    for ci in range(n_cols):
+        off, size = struct.unpack_from("<QQ", data, cmo + 16 * ci)
+        cm = parse_column_metadata(bytes(data[off:off + size]))
+        pages = []
+        for pg in cm["pages"]:
+            enc = pg["encoding"]
+            doc = {"kind": enc["type"],
+                   "has_validity": enc["has_validity"],
+                   "dim": int(enc.get("dim", 0))}
+            if pg.get("stats") is not None:
+                is_f = isinstance(pg["stats"]["min"], float)
+                doc["has_stats"] = True
+                doc["stats_float"] = is_f
+                if is_f:
+                    doc["min_double"] = pg["stats"]["min"]
+                    doc["max_double"] = pg["stats"]["max"]
+                else:
+                    doc["min_int"] = pg["stats"]["min"]
+                    doc["max_int"] = pg["stats"]["max"]
+            pages.append({
+                "buffer_offsets": pg["buffer_offsets"],
+                "buffer_sizes": pg["buffer_sizes"],
+                "length": pg["length"], "priority": pg["priority"],
+                "encoding": {"direct": {
+                    "encoding": encode_message(_P_LL_ENCODING, doc)}},
+            })
+        legacy_blobs.append(
+            encode_message(_P_COLUMN_METADATA, {"pages": pages}))
+    # rebuild the file with the legacy metadata section
+    body = bytes(data[:cm_start])
+    out = bytearray(body)
+    cm_entries = []
+    for blob in legacy_blobs:
+        cm_entries.append((len(out), len(blob)))
+        out += blob
+    cmo2 = len(out)
+    for o, s in cm_entries:
+        out += struct.pack("<QQ", o, s)
+    goff, gsize = struct.unpack_from("<QQ", data, gbo)
+    desc = bytes(data[goff:goff + gsize])
+    gb_entries = [(len(out), len(desc))]
+    out += desc
+    gbo2 = len(out)
+    for o, s in gb_entries:
+        out += struct.pack("<QQ", o, s)
+    out += struct.pack(
+        "<QQQIIHH4s", cm_start, cmo2, gbo2, 1, n_cols, 0, 3, b"LANC")
+    p2 = str(tmp_path / "legacy14.lance")
+    open(p2, "wb").write(bytes(out))
+    f1, c1 = ll.read_file(p)
+    f2, c2 = ll.read_file(p2)
+    assert c1 == c2
+
+
+def test_unsupported_array_encodings_raise_actionable(tmp_path):
+    """All-null pages and unknown ArrayEncoding variants are OUTSIDE the
+    lancelite subset: the error says to register the real library."""
+    import struct as _s
+
+    def mini_file(ae_bytes, bufs):
+        out = bytearray()
+        offs, sizes = [], []
+        for b in bufs:
+            offs.append(len(out))
+            sizes.append(len(b))
+            out += b
+        cm = _ld(1, _page(offs, sizes, 2, _any_ae(ae_bytes)))
+        cm_start = len(out)
+        out += cm
+        cmo = len(out)
+        out += _s.pack("<QQ", cm_start, len(cm))
+        desc = _ld(1, _ld(1, _field_msg(2, "k", 0, -1, "int64", True))) \
+            + _vi(2, 2)
+        gb_off = len(out)
+        out += desc
+        gbo = len(out)
+        out += _s.pack("<QQ", gb_off, len(desc))
+        out += _s.pack(
+            "<QQQIIHH4s", cm_start, cmo, gbo, 1, 1, 0, 3, b"LANC")
+        p = str(tmp_path / f"bad{len(ae_bytes)}.lance")
+        open(p, "wb").write(bytes(out))
+        return p
+
+    # Nullable.all_nulls (field 2, empty message)
+    p = mini_file(_ld(2, _ld(2, b"")), [b"\x00" * 16])
+    with pytest.raises(LanceLiteError, match="lance library"):
+        ll.read_file(p)
+    # unknown variant (field number 9: not in the subset)
+    p = mini_file(_ld(9, _vi(1, 1)), [b"\x00" * 16])
+    with pytest.raises(LanceLiteError, match="lance library"):
+        ll.read_file(p)
