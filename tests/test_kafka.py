@@ -143,6 +143,7 @@ class _BrokerHandler(socketserver.BaseRequestHandler):
             (blen,) = struct.unpack(">i", req[pos : pos + 4])
             pos += 4
             batch = req[pos : pos + blen]
+            cluster.produce_requests += 1
             err = cluster.force_error
             if not err and cluster.leader_of(partition) != srv.node_id:
                 err = 6  # NOT_LEADER_OR_FOLLOWER
@@ -156,6 +157,14 @@ class _BrokerHandler(socketserver.BaseRequestHandler):
                         )
                 except KafkaProtocolError:
                     err = 2  # CORRUPT_MESSAGE
+            # partial-failure scripts (one-shot): the write LANDED but
+            # the producer never learns it —
+            if not err and cluster.timeout_after_write:
+                cluster.timeout_after_write = False
+                err = 7  # REQUEST_TIMED_OUT, after appending
+            if not err and cluster.reset_before_reply:
+                cluster.reset_before_reply = False
+                return  # connection reset mid-batch: no response at all
             # response: correlation, topics[name, parts[idx,err,off,lat]], throttle
             part_resp = struct.pack(">ihqq", partition, err, base_offset, -1)
             topic_resp = (
@@ -195,6 +204,9 @@ class ScriptedBroker:
         self.die_after = die_after
         self.n_partitions = n_partitions
         self.leader_shift = 0
+        self.produce_requests = 0
+        self.timeout_after_write = False  # one-shot: append, reply err 7
+        self.reset_before_reply = False  # one-shot: append, close socket
         self.brokers = [
             _BrokerServer(self, nid) for nid in range(n_brokers)
         ]
@@ -426,3 +438,88 @@ def test_too_old_broker_rejected_at_handshake():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+# ---------------------------------------------------------------------------
+# round-15: recoverable-error matrix — delivery accounting under partial
+# failure. The producer's contract: ROUTING errors (3/5/6) refresh+retry
+# once; REQUEST_TIMED_OUT and transport failures raise THROUGH without a
+# retry, because the write may have landed — an automatic retry would
+# duplicate the event, and FanoutPublisher's drop accounting must see
+# the failure instead.
+# ---------------------------------------------------------------------------
+def test_request_timed_out_raises_without_retry_no_duplicate():
+    """Broker appends the batch, then times out the response: the
+    producer must NOT blindly retry (that duplicates the record) — it
+    raises, fan-out accounting records the drop, and the next publish
+    delivers. Net: every event at most once in the log, failures
+    visible."""
+    srv = ScriptedBroker()
+    try:
+        srv.timeout_after_write = True
+        fan = FanoutPublisher(KafkaPublisher("127.0.0.1", srv.port, topic="t"))
+        fan.publish({"id": "e1"})  # lands, but the producer sees err 7
+        assert fan.dropped == 1
+        fan.publish({"id": "e2"})
+        assert fan.dropped == 1
+        ids = [json.loads(v)["id"] for _, _, v in srv.messages]
+        assert ids == ["e1", "e2"]  # e1 exactly ONCE: no retry-duplicate
+        # exactly one produce request per publish: no hidden retry
+        assert srv.produce_requests == 2
+    finally:
+        srv.stop()
+
+
+def test_request_timed_out_error_is_named_and_single_attempt():
+    """A persistent REQUEST_TIMED_OUT raises with the error name after
+    ONE produce attempt (it is not in the routing-error retry set)."""
+    srv = ScriptedBroker(force_error=7)
+    try:
+        pub = KafkaPublisher("127.0.0.1", srv.port, topic="t")
+        with pytest.raises(KafkaProtocolError, match="REQUEST_TIMED_OUT"):
+            pub.publish({"id": "e1"})
+        assert srv.produce_requests == 1  # no refresh+retry for code 7
+    finally:
+        srv.stop()
+
+
+def test_connection_reset_mid_batch_no_loss_no_duplicate():
+    """Broker reads the produce request, appends it, then resets the
+    connection without replying: the producer raises (the response
+    never came — delivery UNKNOWN), the dead socket is discarded, and
+    the next publish reconnects and delivers. The log holds each event
+    exactly once; the drop counter shows the failed confirmation."""
+    srv = ScriptedBroker()
+    try:
+        srv.reset_before_reply = True
+        fan = FanoutPublisher(KafkaPublisher("127.0.0.1", srv.port, topic="t"))
+        fan.publish({"id": "e1"})  # reset mid-batch after the append
+        assert fan.dropped == 1
+        fan.publish({"id": "e2"})  # lazy reconnect
+        fan.publish({"id": "e3"})
+        assert fan.dropped == 1
+        ids = [json.loads(v)["id"] for _, _, v in srv.messages]
+        assert ids == ["e1", "e2", "e3"]  # nothing lost, nothing doubled
+        assert srv.produce_requests == 3
+    finally:
+        srv.stop()
+
+
+def test_routing_error_retry_does_not_duplicate_across_cluster():
+    """The one sanctioned retry (leadership moved) must also deliver
+    exactly once: moving leadership between two brokers mid-stream
+    yields every event exactly once in the shared log, with the retried
+    produce landing on the NEW leader."""
+    srv = ScriptedBroker(n_brokers=2, n_partitions=2)
+    try:
+        pub = KafkaPublisher("127.0.0.1", srv.port, topic="t")
+        pub.publish({"id": "e1", "tabular-id": "k1"})
+        srv.leader_shift = 1  # every partition's leader moves
+        pub.publish({"id": "e2", "tabular-id": "k1"})  # NOT_LEADER -> retry
+        pub.publish({"id": "e3", "tabular-id": "k1"})
+        ids = [json.loads(v)["id"] for _, _, v in srv.messages]
+        assert ids == ["e1", "e2", "e3"]  # exactly once each
+        # e2 cost two produce requests (stale leader + retry), e1/e3 one
+        assert srv.produce_requests == 4
+    finally:
+        srv.stop()
