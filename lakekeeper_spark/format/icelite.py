@@ -295,7 +295,7 @@ def plan_lineage_events(
         p_paths = {e["path"] for e in p_manifest}
         s_paths = {e["path"] for e in s["manifest"]}
         s_data, s_dels = _split_manifest(s["manifest"])
-        p_data, _ = _split_manifest(p_manifest)
+        p_data, p_del_entries = _split_manifest(p_manifest)
         added_data = [e for e in s_data if e["path"] not in p_paths]
         removed_data = [e for e in p_data if e["path"] not in s_paths]
         added_dels = [e for e in s_dels if e["path"] not in p_paths]
@@ -309,12 +309,34 @@ def plan_lineage_events(
             # pure CoW rewrite: delete events need only the REMOVED
             # files' rows (live at the parent — its tombstone artifacts
             # mask already-dead rows), never the parent state; insert
-            # events fall through to the shared range/entry handling
-            _, p_del_entries = _split_manifest(p_manifest)
+            # events fall through to the shared range/entry handling.
+            # The mask list names only artifacts that can ADDRESS a
+            # removed file: positional/DV entries whose referenced-files
+            # intersect the removed paths (entries without the summary
+            # kept — they may address anything), equality deletes whose
+            # sequence number can gate a removed file (strictly newer
+            # than the oldest removed file). A rewrite touching 3 of
+            # 100k DV-carrying files therefore plans ~3 mask entries,
+            # not 100k.
+            removed_paths = {e["path"] for e in removed_data}
+            min_removed_seq = min(
+                e.get("sequence-number", 0) for e in removed_data
+            )
+            masks = []
+            for e in p_del_entries:
+                if e.get("content") == "equality-deletes":
+                    if e.get("sequence-number", 0) > min_removed_seq or (
+                        "sequence-number" not in e
+                    ):
+                        masks.append(e)
+                else:
+                    refs = e.get("referenced-files")
+                    if refs is None or set(refs) & removed_paths:
+                        masks.append(e)
             plan["content-fallback"] = False
             plan["targeted-diff"] = True
             plan["delete-file-entries"] = removed_data
-            plan["delete-mask-entries"] = p_del_entries
+            plan["delete-mask-entries"] = masks
             plan["parent-schema-id"] = (
                 parent.get("schema-id") if parent else None
             )

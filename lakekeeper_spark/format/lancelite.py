@@ -463,6 +463,12 @@ def _enc_from_array_encoding(ae: dict) -> dict:
     enc: dict = {"has_validity": has_validity}
     if node.get("flat") is not None:
         enc["type"] = "plain"
+        # recorded so _decode_page (which knows the declared field) can
+        # reject width-reduced values as out-of-vocabulary instead of
+        # misdiagnosing them as a corrupt page
+        enc["bits_per_value"] = int(
+            node["flat"].get("bits_per_value", 0)
+        )
         order.append(_ae_buffer_index(node["flat"], "flat values"))
     elif node.get("binary") is not None:
         b = node["binary"]
@@ -477,6 +483,10 @@ def _enc_from_array_encoding(ae: dict) -> dict:
             raise _unsupported("non-flat binary encoding")
         if int(idx["flat"].get("bits_per_value", 0)) != 32:
             raise _unsupported("binary offsets are not 32-bit")
+        if int(b.get("null_adjustment", 0)):
+            # the real writer's null-marker offset scheme: decoding it
+            # as plain Arrow offsets would yield wrong strings
+            raise _unsupported("binary null_adjustment offsets")
         enc["type"] = "utf8"
         order.append(_ae_buffer_index(idx["flat"], "binary offsets"))
         order.append(_ae_buffer_index(byt["flat"], "binary bytes"))
@@ -716,6 +726,13 @@ def _decode_page(field: Field, enc: dict, bufs: list[bytes], n: int):
     try:
         if kind == "plain":
             _, width = _FIXED[field.type]
+            declared_bits = enc.get("bits_per_value")
+            if declared_bits is not None and declared_bits != width * 8:
+                raise _unsupported(
+                    f"flat values are {declared_bits}-bit but column "
+                    f"{field.name!r} is {width * 8}-bit (width-reduced "
+                    "encoding)"
+                )
             if len(bufs[i]) != n * width:
                 raise LanceLiteError("value buffer size mismatch")
             arr = pa.Array.from_buffers(

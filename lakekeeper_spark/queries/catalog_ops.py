@@ -2982,3 +2982,110 @@ def c23_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# --------------------------------------------------------------------------
+# c24: lineage CDC over a CoW rewrite — the plan's targeted-diff branch
+# --------------------------------------------------------------------------
+# Round-15: a pure copy-on-write rewrite classifies as targeted-diff in
+# plan_lineage_events (format/icelite.py) — delete events come from
+# reading EXACTLY the removed files, never the parent state, and
+# survivors re-emit as inserts with PRESERVED row ids (changelog
+# parity). The inline plan guard fails the query if the commit falls
+# back to the full changelog or names more than the one rewritten file.
+
+
+@register(
+    "c24_lineage_cdc_cow",
+    oracle="""
+WITH base AS (
+  SELECT n_nationkey,
+         ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS rid
+  FROM nation
+),
+n AS (SELECT COUNT(*) AS c FROM nation)
+SELECT CAST(rid AS BIGINT) AS row_id,
+       'insert' AS change_type,
+       CAST(1 AS BIGINT) AS commit_ord
+FROM base
+UNION ALL
+SELECT CAST(rid + (SELECT c FROM n) AS BIGINT), 'insert', CAST(2 AS BIGINT)
+FROM base
+UNION ALL
+SELECT CAST(rid + (SELECT c FROM n) AS BIGINT), 'delete', CAST(3 AS BIGINT)
+FROM base
+UNION ALL
+SELECT CAST(rid + (SELECT c FROM n) AS BIGINT), 'insert', CAST(3 AS BIGINT)
+FROM base WHERE (n_nationkey + 100) % 5 <> 0
+""",
+    description="Lineage-native CDC across a copy-on-write rewrite: two "
+    "single-file appends, then a CoW DELETE hitting only the second "
+    "file; plan_lineage_events classifies the rewrite as targeted-diff "
+    "(delete events from reading exactly the one removed file, "
+    "survivors re-inserted with preserved row ids). Inline guard: the "
+    "plan must NOT be content-fallback and must name exactly one "
+    "removed file. Oracle rebuilds the full event stream from the "
+    "source table.",
+    tags=("catalog", "icelite", "v3", "lineage", "cdc", "cow"),
+)
+def c24_lineage_cdc_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable, plan_lineage_events
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_c24_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["cdc"])
+    schema = {
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "n_nationkey", "type": "long", "required": False},
+            {"id": 2, "name": "n_name", "type": "string", "required": False},
+        ],
+    }
+    cat.create_table("wh", ["cdc"], "nations_cow", schema, format_version=3)
+    t = SparkTable(spark, cat, "wh", ["cdc"], "nations_cow")
+    src = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name"
+    )
+    one_file = src.repartition(1).sortWithinPartitions("n_nationkey")
+    t.append(one_file)  # commit 1: file A, ids [0, n)
+    t.append(  # commit 2: file B, ids [n, 2n)
+        one_file.select(
+            (F.col("n_nationkey") + 100).alias("n_nationkey"), "n_name"
+        )
+    )
+    # commit 3: CoW delete touching ONLY file B
+    t.delete_where(
+        "n_nationkey >= 100 AND n_nationkey % 5 = 0", mode="copy-on-write"
+    )
+    cow = plan_lineage_events(t.metadata())[-1]
+    if cow.get("content-fallback") or not cow.get("targeted-diff"):
+        raise AssertionError(
+            "CoW rewrite did not classify as targeted-diff: "
+            f"{ {k: cow.get(k) for k in ('content-fallback', 'targeted-diff')} }"
+        )
+    if len(cow["delete-file-entries"]) != 1:
+        raise AssertionError(
+            "targeted diff must name exactly the one rewritten file, got "
+            f"{len(cow['delete-file-entries'])}"
+        )
+    events = t.changelog_row_ids()
+    meta = t.metadata()
+    order = {
+        s["snapshot-id"]: i + 1
+        for i, s in enumerate(
+            sorted(meta["snapshots"], key=lambda s: s["sequence-number"])
+        )
+    }
+    ord_map = F.create_map(
+        *[F.lit(x) for kv in order.items() for x in kv]
+    )
+    return events.select(
+        F.col("_row_id").alias("row_id"),
+        F.col("_change_type").alias("change_type"),
+        ord_map[F.col("_commit_snapshot_id")].cast("long").alias("commit_ord"),
+    )

@@ -471,13 +471,19 @@ class _Handler(BaseHTTPRequestHandler):
         main-lineage commit in (from, to], the row-id event plan —
         insert-ranges (claimed file ranges), insert-file-entries (the
         files a consumer must open: MoR update/merge images),
-        delete-ranges (the commit summary's deleted-row-id-ranges), or
-        content-fallback for commits that need a content diff. PURE
-        metadata (format/icelite.py plan_lineage_events) — the facade
-        serves it without any engine, so a CDC consumer keeping a row-id
-        watermark learns WHICH rows changed at one HTTP round-trip.
-        Query params: from (snapshot id, exclusive), to (snapshot id,
-        default main head)."""
+        delete-ranges (the commit summary's deleted-row-id-ranges);
+        pure CoW rewrite commits carry targeted-diff=true with
+        delete-file-entries (read EXACTLY these for delete events),
+        delete-mask-entries (the parent tombstone artifacts that keep
+        already-dead rows out) and parent-schema-id (read the removed
+        files at this schema); content-fallback=true marks the rest
+        (rewrite+tombstone mixed commits, range-less deletes), where
+        the consumer must run a full content diff for that one commit.
+        PURE metadata (format/icelite.py plan_lineage_events) — the
+        facade serves it without any engine, so a CDC consumer keeping
+        a row-id watermark learns WHICH rows changed at one HTTP
+        round-trip. Query params: from (snapshot id, exclusive), to
+        (snapshot id, default main head)."""
         from ..format.icelite import plan_lineage_events
 
         meta, _ = self.catalog.load_table(prefix, _ns(ns), unquote(tbl))

@@ -470,23 +470,9 @@ class IceliteStreamReader(DataSourceStreamReader):
                         meta, snapshot_id=plan["parent-snapshot-id"]
                     )["plan-tasks"]
                 }
-                rtasks = []
-                for e in plan["delete-file-entries"]:
-                    t = tmap.get(e["path"])
-                    if t is None:
-                        continue
-                    t["data-file"]["first-row-id"] = e.get("first-row-id")
-                    rtasks.append(t)
-                parts.extend(
-                    _task_partitions(
-                        meta,
-                        rtasks,
-                        self._aschema,
-                        target_override=target,
-                        change_type="delete",
-                        commit_id=sid,
-                        row_lineage=self.row_lineage,
-                    )
+                self._removed_delete_tasks(
+                    meta, plan["delete-file-entries"], tmap, target, sid,
+                    parts,
                 )
             if plan["insert-ranges"]:
                 _range_parts(plan["insert-ranges"], "insert", sid)
@@ -494,6 +480,36 @@ class IceliteStreamReader(DataSourceStreamReader):
                 parts.append(self._file_part(meta, e, target, "insert", sid))
             if plan["delete-ranges"]:
                 _range_parts(plan["delete-ranges"], "delete", sid)
+
+    def _removed_delete_tasks(
+        self, meta, removed, tmap, target, sid, parts
+    ) -> None:
+        """Map removed data files onto parent-scan 'delete' tasks — the
+        shared delete side of the change feed's CoW branch and the
+        lineage-events targeted-diff branch. ``tmap`` is the parent
+        snapshot's plan_table_scan tasks by data-file path (each task
+        bundles the tombstone artifacts that mask already-dead rows)."""
+        rtasks = []
+        for e in removed:
+            t = tmap.get(e["path"])
+            if t is None:
+                continue
+            # lineage rides on the task: plan_table_scan's data-file
+            # payload predates v3 lineage, so attach the manifest
+            # entry's range start here
+            t["data-file"]["first-row-id"] = e.get("first-row-id")
+            rtasks.append(t)
+        parts.extend(
+            _task_partitions(
+                meta,
+                rtasks,
+                self._aschema,
+                target_override=target,
+                change_type="delete",
+                commit_id=sid,
+                row_lineage=self.row_lineage,
+            )
+        )
 
     def _plan_change_feed(self, meta, lineage, by_id, target, parts) -> None:
         """CDC planning, merge-on-read included — the STREAMING twin of
@@ -552,27 +568,8 @@ class IceliteStreamReader(DataSourceStreamReader):
 
             removed = [e for e in p_data if e["path"] not in s_paths]
             if removed:
-                tmap = ptasks()
-                rtasks = []
-                for e in removed:
-                    t = tmap.get(e["path"])
-                    if t is None:
-                        continue
-                    # lineage rides on the task: plan_table_scan's
-                    # data-file payload predates v3 lineage, so attach
-                    # the manifest entry's range start here
-                    t["data-file"]["first-row-id"] = e.get("first-row-id")
-                    rtasks.append(t)
-                parts.extend(
-                    _task_partitions(
-                        meta,
-                        rtasks,
-                        self._aschema,
-                        target_override=target,
-                        change_type="delete",
-                        commit_id=sid,
-                        row_lineage=self.row_lineage,
-                    )
+                self._removed_delete_tasks(
+                    meta, removed, ptasks(), target, sid, parts
                 )
             added_dels = [e for e in s_dels if e["path"] not in p_paths]
             removed_dels = [e for e in p_dels if e["path"] not in s_paths]

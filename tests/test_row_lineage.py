@@ -913,3 +913,47 @@ def test_cow_rewrite_targeted_diff_never_scans_parent_state(spark, table):
     # survivors re-emit as inserts (carry-over pairs, changelog parity)
     assert kinds["delete"] & {7, 9}
     assert len([r for r in kinds["delete"]]) >= 6
+
+
+def test_targeted_diff_masks_name_only_relevant_artifacts(spark, table):
+    """Round-15 review fix: the targeted-diff plan's delete-mask-entries
+    must list only tombstone artifacts that can ADDRESS a removed file
+    (referenced-files intersection / equality-seq gating) — shipping
+    every parent artifact would re-open the whole tombstone set on a
+    3-of-100k-file rewrite and bloat the served plan JSON."""
+    from lakekeeper_spark.format.icelite import plan_lineage_events
+
+    for lo in (0, 6, 12):
+        table.append(spark.createDataFrame(
+            [(i, f"x{i}") for i in range(lo, lo + 6)], "id long, v string"
+        ).coalesce(1))
+    # one MoR tombstone per file: three DV artifacts at the parent
+    for k in (0, 6, 12):
+        table.delete_where(f"id = {k}", mode="merge-on-read")
+    # CoW delete touching ONLY the middle file
+    table.delete_where("id IN (7, 9)", mode="copy-on-write")
+    meta = table.metadata()
+    cow = plan_lineage_events(meta)[-1]
+    assert cow["targeted-diff"] is True
+    removed = {e["path"] for e in cow["delete-file-entries"]}
+    assert len(removed) == 1
+    masks = cow["delete-mask-entries"]
+    # every mask must reference the removed file; the two artifacts
+    # addressing untouched files are filtered out
+    for m in masks:
+        refs = m.get("referenced-files")
+        assert refs is None or set(refs) & removed
+    all_dels = [
+        e for s in meta["snapshots"] for e in s["manifest"]
+        if e.get("content", "data") != "data"
+    ]
+    assert len(masks) < len({e["path"] for e in all_dels})
+    # and the event stream stays exact: id 7's prior MoR victim (id 6)
+    # must NOT re-emit a delete from the CoW rewrite
+    want = _lineage_events(
+        table.changelog(row_lineage=True).select(
+            "_row_id", "_change_type", "_commit_snapshot_id"
+        )
+    )
+    got = _lineage_events(table.changelog_row_ids())
+    assert got == want
