@@ -2,9 +2,10 @@
 changelog_row_ids() equals the full content-reading
 changelog(row_lineage=True) over RANDOM DML histories — append,
 CoW/MoR/equality DELETE, CoW/MoR UPDATE, CoW/MoR MERGE, compaction,
-snapshot expiry. The plan classifies commits (ranges / image files /
-targeted-diff / content-fallback); any classification drift as DML
-evolves shows up here as an event-stream mismatch."""
+snapshot expiry, and mid-history schema evolution (ADD COLUMN with v3
+defaults, field-id rename). The plan classifies commits (ranges /
+image files / targeted-diff / content-fallback); any classification
+drift as DML evolves shows up here as an event-stream mismatch."""
 
 from __future__ import annotations
 
@@ -37,6 +38,8 @@ _OP = st.one_of(
     st.tuples(st.just("merge_mor"), st.integers(0, 6)),
     st.tuples(st.just("compact"), st.integers(0, 1)),
     st.tuples(st.just("expire"), st.just(0)),
+    st.tuples(st.just("add_col"), st.integers(0, 6)),
+    st.tuples(st.just("rename_col"), st.just(0)),
 )
 
 
@@ -76,6 +79,7 @@ def test_planned_events_equal_full_changelog(spark, ops):
 
     _append(5)  # every history starts with data on the table
     from_sid = None
+    added: list[str] = []  # schema-evolution columns (safe to rename)
     for op, k in ops:
         if op == "append":
             _append(k)
@@ -117,6 +121,19 @@ def test_planned_events_equal_full_changelog(spark, ops):
                 older_than_ms=int(time.time() * 1000) + 10_000,
                 retain_last=2,
             )
+        elif op == "add_col":
+            # mid-history schema evolution: later appends omit the
+            # column (write-default fills), earlier files read the
+            # initial-default — the event streams must stay equal
+            name = f"c{len(added)}"
+            t.add_column(name, "long", initial_default=k,
+                         write_default=k + 1)
+            added.append(name)
+        elif op == "rename_col" and added:
+            # field-id-aware rename of a previously added column (the
+            # base columns stay, so appends remain writable)
+            t.rename_column(added[-1], added[-1] + "r")
+            added[-1] = added[-1] + "r"
     want = _events(
         t.changelog(from_snapshot_id=from_sid, row_lineage=True).select(
             "_row_id", "_change_type", "_commit_snapshot_id"
