@@ -916,7 +916,21 @@ def s12_lance_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         properties={"vector-column": "embedding"},
     )
     emb = read_generic_table(spark, cat, "wh", ["vectors"], "emb")
-    return _s01_adaptive(emb.select("vec_id", "embedding", "label"))
+    # decode ONCE: a Python-datasource scan has no Parquet-grade cheap
+    # re-scan, and the kNN plan references the corpus from several
+    # subtrees (count + norms + broadcast query side + scan side) —
+    # without this, every subtree re-runs the lance decode. Then spread
+    # the scoring: the ~1M-row file sizing gives ONE decode task at
+    # this SF, and the kNN kernel must not inherit that single
+    # partition (measured 11s -> ~1.5s at sf1 for the two moves). At
+    # cluster scale the file count itself provides the parallelism and
+    # the persist is per-executor.
+    emb = (
+        emb.select("vec_id", "embedding", "label")
+        .localCheckpoint()
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return _s01_adaptive(emb)
 
 
 # --------------------------------------------------------------------------
@@ -983,7 +997,13 @@ def s13_lance_zonemap_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_dataset(
         spark, loc, range_filter={"vec_id": (None, S13_MAX_ID)}
     )
-    return _s01_adaptive(emb.select("vec_id", "embedding", "label"))
+    # decode once + spread the survivors; see s12's note
+    emb = (
+        emb.select("vec_id", "embedding", "label")
+        .localCheckpoint()
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return _s01_adaptive(emb)
 
 
 # --------------------------------------------------------------------------
