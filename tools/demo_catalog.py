@@ -172,6 +172,37 @@ def main() -> None:
     assert t14.scan(point_filter={"id": 999}).count() == 0
     print("OK manifest bloom point lookup (interleaved files pruned)")
 
+    # ---- round 15: CoW rewrite -> targeted-diff plan (no fallback) ----
+    t14.delete_where("id IN (103, 105)", mode="copy-on-write")
+    cow = plan_lineage_events(t14.metadata())[-1]
+    assert cow["targeted-diff"] is True and not cow["content-fallback"]
+    assert len(cow["delete-file-entries"]) == 1  # only file 2 rewritten
+    ev2 = {(r._row_id, r._change_type)
+           for r in t14.changelog_row_ids().collect()}
+    # ids 103/105 are rids 11/13 (file 2 starts at rid 8); 101 (rid 9)
+    # was already MoR-dead, so the rewrite must NOT re-emit its delete
+    # twice — the set holds its one MoR delete event either way
+    assert (11, "delete") in ev2 and (13, "delete") in ev2
+    assert t14.scan().filter("id IN (103, 105)").count() == 0
+    print("OK CoW targeted-diff lineage plan (one file named, no fallback)")
+
+    # ---- round 15: Any-wrapped ArrayEncoding lance round-trip ----
+    import tempfile as _tf
+
+    from lakekeeper_spark.format.lancelite import (
+        read_file, write_file, Field as _LField,
+    )
+
+    lf = str(Path(_tf.mkdtemp(prefix="demo_lance_")) / "v.lance")
+    write_file(lf, [_LField("k", "int64", nullable=False),
+                    _LField("e", "fsl_float32", dim=2)],
+               {"k": [1, 2, 3], "e": [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]})
+    _, cols = read_file(lf)
+    assert cols["k"] == [1, 2, 3] and cols["e"][2] == [5.0, 6.0]
+    raw = open(lf, "rb").read()
+    assert b"lance.encodings.ArrayEncoding" in raw  # the Any type_url
+    print("OK lance Any-wrapped ArrayEncoding write/read round-trip")
+
     # ---- REST facade: the same lifecycle over an actual HTTP socket ----
     from lakekeeper_spark.rest import RestCatalogClient, RestCatalogServer
 
@@ -197,8 +228,11 @@ def main() -> None:
             f"{server.url}/catalog/v1/wh/namespaces/demo/tables/cdc14/"
             "lineage-events"
         ))
-        assert len(plan["commits"]) == 3
-        assert plan["commits"][-1]["delete-ranges"]
+        assert len(plan["commits"]) == 4
+        assert plan["commits"][-2]["delete-ranges"]  # the MoR delete
+        # the CoW rewrite serves its targeted-diff file list over HTTP
+        assert plan["commits"][-1]["targeted-diff"] is True
+        assert len(plan["commits"][-1]["delete-file-entries"]) == 1
         print("OK lineage-events plan over HTTP (no engine server-side)")
     finally:
         server.stop()
