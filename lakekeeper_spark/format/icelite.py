@@ -219,12 +219,15 @@ def plan_lineage_events(
       ``parent-schema-id``), insert events from the added files' claimed
       ranges / materialized entries as usual. The parent STATE is never
       scanned: a CoW rewrite touching 3 of 100k files opens 3 files, not
-      the table;
-    - ``content-fallback``: True when the commit still needs the full
-      changelog — a rewrite that ALSO adds tombstones in the same
-      commit, or tombstones that recorded no ranges (oversized delete /
-      pre-range commit) — ranges/file lists are then omitted and the
-      consumer runs the full changelog for that one commit.
+      the table. Check this flag BEFORE content-fallback;
+    - ``content-fallback``: True when a consumer without the commit's
+      richer keys must produce it via the full changelog — always
+      correct, just not targeted. Targeted-diff commits carry BOTH
+      flags so round-14 consumers (which predate the targeted-diff
+      keys) keep emitting exact events; rewrites that ALSO add
+      tombstones in the same commit, and tombstones that recorded no
+      ranges (oversized delete / pre-range commit), carry only
+      content-fallback with ranges/file lists omitted.
 
     SparkTable.changelog_row_ids() consumes exactly this plan; the
     ``lineage-events`` streaming source mirrors it per micro-batch."""
@@ -333,7 +336,12 @@ def plan_lineage_events(
                     refs = e.get("referenced-files")
                     if refs is None or set(refs) & removed_paths:
                         masks.append(e)
-            plan["content-fallback"] = False
+            # content-fallback STAYS True: a consumer that predates the
+            # targeted-diff keys (round-14 wire contract) must keep
+            # producing this commit via the full changelog — always
+            # exact, just not targeted. Consumers that understand
+            # targeted-diff check it FIRST and skip the fallback.
+            plan["content-fallback"] = True
             plan["targeted-diff"] = True
             plan["delete-file-entries"] = removed_data
             plan["delete-mask-entries"] = masks
@@ -1080,12 +1088,24 @@ class SparkTable:
         mdf = self.spark.createDataFrame(
             pairs, "f string, ci int, m int"
         )
+        # per-FILE pruning before any hash: a column above the ceiling
+        # in most files but under it in one would otherwise hash k
+        # positions per row in every file; gating each struct's pos on
+        # the file's allowed-column set (one broadcast join pre-explode,
+        # `when` short-circuits the xxhash64) keeps the pre-pass promise
+        # file-locally, not just column-globally
+        allowed = F.broadcast(
+            mdf.groupBy("f").agg(F.collect_set("ci").alias("__allowed"))
+        )
         pos_structs = [
             F.struct(
                 F.lit(ci).alias("ci"),
-                F.pmod(
-                    F.xxhash64(F.col(c).cast(decl[c]), F.lit(s)),
-                    F.lit(cap),
+                F.when(
+                    F.array_contains(F.col("__allowed"), F.lit(ci)),
+                    F.pmod(
+                        F.xxhash64(F.col(c).cast(decl[c]), F.lit(s)),
+                        F.lit(cap),
+                    ),
                 ).alias("pos"),
             )
             for ci, c in enumerate(cols)
@@ -1111,11 +1131,11 @@ class SparkTable:
 
         return (
             self.spark.read.parquet(out_dir)
-            .select(
-                F.col("_metadata.file_path").alias("f"),
-                F.explode(F.array(*pos_structs)).alias("x"),
-            )
+            .withColumn("f", F.col("_metadata.file_path"))
+            .join(allowed, "f")
+            .select("f", F.explode(F.array(*pos_structs)).alias("x"))
             .select("f", "x.ci", "x.pos")
+            .filter(F.col("pos").isNotNull())
             .join(F.broadcast(mdf), ["f", "ci"])
             .select(
                 "f",

@@ -451,6 +451,10 @@ def _enc_from_array_encoding(ae: dict) -> dict:
             validity = _ae_unwrap_no_nulls(sn.get("validity"))
             if validity is None or validity.get("flat") is None:
                 raise _unsupported("non-flat validity encoding")
+            if int(validity["flat"].get("bits_per_value", 0)) != 1:
+                # a byte-per-value mask would pass the bitmap length
+                # check and silently decode a wrong null pattern
+                raise _unsupported("validity encoding is not 1-bit")
             order.append(_ae_buffer_index(validity["flat"], "validity"))
             node = sn.get("values")
         elif nul.get("no_nulls") is not None:
@@ -520,9 +524,13 @@ def _enc_from_proto(pmsg: dict | None) -> tuple[dict, dict | None]:
         any_msg = decode_message(_P_ANY, raw)
     except ProtoWireError:
         pass
-    if any_msg is not None and any_msg.get("type_url", "").endswith(
-        "lance.encodings.ArrayEncoding"
-    ):
+    if any_msg is not None and "/" in any_msg.get("type_url", ""):
+        # a genuine Any (legacy payloads never put "/" in field 1):
+        # anything but the ArrayEncoding vocabulary is out of subset
+        if not any_msg["type_url"].endswith("lance.encodings.ArrayEncoding"):
+            raise _unsupported(
+                f"encoding message {any_msg['type_url']!r}"
+            )
         try:
             ae = decode_message(_P_AE, any_msg.get("value", b""))
         except ProtoWireError as e:

@@ -3063,7 +3063,9 @@ def c24_lineage_cdc_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey >= 100 AND n_nationkey % 5 = 0", mode="copy-on-write"
     )
     cow = plan_lineage_events(t.metadata())[-1]
-    if cow.get("content-fallback") or not cow.get("targeted-diff"):
+    # targeted-diff must be set (content-fallback stays True alongside
+    # it for round-14 consumers — the guard is the richer keys)
+    if not cow.get("targeted-diff"):
         raise AssertionError(
             "CoW rewrite did not classify as targeted-diff: "
             f"{ {k: cow.get(k) for k in ('content-fallback', 'targeted-diff')} }"

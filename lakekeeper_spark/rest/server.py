@@ -476,9 +476,13 @@ class _Handler(BaseHTTPRequestHandler):
         delete-file-entries (read EXACTLY these for delete events),
         delete-mask-entries (the parent tombstone artifacts that keep
         already-dead rows out) and parent-schema-id (read the removed
-        files at this schema); content-fallback=true marks the rest
-        (rewrite+tombstone mixed commits, range-less deletes), where
-        the consumer must run a full content diff for that one commit.
+        files at this schema) — check targeted-diff BEFORE
+        content-fallback, which those commits ALSO set true so
+        consumers of the round-14 contract (no targeted keys) keep
+        producing them exactly via the full changelog;
+        content-fallback alone marks commits where every consumer must
+        run the content diff (rewrite+tombstone mixed commits,
+        range-less deletes).
         PURE metadata (format/icelite.py plan_lineage_events) — the
         facade serves it without any engine, so a CDC consumer keeping
         a row-id watermark learns WHICH rows changed at one HTTP

@@ -417,14 +417,15 @@ class IceliteStreamReader(DataSourceStreamReader):
             rewrites) -> file partitions with an EMPTY column target
             (only those files read, never the parent state);
           - targeted-diff commits (pure CoW rewrites) -> delete events
-            from parent-scan TASKS for exactly the removed files (the
-            task bundles each file's tombstone artifacts, so
-            already-dead rows stay out), insert events from the shared
-            range/entry handling — the parent state is never scanned;
+            from tasks built straight off the plan's delete-file-entries
+            + delete-mask-entries (each task bundles the file's
+            addressing tombstone artifacts, so already-dead rows stay
+            out), insert events from the shared range/entry handling —
+            the parent state is never scanned OR metadata-walked;
           - content-fallback commits -> the regular CDC file tasks for
             that one commit, column target empty.
         """
-        from ..format.icelite import plan_lineage_events, plan_table_scan
+        from ..format.icelite import plan_lineage_events
 
         if not lineage:
             return
@@ -457,18 +458,24 @@ class IceliteStreamReader(DataSourceStreamReader):
 
         for plan in plans:
             sid = plan["snapshot-id"]
-            if plan["content-fallback"]:
+            # targeted-diff FIRST: those commits also carry
+            # content-fallback=True for consumers that predate the
+            # targeted keys (round-14 wire contract)
+            if plan["content-fallback"] and not plan.get("targeted-diff"):
                 self._plan_change_feed(meta, [by_id[sid]], by_id, target, parts)
                 continue
             if plan.get("targeted-diff"):
-                # delete side: parent-scan tasks for EXACTLY the removed
-                # files (task payload carries the tombstone artifacts
-                # that mask already-dead rows); insert side shared below
+                # delete side: tasks built straight from the plan's OWN
+                # keys — delete-file-entries plus the pre-filtered
+                # delete-mask-entries — O(removed x masks), never a full
+                # parent plan_table_scan (whose cost grows with table
+                # size, not change size); insert side shared below
                 tmap = {
                     t["data-file"]["path"]: t
-                    for t in plan_table_scan(
-                        meta, snapshot_id=plan["parent-snapshot-id"]
-                    )["plan-tasks"]
+                    for t in _targeted_diff_tasks(
+                        plan["delete-file-entries"],
+                        plan["delete-mask-entries"],
+                    )
                 }
                 self._removed_delete_tasks(
                     meta, plan["delete-file-entries"], tmap, target, sid,
@@ -953,6 +960,52 @@ def _task_partitions(
             )
         )
     return parts
+
+
+def _targeted_diff_tasks(entries: list[dict], masks: list[dict]) -> list[dict]:
+    """Plan-task shells for a targeted-diff commit's removed files, with
+    each file's addressing tombstone artifacts attached from the plan's
+    pre-filtered delete-mask-entries — the same per-task matching rules
+    as plan_table_scan (referenced-files for positional/DV artifacts,
+    strictly-newer sequence for equality deletes), applied to only the
+    change-sized entry lists."""
+    pos_like = [d for d in masks if d.get("content") != "equality-deletes"]
+    eq_dels = [d for d in masks if d.get("content") == "equality-deletes"]
+    tasks = []
+    for e in entries:
+        tasks.append(
+            {
+                "data-file": {
+                    "path": e["path"],
+                    "record-count": e.get("record-count", 0),
+                    "file-size-in-bytes": e.get("file-size-in-bytes", 0),
+                    "partition": e.get("partition", {}),
+                    "sequence-number": e.get("sequence-number", 0),
+                    "schema-id": e.get("schema-id"),
+                    "first-row-id": e.get("first-row-id"),
+                },
+                "position-delete-files": [
+                    {"path": d["path"],
+                     "record-count": d.get("record-count", 0)}
+                    for d in pos_like
+                    if d.get("referenced-files") is None
+                    or e["path"] in d["referenced-files"]
+                ],
+                "equality-delete-files": [
+                    {
+                        "path": d["path"],
+                        "record-count": d.get("record-count", 0),
+                        "equality-ids": d.get("equality-ids", []),
+                        "sequence-number": d.get("sequence-number", 0),
+                        "schema-id": d.get("schema-id"),
+                    }
+                    for d in eq_dels
+                    if e.get("sequence-number", 0)
+                    < d.get("sequence-number", 0)
+                ],
+            }
+        )
+    return tasks
 
 
 def _bare_task(e: dict) -> dict:

