@@ -328,9 +328,10 @@ def plan_lineage_events(
             masks = []
             for e in p_del_entries:
                 if e.get("content") == "equality-deletes":
-                    if e.get("sequence-number", 0) > min_removed_seq or (
-                        "sequence-number" not in e
-                    ):
+                    # seq-less eq entries default to 0 in EVERY consumer
+                    # (cond seq < 0 never fires) — keeping them would
+                    # only bloat the plan with guaranteed no-ops
+                    if e.get("sequence-number", 0) > min_removed_seq:
                         masks.append(e)
                 else:
                     refs = e.get("referenced-files")
@@ -376,6 +377,49 @@ def plan_lineage_events(
         )
         plans.append(plan)
     return plans
+
+
+def file_scan_task(
+    e: dict[str, Any],
+    pos_like: list[dict[str, Any]],
+    eq_dels: list[dict[str, Any]],
+) -> dict[str, Any]:
+    """One FILE SCAN TASK for a data entry: the single source of truth
+    for the per-file tombstone-matching rules and the task dict shape —
+    positional/DV artifacts attach when their ``referenced-files`` set
+    names the file (entries without the summary attach everywhere —
+    safe, never wrong); equality deletes attach with a sequence number
+    STRICTLY greater than the data file's (spec sequence semantics).
+    Used by plan_table_scan (whole-snapshot plans) and the streaming
+    source's targeted-diff branch (change-sized plans)."""
+    return {
+        "data-file": {
+            "path": e["path"],
+            "record-count": e.get("record-count", 0),
+            "file-size-in-bytes": e.get("file-size-in-bytes", 0),
+            "partition": e.get("partition", {}),
+            "sequence-number": e.get("sequence-number", 0),
+            "schema-id": e.get("schema-id"),
+            "first-row-id": e.get("first-row-id"),
+        },
+        "position-delete-files": [
+            {"path": d["path"], "record-count": d.get("record-count", 0)}
+            for d in pos_like
+            if d.get("referenced-files") is None
+            or e["path"] in d["referenced-files"]
+        ],
+        "equality-delete-files": [
+            {
+                "path": d["path"],
+                "record-count": d.get("record-count", 0),
+                "equality-ids": d.get("equality-ids", []),
+                "sequence-number": d.get("sequence-number", 0),
+                "schema-id": d.get("schema-id"),
+            }
+            for d in eq_dels
+            if e.get("sequence-number", 0) < d.get("sequence-number", 0)
+        ],
+    }
 
 
 def plan_table_scan(
@@ -435,44 +479,7 @@ def plan_table_scan(
         data = [e for e in data if _bloom_keep(e, point_filter_hashes)]
     pos_like = [d for d in deletes if d.get("content") != "equality-deletes"]
     eq_dels = [d for d in deletes if d.get("content") == "equality-deletes"]
-    tasks = []
-    for e in data:
-        pos = [
-            d
-            for d in pos_like
-            if d.get("referenced-files") is None or e["path"] in d["referenced-files"]
-        ]
-        eq = [
-            d
-            for d in eq_dels
-            if e.get("sequence-number", 0) < d.get("sequence-number", 0)
-        ]
-        tasks.append(
-            {
-                "data-file": {
-                    "path": e["path"],
-                    "record-count": e.get("record-count", 0),
-                    "file-size-in-bytes": e.get("file-size-in-bytes", 0),
-                    "partition": e.get("partition", {}),
-                    "sequence-number": e.get("sequence-number", 0),
-                    "schema-id": e.get("schema-id"),
-                },
-                "position-delete-files": [
-                    {"path": d["path"], "record-count": d.get("record-count", 0)}
-                    for d in pos
-                ],
-                "equality-delete-files": [
-                    {
-                        "path": d["path"],
-                        "record-count": d.get("record-count", 0),
-                        "equality-ids": d.get("equality-ids", []),
-                        "sequence-number": d.get("sequence-number", 0),
-                        "schema-id": d.get("schema-id"),
-                    }
-                    for d in eq
-                ],
-            }
-        )
+    tasks = [file_scan_task(e, pos_like, eq_dels) for e in data]
     return {
         "snapshot-id": snapshot_id,
         "total-data-files": total,
@@ -1010,6 +1017,12 @@ class SparkTable:
         ]
         if not cols or not entries:
             return
+        bad = [c for c in cols if c.startswith("__bf_")]
+        if bad:
+            raise ValueError(
+                "bloom-filter column names may not use the reserved "
+                f"__bf_ prefix: {bad}"
+            )
         max_ndv = int(
             props.get("write.metadata.bloom-filter-max-ndv", _BLOOM_MAX_NDV)
         )
@@ -1093,15 +1106,21 @@ class SparkTable:
         # positions per row in every file; gating each struct's pos on
         # the file's allowed-column set (one broadcast join pre-explode,
         # `when` short-circuits the xxhash64) keeps the pre-pass promise
-        # file-locally, not just column-globally
+        # file-locally, not just column-globally. Internal columns use
+        # the reserved __bf_ prefix and the source frame is projected to
+        # exactly the bloom columns, so a data column named "f" (or any
+        # non-reserved name) cannot collide with the plumbing.
+        fcol, acol = "__bf_file__", "__bf_allowed__"
         allowed = F.broadcast(
-            mdf.groupBy("f").agg(F.collect_set("ci").alias("__allowed"))
+            mdf.groupBy("f")
+            .agg(F.collect_set("ci").alias(acol))
+            .withColumnRenamed("f", fcol)
         )
         pos_structs = [
             F.struct(
                 F.lit(ci).alias("ci"),
                 F.when(
-                    F.array_contains(F.col("__allowed"), F.lit(ci)),
+                    F.array_contains(F.col(acol), F.lit(ci)),
                     F.pmod(
                         F.xxhash64(F.col(c).cast(decl[c]), F.lit(s)),
                         F.lit(cap),
@@ -1131,9 +1150,16 @@ class SparkTable:
 
         return (
             self.spark.read.parquet(out_dir)
-            .withColumn("f", F.col("_metadata.file_path"))
-            .join(allowed, "f")
-            .select("f", F.explode(F.array(*pos_structs)).alias("x"))
+            .select(
+                F.col("_metadata.file_path").alias(fcol),
+                *[F.col(c) for ci, c in enumerate(cols) if ci in needed],
+            )
+            .join(allowed, fcol)
+            .select(
+                F.col(fcol).alias("f"),
+                F.explode(F.array(*pos_structs)).alias("x"),
+            )
+            # from here only plumbing columns remain — plain names safe
             .select("f", "x.ci", "x.pos")
             .filter(F.col("pos").isNotNull())
             .join(F.broadcast(mdf), ["f", "ci"])

@@ -919,18 +919,19 @@ def s12_lance_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decode ONCE: a Python-datasource scan has no Parquet-grade cheap
     # re-scan, and the kNN plan references the corpus from several
     # subtrees (count + norms + broadcast query side + scan side) —
-    # without this, every subtree re-runs the lance decode. Then spread
-    # the scoring: the ~1M-row file sizing gives ONE decode task at
-    # this SF, and the kNN kernel must not inherit that single
-    # partition (measured 11s -> ~1.5s at sf1 for the two moves). At
-    # cluster scale the file count itself provides the parallelism and
-    # the persist is per-executor.
-    emb = (
-        emb.select("vec_id", "embedding", "label")
-        .localCheckpoint()
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    return _s01_adaptive(emb)
+    # without materialization, every subtree re-runs the lance decode.
+    # Spill the decoded frame to a tempdir parquet (spread across
+    # defaultParallelism files so the scoring doesn't inherit the
+    # single ~1M-row decode partition) and re-read it: parquet re-scans
+    # are cheap and prunable, and unlike persist()/localCheckpoint()
+    # nothing accumulates in executor block storage across repeated
+    # invocations (measured 11s -> ~2.7s at sf1). At cluster scale the
+    # lance file count itself provides both properties.
+    mat = f"{tmp}/decoded"
+    emb.select("vec_id", "embedding", "label").repartition(
+        spark.sparkContext.defaultParallelism
+    ).write.mode("overwrite").parquet(mat)
+    return _s01_adaptive(spark.read.parquet(mat))
 
 
 # --------------------------------------------------------------------------
@@ -997,13 +998,12 @@ def s13_lance_zonemap_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_dataset(
         spark, loc, range_filter={"vec_id": (None, S13_MAX_ID)}
     )
-    # decode once + spread the survivors; see s12's note
-    emb = (
-        emb.select("vec_id", "embedding", "label")
-        .localCheckpoint()
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    return _s01_adaptive(emb)
+    # decode once + spread the survivors, storage-free; see s12's note
+    mat = f"{tmp}/decoded"
+    emb.select("vec_id", "embedding", "label").repartition(
+        spark.sparkContext.defaultParallelism
+    ).write.mode("overwrite").parquet(mat)
+    return _s01_adaptive(spark.read.parquet(mat))
 
 
 # --------------------------------------------------------------------------

@@ -965,47 +965,14 @@ def _task_partitions(
 def _targeted_diff_tasks(entries: list[dict], masks: list[dict]) -> list[dict]:
     """Plan-task shells for a targeted-diff commit's removed files, with
     each file's addressing tombstone artifacts attached from the plan's
-    pre-filtered delete-mask-entries — the same per-task matching rules
-    as plan_table_scan (referenced-files for positional/DV artifacts,
-    strictly-newer sequence for equality deletes), applied to only the
-    change-sized entry lists."""
+    pre-filtered delete-mask-entries. The matching rules and task shape
+    come from icelite.file_scan_task — ONE source of truth with
+    plan_table_scan — applied to only the change-sized entry lists."""
+    from ..format.icelite import file_scan_task
+
     pos_like = [d for d in masks if d.get("content") != "equality-deletes"]
     eq_dels = [d for d in masks if d.get("content") == "equality-deletes"]
-    tasks = []
-    for e in entries:
-        tasks.append(
-            {
-                "data-file": {
-                    "path": e["path"],
-                    "record-count": e.get("record-count", 0),
-                    "file-size-in-bytes": e.get("file-size-in-bytes", 0),
-                    "partition": e.get("partition", {}),
-                    "sequence-number": e.get("sequence-number", 0),
-                    "schema-id": e.get("schema-id"),
-                    "first-row-id": e.get("first-row-id"),
-                },
-                "position-delete-files": [
-                    {"path": d["path"],
-                     "record-count": d.get("record-count", 0)}
-                    for d in pos_like
-                    if d.get("referenced-files") is None
-                    or e["path"] in d["referenced-files"]
-                ],
-                "equality-delete-files": [
-                    {
-                        "path": d["path"],
-                        "record-count": d.get("record-count", 0),
-                        "equality-ids": d.get("equality-ids", []),
-                        "sequence-number": d.get("sequence-number", 0),
-                        "schema-id": d.get("schema-id"),
-                    }
-                    for d in eq_dels
-                    if e.get("sequence-number", 0)
-                    < d.get("sequence-number", 0)
-                ],
-            }
-        )
-    return tasks
+    return [file_scan_task(e, pos_like, eq_dels) for e in entries]
 
 
 def _bare_task(e: dict) -> dict:

@@ -312,3 +312,55 @@ def test_bloom_ndv_ceiling_prunes_before_heavy_pass(spark, catalog):
         SparkTable._bloom_bitmaps = orig
     assert calls == []  # both columns pruned by the pre-pass
     assert "bloom" not in t.metadata()["snapshots"][-1]["manifest"][0]
+
+
+def test_bloom_on_column_named_f_and_reserved_prefix(spark, catalog):
+    """Round-15 max-review fix: the executor-side build's internal
+    plumbing columns must not collide with USER column names — a bloom
+    column literally named 'f' used to be silently replaced by the
+    file-path alias, hashing NULLs and pruning every file that actually
+    held the probed value. Reserved __bf_ names are refused loudly."""
+    catalog.create_namespace("wh", ["bf6"])
+    catalog.create_table(
+        "wh", ["bf6"], "t",
+        {
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "f", "type": "long", "required": False},
+                {"id": 2, "name": "m", "type": "string", "required": False},
+            ],
+        },
+        properties={"write.metadata.bloom-filter-columns": "f,m"},
+    )
+    t = SparkTable(spark, catalog, "wh", ["bf6"], "t")
+    for b in range(2):  # interleaved: bounds overlap, bloom must work
+        t.append(spark.createDataFrame(
+            [(b + i * 2, f"v{b + i * 2}") for i in range(50)],
+            "f long, m string",
+        ).coalesce(1))
+    # the probe for a PRESENT value must keep (exactly) its file —
+    # the collision bug pruned everything here
+    got = t.scan(point_filter={"f": 7}).filter("f = 7").collect()
+    assert [(r.f, r.m) for r in got] == [(7, "v7")]
+    meta = t.metadata()
+    cur = next(s for s in meta["schemas"]
+               if s["schema-id"] == meta["current-schema-id"])
+    probes = t._bloom_probes(cur, {"f": 7})
+    es = meta["snapshots"][-1]["manifest"]
+    assert sum(_bloom_keep(e, probes) for e in es) == 1
+    # string column named like an internal too
+    assert t.scan(point_filter={"m": "v8"}).filter(
+        "m = 'v8'").count() == 1
+    # reserved prefix refused loudly, not silently mis-built
+    catalog.create_table(
+        "wh", ["bf6"], "bad",
+        {
+            "schema-id": 0,
+            "fields": [{"id": 1, "name": "__bf_file__", "type": "long",
+                        "required": False}],
+        },
+        properties={"write.metadata.bloom-filter-columns": "__bf_file__"},
+    )
+    t2 = SparkTable(spark, catalog, "wh", ["bf6"], "bad")
+    with pytest.raises(ValueError, match="reserved"):
+        t2.append(spark.createDataFrame([(1,)], "__bf_file__ long"))
