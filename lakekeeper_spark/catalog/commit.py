@@ -98,6 +98,41 @@ _V3_ONLY_TYPES = frozenset(
 )
 
 
+#: Iceberg reserved metadata column names (MetadataColumns + the v3 row
+#: lineage pair + the changelog view columns): a data column with one of
+#: these names would shadow the engine-produced column in scans,
+#: changelogs, and the positioned read path — Iceberg itself refuses
+#: them at schema creation ("Cannot create column with reserved name"),
+#: and so do we, at create-table and add-schema.
+_RESERVED_COLUMN_NAMES = frozenset(
+    {
+        "_spec_id",
+        "_partition",
+        "_file",
+        "_pos",
+        "_deleted",
+        "_row_id",
+        "_last_updated_sequence_number",
+        "_change_type",
+        "_change_ordinal",
+        "_commit_snapshot_id",
+    }
+)
+
+
+def _check_reserved_column_names(schema: dict[str, Any], where: str) -> None:
+    bad = sorted(
+        f["name"]
+        for f in schema.get("fields", [])
+        if f.get("name") in _RESERVED_COLUMN_NAMES
+    )
+    if bad:
+        raise CommitValidationError(
+            f"{where}: cannot create column(s) with reserved metadata "
+            f"name(s) {bad}"
+        )
+
+
 def _check_v3_only_schema_features(
     schema: dict[str, Any], format_version: int, where: str
 ) -> None:
@@ -164,6 +199,7 @@ def new_table_metadata(
     schema.setdefault("schema-id", 0)
     schema.setdefault("type", "struct")  # Iceberg schemas ARE struct types
     _check_v3_only_schema_features(schema, format_version, "create-table")
+    _check_reserved_column_names(schema, "create-table")
     spec = dict(partition_spec or {"spec-id": 0, "fields": []})
     spec["fields"] = _normalize_partition_fields(spec.get("fields", []), schema)
     order = dict(sort_order or {"order-id": 0, "fields": []})
@@ -319,6 +355,7 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
         _check_v3_only_schema_features(
             schema, meta.get("format-version", 2), "add-schema"
         )
+        _check_reserved_column_names(schema, "add-schema")
         if schema.get("schema-id") is None or schema["schema-id"] == -1:
             schema["schema-id"] = max((s["schema-id"] for s in meta["schemas"]), default=-1) + 1
         if _schema_by_id(meta, schema["schema-id"]) is not None:

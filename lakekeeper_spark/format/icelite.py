@@ -141,6 +141,23 @@ def _bloom_keep(
     return True
 
 
+def _fresh_names(df: DataFrame, *bases: str) -> list[str]:
+    """Temp-column names guaranteed absent from ``df`` — any operator
+    that adds working columns to a USER frame must pick them this way,
+    or a user column with the same name is silently replaced (the
+    round-15 bloom 'f' collision class)."""
+    taken = set(df.columns)
+    out: list[str] = []
+    for b in bases:
+        n, i = b, 0
+        while n in taken:
+            i += 1
+            n = f"{b}_{i}"
+        taken.add(n)
+        out.append(n)
+    return out
+
+
 def _null_safe_semi(left: DataFrame, keys: DataFrame, cols: list[str]) -> DataFrame:
     """LEFT SEMI join on ``cols`` with NULL keys MATCHING (eqNullSafe) —
     the comparison equality-delete application uses: a NULL key value in
@@ -521,6 +538,11 @@ def pair_update_images(
     ]
     ct = F.col("_change_type")
     cid = "_commit_snapshot_id"
+    # temp names picked fresh against the frame: a USER column named
+    # _rn/_n_del/... must not be silently replaced
+    rn, ndel, nins, kdel, kins = _fresh_names(
+        changes, "_rn", "_n_del", "_n_ins", "_k_del", "_k_ins"
+    )
     # 1. pairwise-cancel identical full rows: the k-th delete cancels the
     # k-th insert of the same (commit, full-row) group, so only the excess
     # of the more numerous side survives
@@ -529,25 +551,25 @@ def pair_update_images(
     is_del = F.when(ct == "delete", 1).otherwise(0)
     is_ins = F.when(ct == "insert", 1).otherwise(0)
     tagged = (
-        changes.withColumn("_rn", F.row_number().over(w_full))
-        .withColumn("_n_del", F.sum(is_del).over(w_row))
-        .withColumn("_n_ins", F.sum(is_ins).over(w_row))
+        changes.withColumn(rn, F.row_number().over(w_full))
+        .withColumn(ndel, F.sum(is_del).over(w_row))
+        .withColumn(nins, F.sum(is_ins).over(w_row))
     )
     survivors = tagged.filter(
-        ((ct == "delete") & (F.col("_rn") > F.col("_n_ins")))
-        | ((ct == "insert") & (F.col("_rn") > F.col("_n_del")))
+        ((ct == "delete") & (F.col(rn) > F.col(nins)))
+        | ((ct == "insert") & (F.col(rn) > F.col(ndel)))
         | (~ct.isin("delete", "insert"))
-    ).drop("_rn", "_n_del", "_n_ins")
+    ).drop(rn, ndel, nins)
     # 2. retag exactly-one-delete + exactly-one-insert identifier groups
     w_key = Window.partitionBy(cid, *identifier_columns)
-    k = survivors.withColumn("_k_del", F.sum(is_del).over(w_key)).withColumn(
-        "_k_ins", F.sum(is_ins).over(w_key)
+    k = survivors.withColumn(kdel, F.sum(is_del).over(w_key)).withColumn(
+        kins, F.sum(is_ins).over(w_key)
     )
-    paired = (F.col("_k_del") == 1) & (F.col("_k_ins") == 1)
+    paired = (F.col(kdel) == 1) & (F.col(kins) == 1)
     if strict:
         ambiguous = k.filter(
             ct.isin("delete", "insert")
-            & (F.col("_k_del") + F.col("_k_ins") > 1)
+            & (F.col(kdel) + F.col(kins) > 1)
             & ~paired
         )
         sample = ambiguous.select(*identifier_columns).limit(1).collect()
@@ -564,7 +586,7 @@ def pair_update_images(
         F.when(paired & (ct == "delete"), F.lit("update_preimage"))
         .when(paired & (ct == "insert"), F.lit("update_postimage"))
         .otherwise(ct),
-    ).drop("_k_del", "_k_ins")
+    ).drop(kdel, kins)
 
 
 def net_changes(
@@ -600,35 +622,38 @@ def net_changes(
         for c in changes.columns
         if c not in ("_change_type", "_commit_snapshot_id")
     ]
+    rn, ndel, nins, ordc = _fresh_names(
+        changes, "_rn", "_n_del", "_n_ins", "_ord"
+    )
     if commit_order:
         spark = changes.sparkSession
         omap = spark.createDataFrame(
             [(int(s), int(i)) for s, i in commit_order.items()],
-            "_commit_snapshot_id long, _ord int",
+            f"_commit_snapshot_id long, {ordc} int",
         )
         changes = changes.join(F.broadcast(omap), "_commit_snapshot_id", "left")
         changes = changes.withColumn(
-            "_ord", F.coalesce(F.col("_ord"), F.lit(2**31 - 1))
+            ordc, F.coalesce(F.col(ordc), F.lit(2**31 - 1))
         )
     else:
-        changes = changes.withColumn("_ord", F.col("_commit_snapshot_id"))
+        changes = changes.withColumn(ordc, F.col("_commit_snapshot_id"))
     ct = F.col("_change_type")
     w_side = Window.partitionBy(*data_cols, "_change_type").orderBy(
-        "_ord", "_commit_snapshot_id"
+        ordc, "_commit_snapshot_id"
     )
     w_row = Window.partitionBy(*data_cols)
     is_del = F.when(ct == "delete", 1).otherwise(0)
     is_ins = F.when(ct == "insert", 1).otherwise(0)
     tagged = (
-        changes.withColumn("_rn", F.row_number().over(w_side))
-        .withColumn("_n_del", F.sum(is_del).over(w_row))
-        .withColumn("_n_ins", F.sum(is_ins).over(w_row))
+        changes.withColumn(rn, F.row_number().over(w_side))
+        .withColumn(ndel, F.sum(is_del).over(w_row))
+        .withColumn(nins, F.sum(is_ins).over(w_row))
     )
     return tagged.filter(
-        ((ct == "delete") & (F.col("_rn") > F.col("_n_ins")))
-        | ((ct == "insert") & (F.col("_rn") > F.col("_n_del")))
+        ((ct == "delete") & (F.col(rn) > F.col(nins)))
+        | ((ct == "insert") & (F.col(rn) > F.col(ndel)))
         | (~ct.isin("delete", "insert"))
-    ).drop("_rn", "_n_del", "_n_ins", "_ord")
+    ).drop(rn, ndel, nins, ordc)
 
 
 # alias for call sites where a `net_changes` keyword shadows the function
@@ -2905,7 +2930,8 @@ class SparkTable:
         cols = [f["name"] for f in schema["fields"]]
         lineage = fv >= 3
         live = self._mor_positions(meta, schema, snap, lineage=lineage)
-        src = source.withColumn("__src_match", F.lit(1)).alias("s")
+        mcol = _fresh_names(source, "__src_match")[0]
+        src = source.withColumn(mcol, F.lit(1)).alias("s")
         t = live.alias("t")
         matched = t.join(src, F.expr(on), "inner")
         positions = matched.select(
@@ -3241,13 +3267,14 @@ class SparkTable:
             # SQL UPDATE semantics — an assignment that falsifies the
             # condition (SET x=0 WHERE x>5) must not stop the remaining
             # assignments (or the lineage bump) from applying
-            updated = df.withColumn("__upd_hit", F.expr(condition))
+            hit = _fresh_names(df, "__upd_hit")[0]
+            updated = df.withColumn(hit, F.expr(condition))
             # one withColumns projection: every RHS evaluates against the
             # PRE-update row (SQL semantics; SET x=y, y=x swaps)
             updated = updated.withColumns(
                 {
                     col_name: F.when(
-                        F.col("__upd_hit"), F.expr(expr)
+                        F.col(hit), F.expr(expr)
                     ).otherwise(F.col(col_name))
                     for col_name, expr in assignments.items()
                 }
@@ -3260,10 +3287,10 @@ class SparkTable:
                 updated = updated.withColumn(
                     "_last_updated_sequence_number",
                     F.when(
-                        F.col("__upd_hit"), F.lit(None).cast("long")
+                        F.col(hit), F.lit(None).cast("long")
                     ).otherwise(F.col("_last_updated_sequence_number")),
                 )
-            return updated.drop("__upd_hit")
+            return updated.drop(hit)
 
         return self._rewrite(condition, rewriter, "update")
 
@@ -3295,7 +3322,9 @@ class SparkTable:
         struct = schema_to_struct(schema)
         cols = [f.name for f in struct.fields]
         # marker column: match detection that works for any composite key
-        src = source.withColumn("__src_match", F.lit(1)).alias("s")
+        # (name picked fresh so a source column can't shadow it)
+        mcol = _fresh_names(source, "__src_match")[0]
+        src = source.withColumn(mcol, F.lit(1)).alias("s")
 
         def rewriter(tgt: DataFrame) -> DataFrame:
             joined = tgt.alias("t").join(src, F.expr(on), "left_outer")
@@ -3304,7 +3333,7 @@ class SparkTable:
                 upd = (matched_update or {}).get(c)
                 if upd is not None:
                     out_cols.append(
-                        F.when(F.col("s.__src_match").isNotNull(), F.expr(upd))
+                        F.when(F.col(f"s.{mcol}").isNotNull(), F.expr(upd))
                         .otherwise(F.col(f"t.{c}"))
                         .alias(c)
                     )
@@ -3320,7 +3349,7 @@ class SparkTable:
                 # unmatched rows carried by the rewrite keep their own
                 out_cols.append(
                     F.when(
-                        F.col("s.__src_match").isNotNull() & F.lit(bool(matched_update)),
+                        F.col(f"s.{mcol}").isNotNull() & F.lit(bool(matched_update)),
                         F.lit(None).cast("long"),
                     )
                     .otherwise(F.col("t._last_updated_sequence_number"))
@@ -3706,11 +3735,12 @@ class SparkTable:
             df = self.scan()
         if zorder_by:
             z = F.expr(_zvalue_expr(zorder_by))
+            zc = _fresh_names(df, "__z")[0]
             df = (
-                df.withColumn("__z", z)
-                .repartitionByRange(target_files, "__z")
-                .sortWithinPartitions("__z")
-                .drop("__z")
+                df.withColumn(zc, z)
+                .repartitionByRange(target_files, zc)
+                .sortWithinPartitions(zc)
+                .drop(zc)
             )
         else:
             df = df.coalesce(target_files)

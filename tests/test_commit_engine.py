@@ -219,3 +219,46 @@ def test_partition_spec_unresolvable_source_rejected():
                 },
             ],
         )
+
+
+def test_reserved_metadata_column_names_refused():
+    """Iceberg-parity (round-15): a data column named like an
+    engine-produced metadata column (_file, _pos, _row_id,
+    _change_type, ...) would shadow it in scans/changelogs — refused at
+    create-table AND add-schema, like Iceberg's 'Cannot create column
+    with reserved name'."""
+    import pytest
+
+    from lakekeeper_spark.catalog.commit import (
+        CommitValidationError,
+        apply_commit,
+        new_table_metadata,
+    )
+
+    ok = {
+        "schema-id": 0,
+        "fields": [{"id": 1, "name": "x", "required": False, "type": "long"}],
+    }
+    for bad_name in ("_file", "_pos", "_row_id", "_change_type",
+                     "_last_updated_sequence_number"):
+        bad = {
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": bad_name, "required": False,
+                 "type": "long"},
+            ],
+        }
+        with pytest.raises(CommitValidationError, match="reserved"):
+            new_table_metadata("u", "loc", bad)
+        meta = new_table_metadata("u", "loc", ok)
+        with pytest.raises(CommitValidationError, match="reserved"):
+            apply_commit(
+                meta, [],
+                [{"action": "add-schema",
+                  "schema": {"schema-id": 1, "fields": [
+                      {"id": 1, "name": "x", "required": False,
+                       "type": "long"},
+                      {"id": 2, "name": bad_name, "required": False,
+                       "type": "long"},
+                  ]}}],
+            )

@@ -753,3 +753,61 @@ def test_analyze_writes_real_puffin_and_parquet_stats(table, spark):
     assert pp.suffix == ".parquet" and pp.exists()
     back = spark.read.parquet(str(pp)).collect()
     assert sum(r.record_count for r in back) == table.scan().count()
+
+
+def test_operator_temp_columns_dont_shadow_user_columns(spark, catalog):
+    """Round-15 hardening: operators that add WORKING columns to user
+    frames pick fresh names (_fresh_names), so user columns named like
+    the old literals — __src_match on a merge source, __upd_hit /
+    __z on the table, _rn through the changelog pairing — survive with
+    their own values instead of being silently replaced."""
+    catalog.create_namespace("wh", ["tmpcol"])
+    catalog.create_table(
+        "wh", ["tmpcol"], "t",
+        {
+            "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "id", "type": "long", "required": False},
+                {"id": 2, "name": "__upd_hit", "type": "string",
+                 "required": False},
+                {"id": 3, "name": "__z", "type": "long", "required": False},
+                {"id": 4, "name": "_rn", "type": "long", "required": False},
+            ],
+        },
+    )
+    from lakekeeper_spark.format.icelite import SparkTable
+
+    t = SparkTable(spark, catalog, "wh", ["tmpcol"], "t")
+    t.append(spark.createDataFrame(
+        [(i, f"h{i}", i * 10, i * 100) for i in range(6)],
+        "id long, __upd_hit string, __z long, _rn long",
+    ))
+    # UPDATE: the user's __upd_hit column must keep its values where
+    # the condition doesn't touch it, and take the SET value where it
+    # does — never the boolean hit marker
+    t.update_where("id = 2", {"__upd_hit": "'patched'"})
+    vals = {r.id: r["__upd_hit"] for r in t.scan().collect()}
+    assert vals[2] == "patched" and vals[3] == "h3"
+    # MERGE with a source that carries its own __src_match column
+    src = spark.createDataFrame(
+        [(1, "m", 10, 100, 99), (50, "new", 500, 5000, 77)],
+        "id long, __upd_hit string, __z long, _rn long, __src_match long",
+    )
+    t.merge(
+        src,
+        "t.id = s.id",
+        matched_update={"__upd_hit": "s.__upd_hit"},
+    )
+    vals = {r.id: r["__upd_hit"] for r in t.scan().collect()}
+    assert vals[1] == "m" and vals[50] == "new" and vals[4] == "h4"
+    # Z-order rewrite: the user's __z column data must survive
+    t.rewrite_data_files(target_files=1, zorder_by=["id"])
+    zs = {r.id: r["__z"] for r in t.scan().collect()}
+    assert zs[5] == 50
+    # changelog update-pairing with a user _rn column present
+    from lakekeeper_spark.format.icelite import pair_update_images
+
+    cl = t.changelog(identifier_columns=["id"])
+    rows = {(r.id, r._change_type): r["_rn"] for r in cl.collect()}
+    assert rows[(2, "update_postimage")] == 200  # user _rn intact
+    assert pair_update_images is not None
