@@ -120,11 +120,18 @@ _RESERVED_COLUMN_NAMES = frozenset(
 )
 
 
-def _check_reserved_column_names(schema: dict[str, Any], where: str) -> None:
+def _check_reserved_column_names(
+    schema: dict[str, Any], where: str, grandfathered: set[str] | None = None
+) -> None:
+    """Reject reserved metadata names — but only names NEW relative to
+    ``grandfathered``: a pre-round-15 table that already carries e.g. a
+    ``_file`` column must stay evolvable (adding unrelated columns can't
+    suddenly fail on the legacy name it has always had)."""
     bad = sorted(
         f["name"]
         for f in schema.get("fields", [])
         if f.get("name") in _RESERVED_COLUMN_NAMES
+        and f.get("name") not in (grandfathered or set())
     )
     if bad:
         raise CommitValidationError(
@@ -355,7 +362,18 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
         _check_v3_only_schema_features(
             schema, meta.get("format-version", 2), "add-schema"
         )
-        _check_reserved_column_names(schema, "add-schema")
+        _check_reserved_column_names(
+            schema,
+            "add-schema",
+            # names already present in ANY existing schema version are
+            # grandfathered: the check gates NEW columns only, so legacy
+            # tables predating the rule stay evolvable (round-15 ADVICE)
+            grandfathered={
+                f.get("name")
+                for s in meta["schemas"]
+                for f in s.get("fields", [])
+            },
+        )
         if schema.get("schema-id") is None or schema["schema-id"] == -1:
             schema["schema-id"] = max((s["schema-id"] for s in meta["schemas"]), default=-1) + 1
         if _schema_by_id(meta, schema["schema-id"]) is not None:
@@ -452,23 +470,43 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
             # wins; unused ids in a claimed range are simply never
             # observed).
             running = frid
-            for e in snap.get("manifest", []):
-                if e.get("content", "data") != "data":
-                    continue  # delete files carry no row ids
-                if e.get("first-row-id") is None:
-                    rc = e.get("record-count")
-                    if rc is None:
-                        # a defaulted 0 would make the NEXT file's range
-                        # overlap this file's inherited ids — the same
-                        # invariant the stale-first-row-id check above
-                        # rejects
-                        raise CommitValidationError(
-                            "add-snapshot: v3 data file "
-                            f"{e.get('path')!r} has no record-count — "
-                            "row-id range assignment requires it"
-                        )
-                    e["first-row-id"] = running
-                    running += int(rc)
+            if "manifests" in snap:
+                # out-of-line manifests (round 16): the engine assigns
+                # PER-MANIFEST base ids from each descriptor's
+                # ``null-id-rows`` count — O(manifests) work with no
+                # storage read, exactly the v3 spec's manifest-list
+                # first_row_id inheritance. Per-entry materialization
+                # happens lazily at read (iceberg_manifests.
+                # overlay_entries), so the same manifest file read under
+                # the PARENT snapshot still yields null ids — time
+                # travel unaffected, no _deep_copy of entries needed.
+                for d in snap["manifests"]:
+                    if d.get("content") != "data":
+                        continue  # delete manifests carry no row ids
+                    if d.get("first-row-id") is not None:
+                        continue  # carried: keeps its assigned base
+                    nid = int(d.get("null-id-rows", 0))
+                    if nid:
+                        d["first-row-id"] = running
+                        running += nid
+            else:
+                for e in snap.get("manifest", []):
+                    if e.get("content", "data") != "data":
+                        continue  # delete files carry no row ids
+                    if e.get("first-row-id") is None:
+                        rc = e.get("record-count")
+                        if rc is None:
+                            # a defaulted 0 would make the NEXT file's
+                            # range overlap this file's inherited ids —
+                            # the same invariant the stale-first-row-id
+                            # check above rejects
+                            raise CommitValidationError(
+                                "add-snapshot: v3 data file "
+                                f"{e.get('path')!r} has no record-count — "
+                                "row-id range assignment requires it"
+                            )
+                        e["first-row-id"] = running
+                        running += int(rc)
             meta["next-row-id"] = max(base, running)
         meta["snapshots"].append(snap)
     elif action == "set-snapshot-ref":

@@ -350,13 +350,320 @@ def _dv_entry_records(
     return out
 
 
+# ------------------------------------------------ out-of-line manifest store
+#
+# Round 16: snapshots no longer embed their file inventory in the table
+# metadata JSON. Each snapshot carries a small ``manifests`` DESCRIPTOR
+# list; the entries themselves live in immutable Avro manifest OCFs that
+# UNCHANGED commits reference without rewriting (real Iceberg's shape:
+# an append writes ONE new manifest and a manifest list that points at
+# the parent's manifests untouched — the reference catalog's normalized
+# metadata layout has the same intent,
+# migrations/20241106201139_split_table_metadata.sql:39-167). Each OCF
+# holds the spec manifest_entry records (the interop surface a stock
+# reader parses) plus the engine's LOSSLESS JSON entry list in the OCF
+# header metadata key ``icelite.entries`` (Avro file metadata is an
+# open map; readers ignore keys they don't know — public Avro 1.11
+# spec, "Object Container Files"). Descriptors carry the manifest-file
+# summaries the planner prunes on (partition value sets, column bounds,
+# counts, sequence numbers) so a point query can skip WHOLE manifests
+# without opening them.
+
+ENGINE_ENTRIES_KEY = "icelite.entries"
+
+#: distinct partition values per field above which the descriptor stops
+#: summarizing that field (a high-cardinality partition summary would
+#: bloat the metadata blob for no pruning win — bounds still apply)
+_PARTITION_SUMMARY_CAP = 16
+
+_CONTENT_KIND = {  # engine entry `content` -> manifest content kind
+    None: "data",
+    "data": "data",
+    "position-deletes": "deletes",
+    "deletion-vectors": "deletes",
+    "equality-deletes": "deletes",
+}
+
+
+def _manifest_summaries(
+    entries: list[dict[str, Any]],
+) -> tuple[dict[str, list[str]] | None, dict[str, list[Any]] | None]:
+    """(partition value sets, aggregated column bounds) over ``entries``
+    — both CONSERVATIVE: a field/column is summarized only when every
+    entry contributes a comparable value, so a missing summary keeps the
+    manifest (never wrongly skipped), same contract as the entry-level
+    _bounds_overlap."""
+    parts: dict[str, set[str]] = {}
+    for e in entries:
+        for k, v in (e.get("partition") or {}).items():
+            parts.setdefault(k, set()).add(str(v))
+    part_summary = {
+        k: sorted(vals)
+        for k, vals in parts.items()
+        if len(vals) <= _PARTITION_SUMMARY_CAP
+        # only fields present in EVERY entry discriminate safely (an
+        # entry without the field matches any filter value via "None")
+        and all(k in (e.get("partition") or {}) for e in entries)
+    } or None
+    bounds: dict[str, list[Any]] | None = {}
+    for e in entries:
+        eb = e.get("bounds") or {}
+        if not eb:
+            bounds = None
+            break
+        if not bounds:  # first entry seeds the candidate column set
+            bounds = {c: list(b) for c, b in eb.items()}
+            continue
+        for c in list(bounds):
+            b = eb.get(c)
+            if b is None:
+                bounds.pop(c)
+                continue
+            try:
+                bounds[c] = [min(bounds[c][0], b[0]), max(bounds[c][1], b[1])]
+            except TypeError:  # mixed types across files: not summarizable
+                bounds.pop(c)
+    return part_summary, (bounds or None)
+
+
+def descriptor_keep(
+    d: dict[str, Any],
+    partition_filter: dict[str, Any] | None = None,
+    stats_filter: dict[str, tuple] | None = None,
+) -> bool:
+    """Manifest-level pruning: False only when the descriptor's summary
+    PROVES no entry can match (absent summaries keep the manifest)."""
+    if partition_filter:
+        parts = d.get("partitions")
+        if parts:
+            for k, v in partition_filter.items():
+                vals = parts.get(k)
+                if vals is not None and str(v) not in vals:
+                    return False
+    if stats_filter:
+        bounds = d.get("bounds") or {}
+        for col, (lo, hi) in stats_filter.items():
+            b = bounds.get(col)
+            if b is None:
+                continue
+            if (hi is not None and b[0] > hi) or (lo is not None and b[1] < lo):
+                return False
+    return True
+
+
+def write_manifest_file(
+    meta: dict[str, Any],
+    entries: list[dict[str, Any]],
+    snapshot_id: int,
+    sequence_number: int,
+    out_dir: str,
+    seq_to_sid: dict[int, int] | None = None,
+) -> dict[str, Any]:
+    """Write ONE immutable Avro manifest OCF for ``entries`` (uniform
+    content kind — all data or all deletes) and return its descriptor.
+    The OCF body is the spec manifest_entry records; the OCF header
+    metadata carries the engine's lossless JSON entry list. Cost is
+    O(len(entries)) — the commit path calls this only for NEW or
+    rewritten manifests, never for carried ones."""
+    import json as _json
+    import os
+    import uuid as _uuid
+
+    kinds = {_CONTENT_KIND.get(e.get("content"), "data") for e in entries}
+    if len(kinds) != 1:
+        raise ValueError(f"manifest content must be uniform, got {sorted(kinds)}")
+    kind = kinds.pop()
+    schema = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    spec = next(
+        (s for s in meta["partition-specs"] if s["spec-id"] == meta["default-spec-id"]),
+        {"spec-id": 0, "fields": []},
+    )
+    pfields, ptypes = _partition_avro_fields(spec, schema)
+    pseudo_snap = {"snapshot-id": snapshot_id, "sequence-number": sequence_number}
+    records = [
+        rec
+        for e in entries
+        for rec in _dv_entry_records(
+            _entry_record(e, pseudo_snap, schema, ptypes, seq_to_sid), e
+        )
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+    mpath = os.path.join(
+        out_dir, f"mf-{0 if kind == 'data' else 1}-{_uuid.uuid4().hex[:12]}.avro"
+    )
+    write_ocf(
+        mpath,
+        manifest_entry_schema(pfields),
+        records,
+        metadata={
+            "schema-id": str(meta["current-schema-id"]),
+            "partition-spec-id": str(spec["spec-id"]),
+            "format-version": str(meta.get("format-version", 2)),
+            "content": kind if kind == "data" else "deletes",
+            ENGINE_ENTRIES_KEY: _json.dumps(entries, separators=(",", ":")),
+        },
+    )
+    seqs = [e.get("sequence-number", sequence_number) for e in entries]
+    added = [e for e in entries if e.get("sequence-number") == sequence_number]
+    existing = [e for e in entries if e.get("sequence-number") != sequence_number]
+    parts, bounds = _manifest_summaries(entries)
+    desc: dict[str, Any] = {
+        "path": mpath,
+        "length": os.path.getsize(mpath),
+        "content": kind,
+        "added-snapshot-id": snapshot_id,
+        "sequence-number": sequence_number,
+        "min-sequence-number": min(seqs, default=sequence_number),
+        "added-files-count": len(added),
+        "existing-files-count": len(existing),
+        "added-rows-count": sum(e.get("record-count", 0) for e in added),
+        "existing-rows-count": sum(e.get("record-count", 0) for e in existing),
+    }
+    if kind == "data":
+        # rows whose first-row-id the commit engine must still assign
+        # (v3 lazy inheritance — the engine advances next-row-id by this
+        # without ever opening the manifest)
+        desc["null-id-rows"] = sum(
+            int(e.get("record-count", 0))
+            for e in entries
+            if e.get("first-row-id") is None
+        )
+    if parts:
+        desc["partitions"] = parts
+    if bounds:
+        desc["bounds"] = bounds
+    return desc
+
+
+def write_manifest_list_file(
+    meta: dict[str, Any],
+    snapshot_id: int,
+    sequence_number: int,
+    descriptors: list[dict[str, Any]],
+    out_dir: str,
+) -> str:
+    """The snapshot's spec manifest-list OCF: one manifest_file record
+    per descriptor (carried manifests appear by their ORIGINAL path —
+    the reuse a stock reader expects)."""
+    import os
+    import uuid as _uuid
+
+    rows = [
+        {
+            "manifest_path": d["path"],
+            "manifest_length": d["length"],
+            "partition_spec_id": meta.get("default-spec-id", 0),
+            "content": 0 if d["content"] == "data" else 1,
+            "sequence_number": d.get("sequence-number", sequence_number),
+            "min_sequence_number": d.get(
+                "min-sequence-number", d.get("sequence-number", sequence_number)
+            ),
+            "added_snapshot_id": d.get("added-snapshot-id", snapshot_id),
+            "added_files_count": d.get("added-files-count", 0),
+            "existing_files_count": d.get("existing-files-count", 0),
+            "deleted_files_count": 0,
+            "added_rows_count": d.get("added-rows-count", 0),
+            "existing_rows_count": d.get("existing-rows-count", 0),
+            "deleted_rows_count": 0,
+            "partitions": None,
+            "key_metadata": None,
+        }
+        for d in descriptors
+    ]
+    os.makedirs(out_dir, exist_ok=True)
+    list_path = os.path.join(
+        out_dir, f"snap-{snapshot_id}-{_uuid.uuid4().hex[:12]}.avro"
+    )
+    write_ocf(
+        list_path,
+        MANIFEST_FILE_SCHEMA,
+        rows,
+        metadata={
+            "snapshot-id": str(snapshot_id),
+            "sequence-number": str(sequence_number),
+            "format-version": str(meta.get("format-version", 2)),
+        },
+    )
+    return list_path
+
+
+# Manifest files are IMMUTABLE (every write takes a fresh uuid name), so
+# a process-wide LRU keyed by path is safe; `_OPEN_COUNT` lets scorch
+# tests assert how many manifests a plan actually opened.
+_ENTRY_CACHE: dict[str, list[dict[str, Any]]] = {}
+_ENTRY_CACHE_MAX = 512
+_OPEN_COUNT = 0
+
+
+def manifest_cache_clear() -> None:
+    global _OPEN_COUNT
+    _ENTRY_CACHE.clear()
+    _OPEN_COUNT = 0
+
+
+def manifest_open_count() -> int:
+    return _OPEN_COUNT
+
+
+def load_manifest_entries(path: str) -> list[dict[str, Any]]:
+    """The manifest's lossless engine entries (the OCF metadata copy).
+    Returned list and dicts are SHARED cache state — callers must not
+    mutate them (overlay/materialization copies before writing)."""
+    import json as _json
+
+    global _OPEN_COUNT
+    hit = _ENTRY_CACHE.get(path)
+    if hit is not None:
+        return hit
+    _OPEN_COUNT += 1
+    _, _, ocf_meta = read_ocf(path)
+    raw = ocf_meta.get(ENGINE_ENTRIES_KEY)
+    if raw is None:
+        raise ValueError(f"{path}: not an icelite-written manifest (no engine entries)")
+    entries = _json.loads(raw.decode())
+    if len(_ENTRY_CACHE) >= _ENTRY_CACHE_MAX:
+        _ENTRY_CACHE.pop(next(iter(_ENTRY_CACHE)))
+    _ENTRY_CACHE[path] = entries
+    return entries
+
+
+def overlay_entries(
+    desc: dict[str, Any], raw: list[dict[str, Any]]
+) -> list[dict[str, Any]]:
+    """Materialize v3 first-row-id inheritance for one manifest: the
+    descriptor's ``first-row-id`` (assigned by the commit engine at
+    add-snapshot, O(manifests) work) seeds a running offset consumed by
+    data entries that stored none — exactly the Iceberg v3 lazy
+    assignment rule, scoped per manifest. Entries with an explicit id
+    keep it and consume nothing (matching the engine's historical
+    inline assignment). Copies entries it changes; shares the rest."""
+    frid = desc.get("first-row-id")
+    if frid is None or desc.get("content") != "data":
+        return list(raw)
+    out: list[dict[str, Any]] = []
+    running = int(frid)
+    for e in raw:
+        if e.get("content", "data") == "data" and e.get("first-row-id") is None:
+            e = {**e, "first-row-id": running}
+            running += int(e.get("record-count", 0))
+        out.append(e)
+    return out
+
+
 def write_snapshot_manifests(
     meta: dict[str, Any], snapshot: dict[str, Any], out_dir: str
 ) -> str:
     """Write the snapshot's REAL Avro manifests + manifest list under
     ``out_dir``; returns the manifest-list path. Data and delete entries
     go to separate manifests (spec: a manifest's ``content`` is uniform).
-    Cost is metadata-sized: O(files in snapshot), no data read."""
+    Cost is metadata-sized: O(files in snapshot), no data read.
+
+    LEGACY path: only used for snapshots that still carry the inline
+    ``manifest`` vendor key (hand-built test snapshots / pre-round-16
+    metadata); engine commits write incremental manifests through
+    write_manifest_file + write_manifest_list_file instead."""
     import os
 
     schema = next(
@@ -481,9 +788,18 @@ def mirrors_inline(snapshot: dict[str, Any]) -> bool:
         decoded = entries_from_manifest_list(snapshot["manifest-list"])
     except (OSError, ValueError, EOFError, KeyError):
         return False
-    return sorted(key(e) for e in decoded) == sorted(
-        key(e) for e in snapshot.get("manifest", [])
-    )
+    if "manifest" in snapshot:
+        inline = snapshot["manifest"]
+    else:  # out-of-line snapshots: the engine copy lives in the OCFs
+        try:
+            inline = [
+                e
+                for d in snapshot.get("manifests", [])
+                for e in overlay_entries(d, load_manifest_entries(d["path"]))
+            ]
+        except (OSError, ValueError, EOFError, KeyError):
+            return False
+    return sorted(key(e) for e in decoded) == sorted(key(e) for e in inline)
 
 
 def entries_from_manifest_list(path: str) -> list[dict[str, Any]]:

@@ -112,14 +112,50 @@ def _bloom_pack(positions: set[int], m: int) -> str:
     return base64.b64encode(bytes(bits)).decode()
 
 
+# Bloom sidecar slice cache: bitmaps are immutable once written (fresh
+# uuid path per commit), so (path, offset) keys a packed bitmap slice.
+_BLOOM_SLICE_CACHE: dict[tuple[str, int], bytes] = {}
+_BLOOM_SLICE_CACHE_MAX = 1024
+
+
+def _bloom_bits_of(bloom: dict[str, Any]) -> bytes | None:
+    """The packed bitmap for one (file, column) bloom ref: a base64
+    inline payload (pre-round-16 metadata) or a ranged read of the
+    Puffin sidecar at (path, offset, length) — the probe-time analogue
+    of an object-store ranged GET, cached per slice. Unreadable
+    sidecars keep the file (superset contract)."""
+    raw = bloom.get("bits")
+    if raw is not None:
+        import base64
+
+        return base64.b64decode(raw)
+    path, off = bloom.get("path"), bloom.get("offset")
+    if path is None or off is None:
+        return None
+    key = (path, int(off))
+    hit = _BLOOM_SLICE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    try:
+        with open(path, "rb") as f:
+            f.seek(int(off))
+            bits = f.read(int(bloom["length"]))
+    except OSError:
+        return None
+    if len(_BLOOM_SLICE_CACHE) >= _BLOOM_SLICE_CACHE_MAX:
+        _BLOOM_SLICE_CACHE.pop(next(iter(_BLOOM_SLICE_CACHE)))
+    _BLOOM_SLICE_CACHE[key] = bits
+    return bits
+
+
 def _bloom_might_contain(bloom: dict[str, Any], raw_hashes: list[int]) -> bool:
     """True unless some probe position's bit is unset. ``raw_hashes`` are
     the k signed xxhash64 values of the probe; positions derive per
     bloom via % m (matches the writer's pmod)."""
-    import base64
-
     m = int(bloom["m"])
-    bits = base64.b64decode(bloom["bits"])
+    bits = _bloom_bits_of(bloom)
+    if bits is None:
+        return True  # unreadable bitmap: keep the file, never wrongly skip
     for h in raw_hashes:
         p = h % m
         if not bits[p >> 3] >> (p & 7) & 1:
@@ -208,6 +244,146 @@ def _split_manifest(
     data = [e for e in manifest if e.get("content", "data") == "data"]
     dels = [e for e in manifest if e.get("content") in _DELETE_KINDS]
     return data, dels
+
+
+# ---------------------------------------------------------------------
+# out-of-line manifests (round 16): a snapshot carries a ``manifests``
+# descriptor list; entries live in immutable Avro manifest files that
+# unchanged commits REUSE (format/iceberg_manifests.py store layer).
+# Every reader goes through these helpers, which also accept the legacy
+# inline ``manifest`` key (hand-built test snapshots, pre-round-16
+# metadata blobs) so old tables stay readable.
+# ---------------------------------------------------------------------
+def snapshot_manifests(snap: dict[str, Any] | None) -> list[dict[str, Any]]:
+    return (snap or {}).get("manifests") or []
+
+
+def snapshot_entries(snap: dict[str, Any] | None) -> list[dict[str, Any]]:
+    """The snapshot's full file inventory, lazily loaded from its
+    manifest files (process-wide cache; immutable paths) with v3
+    first-row-id inheritance materialized per manifest descriptor.
+    Returned entry dicts are SHARED across callers — treat as
+    read-only; copy before mutating."""
+    if not snap:
+        return []
+    if "manifest" in snap:  # legacy inline vendor copy
+        return list(snap["manifest"])
+    from .iceberg_manifests import load_manifest_entries, overlay_entries
+
+    return [
+        e
+        for d in snapshot_manifests(snap)
+        for e in overlay_entries(d, load_manifest_entries(d["path"]))
+    ]
+
+
+def snapshot_delete_entries(snap: dict[str, Any] | None) -> list[dict[str, Any]]:
+    """Only the snapshot's DELETE artifacts — opens only delete-content
+    manifests (the common planner need: tombstones are few; the data
+    inventory stays unopened)."""
+    if not snap:
+        return []
+    if "manifest" in snap:
+        return _split_manifest(snap["manifest"])[1]
+    from .iceberg_manifests import load_manifest_entries, overlay_entries
+
+    return [
+        e
+        for d in snapshot_manifests(snap)
+        if d.get("content") == "deletes"
+        for e in overlay_entries(d, load_manifest_entries(d["path"]))
+    ]
+
+
+def snapshot_file_count(snap: dict[str, Any] | None) -> int:
+    """Total entry count (data + deletes) straight from descriptor sums —
+    no manifest is opened."""
+    if not snap:
+        return 0
+    if "manifest" in snap:
+        return len(snap["manifest"])
+    return sum(
+        d.get("added-files-count", 0) + d.get("existing-files-count", 0)
+        for d in snapshot_manifests(snap)
+    )
+
+
+def snapshot_split_pruned(
+    snap: dict[str, Any] | None,
+    partition_filter: dict[str, Any] | None = None,
+    stats_filter: dict[str, tuple] | None = None,
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]], int]:
+    """(data entries from manifests the filters can't prove empty,
+    ALL delete entries, true total data-file count). Manifest-level
+    pruning: a point/range query on an out-of-range manifest never
+    opens it — the read-path payoff of out-of-line manifests at scale.
+    Callers still apply the per-entry filters to the surviving data
+    entries (descriptor summaries are manifest-granular supersets)."""
+    if not snap:
+        return [], [], 0
+    if "manifest" in snap:
+        data, dels = _split_manifest(snap["manifest"])
+        return data, dels, len(data)
+    from .iceberg_manifests import (
+        descriptor_keep,
+        load_manifest_entries,
+        overlay_entries,
+    )
+
+    data: list[dict[str, Any]] = []
+    dels: list[dict[str, Any]] = []
+    total = 0
+    for d in snapshot_manifests(snap):
+        if d.get("content") == "deletes":
+            dels.extend(overlay_entries(d, load_manifest_entries(d["path"])))
+            continue
+        total += d.get("added-files-count", 0) + d.get("existing-files-count", 0)
+        if not descriptor_keep(d, partition_filter, stats_filter):
+            continue
+        data.extend(overlay_entries(d, load_manifest_entries(d["path"])))
+    return data, dels, total
+
+
+def diff_snapshots(
+    parent: dict[str, Any] | None, snap: dict[str, Any]
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    """(entries added by ``snap``, entries removed from ``parent``) by
+    path — O(changed manifests) when both snapshots are out-of-line
+    (manifests common to both sides cannot contribute to either set, so
+    they are never opened); falls back to the full path-set diff when
+    either side still carries an inline manifest."""
+    if parent is None:
+        return snapshot_entries(snap), []
+    if "manifest" in snap or "manifest" in parent:
+        pe, se = snapshot_entries(parent), snapshot_entries(snap)
+        pp = {e["path"] for e in pe}
+        sp = {e["path"] for e in se}
+        return (
+            [e for e in se if e["path"] not in pp],
+            [e for e in pe if e["path"] not in sp],
+        )
+    from .iceberg_manifests import load_manifest_entries, overlay_entries
+
+    p_paths = {d["path"] for d in snapshot_manifests(parent)}
+    s_paths = {d["path"] for d in snapshot_manifests(snap)}
+    p_ents = [
+        e
+        for d in snapshot_manifests(parent)
+        if d["path"] not in s_paths
+        for e in overlay_entries(d, load_manifest_entries(d["path"]))
+    ]
+    s_ents = [
+        e
+        for d in snapshot_manifests(snap)
+        if d["path"] not in p_paths
+        for e in overlay_entries(d, load_manifest_entries(d["path"]))
+    ]
+    pp = {e["path"] for e in p_ents}
+    sp = {e["path"] for e in s_ents}
+    return (
+        [e for e in s_ents if e["path"] not in pp],
+        [e for e in p_ents if e["path"] not in sp],
+    )
 
 
 def plan_lineage_events(
@@ -311,14 +487,12 @@ def plan_lineage_events(
         sid = s["snapshot-id"]
         pid = s.get("parent-snapshot-id")
         parent = by_id.get(pid)
-        p_manifest = parent["manifest"] if parent else []
-        p_paths = {e["path"] for e in p_manifest}
-        s_paths = {e["path"] for e in s["manifest"]}
-        s_data, s_dels = _split_manifest(s["manifest"])
-        p_data, p_del_entries = _split_manifest(p_manifest)
-        added_data = [e for e in s_data if e["path"] not in p_paths]
-        removed_data = [e for e in p_data if e["path"] not in s_paths]
-        added_dels = [e for e in s_dels if e["path"] not in p_paths]
+        # descriptor-level diff: manifests shared with the parent are
+        # never opened, so a 3-file rewrite on a 100k-file table plans
+        # from O(changed manifests), not O(table)
+        added, removed = diff_snapshots(parent, s)
+        added_data, added_dels = _split_manifest(added)
+        removed_data = _split_manifest(removed)[0]
         del_ranges = s["summary"].get("deleted-row-id-ranges")
         plan: dict[str, Any] = {
             "snapshot-id": sid,
@@ -342,6 +516,8 @@ def plan_lineage_events(
             min_removed_seq = min(
                 e.get("sequence-number", 0) for e in removed_data
             )
+            # parent tombstones: only delete-content manifests open here
+            p_del_entries = snapshot_delete_entries(parent)
             masks = []
             for e in p_del_entries:
                 if e.get("content") == "equality-deletes":
@@ -417,7 +593,14 @@ def file_scan_task(
             "partition": e.get("partition", {}),
             "sequence-number": e.get("sequence-number", 0),
             "schema-id": e.get("schema-id"),
-            "first-row-id": e.get("first-row-id"),
+            # present only when the entry carries one: consumers .get()
+            # it, and omitting the key keeps round-14 scan-plan wire
+            # payloads byte-identical for pre-v3 tables (round-15 ADVICE)
+            **(
+                {"first-row-id": e["first-row-id"]}
+                if e.get("first-row-id") is not None
+                else {}
+            ),
         },
         "position-delete-files": [
             {"path": d["path"], "record-count": d.get("record-count", 0)}
@@ -473,8 +656,12 @@ def plan_table_scan(
     snap = snaps.get(snapshot_id)
     if snap is None:
         raise KeyError(f"snapshot {snapshot_id} not found")
-    data, deletes = _split_manifest(snap["manifest"])
-    total = len(data)
+    # manifest-level pruning first: descriptor summaries (partition
+    # value sets, aggregated bounds) skip WHOLE manifest files before a
+    # single entry is read — the server stays O(surviving manifests)
+    data, deletes, total = snapshot_split_pruned(
+        snap, partition_filter, stats_filter
+    )
     if partition_filter:
         data = [
             e
@@ -1027,10 +1214,9 @@ class SparkTable:
         equality value absent — planning-time pruning for point lookups
         on high-cardinality columns where min/max bounds overlap every
         file. Parquet keeps its own row-group blooms; this is the
-        FILE-granular analogue living in the manifest, like Iceberg's
-        ndv/bounds stats."""
-        import base64
-
+        FILE-granular analogue of Iceberg's ndv/bounds stats; the
+        bitmaps live in a Puffin sidecar, the manifest entry carries
+        only the (path, offset, length, m, k) reference."""
         props = meta.get("properties", {})
         names = {f["name"] for f in schema["fields"]}
         cols = [
@@ -1086,12 +1272,52 @@ class SparkTable:
             return
         # pass 2 — executor-side bitmap build; <= m/8 bytes per row back
         rows = self._bloom_bitmaps(out_dir, cols, decl, pairs).collect()
+        if not rows:
+            return
+        # bitmaps land in ONE Puffin sidecar per commit (round 16 —
+        # puffin-style like format/dv.py's deletion vectors), NOT in the
+        # manifest entry: the metadata blob and the manifest files stay
+        # bitmap-free regardless of bloom config, and a probe fetches
+        # only the probed column's bytes by (path, offset, length) — at
+        # object-storage scale that's one ranged GET per candidate
+        # (file, column), never the whole bloom set.
+        from .puffin import write_puffin
+
+        sorted_rows = sorted(rows, key=lambda r: (r["f"], int(r["ci"])))
+        bdir = Path(meta["location"]) / "metadata"
+        bdir.mkdir(parents=True, exist_ok=True)
+        bpath = str(bdir / f"bloom-{uuid.uuid4().hex[:12]}.puffin")
+        by_name = {f["name"]: f["id"] for f in schema["fields"]}
+        blobs = []
+        layout: list[tuple[str, str, int, int, int]] = []  # f, col, m, off, len
+        offset = 4  # container magic
+        for r in sorted_rows:
+            col = cols[int(r["ci"])]
+            payload = bytes(r["bits"])
+            blobs.append(
+                {
+                    "type": "icelite-bloom-v1",
+                    "fields": [by_name.get(col, -1)],
+                    "payload": payload,
+                    "properties": {
+                        "column": col,
+                        "m": str(int(r["m"])),
+                        "k": str(_BLOOM_K),
+                        "data-file": r["f"],
+                    },
+                }
+            )
+            layout.append((r["f"], col, int(r["m"]), offset, len(payload)))
+            offset += len(payload)
+        write_puffin(bpath, blobs)
         blooms_by_file: dict[str, dict[str, Any]] = {}
-        for r in rows:
-            blooms_by_file.setdefault(r["f"], {})[cols[r["ci"]]] = {
-                "m": int(r["m"]),
+        for f, col, m, off, ln in layout:
+            blooms_by_file.setdefault(f, {})[col] = {
+                "m": m,
                 "k": _BLOOM_K,
-                "bits": base64.b64encode(bytes(r["bits"])).decode(),
+                "path": bpath,
+                "offset": off,
+                "length": ln,
             }
         for e in entries:
             relp = e["path"].split("/", 2)[-1]  # path under out_dir
@@ -1234,27 +1460,168 @@ class SparkTable:
             for i, c in enumerate(probes)
         }
 
-    def _attach_manifest_list(
-        self, meta: dict[str, Any], snapshot: dict[str, Any]
-    ) -> None:
-        """Write the snapshot's file inventory out-of-line as REAL
-        Iceberg v2 Avro manifests — a manifest-list OCF of manifest_file
-        records pointing at per-content manifest OCFs of manifest_entry
-        records (format/iceberg_manifests.py; clean-room Avro encoder in
-        format/avro.py) — and point the spec-required ``manifest-list``
-        field at it, making every snapshot entry field-for-field valid
-        TableMetadata v2 (format/iceberg_spec.py validates the document;
-        test_avro_manifests.py round-trips the binary files). The inline
-        ``manifest`` key stays the engine's authoritative copy, a
-        documented vendor extension spec parsers ignore. Cost is
-        metadata-sized: O(files in snapshot), no data read."""
-        from .iceberg_manifests import write_snapshot_manifests
+    #: Iceberg's commit.manifest.min-count-to-merge: when a content
+    #: kind's live manifest count reaches this, the smallest manifests
+    #: coalesce into one — bounding the manifest list at O(threshold)
+    #: however many commits the table has absorbed
+    _MANIFEST_MERGE_MIN = 100
 
-        mdir = Path(meta["location"]) / "metadata" / uuid.uuid4().hex[:12]
-        mdir.mkdir(parents=True, exist_ok=True)
-        snapshot["manifest-list"] = write_snapshot_manifests(
-            meta, snapshot, str(mdir)
+    def _build_manifests(
+        self,
+        meta: dict[str, Any],
+        parent: dict[str, Any] | None,
+        entries: list[dict[str, Any]],
+        snapshot_id: int,
+        sequence_number: int,
+    ) -> list[dict[str, Any]]:
+        """Incremental manifest construction — commit cost O(delta), not
+        O(table): diff the desired inventory against the parent's
+        manifests; a parent manifest whose every entry survives
+        unchanged is CARRIED by descriptor (its Avro file is never
+        rewritten — byte-identical across commits), a manifest losing
+        entries is rewritten with only its survivors, and entries new to
+        the table land in at most one fresh manifest per content kind.
+        An append to an N-file table therefore writes 1-2 new manifest
+        files and the stored metadata blob stays O(manifests) — the
+        shape real Iceberg commits have and the reference's normalized
+        metadata layout encodes (SURVEY §1.2;
+        migrations/20241106201139_split_table_metadata.sql:39-167)."""
+        from .iceberg_manifests import (
+            load_manifest_entries,
+            overlay_entries,
+            write_manifest_file,
         )
+
+        out_dir = str(Path(meta["location"]) / "metadata")
+        desired = {e["path"]: e for e in entries}
+        seq_to_sid = {
+            s.get("sequence-number", 0): s["snapshot-id"]
+            for s in meta.get("snapshots", [])
+        }
+        seq_to_sid[sequence_number] = snapshot_id
+        descs: list[dict[str, Any]] = []
+        covered: set[str] = set()
+        for d in snapshot_manifests(parent):
+            over = overlay_entries(d, load_manifest_entries(d["path"]))
+            if not over:
+                continue  # drop empty manifests instead of carrying them
+            if all(desired.get(e["path"]) == e for e in over):
+                descs.append(dict(d))  # carried verbatim: file reused
+                covered.update(e["path"] for e in over)
+            # else: its survivors stay un-covered and re-encode below
+        leftover = [e for e in entries if e["path"] not in covered]
+        groups: dict[str, list[dict[str, Any]]] = {}
+        for e in leftover:
+            kind = "deletes" if e.get("content") in _DELETE_KINDS else "data"
+            groups.setdefault(kind, []).append(e)
+        for kind in sorted(groups):
+            descs.append(
+                write_manifest_file(
+                    meta,
+                    groups[kind],
+                    snapshot_id,
+                    sequence_number,
+                    out_dir,
+                    seq_to_sid,
+                )
+            )
+        return self._merge_small_manifests(
+            meta, descs, snapshot_id, sequence_number, out_dir, seq_to_sid
+        )
+
+    def _merge_small_manifests(
+        self,
+        meta: dict[str, Any],
+        descs: list[dict[str, Any]],
+        snapshot_id: int,
+        sequence_number: int,
+        out_dir: str,
+        seq_to_sid: dict[int, int],
+    ) -> list[dict[str, Any]]:
+        """Iceberg-style manifest merging: when a content kind
+        accumulates ``commit.manifest.min-count-to-merge`` manifests,
+        all but the largest half coalesce into one — amortized O(delta
+        log) rewrite work that keeps plan-time descriptor scans and the
+        manifest list bounded regardless of commit count."""
+        from .iceberg_manifests import load_manifest_entries, overlay_entries, write_manifest_file
+
+        threshold = int(
+            meta.get("properties", {}).get(
+                "commit.manifest.min-count-to-merge", self._MANIFEST_MERGE_MIN
+            )
+        )
+        out: list[dict[str, Any]] = []
+        for kind in ("data", "deletes"):
+            kd = [d for d in descs if d.get("content") == kind]
+            if len(kd) < max(threshold, 2):
+                out.extend(kd)
+                continue
+            kd.sort(
+                key=lambda d: d.get("added-files-count", 0)
+                + d.get("existing-files-count", 0)
+            )
+            keep_n = max(threshold // 2 - 1, 0)
+            victims = kd[: len(kd) - keep_n] if keep_n else kd
+            kept = kd[len(victims):]
+            merged_entries = [
+                e
+                for d in victims
+                for e in overlay_entries(d, load_manifest_entries(d["path"]))
+            ]
+            out.append(
+                write_manifest_file(
+                    meta,
+                    merged_entries,
+                    snapshot_id,
+                    sequence_number,
+                    out_dir,
+                    seq_to_sid,
+                )
+            )
+            out.extend(kept)
+        return out
+
+    def _snapshot_payload(
+        self,
+        meta: dict[str, Any],
+        parent: dict[str, Any] | None,
+        manifest: list[dict[str, Any]],
+        operation: str,
+        extra_summary: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
+        """One new snapshot dict: incremental ``manifests`` descriptors
+        + the spec-required ``manifest-list`` Avro OCF (carried
+        manifests referenced by their original paths). The snapshot —
+        and therefore the metadata blob, the commit wire payload, and
+        the metastore row — holds descriptors only, never entries."""
+        from .iceberg_manifests import write_manifest_list_file
+
+        snapshot_id = (
+            max((s["snapshot-id"] for s in meta["snapshots"]), default=0) + 1
+        )
+        seq = _next_seq(meta)
+        descs = self._build_manifests(meta, parent, manifest, snapshot_id, seq)
+        return {
+            "snapshot-id": snapshot_id,
+            "parent-snapshot-id": parent["snapshot-id"] if parent else None,
+            "timestamp-ms": _now_ms(),
+            "sequence-number": seq,
+            "schema-id": meta["current-schema-id"],
+            "summary": {
+                "operation": operation,
+                "added-data-files": len(manifest),
+                "added-records": sum(e["record-count"] for e in manifest),
+                **(extra_summary or {}),
+            },
+            "manifests": descs,
+            "manifest-list": write_manifest_list_file(
+                meta,
+                snapshot_id,
+                seq,
+                descs,
+                str(Path(meta["location"]) / "metadata"),
+            ),
+        }
 
     def _commit_snapshot(
         self,
@@ -1266,22 +1633,11 @@ class SparkTable:
     ) -> dict[str, Any]:
         parent_ref = meta["refs"].get(branch)
         parent_id = parent_ref["snapshot-id"] if parent_ref else None
-        snapshot_id = max((s["snapshot-id"] for s in meta["snapshots"]), default=0) + 1
-        snapshot = {
-            "snapshot-id": snapshot_id,
-            "parent-snapshot-id": parent_id,
-            "timestamp-ms": _now_ms(),
-            "sequence-number": _next_seq(meta),
-            "schema-id": meta["current-schema-id"],
-            "summary": {
-                "operation": operation,
-                "added-data-files": len(manifest),
-                "added-records": sum(e["record-count"] for e in manifest),
-                **(extra_summary or {}),
-            },
-            "manifest": manifest,
-        }
-        self._attach_manifest_list(meta, snapshot)
+        parent = self._snapshot(meta, parent_id) if parent_id is not None else None
+        snapshot = self._snapshot_payload(
+            meta, parent, manifest, operation, extra_summary
+        )
+        snapshot_id = snapshot["snapshot-id"]
         requirements = [
             {"type": "assert-table-uuid", "uuid": meta["table-uuid"]},
             {
@@ -1336,7 +1692,7 @@ class SparkTable:
             parent = (
                 self._resolve_snapshot(meta, ref=branch) if meta["refs"].get(branch) else None
             )
-            manifest = (parent["manifest"] if parent else []) + new_entries
+            manifest = snapshot_entries(parent) + new_entries
             try:
                 return self._commit_snapshot(meta, manifest, "append", branch)
             except CommitFailedException as e:  # lost the CAS race: rebase
@@ -1396,8 +1752,12 @@ class SparkTable:
         )
         schema = next(s for s in meta["schemas"] if s["schema-id"] == schema_id)
         struct = schema_to_struct(schema)
-        total, delete_entries = _split_manifest(snap["manifest"] if snap else [])
-        entries = total
+        # manifest-level pruning first (descriptor partition/bounds
+        # summaries skip whole manifest files), then the per-entry
+        # filters over what survived
+        entries, delete_entries, total = snapshot_split_pruned(
+            snap, partition_filter, stats_filter
+        )
         if entries and partition_filter:
             entries = [
                 e
@@ -1644,7 +2004,7 @@ class SparkTable:
         snap: dict[str, Any] | None,
         partition_filter: dict[str, Any] | None,
         entries: list[dict[str, Any]],
-        total: list[dict[str, Any]],
+        total: int,
     ) -> None:
         """File an Iceberg-shaped scan report with the catalog (reference
         ReportMetrics sink, api/iceberg/v1/metrics.rs:40-66)."""
@@ -1659,7 +2019,7 @@ class SparkTable:
                     "filter": partition_filter or {},
                     "result-data-files": len(entries),
                     "result-records": sum(e["record-count"] for e in entries),
-                    "skipped-data-files": len(total) - len(entries),
+                    "skipped-data-files": total - len(entries),
                 },
             )
         except Exception:  # noqa: BLE001 - metrics must never fail a scan
@@ -1688,18 +2048,16 @@ class SparkTable:
         struct = schema_to_struct(schema)
         if to_snap is None:
             return self.spark.createDataFrame([], struct)
-        before: set[str] = set()
-        if from_snapshot_id is not None:
-            from_snap = self._snapshot(meta, from_snapshot_id)
-            before = {e["path"] for e in from_snap["manifest"]}
+        from_snap = (
+            self._snapshot(meta, from_snapshot_id)
+            if from_snapshot_id is not None
+            else None
+        )
         # data entries only: position-delete tombstones are not row
         # additions (Iceberg's incremental append scan likewise skips
-        # delete manifests)
-        added = [
-            e
-            for e in _split_manifest(to_snap["manifest"])[0]
-            if e["path"] not in before
-        ]
+        # delete manifests). The descriptor-level diff opens only
+        # manifests the two snapshots DON'T share.
+        added = _split_manifest(diff_snapshots(from_snap, to_snap)[0])[0]
         if not added:
             return self.spark.createDataFrame([], struct)
         # field-id-aware read: incremental scans survive column renames
@@ -1796,9 +2154,7 @@ class SparkTable:
                 continue
             pid = s.get("parent-snapshot-id")
             parent = self._snapshot(meta, pid) if pid is not None else None
-            p_manifest = parent["manifest"] if parent else []
-            p_paths = {e["path"] for e in p_manifest}
-            s_paths = {e["path"] for e in s["manifest"]}
+            added_all, removed_all = diff_snapshots(parent, s)
             sid = s["snapshot-id"]
 
             def tag(df: DataFrame, kind: str, _sid=sid) -> DataFrame:
@@ -1809,12 +2165,8 @@ class SparkTable:
                     F.lit(_sid).cast("long").alias("_commit_snapshot_id"),
                 )
 
-            added_data = [
-                e for e in _split_manifest(s["manifest"])[0] if e["path"] not in p_paths
-            ]
-            removed_data = [
-                e for e in _split_manifest(p_manifest)[0] if e["path"] not in s_paths
-            ]
+            added_data, added_dels = _split_manifest(added_all)
+            removed_data, removed_dels = _split_manifest(removed_all)
             if added_data:
                 ins = self._read_entries(
                     meta,
@@ -1833,7 +2185,7 @@ class SparkTable:
                 # only rows LIVE at the parent emit delete events: apply the
                 # parent's tombstones to the removed files' raw rows, else a
                 # CoW rewrite would re-emit rows a MOR delete already removed
-                p_dels = _split_manifest(p_manifest)[1]
+                p_dels = snapshot_delete_entries(parent)
                 removed_rows = self._read_entries(
                     meta,
                     schema,
@@ -1854,12 +2206,6 @@ class SparkTable:
                     removed_rows = removed_rows.drop("_file", "_pos")
                 parts.append(tag(removed_rows, "delete"))
             # newly-added tombstones -> deletes against the PARENT state
-            added_dels = [
-                e for e in _split_manifest(s["manifest"])[1] if e["path"] not in p_paths
-            ]
-            removed_dels = [
-                e for e in _split_manifest(p_manifest)[1] if e["path"] not in s_paths
-            ]
             pos_added = [
                 e for e in added_dels if e.get("content") != "equality-deletes"
             ]
@@ -1872,7 +2218,9 @@ class SparkTable:
                 if pos_removed:
                     old_pos = self._read_positional(meta, pos_removed)
                     new_pos = new_pos.exceptAll(old_pos)
-                p_data = _split_manifest(p_manifest)[0]
+                # content work: the parent's live state must be read
+                # anyway, so loading its data entries is not the cost
+                p_data = _split_manifest(snapshot_entries(parent))[0]
                 rows = self._read_entries(
                     meta,
                     schema,
@@ -2216,7 +2564,7 @@ class SparkTable:
         if snap is None:
             raise CatalogError("no snapshot to analyze")
         per_part: dict[str, list[int]] = {}
-        for e in _split_manifest(snap["manifest"])[0]:
+        for e in _split_manifest(snapshot_entries(snap))[0]:
             key = str(e.get("partition", {}))
             cur = per_part.setdefault(key, [0, 0, 0])
             cur[0] += e["record-count"]
@@ -2457,7 +2805,7 @@ class SparkTable:
         ``lineage=True`` (v3) also carries each row's resolved ``_row_id``
         — coalesce(stored column, file first-row-id + position) — so
         rewriting DML can materialize it back (row-id preservation)."""
-        data_entries, delete_entries = _split_manifest(snap["manifest"])
+        data_entries, delete_entries = _split_manifest(snapshot_entries(snap))
         if not data_entries:
             df = self.spark.createDataFrame([], schema_to_struct(schema))
             if with_file:
@@ -2552,7 +2900,7 @@ class SparkTable:
         row's resolved ``_row_id`` (stored column wins over inherited
         first-row-id + position) so MOR UPDATE/MERGE can materialize it
         into the updated images."""
-        data_entries, delete_entries = _split_manifest(snap["manifest"])
+        data_entries, delete_entries = _split_manifest(snapshot_entries(snap))
         df = self._read_entries(
             meta,
             schema,
@@ -2677,9 +3025,13 @@ class SparkTable:
         single deletion vector that replaces them (at most one positional
         artifact chain per data file — the v3 invariant); equality-delete
         entries pass through untouched."""
-        data_entries, delete_entries = _split_manifest(snap["manifest"])
+        data_entries, delete_entries = _split_manifest(snapshot_entries(snap))
         if meta.get("format-version", 2) < 3:
-            return snap["manifest"], self._write_delete_files(meta, positions), 0
+            return (
+                data_entries + delete_entries,
+                self._write_delete_files(meta, positions),
+                0,
+            )
         pos_like = [e for e in delete_entries if e.get("content") != "equality-deletes"]
         eq_dels = [e for e in delete_entries if e.get("content") == "equality-deletes"]
         merged = positions
@@ -2998,7 +3350,7 @@ class SparkTable:
         snap = self._resolve_snapshot(meta)
         if snap is None:
             raise CatalogError("table has no data")
-        data_entries, delete_entries = _split_manifest(snap["manifest"])
+        data_entries, delete_entries = _split_manifest(snapshot_entries(snap))
         if not delete_entries:
             return {"rewritten-data-files": 0, "removed-delete-files": 0}
         schema = self._current_schema(meta)
@@ -3108,7 +3460,7 @@ class SparkTable:
         affected_set = {p.replace("file://", "").replace("file:", "") for p in affected}
         kept = [
             e
-            for e in snap["manifest"]
+            for e in snapshot_entries(snap)
             if str(Path(loc) / e["path"]) not in affected_set
         ]
         # prune delete entries whose every referenced data file was just
@@ -3242,7 +3594,7 @@ class SparkTable:
         )
         return self._commit_snapshot(
             meta,
-            snap["manifest"] + entries,
+            snapshot_entries(snap) + entries,
             "delete",
             extra_summary={
                 "added-delete-files": len(entries),
@@ -3450,23 +3802,19 @@ class SparkTable:
         parent = (
             self._resolve_snapshot(meta, ref=branch) if meta["refs"].get(branch) else None
         )
-        snapshot = {
-            "snapshot-id": max((s["snapshot-id"] for s in meta["snapshots"]), default=0)
-            + 1,
-            "parent-snapshot-id": parent["snapshot-id"] if parent else None,
-            "timestamp-ms": _now_ms(),
-            "sequence-number": _next_seq(meta),
-            "schema-id": meta["current-schema-id"],
-            "summary": {
-                "operation": "append",
-                "added-data-files": len(new_entries),
-                "added-records": sum(e["record-count"] for e in new_entries),
-                "wap.id": wap_id,
-                "wap.branch": branch,
-            },
-            "manifest": (parent["manifest"] if parent else []) + new_entries,
-        }
-        self._attach_manifest_list(meta, snapshot)
+        snapshot = self._snapshot_payload(
+            meta,
+            parent,
+            snapshot_entries(parent) + new_entries,
+            "append",
+            extra_summary={"wap.id": wap_id, "wap.branch": branch},
+        )
+        # the summary's added-* counts describe THIS write, not the
+        # carried inventory (pre-round-16 staged-WAP behavior)
+        snapshot["summary"]["added-data-files"] = len(new_entries)
+        snapshot["summary"]["added-records"] = sum(
+            e["record-count"] for e in new_entries
+        )
         return self._commit(
             [{"type": "assert-table-uuid", "uuid": meta["table-uuid"]}],
             [{"action": "add-snapshot", "snapshot": snapshot}],
@@ -3491,8 +3839,7 @@ class SparkTable:
             )
         parent_id = src.get("parent-snapshot-id")
         parent = self._snapshot(meta, parent_id) if parent_id is not None else None
-        before = {e["path"] for e in (parent["manifest"] if parent else [])}
-        added = [e for e in src["manifest"] if e["path"] not in before]
+        added = diff_snapshots(parent, src)[0]
         cur = self._resolve_snapshot(meta, ref=branch) if meta["refs"].get(branch) else None
         extra: dict[str, Any] = {"cherry-picked-from": snapshot_id}
         if src["summary"].get("wap.id"):
@@ -3500,7 +3847,7 @@ class SparkTable:
             extra["wap.published"] = True
         return self._commit_snapshot(
             meta,
-            (cur["manifest"] if cur else []) + added,
+            snapshot_entries(cur) + added,
             "append",
             branch,
             extra_summary=extra,
@@ -3575,7 +3922,7 @@ class SparkTable:
             field["write-default"] = write_default
         if required and initial_default is None:
             snap = self._resolve_snapshot(meta)
-            if snap and snap["manifest"]:
+            if snap and snapshot_file_count(snap):
                 raise CatalogError(
                     f"cannot add required column {name!r} without an "
                     "initial-default to a table with existing data"
@@ -3723,7 +4070,7 @@ class SparkTable:
         ids automatically on v3 tables (_rewrite)."""
         meta = self.metadata()
         snap = self._resolve_snapshot(meta)
-        if snap is None or not snap["manifest"]:
+        if snap is None or not snapshot_file_count(snap):
             raise CatalogError("nothing to compact")
         if preserve_row_ids:
             if meta.get("format-version", 2) < 3:
@@ -3750,7 +4097,7 @@ class SparkTable:
             entries,
             "replace",
             extra_summary={
-                "compacted-from": len(snap["manifest"]),
+                "compacted-from": snapshot_file_count(snap),
                 **({"zorder-by": zorder_by} if zorder_by else {}),
                 **({"preserved-row-ids": True} if preserve_row_ids else {}),
             },
@@ -3784,17 +4131,11 @@ class SparkTable:
         ]
         if not victims:
             return []
-        live_files = {
-            e["path"]
-            for s in meta["snapshots"]
-            if s["snapshot-id"] not in victims
-            for e in s["manifest"]
-        }
+        retained = [s for s in meta["snapshots"] if s["snapshot-id"] not in victims]
+        expired = [s for s in meta["snapshots"] if s["snapshot-id"] in victims]
+        live_files = {e["path"] for s in retained for e in snapshot_entries(s)}
         orphaned = {
-            e["path"]
-            for s in meta["snapshots"]
-            if s["snapshot-id"] in victims
-            for e in s["manifest"]
+            e["path"] for s in expired for e in snapshot_entries(s)
         } - live_files
         self._commit([],
             [{"action": "remove-snapshots", "snapshot-ids": victims}],
@@ -3812,34 +4153,47 @@ class SparkTable:
                 {"location": f"{meta['location']}/{rel}", "id": meta["table-uuid"]},
                 **task_scope,
             )
-        # expired snapshots' manifest-list + manifest Avro files go with
-        # them (each snapshot's files live under one directory)
-        for s in meta["snapshots"]:
-            if s["snapshot-id"] in victims and s.get("manifest-list"):
-                for victim_file in self._manifest_avro_files(s):
-                    self.catalog.store.enqueue_task(
-                        "tabular_purge",
-                        {"location": victim_file, "id": meta["table-uuid"]},
-                        **task_scope,
-                    )
+        # expired snapshots' manifest-list + manifest/bloom sidecar files
+        # go with them — EXCEPT files a retained snapshot still references
+        # (manifest REUSE means victims and survivors share manifest
+        # files; purging a shared one would corrupt live snapshots)
+        retained_meta_files = {
+            f for s in retained for f in self._manifest_avro_files(s)
+        }
+        victim_meta_files = {
+            f for s in expired for f in self._manifest_avro_files(s)
+        } - retained_meta_files
+        for victim_file in sorted(victim_meta_files):
+            self.catalog.store.enqueue_task(
+                "tabular_purge",
+                {"location": victim_file, "id": meta["table-uuid"]},
+                **task_scope,
+            )
         return victims
 
     @staticmethod
     def _manifest_avro_files(snapshot: dict[str, Any]) -> list[str]:
-        """The snapshot's manifest-list plus every manifest it points at
-        (decoded from the Avro list itself, so renames/layout changes
-        can't strand files); legacy JSON lists have no manifests."""
+        """The snapshot's manifest-list, every manifest it references
+        (descriptors when out-of-line; decoded from the Avro list for
+        legacy snapshots) and any bloom sidecar containers its entries
+        point at — the metadata-file set GC must account per snapshot."""
+        out: list[str] = []
         ml = snapshot.get("manifest-list")
-        if not ml:
-            return []
-        out = [ml]
-        if ml.endswith(".avro") and Path(ml).exists():
+        if ml:
+            out.append(ml)
+        if "manifests" in snapshot:
+            out.extend(d["path"] for d in snapshot_manifests(snapshot))
+        elif ml and ml.endswith(".avro") and Path(ml).exists():
             from .iceberg_manifests import read_manifest_list
 
             try:
                 out.extend(mf["manifest_path"] for mf in read_manifest_list(ml))
             except (ValueError, EOFError, KeyError):
                 pass  # unreadable list: purge it alone
+        for e in snapshot_entries(snapshot):
+            for b in (e.get("bloom") or {}).values():
+                if b.get("path"):
+                    out.append(b["path"])
         return out
 
     def remove_orphan_files(
@@ -3874,7 +4228,7 @@ class SparkTable:
         referenced = {
             str(loc / e["path"])
             for s in meta["snapshots"]
-            for e in s["manifest"]
+            for e in snapshot_entries(s)
         }
         referenced.update(e["metadata-file"] for e in meta.get("metadata-log", []))
         referenced.update(
@@ -3920,7 +4274,7 @@ class SparkTable:
     def _files_of(self, kind_idx: int) -> DataFrame:
         meta = self.metadata()
         snap = self._resolve_snapshot(meta)
-        entries = _split_manifest(snap["manifest"] if snap else [])[kind_idx]
+        entries = _split_manifest(snapshot_entries(snap))[kind_idx]
         rows = [
             (
                 e["path"],
@@ -3952,7 +4306,7 @@ class SparkTable:
                 s.get("parent-snapshot-id"),
                 s["timestamp-ms"],
                 s["summary"].get("operation"),
-                len(s["manifest"]),
+                snapshot_file_count(s),  # descriptor sums: no manifest opened
             )
             for s in meta["snapshots"]
         ]
@@ -3977,9 +4331,10 @@ class SparkTable:
     # The all_* family walks EVERY snapshot, not just the current one
     # (Iceberg all_data_files / all_entries / all_manifests,
     # reference test_spark.py:1251-1280, test_metadata_queries_tables).
-    # Manifests are inline in icelite metadata, so these are metadata-sized
-    # driver builds — at 100 TB the manifests would be parquet sidecars and
-    # these tables a spark.read over them; the schema contract is the same.
+    # Manifests are out-of-line Avro sidecars (round 16) loaded through
+    # the process-wide manifest cache — and manifest REUSE means a
+    # 100-snapshot history shares most manifest files, so these walks
+    # open O(distinct manifests), not O(snapshots x files).
     _ALL_ENTRIES_DDL = (
         "snapshot_id long, file_path string, file_size_in_bytes long,"
         " record_count long, partition string"
@@ -3989,7 +4344,7 @@ class SparkTable:
         meta = self.metadata()
         seen: dict[str, tuple] = {}
         for s in meta["snapshots"]:
-            for e in _split_manifest(s["manifest"])[kind_idx]:
+            for e in _split_manifest(snapshot_entries(s))[kind_idx]:
                 seen.setdefault(
                     e["path"],
                     (
@@ -4027,23 +4382,42 @@ class SparkTable:
                 str(e.get("partition", {})),
             )
             for s in meta["snapshots"]
-            for e in s["manifest"]
+            for e in snapshot_entries(s)
         ]
         return self.spark.createDataFrame(rows, self._ALL_ENTRIES_DDL)
 
     def all_manifests(self) -> DataFrame:
-        """One row per snapshot's (inline) manifest."""
+        """One row per (snapshot, manifest file) — REAL manifest paths;
+        a manifest carried across N commits appears under each snapshot
+        that references it, by the same path (Iceberg all_manifests
+        semantics). Counts come from descriptors, no manifest opened.
+        Legacy inline snapshots surface one pseudo-manifest row."""
         meta = self.metadata()
-        rows = [
-            (
-                f"inline://{meta['table-uuid']}/{s['snapshot-id']}",
-                s["snapshot-id"],
-                len(s["manifest"]),
-                sum(e["record-count"] for e in s["manifest"]),
-                sum(e["file-size-in-bytes"] for e in s["manifest"]),
-            )
-            for s in meta["snapshots"]
-        ]
+        rows = []
+        for s in meta["snapshots"]:
+            if "manifests" in s:
+                for d in snapshot_manifests(s):
+                    rows.append(
+                        (
+                            d["path"],
+                            s["snapshot-id"],
+                            d.get("added-files-count", 0)
+                            + d.get("existing-files-count", 0),
+                            d.get("added-rows-count", 0)
+                            + d.get("existing-rows-count", 0),
+                            d.get("length", 0),
+                        )
+                    )
+            else:
+                rows.append(
+                    (
+                        f"inline://{meta['table-uuid']}/{s['snapshot-id']}",
+                        s["snapshot-id"],
+                        len(s["manifest"]),
+                        sum(e["record-count"] for e in s["manifest"]),
+                        sum(e["file-size-in-bytes"] for e in s["manifest"]),
+                    )
+                )
         return self.spark.createDataFrame(
             rows,
             "manifest_path string, snapshot_id long, data_file_count int,"
@@ -4067,7 +4441,7 @@ class SparkTable:
         meta = self.metadata()
         snap = self._resolve_snapshot(meta)
         agg: dict[str, list[int]] = {}
-        for e in _split_manifest(snap["manifest"] if snap else [])[0]:
+        for e in _split_manifest(snapshot_entries(snap))[0]:
             key = str(e.get("partition", {}))
             cur = agg.setdefault(key, [0, 0, 0])
             cur[0] += e["record-count"]

@@ -642,7 +642,7 @@ SELECT * FROM (
 def c07_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog.catalog import Catalog
     from ..catalog.metastore import Metastore
-    from ..format.icelite import SparkTable, _split_manifest
+    from ..format.icelite import SparkTable, _split_manifest, snapshot_entries
     from ..format.types import struct_to_schema
 
     tmp = tempfile.mkdtemp(prefix="lkspark_skip_")
@@ -696,7 +696,7 @@ def c07_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     tp.append(src)
     snap = tp._resolve_snapshot(tp.metadata())
     per_part: dict[str, int] = {}
-    for e in _split_manifest(snap["manifest"])[0]:
+    for e in _split_manifest(snapshot_entries(snap))[0]:
         b = str(e["partition"].get("k_bucket"))
         per_part[b] = per_part.get(b, 0) + 1
     bucket, bucket_files = sorted(per_part.items())[0]
@@ -709,7 +709,7 @@ def c07_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         if scanned.count()
         == sum(
             e["record-count"]
-            for e in _split_manifest(snap["manifest"])[0]
+            for e in _split_manifest(snapshot_entries(snap))[0]
             if str(e["partition"].get("k_bucket")) == bucket
         )
         else 0
@@ -2920,7 +2920,7 @@ def c23_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog.catalog import Catalog
     from ..catalog.metastore import Metastore
-    from ..format.icelite import SparkTable, _bloom_keep
+    from ..format.icelite import SparkTable, _bloom_keep, snapshot_entries
 
     tmp = tempfile.mkdtemp(prefix="lkspark_c23_")
     cat = Catalog(Metastore(f"{tmp}/metastore.db"))
@@ -2971,7 +2971,7 @@ def c23_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for k in sorted(keys):
         probes = t._bloom_probes(cur, {"o_orderkey": int(k)})
-        kept = [e for e in snap["manifest"] if _bloom_keep(e, probes)]
+        kept = [e for e in snapshot_entries(snap) if _bloom_keep(e, probes)]
         if len(kept) > 2:  # inline plan guard (1 expected; 2 = FPP slack)
             raise AssertionError(
                 f"bloom pruning ineffective: {len(kept)}/4 files kept"

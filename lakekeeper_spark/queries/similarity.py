@@ -31,6 +31,27 @@ from pyspark.sql.window import Window
 from ..data import load_table
 from ..registry import register
 
+def _work_dir(kind: str, sf_dir: str) -> str:
+    """Deterministic per-(query, corpus) scratch dir, WIPED and
+    recreated per invocation: repeated runs of a vector query overwrite
+    their one corpus-sized copy (lance dataset / decoded parquet spill)
+    instead of accumulating a fresh mkdtemp per call (round-15 ADVICE).
+    The harness drives queries serially, so the recreate is safe."""
+    import hashlib
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    d = (
+        Path(tempfile.gettempdir())
+        / f"lkspark_{kind}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    d.mkdir(parents=True, exist_ok=True)
+    return str(d)
+
+
+
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 10
 QUANT = 1_000_000
@@ -807,8 +828,6 @@ def s08_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "catalog", "generic-table", "llm"),
 )
 def s09_generic_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..catalog.catalog import Catalog
     from ..catalog.metastore import Metastore
     from ..format.vector_dataset import (
@@ -816,7 +835,7 @@ def s09_generic_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_vector_dataset,
     )
 
-    tmp = tempfile.mkdtemp(prefix="lkspark_vec_")
+    tmp = _work_dir("vec_s", sf_dir)
     cat = Catalog(Metastore(f"{tmp}/metastore.db"))
     cat.create_warehouse("wh", f"{tmp}/warehouse")
     cat.create_namespace("wh", ["vectors"])
@@ -841,8 +860,6 @@ def s09_generic_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "catalog", "generic-table", "llm", "lsh"),
 )
 def s10_generic_vector_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from ..catalog.catalog import Catalog
     from ..catalog.metastore import Metastore
     from ..format.vector_dataset import (
@@ -850,7 +867,7 @@ def s10_generic_vector_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_vector_dataset,
     )
 
-    tmp = tempfile.mkdtemp(prefix="lkspark_vec_")
+    tmp = _work_dir("vec_s2", sf_dir)
     cat = Catalog(Metastore(f"{tmp}/metastore.db"))
     cat.create_warehouse("wh", f"{tmp}/warehouse")
     cat.create_namespace("wh", ["vectors"])
@@ -880,14 +897,12 @@ def s12_lance_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition EXECUTOR-side (mapInPandas), the read runs one decode task
     per file — only the file list crosses the driver, like a native
     DataSource. The KNN kernel is s01's adaptive exact scorer."""
-    import tempfile
-
     from ..catalog.catalog import Catalog
     from ..catalog.metastore import Metastore
     from ..format.generic import read_generic_table
     from ..format.lancelite import write_dataset_spark
 
-    tmp = tempfile.mkdtemp(prefix="lkspark_lance_")
+    tmp = _work_dir("lance_s12", sf_dir)
     cat = Catalog(Metastore(f"{tmp}/metastore.db"))
     cat.create_warehouse("wh", f"{tmp}/warehouse")
     cat.create_namespace("wh", ["vectors"])
@@ -980,11 +995,9 @@ def s13_lance_zonemap_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     file task before any value decodes, so executor IO tracks the
     selected id range, not the corpus; the KNN kernel then only sees
     the subset."""
-    import tempfile
-
     from ..format.lancelite import read_dataset, write_dataset_spark
 
-    tmp = tempfile.mkdtemp(prefix="lkspark_zmap_")
+    tmp = _work_dir("zmap_s13", sf_dir)
     src = load_table(spark, sf_dir, "embeddings")
     dim = src.select(F.size("embedding")).first()[0]
     loc = f"{tmp}/lance/emb"

@@ -376,12 +376,15 @@ class IceliteStreamReader(DataSourceStreamReader):
                         f"{snap['snapshot-id']}; set skip-delete-snapshots=true "
                         "to skip non-append commits (Iceberg parity)"
                     )
+                from ..format.icelite import diff_snapshots
+
                 pid = snap.get("parent-snapshot-id")
-                before = {
-                    e["path"] for e in (by_id[pid]["manifest"] if pid in by_id else [])
-                }
-                for e in snap["manifest"]:
-                    if e.get("content", "data") != "data" or e["path"] in before:
+                parent = by_id.get(pid) if pid is not None else None
+                # descriptor-level diff: per micro-batch only the
+                # manifests NEW to this commit are opened (O(delta), the
+                # same discipline the commit path now has)
+                for e in diff_snapshots(parent, snap)[0]:
+                    if e.get("content", "data") != "data":
                         continue
                     parts.append(self._file_part(meta, e, target))
         # Spark requires >=1 partition per batch; empty path reads nothing
@@ -503,8 +506,10 @@ class IceliteStreamReader(DataSourceStreamReader):
                 continue
             # lineage rides on the task: plan_table_scan's data-file
             # payload predates v3 lineage, so attach the manifest
-            # entry's range start here
-            t["data-file"]["first-row-id"] = e.get("first-row-id")
+            # entry's range start on a COPY — the memoized ptasks() map
+            # is shared state and must not inherit per-branch mutations
+            # (round-15 ADVICE)
+            t = {**t, "data-file": {**t["data-file"], "first-row-id": e.get("first-row-id")}}
             rtasks.append(t)
         parts.extend(
             _task_partitions(
@@ -541,7 +546,12 @@ class IceliteStreamReader(DataSourceStreamReader):
             ``include_eq``, sequence-gated to strictly-older data files;
           - operation 'replace' (compaction) -> skipped, no logical rows.
         """
-        from ..format.icelite import _split_manifest, plan_table_scan
+        from ..format.icelite import (
+            _split_manifest,
+            diff_snapshots,
+            plan_table_scan,
+            snapshot_entries,
+        )
 
         for snap in reversed(lineage):
             op = snap["summary"].get("operation")
@@ -550,14 +560,15 @@ class IceliteStreamReader(DataSourceStreamReader):
             sid = snap["snapshot-id"]
             pid = snap.get("parent-snapshot-id")
             parent = by_id.get(pid)
-            p_manifest = parent["manifest"] if parent else []
-            p_paths = {e["path"] for e in p_manifest}
-            s_paths = {e["path"] for e in snap["manifest"]}
-            s_data, s_dels = _split_manifest(snap["manifest"])
-            p_data, p_dels = _split_manifest(p_manifest)
-            for e in s_data:
-                if e["path"] not in p_paths:
-                    parts.append(self._file_part(meta, e, target, "insert", sid))
+            # descriptor-level diff (O(changed manifests) per commit);
+            # the parent's FULL data inventory loads only in the
+            # tombstone branches below, which need the parent state plan
+            # anyway
+            added_all, removed_all = diff_snapshots(parent, snap)
+            added_data, added_dels = _split_manifest(added_all)
+            removed, removed_dels = _split_manifest(removed_all)
+            for e in added_data:
+                parts.append(self._file_part(meta, e, target, "insert", sid))
             parent_tasks: dict[str, dict] | None = None
 
             def ptasks(_pid=pid, _has=parent is not None):
@@ -573,13 +584,10 @@ class IceliteStreamReader(DataSourceStreamReader):
                     }
                 return parent_tasks
 
-            removed = [e for e in p_data if e["path"] not in s_paths]
             if removed:
                 self._removed_delete_tasks(
                     meta, removed, ptasks(), target, sid, parts
                 )
-            added_dels = [e for e in s_dels if e["path"] not in p_paths]
-            removed_dels = [e for e in p_dels if e["path"] not in s_paths]
             pos_added = [
                 e for e in added_dels if e.get("content") != "equality-deletes"
             ]
@@ -602,6 +610,7 @@ class IceliteStreamReader(DataSourceStreamReader):
                         refs = None
                         break
                     refs.update(e["referenced-files"])
+                p_data = _split_manifest(snapshot_entries(parent))[0]
                 cand = [e for e in p_data if refs is None or e["path"] in refs]
                 parts.extend(
                     _task_partitions(
@@ -616,9 +625,15 @@ class IceliteStreamReader(DataSourceStreamReader):
                     )
                 )
             if eq_added and parent is not None:
-                tmap = ptasks()
+                # COPIES of the memoized tasks: the lineage attachment
+                # below must not leak into the shared ptasks() map
+                tmap = {
+                    pth: {**t, "data-file": dict(t["data-file"])}
+                    for pth, t in ptasks().items()
+                }
                 frid_by_path = {
-                    e["path"]: e.get("first-row-id") for e in p_data
+                    e["path"]: e.get("first-row-id")
+                    for e in _split_manifest(snapshot_entries(parent))[0]
                 }
                 for t in tmap.values():
                     t["data-file"].setdefault(
@@ -1052,15 +1067,16 @@ class IceliteBatchReader(DataSourceReader):
                 sid = meta["refs"][options["ref"]]["snapshot-id"]
             else:
                 sid = meta.get("current-snapshot-id")
+            from ..format.icelite import snapshot_entries
+
             snap = next(
                 (s for s in meta["snapshots"] if s["snapshot-id"] == sid),
                 None,
             )
-            frid = (
-                {e["path"]: e.get("first-row-id") for e in snap["manifest"]}
-                if snap
-                else {}
-            )
+            frid = {
+                e["path"]: e.get("first-row-id")
+                for e in snapshot_entries(snap)
+            }
             for t in plan["plan-tasks"]:
                 t["data-file"]["first-row-id"] = frid.get(
                     t["data-file"]["path"]
@@ -1491,12 +1507,14 @@ class IceliteBatchWriter(DataSourceArrowWriter):
                 manifest = list(new_entries)
                 op = "overwrite"
             else:
+                from ..format.icelite import snapshot_entries
+
                 parent = (
                     t._resolve_snapshot(meta, ref="main")
                     if meta["refs"].get("main")
                     else None
                 )
-                manifest = (parent["manifest"] if parent else []) + new_entries
+                manifest = snapshot_entries(parent) + new_entries
                 op = "append"
             try:
                 t._commit_snapshot(meta, manifest, op)
@@ -1554,12 +1572,14 @@ class IceliteStreamSinkWriter(IceliteBatchWriter, DataSourceStreamArrowWriter):
             for e in new_entries:
                 e["schema-id"] = meta["current-schema-id"]
                 e["sequence-number"] = _next_seq(meta)
+            from ..format.icelite import snapshot_entries
+
             parent = (
                 t._resolve_snapshot(meta, ref="main")
                 if meta["refs"].get("main")
                 else None
             )
-            manifest = (parent["manifest"] if parent else []) + new_entries
+            manifest = snapshot_entries(parent) + new_entries
             try:
                 t._commit_snapshot(
                     meta,

@@ -11,7 +11,12 @@ from pathlib import Path
 
 import pytest
 
-from lakekeeper_spark.format.icelite import SparkTable, _bloom_keep
+from lakekeeper_spark.format.icelite import (
+    SparkTable,
+    _bloom_bits_of,
+    _bloom_keep,
+    snapshot_entries,
+)
 
 SCHEMA = {
     "schema-id": 0,
@@ -46,7 +51,7 @@ def _append_batches(spark, table, n_batches=4, rows=200):
 def test_bloom_written_per_file_and_column(spark, table):
     _append_batches(spark, table)
     snap = table.metadata()["snapshots"][-1]
-    for e in snap["manifest"]:
+    for e in snapshot_entries(snap):
         bl = e["bloom"]
         assert set(bl) == {"id", "v"}
         for c in ("id", "v"):
@@ -54,7 +59,13 @@ def test_bloom_written_per_file_and_column(spark, table):
             # auto-sized: power of two, >= ~10 bits per distinct value
             assert m & (m - 1) == 0 and m >= 1024
             assert bl[c]["k"] == 6
-            assert len(bl[c]["bits"]) > 0
+            # bitmaps live in a Puffin SIDECAR (round 16): the entry
+            # carries only (path, offset, length); the slice fetch
+            # returns exactly m/8 packed bytes
+            assert "bits" not in bl[c]
+            assert bl[c]["path"].endswith(".puffin")
+            assert bl[c]["length"] == m // 8
+            assert len(_bloom_bits_of(bl[c])) == m // 8
 
 
 def test_point_filter_prunes_to_one_file(spark, table):
@@ -70,7 +81,7 @@ def test_point_filter_prunes_to_one_file(spark, table):
         if s["schema-id"] == meta["current-schema-id"]
     )
     probes = table._bloom_probes(schema, {"id": 5})
-    kept = [e for e in snap["manifest"] if _bloom_keep(e, probes)]
+    kept = [e for e in snapshot_entries(snap) if _bloom_keep(e, probes)]
     assert len(kept) == 1
 
 
@@ -87,7 +98,7 @@ def test_point_filter_never_opens_pruned_files(spark, table):
     probes = table._bloom_probes(schema, {"id": 6})
     loc = meta["location"].replace("file://", "")
     scorched = 0
-    for e in snap["manifest"]:
+    for e in snapshot_entries(snap):
         if not _bloom_keep(e, probes):
             Path(loc, e["path"]).write_bytes(b"\xff" * 32)
             scorched += 1
@@ -117,7 +128,7 @@ def test_string_column_and_missing_bloom_are_safe(spark, table, catalog):
     catalog.create_table("wh", ["bf"], "plain", SCHEMA)  # no property
     t2 = SparkTable(spark, catalog, "wh", ["bf"], "plain")
     t2.append(spark.createDataFrame([(1, "a")], "id long, v string"))
-    assert "bloom" not in t2.metadata()["snapshots"][-1]["manifest"][0]
+    assert "bloom" not in snapshot_entries(t2.metadata()["snapshots"][-1])[0]
     assert t2.scan(point_filter={"id": 2}).count() == 1  # kept, exact
     # row-level filter does the exactness; the bloom only gates FILES
 
@@ -141,13 +152,13 @@ def test_bloom_survives_compaction_and_partitioned_writes(spark, catalog):
     # dynamic partitioning: same-basename files in two partition dirs
     # still get THEIR OWN blooms (relative-path matching)
     snap = t.metadata()["snapshots"][-1]
-    datas = [e for e in snap["manifest"]]
+    datas = list(snapshot_entries(snap))
     assert len(datas) == 2 and all("bloom" in e for e in datas)
     got = t.scan(point_filter={"id": 7}).filter("id = 7").collect()
     assert [(r.id, r.v) for r in got] == [(7, "a")]
     # compaction rewrites files -> fresh blooms on the new entries
     t.rewrite_data_files(target_files=1)
-    e = t.metadata()["snapshots"][-1]["manifest"][0]
+    e = snapshot_entries(t.metadata()["snapshots"][-1])[0]
     assert "bloom" in e
 
 
@@ -164,7 +175,7 @@ def test_bloom_auto_sizes_and_skips_saturating_columns(spark, catalog):
             [(b + i * 2, f"v{b + i * 2}") for i in range(20_000)],
             "id long, v string",
         ).coalesce(1))
-    es = t.metadata()["snapshots"][-1]["manifest"]
+    es = snapshot_entries(t.metadata()["snapshots"][-1])
     for e in es:
         m = e["bloom"]["id"]["m"]
         assert m >= 10 * 20_000 * 0.8  # approx ndv slack
@@ -185,7 +196,7 @@ def test_bloom_auto_sizes_and_skips_saturating_columns(spark, catalog):
     t2.append(spark.createDataFrame(
         [(i, "same") for i in range(5_000)], "id long, v string"
     ).coalesce(1))
-    e = t2.metadata()["snapshots"][-1]["manifest"][0]
+    e = snapshot_entries(t2.metadata()["snapshots"][-1])[0]
     assert "id" not in e.get("bloom", {})  # 5k ndv > 1k ceiling
     assert "v" in e["bloom"]  # 1 distinct value: kept
     assert t2.scan(point_filter={"id": 4999}).count() == 5000  # file kept
@@ -261,11 +272,11 @@ def test_bloom_build_ships_packed_bytes_not_positions(spark, table):
     loc = meta["location"].replace("file://", "")
     snap = meta["snapshots"][-1]
     # pick ONE commit's out_dir (entry paths are data/<commit>/<file>)
-    commit_dir = "/".join(snap["manifest"][0]["path"].split("/")[:2])
+    commit_dir = "/".join(snapshot_entries(snap)[0]["path"].split("/")[:2])
     out_dir = str(Path(loc, commit_dir))
     files = [
         "file:" + str(Path(loc, e["path"]))
-        for e in snap["manifest"]
+        for e in snapshot_entries(snap)
         if e["path"].startswith(commit_dir + "/")
     ]
     assert files
@@ -311,7 +322,7 @@ def test_bloom_ndv_ceiling_prunes_before_heavy_pass(spark, catalog):
     finally:
         SparkTable._bloom_bitmaps = orig
     assert calls == []  # both columns pruned by the pre-pass
-    assert "bloom" not in t.metadata()["snapshots"][-1]["manifest"][0]
+    assert "bloom" not in snapshot_entries(t.metadata()["snapshots"][-1])[0]
 
 
 def test_bloom_on_column_named_f_and_reserved_prefix(spark, catalog):
@@ -346,7 +357,7 @@ def test_bloom_on_column_named_f_and_reserved_prefix(spark, catalog):
     cur = next(s for s in meta["schemas"]
                if s["schema-id"] == meta["current-schema-id"])
     probes = t._bloom_probes(cur, {"f": 7})
-    es = meta["snapshots"][-1]["manifest"]
+    es = snapshot_entries(meta["snapshots"][-1])
     assert sum(_bloom_keep(e, probes) for e in es) == 1
     # string column named like an internal too
     assert t.scan(point_filter={"m": "v8"}).filter(

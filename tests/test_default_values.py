@@ -15,7 +15,7 @@ from lakekeeper_spark.catalog.commit import (
     apply_commit,
     new_table_metadata,
 )
-from lakekeeper_spark.format.icelite import SparkTable
+from lakekeeper_spark.format.icelite import SparkTable, snapshot_entries
 
 SCHEMA = {
     "schema-id": 0,
@@ -254,7 +254,7 @@ def test_variant_footer_fallback_counts_by_partition_path(
     snap = t.metadata()["snapshots"][-1]
     counts = {
         e["partition"]["part"]: e["record-count"]
-        for e in snap["manifest"]
+        for e in snapshot_entries(snap)
         if e.get("content", "data") == "data"
     }
     assert counts == {"a": 2, "b": 5}

@@ -15,7 +15,7 @@ from __future__ import annotations
 import pytest
 
 from lakekeeper_spark.catalog.catalog import CatalogError
-from lakekeeper_spark.format.icelite import SparkTable, _split_manifest
+from lakekeeper_spark.format.icelite import SparkTable, _split_manifest, snapshot_entries
 from lakekeeper_spark.format.types import struct_to_schema
 
 DDL = "id int, v double, s string"
@@ -36,7 +36,7 @@ def _ids(t, **kw):
 
 def _delete_kinds(t):
     snap = t._resolve_snapshot(t.metadata())
-    return sorted(e["content"] for e in _split_manifest(snap["manifest"])[1])
+    return sorted(e["content"] for e in _split_manifest(snapshot_entries(snap))[1])
 
 
 def test_equality_delete_masks_by_value(spark, catalog):
@@ -116,7 +116,7 @@ def test_v3_mor_delete_writes_consolidated_deletion_vector(spark, catalog):
     assert _ids(t) == [3, 4, 7, 8, 9, 10]
     # the single vector holds ALL four tombstones
     snap = t._resolve_snapshot(t.metadata())
-    dv = _split_manifest(snap["manifest"])[1][0]
+    dv = _split_manifest(snapshot_entries(snap))[1][0]
     assert dv["record-count"] == 4
     # time travel before the second delete still sees the first state
     snaps = t.metadata()["snapshots"]
@@ -234,7 +234,7 @@ def test_v3_dv_shards_into_multiple_containers(spark, catalog, monkeypatch):
     t.delete_where("id % 2 = 0", mode="merge-on-read")  # touches all 8 files
 
     snap = t._resolve_snapshot(t.metadata())
-    dels = _split_manifest(snap["manifest"])[1]
+    dels = _split_manifest(snapshot_entries(snap))[1]
     assert all(e["content"] == "deletion-vectors" for e in dels)
     assert len(dels) == 3  # ceil(8/3) containers
     assert len({e["path"] for e in dels}) == 3
@@ -245,6 +245,6 @@ def test_v3_dv_shards_into_multiple_containers(spark, catalog, monkeypatch):
 
     # a second delete consolidates ALL containers back through the policy
     t.delete_where("id in (1, 3)", mode="merge-on-read")
-    dels2 = _split_manifest(t._resolve_snapshot(t.metadata())["manifest"])[1]
+    dels2 = _split_manifest(snapshot_entries(t._resolve_snapshot(t.metadata())))[1]
     assert sum(e["record-count"] for e in dels2) == 22
     assert _ids(t) == list(range(5, 40, 2))

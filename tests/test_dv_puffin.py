@@ -118,14 +118,14 @@ def test_v3_mor_delete_writes_real_puffin(spark, catalog):
     from tests.test_delete_artifacts import _make, _upgrade_v3
 
     from lakekeeper_spark.format.dv import read_deletion_vectors
-    from lakekeeper_spark.format.icelite import _split_manifest
+    from lakekeeper_spark.format.icelite import _split_manifest, snapshot_entries
 
     t = _make(spark, catalog, "puf1", [(i, float(i), f"r{i}") for i in range(1, 11)], ns="dvp")
     _upgrade_v3(t)
     t.delete_where("id <= 3", mode="merge-on-read")
     meta = t.metadata()
     snap = t._resolve_snapshot(meta)
-    dv = _split_manifest(snap["manifest"])[1][0]
+    dv = _split_manifest(snapshot_entries(snap))[1][0]
     assert dv["content"] == "deletion-vectors"
     assert dv["path"].endswith(".puffin")
     # the container decodes with the independent reader and covers
@@ -137,7 +137,7 @@ def test_v3_mor_delete_writes_real_puffin(spark, catalog):
     # consolidation keeps ONE puffin artifact
     t.delete_where("id in (7, 8)", mode="merge-on-read")
     snap2 = t._resolve_snapshot(t.metadata())
-    dels = _split_manifest(snap2["manifest"])[1]
+    dels = _split_manifest(snapshot_entries(snap2))[1]
     assert len(dels) == 1 and dels[0]["path"].endswith(".puffin")
     assert dels[0]["record-count"] == 5
     assert sorted(r.id for r in t.scan().collect()) == [4, 5, 6, 9, 10]
@@ -190,10 +190,17 @@ def test_manifest_marks_dv_as_puffin(spark, catalog):
     fmts = {r["data_file"]["file_path"]: r["data_file"]["file_format"] for r in entries}
     assert any(p.endswith(".puffin") and f == "PUFFIN" for p, f in fmts.items())
     assert all(f == "PARQUET" for p, f in fmts.items() if not p.endswith(".puffin"))
-    # data files added by the FIRST snapshot, carried forward into this
-    # one, still claim their adding snapshot id
-    carried = [r for r in entries if r["status"] == 0]
+    # data files added by the FIRST snapshot are carried forward via
+    # manifest REUSE (round 16): they stay in their ORIGINAL manifest
+    # with status=added and the ADDING snapshot's id — exactly how a
+    # real Iceberg manifest list references parent manifests unchanged
+    carried = [
+        r
+        for r in entries
+        if not r["data_file"]["file_path"].endswith(".puffin")
+    ]
     assert carried and all(r["snapshot_id"] == first_sid for r in carried)
+    assert {r["status"] for r in carried} == {1}  # added (at first_sid)
 
 
 def test_serialize_64_rejects_negatives_and_guards_cache():

@@ -10,7 +10,7 @@ import time
 import pytest
 
 from lakekeeper_spark.catalog.catalog import CommitFailedException
-from lakekeeper_spark.format.icelite import SparkTable
+from lakekeeper_spark.format.icelite import SparkTable, snapshot_entries
 from lakekeeper_spark.format.types import struct_to_schema
 
 
@@ -83,14 +83,14 @@ def test_delete_from_rewrites_only_affected_files(table, spark):
     )
     table.append(df2)
     before_files = {e["path"] for s in [table.metadata()] for e in
-                    next(x for x in s["snapshots"] if x["snapshot-id"] == s["current-snapshot-id"])["manifest"]}
+                    snapshot_entries(next(x for x in s["snapshots"] if x["snapshot-id"] == s["current-snapshot-id"]))}
     table.delete_where("my_ints = 1")
     out = sorted(r.my_ints for r in table.scan().collect())
     assert out == [2, 10]
     after = table.metadata()
     snap = next(s for s in after["snapshots"] if s["snapshot-id"] == after["current-snapshot-id"])
     # the untouched file survives by reference, not rewrite
-    assert any(p in before_files for p in {e["path"] for e in snap["manifest"]})
+    assert any(p in before_files for p in {e["path"] for e in snapshot_entries(snap)})
     assert snap["summary"]["operation"] == "delete"
 
 
@@ -149,7 +149,7 @@ def test_partition_evolution_bucket_truncate(table, spark):
     meta = table.metadata()
     assert len(meta["partition-specs"]) == 3
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"])
-    parts = [e["partition"] for e in snap["manifest"] if e["partition"]]
+    parts = [e["partition"] for e in snapshot_entries(snap) if e["partition"]]
     assert any("strings_truncate_4" in p for p in parts)
     assert table.scan().count() == 13
     # partition pruning by manifest filter
@@ -203,16 +203,19 @@ def test_all_metadata_tables(table, spark):
     assert {r.snapshot_id for r in entries} == {
         s["snapshot-id"] for s in meta["snapshots"]
     }
-    assert len(entries) == sum(len(s["manifest"]) for s in meta["snapshots"])
+    assert len(entries) == sum(len(snapshot_entries(s)) for s in meta["snapshots"])
     # all_data_files: union of files across snapshots, distinct
     adf = table.all_data_files().collect()
     assert len({r.file_path for r in adf}) == len(adf)
     assert len(adf) >= table.files().count()
-    # one inline manifest per snapshot
-    manifests = {r.snapshot_id: r for r in table.all_manifests().collect()}
-    assert set(manifests) == {s["snapshot-id"] for s in meta["snapshots"]}
+    # one or more REAL manifest files per snapshot (out-of-line store);
+    # per-snapshot entry counts come from descriptor sums
+    per_snap: dict[int, int] = {}
+    for r in table.all_manifests().collect():
+        per_snap[r.snapshot_id] = per_snap.get(r.snapshot_id, 0) + r.data_file_count
+    assert set(per_snap) == {s["snapshot-id"] for s in meta["snapshots"]}
     for s in meta["snapshots"]:
-        assert manifests[s["snapshot-id"]].data_file_count == len(s["manifest"])
+        assert per_snap[s["snapshot-id"]] == len(snapshot_entries(s))
     # each commit after table creation archived the superseded metadata
     log = table.metadata_log_entries().collect()
     assert len(log) == n_snapshots  # one archived version per data commit
@@ -301,7 +304,7 @@ def test_sort_order_applied_at_write(table, spark):
     for s in table.metadata()["snapshots"]:
         if s["snapshot-id"] != res["current-snapshot-id"]:
             continue
-        for e in s["manifest"]:
+        for e in snapshot_entries(s):
             vals = pq.read_table(f"{loc}/{e['path']}", columns=["my_ints"])
             col = vals.column("my_ints").to_pylist()
             assert col == sorted(col, reverse=True), f"file {e['path']} not sorted"
@@ -499,7 +502,7 @@ def test_stats_filter_file_skipping(spark, catalog):
     t = SparkTable(spark, catalog, "wh", ["skipns"], "t")
     # range-cluster into 4 files: k-bounds are disjoint per file
     t.append(df.repartitionByRange(4, "k"))
-    entries = t.metadata()["snapshots"][0]["manifest"]
+    entries = snapshot_entries(t.metadata()["snapshots"][0])
     assert len(entries) == 4
     assert all("k" in e["bounds"] for e in entries)
     # filter touching one file's range
@@ -527,7 +530,7 @@ def test_range_distribution_mode(spark, catalog):
     t.replace_sort_order([{"source-name": "k", "transform": "identity",
                            "direction": "asc", "null-order": "nulls-first"}])
     t.append(df.repartition(5))  # deliberately unclustered input
-    entries = [e for e in t.metadata()["snapshots"][-1]["manifest"]]
+    entries = list(snapshot_entries(t.metadata()["snapshots"][-1]))
     ranges = sorted((e["bounds"]["k"][0], e["bounds"]["k"][1]) for e in entries)
     assert len(ranges) > 1
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
@@ -557,7 +560,7 @@ def test_zorder_rewrite_clusters_both_columns(spark, catalog):
     meta = t.metadata()
     snap = next(s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"])
     assert snap["summary"]["zorder-by"] == ["x", "y"]
-    entries = snap["manifest"]
+    entries = snapshot_entries(snap)
     assert len(entries) == 4
     for col in ("x", "y"):
         spans = [e["bounds"][col][1] - e["bounds"][col][0] for e in entries]
@@ -703,7 +706,7 @@ def test_partition_column_with_space_and_special_chars(spark, catalog):
         s for s in meta["snapshots"]
         if s["snapshot-id"] == meta["current-snapshot-id"]
     )
-    parts = [e["partition"] for e in snap["manifest"] if e["partition"]]
+    parts = [e["partition"] for e in snapshot_entries(snap) if e["partition"]]
     assert all("part:col" in p for p in parts)
     # partition-filter pruning on the special-char field name
     pruned = t.scan(partition_filter={"part:col": "a"})

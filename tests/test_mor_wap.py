@@ -254,10 +254,10 @@ def test_mor_merge_v3_consolidates_vectors(table, spark):
     table.delete_where("id = 1", mode="merge-on-read")
     src = spark.createDataFrame([(2, 0.0, "u2")], DDL)
     table.merge(src, on="t.id = s.id", matched_update={"s": "s.s"}, mode="merge-on-read")
-    from lakekeeper_spark.format.icelite import _split_manifest
+    from lakekeeper_spark.format.icelite import _split_manifest, snapshot_entries
 
     snap = table._resolve_snapshot(table.metadata())
-    dels = _split_manifest(snap["manifest"])[1]
+    dels = _split_manifest(snapshot_entries(snap))[1]
     assert [e["content"] for e in dels] == ["deletion-vectors"]
     got = {r.id: r.s for r in table.scan().collect()}
     assert 1 not in got and got[2] == "u2" and len(got) == 9

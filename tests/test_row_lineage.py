@@ -17,7 +17,7 @@ from lakekeeper_spark.catalog.commit import (
     apply_commit,
     new_table_metadata,
 )
-from lakekeeper_spark.format.icelite import SparkTable
+from lakekeeper_spark.format.icelite import SparkTable, snapshot_entries
 
 SCHEMA = {
     "schema-id": 0,
@@ -208,7 +208,7 @@ def test_upgrade_then_append_assigns_ids_to_inherited_files(spark, catalog):
     old_snap = t.metadata()["snapshots"][0]
     assert all(
         e.get("first-row-id") is None
-        for e in old_snap["manifest"]
+        for e in snapshot_entries(old_snap)
         if e.get("content", "data") == "data"
     )
 
@@ -315,7 +315,7 @@ def test_compaction_preserves_row_ids(spark, table):
     # the compacted snapshot is a single file; it still claims a fresh
     # range (per-row inheritance makes the stored ids win)
     snap = table.metadata()["snapshots"][-1]
-    datas = [e for e in snap["manifest"]
+    datas = [e for e in snapshot_entries(snap)
              if e.get("content", "data") == "data"]
     assert len(datas) == 1 and "first-row-id" in datas[0]
     # appends after the preserved compaction stay globally unique
@@ -333,7 +333,7 @@ def test_default_compaction_still_assigns_fresh_ids(spark, table):
     )
     table.rewrite_data_files(target_files=1)
     snap = table.metadata()["snapshots"][-1]
-    e = next(x for x in snap["manifest"]
+    e = next(x for x in snapshot_entries(snap)
              if x.get("content", "data") == "data")
     assert e.get("materialized-row-ids") is None
     assert e["first-row-id"] == 4  # fresh range after the original [0,4)
@@ -707,7 +707,7 @@ def test_changelog_row_ids_mor_update_merge_eq_are_parent_scan_free(
     loc = table.metadata()["location"].replace("file://", "")
     parent_files = {
         e["path"]
-        for e in table.metadata()["snapshots"][-1]["manifest"]
+        for e in snapshot_entries(table.metadata()["snapshots"][-1])
     }
     table.update_where("id = 2", {"v": "'patched'"}, mode="merge-on-read")
     src = spark.createDataFrame(
@@ -894,9 +894,9 @@ def test_cow_rewrite_targeted_diff_never_scans_parent_state(spark, table):
     # the removed file nor a survivor written by the CoW commit
     loc = meta["location"].replace("file://", "")
     needed = removed_paths | {
-        e["path"] for e in meta["snapshots"][-1]["manifest"]
+        e["path"] for e in snapshot_entries(meta["snapshots"][-1])
         if e["path"] not in {
-            p["path"] for p in meta["snapshots"][-2]["manifest"]
+            p["path"] for p in snapshot_entries(meta["snapshots"][-2])
         }
     }
     scorched = 0
@@ -946,7 +946,7 @@ def test_targeted_diff_masks_name_only_relevant_artifacts(spark, table):
         refs = m.get("referenced-files")
         assert refs is None or set(refs) & removed
     all_dels = [
-        e for s in meta["snapshots"] for e in s["manifest"]
+        e for s in meta["snapshots"] for e in snapshot_entries(s)
         if e.get("content", "data") != "data"
     ]
     assert len(masks) < len({e["path"] for e in all_dels})

@@ -11,7 +11,7 @@ import pytest
 
 from lakekeeper_spark.catalog.catalog import Catalog
 from lakekeeper_spark.catalog.metastore import Metastore
-from lakekeeper_spark.format.icelite import SparkTable
+from lakekeeper_spark.format.icelite import SparkTable, snapshot_entries
 from lakekeeper_spark.format.types import struct_to_schema
 from lakekeeper_spark.streaming.source import IceliteStreamDataSource
 
@@ -422,7 +422,7 @@ def test_batch_write_format_icelite_two_phase_commit(spark, tmp_path):
     # hive partition layout + per-entry partition values in the manifest
     meta = t.metadata()
     snap = meta["snapshots"][-1]
-    assert all(e["partition"].get("p") in {"0", "1", "2"} for e in snap["manifest"])
+    assert all(e["partition"].get("p") in {"0", "1", "2"} for e in snapshot_entries(snap))
     assert meta["snapshots"][-1]["summary"]["operation"] == "append"
     # reads back through the DataSource reader too
     got = spark.read.format("icelite").options(**opts).load()
@@ -682,7 +682,7 @@ def test_lineage_events_stream_never_opens_parent_files(spark, v3feed):
     cat, t, mpath = v3feed
     loc = t.metadata()["location"].replace("file://", "")
     parent_files = {
-        e["path"] for e in t.metadata()["snapshots"][-1]["manifest"]
+        e["path"] for e in snapshot_entries(t.metadata()["snapshots"][-1])
     }
     t.update_where("k = 3", {"v": "0.5"}, mode="merge-on-read")
     t.delete_where("k = 8", mode="merge-on-read")
@@ -748,9 +748,9 @@ def test_lineage_events_stream_cow_rewrite_is_targeted(spark, tmp_path):
     )
     # scorch file A (untouched, still live): the stream must not open it
     needed = {e["path"] for e in cow["delete-file-entries"]} | {
-        e["path"] for e in meta["snapshots"][-1]["manifest"]
+        e["path"] for e in snapshot_entries(meta["snapshots"][-1])
         if e["path"] not in {
-            p["path"] for p in meta["snapshots"][-2]["manifest"]
+            p["path"] for p in snapshot_entries(meta["snapshots"][-2])
         }
     }
     loc = meta["location"].replace("file://", "")
