@@ -509,6 +509,12 @@ def write_manifest_file(
     added = [e for e in entries if e.get("sequence-number") == sequence_number]
     existing = [e for e in entries if e.get("sequence-number") != sequence_number]
     parts, bounds = _manifest_summaries(entries)
+    # the spec manifest_file counts describe the manifest's RECORDS —
+    # which differ from engine entries when a DV container expands into
+    # one record per referenced file (fields 143-145); the engine-count
+    # keys feed metadata tables, the records-* keys feed the Avro list
+    r_added = [r for r in records if r["status"] == 1]
+    r_existing = [r for r in records if r["status"] == 0]
     desc: dict[str, Any] = {
         "path": mpath,
         "length": os.path.getsize(mpath),
@@ -521,6 +527,15 @@ def write_manifest_file(
         "added-rows-count": sum(e.get("record-count", 0) for e in added),
         "existing-rows-count": sum(e.get("record-count", 0) for e in existing),
     }
+    if len(r_added) != len(added) or len(r_existing) != len(existing):
+        desc["records-added"] = len(r_added)
+        desc["records-existing"] = len(r_existing)
+        desc["records-added-rows"] = sum(
+            r["data_file"]["record_count"] for r in r_added
+        )
+        desc["records-existing-rows"] = sum(
+            r["data_file"]["record_count"] for r in r_existing
+        )
     if kind == "data":
         # rows whose first-row-id the commit engine must still assign
         # (v3 lazy inheritance — the engine advances next-row-id by this
@@ -561,11 +576,22 @@ def write_manifest_list_file(
                 "min-sequence-number", d.get("sequence-number", sequence_number)
             ),
             "added_snapshot_id": d.get("added-snapshot-id", snapshot_id),
-            "added_files_count": d.get("added-files-count", 0),
-            "existing_files_count": d.get("existing-files-count", 0),
+            # record-level counts when they differ from engine-entry
+            # counts (DV per-blob expansion) — the spec manifest_file
+            # fields describe the manifest's records
+            "added_files_count": d.get(
+                "records-added", d.get("added-files-count", 0)
+            ),
+            "existing_files_count": d.get(
+                "records-existing", d.get("existing-files-count", 0)
+            ),
             "deleted_files_count": 0,
-            "added_rows_count": d.get("added-rows-count", 0),
-            "existing_rows_count": d.get("existing-rows-count", 0),
+            "added_rows_count": d.get(
+                "records-added-rows", d.get("added-rows-count", 0)
+            ),
+            "existing_rows_count": d.get(
+                "records-existing-rows", d.get("existing-rows-count", 0)
+            ),
             "deleted_rows_count": 0,
             "partitions": None,
             "key_metadata": None,

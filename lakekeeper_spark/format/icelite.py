@@ -2478,18 +2478,21 @@ class SparkTable:
         return df
 
     # ---------------- statistics (ANALYZE) ----------------
-    def analyze(self) -> dict[str, Any]:
+    def analyze(self, exact: bool = False) -> dict[str, Any]:
         """Compute per-column table statistics with ONE Spark aggregate and
         commit them as a StatisticsFile entry for the current snapshot
         (reference SetStatistics TableUpdate, commit_tables.rs:130-156;
         StatisticsFile re-export iceberg-ext spec/mod.rs). Distinct counts
         use approx_count_distinct (HLL) — the same sketch family Iceberg
-        puffin blobs carry — so the job is one pass, no per-column scans."""
+        puffin blobs carry — so the job is one pass, no per-column scans.
+        ``exact=True`` swaps in count_distinct (still one shuffle
+        aggregate, scale-safe) for deterministic, oracle-checkable ndv."""
         meta = self.metadata()
         snap = self._resolve_snapshot(meta)
         if snap is None:
             raise CatalogError("no snapshot to analyze")
         df = self.scan()
+        ndv_fn = F.count_distinct if exact else F.approx_count_distinct
         aggs = []
         # min/max only for JSON-representable numerics (metadata is a JSON
         # document; date/timestamp bounds would need ISO stringification)
@@ -2497,7 +2500,7 @@ class SparkTable:
         for f in df.schema.fields:
             c = f.name
             aggs.append(F.count(F.col(c)).alias(f"{c}__count"))
-            aggs.append(F.approx_count_distinct(F.col(c)).alias(f"{c}__ndv"))
+            aggs.append(ndv_fn(F.col(c)).alias(f"{c}__ndv"))
             if f.dataType.simpleString() in numeric:
                 aggs.append(F.min(F.col(c)).alias(f"{c}__min"))
                 aggs.append(F.max(F.col(c)).alias(f"{c}__max"))
@@ -2513,6 +2516,7 @@ class SparkTable:
                     "row-count": n_rows,
                     "value-count": row.get(f"{f.name}__count"),
                     "ndv": row.get(f"{f.name}__ndv"),
+                    "ndv-mode": "exact" if exact else "approx",
                 },
             }
             if f"{f.name}__min" in row:
@@ -2608,6 +2612,60 @@ class SparkTable:
             [], [{"action": "set-partition-statistics", "partition-statistics": stats_file}]
         )
         return stats_file
+
+    _STATS_DDL = (
+        "column string, row_count long, value_count long, ndv long,"
+        " min_long long, max_long long"
+    )
+
+    def statistics(self) -> DataFrame:
+        """Stats metadata table: one row per column of the CURRENT
+        snapshot's registered StatisticsFile, decoded from the REAL
+        Puffin container on storage — NOT from the blob-metadata copy in
+        the table metadata, so a green read here proves the
+        SetStatistics round-trip end-to-end. min/max surface when they
+        are integral (the JSON single-value forms analyze() records).
+        The ndv here is what an engine's ndv-informed planning (e.g.
+        picking the broadcast side of a join) consumes without
+        scanning data."""
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta)
+        sf = next(
+            (
+                s
+                for s in meta.get("statistics", [])
+                if snap and s["snapshot-id"] == snap["snapshot-id"]
+            ),
+            None,
+        )
+        if sf is None:
+            return self.spark.createDataFrame([], self._STATS_DDL)
+        from .puffin import read_puffin
+
+        blobs, _ = read_puffin(sf["statistics-path"])
+        by_id = {
+            f["id"]: f["name"] for f in self._current_schema(meta)["fields"]
+        }
+        rows = []
+        for b in blobs:
+            if b.get("type") != "lakekeeper-spark-column-stats-v1":
+                continue  # foreign blob types are skipped, spec-style
+            props = json.loads(bytes(b["payload"]))
+            name = by_id.get((b.get("fields") or [None])[0])
+            if name is None:
+                continue
+            mn, mx = props.get("min"), props.get("max")
+            rows.append(
+                (
+                    name,
+                    int(props.get("row-count", 0)),
+                    int(props.get("value-count", 0)),
+                    int(props.get("ndv", 0)),
+                    int(mn) if isinstance(mn, int) else None,
+                    int(mx) if isinstance(mx, int) else None,
+                )
+            )
+        return self.spark.createDataFrame(rows, self._STATS_DDL)
 
     # ---------------- merge-on-read position deletes ----------------
     # Iceberg v2 row-level deletes (spec "Position Delete Files";

@@ -45,8 +45,12 @@ public ``file2.proto`` / ``file.proto``:
   ``FixedSizeList``, buffers referenced by page index (honored on read,
   whatever order the file stored them in). Page zone-map stats ride in
   DirectEncoding field 2 — a documented VENDOR field real parsers skip
-  as unknown, so field 1 stays the real shape. Files whose encodings
-  fall outside this vocabulary (all-null pages, non-flat validity,
+  as unknown, so field 1 stays the real shape. Round 16 widened the
+  read vocabulary with ``Nullable.all_nulls`` pages (zero buffers,
+  typed nulls) and byte-aligned width-reduced ``Flat`` values (int64
+  stored as 8/16/32-bit two's-complement, int32 as 8/16-bit, float64
+  as float32 — widened on decode). Files whose encodings still fall
+  outside (non-flat validity, sub-byte bitpacking,
   dictionary/packed-struct/mini-block layouts, non-page buffers) raise
   the actionable "needs the lance library" error instead of
   mis-decoding; the ArrayEncoding field numbers follow the public
@@ -444,7 +448,10 @@ def _enc_from_array_encoding(ae: dict) -> dict:
     nul = ae.get("nullable")
     if nul is not None:
         if nul.get("all_nulls") is not None:
-            raise _unsupported("all-null page encoding")
+            # Nullable.all_nulls: the page stores NO buffers at all —
+            # every value is null (public encodings.proto Nullable
+            # variant); decode as a typed all-null array
+            return {"type": "all_null", "has_validity": False, "buffer_order": []}
         if nul.get("some_nulls") is not None:
             sn = nul["some_nulls"]
             has_validity = True
@@ -707,6 +714,43 @@ def _encode_page(field: Field, arr) -> tuple[list[bytes], dict, dict | None]:
     return bufs, enc, stats
 
 
+#: byte-aligned width-reduced Flat decode table: declared type ->
+#: {stored bits: numpy dtype of the narrow values}. Signed widening is
+#: the two's-complement inverse of the writer's narrowing; float64
+#: pages may store float32 values. Sub-byte widths are true bitpacking
+#: and stay out of the vocabulary.
+_NARROW_FLAT = {
+    "int64": {8: "<i1", 16: "<i2", 32: "<i4"},
+    "int32": {8: "<i1", 16: "<i2"},
+    "float64": {32: "<f4"},
+}
+
+
+def _decode_narrow_flat(
+    field: Field, dtype: str, declared_bits: int, buf: bytes, validity, n: int
+):
+    """Decode a byte-aligned width-reduced Flat page by widening the
+    narrow little-endian values to the declared type."""
+    import numpy as np
+    import pyarrow as pa
+
+    narrow = _NARROW_FLAT.get(field.type, {}).get(int(declared_bits))
+    if narrow is None:
+        _, width = _FIXED.get(field.type, (None, 0))
+        raise _unsupported(
+            f"flat values are {declared_bits}-bit but column "
+            f"{field.name!r} is {width * 8}-bit (non-byte-aligned or "
+            "unsupported width reduction)"
+        )
+    nbytes = int(declared_bits) // 8
+    if len(buf) != n * nbytes:
+        raise LanceLiteError("narrow value buffer size mismatch")
+    wide = np.frombuffer(buf, narrow, count=n).astype(dtype)
+    return pa.Array.from_buffers(
+        _pa_type(field), n, [validity, pa.py_buffer(wide.tobytes())]
+    )
+
+
 def _decode_page(field: Field, enc: dict, bufs: list[bytes], n: int):
     """Decode one page into a pyarrow array — zero-copy from_buffers over
     the page bytes, then a full validation pass so corrupt/scorched bytes
@@ -732,15 +776,22 @@ def _decode_page(field: Field, enc: dict, bufs: list[bytes], n: int):
         i = 1
     kind = enc.get("type")
     try:
-        if kind == "plain":
-            _, width = _FIXED[field.type]
+        if kind == "all_null":
+            arr = pa.nulls(n, type=_pa_type(field))
+        elif kind == "plain":
+            dtype, width = _FIXED[field.type]
             declared_bits = enc.get("bits_per_value")
             if declared_bits is not None and declared_bits != width * 8:
-                raise _unsupported(
-                    f"flat values are {declared_bits}-bit but column "
-                    f"{field.name!r} is {width * 8}-bit (width-reduced "
-                    "encoding)"
+                # width-reduced Flat: the writer narrowed values that
+                # fit a smaller fixed width (two's-complement for ints,
+                # float32 for doubles). Byte-aligned widths decode by
+                # widening; sub-byte bitpacked layouts stay outside the
+                # vocabulary (they need the lance library's unpacker).
+                arr = _decode_narrow_flat(
+                    field, dtype, declared_bits, bufs[i], validity, n
                 )
+                arr.validate(full=True)
+                return arr
             if len(bufs[i]) != n * width:
                 raise LanceLiteError("value buffer size mismatch")
             arr = pa.Array.from_buffers(

@@ -3091,3 +3091,104 @@ def c24_lineage_cdc_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_change_type").alias("change_type"),
         ord_map[F.col("_commit_snapshot_id")].cast("long").alias("commit_ord"),
     )
+
+
+# --------------------------------------------------------------------------
+# c25: Puffin statistics round-trip + ndv-informed planning input
+# --------------------------------------------------------------------------
+# The reference registers statistics files through SetStatistics /
+# StatisticsFile with blob metadata (commit_tables.rs:130-156; puffin
+# migrations 20241216114355 / 20250108131004). This row proves the
+# REGISTERED artifact is a real, readable Puffin container end-to-end:
+# ANALYZE computes exact per-column stats in one shuffle aggregate,
+# commits SetStatistics, and the query re-reads the stats FROM THE
+# PUFFIN FILE ON STORAGE (SparkTable.statistics() — never the metadata
+# blob's copy), emitting per-column ndv / value counts / integral
+# min-max plus the ndv-informed broadcast-side decision a planner would
+# make from them. Every value has an exact DuckDB oracle.
+@register(
+    "c25_puffin_stats",
+    oracle=f"""
+WITH src AS (
+  SELECT * FROM (
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+  ) t WHERE rn <= {_ROWS}
+),
+st AS (
+  SELECT COUNT(*) AS n_rows,
+         COUNT(l_orderkey) AS ok_count,
+         COUNT(DISTINCT l_orderkey) AS ok_ndv,
+         CAST(MIN(l_orderkey) AS BIGINT) AS ok_min,
+         CAST(MAX(l_orderkey) AS BIGINT) AS ok_max,
+         COUNT(l_returnflag) AS rf_count,
+         COUNT(DISTINCT l_returnflag) AS rf_ndv
+  FROM src
+)
+SELECT * FROM (
+  SELECT 'broadcast_flag_side' AS checkpoint,
+         CASE WHEN rf_ndv < ok_ndv THEN 1 ELSE 0 END AS value FROM st
+  UNION ALL SELECT 'orderkey_max', ok_max FROM st
+  UNION ALL SELECT 'orderkey_min', ok_min FROM st
+  UNION ALL SELECT 'orderkey_ndv', ok_ndv FROM st
+  UNION ALL SELECT 'orderkey_values', ok_count FROM st
+  UNION ALL SELECT 'returnflag_ndv', rf_ndv FROM st
+  UNION ALL SELECT 'returnflag_values', rf_count FROM st
+  UNION ALL SELECT 'row_count', n_rows FROM st
+  UNION ALL SELECT 'stats_files_registered', 1
+) ORDER BY checkpoint
+""",
+    description="Puffin statistics interop: ANALYZE (exact mode) writes "
+    "a real Puffin container of per-column stats blobs and commits it "
+    "via SetStatistics; the query decodes the container from storage "
+    "through the statistics() metadata table and emits ndv/value-count/"
+    "min-max per column plus the ndv-informed broadcast-side decision — "
+    "all exact vs the DuckDB oracle, proving the registered "
+    "statistics-path round-trips byte-for-byte usable.",
+    tags=("catalog", "icelite", "statistics", "puffin"),
+)
+def c25_puffin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog.catalog import Catalog
+    from ..catalog.metastore import Metastore
+    from ..format.icelite import SparkTable
+    from ..format.types import struct_to_schema
+
+    tmp = tempfile.mkdtemp(prefix="lkspark_c25_")
+    cat = Catalog(Metastore(f"{tmp}/metastore.db"))
+    cat.create_warehouse("wh", f"{tmp}/warehouse")
+    cat.create_namespace("wh", ["bench"])
+    src = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(_ROWS)
+        .repartition(4)
+    )
+    cat.create_table(
+        "wh", ["bench"], "li_stats", struct_to_schema(src.schema)
+    )
+    t = SparkTable(spark, cat, "wh", ["bench"], "li_stats")
+    t.append(src)
+    t.analyze(exact=True)
+    stats = {r["column"]: r for r in t.statistics().collect()}
+    ok, rf = stats["l_orderkey"], stats["l_returnflag"]
+    n_registered = len(t.metadata().get("statistics", []))
+    rows = [
+        # the planning decision ndv stats exist to inform: broadcast the
+        # lower-ndv (smaller dictionary) side — read from the PUFFIN
+        ("broadcast_flag_side", 1 if rf["ndv"] < ok["ndv"] else 0),
+        ("orderkey_max", ok["max_long"]),
+        ("orderkey_min", ok["min_long"]),
+        ("orderkey_ndv", ok["ndv"]),
+        ("orderkey_values", ok["value_count"]),
+        ("returnflag_ndv", rf["ndv"]),
+        ("returnflag_values", rf["value_count"]),
+        ("row_count", ok["row_count"]),
+        ("stats_files_registered", n_registered),
+    ]
+    return (
+        spark.createDataFrame(rows, "checkpoint string, value long")
+        .orderBy("checkpoint")
+        .select("checkpoint", F.col("value").cast("long").alias("value"))
+    )

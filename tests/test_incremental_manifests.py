@@ -368,3 +368,57 @@ def test_v3_row_ids_stable_across_incremental_commits(spark, catalog):
     rows2 = {r.id: r._row_id for r in t.scan(row_lineage=True).collect()}
     assert {k: v for k, v in rows2.items() if k != 99} == rows
     assert rows2[99] == 10
+
+
+def test_streaming_microbatch_opens_only_delta_manifests(spark, catalog, tmp_path):
+    """Round-16 verdict item 7 (the read-side O(delta) discipline): a
+    streaming micro-batch plans from the manifests the two offset
+    snapshots DON'T share. Proven two ways: the open counter increments
+    by exactly the new manifest, and scorching every SHARED manifest
+    file (after a cache clear) still plans and reads the batch — the
+    carried inventory is never touched."""
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+    from lakekeeper_spark.streaming.source import IceliteStreamReader
+
+    cat = Catalog(Metastore(str(tmp_path / "m.db")))
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["st"])
+    cat.create_table("wh", ["st"], "t", SCHEMA)
+    t = SparkTable(spark, cat, "wh", ["st"], "t")
+    for b in range(4):
+        t.append(
+            spark.createDataFrame(
+                [(b * 10 + i, f"b{b}") for i in range(5)],
+                "id long, v string",
+            ).coalesce(1)
+        )
+    opts = {
+        "metastore": str(tmp_path / "m.db"),
+        "warehouse": "wh",
+        "namespace": "st",
+        "table": "t",
+    }
+    sr = IceliteStreamReader(opts)
+    snaps = t.metadata()["snapshots"]
+    lo = {"snapshot-id": snaps[-2]["snapshot-id"]}
+    hi = {"snapshot-id": snaps[-1]["snapshot-id"]}
+    # counter proof: with a cold cache, the (N-1 -> N) batch opens ONLY
+    # the one manifest new to snapshot N
+    manifest_cache_clear()
+    parts = sr.partitions(lo, hi)
+    assert manifest_open_count() == 1
+    rows = [r for p in parts for b in sr.read(p) for r in b.to_pylist()]
+    assert sorted(r["id"] for r in rows) == [30 + i for i in range(5)]
+    # scorch proof: destroy every manifest SHARED by the two snapshots —
+    # the incremental plan must not need them
+    shared = {d["path"] for d in snapshot_manifests(snaps[-2])} & {
+        d["path"] for d in snapshot_manifests(snaps[-1])
+    }
+    assert len(shared) == 3
+    for p in shared:
+        Path(p).write_bytes(b"\xff" * 8)
+    manifest_cache_clear()
+    parts = sr.partitions(lo, hi)
+    rows = [r for p in parts for b in sr.read(p) for r in b.to_pylist()]
+    assert sorted(r["id"] for r in rows) == [30 + i for i in range(5)]

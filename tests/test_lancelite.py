@@ -899,8 +899,10 @@ def test_legacy_round14_encoding_payloads_still_read(tmp_path):
 
 
 def test_unsupported_array_encodings_raise_actionable(tmp_path):
-    """All-null pages and unknown ArrayEncoding variants are OUTSIDE the
-    lancelite subset: the error says to register the real library."""
+    """Unknown ArrayEncoding variants are OUTSIDE the lancelite subset:
+    the error says to register the real library. (All-null pages joined
+    the vocabulary in round 16 —
+    test_all_null_and_width_reduced_flat_pages_read.)"""
     import struct as _s
 
     def mini_file(ae_bytes, bufs):
@@ -927,11 +929,114 @@ def test_unsupported_array_encodings_raise_actionable(tmp_path):
         open(p, "wb").write(bytes(out))
         return p
 
-    # Nullable.all_nulls (field 2, empty message)
-    p = mini_file(_ld(2, _ld(2, b"")), [b"\x00" * 16])
-    with pytest.raises(LanceLiteError, match="lance library"):
-        ll.read_file(p)
     # unknown variant (field number 9: not in the subset)
     p = mini_file(_ld(9, _vi(1, 1)), [b"\x00" * 16])
     with pytest.raises(LanceLiteError, match="lance library"):
+        ll.read_file(p)
+
+
+def test_all_null_and_width_reduced_flat_pages_read(tmp_path):
+    """Round-16 vocabulary extensions, golden foreign fixture: a page
+    encoded as Nullable.all_nulls (NO buffers — every value null) and
+    Flat pages whose bits_per_value is a byte-aligned REDUCTION of the
+    declared width (int64 stored as 32-bit two's-complement, float64
+    stored as float32) decode exactly; sub-byte bitpacking still raises
+    the actionable needs-the-lance-library error
+    (test_unsupported_array_encodings_raise_actionable)."""
+    import struct as _s
+
+    out = bytearray()
+    # column a: int64, ALL NULL — zero page buffers
+    a_ae = _ld(2, _ld(2, b""))  # Nullable.all_nulls {}
+    # column b: int64 stored as 32-bit (includes a negative: sign must
+    # extend on widening)
+    b_vals = _s.pack("<3i", -5, 1000, 7)
+    b_offs, b_sizes = [len(out)], [len(b_vals)]
+    out += b_vals
+    b_ae = _ld(2, _ld(1, _ld(1, _ae_flat(32, 0))))  # no_nulls.Flat(32)
+    # column c: float64 stored as float32 (exactly-representable values)
+    c_vals = _s.pack("<3f", 1.5, -2.25, 0.5)
+    c_offs, c_sizes = [len(out)], [len(c_vals)]
+    out += c_vals
+    c_ae = _ld(2, _ld(1, _ld(1, _ae_flat(32, 0))))
+    # column d: int64 stored as 32-bit WITH a validity bitmap (null mid)
+    d_vals = _s.pack("<3i", 11, 0, -13)
+    d_valid = bytes([0b101])
+    d_offs, d_sizes = [len(out), len(out) + len(d_vals)], [
+        len(d_vals), len(d_valid)]
+    out += d_vals + d_valid
+    d_ae = _ld(2, _ld(3,  # Nullable.some_nulls
+        _ld(1, _ae_flat(1, 1))      # validity -> buffer 1
+        + _ld(2, _ae_flat(32, 0))   # narrow values -> buffer 0
+    ))
+    cms = [
+        _ld(1, _page([], [], 3, _any_ae(a_ae))),
+        _ld(1, _page(b_offs, b_sizes, 3, _any_ae(b_ae))),
+        _ld(1, _page(c_offs, c_sizes, 3, _any_ae(c_ae))),
+        _ld(1, _page(d_offs, d_sizes, 3, _any_ae(d_ae))),
+    ]
+    cm_start = len(out)
+    cm_entries = []
+    for blob in cms:
+        cm_entries.append((len(out), len(blob)))
+        out += blob
+    cmo = len(out)
+    for o, s in cm_entries:
+        out += _s.pack("<QQ", o, s)
+    schema = (
+        _ld(1, _field_msg(2, "a", 0, -1, "int64", True))
+        + _ld(1, _field_msg(2, "b", 1, -1, "int64", True))
+        + _ld(1, _field_msg(2, "c", 2, -1, "double", True))
+        + _ld(1, _field_msg(2, "d", 3, -1, "int64", True))
+    )
+    desc = _ld(1, schema) + _vi(2, 3)
+    gb = [(len(out), len(desc))]
+    out += desc
+    gbo = len(out)
+    for o, s in gb:
+        out += _s.pack("<QQ", o, s)
+    out += _s.pack("<QQQIIHH4s", cm_start, cmo, gbo, 1, 4, 0, 3, b"LANC")
+    p = str(tmp_path / "narrow.lance")
+    open(p, "wb").write(bytes(out))
+
+    fields, cols = ll.read_file(p)
+    assert [f.name for f in fields] == ["a", "b", "c", "d"]
+    assert cols["a"] == [None, None, None]
+    assert cols["b"] == [-5, 1000, 7]
+    assert cols["c"] == [1.5, -2.25, 0.5]
+    assert cols["d"] == [11, None, -13]
+
+
+def test_non_byte_aligned_width_reduction_still_raises(tmp_path):
+    """True sub-byte bitpacking (e.g. 12-bit Flat) stays outside the
+    vocabulary: actionable error, no mis-decode."""
+    import struct as _s
+
+    import pytest as _pt
+
+    out = bytearray()
+    vals = b"\x01\x02\x03"  # 3 x 12 bits rounded — content irrelevant
+    offs, sizes = [len(out)], [len(vals)]
+    out += vals
+    ae = _ld(2, _ld(1, _ld(1, _ae_flat(12, 0))))
+    cms = [_ld(1, _page(offs, sizes, 2, _any_ae(ae)))]
+    cm_start = len(out)
+    cm_entries = []
+    for blob in cms:
+        cm_entries.append((len(out), len(blob)))
+        out += blob
+    cmo = len(out)
+    for o, s in cm_entries:
+        out += _s.pack("<QQ", o, s)
+    schema = _ld(1, _field_msg(2, "x", 0, -1, "int64", True))
+    desc = _ld(1, schema) + _vi(2, 2)
+    gb = [(len(out), len(desc))]
+    out += desc
+    gbo = len(out)
+    for o, s in gb:
+        out += _s.pack("<QQ", o, s)
+    out += _s.pack("<QQQIIHH4s", cm_start, cmo, gbo, 1, 1, 0, 3, b"LANC")
+    p = str(tmp_path / "bitpacked.lance")
+    open(p, "wb").write(bytes(out))
+    with _pt.raises(ll.LanceLiteError, match="lance library"):
         ll.read_file(p)

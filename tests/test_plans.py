@@ -1124,3 +1124,46 @@ def test_p10_benchmark_side_broadcasts(spark):
     plan = _plan(p10_fuzzy_decontamination(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_c25_stats_read_is_storage_only(spark, tmp_path):
+    """The statistics() metadata table decodes the REGISTERED Puffin
+    container from storage: scorch the blob-metadata copy inside the
+    table metadata (wrong ndv there) and the read must still surface
+    the PUFFIN's values; delete the puffin file and the read must fail
+    rather than fall back to the metadata copy."""
+    import pytest
+
+    from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metastore import Metastore
+    from lakekeeper_spark.format.icelite import SparkTable
+
+    cat = Catalog(Metastore(str(tmp_path / "m.db")))
+    cat.create_warehouse("wh", str(tmp_path / "wh"))
+    cat.create_namespace("wh", ["s"])
+    cat.create_table(
+        "wh", ["s"], "t",
+        {"schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "type": "long", "required": False}]},
+    )
+    t = SparkTable(spark, cat, "wh", ["s"], "t")
+    t.append(spark.createDataFrame([(i % 3,) for i in range(9)], "k long"))
+    t.analyze(exact=True)
+    # scorch the metadata copy: statistics() must NOT read it
+    meta = t.metadata()
+    sf = meta["statistics"][0]
+    for b in sf["blob-metadata"]:
+        b["properties"]["ndv"] = 999_999
+    cat.commit_table(
+        "wh", ["s"], "t", [],
+        [{"action": "set-statistics", "statistics": sf}],
+    )
+    t._invalidate()
+    row = {r["column"]: r for r in t.statistics().collect()}["k"]
+    assert row["ndv"] == 3  # the PUFFIN's value, not the scorched copy
+    # no silent fallback: a missing container is an error, not stale data
+    import os
+
+    os.unlink(sf["statistics-path"])
+    with pytest.raises(OSError):
+        t.statistics().collect()

