@@ -365,13 +365,14 @@ def _apply_update(  # noqa: C901 - intentionally a flat 24-way dispatch
         _check_reserved_column_names(
             schema,
             "add-schema",
-            # names already present in ANY existing schema version are
-            # grandfathered: the check gates NEW columns only, so legacy
-            # tables predating the rule stay evolvable (round-15 ADVICE)
+            # names present in the CURRENT schema are grandfathered: the
+            # check gates NEW columns only, so a legacy table predating
+            # the rule stays evolvable (round-15 ADVICE) — but a
+            # reserved name DROPPED in an earlier version cannot sneak
+            # back in via the history
             grandfathered={
                 f.get("name")
-                for s in meta["schemas"]
-                for f in s.get("fields", [])
+                for f in _current_schema_of(meta).get("fields", [])
             },
         )
         if schema.get("schema-id") is None or schema["schema-id"] == -1:

@@ -473,6 +473,25 @@ def write_manifest_file(
     if len(kinds) != 1:
         raise ValueError(f"manifest content must be uniform, got {sorted(kinds)}")
     kind = kinds.pop()
+    if kind == "data":
+        # v3 row-id inheritance charges null-id files by record-count; a
+        # missing count would default to 0 and make the NEXT file's
+        # range overlap this one's — the same invariant the commit
+        # engine's inline branch rejects (catalog/commit.py add-snapshot)
+        bad = next(
+            (
+                e
+                for e in entries
+                if e.get("first-row-id") is None
+                and e.get("record-count") is None
+            ),
+            None,
+        )
+        if bad is not None:
+            raise ValueError(
+                f"data file {bad.get('path')!r} has no record-count — "
+                "row-id range assignment requires it"
+            )
     schema = next(
         s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
     )
@@ -506,8 +525,14 @@ def write_manifest_file(
         },
     )
     seqs = [e.get("sequence-number", sequence_number) for e in entries]
-    added = [e for e in entries if e.get("sequence-number") == sequence_number]
-    existing = [e for e in entries if e.get("sequence-number") != sequence_number]
+    # same default as _entry_record's status: a seq-less entry counts as
+    # added AT THIS COMMIT, so list counts always agree with the records
+    added = [
+        e for e in entries if e.get("sequence-number", sequence_number) == sequence_number
+    ]
+    existing = [
+        e for e in entries if e.get("sequence-number", sequence_number) != sequence_number
+    ]
     parts, bounds = _manifest_summaries(entries)
     # the spec manifest_file counts describe the manifest's RECORDS —
     # which differ from engine entries when a DV container expands into
@@ -519,6 +544,10 @@ def write_manifest_file(
         "path": mpath,
         "length": os.path.getsize(mpath),
         "content": kind,
+        # the spec this manifest's partition tuples were WRITTEN under —
+        # carried into every later manifest list so readers decode old
+        # manifests with the right spec after partition evolution
+        "partition-spec-id": spec["spec-id"],
         "added-snapshot-id": snapshot_id,
         "sequence-number": sequence_number,
         "min-sequence-number": min(seqs, default=sequence_number),
@@ -569,7 +598,9 @@ def write_manifest_list_file(
         {
             "manifest_path": d["path"],
             "manifest_length": d["length"],
-            "partition_spec_id": meta.get("default-spec-id", 0),
+            "partition_spec_id": d.get(
+                "partition-spec-id", meta.get("default-spec-id", 0)
+            ),
             "content": 0 if d["content"] == "data" else 1,
             "sequence_number": d.get("sequence-number", sequence_number),
             "min_sequence_number": d.get(

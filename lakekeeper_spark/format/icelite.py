@@ -129,8 +129,8 @@ def _bloom_bits_of(bloom: dict[str, Any]) -> bytes | None:
         import base64
 
         return base64.b64decode(raw)
-    path, off = bloom.get("path"), bloom.get("offset")
-    if path is None or off is None:
+    path, off, length = bloom.get("path"), bloom.get("offset"), bloom.get("length")
+    if path is None or off is None or length is None:
         return None
     key = (path, int(off))
     hit = _BLOOM_SLICE_CACHE.get(key)
@@ -139,8 +139,13 @@ def _bloom_bits_of(bloom: dict[str, Any]) -> bytes | None:
     try:
         with open(path, "rb") as f:
             f.seek(int(off))
-            bits = f.read(int(bloom["length"]))
+            bits = f.read(int(length))
     except OSError:
+        return None
+    if len(bits) != int(length):
+        # truncated/scorched sidecar: a short slice would IndexError in
+        # the probe — keep the file instead (superset contract), and
+        # don't cache the bad read
         return None
     if len(_BLOOM_SLICE_CACHE) >= _BLOOM_SLICE_CACHE_MAX:
         _BLOOM_SLICE_CACHE.pop(next(iter(_BLOOM_SLICE_CACHE)))
@@ -1470,9 +1475,10 @@ class SparkTable:
         self,
         meta: dict[str, Any],
         parent: dict[str, Any] | None,
-        entries: list[dict[str, Any]],
+        entries: list[dict[str, Any]] | None,
         snapshot_id: int,
         sequence_number: int,
+        appended: list[dict[str, Any]] | None = None,
     ) -> list[dict[str, Any]]:
         """Incremental manifest construction — commit cost O(delta), not
         O(table): diff the desired inventory against the parent's
@@ -1493,23 +1499,31 @@ class SparkTable:
         )
 
         out_dir = str(Path(meta["location"]) / "metadata")
-        desired = {e["path"]: e for e in entries}
         seq_to_sid = {
             s.get("sequence-number", 0): s["snapshot-id"]
             for s in meta.get("snapshots", [])
         }
         seq_to_sid[sequence_number] = snapshot_id
         descs: list[dict[str, Any]] = []
-        covered: set[str] = set()
-        for d in snapshot_manifests(parent):
-            over = overlay_entries(d, load_manifest_entries(d["path"]))
-            if not over:
-                continue  # drop empty manifests instead of carrying them
-            if all(desired.get(e["path"]) == e for e in over):
-                descs.append(dict(d))  # carried verbatim: file reused
-                covered.update(e["path"] for e in over)
-            # else: its survivors stay un-covered and re-encode below
-        leftover = [e for e in entries if e["path"] not in covered]
+        if entries is None:
+            # APPEND fast path: the commit only ADDS files, so every
+            # parent manifest is carried verbatim WITHOUT being loaded
+            # or compared — commit CPU is O(new entries + manifests),
+            # not O(table)
+            descs = [dict(d) for d in snapshot_manifests(parent)]
+            leftover = appended or []
+        else:
+            desired = {e["path"]: e for e in entries}
+            covered: set[str] = set()
+            for d in snapshot_manifests(parent):
+                over = overlay_entries(d, load_manifest_entries(d["path"]))
+                if not over:
+                    continue  # drop empty manifests instead of carrying
+                if all(desired.get(e["path"]) == e for e in over):
+                    descs.append(dict(d))  # carried verbatim: file reused
+                    covered.update(e["path"] for e in over)
+                # else: its survivors stay un-covered and re-encode below
+            leftover = [e for e in entries if e["path"] not in covered]
         groups: dict[str, list[dict[str, Any]]] = {}
         for e in leftover:
             kind = "deletes" if e.get("content") in _DELETE_KINDS else "data"
@@ -1551,8 +1565,18 @@ class SparkTable:
             )
         )
         out: list[dict[str, Any]] = []
+        cur_spec = meta.get("default-spec-id", 0)
         for kind in ("data", "deletes"):
-            kd = [d for d in descs if d.get("content") == kind]
+            all_kind = [d for d in descs if d.get("content") == kind]
+            # only manifests written under the CURRENT partition spec
+            # merge — re-encoding an old-spec manifest under the new
+            # spec would misdeclare its partition tuples to readers
+            kd = [
+                d
+                for d in all_kind
+                if d.get("partition-spec-id", cur_spec) == cur_spec
+            ]
+            out.extend(d for d in all_kind if d not in kd)
             if len(kd) < max(threshold, 2):
                 out.extend(kd)
                 continue
@@ -1585,22 +1609,45 @@ class SparkTable:
         self,
         meta: dict[str, Any],
         parent: dict[str, Any] | None,
-        manifest: list[dict[str, Any]],
+        manifest: list[dict[str, Any]] | None,
         operation: str,
         extra_summary: dict[str, Any] | None = None,
+        appended: list[dict[str, Any]] | None = None,
     ) -> dict[str, Any]:
         """One new snapshot dict: incremental ``manifests`` descriptors
         + the spec-required ``manifest-list`` Avro OCF (carried
         manifests referenced by their original paths). The snapshot —
         and therefore the metadata blob, the commit wire payload, and
-        the metastore row — holds descriptors only, never entries."""
+        the metastore row — holds descriptors only, never entries.
+
+        ``appended`` (with ``manifest=None``) is the pure-ADD fast
+        path: parent manifests carry by descriptor without ever being
+        loaded, so an append's commit CPU is O(new files), not
+        O(table); the summary's whole-inventory counts come from
+        descriptor sums."""
         from .iceberg_manifests import write_manifest_list_file
 
+        if appended is not None and parent is not None and "manifest" in parent:
+            # legacy inline parent: one-time conversion through the
+            # general diff path (everything re-encodes out-of-line once)
+            manifest = snapshot_entries(parent) + appended
+            appended = None
         snapshot_id = (
             max((s["snapshot-id"] for s in meta["snapshots"]), default=0) + 1
         )
         seq = _next_seq(meta)
-        descs = self._build_manifests(meta, parent, manifest, snapshot_id, seq)
+        descs = self._build_manifests(
+            meta, parent, manifest, snapshot_id, seq, appended=appended
+        )
+        if manifest is not None:
+            added_files = len(manifest)
+            added_records = sum(e["record-count"] for e in manifest)
+        else:  # fast path: whole-inventory counts from descriptor sums
+            added_files = snapshot_file_count(parent) + len(appended or [])
+            added_records = sum(
+                d.get("added-rows-count", 0) + d.get("existing-rows-count", 0)
+                for d in snapshot_manifests(parent)
+            ) + sum(e.get("record-count", 0) for e in appended or [])
         return {
             "snapshot-id": snapshot_id,
             "parent-snapshot-id": parent["snapshot-id"] if parent else None,
@@ -1609,8 +1656,8 @@ class SparkTable:
             "schema-id": meta["current-schema-id"],
             "summary": {
                 "operation": operation,
-                "added-data-files": len(manifest),
-                "added-records": sum(e["record-count"] for e in manifest),
+                "added-data-files": added_files,
+                "added-records": added_records,
                 **(extra_summary or {}),
             },
             "manifests": descs,
@@ -1626,16 +1673,17 @@ class SparkTable:
     def _commit_snapshot(
         self,
         meta: dict[str, Any],
-        manifest: list[dict[str, Any]],
+        manifest: list[dict[str, Any]] | None,
         operation: str,
         branch: str = MAIN,
         extra_summary: dict[str, Any] | None = None,
+        appended: list[dict[str, Any]] | None = None,
     ) -> dict[str, Any]:
         parent_ref = meta["refs"].get(branch)
         parent_id = parent_ref["snapshot-id"] if parent_ref else None
         parent = self._snapshot(meta, parent_id) if parent_id is not None else None
         snapshot = self._snapshot_payload(
-            meta, parent, manifest, operation, extra_summary
+            meta, parent, manifest, operation, extra_summary, appended=appended
         )
         snapshot_id = snapshot["snapshot-id"]
         requirements = [
@@ -1692,9 +1740,19 @@ class SparkTable:
             parent = (
                 self._resolve_snapshot(meta, ref=branch) if meta["refs"].get(branch) else None
             )
-            manifest = snapshot_entries(parent) + new_entries
+            # re-stamp per attempt: after a lost CAS the winner consumed
+            # the sequence number these entries were written under, and a
+            # stale data seq would let an equality delete committed
+            # in-between wrongly apply to this append's rows
+            seq = _next_seq(meta)
+            for e in new_entries:
+                e["sequence-number"] = seq
             try:
-                return self._commit_snapshot(meta, manifest, "append", branch)
+                # pure-ADD fast path: parent manifests carry by
+                # descriptor, nothing is loaded or compared — O(delta)
+                return self._commit_snapshot(
+                    meta, None, "append", branch, appended=new_entries
+                )
             except CommitFailedException as e:  # lost the CAS race: rebase
                 last_err = e
         raise last_err
@@ -3652,8 +3710,9 @@ class SparkTable:
         )
         return self._commit_snapshot(
             meta,
-            snapshot_entries(snap) + entries,
+            None,
             "delete",
+            appended=entries,
             extra_summary={
                 "added-delete-files": len(entries),
                 "added-equality-deletes": sum(e["record-count"] for e in entries),
@@ -3863,9 +3922,10 @@ class SparkTable:
         snapshot = self._snapshot_payload(
             meta,
             parent,
-            snapshot_entries(parent) + new_entries,
+            None,
             "append",
             extra_summary={"wap.id": wap_id, "wap.branch": branch},
+            appended=new_entries,
         )
         # the summary's added-* counts describe THIS write, not the
         # carried inventory (pre-round-16 staged-WAP behavior)
@@ -3905,10 +3965,13 @@ class SparkTable:
             extra["wap.published"] = True
         return self._commit_snapshot(
             meta,
-            snapshot_entries(cur) + added,
+            None,
             "append",
             branch,
             extra_summary=extra,
+            # the picked entries keep their ORIGINAL sequence numbers
+            # (and, on v3, their assigned row-id ranges)
+            appended=added,
         )
 
     def publish_wap(self, wap_id: str) -> dict[str, Any]:

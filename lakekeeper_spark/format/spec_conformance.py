@@ -114,15 +114,16 @@ def _puffin_ok(path: Path, errors: list[str], where: str) -> None:
     if data[:4] != b"PFA1" or data[-4:] != b"PFA1":
         errors.append(f"{where}: puffin magic missing")
         return
-    (flen,) = struct.unpack("<i", data[-12:-8])
     try:
+        (flen,) = struct.unpack("<i", data[-12:-8])
         footer = json.loads(data[-12 - flen : -12])
-    except (ValueError, UnicodeDecodeError) as e:
+        for b in footer.get("blobs", []):
+            if b["offset"] + b["length"] > len(data):
+                errors.append(f"{where}: puffin blob overruns the container")
+    except (ValueError, UnicodeDecodeError, struct.error, KeyError, TypeError) as e:
+        # a tampered container must surface as a VIOLATION, never crash
+        # the walk (e.g. an 8-byte file that still carries both magics)
         errors.append(f"{where}: puffin footer unparsable: {e}")
-        return
-    for b in footer.get("blobs", []):
-        if b["offset"] + b["length"] > len(data):
-            errors.append(f"{where}: puffin blob overruns the container")
 
 
 def validate_table_layout(meta: dict[str, Any]) -> list[str]:

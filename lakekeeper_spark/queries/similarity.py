@@ -32,19 +32,22 @@ from ..data import load_table
 from ..registry import register
 
 def _work_dir(kind: str, sf_dir: str) -> str:
-    """Deterministic per-(query, corpus) scratch dir, WIPED and
+    """Deterministic per-(query, corpus, process) scratch dir, WIPED and
     recreated per invocation: repeated runs of a vector query overwrite
     their one corpus-sized copy (lance dataset / decoded parquet spill)
     instead of accumulating a fresh mkdtemp per call (round-15 ADVICE).
-    The harness drives queries serially, so the recreate is safe."""
+    The pid in the name keeps CONCURRENT processes (parallel bench /
+    pytest-xdist) from rmtree'ing each other's live datasets; within one
+    process query execution is serial."""
     import hashlib
+    import os
     import shutil
     import tempfile
     from pathlib import Path
 
     d = (
         Path(tempfile.gettempdir())
-        / f"lkspark_{kind}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+        / f"lkspark_{kind}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}"
     )
     shutil.rmtree(d, ignore_errors=True)
     d.mkdir(parents=True, exist_ok=True)

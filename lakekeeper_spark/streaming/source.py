@@ -1507,17 +1507,15 @@ class IceliteBatchWriter(DataSourceArrowWriter):
                 manifest = list(new_entries)
                 op = "overwrite"
             else:
-                from ..format.icelite import snapshot_entries
-
-                parent = (
-                    t._resolve_snapshot(meta, ref="main")
-                    if meta["refs"].get("main")
-                    else None
-                )
-                manifest = snapshot_entries(parent) + new_entries
+                manifest = None  # pure-ADD fast path (appended=)
                 op = "append"
             try:
-                t._commit_snapshot(meta, manifest, op)
+                t._commit_snapshot(
+                    meta,
+                    manifest,
+                    op,
+                    appended=None if manifest is not None else new_entries,
+                )
                 return
             except CommitFailedException as e:  # lost the CAS: rebase
                 last_err = e
@@ -1572,19 +1570,12 @@ class IceliteStreamSinkWriter(IceliteBatchWriter, DataSourceStreamArrowWriter):
             for e in new_entries:
                 e["schema-id"] = meta["current-schema-id"]
                 e["sequence-number"] = _next_seq(meta)
-            from ..format.icelite import snapshot_entries
-
-            parent = (
-                t._resolve_snapshot(meta, ref="main")
-                if meta["refs"].get("main")
-                else None
-            )
-            manifest = snapshot_entries(parent) + new_entries
             try:
                 t._commit_snapshot(
                     meta,
-                    manifest,
+                    None,
                     "append",
+                    appended=new_entries,
                     extra_summary={
                         "streaming-stream-id": self.stream_id,
                         "streaming-epoch": batchId,

@@ -375,3 +375,24 @@ def test_bloom_on_column_named_f_and_reserved_prefix(spark, catalog):
     t2 = SparkTable(spark, catalog, "wh", ["bf6"], "bad")
     with pytest.raises(ValueError, match="reserved"):
         t2.append(spark.createDataFrame([(1,)], "__bf_file__ long"))
+
+
+def test_truncated_bloom_sidecar_keeps_files(spark, table):
+    """Review fix (round 16): a truncated/scorched Puffin bloom sidecar
+    must KEEP candidate files (superset contract), never crash the
+    probe with a short bitmap slice."""
+    from lakekeeper_spark.format.icelite import _BLOOM_SLICE_CACHE
+
+    _append_batches(spark, table)
+    snap = table.metadata()["snapshots"][-1]
+    sidecars = {
+        b["path"]
+        for e in snapshot_entries(snap)
+        for b in (e.get("bloom") or {}).values()
+    }
+    assert sidecars
+    _BLOOM_SLICE_CACHE.clear()
+    for p in sidecars:
+        Path(p).write_bytes(b"\x00" * 3)  # shorter than any slice
+    got = table.scan(point_filter={"id": 5}).filter("id = 5").collect()
+    assert [(r.id, r.v) for r in got] == [(5, "val-5")]

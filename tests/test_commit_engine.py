@@ -262,3 +262,49 @@ def test_reserved_metadata_column_names_refused():
                        "type": "long"},
                   ]}}],
             )
+
+
+def test_reserved_name_grandfathering_is_current_schema_only():
+    """Round-16 review fix: a reserved name carried by the CURRENT
+    schema stays evolvable (legacy tables), but a reserved name that
+    only ever existed in a DROPPED schema version cannot be
+    re-introduced as a new column."""
+    import pytest
+
+    from lakekeeper_spark.catalog.commit import (
+        CommitValidationError,
+        apply_commit,
+        new_table_metadata,
+    )
+
+    meta = new_table_metadata(
+        "0b2c1df2-1111-2222-3333-444455556666",
+        "/tmp/x",
+        {"schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "type": "long", "required": False}]},
+    )
+    # simulate a pre-rule legacy table whose v1 schema had `_file`
+    meta["schemas"].append(
+        {"schema-id": 1, "type": "struct", "fields": [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "_file", "type": "string", "required": False},
+        ]}
+    )
+    # current schema v0 has NO reserved names: re-adding `_file` from
+    # the historical version must be refused
+    with pytest.raises(CommitValidationError, match="reserved"):
+        apply_commit(meta, [], [{"action": "add-schema", "schema": {
+            "schema-id": 2, "fields": [
+                {"id": 1, "name": "k", "type": "long", "required": False},
+                {"id": 2, "name": "_file", "type": "string",
+                 "required": False}]}}])
+    # but a table whose CURRENT schema carries `_file` stays evolvable
+    meta2 = apply_commit(meta, [], [
+        {"action": "set-current-schema", "schema-id": 1}])
+    out = apply_commit(meta2, [], [{"action": "add-schema", "schema": {
+        "schema-id": 2, "fields": [
+            {"id": 1, "name": "k", "type": "long", "required": False},
+            {"id": 2, "name": "_file", "type": "string", "required": False},
+            {"id": 3, "name": "extra", "type": "long", "required": False},
+        ]}}])
+    assert any(s["schema-id"] == 2 for s in out["schemas"])

@@ -422,3 +422,52 @@ def test_streaming_microbatch_opens_only_delta_manifests(spark, catalog, tmp_pat
     parts = sr.partitions(lo, hi)
     rows = [r for p in parts for b in sr.read(p) for r in b.to_pylist()]
     assert sorted(r["id"] for r in rows) == [30 + i for i in range(5)]
+
+
+def test_append_cas_rebase_restamps_sequence_numbers(spark, catalog):
+    """Review fix (round 16): after a lost CAS, the retried append must
+    RE-STAMP its entries' data sequence numbers to the rebased commit's
+    — a stale seq would let an equality delete committed in between
+    wrongly apply to this append's rows, and the manifest would record
+    the files as 'existing' attributed to the winner's snapshot."""
+    from lakekeeper_spark.catalog.catalog import CommitFailedException
+
+    catalog.create_namespace("wh", ["cas"])
+    catalog.create_table("wh", ["cas"], "t", SCHEMA)
+    t1 = SparkTable(spark, catalog, "wh", ["cas"], "t")
+    t2 = SparkTable(spark, catalog, "wh", ["cas"], "t")
+    t1.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    orig = catalog.commit_table
+    state = {"raced": False}
+
+    def racy(wh, levels, name, req, upd):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent writer wins the CAS first (recursion passes
+            # through because the flag is already set)
+            t2.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+            raise CommitFailedException("raced")
+        return orig(wh, levels, name, req, upd)
+
+    catalog.commit_table = racy
+    try:
+        t1.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    finally:
+        catalog.commit_table = orig
+    snap = t1.metadata()["snapshots"][-1]
+    new = [
+        e
+        for e in snapshot_entries(snap)
+        if e["path"] not in {x["path"] for x in snapshot_entries(
+            t1.metadata()["snapshots"][-2])}
+    ]
+    assert new and all(
+        e["sequence-number"] == snap["sequence-number"] for e in new
+    )
+    # and the new manifest records them as ADDED at this snapshot
+    d = next(
+        d for d in snapshot_manifests(snap)
+        if d["added-snapshot-id"] == snap["snapshot-id"]
+    )
+    assert d["added-files-count"] == len(new)
+    assert sorted(r.id for r in t1.scan().collect()) == [1, 2, 3]
