@@ -471,3 +471,19 @@ def test_append_cas_rebase_restamps_sequence_numbers(spark, catalog):
     )
     assert d["added-files-count"] == len(new)
     assert sorted(r.id for r in t1.scan().collect()) == [1, 2, 3]
+
+
+def test_append_fast_path_opens_zero_manifests(spark, table):
+    """The pure-ADD fast path: committing an append against an N-file
+    table opens ZERO parent manifests (carried by descriptor), even
+    with a cold cache — the strongest form of commit cost O(delta)."""
+    for b in range(3):
+        table.append(
+            spark.createDataFrame(
+                [(b, "x")], "id long, v string"
+            ).coalesce(1)
+        )
+    manifest_cache_clear()
+    table.append(spark.createDataFrame([(99, "y")], "id long, v string"))
+    assert manifest_open_count() == 0
+    assert table.scan().count() == 4
