@@ -32,6 +32,7 @@ from typing import Any
 from . import commit as commit_engine
 from . import identifiers as ident
 from .commit import CommitConflict, CommitValidationError, new_table_metadata
+from .metadoc import pack_metadata, unpack_metadata
 from .metastore import Metastore, new_uuid, now_ms
 
 
@@ -899,7 +900,7 @@ class Catalog:
                     ident.fold(name),
                     name,
                     kind,
-                    json.dumps(meta),
+                    pack_metadata(meta),
                     location,
                     now_ms(),
                     now_ms(),
@@ -935,7 +936,7 @@ class Catalog:
                     ident.fold(name),
                     name,
                     "table",
-                    json.dumps(metadata),
+                    pack_metadata(metadata),
                     metadata.get("location"),
                     now_ms(),
                     now_ms(),
@@ -967,7 +968,7 @@ class Catalog:
         if not p.is_file():
             raise NoSuchEntity(f"metadata file not found: {metadata_location}")
         try:
-            metadata = json.loads(p.read_text())
+            metadata = unpack_metadata(p.read_text())
         except ValueError as e:
             raise CatalogError(f"invalid metadata JSON: {e}") from e
         if "table-uuid" not in metadata or "schemas" not in metadata:
@@ -987,7 +988,7 @@ class Catalog:
         if etag is not None and etag == row["metadata_seq"]:
             raise NotModified()
         self.store.record_endpoint("load_table", wh["wh_key"])
-        return json.loads(row["metadata"]), row["metadata_seq"]
+        return unpack_metadata(row["metadata"]), row["metadata_seq"]
 
     def report_metrics(
         self, warehouse: str, levels, name: str, report: dict[str, Any]
@@ -1185,7 +1186,7 @@ class Catalog:
             results = []
             for ch in table_changes:
                 row = self._tabular_row(wh["wh_key"], ch["levels"], ch["name"], "table")
-                meta = json.loads(row["metadata"]) if row else None
+                meta = unpack_metadata(row["metadata"]) if row else None
                 new_meta = commit_engine.apply_commit(
                     meta if meta is not None else {},
                     ch["requirements"],
@@ -1202,7 +1203,7 @@ class Catalog:
                 cur = st.execute(
                     "UPDATE tabulars SET metadata=?, metadata_seq=metadata_seq+1, updated_ms=?"
                     " WHERE id=? AND metadata_seq=?",
-                    (json.dumps(new_meta), now_ms(), row["id"], row["metadata_seq"]),
+                    (pack_metadata(new_meta), now_ms(), row["id"], row["metadata_seq"]),
                 )
                 if cur.rowcount != 1:
                     raise CommitConflict("concurrent update lost the race")
@@ -1259,7 +1260,7 @@ class Catalog:
             mdir.mkdir(parents=True, exist_ok=True)
             fpath = str(mdir / f"{metadata_seq:05d}-{new_uuid()[:8]}.metadata.json")
             with open(fpath, "w") as f:
-                json.dump(prev_meta, f)
+                f.write(pack_metadata(prev_meta))
         except OSError:
             return []  # location not writable (e.g. registered external table)
         log = new_meta.setdefault("metadata-log", [])
@@ -1468,7 +1469,7 @@ class Catalog:
                     f"format-version {format_version} not in warehouse policy"
                     f" (allowed: {sorted(allowed)})"
                 )
-            old_meta = json.loads(row["metadata"])
+            old_meta = unpack_metadata(row["metadata"])
             table_uuid = new_uuid()
             location = self._table_location(wh, levels, table_uuid, name)
             meta = new_table_metadata(
@@ -1486,7 +1487,7 @@ class Catalog:
                     ident.fold(name),
                     name,
                     "table",
-                    json.dumps(meta),
+                    pack_metadata(meta),
                     location,
                     now_ms(),
                     now_ms(),

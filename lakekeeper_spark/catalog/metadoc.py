@@ -1,0 +1,80 @@
+"""Table-metadata document packing: stored blob O(snapshots + manifests).
+
+With out-of-line manifests (round 16), each snapshot carries a
+descriptor list — and manifest REUSE means consecutive snapshots repeat
+mostly-identical descriptors, so a naively serialized document grows
+O(snapshots x live manifests) (~2.5 MB at 120 retained snapshots in
+tools/metadata_scale_probe.py). This module normalizes that at the
+SERIALIZATION boundary only: identical descriptors are stored once in a
+top-level content-keyed pool (vendor key ``manifest-descriptor-pool``)
+and snapshots reference them by index (vendor key
+``manifests-pooled``), making the stored/archived blob
+O(snapshots + distinct manifests) while the IN-MEMORY shape every
+engine component sees stays exactly the denormalized one
+(``snapshot["manifests"]`` = descriptor dicts). Spec-required fields
+(``manifest-list`` et al.) are untouched, and both vendor keys are
+exactly the kind of unknown field the Iceberg spec directs parsers to
+ignore — a packed metadata.json file remains a valid spec document.
+
+This is the same normalization intent as the reference's split table
+metadata layout (migrations/20241106201139_split_table_metadata.sql:
+snapshots, schemas, and manifest state live in normalized relations,
+not one growing JSON blob).
+
+``unpack_metadata`` accepts plain (pre-pooling / foreign) documents
+unchanged, so registered external metadata files and pre-round-16 rows
+keep loading.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+POOL_KEY = "manifest-descriptor-pool"
+REFS_KEY = "manifests-pooled"
+
+
+def pack_metadata(meta: dict[str, Any]) -> str:
+    """Serialize table metadata with descriptors pooled. Pure: the
+    input document is never mutated (callers keep using it)."""
+    snaps = meta.get("snapshots")
+    if not snaps or not any("manifests" in s for s in snaps):
+        return json.dumps(meta)
+    pool: list[dict[str, Any]] = []
+    index: dict[str, int] = {}
+    out_snaps: list[dict[str, Any]] = []
+    for s in snaps:
+        descs = s.get("manifests")
+        if descs is None:
+            out_snaps.append(s)
+            continue
+        refs: list[int] = []
+        for d in descs:
+            key = json.dumps(d, sort_keys=True, separators=(",", ":"))
+            i = index.get(key)
+            if i is None:
+                i = len(pool)
+                pool.append(d)
+                index[key] = i
+            refs.append(i)
+        s2 = {k: v for k, v in s.items() if k != "manifests"}
+        s2[REFS_KEY] = refs
+        out_snaps.append(s2)
+    return json.dumps({**meta, "snapshots": out_snaps, POOL_KEY: pool})
+
+
+def unpack_metadata(text: str) -> dict[str, Any]:
+    """Parse a stored metadata document, rehydrating pooled descriptors
+    into per-snapshot COPIES (snapshots must not share mutable dicts —
+    the commit engine assigns per-snapshot first-row-id state). Plain
+    documents pass through untouched."""
+    doc = json.loads(text)
+    pool = doc.pop(POOL_KEY, None)
+    if pool is None:
+        return doc
+    for s in doc.get("snapshots", []):
+        refs = s.pop(REFS_KEY, None)
+        if refs is not None:
+            s["manifests"] = [dict(pool[i]) for i in refs]
+    return doc

@@ -487,3 +487,36 @@ def test_append_fast_path_opens_zero_manifests(spark, table):
     table.append(spark.createDataFrame([(99, "y")], "id long, v string"))
     assert manifest_open_count() == 0
     assert table.scan().count() == 4
+
+
+def test_descriptor_pooling_bounds_stored_blob(spark, catalog):
+    """The metastore row stores descriptors ONCE (content-keyed pool):
+    pack/unpack round-trips the document exactly, and the stored blob
+    is O(snapshots + manifests) — far below the denormalized
+    O(snapshots x manifests) in-memory size once history accumulates."""
+    import json as _json
+
+    from lakekeeper_spark.catalog.metadoc import pack_metadata, unpack_metadata
+
+    catalog.create_namespace("wh", ["pool"])
+    catalog.create_table("wh", ["pool"], "t", SCHEMA)
+    t = SparkTable(spark, catalog, "wh", ["pool"], "t")
+    for b in range(12):
+        t.append(
+            spark.createDataFrame([(b, "x")], "id long, v string").coalesce(1)
+        )
+    meta = t.metadata()
+    # round-trip exactness (the engine always sees the denormal shape)
+    assert unpack_metadata(pack_metadata(meta)) == meta
+    packed, unpacked = len(pack_metadata(meta)), len(_json.dumps(meta))
+    # 12 snapshots x up to 12 shared descriptors: the pool stores ~12
+    # descriptors once; the denormalized doc repeats ~78 of them
+    assert packed < unpacked * 0.45, (packed, unpacked)
+    # what load_table returns is the rehydrated denormal document
+    loaded, _ = catalog.load_table("wh", ["pool"], "t")
+    assert loaded == meta
+    # rehydrated snapshots do NOT share mutable descriptor dicts
+    d1 = loaded["snapshots"][-1]["manifests"][0]
+    d2 = loaded["snapshots"][-2]["manifests"][0]
+    assert d1 == d2 and d1 is not d2
+    assert t.scan().count() == 12

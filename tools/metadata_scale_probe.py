@@ -25,6 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(n: int = 120) -> None:
     from lakekeeper_spark.catalog.catalog import Catalog
+    from lakekeeper_spark.catalog.metadoc import pack_metadata
     from lakekeeper_spark.catalog.metastore import Metastore
     from lakekeeper_spark.format.icelite import SparkTable, snapshot_manifests
     from lakekeeper_spark.session import get_session
@@ -52,7 +53,7 @@ def main(n: int = 120) -> None:
         times.append(time.time() - t0)
         if (i + 1) % max(n // 10, 1) == 0:
             meta = t.metadata()
-            blob.append(len(json.dumps(meta)))
+            blob.append(len(pack_metadata(meta)))  # what the metastore stores
     meta = t.metadata()
     head = meta["snapshots"][-1]
     dec = max(n // 10, 1)
@@ -64,7 +65,8 @@ def main(n: int = 120) -> None:
         ],
         "blob_bytes_by_decile": blob,
         "final_live_manifests": len(snapshot_manifests(head)),
-        "final_blob_bytes": len(json.dumps(meta)),
+        "final_blob_bytes": len(pack_metadata(meta)),
+        "final_unpacked_bytes": len(json.dumps(meta)),
         "total_manifest_files_written": len(
             list(Path(meta["location"], "metadata").glob("mf-*.avro"))
         ),
