@@ -391,6 +391,31 @@ def diff_snapshots(
     )
 
 
+
+def _insert_cols(
+    schema: dict[str, Any], source_cols: list[str]
+) -> list[F.Column]:
+    """Projection for MERGE's not-matched INSERT branch: schema columns
+    the source omits fill with their v3 write-default (or NULL) instead
+    of failing analysis — SQL INSERT semantics for unspecified columns,
+    matching _write_files' treatment of omitted writer columns. The
+    source side resolves through the ``s`` alias so a target column of
+    the same name can't capture it."""
+    struct = schema_to_struct(schema)
+    types = {f.name: f.dataType for f in struct.fields}
+    have = set(source_cols)
+    out = []
+    for f in schema["fields"]:
+        c = f["name"]
+        if c in have:
+            out.append(F.col(f"s.{c}").alias(c))
+        else:
+            out.append(
+                F.lit(f.get("write-default")).cast(types[c]).alias(c)
+            )
+    return out
+
+
 def plan_lineage_events(
     meta: dict[str, Any],
     from_snapshot_id: int | None = None,
@@ -3418,7 +3443,7 @@ class SparkTable:
         new_rows = matched.select(*out_cols)
         if not_matched_insert:
             inserts = src.join(t, F.expr(on), "left_anti").select(
-                *[F.col(c) for c in cols],
+                *_insert_cols(schema, source.columns),
                 *(
                     [F.lit(None).cast("long").alias("_row_id")]
                     if lineage
@@ -3834,7 +3859,7 @@ class SparkTable:
         if not_matched_insert:
             inserts = (
                 src.join(tgt_all.alias("t"), F.expr(on), "left_anti")
-                .select(*[F.col(c) for c in cols])
+                .select(*_insert_cols(schema, source.columns))
             )
         # file targeting: LEFT SEMI join on the merge condition; only the
         # distinct FILE LIST (metadata-sized) reaches the driver

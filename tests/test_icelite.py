@@ -814,3 +814,45 @@ def test_operator_temp_columns_dont_shadow_user_columns(spark, catalog):
     rows = {(r.id, r._change_type): r["_rn"] for r in cl.collect()}
     assert rows[(2, "update_postimage")] == 200  # user _rn intact
     assert pair_update_images is not None
+
+
+def test_merge_source_missing_added_column(spark, catalog):
+    """Round-16 deep-stress find: MERGE after ADD COLUMN with a source
+    that predates the new column must fill it with the write-default
+    (or NULL) for inserted rows — SQL INSERT semantics for unspecified
+    columns — not fail analysis. Both CoW and MoR paths."""
+    from lakekeeper_spark.format.icelite import SparkTable as _ST
+
+    schema = {
+        "schema-id": 0,
+        "fields": [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": False},
+        ],
+    }
+    for mode in ("copy-on-write", "merge-on-read"):
+        nm = f"m_{mode[0]}"
+        catalog.create_namespace("wh", [nm])
+        catalog.create_table("wh", [nm], "t", schema, format_version=3)
+        t = _ST(spark, catalog, "wh", [nm], "t")
+        t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+        t.add_column("c0", "long", write_default=7)
+        src = spark.createDataFrame(
+            [(1, "upd"), (2, "new")], "id long, v string"  # no c0
+        )
+        t.merge(src, on="t.id = s.id", matched_update={"v": "s.v"}, mode=mode)
+        rows = {r.id: (r.v, r.c0) for r in t.scan().collect()}
+        assert rows[2] == ("new", 7)  # inserted row takes write-default
+        assert rows[1][0] == "upd"
+    # v2 (no defaults possible): the missing source column inserts NULL
+    catalog.create_namespace("wh", ["m_v2"])
+    catalog.create_table("wh", ["m_v2"], "t", schema, format_version=2)
+    t = _ST(spark, catalog, "wh", ["m_v2"], "t")
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.add_column("c0", "long")
+    t.merge(
+        spark.createDataFrame([(2, "new")], "id long, v string"),
+        on="t.id = s.id",
+    )
+    rows = {r.id: r.c0 for r in t.scan().collect()}
+    assert rows == {1: None, 2: None}

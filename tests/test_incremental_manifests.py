@@ -520,3 +520,76 @@ def test_descriptor_pooling_bounds_stored_blob(spark, catalog):
     d2 = loaded["snapshots"][-2]["manifests"][0]
     assert d1 == d2 and d1 is not d2
     assert t.scan().count() == 12
+
+
+def test_pack_unpack_property_roundtrip():
+    """Property: pack/unpack round-trips ANY metadata document whose
+    snapshots carry descriptor lists — shared, unshared, empty, frid
+    variations, interleaved with inline-manifest and manifest-less
+    snapshots — and never mutates its input."""
+    import copy
+    import json as _json
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lakekeeper_spark.catalog.metadoc import pack_metadata, unpack_metadata
+
+    desc = st.fixed_dictionaries(
+        {
+            "path": st.text(min_size=1, max_size=8),
+            "content": st.sampled_from(["data", "deletes"]),
+            "added-files-count": st.integers(0, 5),
+            "sequence-number": st.integers(0, 9),
+        },
+        optional={
+            "first-row-id": st.integers(0, 100),
+            "null-id-rows": st.integers(0, 50),
+            "bounds": st.dictionaries(
+                st.text(min_size=1, max_size=3),
+                st.tuples(st.integers(), st.integers()).map(list),
+                max_size=2,
+            ),
+        },
+    )
+
+    def snapshot(i, pool):
+        return st.one_of(
+            # descriptor snapshots: draw from the shared pool AND fresh
+            st.fixed_dictionaries(
+                {
+                    "snapshot-id": st.just(i),
+                    "manifests": st.lists(
+                        st.one_of(st.sampled_from(pool), desc)
+                        if pool
+                        else desc,
+                        max_size=4,
+                    ),
+                }
+            ),
+            st.fixed_dictionaries(
+                {"snapshot-id": st.just(i), "manifest": st.just([])}
+            ),
+            st.fixed_dictionaries({"snapshot-id": st.just(i)}),
+        )
+
+    @st.composite
+    def metas(draw):
+        pool = draw(st.lists(desc, max_size=3))
+        n = draw(st.integers(0, 5))
+        return {
+            "table-uuid": "u",
+            "snapshots": [draw(snapshot(i, pool)) for i in range(n)],
+        }
+
+    @settings(max_examples=200, deadline=None)
+    @given(metas())
+    def check(meta):
+        before = copy.deepcopy(meta)
+        packed = pack_metadata(meta)
+        assert meta == before, "pack mutated its input"
+        assert unpack_metadata(packed) == meta
+        # plain documents (no pooling) also pass through json round-trip
+        assert unpack_metadata(_json.dumps(meta)) == meta
+
+    check()
