@@ -70,11 +70,19 @@ def unpack_metadata(text: str) -> dict[str, Any]:
     the commit engine assigns per-snapshot first-row-id state). Plain
     documents pass through untouched."""
     doc = json.loads(text)
+    if not isinstance(doc, dict):
+        raise ValueError("metadata document must be a JSON object")
     pool = doc.pop(POOL_KEY, None)
     if pool is None:
         return doc
-    for s in doc.get("snapshots", []):
-        refs = s.pop(REFS_KEY, None)
-        if refs is not None:
-            s["manifests"] = [dict(pool[i]) for i in refs]
+    try:
+        for s in doc.get("snapshots", []):
+            refs = s.pop(REFS_KEY, None)
+            if refs is not None:
+                s["manifests"] = [dict(pool[i]) for i in refs]
+    except (IndexError, TypeError, KeyError, AttributeError) as e:
+        # corrupt pooled documents surface as the SAME error class a
+        # malformed JSON does, so register-by-metadata-location and
+        # load_table callers return a clean 4xx instead of crashing
+        raise ValueError(f"invalid pooled metadata document: {e}") from e
     return doc

@@ -397,18 +397,32 @@ def _insert_cols(
 ) -> list[F.Column]:
     """Projection for MERGE's not-matched INSERT branch: schema columns
     the source omits fill with their v3 write-default (or NULL) instead
-    of failing analysis — SQL INSERT semantics for unspecified columns,
-    matching _write_files' treatment of omitted writer columns. The
-    source side resolves through the ``s`` alias so a target column of
-    the same name can't capture it."""
+    of failing analysis — SQL INSERT semantics for unspecified columns.
+    (Write-side analogue: _write_files fills omitted writer columns
+    with a declared write-default and leaves the rest ABSENT from the
+    file, which reads back NULL — same observable policy.) Source
+    columns resolve case-insensitively (exact name wins), matching
+    Spark's default resolution, and a REQUIRED column with no default
+    is refused loudly instead of silently writing spec-invalid NULLs.
+    The source side resolves through the ``s`` alias so a target
+    column of the same name can't capture it."""
     struct = schema_to_struct(schema)
     types = {f.name: f.dataType for f in struct.fields}
-    have = set(source_cols)
+    exact = set(source_cols)
+    folded = {}
+    for c in source_cols:
+        folded.setdefault(c.lower(), c)
     out = []
     for f in schema["fields"]:
         c = f["name"]
-        if c in have:
-            out.append(F.col(f"s.{c}").alias(c))
+        s_name = c if c in exact else folded.get(c.lower())
+        if s_name is not None:
+            out.append(F.col(f"s.{s_name}").alias(c))
+        elif f.get("required") and f.get("write-default") is None:
+            raise CatalogError(
+                f"MERGE insert: source omits required column {c!r} "
+                "which has no write-default"
+            )
         else:
             out.append(
                 F.lit(f.get("write-default")).cast(types[c]).alias(c)
@@ -1599,7 +1613,10 @@ class SparkTable:
             kd = [
                 d
                 for d in all_kind
-                if d.get("partition-spec-id", cur_spec) == cur_spec
+                # a descriptor LACKING the key predates the spec-id
+                # tracking: conservatively never merge it (re-encoding
+                # could misdeclare its partition tuples)
+                if d.get("partition-spec-id", -1) == cur_spec
             ]
             out.extend(d for d in all_kind if d not in kd)
             if len(kd) < max(threshold, 2):
@@ -1762,9 +1779,6 @@ class SparkTable:
         last_err: Exception | None = None
         for _ in range(commit_retries + 1):
             meta = self.metadata()
-            parent = (
-                self._resolve_snapshot(meta, ref=branch) if meta["refs"].get(branch) else None
-            )
             # re-stamp per attempt: after a lost CAS the winner consumed
             # the sequence number these entries were written under, and a
             # stale data seq would let an equality delete committed
@@ -3984,6 +3998,13 @@ class SparkTable:
         parent = self._snapshot(meta, parent_id) if parent_id is not None else None
         added = diff_snapshots(parent, src)[0]
         cur = self._resolve_snapshot(meta, ref=branch) if meta["refs"].get(branch) else None
+        # files ALREADY on the branch head must not re-add (a repeated
+        # cherry-pick, or picking an ancestor's append, was a data no-op
+        # under the old full-list commit and must stay one under the
+        # pure-ADD fast path — without this filter each file would land
+        # in two manifests and scans would duplicate its rows)
+        cur_paths = {e["path"] for e in snapshot_entries(cur)}
+        added = [e for e in added if e["path"] not in cur_paths]
         extra: dict[str, Any] = {"cherry-picked-from": snapshot_id}
         if src["summary"].get("wap.id"):
             extra["wap.id"] = src["summary"]["wap.id"]

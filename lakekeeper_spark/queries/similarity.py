@@ -45,10 +45,19 @@ def _work_dir(kind: str, sf_dir: str) -> str:
     import tempfile
     from pathlib import Path
 
-    d = (
-        Path(tempfile.gettempdir())
-        / f"lkspark_{kind}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}"
-    )
+    stem = f"lkspark_{kind}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    root = Path(tempfile.gettempdir())
+    # reap siblings left by EXITED processes so the leak stays bounded
+    # at one corpus copy per LIVE process, not per historical pid
+    for old in root.glob(f"{stem}_*"):
+        try:
+            pid = int(old.name.rsplit("_", 1)[-1])
+            os.kill(pid, 0)  # raises if the owner is gone
+        except (ValueError, ProcessLookupError):
+            shutil.rmtree(old, ignore_errors=True)
+        except PermissionError:
+            pass  # someone else's live process
+    d = root / f"{stem}_{os.getpid()}"
     shutil.rmtree(d, ignore_errors=True)
     d.mkdir(parents=True, exist_ok=True)
     return str(d)

@@ -856,3 +856,37 @@ def test_merge_source_missing_added_column(spark, catalog):
     )
     rows = {r.id: r.c0 for r in t.scan().collect()}
     assert rows == {1: None, 2: None}
+
+
+def test_merge_insert_required_and_case_insensitive(spark, catalog):
+    """Review-2 fixes: a MERGE source omitting a REQUIRED no-default
+    column is refused loudly (not silently NULL-filled), and a source
+    column differing only in CASE resolves like Spark does instead of
+    being replaced by the default."""
+    import pytest
+
+    from lakekeeper_spark.catalog.catalog import CatalogError
+    from lakekeeper_spark.format.icelite import SparkTable as _ST
+
+    catalog.create_namespace("wh", ["mreq"])
+    catalog.create_table(
+        "wh", ["mreq"], "t",
+        {"schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "type": "long", "required": False},
+            {"id": 2, "name": "v", "type": "string", "required": True},
+        ]},
+    )
+    t = _ST(spark, catalog, "wh", ["mreq"], "t")
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    with pytest.raises(CatalogError, match="required"):
+        t.merge(
+            spark.createDataFrame([(2,)], "id long"),  # no `v`
+            on="t.id = s.id",
+        )
+    # case-insensitive source resolution: `V` supplies schema column `v`
+    t.merge(
+        spark.createDataFrame([(2, "b")], "id long, V string"),
+        on="t.id = s.id",
+    )
+    rows = {r.id: r.v for r in t.scan().collect()}
+    assert rows == {1: "a", 2: "b"}

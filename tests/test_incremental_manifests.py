@@ -593,3 +593,43 @@ def test_pack_unpack_property_roundtrip():
         assert unpack_metadata(_json.dumps(meta)) == meta
 
     check()
+
+
+def test_cherry_pick_is_idempotent_on_paths(spark, catalog):
+    """Review-2 fix: re-applying a cherry-pick (or picking an append
+    already on the branch) must not duplicate rows under the pure-ADD
+    fast path — files already on the head are filtered by path, as the
+    old full-list commit did implicitly."""
+    catalog.create_namespace("wh", ["cp"])
+    catalog.create_table("wh", ["cp"], "t", SCHEMA)
+    t = SparkTable(spark, catalog, "wh", ["cp"], "t")
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    sid = t.metadata()["current-snapshot-id"]
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    pick_sid = t.metadata()["current-snapshot-id"]
+    # picking the HEAD's own append onto the head: a data no-op
+    t.cherry_pick(pick_sid)
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2]
+    # and twice more for good measure
+    t.cherry_pick(pick_sid)
+    t.cherry_pick(sid)
+    assert sorted(r.id for r in t.scan().collect()) == [1, 2]
+
+
+def test_unpack_rejects_corrupt_pooled_docs():
+    """Review-2 fix: structurally corrupt pooled documents raise
+    ValueError (the class register/load callers already handle), never
+    IndexError/TypeError."""
+    import json as _json
+
+    import pytest as _pt
+
+    from lakekeeper_spark.catalog.metadoc import unpack_metadata
+
+    bad = _json.dumps(
+        {"manifest-descriptor-pool": [], "snapshots": [{"manifests-pooled": [5]}]}
+    )
+    with _pt.raises(ValueError, match="pooled"):
+        unpack_metadata(bad)
+    with _pt.raises(ValueError):
+        unpack_metadata(_json.dumps(["not", "a", "doc"]))
