@@ -35,12 +35,14 @@ POOL_KEY = "manifest-descriptor-pool"
 REFS_KEY = "manifests-pooled"
 
 
-def pack_metadata(meta: dict[str, Any]) -> str:
-    """Serialize table metadata with descriptors pooled. Pure: the
-    input document is never mutated (callers keep using it)."""
+def pool_document(meta: dict[str, Any]) -> dict[str, Any]:
+    """The pooled FORM of a metadata document (same object when there
+    is nothing to pool). Pure: the input is never mutated (callers keep
+    using it) — snapshots are rebuilt, descriptors shared by reference
+    into the pool."""
     snaps = meta.get("snapshots")
     if not snaps or not any("manifests" in s for s in snaps):
-        return json.dumps(meta)
+        return meta
     pool: list[dict[str, Any]] = []
     index: dict[str, int] = {}
     out_snaps: list[dict[str, Any]] = []
@@ -61,7 +63,12 @@ def pack_metadata(meta: dict[str, Any]) -> str:
         s2 = {k: v for k, v in s.items() if k != "manifests"}
         s2[REFS_KEY] = refs
         out_snaps.append(s2)
-    return json.dumps({**meta, "snapshots": out_snaps, POOL_KEY: pool})
+    return {**meta, "snapshots": out_snaps, POOL_KEY: pool}
+
+
+def pack_metadata(meta: dict[str, Any]) -> str:
+    """Serialize table metadata with descriptors pooled."""
+    return json.dumps(pool_document(meta))
 
 
 def unpack_metadata(text: str) -> dict[str, Any]:
@@ -69,7 +76,13 @@ def unpack_metadata(text: str) -> dict[str, Any]:
     into per-snapshot COPIES (snapshots must not share mutable dicts —
     the commit engine assigns per-snapshot first-row-id state). Plain
     documents pass through untouched."""
-    doc = json.loads(text)
+    return unpack_document(json.loads(text))
+
+
+def unpack_document(doc: Any) -> dict[str, Any]:
+    """Rehydrate a (possibly pooled) metadata document IN PLACE and
+    return it. Structural corruption raises ValueError — the class
+    register/load callers already turn into clean 4xx errors."""
     if not isinstance(doc, dict):
         raise ValueError("metadata document must be a JSON object")
     pool = doc.pop(POOL_KEY, None)
@@ -81,8 +94,5 @@ def unpack_metadata(text: str) -> dict[str, Any]:
             if refs is not None:
                 s["manifests"] = [dict(pool[i]) for i in refs]
     except (IndexError, TypeError, KeyError, AttributeError) as e:
-        # corrupt pooled documents surface as the SAME error class a
-        # malformed JSON does, so register-by-metadata-location and
-        # load_table callers return a clean 4xx instead of crashing
         raise ValueError(f"invalid pooled metadata document: {e}") from e
     return doc

@@ -181,11 +181,29 @@ def validate_table_layout(meta: dict[str, Any]) -> list[str]:
                 if not isinstance(mf.get("added_snapshot_id"), int):
                     errors.append(f"{mw}: added_snapshot_id must be a long")
             try:
-                m_schema, entries, _ = read_ocf(str(mpath))
+                m_schema, entries, m_meta = read_ocf(str(mpath))
             except (ValueError, EOFError, OSError) as e:
                 errors.append(f"{mw}: manifest unreadable: {e}")
                 continue
             _check_ids(m_schema, _MANIFEST_ENTRY_IDS, f"{mw} schema", errors)
+            # the manifest file's own header records the spec its
+            # partition tuples were written under; the list row must
+            # advertise the SAME id or a reader decodes them wrongly
+            own_spec = m_meta.get("partition-spec-id")
+            if own_spec is not None:
+                try:
+                    own_spec_id = int(own_spec.decode())
+                except (ValueError, UnicodeDecodeError):
+                    own_spec_id = None
+                if (
+                    own_spec_id is not None
+                    and mf.get("partition_spec_id") != own_spec_id
+                ):
+                    errors.append(
+                        f"{mw}: manifest-list advertises spec "
+                        f"{mf.get('partition_spec_id')} but the manifest "
+                        f"was written under spec {own_spec_id}"
+                    )
             df_schema = next(
                 (
                     f.get("type")

@@ -205,11 +205,19 @@ class RestCatalogClient:
 
     def load_table(self, warehouse, levels, name, etag=None):
         headers = {"If-None-Match": f'W/"{etag}"'} if etag is not None else {}
+        # request the descriptor-pooled form (vendor extension): the
+        # wire payload stays O(snapshots + manifests) however long the
+        # retained history; unpack_document is a no-op for servers that
+        # ignore the flag
         _, body, resp_headers = self._request(
-            "GET", self._tbl(warehouse, levels, name), headers=headers
+            "GET",
+            self._tbl(warehouse, levels, name) + "?pooled-manifests=true",
+            headers=headers,
         )
         new_etag = int(resp_headers.get("ETag", 'W/"0"').strip('W/"'))
-        return body["metadata"], new_etag
+        from ..catalog.metadoc import unpack_document
+
+        return unpack_document(body["metadata"]), new_etag
 
     def plan_table_scan(
         self,

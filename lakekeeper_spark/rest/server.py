@@ -415,6 +415,16 @@ class _Handler(BaseHTTPRequestHandler):
             meta["snapshots"] = [
                 s for s in meta["snapshots"] if s["snapshot-id"] in keep
             ]
+        # ?pooled-manifests=true (vendor extension, engine clients
+        # only): serve the descriptor-POOLED document — with manifest
+        # reuse, consecutive snapshots repeat descriptors, so the
+        # pooled payload is O(snapshots + manifests) on the wire where
+        # the denormal one is O(snapshots x manifests). Foreign clients
+        # never send the flag and get the plain spec document.
+        if self.query.get("pooled-manifests") == "true":
+            from ..catalog.metadoc import pool_document
+
+            meta = pool_document(meta)
         out = {
             "metadata": meta,
             "metadata-location": meta.get("location"),

@@ -214,3 +214,30 @@ def test_mutation_row_count_drift_fails(spark, catalog):
         or "manifest_length" in x
         for x in errs
     )
+
+
+def test_mutation_spec_id_drift_fails(written):
+    """A manifest-list row advertising a different partition-spec-id
+    than the manifest's own header is a cross-file inconsistency (a
+    reader would decode partition tuples under the wrong spec)."""
+    from lakekeeper_spark.format.avro import read_ocf, write_ocf
+
+    ml = written.metadata()["snapshots"][-1]["manifest-list"]
+    schema, rows, _ = read_ocf(ml)
+    rows[0]["partition_spec_id"] += 7
+    write_ocf(ml, schema, rows)
+    errs = validate_table_layout(written.metadata())
+    assert any("written under spec" in x for x in errs)
+
+
+def test_walker_green_after_partition_evolution(spark, catalog):
+    """Partition evolution + carried manifests: list rows keep each
+    manifest's ORIGINAL spec id and the walker stays green."""
+    catalog.create_namespace("wh", ["scpe"])
+    catalog.create_table("wh", ["scpe"], "t", SCHEMA)
+    t = SparkTable(spark, catalog, "wh", ["scpe"], "t")
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.add_partition_field("v", "identity")
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert validate_table_layout(t.metadata()) == []
+    assert t.scan().count() == 2
