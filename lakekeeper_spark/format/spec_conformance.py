@@ -301,7 +301,10 @@ def _check_entry(
     path = location / fp
     rdf = df.get("referenced_data_file")
     if rdf is not None:
-        # v3 DV blob record: addressing must land inside the container
+        # v3 DV blob record: addressing must land inside the container,
+        # and the blob itself must DECODE (magic + CRC per the spec's
+        # deletion-vector-v1 framing) to exactly record_count positions
+        # — the record's cardinality is what scan planning trusts
         if not path.exists():
             errors.append(f"{ew}: puffin container missing on storage")
             return
@@ -310,6 +313,22 @@ def _check_entry(
             errors.append(f"{ew}: DV record without content addressing")
         elif off + ln > path.stat().st_size:
             errors.append(f"{ew}: DV blob overruns its puffin container")
+        else:
+            from .dv import dv_positions_np
+
+            with open(path, "rb") as fh:
+                fh.seek(int(off))
+                payload = fh.read(int(ln))
+            try:
+                n_pos = int(dv_positions_np(payload).size)
+            except (ValueError, IndexError, struct.error) as ex:
+                errors.append(f"{ew}: DV blob undecodable: {ex}")
+            else:
+                if n_pos != df.get("record_count"):
+                    errors.append(
+                        f"{ew}: DV blob holds {n_pos} positions but the "
+                        f"manifest claims {df.get('record_count')}"
+                    )
         _puffin_ok(path, errors, ew)
         return
     if not path.exists():

@@ -241,3 +241,51 @@ def test_walker_green_after_partition_evolution(spark, catalog):
     t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
     assert validate_table_layout(t.metadata()) == []
     assert t.scan().count() == 2
+
+
+def test_mutation_corrupt_dv_blob_fails(spark, catalog):
+    """v3 deletion-vector records: the walker decodes each addressed
+    blob (magic + CRC framing) and matches its cardinality against the
+    manifest's record_count — a flipped payload byte or an inflated
+    count is a violation, not silence."""
+    from lakekeeper_spark.format.avro import read_ocf, write_ocf
+    from lakekeeper_spark.format.icelite import (
+        snapshot_entries,
+        snapshot_manifests,
+    )
+
+    catalog.create_namespace("wh", ["scdv"])
+    catalog.create_table("wh", ["scdv"], "t", SCHEMA, format_version=3)
+    t = SparkTable(spark, catalog, "wh", ["scdv"], "t")
+    t.append(spark.createDataFrame(
+        [(i, "x") for i in range(10)], "id long, v string").coalesce(1))
+    t.delete_where("id % 3 = 0", mode="merge-on-read")
+    assert validate_table_layout(t.metadata()) == []
+    meta = t.metadata()
+    dv = next(
+        e for e in snapshot_entries(meta["snapshots"][-1])
+        if e.get("content") == "deletion-vectors"
+    )
+    loc = Path(meta["location"].replace("file://", ""))
+    # mutation A: inflate the manifest's claimed cardinality
+    d = next(
+        x for x in snapshot_manifests(meta["snapshots"][-1])
+        if x["content"] == "deletes"
+    )
+    schema, rows, kv = read_ocf(d["path"])
+    rows[0]["data_file"]["record_count"] += 2
+    write_ocf(d["path"], schema, rows,
+              metadata={k: v for k, v in kv.items()
+                        if not k.startswith("avro.")})
+    errs = validate_table_layout(t.metadata())
+    assert any("positions but the" in x or "manifest_length" in x
+               for x in errs)
+    # mutation B: flip a payload byte inside the container (CRC breaks)
+    p = loc / dv["path"]
+    raw = bytearray(p.read_bytes())
+    off = next(iter(dv["dv-blobs"].values()))[0] + 10
+    raw[off] ^= 0xFF
+    p.write_bytes(bytes(raw))
+    errs = validate_table_layout(t.metadata())
+    assert any("undecodable" in x or "positions but the" in x
+               or "manifest_length" in x for x in errs)
