@@ -1085,3 +1085,36 @@ def test_endpoint_statistics_over_http(tmp_path):
         assert fwd["called-endpoints"] == live["called-endpoints"]
     finally:
         server.stop()
+
+
+def test_pooled_load_table_payload_equivalent_and_smaller(rest, spark):
+    """The ?pooled-manifests wire form (round 16): the engine client's
+    rehydrated document equals the plain spec document a foreign client
+    gets, and after a few commits the pooled HTTP payload is strictly
+    smaller (descriptors stored once, not per snapshot)."""
+    import json as _json
+    import urllib.request
+
+    rest.create_namespace("wh", ["pw"])
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    rest.create_table("wh", ["pw"], "t", struct_to_schema(df.schema))
+    t = SparkTable(spark, rest, "wh", ["pw"], "t")
+    for i in range(6):
+        t.append(spark.createDataFrame([(i, "x")], "id long, v string"))
+    base = f"{rest.base_url}/catalog/v1/wh/namespaces/pw/tables/t"
+
+    def fetch(url):
+        with urllib.request.urlopen(url) as r:
+            return r.read()
+
+    plain = fetch(base)
+    pooled = fetch(base + "?pooled-manifests=true")
+    assert len(pooled) < len(plain), (len(pooled), len(plain))
+    from lakekeeper_spark.catalog.metadoc import unpack_document
+
+    plain_doc = _json.loads(plain)["metadata"]
+    pooled_doc = unpack_document(_json.loads(pooled)["metadata"])
+    assert pooled_doc == plain_doc
+    # and the engine client's load path (which requests pooled) agrees
+    loaded, _ = rest.load_table("wh", ["pw"], "t")
+    assert loaded == plain_doc
