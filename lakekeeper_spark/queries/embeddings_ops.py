@@ -438,34 +438,49 @@ def _lloyd_assign(
     }
     centroids = {cid: init[cid] for cid in sorted(init)}
 
-    def cent_df(c: dict[int, list[float]]):
-        return F.broadcast(
-            spark.createDataFrame(
-                [(cid, vec) for cid, vec in sorted(c.items())],
-                "cid int, c array<double>",
-            )
+    # r17 optimization (guide §2.4/§2.3): the K centroids are driver-side
+    # scalars between iterations anyway (the MLlib topology), so embed
+    # them as a LITERAL array<struct<cid, c>> and compute each row's
+    # argmin with array_min(transform(...)) — a pure per-row map. The
+    # previous shape (crossJoin with a K-row broadcast frame + partial-agg
+    # groupBy(vec_id)) materialized K copies of every embedding and paid a
+    # full-width N-row exchange per iteration; this one shuffles NOTHING
+    # in the assignment step at any scale. The inner distance expression
+    # is textually the same dimension-ordered double sum, and
+    # array_min(struct(d2, cid)) is the same lexicographic (distance,
+    # cluster-id) tie-break as min(struct(d2, cid)) — results bit-equal.
+    def cent_lit(c: dict[int, list[float]]):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(cid).cast("int").alias("cid"),
+                    F.array(*[F.lit(float(x)) for x in vec]).alias("c"),
+                )
+                for cid, vec in sorted(c.items())
+            ]
         )
 
-    dist = F.expr(
-        f"aggregate(sequence(1, {d}), CAST(0.0 AS DOUBLE), (acc, i) -> "
-        "acc + (CAST(element_at(embedding, i) AS DOUBLE) - element_at(c, i))"
-        " * (CAST(element_at(embedding, i) AS DOUBLE) - element_at(c, i)))"
-    )
+    def dist_to(c):
+        def step(acc, i):
+            diff = F.element_at(F.col("embedding"), i).cast("double") - F.element_at(c, i)
+            return acc + diff * diff
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(d)), F.lit(0.0).cast("double"), step
+        )
+
     assigned = None
     for _ in range(KM_ITERS):
-        x = pts.crossJoin(cent_df(centroids)).withColumn("d2", dist)
-        # argmin via min(struct(d2, cid)): lexicographic struct ordering is
-        # the same (distance, cluster-id) tie-break as the oracle's
-        # ROW_NUMBER, but runs as a partial-aggregating groupBy instead of
-        # a sort-based window — no per-iteration sort of K x N rows.
-        # first(embedding) is safe: all K copies carry the identical array.
-        assigned = (
-            x.groupBy("vec_id")
-            .agg(
-                F.min(F.struct("d2", "cid")).alias("m"),
-                F.first("embedding").alias("embedding"),
+        best = F.array_min(
+            F.transform(
+                cent_lit(centroids),
+                lambda t: F.struct(
+                    dist_to(t["c"]).alias("d2"), t["cid"].alias("cid")
+                ),
             )
-            .select("vec_id", "embedding", F.col("m.cid").alias("cid"))
+        )
+        assigned = pts.select(
+            "vec_id", "embedding", best["cid"].alias("cid")
         )
         upd = (
             assigned.select(
@@ -733,9 +748,16 @@ GROUP BY a.cid
 )
 def d12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, _ = _lloyd_assign(spark, sf_dir)
+    # r17: _lloyd_assign's assignment is now a per-row map (no shuffle
+    # whose exchange the x/y pair sides could implicitly reuse), and d12
+    # consumes it THREE times (both pair sides + the final rollup) — pin
+    # the N-row (vec_id, cid, embedding, norm6) frame once so the
+    # 3-iteration argmin and the self-norm run once per vector, not once
+    # per reference. norm6 pinned here too: it was previously recomputed
+    # on each side of the pair join.
     norms = assigned.select(
         "vec_id", "cid", "embedding", _dot6("embedding", "embedding").alias("norm6")
-    )
+    ).localCheckpoint(eager=True)
     x = norms.alias("x")
     y = norms.alias("y")
     cos = _dot6("x.embedding", "y.embedding").cast("double") / F.sqrt(
@@ -754,7 +776,7 @@ def d12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_dup", F.lit(1))
     )
     return (
-        assigned.join(dups, "vec_id", "left")
+        norms.join(dups, "vec_id", "left")
         .groupBy("cid")
         .agg(
             F.count(F.lit(1)).alias("n_points"),

@@ -330,9 +330,20 @@ def g03_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) -> DataFrame:
         """One HITS half-step: propagate score[val] along edges from
         ``from_key`` to ``to_key``, renormalize the grouped sum to
-        max = S; mirrors the oracle's (ar/am/a | hr/hm/h) CTE triple."""
-        # raw feeds BOTH the max frame and the renormalization join: pin
-        # it (|V|-row frame) so the lineage doesn't double per half-step
+        max = S; mirrors the oracle's (ar/am/a | hr/hm/h) CTE triple.
+
+        r17 optimization (guide §2.4, remove shuffles outright): the
+        oracle's a{k}/h{k} CTEs left-join the full node set every
+        half-step, but a node absent from ``raw`` has score 0 and a
+        0-score node contributes 0 to the NEXT half-step's sums — so the
+        intermediate node join is algebraically dead. Renormalize ``raw``
+        directly (sparse score vector over scored nodes only) and join
+        ``nodes`` exactly once at the end, where the dense 0-filled
+        output is actually required. Removes one SortMergeJoin (a |V|-row
+        shuffle at scale) per half-step: 10 joins -> 2. Results are
+        bit-identical (verified against the unchanged oracle)."""
+        # raw feeds BOTH the max frame and the renormalization: pin it
+        # (|V|-row frame) so the lineage doesn't double per half-step
         # (10 half-steps would otherwise blow the plan up 2^10x — the
         # Spark twin of the oracle's MATERIALIZED CTEs)
         raw = (
@@ -343,13 +354,9 @@ def g03_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         mx = raw.agg(F.max("raw").alias("m"))
-        return (
-            nodes.join(raw, nodes["item"] == raw[to_key], "left")
-            .crossJoin(F.broadcast(mx))
-            .select(
-                "item",
-                F.expr(f"CAST(COALESCE((raw * {_S_HITS}) div m, 0) AS BIGINT)").alias(out),
-            )
+        return raw.crossJoin(F.broadcast(mx)).select(
+            F.col(to_key).alias("item"),
+            F.expr(f"CAST((raw * {_S_HITS}) div m AS BIGINT)").alias(out),
         )
 
     hubs = nodes.select("item", F.lit(_S_HITS).cast("long").alias("h"))
@@ -357,13 +364,15 @@ def g03_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_ITERS):
         auths = _half(hubs, "h", "src", "dst", "a")
         hubs = _half(auths, "a", "dst", "src", "h")
+    # densify once: every node appears in the output, absent scores are 0
+    # (same values the per-half-step COALESCE produced round by round)
     return (
-        hubs.alias("hs")
-        .join(auths.alias("as"), F.col("hs.item") == F.col("as.item"))
+        nodes.join(hubs, "item", "left")
+        .join(auths, "item", "left")
         .select(
-            F.col("hs.item").alias("item"),
-            F.col("hs.h").alias("hub_fp"),
-            F.col("as.a").alias("auth_fp"),
+            "item",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub_fp"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth_fp"),
         )
     )
 

@@ -1,0 +1,74 @@
+"""Optimization-round measurement harness (guide §1).
+
+Usage:
+  python tools/opt_probe.py explain q01_pricing_summary g03_hits ...  # plans/r17/<q>_<tag>.txt
+  python tools/opt_probe.py time  q01_pricing_summary ...            # steady-state seconds
+
+`time` runs each query N passes (default 4) with the noop sink and reports
+every pass plus min/median — single-pass numbers on this box swing +/-30%
+for sub-second queries, so before/after claims use the steady-state min
+of repeated passes in one JVM.
+
+Env:
+  OPT_TAG=before|after   suffix for explain files (default "before")
+  OPT_PASSES=N           timing passes (default 4)
+  SPARK_GRAFT_SF_DIR     data dir (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lakekeeper_spark.registry import load_registry  # noqa: E402
+from lakekeeper_spark.session import get_session  # noqa: E402
+
+PLANS = Path(__file__).resolve().parent.parent / "plans" / "r17"
+
+
+def main() -> None:
+    mode, names = sys.argv[1], sys.argv[2:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    tag = os.environ.get("OPT_TAG", "before")
+    passes = int(os.environ.get("OPT_PASSES", "4"))
+    reg = load_registry()
+    if names == ["ALL"]:
+        names = sorted(reg)
+    spark = get_session("opt-probe")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    PLANS.mkdir(parents=True, exist_ok=True)
+
+    for name in names:
+        q = reg[name]
+        if mode == "explain":
+            df = q.spark_fn(spark, sf_dir)
+            txt = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            out = PLANS / f"{name}_{tag}.txt"
+            out.write_text(txt)
+            print(f"{name}: wrote {out} ({len(txt)} bytes)")
+        elif mode == "time":
+            secs = []
+            for i in range(passes):
+                spark.sparkContext.setJobDescription(f"{name} pass {i}")
+                t0 = time.time()
+                q.spark_fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                secs.append(round(time.time() - t0, 3))
+            print(
+                f"{name}: passes={secs} min={min(secs):.3f} "
+                f"median={statistics.median(secs):.3f}"
+            )
+        else:
+            raise SystemExit(f"unknown mode {mode}")
+
+
+if __name__ == "__main__":
+    main()
