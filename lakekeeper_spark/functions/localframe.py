@@ -1,0 +1,96 @@
+"""Fast driver-local DataFrames for metadata-sized row lists.
+
+``spark.createDataFrame(list_of_tuples, ddl)`` builds a *pickled Python
+RDD*: every downstream job on the frame round-trips through a Python
+worker, costing ~0.2-0.3 s per action even for a handful of rows
+(measured r17: ``createDataFrame([...]).count()`` 0.36 s vs 0.06-0.15 s
+for a JVM LocalRelation). The engine builds dozens of such frames per
+catalog lifecycle query (metadata tables, checkpoint summaries,
+file maps), so the overhead compounds.
+
+``local_df`` renders the rows as a ``VALUES`` SQL literal instead, which
+Catalyst folds into a LocalRelation — pure JVM, no Python worker at
+execution, and driver-local for ``collect``/``count``. Falls back to the
+stock path for value types the literal renderer doesn't cover (arrays,
+maps, datetimes, non-finite floats) and for large row lists where SQL
+parsing would dominate — the helper is for METADATA frames, not data.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+# beyond this many rows the VALUES text gets big enough that parse time
+# cancels the win; metadata frames are far below it
+_MAX_VALUES_ROWS = 512
+
+
+def _render(v: Any) -> str | None:
+    """SQL literal for a scalar, or None when unrenderable."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        # int64 range only: wider values would silently overflow BIGINT
+        if -(1 << 63) <= v < (1 << 63):
+            return str(v)
+        return None
+    if isinstance(v, float):
+        if math.isfinite(v):
+            # repr is the shortest round-trip form; suffix D pins DOUBLE
+            # so the CAST in the projection is a no-op
+            return f"{v!r}D"
+        return None
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return None
+
+
+def local_df(
+    spark: SparkSession, rows: Sequence[Sequence[Any]], ddl: Any
+) -> DataFrame:
+    """DataFrame over driver-local rows with the given DDL schema.
+
+    Semantically identical to ``spark.createDataFrame(rows, ddl)`` for
+    scalar row values (None/bool/int/float/str); falls back to exactly
+    that call otherwise, so callers can use it unconditionally.
+    """
+    if (
+        not isinstance(ddl, str)
+        or not rows
+        or len(rows) > _MAX_VALUES_ROWS
+        or "<" in ddl
+        or "(" in ddl
+    ):
+        # non-DDL schemas (StructType), nested/parameterized types (the
+        # naive comma split below can't parse them), and empty/huge row
+        # lists take the stock path unchanged
+        return spark.createDataFrame(rows, ddl)
+    cols = [c.strip().split(None, 1) for c in ddl.split(",")]
+    rendered: list[str] = []
+    for r in rows:
+        if len(r) != len(cols):
+            return spark.createDataFrame(rows, ddl)
+        lits = [_render(v) for v in r]
+        if any(l is None for l in lits):
+            return spark.createDataFrame(rows, ddl)
+        rendered.append("(" + ", ".join(lits) + ")")
+    proj = ", ".join(
+        f"CAST(c{i} AS {typ}) AS `{name}`" for i, (name, typ) in enumerate(cols)
+    )
+    names = ", ".join(f"c{i}" for i in range(len(cols)))
+    # the UNION ALL with an (optimizer-pruned) empty all-NULL branch makes
+    # every column nullable in the ANALYZED schema, field-for-field
+    # identical to createDataFrame's; PropagateEmptyRelation removes the
+    # branch before execution so it costs nothing
+    null_proj = ", ".join(
+        f"CAST(NULL AS {typ}) AS `{name}`" for name, typ in cols
+    )
+    return spark.sql(
+        f"SELECT {proj} FROM (VALUES {', '.join(rendered)}) AS t({names})"
+        f" UNION ALL SELECT {null_proj} WHERE FALSE"
+    )
