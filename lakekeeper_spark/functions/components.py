@@ -71,7 +71,10 @@ def min_label_propagation(
                 ).alias("label"),
                 (F.col("nbr_min") < F.col("label")).alias("changed"),
             )
-        ).localCheckpoint(eager=True)  # truncate lineage each round
+        ).localCheckpoint(eager=False)  # truncate lineage each round
+        # the change-count action is what materializes the (lazy)
+        # checkpoint — one job per round instead of a separate
+        # materialization barrier followed by the count (r17, guide §1.2)
         n_changed = updated.filter(F.col("changed")).count()  # scalar only
         labels = updated.select("doc_id", "label")
         if n_changed == 0:
@@ -128,7 +131,8 @@ def large_small_star(
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the first checksum action materializes it (one job)
+        .localCheckpoint(eager=False)
     )
 
     def checksum(e: DataFrame) -> tuple[int, int]:
@@ -146,8 +150,8 @@ def large_small_star(
     prev = checksum(cur)
     rounds_used = None
     for rounds in range(1, max_iters + 1):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        sig = checksum(cur)
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
+        sig = checksum(cur)  # materializes the round's edge set
         if sig == prev:
             rounds_used = rounds
             break

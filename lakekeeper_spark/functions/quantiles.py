@@ -55,6 +55,9 @@ from pyspark.sql.window import Window
 
 CAP = 1024  # target leaf-buffer size
 L_MAX = 20  # unrolled-oracle level budget (supports ~10^9 rows)
+# r17 hybrid compaction: max rows one pandas compaction group may hold
+# (bounds executor memory per task; ~32 MB at the narrow 3-column shape)
+_COMPACT_GROUP_ROWS = 1 << 20
 
 
 # ---------------------------------------------------------------------------
@@ -142,9 +145,136 @@ def compactor_retained(
         n = df.count()
     level_count, g_total = compactor_geometry(n, cap, l_max)
     cur = df.withColumn("g", F.col(hash_col) % F.lit(g_total))
-    order = [F.col(value_col), F.col(hash_col)] + [
-        F.col(c) for c in tiebreak_cols
-    ]
+    key_cols = [value_col, hash_col, *tiebreak_cols]
+
+    # ---- r17 hybrid compaction (guide §2.4 + §4.2) -------------------
+    # The straight window chain pays one full exchange + sort PER LEVEL
+    # (L ~ 10-20 sequential shuffles). But compaction is hierarchical by
+    # construction: buffers g and g^1 merge into g div 2, so ALL levels
+    # 1..j stay inside the coarse bucket g div 2^j. Grouping once by
+    # that coarse bucket and running the j levels as vectorized pandas
+    # sorts turns j shuffles into ONE — the standard local-ladder form
+    # of KLL implementations. Stages:
+    #   A. levels 1..j per coarse bucket (applyInPandas; bucket sized so
+    #      no group exceeds _COMPACT_GROUP_ROWS rows),
+    #   B. levels j+1..t via the window chain (only in the leaf-overflow
+    #      regime where n > cap * 2^l_max and survivors are still huge),
+    #   C. levels t+1..L in one final group once survivors fit a task.
+    # The per-buffer operation (sort by (c, h, k), keep parity, halve g)
+    # is content-defined and identical, so results are bit-equal to the
+    # pure chain; the fast path only engages for integral/string key
+    # types where the pandas sort provably matches Spark's ordering
+    # (int64 numeric order; UTF-8 code-point order for strings).
+    atomic = {"long", "int", "integer", "bigint", "smallint", "string"}
+    fast_ok = all(
+        dict(df.dtypes).get(c) in atomic for c in key_cols
+    ) and level_count > 0
+
+    def _pandas_levels(lo: int, hi: int):
+        def run(pdf):
+            import numpy as np
+            import pandas as pd
+
+            # integer sort keys run through numpy lexsort (fast, and
+            # int64 order == Spark's); string tiebreaks only ever decide
+            # EXACT (g, <integer keys>) ties, which the 48-bit content
+            # hash makes vanishingly rare — resolved per tied run below,
+            # so the common path never does Python string comparison
+            arrs = {c: pdf[c].to_numpy() for c in pdf.columns}
+            arrs["g"] = arrs["g"].astype(np.int64)
+            int_names = [
+                c
+                for c in key_cols
+                if np.issubdtype(arrs[c].dtype, np.integer)
+            ]
+            str_names = [c for c in key_cols if c not in int_names]
+            for level in range(lo, hi + 1):
+                keys = tuple(arrs[c] for c in reversed(int_names)) + (
+                    arrs["g"],
+                )
+                order = np.lexsort(keys)
+                arrs = {c: v[order] for c, v in arrs.items()}
+                g = arrs["g"]
+                if str_names and len(g) > 1:
+                    same = g[1:] == g[:-1]
+                    for c in int_names:
+                        same &= arrs[c][1:] == arrs[c][:-1]
+                    if same.any():
+                        starts = np.flatnonzero(np.r_[True, ~same])
+                        ends = np.r_[starts[1:], len(g)]
+                        for s, e in zip(starts, ends):
+                            if e - s > 1:
+                                sub = sorted(
+                                    range(s, e),
+                                    key=lambda i: tuple(
+                                        (
+                                            arrs[c][i] is not None,
+                                            arrs[c][i] or "",
+                                        )
+                                        for c in str_names
+                                    ),
+                                )
+                                for c, v in arrs.items():
+                                    v[s:e] = v[sub]
+                    g = arrs["g"]
+                if len(g):
+                    new_grp = np.r_[True, g[1:] != g[:-1]]
+                    starts = np.flatnonzero(new_grp)
+                    run_ids = np.cumsum(new_grp) - 1
+                    rn = np.arange(len(g)) - starts[run_ids] + 1
+                    keep = (rn % 2) == (level % 2)
+                    arrs = {c: v[keep] for c, v in arrs.items()}
+                # Spark's `div` truncates toward zero; numpy // floors.
+                # Identical for g >= 0 (every committed caller); explicit
+                # trunc keeps negative hashes correct too.
+                g = arrs["g"]
+                arrs["g"] = (np.abs(g) // 2) * np.sign(g)
+            return pd.DataFrame({c: arrs[c] for c in pdf.columns})
+
+        return run
+
+    if fast_ok:
+        import math
+
+        # smallest level t with n/2^t <= the per-task group budget
+        t_fit = max(0, math.ceil(math.log2(max(n, 1) / _COMPACT_GROUP_ROWS)))
+        # group count balances the memory budget (>= n/_COMPACT_GROUP_ROWS
+        # groups) against parallelism (>= the session's core count while
+        # the buffer count allows); grouping only affects task locality,
+        # never results — compaction is per-buffer deterministic
+        par = df.sparkSession.sparkContext.defaultParallelism
+        desired = max(
+            math.ceil(n / _COMPACT_GROUP_ROWS), min(1 << level_count, par)
+        )
+        k = min(level_count, max(0, math.ceil(math.log2(max(desired, 1)))))
+        j = level_count - k
+        # stage A: j levels inside 2^(L-j) coarse buckets, one exchange
+        if j > 0:
+            staged = cur.withColumn("_gt", F.expr(f"g div {1 << j}L"))
+            cur = staged.groupBy("_gt").applyInPandas(
+                _pandas_levels(1, j), staged.schema
+            ).drop("_gt")
+        # stage B: window chain while survivors still exceed the budget
+        t = min(level_count, max(j, t_fit))
+        order = [F.col(c) for c in key_cols]
+        for level in range(j + 1, t + 1):
+            w = Window.partitionBy("g").orderBy(*order)
+            cur = (
+                cur.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") % 2 == F.lit(level % 2))
+                .withColumn("g", F.expr("g div 2"))
+                .drop("rn")
+            )
+        # stage C: finish the tail levels in one bounded group
+        if t < level_count:
+            staged = cur.withColumn("_gt", F.lit(0))
+            cur = staged.groupBy("_gt").applyInPandas(
+                _pandas_levels(t + 1, level_count), staged.schema
+            ).drop("_gt")
+        return cur.drop("g"), level_count, g_total
+    # ------------------------------------------------------------------
+
+    order = [F.col(c) for c in key_cols]
     for level in range(1, level_count + 1):
         w = Window.partitionBy("g").orderBy(*order)
         cur = (

@@ -957,9 +957,11 @@ def r02_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint pins the bucketed window frame so the offsets'
     # driver scan and the final join consume ONE corpus pass (the same
     # sharing the pre-split single-plan version got from exchange reuse)
+    # lazy: the offsets' driver scan is the materializing action, so the
+    # pin costs no extra barrier (r17, guide §1.2)
     within = bucketed.withColumn(
         "cum_in", F.sum("net").over(w_in)
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # offsets from a driver-side scan of the per-hour totals (frame is
     # time-horizon-bounded) — no unpartitioned window in the plan
     offsets = exclusive_prefix_sum(

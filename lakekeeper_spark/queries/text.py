@@ -868,7 +868,11 @@ def t11_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf")
     ).localCheckpoint(eager=True)
     dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = w.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # r17: the distinct doc_ids of the token stream are exactly the
+    # doc_ids of the pinned tf frame — deriving n there skips a third
+    # corpus explode pass (guide §1.2: don't recompute what a pinned
+    # frame already holds)
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     idf6 = F.round(
         F.log(F.col("n_docs").cast("double") / F.col("df")) * 1_000_000
     ).cast("long")
@@ -1715,6 +1719,10 @@ def _t16_learn(
             break
         merges.append((step, top["l"], top["r"], int(top["c"])))
         pat, rep = f" {top['l']} {top['r']} ", f" {top['l']}{top['r']} "
+        # lazy: the NEXT round's .first() (or t18's consumption) is the
+        # action that materializes this round's vocab — fusing the merge
+        # apply into the job that already has to read it halves the
+        # per-round job count (r17, guide §1.2)
         w = w.select(
             "word",
             "n",
@@ -1724,7 +1732,7 @@ def _t16_learn(
                     f"{_sql_str(pat)}, {_sql_str(rep)})"
                 )
             ).alias("rep"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return w, merges
 
 
