@@ -3210,7 +3210,10 @@ class SparkTable:
         merged = positions
         if pos_like:
             old = self._read_positional(meta, pos_like)
-            merged = merged.unionByName(old).distinct()
+            # no .distinct() here (r17): the DV encoder np.unique()s each
+            # file's positions anyway, so the pre-shuffle dedup was a
+            # second full exchange of the position set for nothing
+            merged = merged.unionByName(old)
         # metadata-known bound on referenced files (positions only ever
         # reference data files of this snapshot) — lets the writer pick
         # the single-container fast path without a counting job

@@ -125,8 +125,12 @@ def compactor_retained(
     cap: int = CAP,
     l_max: int = L_MAX,
     n: int | None = None,
+    _force_chain: bool = False,
 ) -> tuple[DataFrame, int, int]:
     """Run the L compaction levels; returns (retained frame, L, G).
+    ``_force_chain=True`` (tests only) pins the pure window-chain
+    reference implementation so the hybrid fast path can be checked
+    bit-for-bit against it.
 
     ``df`` must carry ``value_col`` (int64), ``hash_col`` (the md5-derived
     int64 leaf hash) and ``tiebreak_cols`` (a deterministic total-order
@@ -166,9 +170,11 @@ def compactor_retained(
     # types where the pandas sort provably matches Spark's ordering
     # (int64 numeric order; UTF-8 code-point order for strings).
     atomic = {"long", "int", "integer", "bigint", "smallint", "string"}
-    fast_ok = all(
-        dict(df.dtypes).get(c) in atomic for c in key_cols
-    ) and level_count > 0
+    fast_ok = (
+        not _force_chain
+        and all(dict(df.dtypes).get(c) in atomic for c in key_cols)
+        and level_count > 0
+    )
 
     def _pandas_levels(lo: int, hi: int):
         def run(pdf):

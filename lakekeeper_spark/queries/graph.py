@@ -134,12 +134,14 @@ def _transition_graph(
     ).where(F.col("dst").isNotNull())
     edges = nxt.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
     outw = edges.groupBy("src").agg(F.sum("w").cast("long").alias("ow"))
-    edges = edges.join(outw, "src").localCheckpoint(eager=True)
+    # lazy pins (r17): the callers' nodes.count() (or the final action)
+    # materializes edges+nodes in one fused job instead of two barriers
+    edges = edges.join(outw, "src").localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("item"))
         .union(edges.select(F.col("dst").alias("item")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return edges, nodes
 
@@ -226,7 +228,7 @@ def g02_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.get_json_object("props", "$.k").cast("long").alias("item"))
         .distinct()
     )
-    seeds = nodes.join(purchase_items, "item").localCheckpoint(eager=True)
+    seeds = nodes.join(purchase_items, "item").localCheckpoint(eager=False)
     n_seeds = seeds.count()  # scalar
     if nodes.count() == 0:
         # empty transition graph: zero rows in both engines
@@ -470,7 +472,7 @@ def g04_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # materialized once inside the final action
     )
     e1 = orient.select(F.col("u"), F.col("v").alias("y"))
     e2 = orient.select(F.col("u"), F.col("v").alias("z"))

@@ -1,0 +1,82 @@
+"""local_df (functions/localframe.py): the VALUES LocalRelation fast path
+must be indistinguishable from spark.createDataFrame for scalar rows —
+same schema (including nullability), same values — and must fall back
+cleanly for shapes the literal renderer doesn't cover."""
+
+from __future__ import annotations
+
+import pytest
+
+from lakekeeper_spark.functions.localframe import _MAX_VALUES_ROWS, local_df
+
+
+def _same(spark, rows, ddl):
+    a = spark.createDataFrame(rows, ddl)
+    b = local_df(spark, rows, ddl)
+    assert a.schema == b.schema, (a.schema, b.schema)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    return b
+
+
+def test_scalar_parity(spark):
+    _same(
+        spark,
+        [
+            ("a'b\\c\nd", 1, 1.5, True, None),
+            ("emoji \U0001f600", -(2**62), -0.0, False, 7),
+            ("", None, None, None, None),
+        ],
+        "s string, i long, d double, b boolean, n int",
+    )
+
+
+def test_int64_bounds(spark):
+    _same(
+        spark,
+        [(-(2**63), 2**63 - 1)],
+        "a long, b long",
+    )
+
+
+def test_float_round_trip(spark):
+    rows = [(0.1 + 0.2,), (1e-300,), (-1.7976931348623157e308,)]
+    b = _same(spark, rows, "v double")
+    got = sorted(r["v"] for r in b.collect())
+    assert got == sorted(v for (v,) in rows)  # bit-exact literals
+
+
+def test_values_path_is_local(spark):
+    # the fast path must be a LocalRelation: collect without launching a
+    # pickled-RDD scan (observable as no python-runner plan node)
+    df = local_df(spark, [(1, "x")], "i int, s string")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LocalRelation" in plan
+
+
+def test_fallback_nested_types(spark):
+    df = local_df(spark, [(1, [1.0, 2.0])], "i int, v array<double>")
+    assert df.collect()[0]["v"] == [1.0, 2.0]
+
+
+def test_fallback_large_row_count(spark):
+    rows = [(i,) for i in range(_MAX_VALUES_ROWS + 1)]
+    assert local_df(spark, rows, "i int").count() == len(rows)
+
+
+def test_fallback_non_finite_floats(spark):
+    rows = [(float("nan"),), (float("inf"),)]
+    got = local_df(spark, rows, "v double").collect()
+    assert len(got) == 2
+
+
+def test_empty(spark):
+    df = local_df(spark, [], "i int, s string")
+    assert df.count() == 0 and [f.name for f in df.schema.fields] == ["i", "s"]
+
+
+@pytest.mark.parametrize("bad", [[(1,)], [(1, 2, 3)]])
+def test_fallback_row_arity_mismatch_raises_like_stock(spark, bad):
+    # createDataFrame raises on arity mismatch; local_df routes to it and
+    # must surface the same failure, not silently render garbage
+    with pytest.raises(Exception):
+        local_df(spark, bad, "a int, b int").collect()

@@ -337,3 +337,34 @@ def test_st19_fold_exact_below_cap():
     s = sorted(cents)
     for p in ST19_TEST_PCTS:
         assert est[p] == s[(p * (len(s) - 1)) // 100]
+
+
+# ---------------------------------------------------------------------------
+# r17 hybrid compaction: fast path == pure window chain, bit for bit
+# ---------------------------------------------------------------------------
+def test_hybrid_compaction_matches_window_chain(spark):
+    """The r17 local-ladder fast path (applyInPandas lexsort compaction)
+    must retain the IDENTICAL buffer the pure window chain retains —
+    including negative hashes (Spark div truncates toward zero; the fast
+    path mirrors it) and exact (value, hash) ties broken by the string
+    key."""
+    from pyspark.sql import functions as F
+
+    from lakekeeper_spark.functions import quantiles as Q
+
+    rows = 500
+    df = spark.range(rows).select(
+        # heavy value collisions so ties exercise the string tiebreak
+        (F.col("id") % 7).cast("long").alias("c"),
+        # signed hashes: xxhash64 goes negative, unlike the md5 prefix
+        F.expr("xxhash64(CAST(id AS STRING))").alias("h"),
+        F.col("id").cast("string").alias("k"),
+    )
+    fast, l1, g1 = Q.compactor_retained(df, "c", "h", ["k"], cap=16)
+    slow, l2, g2 = Q.compactor_retained(
+        df, "c", "h", ["k"], cap=16, _force_chain=True
+    )
+    assert (l1, g1) == (l2, g2)
+    a = sorted((r["c"], r["h"], r["k"]) for r in fast.collect())
+    b = sorted((r["c"], r["h"], r["k"]) for r in slow.collect())
+    assert a == b
