@@ -267,6 +267,20 @@ def d06_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
+        # r17 (guide §2.5/§2.6): AQE coalesces the distinct's output by
+        # BYTES (id pairs are ~16 B/row -> 1-3 partitions), but the next
+        # stage broadcast-joins the embeddings and computes a 64-dim
+        # quantized dot per pair — measured running on 3 tasks at sf0.1
+        # (464k pairs, ~5 s). A keyless round-robin repartition to the
+        # session's parallelism spreads the verify compute evenly: it
+        # keeps its REPARTITION_BY_NUM tag (a pair-keyed variant
+        # collapses into the distinct's ENSURE_REQUIREMENTS exchange and
+        # AQE re-coalesces it — observed), and unlike hashing on vec_a
+        # it cannot skew on hot vectors (observed straggler tail). The
+        # distinct's output is deterministic and sortBeforeRepartition
+        # stays on, so retries are safe (guide §2.5); the rebalance
+        # shuffle itself is id pairs only — noise at any scale.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     n = emb.select("vec_id", "embedding", _dot6("embedding", "embedding").alias("norm6"))
     na = n.select(
@@ -279,7 +293,12 @@ def d06_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("norm6").alias("norm_b"),
     )
-    cosine = _dot6("emb_a", "emb_b").cast("double") / F.sqrt(
+    # r17: verify with the vectorized exact dot kernel (guide §4.2) —
+    # the interpreted 64-step fold per candidate pair dominated the query
+    # (464k pairs at sf0.1); dot6_pairs is the same arithmetic batched
+    from .similarity import dot6_pairs
+
+    cosine = dot6_pairs("emb_a", "emb_b").cast("double") / F.sqrt(
         F.col("norm_a").cast("double") * F.col("norm_b").cast("double")
     )
     return (
@@ -760,7 +779,14 @@ def d12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     x = norms.alias("x")
     y = norms.alias("y")
-    cos = _dot6("x.embedding", "y.embedding").cast("double") / F.sqrt(
+    # r17: within-cluster pair scoring through the vectorized exact dot
+    # kernel (guide §4.2) — same arithmetic as _dot6, numpy-batched over
+    # the N^2/K pair stream
+    from .similarity import dot6_pairs
+
+    cos = dot6_pairs(
+        F.col("x.embedding"), F.col("y.embedding")
+    ).cast("double") / F.sqrt(
         F.col("x.norm6").cast("double") * F.col("y.norm6").cast("double")
     )
     dups = (

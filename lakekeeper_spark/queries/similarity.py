@@ -96,6 +96,31 @@ def _sql_dot6(a: str, b: str) -> str:
     )
 
 
+def dot6_pairs(a_col, b_col) -> F.Column:
+    """Vectorized exact quantized dot product for PAIR rows (r17, guide
+    §4.2): per element round(x*y*1e6) half-away-from-zero then an exact
+    int64 sum — the identical arithmetic _dot6 expresses as an
+    interpreted higher-order fold, but numpy-batched. (a*b)*QUANT runs
+    the same two IEEE-754 ops in the same order, _quant_round is the
+    same exact rounding, and integer summation is order-free, so results
+    are bit-identical; the win is ~100x on the per-pair evaluation cost
+    for candidate-verify stages with 10^5+ pairs."""
+
+    @F.pandas_udf("bigint")
+    def dot6_udf(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        a = np.stack(ea.to_numpy()).astype(np.float64)
+        b = np.stack(eb.to_numpy()).astype(np.float64)
+        return pd.Series(
+            _quant_round(a * b * QUANT).sum(axis=1).astype(np.int64)
+        )
+
+    # the callers filter on the derived cosine; without this the pushed
+    # filter duplicates the ArrowEvalPython node and every surviving pair
+    # pays the kernel twice (guide §4.4 — it IS deterministic, the mark
+    # only stops the optimizer from cloning it below the filter)
+    return dot6_udf.asNondeterministic()(a_col, b_col)
+
+
 def _quant_round(p):
     """Exact half-away-from-zero rounding of a float64 ndarray — the C
     round() both engines' ROUND reduces to on this data. np.rint (half-even,

@@ -1071,9 +1071,13 @@ def t12_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cut_doc precedes every doc (cut_doc=-1 on tiny corpora, sparse ids)
     # must still emit a row with vocab_size/total_tokens 0, exactly like the
     # oracle's correlated COUNT subqueries.
+    # broadcast the RIGHT sides: a broadcast hint on the LEFT of a
+    # left-outer join is unsupported (build side must preserve unmatched
+    # left rows) and silently fell back to SortMergeJoin — the checkpoint
+    # aggregates are <= T12_CHECKPOINTS rows, the textbook broadcast side
     return (
-        cuts.join(vocab.drop("cut_doc"), "checkpoint", "left")
-        .join(totals, "checkpoint", "left")
+        cuts.join(F.broadcast(vocab.drop("cut_doc")), "checkpoint", "left")
+        .join(F.broadcast(totals), "checkpoint", "left")
         .select(
             F.col("checkpoint").cast("long").alias("checkpoint"),
             "cut_doc",
