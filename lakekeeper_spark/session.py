@@ -38,7 +38,12 @@ def get_session(app_name: str = "lakekeeper-spark", master: str | None = None) -
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: driver heap IS the whole engine (all executor
+        # threads share it). 8g on a 128 GiB box left long multi-query
+        # sessions (fullsweep, bench) GC-bound once checkpoint blocks and
+        # broadcast relations accumulated — observed as uniform 2-4x
+        # slowdown phases in r17. Still env-overridable for small hosts.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     return builder.getOrCreate()
 

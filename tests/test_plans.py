@@ -404,13 +404,22 @@ def test_d12_pairwise_join_is_cluster_keyed(spark):
     from lakekeeper_spark.queries.embeddings_ops import d12_semdedup
 
     plan = _plan(d12_semdedup(spark, SF_DIR))
-    # the K-row centroid broadcasts inside Lloyd are fine (BuildRight of
-    # 8 rows); what must NOT exist is an unkeyed corpus-sized pair stage
+    # what must NOT exist is an unkeyed corpus-sized pair stage
     assert "CartesianProduct" not in plan
-    # the pairwise stage is an equi-join keyed on the cluster id
-    assert "SortMergeJoin Inner" in plan or "ShuffledHashJoin Inner" in plan
-    joins = plan.split("Join type: Inner")
-    assert any("cid" in seg[:2000] for seg in joins[:-1]) or "cid" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the pairwise stage is an equi-join keyed on the cluster id. r17:
+    # the Lloyd assignment is a literal-centroid map and the pinned
+    # (vec_id, cid, embedding, norm6) frame is small at test SF, so the
+    # join realizes as BroadcastHashJoin here; at scale the same keyed
+    # join planarizes as SMJ/SHJ — keyed-ness is the scale property.
+    assert (
+        "SortMergeJoin Inner" in plan
+        or "ShuffledHashJoin Inner" in plan
+        or "BroadcastHashJoin Inner" in plan
+    )
+    inner = plan.split("Join type: Inner")[0]
+    keys = [ln for ln in inner.splitlines() if "keys [" in ln]
+    assert keys and all("cid" in ln for ln in keys[-2:])
 
 
 def test_s07_rerank_is_bounded_and_grid_broadcast(spark):
@@ -817,10 +826,20 @@ def test_h08_compactor_one_scan_partitioned_levels(spark):
     assert cascade.count("Scan parquet") == 2
     for seg in cascade.split("ReadSchema")[1:]:
         assert "l_extendedprice" in seg[:250]
-    # every compaction window partitions by the leaf buffer g — the
-    # cascade never funnels data through a single partition
+    # the compaction never funnels data through a single partition:
+    # r17's hybrid ladder groups by the coarse bucket (_gt) and runs the
+    # levels as vectorized pandas sorts inside each group — hash-
+    # partitioned Exchanges feeding FlatMapGroupsInPandas. The pure
+    # window-chain reference (_force_chain) instead shows one
+    # g-partitioned Window per level. Either form is scale-safe; a
+    # SinglePartition funnel in the cascade is not.
     assert level_count >= 1  # sf0.001+ exceeds one buffer
-    assert cascade.count("Window") >= level_count
+    assert (
+        cascade.count("FlatMapGroupsInPandas") >= 1
+        or cascade.count("Window") >= level_count
+    )
+    assert "SinglePartition" not in cascade
+    assert "hashpartitioning" in cascade
     assert not _unpartitioned_window_lines(
         retained._jdf.queryExecution().executedPlan().toString()
     )
