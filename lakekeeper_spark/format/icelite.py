@@ -1927,19 +1927,18 @@ class SparkTable:
                 self._rel_file(meta["location"]) == fmap["lineage_path"],
                 "left",
             )
-            .withColumn(
-                "_row_id",
-                F.coalesce(F.col("_row_id"), F.col("_frid") + F.col("_pos")),
-            )
-            .withColumn(
-                # stored wins over the file's sequence number: a carried
-                # (compacted/rewritten-unchanged) row keeps the sequence
-                # number of the commit that last MODIFIED it, not the
-                # rewrite's (spec row-lineage inheritance)
-                "_last_updated_sequence_number",
-                F.coalesce(
-                    F.col("_last_updated_sequence_number"), F.col("_fseq")
-                ),
+            .withColumns(
+                {
+                    "_row_id": F.expr("coalesce(_row_id, _frid + _pos)"),
+                    # stored wins over the file's sequence number: a
+                    # carried (compacted/rewritten-unchanged) row keeps
+                    # the sequence number of the commit that last
+                    # MODIFIED it, not the rewrite's (spec row-lineage
+                    # inheritance)
+                    "_last_updated_sequence_number": F.expr(
+                        "coalesce(_last_updated_sequence_number, _fseq)"
+                    ),
+                }
             )
             .drop("lineage_path", "_frid", "_fseq")
         )
@@ -2035,12 +2034,17 @@ class SparkTable:
                 for f in target_schema["fields"]
             )
             def _tag(raw: DataFrame) -> DataFrame:
+                # selectExpr ships every projection in ONE py4j command
+                # (withColumn/select(Column...) pay one round trip per
+                # column); same analyzed plan either way
                 if with_pos:
-                    return raw.withColumn(
-                        "_file", F.col("_metadata.file_path")
-                    ).withColumn("_pos", F.col("_metadata.row_index"))
+                    return raw.selectExpr(
+                        "*",
+                        "_metadata.file_path AS _file",
+                        "_metadata.row_index AS _pos",
+                    )
                 if with_file:
-                    return raw.withColumn("_file", F.input_file_name())
+                    return raw.selectExpr("*", "input_file_name() AS _file")
                 return raw
 
             if same_names:
@@ -2062,7 +2066,7 @@ class SparkTable:
                     keep += ["_file", "_pos"]
                 elif with_file:
                     keep += ["_file"]
-                parts.append(raw.select(*keep))
+                parts.append(raw.selectExpr(*[f"`{c}`" for c in keep]))
                 continue
             raw = _tag(
                 self.spark.read.schema(
@@ -2823,9 +2827,15 @@ class SparkTable:
 
     def _rel_file(self, location: str) -> F.Column:
         """Table-relative path derived from a ``_file`` URI, so tombstones
-        stay valid under SetLocation and match manifest entry paths."""
-        absolute = F.regexp_replace(F.col("_file"), "^file:(//)?", "")
-        return F.substring(absolute, len(location) + 2, 1 << 30)
+        stay valid under SetLocation and match manifest entry paths.
+
+        Built as ONE parsed expression string: the Column-API form costs
+        ~10 py4j round trips per call and this runs on every positioned
+        scan/join in the DML paths (driver latency, guide §5)."""
+        return F.expr(
+            "substring(regexp_replace(_file, '^file:(//)?', ''), "
+            f"{len(location) + 2}, {1 << 30})"
+        )
 
     def _apply_position_deletes(
         self,
@@ -2886,6 +2896,14 @@ class SparkTable:
         ).drop("file_path")
         current = self._current_schema(meta)
         by_id_cur = {f["id"]: f["name"] for f in current["fields"]}
+        # the written and current column names usually coincide, so the
+        # join condition needs side-disambiguated references. Renaming the
+        # delete side to reserved __eqd_<i> names (one toDF round trip)
+        # lets the whole condition ship as ONE parsed expression instead
+        # of ~15 py4j Column calls per equality column (driver latency;
+        # the analyzed plan is identical). Fall back to frame-qualified
+        # Columns if a table column ever collides with the prefix.
+        plain = not any(c.startswith("__eqd_") for c in tagged.columns)
         for e in eq_dels:
             wschema = next(
                 (s for s in meta["schemas"] if s["schema-id"] == e.get("schema-id")),
@@ -2903,11 +2921,27 @@ class SparkTable:
             del_rows = self.spark.read.schema(read_schema).parquet(
                 f"{meta['location']}/{e['path']}"
             )
+            seq = int(e.get("sequence-number", 0))
+            if plain:
+                del_rows = del_rows.toDF(
+                    *[f"__eqd_{i}" for i in range(len(pairs))]
+                )
             if e.get("record-count", 0) <= 1_000_000:
                 del_rows = F.broadcast(del_rows)
-            cond = F.col("_seq") < F.lit(e.get("sequence-number", 0))
-            for wname, _, cname in pairs:
-                cond = cond & (tagged[cname].eqNullSafe(del_rows[wname]))
+            if plain:
+                cond = F.expr(
+                    " AND ".join(
+                        [f"_seq < {seq}"]
+                        + [
+                            f"`{cname}` <=> `__eqd_{i}`"
+                            for i, (_, _, cname) in enumerate(pairs)
+                        ]
+                    )
+                )
+            else:
+                cond = F.col("_seq") < F.lit(seq)
+                for wname, _, cname in pairs:
+                    cond = cond & (tagged[cname].eqNullSafe(del_rows[wname]))
             tagged = tagged.join(del_rows, cond, "left_anti")
         return tagged.drop("_seq")
 
@@ -2935,15 +2969,13 @@ class SparkTable:
                 self._rel_file(meta["location"]) == fmap["lineage_path"],
                 "left",
             )
-            .withColumn(
-                "_row_id",
-                F.coalesce(F.col("_row_id"), F.col("_frid") + F.col("_pos")),
-            )
-            .withColumn(
-                "_last_updated_sequence_number",
-                F.coalesce(
-                    F.col("_last_updated_sequence_number"), F.col("_fseq")
-                ),
+            .withColumns(
+                {
+                    "_row_id": F.expr("coalesce(_row_id, _frid + _pos)"),
+                    "_last_updated_sequence_number": F.expr(
+                        "coalesce(_last_updated_sequence_number, _fseq)"
+                    ),
+                }
             )
             .drop("lineage_path", "_frid", "_fseq")
         )

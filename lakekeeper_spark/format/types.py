@@ -25,6 +25,7 @@ Spark <-> Iceberg primitive mapping notes:
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 from pyspark.sql import types as T
@@ -178,7 +179,16 @@ def schema_to_struct(schema: dict[str, Any]) -> T.StructType:
 
 
 def _parse_type(t: Any, legacy: bool = False) -> T.DataType:
-    return T._parse_datatype_string(spark_ddl_of(t, legacy=legacy))  # noqa: SLF001
+    return _parse_ddl_cached(spark_ddl_of(t, legacy=legacy))
+
+
+@functools.lru_cache(maxsize=4096)
+def _parse_ddl_cached(ddl: str) -> T.DataType:
+    # _parse_datatype_string is a py4j round trip to the JVM SQL parser;
+    # schema reconstruction repeats the same few dozen DDL strings on
+    # every scan-plan build, so memoize. DataType instances are treated
+    # as immutable everywhere in pyspark, making the shared instance safe.
+    return T._parse_datatype_string(ddl)  # noqa: SLF001
 
 
 def max_field_id(schema: dict[str, Any]) -> int:
