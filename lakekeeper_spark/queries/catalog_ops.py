@@ -1337,7 +1337,11 @@ def c13_plan_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     loc = meta["location"]
 
     def execute(plan) -> int:
-        live = 0
+        # one frame per plan task, ONE counting job over their union —
+        # sum(count per task) == count(union); a per-task .count() loop
+        # is a sequential job wave per file (guide §5 driver loops), and
+        # a real external reader executes plan tasks in parallel anyway
+        parts = []
         for task in plan["plan-tasks"]:
             d = task["data-file"]
             rows = spark.read.parquet(f"{loc}/{d['path']}").withColumn(
@@ -1356,8 +1360,13 @@ def c13_plan_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     keys, [f.name for f in keys.schema.fields], "left_anti"
                 )
             # partition columns live in the directory name, not the file
-            live += rows.count()
-        return live
+            parts.append(rows)
+        if not parts:
+            return 0
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.count()
 
     full = plan_table_scan(meta)
     pruned = plan_table_scan(meta, partition_filter={"p": 2})
@@ -2955,9 +2964,21 @@ def c23_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the bloom can discriminate at planning time
         "b",
         F.row_number().over(Window.orderBy("o_orderkey")) % 4,
+    ).localCheckpoint(eager=True)
+    # localCheckpoint: the bucketed sample feeds FIVE consumers (the
+    # append's 4 branches + the probe-key aggregate) — one orders scan +
+    # rank sort instead of five. The 4 interleaved files land in ONE
+    # append: a union of 4 single-partition branches carries exactly 4
+    # partitions (one per bucket, deterministically — union concatenates
+    # partitions), so the writer emits the same 4 data files while the
+    # write job, the bloom ndv pre-pass, the bitmap build and the commit
+    # each run ONCE instead of four times.
+    t.append(
+        reduce(
+            lambda a, c: a.unionByName(c),
+            [src.filter(f"b = {b}").drop("b").coalesce(1) for b in range(4)],
+        )
     )
-    for b in range(4):
-        t.append(src.filter(f"b = {b}").drop("b").coalesce(1))
     keys = [
         r.k
         for r in src.groupBy("b").agg(F.min("o_orderkey").alias("k")).collect()

@@ -421,8 +421,68 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # verify candidates with exact Jaccard on shingle sets
+    # verify candidates with exact Jaccard on shingle sets — adaptive,
+    # same exact semantics both ways (d02's two-regime design):
+    #
+    # SMALL OBSERVED VOCAB (<= 4096 distinct shingles, bounded probe):
+    # this synthetic template corpus draws from ~400 distinct 3-grams,
+    # and the 16-band OR then recalls ~31% of ALL pairs as candidates
+    # (3.89M of 12.5M at sf0.1) — the exploded pair x shingle verify
+    # join shuffled ~0.5B rows (measured 230 s+ steady at sf0.1), and
+    # even a per-doc array_intersect carry is interpreted per pair
+    # (measured 148 s). Packed per-doc bitmaps (vocab/64 BIGINT scalar
+    # columns) make the verify sum(bit_count(a&b)) in whole-stage
+    # codegen: identical intersection counts, identical rows.
+    #
+    # LARGE VOCAB (real corpora — where LSH candidates are selective):
+    # the candidate-driven shingle join below is the production shape
+    # (cost = candidates x doc-shingles, d13's documented plan).
     sh = _shingles(docs)
+    vocab = _probe_vocab(docs)
+    if vocab is not None:
+        from functools import reduce as _reduce
+
+        nw = (len(vocab) + 63) // 64
+        dictionary = F.broadcast(
+            spark.createDataFrame(
+                [(s, i) for i, s in enumerate(vocab)], "shingle string, sid int"
+            )
+        )
+        word_aggs = [
+            F.bit_or(
+                F.expr(
+                    f"IF(sid div 64 = {w}, "
+                    "shiftleft(CAST(1 AS BIGINT), sid % 64), CAST(0 AS BIGINT))"
+                )
+            ).alias(f"w{w}")
+            for w in range(nw)
+        ]
+        packed = (
+            sh.join(dictionary, "shingle")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"), *word_aggs)
+        )
+        za = packed.select(
+            F.col("doc_id").alias("za_id"),
+            F.col("n").alias("n_a"),
+            *[F.col(f"w{w}").alias(f"a{w}") for w in range(nw)],
+        )
+        zb = packed.select(
+            F.col("doc_id").alias("zb_id"),
+            F.col("n").alias("n_b"),
+            *[F.col(f"w{w}").alias(f"b{w}") for w in range(nw)],
+        )
+        inter = _reduce(
+            lambda x, y: x + y,
+            [F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}"))) for w in range(nw)],
+        )
+        jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
+        return (
+            candidates.join(za, F.col("doc_a") == F.col("za_id"))
+            .join(zb, F.col("doc_b") == F.col("zb_id"))
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.alias("sa")
     inter = (

@@ -151,6 +151,23 @@ def test_d02_prefix_filter_path_matches_bitmap_path(spark, monkeypatch):
     assert bitmap == prefix
 
 
+def test_d03_bitmap_verify_matches_join_verify(spark, monkeypatch):
+    """d03's two verify strategies (small-vocab packed-bitmap intersection
+    vs the candidate-driven shingle join) must produce identical verified
+    pairs with bit-identical jaccard scores."""
+    import struct
+
+    from lakekeeper_spark.queries import dedup
+
+    def key(rows):
+        return {(r.doc_a, r.doc_b): struct.pack(">d", r.jaccard) for r in rows}
+
+    bitmap = key(dedup.d03_dedup_minhash_lsh(spark, SF_DIR).collect())
+    monkeypatch.setattr(dedup, "_probe_vocab", lambda docs, k=dedup.SHINGLE_K: None)
+    joined = key(dedup.d03_dedup_minhash_lsh(spark, SF_DIR).collect())
+    assert bitmap == joined
+
+
 def test_embedding_lsh_dedup_precision_and_recall(spark):
     """d06 (label-free LSH near-dup): every emitted pair must be a true
     >=threshold cosine pair with the exact same score as the brute-force
