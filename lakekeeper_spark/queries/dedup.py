@@ -1034,6 +1034,144 @@ def _md5_lsh_pairs(sh: DataFrame, hashed: DataFrame | None = None) -> DataFrame:
     )
 
 
+# 48-bit md5 prefix as a BIGINT — the md5-shared hash family's document
+# shingle identity (the Spark twin of the oracle's _D11_H48)
+_H48_EXPR = "CAST(conv(substr(md5(shingle), 1, 12), 16, 10) AS BIGINT)"
+
+
+def _h48_packed(
+    spark: SparkSession, sh: DataFrame, vocab: list[str]
+) -> tuple[DataFrame, int]:
+    """Per-doc distinct-h48 set as packed BIGINT bitmap words.
+
+    Returns ((doc_id, w0..w{nw-1}), nw). Bit index = rank of the
+    shingle's 48-bit md5 prefix among the sorted distinct prefixes of
+    the observed vocabulary, computed driver-side with hashlib —
+    bit-identical to the engine's conv(substr(md5(shingle),1,12),16,10)
+    on the same UTF-8 bytes. Two vocabulary shingles colliding on the
+    prefix share one bit, so popcounts and AND-popcounts equal the
+    array_distinct(h48) cardinalities / intersections exactly (the d13/
+    d14 verify semantics), collisions included.
+    """
+    import hashlib
+
+    h48s = sorted(
+        {int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16) for s in vocab}
+    )
+    nw = (len(h48s) + 63) // 64
+    dictionary = F.broadcast(
+        spark.createDataFrame(
+            [(h, i) for i, h in enumerate(h48s)], "h bigint, sid int"
+        )
+    )
+    word_aggs = [
+        F.bit_or(
+            F.expr(
+                f"IF(sid div 64 = {w}, "
+                "shiftleft(CAST(1 AS BIGINT), sid % 64), CAST(0 AS BIGINT))"
+            )
+        ).alias(f"w{w}")
+        for w in range(nw)
+    ]
+    packed = (
+        sh.select("doc_id", F.expr(_H48_EXPR).alias("h"))
+        .join(dictionary, "h")
+        .groupBy("doc_id")
+        .agg(*word_aggs)
+    )
+    return packed, nw
+
+
+def _h48_verified_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    sh: DataFrame,
+    cands: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Exact-Jaccard gate over candidate pairs on distinct-h48 shingle
+    sets: (a_col, b_col) rows whose Jaccard clears D13_T_NUM/D13_T_DEN
+    (exact integer cross-multiply, no float).
+
+    Two-regime, d02/d03's committed design: a bounded vocab probe picks
+    packed per-doc bitmaps (intersection = sum of bit_count(a&b) in
+    whole-stage codegen) when the observed vocabulary fits — on
+    template-heavy corpora LSH recalls a large fraction of all pairs
+    and the per-pair interpreted array_intersect dominated the whole
+    pipeline (d03's measurements: 148 s vs ~10 s at sf0.1). Real
+    large-vocab corpora — where candidates are selective — keep the
+    per-doc LONG-array carry + array_intersect (the production shape,
+    cost bounded by candidates x doc-shingles).
+    """
+    from functools import reduce as _reduce
+
+    vocab = _probe_vocab(docs)
+    if vocab is not None:
+        packed, nw = _h48_packed(spark, sh, vocab)
+        pa = packed.select(
+            F.col("doc_id").alias(a_col),
+            *[F.col(f"w{w}").alias(f"a{w}") for w in range(nw)],
+        )
+        pb = packed.select(
+            F.col("doc_id").alias(b_col),
+            *[F.col(f"w{w}").alias(f"b{w}") for w in range(nw)],
+        )
+        inter = _reduce(
+            lambda x, y: x + y,
+            [F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}"))) for w in range(nw)],
+        )
+        na = _reduce(
+            lambda x, y: x + y, [F.bit_count(F.col(f"a{w}")) for w in range(nw)]
+        )
+        nb = _reduce(
+            lambda x, y: x + y, [F.bit_count(F.col(f"b{w}")) for w in range(nw)]
+        )
+        return (
+            cands.join(pa, a_col)
+            .join(pb, b_col)
+            .select(
+                a_col,
+                b_col,
+                inter.alias("i"),
+                na.alias("na"),
+                nb.alias("nb"),
+            )
+            .filter(
+                F.lit(D13_T_DEN) * F.col("i")
+                >= F.lit(D13_T_NUM) * (F.col("na") + F.col("nb") - F.col("i"))
+            )
+            .select(a_col, b_col)
+        )
+    doc_sh = (
+        sh.select("doc_id", F.expr(_H48_EXPR).alias("h"))
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.collect_list("h")).alias("shs"))
+    )
+    return (
+        cands.join(
+            doc_sh.select(F.col("doc_id").alias(a_col), F.col("shs").alias("sha")),
+            a_col,
+        )
+        .join(
+            doc_sh.select(F.col("doc_id").alias(b_col), F.col("shs").alias("shb")),
+            b_col,
+        )
+        .select(
+            a_col,
+            b_col,
+            F.size(F.array_intersect("sha", "shb")).alias("i"),
+            F.size("sha").alias("na"),
+            F.size("shb").alias("nb"),
+        )
+        .filter(
+            F.lit(D13_T_DEN) * F.col("i")
+            >= F.lit(D13_T_NUM) * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+        .select(a_col, b_col)
+    )
+
+
 @register(
     "d11_minhash_lsh_exact",
     oracle=f"""
@@ -1180,43 +1318,16 @@ def d13_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    # exact verify on survivors: each doc's DISTINCT HASHED shingle set
-    # as one array row, the pair's intersection via array_intersect —
-    # one row per candidate pair instead of a pair x shingle explosion
-    # (a duplicate-heavy corpus can carry millions of true near-dup
-    # candidates, and the exploded join's intermediate was |pairs| x
-    # ~|shingles/doc| rows; the array form is |pairs| rows of two
-    # bounded LONG arrays — integer intersection, no string hashing in
-    # the hot loop). The 48-bit md5 prefix is computed identically by
-    # the oracle, so parity holds bit-for-bit even under collisions.
-    # Threshold stays exact integer cross-multiply.
-    h48 = F.expr("conv(substr(md5(shingle), 1, 12), 16, 10)").cast("bigint")
-    doc_sh = (
-        sh.select("doc_id", h48.alias("h"))
-        .groupBy("doc_id")
-        .agg(F.array_distinct(F.collect_list("h")).alias("shs"))
-    )
-    edges = (
-        pre.join(
-            doc_sh.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sha")),
-            "doc_a",
-        )
-        .join(
-            doc_sh.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("sha", "shb")).alias("i"),
-            F.size("sha").alias("na"),
-            F.size("shb").alias("nb"),
-        )
-        .filter(
-            F.lit(D13_T_DEN) * F.col("i")
-            >= F.lit(D13_T_NUM) * (F.col("na") + F.col("nb") - F.col("i"))
-        )
-        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # exact verify on survivors — two-regime (_h48_verified_pairs):
+    # small observed vocab -> packed per-doc h48 bitmaps, intersection =
+    # sum(bit_count(a&b)) in whole-stage codegen; large vocab (real
+    # corpora, selective candidates) -> per-doc DISTINCT-h48 LONG arrays
+    # + array_intersect, one row per candidate pair, never a pair x
+    # shingle explosion. Both regimes compare the same 48-bit md5
+    # prefixes the oracle computes, so parity holds bit-for-bit even
+    # under collisions; threshold stays exact integer cross-multiply.
+    edges = _h48_verified_pairs(spark, docs, sh, pre, "doc_a", "doc_b").select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     labels = connected_components(
         edges, docs.select("doc_id"), algorithm="propagation", max_iters=CC_MAX_ITERS
@@ -1307,26 +1418,12 @@ def d14_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("inc"), F.col("b.doc_id").alias("base"))
         .distinct()
     )
-    h48 = F.expr("conv(substr(md5(shingle), 1, 12), 16, 10)").cast("bigint")
-    doc_sh = (
-        sh.select("doc_id", h48.alias("h"))
-        .groupBy("doc_id")
-        .agg(F.array_distinct(F.collect_list("h")).alias("shs"))
-    )
-    inter = F.size(F.array_intersect("sha", "shb"))
+    # exact verify on touching pairs — same two-regime gate as d13
+    # (_h48_verified_pairs): packed-bitmap popcounts under a small
+    # observed vocabulary, DISTINCT-h48 arrays + array_intersect on
+    # real large-vocab corpora. Identical verified pairs either way.
     blocked = (
-        touching.join(
-            doc_sh.select(F.col("doc_id").alias("inc"), F.col("shs").alias("sha")),
-            "inc",
-        )
-        .join(
-            doc_sh.select(F.col("doc_id").alias("base"), F.col("shs").alias("shb")),
-            "base",
-        )
-        .filter(
-            F.lit(D13_T_DEN) * inter
-            >= F.lit(D13_T_NUM) * (F.size("sha") + F.size("shb") - inter)
-        )
+        _h48_verified_pairs(spark, docs, sh, touching, "inc", "base")
         .groupBy(F.col("inc").alias("doc_id"))
         .agg(F.min("base").alias("blocked_by"))
     )

@@ -168,6 +168,26 @@ def test_d03_bitmap_verify_matches_join_verify(spark, monkeypatch):
     assert bitmap == joined
 
 
+def test_d13_d14_bitmap_verify_matches_join_verify(spark, monkeypatch):
+    """The shared d13/d14 exact-verify gate (_h48_verified_pairs) has two
+    physical regimes — small-vocab packed-bitmap popcounts vs per-doc
+    DISTINCT-h48 arrays + array_intersect — that must emit identical
+    verified pairs, hence identical pipeline outputs."""
+    from lakekeeper_spark.queries import dedup
+
+    def d13_key(rows):
+        return {r.doc_id: (r.cluster, r.cluster_size, r.keep) for r in rows}
+
+    def d14_key(rows):
+        return {r.doc_id: (r.keep, r.blocked_by) for r in rows}
+
+    d13_bitmap = d13_key(dedup.d13_dedup_pipeline(spark, SF_DIR).collect())
+    d14_bitmap = d14_key(dedup.d14_incremental_dedup(spark, SF_DIR).collect())
+    monkeypatch.setattr(dedup, "_probe_vocab", lambda docs, k=dedup.SHINGLE_K: None)
+    assert d13_key(dedup.d13_dedup_pipeline(spark, SF_DIR).collect()) == d13_bitmap
+    assert d14_key(dedup.d14_incremental_dedup(spark, SF_DIR).collect()) == d14_bitmap
+
+
 def test_embedding_lsh_dedup_precision_and_recall(spark):
     """d06 (label-free LSH near-dup): every emitted pair must be a true
     >=threshold cosine pair with the exact same score as the brute-force
