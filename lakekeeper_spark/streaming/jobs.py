@@ -30,6 +30,8 @@ on a cluster it would be an object-store path.
 
 from __future__ import annotations
 
+import math
+import os
 import shutil
 import tempfile
 import time
@@ -70,19 +72,62 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_ts_ns(stream)
 
 
-def _run_to_memory(result: DataFrame, mode: str) -> DataFrame:
+# One streaming state shard per this many MiB of staged source input
+# (env-tunable). Micro-batch plans get no AQE: the shuffle/state partition
+# count is spark.sql.shuffle.partitions at first start, frozen into the
+# checkpoint, and every stateful operator pays a fixed per-shard cost PER
+# TRIGGER (state store open/commit/maintenance; the trailing no-data
+# finalization batch iterates every shard even with zero input rows).
+_STATE_SHARD_MB = int(os.environ.get("SPARK_GRAFT_STATE_SHARD_MB", "8"))
+
+
+def _state_shards(spark: SparkSession, *paths: str) -> int:
+    """Scale-adaptive streaming state partition count: one shard per
+    _STATE_SHARD_MB of source bytes, clamped to [1, the session's
+    configured shuffle-partition upper bound]. Monotonic in data size —
+    at cluster scale the clamp's upper bound (the cluster's
+    shuffle.partitions) governs; on small inputs the data size does,
+    instead of paying the batch upper bound's per-shard fixed costs for
+    kilobytes of state. Affects physical layout only: every consumer
+    below is a shuffle-keyed stateful operator whose emitted rows are a
+    pure function of the data.
+    """
+    nbytes = 0
+    for p in paths:
+        pp = Path(p)
+        if pp.is_dir():
+            nbytes += sum(f.stat().st_size for f in pp.rglob("*") if f.is_file())
+        elif pp.is_file():
+            nbytes += pp.stat().st_size
+    upper = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return min(upper, max(1, math.ceil(nbytes / (_STATE_SHARD_MB * 1024 * 1024))))
+
+
+def _run_to_memory(
+    result: DataFrame, mode: str, shards: int | None = None
+) -> DataFrame:
     spark = result.sparkSession
     name = "sink_" + uuid.uuid4().hex[:12]
     ckpt = tempfile.mkdtemp(prefix="lkspark_ckpt_")
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the stream snapshots spark.sql.shuffle.partitions at start(); set the
+    # derived shard count around it and restore the batch upper bound after
+    # (batch plans keep their AQE headroom).
+    restore = spark.conf.get("spark.sql.shuffle.partitions") if shards else None
+    if shards:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shards))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if restore is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", restore)
     return spark.table(name)
 
 
@@ -115,7 +160,9 @@ def st01_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
-    sunk = _run_to_memory(agg, "complete")
+    sunk = _run_to_memory(
+        agg, "complete", shards=_state_shards(spark, f"{sf_dir}/events.parquet")
+    )
     # window.start is hour-aligned; micros->hour bucket == nanos->hour bucket
     return sunk.select(
         (F.unix_timestamp(F.col("win.start")) / F.lit(3600))
@@ -219,6 +266,11 @@ def st02_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    # NO byte-derived shard count here (measured +108%): this operator's
+    # per-group pandas kernel gets its PYTHON parallelism from the shard
+    # count, and that compute dwarfs the per-shard state-store fixed cost
+    # the derivation exists to avoid — keep the session's core-scaled
+    # upper bound.
     return _run_to_memory(sessions, "append")
 
 
@@ -316,7 +368,9 @@ def st03_stream_watermark_late_data(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("sum_value"),
         )
     )
-    sunk = _run_to_memory(agg, "append")
+    sunk = _run_to_memory(
+        agg, "append", shards=_state_shards(spark, f"{sf_dir}/events.parquet")
+    )
     return sunk.select(
         (F.unix_timestamp(F.col("win.start")) / F.lit(3600))
         .cast("long")
@@ -353,7 +407,9 @@ def st04_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.md5(F.encode("text", "UTF-8")).alias("text_md5"))
         .dropDuplicates(["text_md5"])
     )
-    return _run_to_memory(stream, "append")
+    return _run_to_memory(
+        stream, "append", shards=_state_shards(spark, f"{sf_dir}/documents.parquet")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -418,7 +474,9 @@ def st05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              AND t_purchase <= t_click + INTERVAL {JOIN_HORIZON_MIN} MINUTES"""
         ),
     )
-    sunk = _run_to_memory(joined, "append")
+    sunk = _run_to_memory(
+        joined, "append", shards=_state_shards(spark, f"{sf_dir}/events.parquet")
+    )
     return sunk.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(
@@ -703,7 +761,9 @@ def st08_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    sunk = _run_to_memory(agg, "append")
+    sunk = _run_to_memory(
+        agg, "append", shards=_state_shards(spark, f"{sf_dir}/events.parquet")
+    )
     return sunk.select(
         "user_id",
         F.unix_micros(F.col("session_window.start").cast("timestamp")).alias(
@@ -803,7 +863,9 @@ def st09_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "leftOuter",
     )
-    sunk = _run_to_memory(joined, "append")
+    sunk = _run_to_memory(
+        joined, "append", shards=_state_shards(spark, f"{sf_dir}/events.parquet")
+    )
     return sunk.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.when(F.col("t_purchase").isNotNull(), 1)).alias("n_matched"),
         F.count(F.when(F.col("t_purchase").isNull(), 1)).alias("n_unmatched"),
@@ -1147,7 +1209,9 @@ def st12_stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1_000_000)
         ).alias("sum_value"),
     )
-    sunk = _run_to_memory(agg, "complete")
+    sunk = _run_to_memory(
+        agg, "complete", shards=_state_shards(spark, f"{sf_dir}/events.parquet")
+    )
     return sunk.select(
         (F.unix_timestamp(F.col("win.start")) / F.lit(900))
         .cast("long")
@@ -1218,7 +1282,9 @@ def st13_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("value_fp"),
     )
-    return _run_to_memory(agg, "complete").select(
+    return _run_to_memory(
+        agg, "complete", shards=_state_shards(spark, f"{sf_dir}/events.parquet")
+    ).select(
         "tier", "event_type", "n_events", "value_fp"
     )
 
@@ -1271,7 +1337,14 @@ def st14_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("value") * 1_000_000).cast("long").alias("value_fp"),
         )
     )
-    return _run_to_memory(deduped, "append")
+    return _run_to_memory(
+        deduped,
+        "append",
+        # two staged deliveries of the same file: size the state to both
+        shards=_state_shards(
+            spark, f"{sf_dir}/events.parquet", f"{sf_dir}/events.parquet"
+        ),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1601,7 +1674,9 @@ def st17_stream_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
         ).alias("bin")
     )
     hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
-    h = _run_to_memory(hist, "complete")
+    h = _run_to_memory(
+        hist, "complete", shards=_state_shards(spark, f"{sf_dir}/events.parquet")
+    )
     # everything below runs on the drained 64-row frame, through the same
     # estimator kernel h07 uses (functions/quantiles.py) — the streaming
     # job only owns the mergeable micro-batch histogram state

@@ -1,0 +1,62 @@
+"""Scale-adaptive streaming state partitioning (jobs._state_shards):
+micro-batch plans get no AQE and freeze spark.sql.shuffle.partitions into
+the checkpoint, so the analytics streams derive their shard count from
+the staged input size. These pin the derivation's clamps, the conf
+restore around the drain, and — the contract that matters — that the
+shard count is physical layout only: a stateful stream emits identical
+rows at any shard count."""
+
+from __future__ import annotations
+
+from lakekeeper_spark.streaming import jobs
+
+from tests.conftest import SF_DIR
+
+
+def test_state_shards_clamps_and_sizing(spark, tmp_path):
+    upper = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # empty / tiny input -> 1 shard, never 0
+    small = tmp_path / "small.parquet"
+    small.write_bytes(b"x" * 1024)
+    assert jobs._state_shards(spark, str(small)) == 1
+    # one shard per _STATE_SHARD_MB, summed over paths (dirs recurse)
+    mb = jobs._STATE_SHARD_MB * 1024 * 1024
+    d = tmp_path / "staged"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"x" * mb)
+    (d / "b.bin").write_bytes(b"x" * mb)
+    if upper >= 2:
+        assert jobs._state_shards(spark, str(d)) == 2
+    # huge input saturates at the session's configured upper bound
+    # (sparse file: apparent size counts, no disk is actually used)
+    import os
+
+    big = tmp_path / "big.bin"
+    with open(big, "wb") as f:
+        f.truncate(mb * (upper + 100))
+    assert os.path.getsize(big) == mb * (upper + 100)
+    assert jobs._state_shards(spark, str(big)) == upper
+
+
+def test_run_to_memory_restores_shuffle_partitions(spark):
+    upper = spark.conf.get("spark.sql.shuffle.partitions")
+    df = jobs._events_stream(spark, SF_DIR).selectExpr(
+        "event_type", "ts_ns"
+    )
+    agg = df.groupBy("event_type").count()
+    jobs._run_to_memory(agg, "complete", shards=1)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == upper
+
+
+def test_stateful_stream_rows_invariant_under_shard_count(spark, monkeypatch):
+    """st05's stream-stream join (two watermarks + join state + no-data
+    finalization batch) must emit the same aggregate at 1 shard and at
+    7 shards — the shard count is not allowed to change eviction or
+    emission semantics."""
+
+    def run(n):
+        monkeypatch.setattr(jobs, "_state_shards", lambda spark, *p: n)
+        rows = jobs.st05_stream_stream_join(spark, SF_DIR).collect()
+        return {r.user_id: (r.n_pairs, r.sum_lag_s) for r in rows}
+
+    assert run(1) == run(7)
