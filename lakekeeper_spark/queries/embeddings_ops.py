@@ -415,7 +415,7 @@ def s04_kmeans_train(
     # Same result bit-for-bit either way; flag defaults from
     # $SPARK_GRAFT_KMEANS_CACHE so cluster deployments flip it without a
     # code change.
-    assigned, centroids = _lloyd_assign(spark, sf_dir, cache_points)
+    _assigned, centroids, counts = _lloyd_assign(spark, sf_dir, cache_points)
 
     # half-away-from-zero, matching SQL ROUND (Python round() is banker's)
     def _r6(v: float) -> int:
@@ -425,26 +425,29 @@ def s04_kmeans_train(
         return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
 
     fp = {cid: sum(_r6(v) for v in vec) for cid, vec in centroids.items()}
-    fp_df = F.broadcast(
-        spark.createDataFrame(
-            [(cid, fp[cid]) for cid in sorted(fp)], "cid int, centroid_fp long"
-        )
-    )
-    return (
-        assigned.groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n_points"))
-        .join(fp_df, "cid")
-        .orderBy("cid")
-        .select("cid", "n_points", "centroid_fp")
+    # r17 (guide §1.2, don't compute things twice): the per-cluster point
+    # counts of the final assignment were ALREADY collected by the last
+    # iteration's K x D centroid update — re-running
+    # assigned.groupBy(cid).count() would re-scan the points and re-run
+    # the argmin map a 4th time just to re-derive them. Build the K-row
+    # summary from the collected matrix instead (same values by
+    # construction; clusters with zero points appear in neither, exactly
+    # as the previous inner join produced).
+    rows = [(cid, counts[cid], fp[cid]) for cid in sorted(counts)]
+    return spark.createDataFrame(
+        rows, "cid int, n_points long, centroid_fp long"
     )
 
 
 def _lloyd_assign(
     spark: SparkSession, sf_dir: str, cache_points: bool | None = None
-) -> tuple[DataFrame, dict[int, list[float]]]:
+) -> tuple[DataFrame, dict[int, list[float]], dict[int, int]]:
     """KM_ITERS Lloyd iterations; returns the final (vec_id, embedding,
-    cid) assignment DataFrame and the final centroid matrix (K x D driver
-    scalars). Shared by s04 (training summary) and d12 (SemDeDup)."""
+    cid) assignment DataFrame, the final centroid matrix (K x D driver
+    scalars) and the final per-cluster point counts (already collected by
+    the last iteration's centroid update — n at any fixed dim is the
+    cluster's point count). Shared by s04 (training summary) and d12
+    (SemDeDup)."""
     d, k = KM_DIM, KM_K
     if cache_points is None:
         cache_points = os.environ.get("SPARK_GRAFT_KMEANS_CACHE", "0") == "1"
@@ -522,11 +525,18 @@ def _lloyd_assign(
         centroids = {
             cid: new_c.get(cid, centroids[cid]) for cid in sorted(centroids)
         }
+        # per-cluster point counts of THIS iteration's assignment: n is
+        # identical across dims of a cluster (all embeddings are KM_DIM
+        # wide — the same invariant the centroid arithmetic depends on),
+        # so read it off dim 0 instead of re-aggregating
+        counts = {
+            int(r["cid"]): int(r["n"]) for r in upd if int(r["dim0"]) == 0
+        }
     if cache_points:
         # iterations are done; downstream consumers re-read the source
         # once rather than pinning the points for the session
         pts.unpersist()
-    return assigned, centroids
+    return assigned, centroids, counts
 
 
 # --------------------------------------------------------------------------
@@ -766,7 +776,7 @@ GROUP BY a.cid
     tags=("dedup", "llm", "embeddings", "ml"),
 )
 def d12_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assigned, _ = _lloyd_assign(spark, sf_dir)
+    assigned, _, _ = _lloyd_assign(spark, sf_dir)
     # r17: _lloyd_assign's assignment is now a per-row map (no shuffle
     # whose exchange the x/y pair sides could implicitly reuse), and d12
     # consumes it THREE times (both pair sides + the final rollup) — pin
