@@ -29,6 +29,7 @@ from pyspark.sql.window import Window
 
 from ..data import load_table
 from ..registry import register
+from ..functions.localframe import local_df
 from .analytics import DISC_PRICE, disc_price_col
 from .detsum import dsum, sql_dsum
 
@@ -484,7 +485,7 @@ GROUP BY b.band
 )
 def r01_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    bands = spark.createDataFrame(_QTY_BANDS, "band string, lo int, hi int")
+    bands = local_df(spark, _QTY_BANDS, "band string, lo int, hi int")
     return (
         li.join(
             F.broadcast(bands),

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..data import load_table
 from ..registry import register
+from ..functions.localframe import local_df
 
 _ROWS = 1000  # lineitem sample size (deterministic: lowest orderkeys)
 
@@ -128,7 +129,7 @@ def c01_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("cached_scan_after_refresh", fresh),
     ]
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -178,7 +179,7 @@ def c02_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat.create_warehouse("wh", f"{tmp}/warehouse")        # create-warehouse
     cat.create_namespace("wh", ["a"])                      # create-namespace
     cat.create_namespace("wh", ["a", "b"])                 # create-namespace
-    src = spark.createDataFrame([(1, "x")], "id int, s string")
+    src = local_df(spark, [(1, "x")], "id int, s string")
     cat.create_table("wh", ["a"], "t1", struct_to_schema(src.schema))  # create-table
     t = SparkTable(spark, cat, "wh", ["a"], "t1")
     t.append(src)                                          # commit-table
@@ -200,7 +201,7 @@ def c02_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             for line in fh
         ]
     return (
-        spark.createDataFrame(rows, "event_type string")
+        local_df(spark, rows, "event_type string")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -290,7 +291,7 @@ def c03_mor_wap_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("delete_files_after_materialize", dels_after),
     ]
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -412,7 +413,7 @@ def c04_delete_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("delete_artifacts_after_materialize", arts_after),
     ]
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -511,7 +512,7 @@ def c05_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("c5_replace_changes", later),
     ]
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -603,7 +604,7 @@ def c06_rest_facade_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("rows_after_rename_undrop", rows3),
     ]
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -723,7 +724,7 @@ def c07_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pruned_rows_match", min(rows_match, part_rows_ok)),
     ]
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -894,7 +895,7 @@ def c09_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("rows_intact", t.scan().count()),
     ]
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("int").alias("value"))
     )
@@ -1015,7 +1016,7 @@ def c10_spec_register_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("registered_qty_fp", int(scanned["fp"])),
     ]
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -1146,7 +1147,7 @@ def c11_transaction_atomicity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("rows_intact", ta.scan().count() + tb.scan().count()),
     ]
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -1240,7 +1241,7 @@ def c12_view_read_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("dialects_v2", len(cur["representations"])),
     ]
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -1378,7 +1379,7 @@ def c13_plan_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("stats_pruned_empty", len(empty["plan-tasks"])),
     ]
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -1481,7 +1482,7 @@ def c14_credential_vending(spark: SparkSession, sf_dir: str) -> DataFrame:
             refused = 1
         rows.append(("outsider_vend_refused", refused))
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -1709,7 +1710,7 @@ def c15_task_management(spark: SparkSession, sf_dir: str) -> DataFrame:
         served = 0
         if flat:
             rolled = (
-                spark.createDataFrame(flat, "route string, count long")
+                local_df(spark, flat, "route string, count long")
                 .groupBy("route")
                 .agg(F.sum("count").alias("n"))
                 .filter(F.col("route") == "load_table")
@@ -1720,7 +1721,7 @@ def c15_task_management(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         server.stop()
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -1859,7 +1860,7 @@ def c16_multicloud_vending(spark: SparkSession, sf_dir: str) -> DataFrame:
             refused += 1
     rows.append(("outsider_refused_all_profiles", refused))
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -2051,7 +2052,7 @@ def c17_user_role_management(spark: SparkSession, sf_dir: str) -> DataFrame:
         users = req("GET", "/management/v1/user?pageSize=1000")["users"]
         by_type = {
             r["user_type"]: r["n"]
-            for r in spark.createDataFrame(
+            for r in local_df(spark, 
                 [(u["user-type"],) for u in users], "user_type string"
             )
             .groupBy("user_type")
@@ -2073,7 +2074,7 @@ def c17_user_role_management(spark: SparkSession, sf_dir: str) -> DataFrame:
         roles = req("GET", "/management/v1/role?pageSize=1000")["roles"]
         by_provider = {
             r["provider_id"]: r["n"]
-            for r in spark.createDataFrame(
+            for r in local_df(spark, 
                 [(x["provider-id"],) for x in roles], "provider_id string"
             )
             .groupBy("provider_id")
@@ -2085,7 +2086,7 @@ def c17_user_role_management(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         server.stop()
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -2364,7 +2365,7 @@ def c18_warehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "/management/v1/warehouse?warehouseStatus=active,inactive",
         )["warehouses"]
         fleet = (
-            spark.createDataFrame(
+            local_df(spark, 
                 [
                     (w["name"], w["status"], bool(w["protected"]))
                     for w in listing
@@ -2397,7 +2398,7 @@ def c18_warehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         server.stop()
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -2538,7 +2539,7 @@ def c19_fga_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
                       {"checks": checks})["results"]
 
         # --- Spark rollup of the decision matrix --------------------------
-        decisions = spark.createDataFrame(
+        decisions = local_df(spark, 
             [
                 (r["id"].split(":")[0], int(r["id"].split(":")[1]),
                  bool(r["allowed"]))
@@ -2626,7 +2627,7 @@ def c19_fga_grants(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         server.stop()
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -3209,7 +3210,7 @@ def c25_puffin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("stats_files_registered", n_registered),
     ]
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )

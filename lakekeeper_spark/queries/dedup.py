@@ -35,6 +35,7 @@ from ..functions.prefix import global_row_number
 from ..data import load_table
 from ..functions.components import connected_components
 from ..registry import register
+from ..functions.localframe import local_df
 
 SHINGLE_K = 3  # character shingle width
 JACCARD_THRESHOLD = 0.6
@@ -171,7 +172,7 @@ def _d02_bitmap_allpairs(
 
     nw = (len(vocab) + 63) // 64
     dictionary = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             [(s, i) for i, s in enumerate(vocab)], "shingle string, sid int"
         )
     )
@@ -444,7 +445,7 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         nw = (len(vocab) + 63) // 64
         dictionary = F.broadcast(
-            spark.createDataFrame(
+            local_df(spark, 
                 [(s, i) for i, s in enumerate(vocab)], "shingle string, sid int"
             )
         )
@@ -1060,7 +1061,7 @@ def _h48_packed(
     )
     nw = (len(h48s) + 63) // 64
     dictionary = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             [(h, i) for i, h in enumerate(h48s)], "h bigint, sid int"
         )
     )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..data import load_table
+from ..functions.localframe import local_df
 from ..registry import register
 from .similarity import N_QUERIES, SQL_MD5_BUCKETS, TOP_K, _dot6, _sql_dot6
 
@@ -434,8 +435,8 @@ def s04_kmeans_train(
     # construction; clusters with zero points appear in neither, exactly
     # as the previous inner join produced).
     rows = [(cid, counts[cid], fp[cid]) for cid in sorted(counts)]
-    return spark.createDataFrame(
-        rows, "cid int, n_points long, centroid_fp long"
+    return local_df(
+        spark, rows, "cid int, n_points long, centroid_fp long"
     )
 
 

@@ -30,6 +30,7 @@ from pyspark.sql.window import Window
 
 from ..data import load_table
 from ..registry import register
+from ..functions.localframe import local_df
 
 def _work_dir(kind: str, sf_dir: str) -> str:
     """Deterministic per-(query, corpus, process) scratch dir, WIPED and
@@ -242,7 +243,7 @@ def _s01_numpy(emb: DataFrame) -> DataFrame:
         return pd.DataFrame({"norm6": norm6, "dots": list(dots)})
 
     qmeta = F.broadcast(
-        spark.createDataFrame(
+        local_df(spark, 
             [(i, qids[i], qnorm6[i]) for i in range(len(qids))],
             "qidx int, query_id long, q_norm6 long",
         )

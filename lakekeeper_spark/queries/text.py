@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..data import load_table
 from ..functions.prefix import exclusive_prefix_sum, global_row_number
 from ..registry import register
+from ..functions.localframe import local_df
 
 WORD_RE = "[A-Za-z]+"
 TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -1671,7 +1672,7 @@ def _t16_oracle() -> str:
 )
 def t16_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     _w, merges = _t16_learn(spark, sf_dir)
-    return spark.createDataFrame(
+    return local_df(spark, 
         merges, "step int, left_sym string, right_sym string, pair_count long"
     )
 

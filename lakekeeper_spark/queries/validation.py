@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..data import load_table
 from ..registry import register
+from ..functions.localframe import local_df
 
 # constraint name -> SQL predicate that VIOLATES it (shared verbatim
 # between the Spark expression and the DuckDB oracle)
@@ -116,7 +117,7 @@ def v02_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return (
-        spark.createDataFrame(
+        local_df(spark, 
             frames,
             "relation string, n_child_rows long, n_distinct_fk long, n_orphans long",
         )

@@ -50,6 +50,7 @@ from pyspark.sql.types import (
 
 from ..data import NANOS_PER_HOUR, with_ts_ns
 from ..registry import register
+from ..functions.localframe import local_df
 from ..session import ensure_runtime_confs
 from .  import __name__ as _pkg  # noqa: F401  (package marker)
 
@@ -637,6 +638,11 @@ def st07_stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # r17 (guide §1.2): pin the 1000-row feed once — phase1 and phase2
+    # otherwise each re-derive the full scan+sort+window when appended
+    # (st15's committed idiom). rn is a deterministic global window, so
+    # pinning changes nothing but the job count.
+    src = src.localCheckpoint(eager=True)
     phase1 = src.filter("rn <= 600").drop("rn")
     phase2 = src.filter("rn > 600").drop("rn")
     cat.create_table("wh", ["stream"], "feed", struct_to_schema(phase1.schema))
@@ -681,7 +687,7 @@ def st07_stream_table_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("compaction_emits_nothing", after_third - after_second),
     ]
     return (
-        spark.createDataFrame(rows, "checkpoint string, value long")
+        local_df(spark, rows, "checkpoint string, value long")
         .orderBy("checkpoint")
         .select("checkpoint", F.col("value").cast("long").alias("value"))
     )
@@ -953,6 +959,11 @@ def st10_stream_table_to_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # r17 (guide §1.2): pin the 1000-row feed once — phase1 and phase2
+    # otherwise each re-derive the full scan+sort+window when appended
+    # (st15's committed idiom). rn is a deterministic global window, so
+    # pinning changes nothing but the job count.
+    src = src.localCheckpoint(eager=True)
     phase1 = src.filter("rn <= 600").drop("rn")
     phase2 = src.filter("rn > 600").drop("rn")
     cat.create_table("wh", ["stream"], "feed", struct_to_schema(phase1.schema))
@@ -1101,6 +1112,11 @@ def st11_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # r17 (guide §1.2): pin the 1000-row feed once — phase1 and phase2
+    # otherwise each re-derive the full scan+sort+window when appended
+    # (st15's committed idiom). rn is a deterministic global window, so
+    # pinning changes nothing but the job count.
+    src = src.localCheckpoint(eager=True)
     phase1 = src.filter("rn <= 600").drop("rn")
     phase2 = src.filter("rn > 600").drop("rn")
     cat.create_table("wh", ["stream"], "feed", struct_to_schema(phase1.schema))
@@ -1151,7 +1167,7 @@ def st11_stream_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain()  # resumes at the committed offset: only the new commits' events
     rows = [r for batch in partials.values() for r in batch]
     return (
-        spark.createDataFrame(rows, "l_orderkey long, n_signed long, qty_signed long")
+        local_df(spark, rows, "l_orderkey long, n_signed long, qty_signed long")
         .groupBy("l_orderkey")
         .agg(
             F.sum("n_signed").cast("long").alias("n_lines"),
@@ -1590,8 +1606,8 @@ def st16_stream_update_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
         for batch in partials.values()
         for r in batch
     ]
-    out = spark.createDataFrame(
-        rows, "change_type string, n_rows long, qty_fp long"
+    out = local_df(
+        spark, rows, "change_type string, n_rows long, qty_fp long"
     )
     return (
         out.groupBy("change_type")
@@ -2070,8 +2086,8 @@ def st20_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return (
-        spark.createDataFrame(
-            results, "slice long, n_docs long, n_new_fps long, n_dup_docs long"
+        local_df(
+            spark, results, "slice long, n_docs long, n_new_fps long, n_dup_docs long"
         )
         .orderBy("slice")
     )
