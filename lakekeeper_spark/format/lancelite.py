@@ -95,6 +95,7 @@ import struct
 from dataclasses import dataclass
 
 from .protowire import ProtoWireError, decode_message, encode_message
+from ..functions.localframe import local_df
 
 MAGIC = b"LANC"
 # the stable 2.0 format is numbered (0, 3) on disk — spec quirk
@@ -1256,7 +1257,7 @@ def read_dataset(
                     {name: cols[name] for name in names}
                 ).to_pandas()
 
-    paths = spark.createDataFrame(
+    paths = local_df(spark, 
         [(p,) for p in files], "path string"
     ).repartition(len(files), "path")
     return paths.mapInPandas(decode, schema=schema)

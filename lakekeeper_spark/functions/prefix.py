@@ -37,6 +37,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .localframe import local_df
+
 
 def exclusive_prefix_sum(
     df: DataFrame,
@@ -118,7 +120,7 @@ def exclusive_prefix_sum(
             rows.append((r["_g"], acc))
             acc += r["_gt"] or 0
         spark = df.sparkSession
-        goff = spark.createDataFrame(rows or [], "_g long, _goff long")
+        goff = local_df(spark, rows or [], "_g long, _goff long")
         joined = within.join(F.broadcast(goff), "_g")
     return joined.select(
         key, (F.col("_off_in") + F.col("_goff")).alias("off")
@@ -157,7 +159,7 @@ def global_row_number(
     for r in counts:
         rows.append((r["_pid"], acc))
         acc += r["_c"]
-    offs = spark.createDataFrame(rows or [], "_pid int, _off long")
+    offs = local_df(spark, rows or [], "_pid int, _off long")
     ranked = (
         within.join(F.broadcast(offs), "_pid")
         .withColumn(out, (F.col("_off") + F.col("_rn_in")).cast("long"))

@@ -53,6 +53,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .localframe import local_df
+
 CAP = 1024  # target leaf-buffer size
 L_MAX = 20  # unrolled-oracle level budget (supports ~10^9 rows)
 # r17 hybrid compaction: max rows one pandas compaction group may hold
@@ -88,7 +90,7 @@ def histogram_rank_targets(
             F.lit(0),
         ).alias("cum_before"),
     )
-    q = spark.createDataFrame([(p,) for p in pcts], "p int")
+    q = local_df(spark, [(p,) for p in pcts], "p int")
     r = "(p * (n - 1)) div 100"
     return (
         q.crossJoin(F.broadcast(n_frame))
@@ -447,7 +449,7 @@ def compactor_quantiles(
         F.row_number().over(Window.orderBy(*order)).alias("rn"),
     )
     cnt = fin.agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    q = spark.createDataFrame([(p,) for p in pcts], "p int")
+    q = local_df(spark, [(p,) for p in pcts], "p int")
     sel = f"((p * (cnt * {g_total} - 1)) div 100) div {g_total} + 1"
     return (
         q.crossJoin(F.broadcast(cnt))
@@ -484,7 +486,7 @@ def compactor_merge_quantiles(
     # Spark resolves case-insensitively, so the total must not collide
     # with the per-item weight column `w`
     tot = merged.agg(F.sum("w").cast("long").alias("wtot"))
-    q = spark.createDataFrame([(p,) for p in pcts], "p int")
+    q = local_df(spark, [(p,) for p in pcts], "p int")
     r = "(p * (wtot - 1)) div 100"
     return (
         q.crossJoin(F.broadcast(tot))
