@@ -236,6 +236,16 @@ _DELETE_KINDS = ("position-deletes", "equality-deletes", "deletion-vectors")
 # (one writer task each) instead of funnelling every compressed bitmap
 # through a single task (round-7 verdict watch item).
 _DV_BLOBS_PER_CONTAINER = 512
+# Above this metadata-known position count a MOR delete keeps the
+# distributed per-file DV encode; at or below it the encode and the
+# container write fuse into one coalesced task (<= ~32 MB of int64
+# positions plus pandas overhead — far under an executor's task memory).
+_DV_FUSED_ROWS_MAX = 4_000_000
+# At or below this total tombstone cardinality a positioned scan inlines
+# the (file, pos) set as a literal anti-filter (driver-decoded, one
+# expression) instead of building a broadcast anti-join per action; the
+# bound keeps the compiled plan small (an IN-list of a few thousand longs).
+_DV_INLINE_POS_MAX = 8192
 
 
 def _split_manifest(
@@ -2825,6 +2835,14 @@ class SparkTable:
             out = out.unionByName(p)
         return out
 
+    @staticmethod
+    def _rel_file_sql(location: str) -> str:
+        """SQL text of the table-relative ``_file`` path derivation."""
+        return (
+            "substring(regexp_replace(_file, '^file:(//)?', ''), "
+            f"{len(location) + 2}, {1 << 30})"
+        )
+
     def _rel_file(self, location: str) -> F.Column:
         """Table-relative path derived from a ``_file`` URI, so tombstones
         stay valid under SetLocation and match manifest entry paths.
@@ -2832,10 +2850,42 @@ class SparkTable:
         Built as ONE parsed expression string: the Column-API form costs
         ~10 py4j round trips per call and this runs on every positioned
         scan/join in the DML paths (driver latency, guide §5)."""
-        return F.expr(
-            "substring(regexp_replace(_file, '^file:(//)?', ''), "
-            f"{len(location) + 2}, {1 << 30})"
-        )
+        return F.expr(self._rel_file_sql(location))
+
+    def _inline_pos_filter(
+        self, meta: dict[str, Any], pos_like: list[dict[str, Any]], loc: str
+    ) -> F.Column | None:
+        """Literal keep-filter equivalent to the positional anti-join for
+        metadata-small tombstone sets: every Puffin container decodes on
+        the driver (read_deletion_vectors_cached — local metadata files,
+        cached per process) and the whole tombstone set ships inside the
+        plan as ``NOT ((file='a' AND _pos IN (...)) OR ...)``. Returns
+        None when a container can't be decoded (caller falls back to the
+        distributed anti-join)."""
+        from .dv import read_deletion_vectors_cached
+
+        by_file: dict[str, list] = {}
+        try:
+            for e in pos_like:
+                for fp, poss in read_deletion_vectors_cached(
+                    f"{loc}/{e['path']}"
+                ).items():
+                    if poss.size:
+                        by_file.setdefault(fp, []).append(poss)
+        except Exception:
+            return None
+        if not by_file:
+            return F.lit(True)
+        import numpy as np
+
+        rel_sql = self._rel_file_sql(loc)
+        conds = []
+        for fp in sorted(by_file):
+            poss = np.unique(np.concatenate(by_file[fp]))
+            esc = fp.replace("\\", "\\\\").replace("'", "\\'")
+            in_list = ",".join(str(int(p)) for p in poss)
+            conds.append(f"({rel_sql} = '{esc}' AND _pos IN ({in_list}))")
+        return F.expr(f"NOT ({' OR '.join(conds)})")
 
     def _apply_position_deletes(
         self,
@@ -2863,13 +2913,26 @@ class SparkTable:
         eq_dels = [e for e in delete_entries if e.get("content") == "equality-deletes"]
         loc = meta["location"]
         if pos_like:
-            dels = self._read_positional(meta, pos_like)
-            if sum(e["record-count"] for e in pos_like) <= 1_000_000:
-                dels = F.broadcast(dels)
-            cond = (self._rel_file(loc) == dels["file_path"]) & (
-                F.col("_pos") == dels["pos"]
-            )
-            df = df.join(dels, cond, "left_anti")
+            inline = None
+            if sum(e["record-count"] for e in pos_like) <= _DV_INLINE_POS_MAX and all(
+                e["path"].endswith(".puffin") for e in pos_like
+            ):
+                # r17: a metadata-small tombstone set decodes on the driver
+                # (cached per container) and anti-filters as ONE literal
+                # expression — no per-scan broadcast-build job, no Python
+                # decode stage. Same rows removed as the anti-join by
+                # construction: the filter is (file, pos) NOT IN tombstones.
+                inline = self._inline_pos_filter(meta, pos_like, loc)
+            if inline is not None:
+                df = df.filter(inline)
+            else:
+                dels = self._read_positional(meta, pos_like)
+                if sum(e["record-count"] for e in pos_like) <= 1_000_000:
+                    dels = F.broadcast(dels)
+                cond = (self._rel_file(loc) == dels["file_path"]) & (
+                    F.col("_pos") == dels["pos"]
+                )
+                df = df.join(dels, cond, "left_anti")
         if eq_dels:
             df = self._apply_equality_deletes(df, meta, eq_dels, data_entries or [])
         return df
@@ -2885,15 +2948,32 @@ class SparkTable:
         anti-join per delete commit (bounded by snapshot count); the
         per-file sequence map is a metadata-sized broadcast join keyed on
         the read's `_file` column."""
-        file_seq = local_df(self.spark, 
-            [(e["path"], e.get("sequence-number", 0)) for e in data_entries],
-            "file_path string, _seq long",
-        )
-        tagged = df.join(
-            F.broadcast(file_seq),
-            self._rel_file(meta["location"]) == file_seq["file_path"],
-            "left",
-        ).drop("file_path")
+        if not data_entries:
+            tagged = df.withColumn("_seq", F.lit(None).cast("long"))
+        elif len(data_entries) <= self._PATH_MAP_MAX:
+            # literal path->sequence map: no broadcast-build job per scan
+            tagged = df.withColumn(
+                "_seq",
+                F.element_at(
+                    self._path_map_expr(
+                        [
+                            (e["path"], e.get("sequence-number", 0))
+                            for e in data_entries
+                        ]
+                    ),
+                    self._rel_file(meta["location"]),
+                ),
+            )
+        else:
+            file_seq = local_df(self.spark,
+                [(e["path"], e.get("sequence-number", 0)) for e in data_entries],
+                "file_path string, _seq long",
+            )
+            tagged = df.join(
+                F.broadcast(file_seq),
+                self._rel_file(meta["location"]) == file_seq["file_path"],
+                "left",
+            ).drop("file_path")
         current = self._current_schema(meta)
         by_id_cur = {f["id"]: f["name"] for f in current["fields"]}
         # the written and current column names usually coincide, so the
@@ -2946,6 +3026,26 @@ class SparkTable:
         return tagged.drop("_seq")
 
 
+    # metadata path-keyed lookups: at or below this entry count the
+    # per-file value attaches as a LITERAL map expression — zero
+    # broadcast-build jobs per action (each broadcast is its own ~0.1 s
+    # driver-latency job; a DML lifecycle runs several per scan). Above
+    # it, a broadcast join keeps the plan size bounded at 100 TB file
+    # counts (a million-entry literal map would be a planning disaster).
+    _PATH_MAP_MAX = 200
+
+    @staticmethod
+    def _path_map_expr(pairs: list[tuple[str, int | None]]) -> F.Column:
+        """Literal map('path', value, ...) over metadata-sized pairs."""
+        items = ", ".join(
+            "'{}', {}".format(
+                p.replace("\\", "\\\\").replace("'", "\\'"),
+                "CAST(NULL AS BIGINT)" if v is None else f"{int(v)}L",
+            )
+            for p, v in pairs
+        )
+        return F.expr(f"map({items})")
+
     def _lineage_ids(
         self, df: DataFrame, meta: dict[str, Any], entries: list[dict[str, Any]]
     ) -> DataFrame:
@@ -2955,8 +3055,31 @@ class SparkTable:
         ``_last_updated_sequence_number`` over the file's data sequence
         number. ``df`` must carry ``_file`` / ``_pos`` and the physical
         columns (with_pos + with_row_id reads); the per-file map is
-        metadata-sized and broadcast."""
-        fmap = local_df(self.spark, 
+        metadata-sized — attached as a literal map expression when small
+        (no broadcast-build job), broadcast-joined beyond _PATH_MAP_MAX."""
+        if 0 < len(entries) <= self._PATH_MAP_MAX:
+            rel = self._rel_file(meta["location"])
+            frid = F.element_at(
+                self._path_map_expr(
+                    [(e["path"], e.get("first-row-id")) for e in entries]
+                ),
+                rel,
+            )
+            fseq = F.element_at(
+                self._path_map_expr(
+                    [(e["path"], e.get("sequence-number", 0)) for e in entries]
+                ),
+                rel,
+            )
+            return df.withColumns(
+                {
+                    "_row_id": F.coalesce(F.col("_row_id"), frid + F.col("_pos")),
+                    "_last_updated_sequence_number": F.coalesce(
+                        F.col("_last_updated_sequence_number"), fseq
+                    ),
+                }
+            )
+        fmap = local_df(self.spark,
             [
                 (e["path"], e.get("first-row-id"), e.get("sequence-number", 0))
                 for e in entries
@@ -3121,6 +3244,7 @@ class SparkTable:
         # materialize it once instead of re-scanning the table per use.
         # Bounded by the delete's match count, the same rows the artifact
         # write must hold anyway; spills executor-local beyond memory.
+        # Lazy: the count below materializes it — one job, not two.
         matched = (
             df.filter(condition)
             .select(
@@ -3128,7 +3252,7 @@ class SparkTable:
                 F.col("_pos").alias("pos"),
                 *(["_row_id"] if lineage else []),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # one count serves the empty-probe AND _row_id_ranges' cap check
         # (matched rows are 1:1 with their row ids here)
@@ -3137,7 +3261,7 @@ class SparkTable:
             return meta  # DELETE matching nothing commits no snapshot
         positions = matched.select("file_path", "pos")
         base_manifest, del_entries, removed = self._positional_artifacts(
-            meta, snap, positions
+            meta, snap, positions, n_rows=n_matched
         )
         if not del_entries:
             return meta
@@ -3196,8 +3320,26 @@ class SparkTable:
             n = ids.count()
         if n == 0 or n > self._MAX_RANGE_ROWS:
             return None
-        if not pinned:
-            ids = ids.localCheckpoint(eager=True)
+        if pinned:
+            # r17 opt: pinned callers hold <= _MAX_RANGE_ROWS unique ids
+            # locally — one Arrow transfer + numpy gaps-and-islands beats
+            # the single-partition window + collect (two driver barriers).
+            # Ids here are unique (1:1 with distinct (file, pos) rows), so
+            # the ranges are identical to the window derivation's.
+            import numpy as np
+
+            pdf = ids.toPandas()
+            col = pdf[pdf.columns[0]]
+            if col.isna().any():
+                return None  # pre-lineage rows resolved NULL: not rangeable
+            arr = np.unique(col.to_numpy(np.int64))
+            breaks = np.nonzero(np.diff(arr) != 1)[0]
+            if breaks.size + 1 > self._MAX_RANGES:
+                return None
+            starts = np.concatenate(([0], breaks + 1))
+            ends = np.concatenate((breaks, [arr.size - 1]))
+            return [[int(arr[s]), int(arr[e])] for s, e in zip(starts, ends)]
+        ids = ids.localCheckpoint(eager=True)
         # <= 100k rows: a single-partition window is trivially cheap here
         grp = F.col("_row_id") - F.row_number().over(
             Window.orderBy("_row_id")
@@ -3221,6 +3363,7 @@ class SparkTable:
         meta: dict[str, Any],
         snap: dict[str, Any],
         positions: DataFrame,
+        n_rows: int | None = None,
     ) -> tuple[list[dict[str, Any]], list[dict[str, Any]], int]:
         """Shared tombstone-writing policy for the MOR DML family: returns
         (base_manifest, new_delete_entries, removed_delete_files).
@@ -3248,9 +3391,17 @@ class SparkTable:
             merged = merged.unionByName(old)
         # metadata-known bound on referenced files (positions only ever
         # reference data files of this snapshot) — lets the writer pick
-        # the single-container fast path without a counting job
+        # the single-container fast path without a counting job. When the
+        # caller also knows the new-position count, the old artifacts'
+        # record-counts complete a metadata-known row bound that enables
+        # the fully-fused single-task encode+write.
+        approx = (
+            n_rows + sum(int(e.get("record-count", 0)) for e in pos_like)
+            if n_rows is not None
+            else None
+        )
         del_entries = self._write_deletion_vectors(
-            meta, merged, max_files=len(data_entries)
+            meta, merged, max_files=len(data_entries), approx_rows=approx
         )
         return data_entries + eq_dels, del_entries, len(pos_like)
 
@@ -3259,6 +3410,7 @@ class SparkTable:
         meta: dict[str, Any],
         positions: DataFrame,
         max_files: int | None = None,
+        approx_rows: int | None = None,
     ) -> list[dict[str, Any]]:
         """v3 deletion vectors: ONE Puffin container with a
         ``deletion-vector-v1`` blob (portable 64-bit roaring bitmap,
@@ -3305,7 +3457,14 @@ class SparkTable:
                 }
             )
 
-        def write_container(batches):
+        def _emit(encoded):
+            """Write sorted (file_path, payload, cardinality) triples as
+            chunked Puffin containers, yielding one metadata frame per
+            container. HARD per-container bound: repartitionByRange
+            balances by sampling, so a skewed partition can exceed
+            _DV_BLOBS_PER_CONTAINER — chunking here means no container
+            ever holds more (round-8 ADVICE: the documented memory bound
+            must not depend on range-sampling accuracy)."""
             import json as _json
             import os
             import uuid as _uuid
@@ -3314,20 +3473,9 @@ class SparkTable:
 
             from lakekeeper_spark.format.dv import write_deletion_vector_blobs
 
-            encoded = []
-            for pdf in batches:
-                for fp, payload, card in zip(
-                    pdf["file_path"], pdf["payload"], pdf["cardinality"]
-                ):
-                    encoded.append((str(fp), bytes(payload), int(card)))
             if not encoded:
                 return
             os.makedirs(out_dir_s, exist_ok=True)
-            # HARD per-container bound: repartitionByRange balances by
-            # sampling, so a skewed partition can exceed
-            # _DV_BLOBS_PER_CONTAINER — the writer chunks its rows so no
-            # container ever holds more (round-8 ADVICE: the documented
-            # memory bound must not depend on range-sampling accuracy).
             encoded.sort(key=lambda t: t[0])
             for i in range(0, len(encoded), _DV_BLOBS_PER_CONTAINER):
                 chunk = encoded[i : i + _DV_BLOBS_PER_CONTAINER]
@@ -3347,6 +3495,55 @@ class SparkTable:
                         ],
                     }
                 )
+
+        def write_container(batches):
+            encoded = []
+            for pdf in batches:
+                for fp, payload, card in zip(
+                    pdf["file_path"], pdf["payload"], pdf["cardinality"]
+                ):
+                    encoded.append((str(fp), bytes(payload), int(card)))
+            yield from _emit(encoded)
+
+        if (
+            max_files is not None
+            and max_files <= _DV_BLOBS_PER_CONTAINER
+            and approx_rows is not None
+            and approx_rows <= _DV_FUSED_ROWS_MAX
+        ):
+            # FUSED small-delete path (r17): the metadata-known row bound
+            # proves one task can hold every raw position, so encode AND
+            # container write run in a single coalesced task — zero
+            # exchanges (the groupBy-encode + repartition(1) pair cost two
+            # AQE stage waves per DML commit). Large deletes keep the
+            # distributed per-file encode below.
+            def encode_write_all(batches):
+                import pandas as pd
+
+                frames = [p for p in batches]
+                if not frames:
+                    return
+                pdf = pd.concat(frames, ignore_index=True)
+                encoded = []
+                for fp, grp in pdf.groupby("file_path", sort=True):
+                    import numpy as np
+
+                    poss = np.unique(grp["pos"].to_numpy(np.int64))
+                    from lakekeeper_spark.format.dv import dv_payload
+
+                    encoded.append((str(fp), dv_payload(poss), int(poss.size)))
+                yield from _emit(encoded)
+
+            rows = (
+                positions.select("file_path", "pos")
+                .coalesce(1)
+                .mapInPandas(
+                    encode_write_all,
+                    "path string, size long, record_count long, layout string",
+                )
+                .collect()
+            )
+            return self._dv_entries(meta, rows, seq)
 
         encoded_df = positions.groupBy("file_path").applyInPandas(
             encode, "file_path string, payload binary, cardinality long"
@@ -3374,6 +3571,12 @@ class SparkTable:
         rows = sharded.mapInPandas(
             write_container, "path string, size long, record_count long, layout string"
         ).collect()
+        return self._dv_entries(meta, rows, seq)
+
+    def _dv_entries(
+        self, meta: dict[str, Any], rows: list[Any], seq: int
+    ) -> list[dict[str, Any]]:
+        """Manifest entries for collected DV-container metadata rows."""
         entries = []
         for row in sorted(rows, key=lambda r: r["path"]):
             layout = json.loads(row["layout"])
@@ -3416,7 +3619,7 @@ class SparkTable:
         matched = (
             self._mor_positions(meta, schema, snap, lineage=lineage)
             .filter(condition)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)  # the count materializes it
         )
         # one count serves the empty-probe AND _row_id_ranges' cap check
         n_matched = matched.count()
@@ -3443,7 +3646,7 @@ class SparkTable:
             *(["_row_id"] if lineage else []),
         )
         base_manifest, del_entries, removed = self._positional_artifacts(
-            meta, snap, positions
+            meta, snap, positions, n_rows=n_matched
         )
         if not del_entries:
             return meta

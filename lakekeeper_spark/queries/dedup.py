@@ -134,14 +134,18 @@ def _d02_choose_vocab(docs: DataFrame) -> list[str] | None:
     return _probe_vocab(docs)
 
 
-def _probe_vocab(docs: DataFrame, k: int = SHINGLE_K) -> list[str] | None:
+def _probe_vocab(
+    docs: DataFrame, k: int = SHINGLE_K, shingles: DataFrame | None = None
+) -> list[str] | None:
     """Distinct shingles if the corpus vocabulary is small, else None.
 
     LIMIT vocab_max+1 bounds both the scan (Spark stops at the limit) and
     driver memory: at most 4097 short strings are ever collected.
+    ``shingles`` lets a caller that already pinned the shingle frame probe
+    it directly instead of re-exploding the corpus (d13/d14 checkpoint it).
     """
     rows = (
-        _shingles(docs, k)
+        (_shingles(docs, k) if shingles is None else shingles)
         .select("shingle")
         .distinct()
         .limit(_BITMAP_VOCAB_MAX + 1)
@@ -1107,7 +1111,7 @@ def _h48_verified_pairs(
     """
     from functools import reduce as _reduce
 
-    vocab = _probe_vocab(docs)
+    vocab = _probe_vocab(docs, shingles=sh)
     if vocab is not None:
         packed, nw = _h48_packed(spark, sh, vocab)
         pa = packed.select(

@@ -347,18 +347,30 @@ def g03_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # raw feeds BOTH the max frame and the renormalization: pin it
         # (|V|-row frame) so the lineage doesn't double per half-step
         # (10 half-steps would otherwise blow the plan up 2^10x — the
-        # Spark twin of the oracle's MATERIALIZED CTEs)
+        # Spark twin of the oracle's MATERIALIZED CTEs).
+        # r17 second pass (guide §1.2): the pin is LAZY and the max — the
+        # per-half-step driver decision HITS needs anyway — is the action
+        # that materializes it, renormalizing with the scalar as a
+        # literal. One job per half-step instead of three (eager-pin job +
+        # broadcast-build job + the max evaluation inside the consumer);
+        # measured 66 -> ~20 jobs for the whole query. Same integer
+        # arithmetic: `div <literal m>` == `div m-column` of the same value.
         raw = (
             edges.join(score, edges[from_key] == score["item"])
             .select(to_key, F.expr(f"{val} * w").alias("xw"))
             .groupBy(to_key)
             .agg(F.sum("xw").cast("long").alias("raw"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        mx = raw.agg(F.max("raw").alias("m"))
-        return raw.crossJoin(F.broadcast(mx)).select(
+        m = raw.agg(F.max("raw").alias("m")).first()["m"]
+        if m is None:
+            # empty edge set: no scored nodes this half-step
+            return raw.select(
+                F.col(to_key).alias("item"), F.lit(0).cast("long").alias(out)
+            )
+        return raw.select(
             F.col(to_key).alias("item"),
-            F.expr(f"CAST((raw * {_S_HITS}) div m AS BIGINT)").alias(out),
+            F.expr(f"CAST((raw * {_S_HITS}) div {int(m)} AS BIGINT)").alias(out),
         )
 
     hubs = nodes.select("item", F.lit(_S_HITS).cast("long").alias("h"))

@@ -163,7 +163,7 @@ def test_d03_bitmap_verify_matches_join_verify(spark, monkeypatch):
         return {(r.doc_a, r.doc_b): struct.pack(">d", r.jaccard) for r in rows}
 
     bitmap = key(dedup.d03_dedup_minhash_lsh(spark, SF_DIR).collect())
-    monkeypatch.setattr(dedup, "_probe_vocab", lambda docs, k=dedup.SHINGLE_K: None)
+    monkeypatch.setattr(dedup, "_probe_vocab", lambda docs, k=dedup.SHINGLE_K, **kw: None)
     joined = key(dedup.d03_dedup_minhash_lsh(spark, SF_DIR).collect())
     assert bitmap == joined
 
@@ -183,7 +183,7 @@ def test_d13_d14_bitmap_verify_matches_join_verify(spark, monkeypatch):
 
     d13_bitmap = d13_key(dedup.d13_dedup_pipeline(spark, SF_DIR).collect())
     d14_bitmap = d14_key(dedup.d14_incremental_dedup(spark, SF_DIR).collect())
-    monkeypatch.setattr(dedup, "_probe_vocab", lambda docs, k=dedup.SHINGLE_K: None)
+    monkeypatch.setattr(dedup, "_probe_vocab", lambda docs, k=dedup.SHINGLE_K, **kw: None)
     assert d13_key(dedup.d13_dedup_pipeline(spark, SF_DIR).collect()) == d13_bitmap
     assert d14_key(dedup.d14_incremental_dedup(spark, SF_DIR).collect()) == d14_bitmap
 
