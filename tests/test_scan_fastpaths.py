@@ -1,0 +1,152 @@
+"""Round-17 second-pass scan/DML fast paths vs their fallback paths.
+
+The optimization round replaced several per-action driver barriers with
+metadata-gated fast paths:
+
+  - equality-delete sequence tags and v3 lineage id/seq resolution attach
+    as LITERAL map expressions below ``SparkTable._PATH_MAP_MAX`` (the
+    broadcast join remains above the gate);
+  - small Puffin tombstone sets (<= ``icelite._DV_INLINE_POS_MAX``
+    positions) anti-filter as one literal expression instead of a
+    broadcast anti-join;
+  - MOR deletes with a metadata-known small position count fuse the DV
+    encode + container write into one coalesced task
+    (``icelite._DV_FUSED_ROWS_MAX``);
+  - pinned row-id range derivation runs driver-side (numpy) instead of a
+    single-partition window.
+
+Every fast path must emit EXACTLY what its fallback emits — these tests
+pin that by running the same lifecycle with the gates forced off.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lakekeeper_spark.format import icelite
+from lakekeeper_spark.format.icelite import SparkTable
+from lakekeeper_spark.format.types import struct_to_schema
+
+DDL = "id int, v double, s string"
+ROWS = [(i, float(i), f"s{i % 7}") for i in range(40)]
+
+
+def _lifecycle(spark, catalog, name, ns):
+    """The c04-style mixed lifecycle: eq delete -> v3 upgrade -> two DV
+    deletes -> rewrite. Returns every observable the queries read."""
+    catalog.create_namespace("wh", [ns], exists_ok=True)
+    df = spark.createDataFrame(ROWS, DDL).coalesce(2)
+    catalog.create_table("wh", [ns], name, struct_to_schema(df.schema))
+    t = SparkTable(spark, catalog, "wh", [ns], name)
+    t.append(df)
+    t.delete_where("id < 5", mode="equality", equality_cols=["id"])
+    obs = [sorted(r.id for r in t.scan().collect())]
+    t.append(df.filter("id < 3"))
+    t._commit([], [{"action": "upgrade-format-version", "format-version": 3}])
+    t.delete_where("id >= 30", mode="merge-on-read")
+    obs.append(sorted(r.id for r in t.scan().collect()))
+    t.delete_where("id % 2 = 0 AND id >= 10", mode="merge-on-read")
+    obs.append(sorted(r.id for r in t.scan().collect()))
+    obs.append(t.delete_files().count())
+    # summaries carry the deleted-row-id-ranges (driver-side numpy path)
+    obs.append(
+        [s["summary"].get("deleted-row-id-ranges") for s in t.metadata()["snapshots"]]
+    )
+    t.rewrite_position_deletes()
+    obs.append(sorted((r.id, r.v, r.s) for r in t.scan().collect()))
+    obs.append(
+        sorted(
+            ((-1 if r._row_id is None else r._row_id), r._change_type)
+            for r in t.changelog_row_ids().collect()
+        )
+    )
+    return obs
+
+
+def test_fast_paths_match_fallback_paths(spark, catalog, monkeypatch):
+    fast = _lifecycle(spark, catalog, "t_fast", "fp")
+    # force every gate OFF: literal maps -> broadcast joins, inline
+    # tombstone filter -> broadcast anti-join, fused DV write -> the
+    # distributed per-file encode, driver-side ranges -> the window path
+    monkeypatch.setattr(SparkTable, "_PATH_MAP_MAX", -1)
+    monkeypatch.setattr(icelite, "_DV_INLINE_POS_MAX", -1)
+    monkeypatch.setattr(icelite, "_DV_FUSED_ROWS_MAX", -1)
+    orig_ranges = SparkTable._row_id_ranges
+
+    def window_ranges(self, ids, n=None, pinned=False):
+        return orig_ranges(self, ids, n=n, pinned=False)
+
+    monkeypatch.setattr(SparkTable, "_row_id_ranges", window_ranges)
+    slow = _lifecycle(spark, catalog, "t_slow", "fp")
+    assert fast == slow
+
+
+def test_inline_pos_filter_falls_back_on_decode_failure(
+    spark, catalog, monkeypatch
+):
+    """A scan whose Puffin container can't be decoded driver-side must
+    fall back to the distributed anti-join, not fail at plan time."""
+    catalog.create_namespace("wh", ["fpf"], exists_ok=True)
+    df = spark.createDataFrame(ROWS, DDL).coalesce(1)
+    catalog.create_table("wh", ["fpf"], "t", struct_to_schema(df.schema))
+    t = SparkTable(spark, catalog, "wh", ["fpf"], "t")
+    t.append(df)
+    t._commit([], [{"action": "upgrade-format-version", "format-version": 3}])
+    t.delete_where("id >= 35", mode="merge-on-read")
+    want = sorted(r.id for r in t.scan().collect())
+
+    def boom(path):
+        raise RuntimeError("driver decode unavailable")
+
+    import lakekeeper_spark.format.dv as dv_mod
+
+    real = dv_mod.read_deletion_vectors_cached
+
+    def guarded(path, _real=real):
+        import inspect
+
+        # fail only the driver-side (plan-time) decode; executor tasks
+        # pickle the dv module fresh, so this patch never reaches them
+        for fr in inspect.stack():
+            if fr.function == "_inline_pos_filter":
+                raise RuntimeError("driver decode unavailable")
+        return _real(path)
+
+    monkeypatch.setattr(dv_mod, "read_deletion_vectors_cached", guarded)
+    got = sorted(r.id for r in t.scan().collect())
+    assert got == want
+
+
+def test_row_id_ranges_numpy_matches_window(spark):
+    """The pinned numpy gaps-and-islands derivation == the window
+    derivation on unique id sets, including the range-count cap and the
+    NULL bail-out."""
+    from pyspark.sql import functions as F
+
+    t = SparkTable.__new__(SparkTable)
+    t.spark = spark
+    cases = [
+        [1, 2, 3, 7, 8, 20],
+        [5],
+        list(range(100, 200)) + [500, 502, 504],
+        [0, 2, 4, 6, 8, 10],
+    ]
+    for ids in cases:
+        df = spark.createDataFrame([(i,) for i in ids], "_row_id long")
+        pinned = df.localCheckpoint(eager=True)
+        fast = t._row_id_ranges(pinned, n=len(ids), pinned=True)
+        slow = t._row_id_ranges(df, n=len(ids), pinned=False)
+        assert fast == slow, ids
+    # NULL id -> not rangeable on both paths
+    df = spark.createDataFrame([(1,), (None,)], "_row_id long")
+    assert t._row_id_ranges(df.localCheckpoint(eager=True), n=2, pinned=True) is None
+    assert t._row_id_ranges(df, n=2, pinned=False) is None
+    # range-count cap: scattered ids exceeding _MAX_RANGES -> None on both
+    import pyspark.sql.functions as _F
+
+    sparse = spark.range(SparkTable._MAX_RANGES + 1).select(
+        (F.col("id") * 3).alias("_row_id")
+    )
+    n = SparkTable._MAX_RANGES + 1
+    assert t._row_id_ranges(sparse.localCheckpoint(eager=True), n=n, pinned=True) is None
+    assert t._row_id_ranges(sparse, n=n, pinned=False) is None
