@@ -2954,7 +2954,7 @@ class SparkTable:
             # literal path->sequence map: no broadcast-build job per scan
             tagged = df.withColumn(
                 "_seq",
-                F.element_at(
+                F.try_element_at(
                     self._path_map_expr(
                         [
                             (e["path"], e.get("sequence-number", 0))
@@ -3059,13 +3059,13 @@ class SparkTable:
         (no broadcast-build job), broadcast-joined beyond _PATH_MAP_MAX."""
         if 0 < len(entries) <= self._PATH_MAP_MAX:
             rel = self._rel_file(meta["location"])
-            frid = F.element_at(
+            frid = F.try_element_at(
                 self._path_map_expr(
                     [(e["path"], e.get("first-row-id")) for e in entries]
                 ),
                 rel,
             )
-            fseq = F.element_at(
+            fseq = F.try_element_at(
                 self._path_map_expr(
                     [(e["path"], e.get("sequence-number", 0)) for e in entries]
                 ),
