@@ -246,6 +246,13 @@ _DV_FUSED_ROWS_MAX = 4_000_000
 # expression) instead of building a broadcast anti-join per action; the
 # bound keeps the compiled plan small (an IN-list of a few thousand longs).
 _DV_INLINE_POS_MAX = 8192
+# Same idea for small equality-delete artifacts: key tuples driver-read
+# via pyarrow and shipped as a literal struct IN-list (an InSet probe,
+# O(1) per row like the hash join it replaces). Gated tight: beyond this
+# row count — or for non-exactly-renderable key types or NULL keys —
+# the sequence-aware broadcast anti-join path applies unchanged.
+_EQ_INLINE_ROWS_MAX = 512
+_EQ_INLINE_TYPES = {"int", "long", "short", "byte", "string", "boolean"}
 
 
 def _split_manifest(
@@ -2995,6 +3002,10 @@ class SparkTable:
             for fid in e["equality-ids"]:
                 wname, wtype = by_id_w[fid]
                 pairs.append((wname, wtype, by_id_cur[fid]))
+            inline = self._inline_eq_filter(meta, e, pairs)
+            if inline is not None:
+                tagged = tagged.filter(inline)
+                continue
             read_schema = ", ".join(
                 f"`{w}` {spark_ddl_of(t, legacy=leg)}" for w, t, _ in pairs
             )
@@ -3045,6 +3056,65 @@ class SparkTable:
             for p, v in pairs
         )
         return F.expr(f"map({items})")
+
+    def _inline_eq_filter(
+        self,
+        meta: dict[str, Any],
+        e: dict[str, Any],
+        pairs: list[tuple[str, Any, str]],
+    ) -> F.Column | None:
+        """Literal keep-filter equivalent to one equality-delete anti-join
+        for a metadata-small artifact: the key tuples driver-read via
+        pyarrow and shipped as a struct IN-list (InSet probe — O(1) per
+        row, like the broadcast hash join it replaces). Returns None when
+        ineligible (row count, key types without exact literal rendering,
+        NULL keys — those need eqNullSafe join semantics — or any read
+        failure); the caller then takes the join path unchanged."""
+        if e.get("record-count", 0) > _EQ_INLINE_ROWS_MAX:
+            return None
+        wtypes = [t for _, t, _ in pairs]
+        if not all(isinstance(t, str) and t in _EQ_INLINE_TYPES for t in wtypes):
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(
+                str(Path(meta["location"]) / e["path"]),
+                columns=[w for w, _, _ in pairs],
+            )
+            cols = [tbl.column(w).to_pylist() for w, _, _ in pairs]
+        except Exception:
+            return None
+        rows = sorted(set(zip(*cols))) if cols and cols[0] else []
+        seq = int(e.get("sequence-number", 0))
+        if not rows:
+            return F.lit(True)
+        if any(v is None for r in rows for v in r):
+            return None
+
+        def lit(v: Any, t: str) -> str:
+            if t == "string":
+                return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+            if t == "boolean":
+                return "true" if v else "false"
+            if t == "long":
+                return f"{int(v)}L"
+            return str(int(v))
+
+        if len(pairs) == 1:
+            in_expr = "`{}` IN ({})".format(
+                pairs[0][2], ", ".join(lit(r[0], wtypes[0]) for r in rows)
+            )
+        else:
+            cur_cols = ", ".join(f"`{c}`" for _, _, c in pairs)
+            tuples = ", ".join(
+                "(" + ", ".join(lit(v, t) for v, t in zip(r, wtypes)) + ")"
+                for r in rows
+            )
+            in_expr = f"({cur_cols}) IN ({tuples})"
+        # NULL-safe composition: a NULL key or NULL _seq makes the drop
+        # condition non-TRUE — exactly the anti-join's keep behavior.
+        return F.expr(f"NOT coalesce(_seq < {seq} AND ({in_expr}), false)")
 
     def _lineage_ids(
         self, df: DataFrame, meta: dict[str, Any], entries: list[dict[str, Any]]
@@ -4734,6 +4804,23 @@ class SparkTable:
         content=1); populated by merge-on-read DELETE/UPDATE, emptied by
         rewrite_position_deletes / rewrite_data_files."""
         return self._files_of(1)
+
+    def _files_count_of(self, kind_idx: int) -> int:
+        """len() of the exact row list `_files_of` would frame — the
+        metadata-table cardinality without a Spark job (r17: each
+        `files().count()` cost ~2 driver-latency jobs to count a
+        LocalRelation whose rows already live on the driver)."""
+        meta = self.metadata()
+        snap = self._resolve_snapshot(meta)
+        return len(_split_manifest(snapshot_entries(snap))[kind_idx])
+
+    def files_count(self) -> int:
+        """`files().count()` as pure metadata (same value, no job)."""
+        return self._files_count_of(0)
+
+    def delete_files_count(self) -> int:
+        """`delete_files().count()` as pure metadata (same value, no job)."""
+        return self._files_count_of(1)
 
     def snapshots(self) -> DataFrame:
         meta = self.metadata()

@@ -105,8 +105,8 @@ def c01_catalog_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.rewrite_data_files(target_files=1)
     rows4 = t.scan().count()
     tt = t.scan(snapshot_id=snap1).count()
-    n_snapshots = t.snapshots().count()
-    n_files = t.files().count()
+    n_snapshots = len(t.metadata()["snapshots"])  # metadata, no job
+    n_files = t.files_count()  # metadata, no job
 
     # REFRESH TABLE lifecycle (reference test_spark.py:1222): a second
     # handle caches metadata, misses a concurrent append until refresh().
@@ -262,11 +262,11 @@ def c03_mor_wap_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t.append(src)
     rows1 = t.scan().count()
-    files_before = t.files().count()
+    files_before = t.files_count()
     t.delete_where("l_quantity < 10", mode="merge-on-read")
     rows2 = t.scan().count()
-    files_delta = t.files().count() - files_before
-    has_dels = min(t.delete_files().count(), 1)
+    files_delta = t.files_count() - files_before
+    has_dels = min(t.delete_files_count(), 1)
     mor_snapshot = t.metadata()["current-snapshot-id"]
 
     t.append(src, wap_id="audit")  # staged: main must not move
@@ -277,7 +277,7 @@ def c03_mor_wap_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_rb = t.scan().count()
     t.rewrite_position_deletes()
     rows_mat = t.scan().count()
-    dels_after = t.delete_files().count()
+    dels_after = t.delete_files_count()
 
     rows = [
         ("rows_after_append", rows1),
@@ -378,7 +378,7 @@ def c04_delete_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity < 5", mode="equality", equality_cols=["l_orderkey", "l_linenumber"]
     )
     rows_eq = t.scan().count()
-    eq_arts = t.delete_files().count()
+    eq_arts = t.delete_files_count()
     # re-append the very keys the equality delete named: they must come
     # back (the delete only addresses strictly-older sequence numbers)
     t.append(src.filter("l_quantity < 5"))
@@ -390,14 +390,14 @@ def c04_delete_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_re, reborn = re_row["n"], re_row["lo"]
     t._commit([], [{"action": "upgrade-format-version", "format-version": 3}])
     t.delete_where("l_quantity >= 40", mode="merge-on-read")
-    dv1 = t.delete_files().count() - eq_arts
+    dv1 = t.delete_files_count() - eq_arts
     rows_dv = t.scan().count()
     t.delete_where("l_quantity >= 30", mode="merge-on-read")
-    dv2 = t.delete_files().count() - eq_arts
+    dv2 = t.delete_files_count() - eq_arts
     rows_dv2 = t.scan().count()
     t.rewrite_position_deletes()
     rows_mat = t.scan().count()
-    arts_after = t.delete_files().count()
+    arts_after = t.delete_files_count()
 
     rows = [
         ("rows_after_append", rows1),
@@ -672,7 +672,7 @@ def c07_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = SparkTable(spark, cat, "wh", ["bench"], "li_skip")
     t.append(src)
-    n_files = t.files().count()
+    n_files = t.files_count()  # metadata, no job
     # stats_filter prunes FILES; the residual .filter keeps row exactness
     pruned = t.scan(stats_filter={"l_quantity": (0, 9.999)}).filter("l_quantity < 10")
     full = t.scan().filter("l_quantity < 10")

@@ -71,6 +71,7 @@ def test_fast_paths_match_fallback_paths(spark, catalog, monkeypatch):
     monkeypatch.setattr(SparkTable, "_PATH_MAP_MAX", -1)
     monkeypatch.setattr(icelite, "_DV_INLINE_POS_MAX", -1)
     monkeypatch.setattr(icelite, "_DV_FUSED_ROWS_MAX", -1)
+    monkeypatch.setattr(icelite, "_EQ_INLINE_ROWS_MAX", -1)
     orig_ranges = SparkTable._row_id_ranges
 
     def window_ranges(self, ids, n=None, pinned=False):
