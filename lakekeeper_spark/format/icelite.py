@@ -2860,7 +2860,7 @@ class SparkTable:
         return F.expr(self._rel_file_sql(location))
 
     def _inline_pos_filter(
-        self, meta: dict[str, Any], pos_like: list[dict[str, Any]], loc: str
+        self, pos_like: list[dict[str, Any]], loc: str
     ) -> F.Column | None:
         """Literal keep-filter equivalent to the positional anti-join for
         metadata-small tombstone sets: every Puffin container decodes on
@@ -2929,7 +2929,7 @@ class SparkTable:
                 # expression — no per-scan broadcast-build job, no Python
                 # decode stage. Same rows removed as the anti-join by
                 # construction: the filter is (file, pos) NOT IN tombstones.
-                inline = self._inline_pos_filter(meta, pos_like, loc)
+                inline = self._inline_pos_filter(pos_like, loc)
             if inline is not None:
                 df = df.filter(inline)
             else:
@@ -3047,7 +3047,14 @@ class SparkTable:
 
     @staticmethod
     def _path_map_expr(pairs: list[tuple[str, int | None]]) -> F.Column:
-        """Literal map('path', value, ...) over metadata-sized pairs."""
+        """Literal map('path', value, ...) over metadata-sized pairs.
+
+        Pairs are deduped first: spark.sql.mapKeyDedupPolicy=EXCEPTION
+        (the default) throws DUPLICATED_MAP_KEY on a repeated literal key,
+        where the broadcast-join fallback tolerated duplicates (ADVICE
+        r17). Manifest paths are unique per snapshot, so last-wins is a
+        no-op in practice."""
+        pairs = list(dict(pairs).items())
         items = ", ".join(
             "'{}', {}".format(
                 p.replace("\\", "\\\\").replace("'", "\\'"),
@@ -3085,12 +3092,16 @@ class SparkTable:
             cols = [tbl.column(w).to_pylist() for w, _, _ in pairs]
         except Exception:
             return None
-        rows = sorted(set(zip(*cols))) if cols and cols[0] else []
+        tups = set(zip(*cols)) if cols and cols[0] else set()
         seq = int(e.get("sequence-number", 0))
-        if not rows:
+        if not tups:
             return F.lit(True)
-        if any(v is None for r in rows for v in r):
+        # NULL keys need eqNullSafe join semantics — and sorted() below
+        # would raise TypeError comparing None with a value, so the
+        # bail-out must precede the sort (ADVICE r17).
+        if any(v is None for r in tups for v in r):
             return None
+        rows = sorted(tups)
 
         def lit(v: Any, t: str) -> str:
             if t == "string":

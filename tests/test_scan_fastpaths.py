@@ -151,3 +151,43 @@ def test_row_id_ranges_numpy_matches_window(spark):
     n = SparkTable._MAX_RANGES + 1
     assert t._row_id_ranges(sparse.localCheckpoint(eager=True), n=n, pinned=True) is None
     assert t._row_id_ranges(sparse, n=n, pinned=False) is None
+
+
+def test_inline_eq_filter_null_keys_fall_back(spark, tmp_path):
+    """An eligible-sized equality delete with mixed NULL/non-NULL keys
+    must return None (join path, eqNullSafe semantics) — and must not
+    raise: sorting mixed None/value tuples is a TypeError, so the NULL
+    bail-out has to run before the sort (ADVICE r17)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = SparkTable.__new__(SparkTable)
+    t.spark = spark
+    pq.write_table(
+        pa.table({"id": pa.array([3, None, 1], type=pa.int64())}),
+        str(tmp_path / "eq_null.parquet"),
+    )
+    meta = {"location": str(tmp_path)}
+    e = {"record-count": 3, "path": "eq_null.parquet", "sequence-number": 5}
+    assert t._inline_eq_filter(meta, e, [("id", "long", "id")]) is None
+    # all-non-NULL keys of the same shape stay on the inline path
+    pq.write_table(
+        pa.table({"id": pa.array([3, 2, 1], type=pa.int64())}),
+        str(tmp_path / "eq_ok.parquet"),
+    )
+    e2 = {"record-count": 3, "path": "eq_ok.parquet", "sequence-number": 5}
+    assert t._inline_eq_filter(meta, e2, [("id", "long", "id")]) is not None
+
+
+def test_path_map_expr_tolerates_duplicate_paths(spark):
+    """Duplicate manifest paths must not trip DUPLICATED_MAP_KEY under
+    the default spark.sql.mapKeyDedupPolicy=EXCEPTION (ADVICE r17): the
+    literal map dedupes pairs the way the join fallback tolerated them."""
+    from pyspark.sql import functions as F
+
+    col = SparkTable._path_map_expr([("a", 1), ("a", 1), ("b", None)])
+    row = spark.range(1).select(
+        F.try_element_at(col, F.lit("a")).alias("va"),
+        F.try_element_at(col, F.lit("b")).alias("vb"),
+    ).collect()[0]
+    assert row.va == 1 and row.vb is None
