@@ -178,112 +178,106 @@ def compactor_retained(
         and level_count > 0
     )
 
-    def _pandas_levels(lo: int, hi: int):
-        def run(pdf):
-            import numpy as np
-            import pandas as pd
-
-            # integer sort keys run through numpy lexsort (fast, and
-            # int64 order == Spark's); string tiebreaks only ever decide
-            # EXACT (g, <integer keys>) ties, which the 48-bit content
-            # hash makes vanishingly rare — resolved per tied run below,
-            # so the common path never does Python string comparison
-            arrs = {c: pdf[c].to_numpy() for c in pdf.columns}
-            arrs["g"] = arrs["g"].astype(np.int64)
-            int_names = [
-                c
-                for c in key_cols
-                if np.issubdtype(arrs[c].dtype, np.integer)
-            ]
-            str_names = [c for c in key_cols if c not in int_names]
-            for level in range(lo, hi + 1):
-                keys = tuple(arrs[c] for c in reversed(int_names)) + (
-                    arrs["g"],
-                )
-                order = np.lexsort(keys)
-                arrs = {c: v[order] for c, v in arrs.items()}
-                g = arrs["g"]
-                if str_names and len(g) > 1:
-                    same = g[1:] == g[:-1]
-                    for c in int_names:
-                        same &= arrs[c][1:] == arrs[c][:-1]
-                    if same.any():
-                        starts = np.flatnonzero(np.r_[True, ~same])
-                        ends = np.r_[starts[1:], len(g)]
-                        for s, e in zip(starts, ends):
-                            if e - s > 1:
-                                sub = sorted(
-                                    range(s, e),
-                                    key=lambda i: tuple(
-                                        (
-                                            arrs[c][i] is not None,
-                                            arrs[c][i] or "",
-                                        )
-                                        for c in str_names
-                                    ),
-                                )
-                                for c, v in arrs.items():
-                                    v[s:e] = v[sub]
-                    g = arrs["g"]
-                if len(g):
-                    new_grp = np.r_[True, g[1:] != g[:-1]]
-                    starts = np.flatnonzero(new_grp)
-                    run_ids = np.cumsum(new_grp) - 1
-                    rn = np.arange(len(g)) - starts[run_ids] + 1
-                    keep = (rn % 2) == (level % 2)
-                    arrs = {c: v[keep] for c, v in arrs.items()}
-                # Spark's `div` truncates toward zero; numpy // floors.
-                # Identical for g >= 0 (every committed caller); explicit
-                # trunc keeps negative hashes correct too.
-                g = arrs["g"]
-                arrs["g"] = (np.abs(g) // 2) * np.sign(g)
-            return pd.DataFrame({c: arrs[c] for c in pdf.columns})
-
-        return run
-
     if fast_ok:
-        import math
-
-        # smallest level t with n/2^t <= the per-task group budget
-        t_fit = max(0, math.ceil(math.log2(max(n, 1) / _COMPACT_GROUP_ROWS)))
-        # group count balances the memory budget (>= n/_COMPACT_GROUP_ROWS
-        # groups) against parallelism (>= the session's core count while
-        # the buffer count allows); grouping only affects task locality,
-        # never results — compaction is per-buffer deterministic
-        par = df.sparkSession.sparkContext.defaultParallelism
-        desired = max(
-            math.ceil(n / _COMPACT_GROUP_ROWS), min(1 << level_count, par)
-        )
-        k = min(level_count, max(0, math.ceil(math.log2(max(desired, 1)))))
-        j = level_count - k
-        # stage A: j levels inside 2^(L-j) coarse buckets, one exchange
-        if j > 0:
-            staged = cur.withColumn("_gt", F.expr(f"g div {1 << j}L"))
-            cur = staged.groupBy("_gt").applyInPandas(
-                _pandas_levels(1, j), staged.schema
-            ).drop("_gt")
-        # stage B: window chain while survivors still exceed the budget
-        t = min(level_count, max(j, t_fit))
-        order = [F.col(c) for c in key_cols]
-        for level in range(j + 1, t + 1):
-            w = Window.partitionBy("g").orderBy(*order)
-            cur = (
-                cur.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") % 2 == F.lit(level % 2))
-                .withColumn("g", F.expr("g div 2"))
-                .drop("rn")
-            )
-        # stage C: finish the tail levels in one bounded group
-        if t < level_count:
-            staged = cur.withColumn("_gt", F.lit(0))
-            cur = staged.groupBy("_gt").applyInPandas(
-                _pandas_levels(t + 1, level_count), staged.schema
-            ).drop("_gt")
+        cur = _hybrid_ladder(cur, 1, level_count, 1 << level_count, n, key_cols)
         return cur.drop("g"), level_count, g_total
     # ------------------------------------------------------------------
 
+    cur = _window_chain(cur, 1, level_count, key_cols)
+    return cur.drop("g"), level_count, g_total
+
+
+def _pandas_levels(key_cols: list[str], lo: int, hi: int, entry_col: str | None = None):
+    """applyInPandas runner for compaction levels ``lo..hi`` (absolute
+    level numbers — parity alternates by level) over a group of buffers.
+
+    ``entry_col`` (r18, the fused-fold path): rows whose entry level is
+    >= the current level sit out that level untouched — exactly the
+    window chain's injection semantics, where state rows union into the
+    ladder only at level state_level+1 (their ``g`` is already at that
+    level's granularity)."""
+
+    def run(pdf):
+        import numpy as np
+        import pandas as pd
+
+        # integer sort keys run through numpy lexsort (fast, and
+        # int64 order == Spark's); string tiebreaks only ever decide
+        # EXACT (g, <integer keys>) ties, which the 48-bit content
+        # hash makes vanishingly rare — resolved per tied run below,
+        # so the common path never does Python string comparison
+        arrs = {c: pdf[c].to_numpy() for c in pdf.columns}
+        arrs["g"] = arrs["g"].astype(np.int64)
+        if entry_col is not None:
+            arrs[entry_col] = arrs[entry_col].astype(np.int64)
+        int_names = [
+            c
+            for c in key_cols
+            if np.issubdtype(arrs[c].dtype, np.integer)
+        ]
+        str_names = [c for c in key_cols if c not in int_names]
+        for level in range(lo, hi + 1):
+            parked = None
+            if entry_col is not None:
+                act = arrs[entry_col] < level
+                if not act.all():
+                    parked = {c: v[~act] for c, v in arrs.items()}
+                    arrs = {c: v[act] for c, v in arrs.items()}
+            keys = tuple(arrs[c] for c in reversed(int_names)) + (
+                arrs["g"],
+            )
+            order = np.lexsort(keys)
+            arrs = {c: v[order] for c, v in arrs.items()}
+            g = arrs["g"]
+            if str_names and len(g) > 1:
+                same = g[1:] == g[:-1]
+                for c in int_names:
+                    same &= arrs[c][1:] == arrs[c][:-1]
+                if same.any():
+                    starts = np.flatnonzero(np.r_[True, ~same])
+                    ends = np.r_[starts[1:], len(g)]
+                    for s, e in zip(starts, ends):
+                        if e - s > 1:
+                            sub = sorted(
+                                range(s, e),
+                                key=lambda i: tuple(
+                                    (
+                                        arrs[c][i] is not None,
+                                        arrs[c][i] or "",
+                                    )
+                                    for c in str_names
+                                ),
+                            )
+                            for c, v in arrs.items():
+                                v[s:e] = v[sub]
+                g = arrs["g"]
+            if len(g):
+                new_grp = np.r_[True, g[1:] != g[:-1]]
+                starts = np.flatnonzero(new_grp)
+                run_ids = np.cumsum(new_grp) - 1
+                rn = np.arange(len(g)) - starts[run_ids] + 1
+                keep = (rn % 2) == (level % 2)
+                arrs = {c: v[keep] for c, v in arrs.items()}
+            # Spark's `div` truncates toward zero; numpy // floors.
+            # Identical for g >= 0 (every committed caller); explicit
+            # trunc keeps negative hashes correct too.
+            g = arrs["g"]
+            arrs["g"] = (np.abs(g) // 2) * np.sign(g)
+            if parked is not None:
+                arrs = {
+                    c: np.concatenate([v, parked[c]]) for c, v in arrs.items()
+                }
+        return pd.DataFrame({c: arrs[c] for c in pdf.columns})
+
+    return run
+
+
+def _window_chain(
+    cur: DataFrame, lo: int, hi: int, key_cols: list[str]
+) -> DataFrame:
+    """Pure window-chain reference: one Exchange+Sort+Window per level."""
     order = [F.col(c) for c in key_cols]
-    for level in range(1, level_count + 1):
+    for level in range(lo, hi + 1):
         w = Window.partitionBy("g").orderBy(*order)
         cur = (
             cur.withColumn("rn", F.row_number().over(w))
@@ -291,7 +285,63 @@ def compactor_retained(
             .withColumn("g", F.expr("g div 2"))
             .drop("rn")
         )
-    return cur.drop("g"), level_count, g_total
+    return cur
+
+
+def _hybrid_ladder(
+    cur: DataFrame,
+    lo: int,
+    hi: int,
+    buckets: int,
+    n: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """r17 hybrid compaction (guide §2.4 + §4.2), generalized in r18 to an
+    arbitrary level window so the streaming fold can reuse it.
+
+    Runs compaction levels ``lo..hi`` (absolute numbers — the keep-parity
+    alternates by level) over ``cur``, whose ``g`` ranges over
+    [0, ``buckets``). The straight window chain pays one full exchange +
+    sort PER LEVEL; but compaction is hierarchical by construction
+    (buffers g and g^1 merge into g div 2, so levels lo..lo+j-1 stay
+    inside the coarse bucket g div 2^j). Stages:
+      A. the first j levels per coarse bucket (applyInPandas; bucket
+         count sized so no group exceeds _COMPACT_GROUP_ROWS rows),
+      B. a window chain while survivors still exceed the budget (only in
+         the leaf-overflow regime where n >> cap * 2^l_max),
+      C. the tail levels in one final bounded group.
+    The per-buffer operation is content-defined and identical, so results
+    are bit-equal to the pure chain (pinned by tests). ``n`` is an upper
+    bound on cur's row count at entry — it only steers grouping/locality,
+    never results."""
+    import math
+
+    if hi < lo:
+        return cur
+    nlev = hi - lo + 1
+    lbuckets = max(0, round(math.log2(max(buckets, 1))))
+    par = cur.sparkSession.sparkContext.defaultParallelism
+    # group count balances the memory budget (>= n/_COMPACT_GROUP_ROWS
+    # groups) against parallelism (>= the session's core count while the
+    # buffer count allows)
+    desired = max(math.ceil(n / _COMPACT_GROUP_ROWS), min(buckets, par))
+    k = max(0, math.ceil(math.log2(max(desired, 1))))
+    j = min(nlev, max(0, lbuckets - k))
+    if j > 0:
+        staged = cur.withColumn("_gt", F.expr(f"g div {1 << j}L"))
+        cur = staged.groupBy("_gt").applyInPandas(
+            _pandas_levels(key_cols, lo, lo + j - 1), staged.schema
+        ).drop("_gt")
+    # smallest level count t with n/2^t <= the per-task group budget
+    t_fit = max(0, math.ceil(math.log2(max(n, 1) / _COMPACT_GROUP_ROWS)))
+    t = min(nlev, max(j, t_fit))
+    cur = _window_chain(cur, lo + j, lo + t - 1, key_cols)
+    if t < nlev:
+        staged = cur.withColumn("_gt", F.lit(0))
+        cur = staged.groupBy("_gt").applyInPandas(
+            _pandas_levels(key_cols, lo + t, hi), staged.schema
+        ).drop("_gt")
+    return cur
 
 
 def compactor_fold_retained(
@@ -304,6 +354,8 @@ def compactor_fold_retained(
     tiebreak_cols: list[str],
     cap: int = CAP,
     l_max: int = L_MAX,
+    batch_n: int | None = None,
+    _force_chain: bool = False,
 ) -> tuple[DataFrame, int, int]:
     """KLL-style GROWING-GEOMETRY fold: merge a weight-1 ``batch`` into a
     persistent ``state`` buffer (every state item carrying implicit
@@ -311,6 +363,12 @@ def compactor_fold_retained(
     geometry of the CUMULATIVE count ``cum_n`` — so an unbounded stream
     keeps O(cap) state forever instead of one buffer per micro-batch
     (st18's shape, whose drain-side state grows with the batch count).
+
+    ``batch_n`` (optional) is the batch's row count — it only steers the
+    hybrid ladder's grouping (memory bound), never results; ``cum_n``
+    bounds it when omitted. ``_force_chain=True`` (tests only) pins the
+    pure window-chain reference so the r18 hybrid fold path can be
+    checked bit-for-bit against it.
 
     This is the KLL compactor-ladder insight (Karnin-Lang-Liberty 2016
     §2): an item of weight 2^j only participates in compactions at
@@ -333,9 +391,7 @@ def compactor_fold_retained(
         raise ValueError(
             f"geometry shrank: state level {state_level} > {level_count}"
         )
-    order = [F.col(value_col), F.col(hash_col)] + [
-        F.col(c) for c in tiebreak_cols
-    ]
+    key_cols = [value_col, hash_col, *tiebreak_cols]
     keep = [value_col, hash_col, *tiebreak_cols, "g"]
     cur = batch.withColumn("g", F.col(hash_col) % F.lit(g_total)).select(keep)
     inj = None
@@ -344,17 +400,59 @@ def compactor_fold_retained(
             "g",
             F.expr(f"({hash_col} % {g_total}L) div {1 << state_level}L"),
         ).select(keep)
+
+    atomic = {"long", "int", "integer", "bigint", "smallint", "string"}
+    fast_ok = (
+        not _force_chain
+        and all(dict(batch.dtypes).get(c) in atomic for c in key_cols)
+        and level_count > 0
+    )
+    n_b = batch_n if batch_n is not None else cum_n
+    if fast_ok:
+        # r18 (guide §2.4): the fold is the same hierarchical compaction
+        # with the state injected before level state_level+1 — run it as
+        # hybrid ladders instead of paying one Exchange+Sort+Window wave
+        # per level (L ~ 10 sequential waves per micro-batch).
+        # Bit-identical to the chain either way: the per-buffer operation
+        # and the injection level are unchanged (pinned by test).
+        s = min(state_level, level_count)
+        if n_b + 4 * cap + 64 <= _COMPACT_GROUP_ROWS:
+            # micro-batch regime: everything fits ONE bounded task, so
+            # the whole fold — both ladder segments AND the injection —
+            # fuses into a single exchange + applyInPandas. State rows
+            # carry their entry level and sit out levels <= state_level
+            # (their g is already at that granularity), exactly the
+            # chain's mid-ladder union.
+            cur = cur.withColumn("_e", F.lit(0))
+            if inj is not None:
+                cur = cur.unionByName(inj.withColumn("_e", F.lit(s)))
+            staged = cur.withColumn("_gt", F.lit(0))
+            cur = (
+                staged.groupBy("_gt")
+                .applyInPandas(
+                    _pandas_levels(key_cols, 1, level_count, entry_col="_e"),
+                    staged.schema,
+                )
+                .drop("_gt", "_e")
+            )
+            return cur.drop("g"), level_count, g_total
+        # large-batch regime: segment 1 (levels 1..s) compacts the batch
+        # alone at full parallelism, the state unions in, segment 2 runs
+        # the remaining levels — two exchanges total at any scale.
+        cur = _hybrid_ladder(cur, 1, s, 1 << level_count, n_b, key_cols)
+        if inj is not None:
+            cur = cur.unionByName(inj)
+        n2 = max(1, n_b >> s) + 4 * cap + 64
+        cur = _hybrid_ladder(
+            cur, s + 1, level_count, 1 << max(0, level_count - s), n2, key_cols
+        )
+        return cur.drop("g"), level_count, g_total
+
     for level in range(1, level_count + 1):
         if inj is not None and level == state_level + 1:
             cur = cur.unionByName(inj)
             inj = None
-        w = Window.partitionBy("g").orderBy(*order)
-        cur = (
-            cur.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") % 2 == F.lit(level % 2))
-            .withColumn("g", F.expr("g div 2"))
-            .drop("rn")
-        )
+        cur = _window_chain(cur, level, level, key_cols)
     if inj is not None:
         # no growth (state_level == L): the state skips every compaction
         # level, exactly the SQL twin's pass-through branch

@@ -396,36 +396,36 @@ def minhash_signatures(docs: DataFrame, n_perms: int = MINHASH_PERMS) -> DataFra
 )
 def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band)).alias(
-                            "bucket"
-                        ),
-                    )
-                    for b in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
+
+    def _bands_of(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.hash(
+                                F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                            ).alias("bucket"),
+                        )
+                        for b in range(MINHASH_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+
+    def _candidates_of(bands: DataFrame) -> DataFrame:
+        a = bands.alias("a")
+        b = bands.alias("b")
+        return a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+
     # verify candidates with exact Jaccard on shingle sets — adaptive,
     # same exact semantics both ways (d02's two-regime design):
     #
@@ -439,6 +439,19 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # columns) make the verify sum(bit_count(a&b)) in whole-stage
     # codegen: identical intersection counts, identical rows.
     #
+    # r18 (guide §2.3/§2.4), two further cuts in this regime:
+    # - ONE per-doc aggregate computes the 64 min-hashes AND the packed
+    #   bitmap words (+ distinct-shingle count) together — previously two
+    #   corpus explodes and two groupBy(doc_id) shuffles (the dictionary
+    #   inner join keeps every row: the probe observed the WHOLE
+    #   vocabulary, so min-hash values are unchanged by construction);
+    # - the Jaccard filter runs BEFORE the candidate distinct: the
+    #   bitmap sides broadcast, so raw band collisions verify in a pure
+    #   map and only survivors reach the dedup exchange (measured: the
+    #   3.9M-distinct-pair exchange was ~3.2 s of the 5.4 s query).
+    #   distinct over (doc_a, doc_b, jaccard) == distinct over the pair:
+    #   jaccard is a pure function of the pair, bit-identical per copy.
+    #
     # LARGE VOCAB (real corpora — where LSH candidates are selective):
     # the candidate-driven shingle join below is the production shape
     # (cost = candidates x doc-shingles, d13's documented plan).
@@ -449,7 +462,7 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         nw = (len(vocab) + 63) // 64
         dictionary = F.broadcast(
-            local_df(spark, 
+            local_df(spark,
                 [(s, i) for i, s in enumerate(vocab)], "shingle string, sid int"
             )
         )
@@ -462,17 +475,31 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"w{w}")
             for w in range(nw)
         ]
-        packed = (
+        min_aggs = [
+            F.min(
+                (F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * i + 1)) % MERSENNE_P
+            ).alias(f"m{i}")
+            for i in range(MINHASH_PERMS)
+        ]
+        per_doc = (
             sh.join(dictionary, "shingle")
+            .select(
+                "doc_id",
+                (F.abs(F.xxhash64("shingle")) % MERSENNE_P).alias("h"),
+                "sid",
+            )
             .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n"), *word_aggs)
+            .agg(*min_aggs, F.count(F.lit(1)).alias("n"), *word_aggs)
         )
-        za = packed.select(
+        sigs = per_doc.select(
+            "doc_id", F.array(*[f"m{i}" for i in range(MINHASH_PERMS)]).alias("sig")
+        )
+        za = per_doc.select(
             F.col("doc_id").alias("za_id"),
             F.col("n").alias("n_a"),
             *[F.col(f"w{w}").alias(f"a{w}") for w in range(nw)],
         )
-        zb = packed.select(
+        zb = per_doc.select(
             F.col("doc_id").alias("zb_id"),
             F.col("n").alias("n_b"),
             *[F.col(f"w{w}").alias(f"b{w}") for w in range(nw)],
@@ -483,11 +510,14 @@ def d03_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         jac = inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter)
         return (
-            candidates.join(za, F.col("doc_a") == F.col("za_id"))
+            _candidates_of(_bands_of(sigs))
+            .join(za, F.col("doc_a") == F.col("za_id"))
             .join(zb, F.col("doc_b") == F.col("zb_id"))
             .select("doc_a", "doc_b", jac.alias("jaccard"))
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .distinct()
         )
+    candidates = _candidates_of(_bands_of(minhash_signatures(docs))).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.alias("sa")
     inter = (
@@ -980,51 +1010,69 @@ pairs AS (
 )"""
 
 
-def _md5_minhash_sigs(sh: DataFrame) -> DataFrame:
-    """(doc_id, p, sig): the 16 permuted min-hashes per doc on the
-    md5-shared family — the Spark twin of _SQL_D11_PAIRS's ``hashed``."""
+def _md5_minhash_wide(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m{P-1}): the 16 permuted min-hashes per doc on the
+    md5-shared family, as ONE wide aggregate — the Spark twin of
+    _SQL_D11_PAIRS's ``hashed`` pivoted to columns.
+
+    r18 (guide §2.3/§2.4): the previous shape exploded 16 permutation
+    rows per shingle (a 16x-wider aggregate input) and then re-shuffled
+    twice more (groupBy(doc_id, band) for band keys, groupBy(doc_id) for
+    signature arrays). One groupBy(doc_id) with 16 min columns computes
+    the identical values — for fixed p, ((2p+3)*h + 7p+1) % M is the same
+    expression the exploded form evaluated — and bands/signature arrays
+    derive from the columns with no further shuffle."""
     h48 = F.expr("conv(substr(md5(shingle), 1, 12), 16, 10)").cast("bigint")
-    perms = F.explode(F.sequence(F.lit(0), F.lit(D11_PERMS - 1))).alias("p")
-    return (
-        sh.select("doc_id", h48.alias("h"))
-        .select("doc_id", "h", perms)
-        .groupBy("doc_id", "p")
-        .agg(
-            F.min(
-                ((F.lit(2) * F.col("p") + 3) * F.col("h") + 7 * F.col("p") + 1)
-                % F.lit(MERSENNE_P)
-            ).alias("sig")
-        )
-    )
+    mins = [
+        F.min(
+            (F.lit(2 * p + 3) * F.col("h") + F.lit(7 * p + 1)) % F.lit(MERSENNE_P)
+        ).alias(f"m{p}")
+        for p in range(D11_PERMS)
+    ]
+    return sh.select("doc_id", h48.alias("h")).groupBy("doc_id").agg(*mins)
 
 
-def _md5_bands(sh: DataFrame, hashed: DataFrame | None = None) -> DataFrame:
+def _md5_bands(sh: DataFrame, wide: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, band_key): the 4 LSH band keys per doc on the
     md5-shared family — the bucket frame both the full self-join (d11)
-    and the filtered incremental join (d14) build on."""
-    if hashed is None:
-        hashed = _md5_minhash_sigs(sh)
-    return (
-        hashed.withColumn("band", F.expr(f"p div {D11_BANDS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "sig"))),
-                    lambda s: s["sig"].cast("string"),
-                ),
-                ":",
-            ).alias("band_key")
-        )
-    )
+    and the filtered incremental join (d14) build on.
+
+    band b covers permutations p with p div D11_BANDS == b; the key is
+    the ':'-joined decimal signatures in p order — exactly the string
+    the previous collect_list/array_sort/array_join aggregate built (one
+    row per (doc, p), sorted by p), now a shuffle-free concat_ws over
+    the wide columns."""
+    if wide is None:
+        wide = _md5_minhash_wide(sh)
+    n_bands = D11_PERMS // D11_BANDS
+    return wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ":",
+                            *[
+                                F.col(f"m{p}").cast("string")
+                                for p in range(b * D11_BANDS, (b + 1) * D11_BANDS)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_key")
 
 
-def _md5_lsh_pairs(sh: DataFrame, hashed: DataFrame | None = None) -> DataFrame:
+def _md5_lsh_pairs(sh: DataFrame, wide: DataFrame | None = None) -> DataFrame:
     """Distinct (doc_a, doc_b) LSH candidate pairs from a (doc_id,
     shingle) frame using the md5-shared permutation family — the Spark
-    twin of _SQL_D11_PAIRS. Narrow hashing, one (doc, band) aggregate,
+    twin of _SQL_D11_PAIRS. Narrow hashing, one per-doc aggregate,
     one band-bucket equi-join; no all-pairs stage."""
-    bands = _md5_bands(sh, hashed)
+    bands = _md5_bands(sh, wide)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -1304,12 +1352,13 @@ def d13_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle files any one consumer would write anyway; a real pipeline
     # persists this stage too (or re-derives — a config choice).
     sh = _shingles(docs).localCheckpoint(eager=True)
-    hashed = _md5_minhash_sigs(sh).localCheckpoint(eager=True)  # docs x 16
-    pairs = _md5_lsh_pairs(sh, hashed=hashed)
-    sigs = hashed.groupBy("doc_id").agg(
-        F.expr("transform(array_sort(collect_list(struct(p, sig))), s -> s.sig)").alias(
-            "sig"
-        )
+    # one |docs|-row wide frame feeds band keys AND the signature arrays
+    # (4 consumers); r18 replaced the exploded (doc, p) shape — see
+    # _md5_minhash_wide — so the checkpoint is 16 columns, not 16 rows/doc
+    wide = _md5_minhash_wide(sh).localCheckpoint(eager=True)
+    pairs = _md5_lsh_pairs(sh, wide=wide)
+    sigs = wide.select(
+        "doc_id", F.array(*[f"m{p}" for p in range(D11_PERMS)]).alias("sig")
     )
     # estimated-similarity prefilter: 16 integer compares per candidate
     # pair, orders of magnitude cheaper than the shingle join it gates

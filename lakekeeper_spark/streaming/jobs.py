@@ -1802,7 +1802,11 @@ def st18_stream_compactor_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
     ckpt = tempfile.mkdtemp(prefix="lkspark_ckpt_")
 
     def fold_batch(batch: DataFrame, _batch_id: int) -> None:
-        if batch.isEmpty():
+        # one count serves the empty-probe AND the sketch geometry —
+        # previously isEmpty() plus compactor_retained's internal count
+        # ran two actions per trigger (r18, guide §1.2)
+        n = batch.count()
+        if n == 0:
             return
         v = batch.select(
             F.round(F.col("value") * 1_000_000).cast("long").alias("c"),
@@ -1813,7 +1817,9 @@ def st18_stream_compactor_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("event_id").cast("string").alias("k"),
             (F.col("event_id") % ST18_SLICES).cast("int").alias("slice"),
         )
-        retained, _level_count, g_total = compactor_retained(v, "c", "h", ["k"])
+        retained, _level_count, g_total = compactor_retained(
+            v, "c", "h", ["k"], n=n
+        )
         retained.withColumn("w", F.lit(g_total).cast("long")).write.mode(
             "append"
         ).parquet(acc)
@@ -1929,7 +1935,11 @@ def st19_stream_growing_compactor(spark: SparkSession, sf_dir: str) -> DataFrame
     meta_path = Path(root) / "meta.json"
 
     def fold_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
+        # one count serves the empty-probe AND the cumulative total —
+        # previously isEmpty() plus a separate count() ran two actions
+        # per trigger (r18, guide §1.2)
+        n_batch = batch.count()
+        if n_batch == 0:
             return
         # persisted fold metadata: a restarted stream resumes the sketch
         # from (cum_n, level, generation) exactly
@@ -1951,9 +1961,9 @@ def st19_stream_growing_compactor(spark: SparkSession, sf_dir: str) -> DataFrame
             if meta["gen"] >= 0
             else None
         )
-        cum_n = meta["cum_n"] + batch.count()
+        cum_n = meta["cum_n"] + n_batch
         retained, level, _g = compactor_fold_retained(
-            v, state, meta["level"], cum_n, "c", "h", ["k"]
+            v, state, meta["level"], cum_n, "c", "h", ["k"], batch_n=n_batch
         )
         gen = meta["gen"] + 1
         retained.write.mode("overwrite").parquet(f"{root}/gen{gen}")

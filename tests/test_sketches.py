@@ -368,3 +368,42 @@ def test_hybrid_compaction_matches_window_chain(spark):
     a = sorted((r["c"], r["h"], r["k"]) for r in fast.collect())
     b = sorted((r["c"], r["h"], r["k"]) for r in slow.collect())
     assert a == b
+
+
+def test_hybrid_fold_matches_window_chain(spark):
+    """The r18 hybrid FOLD fast path (ladder split at the state-injection
+    level) must retain the IDENTICAL buffer the pure window-chain fold
+    retains — across growth (state_level < L), no-growth pass-through
+    (state_level == L), and the first fold (state=None) — including
+    signed hashes and string-broken ties."""
+    from pyspark.sql import functions as F
+
+    from lakekeeper_spark.functions import quantiles as Q
+
+    rows = 600
+    df = spark.range(rows).select(
+        (F.col("id") % 7).cast("long").alias("c"),
+        F.expr("xxhash64(CAST(id AS STRING))").alias("h"),
+        F.col("id").cast("string").alias("k"),
+    )
+
+    def fold_all(force: bool, splits: list[int]):
+        state, level, prev = None, 0, 0
+        for cut in splits + [rows]:
+            batch = df.filter((F.col("id") >= prev) & (F.col("id") < cut))
+            n_b = cut - prev
+            state, level, _g = Q.compactor_fold_retained(
+                batch, state, level, cut, "c", "h", ["k"], cap=16,
+                batch_n=n_b, _force_chain=force,
+            )
+            state = state.localCheckpoint(eager=True)
+            prev = cut
+        return state, level
+
+    for splits in ([200, 400], [50, 100, 150], [590]):
+        fast, lf = fold_all(False, splits)
+        slow, ls = fold_all(True, splits)
+        assert lf == ls, splits
+        a = sorted((r["c"], r["h"], r["k"]) for r in fast.collect())
+        b = sorted((r["c"], r["h"], r["k"]) for r in slow.collect())
+        assert a == b, splits

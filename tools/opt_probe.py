@@ -28,7 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from lakekeeper_spark.registry import load_registry  # noqa: E402
 from lakekeeper_spark.session import get_session  # noqa: E402
 
-PLANS = Path(__file__).resolve().parent.parent / "plans" / "r17"
+PLANS = Path(__file__).resolve().parent.parent / "plans" / os.environ.get("OPT_ROUND", "r18")
 
 
 def main() -> None:
