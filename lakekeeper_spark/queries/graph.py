@@ -327,6 +327,38 @@ def g03_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     if nodes.count() == 0:
         return spark.createDataFrame([], "item long, hub_fp long, auth_fp long")
 
+    def _raw(score: DataFrame, val: str, from_key: str, to_key: str) -> DataFrame:
+        """The grouped propagation sum of one half-step (pre-renorm)."""
+        return (
+            edges.join(score, edges[from_key] == score["item"])
+            .select(to_key, F.expr(f"{val} * w").alias("xw"))
+            .groupBy(to_key)
+            .agg(F.sum("xw").cast("long").alias("raw"))
+        )
+
+    def _half_composed(
+        score: DataFrame, val: str, from_key: str, to_key: str, out: str
+    ) -> DataFrame:
+        """One HITS half-step with the renormalization max kept IN the
+        plan as a 1-row broadcast cross join (the oracle's am{k}/CROSS
+        JOIN shape) instead of a collected driver literal — so the
+        half-step imposes NO driver barrier and a full auth+hub round
+        composes into ONE job (r18, verdict item 6 / guide §1.2). Same
+        integer arithmetic: `div m-column` == `div <literal m>` of the
+        same value (the r17-verified identity); an empty edge set yields
+        an empty raw, hence an empty half-step result, exactly like the
+        m-is-None branch of the driver-literal form. ``raw`` is
+        referenced twice (max + renorm), doubling THIS half-step's
+        subtree — bounded because the sibling half-step still pins each
+        round (the 2^k lineage guard), and the duplicated groupBy
+        exchange is reused at runtime."""
+        raw = _raw(score, val, from_key, to_key)
+        m = raw.agg(F.max("raw").alias("m"))
+        return raw.crossJoin(F.broadcast(m)).select(
+            F.col(to_key).alias("item"),
+            F.expr(f"CAST((raw * {_S_HITS}) div m AS BIGINT)").alias(out),
+        )
+
     def _half(
         score: DataFrame, val: str, from_key: str, to_key: str, out: str
     ) -> DataFrame:
@@ -355,13 +387,7 @@ def g03_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast-build job + the max evaluation inside the consumer);
         # measured 66 -> ~20 jobs for the whole query. Same integer
         # arithmetic: `div <literal m>` == `div m-column` of the same value.
-        raw = (
-            edges.join(score, edges[from_key] == score["item"])
-            .select(to_key, F.expr(f"{val} * w").alias("xw"))
-            .groupBy(to_key)
-            .agg(F.sum("xw").cast("long").alias("raw"))
-            .localCheckpoint(eager=False)
-        )
+        raw = _raw(score, val, from_key, to_key).localCheckpoint(eager=False)
         m = raw.agg(F.max("raw").alias("m")).first()["m"]
         if m is None:
             # empty edge set: no scored nodes this half-step
@@ -376,7 +402,16 @@ def g03_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs = nodes.select("item", F.lit(_S_HITS).cast("long").alias("h"))
     auths = None
     for _ in range(_ITERS):
-        auths = _half(hubs, "h", "src", "dst", "a")
+        # r18 (verdict item 6): the auth half-step keeps its renorm max
+        # in-plan (no driver barrier); the hub half-step's pinned raw +
+        # max collect is the ONE driver decision that materializes the
+        # whole round — 5 jobs for the 10 half-steps instead of 10.
+        # the lazy pin materializes inside the hub job (its first
+        # consumer), so the final output join reads the checkpoint
+        # instead of recomputing the half-step — zero extra jobs
+        auths = _half_composed(hubs, "h", "src", "dst", "a").localCheckpoint(
+            eager=False
+        )
         hubs = _half(auths, "a", "dst", "src", "h")
     # densify once: every node appears in the output, absent scores are 0
     # (same values the per-half-step COALESCE produced round by round)

@@ -2020,7 +2020,13 @@ def t18_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("widx", "word"),
     )
-    seq = dwords.join(wstats, "word").select(
+    # r18 (guide §3.1): broadcast the VOCAB-sized stats side explicitly.
+    # Unhinted, the planner estimated the corpus-explode side under the
+    # threshold and broadcast THAT (plan: BroadcastExchange over
+    # Generate(posexplode(documents)) — fine at sf0.1, impossible at
+    # 100 TB). wstats is one row per distinct corpus word, the same
+    # bounded-vocabulary scale as the merges table.
+    seq = dwords.join(F.broadcast(wstats), "word").select(
         "doc_id",
         "k",
         "s1",
