@@ -241,6 +241,15 @@ _DV_BLOBS_PER_CONTAINER = 512
 # container write fuse into one coalesced task (<= ~32 MB of int64
 # positions plus pandas overhead — far under an executor's task memory).
 _DV_FUSED_ROWS_MAX = 4_000_000
+# r18: a MOR delete/update whose matched set is already driver-collected
+# (<= _MAX_RANGE_ROWS rows, the lineage-range bound) merges prior DVs and
+# writes the new containers entirely driver-side when the prior artifacts
+# decode to at most this many positions — zero Spark jobs on the artifact
+# path (the encode + container write are pure functions; read_deletion_
+# vectors_cached already decodes driver-side for the inline scan filter).
+# Above the gate, or on any decode failure, the distributed encode path
+# runs unchanged.
+_DV_LOCAL_MERGE_MAX = 100_000
 # At or below this total tombstone cardinality a positioned scan inlines
 # the (file, pos) set as a literal anti-filter (driver-decoded, one
 # expression) instead of building a broadcast anti-join per action; the
@@ -3340,19 +3349,34 @@ class SparkTable:
         n_matched = matched.count()
         if n_matched == 0:
             return meta  # DELETE matching nothing commits no snapshot
+        # r18: a metadata-small matched set collects ONCE (reading the
+        # just-materialized checkpoint) and serves the row-id ranges AND
+        # the driver-side DV consolidation — replacing the separate
+        # ranges transfer plus the distributed encode/collect job.
+        pdf = (
+            matched.toPandas()
+            if lineage
+            and n_matched <= min(self._MAX_RANGE_ROWS, _DV_LOCAL_MERGE_MAX)
+            else None
+        )
         positions = matched.select("file_path", "pos")
         base_manifest, del_entries, removed = self._positional_artifacts(
-            meta, snap, positions, n_rows=n_matched
+            meta,
+            snap,
+            positions,
+            n_rows=n_matched,
+            positions_pdf=pdf[["file_path", "pos"]] if pdf is not None else None,
         )
         if not del_entries:
             return meta
-        ranges = (
-            self._row_id_ranges(
+        if not lineage:
+            ranges = None
+        elif pdf is not None:
+            ranges = self._ranges_from_series(pdf["_row_id"])
+        else:
+            ranges = self._row_id_ranges(
                 matched.select("_row_id"), n=n_matched, pinned=True
             )
-            if lineage
-            else None
-        )
         return self._commit_snapshot(
             meta,
             base_manifest + del_entries,
@@ -3376,6 +3400,22 @@ class SparkTable:
     # capped for pathological scatter
     _MAX_RANGE_ROWS = 100_000
     _MAX_RANGES = 4096
+
+    def _ranges_from_series(self, col: Any) -> list[list[int]] | None:
+        """numpy gaps-and-islands over a driver-local id series (the
+        pinned-caller core of _row_id_ranges, shared by the r18
+        collected-matched fast path)."""
+        import numpy as np
+
+        if col.isna().any():
+            return None  # pre-lineage rows resolved NULL: not rangeable
+        arr = np.unique(col.to_numpy(np.int64))
+        breaks = np.nonzero(np.diff(arr) != 1)[0]
+        if breaks.size + 1 > self._MAX_RANGES:
+            return None
+        starts = np.concatenate(([0], breaks + 1))
+        ends = np.concatenate((breaks, [arr.size - 1]))
+        return [[int(arr[s]), int(arr[e])] for s, e in zip(starts, ends)]
 
     def _row_id_ranges(
         self, ids: DataFrame, n: int | None = None, pinned: bool = False
@@ -3407,19 +3447,8 @@ class SparkTable:
             # the single-partition window + collect (two driver barriers).
             # Ids here are unique (1:1 with distinct (file, pos) rows), so
             # the ranges are identical to the window derivation's.
-            import numpy as np
-
             pdf = ids.toPandas()
-            col = pdf[pdf.columns[0]]
-            if col.isna().any():
-                return None  # pre-lineage rows resolved NULL: not rangeable
-            arr = np.unique(col.to_numpy(np.int64))
-            breaks = np.nonzero(np.diff(arr) != 1)[0]
-            if breaks.size + 1 > self._MAX_RANGES:
-                return None
-            starts = np.concatenate(([0], breaks + 1))
-            ends = np.concatenate((breaks, [arr.size - 1]))
-            return [[int(arr[s]), int(arr[e])] for s, e in zip(starts, ends)]
+            return self._ranges_from_series(pdf[pdf.columns[0]])
         ids = ids.localCheckpoint(eager=True)
         # <= 100k rows: a single-partition window is trivially cheap here
         grp = F.col("_row_id") - F.row_number().over(
@@ -3445,6 +3474,7 @@ class SparkTable:
         snap: dict[str, Any],
         positions: DataFrame,
         n_rows: int | None = None,
+        positions_pdf: Any | None = None,
     ) -> tuple[list[dict[str, Any]], list[dict[str, Any]], int]:
         """Shared tombstone-writing policy for the MOR DML family: returns
         (base_manifest, new_delete_entries, removed_delete_files).
@@ -3453,7 +3483,15 @@ class SparkTable:
         v3: they CONSOLIDATE with every prior positional artifact into a
         single deletion vector that replaces them (at most one positional
         artifact chain per data file — the v3 invariant); equality-delete
-        entries pass through untouched."""
+        entries pass through untouched.
+
+        ``positions_pdf`` (r18): the caller's already-driver-collected
+        (file_path, pos) pandas frame. When present and every prior
+        positional artifact is a Puffin DV totalling at most
+        _DV_LOCAL_MERGE_MAX positions, the v3 consolidation runs fully
+        driver-side (decode + merge + encode + container write are pure
+        functions) — zero Spark jobs; same artifacts by construction.
+        Any decode failure falls back to the distributed path."""
         data_entries, delete_entries = _split_manifest(snapshot_entries(snap))
         if meta.get("format-version", 2) < 3:
             return (
@@ -3463,6 +3501,18 @@ class SparkTable:
             )
         pos_like = [e for e in delete_entries if e.get("content") != "equality-deletes"]
         eq_dels = [e for e in delete_entries if e.get("content") == "equality-deletes"]
+        if (
+            positions_pdf is not None
+            and len(positions_pdf) <= _DV_LOCAL_MERGE_MAX
+            and all(e["path"].endswith(".puffin") for e in pos_like)
+            and sum(int(e.get("record-count", 0)) for e in pos_like)
+            <= _DV_LOCAL_MERGE_MAX
+        ):
+            try:
+                del_entries = self._dv_local_merge(meta, pos_like, positions_pdf)
+                return data_entries + eq_dels, del_entries, len(pos_like)
+            except Exception:
+                pass  # distributed consolidation below
         merged = positions
         if pos_like:
             old = self._read_positional(meta, pos_like)
@@ -3684,6 +3734,82 @@ class SparkTable:
             )
         return entries
 
+    def _write_deletion_vectors_local(
+        self, meta: dict[str, Any], by_file: dict[str, Any]
+    ) -> list[dict[str, Any]]:
+        """Driver-side twin of ``_write_deletion_vectors`` for
+        metadata-small position sets: ``by_file`` maps referenced data
+        file -> sorted-unique int64 numpy positions. Same container
+        chunking (sorted file order, _DV_BLOBS_PER_CONTAINER per
+        container), same blob framing, same manifest entries — just no
+        Spark job. Bounded by the caller's _DV_LOCAL_MERGE_MAX gate."""
+        import os
+
+        from .dv import dv_payload, write_deletion_vector_blobs
+
+        commit_id = uuid.uuid4().hex
+        out_dir = Path(meta["location"]) / "data" / "deletes" / commit_id
+        seq = _next_seq(meta)
+        new_sid = (
+            max((s["snapshot-id"] for s in meta.get("snapshots", [])), default=0) + 1
+        )
+        encoded = [
+            (fp, dv_payload(poss), int(poss.size))
+            for fp, poss in sorted(by_file.items())
+        ]
+        if not encoded:
+            return []
+        os.makedirs(str(out_dir), exist_ok=True)
+        rows = []
+        for i in range(0, len(encoded), _DV_BLOBS_PER_CONTAINER):
+            chunk = encoded[i : i + _DV_BLOBS_PER_CONTAINER]
+            cpath = str(out_dir / f"dv-{uuid.uuid4().hex[:12]}.puffin")
+            size, layout = write_deletion_vector_blobs(
+                cpath, chunk, snapshot_id=new_sid, sequence_number=seq
+            )
+            rows.append(
+                {
+                    "path": cpath,
+                    "size": size,
+                    "record_count": sum(c for _, _, c in chunk),
+                    "layout": json.dumps(
+                        {fp: list(v) for fp, v in layout.items()}
+                    ),
+                }
+            )
+        return self._dv_entries(meta, rows, seq)
+
+    def _dv_local_merge(
+        self,
+        meta: dict[str, Any],
+        pos_like: list[dict[str, Any]],
+        positions_pdf: Any,
+    ) -> list[dict[str, Any]]:
+        """Merge prior positional artifacts with a driver-collected new
+        position set and write the consolidated DVs, all driver-side.
+        Raises on any decode problem — the caller falls back to the
+        distributed path (the _inline_pos_filter discipline)."""
+        import numpy as np
+
+        from .dv import read_deletion_vectors_cached
+
+        loc = meta["location"]
+        by_file: dict[str, list] = {}
+        for e in pos_like:
+            for fp, poss in read_deletion_vectors_cached(
+                f"{loc}/{e['path']}"
+            ).items():
+                if poss.size:
+                    by_file.setdefault(fp, []).append(poss)
+        for fp, grp in positions_pdf.groupby("file_path", sort=True):
+            by_file.setdefault(str(fp), []).append(
+                grp["pos"].to_numpy(np.int64)
+            )
+        merged = {
+            fp: np.unique(np.concatenate(arrs)) for fp, arrs in by_file.items()
+        }
+        return self._write_deletion_vectors_local(meta, merged)
+
     def _mor_update(self, condition: str, assignments: dict[str, str]) -> dict[str, Any]:
         """MOR UPDATE = one commit carrying a position-delete of matched
         rows plus an append of their updated images (v3: consolidated
@@ -3710,6 +3836,20 @@ class SparkTable:
             self._rel_file(meta["location"]).alias("file_path"),
             F.col("_pos").alias("pos"),
         )
+        # r18: same collected-matched fast path as _mor_delete, over a
+        # NARROW projection (never the full row images) — serves the
+        # driver-side DV consolidation and the row-id ranges in one
+        # cheap read of the materialized checkpoint.
+        pdf = (
+            matched.select(
+                self._rel_file(meta["location"]).alias("file_path"),
+                F.col("_pos").alias("pos"),
+                "_row_id",
+            ).toPandas()
+            if lineage
+            and n_matched <= min(self._MAX_RANGE_ROWS, _DV_LOCAL_MERGE_MAX)
+            else None
+        )
         # cast each assignment back to the column's DECLARED type: a bare
         # literal like `999.0` parses as DECIMAL(4,1), and writing that
         # into a double column would flip the file's physical type out
@@ -3727,18 +3867,23 @@ class SparkTable:
             *(["_row_id"] if lineage else []),
         )
         base_manifest, del_entries, removed = self._positional_artifacts(
-            meta, snap, positions, n_rows=n_matched
+            meta,
+            snap,
+            positions,
+            n_rows=n_matched,
+            positions_pdf=pdf[["file_path", "pos"]] if pdf is not None else None,
         )
         if not del_entries:
             return meta
         add_entries = self._write_files(meta, updated)
-        ranges = (
-            self._row_id_ranges(
+        if not lineage:
+            ranges = None
+        elif pdf is not None:
+            ranges = self._ranges_from_series(pdf["_row_id"])
+        else:
+            ranges = self._row_id_ranges(
                 matched.select("_row_id"), n=n_matched, pinned=True
             )
-            if lineage
-            else None
-        )
         return self._commit_snapshot(
             meta,
             base_manifest + del_entries + add_entries,

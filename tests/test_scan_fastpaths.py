@@ -72,6 +72,8 @@ def test_fast_paths_match_fallback_paths(spark, catalog, monkeypatch):
     monkeypatch.setattr(icelite, "_DV_INLINE_POS_MAX", -1)
     monkeypatch.setattr(icelite, "_DV_FUSED_ROWS_MAX", -1)
     monkeypatch.setattr(icelite, "_EQ_INLINE_ROWS_MAX", -1)
+    # r18: driver-side DV consolidation -> the distributed encode path
+    monkeypatch.setattr(icelite, "_DV_LOCAL_MERGE_MAX", -1)
     orig_ranges = SparkTable._row_id_ranges
 
     def window_ranges(self, ids, n=None, pinned=False):
