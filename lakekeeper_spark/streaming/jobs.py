@@ -59,10 +59,16 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # microseconds: events.ts is parquet
 
 
 def _stage_stream_dir(sf_dir: str) -> str:
-    """File-source streams read directories; stage the single events.parquet
-    into a fresh temp dir (testdata is read-only)."""
+    """File-source streams read directories; stage events.parquet into a
+    fresh temp dir (testdata is read-only). The driver testdata ships a
+    single file; synthesized SFs (tools/make_sf.py) are Spark-written
+    directories — copy either shape."""
     d = tempfile.mkdtemp(prefix="lkspark_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", Path(d) / "events.parquet")
+    src = Path(sf_dir) / "events.parquet"
+    if src.is_dir():
+        shutil.copytree(src, Path(d) / "events.parquet")
+    else:
+        shutil.copy(src, Path(d) / "events.parquet")
     return d
 
 

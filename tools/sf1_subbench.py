@@ -1,0 +1,84 @@
+"""sf1 sub-bench (r18, verdict item 3): the heaviest scale-sensitive
+rows at the synthetic sf1 (tools/make_sf.py join-consistent replication
+of the sf0.1 driver data), timed exactly like bench.py — noop sink,
+cold pass then measured warm pass — at the session core count
+($SPARK_GRAFT_CPUS; master local[N] via the shared session factory).
+
+Why it exists: at sf0.1 every headline row is driver/scheduler-latency
+bound, so the driver's 8-vs-32-core scaling block reads ~1 everywhere
+and cluster regressions have no measurement (r17 verdict item 3). At
+sf1 the dedup rows are compute-bound and the core ratio becomes a real
+signal. Run once at 32 and once at SPARK_GRAFT_CPUS=8; commit both in
+one artifact (BENCH_r18_sf1.json).
+
+Caveat carried from make_sf.py: replication gives documents a built-in
+10x exact-duplication rate — the d03/d13 numbers here measure that
+deliberate worst-case pair blow-up, not typical-corpus cost.
+
+Usage: SPARK_GRAFT_SF1_DIR=/tmp/sfdata/sf1 python tools/sf1_subbench.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lakekeeper_spark.registry import load_registry  # noqa: E402
+from lakekeeper_spark.session import get_session  # noqa: E402
+
+SUBBENCH = [
+    "d03_dedup_minhash_lsh",
+    "d13_dedup_pipeline",
+    "st05_stream_stream_join",
+    "d06_dedup_embedding_lsh",
+    "c04_delete_artifacts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sfdata/sf1")
+    reg = load_registry()
+    spark = get_session("sf1-subbench")
+    spark.range(1000).selectExpr("sum(id)").collect()
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+
+    def run(name: str) -> float:
+        spark.sparkContext.setJobDescription(f"sf1 {name}")
+        t0 = time.time()
+        reg[name].spark_fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 3)
+
+    for name in SUBBENCH:
+        cold[name] = run(name)
+        warm[name] = run(name)
+        print(
+            f"# {name}: cold={cold[name]} warm={warm[name]}",
+            file=sys.stderr,
+            flush=True,
+        )
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_subbench_warm_sec",
+                "value": round(sum(warm.values()), 3),
+                "unit": "sec",
+                "queries": warm,
+                "cold": cold,
+                "sf": 1.0,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+                "sf1_dir": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
